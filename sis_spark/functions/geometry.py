@@ -1,0 +1,191 @@
+"""Geometry kernels: ray-casting point-in-polygon, haversine, envelopes, WKB.
+
+The reference delegates DE-9IM predicates to JTS/ESRI
+(F/geometry/wrapper/GeometryWrapper.java:287); neither library exists here,
+so the predicates this engine needs (contains/intersects for point-vs-polygon,
+distance) are re-derived as vectorized numpy:
+
+* PIP: classic even-odd ray casting (PNPOLY).  Boundary convention: a point
+  exactly on an edge follows the half-open crossing rule (strict ``<`` on the
+  intersection abscissa, half-open vertical interval) — deterministic and
+  documented, tested against a brute-force reference in tests.
+* Distance: spherical haversine (the reference uses Karney ellipsoidal
+  geodesics, R/GeodeticCalculator.java:405; spherical is within 0.5% and is
+  documented as the engine's metric).
+* Envelope: axis-aligned with the anti-meridian wraparound SPLIT rule
+  (xmin > xmax is legal and means the box crosses the anti-meridian,
+  R/geometry/AbstractEnvelope.java:840, WraparoundMethod.java:55-130).
+* WKB: minimal little-endian Point / Polygon / MultiPolygon codec (numpy),
+  enough to exchange geometry columns as BinaryType
+  (reference I/O analog: F/filter/sqlmm/ST_FromBinary.java).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+EARTH_RADIUS_M = 6371008.8  # IUGG mean radius
+
+
+# ---------------------------------------------------------------- PIP
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, vx: np.ndarray, vy: np.ndarray) -> np.ndarray:
+    """Even-odd ray-cast of many points against ONE polygon ring.
+
+    ``vx, vy``: ring vertices in order (closing edge implied).
+    Returns bool array.  O(P*V) vectorized; used inside the refine stage
+    after the cell-join prefilter has cut candidates.
+    """
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    vx = np.asarray(vx, dtype=np.float64)
+    vy = np.asarray(vy, dtype=np.float64)
+    wx = np.roll(vx, -1)
+    wy = np.roll(vy, -1)
+    cross = (vy[None, :] > py) != (wy[None, :] > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (wx - vx)[None, :] * (py - vy[None, :]) / (wy - vy)[None, :] + vx[None, :]
+    hits = cross & (px < xint)
+    return (hits.sum(axis=1) % 2).astype(bool)
+
+
+def points_in_polygon_with_holes(px, py, rings) -> np.ndarray:
+    """Even-odd over all rings: a point inside an odd number of rings is inside
+    (outer ring + holes follow even-odd naturally)."""
+    acc = np.zeros(len(np.asarray(px)), dtype=np.int64)
+    for vx, vy in rings:
+        acc += points_in_polygon(px, py, vx, vy).astype(np.int64)
+    return (acc % 2).astype(bool)
+
+
+def points_in_many_polygons(px, py, starts, vx, vy):
+    """PIP of N points against M polygons stored as concatenated rings.
+
+    ``starts``: int array of length M+1 — ring i is vx[starts[i]:starts[i+1]].
+    Returns (point_idx, poly_idx) arrays of matches.  Vectorized per polygon;
+    callers prefilter by cell so each batch is small.
+    """
+    p_idx_out = []
+    g_idx_out = []
+    for g in range(len(starts) - 1):
+        s, e = starts[g], starts[g + 1]
+        inside = points_in_polygon(px, py, vx[s:e], vy[s:e])
+        idx = np.nonzero(inside)[0]
+        p_idx_out.append(idx)
+        g_idx_out.append(np.full(idx.shape, g, dtype=np.int64))
+    if not p_idx_out:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    return np.concatenate(p_idx_out), np.concatenate(g_idx_out)
+
+
+# ---------------------------------------------------------------- distance
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle distance in meters (vectorized, broadcasting)."""
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(a, dtype=np.float64)) for a in (lon1, lat1, lon2, lat2))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    h = np.sin(dlat * 0.5) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon * 0.5) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """DuckDB SQL mirroring haversine_m (same op order; asin/sqrt/sin/cos)."""
+    return (
+        f"(2.0 * {EARTH_RADIUS_M} * asin(sqrt(LEAST(GREATEST("
+        f"pow(sin((radians({lat2}) - radians({lat1})) * 0.5), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin((radians({lon2}) - radians({lon1})) * 0.5), 2)"
+        f", 0.0), 1.0))))"
+    )
+
+
+# ---------------------------------------------------------------- envelopes
+
+def envelope_intersects(axmin, aymin, axmax, aymax, bxmin, bymin, bxmax, bymax):
+    """Box-interaction with wraparound: a box with xmin > xmax crosses the
+    anti-meridian and behaves as the union of two boxes
+    (AbstractEnvelope.java:840 'crossing the anti-meridian' contract)."""
+    def _x_overlap(a0, a1, b0, b1):
+        a_wrap = a0 > a1
+        b_wrap = b0 > b1
+        plain = (a0 <= b1) & (b0 <= a1)
+        a_split = (a0 <= b1) | (b0 <= a1)  # a wraps: [a0,180]+[−180,a1]
+        both = np.broadcast_to(True, np.broadcast(np.asarray(a0), np.asarray(b0)).shape)
+        return np.where(
+            a_wrap & b_wrap, both,
+            np.where(a_wrap, a_split, np.where(b_wrap, (b0 <= a1) | (a0 <= b1), plain)),
+        )
+    y_ok = (aymin <= bymax) & (bymin <= aymax)
+    return _x_overlap(axmin, axmax, bxmin, bxmax) & y_ok
+
+
+def split_wraparound(xmin, ymin, xmax, ymax):
+    """SPLIT rule: one wraparound box -> list of 1 or 2 plain boxes
+    (WraparoundMethod.java:55-130 SPLIT)."""
+    if xmin > xmax:
+        return [(xmin, ymin, 180.0, ymax), (-180.0, ymin, xmax, ymax)]
+    return [(xmin, ymin, xmax, ymax)]
+
+
+# ---------------------------------------------------------------- WKB (minimal)
+
+_WKB_POINT = 1
+_WKB_POLYGON = 3
+_WKB_MULTIPOLYGON = 6
+
+
+def wkb_point(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, _WKB_POINT, x, y)
+
+
+def wkb_polygon(rings) -> bytes:
+    """rings: list of (vx, vy) numpy pairs; ring is closed automatically."""
+    out = [struct.pack("<BII", 1, _WKB_POLYGON, len(rings))]
+    for vx, vy in rings:
+        vx = np.asarray(vx, dtype=np.float64)
+        vy = np.asarray(vy, dtype=np.float64)
+        if vx[0] != vx[-1] or vy[0] != vy[-1]:
+            vx = np.append(vx, vx[0])
+            vy = np.append(vy, vy[0])
+        out.append(struct.pack("<I", len(vx)))
+        out.append(np.column_stack([vx, vy]).astype("<f8").tobytes())
+    return b"".join(out)
+
+
+def wkb_parse(buf: bytes):
+    """Parse Point/Polygon/MultiPolygon -> ('point',(x,y)) | ('polygon',[(vx,vy),...])
+    | ('multipolygon', [polygons])."""
+    def parse_one(off):
+        little = buf[off] == 1
+        end = "<" if little else ">"
+        (typ,) = struct.unpack_from(end + "I", buf, off + 1)
+        off += 5
+        if typ == _WKB_POINT:
+            x, y = struct.unpack_from(end + "dd", buf, off)
+            return ("point", (x, y)), off + 16
+        if typ == _WKB_POLYGON:
+            (nrings,) = struct.unpack_from(end + "I", buf, off)
+            off += 4
+            rings = []
+            for _ in range(nrings):
+                (npts,) = struct.unpack_from(end + "I", buf, off)
+                off += 4
+                arr = np.frombuffer(buf, dtype=end + "f8", count=2 * npts, offset=off).reshape(-1, 2)
+                rings.append((arr[:, 0].copy(), arr[:, 1].copy()))
+                off += 16 * npts
+            return ("polygon", rings), off
+        if typ == _WKB_MULTIPOLYGON:
+            (n,) = struct.unpack_from(end + "I", buf, off)
+            off += 4
+            polys = []
+            for _ in range(n):
+                (g, off) = parse_one(off)
+                polys.append(g[1])
+            return ("multipolygon", polys), off
+        raise ValueError(f"unsupported WKB type {typ}")
+
+    g, _ = parse_one(0)
+    return g
