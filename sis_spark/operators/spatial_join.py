@@ -1,0 +1,175 @@
+"""Point-in-polygon spatial join: cell-key equi-join prefilter + exact PIP refine.
+
+The reference has spatial *filters* only (F/filter/BinarySpatialFilter.java) —
+a spatial join must be phrased as a per-row filter (nested loop,
+S/aggregate/JoinFeatureSet.java:485-512).  This operator is the Spark-native
+replacement: a **two-phase** join per the north rule:
+
+Phase 1 (prefilter, plan-time + map-side):
+    * driver computes each polygon's covering cells at a resolution chosen
+      from the polygon size distribution (the GridDerivation-style pruning of
+      F/coverage/grid/GridDerivation.java:332 done as plan construction);
+    * points get their cell id via a JVM codegen expression (no Python);
+    * candidates = points ⋈ broadcast(poly_cells) on cell — a broadcast hash
+      join, so the skewed hot cells never shuffle.
+
+Phase 2 (refine, Arrow-vectorized):
+    * mapInPandas ray-casting PIP (numpy even-odd kernel) against the
+      polygon vertex arrays shipped once per executor via a Spark broadcast —
+      the "broadcast STRtree" role of the north star; envelopes are checked
+      first (cheap numpy mask), then full PIP.
+
+For polygon sets too big to broadcast, ``strategy="shuffle"`` joins on cell
+with optional salting of hot cells (see salt_hot_cells) — the long-tail path
+of the two-phase broadcast-then-shuffle design.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cells as _cells
+from ..functions import geometry as _geo
+from ..functions.spark_exprs import cell_col
+
+
+def choose_resolution(polygons: list[dict]) -> int:
+    """Cell res whose cell size ~ median polygon diameter (1-4 covering cells
+    per typical polygon, fine enough to prune the point side)."""
+    if not polygons:
+        return 7
+    widths = [max(p["xmax"] - p["xmin"], (p["ymax"] - p["ymin"]) * 2.0) for p in polygons]
+    med = float(np.median(widths)) or 1.0
+    res = int(math.floor(math.log2(360.0 / med)))
+    return max(1, min(res, 14))
+
+
+def polygon_cells(polygons: list[dict], res: int) -> pd.DataFrame:
+    """(cell, poly_idx) covering table — plan-time, driver-side."""
+    cell_list = []
+    idx_list = []
+    for i, p in enumerate(polygons):
+        cov = _cells.covering_cells(p["xmin"], p["ymin"], p["xmax"], p["ymax"], res)
+        cell_list.append(cov)
+        idx_list.append(np.full(cov.shape, i, dtype=np.int64))
+    if not cell_list:
+        return pd.DataFrame({"cell": [], "poly_idx": []})
+    return pd.DataFrame(
+        {"cell": np.concatenate(cell_list), "poly_idx": np.concatenate(idx_list)}
+    )
+
+
+def _pack_polygons(polygons: list[dict]):
+    """Flat arrays for the refine kernel: concatenated rings + starts + envelopes."""
+    starts = np.zeros(len(polygons) + 1, dtype=np.int64)
+    for i, p in enumerate(polygons):
+        starts[i + 1] = starts[i] + len(p["vx"])
+    vx = np.concatenate([p["vx"] for p in polygons]) if polygons else np.array([])
+    vy = np.concatenate([p["vy"] for p in polygons]) if polygons else np.array([])
+    env = np.array(
+        [[p["xmin"], p["ymin"], p["xmax"], p["ymax"]] for p in polygons]
+    ) if polygons else np.zeros((0, 4))
+    keys = np.array([p["key"] for p in polygons], dtype=np.int64)
+    return {"starts": starts, "vx": vx, "vy": vy, "env": env, "keys": keys}
+
+
+def spatial_join(
+    points: DataFrame,
+    polygons: list[dict],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int | None = None,
+    poly_key_col: str = "poly_key",
+    strategy: str = "broadcast",
+    salt: int | None = None,
+) -> DataFrame:
+    """Inner join: one output row per (point row, containing polygon).
+
+    ``polygons``: list of dicts with key/vx/vy/xmin..ymax (synth.polygon_table_np
+    shape, or built from WKB via sources.polygons_from_wkb).
+    """
+    spark = points.sparkSession
+    if res is None:
+        res = choose_resolution(polygons)
+    packed = _pack_polygons(polygons)
+    bc = spark.sparkContext.broadcast(packed)
+
+    pc = polygon_cells(polygons, res)
+    cand_df = spark.createDataFrame(pc.astype({"cell": "int64", "poly_idx": "int64"}))
+    pts = points.withColumn("__cell", cell_col(F.col(lon_col), F.col(lat_col), res))
+
+    if strategy == "broadcast":
+        cand = pts.join(F.broadcast(cand_df), pts["__cell"] == cand_df["cell"], "inner")
+    else:  # shuffle path with optional hot-cell salting
+        if salt:
+            # salt the fact side; explode the dimension side over the salt
+            # range so hot cells spread across `salt` shuffle partitions
+            pts = pts.withColumn("__salt", F.pmod(F.hash(F.col(lon_col), F.col(lat_col)), F.lit(salt)))
+            salts = spark.range(salt).withColumnRenamed("id", "__salt")
+            cand_df = cand_df.crossJoin(salts)
+            cand = pts.join(
+                cand_df,
+                (pts["__cell"] == cand_df["cell"]) & (pts["__salt"] == cand_df["__salt"]),
+                "inner",
+            ).drop("__salt")
+        else:
+            cand = pts.join(cand_df, pts["__cell"] == cand_df["cell"], "inner")
+
+    cand = cand.drop("cell", "__cell")
+    out_fields = [f for f in cand.schema.fields if f.name != "poly_idx"]
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+        + f", `{poly_key_col}` bigint"
+    )
+    lon_i = [f.name for f in cand.schema.fields].index(lon_col)
+    lat_i = [f.name for f in cand.schema.fields].index(lat_col)
+    poly_i = [f.name for f in cand.schema.fields].index("poly_idx")
+
+    def refine(batches):
+        p = bc.value
+        starts, vx, vy, env, keys = p["starts"], p["vx"], p["vy"], p["env"], p["keys"]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            px = pdf.iloc[:, lon_i].to_numpy(dtype=np.float64)
+            py = pdf.iloc[:, lat_i].to_numpy(dtype=np.float64)
+            gi = pdf.iloc[:, poly_i].to_numpy(dtype=np.int64)
+            keep = np.zeros(len(pdf), dtype=bool)
+            # envelope pre-mask then per-polygon vectorized PIP
+            emask = (
+                (px >= env[gi, 0]) & (px <= env[gi, 2])
+                & (py >= env[gi, 1]) & (py <= env[gi, 3])
+            )
+            for g in np.unique(gi[emask]):
+                sel = emask & (gi == g)
+                s, e = starts[g], starts[g + 1]
+                keep[sel] = _geo.points_in_polygon(px[sel], py[sel], vx[s:e], vy[s:e])
+            out = pdf[keep].copy()
+            out[poly_key_col] = keys[out.pop("poly_idx").to_numpy(dtype=np.int64)]
+            yield out
+
+    return cand.mapInPandas(refine, schema=out_schema)
+
+
+def cell_histogram(points: DataFrame, lon_col: str, lat_col: str, res: int) -> DataFrame:
+    """groupBy(cell).count() — the cell-frequency sampling input for salting
+    decisions (map-side partial aggregation makes skew harmless here)."""
+    return (
+        points.withColumn("cell", cell_col(F.col(lon_col), F.col(lat_col), res))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hot_cells(points: DataFrame, lon_col: str, lat_col: str, res: int,
+              sample_fraction: float = 0.01, threshold: int = 1000) -> list[int]:
+    """Sampled cell-frequency scan -> list of hot cell ids (driver-side plan
+    input for salting; the sampling-over-joins idea from PAPERS.md)."""
+    hist = cell_histogram(points.sample(sample_fraction, seed=42), lon_col, lat_col, res)
+    rows = hist.filter(F.col("n") >= threshold * sample_fraction).collect()
+    return [r["cell"] for r in rows]

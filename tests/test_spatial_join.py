@@ -1,0 +1,160 @@
+"""End-to-end spatial join / tiling / kNN vs the DuckDB oracle at sf0.001.
+
+This mirrors the driver's correctness gate: the engine's DataFrame result
+must match the independent SQL re-derivation row-for-row."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sis_spark import synth
+from sis_spark.functions import cells as _cells
+from sis_spark.functions.spark_exprs import (
+    cell_col, point_lonlat_cols, query_lonlat_cols, tile_cols,
+)
+from sis_spark.functions.udfs import cell_udf, tile_udf
+from sis_spark.operators.spatial_join import spatial_join
+from sis_spark.operators.knn import knn_join
+from sis_spark.operators.tiling import assign_tiles, tile_counts, pyramid_rollup
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lon, lat = point_lonlat_cols("event_id")
+    return ev.select("event_id", lon.alias("lon"), lat.alias("lat"))
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in ("events", "supplier", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def test_cell_expr_jvm_equals_numpy_udf(events):
+    """JVM codegen cell expression == Arrow pandas-UDF kernel (differential)."""
+    res = 9
+    df = (
+        events.withColumn("c_jvm", cell_col(F.col("lon"), F.col("lat"), res))
+        .withColumn("c_py", cell_udf(res)("lon", "lat"))
+    )
+    assert df.filter(F.col("c_jvm") != F.col("c_py")).count() == 0
+
+
+def test_tile_expr_jvm_equals_numpy_udf(events):
+    zoom = 11
+    tx, ty = tile_cols(F.col("lon"), F.col("lat"), zoom)
+    df = (
+        events.withColumn("t_jvm_x", tx).withColumn("t_jvm_y", ty)
+        .withColumn("t_py", tile_udf(zoom)("lon", "lat"))
+    )
+    bad = df.filter(
+        (F.col("t_jvm_x") != F.col("t_py.tx")) | (F.col("t_jvm_y") != F.col("t_py.ty"))
+    )
+    assert bad.count() == 0
+
+
+def test_spatial_join_vs_oracle(spark, events, duck):
+    sup_keys = duck.execute("SELECT s_suppkey FROM supplier ORDER BY 1").fetchnumpy()["s_suppkey"]
+    polygons = synth.polygon_table_np(sup_keys)
+    got = (
+        spatial_join(events, polygons, "lon", "lat")
+        .select(F.col("event_id").alias("pid"), F.col("poly_key"))
+        .toPandas()
+        .sort_values(["pid", "poly_key"])
+        .reset_index(drop=True)
+    )
+    pts = (
+        f"SELECT event_id AS pid, {synth.point_lon_sql('event_id')} AS lon, "
+        f"{synth.point_lat_sql('event_id')} AS lat FROM events"
+    )
+    exp = duck.execute(synth.pip_join_oracle_sql(pts)).fetch_df()
+    exp = exp.astype({"pid": "int64", "poly_key": "int64"}).reset_index(drop=True)
+    got = got.astype({"pid": "int64", "poly_key": "int64"})
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(exp) > 0
+
+
+def test_spatial_join_shuffle_salted_same_result(spark, events, duck):
+    sup_keys = duck.execute("SELECT s_suppkey FROM supplier").fetchnumpy()["s_suppkey"]
+    polygons = synth.polygon_table_np(sup_keys)
+    a = (
+        spatial_join(events, polygons, "lon", "lat", strategy="broadcast")
+        .select("event_id", "poly_key").toPandas()
+        .sort_values(["event_id", "poly_key"]).reset_index(drop=True)
+    )
+    b = (
+        spatial_join(events, polygons, "lon", "lat", strategy="shuffle", salt=4)
+        .select("event_id", "poly_key").toPandas()
+        .sort_values(["event_id", "poly_key"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_tile_counts_vs_oracle(events, duck):
+    zoom = 7
+    got = (
+        tile_counts(events, "lon", "lat", zoom)
+        .toPandas().sort_values(["tx", "ty"]).reset_index(drop=True)
+    )
+    from sis_spark.functions.transforms import tile_sql
+
+    lon = synth.point_lon_sql("event_id")
+    lat = synth.point_lat_sql("event_id")
+    sx, sy = tile_sql(lon, lat, zoom)
+    exp = duck.execute(
+        f"SELECT {sx} AS tx, {sy} AS ty, count(*) AS n FROM events GROUP BY 1, 2 ORDER BY tx, ty"
+    ).fetch_df()
+    pd.testing.assert_frame_equal(
+        got.astype({"tx": "int64", "ty": "int64", "n": "int64"}),
+        exp.astype({"tx": "int64", "ty": "int64", "n": "int64"}),
+    )
+
+
+def test_pyramid_rollup_consistency(events):
+    zoom = 8
+    base = tile_counts(events, "lon", "lat", zoom)
+    pyr = pyramid_rollup(base, max_zoom=zoom, min_zoom=0).toPandas()
+    total = events.count()
+    sums = pyr.groupby("z")["n"].sum()
+    assert (sums == total).all()
+    # spot-check parent/child arithmetic at one level
+    z1 = pyr[pyr.z == zoom - 1].set_index(["tx", "ty"])["n"]
+    z0 = pyr[pyr.z == zoom]
+    rolled = z0.assign(tx=z0.tx // 2, ty=z0.ty // 2).groupby(["tx", "ty"])["n"].sum()
+    pd.testing.assert_series_equal(z1.sort_index(), rolled.sort_index(), check_names=False)
+
+
+def test_knn_vs_oracle(spark, events, duck, sf_dir):
+    k = 5
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    qlon, qlat = query_lonlat_cols("n_nationkey")
+    queries = nat.select(
+        F.col("n_nationkey").alias("query_id"), qlon.alias("qlon"), qlat.alias("qlat")
+    )
+    got = (
+        knn_join(events.withColumnRenamed("event_id", "cand_id"), queries, k)
+        .select("query_id", "rank", "cand_id")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    hav = __import__("sis_spark.functions.geometry", fromlist=["haversine_sql"]).haversine_sql
+    lon = synth.point_lon_sql("e.event_id")
+    lat = synth.point_lat_sql("e.event_id")
+    qlon_s = synth.query_lon_sql("n.n_nationkey")
+    qlat_s = synth.query_lat_sql("n.n_nationkey")
+    exp = duck.execute(f"""
+        SELECT query_id, rank, cand_id FROM (
+          SELECT n.n_nationkey AS query_id, e.event_id AS cand_id,
+                 row_number() OVER (PARTITION BY n.n_nationkey
+                    ORDER BY {hav(lon, lat, qlon_s, qlat_s)} ASC, e.event_id ASC) AS rank
+          FROM nation n CROSS JOIN events e) t
+        WHERE rank <= {k} ORDER BY query_id, rank
+    """).fetch_df()
+    pd.testing.assert_frame_equal(
+        got.astype({"query_id": "int64", "rank": "int64", "cand_id": "int64"}),
+        exp.astype({"query_id": "int64", "rank": "int64", "cand_id": "int64"}),
+    )
