@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship two-phase spatial join + tile assignment at
+sf0.001; ``queries``/``oracle_sql`` expose the full catalog in
+sis_spark/queries.py (each Spark query vs an independent DuckDB SQL
+re-derivation — differential testing per SURVEY.md §5).
 """
 
 from __future__ import annotations
@@ -15,24 +14,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: skewed points -> cell prefilter -> broadcast PIP join ->
+    Web-Mercator tile assignment, at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from sis_spark.operators.tiling import assign_tiles
+    from sis_spark.queries import _events_points, _supplier_polygons
+    from sis_spark.operators.spatial_join import spatial_join
+
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _events_points(spark, sf_dir)
+    polys = _supplier_polygons(spark, sf_dir)
+    joined = spatial_join(pts, polys, "lon", "lat")
+    return assign_tiles(joined, "lon", "lat", zoom=12).select(
+        F.col("event_id").alias("pid"), "poly_key", "tx", "ty"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from sis_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _oracle) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sis_spark.queries import QUERIES
+
+    return {
+        name: oracle()
+        for name, (_fn, oracle) in QUERIES.items()
+        if oracle is not None
+    }

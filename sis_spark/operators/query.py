@@ -1,0 +1,127 @@
+"""FeatureQuery facade — the reference's query algebra over DataFrames.
+
+Mirrors S/FeatureQuery.java (javadoc: "mimics SQL SELECT", :62-73):
+projection (:257 NamedExpression + alias), selection (:298), offset/limit
+(:339,371), multi-key null-aware sort (:398 + S/base/SortByComparator.java).
+Execution order matches FeatureSubset.features (S/FeatureSubset.java:134-168):
+filter -> sort -> skip/limit -> project.
+
+Null/NaN comparison semantics (F/filter/ComparisonFilter.java:40-43): a null
+or NaN operand makes the predicate FALSE — under a Spark WHERE, null-result
+rows drop, which matches; NaN needs the explicit guard provided by
+``comparison`` below (Spark compares NaN as largest, SIS drops it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def comparison(left: Column, op: str, right: Column, nan_safe: bool = False) -> Column:
+    """SIS ComparisonFilter: a null or NaN operand makes the predicate false
+    (F/filter/ComparisonFilter.java:40-43).  Null already yields
+    false-under-WHERE in Spark; pass ``nan_safe=True`` for floating columns
+    to also drop NaN operands (Spark otherwise sorts NaN as largest)."""
+    ops = {
+        "=": left == right, "<>": left != right, "<": left < right,
+        ">": left > right, "<=": left <= right, ">=": left >= right,
+    }
+    c = ops[op]
+    if nan_safe:
+        c = c & ~F.isnan(left) & ~F.isnan(right)
+    return c
+
+
+@dataclass
+class SortProperty:
+    """DefaultSortProperty (F/filter/DefaultSortProperty.java:161):
+    null ordering is explicit, default nulls last for asc."""
+    column: str
+    ascending: bool = True
+    nulls_first: bool | None = None
+
+    def to_col(self) -> Column:
+        c = F.col(self.column)
+        nf = self.nulls_first if self.nulls_first is not None else not self.ascending
+        if self.ascending:
+            return c.asc_nulls_first() if nf else c.asc_nulls_last()
+        return c.desc_nulls_first() if nf else c.desc_nulls_last()
+
+
+@dataclass
+class FeatureQuery:
+    projection: list[tuple[Column, str]] | None = None  # (expr, alias) pairs
+    selection: Column | None = None
+    sort_by: list[SortProperty] = field(default_factory=list)
+    offset: int = 0
+    limit: int | None = None
+
+    def set_projection(self, *pairs):
+        self.projection = list(pairs)
+        return self
+
+    def set_selection(self, cond: Column):
+        self.selection = cond
+        return self
+
+    def set_sort_by(self, *props: SortProperty):
+        self.sort_by = list(props)
+        return self
+
+    def set_offset(self, n: int):
+        self.offset = n
+        return self
+
+    def set_limit(self, n: int):
+        self.limit = n
+        return self
+
+    def execute(self, df: DataFrame) -> DataFrame:
+        """FeatureSubset pipeline order: filter → sort → skip/limit → project."""
+        out = df
+        if self.selection is not None:
+            out = out.filter(self.selection)
+        if self.sort_by:
+            out = out.orderBy(*[s.to_col() for s in self.sort_by])
+        if self.offset:
+            out = out.offset(self.offset)
+        if self.limit is not None:
+            out = out.limit(self.limit)
+        if self.projection is not None:
+            out = out.select(*[e.alias(a) for e, a in self.projection])
+        return out
+
+
+def bbox_filter(lon: Column, lat: Column, xmin: float, ymin: float, xmax: float, ymax: float) -> Column:
+    """Envelope selection (FeatureQuery.setSelection(Envelope),
+    S/FeatureQuery.java:298-316) with the anti-meridian wraparound SPLIT rule
+    (xmin > xmax ⇒ two boxes, R/geometry/WraparoundMethod.java:55)."""
+    y = (lat >= F.lit(ymin)) & (lat <= F.lit(ymax))
+    if xmin > xmax:
+        x = (lon >= F.lit(xmin)) | (lon <= F.lit(xmax))
+    else:
+        x = (lon >= F.lit(xmin)) & (lon <= F.lit(xmax))
+    return x & y
+
+
+def join_features(
+    left: DataFrame, right: DataFrame, left_on: str, right_on: str, how: str = "inner"
+) -> DataFrame:
+    """JoinFeatureSet semantics (S/aggregate/JoinFeatureSet.java:74):
+    equi-join where **null matches null** (:498-502 uses an isNull filter when
+    the main value is null) — Spark's `<=>` (eqNullSafe).
+    Join types: INNER / LEFT_OUTER / RIGHT_OUTER (:78-131)."""
+    return left.join(right, left[left_on].eqNullSafe(right[right_on]), how)
+
+
+def concat_feature_sets(*dfs: DataFrame) -> DataFrame:
+    """ConcatenatedFeatureSet (S/aggregate/ConcatenatedFeatureSet.java:65):
+    UNION ALL with common-schema reconciliation — unionByName allowing
+    missing columns (nulls fill, like the common-supertype rule)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out

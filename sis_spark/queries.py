@@ -1,0 +1,504 @@
+"""Query catalog: every gate query as (spark_fn, duckdb_oracle_sql) pairs.
+
+Each Spark query and its oracle are independent implementations of the same
+semantics (the differential-testing style of the reference,
+Ft/filter/sqlmm/RegistryTestCase.java) — the oracle is plain DuckDB SQL over
+the pre-registered TESTDATA views.
+
+Bit-exactness rules (see synth.py): outputs are integers, strings, or doubles
+produced by identical IEEE op sequences in both engines.  Raw transcendental
+outputs are floored with an irrational offset so that special values (e.g.
+lat=0 -> Mercator y ~ -7e-10 vs 0.0 across libms) cannot straddle a boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import synth
+from .functions.cells import cell_sql_flat
+from .functions.spark_exprs import (
+    cell_col,
+    haversine_col,
+    mercator_cols,
+    point_lonlat_cols,
+    query_lonlat_cols,
+    tile_cols,
+)
+from .functions.transforms import tile_sql
+from .operators import tiling
+from .operators.knn import knn_join
+from .operators.query import FeatureQuery, SortProperty, bbox_filter, comparison, concat_feature_sets, join_features
+from .operators.spatial_join import spatial_join
+
+CELL_RES = 12
+TILE_ZOOM = 8
+KNN_K = 5
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    lon, lat = point_lonlat_cols("event_id")
+    return ev.select("event_id", lon.alias("lon"), lat.alias("lat"))
+
+
+def _points_sql() -> str:
+    return (
+        f"SELECT event_id, {synth.point_lon_sql('event_id')} AS lon, "
+        f"{synth.point_lat_sql('event_id')} AS lat FROM events"
+    )
+
+
+def _supplier_polygons(spark: SparkSession, sf_dir: str):
+    keys = [r[0] for r in _read(spark, sf_dir, "supplier").select("s_suppkey").collect()]
+    return synth.polygon_table_np(sorted(keys))
+
+
+# ================================================================ geo queries
+
+def q_cell_counts(spark, sf_dir):
+    """Cell-frequency histogram at res 12 (the skew-sampling primitive)."""
+    pts = _events_points(spark, sf_dir)
+    return (
+        pts.withColumn("cell", cell_col(F.col("lon"), F.col("lat"), CELL_RES))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_cell_counts_oracle():
+    cell = cell_sql_flat("lon", "lat", CELL_RES)
+    return (
+        f"SELECT {cell} AS cell, count(*) AS n FROM ({_points_sql()}) p "
+        f"GROUP BY 1 ORDER BY cell"
+    )
+
+
+def q_tile_counts(spark, sf_dir):
+    """Web-Mercator tile histogram at zoom 8 (raster-side tiling)."""
+    return tiling.tile_counts(_events_points(spark, sf_dir), "lon", "lat", TILE_ZOOM)
+
+
+def q_tile_counts_oracle():
+    sx, sy = tile_sql("lon", "lat", TILE_ZOOM)
+    return (
+        f"SELECT {sx} AS tx, {sy} AS ty, count(*) AS n FROM ({_points_sql()}) p "
+        f"GROUP BY 1, 2 ORDER BY tx, ty"
+    )
+
+
+def q_tile_pyramid(spark, sf_dir):
+    """Pyramid rollup z8 -> z0 (TileMatrixSet zoom hierarchy)."""
+    base = tiling.tile_counts(_events_points(spark, sf_dir), "lon", "lat", TILE_ZOOM)
+    return tiling.pyramid_rollup(base, max_zoom=TILE_ZOOM, min_zoom=0)
+
+
+def q_tile_pyramid_oracle():
+    sx, sy = tile_sql("lon", "lat", TILE_ZOOM)
+    levels = []
+    for z in range(0, TILE_ZOOM + 1):
+        shift = TILE_ZOOM - z
+        levels.append(
+            f"SELECT {z} AS z, ({sx} >> {shift}) AS tx, ({sy} >> {shift}) AS ty, "
+            f"count(*) AS n FROM ({_points_sql()}) p GROUP BY 2, 3"
+        )
+    return " UNION ALL ".join(levels)
+
+
+def q_spatial_join(spark, sf_dir):
+    """Flagship: point-in-polygon join, two-phase (cell prefilter + PIP refine)."""
+    pts = _events_points(spark, sf_dir)
+    polys = _supplier_polygons(spark, sf_dir)
+    return spatial_join(pts, polys, "lon", "lat").select(
+        F.col("event_id").alias("pid"), "poly_key"
+    )
+
+
+def q_spatial_join_oracle():
+    return synth.pip_join_oracle_sql(
+        f"SELECT event_id AS pid, {synth.point_lon_sql('event_id')} AS lon, "
+        f"{synth.point_lat_sql('event_id')} AS lat FROM events"
+    )
+
+
+def q_spatial_join_agg(spark, sf_dir):
+    """Polygon hit statistics (join + partial/final aggregation)."""
+    j = q_spatial_join(spark, sf_dir)
+    return j.groupBy("poly_key").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("pid").alias("min_pid"),
+        F.max("pid").alias("max_pid"),
+    )
+
+
+def q_spatial_join_agg_oracle():
+    inner = q_spatial_join_oracle()
+    return (
+        f"SELECT poly_key, count(*) AS n_points, min(pid) AS min_pid, "
+        f"max(pid) AS max_pid FROM ({inner}) j GROUP BY 1 ORDER BY poly_key"
+    )
+
+
+def q_knn(spark, sf_dir):
+    """kNN join: 25 query points x events, k=5, haversine, deterministic ties."""
+    cand = _events_points(spark, sf_dir).withColumnRenamed("event_id", "cand_id")
+    qlon, qlat = query_lonlat_cols("n_nationkey")
+    queries = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("query_id"), qlon.alias("qlon"), qlat.alias("qlat")
+    )
+    return knn_join(cand, queries, KNN_K).select("query_id", "rank", "cand_id")
+
+
+def q_knn_oracle():
+    from .functions.geometry import haversine_sql
+
+    d = haversine_sql(
+        synth.point_lon_sql("e.event_id"), synth.point_lat_sql("e.event_id"),
+        synth.query_lon_sql("n.n_nationkey"), synth.query_lat_sql("n.n_nationkey"),
+    )
+    return f"""
+SELECT query_id, rank, cand_id FROM (
+  SELECT n.n_nationkey AS query_id, e.event_id AS cand_id,
+         row_number() OVER (PARTITION BY n.n_nationkey ORDER BY {d} ASC, e.event_id ASC) AS rank
+  FROM nation n CROSS JOIN events e) t
+WHERE rank <= {KNN_K} ORDER BY query_id, rank"""
+
+
+def q_bbox_filter(spark, sf_dir):
+    """Envelope selection incl. anti-meridian wraparound SPLIT box."""
+    pts = _events_points(spark, sf_dir)
+    nyc = pts.filter(bbox_filter(F.col("lon"), F.col("lat"), -75.0, 40.0, -73.0, 41.5)).select(
+        "event_id", F.lit("nyc").alias("box")
+    )
+    wrap = pts.filter(bbox_filter(F.col("lon"), F.col("lat"), 170.0, -20.0, -170.0, 20.0)).select(
+        "event_id", F.lit("antimeridian").alias("box")
+    )
+    return nyc.unionAll(wrap)
+
+
+def q_bbox_filter_oracle():
+    p = _points_sql()
+    return f"""
+SELECT event_id, 'nyc' AS box FROM ({p}) p
+WHERE lon >= -75.0 AND lon <= -73.0 AND lat >= 40.0 AND lat <= 41.5
+UNION ALL
+SELECT event_id, 'antimeridian' AS box FROM ({p}) p
+WHERE (lon >= 170.0 OR lon <= -170.0) AND lat >= -20.0 AND lat <= 20.0"""
+
+
+def q_mercator(spark, sf_dir):
+    """WGS84 -> EPSG:3857 reprojection (ST_Transform workhorse).
+
+    Output floored with an irrational shift: different libm asinh/ln
+    implementations differ in final ulps, and lat=0 rows sit exactly on the
+    0-boundary otherwise."""
+    pts = _events_points(spark, sf_dir)
+    x, y = mercator_cols(F.col("lon"), F.col("lat"))
+    return pts.select(
+        "event_id",
+        F.floor(x - F.lit(0.123456789)).cast("long").alias("xm"),
+        F.floor(y - F.lit(0.123456789)).cast("long").alias("ym"),
+    )
+
+
+def q_mercator_oracle():
+    return f"""
+SELECT event_id,
+  CAST(floor(radians(lon) * 6378137.0 - 0.123456789) AS BIGINT) AS xm,
+  CAST(floor(ln(tan(pi()/4.0 + radians(lat)/2.0)) * 6378137.0 - 0.123456789) AS BIGINT) AS ym
+FROM ({_points_sql()}) p ORDER BY event_id"""
+
+
+def q_geodesic_pairs(spark, sf_dir):
+    """Distance predicate (DistanceFilter beyond/within,
+    F/filter/DistanceFilter.java:48): events within 50 km of their hot center."""
+    pts = _events_points(spark, sf_dir)
+    clon = F.expr(synth._center_case("event_id", 0))
+    clat = F.expr(synth._center_case("event_id", 1))
+    d = haversine_col(F.col("lon"), F.col("lat"), clon, clat)
+    return (
+        pts.filter((F.col("event_id") % 10) < 8)
+        .select("event_id", F.floor(d / F.lit(1000.0) - F.lit(0.123456789)).cast("long").alias("km"))
+        .filter(F.col("km") < 50)
+    )
+
+
+def q_geodesic_pairs_oracle():
+    from .functions.geometry import haversine_sql
+
+    d = haversine_sql(
+        "lon", "lat",
+        synth._center_case("event_id", 0), synth._center_case("event_id", 1),
+    )
+    return f"""
+SELECT event_id, CAST(floor({d} / 1000.0 - 0.123456789) AS BIGINT) AS km
+FROM ({_points_sql()}) p
+WHERE (event_id % 10) < 8 AND CAST(floor({d} / 1000.0 - 0.123456789) AS BIGINT) < 50"""
+
+
+# ================================================================ relational (FeatureQuery parity)
+
+def q_feature_query_q1(spark, sf_dir):
+    """TPC-H Q1 shape: the Statistics partial+final aggregation
+    (U/math/Statistics.java:311 combine())."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+    )
+
+
+def q_feature_query_q1_oracle():
+    return """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+       round(CAST(avg(l_discount) AS DOUBLE), 6) AS avg_disc
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_feature_query_facade(spark, sf_dir):
+    """FeatureQuery pipeline: selection -> sort (null-aware multi-key) ->
+    offset/limit -> projection (S/FeatureSubset.java:134-168 order)."""
+    orders = _read(spark, sf_dir, "orders")
+    fq = (
+        FeatureQuery()
+        .set_selection((F.col("o_totalprice") > 150000.0) & (F.col("o_orderstatus") == "O"))
+        .set_sort_by(
+            SortProperty("o_orderpriority", ascending=True),
+            SortProperty("o_totalprice", ascending=False),
+            SortProperty("o_orderkey", ascending=True),
+        )
+        .set_offset(10)
+        .set_limit(50)
+        .set_projection(
+            (F.col("o_orderkey"), "okey"),
+            (F.col("o_orderpriority"), "prio"),
+            (F.round(F.col("o_totalprice"), 2), "price"),
+            (F.col("o_custkey") % 97, "custmod"),
+        )
+    )
+    return fq.execute(orders)
+
+
+def q_feature_query_facade_oracle():
+    return """
+SELECT o_orderkey AS okey, o_orderpriority AS prio,
+       round(o_totalprice, 2) AS price, o_custkey % 97 AS custmod
+FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+LIMIT 50 OFFSET 10"""
+
+
+def _null_keyed(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 37 == 0, F.lit(None)).otherwise(F.col("c_nationkey")).alias("k"),
+    )
+    nat = _read(spark, sf_dir, "nation").select(
+        "n_name",
+        F.when(F.col("n_nationkey") % 11 == 3, F.lit(None)).otherwise(F.col("n_nationkey")).alias("k"),
+    )
+    return cust, nat
+
+
+_NULLKEY_SQL = """
+cust AS (SELECT c_custkey, CASE WHEN c_custkey % 37 = 0 THEN NULL ELSE c_nationkey END AS k FROM customer),
+nat AS (SELECT n_name, CASE WHEN n_nationkey % 11 = 3 THEN NULL ELSE n_nationkey END AS k FROM nation)"""
+
+
+def q_join_inner_nullsafe(spark, sf_dir):
+    """JoinFeatureSet INNER: null key matches null key
+    (S/aggregate/JoinFeatureSet.java:498-502 -> Spark `<=>`)."""
+    cust, nat = _null_keyed(spark, sf_dir)
+    return join_features(cust, nat, "k", "k", "inner").select("c_custkey", "n_name")
+
+
+def q_join_inner_nullsafe_oracle():
+    return f"""
+WITH {_NULLKEY_SQL}
+SELECT c_custkey, n_name FROM cust JOIN nat ON cust.k IS NOT DISTINCT FROM nat.k"""
+
+
+def q_join_outer_nullsafe(spark, sf_dir):
+    """JoinFeatureSet LEFT_OUTER (:517-541 null emission on no match)."""
+    cust, nat = _null_keyed(spark, sf_dir)
+    return join_features(cust, nat, "k", "k", "left").select("c_custkey", "n_name")
+
+
+def q_join_outer_nullsafe_oracle():
+    return f"""
+WITH {_NULLKEY_SQL}
+SELECT c_custkey, n_name FROM cust LEFT JOIN nat ON cust.k IS NOT DISTINCT FROM nat.k"""
+
+
+def q_union_stats(spark, sf_dir):
+    """ConcatenatedFeatureSet (schema-reconciled UNION ALL) + Statistics
+    accumulator semantics (count/min/max/sum/mean/std,
+    U/math/Statistics.java:93)."""
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.col("c_acctbal").alias("bal")
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.col("s_acctbal").alias("bal")
+    )
+    u = concat_feature_sets(cust, supp)
+    return u.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("bal"), 2).alias("min_bal"),
+        F.round(F.max("bal"), 2).alias("max_bal"),
+        F.round(F.sum("bal"), 1).alias("sum_bal"),
+        F.round(F.avg("bal"), 3).alias("avg_bal"),
+        F.round(F.stddev_samp("bal"), 3).alias("std_bal"),
+    )
+
+
+def q_union_stats_oracle():
+    return """
+WITH u AS (
+  SELECT c_nationkey AS nationkey, c_acctbal AS bal FROM customer
+  UNION ALL
+  SELECT s_nationkey, s_acctbal FROM supplier)
+SELECT nationkey, count(*) AS n,
+       round(min(bal), 2) AS min_bal, round(max(bal), 2) AS max_bal,
+       round(CAST(sum(bal) AS DOUBLE), 1) AS sum_bal,
+       round(avg(bal), 3) AS avg_bal,
+       round(stddev_samp(bal), 3) AS std_bal
+FROM u GROUP BY 1 ORDER BY 1"""
+
+
+def q_temporal_allen(spark, sf_dir):
+    """Allen-interval predicates (F/filter/TemporalFilter.java): DURING a
+    period, and order-interval OVERLAPS a fixed window."""
+    orders = _read(spark, sf_dir, "orders")
+    t0, t1 = "1995-01-01", "1996-01-01"
+    during = orders.filter(
+        (F.col("o_orderdate") >= F.lit(t0)) & (F.col("o_orderdate") < F.lit(t1))
+    )
+    # interval [o_orderdate, o_orderdate + 30 days) overlaps [t1, t1 + 90 days)
+    overlaps = orders.filter(
+        (F.col("o_orderdate") < F.expr("TIMESTAMP '1996-01-01' + INTERVAL 90 DAY"))
+        & (F.expr("o_orderdate + INTERVAL 30 DAY") > F.lit(t1))
+    )
+    return during.select(F.lit("during").alias("rel"), "o_orderkey").unionAll(
+        overlaps.select(F.lit("toverlaps").alias("rel"), "o_orderkey")
+    )
+
+
+def q_temporal_allen_oracle():
+    return """
+SELECT 'during' AS rel, o_orderkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+UNION ALL
+SELECT 'toverlaps', o_orderkey FROM orders
+WHERE o_orderdate < TIMESTAMP '1996-01-01' + INTERVAL 90 DAY
+  AND o_orderdate + INTERVAL 30 DAY > TIMESTAMP '1996-01-01'"""
+
+
+def q_like_filter(spark, sf_dir):
+    """LikeFilter wildcard semantics (F/filter/LikeFilter.java:37): %, _."""
+    part = _read(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_name").like("%a%e%") & ~F.col("p_type").like("_TEEL%")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+def q_like_filter_oracle():
+    return """
+SELECT p_partkey, p_name, p_type FROM part
+WHERE p_name LIKE '%a%e%' AND p_type NOT LIKE '_TEEL%'"""
+
+
+def q_between_topk(spark, sf_dir):
+    """ComparisonFilter.Between (inclusive bounds) + sort/limit top-k."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity").between(10.0, 20.0))
+        .select("l_orderkey", "l_linenumber", F.round(F.col("l_extendedprice"), 2).alias("price"))
+        .orderBy(F.col("price").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .limit(100)
+    )
+
+
+def q_between_topk_oracle():
+    return """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+FROM lineitem WHERE l_quantity BETWEEN 10.0 AND 20.0
+ORDER BY price DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100"""
+
+
+def q_math_functions(spark, sf_dir):
+    """SQLMM math-function registry subset (F/filter/math/Function.java:61-169)
+    restricted to correctly-rounded ops (abs/floor/ceil/sqrt/sign)."""
+    part = _read(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("abs_sz"),
+        F.floor(F.col("p_retailprice")).cast("long").alias("floor_price"),
+        F.ceil(F.col("p_retailprice")).cast("long").alias("ceil_price"),
+        F.sqrt(F.col("p_retailprice")).alias("sqrt_price"),
+        F.signum(F.col("p_size") - 25).cast("int").alias("sign_sz"),
+    )
+
+
+def q_math_functions_oracle():
+    return """
+SELECT p_partkey, abs(p_size - 25) AS abs_sz,
+       CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+       CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+       sqrt(p_retailprice) AS sqrt_price,
+       CAST(sign(p_size - 25) AS INTEGER) AS sign_sz
+FROM part ORDER BY p_partkey"""
+
+
+def q_distinct_grouping(spark, sf_dir):
+    """DISTINCT pushdown analog (SQL/FeatureStream.java:52-57) + count distinct."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_distinct_grouping_oracle():
+    return """
+SELECT o_orderstatus, count(DISTINCT o_orderpriority) AS n_prio, count(*) AS n
+FROM orders GROUP BY 1 ORDER BY 1"""
+
+
+# ================================================================ registry
+
+QUERIES = {
+    "cell_counts": (q_cell_counts, q_cell_counts_oracle),
+    "tile_counts": (q_tile_counts, q_tile_counts_oracle),
+    "tile_pyramid": (q_tile_pyramid, q_tile_pyramid_oracle),
+    "spatial_join": (q_spatial_join, q_spatial_join_oracle),
+    "spatial_join_agg": (q_spatial_join_agg, q_spatial_join_agg_oracle),
+    "knn": (q_knn, q_knn_oracle),
+    "bbox_filter": (q_bbox_filter, q_bbox_filter_oracle),
+    "mercator": (q_mercator, q_mercator_oracle),
+    "geodesic_within": (q_geodesic_pairs, q_geodesic_pairs_oracle),
+    "feature_query_q1": (q_feature_query_q1, q_feature_query_q1_oracle),
+    "feature_query_facade": (q_feature_query_facade, q_feature_query_facade_oracle),
+    "join_inner_nullsafe": (q_join_inner_nullsafe, q_join_inner_nullsafe_oracle),
+    "join_outer_nullsafe": (q_join_outer_nullsafe, q_join_outer_nullsafe_oracle),
+    "union_stats": (q_union_stats, q_union_stats_oracle),
+    "temporal_allen": (q_temporal_allen, q_temporal_allen_oracle),
+    "like_filter": (q_like_filter, q_like_filter_oracle),
+    "between_topk": (q_between_topk, q_between_topk_oracle),
+    "math_functions": (q_math_functions, q_math_functions_oracle),
+    "distinct_grouping": (q_distinct_grouping, q_distinct_grouping_oracle),
+}
