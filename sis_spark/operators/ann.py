@@ -1,0 +1,217 @@
+"""Similarity search over embedding columns (array<float>).
+
+Ranking uses **quantized cosine**: each component is floored to int64 at 1e7
+scale, so dot products and norms are exact integer arithmetic — order-
+independent, overflow-free for |x|<=3, dim<=512 — and the final
+``dot / sqrt(na*nb)`` is one correctly-rounded IEEE divide+sqrt, hence
+bit-identical in Spark, numpy, and DuckDB.  (Float summation order would
+otherwise differ between engines and flip near-tie rankings.)
+
+* ``brute_topk``: exact baseline — broadcast query vectors, crossJoin,
+  partial per-partition top-k (numpy matmul over Arrow batches), final
+  window top-k.  Same partial/final shape as operators.knn.
+* ``lsh_topk``: scale path — sign-random-projection buckets (hyperplanes
+  derived deterministically from md5 bits), equi-join on bucket, exact
+  re-rank inside buckets.  Approximate: recall measured in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1e7
+
+
+def quantize_col(col):
+    """array<float> -> array<bigint> (floor(x * 1e7), exact in both engines)."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * F.lit(QUANT)).cast("long"))
+
+
+def qnorm_col(qvec):
+    return F.aggregate(qvec, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+
+
+def qdot_col(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def qcos_col(dot, na, nb):
+    return dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
+
+
+def quantize_np(vecs: np.ndarray) -> np.ndarray:
+    return np.floor(vecs.astype(np.float64) * QUANT).astype(np.int64)
+
+
+def brute_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by quantized cosine.  Output (query_id, rank, cand_id, qcos).
+
+    Candidates stream through a numpy matmul per Arrow batch; only
+    k * n_partitions rows per query reach the final shuffle."""
+    spark = vectors.sparkSession
+    qrows = (
+        vectors.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, quantize_col(F.col(vec_col)).alias("qv"))
+        .collect()
+    )
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.int64)
+    qnorm = (qmat.astype(np.float64) ** 2).sum(axis=1)  # exact: ints < 2^53
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    cand = vectors.select(
+        F.col(id_col).alias("cand_id"), quantize_col(F.col(vec_col)).alias("qv")
+    )
+
+    def partial(batches):
+        qids_, qmat_, qnorm_ = bc.value
+        best: dict[int, pd.DataFrame] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array(list(pdf["qv"]), dtype=np.int64)
+            cn = (cmat.astype(np.float64) ** 2).sum(axis=1)
+            # exact integer dot via float128-free path: int64 matmul
+            dots = cmat @ qmat_.T  # int64 exact (|x|<=3e7, dim 64 -> < 2^62)
+            qcos = dots.astype(np.float64) / np.sqrt(cn[:, None] * qnorm_[None, :])
+            for j, qid in enumerate(qids_):
+                sub = pd.DataFrame(
+                    {
+                        "query_id": np.int64(qid),
+                        "cand_id": pdf["cand_id"].to_numpy(),
+                        "qcos": qcos[:, j],
+                    }
+                )
+                sub = sub[sub.cand_id != qid]
+                sub = sub.sort_values(["qcos", "cand_id"], ascending=[False, True]).head(k)
+                prev = best.get(qid)
+                best[qid] = (
+                    sub if prev is None
+                    else pd.concat([prev, sub]).sort_values(
+                        ["qcos", "cand_id"], ascending=[False, True]
+                    ).head(k)
+                )
+        if best:
+            yield pd.concat(best.values())
+
+    pruned = cand.mapInPandas(partial, schema="query_id long, cand_id long, qcos double")
+    w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("cand_id").asc())
+    return pruned.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).select(
+        "query_id", "rank", "cand_id", "qcos"
+    )
+
+
+def near_dup_pairs_exact(
+    vectors: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """All pairs with quantized cosine >= threshold (exact O(n^2) baseline;
+    JVM-only arithmetic).  Output (a, b, qcos)."""
+    q = vectors.select(
+        F.col(id_col).alias("id"),
+        quantize_col(F.col(vec_col)).alias("qv"),
+    ).withColumn("nn", qnorm_col(F.col("qv")))
+    a = q.select(F.col("id").alias("a"), F.col("qv").alias("va"), F.col("nn").alias("na"))
+    b = q.select(F.col("id").alias("b"), F.col("qv").alias("vb"), F.col("nn").alias("nb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    dot = qdot_col(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("a", "b", qcos_col(dot, F.col("na"), F.col("nb")).alias("qcos"))
+        .filter(F.col("qcos") >= threshold)
+    )
+
+
+N_PLANES = 16
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: digits of md5(i,j) -> U(-1,1)."""
+    import hashlib
+
+    out = np.empty((N_PLANES, dim))
+    for i in range(N_PLANES):
+        h = b"".join(
+            hashlib.md5(f"plane:{i}:{j}".encode()).digest() for j in range((dim + 15) // 16)
+        )
+        u = np.frombuffer(h[: dim * 4], dtype="<u4").astype(np.float64) / 2**32
+        out[i] = u * 2.0 - 1.0
+    return out
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Approximate top-k: sign-random-projection signature, banded buckets,
+    exact quantized-cosine re-rank within candidate buckets."""
+    spark = vectors.sparkSession
+    first = vectors.select(F.size(vec_col).alias("d")).first()
+    planes = _hyperplanes(int(first["d"]))
+    bcp = spark.sparkContext.broadcast(planes)
+    bits_per_band = N_PLANES // n_bands
+
+    def sign_bands(batches):
+        pl = bcp.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["qv"]), dtype=np.int64).astype(np.float64)
+            bits = (m @ pl.T) > 0
+            out = []
+            for band in range(n_bands):
+                seg = bits[:, band * bits_per_band : (band + 1) * bits_per_band]
+                key = (seg * (1 << np.arange(bits_per_band))).sum(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id": pdf["id"].to_numpy(),
+                            "band": band,
+                            "bkey": key.astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    q = vectors.select(
+        F.col(id_col).alias("id"), quantize_col(F.col(vec_col)).alias("qv")
+    ).withColumn("nn", qnorm_col(F.col("qv")))
+    buckets = q.select("id", "qv").mapInPandas(sign_bands, schema="id long, band int, bkey long")
+
+    qb = buckets.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), "band", "bkey"
+    )
+    cand = (
+        buckets.join(F.broadcast(qb), ["band", "bkey"])
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("cand_id"))
+        .distinct()
+    )
+    scored = (
+        cand.join(q.select(F.col("id").alias("cand_id"), F.col("qv").alias("vc"), F.col("nn").alias("nc")), "cand_id")
+        .join(
+            F.broadcast(
+                q.filter(F.col("id").isin(query_ids)).select(
+                    F.col("id").alias("query_id"), F.col("qv").alias("vq"), F.col("nn").alias("nq")
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id", "cand_id",
+            qcos_col(qdot_col(F.col("vc"), F.col("vq")), F.col("nc"), F.col("nq")).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("cand_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,296 @@
+"""Deduplication for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Our additions (no analog in the reference).  All hashing is md5 (identical
+hex in Spark and DuckDB), so every pipeline stage has a bit-exact oracle.
+
+Scale notes
+-----------
+* exact: groupBy(md5) — partial agg, no skew issue.
+* jaccard all-pairs: self-join on shingle; hot shingles explode — the
+  exact baseline.  MinHash+LSH is the scale path: candidates come from
+  band-bucket equi-joins (bounded fan-out), then exact verification.
+* simhash: 64-bit signature; near-dup candidates via 16-bit band join +
+  popcount Hamming filter (bit_count is a built-in in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(content_hash, n_copies, canonical_id): canonical = min id per group."""
+    return (
+        docs.select(F.md5(F.col(text_col).cast("binary")).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+def exact_dedup_sql(rel: str = "documents", text: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+SELECT md5({text}) AS h, count(*) AS n_copies, min({id_col}) AS canonical_id
+FROM {rel} GROUP BY 1"""
+
+
+# ---------------------------------------------------------------- shingles
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc (space tokenization)."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return docs.select(F.col(id_col), F.explode(sh).alias("s")).distinct()
+
+
+def shingles_sql(rel: str = "documents", n: int = 3, text: str = "text", id_col: str = "doc_id") -> str:
+    # list comprehension instead of lateral generate_series (DuckDB 1.0
+    # rejects column parameters in lateral table functions)
+    return f"""
+SELECT DISTINCT {id_col},
+       unnest([array_to_string(w[p:p+{n - 1}], ' ')
+               for p in generate_series(1, greatest(len(w) - {n} + 1, 1))]) AS s
+FROM (SELECT {id_col}, string_split({text}, ' ') AS w FROM {rel}) t"""
+
+
+# ---------------------------------------------------------------- jaccard all-pairs (exact baseline)
+
+def jaccard_pairs(docs: DataFrame, n: int = 3, min_common: int = 2,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All doc pairs sharing >= min_common shingles, with exact Jaccard.
+
+    Output: (a, b, common, na, nb, jaccard) — jaccard is an int/int division,
+    bit-exact.  Exact O(sum over shingles of df^2) baseline; use minhash_lsh
+    at scale."""
+    sh = shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("nsh").alias("nb"))
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .select(
+            "a", "b", "common", "na", "nb",
+            (F.col("common").cast("double")
+             / (F.col("na") + F.col("nb") - F.col("common")).cast("double")).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_pairs_sql(rel: str = "documents", n: int = 3, min_common: int = 2,
+                      text: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+WITH sh AS ({shingles_sql(rel, n, text, id_col)}),
+sizes AS (SELECT {id_col}, count(*) AS nsh FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.{id_col} AS a, b.{id_col} AS b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.{id_col} < b.{id_col}
+  GROUP BY 1, 2 HAVING count(*) >= {min_common})
+SELECT p.a, p.b, p.common, sa.nsh AS na, sb.nsh AS nb,
+       CAST(p.common AS DOUBLE) / CAST(sa.nsh + sb.nsh - p.common AS DOUBLE) AS jaccard
+FROM pairs p JOIN sizes sa ON sa.{id_col} = p.a JOIN sizes sb ON sb.{id_col} = p.b"""
+
+
+# ---------------------------------------------------------------- minhash + LSH
+
+N_HASHES = 8
+BAND_SIZE = 2  # 4 bands of 2 hashes
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, i, mh): minhash i = lexicographic min of md5(i || ':' || shingle).
+
+    String-min minhash keeps every stage portable to the SQL oracle."""
+    sh = shingles(docs, n, text_col, id_col)
+    spark = docs.sparkSession
+    hashes = spark.range(N_HASHES).withColumnRenamed("id", "i")
+    return (
+        sh.crossJoin(F.broadcast(hashes))
+        .select(
+            id_col, "i",
+            F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("s")).cast("binary")).alias("h"),
+        )
+        .groupBy(id_col, "i")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_candidates(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band-bucket join: pairs sharing at least one band (distinct pairs)."""
+    bands = (
+        sigs.groupBy(id_col, F.floor(F.col("i") / BAND_SIZE).alias("band"))
+        .agg(
+            F.concat_ws(
+                "|",
+                F.min(F.when(F.col("i") % BAND_SIZE == 0, F.col("mh"))),
+                F.min(F.when(F.col("i") % BAND_SIZE == 1, F.col("mh"))),
+            ).alias("bkey")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.25,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """LSH candidates -> exact Jaccard verification >= threshold.
+
+    Output (a, b, jaccard)."""
+    sigs = minhash_signatures(docs, n, text_col, id_col)
+    cand = lsh_candidates(sigs, id_col)
+    sh = shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    common = (
+        cand.join(sh.select(F.col(id_col).alias("a"), "s"), "a")
+        .join(sh.select(F.col(id_col).alias("b"), F.col("s").alias("s2")), "b")
+        .filter(F.col("s") == F.col("s2"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    j = (
+        common.join(sizes.select(F.col(id_col).alias("a"), F.col("nsh").alias("na")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("nsh").alias("nb")), "b")
+        .select(
+            "a", "b",
+            (F.col("common").cast("double")
+             / (F.col("na") + F.col("nb") - F.col("common")).cast("double")).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_sql(rel: str = "documents", n: int = 3, threshold: float = 0.25,
+                    text: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+WITH sh AS ({shingles_sql(rel, n, text, id_col)}),
+sigs AS (
+  SELECT {id_col}, i.i, min(md5(CAST(i.i AS VARCHAR) || ':' || s)) AS mh
+  FROM sh, generate_series(0, {N_HASHES - 1}) i(i) GROUP BY 1, 2),
+bands AS (
+  SELECT {id_col}, (i // {BAND_SIZE}) AS band,
+         concat_ws('|', min(CASE WHEN i % {BAND_SIZE} = 0 THEN mh END),
+                        min(CASE WHEN i % {BAND_SIZE} = 1 THEN mh END)) AS bkey
+  FROM sigs GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS a, b.{id_col} AS b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.{id_col} < b.{id_col}),
+sizes AS (SELECT {id_col}, count(*) AS nsh FROM sh GROUP BY 1),
+common AS (
+  SELECT c.a, c.b, count(*) AS common
+  FROM cand c JOIN sh x ON x.{id_col} = c.a JOIN sh y ON y.{id_col} = c.b AND y.s = x.s
+  GROUP BY 1, 2)
+SELECT m.a, m.b,
+       CAST(m.common AS DOUBLE) / CAST(sa.nsh + sb.nsh - m.common AS DOUBLE) AS jaccard
+FROM common m JOIN sizes sa ON sa.{id_col} = m.a JOIN sizes sb ON sb.{id_col} = m.b
+WHERE CAST(m.common AS DOUBLE) / CAST(sa.nsh + sb.nsh - m.common AS DOUBLE) >= {threshold}"""
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (distinct-token weighting).
+
+    Token hash = first 15 hex chars of md5 (60 bits, so bits 0..59 are real;
+    bits 60..63 stay 0 — documented deviation, keeps conv() in int64 range).
+    Bit b of the signature = 1 iff sum over tokens of (bit_b(h)*2-1) > 0.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("t")
+    )
+    h = toks.select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    bits = h.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"),
+        F.col("h"),
+    ).select(
+        id_col, "b",
+        (F.expr("shiftright(h, CAST(b AS INT)) & 1") * 2 - 1).alias("v"),
+    )
+    return (
+        bits.groupBy(id_col, "b")
+        .agg(F.sum("v").alias("sv"))
+        .select(
+            id_col,
+            F.expr(
+                "CASE WHEN sv > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END"
+            ).alias("bitval"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def _hex15_to_bigint_sql(col: str) -> str:
+    """Portable hex→bigint: positional digit sum (DuckDB lacks conv())."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash_sql(rel: str = "documents", text: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT {id_col}, t FROM (
+    SELECT {id_col}, unnest(string_split({text}, ' ')) AS t FROM {rel}) u),
+h AS (
+  SELECT {id_col},
+         CAST({_hex15_to_bigint_sql("substr(md5(t), 1, 15)")} AS BIGINT) AS h
+  FROM toks),
+bits AS (
+  SELECT {id_col}, b.b, sum(((h >> b.b) & 1) * 2 - 1) AS sv
+  FROM h, generate_series(0, 59) b(b) GROUP BY 1, 2)
+SELECT {id_col}, sum(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+FROM bits GROUP BY 1"""
+
+
+def simhash_near_dups(sims: DataFrame, max_hamming: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by Hamming distance: 15-bit band join (4 bands) then
+    exact popcount filter — any pair within Hamming<=3 shares a band; larger
+    radii are still caught when any band matches (standard LSH recall)."""
+    bands = sims.select(
+        id_col, "simhash",
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{i}:"), F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(F.lit(0x7FFF)).cast("string"))
+                for i in range(4)
+            ])
+        ).alias("bkey"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

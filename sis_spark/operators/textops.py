@@ -1,0 +1,143 @@
+"""Text analysis for training-data pipelines: tokenization stats, quality
+scoring, language ID, document fingerprinting.
+
+These are OUR additions (the reference has no text analytics) — built from
+JVM-side Spark functions only (split/length/replace/md5), so they stay in
+whole-stage codegen and every op has a bit-exact DuckDB twin for the gate.
+
+The language-ID heuristic and quality score are expressed as shared SQL text
+(valid in both Spark SQL and DuckDB) — same trick as synth.py: the semantics
+cannot drift between engine and oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# stopword marker lists per language for the n-gram/stopword language guesser
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " la ", " et "],
+    "es": [" el ", " que ", " los "],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie order
+
+
+def occurrences_sql(text: str, kw: str) -> str:
+    """Occurrence count of a literal substring (both dialects)."""
+    esc = kw.replace("'", "''")
+    return f"((length({text}) - length(replace({text}, '{esc}', ''))) / {len(kw)})"
+
+
+def lang_score_sql(text: str, lang: str) -> str:
+    padded = f"(' ' || lower({text}) || ' ')"
+    return "(" + " + ".join(occurrences_sql(padded, kw) for kw in LANG_MARKERS[lang]) + ")"
+
+
+def lang_id_sql(text: str) -> str:
+    """Predicted language = argmax of marker-stopword counts, 'und' if all 0.
+
+    CASE arms in LANG_ORDER give a deterministic tie rule."""
+    scores = {lg: lang_score_sql(text, lg) for lg in LANG_ORDER}
+    best = f"GREATEST({', '.join(scores.values())})"
+    arms = " ".join(f"WHEN {scores[lg]} = __best THEN '{lg}'" for lg in LANG_ORDER)
+    return (
+        f"(CASE WHEN __best <= 0 THEN 'und' {arms} ELSE 'und' END)"
+        .replace("__best", best)
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count, char count, punct counts, ratios.
+
+    Ratios are int/int divisions — bit-exact across engines."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_ws = n_chars - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    n_tokens = n_ws + F.lit(1)
+    n_punct = (
+        n_chars
+        - F.length(F.replace(F.replace(F.replace(t, F.lit(".")), F.lit(",")), F.lit("!")))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        (n_punct.cast("double") / n_chars.cast("double")).alias("punct_ratio"),
+        ((n_chars - n_ws).cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
+    )
+
+
+def token_stats_sql(rel: str = "documents", text: str = "text", id_col: str = "doc_id") -> str:
+    n_chars = f"length({text})"
+    n_ws = f"(length({text}) - length(replace({text}, ' ', '')))"
+    n_tokens = f"({n_ws} + 1)"
+    n_punct = f"(length({text}) - length(replace(replace(replace({text}, '.', ''), ',', ''), '!', '')))"
+    return f"""
+SELECT {id_col},
+       {n_chars} AS n_chars_calc,
+       {n_tokens} AS n_tokens,
+       {n_punct} AS n_punct,
+       CAST({n_punct} AS DOUBLE) / CAST({n_chars} AS DOUBLE) AS punct_ratio,
+       CAST({n_chars} - {n_ws} AS DOUBLE) / CAST({n_tokens} AS DOUBLE) AS avg_token_len
+FROM {rel}"""
+
+
+def quality_score_sql(text: str) -> str:
+    """Composite quality score in [0,1]: rational arithmetic only.
+
+    score = 0.4*len_ok + 0.3*(1 - punct_ratio*10 clamped) + 0.3*stopword_signal
+    """
+    n_chars = f"length({text})"
+    n_ws = f"(length({text}) - length(replace({text}, ' ', '')))"
+    n_tokens = f"({n_ws} + 1)"
+    punct = f"(length({text}) - length(replace(replace(replace({text}, '.', ''), ',', ''), '!', '')))"
+    len_ok = f"(CASE WHEN {n_chars} >= 100 AND {n_chars} <= 10000 THEN 1.0 ELSE 0.0 END)"
+    punct_term = f"(1.0 - LEAST(CAST({punct} AS DOUBLE) / CAST({n_chars} AS DOUBLE) * 10.0, 1.0))"
+    stop_term = f"LEAST(CAST({lang_score_sql(text, 'en')} AS DOUBLE) / CAST({n_tokens} AS DOUBLE) * 10.0, 1.0)"
+    return f"(0.4 * {len_ok} + 0.3 * {punct_term} + 0.3 * {stop_term})"
+
+
+def fingerprints(docs: DataFrame, k: int = 8, stride: int = 4,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Character k-gram fingerprinting: md5 of every k-gram at the given
+    stride; the document fingerprint is the 4 lexicographically smallest
+    hashes (winnowing-style minimum selection)."""
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)) - k + 1, F.lit(1)), F.lit(stride)),
+                lambda p: F.substring(F.col(text_col), p, k),
+            )
+        ).alias("g"),
+    )
+    h = grams.select(id_col, F.md5(F.col("g").cast("binary")).alias("h"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("h")
+    return (
+        h.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .select(id_col, F.col("rn").alias("fp_rank"), F.col("h").alias("fp"))
+    )
+
+
+def fingerprints_sql(rel: str = "documents", k: int = 8, stride: int = 4,
+                     text: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+WITH grams AS (
+  SELECT {id_col},
+         unnest([md5(substr({text}, p, {k}))
+                 for p in generate_series(1, greatest(length({text}) - {k} + 1, 1), {stride})]) AS h
+  FROM {rel}
+),
+dist AS (SELECT DISTINCT {id_col}, h FROM grams),
+ranked AS (
+  SELECT {id_col}, h, row_number() OVER (PARTITION BY {id_col} ORDER BY h) AS rn
+  FROM dist)
+SELECT {id_col}, rn AS fp_rank, h AS fp FROM ranked WHERE rn <= 4"""

@@ -479,6 +479,205 @@ SELECT o_orderstatus, count(DISTINCT o_orderpriority) AS n_prio, count(*) AS n
 FROM orders GROUP BY 1 ORDER BY 1"""
 
 
+# ================================================================ training-data ops (documents / embeddings)
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5 content groups, canonical = min id."""
+    from .operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact_oracle():
+    from .operators.dedup import exact_dedup_sql
+
+    return exact_dedup_sql()
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (shingle self-join baseline)."""
+    from .operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_read(spark, sf_dir, "documents"))
+
+
+def q_jaccard_pairs_oracle():
+    from .operators.dedup import jaccard_pairs_sql
+
+    return jaccard_pairs_sql()
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: banded candidates + exact Jaccard verify."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"))
+
+
+def q_minhash_lsh_oracle():
+    from .operators.dedup import minhash_lsh_sql
+
+    return minhash_lsh_sql()
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash signatures per document."""
+    from .operators.dedup import simhash
+
+    return simhash(_read(spark, sf_dir, "documents"))
+
+
+def q_simhash_oracle():
+    from .operators.dedup import simhash_sql
+
+    return simhash_sql()
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting / punctuation ratios (rational arithmetic only)."""
+    from .operators.textops import token_stats
+
+    return token_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_token_stats_oracle():
+    from .operators.textops import token_stats_sql
+
+    return token_stats_sql()
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-marker language guesser (shared SQL text in both engines)."""
+    from .operators.textops import lang_id_sql
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", F.expr(lang_id_sql("text")).alias("predicted")
+    )
+
+
+def q_lang_id_oracle():
+    from .operators.textops import lang_id_sql
+
+    return f"SELECT doc_id, lang, {lang_id_sql('text')} AS predicted FROM documents"
+
+
+def q_quality_score(spark, sf_dir):
+    """Composite document quality score (shared SQL text)."""
+    from .operators.textops import quality_score_sql
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.expr(quality_score_sql("text")).alias("quality"))
+
+
+def q_quality_score_oracle():
+    from .operators.textops import quality_score_sql
+
+    return f"SELECT doc_id, {quality_score_sql('text')} AS quality FROM documents"
+
+
+def q_fingerprints(spark, sf_dir):
+    """Winnowing-style char-k-gram fingerprints (4 min-hashes per doc)."""
+    from .operators.textops import fingerprints
+
+    return fingerprints(_read(spark, sf_dir, "documents"))
+
+
+def q_fingerprints_oracle():
+    from .operators.textops import fingerprints_sql
+
+    return fingerprints_sql()
+
+
+ANN_QUERY_IDS = list(range(10))
+ANN_K = 5
+# max pairwise cosine in the synthetic embeddings is ~0.51; 0.35 yields a
+# meaningful near-dup set while still exercising the threshold filter
+NEAR_DUP_THRESHOLD = 0.35
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force quantized-cosine top-k (exact ANN baseline)."""
+    from .operators.ann import brute_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return brute_topk(emb, ANN_QUERY_IDS, ANN_K).select("query_id", "rank", "cand_id")
+
+
+def q_ann_topk_oracle():
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
+  FROM qv),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(CAST(list_sum(list_transform(list_zip(c.v, q.v), x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+           / sqrt(CAST(c.nn AS DOUBLE) * CAST(q.nn AS DOUBLE)) AS qcos
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {len(ANN_QUERY_IDS)})
+SELECT query_id, rank, cand_id FROM (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cand_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {ANN_K} ORDER BY query_id, rank"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """All-pairs quantized-cosine near-duplicates (exact baseline; the LSH
+    variant is tested for recall in pytest)."""
+    from .operators.ann import near_dup_pairs_exact
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return near_dup_pairs_exact(emb, NEAR_DUP_THRESHOLD).select("a", "b", "qcos")
+
+
+def q_embedding_near_dup_oracle():
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
+  FROM qv)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       CAST(CAST(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+         / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS qcos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE CAST(CAST(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+        / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) >= {NEAR_DUP_THRESHOLD}"""
+
+
+def q_label_centroid_sim(spark, sf_dir):
+    """Per-label centroid stats over embeddings (vector agg: elementwise sums
+    are exact integer arithmetic after quantization)."""
+    from .operators.ann import quantize_col
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.select("label", quantize_col(F.col("embedding")).alias("qv"))
+    summed = q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at(F.col("qv"), i + 1)).alias(f"s{i}")
+            for i in range(4)
+        ],
+    )
+    return summed.select("label", "n", "s0", "s1", "s2", "s3")
+
+
+def q_label_centroid_sim_oracle():
+    cols = ", ".join(
+        f"CAST(sum(CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 10000000.0) AS BIGINT)) AS BIGINT) AS s{i}"
+        for i in range(4)
+    )
+    return f"SELECT label, count(*) AS n, {cols} FROM embeddings GROUP BY 1 ORDER BY 1"
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -501,4 +700,15 @@ QUERIES = {
     "between_topk": (q_between_topk, q_between_topk_oracle),
     "math_functions": (q_math_functions, q_math_functions_oracle),
     "distinct_grouping": (q_distinct_grouping, q_distinct_grouping_oracle),
+    "dedup_exact": (q_dedup_exact, q_dedup_exact_oracle),
+    "jaccard_pairs": (q_jaccard_pairs, q_jaccard_pairs_oracle),
+    "minhash_lsh": (q_minhash_lsh, q_minhash_lsh_oracle),
+    "simhash": (q_simhash, q_simhash_oracle),
+    "token_stats": (q_token_stats, q_token_stats_oracle),
+    "lang_id": (q_lang_id, q_lang_id_oracle),
+    "quality_score": (q_quality_score, q_quality_score_oracle),
+    "fingerprints": (q_fingerprints, q_fingerprints_oracle),
+    "ann_topk": (q_ann_topk, q_ann_topk_oracle),
+    "embedding_near_dup": (q_embedding_near_dup, q_embedding_near_dup_oracle),
+    "label_centroid": (q_label_centroid_sim, q_label_centroid_sim_oracle),
 }

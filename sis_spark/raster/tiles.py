@@ -1,0 +1,305 @@
+"""Tiled raster coverages as DataFrames: (tx, ty, band, data) rows.
+
+The Spark re-expression of the reference's lazy tiled-image dataflow
+(F/image/ComputedImage.java:123 per-tile computation; operators wrapped by
+GridCoverageProcessor, F/coverage/grid/GridCoverageProcessor.java):
+
+    tile rows + a broadcast GridGeometry ==> every op is mapInPandas numpy
+    over (TILE x TILE) uint8/float blocks, partitioned by (tx, ty).
+
+Operators (SURVEY.md §2.6 mapping):
+    band_stats      per-band partial stats per tile -> combine (StatisticsCalculator)
+    convert         transfer function value*scale+offset (ConvertedGridCoverage)
+    clip            tile filter + in-tile slice (ClippedGridCoverage)
+    band_select     filter on band key (BandSelectImage)
+    mosaic_first    overlay first-non-missing by priority (ImageOverlay)
+    resample        inverse-mapping bilinear/nearest (ResampledImage.java:84)
+    mask_polygon    rasterized PIP mask (MaskedImage; shares the ray-cast kernel)
+    point_eval      raster->vector sampling (DefaultEvaluator.java:75)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import geometry as _geo
+from ..functions import transforms as _tr
+from .grid import GridGeometry
+
+TILE_SCHEMA = "tx long, ty long, band int, data binary"
+
+
+def raster_to_tiles(
+    spark: SparkSession, arr: np.ndarray, gg: GridGeometry, tile_size: int = 64
+) -> DataFrame:
+    """Materialize an in-memory (h, w, bands) array as a tile-row DataFrame.
+    Edge tiles are zero-padded to full size; real extent lives in ``gg``."""
+    h, w, nb = arr.shape
+    rows = []
+    for band in range(nb):
+        for ty in range(0, (h + tile_size - 1) // tile_size):
+            for tx in range(0, (w + tile_size - 1) // tile_size):
+                block = np.zeros((tile_size, tile_size), dtype=arr.dtype)
+                ys, xs = ty * tile_size, tx * tile_size
+                sub = arr[ys : ys + tile_size, xs : xs + tile_size, band]
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                rows.append(
+                    {"tx": tx, "ty": ty, "band": band, "data": block.tobytes()}
+                )
+    return spark.createDataFrame(pd.DataFrame(rows), schema=TILE_SCHEMA)
+
+
+def tiles_to_raster(tiles_df: DataFrame, gg: GridGeometry, tile_size: int = 64,
+                    dtype=np.uint8) -> np.ndarray:
+    """Collect tile rows back to a dense (h, w, bands) array (test helper)."""
+    rows = tiles_df.collect()
+    nb = max(r["band"] for r in rows) + 1
+    h, w = gg.height, gg.width
+    out = np.zeros((h, w, nb), dtype=dtype)
+    for r in rows:
+        block = np.frombuffer(r["data"], dtype=dtype).reshape(tile_size, tile_size)
+        ys, xs = r["ty"] * tile_size, r["tx"] * tile_size
+        sub = block[: max(0, min(tile_size, h - ys)), : max(0, min(tile_size, w - xs))]
+        out[ys : ys + sub.shape[0], xs : xs + sub.shape[1], r["band"]] = sub
+    return out
+
+
+def band_stats(tiles_df: DataFrame, gg: GridGeometry, tile_size: int = 64,
+               dtype=np.uint8) -> DataFrame:
+    """Per-band (count, min, max, sum, mean): per-tile partials (numpy) then
+    a tiny final combine — exactly Statistics.combine()
+    (U/math/Statistics.java:311; per-tile parallelism of
+    F/image/StatisticsCalculator.java:124-182).  Zero-padded margins of edge
+    tiles are excluded via the real extent."""
+    w, h = gg.width, gg.height
+    bdt = np.dtype(dtype)
+
+    def partial(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                block = np.frombuffer(r["data"], dtype=bdt).reshape(tile_size, tile_size)
+                vh = min(tile_size, h - r["ty"] * tile_size)
+                vw = min(tile_size, w - r["tx"] * tile_size)
+                v = block[:vh, :vw]
+                out.append(
+                    {
+                        "band": r["band"],
+                        "cnt": v.size,
+                        "mn": int(v.min()),
+                        "mx": int(v.max()),
+                        "sm": int(v.sum(dtype=np.int64)),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    partials = tiles_df.mapInPandas(partial, schema="band int, cnt long, mn long, mx long, sm long")
+    return partials.groupBy("band").agg(
+        F.sum("cnt").alias("n"),
+        F.min("mn").alias("min"),
+        F.max("mx").alias("max"),
+        F.sum("sm").alias("sum"),
+        (F.sum("sm").cast("double") / F.sum("cnt").cast("double")).alias("mean"),
+    )
+
+
+def convert(tiles_df: DataFrame, scale: float, offset: float, tile_size: int = 64,
+            dtype=np.uint8) -> DataFrame:
+    """Transfer function: value*scale + offset -> float64 tiles
+    (SampleDimension transfer function, F/coverage/SampleDimension.java:118)."""
+    bdt = np.dtype(dtype)
+
+    def fn(batches):
+        for pdf in batches:
+            datas = [
+                (np.frombuffer(d, dtype=bdt).astype(np.float64) * scale + offset).tobytes()
+                for d in pdf["data"]
+            ]
+            yield pd.DataFrame({"tx": pdf.tx, "ty": pdf.ty, "band": pdf.band, "data": datas})
+
+    return tiles_df.mapInPandas(fn, schema=TILE_SCHEMA)
+
+
+def band_select(tiles_df: DataFrame, bands: list[int]) -> DataFrame:
+    return tiles_df.filter(F.col("band").isin(bands))
+
+
+def clip(tiles_df: DataFrame, request: tuple[int, int, int, int], gg: GridGeometry,
+         tile_size: int = 64):
+    """Tile pruning for a cell-range request (GridDerivation → partition
+    pruning on the (tx, ty) key: Catalyst turns this into tile filters)."""
+    from .grid import derive_read_extent, tile_index
+
+    ext = derive_read_extent(gg, request, tile_size)
+    if ext is None:
+        return tiles_df.filter(F.lit(False)), None
+    tx0, ty0 = (v // tile_size for v in ext[:2])
+    tx1, ty1 = (v // tile_size for v in ext[2:])
+    return (
+        tiles_df.filter(
+            (F.col("tx") >= tx0) & (F.col("tx") <= tx1)
+            & (F.col("ty") >= ty0) & (F.col("ty") <= ty1)
+        ),
+        ext,
+    )
+
+
+def mosaic_first(*tile_dfs: DataFrame, tile_size: int = 64, dtype=np.uint8) -> DataFrame:
+    """Overlay: first source wins per tile; later sources fill missing tiles
+    (ImageOverlay / MergeStrategy.opaqueOverlay,
+    S/aggregate/MergeStrategy.java:82).  Priority = source index."""
+    tagged = [
+        df.withColumn("prio", F.lit(i)) for i, df in enumerate(tile_dfs)
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tx", "ty", "band").orderBy("prio")
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("tx", "ty", "band", "data")
+    )
+
+
+def mask_polygon(tiles_df: DataFrame, gg: GridGeometry, vx: np.ndarray, vy: np.ndarray,
+                 inside: bool = True, fill: int = 0, tile_size: int = 64,
+                 dtype=np.uint8) -> DataFrame:
+    """Mask by polygon ROI (GridCoverageProcessor.mask,
+    F/image/MaskedImage.java): pixels whose CELL_CENTER CRS position fails
+    the PIP test are replaced by ``fill``.  Reuses the ray-cast kernel."""
+    bdt = np.dtype(dtype)
+    spark = tiles_df.sparkSession
+    bc = spark.sparkContext.broadcast((vx, vy, gg))
+
+    def fn(batches):
+        pvx, pvy, g = bc.value
+        gxs = np.arange(tile_size)
+        for pdf in batches:
+            datas = []
+            for _, r in pdf.iterrows():
+                block = np.frombuffer(r["data"], dtype=bdt).reshape(tile_size, tile_size).copy()
+                gx, gy = np.meshgrid(r["tx"] * tile_size + gxs, r["ty"] * tile_size + gxs)
+                cx, cy = g.cell_center_to_crs(gx.ravel(), gy.ravel())
+                m = _geo.points_in_polygon(cx, cy, pvx, pvy).reshape(tile_size, tile_size)
+                block[m != inside] = fill
+                datas.append(block.tobytes())
+            yield pd.DataFrame({"tx": pdf.tx, "ty": pdf.ty, "band": pdf.band, "data": datas})
+
+    return tiles_df.mapInPandas(fn, schema=TILE_SCHEMA)
+
+
+def point_eval(tiles_df: DataFrame, points: DataFrame, gg: GridGeometry,
+               lon_col: str = "lon", lat_col: str = "lat",
+               tile_size: int = 64, dtype=np.uint8) -> DataFrame:
+    """Raster->vector sampling (DefaultEvaluator.java:75, nullIfOutside):
+    join points to their containing tile (cell->tile key equi-join, broadcast
+    the small side), then in-tile numpy lookup.  Points outside -> dropped."""
+    spark = tiles_df.sparkSession
+    inv = _tr.affine_invert(gg.affine)
+    a0, a1, a2, a3, a4, a5 = inv
+    gx = F.floor(F.lit(a0) * F.col(lon_col) + F.lit(a1) * F.col(lat_col) + F.lit(a2)).cast("long")
+    gy = F.floor(F.lit(a3) * F.col(lon_col) + F.lit(a4) * F.col(lat_col) + F.lit(a5)).cast("long")
+    pts = (
+        points.withColumn("__gx", gx).withColumn("__gy", gy)
+        .filter(
+            (F.col("__gx") >= gg.extent[0]) & (F.col("__gx") <= gg.extent[2])
+            & (F.col("__gy") >= gg.extent[1]) & (F.col("__gy") <= gg.extent[3])
+        )
+        .withColumn("tx", F.floor(F.col("__gx") / tile_size))
+        .withColumn("ty", F.floor(F.col("__gy") / tile_size))
+    )
+    joined = pts.join(tiles_df, ["tx", "ty"], "inner")
+    bdt = np.dtype(dtype)
+    out_fields = [f"`{f.name}` {f.dataType.simpleString()}" for f in points.schema.fields]
+    schema = ", ".join(out_fields) + ", band int, value long"
+    keep_cols = [f.name for f in points.schema.fields]
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = np.empty(len(pdf), dtype=np.int64)
+            for i, (_, r) in enumerate(pdf.iterrows()):
+                block = np.frombuffer(r["data"], dtype=bdt).reshape(tile_size, tile_size)
+                vals[i] = int(block[r["__gy"] % tile_size, r["__gx"] % tile_size])
+            out = pdf[keep_cols + ["band"]].copy()
+            out["value"] = vals
+            yield out
+
+    return joined.mapInPandas(fn, schema=schema)
+
+
+def resample(
+    tiles_df: DataFrame,
+    src_gg: GridGeometry,
+    dst_gg: GridGeometry,
+    method: str = "bilinear",
+    tile_size: int = 64,
+    dtype=np.uint8,
+    fill: float = 0.0,
+) -> DataFrame:
+    """Warp/reproject between affine grids (ResampledImage.java:84 inverse
+    mapping): for each destination tile, map its pixel centers dst->CRS->src,
+    interpolate (NEAREST/BILINEAR per F/image/Interpolation.java:130,161).
+
+    The source raster is broadcast densely here (single-scene scope); the
+    tile-local gather variant (per-tile source windows) is the planned path
+    for mosaics larger than executor memory."""
+    spark = tiles_df.sparkSession
+    src = tiles_to_raster(tiles_df, src_gg, tile_size, dtype)
+    bc = spark.sparkContext.broadcast(src)
+    h_d, w_d = dst_gg.height, dst_gg.width
+    nb = src.shape[2]
+    chain = _tr.affine_concat(_tr.affine_invert(src_gg.affine), dst_gg.affine)
+    # dst cell center -> src fractional cell (affine ∘ affine merged at plan
+    # time — MathTransforms.concatenate semantics)
+    center = _tr.affine_concat(chain, (1.0, 0.0, 0.5, 0.0, 1.0, 0.5))
+
+    n_tx = (w_d + tile_size - 1) // tile_size
+    n_ty = (h_d + tile_size - 1) // tile_size
+    keys = [(tx, ty, b) for b in range(nb) for ty in range(n_ty) for tx in range(n_tx)]
+    kdf = spark.createDataFrame(pd.DataFrame(keys, columns=["tx", "ty", "band"]))
+
+    def fn(batches):
+        s = bc.value
+        hs, ws = s.shape[:2]
+        gxs = np.arange(tile_size)
+        for pdf in batches:
+            datas = []
+            for _, r in pdf.iterrows():
+                gx, gy = np.meshgrid(r["tx"] * tile_size + gxs, r["ty"] * tile_size + gxs)
+                fx, fy = _tr.affine_apply(center, gx.ravel().astype(np.float64), gy.ravel().astype(np.float64))
+                fx -= 0.5  # to src cell-center coordinates
+                fy -= 0.5
+                if method == "nearest":
+                    ix = np.rint(fx).astype(np.int64)
+                    iy = np.rint(fy).astype(np.int64)
+                    ok = (ix >= 0) & (ix < ws) & (iy >= 0) & (iy < hs)
+                    v = np.full(fx.shape, fill, dtype=np.float64)
+                    v[ok] = s[iy[ok], ix[ok], r["band"]]
+                else:  # bilinear
+                    x0 = np.floor(fx).astype(np.int64)
+                    y0 = np.floor(fy).astype(np.int64)
+                    dx = fx - x0
+                    dy = fy - y0
+                    v = np.full(fx.shape, fill, dtype=np.float64)
+                    ok = (x0 >= 0) & (x0 + 1 < ws) & (y0 >= 0) & (y0 + 1 < hs)
+                    xo, yo = x0[ok], y0[ok]
+                    b = r["band"]
+                    v[ok] = (
+                        s[yo, xo, b] * (1 - dx[ok]) * (1 - dy[ok])
+                        + s[yo, xo + 1, b] * dx[ok] * (1 - dy[ok])
+                        + s[yo + 1, xo, b] * (1 - dx[ok]) * dy[ok]
+                        + s[yo + 1, xo + 1, b] * dx[ok] * dy[ok]
+                    )
+                block = np.clip(np.rint(v), 0, 255).astype(np.uint8).reshape(tile_size, tile_size)
+                datas.append(block.tobytes())
+            yield pd.DataFrame({"tx": pdf.tx, "ty": pdf.ty, "band": pdf.band, "data": datas})
+
+    return kdf.mapInPandas(fn, schema=TILE_SCHEMA)

@@ -1,0 +1,88 @@
+"""The primary input table of the north rule: image + caption rows.
+
+Schema (mandated by BASELINE.json input_hint):
+    (image_id string, bytes binary, w int, h int, fmt string,
+     caption string, phash bigint)
+plus derived (lon, lat) — the skewed spatial distribution from synth.py.
+
+Everything is derivable from ``image_id`` alone (FIXTURES.md §1 rule), so any
+row can be re-materialized in isolation — this is what makes checkpoint
+resume and per-row verification possible without storing inputs.
+
+Generation is distributed: mapInPandas over spark.range(n) — each Arrow batch
+synthesizes its rows with closed-form numpy (no driver-side data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import synth
+from ..raster import codec
+
+SIZES = [16, 32, 64]
+FMTS = ["png", "raw", "jpeg"]
+
+_VOCAB = (
+    "ridge harbor basalt meadow quartz delta canyon willow summit lagoon "
+    "mesa tundra fjord atoll dune reef crater butte arroyo glacier"
+).split()
+
+
+def image_dims(i: int) -> tuple[int, int, str]:
+    return SIZES[i % 3], SIZES[(i // 3) % 3], FMTS[i % len(FMTS)]
+
+
+def pixels_for(i: int, w: int, h: int) -> np.ndarray:
+    """Closed-form pixel content — f(x, y, channel, id), no RNG needed."""
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    ch = np.arange(3)[None, None, :]
+    return ((x * 3 + y * 7 + ch * 31 + i * 13) % 256).astype(np.uint8)
+
+
+def caption_for(i: int) -> str:
+    words = [_VOCAB[(i * 7 + k * 13) % len(_VOCAB)] for k in range(6)]
+    return f"caption of img-{i:012d}: " + " ".join(words)
+
+
+def make_row(i: int) -> dict:
+    w, h, fmt = image_dims(i)
+    arr = pixels_for(i, w, h)
+    buf = codec.encode(arr, fmt)
+    # phash over the *decoded* pixels (lossy fmt hashes its own reconstruction)
+    dec = codec.decode(buf, fmt)
+    return {
+        "image_id": f"img-{i:012d}",
+        "bytes": buf,
+        "w": np.int32(w),
+        "h": np.int32(h),
+        "fmt": fmt,
+        "caption": caption_for(i),
+        "phash": np.int64(codec.phash64(dec)),
+    }
+
+
+IMAGE_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, lon double, lat double"
+)
+
+
+def images_table(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic image+caption DataFrame of n_rows."""
+    rng = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            lon, lat = synth.point_lonlat_np(ids)
+            rows = [make_row(int(i)) for i in ids]
+            out = pd.DataFrame(rows)
+            out["lon"] = lon
+            out["lat"] = lat
+            yield out
+
+    return rng.mapInPandas(gen, schema=IMAGE_SCHEMA)
