@@ -204,8 +204,9 @@ def test_mosaic_first_priority(spark, scene):
     # secondary source: all-255 tiles, but only covering the tx=0 column plus
     # an extra band-0 tile at (3,3) not present in the primary? primary covers
     # all — so priority means primary pixels everywhere
+    # fill byte 0x41 ('A'): single-byte UTF-8, so cast-to-binary is 1:1
     blank = tiles.selectExpr(
-        "tx", "ty", "band", f"cast(repeat(chr(255), {64 * 64}) as binary) as data"
+        "tx", "ty", "band", f"cast(repeat(chr(65), {64 * 64}) as binary) as data"
     ).where("tx = 0")
     merged = mosaic_first(tiles, blank, tile_size=64)
     assert merged.count() == tiles.count()
@@ -213,7 +214,7 @@ def test_mosaic_first_priority(spark, scene):
     # reversed priority: the blank tiles overwrite the tx=0 column
     merged2 = tiles_to_raster(mosaic_first(blank, tiles, tile_size=64), gg, 64)
     exp = arr.copy()
-    exp[:, :64, :] = 255
+    exp[:, :64, :] = 65
     assert np.array_equal(merged2, exp)
 
 
