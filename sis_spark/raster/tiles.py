@@ -283,20 +283,22 @@ def resample(
                     ok = (ix >= 0) & (ix < ws) & (iy >= 0) & (iy < hs)
                     v = np.full(fx.shape, fill, dtype=np.float64)
                     v[ok] = s[iy[ok], ix[ok], r["band"]]
-                else:  # bilinear
+                else:  # bilinear, edge-clamped neighbors (Interpolation.BILINEAR)
                     x0 = np.floor(fx).astype(np.int64)
                     y0 = np.floor(fy).astype(np.int64)
                     dx = fx - x0
                     dy = fy - y0
                     v = np.full(fx.shape, fill, dtype=np.float64)
-                    ok = (x0 >= 0) & (x0 + 1 < ws) & (y0 >= 0) & (y0 + 1 < hs)
+                    ok = (x0 >= 0) & (x0 < ws) & (y0 >= 0) & (y0 < hs)
                     xo, yo = x0[ok], y0[ok]
+                    x1 = np.minimum(xo + 1, ws - 1)
+                    y1 = np.minimum(yo + 1, hs - 1)
                     b = r["band"]
                     v[ok] = (
                         s[yo, xo, b] * (1 - dx[ok]) * (1 - dy[ok])
-                        + s[yo, xo + 1, b] * dx[ok] * (1 - dy[ok])
-                        + s[yo + 1, xo, b] * (1 - dx[ok]) * dy[ok]
-                        + s[yo + 1, xo + 1, b] * dx[ok] * dy[ok]
+                        + s[yo, x1, b] * dx[ok] * (1 - dy[ok])
+                        + s[y1, xo, b] * (1 - dx[ok]) * dy[ok]
+                        + s[y1, x1, b] * dx[ok] * dy[ok]
                     )
                 block = np.clip(np.rint(v), 0, 255).astype(np.uint8).reshape(tile_size, tile_size)
                 datas.append(block.tobytes())
