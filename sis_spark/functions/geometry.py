@@ -60,6 +60,40 @@ def points_in_polygon_with_holes(px, py, rings) -> np.ndarray:
     return (acc % 2).astype(bool)
 
 
+def pad_polygons(polys_vx, polys_vy, pad_to: int | None = None):
+    """Pack variable-length rings into dense (M, K) arrays by repeating the
+    last vertex.  A degenerate edge (v == w) never crosses the ray
+    ((vy>py) != (wy>py) is false), so padding is exact for even-odd PIP."""
+    m = len(polys_vx)
+    k = pad_to or max((len(v) for v in polys_vx), default=1)
+    VX = np.empty((m, k), dtype=np.float64)
+    VY = np.empty((m, k), dtype=np.float64)
+    for i in range(m):
+        n = len(polys_vx[i])
+        VX[i, :n] = polys_vx[i]
+        VY[i, :n] = polys_vy[i]
+        VX[i, n:] = polys_vx[i][-1]
+        VY[i, n:] = polys_vy[i][-1]
+    return VX, VY
+
+
+def points_in_padded_polygons(px, py, gi, VX, VY) -> np.ndarray:
+    """Fully vectorized PIP of point i against polygon gi[i] (padded dense
+    rings).  One (N, K) crossing evaluation — no per-polygon loops; this is
+    the hot kernel of the spatial-join refine."""
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    vx = VX[gi]  # (N, K) gathers
+    vy = VY[gi]
+    wx = np.roll(vx, -1, axis=1)
+    wy = np.roll(vy, -1, axis=1)
+    cross = (vy > py) != (wy > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (wx - vx) * (py - vy) / (wy - vy) + vx
+    hits = cross & (px < xint)
+    return (hits.sum(axis=1) % 2).astype(bool)
+
+
 def points_in_many_polygons(px, py, starts, vx, vy):
     """PIP of N points against M polygons stored as concatenated rings.
 

@@ -65,17 +65,16 @@ def polygon_cells(polygons: list[dict], res: int) -> pd.DataFrame:
 
 
 def _pack_polygons(polygons: list[dict]):
-    """Flat arrays for the refine kernel: concatenated rings + starts + envelopes."""
-    starts = np.zeros(len(polygons) + 1, dtype=np.int64)
-    for i, p in enumerate(polygons):
-        starts[i + 1] = starts[i] + len(p["vx"])
-    vx = np.concatenate([p["vx"] for p in polygons]) if polygons else np.array([])
-    vy = np.concatenate([p["vy"] for p in polygons]) if polygons else np.array([])
+    """Dense padded vertex arrays for the vectorized refine kernel
+    (geometry.pad_polygons: duplicate-vertex padding is exact for even-odd)."""
+    VX, VY = _geo.pad_polygons(
+        [p["vx"] for p in polygons], [p["vy"] for p in polygons]
+    )
     env = np.array(
         [[p["xmin"], p["ymin"], p["xmax"], p["ymax"]] for p in polygons]
     ) if polygons else np.zeros((0, 4))
     keys = np.array([p["key"] for p in polygons], dtype=np.int64)
-    return {"starts": starts, "vx": vx, "vy": vy, "env": env, "keys": keys}
+    return {"VX": VX, "VY": VY, "env": env, "keys": keys}
 
 
 def spatial_join(
@@ -121,39 +120,29 @@ def spatial_join(
             cand = pts.join(cand_df, pts["__cell"] == cand_df["cell"], "inner")
 
     cand = cand.drop("cell", "__cell")
-    out_fields = [f for f in cand.schema.fields if f.name != "poly_idx"]
-    out_schema = (
-        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
-        + f", `{poly_key_col}` bigint"
-    )
-    lon_i = [f.name for f in cand.schema.fields].index(lon_col)
-    lat_i = [f.name for f in cand.schema.fields].index(lat_col)
-    poly_i = [f.name for f in cand.schema.fields].index("poly_idx")
 
-    def refine(batches):
+    # Refine as a SCALAR Arrow UDF used in a filter: only (lon, lat,
+    # poly_idx) cross the Python boundary; every other column stays JVM-side
+    # (ArrowEvalPython is a projection, not a row pipe).
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.BooleanType())
+    def pip_ok(lon_s: pd.Series, lat_s: pd.Series, gi_s: pd.Series) -> pd.Series:
         p = bc.value
-        starts, vx, vy, env, keys = p["starts"], p["vx"], p["vy"], p["env"], p["keys"]
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            px = pdf.iloc[:, lon_i].to_numpy(dtype=np.float64)
-            py = pdf.iloc[:, lat_i].to_numpy(dtype=np.float64)
-            gi = pdf.iloc[:, poly_i].to_numpy(dtype=np.int64)
-            keep = np.zeros(len(pdf), dtype=bool)
-            # envelope pre-mask then per-polygon vectorized PIP
-            emask = (
-                (px >= env[gi, 0]) & (px <= env[gi, 2])
-                & (py >= env[gi, 1]) & (py <= env[gi, 3])
-            )
-            for g in np.unique(gi[emask]):
-                sel = emask & (gi == g)
-                s, e = starts[g], starts[g + 1]
-                keep[sel] = _geo.points_in_polygon(px[sel], py[sel], vx[s:e], vy[s:e])
-            out = pdf[keep].copy()
-            out[poly_key_col] = keys[out.pop("poly_idx").to_numpy(dtype=np.int64)]
-            yield out
+        px = lon_s.to_numpy(dtype=np.float64)
+        py = lat_s.to_numpy(dtype=np.float64)
+        gi = gi_s.to_numpy(dtype=np.int64)
+        # one dense (N, K) crossing evaluation — no per-polygon loops
+        keep = _geo.points_in_padded_polygons(px, py, gi, p["VX"], p["VY"])
+        return pd.Series(keep)
 
-    return cand.mapInPandas(refine, schema=out_schema)
+    keys_arr = _pack_polygons(polygons)["keys"]
+    key_map = spark.createDataFrame(
+        pd.DataFrame({"poly_idx": np.arange(len(keys_arr)), poly_key_col: keys_arr})
+    )
+    refined = cand.filter(pip_ok(F.col(lon_col), F.col(lat_col), F.col("poly_idx")))
+    return refined.join(F.broadcast(key_map), "poly_idx").drop("poly_idx")
 
 
 def cell_histogram(points: DataFrame, lon_col: str, lat_col: str, res: int) -> DataFrame:
