@@ -256,6 +256,44 @@ def cell_sql(lon_sql: str, lat_sql: str, res: int) -> str:
     return f"(SELECT {expr} FROM (SELECT {ix} AS __ix, {iy} AS __iy) __t)", ix, iy
 
 
+def geohash_sql(lon_sql: str, lat_sql: str, length: int) -> str:
+    """DuckDB/Spark SQL computing exactly ``geohash_encode`` (bit interleave
+    + BASE32 CASE table).  Emits O(bits + 32*length) CASE arms — verbose but
+    a pure independent re-derivation for the oracle."""
+    bits = 5 * length
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    ix = (
+        f"CAST(LEAST(GREATEST(floor((({lon_sql}) + 180.0) / 360.0 * {1 << lon_bits}.0), 0.0), "
+        f"{(1 << lon_bits) - 1}.0) AS BIGINT)"
+    )
+    iy = (
+        f"CAST(LEAST(GREATEST(floor((({lat_sql}) + 90.0) / 180.0 * {1 << lat_bits}.0), 0.0), "
+        f"{(1 << lat_bits) - 1}.0) AS BIGINT)"
+    )
+    # interleave: hash bit (bits-1-k) ... lon gets ceil, starting at the top
+    terms = []
+    for b in range(bits):  # b = bit position from the top (0 = MSB)
+        pos = bits - 1 - b  # position in the integer
+        if b % 2 == 0:  # lon bit
+            src, srcbit = "__gx", lon_bits - 1 - (b // 2)
+        else:
+            src, srcbit = "__gy", lat_bits - 1 - (b // 2)
+        terms.append(f"((({src} >> {srcbit}) & 1) << {pos})")
+    inter = "(" + " + ".join(terms) + ")"
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = []
+    for c in range(length):
+        shift = bits - 5 * (c + 1)
+        arms = " ".join(f"WHEN {i} THEN '{alphabet[i]}'" for i in range(32))
+        chars.append(f"(CASE ((__inter >> {shift}) & 31) {arms} END)")
+    concat = " || ".join(chars)
+    return (
+        f"SELECT {concat} AS geohash FROM (SELECT {inter} AS __inter FROM "
+        f"(SELECT {ix} AS __gx, {iy} AS __gy FROM __POINTS__) __g) __i"
+    )
+
+
 def cell_sql_flat(lon_sql: str, lat_sql: str, res: int) -> str:
     """Same as cell_sql but as a single flat expression (no subquery)."""
     n = 1 << res

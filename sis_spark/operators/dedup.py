@@ -163,8 +163,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.25,
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     common = (
         cand.join(sh.select(F.col(id_col).alias("a"), "s"), "a")
-        .join(sh.select(F.col(id_col).alias("b"), F.col("s").alias("s2")), "b")
-        .filter(F.col("s") == F.col("s2"))
+        .join(sh.select(F.col(id_col).alias("b"), "s"), ["b", "s"])  # composite equi-key
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common"))
     )

@@ -45,8 +45,13 @@ def knn_join(
 
     Ties broken by candidate id (deterministic, matches the oracle).
     """
+    spark = candidates.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    cand = candidates.select(cand_id, cand_lon, cand_lat)
+    if cand.rdd.getNumPartitions() < max(2, par // 2):
+        cand = cand.repartition(par)  # small-scan artifact; see spatial_join
     q = queries.select(query_id, query_lon, query_lat)
-    joined = candidates.select(cand_id, cand_lon, cand_lat).crossJoin(F.broadcast(q))
+    joined = cand.crossJoin(F.broadcast(q))
     joined = joined.withColumn(
         "dist_m",
         haversine_col(F.col(cand_lon), F.col(cand_lat), F.col(query_lon), F.col(query_lat)),

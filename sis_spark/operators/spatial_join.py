@@ -100,6 +100,13 @@ def spatial_join(
 
     pc = polygon_cells(polygons, res)
     cand_df = spark.createDataFrame(pc.astype({"cell": "int64", "poly_idx": "int64"}))
+    # CPU-bound refine must not inherit a tiny-scan partitioning: a small
+    # parquet (1 rowgroup) scans as ONE split, which would serialize the
+    # whole map-side pipeline.  At 100 TB the scan has thousands of splits;
+    # here we restore parallelism explicitly when the source lacks it.
+    par = spark.sparkContext.defaultParallelism
+    if points.rdd.getNumPartitions() < max(2, par // 2):
+        points = points.repartition(par)
     pts = points.withColumn("__cell", cell_col(F.col(lon_col), F.col(lat_col), res))
 
     if strategy == "broadcast":

@@ -479,6 +479,118 @@ SELECT o_orderstatus, count(DISTINCT o_orderpriority) AS n_prio, count(*) AS n
 FROM orders GROUP BY 1 ORDER BY 1"""
 
 
+# ================================================================ SQLMM functions
+
+def q_geohash_counts(spark, sf_dir):
+    """Geohash encode (G/GeohashReferenceSystem.java:400) — 6-char cells."""
+    from .functions.udfs import geohash_udf
+
+    pts = _events_points(spark, sf_dir)
+    return (
+        pts.withColumn("geohash", geohash_udf(6)("lon", "lat"))
+        .groupBy("geohash")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_geohash_counts_oracle():
+    from .functions.cells import geohash_sql
+
+    inner = geohash_sql("lon", "lat", 6).replace("__POINTS__", f"({_points_sql()}) p")
+    return f"SELECT geohash, count(*) AS n FROM ({inner}) g GROUP BY 1 ORDER BY 1"
+
+
+def q_st_measures(spark, sf_dir):
+    """ST_Area (shoelace, SQLMM.java:445), ST_Perimeter (:455),
+    ST_Centroid (:461) over the supplier polygons as WKB geometry columns."""
+    import pandas as pd
+
+    from .functions import geometry as geo
+    from .functions.sqlmm import st_area_udf, st_centroid_udf, st_perimeter_udf
+
+    polys = _supplier_polygons(spark, sf_dir)
+    pdf = pd.DataFrame(
+        {"poly_key": [p["key"] for p in polys],
+         "wkb": [geo.wkb_polygon([(p["vx"], p["vy"])]) for p in polys]}
+    )
+    df = spark.createDataFrame(pdf, schema="poly_key long, wkb binary")
+    c = st_centroid_udf()(F.col("wkb"))
+    return df.select(
+        "poly_key",
+        F.round(st_area_udf()(F.col("wkb")), 6).alias("area"),
+        F.round(st_perimeter_udf()(F.col("wkb")), 6).alias("perim"),
+        F.round(c["x"], 6).alias("cx"),
+        F.round(c["y"], 6).alias("cy"),
+    )
+
+
+def q_st_measures_oracle():
+    return f"""
+WITH {synth.polygon_vertices_sql()},
+m AS (
+  SELECT key, sum(vx * wy - wx * vy) AS s2,
+         sum(sqrt((wx - vx) * (wx - vx) + (wy - vy) * (wy - vy))) AS per,
+         sum((vx + wx) * (vx * wy - wx * vy)) AS cxs,
+         sum((vy + wy) * (vx * wy - wx * vy)) AS cys
+  FROM edges GROUP BY 1)
+SELECT key AS poly_key, round(abs(s2) * 0.5, 6) AS area, round(per, 6) AS perim,
+       round(cxs / (3.0 * s2), 6) AS cx, round(cys / (3.0 * s2), 6) AS cy
+FROM m ORDER BY poly_key"""
+
+
+def q_st_accessors(spark, sf_dir):
+    """WKT construct/parse + accessors: ST_GeomFromText (:277),
+    ST_X/ST_Y (:309,:314), ST_GeometryType (:58)."""
+    from .functions.sqlmm import st_geometry_type_udf, st_geomfromtext_udf, st_x_udf, st_y_udf
+
+    part = _read(spark, sf_dir, "part")
+    wkt = F.concat(
+        F.lit("POINT ("), (F.col("p_partkey") % 360 - 180).cast("string"),
+        F.lit(" "), (F.col("p_partkey") % 170 - 85).cast("string"), F.lit(")"),
+    )
+    g = st_geomfromtext_udf()(wkt)
+    return part.select(
+        "p_partkey",
+        st_x_udf()(g).alias("x"),
+        st_y_udf()(g).alias("y"),
+        st_geometry_type_udf()(g).alias("gtype"),
+    )
+
+
+def q_st_accessors_oracle():
+    return """
+SELECT p_partkey,
+       CAST(p_partkey % 360 - 180 AS DOUBLE) AS x,
+       CAST(p_partkey % 170 - 85 AS DOUBLE) AS y,
+       'ST_Point' AS gtype
+FROM part ORDER BY p_partkey"""
+
+
+def q_st_contains(spark, sf_dir):
+    """ST_Contains(literal polygon, point) as a selection filter
+    (BinarySpatialFilter semantics; plan-time literal normalization)."""
+    from .functions.sqlmm import st_contains_point_udf
+
+    vx, vy = synth.polygon_vertices_np(5)
+    pts = _events_points(spark, sf_dir)
+    return pts.filter(st_contains_point_udf(vx, vy)(F.col("lon"), F.col("lat"))).select(
+        "event_id"
+    )
+
+
+def q_st_contains_oracle():
+    return f"""
+WITH {synth.polygon_vertices_sql("(SELECT 5 AS s_suppkey)")},
+pts AS ({_points_sql()})
+SELECT p.event_id
+FROM pts p
+JOIN edges e
+  ON ((e.vy > p.lat) <> (e.wy > p.lat))
+ AND (p.lon < (e.wx - e.vx) * (p.lat - e.vy) / (e.wy - e.vy) + e.vx)
+GROUP BY p.event_id
+HAVING (count(*) % 2) = 1"""
+
+
 # ================================================================ training-data ops (documents / embeddings)
 
 def q_dedup_exact(spark, sf_dir):
@@ -711,4 +823,8 @@ QUERIES = {
     "ann_topk": (q_ann_topk, q_ann_topk_oracle),
     "embedding_near_dup": (q_embedding_near_dup, q_embedding_near_dup_oracle),
     "label_centroid": (q_label_centroid_sim, q_label_centroid_sim_oracle),
+    "geohash_counts": (q_geohash_counts, q_geohash_counts_oracle),
+    "st_measures": (q_st_measures, q_st_measures_oracle),
+    "st_accessors": (q_st_accessors, q_st_accessors_oracle),
+    "st_contains": (q_st_contains, q_st_contains_oracle),
 }
