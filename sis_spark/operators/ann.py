@@ -139,7 +139,8 @@ def _hyperplanes(dim: int) -> np.ndarray:
     out = np.empty((N_PLANES, dim))
     for i in range(N_PLANES):
         h = b"".join(
-            hashlib.md5(f"plane:{i}:{j}".encode()).digest() for j in range((dim + 15) // 16)
+            hashlib.md5(f"plane:{i}:{j}".encode()).digest()
+            for j in range((dim * 4 + 15) // 16)  # 4 bytes per component
         )
         u = np.frombuffer(h[: dim * 4], dtype="<u4").astype(np.float64) / 2**32
         out[i] = u * 2.0 - 1.0

@@ -14,10 +14,12 @@ Strategies
            cross join never shuffles more than ~k rows per (query,
            partition).  Scales to any candidate count as long as the query
            set broadcasts.
-``cells``  cell-prefiltered: candidates restricted to the k-ring of the
-           query's cell, ring radius grown until the kth distance is provably
-           below the uncovered-ring bound — exact, far less compute when
-           candidates are dense.  (Planned; lands with the salting round.)
+``cells``  cell-prefiltered: candidates restricted to the k-ring of each
+           query's cell, ring radius grown (driver-side plan loop, the
+           GridDerivation style) until the kth distance is provably below
+           the distance to the nearest uncovered cell — exact, and touches
+           only candidates near the queries.  On a cell-partitioned table
+           the per-iteration filter partition-prunes.
 """
 
 from __future__ import annotations
@@ -83,3 +85,150 @@ def knn_join(
         pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _ring_bound_m(qlon: float, qlat: float, res: int, ring: int) -> float:
+    """Lower bound on the haversine distance from (qlon, qlat) to any point
+    OUTSIDE its Chebyshev-`ring` cell neighborhood at resolution ``res``.
+
+    y-separation: the nearest uncovered row starts `ring` rows away — the
+    latitude gap to that boundary bounds d >= R * dphi.  x-separation: a
+    point differing only in column lies in the covered latitude band, so
+    h >= cos^2(phi_max) sin^2(dlam/2) bounds d (phi_max = band's extreme
+    latitude).  Wrap/clamp: a side that reaches the globe edge contributes
+    no uncovered region (bound = +inf on that side)."""
+    import math
+
+    from ..functions.cells import lonlat_to_ixiy
+    from ..functions.geometry import EARTH_RADIUS_M
+
+    n = 1 << res
+    cellw = 360.0 / n
+    cellh = 180.0 / n
+    ix, iy = lonlat_to_ixiy(np.array([qlon]), np.array([qlat]), res)
+    ix, iy = int(ix[0]), int(iy[0])
+    bounds = []
+    # vertical: covered rows [iy-ring, iy+ring]
+    lo_row, hi_row = iy - ring, iy + ring
+    if lo_row > 0:  # uncovered region below
+        lat_edge = lo_row * cellh - 90.0
+        bounds.append(EARTH_RADIUS_M * math.radians(qlat - lat_edge))
+    if hi_row < n - 1:  # uncovered above
+        lat_edge = (hi_row + 1) * cellh - 90.0
+        bounds.append(EARTH_RADIUS_M * math.radians(lat_edge - qlat))
+    # horizontal: covered cols [ix-ring, ix+ring] (mod n)
+    if 2 * ring + 1 < n:
+        lon_lo = (ix - ring) * cellw - 180.0
+        lon_hi = (ix + ring + 1) * cellw - 180.0
+        dlam = math.radians(min((qlon - lon_lo) % 360.0, (lon_hi - qlon) % 360.0))
+        band_lo = max(lo_row, 0) * cellh - 90.0
+        band_hi = (min(hi_row, n - 1) + 1) * cellh - 90.0
+        phi_max = max(abs(band_lo), abs(band_hi))
+        cosb = math.cos(math.radians(min(phi_max, 90.0)))
+        s = max(0.0, min(1.0, cosb * math.sin(dlam / 2.0)))
+        bounds.append(2.0 * EARTH_RADIUS_M * math.asin(s))
+    return min(bounds) if bounds else float("inf")
+
+
+def knn_join_cells(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int,
+    res: int = 7,
+    cand_id: str = "cand_id",
+    cand_lon: str = "lon",
+    cand_lat: str = "lat",
+    query_id: str = "query_id",
+    query_lon: str = "qlon",
+    query_lat: str = "qlat",
+    max_iterations: int = 8,
+) -> DataFrame:
+    """Exact kNN via k-ring expansion; same output contract as knn_join.
+
+    Driver loop (plan-time, reference GridDerivation style): per unsatisfied
+    query, collect its ring cells, run a cell-filtered top-k, accept the
+    result once kth-distance <= _ring_bound_m; else double the ring.
+    Falls back to brute for queries still unsatisfied at max_iterations
+    (near-empty neighborhoods)."""
+    import pandas as pd
+
+    from ..functions.cells import k_ring, encode_cell
+    from ..functions.spark_exprs import cell_col
+
+    spark = candidates.sparkSession
+    qrows = queries.select(query_id, query_lon, query_lat).collect()
+    pending = {int(r[query_id]): (float(r[query_lon]), float(r[query_lat])) for r in qrows}
+    results = []
+    par = spark.sparkContext.defaultParallelism
+    cand = candidates.select(cand_id, cand_lon, cand_lat)
+    if cand.rdd.getNumPartitions() < max(2, par // 2):
+        cand = cand.repartition(par)
+    cand = cand.withColumn("__cell", cell_col(F.col(cand_lon), F.col(cand_lat), res)).cache()
+
+    ring = 1
+    for _ in range(max_iterations):
+        if not pending:
+            break
+        # (cell, qid) membership table for the current rings — broadcast side
+        rows = []
+        for qid, (qlon, qlat) in pending.items():
+            c = int(encode_cell(np.array([qlon]), np.array([qlat]), res)[0])
+            for cc in k_ring(c, res, ring):
+                rows.append((int(cc), qid))
+        member = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["__cell", query_id]).astype("int64")
+        )
+        qdf = spark.createDataFrame(
+            pd.DataFrame(
+                [(qid, lo, la) for qid, (lo, la) in pending.items()],
+                columns=[query_id, query_lon, query_lat],
+            )
+        )
+        sub = (
+            cand.join(F.broadcast(member), "__cell")
+            .join(F.broadcast(qdf), query_id)
+            .withColumn(
+                "dist_m",
+                haversine_col(F.col(cand_lon), F.col(cand_lat), F.col(query_lon), F.col(query_lat)),
+            )
+        )
+        w = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(), F.col(cand_id).asc())
+        topk = (
+            sub.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, "rank", cand_id, "dist_m", cand_lon, cand_lat, query_lon, query_lat)
+            .collect()
+        )
+        by_q: dict = {}
+        for r in topk:
+            by_q.setdefault(int(r[query_id]), []).append(r)
+        done = []
+        for qid, (qlon, qlat) in pending.items():
+            got = by_q.get(qid, [])
+            bound = _ring_bound_m(qlon, qlat, res, ring)
+            if len(got) >= k and float(got[k - 1]["dist_m"]) <= bound:
+                results.extend(got)
+                done.append(qid)
+        for qid in done:
+            del pending[qid]
+        ring *= 2
+
+    if pending:  # sparse neighborhoods: exact brute fallback for the rest
+        rest_q = spark.createDataFrame(
+            pd.DataFrame(
+                [(qid, lo, la) for qid, (lo, la) in pending.items()],
+                columns=[query_id, query_lon, query_lat],
+            )
+        )
+        rest = knn_join(
+            cand.drop("__cell"), rest_q, k, cand_id, cand_lon, cand_lat,
+            query_id, query_lon, query_lat,
+        ).collect()
+        results.extend(rest)
+
+    cand.unpersist()
+    out = pd.DataFrame(
+        [(int(r[query_id]), int(r["rank"]), int(r[cand_id])) for r in results],
+        columns=[query_id, "rank", cand_id],
+    )
+    return spark.createDataFrame(out.astype("int64"))

@@ -169,6 +169,20 @@ SELECT query_id, rank, cand_id FROM (
 WHERE rank <= {KNN_K} ORDER BY query_id, rank"""
 
 
+def q_knn_cells(spark, sf_dir):
+    """Same kNN contract via the k-ring cell-prefilter strategy (exactness
+    proven per query by the uncovered-ring distance bound) — checked against
+    the same DuckDB oracle as the brute strategy."""
+    from .operators.knn import knn_join_cells
+
+    cand = _events_points(spark, sf_dir).withColumnRenamed("event_id", "cand_id")
+    qlon, qlat = query_lonlat_cols("n_nationkey")
+    queries = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("query_id"), qlon.alias("qlon"), qlat.alias("qlat")
+    )
+    return knn_join_cells(cand, queries, KNN_K).select("query_id", "rank", "cand_id")
+
+
 def q_bbox_filter(spark, sf_dir):
     """Envelope selection incl. anti-meridian wraparound SPLIT box."""
     pts = _events_points(spark, sf_dir)
@@ -799,6 +813,7 @@ QUERIES = {
     "spatial_join": (q_spatial_join, q_spatial_join_oracle),
     "spatial_join_agg": (q_spatial_join_agg, q_spatial_join_agg_oracle),
     "knn": (q_knn, q_knn_oracle),
+    "knn_cells": (q_knn_cells, q_knn_oracle),
     "bbox_filter": (q_bbox_filter, q_bbox_filter_oracle),
     "mercator": (q_mercator, q_mercator_oracle),
     "geodesic_within": (q_geodesic_pairs, q_geodesic_pairs_oracle),

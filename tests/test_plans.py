@@ -1,0 +1,64 @@
+"""Physical-plan shape assertions: the 100 TB story is in the plan.
+
+These pin the properties the engine's scale design relies on: parquet filter
+pushdown + column pruning (Catalyst analogs of the reference's
+AND-decomposition pushdown and getXPaths pruning, SURVEY §4.1), broadcast
+strategy for the spatial-join prefilter, and whole-stage codegen on the
+cell/tile expressions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_parquet_filter_pushdown_and_pruning(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: scan schema carries only the 3 referenced columns
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in rs and "l_quantity" in rs and "l_shipdate" in rs
+    assert "l_extendedprice" not in rs and "l_comment" not in rs
+
+
+def test_spatial_join_prefilter_is_broadcast(spark, sf_dir):
+    from sis_spark.operators.spatial_join import spatial_join
+    from sis_spark.queries import _events_points, _supplier_polygons
+
+    pts = _events_points(spark, sf_dir)
+    out = spatial_join(pts, _supplier_polygons(spark, sf_dir), "lon", "lat")
+    plan = _plan(out)
+    # both the cell-prefilter join and the key-map join must be broadcast:
+    # the skewed point side must never shuffle on cell
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # refine is a scalar Arrow eval, not a row-pipe
+    assert "ArrowEvalPython" in plan
+
+
+def test_cell_expr_is_whole_stage_codegen(spark, sf_dir):
+    from sis_spark.functions.spark_exprs import cell_col
+    from sis_spark.queries import _events_points
+
+    pts = _events_points(spark, sf_dir)
+    df = pts.withColumn("cell", cell_col(F.col("lon"), F.col("lat"), 12))
+    plan = _plan(df)
+    # codegen stages print as "*(n)" prefixes in the executed plan
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+    assert "Python" not in plan  # pure JVM path
+
+
+def test_feature_query_limit_not_global_sort(spark, sf_dir):
+    # top-k compiles to TakeOrderedAndProject (no full global sort)
+    from sis_spark.queries import q_between_topk
+
+    plan = _plan(q_between_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
