@@ -77,21 +77,70 @@ def pad_polygons(polys_vx, polys_vy, pad_to: int | None = None):
     return VX, VY
 
 
+def _ring_crossings(px2, py2, vx, vy) -> np.ndarray:
+    """Ray-crossing counts of points (column vectors) vs gathered rings (N, K)."""
+    wx = np.roll(vx, -1, axis=1)
+    wy = np.roll(vy, -1, axis=1)
+    cross = (vy > py2) != (wy > py2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (wx - vx) * (py2 - vy) / (wy - vy) + vx
+    return (cross & (px2 < xint)).sum(axis=1)
+
+
 def points_in_padded_polygons(px, py, gi, VX, VY) -> np.ndarray:
     """Fully vectorized PIP of point i against polygon gi[i] (padded dense
     rings).  One (N, K) crossing evaluation — no per-polygon loops; this is
     the hot kernel of the spatial-join refine."""
-    px = np.asarray(px, dtype=np.float64)[:, None]
-    py = np.asarray(py, dtype=np.float64)[:, None]
-    vx = VX[gi]  # (N, K) gathers
-    vy = VY[gi]
-    wx = np.roll(vx, -1, axis=1)
-    wy = np.roll(vy, -1, axis=1)
-    cross = (vy > py) != (wy > py)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xint = (wx - vx) * (py - vy) / (wy - vy) + vx
-    hits = cross & (px < xint)
-    return (hits.sum(axis=1) % 2).astype(bool)
+    px2 = np.asarray(px, dtype=np.float64)[:, None]
+    py2 = np.asarray(py, dtype=np.float64)[:, None]
+    hits = _ring_crossings(px2, py2, VX[gi], VY[gi])
+    return (hits % 2).astype(bool)
+
+
+def points_in_padded_rings(px, py, gi, RVX, RVY, ring_start) -> np.ndarray:
+    """Even-odd PIP where polygon gi[i] owns rings
+    RVX[ring_start[gi]:ring_start[gi+1]] (outer ring + holes).  Crossing
+    counts are summed across a polygon's rings — a point inside an odd
+    number of rings is inside (holes fall out naturally).  Costs one (N, K)
+    pass per ring ordinal, so hole-free polygon sets pay exactly the
+    points_in_padded_polygons price."""
+    px2 = np.asarray(px, dtype=np.float64)[:, None]
+    py2 = np.asarray(py, dtype=np.float64)[:, None]
+    gi = np.asarray(gi, dtype=np.int64)
+    nr = ring_start[gi + 1] - ring_start[gi]
+    counts = np.zeros(gi.shape, dtype=np.int64)
+    for j in range(int(nr.max()) if nr.size else 0):
+        m = nr > j
+        if not m.any():
+            break
+        r = ring_start[gi[m]] + j
+        counts[m] += _ring_crossings(px2[m], py2[m], RVX[r], RVY[r])
+    return (counts % 2).astype(bool)
+
+
+def clip_polygon_x(vx, vy, xbound: float, keep_leq: bool):
+    """Sutherland-Hodgman clip of a ring against the vertical line
+    x = xbound, keeping x <= xbound (or >=).  Returns (vx, vy) possibly
+    empty.  Used for the anti-meridian SPLIT of wraparound polygons
+    (WraparoundMethod.java:55 SPLIT applied to polygon geometry)."""
+    vx = np.asarray(vx, dtype=np.float64)
+    vy = np.asarray(vy, dtype=np.float64)
+    ox: list[float] = []
+    oy: list[float] = []
+    n = len(vx)
+    for i in range(n):
+        x1, y1 = vx[i], vy[i]
+        x2, y2 = vx[(i + 1) % n], vy[(i + 1) % n]
+        in1 = x1 <= xbound if keep_leq else x1 >= xbound
+        in2 = x2 <= xbound if keep_leq else x2 >= xbound
+        if in1:
+            ox.append(x1)
+            oy.append(y1)
+        if in1 != in2:
+            t = (xbound - x1) / (x2 - x1)
+            ox.append(xbound)
+            oy.append(y1 + t * (y2 - y1))
+    return np.asarray(ox), np.asarray(oy)
 
 
 def points_in_many_polygons(px, py, starts, vx, vy):

@@ -64,17 +64,71 @@ def polygon_cells(polygons: list[dict], res: int) -> pd.DataFrame:
     )
 
 
-def _pack_polygons(polygons: list[dict]):
-    """Dense padded vertex arrays for the vectorized refine kernel
-    (geometry.pad_polygons: duplicate-vertex padding is exact for even-odd)."""
-    VX, VY = _geo.pad_polygons(
-        [p["vx"] for p in polygons], [p["vy"] for p in polygons]
-    )
+def normalize_polygons(polygons: list[dict]) -> list[dict]:
+    """Canonical polygon parts: each output dict has key, rings (outer +
+    holes), and envelope.  Polygons given in *continuous* longitudes beyond
+    ±180 (the natural way to write an anti-meridian-crossing ring) are SPLIT
+    at the meridian into two parts with the same key
+    (R/geometry/WraparoundMethod.java:55 SPLIT applied to polygon geometry).
+    """
+    out = []
+    for p in polygons:
+        rings = [(np.asarray(p["vx"], dtype=np.float64), np.asarray(p["vy"], dtype=np.float64))]
+        for hvx, hvy in p.get("holes", []):
+            rings.append((np.asarray(hvx, dtype=np.float64), np.asarray(hvy, dtype=np.float64)))
+        all_x = np.concatenate([r[0] for r in rings])
+        parts: list[list] = []
+        if all_x.max() > 180.0:
+            lo = [_geo.clip_polygon_x(vx, vy, 180.0, keep_leq=True) for vx, vy in rings]
+            hi = [
+                (cvx - 360.0, cvy)
+                for cvx, cvy in (_geo.clip_polygon_x(vx, vy, 180.0, keep_leq=False) for vx, vy in rings)
+            ]
+            parts = [lo, hi]
+        elif all_x.min() < -180.0:
+            hi = [_geo.clip_polygon_x(vx, vy, -180.0, keep_leq=False) for vx, vy in rings]
+            lo = [
+                (cvx + 360.0, cvy)
+                for cvx, cvy in (_geo.clip_polygon_x(vx, vy, -180.0, keep_leq=True) for vx, vy in rings)
+            ]
+            parts = [hi, lo]
+        else:
+            parts = [rings]
+        for part in parts:
+            part = [(vx, vy) for vx, vy in part if len(vx) >= 3]
+            if not part:
+                continue
+            ox = np.concatenate([r[0] for r in part])
+            oy = np.concatenate([r[1] for r in part])
+            out.append({
+                "key": int(p["key"]),
+                "rings": part,
+                "xmin": float(ox.min()),
+                "ymin": float(oy.min()),
+                "xmax": float(ox.max()),
+                "ymax": float(oy.max()),
+            })
+    return out
+
+
+def _pack_polygons(parts: list[dict]):
+    """Dense padded ring arrays for the vectorized refine kernel
+    (geometry.pad_polygons: duplicate-vertex padding is exact for even-odd).
+    ``parts`` must be normalize_polygons output."""
+    rings_vx: list = []
+    rings_vy: list = []
+    ring_start = np.zeros(len(parts) + 1, dtype=np.int64)
+    for i, p in enumerate(parts):
+        for vx, vy in p["rings"]:
+            rings_vx.append(vx)
+            rings_vy.append(vy)
+        ring_start[i + 1] = ring_start[i] + len(p["rings"])
+    RVX, RVY = _geo.pad_polygons(rings_vx, rings_vy)
     env = np.array(
-        [[p["xmin"], p["ymin"], p["xmax"], p["ymax"]] for p in polygons]
-    ) if polygons else np.zeros((0, 4))
-    keys = np.array([p["key"] for p in polygons], dtype=np.int64)
-    return {"VX": VX, "VY": VY, "env": env, "keys": keys}
+        [[p["xmin"], p["ymin"], p["xmax"], p["ymax"]] for p in parts]
+    ) if parts else np.zeros((0, 4))
+    keys = np.array([p["key"] for p in parts], dtype=np.int64)
+    return {"RVX": RVX, "RVY": RVY, "ring_start": ring_start, "env": env, "keys": keys}
 
 
 def spatial_join(
@@ -93,6 +147,7 @@ def spatial_join(
     shape, or built from WKB via sources.polygons_from_wkb).
     """
     spark = points.sparkSession
+    polygons = normalize_polygons(polygons)  # holes + anti-meridian SPLIT
     if res is None:
         res = choose_resolution(polygons)
     packed = _pack_polygons(polygons)
@@ -140,11 +195,13 @@ def spatial_join(
         px = lon_s.to_numpy(dtype=np.float64)
         py = lat_s.to_numpy(dtype=np.float64)
         gi = gi_s.to_numpy(dtype=np.int64)
-        # one dense (N, K) crossing evaluation — no per-polygon loops
-        keep = _geo.points_in_padded_polygons(px, py, gi, p["VX"], p["VY"])
+        # dense (N, K) crossing passes, one per ring ordinal (1 for hole-free)
+        keep = _geo.points_in_padded_rings(
+            px, py, gi, p["RVX"], p["RVY"], p["ring_start"]
+        )
         return pd.Series(keep)
 
-    keys_arr = _pack_polygons(polygons)["keys"]
+    keys_arr = packed["keys"]
     key_map = spark.createDataFrame(
         pd.DataFrame({"poly_idx": np.arange(len(keys_arr)), poly_key_col: keys_arr})
     )

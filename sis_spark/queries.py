@@ -144,6 +144,17 @@ def q_spatial_join_agg_oracle():
     )
 
 
+def q_spatial_join_salted(spark, sf_dir):
+    """Same join through the SHUFFLE + hot-cell-salting path (the long-tail
+    strategy for non-broadcastable polygon sets) — same oracle as the
+    broadcast path, proving strategy equivalence at the gate."""
+    pts = _events_points(spark, sf_dir)
+    polys = _supplier_polygons(spark, sf_dir)
+    return spatial_join(pts, polys, "lon", "lat", strategy="shuffle", salt=8).select(
+        F.col("event_id").alias("pid"), "poly_key"
+    )
+
+
 def q_knn(spark, sf_dir):
     """kNN join: 25 query points x events, k=5, haversine, deterministic ties."""
     cand = _events_points(spark, sf_dir).withColumnRenamed("event_id", "cand_id")
@@ -812,6 +823,7 @@ QUERIES = {
     "tile_pyramid": (q_tile_pyramid, q_tile_pyramid_oracle),
     "spatial_join": (q_spatial_join, q_spatial_join_oracle),
     "spatial_join_agg": (q_spatial_join_agg, q_spatial_join_agg_oracle),
+    "spatial_join_salted": (q_spatial_join_salted, q_spatial_join_oracle),
     "knn": (q_knn, q_knn_oracle),
     "knn_cells": (q_knn_cells, q_knn_oracle),
     "bbox_filter": (q_bbox_filter, q_bbox_filter_oracle),
