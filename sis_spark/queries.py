@@ -815,6 +815,63 @@ def q_label_centroid_sim_oracle():
     return f"SELECT label, count(*) AS n, {cols} FROM embeddings GROUP BY 1 ORDER BY 1"
 
 
+# ================================================================ images table (north-rule input)
+
+N_GATE_IMAGES = 2000
+
+
+def q_images_metadata(spark, sf_dir):
+    """The image+caption table itself under the oracle gate: every generated
+    row's metadata, caption (byte-equality — the input_hint invariant), and
+    spatial cell are re-derived independently in SQL.  Pixel bytes are
+    validated by PSNR/pytest (DuckDB cannot decode PNG)."""
+    from .functions.spark_exprs import cell_col
+    from .sources.images import images_table
+
+    img = images_table(spark, N_GATE_IMAGES)
+    return img.select(
+        "image_id", "w", "h", "fmt", "caption",
+        cell_col(F.col("lon"), F.col("lat"), CELL_RES).alias("cell"),
+    )
+
+
+def q_images_metadata_oracle():
+    from .functions.cells import cell_sql_flat
+    from .sources.images import FMTS, SIZES, _VOCAB
+
+    word_case = lambda k: (
+        "(CASE ((i * 7 + " + str(k) + " * 13) % " + str(len(_VOCAB)) + ") "
+        + " ".join(f"WHEN {j} THEN '{w}'" for j, w in enumerate(_VOCAB))
+        + " END)"
+    )
+    caption = (
+        "'caption of img-' || lpad(CAST(i AS VARCHAR), 12, '0') || ': ' || "
+        + " || ' ' || ".join(word_case(k) for k in range(6))
+    )
+    size_case = lambda e: (
+        f"(CASE ({e}) % 3 WHEN 0 THEN {SIZES[0]} WHEN 1 THEN {SIZES[1]} ELSE {SIZES[2]} END)"
+    )
+    fmt_case = (
+        "(CASE i % 3 "
+        + " ".join(f"WHEN {j} THEN '{f}'" for j, f in enumerate(FMTS[:2]))
+        + f" ELSE '{FMTS[2]}' END)"
+    )
+    lon = synth.point_lon_sql("i")
+    lat = synth.point_lat_sql("i")
+    cell = cell_sql_flat("lon", "lat", CELL_RES)
+    return f"""
+WITH ids AS (SELECT i FROM generate_series(0, {N_GATE_IMAGES - 1}) t(i)),
+meta AS (
+  SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+         CAST({size_case('i')} AS INTEGER) AS w,
+         CAST({size_case('i // 3')} AS INTEGER) AS h,
+         {fmt_case} AS fmt,
+         {caption} AS caption,
+         {lon} AS lon, {lat} AS lat
+  FROM ids)
+SELECT image_id, w, h, fmt, caption, {cell} AS cell FROM meta ORDER BY image_id"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -854,4 +911,5 @@ QUERIES = {
     "st_measures": (q_st_measures, q_st_measures_oracle),
     "st_accessors": (q_st_accessors, q_st_accessors_oracle),
     "st_contains": (q_st_contains, q_st_contains_oracle),
+    "images_metadata": (q_images_metadata, q_images_metadata_oracle),
 }

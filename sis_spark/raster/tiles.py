@@ -235,6 +235,79 @@ def point_eval(tiles_df: DataFrame, points: DataFrame, gg: GridGeometry,
     return joined.mapInPandas(fn, schema=schema)
 
 
+def zonal_stats(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    polygons: list[dict],
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Vector-over-raster aggregation: per (polygon, band) pixel statistics
+    (count/sum/min/max/mean) of pixels whose CELL_CENTER falls inside the
+    polygon — the raster<->vector composition of the mask kernel
+    (MaskedImage) with the Statistics combine pattern
+    (U/math/Statistics.java:311): per-tile partials, tiny final agg.
+
+    ``polygons``: synth.polygon_table_np shape (key/vx/vy + envelope).
+    Tiles not touching any polygon envelope are skipped cheaply.
+    """
+    from ..operators.spatial_join import _pack_polygons, normalize_polygons
+
+    spark = tiles_df.sparkSession
+    packed = _pack_polygons(normalize_polygons(polygons))
+    bc = spark.sparkContext.broadcast((packed, gg))
+    bdt = np.dtype(dtype)
+    w, h = gg.width, gg.height
+
+    def partial(batches):
+        p, g = bc.value
+        env, keys = p["env"], p["keys"]
+        gxs = np.arange(tile_size)
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                vh = min(tile_size, h - r["ty"] * tile_size)
+                vw = min(tile_size, w - r["tx"] * tile_size)
+                if vh <= 0 or vw <= 0:
+                    continue
+                gx, gy = np.meshgrid(r["tx"] * tile_size + gxs[:vw], r["ty"] * tile_size + gxs[:vh])
+                cx, cy = g.cell_center_to_crs(gx.ravel(), gy.ravel())
+                block = np.frombuffer(r["data"], dtype=bdt).reshape(tile_size, tile_size)
+                vals = block[:vh, :vw].ravel()
+                # tile envelope in CRS
+                txmin, txmax = cx.min(), cx.max()
+                tymin, tymax = cy.min(), cy.max()
+                for part in np.nonzero(
+                    (env[:, 0] <= txmax) & (env[:, 2] >= txmin)
+                    & (env[:, 1] <= tymax) & (env[:, 3] >= tymin)
+                )[0]:
+                    gi = np.full(cx.shape, part, dtype=np.int64)
+                    m = _geo.points_in_padded_rings(
+                        cx, cy, gi, p["RVX"], p["RVY"], p["ring_start"]
+                    )
+                    if not m.any():
+                        continue
+                    v = vals[m]
+                    out.append({
+                        "poly_key": int(keys[part]), "band": int(r["band"]),
+                        "cnt": int(v.size), "sm": int(v.sum(dtype=np.int64)),
+                        "mn": int(v.min()), "mx": int(v.max()),
+                    })
+            if out:
+                yield pd.DataFrame(out)
+
+    partials = tiles_df.mapInPandas(
+        partial, schema="poly_key long, band int, cnt long, sm long, mn long, mx long"
+    )
+    return partials.groupBy("poly_key", "band").agg(
+        F.sum("cnt").alias("n"),
+        F.sum("sm").alias("sum"),
+        F.min("mn").alias("min"),
+        F.max("mx").alias("max"),
+        (F.sum("sm").cast("double") / F.sum("cnt").cast("double")).alias("mean"),
+    )
+
+
 def resample(
     tiles_df: DataFrame,
     src_gg: GridGeometry,

@@ -294,3 +294,28 @@ def test_resample_downscale_psnr(spark):
     interior = (slice(2, 254), slice(2, 254), slice(None))
     p = codec.psnr(arr[interior], back[interior])
     assert p >= 40.0, p
+
+
+def test_zonal_stats_matches_numpy(spark, scene):
+    from sis_spark.functions.geometry import points_in_polygon
+    from sis_spark.raster.tiles import zonal_stats
+
+    arr, gg, tiles = scene
+    tri = {"key": 7, "vx": np.array([-9.5, -8.0, -9.0]), "vy": np.array([4.5, 4.3, 2.8])}
+    sq = {"key": 8, "vx": np.array([-8.5, -7.8, -7.8, -8.5]),
+          "vy": np.array([3.2, 3.2, 4.0, 4.0])}
+    for p in (tri, sq):
+        p.update({"xmin": p["vx"].min(), "ymin": p["vy"].min(),
+                  "xmax": p["vx"].max(), "ymax": p["vy"].max()})
+    got = {(r["poly_key"], r["band"]): r for r in zonal_stats(tiles, gg, [tri, sq]).collect()}
+    gx, gy = np.meshgrid(np.arange(256), np.arange(256))
+    cx, cy = gg.cell_center_to_crs(gx.ravel(), gy.ravel())
+    for p in (tri, sq):
+        m = points_in_polygon(cx, cy, p["vx"], p["vy"]).reshape(256, 256)
+        assert m.sum() > 0
+        for b in range(3):
+            v = arr[:, :, b][m]
+            r = got[(p["key"], b)]
+            assert r["n"] == v.size and r["sum"] == int(v.sum(dtype=np.int64))
+            assert r["min"] == int(v.min()) and r["max"] == int(v.max())
+            assert abs(r["mean"] - v.mean()) < 1e-9
