@@ -63,7 +63,7 @@ def encode_png(arr: np.ndarray) -> bytes:
     raw = np.empty((h, 1 + w * c), dtype=np.uint8)
     raw[:, 0] = 0  # filter 0 (None)
     raw[:, 1:] = arr.reshape(h, w * c)
-    idat = zlib.compress(raw.tobytes(), 6)
+    idat = zlib.compress(raw.tobytes(), 1)  # speed over size: synthetic data, hot path
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -127,7 +127,7 @@ def encode_jpeg_stub(arr: np.ndarray) -> bytes:
     """STAND-IN lossy encoder (see module docstring): quantize to step 4."""
     h, w, c = _shape3(arr)
     q = (arr.astype(np.uint8) // JPEG_QUANT_STEP) * JPEG_QUANT_STEP + JPEG_QUANT_STEP // 2
-    return b"FJPG" + struct.pack("<III", w, h, c) + zlib.compress(q.tobytes(), 6)
+    return b"FJPG" + struct.pack("<III", w, h, c) + zlib.compress(q.tobytes(), 1)
 
 
 def decode_jpeg_stub(buf: bytes) -> np.ndarray:
