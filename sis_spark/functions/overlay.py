@@ -1,0 +1,370 @@
+"""Polygon overlay (boolean) operations: intersection / union / difference.
+
+The reference exposes the binary constructive SQLMM operators
+``ST_Intersection`` (F/filter/sqlmm/SQLMM.java:135), ``ST_Union`` (:141),
+``ST_Difference`` (:147) and ``ST_SymDifference`` (:153), all delegating to
+the JTS/ESRI geometry library (F/filter/sqlmm/TwoGeometries.java).  Neither
+library exists here, so the engine re-derives the overlay machinery from
+published algorithms:
+
+* ``clip_halfplane`` / ``clip_convex`` — Sutherland–Hodgman composition
+  clipping (exact for convex clip regions; generalizes the anti-meridian
+  clip of geometry.clip_polygon_x).
+* ``clip_area_halfplane_edge_terms`` — per-edge Green's-theorem area of a
+  polygon clipped to the halfplane ``x <= b``: each directed edge clipped
+  independently contributes ``(x1*y2 - x2*y1) - b*(y2 - y1)``; the ``-b*dy``
+  term closes the boundary along ``x = b`` (sum of chord shoelace terms).
+  A pure per-edge aggregation — O(1) state, embarrassingly parallel, and
+  expressible in plain SQL (the DuckDB oracle of the gate query).
+* ``overlay`` — Greiner–Hormann polygon clipping for general simple
+  polygon pairs (E. Greiner & K. Hormann, "Efficient clipping of arbitrary
+  polygons", ACM TOG 17(2), 1998): intersection vertices are woven into both
+  rings, marked entry/exit, and result rings traced by switching rings at
+  each intersection.  Degenerate inputs (vertex exactly on an edge) are not
+  supported — the engine's synthetic geometry is in general position, and
+  the limitation is documented here.
+
+All kernels are numpy; the SQLMM wrappers batch them per Arrow block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .sqlmm import shoelace_area
+
+
+def signed_area(vx: np.ndarray, vy: np.ndarray) -> float:
+    wx = np.roll(vx, -1)
+    wy = np.roll(vy, -1)
+    return float(np.sum(vx * wy - wx * vy)) * 0.5
+
+
+# ---------------------------------------------------------------- halfplane / convex clip
+
+def clip_halfplane(vx, vy, a: float, b: float, c: float):
+    """Sutherland–Hodgman clip of one ring to ``a*x + b*y <= c``.
+
+    Returns (vx, vy), possibly empty.  Intersection points are placed with
+    the parametric formula ``p1 + t*(p2-p1)``, t = (c - d1)/(d2 - d1) on the
+    signed distances — exact halves of the anti-meridian special case
+    (geometry.clip_polygon_x keeps its strict x-form for oracle parity).
+    """
+    vx = np.asarray(vx, dtype=np.float64)
+    vy = np.asarray(vy, dtype=np.float64)
+    ox: list[float] = []
+    oy: list[float] = []
+    n = len(vx)
+    d = a * vx + b * vy - c
+    for i in range(n):
+        j = (i + 1) % n
+        in1, in2 = d[i] <= 0.0, d[j] <= 0.0
+        if in1:
+            ox.append(vx[i])
+            oy.append(vy[i])
+        if in1 != in2:
+            t = d[i] / (d[i] - d[j])
+            ox.append(vx[i] + t * (vx[j] - vx[i]))
+            oy.append(vy[i] + t * (vy[j] - vy[i]))
+    return np.asarray(ox), np.asarray(oy)
+
+
+def clip_convex(vx, vy, cvx, cvy):
+    """Clip ring (vx, vy) to the CONVEX CCW ring (cvx, cvy) by successive
+    halfplane clips (Sutherland–Hodgman).  Exact ST_Intersection when one
+    operand is convex (e.g. envelope/box clip)."""
+    cvx = np.asarray(cvx, dtype=np.float64)
+    cvy = np.asarray(cvy, dtype=np.float64)
+    if signed_area(cvx, cvy) < 0.0:
+        cvx, cvy = cvx[::-1], cvy[::-1]
+    ox, oy = np.asarray(vx, dtype=np.float64), np.asarray(vy, dtype=np.float64)
+    m = len(cvx)
+    for i in range(m):
+        j = (i + 1) % m
+        # inward halfplane of CCW edge (p_i -> p_j): cross(e, p - p_i) >= 0
+        ex, ey = cvx[j] - cvx[i], cvy[j] - cvy[i]
+        # e_x*(y - cy_i) - e_y*(x - cx_i) >= 0  <=>  e_y*x - e_x*y <= e_y*cx_i - e_x*cy_i
+        ox, oy = clip_halfplane(ox, oy, ey, -ex, ey * cvx[i] - ex * cvy[i])
+        if len(ox) == 0:
+            break
+    return ox, oy
+
+
+# ---------------------------------------------------------------- per-edge clip area (gate kernel)
+
+QUANT = 1.0e7
+IRR_OFF = 0.123456789  # irrational-ish offset: keeps exact-zero terms off the floor boundary
+
+
+def clip_area_halfplane_q(VX: np.ndarray, VY: np.ndarray, nv: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Quantized 2x-area of each padded polygon clipped to ``x <= b[i]``.
+
+    ``VX, VY``: (M, K) padded vertex arrays (pad = repeat last vertex — a
+    degenerate edge contributes the same term twice minus itself; we mask
+    pads explicitly instead).  ``nv``: true vertex counts.  Per-edge term
+    (identical op order to the DuckDB oracle SQL in queries.py):
+
+        both in : (x1*y2 - x2*y1) - b*(y2 - y1)
+        in1 only: (x1*yi - b*y1)           [x2 clipped to (b, yi)]
+                  expanded: (x1*yi - b*y1) - b*(yi - y1)
+        in2 only: (b*y2 - x2*yi) - b*(y2 - yi)
+        neither : 0
+
+    with yi = y1 + (b - x1)/(x2 - x1)*(y2 - y1).  Each term is floored at
+    QUANT resolution with an irrational offset, summed as int64 — the sum is
+    order-independent, so Spark partition order cannot change the result.
+    """
+    M, K = VX.shape
+    ks = np.arange(K)
+    valid = ks[None, :] < nv[:, None]
+    nxt = np.where(ks[None, :] + 1 < nv[:, None], ks[None, :] + 1, 0)
+    x1, y1 = VX, VY
+    x2 = np.take_along_axis(VX, nxt, axis=1)
+    y2 = np.take_along_axis(VY, nxt, axis=1)
+    bb = np.asarray(b, dtype=np.float64)[:, None]
+    in1 = x1 <= bb
+    in2 = x2 <= bb
+    with np.errstate(divide="ignore", invalid="ignore"):
+        yi = y1 + (bb - x1) / (x2 - x1) * (y2 - y1)
+    term_both = (x1 * y2 - x2 * y1) - bb * (y2 - y1)
+    term_in1 = (x1 * yi - bb * y1) - bb * (yi - y1)
+    term_in2 = (bb * y2 - x2 * yi) - bb * (y2 - yi)
+    term = np.where(
+        in1 & in2, term_both,
+        np.where(in1, term_in1, np.where(in2, term_in2, 0.0)),
+    )
+    term = np.where(valid, term, 0.0)
+    q = np.floor(term * QUANT - IRR_OFF).astype(np.int64)
+    q = np.where(valid, q, 0)
+    return q.sum(axis=1)
+
+
+def supplier_clip_q_udf():
+    """Arrow UDF: supplier key -> quantized doubled area of the synth polygon
+    clipped to ``x <= cx`` (gate query halfplane_clip; vertices re-derived
+    vectorized inside the batch so only int64 keys cross the boundary)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def clip_q(keys: pd.Series) -> pd.Series:
+        from .. import synth
+
+        k = keys.to_numpy(dtype=np.int64)
+        VX, VY, nv = synth.polygon_vertices_padded_np(k)
+        b = synth.polygon_params_np(k)["cx"]
+        return pd.Series(clip_area_halfplane_q(VX, VY, nv, b))
+
+    return clip_q
+
+
+# ---------------------------------------------------------------- Greiner–Hormann
+
+class _Node:
+    __slots__ = ("x", "y", "nxt", "prv", "inter", "entry", "neighbor", "alpha", "visited")
+
+    def __init__(self, x: float, y: float, inter: bool = False, alpha: float = 0.0):
+        self.x = x
+        self.y = y
+        self.nxt = None
+        self.prv = None
+        self.inter = inter
+        self.entry = False
+        self.neighbor = None
+        self.alpha = alpha
+        self.visited = False
+
+
+def _build_ring(vx, vy) -> _Node:
+    nodes = [_Node(float(x), float(y)) for x, y in zip(vx, vy)]
+    n = len(nodes)
+    for i, nd in enumerate(nodes):
+        nd.nxt = nodes[(i + 1) % n]
+        nd.prv = nodes[(i - 1) % n]
+    return nodes[0]
+
+
+def _ring_nodes(head: _Node):
+    nd = head
+    while True:
+        yield nd
+        nd = nd.nxt
+        if nd is head:
+            break
+
+
+def _insert_sorted(edge_start: _Node, node: _Node):
+    """Insert intersection node after edge_start, keeping alpha order among
+    the intersection nodes already inserted on this edge."""
+    p = edge_start
+    while p.nxt.inter and p.nxt.alpha < node.alpha and p.nxt is not edge_start:
+        p = p.nxt
+    node.nxt = p.nxt
+    node.prv = p
+    p.nxt.prv = node
+    p.nxt = node
+
+
+def _point_in_ring(x: float, y: float, vx: np.ndarray, vy: np.ndarray) -> bool:
+    from .geometry import points_in_polygon
+
+    return bool(points_in_polygon(np.array([x]), np.array([y]), vx, vy)[0])
+
+
+def overlay(avx, avy, bvx, bvy, op: str):
+    """Greiner–Hormann boolean op between two simple rings (general position).
+
+    op: 'intersection' | 'union' | 'difference' (A minus B) | 'symdifference'.
+    Returns a list of rings [(vx, vy), ...] under even-odd semantics (a
+    contained ring is a hole; symdifference of overlapping rings and
+    difference with a fully-contained B produce such holes).
+    """
+    if op == "symdifference":
+        return overlay(avx, avy, bvx, bvy, "difference") + overlay(bvx, bvy, avx, avy, "difference")
+
+    avx = np.asarray(avx, dtype=np.float64)
+    avy = np.asarray(avy, dtype=np.float64)
+    bvx = np.asarray(bvx, dtype=np.float64)
+    bvy = np.asarray(bvy, dtype=np.float64)
+
+    heada = _build_ring(avx, avy)
+    headb = _build_ring(bvx, bvy)
+
+    # 1. pairwise edge intersections (vectorized inner loop over B edges)
+    bx1, by1 = bvx, bvy
+    bx2, by2 = np.roll(bvx, -1), np.roll(bvy, -1)
+    a_nodes = [nd for nd in _ring_nodes(heada) if not nd.inter]
+    b_nodes = [nd for nd in _ring_nodes(headb) if not nd.inter]
+    pairs = []  # (a_edge_node, b_edge_node, ax, ay, ta, tb)
+    for ai, na in enumerate(a_nodes):
+        ax1, ay1 = na.x, na.y
+        ax2, ay2 = a_nodes[(ai + 1) % len(a_nodes)].x, a_nodes[(ai + 1) % len(a_nodes)].y
+        rx, ry = ax2 - ax1, ay2 - ay1
+        sx, sy = bx2 - bx1, by2 - by1
+        denom = rx * sy - ry * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = ((bx1 - ax1) * sy - (by1 - ay1) * sx) / denom
+            u = ((bx1 - ax1) * ry - (by1 - ay1) * rx) / denom
+        hit = (denom != 0.0) & (t > 0.0) & (t < 1.0) & (u > 0.0) & (u < 1.0)
+        for bi in np.nonzero(hit)[0]:
+            pairs.append((na, b_nodes[int(bi)], ax1 + t[bi] * rx, ay1 + t[bi] * ry,
+                          float(t[bi]), float(u[bi])))
+
+    if not pairs:  # disjoint or containment
+        a_in_b = _point_in_ring(avx[0], avy[0], bvx, bvy)
+        b_in_a = _point_in_ring(bvx[0], bvy[0], avx, avy)
+        A = [(avx.copy(), avy.copy())]
+        B = [(bvx.copy(), bvy.copy())]
+        if op == "intersection":
+            return A if a_in_b else (B if b_in_a else [])
+        if op == "union":
+            return B if a_in_b else (A if b_in_a else A + B)
+        # difference A \ B
+        if a_in_b:
+            return []
+        return A + B if b_in_a else A  # B inside A -> A with hole B (even-odd)
+
+    # 2. weave intersection nodes into both rings
+    for na, nb, ix, iy, ta, tb in pairs:
+        ia = _Node(ix, iy, inter=True, alpha=ta)
+        ib = _Node(ix, iy, inter=True, alpha=tb)
+        ia.neighbor = ib
+        ib.neighbor = ia
+        _insert_sorted(na, ia)
+        _insert_sorted(nb, ib)
+
+    # 3. entry/exit flags
+    def mark(head, ovx, ovy, invert):
+        inside = _point_in_ring(head.x, head.y, ovx, ovy)
+        entry = not inside
+        if invert:
+            entry = not entry
+        for nd in _ring_nodes(head):
+            if nd.inter:
+                nd.entry = entry
+                entry = not entry
+
+    # Greiner–Hormann flag table: intersection = (False, False);
+    # union = (True, True); difference A\B inverts the SUBJECT ring's flags
+    # (trace A outside B, B inside A reversed).
+    inv_a, inv_b = {
+        "intersection": (False, False),
+        "union": (True, True),
+        "difference": (True, False),
+    }[op]
+    mark(heada, bvx, bvy, inv_a)
+    mark(headb, avx, avy, inv_b)
+
+    # 4. trace result rings
+    inters = [nd for nd in _ring_nodes(heada) if nd.inter]
+    rings = []
+    for start in inters:
+        if start.visited:
+            continue
+        cur = start
+        rx: list[float] = []
+        ry: list[float] = []
+        while not cur.visited:
+            cur.visited = True
+            if cur.neighbor is not None:
+                cur.neighbor.visited = True
+            if cur.entry:
+                while True:
+                    rx.append(cur.x)
+                    ry.append(cur.y)
+                    cur = cur.nxt
+                    if cur.inter:
+                        break
+            else:
+                while True:
+                    rx.append(cur.x)
+                    ry.append(cur.y)
+                    cur = cur.prv
+                    if cur.inter:
+                        break
+            cur = cur.neighbor
+        if len(rx) >= 3:
+            rings.append((np.asarray(rx), np.asarray(ry)))
+    return rings
+
+
+def _interior_point(vx: np.ndarray, vy: np.ndarray):
+    """A point strictly inside a simple ring: try edge midpoints nudged along
+    the inward normal (G-H result-ring vertices are intersection points that
+    lie ON other result rings, so vertices themselves are unusable for
+    containment parity)."""
+    n = len(vx)
+    diam = max(float(vx.max() - vx.min()), float(vy.max() - vy.min()), 1e-300)
+    for eps_scale in (1e-7, 1e-5, 1e-3):
+        eps = eps_scale * diam
+        for i in range(n):
+            j = (i + 1) % n
+            mx, my = 0.5 * (vx[i] + vx[j]), 0.5 * (vy[i] + vy[j])
+            ex, ey = vx[j] - vx[i], vy[j] - vy[i]
+            h = float(np.hypot(ex, ey)) or 1.0
+            nx, ny = -ey / h, ex / h
+            for s in (eps, -eps):
+                px, py = mx + s * nx, my + s * ny
+                if _point_in_ring(px, py, vx, vy):
+                    return px, py
+    return float(vx.mean()), float(vy.mean())  # last resort
+
+
+def rings_area(rings) -> float:
+    """Area of an even-odd ring set: |signed| of the outermost orientation is
+    not reliable after tracing, so use containment parity: a ring inside an
+    odd number of other rings subtracts.  Containment is tested at a robust
+    interior point (never at shared intersection vertices)."""
+    n = len(rings)
+    if n == 0:
+        return 0.0
+    areas = np.array([shoelace_area(vx, vy) for vx, vy in rings])
+    pts = [_interior_point(vx, vy) for vx, vy in rings]
+    depth = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        for j in range(n):
+            if i != j and _point_in_ring(pts[i][0], pts[i][1], rings[j][0], rings[j][1]):
+                depth[i] += 1
+    sign = np.where(depth % 2 == 0, 1.0, -1.0)
+    return float(np.sum(sign * areas))

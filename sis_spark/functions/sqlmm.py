@@ -275,6 +275,59 @@ def st_transform_udf(src: str = "EPSG:4326", dst: str = "EPSG:3857"):
     return _f
 
 
+def st_overlay_udf(op: str):
+    """ST_Intersection (SQLMM.java:135) / ST_Union (:141) / ST_Difference
+    (:147) / ST_SymDifference (:153) of two polygon WKB columns.  Output is a
+    WKB MultiPolygon whose member rings carry even-odd semantics (a contained
+    ring is a hole), produced by the Greiner–Hormann kernel
+    (functions/overlay.py); empty result -> NULL."""
+    from . import overlay as ov
+
+    op_map = {"intersection": "intersection", "union": "union",
+              "difference": "difference", "symdifference": "symdifference"}
+    the_op = op_map[op]
+
+    @F.pandas_udf(T.BinaryType())
+    def _f(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(wa, wb):
+            ta, va = geo.wkb_parse(bytes(ba))
+            tb, vb = geo.wkb_parse(bytes(bb))
+            if ta != "polygon" or tb != "polygon":
+                out.append(None)
+                continue
+            rings = ov.overlay(va[0][0], va[0][1], vb[0][0], vb[0][1], the_op)
+            if not rings:
+                out.append(None)
+            else:
+                import struct
+
+                header = struct.pack("<BII", 1, 6, len(rings))
+                out.append(header + b"".join(geo.wkb_polygon([r]) for r in rings))
+        return pd.Series(out)
+
+    return _f
+
+
+def st_overlay_area_udf(op: str):
+    """Area of the boolean combination of two polygon WKB columns (the
+    measure form of ST_Intersection/Union/Difference — rings_area over the
+    Greiner–Hormann result)."""
+    from . import overlay as ov
+
+    @F.pandas_udf(T.DoubleType())
+    def _f(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(wa, wb):
+            _, va = geo.wkb_parse(bytes(ba))
+            _, vb = geo.wkb_parse(bytes(bb))
+            rings = ov.overlay(va[0][0], va[0][1], vb[0][0], vb[0][1], op)
+            out.append(ov.rings_area(rings))
+        return pd.Series(out)
+
+    return _f
+
+
 def st_contains_point_udf(vx: np.ndarray, vy: np.ndarray):
     """ST_Contains(polygon literal, point column) — the spatial-literal
     normalization happens at plan time (BinaryGeometryFilter.optimize)."""

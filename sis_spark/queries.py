@@ -616,6 +616,52 @@ GROUP BY p.event_id
 HAVING (count(*) % 2) = 1"""
 
 
+def q_halfplane_clip(spark, sf_dir):
+    """ST_Intersection with a halfplane (binary constructive op family,
+    SQLMM.java:135 ST_Intersection): each supplier polygon is clipped to
+    ``lon <= cx`` (its own center meridian) and the doubled clipped area is
+    returned, quantized to int64 at 1e-7 resolution.
+
+    The engine side is the per-edge Green's-theorem kernel
+    (overlay.clip_area_halfplane_q): every directed edge contributes an
+    independent term, floored to int64 and summed — order-independent, so
+    the distributed sum is exact.  The oracle recomputes the identical
+    per-edge terms in DuckDB SQL over the edges CTE.  The general
+    polygon-pair Greiner–Hormann path is differentials-tested in
+    tests/test_overlay.py (no SQL expression exists for it)."""
+    from .functions.overlay import supplier_clip_q_udf
+
+    sup = _read(spark, sf_dir, "supplier").select("s_suppkey")
+    clip_q = supplier_clip_q_udf()
+    return sup.select(
+        F.col("s_suppkey").cast("long").alias("poly_key"),
+        clip_q(F.col("s_suppkey")).alias("clip2a_q"),
+    )
+
+
+def q_halfplane_clip_oracle():
+    from .functions.overlay import IRR_OFF, QUANT
+
+    quant = synth.flit(QUANT)
+    irr = synth.flit(IRR_OFF)
+    yi = "(e.vy + (p.cx - e.vx) / (e.wx - e.vx) * (e.wy - e.vy))"
+    term_both = "((e.vx * e.wy - e.wx * e.vy) - p.cx * (e.wy - e.vy))"
+    term_in1 = f"((e.vx * {yi} - p.cx * e.vy) - p.cx * ({yi} - e.vy))"
+    term_in2 = f"((p.cx * e.wy - e.wx * {yi}) - p.cx * (e.wy - {yi}))"
+    return f"""
+WITH {synth.polygon_vertices_sql()},
+terms AS (
+  SELECT e.key,
+         CAST(floor((CASE
+            WHEN e.vx <= p.cx AND e.wx <= p.cx THEN {term_both}
+            WHEN e.vx <= p.cx THEN {term_in1}
+            WHEN e.wx <= p.cx THEN {term_in2}
+            ELSE 0.0e0 END) * {quant} - {irr}) AS BIGINT) AS q
+  FROM edges e JOIN par p ON p.key = e.key)
+SELECT key AS poly_key, CAST(sum(q) AS BIGINT) AS clip2a_q
+FROM terms GROUP BY key ORDER BY poly_key"""
+
+
 # ================================================================ training-data ops (documents / embeddings)
 
 def q_dedup_exact(spark, sf_dir):
@@ -911,5 +957,6 @@ QUERIES = {
     "st_measures": (q_st_measures, q_st_measures_oracle),
     "st_accessors": (q_st_accessors, q_st_accessors_oracle),
     "st_contains": (q_st_contains, q_st_contains_oracle),
+    "halfplane_clip": (q_halfplane_clip, q_halfplane_clip_oracle),
     "images_metadata": (q_images_metadata, q_images_metadata_oracle),
 }

@@ -350,31 +350,148 @@ def resample(
                 fx, fy = _tr.affine_apply(center, gx.ravel().astype(np.float64), gy.ravel().astype(np.float64))
                 fx -= 0.5  # to src cell-center coordinates
                 fy -= 0.5
-                if method == "nearest":
-                    ix = np.rint(fx).astype(np.int64)
-                    iy = np.rint(fy).astype(np.int64)
-                    ok = (ix >= 0) & (ix < ws) & (iy >= 0) & (iy < hs)
-                    v = np.full(fx.shape, fill, dtype=np.float64)
-                    v[ok] = s[iy[ok], ix[ok], r["band"]]
-                else:  # bilinear, edge-clamped neighbors (Interpolation.BILINEAR)
-                    x0 = np.floor(fx).astype(np.int64)
-                    y0 = np.floor(fy).astype(np.int64)
-                    dx = fx - x0
-                    dy = fy - y0
-                    v = np.full(fx.shape, fill, dtype=np.float64)
-                    ok = (x0 >= 0) & (x0 < ws) & (y0 >= 0) & (y0 < hs)
-                    xo, yo = x0[ok], y0[ok]
-                    x1 = np.minimum(xo + 1, ws - 1)
-                    y1 = np.minimum(yo + 1, hs - 1)
-                    b = r["band"]
-                    v[ok] = (
-                        s[yo, xo, b] * (1 - dx[ok]) * (1 - dy[ok])
-                        + s[yo, x1, b] * dx[ok] * (1 - dy[ok])
-                        + s[y1, xo, b] * (1 - dx[ok]) * dy[ok]
-                        + s[y1, x1, b] * dx[ok] * dy[ok]
-                    )
+                v = _interp(s[:, :, r["band"]], fx, fy, method, fill)
                 block = np.clip(np.rint(v), 0, 255).astype(np.uint8).reshape(tile_size, tile_size)
                 datas.append(block.tobytes())
             yield pd.DataFrame({"tx": pdf.tx, "ty": pdf.ty, "band": pdf.band, "data": datas})
 
     return kdf.mapInPandas(fn, schema=TILE_SCHEMA)
+
+
+def _interp(plane: np.ndarray, fx: np.ndarray, fy: np.ndarray, method: str, fill: float) -> np.ndarray:
+    """NEAREST / BILINEAR sampling of one band plane at fractional src
+    cell-center coordinates (F/image/Interpolation.java:130,161), edge-clamped
+    neighbors, ``fill`` outside."""
+    hs, ws = plane.shape
+    if method == "nearest":
+        ix = np.rint(fx).astype(np.int64)
+        iy = np.rint(fy).astype(np.int64)
+        ok = (ix >= 0) & (ix < ws) & (iy >= 0) & (iy < hs)
+        v = np.full(fx.shape, fill, dtype=np.float64)
+        v[ok] = plane[iy[ok], ix[ok]]
+        return v
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    dx = fx - x0
+    dy = fy - y0
+    v = np.full(fx.shape, fill, dtype=np.float64)
+    ok = (x0 >= 0) & (x0 < ws) & (y0 >= 0) & (y0 < hs)
+    xo, yo = x0[ok], y0[ok]
+    x1 = np.minimum(xo + 1, ws - 1)
+    y1 = np.minimum(yo + 1, hs - 1)
+    v[ok] = (
+        plane[yo, xo] * (1 - dx[ok]) * (1 - dy[ok])
+        + plane[yo, x1] * dx[ok] * (1 - dy[ok])
+        + plane[y1, xo] * (1 - dx[ok]) * dy[ok]
+        + plane[y1, x1] * dx[ok] * dy[ok]
+    )
+    return v
+
+
+def resample_gather(
+    tiles_df: DataFrame,
+    src_gg: GridGeometry,
+    dst_gg: GridGeometry,
+    method: str = "bilinear",
+    tile_size: int = 64,
+    dtype=np.uint8,
+    fill: float = 0.0,
+) -> DataFrame:
+    """Distributed warp WITHOUT the dense-source broadcast of ``resample``:
+    the scale path for mosaics larger than executor memory.
+
+    Plan (driver, GridDerivation style — F/coverage/grid/GridDerivation.java
+    request∩data rounding): each destination tile's pixel rect is
+    inverse-mapped through the merged affine chain to a source window
+    (+1 px bilinear margin), giving the (dst tile -> src tiles) gather
+    manifest.  Execution: manifest ⋈ tiles on the src tile key (shuffle
+    hash join), then applyInPandas per (dst tx, ty, band) assembles the
+    local source mosaic and interpolates — per-task memory is bounded by
+    one destination tile's source footprint, never the whole raster.
+
+    Destination tiles with NO source coverage are omitted from the output
+    (tile status MISSING, S/tiling/TileMatrix.java:175-188) rather than
+    materialized as fill — at mosaic scale, absent tiles are the norm."""
+    spark = tiles_df.sparkSession
+    h_d, w_d = dst_gg.height, dst_gg.width
+    h_s, w_s = src_gg.height, src_gg.width
+    chain = _tr.affine_concat(_tr.affine_invert(src_gg.affine), dst_gg.affine)
+    center = _tr.affine_concat(chain, (1.0, 0.0, 0.5, 0.0, 1.0, 0.5))
+
+    n_tx = (w_d + tile_size - 1) // tile_size
+    n_ty = (h_d + tile_size - 1) // tile_size
+    s_ntx = (w_s + tile_size - 1) // tile_size
+    s_nty = (h_s + tile_size - 1) // tile_size
+
+    # gather manifest: dst tile -> needed src tiles (corners of the dst pixel
+    # rect through an affine map bound the src window exactly)
+    rows = []
+    for dty in range(n_ty):
+        for dtx in range(n_tx):
+            cx = np.array([dtx * tile_size, (dtx + 1) * tile_size], dtype=np.float64)
+            cy = np.array([dty * tile_size, (dty + 1) * tile_size], dtype=np.float64)
+            gx, gy = np.meshgrid(cx, cy)
+            fx, fy = _tr.affine_apply(center, gx.ravel(), gy.ravel())
+            sx0 = int(np.floor(fx.min() - 1.5))
+            sx1 = int(np.ceil(fx.max() + 1.5))
+            sy0 = int(np.floor(fy.min() - 1.5))
+            sy1 = int(np.ceil(fy.max() + 1.5))
+            stx0 = max(0, sx0 // tile_size)
+            stx1 = min(s_ntx - 1, sx1 // tile_size)
+            sty0 = max(0, sy0 // tile_size)
+            sty1 = min(s_nty - 1, sy1 // tile_size)
+            for sty in range(sty0, sty1 + 1):
+                for stx in range(stx0, stx1 + 1):
+                    rows.append((dtx, dty, stx, sty))
+    manifest = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["dtx", "dty", "stx", "sty"])
+    )
+
+    src = tiles_df.select(
+        F.col("tx").alias("stx"), F.col("ty").alias("sty"), "band", "data"
+    )
+    gathered = manifest.join(src, ["stx", "sty"], "inner")
+    bdt = np.dtype(dtype)
+    gxs = np.arange(tile_size)
+
+    def build(key, pdf):
+        dtx, dty, band = int(key[0]), int(key[1]), int(key[2])
+        stxs = pdf["stx"].to_numpy()
+        stys = pdf["sty"].to_numpy()
+        x_lo, x_hi = int(stxs.min()), int(stxs.max())
+        y_lo, y_hi = int(stys.min()), int(stys.max())
+        mosaic = np.full(
+            ((y_hi - y_lo + 1) * tile_size, (x_hi - x_lo + 1) * tile_size),
+            fill, dtype=np.float64,
+        )
+        for stx, sty, data in zip(stxs, stys, pdf["data"]):
+            block = np.frombuffer(data, dtype=bdt).reshape(tile_size, tile_size)
+            ys, xs = (int(sty) - y_lo) * tile_size, (int(stx) - x_lo) * tile_size
+            mosaic[ys : ys + tile_size, xs : xs + tile_size] = block
+        gx, gy = np.meshgrid(dtx * tile_size + gxs, dty * tile_size + gxs)
+        fx, fy = _tr.affine_apply(center, gx.ravel().astype(np.float64), gy.ravel().astype(np.float64))
+        fx -= 0.5
+        fy -= 0.5
+        # outside-the-raster pixels must read `fill`, matching ``resample``:
+        # mask them before sampling the local mosaic (whose edge values
+        # would otherwise clamp-extend)
+        outside = (fx < -0.5) | (fx >= w_s - 0.5) | (fy < -0.5) | (fy >= h_s - 0.5)
+        if method == "bilinear":
+            outside = (np.floor(fx) < 0) | (np.floor(fx) >= w_s) | (np.floor(fy) < 0) | (np.floor(fy) >= h_s)
+        # clamp mosaic-local neighbor indices exactly like the dense path:
+        # emulate by padding sampling coordinates into the mosaic frame
+        lx = fx - x_lo * tile_size
+        ly = fy - y_lo * tile_size
+        # global edge clamp (x1 = min(x0+1, ws-1)) == local clamp only when
+        # the raster edge is inside this mosaic; guarantee it by clipping
+        # sample coords to the raster's global valid range first
+        lx = np.clip(lx, 0.0 - x_lo * tile_size, (w_s - 1.0) - x_lo * tile_size)
+        ly = np.clip(ly, 0.0 - y_lo * tile_size, (h_s - 1.0) - y_lo * tile_size)
+        v = _interp(mosaic, lx, ly, method, fill)
+        v[outside] = fill
+        block = np.clip(np.rint(v), 0, 255).astype(np.uint8).reshape(tile_size, tile_size)
+        return pd.DataFrame(
+            {"tx": [dtx], "ty": [dty], "band": [band], "data": [block.tobytes()]}
+        )
+
+    return gathered.groupBy("dtx", "dty", "band").applyInPandas(build, schema=TILE_SCHEMA)

@@ -148,6 +148,29 @@ def polygon_vertices_np(key: int) -> tuple[np.ndarray, np.ndarray]:
     return cx + rk * ux, cy + rk * uy
 
 
+MAX_NV = 16
+
+
+def polygon_vertices_padded_np(keys: np.ndarray):
+    """Vectorized twin of polygon_vertices_np for MANY keys at once:
+    returns (VX, VY, nv) with (N, MAX_NV) padded vertex arrays (lanes
+    >= nv[i] are garbage — callers mask).  Identical FP op order to the
+    scalar path and to polygon_vertices_sql."""
+    p = polygon_params_np(np.asarray(keys, dtype=np.int64))
+    keys = p["key"]
+    nv = p["nv"]
+    ks = np.arange(MAX_NV, dtype=np.int64)[None, :]
+    d = (p["phase"][:, None] + (ks * 32) // nv[:, None]) % 32
+    rk = p["r"][:, None] * (
+        0.6 + 0.4 * ((keys[:, None] * 13 + ks * 7) % 10).astype(np.float64) / 10.0
+    )
+    ux = np.asarray(DIR_UX, dtype=np.float64)[d]
+    uy = np.asarray(DIR_UY, dtype=np.float64)[d]
+    VX = p["cx"][:, None] + rk * ux
+    VY = p["cy"][:, None] + rk * uy
+    return VX, VY, nv
+
+
 def polygon_table_np(keys: np.ndarray) -> list[dict]:
     """Driver-side polygon 'dimension' (the broadcast side of the spatial join).
     Mirrors plan-time CRS/envelope normalization of the reference's

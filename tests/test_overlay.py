@@ -1,0 +1,134 @@
+"""Polygon overlay ops: Sutherland–Hodgman vs Greiner–Hormann differentials,
+per-edge clip-area kernel vs ring clip, and boolean-algebra invariants.
+
+Mirrors the reference's differential-testing style for SQLMM binary
+constructive ops (Ft/filter/sqlmm/RegistryTestCase.java runs the same suite
+against JTS / ESRI / Java2D backends; here the backends are two independent
+engine algorithms)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sis_spark import synth
+from sis_spark.functions import overlay as ov
+from sis_spark.functions.sqlmm import shoelace_area
+
+
+def _pair(seed: int):
+    """Deterministic general-position polygon pair: two synth star polygons
+    whose centers are nudged by irrational offsets so no vertex/edge
+    degeneracies can occur."""
+    vx1, vy1 = synth.polygon_vertices_np(seed)
+    vx2, vy2 = synth.polygon_vertices_np(seed + 1)
+    # overlap them: move B's centroid toward A's, offset irrationally
+    dx = float(vx1.mean() - vx2.mean()) + 0.3141592653589793 * ((seed % 7) - 3) / 7.0
+    dy = float(vy1.mean() - vy2.mean()) + 0.2718281828459045 * ((seed % 5) - 2) / 5.0
+    return (vx1, vy1), (vx2 + dx, vy2 + dy)
+
+
+SEEDS = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233]
+
+
+def test_clip_halfplane_matches_clip_polygon_x():
+    vx, vy = synth.polygon_vertices_np(7)
+    b = float(vx.mean())
+    ox1, oy1 = ov.clip_halfplane(vx, vy, 1.0, 0.0, b)
+    from sis_spark.functions.geometry import clip_polygon_x
+
+    ox2, oy2 = clip_polygon_x(vx, vy, b, keep_leq=True)
+    assert np.allclose(ox1, ox2) and np.allclose(oy1, oy2)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_clip_area_edge_terms_vs_ring_clip(seed):
+    """Per-edge Green's-theorem kernel == shoelace of the S-H clipped ring."""
+    vx, vy = synth.polygon_vertices_np(seed)
+    b = float(np.median(vx))
+    VX = vx[None, :]
+    VY = vy[None, :]
+    q = ov.clip_area_halfplane_q(VX, VY, np.array([len(vx)]), np.array([b]))
+    ox, oy = ov.clip_halfplane(vx, vy, 1.0, 0.0, b)
+    ring_2area = 2.0 * shoelace_area(ox, oy) if len(ox) >= 3 else 0.0
+    assert q[0] / ov.QUANT == pytest.approx(ring_2area, abs=2e-5 * max(1.0, ring_2area))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_intersection_convex_box_vs_sutherland_hodgman(seed):
+    """G-H intersection with a convex box == S-H composition clip."""
+    (avx, avy), _ = _pair(seed)
+    x0, x1 = np.percentile(avx, [20, 80])
+    y0, y1 = np.percentile(avy, [25, 75])
+    # irrational nudges: percentiles can land exactly on a vertex coordinate,
+    # which would put the box boundary through a vertex (degenerate for G-H)
+    x0 += 1.2345e-7
+    x1 -= 2.3456e-7
+    y0 += 3.4567e-7
+    y1 -= 4.5678e-7
+    bvx = np.array([x0, x1, x1, x0])
+    bvy = np.array([y0, y0, y1, y1])
+    rings = ov.overlay(avx, avy, bvx, bvy, "intersection")
+    a_gh = ov.rings_area(rings)
+    ox, oy = ov.clip_convex(avx, avy, bvx, bvy)
+    a_sh = shoelace_area(ox, oy) if len(ox) >= 3 else 0.0
+    assert a_gh == pytest.approx(a_sh, rel=1e-9, abs=1e-12)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_overlay_boolean_invariants(seed):
+    (avx, avy), (bvx, bvy) = _pair(seed)
+    area_a = shoelace_area(avx, avy)
+    area_b = shoelace_area(bvx, bvy)
+    inter = ov.rings_area(ov.overlay(avx, avy, bvx, bvy, "intersection"))
+    union = ov.rings_area(ov.overlay(avx, avy, bvx, bvy, "union"))
+    diff_ab = ov.rings_area(ov.overlay(avx, avy, bvx, bvy, "difference"))
+    diff_ba = ov.rings_area(ov.overlay(bvx, bvy, avx, avy, "difference"))
+    sym = ov.rings_area(ov.overlay(avx, avy, bvx, bvy, "symdifference"))
+    tol = 1e-9 * max(area_a, area_b, 1.0)
+    assert inter >= -tol and inter <= min(area_a, area_b) + tol
+    assert union == pytest.approx(area_a + area_b - inter, abs=tol)
+    assert diff_ab == pytest.approx(area_a - inter, abs=tol)
+    assert diff_ba == pytest.approx(area_b - inter, abs=tol)
+    assert sym == pytest.approx(diff_ab + diff_ba, abs=tol)
+    # commutativity of intersection
+    inter_ba = ov.rings_area(ov.overlay(bvx, bvy, avx, avy, "intersection"))
+    assert inter_ba == pytest.approx(inter, abs=tol)
+
+
+def test_overlay_disjoint_and_containment():
+    sq = lambda cx, cy, r: (np.array([cx - r, cx + r, cx + r, cx - r]),
+                            np.array([cy - r, cy - r, cy + r, cy + r]))
+    avx, avy = sq(0.0, 0.0, 10.0)
+    bvx, bvy = sq(0.5, 0.25, 1.0)  # strictly inside A
+    dvx, dvy = sq(100.0, 0.0, 1.0)  # disjoint from A
+
+    assert ov.rings_area(ov.overlay(avx, avy, bvx, bvy, "intersection")) == pytest.approx(4.0)
+    assert ov.rings_area(ov.overlay(avx, avy, bvx, bvy, "union")) == pytest.approx(400.0)
+    # A \ B: hole — even-odd pair of rings
+    assert ov.rings_area(ov.overlay(avx, avy, bvx, bvy, "difference")) == pytest.approx(396.0)
+    assert ov.rings_area(ov.overlay(bvx, bvy, avx, avy, "difference")) == pytest.approx(0.0)
+    assert ov.rings_area(ov.overlay(avx, avy, dvx, dvy, "intersection")) == pytest.approx(0.0)
+    assert ov.rings_area(ov.overlay(avx, avy, dvx, dvy, "union")) == pytest.approx(404.0)
+    assert ov.rings_area(ov.overlay(avx, avy, dvx, dvy, "difference")) == pytest.approx(400.0)
+
+
+def test_overlay_monte_carlo_membership():
+    """Point-sampling check: a grid point is in the intersection ring set iff
+    it is in A and in B (even-odd)."""
+    from sis_spark.functions.geometry import points_in_polygon
+
+    (avx, avy), (bvx, bvy) = _pair(3)
+    rings = ov.overlay(avx, avy, bvx, bvy, "intersection")
+    lo = min(avx.min(), bvx.min()) - 0.1
+    hi = max(avx.max(), bvx.max()) + 0.1
+    g = np.linspace(lo + 0.0123456, hi - 0.0065432, 40)
+    px, py = np.meshgrid(g, np.linspace(min(avy.min(), bvy.min()), max(avy.max(), bvy.max()), 40))
+    px, py = px.ravel(), py.ravel()
+    in_a = points_in_polygon(px, py, avx, avy)
+    in_b = points_in_polygon(px, py, bvx, bvy)
+    acc = np.zeros(len(px), dtype=np.int64)
+    for rvx, rvy in rings:
+        acc += points_in_polygon(px, py, rvx, rvy).astype(np.int64)
+    in_rings = (acc % 2).astype(bool)
+    assert np.array_equal(in_rings, in_a & in_b)

@@ -56,6 +56,44 @@ def test_cell_expr_is_whole_stage_codegen(spark, sf_dir):
     assert "Python" not in plan  # pure JVM path
 
 
+def test_partitioned_images_partition_pruning(spark, tmp_path):
+    """Cell-partitioned image layout: a polygon-filtered read must prune to
+    the covered cell_p directories (PartitionFilters in the scan), and the
+    pruned spatial join must equal the unpruned one."""
+    from sis_spark import synth
+    from sis_spark.sources.images import (
+        covering_prefixes,
+        read_images,
+        spatial_join_pruned,
+        write_images_partitioned,
+    )
+    from sis_spark.operators.spatial_join import spatial_join
+
+    path = str(tmp_path / "img_part")
+    write_images_partitioned(spark, 600, path)
+    img = read_images(spark, path)
+    total_parts = img.select("cell_p").distinct().count()
+
+    polys = synth.polygon_table_np([1, 2, 3])
+    prefixes = covering_prefixes(polys)
+    assert 0 < len(prefixes) < total_parts  # pruning is real
+
+    pruned_scan = img.filter(F.col("cell_p").isin(prefixes))
+    plan = _plan(pruned_scan.select("image_id"))
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell_p" in pf and ("IN" in pf or "in(" in pf)
+
+    got = sorted(
+        (r["image_id"], r["poly_key"])
+        for r in spatial_join_pruned(img, polys).select("image_id", "poly_key").collect()
+    )
+    exp = sorted(
+        (r["image_id"], r["poly_key"])
+        for r in spatial_join(img, polys).select("image_id", "poly_key").collect()
+    )
+    assert got == exp and len(got) > 0
+
+
 def test_feature_query_limit_not_global_sort(spark, sf_dir):
     # top-k compiles to TakeOrderedAndProject (no full global sort)
     from sis_spark.queries import q_between_topk

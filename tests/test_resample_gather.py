@@ -1,0 +1,69 @@
+"""resample_gather (distributed per-tile gather warp) must match the dense
+broadcast ``resample`` pixel-exactly wherever both emit a tile — the
+randomized read-consistency style of St/test/CoverageReadConsistency.java
+applied across two independent execution strategies."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sis_spark.raster.grid import GridGeometry
+from sis_spark.raster import tiles as rt
+
+
+def _src(seed: int, h: int, w: int, nb: int = 1) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, nb), dtype=np.uint8)
+
+
+def _collect(df, gg, tile_size, present_only=False):
+    return rt.tiles_to_raster(df, gg, tile_size=tile_size)
+
+
+@pytest.mark.parametrize(
+    "name,dst_affine,dst_wh",
+    [
+        ("identity", (1.0, 0.0, 0.0, 0.0, 1.0, 0.0), (130, 190)),
+        ("shift_frac", (1.0, 0.0, 7.25, 0.0, 1.0, -3.75), (130, 190)),
+        ("downscale_3x", (3.0, 0.0, 0.0, 0.0, 3.0, 0.0), (44, 64)),
+        ("upscale_2x", (0.5, 0.0, 10.0, 0.0, 0.5, 5.0), (120, 160)),
+    ],
+)
+@pytest.mark.parametrize("method", ["nearest", "bilinear"])
+def test_gather_matches_dense(spark, name, dst_affine, dst_wh, method):
+    tile = 64
+    arr = _src(42, 130, 190)
+    src_gg = GridGeometry((0, 0, 189, 129), (1.0, 0.0, 0.0, 0.0, 1.0, 0.0), "EPSG:3857")
+    dh, dw = dst_wh
+    dst_gg = GridGeometry((0, 0, dw - 1, dh - 1), dst_affine, "EPSG:3857")
+    tiles = rt.raster_to_tiles(spark, arr, src_gg, tile_size=tile)
+
+    dense = rt.resample(tiles, src_gg, dst_gg, method=method, tile_size=tile)
+    gather = rt.resample_gather(tiles, src_gg, dst_gg, method=method, tile_size=tile)
+
+    d_rows = {(r["tx"], r["ty"], r["band"]): r["data"] for r in dense.collect()}
+    g_rows = {(r["tx"], r["ty"], r["band"]): r["data"] for r in gather.collect()}
+    assert g_rows, "gather produced no tiles"
+    for key, gdata in g_rows.items():
+        assert gdata == d_rows[key], f"tile {key} differs ({name}/{method})"
+    # tiles the gather path omitted must be pure fill in the dense output
+    fill_block = bytes(tile * tile)
+    for key in set(d_rows) - set(g_rows):
+        assert d_rows[key] == fill_block, f"missing tile {key} not pure fill"
+
+
+def test_gather_multiband_and_memory_bound(spark):
+    """3-band source; a strong downscale makes each dst tile gather many src
+    tiles — the per-group mosaic stays bounded by the dst tile's footprint."""
+    tile = 32
+    arr = _src(7, 96, 128, nb=3)
+    src_gg = GridGeometry((0, 0, 127, 95), (1.0, 0.0, 0.0, 0.0, 1.0, 0.0), "EPSG:3857")
+    dst_gg = GridGeometry((0, 0, 31, 23), (4.0, 0.0, 0.0, 0.0, 4.0, 0.0), "EPSG:3857")
+    tiles = rt.raster_to_tiles(spark, arr, src_gg, tile_size=tile)
+    dense = rt.resample(tiles, src_gg, dst_gg, method="bilinear", tile_size=tile)
+    gather = rt.resample_gather(tiles, src_gg, dst_gg, method="bilinear", tile_size=tile)
+    d = {(r["tx"], r["ty"], r["band"]): r["data"] for r in dense.collect()}
+    g = {(r["tx"], r["ty"], r["band"]): r["data"] for r in gather.collect()}
+    assert set(g) == set(d)
+    assert all(g[k] == d[k] for k in g)
