@@ -139,7 +139,7 @@ def spatial_join(
     res: int | None = None,
     poly_key_col: str = "poly_key",
     strategy: str = "broadcast",
-    salt: int | None = None,
+    salt: int | str | None = None,
 ) -> DataFrame:
     """Inner join: one output row per (point row, containing polygon).
 
@@ -167,7 +167,52 @@ def spatial_join(
     if strategy == "broadcast":
         cand = pts.join(F.broadcast(cand_df), pts["__cell"] == cand_df["cell"], "inner")
     else:  # shuffle path with optional hot-cell salting
-        if salt:
+        if salt == "auto":
+            # measure, don't guess: sampled cell histogram -> hot cell set +
+            # salt factor sized so a hot cell's rows spread over ~target
+            # rows per shuffle partition (the cell-frequency sampling +
+            # salted-repartition design of the north rule).  Only HOT cells
+            # pay the dimension-side explosion; the long tail joins plain.
+            hot = hot_cells_with_counts(points, lon_col, lat_col, res)
+            if hot:
+                hot_set = {int(c) for c in hot}
+                max_est = max(hot.values())
+                salt_n = int(min(64, max(2, max_est // TARGET_ROWS_PER_SALT + 1)))
+                # split the DIMENSION side only (tiny, driver-side pandas) —
+                # each equi-join then routes points by itself; no isin over
+                # the big cell expression on the fact side (an isin there
+                # blows whole-stage codegen past the 64 KB method limit and
+                # drops the scan to interpreted mode)
+                pc_hot = pc[pc["cell"].isin(hot_set)]
+                pc_cold = pc[~pc["cell"].isin(hot_set)]
+                parts = []
+                if len(pc_cold):
+                    cold_df = spark.createDataFrame(pc_cold.astype({"cell": "int64", "poly_idx": "int64"}))
+                    parts.append(pts.join(cold_df, pts["__cell"] == cold_df["cell"], "inner"))
+                if len(pc_hot):
+                    pts_s = pts.withColumn(
+                        "__salt", F.pmod(F.hash(F.col(lon_col), F.col(lat_col)), F.lit(salt_n))
+                    )
+                    hot_exploded = pc_hot.loc[pc_hot.index.repeat(salt_n)].reset_index(drop=True)
+                    hot_exploded["__salt"] = np.tile(np.arange(salt_n), len(pc_hot))
+                    hot_df = spark.createDataFrame(
+                        hot_exploded.astype({"cell": "int64", "poly_idx": "int64", "__salt": "int64"})
+                    )
+                    parts.append(
+                        pts_s.join(
+                            hot_df,
+                            (pts_s["__cell"] == hot_df["cell"]) & (pts_s["__salt"] == hot_df["__salt"]),
+                            "inner",
+                        ).drop("__salt")
+                    )
+                if not parts:  # no polygons at all
+                    parts = [pts.join(cand_df, pts["__cell"] == cand_df["cell"], "inner")]
+                cand = parts[0]
+                for extra in parts[1:]:
+                    cand = cand.unionByName(extra)
+            else:
+                cand = pts.join(cand_df, pts["__cell"] == cand_df["cell"], "inner")
+        elif salt:
             # salt the fact side; explode the dimension side over the salt
             # range so hot cells spread across `salt` shuffle partitions
             pts = pts.withColumn("__salt", F.pmod(F.hash(F.col(lon_col), F.col(lat_col)), F.lit(salt)))
@@ -223,6 +268,18 @@ def hot_cells(points: DataFrame, lon_col: str, lat_col: str, res: int,
               sample_fraction: float = 0.01, threshold: int = 1000) -> list[int]:
     """Sampled cell-frequency scan -> list of hot cell ids (driver-side plan
     input for salting; the sampling-over-joins idea from PAPERS.md)."""
+    return list(hot_cells_with_counts(points, lon_col, lat_col, res, sample_fraction, threshold))
+
+
+# rows of one hot cell that should land in a single shuffle partition before
+# another salt bucket is added (sized for the Arrow-refine throughput)
+TARGET_ROWS_PER_SALT = 250_000
+
+
+def hot_cells_with_counts(points: DataFrame, lon_col: str, lat_col: str, res: int,
+                          sample_fraction: float = 0.01, threshold: int = 1000) -> dict[int, int]:
+    """Like hot_cells but returns {cell: estimated_total_rows} so the caller
+    can size the salt factor from the worst cell (spatial_join salt='auto')."""
     hist = cell_histogram(points.sample(sample_fraction, seed=42), lon_col, lat_col, res)
     rows = hist.filter(F.col("n") >= threshold * sample_fraction).collect()
-    return [r["cell"] for r in rows]
+    return {int(r["cell"]): int(r["n"] / sample_fraction) for r in rows}

@@ -155,6 +155,18 @@ def q_spatial_join_salted(spark, sf_dir):
     )
 
 
+def q_spatial_join_auto_salt(spark, sf_dir):
+    """Shuffle join with MEASURED salting: the sampled cell histogram picks
+    the hot cells and the salt factor (hot_cells_with_counts); only hot
+    cells pay the dimension-side explosion.  Same oracle again — the
+    auto-tuned skew path must be value-identical to every other strategy."""
+    pts = _events_points(spark, sf_dir)
+    polys = _supplier_polygons(spark, sf_dir)
+    return spatial_join(pts, polys, "lon", "lat", strategy="shuffle", salt="auto").select(
+        F.col("event_id").alias("pid"), "poly_key"
+    )
+
+
 def q_knn(spark, sf_dir):
     """kNN join: 25 query points x events, k=5, haversine, deterministic ties."""
     cand = _events_points(spark, sf_dir).withColumnRenamed("event_id", "cand_id")
@@ -927,6 +939,7 @@ QUERIES = {
     "spatial_join": (q_spatial_join, q_spatial_join_oracle),
     "spatial_join_agg": (q_spatial_join_agg, q_spatial_join_agg_oracle),
     "spatial_join_salted": (q_spatial_join_salted, q_spatial_join_oracle),
+    "spatial_join_auto_salt": (q_spatial_join_auto_salt, q_spatial_join_oracle),
     "knn": (q_knn, q_knn_oracle),
     "knn_cells": (q_knn_cells, q_knn_oracle),
     "bbox_filter": (q_bbox_filter, q_bbox_filter_oracle),

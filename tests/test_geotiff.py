@@ -1,0 +1,87 @@
+"""GeoTIFF store: round-trip, layout/compression matrix, georeferencing, and
+the deferred-decode Spark read — the read-consistency discipline of
+St/test/CoverageReadConsistency.java applied to our TIFF codec."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sis_spark.sources import geotiff as gt
+
+
+def _img(seed: int, h: int, w: int, c: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    # runs of equal bytes exercise PackBits' RLE branch
+    a = rng.integers(0, 4, size=(h, w, c), dtype=np.uint8) * 80
+    return a
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate", "packbits"])
+@pytest.mark.parametrize("tile_size", [64, None])
+@pytest.mark.parametrize("c", [1, 3])
+def test_roundtrip_matrix(compression, tile_size, c):
+    arr = _img(11, 130, 190, c)
+    buf = gt.encode_geotiff(arr, tile_size=tile_size, compression=compression)
+    out, affine = gt.decode_geotiff(buf)
+    assert affine is None
+    assert out.shape == (130, 190, c)
+    assert np.array_equal(out, arr)
+
+
+def test_packbits_codec_exact():
+    rng = np.random.default_rng(3)
+    for n in (1, 2, 127, 128, 129, 1000):
+        data = bytes(rng.integers(0, 3, size=n, dtype=np.uint8) * 90)
+        enc = gt._packbits_encode(data)
+        assert gt._packbits_decode(enc, n) == data
+
+
+def test_georeferencing_roundtrip():
+    arr = _img(5, 64, 96, 1)
+    affine = (0.25, 0.0, -74.25, 0.0, -0.25, 41.0)  # north-up, 0.25 deg pixels
+    buf = gt.encode_geotiff(arr, affine=affine, tile_size=64)
+    out, got = gt.decode_geotiff(buf)
+    assert np.array_equal(out, arr)
+    assert got == pytest.approx(affine)
+    info = gt.parse_ifd(buf)
+    assert info["geokeys"] is not None and 4326 in info["geokeys"]
+
+
+def test_unsupported_compression_rejected():
+    arr = _img(1, 16, 16, 1)
+    buf = bytearray(gt.encode_geotiff(arr, tile_size=None, compression="none"))
+    # flip the Compression tag value to LZW (5)
+    idx = buf.find((259).to_bytes(2, "little"))
+    buf[idx + 8] = 5
+    with pytest.raises(ValueError, match="unsupported compression"):
+        gt.parse_ifd(bytes(buf))
+
+
+@pytest.mark.parametrize("tile_size_file", [64, 48, None])
+def test_spark_deferred_tiles_match_full_decode(spark, tile_size_file):
+    """Executor-side inflate + re-chunk to the engine grid must equal the
+    in-memory decode, including when the file's native tiling (48) or strip
+    layout disagrees with the engine tile size (64)."""
+    from sis_spark.raster import tiles as rt
+
+    arr = _img(21, 130, 190, 3)
+    affine = (0.1, 0.0, 10.0, 0.0, -0.1, 55.0)
+    buf = gt.encode_geotiff(arr, affine=affine, tile_size=tile_size_file)
+    tiles_df, gg = gt.geotiff_tiles(spark, buf, tile_size=64)
+    assert gg is not None and gg.width == 190 and gg.height == 130
+    got = rt.tiles_to_raster(tiles_df, gg, tile_size=64)
+    assert np.array_equal(got, arr)
+
+
+def test_spark_tiles_then_band_stats(spark):
+    """The decoded tile DataFrame composes with downstream raster operators."""
+    from sis_spark.raster import tiles as rt
+
+    arr = _img(8, 96, 128, 1)
+    buf = gt.encode_geotiff(arr, affine=(1.0, 0.0, 0.0, 0.0, -1.0, 96.0), tile_size=64)
+    tiles_df, gg = gt.geotiff_tiles(spark, buf, tile_size=64)
+    stats = {r["band"]: r for r in rt.band_stats(tiles_df, gg, tile_size=64).collect()}
+    assert stats[0]["n"] == 96 * 128
+    assert stats[0]["sum"] == int(arr.sum(dtype=np.int64))
+    assert stats[0]["min"] == int(arr.min()) and stats[0]["max"] == int(arr.max())
