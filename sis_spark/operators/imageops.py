@@ -1,0 +1,137 @@
+"""Image-column operators over the (image_id, bytes, w, h, fmt, ...) table.
+
+The training-data-pipeline surface of the driver mandate: decode, feature
+extraction, resize, and perceptual near-duplicate detection as Arrow-batched
+operators — binary payloads stay opaque to Spark (BinaryType) and are only
+materialized inside mapInPandas workers (the deferred-decode discipline of
+the reference's RasterLoadingStrategy, S/RasterLoadingStrategy.java:50-77).
+
+All kernels reuse raster/codec.py (pure numpy PNG/raw + the clearly-marked
+JPEG stand-in).  Throughput note: decode cost dominates; these operators
+column-prune everything except (bytes, fmt) into the Python worker.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..raster import codec
+
+FEATURE_SCHEMA = (
+    "image_id string, mean_r double, mean_g double, mean_b double, "
+    "std double, edge_energy double"
+)
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Decode + per-image features: channel means, global std, and a simple
+    gradient edge-energy score (mean |dx| + |dy|) — the quality-scoring
+    analog for image rows."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = codec.decode(bytes(r["bytes"]), r["fmt"]).astype(np.float64)
+                if arr.shape[2] == 1:
+                    arr = np.repeat(arr, 3, axis=2)
+                g = arr.mean(axis=2)
+                rows.append({
+                    "image_id": r["image_id"],
+                    "mean_r": float(arr[:, :, 0].mean()),
+                    "mean_g": float(arr[:, :, 1].mean()),
+                    "mean_b": float(arr[:, :, 2].mean()),
+                    "std": float(arr.std()),
+                    "edge_energy": float(
+                        np.abs(np.diff(g, axis=0)).mean() + np.abs(np.diff(g, axis=1)).mean()
+                    ),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+def block_mean_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic area-average resize (no PIL): pixel (i, j) of the output
+    averages its source box [i*h/oh, (i+1)*h/oh) x [...).  Matches the
+    integral-image definition exactly for integer ratios."""
+    h, w, c = arr.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w, c), dtype=np.float64)
+    for i in range(out_h):
+        for j in range(out_w):
+            out[i, j] = arr[ys[i]:max(ys[i + 1], ys[i] + 1), xs[j]:max(xs[j + 1], xs[j] + 1)].mean(axis=(0, 1))
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def thumbnails(images: DataFrame, size: int = 8, fmt: str = "png") -> DataFrame:
+    """Resize every image to (size x size) and re-encode — the bulk
+    thumbnail/preprocess shape (decode -> numpy kernel -> encode inside one
+    Arrow batch; nothing but bytes crosses the JVM boundary)."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = codec.decode(bytes(r["bytes"]), r["fmt"]).astype(np.float64)
+                thumb = block_mean_resize(arr, size, size)
+                rows.append({
+                    "image_id": r["image_id"],
+                    "thumb": codec.encode(thumb, fmt),
+                    "tw": size, "th": size, "tfmt": fmt,
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, thumb binary, tw int, th int, tfmt string"
+    )
+
+
+def phash_near_dups(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Perceptual near-duplicate pairs by 64-bit phash Hamming distance.
+
+    Banded exact search (the SimHash banding trick, operators/dedup.py): the
+    64-bit hash splits into (max_hamming + 1) bands — two hashes within
+    ``max_hamming`` bits must agree exactly on >= 1 band (pigeonhole), so
+    candidates come from an equi-join on (band_idx, band_bits) and only
+    candidates pay the exact popcount check.  No crossJoin at any scale."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands  # last band takes the remainder
+
+    img = images.select("image_id", "phash")
+    bands = []
+    for b in range(n_bands):
+        lo = b * width
+        hi = 64 if b == n_bands - 1 else lo + width
+        mask = (1 << (hi - lo)) - 1
+        bands.append(
+            img.select(
+                "image_id", "phash",
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("phash"), lo).bitwiseAND(F.lit(mask)).alias("bits"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    left = banded
+    right = banded.select(
+        F.col("image_id").alias("image_id_2"), F.col("phash").alias("phash_2"),
+        "band", "bits",
+    )
+    cand = (
+        left.join(right, ["band", "bits"])
+        .filter(F.col("image_id") < F.col("image_id_2"))
+        .select("image_id", "image_id_2", "phash", "phash_2")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("phash").bitwiseXOR(F.col("phash_2")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).drop(
+        "phash", "phash_2"
+    )
