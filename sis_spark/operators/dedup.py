@@ -19,6 +19,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+
+def _parallelize_scan(docs: DataFrame) -> DataFrame:
+    """Small parquet files scan as ONE split (single rowgroup), which would
+    serialize the shingle explode + 8x md5 — the most expensive map work in
+    the dedup pipelines.  Restore parallelism when the source lacks it
+    (same guard as spatial_join; at 100 TB the scan has thousands of
+    splits and this is a no-op)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, par // 2):
+        return docs.repartition(par)
+    return docs
+
 # ---------------------------------------------------------------- exact
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -38,12 +50,19 @@ FROM {rel} GROUP BY 1"""
 
 # ---------------------------------------------------------------- shingles
 
-def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per doc (space tokenization)."""
+def shingles_raw(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Word n-gram shingles per doc WITH duplicates (no shuffle at all) —
+    enough for any per-doc MIN/MAX aggregate (minhash) where repeated
+    shingles can't change the result."""
     toks = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return docs.select(F.col(id_col), F.explode(sh).alias("s")).distinct()
+    return docs.select(F.col(id_col), F.explode(sh).alias("s"))
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc (space tokenization)."""
+    return shingles_raw(docs, n, text_col, id_col).distinct()
 
 
 def shingles_sql(rel: str = "documents", n: int = 3, text: str = "text", id_col: str = "doc_id") -> str:
@@ -65,7 +84,7 @@ def jaccard_pairs(docs: DataFrame, n: int = 3, min_common: int = 2,
     Output: (a, b, common, na, nb, jaccard) — jaccard is an int/int division,
     bit-exact.  Exact O(sum over shingles of df^2) baseline; use minhash_lsh
     at scale."""
-    sh = shingles(docs, n, text_col, id_col)
+    sh = shingles(_parallelize_scan(docs), n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -112,8 +131,9 @@ def minhash_signatures(docs: DataFrame, n: int = 3,
     """Wide signature row per doc: mh0..mh{N-1}, minhash i = lexicographic
     min of md5(i || ':' || shingle) — ONE map-side-combining shuffle instead
     of an 8x explode (string-min minhash keeps every stage portable to the
-    SQL oracle)."""
-    sh = shingles(docs, n, text_col, id_col)
+    SQL oracle).  Built on shingles_raw: duplicate shingles cannot change a
+    MIN, so the distinct's extra full shuffle is skipped entirely."""
+    sh = shingles_raw(_parallelize_scan(docs), n, text_col, id_col)
     aggs = [
         F.min(
             F.md5(F.concat(F.lit(f"{i}:"), F.col("s")).cast("binary"))
@@ -124,31 +144,45 @@ def minhash_signatures(docs: DataFrame, n: int = 3,
 
 
 def lsh_candidates(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Band-bucket join: pairs sharing at least one band (distinct pairs)."""
+    """Band-bucket candidates: pairs sharing at least one band (distinct).
+
+    Single-pass formulation: bands come from ONE explode over the signature
+    row (not a union of per-band projections — a union recomputes the whole
+    signature aggregation once per band per join side, 8x here), buckets
+    from one groupBy, and pairs are generated inside each bucket with array
+    combinatorics (no self-join, so the signature subtree is evaluated
+    exactly once).  A degenerate bucket (e.g. every empty doc hashing
+    identically) still costs |bucket|^2 pairs — identical to the join
+    formulation; cap upstream if the corpus can contain that."""
     n_bands = N_HASHES // BAND_SIZE
-    per_band = [
-        sigs.select(
-            id_col,
+    band_arr = F.array(*[
+        F.struct(
             F.lit(b).alias("band"),
             F.concat_ws(
                 "|", *[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
             ).alias("bkey"),
         )
         for b in range(n_bands)
-    ]
-    bands = per_band[0]
-    for extra in per_band[1:]:
-        bands = bands.unionByName(extra)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    ])
+    bands = sigs.select(F.col(id_col), F.explode(band_arr).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .select("p.a", "p.b")
         .distinct()
     )
 
@@ -157,10 +191,29 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.25,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """LSH candidates -> exact Jaccard verification >= threshold.
 
-    Output (a, b, jaccard)."""
+    Output (a, b, jaccard).
+
+    Shuffle budget: signatures aggregate UN-deduped shingles (min is
+    dedup-insensitive), and exact verification only ever materializes the
+    shingle sets of docs that appear in some candidate pair (left_semi
+    prune BEFORE the distinct) — at scale the candidate set is a tiny
+    fraction of the corpus, so the big distinct shuffle shrinks with it."""
+    docs = _parallelize_scan(docs)
     sigs = minhash_signatures(docs, n, text_col, id_col)
-    cand = lsh_candidates(sigs, id_col)
-    sh = shingles(docs, n, text_col, id_col)
+    # the candidate plan feeds three consumers (ids for the semi-prune, and
+    # both sides of the common-shingle join) — persist it so the signature
+    # pipeline underneath runs once, not three times
+    cand = lsh_candidates(sigs, id_col).persist()
+    cand_ids = (
+        cand.select(F.col("a").alias(id_col))
+        .unionByName(cand.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        shingles_raw(docs, n, text_col, id_col)
+        .join(cand_ids, id_col, "left_semi")
+        .distinct()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     common = (
         cand.join(sh.select(F.col(id_col).alias("a"), "s"), "a")
@@ -216,6 +269,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     bits 60..63 stay 0 — documented deviation, keeps conv() in int64 range).
     Bit b of the signature = 1 iff sum over tokens of (bit_b(h)*2-1) > 0.
     """
+    docs = _parallelize_scan(docs)
     toks = docs.select(
         F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("t")
     )
@@ -271,11 +325,13 @@ FROM bits GROUP BY 1"""
 
 
 def simhash_near_dups(sims: DataFrame, max_hamming: int = 8, id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs by Hamming distance: 15-bit band join (4 bands) then
+    """Near-dup pairs by Hamming distance: 15-bit band buckets (4 bands) then
     exact popcount filter — any pair within Hamming<=3 shares a band; larger
-    radii are still caught when any band matches (standard LSH recall)."""
+    radii are still caught when any band matches (standard LSH recall).
+    Single-pass bucket formulation (see lsh_candidates): no self-join, the
+    signature aggregation underneath is evaluated once."""
     bands = sims.select(
-        id_col, "simhash",
+        F.col(id_col), F.col("simhash"),
         F.explode(
             F.array(*[
                 F.concat(F.lit(f"{i}:"), F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(F.lit(0x7FFF)).cast("string"))
@@ -283,13 +339,25 @@ def simhash_near_dups(sims: DataFrame, max_hamming: int = 8, id_col: str = "doc_
             ])
         ).alias("bkey"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("bkey")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("h"))).alias("xs"))
+        .filter(F.size("xs") >= 2)
+    )
     return (
-        a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(xs, (x, i) -> "
+                    "transform(slice(xs, i + 2, size(xs) - i - 1), "
+                    "y -> IF(x.i < y.i, struct(x.i AS a, y.i AS b, x.h AS ha, y.h AS hb), "
+                    "struct(y.i AS a, x.i AS b, y.h AS ha, x.h AS hb)))))"
+                )
+            ).alias("p")
+        )
         .select(
-            F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            "p.a", "p.b",
+            F.bit_count(F.col("p.ha").bitwiseXOR(F.col("p.hb"))).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
