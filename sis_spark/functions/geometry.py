@@ -143,6 +143,36 @@ def clip_polygon_x(vx, vy, xbound: float, keep_leq: bool):
     return np.asarray(ox), np.asarray(oy)
 
 
+def segments_intersect_rects(vx, vy, wx, wy, x0, y0, x1, y1) -> np.ndarray:
+    """For each rect i: does ANY segment (vx_j,vy_j)->(wx_j,wy_j) intersect
+    [x0_i,x1_i]x[y0_i,y1_i]?  Liang–Barsky parametric clip, vectorized
+    (n_rects, n_edges).  Segments fully inside the rect count as
+    intersecting (t-interval [0,1] survives all four clips)."""
+    vx = np.asarray(vx, dtype=np.float64)[None, :]
+    vy = np.asarray(vy, dtype=np.float64)[None, :]
+    dx = np.asarray(wx, dtype=np.float64)[None, :] - vx
+    dy = np.asarray(wy, dtype=np.float64)[None, :] - vy
+    x0 = np.asarray(x0, dtype=np.float64)[:, None]
+    y0 = np.asarray(y0, dtype=np.float64)[:, None]
+    x1 = np.asarray(x1, dtype=np.float64)[:, None]
+    y1 = np.asarray(y1, dtype=np.float64)[:, None]
+    shape = (x0.shape[0], vx.shape[1])
+    t_lo = np.zeros(shape)
+    t_hi = np.ones(shape)
+    ok = np.ones(shape, dtype=bool)
+    for pk, qk in (
+        (-dx, vx - x0), (dx, x1 - vx), (-dy, vy - y0), (dy, y1 - vy),
+    ):
+        pk = np.broadcast_to(pk, shape)
+        qk = np.broadcast_to(qk, shape)
+        ok &= ~((pk == 0) & (qk < 0))  # parallel and outside
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = qk / pk
+        t_lo = np.where((pk < 0) & (t > t_lo), t, t_lo)
+        t_hi = np.where((pk > 0) & (t < t_hi), t, t_hi)
+    return (ok & (t_lo <= t_hi)).any(axis=1)
+
+
 def points_in_many_polygons(px, py, starts, vx, vy):
     """PIP of N points against M polygons stored as concatenated rings.
 
