@@ -7,8 +7,9 @@ Re-derives the semantics of the reference's GeoTIFF module
 * BOTH layouts: strips (RowsPerStrip/StripOffsets) and tiles
   (TileWidth/TileLength/TileOffsets — the tiled data cube of
   TIF/DataCube.java:50);
-* compressions: NONE(1), DEFLATE(8, zlib) and PackBits(32773) — the
-  inflater set of TIF/inflater/ minus LZW/JPEG (documented out);
+* compressions: NONE(1), DEFLATE(8, zlib), PackBits(32773) and LZW(5,
+  TIFF 6.0 MSB variable-width with early change) — the inflater set of
+  TIF/inflater/ minus JPEG (documented out);
 * georeferencing via ModelPixelScaleTag(33550) + ModelTiepointTag(33922)
   -> the engine's affine 6-tuple / GridGeometry (axis-aligned, north-up:
   negative y scale), plus a minimal GeoKeyDirectory(34735);
@@ -40,6 +41,7 @@ T_SAMPLE_FORMAT = 339
 T_MODEL_SCALE, T_MODEL_TIEPOINT, T_GEO_KEYS = 33550, 33922, 34735
 
 COMP_NONE, COMP_DEFLATE_ADOBE, COMP_PACKBITS, COMP_DEFLATE = 1, 8, 32773, 32946
+COMP_LZW = 5
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8}
 _TYPE_FMT = {3: "H", 4: "I"}
@@ -93,6 +95,96 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 LZW (MSB-first variable-width codes, ClearCode=256, EOI=257,
+    early code-width change — the TIFF flavor, not GIF's)."""
+    out_bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out_bits.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)  # ClearCode
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        # TIFF early change: width bumps when next_code+1 would overflow
+        if next_code == (1 << width) - 1:
+            if width == 12:
+                emit(256, width)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+            else:
+                width += 1
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(257, width)  # EOI
+    if nbits:
+        out_bits.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out_bits)
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF 6.0 LZW decoder (inverse of _lzw_encode; matches
+    TIF/inflater/LZW.java semantics for the baseline horizontal=1 case)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    n = len(data)
+    while len(out) < expected and pos <= n:
+        while nbits < width and pos < n:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        if nbits < width:
+            break
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 257:  # EOI
+            break
+        if code == 256:  # Clear
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        out.extend(entry)
+        prev = entry
+        # early change, decoder side: the decoder's table lags the encoder's
+        # by one add, so it widens one entry earlier (2^w - 2, not 2^w - 1)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
 def _packbits_decode(data: bytes, expected: int) -> bytes:
     out = bytearray()
     i = 0
@@ -125,13 +217,18 @@ def encode_geotiff(
         arr = arr[:, :, None]
     h, w, c = arr.shape
     arr = arr.astype(np.uint8)
-    comp_id = {"none": COMP_NONE, "deflate": COMP_DEFLATE_ADOBE, "packbits": COMP_PACKBITS}[compression]
+    comp_id = {
+        "none": COMP_NONE, "deflate": COMP_DEFLATE_ADOBE,
+        "packbits": COMP_PACKBITS, "lzw": COMP_LZW,
+    }[compression]
 
     def compress(b: bytes) -> bytes:
         if comp_id == COMP_DEFLATE_ADOBE:
             return zlib.compress(b, 6)
         if comp_id == COMP_PACKBITS:
             return _packbits_encode(b)
+        if comp_id == COMP_LZW:
+            return _lzw_encode(b)
         return b
 
     blocks = []
@@ -247,8 +344,8 @@ def parse_ifd(buf: bytes) -> dict:
     if tags.get(T_PLANAR, [1])[0] != 1:
         raise ValueError("only PlanarConfiguration=1 (chunky) supported")
     comp = tags.get(T_COMPRESSION, [COMP_NONE])[0]
-    if comp not in (COMP_NONE, COMP_DEFLATE_ADOBE, COMP_DEFLATE, COMP_PACKBITS):
-        raise ValueError(f"unsupported compression {comp} (LZW/JPEG out of scope)")
+    if comp not in (COMP_NONE, COMP_DEFLATE_ADOBE, COMP_DEFLATE, COMP_PACKBITS, COMP_LZW):
+        raise ValueError(f"unsupported compression {comp} (JPEG out of scope)")
 
     tiled = T_TILE_OFFSETS in tags
     if tiled:
@@ -290,6 +387,8 @@ def _inflate_block(payload: bytes, comp: int, expected: int) -> bytes:
         return zlib.decompress(payload)
     if comp == COMP_PACKBITS:
         return _packbits_decode(payload, expected)
+    if comp == COMP_LZW:
+        return _lzw_decode(payload, expected)
     return payload
 
 

@@ -17,7 +17,7 @@ def _img(seed: int, h: int, w: int, c: int) -> np.ndarray:
     return a
 
 
-@pytest.mark.parametrize("compression", ["none", "deflate", "packbits"])
+@pytest.mark.parametrize("compression", ["none", "deflate", "packbits", "lzw"])
 @pytest.mark.parametrize("tile_size", [64, None])
 @pytest.mark.parametrize("c", [1, 3])
 def test_roundtrip_matrix(compression, tile_size, c):
@@ -37,6 +37,21 @@ def test_packbits_codec_exact():
         assert gt._packbits_decode(enc, n) == data
 
 
+def test_lzw_codec_exact():
+    rng = np.random.default_rng(6)
+    for n in (0, 1, 5, 300, 5000):
+        # low-entropy data exercises long table entries; random tail covers
+        # KwKwK and width changes
+        data = bytes(rng.integers(0, 5, size=n, dtype=np.uint8)) + bytes(
+            rng.integers(0, 256, size=n // 2, dtype=np.uint8)
+        )
+        enc = gt._lzw_encode(data)
+        assert gt._lzw_decode(enc, len(data)) == data
+    # table-reset path: > 4k distinct phrases
+    big = bytes(np.random.default_rng(1).integers(0, 256, size=60000, dtype=np.uint8))
+    assert gt._lzw_decode(gt._lzw_encode(big), len(big)) == big
+
+
 def test_georeferencing_roundtrip():
     arr = _img(5, 64, 96, 1)
     affine = (0.25, 0.0, -74.25, 0.0, -0.25, 41.0)  # north-up, 0.25 deg pixels
@@ -51,9 +66,9 @@ def test_georeferencing_roundtrip():
 def test_unsupported_compression_rejected():
     arr = _img(1, 16, 16, 1)
     buf = bytearray(gt.encode_geotiff(arr, tile_size=None, compression="none"))
-    # flip the Compression tag value to LZW (5)
+    # flip the Compression tag value to JPEG (7) — the one codec out of scope
     idx = buf.find((259).to_bytes(2, "little"))
-    buf[idx + 8] = 5
+    buf[idx + 8] = 7
     with pytest.raises(ValueError, match="unsupported compression"):
         gt.parse_ifd(bytes(buf))
 
