@@ -246,8 +246,25 @@ def split_wraparound(xmin, ymin, xmax, ymax):
 # ---------------------------------------------------------------- WKB (minimal)
 
 _WKB_POINT = 1
+_WKB_LINESTRING = 2
 _WKB_POLYGON = 3
+_WKB_MULTILINESTRING = 5
 _WKB_MULTIPOLYGON = 6
+
+
+def wkb_linestring(vx, vy) -> bytes:
+    vx = np.asarray(vx, dtype=np.float64)
+    vy = np.asarray(vy, dtype=np.float64)
+    return (
+        struct.pack("<BII", 1, _WKB_LINESTRING, len(vx))
+        + np.column_stack([vx, vy]).astype("<f8").tobytes()
+    )
+
+
+def wkb_multilinestring(lines) -> bytes:
+    return struct.pack("<BII", 1, _WKB_MULTILINESTRING, len(lines)) + b"".join(
+        wkb_linestring(vx, vy) for vx, vy in lines
+    )
 
 
 def wkb_point(x: float, y: float) -> bytes:
@@ -279,6 +296,19 @@ def wkb_parse(buf: bytes):
         if typ == _WKB_POINT:
             x, y = struct.unpack_from(end + "dd", buf, off)
             return ("point", (x, y)), off + 16
+        if typ == _WKB_LINESTRING:
+            (npts,) = struct.unpack_from(end + "I", buf, off)
+            off += 4
+            arr = np.frombuffer(buf, dtype=end + "f8", count=2 * npts, offset=off).reshape(-1, 2)
+            return ("linestring", (arr[:, 0].copy(), arr[:, 1].copy())), off + 16 * npts
+        if typ == _WKB_MULTILINESTRING:
+            (nl,) = struct.unpack_from(end + "I", buf, off)
+            off += 4
+            lines = []
+            for _ in range(nl):
+                (g, off) = parse_one(off)
+                lines.append(g[1])
+            return ("multilinestring", lines), off
         if typ == _WKB_POLYGON:
             (nrings,) = struct.unpack_from(end + "I", buf, off)
             off += 4

@@ -130,6 +130,55 @@ def simplify_dp(vx: np.ndarray, vy: np.ndarray, tol: float):
     return vx[keep], vy[keep]
 
 
+def convex_hull(vx: np.ndarray, vy: np.ndarray):
+    """Andrew's monotone chain (ST_ConvexHull, SQLMM.java:121).  Returns CCW
+    hull vertices without the closing duplicate."""
+    pts = np.column_stack([np.asarray(vx, np.float64), np.asarray(vy, np.float64)])
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    pts = pts[np.concatenate([[True], np.any(np.diff(pts, axis=0) != 0, axis=1)])]
+    if len(pts) <= 2:
+        return pts[:, 0], pts[:, 1]
+
+    def half(seq):
+        out: list = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.asarray(lower[:-1] + upper[:-1])
+    return hull[:, 0], hull[:, 1]
+
+
+def is_simple_ring(vx: np.ndarray, vy: np.ndarray) -> bool:
+    """No two non-adjacent edges intersect (ST_IsSimple:87 / the ring part of
+    ST_IsValid:92).  O(n^2) vectorized segment-pair test — rings are small."""
+    vx = np.asarray(vx, dtype=np.float64)
+    vy = np.asarray(vy, dtype=np.float64)
+    if len(vx) >= 2 and vx[0] == vx[-1] and vy[0] == vy[-1]:
+        vx, vy = vx[:-1], vy[:-1]  # WKB rings carry the closing duplicate
+    n = len(vx)
+    if n < 3:
+        return False
+    wx, wy = np.roll(vx, -1), np.roll(vy, -1)
+    i, j = np.triu_indices(n, k=2)
+    adj = (i == 0) & (j == n - 1)  # first and last edge are adjacent too
+    i, j = i[~adj], j[~adj]
+    p1x, p1y, p2x, p2y = vx[i], vy[i], wx[i], wy[i]
+    q1x, q1y, q2x, q2y = vx[j], vy[j], wx[j], wy[j]
+    r_x, r_y = p2x - p1x, p2y - p1y
+    s_x, s_y = q2x - q1x, q2y - q1y
+    denom = r_x * s_y - r_y * s_x
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((q1x - p1x) * s_y - (q1y - p1y) * s_x) / denom
+        u = ((q1x - p1x) * r_y - (q1y - p1y) * r_x) / denom
+    hit = (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    return not bool(hit.any())
+
+
 def buffer_polygon(x: float, y: float, radius: float, n_seg: int = 16):
     """ST_Buffer of a point: regular n_seg-gon approximation (the reference
     delegates to JTS; a polygonal approximation is the documented stand-in)."""
@@ -271,6 +320,89 @@ def st_transform_udf(src: str = "EPSG:4326", dst: str = "EPSG:3857"):
         fn = tr.mercator_forward if fwd else tr.mercator_inverse
         ox, oy = fn(x.to_numpy(), y.to_numpy())
         return pd.DataFrame({"x": ox, "y": oy})
+
+    return _f
+
+
+def st_convexhull_udf():
+    """ST_ConvexHull (SQLMM.java:121) over polygon/point WKB -> polygon WKB."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _f(wkb: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb:
+            typ, val = geo.wkb_parse(bytes(b))
+            if typ == "point":
+                out.append(bytes(b))
+                continue
+            vx = np.concatenate([r[0] for r in val])
+            vy = np.concatenate([r[1] for r in val])
+            hx, hy = convex_hull(vx, vy)
+            out.append(geo.wkb_polygon([(hx, hy)]))
+        return pd.Series(out)
+
+    return _f
+
+
+def st_boundary_udf():
+    """ST_Boundary (SQLMM.java:111): polygon -> MultiLineString of its rings
+    (closed), point -> NULL (empty boundary)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _f(wkb: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb:
+            typ, val = geo.wkb_parse(bytes(b))
+            if typ != "polygon":
+                out.append(None)
+                continue
+            lines = []
+            for vx, vy in val:
+                cvx = np.append(vx, vx[0])
+                cvy = np.append(vy, vy[0])
+                lines.append((cvx, cvy))
+            out.append(geo.wkb_multilinestring(lines))
+        return pd.Series(out)
+
+    return _f
+
+
+def st_pointonsurface_udf():
+    """ST_PointOnSurface (SQLMM.java:467): a point guaranteed INSIDE the
+    polygon (the centroid is not, for non-convex rings) — reuses the
+    overlay interior-point search."""
+    from .overlay import _interior_point
+
+    schema = T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())])
+
+    @F.pandas_udf(schema)
+    def _f(wkb: pd.Series) -> pd.DataFrame:
+        xs, ys = [], []
+        for b in wkb:
+            typ, val = geo.wkb_parse(bytes(b))
+            if typ == "point":
+                xs.append(val[0]); ys.append(val[1])
+            else:
+                x, y = _interior_point(val[0][0], val[0][1])
+                xs.append(x); ys.append(y)
+        return pd.DataFrame({"x": xs, "y": ys})
+
+    return _f
+
+
+def st_issimple_udf():
+    """ST_IsSimple (SQLMM.java:87) / ring validity half of ST_IsValid (:92)."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _f(wkb: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb:
+            typ, val = geo.wkb_parse(bytes(b))
+            if typ == "point":
+                out.append(True)
+            else:
+                out.append(all(is_simple_ring(vx, vy) for vx, vy in val))
+        return pd.Series(out)
 
     return _f
 

@@ -43,17 +43,19 @@ T_MODEL_SCALE, T_MODEL_TIEPOINT, T_GEO_KEYS = 33550, 33922, 34735
 COMP_NONE, COMP_DEFLATE_ADOBE, COMP_PACKBITS, COMP_DEFLATE = 1, 8, 32773, 32946
 COMP_LZW = 5
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8}
-_TYPE_FMT = {3: "H", 4: "I"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8, 16: 8}
+_TYPE_FMT = {3: "H", 4: "I", 16: "Q"}
 
 
 # ---------------------------------------------------------------- writer
 
-def _pack_entries(entries, data_start: int):
+def _pack_entries(entries, data_start: int, big: bool = False):
     """entries: list of (tag, type, values).  Returns (ifd_bytes, heap_bytes);
-    values longer than 4 bytes go to the heap after data_start."""
+    values longer than the inline slot (4 bytes classic, 8 BigTIFF) go to
+    the heap after data_start."""
     heap = b""
     out = b""
+    inline = 8 if big else 4
     for tag, typ, values in sorted(entries):
         if typ == 12:  # DOUBLE
             payload = struct.pack(f"<{len(values)}d", *values)
@@ -61,12 +63,20 @@ def _pack_entries(entries, data_start: int):
             payload = values
         else:
             payload = struct.pack(f"<{len(values)}{_TYPE_FMT[typ]}", *values)
-        count = len(values) if typ != 2 else len(values)
-        if len(payload) <= 4:
-            out += struct.pack("<HHI", tag, typ, count) + payload.ljust(4, b"\0")
+        count = len(values)
+        if big:
+            head = struct.pack("<HHQ", tag, typ, count)
+            if len(payload) <= inline:
+                out += head + payload.ljust(inline, b"\0")
+            else:
+                out += head + struct.pack("<Q", data_start + len(heap))
+                heap += payload
         else:
-            out += struct.pack("<HHII", tag, typ, count, data_start + len(heap))
-            heap += payload
+            if len(payload) <= inline:
+                out += struct.pack("<HHI", tag, typ, count) + payload.ljust(inline, b"\0")
+            else:
+                out += struct.pack("<HHII", tag, typ, count, data_start + len(heap))
+                heap += payload
     return out, heap
 
 
@@ -206,6 +216,7 @@ def encode_geotiff(
     affine: tuple | None = None,
     tile_size: int | None = 64,
     compression: str = "deflate",
+    bigtiff: bool = False,
 ) -> bytes:
     """Write (h, w[, c]) uint8 as a classic GeoTIFF.
 
@@ -268,26 +279,31 @@ def encode_geotiff(
         # GeographicType=4326
         entries.append((T_GEO_KEYS, 3, [1, 1, 0, 2, 1024, 0, 1, 2, 2048, 0, 1, 4326]))
 
-    # layout: header(8) + IFD + heap + pixel blocks
-    n_entries = len(entries) + (2 if tile_size else 2)  # offsets + counts tags
-    # two passes: first compute IFD size with placeholder offsets
+    # layout: header + IFD + heap + pixel blocks.  Two passes: first size
+    # the heap with placeholder offsets, then emit real block offsets.
     counts = [len(b) for b in blocks]
+    off_type = 16 if bigtiff else 4
     if tile_size:
         entries_full = entries + [
             (T_TILE_W, 3, [tile_size]),
             (T_TILE_H, 3, [tile_size]),
-            (T_TILE_OFFSETS, 4, [0] * len(blocks)),
-            (T_TILE_COUNTS, 4, counts),
+            (T_TILE_OFFSETS, off_type, [0] * len(blocks)),
+            (T_TILE_COUNTS, off_type, counts),
         ]
     else:
         entries_full = entries + [
             (T_ROWS_PER_STRIP, 3, [16]),
-            (T_STRIP_OFFSETS, 4, [0] * len(blocks)),
-            (T_STRIP_COUNTS, 4, counts),
+            (T_STRIP_OFFSETS, off_type, [0] * len(blocks)),
+            (T_STRIP_COUNTS, off_type, counts),
         ]
-    ifd_size = 2 + 12 * len(entries_full) + 4
-    heap_start = 8 + ifd_size
-    _, heap = _pack_entries(entries_full, heap_start)
+    if bigtiff:
+        header_size = 16
+        ifd_size = 8 + 20 * len(entries_full) + 8
+    else:
+        header_size = 8
+        ifd_size = 2 + 12 * len(entries_full) + 4
+    heap_start = header_size + ifd_size
+    _, heap = _pack_entries(entries_full, heap_start, big=bigtiff)
     data_start = heap_start + len(heap)
     offsets = []
     pos = data_start
@@ -295,17 +311,23 @@ def encode_geotiff(
         offsets.append(pos)
         pos += len(b)
     off_tag = T_TILE_OFFSETS if tile_size else T_STRIP_OFFSETS
-    entries_full = [e for e in entries_full if e[0] != off_tag] + [(off_tag, 4, offsets)]
-    ifd, heap = _pack_entries(entries_full, heap_start)
-    header = b"II" + struct.pack("<HI", 42, 8)
-    body = struct.pack("<H", len(entries_full)) + ifd + struct.pack("<I", 0)
+    entries_full = [e for e in entries_full if e[0] != off_tag] + [(off_tag, off_type, offsets)]
+    ifd, heap = _pack_entries(entries_full, heap_start, big=bigtiff)
+    if bigtiff:
+        header = b"II" + struct.pack("<HHHQ", 43, 8, 0, 16)
+        body = struct.pack("<Q", len(entries_full)) + ifd + struct.pack("<Q", 0)
+    else:
+        header = b"II" + struct.pack("<HI", 42, 8)
+        body = struct.pack("<H", len(entries_full)) + ifd + struct.pack("<I", 0)
     return header + body + heap + b"".join(blocks)
 
 
 # ---------------------------------------------------------------- reader
 
 def parse_ifd(buf: bytes) -> dict:
-    """Parse the first IFD of a classic TIFF into a tag dict + block manifest."""
+    """Parse the first IFD of a classic OR BigTIFF file into a tag dict +
+    block manifest (BigTIFF: magic 43, 8-byte counts/offsets, 20-byte
+    entries — the reference's BigTIFF path in TIF/DataCube.java)."""
     if buf[:2] == b"II":
         end = "<"
     elif buf[:2] == b"MM":
@@ -313,20 +335,45 @@ def parse_ifd(buf: bytes) -> dict:
     else:
         raise ValueError("not a TIFF")
     (magic,) = struct.unpack_from(end + "H", buf, 2)
-    if magic != 42:
-        raise ValueError("BigTIFF not supported")
-    (ifd_off,) = struct.unpack_from(end + "I", buf, 4)
-    (n,) = struct.unpack_from(end + "H", buf, ifd_off)
+    if magic == 42:
+        big = False
+        (ifd_off,) = struct.unpack_from(end + "I", buf, 4)
+    elif magic == 43:
+        big = True
+        bytesize, zero = struct.unpack_from(end + "HH", buf, 4)
+        if bytesize != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        (ifd_off,) = struct.unpack_from(end + "Q", buf, 8)
+    else:
+        raise ValueError(f"unknown TIFF magic {magic}")
+
+    if big:
+        (n,) = struct.unpack_from(end + "Q", buf, ifd_off)
+        entry0, entry_sz, inline_sz = ifd_off + 8, 20, 8
+    else:
+        (n,) = struct.unpack_from(end + "H", buf, ifd_off)
+        entry0, entry_sz, inline_sz = ifd_off + 2, 12, 4
     tags: dict[int, list] = {}
-    for i in range(n):
-        e = ifd_off + 2 + 12 * i
-        tag, typ, count = struct.unpack_from(end + "HHI", buf, e)
+    for i in range(int(n)):
+        e = entry0 + entry_sz * i
+        if big:
+            tag, typ = struct.unpack_from(end + "HH", buf, e)
+            (count,) = struct.unpack_from(end + "Q", buf, e + 4)
+        else:
+            tag, typ, count = struct.unpack_from(end + "HHI", buf, e)
+        count = int(count)
         size = _TYPE_SIZE.get(typ, 1) * count
-        off = e + 8 if size <= 4 else struct.unpack_from(end + "I", buf, e + 8)[0]
+        val_off = e + (12 if big else 8)
+        if size <= inline_sz:
+            off = val_off
+        else:
+            (off,) = struct.unpack_from(end + ("Q" if big else "I"), buf, val_off)
         if typ == 3:
             vals = list(struct.unpack_from(f"{end}{count}H", buf, off))
         elif typ == 4:
             vals = list(struct.unpack_from(f"{end}{count}I", buf, off))
+        elif typ == 16:  # LONG8 (BigTIFF)
+            vals = list(struct.unpack_from(f"{end}{count}Q", buf, off))
         elif typ == 12:
             vals = list(struct.unpack_from(f"{end}{count}d", buf, off))
         elif typ == 2:

@@ -37,6 +37,18 @@ def test_packbits_codec_exact():
         assert gt._packbits_decode(enc, n) == data
 
 
+@pytest.mark.parametrize("tile_size", [64, None])
+def test_bigtiff_roundtrip(tile_size):
+    arr = _img(17, 130, 190, 3)
+    affine = (0.5, 0.0, -10.0, 0.0, -0.5, 45.0)
+    buf = gt.encode_geotiff(arr, affine=affine, tile_size=tile_size,
+                            compression="deflate", bigtiff=True)
+    assert buf[2:4] == (43).to_bytes(2, "little")  # BigTIFF magic
+    out, got_affine = gt.decode_geotiff(buf)
+    assert np.array_equal(out, arr)
+    assert got_affine == pytest.approx(affine)
+
+
 def test_lzw_codec_exact():
     rng = np.random.default_rng(6)
     for n in (0, 1, 5, 300, 5000):
