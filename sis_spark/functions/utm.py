@@ -223,6 +223,35 @@ def st_transform_utm_udf():
     return _f
 
 
+def utm_zone_udf():
+    """(lon, lat) -> UTM zone int (Norway/Svalbard exceptions included)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.IntegerType())
+    def _f(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(
+            utm_zone(lon.to_numpy(np.float64), lat.to_numpy(np.float64)).astype("int32")
+        )
+
+    return _f
+
+
+def mgrs_band_udf():
+    """lat -> MGRS latitude band letter (C..X, X stretched to 84N)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _f(lat: pd.Series) -> pd.Series:
+        idx = np.clip(
+            np.floor((lat.to_numpy(np.float64) + 80.0) / 8.0).astype(np.int64), 0, 19
+        )
+        return pd.Series([_BANDS[i] for i in idx])
+
+    return _f
+
+
 def mgrs_udf(precision: int = 5):
     """(lon, lat) columns -> MGRS reference string column."""
     from pyspark.sql import functions as F

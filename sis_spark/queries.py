@@ -674,6 +674,43 @@ SELECT key AS poly_key, CAST(sum(q) AS BIGINT) AS clip2a_q
 FROM terms GROUP BY key ORDER BY poly_key"""
 
 
+def q_utm_zones(spark, sf_dir):
+    """UTM zone + MGRS latitude band per event point — the gazetteer's zone
+    arithmetic incl. the Norway (32V widened) and Svalbard (31/33/35/37X)
+    exceptions (G/MilitaryGridReferenceSystem.java:373 zone rules).  Engine
+    side = the vectorized numpy implementation behind MGRS encode
+    (functions/utm.py); oracle = an independent SQL CASE re-derivation."""
+    from .functions.utm import mgrs_band_udf, utm_zone_udf
+
+    pts = _events_points(spark, sf_dir).filter(
+        (F.col("lat") >= -80.0) & (F.col("lat") < 84.0)
+    )
+    return pts.select(
+        "event_id",
+        utm_zone_udf()(F.col("lon"), F.col("lat")).alias("zone"),
+        mgrs_band_udf()(F.col("lat")).alias("band"),
+    )
+
+
+def q_utm_zones_oracle():
+    bands = "CDEFGHJKLMNPQRSTUVWX"
+    return f"""
+WITH pts AS ({_points_sql()})
+SELECT event_id,
+  CAST(CASE
+    WHEN lat >= 72.0 AND lat < 84.5 AND lon >= 0.0  AND lon < 9.0  THEN 31
+    WHEN lat >= 72.0 AND lat < 84.5 AND lon >= 9.0  AND lon < 21.0 THEN 33
+    WHEN lat >= 72.0 AND lat < 84.5 AND lon >= 21.0 AND lon < 33.0 THEN 35
+    WHEN lat >= 72.0 AND lat < 84.5 AND lon >= 33.0 AND lon < 42.0 THEN 37
+    WHEN lat >= 56.0 AND lat < 64.0 AND lon >= 3.0  AND lon < 12.0 THEN 32
+    ELSE (CAST(floor((lon + 180.0) / 6.0) AS BIGINT) % 60) + 1
+  END AS INTEGER) AS zone,
+  substr('{bands}', CAST(least(greatest(floor((lat + 80.0) / 8.0), 0), 19) AS INTEGER) + 1, 1) AS band
+FROM pts
+WHERE lat >= -80.0 AND lat < 84.0
+ORDER BY event_id"""
+
+
 # ================================================================ training-data ops (documents / embeddings)
 
 def q_dedup_exact(spark, sf_dir):
@@ -971,5 +1008,6 @@ QUERIES = {
     "st_accessors": (q_st_accessors, q_st_accessors_oracle),
     "st_contains": (q_st_contains, q_st_contains_oracle),
     "halfplane_clip": (q_halfplane_clip, q_halfplane_clip_oracle),
+    "utm_zones": (q_utm_zones, q_utm_zones_oracle),
     "images_metadata": (q_images_metadata, q_images_metadata_oracle),
 }
