@@ -8,6 +8,61 @@ import pandas as pd
 import pytest
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data handling: an event arriving after the watermark passed its
+    window is DROPPED from the append-mode windowed aggregate (the
+    watermark semantics the reference has no analog for — SURVEY §2.9)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "late_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def chunk(name, ts_list):
+        pd.DataFrame(
+            {"ts": [dt.datetime(2026, 1, 1) + dt.timedelta(minutes=m) for m in ts_list],
+             "v": list(range(len(ts_list)))}
+        ).to_parquet(src / name, coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    # window 10 min, watermark 10 min
+    chunk("a.parquet", [5, 60])       # w[0:10) gets 1 row; watermark -> 00:50
+    stream = (
+        spark.readStream.schema("ts timestamp_ntz, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName("late_demo")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late row for the long-closed w[0:10) + a fresh row pushing time on
+        chunk("b.parquet", [6, 120])
+        q.processAllAvailable()
+        chunk("c.parquet", [180])     # close remaining windows
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        (r["window"]["start"].minute + 60 * r["window"]["start"].hour): r["n"]
+        for r in spark.sql("SELECT * FROM late_demo").collect()
+    }
+    # w[0:10) emitted with ONE row: the minute-6 row arrived too late
+    assert out.get(0) == 1
+    assert out.get(60) == 1 and out.get(120) == 1
+
+
 @pytest.mark.parametrize("res", [6])
 def test_running_cell_counts_equals_batch(spark, tmp_path, res):
     from pyspark.sql import functions as F
