@@ -460,6 +460,49 @@ def st_overlay_area_udf(op: str):
     return _f
 
 
+def point_on_ring(px, py, vx: np.ndarray, vy: np.ndarray) -> np.ndarray:
+    """Exact point-on-boundary test: collinear (cross == 0) and within the
+    edge's closed bounding segment.  Vectorized points x edges."""
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    wx, wy = np.roll(vx, -1), np.roll(vy, -1)
+    cross = (wx - vx)[None, :] * (py - vy[None, :]) - (wy - vy)[None, :] * (px - vx[None, :])
+    within = (
+        (px >= np.minimum(vx, wx)[None, :]) & (px <= np.maximum(vx, wx)[None, :])
+        & (py >= np.minimum(vy, wy)[None, :]) & (py <= np.maximum(vy, wy)[None, :])
+    )
+    return ((cross == 0.0) & within).any(axis=1)
+
+
+# DE-9IM patterns for the point-vs-polygon family (ST_Relate, SQLMM.java:177;
+# matrix order II IB IE / BI BB BE / EI EB EE)
+RELATE_POINT_IN_POLYGON = "0FFFFF212"
+RELATE_POINT_ON_BOUNDARY = "F0FFFF212"
+RELATE_POINT_OUTSIDE = "FF0FFF212"
+
+
+def relate_point_polygon(px, py, vx: np.ndarray, vy: np.ndarray) -> list[str]:
+    """DE-9IM pattern of each point vs one polygon ring: boundary wins over
+    the even-odd interior test (a boundary point's crossing parity is
+    convention-dependent; DE-9IM is not)."""
+    on_b = point_on_ring(px, py, vx, vy)
+    inside = geo.points_in_polygon(px, py, vx, vy)
+    return [
+        RELATE_POINT_ON_BOUNDARY if b else (RELATE_POINT_IN_POLYGON if i else RELATE_POINT_OUTSIDE)
+        for b, i in zip(on_b, inside)
+    ]
+
+
+def st_relate_point_udf(vx: np.ndarray, vy: np.ndarray):
+    """ST_Relate(point column, polygon literal) -> DE-9IM pattern string."""
+
+    @F.pandas_udf(T.StringType())
+    def _f(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(relate_point_polygon(x.to_numpy(), y.to_numpy(), vx, vy))
+
+    return _f
+
+
 def st_contains_point_udf(vx: np.ndarray, vy: np.ndarray):
     """ST_Contains(polygon literal, point column) — the spatial-literal
     normalization happens at plan time (BinaryGeometryFilter.optimize)."""

@@ -52,6 +52,28 @@ def test_wkb_linestring_roundtrip():
     assert np.array_equal(lines[1][0], vy)
 
 
+def test_relate_point_polygon_patterns():
+    from sis_spark.functions.sqlmm import (
+        RELATE_POINT_IN_POLYGON,
+        RELATE_POINT_ON_BOUNDARY,
+        RELATE_POINT_OUTSIDE,
+        relate_point_polygon,
+    )
+
+    vx = np.array([0.0, 4, 4, 0])
+    vy = np.array([0.0, 0, 4, 4])
+    px = np.array([2.0, 2.0, 0.0, 9.0, 4.0])
+    py = np.array([2.0, 0.0, 0.0, 9.0, 2.0])
+    got = relate_point_polygon(px, py, vx, vy)
+    assert got == [
+        RELATE_POINT_IN_POLYGON,      # interior
+        RELATE_POINT_ON_BOUNDARY,     # edge midpoint
+        RELATE_POINT_ON_BOUNDARY,     # vertex
+        RELATE_POINT_OUTSIDE,         # outside
+        RELATE_POINT_ON_BOUNDARY,     # right edge
+    ]
+
+
 def test_udfs_on_supplier_polygons(spark, sf_dir):
     import pandas as pd
     from pyspark.sql import functions as F
