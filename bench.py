@@ -183,8 +183,8 @@ job, same input ({SF_DIR}), run at local[{levels[0]}] and local[{levels[1]}]
 Protocol: per level, 2 warm-up runs (JIT + Python workers) then 3 timed runs,
 minimum taken — the sandbox host shows intermittent multi-second CPU-steal
 spikes (all runs listed for transparency).  Input = sf0.1 events replicated
-20x by id offset (2M skewed points -> ~170M candidate pairs through the
-Arrow PIP refine).
+{os.environ.get('SIS_BENCH_MULT', '20')}x by id offset (skewed points through
+the cell prefilter + interior-skip + Arrow PIP refine).
 """
         )
     print(json.dumps({"throughput": {str(k): results[k] for k in results}, "efficiency": round(eff, 3)}))
