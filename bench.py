@@ -164,7 +164,10 @@ def scaling_main():
     tp32 = r32["rows"] / r32["sec"]
     eff = (tp32 / tp8) / (levels[1] / levels[0])
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # BASELINE.md is the curated evidence document (historical best + all
+    # attempts); each run's raw table goes to LAST_SCALING.md so a noisy
+    # window can never silently destroy the record
+    with open("BENCH/LAST_SCALING.md", "w") as f:
         f.write(
             f"""# BENCH — flagship spatial-join + tile-assignment throughput
 
