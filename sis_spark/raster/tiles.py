@@ -495,3 +495,58 @@ def resample_gather(
         )
 
     return gathered.groupBy("dtx", "dty", "band").applyInPandas(build, schema=TILE_SCHEMA)
+
+
+def overview_level(tiles_df: DataFrame, gg: GridGeometry, tile_size: int = 64,
+                   dtype=np.uint8):
+    """One overview level: integer stride-2 subsampling (OverviewImage /
+    ImageProcessor.java:1264; stride+offset semantics of
+    TiledGridCoverage.java:460 with offset 0).
+
+    Each destination tile gathers its EXACT 2x2 source-tile block (the
+    aligned special case of the resample_gather manifest), mosaics it and
+    takes ``[::2, ::2]`` — pixel (i, j) of level z+1 is pixel (2i, 2j) of
+    level z, bit-exact, no interpolation.  Returns (tiles_df, subsampled
+    GridGeometry)."""
+    from .grid import subsample
+
+    spark = tiles_df.sparkSession
+    h, w = gg.height, gg.width
+    out_gg = subsample(gg, 2, 2)
+    bdt = np.dtype(dtype)
+
+    contrib = tiles_df.select(
+        (F.col("tx") / 2).cast("long").alias("dtx"),
+        (F.col("ty") / 2).cast("long").alias("dty"),
+        "tx", "ty", "band", "data",
+    )
+
+    def build(key, pdf):
+        dtx, dty, band = int(key[0]), int(key[1]), int(key[2])
+        mosaic = np.zeros((2 * tile_size, 2 * tile_size), dtype=bdt)
+        for _, r in pdf.iterrows():
+            block = np.frombuffer(r["data"], dtype=bdt).reshape(tile_size, tile_size)
+            oy = (int(r["ty"]) - 2 * dty) * tile_size
+            ox = (int(r["tx"]) - 2 * dtx) * tile_size
+            mosaic[oy : oy + tile_size, ox : ox + tile_size] = block
+        sub = mosaic[::2, ::2]
+        return pd.DataFrame(
+            {"tx": [dtx], "ty": [dty], "band": [band], "data": [sub.tobytes()]}
+        )
+
+    out = contrib.groupBy("dtx", "dty", "band").applyInPandas(build, schema=TILE_SCHEMA)
+    return out, out_gg
+
+
+def build_overviews(tiles_df: DataFrame, gg: GridGeometry, n_levels: int,
+                    tile_size: int = 64, dtype=np.uint8):
+    """Full overview pyramid: [(level, tiles_df, gg)] for level 1..n
+    (TileMatrixSet zoom hierarchy, S/tiling/TileMatrixSet.java:53; level 0
+    is the input).  Each level derives lazily from the previous — Spark
+    chains the gathers into one DAG."""
+    out = []
+    cur, cur_gg = tiles_df, gg
+    for level in range(1, n_levels + 1):
+        cur, cur_gg = overview_level(cur, cur_gg, tile_size, dtype)
+        out.append((level, cur, cur_gg))
+    return out

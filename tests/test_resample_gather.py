@@ -53,6 +53,23 @@ def test_gather_matches_dense(spark, name, dst_affine, dst_wh, method):
         assert d_rows[key] == fill_block, f"missing tile {key} not pure fill"
 
 
+def test_overview_pyramid_is_stride_exact(spark):
+    """Every overview level must equal arr[::2^z, ::2^z] bit-exactly
+    (integer-stride subsampling, no interpolation)."""
+    tile = 32
+    arr = _src(13, 130, 190, nb=2)
+    gg = GridGeometry((0, 0, 189, 129), (1.0, 0.0, 5.0, 0.0, -1.0, 130.0), "EPSG:4326")
+    tiles = rt.raster_to_tiles(spark, arr, gg, tile_size=tile)
+    levels = rt.build_overviews(tiles, gg, 3, tile_size=tile)
+    for z, df, lgg in levels:
+        want = arr[:: 2**z, :: 2**z]
+        assert (lgg.height, lgg.width) == want.shape[:2]
+        got = rt.tiles_to_raster(df, lgg, tile_size=tile)
+        assert np.array_equal(got, want), f"level {z} differs"
+        # affine composes: level pixel 0 center maps like base pixel 0 scaled
+        assert lgg.affine[0] == 2.0**z and lgg.affine[4] == -(2.0**z)
+
+
 def test_gather_multiband_and_memory_bound(spark):
     """3-band source; a strong downscale makes each dst tile gather many src
     tiles — the per-group mosaic stays bounded by the dst tile's footprint."""
