@@ -320,7 +320,7 @@ h AS (
 bits AS (
   SELECT {id_col}, b.b, sum(((h >> b.b) & 1) * 2 - 1) AS sv
   FROM h, generate_series(0, 59) b(b) GROUP BY 1, 2)
-SELECT {id_col}, sum(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+SELECT {id_col}, CAST(sum(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY 1"""
 
 

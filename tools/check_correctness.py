@@ -44,10 +44,14 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
     if len(g) == len(e):
         for c in g.columns:
             gv, ev = g[c].to_numpy(), e[c].to_numpy()
-            if gv.dtype.kind == "f" or ev.dtype.kind == "f":
-                eq = (gv == ev) | (pd.isna(gv) & pd.isna(ev))
-            else:
-                eq = (gv == ev) | (pd.isna(gv) & pd.isna(ev))
+            kinds = {gv.dtype.kind, ev.dtype.kind}
+            if kinds & {"i", "u"} and "f" in kinds:
+                # int64-vs-float64: numpy would upcast BOTH to float64 and lose
+                # the low bits of 60-bit hashes (false green on e.g. simhash).
+                # Python int==float compares exactly, so go through objects.
+                gv = g[c].astype(object).to_numpy()
+                ev = e[c].astype(object).to_numpy()
+            eq = (gv == ev) | (pd.isna(gv) & pd.isna(ev))
             if not eq.all():
                 i = int(np.nonzero(~eq)[0][0])
                 problems.append(
