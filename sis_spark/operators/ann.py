@@ -130,6 +130,7 @@ def near_dup_pairs_exact(
 
 
 N_PLANES = 16
+PLANE_QUANT = 1 << 20  # hyperplane components floored to int at 2^20 scale
 
 
 def _hyperplanes(dim: int) -> np.ndarray:
@@ -216,3 +217,146 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("cand_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ------------------------------------------------- banded near-dup (scale path)
+#
+# Sign-random-projection banding with INTEGER hyperplanes so every stage —
+# quantization, dot-product sign, band key, final cosine — is exact integer
+# arithmetic, bit-identical between Spark (numpy int64 matmul) and the DuckDB
+# oracle (list arithmetic over the same inlined literal planes).  Candidate
+# generation is the single-pass bucket formulation proven by
+# dedup.lsh_candidates (reference parity: the same bucketed shape SIS uses
+# for its spatial index lookups, C/index/tree/QuadTree*.java) — no self-join,
+# no BroadcastNestedLoopJoin anywhere in the plan.
+
+def planes_int(dim: int) -> np.ndarray:
+    """Deterministic integer hyperplanes: floor(u * 2^20), u from _hyperplanes."""
+    return np.floor(_hyperplanes(dim) * PLANE_QUANT).astype(np.int64)
+
+
+def _band_keys_df(q: DataFrame, n_bands: int) -> DataFrame:
+    """(id, qv) -> (id, band, bkey): integer matmul signs grouped into bands.
+
+    Exact: |qv|<=3e7, |plane|<=2^20, dim<=64 -> |dot| < 2^62; sign of an int64
+    is deterministic across engines (ties broken by >= 0)."""
+    spark = q.sparkSession
+    dim = int(q.select(F.size("qv").alias("d")).first()["d"])
+    bcp = spark.sparkContext.broadcast(planes_int(dim))
+    bits_per_band = N_PLANES // n_bands
+
+    def keys(batches):
+        pl = bcp.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["qv"]), dtype=np.int64)
+            bits = (m @ pl.T) >= 0
+            out = []
+            for band in range(n_bands):
+                seg = bits[:, band * bits_per_band : (band + 1) * bits_per_band]
+                key = (seg * (1 << np.arange(bits_per_band, dtype=np.int64))).sum(axis=1)
+                out.append(pd.DataFrame({
+                    "id": pdf["id"].to_numpy(),
+                    "band": np.int32(band),
+                    "bkey": key.astype(np.int64),
+                }))
+            yield pd.concat(out)
+
+    return q.select("id", "qv").mapInPandas(keys, schema="id long, band int, bkey long")
+
+
+def near_dup_pairs_banded(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs: banded candidates -> exact quantized-cosine verify.
+
+    Output (a, b, qcos) for candidate pairs with qcos >= threshold.  This is
+    the 100-TB plan: one explode->groupBy bucket shuffle for candidates (no
+    all-pairs join), then two equi-joins for the verify.  Recall vs the exact
+    all-pairs baseline is < 1 (standard LSH; measured in pytest) — the oracle
+    replicates the identical banded semantics, so the gate checks bit-exact
+    agreement of the whole pipeline."""
+    q = (
+        vectors.select(F.col(id_col).alias("id"), quantize_col(F.col(vec_col)).alias("qv"))
+        .withColumn("nn", qnorm_col(F.col("qv")))
+    )
+    nparts = max(vectors.sparkSession.sparkContext.defaultParallelism, 8)
+    q = q.repartition(nparts, "id").persist()
+    bands = _band_keys_df(q, n_bands)
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    scored = (
+        cand.join(q.select(F.col("id").alias("a"), F.col("qv").alias("va"), F.col("nn").alias("na")), "a")
+        .join(q.select(F.col("id").alias("b"), F.col("qv").alias("vb"), F.col("nn").alias("nb")), "b")
+        .select(
+            "a", "b",
+            qcos_col(qdot_col(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")).alias("qcos"),
+        )
+    )
+    return scored.filter(F.col("qcos") >= threshold)
+
+
+def near_dup_banded_sql(
+    dim: int,
+    threshold: float,
+    rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 4,
+) -> str:
+    """DuckDB oracle replicating near_dup_pairs_banded bit-for-bit: the same
+    integer hyperplanes inlined as literals, the same >=0 sign rule, band
+    keys, candidate pairs, and quantized-cosine verify."""
+    P = planes_int(dim)
+    bits_per_band = N_PLANES // n_bands
+    plane_rows = ",\n    ".join(
+        f"({i}, [{', '.join(str(int(v)) for v in P[i])}])" for i in range(N_PLANES)
+    )
+    return f"""
+WITH planes(i, pl) AS (VALUES
+    {plane_rows}),
+qv AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+  FROM {rel}),
+n AS (
+  SELECT id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn FROM qv),
+bits AS (
+  SELECT q.id, p.i,
+         CASE WHEN CAST(list_sum(list_transform(list_zip(q.v, p.pl), x -> x[1] * x[2])) AS BIGINT) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM qv q, planes p),
+bands AS (
+  SELECT id, CAST(i // {bits_per_band} AS INT) AS band,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(i % {bits_per_band} AS INT))) AS BIGINT) AS bkey
+  FROM bits GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.id AS a, b.id AS b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
+SELECT c.a, c.b,
+       CAST(CAST(list_sum(list_transform(list_zip(x.v, y.v), z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
+         / sqrt(CAST(x.nn AS DOUBLE) * CAST(y.nn AS DOUBLE)) AS qcos
+FROM cand c JOIN n x ON x.id = c.a JOIN n y ON y.id = c.b
+WHERE CAST(CAST(list_sum(list_transform(list_zip(x.v, y.v), z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
+        / sqrt(CAST(x.nn AS DOUBLE) * CAST(y.nn AS DOUBLE)) >= {threshold}"""

@@ -860,29 +860,24 @@ WHERE rank <= {ANN_K} ORDER BY query_id, rank"""
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """All-pairs quantized-cosine near-duplicates (exact baseline; the LSH
-    variant is tested for recall in pytest)."""
-    from .operators.ann import near_dup_pairs_exact
+    """Banded near-duplicates (sign-random-projection candidates + exact
+    quantized-cosine verify) — the 100-TB plan: one bucket shuffle, two
+    equi-joins, no all-pairs join anywhere (asserted in test_plans.py).
+    Recall vs the exact all-pairs baseline is measured in pytest; the oracle
+    replicates the identical banded semantics bit-for-bit."""
+    from .operators.ann import near_dup_pairs_banded
 
     emb = _read(spark, sf_dir, "embeddings")
-    return near_dup_pairs_exact(emb, NEAR_DUP_THRESHOLD).select("a", "b", "qcos")
+    return near_dup_pairs_banded(emb, NEAR_DUP_THRESHOLD).select("a", "b", "qcos")
+
+
+EMB_DIM = 64
 
 
 def q_embedding_near_dup_oracle():
-    return f"""
-WITH qv AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
-  FROM embeddings),
-n AS (
-  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
-  FROM qv)
-SELECT a.vec_id AS a, b.vec_id AS b,
-       CAST(CAST(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
-         / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) AS qcos
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE CAST(CAST(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
-        / sqrt(CAST(a.nn AS DOUBLE) * CAST(b.nn AS DOUBLE)) >= {NEAR_DUP_THRESHOLD}"""
+    from .operators.ann import near_dup_banded_sql
+
+    return near_dup_banded_sql(EMB_DIM, NEAR_DUP_THRESHOLD)
 
 
 def q_label_centroid_sim(spark, sf_dir):

@@ -100,3 +100,15 @@ def test_feature_query_limit_not_global_sort(spark, sf_dir):
 
     plan = _plan(q_between_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_banded_near_dup_no_nested_loop_join(spark, sf_dir):
+    """The gated embedding_near_dup plan must contain no all-pairs join:
+    candidates come from one bucket shuffle, verify from equi-joins
+    (VERDICT r1 item 2 — the O(n^2) formulation lives only in the oracle)."""
+    from sis_spark.queries import q_embedding_near_dup
+
+    df = q_embedding_near_dup(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -115,3 +115,20 @@ def test_streaming_windowed_ingestion(spark, sf_dir):
     got = out.groupby("event_type")["n"].sum().sort_index()
     exp = batch.set_index("event_type")["n"].sort_index()
     pd.testing.assert_series_equal(got, exp, check_names=False)
+
+
+def test_banded_near_dup_subset_of_exact(spark, sf_dir):
+    """Banded pairs are exactly the exact pairs restricted to band-sharing
+    candidates: every banded pair appears in the all-pairs baseline with the
+    identical qcos, and recall is material (>0.3 at this threshold)."""
+    from sis_spark.operators.ann import near_dup_pairs_banded, near_dup_pairs_exact
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    thr = 0.35
+    exact = {(r.a, r.b): r.qcos for r in near_dup_pairs_exact(emb, thr).collect()}
+    banded = {(r.a, r.b): r.qcos for r in near_dup_pairs_banded(emb, thr).collect()}
+    assert set(banded) <= set(exact)
+    for k, v in banded.items():
+        assert v == exact[k]  # bit-identical quantized cosine
+    if exact:
+        assert len(banded) / len(exact) > 0.3
