@@ -206,6 +206,8 @@ def spatial_join(
     """
     spark = points.sparkSession
     polygons = normalize_polygons(polygons)  # holes + anti-meridian SPLIT
+    if not polygons:
+        return points.limit(0).withColumn(poly_key_col, F.lit(None).cast("long"))
     if res is None:
         res = choose_resolution(polygons)
         if interior_skip:
@@ -272,8 +274,6 @@ def spatial_join(
                             "inner",
                         ).drop("__salt")
                     )
-                if not parts:  # no polygons at all
-                    parts = [pts.join(cand_df, pts["__cell"] == cand_df["cell"], "inner")]
                 cand = parts[0]
                 for extra in parts[1:]:
                     cand = cand.unionByName(extra)
@@ -370,3 +370,188 @@ def hot_cells_with_counts(points: DataFrame, lon_col: str, lat_col: str, res: in
     hist = cell_histogram(points.sample(sample_fraction, seed=42), lon_col, lat_col, res)
     rows = hist.filter(F.col("n") >= threshold * sample_fraction).collect()
     return {int(r["cell"]): int(r["n"] / sample_fraction) for r in rows}
+
+
+# ----------------------------------------------- distributed polygon dimension
+#
+# spatial_join() holds the polygon set on the driver (fine for broadcastable
+# dims).  spatial_join_dist keeps the polygon side a DataFrame END TO END:
+# normalize, covering-cell generation, and classification all run as Arrow
+# stages on executors, so millions of polygons never materialize driver-side
+# (JoinFeatureSet's set-vs-set contract, S/aggregate/JoinFeatureSet.java:74).
+# Boundary ("unsure") covering cells carry their part's WKB through the cell
+# equi-join; interior cells carry NULL and skip the refine entirely.
+
+def _choose_res_dist(parts: DataFrame) -> int:
+    """choose_resolution over a distributed parts table: approximate median
+    part diameter via one tiny percentile_approx aggregate."""
+    row = parts.select(
+        F.percentile_approx(
+            F.greatest(F.col("xmax") - F.col("xmin"), (F.col("ymax") - F.col("ymin")) * 2.0),
+            F.lit(0.5),
+        ).alias("med")
+    ).first()
+    med = float(row["med"] or 1.0) or 1.0
+    return max(1, min(int(math.floor(math.log2(360.0 / med))), 14))
+
+
+def polygon_parts_df(polygons_df: DataFrame, key_col: str = "key", wkb_col: str = "wkb") -> DataFrame:
+    """(key, wkb) polygon table -> normalized parts table
+    (key, wkb, xmin, ymin, xmax, ymax): anti-meridian SPLIT, MultiPolygon
+    member expansion, holes preserved — the distributed analog of
+    normalize_polygons (BinaryGeometryFilter.optimize plan normalization)."""
+    from ..functions import geometry as geo
+    from ..sources import polygons_from_wkb
+
+    def norm(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parts = normalize_polygons(
+                polygons_from_wkb(zip(pdf[key_col].tolist(), pdf[wkb_col].tolist()))
+            )
+            yield pd.DataFrame({
+                "key": np.array([p["key"] for p in parts], dtype=np.int64),
+                "wkb": [bytes(geo.wkb_polygon(p["rings"])) for p in parts],
+                "xmin": np.array([p["xmin"] for p in parts]),
+                "ymin": np.array([p["ymin"] for p in parts]),
+                "xmax": np.array([p["xmax"] for p in parts]),
+                "ymax": np.array([p["ymax"] for p in parts]),
+            })
+
+    return polygons_df.select(F.col(key_col), F.col(wkb_col)).mapInPandas(
+        norm, schema="key long, wkb binary, xmin double, ymin double, xmax double, ymax double"
+    )
+
+
+def polygon_cells_df(parts: DataFrame, res: int, classify: bool = True) -> DataFrame:
+    """Distributed covering table: one row per (covering cell, part), with the
+    part envelope for the codegen prune, ``sure`` for provably-interior cells,
+    and the part WKB on NON-sure rows only (interior matches never pay the
+    geometry transfer).  Same classification as polygon_cells."""
+    from ..sources import polygons_from_wkb
+
+    n = 1 << res
+    cw, ch = 360.0 / n, 180.0 / n
+
+    def cover(batches):
+        for pdf in batches:
+            for key, wkb, xmin, ymin, xmax, ymax in zip(
+                pdf["key"], pdf["wkb"], pdf["xmin"], pdf["ymin"], pdf["xmax"], pdf["ymax"]
+            ):
+                cov = _cells.covering_cells(xmin, ymin, xmax, ymax, res)
+                m = len(cov)
+                if m == 0:
+                    continue
+                if classify:
+                    (part,) = polygons_from_wkb([(key, wkb)])
+                    rings = [(part["vx"], part["vy"])] + list(part["holes"])
+                    ix, iy = _cells.cell_to_ixiy(cov, res)
+                    x0 = ix.astype(np.float64) * cw - 180.0
+                    y0 = iy.astype(np.float64) * ch - 90.0
+                    x1, y1 = x0 + cw, y0 + ch
+                    corners_in = np.ones(m, dtype=bool)
+                    for cx, cy in ((x0, y0), (x1, y0), (x0, y1), (x1, y1)):
+                        acc = np.zeros(m, dtype=np.int64)
+                        for vx, vy in rings:
+                            acc += _geo.points_in_polygon(cx, cy, vx, vy).astype(np.int64)
+                        corners_in &= (acc % 2).astype(bool)
+                    hit = np.zeros(m, dtype=bool)
+                    for vx, vy in rings:
+                        wx, wy = np.roll(vx, -1), np.roll(vy, -1)
+                        hit |= _geo.segments_intersect_rects(vx, vy, wx, wy, x0, y0, x1, y1)
+                    sure = corners_in & ~hit
+                else:
+                    sure = np.zeros(m, dtype=bool)
+                yield pd.DataFrame({
+                    "cell": cov,
+                    "pkey": np.full(m, key, dtype=np.int64),
+                    "e_xmin": np.full(m, xmin),
+                    "e_ymin": np.full(m, ymin),
+                    "e_xmax": np.full(m, xmax),
+                    "e_ymax": np.full(m, ymax),
+                    "sure": sure,
+                    "pwkb": [None if s else bytes(wkb) for s in sure],
+                })
+
+    return parts.mapInPandas(
+        cover,
+        schema="cell long, pkey long, e_xmin double, e_ymin double, "
+               "e_xmax double, e_ymax double, sure boolean, pwkb binary",
+    )
+
+
+def spatial_join_dist(
+    points: DataFrame,
+    polygons_df: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int | None = None,
+    poly_key_col: str = "poly_key",
+    key_col: str = "key",
+    wkb_col: str = "wkb",
+    interior_skip: bool = True,
+) -> DataFrame:
+    """Point-in-polygon join with a DataFrame polygon side (never collected).
+
+    Same two-phase semantics and output as spatial_join: one row per
+    (point row, containing polygon key).  The covering table joins on cell
+    as a plain equi-join (AQE broadcasts it when small, shuffles + skew-splits
+    it when not); the PIP refine parses each candidate's own part WKB inside
+    the Arrow batch, grouped by geometry so each part is decoded once per
+    batch."""
+    spark = points.sparkSession
+    parts = polygon_parts_df(polygons_df, key_col, wkb_col).persist()
+    if res is None:
+        res = _choose_res_dist(parts)
+        if interior_skip:
+            res = min(res + 3, 14)
+    cov = polygon_cells_df(parts, res, classify=interior_skip)
+
+    par = spark.sparkContext.defaultParallelism
+    if points.rdd.getNumPartitions() < max(2, par // 2):
+        points = points.repartition(par)
+    pts = points.withColumn("__cell", cell_col(F.col(lon_col), F.col(lat_col), res))
+
+    cand = pts.join(cov, pts["__cell"] == cov["cell"], "inner")
+    env_ok = (
+        (F.col(lon_col) >= F.col("e_xmin")) & (F.col(lon_col) <= F.col("e_xmax"))
+        & (F.col(lat_col) >= F.col("e_ymin")) & (F.col(lat_col) <= F.col("e_ymax"))
+    )
+    drop_cols = ["cell", "__cell", "e_xmin", "e_ymin", "e_xmax", "e_ymax", "sure", "pwkb"]
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.BooleanType())
+    def pip_ok_wkb(lon_s: pd.Series, lat_s: pd.Series, wkb_s: pd.Series) -> pd.Series:
+        from ..functions import geometry as geo
+
+        px = lon_s.to_numpy(dtype=np.float64)
+        py = lat_s.to_numpy(dtype=np.float64)
+        out = np.zeros(len(px), dtype=bool)
+        # group rows by geometry: each part decoded once per Arrow batch
+        grp: dict[bytes, list[int]] = {}
+        for i, b in enumerate(wkb_s):
+            grp.setdefault(bytes(b), []).append(i)
+        for buf, idxs in grp.items():
+            _, rings = geo.wkb_parse(buf)
+            ii = np.asarray(idxs, dtype=np.int64)
+            acc = np.zeros(len(ii), dtype=np.int64)
+            for vx, vy in rings:
+                if len(vx) >= 2 and vx[0] == vx[-1] and vy[0] == vy[-1]:
+                    vx, vy = vx[:-1], vy[:-1]  # open the ring (implicit close)
+                acc += geo.points_in_polygon(px[ii], py[ii], vx, vy).astype(np.int64)
+            out[ii] = (acc % 2).astype(bool)
+        return pd.Series(out)
+
+    if interior_skip:
+        sure_rows = cand.filter(F.col("sure")).drop(*drop_cols)
+        unsure = cand.filter(~F.col("sure")).filter(env_ok)
+        refined = sure_rows.unionByName(
+            unsure.filter(pip_ok_wkb(F.col(lon_col), F.col(lat_col), F.col("pwkb"))).drop(*drop_cols)
+        )
+    else:
+        refined = cand.filter(env_ok).filter(
+            pip_ok_wkb(F.col(lon_col), F.col(lat_col), F.col("pwkb"))
+        ).drop(*drop_cols)
+    return refined.withColumnRenamed("pkey", poly_key_col)

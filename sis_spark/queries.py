@@ -167,6 +167,39 @@ def q_spatial_join_auto_salt(spark, sf_dir):
     )
 
 
+def q_spatial_join_dist(spark, sf_dir):
+    """Same join with the polygon side a DATAFRAME end to end: the WKB
+    dimension table is generated executor-side (mapInPandas over supplier
+    keys), normalized, covered, and joined without ever landing on the
+    driver — the non-broadcastable-dimension plan (VERDICT r1 item 3).
+    Same oracle as every other strategy."""
+    import pandas as _pd
+
+    from .functions import geometry as _geo
+    from .operators.spatial_join import spatial_join_dist
+
+    def mk_wkb(batches):
+        for pdf in batches:
+            keys = pdf["s_suppkey"].to_numpy()
+            yield _pd.DataFrame({
+                "key": keys,
+                "wkb": [
+                    bytes(_geo.wkb_polygon([synth.polygon_vertices_np(int(k))]))
+                    for k in keys
+                ],
+            })
+
+    polys_df = (
+        _read(spark, sf_dir, "supplier")
+        .select("s_suppkey")
+        .mapInPandas(mk_wkb, schema="key long, wkb binary")
+    )
+    pts = _events_points(spark, sf_dir)
+    return spatial_join_dist(pts, polys_df, "lon", "lat").select(
+        F.col("event_id").alias("pid"), "poly_key"
+    )
+
+
 def q_knn(spark, sf_dir):
     """kNN join: 25 query points x events, k=5, haversine, deterministic ties."""
     cand = _events_points(spark, sf_dir).withColumnRenamed("event_id", "cand_id")
@@ -972,6 +1005,7 @@ QUERIES = {
     "spatial_join_agg": (q_spatial_join_agg, q_spatial_join_agg_oracle),
     "spatial_join_salted": (q_spatial_join_salted, q_spatial_join_oracle),
     "spatial_join_auto_salt": (q_spatial_join_auto_salt, q_spatial_join_oracle),
+    "spatial_join_dist": (q_spatial_join_dist, q_spatial_join_oracle),
     "knn": (q_knn, q_knn_oracle),
     "knn_cells": (q_knn_cells, q_knn_oracle),
     "bbox_filter": (q_bbox_filter, q_bbox_filter_oracle),
