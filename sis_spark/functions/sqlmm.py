@@ -19,7 +19,9 @@ Implemented (SQLMM.java enum line in parens):
                   ST_Simplify(:753, Douglas-Peucker)
     predicates    ST_Intersects/Contains/Within for point-vs-polygon via the
                   ray-cast kernel (:199,:243,:232); envelope interaction for
-                  bbox (BinarySpatialFilter.java:43)
+                  bbox (BinarySpatialFilter.java:43); polygon-vs-polygon
+                  DE-9IM pairs (Intersects/Contains/Within/Overlaps/Equals/
+                  Disjoint/Relate) in functions/relate.py
     CRS           ST_Transform(:76) for EPSG:4326 <-> EPSG:3857
                   (transforms.mercator_forward/inverse)
 

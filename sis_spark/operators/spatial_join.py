@@ -555,3 +555,93 @@ def spatial_join_dist(
             pip_ok_wkb(F.col(lon_col), F.col(lat_col), F.col("pwkb"))
         ).drop(*drop_cols)
     return refined.withColumnRenamed("pkey", poly_key_col)
+
+
+# ------------------------------------------------- polygon-vs-polygon pair join
+#
+# Arbitrary-pair spatial predicates (BinarySpatialFilter.java:43 dispatching
+# to GeometryWrapper.predicate:287) need a polygon-polygon JOIN at engine
+# level.  Same covering-cell bucket shape as the point join: candidates are
+# key pairs sharing a covering cell (complete: two intersecting envelopes
+# share the cell containing any common point), envelope-pruned in codegen,
+# then refined by the DE-9IM kernel (functions/relate.py) over WKB pairs.
+
+def polygon_pair_join(
+    polygons_df: DataFrame,
+    res: int | None = None,
+    key_col: str = "key",
+    wkb_col: str = "wkb",
+) -> DataFrame:
+    """Self-join of a polygon table on spatial intersection.
+
+    Output: (a, b, contains_ab, contains_ba) for every pair a < b whose
+    polygons intersect (general-position model, functions/relate.py).
+    Assumes one part per key (no MultiPolygon / anti-meridian operands —
+    those need union-level predicate semantics the general-position model
+    does not define)."""
+    from ..functions.relate import relate_polygons_wkb
+
+    parts = polygon_parts_df(polygons_df, key_col, wkb_col).persist()
+    if res is None:
+        res = _choose_res_dist(parts)
+    cov = polygon_cells_df(parts, res, classify=False).select("cell", "pkey")
+    pairs = (
+        cov.groupBy("cell")
+        .agg(F.collect_set("pkey").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    pa = parts.select(
+        F.col("key").alias("a"), F.col("wkb").alias("wkb_a"),
+        F.col("xmin").alias("axmin"), F.col("ymin").alias("aymin"),
+        F.col("xmax").alias("axmax"), F.col("ymax").alias("aymax"),
+    )
+    pb = parts.select(
+        F.col("key").alias("b"), F.col("wkb").alias("wkb_b"),
+        F.col("xmin").alias("bxmin"), F.col("ymin").alias("bymin"),
+        F.col("xmax").alias("bxmax"), F.col("ymax").alias("bymax"),
+    )
+    cand = (
+        pairs.join(pa, "a").join(pb, "b")
+        # exact envelope prune in codegen before any Python
+        .filter(
+            (F.col("axmin") <= F.col("bxmax")) & (F.col("bxmin") <= F.col("axmax"))
+            & (F.col("aymin") <= F.col("bymax")) & (F.col("bymin") <= F.col("aymax"))
+        )
+    )
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(
+        T.StructType([
+            T.StructField("intersects", T.BooleanType()),
+            T.StructField("contains_ab", T.BooleanType()),
+            T.StructField("contains_ba", T.BooleanType()),
+        ])
+    )
+    def rel(a_s: pd.Series, b_s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for a, b in zip(a_s, b_s):
+            p = relate_polygons_wkb(bytes(a), bytes(b))
+            rows.append((p["intersects"], p["contains"], p["within"]))
+        return pd.DataFrame(rows, columns=["intersects", "contains_ab", "contains_ba"])
+
+    out = cand.withColumn("r", rel(F.col("wkb_a"), F.col("wkb_b")))
+    return (
+        out.filter(F.col("r.intersects"))
+        .select(
+            "a", "b",
+            F.col("r.contains_ab").alias("contains_ab"),
+            F.col("r.contains_ba").alias("contains_ba"),
+        )
+    )

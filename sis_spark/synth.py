@@ -257,3 +257,63 @@ GROUP BY p.pid, e.key
 HAVING (count(*) % 2) = 1
 ORDER BY p.pid, poly_key
 """
+
+
+def polygon_pair_oracle_sql(supplier_rel: str = "supplier", key: str = "s_suppkey") -> str:
+    """DuckDB oracle for the polygon-vs-polygon pair join: envelope-overlap
+    candidates, proper-crossing detection (orientation sign products, the
+    exact FP expression order of relate.any_proper_cross), strict even-odd
+    vertex containment (the points_in_polygon expression), and the same
+    general-position predicate derivations as relate.predicates_from_flags.
+    Output (a, b, contains_ab, contains_ba) for intersecting pairs a < b."""
+    return f"""
+WITH {polygon_vertices_sql(supplier_rel, key)},
+env AS (
+  SELECT key, min(vx) AS xmin, min(vy) AS ymin, max(vx) AS xmax, max(vy) AS ymax
+  FROM verts GROUP BY 1),
+cand AS (
+  SELECT ea.key AS a, eb.key AS b
+  FROM env ea JOIN env eb
+    ON ea.key < eb.key
+   AND ea.xmin <= eb.xmax AND eb.xmin <= ea.xmax
+   AND ea.ymin <= eb.ymax AND eb.ymin <= ea.ymax),
+crossings AS (
+  SELECT c.a, c.b, count(*) AS nx
+  FROM cand c
+  JOIN edges ea ON ea.key = c.a
+  JOIN edges eb ON eb.key = c.b
+  WHERE (((ea.wx - ea.vx) * (eb.vy - ea.vy) - (ea.wy - ea.vy) * (eb.vx - ea.vx))
+       * ((ea.wx - ea.vx) * (eb.wy - ea.vy) - (ea.wy - ea.vy) * (eb.wx - ea.vx)) < 0)
+    AND (((eb.wx - eb.vx) * (ea.vy - eb.vy) - (eb.wy - eb.vy) * (ea.vx - eb.vx))
+       * ((eb.wx - eb.vx) * (ea.wy - eb.vy) - (eb.wy - eb.vy) * (ea.wx - eb.vx)) < 0)
+  GROUP BY 1, 2),
+ain AS (
+  SELECT c.a, c.b, v.k,
+         (sum(CASE WHEN ((e.vy > v.vy) <> (e.wy > v.vy))
+                    AND (v.vx < (e.wx - e.vx) * (v.vy - e.vy) / (e.wy - e.vy) + e.vx)
+              THEN 1 ELSE 0 END) % 2) = 1 AS inside
+  FROM cand c JOIN verts v ON v.key = c.a JOIN edges e ON e.key = c.b
+  GROUP BY c.a, c.b, v.k),
+a_in AS (SELECT a, b, bool_or(inside) AS any_ab, bool_and(inside) AS all_ab FROM ain GROUP BY 1, 2),
+bin AS (
+  SELECT c.a, c.b, v.k,
+         (sum(CASE WHEN ((e.vy > v.vy) <> (e.wy > v.vy))
+                    AND (v.vx < (e.wx - e.vx) * (v.vy - e.vy) / (e.wy - e.vy) + e.vx)
+              THEN 1 ELSE 0 END) % 2) = 1 AS inside
+  FROM cand c JOIN verts v ON v.key = c.b JOIN edges e ON e.key = c.a
+  GROUP BY c.a, c.b, v.k),
+b_in AS (SELECT a, b, bool_or(inside) AS any_ba, bool_and(inside) AS all_ba FROM bin GROUP BY 1, 2),
+flags AS (
+  SELECT c.a, c.b,
+         coalesce(x.nx, 0) > 0 AS crossed,
+         ai.any_ab, ai.all_ab, bi.any_ba, bi.all_ba
+  FROM cand c
+  LEFT JOIN crossings x ON x.a = c.a AND x.b = c.b
+  JOIN a_in ai ON ai.a = c.a AND ai.b = c.b
+  JOIN b_in bi ON bi.a = c.a AND bi.b = c.b)
+SELECT a, b,
+       (NOT crossed AND all_ba) AS contains_ab,
+       (NOT crossed AND all_ab) AS contains_ba
+FROM flags
+WHERE crossed OR any_ab OR any_ba
+ORDER BY a, b"""
