@@ -682,6 +682,75 @@ GROUP BY p.event_id
 HAVING (count(*) % 2) = 1"""
 
 
+def q_st_lines(spark, sf_dir):
+    """LineString construct + accessors (SQLMM.java:365-434): polylines are
+    assembled per group from ordered event points (ST_LineString from
+    coordinate arrays), then ST_NumPoints / ST_StartPoint / ST_EndPoint /
+    ST_IsClosed / quantized ST_Length read them back from WKB.  The
+    quantized length (per-segment floor at 1e7, int64 sum) is aggregation-
+    order-independent, hence bit-identical to the SQL oracle."""
+    from .functions.sqlmm import (
+        st_endpoint_udf,
+        st_isclosed_udf,
+        st_length_q_udf,
+        st_linestring_udf,
+        st_numpoints_udf,
+        st_startpoint_udf,
+        st_x_udf,
+        st_y_udf,
+    )
+
+    pts = _events_points(spark, sf_dir)
+    g = (
+        pts.withColumn("gid", F.col("event_id") % 50)
+        .groupBy("gid")
+        .agg(F.sort_array(F.collect_list(F.struct("event_id", "lon", "lat"))).alias("s"))
+        .select(
+            "gid",
+            F.transform("s", lambda r: r["lon"]).alias("xs"),
+            F.transform("s", lambda r: r["lat"]).alias("ys"),
+        )
+    )
+    line = g.select("gid", st_linestring_udf()(F.col("xs"), F.col("ys")).alias("wkb"))
+    sp = st_startpoint_udf()(F.col("wkb"))
+    ep = st_endpoint_udf()(F.col("wkb"))
+    return line.select(
+        "gid",
+        st_numpoints_udf()(F.col("wkb")).cast("long").alias("npts"),
+        st_x_udf()(sp).alias("sx"),
+        st_y_udf()(sp).alias("sy"),
+        st_x_udf()(ep).alias("ex"),
+        st_y_udf()(ep).alias("ey"),
+        st_isclosed_udf()(F.col("wkb")).alias("closed"),
+        st_length_q_udf()(F.col("wkb")).alias("qlen"),
+    )
+
+
+def q_st_lines_oracle():
+    return f"""
+WITH pts AS ({_points_sql()}),
+g AS (SELECT event_id % 50 AS gid, event_id, lon, lat FROM pts),
+base AS (
+  SELECT gid, count(*) AS npts,
+         arg_min(lon, event_id) AS sx, arg_min(lat, event_id) AS sy,
+         arg_max(lon, event_id) AS ex, arg_max(lat, event_id) AS ey
+  FROM g GROUP BY 1),
+seg AS (
+  SELECT gid, lon, lat,
+         lead(lon) OVER (PARTITION BY gid ORDER BY event_id) AS nlon,
+         lead(lat) OVER (PARTITION BY gid ORDER BY event_id) AS nlat
+  FROM g),
+ln AS (
+  SELECT gid,
+         sum(CAST(floor(sqrt((nlon - lon) * (nlon - lon) + (nlat - lat) * (nlat - lat))
+                        * 10000000.0) AS BIGINT)) AS qlen
+  FROM seg WHERE nlon IS NOT NULL GROUP BY 1)
+SELECT b.gid, b.npts, b.sx, b.sy, b.ex, b.ey,
+       (b.sx = b.ex AND b.sy = b.ey) AS closed,
+       CAST(l.qlen AS BIGINT) AS qlen
+FROM base b JOIN ln l ON l.gid = b.gid ORDER BY b.gid"""
+
+
 def q_halfplane_clip(spark, sf_dir):
     """ST_Intersection with a halfplane (binary constructive op family,
     SQLMM.java:135 ST_Intersection): each supplier polygon is clipped to
@@ -1057,6 +1126,7 @@ QUERIES = {
     "geohash_counts": (q_geohash_counts, q_geohash_counts_oracle),
     "st_measures": (q_st_measures, q_st_measures_oracle),
     "st_accessors": (q_st_accessors, q_st_accessors_oracle),
+    "st_lines": (q_st_lines, q_st_lines_oracle),
     "st_contains": (q_st_contains, q_st_contains_oracle),
     "halfplane_clip": (q_halfplane_clip, q_halfplane_clip_oracle),
     "utm_zones": (q_utm_zones, q_utm_zones_oracle),

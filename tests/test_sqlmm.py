@@ -86,3 +86,105 @@ def test_padded_pip_equals_plain():
         sel = gi == i
         exp = geo.points_in_polygon(px[sel], py[sel], polys_vx[i], polys_vy[i])
         assert np.array_equal(got[sel], exp), f"poly {i}"
+
+
+# ---------------------------------------------------------- LineString family (r2)
+
+def test_linestring_accessors(spark):
+    import pandas as pd
+
+    from sis_spark.functions import geometry as geo
+    from sis_spark.functions.sqlmm import (
+        st_cast_udf,
+        st_coorddim_udf,
+        st_dimension_udf,
+        st_endpoint_udf,
+        st_exteriorring_udf,
+        st_geometryn_udf,
+        st_interiorringn_udf,
+        st_isclosed_udf,
+        st_isring_udf,
+        st_length_udf,
+        st_numgeometries_udf,
+        st_numinteriorrings_udf,
+        st_numpoints_udf,
+        st_pointn_udf,
+        st_srid_udf,
+        st_startpoint_udf,
+        st_x_udf,
+        st_y_udf,
+    )
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    line = geo.wkb_linestring(np.array([0.0, 3.0, 3.0]), np.array([0.0, 0.0, 4.0]))
+    ring = geo.wkb_linestring(np.array([0.0, 1.0, 1.0, 0.0, 0.0]),
+                              np.array([0.0, 0.0, 1.0, 1.0, 0.0]))
+    bow = geo.wkb_linestring(np.array([0.0, 1.0, 1.0, 0.0, 0.0]),
+                             np.array([0.0, 1.0, 0.0, 1.0, 0.0]))  # self-crossing, closed
+    poly = geo.wkb_polygon([
+        (np.array([0.0, 10.0, 10.0, 0.0]), np.array([0.0, 0.0, 10.0, 10.0])),
+        (np.array([2.0, 4.0, 4.0, 2.0]), np.array([2.0, 2.0, 4.0, 4.0])),
+    ])
+    mls = geo.wkb_multilinestring([
+        (np.array([0.0, 1.0]), np.array([0.0, 0.0])),
+        (np.array([0.0, 0.0]), np.array([0.0, 2.0])),
+    ])
+    df = spark.createDataFrame(
+        pd.DataFrame({"name": ["line", "ring", "bow", "poly", "mls"],
+                      "wkb": [line, ring, bow, poly, mls]}),
+        schema="name string, wkb binary",
+    )
+    r = {
+        row["name"]: row
+        for row in df.select(
+            "name",
+            st_numpoints_udf()(F.col("wkb")).alias("np"),
+            st_dimension_udf()(F.col("wkb")).alias("dim"),
+            st_coorddim_udf()(F.col("wkb")).alias("cd"),
+            st_srid_udf()(F.col("wkb")).alias("srid"),
+            st_numgeometries_udf()(F.col("wkb")).alias("ng"),
+        ).collect()
+    }
+    assert r["line"]["np"] == 3 and r["line"]["dim"] == 1
+    assert r["poly"]["np"] == 5 and r["poly"]["dim"] == 2  # closed outer ring
+    assert r["mls"]["np"] == 4 and r["mls"]["dim"] == 1 and r["mls"]["ng"] == 2
+    assert all(v["cd"] == 2 and v["srid"] == 4326 for v in r.values())
+
+    lines = df.filter(F.col("name").isin(["line", "ring", "bow"]))
+    r2 = {
+        row["name"]: row
+        for row in lines.select(
+            "name",
+            st_x_udf()(st_startpoint_udf()(F.col("wkb"))).alias("sx"),
+            st_y_udf()(st_endpoint_udf()(F.col("wkb"))).alias("ey"),
+            st_isclosed_udf()(F.col("wkb")).alias("closed"),
+            st_isring_udf()(F.col("wkb")).alias("ring"),
+            st_length_udf()(F.col("wkb")).alias("len"),
+            st_x_udf()(st_pointn_udf()(F.col("wkb"), F.lit(2))).alias("p2x"),
+        ).collect()
+    }
+    assert r2["line"]["sx"] == 0.0 and r2["line"]["ey"] == 4.0
+    assert not r2["line"]["closed"] and not r2["line"]["ring"]
+    assert r2["line"]["len"] == 7.0 and r2["line"]["p2x"] == 3.0
+    assert r2["ring"]["closed"] and r2["ring"]["ring"]
+    assert r2["bow"]["closed"] and not r2["bow"]["ring"]  # self-crossing
+
+    # polygon ring accessors
+    r3 = df.filter(F.col("name") == "poly").select(
+        st_numinteriorrings_udf()(F.col("wkb")).alias("nir"),
+        st_isring_udf()(st_exteriorring_udf()(F.col("wkb"))).alias("ext_ring"),
+        st_numpoints_udf()(st_interiorringn_udf()(F.col("wkb"), F.lit(1))).alias("h1"),
+    ).first()
+    assert r3["nir"] == 1 and r3["ext_ring"] and r3["h1"] == 5  # closed hole ring
+
+    # casts: matching type passes through, mismatch -> NULL
+    r4 = df.select(
+        "name",
+        st_cast_udf("ST_ToLineString")(F.col("wkb")).alias("as_line"),
+        st_geometryn_udf()(F.col("wkb"), F.lit(2)).alias("g2"),
+    ).collect()
+    by = {row["name"]: row for row in r4}
+    assert by["line"]["as_line"] is not None and by["poly"]["as_line"] is None
+    assert by["mls"]["g2"] is not None and by["line"]["g2"] is None
