@@ -125,3 +125,27 @@ def concat_feature_sets(*dfs: DataFrame) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def multi_comparison(arr: Column, op: str, right: Column, match_action: str = "ANY",
+                     nan_safe: bool = False) -> Column:
+    """MatchAction semantics for multi-valued attributes
+    (F/filter/ComparisonFilter.java:79-82 evaluate(Iterable), MatchAction
+    enum ANY/ALL/ONE per the Filter Encoding spec):
+
+    * ANY — some element satisfies the comparison (Spark ``exists``),
+    * ALL — every element does (``forall``; true for an empty collection,
+      matching the reference's vacuous-truth loop :421-431),
+    * ONE — exactly one element does (size of ``filter`` == 1).
+
+    A NULL array yields NULL (false under WHERE), matching the null-operand
+    rule of scalar comparisons."""
+    pred = lambda x: comparison(x, op, right, nan_safe)  # noqa: E731
+    ma = match_action.upper()
+    if ma == "ANY":
+        return F.exists(arr, pred)
+    if ma == "ALL":
+        return F.forall(arr, pred)
+    if ma == "ONE":
+        return F.size(F.filter(arr, pred)) == 1
+    raise ValueError(f"unknown MatchAction {match_action!r}")

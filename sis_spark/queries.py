@@ -682,6 +682,34 @@ GROUP BY p.event_id
 HAVING (count(*) % 2) = 1"""
 
 
+def q_match_action(spark, sf_dir):
+    """MatchAction ANY/ALL/ONE over a multi-valued attribute
+    (ComparisonFilter.java:79-82,421-431): per-order quantity arrays,
+    compared element-wise with the three aggregation semantics as pure
+    higher-order Column functions (exists/forall/filter — codegen, no
+    Python)."""
+    from .operators.query import multi_comparison
+
+    li = _read(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(F.collect_list("l_quantity").alias("qs"))
+    thr = F.lit(45.0)
+    return g.select(
+        "l_orderkey",
+        multi_comparison(F.col("qs"), ">", thr, "ANY").alias("any45"),
+        multi_comparison(F.col("qs"), ">", thr, "ALL").alias("all45"),
+        multi_comparison(F.col("qs"), ">", thr, "ONE").alias("one45"),
+    )
+
+
+def q_match_action_oracle():
+    return """
+SELECT l_orderkey,
+       bool_or(l_quantity > 45.0) AS any45,
+       bool_and(l_quantity > 45.0) AS all45,
+       (count(*) FILTER (WHERE l_quantity > 45.0)) = 1 AS one45
+FROM lineitem GROUP BY 1 ORDER BY 1"""
+
+
 def q_st_lines(spark, sf_dir):
     """LineString construct + accessors (SQLMM.java:365-434): polylines are
     assembled per group from ordered event points (ST_LineString from
@@ -1127,6 +1155,7 @@ QUERIES = {
     "st_measures": (q_st_measures, q_st_measures_oracle),
     "st_accessors": (q_st_accessors, q_st_accessors_oracle),
     "st_lines": (q_st_lines, q_st_lines_oracle),
+    "match_action": (q_match_action, q_match_action_oracle),
     "st_contains": (q_st_contains, q_st_contains_oracle),
     "halfplane_clip": (q_halfplane_clip, q_halfplane_clip_oracle),
     "utm_zones": (q_utm_zones, q_utm_zones_oracle),

@@ -58,3 +58,39 @@ def test_csv_store_roundtrip(spark, sf_dir, tmp_path):
     a = ev.orderBy("event_id").toPandas()
     b = back.orderBy("event_id").toPandas().astype(a.dtypes.to_dict())
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_match_action_truth_table(spark):
+    """MatchAction ANY/ALL/ONE incl. empty array (vacuous ALL), NULL array,
+    and NaN elements (ComparisonFilter.java:421-431)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sis_spark.operators.query import multi_comparison
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "id": [1, 2, 3, 4],
+            "xs": [[1.0, 5.0], [5.0, 6.0], [], None],
+        }),
+        schema="id long, xs array<double>",
+    ).unionByName(
+        # a REAL NaN element (pandas conversion would turn it into NULL)
+        spark.sql("SELECT CAST(5 AS LONG) AS id, array(CAST('NaN' AS DOUBLE), 5.0D) AS xs")
+    )
+    got = {
+        r["id"]: (r["a"], r["l"], r["o"])
+        for r in df.select(
+            "id",
+            multi_comparison(F.col("xs"), ">", F.lit(2.0), "ANY", nan_safe=True).alias("a"),
+            multi_comparison(F.col("xs"), ">", F.lit(2.0), "ALL", nan_safe=True).alias("l"),
+            multi_comparison(F.col("xs"), ">", F.lit(2.0), "ONE", nan_safe=True).alias("o"),
+        ).collect()
+    }
+    assert got[1] == (True, False, True)    # one of two matches
+    assert got[2] == (True, True, False)    # both match
+    assert got[3] == (False, True, False)   # empty: vacuous ALL
+    assert got[4] == (None, None, None)     # NULL array -> NULL (false in WHERE)
+    # NaN element: comparison FALSE for that element (SIS NaN rule), so
+    # ANY/ONE see only the 5.0 and ALL fails on the NaN
+    assert got[5] == (True, False, True)
