@@ -197,7 +197,13 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.25,
     dedup-insensitive), and exact verification only ever materializes the
     shingle sets of docs that appear in some candidate pair (left_semi
     prune BEFORE the distinct) — at scale the candidate set is a tiny
-    fraction of the corpus, so the big distinct shuffle shrinks with it."""
+    fraction of the corpus, so the big distinct shuffle shrinks with it.
+
+    Cache lifecycle: the candidate table stays persisted for the session
+    (it is tiny by construction and the returned plan references it
+    lazily — an eager unpersist would recompute the signature pipeline
+    for every consumer).  Callers running MANY corpora in one session can
+    reclaim the blocks with ``spark.catalog.clearCache()``."""
     docs = _parallelize_scan(docs)
     sigs = minhash_signatures(docs, n, text_col, id_col)
     # the candidate plan feeds three consumers (ids for the semi-prune, and

@@ -109,12 +109,16 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     for b in range(n_bands):
         lo = b * width
         hi = 64 if b == n_bands - 1 else lo + width
-        mask = (1 << (hi - lo)) - 1
+        if hi - lo >= 64:  # max_hamming=0: the single band IS the hash
+            bits = F.col("phash")  # (1<<64)-1 would overflow LongType
+        else:
+            mask = (1 << (hi - lo)) - 1
+            bits = F.shiftright(F.col("phash"), lo).bitwiseAND(F.lit(mask))
         bands.append(
             img.select(
                 "image_id", "phash",
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("phash"), lo).bitwiseAND(F.lit(mask)).alias("bits"),
+                bits.alias("bits"),
             )
         )
     banded = bands[0]

@@ -52,6 +52,12 @@ def marching_squares(arr: np.ndarray, level: float):
     br = v11 >= level
     bl = v01 >= level
     idx = tl.astype(np.int64) + 2 * tr + 4 * br + 8 * bl
+    # a cell with any NaN corner (no-data / missing neighbor tile in the
+    # halo) emits NOTHING: NaN compares as below-level, which would
+    # otherwise fabricate contour segments along absent-tile boundaries
+    # (ADVICE r1 item 4)
+    nan_cell = np.isnan(v00) | np.isnan(v10) | np.isnan(v01) | np.isnan(v11)
+    idx[nan_cell] = 0
 
     gy, gx = np.mgrid[0 : h - 1, 0 : w - 1]
     gx = gx.astype(np.float64)

@@ -110,3 +110,19 @@ def test_unknown_codec_raises(spark):
 
     with pytest.raises(NotImplementedError, match="register_audio_decoder"):
         _decode_audio(b"", "mp3")
+
+
+def test_phash_near_dups_zero_hamming(spark):
+    """max_hamming=0 degenerates to exact phash equality — previously the
+    single 64-bit band mask overflowed LongType at plan time (ADVICE r1)."""
+    import pandas as pd
+
+    from sis_spark.operators.imageops import phash_near_dups
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": [1, 2, 3, 4],
+                      "phash": [-123456789, -123456789, 42, 7]}),
+        schema="image_id long, phash long",
+    )
+    rows = phash_near_dups(df, max_hamming=0).collect()
+    assert [(r["image_id"], r["image_id_2"], r["hamming"]) for r in rows] == [(1, 2, 0)]

@@ -98,3 +98,29 @@ def test_stitch_circle_closes():
     loops = [l for l in lines if np.allclose(l[0], l[-1])]
     assert len(loops) >= 1
     assert max(len(l) for l in lines) > 20
+
+
+def test_missing_tiles_emit_no_boundary_segments(spark):
+    """A sparse tile set (one tile missing from the grid) must not fabricate
+    contour segments along the absent tile's boundary (ADVICE r1 item 4):
+    marching cells touching NaN halo corners emit nothing."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.isolines import isolines
+
+    ts = 8
+    # 2x2 tile grid, constant value 100 everywhere -> no real contours at 50
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            if (tx, ty) == (1, 0):
+                continue  # missing tile
+            data = np.full((ts, ts), 100, dtype=np.uint8).tobytes()
+            rows.append((tx, ty, 0, bytearray(data)))
+    df = spark.createDataFrame(rows, schema="tx int, ty int, band int, data binary")
+    gg = GridGeometry((0, 0, 2 * ts - 1, 2 * ts - 1), (0.1, 0.0, 0.0, 0.0, -0.1, 10.0))
+    segs = isolines(df, gg, levels=[50.0], tile_size=ts).collect()
+    assert len(segs) == 0
