@@ -39,6 +39,7 @@ T_PLANAR = 284
 T_TILE_W, T_TILE_H, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
 T_SAMPLE_FORMAT = 339
 T_MODEL_SCALE, T_MODEL_TIEPOINT, T_GEO_KEYS = 33550, 33922, 34735
+T_NEW_SUBFILE, T_PREDICTOR = 254, 317
 
 COMP_NONE, COMP_DEFLATE_ADOBE, COMP_PACKBITS, COMP_DEFLATE = 1, 8, 32773, 32946
 COMP_LZW = 5
@@ -78,6 +79,21 @@ def _pack_entries(entries, data_start: int, big: bool = False):
                 out += struct.pack("<HHII", tag, typ, count, data_start + len(heap))
                 heap += payload
     return out, heap
+
+
+def _predict2_encode(raw: bytes, rows: int, width: int, c: int) -> bytes:
+    """Horizontal differencing (TIFF predictor 2, TIF/inflater/
+    HorizontalPredictor.java): per row/channel, store x[i] - x[i-1] mod 256."""
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(rows, width, c)
+    d = a.astype(np.int16)
+    d[:, 1:, :] -= a[:, :-1, :].astype(np.int16)
+    return (d & 0xFF).astype(np.uint8).tobytes()
+
+
+def _predict2_decode(raw: bytes, rows: int, width: int, c: int) -> bytes:
+    """Undo horizontal differencing: cumulative sum mod 256 along the row."""
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(rows, width, c)
+    return np.cumsum(a, axis=1, dtype=np.uint8).tobytes()
 
 
 def _packbits_encode(data: bytes) -> bytes:
@@ -217,6 +233,7 @@ def encode_geotiff(
     tile_size: int | None = 64,
     compression: str = "deflate",
     bigtiff: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """Write (h, w[, c]) uint8 as a classic GeoTIFF.
 
@@ -242,6 +259,12 @@ def encode_geotiff(
             return _lzw_encode(b)
         return b
 
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 (none) or 2 (horizontal differencing)")
+
+    def prep(raw: bytes, rows: int, width: int) -> bytes:
+        return _predict2_encode(raw, rows, width, c) if predictor == 2 else raw
+
     blocks = []
     if tile_size:
         tw = th = tile_size
@@ -252,11 +275,12 @@ def encode_geotiff(
                 block = np.zeros((th, tw, c), dtype=np.uint8)  # edge tiles padded (TIFF 6.0)
                 sub = arr[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
                 block[: sub.shape[0], : sub.shape[1]] = sub
-                blocks.append(compress(block.tobytes()))
+                blocks.append(compress(prep(block.tobytes(), th, tw)))
     else:
         rps = 16
         for y0 in range(0, h, rps):
-            blocks.append(compress(arr[y0 : y0 + rps].tobytes()))
+            rows_ = arr[y0 : y0 + rps]
+            blocks.append(compress(prep(rows_.tobytes(), rows_.shape[0], w)))
 
     entries = [
         (T_WIDTH, 4, [w]),
@@ -268,6 +292,8 @@ def encode_geotiff(
         (T_PLANAR, 3, [1]),
         (T_SAMPLE_FORMAT, 3, [1] * c),
     ]
+    if predictor == 2:
+        entries.append((T_PREDICTOR, 3, [2]))
     if affine is not None:
         a, b_, cc, d, e, f = affine
         if b_ != 0.0 or d != 0.0:
@@ -324,10 +350,7 @@ def encode_geotiff(
 
 # ---------------------------------------------------------------- reader
 
-def parse_ifd(buf: bytes) -> dict:
-    """Parse the first IFD of a classic OR BigTIFF file into a tag dict +
-    block manifest (BigTIFF: magic 43, 8-byte counts/offsets, 20-byte
-    entries — the reference's BigTIFF path in TIF/DataCube.java)."""
+def _tiff_header(buf: bytes):
     if buf[:2] == b"II":
         end = "<"
     elif buf[:2] == b"MM":
@@ -346,7 +369,10 @@ def parse_ifd(buf: bytes) -> dict:
         (ifd_off,) = struct.unpack_from(end + "Q", buf, 8)
     else:
         raise ValueError(f"unknown TIFF magic {magic}")
+    return end, big, ifd_off
 
+
+def _parse_one_ifd(buf: bytes, end: str, big: bool, ifd_off: int) -> dict:
     if big:
         (n,) = struct.unpack_from(end + "Q", buf, ifd_off)
         entry0, entry_sz, inline_sz = ifd_off + 8, 20, 8
@@ -382,6 +408,17 @@ def parse_ifd(buf: bytes) -> dict:
             vals = list(buf[off : off + size])
         tags[tag] = vals
 
+    if big:
+        next_at = entry0 + entry_sz * int(n)
+        (nxt,) = struct.unpack_from(end + "Q", buf, next_at)
+    else:
+        next_at = entry0 + entry_sz * int(n)
+        (nxt,) = struct.unpack_from(end + "I", buf, next_at)
+    tags["__next"] = int(nxt)
+    return tags
+
+
+def _info_from_tags(tags: dict) -> dict:
     w = tags[T_WIDTH][0]
     h = tags[T_LENGTH][0]
     c = tags.get(T_SAMPLES, [1])[0]
@@ -426,7 +463,27 @@ def parse_ifd(buf: bytes) -> dict:
         "w": w, "h": h, "c": c, "compression": comp, "tiled": tiled,
         "tile_w": tw, "tile_h": th, "blocks": blocks, "affine": affine,
         "geokeys": tags.get(T_GEO_KEYS),
+        "predictor": tags.get(T_PREDICTOR, [1])[0],
+        "subfile": tags.get(T_NEW_SUBFILE, [0])[0],
     }
+
+
+def parse_ifds(buf: bytes) -> list[dict]:
+    """Parse the FULL IFD chain (COG files carry reduced-resolution overview
+    IFDs after the main one, NewSubfileType=1)."""
+    end, big, off = _tiff_header(buf)
+    out = []
+    while off:
+        tags = _parse_one_ifd(buf, end, big, off)
+        out.append(_info_from_tags(tags))
+        off = tags["__next"]
+    return out
+
+
+def parse_ifd(buf: bytes) -> dict:
+    """First (full-resolution) IFD only — the classic single-image view."""
+    end, big, off = _tiff_header(buf)
+    return _info_from_tags(_parse_one_ifd(buf, end, big, off))
 
 
 def _inflate_block(payload: bytes, comp: int, expected: int) -> bytes:
@@ -439,16 +496,21 @@ def _inflate_block(payload: bytes, comp: int, expected: int) -> bytes:
     return payload
 
 
-def decode_geotiff(buf: bytes) -> tuple[np.ndarray, tuple | None]:
-    """Full in-memory decode -> ((h, w, c) uint8, affine|None)."""
-    info = parse_ifd(buf)
+def decode_geotiff(buf: bytes, level: int = 0) -> tuple[np.ndarray, tuple | None]:
+    """Full in-memory decode -> ((h, w, c) uint8, affine|None).
+
+    ``level``: IFD index — 0 is full resolution; COG overview IFDs follow."""
+    info = parse_ifd(buf) if level == 0 else parse_ifds(buf)[level]
     w, h, c = info["w"], info["h"], info["c"]
     tw, th, comp = info["tile_w"], info["tile_h"], info["compression"]
+    pred = info["predictor"]
     out = np.zeros((h, w, c), dtype=np.uint8)
     for blk in info["blocks"]:
         payload = buf[blk["offset"] : blk["offset"] + blk["count"]]
         if info["tiled"]:
             raw = _inflate_block(payload, comp, tw * th * c)
+            if pred == 2:
+                raw = _predict2_decode(raw, th, tw, c)
             tile = np.frombuffer(raw, dtype=np.uint8).reshape(th, tw, c)
             y0, x0 = blk["ty"] * th, blk["tx"] * tw
             sub = tile[: min(th, h - y0), : min(tw, w - x0)]
@@ -457,6 +519,8 @@ def decode_geotiff(buf: bytes) -> tuple[np.ndarray, tuple | None]:
             y0 = blk["ty"] * th
             rows = min(th, h - y0)
             raw = _inflate_block(payload, comp, rows * w * c)
+            if pred == 2:
+                raw = _predict2_decode(raw, rows, w, c)
             out[y0 : y0 + rows] = np.frombuffer(raw, dtype=np.uint8).reshape(rows, w, c)
     return out, info["affine"]
 
@@ -480,6 +544,7 @@ def geotiff_tiles(spark, buf: bytes, tile_size: int = 64):
     info = parse_ifd(buf)
     w, h, c = info["w"], info["h"], info["c"]
     tw, th, comp, tiled = info["tile_w"], info["tile_h"], info["compression"], info["tiled"]
+    pred = info["predictor"]
     if tiled and tw == tile_size and th == tile_size:
         pass  # native grid == engine grid: no re-chunk needed
     bc = spark.sparkContext.broadcast(buf)
@@ -497,12 +562,16 @@ def geotiff_tiles(spark, buf: bytes, tile_size: int = 64):
                 payload = data[int(r["offset"]) : int(r["offset"]) + int(r["count"])]
                 if tiled:
                     raw = _inflate_block(payload, comp, tw * th * c)
+                    if pred == 2:
+                        raw = _predict2_decode(raw, th, tw, c)
                     block = np.frombuffer(raw, dtype=np.uint8).reshape(th, tw, c)
                     y0, x0 = int(r["ty"]) * th, int(r["tx"]) * tw
                 else:
                     y0, x0 = int(r["ty"]) * th, 0
                     nrows = min(th, h - y0)
                     raw = _inflate_block(payload, comp, nrows * w * c)
+                    if pred == 2:
+                        raw = _predict2_decode(raw, nrows, w, c)
                     block = np.frombuffer(raw, dtype=np.uint8).reshape(nrows, w, c)
                 # re-chunk this native block to engine tiles (floorDiv grid)
                 for band in range(c):
@@ -543,3 +612,118 @@ def geotiff_tiles(spark, buf: bytes, tile_size: int = 64):
     tiles_df = pieces.groupBy("tx", "ty", "band").applyInPandas(assemble, schema=TILE_SCHEMA)
     gg = GridGeometry((0, 0, w - 1, h - 1), info["affine"], "EPSG:4326") if info["affine"] else None
     return tiles_df, gg
+
+
+# ---------------------------------------------------------------- COG writer
+
+def encode_cog(
+    arr: np.ndarray,
+    affine: tuple | None = None,
+    tile_size: int = 64,
+    compression: str = "deflate",
+    predictor: int = 1,
+    min_size: int = 64,
+) -> bytes:
+    """Cloud-Optimized GeoTIFF: tiled full-resolution IFD followed by a
+    chain of reduced-resolution overview IFDs (NewSubfileType=1), all IFDs
+    and heaps at the FRONT of the file, tile data behind — a ranged reader
+    learns the whole layout from one head request (NOTES r1 item 7; the
+    overview semantics of raster/tiles.build_overviews: stride-2 subsample,
+    level i == arr[::2**i, ::2**i], bit-exact).
+
+    The overview chain stops when the next level would drop under
+    ``min_size`` in both dimensions."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    arr = arr.astype(np.uint8)
+    levels = [arr]
+    while max(levels[-1].shape[0] // 2, levels[-1].shape[1] // 2) >= min_size:
+        levels.append(levels[-1][::2, ::2])
+
+    comp_id = {
+        "none": COMP_NONE, "deflate": COMP_DEFLATE_ADOBE,
+        "packbits": COMP_PACKBITS, "lzw": COMP_LZW,
+    }[compression]
+    c = arr.shape[2]
+
+    def compress(b: bytes) -> bytes:
+        if comp_id == COMP_DEFLATE_ADOBE:
+            return zlib.compress(b, 6)
+        if comp_id == COMP_PACKBITS:
+            return _packbits_encode(b)
+        if comp_id == COMP_LZW:
+            return _lzw_encode(b)
+        return b
+
+    per_level = []
+    for li, a in enumerate(levels):
+        h, w = a.shape[:2]
+        blocks = []
+        ntx = (w + tile_size - 1) // tile_size
+        nty = (h + tile_size - 1) // tile_size
+        for ty in range(nty):
+            for tx in range(ntx):
+                block = np.zeros((tile_size, tile_size, c), dtype=np.uint8)
+                sub = a[ty * tile_size : (ty + 1) * tile_size, tx * tile_size : (tx + 1) * tile_size]
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                raw = block.tobytes()
+                if predictor == 2:
+                    raw = _predict2_encode(raw, tile_size, tile_size, c)
+                blocks.append(compress(raw))
+        entries = [
+            (T_WIDTH, 4, [w]),
+            (T_LENGTH, 4, [h]),
+            (T_BITS, 3, [8] * c),
+            (T_COMPRESSION, 3, [comp_id]),
+            (T_PHOTOMETRIC, 3, [2 if c == 3 else 1]),
+            (T_SAMPLES, 3, [c]),
+            (T_PLANAR, 3, [1]),
+            (T_SAMPLE_FORMAT, 3, [1] * c),
+            (T_TILE_W, 3, [tile_size]),
+            (T_TILE_H, 3, [tile_size]),
+            (T_TILE_OFFSETS, 4, [0] * len(blocks)),
+            (T_TILE_COUNTS, 4, [len(b) for b in blocks]),
+        ]
+        if li > 0:
+            entries.append((T_NEW_SUBFILE, 4, [1]))  # reduced-resolution image
+        if predictor == 2:
+            entries.append((T_PREDICTOR, 3, [2]))
+        if li == 0 and affine is not None:
+            a6, b6, c6, d6, e6, f6 = affine
+            if b6 != 0.0 or d6 != 0.0:
+                raise ValueError("COG writer supports axis-aligned affines only")
+            entries.append((T_MODEL_SCALE, 12, [a6, abs(e6), 0.0]))
+            entries.append((T_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, c6, f6, 0.0]))
+            entries.append((T_GEO_KEYS, 3, [1, 1, 0, 2, 1024, 0, 1, 2, 2048, 0, 1, 4326]))
+        per_level.append({"entries": entries, "blocks": blocks})
+
+    # layout pass: header, then per level (IFD + heap), then all tile data
+    pos = 8
+    metas = []
+    for lv in per_level:
+        n = len(lv["entries"])
+        ifd_size = 2 + 12 * n + 4
+        ifd_start = pos
+        heap_start = pos + ifd_size
+        _, heap = _pack_entries(lv["entries"], heap_start)
+        pos = heap_start + len(heap)
+        metas.append((ifd_start, heap_start))
+    for lv in per_level:
+        offs = []
+        for b in lv["blocks"]:
+            offs.append(pos)
+            pos += len(b)
+        lv["offsets"] = offs
+
+    out = bytearray(b"II" + struct.pack("<HI", 42, 8))
+    for i, lv in enumerate(per_level):
+        entries_full = [e for e in lv["entries"] if e[0] != T_TILE_OFFSETS] + [
+            (T_TILE_OFFSETS, 4, lv["offsets"])
+        ]
+        ifd, heap = _pack_entries(entries_full, metas[i][1])
+        nxt = metas[i + 1][0] if i + 1 < len(per_level) else 0
+        out += struct.pack("<H", len(entries_full)) + ifd + struct.pack("<I", nxt)
+        out += heap
+    for lv in per_level:
+        out += b"".join(lv["blocks"])
+    return bytes(out)

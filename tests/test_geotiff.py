@@ -112,3 +112,83 @@ def test_spark_tiles_then_band_stats(spark):
     assert stats[0]["n"] == 96 * 128
     assert stats[0]["sum"] == int(arr.sum(dtype=np.int64))
     assert stats[0]["min"] == int(arr.min()) and stats[0]["max"] == int(arr.max())
+
+
+# ------------------------------------------------- predictor-2 + COG (r2)
+
+def _smooth(h=200, w=300):
+    rng = np.random.RandomState(7)
+    return (np.cumsum(rng.randint(0, 3, (h, w)), axis=1) % 256).astype(np.uint8)
+
+
+def test_predictor2_round_trip_all_layouts():
+    from sis_spark.sources.geotiff import decode_geotiff, encode_geotiff
+
+    arr = _smooth()
+    aff = (0.01, 0.0, -10.0, 0.0, -0.01, 50.0)
+    for comp in ("lzw", "deflate", "none", "packbits"):
+        for ts in (64, None):
+            buf = encode_geotiff(arr, aff, tile_size=ts, compression=comp, predictor=2)
+            dec, a2 = decode_geotiff(buf)
+            assert np.array_equal(dec[:, :, 0], arr)
+            assert a2 == aff
+
+
+def test_predictor2_improves_smooth_compression():
+    from sis_spark.sources.geotiff import encode_geotiff
+
+    arr = _smooth()
+    for comp in ("lzw", "deflate"):
+        b1 = len(encode_geotiff(arr, compression=comp, predictor=1))
+        b2 = len(encode_geotiff(arr, compression=comp, predictor=2))
+        assert b2 < b1  # differencing is the point of predictor 2
+
+
+def test_cog_overview_chain_round_trip():
+    """Every COG overview IFD decodes to the bit-exact stride-2^i subsample,
+    and the layout is cloud-friendly: all IFDs+heaps precede all tile data."""
+    from sis_spark.sources.geotiff import decode_geotiff, encode_cog, parse_ifds
+
+    arr = _smooth()
+    aff = (0.01, 0.0, -10.0, 0.0, -0.01, 50.0)
+    cog = encode_cog(arr, aff, tile_size=64, compression="deflate", predictor=2, min_size=32)
+    infos = parse_ifds(cog)
+    assert len(infos) == 4
+    assert [i["subfile"] for i in infos] == [0, 1, 1, 1]
+    first_block = min(min(b["offset"] for b in inf["blocks"]) for inf in infos)
+    assert all(b["offset"] >= first_block for inf in infos for b in inf["blocks"])
+    for i in range(len(infos)):
+        dec, a2 = decode_geotiff(cog, level=i)
+        assert np.array_equal(dec[:, :, 0], arr[::2**i, ::2**i])
+    assert decode_geotiff(cog, level=0)[1] == aff
+
+
+def test_cog_matches_build_overviews(spark):
+    """The COG overview levels agree with the engine's distributed
+    build_overviews pyramid (both stride-2, bit-exact)."""
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.tiles import build_overviews, raster_to_tiles, tiles_to_raster
+    from sis_spark.sources.geotiff import decode_geotiff, encode_cog
+
+    arr = _smooth(128, 128)[:, :, None]
+    gg = GridGeometry((0, 0, 127, 127), (0.01, 0.0, -10.0, 0.0, -0.01, 5.0))
+    cog = encode_cog(arr, tile_size=64, min_size=32)
+    tiles = raster_to_tiles(spark, arr, gg, 64)
+    (_, t1, gg1), (_, t2, gg2) = build_overviews(tiles, gg, 2, 64)
+    assert np.array_equal(tiles_to_raster(t1, gg1, 64)[:, :, 0],
+                          decode_geotiff(cog, level=1)[0][:, :, 0])
+    assert np.array_equal(tiles_to_raster(t2, gg2, 64)[:, :, 0],
+                          decode_geotiff(cog, level=2)[0][:, :, 0])
+
+
+def test_geotiff_tiles_reads_predictor2(spark):
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.tiles import tiles_to_raster
+    from sis_spark.sources.geotiff import encode_geotiff, geotiff_tiles
+
+    arr = _smooth(130, 190)
+    buf = encode_geotiff(arr, (0.01, 0.0, 0.0, 0.0, -0.01, 10.0),
+                         tile_size=64, compression="lzw", predictor=2)
+    tiles_df, gg = geotiff_tiles(spark, buf, tile_size=64)
+    got = tiles_to_raster(tiles_df, gg, 64)
+    assert np.array_equal(got[:, :, 0], arr)
