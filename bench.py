@@ -24,10 +24,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 HEADLINE = [
     "spatial_join_pipeline",  # flagship: PIP join + tile assignment
+    "spatial_join_dist",      # polygon side distributed end to end (r2)
+    "polygon_pairs",          # polygon-polygon DE-9IM pair join (r2)
     "cell_counts",
     "tile_counts",
     "tile_pyramid",
     "knn",
+    "knn_cells",              # distributed k-ring kNN (r2)
     "minhash_lsh",
     "ann_topk",
     "images_pipeline",

@@ -1,0 +1,235 @@
+"""Projected-CRS family: ellipsoidal Lambert Conformal Conic (2SP) and
+Polar Stereographic (variant B), plus a small CRS registry that routes any
+supported pair through geographic coordinates.
+
+The reference resolves arbitrary EPSG pairs through its full operation
+factory (R/referencing/CRS.java:731 findOperation ->
+CoordinateOperationFinder.java:128); a full EPSG registry is out of scope
+here (SURVEY §2.3), but this module covers the projected families that
+dominate real requests beyond Mercator/UTM:
+
+* LCC 2SP  — R/operation/projection/LambertConicConformal.java:318
+  (EPSG method 9802), formulas re-derived from the PUBLIC EPSG Guidance
+  Note 7-2 §3.1.1 (identical to Snyder 1987 eq. 15-1..15-11).
+* Polar Stereographic B — R/operation/projection/PolarStereographic.java
+  (EPSG 9829), Guidance Note 7-2 §3.2.4.
+* Transverse Mercator reuses the Karney series in functions/utm.py.
+
+All kernels are vectorized numpy over degree inputs; the registry is
+deliberately datum-preserving (one ellipsoid per CRS; no datum shifts —
+documented model, the reference's datum machinery is out of scope).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+WGS84 = (6378137.0, 1.0 / 298.257223563)
+GRS80 = (6378137.0, 1.0 / 298.257222101)
+
+
+def _ecc(ellipsoid) -> float:
+    a, f = ellipsoid
+    return float(np.sqrt(f * (2.0 - f)))
+
+
+def _m(phi, e):
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - e * e * s * s)
+
+
+def _t(phi, e):
+    s = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+
+
+class LambertConformal2SP:
+    """EPSG method 9802 (two standard parallels)."""
+
+    def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
+                 fe: float, fn: float, ellipsoid=GRS80):
+        self.a, f = ellipsoid
+        self.e = _ecc(ellipsoid)
+        p1, p2, p0 = np.radians([lat1, lat2, lat0])
+        m1, m2 = _m(p1, self.e), _m(p2, self.e)
+        t1, t2, t0 = _t(p1, self.e), _t(p2, self.e), _t(p0, self.e)
+        self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+        self.F = m1 / (self.n * t1 ** self.n)
+        self.rho0 = self.a * self.F * t0 ** self.n
+        self.lon0 = lon0
+        self.fe, self.fn = fe, fn
+        self.lat1, self.lat2 = lat1, lat2
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        t = _t(phi, self.e)
+        rho = self.a * self.F * t ** self.n
+        th = self.n * lam
+        return self.fe + rho * np.sin(th), self.fn + self.rho0 - rho * np.cos(th)
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = self.rho0 - (np.asarray(y, np.float64) - self.fn)
+        rho = np.sign(self.n) * np.sqrt(dx * dx + dy * dy)
+        t = (rho / (self.a * self.F)) ** (1.0 / self.n)
+        th = np.arctan2(np.sign(self.n) * dx, np.sign(self.n) * dy)
+        lam = th / self.n
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):  # converges in ~4 iterations to <1e-12 rad
+            s = np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - self.e * s) / (1.0 + self.e * s)) ** (self.e / 2.0)
+            )
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+class PolarStereographicB:
+    """EPSG method 9829 (variant B: standard parallel, no explicit k0)."""
+
+    def __init__(self, lat_ts: float, lon0: float, fe: float, fn: float,
+                 ellipsoid=WGS84):
+        self.a, f = ellipsoid
+        self.e = _ecc(ellipsoid)
+        self.south = lat_ts < 0.0
+        pf = np.radians(abs(lat_ts))
+        # work in the north-pole frame; south flips lat and y
+        s = np.sin(pf)
+        self.mF = np.cos(pf) / np.sqrt(1.0 - self.e * self.e * s * s)
+        self.tF = np.tan(np.pi / 4.0 - pf / 2.0) / (
+            (1.0 - self.e * s) / (1.0 + self.e * s)
+        ) ** (self.e / 2.0)
+        self.lon0 = lon0
+        self.fe, self.fn = fe, fn
+        self.lat_ts = lat_ts
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        if self.south:
+            phi = -phi
+        s = np.sin(phi)
+        t = np.tan(np.pi / 4.0 - phi / 2.0) / (
+            (1.0 - self.e * s) / (1.0 + self.e * s)
+        ) ** (self.e / 2.0)
+        rho = self.a * self.mF * t / self.tF
+        x = rho * np.sin(lam)
+        y = -rho * np.cos(lam)  # north-pole frame: grid north toward the pole
+        if self.south:
+            y = -y
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = np.asarray(y, np.float64) - self.fn
+        if self.south:
+            dy = -dy
+        rho = np.sqrt(dx * dx + dy * dy)
+        t = rho * self.tF / (self.a * self.mF)
+        lam = np.arctan2(dx, -dy)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - self.e * s) / (1.0 + self.e * s)) ** (self.e / 2.0)
+            )
+        if self.south:
+            phi = -phi
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+class _Geographic:
+    def forward(self, lon, lat):
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+
+    inverse = forward
+
+
+class _WebMercator:
+    def forward(self, lon, lat):
+        from . import transforms as tr
+
+        return tr.mercator_forward(lon, lat)
+
+    def inverse(self, x, y):
+        from . import transforms as tr
+
+        return tr.mercator_inverse(x, y)
+
+
+class _TM:
+    """Transverse Mercator on the Karney series (utm.py), with false
+    easting/northing and central meridian."""
+
+    def __init__(self, lon0: float, fe: float = 500000.0, fn: float = 0.0):
+        self.lon0, self.fe, self.fn = lon0, fe, fn
+
+    def forward(self, lon, lat):
+        from . import utm
+
+        x, y = utm.tm_forward(lon, lat, self.lon0)
+        return x + self.fe, y + self.fn
+
+    def inverse(self, x, y):
+        from . import utm
+
+        return utm.tm_inverse(
+            np.asarray(x, np.float64) - self.fe,
+            np.asarray(y, np.float64) - self.fn,
+            self.lon0,
+        )
+
+
+def _crs(code: str):
+    code = code.upper()
+    if code in CRS_REGISTRY:
+        return CRS_REGISTRY[code]
+    if code.startswith("EPSG:326") or code.startswith("EPSG:327"):
+        zone = int(code[8:])
+        if 1 <= zone <= 60:
+            south = code[5:8] == "327"
+            return _TM(zone * 6.0 - 183.0, 500000.0,
+                       10000000.0 if south else 0.0)
+    raise ValueError(f"unsupported CRS {code!r} (registry: {sorted(CRS_REGISTRY)}, EPSG:326xx/327xx)")
+
+
+CRS_REGISTRY: dict[str, object] = {
+    "EPSG:4326": _Geographic(),
+    "CRS:84": _Geographic(),
+    "EPSG:3857": _WebMercator(),
+    # Lambert-93 (France), the canonical LCC 2SP deployment
+    "EPSG:2154": LambertConformal2SP(49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0, GRS80),
+    # Statistics Canada LCC
+    "EPSG:3347": LambertConformal2SP(49.0, 77.0, 63.390675, -91.866667,
+                                     6200000.0, 3000000.0, GRS80),
+    # Antarctic Polar Stereographic
+    "EPSG:3031": PolarStereographicB(-71.0, 0.0, 0.0, 0.0, WGS84),
+    # NSIDC Sea Ice Polar Stereographic North
+    "EPSG:3413": PolarStereographicB(70.0, -45.0, 0.0, 0.0, WGS84),
+}
+
+
+def transform_points(lon_or_x, lat_or_y, src: str, dst: str):
+    """Vectorized CRS transform routed through geographic (the two-step
+    CoordinateOperationFinder path: inverse(src) |> forward(dst))."""
+    s, d = _crs(src), _crs(dst)
+    lon, lat = s.inverse(lon_or_x, lat_or_y)
+    return d.forward(lon, lat)
+
+
+def st_transform_any_udf(src: str, dst: str):
+    """ST_Transform(geom, src, dst) over (x, y) double columns for any
+    registry pair — the Arrow-batched MathTransform shape."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("x", T.DoubleType()),
+                           T.StructField("y", T.DoubleType())])
+
+    @F.pandas_udf(schema)
+    def _f(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        ox, oy = transform_points(x.to_numpy(), y.to_numpy(), src, dst)
+        return pd.DataFrame({"x": ox, "y": oy})
+
+    return _f

@@ -1,0 +1,103 @@
+"""Projected-CRS family (LCC 2SP, Polar Stereographic B, TM registry):
+round-trip precision, conformal-scale properties, and known coordinates.
+
+Property-test style of the reference's projection suites
+(Rt/.../projection/LambertConicConformalTest.java,
+PolarStereographicTest.java — derivative/consistency checks)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from sis_spark.functions.projections import (
+    CRS_REGISTRY,
+    GRS80,
+    WGS84,
+    transform_points,
+)
+
+
+def _meridian_radius(lat_deg: float, ellipsoid) -> float:
+    a, f = ellipsoid
+    e2 = f * (2.0 - f)
+    s = math.sin(math.radians(lat_deg))
+    return a * (1.0 - e2) / (1.0 - e2 * s * s) ** 1.5
+
+
+@pytest.mark.parametrize("code,lon_rng,lat_rng", [
+    ("EPSG:2154", (-5, 10), (41, 52)),
+    ("EPSG:3347", (-140, -50), (42, 84)),
+    ("EPSG:3031", (-180, 180), (-89, -60)),
+    ("EPSG:3413", (-180, 180), (60, 89)),
+    ("EPSG:32618", (-78, -72), (0, 84)),
+    ("EPSG:32718", (-78, -72), (-80, 0)),
+    ("EPSG:3857", (-180, 180), (-85, 85)),
+])
+def test_round_trip(code, lon_rng, lat_rng):
+    rng = np.random.RandomState(hash(code) % 2**31)
+    lon = rng.uniform(*lon_rng, 500)
+    lat = rng.uniform(*lat_rng, 500)
+    x, y = transform_points(lon, lat, "EPSG:4326", code)
+    lon2, lat2 = transform_points(x, y, code, "EPSG:4326")
+    dl = (lon2 - lon + 180.0) % 360.0 - 180.0
+    assert np.abs(dl).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
+@pytest.mark.parametrize("code,lats,ellipsoid", [
+    ("EPSG:2154", (49.0, 44.0), GRS80),      # both standard parallels
+    ("EPSG:3347", (49.0, 77.0), GRS80),
+    ("EPSG:3031", (-71.0,), WGS84),          # standard parallel
+    ("EPSG:3413", (70.0,), WGS84),
+])
+def test_unit_scale_at_standard_parallels(code, lats, ellipsoid):
+    """Conformal projections are TRUE SCALE along their standard parallels:
+    the numerically-estimated meridian scale factor there must be 1."""
+    p = CRS_REGISTRY[code]
+    h = 1e-6
+    for latsp in lats:
+        lam = getattr(p, "lon0", 0.0) + 7.0
+        x1, y1 = p.forward(np.array([lam]), np.array([latsp - h / 2]))
+        x2, y2 = p.forward(np.array([lam]), np.array([latsp + h / 2]))
+        dist = math.hypot(float(x2[0] - x1[0]), float(y2[0] - y1[0]))
+        k = dist / (_meridian_radius(latsp, ellipsoid) * math.radians(h))
+        assert abs(k - 1.0) < 1e-6, (code, latsp, k)
+
+
+def test_known_coordinates():
+    # Paris (2.3522 E, 48.8566 N) in Lambert-93 — IGN-published neighborhood
+    x, y = transform_points(np.array([2.3522]), np.array([48.8566]),
+                            "EPSG:4326", "EPSG:2154")
+    assert abs(float(x[0]) - 652469.02) < 0.5
+    assert abs(float(y[0]) - 6862035.26) < 0.5
+    # South pole maps to the EPSG:3031 origin
+    x, y = transform_points(np.array([0.0]), np.array([-90.0]),
+                            "EPSG:4326", "EPSG:3031")
+    assert abs(float(x[0])) < 1e-6 and abs(float(y[0])) < 1e-6
+    # the 3031 standard parallel is ~71S: a point there has rho ~ a*m(71)
+    x, y = transform_points(np.array([90.0]), np.array([-71.0]),
+                            "EPSG:4326", "EPSG:3031")
+    rho = math.hypot(float(x[0]), float(y[0]))
+    a, f = WGS84
+    e2 = f * (2 - f)
+    s = math.sin(math.radians(71.0))
+    m = math.cos(math.radians(71.0)) / math.sqrt(1 - e2 * s * s)
+    assert abs(rho - a * m) < 1.0
+
+
+def test_projected_to_projected_routes_through_geographic():
+    lon = np.array([5.0])
+    lat = np.array([45.0])
+    x93, y93 = transform_points(lon, lat, "EPSG:4326", "EPSG:2154")
+    xm, ym = transform_points(x93, y93, "EPSG:2154", "EPSG:3857")
+    xm2, ym2 = transform_points(lon, lat, "EPSG:4326", "EPSG:3857")
+    assert abs(float(xm[0] - xm2[0])) < 1e-6
+    assert abs(float(ym[0] - ym2[0])) < 1e-6
+
+
+def test_unknown_crs_raises():
+    with pytest.raises(ValueError, match="unsupported CRS"):
+        transform_points(np.array([0.0]), np.array([0.0]), "EPSG:4326", "EPSG:9999")
