@@ -821,3 +821,32 @@ def st_cast_udf(target: str):
         return pd.Series(out)
 
     return _f
+
+
+def st_simplify_udf(tol: float):
+    """ST_Simplify (SQLMM.java:753, Douglas-Peucker) over WKB linestrings
+    and polygons (each ring simplified; rings kept >= 3 distinct points)."""
+    @F.pandas_udf(T.BinaryType())
+    def _f(wkb: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb:
+            typ, val = geo.wkb_parse(bytes(b))
+            if typ == "linestring":
+                vx, vy = simplify_dp(np.asarray(val[0]), np.asarray(val[1]), tol)
+                out.append(geo.wkb_linestring(vx, vy))
+            elif typ == "polygon":
+                rings = []
+                for vx, vy in val:
+                    closed = len(vx) >= 2 and vx[0] == vx[-1] and vy[0] == vy[-1]
+                    if closed:
+                        vx, vy = vx[:-1], vy[:-1]
+                    svx, svy = simplify_dp(np.asarray(vx), np.asarray(vy), tol)
+                    if len(svx) < 3:
+                        svx, svy = vx[:3], vy[:3]
+                    rings.append((svx, svy))
+                out.append(geo.wkb_polygon(rings))
+            else:
+                out.append(bytes(b))
+        return pd.Series(out)
+
+    return _f

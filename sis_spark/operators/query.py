@@ -58,6 +58,10 @@ class FeatureQuery:
     sort_by: list[SortProperty] = field(default_factory=list)
     offset: int = 0
     limit: int | None = None
+    # linear-resolution hint (S/FeatureQuery.java:437 setLinearResolution):
+    # geometry columns in the result may be simplified to this resolution
+    linear_resolution: float | None = None
+    geometry_columns: list[str] = field(default_factory=list)
 
     def set_projection(self, *pairs):
         self.projection = list(pairs)
@@ -79,6 +83,15 @@ class FeatureQuery:
         self.limit = n
         return self
 
+    def set_linear_resolution(self, res: float, *geometry_columns: str):
+        """LOD hint: WKB geometry columns listed are Douglas-Peucker
+        simplified to ``res`` in the result (the reference treats this as a
+        non-binding optimization hint; here it is applied deterministically
+        at the end of the pipeline)."""
+        self.linear_resolution = res
+        self.geometry_columns = list(geometry_columns)
+        return self
+
     def execute(self, df: DataFrame) -> DataFrame:
         """FeatureSubset pipeline order: filter → sort → skip/limit → project."""
         out = df
@@ -92,6 +105,13 @@ class FeatureQuery:
             out = out.limit(self.limit)
         if self.projection is not None:
             out = out.select(*[e.alias(a) for e, a in self.projection])
+        if self.linear_resolution is not None and self.geometry_columns:
+            from ..functions.sqlmm import st_simplify_udf
+
+            simp = st_simplify_udf(self.linear_resolution)
+            for gc in self.geometry_columns:
+                if gc in out.columns:
+                    out = out.withColumn(gc, simp(F.col(gc)))
         return out
 
 
@@ -149,3 +169,13 @@ def multi_comparison(arr: Column, op: str, right: Column, match_action: str = "A
     if ma == "ONE":
         return F.size(F.filter(arr, pred)) == 1
     raise ValueError(f"unknown MatchAction {match_action!r}")
+
+
+def property_path(path: str) -> Column:
+    """Association/property traversal: the reference's XPath-style ``a/b/c``
+    value references (F/filter/AssociationValue.java:1-289 cited path
+    semantics) map directly onto Spark nested-struct access — ``a/b/c`` ->
+    ``F.col("a.b.c")``.  A missing association anywhere on the path yields
+    NULL (three-valued logic), matching the reference's empty-Optional
+    propagation."""
+    return F.col(path.replace("/", "."))

@@ -550,3 +550,106 @@ def build_overviews(tiles_df: DataFrame, gg: GridGeometry, n_levels: int,
         cur, cur_gg = overview_level(cur, cur_gg, tile_size, dtype)
         out.append((level, cur, cur_gg))
     return out
+
+
+# ------------------------------------------------- stretch / color ramp (r2)
+
+def stretch(tiles_df: DataFrame, gg: GridGeometry, tile_size: int = 64,
+            dtype=np.uint8, low_pct: float = 0.0, high_pct: float = 100.0) -> DataFrame:
+    """Contrast stretch to the full uint8 range
+    (ImageProcessor.stretchColorRamp, F/image/ImageProcessor.java:780):
+    per-band global [low, high] from a distributed histogram (percentile
+    clip; 0/100 = min-max), then a linear map per tile.
+
+    Two Spark jobs: one 256-bin histogram aggregation (tiny — 256 rows per
+    band regardless of raster size), one map over tiles."""
+    bdt = np.dtype(dtype)
+    w, h = gg.width, gg.height
+
+    def hist_partial(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                block = np.frombuffer(r["data"], dtype=bdt).reshape(tile_size, tile_size)
+                vh = min(tile_size, h - r["ty"] * tile_size)
+                vw = min(tile_size, w - r["tx"] * tile_size)
+                cnt = np.bincount(block[:vh, :vw].ravel(), minlength=256)
+                nz = np.nonzero(cnt)[0]
+                out.append(pd.DataFrame({
+                    "band": r["band"], "value": nz, "cnt": cnt[nz],
+                }))
+            if out:
+                yield pd.concat(out)
+
+    hist = (
+        tiles_df.mapInPandas(hist_partial, schema="band int, value int, cnt long")
+        .groupBy("band", "value").agg(F.sum("cnt").alias("cnt"))
+        .collect()  # <= 256 rows/band: plan input, like the salting histogram
+    )
+    bounds: dict[int, tuple[float, float]] = {}
+    by_band: dict[int, np.ndarray] = {}
+    for r in hist:
+        by_band.setdefault(r["band"], np.zeros(256, dtype=np.int64))[r["value"]] += r["cnt"]
+    for band, cnt in by_band.items():
+        cum = np.cumsum(cnt)
+        total = cum[-1]
+        lo = int(np.searchsorted(cum, total * low_pct / 100.0, side="left"))
+        hi = int(np.searchsorted(cum, total * high_pct / 100.0, side="left"))
+        hi = min(hi, 255)
+        if hi <= lo:
+            hi = lo + 1
+        bounds[band] = (float(lo), float(hi))
+
+    def apply(batches):
+        for pdf in batches:
+            datas = []
+            for band, d in zip(pdf["band"], pdf["data"]):
+                lo, hi = bounds.get(int(band), (0.0, 255.0))
+                block = np.frombuffer(d, dtype=bdt).astype(np.float64)
+                out = np.clip((block - lo) * (255.0 / (hi - lo)), 0.0, 255.0)
+                datas.append(out.astype(np.uint8).tobytes())
+            yield pd.DataFrame({"tx": pdf.tx, "ty": pdf.ty, "band": pdf.band, "data": datas})
+
+    return tiles_df.mapInPandas(apply, schema=TILE_SCHEMA)
+
+
+def color_ramp(tiles_df: DataFrame, lut: np.ndarray, band: int = 0,
+               tile_size: int = 64, dtype=np.uint8) -> DataFrame:
+    """Single band -> RGB via a (256, 3) uint8 lookup table
+    (ImageProcessor.visualize color ramp semantics): output tiles carry
+    bands 0/1/2 = R/G/B."""
+    lut = np.asarray(lut, dtype=np.uint8)
+    if lut.shape != (256, 3):
+        raise ValueError("lut must be (256, 3) uint8")
+    bdt = np.dtype(dtype)
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            sel = pdf[pdf["band"] == band]
+            for _, r in sel.iterrows():
+                block = np.frombuffer(r["data"], dtype=bdt)
+                rgb = lut[block]  # (n, 3)
+                for ch in range(3):
+                    out.append({
+                        "tx": r["tx"], "ty": r["ty"], "band": ch,
+                        "data": rgb[:, ch].tobytes(),
+                    })
+            if out:
+                yield pd.DataFrame(out)
+
+    return tiles_df.mapInPandas(fn, schema=TILE_SCHEMA)
+
+
+def append_bands(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Dimensionality append (F/coverage/grid/DimensionalityReduction.java
+    reverse direction): b's bands are renumbered DENSELY after a's — same
+    grid, no pixel movement, a pure union + band remap (two tiny aggregates
+    as plan inputs)."""
+    na = a.agg(F.max("band")).first()[0]
+    offset = int(na) + 1 if na is not None else 0
+    b_bands = sorted(r["band"] for r in b.select("band").distinct().collect())
+    expr = F.col("band")
+    for i, bb in enumerate(b_bands):
+        expr = F.when(F.col("band") == bb, F.lit(offset + i)).otherwise(expr)
+    return a.unionByName(b.withColumn("band", expr.cast("int")))

@@ -319,3 +319,56 @@ def test_zonal_stats_matches_numpy(spark, scene):
             assert r["n"] == v.size and r["sum"] == int(v.sum(dtype=np.int64))
             assert r["min"] == int(v.min()) and r["max"] == int(v.max())
             assert abs(r["mean"] - v.mean()) < 1e-9
+
+
+# ------------------------------------------------- stretch / ramp / append (r2)
+
+def test_stretch_matches_numpy(spark, scene):
+    from sis_spark.raster.tiles import stretch, tiles_to_raster
+
+    arr, gg, tiles = scene
+    out = tiles_to_raster(stretch(tiles, gg, 64), gg, 64)
+    for band in range(arr.shape[2]):
+        v = arr[:, :, band].astype(np.float64)
+        lo, hi = float(v.min()), float(v.max())
+        exp = np.clip((v - lo) * (255.0 / (hi - lo)), 0.0, 255.0).astype(np.uint8)
+        assert np.array_equal(out[:, :, band], exp)
+
+
+def test_stretch_percentile_clip(spark):
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.tiles import raster_to_tiles, stretch, tiles_to_raster
+
+    # mostly mid-gray with a few outliers: 2-98% clip saturates the outliers
+    arr = np.full((64, 64, 1), 100, dtype=np.uint8)
+    arr[0, 0, 0] = 0
+    arr[0, 1, 0] = 255
+    arr[10:20, 10:20, 0] = 120
+    gg = GridGeometry((0, 0, 63, 63), (1.0, 0.0, 0.0, 0.0, -1.0, 0.0))
+    tiles = raster_to_tiles(spark, arr, gg, 64)
+    out = tiles_to_raster(stretch(tiles, gg, 64, low_pct=2.0, high_pct=98.0), gg, 64)
+    assert out[0, 0, 0] == 0        # clipped low outlier
+    assert out[0, 1, 0] == 255      # clipped high outlier
+    assert out[10, 10, 0] == 255    # 120 -> saturated (above the 98% cut)
+
+
+def test_color_ramp(spark, scene):
+    from sis_spark.raster.tiles import color_ramp, tiles_to_raster
+
+    arr, gg, tiles = scene
+    lut = np.stack([np.arange(256), 255 - np.arange(256), np.zeros(256)], axis=1).astype(np.uint8)
+    out = tiles_to_raster(color_ramp(tiles, lut, band=0), gg, 64)
+    v = arr[:, :, 0]
+    assert np.array_equal(out[:, :, 0], lut[v, 0])
+    assert np.array_equal(out[:, :, 1], lut[v, 1])
+    assert np.array_equal(out[:, :, 2], lut[v, 2])
+
+
+def test_append_bands(spark, scene):
+    from sis_spark.raster.tiles import append_bands, band_select, tiles_to_raster
+
+    arr, gg, tiles = scene
+    a = band_select(tiles, [0, 1])
+    b = band_select(tiles, [2])
+    merged = tiles_to_raster(append_bands(a, b), gg, 64)
+    assert np.array_equal(merged, arr)

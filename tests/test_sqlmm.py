@@ -188,3 +188,38 @@ def test_linestring_accessors(spark):
     by = {row["name"]: row for row in r4}
     assert by["line"]["as_line"] is not None and by["poly"]["as_line"] is None
     assert by["mls"]["g2"] is not None and by["line"]["g2"] is None
+
+
+def test_linear_resolution_hint_and_property_path(spark):
+    """FeatureQuery linear-resolution LOD hint (S/FeatureQuery.java:437) and
+    XPath-style association traversal (AssociationValue a/b -> nested
+    struct access, NULL propagation)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sis_spark.functions import geometry as geo
+    from sis_spark.operators.query import FeatureQuery, property_path
+
+    # wiggly polyline: simplification at tol=0.5 drops the small wiggles
+    t = np.linspace(0, 10, 101)
+    vx, vy = t, 0.1 * np.sin(20 * t)
+    wkb = geo.wkb_linestring(vx, vy)
+    df = spark.createDataFrame(
+        pd.DataFrame({"fid": [1], "geom": [wkb]}), schema="fid long, geom binary"
+    )
+    q = FeatureQuery().set_linear_resolution(0.5, "geom")
+    row = q.execute(df).first()
+    typ, (sx, sy) = geo.wkb_parse(bytes(row["geom"]))
+    assert typ == "linestring" and len(sx) < 101
+    # max deviation from the original vertices stays within tolerance-ish
+    assert sx[0] == vx[0] and sx[-1] == vx[-1]
+
+    # association traversal over nested structs
+    nested = spark.sql("""
+        SELECT 1 AS fid, named_struct('b', named_struct('c', 42)) AS a
+        UNION ALL SELECT 2, CAST(NULL AS struct<b: struct<c: int>>)
+    """)
+    got = {r["fid"]: r["v"] for r in nested.select(
+        "fid", property_path("a/b/c").alias("v")).collect()}
+    assert got[1] == 42 and got[2] is None
