@@ -143,3 +143,51 @@ def test_synth_polygon_vertices_sql_parity():
         sub = got[got.key == key]
         assert np.array_equal(sub.vx.to_numpy(), vx), f"vx mismatch key={key}"
         assert np.array_equal(sub.vy.to_numpy(), vy), f"vy mismatch key={key}"
+
+
+# ------------------------------------------------- ellipsoidal geodesics (r2)
+
+def test_vincenty_canonical_value():
+    """Vincenty's own published test line (Flinders Peak -> Buninyong,
+    Survey Review 1975): 54,972.271 m."""
+    from sis_spark.functions.geometry import geodesic_inverse_m
+
+    d, ok = geodesic_inverse_m(
+        np.array([144.42486789]), np.array([-37.95103342]),
+        np.array([143.92649553]), np.array([-37.65282114]))
+    assert bool(ok[0]) and abs(float(d[0]) - 54972.271) < 0.01
+
+
+def test_geodesic_known_arcs_and_fallback():
+    from sis_spark.functions.geometry import geodesic_inverse_m, haversine_m
+
+    d, ok = geodesic_inverse_m(np.array([0.0, 0.0]), np.array([0.0, 0.0]),
+                               np.array([0.0, 1.0]), np.array([1.0, 0.0]))
+    assert abs(float(d[0]) - 110574.39) < 1.0   # 1 deg meridian arc at equator
+    assert abs(float(d[1]) - 111319.49) < 1.0   # 1 deg equatorial arc
+    assert ok.all()
+    # coincident -> exactly 0
+    d, ok = geodesic_inverse_m(np.array([5.0]), np.array([5.0]),
+                               np.array([5.0]), np.array([5.0]))
+    assert float(d[0]) == 0.0
+    # near-antipodal: non-converged flag + haversine fallback value
+    d, ok = geodesic_inverse_m(np.array([0.0]), np.array([0.0]),
+                               np.array([179.7]), np.array([0.3]))
+    assert not bool(ok[0])
+    assert float(d[0]) == float(haversine_m(
+        np.array([0.0]), np.array([0.0]), np.array([179.7]), np.array([0.3]))[0])
+
+
+def test_geodesic_vs_haversine_bounded_divergence():
+    """Ellipsoidal vs spherical differ by at most ~0.56% (the WGS84
+    flattening bound) — a distributional sanity check incl. wraparound."""
+    from sis_spark.functions.geometry import geodesic_inverse_m, haversine_m
+
+    rng = np.random.RandomState(3)
+    lon1, lat1 = rng.uniform(-180, 180, 5000), rng.uniform(-85, 85, 5000)
+    lon2, lat2 = rng.uniform(-180, 180, 5000), rng.uniform(-85, 85, 5000)
+    dv, ok = geodesic_inverse_m(lon1, lat1, lon2, lat2)
+    assert ok.mean() > 0.999
+    dh = haversine_m(lon1, lat1, lon2, lat2)
+    rel = np.abs(dv[ok] - dh[ok]) / np.maximum(dh[ok], 1.0)
+    assert rel.max() < 0.006
