@@ -358,11 +358,40 @@ def resample(
     return kdf.mapInPandas(fn, schema=TILE_SCHEMA)
 
 
+def _lanczos_kernel(t: np.ndarray, a: int = 3) -> np.ndarray:
+    """Lanczos-a window: sinc(t) * sinc(t/a) on |t| < a, 0 outside."""
+    t = np.asarray(t, np.float64)
+    out = np.sinc(t) * np.sinc(t / a)
+    out[np.abs(t) >= a] = 0.0
+    return out
+
+
 def _interp(plane: np.ndarray, fx: np.ndarray, fy: np.ndarray, method: str, fill: float) -> np.ndarray:
-    """NEAREST / BILINEAR sampling of one band plane at fractional src
-    cell-center coordinates (F/image/Interpolation.java:130,161), edge-clamped
-    neighbors, ``fill`` outside."""
+    """NEAREST / BILINEAR / LANCZOS sampling of one band plane at fractional
+    src cell-center coordinates (F/image/Interpolation.java:130,161,200),
+    edge-clamped neighbors, ``fill`` outside."""
     hs, ws = plane.shape
+    if method == "lanczos":
+        # separable 6x6 Lanczos-3 (Interpolation.LANCZOS, a=3), weights
+        # normalized per sample so edge-clamped windows stay unbiased
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        ok = (x0 >= 0) & (x0 < ws) & (y0 >= 0) & (y0 < hs)
+        v = np.full(fx.shape, fill, dtype=np.float64)
+        fxo, fyo = fx[ok], fy[ok]
+        acc = np.zeros(fxo.shape, dtype=np.float64)
+        wsum = np.zeros(fxo.shape, dtype=np.float64)
+        for j in range(-2, 4):
+            yy = np.clip(np.floor(fyo).astype(np.int64) + j, 0, hs - 1)
+            wy = _lanczos_kernel(fyo - (np.floor(fyo) + j))
+            for i in range(-2, 4):
+                xx = np.clip(np.floor(fxo).astype(np.int64) + i, 0, ws - 1)
+                wx = _lanczos_kernel(fxo - (np.floor(fxo) + i))
+                w = wx * wy
+                acc += plane[yy, xx] * w
+                wsum += w
+        v[ok] = acc / np.where(wsum == 0.0, 1.0, wsum)
+        return v
     if method == "nearest":
         ix = np.rint(fx).astype(np.int64)
         iy = np.rint(fy).astype(np.int64)

