@@ -491,17 +491,37 @@ def spatial_join_dist(
     key_col: str = "key",
     wkb_col: str = "wkb",
     interior_skip: bool = True,
+    broadcast_threshold: int = 0,
 ) -> DataFrame:
-    """Point-in-polygon join with a DataFrame polygon side (never collected).
+    """Point-in-polygon join with a DataFrame polygon side (never collected
+    on the pure-distributed path).
 
     Same two-phase semantics and output as spatial_join: one row per
     (point row, containing polygon key).  The covering table joins on cell
     as a plain equi-join (AQE broadcasts it when small, shuffles + skew-splits
     it when not); the PIP refine parses each candidate's own part WKB inside
     the Arrow batch, grouped by geometry so each part is decoded once per
-    batch."""
+    batch.
+
+    ``broadcast_threshold``: ADAPTIVE strategy pick (the AQE-style decision
+    the reference leaves to its store, SQLStore pushdown analog) — when the
+    normalized parts table is at most this many rows, the dimension is
+    collected and the proven broadcast plan of ``spatial_join`` runs
+    instead (faster: packed-array refine, no per-candidate WKB transfer).
+    0 (default) forces the fully distributed plan.
+    """
+    from ..sources import polygons_from_wkb
+
     spark = points.sparkSession
     parts = polygon_parts_df(polygons_df, key_col, wkb_col).persist()
+    if broadcast_threshold:
+        n_parts = parts.limit(broadcast_threshold + 1).count()
+        if n_parts <= broadcast_threshold:
+            rows = [(r["key"], bytes(r["wkb"])) for r in parts.collect()]
+            return spatial_join(
+                points, polygons_from_wkb(rows), lon_col, lat_col,
+                res=res, poly_key_col=poly_key_col, interior_skip=interior_skip,
+            )
     if res is None:
         res = _choose_res_dist(parts)
         if interior_skip:

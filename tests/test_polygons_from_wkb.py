@@ -129,3 +129,25 @@ def test_spatial_join_empty_polygons(spark, sf_dir):
     out = spatial_join(pts, [], "lon", "lat", strategy="shuffle", salt="auto")
     assert out.count() == 0
     assert "poly_key" in out.columns
+
+
+def test_spatial_join_dist_adaptive_broadcast(spark, sf_dir):
+    """broadcast_threshold: a small dimension takes the collected broadcast
+    plan; results identical to the forced-distributed plan."""
+    from sis_spark.operators.spatial_join import spatial_join_dist
+    from sis_spark.queries import _events_points, _supplier_polygons_df
+
+    pts = _events_points(spark, sf_dir)
+    polys_df = _supplier_polygons_df(spark, sf_dir)
+    a = sorted(
+        (r["event_id"], r["poly_key"])
+        for r in spatial_join_dist(pts, polys_df, "lon", "lat",
+                                   broadcast_threshold=100000)
+        .select("event_id", "poly_key").collect()
+    )
+    b = sorted(
+        (r["event_id"], r["poly_key"])
+        for r in spatial_join_dist(pts, polys_df, "lon", "lat")
+        .select("event_id", "poly_key").collect()
+    )
+    assert a == b and len(a) > 0
