@@ -58,3 +58,48 @@ def running_cell_counts(
     return cells.groupBy("cell").applyInPandasWithState(
         fn, OUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def running_cell_counts_tws(
+    stream_df: DataFrame, lon_col: str = "lon", lat_col: str = "lat", res: int = 12
+) -> DataFrame:
+    """Spark 4 transformWithStateInPandas variant of running_cell_counts:
+    the successor API (SPARK-49411) with explicit typed state handles and
+    per-processor lifecycle — same semantics (one ValueState row per cell,
+    updated totals emitted each micro-batch), same equality-to-batch
+    contract (tests/test_stateful_streaming.py; the test auto-skips where
+    google.protobuf — required by the TWS state-server protocol — is not
+    installed, as in this container)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    cells = stream_df.withColumn("cell", cell_col(F.col(lon_col), F.col(lat_col), res))
+
+    class CellCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("counts", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n_new = 0
+            for pdf in rows:
+                n_new += len(pdf)
+            if self._state.exists():
+                n, batches = self._state.get()
+            else:
+                n, batches = 0, 0
+            n += n_new
+            batches += 1
+            self._state.update((n, batches))
+            yield pd.DataFrame({"cell": [key[0]], "n": [n], "batches": [batches]})
+
+        def close(self) -> None:
+            pass
+
+    return cells.groupBy("cell").transformWithStateInPandas(
+        statefulProcessor=CellCount(),
+        outputStructType=OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -123,3 +123,67 @@ def test_running_cell_counts_equals_batch(spark, tmp_path, res):
     assert (got["n"].to_numpy() == batch["n"].to_numpy()).all()
     # hot cells were hit by both files -> their state crossed micro-batches
     assert int(got["batches"].max()) >= 2
+
+
+@pytest.mark.parametrize("res", [6])
+def test_running_cell_counts_tws_equals_batch(spark, tmp_path, res):
+    """Spark 4 transformWithStateInPandas variant: identical contract —
+    streaming running totals equal the batch histogram, state survives
+    micro-batches.
+
+    The TWS state-server protocol needs google.protobuf, which this
+    container does not ship (no installs allowed) — skip when absent; the
+    operator itself is import-tested either way."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas needs protobuf (absent in image)",
+    )
+    from pyspark.sql import functions as F
+
+    from sis_spark import synth
+    from sis_spark.functions.spark_exprs import cell_col
+    from sis_spark.streaming.stateful import running_cell_counts_tws
+
+    src = tmp_path / "tws_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "tws_ckpt")
+
+    def chunk(path, ids):
+        lon, lat = synth.point_lonlat_np(pd.Series(ids).to_numpy())
+        pd.DataFrame({"event_id": ids, "lon": lon, "lat": lat}).to_parquet(path)
+
+    chunk(src / "a.parquet", list(range(0, 400)))
+    stream = (
+        spark.readStream.schema("event_id long, lon double, lat double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = running_cell_counts_tws(stream, res=res)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cellcounts_tws")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        chunk(src / "b.parquet", list(range(400, 800)))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = (
+        spark.sql("SELECT cell, max(n) AS n, max(batches) AS batches "
+                  "FROM cellcounts_tws GROUP BY cell")
+        .toPandas().sort_values("cell").reset_index(drop=True)
+    )
+    batch = (
+        spark.read.parquet(str(src))
+        .withColumn("cell", cell_col(F.col("lon"), F.col("lat"), res))
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        .toPandas().sort_values("cell").reset_index(drop=True)
+    )
+    assert list(got["cell"]) == list(batch["cell"])
+    assert list(got["n"]) == list(batch["n"])
+    assert got["batches"].max() >= 2  # state survived across micro-batches
