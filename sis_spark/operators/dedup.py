@@ -78,14 +78,29 @@ FROM (SELECT {id_col}, string_split({text}, ' ') AS w FROM {rel}) t"""
 # ---------------------------------------------------------------- jaccard all-pairs (exact baseline)
 
 def jaccard_pairs(docs: DataFrame, n: int = 3, min_common: int = 2,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_shingle_df: int | None = None) -> DataFrame:
     """All doc pairs sharing >= min_common shingles, with exact Jaccard.
 
     Output: (a, b, common, na, nb, jaccard) — jaccard is an int/int division,
     bit-exact.  Exact O(sum over shingles of df^2) baseline; use minhash_lsh
-    at scale."""
+    at scale.
+
+    ``max_shingle_df``: guardrail against quadratic hot shingles (a single
+    stop-shingle with document frequency d costs d^2 join rows).  Shingles
+    whose df exceeds the cap are EXCLUDED from pair generation (standard
+    stop-shingle pruning); sizes (na/nb) still count every shingle, so the
+    reported jaccard becomes a LOWER BOUND for pairs that relied on capped
+    shingles — None (default) keeps the exact oracle semantics."""
     sh = shingles(_parallelize_scan(docs), n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("s")
+        )
+        sh = sh.join(rare, "s", "left_semi")
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (

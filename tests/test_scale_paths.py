@@ -154,3 +154,33 @@ def test_knn_cells_degenerate_high_res(spark):
     rows = knn_join_cells(cand, q, k=5, res=14).collect()
     assert sorted(r["cand_id"] for r in rows) == [1, 2, 3]
     assert sorted(r["rank"] for r in rows) == [1, 2, 3]
+
+
+def test_jaccard_df_cap_prunes_hot_shingles(spark):
+    """max_shingle_df: a stop-shingle shared by every doc no longer feeds
+    the self-join; rare-shingle pairs keep their exact common counts."""
+    import pandas as pd
+
+    from sis_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            # every doc contains 'the common stop phrase'; docs 1/2 share a
+            # rare tail
+            "text": [
+                "the common stop phrase alpha beta gamma",
+                "the common stop phrase alpha beta gamma",
+                "the common stop phrase delta",
+                "the common stop phrase epsilon",
+            ],
+        }),
+        schema="doc_id long, text string",
+    )
+    exact = {(r.a, r.b): r.common for r in jaccard_pairs(docs, min_common=1).collect()}
+    capped = {(r.a, r.b): r.common
+              for r in jaccard_pairs(docs, min_common=1, max_shingle_df=2).collect()}
+    # the all-docs stop shingles are pruned: 3-4 style pairs disappear,
+    # 1-2 keeps its rare shingles
+    assert (1, 2) in capped and capped[(1, 2)] <= exact[(1, 2)]
+    assert (3, 4) not in capped and (3, 4) in exact
