@@ -139,6 +139,60 @@ class PolarStereographicB:
         return np.degrees(lam) + self.lon0, np.degrees(phi)
 
 
+class AlbersEqualArea:
+    """EPSG method 9822 (Albers equal-area conic, two standard parallels) —
+    Guidance Note 7-2 §3.1.5 / Snyder 1987 eq. 14-1..14-21.  The equal-area
+    complement to LCC (R/operation/projection/AlbersEqualArea.java)."""
+
+    def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
+                 fe: float, fn: float, ellipsoid=GRS80):
+        self.a, f = ellipsoid
+        self.e = _ecc(ellipsoid)
+        self.e2 = self.e * self.e
+        p1, p2, p0 = np.radians([lat1, lat2, lat0])
+        m1, m2 = _m(p1, self.e), _m(p2, self.e)
+        q1, q2, q0 = self._q(p1), self._q(p2), self._q(p0)
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = self.a * np.sqrt(self.C - self.n * q0) / self.n
+        self.lon0 = lon0
+        self.fe, self.fn = fe, fn
+
+    def _q(self, phi):
+        s = np.sin(phi)
+        e = self.e
+        return (1.0 - self.e2) * (
+            s / (1.0 - self.e2 * s * s)
+            - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        q = self._q(phi)
+        rho = self.a * np.sqrt(self.C - self.n * q) / self.n
+        th = self.n * lam
+        return self.fe + rho * np.sin(th), self.fn + self.rho0 - rho * np.cos(th)
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = self.rho0 - (np.asarray(y, np.float64) - self.fn)
+        rho = np.sqrt(dx * dx + dy * dy)
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        th = np.arctan2(dx, dy)
+        lam = th / self.n
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        e, e2 = self.e, self.e2
+        for _ in range(12):
+            s = np.sin(phi)
+            phi = phi + (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+                q / (1.0 - e2)
+                - s / (1.0 - e2 * s * s)
+                + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+            )
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
 class _Geographic:
     def forward(self, lon, lat):
         return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
@@ -207,6 +261,8 @@ CRS_REGISTRY: dict[str, object] = {
     "EPSG:3031": PolarStereographicB(-71.0, 0.0, 0.0, 0.0, WGS84),
     # NSIDC Sea Ice Polar Stereographic North
     "EPSG:3413": PolarStereographicB(70.0, -45.0, 0.0, 0.0, WGS84),
+    # NAD83 / Conus Albers (datum-preserving GRS80 approximation)
+    "EPSG:5070": AlbersEqualArea(29.5, 45.5, 23.0, -96.0, 0.0, 0.0, GRS80),
 }
 
 

@@ -101,3 +101,32 @@ def test_projected_to_projected_routes_through_geographic():
 def test_unknown_crs_raises():
     with pytest.raises(ValueError, match="unsupported CRS"):
         transform_points(np.array([0.0]), np.array([0.0]), "EPSG:4326", "EPSG:9999")
+
+
+def test_albers_round_trip_and_equal_area():
+    """EPSG:5070: round trip + the defining property — the areal scale
+    factor (Jacobian determinant over the ellipsoid area element) is 1
+    everywhere in the domain."""
+    from sis_spark.functions.projections import CRS_REGISTRY
+
+    p = CRS_REGISTRY["EPSG:5070"]
+    rng = np.random.RandomState(11)
+    lon = rng.uniform(-120, -75, 300)
+    lat = rng.uniform(25, 48, 300)
+    x, y = p.forward(lon, lat)
+    lon2, lat2 = p.inverse(x, y)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+    a, f = GRS80
+    e2 = f * (2.0 - f)
+    h = 1e-5
+    xe, ye = p.forward(lon + h, lat)
+    xn, yn = p.forward(lon, lat + h)
+    jac = np.abs((xe - x) * (yn - y) - (ye - y) * (xn - x)) / math.radians(h) ** 2
+    s = np.sin(np.radians(lat))
+    M = a * (1.0 - e2) / (1.0 - e2 * s * s) ** 1.5
+    Nr = a / np.sqrt(1.0 - e2 * s * s)
+    ellipsoid_area = M * Nr * np.cos(np.radians(lat))
+    ratio = jac / ellipsoid_area
+    assert np.abs(ratio - 1.0).max() < 1e-4
