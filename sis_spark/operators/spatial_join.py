@@ -665,3 +665,114 @@ def polygon_pair_join(
             F.col("r.contains_ba").alias("contains_ba"),
         )
     )
+
+
+def polygon_pair_join_multi(
+    polygons_df: DataFrame,
+    res: int | None = None,
+    key_col: str = "key",
+    wkb_col: str = "wkb",
+) -> DataFrame:
+    """polygon_pair_join for MULTI-PART keys (MultiPolygon members,
+    anti-meridian split parts): part-level covering-cell candidates, DE-9IM
+    on part pairs, then UNION-LEVEL aggregation per key pair:
+
+    * intersects  = any part pair intersects;
+    * contains(A,B) = EVERY part of B is contained in some part of A —
+      sound under the valid-multipolygon model (disjoint member interiors):
+      a connected B part strictly inside one A member cannot reach any
+      other member, so per-part containment composes to union containment.
+
+    Output (a, b, contains_ab, contains_ba) for intersecting key pairs."""
+    from ..functions.relate import relate_polygons_wkb
+
+    parts = (
+        polygon_parts_df(polygons_df, key_col, wkb_col)
+        .withColumn("uid", F.monotonically_increasing_id())
+        .localCheckpoint()  # pin uids (monotonic ids are plan-dependent)
+    )
+    if res is None:
+        res = _choose_res_dist(parts)
+    cov = polygon_cells_df(
+        parts.select(F.col("uid").alias("key"), "wkb", "xmin", "ymin", "xmax", "ymax"),
+        res, classify=False,
+    ).select("cell", F.col("pkey").alias("uid"))
+    pairs = (
+        cov.groupBy("cell")
+        .agg(F.collect_set("uid").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(least(x, y) AS ua, greatest(x, y) AS ub))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ua", "p.ub")
+        .distinct()
+    )
+    pa = parts.select(
+        F.col("uid").alias("ua"), F.col("key").alias("ka"), F.col("wkb").alias("wkb_a"),
+        F.col("xmin").alias("axmin"), F.col("ymin").alias("aymin"),
+        F.col("xmax").alias("axmax"), F.col("ymax").alias("aymax"),
+    )
+    pb = parts.select(
+        F.col("uid").alias("ub"), F.col("key").alias("kb"), F.col("wkb").alias("wkb_b"),
+        F.col("xmin").alias("bxmin"), F.col("ymin").alias("bymin"),
+        F.col("xmax").alias("bxmax"), F.col("ymax").alias("bymax"),
+    )
+    cand = (
+        pairs.join(pa, "ua").join(pb, "ub")
+        .filter(F.col("ka") != F.col("kb"))
+        .filter(
+            (F.col("axmin") <= F.col("bxmax")) & (F.col("bxmin") <= F.col("axmax"))
+            & (F.col("aymin") <= F.col("bymax")) & (F.col("bymin") <= F.col("aymax"))
+        )
+    )
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(
+        T.StructType([
+            T.StructField("intersects", T.BooleanType()),
+            T.StructField("a_contains_b", T.BooleanType()),
+            T.StructField("b_contains_a", T.BooleanType()),
+        ])
+    )
+    def rel(a_s: pd.Series, b_s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for a, b in zip(a_s, b_s):
+            p = relate_polygons_wkb(bytes(a), bytes(b))
+            rows.append((p["intersects"], p["contains"], p["within"]))
+        return pd.DataFrame(rows, columns=["intersects", "a_contains_b", "b_contains_a"])
+
+    # canonical key orientation: a = lesser key; swap flags where ka > kb
+    flagged = cand.withColumn("r", rel(F.col("wkb_a"), F.col("wkb_b"))).select(
+        F.least("ka", "kb").alias("a"),
+        F.greatest("ka", "kb").alias("b"),
+        F.when(F.col("ka") <= F.col("kb"), F.col("ua")).otherwise(F.col("ub")).alias("pa_uid"),
+        F.when(F.col("ka") <= F.col("kb"), F.col("ub")).otherwise(F.col("ua")).alias("pb_uid"),
+        F.col("r.intersects").alias("inter"),
+        F.when(F.col("ka") <= F.col("kb"), F.col("r.a_contains_b"))
+         .otherwise(F.col("r.b_contains_a")).alias("cab"),
+        F.when(F.col("ka") <= F.col("kb"), F.col("r.b_contains_a"))
+         .otherwise(F.col("r.a_contains_b")).alias("cba"),
+    )
+    agg = flagged.groupBy("a", "b").agg(
+        F.max("inter").alias("intersects"),
+        F.count_distinct(F.when(F.col("cab"), F.col("pb_uid"))).alias("b_parts_contained"),
+        F.count_distinct(F.when(F.col("cba"), F.col("pa_uid"))).alias("a_parts_contained"),
+    )
+    nparts = parts.groupBy("key").agg(F.count(F.lit(1)).alias("np"))
+    return (
+        agg.join(nparts.select(F.col("key").alias("a"), F.col("np").alias("np_a")), "a")
+        .join(nparts.select(F.col("key").alias("b"), F.col("np").alias("np_b")), "b")
+        .filter(F.col("intersects"))
+        .select(
+            "a", "b",
+            (F.col("b_parts_contained") == F.col("np_b")).alias("contains_ab"),
+            (F.col("a_parts_contained") == F.col("np_a")).alias("contains_ba"),
+        )
+    )

@@ -104,3 +104,37 @@ def test_pair_join_matches_brute(spark, sf_dir):
             if r["intersects"]:
                 exp.append((a, b, r["contains"], r["within"]))
     assert got == sorted(exp) and len(got) > 0
+
+
+def test_polygon_pair_join_multi(spark):
+    """Union-level predicates over MultiPolygon keys: containment requires
+    EVERY member contained; intersects is any-part."""
+    from sis_spark.functions import geometry as geo
+    from sis_spark.operators.spatial_join import polygon_pair_join_multi
+
+    def mp(parts):
+        bufs = [geo.wkb_polygon([(np.asarray(vx, float), np.asarray(vy, float))])
+                for vx, vy in parts]
+        return (b"\x01" + (6).to_bytes(4, "little")
+                + len(bufs).to_bytes(4, "little") + b"".join(bufs))
+
+    sq = lambda x0, y0, w: ([x0, x0 + w, x0 + w, x0], [y0, y0, y0 + w, y0 + w])
+    rows = [
+        # key 1: two big squares
+        (1, mp([sq(0, 0, 10), sq(20, 0, 10)])),
+        # key 2: one small square inside EACH of key 1's members -> contained
+        (2, mp([sq(2, 2, 2), sq(22, 2, 2)])),
+        # key 3: one member inside key 1's first square, one far away -> NOT contained
+        (3, mp([sq(5, 5, 2), sq(50, 50, 2)])),
+        # key 4: disjoint from everything near
+        (4, mp([sq(100, 100, 3)])),
+    ]
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["key", "wkb"]),
+                               schema="key long, wkb binary")
+    got = {(r["a"], r["b"]): (r["contains_ab"], r["contains_ba"])
+           for r in polygon_pair_join_multi(df).collect()}
+    assert got[(1, 2)] == (True, False)   # both members of 2 inside 1
+    assert got[(1, 3)] == (False, False)  # one member of 3 escapes
+    assert (2, 3) not in got              # members pairwise disjoint
+    assert all(4 not in pair for pair in got)  # key 4 intersects nothing
