@@ -4,12 +4,12 @@ Formats:
 * ``raw``  — little-endian header (w, h, channels) + uint8 pixel bytes.
 * ``png``  — real, standards-compliant PNG (8-bit RGB/gray, filter 0,
   zlib-deflate), pure Python encoder/decoder.  Lossless.
-* ``jpeg`` — STAND-IN lossy codec (no libjpeg available): 'quality' is
-  simulated by quantizing samples to multiples of 4 before raw storage.
-  Deterministic, and its reconstruction error (uniform quantization, step 4)
-  yields PSNR ≈ 46 dB, satisfying the ≥40 dB gate for lossy re-encodes.
-  The API (encode/decode/PSNR) is real; only the bitstream is a stub —
-  clearly marked so a libjpeg-backed impl can drop in.
+* ``jpeg`` — REAL baseline JPEG (ITU-T T.81), pure-numpy encoder/decoder in
+  jpeg.py: 8x8 DCT, Annex-K quantization with IJG quality scaling, canonical
+  Huffman entropy coding, JFIF markers.  Deterministic.  The default quality
+  (98) keeps decode(encode(x)) at PSNR >= 40 dB even on the synthetic
+  sawtooth pixel pattern (worst case for DCT ringing); smooth natural
+  content round-trips near-losslessly.
 
 The decoded-pixel invariant mirrors the reference's raster read-consistency
 testing style (St/test/CoverageReadConsistency.java:57-194): decode(encode(x))
@@ -24,7 +24,6 @@ import zlib
 import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-JPEG_QUANT_STEP = 4
 
 
 def encode_raw(arr: np.ndarray) -> bytes:
@@ -123,23 +122,24 @@ def decode_png(buf: bytes) -> np.ndarray:
     return out.astype(np.uint8).reshape(h, w, c)
 
 
-def encode_jpeg_stub(arr: np.ndarray) -> bytes:
-    """STAND-IN lossy encoder (see module docstring): quantize to step 4."""
+JPEG_QUALITY = 98  # default: >= 40 dB PSNR even on sawtooth synthetic content
+
+
+def encode_jpeg(arr: np.ndarray) -> bytes:
+    from . import jpeg
     h, w, c = _shape3(arr)
-    q = (arr.astype(np.uint8) // JPEG_QUANT_STEP) * JPEG_QUANT_STEP + JPEG_QUANT_STEP // 2
-    return b"FJPG" + struct.pack("<III", w, h, c) + zlib.compress(q.tobytes(), 1)
+    return jpeg.encode(arr.reshape(h, w, c), quality=JPEG_QUALITY)
 
 
-def decode_jpeg_stub(buf: bytes) -> np.ndarray:
-    assert buf[:4] == b"FJPG", "not a fake-jpeg payload"
-    w, h, c = struct.unpack_from("<III", buf, 4)
-    return np.frombuffer(zlib.decompress(buf[16:]), dtype=np.uint8).reshape(h, w, c)
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    from . import jpeg
+    return jpeg.decode(buf)
 
 
 CODECS = {
     "raw": (encode_raw, decode_raw),
     "png": (encode_png, decode_png),
-    "jpeg": (encode_jpeg_stub, decode_jpeg_stub),
+    "jpeg": (encode_jpeg, decode_jpeg),
 }
 
 

@@ -1,0 +1,631 @@
+"""Pure-numpy baseline JPEG (ITU-T T.81, baseline sequential DCT) codec.
+
+No libjpeg/PIL exists in this image, so the bitstream is produced and parsed
+from scratch: 8x8 DCT via an orthonormal matrix product, IJG-style quality
+scaling of the Annex-K quantization tables, canonical Huffman entropy coding
+(tables are *generated* from a deterministic frequency model and embedded in
+DHT segments — the spec requires valid tables in the stream, not libjpeg's
+defaults), JFIF/SOF0/SOS marker framing, 0xFF byte stuffing, optional 4:2:0
+chroma subsampling and restart markers.
+
+The decoder is general baseline: arbitrary (H,V) sampling factors, multiple
+DQT/DHT per segment, DRI/RSTn restart intervals, and "abbreviated" streams
+whose tables arrive separately (the TIFF/EP ``JPEGTables`` mechanism used by
+GeoTIFF compression 7 — see sources/geotiff.py).  Progressive (SOF2) is
+rejected explicitly.
+
+Reference parity: the reference reads JPEG-in-GeoTIFF through Java ImageIO
+(S/storage/geotiff — its inflater set delegates compression 7); this module
+is the sandbox-native equivalent.  Fidelity contract per the north rule:
+decode(encode(x, quality>=90)) must reach PSNR >= 40 dB (tests/test_jpeg.py).
+"""
+
+from __future__ import annotations
+
+import heapq
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------- constants
+
+# Natural-order index of each zigzag position (ITU-T T.81 Figure 5).
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# Annex K.1 / K.2 base quantization tables (natural order).
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.float64)
+
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.float64)
+
+# Orthonormal DCT-II matrix: forward F = D @ X @ D.T, inverse X = D.T @ F @ D.
+_D = np.array([
+    [(np.sqrt(0.125) if k == 0 else 0.5) * np.cos((2 * n + 1) * k * np.pi / 16.0)
+     for n in range(8)] for k in range(8)])
+
+
+def quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling (public libjpeg formula): 1..100 -> scaled tables."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000.0 / q if q < 50 else 200.0 - 2.0 * q
+    out = []
+    for base in (_Q_LUMA, _Q_CHROMA):
+        t = np.floor((base * scale + 50.0) / 100.0)
+        out.append(np.clip(t, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+# ------------------------------------------------------- Huffman generation
+
+def _huffman_lengths(freqs: list[tuple[int, int]]) -> dict[int, int]:
+    """Code lengths from a deterministic Huffman build, limited to <=16 bits
+    with Kraft-sum margin (< 1 - 2^-16) so no all-ones max-length code is
+    emitted — the same constraint the spec's Annex-K AdjustBits guarantees."""
+    if len(freqs) == 1:
+        return {freqs[0][0]: 1}
+    heap = [(f, (sym,), [sym]) for sym, f in freqs]
+    heapq.heapify(heap)
+    depth = {sym: 0 for sym, _ in freqs}
+    while len(heap) > 1:
+        f1, k1, s1 = heapq.heappop(heap)
+        f2, k2, s2 = heapq.heappop(heap)
+        for s in s1:
+            depth[s] += 1
+        for s in s2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, min(k1, k2), s1 + s2))
+    for s in depth:
+        depth[s] = min(depth[s], 16)
+    limit = 1.0 - 2.0 ** -16
+    while sum(2.0 ** -l for l in depth.values()) > limit:
+        # lengthen the currently-shortest symbol (stable: lowest symbol wins ties)
+        s = min(depth, key=lambda k: (depth[k], k))
+        depth[s] += 1
+    return depth
+
+
+def _canonical(depth: dict[int, int]) -> tuple[list[int], list[int], dict[int, tuple[int, int]]]:
+    """(bits[1..16], symbol list, sym -> (code, length)) canonical assignment
+    in DHT order: ascending length, then insertion order of the freq model."""
+    order = sorted(depth, key=lambda s: (depth[s], s))
+    bits = [0] * 17
+    for s in order:
+        bits[depth[s]] += 1
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    i = 0
+    for L in range(1, 17):
+        for _ in range(bits[L]):
+            codes[order[i]] = (code, L)
+            code += 1
+            i += 1
+        code <<= 1
+    return bits[1:], order, codes
+
+
+def _dc_freq_model() -> list[tuple[int, int]]:
+    # categories 0..11; small diffs dominate
+    return [(s, 1 << max(0, 12 - s)) for s in range(12)]
+
+
+def _ac_freq_model() -> list[tuple[int, int]]:
+    freqs = [(0x00, 1 << 14), (0xF0, 1 << 6)]  # EOB, ZRL
+    for r in range(16):
+        for s in range(1, 11):
+            freqs.append(((r << 4) | s, 1 << max(0, 14 - r - 2 * s)))
+    return freqs
+
+
+def _build_tables():
+    out = {}
+    for cls, model in (("dc", _dc_freq_model()), ("ac", _ac_freq_model())):
+        depth = _huffman_lengths(model)
+        bits, syms, codes = _canonical(depth)
+        out[cls] = (bits, syms, codes)
+    return out
+
+_HUFF = _build_tables()  # same tables for luma and chroma (both embedded in DHT)
+
+
+def _decode_lut(bits: list[int], syms: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """16-bit-peek lookup tables: value -> (symbol, code length)."""
+    lut_len = np.zeros(1 << 16, dtype=np.uint8)
+    lut_sym = np.zeros(1 << 16, dtype=np.uint8)
+    code = 0
+    i = 0
+    for L in range(1, 17):
+        for _ in range(bits[L - 1]):
+            lo = code << (16 - L)
+            hi = (code + 1) << (16 - L)
+            lut_len[lo:hi] = L
+            lut_sym[lo:hi] = syms[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return lut_len, lut_sym
+
+
+# --------------------------------------------------------------- encoder
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    a = arr.astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _pad_to(plane: np.ndarray, my: int, mx: int) -> np.ndarray:
+    h, w = plane.shape
+    H = -(-h // my) * my
+    W = -(-w // mx) * mx
+    return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(H/8, W/8, 8, 8) view-copy of an 8-aligned plane."""
+    H, W = plane.shape
+    return plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _fdct_quant(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+    """All blocks of a plane -> quantized zigzag coefficients (by, bx, 64)."""
+    blocks = _blocks_of(plane.astype(np.float64) - 128.0)
+    f = np.einsum("ij,abjk,lk->abil", _D, blocks, _D)
+    q = np.round(f / qtbl.reshape(8, 8)).astype(np.int32)
+    by, bx = q.shape[:2]
+    return q.reshape(by, bx, 64)[:, :, ZIGZAG]
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _dqt_segment(qtbls: list[np.ndarray]) -> bytes:
+    payload = b""
+    for tid, t in enumerate(qtbls):
+        payload += bytes([tid]) + bytes(int(v) for v in t[ZIGZAG])
+    return _seg(0xFFDB, payload)
+
+
+def _dht_segment(entries: list[tuple[int, int, list[int], list[int]]]) -> bytes:
+    payload = b""
+    for cls, tid, bits, syms in entries:
+        payload += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(syms)
+    return _seg(0xFFC4, payload)
+
+
+def encode(arr: np.ndarray, quality: int = 90, subsample: bool = False,
+           restart_interval: int = 0, tables_only: bool = False,
+           omit_tables: bool = False) -> bytes:
+    """Baseline JFIF encode of an 8-bit gray (h,w) / (h,w,1) or RGB (h,w,3)
+    array.  ``subsample`` selects 4:2:0 chroma; ``tables_only`` /
+    ``omit_tables`` produce the abbreviated streams of TIFF's JPEGTables
+    mechanism (tables stream = SOI+DQT+DHT+EOI; image streams then carry no
+    tables of their own)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc not in (1, 3):
+        raise ValueError("gray or RGB only")
+    ql, qc = quant_tables(quality)
+    dc_bits, dc_syms, dc_codes = _HUFF["dc"]
+    ac_bits, ac_syms, ac_codes = _HUFF["ac"]
+
+    head = bytearray(b"\xff\xd8")  # SOI
+    if not tables_only:
+        head += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if not omit_tables:
+        head += _dqt_segment([ql] if nc == 1 else [ql, qc])
+        head += _dht_segment([(0, 0, dc_bits, dc_syms), (1, 0, ac_bits, ac_syms)])
+    if tables_only:
+        return bytes(head) + b"\xff\xd9"
+
+    # component geometry
+    if nc == 1:
+        comps = [dict(cid=1, H=1, V=1, tq=0)]
+        planes = [arr[:, :, 0].astype(np.float64)]
+    else:
+        sub = 2 if subsample else 1
+        comps = [dict(cid=1, H=sub, V=sub, tq=0),
+                 dict(cid=2, H=1, V=1, tq=1),
+                 dict(cid=3, H=1, V=1, tq=1)]
+        ycc = _rgb_to_ycbcr(arr)
+        y = ycc[..., 0]
+        if subsample:
+            yp = _pad_to(y, 2, 2)
+            cb = _pad_to(ycc[..., 1], 2, 2)
+            cr = _pad_to(ycc[..., 2], 2, 2)
+            cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(axis=(1, 3))
+            planes = [yp, cb, cr]
+        else:
+            planes = [y, ycc[..., 1], ycc[..., 2]]
+
+    hmax = max(c["H"] for c in comps)
+    vmax = max(c["V"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # quantized zigzag blocks per component, padded to exact MCU coverage
+    qblocks = []
+    for c, p in zip(comps, planes):
+        ch = -(-h * c["V"] // vmax)  # component resolution
+        cw = -(-w * c["H"] // hmax)
+        p = p[:ch, :cw]
+        need_h, need_w = mcuy * 8 * c["V"], mcux * 8 * c["H"]
+        p = np.pad(p, ((0, need_h - p.shape[0]), (0, need_w - p.shape[1])), mode="edge")
+        qblocks.append(_fdct_quant(p, ql if c["tq"] == 0 else qc))
+
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for c in comps:
+        sof += bytes([c["cid"], (c["H"] << 4) | c["V"], c["tq"]])
+    head += _seg(0xFFC0, bytes(sof))
+    if restart_interval:
+        head += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc]) + b"".join(bytes([c["cid"], 0x00]) for c in comps) + b"\x00\x3f\x00"
+    head += _seg(0xFFDA, sos)
+
+    # entropy scan — inlined bit packing (local acc/nbits, drain per symbol)
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    preds = [0] * len(comps)
+    mcu_i = 0
+    rst = 0
+    eob_code, eob_len = ac_codes[0x00]
+    zrl_code, zrl_len = ac_codes[0xF0]
+    HV = [(c["H"], c["V"]) for c in comps]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                if nbits:  # 1-pad to byte boundary
+                    pad = 8 - nbits
+                    b = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+                    out.append(b)
+                    if b == 0xFF:
+                        out.append(0x00)
+                    acc = nbits = 0
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0] * len(comps)
+            for ci in range(len(comps)):
+                H, V = HV[ci]
+                for v in range(V):
+                    for u in range(H):
+                        blk = qblocks[ci][my * V + v, mx * H + u]
+                        blkl = blk.tolist()
+                        # DC
+                        dc = blkl[0]
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+                        code, L = dc_codes[s]
+                        if s:
+                            acc = (acc << (L + s)) | (code << s) | (
+                                diff if diff > 0 else diff + (1 << s) - 1)
+                            nbits += L + s
+                        else:
+                            acc = (acc << L) | code
+                            nbits += L
+                        while nbits >= 8:
+                            b = (acc >> (nbits - 8)) & 0xFF
+                            out.append(b)
+                            if b == 0xFF:
+                                out.append(0x00)
+                            nbits -= 8
+                        acc &= (1 << nbits) - 1
+                        # AC
+                        nz = np.nonzero(blk[1:])[0]
+                        prev = 0
+                        for k in nz.tolist():
+                            run = k - prev
+                            prev = k + 1
+                            while run >= 16:
+                                acc = (acc << zrl_len) | zrl_code
+                                nbits += zrl_len
+                                run -= 16
+                            v_ = blkl[1 + k]
+                            s = v_.bit_length() if v_ >= 0 else (-v_).bit_length()
+                            code, L = ac_codes[(run << 4) | s]
+                            acc = (acc << (L + s)) | (code << s) | (
+                                v_ if v_ > 0 else v_ + (1 << s) - 1)
+                            nbits += L + s
+                            while nbits >= 8:
+                                b = (acc >> (nbits - 8)) & 0xFF
+                                out.append(b)
+                                if b == 0xFF:
+                                    out.append(0x00)
+                                nbits -= 8
+                            acc &= (1 << nbits) - 1
+                        if prev < 63:
+                            acc = (acc << eob_len) | eob_code
+                            nbits += eob_len
+                            while nbits >= 8:
+                                b = (acc >> (nbits - 8)) & 0xFF
+                                out.append(b)
+                                if b == 0xFF:
+                                    out.append(0x00)
+                                nbits -= 8
+                            acc &= (1 << nbits) - 1
+            mcu_i += 1
+    if nbits:
+        pad = 8 - nbits
+        b = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)
+    return bytes(head) + bytes(out) + b"\xff\xd9"
+
+
+# --------------------------------------------------------------- decoder
+
+class _JpegState:
+    def __init__(self):
+        self.qt: dict[int, np.ndarray] = {}       # tid -> 64 natural-order
+        self.huff: dict[tuple[int, int], tuple] = {}  # (class, tid) -> luts
+        self.restart = 0
+        self.frame = None
+
+
+def _parse_tables(buf: bytes, pos: int, marker: int, state: _JpegState, ln: int):
+    end = pos + ln - 2
+    if marker == 0xDB:  # DQT
+        while pos < end:
+            pq_tq = buf[pos]
+            pq, tq = pq_tq >> 4, pq_tq & 15
+            pos += 1
+            if pq == 0:
+                z = np.frombuffer(buf, np.uint8, 64, pos).astype(np.int32)
+                pos += 64
+            else:
+                z = np.frombuffer(buf, ">u2", 64, pos).astype(np.int32)
+                pos += 128
+            nat = np.zeros(64, np.int32)
+            nat[ZIGZAG] = z
+            state.qt[tq] = nat
+    elif marker == 0xC4:  # DHT
+        while pos < end:
+            tc_th = buf[pos]
+            bits = list(buf[pos + 1:pos + 17])
+            n = sum(bits)
+            syms = list(buf[pos + 17:pos + 17 + n])
+            pos += 17 + n
+            state.huff[(tc_th >> 4, tc_th & 15)] = _decode_lut(bits, syms)
+    elif marker == 0xDD:  # DRI
+        (state.restart,) = struct.unpack_from(">H", buf, pos)
+
+
+def _scan_segments(buf: bytes, pos: int) -> tuple[list[bytes], int]:
+    """De-stuffed entropy byte runs split at RST markers; returns (runs, pos
+    of the terminating marker's 0xFF).  Scans with bytes.find (0xFF bytes are
+    rare in entropy data) rather than per-byte Python."""
+    segs = []
+    cur = bytearray()
+    n = len(buf)
+    while pos < n:
+        j = buf.find(b"\xff", pos)
+        if j < 0:
+            cur += buf[pos:]
+            pos = n
+            break
+        cur += buf[pos:j]
+        m = buf[j + 1] if j + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            pos = j + 2
+        elif 0xD0 <= m <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos = j + 2
+        else:
+            pos = j
+            break
+    segs.append(bytes(cur))
+    return segs, pos
+
+
+def parse_tables_stream(buf: bytes) -> _JpegState:
+    """Parse an abbreviated tables-only stream (TIFF JPEGTables tag 347)."""
+    state = _JpegState()
+    _walk_markers(buf, state, stop_at_sos=True)
+    return state
+
+
+def _walk_markers(buf: bytes, state: _JpegState, stop_at_sos: bool = False):
+    assert buf[:2] == b"\xff\xd8", "not a JPEG stream (missing SOI)"
+    pos = 2
+    n = len(buf)
+    while pos < n:
+        if buf[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = buf[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+            if marker == 0xD9:
+                return None
+            continue
+        (ln,) = struct.unpack_from(">H", buf, pos)
+        if marker in (0xDB, 0xC4, 0xDD):
+            _parse_tables(buf, pos + 2, marker, state, ln)
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            p = pos + 2
+            precision = buf[p]
+            assert precision == 8, "8-bit precision only"
+            h, w = struct.unpack_from(">HH", buf, p + 1)
+            nc = buf[p + 5]
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = buf[p + 6 + 3 * i:p + 9 + 3 * i]
+                comps.append(dict(cid=cid, H=hv >> 4, V=hv & 15, tq=tq))
+            state.frame = dict(h=h, w=w, comps=comps)
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG (SOF2) not supported")
+        elif marker == 0xDA:  # SOS: (payload start, entropy-data start)
+            return pos + 2, pos + ln
+        pos += ln
+    raise ValueError("no SOS marker found")
+
+
+def decode(buf: bytes, tables: bytes | None = None) -> np.ndarray:
+    """Decode a baseline JPEG to (h, w, c) uint8.  ``tables`` optionally
+    carries a separate abbreviated tables stream (TIFF JPEGTables)."""
+    state = _JpegState()
+    if tables is not None:
+        _walk_markers(tables, state, stop_at_sos=True)
+    res = _walk_markers(buf, state)
+    if res is None:
+        raise ValueError("stream has no scan (tables-only?)")
+    p, entropy_pos = res
+    frame = state.frame
+    if frame is None:
+        raise ValueError("no SOF frame header")
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    nc = len(comps)
+
+    # SOS header: component -> huffman table ids
+    ns = buf[p]
+    tsel = {}
+    for i in range(ns):
+        cid, tdta = buf[p + 1 + 2 * i], buf[p + 2 + 2 * i]
+        tsel[cid] = (tdta >> 4, tdta & 15)
+
+    segs, _ = _scan_segments(buf, entropy_pos)
+    hmax = max(c["H"] for c in comps)
+    vmax = max(c["V"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    total_mcus = mcux * mcuy
+    ri = state.restart or total_mcus
+
+    # hot loop: bytes-backed LUTs (C-speed int indexing), inlined bit reads,
+    # coefficients accumulated as (flat index, value) lists, bulk-assigned after
+    HV = [(c["H"], c["V"]) for c in comps]
+    luts = []
+    for c in comps:
+        dcl, dcs = state.huff[(0, tsel[c["cid"]][0])]
+        acl, acs = state.huff[(1, tsel[c["cid"]][1])]
+        luts.append((dcl.tobytes(), dcs.tobytes(), acl.tobytes(), acs.tobytes()))
+    idx_l: list[list[int]] = [[] for _ in comps]
+    val_l: list[list[int]] = [[] for _ in comps]
+    bwidths = [mcux * c["H"] for c in comps]
+
+    seg_i = 0
+    data = segs[0] + b"\x00\x00"
+    pos = 0
+    preds = [0] * nc
+    for mcu in range(total_mcus):
+        if mcu and mcu % ri == 0 and seg_i + 1 < len(segs):
+            seg_i += 1
+            data = segs[seg_i] + b"\x00\x00"
+            pos = 0
+            preds = [0] * nc
+        my, mx = divmod(mcu, mcux)
+        for ci in range(nc):
+            H, V = HV[ci]
+            dc_len, dc_sym, ac_len, ac_sym = luts[ci]
+            bw_ci = bwidths[ci]
+            idx = idx_l[ci]
+            val = val_l[ci]
+            for v in range(V):
+                for u in range(H):
+                    base = ((my * V + v) * bw_ci + (mx * H + u)) * 64
+                    byte = pos >> 3
+                    pk = (((data[byte] << 16) | (data[byte + 1] << 8) | data[byte + 2])
+                          >> (8 - (pos & 7))) & 0xFFFF
+                    L = dc_len[pk]
+                    if L == 0:
+                        raise ValueError("invalid DC huffman code")
+                    pos += L
+                    s = dc_sym[pk]
+                    if s:
+                        byte = pos >> 3
+                        bits = ((((data[byte] << 16) | (data[byte + 1] << 8) | data[byte + 2])
+                                 >> (8 - (pos & 7))) & 0xFFFF) >> (16 - s)
+                        pos += s
+                        preds[ci] += bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+                    if preds[ci]:
+                        idx.append(base)
+                        val.append(preds[ci])
+                    k = 1
+                    while k < 64:
+                        byte = pos >> 3
+                        pk = (((data[byte] << 16) | (data[byte + 1] << 8) | data[byte + 2])
+                              >> (8 - (pos & 7))) & 0xFFFF
+                        L = ac_len[pk]
+                        if L == 0:
+                            raise ValueError("invalid AC huffman code")
+                        pos += L
+                        rs = ac_sym[pk]
+                        s = rs & 15
+                        if s == 0:
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("AC run overflows block")
+                        byte = pos >> 3
+                        bits = ((((data[byte] << 16) | (data[byte + 1] << 8) | data[byte + 2])
+                                 >> (8 - (pos & 7))) & 0xFFFF) >> (16 - s)
+                        pos += s
+                        idx.append(base + k)
+                        val.append(bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1)
+                        k += 1
+
+    coefs = []
+    for ci, c in enumerate(comps):
+        flat = np.zeros(mcuy * c["V"] * mcux * c["H"] * 64, np.int32)
+        if idx_l[ci]:
+            flat[np.array(idx_l[ci], np.int64)] = np.array(val_l[ci], np.int32)
+        coefs.append(flat.reshape(mcuy * c["V"], mcux * c["H"], 64))
+
+    # dequantize + IDCT + assemble planes
+    planes = []
+    for c, zz in zip(comps, coefs):
+        nat = np.zeros_like(zz)
+        nat[:, :, ZIGZAG] = zz
+        q = state.qt[c["tq"]]
+        by, bx = nat.shape[:2]
+        f = (nat * q).reshape(by, bx, 8, 8).astype(np.float64)
+        x = np.einsum("ji,abjk,kl->abil", _D, f, _D) + 128.0
+        plane = x.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        # upsample by sample replication to full resolution
+        plane = np.repeat(np.repeat(plane, vmax // c["V"], axis=0), hmax // c["H"], axis=1)
+        planes.append(plane[:h, :w])
+
+    if nc == 1:
+        return np.clip(planes[0].round(), 0, 255).astype(np.uint8)[:, :, None]
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

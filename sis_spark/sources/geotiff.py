@@ -7,9 +7,10 @@ Re-derives the semantics of the reference's GeoTIFF module
 * BOTH layouts: strips (RowsPerStrip/StripOffsets) and tiles
   (TileWidth/TileLength/TileOffsets — the tiled data cube of
   TIF/DataCube.java:50);
-* compressions: NONE(1), DEFLATE(8, zlib), PackBits(32773) and LZW(5,
-  TIFF 6.0 MSB variable-width with early change) — the inflater set of
-  TIF/inflater/ minus JPEG (documented out);
+* compressions: NONE(1), DEFLATE(8, zlib), PackBits(32773), LZW(5,
+  TIFF 6.0 MSB variable-width with early change), and new-style JPEG(7,
+  lossy, shared-tables via JPEGTables tag 347 — raster/jpeg.py) — the full
+  inflater set of TIF/inflater/;
 * georeferencing via ModelPixelScaleTag(33550) + ModelTiepointTag(33922)
   -> the engine's affine 6-tuple / GridGeometry (axis-aligned, north-up:
   negative y scale), plus a minimal GeoKeyDirectory(34735);
@@ -40,11 +41,13 @@ T_TILE_W, T_TILE_H, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
 T_SAMPLE_FORMAT = 339
 T_MODEL_SCALE, T_MODEL_TIEPOINT, T_GEO_KEYS = 33550, 33922, 34735
 T_NEW_SUBFILE, T_PREDICTOR = 254, 317
+T_JPEG_TABLES = 347  # TIFF-EP shared JPEG tables (abbreviated streams)
 
 COMP_NONE, COMP_DEFLATE_ADOBE, COMP_PACKBITS, COMP_DEFLATE = 1, 8, 32773, 32946
 COMP_LZW = 5
+COMP_JPEG = 7  # new-style JPEG-in-TIFF (T.81 baseline via raster/jpeg.py)
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 12: 8, 16: 8}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 12: 8, 16: 8}
 _TYPE_FMT = {3: "H", 4: "I", 16: "Q"}
 
 
@@ -60,7 +63,7 @@ def _pack_entries(entries, data_start: int, big: bool = False):
     for tag, typ, values in sorted(entries):
         if typ == 12:  # DOUBLE
             payload = struct.pack(f"<{len(values)}d", *values)
-        elif typ == 2:  # ASCII
+        elif typ in (2, 7):  # ASCII / UNDEFINED: raw bytes
             payload = values
         else:
             payload = struct.pack(f"<{len(values)}{_TYPE_FMT[typ]}", *values)
@@ -234,20 +237,28 @@ def encode_geotiff(
     compression: str = "deflate",
     bigtiff: bool = False,
     predictor: int = 1,
+    jpeg_quality: int = 95,
 ) -> bytes:
     """Write (h, w[, c]) uint8 as a classic GeoTIFF.
 
     ``affine``: engine 6-tuple grid(corner)->CRS (a, b, c, d, e, f); only
     axis-aligned supported (b == d == 0) — encoded as PixelScale+Tiepoint
     (scale_y positive in the tag, the north-up convention).  ``tile_size``
-    None -> stripped layout (RowsPerStrip=16)."""
+    None -> stripped layout (RowsPerStrip=16).
+
+    ``compression="jpeg"`` writes new-style JPEG-in-TIFF (compression 7,
+    lossy): each block is an abbreviated T.81 baseline stream and the shared
+    DQT/DHT tables go in the TIFF-EP ``JPEGTables`` tag (347) — the layout
+    real GeoTIFF-JPEG files use.  Photometric is written as 6 (YCbCr) for
+    RGB per TIFF-EP; the embedded JFIF stream is authoritative and decodes
+    back to RGB."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
     arr = arr.astype(np.uint8)
     comp_id = {
         "none": COMP_NONE, "deflate": COMP_DEFLATE_ADOBE,
-        "packbits": COMP_PACKBITS, "lzw": COMP_LZW,
+        "packbits": COMP_PACKBITS, "lzw": COMP_LZW, "jpeg": COMP_JPEG,
     }[compression]
 
     def compress(b: bytes) -> bytes:
@@ -261,6 +272,14 @@ def encode_geotiff(
 
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 (none) or 2 (horizontal differencing)")
+    if comp_id == COMP_JPEG:
+        if predictor == 2:
+            raise ValueError("predictor 2 does not apply to JPEG compression")
+        from ..raster import jpeg as _jpeg
+        jpeg_tables = _jpeg.encode(arr[:8, :8], quality=jpeg_quality, tables_only=True)
+
+        def jblock(block: np.ndarray) -> bytes:
+            return _jpeg.encode(block, quality=jpeg_quality, omit_tables=True)
 
     def prep(raw: bytes, rows: int, width: int) -> bytes:
         return _predict2_encode(raw, rows, width, c) if predictor == 2 else raw
@@ -275,25 +294,33 @@ def encode_geotiff(
                 block = np.zeros((th, tw, c), dtype=np.uint8)  # edge tiles padded (TIFF 6.0)
                 sub = arr[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
                 block[: sub.shape[0], : sub.shape[1]] = sub
-                blocks.append(compress(prep(block.tobytes(), th, tw)))
+                if comp_id == COMP_JPEG:
+                    blocks.append(jblock(block))
+                else:
+                    blocks.append(compress(prep(block.tobytes(), th, tw)))
     else:
         rps = 16
         for y0 in range(0, h, rps):
             rows_ = arr[y0 : y0 + rps]
-            blocks.append(compress(prep(rows_.tobytes(), rows_.shape[0], w)))
+            if comp_id == COMP_JPEG:
+                blocks.append(jblock(rows_))
+            else:
+                blocks.append(compress(prep(rows_.tobytes(), rows_.shape[0], w)))
 
     entries = [
         (T_WIDTH, 4, [w]),
         (T_LENGTH, 4, [h]),
         (T_BITS, 3, [8] * c),
         (T_COMPRESSION, 3, [comp_id]),
-        (T_PHOTOMETRIC, 3, [2 if c == 3 else 1]),
+        (T_PHOTOMETRIC, 3, [(6 if comp_id == COMP_JPEG else 2) if c == 3 else 1]),
         (T_SAMPLES, 3, [c]),
         (T_PLANAR, 3, [1]),
         (T_SAMPLE_FORMAT, 3, [1] * c),
     ]
     if predictor == 2:
         entries.append((T_PREDICTOR, 3, [2]))
+    if comp_id == COMP_JPEG:
+        entries.append((T_JPEG_TABLES, 7, jpeg_tables))
     if affine is not None:
         a, b_, cc, d, e, f = affine
         if b_ != 0.0 or d != 0.0:
@@ -402,7 +429,7 @@ def _parse_one_ifd(buf: bytes, end: str, big: bool, ifd_off: int) -> dict:
             vals = list(struct.unpack_from(f"{end}{count}Q", buf, off))
         elif typ == 12:
             vals = list(struct.unpack_from(f"{end}{count}d", buf, off))
-        elif typ == 2:
+        elif typ in (2, 7):
             vals = buf[off : off + count]
         else:
             vals = list(buf[off : off + size])
@@ -428,8 +455,9 @@ def _info_from_tags(tags: dict) -> dict:
     if tags.get(T_PLANAR, [1])[0] != 1:
         raise ValueError("only PlanarConfiguration=1 (chunky) supported")
     comp = tags.get(T_COMPRESSION, [COMP_NONE])[0]
-    if comp not in (COMP_NONE, COMP_DEFLATE_ADOBE, COMP_DEFLATE, COMP_PACKBITS, COMP_LZW):
-        raise ValueError(f"unsupported compression {comp} (JPEG out of scope)")
+    if comp not in (COMP_NONE, COMP_DEFLATE_ADOBE, COMP_DEFLATE, COMP_PACKBITS,
+                    COMP_LZW, COMP_JPEG):
+        raise ValueError(f"unsupported compression {comp}")
 
     tiled = T_TILE_OFFSETS in tags
     if tiled:
@@ -465,6 +493,7 @@ def _info_from_tags(tags: dict) -> dict:
         "geokeys": tags.get(T_GEO_KEYS),
         "predictor": tags.get(T_PREDICTOR, [1])[0],
         "subfile": tags.get(T_NEW_SUBFILE, [0])[0],
+        "jpeg_tables": bytes(tags[T_JPEG_TABLES]) if T_JPEG_TABLES in tags else None,
     }
 
 
@@ -496,6 +525,28 @@ def _inflate_block(payload: bytes, comp: int, expected: int) -> bytes:
     return payload
 
 
+def _block_array(payload: bytes, comp: int, rows: int, width: int, c: int,
+                 pred: int, jpeg_tables: bytes | None = None) -> np.ndarray:
+    """One compressed block -> (rows, width, c) uint8.  JPEG blocks decode
+    through raster/jpeg.py (optionally seeded by the shared JPEGTables
+    stream); byte-oriented compressions inflate + undo the predictor."""
+    if comp == COMP_JPEG:
+        from ..raster import jpeg as _jpeg
+        arr = _jpeg.decode(bytes(payload), tables=jpeg_tables)
+        if arr.shape[2] != c:
+            raise ValueError(f"JPEG block has {arr.shape[2]} bands, IFD says {c}")
+        if arr.shape[:2] != (rows, width):  # defensive pad/crop for odd writers
+            out = np.zeros((rows, width, c), np.uint8)
+            out[: min(rows, arr.shape[0]), : min(width, arr.shape[1])] = (
+                arr[:rows, :width])
+            arr = out
+        return arr
+    raw = _inflate_block(payload, comp, rows * width * c)
+    if pred == 2:
+        raw = _predict2_decode(raw, rows, width, c)
+    return np.frombuffer(raw, dtype=np.uint8).reshape(rows, width, c)
+
+
 def decode_geotiff(buf: bytes, level: int = 0) -> tuple[np.ndarray, tuple | None]:
     """Full in-memory decode -> ((h, w, c) uint8, affine|None).
 
@@ -504,24 +555,19 @@ def decode_geotiff(buf: bytes, level: int = 0) -> tuple[np.ndarray, tuple | None
     w, h, c = info["w"], info["h"], info["c"]
     tw, th, comp = info["tile_w"], info["tile_h"], info["compression"]
     pred = info["predictor"]
+    jt = info.get("jpeg_tables")
     out = np.zeros((h, w, c), dtype=np.uint8)
     for blk in info["blocks"]:
         payload = buf[blk["offset"] : blk["offset"] + blk["count"]]
         if info["tiled"]:
-            raw = _inflate_block(payload, comp, tw * th * c)
-            if pred == 2:
-                raw = _predict2_decode(raw, th, tw, c)
-            tile = np.frombuffer(raw, dtype=np.uint8).reshape(th, tw, c)
+            tile = _block_array(payload, comp, th, tw, c, pred, jt)
             y0, x0 = blk["ty"] * th, blk["tx"] * tw
             sub = tile[: min(th, h - y0), : min(tw, w - x0)]
             out[y0 : y0 + sub.shape[0], x0 : x0 + sub.shape[1]] = sub
         else:
             y0 = blk["ty"] * th
             rows = min(th, h - y0)
-            raw = _inflate_block(payload, comp, rows * w * c)
-            if pred == 2:
-                raw = _predict2_decode(raw, rows, w, c)
-            out[y0 : y0 + rows] = np.frombuffer(raw, dtype=np.uint8).reshape(rows, w, c)
+            out[y0 : y0 + rows] = _block_array(payload, comp, rows, w, c, pred, jt)
     return out, info["affine"]
 
 
@@ -545,6 +591,7 @@ def geotiff_tiles(spark, buf: bytes, tile_size: int = 64):
     w, h, c = info["w"], info["h"], info["c"]
     tw, th, comp, tiled = info["tile_w"], info["tile_h"], info["compression"], info["tiled"]
     pred = info["predictor"]
+    jt = info.get("jpeg_tables")
     if tiled and tw == tile_size and th == tile_size:
         pass  # native grid == engine grid: no re-chunk needed
     bc = spark.sparkContext.broadcast(buf)
@@ -561,18 +608,12 @@ def geotiff_tiles(spark, buf: bytes, tile_size: int = 64):
             for _, r in pdf.iterrows():
                 payload = data[int(r["offset"]) : int(r["offset"]) + int(r["count"])]
                 if tiled:
-                    raw = _inflate_block(payload, comp, tw * th * c)
-                    if pred == 2:
-                        raw = _predict2_decode(raw, th, tw, c)
-                    block = np.frombuffer(raw, dtype=np.uint8).reshape(th, tw, c)
                     y0, x0 = int(r["ty"]) * th, int(r["tx"]) * tw
+                    block = _block_array(payload, comp, th, tw, c, pred, jt)
                 else:
                     y0, x0 = int(r["ty"]) * th, 0
                     nrows = min(th, h - y0)
-                    raw = _inflate_block(payload, comp, nrows * w * c)
-                    if pred == 2:
-                        raw = _predict2_decode(raw, nrows, w, c)
-                    block = np.frombuffer(raw, dtype=np.uint8).reshape(nrows, w, c)
+                    block = _block_array(payload, comp, nrows, w, c, pred, jt)
                 # re-chunk this native block to engine tiles (floorDiv grid)
                 for band in range(c):
                     for ety in range(y0 // tile_size, min((y0 + block.shape[0] - 1) // tile_size + 1, (h + tile_size - 1) // tile_size)):

@@ -78,9 +78,10 @@ def test_georeferencing_roundtrip():
 def test_unsupported_compression_rejected():
     arr = _img(1, 16, 16, 1)
     buf = bytearray(gt.encode_geotiff(arr, tile_size=None, compression="none"))
-    # flip the Compression tag value to JPEG (7) — the one codec out of scope
+    # flip the Compression tag to CCITT G4 (4) — fax codecs stay out of scope
+    # (JPEG, compression 7, is now IN scope — tests/test_jpeg.py)
     idx = buf.find((259).to_bytes(2, "little"))
-    buf[idx + 8] = 7
+    buf[idx + 8] = 4
     with pytest.raises(ValueError, match="unsupported compression"):
         gt.parse_ifd(bytes(buf))
 

@@ -70,12 +70,14 @@ def test_png_decodes_all_filters():
         assert np.array_equal(codec.decode_png(png), arr), f"filter {filt}"
 
 
-def test_jpeg_stub_psnr_gate():
-    """Lossy path must satisfy PSNR >= 40 dB (north-rule gate)."""
+def test_jpeg_psnr_gate():
+    """Lossy path must satisfy PSNR >= 40 dB (north-rule gate) — now a real
+    baseline JPEG bitstream (raster/jpeg.py), not the r1 stand-in."""
     for i in (0, 5, 100):
-        arr = img_src.pixels_for(i, 64, 64)
-        rec = codec.decode(codec.encode(arr, "jpeg"), "jpeg")
-        assert codec.psnr(arr, rec) >= 40.0
+        for w, h in ((64, 64), (16, 32), (32, 16)):
+            arr = img_src.pixels_for(i, w, h)
+            rec = codec.decode(codec.encode(arr, "jpeg"), "jpeg")
+            assert codec.psnr(arr, rec) >= 40.0
 
 
 def test_phash_stability_and_sensitivity():
