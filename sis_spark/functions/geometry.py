@@ -345,13 +345,14 @@ def geodesic_inverse_m(lon1, lat1, lon2, lat2, max_iter: int = 100):
     """Ellipsoidal geodesic distance (meters) on WGS84 — Vincenty's inverse
     formula (T. Vincenty 1975, Survey Review XXIII/176; public), vectorized.
 
-    Upgrades the engine's spherical haversine toward the reference's
-    ellipsoidal geodesics (R/GeodeticCalculator.java:405, Karney).  Vincenty
-    agrees with Karney to <1e-4 m except NEAR-ANTIPODAL pairs where the
-    iteration fails to converge — those points (a vanishing fraction of real
-    workloads) fall back to haversine, flagged by the second return value.
+    Matches the reference's ellipsoidal geodesics
+    (R/GeodeticCalculator.java:405, Karney).  NEAR-ANTIPODAL pairs, where
+    Vincenty's iteration diverges, are re-solved exactly by the
+    auxiliary-sphere integral method in functions/geodesic.py (r2: this was
+    a documented haversine fallback).  The returned mask flags which rows
+    took the fallback path (all rows are ellipsoidal-exact either way).
 
-    Returns (dist_m, converged_mask)."""
+    Returns (dist_m, vincenty_converged_mask)."""
     lon1 = np.asarray(lon1, np.float64)
     lat1 = np.asarray(lat1, np.float64)
     lon2 = np.asarray(lon2, np.float64)
@@ -407,7 +408,12 @@ def geodesic_inverse_m(lon1, lat1, lon2, lat2, max_iter: int = 100):
         )
     )
     dist = _WGS84_B * A * (sigma - dsig)
-    # coincident points: zero (sigma already 0); non-converged: haversine
-    fallback = haversine_m(lon1, lat1, lon2, lat2)
-    dist = np.where(converged, dist, fallback)
+    # coincident points: zero (sigma already 0); non-converged (near-
+    # antipodal): exact integral solver on just those rows
+    if not converged.all():
+        from . import geodesic as _gd
+
+        bad = ~converged
+        dist = np.array(dist, copy=True)
+        dist[bad] = _gd.inverse_m(lon1[bad], lat1[bad], lon2[bad], lat2[bad])[0]
     return dist, converged

@@ -1,0 +1,97 @@
+"""Exact geodesic inverse (functions/geodesic.py) — the auxiliary-sphere
+integral solver that replaces the haversine fallback for Vincenty's
+divergence region.
+
+Validation strategy (two independent algorithms + published values):
+Vincenty (series-free iteration) and the integral solver are independent
+implementations of the same exact curve — agreement to 0.1 mm over random
+pairs cross-validates both.  The near-antipodal region is checked against
+the worked example published in Karney 2013 (sec. 5) and by the solver's
+own verifiable lambda-residual."""
+
+import numpy as np
+
+from sis_spark.functions import geodesic as gd
+from sis_spark.functions.geometry import geodesic_inverse_m
+
+
+def test_agrees_with_vincenty_on_random_pairs():
+    rng = np.random.default_rng(3)
+    n = 200
+    lon1, lat1 = rng.uniform(-180, 180, n), rng.uniform(-85, 85, n)
+    lon2, lat2 = rng.uniform(-180, 180, n), rng.uniform(-85, 85, n)
+    dv, ok = geodesic_inverse_m(lon1, lat1, lon2, lat2)
+    dk, _, res = gd.inverse_m(lon1, lat1, lon2, lat2)
+    assert res.max() < 1e-10
+    assert np.abs(dk[ok] - dv[ok]).max() < 1e-3  # two independent algorithms
+
+
+def test_karney_2013_worked_example():
+    """(0, 0) -> (0.5, 179.5): s12 = 19,936,288.579 m (Karney 2013, sec. 5 —
+    the canonical nearly-antipodal case)."""
+    d, a, res = gd.inverse_m([0.0], [0.0], [179.5], [0.5])
+    assert abs(float(d[0]) - 19936288.579) < 0.01
+    assert res[0] < 1e-12
+
+
+def test_antipodal_sweep_all_solve():
+    """100 near-antipodal pairs: Vincenty mostly diverges; the integral
+    solver must solve every one with verifiable residual."""
+    rng = np.random.default_rng(5)
+    n = 100
+    lat1, lon1 = rng.uniform(-80, 80, n), rng.uniform(-180, 180, n)
+    lat2 = -lat1 + rng.uniform(-0.2, 0.2, n)
+    lon2 = lon1 + 180 + rng.uniform(-0.2, 0.2, n)
+    dk, _, res = gd.inverse_m(lon1, lat1, lon2, lat2)
+    assert res.max() < 1e-12
+    # all antipodal distances live in the narrow band between the polar
+    # diameter path and half the equatorial circumference
+    assert dk.min() > 19_900_000 and dk.max() < 20_010_000
+
+
+def test_equatorial_and_meridional_arcs():
+    # equatorial cap: geodesic IS the equator, s = a * lam
+    d, a, res = gd.inverse_m([0.0], [0.0], [10.0], [0.0])
+    assert abs(float(d[0]) - 6378137.0 * np.radians(10.0)) < 1e-6
+    # beyond the cap ((1-f)*180 deg) the geodesic leaves the equator and is
+    # SHORTER than the equatorial arc
+    d2, _, res2 = gd.inverse_m([0.0], [0.0], [179.7], [0.0])
+    assert res2[0] < 1e-12
+    assert float(d2[0]) < 6378137.0 * np.radians(179.7)
+    # meridional (matches Vincenty, which converges on meridians)
+    dv, ok = geodesic_inverse_m(np.array([0.0]), np.array([10.0]),
+                                np.array([0.0]), np.array([80.0]))
+    dk, _, _ = gd.inverse_m([0.0], [10.0], [0.0], [80.0])
+    assert bool(ok[0]) and abs(float(dk[0]) - float(dv[0])) < 1e-4
+    # over the pole
+    dv, ok = geodesic_inverse_m(np.array([0.0]), np.array([80.0]),
+                                np.array([180.0]), np.array([70.0]))
+    dk, _, _ = gd.inverse_m([0.0], [80.0], [180.0], [70.0])
+    assert bool(ok[0]) and abs(float(dk[0]) - float(dv[0])) < 1e-4
+
+
+def test_near_equatorial_apex_conditioning():
+    """Pairs whose endpoint sits near the geodesic apex (tiny latitudes,
+    long arcs) — the regime where a naive arcsin(sigma2) loses half the
+    mantissa.  The alpha1 parameterization itself bottoms out at a few mm
+    here (d lambda / d alpha1 ~ 1e5, so float64 alpha1 resolves lambda only
+    to ~1e-10 rad); bound is 5 mm, vs the ~0.6 m of the naive arcsin."""
+    rng = np.random.default_rng(9)
+    n = 40
+    lat1, lat2 = rng.uniform(-0.01, 0.01, n), rng.uniform(-0.01, 0.01, n)
+    lon1 = rng.uniform(-180, 180, n)
+    lon2 = lon1 + rng.uniform(1, 170, n)
+    dv, ok = geodesic_inverse_m(lon1, lat1, lon2, lat2)
+    dk, _, res = gd.inverse_m(lon1, lat1, lon2, lat2)
+    assert ok.all()
+    assert np.abs(dk - dv).max() < 5e-3
+    assert res.max() < 1e-8
+
+
+def test_coincident_and_mirror_symmetry():
+    d, _, _ = gd.inverse_m([5.0], [5.0], [5.0], [5.0])
+    assert float(d[0]) == 0.0
+    # east vs west mirror gives the same distance
+    de, _, _ = gd.inverse_m([0.0], [20.0], [60.0], [-35.0])
+    dw, _, _ = gd.inverse_m([0.0], [20.0], [-60.0], [-35.0])
+    assert abs(float(de[0]) - float(dw[0])) < 1e-6

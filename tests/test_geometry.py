@@ -170,12 +170,16 @@ def test_geodesic_known_arcs_and_fallback():
     d, ok = geodesic_inverse_m(np.array([5.0]), np.array([5.0]),
                                np.array([5.0]), np.array([5.0]))
     assert float(d[0]) == 0.0
-    # near-antipodal: non-converged flag + haversine fallback value
+    # near-antipodal: Vincenty diverges (flagged), but the value now comes
+    # from the exact integral solver — within the antipodal distance band
+    # and NOT the (wrong-by-km) haversine number
     d, ok = geodesic_inverse_m(np.array([0.0]), np.array([0.0]),
                                np.array([179.7]), np.array([0.3]))
     assert not bool(ok[0])
-    assert float(d[0]) == float(haversine_m(
+    hav = float(haversine_m(
         np.array([0.0]), np.array([0.0]), np.array([179.7]), np.array([0.3]))[0])
+    assert 19_900_000 < float(d[0]) < 20_010_000
+    assert abs(float(d[0]) - hav) > 1000.0
 
 
 def test_geodesic_vs_haversine_bounded_divergence():
