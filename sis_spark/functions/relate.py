@@ -39,14 +39,19 @@ def _edges(vx: np.ndarray, vy: np.ndarray):
     return vx, vy, np.roll(vx, -1), np.roll(vy, -1)
 
 
-def any_proper_cross(avx, avy, bvx, bvy) -> bool:
-    """True iff any edge of ring a properly crosses any edge of ring b.
+def _open_edges(vx: np.ndarray, vy: np.ndarray):
+    """Edges of an OPEN polyline: consecutive pairs, no closing edge."""
+    return vx[:-1], vy[:-1], vx[1:], vy[1:]
+
+
+def _cross_edge_sets(a_edges, b_edges) -> bool:
+    """True iff any edge of set a properly crosses any edge of set b.
 
     Orientation o(p,q,r) = (qx-px)*(ry-py) - (qy-py)*(rx-px); a proper
     crossing has strictly opposite orientations on both sides — identical
     FP expression order as the SQL oracle (synth.polygon_pair_oracle_sql)."""
-    ax, ay, aX, aY = _edges(np.asarray(avx, float), np.asarray(avy, float))
-    bx, by, bX, bY = _edges(np.asarray(bvx, float), np.asarray(bvy, float))
+    ax, ay, aX, aY = (np.asarray(v, float) for v in a_edges)
+    bx, by, bX, bY = (np.asarray(v, float) for v in b_edges)
     # (n, m) orientation grids
     ax_, ay_, aX_, aY_ = ax[:, None], ay[:, None], aX[:, None], aY[:, None]
     o1 = (aX_ - ax_) * (by[None, :] - ay_) - (aY_ - ay_) * (bx[None, :] - ax_)
@@ -54,6 +59,14 @@ def any_proper_cross(avx, avy, bvx, bvy) -> bool:
     o3 = (bX - bx)[None, :] * (ay_ - by[None, :]) - (bY - by)[None, :] * (ax_ - bx[None, :])
     o4 = (bX - bx)[None, :] * (aY_ - by[None, :]) - (bY - by)[None, :] * (aX_ - bx[None, :])
     return bool(((o1 * o2 < 0.0) & (o3 * o4 < 0.0)).any())
+
+
+def any_proper_cross(avx, avy, bvx, bvy) -> bool:
+    """Ring-vs-ring proper crossing (closed edge sets)."""
+    return _cross_edge_sets(
+        _edges(np.asarray(avx, float), np.asarray(avy, float)),
+        _edges(np.asarray(bvx, float), np.asarray(bvy, float)),
+    )
 
 
 def _rings_of(part: dict):
@@ -198,3 +211,124 @@ def st_relate_pair_udf():
         )
 
     return rel
+
+
+# ------------------------------------------------- line operands (r2, cont.)
+#
+# Line-vs-polygon and line-vs-line DE-9IM under the same general-position
+# model (no endpoint-on-edge incidence, no collinear overlap).  Reference
+# semantics: BinarySpatialFilter dispatches the same eight predicates for
+# mixed-dimension operands through GeometryWrapper.predicate (JTS); here the
+# mixed-dimension matrices collapse to three primitives:
+#   - proper crossing of the line's open edge set with the ring edge sets,
+#   - even-odd membership of the line's vertices (holes subtract),
+#   - exact polyline equality up to direction (line-vs-line only).
+
+def line_polygon_flags(vx: np.ndarray, vy: np.ndarray, poly: dict) -> dict:
+    """Primitive flags for one (polyline, polygon) pair."""
+    a_edges = _open_edges(np.asarray(vx, float), np.asarray(vy, float))
+    cross = any(
+        _cross_edge_sets(a_edges, _edges(np.asarray(rvx, float), np.asarray(rvy, float)))
+        for rvx, rvy in _rings_of(poly)
+    )
+    inside = geo.points_in_polygon_with_holes(vx, vy, _rings_of(poly))
+    return {"cross": cross, "any_in": bool(inside.any()), "all_in": bool(inside.all())}
+
+
+def line_polygon_predicates(f: dict) -> dict:
+    """DE-9IM predicates for a dim-1 x dim-2 pair in general position:
+    a proper boundary crossing implies the line visits both the polygon's
+    interior and exterior, so CROSSES == cross; WITHIN needs every vertex
+    inside and no crossing (a simple polygon cannot be exited without
+    crossing its boundary); CONTAINS/EQUALS are dimensionally impossible;
+    TOUCHES needs boundary-only contact — excluded by general position."""
+    intersects = f["cross"] or f["any_in"]
+    return {
+        "intersects": intersects,
+        "disjoint": not intersects,
+        "within": not f["cross"] and f["all_in"] and f["any_in"],
+        "crosses": f["cross"],
+        "contains": False,
+        "equals": False,
+        "overlaps": False,  # dim mismatch: no dim-1 shared interior of dim-2
+        "touches": False,
+    }
+
+
+def line_line_flags(avx, avy, bvx, bvy) -> dict:
+    cross = _cross_edge_sets(
+        _open_edges(np.asarray(avx, float), np.asarray(avy, float)),
+        _open_edges(np.asarray(bvx, float), np.asarray(bvy, float)),
+    )
+    fwd = np.array_equal(avx, bvx) and np.array_equal(avy, bvy)
+    rev = np.array_equal(avx, bvx[::-1]) and np.array_equal(avy, bvy[::-1])
+    return {"cross": cross, "equal": bool(fwd or rev)}
+
+
+def line_line_predicates(f: dict) -> dict:
+    """dim-1 x dim-1: in general position the operands either properly cross
+    (point intersection: CROSSES), are identical (EQUALS/WITHIN/CONTAINS),
+    or are disjoint."""
+    eq = f["equal"]
+    intersects = f["cross"] or eq
+    return {
+        "intersects": intersects,
+        "disjoint": not intersects,
+        "crosses": f["cross"] and not eq,
+        "equals": eq,
+        "within": eq,
+        "contains": eq,
+        "overlaps": False,  # collinear partial overlap excluded by the model
+        "touches": False,
+    }
+
+
+def relate_line_polygon_wkb(line_buf: bytes, poly_buf: bytes) -> dict:
+    from ..sources import polygons_from_wkb
+
+    typ, val = geo.wkb_parse(bytes(line_buf))
+    if typ != "linestring":
+        raise ValueError(f"line operand must be a LineString, got {typ}")
+    (poly,) = polygons_from_wkb([(0, poly_buf)])
+    return line_polygon_predicates(line_polygon_flags(val[0], val[1], poly))
+
+
+def relate_lines_wkb(a_buf: bytes, b_buf: bytes) -> dict:
+    ta, va = geo.wkb_parse(bytes(a_buf))
+    tb, vb = geo.wkb_parse(bytes(b_buf))
+    if ta != "linestring" or tb != "linestring":
+        raise ValueError("both operands must be LineStrings")
+    return line_line_predicates(line_line_flags(va[0], va[1], vb[0], vb[1]))
+
+
+def st_predicate_line_poly_udf(name: str):
+    """Scalar Arrow UDF (line_wkb, poly_wkb) -> boolean for a named
+    mixed-dimension predicate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    key = name.lower().replace("st_", "")
+
+    @F.pandas_udf(T.BooleanType())
+    def pred(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [relate_line_polygon_wkb(bytes(a), bytes(b))[key] for a, b in zip(a_s, b_s)]
+        )
+
+    return pred
+
+
+def st_predicate_line_line_udf(name: str):
+    """Scalar Arrow UDF (wkb_a, wkb_b) -> boolean for a line-line predicate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    key = name.lower().replace("st_", "")
+
+    @F.pandas_udf(T.BooleanType())
+    def pred(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [relate_lines_wkb(bytes(a), bytes(b))[key] for a, b in zip(a_s, b_s)]
+        )
+
+    return pred

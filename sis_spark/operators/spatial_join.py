@@ -776,3 +776,107 @@ def polygon_pair_join_multi(
             (F.col("a_parts_contained") == F.col("np_a")).alias("contains_ba"),
         )
     )
+
+
+# ---------------------------------------------------------------- line joins
+
+def line_parts_df(lines_df: DataFrame, key_col: str = "key", wkb_col: str = "wkb") -> DataFrame:
+    """(key, wkb) LineString table -> (key, wkb, xmin, ymin, xmax, ymax).
+
+    The line analog of polygon_parts_df.  No anti-meridian SPLIT for lines
+    (out of the general-position model; callers with wrapping tracks split
+    upstream, as the GPX store does per segment)."""
+    from ..functions import geometry as geo
+
+    def norm(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys, wkbs, x0, y0, x1, y1 = [], [], [], [], [], []
+            for k, b in zip(pdf[key_col].tolist(), pdf[wkb_col].tolist()):
+                typ, (vx, vy) = geo.wkb_parse(bytes(b))
+                if typ != "linestring":
+                    raise ValueError(f"line_parts_df expects LineStrings, got {typ}")
+                keys.append(int(k))
+                wkbs.append(bytes(b))
+                x0.append(float(np.min(vx)))
+                y0.append(float(np.min(vy)))
+                x1.append(float(np.max(vx)))
+                y1.append(float(np.max(vy)))
+            yield pd.DataFrame({
+                "key": np.array(keys, dtype=np.int64), "wkb": wkbs,
+                "xmin": x0, "ymin": y0, "xmax": x1, "ymax": y1,
+            })
+
+    return lines_df.select(F.col(key_col), F.col(wkb_col)).mapInPandas(
+        norm, schema="key long, wkb binary, xmin double, ymin double, xmax double, ymax double"
+    )
+
+
+def line_polygon_join(
+    lines_df: DataFrame,
+    polygons_df: DataFrame,
+    res: int | None = None,
+) -> DataFrame:
+    """Distributed line-vs-polygon spatial join: covering-cell bucket
+    candidates for BOTH sides (neither operand table ever lands on the
+    driver), codegen envelope prune, then a single Arrow refine evaluating
+    the mixed-dimension DE-9IM kernel (functions/relate.py line operands).
+
+    Output: (lkey, pkey, within, crosses) for every intersecting pair —
+    the dispatch surface of BinarySpatialFilter.java:43 for dim-1 x dim-2
+    operands.  Scale shape mirrors polygon_pair_join: the cell equi-join is
+    the only shuffle and the refine sees candidate pairs only."""
+    from ..functions.relate import relate_line_polygon_wkb
+
+    lparts = line_parts_df(lines_df).persist()
+    pparts = polygon_parts_df(polygons_df).persist()
+    if res is None:
+        res = _choose_res_dist(pparts)
+    lcov = polygon_cells_df(lparts, res, classify=False).select(
+        "cell", F.col("pkey").alias("lkey"))
+    pcov = polygon_cells_df(pparts, res, classify=False).select("cell", "pkey")
+    pairs = lcov.join(pcov, "cell").select("lkey", "pkey").distinct()
+    la = lparts.select(
+        F.col("key").alias("lkey"), F.col("wkb").alias("wkb_l"),
+        F.col("xmin").alias("lxmin"), F.col("ymin").alias("lymin"),
+        F.col("xmax").alias("lxmax"), F.col("ymax").alias("lymax"),
+    )
+    pb = pparts.select(
+        F.col("key").alias("pkey"), F.col("wkb").alias("wkb_p"),
+        F.col("xmin").alias("pxmin"), F.col("ymin").alias("pymin"),
+        F.col("xmax").alias("pxmax"), F.col("ymax").alias("pymax"),
+    )
+    cand = (
+        pairs.join(la, "lkey").join(pb, "pkey")
+        .filter(
+            (F.col("lxmin") <= F.col("pxmax")) & (F.col("pxmin") <= F.col("lxmax"))
+            & (F.col("lymin") <= F.col("pymax")) & (F.col("pymin") <= F.col("lymax"))
+        )
+    )
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(
+        T.StructType([
+            T.StructField("intersects", T.BooleanType()),
+            T.StructField("within", T.BooleanType()),
+            T.StructField("crosses", T.BooleanType()),
+        ])
+    )
+    def rel(l_s: pd.Series, p_s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for lb, pb_ in zip(l_s, p_s):
+            p = relate_line_polygon_wkb(bytes(lb), bytes(pb_))
+            rows.append((p["intersects"], p["within"], p["crosses"]))
+        return pd.DataFrame(rows, columns=["intersects", "within", "crosses"])
+
+    out = cand.withColumn("r", rel(F.col("wkb_l"), F.col("wkb_p")))
+    return (
+        out.filter(F.col("r.intersects"))
+        .select(
+            "lkey", "pkey",
+            F.col("r.within").alias("within"),
+            F.col("r.crosses").alias("crosses"),
+        )
+    )

@@ -221,6 +221,134 @@ def q_polygon_pairs_oracle():
     return synth.polygon_pair_oracle_sql()
 
 
+N_LINE_EVENTS = 360  # 60 global polylines x 6 vertices
+
+
+def _gate_lines_df(spark, sf_dir):
+    """Mixed-dimension join operands: 60 global zigzag polylines from event
+    points PLUS one 3-vertex mini-line per (key % 4 == 1) supplier polygon,
+    placed strictly inside it (vertices within 0.112*r of the star-convex
+    center, inside-radius >= 0.485*r) so the WITHIN branch is exercised.
+    Mini-line vertex arithmetic uses the same FP expression order as the SQL
+    oracle (bit-exact parity)."""
+    import pandas as _pd
+
+    from .functions import geometry as _geo
+    from .functions.sqlmm import st_linestring_udf
+
+    pts = _events_points(spark, sf_dir).filter(F.col("event_id") < N_LINE_EVENTS)
+    g = (
+        pts.withColumn("gid", F.col("event_id") % 60)
+        .groupBy("gid")
+        .agg(F.sort_array(F.collect_list(F.struct("event_id", "lon", "lat"))).alias("s"))
+        .select(
+            "gid",
+            F.transform("s", lambda r: r["lon"]).alias("xs"),
+            F.transform("s", lambda r: r["lat"]).alias("ys"),
+        )
+    )
+    zig = g.select(F.col("gid").alias("key"),
+                   st_linestring_udf()(F.col("xs"), F.col("ys")).alias("wkb"))
+
+    sup = _read(spark, sf_dir, "supplier").select("s_suppkey").filter(
+        F.col("s_suppkey") % 4 == 1)
+
+    def mk_mini(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            keys = pdf["s_suppkey"].to_numpy()
+            if len(keys) == 0:
+                continue
+            p = synth.polygon_params_np(keys)
+            rows = []
+            for k, cx, cy, r in zip(keys.tolist(), p["cx"].tolist(),
+                                    p["cy"].tolist(), p["r"].tolist()):
+                vx = _np.array([cx - 0.1 * r, cx, cx + 0.1 * r])
+                vy = _np.array([cy - 0.05 * r, cy + 0.05 * r, cy])
+                rows.append({"key": 1000 + k, "wkb": bytes(_geo.wkb_linestring(vx, vy))})
+            yield _pd.DataFrame(rows)
+
+    mini = sup.mapInPandas(mk_mini, schema="key long, wkb binary")
+    return zig.unionByName(mini)
+
+
+def q_line_predicates(spark, sf_dir):
+    """Line-vs-polygon DE-9IM join (dim-1 x dim-2 dispatch of
+    BinarySpatialFilter.java:43): covering-cell candidates on both
+    distributed sides, envelope prune, mixed-dimension refine.  res=3
+    because the zigzag lines are global-extent (their covering tables would
+    explode at point-join resolutions)."""
+    from .operators.spatial_join import line_polygon_join
+
+    lines = _gate_lines_df(spark, sf_dir)
+    out = line_polygon_join(lines, _supplier_polygons_df(spark, sf_dir), res=3)
+    return out.select("lkey", "pkey", "within", "crosses")
+
+
+def q_line_predicates_oracle():
+    return f"""
+WITH {synth.polygon_vertices_sql()},
+pts AS ({_points_sql()}),
+lv AS (
+  SELECT event_id % 60 AS gid, event_id AS ord, lon AS vx, lat AS vy
+  FROM pts WHERE event_id < {N_LINE_EVENTS}),
+mini AS (
+  SELECT 1000 + p.key AS gid, j.j AS ord,
+         CASE j.j WHEN 0 THEN p.cx - 1.0e-1 * p.r
+                  WHEN 1 THEN p.cx ELSE p.cx + 1.0e-1 * p.r END AS vx,
+         CASE j.j WHEN 0 THEN p.cy - 5.0e-2 * p.r
+                  WHEN 1 THEN p.cy + 5.0e-2 * p.r ELSE p.cy END AS vy
+  FROM par p CROSS JOIN generate_series(0, 2) j(j)
+  WHERE (p.key % 4) = 1),
+allv AS (SELECT * FROM lv UNION ALL SELECT * FROM mini),
+lseg0 AS (
+  SELECT gid, vx, vy,
+         lead(vx) OVER (PARTITION BY gid ORDER BY ord) AS wx,
+         lead(vy) OVER (PARTITION BY gid ORDER BY ord) AS wy
+  FROM allv),
+lseg AS (SELECT * FROM lseg0 WHERE wx IS NOT NULL),
+lenv AS (SELECT gid, min(vx) AS xmin, min(vy) AS ymin,
+                max(vx) AS xmax, max(vy) AS ymax FROM allv GROUP BY 1),
+penv AS (SELECT key, min(vx) AS xmin, min(vy) AS ymin,
+                max(vx) AS xmax, max(vy) AS ymax FROM verts GROUP BY 1),
+cand AS (
+  SELECT l.gid, p.key
+  FROM lenv l JOIN penv p
+    ON l.xmin <= p.xmax AND p.xmin <= l.xmax
+   AND l.ymin <= p.ymax AND p.ymin <= l.ymax),
+crossings AS (
+  SELECT c.gid, c.key, count(*) AS nx
+  FROM cand c
+  JOIN lseg s ON s.gid = c.gid
+  JOIN edges e ON e.key = c.key
+  WHERE (((s.wx - s.vx) * (e.vy - s.vy) - (s.wy - s.vy) * (e.vx - s.vx))
+       * ((s.wx - s.vx) * (e.wy - s.vy) - (s.wy - s.vy) * (e.wx - s.vx)) < 0)
+    AND (((e.wx - e.vx) * (s.vy - e.vy) - (e.wy - e.vy) * (s.vx - e.vx))
+       * ((e.wx - e.vx) * (s.wy - e.vy) - (e.wy - e.vy) * (s.wx - e.vx)) < 0)
+  GROUP BY 1, 2),
+vin AS (
+  SELECT c.gid, c.key, v.ord,
+         (sum(CASE WHEN ((e.vy > v.vy) <> (e.wy > v.vy))
+                    AND (v.vx < (e.wx - e.vx) * (v.vy - e.vy) / (e.wy - e.vy) + e.vx)
+              THEN 1 ELSE 0 END) % 2) = 1 AS inside
+  FROM cand c JOIN allv v ON v.gid = c.gid JOIN edges e ON e.key = c.key
+  GROUP BY c.gid, c.key, v.ord),
+vagg AS (SELECT gid, key, bool_or(inside) AS any_in, bool_and(inside) AS all_in
+         FROM vin GROUP BY 1, 2),
+flags AS (
+  SELECT c.gid, c.key, coalesce(x.nx, 0) > 0 AS crossed, va.any_in, va.all_in
+  FROM cand c
+  LEFT JOIN crossings x ON x.gid = c.gid AND x.key = c.key
+  JOIN vagg va ON va.gid = c.gid AND va.key = c.key)
+SELECT gid AS lkey, key AS pkey,
+       (NOT crossed AND all_in AND any_in) AS within,
+       crossed AS crosses
+FROM flags
+WHERE crossed OR any_in
+ORDER BY lkey, pkey"""
+
+
 def q_knn(spark, sf_dir):
     """kNN join: 25 query points x events, k=5, haversine, deterministic ties."""
     cand = _events_points(spark, sf_dir).withColumnRenamed("event_id", "cand_id")
@@ -1191,6 +1319,7 @@ QUERIES = {
     "st_measures": (q_st_measures, q_st_measures_oracle),
     "st_accessors": (q_st_accessors, q_st_accessors_oracle),
     "st_lines": (q_st_lines, q_st_lines_oracle),
+    "line_predicates": (q_line_predicates, q_line_predicates_oracle),
     "match_action": (q_match_action, q_match_action_oracle),
     "st_contains": (q_st_contains, q_st_contains_oracle),
     "halfplane_clip": (q_halfplane_clip, q_halfplane_clip_oracle),

@@ -1,0 +1,137 @@
+"""Line-vs-polygon and line-vs-line DE-9IM kernels (functions/relate.py line
+operands) + the distributed line_polygon_join — differential vs a brute
+driver-side evaluation, mirroring the polygon-pair test strategy."""
+
+import numpy as np
+import pytest
+
+from sis_spark.functions import geometry as geo
+from sis_spark.functions.relate import (
+    line_line_flags,
+    line_line_predicates,
+    line_polygon_flags,
+    line_polygon_predicates,
+    relate_line_polygon_wkb,
+    relate_lines_wkb,
+)
+
+
+def square(cx=0.0, cy=0.0, r=1.0, holes=()):
+    vx = np.array([cx - r, cx + r, cx + r, cx - r])
+    vy = np.array([cy - r, cy - r, cy + r, cy + r])
+    return {"vx": vx, "vy": vy, "holes": list(holes)}
+
+
+def hole_ring(cx, cy, r):
+    return (np.array([cx - r, cx + r, cx + r, cx - r]),
+            np.array([cy - r, cy - r, cy + r, cy + r]))
+
+
+def lp(vx, vy, poly):
+    return line_polygon_predicates(
+        line_polygon_flags(np.asarray(vx, float), np.asarray(vy, float), poly))
+
+
+def test_line_through_polygon_crosses():
+    p = lp([-2.0, 2.0], [0.1, 0.2], square())
+    assert p["intersects"] and p["crosses"]
+    assert not p["within"] and not p["disjoint"] and not p["contains"]
+
+
+def test_line_inside_polygon_within():
+    p = lp([-0.5, 0.0, 0.5], [-0.3, 0.4, -0.1], square())
+    assert p["intersects"] and p["within"]
+    assert not p["crosses"] and not p["disjoint"]
+
+
+def test_line_disjoint():
+    p = lp([5.0, 6.0], [5.0, 6.0], square())
+    assert p["disjoint"] and not p["intersects"]
+
+
+def test_line_half_in_crosses():
+    # one endpoint inside, one outside: crosses (visits interior + exterior)
+    p = lp([0.0, 3.0], [0.0, 0.1], square())
+    assert p["intersects"] and p["crosses"] and not p["within"]
+
+
+def test_line_into_hole_crosses_not_within():
+    poly = square(r=2.0, holes=[hole_ring(0.0, 0.0, 0.5)])
+    # from annulus interior into the hole: crosses the hole ring -> exterior
+    p = lp([-1.5, 0.0], [-1.2, 0.1], poly)
+    assert p["crosses"] and not p["within"]
+    # entirely inside the annulus (avoiding the hole): within
+    p = lp([-1.5, -1.5], [-1.2, 1.2], poly)
+    assert p["within"] and not p["crosses"]
+    # entirely inside the hole: disjoint from the polygon's point set
+    p = lp([-0.2, 0.2], [-0.1, 0.1], poly)
+    assert p["disjoint"]
+
+
+def test_line_line_predicates():
+    x = (np.array([-1.0, 1.0]), np.array([-1.0, 1.0]))
+    y = (np.array([-1.0, 1.0]), np.array([1.0, -1.0]))
+    p = line_line_predicates(line_line_flags(*x, *y))
+    assert p["intersects"] and p["crosses"] and not p["equals"]
+    # parallel disjoint
+    z = (np.array([-1.0, 1.0]), np.array([2.0, 4.0]))
+    p = line_line_predicates(line_line_flags(*x, *z))
+    assert p["disjoint"]
+    # identical and reversed -> equals/within/contains
+    p = line_line_predicates(line_line_flags(*x, *x))
+    assert p["equals"] and p["within"] and p["contains"] and not p["crosses"]
+    rev = (x[0][::-1], x[1][::-1])
+    p = line_line_predicates(line_line_flags(*x, *rev))
+    assert p["equals"]
+
+
+def test_wkb_dispatch_and_type_errors():
+    line = geo.wkb_linestring(np.array([-2.0, 2.0]), np.array([0.1, 0.2]))
+    poly = geo.wkb_polygon([(square()["vx"], square()["vy"])])
+    assert relate_line_polygon_wkb(line, poly)["crosses"]
+    assert relate_lines_wkb(line, line)["equals"]
+    with pytest.raises(ValueError, match="LineString"):
+        relate_line_polygon_wkb(poly, poly)
+
+
+def test_distributed_line_polygon_join_matches_brute(spark):
+    """line_polygon_join == brute per-pair kernel evaluation on a random
+    small instance (lines + polygons as DataFrames)."""
+    import pandas as pd
+
+    from sis_spark import synth
+    from sis_spark.operators.spatial_join import line_polygon_join
+    from sis_spark.sources import polygons_from_wkb
+
+    rng = np.random.default_rng(7)
+    keys = np.arange(1, 41)
+    polys = synth.polygon_table_np(keys)
+    poly_rows = [{"key": int(p["key"]),
+                  "wkb": bytes(geo.wkb_polygon([(p["vx"], p["vy"])] + list(p.get("holes", []))))}
+                 for p in polys]
+
+    params = synth.polygon_params_np(keys)
+    lines = []
+    for i in range(30):
+        npts = int(rng.integers(2, 6))
+        j = int(rng.integers(0, len(keys)))  # anchor near a polygon center
+        cx, cy = float(params["cx"][j]), float(params["cy"][j])
+        vx = cx + rng.uniform(-4, 4, npts)
+        vy = cy + rng.uniform(-4, 4, npts)
+        lines.append({"key": i, "vx": vx, "vy": vy,
+                      "wkb": bytes(geo.wkb_linestring(vx, vy))})
+
+    ldf = spark.createDataFrame(pd.DataFrame([{"key": l["key"], "wkb": l["wkb"]} for l in lines]))
+    pdf = spark.createDataFrame(pd.DataFrame(poly_rows))
+    got = {(r["lkey"], r["pkey"]): (r["within"], r["crosses"])
+           for r in line_polygon_join(ldf, pdf).collect()}
+
+    exp = {}
+    parsed = polygons_from_wkb([(r["key"], r["wkb"]) for r in poly_rows])
+    for l in lines:
+        for p in parsed:
+            pr = line_polygon_predicates(line_polygon_flags(l["vx"], l["vy"], p))
+            if pr["intersects"]:
+                exp[(l["key"], p["key"])] = (pr["within"], pr["crosses"])
+    assert got == exp
+    assert len(exp) > 10  # non-trivial instance
