@@ -656,7 +656,13 @@ def polygon_pair_join(
             rows.append((p["intersects"], p["contains"], p["within"]))
         return pd.DataFrame(rows, columns=["intersects", "contains_ab", "contains_ba"])
 
-    out = cand.withColumn("r", rel(F.col("wkb_a"), F.col("wkb_b")))
+    # AQE coalesces the small (tens of MB) candidate shuffle to ~1 partition,
+    # which would serialize the Python refine — its cost is per-ROW CPU, not
+    # bytes, so spread candidates across the executor cores explicitly.
+    cand = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
+    # asNondeterministic: stop Catalyst from re-evaluating the struct UDF
+    # once per referenced field / pushed filter (measured 2-3x refine cost)
+    out = cand.withColumn("r", rel.asNondeterministic()(F.col("wkb_a"), F.col("wkb_b")))
     return (
         out.filter(F.col("r.intersects"))
         .select(
@@ -749,7 +755,10 @@ def polygon_pair_join_multi(
         return pd.DataFrame(rows, columns=["intersects", "a_contains_b", "b_contains_a"])
 
     # canonical key orientation: a = lesser key; swap flags where ka > kb
-    flagged = cand.withColumn("r", rel(F.col("wkb_a"), F.col("wkb_b"))).select(
+    # (repartition first: per-row-CPU refine must not run on an AQE-coalesced
+    # single partition)
+    cand = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
+    flagged = cand.withColumn("r", rel.asNondeterministic()(F.col("wkb_a"), F.col("wkb_b"))).select(
         F.least("ka", "kb").alias("a"),
         F.greatest("ka", "kb").alias("b"),
         F.when(F.col("ka") <= F.col("kb"), F.col("ua")).otherwise(F.col("ub")).alias("pa_uid"),
@@ -871,7 +880,9 @@ def line_polygon_join(
             rows.append((p["intersects"], p["within"], p["crosses"]))
         return pd.DataFrame(rows, columns=["intersects", "within", "crosses"])
 
-    out = cand.withColumn("r", rel(F.col("wkb_l"), F.col("wkb_p")))
+    # per-row-CPU refine: spread candidates regardless of AQE byte targets
+    cand = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
+    out = cand.withColumn("r", rel.asNondeterministic()(F.col("wkb_l"), F.col("wkb_p")))
     return (
         out.filter(F.col("r.intersects"))
         .select(

@@ -188,6 +188,10 @@ def _supplier_polygons_df(spark, sf_dir):
     return (
         _read(spark, sf_dir, "supplier")
         .select("s_suppkey")
+        # supplier parquet is a single row group -> 1-split scan; without
+        # this the whole WKB-generation + covering-cell chain runs on one
+        # core until the first shuffle (NOTES plan-shape lesson 5)
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(mk_wkb, schema="key long, wkb binary")
     )
 
