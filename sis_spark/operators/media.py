@@ -1,15 +1,16 @@
-"""Audio/video column plumbing (decode STUBBED — no codec libs in this image).
+"""Audio/video columns: opaque ``binary`` + typed metadata, codec registry.
 
-Driver mandate: multimodal columns are opaque ``binary`` + typed metadata;
-the Spark-side plumbing (schema, partitioning, UDF signature, Arrow batch
-shape) must be real even where the codec itself cannot be.  Real decoders
-(libsndfile/ffmpeg) drop into ``register_audio_decoder`` /
-``register_video_decoder`` without touching any plan code.
+r2: REAL default codecs ship in-engine (sources/riff.py) — ``wav-pcm16``
+(RIFF/WAVE PCM) for audio and ``mjpg-avi`` (RIFF/AVI of baseline-JPEG
+frames, idx1-seekable) for video — so the pipeline stages below run on real
+bitstreams, not stand-ins.  The registry remains the drop-in point for
+external codecs (libsndfile/ffmpeg) beyond that envelope; the deterministic
+``fake-*`` payloads are kept for plumbing tests whose content must be a pure
+function of the media id (FIXTURES.md determinism rule).
 
-The deterministic FAKE payloads let every pipeline stage be tested
-end-to-end: frame sampling, windowed audio features, and the metadata
-bookkeeping all run on synthesized streams whose content is a pure function
-of the media id (FIXTURES.md determinism rule).
+Frame sampling only touches the sampled frames: the AVI idx1 index gives
+per-frame byte ranges, the time-axis analog of deferred tile decode
+(AT_GET_TILE_TIME, S/RasterLoadingStrategy.java:50-77).
 """
 
 from __future__ import annotations
@@ -44,6 +45,11 @@ def register_video_decoder(codec: str, fn) -> None:
 def _decode_audio(payload: bytes, codec: str) -> np.ndarray:
     if codec in _AUDIO_DECODERS:
         return _AUDIO_DECODERS[codec](payload)
+    if codec == "wav-pcm16":  # real RIFF/WAVE (sources/riff.py)
+        from ..sources import riff
+
+        x, _rate = riff.decode_wav(bytes(payload))
+        return x if x.ndim == 1 else x.mean(axis=1).astype(np.float32)
     if codec == "fake-pcm":  # deterministic stand-in: i16 little-endian PCM
         return np.frombuffer(payload, dtype="<i2").astype(np.float32) / 32768.0
     raise NotImplementedError(
@@ -54,6 +60,10 @@ def _decode_audio(payload: bytes, codec: str) -> np.ndarray:
 def _decode_video_frames(payload: bytes, codec: str, idx: np.ndarray, w: int, h: int) -> np.ndarray:
     if codec in _VIDEO_DECODERS:
         return _VIDEO_DECODERS[codec](payload, idx)
+    if codec == "mjpg-avi":  # real RIFF/AVI MJPG, idx1 frame seeks
+        from ..sources import riff
+
+        return riff.decode_avi_frames(bytes(payload), idx)
     if codec == "fake-raw":  # frame-major raw RGB — supports true frame seeks
         frame_bytes = w * h * 3
         out = np.empty((len(idx), h, w, 3), dtype=np.uint8)
@@ -89,6 +99,39 @@ def make_fake_video(media_id: int, n_frames: int = 12, w: int = 16, h: int = 12)
     return {
         "media_id": f"vid-{media_id:09d}", "payload": arr.tobytes(),
         "fps": 6.0, "n_frames": n_frames, "w": w, "h": h, "codec": "fake-raw",
+    }
+
+
+def make_wav_audio(media_id: int, sample_rate: int = 8000, seconds: float = 1.0) -> dict:
+    """Same deterministic two-tone content as make_fake_audio, but packaged
+    as a REAL RIFF/WAVE PCM16 payload (codec 'wav-pcm16')."""
+    from ..sources import riff
+
+    n = int(sample_rate * seconds)
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    f1 = 200.0 + (media_id * 37) % 1800
+    f2 = 100.0 + (media_id * 101) % 900
+    x = 0.5 * np.sin(2 * np.pi * f1 * t) + 0.25 * np.sin(2 * np.pi * f2 * t)
+    return {
+        "media_id": f"aud-{media_id:09d}", "payload": riff.encode_wav(x, sample_rate),
+        "sample_rate": sample_rate, "n_samples": n, "codec": "wav-pcm16",
+    }
+
+
+def make_mjpg_video(media_id: int, n_frames: int = 12, w: int = 16, h: int = 12) -> dict:
+    """Same deterministic frame content as make_fake_video, but packaged as
+    a REAL AVI/MJPG payload (codec 'mjpg-avi', frame-seekable)."""
+    from ..sources import riff
+
+    x = np.arange(w)[None, None, :, None]
+    y = np.arange(h)[None, :, None, None]
+    f = np.arange(n_frames)[:, None, None, None]
+    ch = np.arange(3)[None, None, None, :]
+    arr = ((x * 5 + y * 11 + f * 17 + ch * 29 + media_id * 7) % 256).astype(np.uint8)
+    return {
+        "media_id": f"vid-{media_id:09d}",
+        "payload": riff.encode_avi_mjpg(arr, fps=6.0, quality=98),
+        "fps": 6.0, "n_frames": n_frames, "w": w, "h": h, "codec": "mjpg-avi",
     }
 
 
