@@ -368,3 +368,103 @@ def rings_area(rings) -> float:
                 depth[i] += 1
     sign = np.where(depth % 2 == 0, 1.0, -1.0)
     return float(np.sum(sign * areas))
+
+
+# ------------------------------------------------- line-vs-polygon clip (r2)
+
+def clip_line_polygon(vx, vy, rings):
+    """Parametric clip of an open polyline against a polygon (outer ring +
+    holes, even-odd): the dim-1 branch of SQLMM ST_Intersection
+    (GeometryWrapper delegates mixed-dimension overlays to JTS; re-derived
+    here for the general-position model).
+
+    Per segment: crossing parameters t with every ring edge
+    (t = cross(e0 - p0, edir) / cross(d, edir), proper iff 0 < t, u < 1 —
+    the SAME expressions the SQL oracle uses), sorted; each (t_i, t_i+1)
+    interval is kept iff its midpoint is inside (even-odd over all rings).
+
+    Returns (pieces, qlen): ``pieces`` = list of (vx, vy) float64 polyline
+    arrays (clipped sub-segments, merged where consecutive intervals join at
+    a shared crossing), and ``qlen`` = int64 sum over kept intervals of
+    floor(seg_len * (t_i+1 - t_i) * 1e7) — the order-independent quantized
+    length used by the oracle gate."""
+    from . import geometry as geo
+
+    vx = np.asarray(vx, np.float64)
+    vy = np.asarray(vy, np.float64)
+    pieces: list[tuple[np.ndarray, np.ndarray]] = []
+    qlen = np.int64(0)
+    cur: list[tuple[float, float]] | None = None
+
+    def flush():
+        nonlocal cur
+        if cur is not None and len(cur) >= 2:
+            pieces.append((np.array([p[0] for p in cur]),
+                           np.array([p[1] for p in cur])))
+        cur = None
+
+    def joins(a, b) -> bool:
+        return abs(a[0] - b[0]) < 1e-12 and abs(a[1] - b[1]) < 1e-12
+
+    for s in range(len(vx) - 1):
+        p0x, p0y = vx[s], vy[s]
+        dx, dy = vx[s + 1] - p0x, vy[s + 1] - p0y
+        ts = [0.0, 1.0]
+        for rvx, rvy in rings:
+            e0x, e0y = rvx, rvy
+            e1x, e1y = np.roll(rvx, -1), np.roll(rvy, -1)
+            edx, edy = e1x - e0x, e1y - e0y
+            denom = dx * edy - dy * edx
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = ((e0x - p0x) * edy - (e0y - p0y) * edx) / denom
+                u = ((e0x - p0x) * dy - (e0y - p0y) * dx) / denom
+            ok = np.isfinite(t) & (t > 0.0) & (t < 1.0) & (u > 0.0) & (u < 1.0)
+            ts.extend(t[ok].tolist())
+        ts = sorted(ts)
+        seg_len = np.sqrt(dx * dx + dy * dy)
+        for t0, t1 in zip(ts[:-1], ts[1:]):
+            if t1 <= t0:
+                continue
+            mx = p0x + dx * (0.5 * (t0 + t1))
+            my = p0y + dy * (0.5 * (t0 + t1))
+            inside = bool(geo.points_in_polygon_with_holes(
+                np.array([mx]), np.array([my]), rings)[0])
+            if inside:
+                qlen += np.int64(np.floor(seg_len * (t1 - t0) * 1e7))
+                a = (p0x + dx * t0, p0y + dy * t0)
+                b = (p0x + dx * t1, p0y + dy * t1)
+                if cur is not None and joins(cur[-1], a):
+                    cur.append(b)  # continues the previous kept interval
+                else:
+                    flush()
+                    cur = [a, b]
+            else:
+                flush()
+    flush()
+    return pieces, int(qlen)
+
+
+def st_intersection_line_poly_udf():
+    """Scalar Arrow UDF (line_wkb, poly_wkb) -> MultiLineString WKB of the
+    clipped polyline (empty MultiLineString when disjoint)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from . import geometry as geo
+
+    @F.pandas_udf(T.BinaryType())
+    def clip(l_s: pd.Series, p_s: pd.Series) -> pd.Series:
+        from ..sources import polygons_from_wkb
+
+        out = []
+        for lb, pb in zip(l_s, p_s):
+            typ, (lvx, lvy) = geo.wkb_parse(bytes(lb))
+            if typ != "linestring":
+                raise ValueError(f"expected linestring, got {typ}")
+            (poly,) = polygons_from_wkb([(0, pb)])
+            rings = [(poly["vx"], poly["vy"])] + list(poly.get("holes", []))
+            pieces, _ = clip_line_polygon(lvx, lvy, rings)
+            out.append(bytes(geo.wkb_multilinestring(pieces)))
+        return pd.Series(out)
+
+    return clip

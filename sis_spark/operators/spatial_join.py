@@ -822,22 +822,13 @@ def line_parts_df(lines_df: DataFrame, key_col: str = "key", wkb_col: str = "wkb
     )
 
 
-def line_polygon_join(
-    lines_df: DataFrame,
-    polygons_df: DataFrame,
-    res: int | None = None,
+def _line_poly_candidates(
+    lines_df: DataFrame, polygons_df: DataFrame, res: int | None
 ) -> DataFrame:
-    """Distributed line-vs-polygon spatial join: covering-cell bucket
-    candidates for BOTH sides (neither operand table ever lands on the
-    driver), codegen envelope prune, then a single Arrow refine evaluating
-    the mixed-dimension DE-9IM kernel (functions/relate.py line operands).
-
-    Output: (lkey, pkey, within, crosses) for every intersecting pair —
-    the dispatch surface of BinarySpatialFilter.java:43 for dim-1 x dim-2
-    operands.  Scale shape mirrors polygon_pair_join: the cell equi-join is
-    the only shuffle and the refine sees candidate pairs only."""
-    from ..functions.relate import relate_line_polygon_wkb
-
+    """Shared candidate stage for mixed-dimension joins: covering-cell
+    bucket candidates for BOTH distributed sides, codegen envelope prune,
+    spread across executor cores (per-row-CPU refines must not inherit an
+    AQE-coalesced single partition).  Columns: lkey, pkey, wkb_l, wkb_p."""
     lparts = line_parts_df(lines_df).persist()
     pparts = polygon_parts_df(polygons_df).persist()
     if res is None:
@@ -862,7 +853,28 @@ def line_polygon_join(
             (F.col("lxmin") <= F.col("pxmax")) & (F.col("pxmin") <= F.col("lxmax"))
             & (F.col("lymin") <= F.col("pymax")) & (F.col("pymin") <= F.col("lymax"))
         )
+        .select("lkey", "pkey", "wkb_l", "wkb_p")
     )
+    return cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
+
+
+def line_polygon_join(
+    lines_df: DataFrame,
+    polygons_df: DataFrame,
+    res: int | None = None,
+) -> DataFrame:
+    """Distributed line-vs-polygon spatial join: covering-cell bucket
+    candidates for BOTH sides (neither operand table ever lands on the
+    driver), codegen envelope prune, then a single Arrow refine evaluating
+    the mixed-dimension DE-9IM kernel (functions/relate.py line operands).
+
+    Output: (lkey, pkey, within, crosses) for every intersecting pair —
+    the dispatch surface of BinarySpatialFilter.java:43 for dim-1 x dim-2
+    operands.  Scale shape mirrors polygon_pair_join: the cell equi-join is
+    the only shuffle and the refine sees candidate pairs only."""
+    from ..functions.relate import relate_line_polygon_wkb
+
+    cand = _line_poly_candidates(lines_df, polygons_df, res)
 
     from pyspark.sql import types as T
 
@@ -880,8 +892,6 @@ def line_polygon_join(
             rows.append((p["intersects"], p["within"], p["crosses"]))
         return pd.DataFrame(rows, columns=["intersects", "within", "crosses"])
 
-    # per-row-CPU refine: spread candidates regardless of AQE byte targets
-    cand = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
     out = cand.withColumn("r", rel.asNondeterministic()(F.col("wkb_l"), F.col("wkb_p")))
     return (
         out.filter(F.col("r.intersects"))
@@ -891,3 +901,39 @@ def line_polygon_join(
             F.col("r.crosses").alias("crosses"),
         )
     )
+
+
+def line_clip_join(
+    lines_df: DataFrame,
+    polygons_df: DataFrame,
+    res: int | None = None,
+) -> DataFrame:
+    """Distributed ST_Intersection(line, polygon) length join: the same
+    candidate machinery as line_polygon_join, refined by the parametric
+    clip kernel (functions/overlay.clip_line_polygon).  Output: one row per
+    pair with a non-empty clip — (lkey, pkey, qclip) where qclip is the
+    int64 quantized clipped length (per-interval floor at 1e7, sum —
+    aggregation-order-independent, hence oracle-exact)."""
+    from pyspark.sql import types as T
+
+    from ..functions import geometry as geo
+    from ..functions.overlay import clip_line_polygon
+    from ..sources import polygons_from_wkb
+
+    cand = _line_poly_candidates(lines_df, polygons_df, res)
+
+    @F.pandas_udf(T.LongType())
+    def qclip(l_s: pd.Series, p_s: pd.Series) -> pd.Series:
+        out = []
+        for lb, pb_ in zip(l_s, p_s):
+            typ, (lvx, lvy) = geo.wkb_parse(bytes(lb))
+            if typ != "linestring":
+                raise ValueError(f"expected linestring, got {typ}")
+            (poly,) = polygons_from_wkb([(0, pb_)])
+            rings = [(poly["vx"], poly["vy"])] + list(poly.get("holes", []))
+            _, q = clip_line_polygon(lvx, lvy, rings)
+            out.append(q)
+        return pd.Series(out, dtype="int64")
+
+    out = cand.withColumn("qclip", qclip.asNondeterministic()(F.col("wkb_l"), F.col("wkb_p")))
+    return out.filter(F.col("qclip") > 0).select("lkey", "pkey", "qclip")

@@ -290,9 +290,11 @@ def q_line_predicates(spark, sf_dir):
     return out.select("lkey", "pkey", "within", "crosses")
 
 
-def q_line_predicates_oracle():
-    return f"""
-WITH {synth.polygon_vertices_sql()},
+def _line_sets_sql() -> str:
+    """Shared oracle CTE prefix: polygon vertices/edges + the gate line set
+    (zigzag + mini) as ordered vertices, open segments, envelopes, and
+    envelope-overlap candidates."""
+    return f"""{synth.polygon_vertices_sql()},
 pts AS ({_points_sql()}),
 lv AS (
   SELECT event_id % 60 AS gid, event_id AS ord, lon AS vx, lat AS vy
@@ -307,7 +309,7 @@ mini AS (
   WHERE (p.key % 4) = 1),
 allv AS (SELECT * FROM lv UNION ALL SELECT * FROM mini),
 lseg0 AS (
-  SELECT gid, vx, vy,
+  SELECT gid, ord, vx, vy,
          lead(vx) OVER (PARTITION BY gid ORDER BY ord) AS wx,
          lead(vy) OVER (PARTITION BY gid ORDER BY ord) AS wy
   FROM allv),
@@ -320,7 +322,12 @@ cand AS (
   SELECT l.gid, p.key
   FROM lenv l JOIN penv p
     ON l.xmin <= p.xmax AND p.xmin <= l.xmax
-   AND l.ymin <= p.ymax AND p.ymin <= l.ymax),
+   AND l.ymin <= p.ymax AND p.ymin <= l.ymax)"""
+
+
+def q_line_predicates_oracle():
+    return f"""
+WITH {_line_sets_sql()},
 crossings AS (
   SELECT c.gid, c.key, count(*) AS nx
   FROM cand c
@@ -351,6 +358,67 @@ SELECT gid AS lkey, key AS pkey,
 FROM flags
 WHERE crossed OR any_in
 ORDER BY lkey, pkey"""
+
+
+def q_line_clip(spark, sf_dir):
+    """ST_Intersection(line, polygon) as a distributed length join: the
+    parametric clip kernel (overlay.clip_line_polygon) over the same line +
+    polygon sets as `line_predicates`; output the quantized clipped length
+    per intersecting pair (int64 per-interval floor — order-independent,
+    SQL-replicable)."""
+    from .operators.spatial_join import line_clip_join
+
+    lines = _gate_lines_df(spark, sf_dir)
+    return line_clip_join(lines, _supplier_polygons_df(spark, sf_dir), res=3)
+
+
+def q_line_clip_oracle():
+    # t/u crossing parameters, midpoint classification, and the quantized
+    # interval length all use the EXACT FP expression order of
+    # overlay.clip_line_polygon (denominator, numerators, mid, floor chain).
+    return f"""
+WITH {_line_sets_sql()},
+tv AS (
+  SELECT c.gid, c.key, s.ord AS sid, s.vx, s.vy, s.wx, s.wy,
+         ((e.vx - s.vx) * (e.wy - e.vy) - (e.vy - s.vy) * (e.wx - e.vx))
+         / ((s.wx - s.vx) * (e.wy - e.vy) - (s.wy - s.vy) * (e.wx - e.vx)) AS t,
+         ((e.vx - s.vx) * (s.wy - s.vy) - (e.vy - s.vy) * (s.wx - s.vx))
+         / ((s.wx - s.vx) * (e.wy - e.vy) - (s.wy - s.vy) * (e.wx - e.vx)) AS u
+  FROM cand c
+  JOIN lseg s ON s.gid = c.gid
+  JOIN edges e ON e.key = c.key),
+bounds AS (
+  SELECT gid, key, sid, vx, vy, wx, wy, t
+  FROM tv WHERE t > 0.0e0 AND t < 1.0e0 AND u > 0.0e0 AND u < 1.0e0
+  UNION ALL
+  SELECT c.gid, c.key, s.ord AS sid, s.vx, s.vy, s.wx, s.wy, b.t
+  FROM cand c JOIN lseg s ON s.gid = c.gid
+  CROSS JOIN (SELECT 0.0e0 AS t UNION ALL SELECT 1.0e0 AS t) b),
+iv AS (
+  SELECT gid, key, sid, vx, vy, wx, wy, t,
+         lead(t) OVER (PARTITION BY gid, key, sid ORDER BY t) AS tn
+  FROM bounds),
+mids AS (
+  SELECT gid, key, sid, t, tn,
+         vx + (wx - vx) * (5.0e-1 * (t + tn)) AS mx,
+         vy + (wy - vy) * (5.0e-1 * (t + tn)) AS my,
+         sqrt((wx - vx) * (wx - vx) + (wy - vy) * (wy - vy)) * (tn - t) * 1.0e7 AS rawlen
+  FROM iv WHERE tn IS NOT NULL AND tn > t),
+cls AS (
+  SELECT m.gid, m.key, m.sid, m.t, m.rawlen,
+         (sum(CASE WHEN ((e.vy > m.my) <> (e.wy > m.my))
+                    AND (m.mx < (e.wx - e.vx) * (m.my - e.vy) / (e.wy - e.vy) + e.vx)
+              THEN 1 ELSE 0 END) % 2) = 1 AS inside
+  FROM mids m JOIN edges e ON e.key = m.key
+  GROUP BY m.gid, m.key, m.sid, m.t, m.rawlen)
+SELECT gid AS lkey, key AS pkey,
+       CAST(sum(CASE WHEN inside THEN CAST(floor(rawlen) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS qclip
+FROM cls
+GROUP BY 1, 2
+HAVING CAST(sum(CASE WHEN inside THEN CAST(floor(rawlen) AS BIGINT) ELSE 0 END)
+            AS BIGINT) > 0
+ORDER BY 1, 2"""
 
 
 def q_knn(spark, sf_dir):
@@ -1324,6 +1392,7 @@ QUERIES = {
     "st_accessors": (q_st_accessors, q_st_accessors_oracle),
     "st_lines": (q_st_lines, q_st_lines_oracle),
     "line_predicates": (q_line_predicates, q_line_predicates_oracle),
+    "line_clip": (q_line_clip, q_line_clip_oracle),
     "match_action": (q_match_action, q_match_action_oracle),
     "st_contains": (q_st_contains, q_st_contains_oracle),
     "halfplane_clip": (q_halfplane_clip, q_halfplane_clip_oracle),

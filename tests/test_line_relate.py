@@ -135,3 +135,46 @@ def test_distributed_line_polygon_join_matches_brute(spark):
                 exp[(l["key"], p["key"])] = (pr["within"], pr["crosses"])
     assert got == exp
     assert len(exp) > 10  # non-trivial instance
+
+
+# ------------------------------------------------- ST_Intersection(line, A)
+
+def test_clip_line_polygon_kernel():
+    from sis_spark.functions.overlay import clip_line_polygon
+
+    sq = [(np.array([-1.0, 1.0, 1.0, -1.0]), np.array([-1.0, -1.0, 1.0, 1.0]))]
+    # pass-through: clipped to the square, one piece
+    pieces, q = clip_line_polygon(np.array([-2.0, 2.0]), np.array([0.0, 0.0]), sq)
+    assert len(pieces) == 1
+    assert q == int(np.floor(2.0 * 1e7))
+    np.testing.assert_allclose(pieces[0][0], [-1.0, 1.0])
+    # fully inside / fully outside
+    _, q_in = clip_line_polygon(np.array([-0.5, 0.5]), np.array([0.0, 0.0]), sq)
+    assert q_in == int(1e7)
+    p_out, q_out = clip_line_polygon(np.array([5.0, 6.0]), np.array([5.0, 6.0]), sq)
+    assert p_out == [] and q_out == 0
+    # hole: segment crossing the hole loses the middle
+    ring = (np.array([-0.3, 0.3, 0.3, -0.3]), np.array([-0.3, -0.3, 0.3, 0.3]))
+    pieces, q = clip_line_polygon(np.array([-2.0, 2.0]), np.array([0.0, 0.0]), sq + [ring])
+    assert len(pieces) == 2
+    assert q == 2 * int(np.floor(0.7 * 1e7))
+    # multi-vertex polyline entering and leaving: pieces merge at shared t
+    pieces, q = clip_line_polygon(
+        np.array([-2.0, 0.0, 2.0]), np.array([-0.5, 0.5, -0.5]), sq)
+    assert len(pieces) == 1 and len(pieces[0][0]) >= 3  # crosses two edges
+
+
+def test_st_intersection_line_poly_udf(spark):
+    import pandas as pd
+
+    from sis_spark.functions import geometry as geo
+    from sis_spark.functions.overlay import st_intersection_line_poly_udf
+
+    sq_wkb = bytes(geo.wkb_polygon([(np.array([-1.0, 1.0, 1.0, -1.0]),
+                                     np.array([-1.0, -1.0, 1.0, 1.0]))]))
+    line_wkb = bytes(geo.wkb_linestring(np.array([-2.0, 2.0]), np.array([0.0, 0.0])))
+    df = spark.createDataFrame(pd.DataFrame({"l": [line_wkb], "p": [sq_wkb]}))
+    out = df.select(st_intersection_line_poly_udf()(df.l, df.p).alias("w")).collect()
+    typ, lines = geo.wkb_parse(bytes(out[0]["w"]))
+    assert typ == "multilinestring" and len(lines) == 1
+    np.testing.assert_allclose(lines[0][0], [-1.0, 1.0])
