@@ -417,3 +417,29 @@ def geodesic_inverse_m(lon1, lat1, lon2, lat2, max_iter: int = 100):
         dist = np.array(dist, copy=True)
         dist[bad] = _gd.inverse_m(lon1[bad], lat1[bad], lon2[bad], lat2[bad])[0]
     return dist, converged
+
+
+# ------------------------------------------------- point-to-segment distance
+
+def point_segments_dist2(px, py, svx, svy, swx, swy) -> np.ndarray:
+    """Squared planar distance from each point to each open segment:
+    (n_points, n_segments) float64.
+
+    Clamped-projection formula with a fixed FP expression order so the SQL
+    oracle can replicate it term for term (ST_Distance for mixed-dimension
+    operands, SQLMM.java:169; the reference delegates to JTS distance ops
+    via GeometryWrapper)."""
+    px = np.asarray(px, np.float64)[:, None]
+    py = np.asarray(py, np.float64)[:, None]
+    svx = np.asarray(svx, np.float64)[None, :]
+    svy = np.asarray(svy, np.float64)[None, :]
+    dx = np.asarray(swx, np.float64)[None, :] - svx
+    dy = np.asarray(swy, np.float64)[None, :] - svy
+    len2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tt = ((px - svx) * dx + (py - svy) * dy) / len2
+    tt = np.where(len2 == 0.0, 0.0, tt)  # degenerate segment -> its start point
+    tc = np.clip(tt, 0.0, 1.0)
+    ex = px - (svx + dx * tc)
+    ey = py - (svy + dy * tc)
+    return ex * ex + ey * ey

@@ -421,6 +421,73 @@ HAVING CAST(sum(CASE WHEN inside THEN CAST(floor(rawlen) AS BIGINT) ELSE 0 END)
 ORDER BY 1, 2"""
 
 
+N_DIST_POINTS = 400
+
+
+def q_point_line_distance(spark, sf_dir):
+    """ST_Distance(point, line) over the gate line set (SQLMM.java:169 for
+    mixed-dimension operands): per event point, the quantized distance to
+    the nearest polyline.  Shape: the line dimension is tiny -> its packed
+    segment arrays ship in the UDF closure (the broadcast-dim pattern of
+    spatial_join); points stream through one vectorized Arrow stage —
+    (n_points, n_segments) numpy, no per-row Python."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .functions import geometry as _geo
+
+    segs = {"vx": [], "vy": [], "wx": [], "wy": []}
+    for r in _gate_lines_df(spark, sf_dir).collect():  # tiny dimension table
+        _typ, (lvx, lvy) = _geo.wkb_parse(bytes(r["wkb"]))
+        segs["vx"].extend(lvx[:-1].tolist())
+        segs["vy"].extend(lvy[:-1].tolist())
+        segs["wx"].extend(lvx[1:].tolist())
+        segs["wy"].extend(lvy[1:].tolist())
+    sa = {k: _np.asarray(v, _np.float64) for k, v in segs.items()}
+
+    pts = _events_points(spark, sf_dir).filter(F.col("event_id") < N_DIST_POINTS)
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            d2 = _geo.point_segments_dist2(
+                pdf["lon"].to_numpy(), pdf["lat"].to_numpy(),
+                sa["vx"], sa["vy"], sa["wx"], sa["wy"])
+            q = _np.floor(_np.sqrt(d2.min(axis=1)) * 1e7).astype(_np.int64)
+            yield _pd.DataFrame({"event_id": pdf["event_id"], "qdist": q})
+
+    return pts.mapInPandas(fn, "event_id long, qdist long")
+
+
+def q_point_line_distance_oracle():
+    # mirrors point_segments_dist2 term for term (clamped projection; the
+    # squared terms are written as (A)*(A) with identical A both sides)
+    return f"""
+WITH {_line_sets_sql()},
+pts2 AS (SELECT event_id, lon AS px, lat AS py FROM pts
+         WHERE event_id < {N_DIST_POINTS}),
+seg2 AS (
+  SELECT gid, vx, vy, wx - vx AS dx, wy - vy AS dy,
+         (wx - vx) * (wx - vx) + (wy - vy) * (wy - vy) AS len2
+  FROM lseg),
+proj AS (
+  SELECT p.event_id, p.px, p.py, s.vx, s.vy, s.dx, s.dy,
+         ((p.px - s.vx) * s.dx + (p.py - s.vy) * s.dy) / s.len2 AS tt
+  FROM pts2 p CROSS JOIN seg2 s),
+clamped AS (
+  SELECT *, CASE WHEN tt < 0.0e0 THEN 0.0e0
+                 WHEN tt > 1.0e0 THEN 1.0e0 ELSE tt END AS tc
+  FROM proj),
+dd AS (
+  SELECT event_id,
+         (px - (vx + dx * tc)) * (px - (vx + dx * tc))
+         + (py - (vy + dy * tc)) * (py - (vy + dy * tc)) AS d2
+  FROM clamped)
+SELECT event_id, CAST(floor(sqrt(min(d2)) * 1.0e7) AS BIGINT) AS qdist
+FROM dd GROUP BY 1 ORDER BY 1"""
+
+
 def q_knn(spark, sf_dir):
     """kNN join: 25 query points x events, k=5, haversine, deterministic ties."""
     cand = _events_points(spark, sf_dir).withColumnRenamed("event_id", "cand_id")
@@ -1393,6 +1460,7 @@ QUERIES = {
     "st_lines": (q_st_lines, q_st_lines_oracle),
     "line_predicates": (q_line_predicates, q_line_predicates_oracle),
     "line_clip": (q_line_clip, q_line_clip_oracle),
+    "point_line_distance": (q_point_line_distance, q_point_line_distance_oracle),
     "match_action": (q_match_action, q_match_action_oracle),
     "st_contains": (q_st_contains, q_st_contains_oracle),
     "halfplane_clip": (q_halfplane_clip, q_halfplane_clip_oracle),

@@ -178,3 +178,20 @@ def test_st_intersection_line_poly_udf(spark):
     typ, lines = geo.wkb_parse(bytes(out[0]["w"]))
     assert typ == "multilinestring" and len(lines) == 1
     np.testing.assert_allclose(lines[0][0], [-1.0, 1.0])
+
+
+def test_point_segments_dist2_kernel():
+    from sis_spark.functions.geometry import point_segments_dist2
+
+    # horizontal segment (-1,0)->(1,0): interior projection, both clamps
+    d2 = point_segments_dist2([0.0, 3.0, -4.0], [1.0, 0.0, 0.0],
+                              [-1.0], [0.0], [1.0], [0.0])
+    np.testing.assert_allclose(d2[:, 0], [1.0, 4.0, 9.0])
+    # two segments: min over columns picks the closer one
+    d2 = point_segments_dist2([0.0], [0.2],
+                              [-1.0, 5.0], [0.0, 0.0], [1.0, 5.0], [0.0, 9.0])
+    assert d2.shape == (1, 2)
+    assert d2.min(axis=1)[0] == 0.2 * 0.2 + 0.0
+    # degenerate zero-length segment behaves as a point
+    d2 = point_segments_dist2([3.0], [4.0], [0.0], [0.0], [0.0], [0.0])
+    np.testing.assert_allclose(d2[0, 0], 25.0)
