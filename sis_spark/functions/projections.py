@@ -193,6 +193,78 @@ class AlbersEqualArea:
         return np.degrees(lam) + self.lon0, np.degrees(phi)
 
 
+def _q_authalic(phi, e, e2):
+    """Authalic-latitude helper q(phi) (Snyder 1987 eq. 3-12) — module-level
+    so LAEA and the SQL oracle share one FP expression order."""
+    s = np.sin(phi)
+    return (1.0 - e2) * (
+        s / (1.0 - e2 * s * s)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+class LambertAzimuthalEqualArea:
+    """EPSG method 9820 (oblique ellipsoidal Lambert Azimuthal Equal Area) —
+    Guidance Note 7-2 §3.1.3.2 / Snyder 1987 eq. 24-2..24-16 via the
+    authalic sphere.  The projection behind EPSG:3035 (LAEA Europe), the
+    standard equal-area statistical grid
+    (R/operation/projection/LambertAzimuthalEqualArea.java)."""
+
+    def __init__(self, lat0: float, lon0: float, fe: float, fn: float,
+                 ellipsoid=GRS80):
+        self.a, f = ellipsoid
+        self.e = _ecc(ellipsoid)
+        self.e2 = self.e * self.e
+        p0 = np.radians(lat0)
+        self.qp = float(_q_authalic(np.pi / 2.0, self.e, self.e2))
+        q0 = float(_q_authalic(p0, self.e, self.e2))
+        self.sinb0 = q0 / self.qp
+        self.cosb0 = np.sqrt(1.0 - self.sinb0 * self.sinb0)
+        self.Rq = self.a * np.sqrt(self.qp / 2.0)
+        m0 = float(_m(p0, self.e))
+        self.D = (self.a * m0) / (self.Rq * self.cosb0)
+        self.lon0 = lon0
+        self.fe, self.fn = fe, fn
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        q = _q_authalic(np.radians(np.asarray(lat, np.float64)), self.e, self.e2)
+        sinb = q / self.qp
+        cosb = np.sqrt(1.0 - sinb * sinb)
+        B = self.Rq * np.sqrt(
+            2.0 / (1.0 + self.sinb0 * sinb + self.cosb0 * cosb * np.cos(lam)))
+        x = self.fe + (B * self.D) * (cosb * np.sin(lam))
+        y = self.fn + (B / self.D) * (
+            self.cosb0 * sinb - self.sinb0 * cosb * np.cos(lam))
+        return x, y
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = np.asarray(y, np.float64) - self.fn
+        rho = np.sqrt((dx / self.D) ** 2 + (self.D * dy) ** 2)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * self.Rq), -1.0, 1.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sinb = np.where(
+                rho == 0.0, self.sinb0,
+                np.cos(ce) * self.sinb0
+                + self.D * dy * np.sin(ce) * self.cosb0 / np.where(rho == 0.0, 1.0, rho))
+        q = self.qp * sinb
+        lam = np.arctan2(
+            dx * np.sin(ce),
+            self.D * rho * np.cos(ce) * self.cosb0
+            - self.D * self.D * dy * np.sin(ce) * self.sinb0)
+        e, e2 = self.e, self.e2
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(12):
+            s = np.sin(phi)
+            phi = phi + (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+                q / (1.0 - e2)
+                - s / (1.0 - e2 * s * s)
+                + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+            )
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
 class _Geographic:
     def forward(self, lon, lat):
         return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
@@ -263,6 +335,8 @@ CRS_REGISTRY: dict[str, object] = {
     "EPSG:3413": PolarStereographicB(70.0, -45.0, 0.0, 0.0, WGS84),
     # NAD83 / Conus Albers (datum-preserving GRS80 approximation)
     "EPSG:5070": AlbersEqualArea(29.5, 45.5, 23.0, -96.0, 0.0, 0.0, GRS80),
+    # ETRS89-extended / LAEA Europe (the EU statistical grid CRS)
+    "EPSG:3035": LambertAzimuthalEqualArea(52.0, 10.0, 4321000.0, 3210000.0, GRS80),
 }
 
 

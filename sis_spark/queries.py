@@ -607,6 +607,58 @@ SELECT event_id,
 FROM ({_points_sql()}) p ORDER BY event_id"""
 
 
+def q_laea_transform(spark, sf_dir):
+    """WGS84 -> LAEA Europe (EPSG:3035, method 9820 oblique equal-area —
+    the equal-area azimuthal member of the projected-CRS family).  Same
+    floor-shift discipline as `lcc_transform`."""
+    from .functions.projections import st_transform_any_udf
+
+    # exclude a cap around the projection antipode (-170, -52): the equal-
+    # area azimuthal map blows up there and near-singular magnification
+    # breaks meter-level bit parity.  The cut uses haversine computed with
+    # the same FP expression both sides (geodesic_within pattern).
+    d = haversine_col(F.col("lon"), F.col("lat"), F.lit(10.0), F.lit(52.0))
+    pts = _events_points(spark, sf_dir).filter(d < F.lit(17000000.0))
+    p = st_transform_any_udf("EPSG:4326", "EPSG:3035")(F.col("lon"), F.col("lat"))
+    return pts.select(
+        "event_id",
+        F.floor(p["x"] - F.lit(0.123456789)).cast("long").alias("xl"),
+        F.floor(p["y"] - F.lit(0.123456789)).cast("long").alias("yl"),
+    )
+
+
+def q_laea_transform_oracle():
+    from .functions.projections import CRS_REGISTRY
+
+    p = CRS_REGISTRY["EPSG:3035"]
+    e, e2, a = (synth.flit(float(v)) for v in (p.e, p.e2, p.a))
+    qp, sinb0, cosb0 = (synth.flit(float(v)) for v in (p.qp, p.sinb0, p.cosb0))
+    Rq, D = synth.flit(float(p.Rq)), synth.flit(float(p.D))
+    lon0, fe, fn = synth.flit(p.lon0), synth.flit(p.fe), synth.flit(p.fn)
+    one_m_e2 = synth.flit(1.0 - p.e2)
+    # identical IEEE op order to _q_authalic + LambertAzimuthalEqualArea.forward
+    s = "sin(radians(lat))"
+    q = (f"({one_m_e2} * ({s} / (1.0 - {e2} * {s} * {s}) "
+         f"- (1.0 / (2.0 * {e})) * ln((1.0 - {e} * {s}) / (1.0 + {e} * {s}))))")
+    sinb = f"({q} / {qp})"
+    cosb = f"(sqrt(1.0 - {sinb} * {sinb}))"
+    lam = f"(radians(lon - {lon0}))"
+    B = (f"({Rq} * sqrt(2.0 / (1.0 + {sinb0} * {sinb} "
+         f"+ {cosb0} * {cosb} * cos({lam}))))")
+    x = f"({fe} + ({B} * {D}) * ({cosb} * sin({lam})))"
+    y = f"({fn} + ({B} / {D}) * ({cosb0} * {sinb} - {sinb0} * {cosb} * cos({lam})))"
+    from .functions.geometry import haversine_sql
+
+    hd = haversine_sql("lon", "lat", "10.0", "52.0")
+    return f"""
+SELECT event_id,
+  CAST(floor({x} - 0.123456789) AS BIGINT) AS xl,
+  CAST(floor({y} - 0.123456789) AS BIGINT) AS yl
+FROM ({_points_sql()}) p
+WHERE {hd} < 17000000.0
+ORDER BY event_id"""
+
+
 def q_geodesic_pairs(spark, sf_dir):
     """Distance predicate (DistanceFilter beyond/within,
     F/filter/DistanceFilter.java:48): events within 50 km of their hot center."""
@@ -1432,6 +1484,7 @@ QUERIES = {
     "bbox_filter": (q_bbox_filter, q_bbox_filter_oracle),
     "mercator": (q_mercator, q_mercator_oracle),
     "lcc_transform": (q_lcc_transform, q_lcc_transform_oracle),
+    "laea_transform": (q_laea_transform, q_laea_transform_oracle),
     "geodesic_within": (q_geodesic_pairs, q_geodesic_pairs_oracle),
     "feature_query_q1": (q_feature_query_q1, q_feature_query_q1_oracle),
     "feature_query_facade": (q_feature_query_facade, q_feature_query_facade_oracle),

@@ -130,3 +130,52 @@ def test_albers_round_trip_and_equal_area():
     ellipsoid_area = M * Nr * np.cos(np.radians(lat))
     ratio = jac / ellipsoid_area
     assert np.abs(ratio - 1.0).max() < 1e-4
+
+
+def test_laea_roundtrip_origin_and_equal_area():
+    """EPSG:3035 (LAEA Europe, method 9820): origin maps to FE/FN exactly,
+    inverse(forward) is machine-precision, and the projection is genuinely
+    equal-area — a small quad's projected area matches its authalic-sphere
+    area within 1e-6 relative, at two very different latitudes."""
+    import numpy as np
+
+    from sis_spark.functions.projections import CRS_REGISTRY, _q_authalic
+
+    p = CRS_REGISTRY["EPSG:3035"]
+    x, y = p.forward(np.array([10.0]), np.array([52.0]))
+    assert float(x[0]) == 4321000.0 and float(y[0]) == 3210000.0
+
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-30, 60, 500)
+    lat = rng.uniform(20, 75, 500)
+    X, Y = p.forward(lon, lat)
+    lo2, la2 = p.inverse(X, Y)
+    assert np.abs(lon - lo2).max() < 1e-9
+    assert np.abs(lat - la2).max() < 1e-9
+
+    for lat0 in (40.0, 65.0):
+        dd = 0.01
+        quad_lon = np.array([10.0, 10.0 + dd, 10.0 + dd, 10.0])
+        quad_lat = np.array([lat0, lat0, lat0 + dd, lat0 + dd])
+        qx, qy = p.forward(quad_lon, quad_lat)
+        proj_area = 0.5 * abs(
+            np.dot(qx, np.roll(qy, -1)) - np.dot(qy, np.roll(qx, -1)))
+        # ellipsoidal area of the lon/lat quad via the authalic q function
+        q1 = _q_authalic(np.radians(lat0), p.e, p.e2)
+        q2 = _q_authalic(np.radians(lat0 + dd), p.e, p.e2)
+        ell_area = (p.a ** 2 / 2.0) * (q2 - q1) * np.radians(dd)
+        assert abs(proj_area - ell_area) / ell_area < 1e-6, lat0
+
+
+def test_laea_transform_points_routing():
+    import numpy as np
+
+    from sis_spark.functions.projections import transform_points
+
+    x, y = transform_points(np.array([4.3517]), np.array([50.8503]),
+                            "EPSG:4326", "EPSG:3035")
+    # ETRS89 LAEA Europe puts Brussels in the 3.9M/3.1M block
+    assert 3.8e6 < float(x[0]) < 4.0e6 and 3.0e6 < float(y[0]) < 3.2e6
+    lon, lat = transform_points(x, y, "EPSG:3035", "EPSG:4326")
+    assert abs(float(lon[0]) - 4.3517) < 1e-9
+    assert abs(float(lat[0]) - 50.8503) < 1e-9
