@@ -1,0 +1,130 @@
+"""Snapshot table format (sources/table_format.py): atomic commits, time
+travel, rollback, dynamic partition overwrite, manifest-level pruning."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sis_spark.sources import table_format as tf
+
+
+def mk_df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("p"),
+        (F.col("id") * 3).alias("val"),
+    )
+
+
+def test_create_append_read_and_counts(spark, tmp_path):
+    root = str(tmp_path / "t1")
+    s1 = tf.create_table(spark, root, mk_df(spark, 0, 100), partition_by=["p"])
+    assert s1 == 1
+    s2 = tf.append(spark, root, mk_df(spark, 100, 150))
+    assert s2 == 2
+    assert tf.read(spark, root).count() == 150
+    assert tf.scan_row_counts(root) == 150  # manifest-only, no data read
+    # partition column survives and is correct
+    got = {r["p"] for r in tf.read(spark, root).select("p").distinct().collect()}
+    assert got == {0, 1, 2, 3}
+    row = tf.read(spark, root).filter(F.col("id") == 120).collect()[0]
+    assert row["p"] == 0 and row["val"] == 360
+
+
+def test_time_travel_and_snapshot_isolation(spark, tmp_path):
+    root = str(tmp_path / "t2")
+    tf.create_table(spark, root, mk_df(spark, 0, 50), partition_by=["p"])
+    old = tf.read(spark, root, snapshot=1)  # resolved BEFORE the append
+    tf.append(spark, root, mk_df(spark, 50, 80))
+    assert old.count() == 50            # pinned reader never sees snapshot 2
+    assert tf.read(spark, root).count() == 80
+    assert tf.read(spark, root, snapshot=1).count() == 50
+    hist = tf.history(root)
+    assert [h["snapshot"] for h in hist] == [1, 2]
+    assert hist[1]["op"] == "append" and hist[1]["rows"] == 80
+    # as_of: timestamp between the two commits resolves to snapshot 1
+    m1 = tf.load_manifest(root, 1)
+    m2 = tf.load_manifest(root, 2)
+    mid = (m1["ts"] + m2["ts"]) / 2.0
+    assert tf.load_manifest(root, as_of=mid)["snapshot"] == 1
+
+
+def test_rollback_preserves_history(spark, tmp_path):
+    root = str(tmp_path / "t3")
+    tf.create_table(spark, root, mk_df(spark, 0, 40), partition_by=[])
+    tf.append(spark, root, mk_df(spark, 40, 70))
+    s3 = tf.rollback(root, to_snapshot=1)
+    assert s3 == 3
+    assert tf.read(spark, root).count() == 40
+    assert tf.read(spark, root, snapshot=2).count() == 70  # history intact
+
+
+def test_overwrite_partitions_dynamic(spark, tmp_path):
+    root = str(tmp_path / "t4")
+    tf.create_table(spark, root, mk_df(spark, 0, 100), partition_by=["p"])
+    # replace partition p=1 with recomputed rows (val doubled), ids 200-209
+    repl = spark.range(200, 210).select(
+        F.col("id"), F.lit(1).alias("p"), (F.col("id") * 6).alias("val"))
+    tf.overwrite_partitions(spark, root, repl)
+    cur = tf.read(spark, root)
+    assert cur.filter(F.col("p") == 1).count() == 10
+    assert cur.filter(F.col("p") != 1).count() == 75  # 3 of 4 partitions kept
+    # time travel still shows the original p=1 rows
+    assert tf.read(spark, root, snapshot=1).filter(F.col("p") == 1).count() == 25
+
+
+def test_manifest_partition_pruning(spark, tmp_path):
+    """partition_filter prunes FILES on the driver: the scan's inputFiles
+    contain only the selected partition's files."""
+    root = str(tmp_path / "t5")
+    tf.create_table(spark, root, mk_df(spark, 0, 100), partition_by=["p"])
+    tf.append(spark, root, mk_df(spark, 100, 140))
+    pruned = tf.read(spark, root, partition_filter=lambda part: part["p"] == "2")
+    assert pruned.count() == 35
+    for f in pruned.inputFiles():
+        assert "p=2" in f
+    full = tf.read(spark, root)
+    assert len(full.inputFiles()) > len(pruned.inputFiles())
+
+
+def test_commit_conflict_detected(spark, tmp_path):
+    root = str(tmp_path / "t6")
+    tf.create_table(spark, root, mk_df(spark, 0, 10), partition_by=[])
+    m = tf.load_manifest(root, 1)
+    files = tf._collect_files(spark, root, mk_df(spark, 10, 20), [], write_id=99)
+    # a concurrent committer lands first
+    tf._commit(root, m["files"], "append", [], expected_parent=1)
+    with pytest.raises(RuntimeError, match="conflict"):
+        tf._commit(root, m["files"] + files, "append", [], expected_parent=1)
+
+
+def test_create_refuses_existing_and_empty_read(spark, tmp_path):
+    root = str(tmp_path / "t7")
+    tf.create_table(spark, root, mk_df(spark, 0, 10), partition_by=["p"])
+    with pytest.raises(RuntimeError, match="exists"):
+        tf.create_table(spark, root, mk_df(spark, 0, 5))
+    # pruning everything still returns a well-formed empty frame
+    empty = tf.read(spark, root, partition_filter=lambda part: False)
+    assert empty.count() == 0
+
+
+def test_images_table_on_table_format(spark, tmp_path):
+    """The north-rule input end-to-end: image+caption rows in the snapshot
+    table, cell-partitioned, manifest-pruned spatial read."""
+    from sis_spark.functions.spark_exprs import cell_col
+    from sis_spark.sources.images import images_table
+
+    root = str(tmp_path / "imgs")
+    df = images_table(spark, 300).withColumn(
+        "cell_p", cell_col(F.col("lon"), F.col("lat"), 2))
+    tf.create_table(spark, root, df, partition_by=["cell_p"])
+    assert tf.scan_row_counts(root) == 300
+    some_cell = tf.load_manifest(root)["files"][0]["partition"]["cell_p"]
+    sub = tf.read(spark, root,
+                  partition_filter=lambda part: part["cell_p"] == some_cell)
+    assert 0 < sub.count() < 300
+    assert all(f"cell_p={some_cell}" in f for f in sub.inputFiles())
+    r = sub.limit(1).collect()[0]
+    assert r["caption"].startswith("caption of img-")
