@@ -131,6 +131,44 @@ def covering_prefixes(polygons: list[dict], prefix_res: int = PREFIX_RES) -> lis
     return sorted(out)
 
 
+def write_images_snapshot(
+    spark: SparkSession, n_rows: int, root: str, prefix_res: int = PREFIX_RES
+) -> int:
+    """The image table as a SNAPSHOT TABLE (sources/table_format.py): cell-
+    partitioned like write_images_partitioned, but committed through the
+    manifest protocol — appends are atomic, reads are snapshot-isolated,
+    and spatial reads prune from the manifest instead of listing dirs."""
+    from ..functions.spark_exprs import cell_col
+    from . import table_format as tf
+    from pyspark.sql import functions as F
+
+    df = images_table(spark, n_rows).withColumn(
+        "cell_p", cell_col(F.col("lon"), F.col("lat"), prefix_res)
+    )
+    return tf.create_table(spark, root, df, partition_by=["cell_p"])
+
+
+def spatial_join_snapshot(
+    spark: SparkSession,
+    root: str,
+    polygons: list[dict],
+    prefix_res: int = PREFIX_RES,
+    snapshot: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Spatial join over a snapshot image table: the polygon covering
+    prefixes prune FILES from the manifest on the driver (the Iceberg
+    partition-prune analog — the cluster opens only covered partitions),
+    then the standard two-phase join runs on the pruned read."""
+    from . import table_format as tf
+    from ..operators.spatial_join import spatial_join
+
+    want = {str(c) for c in covering_prefixes(polygons, prefix_res)}
+    pruned = tf.read(spark, root, snapshot=snapshot,
+                     partition_filter=lambda part: part["cell_p"] in want)
+    return spatial_join(pruned, polygons, **kwargs)
+
+
 def spatial_join_pruned(
     images_df: DataFrame,
     polygons: list[dict],

@@ -128,3 +128,39 @@ def test_images_table_on_table_format(spark, tmp_path):
     assert all(f"cell_p={some_cell}" in f for f in sub.inputFiles())
     r = sub.limit(1).collect()[0]
     assert r["caption"].startswith("caption of img-")
+
+
+def test_spatial_join_snapshot_matches_unpruned(spark, tmp_path):
+    """Manifest-pruned spatial join over the snapshot image table equals
+    the same join over the full table, and only covered partitions are
+    opened."""
+    from sis_spark.operators.spatial_join import spatial_join
+    from sis_spark.sources import images as img
+
+    root = str(tmp_path / "imgs_snap")
+    img.write_images_snapshot(spark, 400, root, prefix_res=2)
+    # box around an actual image point (the synthetic distribution is
+    # hot-center skewed; a fixed box can miss it entirely)
+    from sis_spark.sources import table_format as tf0
+
+    r0 = tf0.read(spark, root).limit(1).collect()[0]
+    cx, cy = r0["lon"], r0["lat"]
+    polys = [{"key": 1,
+              "vx": np.array([cx - 15.0, cx + 15.0, cx + 15.0, cx - 15.0]),
+              "vy": np.array([max(cy - 15.0, -89.0), max(cy - 15.0, -89.0),
+                              min(cy + 15.0, 89.0), min(cy + 15.0, 89.0)])}]
+
+    got = sorted(
+        (r["image_id"], r["poly_key"])
+        for r in img.spatial_join_snapshot(spark, root, polys, prefix_res=2).collect())
+
+    from sis_spark.sources import table_format as tf
+    full = tf.read(spark, root)
+    exp = sorted(
+        (r["image_id"], r["poly_key"])
+        for r in spatial_join(full, polys).collect())
+    assert got == exp and len(got) > 0
+
+    want = {str(c) for c in img.covering_prefixes(polys, 2)}
+    pruned = tf.read(spark, root, partition_filter=lambda p: p["cell_p"] in want)
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
