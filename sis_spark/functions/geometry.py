@@ -248,8 +248,10 @@ def split_wraparound(xmin, ymin, xmax, ymax):
 _WKB_POINT = 1
 _WKB_LINESTRING = 2
 _WKB_POLYGON = 3
+_WKB_MULTIPOINT = 4
 _WKB_MULTILINESTRING = 5
 _WKB_MULTIPOLYGON = 6
+_WKB_GEOMCOLLECTION = 7
 
 
 def wkb_linestring(vx, vy) -> bytes:
@@ -269,6 +271,48 @@ def wkb_multilinestring(lines) -> bytes:
 
 def wkb_point(x: float, y: float) -> bytes:
     return struct.pack("<BIdd", 1, _WKB_POINT, x, y)
+
+
+def wkb_multipoint(xs, ys) -> bytes:
+    """WKB MultiPoint (each member a full WKB point record, per ISO 19125)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    return struct.pack("<BII", 1, _WKB_MULTIPOINT, len(xs)) + b"".join(
+        wkb_point(float(x), float(y)) for x, y in zip(xs, ys)
+    )
+
+
+def wkb_multipolygon(polys) -> bytes:
+    """polys: list of ring-lists (each as accepted by wkb_polygon)."""
+    return struct.pack("<BII", 1, _WKB_MULTIPOLYGON, len(polys)) + b"".join(
+        wkb_polygon(rings) for rings in polys
+    )
+
+
+def wkb_geomcollection(members: list[bytes]) -> bytes:
+    """WKB GeometryCollection from already-encoded member WKBs."""
+    return struct.pack("<BII", 1, _WKB_GEOMCOLLECTION, len(members)) + b"".join(
+        bytes(m) for m in members
+    )
+
+
+def wkb_write(typ: str, val) -> bytes:
+    """Generic inverse of wkb_parse: re-encode a parsed (typ, val) pair."""
+    if typ == "point":
+        return wkb_point(*val)
+    if typ == "linestring":
+        return wkb_linestring(*val)
+    if typ == "polygon":
+        return wkb_polygon(val)
+    if typ == "multipoint":
+        return wkb_multipoint([p[0] for p in val], [p[1] for p in val])
+    if typ == "multilinestring":
+        return wkb_multilinestring(val)
+    if typ == "multipolygon":
+        return wkb_multipolygon(val)
+    if typ == "geomcollection":
+        return wkb_geomcollection([wkb_write(t, v) for t, v in val])
+    raise ValueError(f"unsupported geometry type {typ!r}")
 
 
 def wkb_polygon(rings) -> bytes:
@@ -301,6 +345,22 @@ def wkb_parse(buf: bytes):
             off += 4
             arr = np.frombuffer(buf, dtype=end + "f8", count=2 * npts, offset=off).reshape(-1, 2)
             return ("linestring", (arr[:, 0].copy(), arr[:, 1].copy())), off + 16 * npts
+        if typ == _WKB_MULTIPOINT:
+            (n,) = struct.unpack_from(end + "I", buf, off)
+            off += 4
+            pts = []
+            for _ in range(n):
+                (g, off) = parse_one(off)
+                pts.append(g[1])
+            return ("multipoint", pts), off
+        if typ == _WKB_GEOMCOLLECTION:
+            (n,) = struct.unpack_from(end + "I", buf, off)
+            off += 4
+            members = []
+            for _ in range(n):
+                (g, off) = parse_one(off)
+                members.append(g)
+            return ("geomcollection", members), off
         if typ == _WKB_MULTILINESTRING:
             (nl,) = struct.unpack_from(end + "I", buf, off)
             off += 4

@@ -72,19 +72,111 @@ def wkt_format_polygon(vx: np.ndarray, vy: np.ndarray) -> str:
     return f"POLYGON (({pts}, {first}))"
 
 
+def _split_top(s: str) -> list[str]:
+    """Split a WKT body on top-level commas (depth-0 wrt parentheses)."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return out
+
+def _coords(body: str):
+    pairs = [p.strip().split() for p in body.split(",")]
+    return (np.array([float(p[0]) for p in pairs]),
+            np.array([float(p[1]) for p in pairs]))
+
+def _ring_open(vx, vy):
+    if len(vx) >= 2 and vx[0] == vx[-1] and vy[0] == vy[-1]:
+        return vx[:-1], vy[:-1]
+    return vx, vy
+
+def _strip1(s: str) -> str:
+    s = s.strip()
+    assert s[0] == "(" and s[-1] == ")", s[:40]
+    return s[1:-1]
+
 def wkt_parse(s: str):
-    s_up = s.strip().upper()
+    """Parse the 7 WKT geometry types of the 2-D model (ISO 19125 grammar;
+    reference parser is F/geometry/wrapper/ — our grammar is original)."""
+    s = s.strip()
+    s_up = s.upper()
+    if s_up.startswith("GEOMETRYCOLLECTION"):
+        body = _strip1(s[len("GEOMETRYCOLLECTION"):])
+        members = [wkt_parse(m) for m in _split_top(body)] if body.strip() else []
+        return ("geomcollection", members)
+    if s_up.startswith("MULTIPOINT"):
+        body = _strip1(s[len("MULTIPOINT"):])
+        pts = []
+        for m in _split_top(body):
+            m = m.strip()
+            if m.startswith("("):  # both MULTIPOINT ((1 2), ...) and (1 2, ...)
+                m = _strip1(m)
+            x, y = m.split()
+            pts.append((float(x), float(y)))
+        return ("multipoint", pts)
+    if s_up.startswith("MULTILINESTRING"):
+        body = _strip1(s[len("MULTILINESTRING"):])
+        return ("multilinestring", [_coords(_strip1(m)) for m in _split_top(body)])
+    if s_up.startswith("MULTIPOLYGON"):
+        body = _strip1(s[len("MULTIPOLYGON"):])
+        polys = []
+        for m in _split_top(body):
+            rings = [_ring_open(*_coords(_strip1(r)))
+                     for r in _split_top(_strip1(m))]
+            polys.append(rings)
+        return ("multipolygon", polys)
     if s_up.startswith("POINT"):
         return ("point", wkt_parse_point(s))
+    if s_up.startswith("LINESTRING"):
+        return ("linestring", _coords(_strip1(s[len("LINESTRING"):])))
     if s_up.startswith("POLYGON"):
-        inner = s[s.index("((") + 2 : s.rindex("))")]
-        pairs = [p.strip().split() for p in inner.split(",")]
-        vx = np.array([float(p[0]) for p in pairs])
-        vy = np.array([float(p[1]) for p in pairs])
-        if vx[0] == vx[-1] and vy[0] == vy[-1]:
-            vx, vy = vx[:-1], vy[:-1]
-        return ("polygon", [(vx, vy)])
+        body = _strip1(s[len("POLYGON"):])
+        rings = [_ring_open(*_coords(_strip1(r))) for r in _split_top(body)]
+        return ("polygon", rings)
     raise ValueError(f"unsupported WKT: {s[:40]!r}")
+
+def _wkt_ring(vx, vy) -> str:
+    pts = ", ".join(f"{x!r} {y!r}" for x, y in zip(vx, vy))
+    if vx[0] != vx[-1] or vy[0] != vy[-1]:
+        pts += f", {vx[0]!r} {vy[0]!r}"
+    return f"({pts})"
+
+def wkt_format(typ: str, val) -> str:
+    """Format any parsed geometry back to WKT (inverse of wkt_parse)."""
+    if typ == "point":
+        return wkt_format_point(*val)
+    if typ == "linestring":
+        return "LINESTRING (" + ", ".join(
+            f"{x!r} {y!r}" for x, y in zip(*val)) + ")"
+    if typ == "polygon":
+        return "POLYGON (" + ", ".join(_wkt_ring(vx, vy) for vx, vy in val) + ")"
+    if typ == "multipoint":
+        return "MULTIPOINT (" + ", ".join(f"({x!r} {y!r})" for x, y in val) + ")"
+    if typ == "multilinestring":
+        return "MULTILINESTRING (" + ", ".join(
+            "(" + ", ".join(f"{x!r} {y!r}" for x, y in zip(vx, vy)) + ")"
+            for vx, vy in val) + ")"
+    if typ == "multipolygon":
+        return "MULTIPOLYGON (" + ", ".join(
+            "(" + ", ".join(_wkt_ring(vx, vy) for vx, vy in rings) + ")"
+            for rings in val) + ")"
+    if typ == "geomcollection":
+        return "GEOMETRYCOLLECTION (" + ", ".join(
+            wkt_format(t, v) for t, v in val) + ")"
+    raise ValueError(f"unsupported geometry type {typ!r}")
+
+# SQLMM type names as the reference's ST_GeometryType returns them
+_GTYPE_NAME = {
+    "point": "ST_Point", "linestring": "ST_LineString", "polygon": "ST_Polygon",
+    "multipoint": "ST_MultiPoint", "multilinestring": "ST_MultiLineString",
+    "multipolygon": "ST_MultiPolygon", "geomcollection": "ST_GeomCollection",
+}
 
 
 # ---------------------------------------------------------------- numpy measures
@@ -225,7 +317,7 @@ def st_y_udf():
 def st_geometry_type_udf():
     @F.pandas_udf(T.StringType())
     def _f(wkb: pd.Series) -> pd.Series:
-        return pd.Series(["ST_" + geo.wkb_parse(bytes(b))[0].capitalize() for b in wkb])
+        return pd.Series([_GTYPE_NAME[geo.wkb_parse(bytes(b))[0]] for b in wkb])
 
     return _f
 
@@ -233,14 +325,7 @@ def st_geometry_type_udf():
 def st_astext_udf():
     @F.pandas_udf(T.StringType())
     def _f(wkb: pd.Series) -> pd.Series:
-        out = []
-        for b in wkb:
-            typ, val = geo.wkb_parse(bytes(b))
-            if typ == "point":
-                out.append(wkt_format_point(*val))
-            else:
-                out.append(wkt_format_polygon(*val[0]))
-        return pd.Series(out)
+        return pd.Series([wkt_format(*geo.wkb_parse(bytes(b))) for b in wkb])
 
     return _f
 
@@ -248,23 +333,40 @@ def st_astext_udf():
 def st_geomfromtext_udf():
     @F.pandas_udf(T.BinaryType())
     def _f(wkt: pd.Series) -> pd.Series:
-        out = []
-        for s in wkt:
-            typ, val = wkt_parse(s)
-            out.append(geo.wkb_point(*val) if typ == "point" else geo.wkb_polygon(val))
-        return pd.Series(out)
+        return pd.Series([geo.wkb_write(*wkt_parse(s)) for s in wkt])
 
     return _f
+
+
+def geom_area(typ: str, val) -> float:
+    """SQL/MM area: polygon = |outer| - sum(|holes|); Multi*/collections sum
+    their members; 0-d/1-d geometries are 0."""
+    if typ == "polygon":
+        a = shoelace_area(*val[0])
+        return a - sum(shoelace_area(*r) for r in val[1:])
+    if typ == "multipolygon":
+        return sum(geom_area("polygon", rings) for rings in val)
+    if typ == "geomcollection":
+        return sum(geom_area(t, v) for t, v in val)
+    return 0.0
+
+
+def geom_perimeter(typ: str, val) -> float:
+    """SQL/MM perimeter: sum over ALL rings (outer + holes); Multi*/
+    collections sum their members."""
+    if typ == "polygon":
+        return sum(perimeter(*r) for r in val)
+    if typ == "multipolygon":
+        return sum(geom_perimeter("polygon", rings) for rings in val)
+    if typ == "geomcollection":
+        return sum(geom_perimeter(t, v) for t, v in val)
+    return 0.0
 
 
 def st_area_udf():
     @F.pandas_udf(T.DoubleType())
     def _f(wkb: pd.Series) -> pd.Series:
-        out = []
-        for b in wkb:
-            typ, val = geo.wkb_parse(bytes(b))
-            out.append(0.0 if typ == "point" else shoelace_area(*val[0]))
-        return pd.Series(out)
+        return pd.Series([geom_area(*geo.wkb_parse(bytes(b))) for b in wkb])
 
     return _f
 
@@ -272,11 +374,7 @@ def st_area_udf():
 def st_perimeter_udf():
     @F.pandas_udf(T.DoubleType())
     def _f(wkb: pd.Series) -> pd.Series:
-        out = []
-        for b in wkb:
-            typ, val = geo.wkb_parse(bytes(b))
-            out.append(0.0 if typ == "point" else perimeter(*val[0]))
-        return pd.Series(out)
+        return pd.Series([geom_perimeter(*geo.wkb_parse(bytes(b))) for b in wkb])
 
     return _f
 
@@ -299,6 +397,26 @@ def st_centroid_udf():
     return _f
 
 
+def geom_coords(typ: str, val):
+    """All coordinates of any geometry as flat (xs, ys) arrays."""
+    if typ == "point":
+        return np.array([val[0]]), np.array([val[1]])
+    if typ == "linestring":
+        return np.asarray(val[0]), np.asarray(val[1])
+    if typ == "polygon" or typ == "multilinestring":
+        return (np.concatenate([np.asarray(r[0]) for r in val]),
+                np.concatenate([np.asarray(r[1]) for r in val]))
+    if typ == "multipoint":
+        return (np.array([p[0] for p in val]), np.array([p[1] for p in val]))
+    if typ == "multipolygon":
+        xs, ys = zip(*(geom_coords("polygon", rings) for rings in val))
+        return np.concatenate(xs), np.concatenate(ys)
+    if typ == "geomcollection":
+        xs, ys = zip(*(geom_coords(t, v) for t, v in val))
+        return np.concatenate(xs), np.concatenate(ys)
+    raise ValueError(f"unsupported geometry type {typ!r}")
+
+
 def st_envelope_udf():
     schema = T.StructType([T.StructField(c, T.DoubleType()) for c in ("xmin", "ymin", "xmax", "ymax")])
 
@@ -306,12 +424,8 @@ def st_envelope_udf():
     def _f(wkb: pd.Series) -> pd.DataFrame:
         rows = []
         for b in wkb:
-            typ, val = geo.wkb_parse(bytes(b))
-            if typ == "point":
-                rows.append((val[0], val[1], val[0], val[1]))
-            else:
-                vx, vy = val[0]
-                rows.append((vx.min(), vy.min(), vx.max(), vy.max()))
+            vx, vy = geom_coords(*geo.wkb_parse(bytes(b)))
+            rows.append((vx.min(), vy.min(), vx.max(), vy.max()))
         return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
 
     return _f
@@ -556,23 +670,52 @@ def st_linestring_udf():
     return _f
 
 
+def st_multipoint_udf():
+    """ST_MultiPoint from coordinate arrays (SQLMM.java:550): two
+    array<double> columns -> WKB MultiPoint."""
+    @F.pandas_udf(T.BinaryType())
+    def _f(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series([
+            geo.wkb_multipoint(np.asarray(x, float), np.asarray(y, float))
+            for x, y in zip(xs, ys)
+        ])
+
+    return _f
+
+
+def st_collect_udf():
+    """ST_GeomCollection constructor (SQLMM.java:714): an array<binary>
+    column of member WKBs -> one WKB GeometryCollection."""
+    @F.pandas_udf(T.BinaryType())
+    def _f(members: pd.Series) -> pd.Series:
+        return pd.Series([
+            geo.wkb_geomcollection([bytes(m) for m in ms]) for ms in members
+        ])
+
+    return _f
+
+
 def st_numpoints_udf():
     """ST_NumPoints (SQLMM.java:403): vertex count (point=1, linestring=n,
     polygon=outer-ring n)."""
+    def npts(typ, val) -> int:
+        if typ == "point":
+            return 1
+        if typ == "linestring":
+            return len(val[0])
+        if typ == "polygon":
+            return len(val[0][0])  # outer ring, closed
+        if typ == "multipoint":
+            return len(val)
+        if typ == "multilinestring":
+            return sum(len(m[0]) for m in val)
+        if typ == "multipolygon":
+            return sum(len(rings[0][0]) for rings in val)
+        return sum(npts(t, v) for t, v in val)  # geomcollection
+
     @F.pandas_udf(T.IntegerType())
     def _f(wkb: pd.Series) -> pd.Series:
-        out = []
-        for b in wkb:
-            typ, val = _parse(b)
-            if typ == "point":
-                out.append(1)
-            elif typ == "linestring":
-                out.append(len(val[0]))
-            elif typ == "polygon":
-                out.append(len(val[0][0]))
-            else:
-                out.append(sum(len(m[0]) for m in val))
-        return pd.Series(out, dtype="int32")
+        return pd.Series([npts(*_parse(b)) for b in wkb], dtype="int32")
 
     return _f
 
@@ -648,22 +791,19 @@ def st_isring_udf():
 
 def st_length_udf():
     """ST_Length (SQLMM.java:359): euclidean polyline length."""
+    def length(typ, val) -> float:
+        if typ == "linestring":
+            vx, vy = val
+            return float(np.sum(np.sqrt(np.diff(vx) ** 2 + np.diff(vy) ** 2)))
+        if typ == "multilinestring":
+            return sum(length("linestring", m) for m in val)
+        if typ == "geomcollection":
+            return sum(length(t, v) for t, v in val)
+        return 0.0
+
     @F.pandas_udf(T.DoubleType())
     def _f(wkb: pd.Series) -> pd.Series:
-        out = []
-        for b in wkb:
-            typ, val = _parse(b)
-            if typ == "linestring":
-                vx, vy = val
-                out.append(float(np.sum(np.sqrt(np.diff(vx) ** 2 + np.diff(vy) ** 2))))
-            elif typ == "multilinestring":
-                out.append(sum(
-                    float(np.sum(np.sqrt(np.diff(vx) ** 2 + np.diff(vy) ** 2)))
-                    for vx, vy in val
-                ))
-            else:
-                out.append(0.0)
-        return pd.Series(out)
+        return pd.Series([length(*_parse(b)) for b in wkb])
 
     return _f
 
@@ -672,14 +812,20 @@ def st_length_q_udf(scale: float = 1e7):
     """Quantized ST_Length: per-segment floor(len*scale) summed as int64 —
     order-independent, hence bit-identical to the SQL oracle regardless of
     aggregation order (bit-exactness playbook rule 4)."""
+    def qlen(typ, val) -> int:
+        if typ == "linestring":
+            vx, vy = val
+            seg = np.sqrt(np.diff(vx) ** 2 + np.diff(vy) ** 2)
+            return int(np.floor(seg * scale).astype(np.int64).sum())
+        if typ == "multilinestring":
+            return sum(qlen("linestring", m) for m in val)
+        if typ == "geomcollection":
+            return sum(qlen(t, v) for t, v in val)
+        return 0
+
     @F.pandas_udf(T.LongType())
     def _f(wkb: pd.Series) -> pd.Series:
-        out = []
-        for b in wkb:
-            vx, vy = _line_coords(*_parse(b))
-            seg = np.sqrt(np.diff(vx) ** 2 + np.diff(vy) ** 2)
-            out.append(int(np.floor(seg * scale).astype(np.int64).sum()))
-        return pd.Series(out)
+        return pd.Series([qlen(*_parse(b)) for b in wkb])
 
     return _f
 
@@ -746,7 +892,8 @@ def st_numgeometries_udf():
         out = []
         for b in wkb:
             typ, val = _parse(b)
-            out.append(len(val) if typ.startswith("multi") else 1)
+            multi = typ.startswith("multi") or typ == "geomcollection"
+            out.append(len(val) if multi else 1)
         return pd.Series(out, dtype="int32")
 
     return _f
@@ -760,11 +907,15 @@ def st_geometryn_udf():
         for b, i in zip(wkb, n):
             typ, val = _parse(b)
             i = int(i)
-            if typ == "multilinestring" and 1 <= i <= len(val):
+            if typ == "multipoint" and 1 <= i <= len(val):
+                out.append(geo.wkb_point(*val[i - 1]))
+            elif typ == "multilinestring" and 1 <= i <= len(val):
                 out.append(geo.wkb_linestring(*val[i - 1]))
             elif typ == "multipolygon" and 1 <= i <= len(val):
                 out.append(geo.wkb_polygon(val[i - 1]))
-            elif not typ.startswith("multi") and i == 1:
+            elif typ == "geomcollection" and 1 <= i <= len(val):
+                out.append(geo.wkb_write(*val[i - 1]))
+            elif typ in ("point", "linestring", "polygon") and i == 1:
                 out.append(bytes(b))
             else:
                 out.append(None)
@@ -773,15 +924,22 @@ def st_geometryn_udf():
     return _f
 
 
-_DIMENSION = {"point": 0, "linestring": 1, "multilinestring": 1,
-              "polygon": 2, "multipolygon": 2}
+_DIMENSION = {"point": 0, "multipoint": 0, "linestring": 1,
+              "multilinestring": 1, "polygon": 2, "multipolygon": 2}
+
+
+def geom_dimension(typ: str, val) -> int:
+    if typ == "geomcollection":
+        return max((geom_dimension(t, v) for t, v in val), default=0)
+    return _DIMENSION[typ]
 
 
 def st_dimension_udf():
-    """ST_Dimension (SQLMM.java:44): topological dimension."""
+    """ST_Dimension (SQLMM.java:44): topological dimension (collections:
+    max over members, the SQL/MM rule)."""
     @F.pandas_udf(T.IntegerType())
     def _f(wkb: pd.Series) -> pd.Series:
-        return pd.Series([_DIMENSION[_parse(b)[0]] for b in wkb], dtype="int32")
+        return pd.Series([geom_dimension(*_parse(b)) for b in wkb], dtype="int32")
 
     return _f
 
@@ -805,19 +963,55 @@ def st_srid_udf():
     return _f
 
 
+_CAST_SINGLE = {"point", "linestring", "polygon"}
+_CAST_MULTI = {"multipoint": "point", "multilinestring": "linestring",
+               "multipolygon": "polygon", "geomcollection": None}
+
+
+def _cast_geom(want: str, typ: str, val, raw: bytes):
+    """Cast rules (SQLMM.java:719-744): pass-through on exact type; single ->
+    corresponding Multi* promotion; Multi* of size 1 -> its single member;
+    anything -> GeomColl wraps; homogeneous GeomColl -> matching Multi*.
+    NULL on impossible casts (the reference raises; NULL keeps the operator
+    usable in SQL pipelines — documented deviation)."""
+    if typ == want:
+        return raw
+    if want in _CAST_SINGLE:
+        if typ == "multi" + want and len(val) == 1:
+            return geo.wkb_write(want, val[0])
+        if typ == "geomcollection" and len(val) == 1 and val[0][0] == want:
+            return geo.wkb_write(*val[0])
+        return None
+    if want == "geomcollection":
+        if typ.startswith("multi"):
+            single = _CAST_MULTI[typ]
+            return geo.wkb_geomcollection([geo.wkb_write(single, m) for m in val])
+        return geo.wkb_geomcollection([raw])
+    # want is a Multi*
+    single = _CAST_MULTI[want]
+    if typ == single:
+        if want == "multipoint":
+            return geo.wkb_multipoint([val[0]], [val[1]])
+        return geo.wkb_write(want, [val])
+    if typ == "geomcollection" and all(t == single for t, _ in val):
+        if want == "multipoint":
+            return geo.wkb_multipoint([v[0] for _, v in val], [v[1] for _, v in val])
+        return geo.wkb_write(want, [v for _, v in val])
+    return None
+
+
 def st_cast_udf(target: str):
-    """ST_ToPoint/ST_ToLineString/ST_ToPolygon (SQLMM.java:719-744):
-    type-checked pass-through, NULL on mismatch (the reference raises for
-    invalid casts; NULL keeps the operator usable in SQL pipelines and is
-    documented)."""
+    """ST_ToPoint/.../ST_ToMultiPolygon/ST_ToGeomColl (SQLMM.java:719-744)."""
     want = target.lower().replace("st_to", "")
+    want = {"geomcoll": "geomcollection",
+            "multiline": "multilinestring"}.get(want, want)
 
     @F.pandas_udf(T.BinaryType())
     def _f(wkb: pd.Series) -> pd.Series:
         out = []
         for b in wkb:
-            typ, _ = _parse(b)
-            out.append(bytes(b) if typ == want else None)
+            typ, val = _parse(b)
+            out.append(_cast_geom(want, typ, val, bytes(b)))
         return pd.Series(out)
 
     return _f

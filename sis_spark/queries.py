@@ -1133,6 +1133,96 @@ SELECT b.gid, b.npts, b.sx, b.sy, b.ex, b.ey,
 FROM base b JOIN ln l ON l.gid = b.gid ORDER BY b.gid"""
 
 
+def q_st_multi(spark, sf_dir):
+    """Multi-geometry model (SQLMM.java:550-714): ST_MultiPoint from
+    coordinate arrays, ST_GeomCollection from member WKBs, and the generic
+    accessors over them — with a full WKT round-trip (ST_AsText ->
+    ST_GeomFromText) in the middle so the MULTIPOINT / GEOMETRYCOLLECTION
+    grammar of both the formatter and the parser is on the oracle path.
+    Reference geometry aggregation: F/geometry/wrapper/Geometries.java
+    createMultiGeometry / GeometryWrapper envelope-merge semantics."""
+    from .functions.sqlmm import (
+        st_astext_udf,
+        st_collect_udf,
+        st_dimension_udf,
+        st_envelope_udf,
+        st_geometry_type_udf,
+        st_geomfromtext_udf,
+        st_geometryn_udf,
+        st_length_q_udf,
+        st_linestring_udf,
+        st_multipoint_udf,
+        st_numgeometries_udf,
+        st_numpoints_udf,
+        st_point_udf,
+        st_x_udf,
+    )
+
+    pts = _events_points(spark, sf_dir)
+    g = (
+        pts.withColumn("gid", F.col("event_id") % 40)
+        .groupBy("gid")
+        .agg(F.sort_array(F.collect_list(F.struct("event_id", "lon", "lat"))).alias("s"))
+        .select(
+            "gid",
+            F.transform("s", lambda r: r["lon"]).alias("xs"),
+            F.transform("s", lambda r: r["lat"]).alias("ys"),
+        )
+    )
+    rt = lambda c: st_geomfromtext_udf()(st_astext_udf()(c))  # WKT round-trip
+    mp = rt(st_multipoint_udf()(F.col("xs"), F.col("ys")))
+    gc = rt(st_collect_udf()(F.array(
+        st_point_udf()(F.element_at("xs", 1), F.element_at("ys", 1)),
+        st_linestring_udf()(F.col("xs"), F.col("ys")),
+    )))
+    env = st_envelope_udf()(mp)
+    return g.select(
+        "gid",
+        st_numgeometries_udf()(mp).cast("long").alias("mp_ng"),
+        st_numpoints_udf()(mp).cast("long").alias("mp_np"),
+        st_dimension_udf()(mp).alias("mp_dim"),
+        st_geometry_type_udf()(mp).alias("mp_type"),
+        env["xmin"].alias("xmin"),
+        env["ymin"].alias("ymin"),
+        env["xmax"].alias("xmax"),
+        env["ymax"].alias("ymax"),
+        st_numgeometries_udf()(gc).cast("long").alias("gc_ng"),
+        st_dimension_udf()(gc).alias("gc_dim"),
+        st_geometry_type_udf()(gc).alias("gc_type"),
+        st_length_q_udf()(gc).alias("gc_qlen"),
+        st_x_udf()(st_geometryn_udf()(gc, F.lit(1))).alias("g1x"),
+    )
+
+
+def q_st_multi_oracle():
+    return f"""
+WITH pts AS ({_points_sql()}),
+g AS (SELECT event_id % 40 AS gid, event_id, lon, lat FROM pts),
+base AS (
+  SELECT gid, count(*) AS n,
+         min(lon) AS xmin, min(lat) AS ymin, max(lon) AS xmax, max(lat) AS ymax,
+         arg_min(lon, event_id) AS sx
+  FROM g GROUP BY 1),
+seg AS (
+  SELECT gid, lon, lat,
+         lead(lon) OVER (PARTITION BY gid ORDER BY event_id) AS nlon,
+         lead(lat) OVER (PARTITION BY gid ORDER BY event_id) AS nlat
+  FROM g),
+ln AS (
+  SELECT gid,
+         sum(CAST(floor(sqrt((nlon - lon) * (nlon - lon) + (nlat - lat) * (nlat - lat))
+                        * 10000000.0) AS BIGINT)) AS qlen
+  FROM seg WHERE nlon IS NOT NULL GROUP BY 1)
+SELECT b.gid, b.n AS mp_ng, b.n AS mp_np, 0 AS mp_dim,
+       'ST_MultiPoint' AS mp_type,
+       b.xmin, b.ymin, b.xmax, b.ymax,
+       CAST(2 AS BIGINT) AS gc_ng, 1 AS gc_dim,
+       'ST_GeomCollection' AS gc_type,
+       CAST(coalesce(l.qlen, 0) AS BIGINT) AS gc_qlen,
+       b.sx AS g1x
+FROM base b LEFT JOIN ln l ON l.gid = b.gid ORDER BY b.gid"""
+
+
 def q_halfplane_clip(spark, sf_dir):
     """ST_Intersection with a halfplane (binary constructive op family,
     SQLMM.java:135 ST_Intersection): each supplier polygon is clipped to
@@ -1511,6 +1601,7 @@ QUERIES = {
     "st_measures": (q_st_measures, q_st_measures_oracle),
     "st_accessors": (q_st_accessors, q_st_accessors_oracle),
     "st_lines": (q_st_lines, q_st_lines_oracle),
+    "st_multi": (q_st_multi, q_st_multi_oracle),
     "line_predicates": (q_line_predicates, q_line_predicates_oracle),
     "line_clip": (q_line_clip, q_line_clip_oracle),
     "point_line_distance": (q_point_line_distance, q_point_line_distance_oracle),

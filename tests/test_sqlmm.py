@@ -223,3 +223,126 @@ def test_linear_resolution_hint_and_property_path(spark):
     got = {r["fid"]: r["v"] for r in nested.select(
         "fid", property_path("a/b/c").alias("v")).collect()}
     assert got[1] == 42 and got[2] is None
+
+
+# ---------------------------------------------------------- Multi* / collections (r2)
+
+def test_multi_geometry_roundtrip_and_measures():
+    """Pure-python layer: WKT<->parsed<->WKB round-trips for all 7 geometry
+    types; multi-aware area/perimeter/dimension (SQLMM.java:550-714)."""
+    import numpy as np
+
+    from sis_spark.functions import geometry as geo
+    from sis_spark.functions.sqlmm import (
+        geom_area,
+        geom_coords,
+        geom_dimension,
+        geom_perimeter,
+        wkt_format,
+        wkt_parse,
+    )
+
+    wkts = [
+        "POINT (1.5 -2.25)",
+        "LINESTRING (0 0, 3 0, 3 4)",
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+        "MULTIPOINT ((1 2), (3 4), (5 6))",
+        "MULTIPOINT (1 2, 3 4)",  # bare-pair variant of the grammar
+        "MULTILINESTRING ((0 0, 1 0), (0 0, 0 2))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))",
+        "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 3 4), "
+        "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))",
+    ]
+    for s in wkts:
+        typ, val = wkt_parse(s)
+        # WKB round-trip preserves the parse exactly
+        wkb = geo.wkb_write(typ, val)
+        typ2, val2 = geo.wkb_parse(wkb)
+        assert typ2 == typ
+        # rings may be stored closed (WKB) vs open (WKT parse) — compare the
+        # canonical WKT rendering, which closes rings either way
+        assert wkt_format(typ2, val2) == wkt_format(typ, val)
+        # WKT format -> parse round-trip is stable
+        typ3, val3 = wkt_parse(wkt_format(typ, val))
+        xs1, ys1 = geom_coords(typ, val)
+        xs3, ys3 = geom_coords(typ3, val3)
+        assert typ3 == typ and np.array_equal(xs1, xs3) and np.array_equal(ys1, ys3)
+
+    # measures over multis: area sums members (holes subtracted)
+    t, v = wkt_parse(wkts[2])
+    assert geom_area(t, v) == 100.0 - 4.0
+    t, v = wkt_parse(wkts[6])
+    assert geom_area(t, v) == 1.0 + 4.0
+    t, v = wkt_parse(wkts[7])
+    assert geom_area(t, v) == 4.0 and geom_dimension(t, v) == 2
+    assert geom_perimeter(t, v) == 8.0
+    t, v = wkt_parse(wkts[3])
+    assert geom_area(t, v) == 0.0 and geom_dimension(t, v) == 0
+
+
+def test_multi_geometry_casts_and_accessors(spark):
+    """Spark layer: ST_MultiPoint / ST_GeomCollection constructors, generic
+    accessors over multis, and the ST_To* cast matrix (SQLMM.java:719-744)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    import numpy as np
+
+    from sis_spark.functions import geometry as geo
+    from sis_spark.functions.sqlmm import (
+        st_astext_udf,
+        st_cast_udf,
+        st_collect_udf,
+        st_dimension_udf,
+        st_geometry_type_udf,
+        st_geometryn_udf,
+        st_geomfromtext_udf,
+        st_multipoint_udf,
+        st_numgeometries_udf,
+        st_numpoints_udf,
+        st_x_udf,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"xs": [[1.0, 3.0, 5.0]], "ys": [[2.0, 4.0, 6.0]]}),
+        schema="xs array<double>, ys array<double>",
+    )
+    mp = st_multipoint_udf()(F.col("xs"), F.col("ys"))
+    gc = st_collect_udf()(F.array(
+        st_geomfromtext_udf()(F.lit("POINT (9 9)")),
+        st_geomfromtext_udf()(F.lit("LINESTRING (0 0, 3 4)")),
+    ))
+    r = df.select(
+        st_numgeometries_udf()(mp).alias("ng"),
+        st_numpoints_udf()(mp).alias("np"),
+        st_dimension_udf()(mp).alias("dim"),
+        st_geometry_type_udf()(mp).alias("t"),
+        st_astext_udf()(mp).alias("wkt"),
+        st_x_udf()(st_geometryn_udf()(mp, F.lit(2))).alias("x2"),
+        st_geometry_type_udf()(gc).alias("gct"),
+        st_dimension_udf()(gc).alias("gcdim"),
+        # cast matrix
+        st_geometry_type_udf()(st_cast_udf("ST_ToGeomColl")(mp)).alias("mp2gc"),
+        st_geometry_type_udf()(
+            st_cast_udf("ST_ToMultiPoint")(st_geomfromtext_udf()(F.lit("POINT (1 2)")))
+        ).alias("pt2mp"),
+        st_astext_udf()(
+            st_cast_udf("ST_ToPoint")(st_geomfromtext_udf()(F.lit("MULTIPOINT ((7 8))")))
+        ).alias("mp1pt"),
+        st_cast_udf("ST_ToPoint")(gc).alias("gc2pt_null"),
+        st_geometry_type_udf()(
+            st_cast_udf("ST_ToMultiLineString")(st_geomfromtext_udf()(F.lit(
+                "GEOMETRYCOLLECTION (LINESTRING (0 0, 1 1), LINESTRING (2 2, 3 3))"
+            )))
+        ).alias("gc2mls"),
+    ).first()
+    assert r["ng"] == 3 and r["np"] == 3 and r["dim"] == 0
+    assert r["t"] == "ST_MultiPoint"
+    assert r["wkt"] == "MULTIPOINT ((1.0 2.0), (3.0 4.0), (5.0 6.0))"
+    assert r["x2"] == 3.0
+    assert r["gct"] == "ST_GeomCollection" and r["gcdim"] == 1
+    assert r["mp2gc"] == "ST_GeomCollection"
+    assert r["pt2mp"] == "ST_MultiPoint"
+    assert r["mp1pt"] == "POINT (7.0 8.0)"
+    assert r["gc2pt_null"] is None
+    assert r["gc2mls"] == "ST_MultiLineString"
