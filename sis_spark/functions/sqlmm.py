@@ -33,9 +33,14 @@ Implemented (SQLMM.java enum line in parens):
                   ST_CoordDim(:63), ST_ToPoint/ToLineString/ToPolygon
                   (:719-744)
 
+    multi (r2)    full 7-type model: ST_MultiPoint(:550), ST_GeomCollection
+                  constructor(:714), Multi*/GEOMETRYCOLLECTION WKT + WKB
+                  codecs, multi-aware accessors/measures, the ST_To* cast
+                  matrix(:719-744), and generic ST_Distance over any
+                  geometry-type pair (geom_distance, SQLMM.java:169)
+
 Omitted (documented): curve/surface 3-D and measured-geometry accessors
-(ST_Z/ST_M...), XML nil, multipoint constructors — not used
-by the engine's feature model.
+(ST_Z/ST_M...), XML nil — not used by the engine's feature model.
 """
 
 from __future__ import annotations
@@ -1042,5 +1047,133 @@ def st_simplify_udf(tol: float):
             else:
                 out.append(bytes(b))
         return pd.Series(out)
+
+    return _f
+
+
+# ---------------------------------------------------------------- ST_Distance (general)
+
+def geom_decompose(typ: str, val) -> dict:
+    """Flatten any 2-D geometry into vertex arrays, edge-segment arrays and
+    polygon ring-sets — the pieces the generic distance kernel consumes
+    (ST_Distance, SQLMM.java:169; the reference delegates all distance ops
+    to JTS via GeometryWrapper)."""
+    px, py = [], []
+    sv = [[], [], [], []]
+    polys = []
+
+    def add_line(vx, vy):
+        vx = np.asarray(vx, np.float64)
+        vy = np.asarray(vy, np.float64)
+        px.append(vx)
+        py.append(vy)
+        if len(vx) > 1:
+            sv[0].append(vx[:-1])
+            sv[1].append(vy[:-1])
+            sv[2].append(vx[1:])
+            sv[3].append(vy[1:])
+
+    def add_ring(vx, vy):
+        vx = np.asarray(vx, np.float64)
+        vy = np.asarray(vy, np.float64)
+        if len(vx) < 2 or vx[0] != vx[-1] or vy[0] != vy[-1]:
+            vx = np.append(vx, vx[0])
+            vy = np.append(vy, vy[0])
+        add_line(vx, vy)
+
+    def walk(typ, val):
+        if typ == "point":
+            px.append(np.array([val[0]], np.float64))
+            py.append(np.array([val[1]], np.float64))
+        elif typ == "linestring":
+            add_line(*val)
+        elif typ == "multipoint":
+            px.append(np.array([p[0] for p in val], np.float64))
+            py.append(np.array([p[1] for p in val], np.float64))
+        elif typ == "multilinestring":
+            for m in val:
+                add_line(*m)
+        elif typ == "polygon":
+            polys.append(val)
+            for r in val:
+                add_ring(*r)
+        elif typ == "multipolygon":
+            for rings in val:
+                walk("polygon", rings)
+        elif typ == "geomcollection":
+            for t, v in val:
+                walk(t, v)
+        else:
+            raise ValueError(f"unsupported geometry type {typ!r}")
+
+    walk(typ, val)
+    cat = lambda arrs: (np.concatenate(arrs) if arrs else np.empty(0, np.float64))
+    return {
+        "px": cat(px), "py": cat(py),
+        "svx": cat(sv[0]), "svy": cat(sv[1]),
+        "swx": cat(sv[2]), "swy": cat(sv[3]),
+        "polys": polys,
+    }
+
+
+def geom_distance(a, b) -> float:
+    """Planar distance between two parsed geometries (any of the 7 types):
+    0 when they intersect (vertex containment or proper edge crossing),
+    else the min clamped-projection distance between vertex and edge sets.
+    Exact for all pair dimensions: for disjoint segment sets the minimum is
+    always attained at an endpoint of one of them."""
+    from . import relate
+
+    A = geom_decompose(*a)
+    B = geom_decompose(*b)
+    for rings in B["polys"]:
+        if len(A["px"]) and geo.points_in_polygon_with_holes(A["px"], A["py"], rings).any():
+            return 0.0
+    for rings in A["polys"]:
+        if len(B["px"]) and geo.points_in_polygon_with_holes(B["px"], B["py"], rings).any():
+            return 0.0
+    has_a = len(A["svx"]) > 0
+    has_b = len(B["svx"]) > 0
+    if has_a and has_b and relate._cross_edge_sets(
+        (A["svx"], A["svy"], A["swx"], A["swy"]),
+        (B["svx"], B["svy"], B["swx"], B["swy"]),
+    ):
+        return 0.0
+    best = np.inf
+    if has_b:
+        best = min(best, float(geo.point_segments_dist2(
+            A["px"], A["py"], B["svx"], B["svy"], B["swx"], B["swy"]).min()))
+    if has_a:
+        best = min(best, float(geo.point_segments_dist2(
+            B["px"], B["py"], A["svx"], A["svy"], A["swx"], A["swy"]).min()))
+    if not has_a and not has_b:
+        dx = A["px"][:, None] - B["px"][None, :]
+        dy = A["py"][:, None] - B["py"][None, :]
+        best = float((dx * dx + dy * dy).min())
+    return float(np.sqrt(best))
+
+
+def st_distance_udf():
+    """ST_Distance over two WKB columns, any geometry-type pair."""
+    @F.pandas_udf(T.DoubleType())
+    def _f(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([
+            geom_distance(geo.wkb_parse(bytes(x)), geo.wkb_parse(bytes(y)))
+            for x, y in zip(a, b)
+        ])
+
+    return _f
+
+
+def st_distance_q_udf(scale: float = 1e7):
+    """Quantized ST_Distance: floor(dist*scale) as int64 for bit-exact SQL
+    oracle parity (bit-exactness playbook rule 4)."""
+    @F.pandas_udf(T.LongType())
+    def _f(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([
+            int(np.floor(geom_distance(
+                geo.wkb_parse(bytes(x)), geo.wkb_parse(bytes(y))) * scale))
+            for x, y in zip(a, b)
+        ], dtype="int64")
 
     return _f

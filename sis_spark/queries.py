@@ -421,6 +421,117 @@ HAVING CAST(sum(CASE WHEN inside THEN CAST(floor(rawlen) AS BIGINT) ELSE 0 END)
 ORDER BY 1, 2"""
 
 
+def q_geom_distance(spark, sf_dir):
+    """General ST_Distance(geometry, geometry) as a distance join
+    (SQLMM.java:169; reference delegates to JTS via GeometryWrapper):
+    line-vs-polygon pairs over the gate line + polygon sets, zero when they
+    intersect (vertex containment or proper crossing — the same FP
+    expressions the predicate gates already mirror), else the min
+    clamped-projection distance over BOTH vertex-vs-edge directions.
+    Plan: small dimension broadcast, one Arrow stage over the pairs."""
+    from .functions.sqlmm import st_distance_q_udf
+
+    lines = (
+        _gate_lines_df(spark, sf_dir)
+        .filter(F.col("key") % 3 == 0)
+        .select(F.col("key").alias("lkey"), F.col("wkb").alias("lwkb"))
+    )
+    polys = (
+        _supplier_polygons_df(spark, sf_dir)
+        .filter(F.col("key") % 5 == 0)
+        .select(F.col("key").alias("pkey"), F.col("wkb").alias("pwkb"))
+    )
+    pairs = lines.crossJoin(F.broadcast(polys))
+    return pairs.select(
+        "lkey", "pkey",
+        st_distance_q_udf()(F.col("lwkb"), F.col("pwkb")).alias("qdist"),
+    )
+
+
+def q_geom_distance_oracle():
+    # d2 terms mirror geometry.point_segments_dist2 exactly (dx, len2, tt,
+    # clamp, ex/ey squares); crossing + membership mirror the relate
+    # kernels already gated by line_predicates.
+    return f"""
+WITH {_line_sets_sql()},
+pairs AS (
+  SELECT l.gid, p.key FROM lenv l CROSS JOIN penv p
+  WHERE (l.gid % 3) = 0 AND (p.key % 5) = 0),
+pe AS (
+  SELECT e.key, e.vx, e.vy, e.wx - e.vx AS dx, e.wy - e.vy AS dy,
+         (e.wx - e.vx) * (e.wx - e.vx) + (e.wy - e.vy) * (e.wy - e.vy) AS len2
+  FROM edges e),
+ls AS (
+  SELECT s.gid, s.vx, s.vy, s.wx - s.vx AS dx, s.wy - s.vy AS dy,
+         (s.wx - s.vx) * (s.wx - s.vx) + (s.wy - s.vy) * (s.wy - s.vy) AS len2
+  FROM lseg s),
+da AS (  -- line vertices vs polygon edges
+  SELECT pr.gid, pr.key, min(
+    (v.vx - (e.vx + e.dx * (CASE WHEN ((v.vx - e.vx) * e.dx + (v.vy - e.vy) * e.dy) / e.len2 < 0.0e0 THEN 0.0e0
+                                 WHEN ((v.vx - e.vx) * e.dx + (v.vy - e.vy) * e.dy) / e.len2 > 1.0e0 THEN 1.0e0
+                                 ELSE ((v.vx - e.vx) * e.dx + (v.vy - e.vy) * e.dy) / e.len2 END)))
+    * (v.vx - (e.vx + e.dx * (CASE WHEN ((v.vx - e.vx) * e.dx + (v.vy - e.vy) * e.dy) / e.len2 < 0.0e0 THEN 0.0e0
+                                   WHEN ((v.vx - e.vx) * e.dx + (v.vy - e.vy) * e.dy) / e.len2 > 1.0e0 THEN 1.0e0
+                                   ELSE ((v.vx - e.vx) * e.dx + (v.vy - e.vy) * e.dy) / e.len2 END)))
+    + (v.vy - (e.vy + e.dy * (CASE WHEN ((v.vx - e.vx) * e.dx + (v.vy - e.vy) * e.dy) / e.len2 < 0.0e0 THEN 0.0e0
+                                   WHEN ((v.vx - e.vx) * e.dx + (v.vy - e.vy) * e.dy) / e.len2 > 1.0e0 THEN 1.0e0
+                                   ELSE ((v.vx - e.vx) * e.dx + (v.vy - e.vy) * e.dy) / e.len2 END)))
+    * (v.vy - (e.vy + e.dy * (CASE WHEN ((v.vx - e.vx) * e.dx + (v.vy - e.vy) * e.dy) / e.len2 < 0.0e0 THEN 0.0e0
+                                   WHEN ((v.vx - e.vx) * e.dx + (v.vy - e.vy) * e.dy) / e.len2 > 1.0e0 THEN 1.0e0
+                                   ELSE ((v.vx - e.vx) * e.dx + (v.vy - e.vy) * e.dy) / e.len2 END)))
+  ) AS d2
+  FROM pairs pr
+  JOIN allv v ON v.gid = pr.gid
+  JOIN pe e ON e.key = pr.key AND e.len2 > 0.0e0
+  GROUP BY 1, 2),
+db AS (  -- polygon vertices vs line segments
+  SELECT pr.gid, pr.key, min(
+    (v.vx - (s.vx + s.dx * (CASE WHEN ((v.vx - s.vx) * s.dx + (v.vy - s.vy) * s.dy) / s.len2 < 0.0e0 THEN 0.0e0
+                                 WHEN ((v.vx - s.vx) * s.dx + (v.vy - s.vy) * s.dy) / s.len2 > 1.0e0 THEN 1.0e0
+                                 ELSE ((v.vx - s.vx) * s.dx + (v.vy - s.vy) * s.dy) / s.len2 END)))
+    * (v.vx - (s.vx + s.dx * (CASE WHEN ((v.vx - s.vx) * s.dx + (v.vy - s.vy) * s.dy) / s.len2 < 0.0e0 THEN 0.0e0
+                                   WHEN ((v.vx - s.vx) * s.dx + (v.vy - s.vy) * s.dy) / s.len2 > 1.0e0 THEN 1.0e0
+                                   ELSE ((v.vx - s.vx) * s.dx + (v.vy - s.vy) * s.dy) / s.len2 END)))
+    + (v.vy - (s.vy + s.dy * (CASE WHEN ((v.vx - s.vx) * s.dx + (v.vy - s.vy) * s.dy) / s.len2 < 0.0e0 THEN 0.0e0
+                                   WHEN ((v.vx - s.vx) * s.dx + (v.vy - s.vy) * s.dy) / s.len2 > 1.0e0 THEN 1.0e0
+                                   ELSE ((v.vx - s.vx) * s.dx + (v.vy - s.vy) * s.dy) / s.len2 END)))
+    * (v.vy - (s.vy + s.dy * (CASE WHEN ((v.vx - s.vx) * s.dx + (v.vy - s.vy) * s.dy) / s.len2 < 0.0e0 THEN 0.0e0
+                                   WHEN ((v.vx - s.vx) * s.dx + (v.vy - s.vy) * s.dy) / s.len2 > 1.0e0 THEN 1.0e0
+                                   ELSE ((v.vx - s.vx) * s.dx + (v.vy - s.vy) * s.dy) / s.len2 END)))
+  ) AS d2
+  FROM pairs pr
+  JOIN (SELECT key, vx, vy FROM verts) v ON v.key = pr.key
+  JOIN ls s ON s.gid = pr.gid AND s.len2 > 0.0e0
+  GROUP BY 1, 2),
+crossings AS (
+  SELECT pr.gid, pr.key, count(*) AS nx
+  FROM pairs pr
+  JOIN lseg s ON s.gid = pr.gid
+  JOIN edges e ON e.key = pr.key
+  WHERE (((s.wx - s.vx) * (e.vy - s.vy) - (s.wy - s.vy) * (e.vx - s.vx))
+       * ((s.wx - s.vx) * (e.wy - s.vy) - (s.wy - s.vy) * (e.wx - s.vx)) < 0)
+    AND (((e.wx - e.vx) * (s.vy - e.vy) - (e.wy - e.vy) * (s.vx - e.vx))
+       * ((e.wx - e.vx) * (s.wy - e.vy) - (e.wy - e.vy) * (s.wx - e.vx)) < 0)
+  GROUP BY 1, 2),
+vin AS (  -- any line vertex inside the polygon (even-odd)
+  SELECT pr.gid, pr.key, v.ord,
+         (sum(CASE WHEN ((e.vy > v.vy) <> (e.wy > v.vy))
+                    AND (v.vx < (e.wx - e.vx) * (v.vy - e.vy) / (e.wy - e.vy) + e.vx)
+              THEN 1 ELSE 0 END) % 2) = 1 AS inside
+  FROM pairs pr JOIN allv v ON v.gid = pr.gid JOIN edges e ON e.key = pr.key
+  GROUP BY pr.gid, pr.key, v.ord),
+vagg AS (SELECT gid, key, bool_or(inside) AS any_in FROM vin GROUP BY 1, 2)
+SELECT a.gid AS lkey, a.key AS pkey,
+       CASE WHEN coalesce(x.nx, 0) > 0 OR va.any_in THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(sqrt(least(a.d2, b.d2)) * 1.0e7) AS BIGINT)
+       END AS qdist
+FROM da a
+JOIN db b ON b.gid = a.gid AND b.key = a.key
+LEFT JOIN crossings x ON x.gid = a.gid AND x.key = a.key
+JOIN vagg va ON va.gid = a.gid AND va.key = a.key
+ORDER BY 1, 2"""
+
+
 N_DIST_POINTS = 400
 
 
@@ -1605,6 +1716,7 @@ QUERIES = {
     "line_predicates": (q_line_predicates, q_line_predicates_oracle),
     "line_clip": (q_line_clip, q_line_clip_oracle),
     "point_line_distance": (q_point_line_distance, q_point_line_distance_oracle),
+    "geom_distance": (q_geom_distance, q_geom_distance_oracle),
     "match_action": (q_match_action, q_match_action_oracle),
     "st_contains": (q_st_contains, q_st_contains_oracle),
     "halfplane_clip": (q_halfplane_clip, q_halfplane_clip_oracle),

@@ -346,3 +346,69 @@ def test_multi_geometry_casts_and_accessors(spark):
     assert r["mp1pt"] == "POINT (7.0 8.0)"
     assert r["gc2pt_null"] is None
     assert r["gc2mls"] == "ST_MultiLineString"
+
+
+def test_geom_distance_known_and_sampled():
+    """Generic ST_Distance kernel: known-answer pairs across all dimension
+    combos, then a randomized differential vs dense boundary sampling."""
+    import numpy as np
+
+    from sis_spark.functions.sqlmm import geom_distance, wkt_parse
+
+    d = lambda a, b: geom_distance(wkt_parse(a), wkt_parse(b))
+
+    # point-point
+    assert d("POINT (0 0)", "POINT (3 4)") == 5.0
+    # point-line (projection interior, then endpoint clamp)
+    assert d("POINT (1 1)", "LINESTRING (0 0, 2 0)") == 1.0
+    assert d("POINT (5 0)", "LINESTRING (0 0, 2 0)") == 3.0
+    # point-polygon: inside -> 0; outside -> edge distance; in-hole -> hole edge
+    sq = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    hole = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    assert d("POINT (5 5)", sq) == 0.0
+    assert d("POINT (15 5)", sq) == 5.0
+    assert d("POINT (5 5)", hole) == 1.0  # inside the hole -> outside the polygon
+    # line-line: crossing -> 0; touching -> 0; parallel gap
+    assert d("LINESTRING (0 0, 2 2)", "LINESTRING (0 2, 2 0)") == 0.0
+    assert d("LINESTRING (0 0, 1 0)", "LINESTRING (1 0, 2 5)") == 0.0
+    assert d("LINESTRING (0 0, 10 0)", "LINESTRING (0 3, 10 3)") == 3.0
+    # line-polygon: crossing boundary -> 0; fully inside -> 0; outside
+    assert d("LINESTRING (-5 5, 5 5)", sq) == 0.0
+    assert d("LINESTRING (2 2, 3 3)", sq) == 0.0
+    assert d("LINESTRING (12 0, 12 10)", sq) == 2.0
+    # polygon-polygon: overlap -> 0; containment -> 0; disjoint gap
+    assert d(sq, "POLYGON ((8 8, 12 8, 12 12, 8 12, 8 8))") == 0.0
+    assert d(sq, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))") == 0.0
+    assert d(sq, "POLYGON ((13 0, 14 0, 14 1, 13 1, 13 0))") == 3.0
+    # multis / collections
+    assert d("MULTIPOINT ((0 0), (20 0))", "POINT (21 0)") == 1.0
+    assert d("GEOMETRYCOLLECTION (POINT (50 50), LINESTRING (0 5, 10 5))",
+             "POINT (0 8)") == 3.0
+
+    # randomized differential: sampled boundary distance converges to kernel
+    rng = np.random.default_rng(7)
+
+    def sample(typ, val, n=400):
+        from sis_spark.functions.sqlmm import geom_decompose
+        g = geom_decompose(typ, val)
+        xs, ys = [g["px"]], [g["py"]]
+        if len(g["svx"]):
+            t = rng.uniform(0, 1, (n, len(g["svx"])))
+            xs.append((g["svx"][None, :] + (g["swx"] - g["svx"])[None, :] * t).ravel())
+            ys.append((g["svy"][None, :] + (g["swy"] - g["svy"])[None, :] * t).ravel())
+        return np.concatenate(xs), np.concatenate(ys)
+
+    for _ in range(25):
+        ax, ay = rng.uniform(0, 30, 2)
+        bx, by = rng.uniform(0, 30, 2)
+        na, nb = rng.integers(2, 6, 2)
+        la = (f"LINESTRING ({', '.join(f'{ax + rng.uniform(-3, 3)!r} {ay + rng.uniform(-3, 3)!r}' for _ in range(na))})")
+        lb = (f"LINESTRING ({', '.join(f'{bx + rng.uniform(-3, 3)!r} {by + rng.uniform(-3, 3)!r}' for _ in range(nb))})")
+        a, b = wkt_parse(la), wkt_parse(lb)
+        got = geom_distance(a, b)
+        pa, qa = sample(*a)
+        pb, qb = sample(*b)
+        approx = np.sqrt(((pa[:, None] - pb[None, :]) ** 2
+                          + (qa[:, None] - qb[None, :]) ** 2).min())
+        assert got <= approx + 1e-9
+        assert approx - got < 0.05  # dense sampling converges from above
