@@ -468,3 +468,206 @@ def st_intersection_line_poly_udf():
         return pd.Series(out)
 
     return clip
+
+
+# ------------------------------------------------- union-of-pieces + ST_Buffer (r2)
+
+def _piece_edges(rings):
+    """Directed edges (vx, vy, wx, wy arrays) of a ring set, closing edges
+    included; rings are used as supplied (orientation matters to the caller)."""
+    evx, evy, ewx, ewy = [], [], [], []
+    for vx, vy in rings:
+        vx = np.asarray(vx, np.float64)
+        vy = np.asarray(vy, np.float64)
+        evx.append(vx)
+        evy.append(vy)
+        ewx.append(np.roll(vx, -1))
+        ewy.append(np.roll(vy, -1))
+    return (np.concatenate(evx), np.concatenate(evy),
+            np.concatenate(ewx), np.concatenate(ewy))
+
+
+def _strictly_inside_even_odd(px, py, rings) -> bool:
+    """Even-odd membership at a single point (boundary points are undefined —
+    callers only probe generic midpoints, never lattice points)."""
+    inside = False
+    for vx, vy in rings:
+        if _point_in_ring(px, py, np.asarray(vx, float), np.asarray(vy, float)):
+            inside = not inside
+    return inside
+
+
+def union_pieces(pieces, round_decimals: int = 9):
+    """Boolean union of a list of material *pieces*, each a ring set with
+    even-odd semantics (outer rings CCW, holes CW, so material is on the
+    left of every directed edge).
+
+    Edge-based union (the classic "keep boundary edges not interior to any
+    other piece" construction — robust where sequential Greiner-Hormann
+    unions are not, because shared piece corners are exact-duplicate floats,
+    not near-miss intersections):
+
+    1. split every directed edge at its proper intersections with edges of
+       every OTHER piece (each intersection point computed once, shared by
+       both edges — identical floats on both sides);
+    2. keep a sub-edge iff its midpoint is not strictly inside (even-odd)
+       any other piece;
+    3. stitch kept directed edges into closed rings by walking start->end
+       point keys; CCW output rings are shells, CW rings are holes.
+
+    General-position assumptions as the rest of the overlay machinery
+    (module docstring): no collinear overlapping edges between pieces.
+
+    Reference operator: ST_Buffer / ST_Union composition
+    (F/filter/sqlmm/SQLMM.java:129,:141, delegating to JTS buffer/union).
+    """
+    E = [_piece_edges(p) for p in pieces]
+    key = lambda x, y: (round(float(x), round_decimals), round(float(y), round_decimals))
+    # per (piece, edge) cut lists; each intersection point is computed ONCE
+    # and shared by both edges, so the stitch keys are identical floats
+    cuts = [[[] for _ in range(len(e[0]))] for e in E]
+    for i in range(len(E)):
+        avx, avy, awx, awy = E[i]
+        for j in range(i + 1, len(E)):
+            bvx, bvy, bwx, bwy = E[j]
+            # pairwise proper intersections, vectorized over the (n, m) grid
+            adx = (awx - avx)[:, None]
+            ady = (awy - avy)[:, None]
+            bdx = (bwx - bvx)[None, :]
+            bdy = (bwy - bvy)[None, :]
+            den = adx * bdy - ady * bdx
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = ((bvx[None, :] - avx[:, None]) * bdy
+                     - (bvy[None, :] - avy[:, None]) * bdx) / den
+                u = ((bvx[None, :] - avx[:, None]) * ady
+                     - (bvy[None, :] - avy[:, None]) * adx) / den
+            hit = (den != 0.0) & (t > 0.0) & (t < 1.0) & (u > 0.0) & (u < 1.0)
+            for ei, ej in zip(*np.nonzero(hit)):
+                tt, uu = float(t[ei, ej]), float(u[ei, ej])
+                x = float(avx[ei] + (awx[ei] - avx[ei]) * tt)
+                y = float(avy[ei] + (awy[ei] - avy[ei]) * tt)
+                cuts[i][ei].append((tt, x, y))
+                cuts[j][ej].append((uu, x, y))
+    out_edges = []
+    for i, (avx, avy, awx, awy) in enumerate(E):
+        for ei in range(len(avx)):
+            pts = ([(0.0, float(avx[ei]), float(avy[ei]))]
+                   + sorted(cuts[i][ei])
+                   + [(1.0, float(awx[ei]), float(awy[ei]))])
+            for (t0, x0, y0), (t1, x1, y1) in zip(pts, pts[1:]):
+                if t1 <= t0:
+                    continue
+                mx, my = 0.5 * (x0 + x1), 0.5 * (y0 + y1)
+                covered = any(
+                    _strictly_inside_even_odd(mx, my, pieces[j])
+                    for j in range(len(pieces)) if j != i
+                )
+                if not covered:
+                    out_edges.append((key(x0, y0), key(x1, y1), x0, y0, x1, y1))
+    # stitch directed edges into rings
+    nxt = {}
+    for e in out_edges:
+        nxt.setdefault(e[0], []).append(e)
+    rings = []
+    used = set()
+    for e0 in out_edges:
+        if id(e0) in used:
+            continue
+        ring_x, ring_y = [], []
+        e = e0
+        while id(e) not in used:
+            used.add(id(e))
+            ring_x.append(e[2])
+            ring_y.append(e[3])
+            cands = [c for c in nxt.get(e[1], []) if id(c) not in used]
+            if not cands:
+                break
+            e = cands[0]
+        if len(ring_x) >= 3 and e[1] == e0[0]:  # closed back to start
+            rings.append((np.asarray(ring_x), np.asarray(ring_y)))
+    return rings
+
+
+def _disk_ring(cx: float, cy: float, r: float, n_seg: int):
+    ang = np.linspace(0.0, 2.0 * np.pi, n_seg, endpoint=False)
+    return cx + r * np.cos(ang), cy + r * np.sin(ang)
+
+
+def _segment_rect(x0, y0, x1, y1, r: float):
+    dx, dy = x1 - x0, y1 - y0
+    h = float(np.hypot(dx, dy))
+    if h == 0.0:
+        return None
+    nx, ny = -dy / h * r, dx / h * r
+    # CCW: right side first, then left (material on the left of every edge)
+    return (np.array([x0 - nx, x1 - nx, x1 + nx, x0 + nx]),
+            np.array([y0 - ny, y1 - ny, y1 + ny, y0 + ny]))
+
+
+def buffer_geometry(typ: str, val, radius: float, n_seg: int = 24):
+    """ST_Buffer (SQLMM.java:129) for any 2-D geometry, positive radius:
+    union of per-segment rectangles + per-vertex n_seg-gon disks (+ the
+    polygon body itself for areal inputs, holes included even-odd).  Round
+    joins/caps are approximated by the inscribed n_seg-gon, the same
+    stand-in the point-buffer kernel documents.  Returns ('polygon', rings)
+    for a single shell or ('multipolygon', [rings...]) for several; shells
+    come out CCW and holes CW from the stitched union boundary."""
+    from .sqlmm import geom_decompose
+
+    g = geom_decompose(typ, val)
+    pieces = []
+    for rings in g["polys"]:
+        # normalize: outer CCW, holes CW (material on the left)
+        fixed = []
+        for k, (vx, vy) in enumerate(rings):
+            vx = np.asarray(vx, np.float64)
+            vy = np.asarray(vy, np.float64)
+            if len(vx) >= 2 and vx[0] == vx[-1] and vy[0] == vy[-1]:
+                vx, vy = vx[:-1], vy[:-1]
+            ccw = signed_area(vx, vy) > 0
+            want_ccw = k == 0
+            if ccw != want_ccw:
+                vx, vy = vx[::-1].copy(), vy[::-1].copy()
+            fixed.append((vx, vy))
+        pieces.append(fixed)
+    for x0, y0, x1, y1 in zip(g["svx"], g["svy"], g["swx"], g["swy"]):
+        rect = _segment_rect(float(x0), float(y0), float(x1), float(y1), radius)
+        if rect is not None:
+            pieces.append([rect])
+    # dedupe centers: ring vertex arrays carry the closing duplicate, and two
+    # identical disks would put exact-overlap edges into the union (undefined
+    # under the general-position model)
+    for x, y in dict.fromkeys(zip(g["px"].tolist(), g["py"].tolist())):
+        pieces.append([_disk_ring(float(x), float(y), radius, n_seg)])
+    rings = union_pieces(pieces)
+    shells = [(vx, vy) for vx, vy in rings if signed_area(vx, vy) > 0]
+    holes = [(vx, vy) for vx, vy in rings if signed_area(vx, vy) <= 0]
+    if not shells:
+        return ("polygon", [])
+    polys = [[s] for s in shells]
+    for hvx, hvy in holes:
+        for poly in polys:
+            if _point_in_ring(float(hvx[0]), float(hvy[0]), poly[0][0], poly[0][1]):
+                poly.append((hvx, hvy))
+                break
+    if len(polys) == 1:
+        return ("polygon", polys[0])
+    return ("multipolygon", polys)
+
+
+def st_buffer_udf(radius: float, n_seg: int = 24):
+    """ST_Buffer over a WKB column, any geometry type."""
+    from . import geometry as geo
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.BinaryType())
+    def _f(wkb: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb:
+            typ, rings = buffer_geometry(*geo.wkb_parse(bytes(b)), radius, n_seg)
+            out.append(geo.wkb_write(typ, rings) if rings else None)
+        return pd.Series(out)
+
+    return _f

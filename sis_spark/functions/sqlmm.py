@@ -15,7 +15,9 @@ Implemented (SQLMM.java enum line in parens):
                   ST_Length(:359), ST_Distance(:160, euclidean;
                   geodesic variant = geometry.haversine_m)
     constructive  ST_Envelope(:116), ST_Centroid(:461, area-weighted),
-                  ST_Buffer(:129, polygonal approximation),
+                  ST_Buffer(:129, any geometry type via the union-of-pieces
+                  machinery in overlay.buffer_geometry; round joins/caps
+                  approximated by inscribed n-gons),
                   ST_Simplify(:753, Douglas-Peucker)
     predicates    ST_Intersects/Contains/Within for point-vs-polygon via the
                   ray-cast kernel (:199,:243,:232); envelope interaction for
@@ -1146,10 +1148,13 @@ def geom_distance(a, b) -> float:
     if has_a:
         best = min(best, float(geo.point_segments_dist2(
             B["px"], B["py"], A["svx"], A["svy"], A["swx"], A["swy"]).min()))
-    if not has_a and not has_b:
+    if len(A["px"]) and len(B["px"]):
+        # vertex-vs-vertex: required for isolated points (a collection's
+        # point members are on no segment); never below the true min for
+        # line/polygon vertices since those lie on their segments
         dx = A["px"][:, None] - B["px"][None, :]
         dy = A["py"][:, None] - B["py"][None, :]
-        best = float((dx * dx + dy * dy).min())
+        best = min(best, float((dx * dx + dy * dy).min()))
     return float(np.sqrt(best))
 
 

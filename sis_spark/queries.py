@@ -532,6 +532,148 @@ JOIN vagg va ON va.gid = a.gid AND va.key = a.key
 ORDER BY 1, 2"""
 
 
+BUF_R = 6.0
+BUF_NSEG = 48
+BUF_KEYS = (5, 13, 21, 37)
+# inscribed-n-gon tolerance band: inside guaranteed below r*cos(pi/n),
+# outside guaranteed above r; both thresholds quantized with safety margin
+BUF_QLO = 59_800_000   # < floor(6*cos(pi/48)*1e7) = 59_871_578
+BUF_QHI = 60_100_000   # > 6e7
+N_BUF_POINTS = 3000
+
+
+def q_st_buffer(spark, sf_dir):
+    """ST_Buffer (SQLMM.java:129) gated through its *containment contract*:
+    for every point outside the inscribed-n-gon tolerance band
+    [r*cos(pi/n), r], point-in-buffer (ray cast against the stitched union
+    rings from overlay.buffer_geometry) must equal distance(point, geom)
+    <= r.  Polygon and polyline operands per supplier key.  Plan: 8 tiny
+    buffered geometries ship in the UDF closure (broadcast-dim pattern);
+    points stream through one vectorized Arrow stage."""
+    import math
+
+    import numpy as _np
+    import pandas as _pd
+
+    from .functions import geometry as _geo
+    from .functions.overlay import buffer_geometry
+
+    geoms = []  # (key, kind, segs dict, poly rings or None, buffer rings)
+    for k in BUF_KEYS:
+        vx, vy = synth.polygon_vertices_np(k)
+        p = synth.polygon_params_np(_np.array([k]))
+        lvx = _np.array([p["cx"][0] - 0.1 * p["r"][0], p["cx"][0],
+                         p["cx"][0] + 0.1 * p["r"][0]])
+        lvy = _np.array([p["cy"][0] - 0.05 * p["r"][0], p["cy"][0] + 0.05 * p["r"][0],
+                         p["cy"][0]])
+        for kind, typ, val in (("poly", "polygon", [(vx, vy)]),
+                               ("line", "linestring", (lvx, lvy))):
+            bt, brings = buffer_geometry(typ, val, BUF_R, n_seg=BUF_NSEG)
+            flat = brings if bt == "polygon" else [r for pp in brings for r in pp]
+            if kind == "poly":
+                segs = (vx, vy, _np.roll(vx, -1), _np.roll(vy, -1))
+                rings = [(vx, vy)]
+            else:
+                segs = (lvx[:-1], lvy[:-1], lvx[1:], lvy[1:])
+                rings = None
+            geoms.append((int(k), kind, segs, rings, flat))
+
+    pts = _events_points(spark, sf_dir).filter(F.col("event_id") < N_BUF_POINTS)
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            px = pdf["lon"].to_numpy()
+            py = pdf["lat"].to_numpy()
+            out = []
+            for k, kind, segs, rings, flat in geoms:
+                d2 = _geo.point_segments_dist2(px, py, *segs).min(axis=1)
+                d = _np.sqrt(d2)
+                if rings is not None:
+                    d = _np.where(
+                        _geo.points_in_polygon_with_holes(px, py, rings), 0.0, d)
+                q = _np.floor(d * 1e7).astype(_np.int64)
+                keep = (q <= BUF_QLO) | (q >= BUF_QHI)
+                pip = _geo.points_in_polygon_with_holes(px[keep], py[keep], flat)
+                out.append(_pd.DataFrame({
+                    "event_id": pdf["event_id"].to_numpy()[keep],
+                    "gkey": k,
+                    "gkind": kind,
+                    "qdist": q[keep],
+                    "inside": pip,
+                }))
+            yield _pd.concat(out) if out else _pd.DataFrame(
+                columns=["event_id", "gkey", "gkind", "qdist", "inside"])
+
+    return pts.mapInPandas(
+        fn, "event_id long, gkey long, gkind string, qdist long, inside boolean")
+
+
+def q_st_buffer_oracle():
+    keys = ", ".join(str(k) for k in BUF_KEYS)
+    return f"""
+WITH {synth.polygon_vertices_sql(f"(SELECT s_suppkey FROM supplier WHERE s_suppkey IN ({keys}))")},
+pts AS ({_points_sql()}),
+p2 AS (SELECT event_id, lon AS px, lat AS py FROM pts
+       WHERE event_id < {N_BUF_POINTS}),
+mini AS (
+  SELECT p.key AS gid, j.j AS ord,
+         CASE j.j WHEN 0 THEN p.cx - 1.0e-1 * p.r
+                  WHEN 1 THEN p.cx ELSE p.cx + 1.0e-1 * p.r END AS vx,
+         CASE j.j WHEN 0 THEN p.cy - 5.0e-2 * p.r
+                  WHEN 1 THEN p.cy + 5.0e-2 * p.r ELSE p.cy END AS vy
+  FROM par p CROSS JOIN generate_series(0, 2) j(j)),
+lseg AS (
+  SELECT gid, vx, vy,
+         lead(vx) OVER (PARTITION BY gid ORDER BY ord) AS wx,
+         lead(vy) OVER (PARTITION BY gid ORDER BY ord) AS wy
+  FROM mini QUALIFY wx IS NOT NULL),
+pe AS (
+  SELECT 'poly' AS gkind, e.key AS gkey, e.vx, e.vy,
+         e.wx - e.vx AS dx, e.wy - e.vy AS dy,
+         (e.wx - e.vx) * (e.wx - e.vx) + (e.wy - e.vy) * (e.wy - e.vy) AS len2
+  FROM edges e
+  UNION ALL
+  SELECT 'line', s.gid, s.vx, s.vy, s.wx - s.vx, s.wy - s.vy,
+         (s.wx - s.vx) * (s.wx - s.vx) + (s.wy - s.vy) * (s.wy - s.vy)
+  FROM lseg s),
+dmin AS (
+  SELECT p.event_id, e.gkey, e.gkind, min(
+    (p.px - (e.vx + e.dx * (CASE WHEN ((p.px - e.vx) * e.dx + (p.py - e.vy) * e.dy) / e.len2 < 0.0e0 THEN 0.0e0
+                                 WHEN ((p.px - e.vx) * e.dx + (p.py - e.vy) * e.dy) / e.len2 > 1.0e0 THEN 1.0e0
+                                 ELSE ((p.px - e.vx) * e.dx + (p.py - e.vy) * e.dy) / e.len2 END)))
+    * (p.px - (e.vx + e.dx * (CASE WHEN ((p.px - e.vx) * e.dx + (p.py - e.vy) * e.dy) / e.len2 < 0.0e0 THEN 0.0e0
+                                   WHEN ((p.px - e.vx) * e.dx + (p.py - e.vy) * e.dy) / e.len2 > 1.0e0 THEN 1.0e0
+                                   ELSE ((p.px - e.vx) * e.dx + (p.py - e.vy) * e.dy) / e.len2 END)))
+    + (p.py - (e.vy + e.dy * (CASE WHEN ((p.px - e.vx) * e.dx + (p.py - e.vy) * e.dy) / e.len2 < 0.0e0 THEN 0.0e0
+                                   WHEN ((p.px - e.vx) * e.dx + (p.py - e.vy) * e.dy) / e.len2 > 1.0e0 THEN 1.0e0
+                                   ELSE ((p.px - e.vx) * e.dx + (p.py - e.vy) * e.dy) / e.len2 END)))
+    * (p.py - (e.vy + e.dy * (CASE WHEN ((p.px - e.vx) * e.dx + (p.py - e.vy) * e.dy) / e.len2 < 0.0e0 THEN 0.0e0
+                                   WHEN ((p.px - e.vx) * e.dx + (p.py - e.vy) * e.dy) / e.len2 > 1.0e0 THEN 1.0e0
+                                   ELSE ((p.px - e.vx) * e.dx + (p.py - e.vy) * e.dy) / e.len2 END)))
+  ) AS d2
+  FROM p2 p CROSS JOIN pe e
+  GROUP BY 1, 2, 3),
+inpoly AS (
+  SELECT p.event_id, e.key AS gkey,
+         (sum(CASE WHEN ((e.vy > p.py) <> (e.wy > p.py))
+                    AND (p.px < (e.wx - e.vx) * (p.py - e.vy) / (e.wy - e.vy) + e.vx)
+              THEN 1 ELSE 0 END) % 2) = 1 AS inside
+  FROM p2 p CROSS JOIN edges e
+  GROUP BY 1, 2),
+q AS (
+  SELECT d.event_id, d.gkey, d.gkind,
+         CASE WHEN d.gkind = 'poly' AND ip.inside THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(sqrt(d.d2) * 1.0e7) AS BIGINT) END AS qdist
+  FROM dmin d
+  LEFT JOIN inpoly ip ON ip.event_id = d.event_id AND ip.gkey = d.gkey)
+SELECT event_id, gkey, gkind, qdist, qdist <= {BUF_QLO} AS inside
+FROM q
+WHERE qdist <= {BUF_QLO} OR qdist >= {BUF_QHI}
+ORDER BY event_id, gkey, gkind"""
+
+
 N_DIST_POINTS = 400
 
 
@@ -1717,6 +1859,7 @@ QUERIES = {
     "line_clip": (q_line_clip, q_line_clip_oracle),
     "point_line_distance": (q_point_line_distance, q_point_line_distance_oracle),
     "geom_distance": (q_geom_distance, q_geom_distance_oracle),
+    "st_buffer": (q_st_buffer, q_st_buffer_oracle),
     "match_action": (q_match_action, q_match_action_oracle),
     "st_contains": (q_st_contains, q_st_contains_oracle),
     "halfplane_clip": (q_halfplane_clip, q_halfplane_clip_oracle),

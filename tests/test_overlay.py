@@ -132,3 +132,70 @@ def test_overlay_monte_carlo_membership():
         acc += points_in_polygon(px, py, rvx, rvy).astype(np.int64)
     in_rings = (acc % 2).astype(bool)
     assert np.array_equal(in_rings, in_a & in_b)
+
+
+# ------------------------------------------------- ST_Buffer / union_pieces (r2)
+
+def test_buffer_areas_known_shapes():
+    """Buffer area sanity vs closed-form Minkowski sums (inscribed n-gon
+    arcs approach the circular value from below)."""
+    import numpy as np
+
+    from sis_spark.functions.overlay import buffer_geometry, rings_area
+    from sis_spark.functions.sqlmm import wkt_parse
+
+    def area(t, rings):
+        rr = rings if t == "polygon" else [r for p in rings for r in p]
+        return rings_area(rr)
+
+    cases = [
+        ("POINT (5 5)", 3.0, np.pi * 9),
+        ("LINESTRING (0 0, 10 0)", 1.0, 20 + np.pi),
+        # L-shape: rect union 39 + 1.25 disk (two half caps + outer corner quarter)
+        ("LINESTRING (0 0, 10 0, 10 10)", 1.0, 39 + 1.25 * np.pi),
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", 1.0, 144 - (4 - np.pi)),
+        # hole shrinks by r on each side; hole corners stay square (erosion)
+        ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))",
+         0.5, 121 - (4 - np.pi) * 0.25 - 9),
+        ("MULTIPOINT ((0 0), (100 0))", 2.0, 8 * np.pi),
+    ]
+    for wkt, r, exact in cases:
+        t, rings = buffer_geometry(*wkt_parse(wkt), r, n_seg=64)
+        got = area(t, rings)
+        assert exact * 0.995 < got <= exact + 1e-9, (wkt, got, exact)
+
+    # hole survives as a CW ring of the same polygon
+    t, rings = buffer_geometry(
+        *wkt_parse("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"),
+        0.5, n_seg=32)
+    assert t == "polygon" and len(rings) == 2
+
+
+def test_buffer_containment_matches_distance():
+    """Differential: point-in-buffer == (distance <= r) for all points
+    outside the inscribed-n-gon tolerance band [r*cos(pi/n), r]."""
+    import numpy as np
+
+    from sis_spark.functions import geometry as geo
+    from sis_spark.functions.overlay import buffer_geometry
+    from sis_spark.functions.sqlmm import geom_distance, wkt_parse
+
+    rng = np.random.default_rng(11)
+    n_seg = 48
+    r = 2.0
+    band_lo = r * np.cos(np.pi / n_seg)
+    for wkt in [
+        "LINESTRING (0 0, 10 0, 12 8, 3 9)",
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))",
+        "GEOMETRYCOLLECTION (POINT (20 0), LINESTRING (0 0, 10 5))",
+    ]:
+        gtyp, gval = wkt_parse(wkt)
+        t, rings = buffer_geometry(gtyp, gval, r, n_seg=n_seg)
+        flat = rings if t == "polygon" else [rg for p in rings for rg in p]
+        px = rng.uniform(-5, 25, 3000)
+        py = rng.uniform(-5, 15, 3000)
+        d = np.array([geom_distance((gtyp, gval), ("point", (x, y)))
+                      for x, y in zip(px, py)])
+        keep = (d < band_lo - 1e-6) | (d > r + 1e-6)
+        inside = geo.points_in_polygon_with_holes(px[keep], py[keep], flat)
+        assert np.array_equal(inside, d[keep] <= band_lo), wkt
