@@ -604,42 +604,27 @@ def _segment_rect(x0, y0, x1, y1, r: float):
             np.array([y0 - ny, y1 - ny, y1 + ny, y0 + ny]))
 
 
-def buffer_geometry(typ: str, val, radius: float, n_seg: int = 24):
-    """ST_Buffer (SQLMM.java:129) for any 2-D geometry, positive radius:
-    union of per-segment rectangles + per-vertex n_seg-gon disks (+ the
-    polygon body itself for areal inputs, holes included even-odd).  Round
-    joins/caps are approximated by the inscribed n_seg-gon, the same
-    stand-in the point-buffer kernel documents.  Returns ('polygon', rings)
-    for a single shell or ('multipolygon', [rings...]) for several; shells
-    come out CCW and holes CW from the stitched union boundary."""
-    from .sqlmm import geom_decompose
+def _normalize_poly_piece(rings):
+    """Material-orientation normalization: outer ring CCW, holes CW, closing
+    duplicates stripped."""
+    fixed = []
+    for k, (vx, vy) in enumerate(rings):
+        vx = np.asarray(vx, np.float64)
+        vy = np.asarray(vy, np.float64)
+        if len(vx) >= 2 and vx[0] == vx[-1] and vy[0] == vy[-1]:
+            vx, vy = vx[:-1], vy[:-1]
+        ccw = signed_area(vx, vy) > 0
+        want_ccw = k == 0
+        if ccw != want_ccw:
+            vx, vy = vx[::-1].copy(), vy[::-1].copy()
+        fixed.append((vx, vy))
+    return fixed
 
-    g = geom_decompose(typ, val)
-    pieces = []
-    for rings in g["polys"]:
-        # normalize: outer CCW, holes CW (material on the left)
-        fixed = []
-        for k, (vx, vy) in enumerate(rings):
-            vx = np.asarray(vx, np.float64)
-            vy = np.asarray(vy, np.float64)
-            if len(vx) >= 2 and vx[0] == vx[-1] and vy[0] == vy[-1]:
-                vx, vy = vx[:-1], vy[:-1]
-            ccw = signed_area(vx, vy) > 0
-            want_ccw = k == 0
-            if ccw != want_ccw:
-                vx, vy = vx[::-1].copy(), vy[::-1].copy()
-            fixed.append((vx, vy))
-        pieces.append(fixed)
-    for x0, y0, x1, y1 in zip(g["svx"], g["svy"], g["swx"], g["swy"]):
-        rect = _segment_rect(float(x0), float(y0), float(x1), float(y1), radius)
-        if rect is not None:
-            pieces.append([rect])
-    # dedupe centers: ring vertex arrays carry the closing duplicate, and two
-    # identical disks would put exact-overlap edges into the union (undefined
-    # under the general-position model)
-    for x, y in dict.fromkeys(zip(g["px"].tolist(), g["py"].tolist())):
-        pieces.append([_disk_ring(float(x), float(y), radius, n_seg)])
-    rings = union_pieces(pieces)
+
+def _assemble_rings(rings):
+    """Stitched union rings -> ('polygon', rings) | ('multipolygon', polys):
+    CCW rings are shells, CW rings are holes assigned to their containing
+    shell."""
     shells = [(vx, vy) for vx, vy in rings if signed_area(vx, vy) > 0]
     holes = [(vx, vy) for vx, vy in rings if signed_area(vx, vy) <= 0]
     if not shells:
@@ -653,6 +638,51 @@ def buffer_geometry(typ: str, val, radius: float, n_seg: int = 24):
     if len(polys) == 1:
         return ("polygon", polys[0])
     return ("multipolygon", polys)
+
+
+def buffer_geometry(typ: str, val, radius: float, n_seg: int = 24):
+    """ST_Buffer (SQLMM.java:129) for any 2-D geometry, positive radius:
+    union of per-segment rectangles + per-vertex n_seg-gon disks (+ the
+    polygon body itself for areal inputs, holes included even-odd).  Round
+    joins/caps are approximated by the inscribed n_seg-gon, the same
+    stand-in the point-buffer kernel documents.  Returns ('polygon', rings)
+    for a single shell or ('multipolygon', [rings...]) for several; shells
+    come out CCW and holes CW from the stitched union boundary."""
+    from .sqlmm import geom_decompose
+
+    g = geom_decompose(typ, val)
+    pieces = [_normalize_poly_piece(rings) for rings in g["polys"]]
+    for x0, y0, x1, y1 in zip(g["svx"], g["svy"], g["swx"], g["swy"]):
+        rect = _segment_rect(float(x0), float(y0), float(x1), float(y1), radius)
+        if rect is not None:
+            pieces.append([rect])
+    # dedupe centers: ring vertex arrays carry the closing duplicate, and two
+    # identical disks would put exact-overlap edges into the union (undefined
+    # under the general-position model)
+    for x, y in dict.fromkeys(zip(g["px"].tolist(), g["py"].tolist())):
+        pieces.append([_disk_ring(float(x), float(y), radius, n_seg)])
+    return _assemble_rings(union_pieces(pieces))
+
+
+def union_geometries(parsed_geoms):
+    """N-ary ST_Union (SQLMM.java:141 binary op generalized to the aggregate
+    form every SQL engine ships): union of the areal parts of any number of
+    parsed geometries via the same edge-based union as ST_Buffer.  Exact
+    duplicates are deduped first (identical members would put exact-overlap
+    edges into the union)."""
+    from .sqlmm import geom_decompose
+
+    pieces = []
+    seen = set()
+    for typ, val in parsed_geoms:
+        g = geom_decompose(typ, val)
+        for rings in g["polys"]:
+            norm = _normalize_poly_piece(rings)
+            key = tuple((r[0].tobytes(), r[1].tobytes()) for r in norm)
+            if key not in seen:
+                seen.add(key)
+                pieces.append(norm)
+    return _assemble_rings(union_pieces(pieces))
 
 
 def st_buffer_udf(radius: float, n_seg: int = 24):
@@ -671,3 +701,24 @@ def st_buffer_udf(radius: float, n_seg: int = 24):
         return pd.Series(out)
 
     return _f
+
+
+def st_union_agg(df, group_col: str = "gid", wkb_col: str = "wkb"):
+    """Distributed aggregate ST_Union: one union geometry per group.  The
+    shuffle moves only (group, wkb) rows; each group's union is a single
+    numpy union_pieces call inside applyInPandas (Statistics-combine
+    pattern of S/storage/aggregate applied to geometry)."""
+    from . import geometry as geo
+
+    from pyspark.sql import functions as F  # noqa: F401  (plan helpers)
+
+    def fn(key, pdf):
+        geoms = [geo.wkb_parse(bytes(b)) for b in pdf[wkb_col]]
+        t, rings = union_geometries(geoms)
+        return pd.DataFrame({
+            group_col: [key[0]],
+            "wkb": [geo.wkb_write(t, rings) if rings else None],
+        })
+
+    return df.groupBy(group_col).applyInPandas(
+        fn, schema=f"{group_col} long, wkb binary")

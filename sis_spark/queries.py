@@ -674,6 +674,67 @@ WHERE qdist <= {BUF_QLO} OR qdist >= {BUF_QHI}
 ORDER BY event_id, gkey, gkind"""
 
 
+N_UNION_POINTS = 2000
+
+
+def q_st_union(spark, sf_dir):
+    """Aggregate ST_Union (SQLMM.java:141 generalized to GROUP BY) gated
+    through its containment contract: point-in-union must equal OR over the
+    members' point-in-polygon.  The union itself is computed DISTRIBUTED
+    (st_union_agg: groupBy key%10 -> one union_pieces call per group inside
+    applyInPandas); the 10 tiny union geometries then ship in the probe
+    stage's closure (broadcast-dim pattern) for one vectorized PIP pass."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .functions import geometry as _geo
+    from .functions.overlay import st_union_agg
+
+    polys = _supplier_polygons_df(spark, sf_dir).withColumn(
+        "gid", F.col("key") % 10)
+    unions = st_union_agg(polys.select("gid", "wkb"))
+    rings_by_gid = {}
+    for r in unions.collect():  # 10 tiny rows (broadcast-dim)
+        t, v = _geo.wkb_parse(bytes(r["wkb"]))
+        rings_by_gid[int(r["gid"])] = (
+            v if t == "polygon" else [rg for p in v for rg in p])
+
+    pts = _events_points(spark, sf_dir).filter(F.col("event_id") < N_UNION_POINTS)
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            px = pdf["lon"].to_numpy()
+            py = pdf["lat"].to_numpy()
+            out = []
+            for gid in sorted(rings_by_gid):
+                inside = _geo.points_in_polygon_with_holes(
+                    px, py, rings_by_gid[gid])
+                out.append(_pd.DataFrame({
+                    "event_id": pdf["event_id"], "gid": gid, "inside": inside}))
+            yield _pd.concat(out)
+
+    return pts.mapInPandas(fn, "event_id long, gid long, inside boolean")
+
+
+def q_st_union_oracle():
+    return f"""
+WITH {synth.polygon_vertices_sql()},
+pts AS ({_points_sql()}),
+p2 AS (SELECT event_id, lon AS px, lat AS py FROM pts
+       WHERE event_id < {N_UNION_POINTS}),
+vin AS (
+  SELECT p.event_id, e.key,
+         (sum(CASE WHEN ((e.vy > p.py) <> (e.wy > p.py))
+                    AND (p.px < (e.wx - e.vx) * (p.py - e.vy) / (e.wy - e.vy) + e.vx)
+              THEN 1 ELSE 0 END) % 2) = 1 AS inside
+  FROM p2 p CROSS JOIN edges e
+  GROUP BY 1, 2)
+SELECT event_id, key % 10 AS gid, bool_or(inside) AS inside
+FROM vin GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 N_DIST_POINTS = 400
 
 
@@ -1860,6 +1921,7 @@ QUERIES = {
     "point_line_distance": (q_point_line_distance, q_point_line_distance_oracle),
     "geom_distance": (q_geom_distance, q_geom_distance_oracle),
     "st_buffer": (q_st_buffer, q_st_buffer_oracle),
+    "st_union": (q_st_union, q_st_union_oracle),
     "match_action": (q_match_action, q_match_action_oracle),
     "st_contains": (q_st_contains, q_st_contains_oracle),
     "halfplane_clip": (q_halfplane_clip, q_halfplane_clip_oracle),

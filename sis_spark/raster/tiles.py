@@ -712,3 +712,40 @@ def append_bands(a: DataFrame, b: DataFrame) -> DataFrame:
     for i, bb in enumerate(b_bands):
         expr = F.when(F.col("band") == bb, F.lit(offset + i)).otherwise(expr)
     return a.unionByName(b.withColumn("band", expr.cast("int")))
+
+
+def reduce_bands(tiles_df: DataFrame, op: str = "mean", bands: list[int] | None = None,
+                 dtype=np.uint8, out_band: int = 0) -> DataFrame:
+    """Dimensionality reduction (F/coverage/grid/DimensionalityReduction.java,
+    GridCoverageProcessor.java:743-837 "reduce extra dimensions"): collapse
+    the band axis (the engine's stand-in for any extra dimension — band,
+    time, depth) to one plane per tile with a pixel-wise aggregate.
+
+    Shape at scale: groupBy (tx, ty) shuffles one row per contributing band
+    per tile only; the pixel math is a single numpy reduce per group inside
+    applyInPandas.  ``mean`` accumulates in float64 and truncates back like
+    an integer divide so the result is reproducible regardless of the
+    per-group row order (bit-exactness: order-independent sums)."""
+    if bands is not None:
+        tiles_df = tiles_df.filter(F.col("band").isin(bands))
+    bdt = np.dtype(dtype)
+    ops = {
+        "sum": lambda a: a.sum(axis=0),
+        "mean": lambda a: a.sum(axis=0) / a.shape[0],
+        "min": lambda a: a.min(axis=0),
+        "max": lambda a: a.max(axis=0),
+    }
+    if op not in ops:
+        raise ValueError(f"unsupported reduce op {op!r}")
+    red = ops[op]
+
+    def fn(key, pdf):
+        stack = np.stack([np.frombuffer(d, dtype=bdt).astype(np.float64)
+                          for d in pdf["data"]])
+        out = red(stack)
+        if np.issubdtype(bdt, np.integer):
+            out = np.clip(np.trunc(out), np.iinfo(bdt).min, np.iinfo(bdt).max)
+        return pd.DataFrame({"tx": [key[0]], "ty": [key[1]],
+                             "band": [out_band], "data": [out.astype(bdt).tobytes()]})
+
+    return tiles_df.groupBy("tx", "ty").applyInPandas(fn, schema=TILE_SCHEMA)

@@ -199,3 +199,63 @@ def test_buffer_containment_matches_distance():
         keep = (d < band_lo - 1e-6) | (d > r + 1e-6)
         inside = geo.points_in_polygon_with_holes(px[keep], py[keep], flat)
         assert np.array_equal(inside, d[keep] <= band_lo), wkt
+
+
+def test_union_geometries_and_agg(spark):
+    """N-ary union: area vs closed form, hole formation, containment
+    differential (PIP of the union == any member PIP), and the distributed
+    aggregate wrapper."""
+    import numpy as np
+    import pandas as pd
+
+    from sis_spark.functions import geometry as geo
+    from sis_spark.functions.overlay import (
+        rings_area,
+        signed_area,
+        st_union_agg,
+        union_geometries,
+    )
+    from sis_spark.functions.sqlmm import wkt_parse
+
+    # overlapping pair + disjoint member
+    geoms = [wkt_parse("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+             wkt_parse("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"),
+             wkt_parse("POLYGON ((30 0, 34 0, 34 4, 30 4, 30 0))")]
+    t, rings = union_geometries(geoms)
+    flat = rings if t == "polygon" else [r for p in rings for r in p]
+    assert t == "multipolygon" and abs(rings_area(flat) - 191.0) < 1e-9
+
+    # ring of generically-overlapping squares -> union with a central hole
+    ring_geoms = []
+    for k in range(8):
+        a = 2 * np.pi * k / 8 + 0.1
+        cx, cy = 6 * np.cos(a), 6 * np.sin(a)
+        s = 2.6
+        ring_geoms.append(("polygon", [(np.array([cx - s, cx + s, cx + s, cx - s]),
+                                        np.array([cy - s, cy - s, cy + s, cy + s]))]))
+    t, rings = union_geometries(ring_geoms)
+    flat = rings if t == "polygon" else [r for p in rings for r in p]
+    assert t == "polygon" and len(flat) == 2  # shell + hole
+    assert min(signed_area(*r) for r in flat) < 0  # the hole is CW
+
+    # containment differential on random probes
+    rng = np.random.default_rng(3)
+    px = rng.uniform(-10, 10, 4000)
+    py = rng.uniform(-10, 10, 4000)
+    got = geo.points_in_polygon_with_holes(px, py, flat)
+    exp = np.zeros(len(px), dtype=bool)
+    for _typ, val in ring_geoms:
+        exp |= geo.points_in_polygon_with_holes(px, py, val)
+    assert np.array_equal(got, exp)
+
+    # distributed aggregate: two groups
+    rows = []
+    for gid, (typ, val) in [(0, ring_geoms[0]), (0, ring_geoms[1]),
+                            (1, geoms[2])]:
+        rows.append({"gid": gid, "wkb": geo.wkb_write(typ, val)})
+    df = spark.createDataFrame(pd.DataFrame(rows), schema="gid long, wkb binary")
+    out = {r["gid"]: r["wkb"] for r in st_union_agg(df).collect()}
+    t0, v0 = geo.wkb_parse(bytes(out[0]))
+    assert t0 == "polygon"  # two overlapping squares merge to one shell
+    t1, v1 = geo.wkb_parse(bytes(out[1]))
+    assert t1 == "polygon" and len(v1) == 1
