@@ -360,3 +360,208 @@ SELECT c.a, c.b,
 FROM cand c JOIN n x ON x.id = c.a JOIN n y ON y.id = c.b
 WHERE CAST(CAST(list_sum(list_transform(list_zip(x.v, y.v), z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
         / sqrt(CAST(x.nn AS DOUBLE) * CAST(y.nn AS DOUBLE)) >= {threshold}"""
+
+
+# ------------------------------------------------------------- IVF (scale path)
+#
+# Inverted-file index: a coarse quantizer (k-means over the quantized int64
+# vectors) partitions the collection into nlist posting lists; a query probes
+# only its nprobe nearest lists.  This is the second scale path the pipeline
+# mandate names alongside LSH buckets ("an IVF or LSH-bucketed variant").
+#
+# Everything is EXACT integer arithmetic so the DuckDB oracle can replicate
+# the whole pipeline — training included — bit for bit:
+#   * vectors quantized to int64 (QUANT), centroids stay int64;
+#   * init: the nlist lowest-id vectors (deterministic, no RNG);
+#   * Lloyd update: element-wise floor-divide(sum, count) — exact integers in
+#     numpy (floor_divide) and SQL ((s - posmod(s,cnt)) / cnt);
+#   * assignment: argmin of int64 squared distance, ties -> lowest list id;
+#   * empty cluster: keeps its previous centroid.
+# Reference parity: the coarse-partition-then-refine shape mirrors SIS's
+# tree-index lookup (C/index/tree/QuadTree*.java) applied to vector space.
+
+def _assign_lists(q: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(id, qv) -> (id, list_id): argmin over exact int64 squared distances.
+
+    dist = |v|^2 + |c|^2 - 2 v.c, all int64 (|v|,|c| <= 3e7, dim <= 64 ->
+    |dist| < 2^62).  np.argmin returns the first minimum -> lowest list id."""
+    spark = q.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def go(batches):
+        C = bc.value
+        cn = (C * C).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(list(pdf["qv"]), dtype=np.int64)
+            nv = (M * M).sum(axis=1)
+            dist = nv[:, None] + cn[None, :] - 2 * (M @ C.T)
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(),
+                "list_id": dist.argmin(axis=1).astype(np.int32),
+            })
+
+    return q.select("id", "qv").mapInPandas(go, schema="id long, list_id int")
+
+
+def train_ivf(
+    vectors: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+) -> np.ndarray:
+    """Deterministic k-means coarse quantizer; returns int64 (nlist, dim).
+
+    Init = the nlist lowest-id vectors; each Lloyd iteration assigns
+    distributed (one mapInPandas + one posexplode/groupBy shuffle of
+    nlist*dim rows) and updates centroids as exact floor-divided means.
+    Only nlist*dim scalars ever reach the driver per iteration."""
+    q = vectors.select(
+        F.col(id_col).alias("id"), quantize_col(F.col(vec_col)).alias("qv")
+    )
+    init = q.orderBy("id").limit(nlist).collect()
+    cent = np.array([r["qv"] for r in init], dtype=np.int64)
+    for _ in range(iters):
+        assigned = q.join(_assign_lists(q, cent), "id")
+        sums = (
+            assigned.select("list_id", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        new = cent.copy()  # empty clusters keep their previous centroid
+        for r in sums:
+            new[r["list_id"], r["pos"]] = np.floor_divide(int(r["s"]), int(r["cnt"]))
+        cent = new
+    return cent
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+) -> DataFrame:
+    """IVF top-k by quantized cosine.  Output (query_id, rank, cand_id, qcos).
+
+    100-TB plan: posting-list assignment is map-only; the search touches only
+    ~nprobe/nlist of the collection per query via a broadcast equi-join on
+    list_id (no all-pairs, no BroadcastNestedLoopJoin).  nprobe == nlist
+    degrades gracefully to the exact brute answer (asserted in pytest)."""
+    spark = vectors.sparkSession
+    cent = train_ivf(vectors, nlist, id_col, vec_col, iters)
+    cn = (cent * cent).sum(axis=1)
+
+    q = vectors.select(
+        F.col(id_col).alias("id"), quantize_col(F.col(vec_col)).alias("qv")
+    ).withColumn("nn", qnorm_col(F.col("qv")))
+    lists = q.join(_assign_lists(q, cent), "id")
+
+    # probe selection for the (few) query vectors: nprobe nearest centroids,
+    # ties -> lowest list id (lexicographic (dist, j) sort)
+    qrows = q.filter(F.col("id").isin(query_ids)).collect()
+    probes = []
+    qvecs = []
+    for r in qrows:
+        v = np.array(r["qv"], dtype=np.int64)
+        dist = (v * v).sum() + cn - 2 * (cent @ v)
+        order = np.lexsort((np.arange(nlist), dist))[:nprobe]
+        probes.extend((int(r["id"]), int(j)) for j in order)
+        qvecs.append((int(r["id"]), r["qv"], int(r["nn"])))
+    probes_df = spark.createDataFrame(probes, "query_id long, list_id int")
+    qdf = spark.createDataFrame(qvecs, "query_id long, vq array<long>, nq long")
+
+    scored = (
+        lists.join(F.broadcast(probes_df), "list_id")
+        .filter(F.col("id") != F.col("query_id"))
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            F.col("id").alias("cand_id"),
+            qcos_col(qdot_col(F.col("qv"), F.col("vq")), F.col("nn"), F.col("nq")).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("cand_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).select(
+        "query_id", "rank", "cand_id", "qcos"
+    )
+
+
+def ivf_topk_sql(
+    n_queries: int,
+    k: int,
+    dim: int,
+    nlist: int = 16,
+    nprobe: int = 4,
+    rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle replicating ivf_topk bit-for-bit, TRAINING INCLUDED
+    (one Lloyd iteration): same lowest-id init, same int64 floor-divided
+    mean update (posmod identity keeps the division exact), same argmin
+    tie-break, same probe selection, same quantized-cosine ranking."""
+    return f"""
+WITH qv AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+  FROM {rel}),
+n AS (
+  SELECT id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn FROM qv),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS j, v AS cv
+  FROM (SELECT id, v FROM qv ORDER BY id LIMIT {nlist})),
+d1 AS (
+  SELECT q.id, c.j,
+         CAST(list_sum(list_transform(list_zip(q.v, c.cv),
+              z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+  FROM qv q CROSS JOIN c0 c),
+a1 AS (
+  SELECT id, j AS list_id FROM (
+    SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY dist ASC, j ASC) AS rn
+    FROM d1) t WHERE rn = 1),
+pos AS (SELECT CAST(range AS INT) AS p FROM range(1, {dim} + 1)),
+sums AS (
+  SELECT a1.list_id, pos.p,
+         CAST(sum(q.v[pos.p]) AS BIGINT) AS s, COUNT(*) AS cnt
+  FROM a1 JOIN qv q ON q.id = a1.id CROSS JOIN pos
+  GROUP BY 1, 2),
+c1upd AS (
+  SELECT list_id AS j,
+         list((s - (((s % cnt) + cnt) % cnt)) // cnt ORDER BY p) AS cv
+  FROM sums GROUP BY 1),
+c1 AS (
+  SELECT c0.j, COALESCE(u.cv, c0.cv) AS cv
+  FROM c0 LEFT JOIN c1upd u ON u.j = c0.j),
+d2 AS (
+  SELECT q.id, c.j,
+         CAST(list_sum(list_transform(list_zip(q.v, c.cv),
+              z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+  FROM qv q CROSS JOIN c1 c),
+a2 AS (
+  SELECT id, j AS list_id FROM (
+    SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY dist ASC, j ASC) AS rn
+    FROM d2) t WHERE rn = 1),
+probes AS (
+  SELECT id AS query_id, j AS list_id FROM (
+    SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY dist ASC, j ASC) AS rn
+    FROM d2 WHERE id < {n_queries}) t WHERE rn <= {nprobe}),
+scored AS (
+  SELECT p.query_id, a2.id AS cand_id,
+         CAST(CAST(list_sum(list_transform(list_zip(c.v, q.v), z -> z[1] * z[2])) AS BIGINT) AS DOUBLE)
+           / sqrt(CAST(c.nn AS DOUBLE) * CAST(q.nn AS DOUBLE)) AS qcos
+  FROM probes p
+  JOIN a2 ON a2.list_id = p.list_id AND a2.id <> p.query_id
+  JOIN n c ON c.id = a2.id
+  JOIN n q ON q.id = p.query_id)
+SELECT query_id, rank, cand_id FROM (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cand_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {k} ORDER BY query_id, rank"""

@@ -1768,6 +1768,34 @@ SELECT query_id, rank, cand_id FROM (
 WHERE rank <= {ANN_K} ORDER BY query_id, rank"""
 
 
+ANN_NLIST = 16
+ANN_NPROBE = 4
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF top-k: deterministic k-means coarse quantizer (one exact-integer
+    Lloyd iteration, lowest-id init) -> posting lists -> nprobe-list probe
+    search.  The second mandated ANN scale path next to LSH buckets: the
+    search equi-joins a broadcast probe table against the list assignment, so
+    each query scans ~nprobe/nlist of the collection — no all-pairs join.
+    The oracle replicates the TRAINING too, bit for bit (floor-divided
+    integer centroid means)."""
+    from .operators.ann import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, ANN_QUERY_IDS, ANN_K, nlist=ANN_NLIST, nprobe=ANN_NPROBE
+    ).select("query_id", "rank", "cand_id")
+
+
+def q_ann_ivf_oracle():
+    from .operators.ann import ivf_topk_sql
+
+    return ivf_topk_sql(
+        len(ANN_QUERY_IDS), ANN_K, EMB_DIM, nlist=ANN_NLIST, nprobe=ANN_NPROBE
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Banded near-duplicates (sign-random-projection candidates + exact
     quantized-cosine verify) — the 100-TB plan: one bucket shuffle, two
@@ -1909,6 +1937,7 @@ QUERIES = {
     "quality_score": (q_quality_score, q_quality_score_oracle),
     "fingerprints": (q_fingerprints, q_fingerprints_oracle),
     "ann_topk": (q_ann_topk, q_ann_topk_oracle),
+    "ann_ivf": (q_ann_ivf, q_ann_ivf_oracle),
     "embedding_near_dup": (q_embedding_near_dup, q_embedding_near_dup_oracle),
     "label_centroid": (q_label_centroid_sim, q_label_centroid_sim_oracle),
     "geohash_counts": (q_geohash_counts, q_geohash_counts_oracle),
