@@ -937,3 +937,79 @@ def line_clip_join(
 
     out = cand.withColumn("qclip", qclip.asNondeterministic()(F.col("wkb_l"), F.col("wkb_p")))
     return out.filter(F.col("qclip") > 0).select("lkey", "pkey", "qclip")
+
+
+def nearest_line_join(
+    points_df: DataFrame,
+    lines_df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    radius: float,
+    id_col: str = "event_id",
+    key_col: str = "key",
+    wkb_col: str = "wkb",
+) -> DataFrame:
+    """Nearest-polyline join (map-matching): for each point, the single
+    nearest line feature within ``radius`` degrees — JoinFeatureSet.java:74's
+    set-vs-set contract specialized to a top-1 distance join, the dim-0 ×
+    dim-1 counterpart of the kNN join.  Broadcast-dim shape (the line table
+    packs into flat segment arrays shipped in the UDF closure, the pattern of
+    the ST_Distance gate): points stream through ONE vectorized Arrow stage
+    computing an (n_points, n_segments) distance matrix, reduced per line by
+    ``minimum.reduceat`` over key-sorted contiguous segment runs.  Ties →
+    lowest line key (argmin first-hit over ascending keys).  For line
+    dimensions too big to broadcast, generate candidates with the
+    cell-bucket machinery of line_polygon_join instead.
+
+    Output (id, key, qdist) with qdist = floor(1e7 · distance); points with
+    no line inside the radius drop out (inner-join semantics)."""
+    from ..functions import geometry as geo
+
+    rows = sorted(
+        ((int(r[key_col]), bytes(r[wkb_col])) for r in lines_df.collect()),
+        key=lambda t: t[0],
+    )
+    vx: list[float] = []
+    vy: list[float] = []
+    wx: list[float] = []
+    wy: list[float] = []
+    keys: list[int] = []
+    offsets: list[int] = []
+    for k, wkb in rows:
+        _typ, (lx, ly) = geo.wkb_parse(wkb)
+        if len(lx) < 2:
+            continue
+        keys.append(k)
+        offsets.append(len(vx))
+        vx.extend(lx[:-1].tolist())
+        vy.extend(ly[:-1].tolist())
+        wx.extend(lx[1:].tolist())
+        wy.extend(ly[1:].tolist())
+    schema = "id long, key long, qdist long"
+    if not keys:
+        return points_df.sparkSession.createDataFrame([], schema)
+    sa = tuple(np.asarray(a, np.float64) for a in (vx, vy, wx, wy))
+    karr = np.asarray(keys, np.int64)
+    offs = np.asarray(offsets, np.int64)
+    rq = int(np.floor(radius * 1e7))
+
+    pts = points_df.select(F.col(id_col).alias("id"), lon_col, lat_col)
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            d2 = geo.point_segments_dist2(
+                pdf[lon_col].to_numpy(), pdf[lat_col].to_numpy(), *sa)
+            per_line = np.minimum.reduceat(d2, offs, axis=1)
+            qd = np.floor(np.sqrt(per_line) * 1e7).astype(np.int64)
+            j = qd.argmin(axis=1)
+            best = qd[np.arange(len(qd)), j]
+            m = best <= rq
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy()[m],
+                "key": karr[j[m]],
+                "qdist": best[m],
+            })
+
+    return pts.mapInPandas(fn, schema=schema)

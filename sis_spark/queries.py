@@ -774,6 +774,68 @@ def q_point_line_distance(spark, sf_dir):
     return pts.mapInPandas(fn, "event_id long, qdist long")
 
 
+NEAREST_LINE_RADIUS = 2.0  # degrees; keeps ~80% of the probe points
+
+
+def q_nearest_line(spark, sf_dir):
+    """Nearest-polyline join (map-matching): per probe point, the single
+    nearest gate line within 2°, ties → lowest line key.  The probe slice
+    starts at N_LINE_EVENTS so no probe point is a line vertex (distances
+    are non-degenerate).  Same broadcast-dim + single-Arrow-stage shape as
+    the ST_Distance gate, reduced per line by minimum.reduceat."""
+    from .operators.spatial_join import nearest_line_join
+
+    pts = _events_points(spark, sf_dir).filter(
+        (F.col("event_id") >= N_LINE_EVENTS)
+        & (F.col("event_id") < N_LINE_EVENTS + N_DIST_POINTS)
+    )
+    out = nearest_line_join(
+        pts, _gate_lines_df(spark, sf_dir), "lon", "lat",
+        NEAREST_LINE_RADIUS, id_col="event_id",
+    )
+    return out.select(
+        F.col("id").alias("event_id"), F.col("key").alias("gid"), "qdist"
+    )
+
+
+def q_nearest_line_oracle():
+    # per-(point, line) min over the identical clamped-projection d2 terms,
+    # then top-1 per point by (qdist, gid) — mirrors argmin-first-hit
+    rq = int(NEAREST_LINE_RADIUS * 1e7)  # 2.0 -> 20000000, exact
+    return f"""
+WITH {_line_sets_sql()},
+pts2 AS (SELECT event_id, lon AS px, lat AS py FROM pts
+         WHERE event_id >= {N_LINE_EVENTS}
+           AND event_id < {N_LINE_EVENTS + N_DIST_POINTS}),
+seg2 AS (
+  SELECT gid, vx, vy, wx - vx AS dx, wy - vy AS dy,
+         (wx - vx) * (wx - vx) + (wy - vy) * (wy - vy) AS len2
+  FROM lseg),
+proj AS (
+  SELECT p.event_id, p.px, p.py, s.gid, s.vx, s.vy, s.dx, s.dy,
+         ((p.px - s.vx) * s.dx + (p.py - s.vy) * s.dy) / s.len2 AS tt
+  FROM pts2 p CROSS JOIN seg2 s),
+clamped AS (
+  SELECT *, CASE WHEN tt < 0.0e0 THEN 0.0e0
+                 WHEN tt > 1.0e0 THEN 1.0e0 ELSE tt END AS tc
+  FROM proj),
+dd AS (
+  SELECT event_id, gid,
+         (px - (vx + dx * tc)) * (px - (vx + dx * tc))
+         + (py - (vy + dy * tc)) * (py - (vy + dy * tc)) AS d2
+  FROM clamped),
+pl AS (
+  SELECT event_id, gid,
+         CAST(floor(sqrt(min(d2)) * 1.0e7) AS BIGINT) AS qdist
+  FROM dd GROUP BY 1, 2)
+SELECT event_id, gid, qdist FROM (
+  SELECT event_id, gid, qdist,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY qdist ASC, gid ASC) AS rn
+  FROM pl) t
+WHERE rn = 1 AND qdist <= {rq}"""
+
+
 def q_point_line_distance_oracle():
     # mirrors point_segments_dist2 term for term (clamped projection; the
     # squared terms are written as (A)*(A) with identical A both sides)
@@ -1948,6 +2010,7 @@ QUERIES = {
     "line_predicates": (q_line_predicates, q_line_predicates_oracle),
     "line_clip": (q_line_clip, q_line_clip_oracle),
     "point_line_distance": (q_point_line_distance, q_point_line_distance_oracle),
+    "nearest_line": (q_nearest_line, q_nearest_line_oracle),
     "geom_distance": (q_geom_distance, q_geom_distance_oracle),
     "st_buffer": (q_st_buffer, q_st_buffer_oracle),
     "st_union": (q_st_union, q_st_union_oracle),

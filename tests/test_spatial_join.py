@@ -158,3 +158,56 @@ def test_knn_vs_oracle(spark, events, duck, sf_dir):
         got.astype({"query_id": "int64", "rank": "int64", "cand_id": "int64"}),
         exp.astype({"query_id": "int64", "rank": "int64", "cand_id": "int64"}),
     )
+
+
+def test_nearest_line_join_matches_brute(spark):
+    import numpy as np
+
+    from sis_spark.functions import geometry as geo
+    from sis_spark.operators.spatial_join import nearest_line_join
+
+    rng = np.random.default_rng(7)
+    lines = []
+    for k in range(6):
+        xs = np.sort(rng.uniform(-10, 10, 5))
+        ys = rng.uniform(-10, 10, 5)
+        lines.append((k, bytes(geo.wkb_linestring(xs, ys)), xs, ys))
+    ldf = spark.createDataFrame(
+        [(k, w) for k, w, *_ in lines], "key long, wkb binary"
+    )
+    px = rng.uniform(-12, 12, 200)
+    py = rng.uniform(-12, 12, 200)
+    pdf = spark.createDataFrame(
+        [(i, float(px[i]), float(py[i])) for i in range(200)],
+        "event_id long, lon double, lat double",
+    )
+    radius = 3.0
+    got = (
+        nearest_line_join(pdf, ldf, "lon", "lat", radius)
+        .orderBy("id").toPandas()
+    )
+
+    # brute: per (point, line) min over segments, top-1 by (qdist, key)
+    expect = {}
+    for i in range(200):
+        best = None
+        for k, _w, xs, ys in lines:
+            d2 = geo.point_segments_dist2(
+                np.array([px[i]]), np.array([py[i]]),
+                xs[:-1], ys[:-1], xs[1:], ys[1:])
+            qd = int(np.floor(np.sqrt(d2.min()) * 1e7))
+            if best is None or (qd, k) < best:
+                best = (qd, k)
+        if best[0] <= int(radius * 1e7):
+            expect[i] = best
+    assert got.shape[0] == len(expect)
+    for _, r in got.iterrows():
+        assert expect[int(r["id"])] == (int(r["qdist"]), int(r["key"]))
+
+
+def test_nearest_line_join_empty_lines(spark):
+    from sis_spark.operators.spatial_join import nearest_line_join
+
+    ldf = spark.createDataFrame([], "key long, wkb binary")
+    pdf = spark.createDataFrame([(0, 1.0, 2.0)], "event_id long, lon double, lat double")
+    assert nearest_line_join(pdf, ldf, "lon", "lat", 5.0).count() == 0
