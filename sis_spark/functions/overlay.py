@@ -372,11 +372,14 @@ def rings_area(rings) -> float:
 
 # ------------------------------------------------- line-vs-polygon clip (r2)
 
-def clip_line_polygon(vx, vy, rings):
+def clip_line_polygon(vx, vy, rings, keep_inside=True):
     """Parametric clip of an open polyline against a polygon (outer ring +
     holes, even-odd): the dim-1 branch of SQLMM ST_Intersection
     (GeometryWrapper delegates mixed-dimension overlays to JTS; re-derived
-    here for the general-position model).
+    here for the general-position model).  ``keep_inside=False`` keeps the
+    complement instead — the dim-1 branch of ST_Difference(line, polygon)
+    (same crossing parameters, inverted midpoint classification, so
+    intersection and difference pieces partition the line exactly).
 
     Per segment: crossing parameters t with every ring edge
     (t = cross(e0 - p0, edir) / cross(d, edir), proper iff 0 < t, u < 1 —
@@ -429,7 +432,7 @@ def clip_line_polygon(vx, vy, rings):
             my = p0y + dy * (0.5 * (t0 + t1))
             inside = bool(geo.points_in_polygon_with_holes(
                 np.array([mx]), np.array([my]), rings)[0])
-            if inside:
+            if inside == keep_inside:
                 qlen += np.int64(np.floor(seg_len * (t1 - t0) * 1e7))
                 a = (p0x + dx * t0, p0y + dy * t0)
                 b = (p0x + dx * t1, p0y + dy * t1)
@@ -722,3 +725,37 @@ def st_union_agg(df, group_col: str = "gid", wkb_col: str = "wkb"):
 
     return df.groupBy(group_col).applyInPandas(
         fn, schema=f"{group_col} long, wkb binary")
+
+
+def difference_line_polygon(vx, vy, rings):
+    """ST_Difference(line, polygon): the polyline pieces OUTSIDE the polygon
+    — the complement classification of clip_line_polygon over the identical
+    crossing parameters, so (intersection ∪ difference) reconstructs the
+    input line exactly (interval-partition invariant, tested)."""
+    return clip_line_polygon(vx, vy, rings, keep_inside=False)
+
+
+def st_difference_line_poly_udf():
+    """Scalar Arrow UDF (line_wkb, poly_wkb) -> MultiLineString WKB of the
+    polyline pieces outside the polygon (the whole line when disjoint)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from . import geometry as geo
+
+    @F.pandas_udf(T.BinaryType())
+    def fn(l_s: pd.Series, p_s: pd.Series) -> pd.Series:
+        from ..sources import polygons_from_wkb
+
+        out = []
+        for lb, pb in zip(l_s, p_s):
+            typ, (lvx, lvy) = geo.wkb_parse(bytes(lb))
+            if typ != "linestring":
+                raise ValueError(f"expected linestring, got {typ}")
+            (poly,) = polygons_from_wkb([(0, pb)])
+            rings = [(poly["vx"], poly["vy"])] + list(poly.get("holes", []))
+            pieces, _q = difference_line_polygon(lvx, lvy, rings)
+            out.append(bytes(geo.wkb_multilinestring(pieces)))
+        return pd.Series(out)
+
+    return fn

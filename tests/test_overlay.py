@@ -259,3 +259,43 @@ def test_union_geometries_and_agg(spark):
     assert t0 == "polygon"  # two overlapping squares merge to one shell
     t1, v1 = geo.wkb_parse(bytes(out[1]))
     assert t1 == "polygon" and len(v1) == 1
+
+
+def test_line_difference_partitions_the_line():
+    # intersection and difference pieces are complementary interval sets over
+    # the same crossing parameters: their lengths must sum to the input line
+    import numpy as np
+
+    from sis_spark.functions.overlay import (
+        clip_line_polygon, difference_line_polygon)
+
+    rng = np.random.default_rng(11)
+    sq = [(np.array([0.0, 4, 4, 0]), np.array([0.0, 0, 4, 4]))]
+    hole = sq + [(np.array([1.0, 3, 3, 1]), np.array([1.0, 1, 3, 3]))]
+    for rings in (sq, hole):
+        for _ in range(25):
+            vx = rng.uniform(-3, 7, 6)
+            vy = rng.uniform(-3, 7, 6)
+            total = float(np.hypot(np.diff(vx), np.diff(vy)).sum())
+            pi, _ = clip_line_polygon(vx, vy, rings)
+            po, _ = difference_line_polygon(vx, vy, rings)
+            li = sum(float(np.hypot(np.diff(x), np.diff(y)).sum()) for x, y in pi)
+            lo = sum(float(np.hypot(np.diff(x), np.diff(y)).sum()) for x, y in po)
+            assert abs(li + lo - total) < 1e-8
+
+
+def test_st_difference_line_poly_udf(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sis_spark.functions import geometry as geo
+    from sis_spark.functions.overlay import st_difference_line_poly_udf
+    from sis_spark.functions.sqlmm import st_length_udf
+
+    poly = geo.wkb_polygon([(np.array([0.0, 4, 4, 0]), np.array([0.0, 0, 4, 4]))])
+    line = geo.wkb_linestring(np.array([-2.0, 2, 6]), np.array([2.0, 2, 2]))
+    df = spark.createDataFrame([(bytes(line), bytes(poly))], "l binary, p binary")
+    out = df.select(
+        st_length_udf()(st_difference_line_poly_udf()(F.col("l"), F.col("p"))).alias("len")
+    ).first()
+    assert abs(out["len"] - 4.0) < 1e-9
