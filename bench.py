@@ -34,6 +34,7 @@ HEADLINE = [
     "minhash_lsh",
     "ann_topk",
     "images_pipeline",
+    "images_codec",        # decode + feature extraction over real PNG/JPEG bytes
 ]
 
 
@@ -63,14 +64,27 @@ def run_queries(spark, sf_dir: str, names=None):
         elif name == "images_pipeline":
             from sis_spark.sources.images import images_table
 
+            # projection pushed into the generative source (the parquet
+            # ReadSchema-pruning analog): the join consumes 3 columns, so
+            # bytes/phash — and with them the whole codec — are never
+            # generated.  Codec throughput is measured by images_codec.
             n_img = 20000
-            img = images_table(spark, n_img)
+            img = images_table(spark, n_img, columns=["image_id", "lon", "lat"])
             joined = spatial_join(
-                img.select("image_id", "lon", "lat"),
+                img,
                 _supplier_polygons(spark, sf_dir),
                 "lon", "lat",
             )
             assign_tiles(joined, "lon", "lat", 12).count()
+        elif name == "images_codec":
+            from sis_spark.operators.imageops import image_features
+            from sis_spark.sources.images import images_table
+
+            # full-table generation (real PNG/JPEG/raw bytes) + per-image
+            # decode + channel statistics — the decode-bound half of the
+            # image pipeline, deliberately kept as its own headline number
+            img = images_table(spark, 8000)
+            image_features(img).count()
         else:
             QUERIES[name][0](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)

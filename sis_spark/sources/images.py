@@ -71,21 +71,62 @@ IMAGE_SCHEMA = (
 )
 
 
-def images_table(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
-    """Distributed deterministic image+caption DataFrame of n_rows."""
+_FIELD_TYPES = {
+    "image_id": "string", "bytes": "binary", "w": "int", "h": "int",
+    "fmt": "string", "caption": "string", "phash": "long",
+    "lon": "double", "lat": "double",
+}
+
+
+def images_table(
+    spark: SparkSession,
+    n_rows: int,
+    partitions: int | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Distributed deterministic image+caption DataFrame of n_rows.
+
+    ``columns``: optional projection pushed INTO the generator — the
+    generative-source analog of parquet ReadSchema pruning.  A mapInPandas
+    source is opaque to Catalyst's column pruning (a downstream .select
+    drops columns only AFTER Python computed them), so the projection must
+    be pushed in by hand; any projection without ``bytes``/``phash`` skips
+    the image codec entirely, which is the dominant generation cost.  At
+    100 TB the table is a stored Iceberg/parquet scan and the same pruning
+    is automatic — this keeps the generated stand-in honest about it."""
+    cols = list(IMAGE_SCHEMA.split(", ")) if columns is None else columns
+    names = [c.split(" ")[0] for c in cols] if columns is None else list(columns)
+    bad = set(names) - set(_FIELD_TYPES)
+    if bad:
+        raise ValueError(f"unknown image columns: {sorted(bad)}")
+    schema = ", ".join(f"{n} {_FIELD_TYPES[n]}" for n in names)
+    need_codec = "bytes" in names or "phash" in names
     rng = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches):
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            lon, lat = synth.point_lonlat_np(ids)
-            rows = [make_row(int(i)) for i in ids]
-            out = pd.DataFrame(rows)
-            out["lon"] = lon
-            out["lat"] = lat
-            yield out
+            if need_codec:
+                out = pd.DataFrame([make_row(int(i)) for i in ids])
+            else:
+                out = pd.DataFrame(index=np.arange(len(ids)))
+                if "image_id" in names:
+                    out["image_id"] = [f"img-{int(i):012d}" for i in ids]
+                if "w" in names:
+                    out["w"] = np.array(SIZES, np.int32)[ids % 3]
+                if "h" in names:
+                    out["h"] = np.array(SIZES, np.int32)[(ids // 3) % 3]
+                if "fmt" in names:
+                    out["fmt"] = np.array(FMTS)[ids % len(FMTS)]
+                if "caption" in names:
+                    out["caption"] = [caption_for(int(i)) for i in ids]
+            if "lon" in names or "lat" in names:
+                lon, lat = synth.point_lonlat_np(ids)
+                out["lon"] = lon
+                out["lat"] = lat
+            yield out[names]
 
-    return rng.mapInPandas(gen, schema=IMAGE_SCHEMA)
+    return rng.mapInPandas(gen, schema=schema)
 
 
 # ---------------------------------------------------------------- partitioned layout

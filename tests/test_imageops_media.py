@@ -126,3 +126,26 @@ def test_phash_near_dups_zero_hamming(spark):
     )
     rows = phash_near_dups(df, max_hamming=0).collect()
     assert [(r["image_id"], r["image_id_2"], r["hamming"]) for r in rows] == [(1, 2, 0)]
+
+
+def test_images_table_column_pruning_parity(spark):
+    # the pruned generator must produce byte-identical values for the
+    # selected columns (it skips only the codec work, not the semantics)
+    from sis_spark.sources.images import images_table
+
+    full = (
+        images_table(spark, 200)
+        .select("image_id", "w", "h", "fmt", "caption", "lon", "lat")
+        .orderBy("image_id").toPandas()
+    )
+    pruned = (
+        images_table(spark, 200,
+                     columns=["image_id", "w", "h", "fmt", "caption", "lon", "lat"])
+        .orderBy("image_id").toPandas()
+    )
+    assert full.equals(pruned)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        images_table(spark, 10, columns=["nope"])
