@@ -202,7 +202,7 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
 def _fdct_quant(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
     """All blocks of a plane -> quantized zigzag coefficients (by, bx, 64)."""
     blocks = _blocks_of(plane.astype(np.float64) - 128.0)
-    f = np.einsum("ij,abjk,lk->abil", _D, blocks, _D)
+    f = (_D @ blocks) @ _D.T  # == einsum("ij,abjk,lk->abil", D, blocks, D), ~14x faster
     q = np.round(f / qtbl.reshape(8, 8)).astype(np.int32)
     by, bx = q.shape[:2]
     return q.reshape(by, bx, 64)[:, :, ZIGZAG]
@@ -620,7 +620,7 @@ def decode(buf: bytes, tables: bytes | None = None) -> np.ndarray:
         q = state.qt[c["tq"]]
         by, bx = nat.shape[:2]
         f = (nat * q).reshape(by, bx, 8, 8).astype(np.float64)
-        x = np.einsum("ji,abjk,kl->abil", _D, f, _D) + 128.0
+        x = (_D.T @ f) @ _D + 128.0  # == einsum("ji,abjk,kl->abil", D, f, D)
         plane = x.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         # upsample by sample replication to full resolution
         plane = np.repeat(np.repeat(plane, vmax // c["V"], axis=0), hmax // c["H"], axis=1)
