@@ -34,13 +34,13 @@ def image_features(images: DataFrame) -> DataFrame:
     def fn(batches):
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                arr = codec.decode(bytes(r["bytes"]), r["fmt"]).astype(np.float64)
+            for iid, buf, fmt_ in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                arr = codec.decode(bytes(buf), fmt_).astype(np.float64)
                 if arr.shape[2] == 1:
                     arr = np.repeat(arr, 3, axis=2)
                 g = arr.mean(axis=2)
                 rows.append({
-                    "image_id": r["image_id"],
+                    "image_id": iid,
                     "mean_r": float(arr[:, :, 0].mean()),
                     "mean_g": float(arr[:, :, 1].mean()),
                     "mean_b": float(arr[:, :, 2].mean()),
@@ -77,11 +77,11 @@ def thumbnails(images: DataFrame, size: int = 8, fmt: str = "png") -> DataFrame:
     def fn(batches):
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                arr = codec.decode(bytes(r["bytes"]), r["fmt"]).astype(np.float64)
+            for iid, buf, fmt_ in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                arr = codec.decode(bytes(buf), fmt_).astype(np.float64)
                 thumb = block_mean_resize(arr, size, size)
                 rows.append({
-                    "image_id": r["image_id"],
+                    "image_id": iid,
                     "thumb": codec.encode(thumb, fmt),
                     "tw": size, "th": size, "tfmt": fmt,
                 })

@@ -142,9 +142,10 @@ def audio_features(audio: DataFrame, frame_ms: int = 25) -> DataFrame:
     def fn(batches):
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                x = _decode_audio(bytes(r["payload"]), r["codec"])
-                sr = int(r["sample_rate"])
+            for mid, payload, codec_, sr in zip(
+                    pdf["media_id"], pdf["payload"], pdf["codec"], pdf["sample_rate"]):
+                x = _decode_audio(bytes(payload), codec_)
+                sr = int(sr)
                 flen = max(1, sr * frame_ms // 1000)
                 n_frames = len(x) // flen
                 if n_frames == 0:
@@ -154,7 +155,7 @@ def audio_features(audio: DataFrame, frame_ms: int = 25) -> DataFrame:
                 zcr = (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1)
                 for i in range(n_frames):
                     rows.append({
-                        "media_id": r["media_id"], "frame": i,
+                        "media_id": mid, "frame": i,
                         "rms": float(rms[i]), "zcr": float(zcr[i]),
                     })
             if rows:
@@ -171,14 +172,16 @@ def sample_frames(video: DataFrame, every_n: int = 4) -> DataFrame:
     def fn(batches):
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                idx = np.arange(0, int(r["n_frames"]), every_n)
+            for mid, payload, codec_, nf, w_, h_ in zip(
+                    pdf["media_id"], pdf["payload"], pdf["codec"],
+                    pdf["n_frames"], pdf["w"], pdf["h"]):
+                idx = np.arange(0, int(nf), every_n)
                 frames = _decode_video_frames(
-                    bytes(r["payload"]), r["codec"], idx, int(r["w"]), int(r["h"])
+                    bytes(payload), codec_, idx, int(w_), int(h_)
                 )
                 for k, i in enumerate(idx):
                     rows.append({
-                        "media_id": r["media_id"], "frame": int(i),
+                        "media_id": mid, "frame": int(i),
                         "mean_intensity": float(frames[k].astype(np.float64).mean()),
                         "frame_bytes": frames[k].tobytes(),
                     })

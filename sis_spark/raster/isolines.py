@@ -144,10 +144,10 @@ def isolines(
     def march(key, pdf):
         gtx, gty = int(key[0]), int(key[1])
         halo = np.full((tile_size + 1, tile_size + 1), np.nan)
-        for _, r in pdf.iterrows():
-            block = np.frombuffer(r["data"], dtype=bdt).reshape(tile_size, tile_size).astype(np.float64)
-            oy = (int(r["ty"]) - gty) * tile_size
-            ox = (int(r["tx"]) - gtx) * tile_size
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = np.frombuffer(data, dtype=bdt).reshape(tile_size, tile_size).astype(np.float64)
+            oy = (int(ty) - gty) * tile_size
+            ox = (int(tx) - gtx) * tile_size
             sub = block[: max(0, tile_size + 1 - oy), : max(0, tile_size + 1 - ox)]
             halo[oy : oy + sub.shape[0], ox : ox + sub.shape[1]] = sub
         # clip the halo to the real raster extent (edge tiles are zero-padded)

@@ -80,14 +80,14 @@ def band_stats(tiles_df: DataFrame, gg: GridGeometry, tile_size: int = 64,
     def partial(batches):
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                block = np.frombuffer(r["data"], dtype=bdt).reshape(tile_size, tile_size)
-                vh = min(tile_size, h - r["ty"] * tile_size)
-                vw = min(tile_size, w - r["tx"] * tile_size)
+            for data, ty, tx, band in zip(pdf["data"], pdf["ty"], pdf["tx"], pdf["band"]):
+                block = np.frombuffer(data, dtype=bdt).reshape(tile_size, tile_size)
+                vh = min(tile_size, h - ty * tile_size)
+                vw = min(tile_size, w - tx * tile_size)
                 v = block[:vh, :vw]
                 out.append(
                     {
-                        "band": r["band"],
+                        "band": band,
                         "cnt": v.size,
                         "mn": int(v.min()),
                         "mx": int(v.max()),
@@ -182,9 +182,9 @@ def mask_polygon(tiles_df: DataFrame, gg: GridGeometry, vx: np.ndarray, vy: np.n
         gxs = np.arange(tile_size)
         for pdf in batches:
             datas = []
-            for _, r in pdf.iterrows():
-                block = np.frombuffer(r["data"], dtype=bdt).reshape(tile_size, tile_size).copy()
-                gx, gy = np.meshgrid(r["tx"] * tile_size + gxs, r["ty"] * tile_size + gxs)
+            for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+                block = np.frombuffer(data, dtype=bdt).reshape(tile_size, tile_size).copy()
+                gx, gy = np.meshgrid(tx * tile_size + gxs, ty * tile_size + gxs)
                 cx, cy = g.cell_center_to_crs(gx.ravel(), gy.ravel())
                 m = _geo.points_in_polygon(cx, cy, pvx, pvy).reshape(tile_size, tile_size)
                 block[m != inside] = fill
@@ -225,9 +225,9 @@ def point_eval(tiles_df: DataFrame, points: DataFrame, gg: GridGeometry,
             if len(pdf) == 0:
                 continue
             vals = np.empty(len(pdf), dtype=np.int64)
-            for i, (_, r) in enumerate(pdf.iterrows()):
-                block = np.frombuffer(r["data"], dtype=bdt).reshape(tile_size, tile_size)
-                vals[i] = int(block[r["__gy"] % tile_size, r["__gx"] % tile_size])
+            for i, (data, gy, gx) in enumerate(zip(pdf["data"], pdf["__gy"], pdf["__gx"])):
+                block = np.frombuffer(data, dtype=bdt).reshape(tile_size, tile_size)
+                vals[i] = int(block[gy % tile_size, gx % tile_size])
             out = pdf[keep_cols + ["band"]].copy()
             out["value"] = vals
             yield out
@@ -265,14 +265,14 @@ def zonal_stats(
         gxs = np.arange(tile_size)
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                vh = min(tile_size, h - r["ty"] * tile_size)
-                vw = min(tile_size, w - r["tx"] * tile_size)
+            for data, tx, ty, band in zip(pdf["data"], pdf["tx"], pdf["ty"], pdf["band"]):
+                vh = min(tile_size, h - ty * tile_size)
+                vw = min(tile_size, w - tx * tile_size)
                 if vh <= 0 or vw <= 0:
                     continue
-                gx, gy = np.meshgrid(r["tx"] * tile_size + gxs[:vw], r["ty"] * tile_size + gxs[:vh])
+                gx, gy = np.meshgrid(tx * tile_size + gxs[:vw], ty * tile_size + gxs[:vh])
                 cx, cy = g.cell_center_to_crs(gx.ravel(), gy.ravel())
-                block = np.frombuffer(r["data"], dtype=bdt).reshape(tile_size, tile_size)
+                block = np.frombuffer(data, dtype=bdt).reshape(tile_size, tile_size)
                 vals = block[:vh, :vw].ravel()
                 # tile envelope in CRS
                 txmin, txmax = cx.min(), cx.max()
@@ -289,7 +289,7 @@ def zonal_stats(
                         continue
                     v = vals[m]
                     out.append({
-                        "poly_key": int(keys[part]), "band": int(r["band"]),
+                        "poly_key": int(keys[part]), "band": int(band),
                         "cnt": int(v.size), "sm": int(v.sum(dtype=np.int64)),
                         "mn": int(v.min()), "mx": int(v.max()),
                     })
@@ -345,12 +345,12 @@ def resample(
         gxs = np.arange(tile_size)
         for pdf in batches:
             datas = []
-            for _, r in pdf.iterrows():
-                gx, gy = np.meshgrid(r["tx"] * tile_size + gxs, r["ty"] * tile_size + gxs)
+            for tx, ty, band in zip(pdf["tx"], pdf["ty"], pdf["band"]):
+                gx, gy = np.meshgrid(tx * tile_size + gxs, ty * tile_size + gxs)
                 fx, fy = _tr.affine_apply(center, gx.ravel().astype(np.float64), gy.ravel().astype(np.float64))
                 fx -= 0.5  # to src cell-center coordinates
                 fy -= 0.5
-                v = _interp(s[:, :, r["band"]], fx, fy, method, fill)
+                v = _interp(s[:, :, band], fx, fy, method, fill)
                 block = np.clip(np.rint(v), 0, 255).astype(np.uint8).reshape(tile_size, tile_size)
                 datas.append(block.tobytes())
             yield pd.DataFrame({"tx": pdf.tx, "ty": pdf.ty, "band": pdf.band, "data": datas})
@@ -583,10 +583,10 @@ def overview_level(tiles_df: DataFrame, gg: GridGeometry, tile_size: int = 64,
     def build(key, pdf):
         dtx, dty, band = int(key[0]), int(key[1]), int(key[2])
         mosaic = np.zeros((2 * tile_size, 2 * tile_size), dtype=bdt)
-        for _, r in pdf.iterrows():
-            block = np.frombuffer(r["data"], dtype=bdt).reshape(tile_size, tile_size)
-            oy = (int(r["ty"]) - 2 * dty) * tile_size
-            ox = (int(r["tx"]) - 2 * dtx) * tile_size
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = np.frombuffer(data, dtype=bdt).reshape(tile_size, tile_size)
+            oy = (int(ty) - 2 * dty) * tile_size
+            ox = (int(tx) - 2 * dtx) * tile_size
             mosaic[oy : oy + tile_size, ox : ox + tile_size] = block
         sub = mosaic[::2, ::2]
         return pd.DataFrame(
@@ -628,14 +628,14 @@ def stretch(tiles_df: DataFrame, gg: GridGeometry, tile_size: int = 64,
     def hist_partial(batches):
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                block = np.frombuffer(r["data"], dtype=bdt).reshape(tile_size, tile_size)
-                vh = min(tile_size, h - r["ty"] * tile_size)
-                vw = min(tile_size, w - r["tx"] * tile_size)
+            for data, tx, ty, band in zip(pdf["data"], pdf["tx"], pdf["ty"], pdf["band"]):
+                block = np.frombuffer(data, dtype=bdt).reshape(tile_size, tile_size)
+                vh = min(tile_size, h - ty * tile_size)
+                vw = min(tile_size, w - tx * tile_size)
                 cnt = np.bincount(block[:vh, :vw].ravel(), minlength=256)
                 nz = np.nonzero(cnt)[0]
                 out.append(pd.DataFrame({
-                    "band": r["band"], "value": nz, "cnt": cnt[nz],
+                    "band": band, "value": nz, "cnt": cnt[nz],
                 }))
             if out:
                 yield pd.concat(out)
@@ -686,12 +686,12 @@ def color_ramp(tiles_df: DataFrame, lut: np.ndarray, band: int = 0,
         for pdf in batches:
             out = []
             sel = pdf[pdf["band"] == band]
-            for _, r in sel.iterrows():
-                block = np.frombuffer(r["data"], dtype=bdt)
+            for data, tx, ty in zip(sel["data"], sel["tx"], sel["ty"]):
+                block = np.frombuffer(data, dtype=bdt)
                 rgb = lut[block]  # (n, 3)
                 for ch in range(3):
                     out.append({
-                        "tx": r["tx"], "ty": r["ty"], "band": ch,
+                        "tx": tx, "ty": ty, "band": ch,
                         "data": rgb[:, ch].tobytes(),
                     })
             if out:

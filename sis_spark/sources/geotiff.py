@@ -605,13 +605,14 @@ def geotiff_tiles(spark, buf: bytes, tile_size: int = 64):
         data = bc.value
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = data[int(r["offset"]) : int(r["offset"]) + int(r["count"])]
+            for off, count, rtx, rty in zip(
+                    pdf["offset"], pdf["count"], pdf["tx"], pdf["ty"]):
+                payload = data[int(off) : int(off) + int(count)]
                 if tiled:
-                    y0, x0 = int(r["ty"]) * th, int(r["tx"]) * tw
+                    y0, x0 = int(rty) * th, int(rtx) * tw
                     block = _block_array(payload, comp, th, tw, c, pred, jt)
                 else:
-                    y0, x0 = int(r["ty"]) * th, 0
+                    y0, x0 = int(rty) * th, 0
                     nrows = min(th, h - y0)
                     block = _block_array(payload, comp, nrows, w, c, pred, jt)
                 # re-chunk this native block to engine tiles (floorDiv grid)
@@ -636,9 +637,10 @@ def geotiff_tiles(spark, buf: bytes, tile_size: int = 64):
         tx, ty, band = int(key[0]), int(key[1]), int(key[2])
         out = np.zeros((tile_size, tile_size), dtype=np.uint8)
         oy, ox = ty * tile_size, tx * tile_size
-        for _, r in pdf.iterrows():
-            block = np.frombuffer(r["data"], dtype=np.uint8).reshape(int(r["bh"]), int(r["bw"]))
-            sy, sx = int(r["sy"]), int(r["sx"])
+        for data, bh, bw, sy, sx in zip(
+                pdf["data"], pdf["bh"], pdf["bw"], pdf["sy"], pdf["sx"]):
+            block = np.frombuffer(data, dtype=np.uint8).reshape(int(bh), int(bw))
+            sy, sx = int(sy), int(sx)
             # intersection of native block with this engine tile
             y0 = max(oy, sy)
             y1 = min(oy + tile_size, sy + block.shape[0], h)
