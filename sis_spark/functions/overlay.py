@@ -759,3 +759,54 @@ def st_difference_line_poly_udf():
         return pd.Series(out)
 
     return fn
+
+
+def line_line_intersection_points(avx, avy, bvx, bvy):
+    """ST_Intersection(line, line) under the general-position model: the
+    proper crossing points of two open polylines (dim-1 ∩ dim-1 -> dim-0,
+    the remaining cell of the mixed-dimension intersection matrix; collinear
+    overlap is out of the general-position scope, as in relate.py).
+
+    Vectorized over the (n_edges_a, n_edges_b) parameter grids — the same
+    crossing expressions as relate._cross_edge_sets, here solved for the
+    parametric point.  Returns (px, py) float64 arrays, deduplicated exactly
+    (a shared crossing computed from adjacent edge pairs yields identical
+    IEEE values, so exact dedup suffices)."""
+    avx = np.asarray(avx, np.float64); avy = np.asarray(avy, np.float64)
+    bvx = np.asarray(bvx, np.float64); bvy = np.asarray(bvy, np.float64)
+    a0x, a0y = avx[:-1, None], avy[:-1, None]
+    adx, ady = (avx[1:] - avx[:-1])[:, None], (avy[1:] - avy[:-1])[:, None]
+    b0x, b0y = bvx[None, :-1], bvy[None, :-1]
+    bdx, bdy = (bvx[1:] - bvx[:-1])[None, :], (bvy[1:] - bvy[:-1])[None, :]
+    denom = adx * bdy - ady * bdx
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((b0x - a0x) * bdy - (b0y - a0y) * bdx) / denom
+        u = ((b0x - a0x) * ady - (b0y - a0y) * adx) / denom
+    ok = np.isfinite(t) & (t > 0.0) & (t < 1.0) & (u > 0.0) & (u < 1.0)
+    px = (a0x + adx * t)[ok]
+    py = (a0y + ady * t)[ok]
+    if len(px) == 0:
+        return px, py
+    uniq = np.unique(np.stack([px, py], axis=1), axis=0)
+    return uniq[:, 0], uniq[:, 1]
+
+
+def st_intersection_line_line_udf():
+    """Scalar Arrow UDF (line_wkb, line_wkb) -> MultiPoint WKB of the proper
+    crossing points (empty MultiPoint when the lines do not cross)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from . import geometry as geo
+
+    @F.pandas_udf(T.BinaryType())
+    def fn(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
+        out = []
+        for ab, bb in zip(a_s, b_s):
+            _ta, (avx, avy) = geo.wkb_parse(bytes(ab))
+            _tb, (bvx, bvy) = geo.wkb_parse(bytes(bb))
+            px, py = line_line_intersection_points(avx, avy, bvx, bvy)
+            out.append(bytes(geo.wkb_multipoint(px, py)))
+        return pd.Series(out)
+
+    return fn

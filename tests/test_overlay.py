@@ -299,3 +299,65 @@ def test_st_difference_line_poly_udf(spark):
         st_length_udf()(st_difference_line_poly_udf()(F.col("l"), F.col("p"))).alias("len")
     ).first()
     assert abs(out["len"] - 4.0) < 1e-9
+
+
+def test_line_line_intersection_points_kernel():
+    import numpy as np
+
+    from sis_spark.functions.overlay import line_line_intersection_points
+
+    # X crossing at (0, 0)
+    px, py = line_line_intersection_points(
+        np.array([-1.0, 1.0]), np.array([-1.0, 1.0]),
+        np.array([-1.0, 1.0]), np.array([1.0, -1.0]))
+    assert len(px) == 1 and abs(px[0]) < 1e-15 and abs(py[0]) < 1e-15
+
+    # disjoint parallels
+    px, py = line_line_intersection_points(
+        np.array([0.0, 1.0]), np.array([0.0, 0.0]),
+        np.array([0.0, 1.0]), np.array([1.0, 1.0]))
+    assert len(px) == 0
+
+    # zigzag crossing a horizontal line 3 times
+    px, py = line_line_intersection_points(
+        np.array([0.0, 1, 2, 3]), np.array([-1.0, 1, -1, 1]),
+        np.array([-1.0, 4.0]), np.array([0.0, 0.0]))
+    assert len(px) == 3
+    assert np.allclose(sorted(py), 0.0)
+
+    # brute differential on random polylines
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        a = rng.uniform(-5, 5, (4, 2))
+        b = rng.uniform(-5, 5, (4, 2))
+        px, py = line_line_intersection_points(a[:, 0], a[:, 1], b[:, 0], b[:, 1])
+        count = 0
+        for i in range(3):
+            for j in range(3):
+                p, r = a[i], a[i + 1] - a[i]
+                q, s = b[j], b[j + 1] - b[j]
+                den = r[0] * s[1] - r[1] * s[0]
+                if den == 0:
+                    continue
+                t = ((q - p)[0] * s[1] - (q - p)[1] * s[0]) / den
+                u = ((q - p)[0] * r[1] - (q - p)[1] * r[0]) / den
+                if 0 < t < 1 and 0 < u < 1:
+                    count += 1
+        assert len(px) == count
+
+
+def test_st_intersection_line_line_udf(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sis_spark.functions import geometry as geo
+    from sis_spark.functions.overlay import st_intersection_line_line_udf
+    from sis_spark.functions.sqlmm import st_numpoints_udf
+
+    a = geo.wkb_linestring(np.array([0.0, 1, 2, 3]), np.array([-1.0, 1, -1, 1]))
+    b = geo.wkb_linestring(np.array([-1.0, 4.0]), np.array([0.0, 0.0]))
+    df = spark.createDataFrame([(bytes(a), bytes(b))], "a binary, b binary")
+    out = df.select(
+        st_numpoints_udf()(st_intersection_line_line_udf()(F.col("a"), F.col("b"))).alias("n")
+    ).first()
+    assert out["n"] == 3
