@@ -1182,3 +1182,203 @@ def st_distance_q_udf(scale: float = 1e7):
         ], dtype="int64")
 
     return _f
+
+
+# ------------------------------------------- typed constructors & remaining SQLMM tail
+
+def st_typed_fromtext_udf(expect: str):
+    """ST_PointFromText / ST_LineFromText / ST_PolyFromText /
+    ST_MPointFromText / ST_MLineFromText / ST_MPolyFromText /
+    ST_GeomCollFromText (SQLMM.java:337,421,507,611,649,687,573):
+    ST_GeomFromText restricted to one geometry type.  NULL on type mismatch
+    (the reference raises; NULL keeps SQL pipelines usable — the same
+    documented deviation as the ST_To* casts)."""
+    want = expect.lower()
+
+    @F.pandas_udf(T.BinaryType())
+    def _f(wkt: pd.Series) -> pd.Series:
+        out = []
+        for s in wkt:
+            typ, val = wkt_parse(s)
+            out.append(geo.wkb_write(typ, val) if typ == want else None)
+        return pd.Series(out)
+
+    return _f
+
+
+def st_typed_fromwkb_udf(expect: str):
+    """ST_PointFromWKB / ST_LineFromWKB / ST_PolyFromWKB / ST_MPointFromWKB /
+    ST_MLineFromWKB / ST_MPolyFromWKB / ST_GeomCollFromWKB
+    (SQLMM.java:350,434,520,624,662,700,586): pass-through with a type
+    gate — NULL unless the WKB already encodes the expected type."""
+    want = expect.lower()
+
+    @F.pandas_udf(T.BinaryType())
+    def _f(wkb: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb:
+            typ, _val = geo.wkb_parse(bytes(b))
+            out.append(bytes(b) if typ == want else None)
+        return pd.Series(out)
+
+    return _f
+
+
+def bdpoly_assemble(typ: str, val):
+    """Closed rings of a (Multi)LineString -> list of polygons (each a ring
+    list [shell, holes...]).  Shells are rings not contained in any other
+    ring; every other ring becomes a hole of the smallest containing shell
+    (general-position model: rings never touch).  None if any line is not
+    a closed ring of >= 4 points."""
+    lines = [val] if typ == "linestring" else list(val)
+    rings = []
+    for vx, vy in lines:
+        vx = np.asarray(vx, np.float64)
+        vy = np.asarray(vy, np.float64)
+        if len(vx) < 4 or vx[0] != vx[-1] or vy[0] != vy[-1]:
+            return None
+        rings.append((vx[:-1], vy[:-1]))
+    areas = [abs(shoelace_area(vx, vy)) for vx, vy in rings]
+    order = sorted(range(len(rings)), key=lambda i: -areas[i])
+    polys: list[list] = []  # each [(shell_idx, [hole rings...])]
+    shell_area: list[float] = []
+    for i in order:
+        vx, vy = rings[i]
+        best = None
+        for pi, (sj, _holes) in enumerate(polys):
+            svx, svy = rings[sj]
+            if geo.points_in_polygon(vx[:1], vy[:1], svx, svy)[0]:
+                if best is None or shell_area[pi] < shell_area[best]:
+                    best = pi
+        if best is None:
+            polys.append((i, []))
+            shell_area.append(areas[i])
+        else:
+            polys[best][1].append(i)
+    out = []
+    for sj, holes in polys:
+        out.append([rings[sj]] + [rings[h] for h in holes])
+    return out
+
+
+def st_bdpolyfrom_udf(multi: bool = False):
+    """ST_BdPolyFromText/WKB (single shell) and ST_BdMPolyFromText/WKB
+    (SQLMM.java:529,538,708,714) over a WKB (Multi)LineString column: build
+    polygon(s) whose boundary is the given ring set.  The *FromText variants
+    compose with st_geomfromtext_udf.  NULL when the input is not all
+    closed rings, or (single form) when more than one shell results."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _f(wkb: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb:
+            typ, val = geo.wkb_parse(bytes(b))
+            if typ not in ("linestring", "multilinestring"):
+                out.append(None)
+                continue
+            polys = bdpoly_assemble(typ, val)
+            if polys is None:
+                out.append(None)
+            elif multi:
+                out.append(geo.wkb_write("multipolygon", polys))
+            elif len(polys) != 1:
+                out.append(None)
+            else:
+                out.append(geo.wkb_polygon(polys[0]))
+        return pd.Series(out)
+
+    return _f
+
+
+def st_is3d_udf():
+    """ST_Is3D (SQLMM.java:99): constant False — the engine's geometry model
+    is 2-D (documented in COVERAGE.md); the WKB parse still runs so invalid
+    input raises rather than silently returning False."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _f(wkb: pd.Series) -> pd.Series:
+        return pd.Series([bool(geo.wkb_parse(bytes(b)) and False) for b in wkb])
+
+    return _f
+
+
+def st_ismeasured_udf():
+    """ST_IsMeasured (SQLMM.java:106): constant False (no M coordinate in
+    the 2-D model); parse-validated like st_is3d_udf."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _f(wkb: pd.Series) -> pd.Series:
+        return pd.Series([bool(geo.wkb_parse(bytes(b)) and False) for b in wkb])
+
+    return _f
+
+
+def st_explicitpoint_udf():
+    """ST_ExplicitPoint (SQLMM.java:324): the coordinate array [x, y] of a
+    Point (NULL for any other type — the reference's operand is a point)."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _f(wkb: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb:
+            typ, val = geo.wkb_parse(bytes(b))
+            out.append([float(val[0]), float(val[1])] if typ == "point" else None)
+        return pd.Series(out)
+
+    return _f
+
+
+def simplify_dp_preserve(vx: np.ndarray, vy: np.ndarray, tol: float, is_ring: bool):
+    """Douglas-Peucker that preserves validity: halve the tolerance until the
+    simplified chain is simple (no self-intersection) and, for rings, keeps
+    >= 3 distinct vertices.  The reference delegates to JTS's
+    TopologyPreservingSimplifier (SQLMM.java:762); tolerance-halving is an
+    original approximation with the same contract (output is always valid,
+    simplification may be less aggressive)."""
+    from .overlay import line_line_intersection_points
+
+    t = tol
+    for _ in range(32):
+        svx, svy = simplify_dp(vx, vy, t)
+        if is_ring:
+            ok = len(svx) >= 3 and is_simple_ring(svx, svy)
+        else:
+            # open chain: simple iff it has no proper self-crossing (edge vs
+            # itself has zero denom, adjacent edges share an endpoint — both
+            # excluded by the strict 0<t,u<1 crossing test)
+            px, _py = line_line_intersection_points(svx, svy, svx, svy)
+            ok = len(svx) >= 2 and len(px) == 0
+        if ok:
+            return svx, svy
+        t *= 0.5
+    return vx, vy
+
+
+def st_simplify_preserve_udf(tol: float):
+    """ST_SimplifyPreserveTopology (SQLMM.java:762) over WKB linestrings and
+    polygons: never collapses a ring below a valid triangle and never
+    introduces a self-intersection (tolerance-halving fallback)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _f(wkb: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb:
+            typ, val = geo.wkb_parse(bytes(b))
+            if typ == "linestring":
+                vx, vy = simplify_dp_preserve(
+                    np.asarray(val[0]), np.asarray(val[1]), tol, is_ring=False)
+                out.append(geo.wkb_linestring(vx, vy))
+            elif typ == "polygon":
+                rings = []
+                for vx, vy in val:
+                    closed = len(vx) >= 2 and vx[0] == vx[-1] and vy[0] == vy[-1]
+                    if closed:
+                        vx, vy = vx[:-1], vy[:-1]
+                    rings.append(simplify_dp_preserve(
+                        np.asarray(vx), np.asarray(vy), tol, is_ring=True))
+                out.append(geo.wkb_polygon(rings))
+            else:
+                out.append(bytes(b))
+        return pd.Series(out)
+
+    return _f

@@ -412,3 +412,109 @@ def test_geom_distance_known_and_sampled():
                           + (qa[:, None] - qb[None, :]) ** 2).min())
         assert got <= approx + 1e-9
         assert approx - got < 0.05  # dense sampling converges from above
+
+
+# ---------------------------------------------- typed constructors + SQLMM tail
+
+def test_typed_from_text_and_wkb(spark):
+    from pyspark.sql import functions as F
+
+    from sis_spark.functions.sqlmm import (
+        st_astext_udf, st_geomfromtext_udf, st_typed_fromtext_udf,
+        st_typed_fromwkb_udf)
+
+    df = spark.createDataFrame(
+        [("POINT (1 2)",), ("LINESTRING (0 0, 1 1)",),
+         ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",)], "wkt string")
+    out = df.select(
+        "wkt",
+        st_typed_fromtext_udf("point")(F.col("wkt")).alias("as_pt"),
+        st_typed_fromtext_udf("linestring")(F.col("wkt")).alias("as_ln"),
+        st_typed_fromwkb_udf("polygon")(
+            st_geomfromtext_udf()(F.col("wkt"))).alias("as_pl"),
+    ).collect()
+    by = {r["wkt"].split(" ")[0]: r for r in out}
+    assert by["POINT"]["as_pt"] is not None and by["POINT"]["as_ln"] is None
+    assert by["LINESTRING"]["as_ln"] is not None and by["LINESTRING"]["as_pt"] is None
+    assert by["POLYGON"]["as_pl"] is not None and by["POINT"]["as_pl"] is None
+
+
+def test_bdpoly_from_rings(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sis_spark.functions import geometry as geo
+    from sis_spark.functions.sqlmm import (
+        st_area_udf, st_bdpolyfrom_udf, st_numinteriorrings_udf)
+
+    shell = (np.array([0.0, 10, 10, 0, 0]), np.array([0.0, 0, 10, 10, 0]))
+    hole = (np.array([2.0, 4, 4, 2, 2]), np.array([2.0, 2, 4, 4, 2]))
+    far = (np.array([100.0, 101, 101, 100, 100]), np.array([0.0, 0, 1, 1, 0]))
+    ml2 = geo.wkb_write("multilinestring", [shell, hole])
+    ml3 = geo.wkb_write("multilinestring", [shell, hole, far])
+    open_line = geo.wkb_linestring(np.array([0.0, 1.0]), np.array([0.0, 1.0]))
+    df = spark.createDataFrame(
+        [(bytes(ml2), bytes(ml3), bytes(open_line))], "ml2 binary, ml3 binary, op binary")
+    r = df.select(
+        st_area_udf()(st_bdpolyfrom_udf()(F.col("ml2"))).alias("a2"),
+        st_numinteriorrings_udf()(st_bdpolyfrom_udf()(F.col("ml2"))).alias("h2"),
+        st_bdpolyfrom_udf()(F.col("ml3")).alias("single3"),
+        st_area_udf()(st_bdpolyfrom_udf(multi=True)(F.col("ml3"))).alias("a3"),
+        st_bdpolyfrom_udf()(F.col("op")).alias("bad"),
+    ).first()
+    assert abs(r["a2"] - 96.0) < 1e-9        # 100 - 4 hole
+    assert r["h2"] == 1
+    assert r["single3"] is None              # two shells -> not a single polygon
+    assert abs(r["a3"] - 97.0) < 1e-9        # 96 + 1
+    assert r["bad"] is None                  # open line is no ring
+
+
+def test_is3d_ismeasured_explicitpoint(spark):
+    from pyspark.sql import functions as F
+
+    from sis_spark.functions.sqlmm import (
+        st_explicitpoint_udf, st_geomfromtext_udf, st_is3d_udf,
+        st_ismeasured_udf)
+
+    df = spark.createDataFrame([("POINT (3 4)",), ("LINESTRING (0 0, 1 1)",)],
+                               "wkt string")
+    g = st_geomfromtext_udf()(F.col("wkt"))
+    out = df.select(
+        "wkt",
+        st_is3d_udf()(g).alias("z"),
+        st_ismeasured_udf()(g).alias("m"),
+        st_explicitpoint_udf()(g).alias("xy"),
+    ).collect()
+    for r in out:
+        assert r["z"] is False and r["m"] is False
+    by = {r["wkt"].split(" ")[0]: r for r in out}
+    assert by["POINT"]["xy"] == [3.0, 4.0]
+    assert by["LINESTRING"]["xy"] is None
+
+
+def test_simplify_preserve_topology(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sis_spark.functions import geometry as geo
+    from sis_spark.functions.sqlmm import (
+        is_simple_ring, simplify_dp, simplify_dp_preserve, st_numpoints_udf,
+        st_simplify_preserve_udf)
+
+    # ring where plain DP at huge tolerance collapses below a triangle
+    ang = np.linspace(0, 2 * np.pi, 9)[:-1]
+    vx = np.cos(ang) * (1 + 0.05 * np.sin(5 * ang + 0.3))
+    vy = np.sin(ang) * (1 + 0.05 * np.sin(5 * ang + 0.3))
+    svx, svy = simplify_dp_preserve(vx, vy, 10.0, is_ring=True)
+    assert len(svx) >= 3 and is_simple_ring(svx, svy)
+
+    poly = geo.wkb_polygon([(vx, vy)])
+    df = spark.createDataFrame([(bytes(poly),)], "g binary")
+    n = df.select(
+        st_numpoints_udf()(st_simplify_preserve_udf(10.0)(F.col("g"))).alias("n")
+    ).first()["n"]
+    assert n >= 4  # closed ring keeps at least a triangle
+
+    # small tolerance: no change
+    s2x, s2y = simplify_dp_preserve(vx, vy, 1e-9, is_ring=True)
+    assert np.array_equal(s2x, vx) and np.array_equal(s2y, vy)
