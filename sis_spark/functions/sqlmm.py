@@ -113,6 +113,14 @@ def wkt_parse(s: str):
     reference parser is F/geometry/wrapper/ — our grammar is original)."""
     s = s.strip()
     s_up = s.upper()
+    if s_up.endswith(" EMPTY"):  # ISO empty-set form, e.g. MULTIPOINT EMPTY
+        head = s_up[:-6].strip()
+        empty = {"GEOMETRYCOLLECTION": ("geomcollection", []),
+                 "MULTIPOINT": ("multipoint", []),
+                 "MULTILINESTRING": ("multilinestring", []),
+                 "MULTIPOLYGON": ("multipolygon", [])}
+        if head in empty:
+            return empty[head]
     if s_up.startswith("GEOMETRYCOLLECTION"):
         body = _strip1(s[len("GEOMETRYCOLLECTION"):])
         members = [wkt_parse(m) for m in _split_top(body)] if body.strip() else []
@@ -164,16 +172,24 @@ def wkt_format(typ: str, val) -> str:
     if typ == "polygon":
         return "POLYGON (" + ", ".join(_wkt_ring(vx, vy) for vx, vy in val) + ")"
     if typ == "multipoint":
+        if not len(val):
+            return "MULTIPOINT EMPTY"
         return "MULTIPOINT (" + ", ".join(f"({x!r} {y!r})" for x, y in val) + ")"
     if typ == "multilinestring":
+        if not len(val):
+            return "MULTILINESTRING EMPTY"
         return "MULTILINESTRING (" + ", ".join(
             "(" + ", ".join(f"{x!r} {y!r}" for x, y in zip(vx, vy)) + ")"
             for vx, vy in val) + ")"
     if typ == "multipolygon":
+        if not len(val):
+            return "MULTIPOLYGON EMPTY"
         return "MULTIPOLYGON (" + ", ".join(
             "(" + ", ".join(_wkt_ring(vx, vy) for vx, vy in rings) + ")"
             for rings in val) + ")"
     if typ == "geomcollection":
+        if not len(val):
+            return "GEOMETRYCOLLECTION EMPTY"
         return "GEOMETRYCOLLECTION (" + ", ".join(
             wkt_format(t, v) for t, v in val) + ")"
     raise ValueError(f"unsupported geometry type {typ!r}")
