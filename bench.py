@@ -33,6 +33,9 @@ HEADLINE = [
     "knn_cells",              # distributed k-ring kNN (r2)
     "minhash_lsh",
     "ann_topk",
+    "ann_ivf",             # IVF posting-list ANN incl. k-means training (r2)
+    "line_predicates",     # line-vs-polygon DE-9IM join (r2)
+    "nearest_line",        # map-matching top-1 distance join (r2)
     "images_pipeline",
     "images_codec",        # decode + feature extraction over real PNG/JPEG bytes
 ]
