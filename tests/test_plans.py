@@ -112,3 +112,25 @@ def test_banded_near_dup_no_nested_loop_join(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_ivf_no_nested_loop_join(spark, sf_dir):
+    """The IVF search is a broadcast probe-table equi-join against the
+    posting-list assignment — per query it touches ~nprobe/nlist of the
+    collection; no all-pairs join may appear anywhere in the plan."""
+    from sis_spark.queries import q_ann_ivf
+
+    plan = _plan(q_ann_ivf(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_nearest_line_plan_is_map_only(spark, sf_dir):
+    """nearest_line is broadcast-dim: the line table ships in the UDF
+    closure, so the plan has NO join and NO shuffle at all — one scan
+    feeding one Arrow stage."""
+    from sis_spark.queries import q_nearest_line
+
+    plan = _plan(q_nearest_line(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
