@@ -150,8 +150,19 @@ def _build_tables():
 _HUFF = _build_tables()  # same tables for luma and chroma (both embedded in DHT)
 
 
+_LUT_CACHE: dict = {}
+
+
 def _decode_lut(bits: list[int], syms: list[int]) -> tuple[np.ndarray, np.ndarray]:
-    """16-bit-peek lookup tables: value -> (symbol, code length)."""
+    """16-bit-peek lookup tables: value -> (symbol, code length).
+
+    Memoized on the (bits, syms) spec — a decode-heavy pipeline (e.g. the
+    images_codec bench, 20k images sharing one DHT) otherwise rebuilds two
+    64 KiB tables per image."""
+    key = (tuple(bits), tuple(syms))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
     lut_len = np.zeros(1 << 16, dtype=np.uint8)
     lut_sym = np.zeros(1 << 16, dtype=np.uint8)
     code = 0
@@ -165,6 +176,9 @@ def _decode_lut(bits: list[int], syms: list[int]) -> tuple[np.ndarray, np.ndarra
             code += 1
             i += 1
         code <<= 1
+    if len(_LUT_CACHE) > 64:  # bound the cache; specs are few in practice
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = (lut_len, lut_sym)
     return lut_len, lut_sym
 
 
