@@ -332,3 +332,117 @@ def st_predicate_line_line_udf(name: str):
         )
 
     return pred
+
+
+# ------------------------------------------------ any-type dispatch (SQL surface)
+#
+# SQLMM's binary predicates accept ANY geometry pair (SQLMM.java:165-231;
+# the reference funnels every combination through GeometryWrapper.predicate,
+# GeometryWrapper.java:287).  The engine's typed kernels above cover the
+# polygon/polygon, line/polygon and line/line cells; the point cells are
+# decidable exactly (vertex equality and orientation==0 are exact in
+# doubles for exactly-representable inputs), so the full simple-geometry
+# matrix dispatches here.  Multi*/collection operands stay out of the
+# general-position model and raise.
+
+_FALSE_PREDS = {
+    "intersects": False, "disjoint": True, "contains": False, "within": False,
+    "equals": False, "overlaps": False, "touches": False, "crosses": False,
+}
+
+
+def _transpose_preds(p: dict) -> dict:
+    q = dict(p)
+    q["contains"], q["within"] = p["within"], p["contains"]
+    return q
+
+
+def _point_on_segments(px: float, py: float, vx: np.ndarray, vy: np.ndarray) -> bool:
+    """Exact on-open-polyline test: zero orientation + bbox containment."""
+    ax, ay, bx, by = _open_edges(np.asarray(vx, float), np.asarray(vy, float))
+    o = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    inbox = (np.minimum(ax, bx) <= px) & (px <= np.maximum(ax, bx)) & \
+            (np.minimum(ay, by) <= py) & (py <= np.maximum(ay, by))
+    return bool(((o == 0.0) & inbox).any())
+
+
+def _point_point(a, b) -> dict:
+    eq = float(a[0]) == float(b[0]) and float(a[1]) == float(b[1])
+    p = dict(_FALSE_PREDS)
+    p.update(intersects=eq, disjoint=not eq, equals=eq, contains=eq, within=eq)
+    return p
+
+
+def _point_line(pt, lvx, lvy) -> dict:
+    """Point (dim 0) vs LineString (dim 1): boundary of the line is its two
+    endpoints, so endpoint coincidence is TOUCHES; interior incidence is
+    WITHIN."""
+    px, py = float(pt[0]), float(pt[1])
+    at_end = (px == float(lvx[0]) and py == float(lvy[0])) or \
+             (px == float(lvx[-1]) and py == float(lvy[-1]))
+    on = at_end or _point_on_segments(px, py, lvx, lvy)
+    p = dict(_FALSE_PREDS)
+    p.update(
+        intersects=on, disjoint=not on,
+        within=on and not at_end, touches=at_end,
+    )
+    return p
+
+
+def _point_polygon(pt, poly: dict) -> dict:
+    """Point vs polygon: even-odd membership (holes subtract); boundary
+    incidence is outside the general-position model (touches stays False)."""
+    inside = bool(
+        geo.points_in_polygon_with_holes(
+            np.asarray([pt[0]], float), np.asarray([pt[1]], float), _rings_of(poly)
+        )[0]
+    )
+    p = dict(_FALSE_PREDS)
+    p.update(intersects=inside, disjoint=not inside, within=inside)
+    return p
+
+
+def relate_any_wkb(a_buf: bytes, b_buf: bytes) -> dict:
+    """Eight DE-9IM predicates for any simple-geometry WKB pair."""
+    from ..sources import polygons_from_wkb
+
+    ta, va = geo.wkb_parse(bytes(a_buf))
+    tb, vb = geo.wkb_parse(bytes(b_buf))
+    pair = (ta, tb)
+    if pair == ("polygon", "polygon"):
+        return relate_polygons_wkb(a_buf, b_buf)
+    if pair == ("linestring", "linestring"):
+        return relate_lines_wkb(a_buf, b_buf)
+    if pair == ("linestring", "polygon"):
+        return relate_line_polygon_wkb(a_buf, b_buf)
+    if pair == ("polygon", "linestring"):
+        return _transpose_preds(relate_line_polygon_wkb(b_buf, a_buf))
+    if pair == ("point", "point"):
+        return _point_point(va, vb)
+    if pair == ("point", "linestring"):
+        return _point_line(va, vb[0], vb[1])
+    if pair == ("linestring", "point"):
+        return _transpose_preds(_point_line(vb, va[0], va[1]))
+    if pair == ("point", "polygon"):
+        (pb,) = polygons_from_wkb([(0, b_buf)])
+        return _point_polygon(va, pb)
+    if pair == ("polygon", "point"):
+        (pa,) = polygons_from_wkb([(0, a_buf)])
+        return _transpose_preds(_point_polygon(vb, pa))
+    raise ValueError(f"unsupported predicate operand pair: {ta} x {tb}")
+
+
+def st_predicate_any_udf(name: str):
+    """Scalar Arrow UDF (wkb_a, wkb_b) -> boolean; any simple-geometry pair."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    key = name.lower().replace("st_", "")
+
+    @F.pandas_udf(T.BooleanType())
+    def pred(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [relate_any_wkb(bytes(a), bytes(b))[key] for a, b in zip(a_s, b_s)]
+        )
+
+    return pred

@@ -138,3 +138,69 @@ def test_polygon_pair_join_multi(spark):
     assert got[(1, 3)] == (False, False)  # one member of 3 escapes
     assert (2, 3) not in got              # members pairwise disjoint
     assert all(4 not in pair for pair in got)  # key 4 intersects nothing
+
+
+# --------------------------------------------- any-type dispatch (SQL surface)
+
+class TestRelateAny:
+    """relate_any_wkb: full simple-geometry predicate matrix."""
+
+    def _geoms(self):
+        from sis_spark.functions.geometry import wkb_point, wkb_polygon, wkb_linestring
+
+        sq = wkb_polygon([([0.0, 4.0, 4.0, 0.0, 0.0], [0.0, 0.0, 4.0, 4.0, 0.0])])
+        line_in = wkb_linestring([1.0, 3.0], [1.0, 3.0])
+        line_cross = wkb_linestring([-1.0, 5.0], [2.0, 2.0])
+        return sq, line_in, line_cross
+
+    def test_point_point(self):
+        from sis_spark.functions.geometry import wkb_point
+        from sis_spark.functions.relate import relate_any_wkb
+
+        p = relate_any_wkb(wkb_point(1.0, 2.0), wkb_point(1.0, 2.0))
+        assert p["equals"] and p["intersects"] and p["within"] and p["contains"]
+        q = relate_any_wkb(wkb_point(1.0, 2.0), wkb_point(1.0, 2.5))
+        assert q["disjoint"] and not q["intersects"]
+
+    def test_point_polygon_both_orders(self):
+        from sis_spark.functions.geometry import wkb_point
+        from sis_spark.functions.relate import relate_any_wkb
+
+        sq, _, _ = self._geoms()
+        pin, pout = wkb_point(1.0, 1.0), wkb_point(9.0, 9.0)
+        assert relate_any_wkb(pin, sq)["within"]
+        assert not relate_any_wkb(pin, sq)["contains"]
+        assert relate_any_wkb(sq, pin)["contains"]
+        assert relate_any_wkb(pout, sq)["disjoint"]
+
+    def test_point_line(self):
+        from sis_spark.functions.geometry import wkb_point, wkb_linestring
+        from sis_spark.functions.relate import relate_any_wkb
+
+        line = wkb_linestring([0.0, 2.0, 4.0], [0.0, 2.0, 0.0])
+        mid = relate_any_wkb(wkb_point(1.0, 1.0), line)     # on first segment
+        assert mid["intersects"] and mid["within"] and not mid["touches"]
+        end = relate_any_wkb(wkb_point(0.0, 0.0), line)     # endpoint = boundary
+        assert end["intersects"] and end["touches"] and not end["within"]
+        off = relate_any_wkb(wkb_point(1.0, 1.5), line)
+        assert off["disjoint"]
+        # transposed order swaps contains/within
+        assert relate_any_wkb(line, wkb_point(1.0, 1.0))["contains"]
+
+    def test_line_polygon_both_orders(self):
+        from sis_spark.functions.relate import relate_any_wkb
+
+        sq, line_in, line_cross = self._geoms()
+        assert relate_any_wkb(line_in, sq)["within"]
+        assert relate_any_wkb(sq, line_in)["contains"]
+        assert relate_any_wkb(line_cross, sq)["crosses"]
+        assert relate_any_wkb(sq, line_cross)["crosses"]
+
+    def test_unsupported_multi_raises(self):
+        import pytest
+        from sis_spark.functions.geometry import wkb_multipoint, wkb_point
+        from sis_spark.functions.relate import relate_any_wkb
+
+        mp = wkb_multipoint([1.0, 2.0], [1.0, 2.0])
+        with pytest.raises(ValueError):
+            relate_any_wkb(mp, wkb_point(1.0, 1.0))
