@@ -29,6 +29,8 @@ batch them per Arrow block over WKB columns.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 
@@ -402,10 +404,19 @@ def _point_polygon(pt, poly: dict) -> dict:
     return p
 
 
-def relate_any_wkb(a_buf: bytes, b_buf: bytes) -> dict:
-    """Eight DE-9IM predicates for any simple-geometry WKB pair."""
+@functools.lru_cache(maxsize=256)
+def _parsed_polygon(buf: bytes) -> dict:
+    """Normalized polygon parse, memoized on the raw bytes — a literal
+    operand (ST_PolyFromText('...') in a WHERE clause) repeats on every
+    row of a batch, so it is parsed once."""
     from ..sources import polygons_from_wkb
 
+    (p,) = polygons_from_wkb([(0, buf)])
+    return p
+
+
+def relate_any_wkb(a_buf: bytes, b_buf: bytes) -> dict:
+    """Eight DE-9IM predicates for any simple-geometry WKB pair."""
     ta, va = geo.wkb_parse(bytes(a_buf))
     tb, vb = geo.wkb_parse(bytes(b_buf))
     pair = (ta, tb)
@@ -424,16 +435,18 @@ def relate_any_wkb(a_buf: bytes, b_buf: bytes) -> dict:
     if pair == ("linestring", "point"):
         return _transpose_preds(_point_line(vb, va[0], va[1]))
     if pair == ("point", "polygon"):
-        (pb,) = polygons_from_wkb([(0, b_buf)])
-        return _point_polygon(va, pb)
+        return _point_polygon(va, _parsed_polygon(bytes(b_buf)))
     if pair == ("polygon", "point"):
-        (pa,) = polygons_from_wkb([(0, a_buf)])
-        return _transpose_preds(_point_polygon(vb, pa))
+        return _transpose_preds(_point_polygon(vb, _parsed_polygon(bytes(a_buf))))
     raise ValueError(f"unsupported predicate operand pair: {ta} x {tb}")
 
 
 def st_predicate_any_udf(name: str):
-    """Scalar Arrow UDF (wkb_a, wkb_b) -> boolean; any simple-geometry pair."""
+    """Scalar Arrow UDF (wkb_a, wkb_b) -> boolean; any simple-geometry pair.
+
+    Pair results are memoized per batch on the raw byte pair — a literal
+    operand (e.g. ST_PolyFromText('...') in a WHERE clause) repeats on
+    every row, so each distinct pair is classified once."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -441,8 +454,14 @@ def st_predicate_any_udf(name: str):
 
     @F.pandas_udf(T.BooleanType())
     def pred(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
-        return pd.Series(
-            [relate_any_wkb(bytes(a), bytes(b))[key] for a, b in zip(a_s, b_s)]
-        )
+        memo: dict = {}
+        out = []
+        for a, b in zip(a_s, b_s):
+            k = (bytes(a), bytes(b))
+            v = memo.get(k)
+            if v is None:
+                v = memo[k] = relate_any_wkb(k[0], k[1])[key]
+            out.append(v)
+        return pd.Series(out)
 
     return pred

@@ -1412,6 +1412,48 @@ GROUP BY p.event_id
 HAVING (count(*) % 2) = 1"""
 
 
+def q_sqlmm_registry(spark, sf_dir):
+    """The SQL-callable SQLMM surface end-to-end: the reference registers
+    every SQLMM constant with the filter factory so query TEXT can call
+    them by name (F/filter/sqlmm/Registry.java:62); register_sqlmm exposes
+    the same names via spark.udf.register and this whole gate is a SQL
+    string — ST_Point construction, typed parse of a polygon literal,
+    ST_GeometryType, and the any-pair predicate dispatch in BOTH operand
+    orders (point-in-polygon within / transposed intersects)."""
+    from .functions.register import register_sqlmm
+    from .functions.sqlmm import wkt_format_polygon
+
+    register_sqlmm(spark)
+    _events_points(spark, sf_dir).filter(
+        F.col("event_id") % 9 == 3
+    ).createOrReplaceTempView("gate_pts")
+    vx, vy = synth.polygon_vertices_np(5)
+    wkt = wkt_format_polygon(vx, vy)
+    return spark.sql(
+        f"""
+SELECT event_id,
+       ST_GeometryType(g) AS gtype,
+       ST_Within(g, ST_PolyFromText('{wkt}')) AS inside,
+       ST_Intersects(ST_PolyFromText('{wkt}'), g) AS covers
+FROM (SELECT event_id, ST_Point(lon, lat) AS g FROM gate_pts)"""
+    )
+
+
+def q_sqlmm_registry_oracle():
+    return f"""
+WITH {synth.polygon_vertices_sql("(SELECT 5 AS s_suppkey)")},
+pts AS (SELECT * FROM ({_points_sql()}) WHERE event_id % 9 = 3),
+pip AS (
+  SELECT p.event_id,
+         (sum(CASE WHEN ((e.vy > p.lat) <> (e.wy > p.lat))
+                    AND (p.lon < (e.wx - e.vx) * (p.lat - e.vy) / (e.wy - e.vy) + e.vx)
+              THEN 1 ELSE 0 END) % 2) = 1 AS inside
+  FROM pts p CROSS JOIN edges e
+  GROUP BY p.event_id)
+SELECT event_id, 'ST_Point' AS gtype, inside, inside AS covers
+FROM pip ORDER BY event_id"""
+
+
 def q_match_action(spark, sf_dir):
     """MatchAction ANY/ALL/ONE over a multi-valued attribute
     (ComparisonFilter.java:79-82,421-431): per-order quantity arrays,
@@ -2016,6 +2058,7 @@ QUERIES = {
     "st_union": (q_st_union, q_st_union_oracle),
     "match_action": (q_match_action, q_match_action_oracle),
     "st_contains": (q_st_contains, q_st_contains_oracle),
+    "sqlmm_registry": (q_sqlmm_registry, q_sqlmm_registry_oracle),
     "halfplane_clip": (q_halfplane_clip, q_halfplane_clip_oracle),
     "utm_zones": (q_utm_zones, q_utm_zones_oracle),
     "images_metadata": (q_images_metadata, q_images_metadata_oracle),
