@@ -38,6 +38,7 @@ HEADLINE = [
     "nearest_line",        # map-matching top-1 distance join (r2)
     "images_pipeline",
     "images_codec",        # decode + feature extraction over real PNG/JPEG bytes
+    "geotiff_jpeg",        # GeoTIFF-JPEG write + distributed tile decode + stats (r2)
 ]
 
 
@@ -88,6 +89,26 @@ def run_queries(spark, sf_dir: str, names=None):
             # image pipeline, deliberately kept as its own headline number
             img = images_table(spark, 8000)
             image_features(img).count()
+        elif name == "geotiff_jpeg":
+            import numpy as np
+
+            from sis_spark.raster.tiles import band_stats
+            from sis_spark.sources.geotiff import encode_geotiff, geotiff_tiles
+
+            # deterministic RGB scene -> driver-side JPEG-in-TIFF encode
+            # (pure-numpy T.81, 1024 64x64 blocks), then the deferred-decode
+            # distributed read + per-band Statistics combine
+            yy, xx = np.mgrid[0:2048, 0:2048]
+            arr = np.stack(
+                [(xx * 7 + yy * 13) % 256, (xx ^ yy) % 256, (xx * 3 + yy * 5) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+            buf = encode_geotiff(
+                arr, affine=(0.01, 0.0, -60.0, 0.0, -0.01, 50.0),
+                tile_size=64, compression="jpeg",
+            )
+            tiles, gg = geotiff_tiles(spark, buf, tile_size=64)
+            band_stats(tiles, gg).count()
         else:
             QUERIES[name][0](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)

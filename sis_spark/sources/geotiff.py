@@ -592,8 +592,7 @@ def geotiff_tiles(spark, buf: bytes, tile_size: int = 64):
     tw, th, comp, tiled = info["tile_w"], info["tile_h"], info["compression"], info["tiled"]
     pred = info["predictor"]
     jt = info.get("jpeg_tables")
-    if tiled and tw == tile_size and th == tile_size:
-        pass  # native grid == engine grid: no re-chunk needed
+    aligned = bool(tiled and tw == tile_size and th == tile_size)
     bc = spark.sparkContext.broadcast(buf)
 
     manifest = pd.DataFrame(info["blocks"])
@@ -627,6 +626,38 @@ def geotiff_tiles(spark, buf: bytes, tile_size: int = 64):
                             })
             if rows:
                 yield pd.DataFrame(rows)
+
+    if aligned:
+        # Native grid == engine grid: each block IS one engine tile per
+        # band — decode straight to the final shape, no explode, NO SHUFFLE
+        # (the groupBy-assemble below exists only for mis-aligned grids).
+        def inflate_aligned(batches):
+            data = bc.value
+            for pdf in batches:
+                rows = []
+                for off, count, rtx, rty in zip(
+                        pdf["offset"], pdf["count"], pdf["tx"], pdf["ty"]):
+                    payload = data[int(off) : int(off) + int(count)]
+                    block = _block_array(payload, comp, th, tw, c, pred, jt)
+                    y0, x0 = int(rty) * th, int(rtx) * tw
+                    # zero the padding beyond the image extent so the
+                    # output is bit-identical to the assemble path
+                    vy, vx = min(th, h - y0), min(tw, w - x0)
+                    if vy < th or vx < tw:
+                        block = block.copy()
+                        block[vy:, :, :] = 0
+                        block[:, vx:, :] = 0
+                    for band in range(c):
+                        rows.append({
+                            "tx": int(rtx), "ty": int(rty), "band": band,
+                            "data": block[:, :, band].tobytes(),
+                        })
+                if rows:
+                    yield pd.DataFrame(rows)
+
+        tiles_df = mdf.mapInPandas(inflate_aligned, schema=TILE_SCHEMA)
+        gg = GridGeometry((0, 0, w - 1, h - 1), info["affine"], "EPSG:4326") if info["affine"] else None
+        return tiles_df, gg
 
     pieces = mdf.mapInPandas(
         inflate,

@@ -193,3 +193,26 @@ def test_geotiff_tiles_reads_predictor2(spark):
     tiles_df, gg = geotiff_tiles(spark, buf, tile_size=64)
     got = tiles_to_raster(tiles_df, gg, 64)
     assert np.array_equal(got[:, :, 0], arr)
+
+
+def test_aligned_read_has_no_shuffle(spark):
+    """Native tile grid == engine grid: the deferred read must decode
+    straight to final tiles with NO Exchange (the groupBy-assemble stage
+    exists only for mis-aligned layouts)."""
+    arr = _img(5, 130, 190, 3)
+    aligned_buf = gt.encode_geotiff(arr, tile_size=64)
+    tiles_df, _ = gt.geotiff_tiles(spark, aligned_buf, tile_size=64)
+    plan = tiles_df._jdf.queryExecution().executedPlan().toString()
+    # the only Exchange allowed is the round-robin scatter of the tiny BYTE
+    # RANGE manifest; decoded pixel data must never be hash-shuffled
+    assert "hashpartitioning" not in plan
+
+    misaligned_buf = gt.encode_geotiff(arr, tile_size=48)
+    tiles2, _ = gt.geotiff_tiles(spark, misaligned_buf, tile_size=64)
+    plan2 = tiles2._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" in plan2  # groupBy-assemble pays the shuffle
+
+    # and both paths produce identical tile sets
+    a = {(r["tx"], r["ty"], r["band"]): bytes(r["data"]) for r in tiles_df.collect()}
+    b = {(r["tx"], r["ty"], r["band"]): bytes(r["data"]) for r in tiles2.collect()}
+    assert a == b
