@@ -29,7 +29,7 @@ from .overlay import (
     st_intersection_line_line_udf,
     st_intersection_line_poly_udf,
 )
-from .relate import st_predicate_any_udf, st_relate_pair_udf
+from .relate import st_predicate_any_udf, st_relate_any_udf
 from .utm import st_transform_utm_udf
 
 
@@ -144,7 +144,7 @@ def register_sqlmm(spark: SparkSession) -> list[str]:
         **{f"ST_{p.capitalize()}": st_predicate_any_udf(p) for p in
            ["intersects", "contains", "within", "overlaps", "equals",
             "disjoint", "touches", "crosses"]},
-        "ST_Relate": st_relate_pair_udf(),
+        "ST_Relate": st_relate_any_udf(),
         # CRS
         "ST_Transform": S.st_transform_udf(),            # 4326 -> 3857
         "ST_TransformUTM": st_transform_utm_udf(),

@@ -465,3 +465,123 @@ def st_predicate_any_udf(name: str):
         return pd.Series(out)
 
     return pred
+
+
+# ----------------------------------------------- DE-9IM patterns, any pair
+#
+# ST_Relate must produce the matrix string for any operand pair
+# (SQLMM.java:177; the reference returns JTS's IntersectionMatrix).  Each
+# cell's entries are decided from the same exact primitives the predicate
+# dispatch uses; general position excludes tangency/collinear contact, so
+# every entry is determined.  Matrix is row-major over {I,B,E}(a) x
+# {I,B,E}(b).
+
+def _transpose_pattern(p: str) -> str:
+    return "".join(p[3 * (i % 3) + i // 3] for i in range(9))
+
+
+def _pattern_point_point(eq: bool) -> str:
+    return "0FFFFFFF2" if eq else "FF0FFF0F2"
+
+
+def _pattern_point_line(on: bool, at_end: bool, closed: bool) -> str:
+    # closed polyline => empty boundary => the EB entry is F
+    eb = "F" if closed else "0"
+    if at_end:
+        return f"F0FFFF1{eb}2"
+    if on:
+        return f"0FFFFF1{eb}2"
+    return f"FF0FFF1{eb}2"
+
+
+def _pattern_point_polygon(inside: bool) -> str:
+    return "0FFFFF212" if inside else "FF0FFF212"
+
+
+def _pattern_line_polygon(f: dict, ends_in: tuple[bool, bool]) -> str:
+    cross = f["cross"]
+    any_in, all_in = f["any_in"], f["all_in"]
+    any_end_in = ends_in[0] or ends_in[1]
+    any_end_out = (not ends_in[0]) or (not ends_in[1])
+    ii = "1" if (cross or any_in or any_end_in) else "F"
+    ib = "0" if cross else "F"
+    ie = "1" if (cross or not all_in or any_end_out) else "F"
+    bi = "0" if any_end_in else "F"
+    be = "0" if any_end_out else "F"
+    return f"{ii}{ib}{ie}{bi}F{be}212"
+
+
+def _pattern_line_line(f: dict) -> str:
+    if f["equal"]:
+        return "1FFF0FFF2"
+    if f["cross"]:
+        return "0F1FF0102"
+    return "FF1FF0102"
+
+
+def de9im_any_wkb(a_buf: bytes, b_buf: bytes) -> str:
+    """DE-9IM matrix string for any simple-geometry WKB pair."""
+    ta, va = geo.wkb_parse(bytes(a_buf))
+    tb, vb = geo.wkb_parse(bytes(b_buf))
+    pair = (ta, tb)
+    if pair == ("polygon", "polygon"):
+        return relate_polygons_wkb(a_buf, b_buf)["pattern"]
+    if pair == ("linestring", "linestring"):
+        return _pattern_line_line(
+            line_line_flags(va[0], va[1], vb[0], vb[1])
+        )
+    if pair in (("linestring", "polygon"), ("polygon", "linestring")):
+        flipped = pair[0] == "polygon"
+        lv, pbuf = (vb, a_buf) if flipped else (va, b_buf)
+        poly = _parsed_polygon(bytes(pbuf))
+        f = line_polygon_flags(lv[0], lv[1], poly)
+        ends = geo.points_in_polygon_with_holes(
+            np.asarray([lv[0][0], lv[0][-1]], float),
+            np.asarray([lv[1][0], lv[1][-1]], float),
+            _rings_of(poly),
+        )
+        p = _pattern_line_polygon(f, (bool(ends[0]), bool(ends[1])))
+        return _transpose_pattern(p) if flipped else p
+    if pair == ("point", "point"):
+        return _pattern_point_point(
+            float(va[0]) == float(vb[0]) and float(va[1]) == float(vb[1])
+        )
+    if pair in (("point", "linestring"), ("linestring", "point")):
+        flipped = pair[0] == "linestring"
+        pt, lv = (vb, va) if flipped else (va, vb)
+        px, py = float(pt[0]), float(pt[1])
+        lvx, lvy = lv[0], lv[1]
+        closed = float(lvx[0]) == float(lvx[-1]) and float(lvy[0]) == float(lvy[-1])
+        at_end = not closed and (
+            (px == float(lvx[0]) and py == float(lvy[0]))
+            or (px == float(lvx[-1]) and py == float(lvy[-1]))
+        )
+        on = at_end or _point_on_segments(px, py, lvx, lvy)
+        p = _pattern_point_line(on, at_end, closed)
+        return _transpose_pattern(p) if flipped else p
+    if pair in (("point", "polygon"), ("polygon", "point")):
+        flipped = pair[0] == "polygon"
+        pt, pbuf = (vb, a_buf) if flipped else (va, b_buf)
+        poly = _parsed_polygon(bytes(pbuf))
+        inside = bool(
+            geo.points_in_polygon_with_holes(
+                np.asarray([pt[0]], float), np.asarray([pt[1]], float), _rings_of(poly)
+            )[0]
+        )
+        p = _pattern_point_polygon(inside)
+        return _transpose_pattern(p) if flipped else p
+    raise ValueError(f"unsupported relate operand pair: {ta} x {tb}")
+
+
+def st_relate_any_udf():
+    """Scalar Arrow UDF (wkb_a, wkb_b) -> DE-9IM pattern, any simple pair."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def rel(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [de9im_any_wkb(bytes(a), bytes(b)) for a, b in zip(a_s, b_s)]
+        )
+
+    return rel

@@ -204,3 +204,100 @@ class TestRelateAny:
         mp = wkb_multipoint([1.0, 2.0], [1.0, 2.0])
         with pytest.raises(ValueError):
             relate_any_wkb(mp, wkb_point(1.0, 1.0))
+
+
+class TestDe9imAny:
+    """de9im_any_wkb patterns must be coherent with the predicate dispatch:
+    deriving the eight predicates from the matrix string reproduces
+    relate_any_wkb exactly, for every supported type pair."""
+
+    @staticmethod
+    def _preds_from_pattern(p: str, dim_a: int, dim_b: int) -> dict:
+        II, IB, IE, BI, BB, BE, EI, EB, EE = p
+
+        def t(c):
+            return c != "F"
+
+        intersects = t(II) or t(IB) or t(BI) or t(BB)
+        within = t(II) and not t(IE) and not t(BE)
+        contains = t(II) and not t(EI) and not t(EB)
+        if dim_a == dim_b:
+            crosses = II == "0" if dim_a == 1 else False
+            overlaps = (
+                t(II) and t(IE) and t(EI) and (dim_a != 1 or II == "1")
+            )
+        else:
+            crosses = (t(II) and t(IE)) if dim_a < dim_b else (t(II) and t(EI))
+            overlaps = False
+        return {
+            "intersects": intersects,
+            "disjoint": not intersects,
+            "within": within,
+            "contains": contains,
+            "equals": within and contains,
+            "crosses": crosses,
+            "overlaps": overlaps,
+            "touches": (not t(II)) and (t(IB) or t(BI) or t(BB)),
+        }
+
+    def _zoo(self):
+        from sis_spark.functions.geometry import (
+            wkb_linestring,
+            wkb_point,
+            wkb_polygon,
+        )
+
+        dims = {}
+        g = {}
+        g["pt_in"] = wkb_point(1.0, 1.0)
+        g["pt_far"] = wkb_point(9.5, 9.5)
+        g["pt_mid"] = wkb_point(2.0, 2.0)        # on line_diag's interior
+        g["pt_end"] = wkb_point(1.0, 1.0)        # == line_diag start
+        g["line_diag"] = wkb_linestring([1.0, 3.0], [1.0, 3.0])
+        g["line_cross"] = wkb_linestring([1.0, 3.0], [3.0, 1.0])
+        g["line_far"] = wkb_linestring([8.0, 9.0], [0.25, 0.25])
+        # zoo stays inside the general-position model: no vertex of any
+        # geometry on an edge of another, no collinear edge overlap
+        g["line_exit"] = wkb_linestring([2.0, 7.0], [1.25, 1.25])
+        g["sq"] = wkb_polygon([([0.0, 4.0, 4.0, 0.0, 0.0], [0.0, 0.0, 4.0, 4.0, 0.0])])
+        g["tri"] = wkb_polygon([([2.0, 8.0, 2.0, 2.0], [1.5, 1.5, 7.5, 1.5])])
+        g["poly_far"] = wkb_polygon(
+            [([10.0, 12.0, 12.0, 10.0, 10.0], [10.0, 10.0, 12.0, 12.0, 10.0])]
+        )
+        for k in g:
+            dims[k] = 0 if k.startswith("pt") else (1 if k.startswith("line") else 2)
+        return g, dims
+
+    def test_pattern_predicate_coherence(self):
+        from sis_spark.functions.relate import de9im_any_wkb, relate_any_wkb
+
+        g, dims = self._zoo()
+        checked = 0
+        for ka, a in g.items():
+            for kb, b in g.items():
+                pat = de9im_any_wkb(a, b)
+                assert len(pat) == 9 and pat[8] == "2", (ka, kb, pat)
+                derived = self._preds_from_pattern(pat, dims[ka], dims[kb])
+                got = relate_any_wkb(a, b)
+                for key, want in derived.items():
+                    assert got[key] == want, (ka, kb, key, pat, got)
+                # transposition coherence: relate(b, a) is the transpose
+                pat_t = de9im_any_wkb(b, a)
+                assert pat_t == "".join(
+                    pat[3 * (i % 3) + i // 3] for i in range(9)
+                ), (ka, kb, pat, pat_t)
+                checked += 1
+        assert checked == len(g) ** 2
+
+    def test_known_patterns(self):
+        from sis_spark.functions.relate import de9im_any_wkb
+
+        g, _ = self._zoo()
+        assert de9im_any_wkb(g["pt_in"], g["pt_in"]) == "0FFFFFFF2"
+        assert de9im_any_wkb(g["pt_in"], g["pt_far"]) == "FF0FFF0F2"
+        assert de9im_any_wkb(g["pt_mid"], g["line_diag"]) == "0FFFFF102"
+        assert de9im_any_wkb(g["pt_end"], g["line_diag"]) == "F0FFFF102"
+        assert de9im_any_wkb(g["pt_in"], g["sq"]) == "0FFFFF212"
+        assert de9im_any_wkb(g["line_diag"], g["line_cross"]) == "0F1FF0102"
+        assert de9im_any_wkb(g["line_diag"], g["sq"]).startswith("1FF0F")
+        assert de9im_any_wkb(g["sq"], g["tri"]) == "212101212"
