@@ -585,3 +585,118 @@ def st_relate_any_udf():
         )
 
     return rel
+
+
+# ------------------------------------------- batched line-polygon refine
+#
+# line_polygon_join's refine evaluates tens of thousands of candidate pairs
+# per Arrow batch; the scalar kernel costs ~150us/pair in numpy-call
+# overhead alone.  This batch kernel evaluates EVERY pair of a batch in one
+# broadcasted computation with the IDENTICAL per-element FP expressions
+# (orientation products, even-odd xint) so results stay oracle-exact.
+# Lines are padded by repeating their last vertex (zero-length segments
+# cannot properly cross and duplicate vertices do not change any/all
+# membership); rings are padded by repeating their first vertex (zero-length
+# edges contribute neither crossings nor parity).  Holed/multi-part
+# polygons fall back to the scalar kernel row-wise.
+
+def line_polygon_flags_batch(LVX, LVY, PVX, PVY):
+    """(B, Lmax) padded line vertices x (B, Pmax) padded outer rings ->
+    (cross, any_in, all_in) bool arrays of shape (B,)."""
+    LVX = np.asarray(LVX, float); LVY = np.asarray(LVY, float)
+    PVX = np.asarray(PVX, float); PVY = np.asarray(PVY, float)
+    # closed ring edges (v -> w), padding collapses to zero-length edges
+    WX = np.roll(PVX, -1, axis=1)
+    WY = np.roll(PVY, -1, axis=1)
+
+    # even-odd membership of every line vertex: (B, L, P)
+    py = LVY[:, :, None]
+    px = LVX[:, :, None]
+    vy = PVY[:, None, :]
+    vx = PVX[:, None, :]
+    wy = WY[:, None, :]
+    wx = WX[:, None, :]
+    crossed = (vy > py) != (wy > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (wx - vx) * (py - vy) / (wy - vy) + vx
+    hits = crossed & (px < xint)
+    inside = (hits.sum(axis=2) % 2).astype(bool)          # (B, L)
+    any_in = inside.any(axis=1)
+    all_in = inside.all(axis=1)
+
+    # proper crossing of open line segments vs ring edges: (B, Ls, P)
+    ax = LVX[:, :-1, None]; ay = LVY[:, :-1, None]
+    aX = LVX[:, 1:, None];  aY = LVY[:, 1:, None]
+    bx = PVX[:, None, :];   by = PVY[:, None, :]
+    bX = WX[:, None, :];    bY = WY[:, None, :]
+    o1 = (aX - ax) * (by - ay) - (aY - ay) * (bx - ax)
+    o2 = (aX - ax) * (bY - ay) - (aY - ay) * (bX - ax)
+    o3 = (bX - bx) * (ay - by) - (bY - by) * (ax - bx)
+    o4 = (bX - bx) * (aY - by) - (bY - by) * (aX - bx)
+    cross = ((o1 * o2 < 0.0) & (o3 * o4 < 0.0)).any(axis=(1, 2))
+    return cross, any_in, all_in
+
+
+def line_polygon_relate_batch(l_bufs, p_bufs):
+    """Batched line-vs-polygon predicates over WKB pair columns.
+
+    Returns (intersects, within, crosses) numpy bool arrays.  Operand
+    parses are memoized per distinct WKB (candidates repeat both sides
+    heavily); holed polygons are evaluated by the scalar kernel."""
+    lines: dict[bytes, tuple] = {}
+    polys: dict[bytes, dict] = {}
+    B = len(l_bufs)
+    l_parsed = []
+    p_parsed = []
+    for lb, pb in zip(l_bufs, p_bufs):
+        lb = bytes(lb); pb = bytes(pb)
+        lp = lines.get(lb)
+        if lp is None:
+            typ, val = geo.wkb_parse(lb)
+            if typ != "linestring":
+                raise ValueError(f"line operand must be a LineString, got {typ}")
+            lp = lines[lb] = (np.asarray(val[0], float), np.asarray(val[1], float))
+        pp = polys.get(pb)
+        if pp is None:
+            pp = polys[pb] = _parsed_polygon(pb)
+        l_parsed.append(lp)
+        p_parsed.append(pp)
+
+    intersects = np.zeros(B, bool)
+    within = np.zeros(B, bool)
+    crosses = np.zeros(B, bool)
+    batch_idx = [i for i in range(B) if not p_parsed[i].get("holes")]
+    scalar_idx = [i for i in range(B) if p_parsed[i].get("holes")]
+
+    if batch_idx:
+        Lmax = max(len(l_parsed[i][0]) for i in batch_idx)
+        Pmax = max(len(p_parsed[i]["vx"]) for i in batch_idx)
+        # bound the (chunk, L, P) broadcast to ~4e6 elements per array
+        chunk_rows = max(1, int(4e6 // max(1, Lmax * Pmax)))
+        for c0 in range(0, len(batch_idx), chunk_rows):
+            idx = batch_idx[c0 : c0 + chunk_rows]
+            nb = len(idx)
+            LVX = np.empty((nb, Lmax)); LVY = np.empty((nb, Lmax))
+            PVX = np.empty((nb, Pmax)); PVY = np.empty((nb, Pmax))
+            for r, i in enumerate(idx):
+                lvx, lvy = l_parsed[i]
+                nl = len(lvx)
+                LVX[r, :nl] = lvx; LVX[r, nl:] = lvx[-1]
+                LVY[r, :nl] = lvy; LVY[r, nl:] = lvy[-1]
+                pvx = np.asarray(p_parsed[i]["vx"], float)
+                pvy = np.asarray(p_parsed[i]["vy"], float)
+                npv = len(pvx)
+                PVX[r, :npv] = pvx; PVX[r, npv:] = pvx[0]
+                PVY[r, :npv] = pvy; PVY[r, npv:] = pvy[0]
+            cr, any_in, all_in = line_polygon_flags_batch(LVX, LVY, PVX, PVY)
+            bi = np.asarray(idx)
+            intersects[bi] = cr | any_in
+            within[bi] = ~cr & all_in & any_in
+            crosses[bi] = cr
+    for i in scalar_idx:
+        lvx, lvy = l_parsed[i]
+        f = line_polygon_predicates(line_polygon_flags(lvx, lvy, p_parsed[i]))
+        intersects[i] = f["intersects"]
+        within[i] = f["within"]
+        crosses[i] = f["crosses"]
+    return intersects, within, crosses

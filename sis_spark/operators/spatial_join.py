@@ -872,7 +872,7 @@ def line_polygon_join(
     the dispatch surface of BinarySpatialFilter.java:43 for dim-1 x dim-2
     operands.  Scale shape mirrors polygon_pair_join: the cell equi-join is
     the only shuffle and the refine sees candidate pairs only."""
-    from ..functions.relate import relate_line_polygon_wkb
+    from ..functions.relate import line_polygon_relate_batch
 
     cand = _line_poly_candidates(lines_df, polygons_df, res)
 
@@ -886,11 +886,12 @@ def line_polygon_join(
         ])
     )
     def rel(l_s: pd.Series, p_s: pd.Series) -> pd.DataFrame:
-        rows = []
-        for lb, pb_ in zip(l_s, p_s):
-            p = relate_line_polygon_wkb(bytes(lb), bytes(pb_))
-            rows.append((p["intersects"], p["within"], p["crosses"]))
-        return pd.DataFrame(rows, columns=["intersects", "within", "crosses"])
+        # one broadcasted evaluation for the whole Arrow batch (identical
+        # FP expressions to the scalar kernel — oracle-exact)
+        inter, within, crosses = line_polygon_relate_batch(l_s, p_s)
+        return pd.DataFrame(
+            {"intersects": inter, "within": within, "crosses": crosses}
+        )
 
     out = cand.withColumn("r", rel.asNondeterministic()(F.col("wkb_l"), F.col("wkb_p")))
     return (

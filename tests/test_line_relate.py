@@ -195,3 +195,47 @@ def test_point_segments_dist2_kernel():
     # degenerate zero-length segment behaves as a point
     d2 = point_segments_dist2([3.0], [4.0], [0.0], [0.0], [0.0], [0.0])
     np.testing.assert_allclose(d2[0, 0], 25.0)
+
+
+def test_batch_kernel_matches_scalar():
+    """line_polygon_relate_batch == scalar relate_line_polygon_wkb over a
+    randomized pair set incl. padded-lane variety (different vertex counts)
+    and a holed polygon (scalar fallback row)."""
+    import numpy as np
+
+    from sis_spark.functions import geometry as geo
+    from sis_spark.functions.relate import (
+        line_polygon_relate_batch,
+        relate_line_polygon_wkb,
+    )
+
+    rng = np.random.default_rng(42)
+    lines = []
+    for i in range(40):
+        n = int(rng.integers(2, 9))
+        lines.append(geo.wkb_linestring(
+            rng.uniform(-10, 10, n), rng.uniform(-10, 10, n)))
+    polys = []
+    for i in range(15):
+        n = int(rng.integers(3, 12))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rng.uniform(1, 6, n)
+        cx, cy = rng.uniform(-8, 8, 2)
+        polys.append(geo.wkb_polygon([(cx + r * np.cos(ang), cy + r * np.sin(ang))]))
+    # holed polygon: big square with a central square hole
+    polys.append(geo.wkb_polygon([
+        ([-9.0, 9.0, 9.0, -9.0], [-9.0, -9.0, 9.0, 9.0]),
+        ([-2.0, 2.0, 2.0, -2.0], [-2.0, -2.0, 2.0, 2.0]),
+    ]))
+
+    l_bufs, p_bufs = [], []
+    for lb in lines:
+        for pb in polys:
+            l_bufs.append(lb)
+            p_bufs.append(pb)
+    inter, within, crosses = line_polygon_relate_batch(l_bufs, p_bufs)
+    for i, (lb, pb) in enumerate(zip(l_bufs, p_bufs)):
+        want = relate_line_polygon_wkb(lb, pb)
+        assert bool(inter[i]) == want["intersects"], i
+        assert bool(within[i]) == want["within"], i
+        assert bool(crosses[i]) == want["crosses"], i
