@@ -573,10 +573,15 @@ def decode_geotiff(buf: bytes, level: int = 0) -> tuple[np.ndarray, tuple | None
 
 # ---------------------------------------------------------------- Spark surface
 
-def geotiff_tiles(spark, buf: bytes, tile_size: int = 64):
+def geotiff_tiles(spark, buf: bytes, tile_size: int = 64, level: int = 0):
     """Deferred-decode read: driver parses ONLY the IFD; executors inflate
     their blocks and re-chunk to the engine tile grid.  Returns
     (tiles_df (tx, ty, band, data), GridGeometry | None).
+
+    ``level`` selects a COG overview IFD (0 = full resolution) — the
+    distributed analog of the reference's pyramid-level read
+    (S/tiling/TileMatrixSet resolution selection): a level-z read touches
+    1/4^z of the byte ranges and never decodes full-resolution data.
 
     Plan shape at scale: the manifest DataFrame carries byte ranges; tasks
     range-read + inflate in parallel (TiledGridCoverage's AT_GET_TILE_TIME).
@@ -587,7 +592,19 @@ def geotiff_tiles(spark, buf: bytes, tile_size: int = 64):
     from ..raster.grid import GridGeometry
     from ..raster.tiles import TILE_SCHEMA
 
-    info = parse_ifd(buf)
+    if level == 0:
+        info = parse_ifd(buf)
+    else:
+        infos = parse_ifds(buf)
+        if level >= len(infos):
+            raise ValueError(f"level {level} out of range ({len(infos)} IFDs)")
+        info = infos[level]
+        if info.get("affine") is None and infos[0].get("affine") is not None:
+            # overview IFDs carry no georef tags: derive from level 0 by
+            # scaling the pixel size (stride-2^level subsample, same origin)
+            a, b, c0, d, e, f0 = infos[0]["affine"]
+            s = float(2 ** level)
+            info = dict(info, affine=(a * s, b * s, c0, d * s, e * s, f0))
     w, h, c = info["w"], info["h"], info["c"]
     tw, th, comp, tiled = info["tile_w"], info["tile_h"], info["compression"], info["tiled"]
     pred = info["predictor"]

@@ -216,3 +216,25 @@ def test_aligned_read_has_no_shuffle(spark):
     a = {(r["tx"], r["ty"], r["band"]): bytes(r["data"]) for r in tiles_df.collect()}
     b = {(r["tx"], r["ty"], r["band"]): bytes(r["data"]) for r in tiles2.collect()}
     assert a == b
+
+
+def test_geotiff_tiles_cog_level(spark):
+    """Distributed COG read at an overview level equals the stride-2^z
+    subsample, with the affine scaled from level 0."""
+    from sis_spark.raster import tiles as rt
+
+    arr = _smooth(150, 220)[:, :, None]
+    aff = (0.01, 0.0, -10.0, 0.0, -0.01, 50.0)
+    cog = gt.encode_cog(arr, aff, tile_size=64, compression="deflate", min_size=32)
+    for level in (0, 1):
+        tiles_df, gg = gt.geotiff_tiles(spark, cog, tile_size=64, level=level)
+        s = 2 ** level
+        want = arr[::s, ::s]
+        assert gg is not None
+        assert gg.width == want.shape[1] and gg.height == want.shape[0]
+        assert gg.affine[0] == 0.01 * s and gg.affine[4] == -0.01 * s
+        got = rt.tiles_to_raster(tiles_df, gg, tile_size=64)
+        assert np.array_equal(got, want)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="out of range"):
+        gt.geotiff_tiles(spark, cog, tile_size=64, level=99)
