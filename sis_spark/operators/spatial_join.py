@@ -828,7 +828,13 @@ def _line_poly_candidates(
     """Shared candidate stage for mixed-dimension joins: covering-cell
     bucket candidates for BOTH distributed sides, codegen envelope prune,
     spread across executor cores (per-row-CPU refines must not inherit an
-    AQE-coalesced single partition).  Columns: lkey, pkey, wkb_l, wkb_p."""
+    AQE-coalesced single partition).  Columns: lkey, pkey, wkb_l, wkb_p.
+
+    Lifecycle: lparts/pparts are persisted because each feeds both its
+    covering-cell branch and the WKB re-attach join (a consumed-twice plan
+    is computed twice unpersisted); they stay cached until session end —
+    callers running MANY joins per session should spark.catalog.clearCache()
+    between batches."""
     lparts = line_parts_df(lines_df).persist()
     pparts = polygon_parts_df(polygons_df).persist()
     if res is None:
