@@ -229,7 +229,8 @@ def spatial_join(
     # whole map-side pipeline.  At 100 TB the scan has thousands of splits;
     # here we restore parallelism explicitly when the source lacks it.
     par = spark.sparkContext.defaultParallelism
-    if points.rdd.getNumPartitions() < max(2, par // 2):
+    if not points.isStreaming and points.rdd.getNumPartitions() < max(2, par // 2):
+        # (streaming sources own their partitioning; .rdd is illegal there)
         points = points.repartition(par)
     pts = points.withColumn("__cell", cell_col(F.col(lon_col), F.col(lat_col), res))
 
@@ -529,7 +530,8 @@ def spatial_join_dist(
     cov = polygon_cells_df(parts, res, classify=interior_skip)
 
     par = spark.sparkContext.defaultParallelism
-    if points.rdd.getNumPartitions() < max(2, par // 2):
+    if not points.isStreaming and points.rdd.getNumPartitions() < max(2, par // 2):
+        # (streaming sources own their partitioning; .rdd is illegal there)
         points = points.repartition(par)
     pts = points.withColumn("__cell", cell_col(F.col(lon_col), F.col(lat_col), res))
 
