@@ -503,3 +503,27 @@ def point_segments_dist2(px, py, svx, svy, swx, swy) -> np.ndarray:
     ex = px - (svx + dx * tc)
     ey = py - (svy + dy * tc)
     return ex * ex + ey * ey
+
+
+def map_geom_coords(typ: str, val, fn):
+    """Apply ``fn(xs, ys) -> (xs', ys')`` to every coordinate of a parsed
+    geometry, preserving structure (ST_Transform.java:63 semantics:
+    reproject coordinates, keep geometry shape).  ``fn`` receives numpy
+    arrays and must return arrays of the same length."""
+    if typ == "point":
+        xs, ys = fn(np.asarray([val[0]], float), np.asarray([val[1]], float))
+        return (float(xs[0]), float(ys[0]))
+    if typ == "linestring":
+        xs, ys = fn(np.asarray(val[0], float), np.asarray(val[1], float))
+        return (xs, ys)
+    if typ == "polygon":
+        return [fn(np.asarray(vx, float), np.asarray(vy, float)) for vx, vy in val]
+    if typ == "multipoint":
+        return [map_geom_coords("point", p, fn) for p in val]
+    if typ == "multilinestring":
+        return [map_geom_coords("linestring", l, fn) for l in val]
+    if typ == "multipolygon":
+        return [map_geom_coords("polygon", p, fn) for p in val]
+    if typ == "geomcollection":
+        return [(t, map_geom_coords(t, v, fn)) for t, v in val]
+    raise ValueError(f"unknown geometry type {typ!r}")

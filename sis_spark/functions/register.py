@@ -76,6 +76,25 @@ def _st_envelope_wkb_udf():
     return _f
 
 
+def _st_transform_crs_udf():
+    """ST_TransformCRS(geom, src, dst): any registry CRS pair, geometry in,
+    geometry out (ST_Transform.java:63; routing through geographic mirrors
+    CoordinateOperationFinder's inverse|>forward path).  src/dst are string
+    columns, so the pair can vary per row."""
+    from .projections import transform_points
+
+    @F.pandas_udf(T.BinaryType())
+    def _f(wkb: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+        out = []
+        for b, s, d in zip(wkb, src, dst):
+            typ, val = geo.wkb_parse(bytes(b))
+            fn = lambda xs, ys: transform_points(xs, ys, str(s), str(d))
+            out.append(geo.wkb_write(typ, geo.map_geom_coords(typ, val, fn)))
+        return pd.Series(out)
+
+    return _f
+
+
 def register_sqlmm(spark: SparkSession) -> list[str]:
     """Register the SQL-callable SQLMM surface; returns the names registered."""
     fns = {
@@ -147,6 +166,7 @@ def register_sqlmm(spark: SparkSession) -> list[str]:
         "ST_Relate": st_relate_any_udf(),
         # CRS
         "ST_Transform": S.st_transform_udf(),            # 4326 -> 3857
+        "ST_TransformCRS": _st_transform_crs_udf(),      # any registry pair
         "ST_TransformUTM": st_transform_utm_udf(),
         # casts
         **{f"ST_To{n}": S.st_cast_udf(f"st_to{n.lower()}") for n in

@@ -92,3 +92,26 @@ def test_sql_typed_ctor_rejects_wrong_type(sql_spark):
         "SELECT ST_PolyFromText('POINT (1 2)') AS g"
     ).collect()[0]
     assert row.g is None
+
+
+def test_sql_transform_crs(sql_spark):
+    """ST_TransformCRS: per-row CRS pair over a WKB geometry column; the
+    4326->3857 leg must equal the dedicated mercator kernel and the round
+    trip must return the input to float tolerance."""
+    import numpy as np
+
+    from sis_spark.functions import transforms as tr
+
+    _shapes_view(sql_spark)
+    row = sql_spark.sql(
+        "SELECT ST_AsText(ST_TransformCRS(ST_Point(10.0D, 45.0D),"
+        " 'EPSG:4326', 'EPSG:3857')) AS merc,"
+        " ST_AsText(ST_TransformCRS(ST_TransformCRS(ST_Point(10.0D, 45.0D),"
+        " 'EPSG:4326', 'EPSG:3035'), 'EPSG:3035', 'EPSG:4326')) AS rt"
+    ).collect()[0]
+    mx, my = tr.mercator_forward(np.array([10.0]), np.array([45.0]))
+    gx, gy = (float(t) for t in row.merc[len("POINT ("):-1].split())
+    assert gx == pytest.approx(float(mx[0]), rel=1e-12)
+    assert gy == pytest.approx(float(my[0]), rel=1e-12)
+    rx, ry = (float(t) for t in row.rt[len("POINT ("):-1].split())
+    assert rx == pytest.approx(10.0, abs=1e-9) and ry == pytest.approx(45.0, abs=1e-9)
