@@ -1412,6 +1412,155 @@ GROUP BY p.event_id
 HAVING (count(*) % 2) = 1"""
 
 
+def _formula_tiles(spark, w: int, h: int, bands: int = 2, tile_size: int = 64):
+    """Distributed formula raster: tile (tx, ty, band) blocks filled from
+    integer pixel formulas a SQL oracle can replicate exactly —
+    band 0: (x*7 + y*13) % 256, band 1: (x*3 + y*5 + 17) % 256.
+    Padding beyond (w, h) is zero (excluded by the stats extent mask)."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.tiles import TILE_SCHEMA
+
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    ids = spark.range(ntx * nty * bands).repartition(
+        min(ntx * nty * bands, spark.sparkContext.defaultParallelism)
+    )
+
+    def fill(batches):
+        gxs = _np.arange(tile_size, dtype=_np.int64)
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                band = i % bands
+                t = i // bands
+                tx, ty = t % ntx, t // ntx
+                GX, GY = _np.meshgrid(tx * tile_size + gxs, ty * tile_size + gxs)
+                if band == 0:
+                    block = (GX * 7 + GY * 13) % 256
+                else:
+                    block = (GX * 3 + GY * 5 + 17) % 256
+                block = _np.where((GX < w) & (GY < h), block, 0).astype(_np.uint8)
+                rows.append({"tx": tx, "ty": ty, "band": band,
+                             "data": block.tobytes()})
+            yield _pd.DataFrame(rows)
+
+    return ids.mapInPandas(fill, TILE_SCHEMA)
+
+
+def q_raster_stats(spark, sf_dir):
+    """Per-band raster statistics over a distributed formula raster — the
+    Statistics.combine shape (U/math/Statistics.java:311; per-tile partials
+    of F/image/StatisticsCalculator.java:124-182) with edge-tile padding
+    excluded by the grid extent."""
+    from .raster.grid import GridGeometry
+    from .raster.tiles import band_stats
+
+    W, H = 1000, 800
+    tiles = _formula_tiles(spark, W, H, bands=2)
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    out = band_stats(tiles, gg)
+    return out.select(
+        "band", "n", "min", "max", "sum", "mean"
+    ).orderBy("band")
+
+
+def q_raster_stats_oracle():
+    return """
+WITH px AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(0, 999) gx(x), generate_series(0, 799) gy(y)),
+v AS (
+  SELECT 0 AS band, (x * 7 + y * 13) % 256 AS v FROM px
+  UNION ALL
+  SELECT 1 AS band, (x * 3 + y * 5 + 17) % 256 AS v FROM px)
+SELECT CAST(band AS INT) AS band, count(*) AS n,
+       CAST(min(v) AS BIGINT) AS min, CAST(max(v) AS BIGINT) AS max,
+       CAST(sum(v) AS BIGINT) AS sum,
+       CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+FROM v GROUP BY band ORDER BY band"""
+
+
+ZONAL_POLYS = [
+    # (key, [(x, y) vertices]) — irregular coords inside/straddling the
+    # gate raster window x in [-4, 4], y in [0, 3]
+    (1, [(-2.3, 0.4), (-0.7, 0.9), (-1.1, 2.6)]),
+    (2, [(0.3, 0.2), (3.7, 0.7), (3.1, 2.9), (0.9, 2.4)]),
+    (3, [(-3.9, 1.7), (-2.9, 0.1), (-1.7, 1.3), (-2.1, 2.9), (-3.3, 2.7)]),
+    (4, [(2.5, 2.5), (5.5, 2.7), (4.0, 4.5)]),  # straddles the window edge
+]
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics: per-polygon pixel stats of a formula raster, pixel
+    CELL CENTERS tested with the engine's even-odd PIP (the MaskedImage x
+    Statistics.combine composition).  The affine is dyadic (1/64, 1/128
+    pixels) so every pixel-center coordinate is exact in FP — the oracle
+    recomputes the centers, the formula, and the PIP verbatim."""
+    import numpy as _np
+
+    from .raster.grid import GridGeometry
+    from .raster.tiles import zonal_stats
+
+    W, H = 512, 384
+    a = (0.015625, 0.0, -4.0, 0.0, -0.0078125, 3.0)
+    gg = GridGeometry((0, 0, W - 1, H - 1), a)
+    tiles = _formula_tiles(spark, W, H, bands=1)
+    polys = []
+    for key, verts in ZONAL_POLYS:
+        vx = _np.asarray([v[0] for v in verts], float)
+        vy = _np.asarray([v[1] for v in verts], float)
+        polys.append({
+            "key": key, "vx": vx, "vy": vy,
+            "xmin": float(vx.min()), "ymin": float(vy.min()),
+            "xmax": float(vx.max()), "ymax": float(vy.max()),
+        })
+    out = zonal_stats(tiles, gg, polys)
+    return out.select(
+        "poly_key", "band", "n", "sum", "min", "max", "mean"
+    ).orderBy("poly_key")
+
+
+def q_zonal_stats_oracle():
+    from .synth import flit
+
+    edges = []
+    for key, verts in ZONAL_POLYS:
+        n = len(verts)
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            edges.append(
+                f"({key}, {flit(x1)}, {flit(y1)}, {flit(x2)}, {flit(y2)})"
+            )
+    edges_sql = ", ".join(edges)
+    # pixel centers: cx = 0.015625*gx + (0.015625*0.5 + (-4.0)),
+    #                cy = -0.0078125*gy + (-0.0078125*0.5 + 3.0)
+    # (dyadic affine: every term is exact, so any FP evaluation order agrees)
+    return f"""
+WITH e(key, vx, vy, wx, wy) AS (VALUES {edges_sql}),
+px AS (
+  SELECT gx.x AS x, gy.y AS y,
+         1.5625e-2 * gx.x + (-3.9921875e0) AS cx,
+         -7.8125e-3 * gy.y + (2.99609375e0) AS cy,
+         (gx.x * 7 + gy.y * 13) % 256 AS v
+  FROM generate_series(0, 511) gx(x), generate_series(0, 383) gy(y)),
+pip AS (
+  SELECT p.x, p.y, p.v, e.key,
+         (sum(CASE WHEN ((e.vy > p.cy) <> (e.wy > p.cy))
+                    AND (p.cx < (e.wx - e.vx) * (p.cy - e.vy) / (e.wy - e.vy) + e.vx)
+              THEN 1 ELSE 0 END) % 2) = 1 AS inside
+  FROM px p CROSS JOIN e
+  GROUP BY p.x, p.y, p.v, e.key)
+SELECT key AS poly_key, CAST(0 AS INT) AS band, count(*) AS n,
+       CAST(sum(v) AS BIGINT) AS sum,
+       CAST(min(v) AS BIGINT) AS min, CAST(max(v) AS BIGINT) AS max,
+       CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+FROM pip WHERE inside GROUP BY key ORDER BY poly_key"""
+
+
 def q_sqlmm_registry(spark, sf_dir):
     """The SQL-callable SQLMM surface end-to-end: the reference registers
     every SQLMM constant with the filter factory so query TEXT can call
@@ -2059,6 +2208,8 @@ QUERIES = {
     "match_action": (q_match_action, q_match_action_oracle),
     "st_contains": (q_st_contains, q_st_contains_oracle),
     "sqlmm_registry": (q_sqlmm_registry, q_sqlmm_registry_oracle),
+    "raster_stats": (q_raster_stats, q_raster_stats_oracle),
+    "zonal_stats": (q_zonal_stats, q_zonal_stats_oracle),
     "halfplane_clip": (q_halfplane_clip, q_halfplane_clip_oracle),
     "utm_zones": (q_utm_zones, q_utm_zones_oracle),
     "images_metadata": (q_images_metadata, q_images_metadata_oracle),
