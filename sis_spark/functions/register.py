@@ -8,10 +8,10 @@ works from ``spark.sql(...)`` over WKB columns, e.g.
 
     spark.sql("SELECT ST_Area(wkb) FROM shapes WHERE ST_IsSimple(wkb)")
 
-Functions whose SQLMM signature carries a scalar parameter that our factory
-bakes in (ST_Simplify's tolerance, ST_Buffer's radius, ST_Transform's CRS
-pair) are registered as fixed-parameter variants; build custom variants with
-the factories directly.
+Scalar parameters are real SQL arguments where the SQLMM signature has
+them: ``ST_Buffer(g, radius)``, ``ST_Simplify(g, tolerance)``,
+``ST_TransformCRS(g, src, dst)``.  Only ST_SimplifyPreserveTopology keeps a
+fixed-parameter registration (build variants with its factory directly).
 """
 
 from __future__ import annotations
@@ -24,7 +24,6 @@ from pyspark.sql import types as T
 from . import geometry as geo
 from . import sqlmm as S
 from .overlay import (
-    st_buffer_udf,
     st_difference_line_poly_udf,
     st_intersection_line_line_udf,
     st_intersection_line_poly_udf,
@@ -72,6 +71,36 @@ def _st_envelope_wkb_udf():
                 geo.wkb_polygon([([x0, x1, x1, x0, x0], [y0, y0, y1, y1, y0])])
             )
         return pd.Series(out)
+
+    return _f
+
+
+def _st_buffer_param_udf(n_seg: int = 24):
+    """ST_Buffer(geom, radius) with the radius as a SQL argument
+    (SQLMM.java:129 signature — the factory variant bakes it in)."""
+    from .overlay import buffer_geometry
+
+    @F.pandas_udf(T.BinaryType())
+    def _f(wkb: pd.Series, radius: pd.Series) -> pd.Series:
+        out = []
+        for b, r in zip(wkb, radius):
+            typ, rings = buffer_geometry(*geo.wkb_parse(bytes(b)), float(r), n_seg)
+            out.append(geo.wkb_write(typ, rings) if rings else None)
+        return pd.Series(out)
+
+    return _f
+
+
+def _st_simplify_param_udf():
+    """ST_Simplify(geom, tolerance) with the tolerance as a SQL argument
+    (SQLMM.java:753 signature)."""
+    from .sqlmm import simplify_wkb
+
+    @F.pandas_udf(T.BinaryType())
+    def _f(wkb: pd.Series, tol: pd.Series) -> pd.Series:
+        return pd.Series(
+            [simplify_wkb(bytes(b), float(t)) for b, t in zip(wkb, tol)]
+        )
 
     return _f
 
@@ -148,9 +177,9 @@ def register_sqlmm(spark: SparkSession) -> list[str]:
         "ST_ConvexHull": S.st_convexhull_udf(),
         "ST_Boundary": S.st_boundary_udf(),
         "ST_PointOnSurface": S.st_pointonsurface_udf(),
-        "ST_Simplify": S.st_simplify_udf(0.01),          # fixed-tol variant
-        "ST_SimplifyPreserveTopology": S.st_simplify_preserve_udf(0.01),
-        "ST_Buffer": st_buffer_udf(1.0),                 # fixed-radius variant
+        "ST_Simplify": _st_simplify_param_udf(),         # (geom, tolerance)
+        "ST_SimplifyPreserveTopology": S.st_simplify_preserve_udf(0.01),  # fixed-tol
+        "ST_Buffer": _st_buffer_param_udf(),             # (geom, radius)
         # binary constructive (polygon-polygon + mixed dimension)
         "ST_Intersection": S.st_overlay_udf("intersection"),
         "ST_Union": S.st_overlay_udf("union"),

@@ -1040,31 +1040,33 @@ def st_cast_udf(target: str):
     return _f
 
 
+def simplify_wkb(b: bytes, tol: float) -> bytes:
+    """ST_Simplify kernel (SQLMM.java:753, Douglas-Peucker) for one WKB
+    linestring/polygon (each ring simplified; rings kept >= 3 distinct
+    points); other types pass through."""
+    typ, val = geo.wkb_parse(bytes(b))
+    if typ == "linestring":
+        vx, vy = simplify_dp(np.asarray(val[0]), np.asarray(val[1]), tol)
+        return geo.wkb_linestring(vx, vy)
+    if typ == "polygon":
+        rings = []
+        for vx, vy in val:
+            closed = len(vx) >= 2 and vx[0] == vx[-1] and vy[0] == vy[-1]
+            if closed:
+                vx, vy = vx[:-1], vy[:-1]
+            svx, svy = simplify_dp(np.asarray(vx), np.asarray(vy), tol)
+            if len(svx) < 3:
+                svx, svy = vx[:3], vy[:3]
+            rings.append((svx, svy))
+        return geo.wkb_polygon(rings)
+    return bytes(b)
+
+
 def st_simplify_udf(tol: float):
-    """ST_Simplify (SQLMM.java:753, Douglas-Peucker) over WKB linestrings
-    and polygons (each ring simplified; rings kept >= 3 distinct points)."""
+    """ST_Simplify over a WKB column (fixed-tolerance factory variant)."""
     @F.pandas_udf(T.BinaryType())
     def _f(wkb: pd.Series) -> pd.Series:
-        out = []
-        for b in wkb:
-            typ, val = geo.wkb_parse(bytes(b))
-            if typ == "linestring":
-                vx, vy = simplify_dp(np.asarray(val[0]), np.asarray(val[1]), tol)
-                out.append(geo.wkb_linestring(vx, vy))
-            elif typ == "polygon":
-                rings = []
-                for vx, vy in val:
-                    closed = len(vx) >= 2 and vx[0] == vx[-1] and vy[0] == vy[-1]
-                    if closed:
-                        vx, vy = vx[:-1], vy[:-1]
-                    svx, svy = simplify_dp(np.asarray(vx), np.asarray(vy), tol)
-                    if len(svx) < 3:
-                        svx, svy = vx[:3], vy[:3]
-                    rings.append((svx, svy))
-                out.append(geo.wkb_polygon(rings))
-            else:
-                out.append(bytes(b))
-        return pd.Series(out)
+        return pd.Series([simplify_wkb(bytes(b), tol) for b in wkb])
 
     return _f
 

@@ -115,3 +115,21 @@ def test_sql_transform_crs(sql_spark):
     assert gy == pytest.approx(float(my[0]), rel=1e-12)
     rx, ry = (float(t) for t in row.rt[len("POINT ("):-1].split())
     assert rx == pytest.approx(10.0, abs=1e-9) and ry == pytest.approx(45.0, abs=1e-9)
+
+
+def test_sql_buffer_and_simplify_take_arguments(sql_spark):
+    """ST_Buffer / ST_Simplify accept their scalar as a SQL argument
+    (SQLMM signatures ST_Buffer(g, r) / ST_Simplify(g, tol))."""
+    _shapes_view(sql_spark)
+    row = sql_spark.sql(
+        "SELECT ST_Area(ST_Buffer(ST_Point(0.0D, 0.0D), 2.0D)) AS a2,"
+        " ST_Area(ST_Buffer(ST_Point(0.0D, 0.0D), 4.0D)) AS a4,"
+        " ST_NumPoints(ST_ExteriorRing(ST_Simplify(wkb, 100.0D))) AS nsimp,"
+        " ST_NumPoints(ST_ExteriorRing(ST_Simplify(wkb, 0.0D))) AS nfull"
+        " FROM shapes WHERE gid = 'sq'"
+    ).collect()[0]
+    import math
+    # inscribed 24-gon areas: r^2 * n/2 * sin(2*pi/n) <= area <= pi r^2
+    assert 0.9 * math.pi * 4 <= row.a2 <= math.pi * 4
+    assert row.a4 == pytest.approx(row.a2 * 4.0, rel=1e-6)  # scales as r^2
+    assert row.nsimp < row.nfull  # huge tolerance collapses vertices
