@@ -1561,6 +1561,51 @@ SELECT key AS poly_key, CAST(0 AS INT) AS band, count(*) AS n,
 FROM pip WHERE inside GROUP BY key ORDER BY poly_key"""
 
 
+def q_point_eval(spark, sf_dir):
+    """Raster->vector point sampling (DefaultEvaluator.java:75,
+    nullIfOutside -> dropped): synthetic points over the formula raster,
+    floor-affine cell lookup, in-tile value read.  The dyadic affine makes
+    the inverse-affine floor exact, so the oracle recomputes gx/gy/value
+    verbatim; ~36% of points fall outside the window and must be dropped
+    by BOTH engines."""
+    from .raster.grid import GridGeometry
+    from .raster.tiles import point_eval
+
+    W, H = 512, 384
+    a = (0.015625, 0.0, -4.0, 0.0, -0.0078125, 3.0)
+    gg = GridGeometry((0, 0, W - 1, H - 1), a)
+    tiles = _formula_tiles(spark, W, H, bands=1)
+    part = _read(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey",
+        ((F.col("p_partkey") % 997).cast("double") * 0.01 - 3.98).alias("lon"),
+        ((F.col("p_partkey") % 293).cast("double") * 0.01 + 0.02).alias("lat"),
+    )
+    out = point_eval(tiles, pts, gg)
+    return out.select("p_partkey", "band", "value").orderBy("p_partkey")
+
+
+def q_point_eval_oracle():
+    # inverse affine (exact dyadic): gx = floor(64*lon + 256),
+    # gy = floor(-128*lat + 384); value = formula(gx, gy)
+    return """
+WITH pts AS (
+  SELECT p_partkey,
+         CAST(p_partkey % 997 AS DOUBLE) * 1.0e-2 - 3.98e0 AS lon,
+         CAST(p_partkey % 293 AS DOUBLE) * 1.0e-2 + 2.0e-2 AS lat
+  FROM part),
+g AS (
+  SELECT p_partkey,
+         CAST(floor(6.4e1 * lon + 2.56e2) AS BIGINT) AS gx,
+         CAST(floor(-1.28e2 * lat + 3.84e2) AS BIGINT) AS gy
+  FROM pts)
+SELECT p_partkey, CAST(0 AS INT) AS band,
+       (gx * 7 + gy * 13) % 256 AS value
+FROM g
+WHERE gx BETWEEN 0 AND 511 AND gy BETWEEN 0 AND 383
+ORDER BY p_partkey"""
+
+
 def q_sqlmm_registry(spark, sf_dir):
     """The SQL-callable SQLMM surface end-to-end: the reference registers
     every SQLMM constant with the filter factory so query TEXT can call
@@ -2210,6 +2255,7 @@ QUERIES = {
     "sqlmm_registry": (q_sqlmm_registry, q_sqlmm_registry_oracle),
     "raster_stats": (q_raster_stats, q_raster_stats_oracle),
     "zonal_stats": (q_zonal_stats, q_zonal_stats_oracle),
+    "point_eval": (q_point_eval, q_point_eval_oracle),
     "halfplane_clip": (q_halfplane_clip, q_halfplane_clip_oracle),
     "utm_zones": (q_utm_zones, q_utm_zones_oracle),
     "images_metadata": (q_images_metadata, q_images_metadata_oracle),
