@@ -1606,6 +1606,67 @@ WHERE gx BETWEEN 0 AND 511 AND gy BETWEEN 0 AND 383
 ORDER BY p_partkey"""
 
 
+def q_resample(spark, sf_dir):
+    """Distributed NEAREST warp on the SCALE path (resample_gather: per-dst-
+    tile source gather, no dense broadcast — ResampledImage.java:84 inverse
+    mapping over the merged affine chain).  Both affines are dyadic and the
+    chain lands every dst pixel center on src fractional coordinate .25/.75
+    (never a rint tie), so the oracle recomputes sx/sy/value verbatim.
+    Output: per dst tile (n, sum, position-weighted sum) — int64 exact and
+    order-independent, sensitive to any misplaced pixel."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.tiles import resample_gather
+
+    SW, SH, DW, DH = 256, 192, 384, 288
+    src_gg = GridGeometry((0, 0, SW - 1, SH - 1), (0.0625, 0.0, 0.0, 0.0, -0.0625, 12.0))
+    dst_gg = GridGeometry((0, 0, DW - 1, DH - 1), (0.03125, 0.0, 0.5, 0.0, -0.03125, 11.5))
+    tiles = _formula_tiles(spark, SW, SH, bands=1)
+    out = resample_gather(tiles, src_gg, dst_gg, method="nearest")
+
+    def chk(batches):
+        gxs = _np.arange(64, dtype=_np.int64)
+        for pdf in batches:
+            rows = []
+            for tx, ty, band, data in zip(pdf["tx"], pdf["ty"], pdf["band"], pdf["data"]):
+                tx, ty = int(tx), int(ty)
+                vh = min(64, DH - ty * 64)
+                vw = min(64, DW - tx * 64)
+                block = _np.frombuffer(data, dtype=_np.uint8).reshape(64, 64)
+                GX, GY = _np.meshgrid(tx * 64 + gxs[:vw], ty * 64 + gxs[:vh])
+                v = block[:vh, :vw].astype(_np.int64)
+                px = GY * DW + GX
+                rows.append({
+                    "tx": tx, "ty": ty, "band": int(band),
+                    "n": int(vh * vw), "s": int(v.sum()),
+                    "ws": int((v * px).sum()),
+                })
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return out.mapInPandas(
+        chk, schema="tx long, ty long, band int, n long, s long, ws long"
+    ).orderBy("tx", "ty")
+
+
+def q_resample_oracle():
+    # merged chain: src_frac = 0.5*dst_px + 7.75 on both axes (dyadic exact;
+    # fractional part is always .25/.75 so round() has no ties)
+    return """
+WITH d AS (
+  SELECT gx.x AS x, gy.y AS y,
+         CAST(round(5.0e-1 * gx.x + 7.75e0) AS BIGINT) AS sx,
+         CAST(round(5.0e-1 * gy.y + 7.75e0) AS BIGINT) AS sy
+  FROM generate_series(0, 383) gx(x), generate_series(0, 287) gy(y)),
+v AS (SELECT x, y, (sx * 7 + sy * 13) % 256 AS v FROM d)
+SELECT x // 64 AS tx, y // 64 AS ty, CAST(0 AS INT) AS band,
+       count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+       CAST(sum(v * (y * 384 + x)) AS BIGINT) AS ws
+FROM v GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
 def q_sqlmm_registry(spark, sf_dir):
     """The SQL-callable SQLMM surface end-to-end: the reference registers
     every SQLMM constant with the filter factory so query TEXT can call
@@ -2256,6 +2317,7 @@ QUERIES = {
     "raster_stats": (q_raster_stats, q_raster_stats_oracle),
     "zonal_stats": (q_zonal_stats, q_zonal_stats_oracle),
     "point_eval": (q_point_eval, q_point_eval_oracle),
+    "resample_nearest": (q_resample, q_resample_oracle),
     "halfplane_clip": (q_halfplane_clip, q_halfplane_clip_oracle),
     "utm_zones": (q_utm_zones, q_utm_zones_oracle),
     "images_metadata": (q_images_metadata, q_images_metadata_oracle),
