@@ -71,3 +71,24 @@ def streaming_tile_counts(
             poly_key_col, "tx", "ty", "n",
         )
     )
+
+
+def streaming_dedup_exact(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    time_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact streaming deduplication on content keys (the ingest twin of the
+    batch md5-groupBy dedup, operators/dedup.py): keeps the first arrival of
+    each key.  With ``time_col`` the state store is WATERMARK-BOUNDED —
+    dropDuplicatesWithinWatermark evicts keys older than the watermark, so
+    state is O(keys per watermark window), not O(all keys ever) — the only
+    formulation that survives an unbounded 10^12-row ingest."""
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+    if time_col is None:
+        return stream_df.dropDuplicates(key_cols)
+    return stream_df.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -125,3 +125,34 @@ def test_streaming_rejects_batch_input(spark, sf_dir):
         streaming_spatial_join(
             _events_points(spark, sf_dir), _supplier_polygons(spark, sf_dir)
         )
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Duplicates across micro-batches are dropped; result key set equals
+    the batch distinct, with watermark-bounded state."""
+    import pandas as pd
+
+    from sis_spark.streaming.pipeline import streaming_dedup_exact
+
+    rows = pd.DataFrame({
+        "doc": [f"d{i % 7}" for i in range(40)],     # 7 distinct keys
+        "ts": pd.to_datetime(1_700_000_000 + (pd.RangeIndex(40) * 3), unit="s"),
+    })
+    d = str(tmp_path / "dedup_in")
+    df = spark.createDataFrame(rows)
+    df.filter(F.col("ts") < F.timestamp_seconds(F.lit(1_700_000_060))).coalesce(1).write.parquet(d)
+    df.filter(F.col("ts") >= F.timestamp_seconds(F.lit(1_700_000_060))).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema("doc string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = streaming_dedup_exact(stream, ["doc"], time_col="ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc"] for r in spark.sql("SELECT doc FROM dedup_stream").collect())
+    assert got == sorted(f"d{i}" for i in range(7))
