@@ -1667,6 +1667,97 @@ SELECT x // 64 AS tx, y // 64 AS ty, CAST(0 AS INT) AS band,
 FROM v GROUP BY 1, 2 ORDER BY tx, ty"""
 
 
+def q_stretch(spark, sf_dir):
+    """Percentile contrast stretch (ImageProcessor.stretchColorRamp,
+    F/image/ImageProcessor.java:780): distributed 256-bin histogram ->
+    [lo, hi] percentile clip -> linear map, verified through per-band
+    stats of the stretched raster.  The oracle rebuilds the cumulative
+    histogram over all 256 bins (searchsorted-left == first bin whose
+    cum >= target) and applies the identical FP map
+    floor(clip((v - lo) * (255 / (hi - lo)), 0, 255))."""
+    from .raster.grid import GridGeometry
+    from .raster.tiles import band_stats, stretch
+
+    W, H = 500, 300
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _formula_tiles(spark, W, H, bands=1)
+    out = stretch(tiles, gg, low_pct=2.0, high_pct=98.0)
+    return band_stats(out, gg).select(
+        "band", "n", "min", "max", "sum", "mean"
+    ).orderBy("band")
+
+
+def q_stretch_oracle():
+    return """
+WITH px AS (
+  SELECT (gx.x * 7 + gy.y * 13) % 256 AS v
+  FROM generate_series(0, 499) gx(x), generate_series(0, 299) gy(y)),
+hist AS (
+  SELECT b.value, coalesce(h.cnt, 0) AS cnt
+  FROM generate_series(0, 255) b(value)
+  LEFT JOIN (SELECT v AS value, count(*) AS cnt FROM px GROUP BY v) h
+    ON h.value = b.value),
+cum AS (
+  SELECT value, sum(cnt) OVER (ORDER BY value) AS c,
+         sum(cnt) OVER () AS total
+  FROM hist),
+b AS (
+  SELECT
+    (SELECT min(value) FROM cum WHERE c >= total * 2.0e0 / 1.0e2) AS lo0,
+    least((SELECT min(value) FROM cum WHERE c >= total * 9.8e1 / 1.0e2), 255) AS hi0
+  FROM (SELECT 1) one),
+bounds AS (
+  SELECT CAST(lo0 AS DOUBLE) AS lo,
+         CAST(CASE WHEN hi0 <= lo0 THEN lo0 + 1 ELSE hi0 END AS DOUBLE) AS hi
+  FROM b),
+sv AS (
+  SELECT CAST(floor(least(greatest(
+           (CAST(v AS DOUBLE) - lo) * (2.55e2 / (hi - lo)), 0.0e0), 2.55e2))
+         AS BIGINT) AS s
+  FROM px CROSS JOIN bounds)
+SELECT CAST(0 AS INT) AS band, count(*) AS n,
+       CAST(min(s) AS BIGINT) AS min, CAST(max(s) AS BIGINT) AS max,
+       CAST(sum(s) AS BIGINT) AS sum,
+       CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+FROM sv GROUP BY 1 ORDER BY band"""
+
+
+def q_mosaic(spark, sf_dir):
+    """Mosaic overlay, first source wins per tile (MergeStrategy.
+    opaqueOverlay, S/aggregate/MergeStrategy.java:82): source A keeps only
+    tiles with even tx+ty, source B (a different pixel formula) covers
+    everything; the merged raster's per-band stats prove priority AND
+    gap-filling.  Oracle: CASE on tile parity picks the formula per pixel."""
+    from .raster.grid import GridGeometry
+    from .raster.tiles import band_stats, mosaic_first
+
+    W, H = 448, 256  # multiples of 64: every tile fully real
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    a = _formula_tiles(spark, W, H, bands=1).filter((F.col("tx") + F.col("ty")) % 2 == 0)
+    b = _formula_tiles(spark, W, H, bands=2).filter(F.col("band") == 1).withColumn(
+        "band", F.lit(0).cast("int")
+    )
+    merged = mosaic_first(a, b)
+    return band_stats(merged, gg).select(
+        "band", "n", "min", "max", "sum", "mean"
+    ).orderBy("band")
+
+
+def q_mosaic_oracle():
+    return """
+WITH px AS (
+  SELECT gx.x AS x, gy.y AS y,
+         CASE WHEN ((gx.x // 64) + (gy.y // 64)) % 2 = 0
+              THEN (gx.x * 7 + gy.y * 13) % 256
+              ELSE (gx.x * 3 + gy.y * 5 + 17) % 256 END AS v
+  FROM generate_series(0, 447) gx(x), generate_series(0, 255) gy(y))
+SELECT CAST(0 AS INT) AS band, count(*) AS n,
+       CAST(min(v) AS BIGINT) AS min, CAST(max(v) AS BIGINT) AS max,
+       CAST(sum(v) AS BIGINT) AS sum,
+       CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+FROM px GROUP BY 1 ORDER BY band"""
+
+
 def q_sqlmm_registry(spark, sf_dir):
     """The SQL-callable SQLMM surface end-to-end: the reference registers
     every SQLMM constant with the filter factory so query TEXT can call
@@ -2318,6 +2409,8 @@ QUERIES = {
     "zonal_stats": (q_zonal_stats, q_zonal_stats_oracle),
     "point_eval": (q_point_eval, q_point_eval_oracle),
     "resample_nearest": (q_resample, q_resample_oracle),
+    "stretch": (q_stretch, q_stretch_oracle),
+    "mosaic": (q_mosaic, q_mosaic_oracle),
     "halfplane_clip": (q_halfplane_clip, q_halfplane_clip_oracle),
     "utm_zones": (q_utm_zones, q_utm_zones_oracle),
     "images_metadata": (q_images_metadata, q_images_metadata_oracle),
