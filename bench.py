@@ -157,7 +157,15 @@ def main():
                 ).withColumn("phash", F.xxhash64("image_id")).withColumn(
                     "bytes", F.encode(F.repeat(F.md5(F.col("image_id")), 8), "utf-8")
                 ).write.mode("overwrite").parquet(path)
-            pts = spark.read.parquet(path).select("image_id", "lon", "lat", "caption")
+            # repartition after the pruned scan: 325 MB of parquet coalesces
+            # to ~3 input splits at the default maxPartitionBytes, which
+            # would starve the 4N level at the source (same row-spreading
+            # the events path does before its replication join)
+            pts = (
+                spark.read.parquet(path)
+                .select("image_id", "lon", "lat", "caption")
+                .repartition(cpus * 2)
+            )
             n_base, mult = n_rows, 1
         else:
             base = _events_points(spark, SF_DIR)

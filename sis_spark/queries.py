@@ -1758,6 +1758,201 @@ SELECT CAST(0 AS INT) AS band, count(*) AS n,
 FROM px GROUP BY 1 ORDER BY band"""
 
 
+def _ramp_lut():
+    """(256, 3) LUT from integer formulas a SQL oracle replicates exactly."""
+    import numpy as _np
+
+    v = _np.arange(256, dtype=_np.int64)
+    return _np.stack(
+        [(v * 5 + 3) % 256, (v * 11 + 7) % 256, 255 - v], axis=1
+    ).astype(_np.uint8)
+
+
+def q_color_ramp(spark, sf_dir):
+    """Color-ramp visualization (ImageProcessor.visualize,
+    F/image/ImageProcessor.java:1046 colorized rendering): one band through
+    a (256, 3) LUT -> R/G/B planes, verified through per-band stats of the
+    ramped raster.  The LUT entries come from integer formulas the oracle
+    applies pixel-wise."""
+    from .raster.grid import GridGeometry
+    from .raster.tiles import band_stats, color_ramp
+
+    W, H = 448, 256  # multiples of 64: every pixel real through the LUT
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _formula_tiles(spark, W, H, bands=1)
+    out = color_ramp(tiles, _ramp_lut())
+    return band_stats(out, gg).select(
+        "band", "n", "min", "max", "sum", "mean"
+    ).orderBy("band")
+
+
+def q_color_ramp_oracle():
+    return """
+WITH px AS (
+  SELECT (gx.x * 7 + gy.y * 13) % 256 AS v
+  FROM generate_series(0, 447) gx(x), generate_series(0, 255) gy(y)),
+ch AS (
+  SELECT 0 AS band, (v * 5 + 3) % 256 AS s FROM px
+  UNION ALL SELECT 1 AS band, (v * 11 + 7) % 256 AS s FROM px
+  UNION ALL SELECT 2 AS band, 255 - v AS s FROM px)
+SELECT CAST(band AS INT) AS band, count(*) AS n,
+       CAST(min(s) AS BIGINT) AS min, CAST(max(s) AS BIGINT) AS max,
+       CAST(sum(s) AS BIGINT) AS sum,
+       CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+FROM ch GROUP BY band ORDER BY band"""
+
+
+def q_band_reduce(spark, sf_dir):
+    """Dimensionality reduction over the band axis
+    (F/coverage/grid/DimensionalityReduction.java;
+    GridCoverageProcessor.java:743-837 "reduce extra dimensions"): pixel-wise
+    mean of two formula bands collapses to one plane, verified through stats
+    of the reduced raster.  Both inputs are uint8 so (v0 + v1) / 2 is
+    FP-exact and the engine's trunc equals the oracle's integer floor-div;
+    the shuffle is one row per (tile, band), never per pixel."""
+    from .raster.grid import GridGeometry
+    from .raster.tiles import band_stats, reduce_bands
+
+    W, H = 1000, 800
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _formula_tiles(spark, W, H, bands=2)
+    out = reduce_bands(tiles, op="mean")
+    return band_stats(out, gg).select(
+        "band", "n", "min", "max", "sum", "mean"
+    ).orderBy("band")
+
+
+def q_band_reduce_oracle():
+    return """
+WITH px AS (
+  SELECT ((gx.x * 7 + gy.y * 13) % 256
+        + (gx.x * 3 + gy.y * 5 + 17) % 256) // 2 AS s
+  FROM generate_series(0, 999) gx(x), generate_series(0, 799) gy(y))
+SELECT CAST(0 AS INT) AS band, count(*) AS n,
+       CAST(min(s) AS BIGINT) AS min, CAST(max(s) AS BIGINT) AS max,
+       CAST(sum(s) AS BIGINT) AS sum,
+       CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+FROM px GROUP BY 1 ORDER BY band"""
+
+
+ISO_LEVELS = [63.5, 127.5]
+_ISO_Q = "1048576.0e0"  # 2^20 — power-of-two scale, exact FP multiply
+
+
+def _iso_agg_exprs():
+    """Order-independent segment-set digest (shared Spark/DuckDB text):
+    int64 sums of quantized symmetric endpoint functions — orientation of
+    each segment can't matter, per-segment doubles are bit-identical on
+    both sides, and integer sums commute."""
+    return [
+        "CAST(count(*) AS BIGINT) AS n",
+        f"CAST(sum(CAST(floor((x1 + x2) * {_ISO_Q}) AS BIGINT)) AS BIGINT) AS sx",
+        f"CAST(sum(CAST(floor((y1 + y2) * {_ISO_Q}) AS BIGINT)) AS BIGINT) AS sy",
+        "CAST(sum(CAST(floor(((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))"
+        f" * {_ISO_Q}) AS BIGINT)) AS BIGINT) AS slen2",
+    ]
+
+
+def q_isolines(spark, sf_dir):
+    """Distributed marching-squares contour extraction
+    (F/image/processing/isoline/Isolines.java fork-join per-band contouring
+    re-expressed as halo-gather + vectorized march): two levels over a
+    formula raster, verified by an order-independent quantized digest of
+    the segment set.  The oracle re-derives every 2x2 cell case, the linear
+    edge interpolation, the saddle center-mean rule, and the engine's exact
+    FP association order (tile-local coordinate + frac, then tile offset,
+    then the CELL_CENTER affine)."""
+    from .raster.grid import GridGeometry
+    from .raster.isolines import isolines
+
+    W, H = 448, 256  # multiples of 64: no padding, full halo coverage
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _formula_tiles(spark, W, H, bands=1)
+    segs = isolines(tiles, gg, ISO_LEVELS)
+    return segs.groupBy("level").agg(
+        *[F.expr(e) for e in _iso_agg_exprs()]
+    ).orderBy("level")
+
+
+def q_isolines_oracle():
+    # marching-squares case table (tl=v00, tr=v10, br=v11, bl=v01;
+    # idx = tl + 2*tr + 4*br + 8*bl) — mirrors isolines.marching_squares
+    cases = {
+        1: [("l", "t")], 2: [("t", "r")], 3: [("l", "r")], 4: [("r", "b")],
+        6: [("t", "b")], 7: [("l", "b")], 8: [("b", "l")], 9: [("t", "b")],
+        11: [("r", "b")], 12: [("r", "l")], 13: [("t", "r")], 14: [("l", "t")],
+    }
+    saddles = [  # (idx, center-hi?, pairs)
+        (5, True, [("l", "t"), ("r", "b")]),
+        (5, False, [("l", "b"), ("t", "r")]),
+        (10, True, [("t", "r"), ("b", "l")]),
+        (10, False, [("l", "t"), ("r", "b")]),
+    ]
+
+    def edge(e, lvl):
+        # tile-LOCAL pixel coordinate + interpolation frac FIRST (the
+        # engine builds segments in halo-local coords), tile offset second,
+        # CELL_CENTER affine last — the exact numpy association order
+        pxl, pyl = "CAST(x % 64 AS DOUBLE)", "CAST(y % 64 AS DOUBLE)"
+        ox = "CAST((x // 64) * 64 AS DOUBLE)"
+        oy = "CAST((y // 64) * 64 AS DOUBLE)"
+        if e == "t":
+            lx, ly = f"({pxl} + ({lvl} - v00) / (v10 - v00))", pyl
+        elif e == "r":
+            lx, ly = f"({pxl} + 1.0e0)", f"({pyl} + ({lvl} - v10) / (v11 - v10))"
+        elif e == "b":
+            lx, ly = f"({pxl} + ({lvl} - v01) / (v11 - v01))", f"({pyl} + 1.0e0)"
+        else:
+            lx, ly = pxl, f"({pyl} + ({lvl} - v00) / (v01 - v00))"
+        gx, gy = f"({lx} + {ox})", f"({ly} + {oy})"
+        # center affine of ((1,0,0),(0,-1,H=256)) = x+0.5 / 255.5-y, applied
+        # in affine_apply's ((a0*x + a1*y) + a2) order
+        cx = f"((1.0e0 * {gx} + 0.0e0 * {gy}) + 5.0e-1)"
+        cy = f"((0.0e0 * {gx} + -1.0e0 * {gy}) + 2.555e2)"
+        return cx, cy
+
+    arms = []
+    for lvl_s in ("6.35e1", "1.275e2"):
+        idx_sql = (
+            f"(CASE WHEN v00 >= {lvl_s} THEN 1 ELSE 0 END"
+            f" + 2 * CASE WHEN v10 >= {lvl_s} THEN 1 ELSE 0 END"
+            f" + 4 * CASE WHEN v11 >= {lvl_s} THEN 1 ELSE 0 END"
+            f" + 8 * CASE WHEN v01 >= {lvl_s} THEN 1 ELSE 0 END)"
+        )
+        chi_sql = f"((v00 + v10 + v01 + v11) * 2.5e-1 >= {lvl_s})"
+        for k, pairs in cases.items():
+            for a, b in pairs:
+                ax, ay = edge(a, lvl_s)
+                bx, by = edge(b, lvl_s)
+                arms.append(
+                    f"SELECT CAST({lvl_s} AS DOUBLE) AS level, {ax} AS x1, {ay} AS y1,"
+                    f" {bx} AS x2, {by} AS y2 FROM c WHERE {idx_sql} = {k}"
+                )
+        for k, hi, pairs in saddles:
+            cond = chi_sql if hi else f"(NOT {chi_sql})"
+            for a, b in pairs:
+                ax, ay = edge(a, lvl_s)
+                bx, by = edge(b, lvl_s)
+                arms.append(
+                    f"SELECT CAST({lvl_s} AS DOUBLE) AS level, {ax} AS x1, {ay} AS y1,"
+                    f" {bx} AS x2, {by} AS y2 FROM c WHERE {idx_sql} = {k} AND {cond}"
+                )
+    union = "\nUNION ALL\n".join(arms)
+    aggs = ", ".join(_iso_agg_exprs())
+    return f"""
+WITH c AS (
+  SELECT gx.x AS x, gy.y AS y,
+    CAST((gx.x * 7 + gy.y * 13) % 256 AS DOUBLE) AS v00,
+    CAST(((gx.x + 1) * 7 + gy.y * 13) % 256 AS DOUBLE) AS v10,
+    CAST((gx.x * 7 + (gy.y + 1) * 13) % 256 AS DOUBLE) AS v01,
+    CAST(((gx.x + 1) * 7 + (gy.y + 1) * 13) % 256 AS DOUBLE) AS v11
+  FROM generate_series(0, 446) gx(x), generate_series(0, 254) gy(y)),
+segs AS (
+{union})
+SELECT level, {aggs}
+FROM segs GROUP BY level ORDER BY level"""
+
+
 def q_sqlmm_registry(spark, sf_dir):
     """The SQL-callable SQLMM surface end-to-end: the reference registers
     every SQLMM constant with the filter factory so query TEXT can call
@@ -2411,6 +2606,9 @@ QUERIES = {
     "resample_nearest": (q_resample, q_resample_oracle),
     "stretch": (q_stretch, q_stretch_oracle),
     "mosaic": (q_mosaic, q_mosaic_oracle),
+    "color_ramp": (q_color_ramp, q_color_ramp_oracle),
+    "band_reduce": (q_band_reduce, q_band_reduce_oracle),
+    "isolines": (q_isolines, q_isolines_oracle),
     "halfplane_clip": (q_halfplane_clip, q_halfplane_clip_oracle),
     "utm_zones": (q_utm_zones, q_utm_zones_oracle),
     "images_metadata": (q_images_metadata, q_images_metadata_oracle),
