@@ -2544,6 +2544,236 @@ meta AS (
 SELECT image_id, w, h, fmt, caption, {cell} AS cell FROM meta ORDER BY image_id"""
 
 
+# ================================================================ source stores
+
+
+def q_geotiff_cog(spark, sf_dir):
+    """The GeoTIFF source end-to-end under the oracle gate: a COG (tiled
+    deflate + horizontal predictor-2, stride-2 overview IFD chain —
+    S/storage/geotiff writer/reader semantics incl.
+    TIF/inflater/HorizontalPredictor.java and the TileMatrixSet pyramid
+    read) is encoded from an integer-formula RGB array, then every pyramid
+    level is read back DISTRIBUTED (driver parses only the IFD; executors
+    range-read + inflate + un-predict their blocks) and reduced to per-band
+    stats.  The oracle re-derives level L as the formula evaluated at
+    (x * 2^L, y * 2^L) — the exact arr[::2^L, ::2^L] overview contract."""
+    import numpy as _np
+
+    from .raster.tiles import band_stats
+    from .sources.geotiff import encode_cog, geotiff_tiles
+
+    W, H = 448, 256
+    GX, GY = _np.meshgrid(
+        _np.arange(W, dtype=_np.int64), _np.arange(H, dtype=_np.int64)
+    )
+    arr = _np.stack(
+        [(GX * 7 + GY * 13) % 256, (GX * 3 + GY * 5 + 17) % 256,
+         (GX * 11 + GY * 3 + 29) % 256], axis=2,
+    ).astype(_np.uint8)
+    buf = encode_cog(
+        arr, affine=(1.0, 0.0, 0.0, 0.0, -1.0, float(H)),
+        tile_size=64, compression="deflate", predictor=2,
+    )
+    out = None
+    for level in (0, 1, 2):
+        tiles, gg = geotiff_tiles(spark, buf, level=level)
+        st = band_stats(tiles, gg).select(
+            F.lit(level).cast("int").alias("level"),
+            "band", "n", "min", "max", "sum", "mean",
+        )
+        out = st if out is None else out.unionAll(st)
+    return out.orderBy("level", "band")
+
+
+def q_geotiff_cog_oracle():
+    return """
+WITH lv AS (
+  SELECT l.l AS level, gx.x * (1 << l.l) AS x, gy.y * (1 << l.l) AS y
+  FROM (VALUES (0), (1), (2)) l(l),
+       generate_series(0, 447) gx(x), generate_series(0, 255) gy(y)
+  WHERE gx.x < 448 // (1 << l.l) AND gy.y < 256 // (1 << l.l)),
+ch AS (
+  SELECT level, 0 AS band, (x * 7 + y * 13) % 256 AS s FROM lv
+  UNION ALL SELECT level, 1, (x * 3 + y * 5 + 17) % 256 FROM lv
+  UNION ALL SELECT level, 2, (x * 11 + y * 3 + 29) % 256 FROM lv)
+SELECT CAST(level AS INT) AS level, CAST(band AS INT) AS band, count(*) AS n,
+       CAST(min(s) AS BIGINT) AS min, CAST(max(s) AS BIGINT) AS max,
+       CAST(sum(s) AS BIGINT) AS sum,
+       CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+FROM ch GROUP BY level, band ORDER BY level, band"""
+
+
+N_GPX_FILES = 6
+
+
+def _gpx_point_rows(f: int):
+    """Formula point set for GPX gate file ``f`` — quarters of a degree so
+    every coordinate is FP-exact through XML text round-trip and SQL."""
+    rows = []
+    for i in range(10):
+        g = f * 1000 + i
+        rows.append(("wpt", None, None, i, g, f"p{g}"))
+    for i in range(10):
+        g = f * 1000 + 100 + i
+        rows.append(("rte", 0, None, i, g, None))
+    for sg in range(2):
+        for i in range(5):
+            g = f * 1000 + 200 + sg * 50 + i
+            rows.append(("trk", 0, sg, i, g, None))
+    return [
+        {"kind": k, "route_id": r, "segment_id": s, "seq": q,
+         "lon": (g * 7 % 720) / 4.0 - 90.0, "lat": (g * 13 % 360) / 4.0 - 45.0,
+         "ele": float(g), "time": None, "name": nm}
+        for (k, r, s, q, g, nm) in rows
+    ]
+
+
+def q_gpx_read(spark, sf_dir):
+    """The GPX store end-to-end under the oracle gate (S/storage/gpx
+    reader/writer, wpt/rte/trk+trkseg nesting -> flat Moving-Features
+    rows): formula point sets are WRITTEN as real GPX XML documents, then
+    the folder is read back distributed (each task parses its files) and
+    the oracle re-derives every row from the same integer formulas."""
+    import os as _os
+    import tempfile as _tempfile
+
+    import pandas as _pd
+
+    from .sources.gpx import gpx_table, write_gpx
+
+    d = _os.path.join(_tempfile.gettempdir(), "sis_gpx_gate")
+    _os.makedirs(d, exist_ok=True)
+    paths = []
+    for f in range(N_GPX_FILES):
+        p = _os.path.join(d, f"gpx_{f}.gpx")
+        with open(p, "w") as fh:
+            fh.write(write_gpx(_pd.DataFrame(_gpx_point_rows(f))))
+        paths.append(p)
+    df = gpx_table(spark, paths)
+    return df.select(
+        F.regexp_extract("path", r"gpx_(\d+)\.gpx", 1).cast("int").alias("file_id"),
+        "kind", "route_id", "segment_id", "seq", "lon", "lat", "ele", "name",
+    ).orderBy("file_id", "kind", "route_id", "segment_id", "seq")
+
+
+def q_gpx_read_oracle():
+    return f"""
+WITH f AS (SELECT t.f FROM generate_series(0, {N_GPX_FILES - 1}) t(f)),
+pts AS (
+  SELECT f, 'wpt' AS kind, CAST(NULL AS INT) AS route_id,
+         CAST(NULL AS INT) AS segment_id, i AS seq, f * 1000 + i AS g
+  FROM f, generate_series(0, 9) s(i)
+  UNION ALL
+  SELECT f, 'rte', 0, CAST(NULL AS INT), i, f * 1000 + 100 + i
+  FROM f, generate_series(0, 9) s(i)
+  UNION ALL
+  SELECT f, 'trk', 0, sg, i, f * 1000 + 200 + sg * 50 + i
+  FROM f, generate_series(0, 1) ss(sg), generate_series(0, 4) s(i))
+SELECT CAST(f AS INT) AS file_id, kind,
+       CAST(route_id AS INT) AS route_id,
+       CAST(segment_id AS INT) AS segment_id,
+       CAST(seq AS INT) AS seq,
+       CAST(g * 7 % 720 AS DOUBLE) / 4.0e0 - 9.0e1 AS lon,
+       CAST(g * 13 % 360 AS DOUBLE) / 4.0e0 - 4.5e1 AS lat,
+       CAST(g AS DOUBLE) AS ele,
+       CASE WHEN kind = 'wpt' THEN 'p' || CAST(g AS VARCHAR) ELSE NULL END AS name
+FROM pts ORDER BY file_id, kind, route_id, segment_id, seq"""
+
+
+# ================================================================ media columns
+
+N_GATE_CLIPS = 12
+_AUDIO_SR = 8000  # 25 ms frames -> flen 200, 40 frames per 1 s clip
+
+
+def q_audio_features(spark, sf_dir):
+    """Audio columns end-to-end under the oracle gate: integer-formula PCM16
+    is packaged as REAL RIFF/WAVE payloads, decoded distributed, and reduced
+    to per-frame RMS + zero-crossing rate (operators/media.audio_features).
+    Bit-exact because every sample is the dyadic rational k/2^15 (|k| <=
+    16000, exact through the int16 round-trip AND the float32 decode), so
+    frame sums are exact integers over 2^30 and the oracle can replay the
+    identical divide/sqrt sequence."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .operators.media import audio_features
+    from .sources import riff
+
+    rows = []
+    for c in range(N_GATE_CLIPS):
+        t = _np.arange(_AUDIO_SR, dtype=_np.int64)
+        k = (c * 7919 + t * 104729) % 32001 - 16000
+        rows.append({
+            "media_id": f"aud-{c:09d}",
+            "payload": riff.encode_wav(k.astype(_np.float64) / 32768.0, _AUDIO_SR),
+            "sample_rate": _AUDIO_SR, "n_samples": _AUDIO_SR,
+            "codec": "wav-pcm16",
+        })
+    audio = spark.createDataFrame(
+        _pd.DataFrame(rows),
+        schema="media_id string, payload binary, sample_rate int, "
+               "n_samples long, codec string",
+    ).repartition(min(N_GATE_CLIPS, spark.sparkContext.defaultParallelism))
+    return audio_features(audio, frame_ms=25).orderBy("media_id", "frame")
+
+
+def q_audio_features_oracle():
+    return f"""
+WITH s AS (
+  SELECT c.c AS c, t.t AS t,
+         ((c.c * 7919 + t.t * 104729) % 32001) - 16000 AS k
+  FROM generate_series(0, {N_GATE_CLIPS - 1}) c(c),
+       generate_series(0, {_AUDIO_SR - 1}) t(t)),
+fr AS (SELECT c, t // 200 AS frame, t % 200 AS pos, k FROM s),
+rms AS (SELECT c, frame, CAST(sum(k * k) AS BIGINT) AS s2
+        FROM fr GROUP BY 1, 2),
+z AS (
+  SELECT a.c AS c, a.frame AS frame,
+         CAST(sum(CASE WHEN (a.k < 0) <> (b.k < 0) THEN 1 ELSE 0 END) AS BIGINT) AS nz
+  FROM fr a JOIN fr b ON a.c = b.c AND a.frame = b.frame AND b.pos = a.pos + 1
+  GROUP BY 1, 2)
+SELECT 'aud-' || lpad(CAST(rms.c AS VARCHAR), 9, '0') AS media_id,
+       CAST(rms.frame AS INT) AS frame,
+       sqrt(CAST(rms.s2 AS DOUBLE) / 1.073741824e9 / 2.0e2) AS rms,
+       CAST(z.nz AS DOUBLE) / 1.99e2 AS zcr
+FROM rms JOIN z ON rms.c = z.c AND rms.frame = z.frame
+ORDER BY media_id, frame"""
+
+
+def q_video_frames(spark, sf_dir):
+    """Video columns end-to-end under the oracle gate: formula raw-RGB clips
+    through the frame-seeking sampler (operators/media.sample_frames decodes
+    every 4th frame ONLY — the AT_GET_TILE_TIME discipline applied to time)
+    reduced to per-frame mean intensity the oracle re-derives pixel-wise."""
+    import pandas as _pd
+
+    from .operators.media import VIDEO_SCHEMA, make_fake_video, sample_frames
+
+    video = spark.createDataFrame(
+        _pd.DataFrame([make_fake_video(c) for c in range(N_GATE_CLIPS)]),
+        schema=VIDEO_SCHEMA,
+    ).repartition(min(N_GATE_CLIPS, spark.sparkContext.defaultParallelism))
+    return sample_frames(video, every_n=4).select(
+        "media_id", "frame", "mean_intensity"
+    ).orderBy("media_id", "frame")
+
+
+def q_video_frames_oracle():
+    return f"""
+WITH px AS (
+  SELECT m.m AS m, f.f AS f,
+         (x.x * 5 + y.y * 11 + f.f * 17 + ch.ch * 29 + m.m * 7) % 256 AS v
+  FROM generate_series(0, {N_GATE_CLIPS - 1}) m(m),
+       (VALUES (0), (4), (8)) f(f),
+       generate_series(0, 15) x(x), generate_series(0, 11) y(y),
+       generate_series(0, 2) ch(ch))
+SELECT 'vid-' || lpad(CAST(m AS VARCHAR), 9, '0') AS media_id,
+       CAST(f AS INT) AS frame,
+       CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / 5.76e2 AS mean_intensity
+FROM px GROUP BY m, f ORDER BY media_id, frame"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -2612,4 +2842,8 @@ QUERIES = {
     "halfplane_clip": (q_halfplane_clip, q_halfplane_clip_oracle),
     "utm_zones": (q_utm_zones, q_utm_zones_oracle),
     "images_metadata": (q_images_metadata, q_images_metadata_oracle),
+    "geotiff_cog": (q_geotiff_cog, q_geotiff_cog_oracle),
+    "gpx_read": (q_gpx_read, q_gpx_read_oracle),
+    "audio_features": (q_audio_features, q_audio_features_oracle),
+    "video_frames": (q_video_frames, q_video_frames_oracle),
 }
