@@ -2507,8 +2507,9 @@ def q_images_metadata(spark, sf_dir):
     )
 
 
-def q_images_metadata_oracle():
-    from .functions.cells import cell_sql_flat
+def _images_meta_sql(n_rows: int) -> str:
+    """Shared oracle CTE: the image table's metadata re-derived row-by-row
+    (``ids`` + ``meta`` with image_id/w/h/fmt/caption/lon/lat columns)."""
     from .sources.images import FMTS, SIZES, _VOCAB
 
     word_case = lambda k: (
@@ -2530,17 +2531,23 @@ def q_images_metadata_oracle():
     )
     lon = synth.point_lon_sql("i")
     lat = synth.point_lat_sql("i")
-    cell = cell_sql_flat("lon", "lat", CELL_RES)
-    return f"""
-WITH ids AS (SELECT i FROM generate_series(0, {N_GATE_IMAGES - 1}) t(i)),
+    return f"""ids AS (SELECT i FROM generate_series(0, {n_rows - 1}) t(i)),
 meta AS (
   SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
          CAST({size_case('i')} AS INTEGER) AS w,
          CAST({size_case('i // 3')} AS INTEGER) AS h,
          {fmt_case} AS fmt,
          {caption} AS caption,
-         {lon} AS lon, {lat} AS lat
-  FROM ids)
+         {lon} AS lon, {lat} AS lat, i
+  FROM ids)"""
+
+
+def q_images_metadata_oracle():
+    from .functions.cells import cell_sql_flat
+
+    cell = cell_sql_flat("lon", "lat", CELL_RES)
+    return f"""
+WITH {_images_meta_sql(N_GATE_IMAGES)}
 SELECT image_id, w, h, fmt, caption, {cell} AS cell FROM meta ORDER BY image_id"""
 
 
@@ -2678,6 +2685,143 @@ SELECT CAST(f AS INT) AS file_id, kind,
        CAST(g AS DOUBLE) AS ele,
        CASE WHEN kind = 'wpt' THEN 'p' || CAST(g AS VARCHAR) ELSE NULL END AS name
 FROM pts ORDER BY file_id, kind, route_id, segment_id, seq"""
+
+
+# ================================================================ table format / CSV store
+
+
+def q_snapshot_table(spark, sf_dir):
+    """The Iceberg-shaped snapshot table format end-to-end under the oracle
+    gate (sources/table_format.py — the manifest mechanics of the public
+    Iceberg spec the north rule's input table uses): the image+caption
+    metadata table is committed in two snapshots partitioned by coarse
+    spatial cell, then read back three ways — time travel to snapshot 1,
+    the current snapshot, and a manifest-level partition-pruned scan (files
+    selected on the driver, the cluster never globs the table) — and every
+    row of each read is re-derived by the oracle."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .functions.spark_exprs import cell_col
+    from .sources import table_format as tf
+    from .sources.images import images_table
+
+    root = _os.path.join(_tempfile.gettempdir(), "sis_snapshot_gate")
+    _shutil.rmtree(root, ignore_errors=True)
+    half = N_GATE_IMAGES // 2
+    img = images_table(
+        spark, N_GATE_IMAGES,
+        columns=["image_id", "w", "h", "fmt", "caption", "lon", "lat"],
+    ).withColumn("cell_p", cell_col(F.col("lon"), F.col("lat"), 4))
+    cut = f"img-{half:012d}"
+    tf.create_table(spark, root, img.filter(F.col("image_id") < cut),
+                    partition_by=["cell_p"])
+    tf.append(spark, root, img.filter(F.col("image_id") >= cut))
+
+    cols = ["image_id", "w", "h", "fmt", "caption",
+            F.col("cell_p").cast("int").alias("cell_p")]
+    s1 = tf.read(spark, root, snapshot=1).select(
+        F.lit("s1").alias("label"), *cols)
+    cur = tf.read(spark, root).select(F.lit("cur").alias("label"), *cols)
+    pruned = tf.read(
+        spark, root, partition_filter=lambda p: int(p["cell_p"]) % 4 == 0
+    ).select(F.lit("pruned").alias("label"), *cols)
+    return s1.unionByName(cur).unionByName(pruned).orderBy("label", "image_id")
+
+
+def q_snapshot_table_oracle():
+    from .functions.cells import cell_sql_flat
+
+    half = N_GATE_IMAGES // 2
+    cell = cell_sql_flat("lon", "lat", 4)
+    return f"""
+WITH {_images_meta_sql(N_GATE_IMAGES)},
+rows_ AS (
+  SELECT image_id, w, h, fmt, caption, CAST({cell} AS INT) AS cell_p, i
+  FROM meta)
+SELECT 's1' AS label, image_id, w, h, fmt, caption, cell_p
+FROM rows_ WHERE i < {half}
+UNION ALL
+SELECT 'cur', image_id, w, h, fmt, caption, cell_p FROM rows_
+UNION ALL
+SELECT 'pruned', image_id, w, h, fmt, caption, cell_p
+FROM rows_ WHERE cell_p % 4 = 0
+ORDER BY label, image_id"""
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    """The CSV feature store end-to-end under the oracle gate
+    (S/csv/Store.java:91 header-driven schema inference :254-262): the
+    events table is written as headered CSV (µs ISO-8601 timestamps,
+    quoted strings) and read back with full schema INFERENCE; the oracle
+    is simply the original table — so timestamps, doubles (Java
+    round-trip-exact toString), quoting, and nulls must all survive the
+    text round-trip bit-exactly."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from .sources.csv_store import read_feature_csv, write_feature_csv
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = _os.path.join(_tempfile.gettempdir(), "sis_csv_gate")
+    write_feature_csv(ev, out)
+    return read_feature_csv(spark, out).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).orderBy("event_id")
+
+
+def q_csv_roundtrip_oracle():
+    return """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events ORDER BY event_id"""
+
+
+N_GATE_FEATURE_IMAGES = 600
+
+
+def q_image_features(spark, sf_dir):
+    """The image decode + feature-extraction path under the oracle gate:
+    real encoded bytes (PNG zlib stream / raw planes) are decoded
+    DISTRIBUTED and reduced to channel means; the oracle re-derives every
+    mean from the closed-form pixel content, so the decoder must be
+    bit-perfect.  Lossy JPEG rows are excluded (their reconstruction is
+    validated by PSNR pytest, not SQL-expressible); std/edge_energy are
+    float reductions over rounded intermediates (association-order
+    dependent) and stay pytest-validated."""
+    from .operators.imageops import image_features
+    from .sources.images import images_table
+
+    img = images_table(spark, N_GATE_FEATURE_IMAGES).filter(
+        F.col("fmt") != "jpeg"
+    )
+    return image_features(img).select(
+        "image_id", "mean_r", "mean_g", "mean_b"
+    ).orderBy("image_id")
+
+
+def q_image_features_oracle():
+    from .sources.images import SIZES
+
+    size_case = lambda e: (
+        f"(CASE ({e}) % 3 WHEN 0 THEN {SIZES[0]} WHEN 1 THEN {SIZES[1]} ELSE {SIZES[2]} END)"
+    )
+    mean_k = lambda k: (
+        f"CAST(sum((x.x * 3 + y.y * 7 + {k} * 31 + d.i * 13) % 256) AS DOUBLE)"
+        " / CAST(count(*) AS DOUBLE)"
+    )
+    return f"""
+WITH dims AS (
+  SELECT i, {size_case('i')} AS w, {size_case('i // 3')} AS h
+  FROM generate_series(0, {N_GATE_FEATURE_IMAGES - 1}) t(i)
+  WHERE i % 3 <> 2)
+SELECT 'img-' || lpad(CAST(d.i AS VARCHAR), 12, '0') AS image_id,
+       {mean_k(0)} AS mean_r,
+       {mean_k(1)} AS mean_g,
+       {mean_k(2)} AS mean_b
+FROM dims d, generate_series(0, 63) x(x), generate_series(0, 63) y(y)
+WHERE x.x < d.w AND y.y < d.h
+GROUP BY d.i ORDER BY image_id"""
 
 
 # ================================================================ media columns
@@ -2846,4 +2990,7 @@ QUERIES = {
     "gpx_read": (q_gpx_read, q_gpx_read_oracle),
     "audio_features": (q_audio_features, q_audio_features_oracle),
     "video_frames": (q_video_frames, q_video_frames_oracle),
+    "snapshot_table": (q_snapshot_table, q_snapshot_table_oracle),
+    "csv_roundtrip": (q_csv_roundtrip, q_csv_roundtrip_oracle),
+    "image_features": (q_image_features, q_image_features_oracle),
 }
