@@ -2824,6 +2824,270 @@ WHERE x.x < d.w AND y.y < d.h
 GROUP BY d.i ORDER BY image_id"""
 
 
+# ================================================================ moving features (MF-CSV)
+
+N_MF_FILES = 3
+_MF_T0 = "2024-01-01T00:00:00Z"
+_MF_STATE_SQL = "CASE ({k}) % 3 WHEN 0 THEN 'walk' WHEN 1 THEN 'ride' ELSE 'fly' END"
+
+
+def _mf_write_files(tag: str, with_omissions: bool) -> list[str]:
+    """Deterministic MF-CSV fixture files: per file, 10 moving features x 3
+    time-contiguous segments, lines ordered (segment, feature) so the
+    previous-physical-line inheritance crosses features.  Vertices follow
+    u = 4*segment + v with x = i + u^2/64, y = file + u/32 (all dyadic, so
+    the text round-trip and every later interpolation are FP-exact); even
+    features have 5 points per segment (joining vertices coincide -> merge
+    dedup fires), odd features 4 (no coincidence).  When
+    ``with_omissions``, features with i%3==1 omit their trailing attribute
+    values on every line (inherit from the previous line = feature i-1)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    import pandas as _pd
+
+    from .sources.mf_csv import format_mf_csv
+
+    d = _os.path.join(_tempfile.gettempdir(), f"sis_mf_gate_{tag}")
+    _os.makedirs(d, exist_ok=True)
+    t0_us = _pd.Timestamp(_MF_T0.rstrip("Z")).value // 1000
+    header = {
+        "crs": "urn:ogc:def:crs:CRS:1.3:84", "lower": (0.0, 0.0),
+        "upper": (1024.0, 1024.0), "t0": _MF_T0,
+        "t1": "2024-01-02T00:00:00Z", "unit_seconds": 1.0,
+        "columns": [("state", "string"), ("code", "bigint")],
+        "foliation": "Time",
+    }
+    states = ["walk", "ride", "fly"]
+    paths = []
+    for f in range(N_MF_FILES):
+        rows = []
+        for s in range(3):
+            for i in range(10):
+                start = t0_us + (i * 256 + s * 32) * 1_000_000
+                n = 5 if i % 2 == 0 else 4
+                traj = []
+                for v in range(n):
+                    u = s * 4 + v
+                    traj += [i + u * u / 64.0, f + u / 32.0]
+                omit = with_omissions and i % 3 == 1
+                state = None if omit else states[(i + (1 if s == 2 else 0)) % 3]
+                code = None if omit else i * 5 + s % 2
+                rows.append([f"mf-{i}", start, start + 32_000_000, traj, state, code])
+        p = _os.path.join(d, f"mf_{f}.csv")
+        with open(p, "w") as fh:
+            fh.write(format_mf_csv(
+                _pd.DataFrame(rows, columns=["mfidref", "start_us", "end_us",
+                                             "trajectory", "state", "code"]),
+                header,
+            ))
+        paths.append(p)
+    return paths
+
+
+def _mf_file_id():
+    return F.regexp_extract("path", r"mf_(\d+)\.csv", 1).cast("int").alias("file_id")
+
+
+def q_mf_fragmented(spark, sf_dir):
+    """The Moving Features CSV store, FRAGMENTED representation, under the
+    oracle gate (S/csv/Store.java:229-330 header parsing, TimeEncoding
+    relative seconds, FeatureIterator fixed leading columns, and the
+    previous-line value inheritance of the reference's own fixture): files
+    are written through the store's writer, read back distributed, the
+    trajectory exploded to ordered vertices, and every row — including the
+    inherited attribute values — re-derived closed-form by the oracle."""
+    from .sources.mf_csv import mf_table
+
+    paths = _mf_write_files("frag", with_omissions=True)
+    df = mf_table(spark, paths)
+    pts = F.expr(
+        "transform(sequence(0, cast(size(trajectory)/2 as int) - 1),"
+        " v -> struct(trajectory[2*v] as x, trajectory[2*v+1] as y))"
+    )
+    return df.select(
+        _mf_file_id(), "line_id", "mfidref", "start_time", "end_time",
+        "state", "code", F.posexplode(pts).alias("seq", "pt"),
+    ).select(
+        "file_id", "line_id", "mfidref", "start_time", "end_time",
+        "seq", F.col("pt.x").alias("x"), F.col("pt.y").alias("y"),
+        "state", "code",
+    ).orderBy("file_id", "line_id", "seq")
+
+
+def _mf_ts_sql(off_expr: str) -> str:
+    return (f"TIMESTAMP '2024-01-01 00:00:00'"
+            f" + to_microseconds(CAST({off_expr} AS BIGINT) * 1000000)")
+
+
+def q_mf_fragmented_oracle():
+    state = _MF_STATE_SQL.format(k="eff_i + CASE WHEN s = 2 THEN 1 ELSE 0 END")
+    return f"""
+WITH li AS (
+  SELECT f, s, i, CASE WHEN i % 3 = 1 THEN i - 1 ELSE i END AS eff_i,
+         CASE WHEN i % 2 = 0 THEN 5 ELSE 4 END AS n
+  FROM generate_series(0, {N_MF_FILES - 1}) tf(f),
+       generate_series(0, 2) ts(s), generate_series(0, 9) ti(i)),
+vtx AS (SELECT li.*, v, s * 4 + v AS u FROM li, generate_series(0, 4) tv(v)
+        WHERE v < n)
+SELECT CAST(f AS INT) AS file_id, CAST(s * 10 + i AS BIGINT) AS line_id,
+       'mf-' || i AS mfidref,
+       {_mf_ts_sql('i * 256 + s * 32')} AS start_time,
+       {_mf_ts_sql('i * 256 + s * 32 + 32')} AS end_time,
+       CAST(v AS INT) AS seq,
+       CAST(i AS DOUBLE) + CAST(u * u AS DOUBLE) / 6.4e1 AS x,
+       CAST(f AS DOUBLE) + CAST(u AS DOUBLE) / 3.2e1 AS y,
+       {state} AS state,
+       CAST(eff_i * 5 + s % 2 AS BIGINT) AS code
+FROM vtx ORDER BY file_id, line_id, seq"""
+
+
+def q_mf_merged(spark, sf_dir):
+    """The merged moving-feature representation under the oracle gate
+    (MovingFeatureIterator.java:33; MovingFeatureBuilder.java:133-141
+    period merge, :210-249 trajectory assembly): per feature the segments
+    concatenate with the coincident joining vertex deduplicated (even
+    features), and each dynamic attribute reduces to value periods with
+    time-contiguous equal values merged (state: segments 0+1 share a
+    value; code: alternates).  The merge itself is a JVM-side higher-order
+    aggregate — the oracle re-derives vertices and periods closed-form."""
+    from .sources.mf_csv import mf_merge, mf_table
+
+    paths = _mf_write_files("plain", with_omissions=False)
+    m = mf_merge(mf_table(spark, paths), ["state", "code"]).withColumn(
+        "file_id", _mf_file_id())
+    pts = F.expr(
+        "transform(sequence(0, cast(size(trajectory)/2 as int) - 1),"
+        " v -> struct(trajectory[2*v] as x, trajectory[2*v+1] as y))"
+    )
+    nd, ns, nt = (F.lit(None).cast("double"), F.lit(None).cast("string"),
+                  F.lit(None).cast("timestamp_ntz"))
+    vtx = m.select(
+        "file_id", "mfidref", F.lit("vtx").alias("kind"),
+        F.posexplode(pts).alias("idx", "pt"),
+    ).select(
+        "file_id", "mfidref", "kind", "idx",
+        F.col("pt.x").alias("x"), F.col("pt.y").alias("y"),
+        ns.alias("sval"), F.lit(None).cast("bigint").alias("ival"),
+        nt.alias("p0"), nt.alias("p1"),
+    )
+    st = m.select(
+        "file_id", "mfidref", F.lit("state").alias("kind"),
+        F.posexplode("state_periods").alias("idx", "p"),
+    ).select(
+        "file_id", "mfidref", "kind", "idx", nd.alias("x"), nd.alias("y"),
+        F.col("p.v").alias("sval"), F.lit(None).cast("bigint").alias("ival"),
+        F.col("p.t0").alias("p0"), F.col("p.t1").alias("p1"),
+    )
+    cd = m.select(
+        "file_id", "mfidref", F.lit("code").alias("kind"),
+        F.posexplode("code_periods").alias("idx", "p"),
+    ).select(
+        "file_id", "mfidref", "kind", "idx", nd.alias("x"), nd.alias("y"),
+        ns.alias("sval"), F.col("p.v").alias("ival"),
+        F.col("p.t0").alias("p0"), F.col("p.t1").alias("p1"),
+    )
+    return vtx.unionByName(st).unionByName(cd).orderBy(
+        "file_id", "mfidref", "kind", "idx")
+
+
+def q_mf_merged_oracle():
+    s0 = _MF_STATE_SQL.format(k="i")
+    s1 = _MF_STATE_SQL.format(k="i + 1")
+    return f"""
+WITH fi AS (
+  SELECT f, i, CASE WHEN i % 2 = 0 THEN 13 ELSE 12 END AS nm
+  FROM generate_series(0, {N_MF_FILES - 1}) tf(f), generate_series(0, 9) ti(i)),
+vtx AS (
+  SELECT f, i, 'vtx' AS kind, u AS idx,
+         CAST(i AS DOUBLE) + CAST(u * u AS DOUBLE) / 6.4e1 AS x,
+         CAST(f AS DOUBLE) + CAST(u AS DOUBLE) / 3.2e1 AS y,
+         CAST(NULL AS VARCHAR) AS sval, CAST(NULL AS BIGINT) AS ival,
+         CAST(NULL AS TIMESTAMP) AS p0, CAST(NULL AS TIMESTAMP) AS p1
+  FROM fi, generate_series(0, 12) tu(u) WHERE u < nm),
+st AS (
+  SELECT f, i, 'state' AS kind, j AS idx,
+         CAST(NULL AS DOUBLE) AS x, CAST(NULL AS DOUBLE) AS y,
+         CASE WHEN j = 0 THEN {s0} ELSE {s1} END AS sval,
+         CAST(NULL AS BIGINT) AS ival,
+         {_mf_ts_sql('i * 256 + CASE WHEN j = 0 THEN 0 ELSE 64 END')} AS p0,
+         {_mf_ts_sql('i * 256 + CASE WHEN j = 0 THEN 64 ELSE 96 END')} AS p1
+  FROM fi, generate_series(0, 1) tj(j)),
+cd AS (
+  SELECT f, i, 'code' AS kind, j AS idx,
+         CAST(NULL AS DOUBLE) AS x, CAST(NULL AS DOUBLE) AS y,
+         CAST(NULL AS VARCHAR) AS sval, CAST(i * 5 + j % 2 AS BIGINT) AS ival,
+         {_mf_ts_sql('i * 256 + j * 32')} AS p0,
+         {_mf_ts_sql('i * 256 + j * 32 + 32')} AS p1
+  FROM fi, generate_series(0, 2) tj(j)),
+uni AS (SELECT * FROM vtx UNION ALL SELECT * FROM st UNION ALL SELECT * FROM cd)
+SELECT CAST(f AS INT) AS file_id, 'mf-' || i AS mfidref, kind,
+       CAST(idx AS INT) AS idx, x, y, sval, ival, p0, p1
+FROM uni ORDER BY file_id, mfidref, kind, idx"""
+
+
+def q_trajectory_interp(spark, sf_dir):
+    """Trajectory sampling + metrics under the oracle gate
+    (operators/trajectory.py — the linear foliation of OGC 14-084r2):
+    each feature's position at its own query time t = start + 48 s (mid
+    segment 1: an exact vertex for even features, a half-way interpolation
+    for odd ones) joined with the per-feature total quantized length and
+    mean speed.  Lengths are int64-quantized per edge so the distributed
+    sum is order-independent; every sqrt input is dyadic-exact, so Spark
+    and DuckDB agree bit-for-bit."""
+    from .operators.trajectory import position_at, segment_metrics
+    from .sources.mf_csv import mf_table
+
+    paths = _mf_write_files("plain", with_omissions=False)
+    df = mf_table(spark, paths)
+    dfq = df.withColumn(
+        "tq",
+        F.expr("timestampadd(SECOND, cast(regexp_extract(mfidref, 'mf-(\\\\d+)', 1)"
+               " as int) * 256 + 48, timestamp '2024-01-01 00:00:00')"),
+    )
+    pos = position_at(dfq, F.col("tq"))
+    met = (
+        segment_metrics(df)
+        .groupBy("path", "mfidref")
+        .agg(F.sum("len_q").alias("len_q"))
+        .withColumn("speed", (F.col("len_q").cast("double") / F.lit(1e9)) / F.lit(9.6e1))
+    )
+    return (
+        pos.join(met, ["path", "mfidref"])
+        .select(_mf_file_id(), "mfidref",
+                F.col("x").alias("px"), F.col("y").alias("py"),
+                "len_q", "speed")
+        .orderBy("file_id", "mfidref")
+    )
+
+
+def q_trajectory_interp_oracle():
+    return f"""
+WITH fi AS (
+  SELECT f, i, CASE WHEN i % 2 = 0 THEN 5 ELSE 4 END AS n
+  FROM generate_series(0, {N_MF_FILES - 1}) tf(f), generate_series(0, 9) ti(i)),
+edges AS (
+  SELECT f, i, s * 4 + j AS u FROM fi,
+       generate_series(0, 2) ts(s), generate_series(0, 3) tj(j)
+  WHERE j < n - 1),
+lens AS (
+  SELECT f, i,
+         CAST(sum(CAST(floor(sqrt(CAST((2*u+1)*(2*u+1) + 4 AS DOUBLE)) / 6.4e1
+                             * 1e9 + 5e-1) AS BIGINT)) AS BIGINT) AS len_q
+  FROM edges GROUP BY f, i)
+SELECT CAST(fi.f AS INT) AS file_id, 'mf-' || fi.i AS mfidref,
+       CAST(fi.i AS DOUBLE) + CASE WHEN fi.i % 2 = 0
+            THEN CAST(36 AS DOUBLE) / 6.4e1
+            ELSE 3.05e1 / 6.4e1 END AS px,
+       CAST(fi.f AS DOUBLE) + CASE WHEN fi.i % 2 = 0
+            THEN CAST(6 AS DOUBLE) / 3.2e1
+            ELSE 5.5e0 / 3.2e1 END AS py,
+       lens.len_q,
+       (CAST(lens.len_q AS DOUBLE) / 1e9) / 9.6e1 AS speed
+FROM fi JOIN lens ON fi.f = lens.f AND fi.i = lens.i
+ORDER BY file_id, mfidref"""
+
+
 # ================================================================ media columns
 
 N_GATE_CLIPS = 12
@@ -2993,4 +3257,7 @@ QUERIES = {
     "snapshot_table": (q_snapshot_table, q_snapshot_table_oracle),
     "csv_roundtrip": (q_csv_roundtrip, q_csv_roundtrip_oracle),
     "image_features": (q_image_features, q_image_features_oracle),
+    "mf_fragmented": (q_mf_fragmented, q_mf_fragmented_oracle),
+    "mf_merged": (q_mf_merged, q_mf_merged_oracle),
+    "trajectory_interp": (q_trajectory_interp, q_trajectory_interp_oracle),
 }
