@@ -3088,6 +3088,75 @@ FROM fi JOIN lens ON fi.f = lens.f AND fi.i = lens.i
 ORDER BY file_id, mfidref"""
 
 
+# ================================================================ ESRI ASCII grid
+
+
+def q_ascii_grid(spark, sf_dir):
+    """The ESRI ASCII grid store end-to-end under the oracle gate
+    (S/esri/AsciiGridStore.java:244-320 header semantics: CELLSIZE sign
+    flip, YLL -> top-edge translation, NODATA -> NaN): a formula raster
+    with ragged edge tiles and scattered no-data cells is written as real
+    ASCII grid text, read back DISTRIBUTED (line-range tasks -> tile
+    assembly), and every pixel plus its cell-center CRS coordinates is
+    re-derived by the oracle."""
+    import os as _os
+    import tempfile as _tempfile
+
+    import numpy as _np
+    import pandas as _pd
+
+    from .sources.ascii_grid import format_ascii_grid, read_ascii_grid
+    from .raster.grid import GridGeometry
+
+    w, h = 300, 200
+    gy, gx = _np.mgrid[0:h, 0:w]
+    arr = ((gx * 7 + gy * 13) % 1000).astype(_np.float64)
+    arr[(gx * 3 + gy * 5) % 97 == 11] = _np.nan
+    gg = GridGeometry((0, 0, w - 1, h - 1), (0.25, 0.0, -10.0, 0.0, -0.25, 70.0))
+    p = _os.path.join(_tempfile.gettempdir(), "sis_ascii_gate.asc")
+    with open(p, "w") as f:
+        f.write(format_ascii_grid(arr[:, :], gg))
+
+    tiles, gg2 = read_ascii_grid(spark, p)
+    tile_size = 64
+    aff = gg2.affine
+
+    def explode(batches):
+        for b in batches:
+            for tx, ty, data in zip(b["tx"], b["ty"], b["data"]):
+                block = _np.frombuffer(data, dtype=_np.float64).reshape(
+                    tile_size, tile_size)
+                x0 = int(tx) * tile_size
+                y0 = int(ty) * tile_size
+                ww = min(tile_size, w - x0)
+                hh = min(tile_size, h - y0)
+                yy, xx = _np.mgrid[0:hh, 0:ww]
+                gxx = (x0 + xx).ravel()
+                gyy = (y0 + yy).ravel()
+                cx = aff[2] + (gxx + 0.5) * aff[0]
+                cy = aff[5] + (gyy + 0.5) * aff[4]
+                yield _pd.DataFrame({
+                    "gx": gxx, "gy": gyy,
+                    "val": block[:hh, :ww].ravel(),
+                    "cx": cx, "cy": cy,
+                })
+
+    return tiles.mapInPandas(
+        explode, schema="gx long, gy long, val double, cx double, cy double"
+    ).orderBy("gy", "gx")
+
+
+def q_ascii_grid_oracle():
+    return """
+SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+       CASE WHEN (gx * 3 + gy * 5) % 97 = 11 THEN CAST('nan' AS DOUBLE)
+            ELSE CAST((gx * 7 + gy * 13) % 1000 AS DOUBLE) END AS val,
+       -1e1 + (CAST(gx AS DOUBLE) + 5e-1) * 2.5e-1 AS cx,
+       7e1 + (CAST(gy AS DOUBLE) + 5e-1) * -2.5e-1 AS cy
+FROM generate_series(0, 299) tx(gx), generate_series(0, 199) ty(gy)
+ORDER BY gy, gx"""
+
+
 # ================================================================ media columns
 
 N_GATE_CLIPS = 12
@@ -3260,4 +3329,5 @@ QUERIES = {
     "mf_fragmented": (q_mf_fragmented, q_mf_fragmented_oracle),
     "mf_merged": (q_mf_merged, q_mf_merged_oracle),
     "trajectory_interp": (q_trajectory_interp, q_trajectory_interp_oracle),
+    "ascii_grid": (q_ascii_grid, q_ascii_grid_oracle),
 }
