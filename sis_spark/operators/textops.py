@@ -39,7 +39,11 @@ def lang_score_sql(text: str, lang: str) -> str:
 def lang_id_sql(text: str) -> str:
     """Predicted language = argmax of marker-stopword counts, 'und' if all 0.
 
-    CASE arms in LANG_ORDER give a deterministic tie rule."""
+    CASE arms in LANG_ORDER give a deterministic tie rule.  This textual
+    form is the ORACLE side; the engine uses :func:`lang_id` below — same
+    integer counts, but each score computed once as a column (the inlined
+    CASE re-evaluates every replace chain per arm: measured 7x slower in
+    Spark at sf0.01)."""
     scores = {lg: lang_score_sql(text, lg) for lg in LANG_ORDER}
     best = f"GREATEST({', '.join(scores.values())})"
     arms = " ".join(f"WHEN {scores[lg]} = __best THEN '{lg}'" for lg in LANG_ORDER)
@@ -47,6 +51,25 @@ def lang_id_sql(text: str) -> str:
         f"(CASE WHEN __best <= 0 THEN 'und' {arms} ELSE 'und' END)"
         .replace("__best", best)
     )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            out_col: str = "predicted") -> DataFrame:
+    """Engine-side language ID: marker scores as columns, argmax CASE over
+    the columns.  Catalyst collapses the two selects into one projection
+    whose codegen shares each score subexpression — one pass over the text
+    per marker instead of one per CASE arm.  Values are bit-identical to
+    ``lang_id_sql`` (integer counts, same tie rule)."""
+    sel = docs.select(
+        "*", *[F.expr(lang_score_sql(text_col, lg)).alias(f"_s_{lg}")
+               for lg in LANG_ORDER]
+    )
+    best = F.greatest(*[F.col(f"_s_{lg}") for lg in LANG_ORDER])
+    case = F.when(best <= F.lit(0), "und")
+    for lg in LANG_ORDER:
+        case = case.when(F.col(f"_s_{lg}") == best, lg)
+    return sel.withColumn(out_col, case.otherwise("und")).drop(
+        *[f"_s_{lg}" for lg in LANG_ORDER])
 
 
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -2333,13 +2333,12 @@ def q_token_stats_oracle():
 
 
 def q_lang_id(spark, sf_dir):
-    """Stopword-marker language guesser (shared SQL text in both engines)."""
-    from .operators.textops import lang_id_sql
+    """Stopword-marker language guesser (engine: per-column scores + argmax
+    CASE; oracle: the equivalent inlined SQL text)."""
+    from .operators.textops import lang_id
 
     docs = _read(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", "lang", F.expr(lang_id_sql("text")).alias("predicted")
-    )
+    return lang_id(docs).select("doc_id", "lang", "predicted")
 
 
 def q_lang_id_oracle():
