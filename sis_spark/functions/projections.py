@@ -59,7 +59,8 @@ class LambertConformal2SP:
         self.rho0 = self.a * self.F * t0 ** self.n
         self.lon0 = lon0
         self.fe, self.fn = fe, fn
-        self.lat1, self.lat2 = lat1, lat2
+        self.lat1, self.lat2, self.lat0 = lat1, lat2, lat0
+        self.ellipsoid = tuple(ellipsoid)
 
     def forward(self, lon, lat):
         lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
@@ -102,6 +103,7 @@ class PolarStereographicB:
         ) ** (self.e / 2.0)
         self.lon0 = lon0
         self.fe, self.fn = fe, fn
+        self.ellipsoid = tuple(ellipsoid)
         self.lat_ts = lat_ts
 
     def forward(self, lon, lat):
@@ -157,6 +159,8 @@ class AlbersEqualArea:
         self.rho0 = self.a * np.sqrt(self.C - self.n * q0) / self.n
         self.lon0 = lon0
         self.fe, self.fn = fe, fn
+        self.lat1, self.lat2, self.lat0 = lat1, lat2, lat0
+        self.ellipsoid = tuple(ellipsoid)
 
     def _q(self, phi):
         s = np.sin(phi)
@@ -225,6 +229,8 @@ class LambertAzimuthalEqualArea:
         self.D = (self.a * m0) / (self.Rq * self.cosb0)
         self.lon0 = lon0
         self.fe, self.fn = fe, fn
+        self.lat0 = lat0
+        self.ellipsoid = tuple(ellipsoid)
 
     def forward(self, lon, lat):
         lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
@@ -307,7 +313,9 @@ class _TM:
         )
 
 
-def _crs(code: str):
+def _crs(code):
+    if not isinstance(code, str):
+        return code  # already a projection object (e.g. parsed from WKT)
     code = code.upper()
     if code in CRS_REGISTRY:
         return CRS_REGISTRY[code]

@@ -1,0 +1,303 @@
+"""WKT store — CRS definitions from `.prj`-style text (WKT 1 and WKT 2).
+
+The reference's WKT DataStore reads a text file holding a CRS definition
+and exposes it as a referencing object (S/wkt/StoreProvider.java; parsing
+delegated to the referencing module's WKT parser, R/io/wkt/).  This module
+re-derives that contract against OUR code-based CRS registry
+(functions/projections.py): parse WKT 1 (POSC/ESRI keywords) or WKT 2
+(ISO 19162 keywords) into the registry's projection kernels, and format
+any registry CRS back out as WKT 2.
+
+The element grammar is the published ISO 19162 one: ``KEYWORD[arg, ...]``
+with double-quoted strings (doubled-quote escape) and plain numbers;
+WKT 1 and WKT 2 differ only in keywords and parameter naming, so one
+recursive parser serves both.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .projections import (
+    GRS80, WGS84, AlbersEqualArea, LambertAzimuthalEqualArea,
+    LambertConformal2SP, PolarStereographicB, _Geographic, _TM, _WebMercator,
+    CRS_REGISTRY,
+)
+
+
+class Node:
+    """One WKT element: keyword + mixed args (str / float / Node)."""
+
+    __slots__ = ("keyword", "args")
+
+    def __init__(self, keyword: str, args: list):
+        self.keyword = keyword.upper()
+        self.args = args
+
+    def children(self, *keywords: str):
+        ks = {k.upper() for k in keywords}
+        return [a for a in self.args if isinstance(a, Node) and a.keyword in ks]
+
+    def child(self, *keywords: str):
+        c = self.children(*keywords)
+        return c[0] if c else None
+
+    def __repr__(self):
+        return f"{self.keyword}[{', '.join(map(repr, self.args))}]"
+
+
+_TOKEN = re.compile(
+    r'\s*(?:("(?:[^"]|"")*")|([A-Za-z_][A-Za-z0-9_]*)|'
+    r'([-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?)|([\[\](),]))'
+)
+
+
+def parse_wkt(text: str) -> Node:
+    """WKT text -> element tree.  Accepts ( ) as [ ] (both are legal)."""
+    pos = 0
+    tokens: list = []
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if not m:
+            if text[pos:].strip() == "":
+                break
+            raise ValueError(f"bad WKT at {text[pos:pos + 30]!r}")
+        pos = m.end()
+        s, kw, num, punct = m.groups()
+        if s is not None:
+            tokens.append(("str", s[1:-1].replace('""', '"')))
+        elif kw is not None:
+            tokens.append(("kw", kw))
+        elif num is not None:
+            tokens.append(("num", float(num)))
+        else:
+            tokens.append(("punct", "[" if punct == "(" else
+                           "]" if punct == ")" else punct))
+
+    def element(i: int) -> tuple[Node, int]:
+        kind, kw = tokens[i]
+        if kind != "kw":
+            raise ValueError(f"expected keyword, got {tokens[i]}")
+        if tokens[i + 1] != ("punct", "["):
+            return Node(kw, []), i + 1  # bare enum keyword (e.g. Cartesian)
+        i += 2
+        args: list = []
+        while True:
+            kind, val = tokens[i]
+            if kind == "punct" and val == "]":
+                return Node(kw, args), i + 1
+            if kind == "punct" and val == ",":
+                i += 1
+                continue
+            if kind == "kw":
+                node, i = element(i)
+                args.append(node)
+            else:
+                args.append(val)
+                i += 1
+
+    node, _ = element(0)
+    return node
+
+
+def _norm(name: str) -> str:
+    return re.sub(r"[^a-z0-9]+", " ", name.lower()).strip()
+
+
+# normalized parameter name (WKT1 snake and WKT2/EPSG prose) -> slot
+_PARAM_SLOTS = {
+    "standard parallel 1": "sp1",
+    "latitude of 1st standard parallel": "sp1",
+    "latitude of standard parallel": "sp1",
+    "standard parallel 2": "sp2",
+    "latitude of 2nd standard parallel": "sp2",
+    "latitude of origin": "lat0",
+    "latitude of false origin": "lat0",
+    "latitude of natural origin": "lat0",
+    "latitude of center": "lat0",
+    "central meridian": "lon0",
+    "longitude of false origin": "lon0",
+    "longitude of natural origin": "lon0",
+    "longitude of origin": "lon0",
+    "longitude of center": "lon0",
+    "false easting": "fe",
+    "easting at false origin": "fe",
+    "false northing": "fn",
+    "northing at false origin": "fn",
+    "scale factor": "k0",
+    "scale factor at natural origin": "k0",
+}
+
+
+def _params_of(node: Node) -> dict:
+    out = {}
+    for p in node.children("PARAMETER"):
+        slot = _PARAM_SLOTS.get(_norm(str(p.args[0])))
+        if slot is not None:
+            out[slot] = float(p.args[1])
+    return out
+
+
+def _ellipsoid_of(node: Node):
+    el = node.child("ELLIPSOID", "SPHEROID")
+    if el is None:
+        for c in node.args:
+            if isinstance(c, Node):
+                e = _ellipsoid_of(c)
+                if e is not None:
+                    return e
+        return None
+    a, invf = float(el.args[1]), float(el.args[2])
+    return (a, 0.0 if invf == 0 else 1.0 / invf)
+
+
+def _id_of(node: Node) -> str | None:
+    idn = node.child("ID", "AUTHORITY")
+    if idn is None:
+        return None
+    auth = str(idn.args[0])
+    code = idn.args[1]
+    code = str(int(code)) if isinstance(code, float) else str(code)
+    return f"{auth.upper()}:{code}"
+
+
+def crs_from_wkt(text: str, prefer_id: bool = True):
+    """WKT text -> a registry-compatible projection object.
+
+    If the definition carries an ``ID``/``AUTHORITY`` that the registry
+    knows, that entry wins (the reference's EPSG-first resolution);
+    otherwise the projection method + parameters are built directly, so a
+    `.prj` without an EPSG code still resolves."""
+    root = parse_wkt(text)
+    if prefer_id:
+        code = _id_of(root)
+        if code is not None and code in CRS_REGISTRY:
+            return CRS_REGISTRY[code]
+
+    if root.keyword in ("GEOGCS", "GEOGCRS", "GEOGRAPHICCRS"):
+        return _Geographic()
+    if root.keyword not in ("PROJCS", "PROJCRS", "PROJECTEDCRS"):
+        raise ValueError(f"unsupported WKT root {root.keyword}")
+
+    conv = root.child("CONVERSION")
+    meth_holder = conv if conv is not None else root
+    meth = meth_holder.child("METHOD", "PROJECTION")
+    if meth is None:
+        raise ValueError("no projection METHOD in WKT")
+    method = _norm(str(meth.args[0]))
+    p = _params_of(meth_holder)
+    ell = _ellipsoid_of(root) or WGS84
+    sp1, sp2 = p.get("sp1", 0.0), p.get("sp2", 0.0)
+    lat0, lon0 = p.get("lat0", 0.0), p.get("lon0", 0.0)
+    fe, fn = p.get("fe", 0.0), p.get("fn", 0.0)
+
+    if "lambert conic conformal" in method or "lambert conformal conic" in method:
+        return LambertConformal2SP(sp1, sp2, lat0, lon0, fe, fn, ell)
+    if "polar stereographic" in method:
+        return PolarStereographicB(sp1 if "sp1" in p else lat0, lon0, fe, fn, ell)
+    if "albers" in method:
+        return AlbersEqualArea(sp1, sp2, lat0, lon0, fe, fn, ell)
+    if "lambert azimuthal equal area" in method:
+        return LambertAzimuthalEqualArea(lat0, lon0, fe, fn, ell)
+    if "transverse mercator" in method:
+        if abs(p.get("k0", 0.9996) - 0.9996) > 1e-12:
+            raise ValueError("transverse mercator supported at k0=0.9996 only")
+        return _TM(lon0, fe, fn)
+    if "pseudo mercator" in method or "mercator 1sp" in method or method == "mercator":
+        return _WebMercator()
+    raise ValueError(f"unsupported projection method {method!r}")
+
+
+def read_prj(path: str):
+    with open(path, "r") as f:
+        return crs_from_wkt(f.read())
+
+
+def _f(v: float) -> str:
+    return repr(int(v)) if float(v) == int(v) else repr(float(v))
+
+
+def _ellipsoid_wkt(ell) -> str:
+    # canonical inverse-flattening literals: parse recomputes f = 1/invf
+    # with the exact same expression the registry constants use, so the
+    # round trip is bit-identical (1/(1/x) alone is not)
+    a, f = ell
+    if tuple(ell) == GRS80:
+        name, invf_s = "GRS 1980", "298.257222101"
+    elif tuple(ell) == WGS84:
+        name, invf_s = "WGS 84", "298.257223563"
+    else:
+        name, invf_s = "unnamed", _f(0.0 if f == 0 else 1.0 / f)
+    return f'ELLIPSOID["{name}", {_f(a)}, {invf_s}]'
+
+
+def to_wkt(code: str) -> str:
+    """Registry code -> WKT 2 text (the writable side of the WKT store).
+    Numbers are repr-formatted, so parse(to_wkt(code)) rebuilds the exact
+    same projection parameters."""
+    crs = CRS_REGISTRY.get(code.upper())
+    if crs is None:
+        from .projections import _crs
+
+        crs = _crs(code)
+    base = ('BASEGEOGCRS["geographic", DATUM["datum", {el}]]')
+    if isinstance(crs, _Geographic):
+        return (f'GEOGCRS["{code}", DATUM["datum", '
+                f'{_ellipsoid_wkt(WGS84)}], CS[ellipsoidal, 2], '
+                f'ID["{code.split(":")[0]}", {code.split(":")[1]}]]')
+
+    def proj(name, method, params, ell):
+        ps = ", ".join(f'PARAMETER["{k}", {_f(v)}]' for k, v in params)
+        return (f'PROJCRS["{name}", {base.format(el=_ellipsoid_wkt(ell))}, '
+                f'CONVERSION["{name}", METHOD["{method}"], {ps}], '
+                f'CS[Cartesian, 2], '
+                f'ID["{code.split(":")[0]}", {code.split(":")[1]}]]')
+
+    if isinstance(crs, LambertConformal2SP):
+        return proj(code, "Lambert Conic Conformal (2SP)", [
+            ("Latitude of 1st standard parallel", crs.lat1),
+            ("Latitude of 2nd standard parallel", crs.lat2),
+            ("Latitude of false origin", crs.lat0),
+            ("Longitude of false origin", crs.lon0),
+            ("Easting at false origin", crs.fe),
+            ("Northing at false origin", crs.fn),
+        ], crs.ellipsoid)
+    if isinstance(crs, PolarStereographicB):
+        return proj(code, "Polar Stereographic (variant B)", [
+            ("Latitude of standard parallel", crs.lat_ts),
+            ("Longitude of origin", crs.lon0),
+            ("False easting", crs.fe),
+            ("False northing", crs.fn),
+        ], crs.ellipsoid)
+    if isinstance(crs, AlbersEqualArea):
+        return proj(code, "Albers Equal Area", [
+            ("Latitude of 1st standard parallel", crs.lat1),
+            ("Latitude of 2nd standard parallel", crs.lat2),
+            ("Latitude of false origin", crs.lat0),
+            ("Longitude of false origin", crs.lon0),
+            ("Easting at false origin", crs.fe),
+            ("Northing at false origin", crs.fn),
+        ], crs.ellipsoid)
+    if isinstance(crs, LambertAzimuthalEqualArea):
+        return proj(code, "Lambert Azimuthal Equal Area", [
+            ("Latitude of natural origin", crs.lat0),
+            ("Longitude of natural origin", crs.lon0),
+            ("False easting", crs.fe),
+            ("False northing", crs.fn),
+        ], crs.ellipsoid)
+    if isinstance(crs, _TM):
+        return proj(code, "Transverse Mercator", [
+            ("Latitude of natural origin", 0.0),
+            ("Longitude of natural origin", crs.lon0),
+            ("Scale factor at natural origin", 0.9996),
+            ("False easting", crs.fe),
+            ("False northing", crs.fn),
+        ], WGS84)
+    if isinstance(crs, _WebMercator):
+        return proj(code, "Popular Visualisation Pseudo Mercator", [
+            ("Latitude of natural origin", 0.0),
+            ("Longitude of natural origin", 0.0),
+            ("False easting", 0.0),
+            ("False northing", 0.0),
+        ], WGS84)
+    raise ValueError(f"no WKT writer for {type(crs).__name__}")

@@ -3087,6 +3087,42 @@ FROM fi JOIN lens ON fi.f = lens.f AND fi.i = lens.i
 ORDER BY file_id, mfidref"""
 
 
+# ================================================================ WKT store
+
+
+def q_wkt_crs(spark, sf_dir):
+    """The WKT store under the oracle gate (S/wkt/StoreProvider.java: CRS
+    definitions from `.prj`-style text): Lambert-93 is WRITTEN as WKT 2,
+    read back, and structurally rebuilt from its METHOD + PARAMETERs (the
+    ID shortcut disabled, so the parser's parameter mapping is what's
+    tested); the transform through the rebuilt CRS must match the oracle's
+    independent closed-form LCC formulas bit-for-bit — the `lcc_transform`
+    oracle with the CRS sourced from text instead of the registry."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from .functions.projections import st_transform_any_udf
+    from .functions.wkt_crs import crs_from_wkt, to_wkt
+
+    prj = _os.path.join(_tempfile.gettempdir(), "sis_wkt_gate.prj")
+    with open(prj, "w") as f:
+        f.write(to_wkt("EPSG:2154"))
+    with open(prj, "r") as f:
+        crs = crs_from_wkt(f.read(), prefer_id=False)
+
+    pts = _events_points(spark, sf_dir)
+    p = st_transform_any_udf("EPSG:4326", crs)(F.col("lon"), F.col("lat"))
+    return pts.select(
+        "event_id",
+        F.floor(p["x"] - F.lit(0.123456789)).cast("long").alias("xl"),
+        F.floor(p["y"] - F.lit(0.123456789)).cast("long").alias("yl"),
+    )
+
+
+def q_wkt_crs_oracle():
+    return q_lcc_transform_oracle()
+
+
 # ================================================================ ESRI ASCII grid
 
 
@@ -3329,4 +3365,5 @@ QUERIES = {
     "mf_merged": (q_mf_merged, q_mf_merged_oracle),
     "trajectory_interp": (q_trajectory_interp, q_trajectory_interp_oracle),
     "ascii_grid": (q_ascii_grid, q_ascii_grid_oracle),
+    "wkt_crs": (q_wkt_crs, q_wkt_crs_oracle),
 }
