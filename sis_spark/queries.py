@@ -3192,6 +3192,78 @@ FROM generate_series(0, 299) tx(gx), generate_series(0, 199) ty(gy)
 ORDER BY gy, gx"""
 
 
+# ================================================================ raw raster store
+
+
+def q_raw_raster(spark, sf_dir):
+    """The ESRI raw binary raster store under the oracle gate
+    (S/esri/RawRasterStore.java:383-470: BIL layout, BYTEORDER, CELL_CENTER
+    ULXMAP/ULYMAP anchor): a 3-band formula raster is written as raw BIL
+    bytes + .hdr, read back with the SHUFFLE-FREE ranged-seek strip reader,
+    and every pixel of every band plus its cell-center coordinates is
+    re-derived closed-form by the oracle."""
+    import os as _os
+    import tempfile as _tempfile
+
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .sources.raw_raster import format_raw_raster, read_raw_raster
+
+    w, h, nb = 300, 200, 3
+    gy, gx = _np.mgrid[0:h, 0:w]
+    arr = _np.stack(
+        [(gx * 7 + gy * 13 + b * 101) % 60000 for b in range(nb)], axis=-1
+    ).astype(_np.uint16)
+    gg = GridGeometry((0, 0, w - 1, h - 1), (0.25, 0.0, -10.0, 0.0, -0.25, 70.0))
+    base = _os.path.join(_tempfile.gettempdir(), "sis_raw_gate")
+    data, hdr = format_raw_raster(arr, gg, layout="BIL")
+    with open(base + ".bil", "wb") as f:
+        f.write(data)
+    with open(base + ".hdr", "w") as f:
+        f.write(hdr)
+
+    tiles, gg2, dtype = read_raw_raster(spark, base + ".bil")
+    tile_size = 64
+    aff = gg2.affine
+
+    def explode(batches):
+        for b in batches:
+            for tx, ty, band, data_ in zip(b["tx"], b["ty"], b["band"], b["data"]):
+                block = _np.frombuffer(data_, dtype=dtype).reshape(
+                    tile_size, tile_size)
+                x0 = int(tx) * tile_size
+                y0 = int(ty) * tile_size
+                ww = min(tile_size, w - x0)
+                hh = min(tile_size, h - y0)
+                yy, xx = _np.mgrid[0:hh, 0:ww]
+                gxx = (x0 + xx).ravel()
+                gyy = (y0 + yy).ravel()
+                yield _pd.DataFrame({
+                    "band": int(band), "gx": gxx, "gy": gyy,
+                    "val": block[:hh, :ww].ravel().astype(_np.int64),
+                    "cx": aff[2] + (gxx + 0.5) * aff[0],
+                    "cy": aff[5] + (gyy + 0.5) * aff[4],
+                })
+
+    return tiles.mapInPandas(
+        explode,
+        schema="band int, gx long, gy long, val long, cx double, cy double",
+    ).orderBy("band", "gy", "gx")
+
+
+def q_raw_raster_oracle():
+    return """
+SELECT CAST(b AS INT) AS band, CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+       CAST((gx * 7 + gy * 13 + b * 101) % 60000 AS BIGINT) AS val,
+       -1e1 + (CAST(gx AS DOUBLE) + 5e-1) * 2.5e-1 AS cx,
+       7e1 + (CAST(gy AS DOUBLE) + 5e-1) * -2.5e-1 AS cy
+FROM generate_series(0, 2) tb(b),
+     generate_series(0, 299) tx(gx), generate_series(0, 199) ty(gy)
+ORDER BY band, gy, gx"""
+
+
 # ================================================================ media columns
 
 N_GATE_CLIPS = 12
@@ -3366,4 +3438,5 @@ QUERIES = {
     "trajectory_interp": (q_trajectory_interp, q_trajectory_interp_oracle),
     "ascii_grid": (q_ascii_grid, q_ascii_grid_oracle),
     "wkt_crs": (q_wkt_crs, q_wkt_crs_oracle),
+    "raw_raster": (q_raw_raster, q_raw_raster_oracle),
 }
