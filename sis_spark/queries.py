@@ -3264,6 +3264,115 @@ FROM generate_series(0, 2) tb(b),
 ORDER BY band, gy, gx"""
 
 
+# ================================================================ Landsat scene store
+
+
+def _landsat_write_scene() -> str:
+    """Synthetic two-band Landsat scene: MTL text + real GeoTIFF band files
+    (uint8 formula rasters, deflate tiles).  Returns the MTL path."""
+    import os as _os
+    import tempfile as _tempfile
+
+    import numpy as _np
+
+    from .sources.geotiff import encode_geotiff
+
+    d = _os.path.join(_tempfile.gettempdir(), "sis_landsat_gate")
+    _os.makedirs(d, exist_ok=True)
+    h = w = 96
+    gy, gx = _np.mgrid[0:h, 0:w]
+    lines = [
+        "GROUP = LANDSAT_METADATA_FILE",
+        "  GROUP = IMAGE_ATTRIBUTES",
+        '    SPACECRAFT_ID = "LANDSAT_9"',
+        "    WRS_PATH = 123",
+        "    WRS_ROW = 45",
+        "    DATE_ACQUIRED = 2024-01-01",
+        "  END_GROUP = IMAGE_ATTRIBUTES",
+        "  GROUP = PRODUCT_CONTENTS",
+    ]
+    for n in (2, 3):
+        arr = ((gx * 5 + gy * 9 + n * 17) % 256).astype(_np.uint8)
+        buf = encode_geotiff(arr, affine=(0.5, 0.0, 100.0, 0.0, -0.5, 50.0),
+                             tile_size=64, compression="deflate")
+        fname = f"scene_B{n}.TIF"
+        with open(_os.path.join(d, fname), "wb") as f:
+            f.write(buf)
+        lines.append(f'    FILE_NAME_BAND_{n} = "{fname}"')
+    lines += ["  END_GROUP = PRODUCT_CONTENTS",
+              "  GROUP = LEVEL1_RADIOMETRIC_RESCALING"]
+    for n in (2, 3):
+        add = -0.5 + n / 64.0
+        lines.append(f"    REFLECTANCE_MULT_BAND_{n} = 0.03125")
+        lines.append(f"    REFLECTANCE_ADD_BAND_{n} = {add!r}")
+    lines += ["  END_GROUP = LEVEL1_RADIOMETRIC_RESCALING",
+              "END_GROUP = LANDSAT_METADATA_FILE", "END", ""]
+    mtl = _os.path.join(d, "scene_MTL.txt")
+    with open(mtl, "w") as f:
+        f.write("\n".join(lines))
+    return mtl
+
+
+def q_landsat_scene(spark, sf_dir):
+    """The Landsat earth-observation store under the oracle gate
+    (S.earthobservation/.../landsat/MetadataReader.java:257-330 flat MTL
+    parse, BandName.java band table, FILE_NAME_BAND_n -> GeoTIFF band
+    resources): a synthetic two-band scene is opened, each band read
+    through the distributed deferred-decode GeoTIFF path, and every pixel
+    converted DN -> TOA reflectance with the scene's rescaling
+    coefficients; the oracle re-derives pixels, coefficients, and the band
+    table closed-form."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .sources.landsat import open_scene
+
+    scene = open_scene(_landsat_write_scene())
+    outs = []
+    for n in (2, 3):
+        meta = scene.band(n)
+        tiles, gg = scene.load_band(spark, n)
+        mult, add = float(meta["reflectance_mult"]), float(meta["reflectance_add"])
+        w, h = gg.width, gg.height
+        tile_size = 64
+
+        def explode(batches, _m=mult, _a=add, _n=n, _g=meta["group"],
+                    _wl=meta["wavelength_nm"], _w=w, _h=h):
+            for b in batches:
+                for tx, ty, data_ in zip(b["tx"], b["ty"], b["data"]):
+                    block = _np.frombuffer(data_, dtype=_np.uint8).reshape(
+                        tile_size, tile_size)
+                    x0, y0 = int(tx) * tile_size, int(ty) * tile_size
+                    ww, hh2 = min(tile_size, _w - x0), min(tile_size, _h - y0)
+                    yy, xx = _np.mgrid[0:hh2, 0:ww]
+                    v = block[:hh2, :ww].ravel().astype(_np.float64)
+                    yield _pd.DataFrame({
+                        "band": _n, "grp": _g, "wavelength_nm": _wl,
+                        "gx": (x0 + xx).ravel(), "gy": (y0 + yy).ravel(),
+                        "refl": _m * v + _a,
+                    })
+
+        outs.append(tiles.mapInPandas(
+            explode,
+            schema="band int, grp string, wavelength_nm int, "
+                   "gx long, gy long, refl double",
+        ))
+    out = outs[0].unionByName(outs[1])
+    return out.orderBy("band", "gy", "gx")
+
+
+def q_landsat_scene_oracle():
+    return """
+SELECT CAST(n AS INT) AS band, 'REFLECTIVE' AS grp,
+       CAST(CASE n WHEN 2 THEN 482 ELSE 562 END AS INT) AS wavelength_nm,
+       CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+       3.125e-2 * CAST((gx * 5 + gy * 9 + n * 17) % 256 AS DOUBLE)
+         + (-5e-1 + CAST(n AS DOUBLE) / 6.4e1) AS refl
+FROM generate_series(2, 3) tn(n),
+     generate_series(0, 95) tx(gx), generate_series(0, 95) ty(gy)
+ORDER BY band, gy, gx"""
+
+
 # ================================================================ media columns
 
 N_GATE_CLIPS = 12
@@ -3439,4 +3548,5 @@ QUERIES = {
     "ascii_grid": (q_ascii_grid, q_ascii_grid_oracle),
     "wkt_crs": (q_wkt_crs, q_wkt_crs_oracle),
     "raw_raster": (q_raw_raster, q_raw_raster_oracle),
+    "landsat_scene": (q_landsat_scene, q_landsat_scene_oracle),
 }
