@@ -3264,6 +3264,82 @@ FROM generate_series(0, 2) tb(b),
 ORDER BY band, gy, gx"""
 
 
+# ================================================================ netCDF store
+
+
+def q_netcdf_grid(spark, sf_dir):
+    """The netCDF classic store under the oracle gate (the reference's
+    NetcdfStore scope: n-D variables -> coverages; format per the public
+    NetCDF Classic Format Specification): a (t, y, x) int16 variable with
+    CF scale/offset/fill packing plus 1-D coordinate variables is written
+    as a real CDF-1 file, the t=1 plane is read back SHUFFLE-FREE (ranged
+    seeks into the fixed layout), unpacked to physical values (fill ->
+    NaN), georeferenced from the coordinate variables, and every pixel is
+    re-derived closed-form by the oracle."""
+    import os as _os
+    import tempfile as _tempfile
+
+    import numpy as _np
+    import pandas as _pd
+
+    from .sources.netcdf import format_netcdf, netcdf_variable_tiles
+
+    t, h, w = 2, 200, 300
+    tt, gy, gx = _np.mgrid[0:t, 0:h, 0:w]
+    raw = ((gx * 7 + gy * 13 + tt * 29) % 5000 - 1000).astype(_np.int16)
+    raw[(gx + 2 * gy) % 101 == 7] = -32768
+    p = _os.path.join(_tempfile.gettempdir(), "sis_netcdf_gate.nc")
+    with open(p, "wb") as f:
+        f.write(format_netcdf(
+            dims=[("time", t), ("lat", h), ("lon", w)],
+            variables={
+                "lat": (["lat"], (20.0 + 0.25 * _np.arange(h)), {}),
+                "lon": (["lon"], (-10.0 + 0.25 * _np.arange(w)), {}),
+                "temp": (["time", "lat", "lon"], raw,
+                         {"scale_factor": _np.float64(0.25),
+                          "add_offset": _np.float64(100.5),
+                          "_FillValue": _np.int16(-32768)}),
+            },
+        ))
+
+    tiles, gg = netcdf_variable_tiles(spark, p, "temp", index=(1,))
+    tile_size = 64
+    aff = gg.affine
+
+    def explode(batches):
+        for b in batches:
+            for tx, ty, data_ in zip(b["tx"], b["ty"], b["data"]):
+                block = _np.frombuffer(data_, dtype=_np.float64).reshape(
+                    tile_size, tile_size)
+                x0, y0 = int(tx) * tile_size, int(ty) * tile_size
+                ww, hh = min(tile_size, w - x0), min(tile_size, h - y0)
+                yy, xx = _np.mgrid[0:hh, 0:ww]
+                gxx = (x0 + xx).ravel()
+                gyy = (y0 + yy).ravel()
+                yield _pd.DataFrame({
+                    "gx": gxx, "gy": gyy,
+                    "val": block[:hh, :ww].ravel(),
+                    "cx": aff[2] + (gxx + 0.5) * aff[0],
+                    "cy": aff[5] + (gyy + 0.5) * aff[4],
+                })
+
+    return tiles.mapInPandas(
+        explode, schema="gx long, gy long, val double, cx double, cy double"
+    ).orderBy("gy", "gx")
+
+
+def q_netcdf_grid_oracle():
+    return """
+SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+       CASE WHEN (gx + 2 * gy) % 101 = 7 THEN CAST('nan' AS DOUBLE)
+            ELSE CAST((gx * 7 + gy * 13 + 29) % 5000 - 1000 AS DOUBLE)
+                 * 2.5e-1 + 1.005e2 END AS val,
+       -1e1 + CAST(gx AS DOUBLE) * 2.5e-1 AS cx,
+       2e1 + CAST(gy AS DOUBLE) * 2.5e-1 AS cy
+FROM generate_series(0, 299) tx(gx), generate_series(0, 199) ty(gy)
+ORDER BY gy, gx"""
+
+
 # ================================================================ Landsat scene store
 
 
@@ -3549,4 +3625,5 @@ QUERIES = {
     "wkt_crs": (q_wkt_crs, q_wkt_crs_oracle),
     "raw_raster": (q_raw_raster, q_raw_raster_oracle),
     "landsat_scene": (q_landsat_scene, q_landsat_scene_oracle),
+    "netcdf_grid": (q_netcdf_grid, q_netcdf_grid_oracle),
 }
