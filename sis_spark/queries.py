@@ -3264,6 +3264,104 @@ FROM generate_series(0, 2) tb(b),
 ORDER BY band, gy, gx"""
 
 
+# ================================================================ shapefile store
+
+N_SHP = 50
+
+
+def q_shapefile(spark, sf_dir):
+    """The shapefile store under the oracle gate (public ESRI shapefile +
+    dBase III specs; the reference scopes this store in its incubator):
+    three formula feature sets — points, axis-aligned polylines, square
+    polygons with holes — are written as real .shp/.shx/.dbf triples, read
+    back DISTRIBUTED (.shx-driven ranged record reads), piped through the
+    SQLMM accessors (ST_X/Y, ST_Length, ST_Area over the assembled
+    shell+hole WKB), and re-derived closed-form together with the typed
+    dbf attributes."""
+    import os as _os
+    import tempfile as _tempfile
+
+    import numpy as _np
+    import pandas as _pd
+
+    from .functions.sqlmm import st_area_udf, st_length_udf, st_x_udf, st_y_udf
+    from .sources.shapefile import shapefile_table, write_shapefile
+
+    d = _os.path.join(_tempfile.gettempdir(), "sis_shp_gate")
+    _os.makedirs(d, exist_ok=True)
+    ii = _np.arange(N_SHP)
+    attrs = _pd.DataFrame({
+        "name": [f"f{i}" for i in ii],
+        "value": (ii * 3).tolist(),
+        "score": (ii * 0.25).tolist(),
+    })
+    fields = [("name", "C", 8, 0), ("value", "N", 8, 0), ("score", "N", 10, 2)]
+
+    pts = [("point", (i * 0.5 - 10.0, i * 0.25 + 5.0)) for i in ii]
+    lines = [("linestring",
+              (_np.array([i, i + 1, i + 1], _np.float64),
+               _np.array([i % 7, i % 7, i % 7 + 2], _np.float64)))
+             for i in ii]
+    polys = []
+    for i in ii:
+        s = 2.0 + (i % 5) * 0.5
+        ox, oy = float(i), float(i % 7)
+        shell = (_np.array([ox, ox + s, ox + s, ox]),
+                 _np.array([oy, oy, oy + s, oy + s]))
+        hole = (_np.array([ox + 0.5, ox + 1.5, ox + 1.5, ox + 0.5]),
+                _np.array([oy + 0.5, oy + 0.5, oy + 1.5, oy + 1.5]))
+        polys.append(("polygon", [shell, hole]))
+
+    outs = []
+    for kind, geoms in (("pt", pts), ("ln", lines), ("pg", polys)):
+        base = _os.path.join(d, kind)
+        for ext, buf in write_shapefile(geoms, attrs, fields).items():
+            with open(f"{base}.{ext}", "wb") as f:
+                f.write(buf)
+        df = shapefile_table(spark, base)
+        nd = F.lit(None).cast("double")
+        if kind == "pt":
+            x, y = st_x_udf()(F.col("geom")), st_y_udf()(F.col("geom"))
+            ln, ar = nd, nd
+        elif kind == "ln":
+            x, y, ar = nd, nd, nd
+            ln = st_length_udf()(F.col("geom"))
+        else:
+            x, y, ln = nd, nd, nd
+            ar = st_area_udf()(F.col("geom"))
+        outs.append(df.select(
+            F.lit(kind).alias("kind"), "fid", "name", "value", "score",
+            x.alias("x"), y.alias("y"), ln.alias("len"), ar.alias("area")))
+    out = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return out.orderBy("kind", "fid")
+
+
+def q_shapefile_oracle():
+    return f"""
+WITH f AS (SELECT i FROM generate_series(0, {N_SHP - 1}) t(i)),
+base AS (
+  SELECT i, 'f' || i AS name, CAST(i * 3 AS BIGINT) AS value,
+         CAST(i AS DOUBLE) * 2.5e-1 AS score FROM f),
+pt AS (
+  SELECT 'pt' AS kind, i, name, value, score,
+         CAST(i AS DOUBLE) * 5e-1 - 1e1 AS x,
+         CAST(i AS DOUBLE) * 2.5e-1 + 5e0 AS y,
+         CAST(NULL AS DOUBLE) AS len, CAST(NULL AS DOUBLE) AS area
+  FROM base),
+ln AS (
+  SELECT 'ln', i, name, value, score, NULL, NULL, CAST(3 AS DOUBLE),
+         CAST(NULL AS DOUBLE)
+  FROM base),
+pg AS (
+  SELECT 'pg', i, name, value, score, NULL, NULL, CAST(NULL AS DOUBLE),
+         (2e0 + CAST(i % 5 AS DOUBLE) * 5e-1) * (2e0 + CAST(i % 5 AS DOUBLE) * 5e-1)
+           - 1e0
+  FROM base)
+SELECT kind, CAST(i AS BIGINT) AS fid, name, value, score, x, y, len, area
+FROM (SELECT * FROM pt UNION ALL SELECT * FROM ln UNION ALL SELECT * FROM pg)
+ORDER BY kind, fid"""
+
+
 # ================================================================ netCDF store
 
 
@@ -3626,4 +3724,5 @@ QUERIES = {
     "raw_raster": (q_raw_raster, q_raw_raster_oracle),
     "landsat_scene": (q_landsat_scene, q_landsat_scene_oracle),
     "netcdf_grid": (q_netcdf_grid, q_netcdf_grid_oracle),
+    "shapefile": (q_shapefile, q_shapefile_oracle),
 }
