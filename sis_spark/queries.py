@@ -3362,6 +3362,62 @@ FROM (SELECT * FROM pt UNION ALL SELECT * FROM ln UNION ALL SELECT * FROM pg)
 ORDER BY kind, fid"""
 
 
+# ================================================================ GeoPackage store
+
+N_GPKG = 500
+
+
+def q_geopackage(spark, sf_dir):
+    """The GeoPackage store under the oracle gate (OGC GPKG spec; the
+    engine's SQL-store analog, SQL/SQLStore.java + FeatureStream.java
+    pushdown): formula point features are written into a real SQLite
+    GeoPackage (catalog tables + GeoPackageBinary blobs), read back as
+    rowid-range PARTITIONS with a predicate PUSHED DOWN into every
+    partition's sqlite query, geometries decoded GPB->WKB->ST_X/Y, and
+    the surviving rows re-derived closed-form."""
+    import os as _os
+    import tempfile as _tempfile
+
+    import numpy as _np
+    import pandas as _pd
+
+    from .functions import geometry as _geo
+    from .functions.sqlmm import st_x_udf, st_y_udf
+    from .sources.geopackage import create_geopackage, geopackage_table
+
+    path = _os.path.join(_tempfile.gettempdir(), "sis_gpkg_gate.gpkg")
+    if _os.path.exists(path):
+        _os.remove(path)
+    ii = _np.arange(N_GPKG)
+    pdf = _pd.DataFrame({
+        "geom": [_geo.wkb_point(i * 0.5 - 100.0, (i % 160) * 0.25 - 20.0)
+                 for i in ii],
+        "name": [f"p{i}" for i in ii],
+        "value": (ii * 3).tolist(),
+        "score": (ii * 0.25).tolist(),
+    })
+    create_geopackage(path, "pts", pdf, geom_type="POINT")
+
+    df = geopackage_table(spark, path, "pts", predicate="value % 7 < 4")
+    return df.select(
+        "fid", "name", "value", "score",
+        st_x_udf()(F.col("geom")).alias("x"),
+        st_y_udf()(F.col("geom")).alias("y"),
+    ).orderBy("fid")
+
+
+def q_geopackage_oracle():
+    return f"""
+SELECT CAST(i + 1 AS BIGINT) AS fid, 'p' || i AS name,
+       CAST(i * 3 AS BIGINT) AS value,
+       CAST(i AS DOUBLE) * 2.5e-1 AS score,
+       CAST(i AS DOUBLE) * 5e-1 - 1e2 AS x,
+       CAST(i % 160 AS DOUBLE) * 2.5e-1 - 2e1 AS y
+FROM generate_series(0, {N_GPKG - 1}) t(i)
+WHERE (i * 3) % 7 < 4
+ORDER BY fid"""
+
+
 # ================================================================ netCDF store
 
 
@@ -3725,4 +3781,5 @@ QUERIES = {
     "landsat_scene": (q_landsat_scene, q_landsat_scene_oracle),
     "netcdf_grid": (q_netcdf_grid, q_netcdf_grid_oracle),
     "shapefile": (q_shapefile, q_shapefile_oracle),
+    "geopackage": (q_geopackage, q_geopackage_oracle),
 }
