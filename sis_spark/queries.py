@@ -3418,6 +3418,80 @@ WHERE (i * 3) % 7 < 4
 ORDER BY fid"""
 
 
+# ================================================================ CoverageJSON store
+
+
+def q_coveragejson(spark, sf_dir):
+    """The CoverageJSON store under the oracle gate (OGC CoverageJSON
+    Community Standard; incubator-scoped in the reference): two formula
+    coverage documents (a band stack) with scattered nulls are written as
+    real Coverage JSON, read back distributed (one task per document),
+    georeferenced from the center-anchored axes, and every pixel is
+    re-derived closed-form — nulls must surface as NaN."""
+    import os as _os
+    import tempfile as _tempfile
+
+    import numpy as _np
+    import pandas as _pd
+
+    from .sources.coveragejson import coveragejson_tiles, format_coverage
+
+    h, w = 120, 150
+    gy, gx = _np.mgrid[0:h, 0:w]
+    d = _os.path.join(_tempfile.gettempdir(), "sis_covjson_gate")
+    _os.makedirs(d, exist_ok=True)
+    paths = []
+    for band in range(2):
+        arr = ((gx * 7 + gy * 13 + band * 31) % 1000).astype(_np.float64)
+        arr[(gx * 3 + gy * 5 + band) % 89 == 11] = _np.nan
+        p = _os.path.join(d, f"cov_{band}.covjson")
+        with open(p, "w") as f:
+            f.write(format_coverage(
+                {"x": -10.0 + 0.25 * _np.arange(w),
+                 "y": 50.0 - 0.25 * _np.arange(h)},
+                {"temp": arr},
+            ))
+        paths.append(p)
+
+    tiles, gg = coveragejson_tiles(spark, paths, "temp")
+    tile_size = 64
+    aff = gg.affine
+
+    def explode(batches):
+        for b in batches:
+            for tx, ty, band, data_ in zip(b["tx"], b["ty"], b["band"], b["data"]):
+                block = _np.frombuffer(data_, dtype=_np.float64).reshape(
+                    tile_size, tile_size)
+                x0, y0 = int(tx) * tile_size, int(ty) * tile_size
+                ww, hh = min(tile_size, w - x0), min(tile_size, h - y0)
+                yy, xx = _np.mgrid[0:hh, 0:ww]
+                gxx = (x0 + xx).ravel()
+                gyy = (y0 + yy).ravel()
+                yield _pd.DataFrame({
+                    "band": int(band), "gx": gxx, "gy": gyy,
+                    "val": block[:hh, :ww].ravel(),
+                    "cx": aff[2] + (gxx + 0.5) * aff[0],
+                    "cy": aff[5] + (gyy + 0.5) * aff[4],
+                })
+
+    return tiles.mapInPandas(
+        explode,
+        schema="band int, gx long, gy long, val double, cx double, cy double",
+    ).orderBy("band", "gy", "gx")
+
+
+def q_coveragejson_oracle():
+    return """
+SELECT CAST(b AS INT) AS band, CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+       CASE WHEN (gx * 3 + gy * 5 + b) % 89 = 11 THEN CAST('nan' AS DOUBLE)
+            ELSE CAST((gx * 7 + gy * 13 + b * 31) % 1000 AS DOUBLE) END AS val,
+       -1e1 + CAST(gx AS DOUBLE) * 2.5e-1 AS cx,
+       5e1 - CAST(gy AS DOUBLE) * 2.5e-1 AS cy
+FROM generate_series(0, 1) tb(b),
+     generate_series(0, 149) tx(gx), generate_series(0, 119) ty(gy)
+ORDER BY band, gy, gx"""
+
+
 # ================================================================ netCDF store
 
 
@@ -3782,4 +3856,5 @@ QUERIES = {
     "netcdf_grid": (q_netcdf_grid, q_netcdf_grid_oracle),
     "shapefile": (q_shapefile, q_shapefile_oracle),
     "geopackage": (q_geopackage, q_geopackage_oracle),
+    "coveragejson": (q_coveragejson, q_coveragejson_oracle),
 }
