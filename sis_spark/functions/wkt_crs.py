@@ -213,6 +213,25 @@ def read_prj(path: str):
         return crs_from_wkt(f.read())
 
 
+def crs_code_of(text: str) -> str | None:
+    """WKT text -> its authority code ('EPSG:nnnn') if declared, else None.
+    The identifier string GridGeometry carries (the stores' readPRJ
+    analog, AsciiGridStore.readPRJ / RawRasterStore.java:446)."""
+    return _id_of(parse_wkt(text))
+
+
+def prj_sidecar_code(data_path: str) -> str | None:
+    """Look for ``<base>.prj`` next to a data file; return its CRS code."""
+    import os
+
+    base = data_path.rsplit(".", 1)[0]
+    p = base + ".prj"
+    if not os.path.exists(p):
+        return None
+    with open(p, "r") as f:
+        return crs_code_of(f.read())
+
+
 def _f(v: float) -> str:
     return repr(int(v)) if float(v) == int(v) else repr(float(v))
 

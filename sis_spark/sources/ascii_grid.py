@@ -78,10 +78,15 @@ def read_ascii_grid(
     GridGeometry).  No-data cells become NaN."""
     from itertools import islice
 
+    from ..functions.wkt_crs import prj_sidecar_code
+
     with open(path, "r") as f:
         head_lines = list(islice(f, 12))
     header, n_head = parse_ascii_header(head_lines)
     gg, nodata = grid_geometry_of(header)
+    code = prj_sidecar_code(path)  # the reference's readPRJ step
+    if code is not None:
+        gg = GridGeometry(gg.extent, gg.affine, code)
     w, h = gg.width, gg.height
 
     lines = spark.read.text(path)

@@ -230,6 +230,32 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def crs_geokeys(crs: str) -> list[int]:
+    """CRS code -> GeoKeyDirectory shorts (version 1.1.0).  Geographic
+    CRS -> GTModelType=2 + GeographicTypeGeoKey(2048); projected ->
+    GTModelType=1 + ProjectedCSTypeGeoKey(3072) (TIF/CRSBuilder semantics
+    re-derived from the public GeoTIFF 1.1 spec key table)."""
+    code = 4326 if crs.upper() == "CRS:84" else int(crs.split(":")[1])
+    if code == 4326:
+        return [1, 1, 0, 2, 1024, 0, 1, 2, 2048, 0, 1, 4326]
+    return [1, 1, 0, 2, 1024, 0, 1, 1, 3072, 0, 1, code]
+
+
+def geokeys_to_crs(geokeys) -> str | None:
+    """GeoKeyDirectory shorts -> 'EPSG:<code>' (projected key 3072 wins,
+    else geographic key 2048), or None if neither key is present."""
+    if not geokeys or len(geokeys) < 4:
+        return None
+    out = None
+    for i in range(4, 4 * (int(geokeys[3]) + 1), 4):
+        key, loc, _cnt, val = geokeys[i:i + 4]
+        if loc == 0 and key == 3072:
+            return f"EPSG:{val}"
+        if loc == 0 and key == 2048:
+            out = f"EPSG:{val}"
+    return out
+
+
 def encode_geotiff(
     arr: np.ndarray,
     affine: tuple | None = None,
@@ -238,6 +264,7 @@ def encode_geotiff(
     bigtiff: bool = False,
     predictor: int = 1,
     jpeg_quality: int = 95,
+    crs: str = "EPSG:4326",
 ) -> bytes:
     """Write (h, w[, c]) uint8 as a classic GeoTIFF.
 
@@ -328,9 +355,7 @@ def encode_geotiff(
         # north-up: e < 0 in the engine affine; the tag stores |e|
         entries.append((T_MODEL_SCALE, 12, [a, abs(e), 0.0]))
         entries.append((T_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, cc, f, 0.0]))
-        # minimal GeoKeyDirectory: version 1.1.0, GTModelType=2 (geographic),
-        # GeographicType=4326
-        entries.append((T_GEO_KEYS, 3, [1, 1, 0, 2, 1024, 0, 1, 2, 2048, 0, 1, 4326]))
+        entries.append((T_GEO_KEYS, 3, crs_geokeys(crs)))
 
     # layout: header + IFD + heap + pixel blocks.  Two passes: first size
     # the heap with placeholder offsets, then emit real block offsets.
@@ -673,7 +698,8 @@ def geotiff_tiles(spark, buf: bytes, tile_size: int = 64, level: int = 0):
                     yield pd.DataFrame(rows)
 
         tiles_df = mdf.mapInPandas(inflate_aligned, schema=TILE_SCHEMA)
-        gg = GridGeometry((0, 0, w - 1, h - 1), info["affine"], "EPSG:4326") if info["affine"] else None
+        gg = GridGeometry((0, 0, w - 1, h - 1), info["affine"],
+                      geokeys_to_crs(info["geokeys"]) or "EPSG:4326") if info["affine"] else None
         return tiles_df, gg
 
     pieces = mdf.mapInPandas(
@@ -701,7 +727,8 @@ def geotiff_tiles(spark, buf: bytes, tile_size: int = 64, level: int = 0):
         return pd.DataFrame({"tx": [tx], "ty": [ty], "band": [band], "data": [out.tobytes()]})
 
     tiles_df = pieces.groupBy("tx", "ty", "band").applyInPandas(assemble, schema=TILE_SCHEMA)
-    gg = GridGeometry((0, 0, w - 1, h - 1), info["affine"], "EPSG:4326") if info["affine"] else None
+    gg = GridGeometry((0, 0, w - 1, h - 1), info["affine"],
+                      geokeys_to_crs(info["geokeys"]) or "EPSG:4326") if info["affine"] else None
     return tiles_df, gg
 
 

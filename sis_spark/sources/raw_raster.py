@@ -109,10 +109,15 @@ def read_raw_raster(
 ) -> tuple[DataFrame, GridGeometry, np.dtype]:
     """Distributed shuffle-free read: one task per tile-row strip, ranged
     reads into finished TILE_SCHEMA blocks (native dtype bytes)."""
+    from ..functions.wkt_crs import prj_sidecar_code
+
     hdr_path = hdr_path or data_path.rsplit(".", 1)[0] + ".hdr"
     with open(hdr_path, "r") as f:
         h = parse_hdr(f.read())
     gg, dtype, info = hdr_geometry(h)
+    code = prj_sidecar_code(data_path)  # the reference's readPRJ step
+    if code is not None:
+        gg = GridGeometry(gg.extent, gg.affine, code)
     w, hh = gg.width, gg.height
     nb = info["nbands"]
     n_ty = (hh + tile_size - 1) // tile_size

@@ -60,3 +60,32 @@ def test_id_preference_and_errors():
     assert crs_from_wkt('GEOGCRS["x", DATUM["d", ELLIPSOID["WGS 84", 6378137, 298.257223563]]]').forward(1, 2) == (1.0, 2.0)
     with pytest.raises(ValueError):
         crs_from_wkt('PROJCRS["p", CONVERSION["c", METHOD["Bonne"]]]')
+
+
+def test_geotiff_geokeys_roundtrip():
+    import numpy as np
+
+    from sis_spark.sources.geotiff import (
+        crs_geokeys, encode_geotiff, geokeys_to_crs, parse_ifds,
+    )
+
+    arr = (np.arange(64 * 64).reshape(64, 64) % 256).astype(np.uint8)
+    for code in ("EPSG:4326", "EPSG:2154", "EPSG:32631"):
+        buf = encode_geotiff(arr, affine=(0.5, 0, 10.0, 0, -0.5, 20.0), crs=code)
+        assert geokeys_to_crs(parse_ifds(buf)[0]["geokeys"]) == code
+        # every emitted code resolves through the registry
+        assert _crs(geokeys_to_crs(crs_geokeys(code))) is not None
+
+
+def test_prj_sidecar(spark, tmp_path):
+    import numpy as np
+
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.sources.ascii_grid import format_ascii_grid, read_ascii_grid
+
+    gg = GridGeometry((0, 0, 3, 2), (1.0, 0.0, 0.0, 0.0, -1.0, 3.0))
+    (tmp_path / "g.asc").write_text(
+        format_ascii_grid(np.zeros((3, 4)), gg))
+    (tmp_path / "g.prj").write_text(to_wkt("EPSG:2154"))
+    _tiles, gg2 = read_ascii_grid(spark, str(tmp_path / "g.asc"))
+    assert gg2.crs == "EPSG:2154"
