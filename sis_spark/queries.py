@@ -3568,6 +3568,92 @@ FROM generate_series(0, 299) tx(gx), generate_series(0, 199) ty(gy)
 ORDER BY gy, gx"""
 
 
+# ================================================================ CRS raster warp
+
+
+def q_warp_crs(spark, sf_dir):
+    """The CRS raster warp under the oracle gate (ResampledGridCoverage +
+    ResampledImage.java:84 inverse mapping with a REAL CRS change):
+    a formula WGS84 raster is warped NEAREST onto a Web-Mercator grid via
+    the distributed gather path (boundary-sampled manifest -> tile join ->
+    per-destination assembly), and the oracle re-derives every destination
+    pixel by running the same inverse chain in SQL — Mercator inverse,
+    the inverted source affine, rint, bounds -> fill.  Grid constants are
+    chosen so every pixel sits >= 1e-3 from a rounding boundary (engine
+    and DuckDB libm differ only at ~1e-14)."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.tiles import raster_to_tiles
+    from .raster.warp import warp_crs
+
+    w_s, h_s = 360, 200
+    gy, gx = _np.mgrid[0:h_s, 0:w_s]
+    src = ((gx * 7 + gy * 13) % 256).astype(_np.uint8)
+    src_gg = GridGeometry((0, 0, w_s - 1, h_s - 1),
+                          (0.1, 0.0, -18.037, 0.0, -0.1, 10.043), "EPSG:4326")
+    dst_gg = GridGeometry((0, 0, 255, 255),
+                          (12000.0, 0.0, -1999500.123, 0.0, -12000.0, 1100000.456),
+                          "EPSG:3857")
+    tiles = raster_to_tiles(spark, src[..., None], src_gg)
+    out = warp_crs(tiles, src_gg, dst_gg, method="nearest")
+
+    # materialize MISSING destination tiles as fill so the pixel compare is
+    # total (the operator's omit-empty contract is covered by pytest)
+    tile_size = 64
+    n_t = 256 // tile_size
+    full = spark.range(n_t * n_t).select(
+        (F.col("id") % n_t).alias("tx"),
+        (F.col("id") / n_t).cast("long").alias("ty"),
+        F.lit(0).alias("band"),
+    )
+    joined = full.join(out, ["tx", "ty", "band"], "left")
+
+    def explode(batches):
+        zeros = _np.zeros((tile_size, tile_size), _np.uint8)
+        for b in batches:
+            for tx, ty, data_ in zip(b["tx"], b["ty"], b["data"]):
+                block = (zeros if data_ is None else
+                         _np.frombuffer(data_, dtype=_np.uint8).reshape(
+                             tile_size, tile_size))
+                yy, xx = _np.mgrid[0:tile_size, 0:tile_size]
+                yield _pd.DataFrame({
+                    "px": (int(tx) * tile_size + xx).ravel(),
+                    "py": (int(ty) * tile_size + yy).ravel(),
+                    "val": block.ravel().astype(_np.int64),
+                })
+
+    return joined.mapInPandas(
+        explode, schema="px long, py long, val long").orderBy("py", "px")
+
+
+def q_warp_crs_oracle():
+    from .functions import transforms as _tr
+
+    inv = _tr.affine_invert((0.1, 0.0, -18.037, 0.0, -0.1, 10.043))
+    ia, ic = synth.flit(inv[0]), synth.flit(inv[2])
+    ie, if_ = synth.flit(inv[4]), synth.flit(inv[5])
+    # engine chain mirrored: dst center -> mercator inverse (sinh via the
+    # exp identity; ulp-level differences are inside the 1e-3 margins) ->
+    # inverted src affine -> center frac -> rint
+    cx = "(1.2e4 * (CAST(px AS DOUBLE) + 5e-1) + -1.9995001230e6)"
+    cy = "(-1.2e4 * (CAST(py AS DOUBLE) + 5e-1) + 1.100000456e6)"
+    lon = f"degrees({cx} / 6.378137e6)"
+    lat = (f"degrees(atan((exp({cy} / 6.378137e6) - exp(-({cy}) / 6.378137e6))"
+           f" / 2e0))")
+    fx = f"({ia} * {lon} + {ic} - 5e-1)"
+    fy = f"({ie} * {lat} + {if_} - 5e-1)"
+    return f"""
+WITH px_ AS (
+  SELECT px, py, CAST(round({fx}) AS BIGINT) AS ix, CAST(round({fy}) AS BIGINT) AS iy
+  FROM generate_series(0, 255) tx(px), generate_series(0, 255) ty(py))
+SELECT px, py,
+       CASE WHEN ix >= 0 AND ix < 360 AND iy >= 0 AND iy < 200
+            THEN (ix * 7 + iy * 13) % 256 ELSE 0 END AS val
+FROM px_ ORDER BY py, px"""
+
+
 # ================================================================ Landsat scene store
 
 
@@ -3857,4 +3943,5 @@ QUERIES = {
     "shapefile": (q_shapefile, q_shapefile_oracle),
     "geopackage": (q_geopackage, q_geopackage_oracle),
     "coveragejson": (q_coveragejson, q_coveragejson_oracle),
+    "warp_crs": (q_warp_crs, q_warp_crs_oracle),
 }
