@@ -93,6 +93,97 @@ def thumbnails(images: DataFrame, size: int = 8, fmt: str = "png") -> DataFrame:
     )
 
 
+AUG_OPS = ("hflip", "vflip", "rot90", "crop")
+
+
+def augment_array(arr: np.ndarray, op: str) -> np.ndarray:
+    """Deterministic augmentation kernels over an (h, w, c) uint8 array.
+
+    - hflip / vflip: mirror along the x / y axis.
+    - rot90: one quarter-turn counter-clockwise (numpy.rot90 k=1 semantics:
+      out[i, j] = in[j, w-1-i]; output is (w, h, c)).
+    - crop: central half-crop (x0 = w//4, y0 = h//4, size w//2 x h//2).
+    """
+    if op == "hflip":
+        return arr[:, ::-1]
+    if op == "vflip":
+        return arr[::-1]
+    if op == "rot90":
+        return np.rot90(arr, k=1)
+    if op == "crop":
+        h, w = arr.shape[:2]
+        return arr[h // 4: h // 4 + h // 2, w // 4: w // 4 + w // 2]
+    raise ValueError(f"unknown augmentation op: {op}")
+
+
+def augment_images(
+    images: DataFrame, ops: tuple[str, ...] = AUG_OPS, out_fmt: str | None = None
+) -> DataFrame:
+    """Dataset augmentation: each input image yields one row per op with the
+    transformed payload re-encoded (``out_fmt`` or the input format) — the
+    offline-augmentation shape of an image training pipeline (decode ->
+    numpy kernel -> encode inside one Arrow batch)."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for iid, buf, fmt_ in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                arr = codec.decode(bytes(buf), fmt_)
+                for op in ops:
+                    out = augment_array(arr, op)
+                    f = out_fmt or fmt_
+                    rows.append({
+                        "image_id": iid, "op": op, "bytes": codec.encode(out, f),
+                        "w": out.shape[1], "h": out.shape[0], "fmt": f,
+                    })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, op string, bytes binary, w int, h int, fmt string"
+    )
+
+
+CHECKSUM_MOD = 9973  # prime weight cycle; max sum 64*64*3 * 9973 * 255 < 2^63
+
+
+def pixel_checksum(arr: np.ndarray) -> int:
+    """Order-canonical integer digest: sum over flattened (y, x, channel)
+    positions p of value * (p % CHECKSUM_MOD + 1).  Integer sums are
+    evaluation-order independent (bit-exactness playbook rule 4), and the
+    position weighting makes every spatial permutation (flip/rotate/crop)
+    produce a distinct, oracle-derivable value — a plain sum would be
+    invariant under them."""
+    v = arr.reshape(-1).astype(np.int64)
+    w = np.arange(v.size, dtype=np.int64) % CHECKSUM_MOD + 1
+    return int((v * w).sum())
+
+
+def augment_checksums(
+    images: DataFrame, ops: tuple[str, ...] = AUG_OPS
+) -> DataFrame:
+    """Fused augment + digest (single decode, no re-encode): one
+    (image_id, op, checksum) row per augmentation — the verification path
+    for the augmentation kernels (gate `augment`)."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for iid, buf, fmt_ in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                arr = codec.decode(bytes(buf), fmt_)
+                for op in ops:
+                    rows.append({
+                        "image_id": iid, "op": op,
+                        "checksum": pixel_checksum(augment_array(arr, op)),
+                    })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, op string, checksum long"
+    )
+
+
 def phash_near_dups(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Perceptual near-duplicate pairs by 64-bit phash Hamming distance.
 

@@ -2823,6 +2823,161 @@ WHERE x.x < d.w AND y.y < d.h
 GROUP BY d.i ORDER BY image_id"""
 
 
+N_GATE_PHASH = 2500
+
+
+def _phash_formula_sql(i: str) -> str:
+    """Shared Spark-SQL/DuckDB 63-bit hash formula (playbook rule 1): groups
+    of 5 ids share a mixed base (three multiplicative pieces packing bits
+    16..62 — disjoint, so '+' composes them in both dialects without '|'),
+    and member j of a group flips the first j of four distinct low bits
+    (base low 16 bits are zero, so '+' IS xor there).  Within-group Hamming
+    distance is exactly |j1 - j2| <= 4; the banded join must recover every
+    such pair.  Only +,*,%,floor,CASE — identical text in both engines
+    (DuckDB's xor() vs Spark's ^ never appears)."""
+    g = f"CAST(floor(({i}) / 5.0e0) AS BIGINT)"
+    j = f"(({i}) % 5)"
+    p0 = f"(({g} * 40503 + 12713) % 32768)"
+    p1 = f"(({g} * 52711 + 7919) % 65536)"
+    p2 = f"(({g} * 31357 + 104729) % 65536)"
+    bit = lambda e: (
+        f"(CASE ({e}) " + " ".join(f"WHEN {b} THEN {1 << b}" for b in range(16)) + " END)"
+    )
+    perturb = " + ".join(
+        f"(CASE WHEN {j} > {m} THEN {bit(f'({g} * 11 + {m * 7}) % 16')} ELSE 0 END)"
+        for m in range(4)
+    )
+    return (
+        f"({p0} * 281474976710656 + {p1} * 4294967296 + {p2} * 65536 + {perturb})"
+    )
+
+
+def q_phash_near_dup(spark, sf_dir):
+    """Perceptual near-duplicate pairs by banded Hamming join under the
+    oracle gate: the pigeonhole banding (operators/imageops.py
+    phash_near_dups — (max_hamming+1) bands, equi-join candidates, exact
+    popcount verify, no crossJoin) must recover EXACTLY the brute-force
+    O(n^2) pair set the DuckDB oracle computes.  Hash values come from the
+    shared SQL formula (real image phash is decode-derived and therefore
+    pytest-gated: tests/test_imageops.py exact-vs-brute on codec.phash64)."""
+    from .operators.imageops import phash_near_dups
+
+    df = spark.range(N_GATE_PHASH).selectExpr(
+        "concat('img-', lpad(cast(id AS string), 12, '0')) AS image_id",
+        f"{_phash_formula_sql('id')} AS phash",
+    )
+    out = phash_near_dups(df, max_hamming=6)
+    return out.select(
+        "image_id", "image_id_2", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("image_id", "image_id_2")
+
+
+def q_phash_near_dup_oracle():
+    f = _phash_formula_sql("i")
+    return f"""
+WITH h AS (
+  SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id, {f} AS phash
+  FROM generate_series(0, {N_GATE_PHASH - 1}) t(i))
+SELECT a.image_id AS image_id, b.image_id AS image_id_2,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM h a JOIN h b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 6
+ORDER BY 1, 2"""
+
+
+N_GATE_TAR = 1200
+TAR_SHARDS = 8
+
+
+def q_tar_shards(spark, sf_dir):
+    """The tar-shard store (WebDataset layout, sources/tar_shards.py) end to
+    end: the image table is written as 8 deterministic tar shards (one
+    executor task per shard, members {id}.json/{id}.txt/{id}.{fmt}) and read
+    back DISTRIBUTED (one task per shard); every read row's metadata,
+    caption, and shard assignment are re-derived by the oracle.  Payload
+    byte fidelity is pytest-gated (round-trip equality + ranged-read proof,
+    tests/test_tar_shards.py — DuckDB cannot decode tar)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .sources.images import images_table
+    from .sources.tar_shards import read_tar_shards, write_tar_shards
+
+    root = _os.path.join(_tempfile.gettempdir(), "sis_tar_gate")
+    _shutil.rmtree(root, ignore_errors=True)
+    img = images_table(spark, N_GATE_TAR).withColumn(
+        "shard",
+        (F.substring("image_id", 5, 12).cast("long") % TAR_SHARDS).cast("int"),
+    )
+    write_tar_shards(img, root).collect()  # manifest rows drive the write
+    rd = read_tar_shards(spark, root)
+    return rd.select("image_id", "shard", "w", "h", "fmt", "caption").orderBy(
+        "image_id"
+    )
+
+
+def q_tar_shards_oracle():
+    return f"""
+WITH {_images_meta_sql(N_GATE_TAR)}
+SELECT image_id, CAST(i % {TAR_SHARDS} AS INT) AS shard, w, h, fmt, caption
+FROM meta ORDER BY image_id"""
+
+
+N_GATE_AUG = 300
+
+
+def q_augment(spark, sf_dir):
+    """Deterministic image augmentation under the oracle gate: decode ->
+    {hflip, vflip, rot90, crop} -> position-weighted integer digest
+    (operators/imageops.py augment_checksums), one Arrow pass, no re-encode.
+    The oracle re-derives every digest from the closed-form pixel content
+    with the op's index mapping — so the decoder AND each kernel's exact
+    pixel permutation are verified per image.  Lossy JPEG rows are excluded
+    (PSNR pytest instead); re-encoded augmented BYTES are pytest-gated."""
+    from .operators.imageops import augment_checksums
+    from .sources.images import images_table
+
+    img = images_table(
+        spark, N_GATE_AUG, columns=["image_id", "bytes", "fmt"]
+    ).filter(F.col("fmt") != "jpeg")
+    return augment_checksums(img).orderBy("image_id", "op")
+
+
+def q_augment_oracle():
+    from .sources.images import SIZES
+
+    size_case = lambda e: (
+        f"(CASE ({e}) % 3 WHEN 0 THEN {SIZES[0]} WHEN 1 THEN {SIZES[1]} ELSE {SIZES[2]} END)"
+    )
+    # (op, out_w, out_h, src_x, src_y) in terms of d.w/d.h and out coords x.x/y.y
+    arms = [
+        ("hflip", "d.w", "d.h", "d.w - 1 - x.x", "y.y"),
+        ("vflip", "d.w", "d.h", "x.x", "d.h - 1 - y.y"),
+        # numpy rot90 k=1: out[i, j] = in[j, w-1-i] -> out is (w, h)
+        ("rot90", "d.h", "d.w", "d.w - 1 - y.y", "x.x"),
+        ("crop", "d.w // 2", "d.h // 2", "d.w // 4 + x.x", "d.h // 4 + y.y"),
+    ]
+    sel = lambda op, ow, oh, sx, sy: f"""
+SELECT 'img-' || lpad(CAST(d.i AS VARCHAR), 12, '0') AS image_id, '{op}' AS op,
+       CAST(sum(
+         ((({sx}) * 3 + ({sy}) * 7 + c.c * 31 + d.i * 13) % 256)
+         * ((((y.y * ({ow}) + x.x) * 3 + c.c) % 9973) + 1)
+       ) AS BIGINT) AS checksum
+FROM dims d, generate_series(0, 63) x(x), generate_series(0, 63) y(y),
+     generate_series(0, 2) c(c)
+WHERE x.x < ({ow}) AND y.y < ({oh})
+GROUP BY d.i"""
+    body = "\nUNION ALL".join(sel(*a) for a in arms)
+    return f"""
+WITH dims AS (
+  SELECT i, {size_case('i')} AS w, {size_case('i // 3')} AS h
+  FROM generate_series(0, {N_GATE_AUG - 1}) t(i)
+  WHERE i % 3 <> 2)
+{body}
+ORDER BY image_id, op"""
+
+
 # ================================================================ moving features (MF-CSV)
 
 N_MF_FILES = 3
@@ -3944,4 +4099,7 @@ QUERIES = {
     "geopackage": (q_geopackage, q_geopackage_oracle),
     "coveragejson": (q_coveragejson, q_coveragejson_oracle),
     "warp_crs": (q_warp_crs, q_warp_crs_oracle),
+    "phash_near_dup": (q_phash_near_dup, q_phash_near_dup_oracle),
+    "tar_shards": (q_tar_shards, q_tar_shards_oracle),
+    "augment": (q_augment, q_augment_oracle),
 }
