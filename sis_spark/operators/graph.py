@@ -1,0 +1,120 @@
+"""Distributed connected components — the dedup-cluster finisher.
+
+Near-duplicate detection (minhash_lsh_pairs, simhash_near_dups,
+phash_near_dups, near_dup_pairs_banded) emits PAIRS; turning pairs into
+dedup decisions needs the transitive closure: connected components of the
+similarity graph, one canonical representative per component.  At 100 TB the
+pair graph doesn't fit anywhere central, so this is the classic iterative
+DataFrame algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond" — the min-label-propagation + pointer-jumping variant):
+
+    comp(v) <- min(comp(v), min over neighbors u of comp(u))   # propagate
+    comp(v) <- comp(comp(v))                                   # pointer jump
+
+Label propagation alone needs O(diameter) rounds; the pointer-jumping step
+(path halving over the functional node->comp map) brings convergence to
+O(log n) rounds.  Per round the driver sees ONE scalar (the number of
+changed labels) and the lineage is truncated with localCheckpoint — the same
+iterative-loop discipline as knn_join_cells (NOTES.md plan-shape lesson 6;
+without truncation Catalyst re-analysis of round-over-round lineage costs
+minutes of driver CPU).
+
+Works for any orderable node type (BIGINT ids, string doc/image ids): the
+component label is the MINIMUM node id in the component — deterministic and
+oracle-checkable (gate `connected_components` replays the closure as a
+DuckDB recursive CTE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(node, comp) for every node appearing in ``edges``; ``comp`` is the
+    smallest node id reachable through undirected edges.
+
+    Isolated nodes: pass them as self-loops (a == b) if they must appear in
+    the output — the operator keys off the edge list alone.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(a.alias("u"), b.alias("v"))
+        .union(edges.select(b.alias("u"), a.alias("v")))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .persist()
+    )
+    comp = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        # propagate: min component label over the neighborhood
+        nbr = (
+            und.join(comp, und.v == comp.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        prop = (
+            comp.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+        )
+        # pointer jump: comp <- comp(comp) (node->comp is functional, so this
+        # is path halving over the label forest)
+        jump = prop.select(F.col("node").alias("cnode"), F.col("comp").alias("ccomp"))
+        nxt = (
+            prop.join(jump, prop.comp == jump.cnode, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("ccomp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.join(comp.withColumnRenamed("comp", "old"), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )  # the round's single driver scalar
+        comp = nxt
+        if changed == 0:
+            break
+    und.unpersist()
+    return comp
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Near-dup pairs -> transitive dedup decision per document.
+
+    Returns (id, cluster, keep): ``cluster`` is the component's canonical id
+    (its minimum), ``keep`` marks exactly one survivor per cluster; rows with
+    no near-dup partner keep themselves.  This is the standard LSH-dedup
+    finishing move: candidate pairs from any generator (minhash/simhash/
+    phash/embedding bands) in, keep-list out."""
+    ids = all_ids.select(F.col(id_col).alias("node")).distinct()
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        ids.select(F.col("node").alias("a"), F.col("node").alias("b"))
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").alias(id_col),
+        F.col("comp").alias("cluster"),
+        (F.col("node") == F.col("comp")).alias("keep"),
+    )

@@ -1415,7 +1415,8 @@ HAVING (count(*) % 2) = 1"""
 def _formula_tiles(spark, w: int, h: int, bands: int = 2, tile_size: int = 64):
     """Distributed formula raster: tile (tx, ty, band) blocks filled from
     integer pixel formulas a SQL oracle can replicate exactly —
-    band 0: (x*7 + y*13) % 256, band 1: (x*3 + y*5 + 17) % 256.
+    band 0: (x*7 + y*13) % 256, band 1: (x*3 + y*5 + 17) % 256,
+    band 2: (x*11 + y*3 + 29) % 256.
     Padding beyond (w, h) is zero (excluded by the stats extent mask)."""
     import numpy as _np
     import pandas as _pd
@@ -1440,8 +1441,10 @@ def _formula_tiles(spark, w: int, h: int, bands: int = 2, tile_size: int = 64):
                 GX, GY = _np.meshgrid(tx * tile_size + gxs, ty * tile_size + gxs)
                 if band == 0:
                     block = (GX * 7 + GY * 13) % 256
-                else:
+                elif band == 1:
                     block = (GX * 3 + GY * 5 + 17) % 256
+                else:
+                    block = (GX * 11 + GY * 3 + 29) % 256
                 block = _np.where((GX < w) & (GY < h), block, 0).astype(_np.uint8)
                 rows.append({"tx": tx, "ty": ty, "band": band,
                              "data": block.tobytes()})
@@ -1481,6 +1484,73 @@ SELECT CAST(band AS INT) AS band, count(*) AS n,
        CAST(sum(v) AS BIGINT) AS sum,
        CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
 FROM v GROUP BY band ORDER BY band"""
+
+
+def q_xyz_pyramid(spark, sf_dir):
+    """The slippy-map tile sink end to end (raster/xyz.py — the
+    WritableTileMatrixSet analog, S/storage/tiling/TileMatrixSet.java:53): a
+    3-band formula raster + its stride-2 overviews render to a {z}/{x}/{y}.png
+    tree (one applyInPandas task per tile file), are read back DISTRIBUTED
+    (one task per file, z/x/y recovered from paths), PNG-decoded, and reduced
+    to per-(zoom, band) stats.  Raster dims are exact tile multiples at every
+    level, so the oracle is the formula at stride 2^(maxz - z) — the
+    arr[::s, ::s] overview contract through a full encode/decode round trip."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.tiles import build_overviews
+    from .raster.xyz import read_xyz_tiles, write_xyz_tiles
+
+    W, H = 512, 256
+    tiles = _formula_tiles(spark, W, H, bands=3)
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    levels = [(0, tiles, gg)] + build_overviews(tiles, gg, 2)
+    root = _os.path.join(_tempfile.gettempdir(), "sis_xyz_gate")
+    _shutil.rmtree(root, ignore_errors=True)
+    write_xyz_tiles(levels, root).collect()  # manifest action drives the write
+
+    def agg(batches):
+        for pdf in batches:
+            rows = []
+            for z, band, data in zip(pdf["z"], pdf["band"], pdf["data"]):
+                a = _np.frombuffer(data, _np.uint8).astype(_np.int64)
+                rows.append({"z": int(z), "band": int(band), "n": a.size,
+                             "s": int(a.sum()), "mn": int(a.min()),
+                             "mx": int(a.max())})
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    part = read_xyz_tiles(spark, root).mapInPandas(
+        agg, "z int, band int, n long, s long, mn long, mx long"
+    )
+    return (
+        part.groupBy("z", "band")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("sum"),
+             F.min("mn").alias("min"), F.max("mx").alias("max"))
+        .orderBy("z", "band")
+    )
+
+
+def q_xyz_pyramid_oracle():
+    return """
+WITH lv AS (SELECT z.z AS z, (1 << (2 - z.z)) AS st FROM (VALUES (0), (1), (2)) z(z)),
+px AS (
+  SELECT z, st, x.x * st AS x, y.y * st AS y
+  FROM lv, generate_series(0, 511) x(x), generate_series(0, 255) y(y)
+  WHERE x.x < 512 // st AND y.y < 256 // st),
+ch AS (
+  SELECT z, 0 AS band, (x * 7 + y * 13) % 256 AS v FROM px
+  UNION ALL SELECT z, 1, (x * 3 + y * 5 + 17) % 256 FROM px
+  UNION ALL SELECT z, 2, (x * 11 + y * 3 + 29) % 256 FROM px)
+SELECT CAST(z AS INT) AS z, CAST(band AS INT) AS band, count(*) AS n,
+       CAST(sum(v) AS BIGINT) AS sum, CAST(min(v) AS BIGINT) AS min,
+       CAST(max(v) AS BIGINT) AS max
+FROM ch GROUP BY z, band ORDER BY z, band"""
 
 
 ZONAL_POLYS = [
@@ -2278,6 +2348,92 @@ def q_dedup_exact_oracle():
     from .operators.dedup import exact_dedup_sql
 
     return exact_dedup_sql()
+
+
+N_CC_NODES = 4000
+
+
+def q_connected_components(spark, sf_dir):
+    """Distributed connected components (operators/graph.py — min-label
+    propagation + pointer jumping, one scalar per round) under the oracle
+    gate: a formula graph of short chains, cross-chain jump edges, and one
+    100-node chain (diameter 100 — label propagation alone would need 100
+    rounds; pointer jumping converges in O(log n), exercised here) vs the
+    DuckDB recursive-CTE transitive closure."""
+    from .operators.graph import connected_components
+
+    n = N_CC_NODES
+    base = spark.range(n)
+    e1 = base.filter(
+        f"(id % 5 < 2 OR (id >= 3000 AND id < 3099)) AND id + 1 < {n}"
+    ).selectExpr("id AS a", "id + 1 AS b")
+    e2 = base.filter(f"id % 11 = 0 AND id + 7 < {n}").selectExpr(
+        "id AS a", "id + 7 AS b"
+    )
+    loops = base.selectExpr("id AS a", "id AS b")  # keep isolated nodes
+    cc = connected_components(e1.union(e2).union(loops))
+    return cc.orderBy("node")
+
+
+def q_connected_components_oracle():
+    n = N_CC_NODES
+    return f"""
+WITH RECURSIVE nodes AS (SELECT i FROM generate_series(0, {n - 1}) t(i)),
+e AS (
+  SELECT i AS a, i + 1 AS b FROM nodes
+  WHERE (i % 5 < 2 OR (i >= 3000 AND i < 3099)) AND i + 1 < {n}
+  UNION ALL
+  SELECT i, i + 7 FROM nodes WHERE i % 11 = 0 AND i + 7 < {n}
+),
+und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+reach(node, r) AS (
+  SELECT i, i FROM nodes
+  UNION
+  SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r
+)
+SELECT node, min(r) AS comp FROM reach GROUP BY node ORDER BY node"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """The LSH-dedup finishing move end to end: pair edges (md5 exact-dup
+    CHAINS — each k-copy group contributes k-1 consecutive edges, so the
+    3-copy groups need transitive closure, not just pair lookup) ->
+    connected components -> one canonical survivor per cluster.  The sf
+    documents are all-unique, so duplicate copies are synthesized (x2 for
+    doc_id%3==0 at +10000, x3 for doc_id%6==0 at +20000) identically on
+    both sides; the oracle re-derives cluster = min(doc_id) per md5 group."""
+    from pyspark.sql import Window
+
+    from .operators.graph import dedup_clusters
+
+    base = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = base.union(
+        base.filter("doc_id % 3 = 0").selectExpr("doc_id + 10000 AS doc_id", "text")
+    ).union(
+        base.filter("doc_id % 6 = 0").selectExpr("doc_id + 20000 AS doc_id", "text")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    edges = (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("h"), "doc_id")
+        .withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("a"), F.col("doc_id").alias("b"))
+    )
+    return dedup_clusters(edges, docs, "doc_id").orderBy("doc_id")
+
+
+def q_dedup_clusters_oracle():
+    return """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 6 = 0)
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS cluster,
+       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+FROM docs ORDER BY doc_id"""
 
 
 def q_jaccard_pairs(spark, sf_dir):
@@ -4102,4 +4258,7 @@ QUERIES = {
     "phash_near_dup": (q_phash_near_dup, q_phash_near_dup_oracle),
     "tar_shards": (q_tar_shards, q_tar_shards_oracle),
     "augment": (q_augment, q_augment_oracle),
+    "connected_components": (q_connected_components, q_connected_components_oracle),
+    "dedup_clusters": (q_dedup_clusters, q_dedup_clusters_oracle),
+    "xyz_pyramid": (q_xyz_pyramid, q_xyz_pyramid_oracle),
 }

@@ -1,0 +1,65 @@
+"""connected_components / dedup_clusters vs a local union-find ground truth."""
+
+import numpy as np
+import pytest
+
+from sis_spark.operators.graph import connected_components, dedup_clusters
+
+
+def _union_find(n_edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in n_edges:
+        union(a, b)
+    return {x: find(x) for x in list(parent)}
+
+
+def _canonical(labels):
+    # union-find roots are already component minima because union() parents
+    # the larger root under the smaller one
+    return dict(labels)
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 60, 40), (2, 200, 150), (3, 50, 200)])
+def test_components_match_union_find(spark, seed, n, m):
+    rng = np.random.RandomState(seed)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, n, size=(m, 2))]
+    exp = _canonical(_union_find(pairs))
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == exp
+
+
+def test_components_string_ids_and_long_chain(spark):
+    # a 64-node chain: diameter 63, converges only via pointer jumping
+    edges = [(f"d{i:03d}", f"d{i + 1:03d}") for i in range(63)]
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert len(got) == 64
+    assert set(got.values()) == {"d000"}
+
+
+def test_dedup_clusters_keep_one(spark):
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (2, 3)], "a long, b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    rows = {r["doc_id"]: r for r in dedup_clusters(pairs, ids).collect()}
+    assert len(rows) == 10
+    assert [rows[i]["cluster"] for i in (1, 5, 9)] == [1, 1, 1]
+    assert [rows[i]["cluster"] for i in (2, 3)] == [2, 2]
+    for i in (0, 4, 6, 7, 8):
+        assert rows[i]["cluster"] == i and rows[i]["keep"]
+    assert sum(r["keep"] for r in rows.values()) == 7  # one survivor per cluster
+    assert rows[1]["keep"] and not rows[5]["keep"] and not rows[9]["keep"]
