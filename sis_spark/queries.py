@@ -1553,6 +1553,75 @@ SELECT CAST(z AS INT) AS z, CAST(band AS INT) AS band, count(*) AS n,
 FROM ch GROUP BY z, band ORDER BY z, band"""
 
 
+N_VT_LINES = 2000
+VT_ZOOM = 3
+VT_EXTENT = 256
+
+
+def _vt_vertex_sql(g: str, v: str) -> tuple[str, str]:
+    """Shared Spark-SQL/DuckDB vertex formulas for the vector-tile gate
+    lines: all coordinates are dyadic (denominators 4/8/16 — exact doubles),
+    dx is a positive constant per line and dy is provably nonzero (3m % 16
+    never 0 for m in 1..8), so no axis-parallel segments and every
+    Liang–Barsky division is IEEE-identical in both engines."""
+    x = (
+        f"(CAST(({g}) % 32 AS DOUBLE) / 4.0e0"
+        f" + CAST(({v}) * ((({g}) % 4) + 1) AS DOUBLE) / 8.0e0)"
+    )
+    y = (
+        f"(CAST((({g}) * 7) % 32 AS DOUBLE) / 4.0e0"
+        f" + (CAST((({v}) * ((({g}) % 8) + 1) * 3) % 16 AS DOUBLE) - 7.5e0) / 8.0e0)"
+    )
+    return x, y
+
+
+def q_vector_tiles(spark, sf_dir):
+    """Vector-tile line cutting under the oracle gate
+    (operators/vector_tiles.py): 2000 formula polylines (4 segments each)
+    are cut against the zoom-3 tile grid — candidate cells by bbox
+    sequence/explode, Liang–Barsky clip, tile-local quantization, ALL
+    whole-stage codegen (no Python boundary) — then reduced to per
+    (line, tile) segment counts + quantized-endpoint checksums.  The oracle
+    replays the identical shared-text expressions in DuckDB."""
+    from .operators.vector_tiles import tile_cut_segments
+
+    x0, y0 = _vt_vertex_sql("gid", "v")
+    x1, y1 = _vt_vertex_sql("gid", "(v + 1)")
+    segs = (
+        spark.range(N_VT_LINES)
+        .selectExpr("id AS gid", "explode(sequence(0, 3)) AS v")
+        .selectExpr("gid", "v AS seg", f"{x0} AS x0", f"{y0} AS y0",
+                    f"{x1} AS x1", f"{y1} AS y1")
+    )
+    cut = tile_cut_segments(segs, zoom=VT_ZOOM, extent=VT_EXTENT)
+    return (
+        cut.groupBy("gid", "tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.col("qx0") + 3 * F.col("qy0") + 5 * F.col("qx1") + 7 * F.col("qy1")
+            ).cast("long").alias("qsum"),
+        )
+        .orderBy("gid", "tx", "ty")
+    )
+
+
+def q_vector_tiles_oracle():
+    from .operators.vector_tiles import tile_cut_oracle_sql
+
+    x0, y0 = _vt_vertex_sql("g.i", "v.v")
+    x1, y1 = _vt_vertex_sql("g.i", "(v.v + 1)")
+    return f"""
+WITH segs AS (
+  SELECT g.i AS gid, v.v AS seg,
+         {x0} AS x0, {y0} AS y0, {x1} AS x1, {y1} AS y1
+  FROM generate_series(0, {N_VT_LINES - 1}) g(i), generate_series(0, 3) v(v)),
+{tile_cut_oracle_sql('segs', VT_ZOOM, VT_EXTENT)}
+SELECT gid, tx, ty, count(*) AS n,
+       CAST(sum(qx0 + 3 * qy0 + 5 * qx1 + 7 * qy1) AS BIGINT) AS qsum
+FROM quant GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+
 ZONAL_POLYS = [
     # (key, [(x, y) vertices]) — irregular coords inside/straddling the
     # gate raster window x in [-4, 4], y in [0, 3]
@@ -4261,4 +4330,5 @@ QUERIES = {
     "connected_components": (q_connected_components, q_connected_components_oracle),
     "dedup_clusters": (q_dedup_clusters, q_dedup_clusters_oracle),
     "xyz_pyramid": (q_xyz_pyramid, q_xyz_pyramid_oracle),
+    "vector_tiles": (q_vector_tiles, q_vector_tiles_oracle),
 }
