@@ -2505,6 +2505,39 @@ SELECT doc_id,
 FROM docs ORDER BY doc_id"""
 
 
+def q_lsh_dedup_pipeline(spark, sf_dir):
+    """The WHOLE near-dup dedup pipeline under one oracle gate: MinHash
+    signatures -> LSH banded candidates -> exact Jaccard verify (the
+    minhash_lsh gate's operator, unchanged) -> connected components ->
+    one canonical survivor per transitive cluster.  The oracle nests the
+    full minhash SQL replica inside a recursive-CTE closure — every stage
+    of the production dedup shape is re-derived independently."""
+    from .operators.dedup import minhash_lsh_pairs
+    from .operators.graph import dedup_clusters
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("a", "b")
+    return dedup_clusters(pairs, docs, "doc_id").orderBy("doc_id")
+
+
+def q_lsh_dedup_pipeline_oracle():
+    from .operators.dedup import minhash_lsh_sql
+
+    return f"""
+WITH RECURSIVE pairs AS (SELECT a, b FROM ({minhash_lsh_sql("documents")}) t),
+ids AS (SELECT doc_id FROM documents),
+und AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION SELECT b, a FROM pairs
+  UNION SELECT doc_id, doc_id FROM ids),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM ids
+  UNION
+  SELECT reach.node, und.v FROM reach JOIN und ON und.u = reach.r)
+SELECT node AS doc_id, min(r) AS cluster, node = min(r) AS keep
+FROM reach GROUP BY node ORDER BY doc_id"""
+
+
 def q_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (shingle self-join baseline)."""
     from .operators.dedup import jaccard_pairs
@@ -4331,4 +4364,5 @@ QUERIES = {
     "dedup_clusters": (q_dedup_clusters, q_dedup_clusters_oracle),
     "xyz_pyramid": (q_xyz_pyramid, q_xyz_pyramid_oracle),
     "vector_tiles": (q_vector_tiles, q_vector_tiles_oracle),
+    "lsh_dedup_pipeline": (q_lsh_dedup_pipeline, q_lsh_dedup_pipeline_oracle),
 }
