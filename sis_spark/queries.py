@@ -1553,6 +1553,72 @@ SELECT CAST(z AS INT) AS z, CAST(band AS INT) AS band, count(*) AS n,
 FROM ch GROUP BY z, band ORDER BY z, band"""
 
 
+def q_gradient(spark, sf_dir):
+    """Distributed DEM gradient (raster/terrain.py — 9-way halo gather,
+    numpy.gradient semantics: central differences interior, one-sided at
+    the raster's global edges, decided by pixel COORDINATES) under the
+    oracle gate: per-tile position-weighted integer checksums of 2*dz/dx
+    and 2*dz/dy (doubled gradients are exact integers for an integer
+    raster), re-derived per pixel by the oracle."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.terrain import gradient_tiles
+
+    W, H, TS = 512, 384, 64  # exact tile multiples: no padding anywhere
+    tiles = _formula_tiles(spark, W, H, bands=1, tile_size=TS)
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    g = gradient_tiles(tiles, gg, tile_size=TS)
+
+    def cs(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, bx, by in zip(pdf["tx"], pdf["ty"], pdf["dzdx"], pdf["dzdy"]):
+                dzdx = _np.frombuffer(bx, _np.float64).reshape(TS, TS)
+                dzdy = _np.frombuffer(by, _np.float64).reshape(TS, TS)
+                px = int(tx) * TS + _np.arange(TS)[None, :]
+                py = int(ty) * TS + _np.arange(TS)[:, None]
+                wt = ((py * W + px) % 9973 + 1).astype(_np.int64)
+                rows.append({
+                    "tx": int(tx), "ty": int(ty),
+                    "csx": int((_np.rint(2.0 * dzdx).astype(_np.int64) * wt).sum()),
+                    "csy": int((_np.rint(2.0 * dzdy).astype(_np.int64) * wt).sum()),
+                })
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return g.mapInPandas(cs, "tx long, ty long, csx long, csy long").orderBy(
+        "tx", "ty"
+    )
+
+
+def q_gradient_oracle():
+    v = lambda a, b: f"((({a}) * 7 + ({b}) * 13) % 256)"
+    dx2 = (
+        f"(CASE WHEN x = 0 THEN 2 * ({v('x + 1', 'y')} - {v('x', 'y')}) "
+        f"WHEN x = 511 THEN 2 * ({v('x', 'y')} - {v('x - 1', 'y')}) "
+        f"ELSE {v('x + 1', 'y')} - {v('x - 1', 'y')} END)"
+    )
+    dy2 = (
+        f"(CASE WHEN y = 0 THEN 2 * ({v('x', 'y + 1')} - {v('x', 'y')}) "
+        f"WHEN y = 383 THEN 2 * ({v('x', 'y')} - {v('x', 'y - 1')}) "
+        f"ELSE {v('x', 'y + 1')} - {v('x', 'y - 1')} END)"
+    )
+    return f"""
+WITH px AS (
+  SELECT x.x AS x, y.y AS y
+  FROM generate_series(0, 511) x(x), generate_series(0, 383) y(y)),
+g AS (
+  SELECT x // 64 AS tx, y // 64 AS ty,
+         {dx2} AS dx2, {dy2} AS dy2,
+         ((y * 512 + x) % 9973 + 1) AS wt
+  FROM px)
+SELECT tx, ty, CAST(sum(dx2 * wt) AS BIGINT) AS csx,
+       CAST(sum(dy2 * wt) AS BIGINT) AS csy
+FROM g GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 N_VT_LINES = 2000
 VT_ZOOM = 3
 VT_EXTENT = 256
@@ -4365,4 +4431,5 @@ QUERIES = {
     "xyz_pyramid": (q_xyz_pyramid, q_xyz_pyramid_oracle),
     "vector_tiles": (q_vector_tiles, q_vector_tiles_oracle),
     "lsh_dedup_pipeline": (q_lsh_dedup_pipeline, q_lsh_dedup_pipeline_oracle),
+    "gradient": (q_gradient, q_gradient_oracle),
 }

@@ -1,0 +1,71 @@
+"""Terrain derivatives: distributed gradient == numpy.gradient, hillshade."""
+
+import math
+
+import numpy as np
+
+from sis_spark.raster.grid import GridGeometry
+from sis_spark.raster.terrain import gradient_dense, gradient_tiles, hillshade_tiles
+from sis_spark.raster.tiles import TILE_SCHEMA
+
+TS = 16
+
+
+def _tiles_from(spark, arr):
+    h, w = arr.shape
+    ntx, nty = (w + TS - 1) // TS, (h + TS - 1) // TS
+    rows = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            block = np.zeros((TS, TS), arr.dtype)
+            sub = arr[ty * TS:(ty + 1) * TS, tx * TS:(tx + 1) * TS]
+            block[: sub.shape[0], : sub.shape[1]] = sub
+            rows.append((tx, ty, 0, block.tobytes()))
+    gg = GridGeometry((0, 0, w - 1, h - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(h)))
+    return spark.createDataFrame(rows, TILE_SCHEMA), gg
+
+
+def _assemble(rows, shape, col):
+    out = np.full(shape, np.nan)
+    for r in rows:
+        a = np.frombuffer(bytes(r[col]), np.float64).reshape(TS, TS)
+        y0, x0 = r["ty"] * TS, r["tx"] * TS
+        vh = min(TS, shape[0] - y0)
+        vw = min(TS, shape[1] - x0)
+        out[y0:y0 + vh, x0:x0 + vw] = a[:vh, :vw]
+    return out
+
+
+def test_gradient_matches_numpy_with_padding(spark):
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, size=(70, 100)).astype(np.uint8)  # not tile multiples
+    tiles, gg = _tiles_from(spark, arr)
+    rows = gradient_tiles(tiles, gg, tile_size=TS).collect()
+    got_dx = _assemble(rows, arr.shape, "dzdx")
+    got_dy = _assemble(rows, arr.shape, "dzdy")
+    exp_dx, exp_dy = gradient_dense(arr)
+    assert np.array_equal(got_dx, exp_dx)
+    assert np.array_equal(got_dy, exp_dy)
+
+
+def test_hillshade_matches_dense(spark):
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, size=(32, 48)).astype(np.uint8)
+    tiles, gg = _tiles_from(spark, arr)
+    rows = hillshade_tiles(tiles, gg, tile_size=TS).collect()
+    got = np.full(arr.shape, -1.0)
+    for r in rows:
+        a = np.frombuffer(bytes(r["data"]), np.uint8).reshape(TS, TS)
+        y0, x0 = r["ty"] * TS, r["tx"] * TS
+        vh = min(TS, arr.shape[0] - y0)
+        vw = min(TS, arr.shape[1] - x0)
+        got[y0:y0 + vh, x0:x0 + vw] = a[:vh, :vw]
+    dzdx, dzdy = gradient_dense(arr)
+    zen = math.radians(45.0)
+    az = math.radians(360.0 - 315.0 + 90.0)
+    slope = np.arctan(np.hypot(dzdx, dzdy))
+    aspect = np.arctan2(dzdy, -dzdx)
+    shade = 255.0 * (np.cos(zen) * np.cos(slope)
+                     + np.sin(zen) * np.sin(slope) * np.cos(az - aspect))
+    exp = np.clip(np.rint(shade), 0, 255)
+    assert np.array_equal(got, exp)
