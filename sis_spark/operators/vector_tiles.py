@@ -23,6 +23,7 @@ bbox-candidate set can include corner cells a diagonal segment misses; the
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -120,6 +121,117 @@ def tile_cut_lonlat(
         .withColumn("y1", y1 * F.lit(n))
     )
     return tile_cut_segments(segs, zoom, extent)
+
+
+POLY_CUT_SCHEMA = (
+    "tx long, ty long, pkey long, clip_wkb binary, q_wkb binary, area double"
+)
+
+
+def tile_cut_polygons(
+    polys: DataFrame,
+    zoom: int,
+    extent: int = 256,
+    key_col: str = "pkey",
+    wkb_col: str = "wkb",
+) -> DataFrame:
+    """Cut WKB polygons (holes supported) to slippy cells: one output row
+    per (polygon, tile) with a non-empty intersection — the clipped
+    geometry in world units (``clip_wkb``), the tile-local quantized
+    geometry (``q_wkb``, integer grid 0..extent snapped via floor+clamp,
+    the MVT coordinate convention), and the clipped area.
+
+    Plan shape mirrors spatial_join_dist's distributed dimension: one Arrow
+    stage derives the envelope per polygon, candidate cells explode
+    JVM-side (sequence over the envelope's tile range), and a second Arrow
+    stage runs the Sutherland–Hodgman convex clip (overlay.clip_convex —
+    the exact kernel the `halfplane_clip` gate verifies per half-plane)
+    only on (polygon, cell) pairs.  Coordinates are world TILE UNITS, as in
+    tile_cut_segments."""
+    import pandas as pd
+
+    from ..functions.geometry import wkb_parse, wkb_polygon
+    from ..functions.overlay import clip_convex, signed_area
+
+    n = 1 << zoom
+
+    def env_stage(batches):
+        for pdf in batches:
+            rows = []
+            for k, buf in zip(pdf[key_col], pdf[wkb_col]):
+                typ, val = wkb_parse(bytes(buf))
+                rings = val if typ == "polygon" else None
+                if rings is None or not rings:
+                    continue
+                sx, sy = rings[0]
+                rows.append({
+                    key_col: k, wkb_col: bytes(buf),
+                    "xmin": float(min(sx)), "ymin": float(min(sy)),
+                    "xmax": float(max(sx)), "ymax": float(max(sy)),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    env = polys.select(key_col, wkb_col).mapInPandas(
+        env_stage,
+        f"{key_col} long, {wkb_col} binary, xmin double, ymin double, "
+        "xmax double, ymax double",
+    )
+    cand = (
+        env.withColumn("_cxlo", F.expr("greatest(0, CAST(floor(xmin) AS BIGINT))"))
+        .withColumn("_cxhi", F.expr(f"least({n - 1}, CAST(floor(xmax) AS BIGINT))"))
+        .withColumn("_cylo", F.expr("greatest(0, CAST(floor(ymin) AS BIGINT))"))
+        .withColumn("_cyhi", F.expr(f"least({n - 1}, CAST(floor(ymax) AS BIGINT))"))
+        .filter("_cxlo <= _cxhi AND _cylo <= _cyhi")
+        .withColumn("tx", F.explode(F.sequence("_cxlo", "_cxhi")))
+        .withColumn("ty", F.explode(F.sequence("_cylo", "_cyhi")))
+        .select(key_col, wkb_col, "tx", "ty")
+    )
+
+    def clip_stage(batches):
+        for pdf in batches:
+            rows = []
+            parsed: dict[bytes, list] = {}
+            for k, buf, tx, ty in zip(pdf[key_col], pdf[wkb_col], pdf["tx"], pdf["ty"]):
+                buf = bytes(buf)
+                rings = parsed.get(buf)
+                if rings is None:
+                    rings = wkb_parse(buf)[1]
+                    parsed[buf] = rings
+                tx, ty = int(tx), int(ty)
+                rx = np.array([tx, tx + 1, tx + 1, tx], dtype=np.float64)
+                ry = np.array([ty, ty, ty + 1, ty + 1], dtype=np.float64)
+                out_rings = []
+                area = 0.0
+                for i, (vx, vy) in enumerate(rings):
+                    vx = np.asarray(vx, np.float64)
+                    vy = np.asarray(vy, np.float64)
+                    if len(vx) > 1 and vx[0] == vx[-1] and vy[0] == vy[-1]:
+                        vx, vy = vx[:-1], vy[:-1]  # clip kernel wants open rings
+                    cx, cy = clip_convex(vx, vy, rx, ry)
+                    if len(cx) < 3:
+                        continue
+                    a = signed_area(cx, cy)
+                    if a == 0.0:
+                        continue
+                    out_rings.append((cx, cy))
+                    area += abs(a) if i == 0 else -abs(a)
+                if not out_rings or area <= 0.0:
+                    continue
+                q = lambda v, c: np.minimum(
+                    np.maximum(np.floor((v - c) * extent), 0), extent - 1
+                )
+                q_rings = [(q(cx, tx), q(cy, ty)) for cx, cy in out_rings]
+                rows.append({
+                    "tx": tx, "ty": ty, "pkey": int(k),
+                    "clip_wkb": wkb_polygon(out_rings),
+                    "q_wkb": wkb_polygon(q_rings),
+                    "area": float(area),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return cand.mapInPandas(clip_stage, POLY_CUT_SCHEMA)
 
 
 def tile_cut_oracle_sql(

@@ -1,8 +1,14 @@
-"""Vector-tile line cutting: brute differential, plan shape, lonlat wrapper."""
+"""Vector-tile cutting: brute differential, plan shape, lonlat wrapper,
+polygon cut (area conservation, holes, quantization)."""
 
 import numpy as np
 
-from sis_spark.operators.vector_tiles import tile_cut_lonlat, tile_cut_segments
+from sis_spark.functions.geometry import wkb_parse, wkb_polygon
+from sis_spark.operators.vector_tiles import (
+    tile_cut_lonlat,
+    tile_cut_polygons,
+    tile_cut_segments,
+)
 
 
 def _brute_cut(segs, zoom, extent):
@@ -78,6 +84,56 @@ def test_plan_is_pure_codegen(spark):
     plan = tile_cut_segments(df, zoom=4)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan  # no Python boundary
     assert "Exchange" not in plan    # map-only: no shuffle before aggregation
+
+
+def _poly_df(spark, polys):
+    rows = [(k, wkb_polygon(rings)) for k, rings in polys]
+    return spark.createDataFrame(rows, "pkey long, wkb binary")
+
+
+def test_polygon_cut_square_quarters(spark):
+    # unit-ish square centered on the (1,1) tile corner -> 4 equal quarters
+    sq = [(np.array([0.5, 1.5, 1.5, 0.5]), np.array([0.5, 0.5, 1.5, 1.5]))]
+    out = tile_cut_polygons(_poly_df(spark, [(7, sq)]), zoom=2).collect()
+    got = {(r["tx"], r["ty"]): r for r in out}
+    assert set(got) == {(0, 0), (1, 0), (0, 1), (1, 1)}
+    for r in got.values():
+        assert abs(r["area"] - 0.25) < 1e-12
+        typ, rings = wkb_parse(bytes(r["q_wkb"]))
+        assert typ == "polygon" and len(rings) == 1
+
+
+def test_polygon_cut_area_conservation_with_hole(spark):
+    rng = np.random.RandomState(5)
+    # star-ish simple polygon + a square hole, fully inside the zoom-2 grid
+    ang = np.sort(rng.uniform(0, 2 * np.pi, 11))
+    rad = rng.uniform(0.6, 1.7, 11)
+    shell = (2.0 + rad * np.cos(ang), 2.0 + rad * np.sin(ang))
+    hole = (np.array([1.8, 2.2, 2.2, 1.8]), np.array([1.8, 1.8, 2.2, 2.2]))
+    from sis_spark.functions.overlay import signed_area
+
+    total = abs(signed_area(*shell)) - abs(signed_area(*hole))
+    out = tile_cut_polygons(_poly_df(spark, [(1, [shell, hole])]), zoom=2).collect()
+    assert abs(sum(r["area"] for r in out) - total) < 1e-9
+    # clipped world geometry stays inside its tile
+    for r in out:
+        _, rings = wkb_parse(bytes(r["clip_wkb"]))
+        for vx, vy in rings:
+            assert vx.min() >= r["tx"] - 1e-12 and vx.max() <= r["tx"] + 1 + 1e-12
+            assert vy.min() >= r["ty"] - 1e-12 and vy.max() <= r["ty"] + 1 + 1e-12
+
+
+def test_polygon_cut_outside_and_quantization_range(spark):
+    outside = [(np.array([-3.0, -2.0, -2.0]), np.array([-3.0, -3.0, -2.0]))]
+    inside = [(np.array([0.25, 0.75, 0.75, 0.25]), np.array([0.25, 0.25, 0.75, 0.75]))]
+    out = tile_cut_polygons(
+        _poly_df(spark, [(1, outside), (2, inside)]), zoom=1, extent=64
+    ).collect()
+    assert {r["pkey"] for r in out} == {2}
+    _, rings = wkb_parse(bytes(out[0]["q_wkb"]))
+    vx, vy = rings[0]
+    assert vx.min() >= 0 and vx.max() <= 63 and vy.min() >= 0 and vy.max() <= 63
+    assert vx.min() == 16.0 and vx.max() == 48.0  # 0.25/0.75 * 64
 
 
 def test_lonlat_wrapper_covers_expected_tiles(spark):
