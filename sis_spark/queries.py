@@ -79,6 +79,36 @@ def q_cell_counts_oracle():
     )
 
 
+HEX_D = 5.0  # hex center spacing in degrees for the gate
+
+
+def q_hex_counts(spark, sf_dir):
+    """Hexagonal cell-frequency histogram (the H3-analog binning,
+    functions/hexgrid.py): exact nearest-center assignment over the
+    two-staggered-lattice construction, pure codegen, shared expression
+    text with the oracle — no rounding function anywhere (floor(x + 1/2)
+    sidesteps the half-to-even vs half-away dialect mismatch)."""
+    from .functions.hexgrid import hex_cell_expr
+
+    pts = _events_points(spark, sf_dir)
+    return (
+        pts.withColumn("cell", hex_cell_expr("lon", "lat", HEX_D))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cell")
+    )
+
+
+def q_hex_counts_oracle():
+    from .functions.hexgrid import flit, hex_cell_sql
+
+    cell = hex_cell_sql("lon", "lat", flit(HEX_D))
+    return (
+        f"SELECT {cell} AS cell, count(*) AS n FROM ({_points_sql()}) p "
+        f"GROUP BY 1 ORDER BY cell"
+    )
+
+
 def q_tile_counts(spark, sf_dir):
     """Web-Mercator tile histogram at zoom 8 (raster-side tiling)."""
     return tiling.tile_counts(_events_points(spark, sf_dir), "lon", "lat", TILE_ZOOM)
@@ -2785,6 +2815,40 @@ def q_embedding_near_dup_oracle():
     return near_dup_banded_sql(EMB_DIM, NEAR_DUP_THRESHOLD)
 
 
+def q_embedding_dedup_pipeline(spark, sf_dir):
+    """The embedding-side dedup pipeline end to end: sign-random-projection
+    banded candidates -> exact quantized-cosine verify (the
+    embedding_near_dup gate's operator, unchanged) -> connected components
+    -> one canonical survivor per transitive cluster of near-duplicate
+    vectors.  Oracle = the banded SQL replica nested in a recursive-CTE
+    closure (same composition as lsh_dedup_pipeline for text)."""
+    from .operators.ann import near_dup_pairs_banded
+    from .operators.graph import dedup_clusters
+
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = near_dup_pairs_banded(emb, NEAR_DUP_THRESHOLD).select("a", "b")
+    return dedup_clusters(pairs, emb, "vec_id").orderBy("vec_id")
+
+
+def q_embedding_dedup_pipeline_oracle():
+    from .operators.ann import near_dup_banded_sql
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a, b FROM ({near_dup_banded_sql(EMB_DIM, NEAR_DUP_THRESHOLD)}) t),
+ids AS (SELECT vec_id FROM embeddings),
+und AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION SELECT b, a FROM pairs
+  UNION SELECT vec_id, vec_id FROM ids),
+reach(node, r) AS (
+  SELECT vec_id, vec_id FROM ids
+  UNION
+  SELECT reach.node, und.v FROM reach JOIN und ON und.u = reach.r)
+SELECT node AS vec_id, min(r) AS cluster, node = min(r) AS keep
+FROM reach GROUP BY node ORDER BY vec_id"""
+
+
 def q_label_centroid_sim(spark, sf_dir):
     """Per-label centroid stats over embeddings (vector agg: elementwise sums
     are exact integer arithmetic after quantization)."""
@@ -4432,4 +4496,7 @@ QUERIES = {
     "vector_tiles": (q_vector_tiles, q_vector_tiles_oracle),
     "lsh_dedup_pipeline": (q_lsh_dedup_pipeline, q_lsh_dedup_pipeline_oracle),
     "gradient": (q_gradient, q_gradient_oracle),
+    "embedding_dedup_pipeline": (
+        q_embedding_dedup_pipeline, q_embedding_dedup_pipeline_oracle),
+    "hex_counts": (q_hex_counts, q_hex_counts_oracle),
 }

@@ -134,3 +134,44 @@ def test_nearest_line_plan_is_map_only(spark, sf_dir):
     plan = _plan(q_nearest_line(spark, sf_dir))
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_gradient_single_shuffle(spark):
+    """The halo gather is the ONLY exchange in the gradient plan: explode ->
+    one hash partition on (gtx, gty) -> Arrow stage (no second shuffle, no
+    join, no broadcast mosaic)."""
+    from sis_spark.queries import q_gradient
+
+    plan = _plan(q_gradient(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan
+    # one partial/final agg pair for the orderBy-side sort is fine; count
+    # genuine data exchanges instead: hashpartitioning appears once for the
+    # halo groupBy (rangepartitioning for the final orderBy is presentation)
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_vector_tiles_cut_no_shuffle_before_agg(spark):
+    """tile_cut_segments is a map-only codegen stage; in the gate query the
+    only exchanges are the final groupBy/orderBy."""
+    from sis_spark.queries import q_vector_tiles
+
+    plan = _plan(q_vector_tiles(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan  # pure JVM cut
+    assert "Join" not in plan
+
+
+def test_tar_shard_read_is_one_stage(spark, tmp_path):
+    """A tar-shard read is one scan -> one Arrow stage; a caption-only
+    projection pushes the payload skip into the store (no bytes column in
+    the read schema at all)."""
+    import os
+
+    from sis_spark.sources.images import images_table
+    from sis_spark.sources.tar_shards import read_tar_shards, write_tar_shards
+
+    out = os.path.join(str(tmp_path), "shards")
+    write_tar_shards(images_table(spark, 12, partitions=2), out, n_shards=2).collect()
+    pruned = read_tar_shards(spark, out, columns=["image_id", "caption"])
+    assert pruned.schema.fieldNames() == ["image_id", "caption"]
+    plan = _plan(pruned)
+    assert "Join" not in plan and "hashpartitioning" not in plan
