@@ -2634,6 +2634,40 @@ SELECT node AS doc_id, min(r) AS cluster, node = min(r) AS keep
 FROM reach GROUP BY node ORDER BY doc_id"""
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SAMPLE_RATE = 0.3
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment + Bernoulli sampling
+    (operators/sampling.py): split and sample are pure functions of
+    (key, salt) via a 60-bit md5 integer — rerun-, append-, and
+    partitioning-stable, unlike DataFrame.sample.  The oracle re-derives
+    every row's split and sample flag from the same hash."""
+    from .operators.sampling import hash_split, hash_u60
+
+    docs = _read(spark, sf_dir, "documents")
+    thr = int(SAMPLE_RATE * (1 << 60))
+    return (
+        hash_split(docs, SPLIT_WEIGHTS, "doc_id")
+        .select(
+            "doc_id", "split",
+            (hash_u60(F.col("doc_id"), "sample") < F.lit(thr)).alias("in_sample"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_dataset_split_oracle():
+    from .operators.sampling import hash_u60_sql, split_sql
+
+    thr = int(SAMPLE_RATE * (1 << 60))
+    return f"""
+SELECT doc_id, {split_sql("doc_id", SPLIT_WEIGHTS)} AS split,
+       {hash_u60_sql("doc_id", "sample")} < {thr} AS in_sample
+FROM documents ORDER BY doc_id"""
+
+
 def q_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (shingle self-join baseline)."""
     from .operators.dedup import jaccard_pairs
@@ -4499,4 +4533,5 @@ QUERIES = {
     "embedding_dedup_pipeline": (
         q_embedding_dedup_pipeline, q_embedding_dedup_pipeline_oracle),
     "hex_counts": (q_hex_counts, q_hex_counts_oracle),
+    "dataset_split": (q_dataset_split, q_dataset_split_oracle),
 }
