@@ -157,15 +157,23 @@ def main():
                 ).withColumn("phash", F.xxhash64("image_id")).withColumn(
                     "bytes", F.encode(F.repeat(F.md5(F.col("image_id")), 8), "utf-8")
                 ).write.mode("overwrite").parquet(path)
-            # repartition after the pruned scan: 325 MB of parquet coalesces
-            # to ~3 input splits at the default maxPartitionBytes, which
-            # would starve the 4N level at the source (same row-spreading
-            # the events path does before its replication join)
-            pts = (
-                spark.read.parquet(path)
-                .select("image_id", "lon", "lat", "caption")
-                .repartition(cpus * 2)
+            # spread the scan WITHOUT a full-row shuffle: a caption-bearing
+            # 32M-row repartition is exactly the shuffle a 100 TB job would
+            # never do.  Size the scan splits from the actual input bytes to
+            # ~3 waves per core (the real-cluster maxPartitionBytes sizing
+            # call); fall back to repartition only if the table is so small
+            # the scan can't feed the cores (tiny mult).
+            total_bytes = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path) if f.endswith(".parquet")
             )
+            split = max(4 * 1024 * 1024, total_bytes // (cpus * 3))
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+            pts = spark.read.parquet(path).select(
+                "image_id", "lon", "lat", "caption"
+            )
+            if pts.rdd.getNumPartitions() < cpus:
+                pts = pts.repartition(cpus * 2)
             n_base, mult = n_rows, 1
         else:
             base = _events_points(spark, SF_DIR)

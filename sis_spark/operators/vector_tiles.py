@@ -147,7 +147,12 @@ def tile_cut_polygons(
     stage runs the Sutherland–Hodgman convex clip (overlay.clip_convex —
     the exact kernel the `halfplane_clip` gate verifies per half-plane)
     only on (polygon, cell) pairs.  Coordinates are world TILE UNITS, as in
-    tile_cut_segments."""
+    tile_cut_segments.
+
+    Scale note: a polygon fans out to (envelope tiles) rows — at deep zooms
+    generate per-zoom with simplified geometry (ST_Simplify / the LOD hint),
+    the standard MVT practice; the explode itself is distributed, so a hot
+    polygon costs rows, not driver memory."""
     import pandas as pd
 
     from ..functions.geometry import wkb_parse, wkb_polygon

@@ -1718,6 +1718,140 @@ SELECT gid, tx, ty, count(*) AS n,
 FROM quant GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
 
+N_PC_RECTS = 600
+PC_ZOOM = 3      # 8x8 world tile grid
+PC_EXTENT = 64
+
+
+def _pc_rect_sql(g: str) -> tuple[str, str, str, str]:
+    """Shared Spark-SQL/DuckDB formulas for the polygon tile-cut gate
+    rectangles (a, c, w, h) = (left, bottom, width, height).  Exactness by
+    construction: corners sit at integer + odd/32 (never ON a cell line, so
+    no Sutherland–Hodgman on-boundary duplicates) and widths/heights are
+    powers of two (1/2/4), so clip divisions against the ORIGINAL extents
+    are exact dyadic doubles; clips against already-clipped (non-power-of-
+    two) extents may land an ulp off the cell line, but every such point is
+    ON a cell boundary where floor+clamp quantization absorbs ±ulp and the
+    exact-integer area*1024 is recovered by round()."""
+    a = (
+        f"(CAST((({g}) % 9) AS DOUBLE) - 1.0e0"
+        f" + CAST(2 * (({g}) % 8) + 1 AS DOUBLE) / 32.0e0)"
+    )
+    c = (
+        f"(CAST(((({g}) * 3) % 9) AS DOUBLE) - 1.0e0"
+        f" + CAST(2 * ((({g}) * 5) % 8) + 1 AS DOUBLE) / 32.0e0)"
+    )
+    w = (
+        f"(CAST(CASE WHEN ({g}) % 3 = 0 THEN 1 "
+        f"WHEN ({g}) % 3 = 1 THEN 2 ELSE 4 END AS DOUBLE))"
+    )
+    h = (
+        f"(CAST(CASE WHEN (({g}) % 5) % 3 = 0 THEN 1 "
+        f"WHEN (({g}) % 5) % 3 = 1 THEN 2 ELSE 4 END AS DOUBLE))"
+    )
+    return a, c, w, h
+
+
+def q_vector_tiles_poly(spark, sf_dir):
+    """Vector-tile POLYGON cutting under the oracle gate: 600 formula
+    rectangles (dyadic corners, power-of-two sizes, some straddling the
+    grid edge) run through the full tile_cut_polygons pipeline — Arrow
+    envelope stage, JVM sequence/explode candidates, Sutherland–Hodgman
+    convex clip per (polygon, cell), MVT quantization — then each output
+    row is reduced to exact integers: area*1024 (the clip areas are exact
+    multiples of 1/1024 by construction), the quantized-ring vertex-sum
+    checksum, and the ring vertex count.  The DuckDB oracle re-derives the
+    rect∩cell interval clamps in closed form; any FP deviation in the clip
+    kernel, ring assembly, or quantization breaks the hash."""
+    import pandas as pd
+
+    from .functions.geometry import wkb_parse, wkb_polygon
+    from .operators.vector_tiles import tile_cut_polygons
+
+    a, c, w, h = _pc_rect_sql("pkey")
+    params = spark.range(N_PC_RECTS).selectExpr(
+        "id AS pkey", f"{a} AS a", f"{c} AS c", f"{w} AS w", f"{h} AS h"
+    )
+
+    def mk_wkb(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for k, ra, rc, rw, rh in zip(
+                pdf["pkey"], pdf["a"], pdf["c"], pdf["w"], pdf["h"]
+            ):
+                vx = np.array([ra, ra + rw, ra + rw, ra], dtype=np.float64)
+                vy = np.array([rc, rc, rc + rh, rc + rh], dtype=np.float64)
+                rows.append({"pkey": int(k), "wkb": wkb_polygon([(vx, vy)])})
+            yield pd.DataFrame(rows)
+
+    polys = params.mapInPandas(mk_wkb, "pkey long, wkb binary")
+    cut = tile_cut_polygons(polys, zoom=PC_ZOOM, extent=PC_EXTENT)
+
+    def digest(batches):
+        for pdf in batches:
+            rows = []
+            for k, tx, ty, area, qb in zip(
+                pdf["pkey"], pdf["tx"], pdf["ty"], pdf["area"], pdf["q_wkb"]
+            ):
+                (qx, qy) = wkb_parse(bytes(qb))[1][0]
+                if len(qx) > 1 and qx[0] == qx[-1] and qy[0] == qy[-1]:
+                    qx, qy = qx[:-1], qy[:-1]  # WKB rings close; sum open
+                # round, don't truncate: clip divisions by already-clipped
+                # (non-power-of-two) extents can land an intersection an
+                # ulp off the cell line, so area*1024 is integer ± epsilon
+                rows.append({
+                    "pkey": int(k), "tx": int(tx), "ty": int(ty),
+                    "area_q": int(round(area * 1024.0)),
+                    "nv": len(qx),
+                    "qsum": int(sum(131 * x + 17 * y for x, y in zip(qx, qy))),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    out = cut.mapInPandas(
+        digest, "pkey long, tx long, ty long, area_q long, nv long, qsum long"
+    )
+    return out.orderBy("pkey", "tx", "ty")
+
+
+def q_vector_tiles_poly_oracle():
+    a, c, w, h = _pc_rect_sql("g.i")
+    n = 1 << PC_ZOOM
+    qlo = lambda lo, cell: (
+        f"greatest(0, least(CAST(floor((({lo}) - CAST({cell} AS DOUBLE))"
+        f" * {PC_EXTENT}.0e0) AS BIGINT), {PC_EXTENT - 1}))"
+    )
+    return f"""
+WITH rects AS (
+  SELECT g.i AS pkey, {a} AS a, {c} AS c, {w} AS w, {h} AS h
+  FROM generate_series(0, {N_PC_RECTS - 1}) g(i)),
+cand AS (
+  SELECT r.*, tx.tx, ty.ty
+  FROM rects r, generate_series(0, {n - 1}) tx(tx), generate_series(0, {n - 1}) ty(ty)
+  WHERE tx.tx >= greatest(0, CAST(floor(a) AS BIGINT))
+    AND tx.tx <= least({n - 1}, CAST(floor(a + w) AS BIGINT))
+    AND ty.ty >= greatest(0, CAST(floor(c) AS BIGINT))
+    AND ty.ty <= least({n - 1}, CAST(floor(c + h) AS BIGINT))),
+clip AS (
+  SELECT pkey, tx, ty,
+         greatest(a, CAST(tx AS DOUBLE)) AS ixlo,
+         least(a + w, CAST(tx AS DOUBLE) + 1.0e0) AS ixhi,
+         greatest(c, CAST(ty AS DOUBLE)) AS iylo,
+         least(c + h, CAST(ty AS DOUBLE) + 1.0e0) AS iyhi
+  FROM cand),
+q AS (
+  SELECT pkey, tx, ty,
+         CAST(round((ixhi - ixlo) * (iyhi - iylo) * 1024.0e0) AS BIGINT) AS area_q,
+         {qlo('ixlo', 'tx')} AS qxlo, {qlo('ixhi', 'tx')} AS qxhi,
+         {qlo('iylo', 'ty')} AS qylo, {qlo('iyhi', 'ty')} AS qyhi
+  FROM clip WHERE ixhi > ixlo AND iyhi > iylo)
+SELECT pkey, tx, ty, area_q, CAST(4 AS BIGINT) AS nv,
+       CAST(131 * 2 * (qxlo + qxhi) + 17 * 2 * (qylo + qyhi) AS BIGINT) AS qsum
+FROM q ORDER BY pkey, tx, ty"""
+
+
 ZONAL_POLYS = [
     # (key, [(x, y) vertices]) — irregular coords inside/straddling the
     # gate raster window x in [-4, 4], y in [0, 3]
@@ -4528,6 +4662,7 @@ QUERIES = {
     "dedup_clusters": (q_dedup_clusters, q_dedup_clusters_oracle),
     "xyz_pyramid": (q_xyz_pyramid, q_xyz_pyramid_oracle),
     "vector_tiles": (q_vector_tiles, q_vector_tiles_oracle),
+    "vector_tiles_poly": (q_vector_tiles_poly, q_vector_tiles_poly_oracle),
     "lsh_dedup_pipeline": (q_lsh_dedup_pipeline, q_lsh_dedup_pipeline_oracle),
     "gradient": (q_gradient, q_gradient_oracle),
     "embedding_dedup_pipeline": (

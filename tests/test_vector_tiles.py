@@ -136,6 +136,35 @@ def test_polygon_cut_outside_and_quantization_range(spark):
     assert vx.min() == 16.0 and vx.max() == 48.0  # 0.25/0.75 * 64
 
 
+def test_cut_intervals_partition_each_segment(spark):
+    """Across all tiles, a segment's (t0, t1) intervals are non-overlapping
+    and their union covers exactly the part of the segment inside the grid
+    (coverage invariant — catches both dropped and double-assigned spans)."""
+    rng = np.random.RandomState(42)
+    segs = []
+    for i in range(200):
+        x0, y0, x1, y1 = rng.uniform(-0.5, 4.5, 4)
+        segs.append((i, 0, float(x0), float(y0), float(x1), float(y1)))
+    df = spark.createDataFrame(
+        segs, "gid long, seg long, x0 double, y0 double, x1 double, y1 double"
+    )
+    rows = tile_cut_segments(df, zoom=2).collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["gid"], []).append((r["t0"], r["t1"]))
+    for gid, x0, y0, x1, y1 in ((s[0], *s[2:]) for s in segs):
+        ivs = sorted(by_seg.get(gid, []))
+        for (a0, a1), (b0, b1) in zip(ivs, ivs[1:]):
+            assert b0 >= a1 - 1e-12  # no overlap
+        covered = sum(t1 - t0 for t0, t1 in ivs)
+        # reference in-grid length fraction by dense sampling
+        ts = np.linspace(0, 1, 2001)
+        px = x0 + (x1 - x0) * ts
+        py = y0 + (y1 - y0) * ts
+        frac = np.mean((px >= 0) & (px < 4) & (py >= 0) & (py < 4))
+        assert abs(covered - frac) < 0.01, gid
+
+
 def test_lonlat_wrapper_covers_expected_tiles(spark):
     # a segment crossing the Greenwich meridian near the equator at zoom 1:
     # world x spans just below/above 1.0 -> tiles (0, y) and (1, y)
