@@ -565,3 +565,375 @@ SELECT query_id, rank, cand_id FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cand_id ASC) AS rank
   FROM scored) t
 WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
+# ---------------------------------------------------------------- product quantization (IVF-PQ family)
+# Reference parity: compressed-domain search is our scale extension of the
+# same coarse-partition-then-refine shape as ivf_topk (SIS tree index,
+# C/index/tree/QuadTree*.java); the PQ construction follows the published
+# ADC method (Jegou, Douze, Schmid, "Product Quantization for Nearest
+# Neighbor Search", IEEE TPAMI 2011 — public knowledge).
+
+def _assign_codes(q: DataFrame, books: np.ndarray) -> DataFrame:
+    """(id, qv) -> (id, codes array<int>): per-subspace argmin over exact
+    int64 squared distances; ties -> lowest code (np.argmin first-min)."""
+    spark = q.sparkSession
+    bc = spark.sparkContext.broadcast(books)
+
+    def go(batches):
+        B = bc.value                       # (m, ksub, subdim) int64
+        m, ksub, sd = B.shape
+        bn = (B * B).sum(axis=2)           # (m, ksub)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(list(pdf["qv"]), dtype=np.int64)
+            S = M.reshape(len(M), m, sd)
+            sn = (S * S).sum(axis=2)       # (n, m)
+            dots = np.einsum("nms,mks->nmk", S, B)  # int64 exact
+            dist = sn[:, :, None] + bn[None, :, :] - 2 * dots
+            codes = dist.argmin(axis=2).astype(np.int32)
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(), "codes": list(codes),
+            })
+
+    return q.select("id", "qv").mapInPandas(go, schema="id long, codes array<int>")
+
+
+def train_pq(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+) -> np.ndarray:
+    """Deterministic per-subspace k-means codebooks, int64 (m, ksub, subdim).
+
+    Same exact-integer recipe as train_ivf: init = subvectors of the ksub
+    lowest-id vectors, one distributed assignment pass for ALL subspaces at
+    once (one mapInPandas), centroid update = exact floor-divided means via
+    one posexplode/groupBy of m*ksub*subdim cells.  Empty codes keep their
+    previous centroid."""
+    q = vectors.select(
+        F.col(id_col).alias("id"), quantize_col(F.col(vec_col)).alias("qv")
+    )
+    return train_pq_quantized(q, m, ksub, iters)
+
+
+def train_pq_quantized(q: DataFrame, m: int, ksub: int, iters: int = 1) -> np.ndarray:
+    """train_pq over a pre-quantized (id, qv array<long>) frame — the entry
+    point IVF-PQ uses to train on residuals."""
+    init = q.orderBy("id").limit(ksub).collect()
+    arr = np.array([r["qv"] for r in init], dtype=np.int64)
+    dim = arr.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sd = dim // m
+    books = arr.reshape(ksub, m, sd).transpose(1, 0, 2).copy()  # (m, ksub, sd)
+    for _ in range(iters):
+        assigned = q.join(_assign_codes(q, books), "id")
+        sums = (
+            assigned.select("codes", F.posexplode("qv").alias("pos", "val"))
+            .withColumn("sub", F.expr(f"CAST(pos DIV {sd} AS INT)"))
+            .withColumn("code", F.expr(f"codes[CAST(pos DIV {sd} AS INT)]"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        new = books.copy()
+        for r in sums:
+            new[r["sub"], r["code"], r["pos"] % sd] = np.floor_divide(
+                int(r["s"]), int(r["cnt"])
+            )
+        books = new
+    return books
+
+
+def pq_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+) -> DataFrame:
+    """PQ-compressed top-k by asymmetric distance (ADC), all-int64 exact.
+    Output (query_id, rank, cand_id, adist); adist = sum over subspaces of
+    |q_sub - codeword(cand)|^2 — ranking ascending, ties -> lowest cand_id.
+
+    100-TB plan: the collection is scanned as m int8/int32 CODES per row
+    (dim*8 bytes -> m bytes in a real deployment — the compressed-domain
+    scan is the point of PQ), each Arrow batch does n*m table LOOKUPS
+    instead of n*dim multiply-adds, and only k rows per (query, partition)
+    reach the final shuffle (same partial/final shape as brute_topk).
+    Training is one small broadcast; nothing all-pairs anywhere."""
+    spark = vectors.sparkSession
+    books = train_pq(vectors, m, ksub, id_col, vec_col, iters)
+    _, _, sd = books.shape
+    bn = (books * books).sum(axis=2)  # (m, ksub)
+
+    q = vectors.select(
+        F.col(id_col).alias("id"), quantize_col(F.col(vec_col)).alias("qv")
+    )
+    codes = _assign_codes(q, books).withColumnRenamed("id", "cand_id")
+
+    qrows = q.filter(F.col("id").isin(query_ids)).collect()
+    qids = []
+    tabs = []
+    for r in qrows:
+        v = np.array(r["qv"], dtype=np.int64).reshape(m, sd)
+        sn = (v * v).sum(axis=1)
+        tab = sn[:, None] + bn - 2 * np.einsum("ms,mks->mk", v, books)
+        qids.append(int(r["id"]))
+        tabs.append(tab)
+    bc = spark.sparkContext.broadcast((np.array(qids, dtype=np.int64),
+                                       np.array(tabs, dtype=np.int64)))
+
+    def partial(batches):
+        qids_, tabs_ = bc.value            # (nq,), (nq, m, ksub)
+        best: dict[int, pd.DataFrame] = {}
+        marange = np.arange(m)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            # ADC: per query, sum of m table lookups per candidate row
+            for j, qid in enumerate(qids_):
+                adist = tabs_[j][marange[None, :], C].sum(axis=1)
+                sub = pd.DataFrame({
+                    "query_id": np.int64(qid),
+                    "cand_id": pdf["cand_id"].to_numpy(),
+                    "adist": adist,
+                })
+                sub = sub[sub.cand_id != qid]
+                sub = sub.sort_values(["adist", "cand_id"]).head(k)
+                prev = best.get(qid)
+                best[qid] = (
+                    sub if prev is None
+                    else pd.concat([prev, sub]).sort_values(
+                        ["adist", "cand_id"]).head(k)
+                )
+        if best:
+            yield pd.concat(best.values())
+
+    pruned = codes.mapInPandas(
+        partial, schema="query_id long, cand_id long, adist long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "adist")
+    )
+
+
+def pq_topk_sql(
+    n_queries: int,
+    k: int,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle replicating pq_topk bit-for-bit, TRAINING INCLUDED:
+    per subspace the same lowest-id init, one Lloyd iteration with exact
+    floor-divided integer means (posmod identity), first-min code ties, and
+    the identical int64 ADC sum.  One CTE chain per subspace (1-based
+    DuckDB list slices v[a:b])."""
+    sd = dim // m
+    parts = [f"""qv AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+  FROM {rel}),
+pos AS (SELECT CAST(range AS INT) AS p FROM range(1, {sd} + 1))"""]
+    for s in range(m):
+        a, b = s * sd + 1, (s + 1) * sd  # DuckDB 1-based inclusive slice
+        parts.append(f"""c0_{s} AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS j, v[{a}:{b}] AS cv
+  FROM (SELECT id, v FROM qv ORDER BY id LIMIT {ksub})),
+d1_{s} AS (
+  SELECT q.id, c.j,
+         CAST(list_sum(list_transform(list_zip(q.v[{a}:{b}], c.cv),
+              z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+  FROM qv q CROSS JOIN c0_{s} c),
+a1_{s} AS (
+  SELECT id, j AS code FROM (
+    SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY dist ASC, j ASC) AS rn
+    FROM d1_{s}) t WHERE rn = 1),
+sums_{s} AS (
+  SELECT a.code, pos.p, CAST(sum(q.v[{a - 1} + pos.p]) AS BIGINT) AS s, COUNT(*) AS cnt
+  FROM a1_{s} a JOIN qv q ON q.id = a.id CROSS JOIN pos
+  GROUP BY 1, 2),
+c1u_{s} AS (
+  SELECT code AS j, list((s - (((s % cnt) + cnt) % cnt)) // cnt ORDER BY p) AS cv
+  FROM sums_{s} GROUP BY 1),
+c1_{s} AS (
+  SELECT c0.j, COALESCE(u.cv, c0.cv) AS cv
+  FROM c0_{s} c0 LEFT JOIN c1u_{s} u ON u.j = c0.j),
+d2_{s} AS (
+  SELECT q.id, c.j,
+         CAST(list_sum(list_transform(list_zip(q.v[{a}:{b}], c.cv),
+              z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+  FROM qv q CROSS JOIN c1_{s} c),
+a2_{s} AS (
+  SELECT id, j AS code FROM (
+    SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY dist ASC, j ASC) AS rn
+    FROM d2_{s}) t WHERE rn = 1)""")
+    enc_joins = "\n  ".join(
+        f"JOIN a2_{s} e{s} ON e{s}.id = c.id "
+        f"JOIN d2_{s} t{s} ON t{s}.id = q.query_id AND t{s}.j = e{s}.code"
+        for s in range(m)
+    )
+    adist = " + ".join(f"t{s}.dist" for s in range(m))
+    parts.append(f"""scored AS (
+  SELECT q.query_id, c.id AS cand_id, ({adist}) AS adist
+  FROM (SELECT id AS query_id FROM qv WHERE id < {n_queries}) q
+  CROSS JOIN (SELECT id FROM qv) c
+  {enc_joins}
+  WHERE c.id <> q.query_id)""")
+    return "WITH " + ",\n".join(parts) + f"""
+SELECT query_id, rank, cand_id, adist FROM (
+  SELECT query_id, cand_id, adist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int,
+    nlist: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+) -> DataFrame:
+    """IVF-PQ: coarse posting lists (train_ivf) + product-quantized
+    RESIDUALS (v - centroid[list]) + per-(query, list) ADC tables — the
+    standard billion-scale ANN layout (inverted file limits the scan to
+    ~nprobe/nlist of the collection; residual PQ makes what IS scanned m
+    code lookups per row).  All arithmetic int64-exact, ties -> lowest id;
+    nprobe == nlist and ksub >= n degrades to the exact brute answer
+    (asserted in pytest).  Output (query_id, rank, cand_id, adist)."""
+    spark = vectors.sparkSession
+    cent = train_ivf(vectors, nlist, id_col, vec_col, iters)
+    cn = (cent * cent).sum(axis=1)
+    q = vectors.select(
+        F.col(id_col).alias("id"), quantize_col(F.col(vec_col)).alias("qv")
+    )
+    lists = q.join(_assign_lists(q, cent), "id")
+    bc_cent = spark.sparkContext.broadcast(cent)
+
+    def resid(batches):
+        C = bc_cent.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(list(pdf["qv"]), dtype=np.int64)
+            L = pdf["list_id"].to_numpy()
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(), "list_id": L,
+                "qv": list(M - C[L]),
+            })
+
+    rq = lists.mapInPandas(resid, "id long, list_id int, qv array<long>")
+    rq = rq.persist()
+    try:
+        books = train_pq_quantized(rq.select("id", "qv"), m, ksub, iters)
+        _, _, sd = books.shape
+        bn = (books * books).sum(axis=2)
+        bc_books = spark.sparkContext.broadcast(books)
+
+        def encode(batches):
+            B = bc_books.value
+            m_, ksub_, sd_ = B.shape
+            bnl = (B * B).sum(axis=2)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.array(list(pdf["qv"]), dtype=np.int64)
+                S = M.reshape(len(M), m_, sd_)
+                sn = (S * S).sum(axis=2)
+                dots = np.einsum("nms,mks->nmk", S, B)
+                dist = sn[:, :, None] + bnl[None, :, :] - 2 * dots
+                yield pd.DataFrame({
+                    "cand_id": pdf["id"].to_numpy(),
+                    "list_id": pdf["list_id"].to_numpy(),
+                    "codes": list(dist.argmin(axis=2).astype(np.int32)),
+                })
+
+        enc = rq.mapInPandas(encode, "cand_id long, list_id int, codes array<int>")
+
+        # per-query probe tables: residual of the query against EACH probed
+        # list's centroid gets its own (m, ksub) table
+        qrows = q.filter(F.col("id").isin(query_ids)).collect()
+        probes: dict[int, list] = {}
+        for r in qrows:
+            v = np.array(r["qv"], dtype=np.int64)
+            dist = (v * v).sum() + cn - 2 * (cent @ v)
+            order = np.lexsort((np.arange(nlist), dist))[:nprobe]
+            for j in order:
+                rv = (v - cent[j]).reshape(m, sd)
+                sn = (rv * rv).sum(axis=1)
+                tab = sn[:, None] + bn - 2 * np.einsum("ms,mks->mk", rv, books)
+                probes.setdefault(int(j), []).append((int(r["id"]), tab))
+        bc_probes = spark.sparkContext.broadcast(probes)
+
+        def partial(batches):
+            P = bc_probes.value
+            best: dict[int, pd.DataFrame] = {}
+            ar = np.arange(m)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                C = np.array(list(pdf["codes"]), dtype=np.int64)
+                L = pdf["list_id"].to_numpy()
+                ids_ = pdf["cand_id"].to_numpy()
+                for lid in np.unique(L):
+                    hits = P.get(int(lid))
+                    if not hits:
+                        continue
+                    mask = L == lid
+                    Cm, im = C[mask], ids_[mask]
+                    for qid, tab in hits:
+                        adist = tab[ar[None, :], Cm].sum(axis=1)
+                        sub = pd.DataFrame({
+                            "query_id": np.int64(qid), "cand_id": im,
+                            "adist": adist,
+                        })
+                        sub = sub[sub.cand_id != qid]
+                        sub = sub.sort_values(["adist", "cand_id"]).head(k)
+                        prev = best.get(qid)
+                        best[qid] = (
+                            sub if prev is None
+                            else pd.concat([prev, sub]).sort_values(
+                                ["adist", "cand_id"]).head(k)
+                        )
+            if best:
+                yield pd.concat(best.values())
+
+        pruned = enc.mapInPandas(
+            partial, schema="query_id long, cand_id long, adist long"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adist").asc(), F.col("cand_id").asc()
+        )
+        out = (
+            pruned.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "cand_id", "adist")
+        )
+        out = out.localCheckpoint()  # materialize before unpersisting rq
+        return out
+    finally:
+        rq.unpersist()

@@ -2962,6 +2962,32 @@ def q_ann_ivf_oracle():
     )
 
 
+PQ_M = 8
+PQ_KSUB = 16
+
+
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization top-k (ADC): deterministic per-subspace k-means
+    codebooks (exact-integer training, one Lloyd iteration), the collection
+    compressed to m=8 codes per vector, search = m int64 table lookups per
+    candidate (no dot products in the scan), partial/final top-k.  The
+    compressed-domain scan is the third ANN scale path next to LSH buckets
+    and IVF posting lists; the oracle replicates the TRAINING bit-for-bit
+    per subspace and the identical ADC sum."""
+    from .operators.ann import pq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return pq_topk(emb, ANN_QUERY_IDS, ANN_K, m=PQ_M, ksub=PQ_KSUB)
+
+
+def q_ann_pq_oracle():
+    from .operators.ann import pq_topk_sql
+
+    return pq_topk_sql(
+        len(ANN_QUERY_IDS), ANN_K, EMB_DIM, m=PQ_M, ksub=PQ_KSUB
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Banded near-duplicates (sign-random-projection candidates + exact
     quantized-cosine verify) — the 100-TB plan: one bucket shuffle, two
@@ -4663,6 +4689,7 @@ QUERIES = {
     "xyz_pyramid": (q_xyz_pyramid, q_xyz_pyramid_oracle),
     "vector_tiles": (q_vector_tiles, q_vector_tiles_oracle),
     "vector_tiles_poly": (q_vector_tiles_poly, q_vector_tiles_poly_oracle),
+    "ann_pq": (q_ann_pq, q_ann_pq_oracle),
     "lsh_dedup_pipeline": (q_lsh_dedup_pipeline, q_lsh_dedup_pipeline_oracle),
     "gradient": (q_gradient, q_gradient_oracle),
     "embedding_dedup_pipeline": (
