@@ -55,3 +55,104 @@ def pyramid_rollup(tile_df: DataFrame, max_zoom: int, min_zoom: int = 0,
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out.select("z", "tx", "ty", agg_col)
+
+
+# ---------------------------------------------------------------- cell-set compaction (H3 compact analog)
+# In the Morton cell scheme of functions/cells.py (cell = marker | interleave),
+# the parent is exactly ``cell >> 2`` (the marker bit shifts along) and the
+# four children of p are ``(p << 2) | {0,1,2,3}`` — so compaction is pure
+# integer codegen, no UDF.  Reference parity: the covering-set minimization
+# mirrors TileMatrixSet's zoom hierarchy (S/tiling/TileMatrixSet.java:53)
+# applied to the gazetteer cell ids (G/GeohashReferenceSystem.java).
+
+def cell_res_expr(cell_col: str = "cell"):
+    """Resolution of a cell id by exact integer range tests (res r ids live
+    in [4^r, 2*4^r)) — no FP log2, whose ulp behavior differs per libm."""
+    from ..functions.cells import MAX_RES
+
+    arms = " ".join(
+        f"WHEN {cell_col} >= {4 ** r} AND {cell_col} < {2 * 4 ** r} THEN {r}"
+        for r in range(1, MAX_RES + 1)
+    )
+    return F.expr(f"CASE {arms} END")
+
+
+def compact_cells(cells: DataFrame, cell_col: str = "cell",
+                  min_res: int = 1) -> DataFrame:
+    """Minimal mixed-resolution cover of a cell set: wherever all four
+    children of a parent are present, they are replaced by the parent,
+    recursively.  Input rows may be any mix of resolutions (duplicates
+    removed); output is (cell, res) with no cell an ancestor of another.
+
+    Plan shape: one groupBy(parent) per resolution level, bottom-up — each
+    round operates only on the current level's cells (already reduced), so
+    the total shuffled volume is bounded by the input cell count.  Driver
+    traffic per round is two scalars (level min/max); no collect of cells.
+
+    The distinct cell set is localCheckpoint-ed up front: the per-level
+    ``res == r`` filters would otherwise be pushed BELOW the distinct,
+    substituting the caller's cell-derivation expression into every CASE
+    arm of cell_res_expr — a Morton-encode lineage (spark_exprs.cell_col
+    references itself twice per spread step, 2^6 copies of the lon/lat
+    subtree) explodes exponentially under that rewrite and OOMs codegen.
+    Materializing once also makes each round's scan O(cells), which by
+    construction is small relative to the input table."""
+    cur = (
+        cells.select(F.col(cell_col).alias("cell")).distinct()
+        .withColumn("res", cell_res_expr())
+        .localCheckpoint()
+    )
+    bounds = cur.agg(F.max("res").alias("hi"), F.min("res").alias("lo")).first()
+    hi, lo = bounds["hi"], bounds["lo"]
+    if hi is None:
+        return cur
+    out = []
+    level = cur.filter(F.col("res") == hi).select("cell")
+    for r in range(hi, min_res, -1):
+        parents = (
+            level.groupBy(F.shiftright("cell", 2).alias("parent"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        full = parents.filter(F.col("n") == 4).select(
+            F.col("parent").alias("cell"))
+        kept = level.join(
+            full.withColumnRenamed("cell", "parent"),
+            F.shiftright(level["cell"], 2) == F.col("parent"),
+            "left_anti",
+        )
+        out.append(kept.withColumn("res", F.lit(r)))
+        promoted = full
+        if r - 1 >= lo:
+            promoted = promoted.unionByName(
+                cur.filter(F.col("res") == r - 1).select("cell")
+            ).distinct()
+        level = promoted.localCheckpoint()  # truncate round-over-round lineage
+    res_out = level.withColumn("res", F.lit(min_res))
+    for part in out:
+        res_out = res_out.unionByName(part)
+    return res_out
+
+
+def uncompact_cells(cells: DataFrame, to_res: int, cell_col: str = "cell",
+                    res_col: str = "res") -> DataFrame:
+    """Inverse of compact_cells: expand every (cell, res) to its res=to_res
+    descendants — ``(cell << 2d) + i`` for i in [0, 4^d) — as a distributed
+    sequence/explode (a hot coarse cell costs rows, not driver memory)."""
+    return (
+        cells
+        .filter(F.col(res_col) <= to_res)
+        .select(
+            F.expr(
+                f"explode(sequence(0, shiftleft(CAST(1 AS BIGINT), "
+                f"2 * ({to_res} - {res_col})) - 1))"
+            ).alias("_i"),
+            F.col(cell_col),
+            F.col(res_col),
+        )
+        .select(
+            F.expr(
+                f"shiftleft({cell_col}, CAST(2 * ({to_res} - {res_col}) AS INT))"
+                " + _i"
+            ).alias(cell_col)
+        )
+    )

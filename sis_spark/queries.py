@@ -79,6 +79,58 @@ def q_cell_counts_oracle():
     )
 
 
+CC_RES = 12   # compaction gate: input cell resolution (410 + 47 real merges)
+CC_MIN = 8    # stop promoting above this resolution (merges stop at 10)
+
+
+def q_cell_compact(spark, sf_dir):
+    """Cell-set compaction (the H3 compact analog, operators/tiling.py):
+    the distinct res-12 cells of the events points collapse bottom-up —
+    wherever all four children of a parent are present they are replaced
+    by the parent, recursively to res 8 (at sf0.01 that is 410 first-level
+    and 47 second-level real merges, then two provably-empty rounds).
+    Pure integer codegen (parent =
+    cell >> 2 in the Morton scheme), one groupBy per level.  The oracle
+    replays the identical rounds as explicit GROUP BY/HAVING count(*)=4
+    stages."""
+    from .operators.tiling import compact_cells
+
+    pts = _events_points(spark, sf_dir)
+    cells = pts.select(
+        cell_col(F.col("lon"), F.col("lat"), CC_RES).alias("cell")
+    )
+    out = compact_cells(cells, min_res=CC_MIN)
+    return (
+        out.select("cell", F.col("res").cast("int").alias("res"))
+        .orderBy("cell")
+    )
+
+
+def q_cell_compact_oracle():
+    cell = cell_sql_flat("lon", "lat", CC_RES)
+    parts = [
+        f"c{CC_RES} AS (SELECT DISTINCT {cell} AS cell FROM ({_points_sql()}) p)"
+    ]
+    selects = []
+    cur = f"c{CC_RES}"
+    for r in range(CC_RES, CC_MIN, -1):
+        parts.append(
+            f"f{r - 1} AS (SELECT cell // 4 AS cell FROM {cur} "
+            f"GROUP BY 1 HAVING count(*) = 4)"
+        )
+        parts.append(
+            f"k{r} AS (SELECT cell, {r} AS res FROM {cur} "
+            f"WHERE cell // 4 NOT IN (SELECT cell FROM f{r - 1}))"
+        )
+        selects.append(f"SELECT cell, res FROM k{r}")
+        cur = f"f{r - 1}"
+    selects.append(f"SELECT cell, {CC_MIN} AS res FROM {cur}")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + " UNION ALL ".join(selects) + " ORDER BY cell"
+    )
+
+
 HEX_D = 5.0  # hex center spacing in degrees for the gate
 
 
@@ -4690,6 +4742,7 @@ QUERIES = {
     "vector_tiles": (q_vector_tiles, q_vector_tiles_oracle),
     "vector_tiles_poly": (q_vector_tiles_poly, q_vector_tiles_poly_oracle),
     "ann_pq": (q_ann_pq, q_ann_pq_oracle),
+    "cell_compact": (q_cell_compact, q_cell_compact_oracle),
     "lsh_dedup_pipeline": (q_lsh_dedup_pipeline, q_lsh_dedup_pipeline_oracle),
     "gradient": (q_gradient, q_gradient_oracle),
     "embedding_dedup_pipeline": (
