@@ -482,6 +482,60 @@ def polygon_cells_df(parts: DataFrame, res: int, classify: bool = True) -> DataF
     )
 
 
+def compact_cover(cov: DataFrame, res: int, levels: int) -> DataFrame:
+    """Mixed-resolution covering table: the ``sure`` (provably-interior) rows
+    of a ``polygon_cells_df(res)`` output are compacted per polygon part —
+    wherever all four Morton siblings are interior they are replaced by the
+    parent, up to ``levels`` times (operators/tiling.compact_cells per key).
+    Boundary (non-sure) rows pass through untouched at ``res``.
+
+    Output = input columns + ``cres`` (the resolution each row now lives at).
+    The result is still a disjoint cover per part: a promoted parent's
+    descendants were all sure, so no surviving row is its ancestor or
+    descendant — a point therefore still matches at most one covering row
+    per part, no candidate dedup needed.
+
+    Scale rationale: interior cell count grows ~4^levels with covering
+    resolution while the boundary ring grows ~2^levels; compaction caps the
+    interior at its coarse-resolution size, often pulling a
+    continental-polygon covering table back under the broadcast threshold.
+    The fact side pays an ancestor-chain explode of (levels+1) rows per
+    point (pure codegen) — see spatial_join_dist(compact_levels=...)."""
+    env_cols = ["e_xmin", "e_ymin", "e_xmax", "e_ymax"]
+    unsure = cov.filter(~F.col("sure")).withColumn("cres", F.lit(res))
+    level = cov.filter(F.col("sure")).localCheckpoint()
+    out = []
+    for d in range(levels):
+        parents = (
+            level.groupBy(F.col("pkey"), F.shiftright("cell", 2).alias("pcell"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.first(c).alias(c) for c in env_cols],
+            )
+        )
+        full = parents.filter(F.col("n") == 4)
+        fsel = full.select(F.col("pkey").alias("fpkey"), F.col("pcell").alias("fpcell"))
+        kept = level.join(
+            fsel,
+            (level["pkey"] == fsel["fpkey"])
+            & (F.shiftright(level["cell"], 2) == fsel["fpcell"]),
+            "left_anti",
+        )
+        out.append(kept.withColumn("cres", F.lit(res - d)))
+        level = (
+            full.select(
+                F.col("pcell").alias("cell"), "pkey", *env_cols,
+                F.lit(True).alias("sure"),
+                F.lit(None).cast("binary").alias("pwkb"),
+            )
+            .localCheckpoint()  # truncate round-over-round lineage
+        )
+    res_out = level.withColumn("cres", F.lit(res - levels))
+    for part in out:
+        res_out = res_out.unionByName(part)
+    return res_out.unionByName(unsure)
+
+
 def spatial_join_dist(
     points: DataFrame,
     polygons_df: DataFrame,
@@ -493,6 +547,7 @@ def spatial_join_dist(
     wkb_col: str = "wkb",
     interior_skip: bool = True,
     broadcast_threshold: int = 0,
+    compact_levels: int = 0,
 ) -> DataFrame:
     """Point-in-polygon join with a DataFrame polygon side (never collected
     on the pure-distributed path).
@@ -510,6 +565,13 @@ def spatial_join_dist(
     collected and the proven broadcast plan of ``spatial_join`` runs
     instead (faster: packed-array refine, no per-candidate WKB transfer).
     0 (default) forces the fully distributed plan.
+
+    ``compact_levels``: mixed-resolution covering (requires interior_skip).
+    The interior of each polygon's cover is compacted up to this many
+    Morton levels (compact_cover), shrinking the dimension table ~4^levels
+    on the interior; the point side joins through an ancestor-cell chain
+    explode of (compact_levels+1) rows per point (pure codegen shiftright).
+    Value-identical output to every other strategy.
     """
     from ..sources import polygons_from_wkb
 
@@ -535,12 +597,27 @@ def spatial_join_dist(
         points = points.repartition(par)
     pts = points.withColumn("__cell", cell_col(F.col(lon_col), F.col(lat_col), res))
 
-    cand = pts.join(cov, pts["__cell"] == cov["cell"], "inner")
+    drop_cols = ["cell", "__cell", "e_xmin", "e_ymin", "e_xmax", "e_ymax", "sure", "pwkb"]
+    if compact_levels:
+        if not interior_skip:
+            raise ValueError("compact_levels requires interior_skip=True")
+        cov = compact_cover(cov, res, compact_levels)
+        # ancestor chain: the point's cell at res, res-1, ..., res-levels —
+        # exactly one of them can hit each part's (disjoint) mixed-res cover
+        pts = pts.withColumn(
+            "__jcell",
+            F.explode(F.array(*[
+                F.shiftright("__cell", 2 * d) for d in range(compact_levels + 1)
+            ])),
+        )
+        cand = pts.join(cov, pts["__jcell"] == cov["cell"], "inner")
+        drop_cols += ["__jcell", "cres"]
+    else:
+        cand = pts.join(cov, pts["__cell"] == cov["cell"], "inner")
     env_ok = (
         (F.col(lon_col) >= F.col("e_xmin")) & (F.col(lon_col) <= F.col("e_xmax"))
         & (F.col(lat_col) >= F.col("e_ymin")) & (F.col(lat_col) <= F.col("e_ymax"))
     )
-    drop_cols = ["cell", "__cell", "e_xmin", "e_ymin", "e_xmax", "e_ymax", "sure", "pwkb"]
 
     from pyspark.sql import types as T
 

@@ -291,6 +291,20 @@ def q_spatial_join_dist(spark, sf_dir):
     )
 
 
+def q_spatial_join_compact(spark, sf_dir):
+    """Same join through the MIXED-RESOLUTION covering path: interior
+    covering cells compacted per polygon (compact_cover, the H3 compact
+    analog — dimension table shrinks ~4^levels on the interior), point side
+    joins via a codegen ancestor-cell chain explode.  Same oracle as every
+    other strategy — the compacted cover must be value-identical."""
+    from .operators.spatial_join import spatial_join_dist
+
+    pts = _events_points(spark, sf_dir)
+    return spatial_join_dist(
+        pts, _supplier_polygons_df(spark, sf_dir), "lon", "lat", compact_levels=3
+    ).select(F.col("event_id").alias("pid"), "poly_key")
+
+
 def q_polygon_pairs(spark, sf_dir):
     """Polygon-vs-polygon spatial self-join: covering-cell bucket candidates,
     codegen envelope prune, DE-9IM refine (general-position kernel,
@@ -4657,6 +4671,7 @@ QUERIES = {
     "spatial_join_salted": (q_spatial_join_salted, q_spatial_join_oracle),
     "spatial_join_auto_salt": (q_spatial_join_auto_salt, q_spatial_join_oracle),
     "spatial_join_dist": (q_spatial_join_dist, q_spatial_join_oracle),
+    "spatial_join_compact": (q_spatial_join_compact, q_spatial_join_oracle),
     "polygon_pairs": (q_polygon_pairs, q_polygon_pairs_oracle),
     "knn": (q_knn, q_knn_oracle),
     "knn_cells": (q_knn_cells, q_knn_oracle),

@@ -151,3 +151,91 @@ def test_spatial_join_dist_adaptive_broadcast(spark, sf_dir):
         .select("event_id", "poly_key").collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_spatial_join_compact_matches_default(spark, sf_dir):
+    """compact_levels (mixed-resolution covering + ancestor-chain join) must
+    be value-identical to the single-resolution distributed plan, including
+    an anti-meridian crosser and a holed polygon in the dimension."""
+    from sis_spark.operators.spatial_join import spatial_join_dist
+    from sis_spark.queries import _events_points, _supplier_polygons
+
+    pts = _events_points(spark, sf_dir)
+    wkb_rows = [
+        (p["key"], geo.wkb_polygon([(p["vx"], p["vy"])]))
+        for p in _supplier_polygons(spark, sf_dir)
+    ]
+    wkb_rows.append((9001, geo.wkb_polygon([(
+        np.array([176.0, 184.0, 184.0, 176.0]), np.array([-5.0, -5.0, 5.0, 5.0])
+    )])))
+    hv = np.array([-10.0, 10.0, 10.0, -10.0])
+    wkb_rows.append((9002, geo.wkb_polygon([
+        (hv, np.array([20.0, 20.0, 40.0, 40.0])),
+        (hv / 2, np.array([25.0, 25.0, 35.0, 35.0])),
+    ])))
+    wkb_df = spark.createDataFrame(
+        pd.DataFrame(wkb_rows, columns=["key", "wkb"]), schema="key long, wkb binary"
+    )
+    a = sorted(
+        (r["event_id"], r["poly_key"])
+        for r in spatial_join_dist(pts, wkb_df, "lon", "lat")
+        .select("event_id", "poly_key").collect()
+    )
+    b = sorted(
+        (r["event_id"], r["poly_key"])
+        for r in spatial_join_dist(pts, wkb_df, "lon", "lat", compact_levels=3)
+        .select("event_id", "poly_key").collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_compact_cover_disjoint_and_exact(spark):
+    """compact_cover output stays a disjoint per-part cover whose expansion
+    equals the original sure set; unsure rows pass through untouched."""
+    from sis_spark.operators.spatial_join import (
+        compact_cover, polygon_cells_df, polygon_parts_df,
+    )
+
+    res = 8
+    wkb_rows = [
+        (1, geo.wkb_polygon([(np.array([0.0, 30.0, 30.0, 0.0]),
+                              np.array([0.0, 0.0, 25.0, 25.0]))])),
+        (2, geo.wkb_polygon([(np.array([-40.0, -20.0, -20.0, -40.0]),
+                              np.array([10.0, 10.0, 22.0, 22.0]))])),
+    ]
+    wkb_df = spark.createDataFrame(
+        pd.DataFrame(wkb_rows, columns=["key", "wkb"]), schema="key long, wkb binary"
+    )
+    parts = polygon_parts_df(wkb_df)
+    cov = polygon_cells_df(parts, res, classify=True).toPandas()
+    cc = compact_cover(
+        spark.createDataFrame(cov), res, 3
+    ).toPandas()
+
+    for pkey in cov["pkey"].unique():
+        orig_sure = set(cov[(cov.pkey == pkey) & cov.sure]["cell"])
+        rows = cc[(cc.pkey == pkey) & cc.sure]
+        # expansion of each compacted cell back to res must tile orig exactly
+        expanded = []
+        for c, cr in zip(rows["cell"], rows["cres"]):
+            d = res - int(cr)
+            expanded.extend(range(int(c) << (2 * d), (int(c) + 1) << (2 * d)))
+        assert len(expanded) == len(set(expanded))  # disjoint
+        assert set(expanded) == orig_sure            # exact
+        # no surviving row is an ancestor of another
+        ids = set((int(c), int(cr)) for c, cr in zip(rows["cell"], rows["cres"]))
+        for c, cr in ids:
+            a = c
+            for rr in range(cr - 1, 0, -1):
+                a >>= 2
+                assert (a, rr) not in ids
+        # unsure rows untouched at res
+        un_o = sorted(cov[(cov.pkey == pkey) & ~cov.sure]["cell"])
+        un_c = sorted(cc[(cc.pkey == pkey) & ~cc.sure]["cell"])
+        assert un_o == un_c
+        assert (cc[(cc.pkey == pkey) & ~cc.sure]["cres"] == res).all()
+
+    # the scale claim: one big polygon's interior compacts ~4^levels
+    n_sure = int(cov.sure.sum())
+    n_cc_sure = int(cc.sure.sum())
+    assert n_cc_sure < n_sure / 4
