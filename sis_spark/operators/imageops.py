@@ -184,6 +184,70 @@ def augment_checksums(
     )
 
 
+def patchify_array(arr: np.ndarray, patch: int):
+    """(py, px, patch-array) tiles of an image in row-major grid order; edge
+    patches are truncated (never padded) — the ViT patch-extraction
+    convention for variable-size inputs."""
+    h, w = arr.shape[:2]
+    for py in range(0, (h + patch - 1) // patch):
+        for px in range(0, (w + patch - 1) // patch):
+            yield py, px, arr[py * patch: py * patch + patch,
+                              px * patch: px * patch + patch]
+
+
+def patchify_images(images: DataFrame, patch: int = 16,
+                    out_fmt: str | None = None) -> DataFrame:
+    """ViT-style patch extraction: one row per (image, grid position) with
+    the patch payload re-encoded — the patch-sequence shape of an image
+    training pipeline (decode -> slice -> encode inside one Arrow batch).
+    Output (image_id, py, px, bytes, w, h, fmt); edge patches keep their
+    truncated size."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for iid, buf, fmt_ in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                arr = codec.decode(bytes(buf), fmt_)
+                f = out_fmt or fmt_
+                for py, px, tile in patchify_array(arr, patch):
+                    rows.append({
+                        "image_id": iid, "py": py, "px": px,
+                        "bytes": codec.encode(np.ascontiguousarray(tile), f),
+                        "w": tile.shape[1], "h": tile.shape[0], "fmt": f,
+                    })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, py int, px int, bytes binary, "
+                   "w int, h int, fmt string"
+    )
+
+
+def patchify_checksums(images: DataFrame, patch: int = 16) -> DataFrame:
+    """Fused patchify + digest (single decode, no re-encode): one
+    (image_id, py, px, checksum) row per patch, checksum over the patch's
+    OWN flattened positions — the verification path for the slicing
+    arithmetic (gate `patchify`)."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for iid, buf, fmt_ in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                arr = codec.decode(bytes(buf), fmt_)
+                for py, px, tile in patchify_array(arr, patch):
+                    rows.append({
+                        "image_id": iid, "py": py, "px": px,
+                        "checksum": pixel_checksum(np.ascontiguousarray(tile)),
+                    })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, py int, px int, checksum long"
+    )
+
+
 def phash_near_dups(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Perceptual near-duplicate pairs by 64-bit phash Hamming distance.
 

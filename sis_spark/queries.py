@@ -3626,6 +3626,61 @@ WITH dims AS (
 ORDER BY image_id, op"""
 
 
+N_GATE_PATCH = 200
+PATCH = 24  # does not divide 16/32/64 -> every image has truncated edge patches
+
+
+def q_patchify(spark, sf_dir):
+    """ViT-style patch extraction under the oracle gate: decode -> 24x24
+    grid slices (edge patches truncated, never padded) -> per-patch
+    position-weighted integer digest (operators/imageops.patchify_checksums,
+    one Arrow pass, no re-encode).  The oracle re-derives every patch digest
+    from the closed-form pixel content and the slice index arithmetic —
+    global pixel = patch_origin + local offset, weight over the patch's OWN
+    flattened positions — so decoder AND slicing are verified per patch.
+    Patch 24 never divides the 16/32/64 image sizes, so truncated-edge
+    arithmetic is exercised on every image.  Lossy JPEG rows excluded
+    (PSNR pytest instead); re-encoded patch BYTES are pytest-gated."""
+    from .operators.imageops import patchify_checksums
+    from .sources.images import images_table
+
+    img = images_table(
+        spark, N_GATE_PATCH, columns=["image_id", "bytes", "fmt"]
+    ).filter(F.col("fmt") != "jpeg")
+    return patchify_checksums(img, patch=PATCH).orderBy("image_id", "py", "px")
+
+
+def q_patchify_oracle():
+    from .sources.images import SIZES
+
+    size_case = lambda e: (
+        f"(CASE ({e}) % 3 WHEN 0 THEN {SIZES[0]} WHEN 1 THEN {SIZES[1]} ELSE {SIZES[2]} END)"
+    )
+    P = PATCH
+    return f"""
+WITH dims AS (
+  SELECT i, {size_case('i')} AS w, {size_case('i // 3')} AS h
+  FROM generate_series(0, {N_GATE_PATCH - 1}) t(i)
+  WHERE i % 3 <> 2),
+patches AS (
+  SELECT d.i, d.w, d.h, gx.px, gy.py,
+         LEAST({P}, d.w - gx.px * {P}) AS pw,
+         LEAST({P}, d.h - gy.py * {P}) AS ph
+  FROM dims d, generate_series(0, 3) gx(px), generate_series(0, 3) gy(py)
+  WHERE gx.px * {P} < d.w AND gy.py * {P} < d.h)
+SELECT 'img-' || lpad(CAST(p.i AS VARCHAR), 12, '0') AS image_id,
+       CAST(p.py AS INT) AS py, CAST(p.px AS INT) AS px,
+       CAST(sum(
+         (((p.px * {P} + lx.lx) * 3 + (p.py * {P} + ly.ly) * 7 + c.c * 31 + p.i * 13) % 256)
+         * ((((ly.ly * p.pw + lx.lx) * 3 + c.c) % 9973) + 1)
+       ) AS BIGINT) AS checksum
+FROM patches p, generate_series(0, {P - 1}) lx(lx),
+     generate_series(0, {P - 1}) ly(ly), generate_series(0, 2) c(c)
+WHERE lx.lx < p.pw AND ly.ly < p.ph
+GROUP BY 1, 2, 3
+ORDER BY image_id, py, px"""
+
+
 # ================================================================ moving features (MF-CSV)
 
 N_MF_FILES = 3
@@ -4751,6 +4806,7 @@ QUERIES = {
     "phash_near_dup": (q_phash_near_dup, q_phash_near_dup_oracle),
     "tar_shards": (q_tar_shards, q_tar_shards_oracle),
     "augment": (q_augment, q_augment_oracle),
+    "patchify": (q_patchify, q_patchify_oracle),
     "connected_components": (q_connected_components, q_connected_components_oracle),
     "dedup_clusters": (q_dedup_clusters, q_dedup_clusters_oracle),
     "xyz_pyramid": (q_xyz_pyramid, q_xyz_pyramid_oracle),
