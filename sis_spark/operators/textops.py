@@ -164,3 +164,131 @@ ranked AS (
   SELECT {id_col}, h, row_number() OVER (PARTITION BY {id_col} ORDER BY h) AS rn
   FROM dist)
 SELECT {id_col}, rn AS fp_rank, h AS fp FROM ranked WHERE rn <= 4"""
+
+
+# ---------------------------------------------------------------- sequence packing
+# The two packing disciplines of LLM pretraining data prep.  Token counts
+# use the whitespace rule of token_stats (n_tokens = spaces + 1) so both
+# engines derive identical lengths from the text itself.
+
+def _n_tokens_col(text_col: str):
+    t = F.col(text_col)
+    return F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + F.lit(1)
+
+
+def pack_stream(docs: DataFrame, capacity: int, shards: int = 8,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token-STREAM packing (concat-and-split): within each shard the
+    documents, in id order, form one token stream cut into fixed-capacity
+    context windows; documents straddle window boundaries.  Output per doc:
+    (doc_id, shard, n_tokens, start_bin, start_off, end_bin) — where the
+    doc's tokens begin and end in the window sequence.
+
+    Pure whole-stage codegen: one window cumsum per shard, integer ``div``
+    arithmetic (no FP).  Scale shape: ``shards`` bounds the per-task sort —
+    one Spark task per shard, so size shards to the cluster (e.g. 1e4-1e5
+    at 100 TB) and each task sorts only its shard."""
+    from pyspark.sql import Window
+
+    n_tok = _n_tokens_col(text_col)
+    d = docs.select(
+        F.col(id_col),
+        (F.col(id_col) % shards).alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    d = d.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return d.select(
+        id_col, "shard", "n_tokens",
+        F.expr(f"(cum - n_tokens) DIV {capacity}").alias("start_bin"),
+        (start % capacity).alias("start_off"),
+        F.expr(f"(cum - 1) DIV {capacity}").alias("end_bin"),
+    )
+
+
+def pack_stream_sql(capacity: int, shards: int = 8, rel: str = "documents",
+                    text: str = "text", id_col: str = "doc_id") -> str:
+    n_tok = f"(length({text}) - length(replace({text}, ' ', '')) + 1)"
+    return f"""
+WITH d AS (
+  SELECT {id_col}, {id_col} % {shards} AS shard, {n_tok} AS n_tokens
+  FROM {rel}),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY {id_col}) AS cum
+  FROM d)
+SELECT {id_col}, shard, n_tokens,
+       (cum - n_tokens) // {capacity} AS start_bin,
+       (cum - n_tokens) % {capacity} AS start_off,
+       (cum - 1) // {capacity} AS end_bin
+FROM c"""
+
+
+def pack_greedy(docs: DataFrame, capacity: int, shards: int = 8,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """First-fit-SEQUENTIAL bin packing (no straddling): within each shard,
+    in id order, a document opens a new bin whenever it does not fit in the
+    current bin's remaining capacity; an over-long document gets a bin alone.
+    Output per doc: (doc_id, shard, bin, off).
+
+    The running-remainder recurrence is not window-expressible, so each
+    shard runs as one applyInPandas group (Arrow in, numpy-backed loop over
+    int64 arrays); shards bound the per-task state exactly as pack_stream."""
+    import numpy as np
+    import pandas as pd
+
+    n_tok = _n_tokens_col(text_col)
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % shards).alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        lens = pdf["n_tokens"].to_numpy(dtype=np.int64)
+        bins = np.zeros(len(lens), dtype=np.int64)
+        offs = np.zeros(len(lens), dtype=np.int64)
+        b, used = 0, 0
+        for i, n in enumerate(lens):
+            if used + n > capacity and used > 0:
+                b, used = b + 1, 0
+            bins[i], offs[i] = b, used
+            used += int(n)
+        return pd.DataFrame({
+            "doc_id": pdf["doc_id"].to_numpy(),
+            "shard": pdf["shard"].to_numpy(),
+            "n_tokens": lens, "bin": bins, "off": offs,
+        })
+
+    return d.groupBy("shard").applyInPandas(
+        pack, schema="doc_id long, shard long, n_tokens long, bin long, off long"
+    )
+
+
+def pack_greedy_sql(capacity: int, shards: int = 8, rel: str = "documents",
+                    text: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB replica of pack_greedy: the sequential recurrence as a
+    RECURSIVE CTE stepping row_number within shard (the graph-oracle
+    pattern)."""
+    n_tok = f"(length({text}) - length(replace({text}, ' ', '')) + 1)"
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT {id_col} AS doc_id, {id_col} % {shards} AS shard, {n_tok} AS n_tokens,
+         row_number() OVER (PARTITION BY {id_col} % {shards} ORDER BY {id_col}) AS rn
+  FROM {rel}),
+s AS (
+  SELECT doc_id, shard, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS off,
+         n_tokens AS used
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT n.doc_id, n.shard, n.n_tokens, n.rn,
+         CASE WHEN s.used + n.n_tokens > {capacity} AND s.used > 0
+              THEN s.bin + 1 ELSE s.bin END,
+         CASE WHEN s.used + n.n_tokens > {capacity} AND s.used > 0
+              THEN CAST(0 AS BIGINT) ELSE s.used END,
+         CASE WHEN s.used + n.n_tokens > {capacity} AND s.used > 0
+              THEN n.n_tokens ELSE s.used + n.n_tokens END
+  FROM s JOIN d n ON n.shard = s.shard AND n.rn = s.rn + 1)
+SELECT doc_id, shard, n_tokens, bin, off FROM s"""

@@ -2920,6 +2920,46 @@ def q_token_stats_oracle():
     return token_stats_sql()
 
 
+PACK_CAP = 256   # context-window token capacity for the packing gates
+PACK_SHARDS = 8
+
+
+def q_pack_stream(spark, sf_dir):
+    """Token-stream sequence packing (pretraining concat-and-split): per
+    shard the documents form one token stream cut into fixed-capacity
+    context windows, docs straddling boundaries.  Pure window-cumsum +
+    integer-div codegen; oracle is the identical SQL window."""
+    from .operators.textops import pack_stream
+
+    return pack_stream(
+        _read(spark, sf_dir, "documents"), PACK_CAP, PACK_SHARDS
+    ).orderBy("doc_id")
+
+
+def q_pack_stream_oracle():
+    from .operators.textops import pack_stream_sql
+
+    return pack_stream_sql(PACK_CAP, PACK_SHARDS) + " ORDER BY doc_id"
+
+
+def q_pack_greedy(spark, sf_dir):
+    """First-fit-sequential packing (no straddling): the running-remainder
+    recurrence runs as one applyInPandas group per shard; the oracle
+    replays the same recurrence as a DuckDB RECURSIVE CTE stepping
+    row_number within shard."""
+    from .operators.textops import pack_greedy
+
+    return pack_greedy(
+        _read(spark, sf_dir, "documents"), PACK_CAP, PACK_SHARDS
+    ).orderBy("doc_id")
+
+
+def q_pack_greedy_oracle():
+    from .operators.textops import pack_greedy_sql
+
+    return pack_greedy_sql(PACK_CAP, PACK_SHARDS) + " ORDER BY doc_id"
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-marker language guesser (engine: per-column scores + argmax
     CASE; oracle: the equivalent inlined SQL text)."""
@@ -4750,6 +4790,8 @@ QUERIES = {
     "minhash_lsh": (q_minhash_lsh, q_minhash_lsh_oracle),
     "simhash": (q_simhash, q_simhash_oracle),
     "token_stats": (q_token_stats, q_token_stats_oracle),
+    "pack_stream": (q_pack_stream, q_pack_stream_oracle),
+    "pack_greedy": (q_pack_greedy, q_pack_greedy_oracle),
     "lang_id": (q_lang_id, q_lang_id_oracle),
     "quality_score": (q_quality_score, q_quality_score_oracle),
     "fingerprints": (q_fingerprints, q_fingerprints_oracle),
