@@ -294,3 +294,76 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).drop(
         "phash", "phash_2"
     )
+
+
+# ---------------------------------------------------------------- aspect-ratio bucketing
+# Batch assembly for variable-shape image training: images group into a
+# fixed set of aspect buckets and get deterministic batch/slot indexes, so
+# every batch holds same-bucket images (resize-compatible) and the
+# assignment is reproducible run over run.
+
+ASPECT_BUCKETS = ((1, 1), (4, 3), (3, 4), (16, 9), (9, 16))
+# lcm of the bucket heights: scaling |w*bh - h*bw| by _ASPECT_LCM/bh makes the
+# distances comparable across buckets (it equals |w/h - bw/bh| * lcm * h) while
+# staying integer — no FP ratios, bit-exact in any engine.
+_ASPECT_LCM = 144
+
+
+def aspect_bucket_expr(w_col: str = "w", h_col: str = "h"):
+    """Index of the aspect bucket nearest to w/h — argmin over the scaled
+    integer cross products above; ties take the lower bucket index."""
+    w, h = F.col(w_col).cast("long"), F.col(h_col).cast("long")
+
+    def dist(bw, bh):
+        return F.abs(w * bh - h * bw) * F.lit(_ASPECT_LCM // bh)
+
+    best_i = F.lit(0)
+    best_d = dist(*ASPECT_BUCKETS[0])
+    for i, (bw, bh) in enumerate(ASPECT_BUCKETS[1:], start=1):
+        d = dist(bw, bh)
+        best_i = F.when(d < best_d, F.lit(i)).otherwise(best_i)
+        best_d = F.when(d < best_d, d).otherwise(best_d)
+    return best_i
+
+
+def aspect_batches(images: DataFrame, batch_size: int,
+                   id_col: str = "image_id") -> DataFrame:
+    """(image_id, w, h, bucket, batch, slot): images ranked by id within
+    their aspect bucket; batch = rank div batch_size, slot = rank mod
+    batch_size.  One window per bucket — the partition count equals the
+    bucket count, so at scale rank within bucket should be composed with a
+    shard key exactly like pack_stream (documented trade-off: global
+    determinism costs a per-bucket sort)."""
+    from pyspark.sql import Window
+
+    d = images.select(id_col, "w", "h").withColumn(
+        "bucket", aspect_bucket_expr()
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    d = d.withColumn("rk", F.row_number().over(w) - F.lit(1))
+    return d.select(
+        id_col, "w", "h", "bucket",
+        F.expr(f"rk DIV {batch_size}").alias("batch"),
+        (F.col("rk") % batch_size).alias("slot"),
+    )
+
+
+def aspect_batches_sql(batch_size: int, rel: str, id_col: str = "image_id") -> str:
+    """DuckDB replica of aspect_batches over a (id, w, h) relation."""
+    ds = [
+        f"(abs(w * {bh} - h * {bw}) * {_ASPECT_LCM // bh})"
+        for bw, bh in ASPECT_BUCKETS
+    ]
+    terms = [f"WHEN {d} = m THEN {i}" for i, d in enumerate(ds)]
+    mins = ", ".join(ds)
+    return f"""
+WITH b AS (
+  SELECT {id_col}, w, h, LEAST({mins}) AS m FROM {rel}),
+bk AS (
+  SELECT {id_col}, w, h, CASE {' '.join(terms)} END AS bucket FROM b),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY {id_col}) - 1 AS rk
+  FROM bk)
+SELECT {id_col}, w, h, bucket, rk // {batch_size} AS batch,
+       rk % {batch_size} AS slot
+FROM r"""

@@ -3721,6 +3721,37 @@ GROUP BY 1, 2, 3
 ORDER BY image_id, py, px"""
 
 
+N_GATE_ASPECT = 1000
+
+
+def q_aspect_batches(spark, sf_dir):
+    """Aspect-ratio bucketing + deterministic batch assembly for image
+    training (operators/imageops.aspect_batches): nearest-bucket argmin over
+    scale-fair integer cross products (no FP ratios), then rank-within-bucket
+    div/mod batch_size.  The scan reads ONLY (image_id, w, h) — the payload
+    bytes never leave the source (generator-side pruning)."""
+    from .operators.imageops import aspect_batches
+    from .sources.images import images_table
+
+    img = images_table(spark, N_GATE_ASPECT, columns=["image_id", "w", "h"])
+    return aspect_batches(img, batch_size=32).orderBy("image_id")
+
+
+def q_aspect_batches_oracle():
+    from .operators.imageops import aspect_batches_sql
+    from .sources.images import SIZES
+
+    size_case = lambda e: (
+        f"(CASE ({e}) % 3 WHEN 0 THEN {SIZES[0]} WHEN 1 THEN {SIZES[1]} ELSE {SIZES[2]} END)"
+    )
+    rel = (
+        f"(SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id, "
+        f"{size_case('i')} AS w, {size_case('i // 3')} AS h "
+        f"FROM generate_series(0, {N_GATE_ASPECT - 1}) t(i))"
+    )
+    return aspect_batches_sql(32, rel) + " ORDER BY image_id"
+
+
 # ================================================================ moving features (MF-CSV)
 
 N_MF_FILES = 3
@@ -4849,6 +4880,7 @@ QUERIES = {
     "tar_shards": (q_tar_shards, q_tar_shards_oracle),
     "augment": (q_augment, q_augment_oracle),
     "patchify": (q_patchify, q_patchify_oracle),
+    "aspect_batches": (q_aspect_batches, q_aspect_batches_oracle),
     "connected_components": (q_connected_components, q_connected_components_oracle),
     "dedup_clusters": (q_dedup_clusters, q_dedup_clusters_oracle),
     "xyz_pyramid": (q_xyz_pyramid, q_xyz_pyramid_oracle),

@@ -69,3 +69,40 @@ def test_patchify_checksums_fused_equals_bytes_path(spark):
         for r in patchify_images(img, patch=16).collect()
     }
     assert fused == via_bytes and len(fused) > 0
+
+
+def test_aspect_bucket_semantics(spark):
+    import pandas as pd
+
+    from sis_spark.operators.imageops import ASPECT_BUCKETS, aspect_batches
+
+    shapes = [  # (w, h, expected bucket index)
+        (64, 64, 0),    # exactly 1:1
+        (40, 30, 1),    # exactly 4:3
+        (30, 40, 2),    # exactly 3:4
+        (64, 36, 3),    # exactly 16:9
+        (36, 64, 4),    # exactly 9:16
+        (100, 72, 1),   # 1.389 -> nearest 4:3 (1.333), not 1:1 or 16:9
+        (100, 62, 3),   # 1.613 -> nearest 16:9 (1.778)? vs 4:3 (1.333): 16:9
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(f"i{k:03d}", w, h) for k, (w, h, _) in enumerate(shapes)],
+            columns=["image_id", "w", "h"],
+        ),
+        "image_id string, w int, h int",
+    )
+    out = {r["image_id"]: r for r in aspect_batches(df, batch_size=2).collect()}
+    for k, (w, h, want) in enumerate(shapes):
+        got = out[f"i{k:03d}"]["bucket"]
+        # cross-check expectation against the FP argmin definition
+        fp = min(range(len(ASPECT_BUCKETS)),
+                 key=lambda i: abs(w / h - ASPECT_BUCKETS[i][0] / ASPECT_BUCKETS[i][1]))
+        assert got == want == fp, (w, h, got, want, fp)
+    # batch/slot invariants: slots 0..batch_size-1 consecutive within batch
+    rows = aspect_batches(df, batch_size=2).collect()
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault((r["bucket"], r["batch"]), []).append(r["slot"])
+    for slots in by_batch.values():
+        assert sorted(slots) == list(range(len(slots))) and len(slots) <= 2
