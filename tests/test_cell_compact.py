@@ -86,3 +86,57 @@ def test_uncompact_fanout_is_exact(spark):
     out = sorted(r["cell"] for r in uncompact_cells(df, to_res=4).collect())
     base = ((1 << 4) | 3) << 4
     assert out == [base + i for i in range(16)]
+
+
+# ---------------------------------------------------------------- property suite
+# hypothesis drives random valid cell sets through compact/uncompact; the
+# numpy reference model re-derives the minimal cover independently.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _model_compact(cells, min_res):
+    """Reference model: plain-python bottom-up compaction."""
+    def res_of(c):
+        r = 0
+        while c >= 2 << (2 * r):
+            r += 1
+        return r
+
+    by_res = {}
+    for c in set(cells):
+        by_res.setdefault(res_of(c), set()).add(c)
+    hi = max(by_res)
+    out = set()
+    level = by_res.get(hi, set())
+    for r in range(hi, min_res, -1):
+        from collections import Counter
+        cnt = Counter(c >> 2 for c in level)
+        full = {p for p, n in cnt.items() if n == 4}
+        out |= {(c, r) for c in level if (c >> 2) not in full}
+        level = full | by_res.get(r - 1, set())
+    out |= {(c, min_res) for c in level}
+    return out
+
+
+@st.composite
+def cell_sets(draw):
+    """Non-overlapping cell sets: start from distinct res-5 cells, then
+    randomly promote whole sibling quads so full blocks exist."""
+    base = draw(st.sets(st.integers(0, 4 ** 5 - 1), min_size=1, max_size=200))
+    cells = {(1 << 10) | c for c in base}
+    # force some complete quads into the set
+    for p in draw(st.sets(st.integers(0, 4 ** 4 - 1), max_size=8)):
+        parent = (1 << 8) | p
+        cells |= {(parent << 2) | i for i in range(4)}
+    return sorted(cells)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(cells=cell_sets(), min_res=st.integers(1, 4))
+def test_compact_matches_model(spark, cells, min_res):
+    got = {(r["cell"], r["res"]) for r in
+           compact_cells(_cells_df(spark, cells), min_res=min_res).collect()}
+    assert got == _model_compact(cells, min_res)

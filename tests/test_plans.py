@@ -175,3 +175,48 @@ def test_tar_shard_read_is_one_stage(spark, tmp_path):
     assert pruned.schema.fieldNames() == ["image_id", "caption"]
     plan = _plan(pruned)
     assert "Join" not in plan and "hashpartitioning" not in plan
+
+
+def test_pack_stream_and_aspect_batches_pure_codegen(spark, sf_dir):
+    """The window-based packing/bucketing paths must stay JVM-side: no
+    Python evaluation anywhere in the plan (pack_greedy is the one that is
+    ALLOWED an ArrowEvalPython group stage — not asserted here)."""
+    from sis_spark.operators.imageops import aspect_batches
+    from sis_spark.operators.textops import pack_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert "Python" not in _plan(pack_stream(docs, 256, 8))
+
+    import pandas as pd
+    img = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["a", "b"], "w": [64, 16], "h": [16, 64]}),
+        "image_id string, w int, h int",
+    )
+    assert "Python" not in _plan(aspect_batches(img, 32))
+
+
+def test_spatial_join_compact_no_nested_loop(spark, sf_dir):
+    """The mixed-resolution covering path joins on equality only: no
+    BroadcastNestedLoopJoin / CartesianProduct may appear."""
+    from sis_spark.operators.spatial_join import spatial_join_dist
+    from sis_spark.queries import _events_points, _supplier_polygons_df
+
+    pts = _events_points(spark, sf_dir)
+    out = spatial_join_dist(
+        pts, _supplier_polygons_df(spark, sf_dir), "lon", "lat", compact_levels=3
+    )
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cell_compact_rounds_are_integer_codegen(spark):
+    """compact_cells rounds: parent derivation is a shiftright groupBy —
+    no Python stage in any round's plan."""
+    from sis_spark.operators.tiling import compact_cells
+
+    cells = spark.range(0, 1024).select(
+        (F.lit(1 << 12) + F.col("id")).alias("cell")
+    )
+    out = compact_cells(cells, min_res=2)
+    assert "Python" not in _plan(out)
