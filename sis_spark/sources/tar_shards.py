@@ -96,6 +96,12 @@ def write_tar_shards(
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf[shard_col].iloc[0])
+        bad = set(pdf["fmt"]) & {"txt", "json"}
+        if bad:
+            # {stem}.txt / {stem}.json are the caption/metadata members —
+            # a payload with that extension would duplicate a member name
+            # and break the ranged-read sidecar's name resolution
+            raise ValueError(f"payload fmt collides with reserved members: {bad}")
         pdf = pdf.sort_values("image_id", kind="mergesort")
         path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
         with open(path, "wb") as raw, tarfile.open(

@@ -105,3 +105,23 @@ def test_explicit_shard_column_and_errors(spark, tmp_path):
         write_tar_shards(img, out)  # no shard column and no n_shards
     with pytest.raises(ValueError):
         read_tar_shards(spark, out, columns=["nope"])
+
+
+def test_reserved_payload_fmt_rejected(spark, tmp_path):
+    """fmt='txt'/'json' would duplicate the caption/metadata member names —
+    the writer must refuse instead of silently corrupting name resolution."""
+    import pandas as pd
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from sis_spark.sources.tar_shards import write_tar_shards
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "image_id": ["a"], "bytes": [b"x"], "fmt": ["txt"],
+            "caption": ["c"], "shard": [0],
+        }),
+        "image_id string, bytes binary, fmt string, caption string, shard int",
+    )
+    with pytest.raises(PySparkException, match="reserved members"):
+        write_tar_shards(df, str(tmp_path / "t"), shard_col="shard").collect()
