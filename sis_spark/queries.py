@@ -3573,6 +3573,49 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 6
 ORDER BY 1, 2"""
 
 
+def q_phash_dedup_pipeline(spark, sf_dir):
+    """The image-modality dedup pipeline end to end under one oracle gate
+    (the phash twin of lsh_dedup_pipeline / embedding_dedup_pipeline):
+    banded Hamming candidate pairs -> exact popcount verify -> connected
+    components -> one canonical survivor per transitive cluster.  The
+    shared 63-bit formula builds 5-member near-dup groups, so the closure
+    must recover exactly 500 five-image clusters with the lexicographic
+    minimum as keeper."""
+    from .operators.graph import dedup_clusters
+    from .operators.imageops import phash_near_dups
+
+    df = spark.range(N_GATE_PHASH).selectExpr(
+        "concat('img-', lpad(cast(id AS string), 12, '0')) AS image_id",
+        f"{_phash_formula_sql('id')} AS phash",
+    )
+    pairs = phash_near_dups(df, max_hamming=6).select(
+        F.col("image_id").alias("a"), F.col("image_id_2").alias("b")
+    )
+    return dedup_clusters(pairs, df, "image_id").orderBy("image_id")
+
+
+def q_phash_dedup_pipeline_oracle():
+    f = _phash_formula_sql("i")
+    return f"""
+WITH RECURSIVE h AS (
+  SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id, {f} AS phash
+  FROM generate_series(0, {N_GATE_PHASH - 1}) t(i)),
+pairs AS (
+  SELECT a.image_id AS a, b.image_id AS b
+  FROM h a JOIN h b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 6),
+und AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION SELECT b, a FROM pairs
+  UNION SELECT image_id, image_id FROM h),
+reach(node, r) AS (
+  SELECT image_id, image_id FROM h
+  UNION
+  SELECT reach.node, und.v FROM reach JOIN und ON und.u = reach.r)
+SELECT node AS image_id, min(r) AS cluster, node = min(r) AS keep
+FROM reach GROUP BY node ORDER BY image_id"""
+
+
 N_GATE_TAR = 1200
 TAR_SHARDS = 8
 
@@ -4877,6 +4920,7 @@ QUERIES = {
     "coveragejson": (q_coveragejson, q_coveragejson_oracle),
     "warp_crs": (q_warp_crs, q_warp_crs_oracle),
     "phash_near_dup": (q_phash_near_dup, q_phash_near_dup_oracle),
+    "phash_dedup_pipeline": (q_phash_dedup_pipeline, q_phash_dedup_pipeline_oracle),
     "tar_shards": (q_tar_shards, q_tar_shards_oracle),
     "augment": (q_augment, q_augment_oracle),
     "patchify": (q_patchify, q_patchify_oracle),
