@@ -383,3 +383,100 @@ def simhash_near_dups(sims: DataFrame, max_hamming: int = 8, id_col: str = "doc_
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------- incremental dedup
+# The production APPEND shape: a corpus is deduplicated batch by batch
+# against a compact history.  The history is the distinct (band, bkey) set
+# of previously KEPT documents — 4 rows per doc (N_HASHES/BAND_SIZE), no
+# text and no shingles retained.  Cross-batch matching is band-key
+# membership (a Bloom-filter-style test: a shared band implies high
+# estimated Jaccard; no exact verify against history is possible without
+# the old shingle sets — the false-positive rate is the standard LSH
+# band-collision rate and is documented, not hidden).  Within the batch the
+# FULL exact pipeline runs (minhash_lsh_pairs -> transitive components),
+# identical to the batch dedup gates.
+
+def doc_bands(docs: DataFrame, n: int = 3, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(id, band, bkey) rows for a document set — the unit of dedup history."""
+    sigs = minhash_signatures(docs, n, text_col, id_col)
+    n_bands = N_HASHES // BAND_SIZE
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+            ).alias("bkey"),
+        )
+        for b in range(n_bands)
+    ])
+    return sigs.select(F.col(id_col), F.explode(band_arr).alias("bb")).select(
+        F.col(id_col), F.col("bb.band"), F.col("bb.bkey")
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_bands: DataFrame | None,
+    n: int = 3,
+    threshold: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Deduplicate a batch against (batch itself + history).
+
+    Returns ``(decisions, kept_bands)``:
+
+    - ``decisions``: one row per new doc — (id, keep, reason) with reason
+      'history' (shares a band with a previously kept doc), 'batch'
+      (non-canonical member of an in-batch near-dup cluster), or NULL
+      (kept).  History drops take precedence; in-batch clustering runs on
+      the full batch so a history-dropped doc still links its in-batch
+      near-dups to one cluster (their survivor is then checked against
+      history on its own bands).
+    - ``kept_bands``: the band rows of this batch's KEPT docs — union them
+      into the stored history for the next increment (the caller owns the
+      storage; checkpoint stages fit naturally, cf. jobs/dedup_pipeline.py).
+
+    Scale shape: history matching is one distinct + one left_semi-style
+    equi-join on (band, bkey) — shuffle bounded by 4 rows/doc; no text or
+    shingles cross batches.
+    """
+    from .graph import dedup_clusters
+
+    bands = doc_bands(new_docs, n, text_col, id_col).persist()
+
+    if seen_bands is not None:
+        hist_hit = (
+            bands.join(
+                seen_bands.select("band", "bkey").distinct(),
+                ["band", "bkey"], "left_semi",
+            )
+            .select(id_col).distinct()
+            .withColumn("_hist", F.lit(True))
+        )
+    else:
+        hist_hit = None
+
+    pairs = minhash_lsh_pairs(new_docs, n, threshold, text_col, id_col).select("a", "b")
+    clusters = dedup_clusters(pairs, new_docs, id_col)
+
+    dec = clusters.select(
+        id_col,
+        F.when(~F.col("keep"), F.lit("batch")).alias("reason"),
+    )
+    if hist_hit is not None:
+        dec = (
+            dec.join(hist_hit, id_col, "left")
+            .select(
+                id_col,
+                F.when(F.col("_hist"), F.lit("history"))
+                .otherwise(F.col("reason")).alias("reason"),
+            )
+        )
+    dec = dec.select(id_col, F.col("reason").isNull().alias("keep"), "reason")
+    kept_bands = bands.join(
+        dec.filter("keep").select(id_col), id_col, "left_semi"
+    )
+    return dec, kept_bands

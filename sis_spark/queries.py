@@ -2834,6 +2834,84 @@ SELECT node AS doc_id, min(r) AS cluster, node = min(r) AS keep
 FROM reach GROUP BY node ORDER BY doc_id"""
 
 
+INC_SPLIT = 250   # incremental-dedup gate: batch-1 = doc_id < INC_SPLIT
+INC_COPIES = 40   # batch-2 replays this many batch-1 texts under new ids
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Append-shape dedup under the oracle gate (operators/dedup.py
+    incremental_dedup): batch 1 seeds the band history (kept docs' band
+    keys only — no text crosses batches); batch 2 (fresh docs + INC_COPIES
+    verbatim replays of batch-1 texts under new ids) is deduplicated
+    against history + itself.  Output: batch-2 decisions (keep, reason
+    'history'/'batch'/NULL).  The oracle replays BOTH increments — the
+    batch-1 closure, its kept-band table, the band-membership history test,
+    and the batch-2 in-batch closure — in one recursive SQL."""
+    from .operators.dedup import incremental_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") < INC_SPLIT)
+    b2 = docs.filter(F.col("doc_id") >= INC_SPLIT).unionByName(
+        docs.filter(F.col("doc_id") < INC_COPIES)
+        .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    _, kept1 = incremental_dedup(b1, None)
+    dec2, _ = incremental_dedup(b2, kept1)
+    return dec2.orderBy("doc_id")
+
+
+def q_incremental_dedup_oracle():
+    from .operators.dedup import BAND_SIZE, N_HASHES, minhash_lsh_sql, shingles_sql
+
+    def bands_block(s, rel):
+        return f"""
+sh{s} AS ({shingles_sql(rel)}),
+sigs{s} AS (
+  SELECT doc_id, i.i, min(md5(CAST(i.i AS VARCHAR) || ':' || s)) AS mh
+  FROM sh{s}, generate_series(0, {N_HASHES - 1}) i(i) GROUP BY 1, 2),
+bands{s} AS (
+  SELECT doc_id, (i // {BAND_SIZE}) AS band,
+         concat_ws('|', min(CASE WHEN i % {BAND_SIZE} = 0 THEN mh END),
+                        min(CASE WHEN i % {BAND_SIZE} = 1 THEN mh END)) AS bkey
+  FROM sigs{s} GROUP BY 1, 2)"""
+
+    def closure_block(s, rel, pairs_rel):
+        return f"""
+und{s} AS (
+  SELECT a AS u, b AS v FROM {pairs_rel}
+  UNION SELECT b, a FROM {pairs_rel}
+  UNION SELECT doc_id, doc_id FROM {rel}),
+reach{s}(node, r) AS (
+  SELECT doc_id, doc_id FROM {rel}
+  UNION
+  SELECT reach{s}.node, und{s}.v FROM reach{s} JOIN und{s} ON und{s}.u = reach{s}.r),
+comp{s} AS (SELECT node AS doc_id, min(r) AS cluster FROM reach{s} GROUP BY node)"""
+
+    return f"""
+WITH RECURSIVE
+b1 AS (SELECT doc_id, text FROM documents WHERE doc_id < {INC_SPLIT}),
+b2 AS (SELECT doc_id, text FROM documents WHERE doc_id >= {INC_SPLIT}
+       UNION ALL
+       SELECT doc_id + 10000, text FROM documents WHERE doc_id < {INC_COPIES}),
+p1 AS (SELECT a, b FROM ({minhash_lsh_sql("b1")}) t),
+{closure_block("1", "b1", "p1")},
+keep1 AS (SELECT doc_id FROM comp1 WHERE doc_id = cluster),
+b1k AS (SELECT b1.doc_id, b1.text FROM b1 JOIN keep1 USING (doc_id)),
+{bands_block("h", "b1k")},
+hist AS (SELECT DISTINCT band, bkey FROM bandsh),
+{bands_block("2", "b2")},
+histhit AS (
+  SELECT DISTINCT bands2.doc_id FROM bands2 JOIN hist USING (band, bkey)),
+p2 AS (SELECT a, b FROM ({minhash_lsh_sql("b2")}) t),
+{closure_block("2", "b2", "p2")},
+dec AS (
+  SELECT doc_id,
+         CASE WHEN doc_id IN (SELECT doc_id FROM histhit) THEN 'history'
+              WHEN doc_id <> cluster THEN 'batch' END AS reason
+  FROM comp2)
+SELECT doc_id, reason IS NULL AS keep, reason FROM dec ORDER BY doc_id"""
+
+
 SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SAMPLE_RATE = 0.3
 
@@ -4921,6 +4999,7 @@ QUERIES = {
     "warp_crs": (q_warp_crs, q_warp_crs_oracle),
     "phash_near_dup": (q_phash_near_dup, q_phash_near_dup_oracle),
     "phash_dedup_pipeline": (q_phash_dedup_pipeline, q_phash_dedup_pipeline_oracle),
+    "incremental_dedup": (q_incremental_dedup, q_incremental_dedup_oracle),
     "tar_shards": (q_tar_shards, q_tar_shards_oracle),
     "augment": (q_augment, q_augment_oracle),
     "patchify": (q_patchify, q_patchify_oracle),

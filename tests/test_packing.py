@@ -58,3 +58,34 @@ def test_pack_sharding_is_disjoint(spark):
     assert len(rows) == 40
     for r in rows:
         assert r["shard"] == r["doc_id"] % 4
+
+
+# ---------------------------------------------------------------- property suite
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(lens=st.lists(st.integers(1, 400), min_size=1, max_size=60),
+       cap=st.sampled_from([64, 256]))
+def test_pack_properties(spark, lens, cap):
+    sdf = _docs(spark, lens)
+    # stream: gapless concatenation, end position consistent
+    srows = {r["doc_id"]: r for r in pack_stream(sdf, cap, shards=1).collect()}
+    pos = 0
+    for i, n in enumerate(lens):
+        r = srows[i]
+        assert r["start_bin"] * cap + r["start_off"] == pos
+        assert r["end_bin"] == (pos + n - 1) // cap
+        pos += n
+    # greedy: reference model equality + capacity invariant
+    grows = {r["doc_id"]: (r["bin"], r["off"]) for r in
+             pack_greedy(sdf, cap, shards=1).collect()}
+    b = used = 0
+    for i, n in enumerate(lens):
+        if used + n > cap and used > 0:
+            b, used = b + 1, 0
+        assert grows[i] == (b, used), (i, n, cap)
+        used += n
