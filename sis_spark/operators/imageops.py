@@ -348,6 +348,50 @@ def aspect_batches(images: DataFrame, batch_size: int,
     )
 
 
+BUCKET_TARGETS = ((32, 32), (32, 24), (24, 32), (32, 18), (18, 32))
+# canonical (w, h) per ASPECT_BUCKETS entry at the test scale; a production
+# deployment swaps in its training resolutions (e.g. 1024x1024, 1152x896, ...)
+
+
+def resize_to_bucket(images: DataFrame, targets=BUCKET_TARGETS,
+                     out_fmt: str | None = None) -> DataFrame:
+    """Batch-assembly resize: every image is area-average-resized
+    (block_mean_resize) to its aspect bucket's canonical resolution, so all
+    members of a batch share a shape.  Output: aspect_batches columns +
+    re-encoded payload at the target size.  One decode+resize+encode per
+    image inside the Arrow batch; the bucket/batch/slot assignment is the
+    codegen plan of aspect_batches (its window runs before the Python
+    stage, so the Arrow stage is map-only)."""
+    assign = aspect_batches(
+        images.select("image_id", "w", "h"),
+        batch_size=1 << 30,  # bucket only; caller re-batches as needed
+    ).select("image_id", "bucket")
+    src = images.select("image_id", "bytes", "fmt").join(assign, "image_id")
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for iid, buf, fmt_, bk in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["bucket"]
+            ):
+                arr = codec.decode(bytes(buf), fmt_).astype(np.float64)
+                tw, th = targets[int(bk)]
+                out = block_mean_resize(arr, th, tw)
+                f = out_fmt or fmt_
+                rows.append({
+                    "image_id": iid, "bucket": int(bk),
+                    "bytes": codec.encode(out, f),
+                    "w": tw, "h": th, "fmt": f,
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        fn, schema="image_id string, bucket int, bytes binary, "
+                   "w int, h int, fmt string"
+    )
+
+
 def aspect_batches_sql(batch_size: int, rel: str, id_col: str = "image_id") -> str:
     """DuckDB replica of aspect_batches over a (id, w, h) relation."""
     ds = [

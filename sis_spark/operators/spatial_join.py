@@ -571,7 +571,14 @@ def spatial_join_dist(
     Morton levels (compact_cover), shrinking the dimension table ~4^levels
     on the interior; the point side joins through an ancestor-cell chain
     explode of (compact_levels+1) rows per point (pure codegen shiftright).
-    Value-identical output to every other strategy.
+    Value-identical output to every other strategy.  ``"auto"`` picks the
+    level from one measured aggregate over the parts table (the
+    measure-then-plan discipline of the salting path): estimated interior
+    cell count (Σ area / cell area) over estimated boundary cell count
+    (Σ perimeter / cell edge) — compaction beyond the point where the
+    boundary ring dominates buys nothing, and each extra level costs a
+    fact-side explode row, so levels = ceil(log4(interior/boundary)),
+    capped at 6.
     """
     from ..sources import polygons_from_wkb
 
@@ -598,6 +605,19 @@ def spatial_join_dist(
     pts = points.withColumn("__cell", cell_col(F.col(lon_col), F.col(lat_col), res))
 
     drop_cols = ["cell", "__cell", "e_xmin", "e_ymin", "e_xmax", "e_ymax", "sure", "pwkb"]
+    if compact_levels == "auto":
+        if not interior_skip:
+            raise ValueError("compact_levels requires interior_skip=True")
+        st = parts.agg(
+            F.sum((F.col("xmax") - F.col("xmin")) * (F.col("ymax") - F.col("ymin"))).alias("area"),
+            F.sum(2.0 * ((F.col("xmax") - F.col("xmin")) + (F.col("ymax") - F.col("ymin")))).alias("perim"),
+        ).first()
+        cw, ch = 360.0 / (1 << res), 180.0 / (1 << res)
+        interior = max(float(st["area"] or 0.0) / (cw * ch), 1.0)
+        boundary = max(float(st["perim"] or 0.0) / min(cw, ch), 1.0)
+        compact_levels = max(0, min(
+            6, res - 1, int(math.ceil(math.log(interior / boundary, 4.0)))
+        ))
     if compact_levels:
         if not interior_skip:
             raise ValueError("compact_levels requires interior_skip=True")

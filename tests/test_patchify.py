@@ -106,3 +106,27 @@ def test_aspect_bucket_semantics(spark):
         by_batch.setdefault((r["bucket"], r["batch"]), []).append(r["slot"])
     for slots in by_batch.values():
         assert sorted(slots) == list(range(len(slots))) and len(slots) <= 2
+
+
+def test_resize_to_bucket_matches_kernel(spark):
+    from sis_spark.operators.imageops import (
+        BUCKET_TARGETS, aspect_batches, block_mean_resize, resize_to_bucket,
+    )
+    from sis_spark.raster import codec
+    from sis_spark.sources.images import images_table
+
+    img = images_table(spark, 9, columns=["image_id", "bytes", "fmt", "w", "h"])
+    img = img.filter(img.fmt != "jpeg")
+    src = {r["image_id"]: (bytes(r["bytes"]), r["fmt"]) for r in img.collect()}
+    buckets = {r["image_id"]: r["bucket"] for r in
+               aspect_batches(img, batch_size=4).collect()}
+    out = resize_to_bucket(img).collect()
+    assert len(out) == len(src)
+    for r in out:
+        tw, th = BUCKET_TARGETS[buckets[r["image_id"]]]
+        assert (r["w"], r["h"]) == (tw, th) and r["bucket"] == buckets[r["image_id"]]
+        got = codec.decode(bytes(r["bytes"]), r["fmt"])
+        buf, fmt = src[r["image_id"]]
+        import numpy as np
+        want = block_mean_resize(codec.decode(buf, fmt).astype(np.float64), th, tw)
+        assert np.array_equal(got, want)

@@ -239,3 +239,39 @@ def test_compact_cover_disjoint_and_exact(spark):
     n_sure = int(cov.sure.sum())
     n_cc_sure = int(cc.sure.sum())
     assert n_cc_sure < n_sure / 4
+
+
+def test_spatial_join_compact_auto_levels(spark, sf_dir):
+    """compact_levels='auto' (measured interior/boundary estimate) must be
+    value-identical to the fixed-level and plain paths, and must actually
+    pick a positive level for an area-dominated dimension."""
+    from sis_spark.operators import spatial_join as sj
+    from sis_spark.operators.spatial_join import spatial_join_dist
+    from sis_spark.queries import _events_points
+
+    pts = _events_points(spark, sf_dir)
+    # one big polygon: area >> perimeter in cell units -> auto must compact
+    wkb_df = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, bytes(geo.wkb_polygon([(
+                np.array([-60.0, 60.0, 60.0, -60.0]),
+                np.array([-40.0, -40.0, 40.0, 40.0]),
+            )])))],
+            columns=["key", "wkb"],
+        ),
+        "key long, wkb binary",
+    )
+    a = sorted(
+        (r["event_id"], r["poly_key"])
+        for r in spatial_join_dist(pts, wkb_df, "lon", "lat", res=8)
+        .select("event_id", "poly_key").collect()
+    )
+    auto = spatial_join_dist(pts, wkb_df, "lon", "lat", res=8,
+                             compact_levels="auto")
+    # a positive level was picked: the ancestor-chain explode is in the plan
+    assert "explode" in auto._jdf.queryExecution().optimizedPlan().toString().lower()
+    b = sorted(
+        (r["event_id"], r["poly_key"])
+        for r in auto.select("event_id", "poly_key").collect()
+    )
+    assert a == b and len(a) > 0
