@@ -46,11 +46,13 @@ from pyspark.sql import functions as F
 # member-encoded fields image_id/bytes/caption); missing input columns are
 # simply absent from the json and come back NULL.
 _META_FIELDS = {"w": "int", "h": "int", "phash": "long",
-                "lon": "double", "lat": "double"}
+                "lon": "double", "lat": "double",
+                "bucket": "int", "batch": "long", "slot": "long"}
 
 READ_SCHEMA = (
     "image_id string, bytes binary, w int, h int, fmt string, "
-    "caption string, phash long, lon double, lat double, shard int"
+    "caption string, phash long, lon double, lat double, "
+    "bucket int, batch long, slot long, shard int"
 )
 
 MANIFEST_SCHEMA = "shard int, path string, samples long, bytes long, sha256 string"
