@@ -501,6 +501,7 @@ def compact_cover(cov: DataFrame, res: int, levels: int) -> DataFrame:
     continental-polygon covering table back under the broadcast threshold.
     The fact side pays an ancestor-chain explode of (levels+1) rows per
     point (pure codegen) — see spatial_join_dist(compact_levels=...)."""
+    levels = max(0, min(levels, res - 1))  # never promote above res 1
     env_cols = ["e_xmin", "e_ymin", "e_xmax", "e_ymax"]
     unsure = cov.filter(~F.col("sure")).withColumn("cres", F.lit(res))
     level = cov.filter(F.col("sure")).localCheckpoint()
@@ -621,6 +622,7 @@ def spatial_join_dist(
     if compact_levels:
         if not interior_skip:
             raise ValueError("compact_levels requires interior_skip=True")
+        compact_levels = max(0, min(compact_levels, res - 1))
         cov = compact_cover(cov, res, compact_levels)
         # ancestor chain: the point's cell at res, res-1, ..., res-levels —
         # exactly one of them can hit each part's (disjoint) mixed-res cover

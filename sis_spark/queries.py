@@ -131,6 +131,30 @@ def q_cell_compact_oracle():
     )
 
 
+def q_cell_uncompact(spark, sf_dir):
+    """compact -> uncompact roundtrip under the oracle gate: expanding the
+    minimal mixed-res cover back to res 12 must reproduce EXACTLY the
+    distinct res-12 cell set (disjointness means no duplicates to hide
+    behind a distinct — none is applied).  Exercises the sequence/explode
+    expansion (operators/tiling.uncompact_cells) end to end; the oracle is
+    simply the distinct cell set."""
+    from .operators.tiling import compact_cells, uncompact_cells
+
+    pts = _events_points(spark, sf_dir)
+    cells = pts.select(
+        cell_col(F.col("lon"), F.col("lat"), CC_RES).alias("cell")
+    )
+    comp = compact_cells(cells, min_res=CC_MIN)
+    return uncompact_cells(comp, to_res=CC_RES).orderBy("cell")
+
+
+def q_cell_uncompact_oracle():
+    cell = cell_sql_flat("lon", "lat", CC_RES)
+    return (
+        f"SELECT DISTINCT {cell} AS cell FROM ({_points_sql()}) p ORDER BY cell"
+    )
+
+
 HEX_D = 5.0  # hex center spacing in degrees for the gate
 
 
@@ -5011,6 +5035,7 @@ QUERIES = {
     "vector_tiles_poly": (q_vector_tiles_poly, q_vector_tiles_poly_oracle),
     "ann_pq": (q_ann_pq, q_ann_pq_oracle),
     "cell_compact": (q_cell_compact, q_cell_compact_oracle),
+    "cell_uncompact": (q_cell_uncompact, q_cell_uncompact_oracle),
     "lsh_dedup_pipeline": (q_lsh_dedup_pipeline, q_lsh_dedup_pipeline_oracle),
     "gradient": (q_gradient, q_gradient_oracle),
     "embedding_dedup_pipeline": (
