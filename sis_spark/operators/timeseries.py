@@ -1,0 +1,244 @@
+"""Time-series alignment operators: as-of join, interval range join,
+gap sessionization.
+
+These extend the engine's Allen-interval temporal algebra
+(operators/temporal.py, reference F/filter/TemporalFilter.java — the
+``anyInteracts`` predicate is exactly the interval-overlap test range_join
+distributes) with the three alignment shapes every event/training-data
+pipeline needs and Spark lacks as built-ins:
+
+* ``asof_join`` — for each left row (key, t) attach the latest right row
+  with t_r <= t (optional staleness tolerance).  Implemented as the
+  union + window formulation: ONE shuffle on the key, no driver state, no
+  point-lookup loop — left and right are interleaved into a single keyed
+  timeline and the match is ``last(value, ignorenulls)`` over the ordered
+  window.  At 100 TB this is a single hash exchange + per-key sort; the
+  per-key scan is inherent to as-of semantics (the window never holds more
+  than the running carry in memory).
+* ``range_join`` — pairs of intervals that overlap, without a cartesian
+  product: intervals explode to fixed-width bins (pure codegen
+  ``sequence``), candidates come from an equi-join on the bin, and each
+  overlapping pair is emitted EXACTLY once — no distinct — by keeping only
+  the bin containing max(start_a, start_b) (which lies inside both
+  intervals whenever they overlap).  Shuffle is an equi-join on
+  (keys..., bin); bin width trades candidate fan-out (too wide) against
+  explode fan-out (too narrow) — choose ~ the median interval length.
+* ``sessionize`` — gap-based session ids via lag + running sum over a
+  keyed window (the batch analog of Spark's streaming session windows,
+  and the standard event-log preprocessing step).
+
+All three are whole-JVM plans (window/codegen only, no Python workers) and
+each is oracle-gated in queries.py (DuckDB ASOF JOIN / non-equi join / SQL
+windows respectively).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance: Column | None = None,
+    how: str = "left",
+    prefix: str = "r_",
+) -> DataFrame:
+    """Attach to every left row the most recent right row at-or-before it.
+
+    For each left row the match is the right row with the greatest
+    ``right_ts`` satisfying ``right_ts <= left_ts`` within the same key
+    group (DuckDB/pandas ``ASOF JOIN`` semantics, inclusive).  Matched right
+    columns arrive as ``{prefix}{col}`` plus ``{prefix}{right_ts}``.
+
+    tolerance: optional Column in the timestamp's own difference algebra
+    (e.g. ``F.expr("INTERVAL 5 MINUTES")`` for timestamps, a long for
+    numeric ts); a match older than ``left_ts - tolerance`` is discarded
+    (nulled for how='left', dropped for how='inner').
+
+    how: 'left' keeps unmatched left rows with null match columns;
+    'inner' drops them.
+
+    Ties: a right row at exactly ``left_ts`` IS visible (<=).  Multiple
+    right rows sharing (keys, right_ts) are ordered among themselves by the
+    remaining value columns' arrival order — supply a unique tiebreak in
+    ``value_cols`` and dedupe upstream if that matters.
+
+    Plan shape: one Exchange (hashpartitioning on keys) + sort + Window;
+    left/right scans feed a union, so column pruning reaches both sides.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    rts = prefix + right_ts
+    carried = [rts] + [prefix + c for c in value_cols]
+
+    rtypes = dict(right.dtypes)
+    left_cols = list(left.columns)
+
+    # Interleave both sides into one keyed timeline.  __side orders a right
+    # row BEFORE a left row at the same timestamp, giving <= visibility.
+    r_side = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias(rts),
+        *[F.col(c).alias(prefix + c) for c in value_cols],
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes if c not in keys],
+    )
+    l_side = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(rtypes[right_ts]).alias(rts),
+        *[
+            F.lit(None).cast(rtypes[c]).alias(prefix + c)
+            for c in value_cols
+        ],
+        *[F.col(c) for c in left_cols if c not in keys],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        r_side.unionByName(l_side)
+        .select(
+            "*",
+            *[F.last(c, ignorenulls=True).over(w).alias("__m_" + c) for c in carried],
+        )
+        .filter(F.col("__side") == 1)
+    )
+    matched = F.col("__m_" + rts).isNotNull()
+    if tolerance is not None:
+        matched = matched & (F.col("__m_" + rts) >= F.col("__ts") - tolerance)
+    out = joined.select(
+        *keys,
+        F.col("__ts").alias(left_ts),
+        *[F.col(c) for c in left_cols if c not in keys and c != left_ts],
+        *[F.when(matched, F.col("__m_" + c)).alias(c) for c in carried],
+    )
+    if how == "inner":
+        out = out.filter(F.col(rts).isNotNull())
+    return out
+
+
+def range_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bin_width: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Overlap join of closed intervals — [a_start,a_end] x [b_start,b_end]
+    pairs with ``a_start <= b_end AND b_start <= a_end`` (TemporalFilter
+    anyInteracts under the closed convention) — with NO cartesian product.
+
+    Bounds must be integral (cast timestamps to ``unix_micros`` first);
+    ``bin_width`` in the same units.  Each interval explodes to the bins it
+    covers (codegen ``sequence``); candidates are the equi-join on
+    (keys..., bin); the exact overlap predicate filters; and the pair is
+    kept only in the bin of max(start_a, start_b) — a bin both sides
+    provably cover when they overlap — so every pair appears exactly once
+    without a distinct.
+
+    Column names must be disjoint between a and b (alias upstream).
+    """
+    keys = keys or []
+    dup = set(a.columns) & set(b.columns) - set(keys)
+    if dup:
+        raise ValueError(f"overlapping non-key columns: {sorted(dup)}")
+    wdt = F.lit(int(bin_width)).cast("long")
+
+    def binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s).cast("long") / wdt),
+                    F.floor(F.col(e).cast("long") / wdt),
+                )
+            ),
+        )
+
+    ae = binned(a, a_start, a_end)
+    be = binned(b, b_start, b_end).withColumnRenamed("__bin", "__bin_b")
+    cond = [ae["__bin"] == be["__bin_b"]] + [ae[k] == be[k] for k in keys]
+    anchor = F.floor(
+        F.greatest(F.col(a_start).cast("long"), F.col(b_start).cast("long")) / wdt
+    )
+    out = (
+        ae.join(be, cond, "inner")
+        .filter(
+            (F.col(a_start) <= F.col(b_end))
+            & (F.col(b_start) <= F.col(a_end))
+            & (F.col("__bin") == anchor)
+        )
+        .drop("__bin", "__bin_b")
+    )
+    for k in keys:  # both sides carried the key; keep one
+        out = out.drop(be[k])
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    gap: Column | None = None,
+    out_col: str = "session_idx",
+) -> DataFrame:
+    """Gap-based sessions: a new session starts at the first event of a key
+    and whenever the gap since the previous event EXCEEDS ``gap`` (strict >,
+    so events exactly ``gap`` apart share a session).  Adds ``out_col``, a
+    0-based per-key session index.  gap defaults to 30 minutes.
+
+    One shuffle on the key; lag + running sum in a single Window stage —
+    the batch analog of Structured Streaming's session_window."""
+    if gap is None:
+        gap = F.expr("INTERVAL 30 MINUTES")
+    w = Window.partitionBy(key).orderBy(ts)
+    prev = F.lag(F.col(ts)).over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col(ts) > prev + gap), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = (
+        Window.partitionBy(key)
+        .orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, (F.sum(new_sess).over(run) - 1).cast("long"))
+
+
+def session_stats(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    gap: Column | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """sessionize + per-session rollup: key, session_idx, n_events,
+    first/last event time, plus caller aggregates."""
+    aggs = aggs or []
+    return (
+        sessionize(df, key, ts, gap)
+        .groupBy(key, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts).alias("first_ts"),
+            F.max(ts).alias("last_ts"),
+            *aggs,
+        )
+    )

@@ -4931,6 +4931,133 @@ SELECT 'vid-' || lpad(CAST(m AS VARCHAR), 9, '0') AS media_id,
 FROM px GROUP BY m, f ORDER BY media_id, frame"""
 
 
+EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {})"
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/timeseries.asof_join): every click gets the
+    latest error at-or-before it for the same user, nulled when staler than
+    2 hours — the union + keyed-window formulation (one shuffle, no driver
+    state).  The oracle is DuckDB's native ASOF LEFT JOIN with the same
+    tolerance as a CASE."""
+    from .operators.timeseries import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id"), "value"
+    )
+    out = asof_join(
+        clicks, errors, keys=["user_id"],
+        value_cols=["err_id", "value"],
+        tolerance=F.expr("INTERVAL 2 HOURS"), how="left",
+    )
+    return out.select(
+        "event_id", "user_id", "r_err_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, r_ts, ts)"
+        ).alias("staleness_us"),
+        F.col("r_value").alias("err_value"),
+    ).orderBy("event_id")
+
+
+def q_asof_join_oracle():
+    return """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts AS r_ts, event_id AS err_id, value
+           FROM events WHERE event_type = 'error'),
+     m AS (SELECT l.event_id, l.user_id, l.ts, r.r_ts, r.err_id, r.value
+           FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts >= r.r_ts)
+SELECT event_id, user_id,
+       CASE WHEN r_ts >= ts - INTERVAL 2 HOUR THEN err_id END AS r_err_id,
+       CASE WHEN r_ts >= ts - INTERVAL 2 HOUR
+            THEN epoch_us(ts) - epoch_us(r_ts) END AS staleness_us,
+       CASE WHEN r_ts >= ts - INTERVAL 2 HOUR THEN value END AS err_value
+FROM m ORDER BY event_id"""
+
+
+RJ_BIN_US = 600_000_000  # 10-minute bins ~ the median interval length
+
+
+def q_range_join(spark, sf_dir):
+    """Interval overlap join (operators/timeseries.range_join — the
+    distributed TemporalFilter.anyInteracts): click intervals
+    [ts, ts + (1 + id%7) min] x error intervals [ts, ts + (1 + id%11) min],
+    binned explode + equi-join on the bin, each pair emitted exactly once
+    in the bin of max(starts).  Oracle: the plain non-equi join."""
+    from .operators.timeseries import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    us = F.expr(EPOCH_US.format("ts"))
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"),
+        us.alias("a_s"),
+        (us + (F.lit(1) + F.col("event_id") % 7) * 60_000_000).alias("a_e"),
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"),
+        us.alias("b_s"),
+        (us + (F.lit(1) + F.col("event_id") % 11) * 60_000_000).alias("b_e"),
+    )
+    out = range_join(a, b, "a_s", "a_e", "b_s", "b_e", bin_width=RJ_BIN_US)
+    return out.select(
+        "a_id", "b_id",
+        (F.least("a_e", "b_e") - F.greatest("a_s", "b_s")).alias("overlap_us"),
+    ).orderBy("a_id", "b_id")
+
+
+def q_range_join_oracle():
+    return """
+WITH a AS (SELECT event_id AS a_id, epoch_us(ts) AS a_s,
+                  epoch_us(ts) + (1 + event_id % 7) * 60000000 AS a_e
+           FROM events WHERE event_type = 'click'),
+     b AS (SELECT event_id AS b_id, epoch_us(ts) AS b_s,
+                  epoch_us(ts) + (1 + event_id % 11) * 60000000 AS b_e
+           FROM events WHERE event_type = 'error')
+SELECT a_id, b_id, least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us
+FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+ORDER BY a_id, b_id"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap sessionization (operators/timeseries.session_stats): per-user
+    sessions split on >30-minute silence, rolled up to count/first/last/
+    quantized value sum — lag + running-sum windows in one shuffle.  The
+    oracle replays the same windows in SQL (sum cast per playbook rule 6)."""
+    from .operators.timeseries import session_stats
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = session_stats(
+        ev, "user_id",
+        aggs=[
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_c")
+        ],
+    )
+    return out.orderBy("user_id", "session_idx")
+
+
+def q_sessionize_oracle():
+    return """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+t AS (
+  SELECT user_id, ts, value,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM s)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM t GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -5036,6 +5163,9 @@ QUERIES = {
     "ann_pq": (q_ann_pq, q_ann_pq_oracle),
     "cell_compact": (q_cell_compact, q_cell_compact_oracle),
     "cell_uncompact": (q_cell_uncompact, q_cell_uncompact_oracle),
+    "asof_join": (q_asof_join, q_asof_join_oracle),
+    "range_join": (q_range_join, q_range_join_oracle),
+    "sessionize": (q_sessionize, q_sessionize_oracle),
     "lsh_dedup_pipeline": (q_lsh_dedup_pipeline, q_lsh_dedup_pipeline_oracle),
     "gradient": (q_gradient, q_gradient_oracle),
     "embedding_dedup_pipeline": (

@@ -1,0 +1,222 @@
+"""Differential + edge-case tests for operators/timeseries (as-of join,
+interval range join, sessionization) against brute-force pandas replicas,
+plus plan-shape assertions (no cartesian, single keyed exchange)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sis_spark.operators.timeseries import (
+    asof_join,
+    range_join,
+    session_stats,
+    sessionize,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _mk_events(seed: int, n: int, keys: int):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "id": np.arange(n),
+            "k": rng.integers(0, keys, n),
+            "t": rng.integers(0, 10_000, n).astype("int64"),
+            "v": rng.integers(-100, 100, n).astype("int64"),
+        }
+    )
+
+
+# --------------------------------------------------------------- as-of join
+
+
+def _brute_asof(lp: pd.DataFrame, rp: pd.DataFrame, tol=None):
+    rows = []
+    for _, l in lp.iterrows():
+        cand = rp[(rp["k"] == l["k"]) & (rp["t"] <= l["t"])]
+        if tol is not None:
+            cand = cand[cand["t"] >= l["t"] - tol]
+        if len(cand):
+            # max t; among ties the brute picks the same arbitrary one the
+            # test data avoids (unique (k, t) enforced below)
+            m = cand.loc[cand["t"].idxmax()]
+            rows.append((l["id"], int(m["id"]), int(m["t"])))
+        else:
+            rows.append((l["id"], None, None))
+    return pd.DataFrame(rows, columns=["id", "r_rid", "r_t"])
+
+
+@pytest.mark.parametrize("tol", [None, 500])
+def test_asof_matches_brute(spark, tol):
+    lp = _mk_events(1, 300, 12)
+    rp = _mk_events(2, 300, 12).drop_duplicates(["k", "t"])
+    rp = rp.rename(columns={"id": "rid"})
+    left = spark.createDataFrame(lp)
+    right = spark.createDataFrame(rp[["k", "t", "rid"]])
+    out = asof_join(
+        left, right, keys=["k"], left_ts="t", right_ts="t",
+        value_cols=["rid"],
+        tolerance=None if tol is None else F.lit(tol),
+        how="left",
+    )
+    got = (
+        out.select("id", F.col("r_rid"), F.col("r_t"))
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = _brute_asof(lp, rp.rename(columns={"rid": "id"}), tol)
+    exp = exp.sort_values("id").reset_index(drop=True)
+    assert got["r_rid"].astype("float").tolist() == pytest.approx(
+        exp["r_rid"].astype("float").tolist(), nan_ok=True
+    )
+    assert got["r_t"].astype("float").tolist() == pytest.approx(
+        exp["r_t"].astype("float").tolist(), nan_ok=True
+    )
+
+
+def test_asof_tie_at_equal_ts_is_visible(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [100], "id": [0]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [100], "rid": [7]}))
+    out = asof_join(left, right, keys=["k"], left_ts="t", right_ts="t",
+                    value_cols=["rid"]).collect()
+    assert out[0]["r_rid"] == 7  # <= semantics: same-instant right row seen
+
+
+def test_asof_inner_drops_unmatched(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "t": [100, 100], "id": [0, 1]})
+    )
+    right = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [50], "rid": [7]}))
+    got = asof_join(left, right, keys=["k"], left_ts="t", right_ts="t",
+                    value_cols=["rid"], how="inner").collect()
+    assert [(r["id"], r["r_rid"]) for r in got] == [(0, 7)]
+
+
+def test_asof_plan_single_exchange_no_nested_loop(spark):
+    lp = _mk_events(3, 50, 4)
+    out = asof_join(
+        spark.createDataFrame(lp),
+        spark.createDataFrame(lp.rename(columns={"id": "rid"})[["k", "t", "rid"]]),
+        keys=["k"], left_ts="t", right_ts="t", value_cols=["rid"],
+    )
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # one shuffle on k
+    assert "EvalPython" not in plan
+
+
+# ------------------------------------------------------------- range join
+
+
+def _brute_overlap(ap, bp, keys=False):
+    pairs = set()
+    for _, x in ap.iterrows():
+        for _, y in bp.iterrows():
+            if keys and x["k"] != y["k"]:
+                continue
+            if x["s"] <= y["e2"] and y["s2"] <= x["e"]:
+                pairs.add((int(x["aid"]), int(y["bid"])))
+    return pairs
+
+
+@pytest.mark.parametrize("width", [1, 7, 100, 10_000])
+def test_range_join_matches_brute(spark, width):
+    rng = np.random.default_rng(4)
+    n = 120
+    s = rng.integers(0, 1000, n)
+    ap = pd.DataFrame({"aid": np.arange(n), "s": s,
+                       "e": s + rng.integers(0, 50, n)})
+    s2 = rng.integers(0, 1000, n)
+    bp = pd.DataFrame({"bid": np.arange(n), "s2": s2,
+                       "e2": s2 + rng.integers(0, 50, n)})
+    out = range_join(
+        spark.createDataFrame(ap), spark.createDataFrame(bp),
+        "s", "e", "s2", "e2", bin_width=width,
+    )
+    got = [(r["aid"], r["bid"]) for r in out.collect()]
+    assert len(got) == len(set(got))  # exactly-once emission, no dupes
+    assert set(got) == _brute_overlap(ap, bp)
+
+
+def test_range_join_edges(spark):
+    # shared endpoint, nested, zero-length, negative coords, disjoint
+    ap = pd.DataFrame({"aid": [0, 1, 2, 3], "s": [0, 10, -20, 100],
+                       "e": [5, 20, -10, 100]})
+    bp = pd.DataFrame({"bid": [0, 1, 2], "s2": [5, 12, -15],
+                       "e2": [8, 14, -15]})
+    out = range_join(spark.createDataFrame(ap), spark.createDataFrame(bp),
+                     "s", "e", "s2", "e2", bin_width=6)
+    got = sorted((r["aid"], r["bid"]) for r in out.collect())
+    assert got == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_range_join_keyed(spark):
+    rng = np.random.default_rng(5)
+    n = 80
+    ap = pd.DataFrame({"aid": np.arange(n), "k": rng.integers(0, 3, n),
+                       "s": rng.integers(0, 200, n)})
+    ap["e"] = ap["s"] + rng.integers(0, 30, n)
+    bp = pd.DataFrame({"bid": np.arange(n), "k": rng.integers(0, 3, n),
+                       "s2": rng.integers(0, 200, n)})
+    bp["e2"] = bp["s2"] + rng.integers(0, 30, n)
+    out = range_join(spark.createDataFrame(ap), spark.createDataFrame(bp),
+                     "s", "e", "s2", "e2", bin_width=16, keys=["k"])
+    got = set((r["aid"], r["bid"]) for r in out.collect())
+    assert got == _brute_overlap(ap, bp, keys=True)
+    assert "k" in out.columns and out.columns.count("k") == 1
+
+
+def test_range_join_rejects_column_collision(spark):
+    df = spark.createDataFrame(pd.DataFrame({"s": [1], "e": [2], "x": [3]}))
+    with pytest.raises(ValueError, match="overlapping"):
+        range_join(df, df, "s", "e", "s", "e", bin_width=10)
+
+
+def test_range_join_plan_no_cartesian(spark):
+    ap = pd.DataFrame({"aid": [0], "s": [0], "e": [5]})
+    bp = pd.DataFrame({"bid": [0], "s2": [1], "e2": [2]})
+    out = range_join(spark.createDataFrame(ap), spark.createDataFrame(bp),
+                     "s", "e", "s2", "e2", bin_width=4)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+# ------------------------------------------------------------ sessionize
+
+
+def test_sessionize_matches_pandas(spark):
+    ev = _mk_events(6, 400, 10).drop_duplicates(["k", "t"])
+    out = sessionize(spark.createDataFrame(ev), "k", ts="t", gap=F.lit(50))
+    got = out.toPandas().sort_values(["k", "t"]).reset_index(drop=True)
+    exp = ev.sort_values(["k", "t"]).copy()
+    exp["session_idx"] = (
+        exp.groupby("k")["t"].diff().gt(50).fillna(False).groupby(exp["k"]).cumsum()
+    )
+    assert got["session_idx"].tolist() == exp["session_idx"].astype(int).tolist()
+
+
+def test_sessionize_gap_boundary_inclusive(spark):
+    # events exactly `gap` apart stay in ONE session (strict > starts new)
+    ev = pd.DataFrame({"k": [1] * 3, "t": [0, 50, 101]})
+    out = sessionize(spark.createDataFrame(ev), "k", ts="t", gap=F.lit(50))
+    idx = [r["session_idx"] for r in out.orderBy("t").collect()]
+    assert idx == [0, 0, 1]
+
+
+def test_session_stats_rollup(spark):
+    ev = pd.DataFrame({"k": [1, 1, 1, 2], "t": [0, 10, 200, 5],
+                       "v": [3, 4, 5, 6]})
+    out = session_stats(
+        spark.createDataFrame(ev), "k", ts="t", gap=F.lit(50),
+        aggs=[F.sum("v").alias("sv")],
+    ).orderBy("k", "session_idx")
+    rows = [(r["k"], r["session_idx"], r["n_events"], r["sv"]) for r in out.collect()]
+    assert rows == [(1, 0, 2, 7), (1, 1, 1, 5), (2, 0, 1, 6)]
