@@ -292,3 +292,87 @@ s AS (
               THEN n.n_tokens ELSE s.used + n.n_tokens END
   FROM s JOIN d n ON n.shard = s.shard AND n.rn = s.rn + 1)
 SELECT doc_id, shard, n_tokens, bin, off FROM s"""
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 quality rules):
+    duplicate-word fraction (1 - distinct/total) and the fraction of word
+    bigrams taken by the single most frequent bigram.  High values flag
+    boilerplate / degenerate machine text for the quality filter.
+
+    Shape: the per-doc scalars are pure codegen (split/array_distinct);
+    only the bigram mode needs a shuffle — explode to (doc, bigram),
+    partial-agg count, max per doc.  At 100 TB that is one map-side-combined
+    aggregation keyed by doc; no self-joins, no windows over the corpus.
+    Docs with fewer than 2 words report 0 repetition (left join + coalesce).
+    """
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col),
+        words.alias("__ws"),
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+    )
+    bigrams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice("__ws", 1, F.size("__ws") - 1),
+                F.slice("__ws", 2, F.size("__ws") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        bigrams.groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bigram_cnt"))
+    )
+    return (
+        base.join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            "n_distinct_words",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct_words").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("dup_word_frac"),
+            F.coalesce(F.col("top_bigram_cnt"), F.lit(0)).alias("top_bigram_cnt"),
+            F.when(
+                F.col("n_words") >= 2,
+                F.coalesce(F.col("top_bigram_cnt"), F.lit(0)).cast("double")
+                / (F.col("n_words") - 1).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
+def repetition_stats_sql(rel: str = "documents", text: str = "text",
+                         id_col: str = "doc_id") -> str:
+    """DuckDB twin of repetition_stats: same split, same int/int divisions
+    (bit-exact doubles), bigrams via 1-based list indexing over range()."""
+    return f"""
+WITH w AS (SELECT {id_col}, string_split({text}, ' ') AS ws FROM {rel}),
+base AS (SELECT {id_col}, len(ws) AS n_words,
+                len(list_distinct(ws)) AS n_distinct_words
+         FROM w),
+bg AS (SELECT {id_col}, ws[i.i] || ' ' || ws[i.i + 1] AS bigram
+       FROM w, UNNEST(range(1, len(ws))) AS i(i)),
+top AS (SELECT {id_col}, CAST(max(c) AS BIGINT) AS top_bigram_cnt
+        FROM (SELECT {id_col}, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+        GROUP BY 1)
+SELECT base.{id_col}, n_words, n_distinct_words,
+       1.0 - CAST(n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+         AS dup_word_frac,
+       COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt,
+       CASE WHEN n_words >= 2
+            THEN CAST(COALESCE(top_bigram_cnt, 0) AS DOUBLE)
+                 / CAST(n_words - 1 AS DOUBLE)
+            ELSE 0.0 END AS top_bigram_frac
+FROM base LEFT JOIN top USING ({id_col})"""

@@ -5058,6 +5058,22 @@ SELECT user_id, session_idx, count(*) AS n_events,
 FROM t GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition quality signals (textops.repetition_stats):
+    duplicate-word fraction + most-frequent-bigram fraction per document —
+    one map-side-combined aggregation, int/int-division doubles so both
+    engines agree bit-exactly."""
+    from .operators.textops import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_gopher_repetition_oracle():
+    from .operators.textops import repetition_stats_sql
+
+    return repetition_stats_sql() + " ORDER BY doc_id"
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -5166,6 +5182,7 @@ QUERIES = {
     "asof_join": (q_asof_join, q_asof_join_oracle),
     "range_join": (q_range_join, q_range_join_oracle),
     "sessionize": (q_sessionize, q_sessionize_oracle),
+    "gopher_repetition": (q_gopher_repetition, q_gopher_repetition_oracle),
     "lsh_dedup_pipeline": (q_lsh_dedup_pipeline, q_lsh_dedup_pipeline_oracle),
     "gradient": (q_gradient, q_gradient_oracle),
     "embedding_dedup_pipeline": (
