@@ -376,3 +376,140 @@ SELECT base.{id_col}, n_words, n_distinct_words,
                  / CAST(n_words - 1 AS DOUBLE)
             ELSE 0.0 END AS top_bigram_frac
 FROM base LEFT JOIN top USING ({id_col})"""
+
+
+# ---------------------------------------------------------------- decontamination
+# Benchmark n-gram decontamination: flag training documents sharing any
+# word n-gram with an evaluation/benchmark set (the standard 8-13-gram
+# overlap rule of LLM data prep).  The benchmark side is tiny relative to
+# the corpus, so its distinct gram hashes BROADCAST; the document side is
+# a map-side explode feeding a broadcast hash join — the only shuffle in
+# the whole plan is the final per-doc count.  At 100 TB the cost is one
+# pass over the text plus one partial-aggregated count, which is the
+# minimum any contamination check can pay.
+
+def _ngram_expr(ws_col: str, n: int) -> str:
+    """Spark SQL expression: word n-grams of a split-text array column.
+
+    Documents shorter than ``n`` words contribute their whole text as one
+    gram (so short benchmark strings still match verbatim copies)."""
+    return (
+        f"CASE WHEN size({ws_col}) >= {n} "
+        f"THEN transform(sequence(1, size({ws_col}) - {n} + 1), "
+        f"i -> array_join(slice({ws_col}, i, {n}), ' ')) "
+        f"ELSE array(array_join({ws_col}, ' ')) END"
+    )
+
+
+def _ngram_sql(ws: str, n: int) -> str:
+    """DuckDB twin of :func:`_ngram_expr` (1-based inclusive list slicing)."""
+    return (
+        f"CASE WHEN len({ws}) >= {n} "
+        f"THEN [array_to_string({ws}[i:i+{n}-1], ' ') for i in range(1, len({ws})-{n}+2)] "
+        f"ELSE [array_to_string({ws}, ' ')] END"
+    )
+
+
+def ngrams_hashed(df: DataFrame, n: int, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """One row per word-n-gram position: (id, md5 hex of the gram text).
+
+    Hashing before the join keeps shuffle rows at 32 bytes regardless of
+    gram width."""
+    d = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__ws"))
+    return d.select(
+        F.col(id_col),
+        F.explode(F.expr(_ngram_expr("__ws", n))).alias("__g"),
+    ).select(id_col, F.md5(F.col("__g").cast("binary")).alias("h"))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Contaminated-document report: (doc_id, n_hits) for every document
+    sharing >= 1 word n-gram with the benchmark set, n_hits = number of
+    DISTINCT contaminated grams.  Anti-join the result against the corpus
+    to drop (or route to review) the flagged docs."""
+    bench_ids = benchmark.select(F.lit(0).alias("__b"), F.col(bench_text_col).alias("text"))
+    bh = ngrams_hashed(bench_ids, n, "text", "__b").select("h").distinct()
+    dg = ngrams_hashed(docs, n, text_col, id_col)
+    return (
+        dg.join(F.broadcast(bh), "h")
+        .groupBy(id_col)
+        .agg(F.count_distinct("h").alias("n_hits"))
+    )
+
+
+def decontaminate_sql(n: int = 8, rel: str = "documents",
+                      bench_filter: str = "doc_id % 29 = 3 AND len(ws) >= 20",
+                      bench_slice: str = "ws[5:16]",
+                      text: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB oracle: benchmark synthesized from the corpus itself by the
+    shared rule (docs ``doc_id % 29 = 3`` with >= 20 words donate tokens
+    5..16 as a benchmark string), then the same n-gram overlap count."""
+    return f"""
+WITH w AS (SELECT {id_col}, string_split({text}, ' ') AS ws FROM {rel}),
+bench AS (
+  SELECT string_split(array_to_string({bench_slice}, ' '), ' ') AS bws
+  FROM w WHERE {bench_filter}),
+bh AS (
+  SELECT DISTINCT unnest({_ngram_sql('bws', n)}) AS g FROM bench),
+bhh AS (SELECT md5(g) AS h FROM bh),
+dg AS (
+  SELECT {id_col}, md5(unnest({_ngram_sql('ws', n)})) AS h FROM w)
+SELECT {id_col}, count(DISTINCT dg.h) AS n_hits
+FROM dg JOIN (SELECT DISTINCT h FROM bhh) b USING (h)
+GROUP BY {id_col}"""
+
+
+# ---------------------------------------------------------------- hashed linear classifier
+# fastText-style quality-classifier INFERENCE at corpus scale: a linear
+# model over hashed bag-of-words features.  The real-world version loads
+# trained weights (D ~ 2**20 buckets) as a broadcast array; this module
+# ships a deterministic 16-bucket weight table so the gate is bit-exact.
+# The scoring plan is ZERO-shuffle: aggregate() folds the token array
+# inside whole-stage codegen, so classification is a pure map over the
+# corpus — the shape you want when scoring 100 TB of text.
+
+CLASSIFIER_BUCKETS = "0123456789abcdef"
+CLASSIFIER_WEIGHTS = {c: ((i * 37 + 11) % 29) - 14 for i, c in enumerate(CLASSIFIER_BUCKETS)}
+
+
+def _weight_case(tok_expr: str, dialect: str) -> str:
+    md5 = f"md5(CAST({tok_expr} AS BINARY))" if dialect == "spark" else f"md5({tok_expr})"
+    sub = f"substring({md5}, 1, 1)" if dialect == "spark" else f"substr({md5}, 1, 1)"
+    arms = " ".join(
+        f"WHEN '{c}' THEN {w}" for c, w in CLASSIFIER_WEIGHTS.items()
+    )
+    return f"(CASE {sub} {arms} ELSE 0 END)"
+
+
+def classifier_score(docs: DataFrame, threshold: int = 0,
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, score, keep): score = sum over whitespace tokens of the
+    hashed-bucket weight; keep = score >= threshold.
+
+    No explode, no shuffle: one codegen projection per document."""
+    agg = (
+        f"aggregate(split({text_col}, ' '), 0L, "
+        f"(acc, t) -> acc + {_weight_case('t', 'spark')})"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.expr(agg).alias("score"),
+        (F.expr(agg) >= F.lit(threshold)).alias("keep"),
+    )
+
+
+def classifier_score_sql(threshold: int = 0, rel: str = "documents",
+                         text: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin: unnest + SUM of the identical weight CASE (integer
+    arithmetic, bit-exact)."""
+    w = _weight_case("t", "duckdb")
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, unnest(string_split({text}, ' ')) AS t FROM {rel}),
+s AS (
+  SELECT {id_col}, CAST(COALESCE(sum({w}), 0) AS BIGINT) AS score
+  FROM tok GROUP BY {id_col})
+SELECT {id_col}, score, score >= {threshold} AS keep FROM s"""

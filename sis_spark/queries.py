@@ -5074,6 +5074,44 @@ def q_gopher_repetition_oracle():
     return repetition_stats_sql() + " ORDER BY doc_id"
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination (textops.decontaminate): flag docs
+    sharing any word 8-gram with a benchmark set.  The benchmark is
+    synthesized from the corpus by a shared rule (docs doc_id%29==3 with
+    >=20 words donate tokens 5..16), so both engines derive it identically.
+    Plan: benchmark gram hashes distinct + broadcast, doc side map-side
+    explode -> broadcast join -> one partial-agg count shuffle."""
+    from .operators.textops import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    bench = docs.filter((F.col("doc_id") % 29 == 3) & (F.size(ws) >= 20)).select(
+        F.array_join(F.slice(ws, 5, 12), " ").alias("text")
+    )
+    return decontaminate(docs, bench, n=8).orderBy("doc_id")
+
+
+def q_decontaminate_oracle():
+    from .operators.textops import decontaminate_sql
+
+    return decontaminate_sql(n=8) + " ORDER BY doc_id"
+
+
+def q_classifier_score(spark, sf_dir):
+    """Hashed-bag-of-words linear classifier inference
+    (textops.classifier_score): zero-shuffle codegen fold over the token
+    array — the scoring shape for quality-filtering 100 TB of text."""
+    from .operators.textops import classifier_score
+
+    return classifier_score(_read(spark, sf_dir, "documents"), threshold=0).orderBy("doc_id")
+
+
+def q_classifier_score_oracle():
+    from .operators.textops import classifier_score_sql
+
+    return classifier_score_sql(threshold=0) + " ORDER BY doc_id"
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -5189,4 +5227,6 @@ QUERIES = {
         q_embedding_dedup_pipeline, q_embedding_dedup_pipeline_oracle),
     "hex_counts": (q_hex_counts, q_hex_counts_oracle),
     "dataset_split": (q_dataset_split, q_dataset_split_oracle),
+    "decontaminate": (q_decontaminate, q_decontaminate_oracle),
+    "classifier_score": (q_classifier_score, q_classifier_score_oracle),
 }

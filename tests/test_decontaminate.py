@@ -1,0 +1,82 @@
+"""decontaminate + classifier_score: brute differentials and plan shape."""
+
+import hashlib
+
+import pandas as pd
+
+from sis_spark.operators.textops import (
+    CLASSIFIER_WEIGHTS,
+    classifier_score,
+    decontaminate,
+)
+
+
+def _grams(text: str, n: int) -> set:
+    ws = text.split(" ")
+    if len(ws) >= n:
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+    return {" ".join(ws)}
+
+
+def test_decontaminate_vs_brute(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pdocs = docs.select("doc_id", "text").toPandas()
+    bench_rows = [
+        " ".join(t.split(" ")[4:16])
+        for i, t in zip(pdocs["doc_id"], pdocs["text"])
+        if i % 29 == 3 and len(t.split(" ")) >= 20
+    ]
+    bench = spark.createDataFrame(pd.DataFrame({"text": bench_rows}))
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(docs, bench, n=8).collect()
+    }
+
+    bench_grams = set()
+    for b in bench_rows:
+        bench_grams |= _grams(b, 8)
+    want = {}
+    for i, t in zip(pdocs["doc_id"], pdocs["text"]):
+        hits = _grams(t, 8) & bench_grams
+        if hits:
+            want[i] = len(hits)
+    assert got == want and len(want) > 0
+
+
+def test_decontaminate_short_doc_whole_text_matches(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["tiny doc", "another one"]})
+    )
+    bench = spark.createDataFrame(pd.DataFrame({"text": ["tiny doc"]}))
+    got = decontaminate(docs, bench, n=8).collect()
+    assert [(r["doc_id"], r["n_hits"]) for r in got] == [(0, 1)]
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = spark.createDataFrame(pd.DataFrame({"text": ["a b c d e f g h"]}))
+    plan = decontaminate(docs, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def _brute_score(text: str) -> int:
+    return sum(
+        CLASSIFIER_WEIGHTS[hashlib.md5(t.encode()).hexdigest()[0]]
+        for t in text.split(" ")
+    )
+
+
+def test_classifier_score_vs_brute(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["doc_id"]: (r["score"], r["keep"]) for r in classifier_score(docs).collect()}
+    for i, t in docs.select("doc_id", "text").toPandas().itertuples(index=False):
+        s = _brute_score(t)
+        assert got[i] == (s, s >= 0)
+
+
+def test_classifier_plan_is_shuffle_free(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = classifier_score(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
