@@ -5112,6 +5112,26 @@ def q_classifier_score_oracle():
     return classifier_score_sql(threshold=0) + " ORDER BY doc_id"
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """Round-1 BPE pair statistics (bpe.pair_counts over the char-split
+    distinct-word table): the gate-able slice of distributed BPE training —
+    the full argmax merge chain is pytest-differentialed (test_bpe.py)."""
+    from .operators.bpe import init_vocab, pair_counts, word_freq
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        pair_counts(init_vocab(word_freq(docs)))
+        .orderBy(F.col("cnt").desc(), "a", "b")
+        .limit(32)
+    )
+
+
+def q_bpe_pair_counts_oracle():
+    from .operators.bpe import pair_counts_sql
+
+    return pair_counts_sql(top=32)
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -5229,4 +5249,5 @@ QUERIES = {
     "dataset_split": (q_dataset_split, q_dataset_split_oracle),
     "decontaminate": (q_decontaminate, q_decontaminate_oracle),
     "classifier_score": (q_classifier_score, q_classifier_score_oracle),
+    "bpe_pair_counts": (q_bpe_pair_counts, q_bpe_pair_counts_oracle),
 }
