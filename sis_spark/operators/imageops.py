@@ -55,6 +55,75 @@ def image_features(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
+QUALITY_INT_SCHEMA = (
+    "image_id string, n_px long, sum_l long, sumsq_l long, "
+    "n_lap long, sum_lap long, sumsq_lap long"
+)
+
+
+def _quality_double_exprs():
+    """Shared Spark-SQL expression text for the derived doubles — the engine
+    computes them IN SQL from the integer sums (not in numpy) so the DuckDB
+    oracle can reuse the identical expression order bit-exactly."""
+    var = lambda sq, s, n: (
+        f"(CAST({sq} AS DOUBLE) - CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE) "
+        f"/ CAST({n} AS DOUBLE)) / CAST({n} AS DOUBLE)"
+    )
+    return {
+        "brightness": "CAST(sum_l AS DOUBLE) / CAST(n_px AS DOUBLE)",
+        "contrast_var": var("sumsq_l", "sum_l", "n_px"),
+        "sharpness_var": var("sumsq_lap", "sum_lap", "n_lap"),
+    }
+
+
+def image_quality(images: DataFrame) -> DataFrame:
+    """Per-image quality metrics for filtering a multimodal corpus:
+    brightness (mean luma), RMS contrast (luma variance) and sharpness
+    (variance of the 4-neighbor Laplacian over interior pixels — the
+    classic blur detector).
+
+    Decode + integer sums run Arrow-batched per image (embarrassingly
+    parallel, no shuffle); luma = r+g+b kept integral so the sums are
+    exact int64 and the derived doubles are shared-expression SQL over
+    them.  Images smaller than 3x3 report NULL sharpness."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for iid, buf, fmt_ in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                arr = codec.decode(bytes(buf), fmt_).astype(np.int64)
+                luma = arr.sum(axis=2)
+                lap = (
+                    4 * luma[1:-1, 1:-1]
+                    - luma[1:-1, :-2]
+                    - luma[1:-1, 2:]
+                    - luma[:-2, 1:-1]
+                    - luma[2:, 1:-1]
+                )
+                rows.append({
+                    "image_id": iid,
+                    "n_px": int(luma.size),
+                    "sum_l": int(luma.sum()),
+                    "sumsq_l": int((luma * luma).sum()),
+                    "n_lap": int(lap.size),
+                    "sum_lap": int(lap.sum()),
+                    "sumsq_lap": int((lap * lap).sum()),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    ints = images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema=QUALITY_INT_SCHEMA
+    )
+    d = _quality_double_exprs()
+    return ints.select(
+        "image_id", "n_px", "sum_l", "sumsq_l", "n_lap", "sum_lap", "sumsq_lap",
+        F.expr(d["brightness"]).alias("brightness"),
+        F.expr(d["contrast_var"]).alias("contrast_var"),
+        F.when(F.col("n_lap") > 0, F.expr(d["sharpness_var"])).alias("sharpness_var"),
+    )
+
+
 def block_mean_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Deterministic area-average resize (no PIL): pixel (i, j) of the output
     averages its source box [i*h/oh, (i+1)*h/oh) x [...).  Matches the

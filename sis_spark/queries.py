@@ -5112,6 +5112,64 @@ def q_classifier_score_oracle():
     return classifier_score_sql(threshold=0) + " ORDER BY doc_id"
 
 
+def q_image_quality(spark, sf_dir):
+    """Image quality metrics (imageops.image_quality): brightness, RMS
+    contrast and Laplacian-variance sharpness through the REAL distributed
+    decode path; the oracle replays every interior-pixel Laplacian from the
+    closed-form synthetic pixel content, and the derived doubles share one
+    expression text between engines (lossy JPEG rows excluded as in
+    `image_features`)."""
+    from .operators.imageops import image_quality
+    from .sources.images import images_table
+
+    img = images_table(spark, N_GATE_FEATURE_IMAGES).filter(F.col("fmt") != "jpeg")
+    return image_quality(img).orderBy("image_id")
+
+
+def q_image_quality_oracle():
+    from .operators.imageops import _quality_double_exprs
+    from .sources.images import SIZES
+
+    size_case = lambda e: (
+        f"(CASE ({e}) % 3 WHEN 0 THEN {SIZES[0]} WHEN 1 THEN {SIZES[1]} ELSE {SIZES[2]} END)"
+    )
+    luma = lambda x, y: (
+        "("
+        + " + ".join(f"((({x}) * 3 + ({y}) * 7 + {k * 31} + d.i * 13) % 256)" for k in range(3))
+        + ")"
+    )
+    lap = (
+        f"4 * {luma('x.x', 'y.y')} - {luma('x.x - 1', 'y.y')} - {luma('x.x + 1', 'y.y')}"
+        f" - {luma('x.x', 'y.y - 1')} - {luma('x.x', 'y.y + 1')}"
+    )
+    d = _quality_double_exprs()
+    return f"""
+WITH dims AS (
+  SELECT i, {size_case('i')} AS w, {size_case('i // 3')} AS h
+  FROM generate_series(0, {N_GATE_FEATURE_IMAGES - 1}) t(i)
+  WHERE i % 3 <> 2),
+px AS (
+  SELECT d.i, {luma('x.x', 'y.y')} AS l,
+         CASE WHEN x.x >= 1 AND x.x <= d.w - 2 AND y.y >= 1 AND y.y <= d.h - 2
+              THEN {lap} END AS lap
+  FROM dims d, generate_series(0, 63) x(x), generate_series(0, 63) y(y)
+  WHERE x.x < d.w AND y.y < d.h),
+s AS (
+  SELECT i, count(*) AS n_px,
+         CAST(sum(l) AS BIGINT) AS sum_l,
+         CAST(sum(l * l) AS BIGINT) AS sumsq_l,
+         count(lap) AS n_lap,
+         CAST(COALESCE(sum(lap), 0) AS BIGINT) AS sum_lap,
+         CAST(COALESCE(sum(lap * lap), 0) AS BIGINT) AS sumsq_lap
+  FROM px GROUP BY i)
+SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       n_px, sum_l, sumsq_l, n_lap, sum_lap, sumsq_lap,
+       {d['brightness']} AS brightness,
+       {d['contrast_var']} AS contrast_var,
+       CASE WHEN n_lap > 0 THEN {d['sharpness_var']} END AS sharpness_var
+FROM s ORDER BY image_id"""
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """Round-1 BPE pair statistics (bpe.pair_counts over the char-split
     distinct-word table): the gate-able slice of distributed BPE training —
@@ -5250,4 +5308,5 @@ QUERIES = {
     "decontaminate": (q_decontaminate, q_decontaminate_oracle),
     "classifier_score": (q_classifier_score, q_classifier_score_oracle),
     "bpe_pair_counts": (q_bpe_pair_counts, q_bpe_pair_counts_oracle),
+    "image_quality": (q_image_quality, q_image_quality_oracle),
 }

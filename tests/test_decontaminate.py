@@ -80,3 +80,36 @@ def test_classifier_plan_is_shuffle_free(spark, sf_dir):
     plan = classifier_score(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_image_quality_blur_ordering(spark):
+    """Laplacian variance separates sharp from flat content; doubles match
+    numpy var computed the same way."""
+    import numpy as np
+    import pandas as pd
+
+    from sis_spark.operators.imageops import image_quality
+    from sis_spark.raster import codec
+
+    flat = np.full((16, 16, 3), 128, dtype=np.uint8)
+    rng_y, rng_x = np.indices((16, 16))
+    checker = ((rng_x + rng_y) % 2 * 255).astype(np.uint8)
+    sharp = np.stack([checker] * 3, axis=2)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["flat", "sharp"],
+                "bytes": [codec.encode(flat, "png"), codec.encode(sharp, "png")],
+                "fmt": ["png", "png"],
+            }
+        )
+    )
+    got = {r["image_id"]: r for r in image_quality(df).collect()}
+    assert got["flat"]["sharpness_var"] == 0.0
+    assert got["flat"]["contrast_var"] == 0.0
+    assert got["sharp"]["sharpness_var"] > 1e6
+    luma = sharp.astype(np.int64).sum(axis=2)
+    n = luma.size
+    s, sq = luma.sum(), (luma * luma).sum()
+    want = (float(sq) - float(s) * float(s) / float(n)) / float(n)
+    assert got["sharp"]["contrast_var"] == want
