@@ -44,6 +44,11 @@ HEADLINE = [
     "images_pipeline",
     "images_codec",        # decode + feature extraction over real PNG/JPEG bytes
     "geotiff_jpeg",        # GeoTIFF-JPEG write + distributed tile decode + stats (r2)
+    "decontaminate",       # benchmark n-gram overlap, broadcast gram set (r2 10th)
+    "dup_ngram_coverage",  # corpus-duplicated-span token fraction (r2 10th)
+    "classifier_score",    # zero-shuffle hashed linear classifier inference (r2 10th)
+    "image_quality",       # Laplacian sharpness/contrast through real decode (r2 10th)
+    "caption_alignment",   # CLIP-score-shaped image-caption cosine filter (r2 10th)
 ]
 
 

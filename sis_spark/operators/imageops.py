@@ -124,6 +124,81 @@ def image_quality(images: DataFrame) -> DataFrame:
     )
 
 
+ALIGN_INT_SCHEMA = "image_id string, caption string, sum_r long, sum_g long, sum_b long"
+
+
+def _bucket_case(tok_expr: str, dialect: str) -> str:
+    """Hashed token bucket in {0,1,2}: md5 first hexdigit mod 3 — identical
+    CASE text in both dialects (no hex-to-int builtin shared by the two)."""
+    md5 = f"md5(CAST({tok_expr} AS BINARY))" if dialect == "spark" else f"md5({tok_expr})"
+    sub = f"substring({md5}, 1, 1)" if dialect == "spark" else f"substr({md5}, 1, 1)"
+    arms = " ".join(f"WHEN '{c}' THEN {i % 3}" for i, c in enumerate("0123456789abcdef"))
+    return f"(CASE {sub} {arms} ELSE 0 END)"
+
+
+def _alignment_expr() -> str:
+    """Cosine of the caption vector (c0,c1,c2) and image vector
+    (sum_r,sum_g,sum_b) — shared Spark/DuckDB expression text over the
+    integer columns (sqrt is IEEE correctly-rounded, so bit-exact)."""
+    dot = "CAST(c0 * sum_r + c1 * sum_g + c2 * sum_b AS DOUBLE)"
+    nc = "sqrt(CAST(c0 * c0 + c1 * c1 + c2 * c2 AS DOUBLE))"
+    ni = "sqrt(CAST(sum_r * sum_r + sum_g * sum_g + sum_b * sum_b AS DOUBLE))"
+    return f"(CASE WHEN {nc} * {ni} > 0 THEN {dot} / ({nc} * {ni}) END)"
+
+
+def caption_alignment(images: DataFrame, threshold: float = 0.0) -> DataFrame:
+    """Image-caption alignment scoring — the CLIP-score filtering shape of a
+    multimodal curation pipeline.  The MODEL here is a documented
+    deterministic stand-in (no ML runtimes in this environment): caption
+    embedding = 3-bucket hashed bag of words, image embedding = per-channel
+    pixel sums from the REAL distributed decode; score = their cosine.  A
+    production deployment swaps the two embedding functions for ONNX/Arrow
+    model UDFs — the plumbing (single mapInPandas pass, zero shuffles, the
+    codegen caption fold, the threshold filter column) is the real part.
+
+    Output: (image_id, c0..c2, sum_r..sum_b, alignment, keep)."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for iid, cap, buf, fmt_ in zip(
+                pdf["image_id"], pdf["caption"], pdf["bytes"], pdf["fmt"]
+            ):
+                arr = codec.decode(bytes(buf), fmt_).astype(np.int64)
+                if arr.shape[2] == 1:
+                    arr = np.repeat(arr, 3, axis=2)
+                rows.append({
+                    "image_id": iid,
+                    "caption": cap,
+                    "sum_r": int(arr[:, :, 0].sum()),
+                    "sum_g": int(arr[:, :, 1].sum()),
+                    "sum_b": int(arr[:, :, 2].sum()),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    ints = images.select("image_id", "caption", "bytes", "fmt").mapInPandas(
+        fn, schema=ALIGN_INT_SCHEMA
+    )
+    c = lambda j: (
+        "aggregate(split(caption, ' '), 0L, (acc, t) -> acc + "
+        f"CASE WHEN {_bucket_case('t', 'spark')} = {j} THEN 1 ELSE 0 END)"
+    )
+    vec = ints.select(
+        "image_id",
+        F.expr(c(0)).alias("c0"),
+        F.expr(c(1)).alias("c1"),
+        F.expr(c(2)).alias("c2"),
+        "sum_r", "sum_g", "sum_b",
+    )
+    a = _alignment_expr()
+    return vec.select(
+        "*",
+        F.expr(a).alias("alignment"),
+        (F.expr(a) >= F.lit(threshold)).alias("keep"),
+    )
+
+
 def block_mean_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Deterministic area-average resize (no PIL): pixel (i, j) of the output
     averages its source box [i*h/oh, (i+1)*h/oh) x [...).  Matches the

@@ -513,3 +513,80 @@ s AS (
   SELECT {id_col}, CAST(COALESCE(sum({w}), 0) AS BIGINT) AS score
   FROM tok GROUP BY {id_col})
 SELECT {id_col}, score, score >= {threshold} AS keep FROM s"""
+
+
+# ---------------------------------------------------------------- duplicated-span coverage
+# FineWeb/Gopher "fraction of tokens inside duplicated n-grams": for each
+# document, the fraction of its tokens covered by word n-grams occurring at
+# least min_count times CORPUS-WIDE.  The repetition filter that catches
+# boilerplate shared across documents (headers, navigation, license blocks)
+# that per-doc stats (repetition_stats) cannot see.
+
+def dup_ngram_coverage(docs: DataFrame, n: int = 4, min_count: int = 2,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_words, covered, dup_ngram_frac).
+
+    covered = union length of the [i, i+n) spans whose gram count >=
+    min_count — computed with one per-doc window: span sorted by start
+    contributes min(n, i - prev_i) tokens.
+
+    Scale shape: (1) gram hash counts = map-side-combined aggregation;
+    (2) grams join the >=min_count survivors on the 32-byte hash (the
+    survivor side is usually small enough for AQE to broadcast); (3) the
+    interval union is one window over (doc, position).  Three shuffles
+    total, none quadratic; positions never leave int64."""
+    from pyspark.sql import Window
+
+    d = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__ws"))
+    base = d.select(id_col, F.size("__ws").alias("n_words"))
+    grams = d.filter(F.size("__ws") >= n).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(__ws) - {n} + 1), "
+                f"i -> struct(i AS i, md5(CAST(array_join(slice(__ws, i, {n}), ' ') AS BINARY)) AS h))"
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.i").alias("i"), F.col("g.h").alias("h"))
+    counts = grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = grams.join(counts.filter(F.col("cnt") >= min_count), "h")
+    w = Window.partitionBy(id_col).orderBy("i")
+    cov = (
+        dup.withColumn(
+            "cv",
+            F.least(
+                F.lit(n),
+                F.col("i") - F.coalesce(F.lag("i").over(w), F.col("i") - n),
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("cv").alias("covered"))
+    )
+    return base.join(cov, id_col, "left").select(
+        F.col(id_col),
+        "n_words",
+        F.coalesce(F.col("covered"), F.lit(0)).alias("covered"),
+        (
+            F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("dup_ngram_frac"),
+    )
+
+
+def dup_ngram_coverage_sql(n: int = 4, min_count: int = 2, rel: str = "documents",
+                           text: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin: identical positions, hash join, window union arithmetic."""
+    return f"""
+WITH w AS (SELECT {id_col}, string_split({text}, ' ') AS ws FROM {rel}),
+base AS (SELECT {id_col}, len(ws) AS n_words FROM w),
+g AS (SELECT {id_col}, i.i AS i, md5(array_to_string(ws[i.i:i.i+{n}-1], ' ')) AS h
+      FROM w, UNNEST(range(1, len(ws)-{n}+2)) AS i(i) WHERE len(ws) >= {n}),
+c AS (SELECT h, count(*) AS cnt FROM g GROUP BY h),
+d AS (SELECT g.{id_col}, g.i,
+             least({n}, i - coalesce(lag(i) OVER (PARTITION BY g.{id_col} ORDER BY i), i - {n})) AS cv
+      FROM g JOIN c USING (h) WHERE c.cnt >= {min_count}),
+cov AS (SELECT {id_col}, CAST(sum(cv) AS BIGINT) AS covered FROM d GROUP BY {id_col})
+SELECT base.{id_col}, n_words,
+       COALESCE(covered, 0) AS covered,
+       CAST(COALESCE(covered, 0) AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_ngram_frac
+FROM base LEFT JOIN cov USING ({id_col})"""

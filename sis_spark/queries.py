@@ -5170,6 +5170,77 @@ SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
 FROM s ORDER BY image_id"""
 
 
+def q_dup_ngram_coverage(spark, sf_dir):
+    """Fraction of tokens inside corpus-duplicated word 4-grams
+    (textops.dup_ngram_coverage) — the cross-document boilerplate signal of
+    the FineWeb/Gopher filter family."""
+    from .operators.textops import dup_ngram_coverage
+
+    return dup_ngram_coverage(_read(spark, sf_dir, "documents"), n=4, min_count=2).orderBy(
+        "doc_id"
+    )
+
+
+def q_dup_ngram_coverage_oracle():
+    from .operators.textops import dup_ngram_coverage_sql
+
+    return dup_ngram_coverage_sql(n=4, min_count=2) + " ORDER BY doc_id"
+
+
+ALIGN_THRESHOLD = 0.97
+
+
+def q_caption_alignment(spark, sf_dir):
+    """Image-caption alignment filtering (imageops.caption_alignment): the
+    CLIP-score curation shape with a documented deterministic stand-in
+    model — real distributed decode for the image embedding, codegen hashed
+    bag-of-words fold for the caption embedding, shared-expression cosine.
+    Lossy JPEG rows excluded (pixel sums not SQL-replicable)."""
+    from .operators.imageops import caption_alignment
+    from .sources.images import images_table
+
+    img = images_table(spark, N_GATE_FEATURE_IMAGES).filter(F.col("fmt") != "jpeg")
+    return caption_alignment(img, threshold=ALIGN_THRESHOLD).orderBy("image_id")
+
+
+def q_caption_alignment_oracle():
+    from .operators.imageops import _alignment_expr, _bucket_case
+    from .sources.images import _VOCAB, SIZES
+
+    size_case = lambda e: (
+        f"(CASE ({e}) % 3 WHEN 0 THEN {SIZES[0]} WHEN 1 THEN {SIZES[1]} ELSE {SIZES[2]} END)"
+    )
+    vocab_lit = "[" + ", ".join(f"'{w}'" for w in _VOCAB) + "]"
+    tokens = (
+        "(['caption', 'of', 'img-' || lpad(CAST(d.i AS VARCHAR), 12, '0') || ':'] || "
+        f"[{vocab_lit}[(d.i * 7 + k * 13) % {len(_VOCAB)} + 1] for k in range(0, 6)])"
+    )
+    cnt = lambda j: (
+        f"CAST(len(list_filter({tokens}, t -> {_bucket_case('t', 'duckdb')} = {j})) AS BIGINT)"
+    )
+    ch_sum = lambda k: (
+        f"CAST(sum((x.x * 3 + y.y * 7 + {k * 31} + d.i * 13) % 256) AS BIGINT)"
+    )
+    a = _alignment_expr()
+    return f"""
+WITH dims AS (
+  SELECT i, {size_case('i')} AS w, {size_case('i // 3')} AS h
+  FROM generate_series(0, {N_GATE_FEATURE_IMAGES - 1}) t(i)
+  WHERE i % 3 <> 2),
+s AS (
+  SELECT d.i, {ch_sum(0)} AS sum_r, {ch_sum(1)} AS sum_g, {ch_sum(2)} AS sum_b
+  FROM dims d, generate_series(0, 63) x(x), generate_series(0, 63) y(y)
+  WHERE x.x < d.w AND y.y < d.h
+  GROUP BY d.i),
+c AS (
+  SELECT d.i, {cnt(0)} AS c0, {cnt(1)} AS c1, {cnt(2)} AS c2 FROM dims d)
+SELECT 'img-' || lpad(CAST(s.i AS VARCHAR), 12, '0') AS image_id,
+       c0, c1, c2, sum_r, sum_g, sum_b,
+       {a} AS alignment,
+       {a} >= {ALIGN_THRESHOLD} AS keep
+FROM s JOIN c USING (i) ORDER BY image_id"""
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """Round-1 BPE pair statistics (bpe.pair_counts over the char-split
     distinct-word table): the gate-able slice of distributed BPE training —
@@ -5309,4 +5380,6 @@ QUERIES = {
     "classifier_score": (q_classifier_score, q_classifier_score_oracle),
     "bpe_pair_counts": (q_bpe_pair_counts, q_bpe_pair_counts_oracle),
     "image_quality": (q_image_quality, q_image_quality_oracle),
+    "caption_alignment": (q_caption_alignment, q_caption_alignment_oracle),
+    "dup_ngram_coverage": (q_dup_ngram_coverage, q_dup_ngram_coverage_oracle),
 }

@@ -113,3 +113,60 @@ def test_image_quality_blur_ordering(spark):
     s, sq = luma.sum(), (luma * luma).sum()
     want = (float(sq) - float(s) * float(s) / float(n)) / float(n)
     assert got["sharp"]["contrast_var"] == want
+
+
+def test_caption_alignment_matches_numpy(spark):
+    """Cosine scores equal a straight numpy replica over decoded pixels and
+    hashed caption buckets."""
+    import hashlib
+
+    import numpy as np
+
+    from sis_spark.operators.imageops import caption_alignment
+    from sis_spark.sources.images import images_table
+
+    img = images_table(spark, 30).filter("fmt <> 'jpeg'")
+    rows = img.select("image_id", "caption", "bytes", "fmt").collect()
+    got = {r["image_id"]: r for r in caption_alignment(img, threshold=0.97).collect()}
+
+    from sis_spark.raster import codec
+
+    hexmod = {c: i % 3 for i, c in enumerate("0123456789abcdef")}
+    for r in rows:
+        arr = codec.decode(bytes(r["bytes"]), r["fmt"]).astype(np.int64)
+        iv = np.array([arr[:, :, k].sum() for k in range(3)], dtype=np.float64)
+        cv = np.zeros(3)
+        for t in r["caption"].split(" "):
+            cv[hexmod[hashlib.md5(t.encode()).hexdigest()[0]]] += 1
+        want = float(iv @ cv / (np.sqrt((cv * cv).sum()) * np.sqrt((iv * iv).sum())))
+        g = got[r["image_id"]]
+        assert abs(g["alignment"] - want) < 1e-12
+        assert g["keep"] == (g["alignment"] >= 0.97)
+
+
+def test_dup_ngram_coverage_known_values(spark):
+    """Hand-computable interval unions, incl. overlapping spans."""
+    import pandas as pd
+
+    from sis_spark.operators.textops import dup_ngram_coverage
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "a b c d x y z w",   # shares 'a b c d' with doc 1
+                    "a b c d p q r s",   # spans [1..4] in both -> covered 4
+                    "k l m n o",          # unique -> covered 0
+                    "a b c d e a b c d e niner",  # self-repeat: grams at 1..2 and 6..7
+                ],
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in dup_ngram_coverage(docs, n=4, min_count=2).collect()}
+    assert (got[0]["covered"], got[0]["n_words"]) == (4, 8)
+    assert got[1]["covered"] == 4
+    assert got[2]["covered"] == 0 and got[2]["dup_ngram_frac"] == 0.0
+    # doc 3: dup grams 'a b c d'@1,6  'b c d e'@2,7 -> spans {1,2,6,7}
+    # union: 4 + min(4,1) + min(4,4) + min(4,1) = 10 of 11 tokens
+    assert got[3]["covered"] == 10 and got[3]["n_words"] == 11
