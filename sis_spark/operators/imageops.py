@@ -555,3 +555,84 @@ r AS (
 SELECT {id_col}, w, h, bucket, rk // {batch_size} AS batch,
        rk % {batch_size} AS slot
 FROM r"""
+
+
+# ---------------------------------------------------------------- dHash (difference hash)
+# The second perceptual-hash family next to phash: luma block-mean grid,
+# one bit per horizontally adjacent block comparison.  Grid 7 rows x 10
+# cols -> 7 * 9 = 63 bits, MSB-first, so the hash stays a non-negative
+# int64 in both engines (the repo-wide 63-bit hash convention).  Block
+# boundaries are the integer map bx = x*10 // w (NOT the resize kernel) so
+# the SQL oracle can replicate them with integer division alone.
+
+DHASH_ROWS, DHASH_COLS = 7, 10
+DHASH_SCHEMA = "image_id string, dhash long"
+
+
+def dhash(images: DataFrame) -> DataFrame:
+    """(image_id, dhash) — 63-bit difference hash over summed-luma blocks.
+
+    Decode + block sums + comparisons are one Arrow batch pass per image
+    (no shuffle); block sums of r+g+b stay exact int64."""
+    R, C = DHASH_ROWS, DHASH_COLS
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for iid, buf, fmt_ in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                arr = codec.decode(bytes(buf), fmt_).astype(np.int64)
+                if arr.shape[2] == 1:
+                    arr = np.repeat(arr, 3, axis=2)
+                luma = arr.sum(axis=2)
+                h, w = luma.shape
+                by = (np.arange(h) * R) // h
+                bx = (np.arange(w) * C) // w
+                idx = by[:, None] * C + bx[None, :]
+                s = np.bincount(
+                    idx.ravel(), weights=luma.ravel().astype(np.float64),
+                    minlength=R * C,
+                ).astype(np.int64).reshape(R, C)
+                bits = s[:, 1:] > s[:, :-1]          # (R, C-1)
+                weights = 1 << (62 - np.arange(R * (C - 1), dtype=np.int64))
+                rows.append({
+                    "image_id": iid,
+                    "dhash": int((bits.ravel() * weights).sum()),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(fn, schema=DHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------- color histogram
+HIST_BINS = 8
+HIST_SCHEMA = "image_id string, channel int, bin int, n long"
+
+
+def color_histogram(images: DataFrame, bins: int = HIST_BINS) -> DataFrame:
+    """Per-channel color histogram (``bins`` equal-width buckets of 0..255):
+    (image_id, channel, bin, n) with zero bins emitted, so every image
+    yields exactly 3*bins rows — the stable shape a downstream histogram
+    join or chi-square near-dup distance needs.  One Arrow pass, no shuffle."""
+    width = 256 // bins
+
+    def fn(batches):
+        for pdf in batches:
+            out = {"image_id": [], "channel": [], "bin": [], "n": []}
+            for iid, buf, fmt_ in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                arr = codec.decode(bytes(buf), fmt_)
+                if arr.shape[2] == 1:
+                    arr = np.repeat(arr, 3, axis=2)
+                for k in range(3):
+                    counts = np.bincount(
+                        (arr[:, :, k].astype(np.int64) // width).ravel(),
+                        minlength=bins,
+                    )
+                    out["image_id"].extend([iid] * bins)
+                    out["channel"].extend([k] * bins)
+                    out["bin"].extend(range(bins))
+                    out["n"].extend(int(c) for c in counts)
+            if out["image_id"]:
+                yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(fn, schema=HIST_SCHEMA)

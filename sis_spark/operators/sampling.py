@@ -95,3 +95,99 @@ def stratified_sample(
         cond = (F.col(strata_col) == F.lit(stratum)) & (u < F.lit(int(rate * _SCALE)))
         expr = cond if expr is None else expr | cond
     return df.filter(expr if expr is not None else F.lit(False))
+
+
+# ---------------------------------------------------------------- per-group caps / quantiles
+# The other half of corpus curation: C4/RefinedWeb-style "keep at most K
+# documents per domain" and exact per-group quantile reports for threshold
+# picking.  Same determinism contract as the split/sample functions above
+# (pure function of the row key, never of partitioning).
+
+def _hash_hex_sql(key_sql: str, dialect: str) -> str:
+    """md5 hex digest of the key rendered as text — identical 32-char hex in
+    Spark (md5 over BINARY) and DuckDB (md5 over VARCHAR)."""
+    if dialect == "spark":
+        return f"md5(CAST(CAST({key_sql} AS STRING) AS BINARY))"
+    return f"md5(CAST({key_sql} AS VARCHAR))"
+
+
+def group_cap(df: DataFrame, group_col: str, k: int, key_col: str) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen deterministically by the md5
+    of the row key (stable across re-runs, partitionings, cluster sizes).
+    The per-domain document cap of C4-style curation.
+
+    Output: input columns + ``grp_rank`` (1-based rank inside the group).
+    One shuffle (window over the group key); hot groups stream through the
+    rank — no group ever materializes in memory."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.expr(_hash_hex_sql(key_col, "spark")), key_col
+    )
+    return (
+        df.withColumn("grp_rank", F.row_number().over(w))
+        .filter(F.col("grp_rank") <= k)
+    )
+
+
+def group_cap_sql(k: int, group_col: str, key_col: str, rel: str = "documents",
+                  cols: str = "*") -> str:
+    h = _hash_hex_sql(key_col, "duckdb")
+    return f"""
+SELECT * FROM (
+  SELECT {cols},
+         CAST(row_number() OVER (PARTITION BY {group_col} ORDER BY {h}, {key_col}) AS BIGINT)
+           AS grp_rank
+  FROM {rel}) t
+WHERE grp_rank <= {k}"""
+
+
+def group_quantiles(df: DataFrame, group_col: str, value_col: str,
+                    qs=((1, 4), (1, 2), (3, 4), (9, 10))) -> DataFrame:
+    """Exact per-group quantiles of ``value_col``: the q = num/den quantile is
+    the element at 0-based index ``(n-1)*num DIV den`` of the group's sorted
+    multiset — pure integer index arithmetic, no FP-interpolation ambiguity.
+
+    Output: (group, q_num, q_den, q, value).  One shuffle on the group key
+    (rank + count share the window pass); the quantile spec joins as a
+    broadcast 4-row dimension so the ranked table is computed ONCE (a
+    per-quantile union would re-run the window per branch)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    ranked = df.select(group_col, value_col).withColumn(
+        "__rn", F.row_number().over(w) - 1
+    ).withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
+    spec = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(int(n), int(d)) for n, d in qs], "q_num int, q_den int"
+        )
+    )
+    return ranked.join(
+        spec, F.col("__rn") == F.expr("(__n - 1) * q_num DIV q_den")
+    ).select(
+        F.col(group_col),
+        "q_num",
+        "q_den",
+        (F.col("q_num") / F.col("q_den")).alias("q"),
+        F.col(value_col).alias("value"),
+    )
+
+
+def group_quantiles_sql(group_col: str, value_col: str, rel: str = "documents",
+                        qs=((1, 4), (1, 2), (3, 4), (9, 10))) -> str:
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT {group_col}, CAST({num} AS INTEGER) AS q_num,
+       CAST({den} AS INTEGER) AS q_den,
+       CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) AS q,
+       {value_col} AS value
+FROM r WHERE rn = ((n - 1) * {num}) // {den}"""
+        for num, den in qs
+    )
+    return f"""
+WITH r AS (
+  SELECT {group_col}, {value_col},
+         row_number() OVER (PARTITION BY {group_col} ORDER BY {value_col}) - 1 AS rn,
+         count(*) OVER (PARTITION BY {group_col}) AS n
+  FROM {rel})
+{arms}"""

@@ -590,3 +590,78 @@ SELECT base.{id_col}, n_words,
        COALESCE(covered, 0) AS covered,
        CAST(COALESCE(covered, 0) AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_ngram_frac
 FROM base LEFT JOIN cov USING ({id_col})"""
+
+
+# ---------------------------------------------------------------- tf-idf keyword extraction
+# Corpus-level term weighting: tfidf(term, doc) = tf * ln(N / df).  The
+# classic keyword-extraction / near-duplicate-features primitive; the df
+# table is the same shape as dup_ngram_coverage's gram counts (map-side
+# combined aggregation), and the ln() runs as SHARED expression text over
+# exact integers so both engines derive identical doubles.
+
+def _tfidf_expr() -> str:
+    return "CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"
+
+
+# Java Math.log and DuckDB's libm ln differ by 1 ulp on ~3% of inputs
+# (measured at the gate), so the EXPORTED score is floor-quantized at 1e6
+# with an irrational offset (bit-exactness playbook rule 3): a 1-ulp input
+# wobble (~2e-16 abs) flips the floor only within 2e-10 of a boundary.
+def _tfidf_q_expr() -> str:
+    return f"CAST(floor({_tfidf_expr()} * 1.0E6 + 0.12345678987) AS BIGINT)"
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Top-k terms per document by tf-idf: (doc_id, term, tf, df, n_docs,
+    tfidf, rank).  Ties broken by term text so the selection is total.
+
+    Scale shape: explode -> two keyed aggregations (term-frequency per doc,
+    document-frequency per term) -> equi-join on term (AQE broadcasts the
+    df side when the vocabulary is small) -> one window on the doc key.
+    N joins in as a broadcast single-row aggregate, never a collect."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.expr(_tfidf_expr()))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col, "term", "tf", "df", "n_docs",
+            F.expr(_tfidf_q_expr()).alias("tfidf_q"),
+            "rank",
+        )
+    )
+
+
+def tfidf_topk_sql(k: int = 3, rel: str = "documents", text: str = "text",
+                   id_col: str = "doc_id") -> str:
+    return f"""
+WITH words AS (
+  SELECT {id_col}, unnest(string_split({text}, ' ')) AS term FROM {rel}),
+tf AS (SELECT {id_col}, term, CAST(count(*) AS BIGINT) AS tf
+       FROM words GROUP BY {id_col}, term),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM {rel}),
+scored AS (
+  SELECT tf.{id_col}, tf.term, tf.tf, dft.df, n.n_docs,
+         {_tfidf_expr()} AS tfidf
+  FROM tf JOIN dft USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY {id_col} ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+  FROM scored)
+SELECT {id_col}, term, tf, df, n_docs,
+       {_tfidf_q_expr()} AS tfidf_q, rank
+FROM ranked WHERE rank <= {k}"""

@@ -5261,6 +5261,163 @@ def q_bpe_pair_counts_oracle():
     return pair_counts_sql(top=32)
 
 
+def q_group_cap(spark, sf_dir):
+    """Deterministic per-source document cap (sampling.group_cap): keep at
+    most 20 docs per source, chosen by md5(doc_id) — the C4-style per-domain
+    cap, stable across partitionings and re-runs.  One window shuffle."""
+    from .operators.sampling import group_cap
+
+    return group_cap(_read(spark, sf_dir, "documents"), "source", 20, "doc_id").orderBy(
+        "doc_id"
+    )
+
+
+def q_group_cap_oracle():
+    from .operators.sampling import group_cap_sql
+
+    return (
+        group_cap_sql(20, "source", "doc_id", cols="doc_id, text, lang, source, n_chars")
+        + " ORDER BY doc_id"
+    )
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 25% Bernoulli subsample (sampling.hash_sample, the
+    60-bit md5 uniform): a map-only codegen filter, zero shuffles —
+    rerun/append/partitioning-stable unlike DataFrame.sample."""
+    from .operators.sampling import hash_sample
+
+    return hash_sample(_read(spark, sf_dir, "documents"), 0.25, "doc_id").orderBy(
+        "doc_id"
+    )
+
+
+def q_hash_sample_oracle():
+    from .operators.sampling import _SCALE, hash_u60_sql
+
+    thr = int(0.25 * _SCALE)
+    return (
+        f"SELECT * FROM documents WHERE {hash_u60_sql('doc_id', 'sample')} < {thr} "
+        "ORDER BY doc_id"
+    )
+
+
+def q_group_quantiles(spark, sf_dir):
+    """Exact per-language quantiles of document length (sampling.
+    group_quantiles): element at integer index (n-1)*num DIV den of the
+    sorted multiset — no FP interpolation, one window shuffle."""
+    from .operators.sampling import group_quantiles
+
+    return group_quantiles(
+        _read(spark, sf_dir, "documents"), "lang", "n_chars"
+    ).orderBy("lang", "q_num", "q_den")
+
+
+def q_group_quantiles_oracle():
+    from .operators.sampling import group_quantiles_sql
+
+    return group_quantiles_sql("lang", "n_chars") + " ORDER BY lang, q_num, q_den"
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 terms per document by tf-idf (textops.tfidf_topk): corpus df
+    table + shared ln() expression text over exact integers; ties broken by
+    term so the selection is total."""
+    from .operators.textops import tfidf_topk
+
+    return tfidf_topk(_read(spark, sf_dir, "documents"), k=3).orderBy("doc_id", "rank")
+
+
+def q_tfidf_topk_oracle():
+    from .operators.textops import tfidf_topk_sql
+
+    return tfidf_topk_sql(k=3) + " ORDER BY doc_id, rank"
+
+
+def q_dhash(spark, sf_dir):
+    """63-bit difference hash over luma blocks (imageops.dhash), grid 7x10,
+    integer block boundaries bx = x*10 DIV w so the oracle replays them with
+    integer division over the formula pixels.  Lossy JPEG rows excluded."""
+    from .operators.imageops import dhash
+    from .sources.images import images_table
+
+    img = images_table(spark, N_GATE_FEATURE_IMAGES).filter(F.col("fmt") != "jpeg")
+    return dhash(img).orderBy("image_id")
+
+
+def q_dhash_oracle():
+    from .operators.imageops import DHASH_COLS, DHASH_ROWS
+    from .sources.images import SIZES
+
+    R, C = DHASH_ROWS, DHASH_COLS
+    size_case = lambda e: (
+        f"(CASE ({e}) % 3 WHEN 0 THEN {SIZES[0]} WHEN 1 THEN {SIZES[1]} ELSE {SIZES[2]} END)"
+    )
+    luma = (
+        "("
+        + " + ".join(f"((x.x * 3 + y.y * 7 + {k * 31} + d.i * 13) % 256)" for k in range(3))
+        + ")"
+    )
+    return f"""
+WITH dims AS (
+  SELECT i, {size_case('i')} AS w, {size_case('i // 3')} AS h
+  FROM generate_series(0, {N_GATE_FEATURE_IMAGES - 1}) t(i)
+  WHERE i % 3 <> 2),
+px AS (
+  SELECT d.i, (x.x * {C}) // d.w AS bx, (y.y * {R}) // d.h AS by, {luma} AS l
+  FROM dims d, generate_series(0, 63) x(x), generate_series(0, 63) y(y)
+  WHERE x.x < d.w AND y.y < d.h),
+bs AS (SELECT i, by, bx, CAST(sum(l) AS BIGINT) AS s FROM px GROUP BY i, by, bx),
+cmp AS (SELECT i, by, bx, s,
+               lead(s) OVER (PARTITION BY i, by ORDER BY bx) AS nxt
+        FROM bs),
+h AS (SELECT i, CAST(sum(CASE WHEN nxt > s
+                   THEN (CAST(1 AS BIGINT) << (62 - (by * {C - 1} + bx)))
+                   ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dhash
+      FROM cmp WHERE bx < {C - 1} GROUP BY i)
+SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id, dhash
+FROM h ORDER BY image_id"""
+
+
+def q_color_histogram(spark, sf_dir):
+    """Per-channel 8-bin color histograms (imageops.color_histogram), zero
+    bins emitted for a stable 24-rows-per-image shape.  JPEG rows excluded
+    (lossy pixels aren't SQL-replicable)."""
+    from .operators.imageops import color_histogram
+    from .sources.images import images_table
+
+    img = images_table(spark, N_GATE_FEATURE_IMAGES).filter(F.col("fmt") != "jpeg")
+    return color_histogram(img).orderBy("image_id", "channel", "bin")
+
+
+def q_color_histogram_oracle():
+    from .sources.images import SIZES
+
+    size_case = lambda e: (
+        f"(CASE ({e}) % 3 WHEN 0 THEN {SIZES[0]} WHEN 1 THEN {SIZES[1]} ELSE {SIZES[2]} END)"
+    )
+    return f"""
+WITH dims AS (
+  SELECT i, {size_case('i')} AS w, {size_case('i // 3')} AS h
+  FROM generate_series(0, {N_GATE_FEATURE_IMAGES - 1}) t(i)
+  WHERE i % 3 <> 2),
+px AS (
+  SELECT d.i, k.k AS k,
+         ((x.x * 3 + y.y * 7 + k.k * 31 + d.i * 13) % 256) // 32 AS bin
+  FROM dims d, generate_series(0, 2) k(k),
+       generate_series(0, 63) x(x), generate_series(0, 63) y(y)
+  WHERE x.x < d.w AND y.y < d.h),
+c AS (SELECT i, k, bin, CAST(count(*) AS BIGINT) AS n FROM px GROUP BY i, k, bin)
+SELECT 'img-' || lpad(CAST(d.i AS VARCHAR), 12, '0') AS image_id,
+       CAST(k.k AS INTEGER) AS channel, CAST(b.b AS INTEGER) AS bin,
+       COALESCE(c.n, 0) AS n
+FROM dims d
+CROSS JOIN generate_series(0, 2) k(k)
+CROSS JOIN generate_series(0, 7) b(b)
+LEFT JOIN c ON c.i = d.i AND c.k = k.k AND c.bin = b.b
+ORDER BY image_id, channel, bin"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -5382,4 +5539,10 @@ QUERIES = {
     "image_quality": (q_image_quality, q_image_quality_oracle),
     "caption_alignment": (q_caption_alignment, q_caption_alignment_oracle),
     "dup_ngram_coverage": (q_dup_ngram_coverage, q_dup_ngram_coverage_oracle),
+    "group_cap": (q_group_cap, q_group_cap_oracle),
+    "hash_sample": (q_hash_sample, q_hash_sample_oracle),
+    "group_quantiles": (q_group_quantiles, q_group_quantiles_oracle),
+    "tfidf_topk": (q_tfidf_topk, q_tfidf_topk_oracle),
+    "dhash": (q_dhash, q_dhash_oracle),
+    "color_histogram": (q_color_histogram, q_color_histogram_oracle),
 }

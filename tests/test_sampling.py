@@ -50,3 +50,134 @@ def test_stratified_rates(spark):
     # unconfigured strata drop entirely
     none = stratified_sample(df, {"fr": 1.0}, "lang", "k")
     assert none.count() == 0
+
+
+def test_group_cap_deterministic_and_partition_invariant(spark):
+    import hashlib
+
+    import pandas as pd
+
+    from sis_spark.operators.sampling import group_cap
+
+    pdf = pd.DataFrame({"doc_id": range(200), "grp": [f"g{i % 3}" for i in range(200)]})
+    docs = spark.createDataFrame(pdf)
+    a = group_cap(docs, "grp", 5, "doc_id")
+    b = group_cap(docs.repartition(13), "grp", 5, "doc_id")
+    ra = sorted((r["grp"], r["doc_id"]) for r in a.collect())
+    rb = sorted((r["grp"], r["doc_id"]) for r in b.collect())
+    assert ra == rb
+    per = {}
+    for g, i in ra:
+        per.setdefault(g, []).append(i)
+    want = {}
+    for i in range(200):
+        g = f"g{i % 3}"
+        want.setdefault(g, []).append((hashlib.md5(str(i).encode()).hexdigest(), i))
+    for g, pairs in want.items():
+        assert per[g] == sorted(i for _, i in sorted(pairs)[:5])
+
+
+def test_group_quantiles_exact_indices(spark):
+    import pandas as pd
+
+    from sis_spark.operators.sampling import group_quantiles
+
+    pdf = pd.DataFrame(
+        {
+            "grp": [f"g{i % 3}" for i in range(200)],
+            "val": [(i * 37) % 100 for i in range(200)],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    got = group_quantiles(docs, "grp", "val", qs=[(1, 2), (9, 10)])
+    rows = {(r["grp"], r["q_num"], r["q_den"]): r["value"] for r in got.collect()}
+    for g in ("g0", "g1", "g2"):
+        vals = sorted((i * 37) % 100 for i in range(200) if f"g{i % 3}" == g)
+        n = len(vals)
+        assert rows[(g, 1, 2)] == vals[(n - 1) * 1 // 2]
+        assert rows[(g, 9, 10)] == vals[(n - 1) * 9 // 10]
+
+
+def test_hash_sample_plan_is_map_only(spark):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    got = hash_sample(df, 0.25, "k")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffles: scan + codegen filter only
+
+
+def test_tfidf_topk_matches_python(spark):
+    import math
+
+    import pandas as pd
+
+    from sis_spark.operators.textops import tfidf_topk
+
+    texts = {
+        0: "apple banana apple cherry",
+        1: "banana banana durian",
+        2: "cherry apple cherry cherry",
+        3: "durian elder fig fig",
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = {}
+    for r in tfidf_topk(docs, k=2).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tf"], r["df"]))
+    tf = {(d, t): texts[d].split().count(t) for d in texts for t in set(texts[d].split())}
+    df = {}
+    for (d, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    n = len(texts)
+    for d in texts:
+        scored = sorted(
+            ((tf[(d, t)] * math.log(n / df[t]), t) for t in set(texts[d].split())),
+            key=lambda s: (-s[0], s[1]),
+        )[:2]
+        want = [(rk + 1, t, tf[(d, t)], df[t]) for rk, (_, t) in enumerate(scored)]
+        assert sorted(got[d]) == want
+
+
+def test_dhash_matches_numpy_replica(spark):
+    import numpy as np
+
+    from sis_spark.operators.imageops import DHASH_COLS, DHASH_ROWS, dhash
+    from sis_spark.raster import codec
+    from sis_spark.sources.images import images_table
+
+    img = images_table(spark, 24).filter("fmt <> 'jpeg'")
+    rows = img.select("image_id", "bytes", "fmt").collect()
+    got = {r["image_id"]: r["dhash"] for r in dhash(img).collect()}
+    R, C = DHASH_ROWS, DHASH_COLS
+    for r in rows:
+        arr = codec.decode(bytes(r["bytes"]), r["fmt"]).astype(np.int64)
+        luma = arr.sum(axis=2)
+        h, w = luma.shape
+        s = np.zeros((R, C), np.int64)
+        for y in range(h):
+            for x in range(w):
+                s[(y * R) // h, (x * C) // w] += luma[y, x]
+        bits = 0
+        for rr in range(R):
+            for cc in range(C - 1):
+                if s[rr, cc + 1] > s[rr, cc]:
+                    bits |= 1 << (62 - (rr * (C - 1) + cc))
+        assert got[r["image_id"]] == bits
+        assert 0 <= got[r["image_id"]] < (1 << 63)
+
+
+def test_color_histogram_counts_sum_to_pixels(spark):
+    from sis_spark.operators.imageops import color_histogram
+    from sis_spark.sources.images import images_table
+
+    img = images_table(spark, 12).filter("fmt <> 'jpeg'")
+    hist = color_histogram(img)
+    per = (
+        hist.groupBy("image_id", "channel")
+        .sum("n")
+        .withColumnRenamed("sum(n)", "total")
+    )
+    dims = {r["image_id"]: r["w"] * r["h"] for r in img.select("image_id", "w", "h").collect()}
+    for r in per.collect():
+        assert r["total"] == dims[r["image_id"]]
+    assert hist.count() == len(dims) * 24
