@@ -1,0 +1,153 @@
+"""Distributed second-moment statistics and PCA over an embedding column.
+
+The dimensionality-reduction half of an embedding pipeline (whitening /
+compaction before near-dup detection or ANN indexing): one Arrow-batched
+pass accumulates exact integer first/second moments of the 1e7-quantized
+vectors (ann.py's QUANT convention — floor is identical in numpy and SQL,
+and integer sums are order-independent, so the result is bit-stable under
+any partitioning); the tiny d x d eigenproblem is solved once driver-side
+and the projection runs as a broadcast matmul per Arrow batch.
+
+Scale shape: moments = map-side partials (one emitted row group per Arrow
+batch, d*(d+3)/2 + 1 rows) + one keyed aggregation — the classic
+tree-aggregate second-moment pattern; nothing is ever collected except the
+d x d matrix itself.  Overflow bound: |q| <= QUANT, so a pair-product sum
+stays inside int64 up to ~9e18 / 1e14 = 9e4 rows per POPULATION at full
+magnitude; real unit-norm embeddings (|x| ~ 0.1) give ~1e12 rows of
+headroom — beyond that, raise the aggregation tree (partial sums per
+partition stay exact; only the final combine needs widening).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ann import QUANT, quantize_np
+
+MOMENT_SCHEMA = "i int, j int, v long"
+
+
+def _moment_partials(vec_col: str):
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = quantize_np(np.stack(pdf[vec_col].to_numpy()))
+            d = q.shape[1]
+            s = q.sum(axis=0)
+            p = q.T @ q  # exact: int64 matmul
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame({
+                "i": np.concatenate(([-1], np.arange(d), iu)).astype(np.int32),
+                "j": np.concatenate(([-1], np.full(d, -1), ju)).astype(np.int32),
+                "v": np.concatenate(([len(pdf)], s, p[iu, ju])),
+            })
+
+    return fn
+
+
+def _cov_expr() -> str:
+    """Shared Spark/DuckDB expression: covariance of quantized dims i, j from
+    exact integer sums — identical association order both engines."""
+    return (
+        "(CAST(sp AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) "
+        "/ CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)"
+    )
+
+
+def embedding_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Exact covariance statistics of the quantized embedding dims:
+    (i, j, n, si, sj, sp, cov) for every i <= j pair.
+
+    One mapInPandas partial pass (a few thousand tiny rows per Arrow batch)
+    -> one groupBy(i, j) sum -> broadcast self-join to attach the linear
+    sums.  All integers exact; the derived double is shared expression
+    text."""
+    parts = emb.select(vec_col).mapInPandas(
+        _moment_partials(vec_col), schema=MOMENT_SCHEMA
+    )
+    tot = parts.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    n = tot.filter("i = -1 AND j = -1").select(F.col("v").alias("n"))
+    lin = tot.filter("i >= 0 AND j = -1").select(
+        F.col("i").alias("d"), F.col("v").alias("s")
+    )
+    pairs = tot.filter("j >= 0").select("i", "j", F.col("v").alias("sp"))
+    out = (
+        pairs.join(F.broadcast(lin).withColumnRenamed("d", "i")
+                   .withColumnRenamed("s", "si"), "i")
+        .join(F.broadcast(lin).withColumnRenamed("d", "j")
+              .withColumnRenamed("s", "sj"), "j")
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        "i", "j", "n", "si", "sj", "sp", F.expr(_cov_expr()).alias("cov")
+    )
+
+
+def embedding_covariance_sql(rel: str = "embeddings", vec_col: str = "embedding") -> str:
+    """DuckDB twin: lateral-index pair join over the same quantized integers
+    (0-based dims to match numpy; DuckDB arrays are 1-based)."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+         CAST(floor(CAST({vec_col}[t.i + 1] AS DOUBLE) * {QUANT:.1f}) AS BIGINT) AS q
+  FROM {rel}, UNNEST(range(0, len({vec_col}))) AS t(i)),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {rel}),
+lin AS (SELECT i AS d, CAST(sum(q) AS BIGINT) AS s FROM e GROUP BY i),
+p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS sp
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i)
+SELECT p.i, p.j, n.n, la.s AS si, lb.s AS sj, p.sp,
+       {_cov_expr()} AS cov
+FROM p JOIN lin la ON la.d = p.i JOIN lin lb ON lb.d = p.j CROSS JOIN n"""
+
+
+def fit_pca(emb: DataFrame, k: int, vec_col: str = "embedding"):
+    """Fit a k-component PCA from the distributed covariance: the d x d
+    matrix is the ONLY thing brought to the driver (the classic reduced-
+    problem pattern); eigen-decomposition is numpy on d x d.
+
+    Returns (components[k, d], eigenvalues[k], mean[d]) in the ORIGINAL
+    float scale.  Components are sign-canonicalized (largest-|coef| entry
+    positive) so the fit is deterministic."""
+    rows = embedding_covariance(emb, vec_col).collect()
+    d = max(r["j"] for r in rows) + 1
+    cov = np.zeros((d, d))
+    mean_q = np.zeros(d)
+    n = rows[0]["n"]
+    for r in rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+        mean_q[r["i"]] = r["si"] / n
+    w, v = np.linalg.eigh(cov)           # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T                 # (k, d)
+    flip = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    return comps, w[order] / (QUANT * QUANT), mean_q / QUANT
+
+
+def pca_project(emb: DataFrame, components: np.ndarray, mean: np.ndarray,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Project embeddings onto fitted components: (id, proj array<double>).
+    Broadcast matmul per Arrow batch — embarrassingly parallel."""
+    comps = np.ascontiguousarray(components, dtype=np.float64)
+    mu = np.ascontiguousarray(mean, dtype=np.float64)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) - mu
+            proj = x @ comps.T
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "proj": list(proj),
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        fn, schema=f"{id_col} long, proj array<double>"
+    )

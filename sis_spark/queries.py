@@ -5418,6 +5418,22 @@ LEFT JOIN c ON c.i = d.i AND c.k = k.k AND c.bin = b.b
 ORDER BY image_id, channel, bin"""
 
 
+def q_embedding_covariance(spark, sf_dir):
+    """Exact distributed covariance of the quantized embedding dims
+    (embeddings.embedding_covariance): map-side integer moment partials +
+    one keyed aggregation — the tree-aggregate second-moment pattern that
+    feeds PCA/whitening.  2,080 pair rows for d=64."""
+    from .operators.embeddings import embedding_covariance
+
+    return embedding_covariance(_read(spark, sf_dir, "embeddings")).orderBy("i", "j")
+
+
+def q_embedding_covariance_oracle():
+    from .operators.embeddings import embedding_covariance_sql
+
+    return embedding_covariance_sql() + " ORDER BY i, j"
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -5545,4 +5561,5 @@ QUERIES = {
     "tfidf_topk": (q_tfidf_topk, q_tfidf_topk_oracle),
     "dhash": (q_dhash, q_dhash_oracle),
     "color_histogram": (q_color_histogram, q_color_histogram_oracle),
+    "embedding_covariance": (q_embedding_covariance, q_embedding_covariance_oracle),
 }

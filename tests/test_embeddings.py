@@ -1,0 +1,72 @@
+"""Distributed covariance + PCA (operators/embeddings.py): numpy
+differentials, partitioning invariance, projection fidelity."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sis_spark.operators.ann import quantize_np
+from sis_spark.operators.embeddings import (
+    embedding_covariance,
+    fit_pca,
+    pca_project,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    # anisotropic cloud so PCA has a meaningful axis ordering
+    base = rng.randn(300, 8) * np.array([5, 3, 2, 1, 0.5, 0.3, 0.2, 0.1])
+    mix = rng.randn(8, 8)
+    vecs = (base @ mix * 0.01).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(300), "embedding": list(vecs)})
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_covariance_matches_numpy(emb):
+    df, vecs = emb
+    got = {(r["i"], r["j"]): r for r in embedding_covariance(df).collect()}
+    q = quantize_np(vecs)
+    n = len(q)
+    s = q.sum(axis=0)
+    p = q.T.astype(object) @ q.astype(object)  # exact big-int reference
+    for (i, j), r in got.items():
+        assert r["n"] == n
+        assert r["si"] == s[i] and r["sj"] == s[j]
+        assert r["sp"] == int(p[i, j])
+        want = (float(p[i, j]) - float(s[i]) * float(s[j]) / n) / n
+        assert r["cov"] == pytest.approx(want, rel=1e-12)
+    assert len(got) == 8 * 9 // 2
+
+
+def test_covariance_partition_invariant(emb):
+    df, _ = emb
+    a = sorted(map(tuple, embedding_covariance(df).collect()))
+    b = sorted(map(tuple, embedding_covariance(df.repartition(13)).collect()))
+    assert a == b  # integer sums are order-independent; doubles shared-expr
+
+
+def test_pca_matches_numpy_reference(emb):
+    df, vecs = emb
+    comps, evals, mean = fit_pca(df, k=3)
+    x = vecs.astype(np.float64)
+    xc = x - x.mean(axis=0)
+    cov = xc.T @ xc / len(x)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:3]
+    # eigenvalues match the float-exact reference to quantization error
+    assert np.allclose(evals, w[order], rtol=1e-4, atol=1e-12)
+    # components span the same subspace (compare |cosine| to 1 per axis)
+    for k in range(3):
+        cos = abs(float(comps[k] @ v[:, order[k]]))
+        assert cos > 0.9999
+    # projection: distributed result == numpy projection of the same rows
+    proj = {r["vec_id"]: np.array(r["proj"]) for r in pca_project(df, comps, mean).collect()}
+    ref = (x - mean) @ comps.T
+    for i in range(0, 300, 37):
+        assert np.allclose(proj[i], ref[i], atol=1e-9)
+    # variance along component 0 >= component 1 >= component 2
+    pm = np.stack([proj[i] for i in range(300)])
+    var = pm.var(axis=0)
+    assert var[0] >= var[1] >= var[2]
