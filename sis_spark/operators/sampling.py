@@ -191,3 +191,91 @@ WITH r AS (
          count(*) OVER (PARTITION BY {group_col}) AS n
   FROM {rel})
 {arms}"""
+
+
+# ---------------------------------------------------------------- training order / mixing
+def shuffle_assign(df: DataFrame, shards: int, key_col: str,
+                   salt: str = "shuffle") -> DataFrame:
+    """Deterministic global training order WITHOUT a global sort: shard =
+    u60(key) % shards (a map-only codegen column), position = rank of
+    u60 within the shard.  The concatenation (shard, pos) is a uniform
+    reproducible permutation of the corpus — rerun/partitioning-stable,
+    and the only shuffle is the per-shard window (each shard sorts
+    independently; no single-task global ORDER BY bottleneck at 100 TB).
+
+    Output: input columns + (shard int, pos long)."""
+    from pyspark.sql import Window
+
+    u = hash_u60(F.col(key_col), salt)
+    with_shard = df.withColumn("shard", (u % shards).cast("int")).withColumn("__u", u)
+    w = Window.partitionBy("shard").orderBy("__u", key_col)
+    return (
+        with_shard.withColumn("pos", F.row_number().over(w).cast("long") - 1)
+        .drop("__u")
+    )
+
+
+def shuffle_assign_sql(shards: int, key_col: str, rel: str = "documents",
+                       salt: str = "shuffle", cols: str = "*") -> str:
+    u = hash_u60_sql(key_col, salt)
+    return f"""
+SELECT {cols},
+       CAST(({u}) % {shards} AS INTEGER) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY ({u}) % {shards} ORDER BY {u}, {key_col}) AS BIGINT) - 1 AS pos
+FROM {rel}"""
+
+
+def mixture_rates(df: DataFrame, source_col: str, weights: dict[str, int]) -> DataFrame:
+    """Data-mixing rate computation (the Pile/Dolma source-weighting step):
+    given INTEGER target proportions ``weights`` (source -> parts; the
+    denominator is their sum), find the largest total corpus size T
+    achievable without upsampling any source, and the per-source keep
+    rates that realize it.
+
+    All sizing is integer arithmetic (T = min_s floor(n_s * W / w_s),
+    target_n_s = T * w_s DIV W), so both engines agree bit-exactly; only
+    the final convenience ``rate`` is an int/int double.
+
+    Output: (source, n, weight, target_n, rate).  One groupBy + a
+    broadcast weights dimension + a single-row broadcast min — nothing
+    driver-side."""
+    wsum = sum(weights.values())
+    spark = df.sparkSession
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(s, int(w)) for s, w in weights.items()], f"{source_col} string, weight int"
+        )
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).join(
+        wdf, source_col
+    )
+    t = counts.agg(
+        F.min(F.expr(f"n * {wsum} DIV weight")).alias("t")
+    )
+    return (
+        counts.crossJoin(F.broadcast(t))
+        .select(
+            source_col,
+            "n",
+            "weight",
+            F.expr(f"t * weight DIV {wsum}").alias("target_n"),
+            F.expr("CAST(t * weight DIV " + str(wsum) + " AS DOUBLE) / CAST(n AS DOUBLE)").alias("rate"),
+        )
+    )
+
+
+def mixture_rates_sql(source_col: str, weights: dict[str, int],
+                      rel: str = "documents") -> str:
+    wsum = sum(weights.values())
+    vals = ", ".join(f"('{s}', {int(w)})" for s, w in weights.items())
+    return f"""
+WITH wts({source_col}, weight) AS (VALUES {vals}),
+c AS (SELECT {source_col}, CAST(count(*) AS BIGINT) AS n
+      FROM {rel} GROUP BY {source_col}),
+cw AS (SELECT c.{source_col}, c.n, wts.weight FROM c JOIN wts USING ({source_col})),
+t AS (SELECT CAST(min((n * {wsum}) // weight) AS BIGINT) AS t FROM cw)
+SELECT {source_col}, n, weight,
+       CAST((t * weight) // {wsum} AS BIGINT) AS target_n,
+       CAST((t * weight) // {wsum} AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+FROM cw CROSS JOIN t"""

@@ -5434,6 +5434,155 @@ def q_embedding_covariance_oracle():
     return embedding_covariance_sql() + " ORDER BY i, j"
 
 
+def q_shuffle_assign(spark, sf_dir):
+    """Deterministic global training order (sampling.shuffle_assign): shard
+    by the 60-bit hash, rank within shard — a reproducible permutation with
+    no single-task global sort."""
+    from .operators.sampling import shuffle_assign
+
+    return shuffle_assign(_read(spark, sf_dir, "documents"), 8, "doc_id").orderBy(
+        "doc_id"
+    )
+
+
+def q_shuffle_assign_oracle():
+    from .operators.sampling import shuffle_assign_sql
+
+    return (
+        shuffle_assign_sql(8, "doc_id", cols="doc_id, text, lang, source, n_chars")
+        + " ORDER BY doc_id"
+    )
+
+
+MIX_WEIGHTS = {"en": 5, "de": 2, "es": 1, "fr": 1, "zh": 1}
+
+
+def q_mixture_rates(spark, sf_dir):
+    """Data-mixing rate computation (sampling.mixture_rates): integer target
+    proportions -> largest no-upsampling total + per-language keep rates,
+    all integer arithmetic until the final rate."""
+    from .operators.sampling import mixture_rates
+
+    return mixture_rates(_read(spark, sf_dir, "documents"), "lang", MIX_WEIGHTS).orderBy(
+        "lang"
+    )
+
+
+def q_mixture_rates_oracle():
+    from .operators.sampling import mixture_rates_sql
+
+    return mixture_rates_sql("lang", MIX_WEIGHTS) + " ORDER BY lang"
+
+
+RAST_W, RAST_H, RAST_TS = 256, 192, 64
+RAST_N_RECTS = 24
+
+
+def _rasterize_rects():
+    """Deterministic dyadic rectangles (corners at odd/32 offsets, widths
+    even/32) on the [-10, -6] x [2, 5] grid: pixel centers sit at odd/128
+    offsets, so center-vs-edge comparisons are exact in BOTH engines (the
+    vector_tiles_poly dyadic trick applied to rasterization)."""
+    rects = []
+    for r in range(RAST_N_RECTS):
+        xk = 2 * ((r * 7) % 60) + 1
+        wk = 2 * ((r * 3) % 20) + 2
+        yk = 2 * ((r * 11) % 44) + 1
+        hk = 2 * ((r * 5) % 16) + 2
+        rects.append({
+            "key": r + 1,
+            "xmin": -10.0 + xk / 32.0,
+            "xmax": -10.0 + (xk + wk) / 32.0,
+            "ymax": 5.0 - yk / 32.0,
+            "ymin": 5.0 - (yk + hk) / 32.0,
+        })
+    return rects
+
+
+def _rasterize_gg():
+    from .raster.grid import GridGeometry
+
+    return GridGeometry(
+        (0, 0, RAST_W - 1, RAST_H - 1),
+        (1.0 / 64.0, 0.0, -10.0, 0.0, -1.0 / 64.0, 5.0),
+    )
+
+
+def q_rasterize(spark, sf_dir):
+    """Distributed vector->raster label burn (tiles.rasterize_polygons):
+    polygon table -> envelope->tile explode -> per-tile CELL_CENTER PIP
+    burn, max key wins.  Gate output: per-tile position-weighted int64
+    checksums of the label raster, dense over the full tile grid."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .functions.geometry import wkb_polygon
+    from .raster.tiles import rasterize_polygons
+
+    rects = _rasterize_rects()
+    pdf = _pd.DataFrame({
+        "key": [r["key"] for r in rects],
+        "wkb": [
+            wkb_polygon([(
+                _np.array([r["xmin"], r["xmax"], r["xmax"], r["xmin"]]),
+                _np.array([r["ymin"], r["ymin"], r["ymax"], r["ymax"]]),
+            )])
+            for r in rects
+        ],
+    })
+    polys = spark.createDataFrame(pdf, schema="key long, wkb binary")
+    tiles = rasterize_polygons(polys, _rasterize_gg(), tile_size=RAST_TS)
+
+    TS, W = RAST_TS, RAST_W
+
+    def cs(batches):
+        for p in batches:
+            rows = []
+            for tx, ty, data in zip(p["tx"], p["ty"], p["data"]):
+                lab = _np.frombuffer(data, _np.int32).reshape(TS, TS).astype(_np.int64)
+                px = int(tx) * TS + _np.arange(TS)[None, :]
+                py = int(ty) * TS + _np.arange(TS)[:, None]
+                wt = ((py * W + px) % 9973 + 1).astype(_np.int64)
+                rows.append({"tx": int(tx), "ty": int(ty), "cs": int((lab * wt).sum())})
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    sums = tiles.mapInPandas(cs, schema="tx long, ty long, cs long")
+    nx, ny = RAST_W // TS, RAST_H // TS
+    grid = spark.range(nx).withColumnRenamed("id", "tx").crossJoin(
+        spark.range(ny).withColumnRenamed("id", "ty")
+    )
+    return (
+        grid.join(sums, ["tx", "ty"], "left")
+        .select("tx", "ty", F.coalesce(F.col("cs"), F.lit(0)).alias("cs"))
+        .orderBy("ty", "tx")
+    )
+
+
+def q_rasterize_oracle():
+    vals = ",\n  ".join(
+        f"({r['key']}, {r['xmin']!r}E0, {r['xmax']!r}E0, {r['ymin']!r}E0, {r['ymax']!r}E0)"
+        for r in _rasterize_rects()
+    )
+    return f"""
+WITH rects(key, xmin, xmax, ymin, ymax) AS (VALUES
+  {vals}),
+px AS (
+  SELECT x.x AS px, y.y AS py,
+         CAST(2 * x.x + 1 AS DOUBLE) / 128.0E0 - 10.0E0 AS cx,
+         5.0E0 - CAST(2 * y.y + 1 AS DOUBLE) / 128.0E0 AS cy
+  FROM generate_series(0, {RAST_W - 1}) x(x), generate_series(0, {RAST_H - 1}) y(y)),
+lab AS (
+  SELECT px, py,
+         COALESCE((SELECT max(r.key) FROM rects r
+                   WHERE px.cx > r.xmin AND px.cx < r.xmax
+                     AND px.cy > r.ymin AND px.cy < r.ymax), 0) AS label
+  FROM px)
+SELECT CAST(px // {RAST_TS} AS BIGINT) AS tx, CAST(py // {RAST_TS} AS BIGINT) AS ty,
+       CAST(sum(CAST(label AS BIGINT) * ((py * {RAST_W} + px) % 9973 + 1)) AS BIGINT) AS cs
+FROM lab GROUP BY 1, 2 ORDER BY ty, tx"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -5562,4 +5711,7 @@ QUERIES = {
     "dhash": (q_dhash, q_dhash_oracle),
     "color_histogram": (q_color_histogram, q_color_histogram_oracle),
     "embedding_covariance": (q_embedding_covariance, q_embedding_covariance_oracle),
+    "shuffle_assign": (q_shuffle_assign, q_shuffle_assign_oracle),
+    "mixture_rates": (q_mixture_rates, q_mixture_rates_oracle),
+    "rasterize": (q_rasterize, q_rasterize_oracle),
 }

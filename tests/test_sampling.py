@@ -181,3 +181,41 @@ def test_color_histogram_counts_sum_to_pixels(spark):
     for r in per.collect():
         assert r["total"] == dims[r["image_id"]]
     assert hist.count() == len(dims) * 24
+
+
+def test_shuffle_assign_is_permutation_and_stable(spark):
+    from sis_spark.operators.sampling import shuffle_assign
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    a = shuffle_assign(df, 4, "k")
+    rows = [(r["shard"], r["pos"], r["k"]) for r in a.collect()]
+    # (shard, pos) is a bijection: positions 0..n_shard-1 within each shard
+    per = {}
+    for s, p, k in rows:
+        per.setdefault(s, []).append(p)
+    assert sum(len(v) for v in per.values()) == 500
+    for s, ps in per.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # partitioning invariance
+    b = {(r["shard"], r["pos"]): r["k"]
+         for r in shuffle_assign(df.repartition(11), 4, "k").collect()}
+    assert b == {(s, p): k for s, p, k in rows}
+
+
+def test_mixture_rates_no_upsampling_and_proportions(spark):
+    import pandas as pd
+
+    from sis_spark.operators.sampling import mixture_rates
+
+    pdf = pd.DataFrame({
+        "doc_id": range(100),
+        "src": ["a"] * 60 + ["b"] * 30 + ["c"] * 10,
+    })
+    df = spark.createDataFrame(pdf)
+    got = {r["src"]: r for r in mixture_rates(df, "src", {"a": 1, "b": 1, "c": 2}).collect()}
+    # c is the binding source: T = min(60*4//1, 30*4//1, 10*4//2) = 20
+    assert got["a"]["target_n"] == 5 and got["b"]["target_n"] == 5
+    assert got["c"]["target_n"] == 10
+    for r in got.values():
+        assert r["target_n"] <= r["n"]          # never upsample
+        assert r["rate"] == r["target_n"] / r["n"]
