@@ -665,3 +665,49 @@ ranked AS (
 SELECT {id_col}, term, tf, df, n_docs,
        {_tfidf_q_expr()} AS tfidf_q, rank
 FROM ranked WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------- PII redaction
+# Training-corpus scrubbing: emails / IPv4 / international phone numbers
+# replaced by typed tokens, with pre-redaction match counts for audit
+# metrics.  Patterns are deliberately restricted to the regex subset whose
+# semantics are IDENTICAL in Java regex (Spark codegen) and RE2 (DuckDB):
+# ASCII classes, bounded quantifiers, \d, \b — no lookaround, no lazy
+# quantifiers, no unicode classes.  Pure JVM regexp_replace/regexp_count —
+# zero shuffles, the map-only scan-cost shape a 100 TB scrub needs.
+
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}\b", "<PHONE>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(id, n_email, n_ip, n_phone, redacted): counts measured on the
+    original text, then patterns applied in declaration order (email first:
+    an address would otherwise lose its host to the IP rule)."""
+    out = docs.select(
+        F.col(id_col),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ],
+        F.col(text_col).alias("redacted"),
+    )
+    for _, pat, tok in PII_PATTERNS:
+        out = out.withColumn("redacted", F.regexp_replace("redacted", pat, tok))
+    return out
+
+
+def redact_pii_sql(rel: str = "documents", text: str = "text",
+                   id_col: str = "doc_id") -> str:
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all({text}, '{pat}')) AS INTEGER) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = text
+    for _, pat, tok in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return f"SELECT {id_col}, {counts}, {red} AS redacted FROM {rel}"

@@ -5583,6 +5583,43 @@ SELECT CAST(px // {RAST_TS} AS BIGINT) AS tx, CAST(py // {RAST_TS} AS BIGINT) AS
 FROM lab GROUP BY 1, 2 ORDER BY ty, tx"""
 
 
+def _pii_aug_sql(dialect: str) -> str:
+    """Shared augmentation: inject deterministic emails/IPs/phones into the
+    synthetic docs (they contain none) — identical string construction in
+    both dialects (only the cast keyword differs)."""
+    s = lambda e: (
+        f"CAST({e} AS STRING)" if dialect == "spark" else f"CAST({e} AS VARCHAR)"
+    )
+    return (
+        "text"
+        f" || (CASE WHEN doc_id % 3 = 0 THEN ' mail user' || {s('doc_id')}"
+        f" || '@ex' || {s('doc_id % 7')} || '.org' ELSE '' END)"
+        f" || (CASE WHEN doc_id % 4 = 0 THEN ' ip 10.' || {s('doc_id % 256')}"
+        f" || '.0.' || {s('doc_id % 100')} ELSE '' END)"
+        f" || (CASE WHEN doc_id % 5 = 0 THEN ' tel +14155550' || {s('doc_id % 90 + 10')}"
+        " ELSE '' END)"
+    )
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII redaction (textops.redact_pii): email/IPv4/phone patterns from
+    the Java-regex ∩ RE2 identical-semantics subset, applied in order, with
+    pre-redaction audit counts — map-only codegen, zero shuffles."""
+    from .operators.textops import redact_pii
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_pii_aug_sql("spark")).alias("text")
+    )
+    return redact_pii(docs).orderBy("doc_id")
+
+
+def q_redact_pii_oracle():
+    from .operators.textops import redact_pii_sql
+
+    inner = f"(SELECT doc_id, {_pii_aug_sql('duckdb')} AS text FROM documents) aug"
+    return redact_pii_sql(rel=inner) + " ORDER BY doc_id"
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -5714,4 +5751,5 @@ QUERIES = {
     "shuffle_assign": (q_shuffle_assign, q_shuffle_assign_oracle),
     "mixture_rates": (q_mixture_rates, q_mixture_rates_oracle),
     "rasterize": (q_rasterize, q_rasterize_oracle),
+    "redact_pii": (q_redact_pii, q_redact_pii_oracle),
 }

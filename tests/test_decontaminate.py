@@ -170,3 +170,43 @@ def test_dup_ngram_coverage_known_values(spark):
     # doc 3: dup grams 'a b c d'@1,6  'b c d e'@2,7 -> spans {1,2,6,7}
     # union: 4 + min(4,1) + min(4,4) + min(4,1) = 10 of 11 tokens
     assert got[3]["covered"] == 10 and got[3]["n_words"] == 11
+
+
+def test_redact_pii_known_values(spark):
+    """Hand-checked redactions: ordering (email before IP), counts, and
+    non-PII text untouched."""
+    import pandas as pd
+
+    from sis_spark.operators.textops import redact_pii
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "reach me at bob.smith+x@sub.example.org today",
+                "server 192.168.1.254 and 10.0.0.1 are up",
+                "call +4915123456789 now or visit 1.2.3.4",
+                "no pii here just words and 42 numbers",
+            ],
+        })
+    )
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[0]["n_email"] == 1 and got[0]["redacted"] == "reach me at <EMAIL> today"
+    assert got[1]["n_ip"] == 2
+    assert got[1]["redacted"] == "server <IP> and <IP> are up"
+    assert got[2]["n_phone"] == 1 and got[2]["n_ip"] == 1
+    assert got[2]["redacted"] == "call <PHONE> now or visit <IP>"
+    assert got[3]["redacted"] == "no pii here just words and 42 numbers"
+    assert (got[3]["n_email"], got[3]["n_ip"], got[3]["n_phone"]) == (0, 0, 0)
+
+
+def test_redact_pii_plan_is_map_only(spark):
+    import pandas as pd
+
+    from sis_spark.operators.textops import redact_pii
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["x"]})
+    )
+    plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
