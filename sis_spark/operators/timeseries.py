@@ -242,3 +242,80 @@ def session_stats(
             *aggs,
         )
     )
+
+
+# ---------------------------------------------------------------- time windows (batch)
+# The batch twins of Structured Streaming's tumbling/sliding windows
+# (F.window): event-time bucketing aggregations.  Timestamps are
+# microsecond-integer epochs in both engines, so bucket boundaries are
+# exact integer arithmetic — no FP, no timezone (the stores keep naive UTC).
+
+def tumbling_agg(events: DataFrame, width_s: int, time_col: str = "ts",
+                 value_col: str = "value",
+                 keys: tuple[str, ...] = ()) -> DataFrame:
+    """Tumbling-window aggregate: one keyed aggregation (map-side combined),
+    window start derived with F.window (the same operator Structured
+    Streaming plans, minus the watermark).  Output: (keys..., w_start,
+    n, total)."""
+    win = F.window(F.col(time_col), f"{width_s} seconds")
+    return (
+        events.groupBy(*keys, win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(f"CAST(floor({value_col} * 100.0 + 0.5) AS BIGINT)"))
+                .alias("total_cents"),
+        )
+        .select(*keys, F.col("w.start").alias("w_start"), "n", "total_cents")
+    )
+
+
+def tumbling_agg_sql(width_s: int, rel: str = "events", time_col: str = "ts",
+                     value_col: str = "value", keys: tuple[str, ...] = ()) -> str:
+    ks = "".join(f"{k}, " for k in keys)
+    grp = ", ".join(str(i + 1) for i in range(len(keys) + 1))
+    return f"""
+SELECT {ks}make_timestamp((epoch_us({time_col}) // {width_s * 1_000_000}) * {width_s * 1_000_000})
+         AS w_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor({value_col} * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM {rel} GROUP BY {grp}"""
+
+
+def sliding_agg(events: DataFrame, width_s: int, slide_s: int,
+                time_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Sliding-window aggregate (width must be a multiple of slide): each
+    event explodes into width/slide overlapping windows — F.window plans
+    exactly this explode + keyed agg, all JVM-side.  Output: (w_start, n,
+    total)."""
+    win = F.window(F.col(time_col), f"{width_s} seconds", f"{slide_s} seconds")
+    return (
+        events.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(f"CAST(floor({value_col} * 100.0 + 0.5) AS BIGINT)"))
+                .alias("total_cents"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n", "total_cents")
+    )
+
+
+def sliding_agg_sql(width_s: int, slide_s: int, rel: str = "events",
+                    time_col: str = "ts", value_col: str = "value") -> str:
+    """DuckDB twin: replicate the explode with a generate_series of slide
+    offsets; a window starting at s covers the event iff s <= t < s + width.
+    Spark's window set for event t: starts floor((t - width + slide)/slide)
+    ... floor(t/slide) scaled — emitted here as the equivalent offset list."""
+    k = width_s // slide_s
+    us = 1_000_000
+    return f"""
+WITH ev AS (SELECT epoch_us({time_col}) AS tus,
+            CAST(floor({value_col} * 100.0 + 0.5) AS BIGINT) AS v FROM {rel}),
+x AS (
+  SELECT ((tus // {slide_s * us}) - o.o) * {slide_s} AS start_s, v
+  FROM ev, UNNEST(range(0, {k})) AS o(o)
+  WHERE ((tus // {slide_s * us}) - o.o) * {slide_s * us} + {width_s * us} > tus
+    AND ((tus // {slide_s * us}) - o.o) * {slide_s * us} <= tus)
+SELECT make_timestamp(start_s * 1000000) AS w_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS total_cents
+FROM x GROUP BY 1"""

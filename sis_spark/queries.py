@@ -5620,6 +5620,37 @@ def q_redact_pii_oracle():
     return redact_pii_sql(rel=inner) + " ORDER BY doc_id"
 
 
+def q_window_tumbling(spark, sf_dir):
+    """Tumbling event-time windows (timeseries.tumbling_agg, the batch twin
+    of Structured Streaming's F.window): 5-minute buckets per event_type,
+    one map-side-combined aggregation; totals as exact integer cents."""
+    from .operators.timeseries import tumbling_agg
+
+    return tumbling_agg(
+        _read(spark, sf_dir, "events"), 300, keys=("event_type",)
+    ).orderBy("event_type", "w_start")
+
+
+def q_window_tumbling_oracle():
+    from .operators.timeseries import tumbling_agg_sql
+
+    return tumbling_agg_sql(300, keys=("event_type",)) + " ORDER BY event_type, w_start"
+
+
+def q_window_sliding(spark, sf_dir):
+    """Sliding event-time windows (width 10 min, slide 5 min): F.window's
+    explode + keyed agg, replicated by the oracle as a slide-offset UNNEST."""
+    from .operators.timeseries import sliding_agg
+
+    return sliding_agg(_read(spark, sf_dir, "events"), 600, 300).orderBy("w_start")
+
+
+def q_window_sliding_oracle():
+    from .operators.timeseries import sliding_agg_sql
+
+    return sliding_agg_sql(600, 300) + " ORDER BY w_start"
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -5752,4 +5783,6 @@ QUERIES = {
     "mixture_rates": (q_mixture_rates, q_mixture_rates_oracle),
     "rasterize": (q_rasterize, q_rasterize_oracle),
     "redact_pii": (q_redact_pii, q_redact_pii_oracle),
+    "window_tumbling": (q_window_tumbling, q_window_tumbling_oracle),
+    "window_sliding": (q_window_sliding, q_window_sliding_oracle),
 }

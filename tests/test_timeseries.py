@@ -220,3 +220,44 @@ def test_session_stats_rollup(spark):
     ).orderBy("k", "session_idx")
     rows = [(r["k"], r["session_idx"], r["n_events"], r["sv"]) for r in out.collect()]
     assert rows == [(1, 0, 2, 7), (1, 1, 1, 5), (2, 0, 1, 6)]
+
+
+def test_tumbling_and_sliding_windows_brute(spark):
+    """Window membership vs a brute python replica, incl. multi-window
+    membership in the sliding case."""
+    import pandas as pd
+
+    from sis_spark.operators.timeseries import sliding_agg, tumbling_agg
+
+    ts = [pd.Timestamp("2024-01-01 00:00:00") + pd.Timedelta(seconds=s)
+          for s in (0, 1, 299, 300, 301, 599, 600, 1199, 1200)]
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0]
+    df = spark.createDataFrame(pd.DataFrame({"ts": ts, "value": vals}))
+
+    tum = {r["w_start"]: (r["n"], r["total_cents"])
+           for r in tumbling_agg(df, 300).collect()}
+    brute = {}
+    for t, v in zip(ts, vals):
+        s = pd.Timestamp("2024-01-01") + pd.Timedelta(
+            seconds=(t - pd.Timestamp("1970-01-01")).total_seconds() // 300 * 300
+            - (pd.Timestamp("2024-01-01") - pd.Timestamp("1970-01-01")).total_seconds())
+        n, c = brute.get(s, (0, 0))
+        brute[s] = (n + 1, c + round(v * 100))
+    assert tum == brute
+
+    sli = {r["w_start"]: (r["n"], r["total_cents"])
+           for r in sliding_agg(df, 600, 300).collect()}
+    brute2 = {}
+    epoch = pd.Timestamp("1970-01-01")
+    for t, v in zip(ts, vals):
+        tus = (t - epoch).total_seconds()
+        base = int(tus // 300)
+        for o in range(2):
+            start_s = (base - o) * 300
+            if start_s <= tus < start_s + 600:
+                s = epoch + pd.Timedelta(seconds=start_s)
+                n, c = brute2.get(s, (0, 0))
+                brute2[s] = (n + 1, c + round(v * 100))
+    assert sli == brute2
+    # every event lands in exactly 2 sliding windows (width/slide = 2)
+    assert sum(n for n, _ in sli.values()) == 2 * len(ts)
