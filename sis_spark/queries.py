@@ -5651,6 +5651,88 @@ def q_window_sliding_oracle():
     return sliding_agg_sql(600, 300) + " ORDER BY w_start"
 
 
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog register table (sketches.hll_registers, p=8): the
+    fixed-size mergeable distinct-count state — top-8-bit register index,
+    first-1-bit rank of the 52-bit suffix via length(bin(w)), one 256-key
+    map-side-combined max.  The gate checks the sketch CONTENTS bit-for-bit;
+    the FP estimate is pytest-only."""
+    from .operators.sketches import hll_registers
+
+    return hll_registers(_read(spark, sf_dir, "documents"), "doc_id", p=8).orderBy(
+        "reg"
+    )
+
+
+def q_hll_registers_oracle():
+    from .operators.sketches import hll_registers_sql
+
+    return (
+        "SELECT reg, max_rho FROM ("
+        + hll_registers_sql("doc_id", p=8)
+        + ") ORDER BY reg"
+    )
+
+
+def q_bloom_filter(spark, sf_dir):
+    """Bloom membership (sketches.bloom_build/bloom_probe, 4096 bits, k=3):
+    bitmap = 60-bit words built by bit_or partial aggregation over a
+    deterministic half of the corpus; every doc probed through the same k
+    md5 positions — false positives are part of the gated output, the
+    oracle replays them exactly."""
+    from .operators.sampling import hash_u60
+    from .operators.sketches import bloom_build, bloom_probe
+
+    docs = _read(spark, sf_dir, "documents")
+    build = docs.filter(hash_u60(F.col("doc_id"), "bf-build") < F.lit(1 << 59))
+    bitmap = bloom_build(build, "doc_id")
+    return bloom_probe(docs, bitmap, "doc_id").orderBy("doc_id")
+
+
+def q_bloom_filter_oracle():
+    from .operators.sampling import hash_u60_sql
+    from .operators.sketches import bloom_probe_sql
+
+    pred = f"{hash_u60_sql('doc_id', 'bf-build')} < {1 << 59}"
+    return (
+        "SELECT doc_id, maybe FROM ("
+        + bloom_probe_sql(pred)
+        + ") ORDER BY doc_id"
+    )
+
+
+def q_countmin_heavy(spark, sf_dir):
+    """Count-Min frequency estimates (sketches.countmin_build/estimate,
+    4x16): exact-integer counters keyed by md5 column hashes — width
+    deliberately small so colliding counters over-count and the min across
+    the 4 rows is load-bearing, estimate =
+    min over the 4 rows (never under-counts); probe set = the distinct terms
+    of docs 0-19, output carries the true count beside the estimate."""
+    from .operators.sketches import countmin_build, countmin_estimate
+
+    docs = _read(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    sketch = countmin_build(terms, "term", depth=4, width=16)
+    probe = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+    )
+    est = countmin_estimate(probe, sketch, "term", depth=4, width=16)
+    truth = terms.groupBy("term").agg(F.count(F.lit(1)).alias("true_n"))
+    return est.join(truth, "term").select("term", "est", "true_n").orderBy("term")
+
+
+def q_countmin_heavy_oracle():
+    from .operators.sketches import countmin_sql
+
+    return (
+        "SELECT term, est, true_n FROM ("
+        + countmin_sql(depth=4, width=16, probe_pred="doc_id < 20")
+        + ") ORDER BY term"
+    )
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -5785,4 +5867,7 @@ QUERIES = {
     "redact_pii": (q_redact_pii, q_redact_pii_oracle),
     "window_tumbling": (q_window_tumbling, q_window_tumbling_oracle),
     "window_sliding": (q_window_sliding, q_window_sliding_oracle),
+    "hll_registers": (q_hll_registers, q_hll_registers_oracle),
+    "bloom_filter": (q_bloom_filter, q_bloom_filter_oracle),
+    "countmin_heavy": (q_countmin_heavy, q_countmin_heavy_oracle),
 }

@@ -1,0 +1,106 @@
+"""Sketches: HyperLogLog / Bloom / Count-Min — merge laws, accuracy, plans.
+
+The oracle gates (hll_registers / bloom_filter / countmin_heavy) pin the
+sketch contents bit-for-bit; these tests cover what the gates can't: the
+monoid merge law (sketch(A ∪ B) == merge(sketch(A), sketch(B)) — the property
+that makes them tree-aggregable on a cluster), the FP estimate accuracy, the
+one-sided Count-Min guarantee, and zero false NEGATIVES for Bloom.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sis_spark.operators.sketches import (
+    bloom_build,
+    bloom_probe,
+    countmin_build,
+    countmin_estimate,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    # 5000 distinct string keys, plus a skewed repeat of the first 10
+    base = spark.range(5000).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+    hot = spark.range(200).select(
+        F.concat(F.lit("k"), (F.col("id") % 10)).alias("key")
+    )
+    return base.unionByName(hot)
+
+
+def test_hll_merge_law(spark, keys):
+    whole = hll_registers(keys, "key", p=6)
+    left = hll_registers(keys.filter(F.length("key") <= 3), "key", p=6)
+    right = hll_registers(keys.filter(F.length("key") > 3), "key", p=6)
+    merged = hll_merge(left, right)
+    w = {r["reg"]: r["max_rho"] for r in whole.collect()}
+    m = {r["reg"]: r["max_rho"] for r in merged.collect()}
+    assert w == m
+
+
+def test_hll_estimate_accuracy(spark, keys):
+    regs = hll_registers(keys, "key", p=8)
+    est = hll_estimate(regs)
+    # 5000 distinct; HLL p=8 -> std err ~1.04/sqrt(256) ~ 6.5%
+    assert abs(est - 5000) / 5000 < 0.15
+
+
+def test_hll_register_shape(spark, keys):
+    regs = hll_registers(keys, "key", p=6).collect()
+    assert len(regs) == 64
+    assert all(0 <= r["max_rho"] <= 55 for r in regs)
+
+
+def test_bloom_no_false_negatives(spark, keys):
+    build = keys.distinct().limit(1000)
+    bitmap = bloom_build(build, "key", bits=4800, k=3)
+    probed = bloom_probe(build, bitmap, "key", bits=4800, k=3)
+    assert probed.filter(~F.col("maybe")).count() == 0
+
+
+def test_bloom_fpr_reasonable(spark):
+    inside = spark.range(500).select(F.concat(F.lit("in"), F.col("id")).alias("key"))
+    outside = spark.range(5000).select(
+        F.concat(F.lit("out"), F.col("id")).alias("key")
+    )
+    bitmap = bloom_build(inside, "key", bits=7200, k=3)
+    fp = bloom_probe(outside, bitmap, "key", bits=7200, k=3).filter("maybe").count()
+    # load 500*3/7200 -> FPR ~ (1-exp(-0.208))^3 ~ 0.7%; allow generous slack
+    assert fp / 5000 < 0.05
+
+
+def test_countmin_one_sided_and_merge(spark, keys):
+    sketch = countmin_build(keys, "key", depth=4, width=32)
+    probe = keys.distinct()
+    est = countmin_estimate(probe, sketch, "key", depth=4, width=32)
+    truth = keys.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    joined = est.join(truth, "key").collect()
+    assert all(r["est"] >= r["n"] for r in joined)
+    # hot keys (21 occurrences) dominate their counters enough to stay near truth
+    hot = {r["key"]: r["est"] for r in joined if r["key"] in {"k0", "k1"}}
+    assert all(v >= 21 for v in hot.values())
+
+    # merge law: counter-wise sum over a union == build over the whole
+    a = keys.filter(F.length("key") <= 3)
+    b = keys.filter(F.length("key") > 3)
+    sa = countmin_build(a, "key", depth=4, width=32)
+    sb = countmin_build(b, "key", depth=4, width=32)
+    merged = (
+        sa.unionByName(sb).groupBy("row", "col").agg(F.sum("n").alias("n"))
+    )
+    w = {(r["row"], r["col"]): r["n"] for r in sketch.collect()}
+    m = {(r["row"], r["col"]): r["n"] for r in merged.collect()}
+    assert w == m
+
+
+def test_sketch_plans_python_free(spark, keys):
+    plans = [
+        hll_registers(keys, "key", p=6)._jdf.queryExecution().executedPlan().toString(),
+        bloom_build(keys, "key")._jdf.queryExecution().executedPlan().toString(),
+        countmin_build(keys, "key")._jdf.queryExecution().executedPlan().toString(),
+    ]
+    for p in plans:
+        assert "EvalPython" not in p and "Arrow" not in p
