@@ -151,3 +151,124 @@ def pca_project(emb: DataFrame, components: np.ndarray, mean: np.ndarray,
     return emb.select(id_col, vec_col).mapInPandas(
         fn, schema=f"{id_col} long, proj array<double>"
     )
+
+
+# ---------------------------------------------------------------- k-means clustering
+# Distributed Lloyd over the 1e7-quantized vectors — the curation clustering
+# step (cluster-then-cap corpus balancing, SemDeDup-style semantic grouping).
+# Reuses ann.train_ivf's exact-integer construction (lowest-id init,
+# floor-divided centroid means, first-min argmin ties) so the DuckDB oracle
+# can replay TRAINING ITSELF for any iteration count, not just the result.
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, csize) after ``iters`` full Lloyd iterations.
+
+    Scale shape: per iteration one mapInPandas assignment pass (broadcast
+    k x dim centroids, numpy argmin per Arrow batch) + one k*dim-row
+    aggregation for the centroid update — only k*dim scalars ever reach the
+    driver, independent of collection size.  The final assignment adds one
+    more broadcast pass; csize is a window count over k keys."""
+    from pyspark.sql import Window
+
+    from .ann import _assign_lists, quantize_col, train_ivf
+
+    cent = train_ivf(vectors, k, id_col, vec_col, iters=iters)
+    q = vectors.select(
+        F.col(id_col).alias("id"), quantize_col(F.col(vec_col)).alias("qv")
+    )
+    assigned = q.join(_assign_lists(q, cent), "id").select(
+        F.col("id").alias(id_col), F.col("list_id").alias("cluster")
+    )
+    w = Window.partitionBy("cluster")
+    return assigned.withColumn("csize", F.count(F.lit(1)).over(w))
+
+
+def kmeans_assign_select(
+    k: int,
+    dim: int,
+    iters: int = 2,
+    rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of kmeans_assign INCLUDING training: c0 = lowest-id
+    init, then per iteration the d_i/a_i (exact int64 distance + argmin,
+    ties -> lowest cluster) and sums/update (floor-divided means via the
+    posmod identity, empty clusters keep their centroid) blocks, then the
+    final assignment against the last centroids."""
+    blocks = [
+        f"""qv AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+  FROM {rel})""",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS j, v AS cv
+  FROM (SELECT id, v FROM qv ORDER BY id LIMIT {k}))""",
+        f"""pos AS (SELECT CAST(range AS INT) AS p FROM range(1, {dim} + 1))""",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        blocks.append(f"""d{i} AS (
+  SELECT q.id, c.j,
+         CAST(list_sum(list_transform(list_zip(q.v, c.cv),
+              z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+  FROM qv q CROSS JOIN {prev} c)""")
+        blocks.append(f"""a{i} AS (
+  SELECT id, j AS cluster FROM (
+    SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY dist ASC, j ASC) AS rn
+    FROM d{i}) t WHERE rn = 1)""")
+        blocks.append(f"""sums{i} AS (
+  SELECT a.cluster, pos.p,
+         CAST(sum(q.v[pos.p]) AS BIGINT) AS s, COUNT(*) AS cnt
+  FROM a{i} a JOIN qv q ON q.id = a.id CROSS JOIN pos
+  GROUP BY 1, 2)""")
+        blocks.append(f"""c{i}upd AS (
+  SELECT cluster AS j,
+         list((s - (((s % cnt) + cnt) % cnt)) // cnt ORDER BY p) AS cv
+  FROM sums{i} GROUP BY 1)""")
+        blocks.append(f"""c{i} AS (
+  SELECT {prev}.j, COALESCE(u.cv, {prev}.cv) AS cv
+  FROM {prev} LEFT JOIN c{i}upd u ON u.j = {prev}.j)""")
+        prev = f"c{i}"
+    fin = iters + 1
+    blocks.append(f"""d{fin} AS (
+  SELECT q.id, c.j,
+         CAST(list_sum(list_transform(list_zip(q.v, c.cv),
+              z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+  FROM qv q CROSS JOIN {prev} c)""")
+    blocks.append(f"""afin AS (
+  SELECT id, j AS cluster FROM (
+    SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY dist ASC, j ASC) AS rn
+    FROM d{fin}) t WHERE rn = 1)""")
+    body = ",\n".join(blocks)
+    return f"""WITH {body}
+SELECT id AS {id_col}, CAST(cluster AS INTEGER) AS cluster,
+       CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS csize
+FROM afin"""
+
+
+def cluster_balanced(
+    vectors: DataFrame,
+    k: int,
+    cap: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced corpus selection: k-means the embeddings, keep at
+    most ``cap`` rows per cluster by deterministic md5 rank — the standard
+    over-represented-mode trim before pretraining.  Composition of
+    kmeans_assign with sampling.group_cap (one extra window shuffle)."""
+    from .sampling import group_cap
+
+    assigned = kmeans_assign(vectors, k, iters, id_col, vec_col).select(
+        id_col, "cluster"
+    )
+    return group_cap(assigned, "cluster", cap, id_col)

@@ -5733,6 +5733,52 @@ def q_countmin_heavy_oracle():
     )
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed k-means over the embedding column (embeddings.
+    kmeans_assign, k=8, TWO full Lloyd iterations): exact-integer training
+    (lowest-id init, floor-divided centroid means, first-min argmin) so the
+    oracle replays the TRAINING itself, not just the final assignment.
+    Output: (vec_id, cluster, csize)."""
+    from .operators.embeddings import kmeans_assign
+
+    return kmeans_assign(
+        _read(spark, sf_dir, "embeddings"), k=8, iters=2
+    ).orderBy("vec_id")
+
+
+def q_kmeans_clusters_oracle():
+    from .operators.embeddings import kmeans_assign_select
+
+    return kmeans_assign_select(8, 64, 2) + " ORDER BY vec_id"
+
+
+def q_cluster_balanced(spark, sf_dir):
+    """Cluster-balanced corpus selection (embeddings.cluster_balanced):
+    k-means k=8 then keep <=40 rows per cluster by deterministic md5 rank —
+    the over-represented-mode trim of semantic curation (SemDeDup-shaped),
+    rerun/partitioning-stable."""
+    from .operators.embeddings import cluster_balanced
+
+    return cluster_balanced(
+        _read(spark, sf_dir, "embeddings"), k=8, cap=40, iters=2
+    ).orderBy("vec_id")
+
+
+def q_cluster_balanced_oracle():
+    from .operators.embeddings import kmeans_assign_select
+    from .operators.sampling import group_cap_sql
+
+    km = kmeans_assign_select(8, 64, 2)
+    return (
+        group_cap_sql(
+            40, "cluster", "vec_id",
+            rel=f"(SELECT vec_id, cluster FROM ({km}) base) km",
+            cols="vec_id, cluster",
+        )
+        + " ORDER BY vec_id"
+    )
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -5870,4 +5916,6 @@ QUERIES = {
     "hll_registers": (q_hll_registers, q_hll_registers_oracle),
     "bloom_filter": (q_bloom_filter, q_bloom_filter_oracle),
     "countmin_heavy": (q_countmin_heavy, q_countmin_heavy_oracle),
+    "kmeans_clusters": (q_kmeans_clusters, q_kmeans_clusters_oracle),
+    "cluster_balanced": (q_cluster_balanced, q_cluster_balanced_oracle),
 }
