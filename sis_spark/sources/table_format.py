@@ -210,3 +210,125 @@ def read(spark: SparkSession, root: str, snapshot: int | None = None,
 def scan_row_counts(root: str, snapshot: int | None = None) -> int:
     """Manifest-only row count — the metadata-query answer (no data read)."""
     return sum(f["rows"] for f in load_manifest(root, snapshot)["files"])
+
+
+# ---------------------------------------------------------------- row-level ops
+# Copy-on-write MERGE/DELETE (the Iceberg v1 COW strategy): only files that
+# actually CONTAIN affected rows are rewritten; every other file entry is
+# carried into the child snapshot untouched.  At 10^12 rows the cost is
+# proportional to the touched files, not the table — affected-file detection
+# is one semi-join against the update keys with `_metadata.file_path` as the
+# file identity (no extra index), then the rewrite reads ONLY those files.
+
+
+def _grouped_reads(spark: SparkSession, root: str, m: dict, files: list[dict]):
+    """One file-source read per write-dir (recovers hive partition columns
+    via basePath), as in read(); yields the per-group DataFrames."""
+    if not files:
+        return []
+    if m["partition_by"]:
+        groups: dict[str, list[str]] = {}
+        for f in files:
+            wdir = f["path"].split("/")[1]
+            groups.setdefault(wdir, []).append(os.path.join(root, f["path"]))
+        return [
+            spark.read.option("basePath", os.path.join(root, "data", wdir)).parquet(*ps)
+            for wdir, ps in sorted(groups.items())
+        ]
+    return [spark.read.parquet(*[os.path.join(root, f["path"]) for f in files])]
+
+
+def _read_with_path(spark: SparkSession, root: str, m: dict, files: list[dict]) -> DataFrame:
+    """Snapshot read carrying ``__file`` = manifest-relative path of the
+    source file for each row (from the parquet _metadata column)."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    prefix = "file:" + os.path.abspath(root) + os.sep
+    parts = []
+    for df in _grouped_reads(spark, root, m, files):
+        parts.append(
+            df.withColumn(
+                "__file",
+                F.replace(
+                    F.col("_metadata.file_path"), F.lit(prefix), F.lit("")
+                ),
+            )
+        )
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _rewrite_commit(
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    parent: int,
+    affected_rel: set[str],
+    new_rows: DataFrame | None,
+    op: str,
+) -> int:
+    kept = [f for f in m["files"] if f["path"] not in affected_rel]
+    new_files: list[dict] = []
+    if new_rows is not None:
+        new_files = [
+            f
+            for f in _collect_files(spark, root, new_rows, m["partition_by"], write_id=parent + 1)
+            if f["rows"] > 0
+        ]
+    return _commit(root, kept + new_files, op, m["partition_by"], parent)
+
+
+def merge_upsert(
+    spark: SparkSession, root: str, updates: DataFrame, key_cols, 
+) -> int:
+    """MERGE (whole-row upsert): rows of ``updates`` replace target rows with
+    the same key; unmatched update keys are inserted.  Copy-on-write — the
+    child snapshot rewrites only the files that contain a matched key."""
+    from pyspark.sql import functions as F
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    parent = current_snapshot(root)
+    m = load_manifest(root, parent)
+    cols = read(spark, root, parent).columns
+
+    tgt = _read_with_path(spark, root, m, m["files"])
+    ukeys = updates.select(*keys).distinct()
+    affected_rel = {
+        r["__file"]
+        for r in tgt.join(ukeys, keys, "left_semi").select("__file").distinct().collect()
+    }
+    affected = [f for f in m["files"] if f["path"] in affected_rel]
+    new_rows = updates.select(*cols)
+    if affected:
+        survivors = (
+            _read_with_path(spark, root, m, affected)
+            .join(ukeys, keys, "left_anti")
+            .select(*cols)
+        )
+        new_rows = survivors.unionByName(new_rows)
+    return _rewrite_commit(spark, root, m, parent, affected_rel, new_rows, "merge")
+
+
+def delete_where(spark: SparkSession, root: str, condition) -> int:
+    """Row-level DELETE: rewrites only the files containing matching rows;
+    a file whose rows all match simply drops out of the child manifest."""
+    from pyspark.sql import functions as F
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    parent = current_snapshot(root)
+    m = load_manifest(root, parent)
+    cols = read(spark, root, parent).columns
+
+    tgt = _read_with_path(spark, root, m, m["files"])
+    affected_rel = {
+        r["__file"]
+        for r in tgt.filter(cond).select("__file").distinct().collect()
+    }
+    affected = [f for f in m["files"] if f["path"] in affected_rel]
+    new_rows = None
+    if affected:
+        new_rows = (
+            _read_with_path(spark, root, m, affected).filter(~cond).select(*cols)
+        )
+    return _rewrite_commit(spark, root, m, parent, affected_rel, new_rows, "delete")

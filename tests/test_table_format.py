@@ -164,3 +164,70 @@ def test_spatial_join_snapshot_matches_unpruned(spark, tmp_path):
     want = {str(c) for c in img.covering_prefixes(polys, 2)}
     pruned = tf.read(spark, root, partition_filter=lambda p: p["cell_p"] in want)
     assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+def test_merge_upsert_copy_on_write(spark, tmp_path):
+    root = str(tmp_path / "t_merge")
+    tf.create_table(spark, root, mk_df(spark, 0, 100), partition_by=["p"])
+    tf.append(spark, root, mk_df(spark, 100, 140))
+    before = {f["path"] for f in tf.load_manifest(root)["files"]}
+
+    # update 3 existing keys (val -> 0) and insert 2 new ones
+    upd = spark.createDataFrame(
+        [(5, 5 % 4, 0), (17, 17 % 4, 0), (120, 0, 0), (500, 0, -1), (501, 1, -1)],
+        "id long, p long, val long",
+    )
+    s = tf.merge_upsert(spark, root, upd, "id")
+    assert tf.load_manifest(root)["op"] == "merge" and s == 3
+
+    got = {r["id"]: r["val"] for r in tf.read(spark, root).collect()}
+    assert len(got) == 142  # 140 + 2 inserts
+    assert got[5] == 0 and got[17] == 0 and got[120] == 0
+    assert got[500] == -1 and got[501] == -1
+    assert got[6] == 18  # untouched row intact
+
+    # copy-on-write: untouched files carry over by identity
+    after = {f["path"] for f in tf.load_manifest(root)["files"]}
+    assert before & after, "expected untouched file entries to carry over"
+    # time travel still sees the pre-merge values
+    old = {r["id"]: r["val"] for r in tf.read(spark, root, snapshot=2).collect()}
+    assert old[5] == 15 and 500 not in old
+
+
+def test_delete_where_drops_and_rewrites(spark, tmp_path):
+    root = str(tmp_path / "t_del")
+    tf.create_table(spark, root, mk_df(spark, 0, 80), partition_by=["p"])
+    before = {f["path"] for f in tf.load_manifest(root)["files"]}
+
+    # delete one whole partition (its files vanish, no rewrite output for them)
+    tf.delete_where(spark, root, "p = 3")
+    m = tf.load_manifest(root)
+    assert m["op"] == "delete"
+    assert tf.read(spark, root).filter("p = 3").count() == 0
+    assert tf.read(spark, root).count() == 60
+
+    # delete a few rows inside surviving partitions (those files rewritten)
+    tf.delete_where(spark, root, "id IN (0, 4, 8)")
+    assert tf.read(spark, root).count() == 57
+    assert tf.scan_row_counts(root) == 57  # manifest rows stay consistent
+    got = {r["id"] for r in tf.read(spark, root).collect()}
+    assert {0, 4, 8}.isdisjoint(got) and 12 in got
+    # history intact: snapshot 1 still reads 80 rows
+    assert tf.read(spark, root, snapshot=1).count() == 80
+
+
+def test_merge_unpartitioned_and_noop_delete(spark, tmp_path):
+    root = str(tmp_path / "t_flat")
+    tf.create_table(spark, root, mk_df(spark, 0, 30).drop("p"))
+    tf.merge_upsert(
+        spark, root,
+        spark.createDataFrame([(2, 99), (50, 99)], "id long, val long"), "id",
+    )
+    got = {r["id"]: r["val"] for r in tf.read(spark, root).collect()}
+    assert got[2] == 99 and got[50] == 99 and len(got) == 31
+
+    s_before = tf.current_snapshot(root)
+    tf.delete_where(spark, root, "val = -12345")  # matches nothing
+    m = tf.load_manifest(root)
+    assert m["snapshot"] == s_before + 1 and len(m["files"]) > 0
+    assert tf.read(spark, root).count() == 31
