@@ -5779,6 +5779,58 @@ def q_cluster_balanced_oracle():
     )
 
 
+_HILBERT_ORDER = 10
+
+
+def _hilbert_grid_sql(axis: str) -> str:
+    """Shared expression text (Spark SQL == DuckDB) mapping lon/lat to the
+    2^order grid — the cells.py floor+clamp convention."""
+    n = 1 << _HILBERT_ORDER
+    if axis == "x":
+        return (
+            f"CAST(LEAST(GREATEST(floor((lon + 180.0) / 360.0 * {n}.0), 0.0), "
+            f"{n - 1}.0) AS BIGINT)"
+        )
+    return (
+        f"CAST(LEAST(GREATEST(floor((lat + 90.0) / 180.0 * {n}.0), 0.0), "
+        f"{n - 1}.0) AS BIGINT)"
+    )
+
+
+def q_hilbert_order(spark, sf_dir):
+    """Hilbert-curve layout keys (functions/hilbert.py, order 10): the
+    locality-preserving file-clustering sort key — unlike the Morton cell id,
+    consecutive keys are always 4-adjacent grid cells, the property that
+    makes range-partitioned writes cluster bbox scans.  Vectorized per-bit
+    rotate/reflect walk in one map-only Arrow pass; the oracle replays the
+    walk as a recursive CTE."""
+    from .functions.hilbert import hilbert_index
+
+    pts = _events_points(spark, sf_dir)
+    g = pts.select(
+        "event_id",
+        F.expr(_hilbert_grid_sql("x")).alias("ix"),
+        F.expr(_hilbert_grid_sql("y")).alias("iy"),
+    )
+    return hilbert_index(g, "ix", "iy", _HILBERT_ORDER, id_cols=["event_id"]).orderBy(
+        "event_id"
+    )
+
+
+def q_hilbert_order_oracle():
+    from .functions.hilbert import hilbert_sql_select
+
+    base = (
+        f"SELECT event_id, {_hilbert_grid_sql('x')} AS ix, "
+        f"{_hilbert_grid_sql('y')} AS iy FROM ({_points_sql()}) p"
+    )
+    return (
+        "SELECT event_id, ix, iy, hkey FROM ("
+        + hilbert_sql_select(base, _HILBERT_ORDER)
+        + ") ORDER BY event_id"
+    )
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -5918,4 +5970,5 @@ QUERIES = {
     "countmin_heavy": (q_countmin_heavy, q_countmin_heavy_oracle),
     "kmeans_clusters": (q_kmeans_clusters, q_kmeans_clusters_oracle),
     "cluster_balanced": (q_cluster_balanced, q_cluster_balanced_oracle),
+    "hilbert_order": (q_hilbert_order, q_hilbert_order_oracle),
 }
