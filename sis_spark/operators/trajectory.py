@@ -96,3 +96,134 @@ def segment_metrics(df: DataFrame) -> DataFrame:
         edge_len_q.alias("len_q"),
         ((edge_len_q.cast("double") / F.lit(_LEN_SCALE)) / dur_s).alias("speed"),
     )
+
+
+# ---------------------------------------------------------------- stay points
+# Stay-point detection (the classic anchor-radius walk of Li et al. 2008,
+# "Mining user similarity based on location history" — public knowledge):
+# within each entity's time-ordered track, a new point stays in the current
+# group while its squared planar distance to the group's ANCHOR (the group's
+# first point) is <= d^2; leaving the radius starts a new anchor.  Groups
+# spanning >= min_duration become stay points.
+#
+# Scale shape: one applyInPandas group per entity (the recurrence is
+# inherently sequential per track, like textops.pack_greedy) — entities
+# parallelize, tracks stream.  The DuckDB oracle replays the anchor
+# recurrence as a RECURSIVE CTE stepping row-rank by row-rank, with the
+# IDENTICAL FP distance expression, so the gate is hash-exact; centroids
+# are 1e7-quantized integer floor-divided means (order-independent).
+
+
+def stay_points(
+    df: DataFrame,
+    dist_deg: float,
+    min_duration_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(user, anchor_rn, n_pts, t0_us, t1_us, qlon, qlat) per stay.
+
+    Input columns: user, id, ts, lon, lat.  Distance rule and centroid
+    arithmetic are bit-replicable in SQL (see stay_points_sql)."""
+    import numpy as np
+    import pandas as pd
+
+    d2 = dist_deg * dist_deg
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        lon = pdf["lon"].to_numpy(dtype=np.float64)
+        lat = pdf["lat"].to_numpy(dtype=np.float64)
+        # epoch micros regardless of the Arrow batch's datetime unit
+        us = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        qlon = np.floor(lon * 1.0e7).astype(np.int64)
+        qlat = np.floor(lat * 1.0e7).astype(np.int64)
+        anchor = np.zeros(len(pdf), dtype=np.int64)
+        a = 0
+        for k in range(len(pdf)):
+            dlon = lon[k] - lon[a]
+            dlat = lat[k] - lat[a]
+            if dlon * dlon + dlat * dlat <= d2:
+                anchor[k] = a
+            else:
+                a = k
+                anchor[k] = a
+        out = []
+        uid = pdf[user_col].iloc[0]
+        for g in np.unique(anchor):
+            sel = anchor == g
+            t0, t1 = int(us[sel].min()), int(us[sel].max())
+            if t1 - t0 < min_duration_s * 1_000_000:
+                continue
+            n = int(sel.sum())
+            out.append(
+                {
+                    user_col: uid,
+                    "anchor_rn": int(g) + 1,  # 1-based, matches SQL row_number
+                    "n_pts": n,
+                    "t0_us": t0,
+                    "t1_us": t1,
+                    "qlon": int(np.floor_divide(qlon[sel].sum(), n)),
+                    "qlat": int(np.floor_divide(qlat[sel].sum(), n)),
+                }
+            )
+        cols = [user_col, "anchor_rn", "n_pts", "t0_us", "t1_us", "qlon", "qlat"]
+        return pd.DataFrame(out, columns=cols)
+
+    schema = (
+        f"{user_col} long, anchor_rn long, n_pts long, "
+        "t0_us long, t1_us long, qlon long, qlat long"
+    )
+    return df.groupBy(user_col).applyInPandas(fn, schema=schema)
+
+
+def stay_points_sql(
+    base_select: str,
+    dist_sql: str,
+    min_duration_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB replay: rank rows per user, step the anchor recurrence one
+    rank per recursion round (all users advance in lockstep), then group by
+    (user, anchor) with the quantized-centroid arithmetic."""
+    d2 = f"(({dist_sql}) * ({dist_sql}))"
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT {user_col}, {id_col}, epoch_us({ts_col}) AS us, lon, lat,
+         CAST(row_number() OVER (PARTITION BY {user_col} ORDER BY {ts_col}, {id_col}) AS BIGINT) AS rn
+  FROM ({base_select}) b
+),
+rec AS (
+  SELECT {user_col}, rn, lon AS alon, lat AS alat, rn AS anchor_rn
+  FROM pts WHERE rn = 1
+  UNION ALL
+  SELECT p.{user_col}, p.rn,
+         CASE WHEN (p.lon - r.alon) * (p.lon - r.alon)
+                 + (p.lat - r.alat) * (p.lat - r.alat) <= {d2}
+              THEN r.alon ELSE p.lon END,
+         CASE WHEN (p.lon - r.alon) * (p.lon - r.alon)
+                 + (p.lat - r.alat) * (p.lat - r.alat) <= {d2}
+              THEN r.alat ELSE p.lat END,
+         CASE WHEN (p.lon - r.alon) * (p.lon - r.alon)
+                 + (p.lat - r.alat) * (p.lat - r.alat) <= {d2}
+              THEN r.anchor_rn ELSE p.rn END
+  FROM rec r JOIN pts p ON p.{user_col} = r.{user_col} AND p.rn = r.rn + 1
+),
+grouped AS (
+  SELECT p.{user_col}, r.anchor_rn,
+         CAST(count(*) AS BIGINT) AS n_pts,
+         min(p.us) AS t0_us, max(p.us) AS t1_us,
+         CAST(sum(CAST(floor(p.lon * 1.0e7) AS BIGINT)) AS BIGINT) AS slon,
+         CAST(sum(CAST(floor(p.lat * 1.0e7) AS BIGINT)) AS BIGINT) AS slat
+  FROM rec r JOIN pts p ON p.{user_col} = r.{user_col} AND p.rn = r.rn
+  GROUP BY 1, 2
+)
+SELECT {user_col}, anchor_rn, n_pts, t0_us, t1_us,
+       (slon - (((slon % n_pts) + n_pts) % n_pts)) // n_pts AS qlon,
+       (slat - (((slat % n_pts) + n_pts) % n_pts)) // n_pts AS qlat
+FROM grouped
+WHERE t1_us - t0_us >= {min_duration_s}::BIGINT * 1000000
+"""

@@ -5831,6 +5831,40 @@ def q_hilbert_order_oracle():
     )
 
 
+def q_stay_points(spark, sf_dir):
+    """Stay-point detection (trajectory.stay_points, Li et al. 2008 anchor
+    walk): per-user time-ordered tracks grouped while points stay within the
+    anchor radius; groups spanning >= 2h emitted with exact quantized
+    centroids.  One applyInPandas group per user (sequential recurrence,
+    users parallelize); the oracle steps the same recurrence as a recursive
+    CTE with the identical FP distance expression."""
+    from .operators.trajectory import stay_points
+
+    ev = _read(spark, sf_dir, "events")
+    lon, lat = point_lonlat_cols("event_id")
+    pts = ev.select(
+        "user_id", "event_id", "ts", lon.alias("lon"), lat.alias("lat")
+    )
+    return stay_points(pts, dist_deg=1.5, min_duration_s=7200).orderBy(
+        "user_id", "anchor_rn"
+    )
+
+
+def q_stay_points_oracle():
+    from .operators.trajectory import stay_points_sql
+    from . import synth
+
+    base = (
+        f"SELECT user_id, event_id, ts, {synth.point_lon_sql('event_id')} AS lon, "
+        f"{synth.point_lat_sql('event_id')} AS lat FROM events"
+    )
+    return (
+        "SELECT * FROM ("
+        + stay_points_sql(base, "1.5e0", 7200)
+        + ") ORDER BY user_id, anchor_rn"
+    )
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -5971,4 +6005,5 @@ QUERIES = {
     "kmeans_clusters": (q_kmeans_clusters, q_kmeans_clusters_oracle),
     "cluster_balanced": (q_cluster_balanced, q_cluster_balanced_oracle),
     "hilbert_order": (q_hilbert_order, q_hilbert_order_oracle),
+    "stay_points": (q_stay_points, q_stay_points_oracle),
 }

@@ -1,0 +1,87 @@
+"""Stay-point detection (trajectory.stay_points): python-replica differential
+on random tracks, duration filtering, anchor-reset semantics."""
+
+import datetime
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sis_spark.operators.trajectory import stay_points
+
+
+def _replica(rows, d, min_s):
+    """Sequential reference: rows = [(uid, eid, ts_us, lon, lat)]."""
+    out = []
+    by_u = {}
+    for r in rows:
+        by_u.setdefault(r[0], []).append(r)
+    for uid, rs in by_u.items():
+        rs = sorted(rs, key=lambda r: (r[2], r[1]))
+        a = 0
+        groups = {}
+        for k, r in enumerate(rs):
+            dlon = r[3] - rs[a][3]
+            dlat = r[4] - rs[a][4]
+            if dlon * dlon + dlat * dlat > d * d:
+                a = k
+            groups.setdefault(a, []).append(r)
+        for g, pts in groups.items():
+            t0 = min(p[2] for p in pts)
+            t1 = max(p[2] for p in pts)
+            if t1 - t0 < min_s * 1_000_000:
+                continue
+            n = len(pts)
+            qlon = sum(int(np.floor(p[3] * 1e7)) for p in pts)
+            qlat = sum(int(np.floor(p[4] * 1e7)) for p in pts)
+            out.append((uid, g + 1, n, t0, t1, qlon // n, qlat // n))
+    return sorted(out)
+
+
+def test_matches_python_replica(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    base = 1_700_000_000_000_000
+    for uid in range(20):
+        t = base
+        lon, lat = rng.uniform(-170, 170), rng.uniform(-80, 80)
+        for eid in range(60):
+            t += int(rng.integers(60, 3600)) * 1_000_000
+            if rng.random() < 0.3:  # jump to a new place
+                lon, lat = rng.uniform(-170, 170), rng.uniform(-80, 80)
+            rows.append(
+                (uid, uid * 1000 + eid, t,
+                 lon + float(rng.normal(0, 0.1)),
+                 lat + float(rng.normal(0, 0.1)))
+            )
+    df = spark.createDataFrame(
+        [(u, e, datetime.datetime.utcfromtimestamp(t / 1e6), lo, la)
+         for u, e, t, lo, la in rows],
+        "user_id long, event_id long, ts timestamp, lon double, lat double",
+    ).repartition(5)
+    got = sorted(
+        (r["user_id"], r["anchor_rn"], r["n_pts"], r["t0_us"], r["t1_us"],
+         r["qlon"], r["qlat"])
+        for r in stay_points(df, 1.0, 1800).collect()
+    )
+    assert got == _replica(rows, 1.0, 1800)
+    assert len(got) > 10  # non-degenerate scenario
+
+
+def test_duration_filter_and_single_points(spark):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 0: 3 points within radius spanning 2h -> one stay
+        (0, 1, base, 0.0, 0.0),
+        (0, 2, base + datetime.timedelta(hours=1), 0.1, 0.1),
+        (0, 3, base + datetime.timedelta(hours=2), 0.05, -0.05),
+        # user 1: two far-apart points -> two singleton groups, 0 duration
+        (1, 4, base, 0.0, 0.0),
+        (1, 5, base + datetime.timedelta(hours=5), 50.0, 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, lon double, lat double"
+    )
+    got = stay_points(df, 1.0, 3600).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["user_id"] == 0 and r["n_pts"] == 3 and r["anchor_rn"] == 1
