@@ -5865,6 +5865,72 @@ def q_stay_points_oracle():
     )
 
 
+_CONV_W, _CONV_H = 500, 300  # NOT tile multiples: extent masking exercised
+_CONV_KERNEL = ((0, -1, 0), (-1, 5, -1), (0, -1, 0))  # sharpen
+
+
+def q_convolve(spark, sf_dir):
+    """Generic focal convolution (terrain.convolve_tiles, 3x3 sharpen
+    kernel, zero padding outside the raster): the neighborhood operator the
+    gradient specializes — same 9-way halo gather, integer kernel x integer
+    raster -> exact int64 planes.  Raster 500x300 (not a tile multiple) so
+    padding columns/rows are live in the test; per-tile position-weighted
+    checksums vs the oracle's per-pixel re-derivation."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.terrain import convolve_tiles
+
+    W, H, TS = _CONV_W, _CONV_H, 64
+    tiles = _formula_tiles(spark, W, H, bands=1, tile_size=TS)
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    conv = convolve_tiles(tiles, gg, _CONV_KERNEL, tile_size=TS)
+
+    def cs(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                v = _np.frombuffer(data, _np.int64).reshape(TS, TS)
+                px = int(tx) * TS + _np.arange(TS)[None, :]
+                py = int(ty) * TS + _np.arange(TS)[:, None]
+                wt = ((py * W + px) % 9973 + 1).astype(_np.int64)
+                rows.append(
+                    {"tx": int(tx), "ty": int(ty), "cs": int((v * wt).sum())}
+                )
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return conv.mapInPandas(cs, "tx long, ty long, cs long").orderBy("tx", "ty")
+
+
+def q_convolve_oracle():
+    W, H = _CONV_W, _CONV_H
+    v = lambda a, b: f"((({a}) * 7 + ({b}) * 13) % 256)"
+    terms = []
+    for dy, row in zip((-1, 0, 1), _CONV_KERNEL):
+        for dx, coef in zip((-1, 0, 1), row):
+            if not coef:
+                continue
+            terms.append(
+                f"(CASE WHEN x + ({dx}) BETWEEN 0 AND {W - 1} "
+                f"AND y + ({dy}) BETWEEN 0 AND {H - 1} "
+                f"THEN ({coef}) * {v(f'x + ({dx})', f'y + ({dy})')} ELSE 0 END)"
+            )
+    conv = "(" + " + ".join(terms) + ")"
+    return f"""
+WITH px AS (
+  SELECT x.x AS x, y.y AS y
+  FROM generate_series(0, {W - 1}) x(x), generate_series(0, {H - 1}) y(y)),
+g AS (
+  SELECT x // 64 AS tx, y // 64 AS ty,
+         {conv} AS cv,
+         ((y * {W} + x) % 9973 + 1) AS wt
+  FROM px)
+SELECT tx, ty, CAST(sum(cv * wt) AS BIGINT) AS cs
+FROM g GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -6006,4 +6072,5 @@ QUERIES = {
     "cluster_balanced": (q_cluster_balanced, q_cluster_balanced_oracle),
     "hilbert_order": (q_hilbert_order, q_hilbert_order_oracle),
     "stay_points": (q_stay_points, q_stay_points_oracle),
+    "convolve": (q_convolve, q_convolve_oracle),
 }

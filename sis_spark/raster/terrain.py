@@ -168,3 +168,79 @@ def gradient_dense(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Reference single-node gradient (numpy.gradient order: dy first)."""
     dzdy, dzdx = np.gradient(arr.astype(np.float64))
     return dzdx, dzdy
+
+
+CONV_SCHEMA = "tx long, ty long, data binary"
+
+
+def convolve_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    kernel,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Generic focal convolution (integer kernel, cross-correlation
+    orientation): out[y, x] = sum_{dy,dx} K[dy+r, dx+r] * in[y+dy, x+dx],
+    with pixels outside the raster extent contributing 0 (zero padding).
+    Integer kernel x integer raster -> exact int64 planes, so the output is
+    SQL-replicable pixel for pixel.
+
+    Same 9-way halo-gather shuffle as gradient_tiles (radius must fit one
+    tile ring: r <= tile_size); the kernel loop is (2r+1)^2 whole-array
+    shifted adds per tile — vectorized, no per-pixel Python."""
+    K = np.asarray(kernel, dtype=np.int64)
+    if K.ndim != 2 or K.shape[0] != K.shape[1] or K.shape[0] % 2 == 0:
+        raise ValueError("kernel must be square with odd size")
+    r = K.shape[0] // 2
+    if r > tile_size:
+        raise ValueError("kernel radius exceeds one tile ring")
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ts = tile_size
+    ntx = (w + ts - 1) // ts
+    nty = (h + ts - 1) // ts
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+
+    def fn(key, pdf):
+        gtx, gty = int(key[0]), int(key[1])
+        halo = np.zeros((ts + 2 * r, ts + 2 * r), dtype=np.int64)
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = np.frombuffer(data, dtype=bdt).reshape(ts, ts).astype(np.int64)
+            oy = (int(ty) - gty) * ts + r
+            ox = (int(tx) - gtx) * ts + r
+            y0, x0 = max(oy, 0), max(ox, 0)
+            y1, x1 = min(oy + ts, ts + 2 * r), min(ox + ts, ts + 2 * r)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            halo[y0:y1, x0:x1] = block[y0 - oy:y1 - oy, x0 - ox:x1 - ox]
+        out = np.zeros((ts, ts), dtype=np.int64)
+        for ky in range(2 * r + 1):
+            for kx in range(2 * r + 1):
+                if K[ky, kx]:
+                    out += K[ky, kx] * halo[ky:ky + ts, kx:kx + ts]
+        # zero out columns/rows beyond the raster's real extent
+        px = gtx * ts + np.arange(ts)
+        py = gty * ts + np.arange(ts)
+        out[:, px >= w] = 0
+        out[py >= h, :] = 0
+        return pd.DataFrame([{"tx": gtx, "ty": gty, "data": out.tobytes()}])
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(fn, schema=CONV_SCHEMA)
+
+
+def convolve_dense(arr: np.ndarray, kernel) -> np.ndarray:
+    """Single-node reference: same zero-padded cross-correlation."""
+    K = np.asarray(kernel, dtype=np.int64)
+    r = K.shape[0] // 2
+    a = np.zeros((arr.shape[0] + 2 * r, arr.shape[1] + 2 * r), dtype=np.int64)
+    a[r:r + arr.shape[0], r:r + arr.shape[1]] = arr.astype(np.int64)
+    out = np.zeros(arr.shape, dtype=np.int64)
+    for ky in range(K.shape[0]):
+        for kx in range(K.shape[1]):
+            if K[ky, kx]:
+                out += K[ky, kx] * a[ky:ky + arr.shape[0], kx:kx + arr.shape[1]]
+    return out
