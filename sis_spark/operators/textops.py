@@ -711,3 +711,88 @@ def redact_pii_sql(rel: str = "documents", text: str = "text",
     for _, pat, tok in PII_PATTERNS:
         red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
     return f"SELECT {id_col}, {counts}, {red} AS redacted FROM {rel}"
+
+
+# ---------------------------------------------------------------- n-gram LM fluency
+# Perplexity-style fluency filtering (the KenLM-score step of CCNet-style
+# curation pipelines) with EXACT distributed semantics: the corpus itself is
+# the language model (bigram counts), and the per-bigram log-probability is
+# the integer log2 floor  bitlen(c(w1,w2)) - bitlen(c(w1 .))  computed via
+# length(bin(n)) — exact in Spark AND DuckDB, no libm (ln differs by 1 ulp
+# between JVM and libm on ~3% of inputs, the tfidf lesson).  Monotone in the
+# true MLE log-prob up to quantization, which is all a rank-and-threshold
+# quality filter consumes.
+#
+# Plan: one explode pass over the corpus, ONE bigram-count shuffle (the
+# prefix counts reduce from the bigram counts, k rows), then a count-table
+# equi-join back and a per-doc aggregation — the minimum any corpus-LM
+# scoring pays.  At web scale the count table is the standard n-gram-LM
+# artifact; cap it with countmin_build (operators/sketches.py) when the
+# vocabulary outgrows a join side.
+
+
+def _bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    d = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__ws"))
+    return (
+        d.filter(F.expr("size(__ws) >= 2"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__ws) - 1), "
+                    "i -> struct(element_at(__ws, i) AS w1, "
+                    "element_at(__ws, i + 1) AS w2))"
+                )
+            ).alias("g"),
+        )
+        .select(id_col, "g.w1", "g.w2")
+    )
+
+
+def ngram_lm_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_bigrams, score_sum, fluency) per document with >= 1 bigram:
+    score_sum = sum over bigrams of bitlen(c2) - bitlen(c1),
+    fluency = score_sum / n_bigrams (int/int -> double, bit-exact)."""
+    bg = _bigrams(docs, text_col, id_col)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    term = (F.length(F.bin("c2")) - F.length(F.bin("c1"))).cast("long")
+    return (
+        bg.join(c2, ["w1", "w2"]).join(c1, "w1")
+        .select(F.col(id_col), term.alias("t"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("t").alias("score_sum"),
+        )
+        .select(
+            id_col, "n_bigrams", "score_sum",
+            (F.col("score_sum") / F.col("n_bigrams")).alias("fluency"),
+        )
+    )
+
+
+def ngram_lm_score_sql(
+    rel: str = "documents", text: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB replay of ngram_lm_score (same bigrams, counts, bit lengths)."""
+    return f"""
+WITH w AS (SELECT {id_col}, string_split({text}, ' ') AS ws FROM {rel}),
+bg AS (
+  SELECT {id_col}, u.g.w1 AS w1, u.g.w2 AS w2 FROM (
+    SELECT {id_col},
+           unnest([struct_pack(w1 := ws[i], w2 := ws[i+1])
+                   for i in range(1, len(ws))]) AS g
+    FROM w WHERE len(ws) >= 2) u),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+terms AS (
+  SELECT bg.{id_col},
+         CAST(length(bin(c2.c2)) - length(bin(c1.c1)) AS BIGINT) AS t
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(t) AS BIGINT) AS score_sum,
+       sum(t) / count(*) AS fluency
+FROM terms GROUP BY {id_col}"""

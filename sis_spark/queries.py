@@ -5931,6 +5931,22 @@ SELECT tx, ty, CAST(sum(cv * wt) AS BIGINT) AS cs
 FROM g GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+def q_ngram_lm(spark, sf_dir):
+    """Corpus-LM fluency scoring (textops.ngram_lm_score): the perplexity-
+    filter step of CCNet-style curation, made bit-exact — per-bigram logprob
+    is the integer log2 floor bitlen(c2) - bitlen(c1) via length(bin(n)),
+    no libm; one bigram-count shuffle + count-table join + per-doc agg."""
+    from .operators.textops import ngram_lm_score
+
+    return ngram_lm_score(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_ngram_lm_oracle():
+    from .operators.textops import ngram_lm_score_sql
+
+    return ngram_lm_score_sql() + " ORDER BY doc_id"
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -6073,4 +6089,5 @@ QUERIES = {
     "hilbert_order": (q_hilbert_order, q_hilbert_order_oracle),
     "stay_points": (q_stay_points, q_stay_points_oracle),
     "convolve": (q_convolve, q_convolve_oracle),
+    "ngram_lm": (q_ngram_lm, q_ngram_lm_oracle),
 }
