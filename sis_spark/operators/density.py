@@ -1,0 +1,126 @@
+"""Grid-density spatial clustering (grid DBSCAN).
+
+The cell-bucketed formulation of density clustering that actually scales:
+a cell of the 2^k x 2^k grid is CORE when it holds >= min_pts points;
+clusters are the connected components of 8-adjacent core cells; every point
+in a core cell takes its component label, points outside core cells are
+noise.  This is the standard grid approximation of DBSCAN (the cell side
+plays eps) — exact DBSCAN's eps-graph needs a distance join, which the
+engine also has (`spatial_join`/`knn`), but at 10^12 points the histogram +
+component pass is the one that survives: two keyed aggregations over cells
+(input-size-bound map-side combine), a component loop over CORE CELLS ONLY
+(tiny vs the input), one broadcast-shaped join back to points.
+
+Reference parity: the cell histogram is the engine's own skew-sampling
+primitive (gate `cell_counts`); components reuse operators/graph.py
+(min-label propagation + pointer jumping).  Everything is integer after the
+shared floor+clamp grid mapping, so the DuckDB oracle replays clustering
+bit-for-bit with a recursive-CTE closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .graph import connected_components
+
+
+def grid_expr(axis: str, n: int, lon_col: str = "lon", lat_col: str = "lat") -> str:
+    """Shared Spark-SQL/DuckDB text mapping lon/lat to the 2^k grid
+    (the cells.py floor+clamp convention)."""
+    if axis == "x":
+        return (
+            f"CAST(LEAST(GREATEST(floor((({lon_col}) + 180.0) / 360.0 * {n}.0), "
+            f"0.0), {n - 1}.0) AS BIGINT)"
+        )
+    return (
+        f"CAST(LEAST(GREATEST(floor((({lat_col}) + 90.0) / 180.0 * {n}.0), "
+        f"0.0), {n - 1}.0) AS BIGINT)"
+    )
+
+
+def grid_cluster(
+    points: DataFrame,
+    grid_n: int,
+    min_pts: int,
+    id_col: str = "event_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """(id, ix, iy, cluster) for every point in a core cell; cluster is the
+    smallest core-cell key (ix * grid_n + iy) reachable through 8-adjacency.
+    Non-core points are noise and not emitted (filter-join the output back
+    against the input for an explicit noise flag)."""
+    cells = points.select(
+        F.col(id_col),
+        F.expr(grid_expr("x", grid_n, lon_col, lat_col)).alias("ix"),
+        F.expr(grid_expr("y", grid_n, lon_col, lat_col)).alias("iy"),
+    )
+    core = (
+        cells.groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_pts)
+        .select("ix", "iy", (F.col("ix") * grid_n + F.col("iy")).alias("key"))
+    )
+    # 8-neighbor edges between core cells: explode the ring, semi-join back
+    nbr = core.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("ix") + dx).alias("nx"),
+                        (F.col("iy") + dy).alias("ny"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                    if (dx, dy) != (0, 0)
+                ]
+            )
+        ).alias("g"),
+    ).select("key", "g.nx", "g.ny")
+    other = core.select(
+        F.col("ix").alias("nx"), F.col("iy").alias("ny"), F.col("key").alias("nkey")
+    )
+    edges = nbr.join(other, ["nx", "ny"]).select(
+        F.col("key").alias("a"), F.col("nkey").alias("b")
+    )
+    loops = core.select(F.col("key").alias("a"), F.col("key").alias("b"))
+    comp = connected_components(edges.unionByName(loops))
+    return (
+        cells.join(core, ["ix", "iy"])
+        .join(comp, core.key == comp.node)
+        .select(id_col, "ix", "iy", F.col("comp").alias("cluster"))
+    )
+
+
+def grid_cluster_sql(
+    base_select: str,
+    grid_n: int,
+    min_pts: int,
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB replay: same grid mapping, core rule, 8-adjacency closure.
+    ``base_select`` must yield ({id_col}, lon, lat)."""
+    ix = grid_expr("x", grid_n)
+    iy = grid_expr("y", grid_n)
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT {id_col}, {ix} AS ix, {iy} AS iy FROM ({base_select}) b),
+core AS (
+  SELECT ix, iy, ix * {grid_n} + iy AS key
+  FROM pts GROUP BY 1, 2, 3 HAVING count(*) >= {min_pts}),
+und AS (
+  SELECT a.key AS a, b.key AS b
+  FROM core a JOIN core b
+    ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1 AND a.key <> b.key),
+reach(node, r) AS (
+  SELECT key, key FROM core
+  UNION
+  SELECT reach.node, und.b FROM reach JOIN und ON und.a = reach.r),
+comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+SELECT p.{id_col} AS {id_col}, p.ix AS ix, p.iy AS iy, comp.comp AS cluster
+FROM pts p JOIN core c ON p.ix = c.ix AND p.iy = c.iy
+JOIN comp ON c.key = comp.node
+"""

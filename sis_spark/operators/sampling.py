@@ -279,3 +279,46 @@ SELECT {source_col}, n, weight,
        CAST((t * weight) // {wsum} AS BIGINT) AS target_n,
        CAST((t * weight) // {wsum} AS DOUBLE) / CAST(n AS DOUBLE) AS rate
 FROM cw CROSS JOIN t"""
+
+
+def _u60_expr_text(key: str, salt: str) -> str:
+    """Spark-SQL text form of hash_u60 (needed where the composition must
+    stay integer, e.g. a DIV that a double division would round at 2^60)."""
+    return (
+        f"conv(substring(md5(cast(concat(cast({key} AS STRING), ':{salt}') "
+        f"AS BINARY)), 1, 15), 16, 10)"
+    )
+
+
+def weighted_topk(
+    df: DataFrame, k: int, weight_col: str, key_col: str, salt: str = "wsample"
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: integer priority
+    sampling — priority = u60(key) DIV max(weight, 1), keep the k smallest.
+
+    Selection probability grows with weight (the A-ES/priority-sampling
+    shape) while staying a pure function of (key, weight): rerun-stable,
+    append-stable, partitioning-independent.  Integer DIV, not FP division —
+    u60 is 60 bits and a double quotient would round away the low bits.
+    The orderBy().limit(k) plan compiles to TakeOrderedAndProject (per-
+    partition partial top-k + size-k final merge — no global sort)."""
+    pri = F.expr(
+        f"CAST({_u60_expr_text(key_col, salt)} AS BIGINT) "
+        f"DIV greatest(CAST({weight_col} AS BIGINT), 1)"
+    )
+    return (
+        df.withColumn("priority", pri)
+        .orderBy("priority", key_col)
+        .limit(k)
+    )
+
+
+def weighted_topk_sql(
+    k: int, weight_col: str, key_col: str, salt: str = "wsample",
+    rel: str = "documents",
+) -> str:
+    u = hash_u60_sql(key_col, salt)
+    return (
+        f"SELECT *, ({u}) // greatest(CAST({weight_col} AS BIGINT), 1) AS priority "
+        f"FROM {rel} ORDER BY priority, {key_col} LIMIT {k}"
+    )

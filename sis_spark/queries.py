@@ -5947,6 +5947,47 @@ def q_ngram_lm_oracle():
     return ngram_lm_score_sql() + " ORDER BY doc_id"
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (sampling.
+    weighted_topk): integer priority = u60(key) DIV weight, k smallest —
+    selection probability grows with document length, yet the sample is a
+    pure function of keys (rerun/append/partitioning-stable).  Plan is
+    TakeOrderedAndProject: per-partition partial top-k, size-k final."""
+    from .operators.sampling import weighted_topk
+
+    return weighted_topk(
+        _read(spark, sf_dir, "documents"), 100, "n_chars", "doc_id"
+    )
+
+
+def q_weighted_sample_oracle():
+    from .operators.sampling import weighted_topk_sql
+
+    return weighted_topk_sql(100, "n_chars", "doc_id")
+
+
+def q_grid_cluster(spark, sf_dir):
+    """Grid-density clustering (operators/density.py, grid DBSCAN at
+    2^10 cells, min_pts 3): core-cell histogram + connected components of
+    8-adjacent core cells — the density clustering that survives 10^12
+    points (the component loop runs over ~200 core cells, not the input).
+    Output: every core point with its cluster label."""
+    from .operators.density import grid_cluster
+
+    pts = _events_points(spark, sf_dir)
+    return grid_cluster(pts, grid_n=1024, min_pts=3).orderBy("event_id")
+
+
+def q_grid_cluster_oracle():
+    from .operators.density import grid_cluster_sql
+
+    return (
+        "SELECT * FROM ("
+        + grid_cluster_sql(_points_sql(), 1024, 3)
+        + ") ORDER BY event_id"
+    )
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -6090,4 +6131,6 @@ QUERIES = {
     "stay_points": (q_stay_points, q_stay_points_oracle),
     "convolve": (q_convolve, q_convolve_oracle),
     "ngram_lm": (q_ngram_lm, q_ngram_lm_oracle),
+    "weighted_sample": (q_weighted_sample, q_weighted_sample_oracle),
+    "grid_cluster": (q_grid_cluster, q_grid_cluster_oracle),
 }

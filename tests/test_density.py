@@ -1,0 +1,72 @@
+"""Grid-density clustering (operators/density.py) and weighted sampling
+(sampling.weighted_topk): replicas, merge behavior, weight monotonicity."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sis_spark.operators.density import grid_cluster
+from sis_spark.operators.sampling import weighted_topk
+
+
+def test_two_blobs_and_noise(spark):
+    rng = np.random.default_rng(4)
+    rows = []
+    i = 0
+    # blob A near (10, 10), blob B near (-60, -30), sparse noise everywhere
+    for cx, cy, n in ((10.0, 10.0, 200), (-60.0, -30.0, 150)):
+        for _ in range(n):
+            rows.append((i, cx + float(rng.normal(0, 0.2)),
+                         cy + float(rng.normal(0, 0.2))))
+            i += 1
+    for _ in range(100):
+        rows.append((i, float(rng.uniform(-179, 179)),
+                     float(rng.uniform(-85, 85))))
+        i += 1
+    df = spark.createDataFrame(rows, "event_id long, lon double, lat double")
+    out = grid_cluster(df, grid_n=1024, min_pts=4).collect()
+    lab = {r["event_id"]: r["cluster"] for r in out}
+    a = {lab[j] for j in range(200) if j in lab}
+    b = {lab[j] for j in range(200, 350) if j in lab}
+    assert len(a) == 1 and len(b) == 1 and a != b   # blobs merge internally
+    assert len(lab) >= 300                           # blobs mostly core
+    noise = [j for j in range(350, 450) if j in lab]
+    assert len(noise) < 10                           # sparse points are noise
+
+
+def test_adjacent_cells_merge_diagonally(spark):
+    # two dense pockets in diagonally-adjacent cells -> ONE cluster
+    n = 1024
+    cell_w, cell_h = 360.0 / n, 180.0 / n
+    # centers of cell (512, 512) and (513, 513)
+    def center(ix, iy):
+        return (ix + 0.5) * cell_w - 180.0, (iy + 0.5) * cell_h - 90.0
+    rows = []
+    i = 0
+    for ix, iy in ((512, 512), (513, 513)):
+        lon, lat = center(ix, iy)
+        for _ in range(5):
+            rows.append((i, lon, lat))
+            i += 1
+    df = spark.createDataFrame(rows, "event_id long, lon double, lat double")
+    out = grid_cluster(df, grid_n=n, min_pts=3).collect()
+    assert len({r["cluster"] for r in out}) == 1 and len(out) == 10
+
+
+def test_weighted_topk_monotone_and_stable(spark):
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 100 + 1).alias("w")
+    )
+    heavy = weighted_topk(df, 200, "w", "id")
+    rows = heavy.collect()
+    assert len(rows) == 200
+    # selection favors heavy rows: mean weight of the sample >> corpus mean
+    assert np.mean([r["w"] for r in rows]) > 65  # corpus mean ~50.5
+    # deterministic under repartitioning
+    again = weighted_topk(df.repartition(13), 200, "w", "id").collect()
+    assert sorted(r["id"] for r in rows) == sorted(r["id"] for r in again)
+
+
+def test_weighted_topk_plan_is_take_ordered(spark):
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 7 + 1).alias("w"))
+    plan = weighted_topk(df, 10, "w", "id")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
