@@ -332,3 +332,132 @@ def delete_where(spark: SparkSession, root: str, condition) -> int:
             _read_with_path(spark, root, m, affected).filter(~cond).select(*cols)
         )
     return _rewrite_commit(spark, root, m, parent, affected_rel, new_rows, "delete")
+
+
+# ---------------------------------------------------------------- file skipping & maintenance
+# Manifest COLUMN STATISTICS (Iceberg's per-file lower/upper bounds): commits
+# record min/max of chosen columns per file, and reads prune files against a
+# stats predicate ON THE DRIVER — with data written in Hilbert-key order
+# (functions/hilbert.py) a bbox/key-range query opens only the files whose
+# key interval intersects it.  This is the layout + skipping pair that turns
+# a 10^12-row scan into a per-query touch of O(result) files.
+
+
+def _file_stats(root: str, files: list[dict], stats_cols: list[str]) -> None:
+    """Attach {col: [min, max]} to each file entry (footer metadata only —
+    no data pages are read)."""
+    import pyarrow.parquet as pq
+
+    for f in files:
+        pf = pq.ParquetFile(os.path.join(root, f["path"]))
+        schema_names = pf.schema_arrow.names
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        for rg in range(pf.metadata.num_row_groups):
+            meta = pf.metadata.row_group(rg)
+            for ci in range(meta.num_columns):
+                col = meta.column(ci)
+                name = col.path_in_schema
+                if name not in stats_cols or col.statistics is None:
+                    continue
+                st = col.statistics
+                if not st.has_min_max:
+                    continue
+                mins[name] = st.min if name not in mins else min(mins[name], st.min)
+                maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+        f["stats"] = {c: [mins[c], maxs[c]] for c in mins if c in maxs}
+
+
+def write_clustered(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    order_col: str,
+    n_files: int,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Create a table laid out in ``order_col`` order across ``n_files``
+    range partitions (repartitionByRange -> one file per range, ranges
+    non-overlapping in the order column), with per-file min/max stats for
+    ``stats_cols`` recorded in the manifest.  Feed a Hilbert key as the
+    order column for spatial-locality file clustering."""
+    stats_cols = stats_cols or [order_col]
+    os.makedirs(_meta_dir(root), exist_ok=True)
+    if current_snapshot(root) != 0:
+        raise RuntimeError(f"table {root} already exists")
+    from pyspark.sql import functions as F
+
+    clustered = df.repartitionByRange(n_files, F.col(order_col)).sortWithinPartitions(
+        order_col
+    )
+    files = _collect_files(spark, root, clustered, [], write_id=1)
+    _file_stats(root, files, stats_cols)
+    return _commit(root, files, "create-clustered", [], expected_parent=0)
+
+
+def read_pruned(
+    spark: SparkSession,
+    root: str,
+    stats_filter,
+    snapshot: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Snapshot read with manifest stats pruning: ``stats_filter(stats)
+    -> bool`` decides per file from its {col: [min, max]} dict (missing
+    stats => kept, never wrongly skipped).  Returns (df, kept, total)."""
+    m = load_manifest(root, snapshot)
+    total = len(m["files"])
+    files = [
+        f for f in m["files"] if "stats" not in f or stats_filter(f["stats"])
+    ]
+    if not files:
+        return (
+            spark.read.parquet(os.path.join(root, "data")).limit(0),
+            0,
+            total,
+        )
+    paths = [os.path.join(root, f["path"]) for f in files]
+    return spark.read.parquet(*paths), len(files), total
+
+
+def compact_files(
+    spark: SparkSession,
+    root: str,
+    target_rows: int,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE-style small-file compaction: bin-pack manifest entries into
+    groups of ~target_rows by first-fit over the manifest (driver-side,
+    file COUNT not data), rewrite each multi-file group as one file, carry
+    singleton groups over untouched.  Row-level content is unchanged —
+    only the file layout (and the child manifest) changes."""
+    parent = current_snapshot(root)
+    m = load_manifest(root, parent)
+    if m["partition_by"]:
+        # a hive-partitioned merge would need per-partition grouping to keep
+        # the partition columns recoverable; out of scope for this pass
+        raise ValueError("compact_files supports unpartitioned tables")
+    groups: list[list[dict]] = []
+    acc: list[dict] = []
+    acc_rows = 0
+    for f in sorted(m["files"], key=lambda f: f["path"]):
+        if acc and acc_rows + f["rows"] > target_rows:
+            groups.append(acc)
+            acc, acc_rows = [], 0
+        acc.append(f)
+        acc_rows += f["rows"]
+    if acc:
+        groups.append(acc)
+
+    kept = [g[0] for g in groups if len(g) == 1]
+    to_merge = [g for g in groups if len(g) > 1]
+    new_files: list[dict] = []
+    if to_merge:
+        merged_paths = [
+            os.path.join(root, f["path"]) for g in to_merge for f in g
+        ]
+        df = spark.read.parquet(*merged_paths).coalesce(len(to_merge))
+        new_files = _collect_files(spark, root, df, m["partition_by"],
+                                   write_id=parent + 1)
+        if stats_cols:
+            _file_stats(root, new_files, stats_cols)
+    return _commit(root, kept + new_files, "compact", m["partition_by"], parent)

@@ -231,3 +231,69 @@ def test_merge_unpartitioned_and_noop_delete(spark, tmp_path):
     m = tf.load_manifest(root)
     assert m["snapshot"] == s_before + 1 and len(m["files"]) > 0
     assert tf.read(spark, root).count() == 31
+
+
+def test_clustered_write_prunes_by_hilbert_key(spark, tmp_path):
+    from sis_spark.functions.hilbert import hilbert_d_np, hilbert_index
+
+    root = str(tmp_path / "t_hilbert")
+    order = 8
+    n = 1 << order
+    rng = np.random.default_rng(2)
+    xs, ys = rng.integers(0, n, 4000), rng.integers(0, n, 4000)
+    pts = spark.createDataFrame(
+        [(i, int(xs[i]), int(ys[i])) for i in range(4000)],
+        "id long, ix long, iy long",
+    )
+    keyed = hilbert_index(pts, "ix", "iy", order, id_cols=["id"])
+    tf.write_clustered(spark, root, keyed, "hkey", n_files=16)
+
+    m = tf.load_manifest(root)
+    assert len(m["files"]) >= 16
+    spans = sorted(tuple(f["stats"]["hkey"]) for f in m["files"])
+    for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
+        assert ahi <= blo  # range partitions: non-overlapping key intervals
+
+    # a small bbox -> small hilbert-key window set; pruning must open few
+    # files and return exactly the brute-force rows
+    bx0, bx1, by0, by1 = 40, 47, 200, 207
+    sub = hilbert_d_np(
+        np.repeat(np.arange(bx0, bx1 + 1), by1 - by0 + 1),
+        np.tile(np.arange(by0, by1 + 1), bx1 - bx0 + 1),
+        order,
+    )
+    klo, khi = int(sub.min()), int(sub.max())
+    df, kept, total = tf.read_pruned(
+        spark, root,
+        lambda st: st["hkey"][0] <= khi and st["hkey"][1] >= klo,
+    )
+    assert kept < total  # skipping actually happened
+    got = sorted(
+        r["id"] for r in df.filter(
+            (F.col("ix").between(bx0, bx1)) & (F.col("iy").between(by0, by1))
+        ).collect()
+    )
+    want = sorted(
+        int(i) for i in range(4000)
+        if bx0 <= xs[i] <= bx1 and by0 <= ys[i] <= by1
+    )
+    assert got == want
+
+
+def test_compact_files_preserves_content(spark, tmp_path):
+    root = str(tmp_path / "t_compact")
+    tf.create_table(spark, root, mk_df(spark, 0, 40).drop("p").repartition(8))
+    for lo in (40, 80, 120):
+        tf.append(spark, root, mk_df(spark, lo, lo + 40).drop("p").repartition(8))
+    before = tf.load_manifest(root)
+    assert len(before["files"]) >= 16
+    rows_before = sorted(r["id"] for r in tf.read(spark, root).collect())
+
+    tf.compact_files(spark, root, target_rows=80)
+    after = tf.load_manifest(root)
+    assert after["op"] == "compact"
+    assert len(after["files"]) < len(before["files"]) / 2
+    assert tf.scan_row_counts(root) == 160
+    assert sorted(r["id"] for r in tf.read(spark, root).collect()) == rows_before
+    # history: the pre-compaction snapshot still reads identically
+    assert tf.read(spark, root, snapshot=before["snapshot"]).count() == 160
