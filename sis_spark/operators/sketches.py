@@ -318,3 +318,190 @@ truth AS (SELECT term, CAST(count(*) AS BIGINT) AS true_n FROM terms GROUP BY te
 SELECT e.term AS term, CAST(e.est AS BIGINT) AS est, t.true_n AS true_n
 FROM ests e JOIN truth t ON e.term = t.term
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (k minimum values)
+# ---------------------------------------------------------------------------
+#
+# The fourth mergeable sketch: distinct counting WITH set algebra.  HLL
+# answers |A| but cannot answer |A ∩ B|; a KMV sketch (the k smallest
+# distinct hash values) supports union (k smallest of the merged value
+# sets) and intersection (common values below the smaller theta) with
+# relative error ~1/sqrt(k) — the DataSketches "theta sketch" family.
+#
+# Estimates stay in exact int64 by computing at 52-bit precision:
+# (k-1) << 52 fits a BIGINT for k <= 2048, and theta >> 8 >= 1 whenever
+# theta >= 256 (always, for any non-trivial input).  The same shifted
+# division runs in Spark (`div`) and DuckDB (`//`), so the gate pins the
+# sketch CONTENTS and the integer estimates bit-for-bit.
+
+_KMV_SHIFT = 8  # estimate precision: u60 >> 8 = 52-bit
+
+
+def kmv_build(df: DataFrame, key_col: str, k: int = 64, salt: str = "kmv") -> DataFrame:
+    """KMV sketch of ``key_col``: the ``k`` smallest DISTINCT u60 hash
+    values, as rows (u).  The distinct is a map-side-combined aggregate and
+    the k-min compiles to TakeOrderedAndProject (per-partition partial
+    top-k, size-k merge) — state is O(k) end to end."""
+    if not 2 <= k <= 2048:
+        raise ValueError("k must be in [2, 2048]")
+    u = hash_u60(F.col(key_col), salt)
+    return df.select(u.alias("u")).distinct().orderBy("u").limit(k)
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Union of KMV sketches = KMV of the union: merge the value sets,
+    keep the k smallest distinct hashes — the monoid combine."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("u").limit(k)
+
+
+def _kmv_est(n_seen: int, k: int, theta: int) -> int:
+    """(k-1) / theta-fraction estimate in exact shifted-int arithmetic.
+    ``n_seen`` short-circuits the exact small case (sketch not full)."""
+    if n_seen < k:
+        return n_seen
+    return ((k - 1) << (60 - _KMV_SHIFT)) // max(theta >> _KMV_SHIFT, 1)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> int:
+    """Distinct-count estimate from a sketch (driver-side over <=k rows)."""
+    us = sorted(r["u"] for r in sketch.collect())
+    return _kmv_est(len(us), k, us[-1]) if us else 0
+
+
+def kmv_intersect_estimate(a: DataFrame, b: DataFrame, k: int = 64) -> int:
+    """|A ∩ B| estimate: theta = min of the two k-th minima; count hash
+    values present in BOTH sketches below theta; scale by 2^60/theta.
+    Driver-side over two <=k-row states."""
+    ua = sorted(r["u"] for r in a.collect())
+    ub = sorted(r["u"] for r in b.collect())
+    if not ua or not ub:
+        return 0
+    if len(ua) < k and len(ub) < k:
+        return len(set(ua) & set(ub))
+    theta = min(ua[-1], ub[-1])
+    common = len({u for u in ua if u <= theta} & {u for u in ub if u <= theta})
+    return (common << (60 - _KMV_SHIFT)) // max(theta >> _KMV_SHIFT, 1)
+
+
+def kmv_summary(
+    a: DataFrame, b: DataFrame, k: int = 64
+) -> "DataFrame":
+    """One-row set-algebra summary of two sketches, entirely in DataFrame
+    ops (no driver state): (theta_a, theta_b, sum_a, sum_b, est_a, est_b,
+    est_union, est_intersect).  The thetas + low-40-bit content sums pin
+    the sketch values (a full sum of k u60 values would overflow int64);
+    the estimates pin the shifted-integer division.  Every input here is
+    <=k rows, so all joins are broadcasts of tiny aggregates."""
+    shift = 60 - _KMV_SHIFT
+    km1 = k - 1
+
+    def stats(s: DataFrame, tag: str) -> DataFrame:
+        return s.agg(
+            F.sum(F.col("u") % F.lit(1 << 40)).alias(f"sum_{tag}"),
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.max("u").alias(f"theta_{tag}"),
+        )
+
+    sa, sb = stats(a, "a"), stats(b, "b")
+    su = stats(kmv_merge(a, b, k=k), "u")
+    # common values below min(theta_a, theta_b): inner join of the sketches
+    common = a.join(b, "u").select("u")
+    est = (
+        sa.crossJoin(sb)
+        .crossJoin(su)
+        .crossJoin(
+            common.crossJoin(sa.select("theta_a"))
+            .crossJoin(sb.select("theta_b"))
+            .agg(
+                F.count(
+                    F.when(
+                        F.col("u") <= F.least("theta_a", "theta_b"), F.lit(1)
+                    )
+                ).alias("n_common")
+            )
+        )
+    )
+
+    def scaled(num, theta):
+        return F.expr(f"({num}) div greatest(({theta}) div {1 << _KMV_SHIFT}, 1)")
+
+    est_a = F.when(F.col("n_a") < k, F.col("n_a")).otherwise(
+        scaled(f"{km1 << shift}", "theta_a")
+    )
+    est_b = F.when(F.col("n_b") < k, F.col("n_b")).otherwise(
+        scaled(f"{km1 << shift}", "theta_b")
+    )
+    est_u = F.when(F.col("n_u") < k, F.col("n_u")).otherwise(
+        scaled(f"{km1 << shift}", "theta_u")
+    )
+    est_i = F.when(
+        (F.col("n_a") < k) & (F.col("n_b") < k), F.col("n_common")
+    ).otherwise(
+        scaled(
+            f"n_common * {1 << shift}",
+            f"least(theta_a, theta_b) ",
+        )
+    )
+    return est.select(
+        F.col("theta_a").cast("long").alias("theta_a"),
+        F.col("theta_b").cast("long").alias("theta_b"),
+        F.col("sum_a").cast("long").alias("sum_a"),
+        F.col("sum_b").cast("long").alias("sum_b"),
+        est_a.cast("long").alias("est_a"),
+        est_b.cast("long").alias("est_b"),
+        est_u.cast("long").alias("est_union"),
+        est_i.cast("long").alias("est_intersect"),
+    )
+
+
+def kmv_summary_sql(
+    pred_a: str,
+    pred_b: str,
+    k: int = 64,
+    salt: str = "kmv",
+    key: str = "doc_id",
+    rel: str = "documents",
+) -> str:
+    """DuckDB replay of kmv_build x2 + kmv_summary over ``rel`` subsets
+    ``pred_a`` / ``pred_b`` — identical hashes, k-min sets, shifted-integer
+    estimates."""
+    u = hash_u60_sql(key, salt)
+    shift = 60 - _KMV_SHIFT
+    km1 = k - 1
+    return f"""
+WITH ka AS (
+  SELECT DISTINCT {u} AS u FROM {rel} WHERE {pred_a} ORDER BY u LIMIT {k}
+),
+kb AS (
+  SELECT DISTINCT {u} AS u FROM {rel} WHERE {pred_b} ORDER BY u LIMIT {k}
+),
+ku AS (
+  SELECT DISTINCT u FROM (SELECT u FROM ka UNION ALL SELECT u FROM kb)
+  ORDER BY u LIMIT {k}
+),
+sa AS (SELECT CAST(sum(u % {1 << 40}) AS BIGINT) AS sum_a, count(*) AS n_a, max(u) AS theta_a FROM ka),
+sb AS (SELECT CAST(sum(u % {1 << 40}) AS BIGINT) AS sum_b, count(*) AS n_b, max(u) AS theta_b FROM kb),
+su AS (SELECT count(*) AS n_u, max(u) AS theta_u FROM ku),
+sc AS (
+  SELECT count(*) AS n_common
+  FROM ka JOIN kb USING (u), sa, sb
+  WHERE u <= least(theta_a, theta_b)
+)
+SELECT
+  CAST(theta_a AS BIGINT) AS theta_a, CAST(theta_b AS BIGINT) AS theta_b,
+  sum_a, sum_b,
+  CAST(CASE WHEN n_a < {k} THEN n_a
+       ELSE {km1 << shift} // greatest(theta_a // {1 << _KMV_SHIFT}, 1) END AS BIGINT) AS est_a,
+  CAST(CASE WHEN n_b < {k} THEN n_b
+       ELSE {km1 << shift} // greatest(theta_b // {1 << _KMV_SHIFT}, 1) END AS BIGINT) AS est_b,
+  CAST(CASE WHEN n_u < {k} THEN n_u
+       ELSE {km1 << shift} // greatest(theta_u // {1 << _KMV_SHIFT}, 1) END AS BIGINT) AS est_union,
+  CAST(CASE WHEN n_a < {k} AND n_b < {k} THEN n_common
+       ELSE (n_common * {1 << shift}) // greatest(least(theta_a, theta_b) // {1 << _KMV_SHIFT}, 1) END AS BIGINT) AS est_intersect
+FROM sa, sb, su, sc
+"""

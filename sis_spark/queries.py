@@ -5988,6 +5988,162 @@ def q_grid_cluster_oracle():
     )
 
 
+def q_theta_sketch(spark, sf_dir):
+    """KMV / theta sketch set algebra (sketches.kmv_build/kmv_summary,
+    k=64): the k smallest distinct u60 hashes of two overlapping doc-id
+    subsets — distinct is map-side-combined, the k-min compiles to
+    TakeOrderedAndProject — combined into one row of content checksums +
+    shifted-integer estimates for |A|, |B|, |A∪B| and |A∩B| (the set
+    operation HLL cannot answer).  Every value is exact int64; the oracle
+    replays hashes, k-min sets and the 52-bit-precision divisions."""
+    from .operators.sampling import hash_u60
+    from .operators.sketches import kmv_build, kmv_summary
+
+    docs = _read(spark, sf_dir, "documents")
+    h = hash_u60(F.col("doc_id"), "ta")
+    a = kmv_build(docs.filter(h < F.lit(1 << 59)), "doc_id", k=64)
+    b = kmv_build(docs.filter(h >= F.lit(1 << 58)), "doc_id", k=64)
+    return kmv_summary(a, b, k=64)
+
+
+def q_theta_sketch_oracle():
+    from .operators.sampling import hash_u60_sql
+    from .operators.sketches import kmv_summary_sql
+
+    h = hash_u60_sql("doc_id", "ta")
+    return kmv_summary_sql(f"{h} < {1 << 59}", f"{h} >= {1 << 58}", k=64)
+
+
+def _d8_sql_cte(W: int, H: int) -> str:
+    """Shared DuckDB CTE prefix deriving per-pixel D8 direction codes for
+    the band-0 formula raster ((x*7 + y*13) % 256): drops to the 8
+    neighbors in the engine\'s tie-break order (E, SE, S, SW, W, NW, N,
+    NE), out-of-extent neighbors pinned to -999999 (never the max), code 0
+    when the best drop is not strictly positive — byte-for-byte the
+    raster/terrain.py flow_dir_tiles convention."""
+    from .raster.terrain import _D8
+
+    v = lambda a, b: f"((({a}) * 7 + ({b}) * 13) % 256)"
+    dcols = []
+    for i, (ddx, ddy, _code) in enumerate(_D8):
+        nx, ny = f"x + ({ddx})", f"y + ({ddy})"
+        rng = f"{nx} >= 0 AND {nx} < {W} AND {ny} >= 0 AND {ny} < {H}"
+        dcols.append(
+            f"(CASE WHEN {rng} THEN {v('x', 'y')} - {v(nx, ny)}"
+            f" ELSE -999999 END) AS d{i}"
+        )
+    m = "greatest(" + ", ".join(f"d{i}" for i in range(8)) + ")"
+    arms = " ".join(
+        f"WHEN d{i} = m THEN {code}" for i, (_, _, code) in enumerate(_D8)
+    )
+    return f"""
+WITH RECURSIVE px AS (
+  SELECT x.x AS x, y.y AS y
+  FROM generate_series(0, {W - 1}) x(x), generate_series(0, {H - 1}) y(y)),
+dd AS (SELECT x, y, {", ".join(dcols)} FROM px),
+mm AS (SELECT *, {m} AS m FROM dd),
+dir AS (
+  SELECT x, y, CASE WHEN m <= 0 THEN 0 {arms} END AS dir FROM mm)"""
+
+
+def q_flow_dir(spark, sf_dir):
+    """D8 flow direction over a tiled DEM (raster/terrain.py
+    flow_dir_tiles: 9-way halo gather, unweighted steepest drop, ESRI
+    codes, first-wins ties, pits/out-of-extent -> 0) under the oracle
+    gate: per-tile position-weighted integer checksums of the direction
+    codes, each pixel re-derived by the oracle from the formula raster."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.terrain import flow_dir_tiles
+
+    W, H, TS = 512, 384, 64
+    tiles = _formula_tiles(spark, W, H, bands=1, tile_size=TS)
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    d = flow_dir_tiles(tiles, gg, tile_size=TS)
+
+    def cs(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["dirs"]):
+                dirs = _np.frombuffer(data, _np.uint8).reshape(TS, TS).astype(_np.int64)
+                px = int(tx) * TS + _np.arange(TS)[None, :]
+                py = int(ty) * TS + _np.arange(TS)[:, None]
+                wt = ((py * W + px) % 9973 + 1).astype(_np.int64)
+                rows.append({
+                    "tx": int(tx), "ty": int(ty),
+                    "cs": int((dirs * wt).sum()),
+                    "pits": int((dirs == 0).sum()),
+                })
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return d.mapInPandas(cs, "tx long, ty long, cs long, pits long").orderBy(
+        "tx", "ty"
+    )
+
+
+def q_flow_dir_oracle():
+    return _d8_sql_cte(512, 384) + """
+SELECT x // 64 AS tx, y // 64 AS ty,
+       CAST(sum(dir * ((y * 512 + x) % 9973 + 1)) AS BIGINT) AS cs,
+       CAST(sum(CASE WHEN dir = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pits
+FROM dir GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_flow_accum(spark, sf_dir):
+    """D8 flow accumulation (raster/terrain.py flow_accum: iterative
+    bottom-up upstream-count over the acyclic flow forest — one equi-join
+    + partial agg per round, one scalar to the driver, localCheckpoint
+    lineage truncation) gated against a DuckDB RECURSIVE-CTE walk that
+    follows every cell\'s flow path and counts visits per cell.  Output:
+    per-tile position-weighted checksum of acc + cell count + max acc."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import flow_accum, flow_cells, flow_dir_tiles
+
+    W = H = 128
+    TS = 64
+    tiles = _formula_tiles(spark, W, H, bands=1, tile_size=TS)
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    cells = flow_cells(flow_dir_tiles(tiles, gg, tile_size=TS), gg, TS)
+    acc = flow_accum(cells)
+    wt = ((F.col("y") * W + F.col("x")) % 9973 + 1).cast("long")
+    return (
+        acc.groupBy(
+            (F.col("x") / TS).cast("long").alias("tx"),
+            (F.col("y") / TS).cast("long").alias("ty"),
+        )
+        .agg(
+            F.sum(F.col("acc") * wt).alias("cs"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("acc").alias("max_acc"),
+        )
+        .orderBy("tx", "ty")
+    )
+
+
+def q_flow_accum_oracle():
+    from .raster.terrain import _D8
+
+    dx = " ".join(f"WHEN dir = {c} THEN {ddx}" for ddx, ddy, c in _D8)
+    dy = " ".join(f"WHEN dir = {c} THEN {ddy}" for ddx, ddy, c in _D8)
+    return _d8_sql_cte(128, 128) + f""",
+step AS (
+  SELECT x, y, CASE {dx} END AS dx, CASE {dy} END AS dy
+  FROM dir WHERE dir > 0),
+walk(sx, sy, x, y) AS (
+  SELECT x, y, x, y FROM dir
+  UNION ALL
+  SELECT w.sx, w.sy, s.x + s.dx, s.y + s.dy
+  FROM walk w JOIN step s ON s.x = w.x AND s.y = w.y),
+acc AS (SELECT x, y, count(*) AS acc FROM walk GROUP BY x, y)
+SELECT x // 64 AS tx, y // 64 AS ty,
+       CAST(sum(acc * ((y * 128 + x) % 9973 + 1)) AS BIGINT) AS cs,
+       count(*) AS n, CAST(max(acc) AS BIGINT) AS max_acc
+FROM acc GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -6133,4 +6289,7 @@ QUERIES = {
     "ngram_lm": (q_ngram_lm, q_ngram_lm_oracle),
     "weighted_sample": (q_weighted_sample, q_weighted_sample_oracle),
     "grid_cluster": (q_grid_cluster, q_grid_cluster_oracle),
+    "theta_sketch": (q_theta_sketch, q_theta_sketch_oracle),
+    "flow_dir": (q_flow_dir, q_flow_dir_oracle),
+    "flow_accum": (q_flow_accum, q_flow_accum_oracle),
 }

@@ -244,3 +244,157 @@ def convolve_dense(arr: np.ndarray, kernel) -> np.ndarray:
             if K[ky, kx]:
                 out += K[ky, kx] * a[ky:ky + arr.shape[0], kx:kx + arr.shape[1]]
     return out
+
+
+# ---------------------------------------------------------------------------
+# D8 hydrology: flow direction + flow accumulation
+# ---------------------------------------------------------------------------
+#
+# The classic DEM drainage pair (the neighborhood-operator counterpart of
+# gradient above; reference analog: the ImageProcessor neighborhood
+# contract, F/image/ImageProcessor.java pipeline style).  Convention:
+# unweighted steepest drop over the 8 neighbors, ESRI direction codes
+# (E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64, NE=128; y grows DOWN so S is
+# +y), ties broken by that fixed order (first wins), drop <= 0 or no
+# in-raster neighbor -> 0 (pit).  Integer elevations make every comparison
+# exact, so a SQL oracle replays each pixel's code.
+
+# (dx, dy, code) in tie-break order
+_D8 = [
+    (1, 0, 1), (1, 1, 2), (0, 1, 4), (-1, 1, 8),
+    (-1, 0, 16), (-1, -1, 32), (0, -1, 64), (1, -1, 128),
+]
+
+FLOW_SCHEMA = "tx long, ty long, dirs binary"
+
+
+def flow_dir_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Per-tile D8 flow-direction codes (uint8 plane): same 9-way halo
+    gather as gradient_tiles; neighbors outside the raster extent (or in a
+    missing tile — NaN halo) can never be chosen (the isolines NaN lesson
+    applied at design time)."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+
+    def fn(key, pdf):
+        gtx, gty = int(key[0]), int(key[1])
+        ts = tile_size
+        halo = np.full((ts + 2, ts + 2), np.nan)
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = np.frombuffer(data, dtype=bdt).reshape(ts, ts).astype(np.float64)
+            oy = (int(ty) - gty) * ts + 1
+            ox = (int(tx) - gtx) * ts + 1
+            y0, x0 = max(oy, 0), max(ox, 0)
+            y1, x1 = min(oy + ts, ts + 2), min(ox + ts, ts + 2)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            halo[y0:y1, x0:x1] = block[y0 - oy:y1 - oy, x0 - ox:x1 - ox]
+        px = gtx * ts + np.arange(ts)[None, :]
+        py = gty * ts + np.arange(ts)[:, None]
+        c = halo[1:1 + ts, 1:1 + ts]
+        drops = np.full((8, ts, ts), -np.inf)
+        for i, (dx, dy, _code) in enumerate(_D8):
+            n = halo[1 + dy:1 + dy + ts, 1 + dx:1 + dx + ts]
+            ok = (
+                (px + dx >= 0) & (px + dx < w)
+                & (py + dy >= 0) & (py + dy < h)
+                & ~np.isnan(n)
+            )
+            drops[i] = np.where(ok, c - np.where(np.isnan(n), 0.0, n), -np.inf)
+        best = np.argmax(drops, axis=0)          # first max wins: _D8 order
+        m = np.max(drops, axis=0)
+        codes = np.array([code for _, _, code in _D8], dtype=np.uint8)
+        dirs = np.where(m > 0, codes[best], 0).astype(np.uint8)
+        # pixels outside the raster extent (tile padding): emit 0
+        dirs = np.where((px < w) & (py < h) & ~np.isnan(c), dirs, 0).astype(np.uint8)
+        return pd.DataFrame(
+            [{"tx": gtx, "ty": gty, "dirs": dirs.tobytes()}]
+        )
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(fn, schema=FLOW_SCHEMA)
+
+
+def flow_cells(dirs_df: DataFrame, gg: GridGeometry, tile_size: int = 64) -> DataFrame:
+    """Explode flow-direction tiles to global-coordinate cell rows
+    (x, y, dir) within the raster extent."""
+    h, w = gg.height, gg.width
+
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["dirs"]):
+                ts = tile_size
+                dirs = np.frombuffer(data, np.uint8).reshape(ts, ts)
+                gx = int(tx) * ts + np.arange(ts)[None, :]
+                gy = int(ty) * ts + np.arange(ts)[:, None]
+                keep = (gx < w) & (gy < h)
+                out.append(pd.DataFrame({
+                    "x": np.broadcast_to(gx, (ts, ts))[keep].astype(np.int64),
+                    "y": np.broadcast_to(gy, (ts, ts))[keep].astype(np.int64),
+                    "dir": dirs[keep].astype(np.int64),
+                }))
+            if out:
+                yield pd.concat(out)
+
+    return dirs_df.mapInPandas(fn, "x long, y long, dir long")
+
+
+def _d8_step_cols():
+    """dir code -> (dx, dy) as codegen CASE columns."""
+    dx = F.lit(0)
+    dy = F.lit(0)
+    for ddx, ddy, code in _D8:
+        dx = F.when(F.col("dir") == code, F.lit(ddx)).otherwise(dx)
+        dy = F.when(F.col("dir") == code, F.lit(ddy)).otherwise(dy)
+    return dx, dy
+
+
+def flow_accum(cells: DataFrame, max_rounds: int = 256) -> DataFrame:
+    """D8 flow accumulation: acc(v) = number of cells whose flow path
+    passes through v (including v itself).
+
+    Iterative bottom-up sum over the in-forest: acc <- 1 + sum of upstream
+    acc, one equi-join + partial agg per round, until the global total is
+    stable (drops are strictly positive so the flow graph is acyclic and
+    the recurrence converges in <= longest-flow-path rounds).  One scalar
+    crosses the driver per round; lineage truncated per round
+    (plan-shape lesson 6)."""
+    dx, dy = _d8_step_cols()
+    edges = (
+        cells.filter(F.col("dir") > 0)
+        .select("x", "y", (F.col("x") + dx).alias("nx"), (F.col("y") + dy).alias("ny"))
+        .localCheckpoint()
+    )
+    base = cells.select("x", "y").localCheckpoint()
+    acc = base.select("x", "y", F.lit(1).cast("long").alias("acc"))
+    prev_total = -1
+    for _ in range(max_rounds):
+        contrib = (
+            edges.join(acc, ["x", "y"])
+            .groupBy(F.col("nx").alias("x"), F.col("ny").alias("y"))
+            .agg(F.sum("acc").alias("up"))
+        )
+        acc = (
+            base.join(contrib, ["x", "y"], "left")
+            .select(
+                "x", "y",
+                (F.lit(1) + F.coalesce("up", F.lit(0))).cast("long").alias("acc"),
+            )
+            .localCheckpoint()
+        )
+        total = acc.agg(F.sum("acc")).collect()[0][0]
+        if total == prev_total:
+            break
+        prev_total = total
+    return acc

@@ -104,3 +104,74 @@ def test_sketch_plans_python_free(spark, keys):
     ]
     for p in plans:
         assert "EvalPython" not in p and "Arrow" not in p
+
+
+# ---------------------------------------------------------------- KMV / theta
+
+
+@pytest.fixture(scope="module")
+def kmv_keys(spark):
+    return spark.range(4000).select(F.concat(F.lit("d"), F.col("id")).alias("key"))
+
+
+def test_kmv_merge_law(spark, kmv_keys):
+    from sis_spark.operators.sketches import kmv_build, kmv_merge
+
+    whole = kmv_build(kmv_keys, "key", k=32)
+    left = kmv_build(kmv_keys.filter(F.length("key") <= 3), "key", k=32)
+    right = kmv_build(kmv_keys.filter(F.length("key") > 3), "key", k=32)
+    merged = kmv_merge(left, right, k=32)
+    assert sorted(r["u"] for r in whole.collect()) == sorted(
+        r["u"] for r in merged.collect()
+    )
+
+
+def test_kmv_estimate_accuracy(spark, kmv_keys):
+    from sis_spark.operators.sketches import kmv_build, kmv_estimate
+
+    est = kmv_estimate(kmv_build(kmv_keys, "key", k=128), k=128)
+    # rel err ~ 1/sqrt(k) ~ 9%
+    assert abs(est - 4000) / 4000 < 0.3
+
+
+def test_kmv_small_exact(spark, kmv_keys):
+    from sis_spark.operators.sketches import kmv_build, kmv_estimate
+
+    few = kmv_keys.limit(17)
+    assert kmv_estimate(kmv_build(few, "key", k=64), k=64) == 17
+
+
+def test_kmv_intersection(spark, kmv_keys):
+    from sis_spark.operators.sketches import kmv_build, kmv_intersect_estimate
+
+    # A = ids 0..2999, B = ids 2000..3999 -> |A ∩ B| = 1000
+    ids = kmv_keys.withColumn("n", F.substring("key", 2, 10).cast("long"))
+    a = kmv_build(ids.filter(F.col("n") < 3000), "key", k=256)
+    b = kmv_build(ids.filter(F.col("n") >= 2000), "key", k=256)
+    est = kmv_intersect_estimate(a, b, k=256)
+    assert abs(est - 1000) / 1000 < 0.5  # intersection error compounds
+
+
+def test_kmv_summary_matches_driver_helpers(spark, kmv_keys):
+    from sis_spark.operators.sketches import (
+        kmv_build,
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_summary,
+    )
+
+    ids = kmv_keys.withColumn("n", F.substring("key", 2, 10).cast("long"))
+    a = kmv_build(ids.filter(F.col("n") < 3000), "key", k=64)
+    b = kmv_build(ids.filter(F.col("n") >= 2000), "key", k=64)
+    row = kmv_summary(a, b, k=64).collect()[0]
+    assert row["est_a"] == kmv_estimate(a, k=64)
+    assert row["est_b"] == kmv_estimate(b, k=64)
+    assert row["est_intersect"] == kmv_intersect_estimate(a, b, k=64)
+
+
+def test_kmv_plan_topk_and_python_free(spark, kmv_keys):
+    from sis_spark.operators.sketches import kmv_build
+
+    plan = kmv_build(kmv_keys, "key", k=64)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan and "Arrow" not in plan

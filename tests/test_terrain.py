@@ -69,3 +69,79 @@ def test_hillshade_matches_dense(spark):
                      + np.sin(zen) * np.sin(slope) * np.cos(az - aspect))
     exp = np.clip(np.rint(shade), 0, 255)
     assert np.array_equal(got, exp)
+
+
+# ---------------------------------------------------------------- D8 hydrology
+
+
+def _d8_dense(arr):
+    """Independent dense D8 reference (same convention: unweighted max
+    drop, ESRI codes, first-wins in E,SE,S,SW,W,NW,N,NE order)."""
+    from sis_spark.raster.terrain import _D8
+
+    h, w = arr.shape
+    dirs = np.zeros((h, w), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            best, code = 0, 0
+            for dx, dy, c in _D8:
+                nx, ny = x + dx, y + dy
+                if 0 <= nx < w and 0 <= ny < h:
+                    d = int(arr[y, x]) - int(arr[ny, nx])
+                    if d > best:
+                        best, code = d, c
+            dirs[y, x] = code
+    return dirs
+
+
+def _accum_dense(dirs):
+    from sis_spark.raster.terrain import _D8
+
+    step = {c: (dx, dy) for dx, dy, c in _D8}
+    h, w = dirs.shape
+    acc = np.zeros((h, w), np.int64)
+    for y in range(h):
+        for x in range(w):
+            cx, cy = x, y
+            acc[cy, cx] += 1
+            while dirs[cy, cx] != 0:
+                dx, dy = step[dirs[cy, cx]]
+                cx, cy = cx + dx, cy + dy
+                acc[cy, cx] += 1
+    return acc
+
+
+def test_flow_dir_matches_dense(spark):
+    from sis_spark.raster.terrain import flow_dir_tiles
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 200, size=(40, 56)).astype(np.uint8)  # non-multiple of TS
+    tiles, gg = _tiles_from(spark, arr)
+    rows = flow_dir_tiles(tiles, gg, tile_size=TS).collect()
+    want = _d8_dense(arr)
+    got = np.full(arr.shape, 255, np.uint8)
+    for r in rows:
+        d = np.frombuffer(bytes(r["dirs"]), np.uint8).reshape(TS, TS)
+        y0, x0 = r["ty"] * TS, r["tx"] * TS
+        vh, vw = min(TS, 40 - y0), min(TS, 56 - x0)
+        got[y0:y0 + vh, x0:x0 + vw] = d[:vh, :vw]
+    assert np.array_equal(got, want)
+
+
+def test_flow_accum_matches_dense_walk(spark):
+    from sis_spark.raster.terrain import flow_accum, flow_cells, flow_dir_tiles
+
+    # a bowl with noise: everything drains toward the center
+    ys, xs = np.mgrid[0:32, 0:32]
+    arr = (np.abs(xs - 16) + np.abs(ys - 16)) * 5 + ((xs * 7 + ys * 13) % 4)
+    arr = arr.astype(np.uint8)
+    tiles, gg = _tiles_from(spark, arr)
+    cells = flow_cells(flow_dir_tiles(tiles, gg, tile_size=TS), gg, TS)
+    acc = {(r["x"], r["y"]): r["acc"] for r in flow_accum(cells).collect()}
+    want = _accum_dense(_d8_dense(arr))
+    assert len(acc) == 32 * 32
+    for (x, y), a in acc.items():
+        assert a == want[y, x], (x, y, a, want[y, x])
+    # conservation: total acc == total path length == sum over cells of
+    # (1 + downstream distance); spot-check the global sum instead
+    assert sum(acc.values()) == int(want.sum())
