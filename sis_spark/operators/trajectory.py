@@ -227,3 +227,127 @@ SELECT {user_col}, anchor_rn, n_pts, t0_us, t1_us,
 FROM grouped
 WHERE t1_us - t0_us >= {min_duration_s}::BIGINT * 1000000
 """
+
+
+# ---------------------------------------------------------------------------
+# HMM map-matching (Viterbi over per-point candidate road segments)
+# ---------------------------------------------------------------------------
+#
+# Newson–Krumm-style map matching reduced to its exact-integer core: each
+# track point carries a small ranked candidate set (candidate generation is
+# a separate, pluggable join — nearest_line_join for real road tables, or a
+# closed-form network as in the gate), with an integer emission cost per
+# candidate; the transition model charges a flat integer penalty ``lam``
+# whenever the matched segment CHANGES between consecutive points (the
+# continuity prior).  dp[t][c] = emit[t][c] + min over c' of
+# (dp[t-1][c'] + lam * [seg(c') != seg(c)]) — every value is an exact
+# int64, so a lockstep recursive-CTE oracle replays the full DP table.
+#
+# Same execution shape as stay_points: ONE applyInPandas group per user
+# (the recurrence is sequential in t; users parallelize), no driver state.
+
+
+def viterbi_forward(
+    cands: DataFrame,
+    lam: int,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Forward Viterbi DP over candidate rows
+    (user, rn, rank, seg_key, emit) -> (user, rn, rank, seg_key, dp).
+
+    ``rn`` is the 1-based time order within a user's track; ``rank`` the
+    0-based candidate index at that point; ``emit`` an integer emission
+    cost.  Candidate counts may vary per point."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["rn", "rank"], kind="mergesort")
+        out_dp = np.zeros(len(pdf), dtype=np.int64)
+        rns = pdf["rn"].to_numpy()
+        emits = pdf["emit"].to_numpy(dtype=np.int64)
+        keys = pdf["seg_key"].to_numpy(dtype=np.int64)
+        prev_dp = None
+        prev_keys = None
+        pos = 0
+        for rn in np.unique(rns):
+            sel = rns == rn
+            n = int(sel.sum())
+            e = emits[pos:pos + n]
+            k = keys[pos:pos + n]
+            if prev_dp is None:
+                dp = e.copy()
+            else:
+                # trans[c] = min over c' of prev_dp[c'] + lam*[key differs]
+                same = k[:, None] == prev_keys[None, :]
+                tcost = prev_dp[None, :] + np.where(same, 0, lam)
+                dp = e + tcost.min(axis=1)
+            out_dp[pos:pos + n] = dp
+            prev_dp, prev_keys = dp, k
+            pos += n
+        res = pdf[[user_col, "rn", "rank", "seg_key"]].copy()
+        res["dp"] = out_dp
+        return res
+
+    schema = f"{user_col} long, rn long, rank long, seg_key long, dp long"
+    return cands.groupBy(user_col).applyInPandas(fn, schema=schema)
+
+
+def viterbi_path(
+    cands: DataFrame,
+    lam: int,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Full Viterbi decode: the minimum-total-cost candidate sequence per
+    user -> (user, rn, rank, seg_key, emit, total_cost).  Ties broken by
+    smallest (cost, seg_key) at the end point and smallest (cost, rank)
+    for predecessors — fully deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["rn", "rank"], kind="mergesort")
+        rns = pdf["rn"].to_numpy()
+        emits = pdf["emit"].to_numpy(dtype=np.int64)
+        keys = pdf["seg_key"].to_numpy(dtype=np.int64)
+        ranks = pdf["rank"].to_numpy(dtype=np.int64)
+        steps = []  # (global_idx, dp, parent_local_idx)
+        prev_dp = None
+        prev_keys = None
+        pos = 0
+        uniq = np.unique(rns)
+        for rn in uniq:
+            n = int((rns == rn).sum())
+            e = emits[pos:pos + n]
+            k = keys[pos:pos + n]
+            if prev_dp is None:
+                dp = e.copy()
+                par = np.full(n, -1, dtype=np.int64)
+            else:
+                same = k[:, None] == prev_keys[None, :]
+                tcost = prev_dp[None, :] + np.where(same, 0, lam)
+                par = tcost.argmin(axis=1)  # first min: smallest rank wins
+                dp = e + tcost[np.arange(n), par]
+            steps.append((pos, dp, par))
+            prev_dp, prev_keys = dp, k
+            pos += n
+        # end point: smallest (dp, seg_key)
+        pos_l, dp_l, _ = steps[-1]
+        order = np.lexsort((keys[pos_l:pos_l + len(dp_l)], dp_l))
+        cur = int(order[0])
+        total = int(dp_l[cur])
+        chosen = []
+        for (p0, dp, par) in reversed(steps):
+            chosen.append(p0 + cur)
+            cur = int(par[cur])
+        chosen.reverse()
+        idx = np.array(chosen)
+        res = pdf.iloc[idx][[user_col, "rn", "rank", "seg_key", "emit"]].copy()
+        res["total_cost"] = total
+        return res
+
+    schema = (
+        f"{user_col} long, rn long, rank long, seg_key long, emit long, "
+        "total_cost long"
+    )
+    return cands.groupBy(user_col).applyInPandas(fn, schema=schema)

@@ -6144,6 +6144,120 @@ SELECT x // 64 AS tx, y // 64 AS ty,
 FROM acc GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+_MM_LAM = 250000
+_MM_N_EVENTS = 4000
+
+
+def q_map_match(spark, sf_dir):
+    """HMM map-matching forward DP (trajectory.viterbi_forward): per-user
+    tracks matched against a closed-form gridline road network (horizontal
+    roads every 1000 q-units, vertical every 1000; candidates = the 4
+    enclosing gridlines, emission = exact integer axis distance squared;
+    candidate generation is pure codegen — the pluggable join variant is
+    nearest_line_join).  The flat segment-change penalty lam is the
+    continuity prior.  The gate pins the FULL DP table (dp0..dp3 per
+    point) — the Viterbi path is derivable from it and is pytest-covered;
+    the oracle replays the recurrence as a lockstep recursive CTE."""
+    from .operators.trajectory import viterbi_forward
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < _MM_N_EVENTS)
+    lon, lat = point_lonlat_cols("event_id")
+    pts = (
+        ev.select("user_id", "event_id", "ts", lon.alias("lon"), lat.alias("lat"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).cast("long"),
+        )
+        .withColumn("qx", F.floor(F.col("lon") * 100).cast("long"))
+        .withColumn("qy", F.floor(F.col("lat") * 100).cast("long"))
+        .withColumn("j0", F.expr("(qy - ((qy % 1000) + 1000) % 1000) div 1000"))
+        .withColumn("i0", F.expr("(qx - ((qx % 1000) + 1000) % 1000) div 1000"))
+    )
+    cand = pts.select(
+        "user_id", "rn",
+        F.explode(F.array(
+            F.struct(F.lit(0).cast("long").alias("rank"),
+                     (F.col("j0") * 2).alias("seg_key"),
+                     ((F.col("qy") - F.col("j0") * 1000)
+                      * (F.col("qy") - F.col("j0") * 1000)).alias("emit")),
+            F.struct(F.lit(1).cast("long").alias("rank"),
+                     ((F.col("j0") + 1) * 2).alias("seg_key"),
+                     (((F.col("j0") + 1) * 1000 - F.col("qy"))
+                      * ((F.col("j0") + 1) * 1000 - F.col("qy"))).alias("emit")),
+            F.struct(F.lit(2).cast("long").alias("rank"),
+                     (F.col("i0") * 2 + 1).alias("seg_key"),
+                     ((F.col("qx") - F.col("i0") * 1000)
+                      * (F.col("qx") - F.col("i0") * 1000)).alias("emit")),
+            F.struct(F.lit(3).cast("long").alias("rank"),
+                     ((F.col("i0") + 1) * 2 + 1).alias("seg_key"),
+                     (((F.col("i0") + 1) * 1000 - F.col("qx"))
+                      * (((F.col("i0") + 1) * 1000 - F.col("qx")))).alias("emit")),
+        )).alias("c"),
+    ).select("user_id", "rn", "c.rank", "c.seg_key", "c.emit")
+    dp = viterbi_forward(cand, lam=_MM_LAM)
+    agg = [
+        F.min(F.when(F.col("rank") == r, F.col("dp"))).alias(f"dp{r}")
+        for r in range(4)
+    ]
+    return dp.groupBy("user_id", "rn").agg(*agg).orderBy("user_id", "rn")
+
+
+def q_map_match_oracle():
+    lam = _MM_LAM
+
+    def dp_term(m):
+        terms = ", ".join(
+            f"r.dp{x} + CASE WHEN r.k{x} = p.k{m} THEN 0 ELSE {lam} END"
+            for x in range(4)
+        )
+        return f"p.e{m} + least({terms})"
+
+    cand_cols = []
+    for m, (k, e) in enumerate([
+        ("2 * j0", "(qy - 1000 * j0) * (qy - 1000 * j0)"),
+        ("2 * (j0 + 1)", "(1000 * (j0 + 1) - qy) * (1000 * (j0 + 1) - qy)"),
+        ("2 * i0 + 1", "(qx - 1000 * i0) * (qx - 1000 * i0)"),
+        ("2 * (i0 + 1) + 1", "(1000 * (i0 + 1) - qx) * (1000 * (i0 + 1) - qx)"),
+    ]):
+        cand_cols.append(f"{k} AS k{m}, {e} AS e{m}")
+    rec_cols = ",\n    ".join(dp_term(m) for m in range(4))
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, ts,
+         {synth.point_lon_sql('event_id')} AS lon,
+         {synth.point_lat_sql('event_id')} AS lat
+  FROM events WHERE event_id < {_MM_N_EVENTS}),
+pts AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+         CAST(floor(lon * 1.0e2) AS BIGINT) AS qx,
+         CAST(floor(lat * 1.0e2) AS BIGINT) AS qy
+  FROM base),
+fd AS (
+  SELECT user_id, rn, qx, qy,
+         (qy - ((qy % 1000) + 1000) % 1000) // 1000 AS j0,
+         (qx - ((qx % 1000) + 1000) % 1000) // 1000 AS i0
+  FROM pts),
+cc AS (
+  SELECT user_id, rn, {", ".join(cand_cols)}
+  FROM fd),
+rec AS (
+  SELECT user_id, rn, e0 AS dp0, e1 AS dp1, e2 AS dp2, e3 AS dp3,
+         k0, k1, k2, k3
+  FROM cc WHERE rn = 1
+  UNION ALL
+  SELECT p.user_id, p.rn,
+    {rec_cols},
+    p.k0, p.k1, p.k2, p.k3
+  FROM rec r JOIN cc p ON p.user_id = r.user_id AND p.rn = r.rn + 1
+)
+SELECT user_id, rn, CAST(dp0 AS BIGINT) AS dp0, CAST(dp1 AS BIGINT) AS dp1,
+       CAST(dp2 AS BIGINT) AS dp2, CAST(dp3 AS BIGINT) AS dp3
+FROM rec ORDER BY user_id, rn"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -6292,4 +6406,5 @@ QUERIES = {
     "theta_sketch": (q_theta_sketch, q_theta_sketch_oracle),
     "flow_dir": (q_flow_dir, q_flow_dir_oracle),
     "flow_accum": (q_flow_accum, q_flow_accum_oracle),
+    "map_match": (q_map_match, q_map_match_oracle),
 }
