@@ -6258,6 +6258,61 @@ SELECT user_id, rn, CAST(dp0 AS BIGINT) AS dp0, CAST(dp1 AS BIGINT) AS dp1,
 FROM rec ORDER BY user_id, rn"""
 
 
+def q_watershed(spark, sf_dir):
+    """Watershed basin labeling (terrain.watershed_basins): every cell
+    labelled with the pit its D8 flow path terminates in, resolved by
+    POINTER DOUBLING (ceil(log2 L) self-joins — the O(log L) counterpart
+    of flow_accum's O(L) rounds).  Output per tile: position-weighted
+    checksum of basin ids + distinct-basin count; the oracle walks every
+    cell's path to its sink with a recursive CTE."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import flow_cells, flow_dir_tiles, watershed_basins
+
+    W = H = 128
+    TS = 64
+    tiles = _formula_tiles(spark, W, H, bands=1, tile_size=TS)
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    cells = flow_cells(flow_dir_tiles(tiles, gg, tile_size=TS), gg, TS)
+    basins = watershed_basins(cells)
+    sink_id = (F.col("sink_y") * W + F.col("sink_x")).cast("long")
+    wt = ((F.col("y") * W + F.col("x")) % 9973 + 1).cast("long")
+    return (
+        basins.groupBy(
+            (F.col("x") / TS).cast("long").alias("tx"),
+            (F.col("y") / TS).cast("long").alias("ty"),
+        )
+        .agg(
+            F.sum(sink_id * wt).alias("cs"),
+            F.countDistinct(sink_id).alias("n_basins"),
+        )
+        .orderBy("tx", "ty")
+    )
+
+
+def q_watershed_oracle():
+    from .raster.terrain import _D8
+
+    dx = " ".join(f"WHEN dir = {c} THEN {ddx}" for ddx, ddy, c in _D8)
+    dy = " ".join(f"WHEN dir = {c} THEN {ddy}" for ddx, ddy, c in _D8)
+    return _d8_sql_cte(128, 128) + f""",
+step AS (
+  SELECT x, y, CASE {dx} END AS dx, CASE {dy} END AS dy
+  FROM dir WHERE dir > 0),
+walk(sx, sy, x, y) AS (
+  SELECT x, y, x, y FROM dir
+  UNION ALL
+  SELECT w.sx, w.sy, s.x + s.dx, s.y + s.dy
+  FROM walk w JOIN step s ON s.x = w.x AND s.y = w.y),
+sinks AS (
+  SELECT w.sx AS x, w.sy AS y, w.y * 128 + w.x AS sink_id
+  FROM walk w JOIN dir d ON d.x = w.x AND d.y = w.y
+  WHERE d.dir = 0)
+SELECT x // 64 AS tx, y // 64 AS ty,
+       CAST(sum(sink_id * ((y * 128 + x) % 9973 + 1)) AS BIGINT) AS cs,
+       CAST(count(DISTINCT sink_id) AS BIGINT) AS n_basins
+FROM sinks GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -6407,4 +6462,5 @@ QUERIES = {
     "flow_dir": (q_flow_dir, q_flow_dir_oracle),
     "flow_accum": (q_flow_accum, q_flow_accum_oracle),
     "map_match": (q_map_match, q_map_match_oracle),
+    "watershed": (q_watershed, q_watershed_oracle),
 }

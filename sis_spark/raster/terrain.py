@@ -398,3 +398,50 @@ def flow_accum(cells: DataFrame, max_rounds: int = 256) -> DataFrame:
             break
         prev_total = total
     return acc
+
+
+def watershed_basins(cells: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Watershed basin labels over the D8 flow graph: each cell labelled
+    with its SINK (the pit its flow path terminates in) ->
+    (x, y, sink_x, sink_y).
+
+    Pointer DOUBLING, not step-at-a-time: each round substitutes every
+    cell's pointer with its pointer's pointer (one self-equi-join), so a
+    flow path of length L resolves in ceil(log2 L) rounds — the O(log L)
+    counterpart of flow_accum's O(L) bottom-up sum, and the same
+    pointer-jumping primitive as operators/graph.py connected components.
+    One changed-row count crosses the driver per round; lineage truncated
+    per round (plan-shape lesson 6)."""
+    dx, dy = _d8_step_cols()
+    moving = F.col("dir") > 0
+    p = cells.select(
+        "x", "y",
+        F.when(moving, F.col("x") + dx).otherwise(F.col("x")).alias("px"),
+        F.when(moving, F.col("y") + dy).otherwise(F.col("y")).alias("py"),
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        a, b = p.alias("a"), p.alias("b")
+        nxt = (
+            a.join(
+                b,
+                (F.col("a.px") == F.col("b.x")) & (F.col("a.py") == F.col("b.y")),
+            )
+            .select(
+                F.col("a.x").alias("x"),
+                F.col("a.y").alias("y"),
+                F.col("a.px").alias("opx"),
+                F.col("a.py").alias("opy"),
+                F.col("b.px").alias("px"),
+                F.col("b.py").alias("py"),
+            )
+            .localCheckpoint()
+        )
+        changed = nxt.filter(
+            (F.col("px") != F.col("opx")) | (F.col("py") != F.col("opy"))
+        ).count()
+        p = nxt.select("x", "y", "px", "py")
+        if changed == 0:
+            break
+    return p.select(
+        "x", "y", F.col("px").alias("sink_x"), F.col("py").alias("sink_y")
+    )

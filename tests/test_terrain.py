@@ -145,3 +145,28 @@ def test_flow_accum_matches_dense_walk(spark):
     # conservation: total acc == total path length == sum over cells of
     # (1 + downstream distance); spot-check the global sum instead
     assert sum(acc.values()) == int(want.sum())
+
+
+def test_watershed_matches_dense_walk(spark):
+    from sis_spark.raster.terrain import (
+        _D8, flow_cells, flow_dir_tiles, watershed_basins,
+    )
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 250, size=(32, 48)).astype(np.uint8)
+    tiles, gg = _tiles_from(spark, arr)
+    cells = flow_cells(flow_dir_tiles(tiles, gg, tile_size=TS), gg, TS)
+    got = {
+        (r["x"], r["y"]): (r["sink_x"], r["sink_y"])
+        for r in watershed_basins(cells).collect()
+    }
+    dirs = _d8_dense(arr)
+    step = {c: (dx, dy) for dx, dy, c in _D8}
+    assert len(got) == 32 * 48
+    for (x, y), (sx, sy) in got.items():
+        cx, cy = x, y
+        while dirs[cy, cx] != 0:
+            dx, dy = step[dirs[cy, cx]]
+            cx, cy = cx + dx, cy + dy
+        assert (sx, sy) == (cx, cy), (x, y)
+        assert dirs[sy, sx] == 0  # every label is a pit
