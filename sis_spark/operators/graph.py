@@ -118,3 +118,63 @@ def dedup_clusters(
         F.col("comp").alias("cluster"),
         (F.col("node") == F.col("comp")).alias("keep"),
     )
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    scale: int = 10**12,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> DataFrame:
+    """PageRank in EXACT integer arithmetic -> (node, rank).
+
+    Ranks are scaled integers (total mass ``scale``); one iteration is
+
+        rank'(v) = (scale * (d_den - d_num)) div (d_den * N)
+                 + (d_num * sum over u->v of (rank(u) div outdeg(u))) div d_den
+
+    with every division an integer floor-div, so two engines cannot
+    diverge by an ulp — floor-div mass loss is deterministic and part of
+    the operator's contract (the same trick as the k-means oracle's
+    floor-divided centroid means).  Dangling nodes (no out-edges)
+    simply leak their mass, the standard simplification.
+
+    Plan shape per iteration: one equi-join (ranks x out-degrees), one
+    partial-agg shuffle on the destination — the textbook distributed
+    PageRank; lineage truncated per round (plan-shape lesson 6).
+    ``edges``: (src, dst) distinct pairs.  ``nodes``: (node) — must cover
+    every src/dst."""
+    n = nodes.count()
+    base = (scale * (d_den - d_num)) // (d_den * n)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = edges.join(deg, "src").localCheckpoint()
+    rank = nodes.select(
+        F.col("node"), F.lit(scale // n).cast("long").alias("rank")
+    ).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            edges.join(rank, edges["src"] == rank["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"(CAST({d_num} AS BIGINT) * coalesce(s, CAST(0 AS BIGINT)))"
+                        f" div {d_den}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return rank

@@ -6313,6 +6313,75 @@ SELECT x // 64 AS tx, y // 64 AS ty,
 FROM sinks GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+
+
+def q_pagerank(spark, sf_dir):
+    """Exact-integer PageRank (graph.pagerank_exact, d=0.85, 3
+    iterations) over a closed-form link graph on the documents table
+    (doc a -> (a*7+11)%N, (a*13+5)%N, (a*3+1)%N, deduplicated): every
+    division is an integer floor-div so the scaled ranks are bit-exact —
+    the oracle chains one CTE block per iteration (the kmeans-oracle
+    pattern).  Output: top 100 docs by (rank DESC, node)."""
+    from .operators.graph import pagerank_exact
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("src")
+    )
+    n = docs.count()
+    edges = (
+        docs.select(
+            "src",
+            F.explode(F.array(
+                (F.col("src") * 7 + 11) % n,
+                (F.col("src") * 13 + 5) % n,
+                (F.col("src") * 3 + 1) % n,
+            )).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = docs.select(F.col("src").alias("node"))
+    ranks = pagerank_exact(edges, nodes, iters=_PR_ITERS, scale=_PR_SCALE)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return (
+        ranks.withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("pos") <= 100)
+        .select("pos", "node", "rank")
+        .orderBy("pos")
+    )
+
+
+def q_pagerank_oracle():
+    S = _PR_SCALE
+    blocks = ["""nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT CAST(doc_id AS BIGINT) AS src, (CAST(doc_id AS BIGINT) * 7 + 11) % nn.n AS dst FROM documents, nn
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), (CAST(doc_id AS BIGINT) * 13 + 5) % nn.n FROM documents, nn
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), (CAST(doc_id AS BIGINT) * 3 + 1) % nn.n FROM documents, nn)),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+r0 AS (SELECT node, {S} // nn.n AS rank FROM nodes, nn)""".format(S=S)]
+    for i in range(_PR_ITERS):
+        blocks.append(f"""c{i + 1} AS (
+  SELECT e.dst AS node, sum(r.rank // d.outdeg) AS s
+  FROM e JOIN r{i} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY 1),
+r{i + 1} AS (
+  SELECT nodes.node,
+         ({S} * 15) // (100 * nn.n) + (85 * COALESCE(c.s, 0)) // 100 AS rank
+  FROM nodes LEFT JOIN c{i + 1} c ON c.node = nodes.node, nn)""")
+    return "WITH " + ",\n".join(blocks) + f"""
+SELECT pos, node, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT node, rank,
+         CAST(row_number() OVER (ORDER BY rank DESC, node ASC) AS BIGINT) AS pos
+  FROM r{_PR_ITERS}) t
+WHERE pos <= 100 ORDER BY pos"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -6463,4 +6532,5 @@ QUERIES = {
     "flow_accum": (q_flow_accum, q_flow_accum_oracle),
     "map_match": (q_map_match, q_map_match_oracle),
     "watershed": (q_watershed, q_watershed_oracle),
+    "pagerank": (q_pagerank, q_pagerank_oracle),
 }

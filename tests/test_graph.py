@@ -63,3 +63,39 @@ def test_dedup_clusters_keep_one(spark):
         assert rows[i]["cluster"] == i and rows[i]["keep"]
     assert sum(r["keep"] for r in rows.values()) == 7  # one survivor per cluster
     assert rows[1]["keep"] and not rows[5]["keep"] and not rows[9]["keep"]
+
+
+def test_pagerank_exact_matches_python_model(spark):
+    """pagerank_exact vs an independent integer model on a random graph,
+    plus: dangling mass leaks (total <= scale), ranks non-negative."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sis_spark.operators.graph import pagerank_exact
+
+    rng = np.random.RandomState(5)
+    n, scale, iters = 40, 10**9, 4
+    pairs = {(int(a), int(b)) for a, b in rng.randint(0, n, size=(120, 2))}
+    # node n-1 dangling: drop its out-edges
+    pairs = {(a, b) for a, b in pairs if a != n - 1}
+    edges = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_exact(edges, nodes, iters=iters, scale=scale).collect()
+    }
+
+    outdeg = {}
+    for a, _ in pairs:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    rank = {v: scale // n for v in range(n)}
+    base = (scale * 15) // (100 * n)
+    for _ in range(iters):
+        contrib = {v: 0 for v in range(n)}
+        for a, b in pairs:
+            contrib[b] += rank[a] // outdeg[a]
+        rank = {v: base + (85 * contrib[v]) // 100 for v in range(n)}
+
+    assert got == rank
+    assert all(v >= 0 for v in got.values())
+    assert sum(got.values()) <= scale
