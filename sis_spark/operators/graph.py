@@ -178,3 +178,55 @@ def pagerank_exact(
             .localCheckpoint()
         )
     return rank
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED simple graph ->
+    (node, triangles).
+
+    Degree-ordered orientation (Cohen / Suri–Vassilvitskii): orient every
+    undirected edge from the lower-(degree, id) endpoint to the higher —
+    each triangle then has exactly ONE wedge node with two out-edges, so
+    the wedge self-join's size is bounded by sum of out-degree^2 with
+    out-degree <= O(sqrt(|E|)) even on power-law graphs (the reason this
+    survives skew at scale where a naive neighbor join explodes).  Two
+    shuffle joins total: wedge build + closing-edge probe."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+        .localCheckpoint()
+    )
+    w1 = oriented.select(F.col("u"), F.col("w").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("w").alias("y"))
+    wedges = w1.join(w2, "u").filter(F.col("x") < F.col("y"))
+    closing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    per_node = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("x").alias("node")))
+        .unionAll(tris.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return per_node

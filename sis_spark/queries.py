@@ -6382,6 +6382,63 @@ SELECT pos, node, CAST(rank AS BIGINT) AS rank FROM (
 WHERE pos <= 100 ORDER BY pos"""
 
 
+def q_triangles(spark, sf_dir):
+    """Per-node triangle counting (graph.triangle_count) with
+    degree-ordered orientation — each triangle counted at exactly one
+    wedge node, intermediate size bounded by sum(outdeg^2) with
+    outdeg = O(sqrt(E)) even under power-law skew.  Link graph: ring +
+    skip + formula chords over documents (the ring/skip edges guarantee
+    triangles exist).  Output: histogram (triangles, n_nodes); the
+    oracle enumerates each triangle once as an ordered 3-path."""
+    from .operators.graph import triangle_count
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("src")
+    )
+    n = docs.count()
+    edges = docs.select(
+        "src",
+        F.explode(F.array(
+            (F.col("src") + 1) % n,
+            (F.col("src") + 2) % n,
+            (F.col("src") * 7 + 11) % n,
+        )).alias("dst"),
+    )
+    tc = triangle_count(edges)
+    return (
+        tc.groupBy("triangles")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("triangles")
+    )
+
+
+def q_triangles_oracle():
+    return """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS src, (CAST(doc_id AS BIGINT) + 1) % nn.n AS dst FROM documents, nn
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), (CAST(doc_id AS BIGINT) + 2) % nn.n FROM documents, nn
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), (CAST(doc_id AS BIGINT) * 7 + 11) % nn.n FROM documents, nn),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst),
+tri AS (
+  SELECT e1.a AS p, e1.b AS q, e2.b AS r
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+pn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT p AS node FROM tri
+    UNION ALL SELECT q FROM tri
+    UNION ALL SELECT r FROM tri) t
+  GROUP BY 1)
+SELECT triangles, CAST(count(*) AS BIGINT) AS n_nodes
+FROM pn GROUP BY 1 ORDER BY 1"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -6533,4 +6590,5 @@ QUERIES = {
     "map_match": (q_map_match, q_map_match_oracle),
     "watershed": (q_watershed, q_watershed_oracle),
     "pagerank": (q_pagerank, q_pagerank_oracle),
+    "triangles": (q_triangles, q_triangles_oracle),
 }

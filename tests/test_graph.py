@@ -99,3 +99,26 @@ def test_pagerank_exact_matches_python_model(spark):
     assert got == rank
     assert all(v >= 0 for v in got.values())
     assert sum(got.values()) <= scale
+
+
+def test_triangle_count_matches_brute(spark):
+    import itertools
+
+    import numpy as np
+
+    from sis_spark.operators.graph import triangle_count
+
+    rng = np.random.RandomState(9)
+    n = 25
+    pairs = {(int(a), int(b)) for a, b in rng.randint(0, n, size=(90, 2)) if a != b}
+    edges = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in triangle_count(edges).collect()}
+
+    und = {frozenset(p) for p in pairs}
+    want = {}
+    for tri in itertools.combinations(range(n), 3):
+        a, b, c = tri
+        if {a, b} in und and {b, c} in und and {a, c} in und:
+            for v in tri:
+                want[v] = want.get(v, 0) + 1
+    assert got == want
