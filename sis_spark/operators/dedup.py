@@ -480,3 +480,66 @@ def incremental_dedup(
         dec.filter("keep").select(id_col), id_col, "left_semi"
     )
     return dec, kept_bands
+
+
+def jaccard_join_prefix(
+    corpus: DataFrame,
+    t_num: int = 3,
+    t_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT Jaccard similarity join at threshold t = t_num/t_den via
+    PREFIX FILTERING (PPJoin family) -> (a, b, common, sa, sb).
+
+    The scale-exact counterpart of minhash_lsh (which is approximate):
+    order every document's distinct tokens by GLOBAL (df, token) rarest
+    first; two sets with Jaccard >= t must share a token within each
+    other's first |X| - ceil(t*|X|) + 1 tokens, so the candidate
+    self-join runs only over those prefix tokens — by construction the
+    RAREST in the corpus, which is why the join's sum-of-df^2 stays
+    bounded where a full-token self-join explodes on stopwords.
+    Candidates are then verified with exact integer cross-multiplication
+    (t_den * |A∩B| >= t_num * |A∪B|) — no floats anywhere."""
+    toks = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .distinct()
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("s"))
+    w = Window.partitionBy("id").orderBy("df", "tok")
+    ordered = toks.join(dfreq, "tok").withColumn("rn", F.row_number().over(w))
+    pref = (
+        ordered.join(sizes, "id")
+        .filter(
+            F.col("rn")
+            <= F.col("s") - F.expr(f"({t_num} * s + {t_den - 1}) div {t_den}") + 1
+        )
+        .select("id", "tok")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("a"), "tok")
+    tb = toks.select(F.col("id").alias("b"), "tok")
+    common = (
+        cand.join(ta, "a").join(tb, ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    za = sizes.select(F.col("id").alias("a"), F.col("s").alias("sa"))
+    zb = sizes.select(F.col("id").alias("b"), F.col("s").alias("sb"))
+    return (
+        common.join(za, "a").join(zb, "b")
+        .filter(
+            F.lit(t_den) * F.col("common")
+            >= F.lit(t_num) * (F.col("sa") + F.col("sb") - F.col("common"))
+        )
+        .select("a", "b", "common", "sa", "sb")
+    )

@@ -6439,6 +6439,60 @@ SELECT triangles, CAST(count(*) AS BIGINT) AS n_nodes
 FROM pn GROUP BY 1 ORDER BY 1"""
 
 
+def q_prefix_join(spark, sf_dir):
+    """Exact Jaccard similarity join at t=17/20 via prefix filtering
+    (dedup.jaccard_join_prefix, the PPJoin-family scale-exact counterpart
+    of minhash_lsh): corpus = documents plus one mutated copy each (one
+    extra per-doc-unique token, Jaccard s/(s+1) — guaranteed positives);
+    candidates only from each doc's globally-rarest prefix tokens, exact
+    integer cross-multiplication verify."""
+    from .operators.dedup import jaccard_join_prefix
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = docs.select(
+        (F.col("doc_id").cast("long") + 1000000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" zz"), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    corpus = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).unionByName(mut)
+    return jaccard_join_prefix(corpus, t_num=17, t_den=20).orderBy("a", "b")
+
+
+def q_prefix_join_oracle():
+    return """
+WITH corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 1000000,
+         text || ' zz' || CAST(doc_id AS VARCHAR) FROM documents),
+toks AS (SELECT DISTINCT id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS s FROM toks GROUP BY 1),
+ordered AS (
+  SELECT t.id, t.tok,
+         row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rn
+  FROM toks t JOIN dfreq d ON d.tok = t.tok),
+pref AS (
+  SELECT o.id, o.tok FROM ordered o JOIN sizes z ON z.id = o.id
+  WHERE o.rn <= z.s - ((17 * z.s + 19) // 20) + 1),
+cand AS (
+  SELECT DISTINCT a.id AS a, b.id AS b
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.id < b.id),
+cm AS (
+  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS common
+  FROM cand c
+  JOIN toks ta ON ta.id = c.a
+  JOIN toks tb ON tb.id = c.b AND tb.tok = ta.tok
+  GROUP BY 1, 2)
+SELECT m.a, m.b, m.common, za.s AS sa, zb.s AS sb
+FROM cm m JOIN sizes za ON za.id = m.a JOIN sizes zb ON zb.id = m.b
+WHERE 20 * m.common >= 17 * (za.s + zb.s - m.common)
+ORDER BY a, b"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -6591,4 +6645,5 @@ QUERIES = {
     "watershed": (q_watershed, q_watershed_oracle),
     "pagerank": (q_pagerank, q_pagerank_oracle),
     "triangles": (q_triangles, q_triangles_oracle),
+    "prefix_join": (q_prefix_join, q_prefix_join_oracle),
 }
