@@ -6493,6 +6493,148 @@ WHERE 20 * m.common >= 17 * (za.s + zb.s - m.common)
 ORDER BY a, b"""
 
 
+def q_rollup_agg(spark, sf_dir):
+    """Multi-level ROLLUP aggregation (region -> nation -> grand total)
+    with explicit grouping flags: the OLAP grouping-sets surface over the
+    orders->customer->nation->region join chain; money quantized to exact
+    integer cents (floor(x*100)) so every subtotal is bit-exact."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "r_name", "n_name",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("cents").alias("cents"),
+            F.grouping("r_name").cast("long").alias("gr"),
+            F.grouping("n_name").cast("long").alias("gn"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("r"),
+            F.coalesce("n_name", F.lit("<all>")).alias("n"),
+            "gr", "gn", "cnt", "cents",
+        )
+        .orderBy("gr", "gn", "r", "n")
+    )
+
+
+def q_rollup_agg_oracle():
+    return """
+SELECT COALESCE(r_name, '<all>') AS r, COALESCE(n_name, '<all>') AS n,
+       CAST(GROUPING(r_name) AS BIGINT) AS gr,
+       CAST(GROUPING(n_name) AS BIGINT) AS gn,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(floor(o_totalprice * 1.0e2) AS BIGINT)) AS BIGINT) AS cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region rg ON n.n_regionkey = rg.r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY gr, gn, r, n"""
+
+
+def q_pivot_counts(spark, sf_dir):
+    """Pivot (long -> wide) aggregation: order counts + cent sums by
+    priority, one column pair per order status — Spark's pivot() vs the
+    oracle's CASE-conditional aggregation (the canonical translation)."""
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    return wide.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("F_cnt").alias("f_cnt"), F.col("F_cents").alias("f_cents"),
+        F.col("O_cnt").alias("o_cnt"), F.col("O_cents").alias("o_cents"),
+        F.col("P_cnt").alias("p_cnt"), F.col("P_cents").alias("p_cents"),
+    ).orderBy("priority")
+
+
+def q_pivot_counts_oracle():
+    arms = []
+    for s, p in (("F", "f"), ("O", "o"), ("P", "p")):
+        arms.append(
+            f"CAST(count(*) FILTER (o_orderstatus = '{s}') AS BIGINT) AS {p}_cnt"
+        )
+        arms.append(
+            f"CAST(sum(CAST(floor(o_totalprice * 1.0e2) AS BIGINT)) "
+            f"FILTER (o_orderstatus = '{s}') AS BIGINT) AS {p}_cents"
+        )
+    return f"""
+SELECT o_orderpriority AS priority, {", ".join(arms)}
+FROM orders GROUP BY 1 ORDER BY 1"""
+
+
+def q_window_rank(spark, sf_dir):
+    """Ranking-window surface: per-nation top customers by exact cent
+    spend — row_number / rank / dense_rank / ntile(3) / lag over the same
+    deterministic (cents DESC, custkey) frame, top 8 per nation."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    tot = (
+        o.select(
+            "o_custkey", F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    j = tot.join(c, tot["o_custkey"] == c["c_custkey"]).join(
+        n, c["c_nationkey"] == n["n_nationkey"]
+    ).select("n_name", F.col("c_custkey").alias("custkey"), "cents")
+    w = Window.partitionBy("n_name").orderBy(F.col("cents").desc(), F.col("custkey"))
+    return (
+        j.select(
+            "n_name", "custkey", "cents",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rk"),
+            F.dense_rank().over(w).cast("long").alias("drk"),
+            F.ntile(3).over(w).cast("long").alias("nt"),
+            F.lag("cents").over(w).alias("prev_cents"),
+        )
+        .filter(F.col("rn") <= 8)
+        .orderBy("n_name", "rn")
+    )
+
+
+def q_window_rank_oracle():
+    return """
+WITH tot AS (
+  SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 1.0e2) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+j AS (
+  SELECT n.n_name, c.c_custkey AS custkey, t.cents
+  FROM tot t JOIN customer c ON t.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+wr AS (
+  SELECT n_name, custkey, cents,
+         CAST(row_number() OVER w AS BIGINT) AS rn,
+         CAST(rank() OVER w AS BIGINT) AS rk,
+         CAST(dense_rank() OVER w AS BIGINT) AS drk,
+         CAST(ntile(3) OVER w AS BIGINT) AS nt,
+         lag(cents) OVER w AS prev_cents
+  FROM j
+  WINDOW w AS (PARTITION BY n_name ORDER BY cents DESC, custkey))
+SELECT * FROM wr WHERE rn <= 8 ORDER BY n_name, rn"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -6646,4 +6788,7 @@ QUERIES = {
     "pagerank": (q_pagerank, q_pagerank_oracle),
     "triangles": (q_triangles, q_triangles_oracle),
     "prefix_join": (q_prefix_join, q_prefix_join_oracle),
+    "rollup_agg": (q_rollup_agg, q_rollup_agg_oracle),
+    "pivot_counts": (q_pivot_counts, q_pivot_counts_oracle),
+    "window_rank": (q_window_rank, q_window_rank_oracle),
 }
