@@ -20,7 +20,7 @@ accuracy instead).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .sampling import hash_u60, hash_u60_sql
@@ -505,3 +505,106 @@ SELECT
        ELSE (n_common * {1 << shift}) // greatest(least(theta_a, theta_b) // {1 << _KMV_SHIFT}, 1) END AS BIGINT) AS est_intersect
 FROM sa, sb, su, sc
 """
+
+
+# ---------------------------------------------------------------------------
+# Quantile histogram (fixed dyadic buckets)
+# ---------------------------------------------------------------------------
+#
+# The quantile member of the sketch family (cardinality = HLL/KMV,
+# membership = Bloom, frequency = Count-Min): a fixed-width bucket
+# histogram over a known non-negative integer domain.  State is one count
+# per bucket — a single map-side-combined aggregation, mergeable by
+# positional sum — and any quantile resolves to the first bucket whose
+# cumulative count reaches ceil(q * n), with q rational so the threshold
+# is exact integer arithmetic.  Error is bounded by the bucket width
+# (domain / 2^p); like the other sketches the gate pins the CONTENTS and
+# the integer quantile answers, not an FP estimate.
+
+
+def quantile_hist(
+    df: DataFrame, value_col: str, domain_bits: int, p: int = 10
+) -> DataFrame:
+    """Bucket-count table (bucket, cnt) for non-negative ``value_col`` in
+    [0, 2^domain_bits): bucket = value >> (domain_bits - p); exactly 2^p
+    rows, empty buckets emitted with 0 so two sketches merge
+    positionally."""
+    if not 1 <= p <= domain_bits:
+        raise ValueError("need 1 <= p <= domain_bits")
+    shift = domain_bits - p
+    b = F.shiftright(F.col(value_col).cast("long"), shift).alias("bucket")
+    counts = df.select(b).groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    full = df.sparkSession.range(1 << p).select(F.col("id").alias("bucket"))
+    return full.join(counts, "bucket", "left").select(
+        "bucket", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    )
+
+
+def quantile_hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Positional sum — the monoid combine."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def quantile_from_hist(
+    hist: DataFrame, q_num: int, q_den: int, domain_bits: int, p: int = 10
+) -> DataFrame:
+    """One-row quantile answer from a bucket table: the first bucket whose
+    running count reaches ceil(q*n) (exact: (q_num*n + q_den - 1) div
+    q_den), reported as the bucket's inclusive value range [lo, hi]."""
+    shift = domain_bits - p
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    n = hist.agg(F.sum("cnt").alias("n"))
+    thr = F.expr(f"({q_num} * n + {q_den - 1}) div {q_den}")
+    return (
+        cum.crossJoin(n)
+        .filter(F.col("cum") >= thr)
+        .orderBy("bucket")
+        .limit(1)
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            (F.col("bucket") * (1 << shift)).cast("long").alias("lo"),
+            ((F.col("bucket") + 1) * (1 << shift) - 1).cast("long").alias("hi"),
+            F.col("cum").cast("long").alias("cum"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+def quantile_hist_sql(
+    value_expr: str,
+    domain_bits: int,
+    p: int = 10,
+    quantiles: tuple[tuple[int, int], ...] = ((1, 2), (9, 10), (99, 100)),
+    rel: str = "documents",
+) -> str:
+    """DuckDB replay: bucket counts + the first-bucket-reaching-threshold
+    rule for each rational quantile; output one row per quantile
+    (q_num, q_den, bucket, lo, hi, cum, n)."""
+    shift = domain_bits - p
+    qrows = ", ".join(f"({n}, {d})" for n, d in quantiles)
+    return f"""
+WITH vals AS (SELECT ({value_expr}) >> {shift} AS bucket FROM {rel}),
+counts AS (SELECT bucket, count(*) AS cnt FROM vals GROUP BY 1),
+fullb AS (
+  SELECT g.range AS bucket, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+  FROM range(0, {1 << p}) g LEFT JOIN counts c ON c.bucket = g.range),
+cum AS (
+  SELECT bucket, cnt,
+         sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum
+  FROM fullb),
+nn AS (SELECT sum(cnt) AS n FROM fullb),
+qs AS (SELECT * FROM (VALUES {qrows}) q(q_num, q_den))
+SELECT q.q_num AS q_num, q.q_den AS q_den, t.bucket AS bucket,
+       CAST(t.bucket * {1 << shift} AS BIGINT) AS lo,
+       CAST((t.bucket + 1) * {1 << shift} - 1 AS BIGINT) AS hi,
+       CAST(t.cum AS BIGINT) AS cum, CAST(nn.n AS BIGINT) AS n
+FROM qs q, nn,
+LATERAL (
+  SELECT bucket, cum FROM cum
+  WHERE cum >= (q.q_num * nn.n + q.q_den - 1) // q.q_den
+  ORDER BY bucket LIMIT 1) t
+ORDER BY q_num, q_den"""

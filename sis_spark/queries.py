@@ -6635,6 +6635,41 @@ wr AS (
 SELECT * FROM wr WHERE rn <= 8 ORDER BY n_name, rn"""
 
 
+def q_quantile_hist(spark, sf_dir):
+    """Mergeable quantile histogram (sketches.quantile_hist, the quantile
+    member of the sketch family): 2^10 dyadic buckets over clamped doc
+    length, quantiles answered as the first bucket whose running count
+    reaches ceil(q*n) with q rational — exact integer thresholds.  Output:
+    one row per quantile (q_num, q_den, bucket, lo, hi, cum, n)."""
+    from .operators.sketches import quantile_from_hist, quantile_hist
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.least(F.length("text"), F.lit((1 << 16) - 1)).alias("v")
+    )
+    hist = quantile_hist(docs, "v", domain_bits=16, p=10).persist()
+    outs = []
+    for q_num, q_den in ((1, 2), (9, 10), (99, 100)):
+        outs.append(
+            quantile_from_hist(hist, q_num, q_den, domain_bits=16, p=10).select(
+                F.lit(q_num).cast("long").alias("q_num"),
+                F.lit(q_den).cast("long").alias("q_den"),
+                "bucket", "lo", "hi", "cum", "n",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("q_num", "q_den")
+
+
+def q_quantile_hist_oracle():
+    from .operators.sketches import quantile_hist_sql
+
+    return quantile_hist_sql(
+        f"least(length(text), {(1 << 16) - 1})", domain_bits=16, p=10
+    )
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -6791,4 +6826,5 @@ QUERIES = {
     "rollup_agg": (q_rollup_agg, q_rollup_agg_oracle),
     "pivot_counts": (q_pivot_counts, q_pivot_counts_oracle),
     "window_rank": (q_window_rank, q_window_rank_oracle),
+    "quantile_hist": (q_quantile_hist, q_quantile_hist_oracle),
 }

@@ -175,3 +175,35 @@ def test_kmv_plan_topk_and_python_free(spark, kmv_keys):
     plan = kmv_build(kmv_keys, "key", k=64)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan and "Arrow" not in plan
+
+
+# ---------------------------------------------------------------- quantile hist
+
+
+def test_quantile_hist_merge_law_and_answers(spark):
+    from sis_spark.operators.sketches import (
+        quantile_from_hist,
+        quantile_hist,
+        quantile_hist_merge,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    vals = rng.randint(0, 1 << 16, size=3000).astype(int).tolist()
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    whole = quantile_hist(df, "v", domain_bits=16, p=8)
+    left = quantile_hist(df.filter(F.col("v") % 2 == 0), "v", 16, p=8)
+    right = quantile_hist(df.filter(F.col("v") % 2 == 1), "v", 16, p=8)
+    merged = quantile_hist_merge(left, right)
+    assert {(r["bucket"], r["cnt"]) for r in whole.collect()} == {
+        (r["bucket"], r["cnt"]) for r in merged.collect()
+    }
+
+    # answers bracket the true quantile within one bucket (width 256)
+    svals = sorted(vals)
+    for q_num, q_den in ((1, 2), (9, 10)):
+        row = quantile_from_hist(whole, q_num, q_den, 16, p=8).collect()[0]
+        true_q = svals[(q_num * len(svals) + q_den - 1) // q_den - 1]
+        assert row["lo"] <= true_q <= row["hi"]
+        assert row["n"] == len(vals)
