@@ -543,3 +543,38 @@ def jaccard_join_prefix(
         )
         .select("a", "b", "common", "sa", "sb")
     )
+
+
+def edit_distance_join(
+    df: DataFrame, str_col: str, id_col: str
+) -> DataFrame:
+    """All pairs at Levenshtein distance <= 1 via DELETION-NEIGHBORHOOD
+    hashing (FastSS, d=1) -> (a, b, sa, sb, d).
+
+    Each string explodes to its len+1 single-deletion variants (itself
+    included); two strings within distance 1 provably share a variant
+    (substitution: both delete the differing position; indel: the longer
+    deletes the inserted char, the shorter keeps itself), so candidates
+    come from ONE equi-join on the variant key — no all-pairs, no
+    similarity scan.  Candidates are then verified with exact
+    levenshtein().  Fuzzy-radius joins reduce to equi-joins this way at
+    any scale; d>1 repeats the deletion recursively."""
+    base = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
+    v = base.select(
+        "id", "s",
+        F.explode(F.expr(
+            "transform(sequence(0, length(s)), "
+            "i -> concat(left(s, i), substring(s, i + 2)))"
+        )).alias("variant"),
+    ).distinct()
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(b, (F.col("a.variant") == F.col("b.variant"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+            F.col("a.s").alias("sa"), F.col("b.s").alias("sb"),
+        )
+        .distinct()
+    )
+    return cand.withColumn("d", F.levenshtein("sa", "sb")).filter(F.col("d") <= 1)

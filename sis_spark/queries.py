@@ -6670,6 +6670,41 @@ def q_quantile_hist_oracle():
     )
 
 
+def q_fuzzy_join(spark, sf_dir):
+    """Edit-distance-1 self-join via FastSS deletion-neighborhood hashing
+    (dedup.edit_distance_join): each string's len+1 single-deletion
+    variants make every <=1-distance pair share an equi-join key — the
+    fuzzy-radius join as a bounded equi-join, verified with exact
+    levenshtein.  Customer names differ in single digits, so real pairs
+    exist at every position."""
+    from .operators.dedup import edit_distance_join
+
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "c_name"
+    )
+    return (
+        edit_distance_join(c, "c_name", "c_custkey")
+        .select("a", "b", "d")
+        .orderBy("a", "b")
+    )
+
+
+def q_fuzzy_join_oracle():
+    return """
+WITH base AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS s FROM customer),
+v AS (
+  SELECT DISTINCT id, s,
+         left(s, i.i) || substr(s, i.i + 2) AS variant
+  FROM base, LATERAL (SELECT unnest(range(0, length(s) + 1)) AS i) i),
+cand AS (
+  SELECT DISTINCT a.id AS a, b.id AS b, a.s AS sa, b.s AS sb
+  FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id)
+SELECT a, b, CAST(levenshtein(sa, sb) AS BIGINT) AS d
+FROM cand WHERE levenshtein(sa, sb) <= 1
+ORDER BY a, b"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -6827,4 +6862,5 @@ QUERIES = {
     "pivot_counts": (q_pivot_counts, q_pivot_counts_oracle),
     "window_rank": (q_window_rank, q_window_rank_oracle),
     "quantile_hist": (q_quantile_hist, q_quantile_hist_oracle),
+    "fuzzy_join": (q_fuzzy_join, q_fuzzy_join_oracle),
 }

@@ -48,3 +48,36 @@ def test_prefix_join_no_candidates_below_threshold(spark):
     rows = [(0, "a b c d"), (1, "e f g h"), (2, "i j k l")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert jaccard_join_prefix(df, 1, 2).count() == 0
+
+
+# ---------------------------------------------------------------- FastSS
+
+
+def test_edit_distance_join_matches_brute(spark):
+    from sis_spark.operators.dedup import edit_distance_join
+
+    words = [
+        "spark", "spork", "sparks", "park", "spar", "stark", "shark",
+        "sharks", "apark", "xyzzy", "xyzz", "zyzzy", "a", "", "b", "ab",
+    ]
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {(r["a"], r["b"]) for r in edit_distance_join(df, "s", "id").collect()}
+
+    def lev(x, y):
+        dp = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            prev, dp[0] = dp[0], i
+            for j, cy in enumerate(y, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (cx != cy)
+                )
+        return dp[-1]
+
+    want = {
+        (i, j)
+        for i in range(len(words))
+        for j in range(i + 1, len(words))
+        if lev(words[i], words[j]) <= 1
+    }
+    assert got == want
