@@ -319,3 +319,72 @@ SELECT make_timestamp(start_s * 1000000) AS w_start,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(v) AS BIGINT) AS total_cents
 FROM x GROUP BY 1"""
+
+
+def ewma_int(
+    df: DataFrame,
+    num: int = 1,
+    den: int = 4,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "x",
+) -> DataFrame:
+    """Exponential moving average in EXACT integer arithmetic ->
+    (user, rn, x, s): s_1 = x_1, s_t = floor((num*x_t +
+    (den-num)*s_{t-1}) / den) with alpha = num/den rational and the
+    division a true FLOOR division (floor_divide / posmod identity), so
+    negative values cannot split engines on truncate-vs-floor.  One
+    applyInPandas group per key (sequential recurrence, keys
+    parallelize) — the stay_points execution shape."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.int64)
+        s = np.zeros(len(x), dtype=np.int64)
+        if len(x):
+            s[0] = x[0]
+            for t in range(1, len(x)):
+                s[t] = np.floor_divide(num * x[t] + (den - num) * s[t - 1], den)
+        out = pd.DataFrame({
+            user_col: pdf[user_col].to_numpy(),
+            "rn": np.arange(1, len(x) + 1, dtype=np.int64),
+            "x": x,
+            "s": s,
+        })
+        return out
+
+    schema = f"{user_col} long, rn long, x long, s long"
+    return df.groupBy(user_col).applyInPandas(fn, schema=schema)
+
+
+def ewma_int_sql(
+    base_select: str,
+    num: int = 1,
+    den: int = 4,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "x",
+) -> str:
+    """DuckDB replay: rank per key, step the recurrence one rank per
+    recursion round (all keys in lockstep), floor-div via the posmod
+    identity."""
+    rec = f"({num} * p.{value_col} + {den - num} * r.s)"
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT {user_col}, {value_col},
+         CAST(row_number() OVER (PARTITION BY {user_col}
+                                 ORDER BY {ts_col}, {id_col}) AS BIGINT) AS rn
+  FROM ({base_select}) b),
+rec AS (
+  SELECT {user_col}, rn, {value_col} AS x, CAST({value_col} AS BIGINT) AS s
+  FROM pts WHERE rn = 1
+  UNION ALL
+  SELECT p.{user_col}, p.rn, p.{value_col},
+         ({rec} - ((({rec} % {den}) + {den}) % {den})) // {den}
+  FROM rec r JOIN pts p ON p.{user_col} = r.{user_col} AND p.rn = r.rn + 1)
+SELECT {user_col}, rn, CAST(x AS BIGINT) AS x, s FROM rec
+"""

@@ -6705,6 +6705,38 @@ FROM cand WHERE levenshtein(sa, sb) <= 1
 ORDER BY a, b"""
 
 
+def q_ewma(spark, sf_dir):
+    """Integer exponential smoothing (timeseries.ewma_int, alpha=1/4)
+    over per-user event tracks: s_t = floor((x_t + 3 s_{t-1}) / 4) with
+    a true floor division (posmod identity) so negative signal values
+    cannot split engines on truncate-vs-floor; the oracle steps the same
+    recurrence as a lockstep recursive CTE."""
+    from .operators.timeseries import ewma_int
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    lon, _ = point_lonlat_cols("event_id")
+    pts = ev.select(
+        "user_id", "event_id", "ts",
+        F.floor(lon * 10000).cast("long").alias("x"),
+    )
+    return ewma_int(pts, num=1, den=4).orderBy("user_id", "rn")
+
+
+def q_ewma_oracle():
+    from .operators.timeseries import ewma_int_sql
+
+    base = (
+        "SELECT user_id, event_id, ts, "
+        f"CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e4) AS BIGINT) AS x "
+        "FROM events WHERE event_id < 4000"
+    )
+    return (
+        "SELECT * FROM ("
+        + ewma_int_sql(base, num=1, den=4)
+        + ") ORDER BY user_id, rn"
+    )
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -6863,4 +6895,5 @@ QUERIES = {
     "window_rank": (q_window_rank, q_window_rank_oracle),
     "quantile_hist": (q_quantile_hist, q_quantile_hist_oracle),
     "fuzzy_join": (q_fuzzy_join, q_fuzzy_join_oracle),
+    "ewma": (q_ewma, q_ewma_oracle),
 }

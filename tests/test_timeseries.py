@@ -261,3 +261,27 @@ def test_tumbling_and_sliding_windows_brute(spark):
     assert sli == brute2
     # every event lands in exactly 2 sliding windows (width/slide = 2)
     assert sum(n for n, _ in sli.values()) == 2 * len(ts)
+
+
+def test_ewma_int_matches_python_recurrence(spark):
+    import numpy as np
+
+    from sis_spark.operators.timeseries import ewma_int
+
+    rng = np.random.RandomState(41)
+    rows = []
+    for u in range(3):
+        for i in range(50):
+            rows.append((u, i, i * 1000, int(rng.randint(-500, 500))))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts long, x long")
+    got = {
+        (r["user_id"], r["rn"]): r["s"]
+        for r in ewma_int(df, num=1, den=4).collect()
+    }
+    for u in range(3):
+        xs = [x for uu, _, _, x in rows if uu == u]
+        s = xs[0]
+        assert got[(u, 1)] == s
+        for t in range(1, len(xs)):
+            s = (xs[t] + 3 * s) // 4  # python // is floor: the contract
+            assert got[(u, t + 1)] == s
