@@ -1,0 +1,121 @@
+"""Product-analytics operators: skyline, funnel, retention cohorts.
+
+OUR addition (the reference's query algebra stops at filter/sort/aggregate;
+these are the event-analytics staples a warehouse user expects on top).
+All three are exact-integer and oracle-replicable:
+
+- ``skyline2d``: the Pareto frontier (maximize both dims) via the classic
+  two-phase distributed skyline — a per-partition prune (each partition's
+  local skyline is a provable superset member set of the global one:
+  removing a point needs a dominator, and dominators survive locally) then
+  the same exact sweep once over the tiny survivor set.  No nested-loop
+  join anywhere; the sweep is a sort + one pass.
+- ``funnel``: ordered-stage conversion (first A, first B strictly after
+  that A, first C strictly after that B) as chained min-aggregations —
+  each stage one join + one agg, no sequence scan.
+- ``retention``: cohort-week x week-offset active-user counts from integer
+  epoch-day buckets (no calendar/timezone semantics to diverge on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _skyline_pass(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """One exact dominance sweep WITHIN each partition: sort by (x desc,
+    y desc), drop p iff some strictly-greater-x point has y >= p.y or a
+    same-x point has y > p.y."""
+    import numpy as np
+    import pandas as pd
+
+    cols = df.columns
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values([x_col, y_col], ascending=False,
+                                  kind="mergesort").reset_index(drop=True)
+            x = pdf[x_col].to_numpy(dtype=np.int64)
+            y = pdf[y_col].to_numpy(dtype=np.int64)
+            keep = np.zeros(len(pdf), dtype=bool)
+            max_y_higher_x = -(1 << 62)
+            i = 0
+            while i < len(pdf):
+                j = i
+                while j < len(pdf) and x[j] == x[i]:
+                    j += 1
+                gmax = int(y[i:j].max())
+                for t in range(i, j):
+                    dominated = (max_y_higher_x >= y[t]) or (gmax > y[t])
+                    keep[t] = not dominated
+                max_y_higher_x = max(max_y_higher_x, gmax)
+                i = j
+            out = pdf[keep]
+            if len(out):
+                yield out[cols]
+
+    return df.mapInPandas(fn, df.schema)
+
+
+def skyline2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Global 2-D skyline (maximize x AND y; a point survives unless some
+    other point is >= in both dims and > in at least one; exact
+    duplicates all survive).  Phase 1 prunes per partition; phase 2 runs
+    the same exact sweep over the survivors in one partition — survivor
+    count is the local skyline union, typically O(partitions * skyline)."""
+    local = _skyline_pass(df, x_col, y_col)
+    return _skyline_pass(local.repartition(1), x_col, y_col)
+
+
+def funnel(
+    events: DataFrame,
+    stage_col: str,
+    stages: tuple,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Ordered-funnel timestamps per user -> (user, t0, t1, ..., tk) with
+    t_i = first occurrence of stages[i] STRICTLY after t_{i-1} (NULL once
+    a stage is never reached).  Each stage: one equi-join on user + one
+    min-agg — no per-user sequence scan."""
+    cur = (
+        events.filter(F.col(stage_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t0"))
+    )
+    for i, st in enumerate(stages[1:], 1):
+        nxt = (
+            events.filter(F.col(stage_col) == st)
+            .select(user_col, F.col(ts_col).alias("_ts"))
+            .join(cur.select(user_col, F.col(f"t{i - 1}").alias("_prev")), user_col)
+            .filter(F.col("_ts") > F.col("_prev"))
+            .groupBy(user_col)
+            .agg(F.min("_ts").alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    return cur
+
+
+def retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    day_col: str = "day",
+) -> DataFrame:
+    """Cohort retention counts -> (cohort_week, week_offset, n_users):
+    cohort_week = floor(first active day / 7); a user counts once per
+    distinct active week.  Integer day buckets only — no calendar
+    semantics to diverge across engines."""
+    first = events.groupBy(user_col).agg(
+        F.expr(f"min({day_col}) div 7").alias("cohort_week")
+    )
+    active = events.select(
+        user_col, F.expr(f"{day_col} div 7").alias("week")
+    ).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

@@ -6737,6 +6737,106 @@ def q_ewma_oracle():
     )
 
 
+def q_skyline(spark, sf_dir):
+    """2-D skyline / Pareto frontier (analytics.skyline2d): customers not
+    dominated on (total order cents, account-balance cents) — local
+    per-partition prune then one exact sweep over the survivors (sort +
+    single pass, no nested-loop join); the oracle is the NOT EXISTS
+    dominance definition itself."""
+    from .operators.analytics import skyline2d
+
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    tot = (
+        o.select("o_custkey", F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    pts = tot.join(c, tot["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_custkey").cast("long").alias("custkey"),
+        "cents",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    return skyline2d(pts, "cents", "bal").orderBy("custkey")
+
+
+def q_skyline_oracle():
+    return """
+WITH tot AS (
+  SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 1.0e2) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+pts AS (
+  SELECT CAST(c.c_custkey AS BIGINT) AS custkey, t.cents,
+         CAST(floor(c.c_acctbal * 1.0e2) AS BIGINT) AS bal
+  FROM tot t JOIN customer c ON t.o_custkey = c.c_custkey)
+SELECT custkey, cents, bal FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.cents >= p.cents AND q.bal >= p.bal
+    AND (q.cents > p.cents OR q.bal > p.bal))
+ORDER BY custkey"""
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered-stage funnel (analytics.funnel): stage = event_id % 5,
+    per-user first-0 -> first-1-strictly-after -> first-2-strictly-after
+    timestamps in epoch micros; each stage is one equi-join + one
+    min-agg (no per-user sequence scan)."""
+    from .operators.analytics import funnel
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("event_id") % 5).alias("stage"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return funnel(ev, "stage", (0, 1, 2)).orderBy("user_id")
+
+
+def q_funnel_oracle():
+    return """
+WITH ev AS (
+  SELECT user_id, event_id % 5 AS stage, epoch_us(ts) AS ts_us FROM events),
+s0 AS (SELECT user_id, min(ts_us) AS t0 FROM ev WHERE stage = 0 GROUP BY 1),
+s1 AS (
+  SELECT e.user_id, min(e.ts_us) AS t1
+  FROM ev e JOIN s0 ON s0.user_id = e.user_id
+  WHERE e.stage = 1 AND e.ts_us > s0.t0 GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(e.ts_us) AS t2
+  FROM ev e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.stage = 2 AND e.ts_us > s1.t1 GROUP BY 1)
+SELECT s0.user_id, s0.t0, s1.t1, s2.t2
+FROM s0 LEFT JOIN s1 ON s1.user_id = s0.user_id
+LEFT JOIN s2 ON s2.user_id = s0.user_id
+ORDER BY s0.user_id"""
+
+
+def q_retention(spark, sf_dir):
+    """Cohort retention (analytics.retention): cohort week = floor(first
+    active epoch-day / 7), one count per (cohort_week, week_offset) of
+    distinct users active that week — integer day buckets only, no
+    calendar/timezone semantics to diverge on."""
+    from .operators.analytics import retention
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+    )
+    return retention(ev).orderBy("cohort_week", "week_offset")
+
+
+def q_retention_oracle():
+    return """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+first AS (SELECT user_id, min(day) // 7 AS cohort_week FROM ev GROUP BY 1),
+active AS (SELECT DISTINCT user_id, day // 7 AS week FROM ev)
+SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM active a JOIN first f ON f.user_id = a.user_id
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -6896,4 +6996,7 @@ QUERIES = {
     "quantile_hist": (q_quantile_hist, q_quantile_hist_oracle),
     "fuzzy_join": (q_fuzzy_join, q_fuzzy_join_oracle),
     "ewma": (q_ewma, q_ewma_oracle),
+    "skyline": (q_skyline, q_skyline_oracle),
+    "funnel": (q_funnel, q_funnel_oracle),
+    "retention": (q_retention, q_retention_oracle),
 }
