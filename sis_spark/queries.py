@@ -6837,6 +6837,130 @@ FROM active a JOIN first f ON f.user_id = a.user_id
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+def q_morphology(spark, sf_dir):
+    """Morphological 3x3 dilation + erosion (terrain.rank_filter_tiles)
+    on the halo machinery: dilation pads 0 outside the extent, erosion
+    pads +inf (border erodes against an all-high surround); raster
+    500x300 (not a tile multiple) so within-tile padding is masked live.
+    Per-tile weighted checksums of both planes; the oracle is a 9-term
+    greatest/least per pixel."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.terrain import rank_filter_tiles
+
+    W, H, TS = 500, 300, 64
+    tiles = _formula_tiles(spark, W, H, bands=1, tile_size=TS)
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    dil = rank_filter_tiles(tiles, gg, "max", tile_size=TS)
+    ero = rank_filter_tiles(tiles, gg, "min", tile_size=TS)
+
+    def cs(tag):
+        def go(batches):
+            for pdf in batches:
+                rows = []
+                for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                    v = _np.frombuffer(data, _np.int64).reshape(TS, TS)
+                    px = int(tx) * TS + _np.arange(TS)[None, :]
+                    py = int(ty) * TS + _np.arange(TS)[:, None]
+                    wt = ((py * W + px) % 9973 + 1).astype(_np.int64)
+                    wt = wt * ((px < W) & (py < H))
+                    rows.append({"tx": int(tx), "ty": int(ty),
+                                 tag: int((v * wt).sum())})
+                if rows:
+                    yield _pd.DataFrame(rows)
+        return go
+
+    d = dil.mapInPandas(cs("cs_dil"), "tx long, ty long, cs_dil long")
+    e = ero.mapInPandas(cs("cs_ero"), "tx long, ty long, cs_ero long")
+    return d.join(e, ["tx", "ty"]).orderBy("tx", "ty")
+
+
+def q_morphology_oracle():
+    v = lambda a, b: f"((({a}) * 7 + ({b}) * 13) % 256)"
+    dil_terms, ero_terms = [], []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            nx, ny = f"x + ({dx})", f"y + ({dy})"
+            rng = f"{nx} >= 0 AND {nx} < 500 AND {ny} >= 0 AND {ny} < 300"
+            dil_terms.append(f"CASE WHEN {rng} THEN {v(nx, ny)} ELSE 0 END")
+            ero_terms.append(
+                f"CASE WHEN {rng} THEN {v(nx, ny)} ELSE 4611686018427387904 END"
+            )
+    return f"""
+WITH px AS (
+  SELECT x.x AS x, y.y AS y
+  FROM generate_series(0, 499) x(x), generate_series(0, 299) y(y)),
+m AS (
+  SELECT x // 64 AS tx, y // 64 AS ty,
+         greatest({", ".join(dil_terms)}) AS dil,
+         least({", ".join(ero_terms)}) AS ero,
+         ((y * 500 + x) % 9973 + 1) AS wt
+  FROM px)
+SELECT tx, ty, CAST(sum(dil * wt) AS BIGINT) AS cs_dil,
+       CAST(sum(ero * wt) AS BIGINT) AS cs_ero
+FROM m GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_distance_transform(spark, sf_dir):
+    """Distributed 3-4 chamfer distance transform
+    (terrain.chamfer_dt_tiles): distance to the nearest zero-valued
+    pixel, solved by BLOCK-JACOBI — each round re-solves every tile
+    exactly from a 1-pixel halo of neighbor distances, so convergence
+    takes grid-diameter-in-TILES rounds, not O(distance) pixel steps.
+    The oracle exploits the chamfer closed form in open space:
+    dist = min over seeds of 3*max(|dx|,|dy|) + min(|dx|,|dy|)."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.terrain import chamfer_dt_tiles
+
+    W, H, TS = 256, 192, 64
+    tiles = _formula_tiles(spark, W, H, bands=1, tile_size=TS)
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    dt = chamfer_dt_tiles(tiles, gg, tile_size=TS)
+
+    def cs(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                v = _np.frombuffer(data, _np.int64).reshape(TS, TS)
+                px = int(tx) * TS + _np.arange(TS)[None, :]
+                py = int(ty) * TS + _np.arange(TS)[:, None]
+                wt = ((py * W + px) % 9973 + 1).astype(_np.int64)
+                m = (px < W) & (py < H)
+                rows.append({
+                    "tx": int(tx), "ty": int(ty),
+                    "cs": int((v * wt * m).sum()),
+                    "dmax": int(v[m].max()),
+                })
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return dt.mapInPandas(cs, "tx long, ty long, cs long, dmax long").orderBy(
+        "tx", "ty"
+    )
+
+
+def q_distance_transform_oracle():
+    return """
+WITH px AS (
+  SELECT x.x AS x, y.y AS y
+  FROM generate_series(0, 255) x(x), generate_series(0, 191) y(y)),
+seeds AS (SELECT x AS sx, y AS sy FROM px WHERE ((x * 7 + y * 13) % 256) = 0),
+d AS (
+  SELECT p.x, p.y,
+         min(3 * greatest(abs(p.x - s.sx), abs(p.y - s.sy))
+             + least(abs(p.x - s.sx), abs(p.y - s.sy))) AS dist
+  FROM px p CROSS JOIN seeds s GROUP BY 1, 2)
+SELECT x // 64 AS tx, y // 64 AS ty,
+       CAST(sum(dist * ((y * 256 + x) % 9973 + 1)) AS BIGINT) AS cs,
+       CAST(max(dist) AS BIGINT) AS dmax
+FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -6999,4 +7123,6 @@ QUERIES = {
     "skyline": (q_skyline, q_skyline_oracle),
     "funnel": (q_funnel, q_funnel_oracle),
     "retention": (q_retention, q_retention_oracle),
+    "morphology": (q_morphology, q_morphology_oracle),
+    "distance_transform": (q_distance_transform, q_distance_transform_oracle),
 }

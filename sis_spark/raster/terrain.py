@@ -445,3 +445,196 @@ def watershed_basins(cells: DataFrame, max_rounds: int = 40) -> DataFrame:
     return p.select(
         "x", "y", F.col("px").alias("sink_x"), F.col("py").alias("sink_y")
     )
+
+
+def rank_filter_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    mode: str = "max",
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Morphological 3x3 rank filter: ``max`` = grayscale dilation,
+    ``min`` = erosion, ``median`` = salt-and-pepper denoise.  Same 9-way
+    halo shuffle as convolve_tiles; out-of-extent neighbors take the
+    identity element (0 for max — zero padding; 2^62 for min so the
+    border erodes against +inf, matching an all-high surround; median
+    pads 0).  Integer in, integer out — max/min are SQL greatest/least,
+    so those two are oracle-replicable per pixel."""
+    if mode not in ("max", "min", "median"):
+        raise ValueError("mode must be max/min/median")
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ts = tile_size
+    ntx = (w + ts - 1) // ts
+    nty = (h + ts - 1) // ts
+    pad = 0 if mode in ("max", "median") else (1 << 62)
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+
+    def fn(key, pdf):
+        gtx, gty = int(key[0]), int(key[1])
+        halo = np.full((ts + 2, ts + 2), pad, dtype=np.int64)
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = np.frombuffer(data, dtype=bdt).reshape(ts, ts).astype(np.int64)
+            oy = (int(ty) - gty) * ts + 1
+            ox = (int(tx) - gtx) * ts + 1
+            y0, x0 = max(oy, 0), max(ox, 0)
+            y1, x1 = min(oy + ts, ts + 2), min(ox + ts, ts + 2)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            halo[y0:y1, x0:x1] = block[y0 - oy:y1 - oy, x0 - ox:x1 - ox]
+        # out-of-extent pixels inside the halo must read as padding too
+        hx = gtx * ts - 1 + np.arange(ts + 2)[None, :]
+        hy = gty * ts - 1 + np.arange(ts + 2)[:, None]
+        oob = (hx < 0) | (hx >= w) | (hy < 0) | (hy >= h)
+        halo[oob] = pad
+        stack = np.stack([
+            halo[dy:dy + ts, dx:dx + ts]
+            for dy in range(3) for dx in range(3)
+        ])
+        if mode == "max":
+            out = stack.max(axis=0)
+        elif mode == "min":
+            out = stack.min(axis=0)
+        else:
+            out = np.median(stack, axis=0).astype(np.int64)
+        px = gtx * ts + np.arange(ts)
+        py = gty * ts + np.arange(ts)
+        out[:, px >= w] = 0
+        out[py >= h, :] = 0
+        return pd.DataFrame([{"tx": gtx, "ty": gty, "data": out.tobytes()}])
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(fn, schema=CONV_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Chamfer distance transform (block-Jacobi over tiles)
+# ---------------------------------------------------------------------------
+
+_CH_INF = 1 << 30  # safely addable without overflow
+
+
+def _chamfer_window(d: np.ndarray) -> np.ndarray:
+    """Exact two-pass 3-4 chamfer DT over one window with arbitrary seed
+    values.  The in-row left/right propagation min_k(a[k] + 3|x-k|) is
+    vectorized with the cummin identity e = 3x + cummin(a - 3x)."""
+    d = d.copy()
+    h, w = d.shape
+    idx = 3 * np.arange(w, dtype=np.int64)
+
+    def row_sweep(row):
+        fwd = np.minimum.accumulate(row - idx) + idx
+        bwd = (np.minimum.accumulate((row + idx)[::-1]) - idx[::-1])[::-1]
+        return np.minimum(fwd, bwd)
+
+    for y in range(h):
+        if y > 0:
+            up = d[y - 1]
+            d[y] = np.minimum(d[y], up + 3)
+            d[y, :-1] = np.minimum(d[y, :-1], up[1:] + 4)
+            d[y, 1:] = np.minimum(d[y, 1:], up[:-1] + 4)
+        d[y] = row_sweep(d[y])
+    for y in range(h - 2, -1, -1):
+        dn = d[y + 1]
+        d[y] = np.minimum(d[y], dn + 3)
+        d[y, :-1] = np.minimum(d[y, :-1], dn[1:] + 4)
+        d[y, 1:] = np.minimum(d[y, 1:], dn[:-1] + 4)
+        d[y] = row_sweep(d[y])
+    return d
+
+
+def chamfer_dense(seeds: np.ndarray) -> np.ndarray:
+    """Single-node reference: exact 3-4 chamfer DT of a boolean seed mask
+    (two full-image passes)."""
+    d = np.where(seeds, 0, _CH_INF).astype(np.int64)
+    return _chamfer_window(d)
+
+
+def chamfer_dt_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+    seed_value: int = 0,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Distributed 3-4 chamfer distance transform: distance of every
+    pixel to the nearest ``seed_value`` pixel, under the chamfer metric
+    (orthogonal step 3, diagonal 4 — closed form 3*max(|dx|,|dy|) +
+    min(|dx|,|dy|) in open space, which is what the oracle replays).
+
+    BLOCK-JACOBI iteration: each round gathers a 1-pixel halo ring of the
+    neighbors' current distances and re-solves the tile EXACTLY with the
+    two-pass chamfer sweep; distance information crosses one tile per
+    round, so convergence takes at most (grid diameter in tiles) rounds —
+    not O(max distance) pixel steps.  One scalar (global distance sum)
+    crosses the driver per round; lineage truncated per round."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ts = tile_size
+    ntx = (w + ts - 1) // ts
+    nty = (h + ts - 1) // ts
+
+    def init(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, bd, data in zip(pdf["tx"], pdf["ty"], pdf["band"], pdf["data"]):
+                if int(bd) != band:
+                    continue
+                v = np.frombuffer(data, dtype=bdt).reshape(ts, ts)
+                px = int(tx) * ts + np.arange(ts)[None, :]
+                py = int(ty) * ts + np.arange(ts)[:, None]
+                inext = (px < w) & (py < h)
+                d = np.where((v == seed_value) & inext, 0, _CH_INF).astype(np.int64)
+                rows.append({"tx": int(tx), "ty": int(ty), "data": d.tobytes()})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    dist = tiles_df.mapInPandas(init, CONV_SCHEMA).localCheckpoint()
+
+    def relax(key, pdf):
+        gtx, gty = int(key[0]), int(key[1])
+        halo = np.full((ts + 2, ts + 2), _CH_INF, dtype=np.int64)
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = np.frombuffer(data, np.int64).reshape(ts, ts)
+            oy = (int(ty) - gty) * ts + 1
+            ox = (int(tx) - gtx) * ts + 1
+            y0, x0 = max(oy, 0), max(ox, 0)
+            y1, x1 = min(oy + ts, ts + 2), min(ox + ts, ts + 2)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            halo[y0:y1, x0:x1] = block[y0 - oy:y1 - oy, x0 - ox:x1 - ox]
+        out = _chamfer_window(halo)[1:1 + ts, 1:1 + ts]
+        out = np.minimum(out, _CH_INF)
+        px = gtx * ts + np.arange(ts)[None, :]
+        py = gty * ts + np.arange(ts)[:, None]
+        out[~((px < w) & (py < h))] = _CH_INF
+        return pd.DataFrame([{"tx": gtx, "ty": gty, "data": out.tobytes()}])
+
+    def total(df):
+        def s(batches):
+            for pdf in batches:
+                yield pd.DataFrame([{
+                    "t": int(sum(
+                        np.frombuffer(b, np.int64).sum() for b in pdf["data"]
+                    ))
+                }])
+        return df.mapInPandas(s, "t long").agg(F.sum("t")).collect()[0][0]
+
+    prev = total(dist)
+    for _ in range(max_rounds):
+        contrib = _halo_groups(dist).filter(
+            (F.col("gtx") < ntx) & (F.col("gty") < nty)
+        )
+        dist = contrib.groupBy("gtx", "gty").applyInPandas(
+            relax, schema=CONV_SCHEMA
+        ).localCheckpoint()
+        cur = total(dist)
+        if cur == prev:
+            break
+        prev = cur
+    return dist

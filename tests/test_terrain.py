@@ -170,3 +170,66 @@ def test_watershed_matches_dense_walk(spark):
             cx, cy = cx + dx, cy + dy
         assert (sx, sy) == (cx, cy), (x, y)
         assert dirs[sy, sx] == 0  # every label is a pit
+
+
+def test_chamfer_window_matches_closed_form():
+    from sis_spark.raster.terrain import chamfer_dense
+
+    rng = np.random.RandomState(19)
+    seeds = rng.rand(40, 55) < 0.02
+    seeds[7, 12] = True  # guarantee at least one
+    d = chamfer_dense(seeds)
+    ys, xs = np.nonzero(seeds)
+    for y in range(0, 40, 7):
+        for x in range(0, 55, 9):
+            dx = np.abs(xs - x)
+            dy = np.abs(ys - y)
+            want = int((3 * np.maximum(dx, dy) + np.minimum(dx, dy)).min())
+            assert d[y, x] == want
+
+
+def test_chamfer_distributed_matches_dense(spark):
+    from sis_spark.raster.terrain import chamfer_dense, chamfer_dt_tiles
+
+    rng = np.random.RandomState(29)
+    arr = rng.randint(0, 40, size=(40, 56)).astype(np.uint8)  # ~2.5% zeros
+    assert (arr == 0).any()
+    tiles, gg = _tiles_from(spark, arr)
+    dt = chamfer_dt_tiles(tiles, gg, tile_size=TS)
+    got = np.full(arr.shape, -1, np.int64)
+    for r in dt.collect():
+        a = np.frombuffer(bytes(r["data"]), np.int64).reshape(TS, TS)
+        y0, x0 = r["ty"] * TS, r["tx"] * TS
+        vh, vw = min(TS, 40 - y0), min(TS, 56 - x0)
+        got[y0:y0 + vh, x0:x0 + vw] = a[:vh, :vw]
+    assert np.array_equal(got, chamfer_dense(arr == 0))
+
+
+def test_rank_filter_matches_dense(spark):
+    from sis_spark.raster.terrain import rank_filter_tiles
+
+    rng = np.random.RandomState(33)
+    arr = rng.randint(0, 255, size=(40, 56)).astype(np.uint8)
+    tiles, gg = _tiles_from(spark, arr)
+    h, w = arr.shape
+    for mode in ("max", "min", "median"):
+        rows = rank_filter_tiles(tiles, gg, mode, tile_size=TS).collect()
+        got = np.full(arr.shape, -1, np.int64)
+        for r in rows:
+            a = np.frombuffer(bytes(r["data"]), np.int64).reshape(TS, TS)
+            y0, x0 = r["ty"] * TS, r["tx"] * TS
+            vh, vw = min(TS, h - y0), min(TS, w - x0)
+            got[y0:y0 + vh, x0:x0 + vw] = a[:vh, :vw]
+        pad = 0 if mode in ("max", "median") else (1 << 62)
+        big = np.full((h + 2, w + 2), pad, np.int64)
+        big[1:-1, 1:-1] = arr.astype(np.int64)
+        stack = np.stack([
+            big[dy:dy + h, dx:dx + w] for dy in range(3) for dx in range(3)
+        ])
+        if mode == "max":
+            want = stack.max(axis=0)
+        elif mode == "min":
+            want = stack.min(axis=0)
+        else:
+            want = np.median(stack, axis=0).astype(np.int64)
+        assert np.array_equal(got, want), mode
