@@ -6961,6 +6961,49 @@ SELECT x // 64 AS tx, y // 64 AS ty,
 FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling (sampling.stratified_sample):
+    downsample hot strata by hash rate — stratum 0 kept whole, 1 at 1/2,
+    2 at 1/4, 3 dropped (no configured rate); map-only codegen filter.
+    Output pins membership: per-stratum kept count + doc-id sum."""
+    from .operators.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "stratum", (F.col("doc_id") % 4).cast("long")
+    )
+    kept = stratified_sample(
+        docs, {0: 1.0, 1: 0.5, 2: 0.25}, "stratum", "doc_id"
+    )
+    return (
+        kept.groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("doc_id").cast("long")).alias("id_sum"),
+        )
+        .orderBy("stratum")
+    )
+
+
+def q_stratified_sample_oracle():
+    from .operators.sampling import hash_u60_sql
+
+    u = hash_u60_sql("doc_id", "strata")
+    s = 1 << 60
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_id AS BIGINT) % 4 AS stratum,
+         {u} AS u
+  FROM documents),
+kept AS (
+  SELECT * FROM d
+  WHERE (stratum = 0 AND u < {int(1.0 * s)})
+     OR (stratum = 1 AND u < {int(0.5 * s)})
+     OR (stratum = 2 AND u < {int(0.25 * s)}))
+SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM kept GROUP BY 1 ORDER BY 1"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -7125,4 +7168,5 @@ QUERIES = {
     "retention": (q_retention, q_retention_oracle),
     "morphology": (q_morphology, q_morphology_oracle),
     "distance_transform": (q_distance_transform, q_distance_transform_oracle),
+    "stratified_sample": (q_stratified_sample, q_stratified_sample_oracle),
 }
