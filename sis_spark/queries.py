@@ -7004,6 +7004,121 @@ SELECT stratum, CAST(count(*) AS BIGINT) AS n,
 FROM kept GROUP BY 1 ORDER BY 1"""
 
 
+def q_integral_image(spark, sf_dir):
+    """Distributed integral image (raster/integral.py): SAT = corner +
+    left-strip + top-strip + local cumsum — all cross-tile state linear
+    in TILES (window-function prefixes over ntx*nty*ts marginal rows),
+    one cogroup to reassemble.  Raster 500x300 (padding live); per-tile
+    weighted checksums of the SAT plane vs the oracle's two chained SQL
+    window cumsums."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.integral import integral_tiles
+
+    W, H, TS = 500, 300, 64
+    tiles = _formula_tiles(spark, W, H, bands=1, tile_size=TS)
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    sat = integral_tiles(tiles, gg, tile_size=TS)
+
+    def cs(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                v = _np.frombuffer(data, _np.int64).reshape(TS, TS)
+                px = int(tx) * TS + _np.arange(TS)[None, :]
+                py = int(ty) * TS + _np.arange(TS)[:, None]
+                wt = ((py * W + px) % 9973 + 1).astype(_np.int64)
+                m = (px < W) & (py < H)
+                rows.append({"tx": int(tx), "ty": int(ty),
+                             "cs": int((v * wt * m).sum())})
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return sat.mapInPandas(cs, "tx long, ty long, cs long").orderBy("tx", "ty")
+
+
+def q_integral_image_oracle():
+    return """
+WITH px AS (
+  SELECT x.x AS x, y.y AS y, ((x.x * 7 + y.y * 13) % 256) AS v
+  FROM generate_series(0, 499) x(x), generate_series(0, 299) y(y)),
+s1 AS (
+  SELECT x, y,
+         sum(v) OVER (PARTITION BY y ORDER BY x ROWS UNBOUNDED PRECEDING) AS sx
+  FROM px),
+s2 AS (
+  SELECT x, y,
+         sum(sx) OVER (PARTITION BY x ORDER BY y ROWS UNBOUNDED PRECEDING) AS sat
+  FROM s1)
+SELECT x // 64 AS tx, y // 64 AS ty,
+       CAST(sum(sat * ((y * 500 + x) % 9973 + 1)) AS BIGINT) AS cs
+FROM s2 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_voronoi(spark, sf_dir):
+    """Chamfer-metric Voronoi assignment (terrain.voronoi_tiles): every
+    pixel labelled with its nearest zero-pixel's global id — the SAME
+    block-Jacobi sweep as the distance transform run on packed
+    dist*2^20 + id values, whose min-plus minimum IS the lexicographic
+    (distance, id) minimum.  Per-tile checksums of both the label and
+    distance planes; the oracle takes min(packed) over seeds per pixel."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.terrain import _VOR_SCALE, voronoi_tiles
+
+    W, H, TS = 256, 192, 64
+    tiles = _formula_tiles(spark, W, H, bands=1, tile_size=TS)
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    vt = voronoi_tiles(tiles, gg, tile_size=TS)
+
+    def cs(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                packed = _np.frombuffer(data, _np.int64).reshape(TS, TS)
+                sid = packed % _VOR_SCALE
+                dist = packed // _VOR_SCALE
+                px = int(tx) * TS + _np.arange(TS)[None, :]
+                py = int(ty) * TS + _np.arange(TS)[:, None]
+                wt = ((py * W + px) % 9973 + 1).astype(_np.int64)
+                m = (px < W) & (py < H)
+                rows.append({
+                    "tx": int(tx), "ty": int(ty),
+                    "cs_sid": int((sid * wt * m).sum()),
+                    "cs_dist": int((dist * wt * m).sum()),
+                })
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return vt.mapInPandas(
+        cs, "tx long, ty long, cs_sid long, cs_dist long"
+    ).orderBy("tx", "ty")
+
+
+def q_voronoi_oracle():
+    S = 1 << 20
+    return f"""
+WITH px AS (
+  SELECT x.x AS x, y.y AS y
+  FROM generate_series(0, 255) x(x), generate_series(0, 191) y(y)),
+seeds AS (
+  SELECT x AS sx, y AS sy, (y * 256 + x) AS sid
+  FROM px WHERE ((x * 7 + y * 13) % 256) = 0),
+d AS (
+  SELECT p.x, p.y,
+         min((3 * greatest(abs(p.x - s.sx), abs(p.y - s.sy))
+              + least(abs(p.x - s.sx), abs(p.y - s.sy))) * {S} + s.sid) AS packed
+  FROM px p CROSS JOIN seeds s GROUP BY 1, 2)
+SELECT x // 64 AS tx, y // 64 AS ty,
+       CAST(sum((packed % {S}) * ((y * 256 + x) % 9973 + 1)) AS BIGINT) AS cs_sid,
+       CAST(sum((packed // {S}) * ((y * 256 + x) % 9973 + 1)) AS BIGINT) AS cs_dist
+FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -7169,4 +7284,6 @@ QUERIES = {
     "morphology": (q_morphology, q_morphology_oracle),
     "distance_transform": (q_distance_transform, q_distance_transform_oracle),
     "stratified_sample": (q_stratified_sample, q_stratified_sample_oracle),
+    "integral_image": (q_integral_image, q_integral_image_oracle),
+    "voronoi": (q_voronoi, q_voronoi_oracle),
 }

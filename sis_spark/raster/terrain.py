@@ -517,13 +517,19 @@ def rank_filter_tiles(
 _CH_INF = 1 << 30  # safely addable without overflow
 
 
-def _chamfer_window(d: np.ndarray) -> np.ndarray:
+def _chamfer_window(d: np.ndarray, scale: int = 1) -> np.ndarray:
     """Exact two-pass 3-4 chamfer DT over one window with arbitrary seed
-    values.  The in-row left/right propagation min_k(a[k] + 3|x-k|) is
-    vectorized with the cummin identity e = 3x + cummin(a - 3x)."""
+    values.  The in-row left/right propagation min_k(a[k] + 3s|x-k|) is
+    vectorized with the cummin identity e = 3sx + cummin(a - 3sx).
+
+    ``scale`` multiplies both step weights: with seed values packed as
+    dist*scale + id (id < scale) the same min-plus sweep computes the
+    LEXICOGRAPHIC (distance, id) minimum — the Voronoi assignment falls
+    out of the distance transform for free."""
     d = d.copy()
     h, w = d.shape
-    idx = 3 * np.arange(w, dtype=np.int64)
+    so, sd = 3 * scale, 4 * scale
+    idx = so * np.arange(w, dtype=np.int64)
 
     def row_sweep(row):
         fwd = np.minimum.accumulate(row - idx) + idx
@@ -533,15 +539,15 @@ def _chamfer_window(d: np.ndarray) -> np.ndarray:
     for y in range(h):
         if y > 0:
             up = d[y - 1]
-            d[y] = np.minimum(d[y], up + 3)
-            d[y, :-1] = np.minimum(d[y, :-1], up[1:] + 4)
-            d[y, 1:] = np.minimum(d[y, 1:], up[:-1] + 4)
+            d[y] = np.minimum(d[y], up + so)
+            d[y, :-1] = np.minimum(d[y, :-1], up[1:] + sd)
+            d[y, 1:] = np.minimum(d[y, 1:], up[:-1] + sd)
         d[y] = row_sweep(d[y])
     for y in range(h - 2, -1, -1):
         dn = d[y + 1]
-        d[y] = np.minimum(d[y], dn + 3)
-        d[y, :-1] = np.minimum(d[y, :-1], dn[1:] + 4)
-        d[y, 1:] = np.minimum(d[y, 1:], dn[:-1] + 4)
+        d[y] = np.minimum(d[y], dn + so)
+        d[y, :-1] = np.minimum(d[y, :-1], dn[1:] + sd)
+        d[y, 1:] = np.minimum(d[y, 1:], dn[:-1] + sd)
         d[y] = row_sweep(d[y])
     return d
 
@@ -613,6 +619,98 @@ def chamfer_dt_tiles(
         px = gtx * ts + np.arange(ts)[None, :]
         py = gty * ts + np.arange(ts)[:, None]
         out[~((px < w) & (py < h))] = _CH_INF
+        return pd.DataFrame([{"tx": gtx, "ty": gty, "data": out.tobytes()}])
+
+    def total(df):
+        def s(batches):
+            for pdf in batches:
+                yield pd.DataFrame([{
+                    "t": int(sum(
+                        np.frombuffer(b, np.int64).sum() for b in pdf["data"]
+                    ))
+                }])
+        return df.mapInPandas(s, "t long").agg(F.sum("t")).collect()[0][0]
+
+    prev = total(dist)
+    for _ in range(max_rounds):
+        contrib = _halo_groups(dist).filter(
+            (F.col("gtx") < ntx) & (F.col("gty") < nty)
+        )
+        dist = contrib.groupBy("gtx", "gty").applyInPandas(
+            relax, schema=CONV_SCHEMA
+        ).localCheckpoint()
+        cur = total(dist)
+        if cur == prev:
+            break
+        prev = cur
+    return dist
+
+
+_VOR_SCALE = 1 << 20  # id field width: dist*SCALE + seed_id, lexicographic
+_VOR_INF = 1 << 42
+
+
+def voronoi_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+    seed_value: int = 0,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Chamfer-metric Voronoi assignment: every pixel labelled with the
+    NEAREST seed pixel's global id (ties -> smallest id), as int64 tiles
+    of packed dist*2^20 + seed_id.
+
+    Runs the SAME block-Jacobi sweep as chamfer_dt_tiles with step
+    weights scaled by 2^20: packed values form a min-plus algebra where
+    the minimum is the LEXICOGRAPHIC (distance, id) minimum, so the
+    nearest-site assignment falls out of the distance transform for free
+    — no argmin bookkeeping, no extra passes.  Requires w*h < 2^20."""
+    h, w = gg.height, gg.width
+    if w * h >= _VOR_SCALE:
+        raise ValueError("voronoi id field needs w*h < 2^20")
+    bdt = np.dtype(dtype)
+    ts = tile_size
+    ntx = (w + ts - 1) // ts
+    nty = (h + ts - 1) // ts
+
+    def init(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, bd, data in zip(pdf["tx"], pdf["ty"], pdf["band"], pdf["data"]):
+                if int(bd) != band:
+                    continue
+                v = np.frombuffer(data, dtype=bdt).reshape(ts, ts)
+                px = int(tx) * ts + np.arange(ts)[None, :]
+                py = int(ty) * ts + np.arange(ts)[:, None]
+                inext = (px < w) & (py < h)
+                sid = (py * w + px).astype(np.int64)
+                d = np.where((v == seed_value) & inext, sid, _VOR_INF)
+                rows.append({"tx": int(tx), "ty": int(ty), "data": d.tobytes()})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    dist = tiles_df.mapInPandas(init, CONV_SCHEMA).localCheckpoint()
+
+    def relax(key, pdf):
+        gtx, gty = int(key[0]), int(key[1])
+        halo = np.full((ts + 2, ts + 2), _VOR_INF, dtype=np.int64)
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = np.frombuffer(data, np.int64).reshape(ts, ts)
+            oy = (int(ty) - gty) * ts + 1
+            ox = (int(tx) - gtx) * ts + 1
+            y0, x0 = max(oy, 0), max(ox, 0)
+            y1, x1 = min(oy + ts, ts + 2), min(ox + ts, ts + 2)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            halo[y0:y1, x0:x1] = block[y0 - oy:y1 - oy, x0 - ox:x1 - ox]
+        out = _chamfer_window(halo, scale=_VOR_SCALE)[1:1 + ts, 1:1 + ts]
+        out = np.minimum(out, _VOR_INF)
+        px = gtx * ts + np.arange(ts)[None, :]
+        py = gty * ts + np.arange(ts)[:, None]
+        out[~((px < w) & (py < h))] = _VOR_INF
         return pd.DataFrame([{"tx": gtx, "ty": gty, "data": out.tobytes()}])
 
     def total(df):

@@ -233,3 +233,33 @@ def test_rank_filter_matches_dense(spark):
         else:
             want = np.median(stack, axis=0).astype(np.int64)
         assert np.array_equal(got, want), mode
+
+
+def test_voronoi_matches_dense_packed(spark):
+    from sis_spark.raster.terrain import (
+        _VOR_SCALE, _chamfer_window, chamfer_dense, voronoi_tiles,
+    )
+
+    rng = np.random.RandomState(51)
+    arr = rng.randint(0, 30, size=(40, 56)).astype(np.uint8)
+    assert (arr == 0).any()
+    tiles, gg = _tiles_from(spark, arr)
+    got = np.full(arr.shape, -1, np.int64)
+    for r in voronoi_tiles(tiles, gg, tile_size=TS).collect():
+        a = np.frombuffer(bytes(r["data"]), np.int64).reshape(TS, TS)
+        y0, x0 = r["ty"] * TS, r["tx"] * TS
+        vh, vw = min(TS, 40 - y0), min(TS, 56 - x0)
+        got[y0:y0 + vh, x0:x0 + vw] = a[:vh, :vw]
+
+    h, w = arr.shape
+    sid = (np.arange(h)[:, None] * w + np.arange(w)[None, :]).astype(np.int64)
+    init = np.where(arr == 0, sid, 1 << 42)
+    want = _chamfer_window(init, scale=_VOR_SCALE)
+    assert np.array_equal(got, want)
+
+    # the distance component must equal the plain chamfer DT
+    assert np.array_equal(got // _VOR_SCALE, chamfer_dense(arr == 0))
+    # every label is a seed, and every pixel's label is a real pixel id
+    labels = got % _VOR_SCALE
+    ys, xs = labels // w, labels % w
+    assert (arr[ys, xs] == 0).all()
