@@ -220,3 +220,42 @@ def test_cell_compact_rounds_are_integer_codegen(spark):
     )
     out = compact_cells(cells, min_res=2)
     assert "Python" not in _plan(out)
+
+
+def test_prefix_join_equi_only(spark):
+    """Prefix-filtered Jaccard join: candidates come from an equi-join on
+    prefix tokens — no nested-loop/cartesian join may appear, and the
+    whole plan is Python-free codegen."""
+    from sis_spark.operators.dedup import jaccard_join_prefix
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 7).cast("string"),
+                 F.lit(" x"), (F.col("id") % 5).cast("string")).alias("text"),
+    )
+    plan = _plan(jaccard_join_prefix(docs, 1, 2))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_edit_distance_join_equi_only(spark):
+    from sis_spark.operators.dedup import edit_distance_join
+
+    df = spark.range(40).select(
+        F.col("id"), F.concat(F.lit("name"), F.col("id").cast("string")).alias("s")
+    )
+    plan = _plan(edit_distance_join(df, "s", "id"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_equi_only(spark):
+    from sis_spark.operators.graph import triangle_count
+
+    edges = spark.range(60).select(
+        (F.col("id") % 20).alias("src"), ((F.col("id") * 7 + 3) % 20).alias("dst")
+    )
+    plan = _plan(triangle_count(edges))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
