@@ -937,3 +937,132 @@ def ivf_pq_topk(
         return out
     finally:
         rq.unpersist()
+
+
+def ivf_pq_sql(
+    n_queries: int,
+    k: int,
+    dim: int,
+    nlist: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle replicating ivf_pq_topk bit-for-bit, BOTH trainings
+    included: the coarse k-means (ivf_topk_sql's CTE chain verbatim),
+    the residual computation v - centroid[assigned list], the
+    per-subspace PQ k-means over the RESIDUALS (pq_topk_sql's chain
+    re-rooted at the residual table), the nprobe probe selection, the
+    per-(query, probed-list) ADC tables and the final int64 ADC ranking."""
+    sd = dim // m
+    parts = [f"""qv AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+  FROM {rel}),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS j, v AS cv
+  FROM (SELECT id, v FROM qv ORDER BY id LIMIT {nlist})),
+d1 AS (
+  SELECT q.id, c.j,
+         CAST(list_sum(list_transform(list_zip(q.v, c.cv),
+              z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+  FROM qv q CROSS JOIN c0 c),
+a1 AS (
+  SELECT id, j AS list_id FROM (
+    SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY dist ASC, j ASC) AS rn
+    FROM d1) t WHERE rn = 1),
+cpos AS (SELECT CAST(range AS INT) AS p FROM range(1, {dim} + 1)),
+csums AS (
+  SELECT a1.list_id, cpos.p,
+         CAST(sum(q.v[cpos.p]) AS BIGINT) AS s, COUNT(*) AS cnt
+  FROM a1 JOIN qv q ON q.id = a1.id CROSS JOIN cpos
+  GROUP BY 1, 2),
+c1upd AS (
+  SELECT list_id AS j,
+         list((s - (((s % cnt) + cnt) % cnt)) // cnt ORDER BY p) AS cv
+  FROM csums GROUP BY 1),
+c1 AS (
+  SELECT c0.j, COALESCE(u.cv, c0.cv) AS cv
+  FROM c0 LEFT JOIN c1upd u ON u.j = c0.j),
+d2 AS (
+  SELECT q.id, c.j,
+         CAST(list_sum(list_transform(list_zip(q.v, c.cv),
+              z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+  FROM qv q CROSS JOIN c1 c),
+a2 AS (
+  SELECT id, j AS list_id FROM (
+    SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY dist ASC, j ASC) AS rn
+    FROM d2) t WHERE rn = 1),
+rv AS (
+  SELECT q.id, a.list_id,
+         list_transform(list_zip(q.v, c.cv), z -> z[1] - z[2]) AS v
+  FROM qv q JOIN a2 a ON a.id = q.id JOIN c1 c ON c.j = a.list_id),
+spos AS (SELECT CAST(range AS INT) AS p FROM range(1, {sd} + 1))"""]
+    for s in range(m):
+        a, b = s * sd + 1, (s + 1) * sd
+        parts.append(f"""p0_{s} AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS j, v[{a}:{b}] AS cv
+  FROM (SELECT id, v FROM rv ORDER BY id LIMIT {ksub})),
+pd1_{s} AS (
+  SELECT r.id, c.j,
+         CAST(list_sum(list_transform(list_zip(r.v[{a}:{b}], c.cv),
+              z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+  FROM rv r CROSS JOIN p0_{s} c),
+pa1_{s} AS (
+  SELECT id, j AS code FROM (
+    SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY dist ASC, j ASC) AS rn
+    FROM pd1_{s}) t WHERE rn = 1),
+psums_{s} AS (
+  SELECT a.code, spos.p, CAST(sum(r.v[{a - 1} + spos.p]) AS BIGINT) AS s, COUNT(*) AS cnt
+  FROM pa1_{s} a JOIN rv r ON r.id = a.id CROSS JOIN spos
+  GROUP BY 1, 2),
+pc1u_{s} AS (
+  SELECT code AS j, list((s - (((s % cnt) + cnt) % cnt)) // cnt ORDER BY p) AS cv
+  FROM psums_{s} GROUP BY 1),
+pc1_{s} AS (
+  SELECT p0.j, COALESCE(u.cv, p0.cv) AS cv
+  FROM p0_{s} p0 LEFT JOIN pc1u_{s} u ON u.j = p0.j),
+pd2_{s} AS (
+  SELECT r.id, c.j,
+         CAST(list_sum(list_transform(list_zip(r.v[{a}:{b}], c.cv),
+              z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+  FROM rv r CROSS JOIN pc1_{s} c),
+pa2_{s} AS (
+  SELECT id, j AS code FROM (
+    SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY dist ASC, j ASC) AS rn
+    FROM pd2_{s}) t WHERE rn = 1),
+td_{s} AS (
+  SELECT qr.query_id, qr.list_id, b.j,
+         CAST(list_sum(list_transform(list_zip(qr.v[{a}:{b}], b.cv),
+              z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+  FROM qr CROSS JOIN pc1_{s} b)""")
+    probes_qr = f"""probes AS (
+  SELECT id AS query_id, j AS list_id FROM (
+    SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY dist ASC, j ASC) AS rn
+    FROM d2 WHERE id < {n_queries}) t WHERE rn <= {nprobe}),
+qr AS (
+  SELECT p.query_id, p.list_id,
+         list_transform(list_zip(q.v, c.cv), z -> z[1] - z[2]) AS v
+  FROM probes p JOIN qv q ON q.id = p.query_id JOIN c1 c ON c.j = p.list_id)"""
+    # probes/qr must precede the td_{s} CTEs that reference qr
+    parts.insert(1, probes_qr)
+    enc_joins = "\n  ".join(
+        f"JOIN pa2_{s} e{s} ON e{s}.id = r.id "
+        f"JOIN td_{s} t{s} ON t{s}.query_id = p.query_id AND t{s}.list_id = p.list_id AND t{s}.j = e{s}.code"
+        for s in range(m)
+    )
+    adist = " + ".join(f"t{s}.dist" for s in range(m))
+    parts.append(f"""scored AS (
+  SELECT p.query_id, r.id AS cand_id, ({adist}) AS adist
+  FROM probes p
+  JOIN rv r ON r.list_id = p.list_id AND r.id <> p.query_id
+  {enc_joins})""")
+    return "WITH " + ",\n".join(parts) + f"""
+SELECT query_id, rank, cand_id, adist FROM (
+  SELECT query_id, cand_id, adist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {k} ORDER BY query_id, rank"""

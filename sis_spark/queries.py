@@ -7119,6 +7119,31 @@ SELECT x // 64 AS tx, y // 64 AS ty,
 FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ top-k (ann.ivf_pq_topk): coarse posting lists + product-
+    quantized RESIDUALS + per-(query, probed-list) ADC tables — the
+    standard billion-scale ANN layout (inverted file bounds the scan,
+    residual PQ makes the scanned rows m table lookups each).  All-int64
+    arithmetic end to end; the oracle replicates BOTH trainings (coarse
+    k-means and the per-subspace residual codebooks) plus the ADC sums
+    bit-for-bit."""
+    from .operators.ann import ivf_pq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb, ANN_QUERY_IDS, ANN_K, nlist=8, nprobe=4, m=PQ_M, ksub=PQ_KSUB
+    )
+
+
+def q_ann_ivfpq_oracle():
+    from .operators.ann import ivf_pq_sql
+
+    return ivf_pq_sql(
+        len(ANN_QUERY_IDS), ANN_K, EMB_DIM, nlist=8, nprobe=4,
+        m=PQ_M, ksub=PQ_KSUB,
+    )
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -7286,4 +7311,5 @@ QUERIES = {
     "stratified_sample": (q_stratified_sample, q_stratified_sample_oracle),
     "integral_image": (q_integral_image, q_integral_image_oracle),
     "voronoi": (q_voronoi, q_voronoi_oracle),
+    "ann_ivfpq": (q_ann_ivfpq, q_ann_ivfpq_oracle),
 }
