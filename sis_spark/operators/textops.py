@@ -796,3 +796,84 @@ SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(sum(t) AS BIGINT) AS score_sum,
        sum(t) / count(*) AS fluency
 FROM terms GROUP BY {id_col}"""
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k collocations (PMI-ordered bigrams) -> (w1, w2, c12, score).
+
+    PMI = log(c12 * N / (c1 * c2)) is monotone in its argument, so the
+    ranking uses the EXACT integer score c12 * N * 2^20 div (c1 * c2) —
+    no logarithm, no floats, identical in any engine.  One bigram count,
+    one unigram count, a broadcast-size join of the surviving bigrams;
+    ties -> (w1, w2) lexicographic."""
+    from pyspark.sql import Window
+
+    bg = _bigrams(docs, text_col, id_col)
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_total = toks.count()
+    scored = (
+        c12.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .select(
+            "w1", "w2", "c12",
+            F.expr(
+                f"(c12 * CAST({n_total} AS BIGINT) * CAST({1 << 20} AS BIGINT))"
+                " div (c1 * c2)"
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("w1"), F.col("w2"))
+    return (
+        scored.withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("pos") <= k)
+        .select("pos", "w1", "w2", "c12", "score")
+        .orderBy("pos")
+    )
+
+
+def collocations_sql(
+    min_count: int = 3,
+    k: int = 20,
+    rel: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of collocations — identical counts, integer score."""
+    return f"""
+WITH w AS (SELECT {id_col}, string_split({text}, ' ') AS ws FROM {rel}),
+bg AS (
+  SELECT u.g.w1 AS w1, u.g.w2 AS w2 FROM (
+    SELECT unnest([struct_pack(w1 := ws[i], w2 := ws[i+1])
+                   for i in range(1, len(ws))]) AS g
+    FROM w WHERE len(ws) >= 2) u),
+c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+  HAVING count(*) >= {min_count}),
+toks AS (SELECT unnest(ws) AS tok FROM w),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+scored AS (
+  SELECT c12.w1, c12.w2, c12.c12,
+         (c12.c12 * nn.n * {1 << 20}) // (u1.c * u2.c) AS score
+  FROM c12, nn
+  JOIN uni u1 ON u1.tok = c12.w1
+  JOIN uni u2 ON u2.tok = c12.w2)
+SELECT pos, w1, w2, c12, score FROM (
+  SELECT w1, w2, c12, score,
+         CAST(row_number() OVER (ORDER BY score DESC, w1, w2) AS BIGINT) AS pos
+  FROM scored) t
+WHERE pos <= {k} ORDER BY pos"""

@@ -7144,6 +7144,23 @@ def q_ann_ivfpq_oracle():
     )
 
 
+def q_collocations(spark, sf_dir):
+    """Collocation extraction (textops.collocations): top-20 bigrams by
+    the PMI-ordered EXACT integer score c12*N*2^20 div (c1*c2) — PMI's
+    log is monotone, so the ranking needs no logarithm and no floats;
+    ties break lexicographically.  One bigram agg + one unigram agg +
+    a broadcast-size join of surviving bigrams."""
+    from .operators.textops import collocations
+
+    return collocations(_read(spark, sf_dir, "documents"), min_count=3, k=20)
+
+
+def q_collocations_oracle():
+    from .operators.textops import collocations_sql
+
+    return collocations_sql(min_count=3, k=20)
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -7312,4 +7329,5 @@ QUERIES = {
     "integral_image": (q_integral_image, q_integral_image_oracle),
     "voronoi": (q_voronoi, q_voronoi_oracle),
     "ann_ivfpq": (q_ann_ivfpq, q_ann_ivfpq_oracle),
+    "collocations": (q_collocations, q_collocations_oracle),
 }
