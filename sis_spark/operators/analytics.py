@@ -119,3 +119,57 @@ def retention(
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_num: int = 7,
+    z_den: int = 2,
+) -> DataFrame:
+    """Median/MAD outlier detection per group, exact-integer ->
+    (group, n, med, mad, n_outliers, outlier_sum).
+
+    med = the element at 0-based rank (n-1) div 2 of the sorted multiset
+    (the group_quantiles convention — no FP interpolation), MAD = the
+    same rule over |x - med|, and x is an outlier iff
+    z_den * |x - med| > z_num * MAD (default 3.5x).  Two window passes
+    on the same group key; robust against the skewed heavy tails that
+    break mean/stddev z-scores."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    ranked = (
+        df.select(group_col, value_col)
+        .withColumn("__rn", F.row_number().over(w) - 1)
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
+    )
+    med = ranked.filter(F.expr("__rn = (__n - 1) div 2")).select(
+        group_col, F.col(value_col).alias("med")
+    )
+    dev = df.select(group_col, value_col).join(med, group_col).withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    wd = Window.partitionBy(group_col).orderBy("__dev")
+    dranked = (
+        dev.withColumn("__rn", F.row_number().over(wd) - 1)
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
+    )
+    mad = dranked.filter(F.expr("__rn = (__n - 1) div 2")).select(
+        group_col, F.col("__dev").alias("mad")
+    )
+    flagged = dev.join(mad, group_col).withColumn(
+        "__out",
+        (F.lit(z_den) * F.col("__dev") > F.lit(z_num) * F.col("mad")).cast("long"),
+    )
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum("__out").alias("n_outliers"),
+            F.sum(F.col("__out") * F.col(value_col)).alias("outlier_sum"),
+        )
+    )

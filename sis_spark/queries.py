@@ -7161,6 +7161,52 @@ def q_collocations_oracle():
     return collocations_sql(min_count=3, k=20)
 
 
+def q_robust_outliers(spark, sf_dir):
+    """Median/MAD robust outlier detection (analytics.robust_outliers):
+    per-priority order totals in exact integer cents, outlier iff
+    2*|x - med| > 7*MAD — both med and MAD are exact sorted-multiset
+    elements (the group_quantiles convention), so the flags are
+    bit-replicable where mean/stddev z-scores would not be."""
+    from .operators.analytics import robust_outliers
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return robust_outliers(o, "o_orderpriority", "cents").orderBy(
+        "o_orderpriority"
+    )
+
+
+def q_robust_outliers_oracle():
+    return """
+WITH v AS (
+  SELECT o_orderpriority AS g, CAST(floor(o_totalprice * 1.0e2) AS BIGINT) AS x
+  FROM orders),
+r1 AS (
+  SELECT g, x,
+         row_number() OVER (PARTITION BY g ORDER BY x) - 1 AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM v),
+med AS (SELECT g, x AS med FROM r1 WHERE rn = (n - 1) // 2),
+dev AS (SELECT v.g, v.x, abs(v.x - m.med) AS dv, m.med FROM v JOIN med m ON m.g = v.g),
+r2 AS (
+  SELECT g, dv,
+         row_number() OVER (PARTITION BY g ORDER BY dv) - 1 AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM dev),
+mad AS (SELECT g, dv AS mad FROM r2 WHERE rn = (n - 1) // 2),
+fl AS (
+  SELECT d.g, d.x, d.med, a.mad,
+         CASE WHEN 2 * d.dv > 7 * a.mad THEN 1 ELSE 0 END AS o
+  FROM dev d JOIN mad a ON a.g = d.g)
+SELECT g AS o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(med) AS BIGINT) AS med, CAST(min(mad) AS BIGINT) AS mad,
+       CAST(sum(o) AS BIGINT) AS n_outliers,
+       CAST(sum(o * x) AS BIGINT) AS outlier_sum
+FROM fl GROUP BY 1 ORDER BY 1"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -7330,4 +7376,5 @@ QUERIES = {
     "voronoi": (q_voronoi, q_voronoi_oracle),
     "ann_ivfpq": (q_ann_ivfpq, q_ann_ivfpq_oracle),
     "collocations": (q_collocations, q_collocations_oracle),
+    "robust_outliers": (q_robust_outliers, q_robust_outliers_oracle),
 }

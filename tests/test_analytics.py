@@ -57,3 +57,28 @@ def test_retention_counts(spark):
     got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
            for r in retention(df).collect()}
     assert got == {(0, 0): 2, (0, 1): 2, (0, 2): 1, (1, 0): 1, (1, 2): 1}
+
+
+def test_robust_outliers_matches_python(spark):
+    import numpy as np
+
+    from sis_spark.operators.analytics import robust_outliers
+
+    rng = np.random.RandomState(61)
+    rows = []
+    for g in ("a", "b"):
+        base = rng.randint(100, 200, size=40).tolist()
+        rows += [(g, int(v)) for v in base]
+        rows += [(g, 10_000), (g, -5_000)]  # planted outliers
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {r["g"]: r for r in robust_outliers(df, "g", "x").collect()}
+    for g in ("a", "b"):
+        xs = sorted(x for gg, x in rows if gg == g)
+        med = xs[(len(xs) - 1) // 2]
+        dvs = sorted(abs(x - med) for x in xs)
+        mad = dvs[(len(dvs) - 1) // 2]
+        outs = [x for x in xs if 2 * abs(x - med) > 7 * mad]
+        assert got[g]["med"] == med and got[g]["mad"] == mad
+        assert got[g]["n_outliers"] == len(outs)
+        assert got[g]["outlier_sum"] == sum(outs)
+        assert got[g]["n_outliers"] >= 2  # the planted ones are caught
