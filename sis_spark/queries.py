@@ -6646,7 +6646,7 @@ def q_quantile_hist(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").select(
         F.least(F.length("text"), F.lit((1 << 16) - 1)).alias("v")
     )
-    hist = quantile_hist(docs, "v", domain_bits=16, p=10).persist()
+    hist = quantile_hist(docs, "v", domain_bits=16, p=10).localCheckpoint()
     outs = []
     for q_num, q_den in ((1, 2), (9, 10), (99, 100)):
         outs.append(
