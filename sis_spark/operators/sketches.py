@@ -608,3 +608,58 @@ LATERAL (
   WHERE cum >= (q.q_num * nn.n + q.q_den - 1) // q.q_den
   ORDER BY bucket LIMIT 1) t
 ORDER BY q_num, q_den"""
+
+
+def hll_registers_grouped(
+    df: DataFrame, group_col: str, key_col: str, p: int = 8, salt: str = "hll"
+) -> DataFrame:
+    """Per-GROUP HyperLogLog register tables: (group, reg, max_rho), 2^p
+    rows per group (empty registers emitted with 0).  The grouped form of
+    hll_registers — per-group distinct counts as fixed-size mergeable
+    state, one map-side-combined aggregation keyed by (group, reg);
+    merging two runs is the same positional max per group."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    suffix_bits = _U60_BITS - p
+    u = hash_u60(F.col(key_col), salt)
+    reg = F.shiftright(u, suffix_bits)
+    w = u.bitwiseAND(F.lit((1 << suffix_bits) - 1))
+    rho = F.when(w > 0, F.lit(suffix_bits + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(suffix_bits + 1)
+    )
+    regs = (
+        df.select(F.col(group_col), reg.alias("reg"), rho.alias("rho"))
+        .groupBy(group_col, "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    spark = df.sparkSession
+    groups = df.select(group_col).distinct()
+    full = groups.crossJoin(spark.range(m).select(F.col("id").alias("reg")))
+    return full.join(regs, [group_col, "reg"], "left").select(
+        group_col, "reg",
+        F.coalesce("max_rho", F.lit(0)).cast("long").alias("max_rho"),
+    )
+
+
+def hll_registers_grouped_sql(
+    group: str, key: str, p: int = 8, salt: str = "hll", rel: str = "documents"
+) -> str:
+    """DuckDB replay of hll_registers_grouped."""
+    m = 1 << p
+    suffix_bits = _U60_BITS - p
+    u = hash_u60_sql(key, salt)
+    mask = (1 << suffix_bits) - 1
+    return f"""
+WITH h AS (SELECT {group} AS g, {u} AS u FROM {rel}),
+r AS (SELECT g, u >> {suffix_bits} AS reg, u & {mask} AS w FROM h),
+s AS (SELECT g, reg,
+             max(CASE WHEN w > 0 THEN {suffix_bits + 1} - length(bin(w))
+                      ELSE {suffix_bits + 1} END) AS mr
+      FROM r GROUP BY g, reg),
+groups AS (SELECT DISTINCT {group} AS g FROM {rel})
+SELECT groups.g AS {group}, gr.reg AS reg,
+       CAST(COALESCE(s.mr, 0) AS BIGINT) AS max_rho
+FROM groups CROSS JOIN generate_series(0, {m - 1}) gr(reg)
+LEFT JOIN s ON s.g = groups.g AND s.reg = gr.reg
+"""

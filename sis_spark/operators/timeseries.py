@@ -388,3 +388,70 @@ rec AS (
   FROM rec r JOIN pts p ON p.{user_col} = r.{user_col} AND p.rn = r.rn + 1)
 SELECT {user_col}, rn, CAST(x AS BIGINT) AS x, s FROM rec
 """
+
+
+def interval_union(
+    df: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key -> one row per merged
+    interval (key, m_start, m_end, n_merged).  Integer endpoints,
+    half-open-agnostic: intervals merge when start <= running max end
+    (touching counts as overlap).
+
+    The classic single-window-pass formulation: sort by (start, end)
+    within the key, new-group flag = start > max(end) over all PRECEDING
+    rows, group id = running sum of flags — one shuffle total, no
+    self-join, no per-key Python."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flag = F.when(
+        prev_max.isNull() | (F.col(start_col) > prev_max), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    grouped = df.select(key_col, start_col, end_col).withColumn(
+        "__g", F.sum(flag).over(run)
+    )
+    return (
+        grouped.groupBy(key_col, "__g")
+        .agg(
+            F.min(start_col).alias("m_start"),
+            F.max(end_col).alias("m_end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .select(key_col, "m_start", "m_end", "n_merged")
+    )
+
+
+def interval_union_sql(
+    base_select: str,
+    key_col: str = "user_id",
+    start_col: str = "s",
+    end_col: str = "e",
+) -> str:
+    """DuckDB replay — identical window flags and grouping."""
+    return f"""
+WITH b AS ({base_select}),
+fl AS (
+  SELECT {key_col}, {start_col}, {end_col},
+         CASE WHEN max({end_col}) OVER (PARTITION BY {key_col}
+                ORDER BY {start_col}, {end_col}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR {start_col} > max({end_col}) OVER (PARTITION BY {key_col}
+                ORDER BY {start_col}, {end_col}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS f
+  FROM b),
+g AS (
+  SELECT {key_col}, {start_col}, {end_col},
+         sum(f) OVER (PARTITION BY {key_col} ORDER BY {start_col}, {end_col}
+                      ROWS UNBOUNDED PRECEDING) AS gid
+  FROM fl)
+SELECT {key_col}, CAST(min({start_col}) AS BIGINT) AS m_start,
+       CAST(max({end_col}) AS BIGINT) AS m_end,
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM g GROUP BY {key_col}, gid"""

@@ -7207,6 +7207,59 @@ SELECT g AS o_orderpriority, CAST(count(*) AS BIGINT) AS n,
 FROM fl GROUP BY 1 ORDER BY 1"""
 
 
+def q_interval_union(spark, sf_dir):
+    """Interval merging per key (timeseries.interval_union): synthesized
+    event intervals (start = epoch seconds, duration 600 + id%900 s)
+    merged when touching/overlapping — the classic ONE-window-pass
+    formulation (new-group flag = start > running max end, group id =
+    running flag sum), no self-join, one shuffle."""
+    from .operators.timeseries import interval_union
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("s"),
+    ).withColumn("e", F.col("s") + 600 + F.col("user_id") % 900)
+    iv = ev.select("user_id", "s", "e")
+    return interval_union(iv).orderBy("user_id", "m_start", "m_end")
+
+
+def q_interval_union_oracle():
+    from .operators.timeseries import interval_union_sql
+
+    base = (
+        "SELECT user_id, epoch_us(ts) // 1000000 AS s, "
+        "epoch_us(ts) // 1000000 + 600 + user_id % 900 AS e FROM events"
+    )
+    return (
+        "SELECT * FROM ("
+        + interval_union_sql(base)
+        + ") ORDER BY user_id, m_start, m_end"
+    )
+
+
+def q_hll_grouped(spark, sf_dir):
+    """Per-group HLL sketches (sketches.hll_registers_grouped, p=6): one
+    fixed-size distinct-count state per order priority over customer
+    keys — 64 registers per group, bit-for-bit; the grouped form of the
+    hll_registers gate."""
+    from .operators.sketches import hll_registers_grouped
+
+    o = _read(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    return hll_registers_grouped(
+        o, "o_orderpriority", "o_custkey", p=6
+    ).orderBy("o_orderpriority", "reg")
+
+
+def q_hll_grouped_oracle():
+    from .operators.sketches import hll_registers_grouped_sql
+
+    return (
+        "SELECT * FROM ("
+        + hll_registers_grouped_sql("o_orderpriority", "o_custkey", p=6, rel="orders")
+        + ") ORDER BY o_orderpriority, reg"
+    )
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -7377,4 +7430,6 @@ QUERIES = {
     "ann_ivfpq": (q_ann_ivfpq, q_ann_ivfpq_oracle),
     "collocations": (q_collocations, q_collocations_oracle),
     "robust_outliers": (q_robust_outliers, q_robust_outliers_oracle),
+    "interval_union": (q_interval_union, q_interval_union_oracle),
+    "hll_grouped": (q_hll_grouped, q_hll_grouped_oracle),
 }

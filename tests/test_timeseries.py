@@ -285,3 +285,40 @@ def test_ewma_int_matches_python_recurrence(spark):
         for t in range(1, len(xs)):
             s = (xs[t] + 3 * s) // 4  # python // is floor: the contract
             assert got[(u, t + 1)] == s
+
+
+def test_interval_union_matches_python(spark):
+    import numpy as np
+
+    from sis_spark.operators.timeseries import interval_union
+
+    rng = np.random.RandomState(71)
+    rows = []
+    for u in range(4):
+        for _ in range(30):
+            s = int(rng.randint(0, 500))
+            rows.append((u, s, s + int(rng.randint(1, 80))))
+    df = spark.createDataFrame(rows, "user_id long, s long, e long")
+    got = sorted(
+        (r["user_id"], r["m_start"], r["m_end"], r["n_merged"])
+        for r in interval_union(df).collect()
+    )
+
+    want = []
+    for u in range(4):
+        ivs = sorted((s, e) for uu, s, e in rows if uu == u)
+        cur_s, cur_e, n = ivs[0][0], ivs[0][1], 1
+        for s, e in ivs[1:]:
+            if s > cur_e:
+                want.append((u, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                n += 1
+        want.append((u, cur_s, cur_e, n))
+    assert got == sorted(want)
+    # merged intervals are disjoint and non-touching per user
+    for u in range(4):
+        ms = [(a, b) for uu, a, b, _ in got if uu == u]
+        for (a0, b0), (a1, b1) in zip(ms, ms[1:]):
+            assert a1 > b0
