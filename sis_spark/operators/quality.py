@@ -1,0 +1,91 @@
+"""Deequ-style data-quality operators: single-pass profiling + constraints.
+
+OUR addition (reference analog: the Statistics accumulators of
+U/math/Statistics.java, generalized to the table-profiling surface a
+warehouse user expects).  Both ops are plain aggregations — one pass over
+the table for the profile, one anti-join/agg pair per constraint — and
+exact-integer, so the gates replay them bit-for-bit.
+
+At 100-TB scale the exact count(distinct) per column becomes the HLL /
+KMV sketch from operators/sketches.py (documented trade-off); everything
+else is already a map-side-combined aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: list[tuple[str, bool]]) -> DataFrame:
+    """One-pass column profile -> one row per column
+    (col, n, n_null, n_distinct, min_q, max_q).
+
+    ``columns``: (name, numeric) pairs; numeric columns report exact
+    integer min/max (caller pre-quantizes), string columns report the
+    min/max length.  n/n_null come from the same single aggregation;
+    n_distinct is exact (the sketch variant is the scale path)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (name, numeric) in enumerate(columns):
+        c = F.col(name)
+        metric = c if numeric else F.length(c)
+        aggs += [
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"__null_{i}"),
+            F.countDistinct(c).alias(f"__dist_{i}"),
+            F.min(metric).alias(f"__min_{i}"),
+            F.max(metric).alias(f"__max_{i}"),
+        ]
+    row = df.agg(*aggs).collect()[0]  # ONE scan; result is one tiny row
+    rows = [
+        (
+            name, int(row["__n"]), int(row[f"__null_{i}"]),
+            int(row[f"__dist_{i}"]), int(row[f"__min_{i}"]),
+            int(row[f"__max_{i}"]),
+        )
+        for i, (name, _numeric) in enumerate(columns)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "col string, n long, n_null long, n_distinct long, "
+              "min_q long, max_q long"
+    )
+
+
+def check_constraints(
+    facts: DataFrame,
+    dims: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    unique_col: str,
+    range_col: str,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """Constraint suite -> one row
+    (n, orphans, dup_keys, out_of_range, nulls):
+
+    - referential integrity: facts whose ``fact_key`` has no match in
+      ``dims.dim_key`` (left-anti join count);
+    - uniqueness: ``unique_col`` values appearing more than once;
+    - range: ``range_col`` outside [lo, hi];
+    - completeness: null ``range_col`` rows.
+    Each check is one join or one aggregate; all counts exact."""
+    n = facts.count()
+    orphans = facts.join(
+        dims.select(F.col(dim_key).alias(fact_key)).distinct(),
+        fact_key, "left_anti",
+    ).count()
+    dups = (
+        facts.groupBy(unique_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .count()
+    )
+    r = F.col(range_col)
+    agg = facts.agg(
+        F.sum(F.when((r < lo) | (r > hi), 1).otherwise(0)).alias("oor"),
+        F.sum(F.when(r.isNull(), 1).otherwise(0)).alias("nulls"),
+    ).collect()[0]
+    return facts.sparkSession.createDataFrame(
+        [(n, orphans, dups, int(agg["oor"] or 0), int(agg["nulls"] or 0))],
+        "n long, orphans long, dup_keys long, out_of_range long, nulls long",
+    )

@@ -7260,6 +7260,86 @@ def q_hll_grouped_oracle():
     )
 
 
+def q_data_profile(spark, sf_dir):
+    """Single-pass table profiling (quality.profile_table, deequ-style):
+    per-column row/null/exact-distinct counts + min/max (value for
+    numerics, length for strings) over orders — ONE scan (all metrics in
+    one aggregation); at 100 TB the exact distincts become the HLL/KMV
+    sketches (documented)."""
+    from .operators.quality import profile_table
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return profile_table(
+        o,
+        [("o_orderkey", True), ("o_custkey", True), ("o_orderstatus", False),
+         ("o_orderpriority", False), ("cents", True)],
+    ).orderBy("col")
+
+
+def q_data_profile_oracle():
+    arms = []
+    for name, numeric in [
+        ("o_orderkey", True), ("o_custkey", True), ("o_orderstatus", False),
+        ("o_orderpriority", False), ("cents", True),
+    ]:
+        metric = name if numeric else f"length({name})"
+        arms.append(f"""SELECT '{name}' AS col, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+       CAST(min({metric}) AS BIGINT) AS min_q,
+       CAST(max({metric}) AS BIGINT) AS max_q
+FROM t""")
+    u = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH t AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         CAST(floor(o_totalprice * 1.0e2) AS BIGINT) AS cents
+  FROM orders)
+SELECT * FROM ({u}) ORDER BY col"""
+
+
+def q_data_quality(spark, sf_dir):
+    """Constraint suite (quality.check_constraints): referential
+    integrity (orders.o_custkey ⊆ customer.c_custkey via left-anti
+    count), key uniqueness, range and completeness checks — one row of
+    exact violation counts.  A synthetic violation set (customers with
+    c_custkey % 97 == 0 removed from the dimension) guarantees non-zero
+    orphans so the check is live."""
+    from .operators.quality import check_constraints
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") % 97 != 0)
+    return check_constraints(
+        o, c, "o_custkey", "c_custkey", "o_orderkey", "cents",
+        lo=0, hi=50_000_000,
+    )
+
+
+def q_data_quality_oracle():
+    return """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 1.0e2) AS BIGINT) AS cents
+  FROM orders),
+d AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 97 <> 0)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM o) AS n,
+  (SELECT CAST(count(*) AS BIGINT) FROM o
+   WHERE o_custkey NOT IN (SELECT c_custkey FROM d)) AS orphans,
+  (SELECT CAST(count(*) AS BIGINT) FROM (
+     SELECT o_orderkey FROM o GROUP BY 1 HAVING count(*) > 1)) AS dup_keys,
+  (SELECT CAST(sum(CASE WHEN cents < 0 OR cents > 50000000 THEN 1 ELSE 0 END) AS BIGINT)
+   FROM o) AS out_of_range,
+  (SELECT CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+   FROM o) AS nulls"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -7432,4 +7512,6 @@ QUERIES = {
     "robust_outliers": (q_robust_outliers, q_robust_outliers_oracle),
     "interval_union": (q_interval_union, q_interval_union_oracle),
     "hll_grouped": (q_hll_grouped, q_hll_grouped_oracle),
+    "data_profile": (q_data_profile, q_data_profile_oracle),
+    "data_quality": (q_data_quality, q_data_quality_oracle),
 }

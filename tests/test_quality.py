@@ -1,0 +1,34 @@
+"""Data-quality operators: profile single-pass law, constraint counts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sis_spark.operators.quality import check_constraints, profile_table
+
+
+def test_profile_with_nulls(spark):
+    rows = [(1, "a"), (2, None), (None, "bbb"), (2, "a"), (5, "cc")]
+    df = spark.createDataFrame(rows, "x long, s string")
+    prof = {r["col"]: r for r in profile_table(
+        df, [("x", True), ("s", False)]).collect()}
+    assert prof["x"]["n"] == 5 and prof["x"]["n_null"] == 1
+    assert prof["x"]["n_distinct"] == 3  # 1, 2, 5 (nulls excluded)
+    assert prof["x"]["min_q"] == 1 and prof["x"]["max_q"] == 5
+    assert prof["s"]["n_null"] == 1
+    assert prof["s"]["min_q"] == 1 and prof["s"]["max_q"] == 3  # lengths
+
+
+def test_constraints_counts(spark):
+    facts = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 500), (3, 99, 7), (3, 11, None), (4, 12, -2)],
+        "k long, fk long, v long",
+    )
+    dims = spark.createDataFrame([(10,), (11,), (12,)], "dk long")
+    row = check_constraints(
+        facts, dims, "fk", "dk", "k", "v", lo=0, hi=100
+    ).collect()[0]
+    assert row["n"] == 5
+    assert row["orphans"] == 1        # fk=99
+    assert row["dup_keys"] == 1       # k=3 twice
+    assert row["out_of_range"] == 2   # 500 and -2
+    assert row["nulls"] == 1
