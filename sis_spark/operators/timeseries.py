@@ -455,3 +455,86 @@ SELECT {key_col}, CAST(min({start_col}) AS BIGINT) AS m_start,
        CAST(max({end_col}) AS BIGINT) AS m_end,
        CAST(count(*) AS BIGINT) AS n_merged
 FROM g GROUP BY {key_col}, gid"""
+
+
+def changepoint(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "x",
+) -> DataFrame:
+    """Single least-squares changepoint per key ->
+    (key, n, k_best, num, den).
+
+    The split k (1 <= k < n, k = left-segment size) minimizing
+    SSE_left + SSE_right equivalently MAXIMIZES
+    f(k) = S_l^2/n_l + S_r^2/n_r (the total sum of squares is constant),
+    i.e. f = num/den with num = S_l^2*n_r + S_r^2*n_l and den = n_l*n_r —
+    both exact int64 for quantized values.  The argmax orders by the
+    IEEE quotient (identical in any engine for identical integers) with
+    ties -> smallest k.  Pure window codegen: one shuffle for the prefix
+    sums, one for the argmax — no per-key Python."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy(key_col)
+    pre = (
+        df.select(key_col, ts_col, id_col, value_col)
+        .withColumn("k", F.row_number().over(w).cast("long"))
+        .withColumn("s_l", F.sum(value_col).over(run))
+        .withColumn("n", F.count(F.lit(1)).over(tot).cast("long"))
+        .withColumn("s", F.sum(value_col).over(tot))
+        .filter(F.col("k") < F.col("n"))
+    )
+    scored = pre.select(
+        key_col, "k", "n",
+        (
+            F.col("s_l") * F.col("s_l") * (F.col("n") - F.col("k"))
+            + (F.col("s") - F.col("s_l")) * (F.col("s") - F.col("s_l")) * F.col("k")
+        ).alias("num"),
+        (F.col("k") * (F.col("n") - F.col("k"))).alias("den"),
+    )
+    best = Window.partitionBy(key_col).orderBy(
+        (F.col("num").cast("double") / F.col("den").cast("double")).desc(),
+        F.col("k").asc(),
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(best))
+        .filter(F.col("__rn") == 1)
+        .select(key_col, "n", F.col("k").alias("k_best"), "num", "den")
+    )
+
+
+def changepoint_sql(
+    base_select: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "x",
+) -> str:
+    """DuckDB replay — identical prefix sums, scores and argmax."""
+    return f"""
+WITH b AS ({base_select}),
+pre AS (
+  SELECT {key_col},
+         CAST(row_number() OVER w AS BIGINT) AS k,
+         sum({value_col}) OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col}
+                                ROWS UNBOUNDED PRECEDING) AS s_l,
+         CAST(count(*) OVER (PARTITION BY {key_col}) AS BIGINT) AS n,
+         sum({value_col}) OVER (PARTITION BY {key_col}) AS s
+  FROM b
+  WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col})),
+scored AS (
+  SELECT {key_col}, k, n,
+         CAST(s_l * s_l * (n - k) + (s - s_l) * (s - s_l) * k AS BIGINT) AS num,
+         CAST(k * (n - k) AS BIGINT) AS den
+  FROM pre WHERE k < n),
+best AS (
+  SELECT {key_col}, n, k AS k_best, num, den,
+         row_number() OVER (PARTITION BY {key_col}
+                            ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) DESC,
+                                     k ASC) AS rn
+  FROM scored)
+SELECT {key_col}, n, k_best, num, den FROM best WHERE rn = 1"""

@@ -7340,6 +7340,39 @@ SELECT
    FROM o) AS nulls"""
 
 
+def q_changepoint(spark, sf_dir):
+    """Least-squares changepoint per user (timeseries.changepoint): the
+    split minimizing SSE_l + SSE_r found as the argmax of the exact
+    int64 fraction (S_l^2 n_r + S_r^2 n_l) / (n_l n_r) — pure window
+    codegen (prefix sums + argmax), ties -> smallest split.  The signal
+    is the quantized event longitude, so segment means genuinely shift
+    per user."""
+    from .operators.timeseries import changepoint
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    lon, _ = point_lonlat_cols("event_id")
+    pts = ev.select(
+        "user_id", "event_id", "ts",
+        F.floor(lon * 100).cast("long").alias("x"),
+    )
+    return changepoint(pts).orderBy("user_id")
+
+
+def q_changepoint_oracle():
+    from .operators.timeseries import changepoint_sql
+
+    base = (
+        "SELECT user_id, event_id, ts, "
+        f"CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e2) AS BIGINT) AS x "
+        "FROM events WHERE event_id < 4000"
+    )
+    return (
+        "SELECT * FROM ("
+        + changepoint_sql(base)
+        + ") ORDER BY user_id"
+    )
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -7514,4 +7547,5 @@ QUERIES = {
     "hll_grouped": (q_hll_grouped, q_hll_grouped_oracle),
     "data_profile": (q_data_profile, q_data_profile_oracle),
     "data_quality": (q_data_quality, q_data_quality_oracle),
+    "changepoint": (q_changepoint, q_changepoint_oracle),
 }

@@ -322,3 +322,34 @@ def test_interval_union_matches_python(spark):
         ms = [(a, b) for uu, a, b, _ in got if uu == u]
         for (a0, b0), (a1, b1) in zip(ms, ms[1:]):
             assert a1 > b0
+
+
+def test_changepoint_finds_planted_shift(spark):
+    import numpy as np
+
+    from sis_spark.operators.timeseries import changepoint
+
+    rng = np.random.RandomState(83)
+    rows = []
+    for u, true_k in ((0, 30), (1, 70), (2, 10)):
+        for i in range(100):
+            base = 100 if i < true_k else 500
+            rows.append((u, i, i * 10, int(base + rng.randint(-5, 6))))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts long, x long")
+    got = {r["user_id"]: r for r in changepoint(df).collect()}
+    for u, true_k in ((0, 30), (1, 70), (2, 10)):
+        assert got[u]["k_best"] == true_k, (u, got[u]["k_best"])
+        assert got[u]["n"] == 100
+
+    # brute check of the exact objective for user 0
+    xs = [x for uu, _, _, x in rows if uu == 0]
+    S = sum(xs)
+    best = max(
+        range(1, 100),
+        key=lambda k: (
+            (sum(xs[:k]) ** 2 * (100 - k) + (S - sum(xs[:k])) ** 2 * k)
+            / (k * (100 - k)),
+            -k,
+        ),
+    )
+    assert got[0]["k_best"] == best
