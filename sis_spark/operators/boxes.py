@@ -1,0 +1,233 @@
+"""Bounding-box label operators for detection-annotated image corpora.
+
+A vision training pipeline at 10^12-image scale carries detection labels
+(per-image box lists) next to the pixels; the two workhorse operations over
+them are (a) IoU joins between predicted and ground-truth boxes (evaluation,
+pseudo-label matching) and (b) per-image greedy non-maximum suppression
+(label dedup before training).  The reference has no detection machinery —
+the envelope-intersection semantics mirror its Envelope2D intersect logic
+(`endorsed/src/org.apache.sis.referencing/main/org/apache/sis/geometry/
+Envelope2D.java` intersect/area contract) lifted to integer pixel space.
+
+Exactness model: boxes are integer half-open pixel rectangles
+[x1,x2) x [y1,y2); intersection and union areas are exact int64 products and
+IoU thresholds are rationals compared by cross-multiplication, so the Spark
+plan and the DuckDB oracle agree bit-for-bit (synth.py playbook rule 4).
+
+Scale shape:
+
+- ``iou_join`` is ONE equi-join on image_id followed by codegen integer
+  arithmetic — per-image box counts are bounded (O(100)), so the per-key
+  fan-out is bounded and the shuffle is the unavoidable one.
+- ``nms`` is applyInPandas per image: embarrassingly parallel, state bounded
+  by the per-image box count, no driver participation.  The greedy order is
+  (score DESC, box_id ASC) — fully deterministic, no RNG.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BOX_COLS = ("box_id", "x1", "y1", "x2", "y2", "score")
+NMS_SCHEMA = (
+    "image_id long, box_id long, x1 long, y1 long, x2 long, y2 long, "
+    "score long"
+)
+
+
+def _inter_cols(p: str, g: str):
+    """Integer intersection area of half-open boxes with column prefixes."""
+    ix = F.greatest(
+        F.lit(0),
+        F.least(F.col(f"{p}x2"), F.col(f"{g}x2"))
+        - F.greatest(F.col(f"{p}x1"), F.col(f"{g}x1")),
+    )
+    iy = F.greatest(
+        F.lit(0),
+        F.least(F.col(f"{p}y2"), F.col(f"{g}y2"))
+        - F.greatest(F.col(f"{p}y1"), F.col(f"{g}y1")),
+    )
+    return ix * iy
+
+
+def _area_cols(p: str):
+    return (F.col(f"{p}x2") - F.col(f"{p}x1")) * (
+        F.col(f"{p}y2") - F.col(f"{p}y1")
+    )
+
+
+def iou_join(
+    pred: DataFrame,
+    gt: DataFrame,
+    iou_num: int = 1,
+    iou_den: int = 4,
+    image_col: str = "image_id",
+) -> DataFrame:
+    """Pairs (pred, gt) on the same image with IoU >= iou_num/iou_den.
+
+    Inputs carry (image_col, box_id, x1, y1, x2, y2); output rows are
+    (image_id, pred_id, gt_id, inter, uni) with exact int64 areas.  The
+    comparison ``iou_den * inter >= iou_num * uni`` never divides.
+    """
+    p = pred.select(
+        F.col(image_col).alias("image_id"),
+        F.col("box_id").alias("pred_id"),
+        *[F.col(c).alias(f"p{c}") for c in ("x1", "y1", "x2", "y2")],
+    )
+    g = gt.select(
+        F.col(image_col).alias("image_id"),
+        F.col("box_id").alias("gt_id"),
+        *[F.col(c).alias(f"g{c}") for c in ("x1", "y1", "x2", "y2")],
+    )
+    inter = _inter_cols("p", "g")
+    uni = _area_cols("p") + _area_cols("g") - inter
+    return (
+        p.join(g, "image_id")
+        .withColumn("inter", inter)
+        .withColumn("uni", uni)
+        .filter(
+            F.lit(int(iou_den)) * F.col("inter")
+            >= F.lit(int(iou_num)) * F.col("uni")
+        )
+        .select("image_id", "pred_id", "gt_id", "inter", "uni")
+    )
+
+
+def nms(
+    boxes: DataFrame,
+    iou_num: int = 1,
+    iou_den: int = 2,
+    image_col: str = "image_id",
+) -> DataFrame:
+    """Greedy per-image non-maximum suppression.
+
+    Boxes are visited in (score DESC, box_id ASC) order; a box is kept iff
+    its IoU with every already-kept box is <= iou_num/iou_den (suppression
+    is the STRICT inequality ``iou_den * inter > iou_num * uni``).  Exact
+    integer arithmetic end to end; the DuckDB oracle (``nms_sql``) replays
+    the same sequential rule as a lockstep recursive CTE.
+    """
+    num, den = int(iou_num), int(iou_den)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["score", "box_id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        arr = pdf[["x1", "y1", "x2", "y2"]].to_numpy(np.int64)
+        area = (arr[:, 2] - arr[:, 0]) * (arr[:, 3] - arr[:, 1])
+        kept: list[int] = []
+        for i in range(len(pdf)):
+            if kept:
+                k = arr[kept]
+                ix = np.maximum(
+                    0,
+                    np.minimum(k[:, 2], arr[i, 2])
+                    - np.maximum(k[:, 0], arr[i, 0]),
+                )
+                iy = np.maximum(
+                    0,
+                    np.minimum(k[:, 3], arr[i, 3])
+                    - np.maximum(k[:, 1], arr[i, 1]),
+                )
+                inter = ix * iy
+                uni = area[kept] + area[i] - inter
+                if np.any(den * inter > num * uni):
+                    continue
+            kept.append(i)
+        out = pdf.iloc[kept]
+        return out[[image_col, *BOX_COLS]]
+
+    return (
+        boxes.select(image_col, *BOX_COLS)
+        .groupBy(image_col)
+        .applyInPandas(fn, schema=NMS_SCHEMA)
+    )
+
+
+def nms_dense(rows: list[tuple], iou_num: int = 1, iou_den: int = 2):
+    """Single-node reference NMS for differential tests.
+
+    ``rows`` are (box_id, x1, y1, x2, y2, score) tuples of one image;
+    returns the kept box_ids in greedy order.
+    """
+    order = sorted(rows, key=lambda r: (-r[5], r[0]))
+    kept: list[tuple] = []
+    for b in order:
+        ok = True
+        for k in kept:
+            ix = max(0, min(k[3], b[3]) - max(k[1], b[1]))
+            iy = max(0, min(k[4], b[4]) - max(k[2], b[2]))
+            inter = ix * iy
+            uni = (
+                (k[3] - k[1]) * (k[4] - k[2])
+                + (b[3] - b[1]) * (b[4] - b[2])
+                - inter
+            )
+            if iou_den * inter > iou_num * uni:
+                ok = False
+                break
+        if ok:
+            kept.append(b)
+    return [b[0] for b in kept]
+
+
+def _iou_terms_sql(k: str, b: str) -> tuple[str, str]:
+    """(inter, uni) SQL expressions between struct ref ``k`` and row ``b``."""
+    ix = f"greatest(0, least({k}.x2, {b}.x2) - greatest({k}.x1, {b}.x1))"
+    iy = f"greatest(0, least({k}.y2, {b}.y2) - greatest({k}.y1, {b}.y1))"
+    inter = f"({ix} * {iy})"
+    uni = (
+        f"(({k}.x2 - {k}.x1) * ({k}.y2 - {k}.y1)"
+        f" + ({b}.x2 - {b}.x1) * ({b}.y2 - {b}.y1) - {inter})"
+    )
+    return inter, uni
+
+
+def nms_sql(
+    base_select: str,
+    iou_num: int = 1,
+    iou_den: int = 2,
+) -> str:
+    """DuckDB oracle for ``nms``: lockstep recursive CTE, one rank per
+    round per image, kept boxes carried as a LIST of structs; suppression
+    is evaluated with a list lambda over the kept prefix — the exact greedy
+    recurrence, not an approximation.
+
+    ``base_select`` must yield (image_id, box_id, x1, y1, x2, y2, score).
+    """
+    inter, uni = _iou_terms_sql("k", "b")
+    struct_t = (
+        "STRUCT(box_id BIGINT, x1 BIGINT, y1 BIGINT, x2 BIGINT, y2 BIGINT,"
+        " score BIGINT)[]"
+    )
+    pack = (
+        "{'box_id': b.box_id, 'x1': b.x1, 'y1': b.y1, 'x2': b.x2,"
+        " 'y2': b.y2, 'score': b.score}"
+    )
+    return f"""
+WITH RECURSIVE base AS ({base_select}),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY image_id
+                            ORDER BY score DESC, box_id) AS rnk,
+         count(*) OVER (PARTITION BY image_id) AS cnt
+  FROM base),
+st(image_id, r, cnt, kept) AS (
+  SELECT image_id, 0, cnt, CAST([] AS {struct_t})
+  FROM (SELECT DISTINCT image_id, cnt FROM rk)
+  UNION ALL
+  SELECT st.image_id, st.r + 1, st.cnt,
+         CASE WHEN len(list_filter(st.kept,
+                  k -> {iou_den} * {inter} > {iou_num} * {uni})) > 0
+              THEN st.kept
+              ELSE list_append(st.kept, {pack}) END
+  FROM st JOIN rk b
+    ON b.image_id = st.image_id AND b.rnk = st.r + 1),
+fin AS (SELECT image_id, kept FROM st WHERE r = cnt),
+u AS (SELECT image_id, unnest(kept) AS k FROM fin)
+SELECT image_id, k.box_id AS box_id, k.x1 AS x1, k.y1 AS y1,
+       k.x2 AS x2, k.y2 AS y2, k.score AS score
+FROM u"""

@@ -538,3 +538,109 @@ best AS (
                                      k ASC) AS rn
   FROM scored)
 SELECT {key_col}, n, k_best, num, den FROM best WHERE rn = 1"""
+
+
+def acf_int(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    lags: tuple[int, ...] = (1, 2, 3, 4),
+) -> DataFrame:
+    """Exact-integer autocorrelation at the given lags ->
+    (key, lag, m, num_scaled, den_scaled).
+
+    For the length-n series x_1..x_n (ordered by ``order_col``) the centered
+    lag-k autocovariance numerator and the variance denominator are scaled
+    by n^2 so everything stays int64 (synth.py playbook rule 4):
+
+        num_k * n^2 = n^2*P_k - n*S*(A_k + B_k) + (n-k)*S^2
+        den   * n^2 = n^2*Q   - n*S^2
+
+    with P_k = sum x_t*x_{t+k}, A_k/B_k the head/tail partial sums,
+    S = sum x, Q = sum x^2 — the ACF is num/den in exact rational form, no
+    float ever computed.  ONE window pass materializes every lead column;
+    the stack+groupBy is a single shuffle keyed (key, lag)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    x = F.col(value_col)
+    base = df.select(key_col, order_col, value_col)
+    for k in lags:
+        base = base.withColumn(f"_l{k}", F.lead(value_col, int(k)).over(w))
+    stacked = (
+        base.select(
+            key_col,
+            x.alias("x"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(k)).alias("lag"),
+                            F.col(f"_l{k}").alias("y"),
+                        )
+                        for k in lags
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select(key_col, "x", F.col("p.lag").alias("lag"), F.col("p.y").alias("y"))
+        .filter(F.col("y").isNotNull())
+    )
+    per_lag = stacked.groupBy(key_col, "lag").agg(
+        F.sum(F.col("x") * F.col("y")).alias("p"),
+        F.sum("x").alias("a"),
+        F.sum("y").alias("bb"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    tot = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("s"),
+        F.sum(x * x).alias("q"),
+    )
+    j = per_lag.join(tot, key_col)
+    n, s = F.col("n"), F.col("s")
+    return j.select(
+        key_col,
+        "lag",
+        "m",
+        (
+            n * n * F.col("p")
+            - n * s * (F.col("a") + F.col("bb"))
+            + F.col("m") * s * s
+        ).alias("num_scaled"),
+        (n * n * F.col("q") - n * s * s).alias("den_scaled"),
+    )
+
+
+def acf_int_sql(
+    base_select: str,
+    key_col: str,
+    order_col: str,
+    value_col: str = "x",
+    lags: tuple[int, ...] = (1, 2, 3, 4),
+) -> str:
+    """DuckDB replay of ``acf_int`` — identical integer formulas."""
+    lead_blocks = "\n  UNION ALL\n".join(
+        f"""  SELECT {key_col}, {int(k)} AS lag, {value_col} AS x,
+         lead({value_col}, {int(k)}) OVER (PARTITION BY {key_col}
+                                           ORDER BY {order_col}) AS y
+  FROM b"""
+        for k in lags
+    )
+    return f"""
+WITH b AS ({base_select}),
+tot AS (
+  SELECT {key_col}, CAST(count(*) AS BIGINT) AS n, sum({value_col}) AS s,
+         sum({value_col} * {value_col}) AS q
+  FROM b GROUP BY 1),
+ld AS (
+{lead_blocks}),
+agg AS (
+  SELECT {key_col}, lag, sum(x * y) AS p, sum(x) AS a, sum(y) AS bb,
+         CAST(count(*) AS BIGINT) AS m
+  FROM ld WHERE y IS NOT NULL GROUP BY 1, 2)
+SELECT agg.{key_col}, agg.lag, agg.m,
+       CAST(n * n * p - n * s * (a + bb) + m * s * s AS BIGINT) AS num_scaled,
+       CAST(n * n * q - n * s * s AS BIGINT) AS den_scaled
+FROM agg JOIN tot ON tot.{key_col} = agg.{key_col}"""

@@ -7375,6 +7375,154 @@ def q_changepoint_oracle():
 
 # ================================================================ registry
 
+_BOX_IMAGES = 157
+
+
+def _boxes_df(spark, sf_dir):
+    """Deterministic detection boxes synthesized from orders (formula shared
+    with the oracle): integer half-open rectangles in a 480+136 px frame."""
+    oid = F.col("o_orderkey")
+    x1 = oid * 37 % 480
+    y1 = oid * 61 % 480
+    return _read(spark, sf_dir, "orders").select(
+        (oid % _BOX_IMAGES).alias("image_id"),
+        oid.alias("box_id"),
+        x1.alias("x1"),
+        y1.alias("y1"),
+        (x1 + 16 + oid * 13 % 120).alias("x2"),
+        (y1 + 16 + oid * 29 % 120).alias("y2"),
+        (oid * 97 % 1000).alias("score"),
+    )
+
+
+_BOXES_SQL = f"""
+SELECT o_orderkey % {_BOX_IMAGES} AS image_id, o_orderkey AS box_id,
+       o_orderkey * 37 % 480 AS x1, o_orderkey * 61 % 480 AS y1,
+       o_orderkey * 37 % 480 + 16 + o_orderkey * 13 % 120 AS x2,
+       o_orderkey * 61 % 480 + 16 + o_orderkey * 29 % 120 AS y2,
+       o_orderkey * 97 % 1000 AS score
+FROM orders"""
+
+
+def q_nms_boxes(spark, sf_dir):
+    """Greedy per-image non-maximum suppression (boxes.nms): detection
+    labels deduplicated at IoU > 1/2 in (score DESC, box_id) order — exact
+    int64 area arithmetic, applyInPandas per image (embarrassingly
+    parallel), oracle replays the greedy recurrence as a lockstep
+    recursive CTE carrying the kept-prefix as a list of structs."""
+    from .operators.boxes import nms
+
+    return nms(_boxes_df(spark, sf_dir), iou_num=1, iou_den=2).orderBy(
+        "image_id", "box_id"
+    )
+
+
+def q_nms_boxes_oracle():
+    from .operators.boxes import nms_sql
+
+    return (
+        "SELECT * FROM ("
+        + nms_sql(_BOXES_SQL, iou_num=1, iou_den=2)
+        + ") ORDER BY image_id, box_id"
+    )
+
+
+def q_box_iou_join(spark, sf_dir):
+    """IoU join between predicted and ground-truth boxes (boxes.iou_join):
+    one equi-join on image_id + codegen integer IoU filter (cross-multiplied
+    rational threshold, no division) — the evaluation/pseudo-label matching
+    primitive of a detection-labeled corpus."""
+    from .operators.boxes import iou_join
+
+    b = _boxes_df(spark, sf_dir)
+    pred = b.filter(F.col("box_id") % 2 == 0)
+    gt = b.filter(F.col("box_id") % 2 == 1)
+    return iou_join(pred, gt, iou_num=1, iou_den=4).orderBy(
+        "image_id", "pred_id", "gt_id"
+    )
+
+
+def q_box_iou_join_oracle():
+    return f"""
+WITH b AS ({_BOXES_SQL}),
+p AS (SELECT * FROM b WHERE box_id % 2 = 0),
+g AS (SELECT * FROM b WHERE box_id % 2 = 1),
+j AS (
+  SELECT p.image_id, p.box_id AS pred_id, g.box_id AS gt_id,
+         greatest(0, least(p.x2, g.x2) - greatest(p.x1, g.x1))
+         * greatest(0, least(p.y2, g.y2) - greatest(p.y1, g.y1)) AS inter,
+         (p.x2 - p.x1) * (p.y2 - p.y1) + (g.x2 - g.x1) * (g.y2 - g.y1)
+         - greatest(0, least(p.x2, g.x2) - greatest(p.x1, g.x1))
+           * greatest(0, least(p.y2, g.y2) - greatest(p.y1, g.y1)) AS uni
+  FROM p JOIN g ON g.image_id = p.image_id)
+SELECT * FROM j WHERE 4 * inter >= uni
+ORDER BY image_id, pred_id, gt_id"""
+
+
+def q_str_partition(spark, sf_dir):
+    """STR balanced spatial partitioning (partitioning.str_partition):
+    8x4 sort-tile-recursive grid over the skewed event points — every
+    partition's row count equal up to +-1 regardless of skew; membership
+    pinned by per-part id sums.  Assignment is pure ntile over a total
+    order, so the oracle replicates it exactly."""
+    from .operators.partitioning import str_partition
+
+    pts = _events_points(spark, sf_dir)
+    return (
+        str_partition(pts, "lon", "lat", nx=8, ny=4, id_col="event_id")
+        .groupBy("part_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("id_sum"),
+            F.min("slice_x").alias("sx"),
+            F.min("slice_y").alias("sy"),
+        )
+        .orderBy("part_id")
+    )
+
+
+def q_str_partition_oracle():
+    from .operators.partitioning import str_partition_sql
+
+    return (
+        "SELECT part_id, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(event_id) AS BIGINT) AS id_sum, "
+        "CAST(min(slice_x) AS INT) AS sx, CAST(min(slice_y) AS INT) AS sy "
+        "FROM ("
+        + str_partition_sql(_points_sql(), "lon", "lat", 8, 4, "event_id")
+        + ") GROUP BY part_id ORDER BY part_id"
+    )
+
+
+def q_acf(spark, sf_dir):
+    """Lag-k autocorrelation per user (timeseries.acf_int, lags 1-4):
+    centered autocovariance and variance scaled by n^2 so the whole
+    statistic is exact int64 rational (no float anywhere) — one window
+    pass for all leads, one (key, lag) shuffle."""
+    from .operators.timeseries import acf_int
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("x"),
+    )
+    return acf_int(ev, "user_id", "event_id", "x").orderBy("user_id", "lag")
+
+
+def q_acf_oracle():
+    from .operators.timeseries import acf_int_sql
+
+    base = (
+        "SELECT user_id, event_id, "
+        "CAST(floor(value * 1.0e2) AS BIGINT) AS x FROM events"
+    )
+    return (
+        "SELECT * FROM ("
+        + acf_int_sql(base, "user_id", "event_id", "x")
+        + ") ORDER BY user_id, lag"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -7548,4 +7696,8 @@ QUERIES = {
     "data_profile": (q_data_profile, q_data_profile_oracle),
     "data_quality": (q_data_quality, q_data_quality_oracle),
     "changepoint": (q_changepoint, q_changepoint_oracle),
+    "nms_boxes": (q_nms_boxes, q_nms_boxes_oracle),
+    "box_iou_join": (q_box_iou_join, q_box_iou_join_oracle),
+    "str_partition": (q_str_partition, q_str_partition_oracle),
+    "acf": (q_acf, q_acf_oracle),
 }
