@@ -230,3 +230,85 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
     return per_node
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "a",
+    dst: str = "b",
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Nodes of the k-core (the maximal subgraph where every node has
+    degree >= k) with their in-core degrees -> (node, deg).
+
+    The classic peel: drop every node with degree < k, recompute, repeat
+    until stable.  Each round is ONE degree aggregation + two semi-joins
+    (both endpoints must survive); the driver sees a single scalar (the
+    surviving edge count) per round, and the lineage is truncated with
+    localCheckpoint (NOTES.md plan-shape lesson 6).  Convergence takes at
+    most the peel depth, which is O(log n) on real degree-skewed graphs;
+    the bound is ``max_rounds``.
+
+    Scale: the working set only shrinks; every operation is a keyed
+    shuffle on node id — no driver state, no collect of anything but the
+    per-round count.
+    """
+    a, b = F.col(src), F.col(dst)
+    cur = (
+        edges.select(a.alias("u"), b.alias("v"))
+        .union(edges.select(b.alias("u"), a.alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = cur.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("u")
+        )
+        nxt = (
+            cur.join(keep, "u", "semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "semi")
+            .localCheckpoint()
+        )
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return cur.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+
+
+def k_core_sql(edges_select: str, k: int, rounds: int = 12) -> str:
+    """DuckDB oracle for ``k_core``: the peel unrolled as ``rounds`` chained
+    CTE blocks (idempotent once converged — the pagerank oracle pattern).
+    ``edges_select`` must yield DISTINCT symmetric loop-free (u, v) rows.
+    """
+    # MATERIALIZED is load-bearing: e{i} and k{i} are each referenced twice
+    # per round, and DuckDB inlines plain CTEs — 12 rounds of inlining would
+    # expand e0 2^12 times (observed as "Too many open files" on the base
+    # parquet scan).
+    blocks = [f"e0 AS MATERIALIZED ({edges_select})"]
+    for i in range(rounds):
+        blocks.append(
+            f"""d{i} AS (SELECT u, count(*) AS d FROM e{i} GROUP BY 1),
+k{i} AS MATERIALIZED (SELECT u FROM d{i} WHERE d >= {int(k)}),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i} e
+  JOIN k{i} x ON x.u = e.u JOIN k{i} y ON y.u = e.v)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"""
+SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+FROM e{rounds} GROUP BY 1"""
+    )

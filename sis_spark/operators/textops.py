@@ -877,3 +877,120 @@ SELECT pos, w1, w2, c12, score FROM (
          CAST(row_number() OVER (ORDER BY score DESC, w1, w2) AS BIGINT) AS pos
   FROM scored) t
 WHERE pos <= {k} ORDER BY pos"""
+
+
+# ---------------------------------------------------------------- BM25
+# Okapi BM25 ranked retrieval (Robertson/Sparck Jones, public literature) —
+# the ranking function a corpus-search / relevance-filter stage uses where
+# tf-idf is too crude.  k1 and b are RATIONALS (defaults 6/5 and 3/4), so
+# the per-term factor tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl*N/total) is an
+# exact integer fraction after multiplying through by 10*total:
+#
+#     num = 22 * tf * total          den = 10*tf*total + 3*total + 9*dl*N
+#
+# Only the idf ln() is floating point; contributions are floor-quantized at
+# 1e6 with the irrational offset (tf-idf lesson) BEFORE the per-document
+# sum, so the sum is an order-independent int64.
+
+
+def _bm25_contrib_expr() -> str:
+    idf = (
+        "ln(CAST(2 * n_docs - 2 * df + 1 AS DOUBLE)"
+        " / CAST(2 * df + 1 AS DOUBLE))"
+    )
+    frac = (
+        "CAST(22 * tf * total_len AS DOUBLE) / "
+        "CAST(10 * tf * total_len + 3 * total_len + 9 * dl * n_docs"
+        " AS DOUBLE)"
+    )
+    return f"CAST(floor({idf} * {frac} * 1.0E6 + 0.12345678987) AS BIGINT)"
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: dict[int, tuple[str, ...]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents per query by BM25 -> (qid, doc_id, n_matched,
+    score_q, rank).  Ties broken by doc_id.
+
+    Scale shape: explode -> tf/df/dl keyed aggs (map-side combined) ->
+    broadcast query-term join (query sets are tiny by construction) ->
+    one (qid, doc) aggregation -> one window per qid.  Corpus totals join
+    in as a broadcast single-row aggregate — nothing collects."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        words.agg(F.count(F.lit(1)).alias("total_len"))
+    )
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries.items() for t in terms],
+        ["qid", "term"],
+    )
+    scored = (
+        F.broadcast(qdf)
+        .join(tf, "term")
+        .join(df_t, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(n))
+        .withColumn("contrib", F.expr(_bm25_contrib_expr()))
+    )
+    per_doc = scored.groupBy("qid", id_col).agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("contrib").alias("score_q"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_q").desc(), F.col(id_col)
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "n_matched", "score_q", "rank")
+    )
+
+
+def bm25_topk_sql(
+    queries: dict[int, tuple[str, ...]],
+    k: int = 10,
+    rel: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``bm25_topk`` — identical integer fraction and the
+    same ln() expression text, quantized before the sum."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in queries.items() for t in terms
+    )
+    return f"""
+WITH words AS (
+  SELECT {id_col}, unnest(string_split({text}, ' ')) AS term FROM {rel}),
+tf AS (SELECT {id_col}, term, CAST(count(*) AS BIGINT) AS tf
+       FROM words GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+dl AS (SELECT {id_col}, CAST(count(*) AS BIGINT) AS dl FROM words GROUP BY 1),
+n AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM {rel}) AS n_docs,
+             (SELECT CAST(count(*) AS BIGINT) FROM words) AS total_len),
+q(qid, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.qid, tf.{id_col}, {_bm25_contrib_expr()} AS contrib
+  FROM q JOIN tf USING (term) JOIN dft USING (term)
+       JOIN dl ON dl.{id_col} = tf.{id_col} CROSS JOIN n),
+per_doc AS (
+  SELECT qid, {id_col}, CAST(count(*) AS BIGINT) AS n_matched,
+         CAST(sum(contrib) AS BIGINT) AS score_q
+  FROM scored GROUP BY 1, 2),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY qid ORDER BY score_q DESC, {id_col}) AS BIGINT) AS rank
+  FROM per_doc)
+SELECT qid, {id_col}, n_matched, score_q, rank FROM ranked
+WHERE rank <= {k}"""

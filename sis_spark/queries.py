@@ -7523,6 +7523,101 @@ def q_acf_oracle():
     )
 
 
+_BM25_QUERIES = {
+    1: ("spark", "join", "window"),
+    2: ("data", "table", "scan"),
+    3: ("vector", "hash"),
+}
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 ranked retrieval (textops.bm25_topk, k1=6/5, b=3/4):
+    top-10 documents per query — the length-normalized term factor is an
+    exact integer fraction (rational k1/b multiplied through by 10*total),
+    only the idf ln() is floating point and it is floor-quantized BEFORE
+    the order-independent integer sum (the tf-idf 1-ulp lesson)."""
+    from .operators.textops import bm25_topk
+
+    return bm25_topk(
+        _read(spark, sf_dir, "documents"), _BM25_QUERIES, k=10
+    ).orderBy("qid", "rank")
+
+
+def q_bm25_topk_oracle():
+    from .operators.textops import bm25_topk_sql
+
+    return (
+        "SELECT * FROM ("
+        + bm25_topk_sql(_BM25_QUERIES, k=10)
+        + ") ORDER BY qid, rank"
+    )
+
+
+def _kcore_raw_sql() -> str:
+    return """
+SELECT CAST(doc_id AS BIGINT) AS a,
+       (CAST(doc_id AS BIGINT) + 1) % (SELECT count(*) FROM documents) AS b
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS BIGINT),
+       (CAST(doc_id AS BIGINT) * 7 + 11) % (SELECT count(*) FROM documents)
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), (CAST(doc_id AS BIGINT) + 2) % 40
+FROM documents WHERE doc_id < 40
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), (CAST(doc_id AS BIGINT) + 11) % 40
+FROM documents WHERE doc_id < 40
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), (CAST(doc_id AS BIGINT) + 17) % 40
+FROM documents WHERE doc_id < 40"""
+
+
+def q_kcore(spark, sf_dir):
+    """k-core decomposition (graph.k_core, k=3): iterative peel of the
+    ring+chords+dense-subset formula graph — the cascade strips the ring,
+    the 40-node dense block survives with its in-core degrees.  Per round
+    one degree agg + two semi-joins, one driver scalar, localCheckpoint
+    lineage truncation; oracle unrolls the peel as chained CTEs
+    (idempotent once converged, the pagerank pattern)."""
+    from .operators.graph import k_core
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i")
+    )
+    n = docs.count()
+    i = F.col("i")
+    e1 = docs.select(i.alias("a"), ((i + 1) % n).alias("b"))
+    e2 = docs.filter(i % 3 == 0).select(
+        i.alias("a"), ((i * 7 + 11) % n).alias("b")
+    )
+    e3 = docs.filter(i < 40).select(
+        i.alias("a"),
+        F.explode(
+            F.array((i + 2) % 40, (i + 11) % 40, (i + 17) % 40)
+        ).alias("b"),
+    )
+    edges = e1.union(e2).union(e3)
+    return k_core(edges, k=3).orderBy("node")
+
+
+def q_kcore_oracle():
+    from .operators.graph import k_core_sql
+
+    raw = _kcore_raw_sql()
+    sym = f"""
+SELECT DISTINCT u, v FROM (
+  SELECT a AS u, b AS v FROM ({raw}) r1
+  UNION ALL
+  SELECT b, a FROM ({raw}) r2) t
+WHERE u <> v"""
+    return (
+        "SELECT * FROM ("
+        + k_core_sql(sym, k=3, rounds=12)
+        + ") ORDER BY node"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -7700,4 +7795,6 @@ QUERIES = {
     "box_iou_join": (q_box_iou_join, q_box_iou_join_oracle),
     "str_partition": (q_str_partition, q_str_partition_oracle),
     "acf": (q_acf, q_acf_oracle),
+    "bm25_topk": (q_bm25_topk, q_bm25_topk_oracle),
+    "kcore": (q_kcore, q_kcore_oracle),
 }

@@ -122,3 +122,33 @@ def test_triangle_count_matches_brute(spark):
             for v in tri:
                 want[v] = want.get(v, 0) + 1
     assert got == want
+
+
+def test_k_core_matches_brute_peel(spark):
+    import numpy as np
+
+    from sis_spark.operators.graph import k_core
+
+    rng = np.random.default_rng(5)
+    n = 60
+    raw = {(int(a), int(b)) for a, b in rng.integers(0, n, (150, 2)) if a != b}
+    # plant a 3-core: a 6-clique on nodes 0..5
+    for i in range(6):
+        for j in range(i + 1, 6):
+            raw.add((i, j))
+    df = spark.createDataFrame(sorted(raw), ["a", "b"])
+    got = {(r.node, r.deg) for r in k_core(df, k=3).collect()}
+
+    adj = {}
+    for a, b in raw:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < 3}
+        if not drop:
+            break
+        alive -= drop
+    exp = {(v, len(adj[v] & alive)) for v in alive}
+    assert got == exp
+    assert {v for v, _ in exp} >= set(range(6))  # the clique survived
