@@ -351,3 +351,193 @@ def viterbi_path(
         "total_cost long"
     )
     return cands.groupBy(user_col).applyInPandas(fn, schema=schema)
+
+
+# ---------------------------------------------------------- discrete Fréchet
+# Trajectory similarity join: the discrete Fréchet distance (Eiter/Mannila
+# 1994, public literature) between integer-quantized polylines.  Costs are
+# squared euclidean int64, so the whole DP is exact integer min/max algebra —
+# both the numpy engine and the DuckDB oracle produce the identical scalar.
+# The DP runs by ANTI-DIAGONAL: diag k depends only on diags k-1 and k-2,
+# which makes it (a) a vectorized numpy sweep engine-side and (b) a lockstep
+# recursive CTE carrying two LIST columns oracle-side (every pair advances
+# one diagonal per round — the stay_points/viterbi lockstep pattern).
+
+_I64_MAX = 9223372036854775807
+
+
+def frechet2_dense(ax, ay, bx, by) -> int:
+    """Single-node reference: squared discrete Fréchet distance by the
+    textbook O(na*nb) cell recurrence (used by tests as the brute check)."""
+    na, nb = len(ax), len(bx)
+    f = [[0] * nb for _ in range(na)]
+    for i in range(na):
+        for j in range(nb):
+            c = (ax[i] - bx[j]) ** 2 + (ay[i] - by[j]) ** 2
+            if i == 0 and j == 0:
+                f[i][j] = c
+            else:
+                best = _I64_MAX
+                if i > 0:
+                    best = min(best, f[i - 1][j])
+                if j > 0:
+                    best = min(best, f[i][j - 1])
+                if i > 0 and j > 0:
+                    best = min(best, f[i - 1][j - 1])
+                f[i][j] = max(c, best)
+    return f[na - 1][nb - 1]
+
+
+def _frechet2_diag(ax, ay, bx, by) -> int:
+    """Anti-diagonal vectorized DP — O(na+nb) numpy ops, no Python cell loop."""
+    import numpy as np
+
+    ax = np.asarray(ax, np.int64)
+    ay = np.asarray(ay, np.int64)
+    bx = np.asarray(bx, np.int64)
+    by = np.asarray(by, np.int64)
+    na, nb = len(ax), len(bx)
+    d1 = d2 = None
+    lo1 = lo2 = 0
+    for k in range(na + nb - 1):
+        lo = max(0, k - nb + 1)
+        hi = min(k, na - 1)
+        i = np.arange(lo, hi + 1)
+        j = k - i
+        c = (ax[i] - bx[j]) ** 2 + (ay[i] - by[j]) ** 2
+        if k == 0:
+            cur = c
+        else:
+            def pick(diag, dlo, ii):
+                idx = ii - dlo
+                ok = (idx >= 0) & (idx < len(diag))
+                return np.where(ok, diag[np.clip(idx, 0, len(diag) - 1)], _I64_MAX)
+
+            p1 = np.where(i >= 1, pick(d1, lo1, i - 1), _I64_MAX)
+            p2 = np.where(j >= 1, pick(d1, lo1, i), _I64_MAX)
+            if d2 is not None:
+                p3 = np.where((i >= 1) & (j >= 1), pick(d2, lo2, i - 1), _I64_MAX)
+            else:
+                p3 = np.full_like(c, _I64_MAX)
+            cur = np.maximum(c, np.minimum(np.minimum(p1, p2), p3))
+        d2, lo2 = d1, lo1
+        d1, lo1 = cur, lo
+    return int(d1[0])
+
+
+def frechet_join(
+    points: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "path",
+    order_col: str = "seq",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Squared discrete Fréchet distance for every (a, b) pair ->
+    (a, b, na, nb, frech2).
+
+    ``points``: (key, order, x, y) integer-quantized vertices;
+    ``pairs``: (a, b) key pairs to score (the candidate set — produced by a
+    bucketed prefilter at scale, e.g. cell-signature equi-join; scoring all
+    pairs is the caller's explicit choice, never implicit).
+
+    Scale shape: two equi-joins replicate each track's vertices once per
+    pair it participates in (bounded fan-out), then ONE applyInPandas group
+    per pair runs the O(na+nb) diagonal sweep — no driver participation,
+    state linear in track length."""
+    import pandas as pd
+
+    pts = points.select(
+        F.col(key_col).alias("k"),
+        F.col(order_col).alias("o"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    )
+    pa = pairs.join(pts, pts["k"] == pairs["a"]).select(
+        "a", "b", F.lit(0).alias("side"), "o", "x", "y"
+    )
+    pb = pairs.join(pts, pts["k"] == pairs["b"]).select(
+        "a", "b", F.lit(1).alias("side"), "o", "x", "y"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["side", "o"], kind="mergesort")
+        am = pdf[pdf["side"] == 0]
+        bm = pdf[pdf["side"] == 1]
+        f2 = _frechet2_diag(
+            am["x"].to_numpy(), am["y"].to_numpy(),
+            bm["x"].to_numpy(), bm["y"].to_numpy(),
+        )
+        return pd.DataFrame(
+            [{
+                "a": pdf["a"].iloc[0], "b": pdf["b"].iloc[0],
+                "na": len(am), "nb": len(bm), "frech2": f2,
+            }]
+        )
+
+    return (
+        pa.union(pb)
+        .groupBy("a", "b")
+        .applyInPandas(fn, schema="a long, b long, na long, nb long, frech2 long")
+    )
+
+
+def frechet_join_sql(
+    points_select: str,
+    pairs_select: str,
+) -> str:
+    """DuckDB oracle for ``frechet_join``: the identical anti-diagonal DP as
+    a lockstep recursive CTE — state per pair is (k, two diagonal LISTs);
+    every pair advances one diagonal per round; invalid predecessors are an
+    int64-max sentinel inside least().
+
+    ``points_select`` -> (k, o, x, y); ``pairs_select`` -> (a, b)."""
+    c_expr = (
+        "(ax[i + 1] - bx[k + 2 - i]) * (ax[i + 1] - bx[k + 2 - i])"
+        " + (ay[i + 1] - by[k + 2 - i]) * (ay[i + 1] - by[k + 2 - i])"
+    )
+    # in the lambda below: j = (st.k + 1) - i; lo_k = greatest(0, st.k-nb+1),
+    # lo_{k-1} = greatest(0, st.k - nb); predecessor positions are 1-based.
+    p1 = (
+        "CASE WHEN i >= 1 THEN d1[i - greatest(0, k - nb + 1)] "
+        f"ELSE {_I64_MAX} END"
+    )
+    p2 = (
+        "CASE WHEN k + 1 - i >= 1 THEN d1[i + 1 - greatest(0, k - nb + 1)] "
+        f"ELSE {_I64_MAX} END"
+    )
+    p3 = (
+        "CASE WHEN i >= 1 AND k + 1 - i >= 1 "
+        "THEN d2[i - greatest(0, k - nb)] "
+        f"ELSE {_I64_MAX} END"
+    )
+    step = (
+        f"greatest({c_expr.replace('k + 2 - i', 'k + 2 - i')},"
+        f" least({p1}, {p2}, {p3}))"
+    )
+    return f"""
+WITH RECURSIVE pts AS ({points_select}),
+prs AS ({pairs_select}),
+tracks AS (
+  SELECT k AS tk, list(x ORDER BY o) AS xs, list(y ORDER BY o) AS ys,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1),
+init AS (
+  SELECT prs.a, prs.b, ta.xs AS ax, ta.ys AS ay, tb.xs AS bx, tb.ys AS by,
+         ta.n AS na, tb.n AS nb
+  FROM prs JOIN tracks ta ON ta.tk = prs.a JOIN tracks tb ON tb.tk = prs.b),
+st(a, b, ax, ay, bx, by, na, nb, k, d1, d2) AS (
+  SELECT a, b, ax, ay, bx, by, na, nb, 0,
+         [(ax[1] - bx[1]) * (ax[1] - bx[1])
+          + (ay[1] - by[1]) * (ay[1] - by[1])],
+         CAST([] AS BIGINT[])
+  FROM init
+  UNION ALL
+  SELECT a, b, ax, ay, bx, by, na, nb, k + 1,
+         list_transform(
+           range(greatest(0, k + 2 - nb), least(k + 1, na - 1) + 1),
+           i -> {step}),
+         d1
+  FROM st WHERE k + 1 <= na + nb - 2),
+fin AS (SELECT a, b, na, nb, d1[1] AS frech2 FROM st WHERE k = na + nb - 2)
+SELECT a, b, na, nb, CAST(frech2 AS BIGINT) AS frech2 FROM fin"""

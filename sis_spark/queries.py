@@ -7618,6 +7618,125 @@ WHERE u <> v"""
     )
 
 
+_FRECHET_Q = "0.12345678987"
+_FRECHET_CAP = 30
+
+
+def q_frechet_pairs(spark, sf_dir):
+    """Trajectory similarity join (trajectory.frechet_join): squared
+    discrete Fréchet distance between consecutive users' event tracks
+    (first 30 points each, coordinates floor-quantized to int64 at 1e5)
+    — exact integer min/max DP swept by anti-diagonal (O(na+nb) numpy
+    rounds per pair), oracle replays the identical diagonal recurrence
+    as a lockstep recursive CTE carrying two LIST columns."""
+    from pyspark.sql import Window
+
+    from .operators.trajectory import frechet_join
+
+    lon, lat = point_lonlat_cols("event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    pts = (
+        _read(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(lon * 1e5 + float(_FRECHET_Q)).cast("long").alias("qx"),
+            F.floor(lat * 1e5 + float(_FRECHET_Q)).cast("long").alias("qy"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _FRECHET_CAP)
+    )
+    users = pts.select("user_id").distinct()
+    pairs = (
+        users.filter(F.col("user_id") % 2 == 0)
+        .select(F.col("user_id").alias("a"), (F.col("user_id") + 1).alias("b"))
+        .join(users.withColumnRenamed("user_id", "b"), "b", "semi")
+    )
+    return frechet_join(
+        pts, pairs, key_col="user_id", order_col="rn",
+        x_col="qx", y_col="qy",
+    ).orderBy("a")
+
+
+def q_frechet_pairs_oracle():
+    from .operators.trajectory import frechet_join_sql
+
+    pts = f"""
+SELECT user_id AS k, rn AS o, qx AS x, qy AS y FROM (
+  SELECT user_id,
+         CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e5
+                    + {_FRECHET_Q}) AS BIGINT) AS qx,
+         CAST(floor(({synth.point_lat_sql('event_id')}) * 1.0e5
+                    + {_FRECHET_Q}) AS BIGINT) AS qy,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events) t
+WHERE rn <= {_FRECHET_CAP}"""
+    pairs = """
+SELECT u.user_id AS a, u.user_id + 1 AS b
+FROM (SELECT DISTINCT user_id FROM events) u
+WHERE u.user_id % 2 = 0
+  AND EXISTS (SELECT 1 FROM events e WHERE e.user_id = u.user_id + 1)"""
+    return (
+        "SELECT * FROM ("
+        + frechet_join_sql(pts, pairs)
+        + ") ORDER BY a"
+    )
+
+
+_LR_FRACS = [(1, 3), (3, 7), (9, 10)]
+
+
+def q_line_interpolate(spark, sf_dir):
+    """Linear referencing (linear_ref.line_interpolate_points): the
+    ST_LineInterpolatePoint analog at rational fractions 1/3, 3/7, 9/10
+    of each user's event polyline — pure window codegen, segment lengths
+    int64-quantized right after the one correctly-rounded sqrt so the
+    running sums and the segment pick are exact integer comparisons."""
+    from pyspark.sql import Window
+
+    from .functions.linear_ref import line_interpolate_points
+
+    lon, lat = point_lonlat_cols("event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    pts = (
+        _read(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("k"),
+            "event_id",
+            F.floor(lon * 1e5 + float(_FRECHET_Q)).cast("long").alias("x"),
+            F.floor(lat * 1e5 + float(_FRECHET_Q)).cast("long").alias("y"),
+        )
+        .withColumn(
+            "o",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy("event_id")
+            ),
+        )
+        .filter(F.col("o") <= 8)
+    )
+    return line_interpolate_points(pts, _LR_FRACS).orderBy("k", "p", "q")
+
+
+def q_line_interpolate_oracle():
+    from .functions.linear_ref import line_interpolate_sql
+
+    pts = f"""
+SELECT user_id AS k, rn AS o, qx AS x, qy AS y FROM (
+  SELECT user_id,
+         CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e5
+                    + {_FRECHET_Q}) AS BIGINT) AS qx,
+         CAST(floor(({synth.point_lat_sql('event_id')}) * 1.0e5
+                    + {_FRECHET_Q}) AS BIGINT) AS qy,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events) t
+WHERE rn <= 8"""
+    return (
+        "SELECT * FROM ("
+        + line_interpolate_sql(pts, _LR_FRACS)
+        + ") ORDER BY k, p, q"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -7797,4 +7916,6 @@ QUERIES = {
     "acf": (q_acf, q_acf_oracle),
     "bm25_topk": (q_bm25_topk, q_bm25_topk_oracle),
     "kcore": (q_kcore, q_kcore_oracle),
+    "frechet_pairs": (q_frechet_pairs, q_frechet_pairs_oracle),
+    "line_interpolate": (q_line_interpolate, q_line_interpolate_oracle),
 }

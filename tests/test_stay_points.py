@@ -85,3 +85,47 @@ def test_duration_filter_and_single_points(spark):
     assert len(got) == 1
     r = got[0]
     assert r["user_id"] == 0 and r["n_pts"] == 3 and r["anchor_rn"] == 1
+
+
+def test_frechet_join_matches_dense(spark):
+    import numpy as np
+
+    from sis_spark.operators.trajectory import (
+        _frechet2_diag,
+        frechet2_dense,
+        frechet_join,
+    )
+
+    rng = np.random.default_rng(13)
+    rows, tracks = [], {}
+    for k in range(8):
+        n = int(rng.integers(1, 12))
+        tracks[k] = [
+            (int(rng.integers(-100, 100)), int(rng.integers(-100, 100)))
+            for _ in range(n)
+        ]
+        rows += [(k, o, x, y) for o, (x, y) in enumerate(tracks[k])]
+    pairs = [(0, 1), (2, 3), (4, 5), (6, 7), (1, 6)]
+    pts = spark.createDataFrame(rows, ["path", "seq", "x", "y"])
+    pr = spark.createDataFrame(pairs, ["a", "b"])
+    got = {(r.a, r.b): (r.na, r.nb, r.frech2)
+           for r in frechet_join(pts, pr).collect()}
+    for a, b in pairs:
+        ax, ay = zip(*tracks[a])
+        bx, by = zip(*tracks[b])
+        exp = frechet2_dense(list(ax), list(ay), list(bx), list(by))
+        assert _frechet2_diag(ax, ay, bx, by) == exp
+        assert got[(a, b)] == (len(ax), len(bx), exp)
+
+
+def test_frechet_identity_and_symmetry_properties(spark):
+    from sis_spark.operators.trajectory import frechet2_dense
+
+    ax, ay = [0, 10, 20], [0, 5, 0]
+    # identical tracks -> max over the matched walk of 0 = 0
+    assert frechet2_dense(ax, ay, ax, ay) == 0
+    # symmetric
+    bx, by = [1, 9, 25], [2, 4, 1]
+    assert frechet2_dense(ax, ay, bx, by) == frechet2_dense(bx, by, ax, ay)
+    # dominated by the farthest forced match: single-point track
+    assert frechet2_dense([0], [0], bx, by) == max(x * x + y * y for x, y in zip(bx, by))
