@@ -541,3 +541,243 @@ st(a, b, ax, ay, bx, by, na, nb, k, d1, d2) AS (
   FROM st WHERE k + 1 <= na + nb - 2),
 fin AS (SELECT a, b, na, nb, d1[1] AS frech2 FROM st WHERE k = na + nb - 2)
 SELECT a, b, na, nb, CAST(frech2 AS BIGINT) AS frech2 FROM fin"""
+
+
+# ----------------------------------------------------------------- DTW
+# Dynamic time warping — the Fréchet DP with SUM in place of MAX
+# (Sakoe/Chiba 1978, public literature).  Same anti-diagonal sweep, same
+# lockstep-diagonal oracle; costs stay int64 (path length * max cost bounds
+# the sum well under 2^63 for quantized tracks).
+
+
+def dtw2_dense(ax, ay, bx, by) -> int:
+    """Single-node reference: DTW with squared-euclidean costs."""
+    na, nb = len(ax), len(bx)
+    f = [[0] * nb for _ in range(na)]
+    for i in range(na):
+        for j in range(nb):
+            c = (ax[i] - bx[j]) ** 2 + (ay[i] - by[j]) ** 2
+            if i == 0 and j == 0:
+                f[i][j] = c
+            else:
+                best = _I64_MAX
+                if i > 0:
+                    best = min(best, f[i - 1][j])
+                if j > 0:
+                    best = min(best, f[i][j - 1])
+                if i > 0 and j > 0:
+                    best = min(best, f[i - 1][j - 1])
+                f[i][j] = c + best
+    return f[na - 1][nb - 1]
+
+
+def _dtw2_diag(ax, ay, bx, by) -> int:
+    """Anti-diagonal vectorized DTW (mirrors _frechet2_diag)."""
+    import numpy as np
+
+    ax = np.asarray(ax, np.int64)
+    ay = np.asarray(ay, np.int64)
+    bx = np.asarray(bx, np.int64)
+    by = np.asarray(by, np.int64)
+    na, nb = len(ax), len(bx)
+    d1 = d2 = None
+    lo1 = lo2 = 0
+    for k in range(na + nb - 1):
+        lo = max(0, k - nb + 1)
+        hi = min(k, na - 1)
+        i = np.arange(lo, hi + 1)
+        j = k - i
+        c = (ax[i] - bx[j]) ** 2 + (ay[i] - by[j]) ** 2
+        if k == 0:
+            cur = c
+        else:
+            def pick(diag, dlo, ii):
+                idx = ii - dlo
+                ok = (idx >= 0) & (idx < len(diag))
+                return np.where(ok, diag[np.clip(idx, 0, len(diag) - 1)], _I64_MAX)
+
+            p1 = np.where(i >= 1, pick(d1, lo1, i - 1), _I64_MAX)
+            p2 = np.where(j >= 1, pick(d1, lo1, i), _I64_MAX)
+            if d2 is not None:
+                p3 = np.where((i >= 1) & (j >= 1), pick(d2, lo2, i - 1), _I64_MAX)
+            else:
+                p3 = np.full_like(c, _I64_MAX)
+            cur = c + np.minimum(np.minimum(p1, p2), p3)
+        d2, lo2 = d1, lo1
+        d1, lo1 = cur, lo
+    return int(d1[0])
+
+
+def dtw_join(
+    points: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "path",
+    order_col: str = "seq",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """DTW distance (squared-cost sum) for every (a, b) pair ->
+    (a, b, na, nb, dtw2).  Same plan shape as ``frechet_join``."""
+    import pandas as pd
+
+    pts = points.select(
+        F.col(key_col).alias("k"),
+        F.col(order_col).alias("o"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    )
+    pa = pairs.join(pts, pts["k"] == pairs["a"]).select(
+        "a", "b", F.lit(0).alias("side"), "o", "x", "y"
+    )
+    pb = pairs.join(pts, pts["k"] == pairs["b"]).select(
+        "a", "b", F.lit(1).alias("side"), "o", "x", "y"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["side", "o"], kind="mergesort")
+        am = pdf[pdf["side"] == 0]
+        bm = pdf[pdf["side"] == 1]
+        v = _dtw2_diag(
+            am["x"].to_numpy(), am["y"].to_numpy(),
+            bm["x"].to_numpy(), bm["y"].to_numpy(),
+        )
+        return pd.DataFrame(
+            [{
+                "a": pdf["a"].iloc[0], "b": pdf["b"].iloc[0],
+                "na": len(am), "nb": len(bm), "dtw2": v,
+            }]
+        )
+
+    return (
+        pa.union(pb)
+        .groupBy("a", "b")
+        .applyInPandas(fn, schema="a long, b long, na long, nb long, dtw2 long")
+    )
+
+
+def dtw_join_sql(points_select: str, pairs_select: str) -> str:
+    """DuckDB oracle for ``dtw_join`` — frechet_join_sql with the max
+    replaced by addition."""
+    c_expr = (
+        "(axs[i + 1] - bxs[k + 2 - i]) * (axs[i + 1] - bxs[k + 2 - i])"
+        " + (ays[i + 1] - bys[k + 2 - i]) * (ays[i + 1] - bys[k + 2 - i])"
+    )
+    p1 = (
+        "CASE WHEN i >= 1 THEN d1[i - greatest(0, k - nb + 1)] "
+        f"ELSE {_I64_MAX} END"
+    )
+    p2 = (
+        "CASE WHEN k + 1 - i >= 1 THEN d1[i + 1 - greatest(0, k - nb + 1)] "
+        f"ELSE {_I64_MAX} END"
+    )
+    p3 = (
+        "CASE WHEN i >= 1 AND k + 1 - i >= 1 "
+        "THEN d2[i - greatest(0, k - nb)] "
+        f"ELSE {_I64_MAX} END"
+    )
+    step = f"{c_expr} + least({p1}, {p2}, {p3})"
+    return f"""
+WITH RECURSIVE pts AS ({points_select}),
+prs AS ({pairs_select}),
+tracks AS (
+  SELECT k AS tk, list(x ORDER BY o) AS xs, list(y ORDER BY o) AS ys,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1),
+init AS (
+  SELECT prs.a, prs.b, ta.xs AS axs, ta.ys AS ays,
+         tb.xs AS bxs, tb.ys AS bys, ta.n AS na, tb.n AS nb
+  FROM prs JOIN tracks ta ON ta.tk = prs.a JOIN tracks tb ON tb.tk = prs.b),
+st(a, b, axs, ays, bxs, bys, na, nb, k, d1, d2) AS (
+  SELECT a, b, axs, ays, bxs, bys, na, nb, 0,
+         [(axs[1] - bxs[1]) * (axs[1] - bxs[1])
+          + (ays[1] - bys[1]) * (ays[1] - bys[1])],
+         CAST([] AS BIGINT[])
+  FROM init
+  UNION ALL
+  SELECT a, b, axs, ays, bxs, bys, na, nb, k + 1,
+         list_transform(
+           range(greatest(0, k + 2 - nb), least(k + 1, na - 1) + 1),
+           i -> {step}),
+         d1
+  FROM st WHERE k + 1 <= na + nb - 2),
+fin AS (SELECT a, b, na, nb, d1[1] AS dtw2 FROM st WHERE k = na + nb - 2)
+SELECT a, b, na, nb, CAST(dtw2 AS BIGINT) AS dtw2 FROM fin"""
+
+
+# -------------------------------------------------------------- Hausdorff
+# Directed/symmetric Hausdorff distance between point sets: max over a of
+# min over b of d^2 — pure integer max/min algebra, no DP, so both engines
+# express it as a join + two aggregations.
+
+
+def hausdorff_join(
+    points: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "path",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Symmetric squared Hausdorff distance per (a, b) pair ->
+    (a, b, h_ab, h_ba, haus2) with haus2 = max(h_ab, h_ba).
+
+    Scale shape: the per-pair cross product is bounded by the track-length
+    cap; one equi-join on the pair key then two keyed aggregations — all
+    codegen, no Python."""
+    pts = points.select(
+        F.col(key_col).alias("k"), F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    )
+    pa = pairs.join(pts, pts["k"] == pairs["a"]).select(
+        "a", "b", F.col("x").alias("ax"), F.col("y").alias("ay")
+    )
+    pb = pairs.join(pts, pts["k"] == pairs["b"]).select(
+        F.col("a").alias("a2"), F.col("b").alias("b2"),
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+    )
+    cross = pa.join(
+        pb, (F.col("a") == F.col("a2")) & (F.col("b") == F.col("b2"))
+    ).select(
+        "a", "b", "ax", "ay", "bx", "by",
+        (
+            (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+            + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+        ).alias("d2"),
+    )
+    fwd = (
+        cross.groupBy("a", "b", "ax", "ay")
+        .agg(F.min("d2").alias("md"))
+        .groupBy("a", "b")
+        .agg(F.max("md").alias("h_ab"))
+    )
+    bwd = (
+        cross.groupBy("a", "b", "bx", "by")
+        .agg(F.min("d2").alias("md"))
+        .groupBy("a", "b")
+        .agg(F.max("md").alias("h_ba"))
+    )
+    return fwd.join(bwd, ["a", "b"]).select(
+        "a", "b", "h_ab", "h_ba",
+        F.greatest("h_ab", "h_ba").alias("haus2"),
+    )
+
+
+def hausdorff_join_sql(points_select: str, pairs_select: str) -> str:
+    """DuckDB replay of ``hausdorff_join``."""
+    return f"""
+WITH pts AS ({points_select}),
+prs AS ({pairs_select}),
+cross_d AS (
+  SELECT prs.a, prs.b, pa.x AS ax, pa.y AS ay, pb.x AS bx, pb.y AS by,
+         (pa.x - pb.x) * (pa.x - pb.x)
+         + (pa.y - pb.y) * (pa.y - pb.y) AS d2
+  FROM prs JOIN pts pa ON pa.k = prs.a JOIN pts pb ON pb.k = prs.b),
+fwd AS (
+  SELECT a, b, CAST(max(md) AS BIGINT) AS h_ab FROM (
+    SELECT a, b, ax, ay, min(d2) AS md FROM cross_d GROUP BY 1, 2, 3, 4)
+  GROUP BY 1, 2),
+bwd AS (
+  SELECT a, b, CAST(max(md) AS BIGINT) AS h_ba FROM (
+    SELECT a, b, bx, by, min(d2) AS md FROM cross_d GROUP BY 1, 2, 3, 4)
+  GROUP BY 1, 2)
+SELECT fwd.a, fwd.b, h_ab, h_ba, greatest(h_ab, h_ba) AS haus2
+FROM fwd JOIN bwd ON bwd.a = fwd.a AND bwd.b = fwd.b"""

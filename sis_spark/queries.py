@@ -7622,20 +7622,13 @@ _FRECHET_Q = "0.12345678987"
 _FRECHET_CAP = 30
 
 
-def q_frechet_pairs(spark, sf_dir):
-    """Trajectory similarity join (trajectory.frechet_join): squared
-    discrete Fréchet distance between consecutive users' event tracks
-    (first 30 points each, coordinates floor-quantized to int64 at 1e5)
-    — exact integer min/max DP swept by anti-diagonal (O(na+nb) numpy
-    rounds per pair), oracle replays the identical diagonal recurrence
-    as a lockstep recursive CTE carrying two LIST columns."""
+def _traj_pts_df(spark, sf_dir, cap=_FRECHET_CAP):
+    """Per-user event tracks, first ``cap`` points, coords int64 @ 1e5."""
     from pyspark.sql import Window
-
-    from .operators.trajectory import frechet_join
 
     lon, lat = point_lonlat_cols("event_id")
     w = Window.partitionBy("user_id").orderBy("event_id")
-    pts = (
+    return (
         _read(spark, sf_dir, "events")
         .select(
             "user_id",
@@ -7644,24 +7637,21 @@ def q_frechet_pairs(spark, sf_dir):
             F.floor(lat * 1e5 + float(_FRECHET_Q)).cast("long").alias("qy"),
         )
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _FRECHET_CAP)
+        .filter(F.col("rn") <= cap)
     )
+
+
+def _traj_pairs_df(pts):
     users = pts.select("user_id").distinct()
-    pairs = (
+    return (
         users.filter(F.col("user_id") % 2 == 0)
         .select(F.col("user_id").alias("a"), (F.col("user_id") + 1).alias("b"))
         .join(users.withColumnRenamed("user_id", "b"), "b", "semi")
     )
-    return frechet_join(
-        pts, pairs, key_col="user_id", order_col="rn",
-        x_col="qx", y_col="qy",
-    ).orderBy("a")
 
 
-def q_frechet_pairs_oracle():
-    from .operators.trajectory import frechet_join_sql
-
-    pts = f"""
+def _traj_pts_sql(cap=_FRECHET_CAP):
+    return f"""
 SELECT user_id AS k, rn AS o, qx AS x, qy AS y FROM (
   SELECT user_id,
          CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e5
@@ -7670,15 +7660,86 @@ SELECT user_id AS k, rn AS o, qx AS x, qy AS y FROM (
                     + {_FRECHET_Q}) AS BIGINT) AS qy,
          row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
   FROM events) t
-WHERE rn <= {_FRECHET_CAP}"""
-    pairs = """
+WHERE rn <= {cap}"""
+
+
+_TRAJ_PAIRS_SQL = """
 SELECT u.user_id AS a, u.user_id + 1 AS b
 FROM (SELECT DISTINCT user_id FROM events) u
 WHERE u.user_id % 2 = 0
   AND EXISTS (SELECT 1 FROM events e WHERE e.user_id = u.user_id + 1)"""
+
+
+def q_frechet_pairs(spark, sf_dir):
+    """Trajectory similarity join (trajectory.frechet_join): squared
+    discrete Fréchet distance between consecutive users' event tracks
+    (first 30 points each, coordinates floor-quantized to int64 at 1e5)
+    — exact integer min/max DP swept by anti-diagonal (O(na+nb) numpy
+    rounds per pair), oracle replays the identical diagonal recurrence
+    as a lockstep recursive CTE carrying two LIST columns."""
+    from .operators.trajectory import frechet_join
+
+    pts = _traj_pts_df(spark, sf_dir)
+    return frechet_join(
+        pts, _traj_pairs_df(pts), key_col="user_id", order_col="rn",
+        x_col="qx", y_col="qy",
+    ).orderBy("a")
+
+
+def q_frechet_pairs_oracle():
+    from .operators.trajectory import frechet_join_sql
+
     return (
         "SELECT * FROM ("
-        + frechet_join_sql(pts, pairs)
+        + frechet_join_sql(_traj_pts_sql(), _TRAJ_PAIRS_SQL)
+        + ") ORDER BY a"
+    )
+
+
+def q_dtw_pairs(spark, sf_dir):
+    """Dynamic time warping join (trajectory.dtw_join): the Fréchet DP
+    with SUM in place of MAX — same anti-diagonal sweep, same lockstep
+    diagonal oracle; int64 cost sums stay far below 2^63 at the 1e5
+    quantization and 30-point cap."""
+    from .operators.trajectory import dtw_join
+
+    pts = _traj_pts_df(spark, sf_dir)
+    return dtw_join(
+        pts, _traj_pairs_df(pts), key_col="user_id", order_col="rn",
+        x_col="qx", y_col="qy",
+    ).orderBy("a")
+
+
+def q_dtw_pairs_oracle():
+    from .operators.trajectory import dtw_join_sql
+
+    return (
+        "SELECT * FROM ("
+        + dtw_join_sql(_traj_pts_sql(), _TRAJ_PAIRS_SQL)
+        + ") ORDER BY a"
+    )
+
+
+def q_hausdorff_pairs(spark, sf_dir):
+    """Symmetric squared Hausdorff distance join (trajectory.
+    hausdorff_join): max-over-min of exact int64 squared distances —
+    no DP, one bounded per-pair cross product + two keyed aggregations,
+    all codegen."""
+    from .operators.trajectory import hausdorff_join
+
+    pts = _traj_pts_df(spark, sf_dir)
+    return hausdorff_join(
+        pts, _traj_pairs_df(pts), key_col="user_id",
+        x_col="qx", y_col="qy",
+    ).orderBy("a")
+
+
+def q_hausdorff_pairs_oracle():
+    from .operators.trajectory import hausdorff_join_sql
+
+    return (
+        "SELECT * FROM ("
+        + hausdorff_join_sql(_traj_pts_sql(), _TRAJ_PAIRS_SQL)
         + ") ORDER BY a"
     )
 
@@ -7918,4 +7979,6 @@ QUERIES = {
     "kcore": (q_kcore, q_kcore_oracle),
     "frechet_pairs": (q_frechet_pairs, q_frechet_pairs_oracle),
     "line_interpolate": (q_line_interpolate, q_line_interpolate_oracle),
+    "dtw_pairs": (q_dtw_pairs, q_dtw_pairs_oracle),
+    "hausdorff_pairs": (q_hausdorff_pairs, q_hausdorff_pairs_oracle),
 }

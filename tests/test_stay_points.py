@@ -129,3 +129,43 @@ def test_frechet_identity_and_symmetry_properties(spark):
     assert frechet2_dense(ax, ay, bx, by) == frechet2_dense(bx, by, ax, ay)
     # dominated by the farthest forced match: single-point track
     assert frechet2_dense([0], [0], bx, by) == max(x * x + y * y for x, y in zip(bx, by))
+
+
+def test_dtw_and_hausdorff_match_brute(spark):
+    import numpy as np
+
+    from sis_spark.operators.trajectory import (
+        _dtw2_diag,
+        dtw2_dense,
+        dtw_join,
+        hausdorff_join,
+    )
+
+    rng = np.random.default_rng(21)
+    rows, tracks = [], {}
+    for k in range(6):
+        n = int(rng.integers(1, 10))
+        tracks[k] = [
+            (int(rng.integers(-80, 80)), int(rng.integers(-80, 80)))
+            for _ in range(n)
+        ]
+        rows += [(k, o, x, y) for o, (x, y) in enumerate(tracks[k])]
+    pairs = [(0, 1), (2, 3), (4, 5)]
+    pts = spark.createDataFrame(rows, ["path", "seq", "x", "y"])
+    pr = spark.createDataFrame(pairs, ["a", "b"])
+
+    got_dtw = {(r.a, r.b): r.dtw2 for r in dtw_join(pts, pr).collect()}
+    got_h = {
+        (r.a, r.b): (r.h_ab, r.h_ba, r.haus2)
+        for r in hausdorff_join(pts, pr).collect()
+    }
+    for a, b in pairs:
+        ax, ay = zip(*tracks[a])
+        bx, by = zip(*tracks[b])
+        exp = dtw2_dense(list(ax), list(ay), list(bx), list(by))
+        assert _dtw2_diag(ax, ay, bx, by) == exp
+        assert got_dtw[(a, b)] == exp
+        d2 = lambda p, q: (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+        h_ab = max(min(d2(p, q) for q in tracks[b]) for p in tracks[a])
+        h_ba = max(min(d2(p, q) for q in tracks[a]) for p in tracks[b])
+        assert got_h[(a, b)] == (h_ab, h_ba, max(h_ab, h_ba))
