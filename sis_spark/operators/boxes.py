@@ -231,3 +231,89 @@ u AS (SELECT image_id, unnest(kept) AS k FROM fin)
 SELECT image_id, k.box_id AS box_id, k.x1 AS x1, k.y1 AS y1,
        k.x2 AS x2, k.y2 AS y2, k.score AS score
 FROM u"""
+
+
+def letterbox_boxes(
+    boxes: DataFrame,
+    dims: DataFrame,
+    target_w: int,
+    target_h: int,
+    image_col: str = "image_id",
+) -> DataFrame:
+    """Remap box coordinates under aspect-preserving letterbox resize to
+    (target_w, target_h) -> (image_id, box_id, sw, sh, pad_x, pad_y,
+    nx1, ny1, nx2, ny2).
+
+    ``dims`` carries (image_col, w, h).  The scale is the RATIONAL
+    min(W/w, H/h) — chosen by the integer cross-comparison W*h <= H*w —
+    and every mapped coordinate is one integer multiply + floor-div + pad,
+    clamped to the canvas, so the remap replicates bit-for-bit in SQL.
+    This is the label-side twin of imageops.resize_to_bucket: when pixels
+    get letterboxed for training, the boxes must follow the same arithmetic
+    or the labels silently drift."""
+    W, H = int(target_w), int(target_h)
+    d = dims.select(image_col, "w", "h")
+    j = boxes.join(d, image_col)
+    wide = F.col("w") * H >= F.col("h") * W  # width-limited iff W/w <= H/h
+    num = F.when(wide, F.lit(W)).otherwise(F.lit(H))
+    den = F.when(wide, F.col("w")).otherwise(F.col("h"))
+    # integer floor-div: use expr DIV to stay in long arithmetic
+    j = (
+        j.withColumn("_num", num)
+        .withColumn("_den", den)
+        .withColumn("sw", F.expr("w * _num div _den"))
+        .withColumn("sh", F.expr("h * _num div _den"))
+        .withColumn("pad_x", F.expr(f"({W} - sw) div 2"))
+        .withColumn("pad_y", F.expr(f"({H} - sh) div 2"))
+    )
+
+    def m(c: str, pad: str, lim: int):
+        return F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(lim), F.expr(f"{c} * _num div _den + {pad}")
+            ),
+        )
+
+    return j.select(
+        image_col,
+        "box_id",
+        "sw",
+        "sh",
+        "pad_x",
+        "pad_y",
+        m("x1", "pad_x", W).alias("nx1"),
+        m("y1", "pad_y", H).alias("ny1"),
+        m("x2", "pad_x", W).alias("nx2"),
+        m("y2", "pad_y", H).alias("ny2"),
+    )
+
+
+def letterbox_boxes_sql(
+    boxes_select: str,
+    dims_select: str,
+    target_w: int,
+    target_h: int,
+) -> str:
+    """DuckDB replay of ``letterbox_boxes`` (// is floor division; all
+    quantities non-negative, so it matches Spark's div)."""
+    W, H = int(target_w), int(target_h)
+    return f"""
+WITH bx AS ({boxes_select}),
+dm AS ({dims_select}),
+j AS (
+  SELECT bx.*, dm.w, dm.h,
+         CASE WHEN dm.w * {H} >= dm.h * {W} THEN {W} ELSE {H} END AS num,
+         CASE WHEN dm.w * {H} >= dm.h * {W} THEN dm.w ELSE dm.h END AS den
+  FROM bx JOIN dm ON dm.image_id = bx.image_id),
+s AS (
+  SELECT *, w * num // den AS sw, h * num // den AS sh,
+         ({W} - w * num // den) // 2 AS pad_x,
+         ({H} - h * num // den) // 2 AS pad_y
+  FROM j)
+SELECT image_id, box_id, sw, sh, pad_x, pad_y,
+       greatest(0, least({W}, x1 * num // den + pad_x)) AS nx1,
+       greatest(0, least({H}, y1 * num // den + pad_y)) AS ny1,
+       greatest(0, least({W}, x2 * num // den + pad_x)) AS nx2,
+       greatest(0, least({H}, y2 * num // den + pad_y)) AS ny2
+FROM s"""

@@ -7798,6 +7798,39 @@ WHERE rn <= 8"""
     )
 
 
+def q_box_letterbox(spark, sf_dir):
+    """Letterbox label remap (boxes.letterbox_boxes to 640x640): every box
+    follows the aspect-preserving rational scale min(W/w, H/h) chosen by
+    integer cross-comparison + floor-div + centered pad + canvas clamp —
+    the label-side twin of resize_to_bucket, bit-replicable in SQL."""
+    from .operators.boxes import letterbox_boxes
+
+    b = _boxes_df(spark, sf_dir)
+    img = F.col("image_id")
+    dims = (
+        b.select("image_id").distinct().select(
+            "image_id",
+            (320 + img * 17 % 640).alias("w"),
+            (240 + img * 23 % 480).alias("h"),
+        )
+    )
+    return letterbox_boxes(b, dims, 640, 640).orderBy("image_id", "box_id")
+
+
+def q_box_letterbox_oracle():
+    from .operators.boxes import letterbox_boxes_sql
+
+    dims = f"""
+SELECT image_id, 320 + image_id * 17 % 640 AS w,
+       240 + image_id * 23 % 480 AS h
+FROM (SELECT DISTINCT o_orderkey % {_BOX_IMAGES} AS image_id FROM orders) t"""
+    return (
+        "SELECT * FROM ("
+        + letterbox_boxes_sql(_BOXES_SQL, dims, 640, 640)
+        + ") ORDER BY image_id, box_id"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -7981,4 +8014,5 @@ QUERIES = {
     "line_interpolate": (q_line_interpolate, q_line_interpolate_oracle),
     "dtw_pairs": (q_dtw_pairs, q_dtw_pairs_oracle),
     "hausdorff_pairs": (q_hausdorff_pairs, q_hausdorff_pairs_oracle),
+    "box_letterbox": (q_box_letterbox, q_box_letterbox_oracle),
 }

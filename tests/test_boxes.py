@@ -100,3 +100,32 @@ def test_iou_join_never_divides_and_matches_self(spark):
         df.filter("box_id = 1"), df.filter("box_id = 2"), 1, 1
     ).collect()
     assert len(out) == 1 and out[0].inter == out[0].uni == 16
+
+
+def test_letterbox_semantics(spark):
+    from sis_spark.operators.boxes import letterbox_boxes
+
+    boxes = spark.createDataFrame(
+        [(1, 1, 0, 0, 100, 200, 0), (2, 2, 50, 50, 150, 100, 0)],
+        COLS,
+    )
+    dims = spark.createDataFrame([(1, 100, 200), (2, 400, 100)], ["image_id", "w", "h"])
+    got = {r.image_id: r for r in letterbox_boxes(boxes, dims, 640, 640).collect()}
+
+    # image 1: 100x200 portrait -> scale 640/200, sw=320, sh=640, pad_x=160
+    r = got[1]
+    assert (r.sw, r.sh, r.pad_x, r.pad_y) == (320, 640, 160, 0)
+    assert (r.nx1, r.ny1, r.nx2, r.ny2) == (160, 0, 160 + 320, 640)
+    # image 2: 400x100 landscape -> scale 640/400, sw=640, sh=160, pad_y=240
+    r = got[2]
+    assert (r.sw, r.sh, r.pad_x, r.pad_y) == (640, 160, 0, 240)
+    assert (r.nx1, r.ny1, r.nx2, r.ny2) == (80, 320, 240, 400)
+
+
+def test_letterbox_clamps_out_of_frame_boxes(spark):
+    from sis_spark.operators.boxes import letterbox_boxes
+
+    boxes = spark.createDataFrame([(1, 1, -50, 0, 900, 80, 0)], COLS)
+    dims = spark.createDataFrame([(1, 640, 640)], ["image_id", "w", "h"])
+    (r,) = letterbox_boxes(boxes, dims, 640, 640).collect()
+    assert r.nx1 == 0 and r.nx2 == 640  # clamped to the canvas
