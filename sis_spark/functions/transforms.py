@@ -148,3 +148,40 @@ def tile_sql(lon_sql: str, lat_sql: str, zoom: int) -> tuple[str, str]:
     tx = f"CAST(LEAST(GREATEST(floor({xn} * {n}.0), 0.0), {n - 1}.0) AS BIGINT)"
     ty = f"CAST(LEAST(GREATEST(floor({yn} * {n}.0), 0.0), {n - 1}.0) AS BIGINT)"
     return tx, ty
+
+
+def quadkey_col(tx, ty, zoom: int):
+    """Bing-style quadkey string for slippy tile (tx, ty) at ``zoom`` —
+    digit i (MSB first) = 2*bit(ty) + bit(tx).  Pure integer codegen
+    (shift + mod), no UDF; published Bing Maps tile-system convention."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for i in range(1, zoom + 1):
+        sh = zoom - i
+        d = (F.shiftright(ty, sh) % 2) * 2 + (F.shiftright(tx, sh) % 2)
+        parts.append(d.cast("string"))
+    return F.concat(*parts)
+
+
+def quadkey_sql(tx_sql: str, ty_sql: str, zoom: int) -> str:
+    """DuckDB replay of ``quadkey_col`` (floor-div instead of shifts —
+    identical on the non-negative tile domain)."""
+    parts = []
+    for i in range(1, zoom + 1):
+        p = 1 << (zoom - i)
+        parts.append(
+            f"CAST((({ty_sql}) // {p}) % 2 * 2 + (({tx_sql}) // {p}) % 2"
+            " AS VARCHAR)"
+        )
+    return "(" + " || ".join(parts) + ")"
+
+
+def quadkey_to_tile(qk: str) -> tuple[int, int, int]:
+    """Inverse (driver-side helper, pytest): quadkey -> (tx, ty, zoom)."""
+    tx = ty = 0
+    for ch in qk:
+        d = int(ch)
+        tx = (tx << 1) | (d & 1)
+        ty = (ty << 1) | (d >> 1)
+    return tx, ty, len(qk)

@@ -994,3 +994,66 @@ ranked AS (
   FROM per_doc)
 SELECT qid, {id_col}, n_matched, score_q, rank FROM ranked
 WHERE rank <= {k}"""
+
+
+# ------------------------------------------------------------ token entropy
+# Shannon entropy of each document's token distribution — the classic
+# vocabulary-diversity quality signal (low entropy = repetitive/spammy).
+# H = sum over terms of (tf/dl) * ln(dl/tf).  Each term's contribution is
+# floor-quantized at 1e6 with the irrational offset BEFORE the per-doc sum
+# (identical double expression text in both engines; the tf-idf 1-ulp
+# lesson), so the sum is an order-independent int64.
+
+
+def _entropy_contrib_expr() -> str:
+    return (
+        "CAST(floor((CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE))"
+        " * ln(CAST(dl AS DOUBLE) / CAST(tf AS DOUBLE))"
+        " * 1.0E6 + 0.12345678987) AS BIGINT)"
+    )
+
+
+def token_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token-distribution entropy -> (doc_id, dl, n_terms,
+    entropy_q).  One explode + two keyed aggregations, all map-side
+    combinable — the scan-cost shape of every other text-quality signal."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    return (
+        tf.join(dl, id_col)
+        .withColumn("contrib", F.expr(_entropy_contrib_expr()))
+        .groupBy(id_col)
+        .agg(
+            F.min("dl").alias("dl"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("contrib").alias("entropy_q"),
+        )
+    )
+
+
+def token_entropy_sql(
+    rel: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``token_entropy``."""
+    return f"""
+WITH words AS (
+  SELECT {id_col}, unnest(string_split({text}, ' ')) AS term FROM {rel}),
+tf AS (SELECT {id_col}, term, CAST(count(*) AS BIGINT) AS tf
+       FROM words GROUP BY 1, 2),
+dl AS (SELECT {id_col}, CAST(count(*) AS BIGINT) AS dl
+       FROM words GROUP BY 1)
+SELECT tf.{id_col},
+       CAST(min(dl.dl) AS BIGINT) AS dl,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum({_entropy_contrib_expr()}) AS BIGINT) AS entropy_q
+FROM tf JOIN dl ON dl.{id_col} = tf.{id_col}
+GROUP BY 1"""

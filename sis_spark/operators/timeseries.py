@@ -644,3 +644,81 @@ SELECT agg.{key_col}, agg.lag, agg.m,
        CAST(n * n * p - n * s * (a + bb) + m * s * s AS BIGINT) AS num_scaled,
        CAST(n * n * q - n * s * s AS BIGINT) AS den_scaled
 FROM agg JOIN tot ON tot.{key_col} = agg.{key_col}"""
+
+
+def rolling_median(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    width: int,
+) -> DataFrame:
+    """Exact rolling median over the trailing ``width`` rows per key ->
+    (key, order, x, n_win, med).
+
+    The median is the SORTED-MULTISET ELEMENT at index (n-1)//2 (the
+    group_quantiles convention) so it is bit-replicable for integer
+    values.  Spark has no exact median window aggregate; the formulation
+    is a bounded band self-join (each row joins its trailing window — at
+    most ``width`` rows) + one rank window, all codegen.  The fan-out is
+    width-bounded, so the shuffle volume is width * n rows regardless of
+    key skew."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("o")
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(order_col).alias("o"),
+        F.col(value_col).alias("x"),
+    ).withColumn("rn", F.row_number().over(w).cast("long"))
+    cur = b.select(
+        F.col("k"), F.col("o"), F.col("x"), F.col("rn")
+    )
+    src = b.select(
+        F.col("k").alias("k2"), F.col("x").alias("xs"),
+        F.col("rn").alias("rs"),
+    )
+    j = cur.join(
+        src,
+        (F.col("k") == F.col("k2"))
+        & (F.col("rs") <= F.col("rn"))
+        & (F.col("rs") > F.col("rn") - int(width)),
+    )
+    ww = Window.partitionBy("k", "rn").orderBy("xs", "rs")
+    ranked = (
+        j.withColumn("pos", F.row_number().over(ww).cast("long"))
+        .withColumn(
+            "n_win", F.count(F.lit(1)).over(Window.partitionBy("k", "rn"))
+        )
+    )
+    return (
+        ranked.filter(F.expr("pos - 1 = (n_win - 1) div 2"))
+        .select("k", "o", "x", "n_win", F.col("xs").alias("med"))
+    )
+
+
+def rolling_median_sql(
+    base_select: str,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    width: int,
+) -> str:
+    """DuckDB replay of ``rolling_median`` — identical band join + rank."""
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, {order_col} AS o, {value_col} AS x,
+         CAST(row_number() OVER (PARTITION BY {key_col}
+                                 ORDER BY {order_col}) AS BIGINT) AS rn
+  FROM ({base_select}) t),
+j AS (
+  SELECT cur.k, cur.o, cur.x, cur.rn, src.x AS xs, src.rn AS rs
+  FROM b cur JOIN b src
+    ON src.k = cur.k AND src.rn <= cur.rn AND src.rn > cur.rn - {int(width)}),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY k, rn
+                                    ORDER BY xs, rs) AS BIGINT) AS pos,
+         CAST(count(*) OVER (PARTITION BY k, rn) AS BIGINT) AS n_win
+  FROM j)
+SELECT k, o, x, n_win, xs AS med
+FROM ranked WHERE pos - 1 = (n_win - 1) // 2"""

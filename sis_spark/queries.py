@@ -7831,6 +7831,83 @@ FROM (SELECT DISTINCT o_orderkey % {_BOX_IMAGES} AS image_id FROM orders) t"""
     )
 
 
+def q_quadkey(spark, sf_dir):
+    """Bing quadkey encoding (transforms.quadkey_col, zoom 8): slippy
+    tiles -> base-4 digit strings, pure shift/mod codegen; membership
+    pinned per quadkey by count + event-id sum."""
+    from .functions.spark_exprs import tile_cols
+    from .functions.transforms import quadkey_col
+
+    pts = _events_points(spark, sf_dir)
+    tx, ty = tile_cols(F.col("lon"), F.col("lat"), 8)
+    return (
+        pts.select("event_id", quadkey_col(tx, ty, 8).alias("qk"))
+        .groupBy("qk")
+        .agg(F.count("*").alias("n"), F.sum("event_id").alias("id_sum"))
+        .orderBy("qk")
+    )
+
+
+def q_quadkey_oracle():
+    from .functions.transforms import quadkey_sql, tile_sql
+
+    tx, ty = tile_sql(
+        synth.point_lon_sql("event_id"), synth.point_lat_sql("event_id"), 8
+    )
+    return f"""
+SELECT qk, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM (SELECT event_id, {quadkey_sql(tx, ty, 8)} AS qk FROM events) t
+GROUP BY qk ORDER BY qk"""
+
+
+def q_rolling_median(spark, sf_dir):
+    """Exact rolling median (timeseries.rolling_median, width 7): the
+    trailing-window median as a sorted-multiset element — width-bounded
+    band self-join + one rank window, bit-replicable for integer cents."""
+    from .operators.timeseries import rolling_median
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return rolling_median(ev, "user_id", "event_id", "cents", width=7).orderBy(
+        "k", "o"
+    )
+
+
+def q_rolling_median_oracle():
+    from .operators.timeseries import rolling_median_sql
+
+    base = (
+        "SELECT user_id, event_id, "
+        "CAST(floor(value * 1.0e2) AS BIGINT) AS cents FROM events"
+    )
+    return (
+        "SELECT * FROM ("
+        + rolling_median_sql(base, "user_id", "event_id", "cents", width=7)
+        + ") ORDER BY k, o"
+    )
+
+
+def q_token_entropy(spark, sf_dir):
+    """Token-distribution entropy per document (textops.token_entropy):
+    the vocabulary-diversity quality signal — per-term contributions
+    floor-quantized before the order-independent integer sum."""
+    from .operators.textops import token_entropy
+
+    return token_entropy(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_token_entropy_oracle():
+    from .operators.textops import token_entropy_sql
+
+    return (
+        "SELECT * FROM (" + token_entropy_sql() + ") ORDER BY doc_id"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -8015,4 +8092,7 @@ QUERIES = {
     "dtw_pairs": (q_dtw_pairs, q_dtw_pairs_oracle),
     "hausdorff_pairs": (q_hausdorff_pairs, q_hausdorff_pairs_oracle),
     "box_letterbox": (q_box_letterbox, q_box_letterbox_oracle),
+    "quadkey": (q_quadkey, q_quadkey_oracle),
+    "rolling_median": (q_rolling_median, q_rolling_median_oracle),
+    "token_entropy": (q_token_entropy, q_token_entropy_oracle),
 }
