@@ -188,3 +188,53 @@ def inverse_m(lon1, lat1, lon2, lat2, grid: int = 241, iters: int = 70):
     alpha[todo] = a1
     resid[todo] = np.abs(err)
     return dist, alpha, resid
+
+
+def direct_m(lon1, lat1, alpha1, s_m, iters: int = 80):
+    """Exact geodesic DIRECT problem on WGS84: from (lon1, lat1) with
+    departure azimuth ``alpha1`` (radians, clockwise from north) travel
+    ``s_m`` meters along the geodesic -> (lon2_deg, lat2_deg, alpha2_rad).
+
+    Same auxiliary-sphere machinery as ``inverse_m`` (Karney 2013 eqs. 7/8
+    via Gauss-Legendre quadrature, no series): sigma2 solves the monotone
+    arc-length equation b * I1(sigma1 -> sigma2) = s by bisection inside
+    the analytic bracket [s / (b sqrt(1+k^2)), s / b] — the integrand is
+    bounded by those two speeds, so the root is always bracketed and 80
+    halvings put it far below 1 mm."""
+    lon1 = np.atleast_1d(np.asarray(lon1, np.float64))
+    lat1 = np.atleast_1d(np.asarray(lat1, np.float64))
+    alpha1 = np.atleast_1d(np.asarray(alpha1, np.float64))
+    s_m = np.atleast_1d(np.asarray(s_m, np.float64))
+
+    beta1 = np.arctan((1.0 - _F) * np.tan(np.radians(lat1)))
+    sb1, cb1 = np.sin(beta1), np.cos(beta1)
+    sal, cal = np.sin(alpha1), np.cos(alpha1)
+    salp0 = sal * cb1
+    calp0 = np.sqrt(np.maximum(1.0 - salp0**2, 0.0))
+    k2 = _EP2 * calp0**2
+    sig1 = np.arctan2(sb1, cal * cb1)
+    om1 = np.arctan2(salp0 * np.sin(sig1), np.cos(sig1))
+
+    lo = sig1 + s_m / (_B * np.sqrt(1.0 + k2)) - 1e-12
+    hi = sig1 + s_m / _B + 1e-12
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        i1, _ = _integrals(sig1, mid, k2, salp0)
+        too_far = _B * i1 > s_m
+        hi = np.where(too_far, mid, hi)
+        lo = np.where(too_far, lo, mid)
+    sig2 = 0.5 * (lo + hi)
+
+    ssig2, csig2 = np.sin(sig2), np.cos(sig2)
+    sb2 = calp0 * ssig2
+    cb2 = np.hypot(calp0 * csig2, salp0)
+    lat2 = np.degrees(np.arctan2(sb2, (1.0 - _F) * cb2))
+    om2 = np.arctan2(salp0 * ssig2, csig2)
+    # unwrap omega so multi-turn geodesics accumulate longitude
+    turns = np.round((sig2 - sig1) / (2.0 * np.pi))
+    om2 = om2 + 2.0 * np.pi * turns
+    _, lcorr = _integrals(sig1, sig2, k2, salp0)
+    lam = (om2 - om1) - lcorr
+    lon2 = (lon1 + np.degrees(lam) + 180.0) % 360.0 - 180.0
+    alpha2 = np.arctan2(salp0, calp0 * csig2)
+    return lon2, lat2, alpha2

@@ -173,3 +173,99 @@ def robust_outliers(
             F.sum(F.col("__out") * F.col(value_col)).alias("outlier_sum"),
         )
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    cap: int = 25,
+) -> DataFrame:
+    """Theil-Sen robust trend per key -> (key, n, n_pairs, dy, dx, slope_q).
+
+    The estimator is the MEDIAN of all pairwise slopes (y_j - y_i)/(t_j -
+    t_i) over the first ``cap`` points (rank positions as t, so dx > 0
+    always).  The median slope is selected as a sorted-multiset ELEMENT
+    under the total order (double quotient, dy, dx, ti) — the IEEE quotient
+    of identical int64 operands is identical in any engine, so the selected
+    (dy, dx) pair replicates exactly; slope_q is the floor-quantized export.
+
+    Scale shape: pair generation is a rank band self-join bounded by
+    cap^2/2 rows per key; one rank window picks the median element.  The
+    cap is the documented O(n^2) guard — callers with long series subsample
+    first (weighted_sample / stratified_sample are the companions)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("o")
+    b = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(order_col).alias("o"),
+            F.col(value_col).alias("y"),
+        )
+        .withColumn("t", F.row_number().over(w).cast("long"))
+        .filter(F.col("t") <= int(cap))
+    )
+    lhs = b.select("k", F.col("t").alias("ti"), F.col("y").alias("yi"))
+    rhs = b.select(
+        F.col("k").alias("k2"), F.col("t").alias("tj"), F.col("y").alias("yj")
+    )
+    pairs = (
+        lhs.join(rhs, (F.col("k") == F.col("k2")) & (F.col("ti") < F.col("tj")))
+        .select(
+            "k",
+            "ti",
+            (F.col("yj") - F.col("yi")).alias("dy"),
+            (F.col("tj") - F.col("ti")).alias("dx"),
+        )
+        .withColumn(
+            "q", F.col("dy").cast("double") / F.col("dx").cast("double")
+        )
+    )
+    ws = Window.partitionBy("k").orderBy("q", "dy", "dx", "ti")
+    ranked = pairs.withColumn(
+        "pos", F.row_number().over(ws).cast("long")
+    ).withColumn(
+        "n_pairs", F.count(F.lit(1)).over(Window.partitionBy("k"))
+    )
+    med = ranked.filter(F.expr("pos - 1 = (n_pairs - 1) div 2"))
+    npts = b.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    return med.join(npts, "k").select(
+        "k", "n", "n_pairs", "dy", "dx",
+        F.floor(F.col("q") * F.expr("1.0e6") + F.expr("0.12345678987"))
+        .cast("long")
+        .alias("slope_q"),
+    )
+
+
+def theil_sen_sql(
+    base_select: str,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    cap: int = 25,
+) -> str:
+    """DuckDB replay of ``theil_sen`` — identical band join, total order,
+    element pick and quantized export."""
+    return f"""
+WITH b0 AS (
+  SELECT {key_col} AS k, {order_col} AS o, {value_col} AS y,
+         CAST(row_number() OVER (PARTITION BY {key_col}
+                                 ORDER BY {order_col}) AS BIGINT) AS t
+  FROM ({base_select}) s),
+b AS (SELECT * FROM b0 WHERE t <= {int(cap)}),
+pairs AS (
+  SELECT l.k, l.t AS ti, r.y - l.y AS dy, r.t - l.t AS dx,
+         CAST(r.y - l.y AS DOUBLE) / CAST(r.t - l.t AS DOUBLE) AS q
+  FROM b l JOIN b r ON r.k = l.k AND l.t < r.t),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY k
+                ORDER BY q, dy, dx, ti) AS BIGINT) AS pos,
+         CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n_pairs
+  FROM pairs),
+med AS (SELECT * FROM ranked WHERE pos - 1 = (n_pairs - 1) // 2),
+npts AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1)
+SELECT med.k, npts.n, med.n_pairs, med.dy, med.dx,
+       CAST(floor(med.q * 1.0e6 + 0.12345678987) AS BIGINT) AS slope_q
+FROM med JOIN npts ON npts.k = med.k"""

@@ -7908,6 +7908,73 @@ def q_token_entropy_oracle():
     )
 
 
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per user (analytics.theil_sen, cap 25):
+    median of pairwise slopes picked as a sorted-multiset element under a
+    total order ending in integer tiebreaks — the robust-regression
+    companion of robust_outliers/changepoint."""
+    from .operators.analytics import theil_sen
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return theil_sen(ev, "user_id", "event_id", "cents", cap=25).orderBy("k")
+
+
+def q_theil_sen_oracle():
+    from .operators.analytics import theil_sen_sql
+
+    base = (
+        "SELECT user_id, event_id, "
+        "CAST(floor(value * 1.0e2) AS BIGINT) AS cents FROM events"
+    )
+    return (
+        "SELECT * FROM ("
+        + theil_sen_sql(base, "user_id", "event_id", "cents", cap=25)
+        + ") ORDER BY k"
+    )
+
+
+def q_cube_agg(spark, sf_dir):
+    """CUBE grouping sets (native cube() + grouping flags): all four
+    aggregation levels over (priority, status) in one pass, exact integer
+    cents — the ROLLUP gate's lattice-complete sibling."""
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("long").alias("g_pri"),
+            F.grouping("o_orderstatus").cast("long").alias("g_st"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .select(
+            "g_pri", "g_st", "o_orderpriority", "o_orderstatus",
+            "n", "total_cents",
+        )
+        .orderBy("g_pri", "g_st", "o_orderpriority", "o_orderstatus")
+    )
+
+
+def q_cube_agg_oracle():
+    return """
+SELECT CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+       CAST(grouping(o_orderstatus) AS BIGINT) AS g_st,
+       o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 1.0e2) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus"""
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -8095,4 +8162,6 @@ QUERIES = {
     "quadkey": (q_quadkey, q_quadkey_oracle),
     "rolling_median": (q_rolling_median, q_rolling_median_oracle),
     "token_entropy": (q_token_entropy, q_token_entropy_oracle),
+    "theil_sen": (q_theil_sen, q_theil_sen_oracle),
+    "cube_agg": (q_cube_agg, q_cube_agg_oracle),
 }

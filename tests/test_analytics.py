@@ -82,3 +82,30 @@ def test_robust_outliers_matches_python(spark):
         assert got[g]["n_outliers"] == len(outs)
         assert got[g]["outlier_sum"] == sum(outs)
         assert got[g]["n_outliers"] >= 2  # the planted ones are caught
+
+
+def test_theil_sen_matches_numpy_median_of_slopes(spark):
+    import numpy as np
+
+    from sis_spark.operators.analytics import theil_sen
+
+    rng = np.random.default_rng(8)
+    rows, series = [], {}
+    for k in range(4):
+        ys = (7 * np.arange(15) + rng.integers(-30, 30, 15)).tolist()
+        series[k] = ys
+        rows += [(k, t, int(y)) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, ["k", "t", "y"])
+    got = {r.k: r for r in theil_sen(df, "k", "t", "y", cap=25).collect()}
+    for k, ys in series.items():
+        slopes = sorted(
+            ((ys[j] - ys[i]) / (j - i), ys[j] - ys[i], j - i, i + 1)
+            for i in range(len(ys))
+            for j in range(i + 1, len(ys))
+        )
+        q, dy, dx, _ = slopes[(len(slopes) - 1) // 2]
+        r = got[k]
+        assert (r.dy, r.dx) == (dy, dx)
+        assert r.n_pairs == len(slopes)
+        # a noisy slope-7 line: the robust estimate is near 7
+        assert 5.0 < r.slope_q / 1e6 < 9.0

@@ -95,3 +95,35 @@ def test_coincident_and_mirror_symmetry():
     de, _, _ = gd.inverse_m([0.0], [20.0], [60.0], [-35.0])
     dw, _, _ = gd.inverse_m([0.0], [20.0], [-60.0], [-35.0])
     assert abs(float(de[0]) - float(dw[0])) < 1e-6
+
+
+def test_direct_roundtrips_inverse():
+    import numpy as np
+
+    from sis_spark.functions.geodesic import direct_m, inverse_m
+
+    rng = np.random.default_rng(17)
+    n = 40
+    lat1 = rng.uniform(-80, 80, n)
+    lon1 = rng.uniform(-180, 180, n)
+    az = rng.uniform(0.05, np.pi - 0.05, n)
+    s = rng.uniform(1e3, 1.9e7, n)
+    lon2, lat2, _ = direct_m(lon1, lat1, az, s)
+    d, a1, res = inverse_m(lon1, lat1, lon2, lat2)
+    assert np.abs(d - s).max() < 1e-6          # sub-micrometer round-trip
+    assert np.abs(a1 - az).max() < 1e-12
+    assert res.max() < 1e-12
+
+
+def test_direct_equator_and_meridian():
+    import numpy as np
+
+    from sis_spark.functions.geodesic import direct_m
+
+    a = 6378137.0
+    lon2, lat2, _ = direct_m(10.0, 0.0, np.pi / 2, a * 0.25)
+    assert abs(lon2[0] - (10.0 + np.degrees(0.25))) < 1e-9
+    assert abs(lat2[0]) < 1e-9
+    # due north along the meridian keeps longitude
+    lon2, lat2, _ = direct_m(45.0, 10.0, 0.0, 3_000_000.0)
+    assert abs(lon2[0] - 45.0) < 1e-9 and lat2[0] > 36.0
