@@ -269,3 +269,168 @@ npts AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1)
 SELECT med.k, npts.n, med.n_pairs, med.dy, med.dx,
        CAST(floor(med.q * 1.0e6 + 0.12345678987) AS BIGINT) AS slope_q
 FROM med JOIN npts ON npts.k = med.k"""
+
+
+def ols_trend(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact-rational least-squares trend per key -> (key, n, slope_num,
+    slope_den, icept_num, icept_den).
+
+    With t = rank position and y the integer value: slope = (n*Sty -
+    St*Sy) / (n*Stt - St^2) and intercept = (Sy*slope_den - slope_num*St)
+    / (n*slope_den) — every quantity an int64 sum, the estimate an exact
+    rational.  ONE window pass for ranks + ONE keyed aggregation; the
+    closed form needs no iteration (contrast theil_sen's pair join)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("o")
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(order_col).alias("o"),
+        F.col(value_col).alias("y"),
+    ).withColumn("t", F.row_number().over(w).cast("long"))
+    agg = b.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    num = F.col("n") * F.col("sty") - F.col("st") * F.col("sy")
+    den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    return agg.select(
+        "k",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        (F.col("sy") * den - num * F.col("st")).alias("icept_num"),
+        (F.col("n") * den).alias("icept_den"),
+    )
+
+
+def ols_trend_sql(
+    base_select: str, key_col: str, order_col: str, value_col: str
+) -> str:
+    """DuckDB replay of ``ols_trend``."""
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, {value_col} AS y,
+         CAST(row_number() OVER (PARTITION BY {key_col}
+                                 ORDER BY {order_col}) AS BIGINT) AS t
+  FROM ({base_select}) s),
+agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n, sum(t) AS st, sum(y) AS sy,
+         sum(t * y) AS sty, sum(t * t) AS stt
+  FROM b GROUP BY 1)
+SELECT k, n,
+       CAST(n * sty - st * sy AS BIGINT) AS slope_num,
+       CAST(n * stt - st * st AS BIGINT) AS slope_den,
+       CAST(sy * (n * stt - st * st)
+            - (n * sty - st * sy) * st AS BIGINT) AS icept_num,
+       CAST(n * (n * stt - st * st) AS BIGINT) AS icept_den
+FROM agg"""
+
+
+def rank_sum_u(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Whitney U (doubled, tie-corrected) per key ->
+    (key, n1, n2, r1_2, u1_2).
+
+    ``group_col`` is 0/1.  Tied values take the AVERAGE rank; doubling
+    keeps it integer: 2*avgrank = 2*rank() + ties - 1 (rank() is the
+    1-based lower bound of the tie block, ties its size).  Then
+    U1*2 = R1*2 - n1*(n1+1).  All window + agg codegen, exact int64 —
+    the nonparametric two-sample location test of the robust-stats
+    family (robust_outliers / theil_sen are the companions)."""
+    from pyspark.sql import Window
+
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(group_col).alias("g"),
+        F.col(value_col).alias("y"),
+    )
+    wr = Window.partitionBy("k").orderBy("y")
+    wt = Window.partitionBy("k", "y")
+    b = b.withColumn(
+        "rank2",
+        2 * F.rank().over(wr).cast("long")
+        + F.count(F.lit(1)).over(wt).cast("long")
+        - 1,
+    )
+    agg = b.groupBy("k").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("g") == 1, F.col("rank2")).otherwise(0)).alias(
+            "r1_2"
+        ),
+    )
+    return agg.select(
+        "k",
+        "n1",
+        "n2",
+        "r1_2",
+        (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)).alias("u1_2"),
+    )
+
+
+def rank_sum_u_sql(
+    base_select: str, key_col: str, group_col: str, value_col: str
+) -> str:
+    """DuckDB replay of ``rank_sum_u``."""
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, {group_col} AS g, {value_col} AS y
+  FROM ({base_select}) s),
+r AS (
+  SELECT k, g,
+         2 * CAST(rank() OVER (PARTITION BY k ORDER BY y) AS BIGINT)
+         + CAST(count(*) OVER (PARTITION BY k, y) AS BIGINT) - 1 AS rank2
+  FROM b),
+agg AS (
+  SELECT k,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN g = 1 THEN rank2 ELSE 0 END) AS BIGINT) AS r1_2
+  FROM r GROUP BY 1)
+SELECT k, n1, n2, r1_2, r1_2 - n1 * (n1 + 1) AS u1_2 FROM agg"""
+
+
+def group_mode(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Deterministic mode per key -> (key, mode, n_mode): the most
+    frequent value, smallest value on frequency ties.  One count agg +
+    one rank window."""
+    from pyspark.sql import Window
+
+    cnt = df.groupBy(
+        F.col(key_col).alias("k"), F.col(value_col).alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("k").orderBy(F.col("c").desc(), F.col("v"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", F.col("v").alias("mode"), F.col("c").alias("n_mode"))
+    )
+
+
+def group_mode_sql(base_select: str, key_col: str, value_col: str) -> str:
+    """DuckDB replay of ``group_mode``."""
+    return f"""
+WITH cnt AS (
+  SELECT {key_col} AS k, {value_col} AS v, CAST(count(*) AS BIGINT) AS c
+  FROM ({base_select}) s GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY c DESC, v) AS rn
+  FROM cnt)
+SELECT k, v AS mode, c AS n_mode FROM r WHERE rn = 1"""

@@ -7975,6 +7975,97 @@ GROUP BY CUBE (o_orderpriority, o_orderstatus)
 ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus"""
 
 
+_STATS_BASE_SQL = (
+    "SELECT user_id, event_id, "
+    "CAST(floor(value * 1.0e2) AS BIGINT) AS cents FROM events"
+)
+
+
+def _stats_base_df(spark, sf_dir):
+    return _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+
+def q_ols_trend(spark, sf_dir):
+    """Exact-rational least-squares trend per user (analytics.ols_trend):
+    slope and intercept as integer numerator/denominator pairs from one
+    rank window + one aggregation — the closed-form companion of the
+    pairwise theil_sen."""
+    from .operators.analytics import ols_trend
+
+    return ols_trend(
+        _stats_base_df(spark, sf_dir), "user_id", "event_id", "cents"
+    ).orderBy("k")
+
+
+def q_ols_trend_oracle():
+    from .operators.analytics import ols_trend_sql
+
+    return (
+        "SELECT * FROM ("
+        + ols_trend_sql(_STATS_BASE_SQL, "user_id", "event_id", "cents")
+        + ") ORDER BY k"
+    )
+
+
+def q_rank_sum(spark, sf_dir):
+    """Mann-Whitney U per order priority (analytics.rank_sum_u):
+    doubled tie-corrected rank sums keep the statistic exact int64;
+    groups = finished vs open orders."""
+    from .operators.analytics import rank_sum_u
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("g"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return rank_sum_u(o, "o_orderpriority", "g", "cents").orderBy("k")
+
+
+def q_rank_sum_oracle():
+    from .operators.analytics import rank_sum_u_sql
+
+    base = (
+        "SELECT o_orderpriority, "
+        "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g, "
+        "CAST(floor(o_totalprice * 1.0e2) AS BIGINT) AS cents FROM orders"
+    )
+    return (
+        "SELECT * FROM ("
+        + rank_sum_u_sql(base, "o_orderpriority", "g", "cents")
+        + ") ORDER BY k"
+    )
+
+
+def q_group_mode(spark, sf_dir):
+    """Deterministic mode per user (analytics.group_mode) over
+    coarse-bucketed cents (div 1000) so frequency ties exercise the
+    smallest-value tie-break."""
+    from .operators.analytics import group_mode
+
+    ev = _stats_base_df(spark, sf_dir).select(
+        "user_id", F.expr("cents div 1000").alias("bucket")
+    )
+    return group_mode(ev, "user_id", "bucket").orderBy("k")
+
+
+def q_group_mode_oracle():
+    from .operators.analytics import group_mode_sql
+
+    base = (
+        "SELECT user_id, CAST(floor(value * 1.0e2) AS BIGINT) // 1000"
+        " AS bucket FROM events"
+    )
+    return (
+        "SELECT * FROM ("
+        + group_mode_sql(base, "user_id", "bucket")
+        + ") ORDER BY k"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -8164,4 +8255,7 @@ QUERIES = {
     "token_entropy": (q_token_entropy, q_token_entropy_oracle),
     "theil_sen": (q_theil_sen, q_theil_sen_oracle),
     "cube_agg": (q_cube_agg, q_cube_agg_oracle),
+    "ols_trend": (q_ols_trend, q_ols_trend_oracle),
+    "rank_sum": (q_rank_sum, q_rank_sum_oracle),
+    "group_mode": (q_group_mode, q_group_mode_oracle),
 }

@@ -109,3 +109,69 @@ def test_theil_sen_matches_numpy_median_of_slopes(spark):
         assert r.n_pairs == len(slopes)
         # a noisy slope-7 line: the robust estimate is near 7
         assert 5.0 < r.slope_q / 1e6 < 9.0
+
+
+def test_ols_trend_exact_rational(spark):
+    import numpy as np
+
+    from sis_spark.operators.analytics import ols_trend
+
+    rng = np.random.default_rng(12)
+    rows, series = [], {}
+    for k in range(3):
+        ys = (5 * np.arange(1, 13) + rng.integers(-9, 9, 12)).tolist()
+        series[k] = ys
+        rows += [(k, t, int(y)) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, ["k", "t", "y"])
+    got = {r.k: r for r in ols_trend(df, "k", "t", "y").collect()}
+    for k, ys in series.items():
+        t = np.arange(1, len(ys) + 1, dtype=np.int64)
+        y = np.asarray(ys, np.int64)
+        n = len(ys)
+        num = n * int((t * y).sum()) - int(t.sum()) * int(y.sum())
+        den = n * int((t * t).sum()) - int(t.sum()) ** 2
+        r = got[k]
+        assert (r.slope_num, r.slope_den) == (num, den)
+        # against numpy lstsq
+        m, b = np.polyfit(t.astype(float), y.astype(float), 1)
+        assert abs(num / den - m) < 1e-9
+        assert abs(r.icept_num / r.icept_den - b) < 1e-9
+
+
+def test_rank_sum_u_matches_scipy_formula(spark):
+    import numpy as np
+
+    from sis_spark.operators.analytics import rank_sum_u
+
+    rng = np.random.default_rng(14)
+    g1 = rng.integers(0, 20, 15)  # small range forces ties
+    g2 = rng.integers(5, 25, 12)
+    rows = [(0, 1, int(v)) for v in g1] + [(0, 0, int(v)) for v in g2]
+    df = spark.createDataFrame(rows, ["k", "g", "y"])
+    (r,) = rank_sum_u(df, "k", "g", "y").collect()
+    # brute: average ranks over the combined sample
+    allv = sorted(list(g1) + list(g2))
+    import collections
+    first = {}
+    cnt = collections.Counter(allv)
+    pos = 1
+    for v in sorted(cnt):
+        first[v] = pos
+        pos += cnt[v]
+    avg2 = {v: 2 * first[v] + cnt[v] - 1 for v in cnt}  # 2 * average rank
+    r1_2 = sum(avg2[v] for v in g1)
+    u1_2 = r1_2 - len(g1) * (len(g1) + 1)
+    assert (r.n1, r.n2, r.r1_2, r.u1_2) == (len(g1), len(g2), r1_2, u1_2)
+    # U1 + U2 = n1*n2 (tie-corrected identity, doubled)
+    r2_2 = sum(avg2[v] for v in g2)
+    u2_2 = r2_2 - len(g2) * (len(g2) + 1)
+    assert u1_2 + u2_2 == 2 * len(g1) * len(g2)
+
+
+def test_group_mode_tie_breaks_smallest(spark):
+    from sis_spark.operators.analytics import group_mode
+
+    rows = [(0, 5), (0, 5), (0, 3), (0, 3), (0, 9)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    (r,) = group_mode(df, "k", "v").collect()
+    assert (r.mode, r.n_mode) == (3, 2)
