@@ -434,3 +434,185 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY k ORDER BY c DESC, v) AS rn
   FROM cnt)
 SELECT k, v AS mode, c AS n_mode FROM r WHERE rn = 1"""
+
+
+def weighted_median(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Weighted lower median per key -> (key, wmed, w_total): the smallest
+    value whose running weight (in (value, …) order) reaches half the
+    total, i.e. 2*cumw >= totw — exact int64 comparisons for integer
+    weights, one sort window + one filter."""
+    from pyspark.sql import Window
+
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(value_col).alias("v"),
+        F.col(weight_col).alias("w"),
+    )
+    wo = Window.partitionBy("k").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("k")
+    r = (
+        b.withColumn("cumw", F.sum("w").over(wo))
+        .withColumn("totw", F.sum("w").over(tot))
+        .filter(2 * F.col("cumw") >= F.col("totw"))
+    )
+    wpick = Window.partitionBy("k").orderBy("v")
+    return (
+        r.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select("k", F.col("v").alias("wmed"), F.col("totw").alias("w_total"))
+    )
+
+
+def weighted_median_sql(
+    base_select: str, key_col: str, value_col: str, weight_col: str
+) -> str:
+    """DuckDB replay of ``weighted_median``.  NOTE: the running sum must
+    use an explicit ROWS frame — the default RANGE frame would merge tied
+    values (lumping a tie block's weight into its first row), which is a
+    DIFFERENT (also valid) definition; ROWS matches the engine."""
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, {value_col} AS v, {weight_col} AS w
+  FROM ({base_select}) s),
+r AS (
+  SELECT k, v,
+         sum(w) OVER (PARTITION BY k ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         sum(w) OVER (PARTITION BY k) AS totw
+  FROM b),
+f AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY v) AS rn
+  FROM r WHERE 2 * cumw >= totw)
+SELECT k, v AS wmed, CAST(totw AS BIGINT) AS w_total FROM f WHERE rn = 1"""
+
+
+def rle_segments(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+) -> DataFrame:
+    """Run-length encoding of a per-key ordered state sequence ->
+    (key, seg, state, o_start, o_end, run_len): maximal runs of equal
+    consecutive states.  The one-window-pass formulation (change flag =
+    state <> lag(state), segment id = running flag sum) — the
+    interval_union pattern applied to categorical runs."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("o")
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(order_col).alias("o"),
+        F.col(state_col).alias("st"),
+    )
+    flagged = b.withColumn(
+        "f",
+        F.when(
+            F.lag("st").over(w).isNull()
+            | (F.lag("st").over(w) != F.col("st")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "seg",
+        F.sum("f").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return flagged.groupBy("k", "seg").agg(
+        F.min("st").alias("state"),
+        F.min("o").alias("o_start"),
+        F.max("o").alias("o_end"),
+        F.count(F.lit(1)).alias("run_len"),
+    )
+
+
+def rle_segments_sql(
+    base_select: str, key_col: str, order_col: str, state_col: str
+) -> str:
+    """DuckDB replay of ``rle_segments``."""
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, {order_col} AS o, {state_col} AS st
+  FROM ({base_select}) s),
+fl AS (
+  SELECT *, CASE WHEN lag(st) OVER w IS NULL OR lag(st) OVER w <> st
+                 THEN 1 ELSE 0 END AS f
+  FROM b WINDOW w AS (PARTITION BY k ORDER BY o)),
+g AS (
+  SELECT *, sum(f) OVER (PARTITION BY k ORDER BY o
+                         ROWS UNBOUNDED PRECEDING) AS seg
+  FROM fl)
+SELECT k, CAST(seg AS BIGINT) AS seg, min(st) AS state,
+       min(o) AS o_start, max(o) AS o_end,
+       CAST(count(*) AS BIGINT) AS run_len
+FROM g GROUP BY k, seg"""
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attrs: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change log ->
+    (key, *attrs, valid_from, valid_to, is_current): each change event
+    opens a version valid until the NEXT change (lead), the last version
+    open-ended (valid_to NULL).  Consecutive duplicates (no attribute
+    actually changed) are collapsed first — the warehouse-standard
+    compaction.  One window pass end to end."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("ts")
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("ts"),
+        *[F.col(a) for a in attrs],
+    )
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.lag(a).over(w).eqNullSafe(F.col(a))
+    b = b.withColumn(
+        "f", F.when(F.lag("ts").over(w).isNull() | changed, 1).otherwise(0)
+    ).filter(F.col("f") == 1)
+    w2 = Window.partitionBy("k").orderBy("ts")
+    return (
+        b.withColumn("valid_to", F.lead("ts").over(w2))
+        .select(
+            "k",
+            *attrs,
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+def scd2_intervals_sql(
+    base_select: str, key_col: str, ts_col: str, attrs: list[str]
+) -> str:
+    """DuckDB replay of ``scd2_intervals`` (IS DISTINCT FROM mirrors the
+    null-safe change test)."""
+    chg = " OR ".join(
+        f"lag({a}) OVER w IS DISTINCT FROM {a}" for a in attrs
+    )
+    alist = ", ".join(attrs)
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, {ts_col} AS ts, {alist}
+  FROM ({base_select}) s),
+fl AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL OR {chg}
+                 THEN 1 ELSE 0 END AS f
+  FROM b WINDOW w AS (PARTITION BY k ORDER BY ts)),
+c AS (SELECT * FROM fl WHERE f = 1),
+v AS (
+  SELECT *, lead(ts) OVER (PARTITION BY k ORDER BY ts) AS valid_to
+  FROM c)
+SELECT k, {alist}, ts AS valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM v"""

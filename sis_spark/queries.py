@@ -8066,6 +8066,86 @@ def q_group_mode_oracle():
     )
 
 
+def q_weighted_median(spark, sf_dir):
+    """Weighted lower median per priority (analytics.weighted_median):
+    smallest value whose running weight reaches half the total — exact
+    int64 comparisons; the picked VALUE is invariant to tie order inside
+    the running-sum frame (weights of equal values aggregate)."""
+    from .operators.analytics import weighted_median
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (1 + F.col("o_orderkey") % 7).alias("wt"),
+    )
+    return weighted_median(o, "o_orderpriority", "cents", "wt").orderBy("k")
+
+
+def q_weighted_median_oracle():
+    from .operators.analytics import weighted_median_sql
+
+    base = (
+        "SELECT o_orderpriority, "
+        "CAST(floor(o_totalprice * 1.0e2) AS BIGINT) AS cents, "
+        "1 + o_orderkey % 7 AS wt FROM orders"
+    )
+    return (
+        "SELECT * FROM ("
+        + weighted_median_sql(base, "o_orderpriority", "cents", "wt")
+        + ") ORDER BY k"
+    )
+
+
+def q_rle_segments(spark, sf_dir):
+    """Run-length encoding of per-user event-type sequences
+    (analytics.rle_segments): maximal runs of equal consecutive states by
+    the one-window-pass change-flag formulation."""
+    from .operators.analytics import rle_segments
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    return rle_segments(ev, "user_id", "event_id", "event_type").orderBy(
+        "k", "seg"
+    )
+
+
+def q_rle_segments_oracle():
+    from .operators.analytics import rle_segments_sql
+
+    base = "SELECT user_id, event_id, event_type FROM events"
+    return (
+        "SELECT * FROM ("
+        + rle_segments_sql(base, "user_id", "event_id", "event_type")
+        + ") ORDER BY k, seg"
+    )
+
+
+def q_scd2(spark, sf_dir):
+    """SCD type-2 history from the event change log (analytics.
+    scd2_intervals): consecutive duplicate states collapse, each version
+    valid until the next change, last version open-ended."""
+    from .operators.analytics import scd2_intervals
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    return scd2_intervals(
+        ev, "user_id", "event_id", ["event_type"]
+    ).orderBy("k", "valid_from")
+
+
+def q_scd2_oracle():
+    from .operators.analytics import scd2_intervals_sql
+
+    base = "SELECT user_id, event_id, event_type FROM events"
+    return (
+        "SELECT * FROM ("
+        + scd2_intervals_sql(base, "user_id", "event_id", ["event_type"])
+        + ") ORDER BY k, valid_from"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -8258,4 +8338,7 @@ QUERIES = {
     "ols_trend": (q_ols_trend, q_ols_trend_oracle),
     "rank_sum": (q_rank_sum, q_rank_sum_oracle),
     "group_mode": (q_group_mode, q_group_mode_oracle),
+    "weighted_median": (q_weighted_median, q_weighted_median_oracle),
+    "rle_segments": (q_rle_segments, q_rle_segments_oracle),
+    "scd2": (q_scd2, q_scd2_oracle),
 }

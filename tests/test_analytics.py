@@ -175,3 +175,36 @@ def test_group_mode_tie_breaks_smallest(spark):
     df = spark.createDataFrame(rows, ["k", "v"])
     (r,) = group_mode(df, "k", "v").collect()
     assert (r.mode, r.n_mode) == (3, 2)
+
+
+def test_weighted_median_reference(spark):
+    from sis_spark.operators.analytics import weighted_median
+
+    rows = [(0, 10, 1), (0, 20, 5), (0, 30, 1),  # weight mass at 20
+            (1, 1, 1), (1, 2, 1), (1, 3, 1), (1, 4, 1)]  # even: lower median
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    got = {r.k: (r.wmed, r.w_total) for r in weighted_median(df, "k", "v", "w").collect()}
+    assert got[0] == (20, 7)
+    assert got[1] == (2, 4)  # 2*cumw(2)=4 >= 4: lower median
+
+
+def test_rle_and_scd2_consistency(spark):
+    from sis_spark.operators.analytics import rle_segments, scd2_intervals
+
+    seq = ["a", "a", "b", "b", "b", "a", "c", "c"]
+    rows = [(1, t, s) for t, s in enumerate(seq)]
+    df = spark.createDataFrame(rows, ["k", "t", "st"])
+    segs = sorted(
+        (r.seg, r.state, r.o_start, r.o_end, r.run_len)
+        for r in rle_segments(df, "k", "t", "st").collect()
+    )
+    assert segs == [(1, "a", 0, 1, 2), (2, "b", 2, 4, 3),
+                    (3, "a", 5, 5, 1), (4, "c", 6, 7, 2)]
+    vers = sorted(
+        (r.valid_from, r.valid_to, r.event_type if hasattr(r, "event_type") else r.st, r.is_current)
+        for r in scd2_intervals(df, "k", "t", ["st"]).collect()
+    )
+    assert vers == [(0, 2, "a", False), (2, 5, "b", False),
+                    (5, 6, "a", False), (6, None, "c", True)]
+    # every SCD2 version spans exactly one RLE run
+    assert len(vers) == len(segs)
