@@ -266,17 +266,7 @@ def k_core(
     for _ in range(max_rounds):
         if n_edges == 0:
             break
-        keep = (
-            cur.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= k)
-            .select("u")
-        )
-        nxt = (
-            cur.join(keep, "u", "semi")
-            .join(keep.withColumnRenamed("u", "v"), "v", "semi")
-            .localCheckpoint()
-        )
+        nxt = _peel_round(cur, k).localCheckpoint()
         n_next = nxt.count()
         cur = nxt
         if n_next == n_edges:
@@ -284,6 +274,21 @@ def k_core(
         n_edges = n_next
     return cur.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
+    )
+
+
+def _peel_round(cur: DataFrame, k: int) -> DataFrame:
+    """One k-core peel round: degree agg + two semi-joins (both endpoints
+    must survive).  Factored out so test_plans can assert the round's plan
+    shape — inside ``k_core`` each round is hidden behind localCheckpoint."""
+    keep = (
+        cur.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= k)
+        .select("u")
+    )
+    return cur.join(keep, "u", "semi").join(
+        keep.withColumnRenamed("u", "v"), "v", "semi"
     )
 
 

@@ -259,3 +259,86 @@ def test_triangle_count_equi_only(spark):
     plan = _plan(triangle_count(edges))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_iou_join_equi_only_and_python_free(spark):
+    """Detection-box IoU join: ONE equi-join on image_id + codegen integer
+    arithmetic — no nested-loop join, no Python stage."""
+    from sis_spark.operators.boxes import iou_join
+
+    b = spark.range(200).select(
+        (F.col("id") % 20).alias("image_id"),
+        F.col("id").alias("box_id"),
+        (F.col("id") * 7 % 100).alias("x1"),
+        (F.col("id") * 11 % 100).alias("y1"),
+        (F.col("id") * 7 % 100 + 10).alias("x2"),
+        (F.col("id") * 11 % 100 + 10).alias("y2"),
+    )
+    plan = _plan(iou_join(b.filter("box_id % 2 = 0"), b.filter("box_id % 2 = 1")))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_rolling_median_and_theil_sen_band_joins_are_equi(spark):
+    """The band self-joins (rolling median window, Theil-Sen pairs) must
+    hash/sort-merge on the key with the rank band as a join FILTER — never
+    a nested-loop over unrelated keys — and stay Python-free."""
+    from sis_spark.operators.analytics import theil_sen
+    from sis_spark.operators.timeseries import rolling_median
+
+    df = spark.range(300).select(
+        (F.col("id") % 10).alias("k"),
+        F.col("id").alias("t"),
+        (F.col("id") * 13 % 97).alias("x"),
+    )
+    for q in (
+        rolling_median(df, "k", "t", "x", width=5),
+        theil_sen(df, "k", "t", "x", cap=10),
+    ):
+        plan = _plan(q)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+
+
+def test_letterbox_and_quadkey_pure_codegen(spark):
+    """Letterbox remap and quadkey encoding are map-only codegen — no
+    shuffle beyond the dims equi-join, no Python."""
+    from sis_spark.functions.transforms import quadkey_col
+    from sis_spark.operators.boxes import letterbox_boxes
+
+    b = spark.range(100).select(
+        (F.col("id") % 10).alias("image_id"),
+        F.col("id").alias("box_id"),
+        F.lit(0).alias("x1"), F.lit(0).alias("y1"),
+        F.lit(50).alias("x2"), F.lit(40).alias("y2"),
+        F.lit(0).alias("score"),
+    )
+    dims = spark.range(10).select(
+        F.col("id").alias("image_id"),
+        (200 + F.col("id")).alias("w"),
+        (100 + F.col("id")).alias("h"),
+    )
+    plan = _plan(letterbox_boxes(b, dims, 640, 640))
+    assert "Python" not in plan
+
+    qk = spark.range(100).select(
+        quadkey_col((F.col("id") * 3) % 256, (F.col("id") * 5) % 256, 8)
+    )
+    plan = _plan(qk)
+    assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_kcore_round_is_two_semi_joins(spark):
+    """One k-core peel round: degree agg + two LeftSemi joins, no
+    nested loop."""
+    from sis_spark.operators.graph import _peel_round
+
+    edges = spark.range(60).select(
+        (F.col("id") % 20).alias("u"), ((F.col("id") * 7 + 1) % 20).alias("v")
+    )
+    plan = _plan(_peel_round(edges, k=2))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftSemi") >= 2
