@@ -616,3 +616,122 @@ v AS (
 SELECT k, {alist}, ts AS valid_from, valid_to,
        valid_to IS NULL AS is_current
 FROM v"""
+
+
+def corr_moments(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Pearson correlation in exact integer moments per key ->
+    (key, n, cov_n2, varx_n2, vary_n2, corr_q).
+
+    cov_n2 = n*Sxy - Sx*Sy and var*_n2 = n*Sxx - Sx^2 are the covariance
+    and variances scaled by n^2 — exact int64 from ONE aggregation.
+    corr_q = floor(cov / sqrt(varx*vary) * 1e6 + offset) is the quantized
+    export (identical IEEE sequence in both engines: one multiply, one
+    sqrt, one divide)."""
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    )
+    agg = b.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = cov.cast("double") / F.sqrt(
+        vx.cast("double") * vy.cast("double")
+    )
+    return agg.select(
+        "k",
+        "n",
+        cov.alias("cov_n2"),
+        vx.alias("varx_n2"),
+        vy.alias("vary_n2"),
+        F.floor(corr * F.expr("1.0e6") + F.expr("0.12345678987"))
+        .cast("long")
+        .alias("corr_q"),
+    )
+
+
+def corr_moments_sql(
+    base_select: str, key_col: str, x_col: str, y_col: str
+) -> str:
+    """DuckDB replay of ``corr_moments``."""
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, {x_col} AS x, {y_col} AS y
+  FROM ({base_select}) s),
+agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM b GROUP BY 1)
+SELECT k, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS cov_n2,
+       CAST(n * sxx - sx * sx AS BIGINT) AS varx_n2,
+       CAST(n * syy - sy * sy AS BIGINT) AS vary_n2,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE))
+                  * 1.0e6 + 0.12345678987) AS BIGINT) AS corr_q
+FROM agg"""
+
+
+def gini(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Gini concentration per key -> (key, n, gini_num, gini_den):
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over values sorted
+    ascending (``id_col`` breaks ties) — an exact int64 rational for
+    non-negative integer values.  One rank window + one aggregation."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("v", "i")
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(value_col).alias("v"),
+        F.col(id_col).alias("i"),
+    ).withColumn("r", F.row_number().over(w).cast("long"))
+    agg = b.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("r") * F.col("v")).alias("srv"),
+    )
+    return agg.select(
+        "k",
+        "n",
+        (2 * F.col("srv") - (F.col("n") + 1) * F.col("sv")).alias("gini_num"),
+        (F.col("n") * F.col("sv")).alias("gini_den"),
+    )
+
+
+def gini_sql(
+    base_select: str, key_col: str, value_col: str, id_col: str
+) -> str:
+    """DuckDB replay of ``gini``."""
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, {value_col} AS v, {id_col} AS i,
+         CAST(row_number() OVER (PARTITION BY {key_col}
+              ORDER BY {value_col}, {id_col}) AS BIGINT) AS r
+  FROM ({base_select}) s),
+agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n, sum(v) AS sv,
+         sum(r * v) AS srv
+  FROM b GROUP BY 1)
+SELECT k, n,
+       CAST(2 * srv - (n + 1) * sv AS BIGINT) AS gini_num,
+       CAST(n * sv AS BIGINT) AS gini_den
+FROM agg"""

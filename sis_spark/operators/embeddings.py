@@ -272,3 +272,32 @@ def cluster_balanced(
         id_col, "cluster"
     )
     return group_cap(assigned, "cluster", cap, id_col)
+
+
+def sparse_matmul(
+    a: DataFrame,
+    b: DataFrame,
+) -> DataFrame:
+    """Distributed sparse matrix multiply C = A @ B over COO triples ->
+    (i, j, v).  ``a``: (i, k, v); ``b``: (k, j, w); integer values stay
+    exact.
+
+    This IS the canonical shuffle shape: one equi-join on the contraction
+    index k (the only unavoidable shuffle) followed by a map-side-combined
+    (i, j) aggregation.  Skewed k rows (a dense column meeting a dense
+    row) are the classic hot key — AQE skew-join handles moderate skew,
+    and the caller can pre-split a pathological k by salting both sides
+    with the same factor (the spatial_join_salted pattern)."""
+    prod = a.join(b, "k").select(
+        "i", "j", (F.col("v") * F.col("w")).alias("p")
+    )
+    return prod.groupBy("i", "j").agg(F.sum("p").alias("v"))
+
+
+def sparse_matmul_sql(a_select: str, b_select: str) -> str:
+    """DuckDB replay of ``sparse_matmul``."""
+    return f"""
+WITH a AS ({a_select}), b AS ({b_select})
+SELECT a.i, b.j, CAST(sum(a.v * b.w) AS BIGINT) AS v
+FROM a JOIN b ON b.k = a.k
+GROUP BY 1, 2"""

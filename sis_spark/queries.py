@@ -8146,6 +8146,97 @@ def q_scd2_oracle():
     )
 
 
+def q_corr_pairs(spark, sf_dir):
+    """Pearson correlation per user (analytics.corr_moments): covariance
+    and variances as exact n^2-scaled int64 moments from ONE aggregation;
+    only the final normalize (multiply, sqrt, divide) is FP and it is
+    floor-quantized."""
+    from .operators.analytics import corr_moments
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("x"),
+        (F.col("event_id") * 7 % 1000).alias("y"),
+    )
+    return corr_moments(ev, "user_id", "x", "y").orderBy("k")
+
+
+def q_corr_pairs_oracle():
+    from .operators.analytics import corr_moments_sql
+
+    base = (
+        "SELECT user_id, CAST(floor(value * 1.0e2) AS BIGINT) AS x, "
+        "event_id * 7 % 1000 AS y FROM events"
+    )
+    return (
+        "SELECT * FROM ("
+        + corr_moments_sql(base, "user_id", "x", "y")
+        + ") ORDER BY k"
+    )
+
+
+def q_gini(spark, sf_dir):
+    """Gini concentration of order totals per priority (analytics.gini):
+    exact int64 rational from one rank window + one aggregation."""
+    from .operators.analytics import gini
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    return gini(o, "o_orderpriority", "cents", "o_orderkey").orderBy("k")
+
+
+def q_gini_oracle():
+    from .operators.analytics import gini_sql
+
+    base = (
+        "SELECT o_orderpriority, "
+        "CAST(floor(o_totalprice * 1.0e2) AS BIGINT) AS cents, "
+        "o_orderkey FROM orders"
+    )
+    return (
+        "SELECT * FROM ("
+        + gini_sql(base, "o_orderpriority", "cents", "o_orderkey")
+        + ") ORDER BY k"
+    )
+
+
+def q_matmul(spark, sf_dir):
+    """Distributed sparse matmul (embeddings.sparse_matmul): COO triples
+    synthesized from orders x customer, ONE equi-join on the contraction
+    index + map-side-combined (i, j) aggregation — the canonical shuffle
+    shape, exact int64."""
+    from .operators.embeddings import sparse_matmul
+
+    ok = F.col("o_orderkey")
+    ck = F.col("c_custkey")
+    a = _read(spark, sf_dir, "orders").select(
+        (ok % 13).alias("i"), (ok % 17).alias("k"), (ok % 5 + 1).alias("v")
+    )
+    b = _read(spark, sf_dir, "customer").select(
+        (ck % 17).alias("k"), (ck % 11).alias("j"), (ck % 7 + 1).alias("w")
+    )
+    return sparse_matmul(a, b).orderBy("i", "j")
+
+
+def q_matmul_oracle():
+    from .operators.embeddings import sparse_matmul_sql
+
+    a = (
+        "SELECT o_orderkey % 13 AS i, o_orderkey % 17 AS k, "
+        "o_orderkey % 5 + 1 AS v FROM orders"
+    )
+    b = (
+        "SELECT c_custkey % 17 AS k, c_custkey % 11 AS j, "
+        "c_custkey % 7 + 1 AS w FROM customer"
+    )
+    return (
+        "SELECT * FROM (" + sparse_matmul_sql(a, b) + ") ORDER BY i, j"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -8341,4 +8432,7 @@ QUERIES = {
     "weighted_median": (q_weighted_median, q_weighted_median_oracle),
     "rle_segments": (q_rle_segments, q_rle_segments_oracle),
     "scd2": (q_scd2, q_scd2_oracle),
+    "corr_pairs": (q_corr_pairs, q_corr_pairs_oracle),
+    "gini": (q_gini, q_gini_oracle),
+    "matmul": (q_matmul, q_matmul_oracle),
 }

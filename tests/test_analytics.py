@@ -208,3 +208,50 @@ def test_rle_and_scd2_consistency(spark):
                     (5, 6, "a", False), (6, None, "c", True)]
     # every SCD2 version spans exactly one RLE run
     assert len(vers) == len(segs)
+
+
+def test_corr_moments_matches_numpy(spark):
+    import numpy as np
+
+    from sis_spark.operators.analytics import corr_moments
+
+    rng = np.random.default_rng(19)
+    x = rng.integers(0, 100, 40)
+    y = 3 * x + rng.integers(-20, 20, 40)
+    rows = [(0, int(a), int(b)) for a, b in zip(x, y)]
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    (r,) = corr_moments(df, "k", "x", "y").collect()
+    ref = np.corrcoef(x, y)[0, 1]
+    assert abs(r.corr_q / 1e6 - ref) < 1e-5
+    n = len(x)
+    assert r.cov_n2 == n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+
+
+def test_gini_extremes(spark):
+    from sis_spark.operators.analytics import gini
+
+    rows_eq = [(0, 10, i) for i in range(8)]           # perfect equality
+    rows_con = [(1, 0, i) for i in range(7)] + [(1, 100, 7)]  # all in one hand
+    df = spark.createDataFrame(rows_eq + rows_con, ["k", "v", "i"])
+    got = {r.k: (r.gini_num, r.gini_den) for r in gini(df, "k", "v", "i").collect()}
+    assert got[0][0] == 0                              # G = 0
+    num, den = got[1]
+    assert num / den == (8 - 1) / 8                    # G = (n-1)/n
+
+
+def test_sparse_matmul_matches_numpy(spark):
+    import numpy as np
+
+    from sis_spark.operators.embeddings import sparse_matmul
+
+    rng = np.random.default_rng(23)
+    A = rng.integers(0, 5, (6, 7))
+    B = rng.integers(0, 5, (7, 4))
+    a_rows = [(i, k, int(A[i, k])) for i in range(6) for k in range(7) if A[i, k]]
+    b_rows = [(k, j, int(B[k, j])) for k in range(7) for j in range(4) if B[k, j]]
+    a = spark.createDataFrame(a_rows, ["i", "k", "v"])
+    b = spark.createDataFrame(b_rows, ["k", "j", "w"])
+    got = {(r.i, r.j): r.v for r in sparse_matmul(a, b).collect()}
+    C = A @ B
+    exp = {(i, j): int(C[i, j]) for i in range(6) for j in range(4) if C[i, j]}
+    assert got == exp
