@@ -722,3 +722,117 @@ ranked AS (
   FROM j)
 SELECT k, o, x, n_win, xs AS med
 FROM ranked WHERE pos - 1 = (n_win - 1) // 2"""
+
+
+# ---------------------------------------------------------------- isotonic
+# Isotonic regression by Pool-Adjacent-Violators (PAVA; Barlow et al. 1972,
+# public literature) — the calibration-curve fit (classifier score ->
+# probability) every training pipeline runs before thresholding.  The
+# least-squares monotone fit is piecewise constant; each block's fitted
+# value is the EXACT RATIONAL mean (sum, count) of its pooled points, so
+# the whole output is int64 pairs.  The oracle replays PAVA as a lockstep
+# EVENT LOOP: one recursive-CTE round = one event (merge the two top
+# blocks if the last mean dropped below the previous, else consume the
+# next point); every key advances one event per round and drops out when
+# done, so the recursion is bounded by 2n rounds.
+
+
+def isotonic_fit(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Increasing isotonic fit per key -> (key, blk, r_start, r_end,
+    fit_num, fit_den): maximal constant blocks of the monotone
+    least-squares fit, fitted value = fit_num/fit_den (exact block mean).
+    applyInPandas per key; the stack never exceeds the series length."""
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("o", kind="mergesort")
+        ys = pdf["y"].tolist()
+        stack: list[list[int]] = []  # [sum, count]
+        for y in ys:
+            stack.append([int(y), 1])
+            # merge while mean(last) < mean(prev)  (strict violation)
+            while (
+                len(stack) >= 2
+                and stack[-1][0] * stack[-2][1]
+                < stack[-2][0] * stack[-1][1]
+            ):
+                s2, c2 = stack.pop()
+                stack[-1][0] += s2
+                stack[-1][1] += c2
+        rows = []
+        pos = 1
+        for b, (s, c) in enumerate(stack):
+            rows.append(
+                {
+                    "k": pdf["k"].iloc[0],
+                    "blk": b + 1,
+                    "r_start": pos,
+                    "r_end": pos + c - 1,
+                    "fit_num": s,
+                    "fit_den": c,
+                }
+            )
+            pos += c
+        return pd.DataFrame(rows)
+
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(order_col).alias("o"),
+        F.col(value_col).alias("y"),
+    )
+    return b.groupBy("k").applyInPandas(
+        fn,
+        schema=(
+            "k long, blk long, r_start long, r_end long, "
+            "fit_num long, fit_den long"
+        ),
+    )
+
+
+def isotonic_fit_sql(base_select: str) -> str:
+    """DuckDB oracle for ``isotonic_fit``: PAVA as a lockstep recursive
+    CTE event loop over (idx consumed, stack LIST of {s, c} structs).
+    ``base_select`` must yield (k, o, y)."""
+    merge_cond = (
+        "len(stack) >= 2 AND stack[len(stack)].s * stack[len(stack) - 1].c"
+        " < stack[len(stack) - 1].s * stack[len(stack)].c"
+    )
+    merged = (
+        "list_append(stack[1:len(stack) - 2],"
+        " {'s': stack[len(stack) - 1].s + stack[len(stack)].s,"
+        "  'c': stack[len(stack) - 1].c + stack[len(stack)].c})"
+    )
+    return f"""
+WITH RECURSIVE b AS ({base_select}),
+pts AS (
+  SELECT k, list(y ORDER BY o) AS ys, CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY 1),
+st(k, ys, n, idx, stack) AS (
+  SELECT k, ys, n, 0, CAST([] AS STRUCT(s BIGINT, c BIGINT)[])
+  FROM pts
+  UNION ALL
+  SELECT k, ys, n,
+         CASE WHEN {merge_cond} THEN idx ELSE idx + 1 END,
+         CASE WHEN {merge_cond} THEN {merged}
+              ELSE list_append(stack, {{'s': ys[idx + 1], 'c': 1}}) END
+  FROM st WHERE ({merge_cond}) OR idx < n),
+fin AS (SELECT k, stack FROM st WHERE idx >= n AND NOT ({merge_cond})),
+u AS (
+  SELECT k, unnest(stack) AS blk_s,
+         generate_subscripts(stack, 1) AS blk
+  FROM fin),
+pos AS (
+  SELECT k, blk, blk_s.s AS fit_num, blk_s.c AS fit_den,
+         CAST(1 + COALESCE(sum(blk_s.c) OVER (PARTITION BY k ORDER BY blk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS r_start
+  FROM u)
+SELECT k, CAST(blk AS BIGINT) AS blk, r_start,
+       r_start + fit_den - 1 AS r_end,
+       CAST(fit_num AS BIGINT) AS fit_num, CAST(fit_den AS BIGINT) AS fit_den
+FROM pos"""

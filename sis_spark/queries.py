@@ -8237,6 +8237,30 @@ def q_matmul_oracle():
     )
 
 
+def q_isotonic(spark, sf_dir):
+    """Isotonic regression per user (timeseries.isotonic_fit): PAVA over
+    the event cent series — blocks of the monotone least-squares fit with
+    exact rational means; oracle replays PAVA as a lockstep recursive-CTE
+    event loop (merge-or-consume per round, keys drop out when done)."""
+    from .operators.timeseries import isotonic_fit
+
+    return isotonic_fit(
+        _stats_base_df(spark, sf_dir), "user_id", "event_id", "cents"
+    ).orderBy("k", "blk")
+
+
+def q_isotonic_oracle():
+    from .operators.timeseries import isotonic_fit_sql
+
+    base = (
+        "SELECT user_id AS k, event_id AS o, "
+        "CAST(floor(value * 1.0e2) AS BIGINT) AS y FROM events"
+    )
+    return (
+        "SELECT * FROM (" + isotonic_fit_sql(base) + ") ORDER BY k, blk"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -8435,4 +8459,5 @@ QUERIES = {
     "corr_pairs": (q_corr_pairs, q_corr_pairs_oracle),
     "gini": (q_gini, q_gini_oracle),
     "matmul": (q_matmul, q_matmul_oracle),
+    "isotonic": (q_isotonic, q_isotonic_oracle),
 }

@@ -353,3 +353,43 @@ def test_changepoint_finds_planted_shift(spark):
         ),
     )
     assert got[0]["k_best"] == best
+
+
+def test_isotonic_fit_properties(spark):
+    import numpy as np
+
+    from sis_spark.operators.timeseries import isotonic_fit
+
+    rng = np.random.default_rng(31)
+    rows, series = [], {}
+    for k in range(6):
+        ys = (np.arange(20) * 2 + rng.integers(-15, 15, 20)).tolist()
+        series[k] = ys
+        rows += [(k, o, int(y)) for o, y in enumerate(ys)]
+    rows += [(9, o, 10 - o) for o in range(5)]  # decreasing -> single block
+    series[9] = [10 - o for o in range(5)]
+    df = spark.createDataFrame(rows, ["k", "t", "y"])
+    got = {}
+    for r in isotonic_fit(df, "k", "t", "y").collect():
+        got.setdefault(r.k, []).append(r)
+    for k, ys in series.items():
+        blocks = sorted(got[k], key=lambda r: r.blk)
+        # partition covers 1..n contiguously
+        assert blocks[0].r_start == 1 and blocks[-1].r_end == len(ys)
+        for a, b in zip(blocks, blocks[1:]):
+            assert b.r_start == a.r_end + 1
+            # fitted means strictly increasing across blocks (rational cmp)
+            assert a.fit_num * b.fit_den < b.fit_num * a.fit_den
+        # block means are exact means of the covered points
+        for b in blocks:
+            seg = ys[b.r_start - 1: b.r_end]
+            assert b.fit_num == sum(seg) and b.fit_den == len(seg)
+        # least-squares optimality vs sklearn-style check: fit is the
+        # isotonic projection, so SSE <= SSE of any other monotone fit;
+        # spot-check vs the constant overall-mean fit
+        fit = np.concatenate([
+            np.full(b.fit_den, b.fit_num / b.fit_den) for b in blocks
+        ])
+        y = np.asarray(ys, float)
+        assert ((y - fit) ** 2).sum() <= ((y - y.mean()) ** 2).sum() + 1e-9
+    assert len(got[9]) == 1  # decreasing input pools to one block
