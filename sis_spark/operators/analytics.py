@@ -735,3 +735,174 @@ SELECT k, n,
        CAST(2 * srv - (n + 1) * sv AS BIGINT) AS gini_num,
        CAST(n * sv AS BIGINT) AS gini_den
 FROM agg"""
+
+
+def kendall_tau(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    cap: int = 25,
+) -> DataFrame:
+    """Kendall rank-correlation counts per key -> (key, n, n_pairs, nc,
+    nd, n_tie): concordant / discordant / value-tied pair counts over the
+    first ``cap`` points — exact int64; tau-a = (nc-nd)/n_pairs and tau-b
+    follow from the counts, computed by the caller in whatever precision
+    they need.  Same capped band self-join shape as theil_sen."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("o")
+    b = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(order_col).alias("o"),
+            F.col(value_col).alias("y"),
+        )
+        .withColumn("t", F.row_number().over(w).cast("long"))
+        .filter(F.col("t") <= int(cap))
+    )
+    lhs = b.select("k", F.col("t").alias("ti"), F.col("y").alias("yi"))
+    rhs = b.select(
+        F.col("k").alias("k2"), F.col("t").alias("tj"), F.col("y").alias("yj")
+    )
+    pairs = lhs.join(
+        rhs, (F.col("k") == F.col("k2")) & (F.col("ti") < F.col("tj"))
+    )
+    d = F.col("yj") - F.col("yi")
+    agg = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(d > 0, 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(d < 0, 1).otherwise(0)).alias("nd"),
+        F.sum(F.when(d == 0, 1).otherwise(0)).alias("n_tie"),
+    )
+    npts = b.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    return agg.join(npts, "k").select(
+        "k", "n", "n_pairs", "nc", "nd", "n_tie"
+    )
+
+
+def kendall_tau_sql(
+    base_select: str,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    cap: int = 25,
+) -> str:
+    """DuckDB replay of ``kendall_tau``."""
+    return f"""
+WITH b0 AS (
+  SELECT {key_col} AS k, {value_col} AS y,
+         CAST(row_number() OVER (PARTITION BY {key_col}
+              ORDER BY {order_col}) AS BIGINT) AS t
+  FROM ({base_select}) s),
+b AS (SELECT * FROM b0 WHERE t <= {int(cap)}),
+pairs AS (
+  SELECT l.k, r.y - l.y AS d
+  FROM b l JOIN b r ON r.k = l.k AND l.t < r.t),
+agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+         CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tie
+  FROM pairs GROUP BY 1),
+npts AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1)
+SELECT agg.k, npts.n, agg.n_pairs, agg.nc, agg.nd, agg.n_tie
+FROM agg JOIN npts ON npts.k = agg.k"""
+
+
+def spearman_rho(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation per key: tie-corrected average ranks
+    (doubled to stay integer, the rank_sum_u trick) fed into the exact
+    Pearson moments -> (key, n, cov_n2, varx_n2, vary_n2, corr_q) over
+    the 2x-rank columns.  Monotone-transform-invariant by construction."""
+    from pyspark.sql import Window
+
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    )
+    for c in ("x", "y"):
+        b = b.withColumn(
+            f"r{c}",
+            2 * F.rank().over(Window.partitionBy("k").orderBy(c)).cast("long")
+            + F.count(F.lit(1)).over(Window.partitionBy("k", c)).cast("long")
+            - 1,
+        )
+    return corr_moments(b, "k", "rx", "ry")
+
+
+def spearman_rho_sql(
+    base_select: str, key_col: str, x_col: str, y_col: str
+) -> str:
+    """DuckDB replay of ``spearman_rho``."""
+    ranked = f"""
+SELECT k,
+       2 * CAST(rank() OVER (PARTITION BY k ORDER BY x) AS BIGINT)
+       + CAST(count(*) OVER (PARTITION BY k, x) AS BIGINT) - 1 AS rx,
+       2 * CAST(rank() OVER (PARTITION BY k ORDER BY y) AS BIGINT)
+       + CAST(count(*) OVER (PARTITION BY k, y) AS BIGINT) - 1 AS ry
+FROM (SELECT {key_col} AS k, {x_col} AS x, {y_col} AS y
+      FROM ({base_select}) s) t"""
+    return corr_moments_sql(ranked, "k", "rx", "ry")
+
+
+def chi2_contingency(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Chi-squared contingency cells -> (row, col, o, r, c, n, contrib_q):
+    observed count, row/column/grand totals (exact int64) and the cell's
+    chi-squared contribution (O - RC/N)^2 / (RC/N) = (O*N - R*C)^2 /
+    (N*R*C), squared in DOUBLE (the int64 square would overflow at sf>=0.1;
+    |O*N - R*C| < 2^53 keeps the conversion exact), exported floor-quantized
+    at 1e6."""
+    obs = df.groupBy(
+        F.col(row_col).alias("row_v"), F.col(col_col).alias("col_v")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("row_v").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("col_v").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    j = obs.join(rt, "row_v").join(ct, "col_v").crossJoin(F.broadcast(n))
+    num = (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+    den = F.col("n") * F.col("r") * F.col("c")
+    return j.select(
+        "row_v",
+        "col_v",
+        "o",
+        "r",
+        "c",
+        "n",
+        F.floor(
+            num.cast("double") * num.cast("double") / den.cast("double")
+            * F.expr("1.0e6")
+            + F.expr("0.12345678987")
+        )
+        .cast("long")
+        .alias("contrib_q"),
+    )
+
+
+def chi2_contingency_sql(base_select: str, row_col: str, col_col: str) -> str:
+    """DuckDB replay of ``chi2_contingency``."""
+    return f"""
+WITH b AS (
+  SELECT {row_col} AS row_v, {col_col} AS col_v
+  FROM ({base_select}) s),
+obs AS (
+  SELECT row_v, col_v, CAST(count(*) AS BIGINT) AS o FROM b GROUP BY 1, 2),
+rt AS (SELECT row_v, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+ct AS (SELECT col_v, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs)
+SELECT obs.row_v, obs.col_v, obs.o, rt.r, ct.c, n.n,
+       CAST(floor(CAST(obs.o * n.n - rt.r * ct.c AS DOUBLE)
+                  * CAST(obs.o * n.n - rt.r * ct.c AS DOUBLE)
+                  / CAST(n.n * rt.r * ct.c AS DOUBLE)
+                  * 1.0e6 + 0.12345678987) AS BIGINT) AS contrib_q
+FROM obs JOIN rt USING (row_v) JOIN ct USING (col_v) CROSS JOIN n"""

@@ -8261,6 +8261,84 @@ def q_isotonic_oracle():
     )
 
 
+def q_kendall_tau(spark, sf_dir):
+    """Kendall rank-correlation counts per user (analytics.kendall_tau,
+    cap 25): exact concordant/discordant/tied pair counts from the capped
+    band self-join — tau-a/tau-b derive from the counts."""
+    from .operators.analytics import kendall_tau
+
+    return kendall_tau(
+        _stats_base_df(spark, sf_dir), "user_id", "event_id", "cents", cap=25
+    ).orderBy("k")
+
+
+def q_kendall_tau_oracle():
+    from .operators.analytics import kendall_tau_sql
+
+    return (
+        "SELECT * FROM ("
+        + kendall_tau_sql(
+            _STATS_BASE_SQL, "user_id", "event_id", "cents", cap=25
+        )
+        + ") ORDER BY k"
+    )
+
+
+def q_spearman(spark, sf_dir):
+    """Spearman rank correlation per user (analytics.spearman_rho):
+    doubled tie-corrected average ranks into the exact Pearson moments —
+    monotone-invariant by construction."""
+    from .operators.analytics import spearman_rho
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("x"),
+        (F.col("event_id") * 7 % 1000).alias("y"),
+    )
+    return spearman_rho(ev, "user_id", "x", "y").orderBy("k")
+
+
+def q_spearman_oracle():
+    from .operators.analytics import spearman_rho_sql
+
+    base = (
+        "SELECT user_id, CAST(floor(value * 1.0e2) AS BIGINT) AS x, "
+        "event_id * 7 % 1000 AS y FROM events"
+    )
+    return (
+        "SELECT * FROM ("
+        + spearman_rho_sql(base, "user_id", "x", "y")
+        + ") ORDER BY k"
+    )
+
+
+def q_chi2(spark, sf_dir):
+    """Chi-squared contingency cells over (priority x status)
+    (analytics.chi2_contingency): exact integer observed/marginal counts;
+    the per-cell contribution (O*N - R*C)^2/(N*R*C) squared in double
+    (int64-safe at scale) and floor-quantized."""
+    from .operators.analytics import chi2_contingency
+
+    o = _read(spark, sf_dir, "orders")
+    return chi2_contingency(o, "o_orderpriority", "o_orderstatus").orderBy(
+        "row_v", "col_v"
+    )
+
+
+def q_chi2_oracle():
+    from .operators.analytics import chi2_contingency_sql
+
+    return (
+        "SELECT * FROM ("
+        + chi2_contingency_sql(
+            "SELECT o_orderpriority, o_orderstatus FROM orders",
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        + ") ORDER BY row_v, col_v"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -8460,4 +8538,7 @@ QUERIES = {
     "gini": (q_gini, q_gini_oracle),
     "matmul": (q_matmul, q_matmul_oracle),
     "isotonic": (q_isotonic, q_isotonic_oracle),
+    "kendall_tau": (q_kendall_tau, q_kendall_tau_oracle),
+    "spearman": (q_spearman, q_spearman_oracle),
+    "chi2": (q_chi2, q_chi2_oracle),
 }

@@ -255,3 +255,71 @@ def test_sparse_matmul_matches_numpy(spark):
     C = A @ B
     exp = {(i, j): int(C[i, j]) for i in range(6) for j in range(4) if C[i, j]}
     assert got == exp
+
+
+def test_kendall_and_spearman_against_scipy_formulas(spark):
+    import numpy as np
+
+    from sis_spark.operators.analytics import kendall_tau, spearman_rho
+
+    rng = np.random.default_rng(27)
+    x = rng.integers(0, 30, 20)  # ties present
+    y = x + rng.integers(-5, 5, 20)
+    rows = [(0, t, int(a), int(b)) for t, (a, b) in enumerate(zip(x, y))]
+    df = spark.createDataFrame(rows, ["k", "t", "x", "y"])
+
+    (r,) = kendall_tau(
+        df.select("k", "t", F.col("y").alias("cents")), "k", "t", "cents", cap=25
+    ).collect()
+    nc = nd = nt = 0
+    for i in range(20):
+        for j in range(i + 1, 20):
+            d = y[j] - y[i]
+            nc += d > 0
+            nd += d < 0
+            nt += d == 0
+    assert (r.n_pairs, r.nc, r.nd, r.n_tie) == (190, nc, nd, nt)
+
+    (s,) = spearman_rho(df, "k", "x", "y").collect()
+    # scipy-equivalent: Pearson of average ranks
+    def avg_ranks(v):
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v), float)
+        sv = np.sort(v)
+        first = {}
+        for idx, val in enumerate(sv):
+            first.setdefault(val, idx + 1)
+        cnt = {val: int((sv == val).sum()) for val in set(v.tolist())}
+        for i, val in enumerate(v):
+            ranks[i] = first[val] + (cnt[val] - 1) / 2
+        return ranks
+    rx, ry = avg_ranks(x), avg_ranks(y)
+    ref = np.corrcoef(rx, ry)[0, 1]
+    assert abs(s.corr_q / 1e6 - ref) < 1e-5
+
+
+def test_chi2_contingency_against_scipy_formula(spark):
+    import numpy as np
+
+    from sis_spark.operators.analytics import chi2_contingency
+
+    rows = (
+        [("a", "x")] * 30 + [("a", "y")] * 10
+        + [("b", "x")] * 15 + [("b", "y")] * 25
+    )
+    df = spark.createDataFrame(rows, ["r", "c"])
+    out = chi2_contingency(df, "r", "c").collect()
+    O = {("a", "x"): 30, ("a", "y"): 10, ("b", "x"): 15, ("b", "y"): 25}
+    N = 80
+    R = {"a": 40, "b": 40}
+    C = {"x": 45, "y": 35}
+    total = 0.0
+    for rr in out:
+        e = R[rr.row_v] * C[rr.col_v] / N
+        ref = (O[(rr.row_v, rr.col_v)] - e) ** 2 / e
+        assert abs(rr.contrib_q / 1e6 - ref) < 1e-4
+        total += ref
+    # matches the textbook chi2 for this table
+    assert abs(total - sum(
+        (O[(r_, c_)] - R[r_] * C[c_] / N) ** 2 / (R[r_] * C[c_] / N)
+        for r_ in "ab" for c_ in "xy") ) < 1e-9
