@@ -317,3 +317,68 @@ e{i + 1} AS MATERIALIZED (
 SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
 FROM e{rounds} GROUP BY 1"""
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source,
+    hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    w_col: str = "w",
+) -> DataFrame:
+    """Single-source shortest distances within <= ``hops`` edges ->
+    (node, dist): distributed Bellman-Ford, one relax round per hop.
+
+    The hop bound is part of the SEMANTICS (both the engine and the
+    oracle run exactly ``hops`` rounds), which keeps the contract
+    deterministic without knowing the graph's diameter; run it with
+    hops >= diameter for the classic unbounded answer (each round is
+    idempotent once converged).  Per round: one equi-join edges-on-dist +
+    one min aggregation, localCheckpoint lineage truncation, nothing on
+    the driver."""
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d"),
+        F.col(w_col).alias("w"),
+    )
+    dist = e.sparkSession.createDataFrame(
+        [(source, 0)], ["node", "dist"]
+    ).localCheckpoint()
+    for _ in range(int(hops)):
+        relaxed = (
+            dist.join(e, dist["node"] == e["s"])
+            .select(F.col("d").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .union(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        dist = relaxed
+    return dist
+
+
+def shortest_paths_sql(
+    edges_select: str, source, hops: int
+) -> str:
+    """DuckDB oracle for ``shortest_paths``: the relax rounds unrolled as
+    chained MATERIALIZED CTEs (the k_core lesson: each round references
+    the previous twice — plain CTE inlining is exponential in rounds).
+    ``edges_select`` must yield (s, d, w)."""
+    blocks = [
+        f"e AS MATERIALIZED ({edges_select})",
+        f"d0 AS MATERIALIZED (SELECT {source} AS node, CAST(0 AS BIGINT) AS dist)",
+    ]
+    for i in range(int(hops)):
+        blocks.append(
+            f"""d{i + 1} AS MATERIALIZED (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT e.d AS node, d{i}.dist + e.w AS dist
+    FROM d{i} JOIN e ON e.s = d{i}.node
+    UNION ALL SELECT node, dist FROM d{i}) t
+  GROUP BY 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"\nSELECT node, dist FROM d{int(hops)}"
+    )

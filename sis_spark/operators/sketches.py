@@ -663,3 +663,55 @@ SELECT groups.g AS {group}, gr.reg AS reg,
 FROM groups CROSS JOIN generate_series(0, {m - 1}) gr(reg)
 LEFT JOIN s ON s.g = groups.g AND s.reg = gr.reg
 """
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_col: str,
+    small_col: str,
+    bits: int = 4800,
+    k: int = 3,
+    salt: str = "bloomjoin",
+) -> DataFrame:
+    """Semi-join ``big`` against ``small`` with a Bloom prefilter: build
+    the 60-bit-word bitmap from the small side (bloom_build's ONE bit_or
+    aggregation), collect the sketch (bits/60 ints — sketch-sized, never
+    data-sized), prefilter the big side with a pure-codegen bit test per
+    hash (broadcast literal array, no join), then run the exact semi-join
+    on the survivors.
+
+    Result is EXACTLY ``big SEMI JOIN small`` — the Bloom layer only
+    shrinks the shuffle (false positives die in the final join, false
+    negatives are impossible).  At 100 TB this is the standard selective
+    dim filter: the big side's exchange volume drops by the filter's
+    selectivity before any shuffle happens."""
+    n_words = bits // _WORD_BITS
+    words = {
+        int(r["word"]): int(r["bits"])
+        for r in bloom_build(small, small_col, bits, k, salt).collect()
+    }
+    bitmap = F.array(*[F.lit(words.get(w, 0)) for w in range(n_words)])
+    positions = _bloom_positions(F.col(big_col), bits, k, salt)
+    tmp = big
+    probe = None
+    for j, p in enumerate(positions):
+        tmp = tmp.withColumn(f"__bp{j}", p)
+        test = (
+            F.element_at(
+                bitmap, (F.col(f"__bp{j}") / _WORD_BITS).cast("int") + 1
+            ).bitwiseAND(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(__bp{j} % {_WORD_BITS} AS INT))"
+                )
+            )
+            != 0
+        )
+        probe = test if probe is None else (probe & test)
+    pre = tmp.filter(probe).drop(*[f"__bp{j}" for j in range(k)])
+    return pre.join(
+        small.select(F.col(small_col).alias("__k")).distinct(),
+        pre[big_col] == F.col("__k"),
+        "semi",
+    )

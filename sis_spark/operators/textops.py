@@ -1057,3 +1057,54 @@ SELECT tf.{id_col},
        CAST(sum({_entropy_contrib_expr()}) AS BIGINT) AS entropy_q
 FROM tf JOIN dl ON dl.{id_col} = tf.{id_col}
 GROUP BY 1"""
+
+
+# ---------------------------------------------------------------- URL parsing
+# Web-scale corpora carry URLs on every document; splitting them into
+# scheme/host/path/query (and the host's registrable tail) is the first
+# step of domain-level dedup, quality weighting and robots filtering.
+# Patterns stay inside the regex subset whose semantics are identical in
+# Java regex (Spark codegen) and RE2 (DuckDB) — the redact_pii rule: ASCII
+# classes, no lookaround, no lazy quantifiers.
+
+URL_PATTERNS = {
+    "scheme": "^([a-z][a-z0-9+.-]*)://",
+    "host": "^[a-z][a-z0-9+.-]*://([^/?#]+)",
+    "path": "^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)",
+    "query": r"\?([^#]*)",
+    "tld": r"\.([a-z0-9-]+)$",  # applied to the host, not the url
+}
+
+
+def url_parse(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Split URLs -> (id, url, scheme, host, path, query, tld) — pure JVM
+    regexp_extract codegen, zero shuffles (the scan-cost shape)."""
+    u = F.col(url_col)
+    host = F.regexp_extract(u, URL_PATTERNS["host"], 1)
+    return df.select(
+        F.col(id_col),
+        u.alias("url"),
+        F.regexp_extract(u, URL_PATTERNS["scheme"], 1).alias("scheme"),
+        host.alias("host"),
+        F.regexp_extract(u, URL_PATTERNS["path"], 1).alias("path"),
+        F.regexp_extract(u, URL_PATTERNS["query"], 1).alias("query"),
+        F.regexp_extract(host, URL_PATTERNS["tld"], 1).alias("tld"),
+    )
+
+
+def url_parse_sql(base_select: str, url_col: str = "url",
+                  id_col: str = "doc_id") -> str:
+    """DuckDB replay of ``url_parse`` (regexp_extract group semantics and
+    the empty-string-on-no-match convention agree for this subset)."""
+    u = url_col
+    host = f"regexp_extract({u}, '{URL_PATTERNS['host']}', 1)"
+    return f"""
+SELECT {id_col}, {u} AS url,
+       regexp_extract({u}, '{URL_PATTERNS["scheme"]}', 1) AS scheme,
+       {host} AS host,
+       regexp_extract({u}, '{URL_PATTERNS["path"]}', 1) AS path,
+       regexp_extract({u}, '\\?([^#]*)', 1) AS query,
+       regexp_extract({host}, '\\.([a-z0-9-]+)$', 1) AS tld
+FROM ({base_select}) s"""

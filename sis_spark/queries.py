@@ -8339,6 +8339,118 @@ def q_chi2_oracle():
     )
 
 
+_SP_HOPS = 8
+
+
+def q_shortest_paths(spark, sf_dir):
+    """Bounded-hop single-source shortest paths (graph.shortest_paths,
+    8 hops from node 0): distributed Bellman-Ford, one relax round per
+    hop (join + min agg + localCheckpoint); the hop bound is part of the
+    semantics so the oracle chains exactly the same number of
+    MATERIALIZED relax rounds."""
+    from .operators.graph import shortest_paths
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i")
+    )
+    n = docs.count()
+    i = F.col("i")
+    edges = docs.select(
+        i.alias("src"), ((i + 1) % n).alias("dst"), (1 + i % 5).alias("w")
+    ).union(
+        docs.filter(i % 3 == 0).select(
+            i.alias("src"),
+            ((i * 7 + 11) % n).alias("dst"),
+            (3 + i % 7).alias("w"),
+        )
+    )
+    return shortest_paths(edges, 0, hops=_SP_HOPS).orderBy("node")
+
+
+def q_shortest_paths_oracle():
+    from .operators.graph import shortest_paths_sql
+
+    edges = """
+SELECT CAST(doc_id AS BIGINT) AS s,
+       (CAST(doc_id AS BIGINT) + 1) % (SELECT count(*) FROM documents) AS d,
+       1 + CAST(doc_id AS BIGINT) % 5 AS w
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS BIGINT),
+       (CAST(doc_id AS BIGINT) * 7 + 11) % (SELECT count(*) FROM documents),
+       3 + CAST(doc_id AS BIGINT) % 7
+FROM documents WHERE doc_id % 3 = 0"""
+    return (
+        "SELECT * FROM ("
+        + shortest_paths_sql(edges, 0, _SP_HOPS)
+        + ") ORDER BY node"
+    )
+
+
+def q_bloom_join(spark, sf_dir):
+    """Bloom-prefiltered semi-join (sketches.bloom_semi_join): orders
+    whose customer is in the selective dim subset — the Bloom bitmap
+    prunes the big side BEFORE the shuffle, the exact semi-join removes
+    false positives, so the result equals the plain semi-join (which is
+    the oracle).  Output aggregated per priority with id-sum pins."""
+    from .operators.sketches import bloom_semi_join
+
+    orders = _read(spark, sf_dir, "orders")
+    dim = _read(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 9 == 0
+    )
+    out = bloom_semi_join(orders, dim, "o_custkey", "c_custkey")
+    return (
+        out.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum("o_orderkey").alias("id_sum"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_bloom_join_oracle():
+    return """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS id_sum
+FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_custkey % 9 = 0)
+GROUP BY 1 ORDER BY 1"""
+
+
+def q_url_parse(spark, sf_dir):
+    """URL splitting (textops.url_parse): formula URLs synthesized per
+    document, scheme/host/path/query/tld via the Java-RE2-identical
+    regex subset — pure scan-cost codegen."""
+    from .operators.textops import url_parse
+
+    d = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://host"), (d % 7).cast("string"),
+            F.lit(".example"), (d % 3).cast("string"),
+            F.lit(".com/path"), (d % 11).cast("string"),
+            F.when(d % 4 == 0, F.concat(F.lit("?q="), (d % 5).cast("string")))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return url_parse(docs).orderBy("doc_id")
+
+
+def q_url_parse_oracle():
+    from .operators.textops import url_parse_sql
+
+    base = """
+SELECT doc_id,
+       'https://host' || CAST(doc_id % 7 AS VARCHAR)
+       || '.example' || CAST(doc_id % 3 AS VARCHAR)
+       || '.com/path' || CAST(doc_id % 11 AS VARCHAR)
+       || CASE WHEN doc_id % 4 = 0
+               THEN '?q=' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END AS url
+FROM documents"""
+    return "SELECT * FROM (" + url_parse_sql(base) + ") ORDER BY doc_id"
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -8541,4 +8653,7 @@ QUERIES = {
     "kendall_tau": (q_kendall_tau, q_kendall_tau_oracle),
     "spearman": (q_spearman, q_spearman_oracle),
     "chi2": (q_chi2, q_chi2_oracle),
+    "shortest_paths": (q_shortest_paths, q_shortest_paths_oracle),
+    "bloom_join": (q_bloom_join, q_bloom_join_oracle),
+    "url_parse": (q_url_parse, q_url_parse_oracle),
 }
