@@ -8451,6 +8451,117 @@ FROM documents"""
     return "SELECT * FROM (" + url_parse_sql(base) + ") ORDER BY doc_id"
 
 
+def q_calendar_agg(spark, sf_dir):
+    """Calendar rollup (epoch-day integer arithmetic): orders per
+    (dow, month-bucket) — day-of-week = (epoch_day + 4) % 7 and month
+    bucket via explicit integer math, NOT the engines' calendar
+    functions (whose week/dow conventions differ); exact cents totals."""
+    o = _read(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("ed"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        o.select(
+            ((F.col("ed") + 4) % 7).alias("dow"),
+            F.expr("ed div 30").alias("mbucket"),
+            "cents",
+        )
+        .groupBy("dow", "mbucket")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("total_cents"))
+        .orderBy("dow", "mbucket")
+    )
+
+
+def q_calendar_agg_oracle():
+    return """
+SELECT (ed + 4) % 7 AS dow, ed // 30 AS mbucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ed,
+         CAST(floor(o_totalprice * 1.0e2) AS BIGINT) AS cents
+  FROM orders) t
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_vector_ops(spark, sf_dir):
+    """Higher-order array functions over the embeddings table: exact
+    integer dot product and L1 norm of the 1e7-quantized vectors via
+    F.aggregate/F.zip_with (JVM lambda codegen, the UDF-free vector
+    path) vs DuckDB list lambdas."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1.0e7"
+            " + 0.12345678987) AS BIGINT))"
+        ).alias("q"),
+    )
+    return e.select(
+        "id",
+        F.expr(
+            "aggregate(zip_with(q, reverse(q), (a, b) -> a * b),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("dot_rev"),
+        F.expr(
+            "aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + abs(x))"
+        ).alias("l1"),
+        F.size("q").alias("dim"),
+    ).orderBy("id")
+
+
+def q_vector_ops_oracle():
+    return """
+SELECT id,
+       CAST(list_sum(list_transform(range(1, len(q) + 1),
+            i -> q[i] * q[len(q) + 1 - i])) AS BIGINT) AS dot_rev,
+       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS l1,
+       CAST(len(q) AS INT) AS dim
+FROM (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1.0e7
+             + 0.12345678987) AS BIGINT)) AS q
+  FROM embeddings) t
+ORDER BY id"""
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON field extraction from the events props column
+    (get_json_object vs DuckDB json_extract): the scan-cost shape of
+    every metadata-sidecar pipeline; exact integer aggregation of the
+    extracted field."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_json_extract_oracle():
+    return """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max
+FROM (SELECT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events) t
+GROUP BY 1 ORDER BY 1"""
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -8656,4 +8767,7 @@ QUERIES = {
     "shortest_paths": (q_shortest_paths, q_shortest_paths_oracle),
     "bloom_join": (q_bloom_join, q_bloom_join_oracle),
     "url_parse": (q_url_parse, q_url_parse_oracle),
+    "calendar_agg": (q_calendar_agg, q_calendar_agg_oracle),
+    "vector_ops": (q_vector_ops, q_vector_ops_oracle),
+    "json_extract": (q_json_extract, q_json_extract_oracle),
 }
