@@ -8562,6 +8562,100 @@ FROM (SELECT user_id,
 GROUP BY 1 ORDER BY 1"""
 
 
+def q_st_azimuth(spark, sf_dir):
+    """ST_Azimuth (spherical forward bearing p1 -> p2): pure codegen trig
+    with the identical expression text in both engines, floor-quantized
+    at 1e9 with the irrational offset.  p1 = event point, p2 = the
+    event's query point (both formula-generated)."""
+    lon1, lat1 = point_lonlat_cols("event_id")
+    lon2, lat2 = query_lonlat_cols("event_id")
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.radians(lon1).alias("l1"),
+        F.radians(lat1).alias("p1"),
+        F.radians(lon2).alias("l2"),
+        F.radians(lat2).alias("p2"),
+    )
+    az = F.atan2(
+        F.sin(F.col("l2") - F.col("l1")) * F.cos("p2"),
+        F.cos("p1") * F.sin("p2")
+        - F.sin("p1") * F.cos("p2") * F.cos(F.col("l2") - F.col("l1")),
+    )
+    return ev.select(
+        "event_id",
+        F.floor(az * F.expr("1.0e9") + F.expr("0.12345678987"))
+        .cast("long")
+        .alias("az_q"),
+    ).orderBy("event_id")
+
+
+def q_st_azimuth_oracle():
+    return f"""
+SELECT event_id,
+  CAST(floor(atan2(sin(l2 - l1) * cos(p2),
+                   cos(p1) * sin(p2) - sin(p1) * cos(p2) * cos(l2 - l1))
+             * 1.0e9 + 0.12345678987) AS BIGINT) AS az_q
+FROM (
+  SELECT event_id,
+         radians({synth.point_lon_sql('event_id')}) AS l1,
+         radians({synth.point_lat_sql('event_id')}) AS p1,
+         radians({synth.query_lon_sql('event_id')}) AS l2,
+         radians({synth.query_lat_sql('event_id')}) AS p2
+  FROM events) t
+ORDER BY event_id"""
+
+
+def q_geodesic_destination(spark, sf_dir):
+    """Spherical destination point (the ST_Project analog): from each
+    event point travel d = 1000*(1 + id%50) m at bearing id%360 deg on
+    the R=6371000 sphere — shared-text trig, quantized at 1e9."""
+    lon1, lat1 = point_lonlat_cols("event_id")
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.radians(lon1).alias("l1"),
+        F.radians(lat1).alias("p1"),
+        F.radians((F.col("event_id") % 360).cast("double")).alias("th"),
+        (
+            (1000.0 * (1 + F.col("event_id") % 50)).cast("double") / 6371000.0
+        ).alias("dl"),
+    )
+    p2 = F.asin(
+        F.sin("p1") * F.cos("dl") + F.cos("p1") * F.sin("dl") * F.cos("th")
+    )
+    l2 = F.col("l1") + F.atan2(
+        F.sin("th") * F.sin("dl") * F.cos("p1"),
+        F.cos("dl") - F.sin("p1") * F.sin(p2),
+    )
+    return ev.select(
+        "event_id",
+        F.floor(F.degrees(p2) * F.expr("1.0e9") + F.expr("0.12345678987"))
+        .cast("long")
+        .alias("lat2_q"),
+        F.floor(F.degrees(l2) * F.expr("1.0e9") + F.expr("0.12345678987"))
+        .cast("long")
+        .alias("lon2_q"),
+    ).orderBy("event_id")
+
+
+def q_geodesic_destination_oracle():
+    return f"""
+SELECT event_id,
+  CAST(floor(degrees(asin(sin(p1) * cos(dl) + cos(p1) * sin(dl) * cos(th)))
+             * 1.0e9 + 0.12345678987) AS BIGINT) AS lat2_q,
+  CAST(floor(degrees(l1 + atan2(sin(th) * sin(dl) * cos(p1),
+       cos(dl) - sin(p1) * sin(asin(sin(p1) * cos(dl)
+                                    + cos(p1) * sin(dl) * cos(th)))))
+             * 1.0e9 + 0.12345678987) AS BIGINT) AS lon2_q
+FROM (
+  SELECT event_id,
+         radians({synth.point_lon_sql('event_id')}) AS l1,
+         radians({synth.point_lat_sql('event_id')}) AS p1,
+         radians(CAST(event_id % 360 AS DOUBLE)) AS th,
+         CAST(1.0e3 * (1 + event_id % 50) AS DOUBLE) / 6371000.0 AS dl
+  FROM events) t
+ORDER BY event_id"""
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -8770,4 +8864,6 @@ QUERIES = {
     "calendar_agg": (q_calendar_agg, q_calendar_agg_oracle),
     "vector_ops": (q_vector_ops, q_vector_ops_oracle),
     "json_extract": (q_json_extract, q_json_extract_oracle),
+    "st_azimuth": (q_st_azimuth, q_st_azimuth_oracle),
+    "geodesic_destination": (q_geodesic_destination, q_geodesic_destination_oracle),
 }

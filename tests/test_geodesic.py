@@ -127,3 +127,41 @@ def test_direct_equator_and_meridian():
     # due north along the meridian keeps longitude
     lon2, lat2, _ = direct_m(45.0, 10.0, 0.0, 3_000_000.0)
     assert abs(lon2[0] - 45.0) < 1e-9 and lat2[0] > 36.0
+
+
+def test_spherical_destination_and_azimuth_sanity(spark):
+    """Semantic checks of the codegen spherical formulas used by the
+    st_azimuth / geodesic_destination gates."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    R = 6371000.0
+    df = spark.createDataFrame(
+        [(10.0, 45.0, 0.0, 100000.0), (10.0, 45.0, 90.0, 100000.0)],
+        ["lon", "lat", "bear", "d"],
+    )
+    p1 = F.radians("lat")
+    th = F.radians("bear")
+    dl = F.col("d") / R
+    p2 = F.asin(F.sin(p1) * F.cos(dl) + F.cos(p1) * F.sin(dl) * F.cos(th))
+    l2 = F.radians("lon") + F.atan2(
+        F.sin(th) * F.sin(dl) * F.cos(p1),
+        F.cos(dl) - F.sin(p1) * F.sin(p2),
+    )
+    rows = df.select(
+        "bear", F.degrees(p2).alias("lat2"), F.degrees(l2).alias("lon2")
+    ).collect()
+    north = next(r for r in rows if r.bear == 0.0)
+    east = next(r for r in rows if r.bear == 90.0)
+    # due north: lat increases by ~ d / (R * pi/180) degrees, lon fixed
+    assert abs(north.lat2 - (45.0 + np.degrees(100000.0 / R))) < 1e-9
+    assert abs(north.lon2 - 10.0) < 1e-9
+    # due east at 45N: lat2 slightly BELOW 45 on a great circle, lon grows
+    assert east.lon2 > 10.5 and east.lat2 < 45.0
+    # haversine back-distance equals d
+    for r in rows:
+        ph1, ph2 = np.radians(45.0), np.radians(r.lat2)
+        dlmb = np.radians(r.lon2 - 10.0)
+        h = np.sin((ph2 - ph1) / 2) ** 2 + np.cos(ph1) * np.cos(ph2) * np.sin(dlmb / 2) ** 2
+        dist = 2 * R * np.arcsin(np.sqrt(h))
+        assert abs(dist - 100000.0) < 1e-4
