@@ -355,3 +355,50 @@ def knn_join_cells(
     for part in done_parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+def idw_interpolate(
+    candidates: DataFrame,
+    queries: DataFrame,
+    values: DataFrame,
+    k: int = 4,
+    scale_bits: int = 36,
+    cand_id: str = "cand_id",
+    query_id: str = "query_id",
+    value_col: str = "val",
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation at query points ->
+    (query_id, n_used, est_num, est_den).
+
+    The k nearest samples come from ``knn_join`` (the gated distributed
+    kNN); weights are QUANTIZED to integers — w = 2^scale_bits div
+    max(d_mm, 1) with d_mm the millimeter-floored haversine distance — so
+    the weighted sums est_num = sum(w*v) and est_den = sum(w) are exact
+    int64 and order-independent (the float 1/d^p fold would depend on
+    summation order).  The estimate is the rational est_num/est_den; an
+    exact sample hit (d_mm = 0) saturates the weight at 2^scale_bits,
+    dominating but not erasing the neighbors — a DOCUMENTED deviation
+    from the textbook exact-hit shortcut, chosen to keep the operator a
+    pure aggregation."""
+    nn = knn_join(candidates, queries, k, cand_id=cand_id,
+                  query_id=query_id)
+    nn = nn.join(values.select(cand_id, value_col), cand_id)
+    nn = nn.withColumn(
+        "d_mm",
+        F.floor(
+            F.col("dist_m") * F.expr("1.0e3") + F.expr("0.12345678987")
+        ).cast("long"),
+    )
+    w = F.expr(
+        f"CAST({1 << scale_bits} AS BIGINT)"
+        " div greatest(d_mm, CAST(1 AS BIGINT))"
+    )
+    return (
+        nn.withColumn("w", w)
+        .groupBy(query_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_used"),
+            F.sum(F.col("w") * F.col(value_col)).alias("est_num"),
+            F.sum("w").alias("est_den"),
+        )
+    )

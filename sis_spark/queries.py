@@ -8656,6 +8656,55 @@ FROM (
 ORDER BY event_id"""
 
 
+def q_idw(spark, sf_dir):
+    """Inverse-distance-weighted interpolation (knn.idw_interpolate,
+    k=4): event cent values interpolated at the 25 nation query points —
+    kNN from the gated distributed join, weights quantized to integers
+    (2^36 div d_mm) so the weighted sums are exact and order-free."""
+    from .operators.knn import idw_interpolate
+
+    cand = _events_points(spark, sf_dir).withColumnRenamed(
+        "event_id", "cand_id"
+    )
+    vals = _read(spark, sf_dir, "events").select(
+        F.col("event_id").alias("cand_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("val"),
+    )
+    qlon, qlat = query_lonlat_cols("n_nationkey")
+    queries = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("query_id"),
+        qlon.alias("qlon"),
+        qlat.alias("qlat"),
+    )
+    return idw_interpolate(cand, queries, vals, k=4).orderBy("query_id")
+
+
+def q_idw_oracle():
+    from .functions.geometry import haversine_sql
+
+    d = haversine_sql(
+        synth.point_lon_sql("e.event_id"), synth.point_lat_sql("e.event_id"),
+        synth.query_lon_sql("n.n_nationkey"),
+        synth.query_lat_sql("n.n_nationkey"),
+    )
+    return f"""
+WITH nn AS (
+  SELECT n.n_nationkey AS query_id, e.event_id AS cand_id,
+         CAST(floor(value * 1.0e2) AS BIGINT) AS val,
+         CAST(floor({d} * 1.0e3 + 0.12345678987) AS BIGINT) AS d_mm,
+         row_number() OVER (PARTITION BY n.n_nationkey
+                            ORDER BY {d} ASC, e.event_id ASC) AS rank
+  FROM nation n CROSS JOIN events e),
+top AS (SELECT * FROM nn WHERE rank <= 4),
+wt AS (SELECT query_id, val,
+              {1 << 36} // greatest(d_mm, 1) AS w
+       FROM top)
+SELECT query_id, CAST(count(*) AS BIGINT) AS n_used,
+       CAST(sum(w * val) AS BIGINT) AS est_num,
+       CAST(sum(w) AS BIGINT) AS est_den
+FROM wt GROUP BY 1 ORDER BY 1"""
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -8866,4 +8915,5 @@ QUERIES = {
     "json_extract": (q_json_extract, q_json_extract_oracle),
     "st_azimuth": (q_st_azimuth, q_st_azimuth_oracle),
     "geodesic_destination": (q_geodesic_destination, q_geodesic_destination_oracle),
+    "idw": (q_idw, q_idw_oracle),
 }
