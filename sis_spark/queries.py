@@ -8705,6 +8705,83 @@ SELECT query_id, CAST(count(*) AS BIGINT) AS n_used,
 FROM wt GROUP BY 1 ORDER BY 1"""
 
 
+_CCL_W = 96
+_CCL_TS = 32
+
+
+def q_ccl_regions(spark, sf_dir):
+    """Distributed connected-component labeling (raster/ccl.py): the
+    formula mask (blob lattice + one full-width line that welds a row of
+    blobs together) is generated tile-distributed, labeled tile-locally,
+    and merged through boundary-only equivalences + the graph CC
+    machinery — shuffled volume is the mask PERIMETER.  Regions are
+    keyed canonically by (x_min, y_min) rank so the oracle (a pixel-
+    adjacency recursive closure) can match them without seeing the
+    engine's provisional labels."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from .raster.ccl import ccl_tiles
+    from .raster.grid import GridGeometry
+
+    n = _CCL_W // _CCL_TS
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for tid in pdf["id"]:
+                tx, ty = int(tid) % n, int(tid) // n
+                x = tx * _CCL_TS + np.arange(_CCL_TS)[None, :]
+                y = ty * _CCL_TS + np.arange(_CCL_TS)[:, None]
+                m = ((x % 7 < 3) & (y % 5 < 2)) | (y == 32)
+                rows.append(
+                    {"tx": tx, "ty": ty, "band": 0,
+                     "data": m.astype(np.uint8).tobytes()}
+                )
+            yield pd.DataFrame(rows)
+
+    tiles = spark.range(n * n).mapInPandas(
+        gen, schema="tx long, ty long, band int, data binary"
+    )
+    gg = GridGeometry((0, 0, _CCL_W - 1, _CCL_W - 1), (1, 0, 0, 0, 1, 0))
+    regions = ccl_tiles(tiles, gg, tile_size=_CCL_TS)
+    w = Window.orderBy("x_min", "y_min", "n_px")
+    return regions.select(
+        F.row_number().over(w).cast("long").alias("rid"),
+        "n_px", "x_min", "y_min", "x_max", "y_max",
+    ).orderBy("rid")
+
+
+def q_ccl_regions_oracle():
+    return f"""
+WITH RECURSIVE xs AS (SELECT i AS x FROM generate_series(0, {_CCL_W - 1}) t(i)),
+ys AS (SELECT i AS y FROM generate_series(0, {_CCL_W - 1}) t(i)),
+px AS (
+  SELECT x, y, y * {_CCL_W} + x AS id
+  FROM xs CROSS JOIN ys
+  WHERE (x % 7 < 3 AND y % 5 < 2) OR y = 32),
+und AS (
+  SELECT a.id AS u, b.id AS v
+  FROM px a JOIN px b
+    ON (abs(a.x - b.x) + abs(a.y - b.y)) = 1
+  UNION ALL SELECT id, id FROM px),
+reach(node, r) AS (
+  SELECT id, id FROM px
+  UNION
+  SELECT reach.node, und.v FROM reach JOIN und ON und.u = reach.r),
+comp AS (SELECT node, min(r) AS c FROM reach GROUP BY 1),
+stats AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS n_px,
+         CAST(min(x) AS BIGINT) AS x_min, CAST(min(y) AS BIGINT) AS y_min,
+         CAST(max(x) AS BIGINT) AS x_max, CAST(max(y) AS BIGINT) AS y_max
+  FROM comp JOIN px ON px.id = comp.node GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY x_min, y_min, n_px) AS BIGINT) AS rid,
+       n_px, x_min, y_min, x_max, y_max
+FROM stats ORDER BY rid"""
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -8916,4 +8993,5 @@ QUERIES = {
     "st_azimuth": (q_st_azimuth, q_st_azimuth_oracle),
     "geodesic_destination": (q_geodesic_destination, q_geodesic_destination_oracle),
     "idw": (q_idw, q_idw_oracle),
+    "ccl_regions": (q_ccl_regions, q_ccl_regions_oracle),
 }
