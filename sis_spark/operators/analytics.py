@@ -906,3 +906,291 @@ SELECT obs.row_v, obs.col_v, obs.o, rt.r, ct.c, n.n,
                   / CAST(n.n * rt.r * ct.c AS DOUBLE)
                   * 1.0e6 + 0.12345678987) AS BIGINT) AS contrib_q
 FROM obs JOIN rt USING (row_v) JOIN ct USING (col_v) CROSS JOIN n"""
+
+
+def decision_stump(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Best single-threshold split per key by Gini impurity ->
+    (key, n, n_pos, thr, nl, nl_pos, score_num, score_den).
+
+    Candidates are the observed values (split = "x <= thr"); the weighted
+    Gini of a split is, up to the constant total impurity, MINIMIZED by
+    maximizing  score = nl_pos^2/nl + nl_neg^2/nl + nr_pos^2/nr + ... —
+    cross-multiplying gives score = num/den with
+        num = (nl_pos^2 + nl_neg^2) * nr + (nr_pos^2 + nr_neg^2) * nl
+        den = nl * nr
+    (both exact int64 from prefix sums).  The argmax orders by the IEEE
+    quotient with ties -> smallest threshold — the changepoint recipe
+    applied to classification.  One sort window + one argmax window."""
+    from pyspark.sql import Window
+
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(x_col).alias("x"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    w = Window.partitionBy("k").orderBy("x")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy("k")
+    pre = (
+        b.withColumn("nl", F.count(F.lit(1)).over(run).cast("long"))
+        .withColumn("nl_pos", F.sum("y").over(run))
+        .withColumn("n", F.count(F.lit(1)).over(tot).cast("long"))
+        .withColumn("n_pos", F.sum("y").over(tot))
+        # last row of each tie block only: a split can't separate ties
+        .withColumn("rn_in_x", F.row_number().over(
+            Window.partitionBy("k", "x").orderBy(F.col("nl").desc())))
+        .filter((F.col("rn_in_x") == 1) & (F.col("nl") < F.col("n")))
+    )
+    nl, nlp = F.col("nl"), F.col("nl_pos")
+    nr = F.col("n") - nl
+    nrp = F.col("n_pos") - nlp
+    num = ((nlp * nlp + (nl - nlp) * (nl - nlp)) * nr
+           + (nrp * nrp + (nr - nrp) * (nr - nrp)) * nl)
+    den = nl * nr
+    scored = pre.select(
+        "k", "n", "n_pos", F.col("x").alias("thr"), "nl", "nl_pos",
+        num.alias("score_num"), den.alias("score_den"),
+    )
+    best = Window.partitionBy("k").orderBy(
+        (F.col("score_num").cast("double")
+         / F.col("score_den").cast("double")).desc(),
+        F.col("thr").asc(),
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(best))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def decision_stump_sql(
+    base_select: str, key_col: str, x_col: str, label_col: str
+) -> str:
+    """DuckDB replay of ``decision_stump``."""
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, {x_col} AS x, CAST({label_col} AS BIGINT) AS y
+  FROM ({base_select}) s),
+pre0 AS (
+  SELECT k, x,
+         CAST(count(*) OVER (PARTITION BY k ORDER BY x
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+         CAST(sum(y) OVER (PARTITION BY k ORDER BY x
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl_pos,
+         CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+         CAST(sum(y) OVER (PARTITION BY k) AS BIGINT) AS n_pos
+  FROM b),
+pre1 AS (
+  SELECT *, row_number() OVER (PARTITION BY k, x ORDER BY nl DESC) AS rn_in_x
+  FROM pre0),
+pre AS (SELECT * FROM pre1 WHERE rn_in_x = 1 AND nl < n),
+scored AS (
+  SELECT k, n, n_pos, x AS thr, nl, nl_pos,
+         CAST((nl_pos * nl_pos + (nl - nl_pos) * (nl - nl_pos)) * (n - nl)
+              + ((n_pos - nl_pos) * (n_pos - nl_pos)
+                 + ((n - nl) - (n_pos - nl_pos))
+                   * ((n - nl) - (n_pos - nl_pos))) * nl
+              AS BIGINT) AS score_num,
+         CAST(nl * (n - nl) AS BIGINT) AS score_den
+  FROM pre),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY k
+       ORDER BY CAST(score_num AS DOUBLE) / CAST(score_den AS DOUBLE) DESC,
+                thr ASC) AS rn
+  FROM scored)
+SELECT k, n, n_pos, thr, nl, nl_pos, score_num, score_den
+FROM best WHERE rn = 1"""
+
+
+def assoc_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Pairwise association rules -> (a, b, n_ab, n_a, n_b, n_baskets):
+    support/confidence/lift are the exact rationals n_ab/n, n_ab/n_a and
+    n_ab*n/(n_a*n_b) — all counts int64, derivation left rational.
+
+    Scale shape: distinct (basket, item) -> in-basket pair generation by
+    self-join on the basket key (fan-out bounded by basket size) ->
+    three keyed counts.  ``min_support`` prunes the pair table early."""
+    bi = df.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).distinct()
+    pairs = (
+        bi.alias("l")
+        .join(bi.alias("r"), F.expr("l.bk = r.bk AND l.it < r.it"))
+        .groupBy(
+            F.col("l.it").alias("a"), F.col("r.it").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_support))
+    )
+    singles = bi.groupBy("it").agg(F.count(F.lit(1)).alias("n_i"))
+    nb = bi.select("bk").distinct().count()
+    return (
+        pairs.join(singles.withColumnRenamed("it", "a"), "a")
+        .withColumnRenamed("n_i", "n_a")
+        .join(singles.withColumnRenamed("it", "b"), "b")
+        .withColumnRenamed("n_i", "n_b")
+        .select(
+            "a", "b", "n_ab", "n_a", "n_b",
+            F.lit(int(nb)).cast("long").alias("n_baskets"),
+        )
+    )
+
+
+def assoc_rules_sql(
+    base_select: str, basket_col: str, item_col: str, min_support: int = 2
+) -> str:
+    """DuckDB replay of ``assoc_rules``."""
+    return f"""
+WITH bi AS (
+  SELECT DISTINCT {basket_col} AS bk, {item_col} AS it
+  FROM ({base_select}) s),
+pairs AS (
+  SELECT l.it AS a, r.it AS b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM bi l JOIN bi r ON r.bk = l.bk AND l.it < r.it
+  GROUP BY 1, 2 HAVING count(*) >= {int(min_support)}),
+singles AS (SELECT it, CAST(count(*) AS BIGINT) AS n_i FROM bi GROUP BY 1),
+nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM bi)
+SELECT p.a, p.b, p.n_ab, sa.n_i AS n_a, sb.n_i AS n_b, nb.n_baskets
+FROM pairs p JOIN singles sa ON sa.it = p.a
+     JOIN singles sb ON sb.it = p.b CROSS JOIN nb"""
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+) -> DataFrame:
+    """First-order transition counts over per-key ordered state sequences
+    -> (from_state, to_state, n_trans, n_from): the empirical Markov
+    matrix in exact integers (probability = n_trans/n_from rational).
+    One lead window + two keyed counts."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("o")
+    b = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(order_col).alias("o"),
+            F.col(state_col).alias("st"),
+        )
+        .withColumn("nxt", F.lead("st").over(w))
+        .filter(F.col("nxt").isNotNull())
+    )
+    trans = b.groupBy(
+        F.col("st").alias("from_state"), F.col("nxt").alias("to_state")
+    ).agg(F.count(F.lit(1)).alias("n_trans"))
+    froms = b.groupBy(F.col("st").alias("from_state")).agg(
+        F.count(F.lit(1)).alias("n_from")
+    )
+    return trans.join(froms, "from_state")
+
+
+def markov_transitions_sql(
+    base_select: str, key_col: str, order_col: str, state_col: str
+) -> str:
+    """DuckDB replay of ``markov_transitions``."""
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, {state_col} AS st,
+         lead({state_col}) OVER (PARTITION BY {key_col}
+                                 ORDER BY {order_col}) AS nxt
+  FROM ({base_select}) s),
+t AS (SELECT * FROM b WHERE nxt IS NOT NULL),
+trans AS (
+  SELECT st AS from_state, nxt AS to_state, CAST(count(*) AS BIGINT) AS n_trans
+  FROM t GROUP BY 1, 2),
+froms AS (
+  SELECT st AS from_state, CAST(count(*) AS BIGINT) AS n_from
+  FROM t GROUP BY 1)
+SELECT trans.from_state, trans.to_state, trans.n_trans, froms.n_from
+FROM trans JOIN froms USING (from_state)"""
+
+
+def kaplan_meier(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier life table -> (t, n_risk, d, c, log_s_q): at each
+    distinct event time, the number at risk, deaths d, censorings c, and
+    the survival curve as the RUNNING SUM of per-step quantized
+    ln(1 - d/n_risk) terms — each step floor-quantized at 1e9 before the
+    integer cumulative sum, so the curve is order-independent and
+    bit-replicable (S(t) ~ exp(log_s_q / 1e9)).
+
+    One aggregation by time + two windows; counts are exact int64."""
+    from pyspark.sql import Window
+
+    b = df.select(
+        F.col(time_col).alias("t"), F.col(event_col).cast("long").alias("e")
+    )
+    per_t = b.groupBy("t").agg(
+        F.sum("e").alias("d"),
+        F.sum(1 - F.col("e")).alias("c"),
+        F.count(F.lit(1)).alias("leave"),
+    )
+    w = Window.orderBy("t")
+    run = w.rowsBetween(Window.unboundedPreceding, -1)
+    n_tot = b.count()
+    per_t = per_t.withColumn(
+        "n_risk",
+        F.lit(int(n_tot)).cast("long")
+        - F.coalesce(F.sum("leave").over(run), F.lit(0)),
+    )
+    step = F.floor(
+        F.log(
+            (F.col("n_risk") - F.col("d")).cast("double")
+            / F.col("n_risk").cast("double")
+        )
+        * F.expr("1.0e9")
+        + F.expr("0.12345678987")
+    ).cast("long")
+    return (
+        per_t.filter(F.col("d") > 0)
+        .withColumn("step_q", step)
+        .withColumn(
+            "log_s_q",
+            F.sum("step_q").over(
+                Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("t", "n_risk", "d", "c", "log_s_q")
+    )
+
+
+def kaplan_meier_sql(base_select: str, time_col: str, event_col: str) -> str:
+    """DuckDB replay of ``kaplan_meier``."""
+    return f"""
+WITH b AS (
+  SELECT {time_col} AS t, CAST({event_col} AS BIGINT) AS e
+  FROM ({base_select}) s),
+per_t AS (
+  SELECT t, CAST(sum(e) AS BIGINT) AS d, CAST(sum(1 - e) AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS leave
+  FROM b GROUP BY 1),
+risk AS (
+  SELECT *, (SELECT CAST(count(*) AS BIGINT) FROM b)
+         - CAST(COALESCE(sum(leave) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+  FROM per_t),
+ev AS (
+  SELECT *, CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+                          / CAST(n_risk AS DOUBLE))
+                 * 1.0e9 + 0.12345678987) AS BIGINT) AS step_q
+  FROM risk WHERE d > 0)
+SELECT t, n_risk, d, c,
+       CAST(sum(step_q) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS log_s_q
+FROM ev"""

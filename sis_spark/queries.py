@@ -8782,6 +8782,119 @@ SELECT CAST(row_number() OVER (ORDER BY x_min, y_min, n_px) AS BIGINT) AS rid,
 FROM stats ORDER BY rid"""
 
 
+def q_decision_stump(spark, sf_dir):
+    """Best Gini split per return flag (analytics.decision_stump over
+    lineitem: x = quantity, label = discount > 0.05): exact int64 prefix
+    sums score every candidate threshold; the argmax quotient is the
+    only FP step and ties break to the smallest threshold."""
+    from .operators.analytics import decision_stump
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.col("l_discount") > 0.05).cast("long").alias("y"),
+    )
+    return decision_stump(li, "l_returnflag", "x", "y").orderBy("k")
+
+
+def q_decision_stump_oracle():
+    from .operators.analytics import decision_stump_sql
+
+    base = (
+        "SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x, "
+        "CAST(l_discount > 0.05 AS BIGINT) AS y FROM lineitem"
+    )
+    return (
+        "SELECT * FROM ("
+        + decision_stump_sql(base, "l_returnflag", "x", "y")
+        + ") ORDER BY k"
+    )
+
+
+def q_assoc_rules(spark, sf_dir):
+    """Pairwise association rules over order baskets
+    (analytics.assoc_rules: basket = orderkey, item = partkey mod 20):
+    support/confidence/lift left as exact integer numerators and
+    denominators; the pair table is pruned by min_support before the
+    single-count joins."""
+    from .operators.analytics import assoc_rules
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("bk"),
+        (F.col("l_partkey") % 20).cast("long").alias("it"),
+    )
+    return assoc_rules(li, "bk", "it", min_support=3).orderBy("a", "b")
+
+
+def q_assoc_rules_oracle():
+    from .operators.analytics import assoc_rules_sql
+
+    base = (
+        "SELECT l_orderkey AS bk, CAST(l_partkey % 20 AS BIGINT) AS it "
+        "FROM lineitem"
+    )
+    return (
+        "SELECT * FROM ("
+        + assoc_rules_sql(base, "bk", "it", min_support=3)
+        + ") ORDER BY a, b"
+    )
+
+
+def q_markov_transitions(spark, sf_dir):
+    """Empirical Markov transition matrix over per-user event-type
+    sequences (analytics.markov_transitions, ordered by event_id):
+    transition and marginal counts exact int64; the probability stays
+    the rational n_trans/n_from."""
+    from .operators.analytics import markov_transitions
+
+    ev = _read(spark, sf_dir, "events")
+    return markov_transitions(
+        ev, "user_id", "event_id", "event_type"
+    ).orderBy("from_state", "to_state")
+
+
+def q_markov_transitions_oracle():
+    from .operators.analytics import markov_transitions_sql
+
+    return (
+        "SELECT * FROM ("
+        + markov_transitions_sql(
+            "SELECT user_id, event_id, event_type FROM events",
+            "user_id",
+            "event_id",
+            "event_type",
+        )
+        + ") ORDER BY from_state, to_state"
+    )
+
+
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier life table over synthetic durations from orders
+    (analytics.kaplan_meier: t = orderkey mod 50, event = status 'F'):
+    at-risk/death/censor counts exact; the survival curve is the running
+    sum of per-step ln(1 - d/n) terms floor-quantized at 1e9 BEFORE the
+    cumulative sum, so the curve is order-independent int64."""
+    from .operators.analytics import kaplan_meier
+
+    o = _read(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 50).cast("long").alias("t"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("e"),
+    )
+    return kaplan_meier(o, "t", "e").orderBy("t")
+
+
+def q_kaplan_meier_oracle():
+    from .operators.analytics import kaplan_meier_sql
+
+    base = (
+        "SELECT CAST(o_orderkey % 50 AS BIGINT) AS t, "
+        "CAST(o_orderstatus = 'F' AS BIGINT) AS e FROM orders"
+    )
+    return (
+        "SELECT * FROM (" + kaplan_meier_sql(base, "t", "e") + ") ORDER BY t"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -8994,4 +9107,8 @@ QUERIES = {
     "geodesic_destination": (q_geodesic_destination, q_geodesic_destination_oracle),
     "idw": (q_idw, q_idw_oracle),
     "ccl_regions": (q_ccl_regions, q_ccl_regions_oracle),
+    "decision_stump": (q_decision_stump, q_decision_stump_oracle),
+    "assoc_rules": (q_assoc_rules, q_assoc_rules_oracle),
+    "markov_transitions": (q_markov_transitions, q_markov_transitions_oracle),
+    "kaplan_meier": (q_kaplan_meier, q_kaplan_meier_oracle),
 }

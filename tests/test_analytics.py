@@ -323,3 +323,99 @@ def test_chi2_contingency_against_scipy_formula(spark):
     assert abs(total - sum(
         (O[(r_, c_)] - R[r_] * C[c_] / N) ** 2 / (R[r_] * C[c_] / N)
         for r_ in "ab" for c_ in "xy") ) < 1e-9
+
+
+def test_decision_stump_matches_brute(spark):
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(k), int(x), int(y))
+        for k, x, y in zip(
+            rng.randint(0, 3, 200),
+            rng.randint(0, 12, 200),
+            rng.randint(0, 2, 200),
+        )
+    ]
+    from sis_spark.operators.analytics import decision_stump
+
+    df = spark.createDataFrame(rows, "k long, x long, y long").repartition(5)
+    got = {r["k"]: r for r in decision_stump(df, "k", "x", "y").collect()}
+    for k in sorted({r[0] for r in rows}):
+        pts = sorted((x, y) for kk, x, y in rows if kk == k)
+        n = len(pts)
+        best = None
+        for thr in sorted({x for x, _ in pts}):
+            left = [(x, y) for x, y in pts if x <= thr]
+            nl = len(left)
+            if nl == n:
+                continue
+            nlp = sum(y for _, y in left)
+            npos = sum(y for _, y in pts)
+            nr, nrp = n - nl, npos - nlp
+            num = (nlp**2 + (nl - nlp) ** 2) * nr + (
+                nrp**2 + (nr - nrp) ** 2
+            ) * nl
+            den = nl * nr
+            key = (-(num / den), thr)
+            if best is None or key < best[0]:
+                best = (key, thr, nl, nlp, num, den)
+        _, thr, nl, nlp, num, den = best
+        r = got[k]
+        assert (r["thr"], r["nl"], r["nl_pos"]) == (thr, nl, nlp)
+        assert (r["score_num"], r["score_den"]) == (num, den)
+
+
+def test_assoc_rules_counts(spark):
+    from sis_spark.operators.analytics import assoc_rules
+
+    baskets = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "b"),  # dup item collapses
+        (4, "c"),
+    ]
+    df = spark.createDataFrame(baskets, "bk long, it string")
+    got = {
+        (r["a"], r["b"]): r
+        for r in assoc_rules(df, "bk", "it", min_support=2).collect()
+    }
+    assert set(got) == {("a", "b")}
+    r = got[("a", "b")]
+    assert (r["n_ab"], r["n_a"], r["n_b"], r["n_baskets"]) == (3, 3, 3, 4)
+
+
+def test_markov_transitions_counts(spark):
+    from sis_spark.operators.analytics import markov_transitions
+
+    seq = [
+        (1, 0, "x"), (1, 1, "y"), (1, 2, "x"),
+        (2, 0, "x"), (2, 1, "x"),
+    ]
+    df = spark.createDataFrame(seq, "k long, o long, st string")
+    got = {
+        (r["from_state"], r["to_state"]): (r["n_trans"], r["n_from"])
+        for r in markov_transitions(df, "k", "o", "st").collect()
+    }
+    # n_from counts OUTGOING transitions (last row of each key has none)
+    assert got == {
+        ("x", "y"): (1, 2),
+        ("y", "x"): (1, 1),
+        ("x", "x"): (1, 2),
+    }
+
+
+def test_kaplan_meier_life_table(spark):
+    import math
+
+    from sis_spark.operators.analytics import kaplan_meier
+
+    # (t, e): e=1 death, e=0 censored
+    rows = [(1, 1), (1, 1), (2, 0), (3, 1), (4, 0), (5, 1), (5, 0)]
+    df = spark.createDataFrame(rows, "t long, e long")
+    got = {r["t"]: r for r in kaplan_meier(df, "t", "e").collect()}
+    assert sorted(got) == [1, 3, 5]  # only event times
+    assert (got[1]["n_risk"], got[1]["d"], got[1]["c"]) == (7, 2, 0)
+    assert (got[3]["n_risk"], got[3]["d"]) == (4, 1)
+    assert (got[5]["n_risk"], got[5]["d"], got[5]["c"]) == (2, 1, 1)
+    # survival curve ~ product of (1 - d/n): S(3) = (5/7)*(3/4)
+    s3 = math.exp(got[3]["log_s_q"] / 1e9)
+    assert abs(s3 - (5 / 7) * (3 / 4)) < 1e-6
