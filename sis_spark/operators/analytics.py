@@ -1194,3 +1194,126 @@ SELECT t, n_risk, d, c,
        CAST(sum(step_q) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
             AS BIGINT) AS log_s_q
 FROM ev"""
+
+
+def roc_points(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """ROC / PR curve support points -> one row per DISTINCT score
+    (thr, n_at, pos_at, tp, fp, fn, tn): confusion counts for the
+    classifier "predict positive iff score >= thr", all exact int64.
+    Precision/recall/TPR/FPR stay the exact rationals tp/(tp+fp) etc.
+
+    Scale shape: one groupBy collapses the (possibly huge) scored table
+    to <= |distinct scores| rows, then a single window cumsum over that
+    tiny table — the evaluation twin of ``classifier_score``."""
+    from pyspark.sql import Window
+
+    b = df.select(
+        F.col(score_col).alias("thr"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    per = b.groupBy("thr").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("y").alias("pos_at"),
+    )
+    w = Window.orderBy(F.col("thr").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    return per.select(
+        "thr", "n_at", "pos_at",
+        F.sum("pos_at").over(w).alias("tp"),
+        (F.sum("n_at").over(w) - F.sum("pos_at").over(w)).alias("fp"),
+        (F.sum("pos_at").over(tot) - F.sum("pos_at").over(w)).alias("fn"),
+        (
+            F.sum("n_at").over(tot) - F.sum("pos_at").over(tot)
+            - (F.sum("n_at").over(w) - F.sum("pos_at").over(w))
+        ).alias("tn"),
+    )
+
+
+def roc_points_sql(base_select: str, score_col: str, label_col: str) -> str:
+    """DuckDB replay of ``roc_points``."""
+    return f"""
+WITH b AS (
+  SELECT {score_col} AS thr, CAST({label_col} AS BIGINT) AS y
+  FROM ({base_select}) s),
+per AS (
+  SELECT thr, CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(y) AS BIGINT) AS pos_at
+  FROM b GROUP BY 1),
+c AS (
+  SELECT *,
+         CAST(sum(pos_at) OVER (ORDER BY thr DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+         CAST(sum(n_at) OVER (ORDER BY thr DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+         CAST(sum(pos_at) OVER () AS BIGINT) AS all_pos,
+         CAST(sum(n_at) OVER () AS BIGINT) AS all_n
+  FROM per)
+SELECT thr, n_at, pos_at, tp, cum_n - tp AS fp, all_pos - tp AS fn,
+       (all_n - all_pos) - (cum_n - tp) AS tn
+FROM c"""
+
+
+def seq_patterns(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    item_col: str,
+    max_gap: int = 3,
+) -> DataFrame:
+    """Sequential pattern counts (PrefixSpan's length-2 core, public
+    literature): ordered item pairs occurring within ``max_gap`` positions
+    inside a key's sequence -> (s1, s2, n_occ, n_keys).  Unlike the
+    unordered PMI collocations, (s1, s2) and (s2, s1) are distinct.
+
+    Scale shape: one rank window per key, one bounded self-join (fan-out
+    <= max_gap per row — a band join on the rank), one aggregation."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("o")
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(order_col).alias("o"),
+        F.col(item_col).alias("it"),
+    ).withColumn("rn", F.row_number().over(w))
+    l, r = b.alias("l"), b.alias("r")
+    joined = l.join(
+        r,
+        (F.col("l.k") == F.col("r.k"))
+        & (F.col("r.rn") > F.col("l.rn"))
+        & (F.col("r.rn") <= F.col("l.rn") + int(max_gap)),
+    )
+    return (
+        joined.groupBy(
+            F.col("l.it").alias("s1"), F.col("r.it").alias("s2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct(F.col("l.k")).alias("n_keys"),
+        )
+    )
+
+
+def seq_patterns_sql(
+    base_select: str,
+    key_col: str,
+    order_col: str,
+    item_col: str,
+    max_gap: int = 3,
+) -> str:
+    """DuckDB replay of ``seq_patterns``."""
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, {item_col} AS it,
+         row_number() OVER (PARTITION BY {key_col}
+                            ORDER BY {order_col}) AS rn
+  FROM ({base_select}) s)
+SELECT l.it AS s1, r.it AS s2, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT l.k) AS BIGINT) AS n_keys
+FROM b l JOIN b r ON r.k = l.k AND r.rn > l.rn AND r.rn <= l.rn + {int(max_gap)}
+GROUP BY 1, 2"""

@@ -1108,3 +1108,162 @@ SELECT {id_col}, {u} AS url,
        regexp_extract({u}, '\\?([^#]*)', 1) AS query,
        regexp_extract({host}, '\\.([a-z0-9-]+)$', 1) AS tld
 FROM ({base_select}) s"""
+
+
+# ------------------------------------------------------------------- LCS
+# Longest common subsequence length between token sequences (Wagner/Fischer
+# 1974 recurrence, public literature) — the order-aware text-similarity
+# companion to the set-based Jaccard/MinHash family.  The DP is pure integer
+# (cell = diag+1 on a token match, else max(up, left)), swept by
+# ANTI-DIAGONAL exactly like the Fréchet/DTW joins in trajectory.py: diag k
+# depends only on diags k-1 and k-2, so the engine runs O(na+nb) vectorized
+# numpy rounds per pair and the oracle is a lockstep recursive CTE carrying
+# two LIST columns.  Out-of-range predecessors are the LCS identity 0 (the
+# int64-max sentinel's mirror image under max instead of min).
+
+
+def _lcs_diag(a, b) -> int:
+    """Anti-diagonal vectorized LCS length — O(na+nb) numpy rounds."""
+    import numpy as np
+
+    a = np.asarray(a, np.int64)
+    b = np.asarray(b, np.int64)
+    na, nb = len(a), len(b)
+    if na == 0 or nb == 0:
+        return 0
+    d1 = d2 = None
+    lo1 = lo2 = 0
+    for k in range(na + nb - 1):
+        lo = max(0, k - nb + 1)
+        hi = min(k, na - 1)
+        i = np.arange(lo, hi + 1)
+        j = k - i
+        eq = a[i] == b[j]
+        if k == 0:
+            cur = eq.astype(np.int64)
+        else:
+            def pick(diag, dlo, ii):
+                idx = ii - dlo
+                ok = (idx >= 0) & (idx < len(diag))
+                return np.where(ok, diag[np.clip(idx, 0, len(diag) - 1)], 0)
+
+            p1 = np.where(i >= 1, pick(d1, lo1, i - 1), 0)  # L[i-1][j]
+            p2 = np.where(j >= 1, pick(d1, lo1, i), 0)      # L[i][j-1]
+            if d2 is not None:
+                p3 = np.where(
+                    (i >= 1) & (j >= 1), pick(d2, lo2, i - 1), 0
+                )  # L[i-1][j-1]
+            else:
+                p3 = np.zeros_like(i)
+            cur = np.where(eq, p3 + 1, np.maximum(p1, p2))
+        d2, lo2 = d1, lo1
+        d1, lo1 = cur, lo
+    return int(d1[0])
+
+
+def lcs_dense(a, b) -> int:
+    """Single-node reference: the textbook O(na*nb) cell recurrence."""
+    na, nb = len(a), len(b)
+    f = [[0] * (nb + 1) for _ in range(na + 1)]
+    for i in range(1, na + 1):
+        for j in range(1, nb + 1):
+            if a[i - 1] == b[j - 1]:
+                f[i][j] = f[i - 1][j - 1] + 1
+            else:
+                f[i][j] = max(f[i - 1][j], f[i][j - 1])
+    return f[na][nb]
+
+
+def lcs_join(
+    seqs: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "k",
+    order_col: str = "o",
+    tok_col: str = "tok",
+) -> DataFrame:
+    """LCS length for every (a, b) pair -> (a, b, na, nb, lcs).
+
+    ``seqs``: (key, order, token) int64 token rows; ``pairs``: (a, b) key
+    pairs to score (the candidate set — a bucketed prefilter's output at
+    scale, e.g. MinHash bands; scoring all pairs is the caller's explicit
+    choice).  Scale shape: two equi-joins replicate each sequence once per
+    pair (bounded fan-out), then ONE applyInPandas group per pair runs the
+    O(na+nb) diagonal sweep — no driver participation, state linear in
+    sequence length (the frechet_join execution shape)."""
+    import pandas as pd
+
+    s = seqs.select(
+        F.col(key_col).alias("k"),
+        F.col(order_col).alias("o"),
+        F.col(tok_col).alias("tok"),
+    )
+    pa = pairs.join(s, s["k"] == pairs["a"]).select(
+        "a", "b", F.lit(0).alias("side"), "o", "tok"
+    )
+    pb = pairs.join(s, s["k"] == pairs["b"]).select(
+        "a", "b", F.lit(1).alias("side"), "o", "tok"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["side", "o"], kind="mergesort")
+        am = pdf[pdf["side"] == 0]["tok"].to_numpy()
+        bm = pdf[pdf["side"] == 1]["tok"].to_numpy()
+        return pd.DataFrame(
+            [{
+                "a": pdf["a"].iloc[0], "b": pdf["b"].iloc[0],
+                "na": len(am), "nb": len(bm), "lcs": _lcs_diag(am, bm),
+            }]
+        )
+
+    return (
+        pa.union(pb)
+        .groupBy("a", "b")
+        .applyInPandas(fn, schema="a long, b long, na long, nb long, lcs long")
+    )
+
+
+def lcs_join_sql(seqs_select: str, pairs_select: str) -> str:
+    """DuckDB oracle for ``lcs_join``: the identical anti-diagonal DP as a
+    lockstep recursive CTE — state per pair is two diagonal LISTs; every
+    pair advances one diagonal per round; out-of-range predecessors are 0.
+
+    ``seqs_select`` -> (k, o, tok); ``pairs_select`` -> (a, b)."""
+    # positions are 1-based; in the lambda, j = (k + 1) - i
+    p1 = "CASE WHEN i >= 1 THEN d1[i - greatest(0, k - nb + 1)] ELSE 0 END"
+    p2 = (
+        "CASE WHEN k + 1 - i >= 1 THEN d1[i + 1 - greatest(0, k - nb + 1)] "
+        "ELSE 0 END"
+    )
+    p3 = (
+        "CASE WHEN i >= 1 AND k + 1 - i >= 1 "
+        "THEN d2[i - greatest(0, k - nb)] ELSE 0 END"
+    )
+    step = (
+        f"CASE WHEN ax[i + 1] = bx[k + 2 - i] THEN ({p3}) + 1 "
+        f"ELSE greatest({p1}, {p2}) END"
+    )
+    return f"""
+WITH RECURSIVE sq AS ({seqs_select}),
+prs AS ({pairs_select}),
+tracks AS (
+  SELECT k AS tk, list(tok ORDER BY o) AS xs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM sq GROUP BY 1),
+init AS (
+  SELECT prs.a, prs.b, ta.xs AS ax, tb.xs AS bx, ta.n AS na, tb.n AS nb
+  FROM prs JOIN tracks ta ON ta.tk = prs.a JOIN tracks tb ON tb.tk = prs.b),
+st(a, b, ax, bx, na, nb, k, d1, d2) AS (
+  SELECT a, b, ax, bx, na, nb, 0,
+         [CASE WHEN ax[1] = bx[1] THEN CAST(1 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END],
+         CAST([] AS BIGINT[])
+  FROM init
+  UNION ALL
+  SELECT a, b, ax, bx, na, nb, k + 1,
+         list_transform(
+           range(greatest(0, k + 2 - nb), least(k + 1, na - 1) + 1),
+           i -> {step}),
+         d1
+  FROM st WHERE k + 1 <= na + nb - 2),
+fin AS (SELECT a, b, na, nb, d1[1] AS lcs FROM st WHERE k = na + nb - 2)
+SELECT a, b, na, nb, CAST(lcs AS BIGINT) AS lcs FROM fin"""

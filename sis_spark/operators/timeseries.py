@@ -390,6 +390,96 @@ SELECT {user_col}, rn, CAST(x AS BIGINT) AS x, s FROM rec
 """
 
 
+def holt_int(
+    df: DataFrame,
+    a_num: int = 1,
+    a_den: int = 4,
+    b_num: int = 1,
+    b_den: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "x",
+) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) in EXACT integer
+    arithmetic -> (user, rn, x, l, b): l_1 = x_1, b_1 = 0,
+      l_t = floor((a_num*x_t + (a_den-a_num)*(l_{t-1}+b_{t-1})) / a_den)
+      b_t = floor((b_num*(l_t-l_{t-1}) + (b_den-b_num)*b_{t-1}) / b_den)
+    with alpha = a_num/a_den, beta = b_num/b_den rational and every
+    division a true FLOOR division, so both engines agree bit-for-bit on
+    negative trends.  The one-step-ahead forecast is the exact integer
+    l + b.  Same execution shape as ``ewma_int`` (one applyInPandas group
+    per key; keys parallelize, the recurrence is sequential per key)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.int64)
+        l = np.zeros(len(x), dtype=np.int64)
+        b = np.zeros(len(x), dtype=np.int64)
+        if len(x):
+            l[0] = x[0]
+            for t in range(1, len(x)):
+                l[t] = np.floor_divide(
+                    a_num * x[t] + (a_den - a_num) * (l[t - 1] + b[t - 1]),
+                    a_den,
+                )
+                b[t] = np.floor_divide(
+                    b_num * (l[t] - l[t - 1]) + (b_den - b_num) * b[t - 1],
+                    b_den,
+                )
+        return pd.DataFrame({
+            user_col: pdf[user_col].to_numpy(),
+            "rn": np.arange(1, len(x) + 1, dtype=np.int64),
+            "x": x,
+            "l": l,
+            "b": b,
+        })
+
+    schema = f"{user_col} long, rn long, x long, l long, b long"
+    return df.groupBy(user_col).applyInPandas(fn, schema=schema)
+
+
+def holt_int_sql(
+    base_select: str,
+    a_num: int = 1,
+    a_den: int = 4,
+    b_num: int = 1,
+    b_den: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "x",
+) -> str:
+    """DuckDB replay of ``holt_int``: the ewma lockstep recursive CTE with
+    TWO carried state columns; floor division via the posmod identity.
+    The level update must resolve before the trend update reads it, so the
+    recursive SELECT nests it in a lateral subexpression."""
+    lrec = f"({a_num} * p.{value_col} + {a_den - a_num} * (r.l + r.b))"
+    lnew = f"(({lrec} - ((({lrec} % {a_den}) + {a_den}) % {a_den})) // {a_den})"
+    brec = f"({b_num} * (ln.v - r.l) + {b_den - b_num} * r.b)"
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT {user_col}, {value_col},
+         CAST(row_number() OVER (PARTITION BY {user_col}
+                                 ORDER BY {ts_col}, {id_col}) AS BIGINT) AS rn
+  FROM ({base_select}) base),
+rec AS (
+  SELECT {user_col}, rn, {value_col} AS x,
+         CAST({value_col} AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+  FROM pts WHERE rn = 1
+  UNION ALL
+  SELECT p.{user_col}, p.rn, p.{value_col},
+         ln.v,
+         ({brec} - ((({brec} % {b_den}) + {b_den}) % {b_den})) // {b_den}
+  FROM rec r
+  JOIN pts p ON p.{user_col} = r.{user_col} AND p.rn = r.rn + 1
+  CROSS JOIN LATERAL (SELECT {lnew} AS v) ln)
+SELECT {user_col}, rn, CAST(x AS BIGINT) AS x, l, b FROM rec
+"""
+
+
 def interval_union(
     df: DataFrame,
     key_col: str = "user_id",

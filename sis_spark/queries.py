@@ -8782,6 +8782,272 @@ SELECT CAST(row_number() OVER (ORDER BY x_min, y_min, n_px) AS BIGINT) AS rid,
 FROM stats ORDER BY rid"""
 
 
+def q_hist_eq(spark, sf_dir):
+    """Global histogram equalization (tiles.hist_eq — the CDF remap
+    sibling of the stretch gate): distributed 256-bin histogram -> pure
+    INTEGER LUT ``(cdf - cdf_min) * 255 // (n - cdf_min)`` -> per-tile
+    remap, verified through per-band stats.  No FP anywhere — counts,
+    cumsum, and the LUT division are all exact int64."""
+    from .raster.grid import GridGeometry
+    from .raster.tiles import band_stats, hist_eq
+
+    W, H = 500, 300
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _formula_tiles(spark, W, H, bands=2)
+    out = hist_eq(tiles, gg)
+    return band_stats(out, gg).select(
+        "band", "n", "min", "max", "sum", "mean"
+    ).orderBy("band")
+
+
+def q_hist_eq_oracle():
+    return """
+WITH px AS (
+  SELECT b.band, CASE b.band WHEN 0 THEN (gx.x * 7 + gy.y * 13) % 256
+                             ELSE (gx.x * 3 + gy.y * 5 + 17) % 256 END AS v
+  FROM generate_series(0, 499) gx(x), generate_series(0, 299) gy(y),
+       (SELECT 0 AS band UNION ALL SELECT 1) b),
+hist AS (SELECT band, v, CAST(count(*) AS BIGINT) AS cnt FROM px GROUP BY 1, 2),
+cum AS (
+  SELECT band, v,
+         CAST(sum(cnt) OVER (PARTITION BY band ORDER BY v) AS BIGINT) AS c,
+         CAST(sum(cnt) OVER (PARTITION BY band) AS BIGINT) AS n
+  FROM hist),
+lut AS (
+  SELECT band, v,
+         (c - min(c) OVER (PARTITION BY band)) * 255
+           // (n - min(c) OVER (PARTITION BY band)) AS s
+  FROM cum),
+sv AS (SELECT px.band, lut.s FROM px JOIN lut USING (band, v))
+SELECT CAST(band AS INT) AS band, count(*) AS n,
+       CAST(min(s) AS BIGINT) AS min, CAST(max(s) AS BIGINT) AS max,
+       CAST(sum(s) AS BIGINT) AS sum,
+       CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+FROM sv GROUP BY 1 ORDER BY band"""
+
+
+def q_hillshade(spark, sf_dir):
+    """Hillshade rendering (terrain.hillshade_tiles, ESRI/Horn formula,
+    default sun az 315 / alt 45) on the distributed gradient's halo
+    machinery: slope/aspect per pixel from exact dyadic central
+    differences, one trig expression, round+clamp to uint8 — verified
+    through per-band stats.  The shade values land >=2.5e-3 away from
+    every rounding boundary on this raster (measured), so the numpy-vs-
+    DuckDB trig agreement holds with ~10 orders of magnitude of margin."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import hillshade_tiles
+    from .raster.tiles import band_stats
+
+    W, H = 500, 300
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _formula_tiles(spark, W, H, bands=1)
+    out = hillshade_tiles(tiles, gg)
+    return band_stats(out, gg).select(
+        "band", "n", "min", "max", "sum", "mean"
+    ).orderBy("band")
+
+
+def q_hillshade_oracle():
+    import math as _math
+
+    zen = _math.radians(90.0 - 45.0)
+    cz, sz = repr(_math.cos(zen)), repr(_math.sin(zen))
+    az = repr(_math.radians(360.0 - 315.0 + 90.0))
+    return f"""
+WITH px AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(0, 499) gx(x), generate_series(0, 299) gy(y)),
+g AS (
+  SELECT
+    CASE WHEN x = 0
+         THEN CAST(((x+1)*7 + y*13) % 256 - (x*7 + y*13) % 256 AS DOUBLE)
+         WHEN x = 499
+         THEN CAST((x*7 + y*13) % 256 - ((x-1)*7 + y*13) % 256 AS DOUBLE)
+         ELSE CAST(((x+1)*7 + y*13) % 256
+                   - ((x-1)*7 + y*13) % 256 AS DOUBLE) * 0.5 END AS gxv,
+    CASE WHEN y = 0
+         THEN CAST((x*7 + (y+1)*13) % 256 - (x*7 + y*13) % 256 AS DOUBLE)
+         WHEN y = 299
+         THEN CAST((x*7 + y*13) % 256 - (x*7 + (y-1)*13) % 256 AS DOUBLE)
+         ELSE CAST((x*7 + (y+1)*13) % 256
+                   - (x*7 + (y-1)*13) % 256 AS DOUBLE) * 0.5 END AS gyv
+  FROM px),
+sh AS (
+  SELECT CAST(least(greatest(round(
+    2.55e2 * ({cz} * cos(atan(sqrt(gxv*gxv + gyv*gyv)))
+            + {sz} * sin(atan(sqrt(gxv*gxv + gyv*gyv)))
+                   * cos({az} - atan2(gyv, -gxv)))
+  ), 0.0e0), 2.55e2) AS BIGINT) AS s FROM g)
+SELECT CAST(0 AS INT) AS band, count(*) AS n,
+       CAST(min(s) AS BIGINT) AS min, CAST(max(s) AS BIGINT) AS max,
+       CAST(sum(s) AS BIGINT) AS sum,
+       CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+FROM sh GROUP BY 1 ORDER BY band"""
+
+
+def q_lcs_pairs(spark, sf_dir):
+    """Longest-common-subsequence join over per-user event-type sequences
+    (textops.lcs_join): the order-aware text-similarity companion of the
+    Jaccard/MinHash family — pure integer DP swept by anti-diagonal
+    (O(na+nb) numpy rounds per pair), the Fréchet/DTW lockstep-diagonal
+    oracle with 0 in place of the int64-max sentinel."""
+    from pyspark.sql import Window
+
+    from .operators.textops import lcs_join
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seqs = (
+        _read(spark, sf_dir, "events")
+        .select("user_id", "event_id", F.ascii("event_type").cast("long").alias("tok"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _FRECHET_CAP)
+    )
+    pairs = _traj_pairs_df(seqs.select("user_id"))
+    return lcs_join(
+        seqs, pairs, key_col="user_id", order_col="rn", tok_col="tok"
+    ).orderBy("a")
+
+
+def q_lcs_pairs_oracle():
+    from .operators.textops import lcs_join_sql
+
+    seqs = f"""
+SELECT user_id AS k, rn AS o, tok FROM (
+  SELECT user_id, CAST(ascii(event_type) AS BIGINT) AS tok,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events) t
+WHERE rn <= {_FRECHET_CAP}"""
+    return (
+        "SELECT * FROM ("
+        + lcs_join_sql(seqs, _TRAJ_PAIRS_SQL)
+        + ") ORDER BY a"
+    )
+
+
+def q_holt(spark, sf_dir):
+    """Holt double exponential smoothing (timeseries.holt_int,
+    alpha=1/4, beta=1/8) over per-user event tracks: coupled integer
+    level+trend recurrences with true floor divisions; the oracle steps
+    both states in one lockstep recursive CTE (the level resolves in a
+    LATERAL subexpression before the trend reads it)."""
+    from .operators.timeseries import holt_int
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    lon, _ = point_lonlat_cols("event_id")
+    pts = ev.select(
+        "user_id", "event_id", "ts",
+        F.floor(lon * 10000).cast("long").alias("x"),
+    )
+    return holt_int(pts, a_num=1, a_den=4, b_num=1, b_den=8).orderBy(
+        "user_id", "rn"
+    )
+
+
+def q_holt_oracle():
+    from .operators.timeseries import holt_int_sql
+
+    base = (
+        "SELECT user_id, event_id, ts, "
+        f"CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e4) AS BIGINT) AS x "
+        "FROM events WHERE event_id < 4000"
+    )
+    return (
+        "SELECT * FROM ("
+        + holt_int_sql(base, a_num=1, a_den=4, b_num=1, b_den=8)
+        + ") ORDER BY user_id, rn"
+    )
+
+
+def q_ssim_tiles(spark, sf_dir):
+    """Per-tile SSIM between two co-registered rasters (tiles.ssim_tiles,
+    Wang et al. 2004): one equi-join co-locates tile pairs, moments are
+    exact int64 sums, and the FP formula is SHARED SQL expression text
+    (tiles.ssim_expr_sql) evaluated by both engines — quantized at 1e9."""
+    from .raster.tiles import ssim_tiles
+
+    W, H = 448, 256  # multiples of 64: every pixel real
+    tiles = _formula_tiles(spark, W, H, bands=2)
+    a = tiles.filter(F.col("band") == 0)
+    b = tiles.filter(F.col("band") == 1).withColumn("band", F.lit(0).cast("int"))
+    return ssim_tiles(a, b).orderBy("tx", "ty")
+
+
+def q_ssim_tiles_oracle():
+    from .raster.tiles import ssim_expr_sql
+
+    return f"""
+WITH px AS (
+  SELECT gx.x // 64 AS tx, gy.y // 64 AS ty,
+         CAST((gx.x * 7 + gy.y * 13) % 256 AS BIGINT) AS va,
+         CAST((gx.x * 3 + gy.y * 5 + 17) % 256 AS BIGINT) AS vb
+  FROM generate_series(0, 447) gx(x), generate_series(0, 255) gy(y)),
+sums AS (
+  SELECT tx, ty, CAST(0 AS INT) AS band,
+         CAST(count(*) AS BIGINT) AS n_px,
+         CAST(sum(va) AS BIGINT) AS sum_a, CAST(sum(vb) AS BIGINT) AS sum_b,
+         CAST(sum(va * va) AS BIGINT) AS sumsq_a,
+         CAST(sum(vb * vb) AS BIGINT) AS sumsq_b,
+         CAST(sum(va * vb) AS BIGINT) AS sum_ab
+  FROM px GROUP BY 1, 2)
+SELECT tx, ty, band, n_px, sum_a, sum_b, {ssim_expr_sql()} AS ssim_q
+FROM sums ORDER BY tx, ty"""
+
+
+def q_roc_points(spark, sf_dir):
+    """ROC/PR curve support points (analytics.roc_points): confusion
+    counts at every distinct score threshold — one groupBy collapse then
+    a tiny window cumsum, all exact int64; the evaluation twin of the
+    classifier_score gate."""
+    from .operators.analytics import roc_points
+
+    d = _read(spark, sf_dir, "documents").select(
+        (F.col("n_chars") % 97).cast("long").alias("s"),
+        (F.col("doc_id") % 3 == 0).cast("long").alias("y"),
+    )
+    return roc_points(d, "s", "y").orderBy("thr")
+
+
+def q_roc_points_oracle():
+    from .operators.analytics import roc_points_sql
+
+    base = (
+        "SELECT CAST(n_chars % 97 AS BIGINT) AS s, "
+        "CAST(doc_id % 3 = 0 AS BIGINT) AS y FROM documents"
+    )
+    return (
+        "SELECT * FROM (" + roc_points_sql(base, "s", "y") + ") ORDER BY thr"
+    )
+
+
+def q_seq_patterns(spark, sf_dir):
+    """Sequential pattern mining, length-2 core (analytics.seq_patterns):
+    ordered event-type pairs within 3 positions inside each user's
+    stream — rank window + bounded band self-join + one aggregation;
+    the ORDERED counterpart of the unordered PMI collocations gate."""
+    from .operators.analytics import seq_patterns
+
+    ev = _read(spark, sf_dir, "events")
+    return seq_patterns(
+        ev, "user_id", "event_id", "event_type", max_gap=3
+    ).orderBy("s1", "s2")
+
+
+def q_seq_patterns_oracle():
+    from .operators.analytics import seq_patterns_sql
+
+    return (
+        "SELECT * FROM ("
+        + seq_patterns_sql(
+            "SELECT user_id, event_id, event_type FROM events",
+            "user_id",
+            "event_id",
+            "event_type",
+            max_gap=3,
+        )
+        + ") ORDER BY s1, s2"
+    )
+
+
 def q_decision_stump(spark, sf_dir):
     """Best Gini split per return flag (analytics.decision_stump over
     lineitem: x = quantity, label = discount > 0.05): exact int64 prefix
@@ -9111,4 +9377,11 @@ QUERIES = {
     "assoc_rules": (q_assoc_rules, q_assoc_rules_oracle),
     "markov_transitions": (q_markov_transitions, q_markov_transitions_oracle),
     "kaplan_meier": (q_kaplan_meier, q_kaplan_meier_oracle),
+    "hist_eq": (q_hist_eq, q_hist_eq_oracle),
+    "hillshade": (q_hillshade, q_hillshade_oracle),
+    "lcs_pairs": (q_lcs_pairs, q_lcs_pairs_oracle),
+    "holt": (q_holt, q_holt_oracle),
+    "ssim_tiles": (q_ssim_tiles, q_ssim_tiles_oracle),
+    "roc_points": (q_roc_points, q_roc_points_oracle),
+    "seq_patterns": (q_seq_patterns, q_seq_patterns_oracle),
 }

@@ -672,6 +672,70 @@ def stretch(tiles_df: DataFrame, gg: GridGeometry, tile_size: int = 64,
     return tiles_df.mapInPandas(apply, schema=TILE_SCHEMA)
 
 
+def hist_eq(tiles_df: DataFrame, gg: GridGeometry, tile_size: int = 64,
+            dtype=np.uint8) -> DataFrame:
+    """Global histogram equalization (the classic CDF remap; the
+    equalization sibling of ``stretch``'s percentile clip,
+    ImageProcessor.stretchColorRamp family, F/image/ImageProcessor.java:780):
+    per-band distributed 256-bin histogram -> cumulative counts -> LUT
+    ``lut[v] = (cdf[v] - cdf_min) * 255 // (n - cdf_min)`` -> per-tile remap.
+
+    PURE INTEGER end to end: counts are exact int64 sums and the LUT is one
+    integer floor division per bin, so the result is bit-replicable across
+    engines and partitionings.  Two Spark jobs: one tiny histogram
+    aggregation (<= 256 rows per band regardless of raster size), one map
+    over tiles — same shape as ``stretch``."""
+    bdt = np.dtype(dtype)
+    w, h = gg.width, gg.height
+
+    def hist_partial(batches):
+        for pdf in batches:
+            out = []
+            for data, tx, ty, band in zip(pdf["data"], pdf["tx"], pdf["ty"], pdf["band"]):
+                block = np.frombuffer(data, dtype=bdt).reshape(tile_size, tile_size)
+                vh = min(tile_size, h - ty * tile_size)
+                vw = min(tile_size, w - tx * tile_size)
+                cnt = np.bincount(block[:vh, :vw].ravel(), minlength=256)
+                nz = np.nonzero(cnt)[0]
+                out.append(pd.DataFrame({
+                    "band": band, "value": nz, "cnt": cnt[nz],
+                }))
+            if out:
+                yield pd.concat(out)
+
+    hist = (
+        tiles_df.mapInPandas(hist_partial, schema="band int, value int, cnt long")
+        .groupBy("band", "value").agg(F.sum("cnt").alias("cnt"))
+        .collect()  # <= 256 rows/band: plan input, like stretch's bounds
+    )
+    by_band: dict[int, np.ndarray] = {}
+    for r in hist:
+        by_band.setdefault(r["band"], np.zeros(256, dtype=np.int64))[r["value"]] += r["cnt"]
+    luts: dict[int, np.ndarray] = {}
+    for band, cnt in by_band.items():
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        cdf_min = int(cum[np.nonzero(cnt)[0][0]])
+        if n == cdf_min:  # constant image: map everything to 255
+            luts[band] = np.full(256, 255, dtype=np.uint8)
+        else:
+            luts[band] = (
+                np.maximum(cum - cdf_min, 0) * 255 // (n - cdf_min)
+            ).astype(np.uint8)
+
+    def apply(batches):
+        for pdf in batches:
+            datas = []
+            for band, d in zip(pdf["band"], pdf["data"]):
+                lut = luts.get(int(band))
+                block = np.frombuffer(d, dtype=bdt)
+                datas.append((block if lut is None else lut[block]).tobytes())
+            yield pd.DataFrame({"tx": pdf.tx, "ty": pdf.ty, "band": pdf.band,
+                                "data": datas})
+
+    return tiles_df.mapInPandas(apply, schema=TILE_SCHEMA)
+
+
 def color_ramp(tiles_df: DataFrame, lut: np.ndarray, band: int = 0,
                tile_size: int = 64, dtype=np.uint8) -> DataFrame:
     """Single band -> RGB via a (256, 3) uint8 lookup table
@@ -698,6 +762,73 @@ def color_ramp(tiles_df: DataFrame, lut: np.ndarray, band: int = 0,
                 yield pd.DataFrame(out)
 
     return tiles_df.mapInPandas(fn, schema=TILE_SCHEMA)
+
+
+def ssim_expr_sql() -> str:
+    """Shared Spark/DuckDB expression text for the quantized per-tile SSIM
+    from the exact integer sums (n_px, sum_a, sum_b, sumsq_a, sumsq_b,
+    sum_ab) — the engine evaluates this IN SQL (not numpy) so the oracle
+    reuses the identical expression order bit-exactly (the image_quality
+    trick).  C1/C2 are the standard (0.01*255)^2 / (0.03*255)^2."""
+    n = "CAST(n_px AS DOUBLE)"
+    ma = f"(CAST(sum_a AS DOUBLE) / {n})"
+    mb = f"(CAST(sum_b AS DOUBLE) / {n})"
+    va = f"(CAST(sumsq_a AS DOUBLE) / {n} - {ma} * {ma})"
+    vb = f"(CAST(sumsq_b AS DOUBLE) / {n} - {mb} * {mb})"
+    cab = f"(CAST(sum_ab AS DOUBLE) / {n} - {ma} * {mb})"
+    ssim = (
+        f"(((2.0 * {ma} * {mb} + 6.5025) * (2.0 * {cab} + 58.5225))"
+        f" / (({ma} * {ma} + {mb} * {mb} + 6.5025)"
+        f" * ({va} + {vb} + 58.5225)))"
+    )
+    return f"CAST(floor({ssim} * 1.0e9 + 0.12345678987) AS BIGINT)"
+
+
+def ssim_tiles(a: DataFrame, b: DataFrame, tile_size: int = 64,
+               dtype=np.uint8) -> DataFrame:
+    """Per-tile structural similarity between two co-registered rasters
+    (Wang et al. 2004, public literature; each tile is one SSIM window) ->
+    (tx, ty, band, n_px, sum_a, sum_b, ssim_q).
+
+    Scale shape: ONE equi-join on (tx, ty, band) co-locates tile pairs,
+    per-tile moments are exact int64 sums inside one mapInPandas pass, and
+    the FP formula runs as shared SQL expression text (``ssim_expr_sql``)
+    so the DuckDB oracle cannot drift — the per-row reduction is
+    embarrassingly parallel, no global state."""
+    j = (
+        a.withColumnRenamed("data", "da")
+        .join(b.withColumnRenamed("data", "db"), ["tx", "ty", "band"])
+    )
+    bdt = np.dtype(dtype)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, band, da, db in zip(
+                pdf["tx"], pdf["ty"], pdf["band"], pdf["da"], pdf["db"]
+            ):
+                va = np.frombuffer(da, dtype=bdt).astype(np.int64)
+                vb = np.frombuffer(db, dtype=bdt).astype(np.int64)
+                rows.append({
+                    "tx": int(tx), "ty": int(ty), "band": int(band),
+                    "n_px": va.size,
+                    "sum_a": int(va.sum()), "sum_b": int(vb.sum()),
+                    "sumsq_a": int((va * va).sum()),
+                    "sumsq_b": int((vb * vb).sum()),
+                    "sum_ab": int((va * vb).sum()),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    ints = j.mapInPandas(
+        fn,
+        schema=("tx long, ty long, band int, n_px long, sum_a long, "
+                "sum_b long, sumsq_a long, sumsq_b long, sum_ab long"),
+    )
+    return ints.select(
+        "tx", "ty", "band", "n_px", "sum_a", "sum_b",
+        F.expr(ssim_expr_sql()).alias("ssim_q"),
+    )
 
 
 def append_bands(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -419,3 +419,68 @@ def test_kaplan_meier_life_table(spark):
     # survival curve ~ product of (1 - d/n): S(3) = (5/7)*(3/4)
     s3 = math.exp(got[3]["log_s_q"] / 1e9)
     assert abs(s3 - (5 / 7) * (3 / 4)) < 1e-6
+
+
+def test_lcs_diag_matches_dense(spark):
+    from sis_spark.operators.textops import _lcs_diag, lcs_dense
+
+    rng = np.random.RandomState(11)
+    for _ in range(40):
+        na, nb = rng.randint(1, 25), rng.randint(1, 25)
+        a = rng.randint(0, 4, na)
+        b = rng.randint(0, 4, nb)
+        assert _lcs_diag(a, b) == lcs_dense(list(a), list(b))
+
+
+def test_lcs_join_spark(spark):
+    from sis_spark.operators.textops import lcs_dense, lcs_join
+
+    seq = {0: [1, 2, 3, 1, 2], 1: [2, 3, 1], 2: [3, 3, 3, 3], 3: [1, 2]}
+    rows = [(k, o, t) for k, toks in seq.items() for o, t in enumerate(toks)]
+    seqs = spark.createDataFrame(rows, "k long, o long, tok long").repartition(3)
+    pairs = spark.createDataFrame([(0, 1), (2, 3), (0, 2)], "a long, b long")
+    got = {(r["a"], r["b"]): r["lcs"] for r in lcs_join(seqs, pairs).collect()}
+    assert got == {
+        (a, b): lcs_dense(seq[a], seq[b]) for a, b in [(0, 1), (2, 3), (0, 2)]
+    }
+
+
+def test_holt_int_negative_floor(spark):
+    from sis_spark.operators.timeseries import holt_int
+
+    xs = [-50, 13, 2, 17, -42, 25]
+    rows = [(1, i, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, x long")
+    got = holt_int(df, 1, 4, 1, 8).orderBy("rn").collect()
+    l, b = xs[0], 0
+    for t in range(1, len(xs)):
+        lp = l
+        l = int(np.floor_divide(xs[t] + 3 * (l + b), 4))
+        b = int(np.floor_divide((l - lp) + 7 * b, 8))
+        assert (got[t]["l"], got[t]["b"]) == (l, b)
+
+
+def test_roc_points_counts(spark):
+    from sis_spark.operators.analytics import roc_points
+
+    rows = [(3, 1), (3, 0), (2, 1), (1, 0), (1, 0), (1, 1)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    got = {r["thr"]: r for r in roc_points(df, "s", "y").collect()}
+    assert (got[3]["tp"], got[3]["fp"], got[3]["fn"], got[3]["tn"]) == (1, 1, 2, 2)
+    assert (got[2]["tp"], got[2]["fp"]) == (2, 1)
+    assert (got[1]["tp"], got[1]["fp"], got[1]["fn"], got[1]["tn"]) == (3, 3, 0, 0)
+
+
+def test_seq_patterns_window(spark):
+    from sis_spark.operators.analytics import seq_patterns
+
+    # key 1: a b a c   (gap 2: ab, aa, ba, bc, ac);  key 2: c a
+    rows = [(1, 0, "a"), (1, 1, "b"), (1, 2, "a"), (1, 3, "c"),
+            (2, 0, "c"), (2, 1, "a")]
+    df = spark.createDataFrame(rows, "k long, o long, it string")
+    got = {(r["s1"], r["s2"]): (r["n_occ"], r["n_keys"])
+           for r in seq_patterns(df, "k", "o", "it", max_gap=2).collect()}
+    assert got == {
+        ("a", "b"): (1, 1), ("a", "a"): (1, 1), ("b", "a"): (1, 1),
+        ("b", "c"): (1, 1), ("a", "c"): (1, 1), ("c", "a"): (1, 1),
+    }

@@ -385,3 +385,67 @@ def test_resample_lanczos(spark, scene):
     arr, gg, tiles = scene
     out = tiles_to_raster(resample(tiles, gg, gg, method="lanczos"), gg, 64)
     assert np.array_equal(out, arr)
+
+
+def test_hist_eq_matches_numpy(spark, scene):
+    from sis_spark.raster.tiles import hist_eq, tiles_to_raster
+
+    arr, gg, tiles = scene
+    out = tiles_to_raster(hist_eq(tiles, gg, 64), gg, 64)
+    for band in range(arr.shape[2]):
+        v = arr[:, :, band]
+        cnt = np.bincount(v.ravel(), minlength=256)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        cdf_min = int(cum[np.nonzero(cnt)[0][0]])
+        lut = (np.maximum(cum - cdf_min, 0) * 255 // (n - cdf_min)).astype(np.uint8)
+        assert np.array_equal(out[:, :, band], lut[v])
+
+
+def test_hist_eq_constant_band(spark):
+    from sis_spark.raster.tiles import hist_eq, raster_to_tiles, tiles_to_raster
+
+    arr = np.full((64, 64, 1), 7, dtype=np.uint8)
+    gg = GridGeometry((0, 0, 63, 63), (1.0, 0.0, 0.0, 0.0, -1.0, 0.0))
+    tiles = raster_to_tiles(spark, arr, gg, 64)
+    out = tiles_to_raster(hist_eq(tiles, gg, 64), gg, 64)
+    assert np.array_equal(out[:, :, 0], np.full((64, 64), 255, dtype=np.uint8))
+
+
+def test_hist_eq_flattens_histogram(spark):
+    from sis_spark.raster.tiles import hist_eq, raster_to_tiles, tiles_to_raster
+
+    # heavily skewed image: equalization must spread the mass to full range
+    rng = np.random.RandomState(3)
+    arr = (rng.rand(128, 128, 1) ** 3 * 60).astype(np.uint8)  # dark-skewed
+    gg = GridGeometry((0, 0, 127, 127), (1.0, 0.0, 0.0, 0.0, -1.0, 0.0))
+    tiles = raster_to_tiles(spark, arr, gg, 64)
+    out = tiles_to_raster(hist_eq(tiles, gg, 64), gg, 64)
+    assert out.max() == 255
+    assert out.astype(np.float64).mean() > arr.astype(np.float64).mean() * 1.5
+
+
+def test_ssim_tiles_identity_and_reference(spark, scene):
+    from pyspark.sql import functions as F
+
+    from sis_spark.raster.tiles import ssim_tiles
+
+    arr, gg, tiles = scene
+    a = tiles.filter("band = 0")
+    # identical rasters: SSIM == 1 exactly (quantized 1e9)
+    same = ssim_tiles(a, a).collect()
+    assert same and all(r["ssim_q"] == 10**9 for r in same)
+    # against a straight numpy SSIM per tile (different band)
+    b = tiles.filter("band = 1").withColumn("band", F.lit(0).cast("int"))
+    got = {(r["tx"], r["ty"]): r["ssim_q"] for r in ssim_tiles(a, b).collect()}
+    C1, C2 = 6.5025, 58.5225
+    for (tx, ty), q in got.items():
+        va = arr[ty * 64:(ty + 1) * 64, tx * 64:(tx + 1) * 64, 0].astype(np.float64)
+        vb = arr[ty * 64:(ty + 1) * 64, tx * 64:(tx + 1) * 64, 1].astype(np.float64)
+        ma, mb = va.mean(), vb.mean()
+        sa, sb = va.var(), vb.var()
+        cab = (va * vb).mean() - ma * mb
+        ssim = ((2 * ma * mb + C1) * (2 * cab + C2)) / (
+            (ma * ma + mb * mb + C1) * (sa + sb + C2)
+        )
+        assert abs(q / 1e9 - ssim) < 1e-6
