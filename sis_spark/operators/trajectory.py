@@ -781,3 +781,112 @@ bwd AS (
   GROUP BY 1, 2)
 SELECT fwd.a, fwd.b, h_ab, h_ba, greatest(h_ab, h_ba) AS haus2
 FROM fwd JOIN bwd ON bwd.a = fwd.a AND bwd.b = fwd.b"""
+
+
+# ------------------------------------------------- Visvalingam simplification
+# Visvalingam/Whyatt 1993 (public literature): repeatedly drop the interior
+# vertex with the smallest effective area until <= target vertices remain.
+# With integer-quantized coordinates the doubled triangle area is an exact
+# int64 cross product, so pick-order is deterministic (ties -> smallest
+# position) and the whole reduction is replayable as an event-loop recursive
+# CTE (the isotonic pattern: every key removes ONE vertex per round, keys
+# drop out when they reach their target).  This is the query-level
+# linear-resolution / level-of-detail hint (S/FeatureQuery.java:437) applied
+# to polyline attributes.
+
+
+def _vw_area2(xs, ys, i) -> int:
+    return abs(
+        (xs[i] - xs[i - 1]) * (ys[i + 1] - ys[i - 1])
+        - (ys[i] - ys[i - 1]) * (xs[i + 1] - xs[i - 1])
+    )
+
+
+def simplify_vw_dense(os_, xs, ys, target):
+    """Single-node reference: lists in, kept (o, x, y) triples out."""
+    os_, xs, ys = list(os_), list(xs), list(ys)
+    while len(xs) > max(int(target), 2):
+        areas = [_vw_area2(xs, ys, i) for i in range(1, len(xs) - 1)]
+        p = 1 + min(range(len(areas)), key=lambda i: (areas[i], i))
+        del os_[p], xs[p], ys[p]
+    return list(zip(os_, xs, ys))
+
+
+def simplify_vw(
+    points: DataFrame,
+    target: int,
+    key_col: str = "k",
+    order_col: str = "o",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Visvalingam-Whyatt polyline simplification -> the kept vertices
+    (key, o, x, y), at most ``target`` per key (endpoints always kept).
+
+    Scale shape: one applyInPandas group per key — the reduction is
+    inherently sequential per polyline but keys parallelize perfectly and
+    state is linear in polyline length (the ewma/stay_points shape)."""
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        kept = simplify_vw_dense(
+            pdf[order_col].to_list(),
+            pdf[x_col].to_list(),
+            pdf[y_col].to_list(),
+            target,
+        )
+        k = pdf[key_col].iloc[0]
+        return pd.DataFrame(
+            [{key_col: k, order_col: o, x_col: x, y_col: y}
+             for o, x, y in kept]
+        )
+
+    schema = f"{key_col} long, {order_col} long, {x_col} long, {y_col} long"
+    return (
+        points.select(key_col, order_col, x_col, y_col)
+        .groupBy(key_col)
+        .applyInPandas(fn, schema=schema)
+    )
+
+
+def simplify_vw_sql(points_select: str, target: int) -> str:
+    """DuckDB oracle for ``simplify_vw``: the event-loop recursive CTE —
+    per round each live key computes every interior vertex's doubled
+    triangle area (a list_transform lambda over the CURRENT vertex list),
+    picks the first minimum, and slices that position out of all three
+    lists; keys leave the loop once at/below target.  The final state per
+    key is the minimum-length one.
+
+    ``points_select`` -> (k, o, x, y) integer rows."""
+    area = (
+        "abs((xs[i] - xs[i - 1]) * (ys[i + 1] - ys[i - 1])"
+        " - (ys[i] - ys[i - 1]) * (xs[i + 1] - xs[i - 1]))"
+    )
+    t = max(int(target), 2)
+    return f"""
+WITH RECURSIVE pts AS ({points_select}),
+init AS (
+  SELECT k, list(o ORDER BY o) AS os, list(x ORDER BY o) AS xs,
+         list(y ORDER BY o) AS ys, CAST(count(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1),
+st(k, os, xs, ys, n) AS (
+  SELECT k, os, xs, ys, n FROM init
+  UNION ALL
+  SELECT s.k,
+         list_concat(s.os[1:pk.p - 1], s.os[pk.p + 1:len(s.os)]),
+         list_concat(s.xs[1:pk.p - 1], s.xs[pk.p + 1:len(s.xs)]),
+         list_concat(s.ys[1:pk.p - 1], s.ys[pk.p + 1:len(s.ys)]),
+         s.n - 1
+  FROM st s
+  CROSS JOIN LATERAL (
+    SELECT 1 + list_position(a.ar, list_min(a.ar)) AS p
+    FROM (SELECT list_transform(range(2, CAST(s.n AS INT)),
+                                i -> {area}) AS ar
+          FROM (SELECT s.xs AS xs, s.ys AS ys) one) a) pk
+  WHERE s.n > {t}),
+fin AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY n ASC) AS rn
+  FROM st)
+SELECT k, unnest(os) AS o, unnest(xs) AS x, unnest(ys) AS y
+FROM fin WHERE rn = 1"""

@@ -9048,6 +9048,99 @@ def q_seq_patterns_oracle():
     )
 
 
+def q_ndvi(spark, sf_dir):
+    """Normalized-difference map algebra (tiles.band_ratio_tiles — the
+    NDVI/NDWI shape): per-pixel (a-b)*1e6 / (a+b) as a TRUE integer floor
+    division (posmod identity), 0 where a+b=0, reduced to per-tile exact
+    stats.  One band-pair equi-join + one embarrassingly-parallel pass —
+    no FP anywhere."""
+    from .raster.tiles import band_ratio_tiles
+
+    W, H = 448, 256
+    tiles = _formula_tiles(spark, W, H, bands=2)
+    a = tiles.filter(F.col("band") == 0)
+    b = tiles.filter(F.col("band") == 1).withColumn("band", F.lit(0).cast("int"))
+    return band_ratio_tiles(a, b).orderBy("tx", "ty")
+
+
+def q_ndvi_oracle():
+    d, s = "(va - vb)", "(va + vb)"
+    num = f"({d} * 1000000)"
+    q = f"(({num} - ((({num} % {s}) + {s}) % {s})) // {s})"
+    return f"""
+WITH px AS (
+  SELECT gx.x // 64 AS tx, gy.y // 64 AS ty,
+         CAST((gx.x * 7 + gy.y * 13) % 256 AS BIGINT) AS va,
+         CAST((gx.x * 3 + gy.y * 5 + 17) % 256 AS BIGINT) AS vb
+  FROM generate_series(0, 447) gx(x), generate_series(0, 255) gy(y)),
+qv AS (
+  SELECT tx, ty, CASE WHEN {s} > 0 THEN {q} ELSE 0 END AS q,
+         CASE WHEN {s} > 0 THEN 1 ELSE 0 END AS v
+  FROM px)
+SELECT tx, ty, CAST(0 AS INT) AS band, count(*) AS n_px,
+       CAST(sum(v) AS BIGINT) AS n_valid, CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(min(q) AS BIGINT) AS min_q, CAST(max(q) AS BIGINT) AS max_q
+FROM qv GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+def q_glcm(spark, sf_dir):
+    """Haralick co-occurrence texture per tile (tiles.glcm_tiles, offset
+    (1,0), 8 gray levels): contrast and energy as exact int64 sums over
+    the in-tile horizontal pair histogram — zero shuffles, the texture
+    features a training-data pipeline filters satellite/image corpora
+    by."""
+    from .raster.tiles import glcm_tiles
+
+    W, H = 448, 256
+    tiles = _formula_tiles(spark, W, H, bands=1)
+    return glcm_tiles(tiles).orderBy("tx", "ty")
+
+
+def q_glcm_oracle():
+    return """
+WITH pr AS (
+  SELECT gx.x // 64 AS tx, gy.y // 64 AS ty,
+         ((gx.x * 7 + gy.y * 13) % 256) // 32 AS li,
+         (((gx.x + 1) * 7 + gy.y * 13) % 256) // 32 AS lj
+  FROM generate_series(0, 447) gx(x), generate_series(0, 255) gy(y)
+  WHERE gx.x % 64 < 63),
+cnt AS (
+  SELECT tx, ty, li, lj, CAST(count(*) AS BIGINT) AS c
+  FROM pr GROUP BY 1, 2, 3, 4)
+SELECT tx, ty, CAST(0 AS INT) AS band,
+       CAST(sum(c) AS BIGINT) AS n_pairs,
+       CAST(sum(c * (li - lj) * (li - lj)) AS BIGINT) AS contrast,
+       CAST(sum(c * c) AS BIGINT) AS energy,
+       CAST(max(c) AS BIGINT) AS max_cnt
+FROM cnt GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+def q_simplify_vw(spark, sf_dir):
+    """Visvalingam-Whyatt polyline simplification (trajectory.simplify_vw,
+    target 10 vertices) over per-user quantized event tracks: doubled
+    triangle areas are exact int64 cross products, pick-order is
+    deterministic (min area, ties -> smallest position), and the oracle
+    replays the removal loop as an event-loop recursive CTE (one vertex
+    per key per round) — the LOD / linear-resolution hint
+    (S/FeatureQuery.java:437) applied to polylines."""
+    from .operators.trajectory import simplify_vw
+
+    pts = _traj_pts_df(spark, sf_dir).select(
+        F.col("user_id").alias("k"), F.col("rn").alias("o"),
+        F.col("qx").alias("x"), F.col("qy").alias("y"),
+    )
+    return simplify_vw(pts, target=10).orderBy("k", "o")
+
+
+def q_simplify_vw_oracle():
+    from .operators.trajectory import simplify_vw_sql
+
+    pts = f"SELECT k, o, x, y FROM ({_traj_pts_sql()}) tp"
+    return (
+        "SELECT * FROM (" + simplify_vw_sql(pts, 10) + ") ORDER BY k, o"
+    )
+
+
 def q_decision_stump(spark, sf_dir):
     """Best Gini split per return flag (analytics.decision_stump over
     lineitem: x = quantity, label = discount > 0.05): exact int64 prefix
@@ -9384,4 +9477,7 @@ QUERIES = {
     "ssim_tiles": (q_ssim_tiles, q_ssim_tiles_oracle),
     "roc_points": (q_roc_points, q_roc_points_oracle),
     "seq_patterns": (q_seq_patterns, q_seq_patterns_oracle),
+    "ndvi": (q_ndvi, q_ndvi_oracle),
+    "glcm": (q_glcm, q_glcm_oracle),
+    "simplify_vw": (q_simplify_vw, q_simplify_vw_oracle),
 }

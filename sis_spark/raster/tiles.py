@@ -831,6 +831,99 @@ def ssim_tiles(a: DataFrame, b: DataFrame, tile_size: int = 64,
     )
 
 
+def band_ratio_tiles(a: DataFrame, b: DataFrame, scale: int = 1_000_000,
+                     dtype=np.uint8) -> DataFrame:
+    """Normalized-difference map algebra (the NDVI shape: (a-b)/(a+b)) per
+    tile -> (tx, ty, band, n_px, n_valid, sum_q, min_q, max_q) with the
+    per-pixel index quantized EXACTLY: q = floor((a-b)*scale / (a+b)) as a
+    true integer floor division (posmod identity — both engines agree on
+    negative numerators), 0 where a+b = 0.  No FP anywhere.
+
+    Scale shape: one equi-join on (tx, ty, band) co-locates band pairs,
+    then a single embarrassingly-parallel mapInPandas pass."""
+    j = (
+        a.withColumnRenamed("data", "da")
+        .join(b.withColumnRenamed("data", "db"), ["tx", "ty", "band"])
+    )
+    bdt = np.dtype(dtype)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, band, da, db in zip(
+                pdf["tx"], pdf["ty"], pdf["band"], pdf["da"], pdf["db"]
+            ):
+                va = np.frombuffer(da, dtype=bdt).astype(np.int64)
+                vb = np.frombuffer(db, dtype=bdt).astype(np.int64)
+                s = va + vb
+                valid = s > 0
+                q = np.zeros_like(s)
+                q[valid] = np.floor_divide((va[valid] - vb[valid]) * scale,
+                                           s[valid])
+                rows.append({
+                    "tx": int(tx), "ty": int(ty), "band": int(band),
+                    "n_px": s.size, "n_valid": int(valid.sum()),
+                    "sum_q": int(q.sum()),
+                    "min_q": int(q.min()), "max_q": int(q.max()),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return j.mapInPandas(
+        fn,
+        schema=("tx long, ty long, band int, n_px long, n_valid long, "
+                "sum_q long, min_q long, max_q long"),
+    )
+
+
+def glcm_tiles(tiles_df: DataFrame, levels: int = 8, tile_size: int = 64,
+               dtype=np.uint8) -> DataFrame:
+    """Gray-level co-occurrence texture features (Haralick 1973, public
+    literature) per tile at offset (1, 0): pixel values quantized to
+    ``levels`` buckets (256 // levels wide), horizontal neighbor pairs
+    counted, and the classic features kept EXACT ->
+    (tx, ty, band, n_pairs, contrast, energy, max_cnt):
+      contrast = sum over (i,j) of cnt * (i-j)^2   (exact int64)
+      energy   = sum of cnt^2                      (exact int64)
+    One embarrassingly-parallel pass, no shuffle at all."""
+    bdt = np.dtype(dtype)
+    width = 256 // levels
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, band, d in zip(
+                pdf["tx"], pdf["ty"], pdf["band"], pdf["data"]
+            ):
+                block = (
+                    np.frombuffer(d, dtype=bdt)
+                    .reshape(tile_size, tile_size)
+                    .astype(np.int64)
+                    // width
+                )
+                li = block[:, :-1].ravel()
+                lj = block[:, 1:].ravel()
+                cnt = np.bincount(li * levels + lj,
+                                  minlength=levels * levels)
+                ii = np.arange(levels * levels) // levels
+                jj = np.arange(levels * levels) % levels
+                rows.append({
+                    "tx": int(tx), "ty": int(ty), "band": int(band),
+                    "n_pairs": int(cnt.sum()),
+                    "contrast": int((cnt * (ii - jj) ** 2).sum()),
+                    "energy": int((cnt * cnt).sum()),
+                    "max_cnt": int(cnt.max()),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return tiles_df.mapInPandas(
+        fn,
+        schema=("tx long, ty long, band int, n_pairs long, contrast long, "
+                "energy long, max_cnt long"),
+    )
+
+
 def append_bands(a: DataFrame, b: DataFrame) -> DataFrame:
     """Dimensionality append (F/coverage/grid/DimensionalityReduction.java
     reverse direction): b's bands are renumbered DENSELY after a's — same

@@ -239,3 +239,43 @@ def test_batch_kernel_matches_scalar():
         assert bool(inter[i]) == want["intersects"], i
         assert bool(within[i]) == want["within"], i
         assert bool(crosses[i]) == want["crosses"], i
+
+
+def test_simplify_vw_collinear_first(spark):
+    from sis_spark.operators.trajectory import simplify_vw
+
+    # collinear interior vertex has area 0: removed first
+    pts = [(1, 0, 0, 0), (1, 1, 5, 0), (1, 2, 10, 0), (1, 3, 10, 8)]
+    df = spark.createDataFrame(pts, "k long, o long, x long, y long")
+    got = sorted((r["o"], r["x"], r["y"])
+                 for r in simplify_vw(df, target=3).collect())
+    assert got == [(0, 0, 0), (2, 10, 0), (3, 10, 8)]
+
+
+def test_simplify_vw_matches_dense_random(spark):
+    import numpy as np
+
+    from sis_spark.operators.trajectory import simplify_vw, simplify_vw_dense
+
+    rng = np.random.RandomState(23)
+    rows = []
+    seqs = {}
+    for k in range(5):
+        n = rng.randint(4, 18)
+        xs = rng.randint(0, 100, n).tolist()
+        ys = rng.randint(0, 100, n).tolist()
+        seqs[k] = (list(range(n)), xs, ys)
+        rows += [(k, o, x, y) for o, (x, y) in enumerate(zip(xs, ys))]
+    df = spark.createDataFrame(rows, "k long, o long, x long, y long").repartition(3)
+    got = sorted((r["k"], r["o"], r["x"], r["y"])
+                 for r in simplify_vw(df, target=6).collect())
+    want = sorted(
+        (k, o, x, y)
+        for k, (os_, xs, ys) in seqs.items()
+        for o, x, y in simplify_vw_dense(os_, xs, ys, 6)
+    )
+    assert got == want
+    # endpoints always survive
+    for k, (os_, xs, ys) in seqs.items():
+        kept = [o for kk, o, _, _ in got if kk == k]
+        assert kept[0] == 0 and kept[-1] == os_[-1]

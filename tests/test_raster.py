@@ -449,3 +449,45 @@ def test_ssim_tiles_identity_and_reference(spark, scene):
             (ma * ma + mb * mb + C1) * (sa + sb + C2)
         )
         assert abs(q / 1e9 - ssim) < 1e-6
+
+
+def test_band_ratio_exact_floor(spark, scene):
+    from pyspark.sql import functions as F
+
+    from sis_spark.raster.tiles import band_ratio_tiles
+
+    arr, gg, tiles = scene
+    a = tiles.filter("band = 0")
+    b = tiles.filter("band = 1").withColumn("band", F.lit(0).cast("int"))
+    got = {(r["tx"], r["ty"]): r for r in band_ratio_tiles(a, b).collect()}
+    for (tx, ty), r in got.items():
+        va = arr[ty * 64:(ty + 1) * 64, tx * 64:(tx + 1) * 64, 0].astype(np.int64)
+        vb = arr[ty * 64:(ty + 1) * 64, tx * 64:(tx + 1) * 64, 1].astype(np.int64)
+        s = va + vb
+        q = np.zeros_like(s)
+        q[s > 0] = np.floor_divide((va - vb)[s > 0] * 1_000_000, s[s > 0])
+        assert r["n_valid"] == int((s > 0).sum())
+        assert (r["sum_q"], r["min_q"], r["max_q"]) == (
+            int(q.sum()), int(q.min()), int(q.max())
+        )
+
+
+def test_glcm_reference(spark):
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.tiles import glcm_tiles, raster_to_tiles
+
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 256, (64, 64, 1)).astype(np.uint8)
+    gg = GridGeometry((0, 0, 63, 63), (1.0, 0.0, 0.0, 0.0, -1.0, 0.0))
+    tiles = raster_to_tiles(spark, arr, gg, 64)
+    (r,) = glcm_tiles(tiles).collect()
+    lv = arr[:, :, 0].astype(np.int64) // 32
+    cnt = np.zeros((8, 8), dtype=np.int64)
+    for i in range(64):
+        for j in range(63):
+            cnt[lv[i, j], lv[i, j + 1]] += 1
+    ii, jj = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    assert r["n_pairs"] == 64 * 63
+    assert r["contrast"] == int((cnt * (ii - jj) ** 2).sum())
+    assert r["energy"] == int((cnt * cnt).sum())
+    assert r["max_cnt"] == int(cnt.max())
