@@ -124,3 +124,82 @@ SELECT p.{id_col} AS {id_col}, p.ix AS ix, p.iy AS iy, comp.comp AS cluster
 FROM pts p JOIN core c ON p.ix = c.ix AND p.iy = c.iy
 JOIN comp ON c.key = comp.node
 """
+
+
+def kde_grid(
+    df: DataFrame,
+    grid_n: int,
+    radius: int = 2,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Grid heatmap with a triangular kernel -> (ix, iy, dens): per-cell
+    point counts smoothed over the Chebyshev ``radius``-ring with EXACT
+    integer weights w(d) = radius + 1 - d, i.e.
+    dens(c) = sum over cells c' within distance r of cnt(c') * w(dist).
+    ``grid_n`` is the per-axis cell count (grid_expr convention).
+
+    Scale shape: ONE aggregation collapses points to cell counts (the only
+    data-sized shuffle), then the (2r+1)^2 offset fan-out runs on the tiny
+    cell-count table via a broadcast cross join + regroup — cost is
+    O(cells * r^2), independent of point count.  Cells outside [0, 2^k)
+    are dropped (grid edges clip, matching the oracle)."""
+    from pyspark.sql import functions as F
+
+    ix = F.expr(grid_expr("x", grid_n, lon_col, lat_col))
+    iy = F.expr(grid_expr("y", grid_n, lon_col, lat_col))
+    counts = (
+        df.select(ix.alias("ix"), iy.alias("iy"))
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spark = df.sparkSession
+    r = int(radius)
+    offs = spark.createDataFrame(
+        [(dx, dy, r + 1 - max(abs(dx), abs(dy)))
+         for dx in range(-r, r + 1) for dy in range(-r, r + 1)],
+        "dx long, dy long, w long",
+    )
+    side = int(grid_n)
+    return (
+        counts.join(F.broadcast(offs))
+        .select(
+            (F.col("ix") + F.col("dx")).alias("ix"),
+            (F.col("iy") + F.col("dy")).alias("iy"),
+            (F.col("cnt") * F.col("w")).alias("c"),
+        )
+        .filter(
+            (F.col("ix") >= 0) & (F.col("ix") < side)
+            & (F.col("iy") >= 0) & (F.col("iy") < side)
+        )
+        .groupBy("ix", "iy")
+        .agg(F.sum("c").alias("dens"))
+    )
+
+
+def kde_grid_sql(
+    base_select: str,
+    grid_n: int,
+    radius: int = 2,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> str:
+    """DuckDB replay of ``kde_grid`` (same grid text, same kernel)."""
+    r = int(radius)
+    side = int(grid_n)
+    return f"""
+WITH pts AS (
+  SELECT {grid_expr('x', grid_n, lon_col, lat_col)} AS ix,
+         {grid_expr('y', grid_n, lon_col, lat_col)} AS iy
+  FROM ({base_select}) s),
+cnts AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS cnt FROM pts GROUP BY 1, 2),
+offs AS (
+  SELECT dx.v AS dx, dy.v AS dy,
+         CAST({r} + 1 - greatest(abs(dx.v), abs(dy.v)) AS BIGINT) AS w
+  FROM generate_series(-{r}, {r}) dx(v), generate_series(-{r}, {r}) dy(v)),
+sm AS (
+  SELECT c.ix + o.dx AS ix, c.iy + o.dy AS iy, c.cnt * o.w AS c
+  FROM cnts c CROSS JOIN offs o
+  WHERE c.ix + o.dx >= 0 AND c.ix + o.dx < {side}
+    AND c.iy + o.dy >= 0 AND c.iy + o.dy < {side})
+SELECT ix, iy, CAST(sum(c) AS BIGINT) AS dens FROM sm GROUP BY 1, 2"""

@@ -1267,3 +1267,72 @@ st(a, b, ax, bx, na, nb, k, d1, d2) AS (
   FROM st WHERE k + 1 <= na + nb - 2),
 fin AS (SELECT a, b, na, nb, d1[1] AS lcs FROM st WHERE k = na + nb - 2)
 SELECT a, b, na, nb, CAST(lcs AS BIGINT) AS lcs FROM fin"""
+
+
+def doc_cosine_pairs(
+    docs: DataFrame,
+    max_df: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-document cosine similarity over the df-capped vocabulary ->
+    (a, b, dot, na2, nb2): tf vectors restricted to tokens appearing in at
+    most ``max_df`` documents (the classic stop-token cut), inner products
+    and squared norms EXACT int64 — cosine stays the rational
+    dot / sqrt(na2 * nb2) for the caller.
+
+    Scale shape: candidate pairs come only from shared rare tokens (one
+    posting-list self-join with fan-out <= max_df per token — the
+    jaccard_pairs lesson applied at design time: the df cap bounds the
+    quadratic term by construction), then two broadcast-sized norm joins."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("t"),
+        )
+        .groupBy("id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    kept = toks.join(
+        dfreq.filter(F.col("df") <= int(max_df)).select("t"), "t"
+    )
+    norms = kept.groupBy("id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    l, r = kept.alias("l"), kept.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.t") == F.col("r.t")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.sum(F.col("l.tf") * F.col("r.tf")).alias("dot"))
+    )
+    return (
+        pairs.join(norms.select(F.col("id").alias("a"), F.col("n2").alias("na2")), "a")
+        .join(norms.select(F.col("id").alias("b"), F.col("n2").alias("nb2")), "b")
+        .select("a", "b", "dot", "na2", "nb2")
+    )
+
+
+def doc_cosine_pairs_sql(
+    base_select: str,
+    max_df: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of ``doc_cosine_pairs`` (same space-split tokens)."""
+    return f"""
+WITH tk AS (
+  SELECT {id_col} AS id, unnest(string_split({text_col}, ' ')) AS t
+  FROM ({base_select}) s),
+toks AS (SELECT id, t, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+kept AS (
+  SELECT toks.* FROM toks
+  JOIN (SELECT t FROM toks GROUP BY t HAVING count(*) <= {int(max_df)}) rare
+    USING (t)),
+norms AS (SELECT id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM kept GROUP BY 1),
+prs AS (
+  SELECT l.id AS a, r.id AS b, CAST(sum(l.tf * r.tf) AS BIGINT) AS dot
+  FROM kept l JOIN kept r ON r.t = l.t AND l.id < r.id
+  GROUP BY 1, 2)
+SELECT p.a, p.b, p.dot, sa.n2 AS na2, sb.n2 AS nb2
+FROM prs p JOIN norms sa ON sa.id = p.a JOIN norms sb ON sb.id = p.b"""

@@ -890,3 +890,78 @@ fin AS (
   FROM st)
 SELECT k, unnest(os) AS o, unnest(xs) AS x, unnest(ys) AS y
 FROM fin WHERE rn = 1"""
+
+
+def gps_jumps(
+    points: DataFrame,
+    v_per_s: int,
+    dt_cap_s: int = 3600,
+    key_col: str = "k",
+    ts_col: str = "ts_us",
+    order_col: str = "o",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """GPS teleport / speed-outlier flagging -> one row per segment
+    (key, o, dist2, dt_s, jump): segment speed exceeds ``v_per_s``
+    (quantized units per second) iff dist2 > v^2 * min(dt_s, dt_cap_s)^2
+    — an EXACT integer cross-comparison (dt floored to whole seconds,
+    capped so the product cannot overflow int64; the cap is semantically
+    free whenever v * dt_cap_s exceeds the domain diameter, e.g.
+    20000 u/s * 3600 s = 7.2e7 u > any quantized-degree distance; dt_s=0
+    with movement counts as a jump).
+
+    Segments follow TIME order (ties broken by the order column), so
+    dt_s >= 0 and floor/truncate agree across engines.  Pure window
+    codegen: one lag window per key, no Python, no shuffle beyond the
+    keyed sort — the cleaning pass a trajectory ingest runs before any
+    densification."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("t", "o")
+    b = points.select(
+        F.col(key_col).alias("k"),
+        F.col(order_col).alias("o"),
+        F.col(ts_col).alias("t"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    )
+    dx = F.col("x") - F.lag("x").over(w)
+    dy = F.col("y") - F.lag("y").over(w)
+    dt = (F.col("t") - F.lag("t").over(w)) / F.lit(1_000_000)
+    seg = (
+        b.withColumn("dist2", dx * dx + dy * dy)
+        .withColumn("dt_s", F.floor(dt).cast("long"))
+        .filter(F.col("dist2").isNotNull())
+    )
+    v2 = int(v_per_s) * int(v_per_s)
+    dtc = F.least(F.col("dt_s"), F.lit(int(dt_cap_s)))
+    return seg.select(
+        "k", "o", F.col("dist2").cast("long").alias("dist2"), "dt_s",
+        (F.col("dist2") > F.lit(v2) * dtc * dtc).cast("long").alias("jump"),
+    )
+
+
+def gps_jumps_sql(
+    points_select: str,
+    v_per_s: int,
+    dt_cap_s: int = 3600,
+) -> str:
+    """DuckDB replay of ``gps_jumps``; ``points_select`` ->
+    (k, o, ts_us, x, y)."""
+    v2 = int(v_per_s) * int(v_per_s)
+    cap = int(dt_cap_s)
+    return f"""
+WITH b AS ({points_select}),
+seg AS (
+  SELECT k, o,
+         x - lag(x) OVER (PARTITION BY k ORDER BY ts_us, o) AS dx,
+         y - lag(y) OVER (PARTITION BY k ORDER BY ts_us, o) AS dy,
+         (ts_us - lag(ts_us) OVER (PARTITION BY k ORDER BY ts_us, o))
+           // 1000000 AS dt_s
+  FROM b)
+SELECT k, o, CAST(dx * dx + dy * dy AS BIGINT) AS dist2,
+       CAST(dt_s AS BIGINT) AS dt_s,
+       CAST(dx * dx + dy * dy
+            > {v2} * least(dt_s, {cap}) * least(dt_s, {cap}) AS BIGINT) AS jump
+FROM seg WHERE dx IS NOT NULL"""

@@ -9141,6 +9141,96 @@ def q_simplify_vw_oracle():
     )
 
 
+def q_kde_grid(spark, sf_dir):
+    """Triangular-kernel grid heatmap (density.kde_grid, 256x256 grid,
+    radius 2): one point->cell aggregation (the only data-sized shuffle),
+    then the 25-offset smoothing fans out over the TINY cell-count table
+    via a broadcast cross join — O(cells * r^2), point-count independent;
+    weights and sums exact int64."""
+    from .operators.density import kde_grid
+
+    pts = _events_points(spark, sf_dir)
+    return kde_grid(pts, grid_n=256, radius=2).orderBy("ix", "iy")
+
+
+def q_kde_grid_oracle():
+    from .operators.density import kde_grid_sql
+
+    return (
+        "SELECT * FROM ("
+        + kde_grid_sql(_points_sql(), 256, 2)
+        + ") ORDER BY ix, iy"
+    )
+
+
+def q_gps_jumps(spark, sf_dir):
+    """GPS teleport flagging (trajectory.gps_jumps): per-user
+    time-ordered segments, speed > 20000 quantized-units/s decided by
+    the EXACT integer cross-comparison dist2 > v^2 * dt_s^2 — pure
+    window codegen, the cleaning pass before any trajectory op."""
+    from .operators.trajectory import gps_jumps
+
+    from pyspark.sql import Window
+
+    lon, lat = point_lonlat_cols("event_id")
+    w = Window.partitionBy("k").orderBy("event_id")
+    pts = (
+        _read(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("k"),
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.floor(lon * 1e5 + float(_FRECHET_Q)).cast("long").alias("x"),
+            F.floor(lat * 1e5 + float(_FRECHET_Q)).cast("long").alias("y"),
+        )
+        .withColumn("o", F.row_number().over(w))
+        .filter(F.col("o") <= _FRECHET_CAP)
+    )
+    return gps_jumps(pts, v_per_s=20000).orderBy("k", "o")
+
+
+def q_gps_jumps_oracle():
+    from .operators.trajectory import gps_jumps_sql
+
+    pts = f"""
+SELECT user_id AS k, rn AS o, ts_us, qx AS x, qy AS y FROM (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e5
+                    + {_FRECHET_Q}) AS BIGINT) AS qx,
+         CAST(floor(({synth.point_lat_sql('event_id')}) * 1.0e5
+                    + {_FRECHET_Q}) AS BIGINT) AS qy,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events) t
+WHERE rn <= {_FRECHET_CAP}"""
+    return (
+        "SELECT * FROM ("
+        + gps_jumps_sql(pts, v_per_s=20000)
+        + ") ORDER BY k, o"
+    )
+
+
+def q_doc_cosine(spark, sf_dir):
+    """Sparse document-document cosine over the df-capped vocabulary
+    (textops.doc_cosine_pairs, max_df 50): candidates only from shared
+    rare tokens (posting-list self-join, fan-out bounded by the df cap —
+    the jaccard_pairs quadratic-blowup lesson applied at design time);
+    dot products and squared norms exact int64."""
+    from .operators.textops import doc_cosine_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return doc_cosine_pairs(docs, max_df=50).orderBy("a", "b")
+
+
+def q_doc_cosine_oracle():
+    from .operators.textops import doc_cosine_pairs_sql
+
+    return (
+        "SELECT * FROM ("
+        + doc_cosine_pairs_sql("SELECT doc_id, text FROM documents", max_df=50)
+        + ") ORDER BY a, b"
+    )
+
+
 def q_decision_stump(spark, sf_dir):
     """Best Gini split per return flag (analytics.decision_stump over
     lineitem: x = quantity, label = discount > 0.05): exact int64 prefix
@@ -9480,4 +9570,7 @@ QUERIES = {
     "ndvi": (q_ndvi, q_ndvi_oracle),
     "glcm": (q_glcm, q_glcm_oracle),
     "simplify_vw": (q_simplify_vw, q_simplify_vw_oracle),
+    "kde_grid": (q_kde_grid, q_kde_grid_oracle),
+    "gps_jumps": (q_gps_jumps, q_gps_jumps_oracle),
+    "doc_cosine": (q_doc_cosine, q_doc_cosine_oracle),
 }

@@ -70,3 +70,32 @@ def test_weighted_topk_plan_is_take_ordered(spark):
     df = spark.range(1000).select(F.col("id"), (F.col("id") % 7 + 1).alias("w"))
     plan = weighted_topk(df, 10, "w", "id")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kde_grid_matches_brute(spark):
+    import numpy as np
+
+    from sis_spark.operators.density import kde_grid
+
+    rng = np.random.RandomState(9)
+    pts = [(float(lo), float(la)) for lo, la in
+           zip(rng.uniform(-170, 170, 200), rng.uniform(-80, 80, 200))]
+    df = spark.createDataFrame(pts, "lon double, lat double").repartition(5)
+    n, r = 64, 2
+    got = {(row["ix"], row["iy"]): row["dens"]
+           for row in kde_grid(df, grid_n=n, radius=r).collect()}
+    # brute: counts then triangular smoothing
+    cnt = {}
+    for lo, la in pts:
+        ix = min(max(int(np.floor((lo + 180.0) / 360.0 * n)), 0), n - 1)
+        iy = min(max(int(np.floor((la + 90.0) / 180.0 * n)), 0), n - 1)
+        cnt[(ix, iy)] = cnt.get((ix, iy), 0) + 1
+    want = {}
+    for (ix, iy), c in cnt.items():
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                tx, ty = ix + dx, iy + dy
+                if 0 <= tx < n and 0 <= ty < n:
+                    w = r + 1 - max(abs(dx), abs(dy))
+                    want[(tx, ty)] = want.get((tx, ty), 0) + c * w
+    assert got == want

@@ -32,3 +32,32 @@ def test_constraints_counts(spark):
     assert row["dup_keys"] == 1       # k=3 twice
     assert row["out_of_range"] == 2   # 500 and -2
     assert row["nulls"] == 1
+
+
+def test_doc_cosine_pairs_brute(spark):
+    from sis_spark.operators.textops import doc_cosine_pairs
+
+    docs = [
+        (1, "apple banana apple rare1"),
+        (2, "banana cherry rare1 rare2"),
+        (3, "apple apple apple rare2"),
+        (4, "unrelated words only"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["a"], r["b"]): (r["dot"], r["na2"], r["nb2"])
+           for r in doc_cosine_pairs(df, max_df=3).collect()}
+    # brute over the df<=3 vocabulary
+    from collections import Counter
+    tfs = {i: Counter(t.split(" ")) for i, t in docs}
+    df_t = Counter(t for c in tfs.values() for t in c)
+    vocab = {t for t, d in df_t.items() if d <= 3}
+    want = {}
+    for a in tfs:
+        for b in tfs:
+            if a < b:
+                dot = sum(tfs[a][t] * tfs[b][t] for t in vocab)
+                if dot > 0:
+                    na2 = sum(v * v for t, v in tfs[a].items() if t in vocab)
+                    nb2 = sum(v * v for t, v in tfs[b].items() if t in vocab)
+                    want[(a, b)] = (dot, na2, nb2)
+    assert got == want
