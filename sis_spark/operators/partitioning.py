@@ -95,3 +95,111 @@ sy AS (
                                    ORDER BY {y_col}, {id_col}) - 1 AS slice_y
   FROM sx)
 SELECT *, slice_x * {int(ny)} + slice_y AS part_id FROM sy"""
+
+
+def adaptive_cells(
+    df: DataFrame,
+    d_min: int = 2,
+    d_max: int = 6,
+    cap: int = 500,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Adaptive quadtree partitioning of a skewed point set ->
+    (d, ix, iy, cnt): the coarsest cells holding <= ``cap`` points, cells
+    split recursively while over cap (down to ``d_max``, where over-cap
+    leaves are emitted as-is).  This is the skew-handling cell cover a
+    spatial join / shuffle planner keys on — hot spots get fine cells,
+    empty ocean stays coarse.
+
+    NO iteration over the data: counts aggregate ONCE at d_max (the only
+    data-sized shuffle), parents roll up from the tiny leaf table (sum is
+    algebraic, log2 rounds over <= 4^d rows), and the adaptive cover is a
+    single join-free predicate — a cell is emitted iff its parent is over
+    cap (ancestor counts only grow upward, so one parent check suffices)
+    and it is itself under cap or at d_max."""
+    from pyspark.sql import functions as F
+
+    from .density import grid_expr
+
+    side = 1 << int(d_max)
+    base = (
+        df.select(
+            F.expr(grid_expr("x", side, lon_col, lat_col)).alias("ix"),
+            F.expr(grid_expr("y", side, lon_col, lat_col)).alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("d", F.lit(int(d_max)))
+    )
+    levels = [base]
+    cur = base
+    for d in range(int(d_max) - 1, int(d_min) - 1, -1):
+        cur = (
+            cur.groupBy(
+                (F.col("ix") / 2).cast("long").alias("ix"),
+                (F.col("iy") / 2).cast("long").alias("iy"),
+            )
+            .agg(F.sum("cnt").alias("cnt"))
+            .withColumn("d", F.lit(d))
+        )
+        levels.append(cur)
+    allc = levels[0]
+    for lv in levels[1:]:
+        allc = allc.unionByName(lv)
+    parents = allc.select(
+        (F.col("d") + 1).alias("d"),
+        F.col("ix").alias("pix"),
+        F.col("iy").alias("piy"),
+        F.col("cnt").alias("pcnt"),
+    )
+    j = allc.join(
+        parents,
+        (allc["d"] == parents["d"])
+        & ((allc["ix"] / 2).cast("long") == F.col("pix"))
+        & ((allc["iy"] / 2).cast("long") == F.col("piy")),
+        "left",
+    )
+    cap_l = F.lit(int(cap))
+    emit = (
+        (F.col("pcnt").isNull() | (F.col("pcnt") > cap_l))
+        & ((F.col("cnt") <= cap_l) | (allc["d"] == int(d_max)))
+    )
+    return j.filter(emit).select(allc["d"], allc["ix"], allc["iy"], "cnt")
+
+
+def adaptive_cells_sql(
+    base_select: str,
+    d_min: int = 2,
+    d_max: int = 6,
+    cap: int = 500,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> str:
+    """DuckDB replay of ``adaptive_cells`` (same grid text, same roll-up,
+    same emit predicate).  ``base_select`` -> (lon, lat)."""
+    from .density import grid_expr
+
+    side = 1 << int(d_max)
+    ctes = [f"""l{d_max} AS (
+  SELECT {grid_expr('x', side, lon_col, lat_col)} AS ix,
+         {grid_expr('y', side, lon_col, lat_col)} AS iy,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM ({base_select}) s GROUP BY 1, 2)"""]
+    for d in range(int(d_max) - 1, int(d_min) - 1, -1):
+        ctes.append(f"""l{d} AS (
+  SELECT ix // 2 AS ix, iy // 2 AS iy, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM l{d + 1} GROUP BY 1, 2)""")
+    unions = "\n  UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS d, ix, iy, cnt FROM l{d}"
+        for d in range(int(d_min), int(d_max) + 1)
+    )
+    return f"""
+WITH {', '.join(ctes)},
+allc AS ({unions})
+SELECT c.d, c.ix, c.iy, c.cnt
+FROM allc c
+LEFT JOIN allc p
+  ON p.d = c.d - 1 AND p.ix = c.ix // 2 AND p.iy = c.iy // 2
+WHERE (p.cnt IS NULL OR p.cnt > {int(cap)})
+  AND (c.cnt <= {int(cap)} OR c.d = {int(d_max)})"""

@@ -9231,6 +9231,140 @@ def q_doc_cosine_oracle():
     )
 
 
+def q_adaptive_cells(spark, sf_dir):
+    """Adaptive quadtree cell cover for a skewed point set
+    (partitioning.adaptive_cells, depths 2..6, cap 500): hot cells split
+    fine, empty space stays coarse — the skew-handling partition planner
+    shape, computed with ONE data-sized aggregation + algebraic roll-ups
+    on <=4^d rows and a join-free emit predicate (ancestor counts only
+    grow upward, so a single parent check suffices)."""
+    from .operators.partitioning import adaptive_cells
+
+    pts = _events_points(spark, sf_dir)
+    return adaptive_cells(pts, d_min=2, d_max=6, cap=500).orderBy(
+        "d", "ix", "iy"
+    )
+
+
+def q_adaptive_cells_oracle():
+    from .operators.partitioning import adaptive_cells_sql
+
+    return (
+        "SELECT * FROM ("
+        + adaptive_cells_sql(_points_sql(), d_min=2, d_max=6, cap=500)
+        + ") ORDER BY d, ix, iy"
+    )
+
+
+def q_otsu(spark, sf_dir):
+    """Otsu global threshold per band (tiles.otsu_threshold): argmax of
+    the between-class variance over the distributed 256-bin histogram —
+    integer cumsums, ONE shared-text double per candidate (squared in
+    DOUBLE, the chi2 overflow lesson), deterministic argmax ties to the
+    smaller threshold.  Raster-sized work is one histogram aggregation."""
+    from .raster.grid import GridGeometry
+    from .raster.tiles import otsu_threshold
+
+    W, H = 500, 300
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _formula_tiles(spark, W, H, bands=2)
+    return otsu_threshold(tiles, gg).orderBy("band")
+
+
+def q_otsu_oracle():
+    from .raster.tiles import otsu_score_sql
+
+    return f"""
+WITH px AS (
+  SELECT b.band, CASE b.band WHEN 0 THEN (gx.x * 7 + gy.y * 13) % 256
+                             ELSE (gx.x * 3 + gy.y * 5 + 17) % 256 END AS v
+  FROM generate_series(0, 499) gx(x), generate_series(0, 299) gy(y),
+       (SELECT 0 AS band UNION ALL SELECT 1) b),
+hist AS (SELECT band, v AS value, CAST(count(*) AS BIGINT) AS cnt
+         FROM px GROUP BY 1, 2),
+pre AS (
+  SELECT band, value,
+         CAST(sum(cnt) OVER (PARTITION BY band ORDER BY value) AS BIGINT) AS c,
+         CAST(sum(cnt * value) OVER (PARTITION BY band ORDER BY value)
+              AS BIGINT) AS s,
+         CAST(sum(cnt) OVER (PARTITION BY band) AS BIGINT) AS n_tot,
+         CAST(sum(cnt * value) OVER (PARTITION BY band) AS BIGINT) AS s_tot
+  FROM hist),
+sc AS (
+  SELECT band, value, {otsu_score_sql()} AS score_q
+  FROM (SELECT *, s_tot * c - s * n_tot AS d FROM pre WHERE c < n_tot) t),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY band
+       ORDER BY score_q DESC, value ASC) AS rn
+  FROM sc)
+SELECT CAST(band AS INT) AS band, CAST(value AS INT) AS thr, score_q
+FROM best WHERE rn = 1 ORDER BY band"""
+
+
+def _rhumb_texts():
+    """Shared Spark/DuckDB expression texts for loxodrome bearing and
+    distance from radian columns (l1, p1, l2, p2).  Every constant is an
+    explicit double literal so both engines parse the identical value."""
+    dpsi = (
+        "ln(tan(0.7853981633974483 + p2 / 2)"
+        " / tan(0.7853981633974483 + p1 / 2))"
+    )
+    dlam = (
+        "(CASE WHEN l2 - l1 > 3.141592653589793"
+        " THEN l2 - l1 - 6.283185307179586"
+        " WHEN l2 - l1 < -3.141592653589793"
+        " THEN l2 - l1 + 6.283185307179586 ELSE l2 - l1 END)"
+    )
+    q = f"(CASE WHEN p2 = p1 THEN cos(p1) ELSE (p2 - p1) / ({dpsi}) END)"
+    brg = (
+        f"CAST(floor(atan2({dlam}, {dpsi}) * 1.0e9 + 0.12345678987)"
+        " AS BIGINT)"
+    )
+    dist = (
+        f"CAST(floor(sqrt((p2 - p1) * (p2 - p1)"
+        f" + ({q}) * ({q}) * ({dlam}) * ({dlam})) * 6371000.0 * 1.0e3"
+        " + 0.12345678987) AS BIGINT)"
+    )
+    return brg, dist
+
+
+def q_rhumb_line(spark, sf_dir):
+    """Rhumb-line (loxodrome) bearing and distance between each event
+    point and its query point — the constant-bearing navigation twin of
+    st_azimuth/geodesic gates: Mercator-stretched latitude, wrapped
+    longitude difference, the q = dphi/dpsi stretch factor — all one
+    shared expression text, distance quantized at millimetres."""
+    brg, dist = _rhumb_texts()
+    lon1, lat1 = point_lonlat_cols("event_id")
+    lon2, lat2 = query_lonlat_cols("event_id")
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.radians(lon1).alias("l1"),
+        F.radians(lat1).alias("p1"),
+        F.radians(lon2).alias("l2"),
+        F.radians(lat2).alias("p2"),
+    )
+    return ev.select(
+        "event_id",
+        F.expr(brg).alias("brg_q"),
+        F.expr(dist).alias("dist_q"),
+    ).orderBy("event_id")
+
+
+def q_rhumb_line_oracle():
+    brg, dist = _rhumb_texts()
+    return f"""
+SELECT event_id, {brg} AS brg_q, {dist} AS dist_q
+FROM (
+  SELECT event_id,
+         radians({synth.point_lon_sql('event_id')}) AS l1,
+         radians({synth.point_lat_sql('event_id')}) AS p1,
+         radians({synth.query_lon_sql('event_id')}) AS l2,
+         radians({synth.query_lat_sql('event_id')}) AS p2
+  FROM events) t
+ORDER BY event_id"""
+
+
 def q_decision_stump(spark, sf_dir):
     """Best Gini split per return flag (analytics.decision_stump over
     lineitem: x = quantity, label = discount > 0.05): exact int64 prefix
@@ -9573,4 +9707,7 @@ QUERIES = {
     "kde_grid": (q_kde_grid, q_kde_grid_oracle),
     "gps_jumps": (q_gps_jumps, q_gps_jumps_oracle),
     "doc_cosine": (q_doc_cosine, q_doc_cosine_oracle),
+    "adaptive_cells": (q_adaptive_cells, q_adaptive_cells_oracle),
+    "otsu": (q_otsu, q_otsu_oracle),
+    "rhumb_line": (q_rhumb_line, q_rhumb_line_oracle),
 }

@@ -736,6 +736,84 @@ def hist_eq(tiles_df: DataFrame, gg: GridGeometry, tile_size: int = 64,
     return tiles_df.mapInPandas(apply, schema=TILE_SCHEMA)
 
 
+def value_histogram(tiles_df: DataFrame, gg: GridGeometry,
+                    tile_size: int = 64, dtype=np.uint8) -> DataFrame:
+    """Distributed per-band 256-bin value histogram -> (band, value, cnt)
+    DataFrame (<= 256 rows per band regardless of raster size; the
+    stretch/hist_eq partial kept as a composable relation instead of a
+    driver collect).  Padding beyond the real extent is excluded."""
+    bdt = np.dtype(dtype)
+    w, h = gg.width, gg.height
+
+    def hist_partial(batches):
+        for pdf in batches:
+            out = []
+            for data, tx, ty, band in zip(pdf["data"], pdf["tx"], pdf["ty"], pdf["band"]):
+                block = np.frombuffer(data, dtype=bdt).reshape(tile_size, tile_size)
+                vh = min(tile_size, h - ty * tile_size)
+                vw = min(tile_size, w - tx * tile_size)
+                cnt = np.bincount(block[:vh, :vw].ravel(), minlength=256)
+                nz = np.nonzero(cnt)[0]
+                out.append(pd.DataFrame({
+                    "band": band, "value": nz, "cnt": cnt[nz],
+                }))
+            if out:
+                yield pd.concat(out)
+
+    return (
+        tiles_df.mapInPandas(hist_partial, schema="band int, value int, cnt long")
+        .groupBy("band", "value")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def otsu_score_sql() -> str:
+    """Shared Spark/DuckDB text for the quantized Otsu between-class
+    score from exact int64 columns (d = s_tot*c - s*n_tot, c, n_tot):
+    score(t) proportional to d^2 / (c * (N - c)) — squared in DOUBLE (the
+    chi2 overflow lesson) from identical integer inputs, so both engines
+    produce the bit-identical double and the argmax cannot drift."""
+    return (
+        "CAST(floor(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)"
+        " / CAST(c * (n_tot - c) AS DOUBLE) + 0.12345678987) AS BIGINT)"
+    )
+
+
+def otsu_threshold(tiles_df: DataFrame, gg: GridGeometry,
+                   tile_size: int = 64, dtype=np.uint8) -> DataFrame:
+    """Otsu global threshold per band (Otsu 1979, public literature) ->
+    (band, thr, score_q): the value t maximizing the between-class
+    variance, computed ENTIRELY on the <=256-row histogram relation —
+    window cumsums of exact integer counts/sums, one shared-text double
+    per candidate, argmax by (score desc, t asc).  The raster-sized work
+    is one histogram aggregation; everything after is O(256) rows."""
+    from pyspark.sql import Window
+
+    hist = value_histogram(tiles_df, gg, tile_size, dtype)
+    wb = Window.partitionBy("band").orderBy("value")
+    run = wb.rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy("band")
+    pre = (
+        hist.withColumn("c", F.sum("cnt").over(run))
+        .withColumn("s", F.sum(F.col("cnt") * F.col("value")).over(run))
+        .withColumn("n_tot", F.sum("cnt").over(tot))
+        .withColumn("s_tot", F.sum(F.col("cnt") * F.col("value")).over(tot))
+        .filter(F.col("c") < F.col("n_tot"))
+        .withColumn(
+            "d", F.col("s_tot") * F.col("c") - F.col("s") * F.col("n_tot")
+        )
+        .withColumn("score_q", F.expr(otsu_score_sql()))
+    )
+    best = Window.partitionBy("band").orderBy(
+        F.col("score_q").desc(), F.col("value").asc()
+    )
+    return (
+        pre.withColumn("__rn", F.row_number().over(best))
+        .filter(F.col("__rn") == 1)
+        .select("band", F.col("value").alias("thr"), "score_q")
+    )
+
+
 def color_ramp(tiles_df: DataFrame, lut: np.ndarray, band: int = 0,
                tile_size: int = 64, dtype=np.uint8) -> DataFrame:
     """Single band -> RGB via a (256, 3) uint8 lookup table

@@ -61,3 +61,40 @@ def test_acf_int_matches_numpy_rational(spark):
             mu = x.mean()
             ref = float(((a - mu) * (b - mu)).sum())
             assert abs(num / n**2 - ref) < 1e-6 * max(1.0, abs(ref))
+
+
+def test_adaptive_cells_invariants(spark):
+    import numpy as np
+
+    from sis_spark.operators.partitioning import adaptive_cells
+
+    rng = np.random.RandomState(17)
+    # skewed: hot cluster near (10, 10) + uniform background
+    lons = np.concatenate([rng.normal(10, 0.5, 600), rng.uniform(-170, 170, 200)])
+    lats = np.concatenate([rng.normal(10, 0.5, 600), rng.uniform(-80, 80, 200)])
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lons, lats)], "lon double, lat double"
+    ).repartition(7)
+    d_min, d_max, cap = 2, 6, 100
+    cells = adaptive_cells(df, d_min, d_max, cap).collect()
+    # disjoint cover: project every point through every emitted cell depth
+    def cell_of(lon, lat, d):
+        n = 1 << d
+        ix = min(max(int(np.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+        iy = min(max(int(np.floor((lat + 90.0) / 180.0 * n)), 0), n - 1)
+        return ix, iy
+    emitted = {(r["d"], r["ix"], r["iy"]): r["cnt"] for r in cells}
+    covered = 0
+    for lon, lat in zip(lons, lats):
+        hits = [d for (d, ix, iy) in emitted
+                if cell_of(lon, lat, d) == (ix, iy)]
+        assert len(hits) == 1  # exactly one emitted cell per point
+        covered += 1
+    assert covered == len(lons)
+    assert sum(emitted.values()) == len(lons)
+    # depth adaptivity: the hot cluster forces deep cells, background stays coarse
+    assert any(d == d_max for (d, _, _) in emitted)
+    assert any(d == d_min for (d, _, _) in emitted)
+    for (d, ix, iy), c in emitted.items():
+        if d < d_max:
+            assert c <= cap

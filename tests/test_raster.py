@@ -491,3 +491,33 @@ def test_glcm_reference(spark):
     assert r["contrast"] == int((cnt * (ii - jj) ** 2).sum())
     assert r["energy"] == int((cnt * cnt).sum())
     assert r["max_cnt"] == int(cnt.max())
+
+
+def test_otsu_matches_brute(spark):
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.tiles import otsu_threshold, raster_to_tiles
+
+    rng = np.random.RandomState(31)
+    # bimodal image: two gaussian-ish value clumps
+    a = rng.randint(20, 60, (64, 128))
+    b = rng.randint(160, 220, (64, 128))
+    arr = np.concatenate([a, b], axis=0).astype(np.uint8)[:, :, None]
+    gg = GridGeometry((0, 0, 127, 127), (1.0, 0.0, 0.0, 0.0, -1.0, 0.0))
+    tiles = raster_to_tiles(spark, arr, gg, 64)
+    (r,) = otsu_threshold(tiles, gg).collect()
+    # brute otsu
+    v = arr.ravel()
+    best = None
+    N, S = len(v), int(v.sum(dtype=np.int64))
+    cnt = np.bincount(v, minlength=256)
+    c = s = 0
+    for t in range(256):
+        c += int(cnt[t]); s += int(cnt[t]) * t
+        if c == 0 or c == N:
+            continue
+        d = S * c - s * N
+        score = (float(d) * float(d)) / float(c * (N - c))
+        if best is None or score > best[0] + 1e-9:
+            best = (score, t)
+    assert r["thr"] == best[1]
+    assert 59 <= r["thr"] < 160  # separates the two clumps
