@@ -1317,3 +1317,93 @@ SELECT l.it AS s1, r.it AS s2, CAST(count(*) AS BIGINT) AS n_occ,
        CAST(count(DISTINCT l.k) AS BIGINT) AS n_keys
 FROM b l JOIN b r ON r.k = l.k AND r.rn > l.rn AND r.rn <= l.rn + {int(max_gap)}
 GROUP BY 1, 2"""
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Inter-rater agreement -> one row (n, agree, pe_num): Cohen's kappa
+    stays the exact rational (agree*n - pe_num) / (n*n - pe_num) with
+    pe_num = sum over classes of marginal_a(c) * marginal_b(c) — all
+    counts exact int64, three tiny aggregations."""
+    b = df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    cm = b.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    ma = cm.groupBy("a").agg(F.sum("c").alias("ra"))
+    mb = cm.groupBy("b").agg(F.sum("c").alias("cb"))
+    pe = (
+        ma.join(mb, ma["a"] == mb["b"])
+        .agg(F.sum(F.col("ra") * F.col("cb")).alias("pe_num"))
+    )
+    tot = cm.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(0)).alias("agree"),
+    )
+    return tot.join(pe).select(
+        "n", "agree", F.coalesce("pe_num", F.lit(0)).alias("pe_num")
+    )
+
+
+def cohens_kappa_sql(base_select: str, a_col: str, b_col: str) -> str:
+    """DuckDB replay of ``cohens_kappa``."""
+    return f"""
+WITH b AS (SELECT {a_col} AS a, {b_col} AS b FROM ({base_select}) s),
+cm AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM cm GROUP BY 1),
+mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cm GROUP BY 1),
+pe AS (SELECT CAST(coalesce(sum(ra * cb), 0) AS BIGINT) AS pe_num
+       FROM ma JOIN mb ON mb.b = ma.a),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree
+        FROM cm)
+SELECT tot.n, tot.agree, pe.pe_num FROM tot CROSS JOIN pe"""
+
+
+def class_prf(
+    df: DataFrame,
+    pred_col: str,
+    actual_col: str,
+) -> DataFrame:
+    """Per-class precision/recall support counts -> (cls, tp, fp, fn,
+    support): derived from ONE confusion aggregation (groupBy pred x
+    actual), then two tiny marginal joins — precision/recall/F1 stay
+    exact rationals tp/(tp+fp), tp/(tp+fn).  Classes appearing only as
+    predictions report support 0 (full outer marginal join)."""
+    b = df.select(F.col(pred_col).alias("p"), F.col(actual_col).alias("y"))
+    cm = b.groupBy("p", "y").agg(F.count(F.lit(1)).alias("c"))
+    rows = cm.groupBy(F.col("p").alias("cls")).agg(F.sum("c").alias("n_pred"))
+    cols = cm.groupBy(F.col("y").alias("cls")).agg(F.sum("c").alias("support"))
+    diag = (
+        cm.filter(F.col("p") == F.col("y"))
+        .select(F.col("p").alias("cls"), F.col("c").alias("tp"))
+    )
+    z = F.lit(0).cast("long")
+    return (
+        rows.join(cols, "cls", "full")
+        .join(diag, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", z).alias("tp"),
+            (F.coalesce("n_pred", z) - F.coalesce("tp", z)).alias("fp"),
+            (F.coalesce("support", z) - F.coalesce("tp", z)).alias("fn"),
+            F.coalesce("support", z).alias("support"),
+        )
+    )
+
+
+def class_prf_sql(base_select: str, pred_col: str, actual_col: str) -> str:
+    """DuckDB replay of ``class_prf``."""
+    return f"""
+WITH b AS (SELECT {pred_col} AS p, {actual_col} AS y FROM ({base_select}) s),
+cm AS (SELECT p, y, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+r AS (SELECT p AS cls, CAST(sum(c) AS BIGINT) AS n_pred FROM cm GROUP BY 1),
+cc AS (SELECT y AS cls, CAST(sum(c) AS BIGINT) AS support FROM cm GROUP BY 1),
+d AS (SELECT p AS cls, c AS tp FROM cm WHERE p = y)
+SELECT coalesce(r.cls, cc.cls) AS cls,
+       CAST(coalesce(d.tp, 0) AS BIGINT) AS tp,
+       CAST(coalesce(r.n_pred, 0) - coalesce(d.tp, 0) AS BIGINT) AS fp,
+       CAST(coalesce(cc.support, 0) - coalesce(d.tp, 0) AS BIGINT) AS fn,
+       CAST(coalesce(cc.support, 0) AS BIGINT) AS support
+FROM r FULL JOIN cc ON cc.cls = r.cls
+LEFT JOIN d ON d.cls = coalesce(r.cls, cc.cls)"""

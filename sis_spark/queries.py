@@ -9365,6 +9365,160 @@ FROM (
 ORDER BY event_id"""
 
 
+def q_tri(spark, sf_dir):
+    """Terrain ruggedness index per tile (terrain.tri_tiles, Riley 1999
+    kept as the exact integer tri2 — no sqrt needed to rank): the
+    8-neighbor halo gather, interior pixels only; PURE INTEGER end to
+    end, the oracle replays all eight squared mod-formula differences."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import tri_tiles
+
+    W, H = 500, 300
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _formula_tiles(spark, W, H, bands=1)
+    return tri_tiles(tiles, gg).orderBy("tx", "ty")
+
+
+def q_tri_oracle():
+    v = "((gx.x + {dx}) * 7 + (gy.y + {dy}) * 13) % 256"
+    terms = " + ".join(
+        f"(({v.format(dx=dx, dy=dy)}) - v0) * (({v.format(dx=dx, dy=dy)}) - v0)"
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+    )
+    return f"""
+WITH px AS (
+  SELECT gx.x AS x, gy.y AS y, gx.x // 64 AS tx, gy.y // 64 AS ty,
+         CASE WHEN gx.x >= 1 AND gx.x <= 498 AND gy.y >= 1 AND gy.y <= 298
+              THEN ({terms}) ELSE 0 END AS tri2,
+         CASE WHEN gx.x >= 1 AND gx.x <= 498 AND gy.y >= 1 AND gy.y <= 298
+              THEN 1 ELSE 0 END AS i
+  FROM (SELECT x, (x * 7) % 256 AS vx FROM generate_series(0, 499) t(x)) gx,
+       generate_series(0, 299) gy(y),
+       LATERAL (SELECT (gx.x * 7 + gy.y * 13) % 256 AS v0) c)
+SELECT tx, ty, CAST(sum(i) AS BIGINT) AS n_int,
+       CAST(sum(tri2) AS BIGINT) AS sum_tri2,
+       CAST(max(tri2) AS BIGINT) AS max_tri2
+FROM px GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+def q_kappa(spark, sf_dir):
+    """Cohen's kappa agreement counts (analytics.cohens_kappa) between
+    two synthetic label assignments over orders: kappa stays the exact
+    rational (agree*n - pe_num)/(n*n - pe_num); three tiny exact
+    aggregations."""
+    from .operators.analytics import cohens_kappa
+
+    o = _read(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 5).alias("a"),
+        ((F.col("o_orderkey") * 7 + F.col("o_custkey")) % 5).alias("b"),
+    )
+    return cohens_kappa(o, "a", "b")
+
+
+def q_kappa_oracle():
+    from .operators.analytics import cohens_kappa_sql
+
+    base = (
+        "SELECT o_orderkey % 5 AS a, "
+        "(o_orderkey * 7 + o_custkey) % 5 AS b FROM orders"
+    )
+    return cohens_kappa_sql(base, "a", "b")
+
+
+def q_class_prf(spark, sf_dir):
+    """Per-class precision/recall counts (analytics.class_prf): one
+    confusion aggregation + marginal joins; P/R/F1 stay exact rationals.
+    Pseudo-classifier: predicted = priority hash bucket, actual =
+    status-derived class (classes can miss on either side — full outer
+    marginals)."""
+    from .operators.analytics import class_prf
+
+    o = _read(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 4).alias("pred"),
+        ((F.col("o_custkey") + F.col("o_orderkey") % 3) % 5).alias("act"),
+    )
+    return class_prf(o, "pred", "act").orderBy("cls")
+
+
+def q_class_prf_oracle():
+    from .operators.analytics import class_prf_sql
+
+    base = (
+        "SELECT o_orderkey % 4 AS pred, "
+        "(o_custkey + o_orderkey % 3) % 5 AS act FROM orders"
+    )
+    return (
+        "SELECT * FROM (" + class_prf_sql(base, "pred", "act")
+        + ") ORDER BY cls"
+    )
+
+
+def _cross_track_texts():
+    """Shared Spark/DuckDB texts for great-circle cross-track and
+    along-track distance of point p (lp, pp) from the path A->B, with A/B
+    embedded as double literals (radians).  d13/theta13 by the standard
+    haversine-free spherical formulas; quantized at 1e9 (radians)."""
+    import math as _math
+
+    a_lat, a_lon = _math.radians(40.7128), _math.radians(-74.006)
+    b_lat, b_lon = _math.radians(51.5074), _math.radians(-0.1276)
+    la, fa = repr(a_lon), repr(a_lat)
+    th12 = repr(
+        _math.atan2(
+            _math.sin(b_lon - a_lon) * _math.cos(b_lat),
+            _math.cos(a_lat) * _math.sin(b_lat)
+            - _math.sin(a_lat) * _math.cos(b_lat) * _math.cos(b_lon - a_lon),
+        )
+    )
+    d13 = (
+        f"acos(least(greatest(sin({fa}) * sin(pp)"
+        f" + cos({fa}) * cos(pp) * cos(lp - {la}), -1.0), 1.0))"
+    )
+    th13 = (
+        f"atan2(sin(lp - {la}) * cos(pp),"
+        f" cos({fa}) * sin(pp) - sin({fa}) * cos(pp) * cos(lp - {la}))"
+    )
+    dxt = f"asin(least(greatest(sin({d13}) * sin(({th13}) - {th12}), -1.0), 1.0))"
+    dat = (
+        f"acos(least(greatest(cos({d13}) / "
+        f"(CASE WHEN cos({dxt}) = 0.0 THEN 1.0 ELSE cos({dxt}) END),"
+        " -1.0), 1.0))"
+    )
+    q = "CAST(floor(({e}) * 1.0e9 + 0.12345678987) AS BIGINT)"
+    return q.format(e=dxt), q.format(e=dat)
+
+
+def q_cross_track(spark, sf_dir):
+    """Great-circle cross-track / along-track distance (the navigation
+    companion of st_azimuth): each event point against the fixed NYC ->
+    London great circle — one shared expression text, clamped inverse
+    trig, quantized radians."""
+    dxt, dat = _cross_track_texts()
+    lon, lat = point_lonlat_cols("event_id")
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.radians(lon).alias("lp"),
+        F.radians(lat).alias("pp"),
+    )
+    return ev.select(
+        "event_id",
+        F.expr(dxt).alias("dxt_q"),
+        F.expr(dat).alias("dat_q"),
+    ).orderBy("event_id")
+
+
+def q_cross_track_oracle():
+    dxt, dat = _cross_track_texts()
+    return f"""
+SELECT event_id, {dxt} AS dxt_q, {dat} AS dat_q
+FROM (
+  SELECT event_id,
+         radians({synth.point_lon_sql('event_id')}) AS lp,
+         radians({synth.point_lat_sql('event_id')}) AS pp
+  FROM events) t
+ORDER BY event_id"""
+
+
 def q_decision_stump(spark, sf_dir):
     """Best Gini split per return flag (analytics.decision_stump over
     lineitem: x = quantity, label = discount > 0.05): exact int64 prefix
@@ -9710,4 +9864,8 @@ QUERIES = {
     "adaptive_cells": (q_adaptive_cells, q_adaptive_cells_oracle),
     "otsu": (q_otsu, q_otsu_oracle),
     "rhumb_line": (q_rhumb_line, q_rhumb_line_oracle),
+    "tri": (q_tri, q_tri_oracle),
+    "kappa": (q_kappa, q_kappa_oracle),
+    "class_prf": (q_class_prf, q_class_prf_oracle),
+    "cross_track": (q_cross_track, q_cross_track_oracle),
 }

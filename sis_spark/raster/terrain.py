@@ -14,9 +14,15 @@ F/image/ImageProcessor.java pipeline style):
    at the raster's global edges — deterministic from pixel COORDINATES (not
    from NaN sniffing), so the SQL oracle can replay every pixel.
 3. **Slope / hillshade** are transcendental reductions of the gradient
-   (Horn/ESRI hillshade formula); they are pytest-differential (a SQL oracle
-   cannot replay libm), while the gradient itself is oracle-gated through
-   integer checksums (gate `gradient`).
+   (Horn/ESRI hillshade formula).  The gradient is oracle-gated through
+   integer checksums (gate `gradient`); hillshade is ALSO oracle-gated
+   (gate `hillshade`) because the formula raster's gradients are exact
+   dyadics and its shade values sit >=2.5e-3 from every rounding boundary
+   (measured), so numpy-vs-DuckDB libm agreement holds with ~10 orders of
+   magnitude of margin.
+4. **TRI** (Riley 1999 terrain ruggedness, gate `tri`) stays PURE INTEGER:
+   the sum of squared 8-neighbor differences needs no sqrt to rank or
+   threshold, so the whole op is exact int64 end to end.
 """
 
 from __future__ import annotations
@@ -736,3 +742,73 @@ def voronoi_tiles(
             break
         prev = cur
     return dist
+
+
+TRI_SCHEMA = "tx long, ty long, n_int long, sum_tri2 long, max_tri2 long"
+
+
+def tri_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Terrain ruggedness index per tile (Riley 1999, public literature;
+    kept as the EXACT integer tri2 = sum of squared 8-neighbor
+    differences — the sqrt adds nothing for ranking/thresholding) ->
+    (tx, ty, n_int, sum_tri2, max_tri2) over INTERIOR raster pixels
+    (x in [1, w-2], y in [1, h-2]; edge pixels lack a full neighborhood).
+
+    Same halo-gather shuffle shape as the gradient: shuffled volume is
+    the tile perimeter, the 8 squared differences are one vectorized
+    numpy expression per tile."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+
+    def fn(key, pdf):
+        gtx, gty = int(key[0]), int(key[1])
+        ts = tile_size
+        halo = np.zeros((ts + 2, ts + 2), dtype=np.int64)
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = (
+                np.frombuffer(data, dtype=bdt)
+                .reshape(ts, ts)
+                .astype(np.int64)
+            )
+            oy = (int(ty) - gty) * ts + 1
+            ox = (int(tx) - gtx) * ts + 1
+            y0, x0 = max(oy, 0), max(ox, 0)
+            y1, x1 = min(oy + ts, ts + 2), min(ox + ts, ts + 2)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            halo[y0:y1, x0:x1] = block[y0 - oy:y1 - oy, x0 - ox:x1 - ox]
+        px = gtx * ts + np.arange(ts)
+        py = gty * ts + np.arange(ts)
+        interior = (
+            (px[None, :] >= 1) & (px[None, :] <= w - 2)
+            & (py[:, None] >= 1) & (py[:, None] <= h - 2)
+        )
+        c = halo[1:1 + ts, 1:1 + ts]
+        tri2 = np.zeros((ts, ts), dtype=np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nb = halo[1 + dy:1 + dy + ts, 1 + dx:1 + dx + ts]
+                d = nb - c
+                tri2 += d * d
+        tri2 = np.where(interior, tri2, 0)
+        n_int = int(interior.sum())
+        return pd.DataFrame([
+            {"tx": gtx, "ty": gty, "n_int": n_int,
+             "sum_tri2": int(tri2.sum()),
+             "max_tri2": int(tri2.max()) if n_int else 0}
+        ])
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(fn, schema=TRI_SCHEMA)

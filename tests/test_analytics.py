@@ -484,3 +484,30 @@ def test_seq_patterns_window(spark):
         ("a", "b"): (1, 1), ("a", "a"): (1, 1), ("b", "a"): (1, 1),
         ("b", "c"): (1, 1), ("a", "c"): (1, 1), ("c", "a"): (1, 1),
     }
+
+
+def test_cohens_kappa_formula(spark):
+    from sis_spark.operators.analytics import cohens_kappa
+
+    rows = [(0, 0), (0, 0), (0, 1), (1, 1), (1, 1), (1, 0), (2, 2)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    (r,) = cohens_kappa(df, "a", "b").collect()
+    n, agree = 7, 5
+    # marginals a: {0:3,1:3,2:1}; b: {0:3,1:3,2:1} -> pe_num = 9+9+1
+    assert (r["n"], r["agree"], r["pe_num"]) == (n, agree, 19)
+    kappa = (agree * n - 19) / (n * n - 19)
+    assert abs(kappa - (5 / 7 - 19 / 49) / (1 - 19 / 49)) < 1e-12
+
+
+def test_class_prf_counts(spark):
+    from sis_spark.operators.analytics import class_prf
+
+    rows = [(0, 0), (0, 1), (1, 1), (1, 1), (2, 1), (3, 9)]  # 9 never predicted? actually 3 predicted, act 9
+    df = spark.createDataFrame(rows, "pred long, act long")
+    got = {r["cls"]: (r["tp"], r["fp"], r["fn"], r["support"])
+           for r in class_prf(df, "pred", "act").collect()}
+    assert got[0] == (1, 1, 0, 1)
+    assert got[1] == (2, 0, 2, 4)
+    assert got[2] == (0, 1, 0, 0)   # predicted only
+    assert got[9] == (0, 0, 1, 1)   # actual only
+    assert got[3] == (0, 1, 0, 0)

@@ -263,3 +263,32 @@ def test_voronoi_matches_dense_packed(spark):
     labels = got % _VOR_SCALE
     ys, xs = labels // w, labels % w
     assert (arr[ys, xs] == 0).all()
+
+
+def test_tri_matches_dense(spark):
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.terrain import tri_tiles
+    from sis_spark.raster.tiles import raster_to_tiles
+
+    rng = np.random.RandomState(41)
+    arr = rng.randint(0, 256, (100, 130, 1)).astype(np.uint8)
+    gg = GridGeometry((0, 0, 129, 99), (1.0, 0.0, 0.0, 0.0, -1.0, 0.0))
+    tiles = raster_to_tiles(spark, arr, gg, 64)
+    got = {(r["tx"], r["ty"]): r for r in tri_tiles(tiles, gg).collect()}
+    v = arr[:, :, 0].astype(np.int64)
+    h, w = v.shape
+    dense = np.zeros((h, w), dtype=np.int64)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == dy == 0:
+                continue
+            nb = np.roll(np.roll(v, -dy, axis=0), -dx, axis=1)
+            dense += (nb - v) ** 2
+    interior = np.zeros((h, w), dtype=bool)
+    interior[1:-1, 1:-1] = True
+    dense = np.where(interior, dense, 0)
+    for (tx, ty), r in got.items():
+        sl = np.s_[ty * 64:(ty + 1) * 64, tx * 64:(tx + 1) * 64]
+        assert r["sum_tri2"] == int(dense[sl].sum())
+        assert r["n_int"] == int(interior[sl].sum())
+        assert r["max_tri2"] == int(dense[sl].max())
