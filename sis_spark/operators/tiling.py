@@ -156,3 +156,90 @@ def uncompact_cells(cells: DataFrame, to_res: int, cell_col: str = "cell",
             ).alias(cell_col)
         )
     )
+
+
+def line_cells(
+    segs: DataFrame,
+    cell: int,
+    id_col: str = "seg_id",
+    x1_col: str = "x1",
+    y1_col: str = "y1",
+    x2_col: str = "x2",
+    y2_col: str = "y2",
+) -> DataFrame:
+    """Supercover line rasterization: every grid cell (side ``cell``,
+    integer endpoint coordinates) a segment passes through ->
+    (seg_id, ix, iy).  Cell membership is EXACT: bbox overlap + the
+    integer separating-axis test (the segment misses the cell iff all
+    four cell corners lie strictly on one side of its supporting line —
+    int64 cross products, no FP).  Corner-touching cells count as
+    covered (documented closed semantics).
+
+    Scale shape: pure whole-stage codegen — sequence/explode the bbox
+    candidate columns/rows per segment, filter by the SAT predicate.
+    Candidate fan-out is the segment's cell-bbox area; split long
+    segments first (line_clip) when that bound matters — the vector
+    twin of rasterize_polygons' cell-center burn."""
+    c = int(cell)
+    e = lambda s: F.expr(s)
+    b = segs.select(
+        F.col(id_col).alias("seg_id"),
+        F.col(x1_col).alias("x1"), F.col(y1_col).alias("y1"),
+        F.col(x2_col).alias("x2"), F.col(y2_col).alias("y2"),
+    )
+    # floor-div bounds (coordinates may be negative: use floor semantics)
+    fd = lambda v: f"(({v}) - ((({v}) % {c}) + {c}) % {c}) DIV {c}"
+    cand = (
+        b.withColumn("ix", F.explode(e(
+            f"sequence({fd('least(x1, x2)')}, {fd('greatest(x1, x2)')})"
+        )))
+        .withColumn("iy", F.explode(e(
+            f"sequence({fd('least(y1, y2)')}, {fd('greatest(y1, y2)')})"
+        )))
+    )
+    # cross products of the 4 cell corners against the segment line
+    cross = (
+        "((x2 - x1) * (({cy}) - y1) - (y2 - y1) * (({cx}) - x1))"
+    )
+    corners = [
+        (f"ix * {c}", f"iy * {c}"),
+        (f"(ix + 1) * {c}", f"iy * {c}"),
+        (f"ix * {c}", f"(iy + 1) * {c}"),
+        (f"(ix + 1) * {c}", f"(iy + 1) * {c}"),
+    ]
+    ds = [cross.format(cx=cx, cy=cy) for cx, cy in corners]
+    not_separated = (
+        "NOT (" + " AND ".join(f"({d}) > 0" for d in ds) + ")"
+        " AND NOT (" + " AND ".join(f"({d}) < 0" for d in ds) + ")"
+    )
+    return cand.filter(e(not_separated)).select("seg_id", "ix", "iy")
+
+
+def line_cells_sql(segs_select: str, cell: int) -> str:
+    """DuckDB replay of ``line_cells``; ``segs_select`` ->
+    (seg_id, x1, y1, x2, y2)."""
+    c = int(cell)
+    fd = lambda v: f"(({v}) - ((({v}) % {c}) + {c}) % {c}) // {c}"
+    cross = "((x2 - x1) * (({cy}) - y1) - (y2 - y1) * (({cx}) - x1))"
+    corners = [
+        (f"ix * {c}", f"iy * {c}"),
+        (f"(ix + 1) * {c}", f"iy * {c}"),
+        (f"ix * {c}", f"(iy + 1) * {c}"),
+        (f"(ix + 1) * {c}", f"(iy + 1) * {c}"),
+    ]
+    ds = [cross.format(cx=cx, cy=cy) for cx, cy in corners]
+    not_sep = (
+        "NOT (" + " AND ".join(f"({d}) > 0" for d in ds) + ")"
+        " AND NOT (" + " AND ".join(f"({d}) < 0" for d in ds) + ")"
+    )
+    return f"""
+WITH b AS ({segs_select}),
+cand AS (
+  SELECT b.*, gx.ix, gy.iy
+  FROM b,
+       LATERAL (SELECT unnest(range({fd('least(x1, x2)')},
+                                    {fd('greatest(x1, x2)')} + 1)) AS ix) gx,
+       LATERAL (SELECT unnest(range({fd('least(y1, y2)')},
+                                    {fd('greatest(y1, y2)')} + 1)) AS iy) gy)
+SELECT seg_id, CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy
+FROM cand WHERE {not_sep}"""

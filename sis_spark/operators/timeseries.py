@@ -926,3 +926,66 @@ SELECT k, CAST(blk AS BIGINT) AS blk, r_start,
        r_start + fit_den - 1 AS r_end,
        CAST(fit_num AS BIGINT) AS fit_num, CAST(fit_den AS BIGINT) AS fit_den
 FROM pos"""
+
+
+def mase_components(
+    df: DataFrame,
+    season: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "x",
+) -> DataFrame:
+    """Forecast-error denominators per key -> (user, n, sum_abs_naive,
+    n_naive, sum_abs_seasonal, n_seasonal): the exact integer sums of
+    |x_t - x_{t-1}| and |x_t - x_{t-season}| that scale MASE / seasonal
+    MASE — two lag windows, everything int64, no FP."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("t", "i")
+    b = df.select(
+        F.col(user_col).alias("k"),
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(value_col).alias("x"),
+    )
+    d1 = F.col("x") - F.lag("x", 1).over(w)
+    dm = F.col("x") - F.lag("x", int(season)).over(w)
+    seg = b.select(
+        "k",
+        F.abs(d1).alias("a1"),
+        F.abs(dm).alias("am"),
+    )
+    one = F.lit(1)
+    return seg.groupBy("k").agg(
+        F.count(one).alias("n"),
+        F.coalesce(F.sum("a1"), F.lit(0)).alias("sum_abs_naive"),
+        F.count("a1").alias("n_naive"),
+        F.coalesce(F.sum("am"), F.lit(0)).alias("sum_abs_seasonal"),
+        F.count("am").alias("n_seasonal"),
+    )
+
+
+def mase_components_sql(
+    base_select: str,
+    season: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "x",
+) -> str:
+    """DuckDB replay of ``mase_components``."""
+    return f"""
+WITH b AS (
+  SELECT {user_col} AS k, {value_col} AS x,
+         abs({value_col} - lag({value_col}, 1) OVER
+             (PARTITION BY {user_col} ORDER BY {ts_col}, {id_col})) AS a1,
+         abs({value_col} - lag({value_col}, {int(season)}) OVER
+             (PARTITION BY {user_col} ORDER BY {ts_col}, {id_col})) AS am
+  FROM ({base_select}) s)
+SELECT k, CAST(count(*) AS BIGINT) AS n,
+       CAST(coalesce(sum(a1), 0) AS BIGINT) AS sum_abs_naive,
+       CAST(count(a1) AS BIGINT) AS n_naive,
+       CAST(coalesce(sum(am), 0) AS BIGINT) AS sum_abs_seasonal,
+       CAST(count(am) AS BIGINT) AS n_seasonal
+FROM b GROUP BY 1"""

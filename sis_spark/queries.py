@@ -9519,6 +9519,82 @@ FROM (
 ORDER BY event_id"""
 
 
+def q_line_cells(spark, sf_dir):
+    """Supercover line->cell assignment (tiling.line_cells, 10-degree
+    cells): every grid cell each event->query segment passes through,
+    decided by the EXACT integer separating-axis test (bbox candidates
+    via codegen sequence/explode, int64 cross products, no FP) — the
+    vector-line twin of the point tile assignment and polygon burn."""
+    from .operators.tiling import line_cells
+
+    lon1, lat1 = point_lonlat_cols("event_id")
+    lon2, lat2 = query_lonlat_cols("event_id")
+    segs = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 300)
+        .select(
+            F.col("event_id").alias("seg_id"),
+            F.floor(lon1 * 1e5 + 0.12345678987).cast("long").alias("x1"),
+            F.floor(lat1 * 1e5 + 0.12345678987).cast("long").alias("y1"),
+            F.floor(lon2 * 1e5 + 0.12345678987).cast("long").alias("x2"),
+            F.floor(lat2 * 1e5 + 0.12345678987).cast("long").alias("y2"),
+        )
+    )
+    return line_cells(segs, cell=1_000_000).orderBy("seg_id", "ix", "iy")
+
+
+def q_line_cells_oracle():
+    from .operators.tiling import line_cells_sql
+
+    segs = f"""
+SELECT event_id AS seg_id,
+       CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e5
+                  + 0.12345678987) AS BIGINT) AS x1,
+       CAST(floor(({synth.point_lat_sql('event_id')}) * 1.0e5
+                  + 0.12345678987) AS BIGINT) AS y1,
+       CAST(floor(({synth.query_lon_sql('event_id')}) * 1.0e5
+                  + 0.12345678987) AS BIGINT) AS x2,
+       CAST(floor(({synth.query_lat_sql('event_id')}) * 1.0e5
+                  + 0.12345678987) AS BIGINT) AS y2
+FROM events WHERE event_id < 300"""
+    return (
+        "SELECT * FROM ("
+        + line_cells_sql(segs, cell=1_000_000)
+        + ") ORDER BY seg_id, ix, iy"
+    )
+
+
+def q_mase(spark, sf_dir):
+    """Seasonal-naive forecast error components (timeseries.
+    mase_components, season 7) per user: exact integer sums of
+    |x_t - x_{t-1}| and |x_t - x_{t-7}| — the MASE denominators, two lag
+    windows, no FP."""
+    from .operators.timeseries import mase_components
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    lon, _ = point_lonlat_cols("event_id")
+    pts = ev.select(
+        "user_id", "event_id", "ts",
+        F.floor(lon * 10000).cast("long").alias("x"),
+    )
+    return mase_components(pts, season=7).orderBy("k")
+
+
+def q_mase_oracle():
+    from .operators.timeseries import mase_components_sql
+
+    base = (
+        "SELECT user_id, event_id, ts, "
+        f"CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e4) AS BIGINT) AS x "
+        "FROM events WHERE event_id < 4000"
+    )
+    return (
+        "SELECT * FROM ("
+        + mase_components_sql(base, season=7)
+        + ") ORDER BY k"
+    )
+
+
 def q_decision_stump(spark, sf_dir):
     """Best Gini split per return flag (analytics.decision_stump over
     lineitem: x = quantity, label = discount > 0.05): exact int64 prefix
@@ -9868,4 +9944,6 @@ QUERIES = {
     "kappa": (q_kappa, q_kappa_oracle),
     "class_prf": (q_class_prf, q_class_prf_oracle),
     "cross_track": (q_cross_track, q_cross_track_oracle),
+    "line_cells": (q_line_cells, q_line_cells_oracle),
+    "mase": (q_mase, q_mase_oracle),
 }

@@ -107,3 +107,40 @@ def test_rasterize_max_key_wins(spark):
     in2 = points_in_polygon_with_holes(cx, cy, [sq(-9.9, 4.1, 0.5)]).reshape(64, 64)
     in5 = points_in_polygon_with_holes(cx, cy, [sq(-9.7, 4.3, 0.5)]).reshape(64, 64)
     assert np.all(got[in2 & in5] == 5)
+
+
+def test_line_cells_matches_brute(spark):
+    from sis_spark.operators.tiling import line_cells
+
+    import numpy as np
+
+    rng = np.random.RandomState(19)
+    segs = [(i, int(a), int(b), int(c), int(d)) for i, (a, b, c, d) in
+            enumerate(rng.randint(-30, 30, size=(25, 4)))]
+    df = spark.createDataFrame(
+        segs, "seg_id long, x1 long, y1 long, x2 long, y2 long"
+    ).repartition(4)
+    C = 7
+    got = sorted((r["seg_id"], r["ix"], r["iy"])
+                 for r in line_cells(df, cell=C).collect())
+    want = []
+    for sid, x1, y1, x2, y2 in segs:
+        for ix in range(min(x1, x2) // C, max(x1, x2) // C + 1):
+            for iy in range(min(y1, y2) // C, max(y1, y2) // C + 1):
+                ds = [(x2 - x1) * (cy - y1) - (y2 - y1) * (cx - x1)
+                      for cx, cy in [(ix * C, iy * C), ((ix + 1) * C, iy * C),
+                                     (ix * C, (iy + 1) * C),
+                                     ((ix + 1) * C, (iy + 1) * C)]]
+                if not all(d > 0 for d in ds) and not all(d < 0 for d in ds):
+                    want.append((sid, ix, iy))
+    assert got == sorted(want)
+
+
+def test_line_cells_axis_aligned(spark):
+    from sis_spark.operators.tiling import line_cells
+
+    # horizontal segment across 3 cells of side 10
+    df = spark.createDataFrame([(1, 0, 5, 25, 5)],
+                               "seg_id long, x1 long, y1 long, x2 long, y2 long")
+    got = sorted((r["ix"], r["iy"]) for r in line_cells(df, cell=10).collect())
+    assert got == [(0, 0), (1, 0), (2, 0)]

@@ -393,3 +393,16 @@ def test_isotonic_fit_properties(spark):
         y = np.asarray(ys, float)
         assert ((y - fit) ** 2).sum() <= ((y - y.mean()) ** 2).sum() + 1e-9
     assert len(got[9]) == 1  # decreasing input pools to one block
+
+
+def test_mase_components_reference(spark):
+    from sis_spark.operators.timeseries import mase_components
+
+    xs = [3, 7, 2, 9, 9, 1, 5, 8, 4]
+    rows = [(1, i, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, x long")
+    (r,) = mase_components(df, season=3).collect()
+    n1 = [abs(xs[i] - xs[i - 1]) for i in range(1, len(xs))]
+    nm = [abs(xs[i] - xs[i - 3]) for i in range(3, len(xs))]
+    assert (r["n"], r["n_naive"], r["n_seasonal"]) == (9, 8, 6)
+    assert (r["sum_abs_naive"], r["sum_abs_seasonal"]) == (sum(n1), sum(nm))
