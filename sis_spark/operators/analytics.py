@@ -1407,3 +1407,68 @@ SELECT coalesce(r.cls, cc.cls) AS cls,
        CAST(coalesce(cc.support, 0) AS BIGINT) AS support
 FROM r FULL JOIN cc ON cc.cls = r.cls
 LEFT JOIN d ON d.cls = coalesce(r.cls, cc.cls)"""
+
+
+def mi_contrib_sql() -> str:
+    """Shared Spark/DuckDB text: the per-cell mutual-information
+    contribution quantized at 1e9 from exact int64 counts
+    (n_ab, n_a, n_b, n) — p(a,b) * ln(p(a,b)/(p(a)p(b))), quantized
+    PER CELL before the integer sum so the total is order-independent."""
+    return (
+        "CAST(floor((CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)"
+        " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))"
+        " * 1.0e9 + 0.12345678987) AS BIGINT)"
+    )
+
+
+def ent_contrib_sql(cnt: str) -> str:
+    """Shared text: per-value entropy contribution -p ln p quantized."""
+    return (
+        f"CAST(floor(-(CAST({cnt} AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" * ln(CAST({cnt} AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * 1.0e9 + 0.12345678987) AS BIGINT)"
+    )
+
+
+def mutual_info(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Mutual information + marginal entropies between two discrete
+    columns -> one row (n, mi_q, ha_q, hb_q): all counts exact int64;
+    the only FP is the shared-text ln per cell, floor-quantized BEFORE
+    the order-independent integer sums (the tfidf/chi2 discipline).
+    Feature-selection / redundancy scoring for training-data columns."""
+    b = df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    cm = b.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ma = cm.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    mb = cm.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    tot = cm.agg(F.sum("n_ab").alias("n"))
+    cells = cm.join(ma, "a").join(mb, "b").join(tot)
+    mi = cells.select(F.expr(mi_contrib_sql()).alias("c")).agg(
+        F.sum("c").alias("mi_q")
+    )
+    ha = ma.join(tot).select(F.expr(ent_contrib_sql("n_a")).alias("c")).agg(
+        F.sum("c").alias("ha_q")
+    )
+    hb = mb.join(tot).select(F.expr(ent_contrib_sql("n_b")).alias("c")).agg(
+        F.sum("c").alias("hb_q")
+    )
+    return tot.join(mi).join(ha).join(hb).select("n", "mi_q", "ha_q", "hb_q")
+
+
+def mutual_info_sql(base_select: str, a_col: str, b_col: str) -> str:
+    """DuckDB replay of ``mutual_info``."""
+    return f"""
+WITH b AS (SELECT {a_col} AS a, {b_col} AS b FROM ({base_select}) s),
+cm AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM b GROUP BY 1, 2),
+ma AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM cm GROUP BY 1),
+mb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM cm GROUP BY 1),
+tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM cm),
+mi AS (
+  SELECT CAST(sum({mi_contrib_sql()}) AS BIGINT) AS mi_q
+  FROM cm JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot),
+ha AS (SELECT CAST(sum({ent_contrib_sql('n_a')}) AS BIGINT) AS ha_q
+       FROM ma CROSS JOIN tot),
+hb AS (SELECT CAST(sum({ent_contrib_sql('n_b')}) AS BIGINT) AS hb_q
+       FROM mb CROSS JOIN tot)
+SELECT tot.n, mi.mi_q, ha.ha_q, hb.hb_q
+FROM tot CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb"""

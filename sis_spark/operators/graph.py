@@ -382,3 +382,63 @@ def shortest_paths_sql(
         + ",\n".join(blocks)
         + f"\nSELECT node, dist FROM d{int(hops)}"
     )
+
+
+def hits_exact(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999, public literature) in EXACT
+    integer arithmetic -> (node, hub, auth), both scores max-normalized
+    to ``scale`` each half-step:
+
+        auth'(v) = sum over u->v of hub(u);  auth = auth' * scale div max(auth')
+        hub'(u)  = sum over u->v of auth(v); hub  = hub' * scale div max(hub')
+
+    Max-normalization (instead of the textbook L2) keeps every step an
+    integer floor-div, so two engines cannot diverge by an ulp — the
+    pagerank_exact contract applied to the coupled recurrence.  Nodes
+    unreachable on a side score 0.
+
+    Plan shape per iteration: two equi-join + partial-agg shuffles and
+    two 1-row max aggregates; lineage truncated per round."""
+    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    state = nodes.select(
+        "node",
+        F.lit(int(scale)).cast("long").alias("hub"),
+        F.lit(int(scale)).cast("long").alias("auth"),
+    ).localCheckpoint()
+    z = F.lit(0).cast("long")
+    for _ in range(int(iters)):
+        araw = (
+            edges.join(state, edges["src"] == state["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("ar"))
+        )
+        amax = araw.agg(F.max("ar")).first()[0] or 1
+        auth = nodes.join(araw, "node", "left").select(
+            "node",
+            F.expr(f"coalesce(ar, CAST(0 AS BIGINT)) * {int(scale)} div {int(amax)}")
+            .alias("auth"),
+        )
+        hraw = (
+            edges.join(auth, edges["dst"] == auth["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("hr"))
+        )
+        hmax = hraw.agg(F.max("hr")).first()[0] or 1
+        state = (
+            nodes.join(auth, "node", "left")
+            .join(hraw, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(hr, CAST(0 AS BIGINT)) * {int(scale)} div {int(hmax)}"
+                ).alias("hub"),
+                F.coalesce("auth", z).alias("auth"),
+            )
+            .localCheckpoint()
+        )
+    return state

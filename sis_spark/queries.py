@@ -9595,6 +9595,107 @@ def q_mase_oracle():
     )
 
 
+_HITS_ITERS = 3
+_HITS_SCALE = 10**6
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (graph.hits_exact, 3 iterations,
+    max-normalized to 1e6): the coupled link-analysis recurrence kept
+    exact-integer by normalizing with a floor-div by the round maximum
+    instead of L2 (the pagerank_exact contract); the oracle chains one
+    MATERIALIZED CTE block per half-step (the kcore double-reference
+    lesson).  Same closed-form documents link graph as the pagerank
+    gate.  Output: top 100 by (auth DESC, node)."""
+    from .operators.graph import hits_exact
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("src")
+    )
+    n = docs.count()
+    edges = (
+        docs.select(
+            "src",
+            F.explode(F.array(
+                (F.col("src") * 7 + 11) % n,
+                (F.col("src") * 13 + 5) % n,
+                (F.col("src") * 3 + 1) % n,
+            )).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = docs.select(F.col("src").alias("node"))
+    st = hits_exact(edges, nodes, iters=_HITS_ITERS, scale=_HITS_SCALE)
+    w = Window.orderBy(F.col("auth").desc(), F.col("node").asc())
+    return (
+        st.withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("pos") <= 100)
+        .select("pos", "node", "hub", "auth")
+        .orderBy("pos")
+    )
+
+
+def q_hits_oracle():
+    S = _HITS_SCALE
+    blocks = ["""nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT CAST(doc_id AS BIGINT) AS src, (CAST(doc_id AS BIGINT) * 7 + 11) % nn.n AS dst FROM documents, nn
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), (CAST(doc_id AS BIGINT) * 13 + 5) % nn.n FROM documents, nn
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), (CAST(doc_id AS BIGINT) * 3 + 1) % nn.n FROM documents, nn)),
+st0 AS MATERIALIZED (SELECT node, CAST({S} AS BIGINT) AS hub, CAST({S} AS BIGINT) AS auth FROM nodes)""".format(S=S)]
+    for i in range(_HITS_ITERS):
+        blocks.append(f"""ar{i + 1} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(sum(st.hub) AS BIGINT) AS ar
+  FROM e JOIN st{i} st ON st.node = e.src GROUP BY 1),
+am{i + 1} AS (SELECT CASE WHEN max(ar) IS NULL OR max(ar) = 0 THEN 1
+                          ELSE max(ar) END AS m FROM ar{i + 1}),
+au{i + 1} AS MATERIALIZED (
+  SELECT nodes.node, COALESCE(ar.ar, 0) * {S} // am.m AS auth
+  FROM nodes LEFT JOIN ar{i + 1} ar ON ar.node = nodes.node, am{i + 1} am),
+hr{i + 1} AS MATERIALIZED (
+  SELECT e.src AS node, CAST(sum(au.auth) AS BIGINT) AS hr
+  FROM e JOIN au{i + 1} au ON au.node = e.dst GROUP BY 1),
+hm{i + 1} AS (SELECT CASE WHEN max(hr) IS NULL OR max(hr) = 0 THEN 1
+                          ELSE max(hr) END AS m FROM hr{i + 1}),
+st{i + 1} AS MATERIALIZED (
+  SELECT nodes.node, COALESCE(hr.hr, 0) * {S} // hm.m AS hub, au.auth
+  FROM nodes LEFT JOIN hr{i + 1} hr ON hr.node = nodes.node
+       JOIN au{i + 1} au ON au.node = nodes.node, hm{i + 1} hm)""")
+    return "WITH " + ",\n".join(blocks) + f"""
+SELECT pos, node, CAST(hub AS BIGINT) AS hub, CAST(auth AS BIGINT) AS auth
+FROM (
+  SELECT node, hub, auth,
+         CAST(row_number() OVER (ORDER BY auth DESC, node ASC) AS BIGINT) AS pos
+  FROM st{_HITS_ITERS}) t
+WHERE pos <= 100 ORDER BY pos"""
+
+
+def q_mutual_info(spark, sf_dir):
+    """Mutual information + marginal entropies over (priority x status)
+    (analytics.mutual_info): exact integer counts; the only FP is the
+    shared-text ln per contingency cell, floor-quantized BEFORE the
+    order-independent integer sums — the feature-redundancy companion
+    of the chi2 gate."""
+    from .operators.analytics import mutual_info
+
+    o = _read(spark, sf_dir, "orders")
+    return mutual_info(o, "o_orderpriority", "o_orderstatus")
+
+
+def q_mutual_info_oracle():
+    from .operators.analytics import mutual_info_sql
+
+    return mutual_info_sql(
+        "SELECT o_orderpriority, o_orderstatus FROM orders",
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+
+
 def q_decision_stump(spark, sf_dir):
     """Best Gini split per return flag (analytics.decision_stump over
     lineitem: x = quantity, label = discount > 0.05): exact int64 prefix
@@ -9946,4 +10047,6 @@ QUERIES = {
     "cross_track": (q_cross_track, q_cross_track_oracle),
     "line_cells": (q_line_cells, q_line_cells_oracle),
     "mase": (q_mase, q_mase_oracle),
+    "hits": (q_hits, q_hits_oracle),
+    "mutual_info": (q_mutual_info, q_mutual_info_oracle),
 }

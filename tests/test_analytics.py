@@ -511,3 +511,22 @@ def test_class_prf_counts(spark):
     assert got[2] == (0, 1, 0, 0)   # predicted only
     assert got[9] == (0, 0, 1, 1)   # actual only
     assert got[3] == (0, 1, 0, 0)
+
+
+def test_mutual_info_independent_and_dependent(spark):
+    import math
+
+    from sis_spark.operators.analytics import mutual_info
+
+    # perfectly dependent: b == a -> MI == H(A)
+    rows = [(i % 3, i % 3) for i in range(90)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    (r,) = mutual_info(df, "a", "b").collect()
+    h = math.log(3)
+    assert abs(r["mi_q"] / 1e9 - h) < 1e-6
+    assert abs(r["ha_q"] / 1e9 - h) < 1e-6
+    # independent: uniform product distribution -> MI == 0 (each cell ln 1)
+    rows = [(i % 3, (i // 3) % 4) for i in range(120)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    (r,) = mutual_info(df, "a", "b").collect()
+    assert r["mi_q"] == 0

@@ -152,3 +152,32 @@ def test_k_core_matches_brute_peel(spark):
     exp = {(v, len(adj[v] & alive)) for v in alive}
     assert got == exp
     assert {v for v, _ in exp} >= set(range(6))  # the clique survived
+
+
+def test_hits_exact_structure(spark):
+    from sis_spark.operators.graph import hits_exact
+
+    # star: node 0 links to 1..4 -> 0 is the hub, 1..4 are authorities
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)] + [(1, 2)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    st = {r["node"]: r for r in hits_exact(edges, nodes, iters=2).collect()}
+    assert st[0]["hub"] == 10**6          # max hub
+    assert st[0]["auth"] == 0             # nobody links to 0
+    assert st[2]["auth"] == 10**6         # two in-links: max authority
+    assert st[3]["auth"] == st[4]["auth"] < st[2]["auth"]
+    assert all(0 <= st[i]["hub"] <= 10**6 for i in st)
+
+
+def test_hits_mass_normalized_each_round(spark):
+    from sis_spark.operators.graph import hits_exact
+
+    # ring: perfectly symmetric -> everyone maxes both scores
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    st = hits_exact(edges, nodes, iters=3).collect()
+    assert all(r["hub"] == 10**6 and r["auth"] == 10**6 for r in st)
