@@ -1472,3 +1472,53 @@ hb AS (SELECT CAST(sum({ent_contrib_sql('n_b')}) AS BIGINT) AS hb_q
        FROM mb CROSS JOIN tot)
 SELECT tot.n, mi.mi_q, ha.ha_q, hb.hb_q
 FROM tot CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb"""
+
+
+def cum_distinct(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Running distinct count per key -> (k, o, v, n_distinct): how many
+    distinct values the key has seen up to and including this row.  Two
+    windows, no join: first-occurrence flag (rank 1 within (k, v) by
+    order) then a running sum — exact int64, the vocabulary-growth /
+    coverage-curve primitive."""
+    from pyspark.sql import Window
+
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(order_col).alias("o"),
+        F.col(val_col).alias("v"),
+    )
+    wf = Window.partitionBy("k", "v").orderBy("o")
+    run = Window.partitionBy("k").orderBy("o").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        b.withColumn(
+            "__f", (F.row_number().over(wf) == 1).cast("long")
+        )
+        .withColumn("n_distinct", F.sum("__f").over(run))
+        .select("k", "o", "v", "n_distinct")
+    )
+
+
+def cum_distinct_sql(
+    base_select: str, key_col: str, order_col: str, val_col: str
+) -> str:
+    """DuckDB replay of ``cum_distinct``."""
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, {order_col} AS o, {val_col} AS v
+  FROM ({base_select}) s),
+f AS (
+  SELECT k, o, v,
+         CASE WHEN row_number() OVER (PARTITION BY k, v ORDER BY o) = 1
+              THEN 1 ELSE 0 END AS ff
+  FROM b)
+SELECT k, o, v,
+       CAST(sum(ff) OVER (PARTITION BY k ORDER BY o
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct
+FROM f"""

@@ -1336,3 +1336,47 @@ prs AS (
   GROUP BY 1, 2)
 SELECT p.a, p.b, p.dot, sa.n2 AS na2, sb.n2 AS nb2
 FROM prs p JOIN norms sa ON sa.id = p.a JOIN norms sb ON sb.id = p.b"""
+
+
+def url_canonical(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical URL dedup key -> (id, url, canon): lowercase host,
+    leading ``www.`` stripped, query/fragment dropped, one trailing
+    slash removed, empty path -> ``/`` — the normalization a web-crawl
+    dedup keys on before any content hashing.  Pure codegen string ops
+    (regexp_extract + CASE/substr — no dialect-divergent trim), zero
+    shuffles."""
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(u, URL_PATTERNS["host"], 1))
+    host_c = F.when(
+        host.startswith("www."), F.expr(f"substr(lower(regexp_extract({url_col}, '{URL_PATTERNS['host']}', 1)), 5)")
+    ).otherwise(host)
+    path = F.regexp_extract(u, URL_PATTERNS["path"], 1)
+    path_c = F.when(
+        path.endswith("/") & (F.length(path) > 1),
+        F.expr(f"substr(regexp_extract({url_col}, '{URL_PATTERNS['path']}', 1), 1, length(regexp_extract({url_col}, '{URL_PATTERNS['path']}', 1)) - 1)"),
+    ).otherwise(path)
+    canon = F.concat(
+        host_c, F.when(path_c == "", F.lit("/")).otherwise(path_c)
+    )
+    return df.select(F.col(id_col), u.alias("url"), canon.alias("canon"))
+
+
+def url_canonical_sql(base_select: str, url_col: str = "url",
+                      id_col: str = "doc_id") -> str:
+    """DuckDB replay of ``url_canonical``."""
+    host = f"lower(regexp_extract({url_col}, '{URL_PATTERNS['host']}', 1))"
+    host_c = (
+        f"CASE WHEN {host} LIKE 'www.%' THEN substr({host}, 5) "
+        f"ELSE {host} END"
+    )
+    path = f"regexp_extract({url_col}, '{URL_PATTERNS['path']}', 1)"
+    path_c = (
+        f"CASE WHEN {path} LIKE '%/' AND length({path}) > 1 "
+        f"THEN substr({path}, 1, length({path}) - 1) ELSE {path} END"
+    )
+    return f"""
+SELECT {id_col}, {url_col} AS url,
+       {host_c} || CASE WHEN {path_c} = '' THEN '/' ELSE {path_c} END AS canon
+FROM ({base_select}) s"""

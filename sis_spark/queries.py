@@ -9696,6 +9696,120 @@ def q_mutual_info_oracle():
     )
 
 
+def q_downsample_mean(spark, sf_dir):
+    """Anti-aliased 2x reduction (tiles.downsample_mean): every output
+    pixel the FLOOR mean of its 2x2 source block — exact integer, the
+    box-filter overview next to tile_pyramid's stride-2 sampling;
+    verified through per-band stats at the subsampled geometry."""
+    from .raster.grid import GridGeometry
+    from .raster.tiles import band_stats, downsample_mean
+
+    W, H = 448, 256
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _formula_tiles(spark, W, H, bands=1)
+    out, out_gg = downsample_mean(tiles, gg)
+    return band_stats(out, out_gg).select(
+        "band", "n", "min", "max", "sum", "mean"
+    ).orderBy("band")
+
+
+def q_downsample_mean_oracle():
+    return """
+WITH px AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(0, 223) gx(x), generate_series(0, 127) gy(y)),
+m AS (
+  SELECT (((2*x) * 7 + (2*y) * 13) % 256
+        + ((2*x+1) * 7 + (2*y) * 13) % 256
+        + ((2*x) * 7 + (2*y+1) * 13) % 256
+        + ((2*x+1) * 7 + (2*y+1) * 13) % 256) // 4 AS s
+  FROM px)
+SELECT CAST(0 AS INT) AS band, count(*) AS n,
+       CAST(min(s) AS BIGINT) AS min, CAST(max(s) AS BIGINT) AS max,
+       CAST(sum(s) AS BIGINT) AS sum,
+       CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+FROM m GROUP BY 1 ORDER BY band"""
+
+
+def q_url_canonical(spark, sf_dir):
+    """Canonical URL dedup keys (textops.url_canonical): lowercase host,
+    www. stripped, query/fragment dropped, trailing slash removed —
+    grouped to (canon, n_urls, n_docs); the normalization a web-crawl
+    dedup keys on.  Messier synthetic URLs than the url_parse gate
+    (mixed-case hosts, optional www./slash/fragment)."""
+    from .operators.textops import url_canonical
+
+    d = F.col("doc_id")
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.when(d % 2 == 0, F.lit("Host")).otherwise(F.lit("host")),
+            (d % 7).cast("string"),
+            F.lit(".example.com/path"), (d % 5).cast("string"),
+            F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(d % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return (
+        url_canonical(docs)
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("canon")
+    )
+
+
+def q_url_canonical_oracle():
+    from .operators.textops import url_canonical_sql
+
+    base = """
+SELECT doc_id,
+       'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+       || CASE WHEN doc_id % 2 = 0 THEN 'Host' ELSE 'host' END
+       || CAST(doc_id % 7 AS VARCHAR)
+       || '.example.com/path' || CAST(doc_id % 5 AS VARCHAR)
+       || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+       || CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
+FROM documents"""
+    return f"""
+SELECT canon, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM ({url_canonical_sql(base)}) c
+GROUP BY 1 ORDER BY canon"""
+
+
+def q_cum_distinct(spark, sf_dir):
+    """Running distinct count (analytics.cum_distinct): per user, how
+    many distinct event types seen so far at each event — the
+    vocabulary-growth primitive, two windows, no join."""
+    from .operators.analytics import cum_distinct
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    return cum_distinct(ev, "user_id", "event_id", "event_type").orderBy(
+        "k", "o"
+    )
+
+
+def q_cum_distinct_oracle():
+    from .operators.analytics import cum_distinct_sql
+
+    return (
+        "SELECT * FROM ("
+        + cum_distinct_sql(
+            "SELECT user_id, event_id, event_type FROM events "
+            "WHERE event_id < 3000",
+            "user_id",
+            "event_id",
+            "event_type",
+        )
+        + ") ORDER BY k, o"
+    )
+
+
 def q_decision_stump(spark, sf_dir):
     """Best Gini split per return flag (analytics.decision_stump over
     lineitem: x = quantity, label = discount > 0.05): exact int64 prefix
@@ -10049,4 +10163,7 @@ QUERIES = {
     "mase": (q_mase, q_mase_oracle),
     "hits": (q_hits, q_hits_oracle),
     "mutual_info": (q_mutual_info, q_mutual_info_oracle),
+    "downsample_mean": (q_downsample_mean, q_downsample_mean_oracle),
+    "url_canonical": (q_url_canonical, q_url_canonical_oracle),
+    "cum_distinct": (q_cum_distinct, q_cum_distinct_oracle),
 }

@@ -1127,3 +1127,44 @@ def rasterize_polygons(polygons_df: DataFrame, gg: GridGeometry,
         })
 
     return cand.groupBy("tx", "ty").applyInPandas(burn, schema=TILE_SCHEMA)
+
+
+def downsample_mean(tiles_df: DataFrame, gg: GridGeometry,
+                    tile_size: int = 64, dtype=np.uint8):
+    """Anti-aliased 2x reduction: each output pixel is the FLOOR mean of
+    its 2x2 source block ((a+b+c+d) // 4, exact integer — the box-filter
+    overview, vs overview_level's stride-2 point sampling).  Same
+    aligned 2x2 gather shuffle shape as overview_level.  Returns
+    (tiles_df, subsampled GridGeometry)."""
+    from .grid import subsample
+
+    out_gg = subsample(gg, 2, 2)
+    bdt = np.dtype(dtype)
+
+    contrib = tiles_df.select(
+        (F.col("tx") / 2).cast("long").alias("dtx"),
+        (F.col("ty") / 2).cast("long").alias("dty"),
+        "tx", "ty", "band", "data",
+    )
+
+    def build(key, pdf):
+        dtx, dty, band = int(key[0]), int(key[1]), int(key[2])
+        mosaic = np.zeros((2 * tile_size, 2 * tile_size), dtype=np.int64)
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = np.frombuffer(data, dtype=bdt).reshape(tile_size, tile_size)
+            oy = (int(ty) - 2 * dty) * tile_size
+            ox = (int(tx) - 2 * dtx) * tile_size
+            mosaic[oy:oy + tile_size, ox:ox + tile_size] = block
+        sub = (
+            mosaic[0::2, 0::2] + mosaic[0::2, 1::2]
+            + mosaic[1::2, 0::2] + mosaic[1::2, 1::2]
+        ) // 4
+        return pd.DataFrame(
+            {"tx": [dtx], "ty": [dty], "band": [band],
+             "data": [sub.astype(bdt).tobytes()]}
+        )
+
+    out = contrib.groupBy("dtx", "dty", "band").applyInPandas(
+        build, schema=TILE_SCHEMA
+    )
+    return out, out_gg

@@ -530,3 +530,15 @@ def test_mutual_info_independent_and_dependent(spark):
     df = spark.createDataFrame(rows, "a long, b long")
     (r,) = mutual_info(df, "a", "b").collect()
     assert r["mi_q"] == 0
+
+
+def test_cum_distinct_running(spark):
+    from sis_spark.operators.analytics import cum_distinct
+
+    rows = [(1, 0, "a"), (1, 1, "b"), (1, 2, "a"), (1, 3, "c"),
+            (2, 0, "x"), (2, 1, "x")]
+    df = spark.createDataFrame(rows, "k long, o long, v string")
+    got = {(r["k"], r["o"]): r["n_distinct"]
+           for r in cum_distinct(df, "k", "o", "v").collect()}
+    assert got == {(1, 0): 1, (1, 1): 2, (1, 2): 2, (1, 3): 3,
+                   (2, 0): 1, (2, 1): 1}

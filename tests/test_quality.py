@@ -61,3 +61,20 @@ def test_doc_cosine_pairs_brute(spark):
                     nb2 = sum(v * v for t, v in tfs[b].items() if t in vocab)
                     want[(a, b)] = (dot, na2, nb2)
     assert got == want
+
+
+def test_url_canonical_rules(spark):
+    from sis_spark.operators.textops import url_canonical
+
+    urls = [
+        (1, "https://WWW.Example.COM/a/"),
+        (2, "http://example.com/a?q=1#frag"),
+        (3, "https://example.com"),
+        (4, "https://www.example.com/a"),
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {r["doc_id"]: r["canon"] for r in url_canonical(df).collect()}
+    assert got[1] == "example.com/a"
+    assert got[2] == "example.com/a"
+    assert got[3] == "example.com/"
+    assert got[4] == "example.com/a"

@@ -521,3 +521,15 @@ def test_otsu_matches_brute(spark):
             best = (score, t)
     assert r["thr"] == best[1]
     assert 59 <= r["thr"] < 160  # separates the two clumps
+
+
+def test_downsample_mean_matches_numpy(spark, scene):
+    from sis_spark.raster.tiles import downsample_mean, tiles_to_raster
+
+    arr, gg, tiles = scene
+    out, out_gg = downsample_mean(tiles, gg)
+    got = tiles_to_raster(out, out_gg, 64)
+    v = arr.astype(np.int64)
+    want = (v[0::2, 0::2] + v[0::2, 1::2] + v[1::2, 0::2] + v[1::2, 1::2]) // 4
+    assert got.shape == want.shape
+    assert np.array_equal(got, want.astype(np.uint8))
