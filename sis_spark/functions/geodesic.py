@@ -238,3 +238,71 @@ def direct_m(lon1, lat1, alpha1, s_m, iters: int = 80):
     lon2 = (lon1 + np.degrees(lam) + 180.0) % 360.0 - 180.0
     alpha2 = np.arctan2(salp0, calp0 * csig2)
     return lon2, lat2, alpha2
+
+
+# ------------------------------------------------ spherical polygon excess
+# Girard's theorem (public literature): the area of a spherical polygon is
+# R^2 * (sum of interior angles - (n-2)*pi).  Interior angles come from two
+# forward-azimuth evaluations per vertex (prev and next), so the whole
+# computation is ONE shared Spark/DuckDB expression text over radian vertex
+# columns — each angle floor-quantized at 1e9 BEFORE the per-polygon integer
+# sum (order-independent, the tfidf discipline).  This is the geodesic
+# ST_Area companion to the planar shoelace in sqlmm.ST_Area.
+
+
+def interior_angle_q_sql() -> str:
+    """Shared expression text: quantized CCW interior angle at vertex B
+    from radian columns (la, pa) prev, (lb, pb) current, (lc, pc) next:
+    mod_2pi(azimuth(B->next) - azimuth(B->prev))."""
+    aza = (
+        "atan2(sin(la - lb) * cos(pa),"
+        " cos(pb) * sin(pa) - sin(pb) * cos(pa) * cos(la - lb))"
+    )
+    azc = (
+        "atan2(sin(lc - lb) * cos(pc),"
+        " cos(pb) * sin(pc) - sin(pb) * cos(pc) * cos(lc - lb))"
+    )
+    d = f"(({azc}) - ({aza}))"
+    wrapped = (
+        f"(CASE WHEN {d} < 0.0 THEN {d} + 6.283185307179586 ELSE {d} END)"
+    )
+    return (
+        f"CAST(floor({wrapped} * 1.0e9 + 0.12345678987) AS BIGINT)"
+    )
+
+
+def spherical_excess_angles(verts) -> "DataFrame":
+    """Per-polygon quantized interior-angle sum -> (key, nv, sum_ang_q)
+    from a CCW vertex table (key, k, nv, vx, vy) in DEGREES.  The caller
+    derives excess_q = sum_ang_q - (nv-2)*pi_q; kept as the raw sum so no
+    quantized-pi convention leaks into the contract.
+
+    Scale shape: two (key, k)-equi self-joins (fan-out 1) + one keyed
+    aggregation; the trig is whole-stage codegen via the shared text."""
+    from pyspark.sql import functions as F
+
+    b = verts.select("key", "k", "nv", "vx", "vy")
+    prev = b.select(
+        "key",
+        ((F.col("k") + 1) % F.col("nv")).alias("k"),
+        F.radians("vx").alias("la"),
+        F.radians("vy").alias("pa"),
+    )
+    nxt = b.select(
+        "key",
+        ((F.col("k") + F.col("nv") - 1) % F.col("nv")).alias("k"),
+        F.radians("vx").alias("lc"),
+        F.radians("vy").alias("pc"),
+    )
+    cur = b.select(
+        "key", "k", "nv",
+        F.radians("vx").alias("lb"),
+        F.radians("vy").alias("pb"),
+    )
+    j = cur.join(prev, ["key", "k"]).join(nxt, ["key", "k"])
+    return (
+        j.select("key", "nv", F.expr(interior_angle_q_sql()).alias("aq"))
+        .groupBy("key", "nv")
+        .agg(F.sum("aq").alias("sum_ang_q"))
+        .select("key", "nv", "sum_ang_q")
+    )

@@ -9810,6 +9810,62 @@ def q_cum_distinct_oracle():
     )
 
 
+def q_sphere_excess(spark, sf_dir):
+    """Spherical polygon area by Girard's excess (geodesic.
+    spherical_excess_angles): per-vertex CCW interior angles from two
+    forward azimuths in ONE shared expression text, quantized at 1e9
+    before the per-polygon integer sum — the geodesic ST_Area companion
+    to the planar shoelace.  Vertices generated executor-side with the
+    padded-numpy path that is bit-identical to the SQL vertex CTE."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .functions.geodesic import spherical_excess_angles
+
+    def mk_verts(batches):
+        for pdf in batches:
+            keys = pdf["s_suppkey"].to_numpy()
+            VX, VY, nv = synth.polygon_vertices_padded_np(keys)
+            rows = []
+            for i, key in enumerate(keys):
+                n = int(nv[i])
+                for k in range(n):
+                    rows.append({
+                        "key": int(key), "k": k, "nv": n,
+                        "vx": float(VX[i, k]), "vy": float(VY[i, k]),
+                    })
+            yield _pd.DataFrame(rows)
+
+    verts = (
+        _read(spark, sf_dir, "supplier")
+        .select("s_suppkey")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(mk_verts, schema="key long, k long, nv long, vx double, vy double")
+    )
+    return spherical_excess_angles(verts).orderBy("key")
+
+
+def q_sphere_excess_oracle():
+    from .functions.geodesic import interior_angle_q_sql
+
+    return f"""
+WITH {synth.polygon_vertices_sql()},
+cur AS (
+  SELECT key, k, nv, radians(vx) AS lb, radians(vy) AS pb FROM verts),
+prv AS (
+  SELECT key, (k + 1) % nv AS k, radians(vx) AS la, radians(vy) AS pa
+  FROM verts),
+nxt AS (
+  SELECT key, (k + nv - 1) % nv AS k, radians(vx) AS lc, radians(vy) AS pc
+  FROM verts),
+ang AS (
+  SELECT cur.key, cur.nv, {interior_angle_q_sql()} AS aq
+  FROM cur JOIN prv ON prv.key = cur.key AND prv.k = cur.k
+           JOIN nxt ON nxt.key = cur.key AND nxt.k = cur.k)
+SELECT key, CAST(nv AS BIGINT) AS nv, CAST(sum(aq) AS BIGINT) AS sum_ang_q
+FROM ang GROUP BY 1, 2 ORDER BY key"""
+
+
 def q_decision_stump(spark, sf_dir):
     """Best Gini split per return flag (analytics.decision_stump over
     lineitem: x = quantity, label = discount > 0.05): exact int64 prefix
@@ -10166,4 +10222,5 @@ QUERIES = {
     "downsample_mean": (q_downsample_mean, q_downsample_mean_oracle),
     "url_canonical": (q_url_canonical, q_url_canonical_oracle),
     "cum_distinct": (q_cum_distinct, q_cum_distinct_oracle),
+    "sphere_excess": (q_sphere_excess, q_sphere_excess_oracle),
 }

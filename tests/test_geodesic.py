@@ -165,3 +165,35 @@ def test_spherical_destination_and_azimuth_sanity(spark):
         h = np.sin((ph2 - ph1) / 2) ** 2 + np.cos(ph1) * np.cos(ph2) * np.sin(dlmb / 2) ** 2
         dist = 2 * R * np.arcsin(np.sqrt(h))
         assert abs(dist - 100000.0) < 1e-4
+
+
+def test_spherical_excess_small_polygon_matches_planar(spark):
+    import math
+
+    import numpy as np
+
+    from sis_spark.functions.geodesic import spherical_excess_angles
+
+    # small CCW star at the equator: excess ~ planar shoelace area (rad^2)
+    th = np.linspace(0, 2 * np.pi, 10, endpoint=False)
+    rad = np.where(np.arange(10) % 2 == 0, 2.0, 0.8)
+    lons = rad * np.cos(th)
+    lats = rad * np.sin(th)
+    rows = [(1, k, 10, float(lons[k]), float(lats[k])) for k in range(10)]
+    df = spark.createDataFrame(rows, "key long, k long, nv long, vx double, vy double")
+    (r,) = spherical_excess_angles(df).collect()
+    excess = r["sum_ang_q"] / 1e9 - (10 - 2) * math.pi
+    xs, ys = np.radians(lons), np.radians(lats)
+    planar = 0.5 * abs(sum(
+        xs[i] * ys[(i + 1) % 10] - xs[(i + 1) % 10] * ys[i] for i in range(10)
+    ))
+    assert abs(excess - planar) / planar < 0.01
+    # CW orientation: angles complement -> excess becomes 4*pi - area
+    rows_cw = [(1, k, 10, float(lons[::-1][k]), float(lats[::-1][k]))
+               for k in range(10)]
+    df_cw = spark.createDataFrame(
+        rows_cw, "key long, k long, nv long, vx double, vy double"
+    )
+    (rc,) = spherical_excess_angles(df_cw).collect()
+    excess_cw = rc["sum_ang_q"] / 1e9 - (10 - 2) * math.pi
+    assert abs(excess_cw - (4 * math.pi - planar)) < 1e-3
