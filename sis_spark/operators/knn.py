@@ -402,3 +402,38 @@ def idw_interpolate(
             F.sum("w").alias("est_den"),
         )
     )
+
+
+def knn_classify(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int,
+    label_col: str = "label",
+    **kw,
+) -> DataFrame:
+    """k-nearest-neighbor classification -> (query_id, label, votes):
+    majority label among the k nearest candidates (knn_join's exact
+    deterministic neighbor set), ties -> smallest label.  One extra
+    equi-join (labels) + one argmax window over <= k rows per query."""
+    from pyspark.sql import Window
+
+    cand_id = kw.get("cand_id", "cand_id")
+    query_id = kw.get("query_id", "query_id")
+    nn = knn_join(
+        candidates.drop(label_col), queries, k,
+        **{kk: vv for kk, vv in kw.items()},
+    ).select(query_id, cand_id)
+    labeled = nn.join(
+        candidates.select(cand_id, F.col(label_col).alias("label")), cand_id
+    )
+    votes = labeled.groupBy(query_id, "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(query_id, "label", "votes")
+    )

@@ -9866,6 +9866,131 @@ SELECT key, CAST(nv AS BIGINT) AS nv, CAST(sum(aq) AS BIGINT) AS sum_ang_q
 FROM ang GROUP BY 1, 2 ORDER BY key"""
 
 
+def q_knn_classify(spark, sf_dir):
+    """kNN classification (knn.knn_classify, k=7): majority event-type
+    among each nation query point's 7 nearest events, ties -> smallest
+    label — the exact deterministic neighbor set of the knn gate plus
+    one label join and an argmax window."""
+    from .operators.knn import knn_classify
+
+    cand = (
+        _events_points(spark, sf_dir)
+        .withColumnRenamed("event_id", "cand_id")
+        .join(
+            _read(spark, sf_dir, "events").select(
+                F.col("event_id").alias("cand_id"),
+                F.col("event_type").alias("label"),
+            ),
+            "cand_id",
+        )
+    )
+    qlon, qlat = query_lonlat_cols("n_nationkey")
+    queries = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("query_id"),
+        qlon.alias("qlon"), qlat.alias("qlat"),
+    )
+    return knn_classify(cand, queries, 7).orderBy("query_id")
+
+
+def q_knn_classify_oracle():
+    from .functions.geometry import haversine_sql
+
+    d = haversine_sql(
+        synth.point_lon_sql("e.event_id"), synth.point_lat_sql("e.event_id"),
+        synth.query_lon_sql("n.n_nationkey"), synth.query_lat_sql("n.n_nationkey"),
+    )
+    return f"""
+WITH nn AS (
+  SELECT query_id, cand_id FROM (
+    SELECT n.n_nationkey AS query_id, e.event_id AS cand_id,
+           row_number() OVER (PARTITION BY n.n_nationkey
+                              ORDER BY {d} ASC, e.event_id ASC) AS rank
+    FROM nation n CROSS JOIN events e) t
+  WHERE rank <= 7),
+votes AS (
+  SELECT nn.query_id, ev.event_type AS label,
+         CAST(count(*) AS BIGINT) AS votes
+  FROM nn JOIN events ev ON ev.event_id = nn.cand_id
+  GROUP BY 1, 2),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+       ORDER BY votes DESC, label ASC) AS rn
+  FROM votes)
+SELECT query_id, label, votes FROM best WHERE rn = 1 ORDER BY query_id"""
+
+
+def q_spacetime_join(spark, sf_dir):
+    """Spatio-temporal pair join (spatial_join.spacetime_join): purchase
+    events within 2 quantized degrees AND 1 day of a click event — ONE
+    cell equi-join (a-side 3x3 ring explode), exact integer distance and
+    time predicates; each pair emitted once."""
+    from .operators.spatial_join import spacetime_join
+
+    lon, lat = point_lonlat_cols("event_id")
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        "event_type",
+        lon.alias("lon"), lat.alias("lat"),
+        F.floor(lon * 1e5 + 0.12345678987).cast("long").alias("qx"),
+        F.floor(lat * 1e5 + 0.12345678987).cast("long").alias("qy"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "purchase")
+    return spacetime_join(
+        a, b, grid_n=16, r_q=200_000, tau_us=86_400_000_000
+    ).orderBy("a_id", "b_id")
+
+
+def q_spacetime_join_oracle():
+    pt = (
+        f"SELECT event_id AS id, event_type, "
+        f"CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e5"
+        f" + 0.12345678987) AS BIGINT) AS qx, "
+        f"CAST(floor(({synth.point_lat_sql('event_id')}) * 1.0e5"
+        f" + 0.12345678987) AS BIGINT) AS qy, "
+        f"epoch_us(ts) AS ts_us FROM events"
+    )
+    return f"""
+WITH ev AS ({pt})
+SELECT a.id AS a_id, b.id AS b_id
+FROM ev a JOIN ev b
+  ON a.event_type = 'click' AND b.event_type = 'purchase'
+ AND (a.qx - b.qx) * (a.qx - b.qx) + (a.qy - b.qy) * (a.qy - b.qy)
+     <= CAST(200000 AS BIGINT) * CAST(200000 AS BIGINT)
+ AND abs(a.ts_us - b.ts_us) <= 86400000000
+ORDER BY a_id, b_id"""
+
+
+def q_tile_entropy(spark, sf_dir):
+    """Per-tile Shannon entropy (tiles.tile_entropy): the
+    information-content score for blank/noisy tile filtering — exact
+    per-tile histograms, the -p ln p contribution one shared expression
+    text quantized per VALUE before the order-independent sum."""
+    from .raster.tiles import tile_entropy
+
+    W, H = 448, 256
+    tiles = _formula_tiles(spark, W, H, bands=1)
+    return tile_entropy(tiles).orderBy("tx", "ty")
+
+
+def q_tile_entropy_oracle():
+    from .raster.tiles import tile_entropy_contrib_sql
+
+    return f"""
+WITH px AS (
+  SELECT gx.x // 64 AS tx, gy.y // 64 AS ty,
+         (gx.x * 7 + gy.y * 13) % 256 AS v
+  FROM generate_series(0, 447) gx(x), generate_series(0, 255) gy(y)),
+hist AS (
+  SELECT tx, ty, v, CAST(count(*) AS BIGINT) AS cnt
+  FROM px GROUP BY 1, 2, 3)
+SELECT tx, ty, CAST(0 AS INT) AS band,
+       CAST(count(*) AS BIGINT) AS n_vals,
+       CAST(sum({tile_entropy_contrib_sql(4096)}) AS BIGINT) AS ent_q
+FROM hist GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
 def q_decision_stump(spark, sf_dir):
     """Best Gini split per return flag (analytics.decision_stump over
     lineitem: x = quantity, label = discount > 0.05): exact int64 prefix
@@ -10223,4 +10348,7 @@ QUERIES = {
     "url_canonical": (q_url_canonical, q_url_canonical_oracle),
     "cum_distinct": (q_cum_distinct, q_cum_distinct_oracle),
     "sphere_excess": (q_sphere_excess, q_sphere_excess_oracle),
+    "knn_classify": (q_knn_classify, q_knn_classify_oracle),
+    "spacetime_join": (q_spacetime_join, q_spacetime_join_oracle),
+    "tile_entropy": (q_tile_entropy, q_tile_entropy_oracle),
 }

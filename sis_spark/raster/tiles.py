@@ -1168,3 +1168,52 @@ def downsample_mean(tiles_df: DataFrame, gg: GridGeometry,
         build, schema=TILE_SCHEMA
     )
     return out, out_gg
+
+
+def tile_entropy_contrib_sql(n_px: int) -> str:
+    """Shared Spark/DuckDB text: per-value Shannon-entropy contribution
+    -p ln p (p = cnt/n_px, an exact dyadic for power-of-two tiles),
+    floor-quantized at 1e9 BEFORE the per-tile integer sum."""
+    n = f"{int(n_px)}.0"
+    return (
+        f"CAST(floor(-(CAST(cnt AS DOUBLE) / {n})"
+        f" * ln(CAST(cnt AS DOUBLE) / {n})"
+        " * 1.0e9 + 0.12345678987) AS BIGINT)"
+    )
+
+
+def tile_entropy(tiles_df: DataFrame, tile_size: int = 64,
+                 dtype=np.uint8) -> DataFrame:
+    """Per-tile Shannon entropy -> (tx, ty, band, n_vals, ent_q): the
+    information-content score an image pipeline filters blank/noisy
+    tiles by.  Exact integer histogram per tile (mapInPandas), then the
+    shared-text quantized -p ln p per VALUE summed per tile — full
+    tiles only (the caller clips partials); ln(1) tiles score 0."""
+    bdt = np.dtype(dtype)
+
+    def hist(batches):
+        for pdf in batches:
+            out = []
+            for tx, ty, band, d in zip(pdf["tx"], pdf["ty"], pdf["band"], pdf["data"]):
+                block = np.frombuffer(d, dtype=bdt)
+                cnt = np.bincount(block, minlength=256)
+                nz = np.nonzero(cnt)[0]
+                out.append(pd.DataFrame({
+                    "tx": int(tx), "ty": int(ty), "band": int(band),
+                    "value": nz, "cnt": cnt[nz],
+                }))
+            if out:
+                yield pd.concat(out)
+
+    rows = tiles_df.mapInPandas(
+        hist, schema="tx long, ty long, band int, value int, cnt long"
+    )
+    n_px = tile_size * tile_size
+    return (
+        rows.withColumn("c", F.expr(tile_entropy_contrib_sql(n_px)))
+        .groupBy("tx", "ty", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.sum("c").alias("ent_q"),
+        )
+    )

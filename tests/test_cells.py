@@ -124,3 +124,29 @@ def test_cell_sql_matches_numpy():
         expr = cells.cell_sql_flat("lon", "lat", res)
         got = con.execute(f"SELECT {expr} AS c FROM pts").fetchnumpy()["c"]
         assert np.array_equal(got.astype(np.int64), expected)
+
+
+def test_spacetime_join_matches_brute(spark):
+    import numpy as np
+
+    from sis_spark.operators.spatial_join import spacetime_join
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(120):
+        lon = float(rng.uniform(-170, 170))
+        lat = float(rng.uniform(-80, 80))
+        rows.append((i, lon, lat, int(lon * 1e5), int(lat * 1e5),
+                     int(rng.randint(0, 10**7))))
+    schema = "id long, lon double, lat double, qx long, qy long, ts_us long"
+    a = spark.createDataFrame(rows[:60], schema)
+    b = spark.createDataFrame(rows[60:], schema)
+    r_q, tau = 2_000_000, 4_000_000  # < lat cell side 180/8 deg = 2.25e6 q-units
+    got = sorted((r["a_id"], r["b_id"])
+                 for r in spacetime_join(a, b, grid_n=8, r_q=r_q, tau_us=tau).collect())
+    want = sorted(
+        (x[0], y[0]) for x in rows[:60] for y in rows[60:]
+        if (x[3] - y[3]) ** 2 + (x[4] - y[4]) ** 2 <= r_q * r_q
+        and abs(x[5] - y[5]) <= tau
+    )
+    assert got == want and len(got) > 0
