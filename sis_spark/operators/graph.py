@@ -442,3 +442,50 @@ def hits_exact(
             .localCheckpoint()
         )
     return state
+
+
+def degree_assortativity_moments(edges: DataFrame) -> DataFrame:
+    """Exact integer moments for degree assortativity over an UNDIRECTED
+    simple graph -> one row (m, s_xy, s_x, s_x2): with each undirected
+    edge counted in both directions (the standard convention), the
+    Pearson assortativity is the rational
+        r = (m*s_xy - s_x^2) / (m*s_x2 - s_x^2)
+    where x/y are endpoint degrees — symmetric, so only one side's sums
+    are needed.  Two aggregations + one equi-join, all int64."""
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    j = (
+        und.join(deg, "src")
+        .withColumnRenamed("d", "dx")
+        .join(deg.select(F.col("src").alias("dst"), F.col("d").alias("dy")), "dst")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("dx") * F.col("dy")).alias("s_xy"),
+        F.sum("dx").alias("s_x"),
+        F.sum(F.col("dx") * F.col("dx")).alias("s_x2"),
+    )
+
+
+def degree_assortativity_sql(edges_select: str) -> str:
+    """DuckDB replay of ``degree_assortativity_moments``;
+    ``edges_select`` -> (src, dst)."""
+    return f"""
+WITH e0 AS ({edges_select}),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+j AS (
+  SELECT dx.d AS dx, dy.d AS dy
+  FROM und JOIN deg dx ON dx.src = und.src
+       JOIN deg dy ON dy.src = und.dst)
+SELECT CAST(count(*) AS BIGINT) AS m,
+       CAST(sum(dx * dy) AS BIGINT) AS s_xy,
+       CAST(sum(dx) AS BIGINT) AS s_x,
+       CAST(sum(dx * dx) AS BIGINT) AS s_x2
+FROM j"""

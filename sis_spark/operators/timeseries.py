@@ -989,3 +989,85 @@ SELECT k, CAST(count(*) AS BIGINT) AS n,
        CAST(coalesce(sum(am), 0) AS BIGINT) AS sum_abs_seasonal,
        CAST(count(am) AS BIGINT) AS n_seasonal
 FROM b GROUP BY 1"""
+
+
+def xcorr_argmax(
+    df: DataFrame,
+    max_lag: int,
+    key_col: str = "k",
+    order_col: str = "o",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Cross-correlation lag sweep per key -> (k, lag, n_pairs, xsum):
+    the lag in [0, max_lag] maximizing the exact integer inner product
+    sum of x_t * y_{t+lag} (ties -> smallest lag) — the alignment
+    primitive between two co-keyed signals.  One bounded self-join on
+    (key, rank + lag) + one argmax window."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("o")
+    b = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(order_col).alias("o"),
+            F.col(x_col).alias("x"),
+            F.col(y_col).alias("y"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+    )
+    lags = df.sparkSession.range(0, int(max_lag) + 1).select(
+        F.col("id").alias("lag")
+    )
+    l = b.select("k", "rn", "x")
+    r = b.select(F.col("k").alias("k2"), F.col("rn").alias("rn2"), "y")
+    j = (
+        l.join(F.broadcast(lags))
+        .join(
+            r,
+            (F.col("k") == F.col("k2"))
+            & (F.col("rn2") == F.col("rn") + F.col("lag")),
+        )
+        .groupBy("k", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("x") * F.col("y")).alias("xsum"),
+        )
+    )
+    best = Window.partitionBy("k").orderBy(
+        F.col("xsum").desc(), F.col("lag").asc()
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(best))
+        .filter(F.col("__rn") == 1)
+        .select("k", "lag", "n_pairs", "xsum")
+    )
+
+
+def xcorr_argmax_sql(
+    base_select: str,
+    max_lag: int,
+    key_col: str = "k",
+    order_col: str = "o",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> str:
+    """DuckDB replay of ``xcorr_argmax``."""
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, {x_col} AS x, {y_col} AS y,
+         row_number() OVER (PARTITION BY {key_col}
+                            ORDER BY {order_col}) AS rn
+  FROM ({base_select}) s),
+j AS (
+  SELECT l.k, g.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(l.x * r.y) AS BIGINT) AS xsum
+  FROM b l
+  CROSS JOIN generate_series(0, {int(max_lag)}) g(lag)
+  JOIN b r ON r.k = l.k AND r.rn = l.rn + g.lag
+  GROUP BY 1, 2),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY k
+       ORDER BY xsum DESC, lag ASC) AS rn FROM j)
+SELECT k, CAST(lag AS BIGINT) AS lag, n_pairs, xsum
+FROM best WHERE rn = 1"""

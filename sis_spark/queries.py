@@ -9991,6 +9991,138 @@ SELECT tx, ty, CAST(0 AS INT) AS band,
 FROM hist GROUP BY 1, 2 ORDER BY tx, ty"""
 
 
+def q_hist_match(spark, sf_dir):
+    """Histogram matching / specification (tiles.hist_match): remap band
+    0 onto band 1's distribution via the PURE-INTEGER LUT
+    lut[v] = argmin_u |cdfA(v)*nR - cdfR(u)*nA| (cross-multiplied, ties
+    -> smallest u) — the color-normalization pass before training;
+    verified through per-band stats."""
+    from .raster.grid import GridGeometry
+    from .raster.tiles import band_stats, hist_match
+
+    W, H = 500, 300
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _formula_tiles(spark, W, H, bands=2)
+    a = tiles.filter(F.col("band") == 0)
+    ref = tiles.filter(F.col("band") == 1).withColumn(
+        "band", F.lit(0).cast("int")
+    )
+    out = hist_match(a, ref, gg)
+    return band_stats(out, gg).select(
+        "band", "n", "min", "max", "sum", "mean"
+    ).orderBy("band")
+
+
+def q_hist_match_oracle():
+    return """
+WITH px AS (
+  SELECT gx.x AS x, gy.y AS y,
+         (gx.x * 7 + gy.y * 13) % 256 AS va,
+         (gx.x * 3 + gy.y * 5 + 17) % 256 AS vr
+  FROM generate_series(0, 499) gx(x), generate_series(0, 299) gy(y)),
+ha AS (
+  SELECT b.v, CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt
+  FROM generate_series(0, 255) b(v)
+  LEFT JOIN (SELECT va AS v, count(*) AS cnt FROM px GROUP BY 1) h USING (v)),
+hr AS (
+  SELECT b.v, CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt
+  FROM generate_series(0, 255) b(v)
+  LEFT JOIN (SELECT vr AS v, count(*) AS cnt FROM px GROUP BY 1) h USING (v)),
+ca AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS c,
+              CAST(sum(cnt) OVER () AS BIGINT) AS n FROM ha),
+cr AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS c,
+              CAST(sum(cnt) OVER () AS BIGINT) AS n FROM hr),
+lut AS (
+  SELECT v, u FROM (
+    SELECT ca.v, cr.v AS u,
+           row_number() OVER (PARTITION BY ca.v
+             ORDER BY abs(ca.c * cr.n - cr.c * ca.n) ASC, cr.v ASC) AS rn
+    FROM ca CROSS JOIN cr) t
+  WHERE rn = 1),
+sv AS (SELECT lut.u AS s FROM px JOIN lut ON lut.v = px.va)
+SELECT CAST(0 AS INT) AS band, count(*) AS n,
+       CAST(min(s) AS BIGINT) AS min, CAST(max(s) AS BIGINT) AS max,
+       CAST(sum(s) AS BIGINT) AS sum,
+       CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+FROM sv GROUP BY 1 ORDER BY band"""
+
+
+def q_xcorr(spark, sf_dir):
+    """Cross-correlation lag sweep (timeseries.xcorr_argmax, lags 0..5)
+    between each user's two quantized coordinate signals: exact integer
+    inner products per lag, argmax ties to the smaller lag — one bounded
+    self-join on (key, rank+lag)."""
+    from .operators.timeseries import xcorr_argmax
+
+    lon, lat = point_lonlat_cols("event_id")
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 3000).select(
+        "user_id", "event_id",
+        F.floor(lon * 100).cast("long").alias("x"),
+        F.floor(lat * 100).cast("long").alias("y"),
+    )
+    return xcorr_argmax(
+        ev, max_lag=5, key_col="user_id", order_col="event_id"
+    ).orderBy("k")
+
+
+def q_xcorr_oracle():
+    from .operators.timeseries import xcorr_argmax_sql
+
+    base = (
+        "SELECT user_id, event_id, "
+        f"CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e2) AS BIGINT) AS x, "
+        f"CAST(floor(({synth.point_lat_sql('event_id')}) * 1.0e2) AS BIGINT) AS y "
+        "FROM events WHERE event_id < 3000"
+    )
+    return (
+        "SELECT * FROM ("
+        + xcorr_argmax_sql(base, 5, key_col="user_id", order_col="event_id")
+        + ") ORDER BY k"
+    )
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity moments (graph.degree_assortativity_moments)
+    over the documents link graph: Pearson assortativity stays the exact
+    rational (m*s_xy - s_x^2)/(m*s_x2 - s_x^2) from four int64 sums over
+    directed edge endpoints."""
+    from .operators.graph import degree_assortativity_moments
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("src")
+    )
+    n = docs.count()
+    edges = docs.select(
+        "src",
+        F.explode(F.array(
+            (F.col("src") * 7 + 11) % n,
+            (F.col("src") * 13 + 5) % n,
+            (F.col("src") * 3 + 1) % n,
+        )).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return degree_assortativity_moments(edges)
+
+
+def q_assortativity_oracle():
+    from .operators.graph import degree_assortativity_sql
+
+    edges = """
+SELECT src, dst FROM (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         (CAST(doc_id AS BIGINT) * 7 + 11) % nn.n AS dst
+  FROM documents, (SELECT count(*) AS n FROM documents) nn
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT),
+         (CAST(doc_id AS BIGINT) * 13 + 5) % nn.n
+  FROM documents, (SELECT count(*) AS n FROM documents) nn
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT),
+         (CAST(doc_id AS BIGINT) * 3 + 1) % nn.n
+  FROM documents, (SELECT count(*) AS n FROM documents) nn) t
+WHERE src <> dst"""
+    return degree_assortativity_sql(edges)
+
+
 def q_decision_stump(spark, sf_dir):
     """Best Gini split per return flag (analytics.decision_stump over
     lineitem: x = quantity, label = discount > 0.05): exact int64 prefix
@@ -10351,4 +10483,7 @@ QUERIES = {
     "knn_classify": (q_knn_classify, q_knn_classify_oracle),
     "spacetime_join": (q_spacetime_join, q_spacetime_join_oracle),
     "tile_entropy": (q_tile_entropy, q_tile_entropy_oracle),
+    "hist_match": (q_hist_match, q_hist_match_oracle),
+    "xcorr": (q_xcorr, q_xcorr_oracle),
+    "assortativity": (q_assortativity, q_assortativity_oracle),
 }

@@ -1217,3 +1217,47 @@ def tile_entropy(tiles_df: DataFrame, tile_size: int = 64,
             F.sum("c").alias("ent_q"),
         )
     )
+
+
+def hist_match(a: DataFrame, ref: DataFrame, gg: GridGeometry,
+               tile_size: int = 64, dtype=np.uint8) -> DataFrame:
+    """Histogram matching (specification): remap raster ``a`` so its
+    per-band value distribution matches raster ``ref``'s -> remapped
+    tiles.  PURE INTEGER: lut[v] = the smallest u minimizing
+    |cdfA(v)*nR - cdfR(u)*nA| (cross-multiplied so no rational leaves
+    int64), computed from two <=256-row distributed histograms — the
+    color-normalization pass a satellite/image corpus runs before
+    training.  Same two-job shape as stretch/hist_eq."""
+    def hist_of(tiles_df):
+        out: dict[int, np.ndarray] = {}
+        for r in value_histogram(tiles_df, gg, tile_size, dtype).collect():
+            out.setdefault(r["band"], np.zeros(256, dtype=np.int64))[r["value"]] += r["cnt"]
+        return out
+
+    ha, hr = hist_of(a), hist_of(ref)
+    bdt = np.dtype(dtype)
+    luts: dict[int, np.ndarray] = {}
+    for band, ca in ha.items():
+        cr = hr.get(band)
+        if cr is None:
+            continue
+        cumA = np.cumsum(ca)
+        cumR = np.cumsum(cr)
+        nA, nR = int(cumA[-1]), int(cumR[-1])
+        # |cdfA(v) - cdfR(u)| cross-multiplied: |cumA[v]*nR - cumR[u]*nA|
+        diff = np.abs(
+            cumA[:, None] * nR - cumR[None, :] * nA
+        )  # (256, 256) int64
+        luts[band] = diff.argmin(axis=1).astype(np.uint8)  # first min: smallest u
+
+    def apply(batches):
+        for pdf in batches:
+            datas = []
+            for band, d in zip(pdf["band"], pdf["data"]):
+                lut = luts.get(int(band))
+                block = np.frombuffer(d, dtype=bdt)
+                datas.append((block if lut is None else lut[block]).tobytes())
+            yield pd.DataFrame({"tx": pdf.tx, "ty": pdf.ty, "band": pdf.band,
+                                "data": datas})
+
+    return a.mapInPandas(apply, schema=TILE_SCHEMA)

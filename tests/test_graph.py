@@ -181,3 +181,15 @@ def test_hits_mass_normalized_each_round(spark):
     nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
     st = hits_exact(edges, nodes, iters=3).collect()
     assert all(r["hub"] == 10**6 and r["auth"] == 10**6 for r in st)
+
+
+def test_assortativity_star_is_negative(spark):
+    from sis_spark.operators.graph import degree_assortativity_moments
+
+    # star graph: hub degree n, leaves degree 1 -> perfectly disassortative
+    edges = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    (r,) = degree_assortativity_moments(edges).collect()
+    m, sxy, sx, sx2 = r["m"], r["s_xy"], r["s_x"], r["s_x2"]
+    num = m * sxy - sx * sx
+    den = m * sx2 - sx * sx
+    assert num / den == -1.0  # textbook star assortativity

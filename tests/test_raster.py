@@ -533,3 +533,22 @@ def test_downsample_mean_matches_numpy(spark, scene):
     want = (v[0::2, 0::2] + v[0::2, 1::2] + v[1::2, 0::2] + v[1::2, 1::2]) // 4
     assert got.shape == want.shape
     assert np.array_equal(got, want.astype(np.uint8))
+
+
+def test_hist_match_identity_and_spec(spark, scene):
+    from pyspark.sql import functions as F
+
+    from sis_spark.raster.tiles import hist_match, tiles_to_raster
+
+    arr, gg, tiles = scene
+    a = tiles.filter("band = 0")
+    # matching a raster to itself is the identity on occupied values
+    same = tiles_to_raster(hist_match(a, a, gg), gg, 64)
+    assert np.array_equal(same[:, :, 0], arr[:, :, 0])
+    # matching to band 1: result's histogram ~ band 1's (exact CDF argmin)
+    ref = tiles.filter("band = 1").withColumn("band", F.lit(0).cast("int"))
+    out = tiles_to_raster(hist_match(a, ref, gg), gg, 64)
+    ha = np.bincount(out[:, :, 0].ravel(), minlength=256).cumsum()
+    hr = np.bincount(arr[:, :, 1].ravel(), minlength=256).cumsum()
+    # CDFs within one value-bin mass of each other everywhere
+    assert np.abs(ha - hr).max() <= np.bincount(arr[:, :, 1].ravel()).max() * 2

@@ -406,3 +406,18 @@ def test_mase_components_reference(spark):
     nm = [abs(xs[i] - xs[i - 3]) for i in range(3, len(xs))]
     assert (r["n"], r["n_naive"], r["n_seasonal"]) == (9, 8, 6)
     assert (r["sum_abs_naive"], r["sum_abs_seasonal"]) == (sum(n1), sum(nm))
+
+
+def test_xcorr_argmax_planted_lag(spark):
+    import numpy as np
+
+    from sis_spark.operators.timeseries import xcorr_argmax
+
+    rng = np.random.RandomState(2)
+    base = rng.randint(-5, 6, 40)
+    y = np.roll(base, 3)  # y[i] = x[i-3] -> lag 3 aligns x with y
+    rows = [(1, i, int(base[i]), int(y[i])) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, o long, x long, y long")
+    (r,) = xcorr_argmax(df, max_lag=6).collect()
+    assert r["lag"] == 3
+    assert r["xsum"] == int((base[:-3] * y[3:]).sum())
