@@ -203,3 +203,179 @@ sm AS (
   WHERE c.ix + o.dx >= 0 AND c.ix + o.dx < {side}
     AND c.iy + o.dy >= 0 AND c.iy + o.dy < {side})
 SELECT ix, iy, CAST(sum(c) AS BIGINT) AS dens FROM sm GROUP BY 1, 2"""
+
+
+def gi_z_sql() -> str:
+    """Shared Spark/DuckDB text: quantized Getis-Ord-style Gi* z-score
+    from exact int64 columns (g = ring count sum, w = ring cell count,
+    n = occupied cells, sx = sum of counts, sx2 = sum of squares):
+        z = (n*g - sx*w) / sqrt((n*sx2 - sx^2) * (n*w - w^2) / (n-1))
+    computed in doubles from identical integer inputs (bit-identical
+    across engines), floor-quantized at 1e6; degenerate denominators
+    (w = 0 or w = n or zero variance) score 0."""
+    num = "CAST(n * g - sx * w AS DOUBLE)"
+    var = "CAST(n * sx2 - sx * sx AS DOUBLE)"
+    ww = "CAST(n * w - w * w AS DOUBLE)"
+    den = f"sqrt({var} * {ww} / CAST(n - 1 AS DOUBLE))"
+    return (
+        f"CASE WHEN n * w - w * w <= 0 OR n * sx2 - sx * sx <= 0 OR n <= 1"
+        f" THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST(floor({num} / {den} * 1.0e6 + 0.12345678987) AS BIGINT)"
+        " END"
+    )
+
+
+def hotspot_gi(
+    df: DataFrame,
+    grid_n: int,
+    radius: int = 1,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Hot-spot detection (Getis-Ord Gi* shape, Getis/Ord 1992, public
+    literature) over the OCCUPIED cell set -> (ix, iy, cnt, g, w, z_q):
+    per occupied cell, the ring sum g and ring occupied-count w over the
+    Chebyshev ``radius`` neighborhood (self included), z-scored against
+    the occupied-cell count distribution via the shared expression text
+    (exact int64 moments in, bit-identical double out, quantized 1e6).
+
+    Scale shape: ONE data-sized aggregation to cell counts; the ring
+    fan-out and the 1-row global moments run on the tiny cell table."""
+    from pyspark.sql import functions as F
+
+    ix = F.expr(grid_expr("x", grid_n, lon_col, lat_col))
+    iy = F.expr(grid_expr("y", grid_n, lon_col, lat_col))
+    counts = (
+        df.select(ix.alias("ix"), iy.alias("iy"))
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    r = int(radius)
+    offs = df.sparkSession.createDataFrame(
+        [(dx, dy) for dx in range(-r, r + 1) for dy in range(-r, r + 1)],
+        "dx long, dy long",
+    )
+    ring = (
+        counts.join(F.broadcast(offs))
+        .select(
+            (F.col("ix") + F.col("dx")).alias("ix"),
+            (F.col("iy") + F.col("dy")).alias("iy"),
+            F.col("cnt").alias("c"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.sum("c").alias("g"), F.count(F.lit(1)).alias("w"))
+    )
+    tot = counts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sx2"),
+    )
+    return (
+        counts.join(ring, ["ix", "iy"])
+        .join(tot)
+        .select(
+            "ix", "iy", "cnt", "g", "w", F.expr(gi_z_sql()).alias("z_q")
+        )
+    )
+
+
+def hotspot_gi_sql(
+    base_select: str,
+    grid_n: int,
+    radius: int = 1,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> str:
+    """DuckDB replay of ``hotspot_gi``."""
+    r = int(radius)
+    return f"""
+WITH pts AS (
+  SELECT {grid_expr('x', grid_n, lon_col, lat_col)} AS ix,
+         {grid_expr('y', grid_n, lon_col, lat_col)} AS iy
+  FROM ({base_select}) s),
+cnts AS (SELECT ix, iy, CAST(count(*) AS BIGINT) AS cnt FROM pts GROUP BY 1, 2),
+ring AS (
+  SELECT c.ix + o.dx AS ix, c.iy + o.dy AS iy,
+         CAST(sum(c.cnt) AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS w
+  FROM cnts c,
+       (SELECT dx.v AS dx, dy.v AS dy
+        FROM generate_series(-{r}, {r}) dx(v),
+             generate_series(-{r}, {r}) dy(v)) o
+  GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS sx,
+         CAST(sum(cnt * cnt) AS BIGINT) AS sx2
+  FROM cnts)
+SELECT c.ix, c.iy, c.cnt, r.g, r.w, {gi_z_sql()} AS z_q
+FROM cnts c JOIN ring r ON r.ix = c.ix AND r.iy = c.iy CROSS JOIN tot"""
+
+
+def cell_change(
+    a: DataFrame,
+    b: DataFrame,
+    grid_n: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Two-epoch change detection per cell -> (ix, iy, na, nb, lr_q):
+    counts in epoch a vs b (full outer over occupied cells) and the
+    add-one log-ratio ln((na+1)/(nb+1)) — the only FP, shared-text from
+    exact counts, quantized at 1e9."""
+    from pyspark.sql import functions as F
+
+    def cells(df):
+        return (
+            df.select(
+                F.expr(grid_expr("x", grid_n, lon_col, lat_col)).alias("ix"),
+                F.expr(grid_expr("y", grid_n, lon_col, lat_col)).alias("iy"),
+            )
+            .groupBy("ix", "iy")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    z = F.lit(0).cast("long")
+    ca = cells(a).withColumnRenamed("n", "na")
+    cb = cells(b).withColumnRenamed("n", "nb")
+    lr = (
+        "CAST(floor(ln(CAST(na + 1 AS DOUBLE) / CAST(nb + 1 AS DOUBLE))"
+        " * 1.0e9 + 0.12345678987) AS BIGINT)"
+    )
+    return (
+        ca.join(cb, ["ix", "iy"], "full")
+        .select(
+            "ix", "iy",
+            F.coalesce("na", z).alias("na"),
+            F.coalesce("nb", z).alias("nb"),
+        )
+        .withColumn("lr_q", F.expr(lr))
+    )
+
+
+def cell_change_sql(
+    a_select: str,
+    b_select: str,
+    grid_n: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> str:
+    """DuckDB replay of ``cell_change``; selects -> (lon, lat) each."""
+    def cells(sel, n):
+        return f"""
+  SELECT {grid_expr('x', grid_n, lon_col, lat_col)} AS ix,
+         {grid_expr('y', grid_n, lon_col, lat_col)} AS iy,
+         CAST(count(*) AS BIGINT) AS {n}
+  FROM ({sel}) s{n} GROUP BY 1, 2"""
+
+    lr = (
+        "CAST(floor(ln(CAST(na + 1 AS DOUBLE) / CAST(nb + 1 AS DOUBLE))"
+        " * 1.0e9 + 0.12345678987) AS BIGINT)"
+    )
+    return f"""
+WITH ca AS ({cells(a_select, 'na')}),
+cb AS ({cells(b_select, 'nb')}),
+j AS (
+  SELECT coalesce(ca.ix, cb.ix) AS ix, coalesce(ca.iy, cb.iy) AS iy,
+         CAST(coalesce(na, 0) AS BIGINT) AS na,
+         CAST(coalesce(nb, 0) AS BIGINT) AS nb
+  FROM ca FULL JOIN cb ON cb.ix = ca.ix AND cb.iy = ca.iy)
+SELECT ix, iy, na, nb, {lr} AS lr_q FROM j"""

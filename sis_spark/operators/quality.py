@@ -89,3 +89,30 @@ def check_constraints(
         [(n, orphans, dups, int(agg["oor"] or 0), int(agg["nulls"] or 0))],
         "n long, orphans long, dup_keys long, out_of_range long, nulls long",
     )
+
+
+def k_anonymity_violations(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """k-anonymity audit -> the quasi-identifier combinations with fewer
+    than ``k`` rows (qi..., cnt): any such group re-identifies its
+    members — the privacy gate a training-data release runs before
+    publishing.  One map-side-combined aggregation + a filter."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") < int(k))
+    )
+
+
+def k_anonymity_sql(base_select: str, qi_cols: list[str], k: int) -> str:
+    """DuckDB replay of ``k_anonymity_violations``."""
+    cols = ", ".join(qi_cols)
+    return f"""
+SELECT {cols}, CAST(count(*) AS BIGINT) AS cnt
+FROM ({base_select}) s
+GROUP BY {cols} HAVING count(*) < {int(k)}"""

@@ -10123,6 +10123,91 @@ WHERE src <> dst"""
     return degree_assortativity_sql(edges)
 
 
+def q_hotspot_gi(spark, sf_dir):
+    """Hot-spot detection (density.hotspot_gi, Getis-Ord Gi* shape,
+    64x64 grid, radius 1, occupied-cell semantics): ring sums and
+    global moments exact int64, the z-score one shared expression text
+    quantized at 1e6 — the skew-diagnosis view of the cell histogram."""
+    from .operators.density import hotspot_gi
+
+    pts = _events_points(spark, sf_dir)
+    return hotspot_gi(pts, grid_n=64, radius=1).orderBy("ix", "iy")
+
+
+def q_hotspot_gi_oracle():
+    from .operators.density import hotspot_gi_sql
+
+    return (
+        "SELECT * FROM ("
+        + hotspot_gi_sql(_points_sql(), 64, 1)
+        + ") ORDER BY ix, iy"
+    )
+
+
+def q_cell_change(spark, sf_dir):
+    """Two-epoch cell change detection (density.cell_change, 64x64
+    grid): even vs odd event ids as the two epochs; exact counts per
+    occupied cell (full outer), add-one log-ratio shared-text quantized
+    at 1e9 — the temporal-drift view of the spatial histogram."""
+    from .operators.density import cell_change
+
+    pts = _events_points(spark, sf_dir)
+    a = pts.filter(F.col("event_id") % 2 == 0)
+    b = pts.filter(F.col("event_id") % 2 == 1)
+    return cell_change(a, b, grid_n=64).orderBy("ix", "iy")
+
+
+def q_cell_change_oracle():
+    from .operators.density import cell_change_sql
+
+    p = _points_sql()
+    return (
+        "SELECT * FROM ("
+        + cell_change_sql(
+            f"SELECT * FROM ({p}) pa WHERE event_id % 2 = 0",
+            f"SELECT * FROM ({p}) pb WHERE event_id % 2 = 1",
+            64,
+        )
+        + ") ORDER BY ix, iy"
+    )
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (quality.k_anonymity_violations, k=5) over the
+    quasi-identifiers (event_type, coarse cell): the re-identifiable
+    groups a privacy gate blocks — one aggregation + filter."""
+    from .operators.density import grid_expr
+    from .operators.quality import k_anonymity_violations
+
+    pts = _events_points(spark, sf_dir).join(
+        _read(spark, sf_dir, "events").select("event_id", "event_type"),
+        "event_id",
+    ).select(
+        "event_type",
+        F.expr(grid_expr("x", 16)).alias("ix"),
+        F.expr(grid_expr("y", 16)).alias("iy"),
+    )
+    return k_anonymity_violations(pts, ["event_type", "ix", "iy"], k=5).orderBy(
+        "event_type", "ix", "iy"
+    )
+
+
+def q_k_anonymity_oracle():
+    from .operators.density import grid_expr
+    from .operators.quality import k_anonymity_sql
+
+    base = f"""
+SELECT e.event_type,
+       {grid_expr('x', 16)} AS ix,
+       {grid_expr('y', 16)} AS iy
+FROM ({_points_sql()}) p JOIN events e ON e.event_id = p.event_id"""
+    return (
+        "SELECT * FROM ("
+        + k_anonymity_sql(base, ["event_type", "ix", "iy"], 5)
+        + ") ORDER BY event_type, ix, iy"
+    )
+
+
 def q_decision_stump(spark, sf_dir):
     """Best Gini split per return flag (analytics.decision_stump over
     lineitem: x = quantity, label = discount > 0.05): exact int64 prefix
@@ -10486,4 +10571,7 @@ QUERIES = {
     "hist_match": (q_hist_match, q_hist_match_oracle),
     "xcorr": (q_xcorr, q_xcorr_oracle),
     "assortativity": (q_assortativity, q_assortativity_oracle),
+    "hotspot_gi": (q_hotspot_gi, q_hotspot_gi_oracle),
+    "cell_change": (q_cell_change, q_cell_change_oracle),
+    "k_anonymity": (q_k_anonymity, q_k_anonymity_oracle),
 }

@@ -99,3 +99,43 @@ def test_kde_grid_matches_brute(spark):
                     w = r + 1 - max(abs(dx), abs(dy))
                     want[(tx, ty)] = want.get((tx, ty), 0) + c * w
     assert got == want
+
+
+def test_hotspot_gi_hot_cell_positive(spark):
+    import numpy as np
+
+    from sis_spark.operators.density import hotspot_gi
+
+    rng = np.random.RandomState(21)
+    # dense blob near (0, 0) + sparse background
+    pts = [(float(a), float(b)) for a, b in
+           zip(rng.normal(0, 1.0, 400), rng.normal(0, 1.0, 400))]
+    pts += [(float(a), float(b)) for a, b in
+            zip(rng.uniform(-170, 170, 100), rng.uniform(-80, 80, 100))]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    rows = hotspot_gi(df, grid_n=64, radius=1).collect()
+    by_cell = {(r["ix"], r["iy"]): r for r in rows}
+    hot = max(rows, key=lambda r: r["cnt"])
+    assert hot["z_q"] > 0  # the blob cell is a positive hot spot
+    # background singleton cells: z below the hot cell's
+    lone = [r for r in rows if r["cnt"] == 1 and r["w"] == 1]
+    assert lone and all(r["z_q"] < hot["z_q"] for r in lone)
+    # w counts occupied ring cells incl. self
+    for r in rows:
+        assert 1 <= r["w"] <= 9 and r["g"] >= r["cnt"]
+
+
+def test_cell_change_log_ratio(spark):
+    import math
+
+    from sis_spark.operators.density import cell_change
+
+    a = spark.createDataFrame([(0.0, 0.0)] * 7 + [(100.0, 50.0)],
+                              "lon double, lat double")
+    b = spark.createDataFrame([(0.0, 0.0)] * 3, "lon double, lat double")
+    rows = {(r["ix"], r["iy"]): r for r in cell_change(a, b, grid_n=32).collect()}
+    main = [r for r in rows.values() if r["na"] == 7][0]
+    assert main["nb"] == 3
+    assert abs(main["lr_q"] / 1e9 - math.log(8 / 4)) < 1e-6
+    only_a = [r for r in rows.values() if r["na"] == 1][0]
+    assert only_a["nb"] == 0 and abs(only_a["lr_q"] / 1e9 - math.log(2)) < 1e-6

@@ -78,3 +78,13 @@ def test_url_canonical_rules(spark):
     assert got[2] == "example.com/a"
     assert got[3] == "example.com/"
     assert got[4] == "example.com/a"
+
+
+def test_k_anonymity_violations(spark):
+    from sis_spark.operators.quality import k_anonymity_violations
+
+    rows = [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)] * 1
+    df = spark.createDataFrame(rows, "t string, g long")
+    got = {(r["t"], r["g"]): r["cnt"]
+           for r in k_anonymity_violations(df, ["t", "g"], k=3).collect()}
+    assert got == {("a", 2): 2, ("b", 1): 1}
