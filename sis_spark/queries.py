@@ -10208,6 +10208,89 @@ FROM ({_points_sql()}) p JOIN events e ON e.event_id = p.event_id"""
     )
 
 
+def q_resample_bilinear(spark, sf_dir):
+    """Distributed BILINEAR warp on the scale path (resample_gather, the
+    nearest gate's geometry): every src fraction is exactly .25/.75, so
+    each interpolated value is an exact multiple of 1/16 — the oracle
+    replays the four-tap blend verbatim IN EXACT DYADICS, including
+    numpy rint's round-HALF-TO-EVEN on the genuine .5 ties (an explicit
+    CASE; DuckDB round() alone would round those away from zero).
+    Output: per dst tile (n, sum, position-weighted sum)."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.tiles import resample_gather
+
+    SW, SH, DW, DH = 256, 192, 384, 288
+    src_gg = GridGeometry((0, 0, SW - 1, SH - 1), (0.0625, 0.0, 0.0, 0.0, -0.0625, 12.0))
+    dst_gg = GridGeometry((0, 0, DW - 1, DH - 1), (0.03125, 0.0, 0.5, 0.0, -0.03125, 11.5))
+    tiles = _formula_tiles(spark, SW, SH, bands=1)
+    out = resample_gather(tiles, src_gg, dst_gg, method="bilinear")
+
+    def chk(batches):
+        gxs = _np.arange(64, dtype=_np.int64)
+        for pdf in batches:
+            rows = []
+            for tx, ty, band, data in zip(pdf["tx"], pdf["ty"], pdf["band"], pdf["data"]):
+                tx, ty = int(tx), int(ty)
+                vh = min(64, DH - ty * 64)
+                vw = min(64, DW - tx * 64)
+                block = _np.frombuffer(data, dtype=_np.uint8).reshape(64, 64)
+                GX, GY = _np.meshgrid(tx * 64 + gxs[:vw], ty * 64 + gxs[:vh])
+                v = block[:vh, :vw].astype(_np.int64)
+                px = GY * DW + GX
+                rows.append({
+                    "tx": tx, "ty": ty, "band": int(band),
+                    "n": int(vh * vw), "s": int(v.sum()),
+                    "ws": int((v * px).sum()),
+                })
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return out.mapInPandas(
+        chk, schema="tx long, ty long, band int, n long, s long, ws long"
+    ).orderBy("tx", "ty")
+
+
+def q_resample_bilinear_oracle():
+    # merged chain: src_frac = 0.5*dst_px + 7.75 (both axes) -> x0 in
+    # [7, 199], y0 in [7, 151]: no edge clamps, no fill.  All arithmetic
+    # below is exact dyadic (multiples of 1/16).
+    vv = (
+        "(v00 * (1 - dx) * (1 - dy) + v10 * dx * (1 - dy)"
+        " + v01 * (1 - dx) * dy + v11 * dx * dy)"
+    )
+    rq = (
+        f"CASE WHEN {vv} - floor({vv}) = 0.5"
+        f" THEN CAST(floor({vv}) AS BIGINT) + CAST(floor({vv}) AS BIGINT) % 2"
+        f" ELSE CAST(round({vv}) AS BIGINT) END"
+    )
+    return f"""
+WITH d AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(0, 383) gx(x), generate_series(0, 287) gy(y)),
+f AS (
+  SELECT x, y,
+         CAST(floor(0.5 * x + 7.75) AS BIGINT) AS x0,
+         (0.5 * x + 7.75) - floor(0.5 * x + 7.75) AS dx,
+         CAST(floor(0.5 * y + 7.75) AS BIGINT) AS y0,
+         (0.5 * y + 7.75) - floor(0.5 * y + 7.75) AS dy
+  FROM d),
+v AS (
+  SELECT x, y, dx, dy,
+         CAST((x0 * 7 + y0 * 13) % 256 AS DOUBLE) AS v00,
+         CAST(((x0 + 1) * 7 + y0 * 13) % 256 AS DOUBLE) AS v10,
+         CAST((x0 * 7 + (y0 + 1) * 13) % 256 AS DOUBLE) AS v01,
+         CAST(((x0 + 1) * 7 + (y0 + 1) * 13) % 256 AS DOUBLE) AS v11
+  FROM f),
+r AS (SELECT x, y, {rq} AS s FROM v)
+SELECT x // 64 AS tx, y // 64 AS ty, CAST(0 AS INT) AS band,
+       count(*) AS n, CAST(sum(s) AS BIGINT) AS s,
+       CAST(sum(s * (y * 384 + x)) AS BIGINT) AS ws
+FROM r GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
 def q_decision_stump(spark, sf_dir):
     """Best Gini split per return flag (analytics.decision_stump over
     lineitem: x = quantity, label = discount > 0.05): exact int64 prefix
@@ -10574,4 +10657,5 @@ QUERIES = {
     "hotspot_gi": (q_hotspot_gi, q_hotspot_gi_oracle),
     "cell_change": (q_cell_change, q_cell_change_oracle),
     "k_anonymity": (q_k_anonymity, q_k_anonymity_oracle),
+    "resample_bilinear": (q_resample_bilinear, q_resample_bilinear_oracle),
 }
