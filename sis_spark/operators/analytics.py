@@ -1522,3 +1522,133 @@ SELECT k, o, v,
        CAST(sum(ff) OVER (PARTITION BY k ORDER BY o
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct
 FROM f"""
+
+
+def first_touch_attribution(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    channel_col: str,
+    convert_value: str,
+    gap_s: int = 1800,
+) -> DataFrame:
+    """First-touch conversion attribution over gap sessions ->
+    (channel, n_sessions, n_converted): sessions split on gaps > gap_s
+    seconds (integer epoch-second comparison), each session attributed
+    to its FIRST channel (ties -> smallest id), converted iff any event
+    in the session has channel == convert_value.  Exact counts; one
+    keyed window pass + one aggregation."""
+    from pyspark.sql import Window
+
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(channel_col).alias("ch"),
+    )
+    w = Window.partitionBy("k").orderBy("t", "i")
+    prev = F.lag("t").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("t") - prev > int(gap_s)), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = b.withColumn("sess", F.sum(new_sess).over(run))
+    per = s.groupBy("k", "sess").agg(
+        F.min(F.struct("t", "i", "ch")).alias("first"),
+        F.max((F.col("ch") == convert_value).cast("long")).alias("conv"),
+    )
+    return (
+        per.groupBy(F.col("first.ch").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("conv").alias("n_converted"),
+        )
+    )
+
+
+def first_touch_attribution_sql(
+    base_select: str,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    channel_col: str,
+    convert_value: str,
+    gap_s: int = 1800,
+) -> str:
+    """DuckDB replay of ``first_touch_attribution``."""
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, {ts_col} AS t, {id_col} AS i, {channel_col} AS ch
+  FROM ({base_select}) s),
+g AS (
+  SELECT *, CASE WHEN lag(t) OVER (PARTITION BY k ORDER BY t, i) IS NULL
+                   OR t - lag(t) OVER (PARTITION BY k ORDER BY t, i)
+                      > {int(gap_s)}
+                 THEN 1 ELSE 0 END AS ns
+  FROM b),
+s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY k ORDER BY t, i
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY k, sess ORDER BY t, i) AS rn,
+         max(CASE WHEN ch = '{convert_value}' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY k, sess) AS conv
+  FROM s)
+SELECT ch AS channel, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(conv) AS BIGINT) AS n_converted
+FROM r WHERE rn = 1 GROUP BY 1"""
+
+
+def rfm_scores(
+    orders: DataFrame,
+    cust_col: str,
+    day_col: str,
+    amount_col: str,
+    buckets: int = 4,
+) -> DataFrame:
+    """RFM customer scoring -> (cust, last_day, freq, monetary, r_score,
+    f_score, m_score): recency/frequency/monetary quartile labels via
+    ntile over deterministic total orders (metric, customer id) — the
+    ntile remainder rule agrees across engines (the window_rank gate's
+    lesson).  Exact integer metrics; one aggregation + three windows."""
+    from pyspark.sql import Window
+
+    per = orders.groupBy(F.col(cust_col).alias("c")).agg(
+        F.max(F.col(day_col)).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col(amount_col)).alias("monetary"),
+    )
+    nb = int(buckets)
+    r_w = Window.orderBy(F.col("last_day").desc(), F.col("c").asc())
+    f_w = Window.orderBy(F.col("freq").desc(), F.col("c").asc())
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("c").asc())
+    return per.select(
+        "c", "last_day", "freq", "monetary",
+        F.ntile(nb).over(r_w).cast("long").alias("r_score"),
+        F.ntile(nb).over(f_w).cast("long").alias("f_score"),
+        F.ntile(nb).over(m_w).cast("long").alias("m_score"),
+    )
+
+
+def rfm_scores_sql(
+    base_select: str,
+    cust_col: str,
+    day_col: str,
+    amount_col: str,
+    buckets: int = 4,
+) -> str:
+    """DuckDB replay of ``rfm_scores``."""
+    nb = int(buckets)
+    return f"""
+WITH per AS (
+  SELECT {cust_col} AS c, CAST(max({day_col}) AS BIGINT) AS last_day,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum({amount_col}) AS BIGINT) AS monetary
+  FROM ({base_select}) s GROUP BY 1)
+SELECT c, last_day, freq, monetary,
+       CAST(ntile({nb}) OVER (ORDER BY last_day DESC, c ASC) AS BIGINT) AS r_score,
+       CAST(ntile({nb}) OVER (ORDER BY freq DESC, c ASC) AS BIGINT) AS f_score,
+       CAST(ntile({nb}) OVER (ORDER BY monetary DESC, c ASC) AS BIGINT) AS m_score
+FROM per"""

@@ -301,3 +301,59 @@ WITH a AS ({a_select}), b AS ({b_select})
 SELECT a.i, b.j, CAST(sum(a.v * b.w) AS BIGINT) AS v
 FROM a JOIN b ON b.k = a.k
 GROUP BY 1, 2"""
+
+
+def prefix_norms(
+    emb: DataFrame,
+    dims: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**4,
+) -> DataFrame:
+    """Matryoshka truncation quality -> (id, ss_<d>... ) for each prefix
+    dimension d in ``dims``: the exact int64 sum of squared quantized
+    components over the first d positions — truncation keeps
+    ss_d / ss_full of the (quantized) energy, a pure rational.  One
+    posexplode + one conditional aggregation."""
+    rows = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "e"),
+    ).select(
+        "id", "pos",
+        F.floor(F.col("e") * float(scale) + 0.12345678987)
+        .cast("long").alias("q"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("pos") < int(d), F.col("q") * F.col("q")).otherwise(0)
+        ).alias(f"ss_{d}")
+        for d in dims
+    ]
+    return rows.groupBy("id").agg(*aggs)
+
+
+def prefix_norms_sql(
+    base_select: str,
+    dims: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**4,
+) -> str:
+    """DuckDB replay of ``prefix_norms`` (list index 1-based: position
+    i-1 corresponds to Spark's 0-based pos).  The float32 element is
+    CAST to DOUBLE before the scale multiply — DuckDB otherwise runs
+    FLOAT * literal in float32 and flips quantization boundaries (Spark
+    promotes to double)."""
+    aggs = ", ".join(
+        f"CAST(sum(CASE WHEN i - 1 < {int(d)} THEN q * q ELSE 0 END)"
+        f" AS BIGINT) AS ss_{d}"
+        for d in dims
+    )
+    return f"""
+WITH b AS (SELECT {id_col} AS id, {vec_col} AS v FROM ({base_select}) s),
+e AS (
+  SELECT id, g.i AS i,
+         CAST(floor(CAST(v[g.i] AS DOUBLE) * {float(scale)}
+                    + 0.12345678987) AS BIGINT) AS q
+  FROM b, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g)
+SELECT id, {aggs} FROM e GROUP BY id"""

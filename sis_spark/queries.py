@@ -10291,6 +10291,94 @@ SELECT x // 64 AS tx, y // 64 AS ty, CAST(0 AS INT) AS band,
 FROM r GROUP BY 1, 2 ORDER BY tx, ty"""
 
 
+def q_attribution(spark, sf_dir):
+    """First-touch conversion attribution (analytics.
+    first_touch_attribution, 30-min gap sessions): each user session
+    attributed to its first event type, converted iff it contains a
+    purchase — exact integer epoch-second gaps, deterministic
+    first-touch (ties -> smallest event id)."""
+    from .operators.analytics import first_touch_attribution
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("t_s"),
+    )
+    return first_touch_attribution(
+        ev, "user_id", "t_s", "event_id", "event_type", "purchase"
+    ).orderBy("channel")
+
+
+def q_attribution_oracle():
+    from .operators.analytics import first_touch_attribution_sql
+
+    base = (
+        "SELECT user_id, event_id, event_type, "
+        "epoch_us(ts) // 1000000 AS t_s FROM events"
+    )
+    return (
+        "SELECT * FROM ("
+        + first_touch_attribution_sql(
+            base, "user_id", "t_s", "event_id", "event_type", "purchase"
+        )
+        + ") ORDER BY channel"
+    )
+
+
+def q_rfm(spark, sf_dir):
+    """RFM customer scoring (analytics.rfm_scores, quartiles): exact
+    integer recency/frequency/monetary metrics per customer, bucket
+    labels via deterministic ntile (the window_rank remainder-rule
+    lesson); monetary in exact cents."""
+    from .operators.analytics import rfm_scores
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    return rfm_scores(o, "o_custkey", "day", "cents").orderBy("c")
+
+
+def q_rfm_oracle():
+    from .operators.analytics import rfm_scores_sql
+
+    base = (
+        "SELECT o_custkey, "
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)"
+        " AS day, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents "
+        "FROM orders"
+    )
+    return (
+        "SELECT * FROM ("
+        + rfm_scores_sql(base, "o_custkey", "day", "cents")
+        + ") ORDER BY c"
+    )
+
+
+def q_prefix_norms(spark, sf_dir):
+    """Matryoshka prefix-energy audit (embeddings.prefix_norms, dims
+    8/16/32/64): exact int64 sums of squared quantized components per
+    prefix — the truncation-quality check before shipping shortened
+    embeddings; one posexplode + one conditional aggregation."""
+    from .operators.embeddings import prefix_norms
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return prefix_norms(emb, [8, 16, 32, 64]).orderBy("id")
+
+
+def q_prefix_norms_oracle():
+    from .operators.embeddings import prefix_norms_sql
+
+    return (
+        "SELECT * FROM ("
+        + prefix_norms_sql(
+            "SELECT vec_id, embedding FROM embeddings", [8, 16, 32, 64]
+        )
+        + ") ORDER BY id"
+    )
+
+
 def q_decision_stump(spark, sf_dir):
     """Best Gini split per return flag (analytics.decision_stump over
     lineitem: x = quantity, label = discount > 0.05): exact int64 prefix
@@ -10658,4 +10746,7 @@ QUERIES = {
     "cell_change": (q_cell_change, q_cell_change_oracle),
     "k_anonymity": (q_k_anonymity, q_k_anonymity_oracle),
     "resample_bilinear": (q_resample_bilinear, q_resample_bilinear_oracle),
+    "attribution": (q_attribution, q_attribution_oracle),
+    "rfm": (q_rfm, q_rfm_oracle),
+    "prefix_norms": (q_prefix_norms, q_prefix_norms_oracle),
 }

@@ -542,3 +542,32 @@ def test_cum_distinct_running(spark):
            for r in cum_distinct(df, "k", "o", "v").collect()}
     assert got == {(1, 0): 1, (1, 1): 2, (1, 2): 2, (1, 3): 3,
                    (2, 0): 1, (2, 1): 1}
+
+
+def test_first_touch_attribution(spark):
+    from sis_spark.operators.analytics import first_touch_attribution
+
+    rows = [
+        # user 1: session A (view first, converts), session B (click, no)
+        (1, 0, 1, "view"), (1, 100, 2, "purchase"),
+        (1, 10_000, 3, "click"), (1, 10_050, 4, "view"),
+        # user 2: single session, purchase-first (self-converting)
+        (2, 0, 5, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, i long, ch string")
+    got = {r["channel"]: (r["n_sessions"], r["n_converted"])
+           for r in first_touch_attribution(df, "u", "t", "i", "ch",
+                                            "purchase", gap_s=1800).collect()}
+    assert got == {"view": (1, 1), "click": (1, 0), "purchase": (1, 1)}
+
+
+def test_rfm_scores_quartiles(spark):
+    from sis_spark.operators.analytics import rfm_scores
+
+    rows = [(c, d, 100 * (c + 1)) for c in range(8) for d in range(c + 1)]
+    df = spark.createDataFrame(rows, "c long, day long, amt long")
+    got = {r["c"]: r for r in rfm_scores(df, "c", "day", "amt").collect()}
+    # customer 7 has most orders, highest monetary, latest day -> bucket 1
+    assert got[7]["f_score"] == 1 and got[7]["m_score"] == 1 and got[7]["r_score"] == 1
+    assert got[0]["f_score"] == 4 and got[0]["m_score"] == 4
+    assert got[0]["freq"] == 1 and got[7]["freq"] == 8

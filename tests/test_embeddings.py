@@ -70,3 +70,21 @@ def test_pca_matches_numpy_reference(emb):
     pm = np.stack([proj[i] for i in range(300)])
     var = pm.var(axis=0)
     assert var[0] >= var[1] >= var[2]
+
+
+def test_prefix_norms_energy_monotone(spark):
+    import numpy as np
+
+    from sis_spark.operators.embeddings import prefix_norms
+
+    rng = np.random.RandomState(6)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["id"]: r for r in prefix_norms(df, [4, 8, 16]).collect()}
+    for i, vec in rows:
+        q = np.floor(np.array(vec) * 1e4 + 0.12345678987).astype(np.int64)
+        r = got[i]
+        assert r["ss_4"] == int((q[:4] ** 2).sum())
+        assert r["ss_8"] == int((q[:8] ** 2).sum())
+        assert r["ss_16"] == int((q ** 2).sum())
+        assert r["ss_4"] <= r["ss_8"] <= r["ss_16"]
