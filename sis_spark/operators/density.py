@@ -379,3 +379,45 @@ j AS (
          CAST(coalesce(nb, 0) AS BIGINT) AS nb
   FROM ca FULL JOIN cb ON cb.ix = ca.ix AND cb.iy = ca.iy)
 SELECT ix, iy, na, nb, {lr} AS lr_q FROM j"""
+
+
+def sd_ellipse_moments(
+    df: DataFrame,
+    key_col: str,
+    qx_col: str = "qx",
+    qy_col: str = "qy",
+) -> DataFrame:
+    """Standard-deviational-ellipse moments per key (the centrographic
+    dispersion statistic, public literature) -> (k, n, sx, sy, sxx, syy,
+    sxy): everything downstream — centroid, axis orientation
+    tan(2θ) = 2*cov/(varx - vary), axis lengths — is a rational or one
+    trig call away from these EXACT int64 sums.  One map-side-combined
+    aggregation."""
+    from pyspark.sql import functions as F
+
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(qx_col).alias("x"),
+        F.col(qy_col).alias("y"),
+    )
+    return b.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+
+
+def sd_ellipse_sql(base_select: str, key_col: str,
+                   qx_col: str = "qx", qy_col: str = "qy") -> str:
+    """DuckDB replay of ``sd_ellipse_moments``."""
+    return f"""
+SELECT {key_col} AS k, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({qx_col}) AS BIGINT) AS sx,
+       CAST(sum({qy_col}) AS BIGINT) AS sy,
+       CAST(sum({qx_col} * {qx_col}) AS BIGINT) AS sxx,
+       CAST(sum({qy_col} * {qy_col}) AS BIGINT) AS syy,
+       CAST(sum({qx_col} * {qy_col}) AS BIGINT) AS sxy
+FROM ({base_select}) s GROUP BY 1"""

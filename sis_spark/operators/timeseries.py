@@ -1071,3 +1071,50 @@ best AS (
        ORDER BY xsum DESC, lag ASC) AS rn FROM j)
 SELECT k, CAST(lag AS BIGINT) AS lag, n_pairs, xsum
 FROM best WHERE rn = 1"""
+
+
+def burstiness_moments(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Inter-event-time dispersion per key -> (k, n_gaps, s_dt, s_dt2):
+    the burstiness coefficient B = (sigma - mu)/(sigma + mu) and the
+    coefficient of variation are rationals/one-sqrt-aways from these
+    EXACT integer gap moments (gaps in whole microseconds).  One lag
+    window + one aggregation — the behavioral-rhythm feature."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("t", "i")
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("i"),
+    )
+    dt = F.col("t") - F.lag("t").over(w)
+    g = b.withColumn("dt", dt).filter(F.col("dt").isNotNull())
+    return g.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("dt").alias("s_dt"),
+        F.sum(F.col("dt") * F.col("dt")).alias("s_dt2"),
+    )
+
+
+def burstiness_sql(
+    base_select: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB replay of ``burstiness_moments``."""
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k,
+         {ts_col} - lag({ts_col}) OVER (PARTITION BY {key_col}
+                                        ORDER BY {ts_col}, {id_col}) AS dt
+  FROM ({base_select}) s)
+SELECT k, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(dt) AS BIGINT) AS s_dt,
+       CAST(sum(dt * dt) AS BIGINT) AS s_dt2
+FROM b WHERE dt IS NOT NULL GROUP BY 1"""

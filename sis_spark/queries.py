@@ -10379,6 +10379,96 @@ def q_prefix_norms_oracle():
     )
 
 
+def q_sd_ellipse(spark, sf_dir):
+    """Standard-deviational-ellipse moments per user (density.
+    sd_ellipse_moments): the centrographic dispersion statistic kept as
+    exact int64 first/second moments of the quantized track coordinates
+    — centroid, orientation and axes are rationals/one trig call away."""
+    from .operators.density import sd_ellipse_moments
+
+    lon, lat = point_lonlat_cols("event_id")
+    pts = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(lon * 1e5 + float(_FRECHET_Q)).cast("long").alias("qx"),
+        F.floor(lat * 1e5 + float(_FRECHET_Q)).cast("long").alias("qy"),
+    )
+    return sd_ellipse_moments(pts, "user_id").orderBy("k")
+
+
+def q_sd_ellipse_oracle():
+    from .operators.density import sd_ellipse_sql
+
+    base = f"""
+SELECT user_id,
+       CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e5
+                  + {_FRECHET_Q}) AS BIGINT) AS qx,
+       CAST(floor(({synth.point_lat_sql('event_id')}) * 1.0e5
+                  + {_FRECHET_Q}) AS BIGINT) AS qy
+FROM events"""
+    return (
+        "SELECT * FROM ("
+        + sd_ellipse_sql(base, "user_id")
+        + ") ORDER BY k"
+    )
+
+
+def q_blockiness(spark, sf_dir):
+    """JPEG block-artifact audit per tile (tiles.blockiness, 8-px
+    blocks): exact integer |horizontal difference| sums at block
+    boundaries vs elsewhere — the compression-quality screen for a
+    scraped-image corpus; the oracle replays every column difference of
+    the pixel formula."""
+    from .raster.tiles import blockiness
+
+    W, H = 448, 256
+    tiles = _formula_tiles(spark, W, H, bands=1)
+    return blockiness(tiles).orderBy("tx", "ty")
+
+
+def q_blockiness_oracle():
+    return """
+WITH d AS (
+  SELECT gx.x // 64 AS tx, gy.y // 64 AS ty,
+         (gx.x % 64) % 8 = 7 AS is_b,
+         abs(((gx.x + 1) * 7 + gy.y * 13) % 256
+             - (gx.x * 7 + gy.y * 13) % 256) AS dd
+  FROM generate_series(0, 447) gx(x), generate_series(0, 255) gy(y)
+  WHERE gx.x % 64 < 63)
+SELECT tx, ty, CAST(0 AS INT) AS band,
+       CAST(sum(CASE WHEN is_b THEN dd ELSE 0 END) AS BIGINT) AS b_sum,
+       CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS b_n,
+       CAST(sum(CASE WHEN is_b THEN 0 ELSE dd END) AS BIGINT) AS o_sum,
+       CAST(sum(CASE WHEN is_b THEN 0 ELSE 1 END) AS BIGINT) AS o_n
+FROM d GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+def q_burstiness(spark, sf_dir):
+    """Inter-event-time dispersion (timeseries.burstiness_moments): per
+    user, exact integer gap moments at second granularity (int64-safe
+    for multi-decade spans) — burstiness and CV stay rationals."""
+    from .operators.timeseries import burstiness_moments
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("t_s"),
+    )
+    return burstiness_moments(ev, "user_id", "t_s", "event_id").orderBy("k")
+
+
+def q_burstiness_oracle():
+    from .operators.timeseries import burstiness_sql
+
+    base = (
+        "SELECT user_id, event_id, epoch_us(ts) // 1000000 AS t_s "
+        "FROM events"
+    )
+    return (
+        "SELECT * FROM ("
+        + burstiness_sql(base, "user_id", "t_s", "event_id")
+        + ") ORDER BY k"
+    )
+
+
 def q_decision_stump(spark, sf_dir):
     """Best Gini split per return flag (analytics.decision_stump over
     lineitem: x = quantity, label = discount > 0.05): exact int64 prefix
@@ -10749,4 +10839,7 @@ QUERIES = {
     "attribution": (q_attribution, q_attribution_oracle),
     "rfm": (q_rfm, q_rfm_oracle),
     "prefix_norms": (q_prefix_norms, q_prefix_norms_oracle),
+    "sd_ellipse": (q_sd_ellipse, q_sd_ellipse_oracle),
+    "blockiness": (q_blockiness, q_blockiness_oracle),
+    "burstiness": (q_burstiness, q_burstiness_oracle),
 }

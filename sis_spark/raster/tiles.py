@@ -1261,3 +1261,42 @@ def hist_match(a: DataFrame, ref: DataFrame, gg: GridGeometry,
                                 "data": datas})
 
     return a.mapInPandas(apply, schema=TILE_SCHEMA)
+
+
+def blockiness(tiles_df: DataFrame, block: int = 8, tile_size: int = 64,
+               dtype=np.uint8) -> DataFrame:
+    """JPEG block-artifact score per tile -> (tx, ty, band, b_sum, b_n,
+    o_sum, o_n): the exact integer sums of |v[x+1] - v[x]| across column
+    boundaries at x %% block == block-1 (b_*) vs all other columns (o_*)
+    — a compressed image shows b_sum/b_n elevated against o_sum/o_n (the
+    ratio stays rational).  Horizontal only, embarrassingly parallel,
+    the compression-quality audit for a scraped-image corpus."""
+    bdt = np.dtype(dtype)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, band, d in zip(pdf["tx"], pdf["ty"], pdf["band"], pdf["data"]):
+                v = (
+                    np.frombuffer(d, dtype=bdt)
+                    .reshape(tile_size, tile_size)
+                    .astype(np.int64)
+                )
+                diff = np.abs(v[:, 1:] - v[:, :-1])
+                xs = np.arange(tile_size - 1)
+                bmask = (xs % block) == block - 1
+                rows.append({
+                    "tx": int(tx), "ty": int(ty), "band": int(band),
+                    "b_sum": int(diff[:, bmask].sum()),
+                    "b_n": int(bmask.sum()) * tile_size,
+                    "o_sum": int(diff[:, ~bmask].sum()),
+                    "o_n": int((~bmask).sum()) * tile_size,
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return tiles_df.mapInPandas(
+        fn,
+        schema=("tx long, ty long, band int, b_sum long, b_n long, "
+                "o_sum long, o_n long"),
+    )

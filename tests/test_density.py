@@ -139,3 +139,24 @@ def test_cell_change_log_ratio(spark):
     assert abs(main["lr_q"] / 1e9 - math.log(8 / 4)) < 1e-6
     only_a = [r for r in rows.values() if r["na"] == 1][0]
     assert only_a["nb"] == 0 and abs(only_a["lr_q"] / 1e9 - math.log(2)) < 1e-6
+
+
+def test_sd_ellipse_moments_reference(spark):
+    import numpy as np
+
+    from sis_spark.operators.density import sd_ellipse_moments
+
+    rng = np.random.RandomState(12)
+    xs = rng.randint(-100, 100, 50)
+    ys = rng.randint(-100, 100, 50)
+    rows = [(1, int(a), int(b)) for a, b in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "k long, qx long, qy long").repartition(5)
+    (r,) = sd_ellipse_moments(df, "k").collect()
+    assert (r["n"], r["sx"], r["sy"]) == (50, int(xs.sum()), int(ys.sum()))
+    assert r["sxy"] == int((xs * ys).sum())
+    # orientation: tan(2 theta) = 2*cov/(varx - vary) derivable exactly
+    n = 50
+    cov2 = n * r["sxy"] - r["sx"] * r["sy"]
+    vx2 = n * r["sxx"] - r["sx"] ** 2
+    vy2 = n * r["syy"] - r["sy"] ** 2
+    assert vx2 > 0 and vy2 > 0 and isinstance(cov2, int)

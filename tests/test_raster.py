@@ -552,3 +552,18 @@ def test_hist_match_identity_and_spec(spark, scene):
     hr = np.bincount(arr[:, :, 1].ravel(), minlength=256).cumsum()
     # CDFs within one value-bin mass of each other everywhere
     assert np.abs(ha - hr).max() <= np.bincount(arr[:, :, 1].ravel()).max() * 2
+
+
+def test_blockiness_flags_block_edges(spark):
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.tiles import blockiness, raster_to_tiles
+
+    # constant 8x8 blocks with different levels: ALL variation is at
+    # block boundaries -> o_sum == 0, b_sum > 0
+    v = np.arange(8).repeat(8)[None, :] * 30
+    arr = np.broadcast_to(v, (64, 64)).astype(np.uint8)[:, :, None]
+    gg = GridGeometry((0, 0, 63, 63), (1.0, 0.0, 0.0, 0.0, -1.0, 0.0))
+    tiles = raster_to_tiles(spark, np.ascontiguousarray(arr), gg, 64)
+    (r,) = blockiness(tiles).collect()
+    assert r["o_sum"] == 0 and r["b_sum"] == 30 * 7 * 64
+    assert (r["b_n"], r["o_n"]) == (7 * 64, 56 * 64)

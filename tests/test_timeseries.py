@@ -421,3 +421,13 @@ def test_xcorr_argmax_planted_lag(spark):
     (r,) = xcorr_argmax(df, max_lag=6).collect()
     assert r["lag"] == 3
     assert r["xsum"] == int((base[:-3] * y[3:]).sum())
+
+
+def test_burstiness_moments(spark):
+    from sis_spark.operators.timeseries import burstiness_moments
+
+    rows = [(1, 0, 0), (1, 10, 1), (1, 30, 2), (1, 60, 3)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long")
+    (r,) = burstiness_moments(df).collect()
+    # gaps 10, 20, 30
+    assert (r["n_gaps"], r["s_dt"], r["s_dt2"]) == (3, 60, 100 + 400 + 900)
