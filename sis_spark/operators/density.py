@@ -421,3 +421,59 @@ SELECT {key_col} AS k, CAST(count(*) AS BIGINT) AS n,
        CAST(sum({qy_col} * {qy_col}) AS BIGINT) AS syy,
        CAST(sum({qx_col} * {qy_col}) AS BIGINT) AS sxy
 FROM ({base_select}) s GROUP BY 1"""
+
+
+def od_matrix(
+    df: DataFrame,
+    grid_n: int,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Origin-destination flow matrix -> (oix, oiy, dix, diy, n_trips):
+    consecutive per-key positions become one flow from the previous cell
+    to the current (self-flows included) — the mobility aggregate behind
+    flow maps.  One lag window + one aggregation, exact counts."""
+    from pyspark.sql import Window, functions as F
+
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(order_col).alias("o"),
+        F.expr(grid_expr("x", grid_n, lon_col, lat_col)).alias("ix"),
+        F.expr(grid_expr("y", grid_n, lon_col, lat_col)).alias("iy"),
+    )
+    w = Window.partitionBy("k").orderBy("o")
+    g = (
+        b.withColumn("oix", F.lag("ix").over(w))
+        .withColumn("oiy", F.lag("iy").over(w))
+        .filter(F.col("oix").isNotNull())
+    )
+    return g.groupBy(
+        "oix", "oiy", F.col("ix").alias("dix"), F.col("iy").alias("diy")
+    ).agg(F.count(F.lit(1)).alias("n_trips"))
+
+
+def od_matrix_sql(
+    base_select: str,
+    grid_n: int,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> str:
+    """DuckDB replay of ``od_matrix``; ``base_select`` ->
+    (key, order, lon, lat)."""
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, {order_col} AS o,
+         {grid_expr('x', grid_n, lon_col, lat_col)} AS ix,
+         {grid_expr('y', grid_n, lon_col, lat_col)} AS iy
+  FROM ({base_select}) s),
+g AS (
+  SELECT ix, iy,
+         lag(ix) OVER (PARTITION BY k ORDER BY o) AS oix,
+         lag(iy) OVER (PARTITION BY k ORDER BY o) AS oiy
+  FROM b)
+SELECT oix, oiy, ix AS dix, iy AS diy, CAST(count(*) AS BIGINT) AS n_trips
+FROM g WHERE oix IS NOT NULL GROUP BY 1, 2, 3, 4"""

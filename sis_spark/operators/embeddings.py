@@ -357,3 +357,77 @@ e AS (
                     + 0.12345678987) AS BIGINT) AS q
   FROM b, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g)
 SELECT id, {aggs} FROM e GROUP BY id"""
+
+
+def class_separation(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 10**4,
+) -> DataFrame:
+    """Between-class centroid distances -> (a, b, na, nb, d2_q): for
+    every label pair, the squared euclidean distance between class
+    centroids of the quantized embeddings (q^2 units), each
+    per-dimension term ((sa*nb - sb*na)/(na*nb))^2 evaluated in doubles
+    from EXACT int64 sums and floor-quantized BEFORE the
+    order-independent per-pair sum — the class-separation audit before
+    training.
+
+    Scale shape: one posexplode + one (label, dim) aggregation (the
+    embedding_covariance shape); the pair join runs on |labels| x dims
+    rows only."""
+    rows = emb.select(
+        F.col(label_col).alias("lb"),
+        F.posexplode(F.col(vec_col)).alias("pos", "e"),
+    ).select(
+        "lb", "pos",
+        F.floor(F.col("e") * float(scale) + 0.12345678987)
+        .cast("long").alias("q"),
+    )
+    cent = rows.groupBy("lb", "pos").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("q").alias("s")
+    )
+    l = cent.select(
+        F.col("lb").alias("a"), "pos",
+        F.col("n").alias("na"), F.col("s").alias("sa"),
+    )
+    r = cent.select(
+        F.col("lb").alias("b"), F.col("pos").alias("pos2"),
+        F.col("n").alias("nb"), F.col("s").alias("sb"),
+    )
+    dd = ("CAST(sa * nb - sb * na AS DOUBLE) / CAST(na AS DOUBLE) / CAST(nb AS DOUBLE)")
+    term = (
+        f"CAST(floor(({dd}) * ({dd}) + 0.12345678987) AS BIGINT)"
+    )
+    j = l.join(
+        r, (F.col("pos") == F.col("pos2")) & (F.col("a") < F.col("b"))
+    ).select("a", "b", "na", "nb", F.expr(term).alias("t"))
+    return j.groupBy("a", "b", "na", "nb").agg(F.sum("t").alias("d2_q"))
+
+
+def class_separation_sql(
+    base_select: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 10**4,
+) -> str:
+    """DuckDB replay of ``class_separation`` (float32 CAST to DOUBLE
+    before the scale multiply — the prefix_norms lesson)."""
+    dd = ("CAST(l.s * r.n - r.s * l.n AS DOUBLE) / CAST(l.n AS DOUBLE) / CAST(r.n AS DOUBLE)")
+    term = f"CAST(floor(({dd}) * ({dd}) + 0.12345678987) AS BIGINT)"
+    return f"""
+WITH b AS (SELECT {label_col} AS lb, {vec_col} AS v FROM ({base_select}) s),
+e AS (
+  SELECT lb, g.i AS pos,
+         CAST(floor(CAST(v[g.i] AS DOUBLE) * {float(scale)}
+                    + 0.12345678987) AS BIGINT) AS q
+  FROM b, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g),
+cent AS (
+  SELECT lb, pos, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s
+  FROM e GROUP BY 1, 2)
+SELECT l.lb AS a, r.lb AS b, l.n AS na, r.n AS nb,
+       CAST(sum({term}) AS BIGINT) AS d2_q
+FROM cent l JOIN cent r ON r.pos = l.pos AND l.lb < r.lb
+GROUP BY 1, 2, 3, 4"""

@@ -489,3 +489,29 @@ SELECT CAST(count(*) AS BIGINT) AS m,
        CAST(sum(dx) AS BIGINT) AS s_x,
        CAST(sum(dx * dx) AS BIGINT) AS s_x2
 FROM j"""
+
+
+def reciprocity_counts(edges: DataFrame) -> DataFrame:
+    """Directed-graph reciprocity -> one row (m, m_recip): the fraction
+    of directed edges whose reverse also exists stays the exact rational
+    m_recip / m.  One distinct + one self-join (semi on the reversed
+    key), no driver state."""
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "semi")
+    return e.agg(F.count(F.lit(1)).alias("m")).join(
+        recip.agg(F.count(F.lit(1)).alias("m_recip"))
+    )
+
+
+def reciprocity_sql(edges_select: str) -> str:
+    """DuckDB replay of ``reciprocity_counts``."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM ({edges_select}) s WHERE src <> dst),
+r AS (
+  SELECT count(*) AS m_recip FROM e
+  WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src))
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS m,
+       CAST(r.m_recip AS BIGINT) AS m_recip
+FROM r"""

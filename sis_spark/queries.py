@@ -10469,6 +10469,91 @@ def q_burstiness_oracle():
     )
 
 
+def q_od_matrix(spark, sf_dir):
+    """Origin-destination flows (density.od_matrix, 32x32 grid):
+    consecutive per-user positions aggregated into cell-to-cell trip
+    counts — the flow-map primitive; one lag window + one aggregation."""
+    from .operators.density import od_matrix
+
+    pts = _events_points(spark, sf_dir).join(
+        _read(spark, sf_dir, "events").select("event_id", "user_id"),
+        "event_id",
+    )
+    return od_matrix(pts, grid_n=32).orderBy("oix", "oiy", "dix", "diy")
+
+
+def q_od_matrix_oracle():
+    from .operators.density import od_matrix_sql
+
+    base = (
+        f"SELECT e.user_id, p.event_id, p.lon, p.lat "
+        f"FROM ({_points_sql()}) p JOIN events e ON e.event_id = p.event_id"
+    )
+    return (
+        "SELECT * FROM ("
+        + od_matrix_sql(base, 32)
+        + ") ORDER BY oix, oiy, dix, diy"
+    )
+
+
+def q_reciprocity(spark, sf_dir):
+    """Directed reciprocity (graph.reciprocity_counts) on the documents
+    link graph: the fraction of edges with a reverse edge stays the
+    exact rational m_recip/m — one distinct + one semi-join."""
+    from .operators.graph import reciprocity_counts
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("src")
+    )
+    n = docs.count()
+    edges = docs.select(
+        "src",
+        F.explode(F.array(
+            (F.col("src") * 7 + 11) % n,
+            (F.col("src") * 13 + 5) % n,
+            (F.col("src") * 3 + 1) % n,
+        )).alias("dst"),
+    )
+    return reciprocity_counts(edges)
+
+
+def q_reciprocity_oracle():
+    from .operators.graph import reciprocity_sql
+
+    edges = """
+SELECT CAST(doc_id AS BIGINT) AS src,
+       (CAST(doc_id AS BIGINT) * 7 + 11) % nn.n AS dst
+FROM documents, (SELECT count(*) AS n FROM documents) nn
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), (CAST(doc_id AS BIGINT) * 13 + 5) % nn.n
+FROM documents, (SELECT count(*) AS n FROM documents) nn
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), (CAST(doc_id AS BIGINT) * 3 + 1) % nn.n
+FROM documents, (SELECT count(*) AS n FROM documents) nn"""
+    return reciprocity_sql(edges)
+
+
+def q_class_separation(spark, sf_dir):
+    """Between-class centroid distances (embeddings.class_separation):
+    per label pair, squared centroid distance in quantized units — per-
+    dimension terms from exact int64 (label, dim) sums, floor-quantized
+    before the order-independent sum; the class-separation audit."""
+    from .operators.embeddings import class_separation
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return class_separation(emb).orderBy("a", "b")
+
+
+def q_class_separation_oracle():
+    from .operators.embeddings import class_separation_sql
+
+    return (
+        "SELECT * FROM ("
+        + class_separation_sql("SELECT vec_id, embedding, label FROM embeddings")
+        + ") ORDER BY a, b"
+    )
+
+
 def q_decision_stump(spark, sf_dir):
     """Best Gini split per return flag (analytics.decision_stump over
     lineitem: x = quantity, label = discount > 0.05): exact int64 prefix
@@ -10842,4 +10927,7 @@ QUERIES = {
     "sd_ellipse": (q_sd_ellipse, q_sd_ellipse_oracle),
     "blockiness": (q_blockiness, q_blockiness_oracle),
     "burstiness": (q_burstiness, q_burstiness_oracle),
+    "od_matrix": (q_od_matrix, q_od_matrix_oracle),
+    "reciprocity": (q_reciprocity, q_reciprocity_oracle),
+    "class_separation": (q_class_separation, q_class_separation_oracle),
 }

@@ -160,3 +160,17 @@ def test_sd_ellipse_moments_reference(spark):
     vx2 = n * r["sxx"] - r["sx"] ** 2
     vy2 = n * r["syy"] - r["sy"] ** 2
     assert vx2 > 0 and vy2 > 0 and isinstance(cov2, int)
+
+
+def test_od_matrix_counts(spark):
+    from sis_spark.operators.density import od_matrix
+
+    # grid_n=4: cells are 90-degree lon bins; user 1 hops A->B->A
+    rows = [(1, 0, -100.0, 0.0), (1, 1, 100.0, 0.0), (1, 2, -100.0, 0.0),
+            (2, 0, 100.0, 0.0), (2, 1, 100.0, 0.0)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, lon double, lat double")
+    got = {(r["oix"], r["dix"]): r["n_trips"]
+           for r in od_matrix(df, grid_n=4).collect()}
+    a = int((-100.0 + 180.0) / 360.0 * 4)  # 0
+    b = int((100.0 + 180.0) / 360.0 * 4)   # 3
+    assert got == {(a, b): 1, (b, a): 1, (b, b): 1}

@@ -88,3 +88,24 @@ def test_prefix_norms_energy_monotone(spark):
         assert r["ss_8"] == int((q[:8] ** 2).sum())
         assert r["ss_16"] == int((q ** 2).sum())
         assert r["ss_4"] <= r["ss_8"] <= r["ss_16"]
+
+
+def test_class_separation_planted(spark):
+    import numpy as np
+
+    from sis_spark.operators.embeddings import class_separation
+
+    rng = np.random.RandomState(4)
+    rows = []
+    for i in range(60):
+        lb = i % 3
+        base = np.zeros(8)
+        base[lb] = 5.0  # well-separated one-hot-ish classes
+        rows.append((i, [float(x) for x in base + rng.randn(8) * 0.01], lb))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long")
+    got = {(r["a"], r["b"]): r for r in class_separation(df).collect()}
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+    for r in got.values():
+        assert r["na"] == 20 and r["nb"] == 20
+        # centroids ~5e4 q-units apart on two dims -> d2 ~ 2*(5e4)^2 = 5e9
+        assert 4.5e9 < r["d2_q"] < 5.5e9

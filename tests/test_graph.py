@@ -193,3 +193,15 @@ def test_assortativity_star_is_negative(spark):
     num = m * sxy - sx * sx
     den = m * sx2 - sx * sx
     assert num / den == -1.0  # textbook star assortativity
+
+
+def test_reciprocity_counts(spark):
+    from sis_spark.operators.graph import reciprocity_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 4), (4, 3), (5, 5), (1, 2)],
+        "src long, dst long",
+    )
+    (r,) = reciprocity_counts(edges).collect()
+    # distinct non-loop edges: (1,2),(2,1),(1,3),(3,4),(4,3) -> 4 reciprocated
+    assert (r["m"], r["m_recip"]) == (5, 4)
