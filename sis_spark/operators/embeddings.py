@@ -431,3 +431,57 @@ SELECT l.lb AS a, r.lb AS b, l.n AS na, r.n AS nb,
        CAST(sum({term}) AS BIGINT) AS d2_q
 FROM cent l JOIN cent r ON r.pos = l.pos AND l.lb < r.lb
 GROUP BY 1, 2, 3, 4"""
+
+
+def vec_topk_dims(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**4,
+) -> DataFrame:
+    """Per-vector top-k dimensions by |quantized value| ->
+    (id, rank, pos, q): the sparsification / saliency audit — which
+    coordinates carry each embedding.  Deterministic ties
+    (|q| desc, pos asc); one posexplode + one rank window."""
+    from pyspark.sql import Window
+
+    rows = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "e"),
+    ).select(
+        "id", "pos",
+        F.floor(F.col("e") * float(scale) + 0.12345678987)
+        .cast("long").alias("q"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.abs(F.col("q")).desc(), F.col("pos").asc()
+    )
+    return (
+        rows.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("id", "rank", "pos", "q")
+    )
+
+
+def vec_topk_dims_sql(
+    base_select: str,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**4,
+) -> str:
+    """DuckDB replay of ``vec_topk_dims`` (float32 CAST to DOUBLE before
+    the scale multiply — the prefix_norms lesson; positions 0-based)."""
+    return f"""
+WITH b AS (SELECT {id_col} AS id, {vec_col} AS v FROM ({base_select}) s),
+e AS (
+  SELECT id, g.i - 1 AS pos,
+         CAST(floor(CAST(v[g.i] AS DOUBLE) * {float(scale)}
+                    + 0.12345678987) AS BIGINT) AS q
+  FROM b, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY id
+       ORDER BY abs(q) DESC, pos ASC) AS BIGINT) AS rank
+  FROM e)
+SELECT id, rank, pos, q FROM r WHERE rank <= {int(k)}"""

@@ -1380,3 +1380,41 @@ def url_canonical_sql(base_select: str, url_col: str = "url",
 SELECT {id_col}, {url_col} AS url,
        {host_c} || CASE WHEN {path_c} = '' THEN '/' ELSE {path_c} END AS canon
 FROM ({base_select}) s"""
+
+
+def token_sort_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Word-order-robust exact dedup -> (key_hash, n_docs, min_id): the
+    canonical key is the space-joined SORTED token multiset, so
+    reorderings of the same words collide ("new york pizza" == "pizza
+    new york") — the token-sort-ratio trick reduced to an exact groupBy.
+    Key is carried as md5 (shared across engines); one shuffle."""
+    key = F.md5(
+        F.concat_ws(" ", F.array_sort(F.split(F.col(text_col), " ")))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), key.alias("key_hash"))
+        .groupBy("key_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("id").alias("min_id"),
+        )
+    )
+
+
+def token_sort_dedup_sql(
+    base_select: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB replay of ``token_sort_dedup``."""
+    return f"""
+WITH b AS (
+  SELECT {id_col} AS id,
+         md5(array_to_string(list_sort(string_split({text_col}, ' ')), ' '))
+           AS key_hash
+  FROM ({base_select}) s)
+SELECT key_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(id) AS BIGINT) AS min_id
+FROM b GROUP BY 1"""

@@ -10554,6 +10554,119 @@ def q_class_separation_oracle():
     )
 
 
+def _gc_densify_texts(f_num: int, f_den: int = 4):
+    """Shared Spark/DuckDB texts for the great-circle intermediate point
+    at fraction f between radian columns (la, pa) and (lb, pb): classic
+    spherical slerp over unit 3-vectors; outputs quantized (lat, lon) in
+    radians at 1e9.  f enters as an exact rational literal."""
+    f = f"(CAST({f_num} AS DOUBLE) / {f_den}.0)"
+    d = (
+        "acos(least(greatest(sin(pa) * sin(pb)"
+        " + cos(pa) * cos(pb) * cos(lb - la), -1.0), 1.0))"
+    )
+    wa = f"(sin((1.0 - {f}) * ({d})) / sin({d}))"
+    wb = f"(sin({f} * ({d})) / sin({d}))"
+    x = f"({wa} * cos(pa) * cos(la) + {wb} * cos(pb) * cos(lb))"
+    y = f"({wa} * cos(pa) * sin(la) + {wb} * cos(pb) * sin(lb))"
+    z = f"({wa} * sin(pa) + {wb} * sin(pb))"
+    lat = f"atan2({z}, sqrt({x} * {x} + {y} * {y}))"
+    lon = f"atan2({y}, {x})"
+    q = "CAST(floor(({e}) * 1.0e9 + 0.12345678987) AS BIGINT)"
+    return q.format(e=lat), q.format(e=lon)
+
+
+def q_gc_densify(spark, sf_dir):
+    """Great-circle densification (the geodesic segment interpolator —
+    flight-path rendering / segment splitting): intermediate points at
+    fractions 1/4, 1/2, 3/4 between each event point and its query
+    point by spherical slerp — one shared expression text per fraction,
+    quantized radians at 1e9."""
+    lon1, lat1 = point_lonlat_cols("event_id")
+    lon2, lat2 = query_lonlat_cols("event_id")
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 4000).select(
+        "event_id",
+        F.radians(lon1).alias("la"),
+        F.radians(lat1).alias("pa"),
+        F.radians(lon2).alias("lb"),
+        F.radians(lat2).alias("pb"),
+    )
+    parts = []
+    for fn in (1, 2, 3):
+        lat_t, lon_t = _gc_densify_texts(fn)
+        parts.append(
+            ev.select(
+                "event_id",
+                F.lit(fn).cast("long").alias("f_num"),
+                F.expr(lat_t).alias("lat_q"),
+                F.expr(lon_t).alias("lon_q"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("event_id", "f_num")
+
+
+def q_gc_densify_oracle():
+    sels = []
+    for fn in (1, 2, 3):
+        lat_t, lon_t = _gc_densify_texts(fn)
+        sels.append(
+            f"SELECT event_id, CAST({fn} AS BIGINT) AS f_num, "
+            f"{lat_t} AS lat_q, {lon_t} AS lon_q FROM pts"
+        )
+    u = "\nUNION ALL\n".join(sels)
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         radians({synth.point_lon_sql('event_id')}) AS la,
+         radians({synth.point_lat_sql('event_id')}) AS pa,
+         radians({synth.query_lon_sql('event_id')}) AS lb,
+         radians({synth.query_lat_sql('event_id')}) AS pb
+  FROM events WHERE event_id < 4000)
+SELECT * FROM ({u}) z ORDER BY event_id, f_num"""
+
+
+def q_token_sort_dedup(spark, sf_dir):
+    """Word-order-robust dedup keys (textops.token_sort_dedup): the
+    space-joined SORTED token multiset as canonical key (md5-carried) —
+    reordered near-copies collide; exact group sizes + representative."""
+    from .operators.textops import token_sort_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_sort_dedup(docs).orderBy("key_hash")
+
+
+def q_token_sort_dedup_oracle():
+    from .operators.textops import token_sort_dedup_sql
+
+    return (
+        "SELECT * FROM ("
+        + token_sort_dedup_sql("SELECT doc_id, text FROM documents")
+        + ") ORDER BY key_hash"
+    )
+
+
+def q_vec_topk_dims(spark, sf_dir):
+    """Per-vector top-3 salient dimensions (embeddings.vec_topk_dims):
+    |quantized value| argmax with deterministic ties — the
+    sparsification audit; one posexplode + one rank window."""
+    from .operators.embeddings import vec_topk_dims
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return vec_topk_dims(emb, k=3).orderBy("id", "rank")
+
+
+def q_vec_topk_dims_oracle():
+    from .operators.embeddings import vec_topk_dims_sql
+
+    return (
+        "SELECT * FROM ("
+        + vec_topk_dims_sql("SELECT vec_id, embedding FROM embeddings", 3)
+        + ") ORDER BY id, rank"
+    )
+
+
 def q_decision_stump(spark, sf_dir):
     """Best Gini split per return flag (analytics.decision_stump over
     lineitem: x = quantity, label = discount > 0.05): exact int64 prefix
@@ -10930,4 +11043,7 @@ QUERIES = {
     "od_matrix": (q_od_matrix, q_od_matrix_oracle),
     "reciprocity": (q_reciprocity, q_reciprocity_oracle),
     "class_separation": (q_class_separation, q_class_separation_oracle),
+    "gc_densify": (q_gc_densify, q_gc_densify_oracle),
+    "token_sort_dedup": (q_token_sort_dedup, q_token_sort_dedup_oracle),
+    "vec_topk_dims": (q_vec_topk_dims, q_vec_topk_dims_oracle),
 }

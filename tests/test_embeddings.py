@@ -109,3 +109,13 @@ def test_class_separation_planted(spark):
         assert r["na"] == 20 and r["nb"] == 20
         # centroids ~5e4 q-units apart on two dims -> d2 ~ 2*(5e4)^2 = 5e9
         assert 4.5e9 < r["d2_q"] < 5.5e9
+
+
+def test_vec_topk_dims_planted(spark):
+    from sis_spark.operators.embeddings import vec_topk_dims
+
+    vec = [0.1, -9.0, 0.2, 7.0, 0.0, -0.3]
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<double>")
+    got = [(r["rank"], r["pos"]) for r in
+           vec_topk_dims(df, k=3).orderBy("rank").collect()]
+    assert got == [(1, 1), (2, 3), (3, 5)]

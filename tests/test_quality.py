@@ -88,3 +88,19 @@ def test_k_anonymity_violations(spark):
     got = {(r["t"], r["g"]): r["cnt"]
            for r in k_anonymity_violations(df, ["t", "g"], k=3).collect()}
     assert got == {("a", 2): 2, ("b", 1): 1}
+
+
+def test_token_sort_dedup_collides_reorderings(spark):
+    from sis_spark.operators.textops import token_sort_dedup
+
+    docs = [
+        (1, "new york pizza"),
+        (2, "pizza new york"),
+        (3, "york pizza new"),
+        (4, "new york pizza pizza"),  # different multiset: no collision
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["n_docs"], r["min_id"]) for r in token_sort_dedup(df).collect()
+    )
+    assert got == [(1, 4), (3, 1)]
