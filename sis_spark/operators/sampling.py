@@ -322,3 +322,44 @@ def weighted_topk_sql(
         f"SELECT *, ({u}) // greatest(CAST({weight_col} AS BIGINT), 1) AS priority "
         f"FROM {rel} ORDER BY priority, {key_col} LIMIT {k}"
     )
+
+
+def temporal_group_split(
+    df: DataFrame,
+    n_splits: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Temporal-leakage-safe dataset split -> (k, first_ts, split):
+    groups (users) ordered by FIRST-SEEN time and cut into ``n_splits``
+    contiguous ntile buckets — every group lands wholly in one split and
+    later-arriving groups never leak into earlier splits (the temporal
+    GroupShuffleSplit every training pipeline needs).  Deterministic
+    ties by group key; one aggregation + one ntile window."""
+    from pyspark.sql import Window, functions as F
+
+    per = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.min(F.col(ts_col)).alias("first_ts")
+    )
+    w = Window.orderBy(F.col("first_ts").asc(), F.col("k").asc())
+    return per.select(
+        "k", "first_ts",
+        F.ntile(int(n_splits)).over(w).cast("long").alias("split"),
+    )
+
+
+def temporal_group_split_sql(
+    base_select: str,
+    n_splits: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+) -> str:
+    """DuckDB replay of ``temporal_group_split``."""
+    return f"""
+WITH per AS (
+  SELECT {key_col} AS k, CAST(min({ts_col}) AS BIGINT) AS first_ts
+  FROM ({base_select}) s GROUP BY 1)
+SELECT k, first_ts,
+       CAST(ntile({int(n_splits)}) OVER (ORDER BY first_ts ASC, k ASC)
+            AS BIGINT) AS split
+FROM per"""

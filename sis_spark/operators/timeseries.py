@@ -1118,3 +1118,82 @@ SELECT k, CAST(count(*) AS BIGINT) AS n_gaps,
        CAST(sum(dt) AS BIGINT) AS s_dt,
        CAST(sum(dt * dt) AS BIGINT) AS s_dt2
 FROM b WHERE dt IS NOT NULL GROUP BY 1"""
+
+
+def hampel_flags(
+    df: DataFrame,
+    window: int = 2,
+    k_num: int = 3,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "x",
+) -> DataFrame:
+    """Hampel outlier filter -> (k, o, x, med, mad2, flag): per row, the
+    EXACT median of the centered (2*window+1) neighborhood
+    (lower-median convention on even counts) and the window median of
+    the neighbors' own |x_j - med_j| deviations (the decomposed-Hampel
+    variant: each deviation is against ITS row's median, which keeps the
+    whole pass two window stages instead of a rank self-join — both
+    engines implement the identical variant), flagged when
+    2*|x - med| > 2*k*mad — every comparison integer, pure codegen
+    (array_sort over a collect_list window + element_at).  The
+    spike-cleaning sibling of rolling_median."""
+    from pyspark.sql import Window, functions as F
+
+    w = (
+        Window.partitionBy("k")
+        .orderBy("o")
+        .rowsBetween(-int(window), int(window))
+    )
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(order_col).alias("o"),
+        F.col(value_col).alias("x"),
+    )
+    arr = F.array_sort(F.collect_list("x").over(w))
+    n = F.size(arr)
+    med = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    s = (
+        b.withColumn("med", med)
+        .withColumn("dev", F.abs(F.col("x") - F.col("med")))
+    )
+    darr = F.array_sort(F.collect_list("dev").over(w))
+    dn = F.size(darr)
+    s = s.withColumn("mad2", F.element_at(darr, ((dn + 1) / 2).cast("int")))
+    flag = (
+        F.lit(2) * F.abs(F.col("x") - F.col("med"))
+        > F.lit(2 * int(k_num)) * F.col("mad2")
+    ).cast("long")
+    return s.select("k", "o", "x", "med", "mad2", flag.alias("flag"))
+
+
+def hampel_flags_sql(
+    base_select: str,
+    window: int = 2,
+    k_num: int = 3,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "x",
+) -> str:
+    """DuckDB replay of ``hampel_flags`` (same lower-median rule)."""
+    w = int(window)
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, {order_col} AS o, {value_col} AS x
+  FROM ({base_select}) s),
+m AS (
+  SELECT *, list_sort(list(x) OVER (PARTITION BY k ORDER BY o
+             ROWS BETWEEN {w} PRECEDING AND {w} FOLLOWING)) AS arr
+  FROM b),
+m2 AS (
+  SELECT k, o, x, arr[CAST((len(arr) + 1) // 2 AS INT)] AS med FROM m),
+d AS (
+  SELECT *, list_sort(list(abs(x - med)) OVER (PARTITION BY k ORDER BY o
+             ROWS BETWEEN {w} PRECEDING AND {w} FOLLOWING)) AS darr
+  FROM m2)
+SELECT k, o, CAST(x AS BIGINT) AS x, CAST(med AS BIGINT) AS med,
+       CAST(darr[CAST((len(darr) + 1) // 2 AS INT)] AS BIGINT) AS mad2,
+       CAST(2 * abs(x - med)
+            > {2 * int(k_num)} * darr[CAST((len(darr) + 1) // 2 AS INT)]
+            AS BIGINT) AS flag
+FROM d"""

@@ -10667,6 +10667,60 @@ def q_vec_topk_dims_oracle():
     )
 
 
+def q_temporal_split(spark, sf_dir):
+    """Temporal-leakage-safe group split (sampling.temporal_group_split,
+    3 splits): users cut into contiguous first-seen-time ntile buckets —
+    whole groups per split, later groups never leak earlier; exact
+    integer epochs, deterministic ties."""
+    from .operators.sampling import temporal_group_split
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return temporal_group_split(ev, n_splits=3).orderBy("k")
+
+
+def q_temporal_split_oracle():
+    from .operators.sampling import temporal_group_split_sql
+
+    base = "SELECT user_id, epoch_us(ts) AS ts_us FROM events"
+    return (
+        "SELECT * FROM ("
+        + temporal_group_split_sql(base, 3)
+        + ") ORDER BY k"
+    )
+
+
+def q_hampel(spark, sf_dir):
+    """Hampel spike flags (timeseries.hampel_flags, window 2, k=3,
+    decomposed-MAD variant): exact window medians via array_sort over
+    collect_list (lower-median rule both engines), integer
+    cross-comparison flag — the spike-cleaning sibling of
+    rolling_median."""
+    from .operators.timeseries import hampel_flags
+
+    lon, _ = point_lonlat_cols("event_id")
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 3000).select(
+        "user_id", "event_id",
+        F.floor(lon * 100).cast("long").alias("x"),
+    )
+    return hampel_flags(ev).orderBy("k", "o")
+
+
+def q_hampel_oracle():
+    from .operators.timeseries import hampel_flags_sql
+
+    base = (
+        "SELECT user_id, event_id, "
+        f"CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e2) AS BIGINT) AS x "
+        "FROM events WHERE event_id < 3000"
+    )
+    return (
+        "SELECT * FROM (" + hampel_flags_sql(base) + ") ORDER BY k, o"
+    )
+
+
 def q_decision_stump(spark, sf_dir):
     """Best Gini split per return flag (analytics.decision_stump over
     lineitem: x = quantity, label = discount > 0.05): exact int64 prefix
@@ -11046,4 +11100,6 @@ QUERIES = {
     "gc_densify": (q_gc_densify, q_gc_densify_oracle),
     "token_sort_dedup": (q_token_sort_dedup, q_token_sort_dedup_oracle),
     "vec_topk_dims": (q_vec_topk_dims, q_vec_topk_dims_oracle),
+    "temporal_split": (q_temporal_split, q_temporal_split_oracle),
+    "hampel": (q_hampel, q_hampel_oracle),
 }

@@ -219,3 +219,13 @@ def test_mixture_rates_no_upsampling_and_proportions(spark):
     for r in got.values():
         assert r["target_n"] <= r["n"]          # never upsample
         assert r["rate"] == r["target_n"] / r["n"]
+
+
+def test_temporal_group_split_no_leakage(spark):
+    from sis_spark.operators.sampling import temporal_group_split
+
+    rows = [(u, u * 100 + i) for u in range(9) for i in range(3)]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long")
+    got = {r["k"]: r["split"] for r in temporal_group_split(df, 3).collect()}
+    # users ordered by first ts (u*100): contiguous thirds
+    assert [got[u] for u in range(9)] == [1, 1, 1, 2, 2, 2, 3, 3, 3]

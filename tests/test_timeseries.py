@@ -431,3 +431,15 @@ def test_burstiness_moments(spark):
     (r,) = burstiness_moments(df).collect()
     # gaps 10, 20, 30
     assert (r["n_gaps"], r["s_dt"], r["s_dt2"]) == (3, 60, 100 + 400 + 900)
+
+
+def test_hampel_flags_planted_spike(spark):
+    from sis_spark.operators.timeseries import hampel_flags
+
+    xs = [10, 11, 10, 500, 11, 10, 12, 11]  # spike at index 3
+    rows = [(1, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, x long")
+    got = {r["o"]: r for r in hampel_flags(df, window=2, k_num=3).collect()}
+    assert got[3]["flag"] == 1
+    assert sum(r["flag"] for r in got.values()) == 1  # only the spike
+    assert got[3]["med"] in (10, 11)  # window median ignores the spike
