@@ -477,3 +477,182 @@ g AS (
   FROM b)
 SELECT oix, oiy, ix AS dix, iy AS diy, CAST(count(*) AS BIGINT) AS n_trips
 FROM g WHERE oix IS NOT NULL GROUP BY 1, 2, 3, 4"""
+
+
+def morans_i(
+    points: DataFrame,
+    grid_n: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Global Moran's I spatial-autocorrelation moments over the occupied
+    cells of the 2^k grid (rook adjacency, binary weights) — the global
+    twin of the local Gi* hot-spot view (``hotspot_gi``), i.e. the one
+    number that says whether the cell histogram is clustered at all
+    (Moran 1950, public literature).
+
+    Exactness: with N = occupied cells and S = total points, the deviation
+    x_i - S/N scaled by N is the integer ``dev_i = N*x_i - S``, so both the
+    cross-product numerator (over rook edges) and the variance denominator
+    are exact int64 sums; I = (n * num) / (w_edges * den) is derivable.
+
+    Scale shape: the only input-sized stage is the first cell histogram
+    (map-side combined groupBy); everything after runs on the tiny
+    occupied-cell table (<= grid_n^2 rows) with a broadcast stats row and
+    a self-equi-join on shifted cell keys."""
+    cells = (
+        points.select(
+            F.expr(grid_expr("x", grid_n, lon_col, lat_col)).alias("ix"),
+            F.expr(grid_expr("y", grid_n, lon_col, lat_col)).alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    stats = cells.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    dev = cells.crossJoin(F.broadcast(stats)).select(
+        "ix", "iy", (F.col("n") * F.col("x") - F.col("s")).alias("dev")
+    )
+    nbr = dev.select(
+        F.col("dev").alias("dev_i"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("ix") + dx).alias("ix"),
+                    (F.col("iy") + dy).alias("iy"),
+                )
+                for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+            ])
+        ).alias("g"),
+    ).select("g.ix", "g.iy", "dev_i")
+    edges = nbr.join(
+        dev.select("ix", "iy", F.col("dev").alias("dev_j")), ["ix", "iy"]
+    ).agg(
+        F.count(F.lit(1)).alias("w_edges"),
+        F.sum(F.col("dev_i") * F.col("dev_j")).alias("num"),
+    )
+    den = dev.agg(F.sum(F.col("dev") * F.col("dev")).alias("den"))
+    return stats.crossJoin(edges).crossJoin(den).select(
+        "n", "s", "w_edges", "num", "den"
+    )
+
+
+def morans_i_sql(
+    base_select: str,
+    grid_n: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> str:
+    """DuckDB replay of ``morans_i``; ``base_select`` -> (lon, lat)."""
+    return f"""
+WITH pt AS ({base_select}),
+cl AS (
+  SELECT {grid_expr('x', grid_n, lon_col, lat_col)} AS ix,
+         {grid_expr('y', grid_n, lon_col, lat_col)} AS iy,
+         CAST(count(*) AS BIGINT) AS x
+  FROM pt GROUP BY 1, 2),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM cl),
+dv AS (SELECT ix, iy, st.n * cl.x - st.s AS dev FROM cl, st),
+ed AS (
+  SELECT a.dev AS di, b.dev AS dj
+  FROM dv a JOIN dv b
+    ON (abs(a.ix - b.ix) + abs(a.iy - b.iy)) = 1)
+SELECT st.n AS n, st.s AS s,
+       (SELECT CAST(count(*) AS BIGINT) FROM ed) AS w_edges,
+       (SELECT CAST(coalesce(sum(di * dj), 0) AS BIGINT) FROM ed) AS num,
+       (SELECT CAST(sum(dev * dev) AS BIGINT) FROM dv) AS den
+FROM st"""
+
+
+def ripley_pairs(
+    points: DataFrame,
+    radii: list,
+    id_col: str = "event_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    scale: float = 1e5,
+) -> DataFrame:
+    """Ripley's K pair counts: unordered point pairs within each planar
+    radius (quantized int64 coordinates at ``scale``), the second-order
+    point-pattern statistic (Ripley 1977, public literature) behind
+    clustered-vs-dispersed corpus diagnostics.
+
+    Scale shape: the all-pairs definition is never materialized — points
+    are binned into cells of side r_max, each point probes only its 3x3
+    neighborhood (one explode + one equi-join), and every surviving
+    candidate is verified with an exact integer d^2.  A pair lands in the
+    candidate set exactly once (the right side keeps its own cell), so no
+    distinct is needed."""
+    rmax = int(max(radii))
+    q = points.select(
+        F.col(id_col).alias("id"),
+        F.floor(F.col(lon_col) * scale).cast("long").alias("qx"),
+        F.floor(F.col(lat_col) * scale).cast("long").alias("qy"),
+    )
+    b = q.select(
+        "id", "qx", "qy",
+        F.floor(F.col("qx") / rmax).cast("long").alias("cx"),
+        F.floor(F.col("qy") / rmax).cast("long").alias("cy"),
+    )
+    probes = b.select(
+        F.col("id").alias("ida"), F.col("qx").alias("xa"),
+        F.col("qy").alias("ya"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("cx") + dx).alias("cx"),
+                    (F.col("cy") + dy).alias("cy"),
+                )
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            ])
+        ).alias("g"),
+    ).select("ida", "xa", "ya", "g.cx", "g.cy")
+    cand = probes.join(
+        b.select(
+            F.col("id").alias("idb"), F.col("qx").alias("xb"),
+            F.col("qy").alias("yb"), "cx", "cy",
+        ),
+        ["cx", "cy"],
+    ).filter(F.col("ida") < F.col("idb"))
+    d2 = (
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+    )
+    return cand.agg(*[
+        F.sum((d2 <= r * r).cast("long")).alias(f"n_{int(r)}")
+        for r in radii
+    ])
+
+
+def ripley_pairs_sql(
+    base_select: str,
+    radii: list,
+    id_col: str = "event_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    scale: float = 1e5,
+) -> str:
+    """DuckDB replay of ``ripley_pairs`` (direct banded inequality join);
+    ``base_select`` -> (id, lon, lat)."""
+    rmax = int(max(radii))
+    cols = ",\n       ".join(
+        f"CAST(sum(CASE WHEN d2 <= {int(r) * int(r)} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{int(r)}"
+        for r in radii
+    )
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS id,
+         CAST(floor(({lon_col}) * {scale}) AS BIGINT) AS qx,
+         CAST(floor(({lat_col}) * {scale}) AS BIGINT) AS qy
+  FROM ({base_select}) s),
+pr AS (
+  SELECT (a.qx - b.qx) * (a.qx - b.qx)
+         + (a.qy - b.qy) * (a.qy - b.qy) AS d2
+  FROM q a JOIN q b
+    ON a.id < b.id
+   AND b.qx BETWEEN a.qx - {rmax} AND a.qx + {rmax}
+   AND b.qy BETWEEN a.qy - {rmax} AND a.qy + {rmax})
+SELECT {cols}
+FROM pr"""

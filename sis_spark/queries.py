@@ -10834,6 +10834,70 @@ def q_kaplan_meier_oracle():
     )
 
 
+def q_morans_i(spark, sf_dir):
+    """Global Moran's I moments (density.morans_i, 64x64 grid, rook
+    adjacency over occupied cells): the one-number clustered-vs-dispersed
+    diagnostic of the cell histogram — numerator/denominator pinned as
+    exact int64 via the N*x - S deviation scaling; only the initial cell
+    histogram touches input-sized data."""
+    from .operators.density import morans_i
+
+    pts = _events_points(spark, sf_dir)
+    return morans_i(pts, grid_n=64)
+
+
+def q_morans_i_oracle():
+    from .operators.density import morans_i_sql
+
+    return morans_i_sql(_points_sql(), 64)
+
+
+def q_ripley_pairs(spark, sf_dir):
+    """Ripley's K pair counts (density.ripley_pairs, radii 0.2/0.4/0.8 deg
+    at 1e5 quantization): second-order point-pattern statistic via
+    cell-binned candidate join (cell side = r_max) + exact integer d^2
+    verify — the all-pairs definition never materializes."""
+    from .operators.density import ripley_pairs
+
+    pts = _events_points(spark, sf_dir)
+    return ripley_pairs(pts, [20000, 40000, 80000])
+
+
+def q_ripley_pairs_oracle():
+    from .operators.density import ripley_pairs_sql
+
+    return ripley_pairs_sql(_points_sql(), [20000, 40000, 80000],
+                            id_col="event_id")
+
+
+def q_image_moments(spark, sf_dir):
+    """Raw image moments per tile (tiles.moments_tiles): exact int64
+    weighted-coordinate sums m00..m02 in global pixel coordinates — the
+    distributed building blocks of centroid/orientation shape features;
+    per-tile partials add, zero shuffles."""
+    from .raster.tiles import moments_tiles
+
+    tiles = _formula_tiles(spark, 448, 256, bands=1)
+    return moments_tiles(tiles).orderBy("tx", "ty")
+
+
+def q_image_moments_oracle():
+    return """
+WITH px AS (
+  SELECT gx.x // 64 AS tx, gy.y // 64 AS ty,
+         gx.x AS x, gy.y AS y,
+         (gx.x * 7 + gy.y * 13) % 256 AS v
+  FROM generate_series(0, 447) gx(x), generate_series(0, 255) gy(y))
+SELECT tx, ty, CAST(0 AS INT) AS band,
+       CAST(sum(v) AS BIGINT) AS m00,
+       CAST(sum(x * v) AS BIGINT) AS m10,
+       CAST(sum(y * v) AS BIGINT) AS m01,
+       CAST(sum(x * y * v) AS BIGINT) AS m11,
+       CAST(sum(x * x * v) AS BIGINT) AS m20,
+       CAST(sum(y * y * v) AS BIGINT) AS m02
+FROM px GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -11102,4 +11166,7 @@ QUERIES = {
     "vec_topk_dims": (q_vec_topk_dims, q_vec_topk_dims_oracle),
     "temporal_split": (q_temporal_split, q_temporal_split_oracle),
     "hampel": (q_hampel, q_hampel_oracle),
+    "morans_i": (q_morans_i, q_morans_i_oracle),
+    "ripley_pairs": (q_ripley_pairs, q_ripley_pairs_oracle),
+    "image_moments": (q_image_moments, q_image_moments_oracle),
 }

@@ -1300,3 +1300,50 @@ def blockiness(tiles_df: DataFrame, block: int = 8, tile_size: int = 64,
         schema=("tx long, ty long, band int, b_sum long, b_n long, "
                 "o_sum long, o_n long"),
     )
+
+
+def moments_tiles(tiles_df: DataFrame, tile_size: int = 64,
+                  dtype=np.uint8) -> DataFrame:
+    """Raw image moments per tile in GLOBAL pixel coordinates (the exact
+    building blocks of centroid / orientation / Hu-style shape features,
+    public literature): with weight v(x, y) = pixel value,
+      m00 = sum v, m10 = sum x*v, m01 = sum y*v,
+      m11 = sum x*y*v, m20 = sum x^2*v, m02 = sum y^2*v,
+    all exact int64.  Per-tile partials ADD, so the whole-image moments
+    are one further sum — the Statistics.combine shape
+    (U/math/Statistics.java:311) applied to weighted coordinates.
+    Embarrassingly parallel, no shuffle; padding pixels are zero-valued
+    and contribute nothing."""
+    bdt = np.dtype(dtype)
+    gx = np.arange(tile_size, dtype=np.int64)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, band, d in zip(
+                pdf["tx"], pdf["ty"], pdf["band"], pdf["data"]
+            ):
+                v = (
+                    np.frombuffer(d, dtype=bdt)
+                    .reshape(tile_size, tile_size)
+                    .astype(np.int64)
+                )
+                X = (int(tx) * tile_size + gx)[None, :]
+                Y = (int(ty) * tile_size + gx)[:, None]
+                rows.append({
+                    "tx": int(tx), "ty": int(ty), "band": int(band),
+                    "m00": int(v.sum()),
+                    "m10": int((X * v).sum()),
+                    "m01": int((Y * v).sum()),
+                    "m11": int((X * Y * v).sum()),
+                    "m20": int((X * X * v).sum()),
+                    "m02": int((Y * Y * v).sum()),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return tiles_df.mapInPandas(
+        fn,
+        schema=("tx long, ty long, band int, m00 long, m10 long, "
+                "m01 long, m11 long, m20 long, m02 long"),
+    )

@@ -174,3 +174,53 @@ def test_od_matrix_counts(spark):
     a = int((-100.0 + 180.0) / 360.0 * 4)  # 0
     b = int((100.0 + 180.0) / 360.0 * 4)   # 3
     assert got == {(a, b): 1, (b, a): 1, (b, b): 1}
+
+
+def test_morans_i_checkerboard_negative(spark):
+    # perfect checkerboard of counts 1/3 -> strong NEGATIVE autocorrelation
+    n = 8
+    rows = []
+    i = 0
+    cell_w, cell_h = 360.0 / n, 180.0 / n
+    for ix in range(n):
+        for iy in range(n):
+            cnt = 1 if (ix + iy) % 2 == 0 else 3
+            lon = -180.0 + (ix + 0.5) * cell_w
+            lat = -90.0 + (iy + 0.5) * cell_h
+            for _ in range(cnt):
+                rows.append((i, lon, lat))
+                i += 1
+    from sis_spark.operators.density import morans_i
+    df = spark.createDataFrame(rows, "event_id long, lon double, lat double")
+    r = morans_i(df, grid_n=n).collect()[0]
+    assert r["n"] == n * n and r["s"] == i
+    # rook edges: 2*n*(n-1) per direction, directed both ways
+    assert r["w_edges"] == 4 * n * (n - 1)
+    moran = (r["n"] * r["num"]) / (r["w_edges"] * r["den"])
+    assert moran == -1.0          # exact for a perfect checkerboard
+    # clustered layout: all mass in one half -> positive I
+    rows2 = [(j, -170.0 + (j % 4) * 2.0, -80.0 + (j // 4 % 4) * 2.0)
+             for j in range(64)]
+    rows2 += [(100 + j, 170.0, 80.0) for j in range(2)]
+    df2 = spark.createDataFrame(rows2, "event_id long, lon double, lat double")
+    r2 = morans_i(df2, grid_n=64).collect()[0]
+    assert (r2["n"] * r2["num"]) / (r2["w_edges"] * r2["den"]) > 0
+
+
+def test_ripley_pairs_matches_brute(spark):
+    rng = np.random.default_rng(11)
+    pts = [(i, float(rng.uniform(-2, 2)), float(rng.uniform(-2, 2)))
+           for i in range(300)]
+    from sis_spark.operators.density import ripley_pairs
+    df = spark.createDataFrame(pts, "event_id long, lon double, lat double")
+    radii = [20000, 60000]
+    out = ripley_pairs(df, radii).collect()[0]
+    q = [(i, int(np.floor(x * 1e5)), int(np.floor(y * 1e5)))
+         for i, x, y in pts]
+    for r in radii:
+        brute = sum(
+            1
+            for a in range(len(q)) for b in range(a + 1, len(q))
+            if (q[a][1] - q[b][1]) ** 2 + (q[a][2] - q[b][2]) ** 2 <= r * r
+        )
+        assert out[f"n_{r}"] == brute
