@@ -10834,6 +10834,123 @@ def q_kaplan_meier_oracle():
     )
 
 
+def _texture_v_sql(x: str, y: str) -> str:
+    """Quadratic texture formula (rich octant/code variety, values 0..255):
+    shared text for the DuckDB oracles of the texture gates."""
+    return (f"(3 * ({x}) * ({x}) + 7 * ({x}) * ({y}) + 5 * ({y}) * ({y}) "
+            f"+ 11 * ({x}) + 13 * ({y})) % 256")
+
+
+def _texture_tiles(spark, w: int, h: int, tile_size: int = 64):
+    """Distributed quadratic-formula raster (band 0 only), the engine twin
+    of ``_texture_v_sql`` — same mapInPandas layout as ``_formula_tiles``."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.tiles import TILE_SCHEMA
+
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    ids = spark.range(ntx * nty).repartition(
+        min(ntx * nty, spark.sparkContext.defaultParallelism)
+    )
+
+    def fill(batches):
+        gxs = _np.arange(tile_size, dtype=_np.int64)
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                t = int(i)
+                tx, ty = t % ntx, t // ntx
+                GX, GY = _np.meshgrid(tx * tile_size + gxs,
+                                      ty * tile_size + gxs)
+                block = (3 * GX * GX + 7 * GX * GY + 5 * GY * GY
+                         + 11 * GX + 13 * GY) % 256
+                block = _np.where((GX < w) & (GY < h), block, 0).astype(
+                    _np.uint8
+                )
+                rows.append({"tx": tx, "ty": ty, "band": 0,
+                             "data": block.tobytes()})
+            yield _pd.DataFrame(rows)
+
+    return ids.mapInPandas(fill, TILE_SCHEMA)
+
+
+def q_lbp(spark, sf_dir):
+    """Local Binary Pattern texture histogram (terrain.lbp_tiles): 8-bit
+    neighbor-comparison codes per interior pixel, per-tile (code, cnt)
+    rows — exact integers, one halo gather; the texture fingerprint an
+    image-curation pipeline buckets corpora by."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import lbp_tiles
+
+    W, H = 448, 256
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _texture_tiles(spark, W, H)
+    return lbp_tiles(tiles, gg).orderBy("tx", "ty", "code")
+
+
+def q_lbp_oracle():
+    v = _texture_v_sql
+    bits = []
+    offs = [(-1, -1), (0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1),
+            (-1, 0)]  # (dx, dy) for bits 0..7, clockwise from top-left
+    for i, (dx, dy) in enumerate(offs):
+        nb = v(f"x + {dx}", f"y + {dy}")
+        bits.append(f"(CASE WHEN {nb} >= c THEN {1 << i} ELSE 0 END)")
+    return f"""
+WITH px AS (
+  SELECT gx.x AS x, gy.y AS y, {v('gx.x', 'gy.y')} AS c
+  FROM generate_series(1, 446) gx(x), generate_series(1, 254) gy(y)),
+cd AS (
+  SELECT x // 64 AS tx, y // 64 AS ty,
+         {' + '.join(bits)} AS code
+  FROM px)
+SELECT tx, ty, CAST(code AS BIGINT) AS code,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM cd GROUP BY 1, 2, 3 ORDER BY tx, ty, code"""
+
+
+def q_hog(spark, sf_dir):
+    """Oriented-gradient histogram, 8 exact octants (terrain.hog_tiles):
+    doubled central differences stay integer, octant = integer
+    sign/magnitude ladder, weight = L1 magnitude — the HOG cell stage
+    per tile, all int64."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import hog_tiles
+
+    W, H = 448, 256
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _texture_tiles(spark, W, H)
+    return hog_tiles(tiles, gg).orderBy("tx", "ty")
+
+
+def q_hog_oracle():
+    from .raster.terrain import hog_octant_sql
+
+    v = _texture_v_sql
+    sums = ",\n       ".join(
+        f"CAST(coalesce(sum(CASE WHEN k = {i} THEN w END), 0) AS BIGINT) "
+        f"AS s{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH g AS (
+  SELECT gx.x // 64 AS tx, gy.y // 64 AS ty,
+         ({v('gx.x + 1', 'gy.y')}) - ({v('gx.x - 1', 'gy.y')}) AS gxv,
+         ({v('gx.x', 'gy.y + 1')}) - ({v('gx.x', 'gy.y - 1')}) AS gyv
+  FROM generate_series(1, 446) gx(x), generate_series(1, 254) gy(y)),
+o AS (
+  SELECT tx, ty, {hog_octant_sql('gxv', 'gyv')} AS k,
+         abs(gxv) + abs(gyv) AS w
+  FROM g)
+SELECT tx, ty,
+       {sums}
+FROM o GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
 def q_morans_i(spark, sf_dir):
     """Global Moran's I moments (density.morans_i, 64x64 grid, rook
     adjacency over occupied cells): the one-number clustered-vs-dispersed
@@ -11169,4 +11286,6 @@ QUERIES = {
     "morans_i": (q_morans_i, q_morans_i_oracle),
     "ripley_pairs": (q_ripley_pairs, q_ripley_pairs_oracle),
     "image_moments": (q_image_moments, q_image_moments_oracle),
+    "lbp": (q_lbp, q_lbp_oracle),
+    "hog": (q_hog, q_hog_oracle),
 }

@@ -812,3 +812,170 @@ def tri_tiles(
         ])
 
     return contrib.groupBy("gtx", "gty").applyInPandas(fn, schema=TRI_SCHEMA)
+
+
+def _assemble_halo(key, pdf, tile_size, bdt):
+    """(gtx, gty, (ts+2, ts+2) float64 halo with NaN where no tile)."""
+    gtx, gty = int(key[0]), int(key[1])
+    ts = tile_size
+    halo = np.full((ts + 2, ts + 2), np.nan)
+    for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+        block = (
+            np.frombuffer(data, dtype=bdt).reshape(ts, ts).astype(np.float64)
+        )
+        oy = (int(ty) - gty) * ts + 1
+        ox = (int(tx) - gtx) * ts + 1
+        y0, x0 = max(oy, 0), max(ox, 0)
+        y1, x1 = min(oy + ts, ts + 2), min(ox + ts, ts + 2)
+        if y1 <= y0 or x1 <= x0:
+            continue
+        halo[y0:y1, x0:x1] = block[y0 - oy:y1 - oy, x0 - ox:x1 - ox]
+    return gtx, gty, halo
+
+
+# neighbor order for LBP bit i (dy, dx), clockwise from top-left
+_LBP_OFFSETS = [(-1, -1), (-1, 0), (-1, 1), (0, 1),
+                (1, 1), (1, 0), (1, -1), (0, -1)]
+
+
+def lbp_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Local Binary Pattern texture codes per tile (Ojala et al. 1996,
+    public literature): for each INTERIOR raster pixel, bit i of the
+    8-bit code is set when the i-th neighbor (clockwise from top-left)
+    is >= the center; output is the per-tile (code, cnt) histogram —
+    the classic texture fingerprint an image-curation pipeline buckets
+    corpora by.  Exact integers end to end; one halo gather (the
+    gradient machinery's shuffle), then map-side histograms.  Pixels
+    whose 3x3 window leaves the raster (or touches a missing tile) are
+    skipped."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+
+    def fn(key, pdf):
+        gtx, gty, halo = _assemble_halo(key, pdf, tile_size, bdt)
+        ts = tile_size
+        px = gtx * ts + np.arange(ts)
+        py = gty * ts + np.arange(ts)
+        c = halo[1:1 + ts, 1:1 + ts]
+        code = np.zeros((ts, ts), np.int64)
+        valid = np.isfinite(c)
+        for i, (dy, dx) in enumerate(_LBP_OFFSETS):
+            nb = halo[1 + dy:1 + dy + ts, 1 + dx:1 + dx + ts]
+            valid &= np.isfinite(nb)
+            code += (nb >= c).astype(np.int64) << i
+        interior = (
+            (px[None, :] >= 1) & (px[None, :] <= w - 2)
+            & (py[:, None] >= 1) & (py[:, None] <= h - 2)
+        )
+        sel = code[valid & interior]
+        if sel.size == 0:
+            return pd.DataFrame({"tx": [], "ty": [], "code": [], "cnt": []})
+        cnt = np.bincount(sel, minlength=256)
+        codes = np.nonzero(cnt)[0]
+        return pd.DataFrame({
+            "tx": gtx, "ty": gty,
+            "code": codes.astype(np.int64),
+            "cnt": cnt[codes].astype(np.int64),
+        })
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(
+        fn, schema="tx long, ty long, code long, cnt long"
+    )
+
+
+def _hog_octants(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Octant k with atan2(gy, gx) in [k*45deg, (k+1)*45deg), derived by
+    EXACT integer sign/magnitude comparisons (no trig); (0, 0) -> 0
+    (its weight is 0 so it never contributes)."""
+    conds = [
+        (gx > 0) & (gy >= 0) & (gy < gx),
+        (gx > 0) & (gy >= gx),
+        (gx <= 0) & (gy > 0) & (gy > -gx),
+        (gy > 0) & (gx < 0) & (gy <= -gx),
+        (gx < 0) & (gy <= 0) & (-gy < -gx),
+        (gy < 0) & (gx < 0) & (-gy >= -gx),
+        (gx >= 0) & (gy < 0) & (gx < -gy),
+        (gx > 0) & (gy < 0) & (gx >= -gy),
+    ]
+    return np.select(conds, list(range(8)), default=0)
+
+
+def hog_octant_sql(gx: str, gy: str) -> str:
+    """Shared Spark-SQL/DuckDB text twin of ``_hog_octants`` (same ladder,
+    same order, first match wins)."""
+    return f"""CASE
+ WHEN ({gx}) > 0 AND ({gy}) >= 0 AND ({gy}) < ({gx}) THEN 0
+ WHEN ({gx}) > 0 AND ({gy}) >= ({gx}) THEN 1
+ WHEN ({gx}) <= 0 AND ({gy}) > 0 AND ({gy}) > -({gx}) THEN 2
+ WHEN ({gy}) > 0 AND ({gx}) < 0 AND ({gy}) <= -({gx}) THEN 3
+ WHEN ({gx}) < 0 AND ({gy}) <= 0 AND -({gy}) < -({gx}) THEN 4
+ WHEN ({gy}) < 0 AND ({gx}) < 0 AND -({gy}) >= -({gx}) THEN 5
+ WHEN ({gx}) >= 0 AND ({gy}) < 0 AND ({gx}) < -({gy}) THEN 6
+ WHEN ({gx}) > 0 AND ({gy}) < 0 AND ({gx}) >= -({gy}) THEN 7
+ ELSE 0 END"""
+
+
+def hog_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Histogram of oriented gradients, 8 exact octants per tile (the
+    Dalal-Triggs 2005 descriptor's cell stage, public literature):
+    DOUBLED central differences keep gradients integer, the octant is an
+    integer sign/magnitude ladder (``_hog_octants``; boundary angles pin
+    to the lower octant), and each interior pixel adds its L1 magnitude
+    |gx|+|gy| to its octant bin — all int64, one halo gather, zero
+    Python in the aggregation."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+
+    def fn(key, pdf):
+        gtx, gty, halo = _assemble_halo(key, pdf, tile_size, bdt)
+        ts = tile_size
+        px = gtx * ts + np.arange(ts)
+        py = gty * ts + np.arange(ts)
+        lf, rt = halo[1:1 + ts, 0:ts], halo[1:1 + ts, 2:2 + ts]
+        up, dn = halo[0:ts, 1:1 + ts], halo[2:2 + ts, 1:1 + ts]
+        valid = (
+            np.isfinite(lf) & np.isfinite(rt)
+            & np.isfinite(up) & np.isfinite(dn)
+        )
+        interior = (
+            (px[None, :] >= 1) & (px[None, :] <= w - 2)
+            & (py[:, None] >= 1) & (py[:, None] <= h - 2)
+        )
+        m = valid & interior
+        gx = np.where(m, rt - lf, 0).astype(np.int64)
+        gy = np.where(m, dn - up, 0).astype(np.int64)
+        oct_ = _hog_octants(gx, gy)
+        wgt = np.abs(gx) + np.abs(gy)
+        bins = np.bincount(oct_.ravel(), weights=wgt.ravel(),
+                           minlength=8).astype(np.int64)
+        row = {"tx": gtx, "ty": gty}
+        row.update({f"s{i}": int(bins[i]) for i in range(8)})
+        return pd.DataFrame([row])
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(
+        fn,
+        schema=("tx long, ty long, " +
+                ", ".join(f"s{i} long" for i in range(8))),
+    )

@@ -39,3 +39,47 @@ def test_moments_tiles_match_dense(spark):
         blk = arr[r["ty"] * ts:(r["ty"] + 1) * ts,
                   r["tx"] * ts:(r["tx"] + 1) * ts].astype(np.int64)
         assert r["m00"] == int(blk.sum())
+
+
+def test_hog_octant_ladder_matches_atan2():
+    import math
+
+    from sis_spark.raster.terrain import _hog_octants
+
+    gx, gy = np.meshgrid(np.arange(-25, 26), np.arange(-25, 26))
+    got = _hog_octants(gx.astype(np.int64), gy.astype(np.int64))
+    for a, b, k in zip(gx.ravel(), gy.ravel(), got.ravel()):
+        if a == 0 and b == 0:
+            assert k == 0
+            continue
+        ang = math.degrees(math.atan2(b, a)) % 360.0
+        assert k == int(ang // 45) % 8, (a, b)
+
+
+def test_lbp_tiles_match_dense(spark):
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.terrain import lbp_tiles
+
+    rng = np.random.default_rng(9)
+    h, w, ts = 70, 90, 32
+    arr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    gg = GridGeometry((0, 0, w - 1, h - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(h)))
+    rows = lbp_tiles(_tiles_df(spark, arr, ts), gg, tile_size=ts).collect()
+    got = {}
+    for r in rows:
+        got[(r["tx"], r["ty"], r["code"])] = r["cnt"]
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, 1),
+            (1, 1), (1, 0), (1, -1), (0, -1)]  # (dy, dx), bit order
+    want = {}
+    a = arr.astype(np.int64)
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            code = sum(
+                (1 << i)
+                for i, (dy, dx) in enumerate(offs)
+                if a[y + dy, x + dx] >= a[y, x]
+            )
+            k = (x // ts, y // ts, code)
+            want[k] = want.get(k, 0) + 1
+    assert got == want
