@@ -1652,3 +1652,163 @@ SELECT c, last_day, freq, monetary,
        CAST(ntile({nb}) OVER (ORDER BY freq DESC, c ASC) AS BIGINT) AS f_score,
        CAST(ntile({nb}) OVER (ORDER BY monetary DESC, c ASC) AS BIGINT) AS m_score
 FROM per"""
+
+
+def auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC AUC as a rational: AUC = num2 / den2 with
+    num2 = 2*concordant + ties (a positive above a negative counts 2,
+    a score tie counts 1) and den2 = 2 * P * N — the Mann-Whitney U
+    identity (public literature), so values are exact int64 and no pair
+    is ever materialized.
+
+    Plan: one groupBy collapse to per-score (n_pos, n_neg), a window
+    cumsum over the TINY distinct-score table, one final agg."""
+    from pyspark.sql import Window
+
+    per = (
+        df.select(F.col(score_col).alias("s"), F.col(label_col).alias("y"))
+        .groupBy("s")
+        .agg(
+            F.sum("y").alias("np"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("nn"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    sc = per.withColumn("cum_nn", F.coalesce(F.sum("nn").over(w), F.lit(0)))
+    return sc.agg(
+        F.sum("np").alias("pos"),
+        F.sum("nn").alias("neg"),
+        F.sum(F.col("np") * (2 * F.col("cum_nn") + F.col("nn"))).alias("num2"),
+        (2 * F.sum("np") * F.sum("nn")).alias("den2"),
+    )
+
+
+def auc_exact_sql(base_select: str, score_col: str, label_col: str) -> str:
+    """DuckDB replay of ``auc_exact``; ``base_select`` -> (score, label)."""
+    return f"""
+WITH per AS (
+  SELECT {score_col} AS s, CAST(sum({label_col}) AS BIGINT) AS np,
+         CAST(count(*) - sum({label_col}) AS BIGINT) AS nn
+  FROM ({base_select}) b GROUP BY 1),
+sc AS (
+  SELECT np, nn,
+         coalesce(sum(nn) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+  FROM per)
+SELECT CAST(sum(np) AS BIGINT) AS pos, CAST(sum(nn) AS BIGINT) AS neg,
+       CAST(sum(np * (2 * cum_nn + nn)) AS BIGINT) AS num2,
+       CAST(2 * sum(np) * sum(nn) AS BIGINT) AS den2
+FROM sc"""
+
+
+def ranking_metrics(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+    rel_col: str,
+    k: int = 5,
+    q: int = 1 << 20,
+) -> DataFrame:
+    """Per-key ranking quality: rank items by ``order_col`` DESC (ties by
+    ``tie_col`` ASC), then
+      first_rank — rank of the first relevant item (NULL if none),
+      mrr_q      — floor(q / first_rank), the integer-quantized
+                   reciprocal rank (0 if none),
+      p_at_k     — relevant items in the top k.
+    The MRR/P@k evaluation stage of a retrieval pipeline, exact int64
+    (reciprocals via integer division at q = 2^20)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(order_col).desc(), F.col(tie_col).asc()
+    )
+    r = df.withColumn("rnk", F.row_number().over(w))
+    return r.groupBy(F.col(key_col).alias("k")).agg(
+        F.min(F.when(F.col(rel_col) == 1, F.col("rnk"))).alias("first_rank"),
+        F.coalesce(
+            F.expr(
+                f"CAST({int(q)} DIV min(CASE WHEN {rel_col} = 1 "
+                "THEN rnk END) AS BIGINT)"
+            ),
+            F.lit(0).cast("long"),
+        ).alias("mrr_q"),
+        F.sum(
+            F.when((F.col("rnk") <= k) & (F.col(rel_col) == 1), 1).otherwise(0)
+        ).alias("p_at_k"),
+    )
+
+
+def ranking_metrics_sql(
+    base_select: str,
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+    rel_col: str,
+    k: int = 5,
+    q: int = 1 << 20,
+) -> str:
+    """DuckDB replay of ``ranking_metrics``."""
+    return f"""
+WITH r AS (
+  SELECT {key_col} AS k, {rel_col} AS rel,
+         row_number() OVER (PARTITION BY {key_col}
+           ORDER BY {order_col} DESC, {tie_col} ASC) AS rnk
+  FROM ({base_select}) b)
+SELECT k,
+       CAST(min(CASE WHEN rel = 1 THEN rnk END) AS BIGINT) AS first_rank,
+       CAST(coalesce({int(q)} // min(CASE WHEN rel = 1 THEN rnk END), 0)
+            AS BIGINT) AS mrr_q,
+       CAST(sum(CASE WHEN rnk <= {int(k)} AND rel = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS p_at_k
+FROM r GROUP BY 1"""
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int,
+    score_max: int,
+) -> DataFrame:
+    """Reliability-diagram bins: integer scores in [0, score_max) mapped
+    to ``n_bins`` equal-width bins; per bin the count, positive count and
+    score sum — everything the calibration curve / ECE needs, as exact
+    int64 partial aggregates (map-side combined, one shuffle)."""
+    b = F.least(
+        F.expr(
+            f"CAST((({score_col}) * {int(n_bins)}) DIV {int(score_max)} "
+            "AS BIGINT)"
+        ),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    return (
+        df.select(
+            b.alias("bin"),
+            F.col(label_col).alias("y"),
+            F.col(score_col).alias("s"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.sum("s").alias("s_sum"),
+        )
+    )
+
+
+def calibration_bins_sql(
+    base_select: str,
+    score_col: str,
+    label_col: str,
+    n_bins: int,
+    score_max: int,
+) -> str:
+    """DuckDB replay of ``calibration_bins``."""
+    return f"""
+SELECT LEAST(CAST((({score_col}) * {int(n_bins)}) // {int(score_max)}
+             AS BIGINT), {int(n_bins) - 1}) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({label_col}) AS BIGINT) AS n_pos,
+       CAST(sum({score_col}) AS BIGINT) AS s_sum
+FROM ({base_select}) b GROUP BY 1"""

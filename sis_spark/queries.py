@@ -11015,6 +11015,89 @@ SELECT tx, ty, CAST(0 AS INT) AS band,
 FROM px GROUP BY 1, 2 ORDER BY tx, ty"""
 
 
+def q_auc_exact(spark, sf_dir):
+    """Exact ROC AUC via the Mann-Whitney identity (analytics.auc_exact):
+    2*concordant + ties over 2*P*N as exact int64, computed from per-score
+    counts + a window cumsum — no pair ever materialized, one shuffle."""
+    from .operators.analytics import auc_exact
+
+    d = _read(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 997).cast("long").alias("s"),
+        (F.col("o_custkey") % 3 == 0).cast("long").alias("y"),
+    )
+    return auc_exact(d, "s", "y")
+
+
+def q_auc_exact_oracle():
+    from .operators.analytics import auc_exact_sql
+
+    base = (
+        "SELECT CAST(o_orderkey % 997 AS BIGINT) AS s, "
+        "CAST(o_custkey % 3 = 0 AS BIGINT) AS y FROM orders"
+    )
+    return auc_exact_sql(base, "s", "y")
+
+
+def q_ranking_metrics(spark, sf_dir):
+    """Retrieval evaluation per key (analytics.ranking_metrics): rank each
+    customer's orders by price, then first relevant rank, integer-quantized
+    MRR (2^20 DIV rank) and precision@5 — one window + one aggregation."""
+    from .operators.analytics import ranking_metrics
+
+    d = _read(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderkey",
+        (F.col("o_orderstatus") == "F").cast("long").alias("rel"),
+    )
+    return ranking_metrics(
+        d, "o_custkey", "o_totalprice", "o_orderkey", "rel", k=5
+    ).orderBy("k")
+
+
+def q_ranking_metrics_oracle():
+    from .operators.analytics import ranking_metrics_sql
+
+    base = (
+        "SELECT o_custkey, o_totalprice, o_orderkey, "
+        "CAST(o_orderstatus = 'F' AS BIGINT) AS rel FROM orders"
+    )
+    return (
+        "SELECT * FROM ("
+        + ranking_metrics_sql(
+            base, "o_custkey", "o_totalprice", "o_orderkey", "rel", k=5
+        )
+        + ") ORDER BY k"
+    )
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins (analytics.calibration_bins, 10 bins over
+    integer scores in [0, 997)): per-bin count / positives / score sum as
+    exact int64 map-side-combined partials — the ECE input table."""
+    from .operators.analytics import calibration_bins
+
+    d = _read(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 997).cast("long").alias("s"),
+        (F.col("o_custkey") % 3 == 0).cast("long").alias("y"),
+    )
+    return calibration_bins(d, "s", "y", n_bins=10, score_max=997).orderBy(
+        "bin"
+    )
+
+
+def q_calibration_bins_oracle():
+    from .operators.analytics import calibration_bins_sql
+
+    base = (
+        "SELECT CAST(o_orderkey % 997 AS BIGINT) AS s, "
+        "CAST(o_custkey % 3 = 0 AS BIGINT) AS y FROM orders"
+    )
+    return (
+        "SELECT * FROM ("
+        + calibration_bins_sql(base, "s", "y", 10, 997)
+        + ") ORDER BY bin"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -11288,4 +11371,7 @@ QUERIES = {
     "image_moments": (q_image_moments, q_image_moments_oracle),
     "lbp": (q_lbp, q_lbp_oracle),
     "hog": (q_hog, q_hog_oracle),
+    "auc_exact": (q_auc_exact, q_auc_exact_oracle),
+    "ranking_metrics": (q_ranking_metrics, q_ranking_metrics_oracle),
+    "calibration_bins": (q_calibration_bins, q_calibration_bins_oracle),
 }

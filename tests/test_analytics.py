@@ -571,3 +571,60 @@ def test_rfm_scores_quartiles(spark):
     assert got[7]["f_score"] == 1 and got[7]["m_score"] == 1 and got[7]["r_score"] == 1
     assert got[0]["f_score"] == 4 and got[0]["m_score"] == 4
     assert got[0]["freq"] == 1 and got[7]["freq"] == 8
+
+
+def test_auc_exact_matches_sklearn_free_brute(spark):
+    import numpy as np
+
+    from sis_spark.operators.analytics import auc_exact
+
+    rng = np.random.default_rng(7)
+    scores = rng.integers(0, 50, 400)
+    labels = (rng.random(400) < (scores / 60.0)).astype(int)
+    df = spark.createDataFrame(
+        [(int(s), int(y)) for s, y in zip(scores, labels)], "s long, y long"
+    )
+    r = auc_exact(df, "s", "y").collect()[0]
+    pos = scores[labels == 1]
+    neg = scores[labels == 0]
+    num2 = sum(2 * int((n < p).sum()) + int((n == p).sum()) for p in pos
+               for n in [neg])
+    assert r["pos"] == len(pos) and r["neg"] == len(neg)
+    assert r["num2"] == num2
+    assert r["den2"] == 2 * len(pos) * len(neg)
+    auc = r["num2"] / r["den2"]
+    assert 0.5 < auc < 1.0  # scores are informative by construction
+
+
+def test_ranking_metrics_hand_case(spark):
+    from sis_spark.operators.analytics import ranking_metrics
+
+    rows = [
+        # key, score, tie, rel  -> ranks by score desc, tie asc
+        (1, 90, 1, 0), (1, 80, 2, 1), (1, 70, 3, 1),   # first_rank 2
+        (2, 50, 1, 0), (2, 40, 2, 0),                  # no relevant
+        (3, 10, 5, 1),                                 # first_rank 1
+    ]
+    df = spark.createDataFrame(rows, "k long, s long, t long, rel long")
+    out = {r["k"]: r for r in
+           ranking_metrics(df, "k", "s", "t", "rel", k=2).collect()}
+    assert out[1]["first_rank"] == 2 and out[1]["p_at_k"] == 1
+    assert out[1]["mrr_q"] == (1 << 20) // 2
+    assert out[2]["first_rank"] is None and out[2]["mrr_q"] == 0
+    assert out[3]["mrr_q"] == 1 << 20 and out[3]["p_at_k"] == 1
+
+
+def test_calibration_bins_clamp_and_sums(spark):
+    from sis_spark.operators.analytics import calibration_bins
+
+    rows = [(i, i % 2) for i in range(100)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    out = {r["bin"]: r for r in
+           calibration_bins(df, "s", "y", n_bins=10, score_max=100).collect()}
+    assert len(out) == 10
+    for b, r in out.items():
+        assert r["n"] == 10 and r["n_pos"] == 5
+        assert r["s_sum"] == sum(range(b * 10, b * 10 + 10))
+    # score == score_max lands in the LAST bin (clamped)
+    df2 = spark.createDataFrame([(100, 1)], "s long, y long")
+    assert calibration_bins(df2, "s", "y", 10, 100).collect()[0]["bin"] == 9
