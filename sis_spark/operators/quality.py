@@ -116,3 +116,39 @@ def k_anonymity_sql(base_select: str, qi_cols: list[str], k: int) -> str:
 SELECT {cols}, CAST(count(*) AS BIGINT) AS cnt
 FROM ({base_select}) s
 GROUP BY {cols} HAVING count(*) < {int(k)}"""
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Benford's-law first-digit audit (Benford 1938, public literature):
+    leading-decimal-digit histogram of a positive integer measure per
+    group — the classic fraud/synthetic-data smell test, one map-side
+    combined aggregation.  The digit comes from the decimal string
+    rendering (identical for positive BIGINTs across engines)."""
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.substring(F.col(value_col).cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit"),
+        )
+        .filter(F.col("digit") >= 1)
+        .groupBy("grp", "digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def benford_digits_sql(base_select: str, value_col: str,
+                       group_col: str) -> str:
+    """DuckDB replay of ``benford_digits``; values must be positive
+    BIGINTs (same decimal rendering in both engines)."""
+    return f"""
+SELECT {group_col} AS grp,
+       CAST(substr(CAST({value_col} AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM ({base_select}) b
+WHERE CAST(substr(CAST({value_col} AS VARCHAR), 1, 1) AS BIGINT) >= 1
+GROUP BY 1, 2"""

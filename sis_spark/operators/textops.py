@@ -1418,3 +1418,85 @@ WITH b AS (
 SELECT key_hash, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(id) AS BIGINT) AS min_id
 FROM b GROUP BY 1"""
+
+
+def line_dedup(
+    docs: DataFrame,
+    line_tokens: int = 8,
+    max_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet/C4-style duplicated-line removal: chunk each document's token
+    stream into fixed ``line_tokens``-token lines, count each line text's
+    corpus-wide occurrences, DROP lines occurring more than ``max_df``
+    times, and reassemble the survivors in order ->
+    (doc_id, n_lines, n_kept, kept_text).
+
+    Shape at scale: explode -> one corpus-wide line-frequency aggregation
+    (map-side combined) -> equi-join back -> per-doc ordered re-aggregation.
+    The frequency table is line-cardinality-sized; no self-join, no window
+    over the corpus."""
+    w = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("ws")
+    )
+    lines = w.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(ws) / {line_tokens}.0)"
+                f" AS INT) - 1), i -> array_join(slice(ws, i * {line_tokens}"
+                f" + 1, {line_tokens}), ' '))"
+            )
+        ).alias("i", "lt"),
+    )
+    freq = lines.groupBy("lt").agg(F.count(F.lit(1)).alias("df"))
+    flagged = lines.join(freq, "lt").withColumn(
+        "keep", (F.col("df") <= max_df).cast("long")
+    )
+    return flagged.groupBy(F.col(id_col)).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("keep").alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN keep = 1 "
+                    "THEN struct(i, lt) END)), x -> x.lt)"
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("kept_text"),
+    )
+
+
+def line_dedup_sql(
+    rel: str = "documents",
+    line_tokens: int = 8,
+    max_df: int = 2,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``line_dedup`` (same chunking, same threshold)."""
+    n = int(line_tokens)
+    return f"""
+WITH w AS (SELECT {id_col}, string_split({text}, ' ') AS ws FROM {rel}),
+ex AS (
+  SELECT {id_col}, ws,
+         unnest(range(CAST(ceil(len(ws) / {n}.0) AS BIGINT))) AS i
+  FROM w),
+l AS (
+  SELECT {id_col}, i,
+         array_to_string(ws[i * {n} + 1 : i * {n} + {n}], ' ') AS lt
+  FROM ex),
+f AS (SELECT lt, count(*) AS df FROM l GROUP BY 1),
+k AS (
+  SELECT l.{id_col} AS {id_col}, l.i AS i, l.lt AS lt,
+         CASE WHEN f.df <= {int(max_df)} THEN 1 ELSE 0 END AS keep
+  FROM l JOIN f USING (lt))
+SELECT {id_col},
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN keep = 1 THEN lt END, ' '
+                           ORDER BY i), '') AS kept_text
+FROM k GROUP BY 1"""

@@ -965,3 +965,67 @@ SELECT k, o, CAST(dx * dx + dy * dy AS BIGINT) AS dist2,
        CAST(dx * dx + dy * dy
             > {v2} * least(dt_s, {cap}) * least(dt_s, {cap}) AS BIGINT) AS jump
 FROM seg WHERE dx IS NOT NULL"""
+
+
+def heading_resultant(
+    pts: DataFrame,
+    key_col: str = "k",
+    order_col: str = "o",
+    x_col: str = "x",
+    y_col: str = "y",
+    q: int = 1_000_000_000,
+) -> DataFrame:
+    """Circular (directional) statistics of a track's segment headings:
+    per key the segment count and the quantized resultant vector
+    (sum of per-segment UNIT vectors).  The unit vector needs no trig —
+    cos = dx / sqrt(dx^2 + dy^2), sin = dy / ... — and sqrt/divide are
+    correctly-rounded IEEE ops identical across engines, so quantizing
+    each component at ``q`` BEFORE the order-independent integer sum
+    keeps the result exact (the linear_ref.py sqrt lesson).  Zero-length
+    segments (coincident quantized points) are skipped.
+    Resultant length / mean heading are derivable from (rx_q, ry_q)."""
+    seg = (
+        pts.select(
+            F.col(key_col).alias("k"),
+            F.col(order_col).alias("o"),
+            F.col(x_col).alias("x"),
+            F.col(y_col).alias("y"),
+        )
+        .withColumn("px", F.lag("x").over(Window.partitionBy("k").orderBy("o")))
+        .withColumn("py", F.lag("y").over(Window.partitionBy("k").orderBy("o")))
+        .filter(F.col("px").isNotNull())
+        .withColumn("dx", F.col("x") - F.col("px"))
+        .withColumn("dy", F.col("y") - F.col("py"))
+        .filter((F.col("dx") != 0) | (F.col("dy") != 0))
+    )
+    qf = float(q)
+    ux = F.expr(f"floor(dx / sqrt(dx * dx + dy * dy) * {qf:.1f})").cast("long")
+    uy = F.expr(f"floor(dy / sqrt(dx * dx + dy * dy) * {qf:.1f})").cast("long")
+    return seg.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_seg"),
+        F.sum(ux).alias("rx_q"),
+        F.sum(uy).alias("ry_q"),
+    )
+
+
+def heading_resultant_sql(
+    points_select: str,
+    q: int = 1_000_000_000,
+) -> str:
+    """DuckDB replay of ``heading_resultant``; ``points_select`` ->
+    (k, o, x, y), same expression text for the unit components."""
+    qf = float(q)
+    return f"""
+WITH p AS ({points_select}),
+s AS (
+  SELECT k,
+         x - lag(x) OVER (PARTITION BY k ORDER BY o) AS dx,
+         y - lag(y) OVER (PARTITION BY k ORDER BY o) AS dy
+  FROM p),
+g AS (SELECT * FROM s WHERE dx IS NOT NULL AND (dx != 0 OR dy != 0))
+SELECT k, CAST(count(*) AS BIGINT) AS n_seg,
+       CAST(sum(CAST(floor(dx / sqrt(dx * dx + dy * dy) * {qf:.1f})
+                     AS BIGINT)) AS BIGINT) AS rx_q,
+       CAST(sum(CAST(floor(dy / sqrt(dx * dx + dy * dy) * {qf:.1f})
+                     AS BIGINT)) AS BIGINT) AS ry_q
+FROM g GROUP BY 1"""

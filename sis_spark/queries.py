@@ -11098,6 +11098,81 @@ def q_calibration_bins_oracle():
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet/C4-style duplicated-line removal (textops.line_dedup,
+    8-token lines, max corpus frequency 2): explode -> one corpus-wide
+    frequency agg -> join back -> ordered per-doc reassembly; the
+    paragraph-dedup stage of a web-corpus pipeline."""
+    from .operators.textops import line_dedup
+
+    return line_dedup(
+        _read(spark, sf_dir, "documents"), line_tokens=8, max_df=2
+    ).orderBy("doc_id")
+
+
+def q_line_dedup_oracle():
+    from .operators.textops import line_dedup_sql
+
+    return (
+        "SELECT * FROM ("
+        + line_dedup_sql("documents", 8, 2)
+        + ") ORDER BY doc_id"
+    )
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-digit audit (quality.benford_digits) of order totals
+    (exact integer cents) per order priority — the synthetic-data /
+    fraud smell test as one map-side combined aggregation."""
+    from .operators.quality import benford_digits
+
+    d = _read(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return benford_digits(d, "cents", "o_orderpriority").orderBy(
+        "grp", "digit"
+    )
+
+
+def q_benford_oracle():
+    from .operators.quality import benford_digits_sql
+
+    base = (
+        "SELECT o_orderpriority, CAST(o_totalprice * 100 AS BIGINT) AS cents "
+        "FROM orders"
+    )
+    return (
+        "SELECT * FROM ("
+        + benford_digits_sql(base, "cents", "o_orderpriority")
+        + ") ORDER BY grp, digit"
+    )
+
+
+def q_circular_mean(spark, sf_dir):
+    """Circular statistics of track headings (trajectory.heading_resultant):
+    per-user quantized resultant of segment unit vectors — no trig (unit
+    components are dx / sqrt(dx^2+dy^2), one correctly-rounded sqrt),
+    per-segment quantization before the order-independent integer sum."""
+    from .operators.trajectory import heading_resultant
+
+    pts = _traj_pts_df(spark, sf_dir).select(
+        F.col("user_id").alias("k"), F.col("rn").alias("o"),
+        F.col("qx").alias("x"), F.col("qy").alias("y"),
+    )
+    return heading_resultant(pts).orderBy("k")
+
+
+def q_circular_mean_oracle():
+    from .operators.trajectory import heading_resultant_sql
+
+    return (
+        "SELECT * FROM ("
+        + heading_resultant_sql(_traj_pts_sql())
+        + ") ORDER BY k"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -11374,4 +11449,7 @@ QUERIES = {
     "auc_exact": (q_auc_exact, q_auc_exact_oracle),
     "ranking_metrics": (q_ranking_metrics, q_ranking_metrics_oracle),
     "calibration_bins": (q_calibration_bins, q_calibration_bins_oracle),
+    "line_dedup": (q_line_dedup, q_line_dedup_oracle),
+    "benford": (q_benford, q_benford_oracle),
+    "circular_mean": (q_circular_mean, q_circular_mean_oracle),
 }
