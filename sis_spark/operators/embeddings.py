@@ -485,3 +485,69 @@ r AS (
        ORDER BY abs(q) DESC, pos ASC) AS BIGINT) AS rank
   FROM e)
 SELECT id, rank, pos, q FROM r WHERE rank <= {int(k)}"""
+
+
+def _rp_sign_sql(pos: str, j: str) -> str:
+    """Shared Spark-SQL/DuckDB text: deterministic +-1 sign for input
+    position ``pos`` and output dim ``j`` via integer multiplicative
+    mixing (Knuth constant) mod a prime — full-rank w.h.p., no md5."""
+    return (f"(1 - 2 * CAST((((({pos}) + 1) * (({j}) + 3) * 2654435761) "
+            f"% 97) % 2 AS BIGINT))")
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**4,
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection (Achlioptas 2003,
+    public literature): y_j = sum_pos sign(pos, j) * q(pos) over the
+    quantized components — EXACT int64, so the distance-preserving
+    sketch is reproducible bit-for-bit across engines and runs.
+    Output (id, j, y), one row per output dim.
+
+    Shape: posexplode x out_dims fan-out (a constant factor), all
+    codegen, one map-side-combined aggregation; the projection matrix
+    is a formula, never materialized or broadcast."""
+    rows = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "e"),
+    ).select(
+        "id", "pos",
+        F.floor(F.col("e") * float(scale) + 0.12345678987)
+        .cast("long").alias("q"),
+    )
+    fan = rows.select(
+        "id", "q",
+        F.explode(F.sequence(F.lit(0), F.lit(int(out_dims) - 1))).alias("j"),
+        F.col("pos"),
+    )
+    sgn = F.expr(_rp_sign_sql("pos", "j"))
+    return (
+        fan.groupBy("id", "j")
+        .agg(F.sum(sgn * F.col("q")).alias("y"))
+    )
+
+
+def random_projection_sql(
+    base_select: str,
+    out_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**4,
+) -> str:
+    """DuckDB replay of ``random_projection`` (1-based list index i maps
+    to Spark pos = i - 1; float32 CAST-to-DOUBLE lesson applied)."""
+    sgn = _rp_sign_sql("g.i - 1", "j.j")
+    return f"""
+WITH b AS (SELECT {id_col} AS id, {vec_col} AS v FROM ({base_select}) s),
+e AS (
+  SELECT id, g.i AS i,
+         CAST(floor(CAST(v[g.i] AS DOUBLE) * {float(scale)}
+                    + 0.12345678987) AS BIGINT) AS q
+  FROM b, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g)
+SELECT id, j.j AS j, CAST(sum({sgn} * q) AS BIGINT) AS y
+FROM e g, (SELECT unnest(generate_series(0, {int(out_dims) - 1})) AS j) j
+GROUP BY 1, 2"""

@@ -515,3 +515,146 @@ r AS (
 SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS m,
        CAST(r.m_recip AS BIGINT) AS m_recip
 FROM r"""
+
+
+def label_prop(
+    edges: DataFrame,
+    nodes: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Synchronous majority label propagation (community detection,
+    Raghavan et al. 2007, public literature), deterministic variant:
+    labels start as node ids; each round every node adopts the most
+    frequent label among ITSELF + its neighbors (ties -> smallest
+    label).  The bounded round count is part of the semantics (same
+    contract as ``shortest_paths``).
+
+    Per round: one equi-join + one count aggregation + one row_number
+    pick over the (node, label) table — all keyed shuffles, nothing on
+    the driver; localCheckpoint truncates lineage."""
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    lab = nodes.select(
+        F.col(node).alias("n"), F.col(node).alias("label")
+    ).localCheckpoint()
+    w = Window.partitionBy("n").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(int(rounds)):
+        votes = (
+            lab.join(e, lab["n"] == e["s"])
+            .select(F.col("d").alias("n"), "label")
+            .union(lab)
+        )
+        lab = (
+            votes.groupBy("n", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("n", "label")
+            .localCheckpoint()
+        )
+    return lab.select(F.col("n").alias("node"), "label")
+
+
+def label_prop_sql(
+    edges_select: str, nodes_select: str, rounds: int = 3
+) -> str:
+    """DuckDB oracle for ``label_prop``: rounds unrolled as MATERIALIZED
+    CTE blocks (each referenced twice -> the k_core inlining lesson).
+    ``edges_select`` -> (s, d) directed rows; ``nodes_select`` -> (n)."""
+    blocks = [
+        f"""e AS MATERIALIZED (
+  SELECT s, d FROM ({edges_select}) x WHERE s != d
+  UNION SELECT d, s FROM ({edges_select}) y WHERE s != d)""",
+        f"l0 AS MATERIALIZED (SELECT n, n AS label FROM ({nodes_select}) z)",
+    ]
+    for i in range(int(rounds)):
+        blocks.append(
+            f"""l{i + 1} AS MATERIALIZED (
+  SELECT n, label FROM (
+    SELECT n, label,
+           row_number() OVER (PARTITION BY n
+             ORDER BY cnt DESC, label ASC) AS rn
+    FROM (
+      SELECT n, label, count(*) AS cnt FROM (
+        SELECT e.d AS n, l{i}.label FROM l{i} JOIN e ON e.s = l{i}.n
+        UNION ALL SELECT n, label FROM l{i}) v
+      GROUP BY 1, 2) c) p
+  WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"\nSELECT n AS node, CAST(label AS BIGINT) AS label "
+          f"FROM l{int(rounds)}"
+    )
+
+
+def link_predict(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Common-neighbor link prediction over the undirected simple graph:
+    for every UNLINKED pair (a < b) sharing >= 1 neighbor ->
+    (a, b, cn, deg_a, deg_b); Jaccard = cn / (deg_a + deg_b - cn) and
+    Adamic-Adar are derivable downstream.
+
+    Shape: one wedge self-join keyed on the shared neighbor (cost
+    sum over u of deg(u)^2 — cap hub degrees upstream for power-law
+    graphs, same guidance as triangle_count), one anti-join against the
+    edge set, two broadcast-able degree joins."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (
+        e.select(F.col("s").alias("u"), F.col("d").alias("a"))
+        .join(e.select(F.col("s").alias("u"), F.col("d").alias("b")), "u")
+        .filter(F.col("a") < F.col("b"))
+    )
+    cn = wedges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cn"))
+    unlinked = cn.join(
+        e.select(F.col("s").alias("a"), F.col("d").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return (
+        unlinked.join(deg.select(F.col("s").alias("a"),
+                                 F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("s").alias("b"),
+                         F.col("deg").alias("deg_b")), "b")
+        .select("a", "b", "cn", "deg_a", "deg_b")
+    )
+
+
+def link_predict_sql(edges_select: str) -> str:
+    """DuckDB replay of ``link_predict``; ``edges_select`` -> (s, d)."""
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT s, d FROM ({edges_select}) x WHERE s != d
+  UNION SELECT d, s FROM ({edges_select}) y WHERE s != d),
+deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+cn AS (
+  SELECT w1.d AS a, w2.d AS b, CAST(count(*) AS BIGINT) AS cn
+  FROM e w1 JOIN e w2 ON w1.s = w2.s AND w1.d < w2.d
+  GROUP BY 1, 2),
+ul AS (
+  SELECT cn.* FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = cn.a AND e.d = cn.b))
+SELECT ul.a AS a, ul.b AS b, ul.cn AS cn,
+       da.deg AS deg_a, db.deg AS deg_b
+FROM ul JOIN deg da ON da.s = ul.a JOIN deg db ON db.s = ul.b"""

@@ -11173,6 +11173,107 @@ def q_circular_mean_oracle():
     )
 
 
+_DOC_EDGES_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS s,
+       (CAST(doc_id AS BIGINT) * 7 + 11) % nn.n AS d
+FROM documents, (SELECT count(*) AS n FROM documents) nn
+UNION ALL
+SELECT CAST(doc_id AS BIGINT),
+       (CAST(doc_id AS BIGINT) * 13 + 5) % nn.n
+FROM documents, (SELECT count(*) AS n FROM documents) nn
+UNION ALL
+SELECT CAST(doc_id AS BIGINT),
+       (CAST(doc_id AS BIGINT) * 3 + 1) % nn.n
+FROM documents, (SELECT count(*) AS n FROM documents) nn"""
+
+
+def _doc_edges(spark, sf_dir):
+    """Closed-form doc link graph (the pagerank gate's), directed,
+    NOT deduplicated — consumers dedup/symmetrize per their semantics."""
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("src")
+    )
+    n = docs.count()
+    return docs.select(
+        "src",
+        F.explode(F.array(
+            (F.col("src") * 7 + 11) % n,
+            (F.col("src") * 13 + 5) % n,
+            (F.col("src") * 3 + 1) % n,
+        )).alias("dst"),
+    )
+
+
+def q_label_prop(spark, sf_dir):
+    """Deterministic majority label propagation (graph.label_prop, 3
+    synchronous rounds, self-vote, ties -> smallest label) over the
+    closed-form doc graph — community detection as join + count + pick
+    rounds; the oracle unrolls the rounds as MATERIALIZED CTEs."""
+    from .operators.graph import label_prop
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("node")
+    )
+    return label_prop(_doc_edges(spark, sf_dir), docs, rounds=3).orderBy(
+        "node"
+    )
+
+
+def q_label_prop_oracle():
+    from .operators.graph import label_prop_sql
+
+    nodes = "SELECT CAST(doc_id AS BIGINT) AS n FROM documents"
+    return (
+        "SELECT * FROM ("
+        + label_prop_sql(_DOC_EDGES_SQL, nodes, rounds=3)
+        + ") ORDER BY node"
+    )
+
+
+def q_link_predict(spark, sf_dir):
+    """Common-neighbor link prediction (graph.link_predict) on the
+    closed-form doc graph: unlinked pairs sharing a neighbor, with
+    common-neighbor count and endpoint degrees (Jaccard/Adamic-Adar
+    derivable) — wedge join + anti-join + degree joins, exact int64."""
+    from .operators.graph import link_predict
+
+    e = _doc_edges(spark, sf_dir)
+    return link_predict(e).orderBy("a", "b")
+
+
+def q_link_predict_oracle():
+    from .operators.graph import link_predict_sql
+
+    return (
+        "SELECT * FROM ("
+        + link_predict_sql(_DOC_EDGES_SQL)
+        + ") ORDER BY a, b"
+    )
+
+
+def q_random_projection(spark, sf_dir):
+    """Sign random projection to 16 dims (embeddings.random_projection):
+    exact int64 JL sketch — formula sign matrix (never materialized),
+    quantize-then-sum; the dimensionality-reduction stage before
+    LSH/ANN."""
+    from .operators.embeddings import random_projection
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return random_projection(emb, out_dims=16).orderBy("id", "j")
+
+
+def q_random_projection_oracle():
+    from .operators.embeddings import random_projection_sql
+
+    return (
+        "SELECT * FROM ("
+        + random_projection_sql(
+            "SELECT vec_id, embedding FROM embeddings", 16
+        )
+        + ") ORDER BY id, j"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -11452,4 +11553,7 @@ QUERIES = {
     "line_dedup": (q_line_dedup, q_line_dedup_oracle),
     "benford": (q_benford, q_benford_oracle),
     "circular_mean": (q_circular_mean, q_circular_mean_oracle),
+    "label_prop": (q_label_prop, q_label_prop_oracle),
+    "link_predict": (q_link_predict, q_link_predict_oracle),
+    "random_projection": (q_random_projection, q_random_projection_oracle),
 }

@@ -205,3 +205,56 @@ def test_reciprocity_counts(spark):
     (r,) = reciprocity_counts(edges).collect()
     # distinct non-loop edges: (1,2),(2,1),(1,3),(3,4),(4,3) -> 4 reciprocated
     assert (r["m"], r["m_recip"]) == (5, 4)
+
+
+def test_label_prop_two_cliques(spark):
+    from sis_spark.operators.graph import label_prop
+
+    # two triangles bridged by one weak edge: labels converge to the
+    # min node id of each triangle; the bridge can't outvote a clique
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12)], "node long"
+    )
+    out = {r["node"]: r["label"] for r in label_prop(e, nodes, 3).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == out[12]
+    assert out[10] != 1
+
+
+def test_link_predict_square(spark):
+    from sis_spark.operators.graph import link_predict
+
+    # 4-cycle 1-2-3-4-1: the two diagonals (1,3) and (2,4) each share
+    # TWO common neighbors and are unlinked; no other candidates
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    rows = {(r["a"], r["b"]): r for r in link_predict(e).collect()}
+    assert set(rows) == {(1, 3), (2, 4)}
+    for r in rows.values():
+        assert r["cn"] == 2 and r["deg_a"] == 2 and r["deg_b"] == 2
+
+
+def test_random_projection_preserves_identity_and_varies(spark):
+    import numpy as np
+
+    from sis_spark.operators.embeddings import random_projection
+
+    rng = np.random.default_rng(5)
+    vecs = [(i, [float(x) for x in rng.normal(0, 1, 32)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = random_projection(df, out_dims=8).collect()
+    y = {}
+    for r in out:
+        y.setdefault(r["id"], {})[r["j"]] = r["y"]
+    assert all(len(v) == 8 for v in y.values())
+    # deterministic: second run identical
+    out2 = random_projection(df, out_dims=8).collect()
+    y2 = {}
+    for r in out2:
+        y2.setdefault(r["id"], {})[r["j"]] = r["y"]
+    assert y == y2
+    # distinct inputs map to distinct sketches (full rank w.h.p.)
+    sketches = {tuple(v[j] for j in range(8)) for v in y.values()}
+    assert len(sketches) == 20
