@@ -1029,3 +1029,92 @@ SELECT k, CAST(count(*) AS BIGINT) AS n_seg,
        CAST(sum(CAST(floor(dy / sqrt(dx * dx + dy * dy) * {qf:.1f})
                      AS BIGINT)) AS BIGINT) AS ry_q
 FROM g GROUP BY 1"""
+
+
+def convex_hull_vertices(
+    pts: DataFrame,
+    key_col: str = "k",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-key convex hull VERTEX SET over integer points (Andrew's
+    monotone chain, public literature; the general-geometry twin of
+    SQLMM's ST_ConvexHull, F/geometry/wrapper/GeometryWrapper.java) ->
+    (k, x, y): strictly convex corners only — duplicates and
+    collinear-on-edge points are never vertices.  Exact int64 cross
+    products throughout (the simplify_vw area machinery).
+
+    Shape: one groupBy-applyInPandas per key; hull size is O(points) so
+    nothing ever returns to the driver."""
+    import numpy as np
+    import pandas as pd
+
+    def chain(xs, ys):
+        p = sorted(set(zip(xs, ys)))
+        if len(p) <= 2:
+            return p
+
+        def cross(o, a, b):
+            return ((a[0] - o[0]) * (b[1] - o[1])
+                    - (a[1] - o[1]) * (b[0] - o[0]))
+
+        def half(seq):
+            h = []
+            for q in seq:
+                while len(h) >= 2 and cross(h[-2], h[-1], q) <= 0:
+                    h.pop()
+                h.append(q)
+            return h
+
+        lo = half(p)
+        hi = half(reversed(p))
+        return lo[:-1] + hi[:-1]
+
+    def fn(key, pdf):
+        hull = chain(pdf[x_col].astype(np.int64), pdf[y_col].astype(np.int64))
+        return pd.DataFrame({
+            "k": int(key[0]),
+            "x": [int(a) for a, _ in hull],
+            "y": [int(b) for _, b in hull],
+        })
+
+    return (
+        pts.select(F.col(key_col).alias("k"), F.col(x_col).alias(x_col),
+                   F.col(y_col).alias(y_col))
+        .groupBy("k")
+        .applyInPandas(fn, schema="k long, x long, y long")
+    )
+
+
+def convex_hull_vertices_sql(points_select: str) -> str:
+    """DuckDB oracle for ``convex_hull_vertices`` via the Caratheodory
+    vertex characterization (no recursion): q is a hull vertex iff it is
+    NOT on a segment between two other points and NOT inside-or-on any
+    NON-DEGENERATE triangle of other points.  ``points_select`` ->
+    (k, x, y); O(n^4) per key — oracle-only, never the engine plan."""
+    return f"""
+WITH p AS (SELECT DISTINCT k, x, y FROM ({points_select}) s)
+SELECT k, x, y FROM p q
+WHERE NOT EXISTS (
+    SELECT 1 FROM p a, p b
+    WHERE a.k = q.k AND b.k = q.k
+      AND (a.x != q.x OR a.y != q.y) AND (b.x != q.x OR b.y != q.y)
+      AND (a.x != b.x OR a.y != b.y)
+      AND (b.x - a.x) * (q.y - a.y) - (b.y - a.y) * (q.x - a.x) = 0
+      AND q.x BETWEEN LEAST(a.x, b.x) AND GREATEST(a.x, b.x)
+      AND q.y BETWEEN LEAST(a.y, b.y) AND GREATEST(a.y, b.y))
+  AND NOT EXISTS (
+    SELECT 1 FROM p a, p b, p c
+    WHERE a.k = q.k AND b.k = q.k AND c.k = q.k
+      AND (a.x != q.x OR a.y != q.y)
+      AND (b.x != q.x OR b.y != q.y)
+      AND (c.x != q.x OR c.y != q.y)
+      AND (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) != 0
+      AND NOT (
+        ((b.x - a.x) * (q.y - a.y) - (b.y - a.y) * (q.x - a.x) < 0
+         OR (c.x - b.x) * (q.y - b.y) - (c.y - b.y) * (q.x - b.x) < 0
+         OR (a.x - c.x) * (q.y - c.y) - (a.y - c.y) * (q.x - c.x) < 0)
+        AND
+        ((b.x - a.x) * (q.y - a.y) - (b.y - a.y) * (q.x - a.x) > 0
+         OR (c.x - b.x) * (q.y - b.y) - (c.y - b.y) * (q.x - b.x) > 0
+         OR (a.x - c.x) * (q.y - c.y) - (a.y - c.y) * (q.x - c.x) > 0)))"""

@@ -11274,6 +11274,31 @@ def q_random_projection_oracle():
     )
 
 
+def q_convex_hull(spark, sf_dir):
+    """Per-key convex hull vertex set (trajectory.convex_hull_vertices,
+    monotone chain, exact int64 cross products) over per-user quantized
+    tracks — the general-geometry ST_ConvexHull under an independent
+    Caratheodory vertex-test oracle (no chain replay needed)."""
+    from .operators.trajectory import convex_hull_vertices
+
+    pts = _traj_pts_df(spark, sf_dir, cap=20).select(
+        F.col("user_id").alias("k"),
+        F.col("qx").alias("x"), F.col("qy").alias("y"),
+    )
+    return convex_hull_vertices(pts).orderBy("k", "x", "y")
+
+
+def q_convex_hull_oracle():
+    from .operators.trajectory import convex_hull_vertices_sql
+
+    base = f"SELECT k, x, y FROM ({_traj_pts_sql(cap=20)}) tp"
+    return (
+        "SELECT * FROM ("
+        + convex_hull_vertices_sql(base)
+        + ") ORDER BY k, x, y"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -11556,4 +11581,5 @@ QUERIES = {
     "label_prop": (q_label_prop, q_label_prop_oracle),
     "link_predict": (q_link_predict, q_link_predict_oracle),
     "random_projection": (q_random_projection, q_random_projection_oracle),
+    "convex_hull": (q_convex_hull, q_convex_hull_oracle),
 }

@@ -18,3 +18,68 @@ def test_gps_jumps_zero_dt(spark):
     df = spark.createDataFrame(rows, "k long, o long, ts_us long, x long, y long")
     (r,) = gps_jumps(df, v_per_s=1000).collect()
     assert (r["dt_s"], r["jump"]) == (0, 1)
+
+
+def test_convex_hull_vertices_shapes(spark):
+    from sis_spark.operators.trajectory import convex_hull_vertices
+
+    rows = []
+    # key 1: unit square + center + edge midpoint + duplicate corner
+    sq = [(0, 0), (10, 0), (10, 10), (0, 10), (5, 5), (5, 0), (0, 0)]
+    rows += [(1, x, y) for x, y in sq]
+    # key 2: all collinear -> only the two extremes
+    rows += [(2, i, 2 * i) for i in range(6)]
+    # key 3: single point
+    rows += [(3, 7, 9)]
+    # key 4: two points
+    rows += [(4, 1, 1), (4, 2, 5)]
+    df = spark.createDataFrame(rows, "k long, x long, y long")
+    out = {}
+    for r in convex_hull_vertices(df).collect():
+        out.setdefault(r["k"], set()).add((r["x"], r["y"]))
+    assert out[1] == {(0, 0), (10, 0), (10, 10), (0, 10)}
+    assert out[2] == {(0, 0), (5, 10)}
+    assert out[3] == {(7, 9)}
+    assert out[4] == {(1, 1), (2, 5)}
+
+
+def test_convex_hull_vertices_random_vs_brute(spark):
+    import itertools
+
+    import numpy as np
+
+    from sis_spark.operators.trajectory import convex_hull_vertices
+
+    rng = np.random.default_rng(13)
+    pts = [(int(a), int(b)) for a, b in rng.integers(-8, 9, (40, 2))]
+    df = spark.createDataFrame([(1, x, y) for x, y in pts],
+                               "k long, x long, y long")
+    got = {(r["x"], r["y"]) for r in convex_hull_vertices(df).collect()}
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    uniq = sorted(set(pts))
+    want = set()
+    for q in uniq:
+        others = [p for p in uniq if p != q]
+        covered = False
+        for a, b in itertools.combinations(others, 2):
+            if (cross(a, b, q) == 0
+                    and min(a[0], b[0]) <= q[0] <= max(a[0], b[0])
+                    and min(a[1], b[1]) <= q[1] <= max(a[1], b[1])):
+                covered = True
+                break
+        if not covered:
+            for a, b, c in itertools.combinations(others, 3):
+                if cross(a, b, c) == 0:
+                    continue
+                d1, d2, d3 = cross(a, b, q), cross(b, c, q), cross(c, a, q)
+                neg = d1 < 0 or d2 < 0 or d3 < 0
+                pos = d1 > 0 or d2 > 0 or d3 > 0
+                if not (neg and pos):
+                    covered = True
+                    break
+        if not covered:
+            want.add(q)
+    assert got == want
