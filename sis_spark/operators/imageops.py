@@ -636,3 +636,42 @@ def color_histogram(images: DataFrame, bins: int = HIST_BINS) -> DataFrame:
                 yield pd.DataFrame(out)
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(fn, schema=HIST_SCHEMA)
+
+
+def seam_cost(images: DataFrame) -> DataFrame:
+    """Minimal vertical-seam cost per image (the seam-carving DP of
+    Avidan & Shamir 2007, public literature): energy = integer luma
+    (r+g+b), M(y, x) = E(y, x) + min of the three upper neighbors,
+    answer = min over the bottom row (ties -> smallest x).  The
+    content-aware-resize primitive; everything exact int64.
+
+    Decode + DP run Arrow-batched per image (embarrassingly parallel,
+    no shuffle); rows vectorize, only the h-step recurrence is
+    sequential — the same per-group-recurrence shape as stay_points."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for iid, buf, fmt_ in zip(pdf["image_id"], pdf["bytes"],
+                                      pdf["fmt"]):
+                arr = codec.decode(bytes(buf), fmt_).astype(np.int64)
+                e = arr.sum(axis=2)
+                h, w = e.shape
+                m = e[0].copy()
+                big = np.int64(2**62)
+                for y in range(1, h):
+                    left = np.concatenate(([big], m[:-1]))
+                    right = np.concatenate((m[1:], [big]))
+                    m = e[y] + np.minimum(np.minimum(left, m), right)
+                cost = int(m.min())
+                rows.append({
+                    "image_id": iid,
+                    "cost": cost,
+                    "x_end": int(np.argmin(m)),  # first minimum = smallest x
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, cost long, x_end long"
+    )

@@ -11299,6 +11299,65 @@ def q_convex_hull_oracle():
     )
 
 
+N_SEAM_IMAGES = 120
+
+
+def q_seam_cost(spark, sf_dir):
+    """Seam-carving minimal vertical seam (imageops.seam_cost) through the
+    REAL distributed decode path: per image the exact int64 DP cost and
+    the tie-broken seam end column — the content-aware-resize primitive;
+    the oracle replays the row recurrence as a recursive CTE carrying the
+    M row as a LIST (the DTW oracle pattern), from the closed-form pixel
+    content."""
+    from .operators.imageops import seam_cost
+    from .sources.images import images_table
+
+    img = images_table(spark, N_SEAM_IMAGES).filter(F.col("fmt") != "jpeg")
+    return seam_cost(img).orderBy("image_id")
+
+
+def q_seam_cost_oracle():
+    from .sources.images import SIZES
+
+    size_case = lambda e: (
+        f"(CASE ({e}) % 3 WHEN 0 THEN {SIZES[0]} WHEN 1 THEN {SIZES[1]} "
+        f"ELSE {SIZES[2]} END)"
+    )
+    luma = lambda x, y: (
+        "("
+        + " + ".join(
+            f"((({x}) * 3 + ({y}) * 7 + {k * 31} + i * 13) % 256)"
+            for k in range(3)
+        )
+        + ")"
+    )
+    big = 2**62
+    step = (
+        f"{luma('xx - 1', 'y + 1')} + least("
+        "CASE WHEN xx >= 2 THEN m[xx - 1] ELSE " + str(big) + " END, "
+        "m[xx], "
+        "CASE WHEN xx + 1 <= w THEN m[xx + 1] ELSE " + str(big) + " END)"
+    )
+    return f"""
+WITH RECURSIVE dims AS (
+  SELECT i, {size_case('i')} AS w, {size_case('i // 3')} AS h
+  FROM generate_series(0, {N_SEAM_IMAGES - 1}) t(i)
+  WHERE i % 3 <> 2),
+st(i, w, h, y, m) AS (
+  SELECT i, w, h, 0,
+         list_transform(range(1, w + 1), xx -> {luma('xx - 1', '0')})
+  FROM dims
+  UNION ALL
+  SELECT i, w, h, y + 1,
+         list_transform(range(1, w + 1), xx -> {step})
+  FROM st WHERE y + 1 <= h - 1),
+fin AS (SELECT i, m FROM st WHERE y = h - 1)
+SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(list_min(m) AS BIGINT) AS cost,
+       CAST(list_position(m, list_min(m)) - 1 AS BIGINT) AS x_end
+FROM fin ORDER BY image_id"""
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -11582,4 +11641,5 @@ QUERIES = {
     "link_predict": (q_link_predict, q_link_predict_oracle),
     "random_projection": (q_random_projection, q_random_projection_oracle),
     "convex_hull": (q_convex_hull, q_convex_hull_oracle),
+    "seam_cost": (q_seam_cost, q_seam_cost_oracle),
 }
