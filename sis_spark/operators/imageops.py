@@ -675,3 +675,85 @@ def seam_cost(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         fn, schema="image_id string, cost long, x_end long"
     )
+
+
+# fixed 8-color palette for palette_map (RGB, public web-safe-ish picks)
+PALETTE8 = [
+    (0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 255, 0),
+    (0, 0, 255), (255, 255, 0), (0, 255, 255), (255, 0, 255),
+]
+
+
+def palette_map(images: DataFrame, palette=None) -> DataFrame:
+    """Nearest-palette-color quantization histogram per image: each pixel
+    maps to the palette entry with the smallest EXACT squared RGB
+    distance (ties -> smallest palette index) -> (image_id, p, cnt).
+    The posterize/color-quantization stage of an image pipeline, and a
+    compact color signature for near-dup blocking; all integer, decode +
+    argmin Arrow-batched per image, no shuffle."""
+    pal = np.asarray(palette if palette is not None else PALETTE8,
+                     dtype=np.int64)  # (P, 3)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for iid, buf, fmt_ in zip(pdf["image_id"], pdf["bytes"],
+                                      pdf["fmt"]):
+                arr = codec.decode(bytes(buf), fmt_).astype(np.int64)
+                d = ((arr[:, :, None, :] - pal[None, None, :, :]) ** 2).sum(
+                    axis=3
+                )  # (h, w, P)
+                p = np.argmin(d, axis=2)  # first min = smallest index
+                cnt = np.bincount(p.ravel(), minlength=len(pal))
+                for pi in np.nonzero(cnt)[0]:
+                    rows.append({"image_id": iid, "p": int(pi),
+                                 "cnt": int(cnt[pi])})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, p long, cnt long"
+    )
+
+
+def mse_pairs(images: DataFrame, stride: int = 9) -> DataFrame:
+    """Exact MSE partials between same-dimension image pairs (id, id +
+    stride): n pixels and the int64 sum of squared channel differences —
+    the PSNR building block (psnr = 10*log10(255^2 * 3n / sse) derivable
+    downstream).  One equi-join on the numeric id + one Arrow-batched
+    dual decode; pairs whose dimensions differ are skipped."""
+    num = F.regexp_extract("image_id", r"(\d+)$", 1).cast("long")
+    a = images.select(
+        num.alias("n_a"), F.col("image_id").alias("image_id_a"),
+        F.col("bytes").alias("bytes_a"), F.col("fmt").alias("fmt_a"),
+    )
+    b = images.select(
+        (num - stride).alias("n_a"), F.col("image_id").alias("image_id_b"),
+        F.col("bytes").alias("bytes_b"), F.col("fmt").alias("fmt_b"),
+    )
+    j = a.join(b, "n_a")
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for ia, ba, fa, ib, bb, fb in zip(
+                pdf["image_id_a"], pdf["bytes_a"], pdf["fmt_a"],
+                pdf["image_id_b"], pdf["bytes_b"], pdf["fmt_b"],
+            ):
+                xa = codec.decode(bytes(ba), fa).astype(np.int64)
+                xb = codec.decode(bytes(bb), fb).astype(np.int64)
+                if xa.shape != xb.shape:
+                    continue
+                rows.append({
+                    "image_id_a": ia, "image_id_b": ib,
+                    "n_px": int(xa.shape[0] * xa.shape[1]),
+                    "sse": int(((xa - xb) ** 2).sum()),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return j.mapInPandas(
+        fn,
+        schema=("image_id_a string, image_id_b string, n_px long, "
+                "sse long"),
+    )

@@ -11358,6 +11358,128 @@ SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
 FROM fin ORDER BY image_id"""
 
 
+def q_mode_filter(spark, sf_dir):
+    """3x3 majority filter (terrain.mode_filter_tiles): per-tile modal-value
+    histogram with deterministic tie-break (smallest value) — the
+    categorical-raster smoother, exact integers on the halo machinery."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import mode_filter_tiles
+
+    W, H = 448, 256
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _texture_tiles(spark, W, H)
+    return mode_filter_tiles(tiles, gg).orderBy("tx", "ty", "v")
+
+
+def q_mode_filter_oracle():
+    v = _texture_v_sql
+    return f"""
+WITH w9 AS (
+  SELECT gx.x AS x, gy.y AS y,
+         {v('gx.x + o.dx', 'gy.y + o.dy')} AS nv
+  FROM generate_series(1, 446) gx(x), generate_series(1, 254) gy(y),
+       (VALUES (-1, -1), (0, -1), (1, -1), (-1, 0), (0, 0), (1, 0),
+               (-1, 1), (0, 1), (1, 1)) o(dx, dy)),
+cnts AS (
+  SELECT x, y, nv, count(*) AS c FROM w9 GROUP BY 1, 2, 3),
+pick AS (
+  SELECT x, y, nv FROM (
+    SELECT x, y, nv,
+           row_number() OVER (PARTITION BY x, y
+             ORDER BY c DESC, nv ASC) AS rn
+    FROM cnts) t
+  WHERE rn = 1)
+SELECT x // 64 AS tx, y // 64 AS ty, CAST(nv AS BIGINT) AS v,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM pick GROUP BY 1, 2, 3 ORDER BY tx, ty, v"""
+
+
+def q_palette_map(spark, sf_dir):
+    """Nearest-palette color quantization (imageops.palette_map, fixed
+    8-color palette, exact integer RGB distance, ties -> smallest index)
+    through the real decode path -> per-image palette histogram."""
+    from .operators.imageops import palette_map
+    from .sources.images import images_table
+
+    img = images_table(spark, N_SEAM_IMAGES).filter(F.col("fmt") != "jpeg")
+    return palette_map(img).orderBy("image_id", "p")
+
+
+def q_palette_map_oracle():
+    from .operators.imageops import PALETTE8
+    from .sources.images import SIZES
+
+    size_case = lambda e: (
+        f"(CASE ({e}) % 3 WHEN 0 THEN {SIZES[0]} WHEN 1 THEN {SIZES[1]} "
+        f"ELSE {SIZES[2]} END)"
+    )
+    chan = lambda k: f"(((x.x) * 3 + (y.y) * 7 + {k} * 31 + d.i * 13) % 256)"
+    pal_rows = ", ".join(
+        f"({p}, {r}, {g}, {b})" for p, (r, g, b) in enumerate(PALETTE8)
+    )
+    dist = " + ".join(
+        f"({chan(k)} - pal.c{k}) * ({chan(k)} - pal.c{k})" for k in range(3)
+    )
+    return f"""
+WITH dims AS (
+  SELECT i, {size_case('i')} AS w, {size_case('i // 3')} AS h
+  FROM generate_series(0, {N_SEAM_IMAGES - 1}) t(i)
+  WHERE i % 3 <> 2),
+d8 AS (
+  SELECT d.i, x.x, y.y, pal.p, {dist} AS dd
+  FROM dims d, generate_series(0, 63) x(x), generate_series(0, 63) y(y),
+       (VALUES {pal_rows}) pal(p, c0, c1, c2)
+  WHERE x.x < d.w AND y.y < d.h),
+pick AS (
+  SELECT i, p FROM (
+    SELECT i, x, y, p,
+           row_number() OVER (PARTITION BY i, x, y
+             ORDER BY dd ASC, p ASC) AS rn
+    FROM d8) t
+  WHERE rn = 1)
+SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(p AS BIGINT) AS p, CAST(count(*) AS BIGINT) AS cnt
+FROM pick GROUP BY 1, 2 ORDER BY image_id, p"""
+
+
+def q_mse_pairs(spark, sf_dir):
+    """Exact MSE partials between same-shape image pairs (imageops.
+    mse_pairs, stride 9 so dimensions provably match): n pixels + int64
+    SSE — the PSNR input, one equi-join + dual decode."""
+    from .operators.imageops import mse_pairs
+    from .sources.images import images_table
+
+    img = images_table(spark, N_SEAM_IMAGES).filter(F.col("fmt") != "jpeg")
+    return mse_pairs(img, stride=9).orderBy("image_id_a")
+
+
+def q_mse_pairs_oracle():
+    from .sources.images import SIZES
+
+    size_case = lambda e: (
+        f"(CASE ({e}) % 3 WHEN 0 THEN {SIZES[0]} WHEN 1 THEN {SIZES[1]} "
+        f"ELSE {SIZES[2]} END)"
+    )
+    va = "(((x.x) * 3 + (y.y) * 7 + k.k * 31 + d.i * 13) % 256)"
+    vb = f"(((x.x) * 3 + (y.y) * 7 + k.k * 31 + (d.i + 9) * 13) % 256)"
+    return f"""
+WITH dims AS (
+  SELECT i, {size_case('i')} AS w, {size_case('i // 3')} AS h
+  FROM generate_series(0, {N_SEAM_IMAGES - 1}) t(i)
+  WHERE i % 3 <> 2 AND i + 9 <= {N_SEAM_IMAGES - 1}),
+px AS (
+  SELECT d.i, d.w, d.h, ({va} - {vb}) * ({va} - {vb}) AS sq
+  FROM dims d, generate_series(0, 63) x(x), generate_series(0, 63) y(y),
+       generate_series(0, 2) k(k)
+  WHERE x.x < d.w AND y.y < d.h)
+SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id_a,
+       'img-' || lpad(CAST(i + 9 AS VARCHAR), 12, '0') AS image_id_b,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(sum(sq) AS BIGINT) AS sse
+FROM px GROUP BY 1, 2, w, h ORDER BY image_id_a"""
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -11642,4 +11764,7 @@ QUERIES = {
     "random_projection": (q_random_projection, q_random_projection_oracle),
     "convex_hull": (q_convex_hull, q_convex_hull_oracle),
     "seam_cost": (q_seam_cost, q_seam_cost_oracle),
+    "mode_filter": (q_mode_filter, q_mode_filter_oracle),
+    "palette_map": (q_palette_map, q_palette_map_oracle),
+    "mse_pairs": (q_mse_pairs, q_mse_pairs_oracle),
 }

@@ -979,3 +979,63 @@ def hog_tiles(
         schema=("tx long, ty long, " +
                 ", ".join(f"s{i} long" for i in range(8))),
     )
+
+
+def mode_filter_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """3x3 majority (mode) filter histogram per tile: each INTERIOR pixel
+    takes the most frequent value of its 3x3 window (ties -> smallest
+    value); output is the per-tile (v, cnt) histogram of modal values —
+    the classic categorical-raster smoother (land-cover cleanup, public
+    literature).  Exact integers, one halo gather; window pixels outside
+    the raster (or on missing tiles) disqualify the pixel."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+
+    def fn(key, pdf):
+        gtx, gty, halo = _assemble_halo(key, pdf, tile_size, bdt)
+        ts = tile_size
+        px = gtx * ts + np.arange(ts)
+        py = gty * ts + np.arange(ts)
+        stack = np.stack([
+            halo[1 + dy:1 + dy + ts, 1 + dx:1 + dx + ts]
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        ])  # (9, ts, ts)
+        valid = np.isfinite(stack).all(axis=0)
+        interior = (
+            (px[None, :] >= 1) & (px[None, :] <= w - 2)
+            & (py[:, None] >= 1) & (py[:, None] <= h - 2)
+        )
+        s = np.nan_to_num(stack, nan=0.0).astype(np.int64)
+        # mode of 9 values with tie -> smallest: score = cnt*256 + (255 - v)
+        best = np.full((ts, ts), -1, np.int64)
+        mode = np.zeros((ts, ts), np.int64)
+        for k in range(9):
+            cnt = (s == s[k]).sum(axis=0)
+            score = cnt * 256 + (255 - s[k])
+            upd = score > best
+            best = np.where(upd, score, best)
+            mode = np.where(upd, s[k], mode)
+        sel = mode[valid & interior]
+        if sel.size == 0:
+            return pd.DataFrame({"tx": [], "ty": [], "v": [], "cnt": []})
+        cnt = np.bincount(sel, minlength=256)
+        vs = np.nonzero(cnt)[0]
+        return pd.DataFrame({
+            "tx": gtx, "ty": gty,
+            "v": vs.astype(np.int64), "cnt": cnt[vs].astype(np.int64),
+        })
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(
+        fn, schema="tx long, ty long, v long, cnt long"
+    )

@@ -32,3 +32,47 @@ def test_seam_cost_brute(spark):
     got = {r["image_id"]: (r["cost"], r["x_end"])
            for r in seam_cost(df).collect()}
     assert got == want
+
+
+def test_palette_map_assignments(spark):
+    import numpy as np
+
+    from sis_spark.operators.imageops import PALETTE8, palette_map
+    from sis_spark.raster import codec
+
+    # 2x2 image: pure black, pure white, pure red, and a mid gray that
+    # ties black(d=3*127.5^2...) -- use exact values to pin tie rule
+    arr = np.zeros((2, 2, 3), np.uint8)
+    arr[0, 1] = (255, 255, 255)
+    arr[1, 0] = (250, 5, 5)       # nearest = red (idx 2)
+    arr[1, 1] = (128, 128, 128)   # closer to white? d_black=3*128^2, d_white=3*127^2 -> white
+    df = spark.createDataFrame(
+        [("a", codec.encode(arr, "raw"), "raw")],
+        "image_id string, bytes binary, fmt string",
+    )
+    out = {(r["p"]): r["cnt"] for r in palette_map(df).collect()}
+    assert out[0] == 1 and out[1] == 2 and out[2] == 1
+    assert len(PALETTE8) == 8
+
+
+def test_mse_pairs_exact(spark):
+    import numpy as np
+
+    from sis_spark.operators.imageops import mse_pairs
+    from sis_spark.raster import codec
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    b = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    c = rng.integers(0, 256, (4, 4, 3)).astype(np.uint8)  # mismatched dims
+    rows = [
+        ("img-000000000000", codec.encode(a, "raw"), "raw"),
+        ("img-000000000001", codec.encode(b, "raw"), "raw"),
+        ("img-000000000002", codec.encode(c, "raw"), "raw"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = mse_pairs(df, stride=1).collect()
+    got = {(r["image_id_a"], r["image_id_b"]): (r["n_px"], r["sse"])
+           for r in out}
+    want_sse = int(((a.astype(np.int64) - b.astype(np.int64)) ** 2).sum())
+    assert got == {("img-000000000000", "img-000000000001"): (64, want_sse)}

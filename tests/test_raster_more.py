@@ -83,3 +83,29 @@ def test_lbp_tiles_match_dense(spark):
             k = (x // ts, y // ts, code)
             want[k] = want.get(k, 0) + 1
     assert got == want
+
+
+def test_mode_filter_matches_brute(spark):
+    from collections import Counter
+
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.terrain import mode_filter_tiles
+
+    rng = np.random.default_rng(17)
+    h, w, ts = 40, 70, 32
+    arr = rng.integers(0, 5, (h, w)).astype(np.uint8)  # few values -> ties
+    gg = GridGeometry((0, 0, w - 1, h - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(h)))
+    rows = mode_filter_tiles(_tiles_df(spark, arr, ts), gg,
+                             tile_size=ts).collect()
+    got = {(r["tx"], r["ty"], r["v"]): r["cnt"] for r in rows}
+    want = {}
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            win = arr[y - 1:y + 2, x - 1:x + 2].ravel()
+            c = Counter(int(v) for v in win)
+            top = max(c.values())
+            mode = min(v for v, n in c.items() if n == top)
+            k = (x // ts, y // ts, mode)
+            want[k] = want.get(k, 0) + 1
+    assert got == want
