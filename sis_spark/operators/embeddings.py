@@ -551,3 +551,128 @@ e AS (
 SELECT id, j.j AS j, CAST(sum({sgn} * q) AS BIGINT) AS y
 FROM e g, (SELECT unnest(generate_series(0, {int(out_dims) - 1})) AS j) j
 GROUP BY 1, 2"""
+
+
+def _fdiv_sql(a: str, b) -> str:
+    """Shared Spark/DuckDB TRUE floor division text (posmod identity;
+    exact because the adjusted numerator is divisible by the divisor and
+    |numerator| < 2^53)."""
+    return (f"CAST((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) / ({b}) "
+            "AS BIGINT)")
+
+
+_PCA_S1 = 4096          # pre-scale of sp and si*sj (overflow headroom)
+_PCA_S2 = 1 << 24       # matrix scale-down
+_PCA_S = 1 << 20        # iterate magnitude target
+
+
+def _pca_m_expr() -> str:
+    """Scaled integer covariance-proxy matrix entry from the exact moment
+    sums (n, si, sj, sp): floor-div chain keeps every intermediate well
+    inside int64 for |q| <= QUANT and n <= ~1e5."""
+    inner = (f"n * {_fdiv_sql('sp', _PCA_S1)} "
+             f"- {_fdiv_sql('si * sj', _PCA_S1)}")
+    return _fdiv_sql(inner, _PCA_S2)
+
+
+def pca_power(
+    emb: DataFrame,
+    iters: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Leading-eigenvector power iteration on the scaled integer
+    covariance matrix (the HITS max-normalization pattern applied to
+    PCA): v0 = S everywhere; each round w = M v (one equi-join + sum),
+    then v = floordiv(w, floordiv(max|w|, S) + 1) — a pure-integer
+    normalization that never forms w * S (no overflow).  Deterministic
+    bit-exact output (i, v); the leading principal direction up to the
+    iteration count's convergence.
+
+    Shape: M is dims^2 rows (tiny); each round is one broadcast-scale
+    join + aggregation; only max|w| (one scalar) touches the driver."""
+    cov = embedding_covariance(emb, vec_col).select(
+        "i", "j", F.expr(_pca_m_expr()).alias("m")
+    )
+    sym = cov.union(
+        cov.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "m"
+        )
+    ).localCheckpoint()
+    v = sym.select(F.col("i").alias("vj")).distinct().select(
+        "vj", F.lit(int(_PCA_S)).cast("long").alias("v")
+    ).localCheckpoint()
+    for _ in range(int(iters)):
+        w = (
+            sym.join(v, sym["j"] == v["vj"])
+            .groupBy(sym["i"].alias("wi"))
+            .agg(F.sum(F.col("m") * F.col("v")).alias("w"))
+        ).localCheckpoint()
+        mmax = w.agg(F.max(F.abs(F.col("w")))).first()[0] or 1
+        d = int(mmax) // int(_PCA_S) + 1
+        v = w.select(
+            F.col("wi").alias("vj"),
+            F.expr(_fdiv_sql("w", d)).alias("v"),
+        ).localCheckpoint()
+    return v.select(F.col("vj").alias("i"), "v")
+
+
+def pca_power_sql(
+    rel: str = "embeddings",
+    iters: int = 3,
+    dims: int = 64,
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of ``pca_power`` — rounds unrolled as chained CTEs,
+    the per-round max via a scalar CROSS JOIN (all positive floor-divs
+    are plain //; the signed one shares the posmod text)."""
+    S = int(_PCA_S)
+    blocks = [f"""e AS MATERIALIZED (
+  SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+         CAST(floor(CAST({vec_col}[t.i + 1] AS DOUBLE) * {QUANT:.1f})
+              AS BIGINT) AS q
+  FROM {rel}, UNNEST(range(0, len({vec_col}))) AS t(i))""",
+              f"nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {rel})",
+              """lin AS (SELECT i AS d, CAST(sum(q) AS BIGINT) AS s
+  FROM e GROUP BY i)""",
+              """pr AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS sp
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i)""",
+              f"""mm AS MATERIALIZED (
+  SELECT i, j, m FROM (
+    SELECT p.i, p.j, {_pca_m_expr().replace('si', 'la.s')
+                      .replace('sj', 'lb.s')
+                      .replace('sp', 'p.sp')
+                      .replace('n *', 'nn.n *')} AS m
+    FROM pr p JOIN lin la ON la.d = p.i JOIN lin lb ON lb.d = p.j
+    CROSS JOIN nn) u
+  UNION ALL
+  SELECT j, i, m FROM (
+    SELECT p.i, p.j, {_pca_m_expr().replace('si', 'la.s')
+                      .replace('sj', 'lb.s')
+                      .replace('sp', 'p.sp')
+                      .replace('n *', 'nn.n *')} AS m
+    FROM pr p JOIN lin la ON la.d = p.i JOIN lin lb ON lb.d = p.j
+    CROSS JOIN nn) u2
+  WHERE i < j)""",
+              f"""v0 AS (SELECT i, CAST({S} AS BIGINT) AS v
+  FROM generate_series(0, {int(dims) - 1}) t(i))"""]
+    for r in range(int(iters)):
+        blocks.append(
+            f"""w{r + 1} AS MATERIALIZED (
+  SELECT mm.i AS i, CAST(sum(mm.m * v{r}.v) AS BIGINT) AS w
+  FROM mm JOIN v{r} ON v{r}.i = mm.j GROUP BY 1)"""
+        )
+        blocks.append(
+            f"""d{r + 1} AS (SELECT (max(abs(w)) // {S}) + 1 AS d
+  FROM w{r + 1})"""
+        )
+        blocks.append(
+            f"""v{r + 1} AS MATERIALIZED (
+  SELECT i, {_fdiv_sql('w', 'd')} AS v FROM w{r + 1} CROSS JOIN d{r + 1})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"\nSELECT i, v FROM v{int(iters)}"
+    )

@@ -11480,6 +11480,27 @@ SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id_a,
 FROM px GROUP BY 1, 2, w, h ORDER BY image_id_a"""
 
 
+def q_pca_power(spark, sf_dir):
+    """Leading-eigenvector power iteration (embeddings.pca_power, 3
+    rounds) on the scaled integer covariance matrix: the HITS
+    max-normalized recurrence with signed floor-div — bit-exact
+    principal-direction extraction; oracle unrolls rounds as CTEs."""
+    from .operators.embeddings import pca_power
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return pca_power(emb, iters=3).orderBy("i")
+
+
+def q_pca_power_oracle():
+    from .operators.embeddings import pca_power_sql
+
+    return (
+        "SELECT * FROM ("
+        + pca_power_sql("embeddings", iters=3, dims=64)
+        + ") ORDER BY i"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -11767,4 +11788,5 @@ QUERIES = {
     "mode_filter": (q_mode_filter, q_mode_filter_oracle),
     "palette_map": (q_palette_map, q_palette_map_oracle),
     "mse_pairs": (q_mse_pairs, q_mse_pairs_oracle),
+    "pca_power": (q_pca_power, q_pca_power_oracle),
 }

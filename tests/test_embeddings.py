@@ -119,3 +119,31 @@ def test_vec_topk_dims_planted(spark):
     got = [(r["rank"], r["pos"]) for r in
            vec_topk_dims(df, k=3).orderBy("rank").collect()]
     assert got == [(1, 1), (2, 3), (3, 5)]
+
+
+def test_pca_power_aligns_with_numpy_eigvec(spark):
+    import numpy as np
+
+    from sis_spark.operators.embeddings import pca_power
+
+    rng = np.random.default_rng(2)
+    # strongly anisotropic cloud: dominant direction along dim 0 + 0.5*dim1
+    base = rng.normal(0, 1, (300, 1))
+    noise = rng.normal(0, 0.05, (300, 8))
+    X = noise.copy()
+    X[:, 0] += base[:, 0]
+    X[:, 1] += 0.5 * base[:, 0]
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    out = sorted(pca_power(df, iters=6).collect(), key=lambda r: r["i"])
+    v = np.array([r["v"] for r in out], dtype=np.float64)
+    v /= np.linalg.norm(v)
+    C = np.cov(X.T)
+    evals, evecs = np.linalg.eigh(C)
+    top = evecs[:, -1]
+    assert abs(abs(float(v @ top)) - 1.0) < 0.02  # aligned up to sign
+    # determinism: rerun bit-identical
+    out2 = sorted(pca_power(df, iters=6).collect(), key=lambda r: r["i"])
+    assert [r["v"] for r in out] == [r["v"] for r in out2]
