@@ -1197,3 +1197,49 @@ SELECT k, o, CAST(x AS BIGINT) AS x, CAST(med AS BIGINT) AS med,
             > {2 * int(k_num)} * darr[CAST((len(darr) + 1) // 2 AS INT)]
             AS BIGINT) AS flag
 FROM d"""
+
+
+def paa_segments(
+    df: DataFrame,
+    seg_len: int,
+    key_col: str = "k",
+    order_col: str = "o",
+    value_col: str = "v",
+) -> DataFrame:
+    """Piecewise Aggregate Approximation (Keogh et al. 2001, public
+    literature): each key's ordered series is cut into fixed-length
+    segments of ``seg_len`` points; per segment the exact count and
+    int64 value sum (the mean is the derivable rational n/vsum) ->
+    (k, seg, n, vsum).  The dimensionality-reduction step before SAX /
+    similarity search; one window rank + one aggregation."""
+    from pyspark.sql import Window
+
+    r = df.select(
+        F.col(key_col).alias("k"), F.col(order_col).alias("o"),
+        F.col(value_col).alias("v"),
+    ).withColumn("rn", F.row_number().over(
+        Window.partitionBy("k").orderBy("o")))
+    return (
+        r.withColumn(
+            "seg",
+            F.expr(f"CAST((rn - 1) DIV {int(seg_len)} AS BIGINT)"),
+        )
+        .groupBy("k", "seg")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("vsum"))
+    )
+
+
+def paa_segments_sql(
+    base_select: str,
+    seg_len: int,
+) -> str:
+    """DuckDB replay of ``paa_segments``; ``base_select`` -> (k, o, v)."""
+    return f"""
+WITH r AS (
+  SELECT k, v,
+         row_number() OVER (PARTITION BY k ORDER BY o) AS rn
+  FROM ({base_select}) b)
+SELECT k, CAST((rn - 1) // {int(seg_len)} AS BIGINT) AS seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS vsum
+FROM r GROUP BY 1, 2"""

@@ -1118,3 +1118,81 @@ WHERE NOT EXISTS (
         ((b.x - a.x) * (q.y - a.y) - (b.y - a.y) * (q.x - a.x) > 0
          OR (c.x - b.x) * (q.y - b.y) - (c.y - b.y) * (q.x - b.x) > 0
          OR (a.x - c.x) * (q.y - c.y) - (a.y - c.y) * (q.x - c.x) > 0)))"""
+
+
+def sinuosity(
+    pts: DataFrame,
+    key_col: str = "k",
+    order_col: str = "o",
+    x_col: str = "x",
+    y_col: str = "y",
+    q: float = 1e9,
+) -> DataFrame:
+    """Track sinuosity moments per key: quantized path length (sum of
+    per-segment lengths, each int64-quantized right after its single
+    correctly-rounded sqrt — the linear_ref.py lesson) and the quantized
+    straight-line chord between the first and last point ->
+    (k, n_seg, path_q, chord_q); sinuosity = path_q / chord_q is the
+    derivable rational.  Pure window + aggregation codegen."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("o")
+    base = pts.select(
+        F.col(key_col).alias("k"), F.col(order_col).alias("o"),
+        F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+    )
+    seg = (
+        base.withColumn("px", F.lag("x").over(w))
+        .withColumn("py", F.lag("y").over(w))
+        .withColumn("fx", F.first("x").over(w))
+        .withColumn("fy", F.first("y").over(w))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    dlen = F.expr(
+        f"floor(sqrt((x - px) * (x - px) + (y - py) * (y - py)) * {q:.1f})"
+    ).cast("long")
+    chord = F.expr(
+        f"floor(sqrt((x - fx) * (x - fx) + (y - fy) * (y - fy)) * {q:.1f})"
+    ).cast("long")
+    gw = Window.partitionBy("k").orderBy("o").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        seg.withColumn("is_last", F.col("rn") == F.max("rn").over(gw))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("px").isNotNull(), 1).otherwise(0))
+            .alias("n_seg"),
+            F.coalesce(
+                F.sum(F.when(F.col("px").isNotNull(), dlen)), F.lit(0)
+            ).alias("path_q"),
+            F.coalesce(
+                F.max(F.when(F.col("is_last"), chord)), F.lit(0)
+            ).alias("chord_q"),
+        )
+    )
+
+
+def sinuosity_sql(points_select: str, q: float = 1e9) -> str:
+    """DuckDB replay of ``sinuosity``; ``points_select`` -> (k, o, x, y)."""
+    return f"""
+WITH p AS ({points_select}),
+s AS (
+  SELECT k, o, x, y,
+         lag(x) OVER (PARTITION BY k ORDER BY o) AS px,
+         lag(y) OVER (PARTITION BY k ORDER BY o) AS py,
+         first_value(x) OVER (PARTITION BY k ORDER BY o) AS fx,
+         first_value(y) OVER (PARTITION BY k ORDER BY o) AS fy,
+         row_number() OVER (PARTITION BY k ORDER BY o) AS rn,
+         count(*) OVER (PARTITION BY k) AS nk
+  FROM p)
+SELECT k,
+       CAST(sum(CASE WHEN px IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_seg,
+       CAST(coalesce(sum(CASE WHEN px IS NOT NULL THEN
+         CAST(floor(sqrt((x - px) * (x - px) + (y - py) * (y - py))
+                    * {q:.1f}) AS BIGINT) END), 0) AS BIGINT) AS path_q,
+       CAST(coalesce(max(CASE WHEN rn = nk THEN
+         CAST(floor(sqrt((x - fx) * (x - fx) + (y - fy) * (y - fy))
+                    * {q:.1f}) AS BIGINT) END), 0) AS BIGINT) AS chord_q
+FROM s GROUP BY 1"""

@@ -11501,6 +11501,52 @@ def q_pca_power_oracle():
     )
 
 
+def q_paa(spark, sf_dir):
+    """Piecewise Aggregate Approximation (timeseries.paa_segments,
+    10-point segments) of each user's quantized value series — the SAX
+    precursor; one window rank + one aggregation, exact int64."""
+    from .operators.timeseries import paa_segments
+
+    d = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("event_id").alias("o"),
+        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)").alias("v"),
+    )
+    return paa_segments(d, seg_len=10).orderBy("k", "seg")
+
+
+def q_paa_oracle():
+    from .operators.timeseries import paa_segments_sql
+
+    base = (
+        "SELECT user_id AS k, event_id AS o, "
+        "CAST(floor(value * 1000000.0) AS BIGINT) AS v FROM events"
+    )
+    return (
+        "SELECT * FROM (" + paa_segments_sql(base, 10) + ") ORDER BY k, seg"
+    )
+
+
+def q_sinuosity(spark, sf_dir):
+    """Track sinuosity moments (trajectory.sinuosity): quantized path
+    length vs straight-line chord per user — route-quality diagnostics,
+    pure window codegen with per-segment sqrt quantization."""
+    from .operators.trajectory import sinuosity
+
+    pts = _traj_pts_df(spark, sf_dir).select(
+        F.col("user_id").alias("k"), F.col("rn").alias("o"),
+        F.col("qx").alias("x"), F.col("qy").alias("y"),
+    )
+    return sinuosity(pts).orderBy("k")
+
+
+def q_sinuosity_oracle():
+    from .operators.trajectory import sinuosity_sql
+
+    return (
+        "SELECT * FROM (" + sinuosity_sql(_traj_pts_sql()) + ") ORDER BY k"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -11789,4 +11835,6 @@ QUERIES = {
     "palette_map": (q_palette_map, q_palette_map_oracle),
     "mse_pairs": (q_mse_pairs, q_mse_pairs_oracle),
     "pca_power": (q_pca_power, q_pca_power_oracle),
+    "paa": (q_paa, q_paa_oracle),
+    "sinuosity": (q_sinuosity, q_sinuosity_oracle),
 }

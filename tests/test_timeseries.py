@@ -445,3 +445,15 @@ def test_hampel_flags_planted_spike(spark):
     # the textbook Hampel caveat); the spike must flag, most rows must not
     assert sum(r["flag"] for r in got.values()) <= 3
     assert got[3]["med"] in (10, 11)  # window median ignores the spike
+
+
+def test_paa_segments_hand(spark):
+    from sis_spark.operators.timeseries import paa_segments
+
+    rows = [(1, i, i * 10) for i in range(7)]  # 7 points, seg_len 3
+    df = spark.createDataFrame(rows, "k long, o long, v long")
+    out = {(r["k"], r["seg"]): (r["n"], r["vsum"])
+           for r in paa_segments(df, 3).collect()}
+    assert out[(1, 0)] == (3, 0 + 10 + 20)
+    assert out[(1, 1)] == (3, 30 + 40 + 50)
+    assert out[(1, 2)] == (1, 60)  # ragged tail kept with its true count

@@ -83,3 +83,22 @@ def test_convex_hull_vertices_random_vs_brute(spark):
         if not covered:
             want.add(q)
     assert got == want
+
+
+def test_sinuosity_hand_cases(spark):
+    from sis_spark.operators.trajectory import sinuosity
+
+    q = 1_000_000_000
+    pts = [
+        # key 1: straight line -> path == chord (sinuosity 1)
+        (1, 1, 0, 0), (1, 2, 3, 4), (1, 3, 6, 8),
+        # key 2: L-shape 3 right + 4 up -> path 7, chord 5
+        (2, 1, 0, 0), (2, 2, 3, 0), (2, 3, 3, 4),
+        # key 3: single point -> zero everything
+        (3, 1, 5, 5),
+    ]
+    df = spark.createDataFrame(pts, "k long, o long, x long, y long")
+    out = {r["k"]: r for r in sinuosity(df).collect()}
+    assert out[1]["n_seg"] == 2 and out[1]["path_q"] == out[1]["chord_q"] == 10 * q
+    assert out[2]["path_q"] == 7 * q and out[2]["chord_q"] == 5 * q
+    assert out[3]["n_seg"] == 0 and out[3]["path_q"] == 0 and out[3]["chord_q"] == 0
