@@ -1812,3 +1812,69 @@ SELECT LEAST(CAST((({score_col}) * {int(n_bins)}) // {int(score_max)}
        CAST(sum({label_col}) AS BIGINT) AS n_pos,
        CAST(sum({score_col}) AS BIGINT) AS s_sum
 FROM ({base_select}) b GROUP BY 1"""
+
+
+def ks_stat(df: DataFrame, score_col: str, group_col: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic via cross
+    multiplication: with cumulative counts C1(s), C2(s) at each distinct
+    score, D = max |C1/n1 - C2/n2| = max |n2*C1 - n1*C2| / (n1*n2) — the
+    numerator is exact int64, so the argmax score (ties -> smallest) and
+    d_num are bit-exact; d = d_num / (n1 * n2) derivable.
+    ``group_col`` must be 0/1.
+
+    Shape: one per-score collapse (map-side combined) + a window cumsum
+    over the tiny distinct-score table + one pick."""
+    from pyspark.sql import Window
+
+    per = (
+        df.select(F.col(score_col).alias("s"), F.col(group_col).alias("g"))
+        .groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("c2"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "s",
+        F.sum("c1").over(w).alias("k1"),
+        F.sum("c2").over(w).alias("k2"),
+    )
+    tot = per.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "s", "n1", "n2",
+        F.abs(F.col("n2") * F.col("k1") - F.col("n1") * F.col("k2"))
+        .alias("d_num"),
+    )
+    pick = Window.orderBy(F.col("d_num").desc(), F.col("s").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("n1", "n2", "d_num", F.col("s").alias("at_s"))
+    )
+
+
+def ks_stat_sql(base_select: str, score_col: str, group_col: str) -> str:
+    """DuckDB replay of ``ks_stat``; ``base_select`` -> (score, group)."""
+    return f"""
+WITH per AS (
+  SELECT {score_col} AS s,
+         CAST(sum(CASE WHEN {group_col} = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c1,
+         CAST(sum(CASE WHEN {group_col} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c2
+  FROM ({base_select}) b GROUP BY 1),
+cum AS (
+  SELECT s,
+         sum(c1) OVER (ORDER BY s) AS k1,
+         sum(c2) OVER (ORDER BY s) AS k2
+  FROM per),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2 FROM per),
+d AS (
+  SELECT s, n1, n2, abs(n2 * k1 - n1 * k2) AS d_num
+  FROM cum CROSS JOIN tot)
+SELECT n1, n2, CAST(d_num AS BIGINT) AS d_num, s AS at_s
+FROM d ORDER BY d_num DESC, s ASC LIMIT 1"""

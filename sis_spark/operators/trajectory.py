@@ -1196,3 +1196,103 @@ SELECT k,
          CAST(floor(sqrt((x - fx) * (x - fx) + (y - fy) * (y - fy))
                     * {q:.1f}) AS BIGINT) END), 0) AS BIGINT) AS chord_q
 FROM s GROUP BY 1"""
+
+
+def self_intersections(
+    pts: DataFrame,
+    key_col: str = "k",
+    order_col: str = "o",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-key count of PROPER self-crossings of the polyline (strict
+    integer orientation tests on non-adjacent segment pairs; touching
+    endpoints / collinear overlap do not count) -> (k, n_seg,
+    n_crossings).  The GPS-track topology audit, and the engine half of
+    a ring-validity (ST_IsSimple) check for closed tracks.
+
+    Shape: segments via one window, then a per-key band self-join
+    (quadratic in the per-key segment count only — the frechet_join
+    contract); sign comparisons avoid forming cross-product products so
+    nothing can overflow."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("o")
+    seg = (
+        pts.select(
+            F.col(key_col).alias("k"), F.col(order_col).alias("o"),
+            F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+        )
+        .withColumn("x2", F.lead("x").over(w))
+        .withColumn("y2", F.lead("y").over(w))
+        .withColumn("i", F.row_number().over(w))
+        .filter(F.col("x2").isNotNull())
+        .select("k", "i", F.col("x").alias("ax"), F.col("y").alias("ay"),
+                F.col("x2").alias("bx"), F.col("y2").alias("by"))
+    )
+    a = seg.select("k", F.col("i").alias("ia"), F.col("ax").alias("a1x"),
+                   F.col("ay").alias("a1y"), F.col("bx").alias("a2x"),
+                   F.col("by").alias("a2y"))
+    b = seg.select("k", F.col("i").alias("ib"), F.col("ax").alias("b1x"),
+                   F.col("ay").alias("b1y"), F.col("bx").alias("b2x"),
+                   F.col("by").alias("b2y"))
+    pairs = a.join(b, "k").filter(F.col("ib") >= F.col("ia") + 2)
+
+    def cross(px, py, qx, qy, rx, ry):
+        return ((F.col(qx) - F.col(px)) * (F.col(ry) - F.col(py))
+                - (F.col(qy) - F.col(py)) * (F.col(rx) - F.col(px)))
+
+    o1 = cross("a1x", "a1y", "a2x", "a2y", "b1x", "b1y")
+    o2 = cross("a1x", "a1y", "a2x", "a2y", "b2x", "b2y")
+    o3 = cross("b1x", "b1y", "b2x", "b2y", "a1x", "a1y")
+    o4 = cross("b1x", "b1y", "b2x", "b2y", "a2x", "a2y")
+    hit = (
+        (((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0)))
+        & (((o3 > 0) & (o4 < 0)) | ((o3 < 0) & (o4 > 0)))
+    )
+    crossings = pairs.groupBy("k").agg(
+        F.sum(hit.cast("long")).alias("n_crossings")
+    )
+    nseg = seg.groupBy("k").agg(F.count(F.lit(1)).alias("n_seg"))
+    return (
+        nseg.join(crossings, "k", "left")
+        .select("k", "n_seg",
+                F.coalesce("n_crossings", F.lit(0)).alias("n_crossings"))
+    )
+
+
+def self_intersections_sql(points_select: str) -> str:
+    """DuckDB replay of ``self_intersections``; ``points_select`` ->
+    (k, o, x, y)."""
+    def cr(p, q, r):
+        return (f"(({q}x - {p}x) * ({r}y - {p}y) "
+                f"- ({q}y - {p}y) * ({r}x - {p}x))")
+
+    o1 = cr("a.a1", "a.a2", "b.b1")
+    o2 = cr("a.a1", "a.a2", "b.b2")
+    o3 = cr("b.b1", "b.b2", "a.a1")
+    o4 = cr("b.b1", "b.b2", "a.a2")
+    return f"""
+WITH p AS ({points_select}),
+seg AS (
+  SELECT k, row_number() OVER (PARTITION BY k ORDER BY o) AS i,
+         x AS sx, y AS sy,
+         lead(x) OVER (PARTITION BY k ORDER BY o) AS ex,
+         lead(y) OVER (PARTITION BY k ORDER BY o) AS ey
+  FROM p QUALIFY ex IS NOT NULL),
+a AS (SELECT k, i AS ia, sx AS a1x, sy AS a1y, ex AS a2x, ey AS a2y FROM seg),
+b AS (SELECT k, i AS ib, sx AS b1x, sy AS b1y, ex AS b2x, ey AS b2y FROM seg),
+hits AS (
+  SELECT a.k AS k,
+         CASE WHEN ((({o1}) > 0 AND ({o2}) < 0)
+                 OR (({o1}) < 0 AND ({o2}) > 0))
+               AND ((({o3}) > 0 AND ({o4}) < 0)
+                 OR (({o3}) < 0 AND ({o4}) > 0))
+              THEN 1 ELSE 0 END AS hit
+  FROM a JOIN b ON a.k = b.k AND b.ib >= a.ia + 2),
+ns AS (SELECT k, CAST(count(*) AS BIGINT) AS n_seg FROM seg GROUP BY 1),
+cx AS (SELECT k, CAST(sum(hit) AS BIGINT) AS n_crossings
+       FROM hits GROUP BY 1)
+SELECT ns.k AS k, ns.n_seg,
+       coalesce(cx.n_crossings, 0) AS n_crossings
+FROM ns LEFT JOIN cx ON cx.k = ns.k"""

@@ -11547,6 +11547,87 @@ def q_sinuosity_oracle():
     )
 
 
+def q_self_intersections(spark, sf_dir):
+    """Proper self-crossing count per user track
+    (trajectory.self_intersections): strict integer orientation tests on
+    non-adjacent segment pairs — the GPS topology / ST_IsSimple audit;
+    per-key quadratic band join only."""
+    from .operators.trajectory import self_intersections
+
+    pts = _traj_pts_df(spark, sf_dir).select(
+        F.col("user_id").alias("k"), F.col("rn").alias("o"),
+        F.col("qx").alias("x"), F.col("qy").alias("y"),
+    )
+    return self_intersections(pts).orderBy("k")
+
+
+def q_self_intersections_oracle():
+    from .operators.trajectory import self_intersections_sql
+
+    return (
+        "SELECT * FROM ("
+        + self_intersections_sql(_traj_pts_sql())
+        + ") ORDER BY k"
+    )
+
+
+def q_ks_stat(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov distance (analytics.ks_stat):
+    cross-multiplied cumulative-count gap, argmax score with smallest-s
+    tie-break — distribution-drift detection between order cohorts."""
+    from .operators.analytics import ks_stat
+
+    d = _read(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 997).cast("long").alias("s"),
+        (F.col("o_custkey") % 3 == 0).cast("long").alias("g"),
+    )
+    return ks_stat(d, "s", "g")
+
+
+def q_ks_stat_oracle():
+    from .operators.analytics import ks_stat_sql
+
+    base = (
+        "SELECT CAST(o_orderkey % 997 AS BIGINT) AS s, "
+        "CAST(o_custkey % 3 = 0 AS BIGINT) AS g FROM orders"
+    )
+    return ks_stat_sql(base, "s", "g")
+
+
+def q_distance_bands(spark, sf_dir):
+    """Geodesic annulus histogram around (10, 52): events per distance
+    band (0/2000/5000/10000 km cut points, shared haversine text with
+    the geodesic_within safety shift) — the proximity-profile view of a
+    point corpus, one aggregation."""
+    pts = _events_points(spark, sf_dir)
+    d = haversine_col(F.col("lon"), F.col("lat"), F.lit(10.0), F.lit(52.0))
+    km = F.floor(d / F.lit(1000.0) - F.lit(0.123456789)).cast("long")
+    band = (
+        F.when(km < 2000, 0).when(km < 5000, 1).when(km < 10000, 2)
+        .otherwise(3)
+    )
+    return (
+        pts.select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("band")
+    )
+
+
+def q_distance_bands_oracle():
+    from .functions.geometry import haversine_sql
+
+    d = haversine_sql("lon", "lat", "10.0", "52.0")
+    return f"""
+WITH k AS (
+  SELECT CAST(floor({d} / 1000.0 - 0.123456789) AS BIGINT) AS km
+  FROM ({_points_sql()}) p)
+SELECT CASE WHEN km < 2000 THEN 0 WHEN km < 5000 THEN 1
+            WHEN km < 10000 THEN 2 ELSE 3 END AS band,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM k GROUP BY 1 ORDER BY band"""
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -11837,4 +11918,7 @@ QUERIES = {
     "pca_power": (q_pca_power, q_pca_power_oracle),
     "paa": (q_paa, q_paa_oracle),
     "sinuosity": (q_sinuosity, q_sinuosity_oracle),
+    "self_intersections": (q_self_intersections, q_self_intersections_oracle),
+    "ks_stat": (q_ks_stat, q_ks_stat_oracle),
+    "distance_bands": (q_distance_bands, q_distance_bands_oracle),
 }

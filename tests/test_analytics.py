@@ -628,3 +628,26 @@ def test_calibration_bins_clamp_and_sums(spark):
     # score == score_max lands in the LAST bin (clamped)
     df2 = spark.createDataFrame([(100, 1)], "s long, y long")
     assert calibration_bins(df2, "s", "y", 10, 100).collect()[0]["bin"] == 9
+
+
+def test_ks_stat_matches_scipy_free_brute(spark):
+    import numpy as np
+
+    from sis_spark.operators.analytics import ks_stat
+
+    rng = np.random.default_rng(23)
+    s1 = rng.integers(0, 60, 300)      # group 1
+    s2 = rng.integers(10, 80, 200)     # group 0, shifted
+    rows = [(int(v), 1) for v in s1] + [(int(v), 0) for v in s2]
+    df = spark.createDataFrame(rows, "s long, g long")
+    r = ks_stat(df, "s", "g").collect()[0]
+    n1, n2 = len(s1), len(s2)
+    xs = sorted(set(rows_v for rows_v, _ in rows))
+    best = max(
+        abs(n2 * int((s1 <= x).sum()) - n1 * int((s2 <= x).sum()))
+        for x in xs
+    )
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert r["d_num"] == best
+    d = r["d_num"] / (n1 * n2)
+    assert 0 < d <= 1

@@ -102,3 +102,22 @@ def test_sinuosity_hand_cases(spark):
     assert out[1]["n_seg"] == 2 and out[1]["path_q"] == out[1]["chord_q"] == 10 * q
     assert out[2]["path_q"] == 7 * q and out[2]["chord_q"] == 5 * q
     assert out[3]["n_seg"] == 0 and out[3]["path_q"] == 0 and out[3]["chord_q"] == 0
+
+
+def test_self_intersections_hand(spark):
+    from sis_spark.operators.trajectory import self_intersections
+
+    pts = [
+        # key 1: classic bowtie / figure-X: (0,0)->(10,10)->(10,0)->(0,10)
+        # segments 1 and 3 cross properly once
+        (1, 1, 0, 0), (1, 2, 10, 10), (1, 3, 10, 0), (1, 4, 0, 10),
+        # key 2: simple staircase, no crossing
+        (2, 1, 0, 0), (2, 2, 5, 0), (2, 3, 5, 5), (2, 4, 10, 5),
+        # key 3: touching at an endpoint (T-shape) is NOT a proper crossing
+        (3, 1, 0, 0), (3, 2, 10, 0), (3, 3, 5, 5), (3, 4, 5, 0),
+    ]
+    df = spark.createDataFrame(pts, "k long, o long, x long, y long")
+    out = {r["k"]: r for r in self_intersections(df).collect()}
+    assert out[1]["n_crossings"] == 1 and out[1]["n_seg"] == 3
+    assert out[2]["n_crossings"] == 0
+    assert out[3]["n_crossings"] == 0  # segment 3 ENDS on segment 1
