@@ -757,3 +757,31 @@ def mse_pairs(images: DataFrame, stride: int = 9) -> DataFrame:
         schema=("image_id_a string, image_id_b string, n_px long, "
                 "sse long"),
     )
+
+
+def gray_hist(images: DataFrame, bucket: int = 16) -> DataFrame:
+    """Integer ITU-R BT.601 luma histogram per image: luma = (299*r +
+    587*g + 114*b) // 1000 (exact rational weights, floor), bucketed by
+    ``bucket`` -> (image_id, b, cnt).  The tonal signature used for
+    exposure filtering and cheap near-dup blocking; decode + bincount
+    Arrow-batched, no shuffle."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for iid, buf, fmt_ in zip(pdf["image_id"], pdf["bytes"],
+                                      pdf["fmt"]):
+                arr = codec.decode(bytes(buf), fmt_).astype(np.int64)
+                luma = (299 * arr[:, :, 0] + 587 * arr[:, :, 1]
+                        + 114 * arr[:, :, 2]) // 1000
+                bb = luma // bucket
+                cnt = np.bincount(bb.ravel(), minlength=256 // bucket)
+                for bi in np.nonzero(cnt)[0]:
+                    rows.append({"image_id": iid, "b": int(bi),
+                                 "cnt": int(cnt[bi])})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, b long, cnt long"
+    )

@@ -11628,6 +11628,97 @@ SELECT CASE WHEN km < 2000 THEN 0 WHEN km < 5000 THEN 1
 FROM k GROUP BY 1 ORDER BY band"""
 
 
+def q_gray_hist(spark, sf_dir):
+    """BT.601 integer luma histogram (imageops.gray_hist, bucket 16)
+    through the real decode path — exposure-profile signature per image,
+    exact floor-rational weights."""
+    from .operators.imageops import gray_hist
+    from .sources.images import images_table
+
+    img = images_table(spark, N_SEAM_IMAGES).filter(F.col("fmt") != "jpeg")
+    return gray_hist(img, bucket=16).orderBy("image_id", "b")
+
+
+def q_gray_hist_oracle():
+    from .sources.images import SIZES
+
+    size_case = lambda e: (
+        f"(CASE ({e}) % 3 WHEN 0 THEN {SIZES[0]} WHEN 1 THEN {SIZES[1]} "
+        f"ELSE {SIZES[2]} END)"
+    )
+    chan = lambda k: f"(((x.x) * 3 + (y.y) * 7 + {k} * 31 + d.i * 13) % 256)"
+    luma = f"((299 * {chan(0)} + 587 * {chan(1)} + 114 * {chan(2)}) // 1000)"
+    return f"""
+WITH dims AS (
+  SELECT i, {size_case('i')} AS w, {size_case('i // 3')} AS h
+  FROM generate_series(0, {N_SEAM_IMAGES - 1}) t(i)
+  WHERE i % 3 <> 2),
+px AS (
+  SELECT d.i, {luma} // 16 AS b
+  FROM dims d, generate_series(0, 63) x(x), generate_series(0, 63) y(y)
+  WHERE x.x < d.w AND y.y < d.h)
+SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(b AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS cnt
+FROM px GROUP BY 1, 2 ORDER BY image_id, b"""
+
+
+def q_gamma_lut(spark, sf_dir):
+    """Gamma tone-curve histogram (tiles.lut_hist_tiles, gamma 2.2 LUT
+    computed once driver-side, embedded as a literal in BOTH engines):
+    the point-transfer raster op family (ImageProcessor transfer
+    functions) with no runtime pow anywhere."""
+    from .raster.tiles import gamma_lut, lut_hist_tiles
+
+    tiles = _texture_tiles(spark, 448, 256)
+    return lut_hist_tiles(tiles, gamma_lut(2.2)).orderBy("tx", "ty", "v")
+
+
+def q_gamma_lut_oracle():
+    from .raster.tiles import gamma_lut
+
+    lut = gamma_lut(2.2)
+    lut_lit = "[" + ", ".join(str(v) for v in lut) + "]"
+    v = _texture_v_sql("gx.x", "gy.y")
+    return f"""
+WITH px AS (
+  SELECT gx.x // 64 AS tx, gy.y // 64 AS ty,
+         {lut_lit}[({v}) + 1] AS v
+  FROM generate_series(0, 447) gx(x), generate_series(0, 255) gy(y))
+SELECT tx, ty, CAST(v AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS cnt
+FROM px GROUP BY 1, 2, 3 ORDER BY tx, ty, v"""
+
+
+def q_cooccurrence(spark, sf_dir):
+    """Event-type co-occurrence graph: unordered type pairs weighted by
+    the number of distinct users exhibiting both — the bipartite
+    user-type projection (market-basket/graph-feature primitive); one
+    distinct + one self-join on user, all exact."""
+    ut = (
+        _read(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    a = ut.select("user_id", F.col("event_type").alias("ta"))
+    b = ut.select("user_id", F.col("event_type").alias("tb"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("ta", "tb")
+    )
+
+
+def q_cooccurrence_oracle():
+    return """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS ta, b.event_type AS tb,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY ta, tb"""
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -11921,4 +12012,7 @@ QUERIES = {
     "self_intersections": (q_self_intersections, q_self_intersections_oracle),
     "ks_stat": (q_ks_stat, q_ks_stat_oracle),
     "distance_bands": (q_distance_bands, q_distance_bands_oracle),
+    "gray_hist": (q_gray_hist, q_gray_hist_oracle),
+    "gamma_lut": (q_gamma_lut, q_gamma_lut_oracle),
+    "cooccurrence": (q_cooccurrence, q_cooccurrence_oracle),
 }

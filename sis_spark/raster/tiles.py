@@ -1347,3 +1347,42 @@ def moments_tiles(tiles_df: DataFrame, tile_size: int = 64,
         schema=("tx long, ty long, band int, m00 long, m10 long, "
                 "m01 long, m11 long, m20 long, m02 long"),
     )
+
+
+def gamma_lut(gamma: float = 2.2) -> list:
+    """The shared 256-entry integer gamma LUT: lut[v] =
+    floor(255 * (v/255)^(1/gamma) + 0.5), computed ONCE driver-side and
+    embedded as a literal in both engines — no runtime pow anywhere."""
+    return [
+        int(np.floor(255.0 * (v / 255.0) ** (1.0 / gamma) + 0.5))
+        for v in range(256)
+    ]
+
+
+def lut_hist_tiles(tiles_df: DataFrame, lut: list, tile_size: int = 64,
+                   dtype=np.uint8) -> DataFrame:
+    """Apply a 256-entry integer LUT (gamma / tone curve) and emit the
+    per-tile histogram of transformed values -> (tx, ty, v, cnt) — the
+    verification surface of any point-transfer raster op
+    (F/image/ImageProcessor.java transfer functions).  Exact integers,
+    embarrassingly parallel."""
+    lu = np.asarray(lut, dtype=np.int64)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, d in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                block = np.frombuffer(d, dtype=np.dtype(dtype)).astype(
+                    np.int64
+                )
+                out = lu[block]
+                cnt = np.bincount(out, minlength=256)
+                for v in np.nonzero(cnt)[0]:
+                    rows.append({"tx": int(tx), "ty": int(ty),
+                                 "v": int(v), "cnt": int(cnt[v])})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return tiles_df.mapInPandas(
+        fn, schema="tx long, ty long, v long, cnt long"
+    )

@@ -76,3 +76,33 @@ def test_mse_pairs_exact(spark):
            for r in out}
     want_sse = int(((a.astype(np.int64) - b.astype(np.int64)) ** 2).sum())
     assert got == {("img-000000000000", "img-000000000001"): (64, want_sse)}
+
+
+def test_gray_hist_exact(spark):
+    import numpy as np
+
+    from sis_spark.operators.imageops import gray_hist
+    from sis_spark.raster import codec
+
+    rng = np.random.default_rng(8)
+    arr = rng.integers(0, 256, (6, 7, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("a", codec.encode(arr, "raw"), "raw")],
+        "image_id string, bytes binary, fmt string",
+    )
+    out = {r["b"]: r["cnt"] for r in gray_hist(df, bucket=16).collect()}
+    a = arr.astype(np.int64)
+    luma = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    want = {}
+    for v in (luma // 16).ravel():
+        want[int(v)] = want.get(int(v), 0) + 1
+    assert out == want
+
+
+def test_gamma_lut_monotone_and_roundtrip_ends(spark):
+    from sis_spark.raster.tiles import gamma_lut
+
+    lut = gamma_lut(2.2)
+    assert lut[0] == 0 and lut[255] == 255
+    assert all(lut[i] <= lut[i + 1] for i in range(255))
+    assert lut[128] > 128  # gamma 2.2 brightens midtones
