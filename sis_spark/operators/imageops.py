@@ -785,3 +785,54 @@ def gray_hist(images: DataFrame, bucket: int = 16) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         fn, schema="image_id string, b long, cnt long"
     )
+
+
+_PATCH_P = (1 << 31) - 1  # Mersenne prime modulus for the patch hash
+_PATCH_B = 131            # polynomial base
+
+
+def patch_pow_lut(n: int) -> list:
+    """B^k mod P for k < n, computed once and shared verbatim by both
+    engines (literal list — no runtime pow)."""
+    out, cur = [], 1
+    for _ in range(n):
+        out.append(cur)
+        cur = (cur * _PATCH_B) % _PATCH_P
+    return out
+
+
+def patch_dedup(images: DataFrame, patch: int = 8,
+                min_count: int = 2) -> DataFrame:
+    """Cross-image patch-level dedup candidates: every aligned
+    ``patch`` x ``patch`` luma-less (channel-0) patch is fingerprinted
+    with a polynomial rolling hash mod 2^31-1 (exact integer, identical
+    formula in SQL), then hashes occurring >= ``min_count`` times
+    corpus-wide are reported -> (h, cnt).  The patch-granular twin of
+    phash dedup (watermarks/logos/borders repeat at patch level long
+    before whole images do).
+
+    Shape: decode + hash Arrow-batched per image, then ONE map-side
+    combined count — the dedup_exact plan at patch granularity."""
+    lut = np.asarray(patch_pow_lut(patch * patch), dtype=np.int64)
+
+    def fn(batches):
+        for pdf in batches:
+            hs = []
+            for buf, fmt_ in zip(pdf["bytes"], pdf["fmt"]):
+                arr = codec.decode(bytes(buf), fmt_)[:, :, 0].astype(
+                    np.int64
+                )
+                h, w = arr.shape
+                for py0 in range(0, h - patch + 1, patch):
+                    for px0 in range(0, w - patch + 1, patch):
+                        blk = arr[py0:py0 + patch, px0:px0 + patch].ravel()
+                        hs.append(int((blk * lut).sum() % _PATCH_P))
+            if hs:
+                yield pd.DataFrame({"h": hs})
+
+    hashes = images.select("bytes", "fmt").mapInPandas(fn, schema="h long")
+    return (
+        hashes.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )

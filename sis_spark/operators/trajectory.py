@@ -1296,3 +1296,53 @@ cx AS (SELECT k, CAST(sum(hit) AS BIGINT) AS n_crossings
 SELECT ns.k AS k, ns.n_seg,
        coalesce(cx.n_crossings, 0) AS n_crossings
 FROM ns LEFT JOIN cx ON cx.k = ns.k"""
+
+
+def bearing_rose(
+    pts: DataFrame,
+    key_col: str = "k",
+    order_col: str = "o",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Wind-rose: per-key counts of segment directions in 8 exact
+    octants (the hog_octants integer sign/magnitude ladder applied to
+    consecutive-point deltas — no trig) -> (k, sector, n).  Zero-length
+    segments are skipped.  Pure window + aggregation codegen."""
+    from pyspark.sql import Window
+
+    from ..raster.terrain import hog_octant_sql
+
+    w = Window.partitionBy("k").orderBy("o")
+    seg = (
+        pts.select(
+            F.col(key_col).alias("k"), F.col(order_col).alias("o"),
+            F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+        )
+        .withColumn("dx", F.col("x") - F.lag("x").over(w))
+        .withColumn("dy", F.col("y") - F.lag("y").over(w))
+        .filter(F.col("dx").isNotNull())
+        .filter((F.col("dx") != 0) | (F.col("dy") != 0))
+    )
+    return (
+        seg.select("k", F.expr(hog_octant_sql("dx", "dy")).alias("sector"))
+        .groupBy("k", "sector")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bearing_rose_sql(points_select: str) -> str:
+    """DuckDB replay of ``bearing_rose`` (same octant ladder text)."""
+    from ..raster.terrain import hog_octant_sql
+
+    return f"""
+WITH p AS ({points_select}),
+s AS (
+  SELECT k,
+         x - lag(x) OVER (PARTITION BY k ORDER BY o) AS dx,
+         y - lag(y) OVER (PARTITION BY k ORDER BY o) AS dy
+  FROM p),
+g AS (SELECT * FROM s WHERE dx IS NOT NULL AND (dx != 0 OR dy != 0))
+SELECT k, CAST({hog_octant_sql('dx', 'dy')} AS BIGINT) AS sector,
+       CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY 1, 2"""

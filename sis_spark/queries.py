@@ -11719,6 +11719,108 @@ FROM ut a JOIN ut b
 GROUP BY 1, 2 ORDER BY ta, tb"""
 
 
+def q_range_filter(spark, sf_dir):
+    """Edge-preserving range-filter moments (terrain.range_filter_tiles,
+    |v - center| <= 24): the integer core of a bilateral smoother —
+    per-tile in-range neighbor counts/sums, exact int64 on the halo
+    machinery."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import range_filter_tiles
+
+    W, H = 448, 256
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _texture_tiles(spark, W, H)
+    return range_filter_tiles(tiles, gg, thresh=24).orderBy("tx", "ty")
+
+
+def q_range_filter_oracle():
+    v = _texture_v_sql
+    c = v("gx.x", "gy.y")
+    nb = v("gx.x + o.dx", "gy.y + o.dy")
+    return f"""
+WITH w9 AS (
+  SELECT gx.x AS x, gy.y AS y,
+         CASE WHEN abs(({nb}) - ({c})) <= 24 THEN 1 ELSE 0 END AS inr,
+         CASE WHEN abs(({nb}) - ({c})) <= 24 THEN ({nb}) ELSE 0 END AS vin
+  FROM generate_series(1, 446) gx(x), generate_series(1, 254) gy(y),
+       (VALUES (-1, -1), (0, -1), (1, -1), (-1, 0), (0, 0), (1, 0),
+               (-1, 1), (0, 1), (1, 1)) o(dx, dy))
+SELECT x // 64 AS tx, y // 64 AS ty,
+       CAST(count(*) / 9 AS BIGINT) AS n_px,
+       CAST(sum(inr) AS BIGINT) AS n_in,
+       CAST(sum(vin) AS BIGINT) AS v_in_sum
+FROM w9 GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+def q_patch_dedup(spark, sf_dir):
+    """Patch-level cross-image dedup candidates (imageops.patch_dedup,
+    8x8 channel-0 patches, polynomial hash mod 2^31-1): hashes seen >= 2
+    times corpus-wide — watermark/border repetition surfaces at patch
+    granularity; decode + hash per image, ONE count aggregation."""
+    from .operators.imageops import patch_dedup
+    from .sources.images import images_table
+
+    img = images_table(spark, N_SEAM_IMAGES).filter(F.col("fmt") != "jpeg")
+    return patch_dedup(img, patch=8, min_count=2).orderBy("h")
+
+
+def q_patch_dedup_oracle():
+    from .operators.imageops import _PATCH_P, patch_pow_lut
+    from .sources.images import SIZES
+
+    size_case = lambda e: (
+        f"(CASE ({e}) % 3 WHEN 0 THEN {SIZES[0]} WHEN 1 THEN {SIZES[1]} "
+        f"ELSE {SIZES[2]} END)"
+    )
+    lut = patch_pow_lut(64)
+    lut_lit = "[" + ", ".join(str(v) for v in lut) + "]"
+    vpx = ("(((p.px + (kk.k % 8)) * 3 + (p.py + (kk.k // 8)) * 7 "
+           "+ d.i * 13) % 256)")
+    return f"""
+WITH dims AS (
+  SELECT i, {size_case('i')} AS w, {size_case('i // 3')} AS h
+  FROM generate_series(0, {N_SEAM_IMAGES - 1}) t(i)
+  WHERE i % 3 <> 2),
+org AS (
+  SELECT d.i, d.w, d.h, px.px, py.py
+  FROM dims d,
+       generate_series(0, 56, 8) px(px), generate_series(0, 56, 8) py(py)
+  WHERE px.px + 8 <= d.w AND py.py + 8 <= d.h),
+hh AS (
+  SELECT p.i, p.px, p.py,
+         CAST(sum({vpx} * {lut_lit}[kk.k + 1]) % {_PATCH_P} AS BIGINT) AS h
+  FROM org p
+  JOIN dims d ON d.i = p.i
+  CROSS JOIN generate_series(0, 63) kk(k)
+  GROUP BY 1, 2, 3)
+SELECT h, CAST(count(*) AS BIGINT) AS cnt
+FROM hh GROUP BY 1 HAVING count(*) >= 2 ORDER BY h"""
+
+
+def q_bearing_rose(spark, sf_dir):
+    """Per-user wind-rose (trajectory.bearing_rose): segment directions
+    binned into 8 exact octants via the integer sign/magnitude ladder —
+    directional movement profiles without any trig."""
+    from .operators.trajectory import bearing_rose
+
+    pts = _traj_pts_df(spark, sf_dir).select(
+        F.col("user_id").alias("k"), F.col("rn").alias("o"),
+        F.col("qx").alias("x"), F.col("qy").alias("y"),
+    )
+    return bearing_rose(pts).orderBy("k", "sector")
+
+
+def q_bearing_rose_oracle():
+    from .operators.trajectory import bearing_rose_sql
+
+    return (
+        "SELECT * FROM ("
+        + bearing_rose_sql(_traj_pts_sql())
+        + ") ORDER BY k, sector"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -12015,4 +12117,7 @@ QUERIES = {
     "gray_hist": (q_gray_hist, q_gray_hist_oracle),
     "gamma_lut": (q_gamma_lut, q_gamma_lut_oracle),
     "cooccurrence": (q_cooccurrence, q_cooccurrence_oracle),
+    "range_filter": (q_range_filter, q_range_filter_oracle),
+    "patch_dedup": (q_patch_dedup, q_patch_dedup_oracle),
+    "bearing_rose": (q_bearing_rose, q_bearing_rose_oracle),
 }

@@ -1039,3 +1039,59 @@ def mode_filter_tiles(
     return contrib.groupBy("gtx", "gty").applyInPandas(
         fn, schema="tx long, ty long, v long, cnt long"
     )
+
+
+def range_filter_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    thresh: int,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Edge-preserving range (epsilon-box) filter moments: for each
+    INTERIOR pixel, over its 3x3 window count the neighbors with
+    |v - center| <= thresh and sum their values (the integer core of a
+    bilateral filter's range kernel, public literature) -> per-tile
+    exact int64 aggregates (n_px, n_in, v_in_sum) — the smoothed value
+    floor(v_in_sum / n_in) per pixel is derivable and edges never bleed.
+    One halo gather, zero Python aggregation."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+
+    def fn(key, pdf):
+        gtx, gty, halo = _assemble_halo(key, pdf, tile_size, bdt)
+        ts = tile_size
+        px = gtx * ts + np.arange(ts)
+        py = gty * ts + np.arange(ts)
+        c = halo[1:1 + ts, 1:1 + ts]
+        stack = np.stack([
+            halo[1 + dy:1 + dy + ts, 1 + dx:1 + dx + ts]
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        ])
+        valid = np.isfinite(stack).all(axis=0)
+        interior = (
+            (px[None, :] >= 1) & (px[None, :] <= w - 2)
+            & (py[:, None] >= 1) & (py[:, None] <= h - 2)
+        )
+        m = valid & interior
+        s = np.nan_to_num(stack, nan=0.0).astype(np.int64)
+        ci = np.nan_to_num(c, nan=0.0).astype(np.int64)
+        inr = (np.abs(s - ci[None, :, :]) <= thresh)
+        n_in = np.where(m, inr.sum(axis=0), 0)
+        v_in = np.where(m, (s * inr).sum(axis=0), 0)
+        return pd.DataFrame([{
+            "tx": gtx, "ty": gty,
+            "n_px": int(m.sum()),
+            "n_in": int(n_in.sum()),
+            "v_in_sum": int(v_in.sum()),
+        }])
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(
+        fn, schema="tx long, ty long, n_px long, n_in long, v_in_sum long"
+    )

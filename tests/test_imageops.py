@@ -106,3 +106,23 @@ def test_gamma_lut_monotone_and_roundtrip_ends(spark):
     assert lut[0] == 0 and lut[255] == 255
     assert all(lut[i] <= lut[i + 1] for i in range(255))
     assert lut[128] > 128  # gamma 2.2 brightens midtones
+
+
+def test_patch_dedup_finds_planted_duplicates(spark):
+    import numpy as np
+
+    from sis_spark.operators.imageops import patch_dedup
+    from sis_spark.raster import codec
+
+    rng = np.random.default_rng(31)
+    common = rng.integers(0, 256, (8, 8), np.uint8)  # planted patch
+    rows = []
+    for i in range(4):
+        arr = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+        if i < 3:
+            arr[0:8, 0:8, 0] = common   # plant in 3 of 4 images
+        rows.append((f"im{i}", codec.encode(arr, "raw"), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = patch_dedup(df, patch=8, min_count=3).collect()
+    assert len(out) >= 1
+    assert max(r["cnt"] for r in out) >= 3

@@ -109,3 +109,29 @@ def test_mode_filter_matches_brute(spark):
             k = (x // ts, y // ts, mode)
             want[k] = want.get(k, 0) + 1
     assert got == want
+
+
+def test_range_filter_matches_brute(spark):
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.terrain import range_filter_tiles
+
+    rng = np.random.default_rng(6)
+    h, w, ts, T = 40, 66, 32, 20
+    arr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    gg = GridGeometry((0, 0, w - 1, h - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(h)))
+    rows = range_filter_tiles(_tiles_df(spark, arr, ts), gg, thresh=T,
+                              tile_size=ts).collect()
+    got = {(r["tx"], r["ty"]): (r["n_px"], r["n_in"], r["v_in_sum"])
+           for r in rows}
+    a = arr.astype(np.int64)
+    want = {}
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            win = a[y - 1:y + 2, x - 1:x + 2].ravel()
+            inr = np.abs(win - a[y, x]) <= T
+            k = (x // ts, y // ts)
+            npx, nin, vin = want.get(k, (0, 0, 0))
+            want[k] = (npx + 1, nin + int(inr.sum()),
+                       vin + int(win[inr].sum()))
+    assert got == want
