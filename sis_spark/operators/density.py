@@ -656,3 +656,230 @@ pr AS (
    AND b.qy BETWEEN a.qy - {rmax} AND a.qy + {rmax})
 SELECT {cols}
 FROM pr"""
+
+
+def variogram_lags(
+    points: DataFrame,
+    grid_n: int,
+    lags: list,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Empirical directional semivariogram moments (Matheron 1963, public
+    literature) over the occupied-cell histogram: for each lag h and
+    axis direction (E = (+h, 0), N = (0, +h)), the pair count and the
+    exact int64 sum of squared count differences between occupied cells
+    h apart — gamma(h) = sq_sum / (2 * n_pairs) derivable.  The spatial-
+    continuity diagnostic behind kriging range selection.
+
+    Shape: one input-sized cell histogram, then per-lag equi-joins on
+    shifted keys over the tiny occupied-cell table."""
+    cells = (
+        points.select(
+            F.expr(grid_expr("x", grid_n, lon_col, lat_col)).alias("ix"),
+            F.expr(grid_expr("y", grid_n, lon_col, lat_col)).alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("x"))
+    ).localCheckpoint()
+    outs = []
+    for h in lags:
+        for dname, dx, dy in (("E", int(h), 0), ("N", 0, int(h))):
+            a = cells.select(
+                (F.col("ix") + dx).alias("ix"), (F.col("iy") + dy).alias("iy"),
+                F.col("x").alias("xa"),
+            )
+            j = a.join(cells.select("ix", "iy", F.col("x").alias("xb")),
+                       ["ix", "iy"])
+            outs.append(
+                j.agg(
+                    F.lit(dname).alias("dir"),
+                    F.lit(int(h)).cast("long").alias("lag"),
+                    F.count(F.lit(1)).alias("n_pairs"),
+                    F.sum(
+                        (F.col("xa") - F.col("xb"))
+                        * (F.col("xa") - F.col("xb"))
+                    ).alias("sq_sum"),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out.select(
+        "dir", "lag", "n_pairs", F.coalesce("sq_sum", F.lit(0)).alias("sq_sum")
+    )
+
+
+def variogram_lags_sql(
+    base_select: str,
+    grid_n: int,
+    lags: list,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> str:
+    """DuckDB replay of ``variogram_lags``."""
+    parts = []
+    for h in lags:
+        for dname, dx, dy in (("E", int(h), 0), ("N", 0, int(h))):
+            parts.append(f"""
+SELECT '{dname}' AS dir, CAST({int(h)} AS BIGINT) AS lag,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum((a.x - b.x) * (a.x - b.x)), 0) AS BIGINT) AS sq_sum
+FROM cl a JOIN cl b ON b.ix = a.ix + {dx} AND b.iy = a.iy + {dy}""")
+    return f"""
+WITH cl AS MATERIALIZED (
+  SELECT {grid_expr('x', grid_n, lon_col, lat_col)} AS ix,
+         {grid_expr('y', grid_n, lon_col, lat_col)} AS iy,
+         CAST(count(*) AS BIGINT) AS x
+  FROM ({base_select}) p GROUP BY 1, 2)
+{' UNION ALL '.join(parts)}"""
+
+
+def cross_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    radii: list,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    scale: float = 1e5,
+) -> DataFrame:
+    """Bivariate (cross-K) pair counts: points of A within each planar
+    radius of points of B — the co-location statistic between two event
+    categories (Ripley cross-K, public literature).  Same cell-binned
+    candidate shape as ``ripley_pairs`` (bin side = r_max, 3x3 probe,
+    exact integer d^2 verify), full bipartite — no ordering filter."""
+    rmax = int(max(radii))
+
+    def q(df, tag):
+        return df.select(
+            F.floor(F.col(lon_col) * scale).cast("long").alias(f"x{tag}"),
+            F.floor(F.col(lat_col) * scale).cast("long").alias(f"y{tag}"),
+        )
+
+    qa = q(a, "a").select(
+        "xa", "ya",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.floor(F.col("xa") / rmax).cast("long") + dx)
+                    .alias("cx"),
+                    (F.floor(F.col("ya") / rmax).cast("long") + dy)
+                    .alias("cy"),
+                )
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            ])
+        ).alias("g"),
+    ).select("xa", "ya", "g.cx", "g.cy")
+    qb = q(b, "b").select(
+        "xb", "yb",
+        F.floor(F.col("xb") / rmax).cast("long").alias("cx"),
+        F.floor(F.col("yb") / rmax).cast("long").alias("cy"),
+    )
+    cand = qa.join(qb, ["cx", "cy"])
+    d2 = (
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+    )
+    return cand.agg(*[
+        F.sum((d2 <= r * r).cast("long")).alias(f"n_{int(r)}")
+        for r in radii
+    ])
+
+
+def cross_pairs_sql(
+    a_select: str,
+    b_select: str,
+    radii: list,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    scale: float = 1e5,
+) -> str:
+    """DuckDB replay of ``cross_pairs`` (banded inequality join)."""
+    rmax = int(max(radii))
+    cols = ",\n       ".join(
+        f"CAST(sum(CASE WHEN d2 <= {int(r) * int(r)} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{int(r)}"
+        for r in radii
+    )
+    return f"""
+WITH qa AS (
+  SELECT CAST(floor(({lon_col}) * {scale}) AS BIGINT) AS xa,
+         CAST(floor(({lat_col}) * {scale}) AS BIGINT) AS ya
+  FROM ({a_select}) s),
+qb AS (
+  SELECT CAST(floor(({lon_col}) * {scale}) AS BIGINT) AS xb,
+         CAST(floor(({lat_col}) * {scale}) AS BIGINT) AS yb
+  FROM ({b_select}) s),
+pr AS (
+  SELECT (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) AS d2
+  FROM qa JOIN qb
+    ON xb BETWEEN xa - {rmax} AND xa + {rmax}
+   AND yb BETWEEN ya - {rmax} AND ya + {rmax})
+SELECT {cols}
+FROM pr"""
+
+
+def spatial_entropy(
+    points: DataFrame,
+    resolutions: list,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Spatial diversity moments of the cell histogram at several grid
+    resolutions: occupied-cell count, point count, Simpson concentration
+    numerator (sum of squared cell counts) and the integer-log2 entropy
+    numerator (sum of c * floor(log2 c) via bit length — no FP log) ->
+    one row per resolution.  The multi-scale clustering summary used to
+    pick partitioning resolutions.
+
+    Shape: one map-side-combined histogram per resolution over the same
+    scan; every later stage is cell-table-sized."""
+    outs = []
+    for n in resolutions:
+        cells = (
+            points.select(
+                F.expr(grid_expr("x", int(n), lon_col, lat_col)).alias("ix"),
+                F.expr(grid_expr("y", int(n), lon_col, lat_col)).alias("iy"),
+            )
+            .groupBy("ix", "iy")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        outs.append(
+            cells.agg(
+                F.lit(int(n)).cast("long").alias("res"),
+                F.count(F.lit(1)).alias("n_cells"),
+                F.sum("c").alias("n_pts"),
+                F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+                F.sum(
+                    F.col("c")
+                    * (F.length(F.expr("bin(c)")) - F.lit(1)).cast("long")
+                ).alias("sum_clog2c"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
+def spatial_entropy_sql(
+    base_select: str,
+    resolutions: list,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> str:
+    """DuckDB replay of ``spatial_entropy`` (same bin() bit-length log)."""
+    parts = []
+    for n in resolutions:
+        parts.append(f"""
+SELECT CAST({int(n)} AS BIGINT) AS res,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(c) AS BIGINT) AS n_pts,
+       CAST(sum(c * c) AS BIGINT) AS sum_c2,
+       CAST(sum(c * (length(bin(c)) - 1)) AS BIGINT) AS sum_clog2c
+FROM (
+  SELECT {grid_expr('x', int(n), lon_col, lat_col)} AS ix,
+         {grid_expr('y', int(n), lon_col, lat_col)} AS iy,
+         CAST(count(*) AS BIGINT) AS c
+  FROM ({base_select}) p GROUP BY 1, 2) cl""")
+    return " UNION ALL ".join(parts)

@@ -836,3 +836,37 @@ def patch_dedup(images: DataFrame, patch: int = 8,
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= min_count)
     )
+
+
+def channel_corr(images: DataFrame) -> DataFrame:
+    """Exact R/G/B channel second-moment partials per image -> n plus
+    per-pair integer sums (sr, sg, sb, srr, sgg, sbb, srg, srb, sgb):
+    channel Pearson correlations are derivable rationals — grayscale
+    detection (corr ~ 1 everywhere) and color-cast auditing for image
+    corpora.  Decode + integer sums Arrow-batched, no shuffle."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for iid, buf, fmt_ in zip(pdf["image_id"], pdf["bytes"],
+                                      pdf["fmt"]):
+                arr = codec.decode(bytes(buf), fmt_).astype(np.int64)
+                r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+                rows.append({
+                    "image_id": iid, "n": int(r.size),
+                    "sr": int(r.sum()), "sg": int(g.sum()),
+                    "sb": int(b.sum()),
+                    "srr": int((r * r).sum()), "sgg": int((g * g).sum()),
+                    "sbb": int((b * b).sum()),
+                    "srg": int((r * g).sum()), "srb": int((r * b).sum()),
+                    "sgb": int((g * b).sum()),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema=("image_id string, n long, sr long, sg long, sb long, "
+                "srr long, sgg long, sbb long, srg long, srb long, "
+                "sgb long"),
+    )

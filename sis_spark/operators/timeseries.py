@@ -1243,3 +1243,103 @@ SELECT k, CAST((rn - 1) // {int(seg_len)} AS BIGINT) AS seg,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(v) AS BIGINT) AS vsum
 FROM r GROUP BY 1, 2"""
+
+
+def sax_symbols(
+    df: DataFrame,
+    alpha: int = 4,
+    key_col: str = "k",
+    order_col: str = "o",
+    value_col: str = "v",
+) -> DataFrame:
+    """Uniform-breakpoint SAX symbolization (Lin et al. 2003 shape,
+    public literature; breakpoints uniform over the key's [min, max]
+    instead of Gaussian quantiles so everything stays EXACT integer):
+    sym = min(alpha-1, (v - vmin) * alpha DIV (vmax - vmin + 1)) ->
+    (k, n, word) with the word the ordered symbol string.  The
+    discretization step before motif mining; two windows + one ordered
+    string aggregation."""
+    from pyspark.sql import Window
+
+    kw = Window.partitionBy("k")
+    base = df.select(
+        F.col(key_col).alias("k"), F.col(order_col).alias("o"),
+        F.col(value_col).alias("v"),
+    ).withColumn("vmin", F.min("v").over(kw)).withColumn(
+        "vmax", F.max("v").over(kw)
+    )
+    sym = F.expr(
+        f"LEAST({int(alpha) - 1}, "
+        f"CAST(((v - vmin) * {int(alpha)}) DIV (vmax - vmin + 1) AS BIGINT))"
+    )
+    s = base.select("k", "o", sym.alias("s"))
+    return s.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(o, s))), "
+                   "x -> CAST(x.s AS STRING))"),
+            "",
+        ).alias("word"),
+    )
+
+
+def sax_symbols_sql(base_select: str, alpha: int = 4) -> str:
+    """DuckDB replay of ``sax_symbols``; ``base_select`` -> (k, o, v)."""
+    a = int(alpha)
+    return f"""
+WITH b AS (
+  SELECT k, o, v,
+         min(v) OVER (PARTITION BY k) AS vmin,
+         max(v) OVER (PARTITION BY k) AS vmax
+  FROM ({base_select}) s),
+sy AS (
+  SELECT k, o,
+         LEAST({a - 1}, ((v - vmin) * {a}) // (vmax - vmin + 1)) AS s
+  FROM b)
+SELECT k, CAST(count(*) AS BIGINT) AS n,
+       string_agg(CAST(s AS VARCHAR), '' ORDER BY o) AS word
+FROM sy GROUP BY 1"""
+
+
+def interarrival_hist(
+    df: DataFrame,
+    key_col: str = "k",
+    order_col: str = "o",
+    ts_col: str = "t_us",
+) -> DataFrame:
+    """Inter-arrival time histogram in power-of-two microsecond buckets:
+    bucket = bit length of the gap (length(bin(gap)) - 1, the integer
+    floor(log2) — no FP log), zero gaps in bucket -1 -> (bucket, cnt)
+    corpus-wide.  The traffic-shape fingerprint behind bot/burst
+    detection; one window + one map-side-combined aggregation."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    g = (
+        df.select(F.col(key_col).alias("k"), F.col(order_col).alias("o"),
+                  F.col(ts_col).alias("t"))
+        .withColumn("gap", F.col("t") - F.lag("t").over(
+            Window.partitionBy("k").orderBy("o")))
+        .filter(F.col("gap").isNotNull())
+    )
+    bucket = F.when(
+        F.col("gap") <= 0, F.lit(-1).cast("long")
+    ).otherwise((F.length(F.expr("bin(gap)")) - 1).cast("long"))
+    return (
+        g.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def interarrival_hist_sql(base_select: str) -> str:
+    """DuckDB replay of ``interarrival_hist``; ``base_select`` ->
+    (k, o, t_us)."""
+    return """
+WITH g AS (
+  SELECT t_us - lag(t_us) OVER (PARTITION BY k ORDER BY o) AS gap
+  FROM ({0}) b QUALIFY gap IS NOT NULL)
+SELECT CAST(CASE WHEN gap <= 0 THEN -1
+            ELSE length(bin(gap)) - 1 END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM g GROUP BY 1""".format(base_select)

@@ -11821,6 +11821,190 @@ def q_bearing_rose_oracle():
     )
 
 
+def q_variogram(spark, sf_dir):
+    """Directional empirical semivariogram moments (density.variogram_lags,
+    64x64 grid, lags 1/2/4, E and N axes) over the occupied-cell
+    histogram — the kriging-range diagnostic; per-lag shifted-key
+    equi-joins on the tiny cell table, exact int64."""
+    from .operators.density import variogram_lags
+
+    pts = _events_points(spark, sf_dir)
+    return variogram_lags(pts, grid_n=64, lags=[1, 2, 4]).orderBy(
+        "dir", "lag"
+    )
+
+
+def q_variogram_oracle():
+    from .operators.density import variogram_lags_sql
+
+    return (
+        "SELECT * FROM ("
+        + variogram_lags_sql(_points_sql(), 64, [1, 2, 4])
+        + ") ORDER BY dir, lag"
+    )
+
+
+def q_cross_k(spark, sf_dir):
+    """Bivariate cross-K pair counts (density.cross_pairs): purchase
+    events within 0.2/0.4/0.8 deg of error events — category co-location
+    via the cell-binned candidate join, exact integer d^2 verify."""
+    from .operators.density import cross_pairs
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type")
+    pts = _events_points(spark, sf_dir).join(ev, "event_id")
+    a = pts.filter(F.col("event_type") == "purchase")
+    b = pts.filter(F.col("event_type") == "error")
+    return cross_pairs(a, b, [20000, 40000, 80000])
+
+
+def q_cross_k_oracle():
+    from .operators.density import cross_pairs_sql
+
+    base = (
+        f"SELECT p.event_id, p.lon, p.lat, e.event_type "
+        f"FROM ({_points_sql()}) p JOIN events e ON e.event_id = p.event_id"
+    )
+    return cross_pairs_sql(
+        f"SELECT * FROM ({base}) a WHERE event_type = 'purchase'",
+        f"SELECT * FROM ({base}) b WHERE event_type = 'error'",
+        [20000, 40000, 80000],
+    )
+
+
+def q_row_profile(spark, sf_dir):
+    """Horizontal projection profile (tiles.row_profile): exact per-row
+    pixel sums of the texture raster — the deskew/layout primitive;
+    per-tile partial row sums + one tiny keyed aggregation."""
+    from .raster.tiles import row_profile
+
+    tiles = _texture_tiles(spark, 448, 256)
+    return row_profile(tiles).orderBy("band", "y")
+
+
+def q_row_profile_oracle():
+    v = _texture_v_sql("gx.x", "gy.y")
+    return f"""
+SELECT CAST(0 AS INT) AS band, gy.y AS y,
+       CAST(sum({v}) AS BIGINT) AS vsum
+FROM generate_series(0, 447) gx(x), generate_series(0, 255) gy(y)
+GROUP BY 2 ORDER BY band, y"""
+
+
+def q_sax(spark, sf_dir):
+    """Uniform-breakpoint SAX words (timeseries.sax_symbols, alpha 4) of
+    each user's quantized value series — exact integer discretization,
+    ordered string aggregation; the motif-mining precursor."""
+    from .operators.timeseries import sax_symbols
+
+    d = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("event_id").alias("o"),
+        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)").alias("v"),
+    )
+    return sax_symbols(d, alpha=4).orderBy("k")
+
+
+def q_sax_oracle():
+    from .operators.timeseries import sax_symbols_sql
+
+    base = (
+        "SELECT user_id AS k, event_id AS o, "
+        "CAST(floor(value * 1000000.0) AS BIGINT) AS v FROM events"
+    )
+    return "SELECT * FROM (" + sax_symbols_sql(base, 4) + ") ORDER BY k"
+
+
+def q_spatial_entropy(spark, sf_dir):
+    """Multi-resolution spatial diversity (density.spatial_entropy, grids
+    16/64/256): Simpson concentration and bit-length-log2 entropy
+    numerators of the cell histogram — the resolution-selection summary,
+    exact int64 (no FP log anywhere)."""
+    from .operators.density import spatial_entropy
+
+    pts = _events_points(spark, sf_dir)
+    return spatial_entropy(pts, [16, 64, 256]).orderBy("res")
+
+
+def q_spatial_entropy_oracle():
+    from .operators.density import spatial_entropy_sql
+
+    return (
+        "SELECT * FROM ("
+        + spatial_entropy_sql(_points_sql(), [16, 64, 256])
+        + ") ORDER BY res"
+    )
+
+
+def q_channel_corr(spark, sf_dir):
+    """Exact channel second moments (imageops.channel_corr): per-image
+    R/G/B sums and cross products — channel Pearson correlations
+    derivable; grayscale / color-cast auditing through the real decode
+    path."""
+    from .operators.imageops import channel_corr
+    from .sources.images import images_table
+
+    img = images_table(spark, N_SEAM_IMAGES).filter(F.col("fmt") != "jpeg")
+    return channel_corr(img).orderBy("image_id")
+
+
+def q_channel_corr_oracle():
+    from .sources.images import SIZES
+
+    size_case = lambda e: (
+        f"(CASE ({e}) % 3 WHEN 0 THEN {SIZES[0]} WHEN 1 THEN {SIZES[1]} "
+        f"ELSE {SIZES[2]} END)"
+    )
+    chan = lambda k: f"(((x.x) * 3 + (y.y) * 7 + {k} * 31 + d.i * 13) % 256)"
+    r, g, b = chan(0), chan(1), chan(2)
+    return f"""
+WITH dims AS (
+  SELECT i, {size_case('i')} AS w, {size_case('i // 3')} AS h
+  FROM generate_series(0, {N_SEAM_IMAGES - 1}) t(i)
+  WHERE i % 3 <> 2),
+px AS (
+  SELECT d.i, {r} AS r, {g} AS g, {b} AS b
+  FROM dims d, generate_series(0, 63) x(x), generate_series(0, 63) y(y)
+  WHERE x.x < d.w AND y.y < d.h)
+SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(r) AS BIGINT) AS sr, CAST(sum(g) AS BIGINT) AS sg,
+       CAST(sum(b) AS BIGINT) AS sb,
+       CAST(sum(r * r) AS BIGINT) AS srr,
+       CAST(sum(g * g) AS BIGINT) AS sgg,
+       CAST(sum(b * b) AS BIGINT) AS sbb,
+       CAST(sum(r * g) AS BIGINT) AS srg,
+       CAST(sum(r * b) AS BIGINT) AS srb,
+       CAST(sum(g * b) AS BIGINT) AS sgb
+FROM px GROUP BY 1 ORDER BY image_id"""
+
+
+def q_interarrival(spark, sf_dir):
+    """Inter-arrival log2 histogram (timeseries.interarrival_hist):
+    per-user event gaps bucketed by bit length (integer floor-log2 via
+    bin()) — the burst/traffic fingerprint, one window + one
+    aggregation."""
+    from .operators.timeseries import interarrival_hist
+
+    d = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("event_id").alias("o"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    return interarrival_hist(d).orderBy("bucket")
+
+
+def q_interarrival_oracle():
+    from .operators.timeseries import interarrival_hist_sql
+
+    base = (
+        "SELECT user_id AS k, event_id AS o, epoch_us(ts) AS t_us "
+        "FROM events"
+    )
+    return (
+        "SELECT * FROM ("
+        + interarrival_hist_sql(base)
+        + ") ORDER BY bucket"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -12120,4 +12304,11 @@ QUERIES = {
     "range_filter": (q_range_filter, q_range_filter_oracle),
     "patch_dedup": (q_patch_dedup, q_patch_dedup_oracle),
     "bearing_rose": (q_bearing_rose, q_bearing_rose_oracle),
+    "variogram": (q_variogram, q_variogram_oracle),
+    "cross_k": (q_cross_k, q_cross_k_oracle),
+    "row_profile": (q_row_profile, q_row_profile_oracle),
+    "sax": (q_sax, q_sax_oracle),
+    "spatial_entropy": (q_spatial_entropy, q_spatial_entropy_oracle),
+    "channel_corr": (q_channel_corr, q_channel_corr_oracle),
+    "interarrival": (q_interarrival, q_interarrival_oracle),
 }

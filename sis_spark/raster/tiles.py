@@ -1386,3 +1386,36 @@ def lut_hist_tiles(tiles_df: DataFrame, lut: list, tile_size: int = 64,
     return tiles_df.mapInPandas(
         fn, schema="tx long, ty long, v long, cnt long"
     )
+
+
+def row_profile(tiles_df: DataFrame, tile_size: int = 64,
+                dtype=np.uint8) -> DataFrame:
+    """Horizontal projection profile: exact int64 pixel-value sum per
+    GLOBAL raster row -> (band, y, vsum) — the document-layout /
+    deskew primitive (row profiles locate text lines and margins).
+    Per-tile partial row sums (map-only), then one tiny keyed sum —
+    the Statistics.combine shape along an axis."""
+    bdt = np.dtype(dtype)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, band, d in zip(
+                pdf["tx"], pdf["ty"], pdf["band"], pdf["data"]
+            ):
+                v = (
+                    np.frombuffer(d, dtype=bdt)
+                    .reshape(tile_size, tile_size)
+                    .astype(np.int64)
+                )
+                s = v.sum(axis=1)
+                y0 = int(ty) * tile_size
+                rows.extend(
+                    {"band": int(band), "y": y0 + i, "p": int(s[i])}
+                    for i in range(tile_size)
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    part = tiles_df.mapInPandas(fn, schema="band int, y long, p long")
+    return part.groupBy("band", "y").agg(F.sum("p").alias("vsum"))

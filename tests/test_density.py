@@ -224,3 +224,69 @@ def test_ripley_pairs_matches_brute(spark):
             if (q[a][1] - q[b][1]) ** 2 + (q[a][2] - q[b][2]) ** 2 <= r * r
         )
         assert out[f"n_{r}"] == brute
+
+
+def test_variogram_lags_hand(spark):
+    from sis_spark.operators.density import variogram_lags
+
+    # occupied cells: (0,0)x1, (1,0)x3, (3,0)x2  on a 64-grid row 0
+    n = 64
+    cw, ch = 360.0 / n, 180.0 / n
+    rows = []
+    i = 0
+    for ix, cnt in ((0, 1), (1, 3), (3, 2)):
+        for _ in range(cnt):
+            rows.append((i, -180.0 + (ix + 0.5) * cw, -90.0 + 0.5 * ch))
+            i += 1
+    df = spark.createDataFrame(rows, "event_id long, lon double, lat double")
+    out = {(r["dir"], r["lag"]): (r["n_pairs"], r["sq_sum"])
+           for r in variogram_lags(df, n, [1, 2]).collect()}
+    # lag 1 E: pairs (0->1): (1-3)^2 = 4 ; (2->3) missing; (3->4) missing
+    assert out[("E", 1)] == (1, 4)
+    # lag 2 E: (1->3): (3-2)^2 = 1
+    assert out[("E", 2)] == (1, 1)
+    # N direction: single row -> no pairs
+    assert out[("N", 1)] == (0, 0) and out[("N", 2)] == (0, 0)
+
+
+def test_cross_pairs_matches_brute(spark):
+    rng = np.random.default_rng(19)
+    A = [(float(rng.uniform(-1, 1)), float(rng.uniform(-1, 1)))
+         for _ in range(120)]
+    B = [(float(rng.uniform(-1, 1)), float(rng.uniform(-1, 1)))
+         for _ in range(80)]
+    from sis_spark.operators.density import cross_pairs
+    da = spark.createDataFrame(A, "lon double, lat double")
+    db = spark.createDataFrame(B, "lon double, lat double")
+    radii = [30000, 90000]
+    out = cross_pairs(da, db, radii).collect()[0]
+    qa = [(int(np.floor(x * 1e5)), int(np.floor(y * 1e5))) for x, y in A]
+    qb = [(int(np.floor(x * 1e5)), int(np.floor(y * 1e5))) for x, y in B]
+    for r in radii:
+        brute = sum(
+            1 for ax, ay in qa for bx, by in qb
+            if (ax - bx) ** 2 + (ay - by) ** 2 <= r * r
+        )
+        assert out[f"n_{r}"] == brute
+
+
+def test_spatial_entropy_uniform_vs_point(spark):
+    from sis_spark.operators.density import spatial_entropy
+
+    # all mass in one cell: sum_c2 == n^2, entropy numerator = n*floor(log2 n)
+    rows = [(i, 0.1, 0.1) for i in range(16)]
+    df = spark.createDataFrame(rows, "event_id long, lon double, lat double")
+    r = {x["res"]: x for x in spatial_entropy(df, [16]).collect()}[16]
+    assert r["n_cells"] == 1 and r["n_pts"] == 16
+    assert r["sum_c2"] == 256 and r["sum_clog2c"] == 16 * 4
+    # spread over 4 separate cells of 4 each
+    rows2 = []
+    i = 0
+    for cx in (10.0, 50.0, 90.0, 130.0):
+        for _ in range(4):
+            rows2.append((i, cx, 0.0))
+            i += 1
+    df2 = spark.createDataFrame(rows2, "event_id long, lon double, lat double")
+    r2 = {x["res"]: x for x in spatial_entropy(df2, [64]).collect()}[64]
+    assert r2["n_cells"] == 4 and r2["sum_c2"] == 4 * 16
+    assert r2["sum_clog2c"] == 16 * 2  # each c=4, floor(log2 4)=2

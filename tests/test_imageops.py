@@ -126,3 +126,23 @@ def test_patch_dedup_finds_planted_duplicates(spark):
     out = patch_dedup(df, patch=8, min_count=3).collect()
     assert len(out) >= 1
     assert max(r["cnt"] for r in out) >= 3
+
+
+def test_channel_corr_grayscale_detects_unit_corr(spark):
+    import numpy as np
+
+    from sis_spark.operators.imageops import channel_corr
+    from sis_spark.raster import codec
+
+    rng = np.random.default_rng(12)
+    gray = rng.integers(0, 256, (8, 8, 1)).astype(np.uint8)
+    arr = np.repeat(gray, 3, axis=2)  # perfectly gray image
+    df = spark.createDataFrame(
+        [("g", codec.encode(arr, "raw"), "raw")],
+        "image_id string, bytes binary, fmt string",
+    )
+    r = channel_corr(df).collect()[0]
+    n, sr, sg = r["n"], r["sr"], r["sg"]
+    num = n * r["srg"] - sr * sg
+    den2 = (n * r["srr"] - sr * sr) * (n * r["sgg"] - sg * sg)
+    assert num * num == den2  # Pearson == 1 exactly

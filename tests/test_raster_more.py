@@ -135,3 +135,15 @@ def test_range_filter_matches_brute(spark):
             want[k] = (npx + 1, nin + int(inr.sum()),
                        vin + int(win[inr].sum()))
     assert got == want
+
+
+def test_row_profile_matches_dense(spark):
+    from sis_spark.raster.tiles import row_profile
+
+    rng = np.random.default_rng(4)
+    h, w, ts = 64, 96, 32
+    arr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    rows = row_profile(_tiles_df(spark, arr, ts), tile_size=ts).collect()
+    got = {r["y"]: r["vsum"] for r in rows}
+    want = arr.astype(np.int64).sum(axis=1)
+    assert all(got[y] == int(want[y]) for y in range(h))

@@ -457,3 +457,26 @@ def test_paa_segments_hand(spark):
     assert out[(1, 0)] == (3, 0 + 10 + 20)
     assert out[(1, 1)] == (3, 30 + 40 + 50)
     assert out[(1, 2)] == (1, 60)  # ragged tail kept with its true count
+
+
+def test_sax_symbols_hand(spark):
+    from sis_spark.operators.timeseries import sax_symbols
+
+    # values 0..7 with alpha=4 and range [0,7]: width (7-0+1)/4 = 2
+    rows = [(1, i, i) for i in range(8)]
+    rows += [(2, 1, 5), (2, 2, 5)]  # degenerate vmin == vmax -> all '0'
+    df = spark.createDataFrame(rows, "k long, o long, v long")
+    out = {r["k"]: r for r in sax_symbols(df, alpha=4).collect()}
+    assert out[1]["word"] == "00112233" and out[1]["n"] == 8
+    assert out[2]["word"] == "00"
+
+
+def test_interarrival_hist_buckets(spark):
+    from sis_spark.operators.timeseries import interarrival_hist
+
+    # gaps: 1 (bucket 0), 2,3 (bucket 1), 4 (bucket 2), 0 (bucket -1)
+    ts = [0, 1, 3, 6, 10, 10]
+    rows = [(1, i, t) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(rows, "k long, o long, t_us long")
+    out = {r["bucket"]: r["cnt"] for r in interarrival_hist(df).collect()}
+    assert out[0] == 1 and out[1] == 2 and out[2] == 1 and out[-1] == 1
