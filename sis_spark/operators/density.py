@@ -883,3 +883,53 @@ FROM (
          CAST(count(*) AS BIGINT) AS c
   FROM ({base_select}) p GROUP BY 1, 2) cl""")
     return " UNION ALL ".join(parts)
+
+
+def cell_jaccard(
+    a: DataFrame,
+    b: DataFrame,
+    grid_n: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Occupied-cell-set Jaccard between two point epochs: |A|, |B| and
+    |A AND B| as exact counts (J = inter / (na + nb - inter) derivable)
+    — the coverage-drift twin of ``cell_change``'s per-cell view.  Two
+    histograms + one equi-join on the tiny cell tables."""
+    def cells(df):
+        return (
+            df.select(
+                F.expr(grid_expr("x", grid_n, lon_col, lat_col)).alias("ix"),
+                F.expr(grid_expr("y", grid_n, lon_col, lat_col)).alias("iy"),
+            )
+            .distinct()
+        )
+
+    ca, cb = cells(a), cells(b)
+    inter = ca.join(cb, ["ix", "iy"]).count()
+    na, nb = ca.count(), cb.count()
+    spark = a.sparkSession
+    return spark.createDataFrame(
+        [(int(na), int(nb), int(inter))], "na long, nb long, inter long"
+    )
+
+
+def cell_jaccard_sql(
+    a_select: str,
+    b_select: str,
+    grid_n: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> str:
+    """DuckDB replay of ``cell_jaccard``."""
+    def cells(sel):
+        return (f"SELECT DISTINCT {grid_expr('x', grid_n, lon_col, lat_col)}"
+                f" AS ix, {grid_expr('y', grid_n, lon_col, lat_col)} AS iy "
+                f"FROM ({sel}) s")
+
+    return f"""
+WITH ca AS ({cells(a_select)}), cb AS ({cells(b_select)})
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ca) AS na,
+       (SELECT CAST(count(*) AS BIGINT) FROM cb) AS nb,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM ca JOIN cb USING (ix, iy)) AS inter"""

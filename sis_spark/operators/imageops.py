@@ -870,3 +870,76 @@ def channel_corr(images: DataFrame) -> DataFrame:
                 "srr long, sgg long, sbb long, srg long, srb long, "
                 "sgb long"),
     )
+
+
+def dominant_color(images: DataFrame, bits: int = 2) -> DataFrame:
+    """Dominant quantized color per image: RGB cut to ``bits`` bits per
+    channel (code = r'<<2b | g'<<b | b'), most frequent code wins, ties
+    -> smallest code -> (image_id, code, cnt, n_px).  The palette
+    signature used for color-facet search and cheap near-dup blocking."""
+    shift = 8 - bits
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for iid, buf, fmt_ in zip(pdf["image_id"], pdf["bytes"],
+                                      pdf["fmt"]):
+                arr = codec.decode(bytes(buf), fmt_).astype(np.int64)
+                code = (
+                    (arr[:, :, 0] >> shift) << (2 * bits)
+                ) | ((arr[:, :, 1] >> shift) << bits) | (arr[:, :, 2] >> shift)
+                cnt = np.bincount(code.ravel(), minlength=1 << (3 * bits))
+                best = int(cnt.argmax())  # first max = smallest code
+                rows.append({
+                    "image_id": iid, "code": best,
+                    "cnt": int(cnt[best]), "n_px": int(code.size),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, code long, cnt long, n_px long"
+    )
+
+
+def border_stats(images: DataFrame, margin: int = 2) -> DataFrame:
+    """Letterbox/border detector moments: integer luma (r+g+b) sums and
+    squared sums over the ``margin``-pixel frame vs the interior ->
+    (image_id, n_border, s_border, ss_border, n_inner, s_inner,
+    ss_inner).  A near-constant border with a busy interior (low border
+    variance, high contrast to inner mean) is the classic crop/letterbox
+    cue; all exact int64, no shuffle."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for iid, buf, fmt_ in zip(pdf["image_id"], pdf["bytes"],
+                                      pdf["fmt"]):
+                arr = codec.decode(bytes(buf), fmt_).astype(np.int64)
+                luma = arr.sum(axis=2)
+                h, w = luma.shape
+                m = min(margin, h // 2, w // 2)
+                mask = np.zeros((h, w), bool)
+                mask[:m, :] = True
+                mask[h - m:, :] = True
+                mask[:, :m] = True
+                mask[:, w - m:] = True
+                bvals = luma[mask]
+                ivals = luma[~mask]
+                rows.append({
+                    "image_id": iid,
+                    "n_border": int(bvals.size),
+                    "s_border": int(bvals.sum()),
+                    "ss_border": int((bvals * bvals).sum()),
+                    "n_inner": int(ivals.size),
+                    "s_inner": int(ivals.sum()),
+                    "ss_inner": int((ivals * ivals).sum()),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn,
+        schema=("image_id string, n_border long, s_border long, "
+                "ss_border long, n_inner long, s_inner long, ss_inner long"),
+    )

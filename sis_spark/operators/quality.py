@@ -152,3 +152,40 @@ SELECT {group_col} AS grp,
 FROM ({base_select}) b
 WHERE CAST(substr(CAST({value_col} AS VARCHAR), 1, 1) AS BIGINT) >= 1
 GROUP BY 1, 2"""
+
+
+def l_diversity(
+    df: DataFrame,
+    qi_cols: list,
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007, public
+    literature): for each quasi-identifier group, the row count and the
+    number of DISTINCT sensitive values; groups with fewer than ``l``
+    distinct sensitive values are re-identification risks and are the
+    rows reported -> (*qi, n_rows, n_sensitive).  One aggregation."""
+    return (
+        df.groupBy(*qi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(sensitive_col).alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < l)
+    )
+
+
+def l_diversity_sql(
+    base_select: str,
+    qi_cols: list,
+    sensitive_col: str,
+    l: int = 2,
+) -> str:
+    """DuckDB replay of ``l_diversity``."""
+    qi = ", ".join(qi_cols)
+    return f"""
+SELECT {qi}, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {sensitive_col}) AS BIGINT) AS n_sensitive
+FROM ({base_select}) b
+GROUP BY {qi}
+HAVING count(DISTINCT {sensitive_col}) < {int(l)}"""

@@ -1500,3 +1500,51 @@ SELECT {id_col},
        coalesce(string_agg(CASE WHEN keep = 1 THEN lt END, ' '
                            ORDER BY i), '') AS kept_text
 FROM k GROUP BY 1"""
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Novelty curve over ingestion order: per document the word-n-gram
+    count and how many of its grams appear in NO earlier document
+    (earlier = smaller id; a gram is credited to its minimum id, repeats
+    inside that first doc all count as novel).  The dedup-aware corpus
+    growth diagnostic (how much genuinely new text each shard adds).
+
+    Shape: explode -> one min-id aggregation per gram hash -> equi-join
+    back -> per-doc counts; identical to the decontaminate plan with the
+    benchmark replaced by the corpus's own past."""
+    grams = ngrams_hashed(docs, n, text_col, id_col)
+    first = grams.groupBy("h").agg(F.min(id_col).alias("first_id"))
+    return (
+        grams.join(first, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_id") == F.col(id_col)).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+
+
+def ngram_novelty_sql(
+    rel: str = "documents",
+    n: int = 4,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``ngram_novelty`` (same grams, same min-id rule)."""
+    return f"""
+WITH w AS (SELECT {id_col}, string_split({text}, ' ') AS ws FROM {rel}),
+g AS (
+  SELECT {id_col}, md5(unnest({_ngram_sql('ws', n)})) AS h FROM w),
+f AS (SELECT h, min({id_col}) AS first_id FROM g GROUP BY 1)
+SELECT g.{id_col} AS {id_col},
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_id = g.{id_col} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel
+FROM g JOIN f USING (h) GROUP BY 1"""

@@ -12005,6 +12005,174 @@ def q_interarrival_oracle():
     )
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty vs all earlier documents
+    (textops.ngram_novelty, word 4-grams, min-id credit): the corpus
+    growth / marginal-new-text diagnostic — explode + one min-id agg +
+    join back, the decontaminate plan against the corpus's own past."""
+    from .operators.textops import ngram_novelty
+
+    return ngram_novelty(
+        _read(spark, sf_dir, "documents"), n=4
+    ).orderBy("doc_id")
+
+
+def q_ngram_novelty_oracle():
+    from .operators.textops import ngram_novelty_sql
+
+    return (
+        "SELECT * FROM ("
+        + ngram_novelty_sql("documents", 4)
+        + ") ORDER BY doc_id"
+    )
+
+
+def q_l_diversity(spark, sf_dir):
+    """l-diversity audit (quality.l_diversity, l=3) over quasi-ids
+    (event_type, coarse cell) with user_id sensitive — groups whose
+    sensitive values are too uniform to release; one aggregation."""
+    from .operators.density import grid_expr
+    from .operators.quality import l_diversity
+
+    pts = _events_points(spark, sf_dir).join(
+        _read(spark, sf_dir, "events").select("event_id", "event_type",
+                                              "user_id"),
+        "event_id",
+    ).select(
+        "event_type", "user_id",
+        F.expr(grid_expr("x", 16)).alias("ix"),
+        F.expr(grid_expr("y", 16)).alias("iy"),
+    )
+    return l_diversity(
+        pts, ["event_type", "ix", "iy"], "user_id", l=3
+    ).orderBy("event_type", "ix", "iy")
+
+
+def q_l_diversity_oracle():
+    from .operators.density import grid_expr
+    from .operators.quality import l_diversity_sql
+
+    base = f"""
+SELECT e.event_type, e.user_id,
+       {grid_expr('x', 16)} AS ix, {grid_expr('y', 16)} AS iy
+FROM ({_points_sql()}) p JOIN events e ON e.event_id = p.event_id"""
+    return (
+        "SELECT * FROM ("
+        + l_diversity_sql(base, ["event_type", "ix", "iy"], "user_id", l=3)
+        + ") ORDER BY event_type, ix, iy"
+    )
+
+
+def q_cell_jaccard(spark, sf_dir):
+    """Occupied-cell Jaccard between even/odd event epochs
+    (density.cell_jaccard, 64-grid): coverage drift as exact set counts
+    — two tiny distinct-cell tables + one equi-join."""
+    from .operators.density import cell_jaccard
+
+    pts = _events_points(spark, sf_dir)
+    a = pts.filter(F.col("event_id") % 2 == 0)
+    b = pts.filter(F.col("event_id") % 2 == 1)
+    return cell_jaccard(a, b, grid_n=64)
+
+
+def q_cell_jaccard_oracle():
+    from .operators.density import cell_jaccard_sql
+
+    p = _points_sql()
+    return cell_jaccard_sql(
+        f"SELECT * FROM ({p}) pa WHERE event_id % 2 = 0",
+        f"SELECT * FROM ({p}) pb WHERE event_id % 2 = 1",
+        64,
+    )
+
+
+def q_dominant_color(spark, sf_dir):
+    """Dominant 6-bit RGB code per image (imageops.dominant_color,
+    2 bits/channel, ties -> smallest code) through the real decode path
+    — the color-facet signature."""
+    from .operators.imageops import dominant_color
+    from .sources.images import images_table
+
+    img = images_table(spark, N_SEAM_IMAGES).filter(F.col("fmt") != "jpeg")
+    return dominant_color(img, bits=2).orderBy("image_id")
+
+
+def q_dominant_color_oracle():
+    from .sources.images import SIZES
+
+    size_case = lambda e: (
+        f"(CASE ({e}) % 3 WHEN 0 THEN {SIZES[0]} WHEN 1 THEN {SIZES[1]} "
+        f"ELSE {SIZES[2]} END)"
+    )
+    chan = lambda k: f"(((x.x) * 3 + (y.y) * 7 + {k} * 31 + d.i * 13) % 256)"
+    code = (f"((({chan(0)}) // 64) * 16 + (({chan(1)}) // 64) * 4 "
+            f"+ (({chan(2)}) // 64))")
+    return f"""
+WITH dims AS (
+  SELECT i, {size_case('i')} AS w, {size_case('i // 3')} AS h
+  FROM generate_series(0, {N_SEAM_IMAGES - 1}) t(i)
+  WHERE i % 3 <> 2),
+px AS (
+  SELECT d.i, d.w, d.h, {code} AS code
+  FROM dims d, generate_series(0, 63) x(x), generate_series(0, 63) y(y)
+  WHERE x.x < d.w AND y.y < d.h),
+cnts AS (
+  SELECT i, w, h, code, count(*) AS c FROM px GROUP BY 1, 2, 3, 4),
+pick AS (
+  SELECT i, w, h, code, c FROM (
+    SELECT i, w, h, code, c,
+           row_number() OVER (PARTITION BY i
+             ORDER BY c DESC, code ASC) AS rn
+    FROM cnts) t
+  WHERE rn = 1)
+SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(code AS BIGINT) AS code, CAST(c AS BIGINT) AS cnt,
+       CAST(w * h AS BIGINT) AS n_px
+FROM pick ORDER BY image_id"""
+
+
+def q_border_stats(spark, sf_dir):
+    """Letterbox/border moments (imageops.border_stats, 2-px frame):
+    exact luma sums over frame vs interior — the crop/border-removal cue
+    of an image-curation pipeline."""
+    from .operators.imageops import border_stats
+    from .sources.images import images_table
+
+    img = images_table(spark, N_SEAM_IMAGES).filter(F.col("fmt") != "jpeg")
+    return border_stats(img, margin=2).orderBy("image_id")
+
+
+def q_border_stats_oracle():
+    from .sources.images import SIZES
+
+    size_case = lambda e: (
+        f"(CASE ({e}) % 3 WHEN 0 THEN {SIZES[0]} WHEN 1 THEN {SIZES[1]} "
+        f"ELSE {SIZES[2]} END)"
+    )
+    chan = lambda k: f"(((x.x) * 3 + (y.y) * 7 + {k} * 31 + d.i * 13) % 256)"
+    luma = f"({chan(0)} + {chan(1)} + {chan(2)})"
+    isb = ("(x.x < 2 OR y.y < 2 OR x.x >= d.w - 2 OR y.y >= d.h - 2)")
+    return f"""
+WITH dims AS (
+  SELECT i, {size_case('i')} AS w, {size_case('i // 3')} AS h
+  FROM generate_series(0, {N_SEAM_IMAGES - 1}) t(i)
+  WHERE i % 3 <> 2),
+px AS (
+  SELECT d.i, {luma} AS l, CASE WHEN {isb} THEN 1 ELSE 0 END AS bord
+  FROM dims d, generate_series(0, 63) x(x), generate_series(0, 63) y(y)
+  WHERE x.x < d.w AND y.y < d.h)
+SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(sum(bord) AS BIGINT) AS n_border,
+       CAST(sum(CASE WHEN bord = 1 THEN l ELSE 0 END) AS BIGINT) AS s_border,
+       CAST(sum(CASE WHEN bord = 1 THEN l * l ELSE 0 END) AS BIGINT)
+         AS ss_border,
+       CAST(sum(1 - bord) AS BIGINT) AS n_inner,
+       CAST(sum(CASE WHEN bord = 0 THEN l ELSE 0 END) AS BIGINT) AS s_inner,
+       CAST(sum(CASE WHEN bord = 0 THEN l * l ELSE 0 END) AS BIGINT)
+         AS ss_inner
+FROM px GROUP BY 1 ORDER BY image_id"""
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -12311,4 +12479,9 @@ QUERIES = {
     "spatial_entropy": (q_spatial_entropy, q_spatial_entropy_oracle),
     "channel_corr": (q_channel_corr, q_channel_corr_oracle),
     "interarrival": (q_interarrival, q_interarrival_oracle),
+    "ngram_novelty": (q_ngram_novelty, q_ngram_novelty_oracle),
+    "l_diversity": (q_l_diversity, q_l_diversity_oracle),
+    "cell_jaccard": (q_cell_jaccard, q_cell_jaccard_oracle),
+    "dominant_color": (q_dominant_color, q_dominant_color_oracle),
+    "border_stats": (q_border_stats, q_border_stats_oracle),
 }

@@ -146,3 +146,25 @@ def test_channel_corr_grayscale_detects_unit_corr(spark):
     num = n * r["srg"] - sr * sg
     den2 = (n * r["srr"] - sr * sr) * (n * r["sgg"] - sg * sg)
     assert num * num == den2  # Pearson == 1 exactly
+
+
+def test_dominant_color_and_border_stats(spark):
+    import numpy as np
+
+    from sis_spark.operators.imageops import border_stats, dominant_color
+    from sis_spark.raster import codec
+
+    # 8x8 image: black border (2px), red-ish interior
+    arr = np.zeros((8, 8, 3), np.uint8)
+    arr[2:6, 2:6] = (200, 10, 10)
+    df = spark.createDataFrame(
+        [("a", codec.encode(arr, "raw"), "raw")],
+        "image_id string, bytes binary, fmt string",
+    )
+    dc = dominant_color(df, bits=2).collect()[0]
+    # black (0,0,0) -> code 0 covers 48 px; red (3,0,0) -> 48 vs 16
+    assert dc["code"] == 0 and dc["cnt"] == 48 and dc["n_px"] == 64
+    bs = border_stats(df, margin=2).collect()[0]
+    assert bs["n_border"] == 48 and bs["n_inner"] == 16
+    assert bs["s_border"] == 0 and bs["ss_border"] == 0
+    assert bs["s_inner"] == 16 * 220 and bs["ss_inner"] == 16 * 220 * 220

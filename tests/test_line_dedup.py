@@ -66,3 +66,18 @@ def test_heading_resultant_right_angles(spark):
     # 3-4-5 triangle: cos = 0.6, sin = 0.8 (floor-quantized doubles)
     assert out[3]["rx_q"] == int(np.floor(3 / 5 * q))
     assert out[3]["ry_q"] == int(np.floor(4 / 5 * q))
+
+
+def test_ngram_novelty_ordering(spark):
+    from sis_spark.operators.textops import ngram_novelty
+
+    docs = [
+        (1, "a b c d e"),          # all 2 grams of len-4... n=4 -> grams: "a b c d","b c d e"
+        (2, "a b c d x"),          # shares "a b c d"
+        (3, "a b c d e"),          # exact dup of 1 -> zero novel
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_novelty(df, n=4).collect()}
+    assert out[1]["n_grams"] == 2 and out[1]["n_novel"] == 2
+    assert out[2]["n_novel"] == 1     # "b c d x" only
+    assert out[3]["n_novel"] == 0
