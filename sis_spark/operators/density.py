@@ -933,3 +933,83 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM ca) AS na,
        (SELECT CAST(count(*) AS BIGINT) FROM cb) AS nb,
        (SELECT CAST(count(*) AS BIGINT)
         FROM ca JOIN cb USING (ix, iy)) AS inter"""
+
+
+def lisa_moments(
+    points: DataFrame,
+    grid_n: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Local Moran's I (LISA, Anselin 1995, public literature) moments
+    per occupied cell under rook adjacency: the N-scaled deviation
+    dev_i = N*x_i - S, the sum of neighboring deviations and the
+    neighbor count -> (ix, iy, dev, nbr_dev_sum, n_nbr); I_i is the
+    derivable rational dev*nbr_dev_sum / (den*n_nbr-ish normalizations)
+    and the high-high/low-low quadrant is sign(dev)*sign(nbr_dev_sum).
+    The per-cell drill-down of the global ``morans_i`` gate.
+
+    Shape identical to morans_i: one input-sized histogram, then tiny
+    cell-table joins."""
+    cells = (
+        points.select(
+            F.expr(grid_expr("x", grid_n, lon_col, lat_col)).alias("ix"),
+            F.expr(grid_expr("y", grid_n, lon_col, lat_col)).alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    stats = cells.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    dev = cells.crossJoin(F.broadcast(stats)).select(
+        "ix", "iy", (F.col("n") * F.col("x") - F.col("s")).alias("dev")
+    )
+    nbr = dev.select(
+        F.col("dev").alias("dev_j"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("ix") + dx).alias("ix"),
+                    (F.col("iy") + dy).alias("iy"),
+                )
+                for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+            ])
+        ).alias("g"),
+    ).select("g.ix", "g.iy", "dev_j")
+    agg = nbr.groupBy("ix", "iy").agg(
+        F.sum("dev_j").alias("nbr_dev_sum"),
+        F.count(F.lit(1)).alias("n_nbr"),
+    )
+    return dev.join(agg, ["ix", "iy"], "left").select(
+        "ix", "iy", "dev",
+        F.coalesce("nbr_dev_sum", F.lit(0)).alias("nbr_dev_sum"),
+        F.coalesce("n_nbr", F.lit(0)).alias("n_nbr"),
+    )
+
+
+def lisa_moments_sql(
+    base_select: str,
+    grid_n: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> str:
+    """DuckDB replay of ``lisa_moments``."""
+    return f"""
+WITH pt AS ({base_select}),
+cl AS (
+  SELECT {grid_expr('x', grid_n, lon_col, lat_col)} AS ix,
+         {grid_expr('y', grid_n, lon_col, lat_col)} AS iy,
+         CAST(count(*) AS BIGINT) AS x
+  FROM pt GROUP BY 1, 2),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+       FROM cl),
+dv AS (SELECT ix, iy, st.n * cl.x - st.s AS dev FROM cl, st),
+nb AS (
+  SELECT a.ix, a.iy, CAST(sum(b.dev) AS BIGINT) AS nbr_dev_sum,
+         CAST(count(*) AS BIGINT) AS n_nbr
+  FROM dv a JOIN dv b
+    ON (abs(a.ix - b.ix) + abs(a.iy - b.iy)) = 1
+  GROUP BY 1, 2)
+SELECT dv.ix AS ix, dv.iy AS iy, CAST(dev AS BIGINT) AS dev,
+       coalesce(nb.nbr_dev_sum, 0) AS nbr_dev_sum,
+       coalesce(nb.n_nbr, 0) AS n_nbr
+FROM dv LEFT JOIN nb ON nb.ix = dv.ix AND nb.iy = dv.iy"""

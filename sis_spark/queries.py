@@ -12173,6 +12173,27 @@ SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
 FROM px GROUP BY 1 ORDER BY image_id"""
 
 
+def q_lisa(spark, sf_dir):
+    """Local Moran's I moments per occupied cell (density.lisa_moments,
+    64-grid, rook adjacency): dev and neighbor-dev sums exact int64 —
+    the hot-hot/cold-cold LISA quadrant drill-down of the global
+    morans_i gate."""
+    from .operators.density import lisa_moments
+
+    pts = _events_points(spark, sf_dir)
+    return lisa_moments(pts, grid_n=64).orderBy("ix", "iy")
+
+
+def q_lisa_oracle():
+    from .operators.density import lisa_moments_sql
+
+    return (
+        "SELECT * FROM ("
+        + lisa_moments_sql(_points_sql(), 64)
+        + ") ORDER BY ix, iy"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -12484,4 +12505,5 @@ QUERIES = {
     "cell_jaccard": (q_cell_jaccard, q_cell_jaccard_oracle),
     "dominant_color": (q_dominant_color, q_dominant_color_oracle),
     "border_stats": (q_border_stats, q_border_stats_oracle),
+    "lisa": (q_lisa, q_lisa_oracle),
 }

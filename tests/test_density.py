@@ -290,3 +290,26 @@ def test_spatial_entropy_uniform_vs_point(spark):
     r2 = {x["res"]: x for x in spatial_entropy(df2, [64]).collect()}[64]
     assert r2["n_cells"] == 4 and r2["sum_c2"] == 4 * 16
     assert r2["sum_clog2c"] == 16 * 2  # each c=4, floor(log2 4)=2
+
+
+def test_lisa_checkerboard_quadrants(spark):
+    from sis_spark.operators.density import lisa_moments
+
+    n = 8
+    rows = []
+    i = 0
+    cw, ch = 360.0 / n, 180.0 / n
+    for ix in range(n):
+        for iy in range(n):
+            cnt = 1 if (ix + iy) % 2 == 0 else 3
+            for _ in range(cnt):
+                rows.append((i, -180.0 + (ix + 0.5) * cw,
+                             -90.0 + (iy + 0.5) * ch))
+                i += 1
+    df = spark.createDataFrame(rows, "event_id long, lon double, lat double")
+    out = lisa_moments(df, grid_n=n).collect()
+    # perfect checkerboard: every cell is a spatial OUTLIER
+    # (dev and neighbor-dev sums have opposite signs)
+    for r in out:
+        assert r["dev"] != 0 and r["nbr_dev_sum"] != 0
+        assert (r["dev"] > 0) != (r["nbr_dev_sum"] > 0)
