@@ -1835,18 +1835,19 @@ def ks_stat(df: DataFrame, score_col: str, group_col: str) -> DataFrame:
         )
     )
     w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per.select(
+    w_all = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # totals ride the same tiny single-partition window as the cumsum —
+    # no join of any kind in the plan
+    d = per.select(
         "s",
-        F.sum("c1").over(w).alias("k1"),
-        F.sum("c2").over(w).alias("k2"),
-    )
-    tot = per.agg(
-        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
-    )
-    d = cum.crossJoin(F.broadcast(tot)).select(
-        "s", "n1", "n2",
-        F.abs(F.col("n2") * F.col("k1") - F.col("n1") * F.col("k2"))
-        .alias("d_num"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+        F.abs(
+            F.sum("c2").over(w_all) * F.sum("c1").over(w)
+            - F.sum("c1").over(w_all) * F.sum("c2").over(w)
+        ).alias("d_num"),
     )
     pick = Window.orderBy(F.col("d_num").desc(), F.col("s").asc())
     return (

@@ -732,21 +732,12 @@ def pq_topk(
     )
 
 
-def pq_topk_sql(
-    n_queries: int,
-    k: int,
-    dim: int,
-    m: int = 8,
-    ksub: int = 16,
-    rel: str = "embeddings",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> str:
-    """DuckDB oracle replicating pq_topk bit-for-bit, TRAINING INCLUDED:
-    per subspace the same lowest-id init, one Lloyd iteration with exact
-    floor-divided integer means (posmod identity), first-min code ties, and
-    the identical int64 ADC sum.  One CTE chain per subspace (1-based
-    DuckDB list slices v[a:b])."""
+def _pq_train_blocks(dim, m, ksub, rel="embeddings",
+                     id_col="vec_id", vec_col="embedding"):
+    """Shared CTE chain replaying train_pq per subspace: qv/pos + per-s
+    (init c0_s, distances d1_s, assign a1_s, floor-div means c1_s,
+    re-distances d2_s, final assign a2_s).  Used by pq_topk_sql and
+    pq_recon_error_sql so the training text can never drift."""
     sd = dim // m
     parts = [f"""qv AS (
   SELECT {id_col} AS id,
@@ -786,6 +777,25 @@ a2_{s} AS (
   SELECT id, j AS code FROM (
     SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY dist ASC, j ASC) AS rn
     FROM d2_{s}) t WHERE rn = 1)""")
+    return parts
+
+
+def pq_topk_sql(
+    n_queries: int,
+    k: int,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle replicating pq_topk bit-for-bit, TRAINING INCLUDED:
+    per subspace the same lowest-id init, one Lloyd iteration with exact
+    floor-divided integer means (posmod identity), first-min code ties, and
+    the identical int64 ADC sum.  One CTE chain per subspace (1-based
+    DuckDB list slices v[a:b])."""
+    parts = _pq_train_blocks(dim, m, ksub, rel, id_col, vec_col)
     enc_joins = "\n  ".join(
         f"JOIN a2_{s} e{s} ON e{s}.id = c.id "
         f"JOIN d2_{s} t{s} ON t{s}.id = q.query_id AND t{s}.j = e{s}.code"
@@ -1066,3 +1076,73 @@ SELECT query_id, rank, cand_id, adist FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rank
   FROM scored) t
 WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
+def pq_recon_error(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+) -> DataFrame:
+    """Per-vector PQ reconstruction error -> (id, err): the exact int64
+    squared distance between each quantized vector and its product-code
+    reconstruction (sum over subspaces of the min distance to the
+    trained codebook).  The compression-quality audit run before
+    shipping a PQ index — rising recon error is the re-train signal.
+
+    Shape: training is the train_pq broadcast; the scan is one
+    Arrow-batched pass (n*m*ksub integer ops per batch), no shuffle."""
+    spark = vectors.sparkSession
+    books = train_pq(vectors, m, ksub, id_col, vec_col, iters)
+    m_, ksub_, sd = books.shape
+    bn = (books * books).sum(axis=2)  # (m, ksub)
+    bc = spark.sparkContext.broadcast((books, bn))
+
+    q = vectors.select(
+        F.col(id_col).alias("id"), quantize_col(F.col(vec_col)).alias("qv")
+    )
+
+    def fn(batches):
+        B, BN = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(list(pdf["qv"]), dtype=np.int64)
+            S = M.reshape(len(M), m_, sd)
+            sn = (S * S).sum(axis=2)
+            dots = np.einsum("nms,mks->nmk", S, B)
+            dist = sn[:, :, None] + BN[None, :, :] - 2 * dots
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(),
+                "err": dist.min(axis=2).sum(axis=1),
+            })
+
+    return q.mapInPandas(fn, schema="id long, err long")
+
+
+def pq_recon_error_sql(
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of ``pq_recon_error`` — the shared training chain
+    (_pq_train_blocks), then err = sum over subspaces of the distance at
+    each vector's own final code."""
+    parts = _pq_train_blocks(dim, m, ksub, rel, id_col, vec_col)
+    joins = "\n  ".join(
+        f"JOIN a2_{s} e{s} ON e{s}.id = q.id "
+        f"JOIN d2_{s} t{s} ON t{s}.id = q.id AND t{s}.j = e{s}.code"
+        for s in range(m)
+    )
+    err = " + ".join(f"t{s}.dist" for s in range(m))
+    parts.append(f"""recon AS (
+  SELECT q.id, ({err}) AS err
+  FROM qv q
+  {joins})""")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT id, CAST(err AS BIGINT) AS err FROM recon")

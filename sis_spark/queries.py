@@ -12194,6 +12194,27 @@ def q_lisa_oracle():
     )
 
 
+def q_pq_recon(spark, sf_dir):
+    """PQ reconstruction-error audit (ann.pq_recon_error, m=8, ksub=16):
+    per-vector exact int64 squared error against the trained product
+    codebooks — the compression-quality / re-train signal; oracle
+    replays training via the shared _pq_train_blocks chain."""
+    from .operators.ann import pq_recon_error
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return pq_recon_error(emb, m=8, ksub=16).orderBy("id")
+
+
+def q_pq_recon_oracle():
+    from .operators.ann import pq_recon_error_sql
+
+    return (
+        "SELECT * FROM ("
+        + pq_recon_error_sql(64, m=8, ksub=16)
+        + ") ORDER BY id"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -12506,4 +12527,5 @@ QUERIES = {
     "dominant_color": (q_dominant_color, q_dominant_color_oracle),
     "border_stats": (q_border_stats, q_border_stats_oracle),
     "lisa": (q_lisa, q_lisa_oracle),
+    "pq_recon": (q_pq_recon, q_pq_recon_oracle),
 }

@@ -147,3 +147,33 @@ def test_pca_power_aligns_with_numpy_eigvec(spark):
     # determinism: rerun bit-identical
     out2 = sorted(pca_power(df, iters=6).collect(), key=lambda r: r["i"])
     assert [r["v"] for r in out] == [r["v"] for r in out2]
+
+
+def test_pq_recon_error_properties(spark):
+    import numpy as np
+
+    from sis_spark.operators.ann import QUANT, pq_recon_error, train_pq
+
+    rng = np.random.default_rng(4)
+    vecs = [(i, [float(x) for x in rng.normal(0, 0.3, 16)])
+            for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r["id"]: r["err"] for r in
+           pq_recon_error(df, m=4, ksub=8).collect()}
+    assert len(out) == 40 and all(e >= 0 for e in out.values())
+    # independent numpy replay: same training, same argmin-error
+    books = train_pq(df, m=4, ksub=8)
+    for i, v in vecs[:10]:
+        v32 = np.asarray(v, dtype=np.float32).astype(np.float64)
+        q = np.floor(v32 * QUANT).astype(np.int64)
+        S = q.reshape(4, 4)
+        err = 0
+        for s in range(4):
+            d = ((S[s][None, :] - books[s]) ** 2).sum(axis=1)
+            err += int(d.min())
+        assert out[i] == err
+    # ksub >= n: every vector is its own codeword after the mean step
+    # only when each cluster is a singleton; at least errors shrink
+    out_big = {r["id"]: r["err"] for r in
+               pq_recon_error(df, m=4, ksub=40).collect()}
+    assert sum(out_big.values()) <= sum(out.values())

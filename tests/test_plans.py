@@ -342,3 +342,61 @@ def test_kcore_round_is_two_semi_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("LeftSemi") >= 2
+
+
+def test_ripley_and_crossk_no_nested_loop_join(spark, sf_dir):
+    """The pair-count statistics must run as cell-binned EQUI-joins —
+    never a nested-loop/cartesian product (the oracle's banded
+    inequality join is oracle-only)."""
+    from sis_spark.operators.density import cross_pairs, ripley_pairs
+    from sis_spark.queries import _events_points
+
+    pts = _events_points(spark, sf_dir)
+    plan = ripley_pairs(pts, [20000, 80000])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    a = pts.filter("event_id % 2 = 0")
+    b = pts.filter("event_id % 2 = 1")
+    plan2 = cross_pairs(a, b, [20000])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan2
+    assert "CartesianProduct" not in plan2
+
+
+def test_morans_i_single_data_shuffle(spark, sf_dir):
+    """Everything after the first cell histogram runs on the tiny
+    occupied-cell table; the stats row is broadcast, not re-shuffled."""
+    from sis_spark.operators.density import morans_i
+    from sis_spark.queries import _events_points
+
+    plan = morans_i(_events_points(spark, sf_dir), 64)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan  # the stats row rides a broadcast
+
+
+def test_auc_and_ks_no_pair_join(spark, sf_dir):
+    """Mann-Whitney/KS run as per-score collapse + window — no join of
+    positives against negatives anywhere."""
+    from pyspark.sql import functions as F
+
+    from sis_spark.operators.analytics import auc_exact, ks_stat
+    from sis_spark.queries import _read
+
+    d = _read(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 997).cast("long").alias("s"),
+        (F.col("o_custkey") % 3 == 0).cast("long").alias("y"),
+    )
+    for q in (auc_exact(d, "s", "y"), ks_stat(d, "s", "y")):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_no_corpus_window(spark, sf_dir):
+    """line_dedup's frequency pass must be an aggregation, not a window
+    over the exploded corpus (a window would sort every line)."""
+    from sis_spark.operators.textops import line_dedup
+    from sis_spark.queries import _read
+
+    plan = line_dedup(_read(spark, sf_dir, "documents"))._jdf.queryExecution().executedPlan().toString()
+    # exactly the per-doc reassembly sort remains (inside the agg),
+    # no global Window over line rows
+    assert "Window" not in plan
