@@ -1879,3 +1879,209 @@ d AS (
   FROM cum CROSS JOIN tot)
 SELECT n1, n2, CAST(d_num AS BIGINT) AS d_num, s AS at_s
 FROM d ORDER BY d_num DESC, s ASC LIMIT 1"""
+
+
+def mcc_counts(df: DataFrame, pred_col: str, label_col: str) -> DataFrame:
+    """Binary confusion counts + the exact Matthews-correlation numerator
+    -> one row (tp, fp, fn, tn, num): num = tp*tn - fp*fn is exact int64
+    (counts to ~3e9 rows before the product risks overflow); the caller
+    derives MCC = num / sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn)) — only the
+    final sqrt is FP, so two runs can be compared on integers alone.
+    Both columns must be 0/1.
+
+    Shape: ONE map-side-combined aggregation over the scan; no shuffle of
+    data rows (the four conditional sums ride the same partial agg).
+    Reference parity: the confusion/kappa family of quality metrics
+    (see class_prf / cohen_kappa above)."""
+    b = df.select(F.col(pred_col).alias("p"), F.col(label_col).alias("y"))
+    c = lambda pp, yy: F.sum(  # noqa: E731
+        ((F.col("p") == pp) & (F.col("y") == yy)).cast("long")
+    )
+    return b.agg(
+        c(1, 1).alias("tp"), c(1, 0).alias("fp"),
+        c(0, 1).alias("fn"), c(0, 0).alias("tn"),
+    ).select(
+        "tp", "fp", "fn", "tn",
+        (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")).alias("num"),
+    )
+
+
+def mcc_counts_sql(base_select: str, pred_col: str, label_col: str) -> str:
+    """DuckDB replay of ``mcc_counts``; ``base_select`` -> (pred, label)."""
+    return f"""
+WITH b AS (SELECT {pred_col} AS p, {label_col} AS y FROM ({base_select}) s),
+c AS (
+  SELECT CAST(sum(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN p = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN p = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM b)
+SELECT tp, fp, fn, tn, CAST(tp * tn - fp * fn AS BIGINT) AS num FROM c"""
+
+
+def brier_sum(df: DataFrame, prob_q_col: str, label_col: str,
+              scale: int = 1_000_000) -> DataFrame:
+    """Exact Brier-score accumulator -> one row (n, sq_sum): with the
+    predicted probability pre-quantized to an integer p_q in [0, scale],
+    each row contributes (p_q - y*scale)^2 <= scale^2 exactly, so sq_sum
+    is an order-independent int64 sum and brier = sq_sum / (n * scale^2)
+    is derivable.  At scale=1e6 the sum overflows int64 past ~9e6 rows
+    per 1.0-error row worst-case * 1e12 — callers at 100 TB shard the
+    accumulator (group by a split key and combine), same discipline as
+    the other exact moments here.
+
+    Shape: one map-side-combined aggregation, no shuffle of data rows."""
+    b = df.select(
+        F.col(prob_q_col).cast("long").alias("pq"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    d = F.col("pq") - F.col("y") * F.lit(int(scale))
+    return b.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d * d).alias("sq_sum"),
+    )
+
+
+def brier_sum_sql(base_select: str, prob_q_col: str, label_col: str,
+                  scale: int = 1_000_000) -> str:
+    """DuckDB replay of ``brier_sum``; ``base_select`` -> (p_q, label)."""
+    return f"""
+WITH b AS (SELECT CAST({prob_q_col} AS BIGINT) AS pq,
+                  CAST({label_col} AS BIGINT) AS y
+           FROM ({base_select}) s)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum((pq - y * {int(scale)}) * (pq - y * {int(scale)}))
+            AS BIGINT) AS sq_sum
+FROM b"""
+
+
+def _ndcg_discount_lut(k: int, scale: int = 10**12) -> list[int]:
+    """floor(scale / log2(rank+1)) for rank 1..k — literal integers, so
+    the engine and the oracle share the EXACT same discount table and the
+    per-query DCG sums are pure int64."""
+    import math as _math
+
+    return [int(scale // 1) if r == 1 else int(_math.floor(scale / _math.log2(r + 1)))
+            for r in range(1, k + 1)]
+
+
+def ndcg_at_k(df: DataFrame, query_col: str, item_col: str, score_col: str,
+              rel_col: str, k: int = 10) -> DataFrame:
+    """Exact-integer NDCG@k accumulators per query -> (q, dcg_q, idcg_q):
+    dcg_q = sum over the top-k by (score DESC, item ASC) of
+    rel * D[rank], idcg_q the same over the ideal ordering
+    (rel DESC, item ASC), with D[rank] = floor(1e12 / log2(rank+1))
+    a shared literal LUT — both sums are int64, ndcg = dcg_q/idcg_q
+    derivable, ties broken totally so two runs are bit-identical.
+    Relevance must be a small non-negative integer grade.
+
+    Shape: one shuffle on the query key; two rank windows per query
+    partition (no global window)."""
+    from pyspark.sql import Window
+
+    lut = _ndcg_discount_lut(k)
+    b = df.select(
+        F.col(query_col).alias("q"), F.col(item_col).alias("i"),
+        F.col(score_col).alias("s"), F.col(rel_col).cast("long").alias("rel"),
+    )
+    w_run = Window.partitionBy("q").orderBy(F.col("s").desc(), F.col("i").asc())
+    w_ideal = Window.partitionBy("q").orderBy(
+        F.col("rel").desc(), F.col("i").asc()
+    )
+    disc = lambda rk: F.element_at(  # noqa: E731
+        F.array(*[F.lit(d) for d in lut]), rk
+    )
+    r = b.select(
+        "q", "rel",
+        F.row_number().over(w_run).alias("rk_run"),
+        F.row_number().over(w_ideal).alias("rk_ideal"),
+    )
+    return r.groupBy("q").agg(
+        F.sum(
+            F.when(F.col("rk_run") <= k, F.col("rel") * disc(F.col("rk_run")))
+            .otherwise(F.lit(0))
+        ).alias("dcg_q"),
+        F.sum(
+            F.when(F.col("rk_ideal") <= k,
+                   F.col("rel") * disc(F.col("rk_ideal")))
+            .otherwise(F.lit(0))
+        ).alias("idcg_q"),
+    )
+
+
+def ndcg_at_k_sql(base_select: str, query_col: str, item_col: str,
+                  score_col: str, rel_col: str, k: int = 10) -> str:
+    """DuckDB replay of ``ndcg_at_k`` with the identical literal LUT."""
+    lut = _ndcg_discount_lut(k)
+    lut_list = ", ".join(str(d) for d in lut)
+    return f"""
+WITH b AS (SELECT {query_col} AS q, {item_col} AS i, {score_col} AS s,
+                  CAST({rel_col} AS BIGINT) AS rel
+           FROM ({base_select}) src),
+r AS (
+  SELECT q, rel,
+         row_number() OVER (PARTITION BY q ORDER BY s DESC, i ASC) AS rk_run,
+         row_number() OVER (PARTITION BY q ORDER BY rel DESC, i ASC)
+           AS rk_ideal
+  FROM b)
+SELECT q,
+       CAST(sum(CASE WHEN rk_run <= {k}
+                THEN rel * ([{lut_list}])[rk_run] ELSE 0 END) AS BIGINT)
+         AS dcg_q,
+       CAST(sum(CASE WHEN rk_ideal <= {k}
+                THEN rel * ([{lut_list}])[rk_ideal] ELSE 0 END) AS BIGINT)
+         AS idcg_q
+FROM r GROUP BY q"""
+
+
+def lift_table(df: DataFrame, score_col: str, label_col: str,
+               id_col: str, n_buckets: int = 10) -> DataFrame:
+    """Decile gains/lift table -> (bucket, n, positives): rows ranked by
+    (score DESC, id ASC) — a total order, so bucket membership is exact —
+    and bucket = floor((rank-1) * n_buckets / n_total) via integer
+    arithmetic (NO ntile: its remainder-distribution rule is
+    implementation-defined across engines, the floor formula is not).
+    Cumulative gain/lift per decile derivable as exact rationals.
+
+    Shape: one global rank window over (score, id) — the one unavoidable
+    total-order pass, same as the other exact rank statistics here — then
+    a map-side-combined bucket agg."""
+    from pyspark.sql import Window
+
+    b = df.select(
+        F.col(score_col).alias("s"), F.col(label_col).cast("long").alias("y"),
+        F.col(id_col).alias("i"),
+    )
+    w = Window.orderBy(F.col("s").desc(), F.col("i").asc())
+    w_all = Window.orderBy(F.col("s").desc(), F.col("i").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # explicit floor: Spark's cast(double->long) truncates but DuckDB's
+    # CAST rounds half-even — floor() agrees in both (the products stay
+    # <= ~2^53 so the double division is exact before the floor)
+    r = b.select(
+        "y",
+        F.floor(
+            (F.row_number().over(w) - 1) * n_buckets
+            / F.count(F.lit(1)).over(w_all)
+        ).cast("long").alias("bucket"),
+    )
+    return r.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("positives")
+    )
+
+
+def lift_table_sql(base_select: str, score_col: str, label_col: str,
+                   id_col: str, n_buckets: int = 10) -> str:
+    """DuckDB replay of ``lift_table`` (same floor-bucket formula)."""
+    return f"""
+WITH b AS (SELECT {score_col} AS s, CAST({label_col} AS BIGINT) AS y,
+                  {id_col} AS i FROM ({base_select}) src),
+r AS (
+  SELECT y,
+         CAST(floor((((row_number() OVER (ORDER BY s DESC, i ASC)) - 1)
+              * {n_buckets}) / count(*) OVER ()) AS BIGINT) AS bucket
+  FROM b)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(y) AS BIGINT) AS positives
+FROM r GROUP BY bucket"""

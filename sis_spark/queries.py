@@ -12215,6 +12215,99 @@ def q_pq_recon_oracle():
     )
 
 
+def q_mcc(spark, sf_dir):
+    """Matthews-correlation confusion accumulator (analytics.mcc_counts):
+    one map-side-combined agg -> (tp, fp, fn, tn, num) with the exact
+    int64 numerator tp*tn - fp*fn.  Pseudo-classifier over orders."""
+    from .operators.analytics import mcc_counts
+
+    o = _read(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 3 == 0).cast("long").alias("pred"),
+        (F.col("o_custkey") % 2 == 0).cast("long").alias("y"),
+    )
+    return mcc_counts(o, "pred", "y")
+
+
+def q_mcc_oracle():
+    from .operators.analytics import mcc_counts_sql
+
+    base = ("SELECT CAST(o_orderkey % 3 = 0 AS BIGINT) AS pred, "
+            "CAST(o_custkey % 2 = 0 AS BIGINT) AS y FROM orders")
+    return mcc_counts_sql(base, "pred", "y")
+
+
+def q_brier(spark, sf_dir):
+    """Exact Brier-score accumulator (analytics.brier_sum): probability
+    pre-quantized to [0, 1e6], per-row squared error exact int64, one
+    agg -> (n, sq_sum); brier = sq_sum / (n * 1e12) derivable."""
+    from .operators.analytics import brier_sum
+
+    o = _read(spark, sf_dir, "orders").select(
+        ((F.col("o_orderkey") * 48271) % 1000001).alias("pq"),
+        ((F.col("o_custkey") + F.col("o_orderkey")) % 2).alias("y"),
+    )
+    return brier_sum(o, "pq", "y")
+
+
+def q_brier_oracle():
+    from .operators.analytics import brier_sum_sql
+
+    base = ("SELECT (o_orderkey * 48271) % 1000001 AS pq, "
+            "(o_custkey + o_orderkey) % 2 AS y FROM orders")
+    return brier_sum_sql(base, "pq", "y")
+
+
+def q_ndcg(spark, sf_dir):
+    """Per-query NDCG@10 integer accumulators (analytics.ndcg_at_k):
+    shared literal discount LUT floor(1e12/log2(rank+1)), total-order
+    tie-breaks, dcg/idcg exact int64.  Queries = customer buckets,
+    items = orders, graded relevance 0..3."""
+    from .operators.analytics import ndcg_at_k
+
+    o = _read(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 50).alias("q"),
+        F.col("o_orderkey").alias("i"),
+        ((F.col("o_orderkey") * 2654435761) % 100000).alias("s"),
+        ((F.col("o_orderkey") % 7) % 4).alias("rel"),
+    )
+    return ndcg_at_k(o, "q", "i", "s", "rel", k=10).orderBy("q")
+
+
+def q_ndcg_oracle():
+    from .operators.analytics import ndcg_at_k_sql
+
+    base = ("SELECT o_custkey % 50 AS q, o_orderkey AS i, "
+            "(o_orderkey * 2654435761) % 100000 AS s, "
+            "(o_orderkey % 7) % 4 AS rel FROM orders")
+    return ("SELECT * FROM ("
+            + ndcg_at_k_sql(base, "q", "i", "s", "rel", k=10)
+            + ") ORDER BY q")
+
+
+def q_lift_table(spark, sf_dir):
+    """Decile gains table (analytics.lift_table): floor-bucket on the
+    (score DESC, id ASC) total order -> per-decile exact row/positive
+    counts (cumulative lift derivable as rationals)."""
+    from .operators.analytics import lift_table
+
+    o = _read(spark, sf_dir, "orders").select(
+        ((F.col("o_orderkey") * 48271) % 99991).alias("s"),
+        (F.col("o_custkey") % 3 == 0).cast("long").alias("y"),
+        F.col("o_orderkey").alias("i"),
+    )
+    return lift_table(o, "s", "y", "i").orderBy("bucket")
+
+
+def q_lift_table_oracle():
+    from .operators.analytics import lift_table_sql
+
+    base = ("SELECT (o_orderkey * 48271) % 99991 AS s, "
+            "CAST(o_custkey % 3 = 0 AS BIGINT) AS y, o_orderkey AS i "
+            "FROM orders")
+    return ("SELECT * FROM (" + lift_table_sql(base, "s", "y", "i")
+            + ") ORDER BY bucket")
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -12528,4 +12621,8 @@ QUERIES = {
     "border_stats": (q_border_stats, q_border_stats_oracle),
     "lisa": (q_lisa, q_lisa_oracle),
     "pq_recon": (q_pq_recon, q_pq_recon_oracle),
+    "mcc": (q_mcc, q_mcc_oracle),
+    "brier": (q_brier, q_brier_oracle),
+    "ndcg": (q_ndcg, q_ndcg_oracle),
+    "lift_table": (q_lift_table, q_lift_table_oracle),
 }

@@ -651,3 +651,90 @@ def test_ks_stat_matches_scipy_free_brute(spark):
     assert r["d_num"] == best
     d = r["d_num"] / (n1 * n2)
     assert 0 < d <= 1
+
+
+def test_mcc_counts_matches_brute(spark):
+    rng = np.random.RandomState(7)
+    rows = [(int(p), int(y)) for p, y in rng.randint(0, 2, size=(500, 2))]
+    df = spark.createDataFrame(rows, "pred long, y long").repartition(5)
+    from sis_spark.operators.analytics import mcc_counts
+
+    r = mcc_counts(df, "pred", "y").collect()[0]
+    tp = sum(1 for p, y in rows if p == 1 and y == 1)
+    fp = sum(1 for p, y in rows if p == 1 and y == 0)
+    fn = sum(1 for p, y in rows if p == 0 and y == 1)
+    tn = sum(1 for p, y in rows if p == 0 and y == 0)
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn)
+    assert r["num"] == tp * tn - fp * fn
+    # derived MCC equals the textbook float formula
+    import math
+
+    den = math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    got = r["num"] / den
+    exp = (tp * tn - fp * fn) / den
+    assert got == exp
+
+
+def test_brier_sum_matches_float_formula(spark):
+    rng = np.random.RandomState(8)
+    rows = [(int(q), int(y)) for q, y in
+            zip(rng.randint(0, 1_000_001, 400), rng.randint(0, 2, 400))]
+    df = spark.createDataFrame(rows, "pq long, y long").repartition(3)
+    from sis_spark.operators.analytics import brier_sum
+
+    r = brier_sum(df, "pq", "y").collect()[0]
+    assert r["n"] == 400
+    want = sum((q - y * 1_000_000) ** 2 for q, y in rows)
+    assert r["sq_sum"] == want
+    # derived score ~ mean((p-y)^2) within quantization error
+    brier = r["sq_sum"] / (r["n"] * 1e12)
+    ref = np.mean([(q / 1e6 - y) ** 2 for q, y in rows])
+    assert abs(brier - ref) < 1e-12
+
+
+def test_ndcg_matches_numpy_reference(spark):
+    rng = np.random.RandomState(9)
+    rows = [(int(i % 5), int(i), int(s), int(rel)) for i, (s, rel) in
+            enumerate(zip(rng.randint(0, 40, 200), rng.randint(0, 4, 200)))]
+    df = spark.createDataFrame(rows, "q long, i long, s long, rel long")
+    from sis_spark.operators.analytics import _ndcg_discount_lut, ndcg_at_k
+
+    out = {r["q"]: (r["dcg_q"], r["idcg_q"])
+           for r in ndcg_at_k(df, "q", "i", "s", "rel", k=10).collect()}
+    lut = _ndcg_discount_lut(10)
+    for q in range(5):
+        items = [(s, i, rel) for qq, i, s, rel in rows if qq == q]
+        run = sorted(items, key=lambda t: (-t[0], t[1]))[:10]
+        ideal = sorted(items, key=lambda t: (-t[2], t[1]))[:10]
+        dcg = sum(rel * lut[rk] for rk, (_, _, rel) in enumerate(run))
+        idcg = sum(rel * lut[rk] for rk, (_, _, rel) in enumerate(ideal))
+        assert out[q] == (dcg, idcg)
+        # the derived float NDCG approximates the textbook value
+        ref_d = sum(rel / np.log2(rk + 2) for rk, (_, _, rel) in enumerate(run))
+        ref_i = sum(rel / np.log2(rk + 2) for rk, (_, _, rel) in enumerate(ideal))
+        if idcg:
+            assert abs(dcg / idcg - ref_d / ref_i) < 1e-9
+
+
+def test_lift_table_buckets_and_totals(spark):
+    rng = np.random.RandomState(10)
+    rows = [(int(s), int(y), i) for i, (s, y) in
+            enumerate(zip(rng.randint(0, 1000, 503), rng.randint(0, 2, 503)))]
+    df = spark.createDataFrame(rows, "s long, y long, i long").repartition(4)
+    from sis_spark.operators.analytics import lift_table
+
+    out = {r["bucket"]: (r["n"], r["positives"])
+           for r in lift_table(df, "s", "y", "i").collect()}
+    assert sum(n for n, _ in out.values()) == 503
+    assert sum(p for _, p in out.values()) == sum(y for _, y, _ in rows)
+    # brute replay of the floor-bucket rule on the same total order
+    order = sorted(rows, key=lambda t: (-t[0], t[2]))
+    want = {}
+    for rk, (_, y, _) in enumerate(order):
+        b = rk * 10 // 503
+        n, p = want.get(b, (0, 0))
+        want[b] = (n + 1, p + y)
+    assert out == want
+    # bucket sizes balanced within 1
+    sizes = [n for n, _ in out.values()]
+    assert max(sizes) - min(sizes) <= 1
