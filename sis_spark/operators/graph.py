@@ -658,3 +658,214 @@ ul AS (
 SELECT ul.a AS a, ul.b AS b, ul.cn AS cn,
        da.deg AS deg_a, db.deg AS deg_b
 FROM ul JOIN deg da ON da.s = ul.a JOIN deg db ON db.s = ul.b"""
+
+
+def clustering_coeff(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering accumulators over the UNDIRECTED simple
+    graph -> (node, triangles, deg): coefficient = 2*triangles /
+    (deg*(deg-1)) stays an exact rational downstream; isolated-wedge
+    nodes report triangles = 0 (left join + coalesce).
+
+    Shape: ``triangle_count``'s degree-ordered wedge plan (bounded by
+    sum(outdeg^2), outdeg = O(sqrt(E))) + one degree agg + one keyed
+    join — nothing new shuffles the raw edge list twice."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tc = triangle_count(und.select(F.col("a").alias("src"),
+                                   F.col("b").alias("dst")))
+    return deg.join(tc, "node", "left").select(
+        "node",
+        F.coalesce("triangles", F.lit(0).cast("long")).alias("triangles"),
+        "deg",
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Edges of the k-truss (the maximal subgraph where every edge lies in
+    >= k-2 triangles) -> (a, b, support) with the IN-TRUSS support.
+
+    The peel: enumerate triangles over the ordered edge set (a < b < c —
+    the id-ordered orientation, so the wedge join is bounded by forward
+    degrees), count per-edge support, drop edges below k-2, repeat until
+    the edge count is stable.  Per round: one self-join triangle
+    enumeration + one support agg + one join; driver traffic is one
+    scalar; localCheckpoint truncates lineage (the k_core discipline).
+    Cohen 2008 (public k-truss literature) — peel depth bounds rounds."""
+    cur = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = cur.count()
+    need = max(0, k - 2)
+    sup = None
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        sup = _truss_support(cur)
+        nxt = (
+            sup.filter(F.col("support") >= need)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    # final support over the surviving subgraph (recomputed so the
+    # reported numbers are the in-truss supports, not a stale round's)
+    return _truss_support(cur).filter(F.col("support") >= need)
+
+
+def _truss_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support of the ordered edge set ``e`` (a < b) ->
+    (a, b, support), edges in no triangle included with support 0."""
+    e1 = e.select(F.col("a").alias("p"), F.col("b").alias("q"))
+    e2 = e.select(F.col("a").alias("p"), F.col("b").alias("r"))
+    e3 = e.select(F.col("a").alias("q"), F.col("b").alias("r"))
+    tri = (
+        e1.join(e2, "p").filter(F.col("q") < F.col("r")).join(e3, ["q", "r"])
+    )
+    per_edge = (
+        tri.select(F.col("p").alias("a"), F.col("q").alias("b"))
+        .unionAll(tri.select(F.col("p").alias("a"), F.col("r").alias("b")))
+        .unionAll(tri.select(F.col("q").alias("a"), F.col("r").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    z = F.lit(0).cast("long")
+    return e.join(per_edge, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("support", z).alias("support")
+    )
+
+
+def k_truss_sql(edges_select: str, k: int, rounds: int = 10) -> str:
+    """DuckDB oracle for ``k_truss``: the peel unrolled as ``rounds``
+    MATERIALIZED CTE rounds (idempotent once converged); ``edges_select``
+    must yield DISTINCT ordered loop-free (a, b) rows."""
+    need = max(0, int(k) - 2)
+
+    def support(i: int) -> str:
+        return f"""t{i} AS (
+  SELECT e1.a AS p, e1.b AS q, e2.b AS r
+  FROM e{i} e1 JOIN e{i} e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e{i} e3 ON e3.a = e1.b AND e3.b = e2.b),
+s{i} AS MATERIALIZED (
+  SELECT e.a, e.b, CAST(coalesce(c.sup, 0) AS BIGINT) AS support
+  FROM e{i} e LEFT JOIN (
+    SELECT a, b, count(*) AS sup FROM (
+      SELECT p AS a, q AS b FROM t{i}
+      UNION ALL SELECT p, r FROM t{i}
+      UNION ALL SELECT q, r FROM t{i}) u
+    GROUP BY 1, 2) c ON c.a = e.a AND c.b = e.b)"""
+
+    blocks = [f"e0 AS MATERIALIZED ({edges_select})"]
+    for i in range(rounds):
+        blocks.append(support(i))
+        blocks.append(
+            f"e{i + 1} AS MATERIALIZED "
+            f"(SELECT a, b FROM s{i} WHERE support >= {need})"
+        )
+    blocks.append(support(rounds))
+    return (
+        "WITH " + ",\n".join(blocks)
+        + f"\nSELECT a, b, support FROM s{rounds} WHERE support >= {need}"
+    )
+
+
+def aa_contrib_sql() -> str:
+    """Shared Spark/DuckDB text: the Adamic-Adar contribution of one
+    shared neighbor with degree ``deg`` — floor(1e9 / ln(deg) + eps)
+    quantized PER WEDGE so the per-pair integer sum is order-independent
+    (wedge centers always have deg >= 2, so ln > 0)."""
+    return (
+        "CAST(floor(1.0e9 / ln(CAST(deg AS DOUBLE)) + 0.12345678987)"
+        " AS BIGINT)"
+    )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Adamic-Adar link prediction over the undirected simple graph: for
+    every UNLINKED pair (a < b) sharing >= 1 neighbor -> (a, b, cn, aa_q)
+    where aa_q = sum over shared neighbors u of floor(1e9/ln(deg(u))) —
+    the quantize-per-term-then-sum discipline keeps the score exact
+    int64 and summation-order-free (Adamic & Adar 2003, public
+    literature).
+
+    Shape: link_predict's wedge join keyed on the shared neighbor with
+    the center's degree attached BEFORE the wedge build (one broadcast-
+    able degree join), then one (a, b) agg + one anti-join."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    # deg >= 2 BEFORE the contribution: a degree-1 node can never be a
+    # wedge center, and ln(1) = 0 would divide-by-zero under ANSI
+    ew = (
+        e.join(deg, "s")
+        .filter(F.col("deg") >= 2)
+        .select(
+            F.col("s").alias("u"), F.col("d"),
+            F.expr(aa_contrib_sql()).alias("w"),
+        )
+    )
+    wedges = (
+        ew.select("u", F.col("d").alias("a"), "w")
+        .join(ew.select("u", F.col("d").alias("b")), "u")
+        .filter(F.col("a") < F.col("b"))
+    )
+    scored = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("cn"), F.sum("w").alias("aa_q")
+    )
+    return scored.join(
+        e.select(F.col("s").alias("a"), F.col("d").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+
+
+def adamic_adar_sql(edges_select: str) -> str:
+    """DuckDB replay of ``adamic_adar``; ``edges_select`` -> (s, d)."""
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT s, d FROM ({edges_select}) x WHERE s != d
+  UNION SELECT d, s FROM ({edges_select}) y WHERE s != d),
+deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+ew AS (SELECT e.s AS u, e.d, {aa_contrib_sql()} AS w
+       FROM e JOIN deg ON deg.s = e.s WHERE deg.deg >= 2),
+sc AS (
+  SELECT w1.d AS a, w2.d AS b, CAST(count(*) AS BIGINT) AS cn,
+         CAST(sum(w1.w) AS BIGINT) AS aa_q
+  FROM ew w1 JOIN ew w2 ON w1.u = w2.u AND w1.d < w2.d
+  GROUP BY 1, 2)
+SELECT sc.a, sc.b, sc.cn, sc.aa_q FROM sc
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = sc.a AND e.d = sc.b)"""

@@ -12308,6 +12308,113 @@ def q_lift_table_oracle():
             + ") ORDER BY bucket")
 
 
+def _truss_edges(spark, sf_dir):
+    """Ring + {+1,+2,+3} chord graph over documents, plus the sparse
+    7i+11 chords: base edges carry translation-invariant triangle
+    support (4/3/2 for the +1/+2/+3 families), the random-ish chords
+    mostly peel in round one and trigger short LOCAL cascades — peel
+    depth stays O(1) in n."""
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("src")
+    )
+    n = docs.count()
+    i = F.col("src")
+    return docs.select(
+        "src",
+        F.explode(F.array(
+            (i + 1) % n, (i + 2) % n, (i + 3) % n, (i * 7 + 11) % n,
+        )).alias("dst"),
+    )
+
+
+_TRUSS_EDGES_SQL = """
+SELECT least(s, d) AS a, greatest(s, d) AS b FROM (
+  SELECT CAST(doc_id AS BIGINT) AS s,
+         (CAST(doc_id AS BIGINT) + 1) % nn.n AS d
+  FROM documents, (SELECT count(*) AS n FROM documents) nn
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), (CAST(doc_id AS BIGINT) + 2) % nn.n
+  FROM documents, (SELECT count(*) AS n FROM documents) nn
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), (CAST(doc_id AS BIGINT) + 3) % nn.n
+  FROM documents, (SELECT count(*) AS n FROM documents) nn
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), (CAST(doc_id AS BIGINT) * 7 + 11) % nn.n
+  FROM documents, (SELECT count(*) AS n FROM documents) nn) r
+WHERE s <> d GROUP BY 1, 2"""
+
+
+def q_k_truss(spark, sf_dir):
+    """k-truss decomposition (graph.k_truss, k=4): iterative edge peel
+    on triangle support over the ordered edge set — per round one
+    triangle-enumeration self-join (bounded by forward degrees) + one
+    support agg + one filter; oracle unrolls the peel as MATERIALIZED
+    CTE rounds (idempotent at the fixpoint, the k_core pattern)."""
+    from .operators.graph import k_truss
+
+    return k_truss(_truss_edges(spark, sf_dir), k=4).orderBy("a", "b")
+
+
+def q_k_truss_oracle():
+    from .operators.graph import k_truss_sql
+
+    return (
+        "SELECT * FROM ("
+        + k_truss_sql(_TRUSS_EDGES_SQL, k=4, rounds=10)
+        + ") ORDER BY a, b"
+    )
+
+
+def q_clustering_coeff(spark, sf_dir):
+    """Per-node local clustering accumulators (graph.clustering_coeff):
+    degree-ordered triangle counts + degrees, coefficient
+    2T/(deg(deg-1)) derivable as an exact rational."""
+    from .operators.graph import clustering_coeff
+
+    return clustering_coeff(_truss_edges(spark, sf_dir)).orderBy("node")
+
+
+def q_clustering_coeff_oracle():
+    return f"""
+WITH und AS MATERIALIZED ({_TRUSS_EDGES_SQL}),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und) t GROUP BY 1),
+tri AS (
+  SELECT e1.a AS p, e1.b AS q, e2.b AS r
+  FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+pn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT p AS node FROM tri
+    UNION ALL SELECT q FROM tri
+    UNION ALL SELECT r FROM tri) t
+  GROUP BY 1)
+SELECT deg.node, CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+       deg.deg
+FROM deg LEFT JOIN pn ON pn.node = deg.node
+ORDER BY deg.node"""
+
+
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (graph.adamic_adar): per shared
+    neighbor floor(1e9/ln(deg)) quantized-then-summed — exact int64
+    scores over the link_predict gate's doc graph."""
+    from .operators.graph import adamic_adar
+
+    return adamic_adar(_doc_edges(spark, sf_dir)).orderBy("a", "b")
+
+
+def q_adamic_adar_oracle():
+    from .operators.graph import adamic_adar_sql
+
+    return (
+        "SELECT * FROM ("
+        + adamic_adar_sql(_DOC_EDGES_SQL)
+        + ") ORDER BY a, b"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -12625,4 +12732,7 @@ QUERIES = {
     "brier": (q_brier, q_brier_oracle),
     "ndcg": (q_ndcg, q_ndcg_oracle),
     "lift_table": (q_lift_table, q_lift_table_oracle),
+    "k_truss": (q_k_truss, q_k_truss_oracle),
+    "clustering_coeff": (q_clustering_coeff, q_clustering_coeff_oracle),
+    "adamic_adar": (q_adamic_adar, q_adamic_adar_oracle),
 }

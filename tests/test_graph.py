@@ -258,3 +258,92 @@ def test_random_projection_preserves_identity_and_varies(spark):
     # distinct inputs map to distinct sketches (full rank w.h.p.)
     sketches = {tuple(v[j] for j in range(8)) for v in y.values()}
     assert len(sketches) == 20
+
+
+def _rand_und_edges(seed, n_nodes=40, n_edges=120):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    seen = set()
+    while len(seen) < n_edges:
+        a, b = rng.randint(0, n_nodes, 2)
+        if a != b:
+            seen.add((min(int(a), int(b)), max(int(a), int(b))))
+    return sorted(seen)
+
+
+def test_k_truss_matches_brute_peel(spark):
+    from sis_spark.operators.graph import k_truss
+
+    edges = _rand_und_edges(3)
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(4)
+    for k in (3, 4, 5):
+        got = {(r["a"], r["b"]): r["support"]
+               for r in k_truss(df, k=k).collect()}
+
+        # brute peel
+        cur = set(edges)
+
+        def supports(es):
+            adj = {}
+            for a, b in es:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            return {(a, b): len(adj[a] & adj[b]) for a, b in es}
+
+        while True:
+            sup = supports(cur)
+            nxt = {e for e in cur if sup[e] >= k - 2}
+            if nxt == cur:
+                break
+            cur = nxt
+        want = supports(cur)
+        assert got == want
+
+
+def test_clustering_coeff_matches_brute(spark):
+    from sis_spark.operators.graph import clustering_coeff
+
+    edges = _rand_und_edges(4)
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(3)
+    got = {r["node"]: (r["triangles"], r["deg"])
+           for r in clustering_coeff(df).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v, nb in adj.items():
+        tri = sum(len(adj[u] & nb) for u in nb) // 2
+        assert got[v] == (tri, len(nb))
+    assert set(got) == set(adj)
+
+
+def test_adamic_adar_matches_brute(spark):
+    import math
+
+    from sis_spark.operators.graph import adamic_adar
+
+    edges = _rand_und_edges(5, n_nodes=25, n_edges=60)
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(3)
+    got = {(r["a"], r["b"]): (r["cn"], r["aa_q"])
+           for r in adamic_adar(df).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(adj)
+    for ai in range(len(nodes)):
+        for bi in range(ai + 1, len(nodes)):
+            a, b = nodes[ai], nodes[bi]
+            if b in adj[a]:
+                continue
+            common = adj[a] & adj[b]
+            if not common:
+                continue
+            aa = sum(
+                int(math.floor(1e9 / math.log(len(adj[u])) + 0.12345678987))
+                for u in common
+            )
+            want[(a, b)] = (len(common), aa)
+    assert got == want
