@@ -943,3 +943,43 @@ def border_stats(images: DataFrame, margin: int = 2) -> DataFrame:
         schema=("image_id string, n_border long, s_border long, "
                 "ss_border long, n_inner long, s_inner long, ss_inner long"),
     )
+
+
+# index as _BAYER4[y % 4][x % 4] — the standard 4x4 ordered-dither matrix
+_BAYER4 = ((0, 8, 2, 10), (12, 4, 14, 6), (3, 11, 1, 9), (15, 7, 13, 5))
+
+
+def bayer_dither_stats(images: DataFrame) -> DataFrame:
+    """Ordered (Bayer 4x4) dithering audit per image -> (image_id, phase,
+    n, ones): pixel (x, y) dithers to 1 iff luma > B[y%4][x%4]*16 + 7
+    (exact integer thresholds 7, 23, ..., 247), phase = (y%4)*4 + x%4.
+    The per-phase on-counts fingerprint the halftone a 1-bit re-encode
+    would produce — integer end-to-end through the REAL decode path.
+
+    Shape: decode + phase-binned popcounts Arrow-batched, no shuffle."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for iid, buf, fmt_ in zip(pdf["image_id"], pdf["bytes"],
+                                      pdf["fmt"]):
+                arr = codec.decode(bytes(buf), fmt_).astype(np.int64)
+                h, w = arr.shape[:2]
+                luma = (299 * arr[:, :, 0] + 587 * arr[:, :, 1]
+                        + 114 * arr[:, :, 2]) // 1000
+                yy, xx = np.mgrid[0:h, 0:w]
+                thr = np.asarray(_BAYER4, dtype=np.int64)[yy % 4, xx % 4]
+                bit = luma > thr * 16 + 7
+                phase = (yy % 4) * 4 + xx % 4
+                for ph in range(16):
+                    m = phase == ph
+                    rows.append({
+                        "image_id": iid, "phase": ph,
+                        "n": int(m.sum()), "ones": int(bit[m].sum()),
+                    })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, phase long, n long, ones long"
+    )

@@ -12415,6 +12415,126 @@ def q_adamic_adar_oracle():
     )
 
 
+def q_bayer_dither(spark, sf_dir):
+    """Ordered Bayer-4x4 dithering audit (imageops.bayer_dither_stats):
+    per-image per-phase halftone on-counts, exact integer thresholds
+    B[y%4][x%4]*16+7 through the real decode path."""
+    from .operators.imageops import bayer_dither_stats
+    from .sources.images import images_table
+
+    img = images_table(spark, N_SEAM_IMAGES).filter(F.col("fmt") != "jpeg")
+    return bayer_dither_stats(img).orderBy("image_id", "phase")
+
+
+def q_bayer_dither_oracle():
+    from .operators.imageops import _BAYER4
+    from .sources.images import SIZES
+
+    size_case = lambda e: (
+        f"(CASE ({e}) % 3 WHEN 0 THEN {SIZES[0]} WHEN 1 THEN {SIZES[1]} "
+        f"ELSE {SIZES[2]} END)"
+    )
+    chan = lambda k: f"(((x.x) * 3 + (y.y) * 7 + {k} * 31 + d.i * 13) % 256)"
+    luma = f"((299 * {chan(0)} + 587 * {chan(1)} + 114 * {chan(2)}) // 1000)"
+    flat = [b for row in _BAYER4 for b in row]
+    blit = "[" + ", ".join(str(b) for b in flat) + "]"
+    return f"""
+WITH dims AS (
+  SELECT i, {size_case('i')} AS w, {size_case('i // 3')} AS h
+  FROM generate_series(0, {N_SEAM_IMAGES - 1}) t(i)
+  WHERE i % 3 <> 2),
+px AS (
+  SELECT d.i, (y.y % 4) * 4 + (x.x % 4) AS phase,
+         CASE WHEN {luma} > {blit}[(y.y % 4) * 4 + (x.x % 4) + 1] * 16 + 7
+              THEN 1 ELSE 0 END AS bit
+  FROM dims d, generate_series(0, 63) x(x), generate_series(0, 63) y(y)
+  WHERE x.x < d.w AND y.y < d.h)
+SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(phase AS BIGINT) AS phase, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(bit) AS BIGINT) AS ones
+FROM px GROUP BY 1, 2 ORDER BY image_id, phase"""
+
+
+def q_fast_corners(spark, sf_dir):
+    """FAST-9 corner detection (terrain.fast_corners_tiles): radius-3
+    Bresenham ring, >= 9 contiguous brighter/darker via the 16-bit
+    rotate-AND run test — pure integer, 3-px halo gather."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import fast_corners_tiles
+
+    W, H = 448, 256
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _texture_tiles(spark, W, H)
+    return fast_corners_tiles(tiles, gg, t=20).orderBy("x", "y")
+
+
+def q_fast_corners_oracle():
+    from .raster.terrain import _FAST_RING
+
+    v = _texture_v_sql
+    b_bits, d_bits = [], []
+    for i, (dy, dx) in enumerate(_FAST_RING):
+        nb = v(f"x + {dx}", f"y + {dy}")
+        b_bits.append(f"(CASE WHEN {nb} > c + 20 THEN {1 << i} ELSE 0 END)")
+        d_bits.append(f"(CASE WHEN {nb} < c - 20 THEN {1 << i} ELSE 0 END)")
+
+    def run9(m):
+        return f"""(
+  SELECT r8 & ((({m} >> 8) | ({m} << 8)) & 65535) FROM (
+    SELECT r4 & (((r4 >> 4) | (r4 << 12)) & 65535) AS r8 FROM (
+      SELECT r2 & (((r2 >> 2) | (r2 << 14)) & 65535) AS r4 FROM (
+        SELECT {m} & ((({m} >> 1) | ({m} << 15)) & 65535) AS r2) a) b) c)"""
+
+    return f"""
+WITH px AS (
+  SELECT gx.x AS x, gy.y AS y, {v('gx.x', 'gy.y')} AS c
+  FROM generate_series(3, 444) gx(x), generate_series(3, 252) gy(y)),
+masks AS (
+  SELECT x, y, {' + '.join(b_bits)} AS bm, {' + '.join(d_bits)} AS dm
+  FROM px),
+runs AS (
+  SELECT x, y, {run9('bm')} AS rb, {run9('dm')} AS rd FROM masks)
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(CASE WHEN rb <> 0 THEN 1 ELSE 0 END AS BIGINT) AS kind
+FROM runs WHERE rb <> 0 OR rd <> 0 ORDER BY x, y"""
+
+
+def q_hough(spark, sf_dir):
+    """Hough line-vote accumulator (terrain.hough_votes): edge pixels
+    (texture > 240) vote into 8 quantized angles x 4-px rho buckets —
+    shared integer LUTs, exact int64 votes."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import hough_votes
+
+    W, H = 448, 256
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _texture_tiles(spark, W, H)
+    return hough_votes(tiles, gg, threshold=240).orderBy("k", "rho_idx")
+
+
+def q_hough_oracle():
+    from .raster.terrain import HOUGH_OFFSET, HOUGH_STEP, hough_luts
+
+    cq, sq = hough_luts(8)
+    v = _texture_v_sql("gx.x", "gy.y")
+    arms = " UNION ALL ".join(
+        f"SELECT {k} AS k, (x * {cq[k]} + y * {sq[k]} + {HOUGH_OFFSET}) "
+        f"// {HOUGH_STEP} AS rho_idx FROM pts"
+        for k in range(8)
+    )
+    return f"""
+WITH pts AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(0, 447) gx(x), generate_series(0, 255) gy(y)
+  WHERE ({v}) > 240),
+votes AS ({arms})
+SELECT CAST(k AS BIGINT) AS k, CAST(rho_idx AS BIGINT) AS rho_idx,
+       CAST(count(*) AS BIGINT) AS votes
+FROM votes GROUP BY 1, 2 ORDER BY k, rho_idx"""
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -12735,4 +12855,7 @@ QUERIES = {
     "k_truss": (q_k_truss, q_k_truss_oracle),
     "clustering_coeff": (q_clustering_coeff, q_clustering_coeff_oracle),
     "adamic_adar": (q_adamic_adar, q_adamic_adar_oracle),
+    "bayer_dither": (q_bayer_dither, q_bayer_dither_oracle),
+    "fast_corners": (q_fast_corners, q_fast_corners_oracle),
+    "hough": (q_hough, q_hough_oracle),
 }

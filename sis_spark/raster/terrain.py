@@ -1095,3 +1095,179 @@ def range_filter_tiles(
     return contrib.groupBy("gtx", "gty").applyInPandas(
         fn, schema="tx long, ty long, n_px long, n_in long, v_in_sum long"
     )
+
+
+# FAST ring: 16 (dy, dx) offsets of the radius-3 Bresenham circle,
+# clockwise from (dy=-3, dx=0) — the OpenCV/Rosten-Drummond order.
+_FAST_RING = [(-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2),
+              (3, 1), (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3),
+              (-2, -2), (-3, -1)]
+
+
+def _run_ge9(mask: np.ndarray) -> np.ndarray:
+    """True where the 16-bit circular mask contains a contiguous run of
+    >= 9 set bits (the doubling trick: &-ing with rotations of itself
+    by 1, 2, 4 then the raw mask by 8 — exact, branch-free)."""
+    rot = lambda m, k: ((m >> k) | (m << (16 - k))) & 0xFFFF  # noqa: E731
+    r2 = mask & rot(mask, 1)
+    r4 = r2 & rot(r2, 2)
+    r8 = r4 & rot(r4, 4)
+    r9 = r8 & rot(mask, 8)
+    return r9 != 0
+
+
+def fast_corners_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    t: int = 20,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """FAST-9 corner detection (Rosten & Drummond 2006, public
+    literature) -> (x, y, kind): pixel is a corner when >= 9 CONTIGUOUS
+    pixels of its radius-3 Bresenham ring are all brighter than c + t
+    (kind=1) or all darker than c - t (kind=0).  Pure integer
+    comparisons + the 16-bit rotate-and-AND run test — bit-exact, no
+    trig, no FP.  Pixels whose ring leaves the raster (or touches a
+    missing tile) are skipped; non-max suppression is a downstream
+    concern (kNN/window ops in this repo).
+
+    Shape: one 3-pixel halo gather (each tile ships to its 8 neighbor
+    groups — same shuffle count as the gradient machinery, 3 rows wider),
+    then map-side numpy; output is the sparse corner list."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+    R = 3
+
+    def fn(key, pdf):
+        gtx, gty = int(key[0]), int(key[1])
+        ts = tile_size
+        halo = np.full((ts + 2 * R, ts + 2 * R), np.nan)
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = (
+                np.frombuffer(data, dtype=bdt)
+                .reshape(ts, ts).astype(np.float64)
+            )
+            oy = (int(ty) - gty) * ts + R
+            ox = (int(tx) - gtx) * ts + R
+            y0, x0 = max(oy, 0), max(ox, 0)
+            y1, x1 = min(oy + ts, ts + 2 * R), min(ox + ts, ts + 2 * R)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            halo[y0:y1, x0:x1] = block[y0 - oy:y1 - oy, x0 - ox:x1 - ox]
+        c = halo[R:R + ts, R:R + ts]
+        bright = np.zeros((ts, ts), np.int64)
+        dark = np.zeros((ts, ts), np.int64)
+        valid = np.isfinite(c)
+        for i, (dy, dx) in enumerate(_FAST_RING):
+            nb = halo[R + dy:R + dy + ts, R + dx:R + dx + ts]
+            valid &= np.isfinite(nb)
+            bright |= (nb > c + t).astype(np.int64) << i
+            dark |= (nb < c - t).astype(np.int64) << i
+        px = gtx * ts + np.arange(ts)
+        py = gty * ts + np.arange(ts)
+        interior = (
+            (px[None, :] >= R) & (px[None, :] <= w - 1 - R)
+            & (py[:, None] >= R) & (py[:, None] <= h - 1 - R)
+        )
+        is_b = _run_ge9(bright)
+        is_d = _run_ge9(dark)
+        sel = valid & interior & (is_b | is_d)
+        ys, xs = np.nonzero(sel)
+        if not len(ys):
+            return pd.DataFrame({"x": [], "y": [], "kind": []})
+        return pd.DataFrame({
+            "x": (gtx * ts + xs).astype(np.int64),
+            "y": (gty * ts + ys).astype(np.int64),
+            "kind": is_b[ys, xs].astype(np.int64),
+        })
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(
+        fn, schema="x long, y long, kind long"
+    )
+
+
+def hough_luts(n_angles: int = 8, scale: int = 1 << 20):
+    """Quantized (cos, sin) integer LUTs for theta_k = k*pi/n, k < n —
+    literal ints shared verbatim by the engine and the SQL oracle so the
+    vote arithmetic is exact int64 on both sides."""
+    import math as _math
+
+    cq = [int(_math.floor(_math.cos(k * _math.pi / n_angles) * scale))
+          for k in range(n_angles)]
+    sq = [int(_math.floor(_math.sin(k * _math.pi / n_angles) * scale))
+          for k in range(n_angles)]
+    return cq, sq
+
+
+# rho-bucket width: 4 px * the 2^20 LUT scale; OFFSET (a multiple of
+# STEP) shifts every rho positive so floor-division is plain integer
+# division in BOTH engines (Spark div truncates, DuckDB // floors —
+# they only agree on non-negatives)
+HOUGH_STEP = 4 << 20
+HOUGH_OFFSET = 1 << 30
+
+
+def hough_votes(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    threshold: int = 240,
+    n_angles: int = 8,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Hough line-transform vote accumulator (Duda & Hart 1972, public
+    literature) -> (k, rho_idx, votes): every edge pixel (value >
+    ``threshold``) votes for (angle k, rho bucket) with
+    rho_idx = (x*cos_q[k] + y*sin_q[k] + OFFSET) / STEP — all-integer
+    via the shared literal LUTs, so the accumulator is exact.
+
+    Shape: map-side pixel extraction (Arrow, sparse edge list), an
+    n_angles-way explode in codegen, one groupBy — the vote table is
+    tiny (angles x rho buckets) so the shuffle is a partial-agg
+    combine, not a data shuffle."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    cq, sq = hough_luts(n_angles)
+
+    def px(batches):
+        for pdf in batches:
+            out = []
+            for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+                block = np.frombuffer(data, dtype=bdt).reshape(
+                    tile_size, tile_size
+                )
+                ys, xs = np.nonzero(block > threshold)
+                gx = int(tx) * tile_size + xs
+                gy = int(ty) * tile_size + ys
+                keep = (gx < w) & (gy < h)
+                out.append(pd.DataFrame({
+                    "x": gx[keep].astype(np.int64),
+                    "y": gy[keep].astype(np.int64),
+                }))
+            yield pd.concat(out) if out else pd.DataFrame({"x": [], "y": []})
+
+    pts = tiles_df.filter(F.col("band") == band).select(
+        "tx", "ty", "data"
+    ).mapInPandas(px, schema="x long, y long")
+    votes = pts.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(k).alias("k"),
+                ((F.col("x") * cq[k] + F.col("y") * sq[k]
+                  + F.lit(HOUGH_OFFSET)).cast("long")
+                 / F.lit(HOUGH_STEP)).cast("long").alias("rho_idx"),
+            )
+            for k in range(n_angles)
+        ])).alias("v")
+    ).select("v.k", "v.rho_idx")
+    return votes.groupBy("k", "rho_idx").agg(
+        F.count(F.lit(1)).alias("votes")
+    )

@@ -292,3 +292,97 @@ def test_tri_matches_dense(spark):
         assert r["sum_tri2"] == int(dense[sl].sum())
         assert r["n_int"] == int(interior[sl].sum())
         assert r["max_tri2"] == int(dense[sl].max())
+
+
+def test_run_ge9_matches_brute():
+    from sis_spark.raster.terrain import _run_ge9
+
+    def brute(m):
+        bits = [(m >> i) & 1 for i in range(16)]
+        best = run = 0
+        for b in bits + bits:  # circular
+            run = run + 1 if b else 0
+            best = max(best, run)
+        return min(best, 16) >= 9
+
+    rng = np.random.RandomState(2)
+    ms = np.concatenate([
+        rng.randint(0, 1 << 16, 500),
+        np.array([0, 0xFFFF, 0x01FF, 0x00FF, 0xFF80, 0x3FE0, 0x8FF0]),
+    ]).astype(np.int64)
+    got = _run_ge9(ms)
+    want = np.array([brute(int(m)) for m in ms])
+    assert (got == want).all()
+
+
+def test_fast_corners_matches_dense_brute(spark):
+    from sis_spark.raster.terrain import _FAST_RING, fast_corners_tiles
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, size=(100, 130)).astype(np.uint8)
+    tiles, gg = _tiles_from(spark, arr)
+    got = {(r["x"], r["y"]): r["kind"]
+           for r in fast_corners_tiles(tiles, gg, t=25,
+                                       tile_size=TS).collect()}
+
+    def run9(bits):
+        run = best = 0
+        for b in bits + bits:
+            run = run + 1 if b else 0
+            best = max(best, run)
+        return min(best, 16) >= 9
+
+    want = {}
+    h, w = arr.shape
+    a = arr.astype(np.int64)
+    for y in range(3, h - 3):
+        for x in range(3, w - 3):
+            c = a[y, x]
+            ring = [a[y + dy, x + dx] for dy, dx in _FAST_RING]
+            if run9([p > c + 25 for p in ring]):
+                want[(x, y)] = 1
+            elif run9([p < c - 25 for p in ring]):
+                want[(x, y)] = 0
+    assert got == want
+
+
+def test_hough_votes_totals_and_exactness(spark):
+    from sis_spark.raster.terrain import (
+        HOUGH_OFFSET, HOUGH_STEP, hough_luts, hough_votes,
+    )
+
+    rng = np.random.RandomState(4)
+    arr = rng.randint(0, 256, size=(90, 140)).astype(np.uint8)
+    tiles, gg = _tiles_from(spark, arr)
+    out = hough_votes(tiles, gg, threshold=200, tile_size=TS).collect()
+    cq, sq = hough_luts(8)
+    ys, xs = np.nonzero(arr > 200)
+    want = {}
+    for x, y in zip(xs, ys):
+        for k in range(8):
+            rho = (int(x) * cq[k] + int(y) * sq[k] + HOUGH_OFFSET) // HOUGH_STEP
+            want[(k, rho)] = want.get((k, rho), 0) + 1
+    got = {(r["k"], r["rho_idx"]): r["votes"] for r in out}
+    assert got == want
+    assert sum(got.values()) == 8 * len(xs)
+
+
+def test_bayer_dither_extremes(spark):
+    import pandas as pd
+
+    from sis_spark.operators.imageops import bayer_dither_stats
+    from sis_spark.raster import codec
+
+    black = np.zeros((8, 8, 3), np.uint8)
+    white = np.full((8, 8, 3), 255, np.uint8)
+    mid = np.full((8, 8, 3), 128, np.uint8)
+    rows = [("b", codec.encode(black, "png"), "png"),
+            ("w", codec.encode(white, "png"), "png"),
+            ("m", codec.encode(mid, "png"), "png")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = pd.DataFrame([r.asDict() for r in bayer_dither_stats(df).collect()])
+    per = out.groupby("image_id")[["n", "ones"]].sum()
+    assert per.loc["b", "ones"] == 0
+    assert per.loc["w", "ones"] == per.loc["w", "n"] == 64
+    # luma 128 > thr*16+7 iff thr <= 7 -> exactly half the 16 phases fire
+    assert per.loc["m", "ones"] == 32
