@@ -2085,3 +2085,81 @@ r AS (
 SELECT bucket, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(y) AS BIGINT) AS positives
 FROM r GROUP BY bucket"""
+
+
+def psi_contrib_sql() -> str:
+    """Shared Spark/DuckDB text: one bucket's Population Stability Index
+    term (pa - pb) * ln(pa/pb) from exact int64 counts (na_i, nb_i, na,
+    nb), floor-quantized at 1e9 with the irrational offset BEFORE the
+    order-independent integer sum (the mi_contrib discipline)."""
+    return (
+        "CAST(floor((CAST(na_i AS DOUBLE) / CAST(na AS DOUBLE)"
+        " - CAST(nb_i AS DOUBLE) / CAST(nb AS DOUBLE))"
+        " * ln(CAST(na_i AS DOUBLE) * CAST(nb AS DOUBLE)"
+        " / (CAST(nb_i AS DOUBLE) * CAST(na AS DOUBLE)))"
+        " * 1.0e9 + 0.12345678987) AS BIGINT)"
+    )
+
+
+def population_stability(
+    df: DataFrame,
+    bucket_col: str,
+    epoch_col: str,
+) -> DataFrame:
+    """Population Stability Index accumulators between two epochs ->
+    (bucket, na_i, nb_i, psi_q): the drift audit a training pipeline
+    runs between snapshots; psi = sum(psi_q)/1e9 derivable, buckets
+    reported individually so the drifting ones are identifiable.
+    ``epoch_col`` must be 0 (baseline) / 1 (current); buckets missing
+    from EITHER epoch are excluded (standard PSI is undefined there —
+    callers smooth upstream if needed) but still listed with psi_q NULL.
+
+    Shape: ONE map-side-combined (bucket x epoch) count agg; totals ride
+    a single-partition window over the tiny bucket table (no join)."""
+    from pyspark.sql import Window
+
+    b = df.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col(epoch_col).cast("long").alias("ep"),
+    )
+    per = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("ep") == 0, 1).otherwise(0)).alias("na_i"),
+        F.sum(F.when(F.col("ep") == 1, 1).otherwise(0)).alias("nb_i"),
+    )
+    w_all = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = per.select(
+        "bucket", "na_i", "nb_i",
+        F.sum("na_i").over(w_all).alias("na"),
+        F.sum("nb_i").over(w_all).alias("nb"),
+    )
+    return t.select(
+        "bucket", "na_i", "nb_i",
+        F.when(
+            (F.col("na_i") > 0) & (F.col("nb_i") > 0),
+            F.expr(psi_contrib_sql()),
+        ).alias("psi_q"),
+    )
+
+
+def population_stability_sql(base_select: str, bucket_col: str,
+                             epoch_col: str) -> str:
+    """DuckDB replay of ``population_stability``;
+    ``base_select`` -> (bucket, epoch)."""
+    return f"""
+WITH b AS (SELECT {bucket_col} AS bucket, CAST({epoch_col} AS BIGINT) AS ep
+           FROM ({base_select}) s),
+per AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN ep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_i,
+         CAST(sum(CASE WHEN ep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb_i
+  FROM b GROUP BY 1),
+t AS (
+  SELECT bucket, na_i, nb_i,
+         sum(na_i) OVER () AS na, sum(nb_i) OVER () AS nb
+  FROM per)
+SELECT bucket, na_i, nb_i,
+       CASE WHEN na_i > 0 AND nb_i > 0 THEN {psi_contrib_sql()}
+            ELSE NULL END AS psi_q
+FROM t"""

@@ -1346,3 +1346,213 @@ g AS (SELECT * FROM s WHERE dx IS NOT NULL AND (dx != 0 OR dy != 0))
 SELECT k, CAST({hog_octant_sql('dx', 'dy')} AS BIGINT) AS sector,
        CAST(count(*) AS BIGINT) AS n
 FROM g GROUP BY 1, 2"""
+
+
+def douglas_peucker_dense(os_, xs, ys, eps2):
+    """Single-node reference: kept (o, x, y) triples for epsilon^2 =
+    ``eps2`` (all Python ints — cross^2 exceeds int64, exact here and
+    HUGEINT in the SQL replay).  Deviation is measured against the LINE
+    through the gap endpoints (cross^2 vs eps2*len2 cross-multiplied);
+    coincident endpoints fall back to point distance.  Argmax ties break
+    to the smallest index, so the kept set is deterministic."""
+    n = len(xs)
+    if n <= 2:
+        return list(zip(os_, xs, ys))
+    kept = {0, n - 1}
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        ax, ay, bx, by = xs[a], ys[a], xs[b], ys[b]
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        best_i, best_m = -1, -1
+        for i in range(a + 1, b):
+            if len2 > 0:
+                cr = (xs[i] - ax) * dy - (ys[i] - ay) * dx
+                m = cr * cr
+            else:
+                m = (xs[i] - ax) ** 2 + (ys[i] - ay) ** 2
+            if m > best_m:
+                best_m, best_i = m, i
+        over = best_m > eps2 * len2 if len2 > 0 else best_m > eps2
+        if over:
+            kept.add(best_i)
+            stack.append((a, best_i))
+            stack.append((best_i, b))
+    return [(os_[i], xs[i], ys[i]) for i in sorted(kept)]
+
+
+def douglas_peucker(
+    points: DataFrame,
+    eps: int,
+    key_col: str = "k",
+    order_col: str = "o",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Douglas-Peucker polyline simplification (Douglas & Peucker 1973,
+    public literature) -> the kept vertices (key, o, x, y): recursive
+    farthest-point split wherever the line deviation exceeds ``eps``
+    (integer units of the quantized coordinates) — the epsilon-driven
+    sibling of ``simplify_vw``'s count-driven reduction (the LOD /
+    linear-resolution hint, S/FeatureQuery.java:437).
+
+    Scale shape: one applyInPandas group per key (sequential per
+    polyline, keys parallelize; the simplify_vw shape).  All arithmetic
+    is exact Python ints (cross^2 needs ~int128)."""
+    import pandas as pd
+
+    eps2 = int(eps) * int(eps)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        kept = douglas_peucker_dense(
+            [int(v) for v in pdf[order_col]],
+            [int(v) for v in pdf[x_col]],
+            [int(v) for v in pdf[y_col]],
+            eps2,
+        )
+        k = pdf[key_col].iloc[0]
+        return pd.DataFrame(
+            [{key_col: k, order_col: o, x_col: x, y_col: y}
+             for o, x, y in kept]
+        )
+
+    schema = f"{key_col} long, {order_col} long, {x_col} long, {y_col} long"
+    return (
+        points.select(key_col, order_col, x_col, y_col)
+        .groupBy(key_col)
+        .applyInPandas(fn, schema=schema)
+    )
+
+
+def douglas_peucker_sql(points_select: str, eps: int) -> str:
+    """DuckDB oracle for ``douglas_peucker``: round-based farthest-point
+    INSERTION as a recursive CTE — per round every not-yet-kept vertex
+    finds its gap (adjacent kept positions around it), and joins the kept
+    set iff it exceeds epsilon AND is its gap's argmax (ties -> smallest
+    index).  Gap-independent insertion makes rounds order-free, so the
+    fixpoint equals the recursive split.  All products in HUGEINT.
+
+    ``points_select`` -> (k, o, x, y) integer rows."""
+    eps2 = int(eps) * int(eps)
+    A = "list_max(list_filter(s.ks, p -> p < i))"
+    B = "list_min(list_filter(s.ks, p -> p > i))"
+
+    def cr(j):
+        return (f"(CAST(s.xs[{j}] - s.xs[{A}] AS HUGEINT)"
+                f" * (s.ys[{B}] - s.ys[{A}])"
+                f" - CAST(s.ys[{j}] - s.ys[{A}] AS HUGEINT)"
+                f" * (s.xs[{B}] - s.xs[{A}]))")
+
+    def dd(j):
+        return (f"(CAST(s.xs[{j}] - s.xs[{A}] AS HUGEINT)"
+                f" * (s.xs[{j}] - s.xs[{A}])"
+                f" + CAST(s.ys[{j}] - s.ys[{A}] AS HUGEINT)"
+                f" * (s.ys[{j}] - s.ys[{A}]))")
+
+    len2 = (f"(CAST(s.xs[{B}] - s.xs[{A}] AS HUGEINT)"
+            f" * (s.xs[{B}] - s.xs[{A}])"
+            f" + CAST(s.ys[{B}] - s.ys[{A}] AS HUGEINT)"
+            f" * (s.ys[{B}] - s.ys[{A}]))")
+
+    def m(j):
+        return (f"(CASE WHEN {len2} > 0 THEN {cr(j)} * {cr(j)}"
+                f" ELSE {dd(j)} END)")
+
+    over = (f"(CASE WHEN {len2} > 0"
+            f" THEN {cr('i')} * {cr('i')} > CAST({eps2} AS HUGEINT) * {len2}"
+            f" ELSE {dd('i')} > CAST({eps2} AS HUGEINT) END)")
+    argmax = (
+        f"len(list_filter(range({A} + 1, {B}), j -> j <> i"
+        f" AND ({m('j')} > {m('i')}"
+        f" OR ({m('j')} = {m('i')} AND j < i)))) = 0"
+    )
+    return f"""
+WITH RECURSIVE pts AS ({points_select}),
+init AS (
+  SELECT k, list(o ORDER BY o) AS os, list(x ORDER BY o) AS xs,
+         list(y ORDER BY o) AS ys, CAST(count(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1),
+st(k, os, xs, ys, ks) AS (
+  SELECT k, os, xs, ys,
+         CASE WHEN n = 1 THEN [CAST(1 AS BIGINT)]
+              ELSE [CAST(1 AS BIGINT), n] END
+  FROM init
+  UNION ALL
+  SELECT s.k, s.os, s.xs, s.ys, list_sort(list_concat(s.ks, pk.adds))
+  FROM st s
+  CROSS JOIN LATERAL (
+    SELECT list_filter(
+      list_transform(range(CAST(1 AS BIGINT), len(s.xs) + 1), i ->
+        CASE WHEN list_contains(s.ks, i) THEN NULL
+             WHEN {over} AND {argmax} THEN i
+             ELSE NULL END),
+      v -> v IS NOT NULL) AS adds) pk
+  WHERE len(pk.adds) > 0),
+fin AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY len(ks) DESC) AS rn
+  FROM st)
+SELECT k, unnest(list_transform(ks, p -> os[p])) AS o,
+       unnest(list_transform(ks, p -> xs[p])) AS x,
+       unnest(list_transform(ks, p -> ys[p])) AS y
+FROM fin WHERE rn = 1"""
+
+
+def geofence_transitions(
+    points: DataFrame,
+    inside_col: str,
+    key_col: str = "k",
+    order_col: str = "o",
+) -> DataFrame:
+    """Geofence enter/exit event extraction -> (k, o, event, visit): one
+    row per TRANSITION of the precomputed ``inside_col`` flag along each
+    key's ordered track — event = 1 (enter: outside -> inside) or 0
+    (exit); ``visit`` numbers the enters per key (cumulative), so dwell
+    segments are joinable downstream.  The first point of a track emits
+    nothing (no prior state — the conservative convention).
+
+    The inside flag itself should be produced with this repo's exact
+    predicates (quantized haversine bands, PIP, bbox) so the transition
+    stream is bit-stable.  Shape: one keyed sort window (lag + running
+    sum), pure codegen — the sessionize/gps_jumps family."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("o")
+    b = points.select(
+        F.col(key_col).alias("k"), F.col(order_col).alias("o"),
+        F.col(inside_col).cast("long").alias("ins"),
+    )
+    prev = F.lag("ins").over(w)
+    t = b.select(
+        "k", "o", "ins",
+        prev.alias("prev"),
+        F.sum(
+            F.when(F.lag("ins").over(w) < F.col("ins"), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("visit"),
+    )
+    return t.filter(
+        F.col("prev").isNotNull() & (F.col("prev") != F.col("ins"))
+    ).select("k", "o", F.col("ins").alias("event"), "visit")
+
+
+def geofence_transitions_sql(points_select: str) -> str:
+    """DuckDB replay of ``geofence_transitions``;
+    ``points_select`` -> (k, o, ins) with ins already 0/1."""
+    return f"""
+WITH b AS (SELECT k, o, CAST(ins AS BIGINT) AS ins
+           FROM ({points_select}) s),
+p AS (
+  SELECT k, o, ins,
+         lag(ins) OVER (PARTITION BY k ORDER BY o) AS prev
+  FROM b),
+t AS (
+  SELECT k, o, ins, prev,
+         CAST(sum(CASE WHEN prev < ins THEN 1 ELSE 0 END)
+              OVER (PARTITION BY k ORDER BY o
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS visit
+  FROM p)
+SELECT k, o, ins AS event, visit FROM t
+WHERE prev IS NOT NULL AND prev <> ins"""

@@ -12535,6 +12535,95 @@ SELECT CAST(k AS BIGINT) AS k, CAST(rho_idx AS BIGINT) AS rho_idx,
 FROM votes GROUP BY 1, 2 ORDER BY k, rho_idx"""
 
 
+def q_douglas_peucker(spark, sf_dir):
+    """Douglas-Peucker polyline simplification (trajectory.douglas_peucker,
+    eps = 2e5 quantized units = 2 deg) over per-user tracks: recursive
+    farthest-point split, cross^2-vs-eps^2*len2 exact (int128) compare,
+    smallest-index argmax ties; oracle replays the split as round-based
+    gap insertion in a recursive CTE (same fixpoint, HUGEINT)."""
+    from .operators.trajectory import douglas_peucker
+
+    pts = _traj_pts_df(spark, sf_dir).select(
+        F.col("user_id").alias("k"), F.col("rn").alias("o"),
+        F.col("qx").alias("x"), F.col("qy").alias("y"),
+    )
+    return douglas_peucker(pts, eps=200000).orderBy("k", "o")
+
+
+def q_douglas_peucker_oracle():
+    from .operators.trajectory import douglas_peucker_sql
+
+    pts = f"SELECT k, o, x, y FROM ({_traj_pts_sql()}) tp"
+    return (
+        "SELECT * FROM (" + douglas_peucker_sql(pts, 200000)
+        + ") ORDER BY k, o"
+    )
+
+
+def q_geofence(spark, sf_dir):
+    """Geofence enter/exit extraction (trajectory.geofence_transitions):
+    inside = quantized haversine band (< 2000 km of (10, 52), the
+    geodesic_within km discipline so the flag is bit-stable), transitions
+    + visit numbering per user track — one lag/cumsum window."""
+    from .operators.trajectory import geofence_transitions
+
+    lon, lat = point_lonlat_cols("event_id")
+    d = haversine_col(lon, lat, F.lit(10.0), F.lit(52.0))
+    km = F.floor(d / F.lit(1000.0) - F.lit(0.123456789)).cast("long")
+    pts = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("event_id").alias("o"),
+        (km < 2000).cast("long").alias("ins"),
+    )
+    return geofence_transitions(pts, "ins").orderBy("k", "o")
+
+
+def q_geofence_oracle():
+    from .functions.geometry import haversine_sql
+    from .operators.trajectory import geofence_transitions_sql
+
+    d = haversine_sql(
+        synth.point_lon_sql("event_id"), synth.point_lat_sql("event_id"),
+        "10.0", "52.0",
+    )
+    base = f"""SELECT user_id AS k, event_id AS o,
+       CASE WHEN CAST(floor({d} / 1000.0 - 0.123456789) AS BIGINT) < 2000
+            THEN 1 ELSE 0 END AS ins
+FROM events"""
+    return (
+        "SELECT * FROM (" + geofence_transitions_sql(base)
+        + ") ORDER BY k, o"
+    )
+
+
+def q_psi(spark, sf_dir):
+    """Population Stability Index drift audit (analytics.population_
+    stability): event-type distribution of the first epoch half vs the
+    second (epoch = event_id median split), per-bucket quantized PSI
+    terms — exact counts, shared ln text."""
+    from .operators.analytics import population_stability
+
+    e = _read(spark, sf_dir, "events")
+    n = e.count()
+    d = e.select(
+        F.col("event_type").alias("bucket"),
+        (F.col("event_id") * 2 >= n).cast("long").alias("ep"),
+    )
+    return population_stability(d, "bucket", "ep").orderBy("bucket")
+
+
+def q_psi_oracle():
+    from .operators.analytics import population_stability_sql
+
+    base = ("SELECT event_type AS bucket, "
+            "CASE WHEN event_id * 2 >= (SELECT count(*) FROM events) "
+            "THEN 1 ELSE 0 END AS ep FROM events")
+    return (
+        "SELECT * FROM ("
+        + population_stability_sql(base, "bucket", "ep")
+        + ") ORDER BY bucket"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -12858,4 +12947,7 @@ QUERIES = {
     "bayer_dither": (q_bayer_dither, q_bayer_dither_oracle),
     "fast_corners": (q_fast_corners, q_fast_corners_oracle),
     "hough": (q_hough, q_hough_oracle),
+    "douglas_peucker": (q_douglas_peucker, q_douglas_peucker_oracle),
+    "geofence": (q_geofence, q_geofence_oracle),
+    "psi": (q_psi, q_psi_oracle),
 }

@@ -121,3 +121,114 @@ def test_self_intersections_hand(spark):
     assert out[1]["n_crossings"] == 1 and out[1]["n_seg"] == 3
     assert out[2]["n_crossings"] == 0
     assert out[3]["n_crossings"] == 0  # segment 3 ENDS on segment 1
+
+
+def _dp_recursive_brute(xs, ys, eps2):
+    """Textbook recursive DP (line deviation, smallest-index argmax)."""
+    n = len(xs)
+    kept = set()
+
+    def rec(a, b):
+        kept.add(a)
+        kept.add(b)
+        if b - a < 2:
+            return
+        dx, dy = xs[b] - xs[a], ys[b] - ys[a]
+        len2 = dx * dx + dy * dy
+        best_i, best_m = -1, -1
+        for i in range(a + 1, b):
+            if len2 > 0:
+                cr = (xs[i] - xs[a]) * dy - (ys[i] - ys[a]) * dx
+                mm = cr * cr
+            else:
+                mm = (xs[i] - xs[a]) ** 2 + (ys[i] - ys[a]) ** 2
+            if mm > best_m:
+                best_m, best_i = mm, i
+        if (best_m > eps2 * len2) if len2 > 0 else (best_m > eps2):
+            rec(a, best_i)
+            rec(best_i, b)
+
+    rec(0, n - 1)
+    return sorted(kept)
+
+
+def test_douglas_peucker_matches_recursive_brute(spark):
+    import numpy as np
+
+    from sis_spark.operators.trajectory import douglas_peucker
+
+    rng = np.random.RandomState(11)
+    rows = []
+    tracks = {}
+    for k in range(6):
+        n = int(rng.randint(2, 40))
+        xs = list(np.cumsum(rng.randint(-50, 51, n)).astype(int))
+        ys = list(np.cumsum(rng.randint(-50, 51, n)).astype(int))
+        tracks[k] = (xs, ys)
+        rows += [(k, o, int(xs[o]), int(ys[o])) for o in range(n)]
+    # degenerate track: coincident endpoints (closed loop)
+    tracks[6] = ([0, 10, 20, 0], [0, 40, -5, 0])
+    rows += [(6, o, x, y) for o, (x, y) in
+             enumerate(zip(*tracks[6]))]
+    df = spark.createDataFrame(rows, "k long, o long, x long, y long")
+    for eps in (5, 30, 120):
+        got = {}
+        for r in douglas_peucker(df, eps=eps).collect():
+            got.setdefault(r["k"], []).append(r["o"])
+        for k, (xs, ys) in tracks.items():
+            want = _dp_recursive_brute(xs, ys, eps * eps)
+            assert sorted(got[k]) == want, (k, eps)
+        # endpoints always kept
+        for k in got:
+            assert 0 in got[k] and len(tracks[k][0]) - 1 in got[k]
+
+
+def test_geofence_transitions_brute(spark):
+    from sis_spark.operators.trajectory import geofence_transitions
+
+    flags = {
+        1: [0, 1, 1, 0, 1, 0],   # enter@1 exit@3 enter@4 exit@5
+        2: [1, 1, 1],            # no transitions (starts inside)
+        3: [0, 0],               # never enters
+        4: [1, 0, 1],            # exit@1 enter@2
+    }
+    rows = [(k, o, v) for k, vs in flags.items() for o, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "k long, o long, ins long").repartition(3)
+    got = [(r["k"], r["o"], r["event"], r["visit"])
+           for r in geofence_transitions(df, "ins").orderBy("k", "o").collect()]
+    assert got == [
+        (1, 1, 1, 1), (1, 3, 0, 1), (1, 4, 1, 2), (1, 5, 0, 2),
+        (4, 1, 0, 0), (4, 2, 1, 1),
+    ]
+
+
+def test_psi_matches_float_formula(spark):
+    import math
+
+    import numpy as np
+
+    from sis_spark.operators.analytics import population_stability
+
+    rng = np.random.RandomState(12)
+    rows = [(int(b), int(e)) for b, e in
+            zip(rng.randint(0, 6, 800), rng.randint(0, 2, 800))]
+    # bucket 7 exists only in epoch 0 -> psi_q must be NULL
+    rows += [(7, 0)] * 5
+    df = spark.createDataFrame(rows, "bucket long, ep long").repartition(4)
+    out = {r["bucket"]: r for r in
+           population_stability(df, "bucket", "ep").collect()}
+    na = sum(1 for _, e in rows if e == 0)
+    nb = sum(1 for _, e in rows if e == 1)
+    for bkt, r in out.items():
+        nai = sum(1 for b, e in rows if b == bkt and e == 0)
+        nbi = sum(1 for b, e in rows if b == bkt and e == 1)
+        assert (r["na_i"], r["nb_i"]) == (nai, nbi)
+        if nai and nbi:
+            want = math.floor(
+                (nai / na - nbi / nb) * math.log(nai * nb / (nbi * na))
+                * 1e9 + 0.12345678987
+            )
+            assert r["psi_q"] == want
+        else:
+            assert r["psi_q"] is None
+    assert out[7]["psi_q"] is None
