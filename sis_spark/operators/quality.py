@@ -189,3 +189,99 @@ SELECT {qi}, CAST(count(*) AS BIGINT) AS n_rows,
 FROM ({base_select}) b
 GROUP BY {qi}
 HAVING count(DISTINCT {sensitive_col}) < {int(l)}"""
+
+
+def t_closeness(
+    df: DataFrame,
+    qi_col: str,
+    sensitive_col: str,
+) -> DataFrame:
+    """t-closeness audit for an ORDERED sensitive attribute (Li, Li &
+    Venkatasubramanian 2007, public literature) -> (grp, n_g, emd_num):
+    per quasi-identifier group the Earth Mover's Distance between the
+    group's sensitive-value distribution and the global one — for
+    equally-spaced ordered values EMD = (1/(m-1)) * sum over buckets of
+    |cum_g/n_g - cum/n|.  Reported as the EXACT integer numerator
+    emd_num = sum |cum_g * n - cum * n_g| so t = emd_num /
+    (n_g * n * (m-1)) is derivable as a rational and the audit is
+    bit-stable.
+
+    Shape: one (grp x value) count agg, a tiny dense grid (groups x
+    DISTINCT values, built by cross join so empty cells count as zero —
+    cum sums need every bucket), two window cumsums over the grid, one
+    final agg.  Everything after the first agg is grid-sized."""
+    from pyspark.sql import Window
+
+    b = df.select(F.col(qi_col).alias("grp"),
+                  F.col(sensitive_col).alias("v"))
+    cells = b.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
+    groups = cells.select("grp").distinct()
+    vals = cells.select("v").distinct()
+    z = F.lit(0).cast("long")
+    grid = (
+        groups.crossJoin(vals)
+        .join(cells, ["grp", "v"], "left")
+        .select("grp", "v", F.coalesce("c", z).alias("c"))
+    )
+    w_g = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # global cumulative per value: total count per value, then cumsum in
+    # value order (computed on the tiny distinct-value table, then joined)
+    gl = (
+        cells.groupBy("v").agg(F.sum("c").alias("cv"))
+        .select(
+            "v",
+            F.sum("cv").over(
+                Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cum"),
+            F.sum("cv").over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+    )
+    ng = b.groupBy("grp").agg(F.count(F.lit(1)).alias("n_g"))
+    j = (
+        grid.select(
+            "grp", "v", F.sum("c").over(w_g).alias("cum_g")
+        )
+        .join(F.broadcast(gl), "v")
+        .join(F.broadcast(ng), "grp")
+    )
+    return j.groupBy("grp").agg(
+        F.max("n_g").alias("n_g"),
+        F.sum(
+            F.abs(F.col("cum_g") * F.col("n") - F.col("cum") * F.col("n_g"))
+        ).alias("emd_num"),
+    )
+
+
+def t_closeness_sql(base_select: str, qi_col: str,
+                    sensitive_col: str) -> str:
+    """DuckDB replay of ``t_closeness``; ``base_select`` -> (grp, v)."""
+    return f"""
+WITH b AS (SELECT {qi_col} AS grp, {sensitive_col} AS v
+           FROM ({base_select}) s),
+cells AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY 1, 2),
+grid AS (
+  SELECT g.grp, vv.v, CAST(coalesce(cells.c, 0) AS BIGINT) AS c
+  FROM (SELECT DISTINCT grp FROM cells) g
+  CROSS JOIN (SELECT DISTINCT v FROM cells) vv
+  LEFT JOIN cells ON cells.grp = g.grp AND cells.v = vv.v),
+gl AS (
+  SELECT v, CAST(sum(cv) OVER (ORDER BY v) AS BIGINT) AS cum,
+         CAST(sum(cv) OVER () AS BIGINT) AS n
+  FROM (SELECT v, sum(c) AS cv FROM cells GROUP BY 1) t),
+ng AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g FROM b GROUP BY 1),
+cg AS (
+  SELECT grp, v,
+         CAST(sum(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum_g
+  FROM grid)
+SELECT cg.grp, max(ng.n_g) AS n_g,
+       CAST(sum(abs(cg.cum_g * gl.n - gl.cum * ng.n_g)) AS BIGINT)
+         AS emd_num
+FROM cg JOIN gl ON gl.v = cg.v JOIN ng ON ng.grp = cg.grp
+GROUP BY 1"""

@@ -12624,6 +12624,62 @@ def q_psi_oracle():
     )
 
 
+def q_curvature(spark, sf_dir):
+    """Second-derivative curvature accumulators (terrain.curvature_tiles):
+    per-tile exact-integer |fxx|, |fyy|, |4fxy| stencil sums over the
+    texture raster — the roughness/sharpness profile, one halo gather."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import curvature_tiles
+
+    W, H = 448, 256
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _texture_tiles(spark, W, H)
+    return curvature_tiles(tiles, gg).orderBy("tx", "ty")
+
+
+def q_curvature_oracle():
+    v = _texture_v_sql
+    fxx = f"abs({v('x + 1', 'y')} + {v('x - 1', 'y')} - 2 * ({v('x', 'y')}))"
+    fyy = f"abs({v('x', 'y + 1')} + {v('x', 'y - 1')} - 2 * ({v('x', 'y')}))"
+    fxy = (f"abs({v('x + 1', 'y + 1')} - {v('x + 1', 'y - 1')}"
+           f" - {v('x - 1', 'y + 1')} + {v('x - 1', 'y - 1')})")
+    return f"""
+WITH px AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(1, 446) gx(x), generate_series(1, 254) gy(y))
+SELECT x // 64 AS tx, y // 64 AS ty, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({fxx}) AS BIGINT) AS sum_abs_fxx,
+       CAST(sum({fyy}) AS BIGINT) AS sum_abs_fyy,
+       CAST(sum({fxy}) AS BIGINT) AS sum_abs_fxy
+FROM px GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+def q_t_closeness(spark, sf_dir):
+    """t-closeness audit (quality.t_closeness): per QI group the exact
+    integer EMD numerator between the group's ordered sensitive-value
+    distribution and the global one — the privacy-drift sibling of
+    k_anonymity / l_diversity."""
+    from .operators.quality import t_closeness
+
+    o = _read(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 20).alias("qi"),
+        (F.col("o_orderkey") % 8).alias("sens"),
+    )
+    return t_closeness(o, "qi", "sens").orderBy("grp")
+
+
+def q_t_closeness_oracle():
+    from .operators.quality import t_closeness_sql
+
+    base = ("SELECT o_custkey % 20 AS qi, o_orderkey % 8 AS sens "
+            "FROM orders")
+    return (
+        "SELECT * FROM (" + t_closeness_sql(base, "qi", "sens")
+        + ") ORDER BY grp"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -12950,4 +13006,6 @@ QUERIES = {
     "douglas_peucker": (q_douglas_peucker, q_douglas_peucker_oracle),
     "geofence": (q_geofence, q_geofence_oracle),
     "psi": (q_psi, q_psi_oracle),
+    "curvature": (q_curvature, q_curvature_oracle),
+    "t_closeness": (q_t_closeness, q_t_closeness_oracle),
 }

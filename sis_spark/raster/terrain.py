@@ -1271,3 +1271,70 @@ def hough_votes(
     return votes.groupBy("k", "rho_idx").agg(
         F.count(F.lit(1)).alias("votes")
     )
+
+
+def curvature_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Per-tile second-derivative (curvature) accumulators -> (tx, ty, n,
+    sum_abs_fxx, sum_abs_fyy, sum_abs_fxy): integer stencils
+    fxx = v(x+1) + v(x-1) - 2c, fyy likewise, 4*fxy = v(x+1,y+1)
+    - v(x+1,y-1) - v(x-1,y+1) + v(x-1,y-1) — the exact-integer
+    roughness/curvature profile (Zevenbergen & Thorne 1987 numerators,
+    public literature) a terrain or image-sharpness audit aggregates.
+    Pixels whose 3x3 window leaves the raster or touches a missing tile
+    are skipped; one halo gather, map-side sums."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+
+    def fn(key, pdf):
+        gtx, gty, halo = _assemble_halo(key, pdf, tile_size, bdt)
+        ts = tile_size
+        c = halo[1:1 + ts, 1:1 + ts]
+        xm = halo[1:1 + ts, 0:ts]
+        xp = halo[1:1 + ts, 2:2 + ts]
+        ym = halo[0:ts, 1:1 + ts]
+        yp = halo[2:2 + ts, 1:1 + ts]
+        pp = halo[2:2 + ts, 2:2 + ts]
+        pm = halo[0:ts, 2:2 + ts]
+        mp = halo[2:2 + ts, 0:ts]
+        mm = halo[0:ts, 0:ts]
+        valid = np.isfinite(c)
+        for nb in (xm, xp, ym, yp, pp, pm, mp, mm):
+            valid &= np.isfinite(nb)
+        px = gtx * ts + np.arange(ts)
+        py = gty * ts + np.arange(ts)
+        interior = (
+            (px[None, :] >= 1) & (px[None, :] <= w - 2)
+            & (py[:, None] >= 1) & (py[:, None] <= h - 2)
+        )
+        sel = valid & interior
+        if not sel.any():
+            return pd.DataFrame({
+                "tx": [], "ty": [], "n": [],
+                "sum_abs_fxx": [], "sum_abs_fyy": [], "sum_abs_fxy": [],
+            })
+        fxx = np.abs(xp + xm - 2 * c)[sel].astype(np.int64)
+        fyy = np.abs(yp + ym - 2 * c)[sel].astype(np.int64)
+        fxy = np.abs(pp - pm - mp + mm)[sel].astype(np.int64)
+        return pd.DataFrame({
+            "tx": [gtx], "ty": [gty], "n": [int(sel.sum())],
+            "sum_abs_fxx": [int(fxx.sum())],
+            "sum_abs_fyy": [int(fyy.sum())],
+            "sum_abs_fxy": [int(fxy.sum())],
+        })
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(
+        fn,
+        schema=("tx long, ty long, n long, sum_abs_fxx long, "
+                "sum_abs_fyy long, sum_abs_fxy long"),
+    )

@@ -738,3 +738,30 @@ def test_lift_table_buckets_and_totals(spark):
     # bucket sizes balanced within 1
     sizes = [n for n, _ in out.values()]
     assert max(sizes) - min(sizes) <= 1
+
+
+def test_t_closeness_matches_brute(spark):
+    from sis_spark.operators.quality import t_closeness
+
+    rng = np.random.RandomState(13)
+    rows = [(int(g), int(v)) for g, v in
+            zip(rng.randint(0, 4, 300), rng.randint(0, 5, 300))]
+    # one group missing a value entirely (tests the dense-grid fill)
+    rows = [r for r in rows if not (r[0] == 3 and r[1] == 2)]
+    df = spark.createDataFrame(rows, "qi long, sens long").repartition(3)
+    got = {r["grp"]: (r["n_g"], r["emd_num"])
+           for r in t_closeness(df, "qi", "sens").collect()}
+    vals = sorted({v for _, v in rows})
+    n = len(rows)
+    for g in {g for g, _ in rows}:
+        grp = [v for gg, v in rows if gg == g]
+        n_g = len(grp)
+        cum_g = cum = emd = 0
+        for v in vals:
+            cum_g += sum(1 for x in grp if x == v)
+            cum += sum(1 for _, x in rows if x == v)
+            emd += abs(cum_g * n - cum * n_g)
+        assert got[g] == (n_g, emd)
+        # the derived t in [0, 1]
+        t = got[g][1] / (n_g * n * (len(vals) - 1))
+        assert 0.0 <= t <= 1.0

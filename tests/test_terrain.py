@@ -386,3 +386,26 @@ def test_bayer_dither_extremes(spark):
     assert per.loc["w", "ones"] == per.loc["w", "n"] == 64
     # luma 128 > thr*16+7 iff thr <= 7 -> exactly half the 16 phases fire
     assert per.loc["m", "ones"] == 32
+
+
+def test_curvature_matches_dense(spark):
+    from sis_spark.raster.terrain import curvature_tiles
+
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 256, size=(40, 50)).astype(np.uint8)
+    tiles, gg = _tiles_from(spark, arr)
+    got = {(r["tx"], r["ty"]): (r["n"], r["sum_abs_fxx"],
+                                r["sum_abs_fyy"], r["sum_abs_fxy"])
+           for r in curvature_tiles(tiles, gg, tile_size=TS).collect()}
+    a = arr.astype(np.int64)
+    want = {}
+    for y in range(1, 39):
+        for x in range(1, 49):
+            fxx = abs(a[y, x + 1] + a[y, x - 1] - 2 * a[y, x])
+            fyy = abs(a[y + 1, x] + a[y - 1, x] - 2 * a[y, x])
+            fxy = abs(a[y + 1, x + 1] - a[y - 1, x + 1]
+                      - a[y + 1, x - 1] + a[y - 1, x - 1])
+            key = (x // TS, y // TS)
+            n, sxx, syy, sxy = want.get(key, (0, 0, 0, 0))
+            want[key] = (n + 1, sxx + fxx, syy + fyy, sxy + fxy)
+    assert got == want
