@@ -12680,6 +12680,58 @@ def q_t_closeness_oracle():
     )
 
 
+def q_cost_distance(spark, sf_dir):
+    """Raster cost-distance (terrain.cost_distance_tiles, hops=8):
+    multi-source hop-bounded Bellman-Ford over the 8-neighbor cell graph
+    with exact-integer edge costs (cu+cv)*2 orthogonal / *3 diagonal,
+    sources = cells of cost 1 — the grid twin of graph.shortest_paths;
+    oracle unrolls the relax rounds as MATERIALIZED CTEs."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import cost_distance_tiles
+
+    W, H = 192, 128
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _texture_tiles(spark, W, H)
+    return cost_distance_tiles(tiles, gg, hops=8).orderBy("x", "y")
+
+
+def q_cost_distance_oracle():
+    from .raster.terrain import _COST_STEPS
+
+    W, H, HOPS = 192, 128, 8
+    v = _texture_v_sql("gx.x", "gy.y")
+    arms = " UNION ALL ".join(
+        f"""SELECT c1.y * {W} + c1.x AS s, c2.y * {W} + c2.x AS d,
+       (c1.c + c2.c) * {m} AS w
+FROM cells c1 JOIN cells c2
+  ON c2.x = c1.x + {dx} AND c2.y = c1.y + {dy}"""
+        for dx, dy, m in _COST_STEPS
+    )
+    blocks = [f"""cells AS MATERIALIZED (
+  SELECT gx.x AS x, gy.y AS y, ({v}) + 1 AS c
+  FROM generate_series(0, {W - 1}) gx(x), generate_series(0, {H - 1}) gy(y))""",
+              f"e AS MATERIALIZED ({arms})",
+              f"""d0 AS MATERIALIZED (
+  SELECT y * {W} + x AS node, CAST(0 AS BIGINT) AS dist
+  FROM cells WHERE c <= 1)"""]
+    for i in range(HOPS):
+        blocks.append(f"""d{i + 1} AS MATERIALIZED (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT e.d AS node, d{i}.dist + e.w AS dist
+    FROM d{i} JOIN e ON e.s = d{i}.node
+    UNION ALL SELECT node, dist FROM d{i}) t
+  GROUP BY 1)"""
+        )
+    return (
+        "WITH " + ",\n".join(blocks)
+        + f"""
+SELECT CAST(node % {W} AS BIGINT) AS x, CAST(node // {W} AS BIGINT) AS y,
+       dist
+FROM d{HOPS} ORDER BY x, y"""
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -13008,4 +13060,5 @@ QUERIES = {
     "psi": (q_psi, q_psi_oracle),
     "curvature": (q_curvature, q_curvature_oracle),
     "t_closeness": (q_t_closeness, q_t_closeness_oracle),
+    "cost_distance": (q_cost_distance, q_cost_distance_oracle),
 }

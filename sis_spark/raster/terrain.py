@@ -1338,3 +1338,102 @@ def curvature_tiles(
         schema=("tx long, ty long, n long, sum_abs_fxx long, "
                 "sum_abs_fyy long, sum_abs_fxy long"),
     )
+
+
+# 8-neighborhood: (dx, dy, mult) with mult 2 for orthogonal and 3 for
+# diagonal steps — the 2/3 integer approximation of 1/sqrt(2) keeps every
+# accumulated cost exact int64 (documented semantics of this operator)
+_COST_STEPS = [(1, 0, 2), (-1, 0, 2), (0, 1, 2), (0, -1, 2),
+               (1, 1, 3), (1, -1, 3), (-1, 1, 3), (-1, -1, 3)]
+
+
+def cost_distance_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    hops: int = 8,
+    source_max_cost: int = 1,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Raster cost-distance (least accumulated cost to the nearest
+    source cell, Dijkstra semantics hop-bounded) -> (x, y, dist):
+    per-cell cost c = value + 1 (always positive), moving u -> v costs
+    (c_u + c_v) * 2 orthogonally and * 3 diagonally (the exact-integer
+    1.5x diagonal rule), sources are the cells with c <= ``source_max_
+    cost``.  The hop bound is part of the SEMANTICS (the shortest_paths
+    contract): both engines run exactly ``hops`` relax rounds, so run
+    hops >= the cost-field diameter for the classic answer.
+
+    Shape: map-side sparse cell extraction, ONE equi-join builds the
+    8-neighbor edge list (explode the offsets, join back on the
+    destination cell), then one keyed join + min-agg per round with
+    localCheckpoint truncation — the grid twin of graph.shortest_paths;
+    everything shuffles on the cell key, nothing on the driver."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+
+    def px(batches):
+        gi = np.arange(tile_size, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+                block = np.frombuffer(data, dtype=bdt).reshape(
+                    tile_size, tile_size
+                ).astype(np.int64)
+                gx, gy = np.meshgrid(int(tx) * tile_size + gi,
+                                     int(ty) * tile_size + gi)
+                keep = ((gx < w) & (gy < h)).ravel()
+                out.append(pd.DataFrame({
+                    "x": gx.ravel()[keep], "y": gy.ravel()[keep],
+                    "c": block.ravel()[keep] + 1,
+                }))
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"x": [], "y": [], "c": []}
+            )
+
+    cells = (
+        tiles_df.filter(F.col("band") == band)
+        .select("tx", "ty", "data")
+        .mapInPandas(px, schema="x long, y long, c long")
+        .localCheckpoint()
+    )
+    node = (F.col("y") * w + F.col("x")).alias("node")
+    arms = cells.select(
+        "x", "y", F.col("c").alias("cu"),
+        F.explode(F.array(*[
+            F.struct(
+                (F.col("x") + dx).alias("nx"),
+                (F.col("y") + dy).alias("ny"),
+                F.lit(m).alias("m"),
+            )
+            for dx, dy, m in _COST_STEPS
+        ])).alias("o"),
+    ).select(
+        (F.col("y") * w + F.col("x")).alias("s"),
+        F.col("o.nx").alias("x"), F.col("o.ny").alias("y"),
+        "cu", F.col("o.m").alias("m"),
+    )
+    e = arms.join(cells.select("x", "y", F.col("c").alias("cv")),
+                  ["x", "y"]).select(
+        "s", (F.col("y") * w + F.col("x")).alias("d"),
+        ((F.col("cu") + F.col("cv")) * F.col("m")).alias("w"),
+    ).localCheckpoint()
+    dist = cells.filter(F.col("c") <= int(source_max_cost)).select(
+        node, F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint()
+    for _ in range(int(hops)):
+        dist = (
+            dist.join(e, dist["node"] == e["s"])
+            .select(F.col("d").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"))
+            .union(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select(
+        (F.col("node") % w).alias("x"),
+        (F.col("node") / w).cast("long").alias("y"),
+        "dist",
+    )
