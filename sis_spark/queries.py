@@ -12732,6 +12732,100 @@ FROM d{HOPS} ORDER BY x, y"""
     )
 
 
+def q_viewshed(spark, sf_dir):
+    """Raster viewshed (terrain.viewshed_tiles): exact-integer
+    line-of-sight from one observer — Chebyshev-step Bresenham sampling,
+    half-up integer rounding of the sample cell, cross-multiplied slope
+    blocking test; (x, y, vis) for every cell, all int64."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import viewshed_tiles
+
+    W, H = 192, 128
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _texture_tiles(spark, W, H)
+    return viewshed_tiles(tiles, gg, ox=96, oy=64, obs_height=20).orderBy(
+        "x", "y"
+    )
+
+
+def q_viewshed_oracle():
+    W, H, OX, OY, HT = 192, 128, 96, 64, 20
+    v = _texture_v_sql("gx.x", "gy.y")
+    return f"""
+WITH cells AS MATERIALIZED (
+  SELECT gx.x AS x, gy.y AS y, ({v}) AS z
+  FROM generate_series(0, {W - 1}) gx(x), generate_series(0, {H - 1}) gy(y)),
+obs AS (SELECT z + {HT} AS zo FROM cells WHERE x = {OX} AND y = {OY}),
+t AS (
+  SELECT x, y, z AS zt,
+         greatest(abs(x - {OX}), abs(y - {OY})) AS d
+  FROM cells WHERE NOT (x = {OX} AND y = {OY})),
+si AS (
+  SELECT x, y, zt, d, unnest(range(1, d)) AS i FROM t),
+s AS (
+  SELECT x, y, zt, d, i,
+         (2 * ({OX} * d + i * (x - {OX})) + d) // (2 * d) AS sx,
+         (2 * ({OY} * d + i * (y - {OY})) + d) // (2 * d) AS sy
+  FROM si),
+b AS (
+  SELECT DISTINCT s.x, s.y
+  FROM s JOIN cells c ON c.x = s.sx AND c.y = s.sy, obs
+  WHERE (c.z - obs.zo) * s.d >= (s.zt - obs.zo) * s.i)
+SELECT CAST(c.x AS BIGINT) AS x, CAST(c.y AS BIGINT) AS y,
+       CAST(CASE WHEN b.x IS NULL THEN 1 ELSE 0 END AS BIGINT) AS vis
+FROM cells c LEFT JOIN b ON b.x = c.x AND b.y = c.y
+ORDER BY x, y"""
+
+
+def _tmatch_template(th: int = 5, tw: int = 5):
+    import numpy as _np
+
+    U, V = _np.meshgrid(_np.arange(tw, dtype=_np.int64),
+                        _np.arange(th, dtype=_np.int64))
+    return (7 * U + 11 * V + 3 * U * V + 1) % 256
+
+
+def q_template_match(spark, sf_dir):
+    """2-D template matching (terrain.template_match_tiles): exact-integer
+    SSD of a 5x5 template at every fully-inside position — right/down
+    apron gather, vectorized kernel loop, int64 end to end."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import template_match_tiles
+
+    W, H = 192, 128
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _texture_tiles(spark, W, H)
+    return template_match_tiles(tiles, gg, _tmatch_template()).orderBy(
+        "x", "y"
+    )
+
+
+def q_template_match_oracle():
+    W, H = 192, 128
+    T = _tmatch_template()
+    th, tw = T.shape
+    vals = ", ".join(
+        f"({u}, {v}, {int(T[v, u])})"
+        for v in range(th) for u in range(tw)
+    )
+    v = _texture_v_sql("gx.x", "gy.y")
+    return f"""
+WITH cells AS MATERIALIZED (
+  SELECT gx.x AS x, gy.y AS y, ({v}) AS z
+  FROM generate_series(0, {W - 1}) gx(x), generate_series(0, {H - 1}) gy(y)),
+tpl AS (SELECT * FROM (VALUES {vals}) tpl(u, v, t)),
+pos AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(0, {W - tw}) gx(x), generate_series(0, {H - th}) gy(y))
+SELECT CAST(p.x AS BIGINT) AS x, CAST(p.y AS BIGINT) AS y,
+       CAST(sum((c.z - tpl.t) * (c.z - tpl.t)) AS BIGINT) AS ssd
+FROM pos p CROSS JOIN tpl
+JOIN cells c ON c.x = p.x + tpl.u AND c.y = p.y + tpl.v
+GROUP BY 1, 2 ORDER BY x, y"""
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -13061,4 +13155,6 @@ QUERIES = {
     "curvature": (q_curvature, q_curvature_oracle),
     "t_closeness": (q_t_closeness, q_t_closeness_oracle),
     "cost_distance": (q_cost_distance, q_cost_distance_oracle),
+    "viewshed": (q_viewshed, q_viewshed_oracle),
+    "template_match": (q_template_match, q_template_match_oracle),
 }

@@ -1437,3 +1437,192 @@ def cost_distance_tiles(
         (F.col("node") / w).cast("long").alias("y"),
         "dist",
     )
+
+
+def viewshed_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    ox: int,
+    oy: int,
+    obs_height: int = 20,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Raster viewshed (line-of-sight visibility from one observer) ->
+    (x, y, vis): a target cell is visible iff NO sampled cell on the
+    discrete ray from the observer blocks it.  All arithmetic is exact
+    int64 — the ray from (ox,oy) to a target at Chebyshev distance
+    d = max(|dx|,|dy|) is sampled at steps i = 1..d-1, the sample cell
+    is the half-up-rounded nearest cell sx = (2*(ox*d + i*dx) + d) div
+    (2*d) (same for sy; every quantity non-negative so floor == div in
+    both engines), and "blocks" is the cross-multiplied slope test
+    (z_s - zo) * d >= (z_t - zo) * i — no division, no trig, so the
+    DuckDB oracle replays every pixel bit-exact.  zo = elevation at the
+    observer + ``obs_height``.
+
+    Shape: sparse cell extraction (mapInPandas), sequence/explode of the
+    sample index per target (pure codegen), ONE equi-join back to the
+    cell table for sample elevations, distinct blocked-target set, left
+    join for the flag — two shuffles total, nothing on the driver but
+    the observer's elevation scalar.  At scale the documented variant is
+    radius-bounded (filter d <= R before the explode keeps sample count
+    linear in cells); the full-raster form here is O(n * diameter).
+    Beyond-reference raster analytics in the hillshade/TRI family
+    (reference neighborhood contract: F/image/ImageProcessor.java)."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+
+    def px(batches):
+        gi = np.arange(tile_size, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+                block = np.frombuffer(data, dtype=bdt).reshape(
+                    tile_size, tile_size
+                ).astype(np.int64)
+                gx, gy = np.meshgrid(int(tx) * tile_size + gi,
+                                     int(ty) * tile_size + gi)
+                keep = ((gx < w) & (gy < h)).ravel()
+                out.append(pd.DataFrame({
+                    "x": gx.ravel()[keep], "y": gy.ravel()[keep],
+                    "z": block.ravel()[keep],
+                }))
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"x": [], "y": [], "z": []}
+            )
+
+    cells = (
+        tiles_df.filter(F.col("band") == band)
+        .select("tx", "ty", "data")
+        .mapInPandas(px, schema="x long, y long, z long")
+        .localCheckpoint()
+    )
+    zo = int(
+        cells.filter((F.col("x") == ox) & (F.col("y") == oy))
+        .first()["z"]
+    ) + int(obs_height)
+
+    targets = cells.filter(
+        ~((F.col("x") == ox) & (F.col("y") == oy))
+    ).select(
+        "x", "y", F.col("z").alias("zt"),
+        F.greatest(F.abs(F.col("x") - ox),
+                   F.abs(F.col("y") - oy)).alias("d"),
+    )
+    # F.sequence DESCENDS when start > stop -> guard d == 1 with an
+    # empty array (d == 1 neighbors have no intermediate samples).
+    samples = targets.select(
+        "x", "y", "zt", "d",
+        F.explode(
+            F.when(F.col("d") >= 2, F.sequence(F.lit(1), F.col("d") - 1))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    ).select(
+        "x", "y", "zt", "d", "i",
+        F.expr(f"(2 * ({ox} * d + i * (x - {ox})) + d) div (2 * d)")
+        .alias("sx"),
+        F.expr(f"(2 * ({oy} * d + i * (y - {oy})) + d) div (2 * d)")
+        .alias("sy"),
+    )
+    blocked = (
+        samples.join(
+            cells.select(F.col("x").alias("sx"), F.col("y").alias("sy"),
+                         F.col("z").alias("zs")),
+            ["sx", "sy"],
+        )
+        .filter((F.col("zs") - zo) * F.col("d")
+                >= (F.col("zt") - zo) * F.col("i"))
+        .select("x", "y")
+        .distinct()
+    )
+    return cells.select("x", "y").join(
+        blocked.withColumn("b", F.lit(1)), ["x", "y"], "left"
+    ).select(
+        "x", "y",
+        F.when(F.col("b").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("vis"),
+    )
+
+
+def template_match_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    template,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """2-D template matching by exact integer SSD -> (x, y, ssd):
+    ssd(x, y) = sum_{v,u} (raster[y+v, x+u] - T[v, u])^2 over every
+    position whose (th x tw) window lies fully inside the raster —
+    the localization primitive (logo/watermark/chart detection) of an
+    image-curation pipeline, int64 end to end so the SQL oracle replays
+    every position.
+
+    Shape: the window is anchored top-left, so each destination tile
+    gathers a RIGHT/DOWN apron from at most 3 forward neighbors (a
+    4-way explode + groupBy — half the shuffle of the centered-halo
+    ops); the (th*tw) kernel loop is vectorized whole-array adds per
+    tile, no per-pixel Python.  Template must fit one tile ring
+    (max(th, tw) <= tile_size + 1)."""
+    T = np.asarray(template, dtype=np.int64)
+    if T.ndim != 2:
+        raise ValueError("template must be 2-D")
+    th, tw = T.shape
+    if max(th, tw) > tile_size + 1:
+        raise ValueError("template exceeds one tile ring")
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ts = tile_size
+    ntx = (w + ts - 1) // ts
+    nty = (h + ts - 1) // ts
+    contrib = (
+        tiles_df.filter(F.col("band") == band)
+        .select(
+            F.explode(F.array(*[
+                F.struct((F.col("tx") + dx).alias("gtx"),
+                         (F.col("ty") + dy).alias("gty"))
+                for dx in (-1, 0) for dy in (-1, 0)
+            ])).alias("g"),
+            "tx", "ty", "data",
+        )
+        .select("g.gtx", "g.gty", "tx", "ty", "data")
+        .filter((F.col("gtx") >= 0) & (F.col("gty") >= 0)
+                & (F.col("gtx") < ntx) & (F.col("gty") < nty))
+    )
+
+    def fn(key, pdf):
+        gtx, gty = int(key[0]), int(key[1])
+        apron = np.zeros((ts + th - 1, ts + tw - 1), dtype=np.int64)
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = np.frombuffer(data, dtype=bdt).reshape(ts, ts).astype(
+                np.int64
+            )
+            oy = (int(ty) - gty) * ts
+            ox = (int(tx) - gtx) * ts
+            y0, x0 = max(oy, 0), max(ox, 0)
+            y1 = min(oy + ts, ts + th - 1)
+            x1 = min(ox + ts, ts + tw - 1)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            apron[y0:y1, x0:x1] = block[y0 - oy:y1 - oy, x0 - ox:x1 - ox]
+        ssd = np.zeros((ts, ts), dtype=np.int64)
+        for v in range(th):
+            for u in range(tw):
+                d = apron[v:v + ts, u:u + ts] - T[v, u]
+                ssd += d * d
+        px = gtx * ts + np.arange(ts, dtype=np.int64)
+        py = gty * ts + np.arange(ts, dtype=np.int64)
+        GX, GY = np.meshgrid(px, py)
+        keep = ((GX <= w - tw) & (GY <= h - th)).ravel()
+        if not keep.any():
+            return pd.DataFrame({"x": [], "y": [], "ssd": []})
+        return pd.DataFrame({
+            "x": GX.ravel()[keep], "y": GY.ravel()[keep],
+            "ssd": ssd.ravel()[keep],
+        })
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(
+        fn, schema="x long, y long, ssd long"
+    )

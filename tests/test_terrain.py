@@ -409,3 +409,51 @@ def test_curvature_matches_dense(spark):
             n, sxx, syy, sxy = want.get(key, (0, 0, 0, 0))
             want[key] = (n + 1, sxx + fxx, syy + fyy, sxy + fxy)
     assert got == want
+
+
+def test_viewshed_matches_brute(spark):
+    from sis_spark.raster.terrain import viewshed_tiles
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(30, 40)).astype(np.uint8)
+    tiles, gg = _tiles_from(spark, arr)
+    ox, oy, ht = 17, 12, 5
+    got = {(r["x"], r["y"]): r["vis"]
+           for r in viewshed_tiles(tiles, gg, ox, oy, obs_height=ht,
+                                   tile_size=TS).collect()}
+    a = arr.astype(np.int64)
+    zo = a[oy, ox] + ht
+    for y in range(30):
+        for x in range(40):
+            if (x, y) == (ox, oy):
+                assert got[(x, y)] == 1
+                continue
+            dx, dy = x - ox, y - oy
+            d = max(abs(dx), abs(dy))
+            vis = 1
+            for i in range(1, d):
+                sx = (2 * (ox * d + i * dx) + d) // (2 * d)
+                sy = (2 * (oy * d + i * dy) + d) // (2 * d)
+                if (a[sy, sx] - zo) * d >= (a[y, x] - zo) * i:
+                    vis = 0
+                    break
+            assert got[(x, y)] == vis, (x, y)
+
+
+def test_template_match_matches_brute(spark):
+    from sis_spark.raster.terrain import template_match_tiles
+
+    rng = np.random.RandomState(9)
+    arr = rng.randint(0, 256, size=(30, 40)).astype(np.uint8)
+    T = rng.randint(0, 256, size=(4, 6)).astype(np.int64)
+    tiles, gg = _tiles_from(spark, arr)
+    got = {(r["x"], r["y"]): r["ssd"]
+           for r in template_match_tiles(tiles, gg, T,
+                                         tile_size=TS).collect()}
+    a = arr.astype(np.int64)
+    th, tw = T.shape
+    want = {}
+    for y in range(30 - th + 1):
+        for x in range(40 - tw + 1):
+            want[(x, y)] = int(((a[y:y + th, x:x + tw] - T) ** 2).sum())
+    assert got == want
