@@ -1343,3 +1343,57 @@ SELECT CAST(CASE WHEN gap <= 0 THEN -1
             ELSE length(bin(gap)) - 1 END AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS cnt
 FROM g GROUP BY 1""".format(base_select)
+
+
+def seasonal_decompose_int(
+    df: DataFrame,
+    t_col: str = "t",
+    x_col: str = "x",
+    period: int = 24,
+    key_cols: tuple = (),
+) -> DataFrame:
+    """Exact-integer seasonal decomposition (the STL-lite a telemetry /
+    usage pipeline runs before anomaly flags): phase = t % period
+    (t is a non-negative integer bucket index — epoch hours/days), the
+    seasonal component per (key, phase) is the exact rational ssum/cnt
+    carried as two int64 columns, and the deseasonalized residual is
+    dev = x*cnt - ssum — the residual scaled by cnt, so it stays integer
+    and order-independent (dev/cnt is the classic x - phase-mean).
+
+    Pure window codegen: one hash partition by (key, phase), no joins,
+    no FP — both engines replay it bit-exact."""
+    from pyspark.sql import Window
+
+    p = int(period)
+    out = df.select(
+        *key_cols,
+        F.col(t_col).cast("long").alias("t"),
+        F.col(x_col).cast("long").alias("x"),
+    ).withColumn("phase", F.col("t") % p)
+    w = Window.partitionBy(*key_cols, "phase")
+    return out.select(
+        *key_cols, "t", "x", "phase",
+        F.count("*").over(w).alias("cnt"),
+        F.sum("x").over(w).alias("ssum"),
+        (F.col("x") * F.count("*").over(w) - F.sum("x").over(w))
+        .alias("dev"),
+    )
+
+
+def seasonal_decompose_sql(
+    base_select: str,
+    period: int = 24,
+    key_cols: tuple = (),
+) -> str:
+    """DuckDB twin of seasonal_decompose_int; ``base_select`` must yield
+    (key_cols..., t, x) with integer t >= 0 and integer x."""
+    keys = "".join(f"{k}, " for k in key_cols)
+    part = "".join(f"{k}, " for k in key_cols) + f"t % {period}"
+    return f"""
+SELECT {keys}CAST(t AS BIGINT) AS t, CAST(x AS BIGINT) AS x,
+       CAST(t % {period} AS BIGINT) AS phase,
+       CAST(count(*) OVER w AS BIGINT) AS cnt,
+       CAST(sum(x) OVER w AS BIGINT) AS ssum,
+       CAST(x * (count(*) OVER w) - (sum(x) OVER w) AS BIGINT) AS dev
+FROM ({base_select}) b
+WINDOW w AS (PARTITION BY {part})"""

@@ -12826,6 +12826,41 @@ JOIN cells c ON c.x = p.x + tpl.u AND c.y = p.y + tpl.v
 GROUP BY 1, 2 ORDER BY x, y"""
 
 
+def q_seasonal(spark, sf_dir):
+    """Exact-integer seasonal decomposition (timeseries.
+    seasonal_decompose_int, period 24) per user: phase = t % 24, the
+    per-(user, phase) seasonal component carried as exact (ssum, cnt)
+    rationals, and the cnt-scaled residual dev = x*cnt - ssum — all
+    int64, one hash partition, no FP."""
+    from .operators.timeseries import seasonal_decompose_int
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    lon, _ = point_lonlat_cols("event_id")
+    pts = ev.select(
+        "user_id",
+        F.col("event_id").alias("t"),
+        F.floor(lon * 10000).cast("long").alias("x"),
+    )
+    return seasonal_decompose_int(
+        pts, t_col="t", x_col="x", period=24, key_cols=("user_id",)
+    ).orderBy("user_id", "t")
+
+
+def q_seasonal_oracle():
+    from .operators.timeseries import seasonal_decompose_sql
+
+    base = (
+        "SELECT user_id, event_id AS t, "
+        f"CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e4) AS BIGINT) AS x "
+        "FROM events WHERE event_id < 4000"
+    )
+    return (
+        "SELECT * FROM ("
+        + seasonal_decompose_sql(base, period=24, key_cols=("user_id",))
+        + ") ORDER BY user_id, t"
+    )
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -13157,4 +13192,5 @@ QUERIES = {
     "cost_distance": (q_cost_distance, q_cost_distance_oracle),
     "viewshed": (q_viewshed, q_viewshed_oracle),
     "template_match": (q_template_match, q_template_match_oracle),
+    "seasonal": (q_seasonal, q_seasonal_oracle),
 }

@@ -480,3 +480,31 @@ def test_interarrival_hist_buckets(spark):
     df = spark.createDataFrame(rows, "k long, o long, t_us long")
     out = {r["bucket"]: r["cnt"] for r in interarrival_hist(df).collect()}
     assert out[0] == 1 and out[1] == 2 and out[2] == 1 and out[-1] == 1
+
+
+def test_seasonal_decompose_int_hand(spark):
+    from sis_spark.operators.timeseries import seasonal_decompose_int
+
+    # period 3, one key: phases {0: [10, 16], 1: [20], 2: [30, 36]}
+    xs = [10, 20, 30, 16, 40, 36]
+    rows = [(1, t, x) for t, x in enumerate(xs)]
+    # plant a second key to prove partition isolation
+    rows += [(2, 0, 100), (2, 3, 200)]
+    df = spark.createDataFrame(rows, "k long, t long, x long")
+    out = {
+        (r["k"], r["t"]): r
+        for r in seasonal_decompose_int(
+            df, period=3, key_cols=("k",)
+        ).collect()
+    }
+    assert len(out) == 8
+    r = out[(1, 0)]
+    assert (r["phase"], r["cnt"], r["ssum"]) == (0, 2, 26)
+    assert r["dev"] == 10 * 2 - 26  # x*cnt - ssum
+    r = out[(1, 4)]  # t=4 -> phase 1, values [20, 40]
+    assert (r["phase"], r["cnt"], r["ssum"], r["dev"]) == (1, 2, 60, 20)
+    r = out[(2, 3)]  # key 2 phase 0: [100, 200]
+    assert (r["phase"], r["cnt"], r["ssum"], r["dev"]) == (0, 2, 300, 100)
+    # residual identity: sum(dev) over each (key, phase) group is 0
+    tot = sum(v["dev"] for v in out.values())
+    assert tot == 0
