@@ -565,6 +565,97 @@ SELECT st.n AS n, st.s AS s,
 FROM st"""
 
 
+def geary_c(
+    points: DataFrame,
+    grid_n: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Global Geary's C spatial-autocorrelation moments over the occupied
+    cells of the 2^k grid (rook adjacency, binary weights) — the
+    local-difference complement of ``morans_i`` (Geary 1954, public
+    literature): Moran's cross-product is dominated by global deviation
+    structure, Geary's squared-difference numerator reacts to local
+    contrast, so the pair together distinguish "smooth trend" from
+    "checkerboard".
+
+    Exactness: the numerator sum((x_i - x_j)^2) over directed rook edges is
+    already exact int64 on raw counts (no mean involved); the denominator
+    reuses the N-scaled deviation trick of ``morans_i`` (dev_i = N*x_i - S),
+    so den = sum(dev^2) = N^2 * sum((x_i - mean)^2) exactly.
+    C = (n-1) * N^2 * num / (w_edges * 2 * den) is derivable downstream.
+
+    Scale shape: identical to ``morans_i`` — one input-sized map-side
+    combined histogram, then a shifted-key self-equi-join on the tiny
+    occupied-cell table."""
+    cells = (
+        points.select(
+            F.expr(grid_expr("x", grid_n, lon_col, lat_col)).alias("ix"),
+            F.expr(grid_expr("y", grid_n, lon_col, lat_col)).alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    stats = cells.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    nbr = cells.select(
+        F.col("x").alias("x_i"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("ix") + dx).alias("ix"),
+                    (F.col("iy") + dy).alias("iy"),
+                )
+                for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+            ])
+        ).alias("g"),
+    ).select("g.ix", "g.iy", "x_i")
+    edges = nbr.join(
+        cells.select("ix", "iy", F.col("x").alias("x_j")), ["ix", "iy"]
+    ).agg(
+        F.count(F.lit(1)).alias("w_edges"),
+        F.sum(
+            (F.col("x_i") - F.col("x_j")) * (F.col("x_i") - F.col("x_j"))
+        ).alias("num"),
+    )
+    den = cells.crossJoin(F.broadcast(stats)).agg(
+        F.sum(
+            (F.col("n") * F.col("x") - F.col("s"))
+            * (F.col("n") * F.col("x") - F.col("s"))
+        ).alias("den")
+    )
+    return stats.crossJoin(edges).crossJoin(den).select(
+        "n", "s", "w_edges", "num", "den"
+    )
+
+
+def geary_c_sql(
+    base_select: str,
+    grid_n: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> str:
+    """DuckDB replay of ``geary_c``; ``base_select`` -> (lon, lat)."""
+    return f"""
+WITH pt AS ({base_select}),
+cl AS (
+  SELECT {grid_expr('x', grid_n, lon_col, lat_col)} AS ix,
+         {grid_expr('y', grid_n, lon_col, lat_col)} AS iy,
+         CAST(count(*) AS BIGINT) AS x
+  FROM pt GROUP BY 1, 2),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM cl),
+ed AS (
+  SELECT a.x AS xi, b.x AS xj
+  FROM cl a JOIN cl b
+    ON (abs(a.ix - b.ix) + abs(a.iy - b.iy)) = 1)
+SELECT st.n AS n, st.s AS s,
+       (SELECT CAST(count(*) AS BIGINT) FROM ed) AS w_edges,
+       (SELECT CAST(coalesce(sum((xi - xj) * (xi - xj)), 0) AS BIGINT) FROM ed) AS num,
+       (SELECT CAST(sum((st.n * x - st.s) * (st.n * x - st.s)) AS BIGINT) FROM cl) AS den
+FROM st"""
+
+
 def ripley_pairs(
     points: DataFrame,
     radii: list,

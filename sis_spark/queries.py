@@ -10969,6 +10969,24 @@ def q_morans_i_oracle():
     return morans_i_sql(_points_sql(), 64)
 
 
+def q_geary_c(spark, sf_dir):
+    """Global Geary's C moments (density.geary_c, 64x64 grid, rook
+    adjacency over occupied cells): the local-contrast complement of
+    Moran's I — squared-difference numerator exact on raw counts, the
+    denominator reuses the N*x - S deviation scaling; only the initial
+    cell histogram touches input-sized data."""
+    from .operators.density import geary_c
+
+    pts = _events_points(spark, sf_dir)
+    return geary_c(pts, grid_n=64)
+
+
+def q_geary_c_oracle():
+    from .operators.density import geary_c_sql
+
+    return geary_c_sql(_points_sql(), 64)
+
+
 def q_ripley_pairs(spark, sf_dir):
     """Ripley's K pair counts (density.ripley_pairs, radii 0.2/0.4/0.8 deg
     at 1e5 quantization): second-order point-pattern statistic via
@@ -12500,6 +12518,143 @@ SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
 FROM runs WHERE rb <> 0 OR rd <> 0 ORDER BY x, y"""
 
 
+def q_clahe(spark, sf_dir):
+    """Contrast-limited adaptive histogram equalization
+    (tiles.clahe_tiles, clip 64, 64-px tiles): per-tile clipped
+    histograms -> floor-redistributed CDF LUTs -> exact-integer bilinear
+    blend of the 4 nearest tile LUTs; gate output is the per-tile
+    (count, sum) of the remapped image — any single-pixel drift in the
+    LUT chain moves a sum."""
+    import pandas as _pd
+    import numpy as _np
+
+    from .raster.grid import GridGeometry
+    from .raster.tiles import clahe_tiles
+
+    W, H = 448, 256
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _texture_tiles(spark, W, H)
+    out = clahe_tiles(tiles, gg, clip_limit=64)
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                block = _np.frombuffer(data, _np.uint8)
+                rows.append({"tx": int(tx), "ty": int(ty),
+                             "n": int(block.size),
+                             "s": int(block.astype(_np.int64).sum())})
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return out.mapInPandas(
+        stats, schema="tx long, ty long, n long, s long"
+    ).orderBy("tx", "ty")
+
+
+def q_clahe_oracle():
+    W, H, T = 448, 256, 64
+    v = _texture_v_sql("gx.x", "gy.y")
+    return f"""
+WITH px AS MATERIALIZED (
+  SELECT gx.x AS x, gy.y AS y, ({v}) AS val,
+         gx.x // {T} AS i, gy.y // {T} AS j
+  FROM generate_series(0, {W - 1}) gx(x), generate_series(0, {H - 1}) gy(y)),
+hist AS (SELECT i, j, val AS v, count(*) AS h FROM px GROUP BY 1, 2, 3),
+bins AS (
+  SELECT t.i, t.j, b.v, coalesce(h.h, 0) AS h
+  FROM (SELECT DISTINCT i, j FROM px) t
+  CROSS JOIN generate_series(0, 255) b(v)
+  LEFT JOIN hist h ON h.i = t.i AND h.j = t.j AND h.v = b.v),
+exc AS (
+  SELECT i, j, CAST(sum(greatest(h - 64, 0)) AS BIGINT) AS e
+  FROM bins GROUP BY 1, 2),
+clipped AS (
+  SELECT b.i, b.j, b.v,
+         least(b.h, 64) + e.e // 256
+         + (CASE WHEN b.v < e.e % 256 THEN 1 ELSE 0 END) AS h2
+  FROM bins b JOIN exc e ON e.i = b.i AND e.j = b.j),
+lut AS MATERIALIZED (
+  SELECT i, j, v,
+         CAST(sum(h2) OVER (PARTITION BY i, j ORDER BY v) AS BIGINT)
+           * 255 // {T * T} AS l
+  FROM clipped),
+corners AS (
+  SELECT x // {T} AS ti, y // {T} AS tj, val,
+         greatest(0, least({W // T - 1}, (x + {T // 2}) // {T} - 1)) AS i0,
+         greatest(0, least({W // T - 1}, (x + {T // 2}) // {T})) AS i1,
+         (x + {T // 2}) % {T} AS wx,
+         greatest(0, least({H // T - 1}, (y + {T // 2}) // {T} - 1)) AS j0,
+         greatest(0, least({H // T - 1}, (y + {T // 2}) // {T})) AS j1,
+         (y + {T // 2}) % {T} AS wy
+  FROM px),
+mapped AS (
+  SELECT c.ti, c.tj,
+         (({T} - wx) * ({T} - wy) * a.l + wx * ({T} - wy) * b.l
+          + ({T} - wx) * wy * d.l + wx * wy * e.l) // {T * T} AS m
+  FROM corners c
+  JOIN lut a ON a.i = c.i0 AND a.j = c.j0 AND a.v = c.val
+  JOIN lut b ON b.i = c.i1 AND b.j = c.j0 AND b.v = c.val
+  JOIN lut d ON d.i = c.i0 AND d.j = c.j1 AND d.v = c.val
+  JOIN lut e ON e.i = c.i1 AND e.j = c.j1 AND e.v = c.val)
+SELECT CAST(ti AS BIGINT) AS tx, CAST(tj AS BIGINT) AS ty,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s
+FROM mapped GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+_HARRIS_THR = 20_000_000_000_000  # ~top-1% responses of the texture grid
+
+
+def q_harris(spark, sf_dir):
+    """Harris corner response shortlist (terrain.harris_tiles, k = 1/20):
+    Sobel gradients, 3x3 structure-tensor sums, exact-integer response
+    r = 20*(Sxx*Syy - Sxy^2) - (Sxx+Syy)^2 >= 2e13 — 2-px halo gather,
+    no FP, int64-safe by construction."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import harris_tiles
+
+    W, H = 448, 256
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _texture_tiles(spark, W, H)
+    return harris_tiles(tiles, gg, threshold=_HARRIS_THR).orderBy("x", "y")
+
+
+def q_harris_oracle():
+    W, H = 448, 256
+    v = _texture_v_sql
+    ixe = (f"({v('x+1', 'y-1')}) + 2*({v('x+1', 'y')}) + ({v('x+1', 'y+1')})"
+           f" - ({v('x-1', 'y-1')}) - 2*({v('x-1', 'y')})"
+           f" - ({v('x-1', 'y+1')})")
+    iye = (f"({v('x-1', 'y+1')}) + 2*({v('x', 'y+1')}) + ({v('x+1', 'y+1')})"
+           f" - ({v('x-1', 'y-1')}) - 2*({v('x', 'y-1')})"
+           f" - ({v('x+1', 'y-1')})")
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    # group-shift window sums: gradient (x, y) contributes to center
+    # (x - dx, y - dy); the interior filter keeps only full 9-cell sums.
+    return f"""
+WITH grad AS MATERIALIZED (
+  SELECT gx.x AS x, gy.y AS y, ({ixe}) AS ix, ({iye}) AS iy
+  FROM generate_series(1, {W - 2}) gx(x), generate_series(1, {H - 2}) gy(y)),
+o AS (SELECT * FROM (VALUES {offs}) o(dx, dy)),
+s AS (
+  SELECT g.x - o.dx AS x, g.y - o.dy AS y,
+         CAST(sum(g.ix*g.ix) AS BIGINT) AS sxx,
+         CAST(sum(g.iy*g.iy) AS BIGINT) AS syy,
+         CAST(sum(g.ix*g.iy) AS BIGINT) AS sxy
+  FROM grad g CROSS JOIN o
+  GROUP BY 1, 2)
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(20*(sxx*syy - sxy*sxy) - (sxx+syy)*(sxx+syy) AS BIGINT) AS r
+FROM s
+WHERE x BETWEEN 2 AND {W - 3} AND y BETWEEN 2 AND {H - 3}
+  AND 20*(sxx*syy - sxy*sxy) - (sxx+syy)*(sxx+syy) >= {_HARRIS_THR}
+ORDER BY x, y"""
+
+
 def q_hough(spark, sf_dir):
     """Hough line-vote accumulator (terrain.hough_votes): edge pixels
     (texture > 240) vote into 8 quantized angles x 4-px rho buckets —
@@ -13193,4 +13348,7 @@ QUERIES = {
     "viewshed": (q_viewshed, q_viewshed_oracle),
     "template_match": (q_template_match, q_template_match_oracle),
     "seasonal": (q_seasonal, q_seasonal_oracle),
+    "geary_c": (q_geary_c, q_geary_c_oracle),
+    "harris": (q_harris, q_harris_oracle),
+    "clahe": (q_clahe, q_clahe_oracle),
 }

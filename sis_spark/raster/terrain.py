@@ -1626,3 +1626,112 @@ def template_match_tiles(
     return contrib.groupBy("gtx", "gty").applyInPandas(
         fn, schema="x long, y long, ssd long"
     )
+
+
+def harris_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    threshold: int,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Harris corner response (Harris & Stephens 1988, public literature)
+    -> sparse (x, y, r): Sobel gradients Ix/Iy, structure-tensor window
+    sums over the 3x3 neighborhood (Sxx, Syy, Sxy), and the k = 1/20
+    response kept exact-integer as r = 20*(Sxx*Syy - Sxy^2) -
+    (Sxx+Syy)^2.  Magnitudes: |Ix| <= 1020, Sxx <= 9.4e6, 20*det <=
+    1.8e15 — all int64-safe, no FP anywhere.
+
+    Pixels whose 5x5 support leaves the raster (or touches a missing
+    tile) are skipped; only responses >= threshold are emitted (the
+    corner shortlist an image-curation pipeline feeds to NMS/matching).
+
+    Shape: one 2-pixel halo gather (the same 9-way shuffle as the
+    gradient machinery), then map-side integer numpy; output is the
+    sparse corner list."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+    R = 2
+    thr = int(threshold)
+
+    def fn(key, pdf):
+        gtx, gty = int(key[0]), int(key[1])
+        ts = tile_size
+        halo = np.full((ts + 2 * R, ts + 2 * R), np.nan)
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = (
+                np.frombuffer(data, dtype=bdt)
+                .reshape(ts, ts).astype(np.float64)
+            )
+            oy = (int(ty) - gty) * ts + R
+            ox = (int(tx) - gtx) * ts + R
+            y0, x0 = max(oy, 0), max(ox, 0)
+            y1, x1 = min(oy + ts, ts + 2 * R), min(ox + ts, ts + 2 * R)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            halo[y0:y1, x0:x1] = block[y0 - oy:y1 - oy, x0 - ox:x1 - ox]
+
+        # Sobel on the (ts+2)-wide inner frame; sub(dy,dx) is that frame
+        # shifted — float64 holds these (< 2^11) exactly.
+        def sub(dy, dx):
+            return halo[1 + dy:1 + dy + ts + 2, 1 + dx:1 + dx + ts + 2]
+
+        fin = np.isfinite(halo)
+
+        def fin3(a):  # 3x3 all-finite for a (n+2)-wide frame -> n-wide
+            n = a.shape[0] - 2
+            out = np.ones((n, n), bool)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    out &= a[1 + dy:1 + dy + n, 1 + dx:1 + dx + n]
+            return out
+
+        gvalid = fin3(fin)            # (ts+2)^2: gradient support finite
+        ix = (sub(-1, 1) + 2 * sub(0, 1) + sub(1, 1)
+              - sub(-1, -1) - 2 * sub(0, -1) - sub(1, -1))
+        iy = (sub(1, -1) + 2 * sub(1, 0) + sub(1, 1)
+              - sub(-1, -1) - 2 * sub(-1, 0) - sub(-1, 1))
+        ix = np.where(gvalid, ix, 0).astype(np.int64)
+        iy = np.where(gvalid, iy, 0).astype(np.int64)
+
+        def w3(a):  # 3x3 window sum of a (ts+2)-wide int plane -> ts
+            out = np.zeros((ts, ts), np.int64)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    out += a[1 + dy:1 + dy + ts, 1 + dx:1 + dx + ts]
+            return out
+
+        sxx = w3(ix * ix)
+        syy = w3(iy * iy)
+        sxy = w3(ix * iy)
+        # center valid = all 9 gradient cells valid
+        ok = np.ones((ts, ts), bool)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ok &= gvalid[1 + dy:1 + dy + ts, 1 + dx:1 + dx + ts]
+        r = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) * (sxx + syy)
+        px = gtx * ts + np.arange(ts)
+        py = gty * ts + np.arange(ts)
+        interior = (
+            (px[None, :] >= R) & (px[None, :] <= w - 1 - R)
+            & (py[:, None] >= R) & (py[:, None] <= h - 1 - R)
+        )
+        sel = ok & interior & (r >= thr)
+        ys, xs = np.nonzero(sel)
+        if not len(ys):
+            return pd.DataFrame({"x": [], "y": [], "r": []})
+        return pd.DataFrame({
+            "x": (gtx * ts + xs).astype(np.int64),
+            "y": (gty * ts + ys).astype(np.int64),
+            "r": r[ys, xs],
+        })
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(
+        fn, schema="x long, y long, r long"
+    )

@@ -1419,3 +1419,136 @@ def row_profile(tiles_df: DataFrame, tile_size: int = 64,
 
     part = tiles_df.mapInPandas(fn, schema="band int, y long, p long")
     return part.groupBy("band", "y").agg(F.sum("p").alias("vsum"))
+
+
+def clahe_luts(tiles_df: DataFrame, gg: GridGeometry, clip_limit: int = 64,
+               band: int = 0, tile_size: int = 64,
+               dtype=np.uint8) -> DataFrame:
+    """Per-tile contrast-limited LUTs, the first half of CLAHE (Pizer et
+    al. 1987, public literature) under a deterministic INTEGER spec:
+    256-bin histogram over the tile's valid pixels, bins clipped at
+    ``clip_limit``, the excess redistributed floor-uniformly (exc//256 to
+    every bin, +1 to bins 0..exc%256-1 — conserves the pixel count
+    exactly), then ``lut[v] = cdf[v] * 255 // npix``.  All int64; both
+    engines replay it bit-exact.  Output: (tx, ty, lut binary[256])."""
+    bdt = np.dtype(dtype)
+    w, h = gg.width, gg.height
+    L = int(clip_limit)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+                block = np.frombuffer(data, dtype=bdt).reshape(
+                    tile_size, tile_size)
+                vh = min(tile_size, h - int(ty) * tile_size)
+                vw = min(tile_size, w - int(tx) * tile_size)
+                if vh <= 0 or vw <= 0:
+                    continue
+                cnt = np.bincount(
+                    block[:vh, :vw].ravel(), minlength=256
+                ).astype(np.int64)
+                exc = int(np.maximum(cnt - L, 0).sum())
+                h2 = np.minimum(cnt, L) + exc // 256
+                h2[: exc % 256] += 1
+                cdf = np.cumsum(h2)
+                npix = int(cdf[-1])          # == vh*vw by construction
+                lut = (cdf * 255 // npix).astype(np.uint8)
+                rows.append({"tx": tx, "ty": ty, "lut": lut.tobytes()})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return tiles_df.filter(F.col("band") == band).mapInPandas(
+        fn, schema="tx long, ty long, lut binary")
+
+
+def clahe_tiles(tiles_df: DataFrame, gg: GridGeometry, clip_limit: int = 64,
+                band: int = 0, tile_size: int = 64,
+                dtype=np.uint8) -> DataFrame:
+    """Contrast-limited adaptive histogram equalization: each output
+    pixel bilinearly blends the clipped-CDF LUTs (``clahe_luts``) of its
+    4 nearest tile centers with INTEGER weights — out = ((T-wx)*(T-wy)*
+    L00[v] + wx*(T-wy)*L10[v] + (T-wx)*wy*L01[v] + wx*wy*L11[v]) //
+    (T*T), where i0 = clamp((x + T/2)//T - 1), wx = (x + T/2) % T (the
+    shift keeps every division non-negative so floor == truncate in any
+    engine).  Border pixels clamp to the edge tile's LUT (the classic
+    replicate rule); a neighbor missing from a sparse tile set falls
+    back to the pixel's own tile LUT.
+
+    Shape: the LUT table is tiny (one 256-byte row per tile) and ships
+    to the 8 neighbor groups — a 9-way halo shuffle of LUTs, not pixels;
+    pixel data joins its own group once via cogroup.  Pure integer."""
+    T = tile_size
+    ntx = (gg.width + T - 1) // T
+    nty = (gg.height + T - 1) // T
+    luts = clahe_luts(tiles_df, gg, clip_limit, band, T, dtype)
+    halo = (
+        luts.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        (F.col("tx") + dx).alias("gtx"),
+                        (F.col("ty") + dy).alias("gty"),
+                    )
+                    for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                ])
+            ).alias("g"),
+            "tx", "ty", "lut",
+        )
+        .select("g.gtx", "g.gty", "tx", "ty", "lut")
+        .filter((F.col("gtx") >= 0) & (F.col("gty") >= 0)
+                & (F.col("gtx") < ntx) & (F.col("gty") < nty))
+    )
+    bdt = np.dtype(dtype)
+
+    def fn(key, tiles_pdf, luts_pdf):
+        if not len(tiles_pdf):
+            return pd.DataFrame({"tx": [], "ty": [], "band": [],
+                                 "data": []})
+        tx, ty = int(key[0]), int(key[1])
+        lutmap = {
+            (int(a), int(b)): np.frombuffer(lv, np.uint8).astype(np.int64)
+            for a, b, lv in zip(luts_pdf["tx"], luts_pdf["ty"],
+                                luts_pdf["lut"])
+        }
+        own = lutmap.get((tx, ty))
+        if own is None:
+            return pd.DataFrame({"tx": [], "ty": [], "band": [],
+                                 "data": []})
+        # 3x3 LUT stack, missing neighbors replicate the own-tile LUT
+        S = np.stack([
+            np.stack([
+                lutmap.get((tx + di, ty + dj), own)
+                for di in (-1, 0, 1)
+            ])
+            for dj in (-1, 0, 1)
+        ])  # (3, 3, 256)
+        gx = tx * T + np.arange(T)
+        gy = ty * T + np.arange(T)
+        i0f = (gx + T // 2) // T - 1
+        wx = ((gx + T // 2) % T)[None, :]
+        j0f = (gy + T // 2) // T - 1
+        wy = ((gy + T // 2) % T)[:, None]
+        i0 = np.clip(i0f, 0, ntx - 1) - (tx - 1)
+        i1 = np.clip(i0f + 1, 0, ntx - 1) - (tx - 1)
+        j0 = np.clip(j0f, 0, nty - 1) - (ty - 1)
+        j1 = np.clip(j0f + 1, 0, nty - 1) - (ty - 1)
+        out_rows = []
+        for bnd, data in zip(tiles_pdf["band"], tiles_pdf["data"]):
+            v = np.frombuffer(data, dtype=bdt).reshape(T, T).astype(np.int64)
+            l00 = S[j0[:, None], i0[None, :], v]
+            l10 = S[j0[:, None], i1[None, :], v]
+            l01 = S[j1[:, None], i0[None, :], v]
+            l11 = S[j1[:, None], i1[None, :], v]
+            m = ((T - wx) * (T - wy) * l00 + wx * (T - wy) * l10
+                 + (T - wx) * wy * l01 + wx * wy * l11) // (T * T)
+            out_rows.append({"tx": tx, "ty": ty, "band": bnd,
+                             "data": m.astype(bdt).tobytes()})
+        return pd.DataFrame(out_rows)
+
+    src = tiles_df.filter(F.col("band") == band)
+    return (
+        src.groupBy("tx", "ty")
+        .cogroup(halo.groupBy("gtx", "gty"))
+        .applyInPandas(fn, schema=TILE_SCHEMA)
+    )

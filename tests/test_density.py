@@ -313,3 +313,39 @@ def test_lisa_checkerboard_quadrants(spark):
     for r in out:
         assert r["dev"] != 0 and r["nbr_dev_sum"] != 0
         assert (r["dev"] > 0) != (r["nbr_dev_sum"] > 0)
+
+
+def test_geary_c_checkerboard_and_flat(spark):
+    # perfect checkerboard of counts 1/3: every rook edge differs by 2
+    n = 8
+    rows = []
+    i = 0
+    cell_w, cell_h = 360.0 / n, 180.0 / n
+    for ix in range(n):
+        for iy in range(n):
+            cnt = 1 if (ix + iy) % 2 == 0 else 3
+            lon = -180.0 + (ix + 0.5) * cell_w
+            lat = -90.0 + (iy + 0.5) * cell_h
+            for _ in range(cnt):
+                rows.append((i, lon, lat))
+                i += 1
+    from sis_spark.operators.density import geary_c
+    df = spark.createDataFrame(rows, "event_id long, lon double, lat double")
+    r = geary_c(df, grid_n=n).collect()[0]
+    assert r["n"] == n * n and r["s"] == i
+    assert r["w_edges"] == 4 * n * (n - 1)
+    assert r["num"] == r["w_edges"] * 4          # (1-3)^2 on every edge
+    # C = (n_cells-1) * N^2 * num / (2 * W * den); den carries the N^2
+    c = (r["n"] - 1) * r["n"] ** 2 * r["num"] / (2 * r["w_edges"] * r["den"])
+    assert c > 1.0                                # dispersed -> C > 1
+    # perfectly flat surface: num == 0 -> maximal positive autocorrelation
+    rows2 = []
+    i = 0
+    for ix in range(n):
+        for iy in range(n):
+            rows2.append((i, -180.0 + (ix + 0.5) * cell_w,
+                          -90.0 + (iy + 0.5) * cell_h))
+            i += 1
+    df2 = spark.createDataFrame(rows2, "event_id long, lon double, lat double")
+    r2 = geary_c(df2, grid_n=n).collect()[0]
+    assert r2["num"] == 0 and r2["den"] == 0      # zero variance too

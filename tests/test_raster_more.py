@@ -147,3 +147,59 @@ def test_row_profile_matches_dense(spark):
     got = {r["y"]: r["vsum"] for r in rows}
     want = arr.astype(np.int64).sum(axis=1)
     assert all(got[y] == int(want[y]) for y in range(h))
+
+
+def test_clahe_tiles_match_dense(spark):
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.tiles import clahe_tiles
+
+    rng = np.random.default_rng(11)
+    h, w, ts = 70, 90, 16          # partial edge tiles exercised
+    arr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    # bias a corner so clipping actually fires
+    arr[:20, :20] = 7
+    gg = GridGeometry((0, 0, w - 1, h - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(h)))
+    L = 4
+    rows = clahe_tiles(_tiles_df(spark, arr, ts), gg, clip_limit=L,
+                       tile_size=ts).collect()
+    got = np.zeros((h, w), np.int64)
+    for r in rows:
+        blk = np.frombuffer(bytes(r["data"]), np.uint8).reshape(ts, ts)
+        y0, x0 = r["ty"] * ts, r["tx"] * ts
+        vh, vw = min(ts, h - y0), min(ts, w - x0)
+        got[y0:y0 + vh, x0:x0 + vw] = blk[:vh, :vw]
+
+    # dense replay of the spec
+    ntx, nty = (w + ts - 1) // ts, (h + ts - 1) // ts
+    luts = {}
+    for j in range(nty):
+        for i in range(ntx):
+            blk = arr[j * ts:(j + 1) * ts, i * ts:(i + 1) * ts]
+            cnt = np.bincount(blk.ravel(), minlength=256).astype(np.int64)
+            exc = int(np.maximum(cnt - L, 0).sum())
+            h2 = np.minimum(cnt, L) + exc // 256
+            h2[: exc % 256] += 1
+            cdf = np.cumsum(h2)
+            luts[(i, j)] = cdf * 255 // int(cdf[-1])
+    want = np.zeros((h, w), np.int64)
+    for y in range(h):
+        for x in range(w):
+            i0f = (x + ts // 2) // ts - 1
+            j0f = (y + ts // 2) // ts - 1
+            wx, wy = (x + ts // 2) % ts, (y + ts // 2) % ts
+            i0, i1 = max(0, min(ntx - 1, i0f)), max(0, min(ntx - 1, i0f + 1))
+            j0, j1 = max(0, min(nty - 1, j0f)), max(0, min(nty - 1, j0f + 1))
+            v = int(arr[y, x])
+            want[y, x] = (
+                (ts - wx) * (ts - wy) * luts[(i0, j0)][v]
+                + wx * (ts - wy) * luts[(i1, j0)][v]
+                + (ts - wx) * wy * luts[(i0, j1)][v]
+                + wx * wy * luts[(i1, j1)][v]
+            ) // (ts * ts)
+    assert (got == want).all()
+    # clipping must have fired somewhere for this to be a CLAHE test
+    assert any(int(np.maximum(np.bincount(
+        arr[j * ts:(j + 1) * ts, i * ts:(i + 1) * ts].ravel(),
+        minlength=256) - L, 0).sum()) > 0
+        for i in range(ntx) for j in range(nty))

@@ -457,3 +457,38 @@ def test_template_match_matches_brute(spark):
         for x in range(40 - tw + 1):
             want[(x, y)] = int(((a[y:y + th, x:x + tw] - T) ** 2).sum())
     assert got == want
+
+
+def test_harris_matches_dense_brute(spark):
+    from sis_spark.raster.terrain import harris_tiles
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(70, 90)).astype(np.uint8)
+    tiles, gg = _tiles_from(spark, arr)
+    thr = 10_000_000_000_000
+    got = {(r["x"], r["y"]): r["r"]
+           for r in harris_tiles(tiles, gg, threshold=thr,
+                                 tile_size=TS).collect()}
+
+    a = arr.astype(np.int64)
+    h, w = arr.shape
+    want = {}
+    for y in range(2, h - 2):
+        for x in range(2, w - 2):
+            sxx = syy = sxy = 0
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    cy, cx = y + dy, x + dx
+                    ix = (a[cy - 1, cx + 1] + 2 * a[cy, cx + 1]
+                          + a[cy + 1, cx + 1] - a[cy - 1, cx - 1]
+                          - 2 * a[cy, cx - 1] - a[cy + 1, cx - 1])
+                    iy = (a[cy + 1, cx - 1] + 2 * a[cy + 1, cx]
+                          + a[cy + 1, cx + 1] - a[cy - 1, cx - 1]
+                          - 2 * a[cy - 1, cx] - a[cy - 1, cx + 1])
+                    sxx += ix * ix
+                    syy += iy * iy
+                    sxy += ix * iy
+            r = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+            if r >= thr:
+                want[(x, y)] = r
+    assert want and got == want
