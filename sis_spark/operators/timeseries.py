@@ -1397,3 +1397,62 @@ SELECT {keys}CAST(t AS BIGINT) AS t, CAST(x AS BIGINT) AS x,
        CAST(x * (count(*) OVER w) - (sum(x) OVER w) AS BIGINT) AS dev
 FROM ({base_select}) b
 WINDOW w AS (PARTITION BY {part})"""
+
+
+def ordinal_patterns(
+    df: DataFrame,
+    t_col: str = "t",
+    x_col: str = "x",
+    key_cols: tuple = ("k",),
+) -> DataFrame:
+    """Order-3 ordinal-pattern counts (Bandt & Pompe 2002 permutation
+    entropy, public literature) per key: each consecutive value triple
+    (x0, x1, x2) in t-order maps to the integer code
+    4*[x0<=x1] + 2*[x0<=x2] + [x1<=x2] (ties broken stably toward time
+    order, so only the 6 consistent codes {0,1,3,4,6,7} can occur), and
+    the output is the per-(key, code) histogram the entropy is computed
+    from.  Pure lag-window codegen, no FP — bit-exact in both engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(t_col)
+    x0 = F.lag(x_col, 2).over(w)
+    x1 = F.lag(x_col, 1).over(w)
+    x2 = F.col(x_col)
+    code = (
+        (x0 <= x1).cast("long") * 4
+        + (x0 <= x2).cast("long") * 2
+        + (x1 <= x2).cast("long")
+    )
+    return (
+        df.select(*key_cols, code.alias("code"), x0.alias("_x0"))
+        .filter(F.col("_x0").isNotNull())
+        .groupBy(*key_cols, "code")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def ordinal_patterns_sql(
+    base_select: str,
+    t_col: str = "t",
+    x_col: str = "x",
+    key_cols: tuple = ("k",),
+) -> str:
+    """DuckDB twin of ``ordinal_patterns``; ``base_select`` must yield
+    (key_cols..., t, x)."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH b AS ({base_select}),
+lagged AS (
+  SELECT {keys},
+         lag({x_col}, 2) OVER w AS x0,
+         lag({x_col}, 1) OVER w AS x1,
+         {x_col} AS x2
+  FROM b
+  WINDOW w AS (PARTITION BY {keys} ORDER BY {t_col}))
+SELECT {keys},
+       CAST(4 * (CASE WHEN x0 <= x1 THEN 1 ELSE 0 END)
+            + 2 * (CASE WHEN x0 <= x2 THEN 1 ELSE 0 END)
+            + (CASE WHEN x1 <= x2 THEN 1 ELSE 0 END) AS BIGINT) AS code,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM lagged WHERE x0 IS NOT NULL
+GROUP BY ALL"""

@@ -13016,6 +13016,158 @@ def q_seasonal_oracle():
     )
 
 
+def q_ordinal(spark, sf_dir):
+    """Order-3 ordinal-pattern histogram (timeseries.ordinal_patterns)
+    per user: consecutive value triples in event order map to the
+    Bandt-Pompe code 4*[x0<=x1] + 2*[x0<=x2] + [x1<=x2] — the
+    permutation-entropy input, pure lag-window codegen, no FP."""
+    from .operators.timeseries import ordinal_patterns
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    lon, _ = point_lonlat_cols("event_id")
+    pts = ev.select(
+        "user_id",
+        F.col("event_id").alias("t"),
+        F.floor(lon * 10000).cast("long").alias("x"),
+    )
+    return ordinal_patterns(
+        pts, t_col="t", x_col="x", key_cols=("user_id",)
+    ).orderBy("user_id", "code")
+
+
+def q_ordinal_oracle():
+    from .operators.timeseries import ordinal_patterns_sql
+
+    base = (
+        "SELECT user_id, event_id AS t, "
+        f"CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e4) AS BIGINT) AS x "
+        "FROM events WHERE event_id < 4000"
+    )
+    return (
+        "SELECT * FROM ("
+        + ordinal_patterns_sql(base, key_cols=("user_id",))
+        + ") ORDER BY user_id, code"
+    )
+
+
+def q_haar(spark, sf_dir):
+    """Per-tile 1-level Haar subband energies (tiles.haar_energy_tiles):
+    unnormalized integer lifting over 2x2 blocks, exact int64 sums of
+    squares per LL/HL/LH/HH — the wavelet blur/texture fingerprint."""
+    from .raster.grid import GridGeometry
+    from .raster.tiles import haar_energy_tiles
+
+    W, H = 448, 256
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _texture_tiles(spark, W, H)
+    return haar_energy_tiles(tiles, gg).orderBy("tx", "ty")
+
+
+def q_haar_oracle():
+    W, H, T = 448, 256, 64
+    v = _texture_v_sql
+    a = v("2*bx.i", "2*by.j")
+    b = v("2*bx.i + 1", "2*by.j")
+    c = v("2*bx.i", "2*by.j + 1")
+    d = v("2*bx.i + 1", "2*by.j + 1")
+    return f"""
+WITH blk AS (
+  SELECT bx.i AS bi, by.j AS bj,
+         ({a}) AS a, ({b}) AS b, ({c}) AS c, ({d}) AS d
+  FROM generate_series(0, {W // 2 - 1}) bx(i),
+       generate_series(0, {H // 2 - 1}) by(j))
+SELECT CAST(bi // {T // 2} AS BIGINT) AS tx,
+       CAST(bj // {T // 2} AS BIGINT) AS ty,
+       CAST(sum((a+b+c+d)*(a+b+c+d)) AS BIGINT) AS e_ll,
+       CAST(sum((a-b+c-d)*(a-b+c-d)) AS BIGINT) AS e_hl,
+       CAST(sum((a+b-c-d)*(a+b-c-d)) AS BIGINT) AS e_lh,
+       CAST(sum((a-b-c+d)*(a-b-c+d)) AS BIGINT) AS e_hh
+FROM blk GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+def _texture_tiles_shifted(spark, w: int, h: int, tile_size: int = 64):
+    """Right-eye twin of ``_texture_tiles``: value at (x, y) is the
+    texture formula sampled at (x + D(y), y) with the planted disparity
+    D(y) = 2 + y//64 — so block matching should recover D almost
+    everywhere (SSD 0 at the true shift)."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.tiles import TILE_SCHEMA
+
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    ids = spark.range(ntx * nty).repartition(
+        min(ntx * nty, spark.sparkContext.defaultParallelism)
+    )
+
+    def fill(batches):
+        gxs = _np.arange(tile_size, dtype=_np.int64)
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                t = int(i)
+                tx, ty = t % ntx, t // ntx
+                GX, GY = _np.meshgrid(tx * tile_size + gxs,
+                                      ty * tile_size + gxs)
+                SX = GX + 2 + GY // 64
+                block = (3 * SX * SX + 7 * SX * GY + 5 * GY * GY
+                         + 11 * SX + 13 * GY) % 256
+                block = _np.where((GX < w) & (GY < h), block, 0).astype(
+                    _np.uint8
+                )
+                rows.append({"tx": tx, "ty": ty, "band": 0,
+                             "data": block.tobytes()})
+            yield _pd.DataFrame(rows)
+
+    return ids.mapInPandas(fill, TILE_SCHEMA)
+
+
+def q_disparity(spark, sf_dir):
+    """Stereo block-matching disparity (terrain.disparity_tiles, 8x8
+    blocks, d in [0, 8], SSD argmin with smallest-d ties): the right
+    image carries a planted row-band disparity D(y) = 2 + y//64, so the
+    argmin recovers it with ssd = 0 — leftward-only 2-way tile halo,
+    exact int64 SSDs."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import disparity_tiles
+
+    W, H = 448, 256
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    left = _texture_tiles(spark, W, H)
+    right = _texture_tiles_shifted(spark, W, H)
+    return disparity_tiles(left, right, gg, d_max=8, block=8).orderBy(
+        "bx", "by")
+
+
+def q_disparity_oracle():
+    W, H = 448, 256
+    lv = _texture_v_sql("gx.x", "gy.y")
+    rv = _texture_v_sql("gx.x + 2 + gy.y // 64", "gy.y")
+    return f"""
+WITH l AS MATERIALIZED (
+  SELECT gx.x AS x, gy.y AS y, gx.x // 8 AS bx, gy.y // 8 AS by,
+         ({lv}) AS lv
+  FROM generate_series(0, {W - 1}) gx(x), generate_series(0, {H - 1}) gy(y)),
+r AS MATERIALIZED (
+  SELECT gx.x AS x, gy.y AS y, ({rv}) AS rv
+  FROM generate_series(0, {W - 1}) gx(x), generate_series(0, {H - 1}) gy(y)),
+ssd AS (
+  SELECT l.bx, l.by, ds.d,
+         CAST(sum((l.lv - r.rv) * (l.lv - r.rv)) AS BIGINT) AS ssd
+  FROM l CROSS JOIN generate_series(0, 8) ds(d)
+  JOIN r ON r.x = l.x - ds.d AND r.y = l.y
+  WHERE l.bx >= 1
+  GROUP BY 1, 2, 3)
+SELECT CAST(bx AS BIGINT) AS bx, CAST(by AS BIGINT) AS by,
+       CAST(d AS BIGINT) AS d, ssd
+FROM ssd
+QUALIFY row_number() OVER (PARTITION BY bx, by ORDER BY ssd, d) = 1
+ORDER BY bx, by"""
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -13351,4 +13503,7 @@ QUERIES = {
     "geary_c": (q_geary_c, q_geary_c_oracle),
     "harris": (q_harris, q_harris_oracle),
     "clahe": (q_clahe, q_clahe_oracle),
+    "ordinal": (q_ordinal, q_ordinal_oracle),
+    "haar": (q_haar, q_haar_oracle),
+    "disparity": (q_disparity, q_disparity_oracle),
 }

@@ -1735,3 +1735,99 @@ def harris_tiles(
     return contrib.groupBy("gtx", "gty").applyInPandas(
         fn, schema="x long, y long, r long"
     )
+
+
+def disparity_tiles(
+    left_df: DataFrame,
+    right_df: DataFrame,
+    gg: GridGeometry,
+    d_max: int = 8,
+    block: int = 8,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Stereo block-matching disparity (the classic SSD scanline search,
+    public literature) -> (bx, by, d, ssd): for each block x block patch
+    of the LEFT image, the integer disparity d in [0, d_max] minimizing
+    sum((L(x, y) - R(x - d, y))^2), ties to the SMALLEST d.  Pure int64
+    (ssd <= block^2 * 255^2).  Blocks whose search window leaves the
+    raster (or touches a missing right tile) are skipped.
+
+    Shape: right tiles ship leftward-only (each right tile contributes to
+    its own group and its +x neighbor — a 2-way halo, cheaper than the
+    9-way stencil gather), cogrouped with the left tile; per-group numpy
+    evaluates all d_max+1 shifts vectorized."""
+    if d_max > tile_size:
+        raise ValueError("d_max must be <= tile_size")
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ts = tile_size
+    ntx = (w + ts - 1) // ts
+    nty = (h + ts - 1) // ts
+    left = left_df.filter(F.col("band") == band)
+    rcontrib = (
+        right_df.filter(F.col("band") == band)
+        .select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        (F.col("tx") + dx).alias("gtx"),
+                        F.col("ty").alias("gty"),
+                    )
+                    for dx in (0, 1)
+                ])
+            ).alias("g"),
+            "tx", "ty", "data",
+        )
+        .select("g.gtx", "g.gty", "tx", "ty", "data")
+        .filter((F.col("gtx") < ntx) & (F.col("gty") < nty))
+    )
+
+    def fn(key, l_pdf, r_pdf):
+        empty = pd.DataFrame({"bx": [], "by": [], "d": [], "ssd": []})
+        if not len(l_pdf) or not len(r_pdf):
+            return empty
+        tx, ty = int(key[0]), int(key[1])
+        L = np.frombuffer(l_pdf["data"].iloc[0], dtype=bdt).reshape(
+            ts, ts).astype(np.float64)
+        rh = np.full((ts, 2 * ts), np.nan)   # columns [tx*ts - ts, tx*ts + ts)
+        for data, rtx in zip(r_pdf["data"], r_pdf["tx"]):
+            blockr = np.frombuffer(data, dtype=bdt).reshape(
+                ts, ts).astype(np.float64)
+            ox = (int(rtx) - tx + 1) * ts
+            rh[:, ox:ox + ts] = blockr
+        nb = ts // block
+        best_ssd = np.full((nb, nb), np.inf)
+        best_d = np.zeros((nb, nb), np.int64)
+        allfinite = np.ones((nb, nb), bool)
+        for d in range(d_max + 1):
+            rsh = rh[:, ts - d:2 * ts - d]
+            diff = (L - rsh) ** 2
+            ssd = diff.reshape(nb, block, nb, block).sum(axis=(1, 3))
+            allfinite &= np.isfinite(ssd)
+            better = ssd < best_ssd          # NaN never wins; ties keep min d
+            best_ssd = np.where(better, ssd, best_ssd)
+            best_d = np.where(better, d, best_d)
+        gbx = tx * nb + np.arange(nb)
+        gby = ty * nb + np.arange(nb)
+        ok = allfinite                        # every shift's window present
+        # search window must stay inside the raster on both images
+        ok &= (gbx[None, :] * block >= d_max)
+        ok &= (gbx[None, :] * block + block - 1 <= w - 1)
+        ok &= (gby[:, None] * block + block - 1 <= h - 1)
+        ys, xs = np.nonzero(ok)
+        if not len(ys):
+            return empty
+        return pd.DataFrame({
+            "bx": gbx[xs].astype(np.int64),
+            "by": gby[ys].astype(np.int64),
+            "d": best_d[ys, xs],
+            "ssd": best_ssd[ys, xs].astype(np.int64),
+        })
+
+    return (
+        left.groupBy("tx", "ty")
+        .cogroup(rcontrib.groupBy("gtx", "gty"))
+        .applyInPandas(fn, schema="bx long, by long, d long, ssd long")
+    )

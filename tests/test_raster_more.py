@@ -203,3 +203,31 @@ def test_clahe_tiles_match_dense(spark):
         arr[j * ts:(j + 1) * ts, i * ts:(i + 1) * ts].ravel(),
         minlength=256) - L, 0).sum()) > 0
         for i in range(ntx) for j in range(nty))
+
+
+def test_haar_energy_matches_dense(spark):
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.tiles import haar_energy_tiles
+
+    rng = np.random.default_rng(5)
+    h, w, ts = 64, 96, 32
+    arr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    gg = GridGeometry((0, 0, w - 1, h - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(h)))
+    rows = haar_energy_tiles(_tiles_df(spark, arr, ts), gg,
+                             tile_size=ts).collect()
+    a = arr.astype(np.int64)
+    A, B = a[0::2, 0::2], a[0::2, 1::2]
+    C, D = a[1::2, 0::2], a[1::2, 1::2]
+    bands = {"e_ll": A + B + C + D, "e_hl": A - B + C - D,
+             "e_lh": A + B - C - D, "e_hh": A - B - C + D}
+    nb = ts // 2
+    for r in rows:
+        sy, sx = r["ty"] * nb, r["tx"] * nb
+        for k, plane in bands.items():
+            want = int((plane[sy:sy + nb, sx:sx + nb].astype(np.int64)
+                        ** 2).sum())
+            assert r[k] == want
+    # Parseval-ish sanity: 4 * sum(x^2 over 2x2) == sum of the 4 band sq
+    tot = sum(r["e_ll"] + r["e_hl"] + r["e_lh"] + r["e_hh"] for r in rows)
+    assert tot == 4 * int((a * a).sum())

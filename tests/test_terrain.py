@@ -492,3 +492,41 @@ def test_harris_matches_dense_brute(spark):
             if r >= thr:
                 want[(x, y)] = r
     assert want and got == want
+
+
+def test_disparity_recovers_planted_shift(spark):
+    from sis_spark.raster.terrain import disparity_tiles
+
+    rng = np.random.RandomState(9)
+    h, w = 64, 96
+    left = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    D = 3
+    right = np.zeros_like(left)
+    right[:, :w - D] = left[:, D:]        # left content appears D px left
+    right[:, w - D:] = rng.randint(0, 256, size=(h, D))
+    ltiles, gg = _tiles_from(spark, left)
+    rtiles, _ = _tiles_from(spark, right)
+    out = disparity_tiles(ltiles, rtiles, gg, d_max=4, block=4,
+                          tile_size=TS).collect()
+    got = {(r["bx"], r["by"]): (r["d"], r["ssd"]) for r in out}
+    # interior blocks: L(x) == R(x - D) exactly -> d = D, ssd = 0
+    nbx, nby = w // 4, h // 4
+    assert got, "no blocks emitted"
+    for (bx, by), (d, ssd) in got.items():
+        assert 1 <= bx < nbx and 0 <= by < nby
+        x0 = bx * 4
+        if x0 + 4 - 1 < w - D:            # block fully inside shifted copy
+            assert (d, ssd) == (D, 0), (bx, by, d, ssd)
+
+    # brute SSD argmin replay on a strip to check tie rule end-to-end
+    a = left.astype(np.int64)
+    b = right.astype(np.int64)
+    for (bx, by) in [(1, 0), (5, 3), (8, 7)]:
+        best = None
+        for d in range(5):
+            blkL = a[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+            blkR = b[by * 4:by * 4 + 4, bx * 4 - d:bx * 4 - d + 4]
+            ssd = int(((blkL - blkR) ** 2).sum())
+            if best is None or ssd < best[1]:
+                best = (d, ssd)
+        assert got[(bx, by)] == best

@@ -508,3 +508,25 @@ def test_seasonal_decompose_int_hand(spark):
     # residual identity: sum(dev) over each (key, phase) group is 0
     tot = sum(v["dev"] for v in out.values())
     assert tot == 0
+
+
+def test_ordinal_patterns_hand(spark):
+    from sis_spark.operators.timeseries import ordinal_patterns
+
+    # xs = 1,3,2,2,5 -> triples (1,3,2)=100b? compute by hand below
+    xs = [1, 3, 2, 2, 5]
+    rows = [(1, t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k long, t long, x long")
+    got = {r["code"]: r["cnt"]
+           for r in ordinal_patterns(df, key_cols=("k",)).collect()}
+
+    def code(a, b, c):
+        return 4 * (a <= b) + 2 * (a <= c) + (b <= c)
+
+    want = {}
+    for i in range(2, len(xs)):
+        c = code(xs[i - 2], xs[i - 1], xs[i])
+        want[c] = want.get(c, 0) + 1
+    assert got == want and sum(got.values()) == len(xs) - 2
+    # only consistent Bandt-Pompe codes can ever occur
+    assert set(got) <= {0, 1, 3, 4, 6, 7}
