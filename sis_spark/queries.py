@@ -13168,6 +13168,139 @@ QUALIFY row_number() OVER (PARTITION BY bx, by ORDER BY ssd, d) = 1
 ORDER BY bx, by"""
 
 
+N_GEOJSON_FILES = 6
+
+
+def _geojson_xy(g: int) -> tuple[float, float]:
+    """Quarter-degree formula coordinates (exact binary fractions)."""
+    return (g * 7 % 720) / 4.0 - 90.0, (g * 13 % 360) / 4.0 - 45.0
+
+
+def q_geojson(spark, sf_dir):
+    """The GeoJSON store end-to-end under the oracle gate (RFC 7946
+    FeatureCollections; the reference ships a GeoJSON DataStore in its
+    incubator tree): formula point/linestring/polygon features are
+    WRITTEN as real FeatureCollection documents via the engine's writer,
+    read back distributed (each task json-parses its files into WKB +
+    props rows), and the oracle re-derives every coordinate checksum and
+    property from the same integer formulas."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    import pandas as _pd
+
+    from .functions.geometry import wkb_parse, wkb_write
+    from .sources.geojson import geojson_table, write_geojson
+
+    d = _os.path.join(_tempfile.gettempdir(), "sis_geojson_gate")
+    _os.makedirs(d, exist_ok=True)
+    paths = []
+    for f in range(N_GEOJSON_FILES):
+        rows = []
+
+        def props(seq):
+            return _json.dumps(
+                {"name": f"f{f}_{seq}", "val": f * 1000 + seq},
+                sort_keys=True, separators=(",", ":"),
+            )
+
+        for i in range(5):
+            x, y = _geojson_xy(f * 100 + i)
+            rows.append({"seq": i, "gtype": "point",
+                         "wkb": wkb_write("point", (x, y)),
+                         "props": props(i)})
+        for i in (5, 6):
+            gs = [f * 100 + 10 * i + k for k in range(4)]
+            vx = [_geojson_xy(g)[0] for g in gs]
+            vy = [_geojson_xy(g)[1] for g in gs]
+            rows.append({"seq": i, "gtype": "linestring",
+                         "wkb": wkb_write("linestring", (vx, vy)),
+                         "props": props(i)})
+        gs = [f * 100 + 50 + k for k in range(3)]
+        vx = [_geojson_xy(g)[0] for g in gs]
+        vy = [_geojson_xy(g)[1] for g in gs]
+        rows.append({"seq": 7, "gtype": "polygon",
+                     "wkb": wkb_write("polygon", [(vx, vy)]),
+                     "props": props(7)})
+        p = _os.path.join(d, f"fc_{f}.geojson")
+        with open(p, "w") as fh:
+            fh.write(write_geojson(_pd.DataFrame(rows)))
+        paths.append(p)
+
+    df = geojson_table(spark, paths)
+
+    def stats(batches):
+        import re as _re
+
+        for b in batches:
+            out = []
+            for path, seq, gtype, wkb, pr in zip(
+                b["path"], b["seq"], b["gtype"], b["wkb"], b["props"]
+            ):
+                typ, val = wkb_parse(bytes(wkb))
+                if typ == "point":
+                    xs, ys = [val[0]], [val[1]]
+                elif typ == "linestring":
+                    xs, ys = list(val[0]), list(val[1])
+                else:  # polygon
+                    xs = [x for vx, _vy in val for x in vx]
+                    ys = [y for _vx, vy in val for y in vy]
+                pj = _json.loads(pr)
+                out.append({
+                    "file_id": int(
+                        _re.search(r"fc_(\d+)\.geojson", path).group(1)
+                    ),
+                    "seq": int(seq),
+                    "gtype": typ,
+                    "npts": len(xs),
+                    "sx": int(round(sum(4 * (x + 90.0) for x in xs))),
+                    "sy": int(round(sum(4 * (y + 45.0) for y in ys))),
+                    "name": pj["name"],
+                    "val": int(pj["val"]),
+                })
+            if out:
+                yield _pd.DataFrame(out)
+
+    return df.mapInPandas(
+        stats,
+        schema="file_id long, seq long, gtype string, npts long, "
+               "sx long, sy long, name string, val long",
+    ).orderBy("file_id", "seq")
+
+
+def q_geojson_oracle():
+    n = N_GEOJSON_FILES
+    return f"""
+WITH fs AS (SELECT t.f FROM generate_series(0, {n - 1}) t(f)),
+pts AS (
+  SELECT f, i AS seq, 'point' AS gtype, CAST(1 AS BIGINT) AS npts,
+         CAST((f*100 + i)*7 % 720 AS BIGINT) AS sx,
+         CAST((f*100 + i)*13 % 360 AS BIGINT) AS sy,
+         'f' || CAST(f AS VARCHAR) || '_' || CAST(i AS VARCHAR) AS name,
+         CAST(f*1000 + i AS BIGINT) AS val
+  FROM fs, generate_series(0, 4) s(i)
+  UNION ALL
+  SELECT f, i, 'linestring', 4,
+         CAST(sum((f*100 + 10*i + k)*7 % 720) AS BIGINT),
+         CAST(sum((f*100 + 10*i + k)*13 % 360) AS BIGINT),
+         'f' || CAST(f AS VARCHAR) || '_' || CAST(i AS VARCHAR),
+         CAST(f*1000 + i AS BIGINT)
+  FROM fs, (VALUES (5), (6)) ii(i), generate_series(0, 3) kk(k)
+  GROUP BY f, i
+  UNION ALL
+  SELECT f, 7, 'polygon', 4,
+         CAST(sum((f*100 + 50 + k)*7 % 720) AS BIGINT),
+         CAST(sum((f*100 + 50 + k)*13 % 360) AS BIGINT),
+         'f' || CAST(f AS VARCHAR) || '_7',
+         CAST(f*1000 + 7 AS BIGINT)
+  FROM fs, (VALUES (0), (1), (2), (0)) kk(k)
+  GROUP BY f)
+SELECT CAST(f AS BIGINT) AS file_id, CAST(seq AS BIGINT) AS seq,
+       gtype, npts, sx, sy, name, val
+FROM pts ORDER BY file_id, seq"""
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -13506,4 +13639,5 @@ QUERIES = {
     "ordinal": (q_ordinal, q_ordinal_oracle),
     "haar": (q_haar, q_haar_oracle),
     "disparity": (q_disparity, q_disparity_oracle),
+    "geojson": (q_geojson, q_geojson_oracle),
 }
