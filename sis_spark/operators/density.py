@@ -1104,3 +1104,205 @@ SELECT dv.ix AS ix, dv.iy AS iy, CAST(dev AS BIGINT) AS dev,
        coalesce(nb.nbr_dev_sum, 0) AS nbr_dev_sum,
        coalesce(nb.n_nbr, 0) AS n_nbr
 FROM dv LEFT JOIN nb ON nb.ix = dv.ix AND nb.iy = dv.iy"""
+
+
+def emerging_hotspot(
+    points: DataFrame,
+    grid_n: int,
+    epoch_col: str,
+    n_epochs: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Per-cell Mann-Kendall trend of the epoch count series — the core
+    of "emerging hot spot analysis" (Mann 1945 / Kendall 1975 S
+    statistic, public literature): for each occupied cell of the 2^k
+    grid, S = sum over epoch pairs i < j of sign(c_j - c_i), computed
+    over the FULL epoch range (missing epochs count 0 — a cell that
+    appears late must read as a rising trend).  Output (ix, iy, s,
+    n_pos, n_neg): S plus the concordant/discordant pair counts; n_pos
+    > n_neg means intensifying, the classification thresholds (z via
+    var(S)) are a downstream scalar map.  Exact integers throughout.
+
+    Scale shape: one input-sized histogram (map-side combine) on (cell,
+    epoch); the densify + pair stage runs on occupied-cells x n_epochs
+    rows (tiny), with the epoch dimension broadcast."""
+    cells = (
+        points.select(
+            F.expr(grid_expr("x", grid_n, lon_col, lat_col)).alias("ix"),
+            F.expr(grid_expr("y", grid_n, lon_col, lat_col)).alias("iy"),
+            F.col(epoch_col).cast("long").alias("e"),
+        )
+        .groupBy("ix", "iy", "e")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    epochs = cells.sparkSession.range(n_epochs).select(
+        F.col("id").alias("e")
+    )
+    dense = (
+        cells.select("ix", "iy").distinct()
+        .crossJoin(F.broadcast(epochs))
+        .join(cells, ["ix", "iy", "e"], "left")
+        .fillna(0, subset=["c"])
+    )
+    a = dense.select("ix", "iy", F.col("e").alias("e1"),
+                     F.col("c").alias("c1"))
+    b = dense.select("ix", "iy", F.col("e").alias("e2"),
+                     F.col("c").alias("c2"))
+    pairs = a.join(b, ["ix", "iy"]).filter(F.col("e1") < F.col("e2"))
+    sgn = F.when(F.col("c2") > F.col("c1"), 1).when(
+        F.col("c2") < F.col("c1"), -1).otherwise(0)
+    return pairs.groupBy("ix", "iy").agg(
+        F.sum(sgn).alias("s"),
+        F.sum(F.when(sgn == 1, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(sgn == -1, 1).otherwise(0)).alias("n_neg"),
+    )
+
+
+def emerging_hotspot_sql(
+    base_select: str,
+    grid_n: int,
+    epoch_expr: str,
+    n_epochs: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> str:
+    """DuckDB replay of ``emerging_hotspot``; ``base_select`` -> (lon,
+    lat, ...) and ``epoch_expr`` evaluates the epoch over its columns."""
+    return f"""
+WITH pt AS ({base_select}),
+cl AS (
+  SELECT {grid_expr('x', grid_n, lon_col, lat_col)} AS ix,
+         {grid_expr('y', grid_n, lon_col, lat_col)} AS iy,
+         CAST({epoch_expr} AS BIGINT) AS e,
+         CAST(count(*) AS BIGINT) AS c
+  FROM pt GROUP BY 1, 2, 3),
+dense AS (
+  SELECT o.ix, o.iy, ep.e, coalesce(cl.c, 0) AS c
+  FROM (SELECT DISTINCT ix, iy FROM cl) o
+  CROSS JOIN generate_series(0, {n_epochs - 1}) ep(e)
+  LEFT JOIN cl ON cl.ix = o.ix AND cl.iy = o.iy AND cl.e = ep.e),
+pairs AS (
+  SELECT a.ix, a.iy,
+         CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS g
+  FROM dense a JOIN dense b
+    ON a.ix = b.ix AND a.iy = b.iy AND a.e < b.e)
+SELECT ix, iy, CAST(sum(g) AS BIGINT) AS s,
+       CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN g = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+FROM pairs GROUP BY 1, 2"""
+
+
+def knox_counts(
+    points: DataFrame,
+    r_quant: int,
+    tau: int,
+    id_col: str = "id",
+    t_col: str = "t",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    scale: int = 100_000,
+) -> DataFrame:
+    """Knox space-time interaction statistic counts (Knox 1964, public
+    literature) over unordered point pairs: n_pairs_space (distance^2 <=
+    r_quant^2 in quantized integer units), n_pairs_time (|dt| <= tau),
+    n_pairs_both, and n (points) — the 2x2 contingency the Knox test /
+    Monte-Carlo permutation builds on.  Distances use the engine's
+    standard 1e5-quantized lon/lat plane (exact int64 d^2).
+
+    Scale shape: NO all-pairs join — space candidates come from the
+    Ripley-style 3x3 cell-bin probe (bin side = r), time candidates from
+    a +-1 bin probe on t // tau; each unordered pair is counted once via
+    the lexicographic (t, id) guard.  The both-count reuses the space
+    candidates (space bins are the rarer event at sane radii)."""
+    q = points.select(
+        F.col(id_col).cast("long").alias("pid"),
+        F.col(t_col).cast("long").alias("t"),
+        F.floor(F.col(lon_col) * scale).cast("long").alias("qx"),
+        F.floor(F.col(lat_col) * scale).cast("long").alias("qy"),
+    )
+    r = int(r_quant)
+    tau = int(tau)
+    n = q.agg(F.count(F.lit(1)).alias("n"))
+
+    def pair_guard(a, b):
+        return (F.col(f"{a}.t") < F.col(f"{b}.t")) | (
+            (F.col(f"{a}.t") == F.col(f"{b}.t"))
+            & (F.col(f"{a}.pid") < F.col(f"{b}.pid"))
+        )
+
+    # --- space: 3x3 cell probe at bin side r
+    binned = q.withColumn("bx", F.floor(F.col("qx") / r)).withColumn(
+        "by", F.floor(F.col("qy") / r))
+    probe = binned.select(
+        "pid", "t", "qx", "qy",
+        F.explode(F.array(*[
+            F.struct((F.col("bx") + dx).alias("bx"),
+                     (F.col("by") + dy).alias("by"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ])).alias("g"),
+    ).select("pid", "t", "qx", "qy", "g.bx", "g.by")
+    d2 = (
+        (F.col("a.qx") - F.col("b.qx")) * (F.col("a.qx") - F.col("b.qx"))
+        + (F.col("a.qy") - F.col("b.qy")) * (F.col("a.qy") - F.col("b.qy"))
+    )
+    space_pairs = (
+        probe.alias("a")
+        .join(binned.alias("b"), ["bx", "by"])
+        .filter(pair_guard("a", "b"))
+        .filter(d2 <= r * r)
+        .select(
+            F.col("a.pid").alias("pa"), F.col("b.pid").alias("pb"),
+            (F.abs(F.col("a.t") - F.col("b.t")) <= tau).alias("close_t"),
+        )
+    )
+    sp = space_pairs.agg(
+        F.count(F.lit(1)).alias("n_space"),
+        F.sum(F.col("close_t").cast("long")).alias("n_both"),
+    )
+    # --- time: +-1 bin probe on t // tau
+    tb = q.withColumn("tb", F.floor(F.col("t") / tau))
+    tprobe = tb.select(
+        "pid", "t",
+        F.explode(F.array(*[F.col("tb") + d for d in (-1, 0, 1)]))
+        .alias("tb"),
+    )
+    tm = (
+        tprobe.alias("a")
+        .join(tb.select("pid", "t", "tb").alias("b"), ["tb"])
+        .filter(pair_guard("a", "b"))
+        .filter(F.abs(F.col("a.t") - F.col("b.t")) <= tau)
+        .agg(F.count(F.lit(1)).alias("n_time"))
+    )
+    return n.crossJoin(sp).crossJoin(tm).select(
+        "n", "n_space", "n_time", F.col("n_both").cast("long").alias("n_both")
+    )
+
+
+def knox_counts_sql(
+    base_select: str,
+    r_quant: int,
+    tau: int,
+    scale: int = 100_000,
+) -> str:
+    """DuckDB replay of ``knox_counts`` as the O(n^2) definitional join
+    (the oracle side may brute-force; the engine may not);
+    ``base_select`` -> (pid, t, lon, lat)."""
+    r = int(r_quant)
+    return f"""
+WITH q AS (
+  SELECT pid, CAST(t AS BIGINT) AS t,
+         CAST(floor(lon * {scale}) AS BIGINT) AS qx,
+         CAST(floor(lat * {scale}) AS BIGINT) AS qy
+  FROM ({base_select}) b),
+pr AS (
+  SELECT (a.qx - b.qx) * (a.qx - b.qx)
+         + (a.qy - b.qy) * (a.qy - b.qy) <= {r} * {r} AS cs,
+         abs(a.t - b.t) <= {tau} AS ct
+  FROM q a JOIN q b
+    ON (a.t < b.t OR (a.t = b.t AND a.pid < b.pid)))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM q) AS n,
+       CAST(sum(CASE WHEN cs THEN 1 ELSE 0 END) AS BIGINT) AS n_space,
+       CAST(sum(CASE WHEN ct THEN 1 ELSE 0 END) AS BIGINT) AS n_time,
+       CAST(sum(CASE WHEN cs AND ct THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+FROM pr"""

@@ -10987,6 +10987,73 @@ def q_geary_c_oracle():
     return geary_c_sql(_points_sql(), 64)
 
 
+_EHS_EPOCHS = 8
+
+
+def q_emerging_hotspot(spark, sf_dir):
+    """Per-cell Mann-Kendall trend of epoch counts (density.
+    emerging_hotspot, 32x32 grid, 8 epochs = event_id % 8): the
+    "emerging hot spot" S statistic with missing epochs counted as 0 —
+    one input-sized histogram, then pairs over the tiny dense
+    cell x epoch table."""
+    from .operators.density import emerging_hotspot
+
+    ev = _read(spark, sf_dir, "events")
+    lon, lat = point_lonlat_cols("event_id")
+    pts = ev.select(
+        lon.alias("lon"), lat.alias("lat"),
+        (F.col("event_id") % _EHS_EPOCHS).alias("epoch"),
+    )
+    return emerging_hotspot(
+        pts, grid_n=32, epoch_col="epoch", n_epochs=_EHS_EPOCHS
+    ).orderBy("ix", "iy")
+
+
+def q_emerging_hotspot_oracle():
+    from .operators.density import emerging_hotspot_sql
+
+    return (
+        "SELECT * FROM ("
+        + emerging_hotspot_sql(
+            _points_sql() + " ",
+            32,
+            f"event_id % {_EHS_EPOCHS}",
+            _EHS_EPOCHS,
+        )
+        + ") ORDER BY ix, iy"
+    )
+
+
+def q_knox(spark, sf_dir):
+    """Knox space-time interaction counts (density.knox_counts,
+    r = 0.2 deg quantized, tau = 50 on a formula-shuffled clock): the
+    2x2 pair contingency via cell-bin + time-bin probes — each unordered
+    pair counted once by the (t, id) guard, NO all-pairs join on the
+    engine side (the oracle brute-forces the definition)."""
+    from .operators.density import knox_counts
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    lon, lat = point_lonlat_cols("event_id")
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        (F.col("event_id") * 7919 % 86400).alias("t"),
+        lon.alias("lon"), lat.alias("lat"),
+    )
+    return knox_counts(pts, r_quant=20000, tau=50)
+
+
+def q_knox_oracle():
+    from .operators.density import knox_counts_sql
+
+    base = (
+        "SELECT event_id AS pid, event_id * 7919 % 86400 AS t, "
+        f"{synth.point_lon_sql('event_id')} AS lon, "
+        f"{synth.point_lat_sql('event_id')} AS lat "
+        "FROM events WHERE event_id < 4000"
+    )
+    return knox_counts_sql(base, r_quant=20000, tau=50)
+
+
 def q_ripley_pairs(spark, sf_dir):
     """Ripley's K pair counts (density.ripley_pairs, radii 0.2/0.4/0.8 deg
     at 1e5 quantization): second-order point-pattern statistic via
@@ -13301,6 +13368,92 @@ SELECT CAST(f AS BIGINT) AS file_id, CAST(seq AS BIGINT) AS seq,
 FROM pts ORDER BY file_id, seq"""
 
 
+def _texture_tiles_flowed(spark, w: int, h: int, tile_size: int = 64):
+    """Second-epoch twin of ``_texture_tiles``: value at (x, y) is the
+    texture formula sampled at (x + 1 + (y//64)%3, y + (x//64)%3) — a
+    planted per-band displacement field for the optical-flow gate."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.tiles import TILE_SCHEMA
+
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    ids = spark.range(ntx * nty).repartition(
+        min(ntx * nty, spark.sparkContext.defaultParallelism)
+    )
+
+    def fill(batches):
+        gxs = _np.arange(tile_size, dtype=_np.int64)
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                t = int(i)
+                tx, ty = t % ntx, t // ntx
+                GX, GY = _np.meshgrid(tx * tile_size + gxs,
+                                      ty * tile_size + gxs)
+                SX = GX + 1 + (GY // 64) % 3
+                SY = GY + (GX // 64) % 3
+                block = (3 * SX * SX + 7 * SX * SY + 5 * SY * SY
+                         + 11 * SX + 13 * SY) % 256
+                block = _np.where((GX < w) & (GY < h), block, 0).astype(
+                    _np.uint8
+                )
+                rows.append({"tx": tx, "ty": ty, "band": 0,
+                             "data": block.tobytes()})
+            yield _pd.DataFrame(rows)
+
+    return ids.mapInPandas(fill, TILE_SCHEMA)
+
+
+def q_optical_flow(spark, sf_dir):
+    """Block-matching optical flow (terrain.optical_flow_tiles, 8x8
+    blocks, (dx, dy) in [0, 4]^2, SSD argmin with smallest-(dy, dx)
+    ties) between the texture epoch and a planted per-band displacement
+    field — 4-way tile halo (the search only looks up-left), exact
+    int64 SSDs."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import optical_flow_tiles
+
+    W, H = 448, 256
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    a = _texture_tiles(spark, W, H)
+    b = _texture_tiles_flowed(spark, W, H)
+    return optical_flow_tiles(a, b, gg, s_max=4, block=8).orderBy(
+        "bx", "by")
+
+
+def q_optical_flow_oracle():
+    W, H = 448, 256
+    av = _texture_v_sql("gx.x", "gy.y")
+    bv = _texture_v_sql("gx.x + 1 + (gy.y // 64) % 3",
+                        "gy.y + (gx.x // 64) % 3")
+    return f"""
+WITH a AS MATERIALIZED (
+  SELECT gx.x AS x, gy.y AS y, gx.x // 8 AS bx, gy.y // 8 AS by,
+         ({av}) AS av
+  FROM generate_series(0, {W - 1}) gx(x), generate_series(0, {H - 1}) gy(y)),
+b AS MATERIALIZED (
+  SELECT gx.x AS x, gy.y AS y, ({bv}) AS bv
+  FROM generate_series(0, {W - 1}) gx(x), generate_series(0, {H - 1}) gy(y)),
+ssd AS (
+  SELECT a.bx, a.by, dd.dx, dd.dy,
+         CAST(sum((a.av - b.bv) * (a.av - b.bv)) AS BIGINT) AS ssd
+  FROM a
+  CROSS JOIN (SELECT sx.v AS dx, sy.v AS dy
+              FROM generate_series(0, 4) sx(v),
+                   generate_series(0, 4) sy(v)) dd
+  JOIN b ON b.x = a.x - dd.dx AND b.y = a.y - dd.dy
+  WHERE a.bx >= 1 AND a.by >= 1
+  GROUP BY 1, 2, 3, 4)
+SELECT CAST(bx AS BIGINT) AS bx, CAST(by AS BIGINT) AS by,
+       CAST(dx AS BIGINT) AS dx, CAST(dy AS BIGINT) AS dy, ssd
+FROM ssd
+QUALIFY row_number() OVER (PARTITION BY bx, by ORDER BY ssd, dy, dx) = 1
+ORDER BY bx, by"""
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -13640,4 +13793,7 @@ QUERIES = {
     "haar": (q_haar, q_haar_oracle),
     "disparity": (q_disparity, q_disparity_oracle),
     "geojson": (q_geojson, q_geojson_oracle),
+    "emerging_hotspot": (q_emerging_hotspot, q_emerging_hotspot_oracle),
+    "knox": (q_knox, q_knox_oracle),
+    "optical_flow": (q_optical_flow, q_optical_flow_oracle),
 }

@@ -1831,3 +1831,109 @@ def disparity_tiles(
         .cogroup(rcontrib.groupBy("gtx", "gty"))
         .applyInPandas(fn, schema="bx long, by long, d long, ssd long")
     )
+
+
+def optical_flow_tiles(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    gg: GridGeometry,
+    s_max: int = 4,
+    block: int = 8,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Block-matching optical flow between two co-registered epochs
+    (the classic exhaustive-search motion estimation of video coding,
+    public literature) -> (bx, by, dx, dy, ssd): for each block x block
+    patch of epoch A, the displacement (dx, dy) in [0, s_max]^2
+    minimizing sum((A(x, y) - B(x - dx, y - dy))^2); ties take the
+    lexicographically smallest (dy, dx).  Exact int64 SSDs.
+
+    The positive-only search quadrant matches the common camera/feed
+    drift case (pass mirrored B tiles for signed search).  Blocks whose
+    search window leaves the raster or touches a missing B tile are
+    skipped.  Shape: B tiles ship to their own and their (+x, +y)
+    neighbor groups (4-way halo — the search only looks up-left), then
+    per-group numpy evaluates all (s_max+1)^2 shifts vectorized."""
+    if s_max > tile_size:
+        raise ValueError("s_max must be <= tile_size")
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ts = tile_size
+    ntx = (w + ts - 1) // ts
+    nty = (h + ts - 1) // ts
+    a = a_df.filter(F.col("band") == band)
+    bcontrib = (
+        b_df.filter(F.col("band") == band)
+        .select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        (F.col("tx") + dx).alias("gtx"),
+                        (F.col("ty") + dy).alias("gty"),
+                    )
+                    for dx in (0, 1) for dy in (0, 1)
+                ])
+            ).alias("g"),
+            "tx", "ty", "data",
+        )
+        .select("g.gtx", "g.gty", "tx", "ty", "data")
+        .filter((F.col("gtx") < ntx) & (F.col("gty") < nty))
+    )
+
+    def fn(key, a_pdf, b_pdf):
+        empty = pd.DataFrame(
+            {"bx": [], "by": [], "dx": [], "dy": [], "ssd": []})
+        if not len(a_pdf) or not len(b_pdf):
+            return empty
+        tx, ty = int(key[0]), int(key[1])
+        A = np.frombuffer(a_pdf["data"].iloc[0], dtype=bdt).reshape(
+            ts, ts).astype(np.float64)
+        bh = np.full((2 * ts, 2 * ts), np.nan)  # rows/cols [g*ts - ts, g*ts + ts)
+        for data, btx, bty in zip(b_pdf["data"], b_pdf["tx"], b_pdf["ty"]):
+            blockb = np.frombuffer(data, dtype=bdt).reshape(
+                ts, ts).astype(np.float64)
+            ox = (int(btx) - tx + 1) * ts
+            oy = (int(bty) - ty + 1) * ts
+            bh[oy:oy + ts, ox:ox + ts] = blockb
+        nb = ts // block
+        best_ssd = np.full((nb, nb), np.inf)
+        best_dx = np.zeros((nb, nb), np.int64)
+        best_dy = np.zeros((nb, nb), np.int64)
+        allfinite = np.ones((nb, nb), bool)
+        for dy in range(s_max + 1):
+            for dx in range(s_max + 1):
+                rsh = bh[ts - dy:2 * ts - dy, ts - dx:2 * ts - dx]
+                diff = (A - rsh) ** 2
+                ssd = diff.reshape(nb, block, nb, block).sum(axis=(1, 3))
+                allfinite &= np.isfinite(ssd)
+                # dy-outer loop + strict < == smallest (dy, dx) on ties
+                better = ssd < best_ssd
+                best_ssd = np.where(better, ssd, best_ssd)
+                best_dx = np.where(better, dx, best_dx)
+                best_dy = np.where(better, dy, best_dy)
+        gbx = tx * nb + np.arange(nb)
+        gby = ty * nb + np.arange(nb)
+        ok = allfinite
+        ok &= (gbx[None, :] * block >= s_max)
+        ok &= (gby[:, None] * block >= s_max)
+        ok &= (gbx[None, :] * block + block - 1 <= w - 1)
+        ok &= (gby[:, None] * block + block - 1 <= h - 1)
+        ys, xs = np.nonzero(ok)
+        if not len(ys):
+            return empty
+        return pd.DataFrame({
+            "bx": gbx[xs].astype(np.int64),
+            "by": gby[ys].astype(np.int64),
+            "dx": best_dx[ys, xs],
+            "dy": best_dy[ys, xs],
+            "ssd": best_ssd[ys, xs].astype(np.int64),
+        })
+
+    return (
+        a.groupBy("tx", "ty")
+        .cogroup(bcontrib.groupBy("gtx", "gty"))
+        .applyInPandas(
+            fn, schema="bx long, by long, dx long, dy long, ssd long")
+    )

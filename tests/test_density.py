@@ -349,3 +349,60 @@ def test_geary_c_checkerboard_and_flat(spark):
     df2 = spark.createDataFrame(rows2, "event_id long, lon double, lat double")
     r2 = geary_c(df2, grid_n=n).collect()[0]
     assert r2["num"] == 0 and r2["den"] == 0      # zero variance too
+
+
+def test_emerging_hotspot_trends(spark):
+    from sis_spark.operators.density import emerging_hotspot
+
+    n = 8
+    cell_w, cell_h = 360.0 / n, 180.0 / n
+    rows = []
+    # cell (0,0): rising counts 0,1,2,3 over 4 epochs -> S = C(4,2) = 6
+    i = 0
+    for e in range(4):
+        for _ in range(e):
+            rows.append((i, -180.0 + 0.5 * cell_w, -90.0 + 0.5 * cell_h, e))
+            i += 1
+    # cell (2,2): constant 2 per epoch -> S = 0 (all ties)
+    for e in range(4):
+        for _ in range(2):
+            rows.append((i, -180.0 + 2.5 * cell_w, -90.0 + 2.5 * cell_h, e))
+            i += 1
+    # cell (4,4): present only in epoch 0 -> falling (0 after) S = -3
+    rows.append((i, -180.0 + 4.5 * cell_w, -90.0 + 4.5 * cell_h, 0))
+    df = spark.createDataFrame(
+        rows, "event_id long, lon double, lat double, epoch long")
+    got = {(r["ix"], r["iy"]): (r["s"], r["n_pos"], r["n_neg"])
+           for r in emerging_hotspot(df, n, "epoch", 4).collect()}
+    assert got[(0, 0)] == (6, 6, 0)
+    assert got[(2, 2)] == (0, 0, 0)
+    assert got[(4, 4)] == (-3, 0, 3)
+
+
+def test_knox_counts_brute(spark):
+    import numpy as np
+    from sis_spark.operators.density import knox_counts
+
+    rng = np.random.RandomState(13)
+    m = 300
+    lon = rng.uniform(-10, 10, m)
+    lat = rng.uniform(-10, 10, m)
+    t = rng.randint(0, 1000, m)
+    rows = [(int(i), int(t[i]), float(lon[i]), float(lat[i]))
+            for i in range(m)]
+    df = spark.createDataFrame(rows, "id long, t long, lon double, lat double")
+    r_q, tau = 30000, 40
+    (got,) = knox_counts(df, r_quant=r_q, tau=tau).collect()
+    qx = np.floor(lon * 100000).astype(np.int64)
+    qy = np.floor(lat * 100000).astype(np.int64)
+    ns = nt = nb = 0
+    for i in range(m):
+        for j in range(i + 1, m):
+            cs = (int(qx[i] - qx[j]) ** 2 + int(qy[i] - qy[j]) ** 2
+                  <= r_q * r_q)
+            ct = abs(int(t[i]) - int(t[j])) <= tau
+            ns += cs
+            nt += ct
+            nb += cs and ct
+    assert (got["n"], got["n_space"], got["n_time"], got["n_both"]) == \
+        (m, ns, nt, nb)

@@ -530,3 +530,41 @@ def test_disparity_recovers_planted_shift(spark):
             if best is None or ssd < best[1]:
                 best = (d, ssd)
         assert got[(bx, by)] == best
+
+
+def test_optical_flow_recovers_planted_shift(spark):
+    from sis_spark.raster.terrain import optical_flow_tiles
+
+    rng = np.random.RandomState(17)
+    h, w = 64, 96
+    a = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    DX, DY = 2, 3
+    b = np.zeros_like(a)
+    b[:h - DY, :w - DX] = a[DY:, DX:]   # A content appears shifted up-left
+    b[h - DY:, :] = rng.randint(0, 256, size=(DY, w))
+    b[:, w - DX:] = rng.randint(0, 256, size=(h, DX))
+    atiles, gg = _tiles_from(spark, a)
+    btiles, _ = _tiles_from(spark, b)
+    out = optical_flow_tiles(atiles, btiles, gg, s_max=4, block=4,
+                             tile_size=TS).collect()
+    got = {(r["bx"], r["by"]): (r["dx"], r["dy"], r["ssd"]) for r in out}
+    assert got
+    nbx, nby = w // 4, h // 4
+    for (bx, by), (dx, dy, ssd) in got.items():
+        assert 1 <= bx < nbx and 1 <= by < nby
+        if (bx * 4 + 4 - 1 < w - DX) and (by * 4 + 4 - 1 < h - DY):
+            assert (dx, dy, ssd) == (DX, DY, 0), (bx, by, dx, dy, ssd)
+    # brute replay incl. the (ssd, dy, dx) tie rule on a few blocks
+    ai = a.astype(np.int64)
+    bi = b.astype(np.int64)
+    for (bx, by) in [(1, 1), (10, 5), (20, 14)]:
+        best = None
+        for dy in range(5):
+            for dx in range(5):
+                blkA = ai[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+                blkB = bi[by * 4 - dy:by * 4 - dy + 4,
+                          bx * 4 - dx:bx * 4 - dx + 4]
+                ssd = int(((blkA - blkB) ** 2).sum())
+                if best is None or ssd < best[2]:
+                    best = (dx, dy, ssd)
+        assert got[(bx, by)] == best
