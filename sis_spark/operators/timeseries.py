@@ -1456,3 +1456,85 @@ SELECT {keys},
        CAST(count(*) AS BIGINT) AS cnt
 FROM lagged WHERE x0 IS NOT NULL
 GROUP BY ALL"""
+
+
+_DFT_SCALE = 1 << 20
+
+
+def dft_luts(period: int = 32, freqs: tuple = (1, 2, 3, 4)):
+    """Quantized cos/sin integer LUTs for the fixed-period DFT bins:
+    lut[f][p] = round(cos/sin(2*pi*f*p/period) * 2^20) — literal ints
+    shared verbatim by the engine and the SQL oracle, so the spectral
+    sums are exact int64 on both sides (the hough_luts pattern)."""
+    import math as _math
+
+    cl = {f: [int(round(_math.cos(2 * _math.pi * f * p / period)
+                        * _DFT_SCALE)) for p in range(period)]
+          for f in freqs}
+    sl = {f: [int(round(_math.sin(2 * _math.pi * f * p / period)
+                        * _DFT_SCALE)) for p in range(period)]
+          for f in freqs}
+    return cl, sl
+
+
+def dft_coeffs(
+    df: DataFrame,
+    t_col: str = "t",
+    x_col: str = "x",
+    key_cols: tuple = ("k",),
+    period: int = 32,
+    freqs: tuple = (1, 2, 3, 4),
+) -> DataFrame:
+    """Fixed-period discrete Fourier coefficients per key: for each
+    frequency f, c = sum(x_t * cos_lut[f][t % period]) and s likewise —
+    the periodogram power c^2 + s^2 is derivable downstream (kept
+    unsquared here so everything stays int64 without rescaling).  The
+    LUT join broadcasts |freqs| * period literal rows; one map-side
+    combined aggregation — pure codegen, no FP, no trig at runtime."""
+    cl, sl = dft_luts(period, freqs)
+    spark = df.sparkSession
+    lut = spark.createDataFrame(
+        [(f, p, cl[f][p], sl[f][p]) for f in freqs for p in range(period)],
+        "freq long, phase long, cl long, sl long",
+    )
+    base = df.select(
+        *key_cols,
+        (F.col(t_col) % period).cast("long").alias("phase"),
+        F.col(x_col).cast("long").alias("x"),
+    )
+    return (
+        base.join(F.broadcast(lut), ["phase"])
+        .groupBy(*key_cols, "freq")
+        .agg(
+            F.sum(F.col("x") * F.col("cl")).alias("c"),
+            F.sum(F.col("x") * F.col("sl")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def dft_coeffs_sql(
+    base_select: str,
+    t_col: str = "t",
+    x_col: str = "x",
+    key_cols: tuple = ("k",),
+    period: int = 32,
+    freqs: tuple = (1, 2, 3, 4),
+) -> str:
+    """DuckDB twin of ``dft_coeffs`` (same literal LUTs)."""
+    cl, sl = dft_luts(period, freqs)
+    vals = ", ".join(
+        f"({f}, {p}, {cl[f][p]}, {sl[f][p]})"
+        for f in freqs for p in range(period)
+    )
+    keys = ", ".join(key_cols)
+    return f"""
+WITH b AS ({base_select}),
+lut(freq, phase, cl, sl) AS (SELECT * FROM (VALUES {vals})),
+j AS (
+  SELECT {keys}, lut.freq, b.{x_col} * lut.cl AS xc, b.{x_col} * lut.sl AS xs
+  FROM b JOIN lut ON lut.phase = b.{t_col} % {period})
+SELECT {keys}, CAST(freq AS BIGINT) AS freq,
+       CAST(sum(xc) AS BIGINT) AS c, CAST(sum(xs) AS BIGINT) AS s,
+       CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY ALL"""

@@ -12670,6 +12670,65 @@ SELECT CAST(ti AS BIGINT) AS tx, CAST(tj AS BIGINT) AS ty,
 FROM mapped GROUP BY 1, 2 ORDER BY tx, ty"""
 
 
+_CANNY_TL, _CANNY_TH = 300_000, 600_000
+
+
+def q_canny(spark, sf_dir):
+    """Full Canny edge chain (terrain.canny_nms_tiles + canny_edges):
+    Sobel m2, integer 12/29-sector direction quantization, NMS vs the
+    two axis neighbors, double threshold 3e5/6e5, hysteresis as
+    connected components over the SPARSE survivor graph — the oracle
+    replays NMS with self-joins and the hysteresis closure as a
+    recursive CTE from the strong seeds."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import canny_edges, canny_nms_tiles
+
+    W, H = 448, 256
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _texture_tiles(spark, W, H)
+    nms = canny_nms_tiles(tiles, gg, t_low=_CANNY_TL)
+    return canny_edges(nms, gg, t_high=_CANNY_TH).orderBy("x", "y")
+
+
+def q_canny_oracle():
+    from .raster.terrain import CANNY_AXIS_SQL
+
+    W, H = 448, 256
+    v = _texture_v_sql
+    ixe = (f"({v('x+1', 'y-1')}) + 2*({v('x+1', 'y')}) + ({v('x+1', 'y+1')})"
+           f" - ({v('x-1', 'y-1')}) - 2*({v('x-1', 'y')})"
+           f" - ({v('x-1', 'y+1')})")
+    iye = (f"({v('x-1', 'y+1')}) + 2*({v('x', 'y+1')}) + ({v('x+1', 'y+1')})"
+           f" - ({v('x-1', 'y-1')}) - 2*({v('x', 'y-1')})"
+           f" - ({v('x+1', 'y-1')})")
+    axis = CANNY_AXIS_SQL.format(gx="gx", gy="gy")
+    dx = "(CASE p.axis WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 0 ELSE 1 END)"
+    dy = "(CASE p.axis WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE -1 END)"
+    return f"""
+WITH RECURSIVE grad AS MATERIALIZED (
+  SELECT gx.x AS x, gy.y AS y,
+         ({ixe}) AS gx, ({iye}) AS gy
+  FROM generate_series(1, {W - 2}) gx(x), generate_series(1, {H - 2}) gy(y)),
+ax AS MATERIALIZED (
+  SELECT x, y, gx * gx + gy * gy AS m2, {axis} AS axis
+  FROM grad),
+nms AS MATERIALIZED (
+  SELECT p.x, p.y, p.m2
+  FROM ax p
+  JOIN ax n1 ON n1.x = p.x + {dx} AND n1.y = p.y + {dy}
+  JOIN ax n2 ON n2.x = p.x - {dx} AND n2.y = p.y - {dy}
+  WHERE p.x BETWEEN 2 AND {W - 3} AND p.y BETWEEN 2 AND {H - 3}
+    AND p.m2 >= n1.m2 AND p.m2 >= n2.m2 AND p.m2 >= {_CANNY_TL}),
+r AS (
+  SELECT x, y FROM nms WHERE m2 >= {_CANNY_TH}
+  UNION
+  SELECT n.x, n.y FROM r JOIN nms n
+    ON abs(n.x - r.x) <= 1 AND abs(n.y - r.y) <= 1)
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+FROM r ORDER BY x, y"""
+
+
 _HARRIS_THR = 20_000_000_000_000  # ~top-1% responses of the texture grid
 
 
@@ -13080,6 +13139,39 @@ def q_seasonal_oracle():
         "SELECT * FROM ("
         + seasonal_decompose_sql(base, period=24, key_cols=("user_id",))
         + ") ORDER BY user_id, t"
+    )
+
+
+def q_dft(spark, sf_dir):
+    """Fixed-period DFT spectral coefficients (timeseries.dft_coeffs,
+    period 32, freqs 1-4) per user: quantized integer cos/sin LUTs
+    shared verbatim with the oracle (the hough_luts pattern) make the
+    periodogram sums exact int64 — no trig at runtime."""
+    from .operators.timeseries import dft_coeffs
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    lon, _ = point_lonlat_cols("event_id")
+    pts = ev.select(
+        "user_id",
+        F.col("event_id").alias("t"),
+        F.floor(lon * 10000).cast("long").alias("x"),
+    )
+    return dft_coeffs(pts, key_cols=("user_id",)).orderBy(
+        "user_id", "freq")
+
+
+def q_dft_oracle():
+    from .operators.timeseries import dft_coeffs_sql
+
+    base = (
+        "SELECT user_id, event_id AS t, "
+        f"CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e4) AS BIGINT) AS x "
+        "FROM events WHERE event_id < 4000"
+    )
+    return (
+        "SELECT * FROM ("
+        + dft_coeffs_sql(base, key_cols=("user_id",))
+        + ") ORDER BY user_id, freq"
     )
 
 
@@ -13796,4 +13888,6 @@ QUERIES = {
     "emerging_hotspot": (q_emerging_hotspot, q_emerging_hotspot_oracle),
     "knox": (q_knox, q_knox_oracle),
     "optical_flow": (q_optical_flow, q_optical_flow_oracle),
+    "dft": (q_dft, q_dft_oracle),
+    "canny": (q_canny, q_canny_oracle),
 }

@@ -1937,3 +1937,138 @@ def optical_flow_tiles(
         .applyInPandas(
             fn, schema="bx long, by long, dx long, dy long, ssd long")
     )
+
+
+CANNY_AXIS_SQL = """CASE WHEN abs({gy}) * 29 <= abs({gx}) * 12 THEN 0
+     WHEN abs({gx}) * 29 <= abs({gy}) * 12 THEN 2
+     WHEN {gx} * {gy} >= 0 THEN 1 ELSE 3 END"""
+
+_CANNY_OFFS = {0: (1, 0), 1: (1, 1), 2: (0, 1), 3: (1, -1)}
+
+
+def canny_nms_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    t_low: int,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Canny stages 1-3 (Canny 1986, public literature) under an exact
+    integer spec -> sparse (x, y, m2): Sobel gradients, m2 = gx^2 +
+    gy^2, direction quantized to 4 NMS axes by the INTEGER sector rule
+    12/29 ~ tan(22.5 deg) (CANNY_AXIS_SQL — shared text with the
+    oracle), keep pixels whose m2 >= both axis neighbors (plateaus
+    survive on both sides — deterministic) and m2 >= t_low.  2-px halo
+    gather; hysteresis is ``canny_edges`` downstream."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+    R = 2
+    tl = int(t_low)
+
+    def fn(key, pdf):
+        gtx, gty = int(key[0]), int(key[1])
+        ts = tile_size
+        halo = np.full((ts + 2 * R, ts + 2 * R), np.nan)
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = (
+                np.frombuffer(data, dtype=bdt)
+                .reshape(ts, ts).astype(np.float64)
+            )
+            oy = (int(ty) - gty) * ts + R
+            ox = (int(tx) - gtx) * ts + R
+            y0, x0 = max(oy, 0), max(ox, 0)
+            y1, x1 = min(oy + ts, ts + 2 * R), min(ox + ts, ts + 2 * R)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            halo[y0:y1, x0:x1] = block[y0 - oy:y1 - oy, x0 - ox:x1 - ox]
+
+        def sub(dy, dx):
+            return halo[1 + dy:1 + dy + ts + 2, 1 + dx:1 + dx + ts + 2]
+
+        gx = (sub(-1, 1) + 2 * sub(0, 1) + sub(1, 1)
+              - sub(-1, -1) - 2 * sub(0, -1) - sub(1, -1))
+        gy = (sub(1, -1) + 2 * sub(1, 0) + sub(1, 1)
+              - sub(-1, -1) - 2 * sub(-1, 0) - sub(-1, 1))
+        m2 = gx * gx + gy * gy               # (ts+2)^2, NaN where unknown
+        ax_, ay_ = np.abs(gx), np.abs(gy)
+        axis = np.where(
+            ay_ * 29 <= ax_ * 12, 0,
+            np.where(ax_ * 29 <= ay_ * 12, 2,
+                     np.where(gx * gy >= 0, 1, 3)),
+        )
+        c = m2[1:1 + ts, 1:1 + ts]
+        caxis = axis[1:1 + ts, 1:1 + ts]
+        n1 = np.full((ts, ts), np.nan)
+        n2 = np.full((ts, ts), np.nan)
+        for a, (dx, dy) in _CANNY_OFFS.items():
+            sel = caxis == a
+            n1 = np.where(sel, m2[1 + dy:1 + dy + ts, 1 + dx:1 + dx + ts], n1)
+            n2 = np.where(sel, m2[1 - dy:1 - dy + ts, 1 - dx:1 - dx + ts], n2)
+        px = gtx * ts + np.arange(ts)
+        py = gty * ts + np.arange(ts)
+        interior = (
+            (px[None, :] >= R) & (px[None, :] <= w - 1 - R)
+            & (py[:, None] >= R) & (py[:, None] <= h - 1 - R)
+        )
+        keep = (
+            np.isfinite(c) & np.isfinite(n1) & np.isfinite(n2)
+            & (c >= n1) & (c >= n2) & (c >= tl) & interior
+        )
+        ys, xs = np.nonzero(keep)
+        if not len(ys):
+            return pd.DataFrame({"x": [], "y": [], "m2": []})
+        return pd.DataFrame({
+            "x": (gtx * ts + xs).astype(np.int64),
+            "y": (gty * ts + ys).astype(np.int64),
+            "m2": c[ys, xs].astype(np.int64),
+        })
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(
+        fn, schema="x long, y long, m2 long"
+    )
+
+
+def canny_edges(
+    nms: DataFrame,
+    gg: GridGeometry,
+    t_high: int,
+) -> DataFrame:
+    """Canny hysteresis -> (x, y): keep every NMS survivor 8-connected
+    (through survivors) to a strong pixel (m2 >= t_high).  Distributed
+    as a graph problem on the SPARSE survivor set: 8-neighbor edges via
+    a shifted-key equi-join (never a pixel-count-sized shuffle), then
+    operators/graph.py connected components; components containing a
+    strong member emit all their members."""
+    from ..operators.graph import connected_components
+
+    w = gg.width
+    nodes = nms.select(
+        "x", "y", "m2", (F.col("y") * w + F.col("x")).alias("nid")
+    )
+    nbr = nodes.select(
+        F.col("nid").alias("a"),
+        F.explode(F.array(*[
+            F.struct((F.col("x") + dx).alias("x"),
+                     (F.col("y") + dy).alias("y"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+        ])).alias("g"),
+    ).select("a", "g.x", "g.y")
+    edges = nbr.join(
+        nodes.select("x", "y", F.col("nid").alias("b")), ["x", "y"]
+    ).select("a", "b")
+    loops = nodes.select(F.col("nid").alias("a"), F.col("nid").alias("b"))
+    comp = connected_components(edges.unionByName(loops))
+    labeled = nodes.join(comp, nodes.nid == comp.node).select(
+        "x", "y", "m2", "comp")
+    strong = (
+        labeled.filter(F.col("m2") >= int(t_high))
+        .select("comp").distinct()
+    )
+    return labeled.join(strong, ["comp"]).select("x", "y")

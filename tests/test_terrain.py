@@ -568,3 +568,60 @@ def test_optical_flow_recovers_planted_shift(spark):
                 if best is None or ssd < best[2]:
                     best = (dx, dy, ssd)
         assert got[(bx, by)] == best
+
+
+def test_canny_matches_dense_brute(spark):
+    from sis_spark.raster.terrain import canny_edges, canny_nms_tiles
+
+    rng = np.random.RandomState(21)
+    h, w = 70, 90
+    arr = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    # plant a hard vertical edge so strong pixels definitely exist
+    arr[:, 40:] = np.minimum(arr[:, 40:] // 4, 30)
+    arr[:, :40] = np.maximum(arr[:, :40], 200)
+    tiles, gg = _tiles_from(spark, arr)
+    TL, TH = 100_000, 400_000
+    nms = canny_nms_tiles(tiles, gg, t_low=TL, tile_size=TS)
+    got = {(r["x"], r["y"]) for r in
+           canny_edges(nms, gg, t_high=TH).collect()}
+
+    # dense replay
+    a = arr.astype(np.int64)
+    gx = np.zeros((h, w), np.int64)
+    gy = np.zeros((h, w), np.int64)
+    gx[1:-1, 1:-1] = (a[:-2, 2:] + 2 * a[1:-1, 2:] + a[2:, 2:]
+                      - a[:-2, :-2] - 2 * a[1:-1, :-2] - a[2:, :-2])
+    gy[1:-1, 1:-1] = (a[2:, :-2] + 2 * a[2:, 1:-1] + a[2:, 2:]
+                      - a[:-2, :-2] - 2 * a[:-2, 1:-1] - a[:-2, 2:])
+    m2 = gx * gx + gy * gy
+    offs = {0: (1, 0), 1: (1, 1), 2: (0, 1), 3: (1, -1)}
+    weak = {}
+    for y in range(2, h - 2):
+        for x in range(2, w - 2):
+            axv, ayv = abs(gx[y, x]), abs(gy[y, x])
+            if ayv * 29 <= axv * 12:
+                axis = 0
+            elif axv * 29 <= ayv * 12:
+                axis = 2
+            elif gx[y, x] * gy[y, x] >= 0:
+                axis = 1
+            else:
+                axis = 3
+            dx, dy = offs[axis]
+            c = m2[y, x]
+            if (c >= m2[y + dy, x + dx] and c >= m2[y - dy, x - dx]
+                    and c >= TL):
+                weak[(x, y)] = c
+    # hysteresis BFS from strong
+    frontier = [p for p, v in weak.items() if v >= TH]
+    seen = set(frontier)
+    while frontier:
+        x, y = frontier.pop()
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                q = (x + dx, y + dy)
+                if q in weak and q not in seen:
+                    seen.add(q)
+                    frontier.append(q)
+    assert seen, "planted edge produced no strong pixels"
+    assert got == seen

@@ -530,3 +530,30 @@ def test_ordinal_patterns_hand(spark):
     assert got == want and sum(got.values()) == len(xs) - 2
     # only consistent Bandt-Pompe codes can ever occur
     assert set(got) <= {0, 1, 3, 4, 6, 7}
+
+
+def test_dft_coeffs_planted_sinusoid(spark):
+    import math
+
+    from sis_spark.operators.timeseries import _DFT_SCALE, dft_coeffs
+
+    # x_t = round(1000 * cos(2*pi*2*t/32)): power concentrates at f=2
+    P = 32
+    xs = [int(round(1000 * math.cos(2 * math.pi * 2 * t / P)))
+          for t in range(2 * P)]
+    rows = [(1, t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k long, t long, x long")
+    got = {r["freq"]: (r["c"], r["s"], r["n"])
+           for r in dft_coeffs(df, key_cols=("k",)).collect()}
+    assert all(v[2] == 2 * P for v in got.values())
+    # exact replay against the LUT definition
+    from sis_spark.operators.timeseries import dft_luts
+    cl, sl = dft_luts()
+    for f in (1, 2, 3, 4):
+        c = sum(x * cl[f][t % P] for t, x in enumerate(xs))
+        s = sum(x * sl[f][t % P] for t, x in enumerate(xs))
+        assert got[f] == (c, s, 2 * P)
+    # dominance: |c| at f=2 dwarfs every other bin
+    mag = {f: abs(got[f][0]) + abs(got[f][1]) for f in got}
+    assert mag[2] > 100 * max(mag[1], mag[3], mag[4])
+    assert abs(got[2][0]) > 0.9 * 1000 * P * _DFT_SCALE
