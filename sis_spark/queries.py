@@ -12729,6 +12729,49 @@ SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
 FROM r ORDER BY x, y"""
 
 
+def q_euler(spark, sf_dir):
+    """Euler-number quad counts (terrain.euler_tiles, mask = texture >=
+    128, Gray's formula): per-tile Q1/Q3/Qd over every 2x2 window of the
+    zero-padded plane — components minus holes derivable as
+    (Q1-Q3+-2Qd)/4 with NO labeling pass; 1-px halo, exact integers."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import euler_tiles
+
+    W, H = 448, 256
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _texture_tiles(spark, W, H)
+    return euler_tiles(tiles, gg, threshold=128).orderBy("tx", "ty")
+
+
+def q_euler_oracle():
+    W, H, T = 448, 256, 64
+    v = _texture_v_sql
+
+    def fg(xe, ye, xmax, ymax):
+        return (f"CASE WHEN {xe} >= 0 AND {xe} <= {xmax} AND {ye} >= 0 "
+                f"AND {ye} <= {ymax} AND ({v(xe, ye)}) >= 128 "
+                f"THEN 1 ELSE 0 END")
+
+    a = fg("ax.x", "ay.y", W - 1, H - 1)
+    b = fg("ax.x + 1", "ay.y", W - 1, H - 1)
+    c = fg("ax.x", "ay.y + 1", W - 1, H - 1)
+    d = fg("ax.x + 1", "ay.y + 1", W - 1, H - 1)
+    return f"""
+WITH q AS (
+  SELECT greatest(ax.x, 0) // {T} AS tx, greatest(ay.y, 0) // {T} AS ty,
+         ({a}) AS a, ({b}) AS b, ({c}) AS c, ({d}) AS d
+  FROM generate_series(-1, {W - 1}) ax(x),
+       generate_series(-1, {H - 1}) ay(y))
+SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+       CAST(sum(CASE WHEN a + b + c + d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS q1,
+       CAST(sum(CASE WHEN a + b + c + d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS q3,
+       CAST(sum(CASE WHEN (a = 1 AND d = 1 AND b = 0 AND c = 0)
+                      OR (b = 1 AND c = 1 AND a = 0 AND d = 0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS qd
+FROM q GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
 _HARRIS_THR = 20_000_000_000_000  # ~top-1% responses of the texture grid
 
 
@@ -13890,4 +13933,5 @@ QUERIES = {
     "optical_flow": (q_optical_flow, q_optical_flow_oracle),
     "dft": (q_dft, q_dft_oracle),
     "canny": (q_canny, q_canny_oracle),
+    "euler": (q_euler, q_euler_oracle),
 }

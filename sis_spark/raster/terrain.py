@@ -2072,3 +2072,75 @@ def canny_edges(
         .select("comp").distinct()
     )
     return labeled.join(strong, ["comp"]).select("x", "y")
+
+
+def euler_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    threshold: int,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Per-tile Euler-number quad counts of the mask (pixel >= threshold)
+    by Gray's formula (Gray 1971, public literature): over every 2x2
+    window of the zero-padded plane (anchors x, y in [-1, W-1] x
+    [-1, H-1]), count Q1 (exactly one foreground), Q3 (exactly three)
+    and Qd (diagonal pairs); the global Euler number is then
+    (Q1 - Q3 + 2*Qd)/4 under 4-connectivity and (Q1 - Q3 - 2*Qd)/4
+    under 8-connectivity — components minus holes, exact integer
+    topology with NO labeling pass.
+
+    Anchor ownership: tile of pixel (max(x,0), max(y,0)) — the x=-1 /
+    y=-1 padding columns belong to the first tile row/column (same rule
+    as the oracle's greatest(x,0)//T).  One 1-px halo gather; missing
+    neighbor tiles read as background."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ts = tile_size
+    ntx = (w + ts - 1) // ts
+    nty = (h + ts - 1) // ts
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+    thr = int(threshold)
+
+    def fn(key, pdf):
+        gtx, gty = int(key[0]), int(key[1])
+        halo = np.zeros((ts + 2, ts + 2), np.int64)   # pad/missing = 0
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = np.frombuffer(data, dtype=bdt).reshape(ts, ts)
+            oy = (int(ty) - gty) * ts + 1
+            ox = (int(tx) - gtx) * ts + 1
+            y0, x0 = max(oy, 0), max(ox, 0)
+            y1, x1 = min(oy + ts, ts + 2), min(ox + ts, ts + 2)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            halo[y0:y1, x0:x1] = (
+                block[y0 - oy:y1 - oy, x0 - ox:x1 - ox] >= thr
+            )
+        # mask out-of-extent pixels (right/bottom padding of edge tiles)
+        gx0, gy0 = gtx * ts - 1, gty * ts - 1
+        xs_g = gx0 + np.arange(ts + 2)
+        ys_g = gy0 + np.arange(ts + 2)
+        halo[:, (xs_g < 0) | (xs_g >= w)] = 0
+        halo[(ys_g < 0) | (ys_g >= h), :] = 0
+        # anchors owned by this tile: x in [gtx*ts .. +ts-1], plus the
+        # -1 padding column/row for the first tile col/row
+        lx0 = 0 if gtx == 0 else 1
+        ly0 = 0 if gty == 0 else 1
+        A = halo[ly0:1 + ts, lx0:1 + ts]
+        B = halo[ly0:1 + ts, lx0 + 1:2 + ts]
+        C = halo[ly0 + 1:2 + ts, lx0:1 + ts]
+        D = halo[ly0 + 1:2 + ts, lx0 + 1:2 + ts]
+        s = A + B + C + D
+        q1 = int((s == 1).sum())
+        q3 = int((s == 3).sum())
+        qd = int((((A == 1) & (D == 1) & (B == 0) & (C == 0))
+                  | ((B == 1) & (C == 1) & (A == 0) & (D == 0))).sum())
+        return pd.DataFrame({"tx": [gtx], "ty": [gty],
+                             "q1": [q1], "q3": [q3], "qd": [qd]})
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(
+        fn, schema="tx long, ty long, q1 long, q3 long, qd long"
+    )

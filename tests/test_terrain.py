@@ -625,3 +625,46 @@ def test_canny_matches_dense_brute(spark):
                     frontier.append(q)
     assert seen, "planted edge produced no strong pixels"
     assert got == seen
+
+
+def test_euler_quad_counts_topology(spark):
+    from sis_spark.raster.terrain import euler_tiles
+
+    h, w = 48, 64
+    arr = np.zeros((h, w), np.uint8)
+    # two solid squares (no holes) + one ring (a hole)
+    arr[4:10, 4:10] = 255
+    arr[20:30, 8:18] = 255
+    arr[10:22, 36:48] = 255
+    arr[14:18, 40:44] = 0          # hole -> ring
+    tiles, gg = _tiles_from(spark, arr)
+    rows = euler_tiles(tiles, gg, threshold=128, tile_size=TS).collect()
+    q1 = sum(r["q1"] for r in rows)
+    q3 = sum(r["q3"] for r in rows)
+    qd = sum(r["qd"] for r in rows)
+    # 3 components, 1 hole -> Euler number 2 (both connectivities agree
+    # here: the shapes are rectangles, no diagonal quads)
+    assert qd == 0
+    assert (q1 - q3) % 4 == 0 and (q1 - q3) // 4 == 2
+
+    # dense brute replay of the quad counts incl. the padding border
+    m = (arr >= 128).astype(np.int64)
+    p = np.zeros((h + 2, w + 2), np.int64)
+    p[1:h + 1, 1:w + 1] = m
+    A = p[:-1, :-1]; B = p[:-1, 1:]; C = p[1:, :-1]; D = p[1:, 1:]
+    s = A + B + C + D
+    assert q1 == int((s == 1).sum())
+    assert q3 == int((s == 3).sum())
+
+    # diagonal case: a 2-px checker makes Qd nonzero and splits the
+    # connectivities: E4 counts 2 components, E8 counts 1
+    arr2 = np.zeros((16, 16), np.uint8)
+    arr2[2, 2] = 255
+    arr2[3, 3] = 255
+    tiles2, gg2 = _tiles_from(spark, arr2)
+    rows2 = euler_tiles(tiles2, gg2, threshold=128, tile_size=TS).collect()
+    q1 = sum(r["q1"] for r in rows2)
+    q3 = sum(r["q3"] for r in rows2)
+    qd = sum(r["qd"] for r in rows2)
+    assert (q1 - q3 + 2 * qd) // 4 == 2      # 4-connectivity
+    assert (q1 - q3 - 2 * qd) // 4 == 1      # 8-connectivity
