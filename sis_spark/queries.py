@@ -12772,6 +12772,45 @@ SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
 FROM q GROUP BY 1, 2 ORDER BY tx, ty"""
 
 
+_ZS_ROUNDS = 3
+
+
+def q_skeleton(spark, sf_dir):
+    """K-round Zhang-Suen thinning (terrain.zhang_suen_tiles, mask =
+    texture >= 230, 3 rounds = 6 subpasses): the time-skewed stencil —
+    ONE 6-px halo gather, all subpasses local and exact, zero iterative
+    shuffles.  The oracle unrolls each subpass as a CTE with 8 LEFT
+    JOINs replaying the delete rule."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import zhang_suen_tiles
+
+    W, H = 448, 256
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _texture_tiles(spark, W, H)
+    return zhang_suen_tiles(
+        tiles, gg, threshold=230, rounds=_ZS_ROUNDS
+    ).orderBy("x", "y")
+
+
+def q_skeleton_oracle():
+    from .raster.terrain import zhang_suen_round_sql
+
+    W, H = 448, 256
+    v = _texture_v_sql("gx.x", "gy.y")
+    ctes = [f"""m0 AS MATERIALIZED (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(0, {W - 1}) gx(x), generate_series(0, {H - 1}) gy(y)
+  WHERE ({v}) >= 230)"""]
+    for i in range(2 * _ZS_ROUNDS):
+        ctes.append(zhang_suen_round_sql(f"m{i}", f"m{i + 1}", i % 2))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y "
+          f"FROM m{2 * _ZS_ROUNDS} ORDER BY x, y"
+    )
+
+
 _HARRIS_THR = 20_000_000_000_000  # ~top-1% responses of the texture grid
 
 
@@ -13934,4 +13973,5 @@ QUERIES = {
     "dft": (q_dft, q_dft_oracle),
     "canny": (q_canny, q_canny_oracle),
     "euler": (q_euler, q_euler_oracle),
+    "skeleton": (q_skeleton, q_skeleton_oracle),
 }

@@ -2144,3 +2144,126 @@ def euler_tiles(
     return contrib.groupBy("gtx", "gty").applyInPandas(
         fn, schema="tx long, ty long, q1 long, q3 long, qd long"
     )
+
+
+# Zhang-Suen neighbor ring P2..P9 (x right, y down), shared with the oracle
+ZS_OFFS = {2: (0, -1), 3: (1, -1), 4: (1, 0), 5: (1, 1),
+           6: (0, 1), 7: (-1, 1), 8: (-1, 0), 9: (-1, -1)}
+
+
+def zhang_suen_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    threshold: int,
+    rounds: int,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """K-round Zhang-Suen thinning (Zhang & Suen 1984, public
+    literature) of the mask (pixel >= threshold) -> surviving (x, y):
+    each round runs the two classic subpasses (delete if 2<=B<=6, A==1,
+    and the parity's two neighbor products are 0).  K rounds of the
+    fixpoint iteration — enough to skeletonize strokes up to ~2K px
+    wide; outside-raster reads are background.
+
+    Scale shape — time-skewed stencil: a subpass only propagates
+    influence 1 px, so ONE halo gather of width 2*rounds lets every tile
+    run all 2*rounds subpasses locally and exactly (the central
+    tile_size^2 region is provably unaffected by unknown cells beyond
+    the halo).  Zero iterative shuffles, zero driver round-trips —
+    unlike a naive per-round exchange this costs the same shuffle count
+    as a single convolution."""
+    R = 2 * int(rounds)
+    if R > tile_size:
+        raise ValueError("rounds too large for the 1-tile halo")
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ts = tile_size
+    ntx = (w + ts - 1) // ts
+    nty = (h + ts - 1) // ts
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+    thr = int(threshold)
+
+    def fn(key, pdf):
+        gtx, gty = int(key[0]), int(key[1])
+        M = np.zeros((ts + 2 * R, ts + 2 * R), np.int64)
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = np.frombuffer(data, dtype=bdt).reshape(ts, ts)
+            oy = (int(ty) - gty) * ts + R
+            ox = (int(tx) - gtx) * ts + R
+            y0, x0 = max(oy, 0), max(ox, 0)
+            y1, x1 = min(oy + ts, ts + 2 * R), min(ox + ts, ts + 2 * R)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            M[y0:y1, x0:x1] = (
+                block[y0 - oy:y1 - oy, x0 - ox:x1 - ox] >= thr
+            )
+        gx0, gy0 = gtx * ts - R, gty * ts - R
+        xs_g = gx0 + np.arange(ts + 2 * R)
+        ys_g = gy0 + np.arange(ts + 2 * R)
+        M[:, (xs_g < 0) | (xs_g >= w)] = 0
+        M[(ys_g < 0) | (ys_g >= h), :] = 0
+
+        for it in range(2 * int(rounds)):
+            P = np.pad(M, 1)
+            n = {k: P[1 + dy:1 + dy + M.shape[0],
+                      1 + dx:1 + dx + M.shape[1]]
+                 for k, (dx, dy) in ZS_OFFS.items()}
+            B = sum(n.values())
+            ring = [n[k] for k in (2, 3, 4, 5, 6, 7, 8, 9, 2)]
+            A = sum(((ring[i] == 0) & (ring[i + 1] == 1)).astype(np.int64)
+                    for i in range(8))
+            if it % 2 == 0:
+                pr = (n[2] * n[4] * n[6] == 0) & (n[4] * n[6] * n[8] == 0)
+            else:
+                pr = (n[2] * n[4] * n[8] == 0) & (n[2] * n[6] * n[8] == 0)
+            kill = (M == 1) & (B >= 2) & (B <= 6) & (A == 1) & pr
+            M = np.where(kill, 0, M)
+
+        core = M[R:R + ts, R:R + ts]
+        ys, xs = np.nonzero(core)
+        if not len(ys):
+            return pd.DataFrame({"x": [], "y": []})
+        return pd.DataFrame({
+            "x": (gtx * ts + xs).astype(np.int64),
+            "y": (gty * ts + ys).astype(np.int64),
+        })
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(
+        fn, schema="x long, y long"
+    )
+
+
+def zhang_suen_round_sql(prev: str, cur: str, parity: int) -> str:
+    """One Zhang-Suen subpass as a DuckDB CTE: ``cur`` keeps the pixels
+    of ``prev`` that the subpass does not delete (8 LEFT JOINs stand in
+    for the neighbor reads; absent row = background)."""
+    joins = "\n  ".join(
+        f"LEFT JOIN {prev} n{k} ON n{k}.x = p.x + {dx} "
+        f"AND n{k}.y = p.y + {dy}"
+        for k, (dx, dy) in ZS_OFFS.items()
+    )
+    b = {k: f"(CASE WHEN n{k}.x IS NOT NULL THEN 1 ELSE 0 END)"
+         for k in ZS_OFFS}
+    ring = [2, 3, 4, 5, 6, 7, 8, 9, 2]
+    a = " + ".join(
+        f"(CASE WHEN {b[ring[i]]} = 0 AND {b[ring[i + 1]]} = 1 "
+        f"THEN 1 ELSE 0 END)"
+        for i in range(8)
+    )
+    bsum = " + ".join(b.values())
+    if parity == 0:
+        pr = (f"({b[2]} * {b[4]} * {b[6]} = 0) "
+              f"AND ({b[4]} * {b[6]} * {b[8]} = 0)")
+    else:
+        pr = (f"({b[2]} * {b[4]} * {b[8]} = 0) "
+              f"AND ({b[2]} * {b[6]} * {b[8]} = 0)")
+    return (
+        f"{cur} AS MATERIALIZED (\n"
+        f"  SELECT p.x, p.y FROM {prev} p\n  {joins}\n"
+        f"  WHERE NOT ((({bsum}) BETWEEN 2 AND 6) AND (({a}) = 1) "
+        f"AND {pr}))"
+    )

@@ -668,3 +668,43 @@ def test_euler_quad_counts_topology(spark):
     qd = sum(r["qd"] for r in rows2)
     assert (q1 - q3 + 2 * qd) // 4 == 2      # 4-connectivity
     assert (q1 - q3 - 2 * qd) // 4 == 1      # 8-connectivity
+
+
+def test_zhang_suen_matches_dense_and_thins(spark):
+    from sis_spark.raster.terrain import ZS_OFFS, zhang_suen_tiles
+
+    rng = np.random.RandomState(31)
+    h, w = 48, 80
+    arr = np.zeros((h, w), np.uint8)
+    arr[10:16, 5:70] = 255          # a 6-px-thick bar
+    arr[25:40, 30:36] = 255         # a vertical bar
+    arr[rng.randint(0, h, 40), rng.randint(0, w, 40)] = 255  # specks
+    tiles, gg = _tiles_from(spark, arr)
+    rounds = 3
+    got = {(r["x"], r["y"]) for r in
+           zhang_suen_tiles(tiles, gg, threshold=128, rounds=rounds,
+                            tile_size=TS).collect()}
+
+    # dense replay
+    M = np.zeros((h, w), np.int64)
+    M[arr >= 128] = 1
+    for it in range(2 * rounds):
+        P = np.pad(M, 1)
+        n = {k: P[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+             for k, (dx, dy) in ZS_OFFS.items()}
+        B = sum(n.values())
+        ring = [n[k] for k in (2, 3, 4, 5, 6, 7, 8, 9, 2)]
+        A = sum(((ring[i] == 0) & (ring[i + 1] == 1)).astype(np.int64)
+                for i in range(8))
+        if it % 2 == 0:
+            pr = (n[2] * n[4] * n[6] == 0) & (n[4] * n[6] * n[8] == 0)
+        else:
+            pr = (n[2] * n[4] * n[8] == 0) & (n[2] * n[6] * n[8] == 0)
+        M = np.where((M == 1) & (B >= 2) & (B <= 6) & (A == 1) & pr, 0, M)
+    want = {(int(x), int(y)) for y, x in zip(*np.nonzero(M))}
+    assert got == want
+    # the 6-px-thick bar must have strictly thinned (edges peeled), and
+    # its interior spine must survive
+    bar_cols = {x: {y for (xx, y) in got if xx == x and 10 <= y < 16}
+                for x in range(20, 50)}
+    assert all(0 < len(ys) < 6 for ys in bar_cols.values())
