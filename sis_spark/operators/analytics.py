@@ -2163,3 +2163,113 @@ SELECT bucket, na_i, nb_i,
        CASE WHEN na_i > 0 AND nb_i > 0 THEN {psi_contrib_sql()}
             ELSE NULL END AS psi_q
 FROM t"""
+
+
+def jenks_dp(bins, weights, k):
+    """Exact DP for optimal 1-D class breaks over a weighted histogram
+    (the Fisher 1958 / Jenks 1967 natural-breaks family, public
+    literature) under the integer criterion cost(segment) = N*sum(x^2) -
+    (sum(x))^2 (the N^2-scaled within-class variance, so everything
+    stays int64).  Returns (costs, breaks): costs[c-1] = optimal total
+    for c classes (c = 1..k), breaks = for k classes the list of k upper
+    BIN VALUES (smallest-index argmin on ties).  O(k * m^2) over m
+    distinct bins — run on a COLLECTED histogram (<= 256 rows), never on
+    raw data."""
+    import numpy as np
+
+    b = np.asarray(bins, dtype=np.int64)
+    n = np.asarray(weights, dtype=np.int64)
+    order = np.argsort(b)
+    b, n = b[order], n[order]
+    m = len(b)
+    if not (1 <= k <= m):
+        raise ValueError("need 1 <= k <= number of distinct bins")
+    CN = np.concatenate([[0], np.cumsum(n)])
+    CX = np.concatenate([[0], np.cumsum(n * b)])
+    CXX = np.concatenate([[0], np.cumsum(n * b * b)])
+
+    def cost(i, j):  # bins i..j, 1-based inclusive
+        N = CN[j] - CN[i - 1]
+        sx = CX[j] - CX[i - 1]
+        sxx = CXX[j] - CXX[i - 1]
+        return int(N * sxx - sx * sx)
+
+    INF = 4 * 10 ** 17
+    D = np.full((k + 1, m + 1), INF, dtype=np.int64)
+    arg = np.zeros((k + 1, m + 1), dtype=np.int64)
+    for j in range(1, m + 1):
+        D[1][j] = cost(1, j)
+    for c in range(2, k + 1):
+        for j in range(c, m + 1):
+            best, bi = INF, -1
+            for i in range(c - 1, j):
+                v = D[c - 1][i] + cost(i + 1, j)
+                if v < best:
+                    best, bi = v, i
+            D[c][j] = best
+            arg[c][j] = bi
+    breaks = []
+    j = m
+    for c in range(k, 0, -1):
+        breaks.append(int(b[j - 1]))
+        j = int(arg[c][j])
+    breaks.reverse()
+    costs = [int(D[c][m]) for c in range(1, k + 1)]
+    return costs, breaks
+
+
+def jenks_costs(df: DataFrame, value_col: str, k: int) -> DataFrame:
+    """Distributed optimal-class-breaks costs: ONE map-side-combined
+    histogram collapses the input to <= #distinct-values rows (the
+    stretch/hist_eq plan-input pattern), the exact integer DP runs on
+    the collected histogram, and the (c, cost) table returns as a plan
+    literal.  Output: one row per class count c = 1..k."""
+    hist = (
+        df.groupBy(F.col(value_col).cast("long").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded by value cardinality: plan input
+    )
+    costs, _breaks = jenks_dp(
+        [r["b"] for r in hist], [r["n"] for r in hist], k
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(c + 1, costs[c]) for c in range(k)], "c long, cost long"
+    )
+
+
+def jenks_costs_sql(base_select: str, value_expr: str, k: int) -> str:
+    """DuckDB replay of ``jenks_costs``: the same DP as a recursive CTE
+    carrying the row D[c][1..m] as a LIST (the seam-cost pattern)."""
+    return f"""
+WITH RECURSIVE hist AS (
+  SELECT CAST({value_expr} AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS n
+  FROM ({base_select}) src GROUP BY 1),
+ord AS (SELECT b, n, row_number() OVER (ORDER BY b) AS rn FROM hist),
+cum AS (
+  SELECT list_prepend(CAST(0 AS BIGINT), list(cn ORDER BY rn)) AS CN,
+         list_prepend(CAST(0 AS BIGINT), list(cx ORDER BY rn)) AS CX,
+         list_prepend(CAST(0 AS BIGINT), list(cxx ORDER BY rn)) AS CXX,
+         max(rn) AS m
+  FROM (
+    SELECT rn,
+           CAST(sum(n) OVER w AS BIGINT) AS cn,
+           CAST(sum(n * b) OVER w AS BIGINT) AS cx,
+           CAST(sum(n * b * b) OVER w AS BIGINT) AS cxx
+    FROM ord WINDOW w AS (ORDER BY rn)) t),
+dp(c, row) AS (
+  SELECT 1, list_transform(range(1, m + 1), j ->
+           (CN[j + 1] - CN[1]) * (CXX[j + 1] - CXX[1])
+           - (CX[j + 1] - CX[1]) * (CX[j + 1] - CX[1]))
+  FROM cum
+  UNION ALL
+  SELECT c + 1, list_transform(range(1, m + 1), j ->
+           CASE WHEN j <= c THEN CAST(400000000000000000 AS BIGINT) ELSE
+             list_min(list_transform(range(c, j), i ->
+               row[i] + (CN[j + 1] - CN[i + 1]) * (CXX[j + 1] - CXX[i + 1])
+               - (CX[j + 1] - CX[i + 1]) * (CX[j + 1] - CX[i + 1])))
+           END)
+  FROM dp, cum WHERE c < {k})
+SELECT CAST(c AS BIGINT) AS c,
+       CAST(row[(SELECT m FROM cum) + 0] AS BIGINT) AS cost
+FROM dp ORDER BY c"""

@@ -13257,6 +13257,32 @@ def q_dft_oracle():
     )
 
 
+def q_jenks(spark, sf_dir):
+    """Optimal 1-D class breaks (analytics.jenks_costs, k = 5, the
+    Fisher/Jenks natural-breaks family) over the events' quantized
+    longitude byte: exact integer DP on a collected <= 256-bin
+    histogram; the oracle replays the DP as a recursive CTE carrying the
+    D row as a LIST.  Output: optimal cost per class count 1..5."""
+    from .operators.analytics import jenks_costs
+
+    ev = _events_points(spark, sf_dir)
+    vals = ev.select(
+        (F.floor((F.col("lon") + 180.0) * 100).cast("long") % 256)
+        .alias("v")
+    )
+    return jenks_costs(vals, "v", k=5).orderBy("c")
+
+
+def q_jenks_oracle():
+    from .operators.analytics import jenks_costs_sql
+
+    base = (
+        f"SELECT CAST(floor((({synth.point_lon_sql('event_id')}) + 180.0)"
+        " * 100) AS BIGINT) % 256 AS v FROM events"
+    )
+    return jenks_costs_sql(base, "v", k=5)
+
+
 def q_ordinal(spark, sf_dir):
     """Order-3 ordinal-pattern histogram (timeseries.ordinal_patterns)
     per user: consecutive value triples in event order map to the
@@ -13974,4 +14000,5 @@ QUERIES = {
     "canny": (q_canny, q_canny_oracle),
     "euler": (q_euler, q_euler_oracle),
     "skeleton": (q_skeleton, q_skeleton_oracle),
+    "jenks": (q_jenks, q_jenks_oracle),
 }

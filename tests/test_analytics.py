@@ -765,3 +765,45 @@ def test_t_closeness_matches_brute(spark):
         # the derived t in [0, 1]
         t = got[g][1] / (n_g * n * (len(vals) - 1))
         assert 0.0 <= t <= 1.0
+
+
+def test_jenks_dp_brute_and_distributed(spark):
+    from itertools import combinations
+
+    from sis_spark.operators.analytics import jenks_costs, jenks_dp
+
+    # small weighted histogram: brute-force all partitions
+    bins = [1, 4, 5, 9, 12, 20]
+    wts = [3, 1, 2, 5, 1, 4]
+    import numpy as np
+    b = np.array(bins, dtype=np.int64)
+    n = np.array(wts, dtype=np.int64)
+
+    def seg_cost(i, j):  # inclusive index range into bins
+        N = int(n[i:j + 1].sum())
+        sx = int((n[i:j + 1] * b[i:j + 1]).sum())
+        sxx = int((n[i:j + 1] * b[i:j + 1] ** 2).sum())
+        return N * sxx - sx * sx
+
+    m = len(bins)
+    for k in (1, 2, 3, 4):
+        best = None
+        for cuts in combinations(range(1, m), k - 1):
+            edges = [0, *cuts, m]
+            tot = sum(seg_cost(edges[s], edges[s + 1] - 1)
+                      for s in range(k))
+            if best is None or tot < best:
+                best = tot
+        costs, breaks = jenks_dp(bins, wts, k)
+        assert costs[k - 1] == best
+        assert len(breaks) == k and breaks[-1] == bins[-1]
+        assert breaks == sorted(breaks)
+
+    # distributed entry point: explode the histogram into rows
+    rows = [(v,) for v, w in zip(bins, wts) for _ in range(w)]
+    df = spark.createDataFrame(rows, "v long")
+    got = {r["c"]: r["cost"] for r in jenks_costs(df, "v", 4).collect()}
+    costs, _ = jenks_dp(bins, wts, 4)
+    assert got == {c + 1: costs[c] for c in range(4)}
+    # monotone: more classes never cost more
+    assert all(got[c + 1] <= got[c] for c in range(1, 4))
