@@ -33,6 +33,8 @@ operator is the exact, oracle-checkable contract.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -203,3 +205,108 @@ LEFT JOIN allc p
   ON p.d = c.d - 1 AND p.ix = c.ix // 2 AND p.iy = c.iy // 2
 WHERE (p.cnt IS NULL OR p.cnt > {int(cap)})
   AND (c.cnt <= {int(cap)} OR c.d = {int(d_max)})"""
+
+
+def morton_ranges(
+    spark,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+    res: int,
+) -> "DataFrame":
+    """Envelope -> merged Z-order (Morton) cell-id scan ranges: the
+    planning primitive that turns a bbox predicate into range scans over
+    a Z-ordered table/index (the reason spatially bucketed layouts sort
+    by the cells.py Morton key).  Emits (lo, hi, n_cells) with
+    lo..hi CONSECUTIVE cell ids at ``res`` — the classic BIGMIN-style
+    range decomposition, produced here by generate-cells + islands
+    merge rather than prefix recursion.
+
+    Exactness: cell ids come from the shared floor+clamp grid mapping
+    (functions/cells.py); the islands trick (cell - row_number is
+    constant within a run of consecutive ids) is pure integer.
+
+    Scale shape: the cell grid generates DISTRIBUTED (one task per iy
+    row, ix span vectorized per task); the final islands window is a
+    single global sort over the COVERING-CELL table — bounded by the
+    envelope's cell count (plan-time metadata, not data), fine to ~1e7
+    cells; beyond that, decompose per quadtree prefix first."""
+    from pyspark.sql import Window
+
+    from ..functions.cells import ixiy_to_cell, lonlat_to_ixiy
+
+    n = 1 << int(res)
+    ix0, iy0 = lonlat_to_ixiy(
+        np.asarray([xmin]), np.asarray([ymin]), res)
+    ix1 = int(max(0, min(np.floor((np.float64(xmax) + 180.0) / 360.0 * n),
+                         n - 1)))
+    iy1 = int(max(0, min(np.floor((np.float64(ymax) + 90.0) / 180.0 * n),
+                         n - 1)))
+    ix0, iy0 = int(ix0[0]), int(iy0[0])
+    rows = spark.range(iy0, iy1 + 1)
+
+    def gen(batches):
+        gx = np.arange(ix0, ix1 + 1, dtype=np.uint64)
+        for pdf in batches:
+            out = []
+            for iy in pdf["id"]:
+                cells = ixiy_to_cell(
+                    gx, np.full(len(gx), int(iy), dtype=np.uint64), res)
+                out.append(pd.DataFrame({"cell": cells}))
+            if out:
+                yield pd.concat(out)
+
+    cells = rows.mapInPandas(gen, schema="cell long")
+    w = Window.orderBy("cell")
+    runs = cells.select(
+        "cell", (F.col("cell") - F.row_number().over(w)).alias("run")
+    )
+    return (
+        runs.groupBy("run")
+        .agg(
+            F.min("cell").alias("lo"),
+            F.max("cell").alias("hi"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .select("lo", "hi", "n_cells")
+    )
+
+
+def morton_ranges_sql(
+    xmin: float, ymin: float, xmax: float, ymax: float, res: int
+) -> str:
+    """DuckDB replay of ``morton_ranges``: same floor+clamp index bounds
+    (exponent-marked literals), an explicit bit-interleave, and the same
+    islands merge."""
+    n = 1 << int(res)
+
+    def lit(v):
+        # exponent-marked so DuckDB parses DOUBLE, never DECIMAL
+        r = repr(float(v))
+        return r if "e" in r or "inf" in r else r + "e0"
+
+    ix0 = (f"CAST(LEAST(GREATEST(floor((({lit(xmin)}) + 180.0) / 360.0 "
+           f"* {n}.0), 0.0), {n - 1}.0) AS BIGINT)")
+    ix1 = (f"CAST(LEAST(GREATEST(floor((({lit(xmax)}) + 180.0) / 360.0 "
+           f"* {n}.0), 0.0), {n - 1}.0) AS BIGINT)")
+    iy0 = (f"CAST(LEAST(GREATEST(floor((({lit(ymin)}) + 90.0) / 180.0 "
+           f"* {n}.0), 0.0), {n - 1}.0) AS BIGINT)")
+    iy1 = (f"CAST(LEAST(GREATEST(floor((({lit(ymax)}) + 90.0) / 180.0 "
+           f"* {n}.0), 0.0), {n - 1}.0) AS BIGINT)")
+    terms = [str(1 << (2 * res))]
+    for i in range(res):
+        terms.append(f"(((gx.i >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((gy.i >> {i}) & 1) << {2 * i})")
+    inter = " + ".join(terms)
+    return f"""
+WITH cells AS (
+  SELECT {inter} AS cell
+  FROM generate_series(({ix0}), ({ix1})) gx(i),
+       generate_series(({iy0}), ({iy1})) gy(i)),
+runs AS (
+  SELECT cell, cell - row_number() OVER (ORDER BY cell) AS run
+  FROM cells)
+SELECT CAST(min(cell) AS BIGINT) AS lo, CAST(max(cell) AS BIGINT) AS hi,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM runs GROUP BY run"""

@@ -13257,6 +13257,31 @@ def q_dft_oracle():
     )
 
 
+_MR_BOX = (-47.3, 12.1, 33.9, 55.2)
+_MR_RES = 9
+
+
+def q_morton_ranges(spark, sf_dir):
+    """Z-order scan-range decomposition (partitioning.morton_ranges,
+    res 9): envelope -> merged runs of consecutive Morton cell ids —
+    the planner step that turns a bbox into index range scans over a
+    Z-ordered layout.  Distributed cell generation + the integer
+    islands merge (cell - row_number)."""
+    from .operators.partitioning import morton_ranges
+
+    return morton_ranges(spark, *_MR_BOX, res=_MR_RES).orderBy("lo")
+
+
+def q_morton_ranges_oracle():
+    from .operators.partitioning import morton_ranges_sql
+
+    return (
+        "SELECT * FROM ("
+        + morton_ranges_sql(*_MR_BOX, res=_MR_RES)
+        + ") ORDER BY lo"
+    )
+
+
 def q_jenks(spark, sf_dir):
     """Optimal 1-D class breaks (analytics.jenks_costs, k = 5, the
     Fisher/Jenks natural-breaks family) over the events' quantized
@@ -14001,4 +14026,5 @@ QUERIES = {
     "euler": (q_euler, q_euler_oracle),
     "skeleton": (q_skeleton, q_skeleton_oracle),
     "jenks": (q_jenks, q_jenks_oracle),
+    "morton_ranges": (q_morton_ranges, q_morton_ranges_oracle),
 }

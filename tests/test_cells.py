@@ -150,3 +150,27 @@ def test_spacetime_join_matches_brute(spark):
         and abs(x[5] - y[5]) <= tau
     )
     assert got == want and len(got) > 0
+
+
+def test_morton_ranges_cover_exactly(spark):
+    import numpy as np
+
+    from sis_spark.functions.cells import covering_cells
+    from sis_spark.operators.partitioning import morton_ranges
+
+    box = (-10.0, -5.0, 21.5, 17.25)
+    res = 6
+    rows = morton_ranges(spark, *box, res=res).collect()
+    want = np.sort(covering_cells(*box, res))
+    # ranges are disjoint, sorted, and their union is exactly the cover
+    got = []
+    prev_hi = None
+    for r in sorted(rows, key=lambda r: r["lo"]):
+        assert r["hi"] - r["lo"] + 1 == r["n_cells"]
+        if prev_hi is not None:
+            assert r["lo"] > prev_hi + 1   # merged: no touching ranges
+        prev_hi = r["hi"]
+        got.extend(range(r["lo"], r["hi"] + 1))
+    assert got == want.tolist()
+    # every range is consecutive by construction; fewer ranges than cells
+    assert len(rows) < len(want)
