@@ -10876,6 +10876,199 @@ def _texture_tiles(spark, w: int, h: int, tile_size: int = 64):
     return ids.mapInPandas(fill, TILE_SCHEMA)
 
 
+def _texture_tiles_multi(spark, w: int, h: int, shifts, tile_size: int = 64):
+    """Multi-band twin of ``_texture_tiles``: band b samples the texture
+    formula at (x + shifts[b][0], y + shifts[b][1])."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.tiles import TILE_SCHEMA
+
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    ids = spark.range(ntx * nty).repartition(
+        min(ntx * nty, spark.sparkContext.defaultParallelism)
+    )
+    shifts = [tuple(s) for s in shifts]
+
+    def fill(batches):
+        gxs = _np.arange(tile_size, dtype=_np.int64)
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                t = int(i)
+                tx, ty = t % ntx, t // ntx
+                GX, GY = _np.meshgrid(tx * tile_size + gxs,
+                                      ty * tile_size + gxs)
+                for b, (sx, sy) in enumerate(shifts):
+                    X, Y = GX + sx, GY + sy
+                    block = (3 * X * X + 7 * X * Y + 5 * Y * Y
+                             + 11 * X + 13 * Y) % 256
+                    block = _np.where((GX < w) & (GY < h), block, 0).astype(
+                        _np.uint8
+                    )
+                    rows.append({"tx": tx, "ty": ty, "band": b,
+                                 "data": block.tobytes()})
+            yield _pd.DataFrame(rows)
+
+    return ids.mapInPandas(fill, TILE_SCHEMA)
+
+
+def q_laplacian(spark, sf_dir):
+    """Level-1 Laplacian-pyramid detail energy (tiles.
+    laplacian_energy_tiles): L = tile - nearest-upsample(stride-2
+    decimation), exact int64 (sum|L|, sum L^2) per tile — tile-local,
+    no halo."""
+    from .raster.grid import GridGeometry
+    from .raster.tiles import laplacian_energy_tiles
+
+    W, H = 448, 256
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _texture_tiles(spark, W, H)
+    return laplacian_energy_tiles(tiles, gg).orderBy("tx", "ty")
+
+
+def q_laplacian_oracle():
+    W, H, T = 448, 256, 64
+    v = _texture_v_sql("gx.x", "gy.y")
+    u = _texture_v_sql("2 * (gx.x // 2)", "2 * (gy.y // 2)")
+    return f"""
+WITH px AS (
+  SELECT gx.x // {T} AS tx, gy.y // {T} AS ty,
+         ({v}) - ({u}) AS l
+  FROM generate_series(0, {W - 1}) gx(x), generate_series(0, {H - 1}) gy(y))
+SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+       CAST(sum(abs(l)) AS BIGINT) AS sum_abs,
+       CAST(sum(l * l) AS BIGINT) AS sum_sq,
+       CAST(count(*) AS BIGINT) AS n
+FROM px GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+def q_brovey(spark, sf_dir):
+    """Brovey pansharpening (tiles.brovey_tiles): out_b = pan * m_b * 3
+    // max(r+g+b, 1) clamped 255 — exact integer ratio transform fused
+    tile-locally by cogroup; gate output is the per-(tile, band)
+    (count, sum) of the sharpened planes."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.tiles import brovey_tiles
+
+    W, H = 448, 256
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    ms = _texture_tiles_multi(spark, W, H, [(0, 0), (17, 0), (34, 0)])
+    pan = _texture_tiles_multi(spark, W, H, [(0, 31)])
+    out = brovey_tiles(ms, pan, gg)
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, b, data in zip(pdf["tx"], pdf["ty"],
+                                       pdf["band"], pdf["data"]):
+                blk = _np.frombuffer(data, _np.uint8).astype(_np.int64)
+                rows.append({"tx": int(tx), "ty": int(ty), "band": int(b),
+                             "n": int(blk.size), "s": int(blk.sum())})
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return out.mapInPandas(
+        stats, schema="tx long, ty long, band long, n long, s long"
+    ).orderBy("tx", "ty", "band")
+
+
+def q_brovey_oracle():
+    W, H, T = 448, 256, 64
+    v = _texture_v_sql
+    r, g, b = (v(f"gx.x + {s}", "gy.y") for s in (0, 17, 34))
+    p = v("gx.x", "gy.y + 31")
+    return f"""
+WITH px AS MATERIALIZED (
+  SELECT gx.x // {T} AS tx, gy.y // {T} AS ty,
+         ({r}) AS r, ({g}) AS g, ({b}) AS b, ({p}) AS p
+  FROM generate_series(0, {W - 1}) gx(x), generate_series(0, {H - 1}) gy(y)),
+m AS (
+  SELECT tx, ty, band,
+         least(p * mb * 3 // greatest(r + g + b, 1), 255) AS o
+  FROM px, (VALUES (0), (1), (2)) bb(band),
+       LATERAL (SELECT CASE band WHEN 0 THEN r WHEN 1 THEN g ELSE b END
+                AS mb) s)
+SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+       CAST(band AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(o) AS BIGINT) AS s
+FROM m GROUP BY 1, 2, 3 ORDER BY tx, ty, band"""
+
+
+def q_demosaic(spark, sf_dir):
+    """Bilinear RGGB demosaic (terrain.demosaic_tiles, x4-scaled integer
+    spec): per-(tile) sums of the reconstructed R/G/B planes over
+    interior pixels — 1-px halo, no division anywhere."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.terrain import demosaic_tiles
+
+    W, H = 448, 256
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _texture_tiles(spark, W, H)
+    out = demosaic_tiles(tiles, gg)
+
+    def stats(batches):
+        for pdf in batches:
+            acc = {}
+            for tx, ty, b, data in zip(pdf["tx"], pdf["ty"],
+                                       pdf["band"], pdf["data"]):
+                blk = _np.frombuffer(data, "<u2").astype(_np.int64)
+                acc.setdefault((int(tx), int(ty)), {})[int(b)] = int(
+                    blk.sum())
+            rows = [
+                {"tx": k[0], "ty": k[1], "sr": v.get(0, 0),
+                 "sg": v.get(1, 0), "sb": v.get(2, 0)}
+                for k, v in acc.items()
+            ]
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return out.mapInPandas(
+        stats, schema="tx long, ty long, sr long, sg long, sb long"
+    ).orderBy("tx", "ty")
+
+
+def q_demosaic_oracle():
+    W, H, T = 448, 256, 64
+    v = _texture_v_sql
+    m = v("gx.x", "gy.y")
+    edges = " + ".join(v(f"gx.x + {dx}", f"gy.y + {dy}")
+                       for dx, dy in ((0, -1), (0, 1), (-1, 0), (1, 0)))
+    diags = " + ".join(v(f"gx.x + {dx}", f"gy.y + {dy}")
+                       for dx, dy in ((-1, -1), (-1, 1), (1, -1), (1, 1)))
+    ns = " + ".join(v("gx.x", f"gy.y + {dy}") for dy in (-1, 1))
+    ew = " + ".join(v(f"gx.x + {dx}", "gy.y") for dx in (-1, 1))
+    return f"""
+WITH px AS (
+  SELECT gx.x // {T} AS tx, gy.y // {T} AS ty,
+         gx.x % 2 = 0 AS ex, gy.y % 2 = 0 AS ey,
+         ({m}) AS m, ({edges}) AS edges, ({diags}) AS diags,
+         ({ns}) AS ns, ({ew}) AS ew
+  FROM generate_series(1, {W - 2}) gx(x), generate_series(1, {H - 2}) gy(y))
+SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+       CAST(sum(CASE WHEN ex AND ey THEN 4 * m
+                     WHEN NOT ex AND ey THEN 2 * ew
+                     WHEN ex AND NOT ey THEN 2 * ns
+                     ELSE diags END) AS BIGINT) AS sr,
+       CAST(sum(CASE WHEN ex = ey THEN edges ELSE 4 * m END) AS BIGINT)
+         AS sg,
+       CAST(sum(CASE WHEN NOT ex AND NOT ey THEN 4 * m
+                     WHEN ex AND NOT ey THEN 2 * ew
+                     WHEN NOT ex AND ey THEN 2 * ns
+                     ELSE diags END) AS BIGINT) AS sb
+FROM px GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
 def q_lbp(spark, sf_dir):
     """Local Binary Pattern texture histogram (terrain.lbp_tiles): 8-bit
     neighbor-comparison codes per interior pixel, per-tile (code, cnt)
@@ -14027,4 +14220,7 @@ QUERIES = {
     "skeleton": (q_skeleton, q_skeleton_oracle),
     "jenks": (q_jenks, q_jenks_oracle),
     "morton_ranges": (q_morton_ranges, q_morton_ranges_oracle),
+    "laplacian": (q_laplacian, q_laplacian_oracle),
+    "brovey": (q_brovey, q_brovey_oracle),
+    "demosaic": (q_demosaic, q_demosaic_oracle),
 }

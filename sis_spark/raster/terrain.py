@@ -2267,3 +2267,86 @@ def zhang_suen_round_sql(prev: str, cur: str, parity: int) -> str:
         f"  WHERE NOT ((({bsum}) BETWEEN 2 AND 6) AND (({a}) = 1) "
         f"AND {pr}))"
     )
+
+
+def demosaic_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Bilinear demosaic of an RGGB Bayer mosaic (the standard camera
+    pipeline interpolation, public literature) under an exact x4-scaled
+    integer spec -> per-pixel (r4, g4, b4) emitted as bands 0/1/2 (each
+    value is 4x the bilinear estimate, so no division anywhere):
+
+      R site (even x, even y): r4 = 4m; g4 = N+S+E+W; b4 = 4 diagonals
+      G site in an R row:      r4 = 2(E+W); g4 = 4m; b4 = 2(N+S)
+      G site in a B row:       r4 = 2(N+S); g4 = 4m; b4 = 2(E+W)
+      B site (odd x, odd y):   b4 = 4m; g4 = N+S+E+W; r4 = 4 diagonals
+
+    Border pixels (any 8-neighbor off-raster or on a missing tile) emit
+    0 in all three planes — interior-only semantics shared with the
+    oracle.  One 1-px halo gather; output values <= 1020 ship as uint16
+    little-endian bytes."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ts = tile_size
+    ntx = (w + ts - 1) // ts
+    nty = (h + ts - 1) // ts
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+
+    def fn(key, pdf):
+        gtx, gty = int(key[0]), int(key[1])
+        halo = np.full((ts + 2, ts + 2), np.nan)
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = (
+                np.frombuffer(data, dtype=bdt)
+                .reshape(ts, ts).astype(np.float64)
+            )
+            oy = (int(ty) - gty) * ts + 1
+            ox = (int(tx) - gtx) * ts + 1
+            y0, x0 = max(oy, 0), max(ox, 0)
+            y1, x1 = min(oy + ts, ts + 2), min(ox + ts, ts + 2)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            halo[y0:y1, x0:x1] = block[y0 - oy:y1 - oy, x0 - ox:x1 - ox]
+
+        def nb(dy, dx):
+            return halo[1 + dy:1 + dy + ts, 1 + dx:1 + dx + ts]
+
+        m = nb(0, 0)
+        edges = nb(-1, 0) + nb(1, 0) + nb(0, -1) + nb(0, 1)
+        diags = nb(-1, -1) + nb(-1, 1) + nb(1, -1) + nb(1, 1)
+        ns = nb(-1, 0) + nb(1, 0)
+        ew = nb(0, -1) + nb(0, 1)
+        gx = gtx * ts + np.arange(ts)
+        gy = gty * ts + np.arange(ts)
+        ex = (gx % 2 == 0)[None, :]
+        ey = (gy % 2 == 0)[:, None]
+        r4 = np.where(ex & ey, 4 * m,
+                      np.where(~ex & ey, 2 * ew,
+                               np.where(ex & ~ey, 2 * ns, diags)))
+        b4 = np.where(~ex & ~ey, 4 * m,
+                      np.where(ex & ~ey, 2 * ew,
+                               np.where(~ex & ey, 2 * ns, diags)))
+        g4 = np.where(ex == ey, edges, 4 * m)   # broadcast XNOR of parities
+        valid = np.isfinite(m + edges + diags)
+        interior = (
+            (gx[None, :] >= 1) & (gx[None, :] <= w - 2)
+            & (gy[:, None] >= 1) & (gy[:, None] <= h - 2)
+        )
+        ok = valid & interior
+        rows = []
+        for bidx, plane in ((0, r4), (1, g4), (2, b4)):
+            out = np.where(ok, plane, 0).astype("<u2")
+            rows.append({"tx": gtx, "ty": gty, "band": bidx,
+                         "data": out.tobytes()})
+        return pd.DataFrame(rows)
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(
+        fn, schema="tx long, ty long, band int, data binary"
+    )

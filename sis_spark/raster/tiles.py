@@ -1600,3 +1600,83 @@ def haar_energy_tiles(tiles_df: DataFrame, gg: GridGeometry, band: int = 0,
     return tiles_df.filter(F.col("band") == band).mapInPandas(
         fn, schema="tx long, ty long, e_ll long, e_hl long, "
                    "e_lh long, e_hh long")
+
+
+def laplacian_energy_tiles(tiles_df: DataFrame, gg: GridGeometry,
+                           band: int = 0, tile_size: int = 64,
+                           dtype=np.uint8) -> DataFrame:
+    """Per-tile level-1 Laplacian-pyramid detail energy: L = tile -
+    nearest-upsample(stride-2 decimation) (the bit-exact decimation of
+    ``overview_level``), emitted as exact int64 (sum|L|, sum L^2, n) —
+    the blur/detail score an image-curation pipeline filters on.
+    Tile-local (2 | tile_size): no halo, no shuffle beyond the scan."""
+    bdt = np.dtype(dtype)
+    w, h = gg.width, gg.height
+    ts = tile_size
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+                blk = np.frombuffer(data, dtype=bdt).reshape(
+                    ts, ts).astype(np.int64)
+                vh = min(ts, h - int(ty) * ts)
+                vw = min(ts, w - int(tx) * ts)
+                if vh <= 0 or vw <= 0:
+                    continue
+                blk = blk[:vh, :vw]
+                dec = blk[0::2, 0::2]
+                up = np.repeat(np.repeat(dec, 2, 0), 2, 1)[:vh, :vw]
+                L = blk - up
+                rows.append({
+                    "tx": tx, "ty": ty,
+                    "sum_abs": int(np.abs(L).sum()),
+                    "sum_sq": int((L * L).sum()),
+                    "n": int(L.size),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return tiles_df.filter(F.col("band") == band).mapInPandas(
+        fn, schema="tx long, ty long, sum_abs long, sum_sq long, n long")
+
+
+def brovey_tiles(ms_df: DataFrame, pan_df: DataFrame, gg: GridGeometry,
+                 bands: tuple = (0, 1, 2), tile_size: int = 64,
+                 dtype=np.uint8) -> DataFrame:
+    """Brovey pansharpening (the classic ratio transform, public remote-
+    sensing literature) under an exact integer spec: out_b = pan * m_b *
+    len(bands) // max(sum_b m_b, 1), clamped to 255.  The multispectral
+    tile set carries one row per band; the pan set one row — joined by
+    cogroup on (tx, ty), so the fusion is tile-local (no halo)."""
+    bdt = np.dtype(dtype)
+    ts = tile_size
+    nb = len(bands)
+
+    def fn(key, ms_pdf, pan_pdf):
+        empty = pd.DataFrame({"tx": [], "ty": [], "band": [], "data": []})
+        if not len(pan_pdf):
+            return empty
+        tx, ty = int(key[0]), int(key[1])
+        planes = {}
+        for b, data in zip(ms_pdf["band"], ms_pdf["data"]):
+            planes[int(b)] = np.frombuffer(data, dtype=bdt).reshape(
+                ts, ts).astype(np.int64)
+        if any(b not in planes for b in bands):
+            return empty
+        pan = np.frombuffer(pan_pdf["data"].iloc[0], dtype=bdt).reshape(
+            ts, ts).astype(np.int64)
+        tot = np.maximum(sum(planes[b] for b in bands), 1)
+        rows = []
+        for b in bands:
+            out = np.minimum(pan * planes[b] * nb // tot, 255)
+            rows.append({"tx": tx, "ty": ty, "band": int(b),
+                         "data": out.astype(bdt).tobytes()})
+        return pd.DataFrame(rows)
+
+    return (
+        ms_df.filter(F.col("band").isin(list(bands)))
+        .groupBy("tx", "ty")
+        .cogroup(pan_df.groupBy("tx", "ty"))
+        .applyInPandas(fn, schema=TILE_SCHEMA)
+    )

@@ -231,3 +231,106 @@ def test_haar_energy_matches_dense(spark):
     # Parseval-ish sanity: 4 * sum(x^2 over 2x2) == sum of the 4 band sq
     tot = sum(r["e_ll"] + r["e_hl"] + r["e_lh"] + r["e_hh"] for r in rows)
     assert tot == 4 * int((a * a).sum())
+
+
+def test_laplacian_energy_matches_dense(spark):
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.tiles import laplacian_energy_tiles
+
+    rng = np.random.default_rng(23)
+    h, w, ts = 64, 96, 32
+    arr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    gg = GridGeometry((0, 0, w - 1, h - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(h)))
+    rows = laplacian_energy_tiles(_tiles_df(spark, arr, ts), gg,
+                                  tile_size=ts).collect()
+    a = arr.astype(np.int64)
+    up = np.repeat(np.repeat(a[0::2, 0::2], 2, 0), 2, 1)
+    L = a - up
+    for r in rows:
+        sy, sx = r["ty"] * ts, r["tx"] * ts
+        blk = L[sy:sy + ts, sx:sx + ts]
+        assert r["sum_abs"] == int(np.abs(blk).sum())
+        assert r["sum_sq"] == int((blk * blk).sum())
+    # a constant image has zero detail energy
+    flat = np.full((32, 32), 77, np.uint8)
+    gg2 = GridGeometry((0, 0, 31, 31), (1.0, 0.0, 0.0, 0.0, -1.0, 32.0))
+    (r2,) = laplacian_energy_tiles(_tiles_df(spark, flat, 32), gg2,
+                                   tile_size=32).collect()
+    assert r2["sum_abs"] == 0 and r2["sum_sq"] == 0
+
+
+def test_brovey_matches_dense(spark):
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.tiles import brovey_tiles
+
+    rng = np.random.default_rng(29)
+    h, w, ts = 32, 64, 32
+    bands = [rng.integers(0, 256, (h, w)).astype(np.uint8)
+             for _ in range(3)]
+    pan = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    rows = []
+    for ty in range(h // ts):
+        for tx in range(w // ts):
+            for b in range(3):
+                rows.append((tx, ty, b,
+                             bands[b][ty * ts:(ty + 1) * ts,
+                                      tx * ts:(tx + 1) * ts].tobytes()))
+    ms = spark.createDataFrame(rows, "tx long, ty long, band int, data binary")
+    ptiles = spark.createDataFrame(
+        [(tx, ty, 0, pan[ty * ts:(ty + 1) * ts,
+                         tx * ts:(tx + 1) * ts].tobytes())
+         for ty in range(h // ts) for tx in range(w // ts)],
+        "tx long, ty long, band int, data binary")
+    gg = GridGeometry((0, 0, w - 1, h - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(h)))
+    out = brovey_tiles(ms, ptiles, gg, tile_size=ts).collect()
+    tot = np.maximum(sum(b.astype(np.int64) for b in bands), 1)
+    for r in out:
+        sy, sx = r["ty"] * ts, r["tx"] * ts
+        want = np.minimum(
+            pan[sy:sy + ts, sx:sx + ts].astype(np.int64)
+            * bands[r["band"]][sy:sy + ts, sx:sx + ts] * 3
+            // tot[sy:sy + ts, sx:sx + ts], 255)
+        got = np.frombuffer(bytes(r["data"]), np.uint8).reshape(ts, ts)
+        assert (got == want).all()
+
+
+def test_demosaic_matches_dense(spark):
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.terrain import demosaic_tiles
+
+    rng = np.random.default_rng(31)
+    h, w, ts = 48, 64, 16
+    arr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    gg = GridGeometry((0, 0, w - 1, h - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(h)))
+    rows = demosaic_tiles(_tiles_df(spark, arr, ts), gg,
+                          tile_size=ts).collect()
+    planes = {b: np.zeros((h, w), np.int64) for b in range(3)}
+    for r in rows:
+        blk = np.frombuffer(bytes(r["data"]), "<u2").reshape(ts, ts)
+        planes[r["band"]][r["ty"] * ts:(r["ty"] + 1) * ts,
+                          r["tx"] * ts:(r["tx"] + 1) * ts] = blk
+    a = arr.astype(np.int64)
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            m = a[y, x]
+            edges = a[y - 1, x] + a[y + 1, x] + a[y, x - 1] + a[y, x + 1]
+            diags = (a[y - 1, x - 1] + a[y - 1, x + 1]
+                     + a[y + 1, x - 1] + a[y + 1, x + 1])
+            ns = a[y - 1, x] + a[y + 1, x]
+            ew = a[y, x - 1] + a[y, x + 1]
+            ex, ey = x % 2 == 0, y % 2 == 0
+            if ex and ey:
+                want = (4 * m, edges, diags)
+            elif not ex and ey:
+                want = (2 * ew, 4 * m, 2 * ns)
+            elif ex and not ey:
+                want = (2 * ns, 4 * m, 2 * ew)
+            else:
+                want = (diags, edges, 4 * m)
+            got = (planes[0][y, x], planes[1][y, x], planes[2][y, x])
+            assert got == want, (x, y, got, want)
+    # border pixels are zeroed
+    assert planes[0][0, :].sum() == 0 and planes[2][:, -1].sum() == 0
