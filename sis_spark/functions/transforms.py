@@ -185,3 +185,60 @@ def quadkey_to_tile(qk: str) -> tuple[int, int, int]:
         tx = (tx << 1) | (d & 1)
         ty = (ty << 1) | (d >> 1)
     return tx, ty, len(qk)
+
+
+# ------------------------------------------------------- datum shift
+
+def helmert_cols(x, y, z, params: dict):
+    """7-parameter Helmert datum shift (position-vector convention, the
+    EPSG 9606 family the reference applies between datums,
+    R/referencing/datum/BursaWolfParameters.java) as EXACT scaled
+    integers: inputs are geocentric coordinates in MICROMETERS (int64),
+    parameters are tx/ty/tz in micrometers, rx/ry/rz in MICRORADIAN
+    (small-angle), ds in parts-per-million, and the output is the
+    transformed coordinate scaled by 10^6 (i.e. micrometer * 1e6):
+
+      X'_e6 = (1e6 + ds) * X - rz * Y + ry * Z + tx * 1e6
+      Y'_e6 =  rz * X + (1e6 + ds) * Y - rx * Z + ty * 1e6
+      Z'_e6 = -ry * X + rx * Y + (1e6 + ds) * Z + tz * 1e6
+
+    Keeping the 1e6 scale in the OUTPUT avoids any division, so Spark
+    and the oracle agree bit-for-bit (downstream consumers divide once
+    at the end).  Earth-sized magnitudes: |X| ~ 6.4e12 um * 1e6 = 6.4e18
+    would overflow — so callers pass MILLIMETER-scaled ints for
+    earth-sized frames (|X| ~ 6.4e9, * 1e6 = 6.4e15, safe)."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    tx, ty, tz = (int(params[k]) for k in ("tx", "ty", "tz"))
+    rx, ry, rz = (int(params[k]) for k in ("rx", "ry", "rz"))
+    ds = int(params["ds"])
+    m = 1_000_000 + ds
+    return (
+        (F.lit(m) * x - F.lit(rz) * y + F.lit(ry) * z
+         + F.lit(tx * 1_000_000)).alias("xs"),
+        (F.lit(rz) * x + F.lit(m) * y - F.lit(rx) * z
+         + F.lit(ty * 1_000_000)).alias("ys"),
+        (-F.lit(ry) * x + F.lit(rx) * y + F.lit(m) * z
+         + F.lit(tz * 1_000_000)).alias("zs"),
+    )
+
+
+def helmert_sql(x: str, y: str, z: str, params: dict) -> str:
+    """DuckDB twin of ``helmert_cols`` — returns the three select
+    expressions as SQL text (aliases xs, ys, zs)."""
+    tx, ty, tz = (int(params[k]) for k in ("tx", "ty", "tz"))
+    rx, ry, rz = (int(params[k]) for k in ("rx", "ry", "rz"))
+    ds = int(params["ds"])
+    m = 1_000_000 + ds
+    # parenthesize every parameter: a negative value after '-' would
+    # otherwise emit '--' (a SQL comment)
+    # translations pre-multiplied in Python: a bare int literal is INT32
+    # in DuckDB and (t * 1000000) would overflow before widening
+    return (
+        f"CAST({m} * ({x}) - ({rz}) * ({y}) + ({ry}) * ({z}) "
+        f"+ ({tx * 1_000_000}) AS BIGINT) AS xs, "
+        f"CAST(({rz}) * ({x}) + {m} * ({y}) - ({rx}) * ({z}) "
+        f"+ ({ty * 1_000_000}) AS BIGINT) AS ys, "
+        f"CAST(-(({ry})) * ({x}) + ({rx}) * ({y}) + {m} * ({z}) "
+        f"+ ({tz * 1_000_000}) AS BIGINT) AS zs"
+    )

@@ -13475,6 +13475,44 @@ def q_morton_ranges_oracle():
     )
 
 
+_HELMERT = {"tx": 1234, "ty": -2345, "tz": 3456,
+            "rx": 12, "ry": -34, "rz": 55, "ds": 3}
+
+
+def q_helmert(spark, sf_dir):
+    """7-parameter Helmert datum shift (transforms.helmert_cols,
+    position-vector EPSG 9606 family) over synthetic millimeter-scaled
+    geocentric coordinates: pure scaled-integer linear transform, no
+    division — the datum-change step of any cross-CRS pipeline,
+    bit-exact in both engines."""
+    from .functions.transforms import helmert_cols
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    pts = ev.select(
+        "event_id",
+        (F.col("event_id") * 9973 % 12000000000 - 6000000000).alias("x"),
+        (F.col("event_id") * 7717 % 12000000000 - 6000000000).alias("y"),
+        (F.col("event_id") * 5279 % 12000000000 - 6000000000).alias("z"),
+    )
+    xs, ys, zs = helmert_cols(
+        F.col("x"), F.col("y"), F.col("z"), _HELMERT)
+    return pts.select("event_id", xs, ys, zs).orderBy("event_id")
+
+
+def q_helmert_oracle():
+    from .functions.transforms import helmert_sql
+
+    exprs = helmert_sql("x", "y", "z", _HELMERT)
+    return f"""
+WITH p AS (
+  SELECT event_id,
+         event_id * 9973 % 12000000000 - 6000000000 AS x,
+         event_id * 7717 % 12000000000 - 6000000000 AS y,
+         event_id * 5279 % 12000000000 - 6000000000 AS z
+  FROM events WHERE event_id < 4000)
+SELECT event_id, {exprs} FROM p ORDER BY event_id"""
+
+
 def q_jenks(spark, sf_dir):
     """Optimal 1-D class breaks (analytics.jenks_costs, k = 5, the
     Fisher/Jenks natural-breaks family) over the events' quantized
@@ -14223,4 +14261,5 @@ QUERIES = {
     "laplacian": (q_laplacian, q_laplacian_oracle),
     "brovey": (q_brovey, q_brovey_oracle),
     "demosaic": (q_demosaic, q_demosaic_oracle),
+    "helmert": (q_helmert, q_helmert_oracle),
 }

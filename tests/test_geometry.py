@@ -195,3 +195,33 @@ def test_geodesic_vs_haversine_bounded_divergence():
     dh = haversine_m(lon1, lat1, lon2, lat2)
     rel = np.abs(dv[ok] - dh[ok]) / np.maximum(dh[ok], 1.0)
     assert rel.max() < 0.006
+
+
+def test_helmert_identity_and_roundtrip(spark):
+    from sis_spark.functions.transforms import helmert_cols
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame(
+        [(1, 6_000_000_000, -3_000_000_000, 2_000_000_000),
+         (2, -6_378_137_000, 0, 0)],
+        "id long, x long, y long, z long")
+    # identity parameters: output is exactly 1e6 * input
+    ident = {"tx": 0, "ty": 0, "tz": 0, "rx": 0, "ry": 0, "rz": 0, "ds": 0}
+    xs, ys, zs = helmert_cols(F.col("x"), F.col("y"), F.col("z"), ident)
+    for r in pts.select("x", "y", "z", xs, ys, zs).collect():
+        assert (r["xs"], r["ys"], r["zs"]) == (
+            r["x"] * 10**6, r["y"] * 10**6, r["z"] * 10**6)
+    # small-angle consistency: applying +rz then -rz returns ~identity
+    # up to the quadratic term (exact bookkeeping, bounded drift)
+    p = {"tx": 0, "ty": 0, "tz": 0, "rx": 0, "ry": 0, "rz": 50, "ds": 0}
+    q = {"tx": 0, "ty": 0, "tz": 0, "rx": 0, "ry": 0, "rz": -50, "ds": 0}
+    xs, ys, zs = helmert_cols(F.col("x"), F.col("y"), F.col("z"), p)
+    step1 = pts.select("id", "x", "y", "z", xs, ys, zs)
+    xs2, ys2, zs2 = helmert_cols(
+        (F.col("xs") / F.lit(10**6)).cast("long"),
+        (F.col("ys") / F.lit(10**6)).cast("long"),
+        (F.col("zs") / F.lit(10**6)).cast("long"), q)
+    for r in step1.select("x", "y", "z", xs2, ys2, zs2).collect():
+        for a, b in (("x", "xs"), ("y", "ys"), ("z", "zs")):
+            # second-order error: (rz * 1e-6)^2 * |v| ~ 1.6e-8 relative
+            assert abs(r[b] / 10**6 - r[a]) <= abs(r[a]) * 1e-7 + 2
