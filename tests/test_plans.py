@@ -400,3 +400,56 @@ def test_line_dedup_no_corpus_window(spark, sf_dir):
     # exactly the per-doc reassembly sort remains (inside the agg),
     # no global Window over line rows
     assert "Window" not in plan
+
+
+def test_knox_pairs_equi_only(spark, sf_dir):
+    """Knox space/time pair counts come from cell-bin / time-bin probe
+    equi-joins — the O(n^2) definitional join lives only in the oracle.
+    (The tiny single-row n x space x time combine at the end is the one
+    place a cartesian of 1-row inputs is fine, so we assert on the pair
+    stages specifically.)"""
+    from pyspark.sql import functions as F
+
+    from sis_spark.operators.density import knox_counts
+    from sis_spark.queries import _events_points, point_lonlat_cols, _read
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    lon, lat = point_lonlat_cols("event_id")
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        (F.col("event_id") * 7919 % 86400).alias("t"),
+        lon.alias("lon"), lat.alias("lat"),
+    )
+    df = knox_counts(pts, r_quant=20000, tau=50)
+    plan = _plan(df)
+    # exactly the two 1-row x 1-row result combines may be nested-loop;
+    # the data-sized pair stages must not be
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_emerging_hotspot_pairs_on_cells_only(spark, sf_dir):
+    """The Mann-Kendall pair stage must join on (ix, iy) — an equi-join
+    over the tiny cell table; no all-pairs join over points."""
+    from pyspark.sql import functions as F
+
+    from sis_spark.operators.density import emerging_hotspot
+    from sis_spark.queries import _read, point_lonlat_cols
+
+    ev = _read(spark, sf_dir, "events")
+    lon, lat = point_lonlat_cols("event_id")
+    pts = ev.select(lon.alias("lon"), lat.alias("lat"),
+                    (F.col("event_id") % 8).alias("epoch"))
+    plan = _plan(emerging_hotspot(pts, 32, "epoch", 8))
+    assert "CartesianProduct" not in plan
+
+
+def test_morton_ranges_single_global_sort(spark):
+    """The islands merge is ONE window over the covering-cell table —
+    plan-time metadata, never the data. Exactly one window sort, no
+    joins at all."""
+    from sis_spark.operators.partitioning import morton_ranges
+
+    plan = _plan(morton_ranges(spark, -47.3, 12.1, 33.9, 55.2, res=9))
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
