@@ -1146,3 +1146,79 @@ def pq_recon_error_sql(
   {joins})""")
     return ("WITH " + ",\n".join(parts)
             + "\nSELECT id, CAST(err AS BIGINT) AS err FROM recon")
+
+
+def hard_negative_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining (the contrastive-training data op): for each
+    query, the exact top-k nearest candidates whose LABEL DIFFERS from
+    the query's — the near-misses a contrastive loss learns most from.
+    Same shape as ``brute_topk`` (broadcast queries, per-Arrow-batch
+    numpy matmul, k rows per query per partition reach the shuffle); the
+    label predicate is applied BEFORE the per-partition top-k so k never
+    shrinks.  Output (query_id, rank, cand_id, qcos)."""
+    spark = vectors.sparkSession
+    qrows = (
+        vectors.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, quantize_col(F.col(vec_col)).alias("qv"),
+                F.col(label_col).alias("lbl"))
+        .collect()
+    )
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.int64)
+    qlbl = np.array([r["lbl"] for r in qrows], dtype=np.int64)
+    qnorm = (qmat.astype(np.float64) ** 2).sum(axis=1)
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorm, qlbl))
+
+    cand = vectors.select(
+        F.col(id_col).alias("cand_id"),
+        quantize_col(F.col(vec_col)).alias("qv"),
+        F.col(label_col).alias("lbl"),
+    )
+
+    def partial(batches):
+        qids_, qmat_, qnorm_, qlbl_ = bc.value
+        best: dict[int, pd.DataFrame] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array(list(pdf["qv"]), dtype=np.int64)
+            cn = (cmat.astype(np.float64) ** 2).sum(axis=1)
+            dots = cmat @ qmat_.T
+            qcos = dots.astype(np.float64) / np.sqrt(
+                cn[:, None] * qnorm_[None, :])
+            clbl = pdf["lbl"].to_numpy()
+            for j, qid in enumerate(qids_):
+                keep = clbl != qlbl_[j]
+                sub = pd.DataFrame({
+                    "query_id": np.int64(qid),
+                    "cand_id": pdf["cand_id"].to_numpy()[keep],
+                    "qcos": qcos[keep, j],
+                })
+                sub = sub.sort_values(
+                    ["qcos", "cand_id"], ascending=[False, True]).head(k)
+                prev = best.get(qid)
+                best[qid] = (
+                    sub if prev is None
+                    else pd.concat([prev, sub]).sort_values(
+                        ["qcos", "cand_id"], ascending=[False, True]
+                    ).head(k)
+                )
+        if best:
+            yield pd.concat(best.values())
+
+    pruned = cand.mapInPandas(
+        partial, schema="query_id long, cand_id long, qcos double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("cand_id").asc())
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "qcos")
+    )

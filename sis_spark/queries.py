@@ -3142,6 +3142,41 @@ SELECT query_id, rank, cand_id FROM (
 WHERE rank <= {ANN_K} ORDER BY query_id, rank"""
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (ann.hard_negative_topk): exact top-k
+    quantized-cosine neighbors with a DIFFERENT label per query — the
+    contrastive-training near-miss miner; label predicate applied before
+    the per-partition top-k so k never shrinks."""
+    from .operators.ann import hard_negative_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb, ANN_QUERY_IDS, ANN_K).select(
+        "query_id", "rank", "cand_id")
+
+
+def q_hard_negatives_oracle():
+    return f"""
+WITH qv AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+  FROM embeddings),
+n AS (
+  SELECT vec_id, label, v,
+         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
+  FROM qv),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(CAST(list_sum(list_transform(list_zip(c.v, q.v), x -> x[1] * x[2])) AS BIGINT) AS DOUBLE)
+           / sqrt(CAST(c.nn AS DOUBLE) * CAST(q.nn AS DOUBLE)) AS qcos
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id AND c.label <> q.label
+  WHERE q.vec_id < {len(ANN_QUERY_IDS)})
+SELECT query_id, rank, cand_id FROM (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cand_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= {ANN_K} ORDER BY query_id, rank"""
+
+
 ANN_NLIST = 16
 ANN_NPROBE = 4
 
@@ -14262,4 +14297,5 @@ QUERIES = {
     "brovey": (q_brovey, q_brovey_oracle),
     "demosaic": (q_demosaic, q_demosaic_oracle),
     "helmert": (q_helmert, q_helmert_oracle),
+    "hard_negatives": (q_hard_negatives, q_hard_negatives_oracle),
 }

@@ -177,3 +177,42 @@ def test_pq_recon_error_properties(spark):
     out_big = {r["id"]: r["err"] for r in
                pq_recon_error(df, m=4, ksub=40).collect()}
     assert sum(out_big.values()) <= sum(out.values())
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    import numpy as np
+
+    from sis_spark.operators.ann import hard_negative_topk
+
+    rng = np.random.default_rng(7)
+    n, d = 60, 8
+    vecs = rng.normal(size=(n, d))
+    labels = (np.arange(n) % 3).astype(int)
+    rows = [(i, [float(x) for x in vecs[i]], int(labels[i]))
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long")
+    k = 4
+    out = hard_negative_topk(df, [0, 1, 2], k).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    q = np.floor(vecs * 1e7).astype(np.int64)
+    for qid, rws in by_q.items():
+        assert len(rws) == k
+        assert [r["rank"] for r in sorted(rws, key=lambda r: r["rank"])] \
+            == list(range(1, k + 1))
+        # brute replay with the label filter
+        qn = float((q[qid].astype(np.float64) ** 2).sum())
+        scores = []
+        for c in range(n):
+            if c == qid or labels[c] == labels[qid]:
+                continue
+            cn = float((q[c].astype(np.float64) ** 2).sum())
+            dot = int((q[c] * q[qid]).sum())
+            scores.append((-(dot / np.sqrt(cn * qn)), c))
+        scores.sort()
+        want = [c for _s, c in scores[:k]]
+        got = [r["cand_id"] for r in sorted(rws, key=lambda r: r["rank"])]
+        assert got == want
+        assert all(labels[c] != labels[qid] for c in got)
