@@ -1222,3 +1222,115 @@ def hard_negative_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "cand_id", "qcos")
     )
+
+
+def mmr_select(
+    vectors: DataFrame,
+    query_ids: list[int],
+    k: int,
+    pool: int = 16,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified selection (Carbonell &
+    Goldstein 1998, public literature) under an exact integer spec: per
+    query, take the ``pool`` candidates with highest UNNORMALIZED
+    quantized dot product rel = <q, c> (ties cand_id asc), then greedily
+    pick k: first the max-rel candidate, then repeatedly
+    argmax(lam_num * rel - (lam_den - lam_num) * max_{s in S} <c, s>),
+    ties cand_id asc.  All scores are int64 (|dot| <= 64 * (3e7)^2 *
+    lam < 2^62) — both engines replay the greedy bit-exact.
+
+    Shape: broadcast queries + per-partition integer-dot top-pool (the
+    brute_topk shape), one equi-join back for candidate vectors, then a
+    per-query greedy over <= pool rows (tiny) in applyInPandas.  Output
+    (query_id, pos, cand_id, rel)."""
+    spark = vectors.sparkSession
+    qrows = (
+        vectors.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, quantize_col(F.col(vec_col)).alias("qv"))
+        .collect()
+    )
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+    m = int(pool)
+
+    cand = vectors.select(
+        F.col(id_col).alias("cand_id"),
+        quantize_col(F.col(vec_col)).alias("qv"),
+    )
+
+    def partial(batches):
+        qids_, qmat_ = bc.value
+        best: dict[int, pd.DataFrame] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array(list(pdf["qv"]), dtype=np.int64)
+            dots = cmat @ qmat_.T
+            for j, qid in enumerate(qids_):
+                sub = pd.DataFrame({
+                    "query_id": np.int64(qid),
+                    "cand_id": pdf["cand_id"].to_numpy(),
+                    "rel": dots[:, j],
+                })
+                sub = sub[sub.cand_id != qid]
+                sub = sub.sort_values(
+                    ["rel", "cand_id"], ascending=[False, True]).head(m)
+                prev = best.get(qid)
+                best[qid] = (
+                    sub if prev is None
+                    else pd.concat([prev, sub]).sort_values(
+                        ["rel", "cand_id"], ascending=[False, True]
+                    ).head(m)
+                )
+        if best:
+            yield pd.concat(best.values())
+
+    pruned = cand.mapInPandas(
+        partial, schema="query_id long, cand_id long, rel long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("cand_id").asc())
+    top = pruned.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= m)
+    withvec = top.join(
+        cand.withColumnRenamed("qv", "cv"), ["cand_id"]
+    ).select("query_id", "cand_id", "rel", "cv")
+    ln, ld = int(lam_num), int(lam_den) - int(lam_num)
+    kk = int(k)
+
+    def greedy(key, pdf):
+        if not len(pdf):
+            return pd.DataFrame({"query_id": [], "pos": [], "cand_id": [],
+                                 "rel": []})
+        pdf = pdf.sort_values(["rel", "cand_id"],
+                              ascending=[False, True]).reset_index(drop=True)
+        V = np.array(list(pdf["cv"]), dtype=np.int64)
+        rel = pdf["rel"].to_numpy().astype(np.int64)
+        ids = pdf["cand_id"].to_numpy().astype(np.int64)
+        sims = V @ V.T
+        chosen = [0]                      # row 0 = max rel, min id tie
+        remaining = list(range(1, len(pdf)))
+        while remaining and len(chosen) < kk:
+            best_i, best_score = None, None
+            for i in remaining:
+                msim = max(int(sims[i, s]) for s in chosen)
+                score = ln * int(rel[i]) - ld * msim
+                if (best_score is None or score > best_score
+                        or (score == best_score
+                            and ids[i] < ids[best_i])):
+                    best_i, best_score = i, score
+            chosen.append(best_i)
+            remaining.remove(best_i)
+        return pd.DataFrame({
+            "query_id": np.int64(key[0]),
+            "pos": np.arange(1, len(chosen) + 1, dtype=np.int64),
+            "cand_id": ids[chosen],
+            "rel": rel[chosen],
+        })
+
+    return withvec.groupBy("query_id").applyInPandas(
+        greedy, schema="query_id long, pos long, cand_id long, rel long")

@@ -3177,6 +3177,75 @@ SELECT query_id, rank, cand_id FROM (
 WHERE rank <= {ANN_K} ORDER BY query_id, rank"""
 
 
+_MMR_NQ, _MMR_POOL, _MMR_K = 8, 12, 5
+
+
+def q_mmr(spark, sf_dir):
+    """MMR diversified selection (ann.mmr_select, pool 12, k 5,
+    lambda 7/10): greedy argmax(7*rel - 3*max-sim-to-selected) on exact
+    integer quantized dots — the diversified-retrieval / dedup-aware
+    sampling op; the oracle unrolls the greedy as k chained CTE steps."""
+    from .operators.ann import mmr_select
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return mmr_select(
+        emb, list(range(_MMR_NQ)), k=_MMR_K, pool=_MMR_POOL
+    ).orderBy("query_id", "pos")
+
+
+def q_mmr_oracle():
+    ln, ld = 7, 3
+    parts = [f"""qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+  FROM embeddings),
+pool AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(list_sum(list_transform(list_zip(c.v, q.v), x -> x[1] * x[2])) AS BIGINT) AS rel
+  FROM qv q JOIN qv c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_MMR_NQ}
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY rel DESC, c.vec_id) <= {_MMR_POOL}),
+pv AS (SELECT p.query_id, p.cand_id, qv.v FROM pool p JOIN qv ON qv.vec_id = p.cand_id),
+sims AS MATERIALIZED (
+  SELECT a.query_id, a.cand_id AS ia, b.cand_id AS ib,
+         CAST(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) AS BIGINT) AS sim
+  FROM pv a JOIN pv b ON a.query_id = b.query_id),
+sel1 AS (
+  SELECT query_id, cand_id, rel, CAST(1 AS BIGINT) AS pos FROM pool
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) = 1),
+selected1 AS (SELECT query_id, cand_id FROM sel1)"""]
+    for s in range(2, _MMR_K + 1):
+        parts.append(f"""scored{s} AS (
+  SELECT p.query_id, p.cand_id, p.rel,
+         {ln} * p.rel - {ld} * mx.msim AS score
+  FROM pool p
+  JOIN (
+    SELECT sm.query_id, sm.ia AS cand_id, CAST(max(sm.sim) AS BIGINT) AS msim
+    FROM sims sm JOIN selected{s - 1} sl
+      ON sl.query_id = sm.query_id AND sl.cand_id = sm.ib
+    GROUP BY 1, 2) mx
+    ON mx.query_id = p.query_id AND mx.cand_id = p.cand_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM selected{s - 1} s2
+    WHERE s2.query_id = p.query_id AND s2.cand_id = p.cand_id)),
+sel{s} AS (
+  SELECT query_id, cand_id, rel, CAST({s} AS BIGINT) AS pos FROM scored{s}
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) = 1),
+selected{s} AS (
+  SELECT query_id, cand_id FROM selected{s - 1}
+  UNION ALL SELECT query_id, cand_id FROM sel{s})""")
+    union = "\nUNION ALL ".join(
+        f"SELECT query_id, pos, cand_id, rel FROM sel{s}"
+        for s in range(1, _MMR_K + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(query_id AS BIGINT) AS query_id, pos, "
+          f"CAST(cand_id AS BIGINT) AS cand_id, rel FROM ({union}) u "
+          "ORDER BY query_id, pos"
+    )
+
+
 ANN_NLIST = 16
 ANN_NPROBE = 4
 
@@ -14298,4 +14367,5 @@ QUERIES = {
     "demosaic": (q_demosaic, q_demosaic_oracle),
     "helmert": (q_helmert, q_helmert_oracle),
     "hard_negatives": (q_hard_negatives, q_hard_negatives_oracle),
+    "mmr": (q_mmr, q_mmr_oracle),
 }

@@ -216,3 +216,47 @@ def test_hard_negative_topk_excludes_same_label(spark):
         got = [r["cand_id"] for r in sorted(rws, key=lambda r: r["rank"])]
         assert got == want
         assert all(labels[c] != labels[qid] for c in got)
+
+
+def test_mmr_select_diversifies(spark):
+    import numpy as np
+
+    from sis_spark.operators.ann import mmr_select
+
+    # pool engineered: two tight clusters near the query + one outlier;
+    # plain top-k would take all of cluster A, MMR must interleave
+    rng = np.random.default_rng(3)
+    d = 8
+    qv = np.zeros(d); qv[0] = 1.0
+    rows = [(0, [float(x) for x in qv])]
+    vid = 1
+    a_dir = np.zeros(d); a_dir[0] = 1.0; a_dir[1] = 0.05
+    b_dir = np.zeros(d); b_dir[0] = 0.9; b_dir[2] = 0.6
+    for i in range(5):   # cluster A: nearly identical, highest rel
+        v = a_dir + rng.normal(scale=1e-3, size=d)
+        rows.append((vid, [float(x) for x in v])); vid += 1
+    for i in range(5):   # cluster B: a bit less relevant, different dir
+        v = b_dir + rng.normal(scale=1e-3, size=d)
+        rows.append((vid, [float(x) for x in v])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_select(df, [0], k=4, pool=10, lam_num=3).collect()
+    sel = [r["cand_id"] for r in sorted(out, key=lambda r: r["pos"])]
+    assert len(sel) == 4 and sel[0] in range(1, 6)  # first = max rel (A)
+    # diversification: B members appear before A is exhausted
+    first_b = min(i for i, c in enumerate(sel) if c >= 6)
+    assert first_b <= 1, sel
+    # greedy replay for exactness
+    q = {r[0]: np.floor(np.array(r[1]) * 1e7).astype(np.int64)
+         for r in rows}
+    rel = {c: int((q[c] * q[0]).sum()) for c in q if c != 0}
+    pool = sorted(rel, key=lambda c: (-rel[c], c))[:10]
+    chosen = [min(pool, key=lambda c: (-rel[c], c))]
+    remaining = [c for c in pool if c != chosen[0]]
+    while remaining and len(chosen) < 4:
+        def score(c):
+            ms = max(int((q[c] * q[s]).sum()) for s in chosen)
+            return 3 * rel[c] - 7 * ms
+        best = min(remaining, key=lambda c: (-score(c), c))
+        chosen.append(best)
+        remaining.remove(best)
+    assert sel == chosen
