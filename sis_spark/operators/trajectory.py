@@ -1556,3 +1556,76 @@ t AS (
   FROM p)
 SELECT k, o, ins AS event, visit FROM t
 WHERE prev IS NOT NULL AND prev <> ins"""
+
+
+def co_travelers(
+    events: DataFrame,
+    grid_n: int,
+    time_bin: int,
+    min_meetings: int = 2,
+    user_col: str = "user_id",
+    t_col: str = "t",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Co-traveler detection (the classic co-location pattern mining of
+    trajectory analytics, public literature): pairs of users observed in
+    the SAME (2^k grid cell, time bin) in at least ``min_meetings``
+    DISTINCT such buckets -> (u1, u2, meetings) with u1 < u2.
+
+    Exactness: the bucket key is the shared floor+clamp grid mapping
+    plus integer t // time_bin; "meetings" counts distinct co-located
+    buckets, so repeated pings inside one bucket count once — pure
+    integer set semantics.
+
+    Scale shape: ONE distinct pass collapses pings to (user, bucket)
+    presence (map-side combine), then an equi-self-join ON THE BUCKET
+    KEY — cost is sum over buckets of (users-in-bucket choose 2), the
+    co-location structure itself, never all user pairs.  A crowded-
+    bucket cap (skip buckets with more than ~10^3 distinct users) is the
+    standard skew guard at planet scale; not applied here so the oracle
+    can replay exactly."""
+    from ..operators.density import grid_expr
+
+    pres = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.expr(grid_expr("x", grid_n, lon_col, lat_col)).alias("ix"),
+            F.expr(grid_expr("y", grid_n, lon_col, lat_col)).alias("iy"),
+            F.floor(F.col(t_col) / int(time_bin)).cast("long").alias("tb"),
+        )
+        .distinct()
+    )
+    a = pres.select("ix", "iy", "tb", F.col("u").alias("u1"))
+    b = pres.select("ix", "iy", "tb", F.col("u").alias("u2"))
+    return (
+        a.join(b, ["ix", "iy", "tb"])
+        .filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("meetings"))
+        .filter(F.col("meetings") >= int(min_meetings))
+    )
+
+
+def co_travelers_sql(
+    base_select: str,
+    grid_n: int,
+    time_bin: int,
+    min_meetings: int = 2,
+) -> str:
+    """DuckDB replay of ``co_travelers``; ``base_select`` -> (u, t, lon,
+    lat)."""
+    from ..operators.density import grid_expr
+
+    return f"""
+WITH pres AS (
+  SELECT DISTINCT u,
+         {grid_expr('x', grid_n)} AS ix,
+         {grid_expr('y', grid_n)} AS iy,
+         CAST(floor(t / {int(time_bin)}) AS BIGINT) AS tb
+  FROM ({base_select}) b)
+SELECT a.u AS u1, b.u AS u2, CAST(count(*) AS BIGINT) AS meetings
+FROM pres a JOIN pres b
+  ON a.ix = b.ix AND a.iy = b.iy AND a.tb = b.tb AND a.u < b.u
+GROUP BY 1, 2
+HAVING count(*) >= {int(min_meetings)}"""

@@ -13617,6 +13617,40 @@ WITH p AS (
 SELECT event_id, {exprs} FROM p ORDER BY event_id"""
 
 
+def q_co_traveler(spark, sf_dir):
+    """Co-traveler detection (trajectory.co_travelers, 32x32 grid,
+    600-tick time bins, >= 2 distinct meetings): user pairs repeatedly
+    co-located in the same space-time bucket — one distinct presence
+    pass, then an equi-join ON THE BUCKET KEY (never all user pairs)."""
+    from .operators.trajectory import co_travelers
+
+    ev = _read(spark, sf_dir, "events")
+    lon, lat = point_lonlat_cols("event_id")
+    pts = ev.select(
+        F.col("user_id").alias("u"),
+        (F.col("event_id") * 7919 % 86400).alias("t"),
+        lon.alias("lon"), lat.alias("lat"),
+    )
+    return co_travelers(
+        pts, grid_n=32, time_bin=600, min_meetings=2, user_col="u"
+    ).orderBy("u1", "u2")
+
+
+def q_co_traveler_oracle():
+    from .operators.trajectory import co_travelers_sql
+
+    base = (
+        "SELECT user_id AS u, event_id * 7919 % 86400 AS t, "
+        f"{synth.point_lon_sql('event_id')} AS lon, "
+        f"{synth.point_lat_sql('event_id')} AS lat FROM events"
+    )
+    return (
+        "SELECT * FROM ("
+        + co_travelers_sql(base, grid_n=32, time_bin=600, min_meetings=2)
+        + ") ORDER BY u1, u2"
+    )
+
+
 def q_jenks(spark, sf_dir):
     """Optimal 1-D class breaks (analytics.jenks_costs, k = 5, the
     Fisher/Jenks natural-breaks family) over the events' quantized
@@ -14368,4 +14402,5 @@ QUERIES = {
     "helmert": (q_helmert, q_helmert_oracle),
     "hard_negatives": (q_hard_negatives, q_hard_negatives_oracle),
     "mmr": (q_mmr, q_mmr_oracle),
+    "co_traveler": (q_co_traveler, q_co_traveler_oracle),
 }

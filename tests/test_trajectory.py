@@ -232,3 +232,30 @@ def test_psi_matches_float_formula(spark):
         else:
             assert r["psi_q"] is None
     assert out[7]["psi_q"] is None
+
+
+def test_co_travelers_hand(spark):
+    from sis_spark.operators.trajectory import co_travelers
+
+    n = 8
+    cw, ch = 360.0 / n, 180.0 / n
+
+    def pt(u, t, cx, cy):
+        return (u, t, -180.0 + (cx + 0.5) * cw, -90.0 + (cy + 0.5) * ch)
+
+    rows = [
+        # users 1 & 2 meet in cell (0,0) bins 0 and 1 -> 2 meetings
+        pt(1, 5, 0, 0), pt(2, 9, 0, 0),
+        pt(1, 15, 0, 0), pt(2, 12, 0, 0),
+        # duplicate pings inside one bucket count once
+        pt(1, 6, 0, 0), pt(2, 7, 0, 0),
+        # users 1 & 3 meet once only -> below min_meetings
+        pt(3, 5, 0, 0),
+        # user 4 same bins, different cell -> never pairs
+        pt(4, 5, 3, 3), pt(4, 15, 3, 3),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, lon double, lat double")
+    out = {(r["u1"], r["u2"]): r["meetings"]
+           for r in co_travelers(df, n, time_bin=10, min_meetings=2,
+                                 user_col="u").collect()}
+    assert out == {(1, 2): 2}
