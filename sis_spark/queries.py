@@ -14048,6 +14048,96 @@ QUALIFY row_number() OVER (PARTITION BY bx, by ORDER BY ssd, dy, dx) = 1
 ORDER BY bx, by"""
 
 
+def q_polar_stereo(spark, sf_dir):
+    """WGS84 -> Antarctic Polar Stereographic (EPSG:3031, method 9829
+    variant B — the polar member of the projected-CRS family,
+    R/operation/projection/PolarStereographic.java).  Southern-hemisphere
+    points only (the CRS's domain; the north-polar antipode is singular),
+    floor-shift discipline as `laea_transform`."""
+    from .functions.projections import st_transform_any_udf
+
+    pts = _events_points(spark, sf_dir).filter(F.col("lat") < F.lit(0.0))
+    p = st_transform_any_udf("EPSG:4326", "EPSG:3031")(F.col("lon"), F.col("lat"))
+    return pts.select(
+        "event_id",
+        F.floor(p["x"] - F.lit(0.123456789)).cast("long").alias("xl"),
+        F.floor(p["y"] - F.lit(0.123456789)).cast("long").alias("yl"),
+    )
+
+
+def q_polar_stereo_oracle():
+    import math
+
+    from .functions.projections import CRS_REGISTRY
+
+    p = CRS_REGISTRY["EPSG:3031"]
+    e = synth.flit(p.e)
+    ehalf = synth.flit(p.e / 2.0)
+    pi4 = synth.flit(math.pi / 4.0)
+    amF = synth.flit(p.a * p.mF)  # a * mF is one runtime double product
+    tF = synth.flit(p.tF)
+    # south frame: phi = -radians(lat); y = -(-rho cos lam) = rho cos lam
+    # (sign flips are exact).  lon0 = fe = fn = 0 for EPSG:3031.
+    phi = "(-radians(lat))"
+    s = f"sin({phi})"
+    t = (f"(tan({pi4} - {phi} / 2.0) / "
+         f"pow((1.0 - {e} * {s}) / (1.0 + {e} * {s}), {ehalf}))")
+    rho = f"(({amF} * {t}) / {tF})"
+    lam = "(radians(lon - 0.0))"
+    x = f"(0.0 + {rho} * sin({lam}))"
+    y = f"(0.0 + {rho} * cos({lam}))"
+    return f"""
+SELECT event_id,
+  CAST(floor({x} - 0.123456789) AS BIGINT) AS xl,
+  CAST(floor({y} - 0.123456789) AS BIGINT) AS yl
+FROM ({_points_sql()}) p
+WHERE lat < 0.0
+ORDER BY event_id"""
+
+
+def q_albers(spark, sf_dir):
+    """WGS84 -> CONUS Albers (EPSG:5070, method 9822 equal-area conic —
+    the equal-area conic member of the projected-CRS family,
+    R/operation/projection/AlbersEqualArea.java).  For these standard
+    parallels C - n*q > 0 on the whole sphere, so no domain cut is
+    needed; floor-shift discipline as `lcc_transform`."""
+    from .functions.projections import st_transform_any_udf
+
+    pts = _events_points(spark, sf_dir)
+    p = st_transform_any_udf("EPSG:4326", "EPSG:5070")(F.col("lon"), F.col("lat"))
+    return pts.select(
+        "event_id",
+        F.floor(p["x"] - F.lit(0.123456789)).cast("long").alias("xl"),
+        F.floor(p["y"] - F.lit(0.123456789)).cast("long").alias("yl"),
+    )
+
+
+def q_albers_oracle():
+    from .functions.projections import CRS_REGISTRY
+
+    p = CRS_REGISTRY["EPSG:5070"]
+    e, e2 = synth.flit(p.e), synth.flit(p.e2)
+    one_m_e2 = synth.flit(1.0 - p.e2)
+    inv2e = synth.flit(1.0 / (2.0 * p.e))
+    a, n, C = synth.flit(p.a), synth.flit(p.n), synth.flit(p.C)
+    fn_rho0 = synth.flit(p.fn + p.rho0)  # fn + rho0 folds left-assoc
+    lon0 = synth.flit(p.lon0)
+    # identical IEEE op order to AlbersEqualArea._q / .forward
+    s = "sin(radians(lat))"
+    q = (f"({one_m_e2} * ({s} / (1.0 - {e2} * {s} * {s}) "
+         f"- {inv2e} * ln((1.0 - {e} * {s}) / (1.0 + {e} * {s}))))")
+    rho = f"(({a} * sqrt({C} - {n} * {q})) / {n})"
+    th = f"({n} * radians(lon - {lon0}))"
+    x = f"(0.0 + {rho} * sin({th}))"
+    y = f"({fn_rho0} - {rho} * cos({th}))"
+    return f"""
+SELECT event_id,
+  CAST(floor({x} - 0.123456789) AS BIGINT) AS xl,
+  CAST(floor({y} - 0.123456789) AS BIGINT) AS yl
+FROM ({_points_sql()}) p
+ORDER BY event_id"""
+
+
 QUERIES = {
     "cell_counts": (q_cell_counts, q_cell_counts_oracle),
     "tile_counts": (q_tile_counts, q_tile_counts_oracle),
@@ -14403,4 +14493,6 @@ QUERIES = {
     "hard_negatives": (q_hard_negatives, q_hard_negatives_oracle),
     "mmr": (q_mmr, q_mmr_oracle),
     "co_traveler": (q_co_traveler, q_co_traveler_oracle),
+    "polar_stereo": (q_polar_stereo, q_polar_stereo_oracle),
+    "albers": (q_albers, q_albers_oracle),
 }
