@@ -1629,3 +1629,96 @@ FROM pres a JOIN pres b
   ON a.ix = b.ix AND a.iy = b.iy AND a.tb = b.tb AND a.u < b.u
 GROUP BY 1, 2
 HAVING count(*) >= {int(min_meetings)}"""
+
+
+def link_tracks(
+    dets: DataFrame,
+    r_q: int,
+    frame_col: str = "frame",
+    id_col: str = "id",
+    x_col: str = "qx",
+    y_col: str = "qy",
+) -> DataFrame:
+    """Detection linking across consecutive frames (the assignment step of
+    tracking-by-detection, public multi-object-tracking literature):
+    detections a (frame f) and b (frame f+1) are linked iff each is the
+    OTHER's nearest candidate within radius ``r_q`` — mutual nearest
+    neighbors, the deterministic order-free alternative to greedy
+    assignment.  Ties break by (distance^2, partner id); coordinates are
+    quantized int64, so distance^2 is exact integer arithmetic.
+
+    Returns (frame, a_id, b_id, d2): the accepted links out of frame f.
+
+    Scale shape: the a-side explodes a 3x3 ring of cells of side exactly
+    ``r_q`` (every pair within r_q shares the ring), joined as ONE
+    equi-join on (next frame, cell) — never frame x frame pairs — then
+    two window argmins over the candidate table.  Cost is candidate-
+    bounded; crowded cells are bounded by physical detection density."""
+    cell = float(int(r_q))
+
+    def keyed(prefix):
+        return dets.select(
+            F.col(frame_col).alias(f"{prefix}_f"),
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(x_col).alias(f"{prefix}_x"),
+            F.col(y_col).alias(f"{prefix}_y"),
+            F.floor(F.col(x_col).cast("double") / F.lit(cell)).cast("long").alias(f"{prefix}_cx"),
+            F.floor(F.col(y_col).cast("double") / F.lit(cell)).cast("long").alias(f"{prefix}_cy"),
+        )
+
+    a, b = keyed("a"), keyed("b")
+    ring = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    ae = a.select(
+        "a_f", "a_id", "a_x", "a_y", "a_cx", "a_cy",
+        F.explode(ring).alias("o"),
+    ).select(
+        "a_f", "a_id", "a_x", "a_y",
+        (F.col("a_f") + 1).alias("nf"),
+        (F.col("a_cx") + F.col("o.dx")).alias("cx"),
+        (F.col("a_cy") + F.col("o.dy")).alias("cy"),
+    )
+    dx = F.col("a_x") - F.col("b_x")
+    dy = F.col("a_y") - F.col("b_y")
+    r2 = F.lit(int(r_q)).cast("long") * F.lit(int(r_q)).cast("long")
+    cand = (
+        ae.join(
+            b,
+            (F.col("nf") == F.col("b_f"))
+            & (F.col("cx") == F.col("b_cx"))
+            & (F.col("cy") == F.col("b_cy")),
+        )
+        .withColumn("d2", dx * dx + dy * dy)
+        .filter(F.col("d2") <= r2)
+        .select("a_f", "a_id", "b_id", "d2")
+    )
+    wa = Window.partitionBy("a_f", "a_id").orderBy("d2", "b_id")
+    wb = Window.partitionBy("a_f", "b_id").orderBy("d2", "a_id")
+    return (
+        cand.withColumn("ra", F.row_number().over(wa))
+        .withColumn("rb", F.row_number().over(wb))
+        .filter((F.col("ra") == 1) & (F.col("rb") == 1))
+        .select(F.col("a_f").alias("frame"), "a_id", "b_id", "d2")
+    )
+
+
+def link_tracks_sql(base_select: str, r_q: int) -> str:
+    """DuckDB replay of ``link_tracks``; ``base_select`` -> (frame, id,
+    qx, qy).  The oracle may use the plain radius join — the engine's
+    cell ring provably covers the same candidate set."""
+    r2 = int(r_q) * int(r_q)
+    return f"""
+WITH d AS ({base_select}),
+cand AS (
+  SELECT a.frame AS frame, a.id AS a_id, b.id AS b_id,
+         (a.qx - b.qx) * (a.qx - b.qx) + (a.qy - b.qy) * (a.qy - b.qy) AS d2
+  FROM d a JOIN d b ON b.frame = a.frame + 1
+  WHERE (a.qx - b.qx) * (a.qx - b.qx) + (a.qy - b.qy) * (a.qy - b.qy) <= {r2}),
+r AS (
+  SELECT frame, a_id, b_id, d2,
+         row_number() OVER (PARTITION BY frame, a_id ORDER BY d2, b_id) AS ra,
+         row_number() OVER (PARTITION BY frame, b_id ORDER BY d2, a_id) AS rb
+  FROM cand)
+SELECT frame, a_id, b_id, d2 FROM r WHERE ra = 1 AND rb = 1"""

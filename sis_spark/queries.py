@@ -14048,6 +14048,38 @@ QUALIFY row_number() OVER (PARTITION BY bx, by ORDER BY ssd, dy, dx) = 1
 ORDER BY bx, by"""
 
 
+def q_track_link(spark, sf_dir):
+    """Tracking-by-detection linking (trajectory.link_tracks, 32 frames,
+    radius 50000 quantized units): mutual-nearest-neighbor assignment
+    between consecutive frames — one cell-ring equi-join for candidates
+    (never frame x frame), two window argmins, exact integer distances."""
+    from .operators.trajectory import link_tracks
+
+    pts = _events_points(spark, sf_dir)
+    dets = pts.select(
+        (F.col("event_id") % 32).alias("frame"),
+        F.col("event_id").alias("id"),
+        F.floor(F.col("lon") * F.lit(10000.0)).cast("long").alias("qx"),
+        F.floor(F.col("lat") * F.lit(10000.0)).cast("long").alias("qy"),
+    )
+    return link_tracks(dets, r_q=50000).orderBy("frame", "a_id")
+
+
+def q_track_link_oracle():
+    from .operators.trajectory import link_tracks_sql
+
+    base = (
+        "SELECT event_id % 32 AS frame, event_id AS id, "
+        "CAST(floor(lon * 10000.0) AS BIGINT) AS qx, "
+        "CAST(floor(lat * 10000.0) AS BIGINT) AS qy "
+        f"FROM ({_points_sql()}) p"
+    )
+    return (
+        "SELECT * FROM (" + link_tracks_sql(base, r_q=50000)
+        + ") ORDER BY frame, a_id"
+    )
+
+
 def q_polar_stereo(spark, sf_dir):
     """WGS84 -> Antarctic Polar Stereographic (EPSG:3031, method 9829
     variant B — the polar member of the projected-CRS family,
@@ -14495,4 +14527,5 @@ QUERIES = {
     "co_traveler": (q_co_traveler, q_co_traveler_oracle),
     "polar_stereo": (q_polar_stereo, q_polar_stereo_oracle),
     "albers": (q_albers, q_albers_oracle),
+    "track_link": (q_track_link, q_track_link_oracle),
 }

@@ -259,3 +259,47 @@ def test_co_travelers_hand(spark):
            for r in co_travelers(df, n, time_bin=10, min_meetings=2,
                                  user_col="u").collect()}
     assert out == {(1, 2): 2}
+
+
+def test_link_tracks_differential(spark):
+    """Cell-ring mutual-NN linking == brute-force mutual-NN on random
+    detections, and the plan contains no cartesian/BNL join."""
+    import numpy as np
+
+    from sis_spark.operators.trajectory import link_tracks
+
+    rng = np.random.default_rng(7)
+    n, frames, r = 400, 5, 120
+    f = rng.integers(0, frames, n)
+    x = rng.integers(0, 1000, n)
+    y = rng.integers(0, 1000, n)
+    rows = [(int(f[i]), i, int(x[i]), int(y[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "frame long, id long, qx long, qy long")
+    out = link_tracks(df, r_q=r)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r_["frame"], r_["a_id"], r_["b_id"]): r_["d2"] for r_ in out.collect()}
+
+    # brute mutual-NN
+    exp = {}
+    for fr in range(frames - 1):
+        ai = [i for i in range(n) if f[i] == fr]
+        bi = [i for i in range(n) if f[i] == fr + 1]
+        cand = [
+            (int((x[a] - x[b]) ** 2 + (y[a] - y[b]) ** 2), a, b)
+            for a in ai for b in bi
+            if (x[a] - x[b]) ** 2 + (y[a] - y[b]) ** 2 <= r * r
+        ]
+        best_a = {}
+        best_b = {}
+        for d2, a, b in cand:
+            if a not in best_a or (d2, b) < best_a[a]:
+                best_a[a] = (d2, b)
+            if b not in best_b or (d2, a) < best_b[b]:
+                best_b[b] = (d2, a)
+        for a, (d2, b) in best_a.items():
+            if best_b.get(b) == (d2, a):
+                exp[(fr, a, b)] = d2
+    assert got == exp
+    assert exp  # non-degenerate
