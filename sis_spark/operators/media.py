@@ -191,3 +191,58 @@ def sample_frames(video: DataFrame, every_n: int = 4) -> DataFrame:
     return video.mapInPandas(
         fn, schema="media_id string, frame int, mean_intensity double, frame_bytes binary"
     )
+
+
+def make_scene_video(media_id: int, n_frames: int = 12, w: int = 16,
+                     h: int = 12, scene_len: int = 5) -> dict:
+    """Deterministic scene-structured clip: content keys on scene = f //
+    scene_len plus a +f per-frame flicker, so within-scene SADs are small
+    and scene boundaries are large — the shot-boundary test content."""
+    x = np.arange(w)[None, None, :, None]
+    y = np.arange(h)[None, :, None, None]
+    f = np.arange(n_frames)[:, None, None, None]
+    ch = np.arange(3)[None, None, None, :]
+    arr = ((x * 5 + y * 11 + (f // scene_len) * 37 + ch * 29
+            + media_id * 7 + f) % 256).astype(np.uint8)
+    return {
+        "media_id": f"vid-{media_id:09d}", "payload": arr.tobytes(),
+        "fps": 6.0, "n_frames": n_frames, "w": w, "h": h, "codec": "fake-raw",
+    }
+
+
+def frame_diffs(video: DataFrame, cut_threshold: int) -> DataFrame:
+    """Shot-boundary detection by frame differencing (the classic hard-cut
+    detector of video indexing literature): per consecutive frame pair,
+    SAD = sum |frame_i - frame_{i-1}| over all pixels/channels as exact
+    int64, flagged as a cut when SAD > ``cut_threshold``.
+
+    One row per frame i >= 1: (media_id, frame, sad, is_cut).
+
+    Scale shape: ONE mapInPandas pass, each clip decoded once and
+    differenced in-memory — embarrassingly parallel across clips, no
+    shuffle at all; a 100 TB video corpus partitions by clip."""
+    thr = int(cut_threshold)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload, codec_, nf, w_, h_ in zip(
+                    pdf["media_id"], pdf["payload"], pdf["codec"],
+                    pdf["n_frames"], pdf["w"], pdf["h"]):
+                idx = np.arange(int(nf))
+                frames = _decode_video_frames(
+                    bytes(payload), codec_, idx, int(w_), int(h_)
+                ).astype(np.int64)
+                sad = np.abs(np.diff(frames, axis=0)).reshape(int(nf) - 1, -1).sum(axis=1)
+                for i in range(1, int(nf)):
+                    rows.append({
+                        "media_id": mid, "frame": int(i),
+                        "sad": int(sad[i - 1]),
+                        "is_cut": bool(sad[i - 1] > thr),
+                    })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return video.mapInPandas(
+        fn, schema="media_id string, frame int, sad long, is_cut boolean"
+    )

@@ -14048,6 +14048,95 @@ QUALIFY row_number() OVER (PARTITION BY bx, by ORDER BY ssd, dy, dx) = 1
 ORDER BY bx, by"""
 
 
+def q_frame_diff(spark, sf_dir):
+    """Shot-boundary detection (media.frame_diffs, SAD > 5000): scene-
+    structured formula clips decoded once per clip, exact int64 sum of
+    absolute frame differences, hard cuts at the scene boundaries the
+    oracle re-derives pixel-wise."""
+    import pandas as _pd
+
+    from .operators.media import VIDEO_SCHEMA, frame_diffs, make_scene_video
+
+    video = spark.createDataFrame(
+        _pd.DataFrame([make_scene_video(c) for c in range(N_GATE_CLIPS)]),
+        schema=VIDEO_SCHEMA,
+    ).repartition(min(N_GATE_CLIPS, spark.sparkContext.defaultParallelism))
+    return frame_diffs(video, cut_threshold=5000).orderBy("media_id", "frame")
+
+
+def q_frame_diff_oracle():
+    v = ("((x.x * 5 + y.y * 11 + (({f}) // 5) * 37 + ch.ch * 29 "
+         "+ m.m * 7 + ({f})) % 256)")
+    return f"""
+WITH sad AS (
+  SELECT m.m AS m, f.f AS f,
+         CAST(sum(abs({v.format(f='f.f')} - {v.format(f='f.f - 1')})) AS BIGINT) AS sad
+  FROM generate_series(0, {N_GATE_CLIPS - 1}) m(m),
+       generate_series(1, 11) f(f),
+       generate_series(0, 15) x(x), generate_series(0, 11) y(y),
+       generate_series(0, 2) ch(ch)
+  GROUP BY 1, 2)
+SELECT 'vid-' || lpad(CAST(m AS VARCHAR), 9, '0') AS media_id,
+       CAST(f AS INT) AS frame, sad, sad > 5000 AS is_cut
+FROM sad ORDER BY media_id, frame"""
+
+
+def q_median_filter(spark, sf_dir):
+    """3x3 median filter (terrain.rank_filter_tiles mode="median" — the
+    salt-and-pepper denoiser) on the halo machinery, raster 500x300,
+    zero padding outside the extent.  Median of 9 integers is the exact
+    5th order statistic, so the oracle is list_sort(...)[5] per pixel;
+    per-tile weighted checksums as `morphology`."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.terrain import rank_filter_tiles
+
+    W, H, TS = 500, 300, 64
+    tiles = _formula_tiles(spark, W, H, bands=1, tile_size=TS)
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    med = rank_filter_tiles(tiles, gg, "median", tile_size=TS)
+
+    def cs(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                v = _np.frombuffer(data, _np.int64).reshape(TS, TS)
+                px = int(tx) * TS + _np.arange(TS)[None, :]
+                py = int(ty) * TS + _np.arange(TS)[:, None]
+                wt = ((py * W + px) % 9973 + 1).astype(_np.int64)
+                wt = wt * ((px < W) & (py < H))
+                rows.append({"tx": int(tx), "ty": int(ty),
+                             "cs_med": int((v * wt).sum())})
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return med.mapInPandas(cs, "tx long, ty long, cs_med long").orderBy("tx", "ty")
+
+
+def q_median_filter_oracle():
+    v = lambda a, b: f"((({a}) * 7 + ({b}) * 13) % 256)"
+    terms = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            nx, ny = f"x + ({dx})", f"y + ({dy})"
+            rng = f"{nx} >= 0 AND {nx} < 500 AND {ny} >= 0 AND {ny} < 300"
+            terms.append(f"CASE WHEN {rng} THEN {v(nx, ny)} ELSE 0 END")
+    return f"""
+WITH px AS (
+  SELECT x.x AS x, y.y AS y
+  FROM generate_series(0, 499) x(x), generate_series(0, 299) y(y)),
+m AS (
+  SELECT x // 64 AS tx, y // 64 AS ty,
+         list_sort([{", ".join(terms)}])[5] AS med,
+         ((y * 500 + x) % 9973 + 1) AS wt
+  FROM px)
+SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+       CAST(sum(med * wt) AS BIGINT) AS cs_med
+FROM m GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
 def q_track_link(spark, sf_dir):
     """Tracking-by-detection linking (trajectory.link_tracks, 32 frames,
     radius 50000 quantized units): mutual-nearest-neighbor assignment
@@ -14528,4 +14617,6 @@ QUERIES = {
     "polar_stereo": (q_polar_stereo, q_polar_stereo_oracle),
     "albers": (q_albers, q_albers_oracle),
     "track_link": (q_track_link, q_track_link_oracle),
+    "median_filter": (q_median_filter, q_median_filter_oracle),
+    "frame_diff": (q_frame_diff, q_frame_diff_oracle),
 }

@@ -149,3 +149,29 @@ def test_images_table_column_pruning_parity(spark):
 
     with pytest.raises(ValueError):
         images_table(spark, 10, columns=["nope"])
+
+
+def test_frame_diffs_scene_cuts(spark):
+    """Scene-structured clips cut exactly at scene boundaries (f % 5 == 0),
+    and SAD is the exact integer sum of absolute differences."""
+    import numpy as np
+    import pandas as pd
+
+    from sis_spark.operators.media import (
+        VIDEO_SCHEMA, frame_diffs, make_scene_video,
+    )
+
+    video = spark.createDataFrame(
+        pd.DataFrame([make_scene_video(c) for c in range(3)]),
+        schema=VIDEO_SCHEMA,
+    )
+    out = frame_diffs(video, cut_threshold=5000).collect()
+    assert len(out) == 3 * 11
+    for r in out:
+        m = int(r["media_id"].split("-")[1])
+        v = make_scene_video(m)
+        arr = np.frombuffer(v["payload"], np.uint8).reshape(12, 12, 16, 3).astype(np.int64)
+        f = r["frame"]
+        exp = int(np.abs(arr[f] - arr[f - 1]).sum())
+        assert r["sad"] == exp
+        assert r["is_cut"] == (f % 5 == 0)
