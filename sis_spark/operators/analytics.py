@@ -2273,3 +2273,83 @@ dp(c, row) AS (
 SELECT CAST(c AS BIGINT) AS c,
        CAST(row[(SELECT m FROM cum) + 0] AS BIGINT) AS cost
 FROM dp ORDER BY c"""
+
+
+def _cramer3(n, s1, s2, sy, s11, s12, s22, s1y, s2y):
+    """Shared 3x3 Cramer expansion for the normal equations of
+    y ~ b0 + b1*x1 + b2*x2 (textbook least squares, Cramer's rule).
+    Args are SQL/Column expression STRINGS; returns (det, n0, n1, n2)
+    strings with b_i = n_i / det — one expression text both engines
+    evaluate, so the int64 arithmetic agrees term for term."""
+    det = (f"({n} * ({s11} * {s22} - {s12} * {s12}) "
+           f"- {s1} * ({s1} * {s22} - {s12} * {s2}) "
+           f"+ {s2} * ({s1} * {s12} - {s11} * {s2}))")
+    n0 = (f"({sy} * ({s11} * {s22} - {s12} * {s12}) "
+          f"- {s1} * ({s1y} * {s22} - {s12} * {s2y}) "
+          f"+ {s2} * ({s1y} * {s12} - {s11} * {s2y}))")
+    n1 = (f"({n} * ({s1y} * {s22} - {s12} * {s2y}) "
+          f"- {sy} * ({s1} * {s22} - {s12} * {s2}) "
+          f"+ {s2} * ({s1} * {s2y} - {s1y} * {s2}))")
+    n2 = (f"({n} * ({s11} * {s2y} - {s1y} * {s12}) "
+          f"- {s1} * ({s1} * {s2y} - {s1y} * {s2}) "
+          f"+ {sy} * ({s1} * {s12} - {s11} * {s2}))")
+    return det, n0, n1, n2
+
+
+def ols_multi(df: DataFrame, x1_col: str, x2_col: str, y_col: str) -> DataFrame:
+    """Exact multivariate least squares y ~ b0 + b1*x1 + b2*x2 over
+    integer columns -> ONE row (n, det, num0, num1, num2) with
+    b_i = num_i / det, every quantity an exact int64 (caller keeps input
+    magnitudes small enough that the 3x3 determinants fit — bound ~
+    max|x|^2 * max|y| * n^2 per term).
+
+    Scale shape: the nine moments are ONE map-side-combined aggregation
+    (the tree-aggregate pattern); the Cramer solve is a codegen select
+    over that single row — no driver math, no iteration, no second pass.
+    This is the textbook distributed normal-equations fit."""
+    b = df.select(
+        F.col(x1_col).cast("long").alias("x1"),
+        F.col(x2_col).cast("long").alias("x2"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    agg = b.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    det, n0, n1, n2 = _cramer3(
+        "n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y"
+    )
+    return agg.selectExpr(
+        "n", f"{det} AS det", f"{n0} AS num0", f"{n1} AS num1", f"{n2} AS num2"
+    )
+
+
+def ols_multi_sql(base_select: str, x1_col: str, x2_col: str, y_col: str) -> str:
+    """DuckDB replay of ``ols_multi``; sums CAST to BIGINT before the
+    determinant arithmetic so both engines multiply int64, not HUGEINT."""
+    det, n0, n1, n2 = _cramer3(
+        "n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y"
+    )
+    return f"""
+WITH b AS (
+  SELECT CAST({x1_col} AS BIGINT) AS x1, CAST({x2_col} AS BIGINT) AS x2,
+         CAST({y_col} AS BIGINT) AS y
+  FROM ({base_select}) s),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         CAST(sum(x1 * y) AS BIGINT) AS s1y,
+         CAST(sum(x2 * y) AS BIGINT) AS s2y
+  FROM b)
+SELECT n, {det} AS det, {n0} AS num0, {n1} AS num1, {n2} AS num2 FROM agg"""

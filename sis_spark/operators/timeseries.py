@@ -1538,3 +1538,116 @@ SELECT {keys}, CAST(freq AS BIGINT) AS freq,
        CAST(sum(xc) AS BIGINT) AS c, CAST(sum(xs) AS BIGINT) AS s,
        CAST(count(*) AS BIGINT) AS n
 FROM j GROUP BY ALL"""
+
+
+def holt_winters_int(
+    df: DataFrame,
+    m: int = 4,
+    a_num: int = 1,
+    a_den: int = 4,
+    b_num: int = 1,
+    b_den: int = 8,
+    g_num: int = 1,
+    g_den: int = 4,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "x",
+) -> DataFrame:
+    """Additive Holt-Winters (level + trend + season, period ``m``) in
+    EXACT integer arithmetic -> (user, rn, x, l, b, s):
+      l_1 = x_1, b_1 = 0, s_t = 0 for t < 1 (cold-start seasonals)
+      l_t = floor((a_num*(x_t - s_{t-m}) + (a_den-a_num)*(l_{t-1}+b_{t-1})) / a_den)
+      b_t = floor((b_num*(l_t - l_{t-1}) + (b_den-b_num)*b_{t-1}) / b_den)
+      s_t = floor((g_num*(x_t - l_t) + (g_den-g_num)*s_{t-m}) / g_den)
+    with every division a true FLOOR division (posmod identity on the SQL
+    side), so negative seasonal deviations cannot split engines.  Same
+    execution shape as ``holt_int`` — keys parallelize, the recurrence is
+    sequential per key; 100 TB of keys is one applyInPandas shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.int64)
+        n = len(x)
+        l = np.zeros(n, dtype=np.int64)
+        b = np.zeros(n, dtype=np.int64)
+        s = np.zeros(n, dtype=np.int64)
+        if n:
+            l[0] = x[0]
+            s[0] = np.floor_divide(g_num * (x[0] - l[0]), g_den)
+            for t in range(1, n):
+                sm = s[t - m] if t - m >= 0 else 0
+                l[t] = np.floor_divide(
+                    a_num * (x[t] - sm) + (a_den - a_num) * (l[t - 1] + b[t - 1]),
+                    a_den,
+                )
+                b[t] = np.floor_divide(
+                    b_num * (l[t] - l[t - 1]) + (b_den - b_num) * b[t - 1],
+                    b_den,
+                )
+                s[t] = np.floor_divide(
+                    g_num * (x[t] - l[t]) + (g_den - g_num) * sm, g_den
+                )
+        return pd.DataFrame({
+            user_col: pdf[user_col].to_numpy(),
+            "rn": np.arange(1, n + 1, dtype=np.int64),
+            "x": x, "l": l, "b": b, "s": s,
+        })
+
+    schema = f"{user_col} long, rn long, x long, l long, b long, s long"
+    return df.groupBy(user_col).applyInPandas(fn, schema=schema)
+
+
+def holt_winters_int_sql(
+    base_select: str,
+    m: int = 4,
+    a_num: int = 1,
+    a_den: int = 4,
+    b_num: int = 1,
+    b_den: int = 8,
+    g_num: int = 1,
+    g_den: int = 4,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "x",
+) -> str:
+    """DuckDB replay of ``holt_winters_int``: the holt lockstep recursive
+    CTE carrying the last ``m`` seasonals as a LIST column (the dtw
+    diagonal-list trick) — sl[1] is s_{t-m}, each round shifts the list
+    and appends s_t.  Level resolves in a LATERAL before trend and season
+    read it."""
+    def fdiv(expr, den):
+        return f"(({expr} - ((({expr} % {den}) + {den}) % {den})) // {den})"
+
+    # s_1 = floordiv(g_num*(x_1 - l_1), g_den) = 0 exactly (l_1 = x_1)
+    lrec = f"({a_num} * (p.{value_col} - r.sl[1]) + {a_den - a_num} * (r.l + r.b))"
+    brec = f"({b_num} * (ln.v - r.l) + {b_den - b_num} * r.b)"
+    srec = f"({g_num} * (p.{value_col} - ln.v) + {g_den - g_num} * r.sl[1])"
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT {user_col}, {value_col},
+         CAST(row_number() OVER (PARTITION BY {user_col}
+                                 ORDER BY {ts_col}, {id_col}) AS BIGINT) AS rn
+  FROM ({base_select}) base),
+first AS (
+  SELECT {user_col}, rn, CAST({value_col} AS BIGINT) AS x,
+         CAST({value_col} AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+  FROM pts WHERE rn = 1),
+rec AS (
+  SELECT f.{user_col}, f.rn, f.x, f.l, f.b,
+         [{", ".join(["CAST(0 AS BIGINT)"] * m)}] AS sl
+  FROM first f
+  UNION ALL
+  SELECT p.{user_col}, p.rn, CAST(p.{value_col} AS BIGINT),
+         ln.v, {fdiv("bn.v", b_den)},
+         list_append(r.sl[2:{m}], {fdiv("sn.v", g_den)})
+  FROM rec r
+  JOIN pts p ON p.{user_col} = r.{user_col} AND p.rn = r.rn + 1
+  CROSS JOIN LATERAL (SELECT {fdiv(lrec, a_den)} AS v) ln
+  CROSS JOIN LATERAL (SELECT {brec} AS v) bn
+  CROSS JOIN LATERAL (SELECT {srec} AS v) sn)
+SELECT {user_col}, rn, x, l, b, sl[{m}] AS s FROM rec
+"""

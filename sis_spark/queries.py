@@ -14048,6 +14048,65 @@ QUALIFY row_number() OVER (PARTITION BY bx, by ORDER BY ssd, dy, dx) = 1
 ORDER BY bx, by"""
 
 
+def q_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters (timeseries.holt_winters_int, alpha=1/4,
+    beta=1/8, gamma=1/4, period 4) over per-user event tracks: coupled
+    integer level+trend+season recurrences with true floor divisions;
+    the oracle carries the last 4 seasonals as a LIST column in the
+    lockstep recursive CTE (the dtw diagonal-list trick)."""
+    from .operators.timeseries import holt_winters_int
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    lon, _ = point_lonlat_cols("event_id")
+    pts = ev.select(
+        "user_id", "event_id", "ts",
+        F.floor(lon * 10000).cast("long").alias("x"),
+    )
+    return holt_winters_int(pts, m=4).orderBy("user_id", "rn")
+
+
+def q_holt_winters_oracle():
+    from .operators.timeseries import holt_winters_int_sql
+
+    base = (
+        "SELECT user_id, event_id, ts, "
+        f"CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e4) AS BIGINT) AS x "
+        "FROM events WHERE event_id < 4000"
+    )
+    return (
+        "SELECT * FROM (" + holt_winters_int_sql(base, m=4)
+        + ") ORDER BY user_id, rn"
+    )
+
+
+def q_ols_multi(spark, sf_dir):
+    """Exact multivariate OLS (analytics.ols_multi): y ~ b0 + b1*x1 +
+    b2*x2 solved by Cramer's rule over nine map-side-combined int64
+    moments — one aggregation, codegen determinants, b_i = num_i / det
+    exact rationals.  The multivariate companion of `ols_trend`."""
+    from .operators.analytics import ols_multi
+
+    ev = _read(spark, sf_dir, "events")
+    b = ev.select(
+        (F.col("event_id") % 13).alias("x1"),
+        (F.col("event_id") * 7919 % 11).alias("x2"),
+        (F.col("event_id") % 13 * 3 - F.col("event_id") * 7919 % 11 * 2
+         + F.col("event_id") % 5).alias("y"),
+    )
+    return ols_multi(b, "x1", "x2", "y")
+
+
+def q_ols_multi_oracle():
+    from .operators.analytics import ols_multi_sql
+
+    base = (
+        "SELECT event_id % 13 AS x1, event_id * 7919 % 11 AS x2, "
+        "(event_id % 13) * 3 - (event_id * 7919 % 11) * 2 + event_id % 5 AS y "
+        "FROM events"
+    )
+    return ols_multi_sql(base, "x1", "x2", "y")
+
+
 def q_frame_diff(spark, sf_dir):
     """Shot-boundary detection (media.frame_diffs, SAD > 5000): scene-
     structured formula clips decoded once per clip, exact int64 sum of
@@ -14619,4 +14678,6 @@ QUERIES = {
     "track_link": (q_track_link, q_track_link_oracle),
     "median_filter": (q_median_filter, q_median_filter_oracle),
     "frame_diff": (q_frame_diff, q_frame_diff_oracle),
+    "ols_multi": (q_ols_multi, q_ols_multi_oracle),
+    "holt_winters": (q_holt_winters, q_holt_winters_oracle),
 }

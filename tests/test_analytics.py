@@ -807,3 +807,34 @@ def test_jenks_dp_brute_and_distributed(spark):
     assert got == {c + 1: costs[c] for c in range(4)}
     # monotone: more classes never cost more
     assert all(got[c + 1] <= got[c] for c in range(1, 4))
+
+
+def test_ols_multi_exact_and_vs_numpy(spark):
+    import numpy as np
+
+    from sis_spark.operators.analytics import ols_multi
+
+    rng = np.random.default_rng(3)
+    x1 = rng.integers(0, 20, 300)
+    x2 = rng.integers(0, 15, 300)
+    noise = rng.integers(-2, 3, 300)
+    y = 4 * x1 - 3 * x2 + 7 + noise
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 long, x2 long, y long",
+    )
+    r = ols_multi(df, "x1", "x2", "y").collect()[0]
+    X = np.stack([np.ones(300), x1, x2], axis=1).astype(np.float64)
+    beta = np.linalg.lstsq(X, y.astype(np.float64), rcond=None)[0]
+    got = np.array([r["num0"], r["num1"], r["num2"]], np.float64) / float(r["det"])
+    assert np.allclose(got, beta, atol=1e-9)
+
+    # exact linear data -> exact rational recovery
+    y2 = 4 * x1 - 3 * x2 + 7
+    df2 = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(x1, x2, y2)],
+        "x1 long, x2 long, y long",
+    )
+    r2 = ols_multi(df2, "x1", "x2", "y").collect()[0]
+    assert (r2["num0"], r2["num1"], r2["num2"]) == (
+        7 * r2["det"], 4 * r2["det"], -3 * r2["det"])

@@ -557,3 +557,31 @@ def test_dft_coeffs_planted_sinusoid(spark):
     mag = {f: abs(got[f][0]) + abs(got[f][1]) for f in got}
     assert mag[2] > 100 * max(mag[1], mag[3], mag[4])
     assert abs(got[2][0]) > 0.9 * 1000 * P * _DFT_SCALE
+
+
+def test_holt_winters_int_replica(spark):
+    """Engine recurrence == an independently-written Python replica, and
+    a pure seasonal signal yields converging seasonal state."""
+    rows = []
+    vals = [10, 50, 10, 50, 12, 52, 12, 52, 14, 54, 14, 54]
+    for i, v in enumerate(vals):
+        rows.append((1, i, i, v))
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, x long")
+    from sis_spark.operators.timeseries import holt_winters_int
+
+    out = {r["rn"]: (r["l"], r["b"], r["s"]) for r in
+           holt_winters_int(df, m=4, ts_col="ts").collect()}
+
+    def fdiv(a, b):
+        return a // b
+
+    m, an, ad, bn, bd, gn, gd = 4, 1, 4, 1, 8, 1, 4
+    l = [vals[0]]; b = [0]; s = [0]
+    for t in range(1, len(vals)):
+        sm = s[t - m] if t - m >= 0 else 0
+        lt = fdiv(an * (vals[t] - sm) + (ad - an) * (l[-1] + b[-1]), ad)
+        bt = fdiv(bn * (lt - l[-1]) + (bd - bn) * b[-1], bd)
+        st = fdiv(gn * (vals[t] - lt) + (gd - gn) * sm, gd)
+        l.append(lt); b.append(bt); s.append(st)
+    for t in range(len(vals)):
+        assert out[t + 1] == (l[t], b[t], s[t])
