@@ -363,3 +363,80 @@ SELECT k, first_ts,
        CAST(ntile({int(n_splits)}) OVER (ORDER BY first_ts ASC, k ASC)
             AS BIGINT) AS split
 FROM per"""
+
+
+def _poisson1_thresholds(max_w: int = 6) -> list[int]:
+    """floor(CDF_k(Poisson(1)) * 2^60) for k = 0..max_w-1 — exact int64
+    constants computed once and shared verbatim by both engines."""
+    import math
+
+    cum, term = 0.0, math.exp(-1.0)
+    out = []
+    for k in range(max_w):
+        cum += term
+        out.append(int(cum * _SCALE))
+        term /= (k + 1)
+    return out
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    n_boot: int,
+    key_col: str,
+    value_col: str,
+    salt: str = "boot",
+    max_w: int = 6,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap (the distributed bootstrap of the
+    public large-scale-inference literature: per-row resample weights are
+    independent Poisson(1), which converges to the multinomial bootstrap
+    at scale): weight = inverse-CDF lookup of a 60-bit hash of
+    (key, replicate), truncated at ``max_w`` (tail mass ~6e-4 documented).
+    Returns one row per replicate: (b, n_eff, sum_x) — the bootstrap mean
+    is the exact rational sum_x / n_eff, rerun/partitioning-stable.
+
+    Scale shape: one explode (x n_boot) + ONE map-side-combined
+    aggregation to n_boot rows; no collect, no state."""
+    thr = _poisson1_thresholds(max_w)
+    b = F.explode(F.array(*[F.lit(i) for i in range(int(n_boot))])).alias("b")
+    base = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(value_col).cast("long").alias("x"),
+    ).select("k", "x", b)
+    u = hash_u60(F.concat(F.col("k"), F.lit("#"), F.col("b").cast("string")), salt)
+    w = F.lit(int(max_w))
+    for k in reversed(range(max_w)):
+        w = F.when(u < F.lit(thr[k]), F.lit(k)).otherwise(w)
+    keyed = base.select("b", "x", w.cast("long").alias("w"))
+    return keyed.groupBy("b").agg(
+        F.sum("w").alias("n_eff"),
+        F.sum(F.col("w") * F.col("x")).alias("sum_x"),
+    )
+
+
+def poisson_bootstrap_sql(
+    base_select: str,
+    n_boot: int,
+    key_col: str,
+    value_col: str,
+    salt: str = "boot",
+    max_w: int = 6,
+) -> str:
+    """DuckDB replay of ``poisson_bootstrap``; ``base_select`` must yield
+    the same (key, value) rows."""
+    thr = _poisson1_thresholds(max_w)
+    u = hash_u60_sql(
+        f"CAST({key_col} AS VARCHAR) || '#' || CAST(b.b AS VARCHAR)", salt
+    )
+    cases = " ".join(
+        f"WHEN u < {thr[k]} THEN {k}" for k in range(max_w)
+    )
+    return f"""
+WITH keyed AS (
+  SELECT b.b AS b, CAST({value_col} AS BIGINT) AS x, {u} AS u
+  FROM ({base_select}) s, generate_series(0, {int(n_boot) - 1}) b(b)),
+w AS (
+  SELECT b, x, CASE {cases} ELSE {max_w} END AS w FROM keyed)
+SELECT CAST(b AS INT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
+       CAST(sum(w * x) AS BIGINT) AS sum_x
+FROM w GROUP BY 1"""

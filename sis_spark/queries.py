@@ -14048,6 +14048,33 @@ QUALIFY row_number() OVER (PARTITION BY bx, by ORDER BY ssd, dy, dx) = 1
 ORDER BY bx, by"""
 
 
+def q_bootstrap(spark, sf_dir):
+    """Deterministic Poisson bootstrap (sampling.poisson_bootstrap, 50
+    replicates): per-(row, replicate) Poisson(1) weights by inverse-CDF
+    lookup of a 60-bit hash — one explode + one map-side-combined
+    aggregation; each replicate mean is the exact rational sum_x/n_eff.
+    The distributed bootstrap of the large-scale-inference literature."""
+    from .operators.sampling import poisson_bootstrap
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("x")
+    )
+    return poisson_bootstrap(ev, n_boot=50, key_col="event_id",
+                             value_col="x").orderBy("b")
+
+
+def q_bootstrap_oracle():
+    from .operators.sampling import poisson_bootstrap_sql
+
+    base = ("SELECT event_id, CAST(floor(value * 1.0e2) AS BIGINT) AS x "
+            "FROM events")
+    return (
+        "SELECT * FROM ("
+        + poisson_bootstrap_sql(base, n_boot=50, key_col="event_id", value_col="x")
+        + ") ORDER BY b"
+    )
+
+
 def q_holt_winters(spark, sf_dir):
     """Additive Holt-Winters (timeseries.holt_winters_int, alpha=1/4,
     beta=1/8, gamma=1/4, period 4) over per-user event tracks: coupled
@@ -14680,4 +14707,5 @@ QUERIES = {
     "frame_diff": (q_frame_diff, q_frame_diff_oracle),
     "ols_multi": (q_ols_multi, q_ols_multi_oracle),
     "holt_winters": (q_holt_winters, q_holt_winters_oracle),
+    "bootstrap": (q_bootstrap, q_bootstrap_oracle),
 }

@@ -229,3 +229,23 @@ def test_temporal_group_split_no_leakage(spark):
     got = {r["k"]: r["split"] for r in temporal_group_split(df, 3).collect()}
     # users ordered by first ts (u*100): contiguous thirds
     assert [got[u] for u in range(9)] == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+
+
+def test_poisson_bootstrap_properties(spark):
+    """Weights are Poisson(1)-shaped (n_eff ~ n), replicates differ,
+    and the result is partitioning-stable."""
+    from sis_spark.operators.sampling import poisson_bootstrap
+
+    n = 2000
+    df = spark.range(n).selectExpr("id AS event_id", "id % 100 AS x")
+    out = poisson_bootstrap(df, n_boot=20, key_col="event_id", value_col="x")
+    rows = {r["b"]: (r["n_eff"], r["sum_x"]) for r in out.collect()}
+    assert len(rows) == 20
+    effs = [v[0] for v in rows.values()]
+    # Poisson(1) sum over 2000 rows: mean 2000, sd ~45 -> generous band
+    assert all(1700 < e < 2300 for e in effs)
+    assert len(set(rows.values())) > 1  # replicates actually differ
+
+    out2 = poisson_bootstrap(df.repartition(13), n_boot=20,
+                             key_col="event_id", value_col="x")
+    assert {r["b"]: (r["n_eff"], r["sum_x"]) for r in out2.collect()} == rows
