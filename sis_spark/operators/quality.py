@@ -285,3 +285,60 @@ SELECT cg.grp, max(ng.n_g) AS n_g,
          AS emd_num
 FROM cg JOIN gl ON gl.v = cg.v JOIN ng ON ng.grp = cg.grp
 GROUP BY 1"""
+
+
+def fd_discover(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact functional-dependency discovery over a candidate column set
+    (the data-profiling primitive of the Metanome/TANE literature,
+    restricted to unary FDs): for every ordered pair (A, B), A -> B holds
+    iff no A-value maps to two distinct B-values.  Returns one row per
+    pair: (a_col, b_col, n_lhs, n_violating, holds) where n_lhs is the
+    number of distinct A-values and n_violating those with > 1 distinct B.
+
+    Scale shape: each row emits its k*(k-1) (attr_a, val_a, attr_b,
+    val_b) quadruples through ONE codegen explode (no self-join on a row
+    id), then two keyed aggregations with map-side combine — one shuffle
+    wide per level, output k*(k-1) rows.  NULL A-values group together;
+    NULL B-values are ignored by the distinct count (the shared
+    COUNT(DISTINCT) semantics of both engines)."""
+    k = len(cols)
+    quads = F.array(*[
+        F.struct(
+            F.lit(a).alias("a_col"),
+            F.col(a).cast("string").alias("va"),
+            F.lit(b).alias("b_col"),
+            F.col(b).cast("string").alias("vb"),
+        )
+        for a in cols for b in cols if a != b
+    ])
+    m = df.select(F.explode(quads).alias("q")).select(
+        "q.a_col", "q.va", "q.b_col", "q.vb"
+    )
+    per_lhs = m.groupBy("a_col", "b_col", "va").agg(
+        F.countDistinct("vb").alias("nd")
+    )
+    return per_lhs.groupBy("a_col", "b_col").agg(
+        F.count(F.lit(1)).alias("n_lhs"),
+        F.sum((F.col("nd") > 1).cast("long")).alias("n_violating"),
+        (F.max("nd") == 1).alias("holds"),
+    )
+
+
+def fd_discover_sql(base_select: str, cols: list[str]) -> str:
+    """DuckDB replay of ``fd_discover`` — one grouped subquery per
+    ordered pair, UNION ALL."""
+    parts = []
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            parts.append(f"""
+SELECT '{a}' AS a_col, '{b}' AS b_col,
+       CAST(count(*) AS BIGINT) AS n_lhs,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       max(nd) = 1 AS holds
+FROM (
+  SELECT CAST({a} AS VARCHAR) AS va,
+         count(DISTINCT CAST({b} AS VARCHAR)) AS nd
+  FROM ({base_select}) s GROUP BY 1) g""")
+    return " UNION ALL ".join(parts)

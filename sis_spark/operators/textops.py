@@ -1548,3 +1548,57 @@ SELECT g.{id_col} AS {id_col},
        CAST(sum(CASE WHEN f.first_id = g.{id_col} THEN 1 ELSE 0 END)
             AS BIGINT) AS n_novel
 FROM g JOIN f USING (h) GROUP BY 1"""
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG / training-prep
+    pre-tokenization step): token windows of ``chunk`` words every
+    ``stride`` words — one chunk per start position k*stride < n_words,
+    so every token lands in >= 1 chunk and consecutive chunks overlap by
+    chunk - stride.  Returns (doc_id, chunk_idx, n_tokens, chunk_md5)
+    with chunk_md5 = md5 of the space-rejoined window.
+
+    Shape: pure JVM codegen — split once, sequence+explode the start
+    positions, slice/array_join/md5; no Python, no shuffle beyond the
+    explode (map-side), scales linearly in corpus bytes."""
+    ws = F.split(F.col(text_col), " ")
+    d = docs.select(F.col(id_col), ws.alias("__ws"))
+    ks = F.sequence(F.lit(0), F.floor((F.size("__ws") - 1) / stride).cast("int"))
+    d = d.select(id_col, "__ws", F.explode(ks).alias("chunk_idx"))
+    sl = F.slice(F.col("__ws"), F.col("chunk_idx") * stride + 1, chunk)
+    return d.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(sl).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(sl, " ").cast("binary")).alias("chunk_md5"),
+    )
+
+
+def chunk_documents_sql(
+    rel: str = "documents",
+    chunk: int = 32,
+    stride: int = 24,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``chunk_documents`` (same single-space split)."""
+    return f"""
+WITH w AS (
+  SELECT {id_col}, string_split({text}, ' ') AS ws FROM {rel}),
+g AS (
+  SELECT {id_col}, ws,
+         CAST(unnest(range((len(ws) - 1) // {stride} + 1)) AS BIGINT) AS chunk_idx
+  FROM w),
+k AS (
+  SELECT {id_col}, chunk_idx,
+         ws[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {chunk}] AS sl
+  FROM g)
+SELECT {id_col}, chunk_idx, CAST(len(sl) AS BIGINT) AS n_tokens,
+       md5(array_to_string(sl, ' ')) AS chunk_md5
+FROM k"""

@@ -14048,6 +14048,60 @@ QUALIFY row_number() OVER (PARTITION BY bx, by ORDER BY ssd, dy, dx) = 1
 ORDER BY bx, by"""
 
 
+def q_func_deps(spark, sf_dir):
+    """Unary functional-dependency discovery (quality.fd_discover, the
+    Metanome/TANE profiling primitive) over four orders attributes — one
+    codegen explode of the k*(k-1) quadruples + two keyed aggregations.
+    The candidate set plants a real 1-1 FD (priority <-> its digit)."""
+    from .operators.quality import fd_discover
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority",
+        F.substring("o_orderpriority", 1, 1).alias("prio_digit"),
+        (F.col("o_orderkey") % 100).alias("bucket"),
+    )
+    return fd_discover(
+        o, ["o_orderstatus", "o_orderpriority", "prio_digit", "bucket"]
+    ).orderBy("a_col", "b_col")
+
+
+def q_func_deps_oracle():
+    from .operators.quality import fd_discover_sql
+
+    base = (
+        "SELECT o_orderstatus, o_orderpriority, "
+        "substr(o_orderpriority, 1, 1) AS prio_digit, "
+        "o_orderkey % 100 AS bucket FROM orders"
+    )
+    return (
+        "SELECT * FROM ("
+        + fd_discover_sql(base, ["o_orderstatus", "o_orderpriority",
+                                 "prio_digit", "bucket"])
+        + ") ORDER BY a_col, b_col"
+    )
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Sliding-window chunking (textops.chunk_documents, 32-token chunks
+    every 24): the RAG/training-prep pre-tokenization step as pure JVM
+    codegen — split, sequence+explode starts, slice/array_join/md5."""
+    from .operators.textops import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def q_chunk_docs_oracle():
+    from .operators.textops import chunk_documents_sql
+
+    return (
+        "SELECT * FROM (" + chunk_documents_sql("documents", chunk=32, stride=24)
+        + ") ORDER BY doc_id, chunk_idx"
+    )
+
+
 def q_bootstrap(spark, sf_dir):
     """Deterministic Poisson bootstrap (sampling.poisson_bootstrap, 50
     replicates): per-(row, replicate) Poisson(1) weights by inverse-CDF
@@ -14708,4 +14762,6 @@ QUERIES = {
     "ols_multi": (q_ols_multi, q_ols_multi_oracle),
     "holt_winters": (q_holt_winters, q_holt_winters_oracle),
     "bootstrap": (q_bootstrap, q_bootstrap_oracle),
+    "chunk_docs": (q_chunk_docs, q_chunk_docs_oracle),
+    "func_deps": (q_func_deps, q_func_deps_oracle),
 }

@@ -104,3 +104,20 @@ def test_token_sort_dedup_collides_reorderings(spark):
         (r["n_docs"], r["min_id"]) for r in token_sort_dedup(df).collect()
     )
     assert got == [(1, 4), (3, 1)]
+
+
+def test_fd_discover_hand(spark):
+    from sis_spark.operators.quality import fd_discover
+
+    rows = [
+        # a -> b holds (a determines b); b -> a violated (b=1 maps to a=1,3)
+        (1, 1, "x"), (1, 1, "y"), (2, 2, "x"), (3, 1, "x"),
+    ]
+    df = spark.createDataFrame(rows, "a long, b long, c string")
+    out = {(r["a_col"], r["b_col"]): (r["n_lhs"], r["n_violating"], r["holds"])
+           for r in fd_discover(df, ["a", "b", "c"]).collect()}
+    assert out[("a", "b")] == (3, 0, True)
+    assert out[("b", "a")] == (2, 1, False)
+    assert out[("a", "c")] == (3, 1, False)   # a=1 -> c in {x, y}
+    assert out[("c", "b")] == (2, 1, False)   # c=x -> b in {1, 2}
+    assert len(out) == 6
