@@ -1306,3 +1306,56 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM q) AS n,
        CAST(sum(CASE WHEN ct THEN 1 ELSE 0 END) AS BIGINT) AS n_time,
        CAST(sum(CASE WHEN cs AND ct THEN 1 ELSE 0 END) AS BIGINT) AS n_both
 FROM pr"""
+
+
+def gravity_scores(flows: DataFrame, scale: int = 1 << 20) -> DataFrame:
+    """Gravity-model scoring of an OD flow matrix (the spatial-interaction
+    model of public transport geography: predicted flow ~ m_o * m_d /
+    d^2): every observed (origin cell, dest cell, n) row gains the exact
+    integer score floordiv(outmass(o) * inmass(d) * scale, d2) with d2 =
+    cell-center distance^2 clamped to >= 1 (intra-cell trips).  Masses
+    are the marginal trip counts; everything stays int64 (caller bounds:
+    m_o * m_d * scale < 2^63).
+
+    Shape: two map-side-combined marginal aggregations joined back (both
+    tiny relative to the flow table, broadcastable), then codegen
+    arithmetic — no shuffle beyond the marginals."""
+    om = flows.groupBy("oix", "oiy").agg(F.sum("n").alias("m_o"))
+    dm = flows.groupBy("dix", "diy").agg(F.sum("n").alias("m_d"))
+    j = flows.join(F.broadcast(om), ["oix", "oiy"]).join(
+        F.broadcast(dm), ["dix", "diy"]
+    )
+    d2 = F.greatest(
+        (F.col("oix") - F.col("dix")) * (F.col("oix") - F.col("dix"))
+        + (F.col("oiy") - F.col("diy")) * (F.col("oiy") - F.col("diy")),
+        F.lit(1),
+    ).cast("long")
+    return j.select(
+        "oix", "oiy", "dix", "diy", "n", "m_o", "m_d",
+        F.expr(f"CAST(m_o * m_d * {int(scale)} AS BIGINT)").cast("long")
+        .alias("__num"),
+        d2.alias("__d2"),
+    ).selectExpr(
+        "oix", "oiy", "dix", "diy", "n", "m_o", "m_d",
+        "__num DIV __d2 AS score",
+    )
+
+
+def gravity_scores_sql(flows_select: str, scale: int = 1 << 20) -> str:
+    """DuckDB replay of ``gravity_scores``; ``flows_select`` -> (oix,
+    oiy, dix, diy, n).  Marginals as window sums (same values as the
+    join formulation); all quantities positive, so // == floor."""
+    return f"""
+WITH f AS ({flows_select}),
+m AS (
+  SELECT oix, oiy, dix, diy, n,
+         sum(n) OVER (PARTITION BY oix, oiy) AS m_o,
+         sum(n) OVER (PARTITION BY dix, diy) AS m_d,
+         greatest((oix - dix) * (oix - dix) + (oiy - diy) * (oiy - diy),
+                  1) AS d2
+  FROM f)
+SELECT oix, oiy, dix, diy, n,
+       CAST(m_o AS BIGINT) AS m_o, CAST(m_d AS BIGINT) AS m_d,
+       CAST((CAST(m_o AS BIGINT) * CAST(m_d AS BIGINT) * {int(scale)}) // d2
+            AS BIGINT) AS score
+FROM m"""

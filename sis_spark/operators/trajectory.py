@@ -1722,3 +1722,63 @@ r AS (
          row_number() OVER (PARTITION BY frame, b_id ORDER BY d2, a_id) AS rb
   FROM cand)
 SELECT frame, a_id, b_id, d2 FROM r WHERE ra = 1 AND rb = 1"""
+
+
+def dwell_times(
+    points: DataFrame,
+    inside_col: str,
+    key_col: str = "k",
+    order_col: str = "o",
+) -> DataFrame:
+    """Per-visit dwell extraction (the companion of
+    ``geofence_transitions``): a visit is a maximal run of inside rows
+    along the key's ordered track (a track that STARTS inside counts as
+    visit 1, unlike the transition stream's conservative first-row rule);
+    returns (k, visit, o_enter, o_exit, n_pings).
+
+    Shape: one keyed sort window (lag + running sum of enter flags) +
+    one aggregation — pure codegen, the sessionize family."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("o")
+    b = points.select(
+        F.col(key_col).alias("k"), F.col(order_col).alias("o"),
+        F.col(inside_col).cast("long").alias("ins"),
+    )
+    enter = F.when(
+        (F.col("ins") == 1)
+        & (F.lag("ins").over(w).isNull() | (F.lag("ins").over(w) == 0)),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    v = b.withColumn("visit", F.sum(enter).over(run))
+    return (
+        v.filter(F.col("ins") == 1)
+        .groupBy("k", "visit")
+        .agg(
+            F.min("o").alias("o_enter"),
+            F.max("o").alias("o_exit"),
+            F.count(F.lit(1)).alias("n_pings"),
+        )
+    )
+
+
+def dwell_times_sql(points_select: str) -> str:
+    """DuckDB replay of ``dwell_times``; ``points_select`` -> (k, o, ins)."""
+    return f"""
+WITH b AS (SELECT k, o, CAST(ins AS BIGINT) AS ins
+           FROM ({points_select}) s),
+p AS (
+  SELECT k, o, ins,
+         lag(ins) OVER (PARTITION BY k ORDER BY o) AS prev
+  FROM b),
+v AS (
+  SELECT k, o, ins,
+         sum(CASE WHEN ins = 1 AND (prev IS NULL OR prev = 0)
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY k ORDER BY o
+                 ROWS UNBOUNDED PRECEDING) AS visit
+  FROM p)
+SELECT k, CAST(visit AS BIGINT) AS visit, min(o) AS o_enter,
+       max(o) AS o_exit, CAST(count(*) AS BIGINT) AS n_pings
+FROM v WHERE ins = 1 GROUP BY 1, 2"""

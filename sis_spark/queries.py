@@ -14048,6 +14048,71 @@ QUALIFY row_number() OVER (PARTITION BY bx, by ORDER BY ssd, dy, dx) = 1
 ORDER BY bx, by"""
 
 
+def q_gravity(spark, sf_dir):
+    """Gravity-model scoring of the OD flow matrix (density.gravity_
+    scores over density.od_matrix at 32x32): score = floordiv(outmass *
+    inmass * 2^20, cell distance^2 clamped to 1) — marginal masses from
+    two broadcastable aggregations, all-int64 spatial-interaction model."""
+    from .operators.density import gravity_scores, od_matrix
+
+    pts = _events_points(spark, sf_dir).join(
+        _read(spark, sf_dir, "events").select("event_id", "user_id"),
+        "event_id",
+    )
+    flows = od_matrix(pts, grid_n=32).withColumnRenamed("n_trips", "n")
+    return gravity_scores(flows).orderBy("oix", "oiy", "dix", "diy")
+
+
+def q_gravity_oracle():
+    from .operators.density import gravity_scores_sql, od_matrix_sql
+
+    base = (
+        f"SELECT e.user_id, p.event_id, p.lon, p.lat "
+        f"FROM ({_points_sql()}) p JOIN events e ON e.event_id = p.event_id"
+    )
+    return (
+        "SELECT * FROM ("
+        + gravity_scores_sql(
+            "SELECT oix, oiy, dix, diy, n_trips AS n FROM ("
+            + od_matrix_sql(base, 32) + ") f0"
+        )
+        + ") ORDER BY oix, oiy, dix, diy"
+    )
+
+
+def q_dwell_time(spark, sf_dir):
+    """Per-visit dwell extraction (trajectory.dwell_times): maximal
+    inside-runs per user track against the same quantized haversine
+    geofence as `geofence` — one lag/cumsum window + one aggregation."""
+    from .operators.trajectory import dwell_times
+
+    lon, lat = point_lonlat_cols("event_id")
+    d = haversine_col(lon, lat, F.lit(10.0), F.lit(52.0))
+    km = F.floor(d / F.lit(1000.0) - F.lit(0.123456789)).cast("long")
+    pts = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("event_id").alias("o"),
+        (km < 2000).cast("long").alias("ins"),
+    )
+    return dwell_times(pts, "ins").orderBy("k", "visit")
+
+
+def q_dwell_time_oracle():
+    from .functions.geometry import haversine_sql
+    from .operators.trajectory import dwell_times_sql
+
+    d = haversine_sql(
+        synth.point_lon_sql("event_id"), synth.point_lat_sql("event_id"),
+        "10.0", "52.0",
+    )
+    base = f"""SELECT user_id AS k, event_id AS o,
+       CASE WHEN CAST(floor({d} / 1000.0 - 0.123456789) AS BIGINT) < 2000
+            THEN 1 ELSE 0 END AS ins
+FROM events"""
+    return (
+        "SELECT * FROM (" + dwell_times_sql(base) + ") ORDER BY k, visit"
+    )
+
+
 def q_func_deps(spark, sf_dir):
     """Unary functional-dependency discovery (quality.fd_discover, the
     Metanome/TANE profiling primitive) over four orders attributes — one
@@ -14764,4 +14829,6 @@ QUERIES = {
     "bootstrap": (q_bootstrap, q_bootstrap_oracle),
     "chunk_docs": (q_chunk_docs, q_chunk_docs_oracle),
     "func_deps": (q_func_deps, q_func_deps_oracle),
+    "gravity": (q_gravity, q_gravity_oracle),
+    "dwell_time": (q_dwell_time, q_dwell_time_oracle),
 }
