@@ -1359,3 +1359,132 @@ SELECT oix, oiy, dix, diy, n,
        CAST((CAST(m_o AS BIGINT) * CAST(m_d AS BIGINT) * {int(scale)}) // d2
             AS BIGINT) AS score
 FROM m"""
+
+
+def dbscan(
+    points: DataFrame,
+    eps: int,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "qx",
+    y_col: str = "qy",
+) -> DataFrame:
+    """Exact point-level DBSCAN (Ester et al. 1996, public literature)
+    over quantized int64 coordinates -> (id, role, cluster):
+    role = 'core' (>= min_pts neighbors within eps, self included),
+    'border' (non-core with a core neighbor), or 'noise'; cluster = the
+    smallest core id reachable through core-core eps-edges (borders take
+    the min cluster over their core neighbors — the deterministic,
+    order-free border rule), NULL for noise.
+
+    Scale shape: neighbor candidates from ONE 3x3 cell-ring equi-join
+    with cell side exactly eps (never all pairs); the connected-
+    components loop runs over the CORE adjacency only (min-label +
+    pointer jumping, O(log diameter) rounds).  The point-level exact
+    companion of ``grid_cluster`` (which survives 10^12 points by
+    clustering core CELLS instead)."""
+    from ..operators.graph import connected_components
+
+    cell = float(int(eps))
+
+    def keyed(prefix):
+        return points.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(x_col).alias(f"{prefix}_x"),
+            F.col(y_col).alias(f"{prefix}_y"),
+            F.floor(F.col(x_col).cast("double") / F.lit(cell)).cast("long").alias(f"{prefix}_cx"),
+            F.floor(F.col(y_col).cast("double") / F.lit(cell)).cast("long").alias(f"{prefix}_cy"),
+        )
+
+    a, b = keyed("a"), keyed("b")
+    ring = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    ae = a.select(
+        "a_id", "a_x", "a_y", "a_cx", "a_cy", F.explode(ring).alias("o")
+    ).select(
+        "a_id", "a_x", "a_y",
+        (F.col("a_cx") + F.col("o.dx")).alias("cx"),
+        (F.col("a_cy") + F.col("o.dy")).alias("cy"),
+    )
+    dx = F.col("a_x") - F.col("b_x")
+    dy = F.col("a_y") - F.col("b_y")
+    r2 = F.lit(int(eps)).cast("long") * F.lit(int(eps)).cast("long")
+    nbr = (
+        ae.join(b, (F.col("cx") == F.col("b_cx")) & (F.col("cy") == F.col("b_cy")))
+        .filter(dx * dx + dy * dy <= r2)
+        .select("a_id", "b_id")
+        .persist()
+    )
+    deg = nbr.groupBy("a_id").agg(F.count(F.lit(1)).alias("n_nbr"))
+    core = deg.filter(F.col("n_nbr") >= int(min_pts)).select(
+        F.col("a_id").alias("cid")
+    ).persist()
+    # core-core edges (self-loops keep isolated cores in the output)
+    cc_edges = (
+        nbr.join(core, nbr.a_id == core.cid).drop("cid")
+        .join(core.withColumnRenamed("cid", "cid2"), nbr.b_id == F.col("cid2"))
+        .select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    )
+    comp = connected_components(cc_edges)  # (node, comp) over cores
+    core_lab = comp.select(F.col("node").alias("pid"), F.col("comp").alias("cluster"))
+    cores_out = core_lab.select("pid", F.lit("core").alias("role"), "cluster")
+    # borders: non-core points with >= 1 core neighbor -> min cluster
+    border = (
+        nbr.join(core, nbr.a_id == core.cid, "left_anti")
+        .join(core.withColumnRenamed("cid", "cid2"), nbr.b_id == F.col("cid2"))
+        .join(core_lab, F.col("b_id") == core_lab.pid)
+        .groupBy(F.col("a_id"))
+        .agg(F.min("cluster").alias("cluster"))
+        .select(F.col("a_id").alias("pid"), F.lit("border").alias("role"), "cluster")
+    )
+    labeled = cores_out.union(border)
+    noise = (
+        points.select(F.col(id_col).alias("pid"))
+        .join(labeled.select("pid"), "pid", "left_anti")
+        .select("pid", F.lit("noise").alias("role"),
+                F.lit(None).cast("long").alias("cluster"))
+    )
+    out = labeled.union(noise)
+    nbr.unpersist()
+    return out.select(F.col("pid").alias(id_col), "role", "cluster")
+
+
+def dbscan_sql(base_select: str, eps: int, min_pts: int) -> str:
+    """DuckDB replay of ``dbscan``; ``base_select`` -> (id, qx, qy).
+    Neighbors via the plain radius self-join (the cell ring provably
+    yields the same set); components via recursive transitive closure."""
+    r2 = int(eps) * int(eps)
+    return f"""
+WITH RECURSIVE pts AS ({base_select}),
+nbr AS (
+  SELECT a.id AS a_id, b.id AS b_id
+  FROM pts a JOIN pts b
+    ON (a.qx - b.qx) * (a.qx - b.qx) + (a.qy - b.qy) * (a.qy - b.qy) <= {r2}),
+core AS (
+  SELECT a_id AS cid FROM nbr GROUP BY 1 HAVING count(*) >= {int(min_pts)}),
+ce AS (
+  SELECT n.a_id AS a, n.b_id AS b FROM nbr n
+  JOIN core c1 ON c1.cid = n.a_id
+  JOIN core c2 ON c2.cid = n.b_id),
+reach(node, r) AS (
+  SELECT a, a FROM ce
+  UNION
+  SELECT reach.node, ce.b FROM reach JOIN ce ON ce.a = reach.r),
+lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY 1),
+border AS (
+  SELECT n.a_id AS pid, min(l.cluster) AS cluster
+  FROM nbr n
+  JOIN core c2 ON c2.cid = n.b_id
+  JOIN lab l ON l.node = n.b_id
+  WHERE n.a_id NOT IN (SELECT cid FROM core)
+  GROUP BY 1)
+SELECT p.id, 
+       CASE WHEN l.node IS NOT NULL THEN 'core'
+            WHEN b.pid IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CASE WHEN l.node IS NOT NULL THEN l.cluster ELSE b.cluster END AS cluster
+FROM pts p
+LEFT JOIN lab l ON l.node = p.id
+LEFT JOIN border b ON b.pid = p.id"""

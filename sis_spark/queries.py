@@ -14048,6 +14048,39 @@ QUALIFY row_number() OVER (PARTITION BY bx, by ORDER BY ssd, dy, dx) = 1
 ORDER BY bx, by"""
 
 
+def q_dbscan(spark, sf_dir):
+    """Exact point-level DBSCAN (density.dbscan, eps 30000 quantized
+    units, min_pts 4, every 20th event): cell-ring neighbor join + core
+    graph connected components (min-label + pointer jumping) + the
+    deterministic min-label border rule.  The point-exact companion of
+    `grid_cluster`; oracle = radius self-join + recursive transitive
+    closure."""
+    from .operators.density import dbscan
+
+    pts = _events_points(spark, sf_dir).filter(F.col("event_id") % 20 == 0)
+    d = pts.select(
+        F.col("event_id").alias("id"),
+        F.floor(F.col("lon") * F.lit(10000.0)).cast("long").alias("qx"),
+        F.floor(F.col("lat") * F.lit(10000.0)).cast("long").alias("qy"),
+    )
+    return dbscan(d, eps=30000, min_pts=4).orderBy("id")
+
+
+def q_dbscan_oracle():
+    from .operators.density import dbscan_sql
+
+    base = (
+        "SELECT event_id AS id, "
+        "CAST(floor(lon * 10000.0) AS BIGINT) AS qx, "
+        "CAST(floor(lat * 10000.0) AS BIGINT) AS qy "
+        f"FROM ({_points_sql()}) p WHERE event_id % 20 = 0"
+    )
+    return (
+        "SELECT * FROM (" + dbscan_sql(base, eps=30000, min_pts=4)
+        + ") ORDER BY id"
+    )
+
+
 def q_gravity(spark, sf_dir):
     """Gravity-model scoring of the OD flow matrix (density.gravity_
     scores over density.od_matrix at 32x32): score = floordiv(outmass *
@@ -14830,5 +14863,6 @@ QUERIES = {
     "chunk_docs": (q_chunk_docs, q_chunk_docs_oracle),
     "func_deps": (q_func_deps, q_func_deps_oracle),
     "gravity": (q_gravity, q_gravity_oracle),
+    "dbscan": (q_dbscan, q_dbscan_oracle),
     "dwell_time": (q_dwell_time, q_dwell_time_oracle),
 }

@@ -406,3 +406,48 @@ def test_knox_counts_brute(spark):
             nb += cs and ct
     assert (got["n"], got["n_space"], got["n_time"], got["n_both"]) == \
         (m, ns, nt, nb)
+
+
+def test_dbscan_differential(spark):
+    """Engine DBSCAN == a brute-force reference implementation on random
+    points, including the deterministic min-label border rule."""
+    import numpy as np
+
+    from sis_spark.operators.density import dbscan
+
+    rng = np.random.default_rng(11)
+    n, eps, min_pts = 200, 40, 4
+    x = rng.integers(0, 400, n)
+    y = rng.integers(0, 400, n)
+    df = spark.createDataFrame(
+        [(i, int(x[i]), int(y[i])) for i in range(n)],
+        "id long, qx long, qy long",
+    )
+    got = {r["id"]: (r["role"], r["cluster"]) for r in
+           dbscan(df, eps=eps, min_pts=min_pts).collect()}
+    assert len(got) == n
+
+    # brute reference
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    nbr = d2 <= eps * eps
+    core = nbr.sum(axis=1) >= min_pts
+    # components over core-core adjacency (min reachable core id)
+    lab = {i: i for i in range(n) if core[i]}
+    changed = True
+    while changed:
+        changed = False
+        for i in lab:
+            for j in lab:
+                if nbr[i, j] and lab[j] < lab[i]:
+                    lab[i] = lab[j]
+                    changed = True
+    exp = {}
+    for i in range(n):
+        if core[i]:
+            exp[i] = ("core", lab[i])
+        else:
+            cn = [lab[j] for j in lab if nbr[i, j]]
+            exp[i] = ("border", min(cn)) if cn else ("noise", None)
+    assert got == exp
+    assert any(v[0] == "core" for v in exp.values())
+    assert any(v[0] == "noise" for v in exp.values())
