@@ -983,3 +983,105 @@ def bayer_dither_stats(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         fn, schema="image_id string, phase long, n long, ones long"
     )
+
+
+def median_cut_boxes(pixels: DataFrame, rounds: int = 3) -> DataFrame:
+    """Distributed median-cut color quantization (Heckbert 1982,
+    breadth-first variant: every round splits EVERY box on its longest
+    axis at the weighted median) over a weighted pixel/color table
+    (r, g, b, w) -> 2^rounds boxes as (box, n, wsum, r_mean, g_mean,
+    b_mean), means = floordiv(sum(channel*w), sum(w)) exact integers.
+
+    Determinism: axis ties break r > g > b; the weighted median is the
+    smallest value v with 2*cumweight(<= v) >= total (ties share their
+    cumulative weight via a RANGE window frame), and <= v goes to the
+    left child — every rule a pure integer comparison.
+
+    Scale shape: each round is one tiny per-box aggregate (2^round rows,
+    broadcast back) + two window passes over the pixel table — rounds
+    are O(log k), everything codegen, no Python, no driver state."""
+    from pyspark.sql import Window
+
+    d = pixels.select(
+        F.col("r").cast("long"), F.col("g").cast("long"),
+        F.col("b").cast("long"), F.col("w").cast("long"),
+        F.lit(0).cast("long").alias("box"),
+    )
+    for _ in range(int(rounds)):
+        rng = d.groupBy("box").agg(
+            (F.max("r") - F.min("r")).alias("rr"),
+            (F.max("g") - F.min("g")).alias("rg"),
+            (F.max("b") - F.min("b")).alias("rb"),
+        )
+        ax = (
+            F.when((F.col("rr") >= F.col("rg")) & (F.col("rr") >= F.col("rb")), 0)
+            .when(F.col("rg") >= F.col("rb"), 1)
+            .otherwise(2)
+        )
+        axes = rng.select("box", ax.alias("ax"))
+        d = d.join(F.broadcast(axes), "box")
+        val = (
+            F.when(F.col("ax") == 0, F.col("r"))
+            .when(F.col("ax") == 1, F.col("g"))
+            .otherwise(F.col("b"))
+        )
+        d = d.withColumn("val", val)
+        wcum = Window.partitionBy("box").orderBy("val").rangeBetween(
+            Window.unboundedPreceding, 0
+        )
+        wall = Window.partitionBy("box")
+        d = d.withColumn("cum", F.sum("w").over(wcum)).withColumn(
+            "tot", F.sum("w").over(wall)
+        )
+        med = F.min(
+            F.when(F.col("cum") * 2 >= F.col("tot"), F.col("val"))
+        ).over(wall)
+        d = d.withColumn(
+            "box", F.col("box") * 2 + (F.col("val") > med).cast("long")
+        ).drop("ax", "val", "cum", "tot")
+    return d.groupBy("box").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("w").alias("wsum"),
+        F.expr("sum(r * w) DIV sum(w)").alias("r_mean"),
+        F.expr("sum(g * w) DIV sum(w)").alias("g_mean"),
+        F.expr("sum(b * w) DIV sum(w)").alias("b_mean"),
+    )
+
+
+def median_cut_sql(base_select: str, rounds: int = 3) -> str:
+    """DuckDB replay of ``median_cut_boxes``; ``base_select`` -> (r, g,
+    b, w).  One CTE pair per round (per-box axis pick, then the windowed
+    weighted-median split)."""
+    ctes = [f"d0 AS (SELECT CAST(r AS BIGINT) AS r, CAST(g AS BIGINT) AS g, "
+            f"CAST(b AS BIGINT) AS b, CAST(w AS BIGINT) AS w, "
+            f"CAST(0 AS BIGINT) AS box FROM ({base_select}) s)"]
+    for i in range(int(rounds)):
+        ctes.append(f"""a{i} AS (
+  SELECT box,
+         CASE WHEN max(r) - min(r) >= max(g) - min(g)
+               AND max(r) - min(r) >= max(b) - min(b) THEN 0
+              WHEN max(g) - min(g) >= max(b) - min(b) THEN 1
+              ELSE 2 END AS ax
+  FROM d{i} GROUP BY 1)""")
+        ctes.append(f"""v{i} AS (
+  SELECT d.*, CASE a.ax WHEN 0 THEN d.r WHEN 1 THEN d.g ELSE d.b END AS val
+  FROM d{i} d JOIN a{i} a USING (box))""")
+        ctes.append(f"""m{i} AS (
+  SELECT *,
+         sum(w) OVER (PARTITION BY box ORDER BY val
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(w) OVER (PARTITION BY box) AS tot
+  FROM v{i})""")
+        ctes.append(f"""d{i + 1} AS (
+  SELECT r, g, b, w,
+         box * 2 + CASE WHEN val > min(CASE WHEN cum * 2 >= tot THEN val END)
+                              OVER (PARTITION BY box)
+                        THEN 1 ELSE 0 END AS box
+  FROM m{i})""")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT box, CAST(count(*) AS BIGINT) AS n, CAST(sum(w) AS BIGINT) AS wsum,
+       CAST(CAST(sum(r * w) AS BIGINT) // CAST(sum(w) AS BIGINT) AS BIGINT) AS r_mean,
+       CAST(CAST(sum(g * w) AS BIGINT) // CAST(sum(w) AS BIGINT) AS BIGINT) AS g_mean,
+       CAST(CAST(sum(b * w) AS BIGINT) // CAST(sum(w) AS BIGINT) AS BIGINT) AS b_mean
+FROM d{int(rounds)} GROUP BY 1"""

@@ -14048,6 +14048,37 @@ QUALIFY row_number() OVER (PARTITION BY bx, by ORDER BY ssd, dy, dx) = 1
 ORDER BY bx, by"""
 
 
+def q_median_cut(spark, sf_dir):
+    """Distributed median-cut palette training (imageops.median_cut_
+    boxes, 3 rounds -> 8 boxes, breadth-first Heckbert variant): every
+    round is one tiny per-box aggregate broadcast back + two window
+    passes — O(log k) codegen rounds, integer weighted medians, exact
+    floordiv means.  The training companion of `palette_map`."""
+    from .operators.imageops import median_cut_boxes
+
+    px = spark.range(20000).selectExpr(
+        "(id * 7 + 3) % 256 AS r",
+        "(id * 13 + 5) % 256 AS g",
+        "(id * 29 + 11) % 256 AS b",
+        "1 + id % 5 AS w",
+    )
+    return median_cut_boxes(px, rounds=3).orderBy("box")
+
+
+def q_median_cut_oracle():
+    from .operators.imageops import median_cut_sql
+
+    base = (
+        "SELECT (i * 7 + 3) % 256 AS r, (i * 13 + 5) % 256 AS g, "
+        "(i * 29 + 11) % 256 AS b, 1 + i % 5 AS w "
+        "FROM generate_series(0, 19999) t(i)"
+    )
+    return (
+        "SELECT * FROM (" + median_cut_sql(base, rounds=3)
+        + ") ORDER BY box"
+    )
+
+
 def q_dbscan(spark, sf_dir):
     """Exact point-level DBSCAN (density.dbscan, eps 30000 quantized
     units, min_pts 4, every 20th event): cell-ring neighbor join + core
@@ -14864,5 +14895,6 @@ QUERIES = {
     "func_deps": (q_func_deps, q_func_deps_oracle),
     "gravity": (q_gravity, q_gravity_oracle),
     "dbscan": (q_dbscan, q_dbscan_oracle),
+    "median_cut": (q_median_cut, q_median_cut_oracle),
     "dwell_time": (q_dwell_time, q_dwell_time_oracle),
 }

@@ -168,3 +168,27 @@ def test_dominant_color_and_border_stats(spark):
     assert bs["n_border"] == 48 and bs["n_inner"] == 16
     assert bs["s_border"] == 0 and bs["ss_border"] == 0
     assert bs["s_inner"] == 16 * 220 and bs["ss_inner"] == 16 * 220 * 220
+
+
+def test_median_cut_properties(spark):
+    """8 boxes partition the weight; each split balances weight to within
+    the largest single color's weight; means lie inside [0, 255]."""
+    from sis_spark.operators.imageops import median_cut_boxes
+
+    px = spark.range(5000).selectExpr(
+        "(id * 11 + 1) % 256 AS r", "(id * 17 + 2) % 256 AS g",
+        "(id * 23 + 4) % 256 AS b", "1 + id % 3 AS w",
+    )
+    rows = median_cut_boxes(px, rounds=3).collect()
+    assert len(rows) == 8
+    assert sorted(r["box"] for r in rows) == list(range(8))
+    tot = sum(r["wsum"] for r in rows)
+    assert tot == sum(1 + i % 3 for i in range(5000))
+    for r in rows:
+        for c in ("r_mean", "g_mean", "b_mean"):
+            assert 0 <= r[c] <= 255
+    # sibling boxes are reasonably balanced (weighted-median split)
+    by_box = {r["box"]: r["wsum"] for r in rows}
+    for b in range(0, 8, 2):
+        pair = by_box[b] + by_box[b + 1]
+        assert by_box[b] >= pair * 2 // 5  # left >= ~40% by construction
