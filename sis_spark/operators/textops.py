@@ -1602,3 +1602,98 @@ k AS (
 SELECT {id_col}, chunk_idx, CAST(len(sl) AS BIGINT) AS n_tokens,
        md5(array_to_string(sl, ' ')) AS chunk_md5
 FROM k"""
+
+
+RAKE_STOPWORDS = ["a", "the", "and", "of", "to", "in"]
+
+
+def rake_keywords(
+    docs: DataFrame,
+    top_k: int = 50,
+    scale: int = 1 << 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, public literature) in
+    exact integer arithmetic: candidate phrases are maximal stopword-free
+    token runs; word score = floordiv(degree * scale, freq) where freq =
+    corpus occurrences and degree = sum of the containing phrase's length
+    per occurrence (self included, the classic co-occurrence degree);
+    phrase score = sum of member word scores (with multiplicity).
+    Returns the ``top_k`` DISTINCT phrases by (score DESC, phrase).
+
+    Shape: posexplode -> cumsum-boundary window -> ONE corpus word
+    aggregation (broadcastable dictionary) joined back -> per-phrase
+    aggregation with an order-pinned array_sort (no collect_list
+    ordering hazard) -> partial/final top-k."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("d"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    )
+    stop = F.col("word").isin(RAKE_STOPWORDS)
+    w = Window.partitionBy("d").orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    ph = toks.withColumn("pid", F.sum(stop.cast("long")).over(run)).filter(~stop)
+    plen = Window.partitionBy("d", "pid")
+    ph = ph.withColumn("plen", F.count(F.lit(1)).over(plen))
+    ws = ph.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("degree"),
+    ).selectExpr("word", f"(degree * {int(scale)}) DIV freq AS wscore")
+    scored = ph.join(F.broadcast(ws), "word")
+    phrases = scored.groupBy("d", "pid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.sum("wscore").alias("score"),
+    )
+    return (
+        phrases.select("phrase", "score").distinct()
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(int(top_k))
+    )
+
+
+def rake_keywords_sql(
+    rel: str = "documents",
+    top_k: int = 50,
+    scale: int = 1 << 20,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``rake_keywords`` (same single-space split)."""
+    stops = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    return f"""
+WITH w0 AS (
+  SELECT {id_col} AS d, string_split({text}, ' ') AS ws FROM {rel}),
+toks AS (
+  SELECT d, generate_subscripts(ws, 1) AS pos, unnest(ws) AS word FROM w0),
+ph0 AS (
+  SELECT d, pos, word, word IN ({stops}) AS stop,
+         sum(CASE WHEN word IN ({stops}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY d ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS pid
+  FROM toks),
+ph AS (
+  SELECT d, pos, word, pid,
+         count(*) OVER (PARTITION BY d, pid) AS plen
+  FROM ph0 WHERE NOT stop),
+ws AS (
+  SELECT word,
+         (CAST(sum(plen) AS BIGINT) * {int(scale)})
+           // CAST(count(*) AS BIGINT) AS wscore
+  FROM ph GROUP BY 1),
+phr AS (
+  SELECT ph.d, ph.pid,
+         string_agg(ph.word, ' ' ORDER BY ph.pos) AS phrase,
+         CAST(sum(ws.wscore) AS BIGINT) AS score
+  FROM ph JOIN ws USING (word)
+  GROUP BY 1, 2)
+SELECT DISTINCT phrase, score FROM phr
+ORDER BY score DESC, phrase LIMIT {int(top_k)}"""

@@ -1782,3 +1782,84 @@ v AS (
 SELECT k, CAST(visit AS BIGINT) AS visit, min(o) AS o_enter,
        max(o) AS o_exit, CAST(count(*) AS BIGINT) AS n_pings
 FROM v WHERE ins = 1 GROUP BY 1, 2"""
+
+
+def build_network(
+    points: DataFrame,
+    snap: int,
+    key_col: str = "k",
+    order_col: str = "o",
+    x_col: str = "qx",
+    y_col: str = "qy",
+) -> DataFrame:
+    """Network construction from tracks (the map-inference primitive of
+    the public GPS-trace literature, snap-to-grid variant): consecutive
+    track points become segments, endpoints snap to grid nodes of side
+    ``snap`` (floor division of the quantized coords), degenerate
+    (same-node) segments drop, parallel segments collapse — the result
+    is the simple undirected graph (node, degree) table.
+
+    Shape: one keyed lag window -> codegen snapping -> ONE distinct on
+    canonical (min-node, max-node) edges -> endpoint explode + count:
+    two shuffles total, no self-join."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("o")
+    s = int(snap)
+    b = points.select(
+        F.col(key_col).alias("k"), F.col(order_col).alias("o"),
+        F.floor(F.col(x_col).cast("double") / F.lit(float(s))).cast("long").alias("nx"),
+        F.floor(F.col(y_col).cast("double") / F.lit(float(s))).cast("long").alias("ny"),
+    )
+    seg = b.select(
+        "nx", "ny",
+        F.lag("nx").over(w).alias("px"), F.lag("ny").over(w).alias("py"),
+    ).filter(
+        F.col("px").isNotNull()
+        & ((F.col("px") != F.col("nx")) | (F.col("py") != F.col("ny")))
+    )
+    # canonical undirected edge: lexicographic (min, max) endpoint order
+    a_first = (F.col("px") < F.col("nx")) | (
+        (F.col("px") == F.col("nx")) & (F.col("py") <= F.col("ny"))
+    )
+    edges = seg.select(
+        F.when(a_first, F.col("px")).otherwise(F.col("nx")).alias("ax"),
+        F.when(a_first, F.col("py")).otherwise(F.col("ny")).alias("ay"),
+        F.when(a_first, F.col("nx")).otherwise(F.col("px")).alias("bx"),
+        F.when(a_first, F.col("ny")).otherwise(F.col("py")).alias("by"),
+    ).distinct()
+    ends = edges.selectExpr("ax AS nx", "ay AS ny").union(
+        edges.selectExpr("bx AS nx", "by AS ny")
+    )
+    return ends.groupBy("nx", "ny").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def build_network_sql(points_select: str, snap: int) -> str:
+    """DuckDB replay of ``build_network``; ``points_select`` -> (k, o,
+    qx, qy)."""
+    s = int(snap)
+    return f"""
+WITH b AS (
+  SELECT k, o,
+         CAST(floor(CAST(qx AS DOUBLE) / {float(s)}) AS BIGINT) AS nx,
+         CAST(floor(CAST(qy AS DOUBLE) / {float(s)}) AS BIGINT) AS ny
+  FROM ({points_select}) p),
+seg AS (
+  SELECT nx, ny,
+         lag(nx) OVER (PARTITION BY k ORDER BY o) AS px,
+         lag(ny) OVER (PARTITION BY k ORDER BY o) AS py
+  FROM b),
+edges AS (
+  SELECT DISTINCT
+         CASE WHEN px < nx OR (px = nx AND py <= ny) THEN px ELSE nx END AS ax,
+         CASE WHEN px < nx OR (px = nx AND py <= ny) THEN py ELSE ny END AS ay,
+         CASE WHEN px < nx OR (px = nx AND py <= ny) THEN nx ELSE px END AS bx,
+         CASE WHEN px < nx OR (px = nx AND py <= ny) THEN ny ELSE py END AS "by"
+  FROM seg
+  WHERE px IS NOT NULL AND (px <> nx OR py <> ny)),
+ends AS (
+  SELECT ax AS nx, ay AS ny FROM edges
+  UNION ALL
+  SELECT bx, "by" FROM edges)
+SELECT nx, ny, CAST(count(*) AS BIGINT) AS degree
+FROM ends GROUP BY 1, 2"""

@@ -14048,6 +14048,55 @@ QUALIFY row_number() OVER (PARTITION BY bx, by ORDER BY ssd, dy, dx) = 1
 ORDER BY bx, by"""
 
 
+def q_rake(spark, sf_dir):
+    """RAKE keyword extraction (textops.rake_keywords, top 50): integer
+    degree/frequency word scores over stopword-free phrase runs, phrase
+    score = sum of member scores — posexplode + cumsum boundaries, one
+    broadcastable word dictionary, order-pinned phrase reassembly."""
+    from .operators.textops import rake_keywords
+
+    return rake_keywords(_read(spark, sf_dir, "documents"), top_k=50)
+
+
+def q_rake_oracle():
+    from .operators.textops import rake_keywords_sql
+
+    return rake_keywords_sql("documents", top_k=50)
+
+
+def q_network_build(spark, sf_dir):
+    """Network construction from tracks (trajectory.build_network, snap
+    20000 quantized units): per-user consecutive positions -> snapped
+    segments -> canonical distinct undirected edges -> node degrees;
+    two shuffles total, the map-inference primitive."""
+    from .operators.trajectory import build_network
+
+    pts = _events_points(spark, sf_dir).join(
+        _read(spark, sf_dir, "events").select("event_id", "user_id"),
+        "event_id",
+    ).select(
+        F.col("user_id").alias("k"), F.col("event_id").alias("o"),
+        F.floor(F.col("lon") * F.lit(10000.0)).cast("long").alias("qx"),
+        F.floor(F.col("lat") * F.lit(10000.0)).cast("long").alias("qy"),
+    )
+    return build_network(pts, snap=20000).orderBy("nx", "ny")
+
+
+def q_network_build_oracle():
+    from .operators.trajectory import build_network_sql
+
+    base = (
+        "SELECT e.user_id AS k, p.event_id AS o, "
+        "CAST(floor(p.lon * 10000.0) AS BIGINT) AS qx, "
+        "CAST(floor(p.lat * 10000.0) AS BIGINT) AS qy "
+        f"FROM ({_points_sql()}) p JOIN events e ON e.event_id = p.event_id"
+    )
+    return (
+        "SELECT * FROM (" + build_network_sql(base, snap=20000)
+        + ") ORDER BY nx, ny"
+    )
+
+
 def q_median_cut(spark, sf_dir):
     """Distributed median-cut palette training (imageops.median_cut_
     boxes, 3 rounds -> 8 boxes, breadth-first Heckbert variant): every
@@ -14896,5 +14945,7 @@ QUERIES = {
     "gravity": (q_gravity, q_gravity_oracle),
     "dbscan": (q_dbscan, q_dbscan_oracle),
     "median_cut": (q_median_cut, q_median_cut_oracle),
+    "network_build": (q_network_build, q_network_build_oracle),
+    "rake": (q_rake, q_rake_oracle),
     "dwell_time": (q_dwell_time, q_dwell_time_oracle),
 }
