@@ -1085,3 +1085,132 @@ SELECT box, CAST(count(*) AS BIGINT) AS n, CAST(sum(w) AS BIGINT) AS wsum,
        CAST(CAST(sum(g * w) AS BIGINT) // CAST(sum(w) AS BIGINT) AS BIGINT) AS g_mean,
        CAST(CAST(sum(b * w) AS BIGINT) // CAST(sum(w) AS BIGINT) AS BIGINT) AS b_mean
 FROM d{int(rounds)} GROUP BY 1"""
+
+
+def slic_superpixels(
+    pixels: DataFrame,
+    w: int,
+    h: int,
+    step: int,
+    m: int = 10,
+    iters: int = 2,
+) -> DataFrame:
+    """Integer SLIC superpixels (Achanta et al. 2012, public literature;
+    grayscale, fixed iteration count): centroids start at grid-step
+    centers with the image value there; each round assigns every pixel
+    to the argmin-cost centroid among the 3x3 ring of HOME cells (the
+    deterministic variant of SLIC's 2S-window search) with
+    cost = m^2 * ((x-cx)^2 + (y-cy)^2) + step^2 * (v-cv)^2 (all int64,
+    ties by centroid id), then recomputes centroids as exact floordiv
+    means.  Returns the final centroid table (k, n, cx, cy, cv).
+
+    Scale shape: per round ONE 9-way pixel explode equi-joined to the
+    (tiny, broadcast) centroid table + one window argmin + one
+    aggregation — pixels never pair with more than 9 centroids, rounds
+    are a fixed constant; localCheckpoint truncates the lineage."""
+    from pyspark.sql import Window
+
+    S = int(step)
+    gw = w // S
+    px = pixels.select(
+        F.col("x").cast("long"), F.col("y").cast("long"),
+        F.col("v").cast("long"),
+        (F.col("x").cast("long") / S).cast("long").alias("cellx"),
+        (F.col("y").cast("long") / S).cast("long").alias("celly"),
+    )
+    ring = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    pe = px.select(
+        "x", "y", "v", "cellx", "celly", F.explode(ring).alias("o")
+    ).select(
+        "x", "y", "v",
+        (F.col("cellx") + F.col("o.dx")).alias("hx"),
+        (F.col("celly") + F.col("o.dy")).alias("hy"),
+    ).persist()
+
+    cent = pixels.sparkSession.range(gw * (h // S)).selectExpr(
+        "id AS k",
+        f"id % {gw} AS hx",
+        f"id DIV {gw} AS hy",
+        f"(id % {gw}) * {S} + {S // 2} AS cx",
+        f"(id DIV {gw}) * {S} + {S // 2} AS cy",
+    )
+    # centroid color init = image value at the centroid pixel
+    cent = cent.join(
+        px.selectExpr("x AS cx", "y AS cy", "v AS cv"), ["cx", "cy"]
+    ).select("k", "hx", "hy", "cx", "cy", "cv").localCheckpoint()
+
+    wmin = Window.partitionBy("x", "y").orderBy("cost", "k")
+    for _ in range(int(iters)):
+        dx = F.col("x") - F.col("cx")
+        dy = F.col("y") - F.col("cy")
+        dv = F.col("v") - F.col("cv")
+        cost = (
+            F.lit(int(m) * int(m)) * (dx * dx + dy * dy)
+            + F.lit(S * S) * (dv * dv)
+        )
+        assign = (
+            pe.join(F.broadcast(cent), ["hx", "hy"])
+            .withColumn("cost", cost)
+            .withColumn("rn", F.row_number().over(wmin))
+            .filter(F.col("rn") == 1)
+            .select("x", "y", "v", "k", F.col("hx").alias("ahx"),
+                    F.col("hy").alias("ahy"))
+        )
+        cent = assign.groupBy("k").agg(
+            F.min("ahx").alias("hx"), F.min("ahy").alias("hy"),
+            F.expr("sum(x) DIV count(*)").alias("cx"),
+            F.expr("sum(y) DIV count(*)").alias("cy"),
+            F.expr("sum(v) DIV count(*)").alias("cv"),
+            F.count(F.lit(1)).alias("n"),
+        ).localCheckpoint()
+    pe.unpersist()
+    return cent.select("k", "n", "cx", "cy", "cv")
+
+
+def slic_sql(
+    w: int, h: int, step: int, v_expr: str, m: int = 10, iters: int = 2
+) -> str:
+    """DuckDB replay of ``slic_superpixels`` over the formula image
+    ``v_expr`` (a SQL expression in x, y).  The oracle may use the plain
+    |home - cell| <= 1 join (same candidate set as the ring explode)."""
+    S, M2 = int(step), int(m) * int(m)
+    gw = w // S
+    ctes = [f"""px AS (
+  SELECT g.g % {w} AS x, g.g // {w} AS y,
+         CAST({v_expr.format(x=f"(g.g % {w})", y=f"(g.g // {w})")} AS BIGINT) AS v,
+         (g.g % {w}) // {S} AS cellx, (g.g // {w}) // {S} AS celly
+  FROM generate_series(0, {w * h - 1}) g(g))""",
+            f"""c0 AS (
+  SELECT c.c AS k, c.c % {gw} AS hx, c.c // {gw} AS hy,
+         (c.c % {gw}) * {S} + {S // 2} AS cx,
+         (c.c // {gw}) * {S} + {S // 2} AS cy,
+         (SELECT v FROM px WHERE px.x = (c.c % {gw}) * {S} + {S // 2}
+            AND px.y = (c.c // {gw}) * {S} + {S // 2}) AS cv
+  FROM generate_series(0, {gw * (h // S) - 1}) c(c))"""]
+    prev = "c0"
+    for i in range(int(iters)):
+        ctes.append(f"""a{i} AS (
+  SELECT x, y, v, k, hx, hy FROM (
+    SELECT p.x, p.y, p.v, c.k, c.hx, c.hy,
+           row_number() OVER (
+             PARTITION BY p.x, p.y
+             ORDER BY {M2} * ((p.x - c.cx) * (p.x - c.cx)
+                              + (p.y - c.cy) * (p.y - c.cy))
+                      + {S * S} * ((p.v - c.cv) * (p.v - c.cv)), c.k) AS rn
+    FROM px p JOIN {prev} c
+      ON abs(c.hx - p.cellx) <= 1 AND abs(c.hy - p.celly) <= 1) t
+  WHERE rn = 1)""")
+        ctes.append(f"""c{i + 1} AS (
+  SELECT k, min(hx) AS hx, min(hy) AS hy,
+         CAST(sum(x) // count(*) AS BIGINT) AS cx,
+         CAST(sum(y) // count(*) AS BIGINT) AS cy,
+         CAST(sum(v) // count(*) AS BIGINT) AS cv,
+         CAST(count(*) AS BIGINT) AS n
+  FROM a{i} GROUP BY 1)""")
+        prev = f"c{i + 1}"
+    return f"""
+WITH {", ".join(ctes)}
+SELECT k, n, cx, cy, cv FROM {prev}"""

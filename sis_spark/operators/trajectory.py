@@ -1863,3 +1863,70 @@ ends AS (
   SELECT bx, "by" FROM edges)
 SELECT nx, ny, CAST(count(*) AS BIGINT) AS degree
 FROM ends GROUP BY 1, 2"""
+
+
+def home_work(
+    points: DataFrame,
+    grid_n: int,
+    user_col: str = "u",
+    hour_col: str = "hour",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Home/work anchor inference (the classic CDR/mobility heuristic of
+    the public literature): home = the modal night-time grid cell
+    (hour < 6 or >= 22), work = the modal working-hours cell (9-16),
+    per user; ties break by (count DESC, ix, iy) so the anchor is a pure
+    function of the data.  Returns (u, kind, ix, iy, n_pings) with
+    kind in ('home', 'work').
+
+    Shape: one filter + one (user, kind, cell) count + one window argmin
+    — two map-side-combined shuffles, no joins."""
+    from pyspark.sql import Window
+
+    from .density import grid_expr
+
+    h = F.col(hour_col)
+    kind = (
+        F.when((h < 6) | (h >= 22), F.lit("home"))
+        .when((h >= 9) & (h < 17), F.lit("work"))
+    )
+    b = points.select(
+        F.col(user_col).alias("u"), kind.alias("kind"),
+        F.expr(grid_expr("x", grid_n, lon_col, lat_col)).alias("ix"),
+        F.expr(grid_expr("y", grid_n, lon_col, lat_col)).alias("iy"),
+    ).filter(F.col("kind").isNotNull())
+    cnt = b.groupBy("u", "kind", "ix", "iy").agg(
+        F.count(F.lit(1)).alias("n_pings")
+    )
+    w = Window.partitionBy("u", "kind").orderBy(
+        F.col("n_pings").desc(), "ix", "iy"
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("u", "kind", "ix", "iy", "n_pings")
+    )
+
+
+def home_work_sql(base_select: str, grid_n: int) -> str:
+    """DuckDB replay of ``home_work``; ``base_select`` -> (u, hour, lon,
+    lat)."""
+    from .density import grid_expr
+
+    return f"""
+WITH b AS (
+  SELECT u,
+         CASE WHEN hour < 6 OR hour >= 22 THEN 'home'
+              WHEN hour >= 9 AND hour < 17 THEN 'work' END AS kind,
+         {grid_expr('x', grid_n)} AS ix,
+         {grid_expr('y', grid_n)} AS iy
+  FROM ({base_select}) s),
+cnt AS (
+  SELECT u, kind, ix, iy, CAST(count(*) AS BIGINT) AS n_pings
+  FROM b WHERE kind IS NOT NULL GROUP BY 1, 2, 3, 4)
+SELECT u, kind, ix, iy, n_pings FROM (
+  SELECT *, row_number() OVER (PARTITION BY u, kind
+              ORDER BY n_pings DESC, ix, iy) AS rn
+  FROM cnt) t
+WHERE rn = 1"""

