@@ -14048,6 +14048,72 @@ QUALIFY row_number() OVER (PARTITION BY bx, by ORDER BY ssd, dy, dx) = 1
 ORDER BY bx, by"""
 
 
+def q_areal_interp(spark, sf_dir):
+    """Areal (dasymetric) interpolation (tiles.areal_interpolate over
+    tiles.rasterize_polygons): polygon values spread uniformly over
+    their burned cells — share per cell = floordiv(value * 2^20,
+    ncells), per-tile apportioned sums.  Values = 100 + 17*key; same
+    dyadic rectangles as `rasterize`."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .functions.geometry import wkb_polygon
+    from .raster.tiles import areal_interpolate, rasterize_polygons
+
+    rects = _rasterize_rects()
+    pdf = _pd.DataFrame({
+        "key": [r["key"] for r in rects],
+        "wkb": [
+            wkb_polygon([(
+                _np.array([r["xmin"], r["xmax"], r["xmax"], r["xmin"]]),
+                _np.array([r["ymin"], r["ymin"], r["ymax"], r["ymax"]]),
+            )])
+            for r in rects
+        ],
+    })
+    polys = spark.createDataFrame(pdf, schema="key long, wkb binary")
+    tiles = rasterize_polygons(polys, _rasterize_gg(), tile_size=RAST_TS)
+    values = spark.createDataFrame(
+        [(r["key"], 100 + 17 * r["key"]) for r in rects],
+        "key long, value long",
+    )
+    return areal_interpolate(tiles, values, tile_size=RAST_TS).orderBy(
+        "ty", "tx"
+    )
+
+
+def q_areal_interp_oracle():
+    vals = ",\n  ".join(
+        f"({r['key']}, {r['xmin']!r}E0, {r['xmax']!r}E0, {r['ymin']!r}E0, {r['ymax']!r}E0)"
+        for r in _rasterize_rects()
+    )
+    return f"""
+WITH rects(key, xmin, xmax, ymin, ymax) AS (VALUES
+  {vals}),
+px AS (
+  SELECT x.x AS px, y.y AS py,
+         CAST(2 * x.x + 1 AS DOUBLE) / 128.0E0 - 10.0E0 AS cx,
+         5.0E0 - CAST(2 * y.y + 1 AS DOUBLE) / 128.0E0 AS cy
+  FROM generate_series(0, {RAST_W - 1}) x(x), generate_series(0, {RAST_H - 1}) y(y)),
+lab AS (
+  SELECT px, py,
+         COALESCE((SELECT max(r.key) FROM rects r
+                   WHERE px.cx > r.xmin AND px.cx < r.xmax
+                     AND px.cy > r.ymin AND px.cy < r.ymax), 0) AS label
+  FROM px),
+nc AS (
+  SELECT label AS key, CAST(count(*) AS BIGINT) AS ncells
+  FROM lab WHERE label > 0 GROUP BY 1),
+pc AS (
+  SELECT key, ((100 + 17 * key) * {1 << 20}) // ncells AS share_per_cell
+  FROM nc)
+SELECT CAST(l.px // {RAST_TS} AS BIGINT) AS tx,
+       CAST(l.py // {RAST_TS} AS BIGINT) AS ty,
+       CAST(sum(pc.share_per_cell) AS BIGINT) AS share
+FROM lab l JOIN pc ON pc.key = l.label
+GROUP BY 1, 2 ORDER BY ty, tx"""
+
+
 def q_home_work(spark, sf_dir):
     """Home/work anchor inference (trajectory.home_work, 64x64 grid):
     modal night cell vs modal working-hours cell per user with the
@@ -15005,5 +15071,6 @@ QUERIES = {
     "rake": (q_rake, q_rake_oracle),
     "slic": (q_slic, q_slic_oracle),
     "home_work": (q_home_work, q_home_work_oracle),
+    "areal_interp": (q_areal_interp, q_areal_interp_oracle),
     "dwell_time": (q_dwell_time, q_dwell_time_oracle),
 }

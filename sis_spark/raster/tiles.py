@@ -1680,3 +1680,47 @@ def brovey_tiles(ms_df: DataFrame, pan_df: DataFrame, gg: GridGeometry,
         .cogroup(pan_df.groupBy("tx", "ty"))
         .applyInPandas(fn, schema=TILE_SCHEMA)
     )
+
+
+def areal_interpolate(tiles: DataFrame, values: DataFrame,
+                      tile_size: int = 64, scale: int = 1 << 20) -> DataFrame:
+    """Areal (dasymetric) interpolation over a rasterized label grid (the
+    classic GIS apportionment: a polygon's value spreads uniformly over
+    its burned cells): per-cell share of polygon k =
+    floordiv(value(k) * scale, ncells(k)); returns per-tile apportioned
+    sums (tx, ty, share) over labeled pixels.
+
+    Shape: pass 1 counts labels per tile (mapInPandas bincount -> one
+    map-side-combined agg = the tiny ncells table); pass 2 joins the
+    broadcast ncells+values back to the same per-tile counts and sums —
+    the label raster is scanned twice, nothing else shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    ts = int(tile_size)
+
+    def counts(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                lab = np.frombuffer(data, np.int32)
+                ks, cs = np.unique(lab[lab > 0], return_counts=True)
+                for k, c in zip(ks, cs):
+                    rows.append({"tx": int(tx), "ty": int(ty),
+                                 "key": int(k), "cnt": int(c)})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    tc = tiles.filter(F.col("band") == 0).mapInPandas(
+        counts, "tx long, ty long, key long, cnt long"
+    ).persist()
+    ncells = tc.groupBy("key").agg(F.sum("cnt").alias("ncells"))
+    per_cell = ncells.join(values, "key").selectExpr(
+        "key", f"(value * {int(scale)}) DIV ncells AS share_per_cell"
+    )
+    out = (
+        tc.join(F.broadcast(per_cell), "key")
+        .groupBy("tx", "ty")
+        .agg(F.sum(F.col("cnt") * F.col("share_per_cell")).alias("share"))
+    )
+    return out
