@@ -869,3 +869,62 @@ sc AS (
   GROUP BY 1, 2)
 SELECT sc.a, sc.b, sc.cn, sc.aa_q FROM sc
 WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = sc.a AND e.d = sc.b)"""
+
+
+def longest_path_h(
+    edges: DataFrame,
+    hops: int,
+    src: str = "a",
+    dst: str = "b",
+    w_col: str = "w",
+) -> DataFrame:
+    """Hop-bounded longest path into each node (the critical-path DP of
+    scheduling literature, bounded to ``hops`` relaxation rounds so it
+    terminates on any graph and is exact on DAGs of depth <= hops):
+    dist_0 = 0 everywhere; dist_k(v) = max(dist_{k-1}(v), max over edges
+    (u, v, w) of dist_{k-1}(u) + w).  Returns (node, dist) with int64
+    weights.
+
+    Scale shape: one equi-join + one map-side-combined max per round
+    (the Bellman-Ford shape of cost_distance, maximizing), localCheckpoint
+    per round — rounds are a fixed constant, no driver state."""
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"),
+        F.col(w_col).cast("long").alias("w"),
+    )
+    nodes = e.select(F.col("u").alias("node")).union(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    dist = nodes.select("node", F.lit(0).cast("long").alias("dist"))
+    for _ in range(int(hops)):
+        relax = (
+            e.join(dist, e.u == dist.node)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.max(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        dist = (
+            dist.join(relax, "node", "left")
+            .select(
+                "node",
+                F.greatest(F.col("dist"), F.coalesce("cand", "dist")).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    return dist
+
+
+def longest_path_h_sql(edges_select: str, hops: int) -> str:
+    """DuckDB replay of ``longest_path_h``; ``edges_select`` -> (a, b, w).
+    Walks every path of <= hops edges (fine for oracle-scale graphs),
+    then max per end node against the 0 floor."""
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT a AS u, b AS v, CAST(w AS BIGINT) AS w FROM ({edges_select}) s),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+walk(node, d, h) AS (
+  SELECT node, CAST(0 AS BIGINT), 0 FROM nodes
+  UNION ALL
+  SELECT e.v, walk.d + e.w, walk.h + 1
+  FROM walk JOIN e ON e.u = walk.node
+  WHERE walk.h < {int(hops)})
+SELECT node, max(d) AS dist FROM walk GROUP BY 1"""

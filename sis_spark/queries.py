@@ -14114,6 +14114,99 @@ FROM lab l JOIN pc ON pc.key = l.label
 GROUP BY 1, 2 ORDER BY ty, tx"""
 
 
+def q_critical_path(spark, sf_dir):
+    """Hop-bounded longest path (graph.longest_path_h, 8 rounds) on a
+    forward-edge document DAG (out-degree 2, int weights): one join +
+    one max-agg per round, the maximizing Bellman-Ford; the oracle walks
+    every <= 8-edge path in a recursive CTE."""
+    from .operators.graph import longest_path_h
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("a")
+    )
+    n = docs.count()
+    e1 = docs.selectExpr("a", "a + 1 + (a * 7) % 5 AS b", "1 + a % 9 AS w")
+    e2 = docs.selectExpr("a", "a + 2 + (a * 11) % 7 AS b", "1 + a % 4 AS w")
+    edges = e1.union(e2).filter(F.col("b") < n)
+    return longest_path_h(edges, hops=8).orderBy("node")
+
+
+def q_critical_path_oracle():
+    from .operators.graph import longest_path_h_sql
+
+    edges = (
+        "SELECT a, b, w FROM ("
+        "  SELECT doc_id AS a, doc_id + 1 + (doc_id * 7) % 5 AS b, "
+        "         1 + doc_id % 9 AS w FROM documents"
+        "  UNION ALL"
+        "  SELECT doc_id, doc_id + 2 + (doc_id * 11) % 7, "
+        "         1 + doc_id % 4 FROM documents) u "
+        "WHERE b < (SELECT count(*) FROM documents)"
+    )
+    return (
+        "SELECT * FROM (" + longest_path_h_sql(edges, hops=8)
+        + ") ORDER BY node"
+    )
+
+
+def q_zonal_mode(spark, sf_dir):
+    """Zonal majority (tiles.zonal_mode): modal texture value per
+    rasterized-rectangle zone, ties to the smallest value — tile zip
+    join + per-tile bincounts + one window argmax.  The categorical
+    member of the zonal_stats family."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .functions.geometry import wkb_polygon
+    from .raster.tiles import rasterize_polygons, zonal_mode
+
+    rects = _rasterize_rects()
+    pdf = _pd.DataFrame({
+        "key": [r["key"] for r in rects],
+        "wkb": [
+            wkb_polygon([(
+                _np.array([r["xmin"], r["xmax"], r["xmax"], r["xmin"]]),
+                _np.array([r["ymin"], r["ymin"], r["ymax"], r["ymax"]]),
+            )])
+            for r in rects
+        ],
+    })
+    polys = spark.createDataFrame(pdf, schema="key long, wkb binary")
+    zones = rasterize_polygons(polys, _rasterize_gg(), tile_size=RAST_TS)
+    vals = _texture_tiles(spark, RAST_W, RAST_H, tile_size=RAST_TS)
+    return zonal_mode(zones, vals, tile_size=RAST_TS).orderBy("zone")
+
+
+def q_zonal_mode_oracle():
+    vals = ",\n  ".join(
+        f"({r['key']}, {r['xmin']!r}E0, {r['xmax']!r}E0, {r['ymin']!r}E0, {r['ymax']!r}E0)"
+        for r in _rasterize_rects()
+    )
+    v = _texture_v_sql("px.px", "px.py")
+    return f"""
+WITH rects(key, xmin, xmax, ymin, ymax) AS (VALUES
+  {vals}),
+px AS (
+  SELECT x.x AS px, y.y AS py,
+         CAST(2 * x.x + 1 AS DOUBLE) / 128.0E0 - 10.0E0 AS cx,
+         5.0E0 - CAST(2 * y.y + 1 AS DOUBLE) / 128.0E0 AS cy
+  FROM generate_series(0, {RAST_W - 1}) x(x), generate_series(0, {RAST_H - 1}) y(y)),
+lab AS (
+  SELECT px, py, {v} AS v,
+         COALESCE((SELECT max(r.key) FROM rects r
+                   WHERE px.cx > r.xmin AND px.cx < r.xmax
+                     AND px.cy > r.ymin AND px.cy < r.ymax), 0) AS label
+  FROM px),
+cnt AS (
+  SELECT label AS zone, CAST(v AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS cnt
+  FROM lab WHERE label > 0 GROUP BY 1, 2)
+SELECT zone, v AS v_mode, cnt FROM (
+  SELECT *, row_number() OVER (PARTITION BY zone
+              ORDER BY cnt DESC, v) AS rn
+  FROM cnt) t
+WHERE rn = 1 ORDER BY zone"""
+
+
 def q_home_work(spark, sf_dir):
     """Home/work anchor inference (trajectory.home_work, 64x64 grid):
     modal night cell vs modal working-hours cell per user with the
@@ -15072,5 +15165,7 @@ QUERIES = {
     "slic": (q_slic, q_slic_oracle),
     "home_work": (q_home_work, q_home_work_oracle),
     "areal_interp": (q_areal_interp, q_areal_interp_oracle),
+    "zonal_mode": (q_zonal_mode, q_zonal_mode_oracle),
+    "critical_path": (q_critical_path, q_critical_path_oracle),
     "dwell_time": (q_dwell_time, q_dwell_time_oracle),
 }

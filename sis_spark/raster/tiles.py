@@ -1724,3 +1724,54 @@ def areal_interpolate(tiles: DataFrame, values: DataFrame,
         .agg(F.sum(F.col("cnt") * F.col("share_per_cell")).alias("share"))
     )
     return out
+
+
+def zonal_mode(zone_tiles: DataFrame, val_tiles: DataFrame,
+               tile_size: int = 64) -> DataFrame:
+    """Zonal majority (the categorical member of the zonal_stats family):
+    the modal value of the value raster within each zone of the label
+    raster, ties to the SMALLEST value — (zone, v_mode, cnt), zone 0
+    (background) excluded.
+
+    Shape: one (tx, ty) tile zip join -> per-tile (zone, v) bincount
+    rows (mapInPandas) -> one map-side-combined count + one window
+    argmax over the (zones x values) table — never per-pixel shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    ts = int(tile_size)
+    z = zone_tiles.filter(F.col("band") == 0).select(
+        "tx", "ty", F.col("data").alias("zdata")
+    )
+    v = val_tiles.filter(F.col("band") == 0).select(
+        "tx", "ty", F.col("data").alias("vdata")
+    )
+    j = z.join(v, ["tx", "ty"])
+
+    def pairs(batches):
+        for pdf in batches:
+            rows = []
+            for zd, vd in zip(pdf["zdata"], pdf["vdata"]):
+                zl = np.frombuffer(zd, np.int32).astype(np.int64)
+                vl = np.frombuffer(vd, np.uint8).astype(np.int64)
+                m = zl > 0
+                if not m.any():
+                    continue
+                key = zl[m] * 256 + vl[m]
+                ks, cs = np.unique(key, return_counts=True)
+                for k, c in zip(ks, cs):
+                    rows.append({"zone": int(k) // 256, "v": int(k) % 256,
+                                 "cnt": int(c)})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    pv = j.mapInPandas(pairs, "zone long, v long, cnt long")
+    agg = pv.groupBy("zone", "v").agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy("zone").orderBy(F.col("cnt").desc(), "v")
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("zone", F.col("v").alias("v_mode"), "cnt")
+    )

@@ -347,3 +347,17 @@ def test_adamic_adar_matches_brute(spark):
             )
             want[(a, b)] = (len(common), aa)
     assert got == want
+
+
+def test_longest_path_h_hand(spark):
+    from sis_spark.operators.graph import longest_path_h
+
+    # chain 0 -w=5-> 1 -w=3-> 2, plus shortcut 0 -w=7-> 2
+    edges = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 3), (0, 2, 7)], "a long, b long, w long"
+    )
+    out = {r["node"]: r["dist"] for r in longest_path_h(edges, hops=4).collect()}
+    assert out == {0: 0, 1: 5, 2: 8}
+    # hop bound binds: with hops=1 the 2-edge path is invisible
+    out1 = {r["node"]: r["dist"] for r in longest_path_h(edges, hops=1).collect()}
+    assert out1 == {0: 0, 1: 5, 2: 7}
