@@ -342,3 +342,94 @@ FROM (
          count(DISTINCT CAST({b} AS VARCHAR)) AS nd
   FROM ({base_select}) s GROUP BY 1) g""")
     return " UNION ALL ".join(parts)
+
+
+def mondrian_boxes(df: DataFrame, k: int, rounds: int,
+                   a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Mondrian multidimensional k-anonymization (LeFevre et al. 2006,
+    strict top-down, breadth-first): every round each box splits on its
+    wider QI attribute (ties -> a) at the median (<= median goes left,
+    ties share their cumulative count via a RANGE frame), but ONLY when
+    both children keep >= k rows — otherwise the box survives unsplit.
+    Returns the generalization table (box, n, a_min, a_max, b_min,
+    b_max); every box has n >= k by construction (input must have
+    >= k rows).
+
+    Shape: the median_cut discipline with a k-guard — per round one tiny
+    per-box aggregate broadcast back + window median/count passes, all
+    codegen, no driver state."""
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
+        F.lit(0).cast("long").alias("box"),
+    )
+    for _ in range(int(rounds)):
+        rng = d.groupBy("box").agg(
+            (F.max("a") - F.min("a")).alias("ra"),
+            (F.max("b") - F.min("b")).alias("rb"),
+        )
+        axes = rng.select(
+            "box", F.when(F.col("ra") >= F.col("rb"), 0).otherwise(1).alias("ax")
+        )
+        d = d.join(F.broadcast(axes), "box")
+        val = F.when(F.col("ax") == 0, F.col("a")).otherwise(F.col("b"))
+        d = d.withColumn("val", val)
+        wcum = Window.partitionBy("box").orderBy("val").rangeBetween(
+            Window.unboundedPreceding, 0
+        )
+        wall = Window.partitionBy("box")
+        d = (
+            d.withColumn("cum", F.count(F.lit(1)).over(wcum))
+            .withColumn("tot", F.count(F.lit(1)).over(wall))
+        )
+        med = F.min(
+            F.when(F.col("cum") * 2 >= F.col("tot"), F.col("val"))
+        ).over(wall)
+        d = d.withColumn("side", (F.col("val") > med).cast("long"))
+        nr = F.sum("side").over(wall)
+        ok = ((F.col("tot") - nr) >= int(k)) & (nr >= int(k))
+        d = d.withColumn(
+            "box", F.col("box") * 2 + F.when(ok, F.col("side")).otherwise(F.lit(0))
+        ).drop("ax", "val", "cum", "tot", "side")
+    return d.groupBy("box").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("a").alias("a_min"), F.max("a").alias("a_max"),
+        F.min("b").alias("b_min"), F.max("b").alias("b_max"),
+    )
+
+
+def mondrian_sql(base_select: str, k: int, rounds: int) -> str:
+    """DuckDB replay of ``mondrian_boxes``; ``base_select`` -> (a, b)."""
+    ctes = [f"d0 AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, "
+            f"CAST(0 AS BIGINT) AS box FROM ({base_select}) s)"]
+    for i in range(int(rounds)):
+        ctes.append(f"""x{i} AS (
+  SELECT box, CASE WHEN max(a) - min(a) >= max(b) - min(b)
+              THEN 0 ELSE 1 END AS ax
+  FROM d{i} GROUP BY 1)""")
+        ctes.append(f"""v{i} AS (
+  SELECT d.*, CASE x.ax WHEN 0 THEN d.a ELSE d.b END AS val
+  FROM d{i} d JOIN x{i} x USING (box))""")
+        ctes.append(f"""m{i} AS (
+  SELECT *,
+         count(*) OVER (PARTITION BY box ORDER BY val
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         count(*) OVER (PARTITION BY box) AS tot
+  FROM v{i})""")
+        ctes.append(f"""s{i} AS (
+  SELECT *, CASE WHEN val > min(CASE WHEN cum * 2 >= tot THEN val END)
+                        OVER (PARTITION BY box) THEN 1 ELSE 0 END AS side
+  FROM m{i})""")
+        ctes.append(f"""d{i + 1} AS (
+  SELECT a, b,
+         box * 2 + CASE WHEN tot - sum(side) OVER (PARTITION BY box) >= {int(k)}
+                         AND sum(side) OVER (PARTITION BY box) >= {int(k)}
+                        THEN side ELSE 0 END AS box
+  FROM s{i})""")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT box, CAST(count(*) AS BIGINT) AS n,
+       min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
+FROM d{int(rounds)} GROUP BY 1"""

@@ -14114,6 +14114,30 @@ FROM lab l JOIN pc ON pc.key = l.label
 GROUP BY 1, 2 ORDER BY ty, tx"""
 
 
+def q_mondrian(spark, sf_dir):
+    """Mondrian k-anonymization (quality.mondrian_boxes, k=25, 4 rounds)
+    over two customer quasi-identifiers: strict top-down median splits
+    with the both-children->=k guard — the median_cut discipline turned
+    privacy generalizer.  Complements `k_anonymity`/`l_diversity`."""
+    from .operators.quality import mondrian_boxes
+
+    c = _read(spark, sf_dir, "customer").selectExpr(
+        "c_custkey % 97 AS a", "c_nationkey * 7 + c_custkey % 5 AS b"
+    )
+    return mondrian_boxes(c, k=25, rounds=4).orderBy("box")
+
+
+def q_mondrian_oracle():
+    from .operators.quality import mondrian_sql
+
+    base = ("SELECT c_custkey % 97 AS a, c_nationkey * 7 + c_custkey % 5 AS b "
+            "FROM customer")
+    return (
+        "SELECT * FROM (" + mondrian_sql(base, k=25, rounds=4)
+        + ") ORDER BY box"
+    )
+
+
 def q_critical_path(spark, sf_dir):
     """Hop-bounded longest path (graph.longest_path_h, 8 rounds) on a
     forward-edge document DAG (out-degree 2, int weights): one join +
@@ -15167,5 +15191,6 @@ QUERIES = {
     "areal_interp": (q_areal_interp, q_areal_interp_oracle),
     "zonal_mode": (q_zonal_mode, q_zonal_mode_oracle),
     "critical_path": (q_critical_path, q_critical_path_oracle),
+    "mondrian": (q_mondrian, q_mondrian_oracle),
     "dwell_time": (q_dwell_time, q_dwell_time_oracle),
 }

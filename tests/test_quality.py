@@ -121,3 +121,23 @@ def test_fd_discover_hand(spark):
     assert out[("a", "c")] == (3, 1, False)   # a=1 -> c in {x, y}
     assert out[("c", "b")] == (2, 1, False)   # c=x -> b in {1, 2}
     assert len(out) == 6
+
+
+def test_mondrian_k_guarantee(spark):
+    """Every output box keeps >= k rows; boxes partition the input; the
+    guard refuses splits that would break k."""
+    from sis_spark.operators.quality import mondrian_boxes
+
+    n, k = 400, 30
+    df = spark.range(n).selectExpr("id % 53 AS a", "(id * 13) % 41 AS b")
+    rows = mondrian_boxes(df, k=k, rounds=5).collect()
+    assert sum(r["n"] for r in rows) == n
+    assert all(r["n"] >= k for r in rows)
+    assert len(rows) > 1  # it actually split
+    for r in rows:
+        assert r["a_min"] <= r["a_max"] and r["b_min"] <= r["b_max"]
+
+    # tiny input: never splits below k
+    tiny = spark.range(2 * k - 1).selectExpr("id AS a", "id AS b")
+    trows = mondrian_boxes(tiny, k=k, rounds=3).collect()
+    assert len(trows) == 1 and trows[0]["n"] == 2 * k - 1
