@@ -2353,3 +2353,85 @@ agg AS (
          CAST(sum(x2 * y) AS BIGINT) AS s2y
   FROM b)
 SELECT n, {det} AS det, {n0} AS num0, {n1} AS num1, {n2} AS num2 FROM agg"""
+
+
+def dissolve_rect_area(rects: DataFrame, g_col: str = "g") -> DataFrame:
+    """Exact union area per group of axis-aligned integer rectangles (the
+    GIS dissolve, rectangle case — no FP geometry needed): classic strip
+    decomposition — per group, the distinct x boundaries cut strips; a
+    rectangle covers a strip iff it spans it; per strip the covered
+    y-length is an interval union (the running-max-end window trick);
+    area = sum of strip_width * covered.
+
+    Shape: one distinct + one lead window for strips, one per-group
+    rect x strip join (cost = per-group rects * strips, quadratic in the
+    GROUP size only — groups parallelize), two window passes for the
+    interval union — no geometry UDF, everything codegen int64."""
+    from pyspark.sql import Window
+
+    r = rects.select(
+        F.col(g_col).alias("g"),
+        F.col("xmin").cast("long"), F.col("xmax").cast("long"),
+        F.col("ymin").cast("long"), F.col("ymax").cast("long"),
+    )
+    xs = (
+        r.select("g", F.col("xmin").alias("x"))
+        .union(r.select("g", F.col("xmax")))
+        .distinct()
+    )
+    wx = Window.partitionBy("g").orderBy("x")
+    strips = (
+        xs.withColumn("x1", F.lead("x").over(wx))
+        .filter(F.col("x1").isNotNull())
+        .select("g", F.col("x").alias("x0"), "x1")
+    )
+    cov = r.join(strips, "g").filter(
+        (F.col("xmin") <= F.col("x0")) & (F.col("xmax") >= F.col("x1"))
+    ).select("g", "x0", "x1", "ymin", "ymax")
+    wy = Window.partitionBy("g", "x0").orderBy("ymin", "ymax")
+    prev_max = F.max("ymax").over(wy.rowsBetween(Window.unboundedPreceding, -1))
+    flag = F.when(prev_max.isNull() | (F.col("ymin") > prev_max), 1).otherwise(0)
+    run = wy.rowsBetween(Window.unboundedPreceding, 0)
+    merged = (
+        cov.withColumn("iv", F.sum(flag).over(run))
+        .groupBy("g", "x0", "x1", "iv")
+        .agg(F.min("ymin").alias("s"), F.max("ymax").alias("e"))
+    )
+    return (
+        merged.groupBy("g")
+        .agg(F.sum((F.col("x1") - F.col("x0")) * (F.col("e") - F.col("s")))
+             .alias("area"))
+    )
+
+
+def dissolve_rect_area_sql(base_select: str) -> str:
+    """DuckDB replay of ``dissolve_rect_area``; ``base_select`` -> (g,
+    xmin, xmax, ymin, ymax)."""
+    return f"""
+WITH r AS (
+  SELECT g, CAST(xmin AS BIGINT) AS xmin, CAST(xmax AS BIGINT) AS xmax,
+         CAST(ymin AS BIGINT) AS ymin, CAST(ymax AS BIGINT) AS ymax
+  FROM ({base_select}) s),
+xs AS (
+  SELECT DISTINCT g, x FROM (
+    SELECT g, xmin AS x FROM r UNION ALL SELECT g, xmax FROM r) u),
+strips AS (
+  SELECT g, x AS x0, lead(x) OVER (PARTITION BY g ORDER BY x) AS x1
+  FROM xs QUALIFY x1 IS NOT NULL),
+cov AS (
+  SELECT r.g, s.x0, s.x1, r.ymin, r.ymax
+  FROM r JOIN strips s ON s.g = r.g
+  WHERE r.xmin <= s.x0 AND r.xmax >= s.x1),
+iv AS (
+  SELECT *, sum(CASE WHEN pm IS NULL OR ymin > pm THEN 1 ELSE 0 END)
+              OVER (PARTITION BY g, x0 ORDER BY ymin, ymax
+                    ROWS UNBOUNDED PRECEDING) AS iv
+  FROM (
+    SELECT *, max(ymax) OVER (PARTITION BY g, x0 ORDER BY ymin, ymax
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+    FROM cov) t),
+merged AS (
+  SELECT g, x0, x1, iv, min(ymin) AS s, max(ymax) AS e
+  FROM iv GROUP BY 1, 2, 3, 4)
+SELECT g, CAST(sum((x1 - x0) * (e - s)) AS BIGINT) AS area
+FROM merged GROUP BY 1"""

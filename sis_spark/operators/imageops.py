@@ -1214,3 +1214,42 @@ def slic_sql(
     return f"""
 WITH {", ".join(ctes)}
 SELECT k, n, cx, cy, cv FROM {prev}"""
+
+
+def gray_world(images: DataFrame) -> DataFrame:
+    """Gray-world white balance (Buchsbaum 1980, public literature) in
+    exact integer arithmetic: per image, channel sums s_ch and
+    stot = s0+s1+s2; every pixel rescales as
+    v' = min(255, floordiv(v * stot, 3 * s_ch)) — the channel means
+    equalize toward the gray mean.  Returns one row per image:
+    (image_id, s0, s1, s2, cs) with cs the position-weighted int64
+    checksum of the balanced image (wt = ((y*w + x)*3 + ch) % 9973 + 1).
+
+    Shape: one Arrow-batched decode pass per image, no shuffle."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for iid, buf, fmt_ in zip(pdf["image_id"], pdf["bytes"],
+                                      pdf["fmt"]):
+                arr = codec.decode(bytes(buf), fmt_).astype(np.int64)
+                h, w = arr.shape[:2]
+                s = arr.reshape(-1, 3).sum(axis=0)  # (3,)
+                stot = int(s.sum())
+                bal = np.minimum(
+                    255, (arr * stot) // (3 * s[None, None, :])
+                )
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                ch = np.arange(3)[None, None, :]
+                wt = ((y * w + x) * 3 + ch) % 9973 + 1
+                rows.append({
+                    "image_id": iid, "s0": int(s[0]), "s1": int(s[1]),
+                    "s2": int(s[2]), "cs": int((bal * wt).sum()),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        fn, schema="image_id string, s0 long, s1 long, s2 long, cs long"
+    )

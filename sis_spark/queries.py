@@ -14114,6 +14114,87 @@ FROM lab l JOIN pc ON pc.key = l.label
 GROUP BY 1, 2 ORDER BY ty, tx"""
 
 
+def q_dissolve(spark, sf_dir):
+    """GIS dissolve, rectangle case (analytics.dissolve_rect_area):
+    exact union area per group by strip decomposition + per-strip
+    y-interval union — all codegen int64, no geometry UDF.  Rects from
+    the part table (5 groups, formula extents, heavy overlaps)."""
+    from .operators.analytics import dissolve_rect_area
+
+    p = _read(spark, sf_dir, "part").selectExpr(
+        "p_partkey % 5 AS g",
+        "(p_partkey * 7) % 1000 AS xmin",
+        "(p_partkey * 7) % 1000 + 50 + p_partkey % 100 AS xmax",
+        "(p_partkey * 13) % 800 AS ymin",
+        "(p_partkey * 13) % 800 + 40 + p_partkey % 60 AS ymax",
+    )
+    return dissolve_rect_area(p).orderBy("g")
+
+
+def q_dissolve_oracle():
+    from .operators.analytics import dissolve_rect_area_sql
+
+    base = (
+        "SELECT p_partkey % 5 AS g, (p_partkey * 7) % 1000 AS xmin, "
+        "(p_partkey * 7) % 1000 + 50 + p_partkey % 100 AS xmax, "
+        "(p_partkey * 13) % 800 AS ymin, "
+        "(p_partkey * 13) % 800 + 40 + p_partkey % 60 AS ymax FROM part"
+    )
+    return (
+        "SELECT * FROM (" + dissolve_rect_area_sql(base) + ") ORDER BY g"
+    )
+
+
+def q_gray_world(spark, sf_dir):
+    """Gray-world white balance (imageops.gray_world) through the real
+    decode path: per-image channel sums + exact integer rescale
+    v' = min(255, v*stot DIV 3*s_ch), position-weighted checksum of the
+    balanced image the oracle re-derives pixel-wise."""
+    from .operators.imageops import gray_world
+    from .sources.images import images_table
+
+    img = images_table(spark, N_SEAM_IMAGES).filter(F.col("fmt") != "jpeg")
+    return gray_world(img).orderBy("image_id")
+
+
+def q_gray_world_oracle():
+    from .sources.images import SIZES
+
+    size_case = lambda e: (
+        f"(CASE ({e}) % 3 WHEN 0 THEN {SIZES[0]} WHEN 1 THEN {SIZES[1]} "
+        f"ELSE {SIZES[2]} END)"
+    )
+    v = "(((x.x) * 3 + (y.y) * 7 + k.k * 31 + d.i * 13) % 256)"
+    return f"""
+WITH dims AS (
+  SELECT i, {size_case('i')} AS w, {size_case('i // 3')} AS h
+  FROM generate_series(0, {N_SEAM_IMAGES - 1}) t(i)
+  WHERE i % 3 <> 2),
+px AS (
+  SELECT d.i, d.w, d.h, x.x AS x, y.y AS y, k.k AS k, {v} AS v
+  FROM dims d, generate_series(0, 63) x(x), generate_series(0, 63) y(y),
+       generate_series(0, 2) k(k)
+  WHERE x.x < d.w AND y.y < d.h),
+sums AS (
+  SELECT i, k, CAST(sum(v) AS BIGINT) AS s FROM px GROUP BY 1, 2),
+tot AS (
+  SELECT i, CAST(sum(s) AS BIGINT) AS stot,
+         min(CASE WHEN k = 0 THEN s END) AS s0,
+         min(CASE WHEN k = 1 THEN s END) AS s1,
+         min(CASE WHEN k = 2 THEN s END) AS s2
+  FROM sums GROUP BY 1),
+bal AS (
+  SELECT p.i,
+         least(255, (p.v * t.stot) // (3 * s.s)) AS b,
+         ((p.y * p.w + p.x) * 3 + p.k) % 9973 + 1 AS wt
+  FROM px p JOIN sums s ON s.i = p.i AND s.k = p.k
+  JOIN tot t ON t.i = p.i)
+SELECT 'img-' || lpad(CAST(b.i AS VARCHAR), 12, '0') AS image_id,
+       t.s0, t.s1, t.s2, CAST(sum(b.b * b.wt) AS BIGINT) AS cs
+FROM bal b JOIN tot t ON t.i = b.i
+GROUP BY 1, 2, 3, 4 ORDER BY image_id"""
+
+
 def q_mondrian(spark, sf_dir):
     """Mondrian k-anonymization (quality.mondrian_boxes, k=25, 4 rounds)
     over two customer quasi-identifiers: strict top-down median splits
@@ -15192,5 +15273,7 @@ QUERIES = {
     "zonal_mode": (q_zonal_mode, q_zonal_mode_oracle),
     "critical_path": (q_critical_path, q_critical_path_oracle),
     "mondrian": (q_mondrian, q_mondrian_oracle),
+    "gray_world": (q_gray_world, q_gray_world_oracle),
+    "dissolve": (q_dissolve, q_dissolve_oracle),
     "dwell_time": (q_dwell_time, q_dwell_time_oracle),
 }

@@ -838,3 +838,21 @@ def test_ols_multi_exact_and_vs_numpy(spark):
     r2 = ols_multi(df2, "x1", "x2", "y").collect()[0]
     assert (r2["num0"], r2["num1"], r2["num2"]) == (
         7 * r2["det"], 4 * r2["det"], -3 * r2["det"])
+
+
+def test_dissolve_rect_area_hand(spark):
+    from sis_spark.operators.analytics import dissolve_rect_area
+
+    rows = [
+        # group 0: two overlapping 10x10 squares offset by 5 -> 175
+        (0, 0, 10, 0, 10), (0, 5, 15, 5, 15),
+        # group 1: disjoint 2x3 and 4x5 -> 26
+        (1, 0, 2, 0, 3), (1, 10, 14, 10, 15),
+        # group 2: containment -> area of outer 100
+        (2, 0, 10, 0, 10), (2, 2, 4, 2, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "g long, xmin long, xmax long, ymin long, ymax long"
+    )
+    out = {r["g"]: r["area"] for r in dissolve_rect_area(df).collect()}
+    assert out == {0: 175, 1: 26, 2: 100}
