@@ -1697,3 +1697,40 @@ phr AS (
   GROUP BY 1, 2)
 SELECT DISTINCT phrase, score FROM phr
 ORDER BY score DESC, phrase LIMIT {int(top_k)}"""
+
+
+_SOUNDEX_MAP = "01230120022455012623010202"  # a..z -> simplified soundex code
+
+
+def soundex_expr(col: str) -> str:
+    """Shared Spark-SQL/DuckDB expression computing simplified American
+    Soundex of a lowercase word (public algorithm; the H/W-as-separator
+    simplification is documented): code all letters via translate,
+    collapse adjacent equal digits (5 rounds of pairwise replaces —
+    enough for 32-char words), keep the first LETTER, drop vowels/0s
+    from the rest, pad with 0s to 4 chars.  Both dialects share
+    translate/replace/substr, so the text is evaluated verbatim by both
+    engines — the blocking key of classic record linkage."""
+    code = f"translate({col}, 'abcdefghijklmnopqrstuvwxyz', '{_SOUNDEX_MAP}')"
+    for _ in range(5):
+        for d in "123456":
+            code = f"replace({code}, '{d}{d}', '{d}')"
+    rest = f"replace(substr({code}, 2), '0', '')"
+    return f"(substr({col}, 1, 1) || substr({rest} || '000', 1, 3))"
+
+
+def soundex_blocks(
+    docs: DataFrame, word_col: str = "word"
+) -> DataFrame:
+    """Soundex blocking histogram: (code, n_words, n_distinct) per
+    phonetic block — the candidate-generation profile of a record-
+    linkage pipeline (pairs within a block = n*(n-1)/2).  One codegen
+    expression + one map-side-combined aggregation."""
+    d = docs.select(
+        F.col(word_col).alias("w"),
+        F.expr(soundex_expr(word_col)).alias("code"),
+    )
+    return d.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("w").alias("n_distinct"),
+    )

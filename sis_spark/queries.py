@@ -14114,6 +14114,30 @@ FROM lab l JOIN pc ON pc.key = l.label
 GROUP BY 1, 2 ORDER BY ty, tx"""
 
 
+def q_soundex(spark, sf_dir):
+    """Soundex blocking histogram (textops.soundex_blocks) over the
+    parts' first name token: the record-linkage blocking key as ONE
+    shared translate/replace codegen expression (simplified American
+    Soundex, H/W-as-separator variant) + one aggregation."""
+    from .operators.textops import soundex_blocks
+
+    p = _read(spark, sf_dir, "part").select(
+        F.split(F.col("p_name"), " ")[0].alias("word")
+    )
+    return soundex_blocks(p).orderBy("code")
+
+
+def q_soundex_oracle():
+    from .operators.textops import soundex_expr
+
+    return f"""
+WITH w AS (SELECT string_split(p_name, ' ')[1] AS word FROM part)
+SELECT {soundex_expr('word')} AS code,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_distinct
+FROM w GROUP BY 1 ORDER BY code"""
+
+
 def q_dissolve(spark, sf_dir):
     """GIS dissolve, rectangle case (analytics.dissolve_rect_area):
     exact union area per group by strip decomposition + per-strip
@@ -15275,5 +15299,6 @@ QUERIES = {
     "mondrian": (q_mondrian, q_mondrian_oracle),
     "gray_world": (q_gray_world, q_gray_world_oracle),
     "dissolve": (q_dissolve, q_dissolve_oracle),
+    "soundex": (q_soundex, q_soundex_oracle),
     "dwell_time": (q_dwell_time, q_dwell_time_oracle),
 }
