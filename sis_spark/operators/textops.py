@@ -1734,3 +1734,96 @@ def soundex_blocks(
         F.count(F.lit(1)).alias("n_words"),
         F.countDistinct("w").alias("n_distinct"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS winnowing (Schleimer, Wilkerson, Aiken 2003, public
+    literature) over word k-grams: hash every k-gram, slide a window of
+    ``w`` consecutive hashes and keep each window's minimum (ties to the
+    EARLIEST position — encoded by packing position into the low 20 bits
+    of the truncated hash, so the min is one int64 comparison); the
+    distinct selected values are the document's fingerprint set, which
+    winnowing guarantees to hit every match of length >= k + w - 1.
+    Returns (doc_id, n_fp, fp_sum, fp_min) with fp_sum over the low 40
+    bits (no overflow).
+
+    Shape: posexplode -> one lead-window k-gram build -> one min-window
+    pass -> distinct + aggregate; pure codegen, shuffles only on the
+    doc-keyed windows."""
+    from pyspark.sql import Window
+
+    from .sampling import hash_u60
+
+    toks = docs.select(
+        F.col(id_col).alias("d"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    )
+    wd = Window.partitionBy("d").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.col("word"),
+        *[F.lead("word", i).over(wd) for i in range(1, int(k))],
+    )
+    g = toks.select(
+        "d", "pos", gram.alias("gram"),
+        F.lead("word", int(k) - 1).over(wd).alias("nw"),
+    ).filter(F.col("nw").isNotNull()).withColumn(
+        "h", hash_u60(F.col("gram"), "winnow")
+    )
+    hp = ((F.col("h") - F.col("h") % (1 << 20)) + F.col("pos")).alias("hp")
+    g = g.select("d", "pos", hp)
+    wmin = Window.partitionBy("d").orderBy("pos").rowsBetween(0, int(w) - 1)
+    sel = (
+        g.withColumn("nwin", F.count(F.lit(1)).over(wmin))
+        .withColumn("m", F.min("hp").over(wmin))
+        .filter(F.col("nwin") == int(w))  # only full windows select
+        .select("d", (F.col("m") - F.col("m") % (1 << 20)).alias("m"))
+        .distinct()  # strip the tie-break position: match across offsets
+    )
+    return sel.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.sum(F.col("m") % (1 << 40)).alias("fp_sum"),
+        F.min("m").alias("fp_min"),
+    ).withColumnRenamed("d", id_col)
+
+
+def winnow_fingerprints_sql(
+    rel: str = "documents",
+    k: int = 5,
+    w: int = 4,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``winnow_fingerprints`` (generate_subscripts
+    positions are 1-based — a constant offset the algebra never sees)."""
+    from .sampling import hash_u60_sql
+
+    gram = " || ' ' || ".join(
+        f"ws[pos + {i}]" for i in range(int(k))
+    )
+    h = hash_u60_sql(f"({gram})", "winnow")
+    return f"""
+WITH w0 AS (
+  SELECT {id_col} AS d, string_split({text}, ' ') AS ws FROM {rel}),
+toks AS (
+  SELECT d, ws, generate_subscripts(ws, 1) AS pos FROM w0),
+g AS (
+  SELECT d, pos, ({h} - {h} % {1 << 20}) + (pos - 1) AS hp
+  FROM toks WHERE pos + {int(k) - 1} <= len(ws)),
+sel AS (
+  SELECT DISTINCT d, m - m % 1048576 AS m FROM (
+    SELECT d,
+           min(hp) OVER (PARTITION BY d ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND {int(w) - 1} FOLLOWING) AS m,
+           count(*) OVER (PARTITION BY d ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {int(w) - 1} FOLLOWING) AS nwin
+    FROM g) t
+  WHERE nwin = {int(w)})
+SELECT d AS {id_col}, CAST(count(*) AS BIGINT) AS n_fp,
+       CAST(sum(m % {1 << 40}) AS BIGINT) AS fp_sum, min(m) AS fp_min
+FROM sel GROUP BY 1"""

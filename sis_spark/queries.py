@@ -14114,6 +14114,28 @@ FROM lab l JOIN pc ON pc.key = l.label
 GROUP BY 1, 2 ORDER BY ty, tx"""
 
 
+def q_winnowing(spark, sf_dir):
+    """MOSS winnowing fingerprints (textops.winnow_fingerprints, word
+    5-grams, window 4): every window's minimum hash (ties to earliest
+    position via low-bit packing) — the plagiarism/dedup fingerprint
+    scheme with the guaranteed-match property; distinct selections
+    aggregated per doc."""
+    from .operators.textops import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _read(spark, sf_dir, "documents"), k=5, w=4
+    ).orderBy("doc_id")
+
+
+def q_winnowing_oracle():
+    from .operators.textops import winnow_fingerprints_sql
+
+    return (
+        "SELECT * FROM (" + winnow_fingerprints_sql("documents", k=5, w=4)
+        + ") ORDER BY doc_id"
+    )
+
+
 def q_soundex(spark, sf_dir):
     """Soundex blocking histogram (textops.soundex_blocks) over the
     parts' first name token: the record-linkage blocking key as ONE
@@ -15300,5 +15322,6 @@ QUERIES = {
     "gray_world": (q_gray_world, q_gray_world_oracle),
     "dissolve": (q_dissolve, q_dissolve_oracle),
     "soundex": (q_soundex, q_soundex_oracle),
+    "winnowing": (q_winnowing, q_winnowing_oracle),
     "dwell_time": (q_dwell_time, q_dwell_time_oracle),
 }
