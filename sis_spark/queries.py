@@ -14114,6 +14114,62 @@ FROM lab l JOIN pc ON pc.key = l.label
 GROUP BY 1, 2 ORDER BY ty, tx"""
 
 
+def q_geoparquet(spark, sf_dir):
+    """GeoParquet round-trip under the oracle gate (sources/geoparquet):
+    part-formula points -> distributed per-partition GeoParquet writes
+    (WKB column + footer 'geo' bbox metadata) -> footer-bbox file
+    pruning -> read-back + WKB decode -> 30-degree-band histogram the
+    oracle re-derives from the formula.  Proves write/read/prune/decode
+    agree end to end."""
+    import shutil
+    import tempfile
+
+    from .functions.sqlmm import st_point_udf, st_x_udf, st_y_udf
+    from .sources.geoparquet import read_geoparquet, write_geoparquet
+
+    p = _read(spark, sf_dir, "part").selectExpr(
+        "p_partkey",
+        "CAST(p_partkey % 360 - 180 AS DOUBLE) AS lon",
+        "CAST(p_partkey % 170 - 85 AS DOUBLE) AS lat",
+    ).withColumn("geometry", st_point_udf()(F.col("lon"), F.col("lat")))
+    out_dir = tempfile.mkdtemp(prefix="geopq_")
+    try:
+        write_geoparquet(p.repartition(8), out_dir)
+        r = read_geoparquet(spark, out_dir, bbox=(0.0, 0.0, 90.0, 85.0))
+        dx = st_x_udf()(F.col("geometry"))
+        dy = st_y_udf()(F.col("geometry"))
+        res = (
+            r.select(
+                F.floor(dx / F.lit(30.0)).cast("long").alias("band"),
+                dy.alias("y"),
+            )
+            .groupBy("band")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("y").cast("long")).alias("ysum"),
+            )
+            .orderBy("band")
+        )
+        res = res.localCheckpoint()  # materialize before the dir vanishes
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return res
+
+
+def q_geoparquet_oracle():
+    return """
+WITH p AS (
+  SELECT CAST(p_partkey % 360 - 180 AS DOUBLE) AS lon,
+         CAST(p_partkey % 170 - 85 AS DOUBLE) AS lat
+  FROM part)
+SELECT CAST(floor(lon / 30.0) AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(lat AS BIGINT)) AS BIGINT) AS ysum
+FROM p
+WHERE lon >= 0.0 AND lon <= 90.0 AND lat >= 0.0 AND lat <= 85.0
+GROUP BY 1 ORDER BY band"""
+
+
 def q_winnowing(spark, sf_dir):
     """MOSS winnowing fingerprints (textops.winnow_fingerprints, word
     5-grams, window 4): every window's minimum hash (ties to earliest
@@ -15323,5 +15379,6 @@ QUERIES = {
     "dissolve": (q_dissolve, q_dissolve_oracle),
     "soundex": (q_soundex, q_soundex_oracle),
     "winnowing": (q_winnowing, q_winnowing_oracle),
+    "geoparquet": (q_geoparquet, q_geoparquet_oracle),
     "dwell_time": (q_dwell_time, q_dwell_time_oracle),
 }
