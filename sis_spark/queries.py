@@ -14114,6 +14114,55 @@ FROM lab l JOIN pc ON pc.key = l.label
 GROUP BY 1, 2 ORDER BY ty, tx"""
 
 
+def q_las_points(spark, sf_dir):
+    """LAS point-cloud read (sources/las, ASPRS 1.2 format 0): formula
+    cloud written as a real LAS file, distributed ranged-chunk decode,
+    per-classification exact integer stats the oracle re-derives from
+    the formula (proving header/record parsing end to end)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.las import make_formula_las, read_las
+
+    d = tempfile.mkdtemp(prefix="las_")
+    path = os.path.join(d, "pts.las")
+    try:
+        make_formula_las(path, 40000)
+        df, hdr = read_las(spark, path, chunk=4096)
+        assert hdr["n"] == 40000 and hdr["version"] == (1, 2)
+        res = (
+            df.groupBy("classification")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("xi").alias("sx"),
+                F.sum("yi").alias("sy"),
+                F.sum("zi").alias("sz"),
+                F.sum("intensity").alias("si"),
+            )
+            .orderBy("classification")
+            .localCheckpoint()  # materialize before the file vanishes
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return res
+
+
+def q_las_points_oracle():
+    return """
+WITH p AS (
+  SELECT i, (i * 7919) % 360000000 - 180000000 AS xi,
+         (i * 104729) % 170000000 - 85000000 AS yi,
+         (i * 13) % 500000 AS zi,
+         (i * 31) % 65536 AS intensity,
+         i % 8 AS classification
+  FROM generate_series(0, 39999) t(i))
+SELECT classification, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(yi) AS BIGINT) AS sy,
+       CAST(sum(zi) AS BIGINT) AS sz, CAST(sum(intensity) AS BIGINT) AS si
+FROM p GROUP BY 1 ORDER BY classification"""
+
+
 def q_geoparquet(spark, sf_dir):
     """GeoParquet round-trip under the oracle gate (sources/geoparquet):
     part-formula points -> distributed per-partition GeoParquet writes
@@ -15380,5 +15429,6 @@ QUERIES = {
     "soundex": (q_soundex, q_soundex_oracle),
     "winnowing": (q_winnowing, q_winnowing_oracle),
     "geoparquet": (q_geoparquet, q_geoparquet_oracle),
+    "las_points": (q_las_points, q_las_points_oracle),
     "dwell_time": (q_dwell_time, q_dwell_time_oracle),
 }
