@@ -14114,6 +14114,46 @@ FROM lab l JOIN pc ON pc.key = l.label
 GROUP BY 1, 2 ORDER BY ty, tx"""
 
 
+def q_ground_filter(spark, sf_dir):
+    """Lidar ground filtering + canopy stats (pointcloud.grid_ground_
+    stats, 10M-unit cells, dz 20000) over the LAS formula cloud read
+    through the REAL file path: per-cell z_min ground estimate, ground
+    returns within dz, canopy height — one keyed window + one agg."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.pointcloud import grid_ground_stats
+    from .sources.las import make_formula_las, read_las
+
+    d = tempfile.mkdtemp(prefix="las_")
+    path = os.path.join(d, "pts.las")
+    try:
+        make_formula_las(path, 40000)
+        df, _ = read_las(spark, path, chunk=4096)
+        res = grid_ground_stats(df, cell=10_000_000, dz=20_000).orderBy(
+            "cx", "cy"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return res
+
+
+def q_ground_filter_oracle():
+    from .operators.pointcloud import grid_ground_stats_sql
+
+    base = """
+SELECT (i * 7919) % 360000000 - 180000000 AS xi,
+       (i * 104729) % 170000000 - 85000000 AS yi,
+       (i * 13) % 500000 AS zi
+FROM generate_series(0, 39999) t(i)"""
+    return (
+        "SELECT * FROM ("
+        + grid_ground_stats_sql(base, cell=10_000_000, dz=20_000)
+        + ") ORDER BY cx, cy"
+    )
+
+
 def q_las_points(spark, sf_dir):
     """LAS point-cloud read (sources/las, ASPRS 1.2 format 0): formula
     cloud written as a real LAS file, distributed ranged-chunk decode,
@@ -15430,5 +15470,6 @@ QUERIES = {
     "winnowing": (q_winnowing, q_winnowing_oracle),
     "geoparquet": (q_geoparquet, q_geoparquet_oracle),
     "las_points": (q_las_points, q_las_points_oracle),
+    "ground_filter": (q_ground_filter, q_ground_filter_oracle),
     "dwell_time": (q_dwell_time, q_dwell_time_oracle),
 }
