@@ -14114,6 +14114,76 @@ FROM lab l JOIN pc ON pc.key = l.label
 GROUP BY 1, 2 ORDER BY ty, tx"""
 
 
+def q_zone_adjacency(spark, sf_dir):
+    """Zone adjacency / shared-border extraction (tiles.zone_adjacency)
+    over the rasterized dyadic rectangles: 4-neighbor label transitions,
+    intra-tile bincounts + O(perimeter) seam joins.  The label grid is
+    densified first (rasterize emits sparse tiles; absent = background)
+    so borders against empty tiles count."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .functions.geometry import wkb_polygon
+    from .raster.tiles import rasterize_polygons, zone_adjacency
+
+    rects = _rasterize_rects()
+    pdf = _pd.DataFrame({
+        "key": [r["key"] for r in rects],
+        "wkb": [
+            wkb_polygon([(
+                _np.array([r["xmin"], r["xmax"], r["xmax"], r["xmin"]]),
+                _np.array([r["ymin"], r["ymin"], r["ymax"], r["ymax"]]),
+            )])
+            for r in rects
+        ],
+    })
+    polys = spark.createDataFrame(pdf, schema="key long, wkb binary")
+    zones = rasterize_polygons(polys, _rasterize_gg(), tile_size=RAST_TS)
+    ntx, nty = RAST_W // RAST_TS, RAST_H // RAST_TS
+    zero = bytes(RAST_TS * RAST_TS * 4)
+    grid = spark.range(ntx * nty).selectExpr(
+        f"id % {ntx} AS tx", f"id DIV {ntx} AS ty", "0 AS band"
+    ).withColumn("zero", F.lit(zero))
+    dense = (
+        grid.join(zones.withColumnRenamed("data", "d0"), ["tx", "ty", "band"],
+                  "left")
+        .select("tx", "ty", "band",
+                F.coalesce("d0", "zero").alias("data"))
+    )
+    return zone_adjacency(dense, tile_size=RAST_TS).orderBy("za", "zb")
+
+
+def q_zone_adjacency_oracle():
+    vals = ",\n  ".join(
+        f"({r['key']}, {r['xmin']!r}E0, {r['xmax']!r}E0, {r['ymin']!r}E0, {r['ymax']!r}E0)"
+        for r in _rasterize_rects()
+    )
+    return f"""
+WITH rects(key, xmin, xmax, ymin, ymax) AS (VALUES
+  {vals}),
+px AS (
+  SELECT x.x AS px, y.y AS py,
+         CAST(2 * x.x + 1 AS DOUBLE) / 128.0E0 - 10.0E0 AS cx,
+         5.0E0 - CAST(2 * y.y + 1 AS DOUBLE) / 128.0E0 AS cy
+  FROM generate_series(0, {RAST_W - 1}) x(x), generate_series(0, {RAST_H - 1}) y(y)),
+lab AS (
+  SELECT px, py,
+         COALESCE((SELECT max(r.key) FROM rects r
+                   WHERE px.cx > r.xmin AND px.cx < r.xmax
+                     AND px.cy > r.ymin AND px.cy < r.ymax), 0) AS label
+  FROM px),
+pairs AS (
+  SELECT least(a.label, b.label) AS za, greatest(a.label, b.label) AS zb
+  FROM lab a JOIN lab b ON b.px = a.px + 1 AND b.py = a.py
+  WHERE a.label <> b.label
+  UNION ALL
+  SELECT least(a.label, b.label), greatest(a.label, b.label)
+  FROM lab a JOIN lab b ON b.px = a.px AND b.py = a.py + 1
+  WHERE a.label <> b.label)
+SELECT za, zb, CAST(count(*) AS BIGINT) AS border_len
+FROM pairs GROUP BY 1, 2 ORDER BY za, zb"""
+
+
 def q_ground_filter(spark, sf_dir):
     """Lidar ground filtering + canopy stats (pointcloud.grid_ground_
     stats, 10M-unit cells, dz 20000) over the LAS formula cloud read
@@ -15471,5 +15541,6 @@ QUERIES = {
     "geoparquet": (q_geoparquet, q_geoparquet_oracle),
     "las_points": (q_las_points, q_las_points_oracle),
     "ground_filter": (q_ground_filter, q_ground_filter_oracle),
+    "zone_adjacency": (q_zone_adjacency, q_zone_adjacency_oracle),
     "dwell_time": (q_dwell_time, q_dwell_time_oracle),
 }

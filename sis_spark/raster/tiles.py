@@ -1775,3 +1775,79 @@ def zonal_mode(zone_tiles: DataFrame, val_tiles: DataFrame,
         .filter(F.col("rn") == 1)
         .select("zone", F.col("v").alias("v_mode"), "cnt")
     )
+
+
+def zone_adjacency(zone_tiles: DataFrame, tile_size: int = 64) -> DataFrame:
+    """Zone adjacency extraction (the topology step of a rasterized
+    coverage: which zones share a border, and how long): counts
+    4-neighbor pixel pairs whose labels differ, keyed by the canonical
+    (min zone, max zone) pair; background (0) participates so exterior
+    borders are measurable.  Returns (za, zb, border_len).
+
+    Shape: intra-tile transitions are one mapInPandas bincount per tile;
+    the tile SEAMS come from two self-joins keyed on the neighbor tile id
+    (tx+1, ty) / (tx, ty+1) — each seam ships only its edge columns, so
+    the shuffle is O(perimeter), not O(area)."""
+    import numpy as np
+    import pandas as pd
+
+    ts = int(tile_size)
+    z = zone_tiles.filter(F.col("band") == 0).select("tx", "ty", "data")
+
+    def intra(batches):
+        for pdf in batches:
+            rows = []
+            for data in pdf["data"]:
+                lab = np.frombuffer(data, np.int32).reshape(ts, ts).astype(np.int64)
+                for a, b in ((lab[:, :-1], lab[:, 1:]), (lab[:-1, :], lab[1:, :])):
+                    m = a != b
+                    if not m.any():
+                        continue
+                    lo = np.minimum(a[m], b[m])
+                    hi = np.maximum(a[m], b[m])
+                    key = lo * (1 << 32) + hi
+                    ks, cs = np.unique(key, return_counts=True)
+                    for kk, cc in zip(ks, cs):
+                        rows.append({"za": int(kk) >> 32,
+                                     "zb": int(kk) & 0xFFFFFFFF,
+                                     "border_len": int(cc)})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    parts = [z.mapInPandas(intra, "za long, zb long, border_len long")]
+
+    def seam(df_a, df_b, axis):
+        def fn(batches):
+            for pdf in batches:
+                rows = []
+                for da, db in zip(pdf["da"], pdf["db"]):
+                    la = np.frombuffer(da, np.int32).reshape(ts, ts).astype(np.int64)
+                    lb = np.frombuffer(db, np.int32).reshape(ts, ts).astype(np.int64)
+                    a = la[:, -1] if axis == "x" else la[-1, :]
+                    b = lb[:, 0] if axis == "x" else lb[0, :]
+                    m = a != b
+                    if not m.any():
+                        continue
+                    lo = np.minimum(a[m], b[m])
+                    hi = np.maximum(a[m], b[m])
+                    key = lo * (1 << 32) + hi
+                    ks, cs = np.unique(key, return_counts=True)
+                    for kk, cc in zip(ks, cs):
+                        rows.append({"za": int(kk) >> 32,
+                                     "zb": int(kk) & 0xFFFFFFFF,
+                                     "border_len": int(cc)})
+                if rows:
+                    yield pd.DataFrame(rows)
+
+        return df_a.join(df_b, ["tx", "ty"]).mapInPandas(
+            fn, "za long, zb long, border_len long"
+        )
+
+    right = z.selectExpr("tx - 1 AS tx", "ty", "data AS db")
+    parts.append(seam(z.selectExpr("tx", "ty", "data AS da"), right, "x"))
+    down = z.selectExpr("tx", "ty - 1 AS ty", "data AS db")
+    parts.append(seam(z.selectExpr("tx", "ty", "data AS da"), down, "y"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.groupBy("za", "zb").agg(F.sum("border_len").alias("border_len"))

@@ -453,3 +453,35 @@ def test_morton_ranges_single_global_sort(spark):
     plan = _plan(morton_ranges(spark, -47.3, 12.1, 33.9, 55.2, res=9))
     assert "Join" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_sixteenth_sitting_ops_plans_join_shapes(spark):
+    """The new clustering/assignment/privacy operators never fall back to
+    cartesian or broadcast-nested-loop joins — candidate generation is
+    always an equi-join on a derived key (cell ring, box id, block)."""
+    import numpy as np
+
+    from sis_spark.operators.density import dbscan
+    from sis_spark.operators.imageops import median_cut_boxes, slic_superpixels
+    from sis_spark.operators.quality import mondrian_boxes
+
+    pts = spark.range(300).selectExpr(
+        "id", "(id * 37) % 500 AS qx", "(id * 53) % 500 AS qy"
+    )
+    plans = []
+    plans.append(_plan(dbscan(pts.selectExpr("id", "qx", "qy"),
+                              eps=40, min_pts=3)))
+    px = spark.range(1024).selectExpr(
+        "id % 32 AS x", "id DIV 32 AS y", "(id * 7) % 256 AS v",
+    )
+    plans.append(_plan(slic_superpixels(px, 32, 32, step=8, iters=1)))
+    rgb = spark.range(1000).selectExpr(
+        "(id * 7) % 256 AS r", "(id * 13) % 256 AS g",
+        "(id * 29) % 256 AS b", "1 AS w",
+    )
+    plans.append(_plan(median_cut_boxes(rgb, rounds=2)))
+    qi = spark.range(500).selectExpr("id % 31 AS a", "(id * 7) % 23 AS b")
+    plans.append(_plan(mondrian_boxes(qi, k=50, rounds=2)))
+    for p in plans:
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
