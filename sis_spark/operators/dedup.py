@@ -578,3 +578,93 @@ def edit_distance_join(
         .distinct()
     )
     return cand.withColumn("d", F.levenshtein("sa", "sb")).filter(F.col("d") <= 1)
+
+
+def minhash_calibration(docs: DataFrame, n: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """MinHash estimator calibration audit (the QA table every LSH dedup
+    deployment needs: does signature agreement actually track Jaccard on
+    THIS corpus?): for every LSH candidate pair, agree = the number of
+    matching minhashes (the estimator, E[agree/N] = jaccard) and the
+    EXACT integer (common, union) shingle counts; rolled up per agree
+    level -> (agree, n_pairs, sum_common, sum_union), so mean exact
+    jaccard per estimator bin is the ratio of two exact sums.
+
+    Shape: signatures + banded candidates exactly as minhash_lsh_pairs
+    (no all-pairs anywhere); the exact verify joins the candidate table
+    to the distinct-shingle table twice (semi-bounded by candidates);
+    one final tiny aggregation."""
+    sigs = minhash_signatures(docs, n, text_col, id_col).persist()
+    cand = lsh_candidates(sigs, id_col)
+    sa = sigs.select(F.col(id_col).alias("a"),
+                     *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)])
+    sb = sigs.select(F.col(id_col).alias("b"),
+                     *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_HASHES)])
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(N_HASHES)
+    )
+    pairs = cand.join(sa, "a").join(sb, "b").select(
+        "a", "b", agree.alias("agree")
+    )
+    sh = shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    x = sh.selectExpr(f"{id_col} AS a", "s")
+    y = sh.selectExpr(f"{id_col} AS b2", "s AS s2")
+    common = (
+        pairs.join(x, "a").join(
+            y, (F.col("b") == F.col("b2")) & (F.col("s") == F.col("s2"))
+        )
+        .groupBy("a", "b", "agree")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    za = sizes.selectExpr(f"{id_col} AS a", "nsh AS na")
+    zb = sizes.selectExpr(f"{id_col} AS b", "nsh AS nb")
+    full = (
+        common.join(za, "a").join(zb, "b")
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("common"))
+    )
+    out = full.groupBy("agree").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("common").alias("sum_common"),
+        F.sum("uni").alias("sum_union"),
+    )
+    return out
+
+
+def minhash_calibration_sql(rel: str = "documents", n: int = 3,
+                            text: str = "text",
+                            id_col: str = "doc_id") -> str:
+    """DuckDB replay of ``minhash_calibration``."""
+    return f"""
+WITH sh AS ({shingles_sql(rel, n, text, id_col)}),
+sigs AS (
+  SELECT {id_col}, i.i, min(md5(CAST(i.i AS VARCHAR) || ':' || s)) AS mh
+  FROM sh, generate_series(0, {N_HASHES - 1}) i(i) GROUP BY 1, 2),
+bands AS (
+  SELECT {id_col}, (i // {BAND_SIZE}) AS band,
+         concat_ws('|', min(CASE WHEN i % {BAND_SIZE} = 0 THEN mh END),
+                        min(CASE WHEN i % {BAND_SIZE} = 1 THEN mh END)) AS bkey
+  FROM sigs GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS a, b.{id_col} AS b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.{id_col} < b.{id_col}),
+agr AS (
+  SELECT c.a, c.b,
+         CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM cand c JOIN sigs x ON x.{id_col} = c.a
+  JOIN sigs y ON y.{id_col} = c.b AND y.i = x.i
+  GROUP BY 1, 2),
+sizes AS (SELECT {id_col}, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY 1),
+common AS (
+  SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS common
+  FROM cand c JOIN sh x ON x.{id_col} = c.a
+  JOIN sh y ON y.{id_col} = c.b AND y.s = x.s
+  GROUP BY 1, 2)
+SELECT g.agree, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(m.common) AS BIGINT) AS sum_common,
+       CAST(sum(sa.nsh + sb.nsh - m.common) AS BIGINT) AS sum_union
+FROM agr g JOIN common m ON m.a = g.a AND m.b = g.b
+JOIN sizes sa ON sa.{id_col} = g.a JOIN sizes sb ON sb.{id_col} = g.b
+GROUP BY 1"""

@@ -1488,3 +1488,118 @@ SELECT p.id,
 FROM pts p
 LEFT JOIN lab l ON l.node = p.id
 LEFT JOIN border b ON b.pid = p.id"""
+
+
+def correlogram(
+    points: DataFrame,
+    band_width: int,
+    n_bands: int,
+    id_col: str = "id",
+    x_col: str = "qx",
+    y_col: str = "qy",
+    v_col: str = "v",
+) -> DataFrame:
+    """Spatial correlogram (Moran's I per distance band, the classic
+    spatial-autocorrelation profile) in exact integer arithmetic:
+    deviations are scaled by n (z_i = v_i*n - sum_v, an integer), so per
+    band the cross-product sum, the pair count, and the global z^2 sum
+    are exact int64 — Moran's I for band b is the exact rational
+      I_b = (n * sum_zz_b) / (n_pairs_b * sum_z2)   [scaled by n^2]
+    derivable downstream from the returned integers.
+
+    Returns (band, n_pairs, sum_zz, sum_z2) with band = d2 // bw^2
+    annulus index (0 .. n_bands-1), ordered pairs counted once each
+    direction (the symmetric W convention).
+
+    Shape: ONE 3x3 cell-ring self-join at cell side = max radius (never
+    all pairs), exact integer distances, one aggregation.  Caller keeps
+    |v|*n bounded so z products stay in int64."""
+    R = int(band_width) * int(n_bands)
+    cell = float(R)
+    b = points.select(
+        F.col(id_col).alias("i"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+        F.col(v_col).cast("long").alias("v"),
+    )
+    stats = b.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    ).collect()[0]
+    n, sv = int(stats["n"]), int(stats["sv"])
+    z = (F.col("v") * n - F.lit(sv))
+    bz = b.withColumn("z", z).withColumn(
+        "cx", F.floor(F.col("x").cast("double") / F.lit(cell)).cast("long")
+    ).withColumn(
+        "cy", F.floor(F.col("y").cast("double") / F.lit(cell)).cast("long")
+    )
+    sum_z2 = bz.agg(F.sum(F.col("z") * F.col("z"))).collect()[0][0]
+    ring = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    ae = bz.select(
+        "i", "x", "y", "z", "cx", "cy", F.explode(ring).alias("o")
+    ).select(
+        F.col("i").alias("ai"), F.col("x").alias("ax"),
+        F.col("y").alias("ay"), F.col("z").alias("az"),
+        (F.col("cx") + F.col("o.dx")).alias("jcx"),
+        (F.col("cy") + F.col("o.dy")).alias("jcy"),
+    )
+    j = ae.join(
+        bz.select(F.col("i").alias("bi"), F.col("x").alias("bx"),
+                  F.col("y").alias("by"), F.col("z").alias("bz"),
+                  "cx", "cy"),
+        (F.col("jcx") == F.col("cx")) & (F.col("jcy") == F.col("cy")),
+    ).filter(F.col("ai") != F.col("bi"))
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+    # annulus index: band k iff (k*bw)^2 <= d2 < ((k+1)*bw)^2 — exact
+    # integer threshold chain (d2 // bw^2 would make the bands quadratic)
+    bw = int(band_width)
+    band = F.lit(int(n_bands)).cast("long")
+    for k in reversed(range(int(n_bands))):
+        band = F.when(F.col("d2") < (k + 1) * (k + 1) * bw * bw,
+                      F.lit(k).cast("long")).otherwise(band)
+    out = (
+        j.withColumn("d2", d2)
+        .filter(F.col("d2") <= R * R)
+        .withColumn("band", band)
+        .filter(F.col("band") < int(n_bands))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("az") * F.col("bz")).alias("sum_zz"),
+        )
+        .withColumn("sum_z2", F.lit(int(sum_z2)))
+    )
+    return out
+
+
+def correlogram_sql(base_select: str, band_width: int, n_bands: int) -> str:
+    """DuckDB replay of ``correlogram``; ``base_select`` -> (id, qx, qy,
+    v).  The oracle uses the plain radius self-join."""
+    R = int(band_width) * int(n_bands)
+    bw = int(band_width)
+    d2 = "((a.x - c.x) * (a.x - c.x) + (a.y - c.y) * (a.y - c.y))"
+    band_case = "CASE " + " ".join(
+        f"WHEN {d2} < {(k + 1) * (k + 1) * bw * bw} THEN {k}"
+        for k in range(int(n_bands))
+    ) + f" ELSE {int(n_bands)} END"
+    return f"""
+WITH b AS (
+  SELECT id AS i, CAST(qx AS BIGINT) AS x, CAST(qy AS BIGINT) AS y,
+         CAST(v AS BIGINT) AS v
+  FROM ({base_select}) s),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv
+       FROM b),
+z AS (SELECT i, x, y, v * st.n - st.sv AS z FROM b, st),
+z2 AS (SELECT CAST(sum(z * z) AS BIGINT) AS sum_z2 FROM z),
+pairs AS (
+  SELECT CAST({band_case} AS BIGINT) AS band,
+         a.z AS az, c.z AS cz
+  FROM z a JOIN z c ON a.i <> c.i
+   AND (a.x - c.x) * (a.x - c.x) + (a.y - c.y) * (a.y - c.y) <= {R * R})
+SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(az * cz) AS BIGINT) AS sum_zz,
+       (SELECT sum_z2 FROM z2) AS sum_z2
+FROM pairs WHERE band < {int(n_bands)} GROUP BY 1"""

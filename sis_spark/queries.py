@@ -14114,6 +14114,58 @@ FROM lab l JOIN pc ON pc.key = l.label
 GROUP BY 1, 2 ORDER BY ty, tx"""
 
 
+def q_correlogram(spark, sf_dir):
+    """Spatial correlogram (density.correlogram, 3 bands of 20000
+    milli-degree units, every 10th event): per-annulus Moran cross
+    products with n-scaled integer deviations — one cell-ring self-join
+    at the max radius, exact threshold-chain band assignment."""
+    from .operators.density import correlogram
+
+    pts = _events_points(spark, sf_dir).filter(F.col("event_id") % 10 == 0)
+    d = pts.select(
+        F.col("event_id").alias("id"),
+        F.floor(F.col("lon") * F.lit(1000.0)).cast("long").alias("qx"),
+        F.floor(F.col("lat") * F.lit(1000.0)).cast("long").alias("qy"),
+        (F.col("event_id") % 100).alias("v"),
+    )
+    return correlogram(d, band_width=20000, n_bands=3).orderBy("band")
+
+
+def q_correlogram_oracle():
+    from .operators.density import correlogram_sql
+
+    base = (
+        "SELECT event_id AS id, CAST(floor(lon * 1000.0) AS BIGINT) AS qx, "
+        "CAST(floor(lat * 1000.0) AS BIGINT) AS qy, event_id % 100 AS v "
+        f"FROM ({_points_sql()}) p WHERE event_id % 10 = 0"
+    )
+    return (
+        "SELECT * FROM (" + correlogram_sql(base, 20000, 3)
+        + ") ORDER BY band"
+    )
+
+
+def q_minhash_calibration(spark, sf_dir):
+    """MinHash estimator calibration (dedup.minhash_calibration): per
+    signature-agreement level, exact (common, union) shingle sums over
+    the LSH candidate pairs — the QA table that validates the estimator
+    on THIS corpus.  No all-pairs anywhere; banded candidates only."""
+    from .operators.dedup import minhash_calibration
+
+    return minhash_calibration(_read(spark, sf_dir, "documents")).orderBy(
+        "agree"
+    )
+
+
+def q_minhash_calibration_oracle():
+    from .operators.dedup import minhash_calibration_sql
+
+    return (
+        "SELECT * FROM (" + minhash_calibration_sql("documents")
+        + ") ORDER BY agree"
+    )
+
+
 def q_zone_adjacency(spark, sf_dir):
     """Zone adjacency / shared-border extraction (tiles.zone_adjacency)
     over the rasterized dyadic rectangles: 4-neighbor label transitions,
@@ -15542,5 +15594,7 @@ QUERIES = {
     "las_points": (q_las_points, q_las_points_oracle),
     "ground_filter": (q_ground_filter, q_ground_filter_oracle),
     "zone_adjacency": (q_zone_adjacency, q_zone_adjacency_oracle),
+    "minhash_calibration": (q_minhash_calibration, q_minhash_calibration_oracle),
+    "correlogram": (q_correlogram, q_correlogram_oracle),
     "dwell_time": (q_dwell_time, q_dwell_time_oracle),
 }
