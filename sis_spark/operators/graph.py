@@ -27,7 +27,7 @@ DuckDB recursive CTE).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -928,3 +928,159 @@ walk(node, d, h) AS (
   FROM walk JOIN e ON e.u = walk.node
   WHERE walk.h < {int(hops)})
 SELECT node, max(d) AS dist FROM walk GROUP BY 1"""
+
+
+def modularity_counts(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community modularity moments for a given partition -> one row
+    per community (c, n_nodes, intra, dsum, m): Newman modularity
+
+        Q = sum_c (intra_c / m  -  (dsum_c / (2m))^2)
+          = sum_c (4*m*intra_c - dsum_c^2) / (4*m^2)
+
+    stays an exact rational of the returned int64 moments (intra_c =
+    intra-community edge count, dsum_c = sum of member degrees, m =
+    total undirected edge count, replicated per row for downstream
+    arithmetic).  The quality score behind every community-detection
+    loop (label_prop's objective), exposed as its own aggregate.
+
+    Input contract: ``edges`` (src, dst) undirected simple edges with
+    src < dst (one row per edge, no self-loops); ``labels`` (node, c)
+    total over edge endpoints.  Unlabeled isolated nodes contribute
+    nothing to Q and may be absent.  Shape: two equi-joins + three
+    partial-agg shuffles on (node)/(c) — no driver state, no self-join;
+    communities is the natural partitioning at 100 TB."""
+    e = edges.select("src", "dst")
+    la = labels.select(F.col("node").alias("src"), F.col("c").alias("ca"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("c").alias("cb"))
+    el = e.join(la, "src").join(lb, "dst")
+    m_df = e.agg(F.count(F.lit(1)).alias("m"))
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    per_c = (
+        labels.join(deg, "node", "left")
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.coalesce(F.col("deg"), F.lit(0))).alias("dsum"),
+        )
+    )
+    intra = (
+        el.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).alias("intra"))
+    )
+    return (
+        per_c.join(intra, "c", "left")
+        .select(
+            "c", "n_nodes",
+            F.coalesce(F.col("intra"), F.lit(0)).alias("intra"),
+            "dsum",
+        )
+        .crossJoin(F.broadcast(m_df))
+    )
+
+
+def modularity_sql(edges_select: str, labels_select: str) -> str:
+    """DuckDB replay of ``modularity_counts``; ``edges_select`` ->
+    (src, dst) with src < dst, ``labels_select`` -> (node, c)."""
+    return f"""
+WITH e AS ({edges_select}),
+lab AS ({labels_select}),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u GROUP BY 1),
+per_c AS (
+  SELECT lab.c, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(COALESCE(deg.deg, 0)) AS BIGINT) AS dsum
+  FROM lab LEFT JOIN deg ON deg.node = lab.node GROUP BY 1),
+intra AS (
+  SELECT la.c, CAST(count(*) AS BIGINT) AS intra
+  FROM e JOIN lab la ON la.node = e.src
+       JOIN lab lb ON lb.node = e.dst AND lb.c = la.c
+  GROUP BY 1),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e)
+SELECT per_c.c, per_c.n_nodes, COALESCE(intra.intra, 0) AS intra,
+       per_c.dsum, m.m
+FROM per_c LEFT JOIN intra ON intra.c = per_c.c, m"""
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int,
+    salt: str = "rw",
+) -> DataFrame:
+    """Deterministic uniform random walks (the node2vec/DeepWalk corpus
+    generator, derandomized for rerun-stable pipelines): from each start
+    node, ``steps`` hops where hop t of walk w at node u moves to
+    neighbor index hash_u60(w:t:u) mod degree(u) — a pure function of
+    (walk, step, node), so reruns, resumed checkpoints, and the SQL
+    oracle all follow identical paths.  Dead-end nodes terminate the
+    walk (standard DeepWalk truncation).
+
+    ``edges`` (src, dst) DIRECTED adjacency (pass both directions for
+    undirected graphs); ``starts`` (walk, node).  Returns (walk, step,
+    node) including step 0.  Shape: the ranked adjacency (row_number
+    per src) is built once; each hop is one equi-join on
+    (node, chosen-rank) — no driver state, localCheckpoint per round
+    (plan-shape lesson 6)."""
+    from .sampling import hash_u60
+
+    adj = edges.select("src", "dst").distinct()
+    ranked = adj.withColumn(
+        "r", (F.row_number().over(
+            Window.partitionBy("src").orderBy("dst")
+        ) - 1).cast("long"),
+    )
+    degs = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = ranked.join(degs, "src").persist()
+    cur = starts.select("walk", F.col("node")).withColumn(
+        "step", F.lit(0).cast("long")
+    )
+    out = cur
+    for t in range(int(steps)):
+        key = F.concat_ws(":", F.col("walk"), F.lit(str(t)), F.col("node"))
+        nxt = (
+            cur.withColumn("u", hash_u60(key, salt))
+            .join(ranked, F.col("node") == F.col("src"))
+            .filter(F.col("r") == F.col("u") % F.col("deg"))
+            .select(
+                "walk",
+                F.col("dst").alias("node"),
+                F.lit(t + 1).cast("long").alias("step"),
+            )
+            .localCheckpoint()
+        )
+        out = out.unionByName(nxt)
+        cur = nxt
+    return out.select("walk", "step", "node")
+
+
+def random_walks_sql(edges_select: str, starts_select: str, steps: int,
+                     salt: str = "rw") -> str:
+    """DuckDB replay of ``random_walks``: one chained CTE per hop with
+    the identical md5-derived neighbor choice."""
+    from .sampling import hash_u60_sql
+
+    blocks = [f"""adj AS (SELECT DISTINCT src, dst FROM ({edges_select}) s),
+ranked AS (
+  SELECT src, dst,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+  FROM adj),
+w0 AS (SELECT walk, node, CAST(0 AS BIGINT) AS step FROM ({starts_select}) t)"""]
+    for t in range(int(steps)):
+        key = (f"CAST(w{t}.walk AS VARCHAR) || ':{t}:' || "
+               f"CAST(w{t}.node AS VARCHAR)")
+        blocks.append(f"""w{t + 1} AS (
+  SELECT w{t}.walk, ranked.dst AS node, CAST({t + 1} AS BIGINT) AS step
+  FROM w{t} JOIN ranked ON ranked.src = w{t}.node
+   AND ranked.r = ({hash_u60_sql(key, salt)}) % ranked.deg)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk, step, node FROM w{t}" for t in range(int(steps) + 1)
+    )
+    return "WITH " + ",\n".join(blocks) + "\n" + union

@@ -15598,3 +15598,146 @@ QUERIES = {
     "correlogram": (q_correlogram, q_correlogram_oracle),
     "dwell_time": (q_dwell_time, q_dwell_time_oracle),
 }
+
+
+def _doc_graph_edges(spark, sf_dir, directed=False):
+    """Closed-form link graph over documents (the pagerank gate's
+    construction): doc a -> (a*7+11)%N, (a*13+5)%N, (a*3+1)%N."""
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("src")
+    )
+    n = docs.count()
+    e = docs.select(
+        "src",
+        F.explode(F.array(
+            (F.col("src") * 7 + 11) % n,
+            (F.col("src") * 13 + 5) % n,
+            (F.col("src") * 3 + 1) % n,
+        )).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    if directed:
+        return e.distinct()
+    return e.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+    ).distinct()
+
+
+def _doc_graph_edges_sql(directed=False):
+    # UNION ALL of the three closed-form targets (DuckDB's binder
+    # rejects unnest over a column of a comma-joined scalar subquery)
+    base = """
+  SELECT src, dst FROM (
+    SELECT src, (src * 7 + 11) % nn.n AS dst
+    FROM (SELECT CAST(doc_id AS BIGINT) AS src FROM documents) b,
+         (SELECT count(*) AS n FROM documents) nn
+    UNION ALL
+    SELECT src, (src * 13 + 5) % nn.n
+    FROM (SELECT CAST(doc_id AS BIGINT) AS src FROM documents) b,
+         (SELECT count(*) AS n FROM documents) nn
+    UNION ALL
+    SELECT src, (src * 3 + 1) % nn.n
+    FROM (SELECT CAST(doc_id AS BIGINT) AS src FROM documents) b,
+         (SELECT count(*) AS n FROM documents) nn) t
+  WHERE src <> dst"""
+    if directed:
+        return f"SELECT DISTINCT src, dst FROM ({base}) d"
+    return (f"SELECT DISTINCT least(src, dst) AS src, "
+            f"greatest(src, dst) AS dst FROM ({base}) d")
+
+
+def q_modularity(spark, sf_dir):
+    """Per-community modularity moments (graph.modularity_counts) of a
+    7-way hash partition of the closed-form document graph: Newman Q is
+    the exact rational sum_c(4*m*intra - dsum^2) / (4*m^2) of the
+    emitted int64 moments — two equi-joins + three partial aggs, no
+    driver state."""
+    from .operators.graph import modularity_counts
+
+    edges = _doc_graph_edges(spark, sf_dir)
+    labels = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("node"),
+        (F.col("doc_id") % 7).cast("long").alias("c"),
+    )
+    return modularity_counts(edges, labels).orderBy("c")
+
+
+def q_modularity_oracle():
+    from .operators.graph import modularity_sql
+
+    labels = ("SELECT CAST(doc_id AS BIGINT) AS node, "
+              "CAST(doc_id % 7 AS BIGINT) AS c FROM documents")
+    return ("SELECT * FROM (" + modularity_sql(_doc_graph_edges_sql(), labels)
+            + ") ORDER BY c")
+
+
+def q_random_walks(spark, sf_dir):
+    """Deterministic uniform random walks (graph.random_walks, 6 hops)
+    over the directed closed-form document graph: hop t of walk w at
+    node u moves to neighbor hash_u60(w:t:u) mod deg(u) — rerun-stable
+    node2vec-corpus generation whose every path the SQL oracle replays
+    with the identical md5 choice function."""
+    from .operators.graph import random_walks
+
+    edges = _doc_graph_edges(spark, sf_dir, directed=True)
+    starts = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    ).select(
+        F.col("doc_id").cast("long").alias("walk"),
+        F.col("doc_id").cast("long").alias("node"),
+    )
+    return random_walks(edges, starts, steps=6).orderBy(
+        "walk", "step", "node"
+    )
+
+
+def q_random_walks_oracle():
+    from .operators.graph import random_walks_sql
+
+    starts = ("SELECT CAST(doc_id AS BIGINT) AS walk, "
+              "CAST(doc_id AS BIGINT) AS node FROM documents "
+              "WHERE doc_id % 20 = 0")
+    return ("SELECT * FROM ("
+            + random_walks_sql(_doc_graph_edges_sql(directed=True), starts, 6)
+            + ") ORDER BY walk, step, node")
+
+
+QUERIES.update({
+    "modularity": (q_modularity, q_modularity_oracle),
+    "random_walks": (q_random_walks, q_random_walks_oracle),
+})
+
+
+def q_lbp(spark, sf_dir):
+    """Local binary patterns per tile (terrain.lbp_tiles, Ojala texture
+    codes): 8 fixed-order neighbor comparisons per interior pixel of the
+    formula raster, per-tile code histogram — the halo-gather shuffle
+    shape, pure integer end to end; the oracle replays all eight mod-
+    formula comparisons per pixel."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import lbp_tiles
+
+    W, H = 500, 300
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    tiles = _formula_tiles(spark, W, H, bands=1)
+    return lbp_tiles(tiles, gg).orderBy("tx", "ty", "code")
+
+
+def q_lbp_oracle():
+    v = "((x + {dx}) * 7 + (y + {dy}) * 13) % 256"
+    offs = [(-1, -1), (0, -1), (1, -1), (-1, 0),
+            (1, 0), (-1, 1), (0, 1), (1, 1)]
+    bits = " + ".join(
+        f"(CASE WHEN ({v.format(dx=dx, dy=dy)}) >= v0 THEN {1 << k} ELSE 0 END)"
+        for k, (dx, dy) in enumerate(offs)
+    )
+    return f"""
+WITH px AS (
+  SELECT x // 64 AS tx, y // 64 AS ty, {bits} AS code
+  FROM generate_series(1, 498) gx(x), generate_series(1, 298) gy(y),
+       LATERAL (SELECT (x * 7 + y * 13) % 256 AS v0) c)
+SELECT tx, ty, CAST(code AS BIGINT) AS code, CAST(count(*) AS BIGINT) AS n
+FROM px GROUP BY 1, 2, 3 ORDER BY tx, ty, code"""
+
+
+QUERIES["lbp"] = (q_lbp, q_lbp_oracle)

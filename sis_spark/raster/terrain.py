@@ -2350,3 +2350,81 @@ def demosaic_tiles(
     return contrib.groupBy("gtx", "gty").applyInPandas(
         fn, schema="tx long, ty long, band int, data binary"
     )
+
+
+def lbp_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Local binary patterns (Ojala et al. 1996/2002, the classic
+    texture descriptor) per tile -> (tx, ty, code, n): for each INTERIOR
+    raster pixel (full 8-neighborhood inside the raster), code =
+    sum over k of 2^k * [neighbor_k >= center], neighbors in the fixed
+    raster-scan order k=0..7 of (dx, dy) in
+    (-1,-1),(0,-1),(1,-1),(-1,0),(1,0),(-1,1),(0,1),(1,1);
+    n = interior pixels of the tile with that code.  Per-tile LBP
+    histograms are the texture feature vector for patch retrieval /
+    classification; pure integer comparisons end to end.
+
+    Same halo-gather shuffle as the gradient (shuffled volume = tile
+    perimeter); the 8 comparisons are one vectorized expression and the
+    histogram one bincount per tile."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+    offs = [(-1, -1), (0, -1), (1, -1), (-1, 0),
+            (1, 0), (-1, 1), (0, 1), (1, 1)]
+
+    def fn(key, pdf):
+        gtx, gty = int(key[0]), int(key[1])
+        ts = tile_size
+        halo = np.zeros((ts + 2, ts + 2), dtype=np.int64)
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = (
+                np.frombuffer(data, dtype=bdt)
+                .reshape(ts, ts)
+                .astype(np.int64)
+            )
+            oy = (int(ty) - gty) * ts + 1
+            ox = (int(tx) - gtx) * ts + 1
+            y0, x0 = max(oy, 0), max(ox, 0)
+            y1, x1 = min(oy + ts, ts + 2), min(ox + ts, ts + 2)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            halo[y0:y1, x0:x1] = block[y0 - oy:y1 - oy, x0 - ox:x1 - ox]
+        px = gtx * ts + np.arange(ts)
+        py = gty * ts + np.arange(ts)
+        interior = (
+            (px[None, :] >= 1) & (px[None, :] <= w - 2)
+            & (py[:, None] >= 1) & (py[:, None] <= h - 2)
+        )
+        c = halo[1:1 + ts, 1:1 + ts]
+        code = np.zeros((ts, ts), dtype=np.int64)
+        for k, (dx, dy) in enumerate(offs):
+            nb = halo[1 + dy:1 + dy + ts, 1 + dx:1 + dx + ts]
+            code += (nb >= c).astype(np.int64) << k
+        codes = code[interior]
+        if codes.size == 0:
+            return pd.DataFrame(
+                {"tx": [], "ty": [], "code": [], "n": []}
+            ).astype({"tx": "int64", "ty": "int64",
+                      "code": "int64", "n": "int64"})
+        cnt = np.bincount(codes, minlength=256)
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame({
+            "tx": np.full(nz.size, gtx, dtype=np.int64),
+            "ty": np.full(nz.size, gty, dtype=np.int64),
+            "code": nz.astype(np.int64),
+            "n": cnt[nz].astype(np.int64),
+        })
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(
+        fn, schema="tx long, ty long, code long, n long"
+    )

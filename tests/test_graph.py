@@ -361,3 +361,83 @@ def test_longest_path_h_hand(spark):
     # hop bound binds: with hops=1 the 2-edge path is invisible
     out1 = {r["node"]: r["dist"] for r in longest_path_h(edges, hops=1).collect()}
     assert out1 == {0: 0, 1: 5, 2: 7}
+
+
+def test_modularity_counts_matches_brute(spark):
+    from sis_spark.operators.graph import modularity_counts
+
+    rng = np.random.default_rng(7)
+    pairs = {tuple(sorted(p)) for p in rng.integers(0, 30, (80, 2)) if p[0] != p[1]}
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in sorted(pairs)], "src long, dst long"
+    )
+    lab = {n: n % 4 for n in range(30)}
+    labels = spark.createDataFrame(
+        [(n, c) for n, c in lab.items()], "node long, c long"
+    )
+    got = {r["c"]: (r["n_nodes"], r["intra"], r["dsum"], r["m"])
+           for r in modularity_counts(edges, labels).collect()}
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    m = len(pairs)
+    want = {}
+    for c in range(4):
+        members = [n for n in lab if lab[n] == c]
+        intra = sum(1 for a, b in pairs if lab[a] == c and lab[b] == c)
+        want[c] = (len(members), intra, sum(deg.get(n, 0) for n in members), m)
+    assert got == want
+    # Newman Q from the moments is a sane modularity in [-0.5, 1]
+    q = sum((4 * m * i - d * d) for _, i, d, _ in
+            ((v[1], v[1], v[2], v[3]) for v in want.values()))
+    assert -2 * m * m <= q <= 4 * m * m
+
+
+def test_random_walks_matches_brute(spark):
+    import hashlib
+
+    from sis_spark.operators.graph import random_walks
+
+    rng = np.random.default_rng(3)
+    es = sorted({(int(a), int(b)) for a, b in rng.integers(0, 12, (40, 2))
+                 if a != b})
+    edges = spark.createDataFrame(es, "src long, dst long")
+    starts = spark.createDataFrame(
+        [(w, w % 12) for w in range(5)], "walk long, node long"
+    )
+    got = {(r["walk"], r["step"]): r["node"]
+           for r in random_walks(edges, starts, steps=4).collect()}
+
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, []).append(b)
+    for a in adj:
+        adj[a].sort()
+
+    def u60(key):
+        return int(hashlib.md5(f"{key}:rw".encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for w in range(5):
+        node = w % 12
+        want[(w, 0)] = node
+        for t in range(4):
+            nbrs = adj.get(node)
+            if not nbrs:
+                break
+            node = nbrs[u60(f"{w}:{t}:{node}") % len(nbrs)]
+            want[(w, t + 1)] = node
+    assert got == want
+    # at least one walk actually advanced
+    assert any(s > 0 for _, s in got)
+
+
+def test_random_walks_dead_end_truncates(spark):
+    from sis_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    starts = spark.createDataFrame([(9, 0)], "walk long, node long")
+    got = sorted((r["step"], r["node"])
+                 for r in random_walks(edges, starts, steps=5).collect())
+    assert got == [(0, 0), (1, 1), (2, 2)]
