@@ -1084,3 +1084,121 @@ w0 AS (SELECT walk, node, CAST(0 AS BIGINT) AS step FROM ({starts_select}) t)"""
         f"SELECT walk, step, node FROM w{t}" for t in range(int(steps) + 1)
     )
     return "WITH " + ",\n".join(blocks) + "\n" + union
+
+
+def louvain_move(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous Louvain phase-1 local-move round (Blondel et al.
+    2008, public literature): every node simultaneously picks, among its
+    neighbor communities and its own, the community maximizing the
+    modularity gain of joining it after removing itself,
+
+        gain(u, c) ∝ score = 2*m*k(u,c) - deg(u) * (Σtot(c) - deg(u)*[c = c_u])
+
+    (the standard ΔQ scaled by the positive constant 2m² — argmax
+    preserved, exact int64, no floats anywhere).  Ties -> smallest
+    community id; isolated nodes stay.  Iterating this round until no
+    score improves is the Louvain inner loop; one round is exposed so
+    the oracle can replay it exactly.
+
+    Input contract matches ``modularity_counts``: ``edges`` (src, dst)
+    undirected simple edges with src < dst, ``labels`` (node, c) total
+    over edge endpoints.  Returns (node, c) with the post-move label.
+    Shape: degree/Σtot/k(u,c) are three partial-agg shuffles plus one
+    window argmax on node — no driver state, no self-join; int64 safe
+    while 2*m*deg_max < 2^63 (document scale: m ≤ ~10^9 with degrees
+    ≤ ~10^4)."""
+    from pyspark.sql import Window
+
+    e = edges.select("src", "dst")
+    lab = labels.select("node", "c")
+    m_df = e.agg(F.count(F.lit(1)).alias("m"))
+    duo = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = duo.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    tot = (
+        lab.join(deg, "node", "left")
+        .groupBy(F.col("c").alias("cand"))
+        .agg(F.sum(F.coalesce(F.col("deg"), F.lit(0))).alias("tot"))
+    )
+    kuc = (
+        duo.join(
+            lab.select(F.col("node").alias("dst"), F.col("c").alias("cand")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("node"), "cand")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    own = lab.select("node", F.col("c").alias("cand")).withColumn(
+        "k", F.lit(0).cast("long")
+    )
+    cands = (
+        kuc.unionByName(own)
+        .groupBy("node", "cand")
+        .agg(F.max("k").alias("k"))
+    )
+    scored = (
+        cands.join(lab, "node")
+        .join(F.broadcast(tot), "cand")
+        .join(deg.withColumnRenamed("node", "node_d"),
+              F.col("node") == F.col("node_d"), "left")
+        .crossJoin(F.broadcast(m_df))
+        .withColumn("dg", F.coalesce(F.col("deg"), F.lit(0)))
+        .withColumn(
+            "score",
+            2 * F.col("m") * F.col("k")
+            - F.col("dg")
+            * (F.col("tot")
+               - F.when(F.col("cand") == F.col("c"), F.col("dg"))
+               .otherwise(F.lit(0))),
+        )
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("node", F.col("cand").alias("c"))
+    )
+
+
+def louvain_move_sql(edges_select: str, labels_select: str) -> str:
+    """DuckDB replay of ``louvain_move``; ``edges_select`` -> (src, dst)
+    with src < dst, ``labels_select`` -> (node, c)."""
+    return f"""
+WITH e AS MATERIALIZED (SELECT src, dst FROM ({edges_select}) s),
+lab AS MATERIALIZED (SELECT node, c FROM ({labels_select}) t),
+duo AS MATERIALIZED (
+  SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM duo GROUP BY 1),
+tot AS (
+  SELECT lab.c AS cand, CAST(sum(COALESCE(deg.deg, 0)) AS BIGINT) AS tot
+  FROM lab LEFT JOIN deg ON deg.node = lab.node GROUP BY 1),
+kuc AS (
+  SELECT duo.src AS node, lb.c AS cand, CAST(count(*) AS BIGINT) AS k
+  FROM duo JOIN lab lb ON lb.node = duo.dst GROUP BY 1, 2),
+cands AS (
+  SELECT node, cand, max(k) AS k FROM (
+    SELECT node, cand, k FROM kuc
+    UNION ALL SELECT node, c AS cand, CAST(0 AS BIGINT) AS k FROM lab) u
+  GROUP BY 1, 2),
+scored AS (
+  SELECT cands.node, cands.cand,
+         2 * m.m * cands.k
+         - COALESCE(deg.deg, 0)
+         * (tot.tot - CASE WHEN cands.cand = lab.c
+                           THEN COALESCE(deg.deg, 0) ELSE 0 END) AS score
+  FROM cands
+  JOIN lab ON lab.node = cands.node
+  JOIN tot ON tot.cand = cands.cand
+  LEFT JOIN deg ON deg.node = cands.node, m)
+SELECT node, cand AS c FROM (
+  SELECT node, cand,
+         row_number() OVER (PARTITION BY node
+                            ORDER BY score DESC, cand ASC) AS rn
+  FROM scored) r WHERE rn = 1"""

@@ -15741,3 +15741,33 @@ FROM px GROUP BY 1, 2, 3 ORDER BY tx, ty, code"""
 
 
 QUERIES["lbp"] = (q_lbp, q_lbp_oracle)
+
+
+def q_louvain_move(spark, sf_dir):
+    """One synchronous Louvain local-move round (graph.louvain_move) on
+    the closed-form document graph from a 7-way hash seed partition:
+    every node argmaxes the exact int64 modularity-gain score
+    2*m*k(u,c) - deg*(tot_c - deg*[own]) over neighbor communities —
+    three partial-agg shuffles + one window, no floats, no driver
+    state."""
+    from .operators.graph import louvain_move
+
+    edges = _doc_graph_edges(spark, sf_dir)
+    labels = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("node"),
+        (F.col("doc_id") % 7).cast("long").alias("c"),
+    )
+    return louvain_move(edges, labels).orderBy("node")
+
+
+def q_louvain_move_oracle():
+    from .operators.graph import louvain_move_sql
+
+    labels = ("SELECT CAST(doc_id AS BIGINT) AS node, "
+              "CAST(doc_id % 7 AS BIGINT) AS c FROM documents")
+    return ("SELECT * FROM ("
+            + louvain_move_sql(_doc_graph_edges_sql(), labels)
+            + ") ORDER BY node")
+
+
+QUERIES["louvain_move"] = (q_louvain_move, q_louvain_move_oracle)

@@ -441,3 +441,56 @@ def test_random_walks_dead_end_truncates(spark):
     got = sorted((r["step"], r["node"])
                  for r in random_walks(edges, starts, steps=5).collect())
     assert got == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_louvain_move_matches_brute(spark):
+    from sis_spark.operators.graph import louvain_move
+
+    rng = np.random.default_rng(13)
+    pairs = sorted({(int(min(p)), int(max(p)))
+                    for p in rng.integers(0, 25, (70, 2)) if p[0] != p[1]})
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    lab = {n: n % 5 for n in range(25)}
+    labels = spark.createDataFrame(list(lab.items()), "node long, c long")
+    got = {r["node"]: r["c"] for r in louvain_move(edges, labels).collect()}
+
+    m = len(pairs)
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    deg = {n: len(v) for n, v in adj.items()}
+    tot = {}
+    for n, c in lab.items():
+        tot[c] = tot.get(c, 0) + deg.get(n, 0)
+    want = {}
+    for u in lab:
+        k = {}
+        for v in adj.get(u, []):
+            k[lab[v]] = k.get(lab[v], 0) + 1
+        k.setdefault(lab[u], 0)
+        best = None
+        for c, kc in sorted(k.items()):
+            d = deg.get(u, 0)
+            score = 2 * m * kc - d * (tot[c] - (d if c == lab[u] else 0))
+            if best is None or score > best[0]:
+                best = (score, c)
+        want[u] = best[1]
+    assert got == want
+    # a hash-random 5-way seed on a random graph must actually move nodes
+    assert any(got[u] != lab[u] for u in lab)
+
+
+def test_louvain_move_converged_is_stable(spark):
+    from sis_spark.operators.graph import louvain_move
+
+    # two disjoint triangles already in their own communities: no node moves
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(n, 0 if n < 3 else 1) for n in range(6)], "node long, c long"
+    )
+    got = {r["node"]: r["c"] for r in louvain_move(edges, labels).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
