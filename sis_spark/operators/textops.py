@@ -1827,3 +1827,140 @@ sel AS (
 SELECT d AS {id_col}, CAST(count(*) AS BIGINT) AS n_fp,
        CAST(sum(m % {1 << 40}) AS BIGINT) AS fp_sum, min(m) AS fp_min
 FROM sel GROUP BY 1"""
+
+
+# ------------------------------------------------------- naive Bayes
+# Multinomial naive Bayes with Laplace smoothing (McCallum & Nigam 1998,
+# public literature) — the classic corpus-quality / topic classifier a
+# training-data pipeline trains ON the corpus itself (CCNet-style
+# filtering).  Every log-probability is floor-quantized at 1e6 with the
+# irrational offset BEFORE the per-document sum (identical double
+# expression text in both engines), so scores are order-independent
+# int64 and the argmax is exact.
+
+
+def _nb_logprob_expr(nct: str = "nct", nc: str = "nc", v: str = "v") -> str:
+    # ln((n_ct + 1) / (N_c + V)), quantized
+    return (
+        f"CAST(floor(ln((CAST({nct} AS DOUBLE) + 1.0E0)"
+        f" / (CAST({nc} AS DOUBLE) + CAST({v} AS DOUBLE)))"
+        " * 1.0E6 + 0.12345678987) AS BIGINT)"
+    )
+
+
+def _nb_prior_expr() -> str:
+    return (
+        "CAST(floor(ln(CAST(dc AS DOUBLE) / CAST(d AS DOUBLE))"
+        " * 1.0E6 + 0.12345678987) AS BIGINT)"
+    )
+
+
+def nb_classify(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+) -> DataFrame:
+    """Train a multinomial NB on ``train`` (id, text, label) and classify
+    ``test`` (id, text) -> (doc_id, label, score): for each class c,
+
+        score(d, c) = q(ln(D_c / D)) + sum_t tf_{d,t} * q(ln((n_{c,t}+1) / (N_c+V)))
+
+    with q the 1e6 floor-quantizer; argmax per doc, ties -> smallest
+    label.  Out-of-vocabulary and class-unseen tokens both smooth to
+    n_ct = 0.  Shape: the model is three partial-agg shuffles over the
+    train split; scoring is one equi-join of test terms against the
+    (term, class) table + one (doc, class) aggregation + one window —
+    model tables are broadcast-sized (V * classes) in any real corpus,
+    but the join stays a keyed shuffle so a 100-TB vocabulary also
+    works."""
+    from pyspark.sql import Window
+
+    tw = train.select(
+        F.col(label_col).alias("label"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    nct = tw.groupBy("label", "term").agg(F.count(F.lit(1)).alias("nct"))
+    nc = tw.groupBy("label").agg(F.count(F.lit(1)).alias("nc"))
+    v = tw.select("term").distinct().agg(F.count(F.lit(1)).alias("v"))
+    dc = train.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("dc")
+    )
+    d = train.agg(F.count(F.lit(1)).alias("d"))
+    prior = (
+        dc.crossJoin(F.broadcast(d))
+        .withColumn("prior", F.expr(_nb_prior_expr()))
+        .select("label", "prior")
+    )
+    tf = (
+        test.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    classes = nc.select("label", "nc")
+    scored = (
+        tf.crossJoin(F.broadcast(classes))
+        .join(nct, ["term", "label"], "left")
+        .crossJoin(F.broadcast(v))
+        .withColumn("nct", F.coalesce(F.col("nct"), F.lit(0)))
+        .withColumn("lp", F.expr(_nb_logprob_expr()))
+        .groupBy(id_col, "label")
+        .agg(F.sum(F.col("tf") * F.col("lp")).alias("ll"))
+        .join(F.broadcast(prior), "label")
+        .withColumn("score", F.col("ll") + F.col("prior"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("label").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "label", "score")
+    )
+
+
+def nb_classify_sql(
+    train_select: str,
+    test_select: str,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``nb_classify``; ``train_select`` -> (id, text,
+    label), ``test_select`` -> (id, text)."""
+    return f"""
+WITH tr AS MATERIALIZED ({train_select}),
+te AS MATERIALIZED ({test_select}),
+tw AS MATERIALIZED (
+  SELECT label, unnest(string_split(text, ' ')) AS term FROM tr),
+nct AS (SELECT label, term, CAST(count(*) AS BIGINT) AS nct
+        FROM tw GROUP BY 1, 2),
+nc AS (SELECT label, CAST(count(*) AS BIGINT) AS nc FROM tw GROUP BY 1),
+vv AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tw),
+prior AS (
+  SELECT label,
+         CAST(floor(ln(CAST(count(*) AS DOUBLE)
+           / CAST((SELECT count(*) FROM tr) AS DOUBLE))
+           * 1.0E6 + 0.12345678987) AS BIGINT) AS prior
+  FROM tr GROUP BY 1),
+tf AS (
+  SELECT {id_col}, term, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT {id_col}, unnest(string_split(text, ' ')) AS term FROM te) x
+  GROUP BY 1, 2),
+scored AS (
+  SELECT tf.{id_col}, nc.label,
+         CAST(sum(tf.tf * {_nb_logprob_expr("COALESCE(n.nct, 0)", "nc.nc", "vv.v")}) AS BIGINT) AS ll
+  FROM tf CROSS JOIN nc
+  LEFT JOIN nct n ON n.term = tf.term AND n.label = nc.label
+  CROSS JOIN vv
+  GROUP BY 1, 2)
+SELECT {id_col}, label, score FROM (
+  SELECT scored.{id_col}, scored.label,
+         scored.ll + prior.prior AS score,
+         row_number() OVER (PARTITION BY scored.{id_col}
+                            ORDER BY scored.ll + prior.prior DESC,
+                                     scored.label ASC) AS rn
+  FROM scored JOIN prior ON prior.label = scored.label) r
+WHERE rn = 1"""

@@ -15771,3 +15771,33 @@ def q_louvain_move_oracle():
 
 
 QUERIES["louvain_move"] = (q_louvain_move, q_louvain_move_oracle)
+
+
+def q_nb_classify(spark, sf_dir):
+    """Multinomial naive Bayes trained on the corpus itself
+    (textops.nb_classify, CCNet-style quality/topic filtering): train on
+    doc_id % 5 != 0 with closed-form labels doc_id % 3, classify the
+    held-out fifth; Laplace-smoothed log-probs are 1e6 floor-quantized
+    before the per-doc sum so the argmax is exact int64 in both
+    engines."""
+    from .operators.textops import nb_classify
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "text", (F.col("doc_id") % 3).cast("long").alias("label")
+    )
+    test = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    return nb_classify(train, test).orderBy("doc_id")
+
+
+def q_nb_classify_oracle():
+    from .operators.textops import nb_classify_sql
+
+    train = ("SELECT doc_id, text, CAST(doc_id % 3 AS BIGINT) AS label "
+             "FROM documents WHERE doc_id % 5 != 0")
+    test = "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0"
+    return ("SELECT * FROM (" + nb_classify_sql(train, test)
+            + ") ORDER BY doc_id")
+
+
+QUERIES["nb_classify"] = (q_nb_classify, q_nb_classify_oracle)

@@ -49,3 +49,61 @@ def test_winnowing_guarantee(spark):
     r2 = {r["doc_id"]: (r["n_fp"], r["fp_sum"], r["fp_min"])
           for r in _wf(both, k=5, w=4).collect()}
     assert r2[1] == r2[2] and r2[1][0] >= 1
+
+
+def test_nb_classify_matches_brute(spark):
+    import math
+
+    from sis_spark.operators.textops import nb_classify
+
+    rng = __import__("numpy").random.default_rng(2)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    train_rows, test_rows = [], []
+    for i in range(40):
+        lab = i % 3
+        # class-biased token draws so the classifier has signal
+        probs = [[0.5, 0.2, 0.1, 0.1, 0.1],
+                 [0.1, 0.5, 0.2, 0.1, 0.1],
+                 [0.1, 0.1, 0.1, 0.5, 0.2]][lab]
+        text = " ".join(rng.choice(vocab, 12, p=probs))
+        train_rows.append((i, text, lab))
+    for i in range(10):
+        lab = i % 3
+        probs = [[0.5, 0.2, 0.1, 0.1, 0.1],
+                 [0.1, 0.5, 0.2, 0.1, 0.1],
+                 [0.1, 0.1, 0.1, 0.5, 0.2]][lab]
+        test_rows.append((100 + i, " ".join(rng.choice(vocab, 8, p=probs))))
+    train = spark.createDataFrame(train_rows, "doc_id long, text string, label long")
+    test = spark.createDataFrame(test_rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["label"], r["score"])
+           for r in nb_classify(train, test).collect()}
+
+    def q(x):
+        return int(math.floor(x * 1e6 + 0.12345678987))
+
+    nct, nc, dc = {}, {}, {}
+    vocab_seen = set()
+    for _, text, lab in train_rows:
+        dc[lab] = dc.get(lab, 0) + 1
+        for t in text.split(" "):
+            nct[(lab, t)] = nct.get((lab, t), 0) + 1
+            nc[lab] = nc.get(lab, 0) + 1
+            vocab_seen.add(t)
+    v, d = len(vocab_seen), len(train_rows)
+    want = {}
+    for did, text in test_rows:
+        best = None
+        for lab in sorted(dc):
+            s = q(math.log(dc[lab] / d))
+            tf = {}
+            for t in text.split(" "):
+                tf[t] = tf.get(t, 0) + 1
+            for t, f in tf.items():
+                s += f * q(math.log((nct.get((lab, t), 0) + 1) / (nc[lab] + v)))
+            if best is None or s > best[1]:
+                best = (lab, s)
+        want[did] = best
+    assert got == want
+    # the biased draws must actually be learnable: >= 8/10 correct
+    correct = sum(1 for did, (lab, _) in got.items() if lab == (did - 100) % 3)
+    assert correct >= 8
