@@ -2435,3 +2435,113 @@ merged AS (
   FROM iv GROUP BY 1, 2, 3, 4)
 SELECT g, CAST(sum((x1 - x0) * (e - s)) AS BIGINT) AS area
 FROM merged GROUP BY 1"""
+
+
+def ransac_line(
+    points: DataFrame,
+    n_models: int = 24,
+    eps: int = 8,
+    salt: str = "ransac",
+) -> DataFrame:
+    """Derandomized RANSAC line fitting (Fischler & Bolles 1981, public
+    literature) -> one row per non-degenerate candidate model
+    (k, x1, y1, x2, y2, n_inliers): model k samples the two points
+    minimizing md5-hash h(k:a:id) / h(k:b:id) (a pure function of (k,
+    role, id), so reruns and the SQL oracle sample identical models),
+    and counts inliers with the all-integer perpendicular test
+
+        ((x2-x1)(y1-y) - (x1-x)(y2-y1))^2  <=  eps^2 * ((x2-x1)^2 + (y2-y1)^2)
+
+    — exact int64 as long as |coord| <= ~2^15 and eps*|coord| <= ~2^31
+    (no sqrt, no doubles).  The consensus argmax is max(n_inliers),
+    ties -> smallest k, derivable from the emitted table.
+
+    Shape: model seeding is one points x K map + two K-partition window
+    argmins; counting is one broadcast(K rows) join + one partial-agg
+    count — no point-point self-join, driver never sees a point."""
+    from pyspark.sql import Window
+
+    from .sampling import hash_u60
+
+    spark = points.sparkSession
+    p = points.select("id", "x", "y")
+    models = spark.range(int(n_models)).select(F.col("id").alias("k"))
+    roles = spark.createDataFrame([("a",), ("b",)], "role string")
+    ext = p.crossJoin(F.broadcast(models)).crossJoin(F.broadcast(roles))
+    key = F.concat_ws(
+        ":", F.col("k"), F.col("role"), F.col("id")
+    )
+    w = Window.partitionBy("k", "role").orderBy("h", "id")
+    picked = (
+        ext.withColumn("h", hash_u60(key, salt))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    m = (
+        picked.groupBy("k")
+        .agg(
+            F.max(F.when(F.col("role") == "a", F.col("x"))).alias("x1"),
+            F.max(F.when(F.col("role") == "a", F.col("y"))).alias("y1"),
+            F.max(F.when(F.col("role") == "b", F.col("x"))).alias("x2"),
+            F.max(F.when(F.col("role") == "b", F.col("y"))).alias("y2"),
+        )
+        .filter((F.col("x1") != F.col("x2")) | (F.col("y1") != F.col("y2")))
+    )
+    cross = (
+        (F.col("x2") - F.col("x1")) * (F.col("y1") - F.col("y"))
+        - (F.col("x1") - F.col("x")) * (F.col("y2") - F.col("y1"))
+    )
+    len2 = (
+        (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+        + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+    )
+    return (
+        p.crossJoin(F.broadcast(m))
+        .withColumn(
+            "inl",
+            F.when(cross * cross <= int(eps) * int(eps) * len2, 1)
+            .otherwise(0).cast("long"),
+        )
+        .groupBy("k", "x1", "y1", "x2", "y2")
+        .agg(F.sum("inl").alias("n_inliers"))
+        .select("k", "x1", "y1", "x2", "y2", "n_inliers")
+    )
+
+
+def ransac_line_sql(
+    points_select: str,
+    n_models: int = 24,
+    eps: int = 8,
+    salt: str = "ransac",
+) -> str:
+    """DuckDB replay of ``ransac_line``; ``points_select`` -> (id, x, y)."""
+    from .sampling import hash_u60_sql
+
+    key = "CAST(k AS VARCHAR) || ':' || role || ':' || CAST(id AS VARCHAR)"
+    return f"""
+WITH p AS MATERIALIZED (SELECT id, x, y FROM ({points_select}) s),
+models AS (SELECT unnest(range(0, {int(n_models)})) AS k),
+roles AS (SELECT unnest(['a', 'b']) AS role),
+picked AS (
+  SELECT k, role, x, y FROM (
+    SELECT k, role, x, y,
+           row_number() OVER (
+             PARTITION BY k, role
+             ORDER BY {hash_u60_sql(key, salt)}, id) AS rn
+    FROM p, models, roles) t WHERE rn = 1),
+m AS (
+  SELECT k,
+         max(CASE WHEN role = 'a' THEN x END) AS x1,
+         max(CASE WHEN role = 'a' THEN y END) AS y1,
+         max(CASE WHEN role = 'b' THEN x END) AS x2,
+         max(CASE WHEN role = 'b' THEN y END) AS y2
+  FROM picked GROUP BY 1),
+msel AS (SELECT * FROM m WHERE x1 != x2 OR y1 != y2)
+SELECT k, x1, y1, x2, y2,
+       CAST(sum(CASE WHEN
+         ((x2 - x1) * (y1 - y) - (x1 - x) * (y2 - y1))
+         * ((x2 - x1) * (y1 - y) - (x1 - x) * (y2 - y1))
+         <= {int(eps) * int(eps)} * ((x2 - x1) * (x2 - x1)
+                                     + (y2 - y1) * (y2 - y1))
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
+FROM p, msel GROUP BY 1, 2, 3, 4, 5"""

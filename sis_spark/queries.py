@@ -15801,3 +15801,47 @@ def q_nb_classify_oracle():
 
 
 QUERIES["nb_classify"] = (q_nb_classify, q_nb_classify_oracle)
+
+
+def q_ransac_line(spark, sf_dir):
+    """Derandomized RANSAC line consensus (analytics.ransac_line): 24
+    hash-seeded candidate models over a synthetic 90%-inlier line
+    y = 3x + 40 +/- 10 with hash-scattered outliers; the all-integer
+    perpendicular test makes every per-model inlier count exact, and the
+    oracle samples the identical models via the shared md5 choice
+    function."""
+    from .operators.analytics import ransac_line
+    from .operators.sampling import hash_u60
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    h = hash_u60(F.col("id"), "rln")
+    pts = d.select(
+        "id",
+        (F.col("id") % 1000).alias("x"),
+        F.when(
+            F.col("id") % 10 != 0,
+            3 * (F.col("id") % 1000) + 40 + (h % 21) - 10,
+        ).otherwise(h % 4000 - 500).alias("y"),
+    )
+    return ransac_line(pts, n_models=24, eps=8).orderBy("k")
+
+
+def q_ransac_line_oracle():
+    from .operators.analytics import ransac_line_sql
+    from .operators.sampling import hash_u60_sql
+
+    h = hash_u60_sql("CAST(doc_id AS VARCHAR)", "rln")
+    pts = f"""
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(doc_id % 1000 AS BIGINT) AS x,
+       CASE WHEN doc_id % 10 != 0
+            THEN 3 * (doc_id % 1000) + 40 + (({h}) % 21) - 10
+            ELSE ({h}) % 4000 - 500 END AS y
+FROM documents"""
+    return ("SELECT * FROM (" + ransac_line_sql(pts, n_models=24, eps=8)
+            + ") ORDER BY k")
+
+
+QUERIES["ransac_line"] = (q_ransac_line, q_ransac_line_oracle)

@@ -856,3 +856,42 @@ def test_dissolve_rect_area_hand(spark):
     )
     out = {r["g"]: r["area"] for r in dissolve_rect_area(df).collect()}
     assert out == {0: 175, 1: 26, 2: 100}
+
+
+def test_ransac_line_matches_brute(spark):
+    import hashlib
+
+    from sis_spark.operators.analytics import ransac_line
+
+    rng = __import__("numpy").random.default_rng(4)
+    pts = []
+    for i in range(60):
+        x = int(rng.integers(0, 200))
+        if i % 5 == 0:
+            y = int(rng.integers(-300, 900))   # outlier
+        else:
+            y = 2 * x - 30 + int(rng.integers(-4, 5))
+        pts.append((i, x, y))
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {r["k"]: (r["x1"], r["y1"], r["x2"], r["y2"], r["n_inliers"])
+           for r in ransac_line(df, n_models=10, eps=5).collect()}
+
+    def u60(key, salt="ransac"):
+        return int(hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for k in range(10):
+        a = min(pts, key=lambda p: (u60(f"{k}:a:{p[0]}"), p[0]))
+        b = min(pts, key=lambda p: (u60(f"{k}:b:{p[0]}"), p[0]))
+        x1, y1, x2, y2 = a[1], a[2], b[1], b[2]
+        if (x1, y1) == (x2, y2):
+            continue
+        n = sum(
+            1 for _, x, y in pts
+            if ((x2 - x1) * (y1 - y) - (x1 - x) * (y2 - y1)) ** 2
+            <= 25 * ((x2 - x1) ** 2 + (y2 - y1) ** 2)
+        )
+        want[k] = (x1, y1, x2, y2, n)
+    assert got == want
+    # consensus sanity: the best model must cover most of the 48 inliers
+    assert max(n for *_, n in got.values()) >= 40
