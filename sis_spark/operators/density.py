@@ -1603,3 +1603,103 @@ SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(sum(az * cz) AS BIGINT) AS sum_zz,
        (SELECT sum_z2 FROM z2) AS sum_z2
 FROM pairs WHERE band < {int(n_bands)} GROUP BY 1"""
+
+
+# ------------------------------------------------------------- IPF / Furness
+# Iterative proportional fitting (Deming & Stephan 1940; Furness 1965 in
+# the transport literature) — balance a seed OD matrix to row (origin)
+# and column (destination) targets by alternately scaling rows and
+# columns.  The distribution step every gravity-model pipeline runs
+# after gravity_scores.  Exactness: cells stay int64 between rounds, so
+# the row/column sums are order-independent exact integers; each scaling
+# is ONE double expression (identical text in both engines, identical
+# int64 inputs -> identical IEEE result) floor-quantized straight back
+# to int64.
+
+
+_IPF_SCALE_EXPR = (
+    "CAST(floor(CAST(t AS DOUBLE) * CAST(target AS DOUBLE)"
+    " / CAST(s AS DOUBLE) + 0.12345678987) AS BIGINT)"
+)
+
+
+def ipf_balance(
+    seed: DataFrame,
+    row_targets: DataFrame,
+    col_targets: DataFrame,
+    rounds: int = 4,
+) -> DataFrame:
+    """Furness-balance ``seed`` (o, d, t int64) to ``row_targets``
+    (o, target) and ``col_targets`` (d, target) with ``rounds``
+    alternating row-then-column scalings -> (o, d, t).  Zero-sum rows /
+    columns stay zero (the standard IPF convention).  Fixed round count
+    is part of the semantics (same contract as shortest_paths) so the
+    oracle can replay it as unrolled CTEs.
+
+    Shape per half-round: one keyed partial-agg (sum over o or d) + one
+    equi-join back + one codegen scale expression; localCheckpoint per
+    round truncates the 2*rounds-deep lineage (plan-shape lesson 6).
+    Targets join broadcast when small but remain keyed-shuffle-safe at
+    zone counts beyond broadcast size."""
+    t = seed.select("o", "d", F.col("t").cast("long").alias("t"))
+    rt = row_targets.select("o", F.col("target").cast("long").alias("rt"))
+    ct = col_targets.select("d", F.col("target").cast("long").alias("ct"))
+    for _ in range(int(rounds)):
+        rs = t.groupBy("o").agg(F.sum("t").alias("s"))
+        t = (
+            t.join(rs, "o")
+            .join(rt, "o")
+            .withColumn("target", F.col("rt"))
+            .withColumn(
+                "t",
+                F.when(F.col("s") == 0, F.lit(0).cast("long"))
+                .otherwise(F.expr(_IPF_SCALE_EXPR)),
+            )
+            .select("o", "d", "t")
+        )
+        cs = t.groupBy("d").agg(F.sum("t").alias("s"))
+        t = (
+            t.join(cs, "d")
+            .join(ct, "d")
+            .withColumn("target", F.col("ct"))
+            .withColumn(
+                "t",
+                F.when(F.col("s") == 0, F.lit(0).cast("long"))
+                .otherwise(F.expr(_IPF_SCALE_EXPR)),
+            )
+            .select("o", "d", "t")
+            .localCheckpoint()
+        )
+    return t
+
+
+def ipf_balance_sql(
+    seed_select: str,
+    row_targets_select: str,
+    col_targets_select: str,
+    rounds: int = 4,
+) -> str:
+    """DuckDB replay of ``ipf_balance`` as unrolled MATERIALIZED CTEs;
+    selects -> (o, d, t) / (o, target) / (d, target)."""
+    blocks = [
+        f"t0 AS MATERIALIZED (SELECT o, d, CAST(t AS BIGINT) AS t FROM ({seed_select}) s0)",
+        f"rt AS MATERIALIZED (SELECT o, CAST(target AS BIGINT) AS rt FROM ({row_targets_select}) r0)",
+        f"ct AS MATERIALIZED (SELECT d, CAST(target AS BIGINT) AS ct FROM ({col_targets_select}) c0)",
+    ]
+    cur = "t0"
+    i = 0
+    for _ in range(int(rounds)):
+        for axis, tgt in (("o", "rt"), ("d", "ct")):
+            nxt = f"t{i + 1}"
+            expr = _IPF_SCALE_EXPR.replace("target", tgt)
+            blocks.append(f"""{nxt} AS MATERIALIZED (
+  SELECT {cur}.o, {cur}.d,
+         CASE WHEN s.s = 0 THEN CAST(0 AS BIGINT) ELSE {expr} END AS t
+  FROM {cur}
+  JOIN (SELECT {axis}, CAST(sum(t) AS BIGINT) AS s
+        FROM {cur} GROUP BY 1) s ON s.{axis} = {cur}.{axis}
+  JOIN {tgt} ON {tgt}.{axis} = {cur}.{axis})""")
+            cur = nxt
+            i += 1
+    return ("WITH " + ",\n".join(blocks)
+            + f"\nSELECT o, d, t FROM {cur}")

@@ -15845,3 +15845,54 @@ FROM documents"""
 
 
 QUERIES["ransac_line"] = (q_ransac_line, q_ransac_line_oracle)
+
+
+def q_ipf_balance(spark, sf_dir):
+    """Furness / IPF balancing (density.ipf_balance): a seed OD matrix
+    aggregated from documents is alternately row/column-scaled for 4
+    rounds toward closed-form zone targets; cells stay int64 between
+    rounds (order-independent sums) and each scaling is one shared
+    double expression floor-quantized back — the gravity model's
+    distribution step, exact in both engines."""
+    from .operators.density import ipf_balance
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    seed = (
+        d.groupBy(
+            (F.col("id") % 20).alias("o"),
+            ((F.col("id") * 7) % 15).alias("d"),
+        )
+        .agg((F.sum(F.col("id") % 9 + 1) * 10000).alias("t"))
+    )
+    zones_o = spark.range(20).select(
+        F.col("id").alias("o"),
+        (((F.col("id") * 13 + 7) % 50 + 10) * 10000).alias("target"),
+    )
+    zones_d = spark.range(15).select(
+        F.col("id").alias("d"),
+        (((F.col("id") * 11 + 3) % 40 + 20) * 10000).alias("target"),
+    )
+    return ipf_balance(seed, zones_o, zones_d, rounds=4).orderBy("o", "d")
+
+
+def q_ipf_balance_oracle():
+    from .operators.density import ipf_balance_sql
+
+    seed = """
+SELECT CAST(doc_id % 20 AS BIGINT) AS o,
+       CAST((doc_id * 7) % 15 AS BIGINT) AS d,
+       CAST(sum(doc_id % 9 + 1) * 10000 AS BIGINT) AS t
+FROM documents GROUP BY 1, 2"""
+    zo = ("SELECT CAST(i AS BIGINT) AS o, "
+          "CAST(((i * 13 + 7) % 50 + 10) * 10000 AS BIGINT) AS target "
+          "FROM (SELECT unnest(range(0, 20)) AS i) z")
+    zd = ("SELECT CAST(i AS BIGINT) AS d, "
+          "CAST(((i * 11 + 3) % 40 + 20) * 10000 AS BIGINT) AS target "
+          "FROM (SELECT unnest(range(0, 15)) AS i) z")
+    return ("SELECT * FROM (" + ipf_balance_sql(seed, zo, zd, rounds=4)
+            + ") ORDER BY o, d")
+
+
+QUERIES["ipf_balance"] = (q_ipf_balance, q_ipf_balance_oracle)

@@ -451,3 +451,57 @@ def test_dbscan_differential(spark):
     assert got == exp
     assert any(v[0] == "core" for v in exp.values())
     assert any(v[0] == "noise" for v in exp.values())
+
+
+def test_ipf_balance_matches_brute(spark):
+    import math
+
+    from sis_spark.operators.density import ipf_balance
+
+    rng = __import__("numpy").random.default_rng(8)
+    seed = [(o, d, int(rng.integers(0, 50)) * 1000)
+            for o in range(5) for d in range(4)]
+    rt = [(o, (o + 2) * 40000) for o in range(5)]
+    ct = [(d, (d + 3) * 50000) for d in range(4)]
+    sdf = spark.createDataFrame(seed, "o long, d long, t long")
+    rdf = spark.createDataFrame(rt, "o long, target long")
+    cdf = spark.createDataFrame(ct, "d long, target long")
+    got = {(r["o"], r["d"]): r["t"]
+           for r in ipf_balance(sdf, rdf, cdf, rounds=3).collect()}
+
+    t = {(o, d): v for o, d, v in seed}
+    rtd, ctd = dict(rt), dict(ct)
+    for _ in range(3):
+        for axis in (0, 1):
+            tgt = rtd if axis == 0 else ctd
+            sums = {}
+            for k, v in t.items():
+                sums[k[axis]] = sums.get(k[axis], 0) + v
+            t = {
+                k: (0 if sums[k[axis]] == 0 else int(math.floor(
+                    float(v) * float(tgt[k[axis]]) / float(sums[k[axis]])
+                    + 0.12345678987)))
+                for k, v in t.items()
+            }
+    assert got == t
+    # after balancing, row sums should be close to their targets
+    rs = {}
+    for (o, _), v in got.items():
+        rs[o] = rs.get(o, 0) + v
+    for o, s in rs.items():
+        assert abs(s - rtd[o]) / rtd[o] < 0.2
+
+
+def test_ipf_balance_zero_row_stays_zero(spark):
+    from sis_spark.operators.density import ipf_balance
+
+    sdf = spark.createDataFrame(
+        [(0, 0, 0), (0, 1, 0), (1, 0, 100), (1, 1, 300)],
+        "o long, d long, t long",
+    )
+    rdf = spark.createDataFrame([(0, 500), (1, 500)], "o long, target long")
+    cdf = spark.createDataFrame([(0, 400), (1, 600)], "d long, target long")
+    got = {(r["o"], r["d"]): r["t"]
+           for r in ipf_balance(sdf, rdf, cdf, rounds=2).collect()}
+    assert got[(0, 0)] == 0 and got[(0, 1)] == 0
+    assert got[(1, 0)] > 0 and got[(1, 1)] > 0
