@@ -15896,3 +15896,66 @@ FROM documents GROUP BY 1, 2"""
 
 
 QUERIES["ipf_balance"] = (q_ipf_balance, q_ipf_balance_oracle)
+
+
+def q_bilateral(spark, sf_dir):
+    """All-integer 5x5 bilateral edge-preserving smoother
+    (terrain.bilateral_tiles) on the formula raster: spatial weight
+    (3-|dx|)*(3-|dy|), range weight max(0, 32 - |diff|//4), exact
+    floor-divided output — one halo-gather shuffle; per-tile weighted
+    checksums as the median_filter gate."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.terrain import bilateral_tiles
+
+    W, H, TS = 500, 300, 64
+    tiles = _formula_tiles(spark, W, H, bands=1, tile_size=TS)
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    out = bilateral_tiles(tiles, gg, tile_size=TS)
+
+    def cs(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                v = _np.frombuffer(data, _np.int64).reshape(TS, TS)
+                px = int(tx) * TS + _np.arange(TS)[None, :]
+                py = int(ty) * TS + _np.arange(TS)[:, None]
+                wt = ((py * W + px) % 9973 + 1).astype(_np.int64)
+                wt = wt * ((px < W) & (py < H))
+                rows.append({"tx": int(tx), "ty": int(ty),
+                             "cs_bi": int((v * wt).sum())})
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return out.mapInPandas(cs, "tx long, ty long, cs_bi long").orderBy("tx", "ty")
+
+
+def q_bilateral_oracle():
+    v = lambda a, b: f"((({a}) * 7 + ({b}) * 13) % 256)"
+    nums, dens = [], []
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            nx, ny = f"x + ({dx})", f"y + ({dy})"
+            rng = f"{nx} >= 0 AND {nx} < 500 AND {ny} >= 0 AND {ny} < 300"
+            nb = f"(CASE WHEN {rng} THEN {v(nx, ny)} ELSE 0 END)"
+            sw = (3 - abs(dx)) * (3 - abs(dy))
+            rw = f"greatest(0, 32 - abs({nb} - v0) // 4)"
+            nums.append(f"{sw} * {rw} * {nb}")
+            dens.append(f"{sw} * {rw}")
+    return f"""
+WITH px AS (
+  SELECT x.x AS x, y.y AS y
+  FROM generate_series(0, 499) x(x), generate_series(0, 299) y(y)),
+m AS (
+  SELECT x // 64 AS tx, y // 64 AS ty,
+         ({" + ".join(nums)}) // ({" + ".join(dens)}) AS bi,
+         ((y * 500 + x) % 9973 + 1) AS wt
+  FROM px, LATERAL (SELECT {v("x", "y")} AS v0) c)
+SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+       CAST(sum(bi * wt) AS BIGINT) AS cs_bi
+FROM m GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+QUERIES["bilateral"] = (q_bilateral, q_bilateral_oracle)

@@ -2428,3 +2428,71 @@ def lbp_tiles(
     return contrib.groupBy("gtx", "gty").applyInPandas(
         fn, schema="tx long, ty long, code long, n long"
     )
+
+
+def bilateral_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """All-integer 5x5 bilateral-style edge-preserving smoother (Tomasi &
+    Manduchi 1998, derationalized to exact integers): per pixel,
+
+        out = floor( sum_{|dx|<=2,|dy|<=2} sw*rw*v  /  sum sw*rw )
+
+    with spatial weight sw = (3-|dx|)*(3-|dy|) and range weight
+    rw = max(0, 32 - |v - v0| // 4) — a piecewise-linear stand-in for the
+    Gaussian range kernel so both engines evaluate identical integer
+    arithmetic (no exp, no doubles).  The center term always contributes
+    sw*rw = 288, so the denominator is never 0.  Out-of-extent neighbors
+    pad 0 (their large |diff| self-attenuates, the usual border story).
+
+    Same single halo-gather shuffle as rank_filter_tiles (tile_size >= 2
+    covers the radius-2 stencil from the 8 neighbor tiles); the 25
+    shifted adds are vectorized numpy."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ts = tile_size
+    ntx = (w + ts - 1) // ts
+    nty = (h + ts - 1) // ts
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+
+    def fn(key, pdf):
+        gtx, gty = int(key[0]), int(key[1])
+        r = 2
+        halo = np.zeros((ts + 2 * r, ts + 2 * r), dtype=np.int64)
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = np.frombuffer(data, dtype=bdt).reshape(ts, ts).astype(np.int64)
+            oy = (int(ty) - gty) * ts + r
+            ox = (int(tx) - gtx) * ts + r
+            y0, x0 = max(oy, 0), max(ox, 0)
+            y1, x1 = min(oy + ts, ts + 2 * r), min(ox + ts, ts + 2 * r)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            halo[y0:y1, x0:x1] = block[y0 - oy:y1 - oy, x0 - ox:x1 - ox]
+        hx = gtx * ts - r + np.arange(ts + 2 * r)[None, :]
+        hy = gty * ts - r + np.arange(ts + 2 * r)[:, None]
+        halo[(hx < 0) | (hx >= w) | (hy < 0) | (hy >= h)] = 0
+        v0 = halo[r:r + ts, r:r + ts]
+        num = np.zeros((ts, ts), dtype=np.int64)
+        den = np.zeros((ts, ts), dtype=np.int64)
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                nb = halo[r + dy:r + dy + ts, r + dx:r + dx + ts]
+                sw = (3 - abs(dx)) * (3 - abs(dy))
+                rw = np.maximum(0, 32 - np.abs(nb - v0) // 4)
+                num += sw * rw * nb
+                den += sw * rw
+        out = num // den
+        return pd.DataFrame({
+            "tx": [gtx], "ty": [gty],
+            "data": [out.astype(np.int64).tobytes()],
+        })
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(
+        fn, schema="tx long, ty long, data binary"
+    )

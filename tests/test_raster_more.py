@@ -334,3 +334,45 @@ def test_demosaic_matches_dense(spark):
             assert got == want, (x, y, got, want)
     # border pixels are zeroed
     assert planes[0][0, :].sum() == 0 and planes[2][:, -1].sum() == 0
+
+
+def test_bilateral_tiles_match_dense(spark):
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.terrain import bilateral_tiles
+
+    rng = np.random.default_rng(9)
+    h, w, ts = 70, 95, 32
+    arr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    gg = GridGeometry((0, 0, w - 1, h - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(h)))
+    rows = bilateral_tiles(_tiles_df(spark, arr, ts), gg,
+                           tile_size=ts).collect()
+    got = np.zeros(((h + ts - 1) // ts * ts, (w + ts - 1) // ts * ts),
+                   np.int64)
+    for r in rows:
+        got[r["ty"] * ts:(r["ty"] + 1) * ts,
+            r["tx"] * ts:(r["tx"] + 1) * ts] = np.frombuffer(
+                r["data"], np.int64).reshape(ts, ts)
+
+    pad = np.zeros((h + 4, w + 4), np.int64)
+    pad[2:-2, 2:-2] = arr
+    num = np.zeros((h, w), np.int64)
+    den = np.zeros((h, w), np.int64)
+    v0 = pad[2:-2, 2:-2]
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            nb = pad[2 + dy:2 + dy + h, 2 + dx:2 + dx + w]
+            sw = (3 - abs(dx)) * (3 - abs(dy))
+            rw = np.maximum(0, 32 - np.abs(nb - v0) // 4)
+            num += sw * rw * nb
+            den += sw * rw
+    want = num // den
+    assert (got[:h, :w] == want).all()
+    # edge preservation sanity: a hard step stays a hard step
+    step = np.zeros((20, 40), np.uint8)
+    step[:, 20:] = 200
+    gg2 = GridGeometry((0, 0, 39, 19), (1.0, 0.0, 0.0, 0.0, -1.0, 20.0))
+    rows2 = bilateral_tiles(_tiles_df(spark, step, 64), gg2,
+                            tile_size=64).collect()
+    out2 = np.frombuffer(rows2[0]["data"], np.int64).reshape(64, 64)
+    assert out2[10, 10] < 10 and out2[10, 30] > 190
