@@ -1964,3 +1964,144 @@ SELECT {id_col}, label, score FROM (
                                      scored.label ASC) AS rn
   FROM scored JOIN prior ON prior.label = scored.label) r
 WHERE rn = 1"""
+
+
+# ------------------------------------------------------- DSIR resampling
+# Data Selection via Importance Resampling (Xie et al. 2023, public
+# literature): score every candidate document by the log-likelihood
+# ratio of two hashed-bigram unigram-bucket LMs (target corpus vs the
+# raw pool), then draw the sample with the Gumbel-top-k trick.  Both the
+# per-bucket log-ratio and the Gumbel perturbation are floor-quantized
+# shared-text expressions, and the Gumbel uniform is the md5 hash of the
+# doc id — so the selected set is a pure function of the corpora and the
+# oracle replays it row for row.
+
+
+def _dsir_gumbel_expr(h: str) -> str:
+    # -ln(-ln((h + 1) / 2^60)), quantized; h uniform on [0, 2^60)
+    u = f"(CAST({h} AS DOUBLE) + 1.0E0) / 1152921504606846976.0E0"
+    return (
+        f"CAST(floor(-ln(-ln({u})) * 1.0E6 + 0.12345678987) AS BIGINT)"
+    )
+
+
+def dsir_select(
+    target: DataFrame,
+    candidates: DataFrame,
+    k: int = 60,
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR selection of ``k`` documents from ``candidates`` toward the
+    ``target`` distribution -> (doc_id, weight, score, rank):
+
+        weight(d) = sum_b cnt_{d,b} * (q(ln p_t(b)) - q(ln p_r(b)))
+        score(d)  = weight(d) + q(gumbel(h(d)))        (Gumbel top-k)
+
+    with p Laplace-smoothed over ``n_buckets`` hashed word-bigram
+    buckets and q the 1e6 floor-quantizer.  Shape: two bucket-count
+    partial aggs (the LMs), one keyed join of candidate doc-bucket
+    counts against the broadcast-size LM diff, one per-doc sum, one
+    top-k window — importance scoring of a 100-TB pool never leaves
+    keyed shuffles."""
+    from pyspark.sql import Window
+
+    from .sampling import hash_u60
+
+    B = int(n_buckets)
+
+    def buckets(df):
+        bg = _bigrams(df, text_col, id_col)
+        return bg.select(
+            F.col(id_col),
+            (hash_u60(F.concat_ws(" ", "w1", "w2"), salt) % B).alias("b"),
+        )
+
+    tb = buckets(target)
+    cb = buckets(candidates)
+    nt = tb.groupBy("b").agg(F.count(F.lit(1)).alias("nt"))
+    nr = cb.groupBy("b").agg(F.count(F.lit(1)).alias("nr"))
+    tot = tb.agg(F.count(F.lit(1)).alias("tot_t")).crossJoin(
+        cb.agg(F.count(F.lit(1)).alias("tot_r"))
+    )
+    dq = (
+        _nb_logprob_expr("nt", "tot_t", str(B)) + " - "
+        + _nb_logprob_expr("nr", "tot_r", str(B))
+    )
+    wts = (
+        cb.groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(nt), "b", "left")
+        .join(F.broadcast(nr), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("nt", F.coalesce(F.col("nt"), F.lit(0)))
+        .withColumn("nr", F.coalesce(F.col("nr"), F.lit(0)))
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.expr(dq)).alias("weight"))
+    )
+    scored = (
+        candidates.select(id_col)
+        .join(wts, id_col, "left")
+        .withColumn("weight", F.coalesce(F.col("weight"), F.lit(0)))
+        .withColumn("h", hash_u60(F.col(id_col), salt + ":g"))
+        .withColumn("score", F.col("weight") + F.expr(_dsir_gumbel_expr("h")))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(id_col, "weight", "score", "rank")
+    )
+
+
+def dsir_select_sql(
+    target_select: str,
+    candidates_select: str,
+    k: int = 60,
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of ``dsir_select``; selects -> (doc_id, text)."""
+    from .sampling import hash_u60_sql
+
+    B = int(n_buckets)
+    hb = hash_u60_sql("w1 || ' ' || w2", salt)
+    hg = hash_u60_sql(f"CAST(c.{id_col} AS VARCHAR)", salt + ":g")
+    dq = (
+        _nb_logprob_expr("COALESCE(nt.nt, 0)", "tot.tot_t", str(B)) + " - "
+        + _nb_logprob_expr("COALESCE(nr.nr, 0)", "tot.tot_r", str(B))
+    )
+
+    def bk(sel, name):
+        return f"""{name} AS MATERIALIZED (
+  SELECT {id_col}, ({hb}) % {B} AS b FROM (
+    SELECT {id_col}, ws[i.i] AS w1, ws[i.i + 1] AS w2
+    FROM (SELECT {id_col}, string_split(text, ' ') AS ws FROM ({sel}) s) t,
+         LATERAL (SELECT unnest(range(1, len(ws))) AS i) i) g)"""
+
+    return f"""
+WITH {bk(target_select, "tb")},
+{bk(candidates_select, "cb")},
+nt AS (SELECT b, CAST(count(*) AS BIGINT) AS nt FROM tb GROUP BY 1),
+nr AS (SELECT b, CAST(count(*) AS BIGINT) AS nr FROM cb GROUP BY 1),
+tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tb) AS tot_t,
+               (SELECT CAST(count(*) AS BIGINT) FROM cb) AS tot_r),
+wts AS (
+  SELECT db.{id_col}, CAST(sum(db.cnt * ({dq})) AS BIGINT) AS weight
+  FROM (SELECT {id_col}, b, CAST(count(*) AS BIGINT) AS cnt
+        FROM cb GROUP BY 1, 2) db
+  LEFT JOIN nt ON nt.b = db.b
+  LEFT JOIN nr ON nr.b = db.b
+  CROSS JOIN tot GROUP BY 1),
+scored AS (
+  SELECT c.{id_col}, COALESCE(wts.weight, 0) AS weight,
+         COALESCE(wts.weight, 0) + {_dsir_gumbel_expr(f"({hg})")} AS score
+  FROM (SELECT {id_col} FROM ({candidates_select}) cc) c
+  LEFT JOIN wts ON wts.{id_col} = c.{id_col})
+SELECT {id_col}, weight, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    ORDER BY score DESC, {id_col} ASC) AS BIGINT) AS rank
+  FROM scored) r WHERE rank <= {int(k)}"""

@@ -15959,3 +15959,31 @@ FROM m GROUP BY 1, 2 ORDER BY tx, ty"""
 
 
 QUERIES["bilateral"] = (q_bilateral, q_bilateral_oracle)
+
+
+def q_dsir(spark, sf_dir):
+    """DSIR importance resampling (textops.dsir_select, Xie et al.
+    2023): every seventh document forms the target corpus; the rest are
+    scored by the quantized hashed-bigram log-likelihood ratio and the
+    top 80 drawn with deterministic md5 Gumbel-top-k — the
+    data-selection step of an LLM pretraining pipeline, exact in both
+    engines."""
+    from .operators.textops import dsir_select
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    cands = docs.filter(F.col("doc_id") % 7 != 0)
+    return dsir_select(target, cands, k=80).orderBy("rank")
+
+
+def q_dsir_oracle():
+    from .operators.textops import dsir_select_sql
+
+    return ("SELECT * FROM (" + dsir_select_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0",
+        k=80,
+    ) + ") ORDER BY rank")
+
+
+QUERIES["dsir"] = (q_dsir, q_dsir_oracle)

@@ -107,3 +107,63 @@ def test_nb_classify_matches_brute(spark):
     # the biased draws must actually be learnable: >= 8/10 correct
     correct = sum(1 for did, (lab, _) in got.items() if lab == (did - 100) % 3)
     assert correct >= 8
+
+
+def test_dsir_select_matches_brute(spark):
+    import hashlib
+    import math
+
+    from sis_spark.operators.textops import dsir_select
+
+    rng = __import__("numpy").random.default_rng(6)
+    vt = ["the", "of", "science", "theory", "model"]
+    vr = ["buy", "now", "cheap", "click", "the"]
+    tgt_rows = [(i, " ".join(rng.choice(vt, 10))) for i in range(15)]
+    cand_rows = []
+    for i in range(30):
+        vocab = vt if i % 3 == 0 else vr
+        cand_rows.append((100 + i, " ".join(rng.choice(vocab, 8))))
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    cand = spark.createDataFrame(cand_rows, "doc_id long, text string")
+    got = [(r["doc_id"], r["weight"], r["score"], r["rank"])
+           for r in dsir_select(tgt, cand, k=10, n_buckets=64).collect()]
+
+    def u60(key, salt):
+        return int(hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:15], 16)
+
+    def q(x):
+        return int(math.floor(x * 1e6 + 0.12345678987))
+
+    def bucketize(rows):
+        out = []
+        for did, text in rows:
+            ws = text.split(" ")
+            for a, b in zip(ws, ws[1:]):
+                out.append((did, u60(f"{a} {b}", "dsir") % 64))
+        return out
+
+    tb, cb = bucketize(tgt_rows), bucketize(cand_rows)
+    nt, nr = {}, {}
+    for _, b in tb:
+        nt[b] = nt.get(b, 0) + 1
+    for _, b in cb:
+        nr[b] = nr.get(b, 0) + 1
+    tt, tr = len(tb), len(cb)
+    weights = {}
+    for did, b in cb:
+        dq = (q(math.log((nt.get(b, 0) + 1) / (tt + 64)))
+              - q(math.log((nr.get(b, 0) + 1) / (tr + 64))))
+        weights[did] = weights.get(did, 0) + dq
+    scored = []
+    for did, _ in cand_rows:
+        w = weights.get(did, 0)
+        u = (u60(did, "dsir:g") + 1) / (1 << 60)
+        s = w + q(-math.log(-math.log(u)))
+        scored.append((did, w, s))
+    scored.sort(key=lambda t: (-t[2], t[0]))
+    want = [(did, w, s, i + 1) for i, (did, w, s) in enumerate(scored[:10])]
+    assert got == want
+    # selection pressure: target-like docs (doc_id % 3 == 1 after +100)
+    # must dominate the sample
+    target_like = sum(1 for did, *_ in got if (did - 100) % 3 == 0)
+    assert target_like >= 7
