@@ -1651,3 +1651,112 @@ rec AS (
   CROSS JOIN LATERAL (SELECT {srec} AS v) sn)
 SELECT {user_col}, rn, x, l, b, sl[{m}] AS s FROM rec
 """
+
+
+def matrix_profile(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    m: int = 8,
+    cap: int = 60,
+) -> DataFrame:
+    """Exact integer matrix profile (Yeh et al. 2016, public literature;
+    un-normalized ED^2 variant so everything stays int64) per key ->
+    (k, i, d2, j): for each length-``m`` subsequence i of the first
+    ``cap`` points, the minimum squared Euclidean distance d2 to any
+    other subsequence j outside the trivial-match exclusion zone
+    |i - j| >= m, plus that nearest neighbor's index (ties -> smallest
+    j).  The motif/discord primitive: min(d2) over i locates the motif
+    pair, max locates the discord.
+
+    Scale shape: one collect_list per key (bounded by ``cap``, the
+    documented subsample guard exactly as theil_sen), index pairs as a
+    bounded self-join, distance via a JVM higher-order aggregate over
+    sequence(0, m-1) — no Python, no driver state; keys partition the
+    work at 100 TB."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("o")
+    b = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(order_col).alias("o"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= int(cap))
+    )
+    vl = b.groupBy("k").agg(
+        F.array_sort(
+            F.collect_list(F.struct("r", "v"))
+        ).alias("sv"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "k", F.expr("transform(sv, s -> s.v)").alias("vs"), "n"
+    ).filter(F.col("n") >= 2 * int(m))
+    idx = vl.select(
+        "k", "vs",
+        F.explode(F.expr(f"sequence(1, size(vs) - {int(m)} + 1)")).alias("i"),
+    )
+    pairs = (
+        idx.alias("a")
+        .join(
+            idx.select("k", F.col("i").alias("j")).alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("j") - F.col("i") >= int(m)),
+        )
+        .select(
+            F.col("a.k").alias("k"), F.col("a.vs").alias("vs"), "i", "j"
+        )
+        .withColumn(
+            "d2",
+            F.expr(
+                f"aggregate(sequence(0, {int(m)} - 1), CAST(0 AS BIGINT), "
+                "(acc, t) -> acc + CAST(element_at(vs, i + t) - "
+                "element_at(vs, j + t) AS BIGINT) * "
+                "CAST(element_at(vs, i + t) - element_at(vs, j + t) AS BIGINT))"
+            ),
+        )
+        .select("k", "i", "j", "d2")
+    )
+    both = pairs.unionAll(
+        pairs.select("k", F.col("j").alias("i"), F.col("i").alias("j"), "d2")
+    )
+    agg = both.groupBy("k", "i").agg(F.min(F.struct("d2", "j")).alias("md"))
+    return agg.select(
+        "k", "i", F.col("md.d2").alias("d2"), F.col("md.j").alias("j")
+    )
+
+
+def matrix_profile_sql(
+    base_select: str,
+    m: int = 8,
+    cap: int = 60,
+) -> str:
+    """DuckDB replay of ``matrix_profile``; ``base_select`` -> (k, o, v)."""
+    mm = int(m)
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT k, o, CAST(v AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY k ORDER BY o) AS r
+  FROM ({base_select}) s QUALIFY r <= {int(cap)}),
+vl AS MATERIALIZED (
+  SELECT k, list(v ORDER BY r) AS vs, CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY 1),
+idx AS MATERIALIZED (
+  SELECT k, vs, unnest(range(1, CAST(len(vs) AS BIGINT) - {mm} + 2)) AS i
+  FROM vl WHERE n >= 2 * {mm}),
+pairs AS (
+  SELECT a.k, a.vs, a.i, b.i AS j,
+         list_sum([(a.vs[CAST(a.i + t AS BIGINT)] - a.vs[CAST(b.i + t AS BIGINT)])
+                   * (a.vs[CAST(a.i + t AS BIGINT)] - a.vs[CAST(b.i + t AS BIGINT)])
+                   FOR t IN range(0, {mm})]) AS d2
+  FROM idx a JOIN idx b ON a.k = b.k AND b.i - a.i >= {mm}),
+allp AS (
+  SELECT k, i, j, d2 FROM pairs
+  UNION ALL SELECT k, j AS i, i AS j, d2 FROM pairs)
+SELECT k, CAST(i AS BIGINT) AS i, CAST(d2 AS BIGINT) AS d2,
+       CAST(j AS BIGINT) AS j
+FROM (SELECT *, row_number() OVER (PARTITION BY k, i ORDER BY d2, j) AS rn
+      FROM allp) r WHERE rn = 1"""

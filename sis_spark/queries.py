@@ -15987,3 +15987,44 @@ def q_dsir_oracle():
 
 
 QUERIES["dsir"] = (q_dsir, q_dsir_oracle)
+
+
+def q_matrix_profile(spark, sf_dir):
+    """Exact integer matrix profile (timeseries.matrix_profile, m=8,
+    cap=50): per-series nearest-neighbor ED^2 of every subsequence with
+    the |i-j| >= m exclusion zone — the motif/discord primitive; a
+    planted repeating motif guarantees real matches.  The bounded
+    self-join + JVM aggregate distance keeps everything int64."""
+    from .operators.timeseries import matrix_profile
+
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    series = d.select(
+        (F.col("id") % 5).alias("k"),
+        F.col("id").alias("o"),
+        # base signal + a period-25 planted motif on a varying carrier
+        (
+            (F.col("id") * 7 % 23)
+            + F.when((F.col("id") % 25) < 8, (F.col("id") % 25) * 10)
+            .otherwise(F.col("id") % 13)
+        ).alias("v"),
+    )
+    return matrix_profile(series, "k", "o", "v", m=8, cap=50).orderBy("k", "i")
+
+
+def q_matrix_profile_oracle():
+    from .operators.timeseries import matrix_profile_sql
+
+    base = """
+SELECT CAST(doc_id % 5 AS BIGINT) AS k,
+       CAST(doc_id AS BIGINT) AS o,
+       CAST((doc_id * 7 % 23)
+            + CASE WHEN (doc_id % 25) < 8 THEN (doc_id % 25) * 10
+                   ELSE doc_id % 13 END AS BIGINT) AS v
+FROM documents"""
+    return ("SELECT * FROM (" + matrix_profile_sql(base, m=8, cap=50)
+            + ") ORDER BY k, i")
+
+
+QUERIES["matrix_profile"] = (q_matrix_profile, q_matrix_profile_oracle)

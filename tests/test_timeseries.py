@@ -585,3 +585,41 @@ def test_holt_winters_int_replica(spark):
         l.append(lt); b.append(bt); s.append(st)
     for t in range(len(vals)):
         assert out[t + 1] == (l[t], b[t], s[t])
+
+
+def test_matrix_profile_matches_brute(spark):
+    import numpy as np
+
+    from sis_spark.operators.timeseries import matrix_profile
+
+    rng = np.random.default_rng(12)
+    rows = []
+    for k in range(3):
+        base = rng.integers(0, 40, 45)
+        base[5:13] = base[30:38]  # plant an exact motif pair
+        for t, v in enumerate(base):
+            rows.append((k, t, int(v)))
+    df = spark.createDataFrame(rows, "k long, o long, v long")
+    m = 8
+    got = {(r["k"], r["i"]): (r["d2"], r["j"])
+           for r in matrix_profile(df, "k", "o", "v", m=m, cap=60).collect()}
+
+    want = {}
+    series = {}
+    for k, t, v in rows:
+        series.setdefault(k, []).append(v)
+    for k, vs in series.items():
+        n = len(vs) - m + 1
+        for i in range(n):
+            best = None
+            for j in range(n):
+                if abs(i - j) < m:
+                    continue
+                d2 = sum((vs[i + t] - vs[j + t]) ** 2 for t in range(m))
+                if best is None or (d2, j) < best:
+                    best = (d2, j)
+            want[(k, i + 1)] = (best[0], best[1] + 1)  # 1-based indices
+    assert got == want
+    # the planted motif is each series' best match: mp == 0 at i=6 and j=31
+    for k in series:
+        assert got[(k, 6)] == (0, 31) and got[(k, 31)] == (0, 6)
