@@ -676,3 +676,100 @@ def pca_power_sql(
         + ",\n".join(blocks)
         + f"\nSELECT i, v FROM v{int(iters)}"
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    k: int = 8,
+    threshold: float = 0.8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023, public
+    literature) -> (vec_id, cluster, kept): k-means-cluster the
+    embeddings (exact integer Lloyd, ``kmeans_assign``), then inside
+    each cluster mark every pair with quantized cosine >= ``threshold``
+    and keep only the lowest id of each such pair (the deterministic
+    representative rule; the paper's choice of which duplicate survives
+    is arbitrary).  kept=false rows are the semantic duplicates a
+    curation pipeline drops.
+
+    Scale shape: the pair join is an equi-join ON CLUSTER (never vector
+    x vector across clusters) — exactly the bucketed-candidates pattern
+    of minhash_lsh; clusters bound the quadratic term and k scales with
+    corpus size in real SemDeDup deployments."""
+    from .ann import qcos_col, qdot_col, qnorm_col, quantize_col
+
+    assigned = kmeans_assign(vectors, k, iters, id_col, vec_col)
+    q = vectors.select(
+        F.col(id_col).alias("id"),
+        quantize_col(F.col(vec_col)).alias("qv"),
+    ).withColumn("nn", qnorm_col(F.col("qv")))
+    j = assigned.join(q, F.col(id_col) == F.col("id")).select(
+        F.col(id_col), "cluster", "qv", "nn"
+    )
+    a = j.select(
+        F.col(id_col).alias("a"), F.col("cluster").alias("ca"),
+        F.col("qv").alias("va"), F.col("nn").alias("na"),
+    )
+    b = j.select(
+        F.col(id_col).alias("b"), F.col("cluster").alias("cb"),
+        F.col("qv").alias("vb"), F.col("nn").alias("nb"),
+    )
+    dups = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("a") < F.col("b")))
+        .withColumn(
+            "qcos",
+            qcos_col(qdot_col(F.col("va"), F.col("vb")),
+                     F.col("na"), F.col("nb")),
+        )
+        .filter(F.col("qcos") >= threshold)
+        .select(F.col("b").alias("drop_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dups, F.col(id_col) == F.col("drop_id"), "left"
+        )
+        .select(
+            id_col, "cluster",
+            F.col("drop_id").isNull().alias("kept"),
+        )
+    )
+
+
+def semdedup_sql(
+    k: int = 8,
+    dim: int = 64,
+    threshold: float = 0.8,
+    iters: int = 2,
+    rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of ``semdedup`` — composes the full kmeans training
+    oracle, then the within-cluster quantized-cosine pair sweep."""
+    km = kmeans_assign_select(k, dim, iters, rel, id_col, vec_col)
+    dot = "CAST(list_sum(list_transform(list_zip(x.v, y.v), z -> z[1] * z[2])) AS BIGINT)"
+    qcos = (f"CAST({dot} AS DOUBLE)"
+            " / sqrt(CAST(x.nn AS DOUBLE) * CAST(y.nn AS DOUBLE))")
+    return f"""
+WITH assigned AS MATERIALIZED (SELECT * FROM ({km}) t),
+qv2 AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+  FROM {rel}),
+n2 AS (
+  SELECT id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
+  FROM qv2),
+j AS MATERIALIZED (
+  SELECT a.{id_col}, a.cluster, n2.v, n2.nn
+  FROM assigned a JOIN n2 ON n2.id = a.{id_col}),
+dups AS (
+  SELECT DISTINCT y.{id_col} AS drop_id
+  FROM j x JOIN j y ON x.cluster = y.cluster AND x.{id_col} < y.{id_col}
+  WHERE {qcos} >= {threshold})
+SELECT a.{id_col}, a.cluster,
+       d.drop_id IS NULL AS kept
+FROM assigned a LEFT JOIN dups d ON d.drop_id = a.{id_col}"""

@@ -16028,3 +16028,28 @@ FROM documents"""
 
 
 QUERIES["matrix_profile"] = (q_matrix_profile, q_matrix_profile_oracle)
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic deduplication (embeddings.semdedup, Abbas et
+    al. 2023): exact-integer k-means (k=8, 2 Lloyd iterations) then a
+    within-cluster quantized-cosine pair sweep at 0.35 dropping the
+    higher id of each near-dup pair — the candidate join is bucketed on
+    cluster, never all-pairs; the oracle replays the training AND the
+    sweep."""
+    from .operators.embeddings import semdedup
+
+    return semdedup(
+        _read(spark, sf_dir, "embeddings"), k=8, threshold=0.35, iters=2
+    ).orderBy("vec_id")
+
+
+def q_semdedup_oracle():
+    from .operators.embeddings import semdedup_sql
+
+    return ("SELECT * FROM ("
+            + semdedup_sql(k=8, dim=64, threshold=0.35, iters=2)
+            + ") ORDER BY vec_id")
+
+
+QUERIES["semdedup"] = (q_semdedup, q_semdedup_oracle)

@@ -260,3 +260,45 @@ def test_mmr_select_diversifies(spark):
         chosen.append(best)
         remaining.remove(best)
     assert sel == chosen
+
+
+def test_semdedup_matches_brute(spark):
+    import numpy as np
+
+    from sis_spark.operators.embeddings import kmeans_assign, semdedup
+
+    rng = np.random.default_rng(21)
+    # 4 well-separated blobs with planted near-dups inside each
+    rows = []
+    vid = 0
+    for c in range(4):
+        center = rng.normal(0, 1, 8) + c * 10
+        for i in range(10):
+            v = center + rng.normal(0, 0.05, 8)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["cluster"], r["kept"])
+           for r in semdedup(df, k=4, threshold=0.999, iters=2).collect()}
+
+    # brute: same cluster assignment, then all within-cluster pairs
+    assign = {r["vec_id"]: r["cluster"]
+              for r in kmeans_assign(df, 4, 2).collect()}
+    qv = {i: np.floor(np.array(v, np.float64).astype(np.float32)
+                      .astype(np.float64) * 1e7).astype(np.int64)
+          for i, v in rows}
+    dropped = set()
+    ids = sorted(qv)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if assign[a] != assign[b]:
+                continue
+            va, vb = qv[a], qv[b]
+            qcos = float(va @ vb) / np.sqrt(float(va @ va) * float(vb @ vb))
+            if qcos >= 0.999:
+                dropped.add(b)
+    want = {i: (assign[i], i not in dropped) for i in ids}
+    assert got == want
+    # tight blobs at cosine ~1: most of each blob must be deduped away
+    assert sum(1 for _, k in got.values() if k) <= 12
