@@ -16053,3 +16053,69 @@ def q_semdedup_oracle():
 
 
 QUERIES["semdedup"] = (q_semdedup, q_semdedup_oracle)
+
+
+def q_adaptive_threshold(spark, sf_dir):
+    """Bradley-Roth adaptive binarization (terrain.
+    adaptive_threshold_tiles, 9x9 window, t=15%): integral-image box
+    sums over the halo on the Spark side; the oracle computes the same
+    extent-clamped box sums with two separable 1-D window-frame passes
+    — all-integer, per-tile weighted checksums."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.terrain import adaptive_threshold_tiles
+
+    W, H, TS = 500, 300, 64
+    tiles = _formula_tiles(spark, W, H, bands=1, tile_size=TS)
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    out = adaptive_threshold_tiles(tiles, gg, radius=4, t_pct=15, tile_size=TS)
+
+    def cs(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                v = _np.frombuffer(data, _np.int64).reshape(TS, TS)
+                px = int(tx) * TS + _np.arange(TS)[None, :]
+                py = int(ty) * TS + _np.arange(TS)[:, None]
+                wt = ((py * W + px) % 9973 + 1).astype(_np.int64)
+                wt = wt * ((px < W) & (py < H))
+                rows.append({"tx": int(tx), "ty": int(ty),
+                             "cs_at": int((v * wt).sum())})
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return out.mapInPandas(cs, "tx long, ty long, cs_at long").orderBy("tx", "ty")
+
+
+def q_adaptive_threshold_oracle():
+    return """
+WITH px AS (
+  SELECT x.x AS x, y.y AS y, ((x.x * 7 + y.y * 13) % 256) AS v
+  FROM generate_series(0, 499) x(x), generate_series(0, 299) y(y)),
+rowpass AS (
+  SELECT x, y, v,
+         sum(v) OVER (PARTITION BY y ORDER BY x
+                      ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING) AS rs,
+         count(*) OVER (PARTITION BY y ORDER BY x
+                        ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING) AS rc
+  FROM px),
+boxpass AS (
+  SELECT x, y, v,
+         sum(rs) OVER (PARTITION BY x ORDER BY y
+                       ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING) AS bs,
+         sum(rc) OVER (PARTITION BY x ORDER BY y
+                       ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING) AS bc
+  FROM rowpass),
+m AS (
+  SELECT x // 64 AS tx, y // 64 AS ty,
+         CASE WHEN v * bc * 100 >= bs * 85 THEN 255 ELSE 0 END AS o,
+         ((y * 500 + x) % 9973 + 1) AS wt
+  FROM boxpass)
+SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+       CAST(sum(o * wt) AS BIGINT) AS cs_at
+FROM m GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+QUERIES["adaptive_threshold"] = (q_adaptive_threshold, q_adaptive_threshold_oracle)

@@ -2496,3 +2496,77 @@ def bilateral_tiles(
     return contrib.groupBy("gtx", "gty").applyInPandas(
         fn, schema="tx long, ty long, data binary"
     )
+
+
+def adaptive_threshold_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    radius: int = 4,
+    t_pct: int = 15,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Bradley-Roth adaptive thresholding (Bradley & Roth 2007, public
+    literature) -> binarized tiles (tx, ty, data int64 of 0/255): pixel
+    is foreground iff
+
+        v * cnt * 100  >=  boxsum * (100 - t_pct)
+
+    over the extent-clamped (2r+1)^2 window — sum from an integral
+    image over the zero-padded halo (out-of-extent contributes 0), cnt
+    the analytic count of in-extent window pixels.  All-integer, so the
+    oracle replays it with two separable 1-D window-frame passes.
+
+    Same single halo-gather shuffle as bilateral_tiles (radius <=
+    tile_size); per-tile work is one 2-D cumsum + vectorized compares."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ts = tile_size
+    r = int(radius)
+    ntx = (w + ts - 1) // ts
+    nty = (h + ts - 1) // ts
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+
+    def fn(key, pdf):
+        gtx, gty = int(key[0]), int(key[1])
+        halo = np.zeros((ts + 2 * r, ts + 2 * r), dtype=np.int64)
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = np.frombuffer(data, dtype=bdt).reshape(ts, ts).astype(np.int64)
+            oy = (int(ty) - gty) * ts + r
+            ox = (int(tx) - gtx) * ts + r
+            y0, x0 = max(oy, 0), max(ox, 0)
+            y1, x1 = min(oy + ts, ts + 2 * r), min(ox + ts, ts + 2 * r)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            halo[y0:y1, x0:x1] = block[y0 - oy:y1 - oy, x0 - ox:x1 - ox]
+        hx = gtx * ts - r + np.arange(ts + 2 * r)[None, :]
+        hy = gty * ts - r + np.arange(ts + 2 * r)[:, None]
+        halo[(hx < 0) | (hx >= w) | (hy < 0) | (hy >= h)] = 0
+        ii = np.zeros((ts + 2 * r + 1, ts + 2 * r + 1), dtype=np.int64)
+        ii[1:, 1:] = halo.cumsum(0).cumsum(1)
+        # box sum for every tile pixel (window spans the full halo)
+        s = (
+            ii[2 * r + 1:, 2 * r + 1:]
+            - ii[: ts, 2 * r + 1:]
+            - ii[2 * r + 1:, : ts]
+            + ii[: ts, : ts]
+        )
+        px = gtx * ts + np.arange(ts)[None, :]
+        py = gty * ts + np.arange(ts)[:, None]
+        cnt = (
+            (np.minimum(px + r, w - 1) - np.maximum(px - r, 0) + 1)
+            * (np.minimum(py + r, h - 1) - np.maximum(py - r, 0) + 1)
+        )
+        v = halo[r:r + ts, r:r + ts]
+        out = np.where(v * cnt * 100 >= s * (100 - int(t_pct)), 255, 0)
+        return pd.DataFrame({
+            "tx": [gtx], "ty": [gty],
+            "data": [out.astype(np.int64).tobytes()],
+        })
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(
+        fn, schema="tx long, ty long, data binary"
+    )

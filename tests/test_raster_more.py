@@ -376,3 +376,32 @@ def test_bilateral_tiles_match_dense(spark):
                             tile_size=64).collect()
     out2 = np.frombuffer(rows2[0]["data"], np.int64).reshape(64, 64)
     assert out2[10, 10] < 10 and out2[10, 30] > 190
+
+
+def test_adaptive_threshold_matches_dense(spark):
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.terrain import adaptive_threshold_tiles
+
+    rng = np.random.default_rng(17)
+    h, w, ts, r = 50, 90, 32, 4
+    arr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    gg = GridGeometry((0, 0, w - 1, h - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(h)))
+    rows = adaptive_threshold_tiles(_tiles_df(spark, arr, ts), gg,
+                                    radius=r, t_pct=15,
+                                    tile_size=ts).collect()
+    got = np.zeros(((h + ts - 1) // ts * ts, (w + ts - 1) // ts * ts),
+                   np.int64)
+    for row in rows:
+        got[row["ty"] * ts:(row["ty"] + 1) * ts,
+            row["tx"] * ts:(row["tx"] + 1) * ts] = np.frombuffer(
+                row["data"], np.int64).reshape(ts, ts)
+    v = arr.astype(np.int64)
+    for y in range(h):
+        for x in range(w):
+            y0, y1 = max(y - r, 0), min(y + r, h - 1)
+            x0, x1 = max(x - r, 0), min(x + r, w - 1)
+            s = int(v[y0:y1 + 1, x0:x1 + 1].sum())
+            cnt = (y1 - y0 + 1) * (x1 - x0 + 1)
+            want = 255 if v[y, x] * cnt * 100 >= s * 85 else 0
+            assert got[y, x] == want, (x, y)
