@@ -1202,3 +1202,67 @@ SELECT node, cand AS c FROM (
          row_number() OVER (PARTITION BY node
                             ORDER BY score DESC, cand ASC) AS rn
   FROM scored) r WHERE rn = 1"""
+
+
+def ppr_exact(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    scale: int = 10**12,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> DataFrame:
+    """Personalized PageRank in the same EXACT integer arithmetic as
+    ``pagerank_exact`` -> (node, rank): teleport mass restarts at the
+    ``seeds`` set instead of everywhere,
+
+        rank'(v) = [v in S] * (scale*(d_den-d_num)) div (d_den*|S|)
+                 + (d_num * sum_{u->v} (rank(u) div outdeg(u))) div d_den
+
+    with rank0 = scale div |S| on seeds and 0 elsewhere — the
+    random-walk-with-restart relevance score behind related-item /
+    local-community queries.  Identical per-iteration plan shape
+    (one equi-join + one dst-keyed partial agg, lineage truncated);
+    ``seeds``: (node) subset of ``nodes``."""
+    ns = seeds.count()
+    base = (scale * (d_den - d_num)) // (d_den * ns)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = edges.join(deg, "src").localCheckpoint()
+    is_seed = seeds.select("node").withColumn("seed", F.lit(1))
+    rank = (
+        nodes.join(is_seed, "node", "left")
+        .select(
+            "node",
+            F.when(F.col("seed").isNotNull(), F.lit(scale // ns))
+            .otherwise(F.lit(0)).cast("long").alias("rank"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(rank, edges["src"] == rank["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = (
+            nodes.join(contrib, "node", "left")
+            .join(is_seed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("seed").isNotNull(), F.lit(base))
+                    .otherwise(F.lit(0))
+                    + F.expr(
+                        f"(CAST({d_num} AS BIGINT) * coalesce(s, CAST(0 AS BIGINT)))"
+                        f" div {d_den}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return rank

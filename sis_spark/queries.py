@@ -16119,3 +16119,76 @@ FROM m GROUP BY 1, 2 ORDER BY tx, ty"""
 
 
 QUERIES["adaptive_threshold"] = (q_adaptive_threshold, q_adaptive_threshold_oracle)
+
+
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank (graph.ppr_exact, d=0.85, 3 iterations,
+    seeds = every 50th doc) over the closed-form document link graph:
+    random-walk-with-restart relevance in exact floor-div integer
+    arithmetic — the related-items score.  Output: top 100 by
+    (rank DESC, node)."""
+    from .operators.graph import ppr_exact
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("src")
+    )
+    n = docs.count()
+    edges = docs.select(
+        "src",
+        F.explode(F.array(
+            (F.col("src") * 7 + 11) % n,
+            (F.col("src") * 13 + 5) % n,
+            (F.col("src") * 3 + 1) % n,
+        )).alias("dst"),
+    ).distinct()
+    nodes = docs.select(F.col("src").alias("node"))
+    seeds = nodes.filter(F.col("node") % 50 == 0)
+    ranks = ppr_exact(edges, nodes, seeds, iters=3, scale=10**12)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return (
+        ranks.withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("pos") <= 100)
+        .select("pos", "node", "rank")
+        .orderBy("pos")
+    )
+
+
+def q_ppr_oracle():
+    S = 10**12
+    blocks = ["""nn AS (SELECT count(*) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+seeds AS (SELECT node FROM nodes WHERE node % 50 = 0),
+ns AS (SELECT count(*) AS m FROM seeds),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT CAST(doc_id AS BIGINT) AS src, (CAST(doc_id AS BIGINT) * 7 + 11) % nn.n AS dst FROM documents, nn
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), (CAST(doc_id AS BIGINT) * 13 + 5) % nn.n FROM documents, nn
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), (CAST(doc_id AS BIGINT) * 3 + 1) % nn.n FROM documents, nn)),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+r0 AS (
+  SELECT nodes.node,
+         CASE WHEN seeds.node IS NOT NULL THEN {S} // ns.m ELSE 0 END AS rank
+  FROM nodes LEFT JOIN seeds ON seeds.node = nodes.node, ns)""".format(S=S)]
+    for i in range(3):
+        blocks.append(f"""c{i + 1} AS (
+  SELECT e.dst AS node, sum(r.rank // d.outdeg) AS s
+  FROM e JOIN r{i} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY 1),
+r{i + 1} AS (
+  SELECT nodes.node,
+         CASE WHEN seeds.node IS NOT NULL
+              THEN ({S} * 15) // (100 * ns.m) ELSE 0 END
+         + (85 * COALESCE(c.s, 0)) // 100 AS rank
+  FROM nodes LEFT JOIN c{i + 1} c ON c.node = nodes.node
+       LEFT JOIN seeds ON seeds.node = nodes.node, ns)""")
+    return "WITH " + ",\n".join(blocks) + """
+SELECT pos, node, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT node, rank,
+         CAST(row_number() OVER (ORDER BY rank DESC, node ASC) AS BIGINT) AS pos
+  FROM r3) t
+WHERE pos <= 100 ORDER BY pos"""
+
+
+QUERIES["ppr"] = (q_ppr, q_ppr_oracle)
