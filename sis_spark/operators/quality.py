@@ -433,3 +433,68 @@ WITH {", ".join(ctes)}
 SELECT box, CAST(count(*) AS BIGINT) AS n,
        min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
 FROM d{int(rounds)} GROUP BY 1"""
+
+
+# ---------------------------------------------------------------- DP release
+# Differentially-private histogram release (Dwork et al. 2006, public
+# literature) with DERANDOMIZED Laplace noise: the uniform driving the
+# inverse-CDF is the md5 hash of the released key, so reruns, resumed
+# checkpoints, and the SQL oracle release identical noisy counts (the
+# rerun-stability requirement of an idempotent pipeline; a production
+# deployment would swap the hash for a secret-seeded PRF — the plumbing
+# is identical).  Sensitivity 1 counts => noise scale b = 1/epsilon.
+
+
+def _laplace_expr(h: str, b: str) -> str:
+    """Quantized Laplace(b) inverse-CDF of the 60-bit uniform ``h``."""
+    u = f"((CAST({h} AS DOUBLE) + 5.0E-1) / 1152921504606846976.0E0)"
+    return (
+        f"CAST(floor((CASE WHEN {u} < 5.0E-1"
+        f" THEN {b} * ln(2.0E0 * {u})"
+        f" ELSE -({b}) * ln(2.0E0 - 2.0E0 * {u}) END)"
+        " * 1.0E6 + 0.12345678987) AS BIGINT)"
+    )
+
+
+def dp_counts(
+    df: DataFrame,
+    key_col: str,
+    b: str = "2.0E0",
+    salt: str = "dp",
+) -> DataFrame:
+    """Per-key DP count release -> (key, n, noise_q): n the exact count,
+    noise_q the 1e6-quantized Laplace(b) draw from the key's hash (the
+    released value is n + noise_q/1e6; both are emitted so the gate can
+    verify the mechanism — release only their sum in production).
+    ``b`` is a double SQL literal (exponent-marked, bit-exactness rule
+    2), b = sensitivity/epsilon.
+
+    Shape: one partial-agg count + one codegen expression — the same
+    cost as the non-private histogram at any scale."""
+    from .sampling import hash_u60
+
+    return (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("h", hash_u60(F.col("key"), salt))
+        .withColumn("noise_q", F.expr(_laplace_expr("h", b)))
+        .select("key", "n", "noise_q")
+    )
+
+
+def dp_counts_sql(
+    base_select: str,
+    key_col: str,
+    b: str = "2.0E0",
+    salt: str = "dp",
+) -> str:
+    """DuckDB replay of ``dp_counts``; ``base_select`` -> rows with
+    ``key_col``."""
+    from .sampling import hash_u60_sql
+
+    h = hash_u60_sql(f"CAST(key AS VARCHAR)", salt)
+    return f"""
+WITH g AS (
+  SELECT {key_col} AS key, CAST(count(*) AS BIGINT) AS n
+  FROM ({base_select}) s GROUP BY 1)
+SELECT key, n, {_laplace_expr(f"({h})", b)} AS noise_q FROM g"""

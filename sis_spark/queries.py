@@ -16192,3 +16192,31 @@ WHERE pos <= 100 ORDER BY pos"""
 
 
 QUERIES["ppr"] = (q_ppr, q_ppr_oracle)
+
+
+def q_dp_counts(spark, sf_dir):
+    """Differentially-private histogram release (quality.dp_counts,
+    Laplace b=2): geohash-cell visit counts from events with
+    derandomized inverse-CDF noise — the private-telemetry shape; the
+    md5-driven draw makes the release rerun-stable and oracle-exact."""
+    from .operators.quality import dp_counts
+
+    pts = _events_points(spark, sf_dir)
+    cells = pts.select(
+        (F.floor(F.col("lon")).cast("long") * 1000
+         + F.floor(F.col("lat")).cast("long")).alias("cell")
+    )
+    return dp_counts(cells, "cell", b="2.0E0").orderBy("key")
+
+
+def q_dp_counts_oracle():
+    from .operators.quality import dp_counts_sql
+
+    base = ("SELECT CAST(floor(lon) AS BIGINT) * 1000 "
+            "+ CAST(floor(lat) AS BIGINT) AS cell FROM ("
+            + _points_sql() + ") p")
+    return ("SELECT * FROM (" + dp_counts_sql(base, "cell", b="2.0E0")
+            + ") ORDER BY key")
+
+
+QUERIES["dp_counts"] = (q_dp_counts, q_dp_counts_oracle)

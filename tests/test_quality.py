@@ -141,3 +141,28 @@ def test_mondrian_k_guarantee(spark):
     tiny = spark.range(2 * k - 1).selectExpr("id AS a", "id AS b")
     trows = mondrian_boxes(tiny, k=k, rounds=3).collect()
     assert len(trows) == 1 and trows[0]["n"] == 2 * k - 1
+
+
+def test_dp_counts_matches_brute_and_is_laplace(spark):
+    import hashlib
+    import math
+
+    from sis_spark.operators.quality import dp_counts
+
+    rows = [(i % 7,) for i in range(200)]
+    df = spark.createDataFrame(rows, "g long")
+    got = {r["key"]: (r["n"], r["noise_q"])
+           for r in dp_counts(df, "g", b="2.0E0", salt="dp").collect()}
+
+    want = {}
+    for k in range(7):
+        n = sum(1 for (g,) in rows if g == k)
+        h = int(hashlib.md5(f"{k}:dp".encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / (1 << 60)
+        x = 2.0 * math.log(2.0 * u) if u < 0.5 else -2.0 * math.log(2.0 - 2.0 * u)
+        want[k] = (n, int(math.floor(x * 1e6 + 0.12345678987)))
+    assert got == want
+    # noise is centered-ish and bounded by the b*ln(2^60) tail
+    assert all(abs(nq) < 90 * 10**6 for _, nq in got.values())
+    assert any(nq < 0 for _, nq in got.values()) or any(
+        nq > 0 for _, nq in got.values())
