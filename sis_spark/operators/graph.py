@@ -1266,3 +1266,145 @@ def ppr_exact(
             .localCheckpoint()
         )
     return rank
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    w_col: str = "w",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Minimum spanning forest (Boruvka 1926, the PRAM-friendly MST) ->
+    (u, v, w) rows — the single-linkage clustering / dedup-threshold
+    primitive (cut the forest at w <= t and run connected_components to
+    get single-linkage clusters).
+
+    Ties are broken by the TOTAL order (w, u, v) over canonical
+    (u < v) edges — equal weights become a strict order, so the forest
+    is UNIQUE and the oracle may replay any correct MST algorithm under
+    the same order (gate `mst` replays Boruvka itself as chained
+    MATERIALIZED CTEs).  Per round: endpoint->component lookup (two
+    equi-joins), per-component argmin over a packed int64 order key
+    (one map-side-combinable min agg), then contraction of the selected
+    edge graph via connected_components (the graph has <= #components
+    rows, shrinking geometrically).  Components at least halve per
+    round -> O(log n) rounds; the only driver scalar per round is the
+    emptiness check.  Contract: 0 <= u, v < 2^21 and 0 <= w < 2^21
+    (packed key w*2^42 + u*2^21 + v must stay in int64)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+            F.col(w_col).cast("long").alias("w"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .select(
+            "u", "v", "w",
+            (F.col("w") * F.lit(1 << 42) + F.col("u") * F.lit(1 << 21)
+             + F.col("v")).alias("ord"),
+        )
+        .persist()
+    )
+    comp = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    picked = None
+    for _ in range(max_rounds):
+        cu = comp.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
+        cv = comp.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
+        ec = e.join(cu, "u").join(cv, "v").filter(F.col("cu") != F.col("cv"))
+        both = ec.select(F.col("cu").alias("c"), "ord").union(
+            ec.select(F.col("cv").alias("c"), "ord")
+        )
+        sel = (
+            both.groupBy("c")
+            .agg(F.min("ord").alias("ord"))
+            .join(ec, "ord")
+            .select("u", "v", "w", "cu", "cv")
+            .distinct()
+            .localCheckpoint()
+        )
+        if sel.isEmpty():
+            break
+        new_edges = sel.select("u", "v", "w")
+        picked = new_edges if picked is None else picked.union(new_edges)
+        cmap = connected_components(
+            sel.select(F.col("cu").alias("a"), F.col("cv").alias("b"))
+        ).select(F.col("node").alias("oldc"), F.col("comp").alias("newc"))
+        comp = (
+            comp.join(cmap, comp["comp"] == cmap["oldc"], "left")
+            .select("node", F.coalesce("newc", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+    e.unpersist()
+    if picked is None:
+        return e.sparkSession.createDataFrame(
+            [], "u BIGINT, v BIGINT, w BIGINT"
+        )
+    return picked
+
+
+def boruvka_sql(
+    edges_select: str, outer_rounds: int, cc_rounds: int = 6
+) -> str:
+    """DuckDB oracle for ``boruvka_mst``: the rounds unrolled as chained
+    MATERIALIZED CTEs (the k_core lesson).  ``edges_select`` must yield
+    (a, b, w); ``outer_rounds`` must be >= ceil(log2(largest component))
+    and ``cc_rounds`` covers the per-round contraction (propagate+jump,
+    O(log) of the selected-edge chain length)."""
+    blocks = [
+        f"""e AS MATERIALIZED (
+  SELECT u, v, w, w * 4398046511104 + u * 2097152 + v AS ord FROM (
+    SELECT least(a, b) AS u, greatest(a, b) AS v, min(w) AS w
+    FROM ({edges_select}) raw WHERE a <> b GROUP BY 1, 2))""",
+        """c0 AS MATERIALIZED (
+  SELECT node, node AS comp FROM (
+    SELECT u AS node FROM e UNION SELECT v FROM e))""",
+    ]
+    for r in range(1, int(outer_rounds) + 1):
+        p = r - 1
+        blocks.append(f"""ec{r} AS MATERIALIZED (
+  SELECT e.u, e.v, e.w, e.ord, a.comp AS cu, b.comp AS cv
+  FROM e JOIN c{p} a ON a.node = e.u JOIN c{p} b ON b.node = e.v
+  WHERE a.comp <> b.comp)""")
+        blocks.append(f"""sel{r} AS MATERIALIZED (
+  SELECT DISTINCT ec.u, ec.v, ec.w, ec.cu, ec.cv
+  FROM (SELECT c, min(ord) AS ord FROM (
+          SELECT cu AS c, ord FROM ec{r}
+          UNION ALL SELECT cv, ord FROM ec{r}) t GROUP BY 1) m
+  JOIN ec{r} ec ON ec.ord = m.ord)""")
+        blocks.append(f"""g{r} AS MATERIALIZED (
+  SELECT cu AS x, cv AS y FROM sel{r} UNION SELECT cv, cu FROM sel{r})""")
+        blocks.append(
+            f"m{r}_0 AS MATERIALIZED (SELECT DISTINCT x AS node, x AS lab "
+            f"FROM g{r})"
+        )
+        for j in range(1, int(cc_rounds) + 1):
+            blocks.append(f"""m{r}_{j} AS MATERIALIZED (
+  SELECT m.node,
+         least(m.lab, coalesce(min(nb.lab), m.lab),
+               coalesce(min(jp.lab), m.lab)) AS lab
+  FROM m{r}_{j - 1} m
+  LEFT JOIN g{r} g ON g.x = m.node
+  LEFT JOIN m{r}_{j - 1} nb ON nb.node = g.y
+  LEFT JOIN m{r}_{j - 1} jp ON jp.node = m.lab
+  GROUP BY m.node, m.lab)""")
+        blocks.append(f"""c{r} AS MATERIALIZED (
+  SELECT c.node, coalesce(m.lab, c.comp) AS comp
+  FROM c{p} c LEFT JOIN m{r}_{int(cc_rounds)} m ON m.node = c.comp)""")
+    sels = " UNION ALL ".join(
+        f"SELECT u, v, w FROM sel{r}" for r in range(1, int(outer_rounds) + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"\nSELECT DISTINCT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,"
+        f" CAST(w AS BIGINT) AS w FROM ({sels}) allsel"
+    )

@@ -16220,3 +16220,48 @@ def q_dp_counts_oracle():
 
 
 QUERIES["dp_counts"] = (q_dp_counts, q_dp_counts_oracle)
+
+
+def q_mst(spark, sf_dir):
+    """Minimum spanning forest (graph.boruvka_mst, Boruvka rounds) over
+    a closed-form cluster graph on documents (62+ clusters of <= 8 nodes,
+    chain + chord edges, modular weights with heavy ties): the
+    single-linkage clustering primitive.  The (w, u, v) total order makes
+    the forest unique, so the oracle replays Boruvka as chained
+    MATERIALIZED CTEs and must produce the identical edge set."""
+    from .operators.graph import boruvka_mst
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i")
+    )
+    n = docs.count()
+    i = F.col("i")
+    parts = []
+    for off in (1, 2, 5):
+        parts.append(
+            docs.filter((i % 8 + off < 8) & (i + off < n)).select(
+                i.alias("a"),
+                (i + off).alias("b"),
+                ((i * 73 + (i + off) * 31) % 97 + 1).alias("w"),
+            )
+        )
+    edges = parts[0].union(parts[1]).union(parts[2])
+    return boruvka_mst(edges).orderBy("u", "v")
+
+
+def q_mst_oracle():
+    from .operators.graph import boruvka_sql
+
+    edges = """
+SELECT i AS a, i + o AS b, (i * 73 + (i + o) * 31) % 97 + 1 AS w
+FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents) d,
+     (SELECT unnest([1, 2, 5]) AS o) offs
+WHERE i % 8 + o < 8 AND i + o < (SELECT count(*) FROM documents)"""
+    return (
+        "SELECT * FROM ("
+        + boruvka_sql(edges, outer_rounds=4, cc_rounds=5)
+        + ") ORDER BY u, v"
+    )
+
+
+QUERIES["mst"] = (q_mst, q_mst_oracle)
