@@ -19,7 +19,7 @@ All three are exact-integer and oracle-replicable:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -2545,3 +2545,122 @@ SELECT k, x1, y1, x2, y2,
                                      + (y2 - y1) * (y2 - y1))
          THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
 FROM p, msel GROUP BY 1, 2, 3, 4, 5"""
+
+
+def anova_f(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q: int = 1024,
+) -> DataFrame:
+    """One-way ANOVA in exact integer arithmetic -> one row
+    (k, n, ssb_q, ssw_q, f_num, f_den): the between/within decomposition
+
+        SSB = sum_g S_g^2/n_g - S^2/N        SSW = sum v^2 - sum_g S_g^2/n_g
+
+    with every per-group division q-quantized by floor BEFORE the
+    order-independent sum (the per-group floordiv is part of the
+    semantics, so both engines agree bit-for-bit), and the F statistic
+    as the exact rational f_num/f_den = (SSB_q*(N-k)) / (SSW_q*(k-1)).
+    ONE map-side-combinable agg + one tiny per-group pass — the
+    distributed group-difference test.  Contract: values >= 0 (Spark
+    div == DuckDB // on non-negatives) and q*S_g^2 in int64."""
+    v = F.col(value_col).cast("long")
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(v).alias("sg"),
+        F.sum(v * v).alias("ssg"),
+    )
+    per = g.select(
+        "ng", "sg", "ssg",
+        F.expr(f"({q} * sg * sg) div ng").alias("bq"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("ssg").alias("ss"),
+        F.sum("bq").alias("bsum"),
+    )
+    return tot.select(
+        "k", "n",
+        (F.col("bsum") - F.expr(f"({q} * s * s) div n")).alias("ssb_q"),
+        (F.lit(q) * F.col("ss") - F.col("bsum")).alias("ssw_q"),
+        ((F.col("bsum") - F.expr(f"({q} * s * s) div n"))
+         * (F.col("n") - F.col("k"))).alias("f_num"),
+        ((F.lit(q) * F.col("ss") - F.col("bsum"))
+         * (F.col("k") - 1)).alias("f_den"),
+    )
+
+
+def anova_f_sql(base_select: str, group_col: str, value_col: str,
+                q: int = 1024) -> str:
+    """DuckDB oracle for ``anova_f``."""
+    return f"""
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       CAST(bsum - ({q} * s * s) // n AS BIGINT) AS ssb_q,
+       CAST({q} * ss - bsum AS BIGINT) AS ssw_q,
+       CAST((bsum - ({q} * s * s) // n) * (n - k) AS BIGINT) AS f_num,
+       CAST(({q} * ss - bsum) * (k - 1) AS BIGINT) AS f_den
+FROM (
+  SELECT count(*) AS k, sum(ng) AS n, sum(sg) AS s, sum(ssg) AS ss,
+         sum(({q} * sg * sg) // ng) AS bsum
+  FROM (
+    SELECT count(*) AS ng, sum(v) AS sg, sum(v * v) AS ssg
+    FROM (SELECT CAST({group_col} AS VARCHAR) AS grp,
+                 CAST({value_col} AS BIGINT) AS v
+          FROM ({base_select}) b) t
+    GROUP BY grp) g) tot"""
+
+
+def fdr_bh(
+    df: DataFrame,
+    id_col: str,
+    p_col: str,
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+    p_scale: int = 1 << 20,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over quantized p-values ->
+    (id, p, i, reject): p-values are int64 in [0, p_scale] units, ranks
+    are the (p, id) total order, and the BH threshold test
+
+        p_i / p_scale <= alpha * i / n
+
+    is the exact integer cross-comparison p_i * n * alpha_den <=
+    alpha_num * i * p_scale; reject all ranks <= max passing rank (the
+    step-up rule).  One global rank window + one scalar max broadcast
+    back — fine for result sets that fit a window; the gate documents
+    the single-partition rank as the oracle-workload shape."""
+    n = df.count()
+    w = Window.orderBy(F.col(p_col).asc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(id_col).alias("id"), F.col(p_col).cast("long").alias("p")
+    ).withColumn("i", F.row_number().over(w).cast("long"))
+    cond = (
+        F.col("p") * F.lit(int(n)) * F.lit(alpha_den)
+        <= F.lit(alpha_num) * F.col("i") * F.lit(p_scale)
+    )
+    kmax = ranked.agg(
+        F.coalesce(F.max(F.when(cond, F.col("i"))), F.lit(0)).alias("kmax")
+    )
+    return ranked.crossJoin(F.broadcast(kmax)).select(
+        "id", "p", "i", (F.col("i") <= F.col("kmax")).alias("reject")
+    )
+
+
+def fdr_bh_sql(base_select: str, alpha_num: int = 5, alpha_den: int = 100,
+               p_scale: int = 1 << 20) -> str:
+    """DuckDB oracle for ``fdr_bh``; ``base_select`` must yield (id, p)."""
+    return f"""
+WITH r AS (
+  SELECT id, CAST(p AS BIGINT) AS p,
+         CAST(row_number() OVER (ORDER BY p, id) AS BIGINT) AS i
+  FROM ({base_select}) b),
+t AS (SELECT count(*) AS n FROM r),
+k AS (
+  SELECT coalesce(max(CASE WHEN p * t.n * {alpha_den}
+                                <= {alpha_num} * i * {p_scale}
+                           THEN i END), 0) AS kmax
+  FROM r, t)
+SELECT id, p, i, i <= k.kmax AS reject FROM r, k"""

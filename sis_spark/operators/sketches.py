@@ -715,3 +715,60 @@ def bloom_semi_join(
         pre[big_col] == F.col("__k"),
         "semi",
     )
+
+
+def ams_f2(
+    df: DataFrame,
+    key_col: str,
+    reps: int = 16,
+    salt: str = "ams",
+) -> DataFrame:
+    """AMS / tug-of-war second-moment sketch (Alon, Matias & Szegedy
+    1996) -> (rep, z, z2): estimator rep j keeps Z_j = sum over ROWS of
+    sign_j(key) where sign_j(x) = 1 - 2*bit_j(md5(x:salt)) — the same
+    item always draws the same sign, so Z_j = sum_x f(x)*sign_j(x) and
+    E[Z_j^2] = F2 = sum_x f(x)^2.  Fully derandomized (md5 bits), so
+    the oracle replays it exactly; averaging z2 across reps is the F2
+    estimate, and the sketch is mergeable (Z sums add).  ONE explode
+    (x reps) + ONE map-side-combinable agg — the streaming join-size /
+    skew estimator."""
+    from .sampling import hash_u60
+
+    h = hash_u60(F.col(key_col), salt)
+    rows = df.select(h.alias("h"))
+    out = (
+        rows.select(
+            F.explode(
+                F.array(*[F.lit(j) for j in range(int(reps))])
+            ).alias("rep"),
+            "h",
+        )
+        .select(
+            "rep",
+            F.expr("1 - 2 * (shiftright(h, CAST(rep AS INT)) & 1)")
+            .alias("sign"),
+        )
+        .groupBy("rep")
+        .agg(F.sum("sign").alias("z"))
+    )
+    return out.select(
+        F.col("rep").cast("long").alias("rep"),
+        F.col("z").cast("long").alias("z"),
+        (F.col("z") * F.col("z")).alias("z2"),
+    )
+
+
+def ams_f2_sql(base_select: str, key_col: str, reps: int = 16,
+               salt: str = "ams") -> str:
+    """DuckDB oracle for ``ams_f2``."""
+    from .sampling import hash_u60_sql
+
+    h = hash_u60_sql(key_col, salt)
+    return f"""
+SELECT CAST(rep AS BIGINT) AS rep, CAST(z AS BIGINT) AS z,
+       CAST(z * z AS BIGINT) AS z2
+FROM (
+  SELECT rep, sum(1 - 2 * ((h >> CAST(rep AS INT)) & 1)) AS z
+  FROM (SELECT {h} AS h FROM ({base_select}) b),
+       (SELECT unnest(range({int(reps)})) AS rep) reps
+  GROUP BY rep) t"""

@@ -1930,3 +1930,150 @@ SELECT u, kind, ix, iy, n_pings FROM (
               ORDER BY n_pings DESC, ix, iy) AS rn
   FROM cnt) t
 WHERE rn = 1"""
+
+
+def chaikin_smooth(
+    df: DataFrame,
+    rounds: int = 2,
+    key_col: str = "k",
+    o_col: str = "o",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Chaikin corner-cutting polyline smoothing (Chaikin 1974) ->
+    (k, pos, x, y) with coordinates in 4**rounds-scaled integer units —
+    EXACT dyadic arithmetic, so the oracle replays it bit-for-bit.
+
+    Per round each segment P_i -> P_{i+1} is replaced by the quarter
+    points Q = 3*P_i + P_{i+1} and R = P_i + 3*P_{i+1} (in 4x units);
+    endpoints are kept (open-polyline convention), so m points become
+    2m.  One lead() window + one explode per round, pure JVM codegen —
+    no per-row Python and no shuffle beyond the window's.  Contract:
+    |coords| * 4**rounds must stay in int64."""
+    w = Window.partitionBy(key_col).orderBy(o_col)
+    cur = df.select(
+        key_col,
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    for _ in range(int(rounds)):
+        w2 = Window.partitionBy(key_col).orderBy("pos")
+        d = cur.withColumn("nx", F.lead("x").over(w2)).withColumn(
+            "ny", F.lead("y").over(w2)
+        )
+        mids = (
+            d.filter(F.col("nx").isNotNull())
+            .select(
+                key_col,
+                F.explode(
+                    F.array(
+                        F.struct(
+                            (2 * F.col("pos") + 1).alias("pos"),
+                            (3 * F.col("x") + F.col("nx")).alias("x"),
+                            (3 * F.col("y") + F.col("ny")).alias("y"),
+                        ),
+                        F.struct(
+                            (2 * F.col("pos") + 2).alias("pos"),
+                            (F.col("x") + 3 * F.col("nx")).alias("x"),
+                            (F.col("y") + 3 * F.col("ny")).alias("y"),
+                        ),
+                    )
+                ).alias("s"),
+            )
+            .select(key_col, "s.pos", "s.x", "s.y")
+        )
+        first = d.filter(F.col("pos") == 0).select(
+            key_col,
+            F.lit(0).cast("long").alias("pos"),
+            (4 * F.col("x")).alias("x"),
+            (4 * F.col("y")).alias("y"),
+        )
+        last = d.filter(F.col("nx").isNull() & (F.col("pos") > 0)).select(
+            key_col,
+            (2 * F.col("pos") + 1).alias("pos"),
+            (4 * F.col("x")).alias("x"),
+            (4 * F.col("y")).alias("y"),
+        )
+        cur = mids.union(first).union(last)
+    return cur
+
+
+def chaikin_sql(
+    points_select: str, rounds: int = 2
+) -> str:
+    """DuckDB oracle for ``chaikin_smooth``; ``points_select`` must
+    yield (k, o, x, y)."""
+    blocks = [
+        f"""c0 AS (
+  SELECT k, CAST(row_number() OVER (PARTITION BY k ORDER BY o) - 1
+                 AS BIGINT) AS pos,
+         CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+  FROM ({points_select}) pts)"""
+    ]
+    for r in range(1, int(rounds) + 1):
+        p = r - 1
+        blocks.append(f"""d{r} AS (
+  SELECT k, pos, x, y,
+         lead(x) OVER (PARTITION BY k ORDER BY pos) AS nx,
+         lead(y) OVER (PARTITION BY k ORDER BY pos) AS ny
+  FROM c{p})""")
+        blocks.append(f"""c{r} AS (
+  SELECT k, 2 * pos + 1 AS pos, 3 * x + nx AS x, 3 * y + ny AS y
+  FROM d{r} WHERE nx IS NOT NULL
+  UNION ALL
+  SELECT k, 2 * pos + 2, x + 3 * nx, y + 3 * ny
+  FROM d{r} WHERE nx IS NOT NULL
+  UNION ALL
+  SELECT k, 0, 4 * x, 4 * y FROM d{r} WHERE pos = 0
+  UNION ALL
+  SELECT k, 2 * pos + 1, 4 * x, 4 * y
+  FROM d{r} WHERE nx IS NULL AND pos > 0)""")
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"\nSELECT k, pos, x, y FROM c{int(rounds)}"
+    )
+
+
+def radius_gyration(
+    df: DataFrame,
+    key_col: str = "k",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Radius of gyration per entity (Gonzalez, Hidalgo & Barabasi 2008,
+    the mobility-range scale) -> (k, n, sx, sy, rg2_num): the EXACT
+    rational rg^2 = rg2_num / n^2 with
+
+        rg2_num = n * sum(x^2 + y^2) - sx^2 - sy^2
+
+    (expanding sum |p - mean|^2 without any division).  ONE map-side-
+    combinable aggregation, no window, no join.  Contract: quantized
+    coords small enough that n * sum(x^2+y^2) stays in int64 (|coord|
+    <= 2e6 and n <= 1e4 is safe)."""
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    g = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x + y * y).alias("s2"),
+    )
+    return g.select(
+        key_col, "n", "sx", "sy",
+        (F.col("n") * F.col("s2") - F.col("sx") * F.col("sx")
+         - F.col("sy") * F.col("sy")).alias("rg2_num"),
+    )
+
+
+def radius_gyration_sql(points_select: str) -> str:
+    """DuckDB oracle for ``radius_gyration``; ``points_select`` must
+    yield (k, x, y)."""
+    return f"""
+SELECT k, CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
+       CAST(sy AS BIGINT) AS sy,
+       CAST(n * s2 - sx * sx - sy * sy AS BIGINT) AS rg2_num
+FROM (
+  SELECT k, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x + y * y) AS s2
+  FROM ({points_select}) pts GROUP BY k) g"""

@@ -16265,3 +16265,166 @@ WHERE i % 8 + o < 8 AND i + o < (SELECT count(*) FROM documents)"""
 
 
 QUERIES["mst"] = (q_mst, q_mst_oracle)
+
+
+def q_chaikin(spark, sf_dir):
+    """Chaikin corner-cutting smoothing (trajectory.chaikin_smooth, 2
+    rounds) of per-user GPS tracks (30-point cap, 1e3-quantized
+    coords): exact dyadic quarter-point arithmetic in 16x-scaled
+    integer units, replayed bit-for-bit by the oracle's lead() rounds."""
+    from .operators.trajectory import chaikin_smooth
+
+    lon, lat = point_lonlat_cols("event_id")
+    w = Window.partitionBy("k").orderBy("event_id")
+    pts = (
+        _read(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("k"),
+            "event_id",
+            F.floor(lon * 1e3 + float(_FRECHET_Q)).cast("long").alias("x"),
+            F.floor(lat * 1e3 + float(_FRECHET_Q)).cast("long").alias("y"),
+        )
+        .withColumn("o", F.row_number().over(w))
+        .filter(F.col("o") <= _FRECHET_CAP)
+    )
+    return chaikin_smooth(pts, rounds=2).orderBy("k", "pos")
+
+
+def q_chaikin_oracle():
+    from .operators.trajectory import chaikin_sql
+
+    pts = f"""
+SELECT k, o, x, y FROM (
+  SELECT user_id AS k, event_id AS o,
+         CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e3
+                    + {_FRECHET_Q}) AS BIGINT) AS x,
+         CAST(floor(({synth.point_lat_sql('event_id')}) * 1.0e3
+                    + {_FRECHET_Q}) AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events) t
+WHERE rn <= {_FRECHET_CAP}"""
+    return (
+        "SELECT * FROM ("
+        + chaikin_sql(pts, rounds=2)
+        + ") ORDER BY k, pos"
+    )
+
+
+QUERIES["chaikin"] = (q_chaikin, q_chaikin_oracle)
+
+
+def q_radius_gyration(spark, sf_dir):
+    """Radius of gyration per user (trajectory.radius_gyration): the
+    mobility-range scale as the exact rational rg^2 = rg2_num/n^2 over
+    1e3-quantized event coordinates — one map-side-combinable agg."""
+    from .operators.trajectory import radius_gyration
+
+    lon, lat = point_lonlat_cols("event_id")
+    pts = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.floor(lon * 1e3 + float(_FRECHET_Q)).cast("long").alias("x"),
+        F.floor(lat * 1e3 + float(_FRECHET_Q)).cast("long").alias("y"),
+    )
+    return radius_gyration(pts).orderBy("k")
+
+
+def q_radius_gyration_oracle():
+    from .operators.trajectory import radius_gyration_sql
+
+    pts = f"""
+SELECT user_id AS k,
+       CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e3
+                  + {_FRECHET_Q}) AS BIGINT) AS x,
+       CAST(floor(({synth.point_lat_sql('event_id')}) * 1.0e3
+                  + {_FRECHET_Q}) AS BIGINT) AS y
+FROM events"""
+    return (
+        "SELECT * FROM (" + radius_gyration_sql(pts) + ") ORDER BY k"
+    )
+
+
+QUERIES["radius_gyration"] = (q_radius_gyration, q_radius_gyration_oracle)
+
+
+def q_anova_f(spark, sf_dir):
+    """One-way ANOVA (analytics.anova_f, q=1024) of order-key residues
+    across order priorities: exact integer SSB/SSW decomposition and
+    the F statistic as a rational pair — the distributed
+    group-difference test."""
+    from .operators.analytics import anova_f
+
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        (F.col("o_orderkey") % 1000).cast("long").alias("v"),
+    )
+    return anova_f(orders, "g", "v")
+
+
+def q_anova_f_oracle():
+    from .operators.analytics import anova_f_sql
+
+    return anova_f_sql(
+        "SELECT o_orderpriority AS g, o_orderkey % 1000 AS v FROM orders",
+        "g", "v",
+    )
+
+
+QUERIES["anova_f"] = (q_anova_f, q_anova_f_oracle)
+
+
+def q_fdr_bh(spark, sf_dir):
+    """Benjamini-Hochberg FDR control (analytics.fdr_bh, alpha=0.05)
+    over 2^20-quantized p-values on parts — uniform nulls from the md5
+    draw with a planted small-p subset (every 40th part), the step-up
+    rule as exact integer cross-comparisons."""
+    from .operators.analytics import fdr_bh
+    from .operators.sampling import hash_u60
+
+    parts = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.when(
+            F.col("p_partkey") % 40 == 0, F.col("p_partkey") % 797
+        ).otherwise(
+            hash_u60(F.col("p_partkey"), "pval") % (1 << 20)
+        ).cast("long").alias("p"),
+    )
+    return fdr_bh(parts, "id", "p").orderBy("i")
+
+
+def q_fdr_bh_oracle():
+    from .operators.analytics import fdr_bh_sql
+    from .operators.sampling import hash_u60_sql
+
+    h = hash_u60_sql("p_partkey", "pval")
+    base = f"""
+SELECT CAST(p_partkey AS BIGINT) AS id,
+       CASE WHEN p_partkey % 40 = 0 THEN CAST(p_partkey % 797 AS BIGINT)
+            ELSE {h} % {1 << 20} END AS p
+FROM part"""
+    return "SELECT * FROM (" + fdr_bh_sql(base) + ") ORDER BY i"
+
+
+QUERIES["fdr_bh"] = (q_fdr_bh, q_fdr_bh_oracle)
+
+
+def q_ams_f2(spark, sf_dir):
+    """AMS tug-of-war F2 sketch (sketches.ams_f2, 16 estimators) of the
+    per-user event frequency vector: derandomized md5 signs, so every
+    Z_j and Z_j^2 is oracle-exact — the join-size / skew estimator."""
+    from .operators.sketches import ams_f2
+
+    ev = _read(spark, sf_dir, "events").select("user_id")
+    return ams_f2(ev, "user_id", reps=16).orderBy("rep")
+
+
+def q_ams_f2_oracle():
+    from .operators.sketches import ams_f2_sql
+
+    return (
+        "SELECT * FROM ("
+        + ams_f2_sql("SELECT user_id FROM events", "user_id", reps=16)
+        + ") ORDER BY rep"
+    )
+
+
+QUERIES["ams_f2"] = (q_ams_f2, q_ams_f2_oracle)
