@@ -16428,3 +16428,42 @@ def q_ams_f2_oracle():
 
 
 QUERIES["ams_f2"] = (q_ams_f2, q_ams_f2_oracle)
+
+
+def q_join_counts(spark, sf_dir):
+    """Join-count statistics (tiles.join_counts_tiles, rook adjacency,
+    threshold 128) of the 512x256 quadratic texture raster: BB/WW/BW
+    adjacent-pair counts plus pixel totals in one O(perimeter)-seam
+    pass — the binary-map spatial autocorrelation test."""
+    from .raster.tiles import join_counts_tiles
+
+    tiles = _texture_tiles(spark, 512, 256)
+    return join_counts_tiles(tiles, thresh=128)
+
+
+def q_join_counts_oracle():
+    v = _texture_v_sql("x.x", "y.y")
+    return f"""
+WITH lab AS (
+  SELECT x.x AS px, y.y AS py,
+         CASE WHEN ({v}) >= 128 THEN 1 ELSE 0 END AS b
+  FROM generate_series(0, 511) x(x), generate_series(0, 255) y(y)),
+pairs AS (
+  SELECT a.b AS ba, c.b AS bc
+  FROM lab a JOIN lab c ON c.px = a.px + 1 AND c.py = a.py
+  UNION ALL
+  SELECT a.b, c.b
+  FROM lab a JOIN lab c ON c.px = a.px AND c.py = a.py + 1),
+cnt AS (
+  SELECT sum(CASE WHEN ba = 1 AND bc = 1 THEN 1 ELSE 0 END) AS bb,
+         sum(CASE WHEN ba = 0 AND bc = 0 THEN 1 ELSE 0 END) AS ww,
+         sum(CASE WHEN ba <> bc THEN 1 ELSE 0 END) AS bw
+  FROM pairs),
+tot AS (SELECT sum(b) AS n1, count(*) - sum(b) AS n0 FROM lab)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+       CAST(bb AS BIGINT) AS bb, CAST(ww AS BIGINT) AS ww,
+       CAST(bw AS BIGINT) AS bw, CAST(bb + ww + bw AS BIGINT) AS m
+FROM cnt, tot"""
+
+
+QUERIES["join_counts"] = (q_join_counts, q_join_counts_oracle)

@@ -1851,3 +1851,83 @@ def zone_adjacency(zone_tiles: DataFrame, tile_size: int = 64) -> DataFrame:
     for p in parts[1:]:
         out = out.union(p)
     return out.groupBy("za", "zb").agg(F.sum("border_len").alias("border_len"))
+
+
+def join_counts_tiles(
+    tiles: DataFrame, thresh: int, tile_size: int = 64
+) -> DataFrame:
+    """Join-count statistics (Cliff & Ord 1981) of the binary raster
+    b = (v >= thresh) under rook (4-neighbor) adjacency -> ONE row
+    (n1, n0, bb, ww, bw, m): the categorical spatial-autocorrelation
+    test — clustered black pixels push bb above its random expectation
+    m * n1(n1-1)/(n(n-1)).  Same shape as zone_adjacency: intra-tile
+    pair counts are one vectorized mapInPandas pass, tile seams ship
+    only their edge columns (O(perimeter) shuffle), one final tiny agg.
+    Tiles must cover the extent exactly (no partial tiles)."""
+    import numpy as np
+    import pandas as pd
+
+    ts = int(tile_size)
+    th = int(thresh)
+    t = tiles.filter(F.col("band") == 0).select("tx", "ty", "data")
+    schema = "n1 long, n0 long, bb long, ww long, bw long"
+
+    def counts(a, b):
+        bb = int((a & b).sum())
+        ww = int(((1 - a) & (1 - b)).sum())
+        return bb, ww, int(a.size - bb - ww)
+
+    def intra(batches):
+        for pdf in batches:
+            n1 = n0 = bb = ww = bw = 0
+            for data in pdf["data"]:
+                v = np.frombuffer(data, np.uint8).reshape(ts, ts)
+                b = (v >= th).astype(np.int64)
+                n1 += int(b.sum())
+                n0 += int(b.size - b.sum())
+                for x, y in ((b[:, :-1], b[:, 1:]), (b[:-1, :], b[1:, :])):
+                    d_bb, d_ww, d_bw = counts(x, y)
+                    bb, ww, bw = bb + d_bb, ww + d_ww, bw + d_bw
+            yield pd.DataFrame(
+                [{"n1": n1, "n0": n0, "bb": bb, "ww": ww, "bw": bw}]
+            )
+
+    parts = [t.mapInPandas(intra, schema)]
+
+    def seam(axis):
+        def fn(batches):
+            for pdf in batches:
+                bb = ww = bw = 0
+                for da, db in zip(pdf["da"], pdf["db"]):
+                    va = np.frombuffer(da, np.uint8).reshape(ts, ts)
+                    vb = np.frombuffer(db, np.uint8).reshape(ts, ts)
+                    a = (va[:, -1] if axis == "x" else va[-1, :]) >= th
+                    b = (vb[:, 0] if axis == "x" else vb[0, :]) >= th
+                    d_bb, d_ww, d_bw = counts(
+                        a.astype(np.int64), b.astype(np.int64)
+                    )
+                    bb, ww, bw = bb + d_bb, ww + d_ww, bw + d_bw
+                yield pd.DataFrame(
+                    [{"n1": 0, "n0": 0, "bb": bb, "ww": ww, "bw": bw}]
+                )
+
+        if axis == "x":
+            nbr = t.selectExpr("tx - 1 AS tx", "ty", "data AS db")
+        else:
+            nbr = t.selectExpr("tx", "ty - 1 AS ty", "data AS db")
+        return (
+            t.selectExpr("tx", "ty", "data AS da")
+            .join(nbr, ["tx", "ty"])
+            .mapInPandas(fn, schema)
+        )
+
+    out = parts[0].union(seam("x")).union(seam("y"))
+    agg = out.agg(
+        F.sum("n1").alias("n1"), F.sum("n0").alias("n0"),
+        F.sum("bb").alias("bb"), F.sum("ww").alias("ww"),
+        F.sum("bw").alias("bw"),
+    )
+    return agg.select(
+        "n1", "n0", "bb", "ww", "bw",
+        (F.col("bb") + F.col("ww") + F.col("bw")).alias("m"),
+    )
