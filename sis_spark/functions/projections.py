@@ -271,6 +271,31 @@ class LambertAzimuthalEqualArea:
         return np.degrees(lam) + self.lon0, np.degrees(phi)
 
 
+class Sinusoidal:
+    """Spherical sinusoidal (Sanson-Flamsteed) — the MODIS-grid family
+    member (ESRI:53008 Sphere_Sinusoidal): equal-area, pseudocylindrical,
+
+        x = R * lam * cos(phi)        y = R * phi
+
+    with lam = radians(lon - lon0).  Exact one-line inverse, so the
+    round-trip is closed-form (no iteration)."""
+
+    def __init__(self, lon0: float = 0.0, R: float = 6371000.0):
+        self.lon0, self.R = lon0, R
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        x = self.R * lam * np.cos(phi)
+        y = self.R * phi
+        return x, y
+
+    def inverse(self, x, y):
+        phi = np.asarray(y, np.float64) / self.R
+        lam = np.asarray(x, np.float64) / (self.R * np.cos(phi))
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
 class _Geographic:
     def forward(self, lon, lat):
         return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
@@ -330,6 +355,8 @@ def _crs(code):
 
 CRS_REGISTRY: dict[str, object] = {
     "EPSG:4326": _Geographic(),
+    # Sphere sinusoidal (equal-area pseudocylindrical, the MODIS-grid shape)
+    "ESRI:53008": Sinusoidal(0.0, 6371000.0),
     "CRS:84": _Geographic(),
     "EPSG:3857": _WebMercator(),
     # Lambert-93 (France), the canonical LCC 2SP deployment

@@ -16467,3 +16467,41 @@ FROM cnt, tot"""
 
 
 QUERIES["join_counts"] = (q_join_counts, q_join_counts_oracle)
+
+
+def q_sinusoidal(spark, sf_dir):
+    """WGS84 -> sphere sinusoidal (ESRI:53008, Sanson-Flamsteed — the
+    equal-area pseudocylindrical of the MODIS grid).  Same floor-shift
+    discipline as `polar_stereo`/`albers`; whole-sphere domain, no cut
+    needed."""
+    from .functions.projections import st_transform_any_udf
+
+    pts = _events_points(spark, sf_dir)
+    p = st_transform_any_udf("EPSG:4326", "ESRI:53008")(
+        F.col("lon"), F.col("lat")
+    )
+    return pts.select(
+        "event_id",
+        F.floor(p["x"] - F.lit(0.123456789)).cast("long").alias("xl"),
+        F.floor(p["y"] - F.lit(0.123456789)).cast("long").alias("yl"),
+    ).orderBy("event_id")
+
+
+def q_sinusoidal_oracle():
+    from .functions.projections import CRS_REGISTRY
+
+    p = CRS_REGISTRY["ESRI:53008"]
+    R = synth.flit(p.R)
+    lam = "(radians(lon - 0.0))"
+    phi = "(radians(lat))"
+    x = f"({R} * {lam} * cos({phi}))"
+    y = f"({R} * {phi})"
+    return f"""
+SELECT event_id,
+  CAST(floor({x} - 0.123456789) AS BIGINT) AS xl,
+  CAST(floor({y} - 0.123456789) AS BIGINT) AS yl
+FROM ({_points_sql()}) p
+ORDER BY event_id"""
+
+
+QUERIES["sinusoidal"] = (q_sinusoidal, q_sinusoidal_oracle)

@@ -179,3 +179,27 @@ def test_laea_transform_points_routing():
     lon, lat = transform_points(x, y, "EPSG:3035", "EPSG:4326")
     assert abs(float(lon[0]) - 4.3517) < 1e-9
     assert abs(float(lat[0]) - 50.8503) < 1e-9
+
+
+def test_sinusoidal_roundtrip_and_properties():
+    import numpy as np
+
+    from sis_spark.functions.projections import CRS_REGISTRY
+
+    p = CRS_REGISTRY["ESRI:53008"]
+    rng = np.random.default_rng(8)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-85, 85, 500)
+    x, y = p.forward(lon, lat)
+    lon2, lat2 = p.inverse(x, y)
+    assert np.max(np.abs(lon2 - lon)) < 1e-9
+    assert np.max(np.abs(lat2 - lat)) < 1e-9
+    # equator: x = R * lam exactly; central meridian: x = 0
+    xe, ye = p.forward(np.array([90.0]), np.array([0.0]))
+    assert abs(xe[0] - p.R * np.pi / 2) < 1e-6 and ye[0] == 0.0
+    x0, y0 = p.forward(np.array([0.0]), np.array([45.0]))
+    assert x0[0] == 0.0
+    # equal-area: the Jacobian det is R^2*cos(phi)*... constant-lat strip
+    # width scales with cos(lat): check x at lat 60 is half of x at lat 0
+    xh, _ = p.forward(np.array([90.0]), np.array([60.0]))
+    assert abs(xh[0] - 0.5 * xe[0]) < 1e-6
