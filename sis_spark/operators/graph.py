@@ -1408,3 +1408,129 @@ def boruvka_sql(
         + f"\nSELECT DISTINCT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,"
         f" CAST(w AS BIGINT) AS w FROM ({sels}) allsel"
     )
+
+
+def scc(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_peels: int = 20,
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph -> (node, comp)
+    with comp = the MINIMUM node id of the SCC (canonical, so the oracle
+    can label by mutual reachability instead of replaying rounds).
+
+    The FB-coloring peeling algorithm (Orzan 2004; Slota, Rajamanickam &
+    Madduri 2014): per peel, (1) propagate the MAX label along edge
+    direction to convergence — color(v) = max over ancestors of v among
+    unassigned nodes; (2) color roots r (color(r) = r) seed a BACKWARD
+    reachability restricted to their own color class, which marks
+    exactly SCC(r); (3) assign, remove, repeat.  Every color class
+    peels one SCC per iteration, so graphs whose node ids increase
+    along the condensation order finish in one peel.  All rounds are
+    one equi-join + one agg with localCheckpoint truncation; driver
+    sees only convergence counts."""
+    e_all = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+        .persist()
+    )
+    active = (
+        e_all.select(F.col("s").alias("node"))
+        .union(e_all.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    assigned = None
+    for _ in range(max_peels):
+        if active.isEmpty():
+            break
+        e = (
+            e_all.join(active.withColumnRenamed("node", "s"), "s")
+            .join(active.withColumnRenamed("node", "d"), "d")
+            .select("s", "d")
+            .localCheckpoint()
+        )
+        # (1) forward max-label propagation to convergence
+        color = active.select("node", F.col("node").alias("c"))
+        for _r in range(max_rounds):
+            nbr = (
+                e.join(color, e["s"] == color["node"])
+                .groupBy(F.col("d").alias("node"))
+                .agg(F.max("c").alias("nc"))
+            )
+            nxt = (
+                color.join(nbr, "node", "left")
+                .select(
+                    "node",
+                    F.greatest(F.col("c"), F.coalesce("nc", "c")).alias("c"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                nxt.join(color.withColumnRenamed("c", "old"), "node")
+                .filter(F.col("c") != F.col("old"))
+                .count()
+            )
+            color = nxt
+            if changed == 0:
+                break
+        # (2) backward reachability from the color roots, within color
+        ecol = (
+            e.join(color.select(F.col("node").alias("s"),
+                                F.col("c").alias("cs")), "s")
+            .join(color.select(F.col("node").alias("d"),
+                               F.col("c").alias("cd")), "d")
+            .filter(F.col("cs") == F.col("cd"))
+            .select("s", "d")
+            .localCheckpoint()
+        )
+        mark = color.filter(F.col("node") == F.col("c")).select("node", "c")
+        for _r in range(max_rounds):
+            new = (
+                ecol.join(mark, ecol["d"] == mark["node"])
+                .select(F.col("s").alias("node"), "c")
+                .union(mark)
+                .groupBy("node")
+                .agg(F.min("c").alias("c"))
+                .localCheckpoint()
+            )
+            if new.count() == mark.count():
+                mark = new
+                break
+            mark = new
+        # (3) assign and remove (scc label = color root for now)
+        assigned = mark if assigned is None else assigned.union(mark)
+        active = (
+            active.join(mark.select("node"), "node", "anti")
+            .localCheckpoint()
+        )
+    e_all.unpersist()
+    if assigned is None:
+        return edges.sparkSession.createDataFrame([], "node LONG, comp LONG")
+    # canonicalize: comp = min node of the SCC
+    canon = assigned.groupBy("c").agg(F.min("node").alias("comp"))
+    return assigned.join(canon, "c").select("node", "comp")
+
+
+def scc_sql(edges_select: str) -> str:
+    """DuckDB oracle for ``scc``: label every node by the minimum
+    mutually-reachable node, via one recursive transitive closure
+    (x reaches y) probed in both directions.  ``edges_select`` must
+    yield (src, dst)."""
+    return f"""
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT src AS s, dst AS d FROM ({edges_select}) raw
+  WHERE src IS NOT NULL AND dst IS NOT NULL),
+n AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+reach(a, b) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN e ON e.s = r.b)
+SELECT x.node, CAST(min(f.b) AS BIGINT) AS comp
+FROM n x
+JOIN reach f ON f.a = x.node
+JOIN reach g ON g.a = f.b AND g.b = x.node
+GROUP BY x.node"""

@@ -16505,3 +16505,44 @@ ORDER BY event_id"""
 
 
 QUERIES["sinusoidal"] = (q_sinusoidal, q_sinusoidal_oracle)
+
+
+def q_scc(spark, sf_dir):
+    """Strongly connected components (graph.scc, FB-coloring peel) of a
+    closed-form directed graph on documents: 5-cycles per cluster plus
+    DAG cross edges pairing even->odd clusters — 100 SCCs at sf0.01,
+    resolved in one peel because ids increase along the condensation.
+    The oracle labels by mutual reachability over one recursive
+    closure, a completely different algorithm."""
+    from .operators.graph import scc
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i")
+    )
+    n = docs.count()
+    i = F.col("i")
+    cyc = docs.select(
+        i.alias("src"),
+        (5 * F.expr("i div 5") + (i % 5 + 1) % 5).alias("dst"),
+    )
+    cross = docs.filter(
+        (i % 5 == 2) & (F.expr("i div 5") % 2 == 0) & (i + 5 < n)
+    ).select(i.alias("src"), (i + 5).alias("dst"))
+    return scc(cyc.union(cross)).orderBy("node")
+
+
+def q_scc_oracle():
+    from .operators.graph import scc_sql
+
+    edges = """
+SELECT i AS src, 5 * (i // 5) + (i % 5 + 1) % 5 AS dst
+FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents) d
+UNION ALL
+SELECT i, i + 5
+FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents) d
+WHERE i % 5 = 2 AND (i // 5) % 2 = 0
+  AND i + 5 < (SELECT count(*) FROM documents)"""
+    return "SELECT * FROM (" + scc_sql(edges) + ") ORDER BY node"
+
+
+QUERIES["scc"] = (q_scc, q_scc_oracle)
