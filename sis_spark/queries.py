@@ -16546,3 +16546,85 @@ WHERE i % 5 = 2 AND (i // 5) % 2 = 0
 
 
 QUERIES["scc"] = (q_scc, q_scc_oracle)
+
+
+N_KML_FILES = 8
+
+
+def _kml_rows(f: int):
+    rows = []
+    for i in range(6):
+        g = f * 100 + i
+        rows.append({
+            "placemark_id": i, "name": f"p{g}", "kind": "point", "seq": 0,
+            "lon": (g * 7 % 720) / 4.0 - 90.0,
+            "lat": (g * 13 % 360) / 4.0 - 45.0,
+            "alt": None, "ext": {"cat": str(g % 7)},
+        })
+    for j in range(2):
+        for i in range(5):
+            g = f * 100 + 50 + j * 10 + i
+            rows.append({
+                "placemark_id": 6 + j, "name": None, "kind": "line",
+                "seq": i,
+                "lon": (g * 7 % 720) / 4.0 - 90.0,
+                "lat": (g * 13 % 360) / 4.0 - 45.0,
+                "alt": float(g), "ext": None,
+            })
+    return rows
+
+
+def q_kml_read(spark, sf_dir):
+    """The KML store end-to-end under the oracle gate (sources/kml.py,
+    OGC KML 2.2 Placemark Point/LineString + ExtendedData): formula
+    placemark sets are WRITTEN as real KML documents, the folder is
+    read back distributed (each task parses its files), and the oracle
+    re-derives every row from the same integer formulas."""
+    import os as _os
+    import tempfile as _tempfile
+
+    import pandas as _pd
+
+    from .sources.kml import kml_table, write_kml
+
+    d = _os.path.join(_tempfile.gettempdir(), "sis_kml_gate")
+    _os.makedirs(d, exist_ok=True)
+    paths = []
+    for f in range(N_KML_FILES):
+        p = _os.path.join(d, f"kml_{f}.kml")
+        with open(p, "w") as fh:
+            fh.write(write_kml(_pd.DataFrame(_kml_rows(f))))
+        paths.append(p)
+    df = kml_table(spark, paths)
+    return df.select(
+        F.regexp_extract("path", r"kml_(\d+)\.kml", 1).cast("int")
+        .alias("file_id"),
+        "placemark_id", "name", "kind", "seq", "lon", "lat", "alt",
+        F.col("ext")["cat"].alias("cat"),
+    ).orderBy("file_id", "placemark_id", "seq")
+
+
+def q_kml_read_oracle():
+    return f"""
+WITH f AS (SELECT t.f FROM generate_series(0, {N_KML_FILES - 1}) t(f)),
+pts AS (
+  SELECT f, i AS placemark_id, 'p' || CAST(f * 100 + i AS VARCHAR) AS name,
+         'point' AS kind, 0 AS seq, f * 100 + i AS g,
+         CAST(NULL AS DOUBLE) AS alt,
+         CAST((f * 100 + i) % 7 AS VARCHAR) AS cat
+  FROM f, generate_series(0, 5) s(i)
+  UNION ALL
+  SELECT f, 6 + j, CAST(NULL AS VARCHAR), 'line', i,
+         f * 100 + 50 + j * 10 + i,
+         CAST(f * 100 + 50 + j * 10 + i AS DOUBLE),
+         CAST(NULL AS VARCHAR)
+  FROM f, generate_series(0, 1) jj(j), generate_series(0, 4) s(i))
+SELECT CAST(f AS INT) AS file_id, CAST(placemark_id AS INT) AS placemark_id,
+       name, kind, CAST(seq AS INT) AS seq,
+       CAST(g * 7 % 720 AS DOUBLE) / 4.0e0 - 9.0e1 AS lon,
+       CAST(g * 13 % 360 AS DOUBLE) / 4.0e0 - 4.5e1 AS lat,
+       alt, cat
+FROM pts ORDER BY file_id, placemark_id, seq"""
+
+
+QUERIES["kml_read"] = (q_kml_read, q_kml_read_oracle)
