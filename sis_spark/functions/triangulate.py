@@ -1,0 +1,168 @@
+"""Ear-clipping polygon triangulation (the fan-out step before any
+per-triangle raster/area work on general polygons).
+
+Re-derivation of the classic O(n^2) ear-clipping algorithm (van Gogh /
+Meisters 1975 "two ears" theorem; the reference reaches triangulation
+through JTS delegation, F/geometry/wrapper/GeometryWrapper.java) in
+EXACT integer arithmetic:
+
+* polygons arrive as vertex rows (key, i, x, y), CCW, simple;
+* an EAR is a convex corner (cross > 0) whose triangle contains no
+  other remaining vertex STRICTLY inside (three cross products > 0);
+* each round clips the ear at the smallest current position — a total
+  order, so the triangulation is unique and the DuckDB oracle replays
+  the same rounds as window/anti-join event-loop CTEs.
+
+The engine clips each polygon independently inside one applyInPandas
+group (polygons are small; the DATASET is what's large), emitting
+(key, i0, i1, i2, area2) with area2 = the exact doubled triangle area;
+sum(area2) per key equals the doubled polygon area — the invariant the
+tests pin."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TRI_SCHEMA = "key long, i0 long, i1 long, i2 long, area2 long"
+
+
+def _cross(ax, ay, bx, by, cx, cy):
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def ear_clip_py(idx, xs, ys):
+    """Pure-Python ear clip over vertex indices -> [(i0, i1, i2, area2)].
+    Deterministic: always clips the valid ear at the smallest position."""
+    order = list(range(len(idx)))
+    tris = []
+    while len(order) > 3:
+        n = len(order)
+        pick = None
+        for j in range(n):
+            a, b, c = order[j - 1], order[j], order[(j + 1) % n]
+            cr = _cross(xs[a], ys[a], xs[b], ys[b], xs[c], ys[c])
+            if cr <= 0:
+                continue
+            ok = True
+            for k in order:
+                if k in (a, b, c):
+                    continue
+                if (
+                    _cross(xs[a], ys[a], xs[b], ys[b], xs[k], ys[k]) > 0
+                    and _cross(xs[b], ys[b], xs[c], ys[c], xs[k], ys[k]) > 0
+                    and _cross(xs[c], ys[c], xs[a], ys[a], xs[k], ys[k]) > 0
+                ):
+                    ok = False
+                    break
+            if ok:
+                pick = (j, a, b, c, cr)
+                break
+        if pick is None:  # degenerate input; stop rather than loop
+            break
+        j, a, b, c, cr = pick
+        tris.append((idx[a], idx[b], idx[c], int(cr)))
+        order.pop(j)
+    if len(order) == 3:
+        a, b, c = order
+        cr = _cross(xs[a], ys[a], xs[b], ys[b], xs[c], ys[c])
+        tris.append((idx[a], idx[b], idx[c], int(cr)))
+    return tris
+
+
+def triangulate(
+    vertices: DataFrame,
+    key_col: str = "key",
+    i_col: str = "i",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """(key, i, x, y) CCW simple polygons -> (key, i0, i1, i2, area2)."""
+    v = vertices.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(i_col).cast("long").alias("i"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+
+    def clip(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("i")
+        idx = pdf["i"].to_numpy(np.int64)
+        xs = pdf["x"].to_numpy(object)  # python ints: no overflow
+        ys = pdf["y"].to_numpy(object)
+        tris = ear_clip_py(list(idx), list(xs), list(ys))
+        key = int(pdf["key"].iloc[0])
+        return pd.DataFrame(
+            [{"key": key, "i0": a, "i1": b, "i2": c, "area2": s}
+             for a, b, c, s in tris]
+        )
+
+    return v.groupBy("key").applyInPandas(clip, TRI_SCHEMA)
+
+
+def triangulate_sql(points_select: str, max_rounds: int) -> str:
+    """DuckDB oracle for ``triangulate``: the clip rounds unrolled as
+    MATERIALIZED CTEs — per round, cyclic prev/next by position join,
+    the ear predicate as NOT EXISTS over strictly-inside vertices, the
+    smallest-position pick, and state shrink with positions renumbered.
+    ``points_select`` must yield (key, i, x, y); ``max_rounds`` >=
+    (largest polygon size - 3)."""
+    blocks = [
+        f"""s0 AS MATERIALIZED (
+  SELECT key, CAST(row_number() OVER (PARTITION BY key ORDER BY i)
+              AS BIGINT) AS pos, i, x, y
+  FROM ({points_select}) pts)"""
+    ]
+    emits = []
+    for r in range(int(max_rounds) + 1):
+        last = r == int(max_rounds)
+        blocks.append(f"""t{r} AS MATERIALIZED (
+  SELECT key, pos, i, x, y, count(*) OVER (PARTITION BY key) AS n
+  FROM s{r})""")
+        blocks.append(f"""c{r} AS MATERIALIZED (
+  SELECT s.key, s.pos, s.n, p.i AS ia, s.i AS ib, q.i AS ic,
+         p.x AS ax, p.y AS ay, s.x AS bx, s.y AS byy,
+         q.x AS cx, q.y AS cy,
+         (s.x - p.x) * (q.y - p.y) - (s.y - p.y) * (q.x - p.x) AS cr
+  FROM t{r} s
+  JOIN t{r} p ON p.key = s.key
+   AND p.pos = CASE WHEN s.pos = 1 THEN s.n ELSE s.pos - 1 END
+  JOIN t{r} q ON q.key = s.key
+   AND q.pos = CASE WHEN s.pos = s.n THEN 1 ELSE s.pos + 1 END)""")
+        if last:
+            blocks.append(f"""fin AS MATERIALIZED (
+  SELECT key, ia AS i0, ib AS i1, ic AS i2, cr AS area2
+  FROM c{r} WHERE n = 3 AND pos = 2)""")
+            break
+        blocks.append(f"""ear{r} AS MATERIALIZED (
+  SELECT c.* FROM c{r} c
+  WHERE c.n > 3 AND c.cr > 0 AND NOT EXISTS (
+    SELECT 1 FROM t{r} o
+    WHERE o.key = c.key AND o.i <> c.ia AND o.i <> c.ib AND o.i <> c.ic
+      AND (c.bx - c.ax) * (o.y - c.ay) - (c.byy - c.ay) * (o.x - c.ax) > 0
+      AND (c.cx - c.bx) * (o.y - c.byy) - (c.cy - c.byy) * (o.x - c.bx) > 0
+      AND (c.ax - c.cx) * (o.y - c.cy) - (c.ay - c.cy) * (o.x - c.cx) > 0))""")
+        blocks.append(f"""pick{r} AS MATERIALIZED (
+  SELECT e.* FROM ear{r} e
+  JOIN (SELECT key, min(pos) AS pos FROM ear{r} GROUP BY 1) m
+    ON m.key = e.key AND m.pos = e.pos)""")
+        emits.append(
+            f"SELECT key, ia AS i0, ib AS i1, ic AS i2, cr AS area2 "
+            f"FROM pick{r}"
+        )
+        blocks.append(f"""s{r + 1} AS MATERIALIZED (
+  SELECT t.key, CAST(row_number() OVER (PARTITION BY t.key ORDER BY t.pos)
+              AS BIGINT) AS pos, t.i, t.x, t.y
+  FROM t{r} t
+  LEFT JOIN pick{r} pk ON pk.key = t.key AND pk.ib = t.i
+  WHERE pk.key IS NULL)""")
+    emits.append("SELECT key, i0, i1, i2, area2 FROM fin")
+    union = " UNION ALL ".join(emits)
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"\nSELECT key, i0, i1, i2, CAST(area2 AS BIGINT) AS area2 "
+        f"FROM ({union}) allt"
+    )

@@ -16628,3 +16628,67 @@ FROM pts ORDER BY file_id, placemark_id, seq"""
 
 
 QUERIES["kml_read"] = (q_kml_read, q_kml_read_oracle)
+
+
+_TRI_DIRS = [
+    (100, 0), (92, 38), (71, 71), (38, 92), (0, 100), (-38, 92),
+    (-71, 71), (-92, 38), (-100, 0), (-92, -38), (-71, -71), (-38, -92),
+    (0, -100), (38, -92), (71, -71), (92, -38),
+]
+
+
+def q_triangulate(spark, sf_dir):
+    """Ear-clipping triangulation (functions/triangulate.py) of 60
+    closed-form star polygons (6..12 vertices, modular radii): exact
+    integer cross-product ear tests, smallest-position clip order (a
+    total order, so the fan-out is unique); sum(area2) per key equals
+    the shoelace doubled area.  The oracle replays the clip rounds as
+    window/anti-join event-loop CTEs."""
+    from .functions.triangulate import triangulate
+
+    dirs_x = F.array(*[F.lit(d[0]) for d in _TRI_DIRS])
+    dirs_y = F.array(*[F.lit(d[1]) for d in _TRI_DIRS])
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("k"))
+        .filter(F.col("k") < 60)
+    )
+    k = F.col("k")
+    m = (6 + k % 7).alias("m")
+    verts = (
+        docs.select("k", m)
+        .select("k", "m", F.explode(F.sequence(F.lit(0), F.col("m") - 1)).alias("j"))
+        .select(
+            "k",
+            F.col("j").alias("i"),
+            (50 + (k * 31 + F.col("j") * 17) % 40).alias("r"),
+            F.element_at(dirs_x, (16 * F.col("j") / F.col("m")).cast("int") + 1).alias("dx"),
+            F.element_at(dirs_y, (16 * F.col("j") / F.col("m")).cast("int") + 1).alias("dy"),
+        )
+        .select("k", "i", (F.col("r") * F.col("dx")).alias("x"),
+                (F.col("r") * F.col("dy")).alias("y"))
+    )
+    return triangulate(verts, key_col="k").orderBy("key", "i0", "i1", "i2")
+
+
+def q_triangulate_oracle():
+    from .functions.triangulate import triangulate_sql
+
+    dirs = ", ".join(f"({d}, {dx}, {dy})"
+                     for d, (dx, dy) in enumerate(_TRI_DIRS))
+    pts = f"""
+SELECT k AS key, j AS i, r * dx AS x, r * dy AS y FROM (
+  SELECT k, j, 50 + (k * 31 + j * 17) % 40 AS r, (16 * j) // m AS d
+  FROM (SELECT CAST(doc_id AS BIGINT) AS k, 6 + CAST(doc_id AS BIGINT) % 7 AS m
+        FROM documents WHERE doc_id < 60) p,
+       generate_series(0, 11) s(j)
+  WHERE j < m) v
+JOIN (VALUES {dirs}) dirs(d, dx, dy) USING (d)"""
+    return (
+        "SELECT * FROM ("
+        + triangulate_sql(pts, max_rounds=9)
+        + ") ORDER BY key, i0, i1, i2"
+    )
+
+
+QUERIES["triangulate"] = (q_triangulate, q_triangulate_oracle)
