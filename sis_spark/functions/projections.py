@@ -296,6 +296,49 @@ class Sinusoidal:
         return np.degrees(lam) + self.lon0, np.degrees(phi)
 
 
+class Mollweide:
+    """Spherical Mollweide (ESRI:53009 Sphere_Mollweide): equal-area
+    pseudocylindrical,
+
+        x = (2*sqrt(2)/pi) * R * lam * cos(t)     y = sqrt(2) * R * sin(t)
+
+    with the auxiliary angle t solving 2t + sin(2t) = pi*sin(phi) by 50
+    DERANDOMIZED bisection rounds — a fixed, replayable op sequence (the
+    oracle chains the same rounds as CTEs).  A one-ULP libm sin
+    difference can only flip a comparison whose midpoint is within
+    ~1e-16 of the root, leaving t within float precision of the true
+    root either way, and the floor-shift output discipline absorbs it."""
+
+    ROUNDS = 50
+
+    def __init__(self, lon0: float = 0.0, R: float = 6371000.0):
+        self.lon0, self.R = lon0, R
+        self._xc = R * 2.0 * np.sqrt(2.0) / np.pi
+        self._yc = R * np.sqrt(2.0)
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        tgt = np.pi * np.sin(phi)
+        lo = np.full_like(phi, -np.pi / 2.0)
+        hi = np.full_like(phi, np.pi / 2.0)
+        for _ in range(self.ROUNDS):
+            mid = (lo + hi) * 0.5
+            take = 2.0 * mid + np.sin(2.0 * mid) < tgt
+            lo = np.where(take, mid, lo)
+            hi = np.where(take, hi, mid)
+        t = (lo + hi) * 0.5
+        x = self._xc * lam * np.cos(t)
+        y = self._yc * np.sin(t)
+        return x, y
+
+    def inverse(self, x, y):
+        t = np.arcsin(np.asarray(y, np.float64) / self._yc)
+        phi = np.arcsin((2.0 * t + np.sin(2.0 * t)) / np.pi)
+        lam = np.asarray(x, np.float64) / (self._xc * np.cos(t))
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
 class _Geographic:
     def forward(self, lon, lat):
         return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
@@ -357,6 +400,8 @@ CRS_REGISTRY: dict[str, object] = {
     "EPSG:4326": _Geographic(),
     # Sphere sinusoidal (equal-area pseudocylindrical, the MODIS-grid shape)
     "ESRI:53008": Sinusoidal(0.0, 6371000.0),
+    # Sphere Mollweide (equal-area pseudocylindrical world map)
+    "ESRI:53009": Mollweide(0.0, 6371000.0),
     "CRS:84": _Geographic(),
     "EPSG:3857": _WebMercator(),
     # Lambert-93 (France), the canonical LCC 2SP deployment

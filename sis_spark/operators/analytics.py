@@ -2664,3 +2664,51 @@ k AS (
                            THEN i END), 0) AS kmax
   FROM r, t)
 SELECT id, p, i, i <= k.kmax AS reject FROM r, k"""
+
+
+def average_precision(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    label_col: str,
+    q: int = 1 << 20,
+) -> DataFrame:
+    """Average precision (area under the PR curve, the ranking-eval
+    companion of auc_exact) -> one row (n, npos, ap_q): rank by
+    (score DESC, id ASC), and for every positive at rank k add the
+    q-quantized precision floor(q * TP_k / k); AP = ap_q / (q * npos).
+    The per-rank floordiv is part of the semantics (order-independent
+    sum of exact terms), so both engines agree bit-for-bit.  One rank
+    window + one agg."""
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    y = F.col(label_col).cast("long")
+    ranked = df.select(
+        y.alias("y"),
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum(y).over(
+            Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("tp"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("npos"),
+        F.sum(
+            F.when(F.col("y") == 1, F.expr(f"({q} * tp) div k")).otherwise(0)
+        ).alias("ap_q"),
+    )
+
+
+def average_precision_sql(base_select: str, q: int = 1 << 20) -> str:
+    """DuckDB oracle for ``average_precision``; ``base_select`` must
+    yield (id, score, y)."""
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS npos,
+       CAST(sum(CASE WHEN y = 1 THEN ({q} * tp) // k ELSE 0 END)
+            AS BIGINT) AS ap_q
+FROM (
+  SELECT y,
+         CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS k,
+         sum(y) OVER (ORDER BY score DESC, id
+                      ROWS UNBOUNDED PRECEDING) AS tp
+  FROM ({base_select}) b) r"""

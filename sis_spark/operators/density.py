@@ -1703,3 +1703,48 @@ def ipf_balance_sql(
             i += 1
     return ("WITH " + ",\n".join(blocks)
             + f"\nSELECT o, d, t FROM {cur}")
+
+
+def quadrat_vmr(
+    points: DataFrame,
+    n_quadrats: int,
+    qx_col: str = "qx",
+    qy_col: str = "qy",
+) -> DataFrame:
+    """Quadrat-count analysis (the index-of-dispersion test for CSR) ->
+    one row (nq, occupied, s, s2, vmr_num, vmr_den): counts per quadrat
+    cell over a FIXED frame of ``n_quadrats`` cells (empties count 0 and
+    enter only through the constants), and the variance/mean ratio as
+    the exact rational
+
+        VMR = (nq * s2 - s^2) / (s * (nq - 1))
+
+    VMR > 1 means clustered, < 1 regular.  Two map-side-combinable
+    aggs, nothing else."""
+    c = points.groupBy(qx_col, qy_col).agg(F.count(F.lit(1)).alias("c"))
+    nq = int(n_quadrats)
+    t = c.agg(
+        F.count(F.lit(1)).alias("occupied"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    return t.select(
+        F.lit(nq).cast("long").alias("nq"),
+        "occupied", "s", "s2",
+        (F.lit(nq) * F.col("s2") - F.col("s") * F.col("s")).alias("vmr_num"),
+        (F.col("s") * F.lit(nq - 1)).alias("vmr_den"),
+    )
+
+
+def quadrat_vmr_sql(points_select: str, n_quadrats: int) -> str:
+    """DuckDB oracle for ``quadrat_vmr``; ``points_select`` must yield
+    (qx, qy)."""
+    nq = int(n_quadrats)
+    return f"""
+SELECT CAST({nq} AS BIGINT) AS nq, CAST(count(*) AS BIGINT) AS occupied,
+       CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS s2,
+       CAST({nq} * sum(c * c) - sum(c) * sum(c) AS BIGINT) AS vmr_num,
+       CAST(sum(c) * {nq - 1} AS BIGINT) AS vmr_den
+FROM (
+  SELECT qx, qy, count(*) AS c
+  FROM ({points_select}) p GROUP BY 1, 2) cells"""

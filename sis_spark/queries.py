@@ -16692,3 +16692,122 @@ JOIN (VALUES {dirs}) dirs(d, dx, dy) USING (d)"""
 
 
 QUERIES["triangulate"] = (q_triangulate, q_triangulate_oracle)
+
+
+def q_avg_precision(spark, sf_dir):
+    """Average precision / area under the PR curve
+    (analytics.average_precision, q=2^20) of a score-correlated planted
+    labeling on parts — rank by (score DESC, id), q-quantized precision
+    terms at each positive, exact integer sum."""
+    from .operators.analytics import average_precision
+    from .operators.sampling import hash_u60
+
+    s = (hash_u60(F.col("p_partkey"), "apscore") % 1000).alias("score")
+    parts = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("id"),
+        s,
+        (
+            (hash_u60(F.col("p_partkey"), "apscore") % 1000
+             + hash_u60(F.col("p_partkey"), "apnoise") % 600) >= 1100
+        ).cast("long").alias("y"),
+    )
+    return average_precision(parts, "id", "score", "y")
+
+
+def q_avg_precision_oracle():
+    from .operators.analytics import average_precision_sql
+    from .operators.sampling import hash_u60_sql
+
+    hs = hash_u60_sql("p_partkey", "apscore")
+    hn = hash_u60_sql("p_partkey", "apnoise")
+    base = f"""
+SELECT CAST(p_partkey AS BIGINT) AS id, {hs} % 1000 AS score,
+       CASE WHEN {hs} % 1000 + {hn} % 600 >= 1100 THEN 1 ELSE 0 END AS y
+FROM part"""
+    return average_precision_sql(base)
+
+
+QUERIES["avg_precision"] = (q_avg_precision, q_avg_precision_oracle)
+
+
+def q_quadrat_vmr(spark, sf_dir):
+    """Quadrat-count index of dispersion (density.quadrat_vmr) over the
+    1-degree grid (64800 fixed quadrats): VMR as an exact rational —
+    the CSR clustering test; the synthetic events are strongly
+    clustered so VMR >> 1."""
+    from .operators.density import quadrat_vmr
+
+    pts = _events_points(spark, sf_dir).select(
+        F.floor(F.col("lon")).cast("long").alias("qx"),
+        F.floor(F.col("lat")).cast("long").alias("qy"),
+    )
+    return quadrat_vmr(pts, n_quadrats=360 * 180)
+
+
+def q_quadrat_vmr_oracle():
+    from .operators.density import quadrat_vmr_sql
+
+    pts = (
+        "SELECT CAST(floor(lon) AS BIGINT) AS qx, "
+        "CAST(floor(lat) AS BIGINT) AS qy FROM ("
+        + _points_sql() + ") p"
+    )
+    return quadrat_vmr_sql(pts, n_quadrats=360 * 180)
+
+
+QUERIES["quadrat_vmr"] = (q_quadrat_vmr, q_quadrat_vmr_oracle)
+
+
+def q_mollweide(spark, sf_dir):
+    """WGS84 -> sphere Mollweide (ESRI:53009): the equal-area world-map
+    pseudocylindrical whose auxiliary angle has no closed form — 50
+    derandomized bisection rounds solve 2t + sin(2t) = pi*sin(phi)
+    identically in both engines (the oracle chains the same rounds as
+    CTEs); floor-shift discipline as `polar_stereo`."""
+    from .functions.projections import st_transform_any_udf
+
+    pts = _events_points(spark, sf_dir)
+    p = st_transform_any_udf("EPSG:4326", "ESRI:53009")(
+        F.col("lon"), F.col("lat")
+    )
+    return pts.select(
+        "event_id",
+        F.floor(p["x"] - F.lit(0.123456789)).cast("long").alias("xl"),
+        F.floor(p["y"] - F.lit(0.123456789)).cast("long").alias("yl"),
+    ).orderBy("event_id")
+
+
+def q_mollweide_oracle():
+    import math
+
+    from .functions.projections import CRS_REGISTRY
+
+    p = CRS_REGISTRY["ESRI:53009"]
+    pi = synth.flit(math.pi)
+    hpi = synth.flit(math.pi / 2.0)
+    xc, yc = synth.flit(p._xc), synth.flit(p._yc)
+    blocks = [f"""b0 AS (
+  SELECT event_id, radians(lon - 0.0) AS lam,
+         {pi} * sin(radians(lat)) AS tgt,
+         -{hpi} AS lo, {hpi} AS hi
+  FROM ({_points_sql()}) p)"""]
+    for i in range(p.ROUNDS):
+        blocks.append(f"""b{i + 1} AS (
+  SELECT event_id, lam, tgt,
+         CASE WHEN 2.0 * mid + sin(2.0 * mid) < tgt
+              THEN mid ELSE lo END AS lo,
+         CASE WHEN 2.0 * mid + sin(2.0 * mid) < tgt
+              THEN hi ELSE mid END AS hi
+  FROM (SELECT *, (lo + hi) * 0.5 AS mid FROM b{i}) m)""")
+    return (
+        "WITH " + ",\n".join(blocks) + f"""
+SELECT event_id,
+  CAST(floor(({xc} * lam * cos((lo + hi) * 0.5)) - 0.123456789)
+       AS BIGINT) AS xl,
+  CAST(floor(({yc} * sin((lo + hi) * 0.5)) - 0.123456789)
+       AS BIGINT) AS yl
+FROM b{p.ROUNDS} ORDER BY event_id"""
+    )
+
+
+QUERIES["mollweide"] = (q_mollweide, q_mollweide_oracle)

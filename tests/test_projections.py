@@ -203,3 +203,27 @@ def test_sinusoidal_roundtrip_and_properties():
     # width scales with cos(lat): check x at lat 60 is half of x at lat 0
     xh, _ = p.forward(np.array([90.0]), np.array([60.0]))
     assert abs(xh[0] - 0.5 * xe[0]) < 1e-6
+
+
+def test_mollweide_roundtrip_and_known_points():
+    import numpy as np
+
+    from sis_spark.functions.projections import CRS_REGISTRY
+
+    p = CRS_REGISTRY["ESRI:53009"]
+    rng = np.random.default_rng(12)
+    lon = rng.uniform(-179, 179, 400)
+    lat = rng.uniform(-88, 88, 400)
+    x, y = p.forward(lon, lat)
+    lon2, lat2 = p.inverse(x, y)
+    assert np.max(np.abs(lon2 - lon)) < 1e-7
+    assert np.max(np.abs(lat2 - lat)) < 1e-7
+    # published frame: x(180E, 0) = 2*sqrt(2)*R*pi/pi... = 2*sqrt(2)*R
+    xe, ye = p.forward(np.array([180.0]), np.array([0.0]))
+    assert abs(xe[0] - 2.0 * np.sqrt(2.0) * p.R) < 1e-4
+    assert abs(ye[0]) < 1e-4
+    # pole: y = sqrt(2)*R, x = 0.  f(t) = 2t + sin(2t) is CUBICALLY flat
+    # at t = pi/2, so float comparisons stall bisection ~1e-5 rad out:
+    # ~2e-4 m of y — inherent to doubles, identical in both engines.
+    xp, yp = p.forward(np.array([0.0]), np.array([90.0]))
+    assert abs(yp[0] - np.sqrt(2.0) * p.R) < 1e-3 and abs(xp[0]) < 1e-3

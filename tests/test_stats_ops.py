@@ -128,3 +128,41 @@ def test_ams_f2_replay_and_merge(spark):
         assert got[j] == (z, z * z)
     est = sum(z2 for _z, z2 in got.values()) / 8
     assert 0.2 * f2 < est < 5 * f2  # unbiased estimator sanity
+
+
+def test_average_precision_matches_sklearn_style_brute(spark):
+    from sis_spark.operators.analytics import average_precision
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (i, int(s), int(s + rng.integers(0, 800) > 900))
+        for i, s in enumerate(rng.integers(0, 1000, 400))
+    ]
+    df = spark.createDataFrame(rows, ["id", "score", "y"])
+    r = average_precision(df, "id", "score", "y").collect()[0]
+    order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    tp, apq, q = 0, 0, 1 << 20
+    for k, (_i, _s, y) in enumerate(order, 1):
+        tp += y
+        if y:
+            apq += (q * tp) // k
+    npos = sum(y for _i, _s, y in rows)
+    assert (r.n, r.npos, r.ap_q) == (len(rows), npos, apq)
+    # AP of this correlated labeling beats the positive rate baseline
+    assert r.ap_q / (q * npos) > npos / len(rows)
+
+
+def test_quadrat_vmr_clustered_vs_regular(spark):
+    from sis_spark.operators.density import quadrat_vmr
+
+    # regular: one point per cell -> VMR ~ (nq*s - s^2)/(s*(nq-1)) < 1
+    reg = [(i, i) for i in range(50)]
+    df = spark.createDataFrame(reg, ["qx", "qy"])
+    r = quadrat_vmr(df, n_quadrats=100).collect()[0]
+    assert r.s == 50 and r.s2 == 50 and r.occupied == 50
+    assert r.vmr_num / r.vmr_den < 1.0
+    # clustered: all points in one cell -> VMR >> 1
+    clu = [(0, 0)] * 50
+    df2 = spark.createDataFrame(clu, ["qx", "qy"])
+    r2 = quadrat_vmr(df2, n_quadrats=100).collect()[0]
+    assert r2.occupied == 1 and r2.vmr_num / r2.vmr_den > 10.0
