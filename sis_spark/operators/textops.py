@@ -2105,3 +2105,58 @@ SELECT {id_col}, weight, score, rank FROM (
   SELECT *, CAST(row_number() OVER (
     ORDER BY score DESC, {id_col} ASC) AS BIGINT) AS rank
   FROM scored) r WHERE rank <= {int(k)}"""
+
+
+def dict_match_counts(
+    docs: DataFrame,
+    text_col: str,
+    patterns: list[str],
+) -> DataFrame:
+    """Multi-pattern literal matching (the blocklist / PII-dictionary
+    filter of a training-data pipeline) -> (pattern, docs_hit,
+    total_occ): occurrences of pattern p in t are counted as
+
+        (length(t) - length(replace(t, p, ''))) div length(p)
+
+    — non-overlapping left-to-right replace semantics, identical in
+    Spark and DuckDB, pure JVM codegen (one wide projection + one
+    explode + one agg; the dictionary rides in the plan, no join).
+    For dictionaries too big for a plan literal, switch to the
+    tokenize-and-broadcast-join shape instead."""
+    t = F.col(text_col)
+    entries = []
+    for p in patterns:
+        if not p:
+            raise ValueError("empty pattern")
+        lit = p.replace("'", "''")
+        occ = F.expr(
+            f"(length({text_col}) - length(replace({text_col}, '{lit}', '')))"
+            f" div {len(p)}"
+        )
+        entries.append(
+            F.struct(F.lit(p).alias("pattern"), occ.alias("occ"))
+        )
+    ex = docs.select(F.explode(F.array(*entries)).alias("s")).select(
+        "s.pattern", "s.occ"
+    )
+    return ex.groupBy("pattern").agg(
+        F.sum((F.col("occ") > 0).cast("long")).alias("docs_hit"),
+        F.sum("occ").alias("total_occ"),
+    )
+
+
+def dict_match_counts_sql(
+    base_select: str, text_col: str, patterns: list[str]
+) -> str:
+    """DuckDB oracle for ``dict_match_counts``."""
+    vals = ", ".join("('" + p.replace("'", "''") + "')" for p in patterns)
+    return f"""
+SELECT pattern,
+       CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+       CAST(sum(occ) AS BIGINT) AS total_occ
+FROM (
+  SELECT p.pattern,
+         (length(b.{text_col}) - length(replace(b.{text_col}, p.pattern, '')))
+           // length(p.pattern) AS occ
+  FROM ({base_select}) b, (VALUES {vals}) p(pattern)) t
+GROUP BY pattern"""

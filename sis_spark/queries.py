@@ -16811,3 +16811,102 @@ FROM b{p.ROUNDS} ORDER BY event_id"""
 
 
 QUERIES["mollweide"] = (q_mollweide, q_mollweide_oracle)
+
+
+def q_census_transform(spark, sf_dir):
+    """Census transform (terrain.census_tiles — the illumination-
+    invariant stereo descriptor) of the 500x300 quadratic texture
+    raster: per-pixel 8-bit strict neighbor>center patterns on the
+    9-way halo machinery, zero padding; per-tile weighted checksums as
+    `median_filter`."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.terrain import census_tiles
+
+    W, H, TS = 500, 300, 64
+    tiles = _texture_tiles(spark, W, H, tile_size=TS)
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    cen = census_tiles(tiles, gg, tile_size=TS)
+
+    def cs(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                v = _np.frombuffer(data, _np.int64).reshape(TS, TS)
+                px = int(tx) * TS + _np.arange(TS)[None, :]
+                py = int(ty) * TS + _np.arange(TS)[:, None]
+                wt = ((py * W + px) % 9973 + 1).astype(_np.int64)
+                wt = wt * ((px < W) & (py < H))
+                rows.append({"tx": int(tx), "ty": int(ty),
+                             "cs_cen": int((v * wt).sum())})
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return cen.mapInPandas(cs, "tx long, ty long, cs_cen long").orderBy(
+        "tx", "ty"
+    )
+
+
+def q_census_transform_oracle():
+    vc = _texture_v_sql("x", "y")
+    terms = []
+    bit = 0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nx, ny = f"x + ({dx})", f"y + ({dy})"
+            vn = _texture_v_sql(nx, ny)
+            rng = f"{nx} >= 0 AND {nx} < 500 AND {ny} >= 0 AND {ny} < 300"
+            terms.append(
+                f"CASE WHEN {rng} AND ({vn}) > ({vc}) "
+                f"THEN {1 << bit} ELSE 0 END"
+            )
+            bit += 1
+    return f"""
+WITH px AS (
+  SELECT x.x AS x, y.y AS y
+  FROM generate_series(0, 499) x(x), generate_series(0, 299) y(y)),
+m AS (
+  SELECT x // 64 AS tx, y // 64 AS ty,
+         ({" + ".join(terms)}) AS code,
+         ((y * 500 + x) % 9973 + 1) AS wt
+  FROM px)
+SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+       CAST(sum(code * wt) AS BIGINT) AS cs_cen
+FROM m GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+QUERIES["census_transform"] = (q_census_transform, q_census_transform_oracle)
+
+
+_BLOCKLIST = ["table", "fast spark", "agg row", "scan scan", "customer",
+              "value table part"]
+
+
+def q_blocklist_counts(spark, sf_dir):
+    """Blocklist / dictionary matching (textops.dict_match_counts) over
+    documents: per-pattern hit-doc and occurrence totals by exact
+    non-overlapping replace counting — the PII/contamination dictionary
+    filter, pure codegen."""
+    from .operators.textops import dict_match_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    return dict_match_counts(docs, "text", _BLOCKLIST).orderBy("pattern")
+
+
+def q_blocklist_counts_oracle():
+    from .operators.textops import dict_match_counts_sql
+
+    return (
+        "SELECT * FROM ("
+        + dict_match_counts_sql("SELECT text FROM documents", "text",
+                                _BLOCKLIST)
+        + ") ORDER BY pattern"
+    )
+
+
+QUERIES["blocklist_counts"] = (q_blocklist_counts, q_blocklist_counts_oracle)

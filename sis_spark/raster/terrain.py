@@ -2570,3 +2570,61 @@ def adaptive_threshold_tiles(
     return contrib.groupBy("gtx", "gty").applyInPandas(
         fn, schema="tx long, ty long, data binary"
     )
+
+
+def census_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """Census transform (Zabih & Woodfill 1994, the illumination-
+    invariant stereo/matching descriptor): every pixel becomes the
+    8-bit pattern of strict (neighbor > center) comparisons over its
+    3x3 ring, bit k following row-major ring order.  Out-of-extent
+    neighbors read 0 (zero padding), matching the rank-filter
+    convention.  Same 9-way halo shuffle as rank_filter_tiles; pure
+    integer comparisons, so the oracle replays every bit."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ts = tile_size
+    ntx = (w + ts - 1) // ts
+    nty = (h + ts - 1) // ts
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+
+    def fn(key, pdf):
+        gtx, gty = int(key[0]), int(key[1])
+        halo = np.zeros((ts + 2, ts + 2), dtype=np.int64)
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = np.frombuffer(data, dtype=bdt).reshape(ts, ts).astype(np.int64)
+            oy = (int(ty) - gty) * ts + 1
+            ox = (int(tx) - gtx) * ts + 1
+            y0, x0 = max(oy, 0), max(ox, 0)
+            y1, x1 = min(oy + ts, ts + 2), min(ox + ts, ts + 2)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            halo[y0:y1, x0:x1] = block[y0 - oy:y1 - oy, x0 - ox:x1 - ox]
+        hx = gtx * ts - 1 + np.arange(ts + 2)[None, :]
+        hy = gty * ts - 1 + np.arange(ts + 2)[:, None]
+        oob = (hx < 0) | (hx >= w) | (hy < 0) | (hy >= h)
+        halo[oob] = 0
+        center = halo[1:1 + ts, 1:1 + ts]
+        out = np.zeros((ts, ts), dtype=np.int64)
+        bit = 0
+        for dy in range(3):
+            for dx in range(3):
+                if dy == 1 and dx == 1:
+                    continue
+                nb = halo[dy:dy + ts, dx:dx + ts]
+                out |= (nb > center).astype(np.int64) << bit
+                bit += 1
+        px = gtx * ts + np.arange(ts)
+        py = gty * ts + np.arange(ts)
+        out[:, px >= w] = 0
+        out[py >= h, :] = 0
+        return pd.DataFrame([{"tx": gtx, "ty": gty, "data": out.tobytes()}])
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(fn, schema=CONV_SCHEMA)

@@ -35,3 +35,45 @@ def test_join_counts_matches_dense(spark):
     # rook adjacency count sanity: m == 2*w*h - w - h
     h, w = img.shape
     assert r.m == 2 * w * h - w - h
+
+
+def test_census_tiles_matches_dense(spark):
+    import pandas as pd
+
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.terrain import census_tiles
+
+    rng = np.random.default_rng(4)
+    ts, W, H = 16, 40, 30  # partial tiles on both axes
+    img = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    ntx, nty = (W + ts - 1) // ts, (H + ts - 1) // ts
+    rows = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            blk = np.zeros((ts, ts), np.uint8)
+            sub = img[ty * ts:min((ty + 1) * ts, H),
+                      tx * ts:min((tx + 1) * ts, W)]
+            blk[:sub.shape[0], :sub.shape[1]] = sub
+            rows.append({"tx": tx, "ty": ty, "band": 0, "data": blk.tobytes()})
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows), schema="tx long, ty long, band int, data binary")
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    got = {}
+    for r in census_tiles(tiles, gg, tile_size=ts).collect():
+        got[(r.tx, r.ty)] = np.frombuffer(r.data, np.int64).reshape(ts, ts)
+
+    pad = np.zeros((H + 2, W + 2), np.int64)
+    pad[1:-1, 1:-1] = img
+    exp = np.zeros((H, W), np.int64)
+    bit = 0
+    for dy in range(3):
+        for dx in range(3):
+            if dy == 1 and dx == 1:
+                continue
+            exp |= (pad[dy:dy + H, dx:dx + W] > img).astype(np.int64) << bit
+            bit += 1
+    for (tx, ty), blk in got.items():
+        sub = exp[ty * ts:min((ty + 1) * ts, H), tx * ts:min((tx + 1) * ts, W)]
+        assert (blk[:sub.shape[0], :sub.shape[1]] == sub).all()
+        assert blk[sub.shape[0]:, :].sum() == 0 and blk[:, sub.shape[1]:].sum() == 0

@@ -166,3 +166,15 @@ def test_quadrat_vmr_clustered_vs_regular(spark):
     df2 = spark.createDataFrame(clu, ["qx", "qy"])
     r2 = quadrat_vmr(df2, n_quadrats=100).collect()[0]
     assert r2.occupied == 1 and r2.vmr_num / r2.vmr_den > 10.0
+
+
+def test_dict_match_counts_hand_truth(spark):
+    from sis_spark.operators.textops import dict_match_counts
+
+    docs = spark.createDataFrame(
+        [("aaa bbb aaa",), ("bbb",), ("xyz",), ("aaaa",)], ["text"]
+    )
+    got = {r.pattern: (r.docs_hit, r.total_occ)
+           for r in dict_match_counts(docs, "text", ["aaa", "bbb", "q"]).collect()}
+    # 'aaaa' contains ONE non-overlapping 'aaa' (replace semantics)
+    assert got == {"aaa": (2, 3), "bbb": (2, 2), "q": (0, 0)}
