@@ -1534,3 +1534,155 @@ FROM n x
 JOIN reach f ON f.a = x.node
 JOIN reach g ON g.a = f.b AND g.b = x.node
 GROUP BY x.node"""
+
+
+def betweenness_q(
+    edges: DataFrame,
+    sources: DataFrame,
+    levels: int,
+    q: int = 1 << 20,
+) -> DataFrame:
+    """Sampled-source betweenness centrality (Brandes 2001, the
+    multi-source distributed formulation) -> (v, bc_q): forward BFS
+    keeps (source, node, dist, sigma) for ALL sources at once (one
+    frontier join + one sigma-sum per level), then the backward
+    dependency accumulation runs levels top-down with the rational
+    sigma ratio q-FIXED-POINT quantized per term:
+
+        dq(s,v) = sum over shortest-path successors w of
+                  (sigma(s,v) * (q + dq(s,w))) div sigma(s,w)
+
+    bc_q(v) = sum over sources s != v of dq(s,v); true betweenness
+    ~ bc_q / q.  The per-term floordiv is order-independent, so the
+    oracle replays every level bit-for-bit.  ``levels`` bounds the BFS
+    (exact when >= the eccentricity of every source, like
+    shortest_paths); nodes unreachable from every source are absent.
+    ``sources``: (node)."""
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        .filter(F.col("u").isNotNull() & F.col("w").isNotNull())
+        .distinct()
+        .persist()
+    )
+    vis = sources.select(
+        F.col("node").alias("s"),
+        F.col("node").alias("v"),
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint()
+    frontier = vis
+    max_l = 0
+    for l in range(1, int(levels) + 1):
+        cand = (
+            frontier.join(e, frontier["v"] == e["u"])
+            .groupBy("s", F.col("w").alias("nv"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumnRenamed("nv", "v")
+        )
+        new = (
+            cand.join(vis.select("s", "v"), ["s", "v"], "anti")
+            .select(
+                "s", "v", F.lit(l).cast("long").alias("dist"), "sigma"
+            )
+            .localCheckpoint()
+        )
+        if new.isEmpty():
+            break
+        max_l = l
+        vis = vis.union(new).localCheckpoint()
+        frontier = new
+    # backward accumulation, levels top-down
+    dq_next = vis.filter(F.col("dist") == max_l).select(
+        "s", "v", F.lit(0).cast("long").alias("dq")
+    )
+    acc = dq_next
+    for l in range(max_l - 1, -1, -1):
+        cur = vis.filter(F.col("dist") == l)
+        nxt = (
+            vis.filter(F.col("dist") == l + 1)
+            .join(dq_next, ["s", "v"])
+            .select(
+                F.col("s").alias("ns"), F.col("v").alias("nw"),
+                F.col("sigma").alias("sigma_w"), F.col("dq").alias("ndq"),
+            )
+        )
+        contrib = (
+            cur.select(F.col("s").alias("cs"), F.col("v").alias("cv"),
+                       F.col("sigma").alias("sigma_v"))
+            .join(e, F.col("cv") == e["u"])
+            .join(nxt, (F.col("cs") == F.col("ns"))
+                  & (e["w"] == F.col("nw")))
+            .select(
+                "cs", "cv",
+                F.expr(f"(sigma_v * ({q} + ndq)) div sigma_w").alias("c"),
+            )
+            .groupBy(F.col("cs").alias("s"), F.col("cv").alias("v"))
+            .agg(F.sum("c").alias("cd"))
+        )
+        dq_next = (
+            cur.join(contrib, ["s", "v"], "left")
+            .select("s", "v", F.coalesce("cd", F.lit(0)).alias("dq"))
+            .localCheckpoint()
+        )
+        acc = acc.union(dq_next)
+    e.unpersist()
+    return (
+        acc.filter(F.col("v") != F.col("s"))
+        .groupBy("v")
+        .agg(F.sum("dq").alias("bc_q"))
+    )
+
+
+def betweenness_sql(
+    edges_select: str, sources_select: str, levels: int, q: int = 1 << 20
+) -> str:
+    """DuckDB oracle for ``betweenness_q``: forward levels then backward
+    levels as chained MATERIALIZED CTEs.  ``edges_select`` -> (src,
+    dst); ``sources_select`` -> (node).  ``levels`` must cover every
+    source's eccentricity (levels beyond the true maximum are empty
+    no-ops on both sides)."""
+    L = int(levels)
+    blocks = [
+        f"""e AS MATERIALIZED (
+  SELECT DISTINCT src AS u, dst AS w FROM ({edges_select}) raw
+  WHERE src IS NOT NULL AND dst IS NOT NULL)""",
+        f"""v0 AS MATERIALIZED (
+  SELECT node AS s, node AS v, CAST(0 AS BIGINT) AS dist,
+         CAST(1 AS BIGINT) AS sigma
+  FROM ({sources_select}) src)""",
+    ]
+    for l in range(1, L + 1):
+        p = l - 1
+        blocks.append(f"""n{l} AS MATERIALIZED (
+  SELECT f.s, e.w AS v, CAST({l} AS BIGINT) AS dist,
+         CAST(sum(f.sigma) AS BIGINT) AS sigma
+  FROM v{p} f JOIN e ON e.u = f.v
+  WHERE f.dist = {p}
+    AND NOT EXISTS (SELECT 1 FROM v{p} x WHERE x.s = f.s AND x.v = e.w)
+  GROUP BY 1, 2)""")
+        blocks.append(
+            f"v{l} AS MATERIALIZED (SELECT * FROM v{p} "
+            f"UNION ALL SELECT * FROM n{l})"
+        )
+    blocks.append(f"""d{L} AS MATERIALIZED (
+  SELECT s, v, CAST(0 AS BIGINT) AS dq FROM v{L} WHERE dist = {L})""")
+    for l in range(L - 1, -1, -1):
+        blocks.append(f"""d{l} AS MATERIALIZED (
+  SELECT c.s, c.v, CAST(coalesce(sum(
+           (c.sigma * ({q} + d.dq)) // nx.sigma), 0) AS BIGINT) AS dq
+  FROM v{L} c
+  LEFT JOIN e ON e.u = c.v
+  LEFT JOIN v{L} nx ON nx.s = c.s AND nx.v = e.w AND nx.dist = {l + 1}
+  LEFT JOIN d{l + 1} d ON d.s = nx.s AND d.v = nx.v
+  WHERE c.dist = {l}
+  GROUP BY 1, 2)""")
+    unions = " UNION ALL ".join(
+        f"SELECT s, v, dq FROM d{l}" for l in range(0, L + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"""
+SELECT v, CAST(sum(dq) AS BIGINT) AS bc_q
+FROM ({unions}) a WHERE v <> s GROUP BY v"""
+    )

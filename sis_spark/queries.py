@@ -16910,3 +16910,48 @@ def q_blocklist_counts_oracle():
 
 
 QUERIES["blocklist_counts"] = (q_blocklist_counts, q_blocklist_counts_oracle)
+
+
+def q_betweenness(spark, sf_dir):
+    """Sampled-source betweenness centrality (graph.betweenness_q,
+    Brandes forward/backward levels, q=2^20, 8 levels) over a ternary
+    expander on documents with sources every 100th doc: sigma path
+    counts forward, q-fixed-point dependency accumulation backward —
+    the influence/bridging score.  Bounded-level semantics like
+    shortest_paths; the oracle replays the identical levels."""
+    from .operators.graph import betweenness_q
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i")
+    )
+    n = docs.count()
+    i = F.col("i")
+    edges = (
+        docs.select(i.alias("src"), ((3 * i + 1) % n).alias("dst"))
+        .union(docs.select(i.alias("src"), ((3 * i + 2) % n).alias("dst")))
+        .union(docs.select(i.alias("src"), ((3 * i + 3) % n).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    sources = docs.filter(i % 100 == 0).select(i.alias("node"))
+    return betweenness_q(edges, sources, levels=8).orderBy("v")
+
+
+def q_betweenness_oracle():
+    from .operators.graph import betweenness_sql
+
+    edges = """
+SELECT i AS src, (3 * i + o) % nn.n AS dst
+FROM (SELECT CAST(doc_id AS BIGINT) AS i FROM documents) d,
+     (SELECT unnest([1, 2, 3]) AS o) offs,
+     (SELECT count(*) AS n FROM documents) nn
+WHERE i <> (3 * i + o) % nn.n"""
+    sources = ("SELECT CAST(doc_id AS BIGINT) AS node FROM documents "
+               "WHERE doc_id % 100 = 0")
+    return (
+        "SELECT * FROM ("
+        + betweenness_sql(edges, sources, levels=8)
+        + ") ORDER BY v"
+    )
+
+
+QUERIES["betweenness"] = (q_betweenness, q_betweenness_oracle)
