@@ -1253,3 +1253,55 @@ def gray_world(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         fn, schema="image_id string, s0 long, s1 long, s2 long, cs long"
     )
+
+
+def hamming_join_bands(
+    a: DataFrame,
+    b: DataFrame,
+    code_col: str = "desc",
+    bits: int = 48,
+    band_bits: int = 8,
+    max_d: int = 5,
+) -> DataFrame:
+    """Hamming-radius join of two binary-descriptor sets -> rows
+    (a.*, b.* prefixed, d): candidates come from the pigeonhole band
+    trick (bits/band_bits exact-match bands; any pair with hamming
+    distance < #bands shares at least one identical band, so
+    max_d <= #bands - 1 guarantees NO false negatives), verified with
+    an exact bit_count popcount.  One explode + one equi-join on
+    (band index, band value) + distinct — never |A| x |B|; the
+    descriptor-matching stage of image registration and near-dup
+    mining."""
+    nb = bits // band_bits
+    if max_d > nb - 1:
+        raise ValueError("max_d must be <= bands - 1 for the pigeonhole"
+                         " guarantee")
+    mask = (1 << band_bits) - 1
+
+    def banded(df, prefix):
+        cols = [F.col(c).alias(f"{prefix}{c}") for c in df.columns]
+        return df.select(
+            *cols,
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(i).alias("bi"),
+                    F.expr(
+                        f"shiftright({code_col}, {i * band_bits}) & {mask}"
+                    ).alias("bv"),
+                )
+                for i in range(nb)
+            ])).alias("band"),
+        ).select(*[f"{prefix}{c}" for c in df.columns],
+                 "band.bi", "band.bv")
+
+    ab = banded(a, "a_")
+    bb = banded(b, "b_")
+    cand = (
+        ab.join(bb, ["bi", "bv"])
+        .drop("bi", "bv")
+        .distinct()
+    )
+    d = F.bit_count(
+        F.expr(f"a_{code_col} ^ b_{code_col}").cast("long")
+    ).cast("long")
+    return cand.withColumn("d", d).filter(F.col("d") <= max_d)

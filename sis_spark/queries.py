@@ -16955,3 +16955,95 @@ WHERE i <> (3 * i + o) % nn.n"""
 
 
 QUERIES["betweenness"] = (q_betweenness, q_betweenness_oracle)
+
+
+def _texture_tiles_perturbed(spark, w: int, h: int, tile_size: int = 64):
+    """Texture raster plus the deterministic +/-2 sensor-noise field
+    ((x*31 + y*17) % 5 - 2, wrapped mod 256) — the 'second exposure'
+    for matching gates."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.tiles import TILE_SCHEMA
+
+    ntx = (w + tile_size - 1) // tile_size
+    nty = (h + tile_size - 1) // tile_size
+    ids = spark.range(ntx * nty).repartition(
+        min(ntx * nty, spark.sparkContext.defaultParallelism)
+    )
+
+    def fill(batches):
+        gxs = _np.arange(tile_size, dtype=_np.int64)
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                t = int(i)
+                tx, ty = t % ntx, t // ntx
+                GX, GY = _np.meshgrid(tx * tile_size + gxs,
+                                      ty * tile_size + gxs)
+                tex = (3 * GX * GX + 7 * GX * GY + 5 * GY * GY
+                       + 11 * GX + 13 * GY) % 256
+                block = (tex + (GX * 31 + GY * 17) % 5 + 254) % 256
+                block = _np.where((GX < w) & (GY < h), block, 0).astype(
+                    _np.uint8
+                )
+                rows.append({"tx": tx, "ty": ty, "band": 0,
+                             "data": block.tobytes()})
+            yield _pd.DataFrame(rows)
+
+    return ids.mapInPandas(fill, TILE_SCHEMA)
+
+
+def q_brief_match(spark, sf_dir):
+    """BRIEF descriptor matching (terrain.brief_descriptors_tiles +
+    imageops.hamming_join_bands): 48-bit binary descriptors at 16-px
+    grid keypoints of the 500x300 texture image and its deterministic
+    noise-perturbed twin, joined at hamming <= 5 through 8-bit
+    pigeonhole bands (no |A|x|B| pairs) — the image-registration
+    feature-matching pipeline.  The oracle recomputes every descriptor
+    closed-form and cross-joins with an exact popcount (band candidates
+    are a superset at d <= bands-1, so the results coincide)."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import brief_descriptors_tiles
+    from .operators.imageops import hamming_join_bands
+
+    W, H, TS = 500, 300, 64
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    da = brief_descriptors_tiles(
+        _texture_tiles(spark, W, H, TS), gg, step=16, margin=8,
+        tile_size=TS,
+    )
+    db = brief_descriptors_tiles(
+        _texture_tiles_perturbed(spark, W, H, TS), gg, step=16, margin=8,
+        tile_size=TS,
+    )
+    out = hamming_join_bands(da, db, bits=48, band_bits=8, max_d=5)
+    return out.select(
+        "a_kx", "a_ky", "b_kx", "b_ky", "d"
+    ).orderBy("a_kx", "a_ky", "b_kx", "b_ky")
+
+
+def q_brief_match_oracle():
+    from .raster.terrain import brief_desc_sql
+
+    tex = lambda x, y: _texture_v_sql(x, y)
+    per = (lambda x, y: f"((({_texture_v_sql(x, y)}) + (({x}) * 31 "
+           f"+ ({y}) * 17) % 5 + 254) % 256)")
+    da = brief_desc_sql(tex)
+    db = brief_desc_sql(per)
+    return f"""
+WITH kp AS (
+  SELECT x.kx, y.ky
+  FROM generate_series(16, 491, 16) x(kx),
+       generate_series(16, 291, 16) y(ky)),
+a AS (SELECT kx, ky, {da} AS desc FROM kp),
+b AS (SELECT kx, ky, {db} AS desc FROM kp)
+SELECT a.kx AS a_kx, a.ky AS a_ky, b.kx AS b_kx, b.ky AS b_ky,
+       CAST(bit_count(xor(a.desc, b.desc)) AS BIGINT) AS d
+FROM a, b
+WHERE bit_count(xor(a.desc, b.desc)) <= 5
+ORDER BY a_kx, a_ky, b_kx, b_ky"""
+
+
+QUERIES["brief_match"] = (q_brief_match, q_brief_match_oracle)

@@ -2628,3 +2628,100 @@ def census_tiles(
         return pd.DataFrame([{"tx": gtx, "ty": gty, "data": out.tobytes()}])
 
     return contrib.groupBy("gtx", "gty").applyInPandas(fn, schema=CONV_SCHEMA)
+
+
+# 48 derandomized BRIEF sampling pairs, |offset| <= 7 (Calonder et al.
+# 2010 use a random pattern; a fixed modular pattern keeps the gate
+# oracle-replayable).  bit b: I(k + (dx1,dy1)) > I(k + (dx2,dy2)).
+BRIEF_PAIRS = [
+    ((b * 37 + 11) % 15 - 7, (b * 53 + 29) % 15 - 7,
+     (b * 71 + 3) % 15 - 7, (b * 89 + 41) % 15 - 7)
+    for b in range(48)
+]
+
+
+def brief_descriptors_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    step: int = 16,
+    margin: int = 8,
+    band: int = 0,
+    tile_size: int = 64,
+    dtype=np.uint8,
+) -> DataFrame:
+    """BRIEF binary descriptors (Calonder et al. 2010) at grid keypoints
+    -> (kx, ky, desc): 48 strict pixel-pair comparisons from the fixed
+    BRIEF_PAIRS pattern, packed into an int64 — the feature-matching
+    descriptor stage of an image-registration pipeline (pair with
+    imageops.hamming_join_bands for matching).  Keypoints sit on the
+    ``step`` grid, at least ``margin`` from the extent edge; each tile
+    computes its own keypoints from a margin-wide halo assembled from
+    the 9-way neighbor shuffle (pattern offsets never leave it)."""
+    h, w = gg.height, gg.width
+    bdt = np.dtype(dtype)
+    ts = tile_size
+    M = int(margin)
+    assert all(
+        abs(o) <= M for p in BRIEF_PAIRS for o in p
+    ), "pattern exceeds margin"
+    ntx = (w + ts - 1) // ts
+    nty = (h + ts - 1) // ts
+    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+
+    def fn(key, pdf):
+        gtx, gty = int(key[0]), int(key[1])
+        halo = np.zeros((ts + 2 * M, ts + 2 * M), dtype=np.int64)
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = np.frombuffer(data, dtype=bdt).reshape(ts, ts).astype(np.int64)
+            oy = (int(ty) - gty) * ts + M
+            ox = (int(tx) - gtx) * ts + M
+            y0, x0 = max(oy, 0), max(ox, 0)
+            y1 = min(oy + ts, ts + 2 * M)
+            x1 = min(ox + ts, ts + 2 * M)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            halo[y0:y1, x0:x1] = block[y0 - oy:y1 - oy, x0 - ox:x1 - ox]
+        x0g, y0g = gtx * ts, gty * ts
+        kxs = np.arange(
+            ((max(x0g, M) + step - 1) // step) * step,
+            min(x0g + ts, w - M), step, dtype=np.int64,
+        )
+        kys = np.arange(
+            ((max(y0g, M) + step - 1) // step) * step,
+            min(y0g + ts, h - M), step, dtype=np.int64,
+        )
+        if len(kxs) == 0 or len(kys) == 0:
+            return pd.DataFrame({"kx": [], "ky": [], "desc": []}).astype(
+                {"kx": np.int64, "ky": np.int64, "desc": np.int64}
+            )
+        KX, KY = np.meshgrid(kxs, kys)
+        lx = KX - x0g + M
+        ly = KY - y0g + M
+        desc = np.zeros_like(KX)
+        for b, (dx1, dy1, dx2, dy2) in enumerate(BRIEF_PAIRS):
+            v1 = halo[ly + dy1, lx + dx1]
+            v2 = halo[ly + dy2, lx + dx2]
+            desc |= (v1 > v2).astype(np.int64) << b
+        return pd.DataFrame({
+            "kx": KX.ravel(), "ky": KY.ravel(), "desc": desc.ravel()
+        })
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(
+        fn, schema="kx long, ky long, desc long"
+    )
+
+
+def brief_desc_sql(v_fn, kx: str = "kx", ky: str = "ky") -> str:
+    """SQL expression for the BRIEF_PAIRS descriptor at (kx, ky);
+    ``v_fn(x_expr, y_expr)`` must return the image-value SQL."""
+    terms = []
+    for b, (dx1, dy1, dx2, dy2) in enumerate(BRIEF_PAIRS):
+        v1 = v_fn(f"{kx} + ({dx1})", f"{ky} + ({dy1})")
+        v2 = v_fn(f"{kx} + ({dx2})", f"{ky} + ({dy2})")
+        terms.append(
+            f"CASE WHEN ({v1}) > ({v2}) THEN {1 << b}::BIGINT "
+            f"ELSE 0::BIGINT END"
+        )
+    return "(" + " + ".join(terms) + ")"

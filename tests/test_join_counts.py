@@ -77,3 +77,67 @@ def test_census_tiles_matches_dense(spark):
         sub = exp[ty * ts:min((ty + 1) * ts, H), tx * ts:min((tx + 1) * ts, W)]
         assert (blk[:sub.shape[0], :sub.shape[1]] == sub).all()
         assert blk[sub.shape[0]:, :].sum() == 0 and blk[:, sub.shape[1]:].sum() == 0
+
+
+def test_hamming_join_bands_equals_brute(spark):
+    from sis_spark.operators.imageops import hamming_join_bands
+
+    rng = np.random.default_rng(6)
+    a = [(i, int(c)) for i, c in enumerate(rng.integers(0, 1 << 48, 80))]
+    # b: half perturbed copies of a (few bit flips), half fresh
+    b = []
+    for i, c in a[:40]:
+        flips = rng.integers(0, 48, rng.integers(0, 5))
+        c2 = c
+        for f in flips:
+            c2 ^= 1 << int(f)
+        b.append((1000 + i, int(c2)))
+    b += [(2000 + i, int(c)) for i, c in
+          enumerate(rng.integers(0, 1 << 48, 40))]
+    da = spark.createDataFrame(a, ["id", "desc"])
+    db = spark.createDataFrame(b, ["id", "desc"])
+    got = {(r.a_id, r.b_id, r.d)
+           for r in hamming_join_bands(da, db, bits=48, band_bits=8,
+                                       max_d=5).collect()}
+    exp = set()
+    for i, c in a:
+        for j, c2 in b:
+            d = bin(c ^ c2).count("1")
+            if d <= 5:
+                exp.add((i, j, d))
+    assert got == exp and exp
+
+
+def test_brief_descriptors_margin_and_determinism(spark):
+    import pandas as pd
+
+    from sis_spark.raster.grid import GridGeometry
+    from sis_spark.raster.terrain import brief_descriptors_tiles
+
+    rng = np.random.default_rng(2)
+    ts, W, H = 32, 96, 64
+    img = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    rows = []
+    for ty in range(H // ts):
+        for tx in range(W // ts):
+            blk = img[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            rows.append({"tx": tx, "ty": ty, "band": 0,
+                         "data": blk.tobytes()})
+    tiles = spark.createDataFrame(
+        pd.DataFrame(rows), schema="tx long, ty long, band int, data binary")
+    gg = GridGeometry((0, 0, W - 1, H - 1),
+                      (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    got = {(r.kx, r.ky): r.desc
+           for r in brief_descriptors_tiles(
+               tiles, gg, step=16, margin=8, tile_size=ts).collect()}
+    # keypoints: multiples of 16 with margin 8 from every edge
+    assert set(got) == {(kx, ky) for kx in (16, 32, 48, 64, 80)
+                        for ky in (16, 32, 48) if kx < 88 and ky < 56}
+    from sis_spark.raster.terrain import BRIEF_PAIRS
+
+    for (kx, ky), desc in got.items():
+        exp = 0
+        for bi, (dx1, dy1, dx2, dy2) in enumerate(BRIEF_PAIRS):
+            if int(img[ky + dy1, kx + dx1]) > int(img[ky + dy2, kx + dx2]):
+                exp |= 1 << bi
+        assert desc == exp
