@@ -17047,3 +17047,79 @@ ORDER BY a_kx, a_ky, b_kx, b_ky"""
 
 
 QUERIES["brief_match"] = (q_brief_match, q_brief_match_oracle)
+
+
+def q_polylabel(spark, sf_dir):
+    """Pole of inaccessibility (functions/polylabel.py — the Mapbox
+    polylabel quadtree search, level-synchronous and pruned) for 40
+    closed-form star polygons, depth 6: signed distance via shared
+    integer-branch/double-value expressions, exact even-odd ray cast,
+    argmax cell center with (dq DESC, cx, cy) ties.  The oracle chains
+    the identical levels as CTEs."""
+    from .functions.polylabel import polylabel
+
+    dirs_x = F.array(*[F.lit(d[0]) for d in _TRI_DIRS])
+    dirs_y = F.array(*[F.lit(d[1]) for d in _TRI_DIRS])
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("k"))
+        .filter(F.col("k") < 40)
+    )
+    k = F.col("k")
+    verts = (
+        docs.select("k", (6 + k % 7).alias("m"))
+        .select("k", "m",
+                F.explode(F.sequence(F.lit(0), F.col("m") - 1)).alias("j"))
+        .select(
+            "k", "m", "j",
+            (50 + (k * 31 + F.col("j") * 17) % 40).alias("r"),
+            F.element_at(dirs_x, (16 * F.col("j") / F.col("m")).cast("int") + 1).alias("dx"),
+            F.element_at(dirs_y, (16 * F.col("j") / F.col("m")).cast("int") + 1).alias("dy"),
+        )
+        .select("k", "m", "j", (F.col("r") * F.col("dx")).alias("x"),
+                (F.col("r") * F.col("dy")).alias("y"))
+    )
+    w = Window.partitionBy("k").orderBy("j")
+    edges = (
+        verts.withColumn("nx", F.lead("x").over(w))
+        .withColumn("ny", F.lead("y").over(w))
+        .withColumn("fx", F.first("x").over(w))
+        .withColumn("fy", F.first("y").over(w))
+        .select(
+            F.col("k").alias("key"),
+            F.col("x").alias("ax"), F.col("y").alias("ay"),
+            F.coalesce("nx", "fx").alias("bx"),
+            F.coalesce("ny", "fy").alias("by"),
+        )
+    )
+    return polylabel(edges, depth=6).orderBy("key")
+
+
+def q_polylabel_oracle():
+    from .functions.polylabel import polylabel_sql
+
+    dirs = ", ".join(f"({d}, {dx}, {dy})"
+                     for d, (dx, dy) in enumerate(_TRI_DIRS))
+    edges = f"""
+SELECT key, ax, ay,
+       coalesce(lead(ax) OVER w, first_value(ax) OVER w) AS bx,
+       coalesce(lead(ay) OVER w, first_value(ay) OVER w) AS by
+FROM (
+  SELECT k AS key, j, r * dx AS ax, r * dy AS ay FROM (
+    SELECT k, j, 50 + (k * 31 + j * 17) % 40 AS r, (16 * j) // m AS d, m
+    FROM (SELECT CAST(doc_id AS BIGINT) AS k,
+                 6 + CAST(doc_id AS BIGINT) % 7 AS m
+          FROM documents WHERE doc_id < 40) p,
+         generate_series(0, 11) s(j)
+    WHERE j < m) v
+  JOIN (VALUES {dirs}) dirs(d, dx, dy) USING (d)) pts
+WINDOW w AS (PARTITION BY key ORDER BY j
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+    return (
+        "SELECT * FROM ("
+        + polylabel_sql(edges, depth=6)
+        + ") ORDER BY key"
+    )
+
+
+QUERIES["polylabel"] = (q_polylabel, q_polylabel_oracle)
