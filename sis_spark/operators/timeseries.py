@@ -1760,3 +1760,77 @@ SELECT k, CAST(i AS BIGINT) AS i, CAST(d2 AS BIGINT) AS d2,
        CAST(j AS BIGINT) AS j
 FROM (SELECT *, row_number() OVER (PARTITION BY k, i ORDER BY d2, j) AS rn
       FROM allp) r WHERE rn = 1"""
+
+
+def cusum_chart(
+    df: DataFrame,
+    k: int,
+    h: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "x",
+) -> DataFrame:
+    """One-sided upper CUSUM control chart (Page 1954, public literature)
+    in EXACT integer arithmetic -> (user, rn, x, c, alarm): the textbook
+    recurrence C_t = max(0, C_{t-1} + x_t - k) is NOT stepped row-by-row —
+    it has the closed form C_t = S_t - min(0, min_{j<=t} S_j) over the
+    prefix sums S of (x - k), so the whole chart is two window passes of
+    pure JVM codegen (cumulative sum, then running min), no Python and no
+    recurrence.  ``alarm`` flags C_t >= h (drift k and threshold h are
+    caller constants, classically k = target + allowance).
+
+    100-TB shape: both windows share one hash-partition exchange on the
+    key; state per key is O(1)."""
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = df.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(value_col).cast("long").alias("x"),
+    ).withColumn(
+        "rn", F.row_number().over(w_ord).cast("long")
+    ).withColumn(
+        "s", F.sum(F.col("x") - F.lit(k)).over(w_cum)
+    )
+    w_rn = Window.partitionBy(user_col).orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return d.select(
+        F.col(user_col),
+        "rn",
+        "x",
+        (F.col("s") - F.least(F.lit(0).cast("long"), F.min("s").over(w_rn))).alias("c"),
+    ).withColumn("alarm", (F.col("c") >= F.lit(h)).cast("boolean"))
+
+
+def cusum_chart_sql(
+    base_select: str,
+    k: int,
+    h: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "x",
+) -> str:
+    """DuckDB twin of ``cusum_chart``: the same two integer window passes
+    (prefix sum of x - k, then running min clamped at 0)."""
+    return f"""
+WITH b AS (
+  SELECT {user_col}, CAST({value_col} AS BIGINT) AS x,
+         CAST(row_number() OVER (PARTITION BY {user_col}
+                                 ORDER BY {ts_col}, {id_col}) AS BIGINT) AS rn,
+         sum(CAST({value_col} AS BIGINT) - {k}) OVER (
+             PARTITION BY {user_col} ORDER BY {ts_col}, {id_col}
+             ROWS UNBOUNDED PRECEDING) AS s
+  FROM ({base_select}) src)
+SELECT {user_col}, rn, x,
+       s - LEAST(0, min(s) OVER (PARTITION BY {user_col} ORDER BY rn
+                                 ROWS UNBOUNDED PRECEDING)) AS c,
+       (s - LEAST(0, min(s) OVER (PARTITION BY {user_col} ORDER BY rn
+                                  ROWS UNBOUNDED PRECEDING))) >= {h} AS alarm
+FROM b
+"""

@@ -17123,3 +17123,186 @@ WINDOW w AS (PARTITION BY key ORDER BY j
 
 
 QUERIES["polylabel"] = (q_polylabel, q_polylabel_oracle)
+
+
+# ====================================================== seventeenth sitting
+
+_CUSUM_K = 5000   # drift allowance in value-cents (just above the mean)
+_CUSUM_H = 20000  # alarm threshold
+
+
+def q_cusum(spark, sf_dir):
+    """One-sided CUSUM control chart (timeseries.cusum_chart) over per-user
+    event value-cents: the Page recurrence C_t = max(0, C_{t-1} + x_t - k)
+    computed WITHOUT a recurrence via the prefix-sum identity
+    C_t = S_t - min(0, min_{j<=t} S_j) — two pure-codegen window passes
+    sharing one exchange; the oracle runs the identical integer windows."""
+    from .operators.timeseries import cusum_chart
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("x"),
+    )
+    return cusum_chart(ev, k=_CUSUM_K, h=_CUSUM_H).orderBy("user_id", "rn")
+
+
+def q_cusum_oracle():
+    from .operators.timeseries import cusum_chart_sql
+
+    base = (
+        "SELECT user_id, ts, event_id, "
+        "CAST(floor(value * 100) AS BIGINT) AS x FROM events"
+    )
+    return (
+        "SELECT * FROM ("
+        + cusum_chart_sql(base, k=_CUSUM_K, h=_CUSUM_H)
+        + ") ORDER BY user_id, rn"
+    )
+
+
+QUERIES["cusum"] = (q_cusum, q_cusum_oracle)
+
+
+def q_hull_diameter(spark, sf_dir):
+    """Per-user point-set diameter (max pairwise squared distance) via the
+    convex hull: the engine reduces each track to its hull vertex set
+    (trajectory.convex_hull_vertices, exact int64 monotone chain) and
+    scans only hull-vertex pairs — O(h^2) per key instead of O(n^2); the
+    oracle exploits the IDENTITY diameter(S) = diameter(hull(S)) and
+    brute-forces ALL point pairs, so hull correctness is re-verified from
+    the other side.  Tie-break: smallest (ax, ay, bx, by) among pairs
+    achieving the max, with a < b lexicographically."""
+    from .operators.trajectory import convex_hull_vertices
+
+    pts = _traj_pts_df(spark, sf_dir, cap=20).select(
+        F.col("user_id").alias("k"), F.col("qx").alias("x"), F.col("qy").alias("y"),
+    )
+    hull = convex_hull_vertices(pts)
+    a = hull.select(F.col("k"), F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = hull.select(F.col("k"), F.col("x").alias("bx"), F.col("y").alias("by"))
+    pairs = a.join(b, "k").filter(
+        (F.col("ax") < F.col("bx"))
+        | ((F.col("ax") == F.col("bx")) & (F.col("ay") < F.col("by")))
+    ).withColumn(
+        "d2",
+        (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+        + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")),
+    )
+    w = Window.partitionBy("k").orderBy(
+        F.col("d2").desc(), "ax", "ay", "bx", "by"
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "d2", "ax", "ay", "bx", "by")
+        .orderBy("k")
+    )
+
+
+def q_hull_diameter_oracle():
+    base = _traj_pts_sql(cap=20)
+    return f"""
+WITH p AS (SELECT DISTINCT k, x, y FROM ({base}) tp),
+pairs AS (
+  SELECT a.k,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2,
+         a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM p a JOIN p b
+    ON a.k = b.k AND (a.x < b.x OR (a.x = b.x AND a.y < b.y)))
+SELECT k, d2, ax, ay, bx, by FROM (
+  SELECT *, row_number() OVER (PARTITION BY k
+      ORDER BY d2 DESC, ax, ay, bx, by) AS rn FROM pairs) r
+WHERE rn = 1 ORDER BY k"""
+
+
+QUERIES["hull_diameter"] = (q_hull_diameter, q_hull_diameter_oracle)
+
+
+_TREE_FANOUT = 4  # synthetic hierarchy: parent(node) = node // 4, roots 1..3
+_TREE_DEPTH = 6   # 4^6 > 2000 = max p_partkey
+
+
+def q_tree_rollup(spark, sf_dir):
+    """Hierarchy subtree roll-up (BOM-explosion aggregate) over a synthetic
+    part tree parent(p) = p // 4: for every node, the sum of retail cents
+    and the count over ALL descendants including itself.  Join-free: each
+    row explodes its O(log n) ancestor chain (closed-form divisions, the
+    cell-ancestor discipline of spatial_join_compact) and one partial agg
+    groups by ancestor — no iteration, no self-join, scales as
+    O(n log n) exploded rows.  The oracle unions one SELECT per level."""
+    p = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("node"),
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    ancs = F.array(*[
+        (F.col("node") / F.lit(_TREE_FANOUT ** L)).cast("long")
+        for L in range(_TREE_DEPTH + 1)
+    ])
+    return (
+        p.select("node", "cents", F.explode(ancs).alias("anc"))
+        .filter(F.col("anc") >= 1)
+        .groupBy("anc")
+        .agg(
+            F.sum("cents").alias("subtree_cents"),
+            F.count(F.lit(1)).alias("n_desc"),
+        )
+        .orderBy("anc")
+    )
+
+
+def q_tree_rollup_oracle():
+    levels = " UNION ALL ".join(
+        f"SELECT CAST(p_partkey AS BIGINT) // {_TREE_FANOUT ** L} AS anc, "
+        f"CAST(floor(p_retailprice * 100) AS BIGINT) AS cents FROM part "
+        f"WHERE CAST(p_partkey AS BIGINT) // {_TREE_FANOUT ** L} >= 1"
+        for L in range(_TREE_DEPTH + 1)
+    )
+    return (
+        f"SELECT anc, sum(cents) AS subtree_cents, count(*) AS n_desc "
+        f"FROM ({levels}) lv GROUP BY anc ORDER BY anc"
+    )
+
+
+QUERIES["tree_rollup"] = (q_tree_rollup, q_tree_rollup_oracle)
+
+
+_FH_BUCKETS = 64
+
+
+def q_feature_hash(spark, sf_dir):
+    """Hashing-trick feature vectors (Weinberger et al. 2009, public
+    literature): each document's tokens map to bucket = u60(token) mod 64
+    with a +-1 sign from an independent hash bit, summed per (doc,
+    bucket) — the collision-unbiased sparse featurizer used at
+    training-data scale.  Pure codegen (split/explode/md5/pmod), one
+    partial agg; the oracle replays the identical md5-derived buckets."""
+    from .operators.sampling import hash_u60
+
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    return (
+        tok.withColumn("bucket", F.pmod(hash_u60(F.col("t"), "fh-b"), F.lit(_FH_BUCKETS)))
+        .withColumn("sgn", F.pmod(hash_u60(F.col("t"), "fh-s"), F.lit(2)) * 2 - 1)
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("val"))
+        .orderBy("doc_id", "bucket")
+    )
+
+
+def q_feature_hash_oracle():
+    from .operators.sampling import hash_u60_sql
+
+    b = hash_u60_sql("t", "fh-b")
+    s = hash_u60_sql("t", "fh-s")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+SELECT doc_id,
+       (({b}) % {_FH_BUCKETS} + {_FH_BUCKETS}) % {_FH_BUCKETS} AS bucket,
+       sum((({s}) % 2 + 2) % 2 * 2 - 1) AS val
+FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket"""
+
+
+QUERIES["feature_hash"] = (q_feature_hash, q_feature_hash_oracle)
