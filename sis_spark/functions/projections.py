@@ -339,6 +339,91 @@ class Mollweide:
         return np.degrees(lam) + self.lon0, np.degrees(phi)
 
 
+class Orthographic:
+    """Spherical orthographic, oblique aspect (Snyder 1987 §20, public
+    formulas — the view-from-infinity hemisphere map):
+
+        x = R cos(phi) sin(lam)
+        y = R (cos(phi1) sin(phi) - sin(phi1) cos(phi) cos(lam))
+
+    with lam = radians(lon - lon0); defined only on the front hemisphere
+    cos(c) = sin(phi1) sin(phi) + cos(phi1) cos(phi) cos(lam) >= 0 —
+    callers clip on cos(c) themselves (both engines derive the identical
+    expression, and gate thresholds keep an irrational margin from 0)."""
+
+    def __init__(self, lat0: float, lon0: float, R: float = 6371000.0):
+        self.lat0, self.lon0, self.R = lat0, lon0, R
+
+    def cos_c(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        p1 = np.radians(self.lat0)
+        return np.sin(p1) * np.sin(phi) + np.cos(p1) * np.cos(phi) * np.cos(lam)
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        p1 = np.radians(self.lat0)
+        x = self.R * np.cos(phi) * np.sin(lam)
+        y = self.R * (np.cos(p1) * np.sin(phi)
+                      - np.sin(p1) * np.cos(phi) * np.cos(lam))
+        return x, y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, np.float64) / self.R
+        y = np.asarray(y, np.float64) / self.R
+        rho = np.sqrt(x * x + y * y)
+        c = np.arcsin(np.clip(rho, 0.0, 1.0))
+        p1 = np.radians(self.lat0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            phi = np.arcsin(np.cos(c) * np.sin(p1)
+                            + np.where(rho > 0, y * np.sin(c) * np.cos(p1) / rho, 0.0))
+            lam = np.arctan2(x * np.sin(c),
+                             rho * np.cos(c) * np.cos(p1) - y * np.sin(c) * np.sin(p1))
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+class AzimuthalEquidistant:
+    """Spherical azimuthal equidistant, oblique aspect (Snyder 1987 §25 —
+    the true-distance-from-center map used for range rings):
+
+        cos c = sin(phi1) sin(phi) + cos(phi1) cos(phi) cos(lam)
+        k = c / sin c   (k -> 1 at the center)
+        x = R k cos(phi) sin(lam)
+        y = R k (cos(phi1) sin(phi) - sin(phi1) cos(phi) cos(lam))
+
+    Whole sphere except the antipode — no domain cut for finite inputs."""
+
+    def __init__(self, lat0: float, lon0: float, R: float = 6371000.0):
+        self.lat0, self.lon0, self.R = lat0, lon0, R
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        p1 = np.radians(self.lat0)
+        cosc = np.sin(p1) * np.sin(phi) + np.cos(p1) * np.cos(phi) * np.cos(lam)
+        c = np.arccos(np.clip(cosc, -1.0, 1.0))
+        sinc = np.sin(c)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            k = np.where(sinc != 0.0, c / sinc, 1.0)
+        x = self.R * k * np.cos(phi) * np.sin(lam)
+        y = self.R * k * (np.cos(p1) * np.sin(phi)
+                          - np.sin(p1) * np.cos(phi) * np.cos(lam))
+        return x, y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, np.float64) / self.R
+        y = np.asarray(y, np.float64) / self.R
+        c = np.sqrt(x * x + y * y)
+        p1 = np.radians(self.lat0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            phi = np.arcsin(np.cos(c) * np.sin(p1)
+                            + np.where(c > 0, y * np.sin(c) * np.cos(p1) / c, 0.0))
+            lam = np.arctan2(x * np.sin(c),
+                             c * np.cos(c) * np.cos(p1) - y * np.sin(c) * np.sin(p1))
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
 class _Geographic:
     def forward(self, lon, lat):
         return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
@@ -417,6 +502,10 @@ CRS_REGISTRY: dict[str, object] = {
     "EPSG:5070": AlbersEqualArea(29.5, 45.5, 23.0, -96.0, 0.0, 0.0, GRS80),
     # ETRS89-extended / LAEA Europe (the EU statistical grid CRS)
     "EPSG:3035": LambertAzimuthalEqualArea(52.0, 10.0, 4321000.0, 3210000.0, GRS80),
+    # Sphere orthographic centered on Europe (hemisphere view)
+    "ESRI:53044:EU": Orthographic(45.0, 10.0, 6371000.0),
+    # Sphere azimuthal equidistant centered on Europe (range-ring map)
+    "ESRI:53032:EU": AzimuthalEquidistant(45.0, 10.0, 6371000.0),
 }
 
 

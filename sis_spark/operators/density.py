@@ -20,7 +20,7 @@ bit-for-bit with a recursive-CTE closure.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .graph import connected_components
@@ -1748,3 +1748,246 @@ SELECT CAST({nq} AS BIGINT) AS nq, CAST(count(*) AS BIGINT) AS occupied,
 FROM (
   SELECT qx, qy, count(*) AS c
   FROM ({points_select}) p GROUP BY 1, 2) cells"""
+
+
+def _ring_cells(df: DataFrame, r: int, x_col: str, y_col: str, cell: int,
+                keep: list) -> DataFrame:
+    """Explode each row over its (2r+1)^2 cell neighborhood at grid side
+    ``cell`` -> keep-cols + (cx, cy)."""
+    ring = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in range(-r, r + 1) for dy in range(-r, r + 1)
+    ])
+    cellf = float(int(cell))
+    return df.select(
+        *keep,
+        (F.floor(F.col(x_col).cast("double") / F.lit(cellf)).cast("long")).alias("__cx"),
+        (F.floor(F.col(y_col).cast("double") / F.lit(cellf)).cast("long")).alias("__cy"),
+        F.explode(ring).alias("__o"),
+    ).select(
+        *keep,
+        (F.col("__cx") + F.col("__o.dx")).alias("cx"),
+        (F.col("__cy") + F.col("__o.dy")).alias("cy"),
+    )
+
+
+def within_distance_join(
+    a_pts: DataFrame,
+    b_pts: DataFrame,
+    radius: int,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+) -> DataFrame:
+    """All (a, b) pairs with squared planar distance <= radius^2 over
+    quantized int64 coordinates -> (a_id, b_id, d2).  ONE bounded
+    equi-join: grid side = radius, the a-side explodes its 3x3 cell ring
+    (every pair within radius provably shares a ring cell), exact integer
+    verify — never an all-pairs product.  Inputs: (a_id|b_id, x, y)."""
+    ae = _ring_cells(a_pts.select(F.col(a_id), F.col("x").alias("ax"),
+                                  F.col("y").alias("ay")),
+                     1, "ax", "ay", radius, [a_id, "ax", "ay"])
+    b = b_pts.select(
+        F.col(b_id), F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.floor(F.col("x").cast("double") / F.lit(float(int(radius)))).cast("long").alias("bcx"),
+        F.floor(F.col("y").cast("double") / F.lit(float(int(radius)))).cast("long").alias("bcy"),
+    )
+    dx = F.col("ax") - F.col("bx")
+    dy = F.col("ay") - F.col("by")
+    r2 = F.lit(int(radius)).cast("long") * F.lit(int(radius)).cast("long")
+    return (
+        ae.join(b, (F.col("cx") == F.col("bcx")) & (F.col("cy") == F.col("bcy")))
+        .filter(dx * dx + dy * dy <= r2)
+        .select(F.col(a_id), F.col(b_id), (dx * dx + dy * dy).alias("d2"))
+    )
+
+
+def all_nearest_neighbors(
+    points: DataFrame,
+    cell: int,
+    id_col: str = "id",
+    x_col: str = "qx",
+    y_col: str = "qy",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Exact all-pairs 1-NN over quantized int64 planar points ->
+    (id, nn_id, d2, d): for every point the nearest OTHER point, ties by
+    smallest neighbor id, d = exact isqrt(d2) (floor(sqrt) corrected by
+    integer comparison, so a perfect square straddling a libm boundary
+    cannot split engines).  The Clark-Evans / spatial-description
+    building block.
+
+    Scale shape (the knn_join_cells ring discipline on the plane): round
+    r joins the still-uncertified points against their (2r+1)^2 grid-cell
+    block; a candidate best is CERTIFIED exact when best_d2 < clearance^2,
+    clearance = the point's integer distance to the block boundary (any
+    point outside the block is at least that far away; ties must go to
+    the uncertified side because an outside tie could win the id
+    tie-break).  Rings double; per-round driver traffic is one pending
+    count."""
+    pts = points.select(
+        F.col(id_col).alias("pid"), F.col(x_col).alias("px"),
+        F.col(y_col).alias("py"),
+    ).persist()
+    others = pts.select(
+        F.col("pid").alias("oid"), F.col("px").alias("ox"),
+        F.col("py").alias("oy"),
+        F.floor(F.col("px").cast("double") / F.lit(float(int(cell)))).cast("long").alias("ocx"),
+        F.floor(F.col("py").cast("double") / F.lit(float(int(cell)))).cast("long").alias("ocy"),
+    ).persist()
+    lo_hi = pts.agg(
+        F.min("px"), F.max("px"), F.min("py"), F.max("py")
+    ).collect()[0]
+    span_cells = max(lo_hi[1] - lo_hi[0], lo_hi[3] - lo_hi[2]) // int(cell) + 2
+    done = None
+    pending = pts
+    r = 1
+    for _ in range(max_rounds):
+        cand = _ring_cells(pending, r, "px", "py", cell,
+                           ["pid", "px", "py"])
+        dx = F.col("px") - F.col("ox")
+        dy = F.col("py") - F.col("oy")
+        best = (
+            cand.join(others, (F.col("cx") == F.col("ocx"))
+                      & (F.col("cy") == F.col("ocy")))
+            .filter(F.col("oid") != F.col("pid"))
+            .withColumn("d2", dx * dx + dy * dy)
+        )
+        w = Window.partitionBy("pid").orderBy("d2", "oid")
+        best = (
+            best.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("pid", "px", "py", F.col("oid").alias("nn_id"), "d2")
+        )
+        cellL = F.lit(int(cell)).cast("long")
+        bx = F.floor(F.col("px").cast("double") / F.lit(float(int(cell)))).cast("long")
+        by = F.floor(F.col("py").cast("double") / F.lit(float(int(cell)))).cast("long")
+        clear = F.least(
+            F.col("px") - ((bx - r) * cellL - 1),
+            (bx + r + 1) * cellL - F.col("px"),
+            F.col("py") - ((by - r) * cellL - 1),
+            (by + r + 1) * cellL - F.col("py"),
+        )
+        # a block wider than the data span holds every point: best is exact
+        # even when the boundary-clearance test cannot certify it
+        ok = (F.col("d2") < clear * clear) | F.lit(r >= span_cells)
+        best = best.withColumn("__ok", ok).persist()
+        certified = best.filter(F.col("__ok")).select("pid", "nn_id", "d2")
+        done = certified if done is None else done.unionByName(certified)
+        pending = (
+            pending.join(best.filter(F.col("__ok")).select("pid"), "pid",
+                         "left_anti")
+        )
+        if pending.limit(1).count() == 0:
+            break
+        r *= 2
+    else:
+        # remaining points (near-empty neighborhoods): exact brute against
+        # the full broadcast point set — the documented small-tail path
+        dx = F.col("px") - F.col("ox")
+        dy = F.col("py") - F.col("oy")
+        w = Window.partitionBy("pid").orderBy("d2", "oid")
+        brute = (
+            pending.crossJoin(F.broadcast(others.drop("ocx", "ocy")))
+            .filter(F.col("oid") != F.col("pid"))
+            .withColumn("d2", dx * dx + dy * dy)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("pid", F.col("oid").alias("nn_id"), "d2")
+        )
+        done = brute if done is None else done.unionByName(brute)
+    s = F.floor(F.sqrt(F.col("d2").cast("double"))).cast("long")
+    s = s - (s * s > F.col("d2")).cast("long")
+    s = s + ((s + 1) * (s + 1) <= F.col("d2")).cast("long")
+    out = done.withColumn("d", s).select(
+        F.col("pid").alias(id_col), "nn_id", "d2", "d"
+    )
+    pts.unpersist()
+    return out
+
+
+def all_nearest_neighbors_sql(base_select: str) -> str:
+    """DuckDB oracle for ``all_nearest_neighbors``: the brute self-join
+    definition (min d2, ties by smallest neighbor id) + the identical
+    corrected integer sqrt.  ``base_select`` -> (id, qx, qy)."""
+    return f"""
+WITH p AS MATERIALIZED (SELECT id, qx, qy FROM ({base_select}) s),
+pairs AS (
+  SELECT a.id AS id, b.id AS nn_id,
+         (a.qx - b.qx) * (a.qx - b.qx) + (a.qy - b.qy) * (a.qy - b.qy) AS d2
+  FROM p a JOIN p b ON a.id != b.id),
+best AS (
+  SELECT id, nn_id, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, nn_id) AS rn
+    FROM pairs) r WHERE rn = 1),
+s0 AS (SELECT *, CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT) AS s FROM best),
+s1 AS (SELECT id, nn_id, d2, s - CASE WHEN s * s > d2 THEN 1 ELSE 0 END AS s FROM s0)
+SELECT id, nn_id, d2,
+       s + CASE WHEN (s + 1) * (s + 1) <= d2 THEN 1 ELSE 0 END AS d
+FROM s1"""
+
+
+def catchment_2sfca(
+    facilities: DataFrame,
+    demand: DataFrame,
+    radius: int,
+    scale: int = 1 << 30,
+) -> DataFrame:
+    """Two-step floating catchment area accessibility (Luo & Wang 2003,
+    public literature) in exact integer arithmetic -> (d_id, access,
+    n_fac).  Step 1: each facility j's ratio R_j = floor(S_j * scale /
+    sum of demand within radius); step 2: each demand point i sums R_j
+    over facilities within radius.  Inputs: facilities (f_id, x, y,
+    supply), demand (d_id, x, y, pop).
+
+    Scale shape: the distance pairs are computed ONCE by the bounded
+    3x3-ring equi-join (within_distance_join) and reused by both steps —
+    two partial aggs over one shuffled pair set, no all-pairs product,
+    no iteration."""
+    pairs = within_distance_join(
+        facilities.select(F.col("f_id").alias("a_id"), "x", "y"),
+        demand.select(F.col("d_id").alias("b_id"), "x", "y"),
+        radius, "a_id", "b_id",
+    ).select(F.col("a_id").alias("f_id"), F.col("b_id").alias("d_id")).persist()
+    dsum = (
+        pairs.join(demand.select("d_id", "pop"), "d_id")
+        .groupBy("f_id").agg(F.sum("pop").alias("dpop"))
+    )
+    ratio = (
+        dsum.join(facilities.select("f_id", "supply"), "f_id")
+        .select(
+            "f_id",
+            # integer div (operands positive): bit-exact, no double quotient
+            F.expr(f"(CAST(supply AS BIGINT) * {int(scale)}) div dpop")
+            .cast("long").alias("rj"),
+        )
+    )
+    out = (
+        pairs.join(ratio, "f_id")
+        .groupBy("d_id")
+        .agg(F.sum("rj").alias("access"), F.count(F.lit(1)).alias("n_fac"))
+    )
+    pairs.unpersist()
+    return out
+
+
+def catchment_2sfca_sql(
+    fac_select: str, dem_select: str, radius: int, scale: int = 1 << 30
+) -> str:
+    """DuckDB oracle: brute radius joins + the same integer floor ratios.
+    ``fac_select`` -> (f_id, x, y, supply); ``dem_select`` -> (d_id, x,
+    y, pop)."""
+    r2 = int(radius) * int(radius)
+    return f"""
+WITH f AS MATERIALIZED ({fac_select}),
+d AS MATERIALIZED ({dem_select}),
+pairs AS (
+  SELECT f.f_id, d.d_id FROM f JOIN d
+    ON (f.x - d.x) * (f.x - d.x) + (f.y - d.y) * (f.y - d.y) <= {r2}),
+ratio AS (
+  SELECT p.f_id,
+         (SELECT f2.supply FROM f f2 WHERE f2.f_id = p.f_id) * {int(scale)}
+           // sum(d.pop) AS rj
+  FROM pairs p JOIN d ON d.d_id = p.d_id GROUP BY p.f_id)
+SELECT p.d_id, sum(r.rj) AS access, count(*) AS n_fac
+FROM pairs p JOIN ratio r ON r.f_id = p.f_id
+GROUP BY p.d_id"""

@@ -17306,3 +17306,193 @@ FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket"""
 
 
 QUERIES["feature_hash"] = (q_feature_hash, q_feature_hash_oracle)
+
+
+_ANN_CELL = 20000  # all-NN grid side: 2 degrees at the 1e4 quantization
+
+
+def q_all_nn(spark, sf_dir):
+    """Exact all-pairs nearest neighbor (density.all_nearest_neighbors)
+    over quantized customer points — the Clark-Evans building block: per
+    point the closest other point, ties by id, with the CORRECTED integer
+    sqrt (floor(sqrt) fixed up by integer comparison so perfect squares
+    cannot straddle a libm boundary).  Engine certifies each NN from
+    doubling grid-block rounds (best_d2 < boundary-clearance^2); the
+    oracle is the brute self-join definition."""
+    from .operators.density import all_nearest_neighbors
+
+    c = _read(spark, sf_dir, "customer")
+    lon, lat = point_lonlat_cols("c_custkey")
+    pts = c.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.floor(lon * 1e4).cast("long").alias("qx"),
+        F.floor(lat * 1e4).cast("long").alias("qy"),
+    )
+    return all_nearest_neighbors(pts, cell=_ANN_CELL).orderBy("id")
+
+
+def q_all_nn_oracle():
+    from .operators.density import all_nearest_neighbors_sql
+
+    base = (
+        "SELECT CAST(c_custkey AS BIGINT) AS id, "
+        f"CAST(floor(({synth.point_lon_sql('c_custkey')}) * 1.0e4) AS BIGINT) AS qx, "
+        f"CAST(floor(({synth.point_lat_sql('c_custkey')}) * 1.0e4) AS BIGINT) AS qy "
+        "FROM customer"
+    )
+    return (
+        "SELECT * FROM (" + all_nearest_neighbors_sql(base) + ") ORDER BY id"
+    )
+
+
+QUERIES["all_nn"] = (q_all_nn, q_all_nn_oracle)
+
+
+_SFCA_RADIUS = 30000  # 3 degrees at the 1e4 quantization
+_SFCA_FKEY = "(s_suppkey * 131 + 7)"
+
+
+def q_catchment_2sfca(spark, sf_dir):
+    """Two-step floating catchment accessibility (density.catchment_2sfca):
+    suppliers as capacity-weighted facilities, customers as population —
+    R_j = floor(supply * 2^30 / served population), A_i = sum of R_j over
+    reachable facilities.  One bounded 3x3-ring distance join feeds both
+    steps; the oracle brute-forces the radius joins and replays the same
+    integer floor ratios."""
+    from .operators.density import catchment_2sfca
+
+    s = _read(spark, sf_dir, "supplier")
+    flon, flat = point_lonlat_cols(_SFCA_FKEY)
+    fac = s.select(
+        F.col("s_suppkey").cast("long").alias("f_id"),
+        F.floor(flon * 1e4).cast("long").alias("x"),
+        F.floor(flat * 1e4).cast("long").alias("y"),
+        (F.col("s_suppkey") % 20 + 5).cast("long").alias("supply"),
+    )
+    c = _read(spark, sf_dir, "customer")
+    dlon, dlat = point_lonlat_cols("c_custkey")
+    dem = c.select(
+        F.col("c_custkey").cast("long").alias("d_id"),
+        F.floor(dlon * 1e4).cast("long").alias("x"),
+        F.floor(dlat * 1e4).cast("long").alias("y"),
+        (F.col("c_custkey") % 7 + 1).cast("long").alias("pop"),
+    )
+    return catchment_2sfca(fac, dem, radius=_SFCA_RADIUS).orderBy("d_id")
+
+
+def q_catchment_2sfca_oracle():
+    from .operators.density import catchment_2sfca_sql
+
+    fac = (
+        "SELECT CAST(s_suppkey AS BIGINT) AS f_id, "
+        f"CAST(floor(({synth.point_lon_sql(_SFCA_FKEY)}) * 1.0e4) AS BIGINT) AS x, "
+        f"CAST(floor(({synth.point_lat_sql(_SFCA_FKEY)}) * 1.0e4) AS BIGINT) AS y, "
+        "CAST(s_suppkey % 20 + 5 AS BIGINT) AS supply FROM supplier"
+    )
+    dem = (
+        "SELECT CAST(c_custkey AS BIGINT) AS d_id, "
+        f"CAST(floor(({synth.point_lon_sql('c_custkey')}) * 1.0e4) AS BIGINT) AS x, "
+        f"CAST(floor(({synth.point_lat_sql('c_custkey')}) * 1.0e4) AS BIGINT) AS y, "
+        "CAST(c_custkey % 7 + 1 AS BIGINT) AS pop FROM customer"
+    )
+    return (
+        "SELECT * FROM ("
+        + catchment_2sfca_sql(fac, dem, radius=_SFCA_RADIUS)
+        + ") ORDER BY d_id"
+    )
+
+
+QUERIES["catchment_2sfca"] = (q_catchment_2sfca, q_catchment_2sfca_oracle)
+
+
+# front-hemisphere cut for the orthographic gate: shared-text cos(c)
+# expression; the threshold keeps an irrational margin from every point's
+# cos(c) (measured 1.5e-3 at sf0.01, 3.1e-4 at sf0.1 vs ~1e-16 libm drift)
+_ORTHO_COSC = (
+    "(sin(radians(45.0)) * sin(radians(lat)) + cos(radians(45.0)) * "
+    "cos(radians(lat)) * cos(radians(lon - 10.0)))"
+)
+_ORTHO_THR = 0.001234567891
+
+
+def q_orthographic(spark, sf_dir):
+    """WGS84 -> sphere orthographic, oblique aspect centered (10E, 45N)
+    (Snyder §20 — the hemisphere view): the front-hemisphere cut is the
+    SHARED-TEXT cos(c) expression evaluated by each engine with an
+    irrational-threshold margin, the coordinates follow the
+    floor-shift discipline of `sinusoidal`/`mollweide`."""
+    from .functions.projections import st_transform_any_udf
+
+    pts = _events_points(spark, sf_dir)
+    p = st_transform_any_udf("EPSG:4326", "ESRI:53044:EU")(
+        F.col("lon"), F.col("lat")
+    )
+    return (
+        pts.filter(F.expr(_ORTHO_COSC) >= F.lit(_ORTHO_THR))
+        .select(
+            "event_id",
+            F.floor(p["x"] - F.lit(0.123456789)).cast("long").alias("xl"),
+            F.floor(p["y"] - F.lit(0.123456789)).cast("long").alias("yl"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_orthographic_oracle():
+    R = synth.flit(6371000.0)
+    lam = "(radians(lon - 10.0))"
+    phi = "(radians(lat))"
+    x = f"({R} * cos({phi}) * sin({lam}))"
+    y = (f"({R} * (cos(radians(45.0)) * sin({phi}) - sin(radians(45.0)) * "
+         f"cos({phi}) * cos({lam})))")
+    return f"""
+SELECT event_id,
+  CAST(floor({x} - 0.123456789) AS BIGINT) AS xl,
+  CAST(floor({y} - 0.123456789) AS BIGINT) AS yl
+FROM ({_points_sql()}) p
+WHERE {_ORTHO_COSC} >= {_ORTHO_THR}
+ORDER BY event_id"""
+
+
+QUERIES["orthographic"] = (q_orthographic, q_orthographic_oracle)
+
+
+def q_aeqd(spark, sf_dir):
+    """WGS84 -> sphere azimuthal equidistant centered (10E, 45N) (Snyder
+    §25, the range-ring map; whole sphere, no domain cut).  The k =
+    c/sin(c) scale factor is the one transcendental division — well-
+    conditioned everywhere except the antipode, which no synthetic point
+    hits; floor-shift output discipline."""
+    from .functions.projections import st_transform_any_udf
+
+    pts = _events_points(spark, sf_dir)
+    p = st_transform_any_udf("EPSG:4326", "ESRI:53032:EU")(
+        F.col("lon"), F.col("lat")
+    )
+    return pts.select(
+        "event_id",
+        F.floor(p["x"] - F.lit(0.123456789)).cast("long").alias("xl"),
+        F.floor(p["y"] - F.lit(0.123456789)).cast("long").alias("yl"),
+    ).orderBy("event_id")
+
+
+def q_aeqd_oracle():
+    R = synth.flit(6371000.0)
+    lam = "(radians(lon - 10.0))"
+    phi = "(radians(lat))"
+    cosc = (f"(sin(radians(45.0)) * sin({phi}) + cos(radians(45.0)) * "
+            f"cos({phi}) * cos({lam}))")
+    c = f"(acos(LEAST(GREATEST({cosc}, -1.0), 1.0)))"
+    k = f"(CASE WHEN sin({c}) != 0.0 THEN {c} / sin({c}) ELSE 1.0 END)"
+    x = f"({R} * {k} * cos({phi}) * sin({lam}))"
+    y = (f"({R} * {k} * (cos(radians(45.0)) * sin({phi}) - "
+         f"sin(radians(45.0)) * cos({phi}) * cos({lam})))")
+    return f"""
+SELECT event_id,
+  CAST(floor({x} - 0.123456789) AS BIGINT) AS xl,
+  CAST(floor({y} - 0.123456789) AS BIGINT) AS yl
+FROM ({_points_sql()}) p
+ORDER BY event_id"""
+
+
+QUERIES["aeqd"] = (q_aeqd, q_aeqd_oracle)
