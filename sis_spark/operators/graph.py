@@ -1686,3 +1686,145 @@ def betweenness_sql(
 SELECT v, CAST(sum(dq) AS BIGINT) AS bc_q
 FROM ({unions}) a WHERE v <> s GROUP BY v"""
     )
+
+
+_MIS_MOD = 1000003          # priority modulus (prime, < 2^20)
+_MIS_MUL = 2654435761       # Knuth multiplicative hash constant
+_MIS_SHIFT = 1 << 20        # packs (priority, node) into one int64 key
+
+
+def _mis_key(col):
+    """Deterministic Luby priority packed with the node id for a total
+    order: (v * MUL % MOD) << 20 | v — node ids must stay < 2^20."""
+    return ((col * _MIS_MUL) % _MIS_MOD) * _MIS_SHIFT + col
+
+
+def luby_mis(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Maximal independent set by DERANDOMIZED Luby rounds (Luby 1986,
+    public literature) -> (node, round): a node joins the MIS when its
+    packed (priority, id) key beats every still-active neighbor's; it and
+    its neighbors then retire.  The priority is a fixed multiplicative
+    hash, so the whole run is a pure function of the graph — replayable
+    round-for-round by the oracle.
+
+    Inputs: ``edges`` (a, b) — symmetrized, loop-free; ``nodes`` (node).
+    Scale shape: each round is one neighbor-min aggregation + two
+    semi/anti joins on node id; the active set only shrinks (by the MIS
+    property at least one node retires per connected component per
+    round, O(log n) rounds with the randomized key); per-round driver
+    traffic is one pending count; lineage cut by localCheckpoint."""
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    active = nodes.select("node").withColumn("pk", _mis_key(F.col("node"))) \
+        .localCheckpoint()
+    out = None
+    for rnd in range(max_rounds):
+        if active.limit(1).count() == 0:
+            break
+        act_e = (
+            sym.join(active.select(F.col("node").alias("u")), "u", "semi")
+            .join(active.select(F.col("node").alias("v")), "v", "semi")
+        )
+        nbr_min = (
+            act_e.join(active.select(F.col("node").alias("v"),
+                                     F.col("pk").alias("vpk")), "v")
+            .groupBy("u").agg(F.min("vpk").alias("m"))
+        )
+        winners = (
+            active.join(nbr_min, active.node == nbr_min.u, "left")
+            .filter(F.col("m").isNull() | (F.col("pk") < F.col("m")))
+            .select("node")
+            .withColumn("round", F.lit(rnd).cast("long"))
+            .localCheckpoint()
+        )
+        out = winners if out is None else out.unionByName(winners)
+        nbrs = (
+            act_e.join(winners.select(F.col("node").alias("u")), "u", "semi")
+            .select(F.col("v").alias("node"))
+        )
+        retired = winners.select("node").unionByName(nbrs).distinct()
+        active = active.join(retired, "node", "left_anti").localCheckpoint()
+    return out
+
+
+def luby_mis_sql(edges_select: str, nodes_select: str, rounds: int = 12) -> str:
+    """DuckDB replay of ``luby_mis``: the identical packed-key rounds
+    unrolled as MATERIALIZED CTE blocks (the k_core_sql discipline —
+    every a{i}/e{i} is referenced more than once)."""
+    pk = f"((node * {_MIS_MUL}) % {_MIS_MOD}) * {_MIS_SHIFT} + node"
+    blocks = [
+        f"a0 AS MATERIALIZED (SELECT node, {pk} AS pk FROM ({nodes_select}) n)",
+        f"es AS MATERIALIZED (SELECT a AS u, b AS v FROM ({edges_select}) e)",
+    ]
+    sel_w = []
+    for i in range(rounds):
+        blocks.append(f"""e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM es e
+  JOIN a{i} x ON x.node = e.u JOIN a{i} y ON y.node = e.v),
+nm{i} AS (SELECT e.u, min(a2.pk) AS m FROM e{i} e
+          JOIN a{i} a2 ON a2.node = e.v GROUP BY e.u),
+w{i} AS MATERIALIZED (
+  SELECT a.node FROM a{i} a LEFT JOIN nm{i} n ON n.u = a.node
+  WHERE n.m IS NULL OR a.pk < n.m),
+a{i + 1} AS MATERIALIZED (
+  SELECT a.node, a.pk FROM a{i} a
+  WHERE a.node NOT IN (SELECT node FROM w{i})
+    AND a.node NOT IN (SELECT e.v FROM e{i} e
+                       JOIN w{i} w ON w.node = e.u))""")
+        sel_w.append(f"SELECT node, CAST({i} AS BIGINT) AS round FROM w{i}")
+    return "WITH " + ",\n".join(blocks) + "\n" + "\nUNION ALL ".join(sel_w)
+
+
+def conductance_counts(edges: DataFrame, labels: DataFrame,
+                       scale: int = 1 << 20) -> DataFrame:
+    """Per-community conductance phi(S) = cut(S) / min(vol(S), vol(V\\S))
+    over a symmetric directed-edge list -> (label, cut, vol, phi_q) with
+    phi_q = floor(cut * scale / min(vol, total - vol)) exact integer.
+    Two partial aggs over one labeled edge set — the partition-quality
+    twin of ``modularity_counts``."""
+    lab_u = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    lab_v = labels.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+    e = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .join(lab_u, "u").join(lab_v, "v")
+    )
+    vol = e.groupBy(F.col("lu").alias("label")).agg(
+        F.count(F.lit(1)).alias("vol")
+    )
+    cut = (
+        e.filter(F.col("lu") != F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).alias("cut"))
+    )
+    tot = e.count()
+    j = vol.join(cut, "label", "left").fillna(0, subset=["cut"])
+    other = F.lit(int(tot)).cast("long") - F.col("vol")
+    denom = F.least(F.col("vol"), other)
+    return j.select(
+        "label", "cut", "vol",
+        F.when(denom > 0,
+               F.expr(f"(cut * {int(scale)}) div least(vol, {int(tot)} - vol)"))
+        .cast("long").alias("phi_q"),
+    )
+
+
+def conductance_sql(edges_select: str, labels_select: str,
+                    scale: int = 1 << 20) -> str:
+    """DuckDB twin of ``conductance_counts`` (same integer floor)."""
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT lu.label AS lu, lv.label AS lv
+  FROM ({edges_select}) e
+  JOIN ({labels_select}) lu ON lu.node = e.a
+  JOIN ({labels_select}) lv ON lv.node = e.b),
+tot AS (SELECT count(*) AS t FROM e),
+vol AS (SELECT lu AS label, count(*) AS vol FROM e GROUP BY 1),
+cut AS (SELECT lu AS label, count(*) AS cut FROM e WHERE lu != lv GROUP BY 1)
+SELECT v.label, coalesce(c.cut, 0) AS cut, v.vol,
+       CASE WHEN LEAST(v.vol, t.t - v.vol) > 0
+            THEN (coalesce(c.cut, 0) * {int(scale)})
+                 // LEAST(v.vol, t.t - v.vol) END AS phi_q
+FROM vol v LEFT JOIN cut c ON c.label = v.label CROSS JOIN tot t"""

@@ -440,3 +440,75 @@ w AS (
 SELECT CAST(b AS INT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
        CAST(sum(w * x) AS BIGINT) AS sum_x
 FROM w GROUP BY 1"""
+
+
+def kcenter_greedy(
+    points: DataFrame,
+    k: int,
+    id_col: str = "id",
+    x_col: str = "qx",
+    y_col: str = "qy",
+) -> list[tuple[int, int, int]]:
+    """Farthest-first traversal (Gonzalez 1985 k-center / coreset
+    diversity selection, public literature) over quantized int64 points
+    -> [(rank, id, d2)]: seed = smallest id, then k-1 rounds each picking
+    the point with the MAX exact squared distance to its nearest selected
+    center (ties by smallest id; d2 is that distance at selection time).
+
+    Scale shape: the running min-distance column is updated by one
+    narrow map per round against the single new center (a 3-literal
+    broadcast, no join, no all-pairs); the only driver traffic is the
+    k argmax rows themselves — which ARE the output."""
+    pts = points.select(
+        F.col(id_col).alias("pid").cast("long"),
+        F.col(x_col).alias("px").cast("long"),
+        F.col(y_col).alias("py").cast("long"),
+    ).persist()
+    seed = pts.orderBy("pid").limit(1).collect()[0]
+    centers = [(0, int(seed.pid), 0)]
+    cur = pts.withColumn(
+        "d2",
+        (F.col("px") - F.lit(int(seed.px))) * (F.col("px") - F.lit(int(seed.px)))
+        + (F.col("py") - F.lit(int(seed.py))) * (F.col("py") - F.lit(int(seed.py))),
+    ).localCheckpoint()
+    for rank in range(1, int(k)):
+        far = cur.orderBy(F.col("d2").desc(), F.col("pid").asc()).limit(1).collect()[0]
+        centers.append((rank, int(far.pid), int(far.d2)))
+        nd2 = (
+            (F.col("px") - F.lit(int(far.px))) * (F.col("px") - F.lit(int(far.px)))
+            + (F.col("py") - F.lit(int(far.py))) * (F.col("py") - F.lit(int(far.py)))
+        )
+        cur = cur.withColumn("d2", F.least(F.col("d2"), nd2)).localCheckpoint()
+    pts.unpersist()
+    return centers
+
+
+def kcenter_greedy_sql(base_select: str, k: int) -> str:
+    """DuckDB replay of ``kcenter_greedy``: one chained CTE pair per round
+    (dist-update against the previous center row, then the argmax row);
+    ``base_select`` -> (id, qx, qy)."""
+    blocks = [
+        f"p AS MATERIALIZED (SELECT id, qx, qy FROM ({base_select}) s)",
+        "c0 AS MATERIALIZED (SELECT id, qx, qy, CAST(0 AS BIGINT) AS d2 "
+        "FROM p ORDER BY id LIMIT 1)",
+        "d0 AS MATERIALIZED (SELECT p.id, p.qx, p.qy, "
+        "(p.qx - c.qx) * (p.qx - c.qx) + (p.qy - c.qy) * (p.qy - c.qy) AS d2 "
+        "FROM p CROSS JOIN c0 c)",
+    ]
+    for i in range(1, int(k)):
+        blocks.append(
+            f"c{i} AS MATERIALIZED (SELECT id, qx, qy, d2 FROM d{i - 1} "
+            f"ORDER BY d2 DESC, id LIMIT 1)"
+        )
+        if i < int(k) - 1:
+            blocks.append(
+                f"d{i} AS MATERIALIZED (SELECT d.id, d.qx, d.qy, "
+                f"LEAST(d.d2, (d.qx - c.qx) * (d.qx - c.qx) "
+                f"+ (d.qy - c.qy) * (d.qy - c.qy)) AS d2 "
+                f"FROM d{i - 1} d CROSS JOIN c{i} c)"
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, id, d2 FROM c{i}"
+        for i in range(int(k))
+    )
+    return "WITH " + ",\n".join(blocks) + "\n" + sel

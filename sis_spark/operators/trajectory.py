@@ -2077,3 +2077,69 @@ FROM (
   SELECT k, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
          sum(x * x + y * y) AS s2
   FROM ({points_select}) pts GROUP BY k) g"""
+
+
+def line_merge(
+    segs: DataFrame,
+    seg_col: str = "seg_id",
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """ST_LineMerge / groupAsPolyline analog (reference semantics:
+    F/feature/FeatureOperations.java:297 groupAsPolyline — assemble
+    maximal polylines from a segment soup) -> (seg_id, path_id, path_n):
+    two segments belong to the same path iff they meet at a node of
+    DEGREE EXACTLY 2 (junctions and endpoints break paths); path_id is
+    the smallest segment id in the path.
+
+    Scale shape: endpoint degrees from one explode + partial agg; each
+    degree-2 node contributes its exactly-two incident segments as one
+    adjacency edge (min-max pair, no self-join over incidences);
+    components via the standard min-label + pointer-jump loop.  Input
+    segments must be loop-free (u != v)."""
+    inc = segs.select(
+        F.col(seg_col).alias("sid"),
+        F.explode(F.array(F.col(u_col), F.col(v_col))).alias("node"),
+    )
+    deg2 = (
+        inc.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"),
+             F.min("sid").alias("s1"), F.max("sid").alias("s2"))
+        .filter((F.col("d") == 2) & (F.col("s1") != F.col("s2")))
+    )
+    from ..operators.graph import connected_components
+
+    loops = segs.select(F.col(seg_col).alias("a"), F.col(seg_col).alias("b"))
+    adj = deg2.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    comp = connected_components(adj.unionByName(loops))
+    n = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("path_n"))
+    return comp.join(n, "comp").select(
+        F.col("node").alias(seg_col),
+        F.col("comp").alias("path_id"),
+        "path_n",
+    )
+
+
+def line_merge_sql(segs_select: str) -> str:
+    """DuckDB oracle for ``line_merge``: the same degree-2 adjacency, the
+    closure as a recursive min-label CTE (the dbscan_sql pattern).
+    ``segs_select`` -> (seg_id, u, v)."""
+    return f"""
+WITH RECURSIVE s AS MATERIALIZED (SELECT seg_id, u, v FROM ({segs_select}) x),
+inc AS (SELECT seg_id, u AS node FROM s UNION ALL SELECT seg_id, v FROM s),
+deg2 AS (
+  SELECT node, min(seg_id) AS s1, max(seg_id) AS s2
+  FROM inc GROUP BY node
+  HAVING count(*) = 2 AND min(seg_id) != max(seg_id)),
+adj AS MATERIALIZED (
+  SELECT s1 AS a, s2 AS b FROM deg2
+  UNION SELECT s2, s1 FROM deg2
+  UNION SELECT seg_id, seg_id FROM s),
+reach(sid, r) AS (
+  SELECT a, a FROM adj
+  UNION
+  SELECT reach.sid, adj.b FROM reach JOIN adj ON adj.a = reach.r),
+best AS (SELECT sid, min(r) AS comp FROM reach GROUP BY sid)
+SELECT b.sid AS seg_id, b.comp AS path_id, n.path_n
+FROM best b JOIN (SELECT comp, count(*) AS path_n FROM best GROUP BY 1) n
+  ON n.comp = b.comp"""

@@ -17496,3 +17496,194 @@ ORDER BY event_id"""
 
 
 QUERIES["aeqd"] = (q_aeqd, q_aeqd_oracle)
+
+
+def _mis_edges_df(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i")
+    )
+    n = docs.count()
+    i = F.col("i")
+    fwd = docs.select(
+        i.alias("a"),
+        F.explode(F.array((i * 7 + 11) % n, (i * 13 + 5) % n)).alias("b"),
+    )
+    sym = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return sym.filter(F.col("a") != F.col("b")).distinct(), docs.select(
+        F.col("i").alias("node")
+    )
+
+
+def _mis_edges_sql():
+    return """
+SELECT DISTINCT a, b FROM (
+  SELECT i AS a, (i * 7 + 11) % n AS b FROM
+    (SELECT CAST(doc_id AS BIGINT) AS i,
+            (SELECT count(*) FROM documents) AS n FROM documents) d
+  UNION ALL
+  SELECT i, (i * 13 + 5) % n FROM
+    (SELECT CAST(doc_id AS BIGINT) AS i,
+            (SELECT count(*) FROM documents) AS n FROM documents) d
+  UNION ALL
+  SELECT (i * 7 + 11) % n, i FROM
+    (SELECT CAST(doc_id AS BIGINT) AS i,
+            (SELECT count(*) FROM documents) AS n FROM documents) d
+  UNION ALL
+  SELECT (i * 13 + 5) % n, i FROM
+    (SELECT CAST(doc_id AS BIGINT) AS i,
+            (SELECT count(*) FROM documents) AS n FROM documents) d) e
+WHERE a != b"""
+
+
+def q_luby_mis(spark, sf_dir):
+    """Derandomized Luby maximal-independent-set rounds (graph.luby_mis)
+    over the symmetrized closed-form document graph: packed
+    (multiplicative-hash priority, id) keys make every round a pure
+    function of the graph — the oracle unrolls the identical rounds as
+    MATERIALIZED CTE blocks.  Output: MIS members with the round each
+    joined in."""
+    from .operators.graph import luby_mis
+
+    edges, nodes = _mis_edges_df(spark, sf_dir)
+    return luby_mis(edges, nodes).orderBy("node")
+
+
+def q_luby_mis_oracle():
+    from .operators.graph import luby_mis_sql
+
+    nodes = "SELECT CAST(doc_id AS BIGINT) AS node FROM documents"
+    return (
+        "SELECT * FROM ("
+        + luby_mis_sql(_mis_edges_sql(), nodes, rounds=12)
+        + ") ORDER BY node"
+    )
+
+
+QUERIES["luby_mis"] = (q_luby_mis, q_luby_mis_oracle)
+
+
+def q_conductance(spark, sf_dir):
+    """Per-community conductance (graph.conductance_counts) of the
+    hash-block partition label = node % 16 on the document graph —
+    cut / min(vol, complement vol) with the exact integer floor
+    quantization; the partition-quality twin of the `modularity` gate."""
+    from .operators.graph import conductance_counts
+
+    edges, nodes = _mis_edges_df(spark, sf_dir)
+    labels = nodes.select("node", (F.col("node") % 16).alias("label"))
+    return conductance_counts(edges, labels).orderBy("label")
+
+
+def q_conductance_oracle():
+    from .operators.graph import conductance_sql
+
+    labels = "SELECT CAST(doc_id AS BIGINT) AS node, CAST(doc_id AS BIGINT) % 16 AS label FROM documents"
+    return (
+        "SELECT * FROM ("
+        + conductance_sql(_mis_edges_sql(), labels)
+        + ") ORDER BY label"
+    )
+
+
+QUERIES["conductance"] = (q_conductance, q_conductance_oracle)
+
+
+_KCENTER_K = 8
+
+
+def q_kcenter(spark, sf_dir):
+    """Farthest-first k-center traversal (sampling.kcenter_greedy) over
+    quantized customer points — the classic coreset / diversity-selection
+    pass for curation: each round updates the running nearest-center
+    distance with one narrow map (no join) and takes the global argmax;
+    the oracle chains one dist-update + argmax CTE pair per round."""
+    from .operators.sampling import kcenter_greedy
+
+    c = _read(spark, sf_dir, "customer")
+    lon, lat = point_lonlat_cols("c_custkey")
+    pts = c.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.floor(lon * 1e4).cast("long").alias("qx"),
+        F.floor(lat * 1e4).cast("long").alias("qy"),
+    )
+    centers = kcenter_greedy(pts, k=_KCENTER_K)
+    return spark.createDataFrame(
+        [(int(r), int(i), int(d)) for r, i, d in centers],
+        "rank long, id long, d2 long",
+    ).orderBy("rank")
+
+
+def q_kcenter_oracle():
+    from .operators.sampling import kcenter_greedy_sql
+
+    base = (
+        "SELECT CAST(c_custkey AS BIGINT) AS id, "
+        f"CAST(floor(({synth.point_lon_sql('c_custkey')}) * 1.0e4) AS BIGINT) AS qx, "
+        f"CAST(floor(({synth.point_lat_sql('c_custkey')}) * 1.0e4) AS BIGINT) AS qy "
+        "FROM customer"
+    )
+    return (
+        "SELECT * FROM ("
+        + kcenter_greedy_sql(base, k=_KCENTER_K)
+        + ") ORDER BY rank"
+    )
+
+
+QUERIES["kcenter"] = (q_kcenter, q_kcenter_oracle)
+
+
+_LM_NODES = 400  # line-merge grid: 20 x 20 node lattice
+
+
+def _line_merge_segs_sql():
+    """Closed-form segment soup on a 20x20 lattice: seg i joins node
+    u = (i*7) % 400 to its right or upper neighbor (odd/even i), edges
+    wrapping dropped, deduped on the normalized (u, v)."""
+    return f"""
+SELECT min(seg_id) AS seg_id, u, v FROM (
+  SELECT CAST(doc_id AS BIGINT) AS seg_id,
+         (CAST(doc_id AS BIGINT) * 7) % {_LM_NODES} AS u,
+         CASE WHEN CAST(doc_id AS BIGINT) % 2 = 1
+              THEN (CAST(doc_id AS BIGINT) * 7) % {_LM_NODES} + 1
+              ELSE (CAST(doc_id AS BIGINT) * 7) % {_LM_NODES} + 20 END AS v
+  FROM documents) s
+WHERE v < {_LM_NODES} AND NOT (u % 20 = 19 AND v = u + 1)
+GROUP BY u, v"""
+
+
+def q_line_merge(spark, sf_dir):
+    """ST_LineMerge / groupAsPolyline analog (trajectory.line_merge,
+    reference F/feature/FeatureOperations.java:297): maximal polylines
+    from a closed-form lattice segment soup — paths join only through
+    degree-2 nodes, path id = smallest member segment.  The oracle
+    recomputes degrees and closes the adjacency with a recursive
+    reachability CTE."""
+    from .operators.trajectory import line_merge
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("seg_id")
+    )
+    i = F.col("seg_id")
+    raw = docs.select(
+        "seg_id",
+        ((i * 7) % _LM_NODES).alias("u"),
+        F.when(i % 2 == 1, (i * 7) % _LM_NODES + 1)
+        .otherwise((i * 7) % _LM_NODES + 20).alias("v"),
+    ).filter(
+        (F.col("v") < _LM_NODES)
+        & ~((F.col("u") % 20 == 19) & (F.col("v") == F.col("u") + 1))
+    ).groupBy("u", "v").agg(F.min("seg_id").alias("seg_id"))
+    return line_merge(raw).orderBy("seg_id")
+
+
+def q_line_merge_oracle():
+    from .operators.trajectory import line_merge_sql
+
+    return (
+        "SELECT * FROM ("
+        + line_merge_sql(_line_merge_segs_sql())
+        + ") ORDER BY seg_id"
+    )
+
+
+QUERIES["line_merge"] = (q_line_merge, q_line_merge_oracle)
