@@ -424,6 +424,64 @@ class AzimuthalEquidistant:
         return np.degrees(lam) + self.lon0, np.degrees(phi)
 
 
+#: Robinson 1974 projection table (public constants, 5-degree nodes):
+#: PLEN (parallel length factor) and PDFE (distance-from-equator factor).
+_ROBINSON_PLEN = (
+    1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427,
+    0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732,
+    0.6213, 0.5722, 0.5322,
+)
+_ROBINSON_PDFE = (
+    0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340,
+    0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936,
+    0.9394, 0.9761, 1.0000,
+)
+
+
+class Robinson:
+    """Robinson world projection (Robinson 1974 lookup table, public
+    constants) with PIECEWISE-LINEAR node interpolation (documented
+    variant; ESRI/classic implementations use Stirling interpolation):
+
+        i = floor(|lat| / 5),  f = (|lat| - 5 i) / 5
+        X = PLEN[i] + (PLEN[i+1] - PLEN[i]) f   (same for Y over PDFE)
+        x = 0.8487 R X lam,  y = 1.3523 R Y sign(lat)
+
+    Every step is +-*/ on shared constants — no libm, so both engines
+    produce bit-identical doubles given the same op order."""
+
+    def __init__(self, lon0: float = 0.0, R: float = 6371000.0):
+        self.lon0, self.R = lon0, R
+
+    def forward(self, lon, lat):
+        lat = np.asarray(lat, np.float64)
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        al = np.abs(lat)
+        i = np.minimum(np.floor(al / 5.0), 17.0).astype(np.int64)
+        f = (al - 5.0 * i) / 5.0
+        PL = np.asarray(_ROBINSON_PLEN)
+        PD = np.asarray(_ROBINSON_PDFE)
+        X = PL[i] + (PL[i + 1] - PL[i]) * f
+        Y = PD[i] + (PD[i + 1] - PD[i]) * f
+        x = 0.8487 * self.R * X * lam
+        y = 1.3523 * self.R * Y * np.sign(lat)
+        return x, y
+
+    def inverse(self, x, y):
+        # piecewise-linear tables invert by bracketing Y then one linear solve
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        PD = np.asarray(_ROBINSON_PDFE)
+        PL = np.asarray(_ROBINSON_PLEN)
+        Yv = np.abs(y) / (1.3523 * self.R)
+        i = np.clip(np.searchsorted(PD, Yv, side="right") - 1, 0, 17)
+        f = np.where(PD[i + 1] > PD[i], (Yv - PD[i]) / (PD[i + 1] - PD[i]), 0.0)
+        lat = np.sign(y) * 5.0 * (i + f)
+        X = PL[i] + (PL[i + 1] - PL[i]) * f
+        lam = x / (0.8487 * self.R * X)
+        return np.degrees(lam) + self.lon0, lat
+
+
 class _Geographic:
     def forward(self, lon, lat):
         return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
@@ -506,6 +564,8 @@ CRS_REGISTRY: dict[str, object] = {
     "ESRI:53044:EU": Orthographic(45.0, 10.0, 6371000.0),
     # Sphere azimuthal equidistant centered on Europe (range-ring map)
     "ESRI:53032:EU": AzimuthalEquidistant(45.0, 10.0, 6371000.0),
+    # Sphere Robinson world map (piecewise-linear node interpolation)
+    "ESRI:53030": Robinson(0.0, 6371000.0),
 }
 
 

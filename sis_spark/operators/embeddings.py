@@ -773,3 +773,163 @@ dups AS (
 SELECT a.{id_col}, a.cluster,
        d.drop_id IS NULL AS kept
 FROM assigned a LEFT JOIN dups d ON d.drop_id = a.{id_col}"""
+
+
+def silhouette_simplified(
+    vectors: DataFrame,
+    k: int,
+    iters: int = 2,
+    scale: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per vector ->
+    (vec_id, cluster, a, b, s_q): a = exact int64 squared distance to the
+    own (nearest) centroid, b = min over the other centroids, s_q =
+    floor((b - a) * scale / b) in [0, scale] (b >= a by construction; the
+    max(a, b) of the textbook formula IS b).  The standard O(nk)
+    clustering-quality diagnostic — no pairwise-point distances.
+
+    Scale shape: training via train_ivf (k*dim scalars to the driver per
+    iteration); the scoring pass is one mapInPandas with the k x dim
+    centroid broadcast — identical shape to the assignment pass."""
+    import numpy as np
+    import pandas as pd
+
+    from .ann import quantize_col, train_ivf
+
+    cent = train_ivf(vectors, k, id_col, vec_col, iters=iters)
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+    q = vectors.select(
+        F.col(id_col).alias("id"), quantize_col(F.col(vec_col)).alias("qv")
+    )
+
+    def go(batches):
+        C = bc.value
+        cn = (C * C).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(list(pdf["qv"]), dtype=np.int64)
+            nv = (M * M).sum(axis=1)
+            dist = nv[:, None] + cn[None, :] - 2 * (M @ C.T)
+            j = dist.argmin(axis=1)
+            a = dist[np.arange(len(M)), j]
+            masked = dist.copy()
+            masked[np.arange(len(M)), j] = np.iinfo(np.int64).max
+            b = masked.min(axis=1)
+            s = np.where(b > 0,
+                         np.floor_divide((b - a) * int(scale), np.where(b > 0, b, 1)),
+                         0)
+            yield pd.DataFrame({
+                "vec_id": pdf["id"].to_numpy(),
+                "cluster": j.astype(np.int32),
+                "a": a, "b": b, "s_q": s.astype(np.int64),
+            })
+
+    return q.mapInPandas(
+        go, schema="vec_id long, cluster int, a long, b long, s_q long"
+    )
+
+
+def silhouette_sql(
+    k: int,
+    dim: int,
+    iters: int = 2,
+    scale: int = 256,
+    rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of ``silhouette_simplified``: reuses the
+    kmeans_assign_select training chain (c0 init + Lloyd blocks) but
+    finishes from the final all-pairs distance block d{fin} — a = min
+    dist, b = second min (ties resolved exactly like the engine's masked
+    argmin: the OWN cluster is the lowest-j minimum)."""
+    base = kmeans_assign_select(k, dim, iters, rel, id_col, vec_col)
+    # cut the final SELECT off the shared chain and re-finish from d{fin}
+    fin = iters + 1
+    marker = "afin AS ("
+    head = base[: base.index(marker)]
+    return f"""{head}r AS (
+  SELECT id, j, dist,
+         row_number() OVER (PARTITION BY id ORDER BY dist ASC, j ASC) AS rn
+  FROM d{fin}),
+ab AS (
+  SELECT a.id, a.j AS cluster, a.dist AS a,
+         (SELECT min(r2.dist) FROM r r2
+          WHERE r2.id = a.id AND r2.j != a.j) AS b
+  FROM r a WHERE a.rn = 1)
+SELECT id AS {id_col}, CAST(cluster AS INTEGER) AS cluster, a, b,
+       CASE WHEN b > 0 THEN ((b - a) * {int(scale)}) // b
+            ELSE 0 END AS s_q
+FROM ab"""
+
+
+def sq_int8_stats(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 scalar-quantization summary -> (vec_id, code_sum,
+    code_ws, err_abs): per-DIMENSION min/max trained over the whole
+    collection, code = (q - mn) * 255 div (mx - mn) in [0, 255] (exact
+    integer on the 1e7-quantized values), recon = mn + code * (mx - mn)
+    div 255, err_abs = sum |q - recon|.  The storage-compression pass of
+    an ANN pipeline with its reconstruction-error audit.
+
+    Scale shape: one posexplode + per-dim agg (k = dim groups, map-side
+    combined), broadcast join of the dim-row stats table back, one
+    partial agg per vector — all codegen, no Python."""
+    q = vectors.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("p", "x"),
+    ).select(
+        "id", "p",
+        F.floor(F.col("x").cast("double") * 10000000.0).cast("long").alias("v"),
+    )
+    stats = q.groupBy("p").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    coded = (
+        q.join(F.broadcast(stats), "p")
+        .withColumn(
+            "code",
+            F.when(F.col("mx") > F.col("mn"),
+                   F.expr("((v - mn) * 255) div (mx - mn)"))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "recon",
+            F.col("mn") + F.expr("(code * (mx - mn)) div 255"),
+        )
+    )
+    return coded.groupBy(F.col("id").alias(id_col)).agg(
+        F.sum("code").alias("code_sum"),
+        F.sum(F.col("code") * (F.col("p") + 1)).alias("code_ws"),
+        F.sum(F.abs(F.col("v") - F.col("recon"))).alias("err_abs"),
+    )
+
+
+def sq_int8_sql(
+    rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``sq_int8_stats`` (generate_subscripts explode; all
+    operands positive after the (v - mn) shift, so // == div)."""
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS id,
+         generate_subscripts({vec_col}, 1) AS p,
+         CAST(floor(CAST(unnest({vec_col}) AS DOUBLE) * 10000000.0) AS BIGINT) AS v
+  FROM {rel}),
+st AS (SELECT p, min(v) AS mn, max(v) AS mx FROM q GROUP BY 1),
+coded AS (
+  SELECT q.id, q.p, q.v, st.mn, st.mx,
+         CASE WHEN st.mx > st.mn THEN ((q.v - st.mn) * 255) // (st.mx - st.mn)
+              ELSE 0 END AS code
+  FROM q JOIN st ON st.p = q.p)
+SELECT id AS {id_col}, sum(code) AS code_sum,
+       sum(code * p) AS code_ws,
+       sum(abs(v - (mn + (code * (mx - mn)) // 255))) AS err_abs
+FROM coded GROUP BY 1"""

@@ -17687,3 +17687,186 @@ def q_line_merge_oracle():
 
 
 QUERIES["line_merge"] = (q_line_merge, q_line_merge_oracle)
+
+
+def q_resample_bicubic(spark, sf_dir):
+    """Distributed BICUBIC (Catmull-Rom, Keys a=-1/2) warp on the gather
+    scale path — same geometry as `resample_bilinear`, src fractions all
+    .25/.75 so every 4x4 tap weight and partial sum is an exact dyadic
+    (denominator 128 per axis): the oracle replays the 16-tap blend
+    verbatim, including rint's round-HALF-TO-EVEN ties and the post-round
+    [0,255] clip (bicubic overshoots where bilinear cannot)."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.tiles import resample_gather
+
+    SW, SH, DW, DH = 256, 192, 384, 288
+    src_gg = GridGeometry((0, 0, SW - 1, SH - 1), (0.0625, 0.0, 0.0, 0.0, -0.0625, 12.0))
+    dst_gg = GridGeometry((0, 0, DW - 1, DH - 1), (0.03125, 0.0, 0.5, 0.0, -0.03125, 11.5))
+    tiles = _formula_tiles(spark, SW, SH, bands=1)
+    out = resample_gather(tiles, src_gg, dst_gg, method="bicubic")
+
+    def chk(batches):
+        gxs = _np.arange(64, dtype=_np.int64)
+        for pdf in batches:
+            rows = []
+            for tx, ty, band, data in zip(pdf["tx"], pdf["ty"], pdf["band"], pdf["data"]):
+                tx, ty = int(tx), int(ty)
+                vh = min(64, DH - ty * 64)
+                vw = min(64, DW - tx * 64)
+                block = _np.frombuffer(data, dtype=_np.uint8).reshape(64, 64)
+                GX, GY = _np.meshgrid(tx * 64 + gxs[:vw], ty * 64 + gxs[:vh])
+                v = block[:vh, :vw].astype(_np.int64)
+                px = GY * DW + GX
+                rows.append({
+                    "tx": tx, "ty": ty, "band": int(band),
+                    "n": int(vh * vw), "s": int(v.sum()),
+                    "ws": int((v * px).sum()),
+                })
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return out.mapInPandas(
+        chk, schema="tx long, ty long, band int, n long, s long, ws long"
+    ).orderBy("tx", "ty")
+
+
+def q_resample_bicubic_oracle():
+    # Catmull-Rom weights as named columns; src_frac = 0.5*dst + 7.75 on
+    # both axes -> x0 in [7, 199], y0 in [7, 151]: the full 4x4 window is
+    # interior (no clamps, no fill).  Exact dyadics end to end.
+    def w(m, t):
+        if m == -1:
+            return f"((-({t}*{t}*{t}) + 2*{t}*{t} - {t}) * 0.5)"
+        if m == 0:
+            return f"((3*{t}*{t}*{t} - 5*{t}*{t} + 2) * 0.5)"
+        if m == 1:
+            return f"((-3*{t}*{t}*{t} + 4*{t}*{t} + {t}) * 0.5)"
+        return f"(({t}*{t}*{t} - {t}*{t}) * 0.5)"
+
+    def val(i, j):
+        return f"CAST(((x0 + {i}) * 7 + (y0 + {j}) * 13) % 256 AS DOUBLE)"
+
+    taps = (-1, 0, 1, 2)
+    rows = " + ".join(
+        "("
+        + " + ".join(val(i, j) + " * " + w(i, "dx") for i in taps)
+        + ") * "
+        + w(j, "dy")
+        for j in taps
+    )
+    vv = f"({rows})"
+    rq = (
+        f"CASE WHEN {vv} - floor({vv}) = 0.5"
+        f" THEN CAST(floor({vv}) AS BIGINT) + CAST(floor({vv}) AS BIGINT) % 2"
+        f" ELSE CAST(round({vv}) AS BIGINT) END"
+    )
+    cq = f"LEAST(GREATEST({rq}, 0), 255)"
+    return f"""
+WITH d AS (
+  SELECT gx.x AS x, gy.y AS y
+  FROM generate_series(0, 383) gx(x), generate_series(0, 287) gy(y)),
+f AS (
+  SELECT x, y,
+         CAST(floor(0.5 * x + 7.75) AS BIGINT) AS x0,
+         (0.5 * x + 7.75) - floor(0.5 * x + 7.75) AS dx,
+         CAST(floor(0.5 * y + 7.75) AS BIGINT) AS y0,
+         (0.5 * y + 7.75) - floor(0.5 * y + 7.75) AS dy
+  FROM d),
+r AS (SELECT x, y, {cq} AS s FROM f)
+SELECT x // 64 AS tx, y // 64 AS ty, CAST(0 AS INT) AS band,
+       count(*) AS n, CAST(sum(s) AS BIGINT) AS s,
+       CAST(sum(s * (y * 384 + x)) AS BIGINT) AS ws
+FROM r GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+QUERIES["resample_bicubic"] = (q_resample_bicubic, q_resample_bicubic_oracle)
+
+
+def q_silhouette(spark, sf_dir):
+    """Simplified silhouette clustering diagnostic (embeddings.
+    silhouette_simplified) over the k=8 exact-integer k-means of the
+    `kmeans_clusters` gate: a / b / floor((b-a)*256 / b) per vector from
+    the FINAL centroids — the oracle reuses the kmeans training chain and
+    re-finishes from the all-pairs distance block."""
+    from .operators.embeddings import silhouette_simplified
+
+    return silhouette_simplified(
+        _read(spark, sf_dir, "embeddings"), k=8, iters=2
+    ).orderBy("vec_id")
+
+
+def q_silhouette_oracle():
+    from .operators.embeddings import silhouette_sql
+
+    return silhouette_sql(8, 64, 2) + " ORDER BY vec_id"
+
+
+QUERIES["silhouette"] = (q_silhouette, q_silhouette_oracle)
+
+
+def q_sq_int8(spark, sf_dir):
+    """Int8 scalar quantization with reconstruction audit (embeddings.
+    sq_int8_stats): per-dimension min/max training + exact integer
+    code/recon/|err| sums per vector — the ANN storage-compression pass;
+    pure codegen both sides."""
+    from .operators.embeddings import sq_int8_stats
+
+    return sq_int8_stats(_read(spark, sf_dir, "embeddings")).orderBy("vec_id")
+
+
+def q_sq_int8_oracle():
+    from .operators.embeddings import sq_int8_sql
+
+    return "SELECT * FROM (" + sq_int8_sql() + ") ORDER BY vec_id"
+
+
+QUERIES["sq_int8"] = (q_sq_int8, q_sq_int8_oracle)
+
+
+def q_robinson(spark, sf_dir):
+    """WGS84 -> sphere Robinson (ESRI:53030, Robinson 1974 table with
+    piecewise-linear node interpolation — documented variant): every step
+    is +-*/ over the shared published constants, no libm beyond
+    radians(), so the engines agree bit-for-bit; floor-shift output
+    discipline."""
+    from .functions.projections import st_transform_any_udf
+
+    pts = _events_points(spark, sf_dir)
+    p = st_transform_any_udf("EPSG:4326", "ESRI:53030")(
+        F.col("lon"), F.col("lat")
+    )
+    return pts.select(
+        "event_id",
+        F.floor(p["x"] - F.lit(0.123456789)).cast("long").alias("xl"),
+        F.floor(p["y"] - F.lit(0.123456789)).cast("long").alias("yl"),
+    ).orderBy("event_id")
+
+
+def q_robinson_oracle():
+    from .functions.projections import _ROBINSON_PDFE, _ROBINSON_PLEN
+
+    tbl = ", ".join(
+        f"({i}, {synth.flit(pl)}, {synth.flit(pd)})"
+        for i, (pl, pd) in enumerate(zip(_ROBINSON_PLEN, _ROBINSON_PDFE))
+    )
+    x = "(0.8487 * 6371000.0 * (r1.pl + (r2.pl - r1.pl) * f.f) * radians(lon - 0.0))"
+    y = "(1.3523 * 6371000.0 * (r1.pd + (r2.pd - r1.pd) * f.f) * sign(lat))"
+    return f"""
+WITH pts AS ({_points_sql()}),
+f AS (
+  SELECT event_id, lon, lat,
+         CAST(LEAST(floor(abs(lat) / 5.0), 17.0) AS BIGINT) AS i,
+         (abs(lat) - 5.0 * CAST(LEAST(floor(abs(lat) / 5.0), 17.0) AS BIGINT)) / 5.0 AS f
+  FROM pts),
+rob(i, pl, pd) AS (VALUES {tbl})
+SELECT event_id,
+  CAST(floor({x} - 0.123456789) AS BIGINT) AS xl,
+  CAST(floor({y} - 0.123456789) AS BIGINT) AS yl
+FROM f JOIN rob r1 ON r1.i = f.i JOIN rob r2 ON r2.i = f.i + 1
+ORDER BY event_id"""
+
+
+QUERIES["robinson"] = (q_robinson, q_robinson_oracle)

@@ -392,6 +392,40 @@ def _interp(plane: np.ndarray, fx: np.ndarray, fy: np.ndarray, method: str, fill
                 wsum += w
         v[ok] = acc / np.where(wsum == 0.0, 1.0, wsum)
         return v
+    if method == "bicubic":
+        # separable 4x4 Catmull-Rom (Keys 1981 a=-1/2, public kernel):
+        #   w(-1) = (-t^3 + 2t^2 - t)/2      w(0) = (3t^3 - 5t^2 + 2)/2
+        #   w(1)  = (-3t^3 + 4t^2 + t)/2     w(2) = (t^3 - t^2)/2
+        # For dyadic fractions every weight and partial sum is an exact
+        # dyadic rational — bit-replayable as plain SQL arithmetic.
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        ok = (x0 >= 0) & (x0 < ws) & (y0 >= 0) & (y0 < hs)
+        v = np.full(fx.shape, fill, dtype=np.float64)
+        fxo, fyo = fx[ok], fy[ok]
+        tx = fxo - np.floor(fxo)
+        ty = fyo - np.floor(fyo)
+
+        def _keys_w(t, m):
+            if m == -1:
+                return (-(t ** 3) + 2.0 * t * t - t) * 0.5
+            if m == 0:
+                return (3.0 * t ** 3 - 5.0 * t * t + 2.0) * 0.5
+            if m == 1:
+                return (-3.0 * t ** 3 + 4.0 * t * t + t) * 0.5
+            return (t ** 3 - t * t) * 0.5
+
+        acc = np.zeros(fxo.shape, dtype=np.float64)
+        for j in (-1, 0, 1, 2):
+            yy = np.clip(np.floor(fyo).astype(np.int64) + j, 0, hs - 1)
+            wy = _keys_w(ty, j)
+            row = np.zeros(fxo.shape, dtype=np.float64)
+            for i in (-1, 0, 1, 2):
+                xx = np.clip(np.floor(fxo).astype(np.int64) + i, 0, ws - 1)
+                row += plane[yy, xx] * _keys_w(tx, i)
+            acc += row * wy
+        v[ok] = acc
+        return v
     if method == "nearest":
         ix = np.rint(fx).astype(np.int64)
         iy = np.rint(fy).astype(np.int64)
@@ -419,7 +453,7 @@ def _interp(plane: np.ndarray, fx: np.ndarray, fy: np.ndarray, method: str, fill
 
 def _gather_manifest_df(
     spark, center: tuple, n_tx: int, n_ty: int,
-    s_ntx: int, s_nty: int, tile_size: int,
+    s_ntx: int, s_nty: int, tile_size: int, margin: float = 1.5,
 ) -> DataFrame:
     """(dtx, dty, stx, sty) gather manifest as a DISTRIBUTED DataFrame.
 
@@ -439,10 +473,10 @@ def _gather_manifest_df(
     y1 = (F.col("dty") + 1).cast("double") * ts
     fx = [F.lit(a) * x + F.lit(b) * y + F.lit(c) for x in (x0, x1) for y in (y0, y1)]
     fy = [F.lit(d) * x + F.lit(e) * y + F.lit(f) for x in (x0, x1) for y in (y0, y1)]
-    sx0 = F.floor(F.least(*fx) - 1.5)
-    sx1 = F.ceil(F.greatest(*fx) + 1.5)
-    sy0 = F.floor(F.least(*fy) - 1.5)
-    sy1 = F.ceil(F.greatest(*fy) + 1.5)
+    sx0 = F.floor(F.least(*fx) - margin)
+    sx1 = F.ceil(F.greatest(*fx) + margin)
+    sy0 = F.floor(F.least(*fy) - margin)
+    sy1 = F.ceil(F.greatest(*fy) + margin)
     bounds = ids.select(
         "dtx", "dty",
         F.greatest(F.lit(0), F.floor(sx0 / tile_size)).alias("stx0"),
@@ -503,8 +537,10 @@ def resample_gather(
     # the manifest is O(dst tiles) and must never materialize on the driver
     # (r1 verdict: the python double loop here was the remaining driver
     # bottleneck of the gather path).
+    # kernel reach sets the gather margin: bilinear 1, bicubic 2, lanczos 3
+    margin = {"bicubic": 2.5, "lanczos": 3.5}.get(method, 1.5)
     manifest = _gather_manifest_df(
-        spark, center, n_tx, n_ty, s_ntx, s_nty, tile_size)
+        spark, center, n_tx, n_ty, s_ntx, s_nty, tile_size, margin)
 
     src = tiles_df.select(
         F.col("tx").alias("stx"), F.col("ty").alias("sty"), "band", "data"
