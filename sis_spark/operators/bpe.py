@@ -188,3 +188,64 @@ SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
 FROM p GROUP BY a, b
 ORDER BY cnt DESC, a, b
 LIMIT {top}"""
+
+
+def bpe_encode_sql(
+    merges: list[tuple[str, str]],
+    rel: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for ``bpe_encode`` under a FIXED merge table: a
+    lockstep recursive CTE carries each distinct word's token LIST; every
+    round selects the lowest-rank pair present and merges ALL its
+    occurrences at once — legal because every merge has a != b (as token
+    strings), so occurrences of one pair can never overlap (s[i+1] = b =
+    a would be required).  Terminal rows are those where no merge
+    applies; per-doc totals come from the word-occurrence join, exactly
+    like the engine's distinct-word discipline."""
+    big = len(merges) + 1000
+
+    def rank_case(x: str, y: str) -> str:
+        arms = " ".join(
+            f"WHEN {x} = '{a}' AND {y} = '{b}' THEN {r}"
+            for r, (a, b) in enumerate(merges)
+        )
+        return f"(CASE {arms} ELSE {big} END)"
+
+    rmin = (
+        "coalesce(list_min([" + rank_case("s[i]", "s[i+1]")
+        + " FOR i IN range(1, len(s))]), " + str(big) + ")"
+    )
+    a_case = "(CASE " + " ".join(
+        f"WHEN r = {r} THEN '{a}'" for r, (a, _b) in enumerate(merges)
+    ) + " END)"
+    b_case = "(CASE " + " ".join(
+        f"WHEN r = {r} THEN '{b}'" for r, (_a, b) in enumerate(merges)
+    ) + " END)"
+    return f"""
+WITH RECURSIVE w0 AS (
+  SELECT DISTINCT unnest(string_split({text}, ' ')) AS word FROM {rel}),
+st AS (
+  SELECT word, [word[i] FOR i IN range(1, length(word) + 1)] AS s FROM w0
+  UNION ALL
+  SELECT word,
+         [CASE WHEN mm[i] = 1 THEN av || bv ELSE s[i] END
+          FOR i IN range(1, len(s) + 1) IF i = 1 OR mm[i - 1] = 0] AS s
+  FROM (
+    SELECT word, s, av, bv,
+           [CASE WHEN i < len(s) AND s[i] = av AND s[i + 1] = bv
+                 THEN 1 ELSE 0 END
+            FOR i IN range(1, len(s) + 1)] AS mm
+    FROM (
+      SELECT word, s, {a_case} AS av, {b_case} AS bv
+      FROM (SELECT word, s, {rmin} AS r FROM st) q0
+      WHERE r < {big}) q1) q2),
+fin AS (
+  SELECT word, CAST(len(s) AS BIGINT) AS n_sym
+  FROM (SELECT word, s, {rmin} AS r FROM st) t WHERE r >= {big}),
+occ AS (
+  SELECT {id_col}, unnest(string_split({text}, ' ')) AS word FROM {rel})
+SELECT o.{id_col}, sum(f.n_sym) AS n_tokens, count(*) AS n_words
+FROM occ o JOIN fin f ON f.word = o.word
+GROUP BY 1"""

@@ -1828,3 +1828,90 @@ SELECT v.label, coalesce(c.cut, 0) AS cut, v.vol,
             THEN (coalesce(c.cut, 0) * {int(scale)})
                  // LEAST(v.vol, t.t - v.vol) END AS phi_q
 FROM vol v LEFT JOIN cut c ON c.label = v.label CROSS JOIN tot t"""
+
+
+def simrank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    c_num: int = 4,
+    c_den: int = 5,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Exact-integer SimRank (Jeh & Widom 2002, public literature) ->
+    (a, b, s) for a < b with s > 0 after ``iters`` iterations:
+    S(a, a) = scale; S'(a, b) = floor(c_num * sum_{i in I(a), j in I(b)}
+    S(i, j) / (c_den * |I(a)| * |I(b)|)), every division an integer
+    floor-div of positive operands — bit-exact, so the oracle chains one
+    CTE block per iteration.
+
+    Scale shape: the nonzero pair table is joined twice against the edge
+    list (in-neighbor expansion) and re-aggregated per (a, b) — sparsity
+    is preserved (zero pairs never materialize); indegrees are a tiny
+    broadcast dimension."""
+    e = edges.select(F.col("src"), F.col("dst"))
+    indeg = e.groupBy(F.col("dst").alias("n")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    cur = nodes.select(
+        F.col("node").alias("i"), F.col("node").alias("j"),
+        F.lit(int(scale)).cast("long").alias("s"),
+    )
+    diag = cur
+    for _ in range(int(iters)):
+        num = (
+            cur.join(e.select(F.col("src").alias("i"), F.col("dst").alias("a")), "i")
+            .join(e.select(F.col("src").alias("j"), F.col("dst").alias("b")), "j")
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b").agg(F.sum("s").alias("t"))
+        )
+        nd = (
+            num.join(indeg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+            .join(indeg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+            .select(
+                F.col("a").alias("i"), F.col("b").alias("j"),
+                F.expr(f"({int(c_num)} * t) div ({int(c_den)} * da * db)")
+                .cast("long").alias("s"),
+            )
+            .filter(F.col("s") > 0)
+        )
+        cur = diag.unionByName(nd).localCheckpoint()
+    return (
+        cur.filter(F.col("i") < F.col("j"))
+        .select(F.col("i").alias("a"), F.col("j").alias("b"), "s")
+    )
+
+
+def simrank_sql(
+    edges_select: str,
+    nodes_select: str,
+    iters: int = 3,
+    c_num: int = 4,
+    c_den: int = 5,
+    scale: int = 1 << 20,
+) -> str:
+    """DuckDB replay of ``simrank``: one MATERIALIZED pair-table block per
+    iteration (positive operands: // == floor-div == Spark div)."""
+    blocks = [
+        f"e AS MATERIALIZED (SELECT src, dst FROM ({edges_select}) s)",
+        "ind AS MATERIALIZED (SELECT dst AS n, count(*) AS d FROM e GROUP BY 1)",
+        f"s0 AS MATERIALIZED (SELECT node AS i, node AS j, "
+        f"CAST({int(scale)} AS BIGINT) AS s FROM ({nodes_select}) n)",
+    ]
+    for k in range(1, int(iters) + 1):
+        blocks.append(f"""n{k} AS (
+  SELECT ea.dst AS a, eb.dst AS b,
+         ({int(c_num)} * sum(p.s)) // ({int(c_den)} * da.d * db.d) AS s
+  FROM s{k - 1} p
+  JOIN e ea ON ea.src = p.i JOIN e eb ON eb.src = p.j
+  JOIN ind da ON da.n = ea.dst JOIN ind db ON db.n = eb.dst
+  WHERE ea.dst != eb.dst
+  GROUP BY ea.dst, eb.dst, da.d, db.d),
+s{k} AS MATERIALIZED (
+  SELECT i, j, s FROM s0
+  UNION ALL
+  SELECT a, b, s FROM n{k} WHERE s > 0)""")
+    return (
+        "WITH " + ",\n".join(blocks)
+        + f"\nSELECT i AS a, j AS b, s FROM s{int(iters)} WHERE i < j"
+    )

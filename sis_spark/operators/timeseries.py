@@ -1834,3 +1834,82 @@ SELECT {user_col}, rn, x,
                                   ROWS UNBOUNDED PRECEDING))) >= {h} AS alarm
 FROM b
 """
+
+
+def interval_schedule(
+    df: DataFrame,
+    user_col: str = "user_id",
+    start_col: str = "t0",
+    end_col: str = "t1",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted interval scheduling (classic DP, public literature) per
+    key -> (user, n, best): the maximum total weight of pairwise
+    non-overlapping intervals ([t0, t1), touching endpoints compatible).
+    Sort by (end, start, weight), p(i) = last interval with end <= own
+    start (binary search), dp[i] = max(dp[i-1], w_i + dp[p_i]) — exact
+    int64 throughout.  One applyInPandas group per key (the ewma
+    sequential-recurrence shape; keys parallelize); the oracle carries
+    the dp LIST in a lockstep recursive CTE with the SAME precomputed
+    predecessor ranks."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([end_col, start_col, weight_col],
+                              kind="mergesort")
+        s = pdf[start_col].to_numpy(dtype=np.int64)
+        e = pdf[end_col].to_numpy(dtype=np.int64)
+        w = pdf[weight_col].to_numpy(dtype=np.int64)
+        n = len(s)
+        # p[i]: count of intervals with end <= s[i]  (0 = none)
+        p = np.searchsorted(e, s, side="right")
+        dp = np.zeros(n + 1, dtype=np.int64)
+        for i in range(1, n + 1):
+            dp[i] = max(dp[i - 1], w[i - 1] + dp[p[i - 1]])
+        return pd.DataFrame({
+            user_col: pdf[user_col].iloc[:1],
+            "n": [np.int64(n)],
+            "best": [dp[n]],
+        })
+
+    return df.groupBy(user_col).applyInPandas(
+        fn, schema=f"{user_col} long, n long, best long"
+    )
+
+
+def interval_schedule_sql(
+    base_select: str,
+    user_col: str = "user_id",
+) -> str:
+    """DuckDB replay of ``interval_schedule``; ``base_select`` ->
+    (user, t0, t1, w).  Ranks and predecessor counts are plain window /
+    join computations; the recursion appends dp[rn] to a carried LIST
+    (dp list is 1-indexed over ranks, entry 0 implied by the
+    list_extract NULL -> coalesce 0)."""
+    return f"""
+WITH RECURSIVE b AS MATERIALIZED (
+  SELECT {user_col}, CAST(t0 AS BIGINT) AS t0, CAST(t1 AS BIGINT) AS t1,
+         CAST(w AS BIGINT) AS w,
+         CAST(row_number() OVER (PARTITION BY {user_col}
+              ORDER BY t1, t0, w) AS BIGINT) AS rn
+  FROM ({base_select}) s),
+p AS MATERIALIZED (
+  SELECT a.{user_col}, a.rn, a.w,
+         (SELECT count(*) FROM b c
+          WHERE c.{user_col} = a.{user_col} AND c.t1 <= a.t0) AS pr
+  FROM b a),
+rec AS (
+  SELECT {user_col}, CAST(0 AS BIGINT) AS rn, [CAST(0 AS BIGINT)] AS dp
+  FROM (SELECT DISTINCT {user_col} FROM b) u
+  UNION ALL
+  SELECT r.{user_col}, r.rn + 1,
+         list_append(r.dp, GREATEST(
+             r.dp[CAST(r.rn + 1 AS INT)],
+             q.w + r.dp[CAST(q.pr + 1 AS INT)])) AS dp
+  FROM rec r JOIN p q
+    ON q.{user_col} = r.{user_col} AND q.rn = r.rn + 1)
+SELECT r.{user_col}, r.rn AS n, r.dp[CAST(r.rn + 1 AS INT)] AS best
+FROM rec r
+JOIN (SELECT {user_col}, max(rn) AS mx FROM b GROUP BY 1) m
+  ON m.{user_col} = r.{user_col} AND m.mx = r.rn"""

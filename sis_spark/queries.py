@@ -17870,3 +17870,126 @@ ORDER BY event_id"""
 
 
 QUERIES["robinson"] = (q_robinson, q_robinson_oracle)
+
+
+#: fixed public-style merge table for the encode gate (training is gated
+#: separately by `bpe_pair_counts`; every pair has a != b as token strings,
+#: so one pair's occurrences can never overlap — see bpe_encode_sql)
+_BPE_MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("r", "o"), ("ro", "w"), ("j", "o"), ("jo", "i"), ("joi", "n"),
+    ("h", "a"), ("ha", "s"), ("has", "h"), ("s", "c"), ("sc", "a"),
+    ("sca", "n"), ("o", "r"), ("e", "r"), ("t", "h"), ("th", "e"),
+]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE tokenization APPLY (bpe.bpe_encode) under the fixed merge
+    table: per doc the token and word totals after the lowest-rank-first
+    merge loop — the encode loop runs Arrow-batched over DISTINCT corpus
+    words only; the oracle steps the identical rounds as a lockstep
+    recursive CTE carrying each word's token list."""
+    from .operators.bpe import bpe_encode
+
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_encode(docs, _BPE_MERGES).orderBy("doc_id")
+
+
+def q_bpe_encode_oracle():
+    from .operators.bpe import bpe_encode_sql
+
+    return (
+        "SELECT * FROM (" + bpe_encode_sql(_BPE_MERGES) + ") ORDER BY doc_id"
+    )
+
+
+QUERIES["bpe_encode"] = (q_bpe_encode, q_bpe_encode_oracle)
+
+
+_SIMRANK_N = 100
+
+
+def q_simrank(spark, sf_dir):
+    """Exact-integer SimRank (graph.simrank, C = 4/5, 3 iterations,
+    2^20 scale) on the closed-form 100-node directed graph: structural
+    similarity from in-neighbor meetings, every division a positive
+    floor-div; the oracle chains one pair-table CTE per iteration."""
+    from .operators.graph import simrank
+
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _SIMRANK_N
+    ).select(F.col("doc_id").cast("long").alias("i"))
+    i = F.col("i")
+    edges = (
+        docs.select(
+            i.alias("src"),
+            F.explode(F.array((i * 7 + 11) % _SIMRANK_N,
+                              (i * 13 + 5) % _SIMRANK_N)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = docs.select(i.alias("node"))
+    return simrank(edges, nodes, iters=3).orderBy("a", "b")
+
+
+def q_simrank_oracle():
+    from .operators.graph import simrank_sql
+
+    n = _SIMRANK_N
+    edges = f"""
+SELECT DISTINCT i AS src, d AS dst FROM (
+  SELECT i, (i * 7 + 11) % {n} AS d FROM
+    (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < {n}) a
+  UNION ALL
+  SELECT i, (i * 13 + 5) % {n} FROM
+    (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < {n}) b) e
+WHERE src != d"""
+    nodes = (
+        f"SELECT CAST(doc_id AS BIGINT) AS node FROM documents "
+        f"WHERE doc_id < {n}"
+    )
+    return (
+        "SELECT * FROM ("
+        + simrank_sql(edges, nodes, iters=3)
+        + ") ORDER BY a, b"
+    )
+
+
+QUERIES["simrank"] = (q_simrank, q_simrank_oracle)
+
+
+def q_interval_sched(spark, sf_dir):
+    """Weighted interval scheduling DP (timeseries.interval_schedule) per
+    user over closed-form event intervals: max total value of
+    non-overlapping intervals — dp[i] = max(dp[i-1], w_i + dp[p_i]) exact
+    int64; one applyInPandas group per user, recursive-CTE dp-list
+    oracle with identically precomputed predecessor ranks."""
+    from .operators.timeseries import interval_schedule
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        ((F.col("event_id") * 37) % 1000).cast("long").alias("t0"),
+        ((F.col("event_id") * 37) % 1000
+         + (F.col("event_id") % 7 + 1) * 3).cast("long").alias("t1"),
+        F.floor(F.col("value") * 100).cast("long").alias("w"),
+    )
+    return interval_schedule(ev).orderBy("user_id")
+
+
+def q_interval_sched_oracle():
+    from .operators.timeseries import interval_schedule_sql
+
+    base = (
+        "SELECT user_id, (event_id * 37) % 1000 AS t0, "
+        "(event_id * 37) % 1000 + (event_id % 7 + 1) * 3 AS t1, "
+        "CAST(floor(value * 100) AS BIGINT) AS w FROM events"
+    )
+    return (
+        "SELECT * FROM ("
+        + interval_schedule_sql(base)
+        + ") ORDER BY user_id"
+    )
+
+
+QUERIES["interval_sched"] = (q_interval_sched, q_interval_sched_oracle)
