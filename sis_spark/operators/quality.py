@@ -498,3 +498,56 @@ WITH g AS (
   SELECT {key_col} AS key, CAST(count(*) AS BIGINT) AS n
   FROM ({base_select}) s GROUP BY 1)
 SELECT key, n, {_laplace_expr(f"({h})", b)} AS noise_q FROM g"""
+
+
+def randomized_response(
+    df: DataFrame,
+    bit_col: str,
+    key_col: str,
+    cohort_col: str,
+    p_num: int = 3,
+    p_den: int = 4,
+    salt: str = "rr",
+) -> DataFrame:
+    """Warner randomized response (1965, public literature), DERANDOMIZED:
+    each row reports its true bit with probability p = p_num/p_den and
+    the flipped bit otherwise, where the "coin" is the row-key hash
+    u60 < floor(p * 2^60) — a pure function of the key, so reruns and
+    the oracle agree bit-for-bit.  Output per cohort: (cohort, n, n1,
+    est2) with n1 = reported positives and est2 = 2 * (p_den * n1 -
+    (p_den - p_num) * n) / (2 p_num - p_den)... kept integral as
+    est2 = 4*n1 - n for the default p = 3/4 (twice the debiased count).
+
+    One codegen map + one partial agg — the local-DP collection shape."""
+    from .sampling import hash_u60
+
+    if (p_num, p_den) != (3, 4):
+        raise ValueError("est2 closed form is specialized to p = 3/4")
+    thr = (int(p_num) << 60) // int(p_den)
+    keep = hash_u60(F.col(key_col), salt) < F.lit(thr)
+    rep = F.when(keep, F.col(bit_col).cast("long")) \
+        .otherwise(1 - F.col(bit_col).cast("long"))
+    return (
+        df.withColumn("__rep", rep)
+        .groupBy(F.col(cohort_col).alias("cohort"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__rep").alias("n1"))
+        .select("cohort", "n", "n1",
+                (4 * F.col("n1") - F.col("n")).alias("est2"))
+    )
+
+
+def randomized_response_sql(
+    base_select: str,
+    salt: str = "rr",
+) -> str:
+    """DuckDB twin; ``base_select`` -> (key, bit, cohort)."""
+    from .sampling import hash_u60_sql
+
+    thr = (3 << 60) // 4
+    rep = (f"CASE WHEN {hash_u60_sql('key', salt)} < {thr} "
+           f"THEN CAST(bit AS BIGINT) ELSE 1 - CAST(bit AS BIGINT) END")
+    return f"""
+WITH b AS (SELECT cohort, {rep} AS rep FROM ({base_select}) s)
+SELECT cohort, count(*) AS n, sum(rep) AS n1,
+       4 * sum(rep) - count(*) AS est2
+FROM b GROUP BY 1"""

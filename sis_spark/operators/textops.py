@@ -2160,3 +2160,89 @@ FROM (
            // length(p.pattern) AS occ
   FROM ({base_select}) b, (VALUES {vals}) p(pattern)) t
 GROUP BY pattern"""
+
+
+_HUFF_NID_BASE = 1000  # internal-node ids start here (vocab must stay below)
+
+
+def huffman_code_lengths(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical Huffman code lengths for the corpus token vocabulary ->
+    (word, freq, code_len): the classic two-least-frequent merge loop
+    with the DETERMINISTIC tie rule (weight, node id) — leaf id = the
+    word's alphabetic rank, internal ids 1000 + round — so the tree is a
+    pure function of the frequency table and the oracle can replay the
+    merges as a self-terminating recursive CTE.
+
+    Scale shape: frequencies are a distributed partial agg; only the
+    vocabulary-sized table (which IS the codebook being built) reaches
+    the driver for the O(V log V) merge loop — the kcenter discipline of
+    collecting exactly the output."""
+    import heapq
+
+    freq = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rows = sorted((r["word"], int(r["freq"])) for r in freq.collect())
+    if len(rows) >= _HUFF_NID_BASE:
+        raise ValueError("vocabulary too large for the fixed internal-id base")
+    spark = docs.sparkSession
+    if len(rows) == 1:
+        return spark.createDataFrame(
+            [(rows[0][0], rows[0][1], 0)], "word string, freq long, code_len long"
+        )
+    heap = [(f, i) for i, (_w, f) in enumerate(rows)]
+    heapq.heapify(heap)
+    parent: dict[int, int] = {}
+    for rnd in range(len(rows) - 1):
+        f1, i1 = heapq.heappop(heap)
+        f2, i2 = heapq.heappop(heap)
+        nid = _HUFF_NID_BASE + rnd
+        parent[i1] = nid
+        parent[i2] = nid
+        heapq.heappush(heap, (f1 + f2, nid))
+    out = []
+    for i, (w, f) in enumerate(rows):
+        d, n = 0, i
+        while n in parent:
+            d += 1
+            n = parent[n]
+        out.append((w, f, d))
+    return spark.createDataFrame(out, "word string, freq long, code_len long")
+
+
+def huffman_code_lengths_sql(rel: str = "documents", text: str = "text") -> str:
+    """DuckDB replay of ``huffman_code_lengths``: single-row recursive
+    state (active node list + leaf->node map with depths); each round
+    sorts by (f, id), merges the two minima into id 1000 + round, bumps
+    the depth of every leaf under them; terminates when one node
+    remains."""
+    b = _HUFF_NID_BASE
+    return f"""
+WITH RECURSIVE freq AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS f
+  FROM (SELECT unnest(string_split({text}, ' ')) AS w FROM {rel}) t
+  GROUP BY 1),
+leaves AS MATERIALIZED (
+  SELECT word, f,
+         CAST(row_number() OVER (ORDER BY word) - 1 AS BIGINT) AS id
+  FROM freq),
+st AS (
+  SELECT CAST(0 AS BIGINT) AS rnd,
+         (SELECT list({{'f': f, 'id': id}} ORDER BY id) FROM leaves) AS ns,
+         (SELECT list({{'leaf': id, 'nid': id, 'dep': CAST(0 AS BIGINT)}}
+                      ORDER BY id) FROM leaves) AS lm
+  UNION ALL
+  SELECT rnd + 1,
+         list_append(list_slice(srt, 3, len(srt)),
+                     {{'f': srt[1].f + srt[2].f, 'id': {b} + rnd}}) AS ns,
+         [{{'leaf': x.leaf,
+            'nid': CASE WHEN x.nid = srt[1].id OR x.nid = srt[2].id
+                        THEN {b} + rnd ELSE x.nid END,
+            'dep': x.dep + CASE WHEN x.nid = srt[1].id OR x.nid = srt[2].id
+                                THEN 1 ELSE 0 END}} for x in lm] AS lm
+  FROM (SELECT rnd, list_sort(ns) AS srt, lm FROM st WHERE len(ns) > 1) q),
+fin AS (SELECT lm FROM st WHERE len(ns) = 1),
+d AS (SELECT unnest(lm) AS e FROM fin)
+SELECT l.word, l.f AS freq, d.e.dep AS code_len
+FROM d JOIN leaves l ON l.id = d.e.leaf"""

@@ -2143,3 +2143,52 @@ best AS (SELECT sid, min(r) AS comp FROM reach GROUP BY sid)
 SELECT b.sid AS seg_id, b.comp AS path_id, n.path_n
 FROM best b JOIN (SELECT comp, count(*) AS path_n FROM best GROUP BY 1) n
   ON n.comp = b.comp"""
+
+
+def convex_layers(
+    pts: DataFrame,
+    layers: int,
+    key_col: str = "k",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Onion peeling (convex-layer decomposition, vertex-peeling variant:
+    each round removes the STRICT hull corners of convex_hull_vertices,
+    collinear boundary points survive to the next layer) -> (k, layer,
+    x, y) for layer = 0..layers-1.  Per round one hull pass + one
+    anti-join; the point set only shrinks."""
+    cur = pts.select(
+        F.col(key_col).alias("k"), F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    ).localCheckpoint()
+    out = None
+    for layer in range(int(layers)):
+        hull = convex_hull_vertices(cur).withColumn(
+            "layer", F.lit(layer).cast("long")
+        ).localCheckpoint()
+        lay = hull.select("k", "layer", "x", "y")
+        out = lay if out is None else out.unionByName(lay)
+        cur = cur.join(hull.select("k", "x", "y"), ["k", "x", "y"],
+                       "left_anti").localCheckpoint()
+    return out
+
+
+def convex_layers_sql(points_select: str, layers: int) -> str:
+    """DuckDB oracle for ``convex_layers``: the Caratheodory vertex test
+    (convex_hull_vertices_sql) re-applied per layer on the peeled set."""
+    blocks = [f"p0 AS MATERIALIZED (SELECT DISTINCT k, x, y FROM ({points_select}) s)"]
+    sels = []
+    for i in range(int(layers)):
+        blocks.append(
+            f"v{i} AS MATERIALIZED ("
+            + convex_hull_vertices_sql(f"SELECT k, x, y FROM p{i}")
+            + ")"
+        )
+        blocks.append(
+            f"""p{i + 1} AS MATERIALIZED (
+  SELECT p.k, p.x, p.y FROM p{i} p
+  WHERE NOT EXISTS (SELECT 1 FROM v{i} v
+                    WHERE v.k = p.k AND v.x = p.x AND v.y = p.y))"""
+        )
+        sels.append(f"SELECT k, CAST({i} AS BIGINT) AS layer, x, y FROM v{i}")
+    return "WITH " + ",\n".join(blocks) + "\n" + "\nUNION ALL ".join(sels)

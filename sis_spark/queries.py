@@ -17993,3 +17993,94 @@ def q_interval_sched_oracle():
 
 
 QUERIES["interval_sched"] = (q_interval_sched, q_interval_sched_oracle)
+
+
+def q_huffman(spark, sf_dir):
+    """Huffman code lengths for the corpus vocabulary (textops.
+    huffman_code_lengths): deterministic (weight, id) tie rule, leaf id =
+    alphabetic rank — the compression-codebook trainer; only the
+    vocabulary-sized codebook reaches the driver.  The oracle replays the
+    merge loop as a self-terminating recursive CTE over a single
+    (nodes, leaf-map) state row."""
+    from .operators.textops import huffman_code_lengths
+
+    docs = _read(spark, sf_dir, "documents")
+    return huffman_code_lengths(docs).orderBy("word")
+
+
+def q_huffman_oracle():
+    from .operators.textops import huffman_code_lengths_sql
+
+    return (
+        "SELECT * FROM (" + huffman_code_lengths_sql() + ") ORDER BY word"
+    )
+
+
+QUERIES["huffman"] = (q_huffman, q_huffman_oracle)
+
+
+_CL_LAYERS = 3
+
+
+def q_convex_layers(spark, sf_dir):
+    """Onion peeling (trajectory.convex_layers, 3 layers, strict-corner
+    peeling variant) over per-user quantized tracks — depth-of-point
+    decomposition used for robust center estimation; each layer is
+    independently re-verified by the Caratheodory vertex oracle on the
+    peeled remainder."""
+    from .operators.trajectory import convex_layers
+
+    pts = _traj_pts_df(spark, sf_dir, cap=16).select(
+        F.col("user_id").alias("k"),
+        F.col("qx").alias("x"), F.col("qy").alias("y"),
+    )
+    return convex_layers(pts, layers=_CL_LAYERS).orderBy(
+        "k", "layer", "x", "y"
+    )
+
+
+def q_convex_layers_oracle():
+    from .operators.trajectory import convex_layers_sql
+
+    base = f"SELECT k, x, y FROM ({_traj_pts_sql(cap=16)}) tp"
+    return (
+        "SELECT * FROM ("
+        + convex_layers_sql(base, layers=_CL_LAYERS)
+        + ") ORDER BY k, layer, x, y"
+    )
+
+
+QUERIES["convex_layers"] = (q_convex_layers, q_convex_layers_oracle)
+
+
+def q_rand_response(spark, sf_dir):
+    """Local-DP randomized response (quality.randomized_response, Warner
+    p = 3/4, derandomized by the row-key hash): per user-cohort the
+    reported-positive count and the integral debiased estimate
+    est2 = 4*n1 - n for bit = (event_type = 'purchase')."""
+    from .operators.quality import randomized_response
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_id").alias("key"),
+        (F.col("event_type") == "purchase").cast("int").alias("bit"),
+        (F.col("user_id") % 10).alias("cohort"),
+    )
+    return randomized_response(ev, "bit", "key", "cohort").orderBy("cohort")
+
+
+def q_rand_response_oracle():
+    from .operators.quality import randomized_response_sql
+
+    base = (
+        "SELECT event_id AS key, "
+        "CAST(event_type = 'purchase' AS INT) AS bit, "
+        "user_id % 10 AS cohort FROM events"
+    )
+    return (
+        "SELECT * FROM ("
+        + randomized_response_sql(base)
+        + ") ORDER BY cohort"
+    )
+
+
+QUERIES["rand_response"] = (q_rand_response, q_rand_response_oracle)

@@ -227,3 +227,67 @@ def test_mollweide_roundtrip_and_known_points():
     # ~2e-4 m of y — inherent to doubles, identical in both engines.
     xp, yp = p.forward(np.array([0.0]), np.array([90.0]))
     assert abs(yp[0] - np.sqrt(2.0) * p.R) < 1e-3 and abs(xp[0]) < 1e-3
+
+
+def test_orthographic_roundtrip_and_center():
+    import numpy as np
+
+    from sis_spark.functions.projections import CRS_REGISTRY
+
+    p = CRS_REGISTRY["ESRI:53044:EU"]
+    # center maps to the origin
+    x0, y0 = p.forward(np.array([10.0]), np.array([45.0]))
+    assert abs(x0[0]) < 1e-9 and abs(y0[0]) < 1e-9
+    # round-trip on the front hemisphere (keep a margin from the horizon)
+    rng = np.random.default_rng(17)
+    lon = rng.uniform(-60, 80, 400)
+    lat = rng.uniform(-30, 85, 400)
+    keep = p.cos_c(lon, lat) > 0.05
+    lon, lat = lon[keep], lat[keep]
+    x, y = p.forward(lon, lat)
+    lon2, lat2 = p.inverse(x, y)
+    assert np.max(np.abs(lon2 - lon)) < 1e-6
+    assert np.max(np.abs(lat2 - lat)) < 1e-6
+    # the horizon circle has radius R
+    assert np.max(np.sqrt(x * x + y * y)) < p.R + 1e-6
+
+
+def test_aeqd_roundtrip_and_distance_property():
+    import numpy as np
+
+    from sis_spark.functions.geometry import EARTH_RADIUS_M, haversine_m
+    from sis_spark.functions.projections import CRS_REGISTRY
+
+    p = CRS_REGISTRY["ESRI:53032:EU"]
+    rng = np.random.default_rng(18)
+    lon = rng.uniform(-179, 179, 400)
+    lat = rng.uniform(-85, 85, 400)
+    x, y = p.forward(lon, lat)
+    lon2, lat2 = p.inverse(x, y)
+    dl = (lon2 - lon + 180.0) % 360.0 - 180.0  # atan2 wraps past the antimeridian
+    assert np.max(np.abs(dl)) < 1e-6
+    assert np.max(np.abs(lat2 - lat)) < 1e-6
+    # defining property: planar radius == great-circle distance from center
+    d = haversine_m(np.full_like(lon, 10.0), np.full_like(lat, 45.0), lon, lat)
+    r = np.sqrt(x * x + y * y) * (EARTH_RADIUS_M / p.R)
+    assert np.max(np.abs(r - d)) < 1.0
+
+
+def test_robinson_roundtrip_and_frame():
+    import numpy as np
+
+    from sis_spark.functions.projections import CRS_REGISTRY
+
+    p = CRS_REGISTRY["ESRI:53030"]
+    rng = np.random.default_rng(19)
+    lon = rng.uniform(-179, 179, 400)
+    lat = rng.uniform(-89, 89, 400)
+    x, y = p.forward(lon, lat)
+    lon2, lat2 = p.inverse(x, y)
+    assert np.max(np.abs(lon2 - lon)) < 1e-7
+    assert np.max(np.abs(lat2 - lat)) < 1e-7
+    # table frame: equator length factor 1.0, pole y factor 1.0
+    xe, ye = p.forward(np.array([180.0]), np.array([0.0]))
+    assert abs(xe[0] - 0.8487 * p.R * np.pi) < 1e-6 and ye[0] == 0.0
+    xp, yp = p.forward(np.array([0.0]), np.array([90.0]))
+    assert abs(yp[0] - 1.3523 * p.R) < 1e-6 and xp[0] == 0.0
