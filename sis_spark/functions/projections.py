@@ -141,6 +141,62 @@ class PolarStereographicB:
         return np.degrees(lam) + self.lon0, np.degrees(phi)
 
 
+class PolarStereographicA:
+    """EPSG method 9810 (variant A: explicit scale factor k0 at the pole) —
+    the UPS formulation (Guidance Note 7-2 §3.1.3.1):
+
+        t   = tan(pi/4 - phi/2) / ((1 - e sin phi)/(1 + e sin phi))^(e/2)
+        rho = 2 a k0 t / sqrt((1+e)^(1+e) (1-e)^(1-e))
+
+    North frame; ``south`` flips phi and grid northing."""
+
+    def __init__(self, k0: float, lon0: float, fe: float, fn: float,
+                 south: bool = False, ellipsoid=WGS84):
+        self.a, f = ellipsoid
+        self.e = _ecc(ellipsoid)
+        e = self.e
+        self.rk = (2.0 * self.a * k0
+                   / np.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e)))
+        self.south = south
+        self.lon0, self.fe, self.fn = lon0, fe, fn
+        self.ellipsoid = tuple(ellipsoid)
+        self.k0 = k0
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        if self.south:
+            phi = -phi
+        s = np.sin(phi)
+        t = np.tan(np.pi / 4.0 - phi / 2.0) / (
+            (1.0 - self.e * s) / (1.0 + self.e * s)
+        ) ** (self.e / 2.0)
+        rho = self.rk * t
+        x = rho * np.sin(lam)
+        y = -rho * np.cos(lam)
+        if self.south:
+            y = -y
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = np.asarray(y, np.float64) - self.fn
+        if self.south:
+            dy = -dy
+        rho = np.sqrt(dx * dx + dy * dy)
+        t = rho / self.rk
+        lam = np.arctan2(dx, -dy)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - self.e * s) / (1.0 + self.e * s)) ** (self.e / 2.0)
+            )
+        if self.south:
+            phi = -phi
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
 class AlbersEqualArea:
     """EPSG method 9822 (Albers equal-area conic, two standard parallels) —
     Guidance Note 7-2 §3.1.5 / Snyder 1987 eq. 14-1..14-21.  The equal-area
@@ -566,6 +622,9 @@ CRS_REGISTRY: dict[str, object] = {
     "ESRI:53032:EU": AzimuthalEquidistant(45.0, 10.0, 6371000.0),
     # Sphere Robinson world map (piecewise-linear node interpolation)
     "ESRI:53030": Robinson(0.0, 6371000.0),
+    # Universal Polar Stereographic North / South (MGRS polar zones)
+    "EPSG:5041": PolarStereographicA(0.994, 0.0, 2000000.0, 2000000.0, False, WGS84),
+    "EPSG:5042": PolarStereographicA(0.994, 0.0, 2000000.0, 2000000.0, True, WGS84),
 }
 
 

@@ -18084,3 +18084,179 @@ def q_rand_response_oracle():
 
 
 QUERIES["rand_response"] = (q_rand_response, q_rand_response_oracle)
+
+
+_UPS_COSC_NOTE = None  # (placeholder keeps this block greppable)
+
+
+def q_ups_north(spark, sf_dir):
+    """WGS84 -> Universal Polar Stereographic North (EPSG:5041, method
+    9810 variant A with k0 = 0.994 — closes the documented polar-UPS gap
+    of the UTM/MGRS family).  Northern points only; floor-shift
+    discipline as `polar_stereo`."""
+    from .functions.projections import st_transform_any_udf
+
+    pts = _events_points(spark, sf_dir).filter(F.col("lat") > F.lit(0.0))
+    p = st_transform_any_udf("EPSG:4326", "EPSG:5041")(F.col("lon"), F.col("lat"))
+    return pts.select(
+        "event_id",
+        F.floor(p["x"] - F.lit(0.123456789)).cast("long").alias("xl"),
+        F.floor(p["y"] - F.lit(0.123456789)).cast("long").alias("yl"),
+    ).orderBy("event_id")
+
+
+def q_ups_north_oracle():
+    import math
+
+    from .functions.projections import CRS_REGISTRY
+
+    p = CRS_REGISTRY["EPSG:5041"]
+    e = synth.flit(p.e)
+    ehalf = synth.flit(p.e / 2.0)
+    pi4 = synth.flit(math.pi / 4.0)
+    rk = synth.flit(p.rk)
+    phi = "(radians(lat))"
+    s = f"sin({phi})"
+    t = (f"(tan({pi4} - {phi} / 2.0) / "
+         f"pow((1.0 - {e} * {s}) / (1.0 + {e} * {s}), {ehalf}))")
+    rho = f"({rk} * {t})"
+    lam = "(radians(lon - 0.0))"
+    x = f"(2000000.0 + {rho} * sin({lam}))"
+    y = f"(2000000.0 + -{rho} * cos({lam}))"
+    return f"""
+SELECT event_id,
+  CAST(floor({x} - 0.123456789) AS BIGINT) AS xl,
+  CAST(floor({y} - 0.123456789) AS BIGINT) AS yl
+FROM ({_points_sql()}) p
+WHERE lat > 0.0
+ORDER BY event_id"""
+
+
+QUERIES["ups_north"] = (q_ups_north, q_ups_north_oracle)
+
+
+_PB_W = 128  # pyramid blend raster (two levels of reduce: 128 -> 64 -> 32)
+
+
+def q_pyramid_blend(spark, sf_dir):
+    """Laplacian multiband blend (raster/pyramid.py, Burt & Adelson):
+    bands 0 and 1 of the formula raster blended under the per-level
+    integer ramp — reduce/expand on the convolve_tiles halo machinery,
+    all floor-divs exact; the oracle replays the ENTIRE pipeline (both
+    Gaussian chains, both Laplacian stacks, the three blends and the
+    collapse) as separable lag/lead window convolutions.  Output:
+    per-tile checksums of the reconstructed int64 plane."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.pyramid import laplacian_blend
+
+    W = _PB_W
+    tiles = _formula_tiles(spark, W, W, bands=2)
+    a = tiles.filter(F.col("band") == 0)
+    b = tiles.filter(F.col("band") == 1).withColumn(
+        "band", F.lit(0).cast("int")
+    )
+    gg = GridGeometry((0, 0, W - 1, W - 1), (1.0, 0.0, 0.0, 0.0, 1.0, 0.0))
+    r0 = laplacian_blend(a, b, gg, levels=2)
+
+    def chk(batches):
+        gxs = _np.arange(64, dtype=_np.int64)
+        for pdf in batches:
+            rows = []
+            for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                tx, ty = int(tx), int(ty)
+                v = _np.frombuffer(data, _np.int64).reshape(64, 64)
+                GX, GY = _np.meshgrid(tx * 64 + gxs, ty * 64 + gxs)
+                px = GY * W + GX
+                rows.append({
+                    "tx": tx, "ty": ty,
+                    "n": int(v.size), "s": int(v.sum()),
+                    "ws": int((v * px).sum()),
+                })
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return r0.mapInPandas(
+        chk, schema="tx long, ty long, n long, s long, ws long"
+    ).orderBy("tx", "ty")
+
+
+def q_pyramid_blend_oracle():
+    W = _PB_W
+
+    def fd(n, d):
+        return f"((({n}) - (((({n}) % {d}) + {d}) % {d})) // {d})"
+
+    def conv_pair(src, name):
+        tap = ("1 * coalesce(lag(v, 2) OVER {w}, 0) + "
+               "4 * coalesce(lag(v, 1) OVER {w}, 0) + 6 * v + "
+               "4 * coalesce(lead(v, 1) OVER {w}, 0) + "
+               "1 * coalesce(lead(v, 2) OVER {w}, 0)")
+        h = (f"{name}h AS (SELECT x, y, {tap.format(w='wx')} AS v FROM {src} "
+             f"WINDOW wx AS (PARTITION BY y ORDER BY x))")
+        vpass = (f"{name} AS (SELECT x, y, {tap.format(w='wy')} AS v "
+                 f"FROM {name}h WINDOW wy AS (PARTITION BY x ORDER BY y))")
+        return [h, vpass]
+
+    def decimate(src, name, den):
+        return [f"{name} AS MATERIALIZED (SELECT x // 2 AS x, y // 2 AS y, "
+                f"v // {den} AS v FROM {src} WHERE x % 2 = 0 AND y % 2 = 0)"]
+
+    def expand(src, grid, name):
+        z = (f"{name}z AS (SELECT g.x, g.y, coalesce(s.v, 0) AS v "
+             f"FROM {grid} g LEFT JOIN {src} s "
+             f"ON s.x * 2 = g.x AND s.y * 2 = g.y)")
+        return [z] + conv_pair(f"{name}z", f"{name}c") + [
+            f"{name} AS MATERIALIZED (SELECT x, y, {fd('v', 64)} AS v FROM {name}c)"
+        ]
+
+    def sub(a, b, name):
+        return [f"{name} AS MATERIALIZED (SELECT a.x, a.y, a.v - b.v AS v "
+                f"FROM {a} a JOIN {b} b ON b.x = a.x AND b.y = a.y)"]
+
+    def add(a, b, name):
+        return [f"{name} AS MATERIALIZED (SELECT a.x, a.y, a.v + b.v AS v "
+                f"FROM {a} a JOIN {b} b ON b.x = a.x AND b.y = a.y)"]
+
+    def blend(a, b, lv, name):
+        m = f"LEAST(GREATEST(({W // 2} + 16 - a.x * {1 << lv}) * 8, 0), 256)"
+        ex = fd(f"a.v * {m} + b.v * (256 - {m})", 256)
+        return [f"{name} AS MATERIALIZED (SELECT a.x, a.y, {ex} AS v "
+                f"FROM {a} a JOIN {b} b ON b.x = a.x AND b.y = a.y)"]
+
+    blocks = [
+        f"gs128 AS (SELECT i AS x FROM generate_series(0, {W - 1}) t(i))",
+        f"gs64 AS (SELECT i AS x FROM generate_series(0, {W // 2 - 1}) t(i))",
+        "grid128 AS (SELECT a.x, b.x AS y FROM gs128 a, gs128 b)",
+        "grid64 AS (SELECT a.x, b.x AS y FROM gs64 a, gs64 b)",
+        "ga0 AS MATERIALIZED (SELECT x, y, CAST((x * 7 + y * 13) % 256 AS BIGINT) AS v FROM grid128)",
+        "gb0 AS MATERIALIZED (SELECT x, y, CAST((x * 3 + y * 5 + 17) % 256 AS BIGINT) AS v FROM grid128)",
+    ]
+    for tag in ("a", "b"):
+        blocks += conv_pair(f"g{tag}0", f"c{tag}0")
+        blocks += decimate(f"c{tag}0", f"g{tag}1", 256)
+        blocks += conv_pair(f"g{tag}1", f"c{tag}1")
+        blocks += decimate(f"c{tag}1", f"g{tag}2", 256)
+        blocks += expand(f"g{tag}1", "grid128", f"e{tag}1")
+        blocks += sub(f"g{tag}0", f"e{tag}1", f"l{tag}0")
+        blocks += expand(f"g{tag}2", "grid64", f"e{tag}2")
+        blocks += sub(f"g{tag}1", f"e{tag}2", f"l{tag}1")
+    blocks += blend("la0", "lb0", 0, "o0")
+    blocks += blend("la1", "lb1", 1, "o1")
+    blocks += blend("ga2", "gb2", 2, "o2")
+    blocks += expand("o2", "grid64", "er2")
+    blocks += add("er2", "o1", "r1")
+    blocks += expand("r1", "grid128", "er1")
+    blocks += add("er1", "o0", "r0")
+    return (
+        "WITH " + ",\n".join(blocks) + f"""
+SELECT x // 64 AS tx, y // 64 AS ty, count(*) AS n,
+       CAST(sum(v) AS BIGINT) AS s,
+       CAST(sum(v * (y * {W} + x)) AS BIGINT) AS ws
+FROM r0 GROUP BY 1, 2 ORDER BY tx, ty"""
+    )
+
+
+QUERIES["pyramid_blend"] = (q_pyramid_blend, q_pyramid_blend_oracle)
