@@ -933,3 +933,136 @@ SELECT id AS {id_col}, sum(code) AS code_sum,
        sum(code * p) AS code_ws,
        sum(abs(v - (mn + (code * (mx - mn)) // 255))) AS err_abs
 FROM coded GROUP BY 1"""
+
+
+def kmedoids_swap(
+    vectors: DataFrame,
+    k: int = 4,
+    cand_cap: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One exact PAM swap evaluation round (Kaufman & Rousseeuw, public
+    literature) -> (m_out, c_in, delta): for each current medoid (the k
+    lowest ids — the deterministic init), the best replacement candidate
+    and the exact int64 total-cost change (ties by candidate id; delta
+    may be >= 0, meaning no improving swap exists for that medoid).
+
+    Delta uses the classic O(1)-per-point form from (d1, d2, nearest):
+    swap(m, c): sum_i [nearest_i = m ? min(d2_i, d(i,c))
+                                    : min(d1_i, d(i,c))] - d1_i.
+
+    Scale shape: medoid and candidate matrices broadcast, one
+    mapInPandas pass emits k x |C| partial delta rows per partition
+    (the ann_topk partial/final discipline).  PAM is inherently O(n*|C|);
+    the documented scale path is CLARA-style candidate sampling — the
+    round itself stays exact for whatever candidate set is passed."""
+    import numpy as np
+    import pandas as pd
+
+    from .ann import quantize_col
+
+    q = vectors.select(
+        F.col(id_col).alias("id"), quantize_col(F.col(vec_col)).alias("qv")
+    )
+    first = q.orderBy("id").limit(int(k)).collect()
+    med_ids = [int(r["id"]) for r in first]
+    med = np.array([list(r["qv"]) for r in first], dtype=np.int64)
+    # CLARA-style bounded candidate set (lowest ids, deterministic):
+    # only the candidate CODEBOOK is ever collected, never the collection
+    cand_rows = (
+        q.filter(~F.col("id").isin(med_ids)).orderBy("id")
+        .limit(int(cand_cap)).collect()
+    )
+    cand_ids = np.array([int(r["id"]) for r in cand_rows], dtype=np.int64)
+    cand = np.array([list(r["qv"]) for r in cand_rows], dtype=np.int64)
+    spark = vectors.sparkSession
+    bm = spark.sparkContext.broadcast((med, np.array(med_ids, dtype=np.int64)))
+    bc = spark.sparkContext.broadcast((cand, cand_ids))
+
+    def go(batches):
+        M, mids = bm.value
+        C, cids = bc.value
+        cn = (C * C).sum(axis=1)
+        mn = (M * M).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf["qv"]), dtype=np.int64)
+            nv = (V * V).sum(axis=1)
+            dm = nv[:, None] + mn[None, :] - 2 * (V @ M.T)
+            order = np.argsort(dm, axis=1, kind="stable")
+            near = order[:, 0]
+            d1 = dm[np.arange(len(V)), near]
+            d2 = dm[np.arange(len(V)), order[:, 1]]
+            dc = nv[:, None] + cn[None, :] - 2 * (V @ C.T)
+            rows = []
+            for mi in range(len(mids)):
+                mask = (near == mi)[:, None]
+                contrib = np.where(
+                    mask, np.minimum(d2[:, None], dc),
+                    np.minimum(d1[:, None], dc),
+                ) - d1[:, None]
+                part = contrib.sum(axis=0)
+                rows.append(pd.DataFrame({
+                    "m_out": np.full(len(cids), mids[mi], dtype=np.int64),
+                    "c_in": cids, "part": part,
+                }))
+            yield pd.concat(rows)
+
+    parts = q.mapInPandas(go, schema="m_out long, c_in long, part long")
+    tot = parts.groupBy("m_out", "c_in").agg(F.sum("part").alias("delta"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("m_out").orderBy("delta", "c_in")
+    return (
+        tot.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("m_out", "c_in", "delta")
+    )
+
+
+def kmedoids_swap_sql(
+    k: int = 4,
+    cand_cap: int = 128,
+    rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of ``kmedoids_swap`` (same init, same delta form,
+    same (dist, medoid-rank) nearest tie rule)."""
+    dist = ("CAST(list_sum(list_transform(list_zip(a.v, b.v), "
+            "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)")
+    cap = int(cand_cap)
+    return f"""
+WITH qv AS MATERIALIZED (
+  SELECT {id_col} AS id,
+         list_transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+  FROM {rel}),
+med AS MATERIALIZED (
+  SELECT id, v, CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS mi
+  FROM qv ORDER BY id LIMIT {int(k)}),
+dm AS MATERIALIZED (
+  SELECT a.id, b.id AS mid, b.mi, {dist} AS d
+  FROM qv a CROSS JOIN med b),
+nearest AS MATERIALIZED (
+  SELECT id, mid, d AS d1,
+         (SELECT min(d2.d) FROM dm d2
+          WHERE d2.id = r.id AND d2.mi != r.mi) AS d2
+  FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d, mi) AS rn
+        FROM dm) r WHERE rn = 1),
+cand AS MATERIALIZED (
+  SELECT id, v FROM qv WHERE id NOT IN (SELECT id FROM med)
+  ORDER BY id LIMIT {cap}),
+dc AS (
+  SELECT a.id, b.id AS cid, {dist} AS d
+  FROM qv a CROSS JOIN cand b),
+delta AS (
+  SELECT m.id AS m_out, dc.cid AS c_in,
+         sum(CASE WHEN n.mid = m.id THEN LEAST(n.d2, dc.d)
+                  ELSE LEAST(n.d1, dc.d) END - n.d1) AS delta
+  FROM dc JOIN nearest n ON n.id = dc.id CROSS JOIN med m
+  GROUP BY 1, 2)
+SELECT m_out, c_in, delta FROM (
+  SELECT *, row_number() OVER (PARTITION BY m_out ORDER BY delta, c_in) AS rn
+  FROM delta) t WHERE rn = 1"""

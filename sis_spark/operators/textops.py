@@ -2246,3 +2246,78 @@ fin AS (SELECT lm FROM st WHERE len(ns) = 1),
 d AS (SELECT unnest(lm) AS e FROM fin)
 SELECT l.word, l.f AS freq, d.e.dep AS code_len
 FROM d JOIN leaves l ON l.id = d.e.leaf"""
+
+
+_CDC_B = 257       # rolling polynomial base
+_CDC_M = 1 << 20   # hash modulus (power of two keeps % cheap and exact)
+_CDC_W = 8         # window width
+_CDC_DIV = 64      # boundary divisor
+_CDC_REM = 13      # boundary residue
+
+
+def cdc_chunks(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Content-defined chunking (Rabin-style fixed-window boundaries, the
+    storage-dedup primitive behind LBFS/restic, public literature) ->
+    (doc_id, chunk_idx, len, csum): a chunk boundary falls AFTER position
+    i when the window hash sum_{j=0..7} code(c[i-j]) * 257^j mod 2^20 has
+    residue 13 mod 64 (no min-size constraint, so the whole pass is pure
+    window codegen: 8 lag taps + a running boundary count).  ``csum`` is
+    the chunk's codepoint sum — identical chunks collide on (len, csum),
+    which is what the cross-document dedup join keys on.
+
+    Scale shape: one posexplode of characters + two window passes keyed
+    (doc, position); no Python, no recurrence."""
+    from pyspark.sql import Window
+
+    ch = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "(?!^)")).alias("i", "c"),
+    ).filter(
+        # Spark's split keeps the trailing empty token (limit -1); drop it
+        F.col("c") != ""
+    ).select(id_col, "i", F.ascii(F.col("c")).alias("v"))
+    w = Window.partitionBy(id_col).orderBy("i")
+    taps = None
+    for j in range(_CDC_W):
+        t = (F.coalesce(F.lag(F.col("v"), j).over(w), F.lit(0))
+             * F.lit(pow(_CDC_B, j, _CDC_M)))
+        taps = t if taps is None else taps + t
+    h = F.pmod(taps, F.lit(_CDC_M))
+    d = ch.withColumn(
+        "b", ((h % _CDC_DIV) == _CDC_REM).cast("long")
+    ).withColumn(
+        "chunk_idx",
+        F.sum("b").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    ).fillna(0, subset=["chunk_idx"])
+    return (
+        d.groupBy(F.col(id_col), "chunk_idx")
+        .agg(F.count(F.lit(1)).alias("len"), F.sum("v").alias("csum"))
+    )
+
+
+def cdc_chunks_sql(rel: str = "documents", text: str = "text",
+                   id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``cdc_chunks`` (same taps, same running boundary
+    count shifted by one row)."""
+    taps = " + ".join(
+        f"coalesce(lag(v, {j}) OVER w, 0) * {pow(_CDC_B, j, _CDC_M)}"
+        for j in range(_CDC_W)
+    )
+    return f"""
+WITH ch AS (
+  SELECT {id_col}, CAST(j AS BIGINT) - 1 AS i, ascii({text}[CAST(j AS INT)]) AS v
+  FROM {rel}, unnest(range(1, length({text}) + 1)) u(j)),
+h AS (
+  SELECT {id_col}, i, v,
+         CASE WHEN (({taps}) % {_CDC_M}) % {_CDC_DIV} = {_CDC_REM}
+              THEN 1 ELSE 0 END AS b
+  FROM ch WINDOW w AS (PARTITION BY {id_col} ORDER BY i)),
+cid AS (
+  SELECT {id_col}, v,
+         coalesce(sum(b) OVER (PARTITION BY {id_col} ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS chunk_idx
+  FROM h)
+SELECT {id_col}, chunk_idx, count(*) AS len, sum(v) AS csum
+FROM cid GROUP BY 1, 2"""

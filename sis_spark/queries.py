@@ -18260,3 +18260,51 @@ FROM r0 GROUP BY 1, 2 ORDER BY tx, ty"""
 
 
 QUERIES["pyramid_blend"] = (q_pyramid_blend, q_pyramid_blend_oracle)
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (textops.cdc_chunks, Rabin fixed-window
+    boundaries): per document the chunk lengths and codepoint checksums —
+    the storage-dedup primitive; pure window codegen (8 lag taps + a
+    shifted running boundary count) both sides."""
+    from .operators.textops import cdc_chunks
+
+    docs = _read(spark, sf_dir, "documents")
+    return cdc_chunks(docs).orderBy("doc_id", "chunk_idx")
+
+
+def q_cdc_chunks_oracle():
+    from .operators.textops import cdc_chunks_sql
+
+    return (
+        "SELECT * FROM (" + cdc_chunks_sql()
+        + ") ORDER BY doc_id, chunk_idx"
+    )
+
+
+QUERIES["cdc_chunks"] = (q_cdc_chunks, q_cdc_chunks_oracle)
+
+
+def q_kmedoids_swap(spark, sf_dir):
+    """One exact PAM k-medoids swap round (embeddings.kmedoids_swap,
+    k = 4, CLARA-style 128-candidate cap): per current medoid the best
+    replacement and its exact int64 cost delta from the classic
+    (d1, d2, nearest) O(1)-per-point form; the oracle recomputes every
+    swap from the raw pair distances."""
+    from .operators.embeddings import kmedoids_swap
+
+    return kmedoids_swap(
+        _read(spark, sf_dir, "embeddings"), k=4, cand_cap=128
+    ).orderBy("m_out")
+
+
+def q_kmedoids_swap_oracle():
+    from .operators.embeddings import kmedoids_swap_sql
+
+    return (
+        "SELECT * FROM (" + kmedoids_swap_sql(k=4, cand_cap=128)
+        + ") ORDER BY m_out"
+    )
+
+
+QUERIES["kmedoids_swap"] = (q_kmedoids_swap, q_kmedoids_swap_oracle)
