@@ -166,3 +166,110 @@ def triangulate_sql(points_select: str, max_rounds: int) -> str:
         + f"\nSELECT key, i0, i1, i2, CAST(area2 AS BIGINT) AS area2 "
         f"FROM ({union}) allt"
     )
+
+
+def delaunay_triangles(
+    pts: DataFrame,
+    key_col: str = "k",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Delaunay triangulation by the DEFINITION (empty OPEN circumdisk)
+    over integer points -> (k, ax, ay, bx, by, cx, cy), vertices in
+    lexicographic order: a non-degenerate triple is emitted iff no other
+    point of the group lies STRICTLY inside its circumcircle — on
+    cocircular ties both diagonals qualify, which keeps the output a
+    deterministic set function of the points.  Exact arbitrary-precision
+    integer incircle determinants (Python ints; coordinates up to ~2e7
+    push the determinant past int64).
+
+    Shape: one applyInPandas per key over capped point sets — the brute
+    O(n^4) *verifier* form (divide-and-conquer is the documented scale
+    path; the oracle runs the identical definition in HUGEINT SQL)."""
+    from itertools import combinations
+
+    import pandas as pd
+
+    def fn(key, pdf):
+        p = sorted(set(zip(
+            (int(v) for v in pdf[x_col]), (int(v) for v in pdf[y_col])
+        )))
+        out = []
+        for a, b, c in combinations(p, 3):
+            orient = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            if orient == 0:
+                continue
+            ok = True
+            for d in p:
+                if d in (a, b, c):
+                    continue
+                adx, ady = a[0] - d[0], a[1] - d[1]
+                bdx, bdy = b[0] - d[0], b[1] - d[1]
+                cdx, cdy = c[0] - d[0], c[1] - d[1]
+                ad2 = adx * adx + ady * ady
+                bd2 = bdx * bdx + bdy * bdy
+                cd2 = cdx * cdx + cdy * cdy
+                det = (adx * (bdy * cd2 - cdy * bd2)
+                       - ady * (bdx * cd2 - cdx * bd2)
+                       + ad2 * (bdx * cdy - cdx * bdy))
+                if (det > 0) == (orient > 0) and det != 0:
+                    ok = False
+                    break
+            if ok:
+                out.append({
+                    "k": int(key[0]),
+                    "ax": a[0], "ay": a[1], "bx": b[0], "by": b[1],
+                    "cx": c[0], "cy": c[1],
+                })
+        return pd.DataFrame(
+            out, columns=["k", "ax", "ay", "bx", "by", "cx", "cy"]
+        )
+
+    return (
+        pts.select(F.col(key_col).alias("k"), F.col(x_col).alias(x_col),
+                   F.col(y_col).alias(y_col))
+        .groupBy("k")
+        .applyInPandas(
+            fn,
+            schema="k long, ax long, ay long, bx long, by long, cx long, cy long",
+        )
+    )
+
+
+def delaunay_triangles_sql(points_select: str) -> str:
+    """DuckDB oracle for ``delaunay_triangles``: the same definition with
+    HUGEINT incircle determinants (int64 would overflow at ~2e7
+    coordinates); strict-inside = determinant sign equals the
+    orientation sign.  ``points_select`` -> (k, x, y)."""
+
+    def h(e):
+        return f"CAST({e} AS HUGEINT)"
+
+    det = (
+        f"({h('a.x - d.x')} * ({h('b.y - d.y')} * cd2 - {h('c.y - d.y')} * bd2)"
+        f" - {h('a.y - d.y')} * ({h('b.x - d.x')} * cd2 - {h('c.x - d.x')} * bd2)"
+        f" + ad2 * ({h('b.x - d.x')} * {h('c.y - d.y')}"
+        f" - {h('c.x - d.x')} * {h('b.y - d.y')}))"
+    )
+    return f"""
+WITH p AS MATERIALIZED (SELECT DISTINCT k, x, y FROM ({points_select}) s)
+SELECT a.k, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by, c.x AS cx, c.y AS cy
+FROM p a
+JOIN p b ON b.k = a.k AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+JOIN p c ON c.k = a.k AND (b.x < c.x OR (b.x = c.x AND b.y < c.y))
+WHERE (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) != 0
+  AND NOT EXISTS (
+    SELECT 1 FROM p d,
+      LATERAL (SELECT {h('a.x - d.x')} * {h('a.x - d.x')}
+                      + {h('a.y - d.y')} * {h('a.y - d.y')} AS ad2,
+                      {h('b.x - d.x')} * {h('b.x - d.x')}
+                      + {h('b.y - d.y')} * {h('b.y - d.y')} AS bd2,
+                      {h('c.x - d.x')} * {h('c.x - d.x')}
+                      + {h('c.y - d.y')} * {h('c.y - d.y')} AS cd2) q
+    WHERE d.k = a.k
+      AND (d.x != a.x OR d.y != a.y)
+      AND (d.x != b.x OR d.y != b.y)
+      AND (d.x != c.x OR d.y != c.y)
+      AND {det} != 0
+      AND (({det} > 0) = ((b.x - a.x) * (c.y - a.y)
+                          - (b.y - a.y) * (c.x - a.x) > 0)))"""

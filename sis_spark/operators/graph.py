@@ -1915,3 +1915,69 @@ s{k} AS MATERIALIZED (
         "WITH " + ",\n".join(blocks)
         + f"\nSELECT i AS a, j AS b, s FROM s{int(iters)} WHERE i < j"
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: list,
+    hops: int,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Sampled harmonic centrality (Marchiori & Latora 2000, public
+    literature) -> (node, h_q): h(v) = sum over the sampled sources of
+    floor(scale / d(s, v)) within <= ``hops`` unweighted edges (d = 0
+    self terms excluded).  Per-term quantization makes the sum
+    order-independent and exactly replayable.
+
+    Scale shape: ONE multi-source Bellman-Ford — the distance table is
+    keyed (src, node), so all sources relax in the same per-round
+    equi-join + min agg (the betweenness forward-pass discipline)."""
+    e = edges.select(F.col("a").alias("s"), F.col("b").alias("d"))
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in sources], ["src", "node", "dist"]
+    ).localCheckpoint()
+    for _ in range(int(hops)):
+        dist = (
+            dist.join(e, dist["node"] == e["s"])
+            .select("src", F.col("d").alias("node"),
+                    (F.col("dist") + 1).alias("dist"))
+            .unionByName(dist)
+            .groupBy("src", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return (
+        dist.filter(F.col("dist") > 0)
+        .withColumn("t", F.expr(f"{int(scale)} div dist"))
+        .groupBy("node")
+        .agg(F.sum("t").alias("h_q"))
+    )
+
+
+def harmonic_centrality_sql(
+    edges_select: str, sources: list, hops: int, scale: int = 1 << 20
+) -> str:
+    """DuckDB replay of ``harmonic_centrality`` (chained MATERIALIZED
+    relax rounds keyed (src, node))."""
+    src_rows = " UNION ALL ".join(
+        f"SELECT CAST({int(s)} AS BIGINT) AS src, CAST({int(s)} AS BIGINT) AS node, "
+        f"CAST(0 AS BIGINT) AS dist" for s in sources
+    )
+    blocks = [
+        f"e AS MATERIALIZED (SELECT a AS s, b AS d FROM ({edges_select}) t)",
+        f"d0 AS MATERIALIZED ({src_rows})",
+    ]
+    for i in range(int(hops)):
+        blocks.append(f"""d{i + 1} AS MATERIALIZED (
+  SELECT src, node, min(dist) AS dist FROM (
+    SELECT d{i}.src, e.d AS node, d{i}.dist + 1 AS dist
+    FROM d{i} JOIN e ON e.s = d{i}.node
+    UNION ALL SELECT src, node, dist FROM d{i}) t
+  GROUP BY 1, 2)""")
+    return (
+        "WITH " + ",\n".join(blocks)
+        + f"""
+SELECT node, sum({int(scale)} // dist) AS h_q
+FROM d{int(hops)} WHERE dist > 0 GROUP BY 1"""
+    )

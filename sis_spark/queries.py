@@ -18308,3 +18308,131 @@ def q_kmedoids_swap_oracle():
 
 
 QUERIES["kmedoids_swap"] = (q_kmedoids_swap, q_kmedoids_swap_oracle)
+
+
+def q_sauvola(spark, sf_dir):
+    """Sauvola local binarization (terrain.sauvola_threshold_tiles, 9x9,
+    k=1/4, R=128): the stddev-aware document thresholder decided in
+    EXACT integers — (R*A*n)^2 vs k^2 S^2 (nQ - S^2), no sqrt ever; S, Q
+    and the in-extent count are three ones-kernel halo convolutions; the
+    oracle runs the same separable window sums and the same squared
+    comparison.  Per-tile weighted checksums as `adaptive_threshold`."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.terrain import sauvola_threshold_tiles
+
+    W, H, TS = 500, 300, 64
+    tiles = _formula_tiles(spark, W, H, bands=1, tile_size=TS)
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    out = sauvola_threshold_tiles(tiles, gg, radius=4)
+
+    def cs(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                v = _np.frombuffer(data, _np.int64).reshape(TS, TS)
+                px = int(tx) * TS + _np.arange(TS)[None, :]
+                py = int(ty) * TS + _np.arange(TS)[:, None]
+                wt = ((py * W + px) % 9973 + 1).astype(_np.int64)
+                wt = wt * ((px < W) & (py < H))
+                rows.append({"tx": int(tx), "ty": int(ty),
+                             "cs_sv": int((v * wt).sum())})
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return out.mapInPandas(cs, "tx long, ty long, cs_sv long").orderBy("tx", "ty")
+
+
+def q_sauvola_oracle():
+    # A = 4*v*n - 3*S ; keep iff A >= 0 AND (128*A*n)^2 >= S^2*(n*Q - S^2)
+    return """
+WITH px AS (
+  SELECT x.x AS x, y.y AS y, CAST((x.x * 7 + y.y * 13) % 256 AS BIGINT) AS v
+  FROM generate_series(0, 499) x(x), generate_series(0, 299) y(y)),
+rowpass AS (
+  SELECT x, y, v,
+         sum(v) OVER wx AS rs, sum(v * v) OVER wx AS rq, count(*) OVER wx AS rc
+  FROM px
+  WINDOW wx AS (PARTITION BY y ORDER BY x ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING)),
+boxpass AS (
+  SELECT x, y, v,
+         sum(rs) OVER wy AS S, sum(rq) OVER wy AS Q, sum(rc) OVER wy AS n
+  FROM rowpass
+  WINDOW wy AS (PARTITION BY x ORDER BY y ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING)),
+m AS (
+  SELECT x // 64 AS tx, y // 64 AS ty,
+         CASE WHEN (4 * v * n - 3 * S) >= 0
+               AND (128 * (4 * v * n - 3 * S) * n) * (128 * (4 * v * n - 3 * S) * n)
+                   >= S * S * (n * Q - S * S)
+              THEN 255 ELSE 0 END AS o,
+         ((y * 500 + x) % 9973 + 1) AS wt
+  FROM boxpass)
+SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+       CAST(sum(o * wt) AS BIGINT) AS cs_sv
+FROM m GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+QUERIES["sauvola"] = (q_sauvola, q_sauvola_oracle)
+
+
+_HC_SOURCES = [0, 100, 200, 300, 400]
+_HC_HOPS = 8
+
+
+def q_harmonic(spark, sf_dir):
+    """Sampled harmonic centrality (graph.harmonic_centrality, 5 sources,
+    8 hops, 2^20 per-term quantization) on the symmetric document graph:
+    ONE multi-source Bellman-Ford keyed (src, node) — all sources relax
+    in the same per-round join; the oracle chains the identical rounds."""
+    from .operators.graph import harmonic_centrality
+
+    edges, _nodes = _mis_edges_df(spark, sf_dir)
+    return harmonic_centrality(
+        edges, _HC_SOURCES, hops=_HC_HOPS
+    ).orderBy("node")
+
+
+def q_harmonic_oracle():
+    from .operators.graph import harmonic_centrality_sql
+
+    return (
+        "SELECT * FROM ("
+        + harmonic_centrality_sql(_mis_edges_sql(), _HC_SOURCES, _HC_HOPS)
+        + ") ORDER BY node"
+    )
+
+
+QUERIES["harmonic"] = (q_harmonic, q_harmonic_oracle)
+
+
+def q_delaunay(spark, sf_dir):
+    """Delaunay triangulation by the empty-open-circumdisk DEFINITION
+    (functions/triangulate.delaunay_triangles) over per-user quantized
+    tracks: exact arbitrary-precision incircle determinants engine-side,
+    HUGEINT determinants oracle-side — strict-inside keeps cocircular
+    ties deterministic (both diagonals emit)."""
+    from .functions.triangulate import delaunay_triangles
+
+    pts = _traj_pts_df(spark, sf_dir, cap=10).select(
+        F.col("user_id").alias("k"),
+        F.col("qx").alias("x"), F.col("qy").alias("y"),
+    )
+    return delaunay_triangles(pts).orderBy(
+        "k", "ax", "ay", "bx", "by", "cx", "cy"
+    )
+
+
+def q_delaunay_oracle():
+    from .functions.triangulate import delaunay_triangles_sql
+
+    base = f"SELECT k, x, y FROM ({_traj_pts_sql(cap=10)}) tp"
+    return (
+        "SELECT * FROM ("
+        + delaunay_triangles_sql(base)
+        + ") ORDER BY k, ax, ay, bx, by, cx, cy"
+    )
+
+
+QUERIES["delaunay"] = (q_delaunay, q_delaunay_oracle)

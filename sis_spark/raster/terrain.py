@@ -2725,3 +2725,87 @@ def brief_desc_sql(v_fn, kx: str = "kx", ky: str = "ky") -> str:
             f"ELSE 0::BIGINT END"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def sauvola_threshold_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    radius: int = 4,
+    k_num: int = 1,
+    k_den: int = 4,
+    R: int = 128,
+    band: int = 0,
+    tile_size: int = 64,
+) -> DataFrame:
+    """Sauvola-Pietikainen local binarization (1997, public literature),
+    EXACT-INTEGER decision: pixel -> 255 iff v >= m (1 + k (s/R - 1))
+    over the (2r+1)^2 window, where m/s are the window mean/stddev.  The
+    inequality is decided without ever computing s: with A = k_den*v*n -
+    (k_den - k_num)*S,
+
+        v >= m (1 + k (s/R - 1))
+          <=>  A >= 0  AND  (R*A*n)^2 >= k_num^2 * S^2 * (n*Q - S^2)
+
+    (all int64 for 9x9 windows of u8 pixels: |R*A*n| <= 8.6e8).
+    S/Q/n are three ones-kernel convolutions on the halo machinery —
+    window sums of v, v^2 and the in-extent indicator, so extent edges
+    shrink the window exactly like the reference's border handling."""
+    ones = np.ones((2 * radius + 1, 2 * radius + 1), dtype=np.int64)
+    src = tiles_df.filter(F.col("band") == band)
+
+    w_ext, h_ext = gg.width, gg.height
+
+    def mk(f, dt):
+        def fn(batches):
+            gxs = np.arange(tile_size)
+            for pdf in batches:
+                rows = []
+                for tx, ty, b, data in zip(pdf["tx"], pdf["ty"], pdf["band"], pdf["data"]):
+                    a = np.frombuffer(data, np.uint8).reshape(tile_size, tile_size).astype(np.int64)
+                    px = int(tx) * tile_size + gxs[None, :]
+                    py = int(ty) * tile_size + gxs[:, None]
+                    inside = (px < w_ext) & (py < h_ext)
+                    rows.append({"tx": int(tx), "ty": int(ty), "band": int(b),
+                                 "data": f(a, inside).astype(dt).tobytes()})
+                if rows:
+                    yield pd.DataFrame(rows)
+
+        return src.mapInPandas(
+            fn, schema="tx long, ty long, band int, data binary"
+        )
+
+    sq = mk(lambda a, inside: a * a, np.int64)
+    # the window COUNT must see only real pixels: the indicator plane is
+    # 1 inside the extent, 0 on the zero-padded tile remainder
+    on = mk(lambda a, inside: inside.astype(np.int64), np.int64)
+    S = convolve_tiles(src, gg, ones, band=band, tile_size=tile_size, dtype=np.uint8)
+    Q = convolve_tiles(sq, gg, ones, band=band, tile_size=tile_size, dtype=np.int64)
+    N = convolve_tiles(on, gg, ones, band=band, tile_size=tile_size, dtype=np.int64)
+
+    j = (
+        src.select("tx", "ty", F.col("data").alias("dv"))
+        .join(S.select("tx", "ty", F.col("data").alias("ds")), ["tx", "ty"])
+        .join(Q.select("tx", "ty", F.col("data").alias("dq")), ["tx", "ty"])
+        .join(N.select("tx", "ty", F.col("data").alias("dn")), ["tx", "ty"])
+    )
+    kd, kn, Ri = int(k_den), int(k_num), int(R)
+
+    def decide(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, dv, ds, dq, dn in zip(pdf["tx"], pdf["ty"], pdf["dv"],
+                                              pdf["ds"], pdf["dq"], pdf["dn"]):
+                v = np.frombuffer(dv, np.uint8).reshape(tile_size, tile_size).astype(np.int64)
+                s = np.frombuffer(ds, np.int64).reshape(tile_size, tile_size)
+                q = np.frombuffer(dq, np.int64).reshape(tile_size, tile_size)
+                n = np.frombuffer(dn, np.int64).reshape(tile_size, tile_size)
+                a = kd * v * n - (kd - kn) * s
+                lhs = (Ri * a * n) ** 2
+                rhs = kn * kn * s * s * (n * q - s * s)
+                out = np.where((a >= 0) & (lhs >= rhs) & (n > 0), 255, 0)
+                rows.append({"tx": int(tx), "ty": int(ty),
+                             "data": out.astype(np.int64).tobytes()})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return j.mapInPandas(decide, schema=CONV_SCHEMA)
