@@ -2192,3 +2192,65 @@ def convex_layers_sql(points_select: str, layers: int) -> str:
         )
         sels.append(f"SELECT k, CAST({i} AS BIGINT) AS layer, x, y FROM v{i}")
     return "WITH " + ",\n".join(blocks) + "\n" + "\nUNION ALL ".join(sels)
+
+
+def gabriel_graph(
+    pts: DataFrame,
+    key_col: str = "k",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Gabriel graph (Gabriel & Sokal 1969, public literature) ->
+    (k, ax, ay, bx, by): edge (a, b) iff no other point lies STRICTLY
+    inside the open disk with diameter ab — equivalently no c with
+    (a - c) . (b - c) < 0 (exact int64 dot products; boundary points
+    keep the edge, which makes the output a deterministic set
+    function).  The proximity-graph backbone of spatial clustering.
+
+    Shape: one applyInPandas per key over capped point sets (brute
+    O(n^3) verifier form; the oracle is the same NOT EXISTS
+    definition)."""
+    from itertools import combinations
+
+    import numpy as np
+    import pandas as pd
+
+    def fn(key, pdf):
+        p = sorted(set(zip(
+            (int(v) for v in pdf[x_col]), (int(v) for v in pdf[y_col])
+        )))
+        out = []
+        for a, b in combinations(p, 2):
+            ok = True
+            for c in p:
+                if c == a or c == b:
+                    continue
+                if (a[0] - c[0]) * (b[0] - c[0]) + (a[1] - c[1]) * (b[1] - c[1]) < 0:
+                    ok = False
+                    break
+            if ok:
+                out.append({"k": int(key[0]), "ax": a[0], "ay": a[1],
+                            "bx": b[0], "by": b[1]})
+        return pd.DataFrame(out, columns=["k", "ax", "ay", "bx", "by"])
+
+    return (
+        pts.select(F.col(key_col).alias("k"), F.col(x_col).alias(x_col),
+                   F.col(y_col).alias(y_col))
+        .groupBy("k")
+        .applyInPandas(fn, schema="k long, ax long, ay long, bx long, by long")
+    )
+
+
+def gabriel_graph_sql(points_select: str) -> str:
+    """DuckDB oracle for ``gabriel_graph`` (the same open-disk NOT EXISTS
+    definition; dot products stay in int64 at 1e5-quantized coords)."""
+    return f"""
+WITH p AS MATERIALIZED (SELECT DISTINCT k, x, y FROM ({points_select}) s)
+SELECT a.k, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+FROM p a JOIN p b
+  ON b.k = a.k AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+WHERE NOT EXISTS (
+  SELECT 1 FROM p c
+  WHERE c.k = a.k
+    AND (c.x != a.x OR c.y != a.y) AND (c.x != b.x OR c.y != b.y)
+    AND (a.x - c.x) * (b.x - c.x) + (a.y - c.y) * (b.y - c.y) < 0)"""

@@ -18436,3 +18436,167 @@ def q_delaunay_oracle():
 
 
 QUERIES["delaunay"] = (q_delaunay, q_delaunay_oracle)
+
+
+def q_gabriel(spark, sf_dir):
+    """Gabriel proximity graph (trajectory.gabriel_graph) over per-user
+    quantized tracks: edge iff the open diameter disk is point-free —
+    exact int64 dot products, boundary-inclusive (deterministic set
+    semantics); brute NOT EXISTS oracle."""
+    from .operators.trajectory import gabriel_graph
+
+    pts = _traj_pts_df(spark, sf_dir, cap=14).select(
+        F.col("user_id").alias("k"),
+        F.col("qx").alias("x"), F.col("qy").alias("y"),
+    )
+    return gabriel_graph(pts).orderBy("k", "ax", "ay", "bx", "by")
+
+
+def q_gabriel_oracle():
+    from .operators.trajectory import gabriel_graph_sql
+
+    base = f"SELECT k, x, y FROM ({_traj_pts_sql(cap=14)}) tp"
+    return (
+        "SELECT * FROM (" + gabriel_graph_sql(base)
+        + ") ORDER BY k, ax, ay, bx, by"
+    )
+
+
+QUERIES["gabriel"] = (q_gabriel, q_gabriel_oracle)
+
+
+_EMST_CAP = 8
+
+
+def _emst_edges_df(spark, sf_dir):
+    """Delaunay edges with rank-compressed weights -> (a, b, w): node id
+    = user * 16 + per-user (x, y) rank; w = dense rank of d^2 over the
+    (d2, a, b) order (monotone in d^2, so the MST is the Euclidean MST;
+    compressed because boruvka's packed order key needs w < 2^21)."""
+    from .functions.triangulate import delaunay_triangles
+
+    pts = _traj_pts_df(spark, sf_dir, cap=_EMST_CAP).select(
+        F.col("user_id").alias("k"),
+        F.col("qx").alias("x"), F.col("qy").alias("y"),
+    ).distinct()
+    w_rank = Window.partitionBy("k").orderBy("x", "y")
+    ids = pts.withColumn(
+        "nid", F.col("k") * 16 + F.row_number().over(w_rank) - 1
+    )
+    tri = delaunay_triangles(pts)
+    e = None
+    for p, q in (("a", "b"), ("b", "c"), ("a", "c")):
+        part = tri.select(
+            "k",
+            F.col(p + "x").alias("ux"), F.col(p + "y").alias("uy"),
+            F.col(q + "x").alias("vx"), F.col(q + "y").alias("vy"),
+        )
+        e = part if e is None else e.unionByName(part)
+    e = e.distinct()
+    iu = ids.select(F.col("k"), F.col("x").alias("ux"), F.col("y").alias("uy"),
+                    F.col("nid").alias("a"))
+    iv = ids.select(F.col("k"), F.col("x").alias("vx"), F.col("y").alias("vy"),
+                    F.col("nid").alias("b"))
+    ed = (
+        e.join(iu, ["k", "ux", "uy"]).join(iv, ["k", "vx", "vy"])
+        .withColumn(
+            "d2",
+            (F.col("ux") - F.col("vx")) * (F.col("ux") - F.col("vx"))
+            + (F.col("uy") - F.col("vy")) * (F.col("uy") - F.col("vy")),
+        )
+        .select("a", "b", "d2")
+    )
+    return ed.withColumn("w", F.dense_rank().over(Window.orderBy("d2")).cast("long"))
+
+
+def q_emst(spark, sf_dir):
+    """Euclidean minimum spanning forest: Delaunay edges (EMST is a
+    Delaunay subgraph — public theorem) + boruvka_mst under
+    rank-compressed d^2 weights; the composition gate for
+    single-linkage spatial clustering.  The oracle composes the
+    HUGEINT Delaunay definition with the unrolled Boruvka chain."""
+    from .operators.graph import boruvka_mst
+
+    edges = _emst_edges_df(spark, sf_dir)
+    return boruvka_mst(edges.select("a", "b", "w")).orderBy("u", "v")
+
+
+def q_emst_oracle():
+    from .functions.triangulate import delaunay_triangles_sql
+    from .operators.graph import boruvka_sql
+
+    base = f"SELECT k, x, y FROM ({_traj_pts_sql(cap=_EMST_CAP)}) tp"
+    tri = delaunay_triangles_sql(base)
+    edges = f"""
+WITH tri AS MATERIALIZED ({tri}),
+pts AS MATERIALIZED (
+  SELECT k, x, y,
+         k * 16 + row_number() OVER (PARTITION BY k ORDER BY x, y) - 1 AS nid
+  FROM (SELECT DISTINCT k, x, y FROM ({base}) b) d),
+eraw AS (
+  SELECT DISTINCT k, ax AS ux, ay AS uy, bx AS vx, by AS vy FROM tri
+  UNION SELECT DISTINCT k, bx, by, cx, cy FROM tri
+  UNION SELECT DISTINCT k, ax, ay, cx, cy FROM tri),
+eid AS (
+  SELECT u.nid AS a, v.nid AS b,
+         (e.ux - e.vx) * (e.ux - e.vx) + (e.uy - e.vy) * (e.uy - e.vy) AS d2
+  FROM eraw e
+  JOIN pts u ON u.k = e.k AND u.x = e.ux AND u.y = e.uy
+  JOIN pts v ON v.k = e.k AND v.x = e.vx AND v.y = e.vy)
+SELECT a, b, CAST(dense_rank() OVER (ORDER BY d2) AS BIGINT) AS w FROM eid"""
+    return (
+        "SELECT * FROM ("
+        + boruvka_sql(f"SELECT * FROM ({edges}) eee", outer_rounds=6)
+        + ") ORDER BY u, v"
+    )
+
+
+QUERIES["emst"] = (q_emst, q_emst_oracle)
+
+
+def q_bcubed(spark, sf_dir):
+    """B-cubed clustering evaluation (Bagga & Baldwin 1998): the k-means
+    assignment of `kmeans_clusters` scored against the embeddings' true
+    labels — per (cluster, label) block the exact item counts and the
+    2^20-quantized per-item precision/recall (they depend only on the
+    block); the dedup-clustering quality metric."""
+    from .operators.embeddings import kmeans_assign
+
+    emb = _read(spark, sf_dir, "embeddings")
+    km = kmeans_assign(emb, k=8, iters=2).select("vec_id", "cluster")
+    j = km.join(emb.select("vec_id", "label"), "vec_id")
+    csz = j.groupBy("cluster").agg(F.count(F.lit(1)).alias("cn"))
+    lsz = j.groupBy("label").agg(F.count(F.lit(1)).alias("ln"))
+    blk = j.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        blk.join(csz, "cluster").join(lsz, "label")
+        .select(
+            "cluster", "label", "n",
+            F.expr("(n * 1048576) div cn").alias("p_q"),
+            F.expr("(n * 1048576) div ln").alias("r_q"),
+        )
+        .orderBy("cluster", "label")
+    )
+
+
+def q_bcubed_oracle():
+    from .operators.embeddings import kmeans_assign_select
+
+    km = kmeans_assign_select(8, 64, 2)
+    return f"""
+WITH km AS MATERIALIZED (SELECT vec_id, cluster FROM ({km}) t),
+j AS MATERIALIZED (
+  SELECT km.vec_id, km.cluster, e.label
+  FROM km JOIN embeddings e ON e.vec_id = km.vec_id),
+csz AS (SELECT cluster, count(*) AS cn FROM j GROUP BY 1),
+lsz AS (SELECT label, count(*) AS ln FROM j GROUP BY 1),
+blk AS (SELECT cluster, label, count(*) AS n FROM j GROUP BY 1, 2)
+SELECT b.cluster, b.label, b.n,
+       (b.n * 1048576) // c.cn AS p_q,
+       (b.n * 1048576) // l.ln AS r_q
+FROM blk b JOIN csz c ON c.cluster = b.cluster
+JOIN lsz l ON l.label = b.label
+ORDER BY b.cluster, b.label"""
+
+
+QUERIES["bcubed"] = (q_bcubed, q_bcubed_oracle)
