@@ -273,3 +273,97 @@ WHERE (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) != 0
       AND {det} != 0
       AND (({det} > 0) = ((b.x - a.x) * (c.y - a.y)
                           - (b.y - a.y) * (c.x - a.x) > 0)))"""
+
+
+def alpha_shape_edges(
+    pts: DataFrame,
+    alpha: int,
+    key_col: str = "k",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Alpha-shape boundary (Edelsbrunner 1983, public literature) ->
+    (k, ax, ay, bx, by): edges of the alpha complex (Delaunay triangles
+    with circumradius <= alpha) that bound exactly ONE such triangle —
+    the concave-hull outline.  The radius filter is the exact integer
+    cross-comparison  a2*b2*c2 <= 4*alpha^2*(2A)^2  (R = abc/4A), in
+    arbitrary-precision ints engine-side / HUGEINT oracle-side, so
+    coordinates must stay <= ~4e5 for the HUGEINT replay."""
+    from itertools import combinations
+
+    import pandas as pd
+
+    a2 = int(alpha) * int(alpha)
+
+    def fn(key, pdf):
+        p = sorted(set(zip(
+            (int(v) for v in pdf[x_col]), (int(v) for v in pdf[y_col])
+        )))
+        from collections import Counter
+
+        edges = Counter()
+        for a, b, c in combinations(p, 3):
+            orient = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            if orient == 0:
+                continue
+            ok = True
+            for d in p:
+                if d in (a, b, c):
+                    continue
+                adx, ady = a[0] - d[0], a[1] - d[1]
+                bdx, bdy = b[0] - d[0], b[1] - d[1]
+                cdx, cdy = c[0] - d[0], c[1] - d[1]
+                ad2 = adx * adx + ady * ady
+                bd2 = bdx * bdx + bdy * bdy
+                cd2 = cdx * cdx + cdy * cdy
+                det = (adx * (bdy * cd2 - cdy * bd2)
+                       - ady * (bdx * cd2 - cdx * bd2)
+                       + ad2 * (bdx * cdy - cdx * bdy))
+                if det != 0 and (det > 0) == (orient > 0):
+                    ok = False
+                    break
+            if not ok:
+                continue
+            dab = (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+            dbc = (b[0] - c[0]) ** 2 + (b[1] - c[1]) ** 2
+            dca = (c[0] - a[0]) ** 2 + (c[1] - a[1]) ** 2
+            if dab * dbc * dca > 4 * a2 * orient * orient:
+                continue
+            for u, v in ((a, b), (b, c), (a, c)):
+                edges[(u, v)] += 1
+        out = [
+            {"k": int(key[0]), "ax": u[0], "ay": u[1], "bx": v[0], "by": v[1]}
+            for (u, v), n in edges.items() if n == 1
+        ]
+        return pd.DataFrame(out, columns=["k", "ax", "ay", "bx", "by"])
+
+    return (
+        pts.select(F.col(key_col).alias("k"), F.col(x_col).alias(x_col),
+                   F.col(y_col).alias(y_col))
+        .groupBy("k")
+        .applyInPandas(fn, schema="k long, ax long, ay long, bx long, by long")
+    )
+
+
+def alpha_shape_edges_sql(points_select: str, alpha: int) -> str:
+    """DuckDB oracle for ``alpha_shape_edges``: the Delaunay definition
+    plus the HUGEINT circumradius comparison, then the boundary
+    count(*) = 1 over normalized triangle edges."""
+    a2 = int(alpha) * int(alpha)
+    tri = delaunay_triangles_sql(points_select)
+    return f"""
+WITH tri AS MATERIALIZED ({tri}),
+alpha AS MATERIALIZED (
+  SELECT * FROM tri
+  WHERE CAST((ax - bx) * (ax - bx) + (ay - by) * (ay - by) AS HUGEINT)
+        * CAST((bx - cx) * (bx - cx) + (by - cy) * (by - cy) AS HUGEINT)
+        * CAST((cx - ax) * (cx - ax) + (cy - ay) * (cy - ay) AS HUGEINT)
+        <= 4 * CAST({a2} AS HUGEINT)
+           * CAST((bx - ax) * (cy - ay) - (by - ay) * (cx - ax) AS HUGEINT)
+           * CAST((bx - ax) * (cy - ay) - (by - ay) * (cx - ax) AS HUGEINT)),
+ed AS (
+  SELECT k, ax, ay, bx, by FROM alpha
+  UNION ALL SELECT k, bx, by, cx, cy FROM alpha
+  UNION ALL SELECT k, ax, ay, cx, cy FROM alpha)
+SELECT k, ax, ay, bx, by FROM ed
+GROUP BY k, ax, ay, bx, by HAVING count(*) = 1"""

@@ -1913,3 +1913,62 @@ SELECT r.{user_col}, r.rn AS n, r.dp[CAST(r.rn + 1 AS INT)] AS best
 FROM rec r
 JOIN (SELECT {user_col}, max(rn) AS mx FROM b GROUP BY 1) m
   ON m.{user_col} = r.{user_col} AND m.mx = r.rn"""
+
+
+def rolling_ols(
+    df: DataFrame,
+    window: int = 16,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "y",
+) -> DataFrame:
+    """Rolling OLS slope per key -> (user, rn, num, den): over the last
+    ``window`` rows (x = global rank), slope = num/den with
+    num = n*sum(x*y) - sum(x)*sum(y) and den = n*sum(x^2) - sum(x)^2 —
+    the exact-rational windowed trend (the streaming beta / drift
+    detector).  Four window sums sharing one exchange, pure codegen."""
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    wf = w_ord.rowsBetween(-(int(window) - 1), Window.currentRow)
+    d = df.select(
+        F.col(user_col), F.col(ts_col), F.col(id_col),
+        F.col(value_col).cast("long").alias("y"),
+    ).withColumn("rn", F.row_number().over(w_ord).cast("long"))
+    x = F.col("rn")
+    n = F.count(F.lit(1)).over(wf)
+    sx = F.sum(x).over(wf)
+    sy = F.sum("y").over(wf)
+    sxy = F.sum(x * F.col("y")).over(wf)
+    sxx = F.sum(x * x).over(wf)
+    return d.select(
+        user_col, "rn",
+        (n * sxy - sx * sy).alias("num"),
+        (n * sxx - sx * sx).alias("den"),
+    )
+
+
+def rolling_ols_sql(
+    base_select: str,
+    window: int = 16,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "y",
+) -> str:
+    """DuckDB twin of ``rolling_ols`` (identical window sums)."""
+    wspec = (f"(PARTITION BY {user_col} ORDER BY rn "
+             f"ROWS BETWEEN {int(window) - 1} PRECEDING AND CURRENT ROW)")
+    return f"""
+WITH b AS (
+  SELECT {user_col}, CAST({value_col} AS BIGINT) AS y,
+         CAST(row_number() OVER (PARTITION BY {user_col}
+              ORDER BY {ts_col}, {id_col}) AS BIGINT) AS rn
+  FROM ({base_select}) s)
+SELECT {user_col}, rn,
+       count(*) OVER {wspec} * sum(rn * y) OVER {wspec}
+         - sum(rn) OVER {wspec} * sum(y) OVER {wspec} AS num,
+       count(*) OVER {wspec} * sum(rn * rn) OVER {wspec}
+         - sum(rn) OVER {wspec} * sum(rn) OVER {wspec} AS den
+FROM b"""

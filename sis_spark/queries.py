@@ -18600,3 +18600,168 @@ ORDER BY b.cluster, b.label"""
 
 
 QUERIES["bcubed"] = (q_bcubed, q_bcubed_oracle)
+
+
+_ALPHA_CAP = 9
+_ALPHA_R = 20000  # alpha radius in 1e3-degree units (20 degrees)
+
+
+def q_alpha_shape(spark, sf_dir):
+    """Alpha-shape / concave-hull boundary (triangulate.alpha_shape_edges,
+    alpha = 20 deg at the 1e3 quantization): edges bounding exactly one
+    alpha-complex triangle — the circumradius filter is the exact
+    cross-comparison a2*b2*c2 <= 4*alpha^2*(2A)^2 (no sqrt, no division);
+    coordinates quantized at 1e3 so the oracle's HUGEINT replay fits."""
+    from .functions.triangulate import alpha_shape_edges
+
+    from pyspark.sql import Window as _W
+
+    lon, lat = point_lonlat_cols("event_id")
+    w = _W.partitionBy("k").orderBy("event_id")
+    pts = (
+        _read(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("k"),
+            "event_id",
+            F.floor(lon * 1e3).cast("long").alias("x"),
+            F.floor(lat * 1e3).cast("long").alias("y"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _ALPHA_CAP)
+    )
+    return alpha_shape_edges(pts, alpha=_ALPHA_R).orderBy(
+        "k", "ax", "ay", "bx", "by"
+    )
+
+
+def q_alpha_shape_oracle():
+    from .functions.triangulate import alpha_shape_edges_sql
+
+    base = f"""
+SELECT user_id AS k,
+       CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e3) AS BIGINT) AS x,
+       CAST(floor(({synth.point_lat_sql('event_id')}) * 1.0e3) AS BIGINT) AS y,
+       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+FROM events QUALIFY rn <= {_ALPHA_CAP}"""
+    return (
+        "SELECT * FROM ("
+        + alpha_shape_edges_sql(f"SELECT k, x, y FROM ({base}) t", _ALPHA_R)
+        + ") ORDER BY k, ax, ay, bx, by"
+    )
+
+
+QUERIES["alpha_shape"] = (q_alpha_shape, q_alpha_shape_oracle)
+
+
+def q_rolling_ols(spark, sf_dir):
+    """Rolling OLS slope (timeseries.rolling_ols, 16-row window) over
+    per-user value-cents: exact-rational windowed trend as (num, den)
+    integer pairs — four window sums sharing one exchange."""
+    from .operators.timeseries import rolling_ols
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    return rolling_ols(ev).orderBy("user_id", "rn")
+
+
+def q_rolling_ols_oracle():
+    from .operators.timeseries import rolling_ols_sql
+
+    base = ("SELECT user_id, ts, event_id, "
+            "CAST(floor(value * 100) AS BIGINT) AS y FROM events")
+    return (
+        "SELECT * FROM (" + rolling_ols_sql(base)
+        + ") ORDER BY user_id, rn"
+    )
+
+
+QUERIES["rolling_ols"] = (q_rolling_ols, q_rolling_ols_oracle)
+
+
+_DOG_THR = 2000
+
+
+def q_dog_extrema(spark, sf_dir):
+    """Difference-of-Gaussians keypoints (blob detection): DoG =
+    16*conv3x3 - conv5x5 over shared binomial kernels (common 256 scale,
+    exact int64), then STRICT 8-neighbor local maxima above 2000
+    (terrain.local_extrema_tiles — out-of-extent neighbors never
+    suppress).  The oracle replays both separable convolutions and the
+    neighbor max with lag/lead window frames."""
+    import numpy as _np
+
+    from .raster.grid import GridGeometry
+    from .raster.terrain import convolve_tiles, local_extrema_tiles
+
+    W, H, TS = 500, 300, 64
+    tiles = _formula_tiles(spark, W, H, bands=1, tile_size=TS)
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    k3 = _np.outer([1, 2, 1], [1, 2, 1])
+    k5 = _np.outer([1, 4, 6, 4, 1], [1, 4, 6, 4, 1])
+    c3 = convolve_tiles(tiles, gg, k3, tile_size=TS)
+    c5 = convolve_tiles(tiles, gg, k5, tile_size=TS)
+    j = c3.select("tx", "ty", F.col("data").alias("d3")).join(
+        c5.select("tx", "ty", F.col("data").alias("d5")), ["tx", "ty"]
+    )
+    import pandas as _pd
+
+    def dog(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, d3, d5 in zip(pdf["tx"], pdf["ty"], pdf["d3"], pdf["d5"]):
+                a3 = _np.frombuffer(d3, _np.int64).reshape(TS, TS)
+                a5 = _np.frombuffer(d5, _np.int64).reshape(TS, TS)
+                rows.append({"tx": int(tx), "ty": int(ty),
+                             "data": (16 * a3 - a5).tobytes()})
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    dg = j.mapInPandas(dog, schema="tx long, ty long, data binary")
+    return local_extrema_tiles(dg, gg, thr=_DOG_THR, tile_size=TS).orderBy(
+        "x", "y"
+    )
+
+
+def q_dog_extrema_oracle():
+    SMIN = -(1 << 62)
+    tap3 = ("1 * coalesce(lag(v, 1) OVER {w}, 0) + 2 * v + "
+            "1 * coalesce(lead(v, 1) OVER {w}, 0)")
+    tap5 = ("1 * coalesce(lag(v, 2) OVER {w}, 0) + "
+            "4 * coalesce(lag(v, 1) OVER {w}, 0) + 6 * v + "
+            "4 * coalesce(lead(v, 1) OVER {w}, 0) + "
+            "1 * coalesce(lead(v, 2) OVER {w}, 0)")
+    return f"""
+WITH px AS (
+  SELECT x.x AS x, y.y AS y, CAST((x.x * 7 + y.y * 13) % 256 AS BIGINT) AS v
+  FROM generate_series(0, 499) x(x), generate_series(0, 299) y(y)),
+h3 AS (SELECT x, y, {tap3.format(w='wx')} AS v FROM px
+       WINDOW wx AS (PARTITION BY y ORDER BY x)),
+c3 AS (SELECT x, y, {tap3.format(w='wy')} AS v FROM h3
+       WINDOW wy AS (PARTITION BY x ORDER BY y)),
+h5 AS (SELECT x, y, {tap5.format(w='wx')} AS v FROM px
+       WINDOW wx AS (PARTITION BY y ORDER BY x)),
+c5 AS (SELECT x, y, {tap5.format(w='wy')} AS v FROM h5
+       WINDOW wy AS (PARTITION BY x ORDER BY y)),
+dg AS (
+  SELECT c3.x, c3.y, 16 * c3.v - c5.v AS v
+  FROM c3 JOIN c5 ON c5.x = c3.x AND c5.y = c3.y),
+rowm AS (
+  SELECT x, y, v,
+         GREATEST(coalesce(lag(v, 1) OVER wx, {SMIN}), v,
+                  coalesce(lead(v, 1) OVER wx, {SMIN})) AS rm,
+         GREATEST(coalesce(lag(v, 1) OVER wx, {SMIN}),
+                  coalesce(lead(v, 1) OVER wx, {SMIN})) AS mid
+  FROM dg WINDOW wx AS (PARTITION BY y ORDER BY x)),
+nmax AS (
+  SELECT x, y, v,
+         GREATEST(coalesce(lag(rm, 1) OVER wy, {SMIN}),
+                  coalesce(lead(rm, 1) OVER wy, {SMIN}), mid) AS nm
+  FROM rowm WINDOW wy AS (PARTITION BY x ORDER BY y))
+SELECT x, y, v FROM nmax
+WHERE v > nm AND v > {_DOG_THR}
+ORDER BY x, y"""
+
+
+QUERIES["dog_extrema"] = (q_dog_extrema, q_dog_extrema_oracle)

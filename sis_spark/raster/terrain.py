@@ -2809,3 +2809,65 @@ def sauvola_threshold_tiles(
                 yield pd.DataFrame(rows)
 
     return j.mapInPandas(decide, schema=CONV_SCHEMA)
+
+
+_EXTREMA_SENTINEL = -(1 << 62)
+
+
+def local_extrema_tiles(
+    tiles_df: DataFrame,
+    gg: GridGeometry,
+    thr: int,
+    tile_size: int = 64,
+) -> DataFrame:
+    """Strict 8-neighbor local maxima of an int64 plane above ``thr`` ->
+    (x, y, v) sparse rows: a pixel qualifies iff v > every AVAILABLE
+    neighbor (neighbors outside the extent do not suppress — the engine
+    sentinel and the oracle's window frames agree on that) and v > thr.
+    Same 9-way halo shuffle as convolve_tiles; input tiles are int64
+    planes without a band column (the convolve output shape)."""
+    h, w = gg.height, gg.width
+    ts = tile_size
+    ntx = (w + ts - 1) // ts
+    nty = (h + ts - 1) // ts
+    contrib = _halo_groups(tiles_df.select("tx", "ty", "data")).filter(
+        (F.col("gtx") < ntx) & (F.col("gty") < nty)
+    )
+
+    def fn(key, pdf):
+        gtx, gty = int(key[0]), int(key[1])
+        halo = np.full((ts + 2, ts + 2), _EXTREMA_SENTINEL, dtype=np.int64)
+        for data, tx, ty in zip(pdf["data"], pdf["tx"], pdf["ty"]):
+            block = np.frombuffer(data, np.int64).reshape(ts, ts)
+            oy = (int(ty) - gty) * ts + 1
+            ox = (int(tx) - gtx) * ts + 1
+            y0, x0 = max(oy, 0), max(ox, 0)
+            y1, x1 = min(oy + ts, ts + 2), min(ox + ts, ts + 2)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            halo[y0:y1, x0:x1] = block[y0 - oy:y1 - oy, x0 - ox:x1 - ox]
+        # pixels beyond the extent must never be treated as values
+        px = gtx * ts + np.arange(-1, ts + 1)
+        py = gty * ts + np.arange(-1, ts + 1)
+        halo[:, (px < 0) | (px >= w)] = _EXTREMA_SENTINEL
+        halo[(py < 0) | (py >= h), :] = _EXTREMA_SENTINEL
+        c = halo[1:-1, 1:-1]
+        nmax = np.full_like(c, _EXTREMA_SENTINEL)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nmax = np.maximum(
+                    nmax, halo[1 + dy:1 + dy + ts, 1 + dx:1 + dx + ts]
+                )
+        keep = (c > nmax) & (c > thr) & (c != _EXTREMA_SENTINEL)
+        ys, xs = np.nonzero(keep)
+        return pd.DataFrame({
+            "x": gtx * ts + xs.astype(np.int64),
+            "y": gty * ts + ys.astype(np.int64),
+            "v": c[ys, xs],
+        })
+
+    return contrib.groupBy("gtx", "gty").applyInPandas(
+        fn, schema="x long, y long, v long"
+    )
