@@ -18765,3 +18765,155 @@ ORDER BY x, y"""
 
 
 QUERIES["dog_extrema"] = (q_dog_extrema, q_dog_extrema_oracle)
+
+
+def q_orb_octants(spark, sf_dir):
+    """ORB-style keypoint orientation, atan2-free (the intensity-centroid
+    octant of Rublee 2011 classified by exact integer sign/magnitude
+    comparisons): DoG keypoints (the `dog_extrema` detector) oriented by
+    7x7 patch moments m10/m01 — both are integer-kernel convolutions
+    (coordinate-weighted box sums) on the halo machinery; octant =
+    quadrant from signs x |m01| > |m10| bit, 8 = null moment.  The
+    oracle replays the separable moment sums and the same CASE."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.terrain import convolve_tiles, local_extrema_tiles
+
+    W, H, TS = 500, 300, 64
+    tiles = _formula_tiles(spark, W, H, bands=1, tile_size=TS)
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    k3 = _np.outer([1, 2, 1], [1, 2, 1])
+    k5 = _np.outer([1, 4, 6, 4, 1], [1, 4, 6, 4, 1])
+    c3 = convolve_tiles(tiles, gg, k3, tile_size=TS)
+    c5 = convolve_tiles(tiles, gg, k5, tile_size=TS)
+
+    def dog(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, d3, d5 in zip(pdf["tx"], pdf["ty"], pdf["d3"], pdf["d5"]):
+                a3 = _np.frombuffer(d3, _np.int64).reshape(TS, TS)
+                a5 = _np.frombuffer(d5, _np.int64).reshape(TS, TS)
+                rows.append({"tx": int(tx), "ty": int(ty),
+                             "data": (16 * a3 - a5).tobytes()})
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    j = c3.select("tx", "ty", F.col("data").alias("d3")).join(
+        c5.select("tx", "ty", F.col("data").alias("d5")), ["tx", "ty"]
+    )
+    dg = j.mapInPandas(dog, schema="tx long, ty long, data binary")
+    kp = local_extrema_tiles(dg, gg, thr=_DOG_THR, tile_size=TS)
+
+    dxk = _np.outer(_np.ones(7, _np.int64), _np.arange(-3, 4))
+    dyk = _np.outer(_np.arange(-3, 4), _np.ones(7, _np.int64))
+    m10 = convolve_tiles(tiles, gg, dxk, tile_size=TS)
+    m01 = convolve_tiles(tiles, gg, dyk, tile_size=TS)
+    mom = m10.select("tx", "ty", F.col("data").alias("dx")).join(
+        m01.select("tx", "ty", F.col("data").alias("dy")), ["tx", "ty"]
+    )
+    pts = kp.withColumn("tx", F.expr("x div 64")).withColumn(
+        "ty", F.expr("y div 64")
+    ).join(mom, ["tx", "ty"])
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for x, y, dx, dy in zip(pdf["x"], pdf["y"], pdf["dx"], pdf["dy"]):
+                ax = _np.frombuffer(dx, _np.int64).reshape(TS, TS)
+                ay = _np.frombuffer(dy, _np.int64).reshape(TS, TS)
+                lx, ly = int(x) % TS, int(y) % TS
+                m10v, m01v = int(ax[ly, lx]), int(ay[ly, lx])
+                if m10v == 0 and m01v == 0:
+                    o = 8
+                else:
+                    if m10v > 0 and m01v >= 0:
+                        q = 0
+                    elif m10v <= 0 and m01v > 0:
+                        q = 1
+                    elif m10v < 0 and m01v <= 0:
+                        q = 2
+                    else:
+                        q = 3
+                    o = q * 2 + (1 if abs(m01v) > abs(m10v) else 0)
+                rows.append({"x": int(x), "y": int(y),
+                             "m10": m10v, "m01": m01v, "oct": o})
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return pts.mapInPandas(
+        extract, schema="x long, y long, m10 long, m01 long, oct long"
+    ).orderBy("x", "y")
+
+
+def q_orb_octants_oracle():
+    SMIN = -(1 << 62)
+    tap3 = ("1 * coalesce(lag(v, 1) OVER {w}, 0) + 2 * v + "
+            "1 * coalesce(lead(v, 1) OVER {w}, 0)")
+    tap5 = ("1 * coalesce(lag(v, 2) OVER {w}, 0) + "
+            "4 * coalesce(lag(v, 1) OVER {w}, 0) + 6 * v + "
+            "4 * coalesce(lead(v, 1) OVER {w}, 0) + "
+            "1 * coalesce(lead(v, 2) OVER {w}, 0)")
+    box7 = " + ".join(
+        [f"coalesce(lag(v, {j}) OVER {{w}}, 0)" for j in range(3, 0, -1)]
+        + ["v"]
+        + [f"coalesce(lead(v, {j}) OVER {{w}}, 0)" for j in range(1, 4)]
+    )
+    dx7 = " + ".join(
+        [f"{-j} * coalesce(lag(s, {j}) OVER {{w}}, 0)" for j in range(3, 0, -1)]
+        + [f"{j} * coalesce(lead(s, {j}) OVER {{w}}, 0)" for j in range(1, 4)]
+    )
+    return f"""
+WITH px AS (
+  SELECT x.x AS x, y.y AS y, CAST((x.x * 7 + y.y * 13) % 256 AS BIGINT) AS v
+  FROM generate_series(0, 499) x(x), generate_series(0, 299) y(y)),
+h3 AS (SELECT x, y, {tap3.format(w='wx')} AS v FROM px
+       WINDOW wx AS (PARTITION BY y ORDER BY x)),
+c3 AS (SELECT x, y, {tap3.format(w='wy')} AS v FROM h3
+       WINDOW wy AS (PARTITION BY x ORDER BY y)),
+h5 AS (SELECT x, y, {tap5.format(w='wx')} AS v FROM px
+       WINDOW wx AS (PARTITION BY y ORDER BY x)),
+c5 AS (SELECT x, y, {tap5.format(w='wy')} AS v FROM h5
+       WINDOW wy AS (PARTITION BY x ORDER BY y)),
+dg AS (
+  SELECT c3.x, c3.y, 16 * c3.v - c5.v AS v
+  FROM c3 JOIN c5 ON c5.x = c3.x AND c5.y = c3.y),
+rowm AS (
+  SELECT x, y, v,
+         GREATEST(coalesce(lag(v, 1) OVER wx, {SMIN}), v,
+                  coalesce(lead(v, 1) OVER wx, {SMIN})) AS rm,
+         GREATEST(coalesce(lag(v, 1) OVER wx, {SMIN}),
+                  coalesce(lead(v, 1) OVER wx, {SMIN})) AS mid
+  FROM dg WINDOW wx AS (PARTITION BY y ORDER BY x)),
+kp AS (
+  SELECT x, y FROM (
+    SELECT x, y, v,
+           GREATEST(coalesce(lag(rm, 1) OVER wy, {SMIN}),
+                    coalesce(lead(rm, 1) OVER wy, {SMIN}), mid) AS nm
+    FROM rowm WINDOW wy AS (PARTITION BY x ORDER BY y)) t
+  WHERE v > nm AND v > {_DOG_THR}),
+colsum AS (
+  SELECT x, y, {box7.format(w='wy')} AS s FROM px
+  WINDOW wy AS (PARTITION BY x ORDER BY y)),
+m10 AS (SELECT x, y, {dx7.format(w='wx')} AS m FROM colsum
+        WINDOW wx AS (PARTITION BY y ORDER BY x)),
+rowsum AS (
+  SELECT x, y, {box7.format(w='wx')} AS s FROM px
+  WINDOW wx AS (PARTITION BY y ORDER BY x)),
+m01 AS (SELECT x, y, {dx7.format(w='wy')} AS m FROM rowsum
+        WINDOW wy AS (PARTITION BY x ORDER BY y))
+SELECT kp.x, kp.y, a.m AS m10, b.m AS m01,
+       CASE WHEN a.m = 0 AND b.m = 0 THEN 8
+            ELSE (CASE WHEN a.m > 0 AND b.m >= 0 THEN 0
+                       WHEN a.m <= 0 AND b.m > 0 THEN 1
+                       WHEN a.m < 0 AND b.m <= 0 THEN 2
+                       ELSE 3 END) * 2
+                 + CASE WHEN abs(b.m) > abs(a.m) THEN 1 ELSE 0 END
+       END AS oct
+FROM kp JOIN m10 a ON a.x = kp.x AND a.y = kp.y
+JOIN m01 b ON b.x = kp.x AND b.y = kp.y
+ORDER BY kp.x, kp.y"""
+
+
+QUERIES["orb_octants"] = (q_orb_octants, q_orb_octants_oracle)
