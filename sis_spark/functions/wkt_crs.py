@@ -19,9 +19,10 @@ from __future__ import annotations
 import re
 
 from .projections import (
-    GRS80, WGS84, AlbersEqualArea, LambertAzimuthalEqualArea,
-    LambertConformal2SP, PolarStereographicB, _Geographic, _TM, _WebMercator,
-    CRS_REGISTRY,
+    GRS80, WGS84, AlbersEqualArea, AzimuthalEquidistant,
+    LambertAzimuthalEqualArea, LambertConformal2SP, Mollweide, Orthographic,
+    PolarStereographicA, PolarStereographicB, Robinson, Sinusoidal,
+    _Geographic, _TM, _WebMercator, CRS_REGISTRY,
 )
 
 
@@ -193,6 +194,9 @@ def crs_from_wkt(text: str, prefer_id: bool = True):
 
     if "lambert conic conformal" in method or "lambert conformal conic" in method:
         return LambertConformal2SP(sp1, sp2, lat0, lon0, fe, fn, ell)
+    if "polar stereographic" in method and ("variant a" in method or "k0" in p):
+        return PolarStereographicA(p.get("k0", 0.994), lon0, fe, fn,
+                                   lat0 < 0, ell)
     if "polar stereographic" in method:
         return PolarStereographicB(sp1 if "sp1" in p else lat0, lon0, fe, fn, ell)
     if "albers" in method:
@@ -205,6 +209,16 @@ def crs_from_wkt(text: str, prefer_id: bool = True):
         return _TM(lon0, fe, fn)
     if "pseudo mercator" in method or "mercator 1sp" in method or method == "mercator":
         return _WebMercator()
+    if "sinusoidal" in method:
+        return Sinusoidal(lon0, ell[0])
+    if "mollweide" in method:
+        return Mollweide(lon0, ell[0])
+    if "robinson" in method:
+        return Robinson(lon0, ell[0])
+    if "orthographic" in method:
+        return Orthographic(lat0, lon0, ell[0])
+    if "azimuthal equidistant" in method:
+        return AzimuthalEquidistant(lat0, lon0, ell[0])
     raise ValueError(f"unsupported projection method {method!r}")
 
 
@@ -267,10 +281,12 @@ def to_wkt(code: str) -> str:
 
     def proj(name, method, params, ell):
         ps = ", ".join(f'PARAMETER["{k}", {_f(v)}]' for k, v in params)
+        tail = code.split(":", 1)[1]
+        tail_s = tail if tail.isdigit() else f'"{tail}"'
         return (f'PROJCRS["{name}", {base.format(el=_ellipsoid_wkt(ell))}, '
                 f'CONVERSION["{name}", METHOD["{method}"], {ps}], '
                 f'CS[Cartesian, 2], '
-                f'ID["{code.split(":")[0]}", {code.split(":")[1]}]]')
+                f'ID["{code.split(":")[0]}", {tail_s}]]')
 
     if isinstance(crs, LambertConformal2SP):
         return proj(code, "Lambert Conic Conformal (2SP)", [
@@ -312,6 +328,36 @@ def to_wkt(code: str) -> str:
             ("False easting", crs.fe),
             ("False northing", crs.fn),
         ], WGS84)
+    if isinstance(crs, PolarStereographicA):
+        return proj(code, "Polar Stereographic (variant A)", [
+            ("Latitude of natural origin", -90.0 if crs.south else 90.0),
+            ("Longitude of origin", crs.lon0),
+            ("Scale factor at natural origin", crs.k0),
+            ("False easting", crs.fe),
+            ("False northing", crs.fn),
+        ], crs.ellipsoid)
+    if isinstance(crs, Sinusoidal):
+        return proj(code, "Sinusoidal", [
+            ("Longitude of natural origin", crs.lon0),
+        ], (crs.R, 0.0))
+    if isinstance(crs, Mollweide):
+        return proj(code, "Mollweide", [
+            ("Longitude of natural origin", crs.lon0),
+        ], (crs.R, 0.0))
+    if isinstance(crs, Robinson):
+        return proj(code, "Robinson", [
+            ("Longitude of natural origin", crs.lon0),
+        ], (crs.R, 0.0))
+    if isinstance(crs, Orthographic):
+        return proj(code, "Orthographic", [
+            ("Latitude of natural origin", crs.lat0),
+            ("Longitude of natural origin", crs.lon0),
+        ], (crs.R, 0.0))
+    if isinstance(crs, AzimuthalEquidistant):
+        return proj(code, "Azimuthal Equidistant", [
+            ("Latitude of natural origin", crs.lat0),
+            ("Longitude of natural origin", crs.lon0),
+        ], (crs.R, 0.0))
     if isinstance(crs, _WebMercator):
         return proj(code, "Popular Visualisation Pseudo Mercator", [
             ("Latitude of natural origin", 0.0),

@@ -1008,18 +1008,19 @@ def median_cut_boxes(pixels: DataFrame, rounds: int = 3) -> DataFrame:
         F.lit(0).cast("long").alias("box"),
     )
     for _ in range(int(rounds)):
-        rng = d.groupBy("box").agg(
-            (F.max("r") - F.min("r")).alias("rr"),
-            (F.max("g") - F.min("g")).alias("rg"),
-            (F.max("b") - F.min("b")).alias("rb"),
-        )
+        wall = Window.partitionBy("box")
+        # widest axis via window aggregates over the box partition — the
+        # per-box agg + broadcast join constant-folds its box=0 first-round
+        # keys away and degenerates to a BroadcastNestedLoopJoin
+        rr = F.max("r").over(wall) - F.min("r").over(wall)
+        rg = F.max("g").over(wall) - F.min("g").over(wall)
+        rb = F.max("b").over(wall) - F.min("b").over(wall)
         ax = (
-            F.when((F.col("rr") >= F.col("rg")) & (F.col("rr") >= F.col("rb")), 0)
-            .when(F.col("rg") >= F.col("rb"), 1)
+            F.when((rr >= rg) & (rr >= rb), 0)
+            .when(rg >= rb, 1)
             .otherwise(2)
         )
-        axes = rng.select("box", ax.alias("ax"))
-        d = d.join(F.broadcast(axes), "box")
+        d = d.withColumn("ax", ax)
         val = (
             F.when(F.col("ax") == 0, F.col("r"))
             .when(F.col("ax") == 1, F.col("g"))

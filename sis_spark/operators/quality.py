@@ -366,20 +366,18 @@ def mondrian_boxes(df: DataFrame, k: int, rounds: int,
         F.lit(0).cast("long").alias("box"),
     )
     for _ in range(int(rounds)):
-        rng = d.groupBy("box").agg(
-            (F.max("a") - F.min("a")).alias("ra"),
-            (F.max("b") - F.min("b")).alias("rb"),
-        )
-        axes = rng.select(
-            "box", F.when(F.col("ra") >= F.col("rb"), 0).otherwise(1).alias("ax")
-        )
-        d = d.join(F.broadcast(axes), "box")
+        wall = Window.partitionBy("box")
+        # axis choice as window aggregates over the box partition — no
+        # per-box join (whose box=0 first round constant-folds the equi
+        # keys away and degenerates to a BroadcastNestedLoopJoin)
+        ra = F.max("a").over(wall) - F.min("a").over(wall)
+        rb = F.max("b").over(wall) - F.min("b").over(wall)
+        d = d.withColumn("ax", F.when(ra >= rb, 0).otherwise(1))
         val = F.when(F.col("ax") == 0, F.col("a")).otherwise(F.col("b"))
         d = d.withColumn("val", val)
         wcum = Window.partitionBy("box").orderBy("val").rangeBetween(
             Window.unboundedPreceding, 0
         )
-        wall = Window.partitionBy("box")
         d = (
             d.withColumn("cum", F.count(F.lit(1)).over(wcum))
             .withColumn("tot", F.count(F.lit(1)).over(wall))

@@ -833,67 +833,6 @@ def _assemble_halo(key, pdf, tile_size, bdt):
     return gtx, gty, halo
 
 
-# neighbor order for LBP bit i (dy, dx), clockwise from top-left
-_LBP_OFFSETS = [(-1, -1), (-1, 0), (-1, 1), (0, 1),
-                (1, 1), (1, 0), (1, -1), (0, -1)]
-
-
-def lbp_tiles(
-    tiles_df: DataFrame,
-    gg: GridGeometry,
-    band: int = 0,
-    tile_size: int = 64,
-    dtype=np.uint8,
-) -> DataFrame:
-    """Local Binary Pattern texture codes per tile (Ojala et al. 1996,
-    public literature): for each INTERIOR raster pixel, bit i of the
-    8-bit code is set when the i-th neighbor (clockwise from top-left)
-    is >= the center; output is the per-tile (code, cnt) histogram —
-    the classic texture fingerprint an image-curation pipeline buckets
-    corpora by.  Exact integers end to end; one halo gather (the
-    gradient machinery's shuffle), then map-side histograms.  Pixels
-    whose 3x3 window leaves the raster (or touches a missing tile) are
-    skipped."""
-    h, w = gg.height, gg.width
-    bdt = np.dtype(dtype)
-    ntx = (w + tile_size - 1) // tile_size
-    nty = (h + tile_size - 1) // tile_size
-    contrib = _halo_groups(tiles_df.filter(F.col("band") == band)).filter(
-        (F.col("gtx") < ntx) & (F.col("gty") < nty)
-    )
-
-    def fn(key, pdf):
-        gtx, gty, halo = _assemble_halo(key, pdf, tile_size, bdt)
-        ts = tile_size
-        px = gtx * ts + np.arange(ts)
-        py = gty * ts + np.arange(ts)
-        c = halo[1:1 + ts, 1:1 + ts]
-        code = np.zeros((ts, ts), np.int64)
-        valid = np.isfinite(c)
-        for i, (dy, dx) in enumerate(_LBP_OFFSETS):
-            nb = halo[1 + dy:1 + dy + ts, 1 + dx:1 + dx + ts]
-            valid &= np.isfinite(nb)
-            code += (nb >= c).astype(np.int64) << i
-        interior = (
-            (px[None, :] >= 1) & (px[None, :] <= w - 2)
-            & (py[:, None] >= 1) & (py[:, None] <= h - 2)
-        )
-        sel = code[valid & interior]
-        if sel.size == 0:
-            return pd.DataFrame({"tx": [], "ty": [], "code": [], "cnt": []})
-        cnt = np.bincount(sel, minlength=256)
-        codes = np.nonzero(cnt)[0]
-        return pd.DataFrame({
-            "tx": gtx, "ty": gty,
-            "code": codes.astype(np.int64),
-            "cnt": cnt[codes].astype(np.int64),
-        })
-
-    return contrib.groupBy("gtx", "gty").applyInPandas(
-        fn, schema="tx long, ty long, code long, cnt long"
-    )
-
-
 def _hog_octants(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
     """Octant k with atan2(gy, gx) in [k*45deg, (k+1)*45deg), derived by
     EXACT integer sign/magnitude comparisons (no trig); (0, 0) -> 0

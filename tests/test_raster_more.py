@@ -68,9 +68,10 @@ def test_lbp_tiles_match_dense(spark):
     rows = lbp_tiles(_tiles_df(spark, arr, ts), gg, tile_size=ts).collect()
     got = {}
     for r in rows:
-        got[(r["tx"], r["ty"], r["code"])] = r["cnt"]
-    offs = [(-1, -1), (-1, 0), (-1, 1), (0, 1),
-            (1, 1), (1, 0), (1, -1), (0, -1)]  # (dy, dx), bit order
+        got[(r["tx"], r["ty"], r["code"])] = r["n"]
+    # the op's fixed raster-scan neighbor order, as (dy, dx)
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
+            (0, 1), (1, -1), (1, 0), (1, 1)]
     want = {}
     a = arr.astype(np.int64)
     for y in range(1, h - 1):
