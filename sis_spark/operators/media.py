@@ -246,3 +246,119 @@ def frame_diffs(video: DataFrame, cut_threshold: int) -> DataFrame:
     return video.mapInPandas(
         fn, schema="media_id string, frame int, sad long, is_cut boolean"
     )
+
+
+def make_motion_video(media_id: int, n_frames: int = 6, w: int = 24,
+                      h: int = 16) -> dict:
+    """Deterministic single-channel clip with TRUE translational motion
+    (vx, vy) = (id%3 - 1, (id//3)%3 - 1): frame f shows the nonlinear
+    texture g(u, v) = (3u^2 + 7v + uv) mod 256 at u = x - vx*f — block
+    matching recovers the motion exactly (numpy's % is floor-mod, same
+    as the oracle's posmod)."""
+    vx, vy = media_id % 3 - 1, (media_id // 3) % 3 - 1
+    f = np.arange(n_frames)[:, None, None]
+    y = np.arange(h)[None, :, None]
+    x = np.arange(w)[None, None, :]
+    u = x - vx * f
+    v = y - vy * f
+    arr = ((3 * u * u + 7 * v + u * v) % 256).astype(np.uint8)
+    return {
+        "media_id": f"vid-{media_id:09d}", "payload": arr.tobytes(),
+        "fps": 6.0, "n_frames": n_frames, "w": w, "h": h,
+        "codec": "fake-raw-gray",
+    }
+
+
+def block_motion(video: DataFrame, block: int = 4, radius: int = 2) -> DataFrame:
+    """Block-matching motion estimation (the MPEG motion-search primitive,
+    public literature) -> (media_id, frame, bx, by, dx, dy, sad): for
+    every INTERIOR block of frame f >= 1, the displacement in
+    [-radius, radius]^2 minimizing the exact int64 SAD against frame
+    f-1, ties by (sad, dy, dx).  Interior = blocks whose full search
+    window stays inside the frame, so no candidate is ever clipped.
+
+    Scale shape: one mapInPandas pass, each clip decoded once (the
+    frame_diffs discipline); embarrassingly parallel across clips."""
+    b, r = int(block), int(radius)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload, nf, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["n_frames"],
+                pdf["w"], pdf["h"],
+            ):
+                nf, w, h = int(nf), int(w), int(h)
+                arr = np.frombuffer(payload, np.uint8).reshape(nf, h, w).astype(np.int64)
+                for f in range(1, nf):
+                    cur, prev = arr[f], arr[f - 1]
+                    for by in range(h // b):
+                        y0 = by * b
+                        if y0 - r < 0 or y0 + b + r > h:
+                            continue
+                        for bx in range(w // b):
+                            x0 = bx * b
+                            if x0 - r < 0 or x0 + b + r > w:
+                                continue
+                            blk = cur[y0:y0 + b, x0:x0 + b]
+                            best = None
+                            for dy in range(-r, r + 1):
+                                for dx in range(-r, r + 1):
+                                    ref = prev[y0 + dy:y0 + dy + b,
+                                               x0 + dx:x0 + dx + b]
+                                    sad = int(np.abs(blk - ref).sum())
+                                    key = (sad, dy, dx)
+                                    if best is None or key < best:
+                                        best = key
+                            rows.append({
+                                "media_id": mid, "frame": f,
+                                "bx": bx, "by": by,
+                                "dx": best[2], "dy": best[1], "sad": best[0],
+                            })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return video.mapInPandas(
+        fn,
+        schema=("media_id string, frame long, bx long, by long, "
+                "dx long, dy long, sad long"),
+    )
+
+
+def make_formula_pcm(media_id: int, n: int = 2000) -> dict:
+    """Integer formula PCM (SQL-replicable, unlike the sine clips):
+    s[i] = ((i*i*7 + i*13 + id*31) mod 4096) - 2048, int16."""
+    i = np.arange(n, dtype=np.int64)
+    s = (i * i * 7 + i * 13 + media_id * 31) % 4096 - 2048
+    return {
+        "media_id": f"aud-{media_id:09d}", "payload": s.astype("<i2").tobytes(),
+        "sample_rate": 3000, "n_samples": n, "codec": "fake-pcm",
+    }
+
+
+def pcm_resample_2_3(audio: DataFrame) -> DataFrame:
+    """Linear PCM resampling to 2/3 of the input rate, EXACT-INTEGER ->
+    (media_id, j, y2): output sample j sits at input position 3j/2, so
+    y2 = 2*s[k] + (s[k+1] - s[k]) * (3j mod 2) with k = (3j) div 2 —
+    twice the interpolated value, kept integral (the polyphase
+    fractional delays are all halves).  One mapInPandas pass per clip."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload, n in zip(pdf["media_id"], pdf["payload"],
+                                       pdf["n_samples"]):
+                s = np.frombuffer(payload, "<i2").astype(np.int64)
+                n = int(n)
+                m = (2 * (n - 1)) // 3  # last j with k+1 <= n-1
+                j = np.arange(m + 1, dtype=np.int64)
+                k = (3 * j) // 2
+                fr = (3 * j) % 2
+                y2 = 2 * s[k] + (s[np.minimum(k + 1, n - 1)] - s[k]) * fr
+                rows.append(pd.DataFrame({
+                    "media_id": mid, "j": j, "y2": y2,
+                }))
+            if rows:
+                yield pd.concat(rows)
+
+    return audio.mapInPandas(fn, schema="media_id string, j long, y2 long")

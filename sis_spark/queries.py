@@ -18917,3 +18917,155 @@ ORDER BY kp.x, kp.y"""
 
 
 QUERIES["orb_octants"] = (q_orb_octants, q_orb_octants_oracle)
+
+
+N_MOTION_CLIPS = 8
+
+
+def q_block_motion(spark, sf_dir):
+    """Block-matching motion estimation (media.block_motion, 4x4 blocks,
+    +-2 search) over true-motion formula clips: per interior block the
+    exact int64 SAD argmin displacement, ties (sad, dy, dx) — the MPEG
+    motion-search primitive; clips decode once per task (frame_diffs
+    shape).  The oracle replays every candidate SAD from the closed-form
+    pixels and takes the same argmin."""
+    import pandas as _pd
+
+    from .operators.media import VIDEO_SCHEMA, block_motion, make_motion_video
+
+    video = spark.createDataFrame(
+        _pd.DataFrame([make_motion_video(m) for m in range(N_MOTION_CLIPS)]),
+        schema=VIDEO_SCHEMA,
+    ).repartition(min(N_MOTION_CLIPS, spark.sparkContext.defaultParallelism))
+    return block_motion(video).orderBy("media_id", "frame", "by", "bx")
+
+
+def q_block_motion_oracle():
+    def c(fexpr, yexpr, xexpr):
+        u = f"(({xexpr}) - (m.m % 3 - 1) * ({fexpr}))"
+        v = f"(({yexpr}) - ((m.m // 3) % 3 - 1) * ({fexpr}))"
+        return (f"(((3 * {u} * {u} + 7 * {v} + {u} * {v}) % 256 + 256) % 256)")
+
+    cur = c("f.f", "by.by * 4 + py.py", "bx.bx * 4 + px.px")
+    ref = c("f.f - 1", "by.by * 4 + dy.dy + py.py", "bx.bx * 4 + dx.dx + px.px")
+    return f"""
+WITH cand AS (
+  SELECT m.m, f.f, bx.bx, by.by, dx.dx, dy.dy,
+         CAST(sum(abs({cur} - {ref})) AS BIGINT) AS sad
+  FROM generate_series(0, {N_MOTION_CLIPS - 1}) m(m),
+       generate_series(1, 5) f(f),
+       generate_series(1, 4) bx(bx), generate_series(1, 2) by(by),
+       generate_series(-2, 2) dx(dx), generate_series(-2, 2) dy(dy),
+       generate_series(0, 3) px(px), generate_series(0, 3) py(py)
+  GROUP BY 1, 2, 3, 4, 5, 6)
+SELECT 'vid-' || lpad(CAST(m AS VARCHAR), 9, '0') AS media_id,
+       CAST(f AS BIGINT) AS frame, CAST(bx AS BIGINT) AS bx,
+       CAST(by AS BIGINT) AS by, CAST(dx AS BIGINT) AS dx,
+       CAST(dy AS BIGINT) AS dy, sad
+FROM (SELECT *, row_number() OVER (PARTITION BY m, f, bx, by
+          ORDER BY sad, dy, dx) AS rn FROM cand) t
+WHERE rn = 1 ORDER BY media_id, frame, by, bx"""
+
+
+QUERIES["block_motion"] = (q_block_motion, q_block_motion_oracle)
+
+
+def q_tree_lca(spark, sf_dir):
+    """Lowest common ancestor + hop distance over the synthetic part
+    hierarchy parent(n) = n div 4 (the `tree_rollup` tree): pairs
+    (a, b = (a*7) mod 2000 + 1); since every ancestor id is smaller than
+    its child, the LCA is simply the MAX over common chain values —
+    one ancestor-explode per side + an equi-join + a window argmax, all
+    closed-form."""
+    p = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("a"),
+        ((F.col("p_partkey") * 7) % 2000 + 1).cast("long").alias("b"),
+    )
+
+    def chain(side):
+        col = F.col(side)
+        arr = F.array(*[
+            (col / F.lit(_TREE_FANOUT ** L)).cast("long")
+            for L in range(_TREE_DEPTH + 1)
+        ])
+        return p.select(
+            "a", "b", F.posexplode(arr).alias(f"l{side}", "anc")
+        ).filter(F.col("anc") >= 1)
+
+    ca = chain("a")
+    cb = chain("b").withColumnRenamed("anc", "anc_b")
+    j = ca.join(
+        cb,
+        (ca["a"] == cb["a"]) & (ca["b"] == cb["b"])
+        & (ca["anc"] == cb["anc_b"]),
+    ).select(ca["a"], ca["b"], ca["anc"], F.col("la"), F.col("lb"))
+    w = Window.partitionBy("a", "b").orderBy(F.col("anc").desc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("a", "b", F.col("anc").alias("lca"),
+                (F.col("la") + F.col("lb")).alias("hops"))
+        .orderBy("a")
+    )
+
+
+def q_tree_lca_oracle():
+    levels = " UNION ALL ".join(
+        f"SELECT a, b, CAST({L} AS BIGINT) AS l, "
+        f"{{side}} // {_TREE_FANOUT ** L} AS anc FROM pairs "
+        f"WHERE {{side}} // {_TREE_FANOUT ** L} >= 1"
+        for L in range(_TREE_DEPTH + 1)
+    )
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT CAST(p_partkey AS BIGINT) AS a,
+         (CAST(p_partkey AS BIGINT) * 7) % 2000 + 1 AS b
+  FROM part),
+ca AS MATERIALIZED ({levels.format(side='a')}),
+cb AS MATERIALIZED ({levels.format(side='b')})
+SELECT a, b, lca, hops FROM (
+  SELECT ca.a, ca.b, ca.anc AS lca, ca.l + cb.l AS hops,
+         row_number() OVER (PARTITION BY ca.a, ca.b
+                            ORDER BY ca.anc DESC) AS rn
+  FROM ca JOIN cb ON cb.a = ca.a AND cb.b = ca.b AND cb.anc = ca.anc) t
+WHERE rn = 1 ORDER BY a"""
+
+
+QUERIES["tree_lca"] = (q_tree_lca, q_tree_lca_oracle)
+
+
+N_PCM_CLIPS = 12
+
+
+def q_pcm_resample(spark, sf_dir):
+    """Exact-integer 2/3 linear PCM resampling (media.pcm_resample_2_3)
+    over integer formula clips: y2 = 2*s[k] + (s[k+1]-s[k])*(3j mod 2) —
+    the polyphase fractional delays are all halves, so the resampled
+    signal is integral at twice scale; one decode pass per clip."""
+    import pandas as _pd
+
+    from .operators.media import AUDIO_SCHEMA, make_formula_pcm, pcm_resample_2_3
+
+    audio = spark.createDataFrame(
+        _pd.DataFrame([make_formula_pcm(m) for m in range(N_PCM_CLIPS)]),
+        schema=AUDIO_SCHEMA,
+    ).repartition(min(N_PCM_CLIPS, spark.sparkContext.defaultParallelism))
+    return pcm_resample_2_3(audio).orderBy("media_id", "j")
+
+
+def q_pcm_resample_oracle():
+    n = 2000
+    s = "((i * i * 7 + i * 13 + m.m * 31) % 4096 - 2048)"
+    sk = s.replace("i", "((3 * j.j) // 2)")
+    sk1 = s.replace("i", "((3 * j.j) // 2 + 1)")
+    return f"""
+SELECT 'aud-' || lpad(CAST(m.m AS VARCHAR), 9, '0') AS media_id,
+       CAST(j.j AS BIGINT) AS j,
+       CAST(2 * {sk} + CASE WHEN (3 * j.j) % 2 = 1
+                            THEN {sk1} - {sk} ELSE 0 END AS BIGINT) AS y2
+FROM generate_series(0, {N_PCM_CLIPS - 1}) m(m),
+     generate_series(0, {(2 * (n - 1)) // 3}) j(j)
+ORDER BY media_id, j"""
+
+
+QUERIES["pcm_resample"] = (q_pcm_resample, q_pcm_resample_oracle)
