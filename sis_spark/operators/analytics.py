@@ -2712,3 +2712,103 @@ FROM (
          sum(y) OVER (ORDER BY score DESC, id
                       ROWS UNBOUNDED PRECEDING) AS tp
   FROM ({base_select}) b) r"""
+
+
+def winsorized_mean(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    p_num: int = 1,
+    p_den: int = 10,
+) -> DataFrame:
+    """Winsorized group mean in exact integers -> (key, n, wsum): per
+    group, values below the k-th smallest are raised to it and above the
+    (n-k+1)-th are lowered to it, k = floor(n * p_num / p_den) + 1 (the
+    classic robust location estimator; ranks not quantiles, so the
+    bounds are exact order statistics).  wsum is the winsorized SUM —
+    the mean is the caller's rational wsum/n.
+
+    Shape: one rank window + one group max/min of the rank-selected
+    bounds + one partial agg, all codegen."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col("v"), F.col("__rid"))
+    wall = Window.partitionBy(key_col)
+    d = (
+        df.select(F.col(key_col), F.col(value_col).cast("long").alias("v"))
+        .withColumn("__rid", F.monotonically_increasing_id())
+        .withColumn("r", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+    )
+    k = F.expr(f"n * {int(p_num)} div {int(p_den)}") + 1
+    lo = F.max(F.when(F.col("r") == k, F.col("v"))).over(wall)
+    hi = F.max(F.when(F.col("r") == F.col("n") - k + 1, F.col("v"))).over(wall)
+    d = d.withColumn("wv", F.greatest(lo, F.least(hi, F.col("v"))))
+    return d.groupBy(F.col(key_col).alias("key")).agg(
+        F.max("n").alias("n"), F.sum("wv").alias("wsum")
+    )
+
+
+def winsorized_mean_sql(
+    base_select: str, key_col: str = "key", p_num: int = 1, p_den: int = 10
+) -> str:
+    """DuckDB twin of ``winsorized_mean``; ``base_select`` -> (key, v).
+    Value ties make the rank-k choice ambiguous only between EQUAL
+    values, so no row-id tie-break is needed for the bounds."""
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS key, CAST(v AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY {key_col} ORDER BY v) AS r,
+         count(*) OVER (PARTITION BY {key_col}) AS n
+  FROM ({base_select}) s),
+k AS (
+  SELECT *, n * {int(p_num)} // {int(p_den)} + 1 AS kk FROM b),
+bounds AS (
+  SELECT key,
+         max(CASE WHEN r = kk THEN v END) AS lo,
+         max(CASE WHEN r = n - kk + 1 THEN v END) AS hi
+  FROM k GROUP BY 1)
+SELECT b.key, max(b.n) AS n,
+       sum(GREATEST(bo.lo, LEAST(bo.hi, b.v))) AS wsum
+FROM b JOIN bounds bo ON bo.key = b.key
+GROUP BY 1"""
+
+
+def hhi_index(
+    df: DataFrame,
+    key_col: str,
+    part_col: str,
+    value_col: str,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group, exact ->
+    (key, n_parts, num, den, hhi_q): shares s_i = x_i / X give
+    HHI = sum(s_i^2) = sum(x_i^2) / X^2 — carried as the integer
+    rational (num, den) plus the floor quantization hhi_q =
+    num * scale div den.  One two-level partial agg."""
+    g = (
+        df.select(F.col(key_col).alias("key"), F.col(part_col).alias("p"),
+                  F.col(value_col).cast("long").alias("x"))
+        .groupBy("key", "p").agg(F.sum("x").alias("xs"))
+    )
+    return (
+        g.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("xs") * F.col("xs")).alias("num"),
+            (F.sum("xs") * F.sum("xs")).alias("den"),
+        )
+        .withColumn("hhi_q", F.expr(f"(num * {int(scale)}) div den"))
+    )
+
+
+def hhi_index_sql(base_select: str, scale: int = 1 << 20) -> str:
+    """DuckDB twin; ``base_select`` -> (key, p, x)."""
+    return f"""
+WITH g AS (
+  SELECT key, p, CAST(sum(x) AS BIGINT) AS xs
+  FROM ({base_select}) s GROUP BY 1, 2)
+SELECT key, count(*) AS n_parts,
+       sum(xs * xs) AS num, sum(xs) * sum(xs) AS den,
+       (sum(xs * xs) * {int(scale)}) // (sum(xs) * sum(xs)) AS hhi_q
+FROM g GROUP BY 1"""

@@ -19069,3 +19069,66 @@ ORDER BY media_id, j"""
 
 
 QUERIES["pcm_resample"] = (q_pcm_resample, q_pcm_resample_oracle)
+
+
+def q_winsorized_mean(spark, sf_dir):
+    """10% winsorized group mean (analytics.winsorized_mean): customer
+    account cents per nation with exact order-statistic clamps (ranks,
+    not quantiles) — the robust location estimator; one rank window +
+    bounds + partial agg both sides."""
+    from .operators.analytics import winsorized_mean
+
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return winsorized_mean(c, "nation", "cents").orderBy("key")
+
+
+def q_winsorized_mean_oracle():
+    from .operators.analytics import winsorized_mean_sql
+
+    base = ("SELECT CAST(c_nationkey AS BIGINT) AS key, "
+            "CAST(floor(c_acctbal * 100) AS BIGINT) AS v FROM customer")
+    return (
+        "SELECT * FROM (" + winsorized_mean_sql(base) + ") ORDER BY key"
+    )
+
+
+QUERIES["winsorized_mean"] = (q_winsorized_mean, q_winsorized_mean_oracle)
+
+
+def q_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman concentration (analytics.hhi_index): per
+    nation, how concentrated order revenue is across market segments —
+    the exact rational sum(x_i^2)/X^2 plus its floor quantization (x in
+    price-hundreds so num * 10^4 stays inside int64)."""
+    from .operators.analytics import hhi_index
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") / 100).cast("long").alias("x"),
+    )
+    c = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        "c_mktsegment",
+    )
+    j = o.join(c, "o_custkey")
+    return hhi_index(j, "nation", "c_mktsegment", "x", scale=10000).orderBy("key")
+
+
+def q_hhi_oracle():
+    from .operators.analytics import hhi_index_sql
+
+    base = """
+SELECT CAST(c.c_nationkey AS BIGINT) AS key, c.c_mktsegment AS p,
+       CAST(floor(o.o_totalprice / 100) AS BIGINT) AS x
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"""
+    return (
+        "SELECT * FROM (" + hhi_index_sql(base, scale=10000)
+        + ") ORDER BY key"
+    )
+
+
+QUERIES["hhi"] = (q_hhi, q_hhi_oracle)
