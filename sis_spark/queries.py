@@ -19132,3 +19132,126 @@ FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"""
 
 
 QUERIES["hhi"] = (q_hhi, q_hhi_oracle)
+
+
+def q_rasterize_aa(spark, sf_dir):
+    """Anti-aliased (supersampled) rasterization: 2x2 subsample coverage
+    0..4 of the rectangle UNION — four quarter-pixel-shifted runs of the
+    SAME rasterize_polygons machinery, masks summed tile-wise.  The
+    subsample points sit at odd/256 offsets while every rect edge is
+    even/256, so no sample can straddle an edge in either engine.
+    Output: dense per-tile position-weighted checksums of the coverage
+    plane."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .functions.geometry import wkb_polygon
+    from .raster.grid import GridGeometry
+    from .raster.tiles import rasterize_polygons
+
+    rects = _rasterize_rects()
+    pdf = _pd.DataFrame({
+        "key": [r["key"] for r in rects],
+        "wkb": [
+            wkb_polygon([(
+                _np.array([r["xmin"], r["xmax"], r["xmax"], r["xmin"]]),
+                _np.array([r["ymin"], r["ymin"], r["ymax"], r["ymax"]]),
+            )])
+            for r in rects
+        ],
+    })
+    polys = spark.createDataFrame(pdf, schema="key long, wkb binary")
+    TS, W, H = RAST_TS, RAST_W, RAST_H
+    a, e = 1.0 / 64.0, -1.0 / 64.0
+    masks = None
+    for sx in (-0.25, 0.25):
+        for sy in (-0.25, 0.25):
+            gg = GridGeometry(
+                (0, 0, W - 1, H - 1),
+                (a, 0.0, -10.0 + a * sx, 0.0, e, 5.0 + e * sy),
+            )
+            t = rasterize_polygons(polys, gg, tile_size=TS)
+
+            def to_mask(batches):
+                for p in batches:
+                    rows = []
+                    for tx, ty, data in zip(p["tx"], p["ty"], p["data"]):
+                        lab = _np.frombuffer(data, _np.int32).reshape(TS, TS)
+                        rows.append({
+                            "tx": int(tx), "ty": int(ty),
+                            "data": (lab > 0).astype(_np.int64).tobytes(),
+                        })
+                    if rows:
+                        yield _pd.DataFrame(rows)
+
+            m = t.mapInPandas(to_mask, schema="tx long, ty long, data binary")
+            masks = m if masks is None else masks.unionByName(m)
+
+    def summed(key, p):
+        acc = _np.zeros((TS, TS), dtype=_np.int64)
+        for data in p["data"]:
+            acc += _np.frombuffer(data, _np.int64).reshape(TS, TS)
+        return _pd.DataFrame([{
+            "tx": int(key[0]), "ty": int(key[1]), "data": acc.tobytes(),
+        }])
+
+    cov = masks.groupBy("tx", "ty").applyInPandas(
+        summed, schema="tx long, ty long, data binary"
+    )
+
+    def cs(batches):
+        for p in batches:
+            rows = []
+            for tx, ty, data in zip(p["tx"], p["ty"], p["data"]):
+                v = _np.frombuffer(data, _np.int64).reshape(TS, TS)
+                px = int(tx) * TS + _np.arange(TS)[None, :]
+                py = int(ty) * TS + _np.arange(TS)[:, None]
+                wt = ((py * W + px) % 9973 + 1).astype(_np.int64)
+                rows.append({"tx": int(tx), "ty": int(ty),
+                             "cs": int((v * wt).sum())})
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    sums = cov.mapInPandas(cs, schema="tx long, ty long, cs long")
+    nx, ny = W // TS, H // TS
+    grid = spark.range(nx).withColumnRenamed("id", "tx").crossJoin(
+        spark.range(ny).withColumnRenamed("id", "ty")
+    )
+    return (
+        grid.join(sums, ["tx", "ty"], "left")
+        .select("tx", "ty", F.coalesce(F.col("cs"), F.lit(0)).alias("cs"))
+        .orderBy("ty", "tx")
+    )
+
+
+def q_rasterize_aa_oracle():
+    vals = ",\n  ".join(
+        f"({r['key']}, {r['xmin']!r}E0, {r['xmax']!r}E0, {r['ymin']!r}E0, {r['ymax']!r}E0)"
+        for r in _rasterize_rects()
+    )
+    sub = []
+    for sx in (-0.25, 0.25):
+        for sy in (0.25, -0.25):
+            # x sample = (2x+1)/128 - 10 + sx/64 ; y = 5 - (2y+1)/128 + sy*(-1/64)
+            sub.append(
+                "(CASE WHEN EXISTS (SELECT 1 FROM rects r WHERE "
+                f"CAST(2 * px.px + 1 AS DOUBLE) / 128.0E0 - 10.0E0 + ({sx!r}E0 / 64.0E0) > r.xmin AND "
+                f"CAST(2 * px.px + 1 AS DOUBLE) / 128.0E0 - 10.0E0 + ({sx!r}E0 / 64.0E0) < r.xmax AND "
+                f"5.0E0 - CAST(2 * px.py + 1 AS DOUBLE) / 128.0E0 - ({sy!r}E0 / 64.0E0) > r.ymin AND "
+                f"5.0E0 - CAST(2 * px.py + 1 AS DOUBLE) / 128.0E0 - ({sy!r}E0 / 64.0E0) < r.ymax) "
+                "THEN 1 ELSE 0 END)"
+            )
+    cov = " + ".join(sub)
+    return f"""
+WITH rects(key, xmin, xmax, ymin, ymax) AS (VALUES
+  {vals}),
+px AS (
+  SELECT x.x AS px, y.y AS py
+  FROM generate_series(0, {RAST_W - 1}) x(x), generate_series(0, {RAST_H - 1}) y(y)),
+lab AS (SELECT px, py, {cov} AS cvg FROM px)
+SELECT CAST(px // {RAST_TS} AS BIGINT) AS tx, CAST(py // {RAST_TS} AS BIGINT) AS ty,
+       CAST(sum(CAST(cvg AS BIGINT) * ((py * {RAST_W} + px) % 9973 + 1)) AS BIGINT) AS cs
+FROM lab GROUP BY 1, 2 ORDER BY ty, tx"""
+
+
+QUERIES["rasterize_aa"] = (q_rasterize_aa, q_rasterize_aa_oracle)
