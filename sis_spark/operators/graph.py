@@ -1981,3 +1981,99 @@ def harmonic_centrality_sql(
 SELECT node, sum({int(scale)} // dist) AS h_q
 FROM d{int(hops)} WHERE dist > 0 GROUP BY 1"""
     )
+
+
+def densest_subgraph_trace(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Parallel densest-subgraph peel (Bahmani et al. 2012, eps = 1,
+    public literature) -> (round, n, e, is_best): each round records the
+    surviving (vertex count, edge count) then removes EVERY vertex with
+    deg * n <= 4 * e (i.e. deg <= 2 * average density — the integer
+    cross-multiplied form), guaranteeing O(log n) rounds; the densest
+    recorded round is a 2(1+eps)-approximation.  is_best marks the max
+    e/n by exact cross-comparison (ties -> earliest round).
+
+    Scale shape: per round one degree aggregation + two semi-joins (the
+    k_core peel discipline) and a 2-scalar driver read (n, e) — the
+    trace IS the output, O(log n) rows."""
+    sym = edges.select("a", "b")
+    und = sym.filter(F.col("a") < F.col("b"))
+    alive = nodes.select("node").localCheckpoint()
+    cur = sym.localCheckpoint()
+    trace = []
+    for rnd in range(int(max_rounds)):
+        n = alive.count()
+        if n == 0:
+            break
+        e = cur.filter(F.col("a") < F.col("b")).count()
+        trace.append((rnd, n, e))
+        deg = cur.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        keep = (
+            alive.join(deg, "node", "left").fillna(0, subset=["d"])
+            .filter(F.col("d") * n > 4 * e)
+            .select("node")
+            .localCheckpoint()
+        )
+        alive = keep
+        cur = (
+            cur.join(keep, cur["a"] == keep["node"], "semi")
+            .join(keep.withColumnRenamed("node", "b2"),
+                  cur["b"] == F.col("b2"), "semi")
+            .localCheckpoint()
+        )
+    best = 0
+    for i, (r, n, e) in enumerate(trace):
+        br, bn, be = trace[best]
+        if e * bn > be * n:
+            best = i
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(r, n, e, i == best) for i, (r, n, e) in enumerate(trace)],
+        "round long, n long, e long, is_best boolean",
+    )
+
+
+def densest_subgraph_sql(
+    edges_select: str, nodes_select: str, rounds: int = 30
+) -> str:
+    """DuckDB replay of ``densest_subgraph_trace`` (unrolled rounds; the
+    argmax by exact cross-multiplication NOT EXISTS)."""
+    blocks = [
+        f"s0 AS MATERIALIZED (SELECT a, b FROM ({edges_select}) e)",
+        f"a0 AS MATERIALIZED (SELECT node FROM ({nodes_select}) n)",
+    ]
+    sels = []
+    for t in range(int(rounds)):
+        blocks.append(f"""t{t} AS MATERIALIZED (
+  SELECT (SELECT count(*) FROM a{t}) AS n,
+         (SELECT count(*) FROM s{t} WHERE a < b) AS e),
+k{t} AS MATERIALIZED (
+  SELECT al.node FROM a{t} al
+  LEFT JOIN (SELECT a AS node, count(*) AS d FROM s{t} GROUP BY 1) dg
+    ON dg.node = al.node
+  CROSS JOIN t{t}
+  WHERE coalesce(dg.d, 0) * t{t}.n > 4 * t{t}.e),
+a{t + 1} AS MATERIALIZED (SELECT node FROM k{t}),
+s{t + 1} AS MATERIALIZED (
+  SELECT s.a, s.b FROM s{t} s
+  JOIN k{t} x ON x.node = s.a JOIN k{t} y ON y.node = s.b)""")
+        sels.append(
+            f"SELECT CAST({t} AS BIGINT) AS round, n, e FROM t{t} WHERE n > 0"
+        )
+    trace = "\nUNION ALL ".join(sels)
+    return (
+        "WITH " + ",\n".join(blocks)
+        + f""",
+tr AS MATERIALIZED ({trace})
+SELECT round, n, e,
+       NOT EXISTS (SELECT 1 FROM tr o
+                   WHERE o.e * tr.n > tr.e * o.n
+                      OR (o.e * tr.n = tr.e * o.n AND o.round < tr.round))
+           AS is_best
+FROM tr"""
+    )

@@ -19255,3 +19255,96 @@ FROM lab GROUP BY 1, 2 ORDER BY ty, tx"""
 
 
 QUERIES["rasterize_aa"] = (q_rasterize_aa, q_rasterize_aa_oracle)
+
+
+def q_densest_subgraph(spark, sf_dir):
+    """Parallel densest-subgraph peel (graph.densest_subgraph_trace,
+    Bahmani et al., eps = 1) on the symmetric document graph: per round
+    the surviving (n, e) before removing every vertex with
+    deg * n <= 4 * e — O(log n) rounds guaranteed; is_best marks the
+    exact cross-compared density maximum.  The oracle unrolls the
+    identical rounds."""
+    from .operators.graph import densest_subgraph_trace
+
+    edges, nodes = _mis_edges_df(spark, sf_dir)
+    # plant a 20-clique (docs 0..19) so the peel has a core to converge to
+    cl = nodes.filter(F.col("node") < 20)
+    clique = (
+        cl.select(F.col("node").alias("a"))
+        .crossJoin(cl.select(F.col("node").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+    )
+    edges = edges.unionByName(clique).distinct()
+    return densest_subgraph_trace(edges, nodes).orderBy("round")
+
+
+def q_densest_subgraph_oracle():
+    from .operators.graph import densest_subgraph_sql
+
+    nodes = "SELECT CAST(doc_id AS BIGINT) AS node FROM documents"
+    edges = f"""
+SELECT DISTINCT a, b FROM (
+  SELECT a, b FROM ({_mis_edges_sql()}) m
+  UNION ALL
+  SELECT x.i, y.i FROM
+    (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 20) x,
+    (SELECT CAST(doc_id AS BIGINT) AS i FROM documents WHERE doc_id < 20) y
+  WHERE x.i != y.i) u"""
+    return (
+        "SELECT * FROM ("
+        + densest_subgraph_sql(edges, nodes, rounds=30)
+        + ") ORDER BY round"
+    )
+
+
+QUERIES["densest_subgraph"] = (q_densest_subgraph, q_densest_subgraph_oracle)
+
+
+def q_quantile_transform(spark, sf_dir):
+    """Rank-based quantile normalization of the embedding columns (the
+    scikit-style QuantileTransformer, exact): per dimension, value ->
+    floor((rank - 1) * 2^20 / (n - 1)) with ties broken by vec id (a
+    deterministic documented variant) — per-vector position-weighted
+    checksums of the transformed codes; one window + one partial agg."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        F.posexplode(F.col("embedding")).alias("p", "x"),
+    ).select(
+        "id", "p",
+        F.floor(F.col("x").cast("double") * 10000000.0).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("p").orderBy("v", "id")
+    wall = Window.partitionBy("p")
+    d = (
+        q.withColumn("r", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("qv", F.expr("((r - 1) * 1048576) div (n - 1)"))
+    )
+    return (
+        d.groupBy(F.col("id").alias("vec_id"))
+        .agg(
+            F.sum("qv").alias("q_sum"),
+            F.sum(F.col("qv") * (F.col("p") + 1)).alias("q_ws"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q_quantile_transform_oracle():
+    return """
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         generate_subscripts(embedding, 1) AS p,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000000.0) AS BIGINT) AS v
+  FROM embeddings),
+d AS (
+  SELECT id, p,
+         ((row_number() OVER (PARTITION BY p ORDER BY v, id) - 1) * 1048576)
+           // (count(*) OVER (PARTITION BY p) - 1) AS qv
+  FROM q)
+SELECT id AS vec_id, sum(qv) AS q_sum, sum(qv * p) AS q_ws
+FROM d GROUP BY 1 ORDER BY vec_id"""
+
+
+QUERIES["quantile_transform"] = (q_quantile_transform, q_quantile_transform_oracle)
