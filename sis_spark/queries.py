@@ -19348,3 +19348,54 @@ FROM d GROUP BY 1 ORDER BY vec_id"""
 
 
 QUERIES["quantile_transform"] = (q_quantile_transform, q_quantile_transform_oracle)
+
+
+def q_stab_count(spark, sf_dir):
+    """Interval stabbing / concurrency counting: at each interval start,
+    how many of the user's intervals (the `interval_sched` closed-form
+    set) are active — the classic +1/-1 event prefix sum: explode each
+    interval to (t0, +1) and (t1, -1), order by (t, delta) so closings
+    apply before the opening at the same instant ([t0, t1) semantics),
+    running-sum, keep the +1 events.  Pure window codegen both sides."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", F.col("event_id").cast("long").alias("eid"),
+        ((F.col("event_id") * 37) % 1000).cast("long").alias("t0"),
+        ((F.col("event_id") * 37) % 1000
+         + (F.col("event_id") % 7 + 1) * 3).cast("long").alias("t1"),
+    )
+    pts = ev.select(
+        "user_id", "eid", F.col("t0").alias("t"), F.lit(1).alias("d")
+    ).unionByName(ev.select(
+        "user_id", F.col("eid"), F.col("t1").alias("t"), F.lit(-1).alias("d")
+    ))
+    w = Window.partitionBy("user_id").orderBy("t", "d", "eid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        pts.withColumn("c", F.sum("d").over(w))
+        .filter(F.col("d") == 1)
+        .select("user_id", "eid", "t", F.col("c").alias("active"))
+        .orderBy("user_id", "eid")
+    )
+
+
+def q_stab_count_oracle():
+    return """
+WITH ev AS (
+  SELECT user_id, CAST(event_id AS BIGINT) AS eid,
+         (event_id * 37) % 1000 AS t0,
+         (event_id * 37) % 1000 + (event_id % 7 + 1) * 3 AS t1
+  FROM events),
+pts AS (
+  SELECT user_id, eid, t0 AS t, 1 AS d FROM ev
+  UNION ALL SELECT user_id, eid, t1, -1 FROM ev),
+c AS (
+  SELECT user_id, eid, t, d,
+         sum(d) OVER (PARTITION BY user_id ORDER BY t, d, eid
+                      ROWS UNBOUNDED PRECEDING) AS c
+  FROM pts)
+SELECT user_id, eid, CAST(t AS BIGINT) AS t, CAST(c AS BIGINT) AS active
+FROM c WHERE d = 1 ORDER BY user_id, eid"""
+
+
+QUERIES["stab_count"] = (q_stab_count, q_stab_count_oracle)
