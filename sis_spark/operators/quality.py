@@ -549,3 +549,64 @@ WITH b AS (SELECT cohort, {rep} AS rep FROM ({base_select}) s)
 SELECT cohort, count(*) AS n, sum(rep) AS n1,
        4 * sum(rep) - count(*) AS est2
 FROM b GROUP BY 1"""
+
+
+def inclusion_audit(pairs) -> "DataFrame":
+    """Inclusion-dependency (foreign-key) audit across table pairs.
+
+    ``pairs`` is a list of ``(label, child_df, child_col, parent_df,
+    parent_col)``.  For each candidate dependency the audit reports the
+    number of distinct non-null child values and how many of them have no
+    match on the parent side (orphans); ``contained = orphans == 0`` is the
+    inclusion-dependency verdict — the profiling primitive FK discovery,
+    referential-integrity monitoring, and join-cardinality sanity checks
+    all reduce to.
+
+    Scale shape: per pair one distinct (map-side combined) on the child and
+    one LEFT ANTI equi-join against the parent's distinct key set — the
+    parent side of a real FK is the dimension table, so Spark broadcasts
+    it; no pair ever shuffles the fact table twice.  Null child values are
+    excluded (SQL FK semantics: NULL references nothing and violates
+    nothing).
+    """
+    from pyspark.sql import functions as F
+
+    out = None
+    for label, child, ccol, parent, pcol in pairs:
+        cd = (
+            child.select(F.col(ccol).cast("long").alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
+        pd_ = parent.select(F.col(pcol).cast("long").alias("k")).distinct()
+        orphans = cd.join(F.broadcast(pd_), "k", "left_anti")
+        row = cd.agg(F.count("*").alias("n_distinct")).crossJoin(
+            orphans.agg(F.count("*").alias("n_orphan"))
+        ).select(
+            F.lit(label).alias("label"),
+            "n_distinct",
+            "n_orphan",
+            (F.col("n_orphan") == 0).alias("contained"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def inclusion_audit_sql(pairs) -> str:
+    """DuckDB twin of ``inclusion_audit``; ``pairs`` holds
+    ``(label, child_rel, child_col, parent_rel, parent_col)``."""
+    blocks = []
+    for label, crel, ccol, prel, pcol in pairs:
+        blocks.append(f"""
+SELECT '{label}' AS label,
+       (SELECT count(*) FROM (SELECT DISTINCT CAST({ccol} AS BIGINT) AS k
+          FROM {crel} WHERE {ccol} IS NOT NULL) c) AS n_distinct,
+       (SELECT count(*) FROM (SELECT DISTINCT CAST({ccol} AS BIGINT) AS k
+          FROM {crel} WHERE {ccol} IS NOT NULL) c
+         WHERE NOT EXISTS (SELECT 1 FROM {prel} p
+                           WHERE CAST(p.{pcol} AS BIGINT) = c.k)) AS n_orphan,
+       (SELECT count(*) FROM (SELECT DISTINCT CAST({ccol} AS BIGINT) AS k
+          FROM {crel} WHERE {ccol} IS NOT NULL) c
+         WHERE NOT EXISTS (SELECT 1 FROM {prel} p
+                           WHERE CAST(p.{pcol} AS BIGINT) = c.k)) = 0 AS contained""")
+    return " UNION ALL ".join(blocks)

@@ -2321,3 +2321,129 @@ cid AS (
   FROM h)
 SELECT {id_col}, chunk_idx, count(*) AS len, sum(v) AS csum
 FROM cid GROUP BY 1, 2"""
+
+
+def vocab_stats(docs: DataFrame, group_col: str = "source",
+                text_col: str = "text") -> DataFrame:
+    """Zipf-profile vocabulary statistics per corpus slice.
+
+    Per group: total token count, vocabulary size, hapax / dis legomena
+    counts (frequency-1 and frequency-2 types), the top type's frequency,
+    and the type-token ratio as an exact int/int double.  Hapax share and
+    TTR are the standard corpus-health diagnostics a training-data pipeline
+    tracks per source/shard (a collapsing TTR flags boilerplate floods).
+
+    Scale shape: one explode + two keyed aggregations, both map-side
+    combined — the (group, token) histogram is the same primitive as the
+    engine's cell histogram; no joins.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    freq = toks.groupBy("g", "t").agg(F.count("*").alias("c"))
+    return (
+        freq.groupBy("g")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("dis"),
+            F.max("c").alias("top_freq"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_tokens", "vocab", "hapax", "dis", "top_freq",
+            (F.col("vocab").cast("double") / F.col("n_tokens").cast("double")).alias("ttr"),
+        )
+    )
+
+
+def vocab_stats_sql(rel: str = "documents", group_col: str = "source",
+                    text_col: str = "text") -> str:
+    """DuckDB twin of ``vocab_stats``."""
+    return f"""
+WITH toks AS (
+  SELECT {group_col} AS g, unnest(string_split({text_col}, ' ')) AS t
+  FROM {rel}),
+freq AS (
+  SELECT g, t, count(*) AS c FROM toks WHERE t <> '' GROUP BY 1, 2)
+SELECT g AS {group_col},
+       sum(c) AS n_tokens,
+       count(*) AS vocab,
+       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+       sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS dis,
+       max(c) AS top_freq,
+       CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr
+FROM freq GROUP BY 1"""
+
+
+_FLESCH_Q = (
+    "CAST(floor((206.835e0"
+    " - 1.015e0 * (CAST({nw} AS DOUBLE) / CAST({ns} AS DOUBLE))"
+    " - 84.6e0 * (CAST({sy} AS DOUBLE) / CAST({nw} AS DOUBLE))) * 1.0e6)"
+    " AS BIGINT)"
+)
+
+
+def readability_counts(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading-ease inputs + quantized score per document.
+
+    Words are whitespace tokens; sentences are ``[.!?]+`` runs (min 1);
+    syllables per word are ``[aeiouy]+`` vowel groups in the lowercased
+    token (min 1) — the standard heuristic.  The score
+    ``206.835 - 1.015*(W/S) - 84.6*(SY/W)`` is computed by ONE shared
+    expression text (identical IEEE divide/multiply order in both engines)
+    and quantized at 1e6, per the bit-exactness playbook.
+
+    Scale shape: one explode + one keyed aggregation for the syllable sum,
+    the rest per-row codegen; no joins, no Python.
+    """
+    syl = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            id_col,
+            F.greatest(
+                F.lit(1),
+                F.size(F.expr("regexp_extract_all(lower(w), '[aeiouy]+', 0)")),
+            ).cast("long").alias("sy"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("sy").alias("n_syll"), F.count("*").alias("n_words"))
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+        ).cast("long").alias("n_sents"),
+    )
+    j = base.join(syl, id_col)
+    score = F.expr(_FLESCH_Q.format(nw="n_words", ns="n_sents", sy="n_syll"))
+    return j.select(id_col, "n_words", "n_sents", "n_syll", score.alias("flesch_q"))
+
+
+def readability_sql(rel: str = "documents", text_col: str = "text",
+                    id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``readability_counts`` (same shared score text)."""
+    score = _FLESCH_Q.format(nw="n_words", ns="n_sents", sy="n_syll")
+    return f"""
+WITH w AS (
+  SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS w FROM {rel}),
+syl AS (
+  SELECT {id_col},
+         sum(greatest(1, length(regexp_extract_all(lower(w), '[aeiouy]+')))) AS n_syll,
+         count(*) AS n_words
+  FROM w WHERE w <> '' GROUP BY 1),
+base AS (
+  SELECT {id_col},
+         greatest(1, length(regexp_extract_all({text_col}, '[.!?]+'))) AS n_sents
+  FROM {rel})
+SELECT b.{id_col}, s.n_words, b.n_sents, s.n_syll,
+       {score} AS flesch_q
+FROM base b JOIN syl s USING ({id_col})"""

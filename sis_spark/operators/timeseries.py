@@ -1972,3 +1972,72 @@ SELECT {user_col}, rn,
        count(*) OVER {wspec} * sum(rn * rn) OVER {wspec}
          - sum(rn) OVER {wspec} * sum(rn) OVER {wspec} AS den
 FROM b"""
+
+
+def max_subarray(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "v",
+) -> DataFrame:
+    """Maximum-sum contiguous subarray (Kadane) as pure window codegen.
+
+    Uses the prefix-extremum identity (the cusum lesson): the best sum of a
+    nonempty run ending at t is ``S_t - min(0, min_{s<t} S_s)`` where S is
+    the running prefix sum — no recurrence, no applyInPandas; two window
+    passes (min-over-running-sum cannot nest) and one row_number pick.
+    Scale shape: everything is per-key windows — one shuffle on the key,
+    arbitrarily many keys.  Tie rule: earliest end rank wins.
+
+    Reference parity note: SIS has no sequence analytics; this extends the
+    engine's exact-statistics suite (U/math/Statistics.java is the closest
+    reference analog — streaming accumulators over ordered values).
+    """
+    word = Window.partitionBy(key_col).orderBy(order_col)
+    wsum = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wprev = word.rowsBetween(Window.unboundedPreceding, -1)
+    zero = F.lit(0).cast("long")
+    d = (
+        df.select(key_col, order_col, F.col(value_col).cast("long").alias("v"))
+        .withColumn("s", F.sum("v").over(wsum))
+        .withColumn("rn", F.row_number().over(word).cast("long"))
+    )
+    d = d.withColumn(
+        "best",
+        F.col("s") - F.least(zero, F.coalesce(F.min("s").over(wprev), zero)),
+    )
+    pick = Window.partitionBy(key_col).orderBy(F.col("best").desc(), "rn")
+    return (
+        d.withColumn("pk", F.row_number().over(pick))
+        .filter(F.col("pk") == 1)
+        .select(F.col(key_col), F.col("best").alias("max_sum"), F.col("rn").alias("end_rank"))
+    )
+
+
+def max_subarray_sql(
+    base_select: str,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "v",
+) -> str:
+    """DuckDB twin of ``max_subarray`` (same two window passes)."""
+    return f"""
+WITH b AS (
+  SELECT {key_col}, {order_col}, CAST({value_col} AS BIGINT) AS v
+  FROM ({base_select}) s),
+p AS (
+  SELECT {key_col}, {order_col}, v,
+         sum(v) OVER (PARTITION BY {key_col} ORDER BY {order_col}
+                      ROWS UNBOUNDED PRECEDING) AS s,
+         CAST(row_number() OVER (PARTITION BY {key_col} ORDER BY {order_col})
+              AS BIGINT) AS rn
+  FROM b),
+q AS (
+  SELECT {key_col}, rn,
+         s - least(0, coalesce(min(s) OVER (PARTITION BY {key_col} ORDER BY {order_col}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS best
+  FROM p)
+SELECT {key_col}, best AS max_sum, rn AS end_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY {key_col}
+      ORDER BY best DESC, rn) AS pk FROM q) r
+WHERE pk = 1"""

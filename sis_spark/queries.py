@@ -19399,3 +19399,105 @@ FROM c WHERE d = 1 ORDER BY user_id, eid"""
 
 
 QUERIES["stab_count"] = (q_stab_count, q_stab_count_oracle)
+
+
+def q_kadane(spark, sf_dir):
+    """Maximum-sum subarray per user (timeseries.max_subarray, Kadane) over
+    a deterministic +/- signal derived from event ids: the prefix-extremum
+    identity best(t) = S_t - min(0, min prefix S) makes the classic
+    recurrence pure window codegen — two window passes, one pick, no
+    applyInPandas (the cusum discipline applied to max instead of min)."""
+    from .operators.timeseries import max_subarray
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        ((F.col("event_id") * 37) % 21 - 10).cast("long").alias("v"),
+    )
+    return max_subarray(ev, key_col="user_id", order_col="event_id",
+                        value_col="v").orderBy("user_id")
+
+
+def q_kadane_oracle():
+    from .operators.timeseries import max_subarray_sql
+
+    base = ("SELECT user_id, event_id, (event_id * 37) % 21 - 10 AS v "
+            "FROM events")
+    return ("SELECT * FROM (" + max_subarray_sql(
+        base, key_col="user_id", order_col="event_id", value_col="v"
+    ) + ") ORDER BY user_id")
+
+
+QUERIES["kadane"] = (q_kadane, q_kadane_oracle)
+
+
+_FK_PAIRS_SQL = [
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("events_customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def q_fk_audit(spark, sf_dir):
+    """Inclusion-dependency / foreign-key audit (quality.inclusion_audit)
+    over five candidate key pairs of the TPC-H-ish schema: distinct child
+    keys + orphan counts via broadcast LEFT ANTI joins against the
+    dimension keys — the data-profiling primitive behind FK discovery
+    (the SQL-store JDBC-metadata analog, SQL/TableAnalyzer.java derives
+    declared FKs; this audits undeclared ones)."""
+    from .operators.quality import inclusion_audit
+
+    pairs = [
+        (label, _read(spark, sf_dir, crel), ccol, _read(spark, sf_dir, prel), pcol)
+        for label, crel, ccol, prel, pcol in _FK_PAIRS_SQL
+    ]
+    return inclusion_audit(pairs).orderBy("label")
+
+
+def q_fk_audit_oracle():
+    from .operators.quality import inclusion_audit_sql
+
+    return ("SELECT * FROM (" + inclusion_audit_sql(_FK_PAIRS_SQL)
+            + ") ORDER BY label")
+
+
+QUERIES["fk_audit"] = (q_fk_audit, q_fk_audit_oracle)
+
+
+def q_vocab_stats(spark, sf_dir):
+    """Zipf vocabulary profile per document source (textops.vocab_stats):
+    token totals, vocabulary size, hapax/dis legomena, top-type frequency,
+    exact TTR — the per-shard corpus-health diagnostics; one explode + two
+    map-side-combined aggregations."""
+    from .operators.textops import vocab_stats
+
+    return vocab_stats(_read(spark, sf_dir, "documents")).orderBy("source")
+
+
+def q_vocab_stats_oracle():
+    from .operators.textops import vocab_stats_sql
+
+    return "SELECT * FROM (" + vocab_stats_sql() + ") ORDER BY source"
+
+
+QUERIES["vocab_stats"] = (q_vocab_stats, q_vocab_stats_oracle)
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease per document (textops.readability_counts):
+    whitespace words, [.!?]+ sentences, vowel-group syllables (min 1 each),
+    score quantized at 1e6 through ONE shared expression text — the
+    readability axis of the quality-scoring suite."""
+    from .operators.textops import readability_counts
+
+    return readability_counts(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_readability_oracle():
+    from .operators.textops import readability_sql
+
+    return "SELECT * FROM (" + readability_sql() + ") ORDER BY doc_id"
+
+
+QUERIES["readability"] = (q_readability, q_readability_oracle)
