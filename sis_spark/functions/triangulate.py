@@ -367,3 +367,128 @@ ed AS (
   UNION ALL SELECT k, ax, ay, cx, cy FROM alpha)
 SELECT k, ax, ay, bx, by FROM ed
 GROUP BY k, ax, ay, bx, by HAVING count(*) = 1"""
+
+
+def min_enclosing_circle(
+    pts: DataFrame,
+    key_col: str = "k",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Minimum enclosing circle per key, by the DEFINITION: the MEC of a
+    point set is determined by 2 points (diametral) or 3 points
+    (circumcircle), so enumerate every pair and non-degenerate triple,
+    keep candidates whose circle contains ALL points (exact integer
+    rational containment: (d*px - ux)^2 + (d*py - uy)^2 <= r2num with
+    center (ux/d, uy/d), radius^2 = r2num/d^2 — Python bigints engine-side,
+    HUGEINT oracle-side), then pick the minimum.
+
+    Selection is by the IDENTICAL double triple (r2, cx, cy) both sides —
+    each double is one correctly-rounded cast/divide of the same exact
+    integers, so engine and oracle mis-rank (if two distinct candidate
+    circles round to equal doubles) identically; containment stays exact.
+    Groups with a single distinct point emit nothing (no pair exists).
+
+    Shape: one applyInPandas per key over capped point sets — the brute
+    O(n^5) *verifier* form (Welzl's randomized O(n) is the documented
+    single-machine path; per-key sets here are bounded).  Keep |coords|
+    <= ~2e4: the containment product is then < 6e28, inside HUGEINT with
+    nine orders of margin.
+    """
+    from itertools import combinations
+
+    import pandas as pd
+
+    def fn(key, pdf):
+        p = sorted(set(zip(
+            (int(v) for v in pdf[x_col]), (int(v) for v in pdf[y_col])
+        )))
+        cands = []
+        for a, b in combinations(p, 2):
+            ux, uy, d = a[0] + b[0], a[1] + b[1], 2
+            r2 = (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+            cands.append((ux, uy, d, r2, a))
+        for a, b, c in combinations(p, 3):
+            dd = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1])
+                      + c[0] * (a[1] - b[1]))
+            if dd == 0:
+                continue
+            na, nb, nc = (a[0] ** 2 + a[1] ** 2, b[0] ** 2 + b[1] ** 2,
+                          c[0] ** 2 + c[1] ** 2)
+            ux = na * (b[1] - c[1]) + nb * (c[1] - a[1]) + nc * (a[1] - b[1])
+            uy = na * (c[0] - b[0]) + nb * (a[0] - c[0]) + nc * (b[0] - a[0])
+            if dd < 0:
+                ux, uy, dd = -ux, -uy, -dd
+            r2 = (dd * a[0] - ux) ** 2 + (dd * a[1] - uy) ** 2
+            cands.append((ux, uy, dd, r2, a))
+        best = None
+        for ux, uy, d, r2, _ in cands:
+            if all((d * px - ux) ** 2 + (d * py - uy) ** 2 <= r2
+                   for px, py in p):
+                fd = float(d)
+                trip = (float(r2) / (fd * fd), float(ux) / fd, float(uy) / fd)
+                if best is None or trip < best:
+                    best = trip
+        if best is None:
+            return pd.DataFrame(columns=["k", "r2", "cx", "cy"])
+        return pd.DataFrame(
+            [{"k": int(key[0]), "r2": best[0], "cx": best[1], "cy": best[2]}]
+        )
+
+    return (
+        pts.select(F.col(key_col).alias("k"), F.col(x_col).alias(x_col),
+                   F.col(y_col).alias(y_col))
+        .groupBy("k")
+        .applyInPandas(fn, "k long, r2 double, cx double, cy double")
+    )
+
+
+def min_enclosing_circle_sql(base_select: str) -> str:
+    """DuckDB twin of ``min_enclosing_circle`` over ``(k, x, y)`` rows —
+    HUGEINT candidate enumeration + exact containment, double pick."""
+    return f"""
+WITH p AS (
+  SELECT DISTINCT k, CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+  FROM ({base_select}) bs),
+pair AS (
+  SELECT a.k, a.x + b.x AS ux, a.y + b.y AS uy, CAST(2 AS HUGEINT) AS d,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS r2
+  FROM p a JOIN p b
+    ON a.k = b.k AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))),
+tri0 AS (
+  SELECT a.k, a.x AS ax, a.y AS ay,
+         (a.x * a.x + a.y * a.y) * (b.y - c.y)
+           + (b.x * b.x + b.y * b.y) * (c.y - a.y)
+           + (c.x * c.x + c.y * c.y) * (a.y - b.y) AS ux,
+         (a.x * a.x + a.y * a.y) * (c.x - b.x)
+           + (b.x * b.x + b.y * b.y) * (a.x - c.x)
+           + (c.x * c.x + c.y * c.y) * (b.x - a.x) AS uy,
+         2 * (a.x * (b.y - c.y) + b.x * (c.y - a.y) + c.x * (a.y - b.y)) AS dd
+  FROM p a JOIN p b ON a.k = b.k AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+           JOIN p c ON b.k = c.k AND (b.x < c.x OR (b.x = c.x AND b.y < c.y))),
+tri AS (
+  SELECT k,
+         CASE WHEN dd < 0 THEN -ux ELSE ux END AS ux,
+         CASE WHEN dd < 0 THEN -uy ELSE uy END AS uy,
+         abs(dd) AS d,
+         (abs(dd) * ax - CASE WHEN dd < 0 THEN -ux ELSE ux END)
+           * (abs(dd) * ax - CASE WHEN dd < 0 THEN -ux ELSE ux END)
+         + (abs(dd) * ay - CASE WHEN dd < 0 THEN -uy ELSE uy END)
+           * (abs(dd) * ay - CASE WHEN dd < 0 THEN -uy ELSE uy END) AS r2
+  FROM tri0 WHERE dd <> 0),
+cands AS (SELECT * FROM pair UNION ALL SELECT * FROM tri),
+valid AS (
+  SELECT c.k,
+         CAST(c.r2 AS DOUBLE) / (CAST(c.d AS DOUBLE) * CAST(c.d AS DOUBLE)) AS r2,
+         CAST(c.ux AS DOUBLE) / CAST(c.d AS DOUBLE) AS cx,
+         CAST(c.uy AS DOUBLE) / CAST(c.d AS DOUBLE) AS cy
+  FROM cands c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p
+    WHERE p.k = c.k
+      AND (c.d * p.x - c.ux) * (c.d * p.x - c.ux)
+        + (c.d * p.y - c.uy) * (c.d * p.y - c.uy) > c.r2))
+SELECT k, r2, cx, cy FROM (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY r2, cx, cy) AS rn
+  FROM valid) r
+WHERE rn = 1"""

@@ -2812,3 +2812,95 @@ SELECT key, count(*) AS n_parts,
        sum(xs * xs) AS num, sum(xs) * sum(xs) AS den,
        (sum(xs * xs) * {int(scale)}) // (sum(xs) * sum(xs)) AS hhi_q
 FROM g GROUP BY 1"""
+
+
+def conformal_coverage(
+    df: "DataFrame",
+    group_col: str = "g",
+    resid_col: str = "r",
+    cal_col: str = "is_cal",
+    id_col: str = "id",
+    alpha_num: int = 1,
+    alpha_den: int = 5,
+) -> "DataFrame":
+    """Split-conformal prediction intervals + empirical coverage, exact.
+
+    Per group: q_hat is the k-th smallest calibration residual with
+    k = ceil((n_cal + 1) * (1 - alpha)) — the standard split-conformal
+    quantile, computed as the exact integer order statistic
+    ``k = ((den-num)*(n_cal+1) + den - 1) div den`` (no FP quantiles);
+    coverage is the count of held-out residuals <= q_hat.  With exchangeable
+    data the interval [pred - q_hat, pred + q_hat] covers with probability
+    >= 1 - alpha; the gate pins the deterministic arithmetic, the guarantee
+    is the published theorem (Vovk et al., conformal prediction).
+
+    Scale shape: one window rank over calibration rows, one aggregation
+    over test rows, one broadcast join of the per-group q_hat (groups are
+    tiny vs rows).  All integers.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(resid_col).cast("long").alias("r"),
+        F.col(cal_col).cast("boolean").alias("c"),
+        F.col(id_col).alias("i"),
+    )
+    cal = base.filter(F.col("c"))
+    w = Window.partitionBy("g").orderBy("r", "i")
+    ranked = cal.withColumn("rn", F.row_number().over(w).cast("long")).withColumn(
+        "n_cal", F.count(F.lit(1)).over(Window.partitionBy("g")).cast("long")
+    )
+    num, den = int(alpha_num), int(alpha_den)
+    k = F.expr(f"(({den - num}) * (n_cal + 1) + {den - 1}) div {den}")
+    qhat = (
+        ranked.withColumn("k", k)
+        .filter(F.col("rn") == F.least(F.col("k"), F.col("n_cal")))
+        .select("g", F.col("n_cal"), F.col("k"), F.col("r").alias("q_hat"))
+    )
+    test = base.filter(~F.col("c"))
+    return (
+        test.join(F.broadcast(qhat), "g")
+        .groupBy(F.col("g"), "n_cal", "k", "q_hat")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(F.when(F.col("r") <= F.col("q_hat"), 1).otherwise(0)).alias("covered"),
+        )
+        .select(F.col("g").alias(group_col), "n_cal", "k", "q_hat", "n_test", "covered")
+    )
+
+
+def conformal_coverage_sql(
+    base_select: str,
+    group_col: str = "g",
+    resid_col: str = "r",
+    cal_col: str = "is_cal",
+    id_col: str = "id",
+    alpha_num: int = 1,
+    alpha_den: int = 5,
+) -> str:
+    """DuckDB twin of ``conformal_coverage``."""
+    num, den = int(alpha_num), int(alpha_den)
+    return f"""
+WITH b AS (
+  SELECT {group_col} AS g, CAST({resid_col} AS BIGINT) AS r,
+         {cal_col} AS c, {id_col} AS i
+  FROM ({base_select}) s),
+ranked AS (
+  SELECT g, r,
+         CAST(row_number() OVER (PARTITION BY g ORDER BY r, i) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_cal
+  FROM b WHERE c),
+qh AS (
+  SELECT g, n_cal,
+         ({den - num} * (n_cal + 1) + {den - 1}) // {den} AS k,
+         r AS q_hat
+  FROM ranked
+  WHERE rn = least(({den - num} * (n_cal + 1) + {den - 1}) // {den}, n_cal))
+SELECT t.g AS {group_col}, q.n_cal, q.k, q.q_hat,
+       count(*) AS n_test,
+       sum(CASE WHEN t.r <= q.q_hat THEN 1 ELSE 0 END) AS covered
+FROM b t JOIN qh q ON t.g = q.g
+WHERE NOT t.c
+GROUP BY 1, 2, 3, 4"""

@@ -362,3 +362,113 @@ def pcm_resample_2_3(audio: DataFrame) -> DataFrame:
                 yield pd.concat(rows)
 
     return audio.mapInPandas(fn, schema="media_id string, j long, y2 long")
+
+
+def _pow2_case(exp_expr: str, base_shift: int) -> str:
+    """CASE mapping an exponent column in 0..7 to 2^(exp+base_shift) —
+    both dialects lack a shared integer-shift-by-column operator."""
+    arms = " ".join(
+        f"WHEN {e} THEN {1 << (e + base_shift)}" for e in range(8)
+    )
+    return f"(CASE {exp_expr} {arms} END)"
+
+
+def mulaw_exprs(x: str, div_op: str) -> tuple[str, str]:
+    """G.711 mu-law encode/decode of an int16 PCM sample as pure integer
+    segment arithmetic (ITU-T G.711, public spec): clip to 32635, add the
+    132 bias, segment = bit-length of the biased magnitude minus 8 (the
+    ``length(bin())`` exact integer log2, no FP), 4-bit mantissa, one's
+    complement.  Returns (code_sql, decoded_sql) sharing text except for
+    the integer-divide operator (`div` in Spark SQL, `//` in DuckDB).
+
+    Scale shape: per-row codegen, no Python — audio transcode at 100 TB is
+    a map-only pass.
+    """
+    sign = f"(CASE WHEN ({x}) < 0 THEN 1 ELSE 0 END)"
+    mag = f"(least(abs(CAST(({x}) AS BIGINT)), 32635) + 132)"
+    ex = f"(length(bin({mag})) - 8)"
+    mant = f"((({mag}) {div_op} {_pow2_case(ex, 3)}) % 16)"
+    code = f"(255 - ({sign} * 128 + {ex} * 16 + {mant}))"
+    dec_mag = f"((({mant} * 8 + 132) * {_pow2_case(ex, 0)}) - 132)"
+    decoded = f"(CASE WHEN {sign} = 1 THEN -({dec_mag}) ELSE {dec_mag} END)"
+    return code, decoded
+
+
+def shot_segments(
+    diffs: "DataFrame",
+    threshold: int,
+    guard: int = 2,
+    key_col: str = "media_id",
+    frame_col: str = "frame",
+    sad_col: str = "sad",
+) -> "DataFrame":
+    """Shot segmentation from per-frame difference energy.
+
+    A cut is a frame whose SAD exceeds ``threshold`` AND is the strict
+    local argmax within +/-``guard`` frames (earliest frame wins ties) —
+    the 1-D non-max suppression that keeps a single cut per transition
+    even when a dissolve spreads energy over neighbours.  The argmax is
+    one packed-key window max (sad * 2^20 + (2^20-1-frame), the voronoi
+    packing trick); shots are the running cut count; per-shot stats are
+    one aggregation.  Pure window codegen, one shuffle on the clip key.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = diffs.select(
+        F.col(key_col).alias("k"),
+        F.col(frame_col).cast("long").alias("f"),
+        F.col(sad_col).cast("long").alias("sad"),
+    )
+    packed = F.col("sad") * F.lit(1048576) + (F.lit(1048575) - F.col("f"))
+    word = Window.partitionBy("k").orderBy("f")
+    wnb = word.rowsBetween(-guard, guard)
+    d = d.withColumn("pk", packed).withColumn(
+        "cut",
+        (F.col("sad") > threshold) & (F.col("pk") == F.max("pk").over(wnb)),
+    )
+    d = d.withColumn(
+        "shot",
+        F.sum(F.when(F.col("cut"), 1).otherwise(0)).over(
+            word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        d.groupBy(F.col("k").alias(key_col), "shot")
+        .agg(
+            F.min("f").alias("start_frame"),
+            F.count("*").alias("n_frames"),
+            F.sum("sad").alias("sad_sum"),
+        )
+    )
+
+
+def shot_segments_sql(
+    base_select: str,
+    threshold: int,
+    guard: int = 2,
+    key_col: str = "media_id",
+    frame_col: str = "frame",
+    sad_col: str = "sad",
+) -> str:
+    """DuckDB twin of ``shot_segments`` (same packed-key NMS windows)."""
+    return f"""
+WITH d AS (
+  SELECT {key_col} AS k, CAST({frame_col} AS BIGINT) AS f,
+         CAST({sad_col} AS BIGINT) AS sad
+  FROM ({base_select}) s),
+p AS (
+  SELECT k, f, sad, sad * 1048576 + (1048575 - f) AS pk FROM d),
+c AS (
+  SELECT k, f, sad,
+         (sad > {int(threshold)} AND pk = max(pk) OVER (PARTITION BY k ORDER BY f
+             ROWS BETWEEN {int(guard)} PRECEDING AND {int(guard)} FOLLOWING)) AS cut
+  FROM p),
+sh AS (
+  SELECT k, f, sad,
+         sum(CASE WHEN cut THEN 1 ELSE 0 END) OVER (PARTITION BY k ORDER BY f
+             ROWS UNBOUNDED PRECEDING) AS shot
+  FROM c)
+SELECT k AS {key_col}, shot, min(f) AS start_frame,
+       count(*) AS n_frames, sum(sad) AS sad_sum
+FROM sh GROUP BY 1, 2"""

@@ -19501,3 +19501,162 @@ def q_readability_oracle():
 
 
 QUERIES["readability"] = (q_readability, q_readability_oracle)
+
+
+def q_mulaw(spark, sf_dir):
+    """G.711 mu-law audio companding (media.mulaw_exprs): int16 PCM samples
+    derived from event ids -> 8-bit code + decoded reconstruction, pure
+    integer segment arithmetic (bit-length exponent via length(bin()), no
+    FP log) — the telephony codec as a map-only codegen pass."""
+    from .operators.media import mulaw_exprs
+
+    code, dec = mulaw_exprs("pcm", " div ")
+    return (
+        _read(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            ((F.col("event_id") * 9973) % 65536 - 32768).cast("long").alias("pcm"),
+        )
+        .select(
+            "event_id", "pcm",
+            F.expr(code).cast("long").alias("code"),
+            F.expr(dec).cast("long").alias("decoded"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_mulaw_oracle():
+    from .operators.media import mulaw_exprs
+
+    code, dec = mulaw_exprs("pcm", " // ")
+    return f"""
+WITH s AS (
+  SELECT event_id,
+         CAST((event_id * 9973) % 65536 - 32768 AS BIGINT) AS pcm
+  FROM events)
+SELECT event_id, pcm, {code} AS code, {dec} AS decoded
+FROM s ORDER BY event_id"""
+
+
+QUERIES["mulaw"] = (q_mulaw, q_mulaw_oracle)
+
+
+def q_shot_cuts(spark, sf_dir):
+    """Shot segmentation (media.shot_segments) on the frame_diff gate's
+    scene clips: packed-key 1-D non-max suppression picks one cut per
+    transition (threshold 5000, guard 2), running cut count numbers the
+    shots, per-shot frame/energy stats — the video-structure op above the
+    raw differencer."""
+    import pandas as _pd
+
+    from .operators.media import VIDEO_SCHEMA, frame_diffs, make_scene_video, shot_segments
+
+    video = spark.createDataFrame(
+        _pd.DataFrame([make_scene_video(c) for c in range(N_GATE_CLIPS)]),
+        schema=VIDEO_SCHEMA,
+    ).repartition(min(N_GATE_CLIPS, spark.sparkContext.defaultParallelism))
+    d = frame_diffs(video, cut_threshold=5000)
+    return shot_segments(d, threshold=5000, guard=2).orderBy("media_id", "shot")
+
+
+def q_shot_cuts_oracle():
+    from .operators.media import shot_segments_sql
+
+    v = ("((x.x * 5 + y.y * 11 + (({f}) // 5) * 37 + ch.ch * 29 "
+         "+ m.m * 7 + ({f})) % 256)")
+    sad = f"""
+  SELECT 'vid-' || lpad(CAST(m.m AS VARCHAR), 9, '0') AS media_id,
+         CAST(f.f AS INT) AS frame,
+         CAST(sum(abs({v.format(f='f.f')} - {v.format(f='f.f - 1')})) AS BIGINT) AS sad
+  FROM generate_series(0, {N_GATE_CLIPS - 1}) m(m),
+       generate_series(1, 11) f(f),
+       generate_series(0, 15) x(x), generate_series(0, 11) y(y),
+       generate_series(0, 2) ch(ch)
+  GROUP BY 1, 2"""
+    return (
+        "SELECT * FROM ("
+        + shot_segments_sql(sad, threshold=5000, guard=2)
+        + ") ORDER BY media_id, shot"
+    )
+
+
+QUERIES["shot_cuts"] = (q_shot_cuts, q_shot_cuts_oracle)
+
+
+def q_conformal(spark, sf_dir):
+    """Split-conformal prediction audit (analytics.conformal_coverage,
+    alpha=1/5) per event_type: residuals are a deterministic integer
+    signal, even event ids calibrate, odd ids test; q_hat is the exact
+    ceil((n+1)(1-alpha)) order statistic, coverage an exact count — the
+    distribution-free uncertainty layer over any point predictor."""
+    from .operators.analytics import conformal_coverage
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        ((F.col("event_id") * 7) % 11).cast("long").alias("r"),
+        (F.col("event_id") % 2 == 0).alias("is_cal"),
+        F.col("event_id").alias("id"),
+    )
+    return conformal_coverage(
+        ev, group_col="g", resid_col="r", cal_col="is_cal", id_col="id",
+        alpha_num=1, alpha_den=5,
+    ).orderBy("g")
+
+
+def q_conformal_oracle():
+    from .operators.analytics import conformal_coverage_sql
+
+    base = ("SELECT event_type AS g, (event_id * 7) % 11 AS r, "
+            "event_id % 2 = 0 AS is_cal, event_id AS id FROM events")
+    return ("SELECT * FROM (" + conformal_coverage_sql(
+        base, group_col="g", resid_col="r", cal_col="is_cal", id_col="id",
+        alpha_num=1, alpha_den=5,
+    ) + ") ORDER BY g")
+
+
+QUERIES["conformal"] = (q_conformal, q_conformal_oracle)
+
+
+def q_min_circle(spark, sf_dir):
+    """Minimum enclosing circle per user track
+    (triangulate.min_enclosing_circle): pair + circumcircle candidates,
+    exact bigint/HUGEINT containment, identical-double selection; coords
+    quantized at 1e2 so the containment products keep nine orders of
+    HUGEINT margin (the delaunay discipline at MEC's deeper products)."""
+    from .functions.triangulate import min_enclosing_circle
+
+    lon, lat = point_lonlat_cols("event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    pts = (
+        _read(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_id",
+            F.floor(lon * 100 + F.lit(0.12345678987)).cast("long").alias("x"),
+            F.floor(lat * 100 + F.lit(0.12345678987)).cast("long").alias("y"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 12)
+        .select(F.col("user_id").alias("k"), "x", "y")
+    )
+    return min_enclosing_circle(pts).orderBy("k")
+
+
+def q_min_circle_oracle():
+    from .functions.triangulate import min_enclosing_circle_sql
+
+    base = f"""
+SELECT k, x, y FROM (
+  SELECT user_id AS k,
+         CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e2
+                    + 0.12345678987) AS BIGINT) AS x,
+         CAST(floor(({synth.point_lat_sql('event_id')}) * 1.0e2
+                    + 0.12345678987) AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events) t
+WHERE rn <= 12"""
+    return ("SELECT * FROM (" + min_enclosing_circle_sql(base)
+            + ") ORDER BY k")
+
+
+QUERIES["min_circle"] = (q_min_circle, q_min_circle_oracle)
