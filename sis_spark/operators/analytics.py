@@ -2904,3 +2904,77 @@ SELECT t.g AS {group_col}, q.n_cal, q.k, q.q_hat,
 FROM b t JOIN qh q ON t.g = q.g
 WHERE NOT t.c
 GROUP BY 1, 2, 3, 4"""
+
+
+def cidr_longest_match(
+    ips: "DataFrame",
+    cidrs: list,
+    ip_col: str = "ip",
+    id_col: str = "event_id",
+) -> "DataFrame":
+    """Longest-prefix CIDR match (the IP routing / log-enrichment join).
+
+    ``cidrs`` is a list of ``(label, base, bits)`` IPv4 networks.  A
+    non-equi "ip within network" join degenerates to a nested loop, so the
+    ip side EXPLODES to one row per distinct prefix length present in the
+    table (ip div 2^(32-bits)) and the match is a pure EQUI-join on
+    (bits, prefix) — the prefix-explode discipline (cf. prefix_join); the
+    longest match wins via one window argmax (bits DESC, label).
+
+    Scale shape: fan-out = number of distinct prefix lengths (handfuls in
+    real routing tables), broadcast network table, one window.  No
+    BroadcastNestedLoopJoin (the track_link lesson).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bit_set = sorted({int(b) for _, _, b in cidrs})
+    net = [(str(lbl), int(base) >> (32 - int(bits)), int(bits))
+           for lbl, base, bits in cidrs]
+    spark = ips.sparkSession
+    net_df = spark.createDataFrame(net, "label string, pfx long, bits long")
+    expl = ips.select(
+        F.col(id_col), F.col(ip_col).cast("long").alias("ip"),
+        F.explode(F.array(*[F.lit(b) for b in bit_set])).alias("bits"),
+    ).withColumn(
+        "pfx",
+        F.expr("ip div " + (
+            "(CASE bits " + " ".join(
+                f"WHEN {b} THEN {1 << (32 - b)}" for b in bit_set
+            ) + " END)"
+        )).cast("long"),
+    )
+    j = expl.join(F.broadcast(net_df), ["bits", "pfx"])
+    w = Window.partitionBy(id_col).orderBy(F.col("bits").desc(), "label")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "ip", "label", "bits")
+    )
+
+
+def cidr_longest_match_sql(base_select: str, cidrs: list,
+                           ip_col: str = "ip",
+                           id_col: str = "event_id") -> str:
+    """DuckDB twin of ``cidr_longest_match``."""
+    bit_set = sorted({int(b) for _, _, b in cidrs})
+    net_rows = ", ".join(
+        f"('{lbl}', {int(base) >> (32 - int(bits))}, {int(bits)})"
+        for lbl, base, bits in cidrs
+    )
+    case = ("CASE bits " + " ".join(
+        f"WHEN {b} THEN {1 << (32 - b)}" for b in bit_set) + " END")
+    return f"""
+WITH ips AS (
+  SELECT {id_col}, CAST({ip_col} AS BIGINT) AS ip FROM ({base_select}) s),
+net(label, pfx, bits) AS (VALUES {net_rows}),
+expl AS (
+  SELECT {id_col}, ip, b.bits, ip // ({case.replace('bits', 'b.bits')}) AS pfx
+  FROM ips, (SELECT unnest([{', '.join(str(b) for b in bit_set)}]) AS bits) b),
+j AS (
+  SELECT e.{id_col}, e.ip, n.label, CAST(e.bits AS BIGINT) AS bits
+  FROM expl e JOIN net n ON n.bits = e.bits AND n.pfx = e.pfx)
+SELECT {id_col}, ip, label, bits FROM (
+  SELECT *, row_number() OVER (PARTITION BY {id_col}
+      ORDER BY bits DESC, label) AS rn FROM j) r
+WHERE rn = 1"""

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 BOX_COLS = ("box_id", "x1", "y1", "x2", "y2", "score")
@@ -317,3 +317,84 @@ SELECT image_id, box_id, sw, sh, pad_x, pad_y,
        greatest(0, least({W}, x2 * num // den + pad_x)) AS nx2,
        greatest(0, least({H}, y2 * num // den + pad_y)) AS ny2
 FROM s"""
+
+
+def union_area(boxes: DataFrame, key_col: str = "image_id") -> DataFrame:
+    """Area of the union of axis-aligned integer boxes per key — the
+    classic slab-decomposition sweep as pure window codegen.
+
+    Slabs are the intervals between consecutive distinct x-coordinates of
+    the key's boxes; a slab's covered y-length is the 1-D interval-union
+    sweep ``sum(max(0, y2 - max(y1, running max of prior y2)))`` over
+    boxes spanning the slab, ordered by (y1, y2); area = sum of
+    covered * slab width.  Exact int64 throughout.
+
+    Scale shape: one distinct + lead() for slabs, one range-style join
+    (slab inside box x-extent) keyed on the group, one window + two
+    aggregations.  Per-key box counts bound the join fan-out; at
+    planetary scale the key IS the partition (images, tiles, ...)."""
+    b = boxes.select(
+        F.col(key_col).alias("k"),
+        F.col("x1").cast("long"), F.col("y1").cast("long"),
+        F.col("x2").cast("long"), F.col("y2").cast("long"),
+    ).filter((F.col("x1") < F.col("x2")) & (F.col("y1") < F.col("y2")))
+    xs = (
+        b.select("k", F.col("x1").alias("x"))
+        .unionByName(b.select("k", F.col("x2").alias("x")))
+        .distinct()
+    )
+    wl = Window.partitionBy("k").orderBy("x")
+    slabs = xs.withColumn("hi", F.lead("x").over(wl)).filter(
+        F.col("hi").isNotNull()
+    ).select("k", F.col("x").alias("lo"), "hi")
+    j = slabs.join(b, "k").filter(
+        (F.col("x1") <= F.col("lo")) & (F.col("x2") >= F.col("hi"))
+    )
+    ws = (
+        Window.partitionBy("k", "lo")
+        .orderBy("y1", "y2")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = j.withColumn(
+        "cov",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("y2") - F.greatest(
+                F.col("y1"), F.coalesce(F.max("y2").over(ws), F.col("y1"))
+            ),
+        ),
+    )
+    per_slab = seg.groupBy("k", "lo", "hi").agg(F.sum("cov").alias("cov"))
+    return (
+        per_slab.groupBy(F.col("k").alias(key_col))
+        .agg(F.sum((F.col("hi") - F.col("lo")) * F.col("cov")).alias("area"))
+    )
+
+
+def union_area_sql(base_select: str, key_col: str = "image_id") -> str:
+    """DuckDB twin of ``union_area`` (same slabs + sweep windows)."""
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1,
+         CAST(x2 AS BIGINT) AS x2, CAST(y2 AS BIGINT) AS y2
+  FROM ({base_select}) s WHERE x1 < x2 AND y1 < y2),
+xs AS (
+  SELECT DISTINCT k, x FROM (
+    SELECT k, x1 AS x FROM b UNION ALL SELECT k, x2 FROM b) u),
+slabs AS (
+  SELECT k, x AS lo, lead(x) OVER (PARTITION BY k ORDER BY x) AS hi FROM xs),
+j AS (
+  SELECT s.k, s.lo, s.hi, b.y1, b.y2
+  FROM slabs s JOIN b ON b.k = s.k
+  WHERE s.hi IS NOT NULL AND b.x1 <= s.lo AND b.x2 >= s.hi),
+seg AS (
+  SELECT k, lo, hi,
+         greatest(0, y2 - greatest(y1, coalesce(
+           max(y2) OVER (PARTITION BY k, lo ORDER BY y1, y2
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           y1))) AS cov
+  FROM j),
+per_slab AS (
+  SELECT k, lo, hi, sum(cov) AS cov FROM seg GROUP BY 1, 2, 3)
+SELECT k AS {key_col}, sum((hi - lo) * cov) AS area
+FROM per_slab GROUP BY 1"""

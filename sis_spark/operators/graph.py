@@ -2077,3 +2077,89 @@ SELECT round, n, e,
            AS is_best
 FROM tr"""
     )
+
+
+def greedy_matching(
+    edges: DataFrame,
+    weight_col: str = "w",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Locally-dominant greedy matching (Preis 1999 / Manne-Bisseling,
+    public literature) -> (u, v, w, round): an edge is matched in a round
+    when its packed (max-weight, (u,v) tie-break) key beats every other
+    still-active edge at BOTH endpoints; its endpoints then retire.  With
+    distinct keys this computes the same matching as sequential greedy
+    max-weight matching (a 1/2-approximation of maximum weight matching).
+
+    Inputs: ``edges`` (u, v, w) with u < v (one row per undirected edge),
+    w < 2^20, node ids < 2^20 (packed-key contract).  Rounds are a pure
+    function of the graph, replayable by the oracle; capped at
+    ``max_rounds`` (hash-spread weights retire most components in
+    O(log n) rounds — the cap is part of the documented semantics).
+
+    Scale shape per round: one explode to endpoint incidences, one
+    per-node min aggregation, one join back — all keyed on node/edge ids;
+    the active set only shrinks; lineage cut by localCheckpoint."""
+    pk = (
+        (F.lit((1 << 20) - 1) - F.col(weight_col)) * F.lit(1 << 40)
+        + F.col("u") * F.lit(1 << 20) + F.col("v")
+    )
+    active = (
+        edges.select("u", "v", F.col(weight_col).cast("long").alias("w"))
+        .withColumn("pk", pk.cast("long"))
+        .localCheckpoint()
+    )
+    out = None
+    for rnd in range(max_rounds):
+        if active.limit(1).count() == 0:
+            break
+        inc = active.select(F.col("u").alias("node"), "pk").unionByName(
+            active.select(F.col("v").alias("node"), "pk")
+        )
+        nmin = inc.groupBy("node").agg(F.min("pk").alias("m"))
+        winners = (
+            active.join(nmin.withColumnRenamed("node", "u")
+                        .withColumnRenamed("m", "mu"), "u")
+            .join(nmin.withColumnRenamed("node", "v")
+                  .withColumnRenamed("m", "mv"), "v")
+            .filter((F.col("pk") == F.col("mu")) & (F.col("pk") == F.col("mv")))
+            .select("u", "v", "w")
+            .withColumn("round", F.lit(rnd).cast("long"))
+            .localCheckpoint()
+        )
+        out = winners if out is None else out.unionByName(winners)
+        ret = winners.select(F.col("u").alias("node")).unionByName(
+            winners.select(F.col("v").alias("node"))
+        ).distinct()
+        active = (
+            active.join(ret.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(ret.withColumnRenamed("node", "v"), "v", "left_anti")
+            .localCheckpoint()
+        )
+    return out
+
+
+def greedy_matching_sql(edges_select: str, rounds: int = 12) -> str:
+    """DuckDB replay of ``greedy_matching``: identical packed-key rounds
+    unrolled as MATERIALIZED CTE blocks (the luby_mis_sql discipline)."""
+    pk = f"((1048575 - w) * 1099511627776 + u * 1048576 + v)"
+    blocks = [
+        f"a0 AS MATERIALIZED (SELECT u, v, CAST(w AS BIGINT) AS w, {pk} AS pk "
+        f"FROM ({edges_select}) e)",
+    ]
+    sel = []
+    for i in range(rounds):
+        blocks.append(f"""inc{i} AS (
+  SELECT u AS node, pk FROM a{i}
+  UNION ALL SELECT v AS node, pk FROM a{i}),
+nm{i} AS MATERIALIZED (SELECT node, min(pk) AS m FROM inc{i} GROUP BY 1),
+w{i} AS MATERIALIZED (
+  SELECT a.u, a.v, a.w FROM a{i} a
+  JOIN nm{i} x ON x.node = a.u AND x.m = a.pk
+  JOIN nm{i} y ON y.node = a.v AND y.m = a.pk),
+a{i + 1} AS MATERIALIZED (
+  SELECT a.u, a.v, a.w, a.pk FROM a{i} a
+  WHERE a.u NOT IN (SELECT u FROM w{i} UNION ALL SELECT v FROM w{i})
+    AND a.v NOT IN (SELECT u FROM w{i} UNION ALL SELECT v FROM w{i}))""")
+        sel.append(f"SELECT u, v, w, CAST({i} AS BIGINT) AS round FROM w{i}")
+    return "WITH " + ",\n".join(blocks) + "\n" + "\nUNION ALL ".join(sel)

@@ -2447,3 +2447,94 @@ base AS (
 SELECT b.{id_col}, s.n_words, b.n_sents, s.n_syll,
        {score} AS flesch_q
 FROM base b JOIN syl s USING ({id_col})"""
+
+
+def lz77_factors(docs: DataFrame, window: int = 64, max_len: int = 16,
+                 min_len: int = 3, cap: int = 160,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Greedy LZ77 factorization (bounded window) — the redundancy
+    estimator behind gzip-style compressibility filters for training data
+    (highly factorable text = boilerplate).
+
+    Deterministic variant, documented: parse the first ``cap`` chars; at
+    position p the factor is the LONGEST match of length min_len..max_len
+    whose needle ``text[p:p+l]`` occurs fully inside the preceding
+    ``window`` chars (no overlap past p), taking the LEFTMOST occurrence
+    for the distance; otherwise a literal (len=1, dist=0).  Output one row
+    per factor: (doc_id, idx, pos, len, dist), pos 1-based.
+
+    Scale shape: ONE mapInPandas pass, each document parsed once,
+    embarrassingly parallel — the per-doc loop is O(cap * window) with
+    tiny constants.  The oracle replays the parse as a lockstep recursive
+    CTE (all documents advance one factor per round).
+    """
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                t = (t or "")[:cap]
+                n = len(t)
+                pos, idx = 0, 0
+                while pos < n:
+                    w0 = max(0, pos - window)
+                    hay = t[w0:pos]
+                    ln, dist = 1, 0
+                    for l in range(min(max_len, n - pos), min_len - 1, -1):
+                        j = hay.find(t[pos:pos + l])
+                        if j >= 0:
+                            ln, dist = l, pos - (w0 + j)
+                            break
+                    rows.append({"doc_id": int(did), "idx": idx,
+                                 "pos": pos + 1, "len": ln, "dist": dist})
+                    pos += ln
+                    idx += 1
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, "doc_id long, idx long, pos long, len long, dist long"
+    )
+
+
+def lz77_factors_sql(rel: str = "documents", window: int = 64,
+                     max_len: int = 16, min_len: int = 3, cap: int = 160,
+                     text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``lz77_factors``: lockstep recursive CTE, one factor
+    per document per round; the longest-match search is a greatest() over
+    descending CASE arms of position()."""
+    w0 = f"greatest(1, pos - {int(window)})"
+    hay = f"substr(t, {w0}, pos - {w0})"
+    arms = " , ".join(
+        f"CASE WHEN pos + {l} - 1 <= n AND position(substr(t, pos, {l}) IN {hay}) > 0 THEN {l} ELSE 0 END"
+        for l in range(max_len, min_len - 1, -1)
+    )
+    return f"""
+WITH RECURSIVE st AS (
+  SELECT doc_id, t, n, pos, idx,
+         CASE WHEN best >= {int(min_len)} THEN best ELSE 1 END AS len,
+         CASE WHEN best >= {int(min_len)}
+              THEN pos - ({w0} + position(substr(t, pos, best) IN {hay}) - 1)
+              ELSE 0 END AS dist
+  FROM (
+    SELECT doc_id, t, n, pos, idx, greatest({arms}) AS best
+    FROM (
+      SELECT {id_col} AS doc_id, substr({text_col}, 1, {int(cap)}) AS t,
+             least(length({text_col}), {int(cap)}) AS n,
+             1 AS pos, 0 AS idx
+      FROM {rel}) b0) b
+  UNION ALL
+  SELECT doc_id, t, n, pos, idx,
+         CASE WHEN best >= {int(min_len)} THEN best ELSE 1 END AS len,
+         CASE WHEN best >= {int(min_len)}
+              THEN pos - ({w0} + position(substr(t, pos, best) IN {hay}) - 1)
+              ELSE 0 END AS dist
+  FROM (
+    SELECT doc_id, t, n, pos, idx, greatest({arms}) AS best
+    FROM (
+      SELECT doc_id, t, n, pos + len AS pos, idx + 1 AS idx
+      FROM st WHERE pos + len <= n) s0) s)
+SELECT doc_id, CAST(idx AS BIGINT) AS idx, CAST(pos AS BIGINT) AS pos,
+       CAST(len AS BIGINT) AS len, CAST(dist AS BIGINT) AS dist
+FROM st"""

@@ -243,3 +243,114 @@ cand AS (
                                     {fd('greatest(y1, y2)')} + 1)) AS iy) gy)
 SELECT seg_id, CAST(ix AS BIGINT) AS ix, CAST(iy AS BIGINT) AS iy
 FROM cand WHERE {not_sep}"""
+
+
+def region_quadtree(pixels: DataFrame, levels: int,
+                    x_col: str = "x", y_col: str = "y",
+                    val_col: str = "v") -> DataFrame:
+    """Region-quadtree leaves of a 2^levels x 2^levels integer raster:
+    bottom-up uniformity roll-up (a block is uniform when its four
+    children are uniform with equal value); a LEAF is a uniform block
+    whose parent is not uniform (or the root) — the maximal-uniform-block
+    compression of classified/binary rasters (Samet's region quadtree,
+    the raster twin of the PointTree reference, F/index/tree/PointTree.java).
+
+    Output: (lvl, bx, by, val) with lvl = block size log2.
+
+    Scale shape: ``levels`` chained 4-to-1 aggregations (block counts
+    shrink geometrically) + one join per level for the leaf test — no
+    iteration-to-convergence, depth is fixed by the raster size."""
+    cur = pixels.select(
+        F.col(x_col).cast("long").alias("bx"),
+        F.col(y_col).cast("long").alias("by"),
+        F.col(val_col).cast("long").alias("vmin"),
+        F.col(val_col).cast("long").alias("vmax"),
+        F.lit(1).cast("long").alias("nu"),
+    )
+    lvls = [cur]
+    for _ in range(levels):
+        prev = lvls[-1]
+        nxt = (
+            prev.groupBy(
+                (F.col("bx") / 2).cast("long").alias("bx"),
+                (F.col("by") / 2).cast("long").alias("by"),
+            )
+            .agg(
+                F.min("vmin").alias("vmin"), F.max("vmax").alias("vmax"),
+                F.sum(
+                    F.when((F.col("nu") == 1) & (F.col("vmin") == F.col("vmax")),
+                           1).otherwise(0)
+                ).alias("eq"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .select(
+                "bx", "by", "vmin", "vmax",
+                F.when((F.col("eq") == 4) & (F.col("cnt") == 4)
+                       & (F.col("vmin") == F.col("vmax")), 1)
+                .otherwise(0).cast("long").alias("nu"),
+            )
+        )
+        lvls.append(nxt)
+    out = None
+    for lvl in range(levels + 1):
+        cur = lvls[lvl].filter(
+            (F.col("nu") == 1) & (F.col("vmin") == F.col("vmax"))
+        )
+        if lvl == levels:
+            leaf = cur
+        else:
+            par = lvls[lvl + 1].filter(
+                (F.col("nu") == 1) & (F.col("vmin") == F.col("vmax"))
+            ).select(
+                F.col("bx").alias("pbx"), F.col("by").alias("pby"),
+                F.lit(1).alias("pu"),
+            )
+            leaf = (
+                cur.join(
+                    par,
+                    ((F.col("bx") / 2).cast("long") == F.col("pbx"))
+                    & ((F.col("by") / 2).cast("long") == F.col("pby")),
+                    "left",
+                )
+                .filter(F.col("pu").isNull())
+                .select("bx", "by", "vmin", "vmax", "nu")
+            )
+        row = leaf.select(
+            F.lit(lvl).cast("long").alias("lvl"), "bx", "by",
+            F.col("vmin").alias("val"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def region_quadtree_sql(base_select: str, levels: int,
+                        x_col: str = "x", y_col: str = "y",
+                        val_col: str = "v") -> str:
+    """DuckDB twin of ``region_quadtree`` (chained roll-up CTEs)."""
+    blocks = [
+        f"l0 AS MATERIALIZED (SELECT CAST({x_col} AS BIGINT) AS bx, "
+        f"CAST({y_col} AS BIGINT) AS by, CAST({val_col} AS BIGINT) AS vmin, "
+        f"CAST({val_col} AS BIGINT) AS vmax, CAST(1 AS BIGINT) AS nu "
+        f"FROM ({base_select}) s"
+    ]
+    for i in range(1, levels + 1):
+        blocks.append(f"""l{i} AS MATERIALIZED (
+  SELECT bx // 2 AS bx, by // 2 AS by, min(vmin) AS vmin, max(vmax) AS vmax,
+         CAST(CASE WHEN sum(CASE WHEN nu = 1 AND vmin = vmax THEN 1 ELSE 0 END) = 4
+                    AND count(*) = 4 AND min(vmin) = max(vmax)
+              THEN 1 ELSE 0 END AS BIGINT) AS nu
+  FROM l{i - 1} GROUP BY 1, 2""")
+    sel = []
+    for lvl in range(levels + 1):
+        if lvl == levels:
+            sel.append(
+                f"SELECT CAST({lvl} AS BIGINT) AS lvl, bx, by, vmin AS val "
+                f"FROM l{lvl} WHERE nu = 1 AND vmin = vmax"
+            )
+        else:
+            sel.append(f"""SELECT CAST({lvl} AS BIGINT) AS lvl, c.bx, c.by, c.vmin AS val
+FROM l{lvl} c LEFT JOIN l{lvl + 1} p
+  ON p.bx = c.bx // 2 AND p.by = c.by // 2 AND p.nu = 1 AND p.vmin = p.vmax
+WHERE c.nu = 1 AND c.vmin = c.vmax AND p.bx IS NULL""")
+    return ("WITH " + "),\n".join(blocks) + ")\n"
+            + "\nUNION ALL ".join(sel))

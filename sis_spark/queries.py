@@ -19660,3 +19660,142 @@ WHERE rn <= 12"""
 
 
 QUERIES["min_circle"] = (q_min_circle, q_min_circle_oracle)
+
+
+def q_lz77(spark, sf_dir):
+    """Greedy bounded-window LZ77 factorization (textops.lz77_factors,
+    window 64, match 3..16, first 160 chars): the gzip-style
+    compressibility profile per document — one mapInPandas parse pass;
+    the oracle replays the identical greedy rule as a lockstep recursive
+    CTE."""
+    from .operators.textops import lz77_factors
+
+    return lz77_factors(_read(spark, sf_dir, "documents")).orderBy("doc_id", "idx")
+
+
+def q_lz77_oracle():
+    from .operators.textops import lz77_factors_sql
+
+    return "SELECT * FROM (" + lz77_factors_sql() + ") ORDER BY doc_id, idx"
+
+
+QUERIES["lz77"] = (q_lz77, q_lz77_oracle)
+
+
+def q_greedy_matching(spark, sf_dir):
+    """Locally-dominant greedy max-weight matching (graph.greedy_matching)
+    on the symmetrized document graph reduced to u < v edges with
+    deterministic weights: an edge matches when it is the best at BOTH
+    endpoints — the distributed 1/2-approximation of maximum weight
+    matching; the oracle unrolls the identical packed-key rounds."""
+    from .operators.graph import greedy_matching
+
+    edges, _ = _mis_edges_df(spark, sf_dir)
+    e = edges.filter(F.col("a") < F.col("b")).select(
+        F.col("a").alias("u"), F.col("b").alias("v"),
+        ((F.col("a") * 13 + F.col("b") * 7) % 1000).cast("long").alias("w"),
+    )
+    return greedy_matching(e, max_rounds=12).orderBy("u", "v")
+
+
+def q_greedy_matching_oracle():
+    from .operators.graph import greedy_matching_sql
+
+    edges = (
+        f"SELECT a AS u, b AS v, (a * 13 + b * 7) % 1000 AS w "
+        f"FROM ({_mis_edges_sql()}) se WHERE a < b"
+    )
+    return ("SELECT * FROM (" + greedy_matching_sql(edges, rounds=12)
+            + ") ORDER BY u, v")
+
+
+QUERIES["greedy_matching"] = (q_greedy_matching, q_greedy_matching_oracle)
+
+
+def q_rect_union(spark, sf_dir):
+    """Union area of the detection boxes per image (boxes.union_area):
+    slab decomposition + the 1-D interval-union sweep as pure window
+    codegen — exact integer geometry over overlapping boxes (the measure
+    problem / Klee's algorithm in 2-D)."""
+    from .operators.boxes import union_area
+
+    return union_area(_boxes_df(spark, sf_dir)).orderBy("image_id")
+
+
+def q_rect_union_oracle():
+    from .operators.boxes import union_area_sql
+
+    return ("SELECT * FROM (" + union_area_sql(_BOXES_SQL)
+            + ") ORDER BY image_id")
+
+
+QUERIES["rect_union"] = (q_rect_union, q_rect_union_oracle)
+
+
+def q_region_quadtree(spark, sf_dir):
+    """Region-quadtree compression of a 64x64 classified raster
+    (tiling.region_quadtree): bottom-up uniformity roll-up, leaves =
+    maximal uniform blocks — six chained 4-to-1 aggregations + per-level
+    parent checks; the raster twin of `adaptive_cells`."""
+    from .operators.tiling import region_quadtree
+
+    n = 64
+    px = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"),
+        (F.col("id") / n).cast("long").alias("y"),
+    ).withColumn(
+        "v",
+        F.when(((F.col("x") / 8).cast("long") * 3
+                + (F.col("y") / 8).cast("long") * 5) % 7 < 3, 1)
+        .otherwise(((F.col("x") * 7 + F.col("y") * 13) % 29 < 9).cast("long")),
+    )
+    return region_quadtree(px, levels=6).orderBy("lvl", "bx", "by")
+
+
+def q_region_quadtree_oracle():
+    from .operators.tiling import region_quadtree_sql
+
+    base = """
+SELECT (i % 64) AS x, (i // 64) AS y,
+       CASE WHEN ((i % 64) // 8 * 3 + (i // 64) // 8 * 5) % 7 < 3 THEN 1
+            ELSE CAST(((i % 64) * 7 + (i // 64) * 13) % 29 < 9 AS BIGINT)
+       END AS v
+FROM (SELECT unnest(range(4096)) AS i) t"""
+    return ("SELECT * FROM (" + region_quadtree_sql(base, levels=6)
+            + ") ORDER BY lvl, bx, by")
+
+
+QUERIES["region_quadtree"] = (q_region_quadtree, q_region_quadtree_oracle)
+
+
+_CIDR_TABLE = (
+    [(f"net{k:02d}", k << 28, 4) for k in range(16)]
+    + [(f"sub{k:02d}", k << 24, 8) for k in range(16)]
+    + [(f"leaf{k:02d}", k << 20, 12) for k in range(8)]
+)
+
+
+def q_cidr_match(spark, sf_dir):
+    """Longest-prefix CIDR enrichment (analytics.cidr_longest_match) of
+    deterministic event IPs against a 40-network table: prefix-explode to
+    an equi-join (no nested loop), window argmax on prefix length — the
+    routing-table join of log analytics."""
+    from .operators.analytics import cidr_longest_match
+
+    ips = _read(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("event_id") * 2654435761) % 4294967296).cast("long").alias("ip"),
+    )
+    return cidr_longest_match(ips, _CIDR_TABLE).orderBy("event_id")
+
+
+def q_cidr_match_oracle():
+    from .operators.analytics import cidr_longest_match_sql
+
+    base = ("SELECT event_id, (event_id * 2654435761) % 4294967296 AS ip "
+            "FROM events")
+    return ("SELECT * FROM (" + cidr_longest_match_sql(base, _CIDR_TABLE)
+            + ") ORDER BY event_id")
+
+
+QUERIES["cidr_match"] = (q_cidr_match, q_cidr_match_oracle)
