@@ -2163,3 +2163,65 @@ a{i + 1} AS MATERIALIZED (
     AND a.v NOT IN (SELECT u FROM w{i} UNION ALL SELECT v FROM w{i}))""")
         sel.append(f"SELECT u, v, w, CAST({i} AS BIGINT) AS round FROM w{i}")
     return "WITH " + ",\n".join(blocks) + "\n" + "\nUNION ALL ".join(sel)
+
+
+def earliest_arrival(
+    edges: DataFrame,
+    src: int,
+    rounds: int = 8,
+) -> DataFrame:
+    """Temporal-graph earliest arrival (foremost journey, Wu et al. 2014,
+    public literature): over timestamped edges (u, v, t, d) an edge is
+    traversable only if you are at u by its departure time t, arriving at
+    v at t + d.  Round r relaxes every edge against the current arrival
+    table and keeps per-node minima — arrivals only decrease, so rounds
+    are a pure monotone function of the graph; ``rounds`` caps journeys
+    at that many hops (documented semantics, replayed by the oracle).
+
+    Output: (node, arrival) for nodes reachable from ``src`` within the
+    round budget (source arrives at 0).
+
+    Scale shape per round: one equi-join edges-to-arrivals on u + one
+    min-aggregation on v — BFS cost, no per-path state; lineage cut per
+    round by localCheckpoint (plan-shape lesson 6)."""
+    spark = edges.sparkSession
+    arr = spark.createDataFrame([(int(src), 0)], "node long, arrival long") \
+        .localCheckpoint()
+    e = edges.select(
+        F.col("u"), F.col("v"),
+        F.col("t").cast("long").alias("t"), F.col("d").cast("long").alias("d"),
+    )
+    for _ in range(rounds):
+        relax = (
+            e.join(arr.withColumnRenamed("node", "u"), "u")
+            .filter(F.col("t") >= F.col("arrival"))
+            .select(F.col("v").alias("node"),
+                    (F.col("t") + F.col("d")).alias("arrival"))
+        )
+        arr = (
+            arr.unionByName(relax)
+            .groupBy("node").agg(F.min("arrival").alias("arrival"))
+            .localCheckpoint()
+        )
+    return arr
+
+
+def earliest_arrival_sql(edges_select: str, src: int, rounds: int = 8) -> str:
+    """DuckDB replay of ``earliest_arrival`` (chained MATERIALIZED rounds)."""
+    blocks = [
+        f"e AS MATERIALIZED (SELECT u, v, CAST(t AS BIGINT) AS t, "
+        f"CAST(d AS BIGINT) AS d FROM ({edges_select}) es)",
+        f"a0 AS MATERIALIZED (SELECT CAST({int(src)} AS BIGINT) AS node, "
+        f"CAST(0 AS BIGINT) AS arrival)",
+    ]
+    for i in range(rounds):
+        blocks.append(f"""a{i + 1} AS MATERIALIZED (
+  SELECT node, min(arrival) AS arrival FROM (
+    SELECT node, arrival FROM a{i}
+    UNION ALL
+    SELECT e.v AS node, e.t + e.d AS arrival
+    FROM e JOIN a{i} a ON a.node = e.u
+    WHERE e.t >= a.arrival) u
+  GROUP BY 1)""")
+    return ("WITH " + ",\n".join(blocks)
+            + f"\nSELECT node, arrival FROM a{rounds}")

@@ -610,3 +610,21 @@ SELECT '{label}' AS label,
          WHERE NOT EXISTS (SELECT 1 FROM {prel} p
                            WHERE CAST(p.{pcol} AS BIGINT) = c.k)) = 0 AS contained""")
     return " UNION ALL ".join(blocks)
+
+
+def luhn_exprs(num: str, div_op: str) -> tuple[str, str]:
+    """Luhn mod-10 checksum (ISO/IEC 7812, public spec) of a 10-digit
+    integer as fully unrolled per-row codegen: digit at right-position r is
+    ``(num div 10^(r-1)) % 10``; even positions double-with-carry
+    (2d > 9 -> 2d - 9); valid iff the sum is divisible by 10.  Returns
+    (sum_sql, valid_sql); ``div_op`` is ' div ' (Spark) or ' // ' (DuckDB).
+    The payment-card / national-id validity audit as a map-only pass."""
+    terms = []
+    for r in range(1, 11):
+        d = f"((({num}){div_op}{10 ** (r - 1)}) % 10)"
+        if r % 2 == 0:
+            terms.append(f"(CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END)")
+        else:
+            terms.append(d)
+    total = "(" + " + ".join(terms) + ")"
+    return total, f"({total} % 10 = 0)"

@@ -2538,3 +2538,60 @@ WITH RECURSIVE st AS (
 SELECT doc_id, CAST(idx AS BIGINT) AS idx, CAST(pos AS BIGINT) AS pos,
        CAST(len AS BIGINT) AS len, CAST(dist AS BIGINT) AS dist
 FROM st"""
+
+
+def adler32_docs(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Adler-32 checksum (RFC 1950, public spec) per document, distributed:
+    A = (1 + sum bytes) mod 65521, B = (n + sum (n-i+1)*byte_i) mod 65521,
+    adler = B*65536 + A.  The position-weighted form makes the rolling
+    checksum ONE explode + ONE map-side-combined aggregation — no
+    sequential state, exact int64 (n <= ~1e5 keeps the weighted sum far
+    from overflow).  The content-integrity primitive of ingest manifests."""
+    d = docs.select(
+        F.col(id_col), F.col(text_col).alias("t"),
+        F.length(text_col).cast("long").alias("n"),
+    ).filter(F.col("n") > 0)
+    ex = d.select(
+        id_col, "n",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"),
+        F.col("t"),
+    ).select(
+        id_col, "n", "i",
+        F.ascii(F.expr("substring(t, i, 1)")).cast("long").alias("b"),
+    )
+    return (
+        ex.groupBy(id_col, "n")
+        .agg(
+            F.sum("b").alias("sb"),
+            F.sum((F.col("n") - F.col("i") + 1) * F.col("b")).alias("swb"),
+        )
+        .select(
+            id_col,
+            ((F.col("sb") + 1) % 65521).alias("a"),
+            ((F.col("swb") + F.col("n")) % 65521).alias("bb"),
+            (((F.col("swb") + F.col("n")) % 65521) * 65536
+             + (F.col("sb") + 1) % 65521).alias("adler"),
+        )
+    )
+
+
+def adler32_sql(rel: str = "documents", text_col: str = "text",
+                id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``adler32_docs``."""
+    return f"""
+WITH d AS (
+  SELECT {id_col}, {text_col} AS t, length({text_col}) AS n
+  FROM {rel} WHERE length({text_col}) > 0),
+ex AS (
+  SELECT {id_col}, n, i,
+         ascii(substr(t, CAST(i AS INT), 1)) AS b
+  FROM d, unnest(range(1, n + 1)) u(i)),
+s AS (
+  SELECT {id_col}, n, sum(b) AS sb, sum((n - i + 1) * b) AS swb
+  FROM ex GROUP BY 1, 2)
+SELECT {id_col},
+       (sb + 1) % 65521 AS a,
+       (swb + n) % 65521 AS bb,
+       ((swb + n) % 65521) * 65536 + (sb + 1) % 65521 AS adler
+FROM s"""

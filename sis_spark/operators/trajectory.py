@@ -2254,3 +2254,138 @@ WHERE NOT EXISTS (
   WHERE c.k = a.k
     AND (c.x != a.x OR c.y != a.y) AND (c.x != b.x OR c.y != b.y)
     AND (a.x - c.x) * (b.x - c.x) + (a.y - c.y) * (b.y - c.y) < 0)"""
+
+
+def caliper_stats(
+    pts: DataFrame,
+    key_col: str = "k",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Rotating-calipers width and minimum-area bounding rectangle per key,
+    as EXACT reduced rationals: width^2 = (max |cross|)^2 / |edge|^2 and
+    rect area = max|cross| * (max dot - min dot) / |edge|^2, minimized over
+    hull edges (the calipers theorems: both minima are attained flush with
+    a convex-hull edge).
+
+    Engine side scans hull edges only (monotone chain, O(h*n) per key);
+    the oracle exploits the superset identity — minimizing the same
+    rationals over ALL point-pair directions yields the same value, since
+    every direction's extent is >= the true minimum and hull-edge
+    directions are included — so it never builds a hull (the
+    hull_diameter discipline).  Outputs reduced (num, den) int64 pairs;
+    ties in the minimizing direction cannot leak because only the VALUE is
+    emitted.  Keep |coords| <= ~2e4 (cross^2 * len2 stays inside HUGEINT).
+    Keys with a single distinct point emit nothing.
+    """
+    from itertools import combinations  # noqa: F401  (parity with siblings)
+    from math import gcd
+
+    import pandas as pd
+
+    def hull(p):
+        p = sorted(p)
+        if len(p) <= 2:
+            return p
+        lo, up = [], []
+        for q in p:
+            while len(lo) >= 2 and (
+                (lo[-1][0] - lo[-2][0]) * (q[1] - lo[-2][1])
+                - (lo[-1][1] - lo[-2][1]) * (q[0] - lo[-2][0])
+            ) <= 0:
+                lo.pop()
+            lo.append(q)
+        for q in reversed(p):
+            while len(up) >= 2 and (
+                (up[-1][0] - up[-2][0]) * (q[1] - up[-2][1])
+                - (up[-1][1] - up[-2][1]) * (q[0] - up[-2][0])
+            ) <= 0:
+                up.pop()
+            up.append(q)
+        return lo[:-1] + up[:-1]
+
+    def fn(key, pdf):
+        p = sorted(set(zip(
+            (int(v) for v in pdf[x_col]), (int(v) for v in pdf[y_col])
+        )))
+        if len(p) < 2:
+            return pd.DataFrame(
+                columns=["k", "w2_num", "w2_den", "area_num", "area_den"]
+            )
+        h = hull(p)
+        edges = [(h[i], h[(i + 1) % len(h)]) for i in range(len(h))] \
+            if len(h) > 2 else [(h[0], h[1])]
+        bw = ba = None
+        for a, b in edges:
+            dx, dy = b[0] - a[0], b[1] - a[1]
+            len2 = dx * dx + dy * dy
+            if len2 == 0:
+                continue
+            crs = [dx * (q[1] - a[1]) - dy * (q[0] - a[0]) for q in p]
+            mc = max(crs) - min(crs)
+            dots = [dx * (q[0] - a[0]) + dy * (q[1] - a[1]) for q in p]
+            wnum, anum = mc * mc, mc * (max(dots) - min(dots))
+            if bw is None or wnum * bw[1] < bw[0] * len2:
+                bw = (wnum, len2)
+            if ba is None or anum * ba[1] < ba[0] * len2:
+                ba = (anum, len2)
+        gw, ga = gcd(bw[0], bw[1]), gcd(ba[0], ba[1])
+        return pd.DataFrame([{
+            "k": int(key[0]),
+            "w2_num": bw[0] // gw, "w2_den": bw[1] // gw,
+            "area_num": ba[0] // ga, "area_den": ba[1] // ga,
+        }])
+
+    return (
+        pts.select(F.col(key_col).alias("k"), F.col(x_col).alias(x_col),
+                   F.col(y_col).alias(y_col))
+        .groupBy("k")
+        .applyInPandas(
+            fn, "k long, w2_num long, w2_den long, area_num long, area_den long"
+        )
+    )
+
+
+def caliper_stats_sql(base_select: str) -> str:
+    """DuckDB twin of ``caliper_stats`` over (k, x, y): all point-pair
+    directions, HUGEINT max-minus-min extents (points straddle a
+    non-hull-edge line, so the perpendicular extent is max(cross) -
+    min(cross), not max|cross|), gcd-reduced rationals, exact NOT-EXISTS
+    argmin (equal-value survivors reduce to the identical pair, so
+    DISTINCT collapses them)."""
+    return f"""
+WITH p AS (
+  SELECT DISTINCT k, CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+  FROM ({base_select}) bs),
+dirs AS (
+  SELECT a.k, a.x AS ax, a.y AS ay, b.x - a.x AS dx, b.y - a.y AS dy
+  FROM p a JOIN p b
+    ON a.k = b.k AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))),
+ext AS (
+  SELECT d.k, d.dx * d.dx + d.dy * d.dy AS len2,
+         max(d.dx * (q.y - d.ay) - d.dy * (q.x - d.ax))
+           - min(d.dx * (q.y - d.ay) - d.dy * (q.x - d.ax)) AS mc,
+         max(d.dx * (q.x - d.ax) + d.dy * (q.y - d.ay))
+           - min(d.dx * (q.x - d.ax) + d.dy * (q.y - d.ay)) AS dr
+  FROM dirs d JOIN p q ON q.k = d.k
+  GROUP BY d.k, d.ax, d.ay, d.dx, d.dy),
+ratw AS (
+  SELECT k, wnum // g AS num, len2 // g AS den FROM (
+    SELECT k, mc * mc AS wnum, len2, gcd(mc * mc, len2) AS g FROM ext) t),
+rata AS (
+  SELECT k, anum // g AS num, len2 // g AS den FROM (
+    SELECT k, mc * dr AS anum, len2, gcd(mc * dr, len2) AS g FROM ext) t),
+minw AS (
+  SELECT DISTINCT r.k, r.num, r.den FROM ratw r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ratw r2
+    WHERE r2.k = r.k AND r2.num * r.den < r.num * r2.den)),
+mina AS (
+  SELECT DISTINCT r.k, r.num, r.den FROM rata r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rata r2
+    WHERE r2.k = r.k AND r2.num * r.den < r.num * r2.den))
+SELECT w.k,
+       CAST(w.num AS BIGINT) AS w2_num, CAST(w.den AS BIGINT) AS w2_den,
+       CAST(a.num AS BIGINT) AS area_num, CAST(a.den AS BIGINT) AS area_den
+FROM minw w JOIN mina a ON a.k = w.k"""

@@ -19799,3 +19799,155 @@ def q_cidr_match_oracle():
 
 
 QUERIES["cidr_match"] = (q_cidr_match, q_cidr_match_oracle)
+
+
+def _caliper_pts_df(spark, sf_dir):
+    lon, lat = point_lonlat_cols("event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        _read(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_id",
+            F.floor(lon * 100 + F.lit(0.12345678987)).cast("long").alias("x"),
+            F.floor(lat * 100 + F.lit(0.12345678987)).cast("long").alias("y"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 12)
+        .select(F.col("user_id").alias("k"), "x", "y")
+    )
+
+
+_CALIPER_PTS_SQL = None
+
+
+def _caliper_pts_sql():
+    return f"""
+SELECT k, x, y FROM (
+  SELECT user_id AS k,
+         CAST(floor(({synth.point_lon_sql('event_id')}) * 1.0e2
+                    + 0.12345678987) AS BIGINT) AS x,
+         CAST(floor(({synth.point_lat_sql('event_id')}) * 1.0e2
+                    + 0.12345678987) AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events) t
+WHERE rn <= 12"""
+
+
+def q_hull_caliper(spark, sf_dir):
+    """Rotating-calipers width^2 + minimum-area bounding rectangle per
+    user track (trajectory.caliper_stats), as exact gcd-reduced rationals:
+    the engine scans convex-hull edges, the oracle re-derives both minima
+    over ALL point-pair directions (the superset identity — hull-free
+    oracle, the hull_diameter discipline extended to calipers)."""
+    from .operators.trajectory import caliper_stats
+
+    return caliper_stats(_caliper_pts_df(spark, sf_dir)).orderBy("k")
+
+
+def q_hull_caliper_oracle():
+    from .operators.trajectory import caliper_stats_sql
+
+    return ("SELECT * FROM (" + caliper_stats_sql(_caliper_pts_sql())
+            + ") ORDER BY k")
+
+
+QUERIES["hull_caliper"] = (q_hull_caliper, q_hull_caliper_oracle)
+
+
+def q_adler32(spark, sf_dir):
+    """Adler-32 checksums per document (textops.adler32_docs): the RFC 1950
+    rolling checksum re-expressed as a position-weighted sum — one explode
+    + one map-side-combined aggregation, exact int64; the ingest-manifest
+    integrity primitive."""
+    from .operators.textops import adler32_docs
+
+    return adler32_docs(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_adler32_oracle():
+    from .operators.textops import adler32_sql
+
+    return "SELECT * FROM (" + adler32_sql() + ") ORDER BY doc_id"
+
+
+QUERIES["adler32"] = (q_adler32, q_adler32_oracle)
+
+
+def q_luhn(spark, sf_dir):
+    """Luhn mod-10 validation (quality.luhn_exprs) of deterministic
+    10-digit account numbers: fully unrolled double-with-carry digit sum,
+    map-only codegen — the payment-card / id-field data-quality audit."""
+    from .operators.quality import luhn_exprs
+
+    total, valid = luhn_exprs("num", " div ")
+    return (
+        _read(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            ((F.col("event_id") * 1000003) % 10000000000).cast("long").alias("num"),
+        )
+        .select(
+            "event_id", "num",
+            F.expr(total).cast("long").alias("digit_sum"),
+            F.expr(valid).alias("valid"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_luhn_oracle():
+    from .operators.quality import luhn_exprs
+
+    total, valid = luhn_exprs("num", " // ")
+    return f"""
+WITH s AS (
+  SELECT event_id,
+         CAST((event_id * 1000003) % 10000000000 AS BIGINT) AS num
+  FROM events)
+SELECT event_id, num, {total} AS digit_sum, {valid} AS valid
+FROM s ORDER BY event_id"""
+
+
+QUERIES["luhn"] = (q_luhn, q_luhn_oracle)
+
+
+_TG_EDGES_SQL = """
+SELECT i AS u, (i * 7 + 11) % n AS v, (i * 3) % 40 AS t, 1 + i % 5 AS d
+FROM (SELECT CAST(doc_id AS BIGINT) AS i,
+             (SELECT count(*) FROM documents) AS n FROM documents) a
+UNION ALL
+SELECT i, (i * 13 + 5) % n, (i * 11) % 40, 1 + i % 3
+FROM (SELECT CAST(doc_id AS BIGINT) AS i,
+             (SELECT count(*) FROM documents) AS n FROM documents) b"""
+
+
+def q_temporal_reach(spark, sf_dir):
+    """Temporal-graph earliest arrival from node 0 (graph.earliest_arrival,
+    8 relax rounds) over timestamped document edges: an edge departs at t
+    only if you arrived by t — the foremost-journey primitive of
+    contact/transport networks; per round one equi-join + one min-agg."""
+    from .operators.graph import earliest_arrival
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("i")
+    )
+    n = docs.count()
+    i = F.col("i")
+    e = docs.select(
+        i.alias("u"), ((i * 7 + 11) % n).alias("v"),
+        ((i * 3) % 40).alias("t"), (1 + i % 5).alias("d"),
+    ).unionByName(docs.select(
+        i.alias("u"), ((i * 13 + 5) % n).alias("v"),
+        ((i * 11) % 40).alias("t"), (1 + i % 3).alias("d"),
+    ))
+    return earliest_arrival(e, src=0, rounds=8).orderBy("node")
+
+
+def q_temporal_reach_oracle():
+    from .operators.graph import earliest_arrival_sql
+
+    return ("SELECT * FROM (" + earliest_arrival_sql(_TG_EDGES_SQL, 0, 8)
+            + ") ORDER BY node")
+
+
+QUERIES["temporal_reach"] = (q_temporal_reach, q_temporal_reach_oracle)
