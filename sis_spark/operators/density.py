@@ -1991,3 +1991,205 @@ ratio AS (
 SELECT p.d_id, sum(r.rj) AS access, count(*) AS n_fac
 FROM pairs p JOIN ratio r ON r.f_id = p.f_id
 GROUP BY p.d_id"""
+
+
+_KRIG_Q = 1024  # gamma quantization: floor(sqrt(d2) * 2^10)
+
+
+def _det4_terms(m):
+    """24-term signed expansion of a 4x4 matrix of expression strings."""
+    from itertools import permutations
+
+    terms = []
+    for perm in permutations(range(4)):
+        inv = sum(1 for i in range(4) for j in range(i + 1, 4)
+                  if perm[i] > perm[j])
+        sign = "-" if inv % 2 else "+"
+        prod = " * ".join(m[i][perm[i]] for i in range(4))
+        terms.append(f"{sign} ({prod})")
+    return " ".join(terms)
+
+
+def kriging_ordinary(
+    queries: DataFrame,
+    knowns: DataFrame,
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Ordinary kriging with a linear variogram gamma(h) = h, EXACT.
+
+    The 3 nearest known points per query (exact squared distance, id
+    tie-break) feed the 4x4 ordinary-kriging system
+    [[0 g12 g13 1][g12 0 g23 1][g13 g23 0 1][1 1 1 0]] w = [g1q g2q g3q 1].
+    Each gamma is quantized floor(sqrt(d2) * 2^20) — IEEE sqrt is
+    correctly rounded, so numpy and SQL produce the identical double and
+    the identical integer — and the system is solved by Cramer's rule in
+    exact big integers (Python bigints engine-side, HUGEINT oracle-side:
+    determinant terms stay < ~1e32 at |coords| <= 2e4).  The prediction
+    (sum det_i z_i) / det is emitted as the exact integer
+    floor(pred * 2^20) via big-integer floor division after normalizing
+    det > 0 (a DOUBLE emit would trip DuckDB's double-rounded
+    HUGEINT->DOUBLE cast); singular systems (det = 0) emit NULL under the
+    same rule both sides.
+
+    Scale shape: the gate-scale neighbor search is a brute bounded join
+    (queries x knowns) + window top-3; the engine's production path for
+    dense known sets is the cell-ring kNN join (operators/knn.py) feeding
+    the same per-query solve — the solve itself is O(1) per query inside
+    one applyInPandas pass.
+
+    Inputs: queries (qid, x, y); knowns (id, x, y, z) — integer coords/z.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col("x").cast("long").alias("qx"), F.col("y").cast("long").alias("qy"),
+    )
+    k = knowns.select(
+        F.col("id").cast("long").alias("nid"),
+        F.col("x").cast("long").alias("nx"), F.col("y").cast("long").alias("ny"),
+        F.col("z").cast("long").alias("z"),
+    )
+    j = q.join(F.broadcast(k)).withColumn(
+        "d2",
+        (F.col("qx") - F.col("nx")) * (F.col("qx") - F.col("nx"))
+        + (F.col("qy") - F.col("ny")) * (F.col("qy") - F.col("ny")),
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "nid")
+    top = j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+    def solve(key, pdf):
+        pdf = pdf.sort_values("rn")
+        if len(pdf) < 3:
+            return pd.DataFrame(columns=["qid", "pred_q", "singular"])
+        xs = [int(v) for v in pdf["nx"]]
+        ys = [int(v) for v in pdf["ny"]]
+        zs = [int(v) for v in pdf["z"]]
+        qx, qy = int(pdf["qx"].iloc[0]), int(pdf["qy"].iloc[0])
+
+        def gam(ax, ay, bx, by):
+            d2 = (ax - bx) ** 2 + (ay - by) ** 2
+            return int(math.floor(math.sqrt(float(d2)) * _KRIG_Q))
+
+        g = [[gam(xs[i], ys[i], xs[jj], ys[jj]) for jj in range(3)]
+             for i in range(3)]
+        b = [gam(xs[i], ys[i], qx, qy) for i in range(3)] + [1]
+        m = [[g[0][0], g[0][1], g[0][2], 1],
+             [g[1][0], g[1][1], g[1][2], 1],
+             [g[2][0], g[2][1], g[2][2], 1],
+             [1, 1, 1, 0]]
+
+        def det4(mm):
+            from itertools import permutations
+            tot = 0
+            for perm in permutations(range(4)):
+                inv = sum(1 for i in range(4) for jj in range(i + 1, 4)
+                          if perm[i] > perm[jj])
+                p = 1
+                for i in range(4):
+                    p *= mm[i][perm[i]]
+                tot += -p if inv % 2 else p
+            return tot
+
+        den = det4(m)
+        if den == 0:
+            return pd.DataFrame(
+                [{"qid": int(key[0]), "pred_q": None, "singular": True}]
+            )
+        num = 0
+        for i in range(3):
+            mi = [row[:] for row in m]
+            for r in range(4):
+                mi[r][i] = b[r]
+            num += det4(mi) * zs[i]
+        if den < 0:
+            num, den = -num, -den
+        return pd.DataFrame([{
+            "qid": int(key[0]), "pred_q": (num * 1048576) // den,
+            "singular": False,
+        }])
+
+    return top.groupBy("qid").applyInPandas(
+        solve, "qid long, pred_q long, singular boolean"
+    )
+
+
+def kriging_ordinary_sql(queries_select: str, knowns_select: str) -> str:
+    """DuckDB twin of ``kriging_ordinary``: top-3 window, wide pivot,
+    HUGEINT Cramer determinants generated by the same 24-term expansion."""
+    def gam(ax, ay, bx, by):
+        return (f"CAST(floor(sqrt(CAST(({ax} - {bx}) * ({ax} - {bx})"
+                f" + ({ay} - {by}) * ({ay} - {by}) AS DOUBLE)) * {_KRIG_Q}.0)"
+                f" AS HUGEINT)")
+
+    g12 = gam("x1", "y1", "x2", "y2")
+    g13 = gam("x1", "y1", "x3", "y3")
+    g23 = gam("x2", "y2", "x3", "y3")
+    b1 = gam("x1", "y1", "qx", "qy")
+    b2 = gam("x2", "y2", "qx", "qy")
+    b3 = gam("x3", "y3", "qx", "qy")
+    one = "CAST(1 AS HUGEINT)"
+    zero = "CAST(0 AS HUGEINT)"
+    m = [[zero, "g12", "g13", one],
+         ["g12", zero, "g23", one],
+         ["g13", "g23", zero, one],
+         [one, one, one, zero]]
+    den = _det4_terms(m)
+    nums = []
+    for i in range(3):
+        mi = [row[:] for row in m]
+        for r in range(4):
+            mi[r][i] = f"b{r + 1}" if r < 3 else one
+        nums.append(f"({_det4_terms(mi)}) * z{i + 1}")
+    num = " + ".join(nums)
+    return f"""
+WITH q AS (
+  SELECT qid, CAST(x AS BIGINT) AS qx, CAST(y AS BIGINT) AS qy
+  FROM ({queries_select}) qs),
+k AS (
+  SELECT CAST(id AS BIGINT) AS nid, CAST(x AS BIGINT) AS nx,
+         CAST(y AS BIGINT) AS ny, CAST(z AS BIGINT) AS z
+  FROM ({knowns_select}) ks),
+top AS (
+  SELECT * FROM (
+    SELECT q.qid, q.qx, q.qy, k.nid, k.nx, k.ny, k.z,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             (q.qx - k.nx) * (q.qx - k.nx) + (q.qy - k.ny) * (q.qy - k.ny),
+             k.nid) AS rn
+    FROM q, k) t
+  WHERE rn <= 3),
+wide AS (
+  SELECT qid, any_value(qx) AS qx, any_value(qy) AS qy,
+         max(CASE WHEN rn = 1 THEN nx END) AS x1,
+         max(CASE WHEN rn = 1 THEN ny END) AS y1,
+         max(CASE WHEN rn = 1 THEN z END) AS z1,
+         max(CASE WHEN rn = 2 THEN nx END) AS x2,
+         max(CASE WHEN rn = 2 THEN ny END) AS y2,
+         max(CASE WHEN rn = 2 THEN z END) AS z2,
+         max(CASE WHEN rn = 3 THEN nx END) AS x3,
+         max(CASE WHEN rn = 3 THEN ny END) AS y3,
+         max(CASE WHEN rn = 3 THEN z END) AS z3,
+         count(*) AS nn
+  FROM top GROUP BY qid),
+gam AS (
+  SELECT qid, z1, z2, z3,
+         {g12} AS g12, {g13} AS g13, {g23} AS g23,
+         {b1} AS b1, {b2} AS b2, {b3} AS b3
+  FROM wide WHERE nn >= 3),
+sol AS (
+  SELECT qid, z1, z2, z3, ({den}) AS den, {num.replace('z1', 'CAST(z1 AS HUGEINT)').replace('z2', 'CAST(z2 AS HUGEINT)').replace('z3', 'CAST(z3 AS HUGEINT)')} AS num
+  FROM gam),
+norm AS (
+  SELECT qid,
+         CASE WHEN den < 0 THEN -num ELSE num END * CAST(1048576 AS HUGEINT) AS num,
+         abs(den) AS den
+  FROM sol)
+SELECT qid,
+       CASE WHEN den = 0 THEN NULL
+            ELSE CAST((num - ((num % den + den) % den)) / den AS BIGINT)
+       END AS pred_q,
+       den = 0 AS singular
+FROM norm"""

@@ -19951,3 +19951,52 @@ def q_temporal_reach_oracle():
 
 
 QUERIES["temporal_reach"] = (q_temporal_reach, q_temporal_reach_oracle)
+
+
+def q_kriging(spark, sf_dir):
+    """Ordinary kriging (density.kriging_ordinary, linear variogram,
+    3-neighbor): exact Cramer solve of the 4x4 kriging system in big
+    integers over 2^10-quantized gammas (IEEE sqrt is correctly rounded,
+    so both engines quantize identically); supplier points interpolated
+    from the customer field — the geostatistics flagship."""
+    from .operators.density import kriging_ordinary
+
+    slon, slat = point_lonlat_cols("s_suppkey")
+    queries = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("qid"),
+        F.floor(slon * 100 + F.lit(0.12345678987)).cast("long").alias("x"),
+        F.floor(slat * 100 + F.lit(0.12345678987)).cast("long").alias("y"),
+    )
+    clon, clat = point_lonlat_cols("c_custkey")
+    knowns = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.floor(clon * 100 + F.lit(0.12345678987)).cast("long").alias("x"),
+        F.floor(clat * 100 + F.lit(0.12345678987)).cast("long").alias("y"),
+        ((F.col("c_custkey") * 37) % 100).cast("long").alias("z"),
+    )
+    return kriging_ordinary(queries, knowns).orderBy("qid")
+
+
+def q_kriging_oracle():
+    from .operators.density import kriging_ordinary_sql
+
+    queries = f"""
+SELECT CAST(s_suppkey AS BIGINT) AS qid,
+       CAST(floor(({synth.point_lon_sql('s_suppkey')}) * 1.0e2
+                  + 0.12345678987) AS BIGINT) AS x,
+       CAST(floor(({synth.point_lat_sql('s_suppkey')}) * 1.0e2
+                  + 0.12345678987) AS BIGINT) AS y
+FROM supplier"""
+    knowns = f"""
+SELECT CAST(c_custkey AS BIGINT) AS id,
+       CAST(floor(({synth.point_lon_sql('c_custkey')}) * 1.0e2
+                  + 0.12345678987) AS BIGINT) AS x,
+       CAST(floor(({synth.point_lat_sql('c_custkey')}) * 1.0e2
+                  + 0.12345678987) AS BIGINT) AS y,
+       (c_custkey * 37) % 100 AS z
+FROM customer"""
+    return ("SELECT * FROM (" + kriging_ordinary_sql(queries, knowns)
+            + ") ORDER BY qid")
+
+
+QUERIES["kriging"] = (q_kriging, q_kriging_oracle)
