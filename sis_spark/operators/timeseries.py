@@ -2041,3 +2041,159 @@ SELECT {key_col}, best AS max_sum, rn AS end_rank FROM (
   SELECT *, row_number() OVER (PARTITION BY {key_col}
       ORDER BY best DESC, rn) AS pk FROM q) r
 WHERE pk = 1"""
+
+
+def wht64(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "v",
+    n: int = 64,
+) -> DataFrame:
+    """Walsh-Hadamard transform of each key's first ``n`` (power of two)
+    samples, EXACT: WHT[k] = sum_i v_i * (-1)^popcount(i AND k) — the
+    closed form over bit_count, all int64, missing trailing samples are
+    zeros.  The +/-1 kernel makes the spectrum oracle-replayable where a
+    DFT's cos/sin cannot be (dft pins quantized values; this is exact).
+
+    Scale shape: one window rank, one n-way explode, one map-side-combined
+    aggregation — O(n^2) work per key with tiny constants (n=64 -> 4096
+    terms), embarrassingly parallel across keys.  The butterfly O(n log n)
+    form is the documented single-key-giant-signal path."""
+    word = Window.partitionBy(key_col).orderBy(order_col)
+    d = (
+        df.select(key_col, order_col, F.col(value_col).cast("long").alias("v"))
+        .withColumn("i", (F.row_number().over(word) - 1).cast("long"))
+        .filter(F.col("i") < n)
+    )
+    ex = d.select(
+        key_col, "i", "v",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n) - 1))).alias("k"),
+    )
+    sgn = 1 - 2 * (F.expr("bit_count(i & k)") % 2)
+    return (
+        ex.groupBy(key_col, "k")
+        .agg(F.sum(F.col("v") * sgn).alias("coef"))
+        .select(key_col, F.col("k").cast("long").alias("k"), "coef")
+    )
+
+
+def wht64_sql(
+    base_select: str,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "v",
+    n: int = 64,
+) -> str:
+    """DuckDB twin of ``wht64``."""
+    return f"""
+WITH b AS (
+  SELECT {key_col}, CAST({value_col} AS BIGINT) AS v,
+         CAST(row_number() OVER (PARTITION BY {key_col}
+              ORDER BY {order_col}) - 1 AS BIGINT) AS i
+  FROM ({base_select}) s),
+ex AS (
+  SELECT {key_col}, i, v, k.k
+  FROM b, (SELECT unnest(range({int(n)})) AS k) k
+  WHERE i < {int(n)})
+SELECT {key_col}, k, sum(v * (1 - 2 * (bit_count(i & k) % 2))) AS coef
+FROM ex GROUP BY 1, 2"""
+
+
+def max_drawdown(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "v",
+) -> DataFrame:
+    """Maximum drawdown of each key's cumulative signal, pure window
+    codegen: s = running sum of v, dd_t = running max(s) - s_t, answer =
+    max dd with the earliest rank on ties — kadane's prefix-extremum
+    sibling (peak-to-trough instead of trough-to-peak)."""
+    word = Window.partitionBy(key_col).orderBy(order_col)
+    wrun = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = (
+        df.select(key_col, order_col, F.col(value_col).cast("long").alias("v"))
+        .withColumn("s", F.sum("v").over(wrun))
+        .withColumn("rn", F.row_number().over(word).cast("long"))
+        .withColumn("dd", F.max("s").over(wrun) - F.col("s"))
+    )
+    pick = Window.partitionBy(key_col).orderBy(F.col("dd").desc(), "rn")
+    return (
+        d.withColumn("pk", F.row_number().over(pick))
+        .filter(F.col("pk") == 1)
+        .select(key_col, F.col("dd").alias("max_dd"), F.col("rn").alias("at_rank"))
+    )
+
+
+def max_drawdown_sql(
+    base_select: str,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "v",
+) -> str:
+    """DuckDB twin of ``max_drawdown``."""
+    return f"""
+WITH b AS (
+  SELECT {key_col}, {order_col}, CAST({value_col} AS BIGINT) AS v
+  FROM ({base_select}) s),
+p AS (
+  SELECT {key_col}, {order_col},
+         sum(v) OVER (PARTITION BY {key_col} ORDER BY {order_col}
+                      ROWS UNBOUNDED PRECEDING) AS s,
+         CAST(row_number() OVER (PARTITION BY {key_col}
+              ORDER BY {order_col}) AS BIGINT) AS rn
+  FROM b),
+d AS (
+  SELECT {key_col},
+         max(s) OVER (PARTITION BY {key_col} ORDER BY {order_col}
+                      ROWS UNBOUNDED PRECEDING) - s AS dd,
+         rn
+  FROM p)
+SELECT {key_col}, dd AS max_dd, rn AS at_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY {key_col}
+      ORDER BY dd DESC, rn) AS pk FROM d) r
+WHERE pk = 1"""
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    price_col: str = "price",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """OHLC candle aggregation per (key, bucket): open/close are the
+    prices at the min/max order key (min_by/max_by — tie-free because the
+    order key is unique), high/low are extremes, volume the row count —
+    one map-side-combined aggregation, the canonical time-series
+    downsampling of market/telemetry feeds."""
+    return (
+        df.groupBy(key_col, bucket_col)
+        .agg(
+            F.min_by(price_col, order_col).alias("open"),
+            F.max(price_col).alias("high"),
+            F.min(price_col).alias("low"),
+            F.max_by(price_col, order_col).alias("close"),
+            F.count("*").alias("volume"),
+        )
+    )
+
+
+def ohlc_bars_sql(
+    base_select: str,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    price_col: str = "price",
+    bucket_col: str = "bucket",
+) -> str:
+    """DuckDB twin of ``ohlc_bars`` (arg_min/arg_max)."""
+    return f"""
+SELECT {key_col}, {bucket_col},
+       arg_min({price_col}, {order_col}) AS open,
+       max({price_col}) AS high,
+       min({price_col}) AS low,
+       arg_max({price_col}, {order_col}) AS close,
+       count(*) AS volume
+FROM ({base_select}) s
+GROUP BY 1, 2"""

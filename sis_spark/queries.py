@@ -20000,3 +20000,78 @@ FROM customer"""
 
 
 QUERIES["kriging"] = (q_kriging, q_kriging_oracle)
+
+
+def q_wht(spark, sf_dir):
+    """Exact Walsh-Hadamard spectrum (timeseries.wht64) of each user's
+    first 64 signal samples: the +/-1 closed form over bit_count — the
+    integer-exact transform next to the quantized `dft` gate."""
+    from .operators.timeseries import wht64
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        ((F.col("event_id") * 23) % 17 - 8).cast("long").alias("v"),
+    )
+    return wht64(ev).orderBy("user_id", "k")
+
+
+def q_wht_oracle():
+    from .operators.timeseries import wht64_sql
+
+    base = ("SELECT user_id, event_id, (event_id * 23) % 17 - 8 AS v "
+            "FROM events")
+    return "SELECT * FROM (" + wht64_sql(base) + ") ORDER BY user_id, k"
+
+
+QUERIES["wht"] = (q_wht, q_wht_oracle)
+
+
+def q_drawdown(spark, sf_dir):
+    """Maximum drawdown per user (timeseries.max_drawdown) of the kadane
+    gate's cumulative signal: running-max minus running-sum, earliest-rank
+    tie — the risk metric twin of `kadane`."""
+    from .operators.timeseries import max_drawdown
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        ((F.col("event_id") * 37) % 21 - 10).cast("long").alias("v"),
+    )
+    return max_drawdown(ev).orderBy("user_id")
+
+
+def q_drawdown_oracle():
+    from .operators.timeseries import max_drawdown_sql
+
+    base = ("SELECT user_id, event_id, (event_id * 37) % 21 - 10 AS v "
+            "FROM events")
+    return "SELECT * FROM (" + max_drawdown_sql(base) + ") ORDER BY user_id"
+
+
+QUERIES["drawdown"] = (q_drawdown, q_drawdown_oracle)
+
+
+def q_ohlc(spark, sf_dir):
+    """OHLC candles (timeseries.ohlc_bars) per (user, 500-event bucket)
+    over integer-quantized prices: min_by/max_by open/close against
+    DuckDB arg_min/arg_max — the canonical feed downsampler as one
+    map-side-combined aggregation."""
+    from .operators.timeseries import ohlc_bars
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        (F.col("event_id") / 500).cast("long").alias("bucket"),
+        F.floor(F.col("value") * 100).cast("long").alias("price"),
+    )
+    return ohlc_bars(ev).orderBy("user_id", "bucket")
+
+
+def q_ohlc_oracle():
+    from .operators.timeseries import ohlc_bars_sql
+
+    base = ("SELECT user_id, event_id, event_id // 500 AS bucket, "
+            "CAST(floor(value * 100) AS BIGINT) AS price FROM events")
+    return ("SELECT * FROM (" + ohlc_bars_sql(base)
+            + ") ORDER BY user_id, bucket")
+
+
+QUERIES["ohlc"] = (q_ohlc, q_ohlc_oracle)
