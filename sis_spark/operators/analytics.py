@@ -2978,3 +2978,181 @@ SELECT {id_col}, ip, label, bits FROM (
   SELECT *, row_number() OVER (PARTITION BY {id_col}
       ORDER BY bits DESC, label) AS rn FROM j) r
 WHERE rn = 1"""
+
+
+def tree_depth2(
+    df: "DataFrame",
+    key_col: str,
+    f1_col: str,
+    f2_col: str,
+    label_col: str,
+) -> "DataFrame":
+    """Depth-2 decision tree per key: the exact-Gini stump machinery
+    applied twice — the root splits on feature 1, each branch splits on
+    feature 2 (the classic axis-alternating shallow tree).  Branch rows
+    are re-keyed as k*2 + side so the second level is ONE more stump pass
+    over the same machinery; pure or single-row branches emit no child
+    (no valid split) under the same rule both sides.
+
+    Output: (k, side, thr1, n2, n2_pos, thr2, score_num, score_den) — one
+    row per branch with its child split.
+
+    Scale shape: two window-stump passes + one broadcast join of the tiny
+    per-key root table; depth-d trees are d chained passes (no recursion
+    state)."""
+    from pyspark.sql import functions as F
+
+    root = decision_stump(df, key_col, f1_col, label_col).select(
+        F.col("k"), F.col("thr").alias("thr1")
+    )
+    b = df.select(
+        F.col(key_col).alias("k"), F.col(f1_col).alias("f1"),
+        F.col(f2_col).alias("f2"), F.col(label_col).alias("y"),
+    ).join(F.broadcast(root), "k")
+    b2 = b.withColumn(
+        "k2",
+        (F.col("k").cast("long") * 2
+         + F.when(F.col("f1") <= F.col("thr1"), 0).otherwise(1)).cast("long"),
+    )
+    child = decision_stump(b2, "k2", "f2", "y")
+    return (
+        child.select(
+            (F.col("k") / 2).cast("long").alias("k"),
+            (F.col("k") % 2).cast("long").alias("side"),
+            F.col("n").alias("n2"), F.col("n_pos").alias("n2_pos"),
+            F.col("thr").alias("thr2"), "score_num", "score_den",
+        )
+        .join(F.broadcast(root.withColumnRenamed("k", "k_")),
+              F.col("k") == F.col("k_"))
+        .select("k", "side", "thr1", "n2", "n2_pos", "thr2",
+                "score_num", "score_den")
+    )
+
+
+def tree_depth2_sql(
+    base_select: str,
+    key_col: str,
+    f1_col: str,
+    f2_col: str,
+    label_col: str,
+) -> str:
+    """DuckDB twin of ``tree_depth2`` (two chained stump replays)."""
+    root = decision_stump_sql(base_select, key_col, f1_col, label_col)
+    branch = f"""
+SELECT CAST(b.{key_col} AS BIGINT) * 2
+         + CASE WHEN b.{f1_col} <= r.thr THEN 0 ELSE 1 END AS k2,
+       b.{f2_col} AS f2, b.{label_col} AS y
+FROM ({base_select}) b JOIN ({root}) r ON r.k = b.{key_col}"""
+    child = decision_stump_sql(branch, "k2", "f2", "y")
+    return f"""
+SELECT c.k // 2 AS k, c.k % 2 AS side, r.thr AS thr1,
+       c.n AS n2, c.n_pos AS n2_pos, c.thr AS thr2,
+       c.score_num, c.score_den
+FROM ({child}) c JOIN ({root}) r ON r.k = c.k // 2"""
+
+
+def apportion_largest_remainder(
+    df: "DataFrame",
+    key_col: str,
+    votes_col: str,
+    seats: int,
+) -> "DataFrame":
+    """Largest-remainder (Hare) apportionment per group-less table:
+    quota_i = floor(votes_i * seats / total); the remaining
+    seats - sum(quota) seats go to the largest remainders
+    (votes_i * seats) mod total, ties to the larger vote then smaller key
+    — exact integer end to end.  The quota/allocation primitive behind
+    stratified sampling budgets, shard assignment, and election math.
+
+    Scale shape: one total (map-side combined), one window rank — the
+    party/stratum table is small by construction; rows stay distributed."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tot = df.agg(F.sum(F.col(votes_col).cast("long")).alias("t")).collect()[0]["t"]
+    s = int(seats)
+    b = df.select(
+        F.col(key_col).alias("k"), F.col(votes_col).cast("long").alias("v")
+    ).withColumn("quota", F.expr(f"(v * {s}) div {int(tot)}")) \
+     .withColumn("rem", (F.col("v") * s) % int(tot))
+    w = Window.orderBy(F.col("rem").desc(), F.col("v").desc(), F.col("k"))
+    base = b.agg(F.sum("quota").alias("q")).collect()[0]["q"]
+    extra = s - int(base)
+    return (
+        b.withColumn("rk", F.row_number().over(w))
+        .select(
+            "k", "v", "quota", "rem",
+            (F.col("quota")
+             + F.when(F.col("rk") <= extra, 1).otherwise(0)).alias("seats"),
+        )
+    )
+
+
+def apportion_sql(base_select: str, key_col: str, votes_col: str,
+                  seats: int) -> str:
+    """DuckDB twin of ``apportion_largest_remainder``."""
+    s = int(seats)
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, CAST({votes_col} AS BIGINT) AS v
+  FROM ({base_select}) t),
+t AS (SELECT sum(v) AS tot FROM b),
+q AS (
+  SELECT k, v, (v * {s}) // t.tot AS quota, (v * {s}) % t.tot AS rem
+  FROM b, t),
+e AS (SELECT {s} - sum(quota) AS extra FROM q)
+SELECT k, v, quota, rem,
+       quota + CASE WHEN row_number() OVER (
+           ORDER BY rem DESC, v DESC, k) <= e.extra THEN 1 ELSE 0 END AS seats
+FROM q, e"""
+
+
+def rendezvous_assign(
+    keys: "DataFrame",
+    nodes: list,
+    key_col: str = "key_id",
+) -> "DataFrame":
+    """Rendezvous (highest-random-weight) hashing: each key goes to the
+    node maximizing a deterministic mix hash(key, node) — the stateless
+    shard-assignment rule whose reshuffle on node loss is provably 1/n.
+    The mix is the splitmix-style multiplicative scramble used by the
+    engine's other derandomized ops (pure int64, mod 2^61-1).
+
+    Scale shape: one explode over the (small) node list + one window
+    argmax per key; no shuffle beyond the key partition."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    m = 2305843009213693951
+    nd = ", ".join(str(int(x)) for x in nodes)
+    ex = keys.select(F.col(key_col).alias("kid")).withColumn(
+        "node", F.explode(F.expr(f"array({nd})"))
+    ).withColumn("node", F.col("node").cast("long")).withColumn(
+        "hw",
+        F.expr(f"((kid * 1000003 + node * 998244353)"
+               f" % {m} + {m}) % {m}"),
+    )
+    w = Window.partitionBy("kid").orderBy(F.col("hw").desc(), "node")
+    return (
+        ex.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("kid").alias(key_col), "node", "hw")
+    )
+
+
+def rendezvous_sql(base_select: str, nodes: list,
+                   key_col: str = "key_id") -> str:
+    """DuckDB twin of ``rendezvous_assign``."""
+    m = 2305843009213693951
+    nd = ", ".join(str(int(x)) for x in nodes)
+    return f"""
+WITH k AS (SELECT {key_col} AS kid FROM ({base_select}) s),
+ex AS (
+  SELECT kid, CAST(n.node AS BIGINT) AS node,
+         ((kid * 1000003 + CAST(n.node AS BIGINT) * 998244353)
+          % {m} + {m}) % {m} AS hw
+  FROM k, (SELECT unnest([{nd}]) AS node) n)
+SELECT kid AS {key_col}, node, hw FROM (
+  SELECT *, row_number() OVER (PARTITION BY kid
+      ORDER BY hw DESC, node) AS rn FROM ex) r
+WHERE rn = 1"""

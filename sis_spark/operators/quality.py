@@ -628,3 +628,99 @@ def luhn_exprs(num: str, div_op: str) -> tuple[str, str]:
             terms.append(d)
     total = "(" + " + ".join(terms) + ")"
     return total, f"({total} % 10 = 0)"
+
+
+def merkle_root(
+    leaves: "DataFrame",
+    group_col: str = "g",
+    hash_col: str = "h",
+    rank_col: str = "rank",
+    rounds: int = 12,
+) -> "DataFrame":
+    """Merkle root per group over ordered leaf hashes: each round pairs
+    adjacent nodes (rank 2i-1, 2i), parent = md5(concat(left, right)) as
+    hex; an unpaired trailing node is promoted unchanged (the Bitcoin-
+    style odd rule, deterministic).  ``rounds`` must cover
+    ceil(log2(max leaves)); extra rounds are no-ops on single roots.
+    Spark md5(cast(s as binary)) == DuckDB md5(varchar) on UTF-8 text
+    (playbook rule 5).
+
+    The tamper-evident batch-integrity primitive over ingest shards —
+    with ``adler32`` per document this closes the manifest-integrity
+    story end to end.
+
+    Scale shape: log2(n) keyed 2-to-1 aggregations, node counts halving
+    each round; lineage cut per round (plan-shape lesson 6)."""
+    from pyspark.sql import functions as F
+
+    cur = leaves.select(
+        F.col(group_col).alias("g"),
+        F.col(hash_col).alias("h"),
+        F.col(rank_col).cast("long").alias("rank"),
+    ).localCheckpoint()
+    for _ in range(rounds):
+        paired = (
+            cur.withColumn("pos", F.expr("(rank - 1) div 2"))
+            .groupBy("g", "pos")
+            .agg(
+                F.min_by("h", "rank").alias("h1"),
+                F.max_by("h", "rank").alias("h2"),
+                F.count("*").alias("cnt"),
+            )
+            .select(
+                "g", (F.col("pos") + 1).alias("rank"),
+                F.when(F.col("cnt") == 2,
+                       F.expr("md5(cast(concat(h1, h2) as binary))"))
+                .otherwise(F.col("h1")).alias("h"),
+            )
+        )
+        cur = paired.localCheckpoint()
+    return cur.select("g", F.col("h").alias("root"))
+
+
+def merkle_root_sql(
+    leaves_select: str,
+    group_col: str = "g",
+    hash_col: str = "h",
+    rank_col: str = "rank",
+    rounds: int = 12,
+) -> str:
+    """DuckDB replay of ``merkle_root`` (chained pairing CTEs)."""
+    blocks = [
+        f"r0 AS MATERIALIZED (SELECT {group_col} AS g, {hash_col} AS h, "
+        f"CAST({rank_col} AS BIGINT) AS rank FROM ({leaves_select}) lv)"
+    ]
+    for i in range(rounds):
+        blocks.append(f"""r{i + 1} AS MATERIALIZED (
+  SELECT g, pos + 1 AS rank,
+         CASE WHEN cnt = 2 THEN md5(h1 || h2) ELSE h1 END AS h
+  FROM (
+    SELECT g, (rank - 1) // 2 AS pos, count(*) AS cnt,
+           arg_min(h, rank) AS h1, arg_max(h, rank) AS h2
+    FROM r{i} GROUP BY 1, 2) p)""")
+    return ("WITH " + ",\n".join(blocks)
+            + f"\nSELECT g, h AS root FROM r{rounds}")
+
+
+_SHAMIR_P = 2147483647  # Mersenne prime 2^31 - 1
+
+
+def shamir_exprs(secret: str, xs=(1, 2, 3, 4, 5)) -> list:
+    """Shamir (3,n) secret sharing over GF(2^31 - 1) as shared SQL text:
+    share_x = (s + a1*x + a2*x^2) mod p with deterministic coefficients
+    a1, a2 derived from the secret row (documented derandomization);
+    returns [(name, sql), ...] for the shares plus the reconstruction
+    from shares x=1,2,3 via the INTEGER Lagrange weights at 0
+    (L = [3, -3, 1] — the inverses cancel for consecutive x, so no
+    modular inversion is needed).  All products stay < 2^41."""
+    p = _SHAMIR_P
+    a1 = f"((({secret}) * 31 + 7) % {p})"
+    a2 = f"((({secret}) * 57 + 11) % {p})"
+    out = []
+    for x in xs:
+        out.append((f"y{x}",
+                    f"((({secret}) + {a1} * {x} + {a2} * {x * x}) % {p})"))
+    y1, y2, y3 = (o[1] for o in out[:3])
+    rec = f"((((3 * {y1} - 3 * {y2} + {y3}) % {p}) + {p}) % {p})"
+    out.append(("recovered", rec))
+    return out

@@ -20075,3 +20075,153 @@ def q_ohlc_oracle():
 
 
 QUERIES["ohlc"] = (q_ohlc, q_ohlc_oracle)
+
+
+def q_tree_depth2(spark, sf_dir):
+    """Depth-2 decision tree (analytics.tree_depth2): exact-Gini stump on
+    feature 1, then per-branch stumps on feature 2 over re-keyed branches
+    — two chained window passes, the shallow-tree extension of
+    `decision_stump`."""
+    from .operators.analytics import tree_depth2
+
+    ev = _read(spark, sf_dir, "events").select(
+        (F.col("event_id") % 8).cast("long").alias("g"),
+        ((F.col("event_id") * 7) % 50).cast("long").alias("f1"),
+        ((F.col("event_id") * 11) % 50).cast("long").alias("f2"),
+        F.when((F.col("event_id") * 7) % 50 < 25,
+               ((F.col("event_id") % 5) < 3).cast("long"))
+        .otherwise(((F.col("event_id") % 5) < 1).cast("long")).alias("y"),
+    )
+    return tree_depth2(ev, "g", "f1", "f2", "y").orderBy("k", "side")
+
+
+def q_tree_depth2_oracle():
+    from .operators.analytics import tree_depth2_sql
+
+    base = """
+SELECT event_id % 8 AS g, (event_id * 7) % 50 AS f1,
+       (event_id * 11) % 50 AS f2,
+       CASE WHEN (event_id * 7) % 50 < 25
+            THEN CAST((event_id % 5) < 3 AS BIGINT)
+            ELSE CAST((event_id % 5) < 1 AS BIGINT) END AS y
+FROM events"""
+    return ("SELECT * FROM (" + tree_depth2_sql(base, "g", "f1", "f2", "y")
+            + ") ORDER BY k, side")
+
+
+QUERIES["tree_depth2"] = (q_tree_depth2, q_tree_depth2_oracle)
+
+
+def q_apportion(spark, sf_dir):
+    """Largest-remainder (Hare) seat apportionment
+    (analytics.apportion_largest_remainder, 1000 seats) of order counts
+    per customer segment-key — exact integer quotas + remainder ranking;
+    the allocation primitive of sampling budgets and shard planning."""
+    from .operators.analytics import apportion_largest_remainder
+
+    votes = (
+        _read(spark, sf_dir, "orders")
+        .groupBy((F.col("o_custkey") % 25).cast("long").alias("seg"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return apportion_largest_remainder(votes, "seg", "n", seats=1000).orderBy("k")
+
+
+def q_apportion_oracle():
+    from .operators.analytics import apportion_sql
+
+    base = ("SELECT o_custkey % 25 AS seg, count(*) AS n "
+            "FROM orders GROUP BY 1")
+    return ("SELECT * FROM (" + apportion_sql(base, "seg", "n", 1000)
+            + ") ORDER BY k")
+
+
+QUERIES["apportion"] = (q_apportion, q_apportion_oracle)
+
+
+def q_rendezvous(spark, sf_dir):
+    """Rendezvous (HRW) shard assignment (analytics.rendezvous_assign) of
+    event keys across 12 nodes: explode + window argmax of a bounded
+    integer mix — the stateless consistent-assignment rule, minimal
+    reshuffle on node loss."""
+    from .operators.analytics import rendezvous_assign
+
+    keys = _read(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("key_id")
+    )
+    return rendezvous_assign(keys, list(range(12))).orderBy("key_id")
+
+
+def q_rendezvous_oracle():
+    from .operators.analytics import rendezvous_sql
+
+    return ("SELECT * FROM ("
+            + rendezvous_sql("SELECT event_id AS key_id FROM events",
+                             list(range(12)))
+            + ") ORDER BY key_id")
+
+
+QUERIES["rendezvous"] = (q_rendezvous, q_rendezvous_oracle)
+
+
+def q_merkle_root(spark, sf_dir):
+    """Merkle roots per document source (quality.merkle_root, 12 pairing
+    rounds): leaves are per-doc md5s in doc_id order, parents
+    md5(left || right) hex — the shard-integrity primitive; log-depth
+    2-to-1 aggregations."""
+    from .operators.quality import merkle_root
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    leaves = _read(spark, sf_dir, "documents").select(
+        F.col("source").alias("g"),
+        F.expr("md5(cast(text as binary))").alias("h"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+    return merkle_root(leaves).orderBy("g")
+
+
+def q_merkle_root_oracle():
+    from .operators.quality import merkle_root_sql
+
+    leaves = """
+SELECT source AS g, md5(text) AS h,
+       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rank
+FROM documents"""
+    return "SELECT * FROM (" + merkle_root_sql(leaves) + ") ORDER BY g"
+
+
+QUERIES["merkle_root"] = (q_merkle_root, q_merkle_root_oracle)
+
+
+def q_secret_share(spark, sf_dir):
+    """Shamir (3,5) secret sharing over GF(2^31-1)
+    (quality.shamir_exprs): five polynomial shares per document secret +
+    exact reconstruction from shares 1-3 with integer Lagrange weights —
+    map-only modular codegen, shared expression text both engines."""
+    from .operators.quality import shamir_exprs
+
+    exprs = shamir_exprs("s")
+    cols = [F.expr(sql).cast("long").alias(name) for name, sql in exprs]
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 123457) % 2147483647).cast("long").alias("s"),
+    )
+    return d.select("doc_id", "s", *cols).withColumn(
+        "ok", F.col("recovered") == F.col("s")
+    ).orderBy("doc_id")
+
+
+def q_secret_share_oracle():
+    from .operators.quality import shamir_exprs
+
+    exprs = shamir_exprs("s")
+    cols = ", ".join(f"{sql} AS {name}" for name, sql in exprs)
+    return f"""
+WITH d AS (
+  SELECT doc_id, (doc_id * 123457) % 2147483647 AS s FROM documents)
+SELECT doc_id, s, {cols},
+       {exprs[-1][1]} = s AS ok
+FROM d ORDER BY doc_id"""
+
+
+QUERIES["secret_share"] = (q_secret_share, q_secret_share_oracle)
