@@ -512,3 +512,70 @@ def kcenter_greedy_sql(base_select: str, k: int) -> str:
         for i in range(int(k))
     )
     return "WITH " + ",\n".join(blocks) + "\n" + sel
+
+
+def neyman_allocation(
+    df: "DataFrame",
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+) -> "DataFrame":
+    """Neyman-optimal stratified sampling allocation: n_h proportional to
+    N_h * sigma_h, with the weight computed EXACTLY as
+    floor(sqrt(N_h * sum(x^2) - sum(x)^2) * 1024) — N_h*sigma_h*N_h^0 ==
+    sqrt(N_h * M2_h) from two integer moments, one correctly-rounded IEEE
+    sqrt (identical across engines), then integer seats via the
+    largest-remainder apportionment already gated (`apportion`).
+
+    The sampling-design layer above stratified_sample: minimal-variance
+    budget split for a fixed total sample size (Neyman 1934, public
+    literature).  One aggregation + the tiny apportion table."""
+    from pyspark.sql import functions as F
+
+    from .analytics import apportion_largest_remainder
+
+    w = (
+        df.select(
+            F.col(stratum_col).alias("h"),
+            F.col(value_col).cast("long").alias("x"),
+        )
+        .groupBy("h")
+        .agg(
+            F.count("*").cast("long").alias("nh"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .select(
+            "h", "nh",
+            F.floor(
+                F.sqrt((F.col("nh") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")).cast("double"))
+                * 1024
+            ).cast("long").alias("wgt"),
+        )
+    )
+    alloc = apportion_largest_remainder(w, "h", "wgt", seats=int(total_n))
+    return (
+        alloc.select(F.col("k").alias(stratum_col), F.col("v").alias("wgt"),
+                     "quota", "rem", F.col("seats").alias("n_alloc"))
+        .join(w.select(F.col("h").alias(stratum_col), "nh"), stratum_col)
+    )
+
+
+def neyman_allocation_sql(base_select: str, stratum_col: str,
+                          value_col: str, total_n: int) -> str:
+    """DuckDB twin of ``neyman_allocation``."""
+    from .analytics import apportion_sql
+
+    w = f"""
+SELECT h, nh,
+       CAST(floor(sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)) * 1024) AS BIGINT) AS wgt
+FROM (
+  SELECT {stratum_col} AS h, count(*) AS nh,
+         sum(CAST({value_col} AS BIGINT)) AS sx,
+         sum(CAST({value_col} AS BIGINT) * CAST({value_col} AS BIGINT)) AS sxx
+  FROM ({base_select}) s GROUP BY 1) m"""
+    ap = apportion_sql(w, "h", "wgt", int(total_n))
+    return f"""
+SELECT a.k AS {stratum_col}, a.v AS wgt, a.quota, a.rem, a.seats AS n_alloc, ww.nh
+FROM ({ap}) a JOIN ({w}) ww ON ww.h = a.k"""

@@ -2197,3 +2197,89 @@ SELECT {key_col}, {bucket_col},
        count(*) AS volume
 FROM ({base_select}) s
 GROUP BY 1, 2"""
+
+
+def _varint_bytes(col):
+    """Bytes of an unsigned LEB128 varint for a zigzagged int64 column."""
+    return (
+        F.when(col < 128, 1)
+        .when(col < 16384, 2)
+        .when(col < 1 << 21, 3)
+        .when(col < 1 << 28, 4)
+        .when(col < 1 << 35, 5)
+        .when(col < 1 << 42, 6)
+        .when(col < 1 << 49, 7)
+        .when(col < 1 << 56, 8)
+        .otherwise(9)
+        .cast("long")
+    )
+
+
+def gorilla_size(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "v",
+) -> DataFrame:
+    """Gorilla/Prometheus-style compressed-size estimate per key: the
+    first sample costs 8 bytes, the second the varint of its zigzagged
+    delta, the rest the varint of the zigzagged delta-of-delta — the
+    standard time-series storage model (Facebook Gorilla, public paper),
+    with byte counts exact integers (zigzag z = 2|x| - [x<0]; LEB128
+    thresholds as CASE arms).  The what-will-this-cost planner for
+    telemetry retention.
+
+    Scale shape: two lag windows + one aggregation, all codegen."""
+    word = Window.partitionBy(key_col).orderBy(order_col)
+    d = (
+        df.select(key_col, order_col, F.col(value_col).cast("long").alias("v"))
+        .withColumn("d1", F.col("v") - F.lag("v").over(word))
+        .withColumn("dod", F.col("d1") - F.lag("d1").over(word))
+        .withColumn("rn", F.row_number().over(word))
+    )
+    enc = F.when(F.col("rn") == 1, F.lit(8).cast("long")).otherwise(
+        _varint_bytes(
+            2 * F.abs(F.coalesce(F.col("dod"), F.col("d1")))
+            - F.when(F.coalesce(F.col("dod"), F.col("d1")) < 0, 1).otherwise(0)
+        )
+    )
+    return (
+        d.withColumn("bytes", enc)
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("bytes").alias("total_bytes"),
+            F.max("bytes").alias("max_bytes"),
+        )
+    )
+
+
+def gorilla_size_sql(
+    base_select: str,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "v",
+) -> str:
+    """DuckDB twin of ``gorilla_size``."""
+    z = "(2 * abs(coalesce(dod, d1)) - CASE WHEN coalesce(dod, d1) < 0 THEN 1 ELSE 0 END)"
+    arms = " ".join(
+        f"WHEN {z} < {1 << (7 * k)} THEN {k}" for k in range(1, 9)
+    )
+    return f"""
+WITH b AS (
+  SELECT {key_col}, {order_col}, CAST({value_col} AS BIGINT) AS v
+  FROM ({base_select}) s),
+d0 AS (
+  SELECT {key_col}, {order_col},
+         v - lag(v) OVER w AS d1,
+         row_number() OVER w AS rn
+  FROM b WINDOW w AS (PARTITION BY {key_col} ORDER BY {order_col})),
+d AS (
+  SELECT {key_col}, d1,
+         d1 - lag(d1) OVER (PARTITION BY {key_col} ORDER BY {order_col}) AS dod,
+         rn
+  FROM d0)
+SELECT {key_col}, count(*) AS n,
+       sum(CASE WHEN rn = 1 THEN 8 ELSE CASE {arms} ELSE 9 END END) AS total_bytes,
+       max(CASE WHEN rn = 1 THEN 8 ELSE CASE {arms} ELSE 9 END END) AS max_bytes
+FROM d GROUP BY 1"""

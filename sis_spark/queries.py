@@ -20225,3 +20225,103 @@ FROM d ORDER BY doc_id"""
 
 
 QUERIES["secret_share"] = (q_secret_share, q_secret_share_oracle)
+
+
+def q_strahler(spark, sf_dir):
+    """Strahler stream order (raster/terrain.strahler_order) over the D8
+    flow forest of the 128x128 formula DEM: Jacobi rounds of
+    max/count-at-max upstream aggregations — the hydrological branching
+    index completing the flow_dir/flow_accum/watershed family.  Output:
+    per-tile position-weighted checksum + order histogram stats."""
+    from .raster.grid import GridGeometry
+    from .raster.terrain import flow_cells, flow_dir_tiles, strahler_order
+
+    W = H = 128
+    TS = 64
+    tiles = _formula_tiles(spark, W, H, bands=1, tile_size=TS)
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    cells = flow_cells(flow_dir_tiles(tiles, gg, tile_size=TS), gg, TS)
+    o = strahler_order(cells)
+    wt = ((F.col("y") * W + F.col("x")) % 9973 + 1).cast("long")
+    return (
+        o.groupBy(
+            (F.col("x") / TS).cast("long").alias("tx"),
+            (F.col("y") / TS).cast("long").alias("ty"),
+        )
+        .agg(
+            F.sum(F.col("ord") * wt).alias("cs"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("ord").alias("max_ord"),
+        )
+        .orderBy("tx", "ty")
+    )
+
+
+def q_strahler_oracle():
+    from .raster.terrain import _D8, strahler_rounds_sql
+
+    dx = " ".join(f"WHEN dir = {c} THEN {ddx}" for ddx, ddy, c in _D8)
+    dy = " ".join(f"WHEN dir = {c} THEN {ddy}" for ddx, ddy, c in _D8)
+    R = 6
+    return _d8_sql_cte(128, 128) + f""",
+step AS (
+  SELECT x, y, CASE {dx} END AS dx, CASE {dy} END AS dy
+  FROM dir WHERE dir > 0),
+{strahler_rounds_sql(R)}
+SELECT x // 64 AS tx, y // 64 AS ty,
+       sum(ord * ((y * 128 + x) % 9973 + 1)) AS cs,
+       count(*) AS n, max(ord) AS max_ord
+FROM o{R} GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+QUERIES["strahler"] = (q_strahler, q_strahler_oracle)
+
+
+def q_gorilla_size(spark, sf_dir):
+    """Gorilla-style storage-size estimate (timeseries.gorilla_size) per
+    user signal: zigzag delta-of-delta varint byte accounting, exact —
+    the telemetry-retention planner; two lag windows + one aggregation."""
+    from .operators.timeseries import gorilla_size
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        (F.col("event_id") * 3 % 97 + (F.col("event_id") % 7) * 50).cast("long").alias("v"),
+    )
+    return gorilla_size(ev).orderBy("user_id")
+
+
+def q_gorilla_size_oracle():
+    from .operators.timeseries import gorilla_size_sql
+
+    base = ("SELECT user_id, event_id, "
+            "event_id * 3 % 97 + (event_id % 7) * 50 AS v FROM events")
+    return ("SELECT * FROM (" + gorilla_size_sql(base) + ") ORDER BY user_id")
+
+
+QUERIES["gorilla_size"] = (q_gorilla_size, q_gorilla_size_oracle)
+
+
+def q_neyman(spark, sf_dir):
+    """Neyman-optimal stratified allocation (sampling.neyman_allocation,
+    10000 samples across event_type strata): exact integer moments, one
+    correctly-rounded sqrt quantized at 2^10, largest-remainder seats —
+    the sampling-design layer over `stratified_sample` + `apportion`."""
+    from .operators.sampling import neyman_allocation
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("x"),
+    )
+    return neyman_allocation(ev, "event_type", "x", 10000).orderBy("event_type")
+
+
+def q_neyman_oracle():
+    from .operators.sampling import neyman_allocation_sql
+
+    base = ("SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS x "
+            "FROM events")
+    return ("SELECT * FROM ("
+            + neyman_allocation_sql(base, "event_type", "x", 10000)
+            + ") ORDER BY event_type")
+
+
+QUERIES["neyman"] = (q_neyman, q_neyman_oracle)

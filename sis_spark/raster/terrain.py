@@ -2810,3 +2810,80 @@ def local_extrema_tiles(
     return contrib.groupBy("gtx", "gty").applyInPandas(
         fn, schema="x long, y long, v long"
     )
+
+
+def strahler_order(cells: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Strahler stream order over the D8 flow forest -> (x, y, ord):
+    headwater cells (no inflow) are order 1; a cell is m+1 when two or
+    more upstream cells share the max upstream order m, else m — the
+    classic hydrological branching index (Strahler 1957, public
+    literature).
+
+    Jacobi iteration: every round recomputes all orders from the previous
+    round's upstream orders (two keyed aggregations — max, then
+    count-at-max — plus one left join back to the cell set); orders only
+    grow and are bounded by log2(#cells), so the global sum is monotone
+    and the loop stops when it stabilizes.  One scalar per round crosses
+    the driver; lineage cut per round (plan-shape lesson 6)."""
+    dx, dy = _d8_step_cols()
+    edges = (
+        cells.filter(F.col("dir") > 0)
+        .select("x", "y", (F.col("x") + dx).alias("nx"), (F.col("y") + dy).alias("ny"))
+        .localCheckpoint()
+    )
+    base = cells.select("x", "y").localCheckpoint()
+    ordv = base.select("x", "y", F.lit(1).cast("long").alias("ord"))
+    prev_total = -1
+    for _ in range(max_rounds):
+        up = edges.join(ordv, ["x", "y"]).select(
+            F.col("nx").alias("x"), F.col("ny").alias("y"), "ord"
+        )
+        m = up.groupBy("x", "y").agg(F.max("ord").alias("m"))
+        c = (
+            up.join(m, ["x", "y"])
+            .filter(F.col("ord") == F.col("m"))
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        ordv = (
+            base.join(m, ["x", "y"], "left")
+            .join(c, ["x", "y"], "left")
+            .select(
+                "x", "y",
+                F.when(F.col("m").isNull(), 1)
+                .when(F.col("c") >= 2, F.col("m") + 1)
+                .otherwise(F.col("m")).cast("long").alias("ord"),
+            )
+            .localCheckpoint()
+        )
+        total = ordv.agg(F.sum("ord")).collect()[0][0]
+        if total == prev_total:
+            break
+        prev_total = total
+    return ordv
+
+
+def strahler_rounds_sql(rounds: int = 6) -> str:
+    """DuckDB replay of ``strahler_order`` as chained Jacobi rounds; must
+    be appended after a CTE prefix defining ``dir`` (cells) and ``step``
+    (dx/dy per flowing cell).  Returns the CTE blocks + final relation
+    name ``o{rounds}`` with columns (x, y, ord)."""
+    blocks = ["o0 AS MATERIALIZED (SELECT x, y, CAST(1 AS BIGINT) AS ord FROM dir)"]
+    for i in range(rounds):
+        blocks.append(f"""up{i} AS MATERIALIZED (
+  SELECT s.x + s.dx AS x, s.y + s.dy AS y, o.ord
+  FROM step s JOIN o{i} o ON o.x = s.x AND o.y = s.y),
+m{i} AS MATERIALIZED (SELECT x, y, max(ord) AS m FROM up{i} GROUP BY 1, 2),
+c{i} AS (
+  SELECT u.x, u.y, count(*) AS c
+  FROM up{i} u JOIN m{i} mm ON mm.x = u.x AND mm.y = u.y
+  WHERE u.ord = mm.m GROUP BY 1, 2),
+o{i + 1} AS MATERIALIZED (
+  SELECT p.x, p.y,
+         CAST(CASE WHEN mm.m IS NULL THEN 1
+                   WHEN cc.c >= 2 THEN mm.m + 1
+                   ELSE mm.m END AS BIGINT) AS ord
+  FROM dir p
+  LEFT JOIN m{i} mm ON mm.x = p.x AND mm.y = p.y
+  LEFT JOIN c{i} cc ON cc.x = p.x AND cc.y = p.y)""")
+    return ",\n".join(blocks)
