@@ -2225,3 +2225,63 @@ def earliest_arrival_sql(edges_select: str, src: int, rounds: int = 8) -> str:
   GROUP BY 1)""")
     return ("WITH " + ",\n".join(blocks)
             + f"\nSELECT node, arrival FROM a{rounds}")
+
+
+def wl_colors(
+    edges: DataFrame,
+    nodes: DataFrame,
+    rounds: int = 3,
+) -> DataFrame:
+    """Weisfeiler-Lehman color refinement (1-WL, public literature — the
+    graph-fingerprinting primitive of graph kernels and GNN expressivity):
+    every node starts with color md5('0'); each round recolors
+    c'(v) = md5(c(v) || '|' || sorted neighbor colors joined by ',') —
+    sort_array(collect_list(...)) makes the aggregation order-independent,
+    and md5-over-text is hex-identical across engines.
+
+    Output: (node, color) after ``rounds`` refinements.
+
+    Scale shape per round: one equi-join to fetch neighbor colors + one
+    keyed aggregation; color strings are constant-size hex; lineage cut
+    per round."""
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    cur = nodes.select("node").withColumn(
+        "c", F.expr("md5('0')")
+    ).localCheckpoint()
+    for _ in range(rounds):
+        nb = (
+            sym.join(cur.select(F.col("node").alias("v"),
+                                F.col("c").alias("nc")), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.array_join(F.array_sort(F.collect_list("nc")), ",").alias("ns"))
+        )
+        cur = (
+            cur.join(nb, "node", "left")
+            .select(
+                "node",
+                F.md5(F.concat(F.col("c"), F.lit("|"),
+                               F.coalesce(F.col("ns"), F.lit("")))
+                      .cast("binary")).alias("c"),
+            )
+            .localCheckpoint()
+        )
+    return cur.select("node", F.col("c").alias("color"))
+
+
+def wl_colors_sql(edges_select: str, nodes_select: str, rounds: int = 3) -> str:
+    """DuckDB replay of ``wl_colors`` (chained refinement CTEs)."""
+    blocks = [
+        f"es AS MATERIALIZED (SELECT a AS u, b AS v FROM ({edges_select}) e)",
+        f"c0 AS MATERIALIZED (SELECT node, md5('0') AS c "
+        f"FROM ({nodes_select}) n)",
+    ]
+    for i in range(rounds):
+        blocks.append(f"""nb{i} AS (
+  SELECT e.u AS node, string_agg(x.c, ',' ORDER BY x.c) AS ns
+  FROM es e JOIN c{i} x ON x.node = e.v
+  GROUP BY 1),
+c{i + 1} AS MATERIALIZED (
+  SELECT a.node, md5(a.c || '|' || coalesce(n.ns, '')) AS c
+  FROM c{i} a LEFT JOIN nb{i} n ON n.node = a.node)""")
+    return ("WITH " + ",\n".join(blocks)
+            + f"\nSELECT node, c AS color FROM c{rounds}")

@@ -2283,3 +2283,61 @@ SELECT {key_col}, count(*) AS n,
        sum(CASE WHEN rn = 1 THEN 8 ELSE CASE {arms} ELSE 9 END END) AS total_bytes,
        max(CASE WHEN rn = 1 THEN 8 ELSE CASE {arms} ELSE 9 END END) AS max_bytes
 FROM d GROUP BY 1"""
+
+
+def sliding_distinct(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "val",
+    window: int = 8,
+) -> DataFrame:
+    """Distinct values among the last ``window`` rows per key (sliding
+    COUNT(DISTINCT) — which window frames cannot express in either
+    engine): each row CONTRIBUTES its value to the next ``window`` ranks
+    via a bounded explode, and one count-distinct per (key, target rank)
+    collects them; the semi-join back to real ranks drops phantom targets
+    past the series end.
+
+    Scale shape: fan-out = window (constant), one keyed aggregation —
+    the same shape at any data size; no per-key state."""
+    word = Window.partitionBy(key_col).orderBy(order_col)
+    d = df.select(
+        key_col, order_col, F.col(value_col).alias("val")
+    ).withColumn("rn", F.row_number().over(word).cast("long"))
+    contrib = d.select(
+        key_col, "val",
+        F.explode(F.sequence(F.col("rn"),
+                             F.col("rn") + F.lit(int(window) - 1))).alias("trn"),
+    )
+    targets = d.select(key_col, F.col("rn").alias("trn"),
+                       F.col(order_col).alias("o"))
+    return (
+        contrib.join(targets, [key_col, "trn"])
+        .groupBy(key_col, "trn", "o")
+        .agg(F.countDistinct("val").alias("n_distinct"))
+        .select(key_col, F.col("o").alias(order_col),
+                F.col("trn").alias("rn"), "n_distinct")
+    )
+
+
+def sliding_distinct_sql(
+    base_select: str,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "val",
+    window: int = 8,
+) -> str:
+    """DuckDB twin of ``sliding_distinct``."""
+    return f"""
+WITH d AS (
+  SELECT {key_col}, {order_col}, {value_col} AS val,
+         CAST(row_number() OVER (PARTITION BY {key_col}
+              ORDER BY {order_col}) AS BIGINT) AS rn
+  FROM ({base_select}) s),
+contrib AS (
+  SELECT {key_col}, val, rn + j.j AS trn
+  FROM d, (SELECT unnest(range({int(window)})) AS j) j)
+SELECT c.{key_col}, t.{order_col}, t.rn, count(DISTINCT c.val) AS n_distinct
+FROM contrib c JOIN d t ON t.{key_col} = c.{key_col} AND t.rn = c.trn
+GROUP BY 1, 2, 3"""

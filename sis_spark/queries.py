@@ -20325,3 +20325,48 @@ def q_neyman_oracle():
 
 
 QUERIES["neyman"] = (q_neyman, q_neyman_oracle)
+
+
+def q_wl_colors(spark, sf_dir):
+    """1-WL color refinement (graph.wl_colors, 3 rounds) on the document
+    graph: md5 recoloring over sorted neighbor multisets — the graph
+    fingerprint behind WL kernels and GNN expressivity tests."""
+    from .operators.graph import wl_colors
+
+    edges, nodes = _mis_edges_df(spark, sf_dir)
+    return wl_colors(edges, nodes, rounds=3).orderBy("node")
+
+
+def q_wl_colors_oracle():
+    from .operators.graph import wl_colors_sql
+
+    nodes = "SELECT CAST(doc_id AS BIGINT) AS node FROM documents"
+    return ("SELECT * FROM (" + wl_colors_sql(_mis_edges_sql(), nodes, 3)
+            + ") ORDER BY node")
+
+
+QUERIES["wl_colors"] = (q_wl_colors, q_wl_colors_oracle)
+
+
+def q_sliding_distinct(spark, sf_dir):
+    """Sliding COUNT(DISTINCT event_type) over the last 8 events per user
+    (timeseries.sliding_distinct): the contribute-forward explode that
+    expresses what window frames cannot — constant fan-out, one keyed
+    aggregation."""
+    from .operators.timeseries import sliding_distinct
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("event_type").alias("val")
+    )
+    return sliding_distinct(ev).orderBy("user_id", "rn")
+
+
+def q_sliding_distinct_oracle():
+    from .operators.timeseries import sliding_distinct_sql
+
+    base = "SELECT user_id, event_id, event_type AS val FROM events"
+    return ("SELECT * FROM (" + sliding_distinct_sql(base)
+            + ") ORDER BY user_id, rn")
+
+
+QUERIES["sliding_distinct"] = (q_sliding_distinct, q_sliding_distinct_oracle)
