@@ -20370,3 +20370,90 @@ def q_sliding_distinct_oracle():
 
 
 QUERIES["sliding_distinct"] = (q_sliding_distinct, q_sliding_distinct_oracle)
+
+
+_ROT_M = (0.6, -0.8, 121.65, 0.8, 0.6, -83.45)  # 3-4-5 rotation, dst->src
+_ROT_SW = _ROT_SH = 192
+_ROT_DW = _ROT_DH = 256
+
+
+def _rot_geoms():
+    from .functions import transforms as _tr
+    from .raster.grid import GridGeometry
+
+    src_gg = GridGeometry((0, 0, _ROT_SW - 1, _ROT_SH - 1),
+                          (1.0, 0.0, 0.0, 0.0, -1.0, float(_ROT_SH)))
+    dst_aff = _tr.affine_concat(src_gg.affine, _ROT_M)
+    dst_gg = GridGeometry((0, 0, _ROT_DW - 1, _ROT_DH - 1), dst_aff)
+    return src_gg, dst_gg
+
+
+def q_rotate_nearest(spark, sf_dir):
+    """Arbitrary-angle raster rotation through the gather warp
+    (resample_gather with a ROTATING affine — the first gate exercising
+    the manifest's four-corner bound): the 3-4-5 Pythagorean rotation
+    (cos 0.6 / sin 0.8) lands every source fraction on the 0.2 grid
+    offset by .05, so nearest rint has no ties; the oracle recomputes the
+    merged center chain with the engine's own affine functions and
+    replays the per-pixel map verbatim.  Output: per-dst-tile exact
+    count/sum/position-weighted checksums."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.tiles import resample_gather
+
+    src_gg, dst_gg = _rot_geoms()
+    tiles = _formula_tiles(spark, _ROT_SW, _ROT_SH, bands=1)
+    out = resample_gather(tiles, src_gg, dst_gg, method="nearest")
+
+    def chk(batches):
+        gxs = _np.arange(64, dtype=_np.int64)
+        for pdf in batches:
+            rows = []
+            for tx, ty, band, data in zip(pdf["tx"], pdf["ty"], pdf["band"], pdf["data"]):
+                tx, ty = int(tx), int(ty)
+                block = _np.frombuffer(data, dtype=_np.uint8).reshape(64, 64)
+                GX, GY = _np.meshgrid(tx * 64 + gxs, ty * 64 + gxs)
+                v = block.astype(_np.int64)
+                px = GY * _ROT_DW + GX
+                rows.append({
+                    "tx": tx, "ty": ty, "band": int(band),
+                    "n": int(v.size), "s": int(v.sum()),
+                    "ws": int((v * px).sum()),
+                })
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return out.mapInPandas(
+        chk, schema="tx long, ty long, band int, n long, s long, ws long"
+    ).orderBy("tx", "ty")
+
+
+def q_rotate_nearest_oracle():
+    from .functions import transforms as _tr
+
+    src_gg, dst_gg = _rot_geoms()
+    chain = _tr.affine_concat(_tr.affine_invert(src_gg.affine), dst_gg.affine)
+    a, b, c, d, e, f = _tr.affine_concat(chain, (1.0, 0.0, 0.5, 0.0, 1.0, 0.5))
+    lit = lambda v: f"{v:.17e}"
+    fx = f"(({lit(a)} * x + {lit(b)} * y + {lit(c)}) - 5.0e-1)"
+    fy = f"(({lit(d)} * x + {lit(e)} * y + {lit(f)}) - 5.0e-1)"
+    ws_, hs_ = _ROT_SW, _ROT_SH
+    outside = (f"({fx} < -5.0e-1 OR {fx} >= {ws_ - 0.5:.17e} "
+               f"OR {fy} < -5.0e-1 OR {fy} >= {hs_ - 0.5:.17e})")
+    sx = f"CAST(round(least(greatest({fx}, 0.0e0), {ws_ - 1.0:.17e})) AS BIGINT)"
+    sy = f"CAST(round(least(greatest({fy}, 0.0e0), {hs_ - 1.0:.17e})) AS BIGINT)"
+    return f"""
+WITH d AS (
+  SELECT gx.x AS x, gy.y AS y,
+         CASE WHEN {outside} THEN 0
+              ELSE ({sx} * 7 + {sy} * 13) % 256 END AS v
+  FROM generate_series(0, {_ROT_DW - 1}) gx(x),
+       generate_series(0, {_ROT_DH - 1}) gy(y))
+SELECT x // 64 AS tx, y // 64 AS ty, CAST(0 AS INT) AS band,
+       count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+       CAST(sum(v * (y * {_ROT_DW} + x)) AS BIGINT) AS ws
+FROM d GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+QUERIES["rotate_nearest"] = (q_rotate_nearest, q_rotate_nearest_oracle)
