@@ -304,3 +304,32 @@ def cell_sql_flat(lon_sql: str, lat_sql: str, res: int) -> str:
         terms.append(f"((({ix} >> {i}) & 1) << {2 * i + 1})")
         terms.append(f"((({iy} >> {i}) & 1) << {2 * i})")
     return "(" + " + ".join(terms) + ")"
+
+
+_OLC_ALPHABET = "23456789CFGHJMPQRVWX"
+
+
+def pluscode_expr(lat: str, lon: str, div_op: str) -> str:
+    """10-character Open Location Code (Plus Code, Google open spec) as a
+    single shared-shape SQL expression: lat/lon scaled by 8000 (the
+    10-char cell is 1/8000 deg), five base-20 digit pairs interleaved
+    lat-then-lon with '+' after the eighth character.  floor() of the
+    identical double product is engine-identical; all digit math is
+    integer.  ``div_op`` is ' div ' (Spark) or ' // ' (DuckDB).
+
+    The global-addressing twin of the geohash/MGRS encoders
+    (G/GeohashReferenceSystem.java:400 precedent) — map-only codegen."""
+    latv = (f"least(greatest(CAST(floor((({lat}) + 90.0e0) * 8.0e3) AS BIGINT),"
+            f" 0), {180 * 8000 - 1})")
+    lonv = (f"((CAST(floor((({lon}) + 180.0e0) * 8.0e3) AS BIGINT) % {360 * 8000}"
+            f" + {360 * 8000}) % {360 * 8000})")
+    parts = []
+    for i in range(5):
+        p = 20 ** (4 - i)
+        for v in (latv, lonv):
+            idx = f"((({v}){div_op}{p}) % 20)"
+            parts.append(
+                f"substr('{_OLC_ALPHABET}', CAST({idx} + 1 AS INT), 1)")
+        if i == 3:
+            parts.append("'+'")
+    return "(" + " || ".join(parts) + ")"

@@ -12,7 +12,7 @@ cannot drift between engine and oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # stopword marker lists per language for the n-gram/stopword language guesser
@@ -2595,3 +2595,108 @@ SELECT {id_col},
        (swb + n) % 65521 AS bb,
        ((swb + n) % 65521) * 65536 + (sb + 1) % 65521 AS adler
 FROM s"""
+
+
+_TEXTRANK_SHIFT = 4096  # node id = doc_id * SHIFT + chunk (chunks < 4096)
+
+
+def textrank_chunks(docs: DataFrame, chunk_tokens: int = 8,
+                    min_shared: int = 2, iters: int = 3, top_k: int = 2,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """TextRank extractive summarization (Mihalcea & Tarau 2004, public
+    literature) over fixed-size token chunks: chunks sharing >=
+    ``min_shared`` distinct tokens are linked, and the engine's exact
+    integer PageRank ranks them — all documents run as components of ONE
+    global graph (composite node id doc*4096+chunk; the global teleport
+    term is a documented variant of per-document teleport — it adds the
+    same base mass to every node, so within-document comparisons follow
+    the link structure).  Output: top ``top_k`` chunks per document by
+    (rank DESC, chunk).
+
+    Scale shape: token explode + one self-join on (doc, token) bounded by
+    per-doc vocabulary, then the pagerank rounds (keyed aggs); no
+    per-document driver work."""
+    from .graph import pagerank_exact
+
+    toks = docs.select(
+        F.col(id_col).alias("d"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p", "t"),
+    ).filter(F.col("t") != "").select(
+        "d", (F.col("p") / chunk_tokens).cast("long").alias("c"), "t"
+    )
+    cdt = toks.distinct()
+    a = cdt.select(F.col("d"), F.col("c").alias("ca"), "t")
+    b = cdt.select(F.col("d"), F.col("c").alias("cb"), "t")
+    pe = (
+        a.join(b, ["d", "t"])
+        .filter(F.col("ca") < F.col("cb"))
+        .groupBy("d", "ca", "cb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= int(min_shared))
+    )
+    sh = _TEXTRANK_SHIFT
+    edges = pe.select(
+        (F.col("d") * sh + F.col("ca")).alias("src"),
+        (F.col("d") * sh + F.col("cb")).alias("dst"),
+    ).unionByName(pe.select(
+        (F.col("d") * sh + F.col("cb")).alias("src"),
+        (F.col("d") * sh + F.col("ca")).alias("dst"),
+    ))
+    nodes = cdt.select((F.col("d") * sh + F.col("c")).alias("node")).distinct()
+    ranks = pagerank_exact(edges, nodes, iters=iters)
+    w = Window.partitionBy((F.col("node") / sh).cast("long")).orderBy(
+        F.col("rank").desc(), F.col("node")
+    )
+    return (
+        ranks.withColumn("pick", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick") <= int(top_k))
+        .select(
+            (F.col("node") / sh).cast("long").alias(id_col),
+            "pick", (F.col("node") % sh).alias("chunk"), "rank",
+        )
+    )
+
+
+def textrank_chunks_sql(rel: str = "documents", chunk_tokens: int = 8,
+                        min_shared: int = 2, iters: int = 3, top_k: int = 2,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        scale: int = 10**12) -> str:
+    """DuckDB twin of ``textrank_chunks`` (pagerank blocks chained per
+    iteration — the q_pagerank oracle template over the chunk graph)."""
+    sh = _TEXTRANK_SHIFT
+    S = int(scale)
+    blocks = [f"""w AS (SELECT {id_col} AS d, string_split({text_col}, ' ') AS ws FROM {rel}),
+toks AS (
+  SELECT d, (generate_subscripts(ws, 1) - 1) // {int(chunk_tokens)} AS c,
+         unnest(ws) AS t
+  FROM w),
+cdt AS (SELECT DISTINCT d, c, t FROM toks WHERE t <> ''),
+pe AS (
+  SELECT a.d, a.c AS ca, b.c AS cb
+  FROM cdt a JOIN cdt b ON a.d = b.d AND a.t = b.t AND a.c < b.c
+  GROUP BY 1, 2, 3 HAVING count(*) >= {int(min_shared)}),
+e AS (
+  SELECT d * {sh} + ca AS src, d * {sh} + cb AS dst FROM pe
+  UNION ALL SELECT d * {sh} + cb, d * {sh} + ca FROM pe),
+nodes AS (SELECT DISTINCT d * {sh} + c AS node FROM cdt),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+r0 AS (SELECT node, {S} // nn.n AS rank FROM nodes, nn)"""]
+    for i in range(int(iters)):
+        blocks.append(f"""c{i + 1} AS (
+  SELECT e.dst AS node, sum(r.rank // d.outdeg) AS s
+  FROM e JOIN r{i} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY 1),
+r{i + 1} AS (
+  SELECT nodes.node,
+         ({S} * 15) // (100 * nn.n) + (85 * COALESCE(c.s, 0)) // 100 AS rank
+  FROM nodes LEFT JOIN c{i + 1} c ON c.node = nodes.node, nn)""")
+    return "WITH " + ",\n".join(blocks) + f"""
+SELECT node // {sh} AS {id_col}, pick, node % {sh} AS chunk,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT node, rank,
+         CAST(row_number() OVER (PARTITION BY node // {sh}
+              ORDER BY rank DESC, node) AS BIGINT) AS pick
+  FROM r{int(iters)}) t
+WHERE pick <= {int(top_k)}"""

@@ -20457,3 +20457,53 @@ FROM d GROUP BY 1, 2 ORDER BY tx, ty"""
 
 
 QUERIES["rotate_nearest"] = (q_rotate_nearest, q_rotate_nearest_oracle)
+
+
+def q_textrank(spark, sf_dir):
+    """TextRank chunk summarization (textops.textrank_chunks): 8-token
+    chunks linked by >=2 shared tokens, ranked by the engine's exact
+    integer PageRank over one global multi-component graph; top-2 chunks
+    per document — the extractive-summary layer of the text suite."""
+    from .operators.textops import textrank_chunks
+
+    return textrank_chunks(_read(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "pick"
+    )
+
+
+def q_textrank_oracle():
+    from .operators.textops import textrank_chunks_sql
+
+    return ("SELECT * FROM (" + textrank_chunks_sql()
+            + ") ORDER BY doc_id, pick")
+
+
+QUERIES["textrank"] = (q_textrank, q_textrank_oracle)
+
+
+def q_pluscode(spark, sf_dir):
+    """Open Location Code encoding (functions/cells.pluscode_expr,
+    10-char precision) of the event points: base-20 interleaved digit
+    pairs, pure integer after one shared floor — the third global
+    geocoder next to geohash and MGRS."""
+    from .functions.cells import pluscode_expr
+
+    pts = _events_points(spark, sf_dir)
+    code = pluscode_expr("lat", "lon", " div ")
+    return pts.select(
+        "event_id", F.expr(code).alias("pluscode")
+    ).orderBy("event_id")
+
+
+def q_pluscode_oracle():
+    from .functions.cells import pluscode_expr
+
+    lat = synth.point_lat_sql("event_id")
+    lon = synth.point_lon_sql("event_id")
+    code = pluscode_expr(f"({lat})", f"({lon})", " // ")
+    return f"""
+SELECT event_id, {code} AS pluscode
+FROM events ORDER BY event_id"""
+
+
+QUERIES["pluscode"] = (q_pluscode, q_pluscode_oracle)
