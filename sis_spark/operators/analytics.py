@@ -3156,3 +3156,248 @@ SELECT kid AS {key_col}, node, hw FROM (
   SELECT *, row_number() OVER (PARTITION BY kid
       ORDER BY hw DESC, node) AS rn FROM ex) r
 WHERE rn = 1"""
+
+
+def fisher_lda(
+    df: "DataFrame",
+    group_col: str,
+    x1_col: str,
+    x2_col: str,
+    label_col: str,
+) -> "DataFrame":
+    """Fisher linear discriminant (2 features, 2 classes) per group,
+    EXACT: the within-class scatter is cleared of denominators as
+    T = n1*(n0*Sxx0 - Sx0 Sx0^T) + n0*(n1*Sxx1 - Sx1 Sx1^T) and the mean
+    difference as D = n0*Sx1 - n1*Sx0 (both integer), so the discriminant
+    direction w = adj(T) . D is an exact int64 vector, sign-normalized to
+    (w1, w2) lexicographically positive (no gcd reduction — Spark has no
+    gcd builtin; the raw vector fits int64 under the stated bounds).  Keep
+    |features| <= ~30 and per-class n <= ~400: |w| stays < 6e17.
+
+    Output: (g, n0, n1, t11, t12, t22, d1, d2, w1, w2).
+
+    Scale shape: one map-side-combined moment aggregation + per-row
+    integer algebra — the classic closed-form classifier with no
+    iteration."""
+    from pyspark.sql import functions as F
+
+    b = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x1_col).cast("long").alias("x1"),
+        F.col(x2_col).cast("long").alias("x2"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    m = b.groupBy("g").agg(
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("n1"),
+        *[
+            F.sum(F.when(F.col("y") == c, expr).otherwise(0)).alias(name)
+            for c in (0, 1)
+            for name, expr in [
+                (f"sx1_{c}", F.col("x1")), (f"sx2_{c}", F.col("x2")),
+                (f"s11_{c}", F.col("x1") * F.col("x1")),
+                (f"s12_{c}", F.col("x1") * F.col("x2")),
+                (f"s22_{c}", F.col("x2") * F.col("x2")),
+            ]
+        ],
+    )
+    t11 = (F.col("n1") * (F.col("n0") * F.col("s11_0") - F.col("sx1_0") * F.col("sx1_0"))
+           + F.col("n0") * (F.col("n1") * F.col("s11_1") - F.col("sx1_1") * F.col("sx1_1")))
+    t12 = (F.col("n1") * (F.col("n0") * F.col("s12_0") - F.col("sx1_0") * F.col("sx2_0"))
+           + F.col("n0") * (F.col("n1") * F.col("s12_1") - F.col("sx1_1") * F.col("sx2_1")))
+    t22 = (F.col("n1") * (F.col("n0") * F.col("s22_0") - F.col("sx2_0") * F.col("sx2_0"))
+           + F.col("n0") * (F.col("n1") * F.col("s22_1") - F.col("sx2_1") * F.col("sx2_1")))
+    d1 = F.col("n0") * F.col("sx1_1") - F.col("n1") * F.col("sx1_0")
+    d2 = F.col("n0") * F.col("sx2_1") - F.col("n1") * F.col("sx2_0")
+    s = m.select("g", "n0", "n1",
+                 t11.alias("t11"), t12.alias("t12"), t22.alias("t22"),
+                 d1.alias("d1"), d2.alias("d2"))
+    w1r = F.col("t22") * F.col("d1") - F.col("t12") * F.col("d2")
+    w2r = F.col("t11") * F.col("d2") - F.col("t12") * F.col("d1")
+    s = s.withColumn("w1r", w1r).withColumn("w2r", w2r)
+    sgn = F.when(
+        (F.col("w1r") < 0) | ((F.col("w1r") == 0) & (F.col("w2r") < 0)), -1
+    ).otherwise(1)
+    # the raw adjugate vector fits int64 under the documented bounds; no
+    # reduction (Spark has no gcd builtin), sign normalized only
+    return s.select(
+        "g", "n0", "n1", "t11", "t12", "t22", "d1", "d2",
+        (sgn * F.col("w1r")).cast("long").alias("w1"),
+        (sgn * F.col("w2r")).cast("long").alias("w2"),
+    )
+
+
+def fisher_lda_sql(base_select: str, group_col: str, x1_col: str,
+                   x2_col: str, label_col: str) -> str:
+    """DuckDB twin of ``fisher_lda``."""
+    mom = []
+    for c in (0, 1):
+        for name, expr in [(f"sx1_{c}", "x1"), (f"sx2_{c}", "x2"),
+                           (f"s11_{c}", "x1 * x1"), (f"s12_{c}", "x1 * x2"),
+                           (f"s22_{c}", "x2 * x2")]:
+            mom.append(f"sum(CASE WHEN y = {c} THEN {expr} ELSE 0 END) AS {name}")
+    return f"""
+WITH b AS (
+  SELECT {group_col} AS g, CAST({x1_col} AS BIGINT) AS x1,
+         CAST({x2_col} AS BIGINT) AS x2, CAST({label_col} AS BIGINT) AS y
+  FROM ({base_select}) s),
+m AS (
+  SELECT g,
+         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n0,
+         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1,
+         {', '.join(mom)}
+  FROM b GROUP BY 1),
+t AS (
+  SELECT g, n0, n1,
+         n1 * (n0 * s11_0 - sx1_0 * sx1_0) + n0 * (n1 * s11_1 - sx1_1 * sx1_1) AS t11,
+         n1 * (n0 * s12_0 - sx1_0 * sx2_0) + n0 * (n1 * s12_1 - sx1_1 * sx2_1) AS t12,
+         n1 * (n0 * s22_0 - sx2_0 * sx2_0) + n0 * (n1 * s22_1 - sx2_1 * sx2_1) AS t22,
+         n0 * sx1_1 - n1 * sx1_0 AS d1,
+         n0 * sx2_1 - n1 * sx2_0 AS d2
+  FROM m),
+w AS (
+  SELECT *, t22 * d1 - t12 * d2 AS w1r, t11 * d2 - t12 * d1 AS w2r FROM t)
+SELECT g, n0, n1, t11, t12, t22, d1, d2,
+       (CASE WHEN w1r < 0 OR (w1r = 0 AND w2r < 0) THEN -1 ELSE 1 END)
+         * w1r AS w1,
+       (CASE WHEN w1r < 0 OR (w1r = 0 AND w2r < 0) THEN -1 ELSE 1 END)
+         * w2r AS w2
+FROM w"""
+
+
+def brier_decomposition(
+    df: "DataFrame",
+    bin_col: str = "k",
+    outcome_col: str = "o",
+    bins: int = 20,
+    q: int = 1 << 12,
+) -> "DataFrame":
+    """Murphy decomposition of the Brier score (reliability / resolution /
+    uncertainty) over pre-binned probability forecasts p = k/bins, exact:
+    REL = sum_k n_k (p_k - o_k)^2 / N and RES = sum_k n_k (o_k - o)^2 / N
+    quantize PER BIN as floor(num^2 * q / den) with integer numerators
+    (n_k*k - bins*m_k and N*m_k - M*n_k), so the sums are
+    order-independent int64 (keep N <= ~3e4: (N*m_k)^2 * q must stay
+    under 2^63 — cap or pre-aggregate beyond); UNC = o(1-o) emits as the integer pair
+    (M*(N-M), N^2).  The calibration-diagnostics layer over `brier` and
+    `calibration_bins`.
+
+    Output: one row (n, m, rel_q, res_q, unc_num, unc_den)."""
+    from pyspark.sql import functions as F
+
+    b = df.select(
+        F.col(bin_col).cast("long").alias("k"),
+        F.col(outcome_col).cast("long").alias("o"),
+    )
+    per = b.groupBy("k").agg(
+        F.count("*").alias("nk"), F.sum("o").alias("mk")
+    )
+    tot = b.agg(F.count("*").alias("n"), F.sum("o").alias("m"))
+    j = per.crossJoin(F.broadcast(tot))
+    K = int(bins)
+    rel = F.expr(
+        f"(((nk * k - {K} * mk) * (nk * k - {K} * mk)) * {int(q)})"
+        f" div ({K} * {K} * nk * n)"
+    )
+    res = F.expr(
+        f"(((n * mk - m * nk) * (n * mk - m * nk)) * {int(q)})"
+        f" div (n * n * nk * n)"
+    )
+    return (
+        j.select("n", "m", rel.alias("relk"), res.alias("resk"))
+        .groupBy("n", "m")
+        .agg(F.sum("relk").alias("rel_q"), F.sum("resk").alias("res_q"))
+        .select(
+            "n", "m", "rel_q", "res_q",
+            (F.col("m") * (F.col("n") - F.col("m"))).alias("unc_num"),
+            (F.col("n") * F.col("n")).alias("unc_den"),
+        )
+    )
+
+
+def brier_decomposition_sql(base_select: str, bin_col: str = "k",
+                            outcome_col: str = "o", bins: int = 20,
+                            q: int = 1 << 12) -> str:
+    """DuckDB twin of ``brier_decomposition``."""
+    K = int(bins)
+    return f"""
+WITH b AS (
+  SELECT CAST({bin_col} AS BIGINT) AS k, CAST({outcome_col} AS BIGINT) AS o
+  FROM ({base_select}) s),
+per AS (SELECT k, count(*) AS nk, sum(o) AS mk FROM b GROUP BY 1),
+tot AS (SELECT count(*) AS n, sum(o) AS m FROM b),
+j AS (
+  SELECT n, m,
+         (((nk * k - {K} * mk) * (nk * k - {K} * mk)) * {int(q)})
+           // ({K} * {K} * nk * n) AS relk,
+         (((n * mk - m * nk) * (n * mk - m * nk)) * {int(q)})
+           // (n * n * nk * n) AS resk
+  FROM per, tot)
+SELECT n, m, sum(relk) AS rel_q, sum(resk) AS res_q,
+       m * (n - m) AS unc_num, n * n AS unc_den
+FROM j GROUP BY n, m"""
+
+
+def rbo_scores(
+    ranks: "DataFrame",
+    key_col: str = "q",
+    pos_a_col: str = "pa",
+    pos_b_col: str = "pb",
+    depth: int = 12,
+    q: int = 1 << 12,
+) -> "DataFrame":
+    """Rank-biased overlap (Webber et al. 2010, public literature) between
+    two rankings per key, p = 9/10, truncated at ``depth``: RBO =
+    (1-p)/p * sum_d p^d * X_d / d with X_d = |A[:d] ∩ B[:d]|.  Each term
+    quantizes as floor(9^(d-1) * X_d * q / (10^d * d)) — exact integers
+    (9^(depth-1) * X * q must stay under 2^63, hence depth <= ~14), the
+    sum order-independent.  An item contributes to X_d for every
+    d >= max(pos_a, pos_b): one bounded explode + two aggregations.
+
+    Input: one row per (key, item) with both positions (1-based)."""
+    from pyspark.sql import functions as F
+
+    d = ranks.select(
+        F.col(key_col).alias("k"),
+        F.greatest(F.col(pos_a_col), F.col(pos_b_col)).cast("long").alias("mp"),
+    ).filter(F.col("mp") <= int(depth))
+    ex = d.select(
+        "k", F.explode(F.sequence(F.col("mp"), F.lit(int(depth)))).alias("d")
+    )
+    xd = ex.groupBy("k", "d").agg(F.count("*").alias("x"))
+    term = F.expr(
+        " ".join([
+            "CASE d",
+            *[f"WHEN {dd} THEN (x * {9 ** (dd - 1)} * {int(q)}) div {10 ** dd * dd}"
+              for dd in range(1, int(depth) + 1)],
+            "END",
+        ])
+    )
+    return (
+        xd.withColumn("t", term)
+        .groupBy(F.col("k").alias(key_col))
+        .agg(F.sum("t").alias("rbo_q"))
+    )
+
+
+def rbo_scores_sql(base_select: str, key_col: str = "q",
+                   pos_a_col: str = "pa", pos_b_col: str = "pb",
+                   depth: int = 12, q: int = 1 << 12) -> str:
+    """DuckDB twin of ``rbo_scores``."""
+    arms = " ".join(
+        f"WHEN {dd} THEN (x * {9 ** (dd - 1)} * {int(q)}) // {10 ** dd * dd}"
+        for dd in range(1, int(depth) + 1)
+    )
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k,
+         greatest(CAST({pos_a_col} AS BIGINT), CAST({pos_b_col} AS BIGINT)) AS mp
+  FROM ({base_select}) s
+  WHERE greatest({pos_a_col}, {pos_b_col}) <= {int(depth)}),
+ex AS (
+  SELECT k, mp + j.j AS d
+  FROM b, (SELECT unnest(range({int(depth)})) AS j) j
+  WHERE mp + j.j <= {int(depth)}),
+xd AS (SELECT k, d, count(*) AS x FROM ex GROUP BY 1, 2)
+SELECT k AS {key_col}, sum(CASE d {arms} END) AS rbo_q
+FROM xd GROUP BY 1"""

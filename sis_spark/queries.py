@@ -20507,3 +20507,104 @@ FROM events ORDER BY event_id"""
 
 
 QUERIES["pluscode"] = (q_pluscode, q_pluscode_oracle)
+
+
+def q_fisher_lda(spark, sf_dir):
+    """Fisher linear discriminant per event_type (analytics.fisher_lda):
+    denominator-cleared within-class scatter + adjugate solve, gcd-reduced
+    exact integer direction — the closed-form classifier next to
+    `decision_stump`/`tree_depth2`.  Features bounded (% 30) and classes
+    capped so every product stays under int64."""
+    from .operators.analytics import fisher_lda
+
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    ev = (
+        _read(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 600)
+        .select(
+            F.col("event_type").alias("g"),
+            ((F.col("event_id") * 7) % 30).cast("long").alias("x1"),
+            ((F.col("event_id") * 11) % 30).cast("long").alias("x2"),
+            (F.col("event_id") % 2).cast("long").alias("y"),
+        )
+    )
+    return fisher_lda(ev, "g", "x1", "x2", "y").orderBy("g")
+
+
+def q_fisher_lda_oracle():
+    from .operators.analytics import fisher_lda_sql
+
+    base = """
+SELECT event_type AS g, (event_id * 7) % 30 AS x1,
+       (event_id * 11) % 30 AS x2, event_id % 2 AS y
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+          ORDER BY event_id) AS rn FROM events) t
+WHERE rn <= 600"""
+    return ("SELECT * FROM (" + fisher_lda_sql(base, "g", "x1", "x2", "y")
+            + ") ORDER BY g")
+
+
+QUERIES["fisher_lda"] = (q_fisher_lda, q_fisher_lda_oracle)
+
+
+def q_brier_decomp(spark, sf_dir):
+    """Murphy decomposition of the Brier score
+    (analytics.brier_decomposition): per-bin quantized reliability +
+    resolution and the exact uncertainty rational over deterministic
+    20-bin forecasts — the diagnostics layer above `brier` /
+    `calibration_bins`."""
+    from .operators.analytics import brier_decomposition
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") < 8000).select(
+        (F.col("event_id") % 20).cast("long").alias("k"),
+        ((F.col("event_id") * 13) % 40 < (F.col("event_id") % 20) * 2)
+        .cast("long").alias("o"),
+    )
+    return brier_decomposition(ev).orderBy("n")
+
+
+def q_brier_decomp_oracle():
+    from .operators.analytics import brier_decomposition_sql
+
+    base = """
+SELECT event_id % 20 AS k,
+       CAST((event_id * 13) % 40 < (event_id % 20) * 2 AS BIGINT) AS o
+FROM events WHERE event_id < 8000"""
+    return ("SELECT * FROM (" + brier_decomposition_sql(base)
+            + ") ORDER BY n")
+
+
+QUERIES["brier_decomp"] = (q_brier_decomp, q_brier_decomp_oracle)
+
+
+def q_rbo(spark, sf_dir):
+    """Rank-biased overlap (analytics.rbo_scores, p=9/10, depth 12)
+    between two closed-form permutation rankings of 20 items per query:
+    per-depth quantized geometric terms, exact int64 — the top-weighted
+    rank-agreement metric next to `ndcg`/`kendall_tau`."""
+    from .operators.analytics import rbo_scores
+
+    items = spark.range(200).select(
+        (F.col("id") / 20).cast("long").alias("q"),
+        (F.col("id") % 20).alias("i"),
+    ).select(
+        "q",
+        ((F.col("i") * 7 + F.col("q")) % 20 + 1).cast("long").alias("pa"),
+        ((F.col("i") * 11 + F.col("q") * 3) % 20 + 1).cast("long").alias("pb"),
+    )
+    return rbo_scores(items).orderBy("q")
+
+
+def q_rbo_oracle():
+    from .operators.analytics import rbo_scores_sql
+
+    base = """
+SELECT i // 20 AS q,
+       ((i % 20) * 7 + i // 20) % 20 + 1 AS pa,
+       ((i % 20) * 11 + (i // 20) * 3) % 20 + 1 AS pb
+FROM (SELECT unnest(range(200)) AS i) t"""
+    return "SELECT * FROM (" + rbo_scores_sql(base) + ") ORDER BY q"
+
+
+QUERIES["rbo"] = (q_rbo, q_rbo_oracle)
