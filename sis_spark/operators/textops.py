@@ -2700,3 +2700,59 @@ FROM (
               ORDER BY rank DESC, node) AS BIGINT) AS pick
   FROM r{int(iters)}) t
 WHERE pick <= {int(top_k)}"""
+
+
+def bwt_prefix(docs: DataFrame, prefix: int = 32, sentinel: str = "!",
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Burrows-Wheeler transform of each document's first ``prefix``
+    chars + sentinel (the compression/self-index primitive behind bzip2
+    and FM-indexes, public literature): all L+1 rotations, sorted
+    bytewise (the sentinel is unique so rotations never tie; ASCII '!'
+    sorts above space and below letters identically in both engines),
+    last column concatenated in sorted order.
+
+    Scale shape: bounded explode (L+1 rows/doc) + one keyed sort-agg —
+    embarrassingly parallel across documents."""
+    L = int(prefix) + 1
+    t = F.concat(F.substring(F.col(text_col), 1, int(prefix)), F.lit(sentinel))
+    d = docs.select(F.col(id_col), t.alias("t")).filter(
+        F.length(text_col) >= int(prefix)
+    )
+    rots = d.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(L - 1))).alias("r"),
+        F.col("t"),
+    ).select(
+        id_col,
+        F.concat(
+            F.expr(f"substring(t, r + 1, {L} - r)"),
+            F.expr("substring(t, 1, r)"),
+        ).alias("rot"),
+    )
+    return rots.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("rot")),
+                lambda s: F.substring(s, L, 1),
+            ),
+            "",
+        ).alias("bwt")
+    )
+
+
+def bwt_prefix_sql(rel: str = "documents", prefix: int = 32,
+                   sentinel: str = "!", text_col: str = "text",
+                   id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``bwt_prefix``."""
+    L = int(prefix) + 1
+    return f"""
+WITH d AS (
+  SELECT {id_col}, substr({text_col}, 1, {int(prefix)}) || '{sentinel}' AS t
+  FROM {rel} WHERE length({text_col}) >= {int(prefix)}),
+rots AS (
+  SELECT {id_col},
+         substr(t, CAST(r.r + 1 AS INT), {L} - CAST(r.r AS INT))
+           || substr(t, 1, CAST(r.r AS INT)) AS rot
+  FROM d, (SELECT unnest(range({L})) AS r) r)
+SELECT {id_col}, string_agg(right(rot, 1), '' ORDER BY rot) AS bwt
+FROM rots GROUP BY 1"""

@@ -20608,3 +20608,22 @@ FROM (SELECT unnest(range(200)) AS i) t"""
 
 
 QUERIES["rbo"] = (q_rbo, q_rbo_oracle)
+
+
+def q_bwt(spark, sf_dir):
+    """Burrows-Wheeler transform of 32-char document prefixes
+    (textops.bwt_prefix): sorted-rotation last column with a unique
+    sentinel — the compression/self-index primitive closing the LZ77 /
+    Huffman / CDC coding family."""
+    from .operators.textops import bwt_prefix
+
+    return bwt_prefix(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_bwt_oracle():
+    from .operators.textops import bwt_prefix_sql
+
+    return "SELECT * FROM (" + bwt_prefix_sql() + ") ORDER BY doc_id"
+
+
+QUERIES["bwt"] = (q_bwt, q_bwt_oracle)
