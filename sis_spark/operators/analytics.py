@@ -3401,3 +3401,234 @@ ex AS (
 xd AS (SELECT k, d, count(*) AS x FROM ex GROUP BY 1, 2)
 SELECT k AS {key_col}, sum(CASE d {arms} END) AS rbo_q
 FROM xd GROUP BY 1"""
+
+
+def knapsack01(
+    df: "DataFrame",
+    key_col: str = "k",
+    order_col: str = "o",
+    w_col: str = "w",
+    v_col: str = "v",
+    cap: int = 15,
+) -> "DataFrame":
+    """0/1 knapsack per key, exact: the classic dp over capacities
+    dp'[c] = max(dp[c], v + dp[c-w]) processed in a deterministic item
+    order (the ``order_col`` rank).  Engine: one applyInPandas pass per
+    key (state = cap+1 ints, embarrassingly parallel across keys); the
+    oracle carries the dp LIST in a lockstep recursive CTE and updates it
+    with a list_transform lambda — the interval_sched discipline with a
+    vector state.
+
+    Output: (k, n_items, best)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    word = Window.partitionBy(key_col).orderBy(order_col)
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(w_col).cast("long").alias("w"),
+        F.col(v_col).cast("long").alias("v"),
+        F.row_number().over(word).cast("long").alias("rn"),
+    )
+
+    def fn(key, pdf):
+        pdf = pdf.sort_values("rn")
+        dp = np.zeros(int(cap) + 1, np.int64)
+        for w, v in zip(pdf["w"], pdf["v"]):
+            w, v = int(w), int(v)
+            if w <= cap:
+                nd = dp.copy()
+                nd[w:] = np.maximum(dp[w:], v + dp[:-w] if w else v + dp)
+                dp = nd
+        return pd.DataFrame([{
+            "k": key[0], "n_items": int(len(pdf)), "best": int(dp[cap]),
+        }])
+
+    return b.groupBy("k").applyInPandas(fn, "k long, n_items long, best long")
+
+
+def knapsack01_sql(
+    base_select: str,
+    key_col: str = "k",
+    order_col: str = "o",
+    w_col: str = "w",
+    v_col: str = "v",
+    cap: int = 15,
+) -> str:
+    """DuckDB twin of ``knapsack01`` (recursive CTE, dp LIST state)."""
+    C = int(cap)
+    return f"""
+WITH RECURSIVE b AS MATERIALIZED (
+  SELECT {key_col} AS k, CAST({w_col} AS BIGINT) AS w,
+         CAST({v_col} AS BIGINT) AS v,
+         CAST(row_number() OVER (PARTITION BY {key_col}
+              ORDER BY {order_col}) AS BIGINT) AS rn
+  FROM ({base_select}) s),
+rec AS (
+  SELECT k, CAST(0 AS BIGINT) AS rn,
+         [CAST(0 AS BIGINT) FOR i IN range({C + 1})] AS dp
+  FROM (SELECT DISTINCT k FROM b) u
+  UNION ALL
+  SELECT r.k, r.rn + 1,
+         CASE WHEN q.w > {C} THEN r.dp ELSE
+           list_transform(range({C + 1}), c ->
+             CASE WHEN c >= q.w
+                  THEN GREATEST(r.dp[CAST(c + 1 AS INT)],
+                                q.v + r.dp[CAST(c - q.w + 1 AS INT)])
+                  ELSE r.dp[CAST(c + 1 AS INT)] END)
+         END AS dp
+  FROM rec r JOIN b q ON q.k = r.k AND q.rn = r.rn + 1)
+SELECT r.k, r.rn AS n_items, r.dp[{C + 1}] AS best
+FROM rec r
+JOIN (SELECT k, max(rn) AS mx FROM b GROUP BY 1) m
+  ON m.k = r.k AND m.mx = r.rn"""
+
+
+def hash_ring_assign(
+    keys: "DataFrame",
+    nodes: list,
+    vnodes: int = 4,
+    ring_bits: int = 20,
+    key_col: str = "key_id",
+) -> "DataFrame":
+    """Consistent-hash ring assignment (Karger et al., public literature):
+    each node owns ``vnodes`` points on a 2^ring_bits ring; a key goes to
+    the first vnode clockwise from its own point (wraparound to the ring
+    minimum).  The successor search is ONE packed-key aggregation:
+    pk = [vnode point < key point] * 2^(2b) + point * 2^b + node — the
+    minimum pk is the successor (or, when nothing lies ahead, the
+    wraparound minimum), ties to the smaller node id.
+
+    Output: (key_id, kp, node, point).  Companion of `rendezvous` — the
+    stateful-ring flavor of stateless shard assignment."""
+    from pyspark.sql import functions as F
+
+    M = 1 << int(ring_bits)
+    vn = [(int(n), (int(n) * 1000003 + r * 998244353 + 12289) % M)
+          for n in nodes for r in range(int(vnodes))]
+    spark = keys.sparkSession
+    vdf = spark.createDataFrame(vn, "node long, vp long")
+    kp = (F.col(key_col).cast("long") * 1000000007) % M
+    ex = keys.select(key_col, kp.alias("kp")).join(F.broadcast(vdf))
+    pk = (
+        F.when(F.col("vp") < F.col("kp"), 1).otherwise(0).cast("long")
+        * F.lit(1 << (2 * int(ring_bits)))
+        + F.col("vp") * F.lit(M) + F.col("node")
+    )
+    agg = ex.withColumn("pk", pk).groupBy(key_col, "kp").agg(
+        F.min("pk").alias("c")
+    )
+    return agg.select(
+        key_col, "kp",
+        (F.col("c") % M).alias("node"),
+        (F.expr(f"c div {M}") % M).alias("point"),
+    )
+
+
+def hash_ring_sql(base_select: str, nodes: list, vnodes: int = 4,
+                  ring_bits: int = 20, key_col: str = "key_id") -> str:
+    """DuckDB twin of ``hash_ring_assign``."""
+    M = 1 << int(ring_bits)
+    rows = ", ".join(
+        f"({int(n)}, {(int(n) * 1000003 + r * 998244353 + 12289) % M})"
+        for n in nodes for r in range(int(vnodes))
+    )
+    return f"""
+WITH k AS (
+  SELECT {key_col}, (CAST({key_col} AS BIGINT) * 1000000007) % {M} AS kp
+  FROM ({base_select}) s),
+vn(node, vp) AS (VALUES {rows}),
+ex AS (
+  SELECT k.{key_col}, k.kp,
+         CASE WHEN CAST(vn.vp AS BIGINT) < k.kp THEN 1 ELSE 0 END
+           * {1 << (2 * int(ring_bits))}
+           + CAST(vn.vp AS BIGINT) * {M} + CAST(vn.node AS BIGINT) AS pk
+  FROM k, vn)
+SELECT {key_col}, kp, min(pk) % {M} AS node,
+       (min(pk) // {M}) % {M} AS point
+FROM ex GROUP BY 1, 2"""
+
+
+def bradley_terry(
+    matches: "DataFrame",
+    iters: int = 2,
+    scale: int = 1 << 20,
+) -> "DataFrame":
+    """Bradley-Terry strengths by derandomized MM iterations (Hunter 2004
+    MM algorithm, public literature), EXACT: with strengths w as scaled
+    integers (start = scale), one iteration is
+
+        w'_i = (W_i * scale^2) div sum_j ((n_ij + n_ji) * scale^2)
+                                          div (w_i + w_j)
+
+    — every division an integer floor-div (the pagerank discipline), so
+    the trajectory is a pure function of the win matrix.  W_i = total
+    wins of i; keep total games * scale^2 < 2^63.
+
+    Input: (a, b, wins_ab, wins_ba) one row per unordered pair.
+    Output: (team, w) after ``iters`` rounds.
+
+    Scale shape per round: one join of strengths onto the (tiny vs games)
+    pair table from each side + one keyed agg; lineage cut per round."""
+    from pyspark.sql import functions as F
+
+    S = int(scale)
+    pairs = matches.select(
+        F.col("a").cast("long"), F.col("b").cast("long"),
+        F.col("wins_ab").cast("long"), F.col("wins_ba").cast("long"),
+    ).localCheckpoint()
+    wins = (
+        pairs.select(F.col("a").alias("team"), F.col("wins_ab").alias("wn"))
+        .unionByName(pairs.select(F.col("b").alias("team"),
+                                  F.col("wins_ba").alias("wn")))
+        .groupBy("team").agg(F.sum("wn").alias("W"))
+        .localCheckpoint()
+    )
+    w = wins.select("team", F.lit(S).cast("long").alias("w"))
+    for _ in range(int(iters)):
+        sym = pairs.select("a", "b", (F.col("wins_ab") + F.col("wins_ba")).alias("n")) \
+            .unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"),
+                                      (F.col("wins_ab") + F.col("wins_ba")).alias("n")))
+        j = (
+            sym.join(w.select(F.col("team").alias("a"), F.col("w").alias("wa")), "a")
+            .join(w.select(F.col("team").alias("b"), F.col("w").alias("wb")), "b")
+            .select("a", F.expr(f"(n * {S} * {S}) div (wa + wb)").alias("t"))
+            .groupBy(F.col("a").alias("team"))
+            .agg(F.sum("t").alias("den"))
+        )
+        w = (
+            wins.join(j, "team")
+            .select("team",
+                    F.expr(f"(W * {S} * {S}) div den").cast("long").alias("w"))
+            .localCheckpoint()
+        )
+    return w
+
+
+def bradley_terry_sql(matches_select: str, iters: int = 2,
+                      scale: int = 1 << 20) -> str:
+    """DuckDB replay of ``bradley_terry`` (chained MM rounds)."""
+    S = int(scale)
+    blocks = [
+        f"p AS MATERIALIZED (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, "
+        f"CAST(wins_ab AS BIGINT) AS wab, CAST(wins_ba AS BIGINT) AS wba "
+        f"FROM ({matches_select}) m)",
+        "wins AS MATERIALIZED (SELECT team, sum(wn) AS W FROM ("
+        "SELECT a AS team, wab AS wn FROM p UNION ALL "
+        "SELECT b, wba FROM p) u GROUP BY 1)",
+        "sym AS MATERIALIZED (SELECT a, b, wab + wba AS n FROM p "
+        "UNION ALL SELECT b, a, wab + wba FROM p)",
+        f"w0 AS (SELECT team, CAST({S} AS BIGINT) AS w FROM wins)",
+    ]
+    for i in range(int(iters)):
+        blocks.append(f"""d{i} AS (
+  SELECT s.a AS team, sum((s.n * {S} * {S}) // (x.w + y.w)) AS den
+  FROM sym s JOIN w{i} x ON x.team = s.a JOIN w{i} y ON y.team = s.b
+  GROUP BY 1),
+w{i + 1} AS MATERIALIZED (
+  SELECT wins.team, (wins.W * {S} * {S}) // d.den AS w
+  FROM wins JOIN d{i} d ON d.team = wins.team)""")
+    return ("WITH " + ",\n".join(blocks)
+            + f"\nSELECT team, w FROM w{int(iters)}")

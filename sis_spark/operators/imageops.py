@@ -1306,3 +1306,28 @@ def hamming_join_bands(
         F.expr(f"a_{code_col} ^ b_{code_col}").cast("long")
     ).cast("long")
     return cand.withColumn("d", d).filter(F.col("d") <= max_d)
+
+
+def rgb_hsv_exprs(r: str, g: str, b: str) -> dict:
+    """Exact-rational RGB -> HSV as shared SQL text (identical in Spark
+    SQL and DuckDB — pure integer CASE arithmetic, no division): value
+    V = max, chroma C = V - min, saturation = C/V (emitted as the integer
+    pair), hue in sixths = h_num / C with h_num normalized to [0, 6C)
+    (sector precedence R, G, B on channel ties — documented).  The color
+    conversion primitive of the augmentation/palette suite kept exact
+    instead of FP."""
+    V = f"greatest({r}, {g}, {b})"
+    m = f"least({r}, {g}, {b})"
+    C = f"({V} - {m})"
+    hn = (f"(CASE WHEN {C} = 0 THEN 0 "
+          f"WHEN {V} = {r} THEN ((({g}) - ({b})) % (6 * {C}) + 6 * {C}) % (6 * {C}) "
+          f"WHEN {V} = {g} THEN (({b}) - ({r})) + 2 * {C} "
+          f"ELSE (({r}) - ({g})) + 4 * {C} END)")
+    return {
+        "v": V,
+        "chroma": C,
+        "s_num": C,
+        "s_den": V,
+        "h_num": hn,
+        "h_den": C,
+    }

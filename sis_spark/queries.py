@@ -20627,3 +20627,146 @@ def q_bwt_oracle():
 
 
 QUERIES["bwt"] = (q_bwt, q_bwt_oracle)
+
+
+def q_knapsack(spark, sf_dir):
+    """0/1 knapsack per user (analytics.knapsack01, cap 15, first 12
+    deterministic items): the classic capacity dp — applyInPandas per key
+    vs a recursive-CTE dp-LIST oracle; the combinatorial-optimization
+    sibling of `interval_sched`."""
+    from .operators.analytics import knapsack01
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ev = (
+        _read(spark, sf_dir, "events")
+        .withColumn("rn0", F.row_number().over(w))
+        .filter(F.col("rn0") <= 12)
+        .select(
+            F.col("user_id").alias("k"), F.col("event_id").alias("o"),
+            (F.col("event_id") % 7 + 1).cast("long").alias("w"),
+            (F.col("event_id") % 10 + 1).cast("long").alias("v"),
+        )
+    )
+    return knapsack01(ev, "k", "o", "w", "v", cap=15).orderBy("k")
+
+
+def q_knapsack_oracle():
+    from .operators.analytics import knapsack01_sql
+
+    base = """
+SELECT user_id AS k, event_id AS o, event_id % 7 + 1 AS w,
+       event_id % 10 + 1 AS v
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY event_id) AS rn0 FROM events) t
+WHERE rn0 <= 12"""
+    return ("SELECT * FROM (" + knapsack01_sql(base, "k", "o", "w", "v", 15)
+            + ") ORDER BY k")
+
+
+QUERIES["knapsack"] = (q_knapsack, q_knapsack_oracle)
+
+
+def q_rgb_hsv(spark, sf_dir):
+    """Exact-rational RGB->HSV (imageops.rgb_hsv_exprs) over deterministic
+    8-bit triples: integer chroma/value/hue-sixths numerators, shared
+    expression text both engines — the FP-free color conversion under the
+    augmentation suite."""
+    from .operators.imageops import rgb_hsv_exprs
+
+    e = rgb_hsv_exprs("r", "g", "b")
+    d = _read(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("event_id") * 37) % 256).cast("long").alias("r"),
+        ((F.col("event_id") * 59) % 256).cast("long").alias("g"),
+        ((F.col("event_id") * 83) % 256).cast("long").alias("b"),
+    )
+    return d.select(
+        "event_id", "r", "g", "b",
+        *[F.expr(sql).cast("long").alias(name) for name, sql in e.items()],
+    ).orderBy("event_id")
+
+
+def q_rgb_hsv_oracle():
+    from .operators.imageops import rgb_hsv_exprs
+
+    e = rgb_hsv_exprs("r", "g", "b")
+    cols = ", ".join(f"{sql} AS {name}" for name, sql in e.items())
+    return f"""
+WITH d AS (
+  SELECT event_id, (event_id * 37) % 256 AS r, (event_id * 59) % 256 AS g,
+         (event_id * 83) % 256 AS b
+  FROM events)
+SELECT event_id, r, g, b, {cols}
+FROM d ORDER BY event_id"""
+
+
+QUERIES["rgb_hsv"] = (q_rgb_hsv, q_rgb_hsv_oracle)
+
+
+def q_hash_ring(spark, sf_dir):
+    """Consistent-hash ring assignment (analytics.hash_ring_assign, 12
+    nodes x 4 vnodes on a 2^20 ring): clockwise-successor search as ONE
+    packed-key min aggregation — the stateful-ring companion of
+    `rendezvous`."""
+    from .operators.analytics import hash_ring_assign
+
+    keys = _read(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("key_id")
+    )
+    return hash_ring_assign(keys, list(range(12))).orderBy("key_id")
+
+
+def q_hash_ring_oracle():
+    from .operators.analytics import hash_ring_sql
+
+    return ("SELECT * FROM ("
+            + hash_ring_sql("SELECT event_id AS key_id FROM events",
+                            list(range(12)))
+            + ") ORDER BY key_id")
+
+
+QUERIES["hash_ring"] = (q_hash_ring, q_hash_ring_oracle)
+
+
+def q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry team strengths (analytics.bradley_terry, 2 MM
+    rounds) from deterministic pairwise match outcomes over 10 teams:
+    every division an integer floor-div, the trajectory a pure function
+    of the win matrix — the paired-comparison ranking model next to
+    `hits`/`pagerank`."""
+    from .operators.analytics import bradley_terry
+
+    ev = _read(spark, sf_dir, "events").select(
+        (F.col("event_id") % 10).alias("ta"),
+        ((F.col("event_id") * 3 + 1) % 10).alias("tb"),
+        (F.col("event_id") % 2).alias("win_a"),
+    ).filter(F.col("ta") != F.col("tb"))
+    m = ev.select(
+        F.least("ta", "tb").alias("a"), F.greatest("ta", "tb").alias("b"),
+        F.when((F.col("ta") < F.col("tb")) == (F.col("win_a") == 1), 1)
+        .otherwise(0).alias("w_ab"),
+    ).groupBy("a", "b").agg(
+        F.sum("w_ab").alias("wins_ab"),
+        (F.count("*") - F.sum("w_ab")).alias("wins_ba"),
+    )
+    return bradley_terry(m).orderBy("team")
+
+
+def q_bradley_terry_oracle():
+    from .operators.analytics import bradley_terry_sql
+
+    m = """
+SELECT a, b, sum(w_ab) AS wins_ab, count(*) - sum(w_ab) AS wins_ba
+FROM (
+  SELECT least(ta, tb) AS a, greatest(ta, tb) AS b,
+         CASE WHEN (ta < tb) = (win_a = 1) THEN 1 ELSE 0 END AS w_ab
+  FROM (
+    SELECT event_id % 10 AS ta, (event_id * 3 + 1) % 10 AS tb,
+           event_id % 2 AS win_a
+    FROM events) e
+  WHERE ta <> tb) t
+GROUP BY 1, 2"""
+    return ("SELECT * FROM (" + bradley_terry_sql(m) + ") ORDER BY team")
+
+
+QUERIES["bradley_terry"] = (q_bradley_terry, q_bradley_terry_oracle)
