@@ -3632,3 +3632,156 @@ w{i + 1} AS MATERIALIZED (
   FROM wins JOIN d{i} d ON d.team = wins.team)""")
     return ("WITH " + ",\n".join(blocks)
             + f"\nSELECT team, w FROM w{int(iters)}")
+
+
+def chain_ladder(
+    claims: "DataFrame",
+    origin_col: str = "i",
+    dev_col: str = "j",
+    amount_col: str = "x",
+    ages: int = 5,
+) -> "DataFrame":
+    """Chain-ladder loss development (Mack 1993 deterministic core, public
+    literature), EXACT: cumulative run-off triangle C[i,j] (observed for
+    i + j < ages), volume-weighted development factors
+    f_j = sum_i C[i,j+1] / sum_i C[i,j] kept as integer (num, den) pairs,
+    and each origin's ultimate projected by the unrolled floor-division
+    chain C <- (C * num_j) div den_j from its latest age to the last —
+    the reserving primitive of actuarial triangles with no FP anywhere.
+
+    Output: (i, latest, ultimate) per origin plus the factor table is
+    recoverable from the sums; keep amounts quantized so
+    C * num < 2^63 (documented bound).
+
+    Scale shape: one cumulative window over the triangle + one tiny
+    factor aggregation broadcast into a fixed CASE projection chain."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    A = int(ages)
+    b = claims.select(
+        F.col(origin_col).cast("long").alias("i"),
+        F.col(dev_col).cast("long").alias("j"),
+        F.col(amount_col).cast("long").alias("x"),
+    ).filter((F.col("i") + F.col("j")) < A)
+    inc = b.groupBy("i", "j").agg(F.sum("x").alias("inc"))
+    wc = Window.partitionBy("i").orderBy("j").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = inc.withColumn("c", F.sum("inc").over(wc))
+    nxt = cum.select(F.col("i"), (F.col("j") - 1).alias("j"),
+                     F.col("c").alias("cn"))
+    fac = (
+        cum.join(nxt, ["i", "j"])
+        .filter(F.col("i") + F.col("j") < A - 1)
+        .groupBy("j")
+        .agg(F.sum("cn").alias("num"), F.sum("c").alias("den"))
+        .orderBy("j")
+        .collect()
+    )
+    f = {int(r["j"]): (int(r["num"]), int(r["den"])) for r in fac}
+    latest = cum.filter(F.col("i") + F.col("j") == A - 1).select(
+        "i", F.col("j").alias("jl"), F.col("c").alias("latest")
+    )
+    out = latest
+    prev = "latest"
+    for j in range(A - 1):
+        num, den = f.get(j, (1, 1))
+        col = F.when(F.col("jl") <= j,
+                     F.expr(f"({prev} * {num}) div {den}")
+                     ).otherwise(F.col(prev))
+        out = out.withColumn(f"u{j}", col.cast("long"))
+        prev = f"u{j}"
+    return out.select("i", "latest", F.col(prev).alias("ultimate"))
+
+
+def chain_ladder_sql(base_select: str, origin_col: str = "i",
+                     dev_col: str = "j", amount_col: str = "x",
+                     ages: int = 5) -> str:
+    """DuckDB twin of ``chain_ladder`` (factors as a CTE, the same
+    unrolled floor-div projection chain, one CTE per development step)."""
+    A = int(ages)
+    steps = []
+    for j in range(A - 1):
+        src = "latest" if j == 0 else f"u{j - 1}"
+        col = "latest" if j == 0 else "u"
+        steps.append(f""",
+u{j} AS (
+  SELECT i, jl, latest,
+         CASE WHEN jl <= {j}
+              THEN ({col} * (SELECT num FROM fac WHERE j = {j}))
+                   // (SELECT den FROM fac WHERE j = {j})
+              ELSE {col} END AS u
+  FROM {src})""")
+    return f"""
+WITH b AS (
+  SELECT CAST({origin_col} AS BIGINT) AS i, CAST({dev_col} AS BIGINT) AS j,
+         CAST({amount_col} AS BIGINT) AS x
+  FROM ({base_select}) s WHERE {origin_col} + {dev_col} < {A}),
+inc AS (SELECT i, j, sum(x) AS inc FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT i, j, sum(inc) OVER (PARTITION BY i ORDER BY j
+         ROWS UNBOUNDED PRECEDING) AS c
+  FROM inc),
+fac AS (
+  SELECT a.j, sum(n.c) AS num, sum(a.c) AS den
+  FROM cum a JOIN cum n ON n.i = a.i AND n.j = a.j + 1
+  WHERE a.i + a.j < {A - 1}
+  GROUP BY 1),
+latest AS (
+  SELECT i, j AS jl, c AS latest FROM cum WHERE i + j = {A - 1})
+{''.join(steps)}
+SELECT i, latest, u AS ultimate FROM u{A - 2}"""
+
+
+def lww_set_merge(
+    ops: "DataFrame",
+    elem_col: str = "elem",
+    ts_col: str = "ts",
+    op_col: str = "is_add",
+    replica_col: str = "replica",
+) -> "DataFrame":
+    """LWW-element-set CRDT merge (Shapiro et al. 2011, public
+    literature): an element is present iff the lexicographically greatest
+    (ts, add-bit, replica) operation is an add — add-biased tie-breaking,
+    replica id as the final disambiguator, so ANY merge order of the op
+    logs converges to this value (the CRDT convergence property the gate
+    pins).  One packed-key max aggregation: pk = ts*2^24 + add*2^23 +
+    replica (contract: ts < 2^39, replica < 2^23).
+
+    Output: (elem, present, win_ts, win_replica)."""
+    from pyspark.sql import functions as F
+
+    pk = (
+        F.col(ts_col).cast("long") * F.lit(1 << 24)
+        + F.col(op_col).cast("long") * F.lit(1 << 23)
+        + F.col(replica_col).cast("long")
+    )
+    return (
+        ops.select(F.col(elem_col).alias("elem"), pk.alias("pk"))
+        .groupBy("elem")
+        .agg(F.max("pk").alias("w"))
+        .select(
+            "elem",
+            (F.expr(f"(w div {1 << 23}) % 2") == 1).alias("present"),
+            F.expr(f"w div {1 << 24}").alias("win_ts"),
+            (F.col("w") % (1 << 23)).alias("win_replica"),
+        )
+    )
+
+
+def lww_set_merge_sql(base_select: str, elem_col: str = "elem",
+                      ts_col: str = "ts", op_col: str = "is_add",
+                      replica_col: str = "replica") -> str:
+    """DuckDB twin of ``lww_set_merge``."""
+    return f"""
+WITH b AS (
+  SELECT {elem_col} AS elem,
+         CAST({ts_col} AS BIGINT) * {1 << 24}
+           + CAST({op_col} AS BIGINT) * {1 << 23}
+           + CAST({replica_col} AS BIGINT) AS pk
+  FROM ({base_select}) s),
+m AS (SELECT elem, max(pk) AS w FROM b GROUP BY 1)
+SELECT elem, (w // {1 << 23}) % 2 = 1 AS present,
+       w // {1 << 24} AS win_ts, w % {1 << 23} AS win_replica
+FROM m"""

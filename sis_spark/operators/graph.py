@@ -2285,3 +2285,102 @@ c{i + 1} AS MATERIALIZED (
   FROM c{i} a LEFT JOIN nb{i} n ON n.node = a.node)""")
     return ("WITH " + ",\n".join(blocks)
             + f"\nSELECT node, c AS color FROM c{rounds}")
+
+
+def stable_matching(
+    pref_m: DataFrame,
+    wkey: "object",
+    n: int,
+    rounds: int = 12,
+) -> DataFrame:
+    """Deterministic parallel Gale-Shapley per group (Gale & Shapley 1962;
+    the simultaneous-proposal variant): each round every free man with
+    preferences left proposes to his next-ranked woman; each woman keeps
+    the best of (proposers + current fiance) by her packed key; losing
+    proposers and dumped fiances advance their pointer.  All proposals of
+    a round are simultaneous, so rounds are a pure function of the
+    preference tables — the oracle unrolls them as CTE blocks.
+
+    ``pref_m``: (g, m, w, rk) man-side ranking (rk = 1 best);
+    ``wkey``: fn(g_col, w_col, m_col) -> integer Column, smaller = better
+    (must stay < 2^20 before packing with m).
+
+    Output: (g, m, w) final engagements (men may end unmatched only if
+    they exhaust their list).  Scale shape per round: two joins + one
+    packed-min aggregation, all keyed on (g, w); groups run lockstep."""
+    spark = pref_m.sparkSession
+    pref = pref_m.select("g", "m", "w", "rk").localCheckpoint()
+    state = pref.select("g", "m").distinct().select(
+        "g", "m", F.lit(0).cast("long").alias("ptr"),
+        F.lit(None).cast("long").alias("ew"),
+    ).localCheckpoint()
+    for _ in range(rounds):
+        prop = (
+            state.filter(F.col("ew").isNull() & (F.col("ptr") < n))
+            .join(pref, ["g", "m"])
+            .filter(F.col("rk") == F.col("ptr") + 1)
+            .select("g", "m", "w", F.lit(1).alias("is_prop"))
+        )
+        if prop.limit(1).count() == 0:
+            break
+        cur = state.filter(F.col("ew").isNotNull()).select(
+            "g", "m", F.col("ew").alias("w"), F.lit(0).alias("is_prop")
+        )
+        cands = prop.unionByName(cur).withColumn(
+            "pk", wkey(F.col("g"), F.col("w"), F.col("m")) * F.lit(1 << 20) + F.col("m")
+        )
+        win = cands.groupBy("g", "w").agg(F.min("pk").alias("mn"))
+        outcome = cands.join(win, ["g", "w"]).select(
+            "g", "m", "w",
+            (F.col("pk") == F.col("mn")).alias("won"),
+        )
+        state = (
+            state.join(outcome, ["g", "m"], "left")
+            .select(
+                "g", "m",
+                (F.col("ptr") + F.when(F.col("won") == False, 1)  # noqa: E712
+                 .otherwise(0)).alias("ptr"),
+                F.when(F.col("won") == True, F.col("w"))  # noqa: E712
+                .when(F.col("won") == False, F.lit(None).cast("long"))
+                .otherwise(F.col("ew")).alias("ew"),
+            )
+            .localCheckpoint()
+        )
+    return state.filter(F.col("ew").isNotNull()).select(
+        "g", "m", F.col("ew").alias("w")
+    )
+
+
+def stable_matching_sql(pref_select: str, wkey_sql: str, n: int,
+                        rounds: int = 12) -> str:
+    """DuckDB replay of ``stable_matching``; ``pref_select`` yields
+    (g, m, w, rk); ``wkey_sql`` is an expression over g, w, m."""
+    blocks = [
+        f"pref AS MATERIALIZED (SELECT g, m, w, rk FROM ({pref_select}) p)",
+        "st0 AS MATERIALIZED (SELECT DISTINCT g, m, CAST(0 AS BIGINT) AS ptr, "
+        "CAST(NULL AS BIGINT) AS ew FROM pref)",
+    ]
+    for i in range(rounds):
+        blocks.append(f"""pr{i} AS (
+  SELECT s.g, s.m, p.w, 1 AS is_prop
+  FROM st{i} s JOIN pref p ON p.g = s.g AND p.m = s.m AND p.rk = s.ptr + 1
+  WHERE s.ew IS NULL AND s.ptr < {int(n)}),
+cd{i} AS MATERIALIZED (
+  SELECT g, m, w, is_prop,
+         ({wkey_sql}) * {1 << 20} + m AS pk
+  FROM (SELECT * FROM pr{i}
+        UNION ALL
+        SELECT g, m, ew AS w, 0 FROM st{i} WHERE ew IS NOT NULL) c),
+wn{i} AS (SELECT g, w, min(pk) AS mn FROM cd{i} GROUP BY 1, 2),
+oc{i} AS MATERIALIZED (
+  SELECT c.g, c.m, c.w, c.pk = n.mn AS won
+  FROM cd{i} c JOIN wn{i} n ON n.g = c.g AND n.w = c.w),
+st{i + 1} AS MATERIALIZED (
+  SELECT s.g, s.m,
+         s.ptr + CASE WHEN o.won = false THEN 1 ELSE 0 END AS ptr,
+         CASE WHEN o.won THEN o.w
+              WHEN o.won = false THEN NULL
+              ELSE s.ew END AS ew
+  FROM st{i} s LEFT JOIN oc{i} o ON o.g = s.g AND o.m = s.m)""")
+    return ("WITH " + ",\n".join(blocks)
+            + f"\nSELECT g, m, ew AS w FROM st{rounds} WHERE ew IS NOT NULL")

@@ -20770,3 +20770,103 @@ GROUP BY 1, 2"""
 
 
 QUERIES["bradley_terry"] = (q_bradley_terry, q_bradley_terry_oracle)
+
+
+def q_chain_ladder(spark, sf_dir):
+    """Chain-ladder loss development (analytics.chain_ladder, 5x5
+    run-off triangle from orders): volume-weighted factors as exact
+    integer rationals, ultimates by the unrolled floor-division
+    projection chain — actuarial reserving with no FP anywhere."""
+    from .operators.analytics import chain_ladder
+
+    o = _read(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 5).alias("i"),
+        ((F.col("o_orderkey") / 5).cast("long") % 5).alias("j"),
+        F.floor(F.col("o_totalprice") / 100).cast("long").alias("x"),
+    )
+    return chain_ladder(o).orderBy("i")
+
+
+def q_chain_ladder_oracle():
+    from .operators.analytics import chain_ladder_sql
+
+    base = ("SELECT o_orderkey % 5 AS i, (o_orderkey // 5) % 5 AS j, "
+            "CAST(floor(o_totalprice / 100) AS BIGINT) AS x FROM orders")
+    return "SELECT * FROM (" + chain_ladder_sql(base) + ") ORDER BY i"
+
+
+QUERIES["chain_ladder"] = (q_chain_ladder, q_chain_ladder_oracle)
+
+
+def q_lww_set(spark, sf_dir):
+    """LWW-element-set CRDT merge (analytics.lww_set_merge) over a
+    deterministic multi-replica op log: presence = add-biased
+    lexicographic (ts, op, replica) max — one packed-key aggregation, the
+    convergence rule pinned exactly."""
+    from .operators.analytics import lww_set_merge
+
+    ops = _read(spark, sf_dir, "events").select(
+        (F.col("event_id") % 300).alias("elem"),
+        ((F.col("event_id") * 17) % 1000).cast("long").alias("ts"),
+        ((F.col("event_id") * 7) % 3 != 0).cast("long").alias("is_add"),
+        (F.col("event_id") % 5).cast("long").alias("replica"),
+    )
+    return lww_set_merge(ops).orderBy("elem")
+
+
+def q_lww_set_oracle():
+    from .operators.analytics import lww_set_merge_sql
+
+    base = """
+SELECT event_id % 300 AS elem, (event_id * 17) % 1000 AS ts,
+       CAST((event_id * 7) % 3 <> 0 AS BIGINT) AS is_add,
+       event_id % 5 AS replica
+FROM events"""
+    return "SELECT * FROM (" + lww_set_merge_sql(base) + ") ORDER BY elem"
+
+
+QUERIES["lww_set"] = (q_lww_set, q_lww_set_oracle)
+
+
+_GS_N = 8
+
+
+def q_stable_matching(spark, sf_dir):
+    """Parallel Gale-Shapley stable matching (graph.stable_matching, 12
+    groups of 8x8, 12 simultaneous-proposal rounds): man rankings and
+    woman keys are closed-form; losing proposers and dumped fiances
+    advance — the classic two-sided assignment, rounds lockstep across
+    groups."""
+    from .operators.graph import stable_matching
+
+    n = _GS_N
+    base = spark.range(12 * n * n).select(
+        (F.col("id") / (n * n)).cast("long").alias("g"),
+        ((F.col("id") / n) % n).cast("long").alias("m"),
+        (F.col("id") % n).alias("w"),
+    )
+    wp = Window.partitionBy("g", "m").orderBy(
+        (F.col("m") * 7 + F.col("w") * 11 + F.col("g") * 3) % 19, "w"
+    )
+    pref = base.withColumn("rk", F.row_number().over(wp).cast("long"))
+    wkey = lambda g, w, m: (w * 5 + m * 13 + g * 7) % 23
+    return stable_matching(pref, wkey, n=n, rounds=12).orderBy("g", "m")
+
+
+def q_stable_matching_oracle():
+    from .operators.graph import stable_matching_sql
+
+    n = _GS_N
+    pref = f"""
+SELECT g, m, w,
+       CAST(row_number() OVER (PARTITION BY g, m
+            ORDER BY (m * 7 + w * 11 + g * 3) % 19, w) AS BIGINT) AS rk
+FROM (
+  SELECT i // {n * n} AS g, (i // {n}) % {n} AS m, i % {n} AS w
+  FROM (SELECT unnest(range({12 * n * n})) AS i) t) b"""
+    return ("SELECT * FROM ("
+            + stable_matching_sql(pref, "(w * 5 + m * 13 + g * 7) % 23", n, 12)
+            + ") ORDER BY g, m")
+
+
+QUERIES["stable_matching"] = (q_stable_matching, q_stable_matching_oracle)
