@@ -3785,3 +3785,108 @@ m AS (SELECT elem, max(pk) AS w FROM b GROUP BY 1)
 SELECT elem, (w // {1 << 23}) % 2 = 1 AS present,
        w // {1 << 24} AS win_ts, w % {1 << 23} AS win_replica
 FROM m"""
+
+
+def nelson_aalen(
+    df: "DataFrame",
+    t_col: str = "t",
+    event_col: str = "e",
+    q: int = 1 << 20,
+) -> "DataFrame":
+    """Nelson-Aalen cumulative hazard, exact: at each event time the
+    increment d_t / n_t quantizes PER STEP as (d * q) div n (at-risk
+    n = subjects with time >= t), and the cumulative sum of those
+    integers is order-independent — the hazard-scale twin of the
+    kaplan_meier life table.
+
+    Output: (t, n_risk, d, c, na_q) per observed time."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    b = df.select(F.col(t_col).cast("long").alias("t"),
+                  F.col(event_col).cast("long").alias("e"))
+    per = b.groupBy("t").agg(
+        F.count("*").alias("m"),
+        F.sum("e").alias("d"),
+        (F.count("*") - F.sum("e")).alias("c"),
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = Window.orderBy("t").rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+    d = per.withColumn("n_risk", F.sum("m").over(w))
+    d = d.withColumn("inc", F.expr(f"(d * {int(q)}) div n_risk"))
+    return d.withColumn("na_q", F.sum("inc").over(wr)).select(
+        "t", "n_risk", "d", "c", "na_q"
+    )
+
+
+def nelson_aalen_sql(base_select: str, t_col: str = "t",
+                     event_col: str = "e", q: int = 1 << 20) -> str:
+    """DuckDB twin of ``nelson_aalen``."""
+    return f"""
+WITH b AS (
+  SELECT CAST({t_col} AS BIGINT) AS t, CAST({event_col} AS BIGINT) AS e
+  FROM ({base_select}) s),
+per AS (
+  SELECT t, count(*) AS m, sum(e) AS d, count(*) - sum(e) AS c
+  FROM b GROUP BY 1),
+r AS (
+  SELECT t, d, c,
+         sum(m) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n_risk
+  FROM per),
+i AS (SELECT t, n_risk, d, c, (d * {int(q)}) // n_risk AS inc FROM r)
+SELECT t, n_risk, d, c,
+       sum(inc) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS na_q
+FROM i"""
+
+
+def lorenz_deciles(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+) -> "DataFrame":
+    """Lorenz curve at decile resolution per group, exact: rows ranked by
+    (value, stable id-free tie within equal values is safe because equal
+    values contribute equal mass), decile = ntile(10), emits cumulative
+    mass numerators against the group total — the inequality-curve
+    companion of the `gini` gate, all int64 rationals.
+
+    Output: (g, decile, n, cum_x, tot_x)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    b = df.select(F.col(group_col).alias("g"),
+                  F.col(value_col).cast("long").alias("x"))
+    w = Window.partitionBy("g").orderBy("x")
+    d = b.withColumn("dec", F.ntile(10).over(w))
+    per = d.groupBy("g", "dec").agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx")
+    )
+    wc = Window.partitionBy("g").orderBy("dec").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("g")
+    return per.select(
+        "g", F.col("dec").cast("long").alias("decile"), "n",
+        F.sum("sx").over(wc).alias("cum_x"),
+        F.sum("sx").over(wt).alias("tot_x"),
+    )
+
+
+def lorenz_deciles_sql(base_select: str, group_col: str,
+                       value_col: str) -> str:
+    """DuckDB twin of ``lorenz_deciles`` (ntile semantics agree — the
+    window_rank gate pins that)."""
+    return f"""
+WITH b AS (
+  SELECT {group_col} AS g, CAST({value_col} AS BIGINT) AS x
+  FROM ({base_select}) s),
+d AS (SELECT g, x, ntile(10) OVER (PARTITION BY g ORDER BY x) AS dec FROM b),
+per AS (SELECT g, dec, count(*) AS n, sum(x) AS sx FROM d GROUP BY 1, 2)
+SELECT g, CAST(dec AS BIGINT) AS decile, n,
+       sum(sx) OVER (PARTITION BY g ORDER BY dec
+                     ROWS UNBOUNDED PRECEDING) AS cum_x,
+       sum(sx) OVER (PARTITION BY g) AS tot_x
+FROM per"""

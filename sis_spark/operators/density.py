@@ -2193,3 +2193,66 @@ SELECT qid,
        END AS pred_q,
        den = 0 AS singular
 FROM norm"""
+
+
+def los_pairs(
+    pairs: "DataFrame",
+    height_sql: str,
+    subdiv: int = 16,
+    clearance: int = 0,
+) -> "DataFrame":
+    """Pairwise line-of-sight over a DEM, EXACT: the segment a->b is
+    subdivided at t/subdiv; the terrain is sampled at the NEAREST cell
+    ((subdiv*a + t*(b-a) + subdiv/2) div subdiv — pure integers) and a
+    sample blocks iff h_s * subdiv > h_a*(subdiv-t) + h_b*t + clearance
+    (the cross-multiplied sight-line lerp, no division).  The pairwise
+    companion of the cardinal-ray `viewshed` gate.
+
+    ``pairs``: (pid, ax, ay, bx, by) integer cells; ``height_sql``: SQL
+    text h(X, Y) shared by both engines (the formula-raster convention of
+    the terrain gates).  Output: (pid, n_blocked, visible).
+
+    Scale shape: one bounded explode (subdiv-1 samples/pair) + one keyed
+    agg — constant fan-out at any pair count."""
+    from pyspark.sql import functions as F
+
+    S = int(subdiv)
+    ex = pairs.select(
+        "pid", "ax", "ay", "bx", "by",
+        F.explode(F.sequence(F.lit(1), F.lit(S - 1))).alias("t"),
+    )
+    sx = f"(({S} * ax + t * (bx - ax) + {S // 2}) div {S})"
+    sy = f"(({S} * ay + t * (by - ay) + {S // 2}) div {S})"
+    hs = height_sql.replace("X", sx).replace("Y", sy)
+    ha = height_sql.replace("X", "ax").replace("Y", "ay")
+    hb = height_sql.replace("X", "bx").replace("Y", "by")
+    blocked = F.expr(
+        f"({hs}) * {S} > ({ha}) * ({S} - t) + ({hb}) * t + {int(clearance)}"
+    )
+    return (
+        ex.withColumn("blk", blocked.cast("long"))
+        .groupBy("pid")
+        .agg(F.sum("blk").alias("n_blocked"))
+        .select("pid", "n_blocked", (F.col("n_blocked") == 0).alias("visible"))
+    )
+
+
+def los_pairs_sql(pairs_select: str, height_sql: str, subdiv: int = 16,
+                  clearance: int = 0) -> str:
+    """DuckDB twin of ``los_pairs``."""
+    S = int(subdiv)
+    sx = f"(({S} * ax + t.t * (bx - ax) + {S // 2}) // {S})"
+    sy = f"(({S} * ay + t.t * (by - ay) + {S // 2}) // {S})"
+    hs = height_sql.replace("X", sx).replace("Y", sy)
+    ha = height_sql.replace("X", "ax").replace("Y", "ay")
+    hb = height_sql.replace("X", "bx").replace("Y", "by")
+    return f"""
+WITH p AS (SELECT * FROM ({pairs_select}) ps),
+ex AS (
+  SELECT p.pid,
+         CASE WHEN ({hs}) * {S} >
+              ({ha}) * ({S} - t.t) + ({hb}) * t.t + {int(clearance)}
+              THEN 1 ELSE 0 END AS blk
+  FROM p, (SELECT unnest(range(1, {S})) AS t) t)
+SELECT pid, sum(blk) AS n_blocked, sum(blk) = 0 AS visible
+FROM ex GROUP BY 1"""

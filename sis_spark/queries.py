@@ -20870,3 +20870,86 @@ FROM (
 
 
 QUERIES["stable_matching"] = (q_stable_matching, q_stable_matching_oracle)
+
+
+def q_los_pairs(spark, sf_dir):
+    """Pairwise line-of-sight over the formula DEM (density.los_pairs,
+    16 subdivisions): nearest-cell sampling and the cross-multiplied
+    sight-line lerp, all integers — the point-to-point companion of
+    `viewshed`."""
+    from .operators.density import los_pairs
+
+    pairs = _read(spark, sf_dir, "events").select(
+        F.col("event_id").alias("pid"),
+        ((F.col("event_id") * 13) % 128).cast("long").alias("ax"),
+        ((F.col("event_id") * 29) % 128).cast("long").alias("ay"),
+        ((F.col("event_id") * 31 + 7) % 128).cast("long").alias("bx"),
+        ((F.col("event_id") * 37 + 11) % 128).cast("long").alias("by"),
+    )
+    return los_pairs(pairs, "(((X) * 7 + (Y) * 13) % 256)").orderBy("pid")
+
+
+def q_los_pairs_oracle():
+    from .operators.density import los_pairs_sql
+
+    pairs = """
+SELECT event_id AS pid, (event_id * 13) % 128 AS ax,
+       (event_id * 29) % 128 AS ay, (event_id * 31 + 7) % 128 AS bx,
+       (event_id * 37 + 11) % 128 AS by
+FROM events"""
+    return ("SELECT * FROM ("
+            + los_pairs_sql(pairs, "(((X) * 7 + (Y) * 13) % 256)")
+            + ") ORDER BY pid")
+
+
+QUERIES["los_pairs"] = (q_los_pairs, q_los_pairs_oracle)
+
+
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard (analytics.nelson_aalen) over the
+    kaplan_meier gate's durations: per-step quantized d/n increments,
+    order-independent cumulative sum — the hazard-scale life table."""
+    from .operators.analytics import nelson_aalen
+
+    o = _read(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 50).cast("long").alias("t"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("e"),
+    )
+    return nelson_aalen(o).orderBy("t")
+
+
+def q_nelson_aalen_oracle():
+    from .operators.analytics import nelson_aalen_sql
+
+    base = ("SELECT CAST(o_orderkey % 50 AS BIGINT) AS t, "
+            "CAST(o_orderstatus = 'F' AS BIGINT) AS e FROM orders")
+    return "SELECT * FROM (" + nelson_aalen_sql(base) + ") ORDER BY t"
+
+
+QUERIES["nelson_aalen"] = (q_nelson_aalen, q_nelson_aalen_oracle)
+
+
+def q_lorenz(spark, sf_dir):
+    """Lorenz curve deciles per nation (analytics.lorenz_deciles) over
+    customer account balances: exact cumulative-mass rationals (ntile
+    splits of tied values are mass-neutral) — the inequality curve under
+    the `gini` coefficient."""
+    from .operators.analytics import lorenz_deciles
+
+    c = _read(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 5).alias("g"),
+        F.floor(F.col("c_custkey") * 7919 % 100000).cast("long").alias("x"),
+    )
+    return lorenz_deciles(c, "g", "x").orderBy("g", "decile")
+
+
+def q_lorenz_oracle():
+    from .operators.analytics import lorenz_deciles_sql
+
+    base = ("SELECT c_custkey % 5 AS g, "
+            "CAST(c_custkey * 7919 % 100000 AS BIGINT) AS x FROM customer")
+    return ("SELECT * FROM (" + lorenz_deciles_sql(base, "g", "x")
+            + ") ORDER BY g, decile")
+
+
+QUERIES["lorenz"] = (q_lorenz, q_lorenz_oracle)
