@@ -3890,3 +3890,90 @@ SELECT g, CAST(dec AS BIGINT) AS decile, n,
                      ROWS UNBOUNDED PRECEDING) AS cum_x,
        sum(sx) OVER (PARTITION BY g) AS tot_x
 FROM per"""
+
+
+def ks_pairs(
+    df: "DataFrame",
+    group_col: str = "g",
+    value_col: str = "x",
+    pairs: list = None,
+) -> "DataFrame":
+    """Pairwise two-sample Kolmogorov-Smirnov statistics, EXACT: for each
+    group pair the statistic max |F_a - F_b| is computed as the integer
+    max of |cumA * nB - cumB * nA| over the union of observed values
+    (cross-multiplied ECDFs — no division), with the smallest achieving x
+    reported.  The distribution-drift matrix across corpus slices.
+
+    Output: (a, b, d_num, n_a, n_b, at_x) with D = d_num / (n_a * n_b).
+
+    Scale shape: per pair one union + two running-sum windows + one
+    argmax — pairs are slice-metadata-sized, values stay distributed."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cnt = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("x")
+    ).groupBy("g", "x").agg(F.count("*").alias("c"))
+    tot = {r["g"]: int(r["n"]) for r in
+           cnt.groupBy("g").agg(F.sum("c").alias("n")).collect()}
+    out = None
+    for a, b in pairs:
+        u = (
+            cnt.filter(F.col("g") == a).select("x", F.col("c").alias("ca"))
+            .join(
+                cnt.filter(F.col("g") == b).select("x", F.col("c").alias("cb")),
+                "x", "full",
+            )
+            .fillna(0, ["ca", "cb"])
+        )
+        w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow)
+        d = u.select(
+            "x",
+            (F.sum("ca").over(w) * tot[b] - F.sum("cb").over(w) * tot[a])
+            .alias("diff"),
+        ).select("x", F.abs(F.col("diff")).alias("ad"))
+        pick = Window.orderBy(F.col("ad").desc(), "x")
+        row = (
+            d.withColumn("pk", F.row_number().over(pick))
+            .filter(F.col("pk") == 1)
+            .select(
+                F.lit(a).alias("a"), F.lit(b).alias("b"),
+                F.col("ad").alias("d_num"),
+                F.lit(tot[a]).cast("long").alias("n_a"),
+                F.lit(tot[b]).cast("long").alias("n_b"),
+                F.col("x").alias("at_x"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def ks_pairs_sql(base_select: str, group_col: str = "g",
+                 value_col: str = "x", pairs: list = None) -> str:
+    """DuckDB twin of ``ks_pairs``."""
+    blocks = []
+    for a, b in pairs:
+        blocks.append(f"""
+SELECT '{a}' AS a, '{b}' AS b, ad AS d_num,
+       (SELECT count(*) FROM ({base_select}) t WHERE {group_col} = '{a}') AS n_a,
+       (SELECT count(*) FROM ({base_select}) t WHERE {group_col} = '{b}') AS n_b,
+       x AS at_x
+FROM (
+  SELECT x, ad, row_number() OVER (ORDER BY ad DESC, x) AS pk
+  FROM (
+    SELECT x,
+           abs(sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                 * (SELECT count(*) FROM ({base_select}) t WHERE {group_col} = '{b}')
+               - sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                 * (SELECT count(*) FROM ({base_select}) t WHERE {group_col} = '{a}')) AS ad
+    FROM (
+      SELECT coalesce(pa.x, pb.x) AS x, coalesce(pa.c, 0) AS ca,
+             coalesce(pb.c, 0) AS cb
+      FROM (SELECT CAST({value_col} AS BIGINT) AS x, count(*) AS c
+            FROM ({base_select}) t WHERE {group_col} = '{a}' GROUP BY 1) pa
+      FULL JOIN (SELECT CAST({value_col} AS BIGINT) AS x, count(*) AS c
+            FROM ({base_select}) t WHERE {group_col} = '{b}' GROUP BY 1) pb
+        ON pb.x = pa.x) u) dd) r
+WHERE pk = 1""")
+    return " UNION ALL ".join(blocks)

@@ -724,3 +724,51 @@ def shamir_exprs(secret: str, xs=(1, 2, 3, 4, 5)) -> list:
     rec = f"((((3 * {y1} - 3 * {y2} + {y3}) % {p}) + {p}) % {p})"
     out.append(("recovered", rec))
     return out
+
+
+def candidate_keys(df: "DataFrame", cols: list) -> "DataFrame":
+    """Candidate-key discovery over the given columns: for every single
+    column and every unordered pair, compare the distinct count against
+    the row count — the uniqueness half of schema profiling (the
+    functional-dependency gate covers the implication half).
+
+    Output: (combo, n_distinct, n_rows, is_key), one row per combination.
+    Scale shape: one map-side-combined distinct per combo over the same
+    scan; combos are metadata-sized."""
+    from pyspark.sql import functions as F
+
+    total = df.count()
+    out = None
+    combos = [(c,) for c in cols] + [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    for combo in combos:
+        row = (
+            df.select(*combo).distinct()
+            .agg(F.count("*").alias("n_distinct"))
+            .select(
+                F.lit("+".join(combo)).alias("combo"),
+                "n_distinct",
+                F.lit(int(total)).cast("long").alias("n_rows"),
+                (F.col("n_distinct") == int(total)).alias("is_key"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def candidate_keys_sql(rel: str, cols: list) -> str:
+    """DuckDB twin of ``candidate_keys``."""
+    combos = [(c,) for c in cols] + [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    blocks = []
+    for combo in combos:
+        cl = ", ".join(combo)
+        blocks.append(f"""
+SELECT '{"+".join(combo)}' AS combo,
+       (SELECT count(*) FROM (SELECT DISTINCT {cl} FROM {rel}) dq) AS n_distinct,
+       (SELECT count(*) FROM {rel}) AS n_rows,
+       (SELECT count(*) FROM (SELECT DISTINCT {cl} FROM {rel}) dq)
+         = (SELECT count(*) FROM {rel}) AS is_key""")
+    return " UNION ALL ".join(blocks)

@@ -2756,3 +2756,99 @@ rots AS (
   FROM d, (SELECT unnest(range({L})) AS r) r)
 SELECT {id_col}, string_agg(right(rot, 1), '' ORDER BY rot) AS bwt
 FROM rots GROUP BY 1"""
+
+
+def longest_palindrome(docs: DataFrame, cap: int = 120, max_r: int = 12,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Longest odd-length palindrome (bounded radius) per document: for
+    every center, match(k) compares the k chars left of the center with
+    the REVERSE of the k chars right of it; the palindromic radius is the
+    longest prefix of true matches (a running-min window over k), and the
+    document takes the max (tie -> smallest center).  Pure string codegen
+    — reverse()/substr() agree bytewise across engines on ASCII text.
+
+    Output: (doc_id, center, best_len) with best_len = 2*r + 1 (1 when no
+    radius-1 palindrome exists anywhere).
+
+    Scale shape: bounded explode (cap centers x max_r radii) + two
+    windows — constant per-document fan-out."""
+    d = docs.select(
+        F.col(id_col), F.substring(F.col(text_col), 1, int(cap)).alias("t"),
+        F.least(F.length(text_col), F.lit(int(cap))).alias("n"),
+    )
+    ex = d.select(
+        id_col, "t", "n",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("c"),
+    ).select(
+        id_col, "t", "n", "c",
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_r)))).alias("k"),
+    )
+    m = ex.withColumn(
+        "ok",
+        (
+            (F.col("c") - F.col("k") >= 1) & (F.col("c") + F.col("k") <= F.col("n"))
+            & (F.expr("substring(t, c - k, k)")
+               == F.reverse(F.expr("substring(t, c + 1, k)")))
+        ).cast("long"),
+    )
+    wk = Window.partitionBy(id_col, "c").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = (
+        m.withColumn("runmin", F.min("ok").over(wk))
+        .filter(F.col("runmin") == 1)
+        .groupBy(id_col, "c")
+        .agg(F.max("k").alias("r"))
+    )
+    base = d.select(id_col, F.lit(1).cast("long").alias("c0"))
+    pick = Window.partitionBy(id_col).orderBy(F.col("r").desc(), "c")
+    best = (
+        r.withColumn("pk", F.row_number().over(pick))
+        .filter(F.col("pk") == 1)
+        .select(id_col, F.col("c").alias("center"),
+                (F.col("r") * 2 + 1).alias("best_len"))
+    )
+    return base.join(best, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("center"), F.col("c0")).alias("center"),
+        F.coalesce(F.col("best_len"), F.lit(1)).cast("long").alias("best_len"),
+    )
+
+
+def longest_palindrome_sql(rel: str = "documents", cap: int = 120,
+                           max_r: int = 12, text_col: str = "text",
+                           id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``longest_palindrome``."""
+    return f"""
+WITH d AS (
+  SELECT {id_col}, substr({text_col}, 1, {int(cap)}) AS t,
+         least(length({text_col}), {int(cap)}) AS n
+  FROM {rel}),
+ex AS (
+  SELECT {id_col}, t, n, c.c, k.k
+  FROM d, (SELECT unnest(range(1, {int(cap)} + 1)) AS c) c,
+       (SELECT unnest(range(1, {int(max_r)} + 1)) AS k) k
+  WHERE c.c <= n),
+m AS (
+  SELECT {id_col}, c, k,
+         CASE WHEN c - k >= 1 AND c + k <= n
+              AND substr(t, CAST(c - k AS INT), CAST(k AS INT))
+                  = reverse(substr(t, CAST(c + 1 AS INT), CAST(k AS INT)))
+              THEN 1 ELSE 0 END AS ok
+  FROM ex),
+r AS (
+  SELECT {id_col}, c, max(k) AS r FROM (
+    SELECT {id_col}, c, k, ok,
+           min(ok) OVER (PARTITION BY {id_col}, c ORDER BY k
+                         ROWS UNBOUNDED PRECEDING) AS runmin
+    FROM m) q
+  WHERE runmin = 1 GROUP BY 1, 2),
+best AS (
+  SELECT {id_col}, c AS center, r * 2 + 1 AS best_len FROM (
+    SELECT *, row_number() OVER (PARTITION BY {id_col}
+        ORDER BY r DESC, c) AS pk FROM r) b
+  WHERE pk = 1)
+SELECT d.{id_col}, coalesce(best.center, 1) AS center,
+       coalesce(best.best_len, 1) AS best_len
+FROM d LEFT JOIN best ON best.{id_col} = d.{id_col}"""

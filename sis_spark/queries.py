@@ -20953,3 +20953,74 @@ def q_lorenz_oracle():
 
 
 QUERIES["lorenz"] = (q_lorenz, q_lorenz_oracle)
+
+
+def q_palindromes(spark, sf_dir):
+    """Longest bounded odd palindrome per document
+    (textops.longest_palindrome, first 120 chars, radius <= 12):
+    reverse-substring matching with a running-min radius window — pure
+    string codegen both engines."""
+    from .operators.textops import longest_palindrome
+
+    return longest_palindrome(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_palindromes_oracle():
+    from .operators.textops import longest_palindrome_sql
+
+    return ("SELECT * FROM (" + longest_palindrome_sql()
+            + ") ORDER BY doc_id")
+
+
+QUERIES["palindromes"] = (q_palindromes, q_palindromes_oracle)
+
+
+_KEY_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def q_candidate_keys(spark, sf_dir):
+    """Candidate-key discovery over four orders columns
+    (quality.candidate_keys): distinct-vs-rowcount for every single and
+    pair combination — the uniqueness side of schema profiling next to
+    `func_deps` and `fk_audit`."""
+    from .operators.quality import candidate_keys
+
+    return candidate_keys(_read(spark, sf_dir, "orders"), _KEY_COLS).orderBy("combo")
+
+
+def q_candidate_keys_oracle():
+    from .operators.quality import candidate_keys_sql
+
+    return ("SELECT * FROM (" + candidate_keys_sql("orders", _KEY_COLS)
+            + ") ORDER BY combo")
+
+
+QUERIES["candidate_keys"] = (q_candidate_keys, q_candidate_keys_oracle)
+
+
+_KS_PAIRS = [("click", "view"), ("click", "purchase"), ("view", "purchase")]
+
+
+def q_ks_pairs(spark, sf_dir):
+    """Pairwise two-sample KS statistics between event-type value
+    distributions (analytics.ks_pairs): exact cross-multiplied ECDF max
+    — the drift matrix across corpus slices, no division anywhere."""
+    from .operators.analytics import ks_pairs
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 1000).cast("long").alias("x"),
+    )
+    return ks_pairs(ev, pairs=_KS_PAIRS).orderBy("a", "b")
+
+
+def q_ks_pairs_oracle():
+    from .operators.analytics import ks_pairs_sql
+
+    base = ("SELECT event_type AS g, CAST(floor(value * 1000) AS BIGINT) AS x "
+            "FROM events")
+    return ("SELECT * FROM (" + ks_pairs_sql(base, pairs=_KS_PAIRS)
+            + ") ORDER BY a, b")
+
+
+QUERIES["ks_pairs"] = (q_ks_pairs, q_ks_pairs_oracle)
