@@ -3977,3 +3977,51 @@ FROM (
         ON pb.x = pa.x) u) dd) r
 WHERE pk = 1""")
     return " UNION ALL ".join(blocks)
+
+
+def julian_day_exprs(y: str, m: str, d: str, div_op: str) -> dict:
+    """Julian day number + inverse + weekday as pure positive-operand
+    integer arithmetic (Fliegel & Van Flandern 1968 rewritten so every
+    division has nonnegative operands — floor == truncate, so Spark's
+    `div` and DuckDB's `//` agree).  Returns {jdn, dow, ry, rm, rd} SQL
+    texts; the roundtrip (ry, rm, rd) re-derives the date from jdn."""
+    o = div_op
+    a = f"((14 - ({m})){o}12)"
+    y2 = f"(({y}) + 4800 - {a})"
+    m2 = f"(({m}) + 12 * {a} - 3)"
+    jdn = (f"(({d}) + ((153 * {m2} + 2){o}5) + 365 * {y2} + ({y2}{o}4) "
+           f"- ({y2}{o}100) + ({y2}{o}400) - 32045)")
+    # inverse (Richards / FVF, positive operands throughout)
+    aa = f"(({jdn}) + 32044)"
+    b = f"((4 * {aa} + 3){o}146097)"
+    c = f"({aa} - ((146097 * {b}){o}4))"
+    dd = f"((4 * {c} + 3){o}1461)"
+    e = f"({c} - ((1461 * {dd}){o}4))"
+    mm = f"((5 * {e} + 2){o}153)"
+    rd = f"({e} - ((153 * {mm} + 2){o}5) + 1)"
+    rm = f"({mm} + 3 - 12 * ({mm}{o}10))"
+    ry = f"(100 * {b} + {dd} - 4800 + ({mm}{o}10))"
+    dow = f"((({jdn}) + 1) % 7)"
+    return {"jdn": jdn, "dow": dow, "ry": ry, "rm": rm, "rd": rd}
+
+
+def easter_exprs(y: str, div_op: str) -> tuple:
+    """Gregorian Easter Sunday (the Anonymous Gregorian / Meeus
+    algorithm, public) as pure integer arithmetic — returns
+    (month_sql, day_sql); all divisions have nonnegative operands."""
+    o = div_op
+    a = f"(({y}) % 19)"
+    b = f"(({y}){o}100)"
+    c = f"(({y}) % 100)"
+    dd = f"({b}{o}4)"
+    e = f"({b} % 4)"
+    f_ = f"(({b} + 8){o}25)"
+    g = f"(({b} - {f_} + 1){o}3)"
+    h = f"((19 * {a} + {b} - {dd} - {g} + 15) % 30)"
+    i = f"({c}{o}4)"
+    k = f"({c} % 4)"
+    l = f"((32 + 2 * {e} + 2 * {i} - {h} - {k}) % 7)"
+    mth = f"((({a} + 11 * {h} + 22 * {l}){o}451))"
+    month = f"(({h} + {l} - 7 * {mth} + 114){o}31)"
+    day = f"((({h} + {l} - 7 * {mth} + 114) % 31) + 1)"
+    return month, day

@@ -2341,3 +2341,94 @@ contrib AS (
 SELECT c.{key_col}, t.{order_col}, t.rn, count(DISTINCT c.val) AS n_distinct
 FROM contrib c JOIN d t ON t.{key_col} = c.{key_col} AND t.rn = c.trn
 GROUP BY 1, 2, 3"""
+
+
+def spectral_flux(
+    df: DataFrame,
+    key_col: str = "user_id",
+    t_col: str = "t",
+    x_col: str = "x",
+    period: int = 32,
+    freqs: tuple = (1, 2, 3, 4),
+    threshold: int = 0,
+    guard: int = 2,
+) -> DataFrame:
+    """Spectral-flux onset detection (the classic audio novelty function,
+    public literature) over fixed frames: per frame the quantized-LUT DFT
+    energies E_f = (c^2 + s^2) div 2^20 (keep |x| <= ~90 so c^2 fits
+    int64), flux = sum_f max(0, E_f - E_f(prev frame)), and an ONSET is a
+    frame whose flux exceeds ``threshold`` and wins the packed-key
+    +/-guard NMS (the shot_cuts rule on the spectral novelty instead of
+    pixel SAD).
+
+    Scale shape: the dft_coeffs LUT aggregation per (key, frame) + two
+    windows — map-side combined, no FP, no trig."""
+    d = df.select(
+        key_col,
+        F.col(t_col).cast("long").alias("t"),
+        F.col(x_col).cast("long").alias("x"),
+    ).withColumn("frame", F.expr(f"t div {int(period)}"))
+    co = dft_coeffs(d, t_col="t", x_col="x", key_cols=(key_col, "frame"),
+                    period=period, freqs=freqs)
+    e = co.select(
+        key_col, "frame", "freq",
+        F.expr("(c * c + s * s) div 1048576").alias("e"),
+    )
+    wl = Window.partitionBy(key_col, "freq").orderBy("frame")
+    d2 = e.withColumn(
+        "d", F.greatest(F.lit(0).cast("long"),
+                        F.col("e") - F.coalesce(F.lag("e").over(wl), F.col("e")))
+    )
+    flux = d2.groupBy(key_col, "frame").agg(F.sum("d").alias("flux"))
+    word = Window.partitionBy(key_col).orderBy("frame")
+    wnb = word.rowsBetween(-int(guard), int(guard))
+    pk = F.col("flux") * F.lit(1048576) + (F.lit(1048575) - F.col("frame"))
+    return (
+        flux.withColumn("pk", pk)
+        .withColumn(
+            "is_onset",
+            (F.col("flux") > int(threshold))
+            & (F.col("pk") == F.max("pk").over(wnb)),
+        )
+        .select(key_col, "frame", "flux", "is_onset")
+    )
+
+
+def spectral_flux_sql(
+    base_select: str,
+    key_col: str = "user_id",
+    t_col: str = "t",
+    x_col: str = "x",
+    period: int = 32,
+    freqs: tuple = (1, 2, 3, 4),
+    threshold: int = 0,
+    guard: int = 2,
+) -> str:
+    """DuckDB twin of ``spectral_flux``."""
+    inner = (f"SELECT {key_col}, t % {int(period)} AS t, "
+             f"t // {int(period)} AS frame, x FROM ("
+             f"SELECT {key_col}, CAST({t_col} AS BIGINT) AS t, "
+             f"CAST({x_col} AS BIGINT) AS x FROM ({base_select}) s0) s1")
+    co = dft_coeffs_sql(inner, t_col="t", x_col="x",
+                        key_cols=(key_col, "frame"),
+                        period=period, freqs=freqs)
+    return f"""
+WITH co AS ({co}),
+e AS (SELECT {key_col}, frame, freq, (c * c + s * s) // 1048576 AS e FROM co),
+d AS (
+  SELECT {key_col}, frame,
+         greatest(0, e - coalesce(lag(e) OVER (PARTITION BY {key_col}, freq
+             ORDER BY frame), e)) AS d
+  FROM e),
+flux AS (
+  SELECT {key_col}, frame, sum(d) AS flux FROM d GROUP BY 1, 2),
+p AS (
+  SELECT {key_col}, frame, flux,
+         flux * 1048576 + (1048575 - frame) AS pk
+  FROM flux)
+SELECT {key_col}, frame, flux,
+       (flux > {int(threshold)} AND pk = max(pk) OVER (
+           PARTITION BY {key_col} ORDER BY frame
+           ROWS BETWEEN {int(guard)} PRECEDING AND {int(guard)} FOLLOWING))
+         AS is_onset
+FROM p"""

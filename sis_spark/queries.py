@@ -21024,3 +21024,100 @@ def q_ks_pairs_oracle():
 
 
 QUERIES["ks_pairs"] = (q_ks_pairs, q_ks_pairs_oracle)
+
+
+def q_onset_flux(spark, sf_dir):
+    """Spectral-flux onset detection (timeseries.spectral_flux, period-32
+    frames, freqs 1-4, NMS guard 2) over a per-user integer signal: the
+    audio novelty function composed from the quantized-LUT DFT — no trig,
+    no FP."""
+    from .operators.timeseries import spectral_flux
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        ((F.col("event_id") * 17) % 101 - 50).cast("long").alias("x"),
+    ).withColumn("t", (F.row_number().over(w) - 1).cast("long"))
+    return spectral_flux(ev, threshold=1000).orderBy("user_id", "frame")
+
+
+def q_onset_flux_oracle():
+    from .operators.timeseries import spectral_flux_sql
+
+    base = """
+SELECT user_id, (event_id * 17) % 101 - 50 AS x,
+       row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS t
+FROM events"""
+    return ("SELECT * FROM (" + spectral_flux_sql(base, threshold=1000)
+            + ") ORDER BY user_id, frame")
+
+
+QUERIES["onset_flux"] = (q_onset_flux, q_onset_flux_oracle)
+
+
+def q_julian_day(spark, sf_dir):
+    """Julian day numbers + weekday + inverse roundtrip
+    (analytics.julian_day_exprs): positive-operand integer Fliegel-Van
+    Flandern arithmetic (floor == truncate, so `div` and `//` agree) over
+    deterministic Gregorian dates — the calendrical backbone of temporal
+    joins across calendars."""
+    from .operators.analytics import julian_day_exprs
+
+    e = julian_day_exprs("y", "m", "d", " div ")
+    base = _read(spark, sf_dir, "events").select(
+        "event_id",
+        (1900 + F.col("event_id") % 300).cast("long").alias("y"),
+        (1 + F.col("event_id") % 12).cast("long").alias("m"),
+        (1 + F.col("event_id") % 28).cast("long").alias("d"),
+    )
+    return base.select(
+        "event_id", "y", "m", "d",
+        *[F.expr(sql).cast("long").alias(name) for name, sql in e.items()],
+    ).orderBy("event_id")
+
+
+def q_julian_day_oracle():
+    from .operators.analytics import julian_day_exprs
+
+    e = julian_day_exprs("y", "m", "d", " // ")
+    cols = ", ".join(f"{sql} AS {name}" for name, sql in e.items())
+    return f"""
+WITH b AS (
+  SELECT event_id, 1900 + event_id % 300 AS y, 1 + event_id % 12 AS m,
+         1 + event_id % 28 AS d
+  FROM events)
+SELECT event_id, y, m, d, {cols}
+FROM b ORDER BY event_id"""
+
+
+QUERIES["julian_day"] = (q_julian_day, q_julian_day_oracle)
+
+
+def q_easter(spark, sf_dir):
+    """Gregorian Easter dates (analytics.easter_exprs, the Anonymous
+    Gregorian algorithm) for a deterministic year range — pure integer
+    calendrical codegen, the movable-feast test of the calendar family."""
+    from .operators.analytics import easter_exprs
+
+    mth, day = easter_exprs("y", " div ")
+    base = spark.range(400).select(
+        (1800 + F.col("id")).cast("long").alias("y")
+    )
+    return base.select(
+        "y",
+        F.expr(mth).cast("long").alias("month"),
+        F.expr(day).cast("long").alias("day"),
+    ).orderBy("y")
+
+
+def q_easter_oracle():
+    from .operators.analytics import easter_exprs
+
+    mth, day = easter_exprs("y", " // ")
+    return f"""
+SELECT y, {mth} AS month, {day} AS day
+FROM (SELECT 1800 + unnest(range(400)) AS y) t
+ORDER BY y"""
+
+
+QUERIES["easter"] = (q_easter, q_easter_oracle)
