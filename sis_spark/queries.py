@@ -21121,3 +21121,48 @@ ORDER BY y"""
 
 
 QUERIES["easter"] = (q_easter, q_easter_oracle)
+
+
+_UNIT_PAIRS = [("km", "m"), ("mi", "km"), ("ft", "m"), ("km/h", "m/s"),
+               ("lb", "kg"), ("degC", "degF"), ("degF", "K"), ("acre", "ha")]
+_UNIT_Q = 1000
+
+
+def _unit_convert_case(div_op):
+    from .functions.units import convert_q_sql
+
+    arms = " ".join(
+        f"WHEN {i} THEN {convert_q_sql('vq', s, d, _UNIT_Q, div_op)}"
+        for i, (s, d) in enumerate(_UNIT_PAIRS)
+    )
+    return f"(CASE pair {arms} END)"
+
+
+def q_unit_convert(spark, sf_dir):
+    """Exact rational unit conversion (functions/units.py — the
+    LinearConverter.java/Prefixes.java/Units.java parity surface): eight
+    (src, dst) pairs across length/speed/mass/temperature/area resolved
+    at plan time into single integer multiply-add floor-divisions; the
+    affine temperature offsets compose as exact rationals.  Map-only
+    codegen."""
+    d = _read(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 8).cast("long").alias("pair"),
+        (F.col("event_id") % 100000).cast("long").alias("vq"),
+    )
+    return d.select(
+        "event_id", "pair", "vq",
+        F.expr(_unit_convert_case(" div ")).cast("long").alias("out_q"),
+    ).orderBy("event_id")
+
+
+def q_unit_convert_oracle():
+    return f"""
+WITH d AS (
+  SELECT event_id, event_id % 8 AS pair, event_id % 100000 AS vq
+  FROM events)
+SELECT event_id, pair, vq, {_unit_convert_case(' // ')} AS out_q
+FROM d ORDER BY event_id"""
+
+
+QUERIES["unit_convert"] = (q_unit_convert, q_unit_convert_oracle)
