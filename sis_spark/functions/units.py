@@ -127,3 +127,31 @@ def convert_q_sql(value_q: str, src: str, dst: str, q: int, div_op: str) -> str:
     a = num * onum_frac.denominator
     b = onum_frac.numerator * den
     return f"((({value_q}) * {a} + {b}){div_op}{common})"
+
+
+def dms_exprs(deg_q: str, div_op: str, q: int = 10**6) -> dict:
+    """Sexagesimal decomposition + formatting of an angle quantized at
+    ``q`` micro-degree-style units (AngleFormat.java parity — the
+    reference's DMS formatter, D deg MM' SS.S''): sign, whole degrees,
+    minutes, seconds and tenths all by exact positive integer division
+    (work on |angle|, reapply the sign in the string), plus the formatted
+    'D°MM′SS.T″' text built with lpad — identical string ops both
+    engines (STRING is a cast alias in Spark AND DuckDB; VARCHAR is not
+    a bare Spark type).  Returns {sign, d, m, s10, dms} SQL texts."""
+    o = div_op
+    a = f"abs({deg_q})"
+    d = f"(({a}){o}{q})"
+    rem = f"(({a}) % {q})"
+    # minutes in q-units: rem * 60 / q ...
+    m = f"((({rem}) * 60){o}{q})"
+    rem2 = f"((({rem}) * 60) % {q})"
+    s10 = f"((({rem2}) * 600){o}{q})"
+    sign = f"(CASE WHEN ({deg_q}) < 0 THEN -1 ELSE 1 END)"
+    dms = (
+        f"(CASE WHEN ({deg_q}) < 0 THEN '-' ELSE '' END || "
+        f"CAST({d} AS STRING) || '°' || "
+        f"lpad(CAST({m} AS STRING), 2, '0') || '′' || "
+        f"lpad(CAST(({s10}){o}10 AS STRING), 2, '0') || '.' || "
+        f"CAST(({s10}) % 10 AS STRING) || '″')"
+    )
+    return {"sign": sign, "d": d, "m": m, "s10": s10, "dms": dms}

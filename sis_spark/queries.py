@@ -21166,3 +21166,45 @@ FROM d ORDER BY event_id"""
 
 
 QUERIES["unit_convert"] = (q_unit_convert, q_unit_convert_oracle)
+
+
+def q_dms_format(spark, sf_dir):
+    """Sexagesimal DMS formatting (functions/units.dms_exprs — the
+    AngleFormat.java surface): micro-degree angles decomposed to
+    degrees/minutes/tenth-seconds by exact positive integer division and
+    rendered as D°MM′SS.T″ strings — identical string codegen both
+    engines."""
+    from .functions.units import dms_exprs
+
+    e = dms_exprs("aq", " div ")
+    lon, lat = point_lonlat_cols("event_id")
+    d = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(lat * 1000000 + F.lit(0.12345678987)).cast("long").alias("aq"),
+    )
+    return d.select(
+        "event_id", "aq",
+        F.expr(e["sign"]).cast("long").alias("sign"),
+        F.expr(e["d"]).cast("long").alias("d"),
+        F.expr(e["m"]).cast("long").alias("m"),
+        F.expr(e["s10"]).cast("long").alias("s10"),
+        F.expr(e["dms"]).alias("dms"),
+    ).orderBy("event_id")
+
+
+def q_dms_format_oracle():
+    from .functions.units import dms_exprs
+
+    e = dms_exprs("aq", " // ")
+    lat = synth.point_lat_sql("event_id")
+    return f"""
+WITH d AS (
+  SELECT event_id,
+         CAST(floor(({lat}) * 1000000 + 0.12345678987) AS BIGINT) AS aq
+  FROM events)
+SELECT event_id, aq, {e['sign']} AS sign, {e['d']} AS d, {e['m']} AS m,
+       {e['s10']} AS s10, {e['dms']} AS dms
+FROM d ORDER BY event_id"""
+
+
+QUERIES["dms_format"] = (q_dms_format, q_dms_format_oracle)
