@@ -439,6 +439,54 @@ class Orthographic:
         return np.degrees(lam) + self.lon0, np.degrees(phi)
 
 
+class Gnomonic:
+    """Spherical gnomonic, oblique aspect (Snyder 1987 §22, public
+    formulas — the great-circles-are-straight-lines map used for
+    route planning and seismic work):
+
+        k = 1 / cos(c),  cos(c) = sin(phi1) sin(phi) + cos(phi1) cos(phi) cos(lam)
+        x = R k cos(phi) sin(lam)
+        y = R k (cos(phi1) sin(phi) - sin(phi1) cos(phi) cos(lam))
+
+    defined strictly inside the front hemisphere (cos(c) > 0); callers
+    clip on cos(c) with an irrational-margin threshold exactly like
+    Orthographic (same shared-text expression)."""
+
+    def __init__(self, lat0: float, lon0: float, R: float = 6371000.0):
+        self.lat0, self.lon0, self.R = lat0, lon0, R
+
+    def cos_c(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        p1 = np.radians(self.lat0)
+        return np.sin(p1) * np.sin(phi) + np.cos(p1) * np.cos(phi) * np.cos(lam)
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        p1 = np.radians(self.lat0)
+        cosc = np.sin(p1) * np.sin(phi) + np.cos(p1) * np.cos(phi) * np.cos(lam)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            k = 1.0 / cosc
+        x = self.R * k * np.cos(phi) * np.sin(lam)
+        y = self.R * k * (np.cos(p1) * np.sin(phi)
+                          - np.sin(p1) * np.cos(phi) * np.cos(lam))
+        return x, y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, np.float64) / self.R
+        y = np.asarray(y, np.float64) / self.R
+        rho = np.sqrt(x * x + y * y)
+        c = np.arctan(rho)
+        p1 = np.radians(self.lat0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            phi = np.arcsin(np.cos(c) * np.sin(p1)
+                            + np.where(rho > 0, y * np.sin(c) * np.cos(p1) / rho, 0.0))
+            lam = np.arctan2(x * np.sin(c),
+                             rho * np.cos(c) * np.cos(p1) - y * np.sin(c) * np.sin(p1))
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
 class AzimuthalEquidistant:
     """Spherical azimuthal equidistant, oblique aspect (Snyder 1987 §25 —
     the true-distance-from-center map used for range rings):
@@ -620,6 +668,8 @@ CRS_REGISTRY: dict[str, object] = {
     "ESRI:53044:EU": Orthographic(45.0, 10.0, 6371000.0),
     # Sphere azimuthal equidistant centered on Europe (range-ring map)
     "ESRI:53032:EU": AzimuthalEquidistant(45.0, 10.0, 6371000.0),
+    # Sphere gnomonic centered on Europe (great-circle route map)
+    "ESRI:53049:EU": Gnomonic(45.0, 10.0, 6371000.0),
     # Sphere Robinson world map (piecewise-linear node interpolation)
     "ESRI:53030": Robinson(0.0, 6371000.0),
     # Universal Polar Stereographic North / South (MGRS polar zones)

@@ -19,7 +19,7 @@ from __future__ import annotations
 import re
 
 from .projections import (
-    GRS80, WGS84, AlbersEqualArea, AzimuthalEquidistant,
+    GRS80, WGS84, AlbersEqualArea, AzimuthalEquidistant, Gnomonic,
     LambertAzimuthalEqualArea, LambertConformal2SP, Mollweide, Orthographic,
     PolarStereographicA, PolarStereographicB, Robinson, Sinusoidal,
     _Geographic, _TM, _WebMercator, CRS_REGISTRY,
@@ -217,6 +217,8 @@ def crs_from_wkt(text: str, prefer_id: bool = True):
         return Robinson(lon0, ell[0])
     if "orthographic" in method:
         return Orthographic(lat0, lon0, ell[0])
+    if "gnomonic" in method:
+        return Gnomonic(lat0, lon0, ell[0])
     if "azimuthal equidistant" in method:
         return AzimuthalEquidistant(lat0, lon0, ell[0])
     raise ValueError(f"unsupported projection method {method!r}")
@@ -350,6 +352,11 @@ def to_wkt(code: str) -> str:
         ], (crs.R, 0.0))
     if isinstance(crs, Orthographic):
         return proj(code, "Orthographic", [
+            ("Latitude of natural origin", crs.lat0),
+            ("Longitude of natural origin", crs.lon0),
+        ], (crs.R, 0.0))
+    if isinstance(crs, Gnomonic):
+        return proj(code, "Gnomonic", [
             ("Latitude of natural origin", crs.lat0),
             ("Longitude of natural origin", crs.lon0),
         ], (crs.R, 0.0))

@@ -21208,3 +21208,47 @@ FROM d ORDER BY event_id"""
 
 
 QUERIES["dms_format"] = (q_dms_format, q_dms_format_oracle)
+
+
+def q_gnomonic(spark, sf_dir):
+    """WGS84 -> sphere gnomonic, oblique centered (10E, 45N) (Snyder §22
+    — great circles map to straight lines): k = 1/cos(c) with the SAME
+    shared-text cos(c) hemisphere cut as `orthographic` (threshold with
+    irrational margin keeps the 1/cos(c) division well-conditioned);
+    floor-shift output discipline."""
+    from .functions.projections import st_transform_any_udf
+
+    pts = _events_points(spark, sf_dir)
+    p = st_transform_any_udf("EPSG:4326", "ESRI:53049:EU")(
+        F.col("lon"), F.col("lat")
+    )
+    return (
+        pts.filter(F.expr(_ORTHO_COSC) >= F.lit(0.201234567891))
+        .select(
+            "event_id",
+            F.floor(p["x"] - F.lit(0.123456789)).cast("long").alias("xl"),
+            F.floor(p["y"] - F.lit(0.123456789)).cast("long").alias("yl"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_gnomonic_oracle():
+    R = synth.flit(6371000.0)
+    lam = "(radians(lon - 10.0))"
+    phi = "(radians(lat))"
+    cosc = (f"(sin(radians(45.0)) * sin({phi}) + cos(radians(45.0)) * "
+            f"cos({phi}) * cos({lam}))")
+    x = f"({R} * (1.0 / {cosc}) * cos({phi}) * sin({lam}))"
+    y = (f"({R} * (1.0 / {cosc}) * (cos(radians(45.0)) * sin({phi}) - "
+         f"sin(radians(45.0)) * cos({phi}) * cos({lam})))")
+    return f"""
+SELECT event_id,
+  CAST(floor({x} - 0.123456789) AS BIGINT) AS xl,
+  CAST(floor({y} - 0.123456789) AS BIGINT) AS yl
+FROM ({_points_sql()}) p
+WHERE {_ORTHO_COSC} >= 0.201234567891
+ORDER BY event_id"""
+
+
+QUERIES["gnomonic"] = (q_gnomonic, q_gnomonic_oracle)
