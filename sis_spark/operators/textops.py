@@ -2852,3 +2852,74 @@ best AS (
 SELECT d.{id_col}, coalesce(best.center, 1) AS center,
        coalesce(best.best_len, 1) AS best_len
 FROM d LEFT JOIN best ON best.{id_col} = d.{id_col}"""
+
+
+def suffix_array(docs: DataFrame, prefix: int = 64,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Suffix array of each document's first ``prefix`` chars by PREFIX
+    DOUBLING (Manber-Myers 1990, public literature — the scalable SA
+    construction): start from single-char ranks (ascii), and each round
+    re-ranks suffixes by the pair (rank_i, rank_{i+2^k}) — the second
+    component is ONE lead(r, 2^k) window over position order, the re-rank
+    ONE dense_rank window per document; log2(prefix) rounds total.
+    Suffix ranks are total (suffix lengths differ), so the final ranks
+    are a permutation = the suffix array.
+
+    Output: (doc_id, i, sa_rank) — suffix starting at 1-based position i
+    has lexicographic rank sa_rank.
+
+    Scale shape: 2 windows per round keyed by document, lineage cut per
+    round — at 100 TB this is the standard distributed SA recipe (sort by
+    packed (r1, r2) keys per round); no per-doc Python anywhere."""
+    L = int(prefix)
+    d = docs.select(
+        F.col(id_col).alias("d"),
+        F.substring(F.col(text_col), 1, L).alias("t"),
+        F.least(F.length(text_col), F.lit(L)).alias("n"),
+    ).filter(F.col("n") > 0)
+    rows = d.select(
+        "d", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"), F.col("t")
+    ).select(
+        "d", "i",
+        F.ascii(F.expr("substring(t, i, 1)")).cast("long").alias("r"),
+    ).localCheckpoint()
+    k = 1
+    while k < L:
+        wi = Window.partitionBy("d").orderBy("i")
+        wr = Window.partitionBy("d").orderBy("r", "r2")
+        rows = (
+            rows.withColumn("r2", F.coalesce(F.lead("r", k).over(wi),
+                                             F.lit(-1).cast("long")))
+            .withColumn("rn", F.dense_rank().over(wr).cast("long"))
+            .select("d", "i", F.col("rn").alias("r"))
+            .localCheckpoint()
+        )
+        k *= 2
+    return rows.select(F.col("d").alias(id_col), "i", F.col("r").alias("sa_rank"))
+
+
+def suffix_array_sql(rel: str = "documents", prefix: int = 64,
+                     text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``suffix_array`` (chained doubling CTEs)."""
+    L = int(prefix)
+    blocks = [f"""r0 AS MATERIALIZED (
+  SELECT {id_col} AS d, i.i AS i,
+         CAST(ascii(substr(t, CAST(i.i AS INT), 1)) AS BIGINT) AS r
+  FROM (SELECT {id_col}, substr({text_col}, 1, {L}) AS t,
+               least(length({text_col}), {L}) AS n
+        FROM {rel} WHERE length({text_col}) > 0) b,
+       (SELECT unnest(range(1, {L} + 1)) AS i) i
+  WHERE i.i <= b.n)"""]
+    idx, k = 0, 1
+    while k < L:
+        blocks.append(f"""r{idx + 1} AS MATERIALIZED (
+  SELECT d, i, CAST(dense_rank() OVER (PARTITION BY d ORDER BY r, r2)
+               AS BIGINT) AS r
+  FROM (
+    SELECT d, i, r,
+           coalesce(lead(r, {k}) OVER (PARTITION BY d ORDER BY i), -1) AS r2
+    FROM r{idx}) s)""")
+        idx += 1
+        k *= 2
+    return ("WITH " + ",\n".join(blocks)
+            + f"\nSELECT d AS {id_col}, i, r AS sa_rank FROM r{idx}")

@@ -21252,3 +21252,21 @@ ORDER BY event_id"""
 
 
 QUERIES["gnomonic"] = (q_gnomonic, q_gnomonic_oracle)
+
+
+def q_suffix_array(spark, sf_dir):
+    """Suffix arrays by prefix doubling (textops.suffix_array, 64-char
+    prefixes): log rounds of lead + dense_rank windows — the scalable SA
+    construction behind substring dedup, each round pure window codegen."""
+    from .operators.textops import suffix_array
+
+    return suffix_array(_read(spark, sf_dir, "documents")).orderBy("doc_id", "i")
+
+
+def q_suffix_array_oracle():
+    from .operators.textops import suffix_array_sql
+
+    return ("SELECT * FROM (" + suffix_array_sql() + ") ORDER BY doc_id, i")
+
+
+QUERIES["suffix_array"] = (q_suffix_array, q_suffix_array_oracle)
