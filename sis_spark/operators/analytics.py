@@ -3123,14 +3123,14 @@ def rendezvous_assign(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    m = 2305843009213693951
+    m = 2147483647
     nd = ", ".join(str(int(x)) for x in nodes)
     ex = keys.select(F.col(key_col).alias("kid")).withColumn(
         "node", F.explode(F.expr(f"array({nd})"))
     ).withColumn("node", F.col("node").cast("long")).withColumn(
         "hw",
-        F.expr(f"((kid * 1000003 + node * 998244353)"
-               f" % {m} + {m}) % {m}"),
+        F.expr(f"((((kid * 2654435761) % {m}) + node + 1)"
+               f" * 2654435761) % {m}"),
     )
     w = Window.partitionBy("kid").orderBy(F.col("hw").desc(), "node")
     return (
@@ -3143,14 +3143,14 @@ def rendezvous_assign(
 def rendezvous_sql(base_select: str, nodes: list,
                    key_col: str = "key_id") -> str:
     """DuckDB twin of ``rendezvous_assign``."""
-    m = 2305843009213693951
+    m = 2147483647
     nd = ", ".join(str(int(x)) for x in nodes)
     return f"""
 WITH k AS (SELECT {key_col} AS kid FROM ({base_select}) s),
 ex AS (
   SELECT kid, CAST(n.node AS BIGINT) AS node,
-         ((kid * 1000003 + CAST(n.node AS BIGINT) * 998244353)
-          % {m} + {m}) % {m} AS hw
+         ((((kid * 2654435761) % {m}) + CAST(n.node AS BIGINT) + 1)
+          * 2654435761) % {m} AS hw
   FROM k, (SELECT unnest([{nd}]) AS node) n)
 SELECT kid AS {key_col}, node, hw FROM (
   SELECT *, row_number() OVER (PARTITION BY kid
@@ -3506,11 +3506,18 @@ def hash_ring_assign(
     from pyspark.sql import functions as F
 
     M = 1 << int(ring_bits)
-    vn = [(int(n), (int(n) * 1000003 + r * 998244353 + 12289) % M)
+    P = 2147483647
+
+    def _mix(a, b):
+        return ((((a * 2654435761) % P) + b + 1) * 2654435761) % P % M
+
+    vn = [(int(n), _mix(int(n), r * 131))
           for n in nodes for r in range(int(vnodes))]
     spark = keys.sparkSession
     vdf = spark.createDataFrame(vn, "node long, vp long")
-    kp = (F.col(key_col).cast("long") * 1000000007) % M
+    kp = F.expr(
+        f"((((({key_col} * 2654435761) % {P}) + 1) * 2654435761) % {P}) % {M}"
+    )
     ex = keys.select(key_col, kp.alias("kp")).join(F.broadcast(vdf))
     pk = (
         F.when(F.col("vp") < F.col("kp"), 1).otherwise(0).cast("long")
@@ -3531,13 +3538,16 @@ def hash_ring_sql(base_select: str, nodes: list, vnodes: int = 4,
                   ring_bits: int = 20, key_col: str = "key_id") -> str:
     """DuckDB twin of ``hash_ring_assign``."""
     M = 1 << int(ring_bits)
+    P = 2147483647
     rows = ", ".join(
-        f"({int(n)}, {(int(n) * 1000003 + r * 998244353 + 12289) % M})"
+        f"({int(n)}, {((((int(n) * 2654435761) % P) + r * 131 + 1) * 2654435761) % P % M})"
         for n in nodes for r in range(int(vnodes))
     )
     return f"""
 WITH k AS (
-  SELECT {key_col}, (CAST({key_col} AS BIGINT) * 1000000007) % {M} AS kp
+  SELECT {key_col},
+         ((((CAST({key_col} AS BIGINT) * 2654435761) % {P}) + 1)
+          * 2654435761) % {P} % {M} AS kp
   FROM ({base_select}) s),
 vn(node, vp) AS (VALUES {rows}),
 ex AS (
