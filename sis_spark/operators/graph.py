@@ -2234,7 +2234,10 @@ def wl_colors(
 ) -> DataFrame:
     """Weisfeiler-Lehman color refinement (1-WL, public literature — the
     graph-fingerprinting primitive of graph kernels and GNN expressivity):
-    every node starts with color md5('0'); each round recolors
+    every node starts with the canonical initial label — md5 of its
+    DEGREE (uniform seeds cannot refine a near-regular graph past its
+    orbit count; the degree seed is the standard 1-WL start); each round
+    recolors
     c'(v) = md5(c(v) || '|' || sorted neighbor colors joined by ',') —
     sort_array(collect_list(...)) makes the aggregation order-independent,
     and md5-over-text is hex-identical across engines.
@@ -2245,9 +2248,17 @@ def wl_colors(
     keyed aggregation; color strings are constant-size hex; lineage cut
     per round."""
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
-    cur = nodes.select("node").withColumn(
-        "c", F.expr("md5('0')")
-    ).localCheckpoint()
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("dg")
+    )
+    cur = (
+        nodes.select("node")
+        .join(deg, "node", "left")
+        .select("node",
+                F.md5(F.coalesce(F.col("dg"), F.lit(0))
+                      .cast("string").cast("binary")).alias("c"))
+        .localCheckpoint()
+    )
     for _ in range(rounds):
         nb = (
             sym.join(cur.select(F.col("node").alias("v"),
@@ -2272,8 +2283,10 @@ def wl_colors_sql(edges_select: str, nodes_select: str, rounds: int = 3) -> str:
     """DuckDB replay of ``wl_colors`` (chained refinement CTEs)."""
     blocks = [
         f"es AS MATERIALIZED (SELECT a AS u, b AS v FROM ({edges_select}) e)",
-        f"c0 AS MATERIALIZED (SELECT node, md5('0') AS c "
-        f"FROM ({nodes_select}) n)",
+        "dg AS (SELECT u AS node, count(*) AS dg FROM es GROUP BY 1)",
+        f"c0 AS MATERIALIZED (SELECT n.node, "
+        f"md5(CAST(coalesce(dg.dg, 0) AS STRING)) AS c "
+        f"FROM ({nodes_select}) n LEFT JOIN dg ON dg.node = n.node)",
     ]
     for i in range(rounds):
         blocks.append(f"""nb{i} AS (

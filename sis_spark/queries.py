@@ -20580,18 +20580,21 @@ QUERIES["brier_decomp"] = (q_brier_decomp, q_brier_decomp_oracle)
 
 def q_rbo(spark, sf_dir):
     """Rank-biased overlap (analytics.rbo_scores, p=9/10, depth 12)
-    between two closed-form permutation rankings of 20 items per query:
-    per-depth quantized geometric terms, exact int64 — the top-weighted
+    between two closed-form permutation rankings of 20 items per query
+    (multipliers vary by query so overlap structures differ): per-depth
+    quantized geometric terms, exact int64 — the top-weighted
     rank-agreement metric next to `ndcg`/`kendall_tau`."""
     from .operators.analytics import rbo_scores
 
+    ma = "CASE q % 4 WHEN 0 THEN 3 WHEN 1 THEN 7 WHEN 2 THEN 9 ELSE 11 END"
+    mb = "CASE q % 4 WHEN 0 THEN 11 WHEN 1 THEN 13 WHEN 2 THEN 17 ELSE 19 END"
     items = spark.range(200).select(
         (F.col("id") / 20).cast("long").alias("q"),
         (F.col("id") % 20).alias("i"),
     ).select(
         "q",
-        ((F.col("i") * 7 + F.col("q")) % 20 + 1).cast("long").alias("pa"),
-        ((F.col("i") * 11 + F.col("q") * 3) % 20 + 1).cast("long").alias("pb"),
+        F.expr(f"(i * ({ma}) + q) % 20 + 1").cast("long").alias("pa"),
+        F.expr(f"(i * ({mb}) + q * 3) % 20 + 1").cast("long").alias("pb"),
     )
     return rbo_scores(items).orderBy("q")
 
@@ -20600,10 +20603,13 @@ def q_rbo_oracle():
     from .operators.analytics import rbo_scores_sql
 
     base = """
-SELECT i // 20 AS q,
-       ((i % 20) * 7 + i // 20) % 20 + 1 AS pa,
-       ((i % 20) * 11 + (i // 20) * 3) % 20 + 1 AS pb
-FROM (SELECT unnest(range(200)) AS i) t"""
+SELECT q,
+       (i * (CASE q % 4 WHEN 0 THEN 3 WHEN 1 THEN 7 WHEN 2 THEN 9 ELSE 11 END)
+          + q) % 20 + 1 AS pa,
+       (i * (CASE q % 4 WHEN 0 THEN 11 WHEN 1 THEN 13 WHEN 2 THEN 17 ELSE 19 END)
+          + q * 3) % 20 + 1 AS pb
+FROM (SELECT j // 20 AS q, j % 20 AS i
+      FROM (SELECT unnest(range(200)) AS j) u) t"""
     return "SELECT * FROM (" + rbo_scores_sql(base) + ") ORDER BY q"
 
 
