@@ -2397,3 +2397,54 @@ st{i + 1} AS MATERIALIZED (
   FROM st{i} s LEFT JOIN oc{i} o ON o.g = s.g AND o.m = s.m)""")
     return ("WITH " + ",\n".join(blocks)
             + f"\nSELECT g, m, ew AS w FROM st{rounds} WHERE ew IS NOT NULL")
+
+
+def rich_club(
+    edges: DataFrame,
+    ks: tuple = (2, 4, 6, 8),
+) -> DataFrame:
+    """Rich-club coefficients (Zhou & Mondragon 2004, public literature),
+    exact: for each threshold k, phi(k) = 2*E_k / (N_k * (N_k - 1)) over
+    the subgraph induced by nodes of degree > k — emitted as the integer
+    triple (k, n_k, e_k); the rational is derivable downstream.
+
+    Input: symmetrized loop-free (a, b) edges.  Scale shape: one degree
+    aggregation + one semi-joined edge count per threshold (thresholds
+    are a handful; each pass is an equi-join)."""
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("dg")
+    ).localCheckpoint()
+    und = edges.filter(F.col("a") < F.col("b"))
+    out = None
+    for k in ks:
+        rich = deg.filter(F.col("dg") > int(k)).select("node")
+        nk = rich.count()
+        ek = (
+            und.join(rich.withColumnRenamed("node", "a"), "a", "semi")
+            .join(rich.withColumnRenamed("node", "b"), "b", "semi")
+            .count()
+        )
+        spark = edges.sparkSession
+        row = spark.createDataFrame(
+            [(int(k), int(nk), int(ek))], "k long, n_k long, e_k long"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def rich_club_sql(edges_select: str, ks: tuple = (2, 4, 6, 8)) -> str:
+    """DuckDB twin of ``rich_club``."""
+    blocks = []
+    for k in ks:
+        blocks.append(f"""
+SELECT {int(k)} AS k,
+       (SELECT count(*) FROM (
+          SELECT a FROM ({edges_select}) e GROUP BY a
+          HAVING count(*) > {int(k)}) r) AS n_k,
+       (SELECT count(*) FROM ({edges_select}) e
+        WHERE e.a < e.b
+          AND e.a IN (SELECT a FROM ({edges_select}) x GROUP BY a
+                      HAVING count(*) > {int(k)})
+          AND e.b IN (SELECT a FROM ({edges_select}) x GROUP BY a
+                      HAVING count(*) > {int(k)})) AS e_k""")
+    return " UNION ALL ".join(blocks)

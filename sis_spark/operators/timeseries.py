@@ -2432,3 +2432,79 @@ SELECT {key_col}, frame, flux,
            ROWS BETWEEN {int(guard)} PRECEDING AND {int(guard)} FOLLOWING))
          AS is_onset
 FROM p"""
+
+
+def mann_kendall(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "v",
+    cap: int = 40,
+) -> DataFrame:
+    """Mann-Kendall trend test per key, EXACT: S = sum over i<j of
+    sign(x_j - x_i) and the tie-corrected variance NUMERATOR
+    18*Var(S) = n(n-1)(2n+5) - sum_t t(t-1)(2t+5) — both pure int64, so
+    the classic hydrology trend test (Mann 1945 / Kendall, public
+    literature) emits with no FP; the z-statistic is derivable downstream
+    (the Theil-Sen gate supplies the matching slope estimate).
+
+    First ``cap`` rows per key (the bounded pairwise join contract).
+    Output: (key, n, s, var18)."""
+    word = Window.partitionBy(key_col).orderBy(order_col)
+    b = (
+        df.select(key_col, order_col, F.col(value_col).cast("long").alias("x"))
+        .withColumn("rn", F.row_number().over(word).cast("long"))
+        .filter(F.col("rn") <= int(cap))
+    )
+    a = b.select(key_col, F.col("rn").alias("ri"), F.col("x").alias("xi"))
+    c = b.select(key_col, F.col("rn").alias("rj"), F.col("x").alias("xj"))
+    pairs = a.join(c, key_col).filter(F.col("ri") < F.col("rj"))
+    s = pairs.groupBy(key_col).agg(
+        F.sum(F.signum(F.col("xj") - F.col("xi")).cast("long")).alias("s")
+    )
+    ties = (
+        b.groupBy(key_col, "x").agg(F.count(F.lit(1)).alias("t"))
+        .groupBy(key_col)
+        .agg(
+            F.sum("t").alias("n"),
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).alias("tt"),
+        )
+    )
+    return (
+        s.join(ties, key_col)
+        .select(
+            key_col, "n", "s",
+            (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+             - F.col("tt")).alias("var18"),
+        )
+    )
+
+
+def mann_kendall_sql(
+    base_select: str,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "v",
+    cap: int = 40,
+) -> str:
+    """DuckDB twin of ``mann_kendall``."""
+    return f"""
+WITH b AS (
+  SELECT {key_col}, CAST({value_col} AS BIGINT) AS x,
+         CAST(row_number() OVER (PARTITION BY {key_col}
+              ORDER BY {order_col}) AS BIGINT) AS rn
+  FROM ({base_select}) s0
+  QUALIFY rn <= {int(cap)}),
+s AS (
+  SELECT a.{key_col}, sum(CASE WHEN c.x > a.x THEN 1
+                               WHEN c.x < a.x THEN -1 ELSE 0 END) AS s
+  FROM b a JOIN b c ON c.{key_col} = a.{key_col} AND a.rn < c.rn
+  GROUP BY 1),
+ties AS (
+  SELECT {key_col}, sum(t) AS n,
+         sum(t * (t - 1) * (2 * t + 5)) AS tt
+  FROM (SELECT {key_col}, x, count(*) AS t FROM b GROUP BY 1, 2) q
+  GROUP BY 1)
+SELECT s.{key_col}, ties.n, s.s,
+       ties.n * (ties.n - 1) * (2 * ties.n + 5) - ties.tt AS var18
+FROM s JOIN ties ON ties.{key_col} = s.{key_col}"""

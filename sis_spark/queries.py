@@ -21276,3 +21276,50 @@ def q_suffix_array_oracle():
 
 
 QUERIES["suffix_array"] = (q_suffix_array, q_suffix_array_oracle)
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test per user (timeseries.mann_kendall, first
+    40 points): exact S statistic + tie-corrected 18*Var(S) — the
+    nonparametric trend detector pairing the existing `theil_sen`
+    slope."""
+    from .operators.timeseries import mann_kendall
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        ((F.col("event_id") * 13) % 50 + (F.col("event_id") / 200).cast("long"))
+        .cast("long").alias("v"),
+    )
+    return mann_kendall(ev).orderBy("user_id")
+
+
+def q_mann_kendall_oracle():
+    from .operators.timeseries import mann_kendall_sql
+
+    base = ("SELECT user_id, event_id, "
+            "(event_id * 13) % 50 + event_id // 200 AS v FROM events")
+    return ("SELECT * FROM (" + mann_kendall_sql(base) + ") ORDER BY user_id")
+
+
+QUERIES["mann_kendall"] = (q_mann_kendall, q_mann_kendall_oracle)
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficients (graph.rich_club, k in 2,4,6,8) of the
+    symmetrized document graph: induced-subgraph edge counts among
+    high-degree nodes — the hub-interconnection diagnostic next to
+    `assortativity`."""
+    from .operators.graph import rich_club
+
+    edges, _ = _mis_edges_df(spark, sf_dir)
+    return rich_club(edges).orderBy("k")
+
+
+def q_rich_club_oracle():
+    from .operators.graph import rich_club_sql
+
+    return ("SELECT * FROM (" + rich_club_sql(_mis_edges_sql())
+            + ") ORDER BY k")
+
+
+QUERIES["rich_club"] = (q_rich_club, q_rich_club_oracle)
