@@ -772,3 +772,103 @@ FROM (
   FROM (SELECT {h} AS h FROM ({base_select}) b),
        (SELECT unnest(range({int(reps)})) AS rep) reps
   GROUP BY rep) t"""
+
+
+def space_saving(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    item_col: str = "item",
+    k: int = 4,
+) -> DataFrame:
+    """Space-Saving heavy hitters (Metwally et al. 2005, public
+    literature), derandomized: the k-counter stream summary processed in
+    the deterministic ``order_col`` order — hit increments; miss with
+    room inserts (count 1, err 0); miss without room REPLACES the
+    minimum counter (ties: smallest count, then smallest item) with
+    (min+1, err=min).  One update per step, so the oracle replays the
+    stream as a lockstep recursive CTE carrying the counter LIST; the
+    engine is one applyInPandas pass per key (the stay_points
+    discipline).  Guarantees: count overestimates by <= err, every item
+    with true frequency > n/k is present.
+
+    Output: (key, item, cnt, err) for the final counters."""
+    import pandas as pd
+
+    def fn(key, pdf):
+        pdf = pdf.sort_values("rn")
+        counters = {}
+        for it in pdf["it"]:
+            it = int(it)
+            if it in counters:
+                c, e = counters[it]
+                counters[it] = (c + 1, e)
+            elif len(counters) < k:
+                counters[it] = (1, 0)
+            else:
+                mit = min(counters, key=lambda x: (counters[x][0], x))
+                mc, _ = counters.pop(mit)
+                counters[it] = (mc + 1, mc)
+        return pd.DataFrame([
+            {"k": key[0], "item": it, "cnt": c, "err": e}
+            for it, (c, e) in sorted(counters.items())
+        ])
+
+    word = Window.partitionBy(key_col).orderBy(order_col)
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(item_col).cast("long").alias("it"),
+        F.row_number().over(word).cast("long").alias("rn"),
+    )
+    return b.groupBy("k").applyInPandas(
+        fn, "k long, item long, cnt long, err long"
+    ).select(F.col("k").alias(key_col), "item", "cnt", "err")
+
+
+def space_saving_sql(
+    base_select: str,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    item_col: str = "item",
+    k: int = 4,
+) -> str:
+    """DuckDB twin of ``space_saving`` (lockstep recursive CTE; counters
+    carried as a LIST of (item, cnt, err) structs)."""
+    return f"""
+WITH RECURSIVE b AS MATERIALIZED (
+  SELECT {key_col} AS kk, CAST({item_col} AS BIGINT) AS it,
+         CAST(row_number() OVER (PARTITION BY {key_col}
+              ORDER BY {order_col}) AS BIGINT) AS rn
+  FROM ({base_select}) s),
+st AS (
+  SELECT kk, CAST(0 AS BIGINT) AS rn,
+         CAST([] AS STRUCT(item BIGINT, cnt BIGINT, err BIGINT)[]) AS cs
+  FROM (SELECT DISTINCT kk FROM b) u
+  UNION ALL
+  SELECT r.kk, r.rn + 1,
+         CASE
+           WHEN len(list_filter(r.cs, c -> c.item = q.it)) > 0 THEN
+             list_transform(r.cs, c -> CASE WHEN c.item = q.it
+               THEN {{'item': c.item, 'cnt': c.cnt + 1, 'err': c.err}}
+               ELSE c END)
+           WHEN len(r.cs) < {int(k)} THEN
+             list_append(r.cs, {{'item': q.it, 'cnt': CAST(1 AS BIGINT),
+                                 'err': CAST(0 AS BIGINT)}})
+           ELSE
+             list_append(
+               list_filter(r.cs, c -> NOT (
+                 c.cnt = list_min(list_transform(r.cs, x -> x.cnt))
+                 AND c.item = list_min(list_transform(
+                   list_filter(r.cs, x -> x.cnt = list_min(
+                     list_transform(r.cs, y -> y.cnt))), x -> x.item)))),
+               {{'item': q.it,
+                 'cnt': list_min(list_transform(r.cs, x -> x.cnt)) + 1,
+                 'err': list_min(list_transform(r.cs, x -> x.cnt))}})
+         END AS cs
+  FROM st r JOIN b q ON q.kk = r.kk AND q.rn = r.rn + 1)
+SELECT f.kk AS {key_col}, u.c.item AS item, u.c.cnt AS cnt, u.c.err AS err
+FROM (
+  SELECT st.kk, st.cs FROM st
+  JOIN (SELECT kk, max(rn) AS mx FROM b GROUP BY 1) m
+    ON m.kk = st.kk AND m.mx = st.rn) f,
+  unnest(f.cs) AS u(c)"""

@@ -21323,3 +21323,34 @@ def q_rich_club_oracle():
 
 
 QUERIES["rich_club"] = (q_rich_club, q_rich_club_oracle)
+
+
+def q_space_saving(spark, sf_dir):
+    """Space-Saving heavy hitters per user (sketches.space_saving, k=4)
+    over a skewed deterministic item stream: the classic k-counter stream
+    summary with fully deterministic replace rules — applyInPandas per
+    key vs a lockstep recursive-CTE counter-list oracle; completes the
+    sketch family's heavy-hitter side next to `countmin_heavy`."""
+    from .operators.sketches import space_saving
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("CASE WHEN event_id % 4 < 2 THEN event_id % 3 "
+               "ELSE (event_id * 7) % 12 END").cast("long").alias("item"),
+    )
+    return space_saving(ev).orderBy("user_id", "item")
+
+
+def q_space_saving_oracle():
+    from .operators.sketches import space_saving_sql
+
+    base = """
+SELECT user_id, event_id,
+       CASE WHEN event_id % 4 < 2 THEN event_id % 3
+            ELSE (event_id * 7) % 12 END AS item
+FROM events"""
+    return ("SELECT * FROM (" + space_saving_sql(base)
+            + ") ORDER BY user_id, item")
+
+
+QUERIES["space_saving"] = (q_space_saving, q_space_saving_oracle)
