@@ -2923,3 +2923,138 @@ def suffix_array_sql(rel: str = "documents", prefix: int = 64,
         k *= 2
     return ("WITH " + ",\n".join(blocks)
             + f"\nSELECT d AS {id_col}, i, r AS sa_rank FROM r{idx}")
+
+
+def lcs_substring_pairs(
+    docs: DataFrame,
+    pair_with: int = 1,
+    prefix: int = 48,
+    max_l: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Longest common SUBSTRING length between doc i and doc i+pair_with,
+    exact, via the suffix-array identity: the LCS of strings a, b is the
+    maximal LCP between a suffix of a and a suffix of b, and in the
+    suffix array of ``a + '#' + b`` that maximum is attained by two
+    RANK-ADJACENT suffixes from different sides — so sort the merged
+    suffixes (the prefix-doubling machinery), take adjacent cross-side
+    pairs, and measure each LCP directly as the longest prefix of
+    matching chars (bounded ``max_l``, running-min window — the
+    palindromes discipline).  '#' is outside the corpus alphabet, so no
+    match crosses the separator.
+
+    Output: (a_id, b_id, lcs_len).
+
+    Scale shape: everything is the SA windows + one bounded explode —
+    the exact-substring-overlap primitive of near-dup forensics."""
+    half = int(prefix)
+    a = docs.select(F.col(id_col).alias("a_id"),
+                    F.substring(text_col, 1, half).alias("ta"))
+    b = docs.select((F.col(id_col) - int(pair_with)).alias("a_id"),
+                    F.col(id_col).alias("b_id"),
+                    F.substring(text_col, 1, half).alias("tb"))
+    pairs = a.join(b, "a_id").select(
+        "a_id", "b_id",
+        F.concat(F.col("ta"), F.lit("#"), F.col("tb")).alias("t"),
+        (F.length("ta") + 1).alias("sep"),
+        (F.length("ta") + 1 + F.length("tb")).alias("n"),
+    )
+    pid = pairs.select(
+        (F.col("a_id") * 1048576 + F.col("b_id")).alias("doc_id"),
+        F.col("t").alias("text"), "sep",
+    )
+    sa = suffix_array(pid, prefix=2 * half + 1)
+    j = sa.join(pid.select("doc_id", F.col("text").alias("t"), "sep"), "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("sa_rank")
+    adj = (
+        j.withColumn("side", (F.col("i") > F.col("sep")).cast("int"))
+        .withColumn("pi", F.lag("i").over(w))
+        .withColumn("pside", F.lag("side").over(w))
+        .filter(F.col("pside").isNotNull() & (F.col("side") != F.col("pside")))
+    )
+    ex = adj.select(
+        "doc_id", "t", "i", "pi",
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_l)))).alias("L"),
+    ).withColumn(
+        "ok",
+        (F.expr("substring(t, i, L)") == F.expr("substring(t, pi, L)"))
+        & (F.length(F.expr("substring(t, i, L)")) == F.col("L"))
+        & (F.length(F.expr("substring(t, pi, L)")) == F.col("L"))
+        & ~F.expr("substring(t, i, L)").contains("#"),
+    )
+    wk = Window.partitionBy("doc_id", "i", "pi").orderBy("L").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lcp = (
+        ex.withColumn("rm", F.min(F.col("ok").cast("int")).over(wk))
+        .filter(F.col("rm") == 1)
+        .groupBy("doc_id")
+        .agg(F.max("L").alias("lcs_len"))
+    )
+    return (
+        pid.select("doc_id").distinct()
+        .join(lcp, "doc_id", "left")
+        .select(
+            F.expr("doc_id div 1048576").alias("a_id"),
+            (F.col("doc_id") % 1048576).alias("b_id"),
+            F.coalesce(F.col("lcs_len"), F.lit(0)).cast("long").alias("lcs_len"),
+        )
+    )
+
+
+def lcs_substring_pairs_sql(
+    rel: str = "documents",
+    pair_with: int = 1,
+    prefix: int = 48,
+    max_l: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``lcs_substring_pairs`` (SA CTEs over the merged
+    strings + the bounded adjacent-LCP windows)."""
+    half = int(prefix)
+    L2 = 2 * half + 1
+    pairs = f"""
+SELECT a.{id_col} * 1048576 + b.{id_col} AS doc_id,
+       substr(a.{text_col}, 1, {half}) || '#' || substr(b.{text_col}, 1, {half}) AS text,
+       length(substr(a.{text_col}, 1, {half})) + 1 AS sep
+FROM {rel} a JOIN {rel} b ON b.{id_col} = a.{id_col} + {int(pair_with)}"""
+    sa = suffix_array_sql(f"({pairs})", prefix=L2, text_col="text",
+                          id_col="doc_id")
+    return f"""
+WITH pid AS MATERIALIZED ({pairs}),
+sa AS MATERIALIZED ({sa}),
+j AS (
+  SELECT sa.doc_id, sa.i, sa.sa_rank, p.text AS t, p.sep,
+         CASE WHEN sa.i > p.sep THEN 1 ELSE 0 END AS side
+  FROM sa JOIN pid p ON p.doc_id = sa.doc_id),
+adj AS (
+  SELECT doc_id, t, i,
+         lag(i) OVER (PARTITION BY doc_id ORDER BY sa_rank) AS pi,
+         side,
+         lag(side) OVER (PARTITION BY doc_id ORDER BY sa_rank) AS pside
+  FROM j),
+cross_adj AS (
+  SELECT doc_id, t, i, pi FROM adj
+  WHERE pside IS NOT NULL AND side <> pside),
+ex AS (
+  SELECT doc_id, t, i, pi, l.l AS L,
+         CASE WHEN substr(t, CAST(i AS INT), CAST(l.l AS INT))
+                   = substr(t, CAST(pi AS INT), CAST(l.l AS INT))
+              AND length(substr(t, CAST(i AS INT), CAST(l.l AS INT))) = l.l
+              AND length(substr(t, CAST(pi AS INT), CAST(l.l AS INT))) = l.l
+              AND position('#' IN substr(t, CAST(i AS INT), CAST(l.l AS INT))) = 0
+              THEN 1 ELSE 0 END AS ok
+  FROM cross_adj, (SELECT unnest(range(1, {int(max_l)} + 1)) AS l) l),
+lcp AS (
+  SELECT doc_id, max(L) AS lcs_len FROM (
+    SELECT doc_id, i, pi, L, ok,
+           min(ok) OVER (PARTITION BY doc_id, i, pi ORDER BY L
+                         ROWS UNBOUNDED PRECEDING) AS rm
+    FROM ex) q
+  WHERE rm = 1 GROUP BY 1)
+SELECT p.doc_id // 1048576 AS a_id, p.doc_id % 1048576 AS b_id,
+       coalesce(l.lcs_len, 0) AS lcs_len
+FROM (SELECT DISTINCT doc_id FROM pid) p
+LEFT JOIN lcp l ON l.doc_id = p.doc_id"""

@@ -21354,3 +21354,27 @@ FROM events"""
 
 
 QUERIES["space_saving"] = (q_space_saving, q_space_saving_oracle)
+
+
+def q_lcs_substring(spark, sf_dir):
+    """Longest common substring between consecutive documents
+    (textops.lcs_substring_pairs, 48-char prefixes): the suffix-array
+    identity — max cross-side LCP is attained at rank-adjacent suffixes
+    of the merged string — composed from the prefix-doubling SA plus a
+    bounded adjacent-LCP window; the exact substring-overlap forensic
+    under the shingle/minhash estimators."""
+    from .operators.textops import lcs_substring_pairs
+
+    return lcs_substring_pairs(_read(spark, sf_dir, "documents")).orderBy(
+        "a_id", "b_id"
+    )
+
+
+def q_lcs_substring_oracle():
+    from .operators.textops import lcs_substring_pairs_sql
+
+    return ("SELECT * FROM (" + lcs_substring_pairs_sql()
+            + ") ORDER BY a_id, b_id")
+
+
+QUERIES["lcs_substring"] = (q_lcs_substring, q_lcs_substring_oracle)

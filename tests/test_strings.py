@@ -57,3 +57,30 @@ def test_lz77_reconstructs_text(spark):
                 src = pos - r["dist"]
                 out.append(t[src:src + r["len"]])
         assert "".join(out) == t
+
+
+def test_lcs_substring_matches_brute(spark):
+    from sis_spark.operators.textops import lcs_substring_pairs
+
+    texts = ["the quick brown fox jumps over it",
+             "a lazy dog saw the quick brown cat",
+             "nothing in common here zzz",
+             "totally different words qqq vvv"]
+    df = _docs(spark, list(enumerate(texts)))
+    got = {(r["a_id"], r["b_id"]): r["lcs_len"]
+           for r in lcs_substring_pairs(df, prefix=48, max_l=32).collect()}
+
+    def brute(a, b):
+        best = 0
+        for i in range(len(a)):
+            for j in range(len(b)):
+                k = 0
+                while (i + k < len(a) and j + k < len(b)
+                       and a[i + k] == b[j + k]):
+                    k += 1
+                best = max(best, k)
+        return best
+
+    for i in range(3):
+        a, b = texts[i][:48], texts[i + 1][:48]
+        assert got[(i, i + 1)] == min(brute(a, b), 32), (i, got[(i, i + 1)])
