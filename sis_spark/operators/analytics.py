@@ -4035,3 +4035,64 @@ def easter_exprs(y: str, div_op: str) -> tuple:
     month = f"(({h} + {l} - 7 * {mth} + 114){o}31)"
     day = f"((({h} + {l} - 7 * {mth} + 114) % 31) + 1)"
     return month, day
+
+
+def pareto_point(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    share_num: int = 4,
+    share_den: int = 5,
+) -> "DataFrame":
+    """Pareto concentration point per group, exact: the smallest k such
+    that the top-k values (DESC, stable by value then arbitrary-but-
+    mass-neutral ties) hold at least share_num/share_den of the total —
+    compared by cross-multiplication (cum * den >= total * num), no
+    division.  The 80/20 diagnostic over `lorenz`/`gini`.
+
+    Output: (g, n, total, k, cum_at_k)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    b = df.select(F.col(group_col).alias("g"),
+                  F.col(value_col).cast("long").alias("x"))
+    w = Window.partitionBy("g").orderBy(F.col("x").desc())
+    wt = Window.partitionBy("g")
+    d = (
+        b.withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn("cum", F.sum("x").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", F.sum("x").over(wt))
+        .withColumn("n", F.count(F.lit(1)).over(wt).cast("long"))
+    )
+    hit = d.filter(
+        F.col("cum") * int(share_den) >= F.col("tot") * int(share_num)
+    )
+    pick = Window.partitionBy("g").orderBy("rk")
+    return (
+        hit.withColumn("pk", F.row_number().over(pick))
+        .filter(F.col("pk") == 1)
+        .select("g", "n", F.col("tot").alias("total"),
+                F.col("rk").alias("k"), F.col("cum").alias("cum_at_k"))
+    )
+
+
+def pareto_point_sql(base_select: str, group_col: str, value_col: str,
+                     share_num: int = 4, share_den: int = 5) -> str:
+    """DuckDB twin of ``pareto_point``."""
+    return f"""
+WITH b AS (
+  SELECT {group_col} AS g, CAST({value_col} AS BIGINT) AS x
+  FROM ({base_select}) s),
+d AS (
+  SELECT g, x,
+         CAST(row_number() OVER (PARTITION BY g ORDER BY x DESC) AS BIGINT) AS rk,
+         sum(x) OVER (PARTITION BY g ORDER BY x DESC
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(x) OVER (PARTITION BY g) AS tot,
+         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM b)
+SELECT g, n, tot AS total, rk AS k, cum AS cum_at_k FROM (
+  SELECT *, row_number() OVER (PARTITION BY g ORDER BY rk) AS pk
+  FROM d WHERE cum * {int(share_den)} >= tot * {int(share_num)}) h
+WHERE pk = 1"""

@@ -2256,3 +2256,51 @@ ex AS (
   FROM p, (SELECT unnest(range(1, {S})) AS t) t)
 SELECT pid, sum(blk) AS n_blocked, sum(blk) = 0 AS visible
 FROM ex GROUP BY 1"""
+
+
+def box_counting(
+    pts: "DataFrame",
+    res_list: tuple = (4, 5, 6, 7, 8),
+) -> "DataFrame":
+    """Box-counting occupancy curve (the Minkowski-Bouligand fractal-
+    dimension diagnostic, public literature): occupied-cell counts of the
+    point set at a ladder of grid resolutions — the log-log slope of
+    N(r) is the fractal dimension; the engine emits the exact integer
+    (res, n_cells, n_points) curve and leaves the slope rational to the
+    caller (no logs anywhere).
+
+    Scale shape: one distinct-cells aggregation per resolution over the
+    same scan — the cell-histogram primitive at r ladder steps."""
+    from pyspark.sql import functions as F
+
+    from .density import grid_expr
+
+    out = None
+    for r in res_list:
+        n = 1 << int(r)
+        cells = pts.select(
+            F.expr(grid_expr("x", n)).alias("ix"),
+            F.expr(grid_expr("y", n)).alias("iy"),
+        )
+        row = cells.agg(
+            F.countDistinct("ix", "iy").alias("n_cells"),
+            F.count("*").alias("n_points"),
+        ).select(F.lit(int(r)).cast("long").alias("res"), "n_cells", "n_points")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def box_counting_sql(base_select: str, res_list: tuple = (4, 5, 6, 7, 8)) -> str:
+    """DuckDB twin of ``box_counting``."""
+    from .density import grid_expr
+
+    blocks = []
+    for r in res_list:
+        n = 1 << int(r)
+        blocks.append(f"""
+SELECT {int(r)} AS res,
+       (SELECT count(*) FROM (
+          SELECT DISTINCT {grid_expr('x', n)} AS ix, {grid_expr('y', n)} AS iy
+          FROM ({base_select}) p) c) AS n_cells,
+       (SELECT count(*) FROM ({base_select}) p) AS n_points""")
+    return " UNION ALL ".join(blocks)

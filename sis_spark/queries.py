@@ -21378,3 +21378,48 @@ def q_lcs_substring_oracle():
 
 
 QUERIES["lcs_substring"] = (q_lcs_substring, q_lcs_substring_oracle)
+
+
+def q_box_counting(spark, sf_dir):
+    """Box-counting occupancy curve (density.box_counting, res 4..8)
+    over the event points — the fractal-dimension ladder of exact
+    occupied-cell counts; the multi-resolution view of the engine's cell
+    histogram."""
+    from .operators.density import box_counting
+
+    return box_counting(_events_points(spark, sf_dir)).orderBy("res")
+
+
+def q_box_counting_oracle():
+    from .operators.density import box_counting_sql
+
+    return ("SELECT * FROM (" + box_counting_sql(_points_sql())
+            + ") ORDER BY res")
+
+
+QUERIES["box_counting"] = (q_box_counting, q_box_counting_oracle)
+
+
+def q_pareto_point(spark, sf_dir):
+    """Pareto 80/20 point per nation segment (analytics.pareto_point):
+    smallest top-k holding >= 4/5 of the mass, cross-multiplied exact —
+    the concentration diagnostic over `lorenz`/`gini`."""
+    from .operators.analytics import pareto_point
+
+    c = _read(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 5).alias("g"),
+        ((F.col("c_custkey") * 7919) % 100000).cast("long").alias("x"),
+    )
+    return pareto_point(c, "g", "x").orderBy("g")
+
+
+def q_pareto_point_oracle():
+    from .operators.analytics import pareto_point_sql
+
+    base = ("SELECT c_custkey % 5 AS g, (c_custkey * 7919) % 100000 AS x "
+            "FROM customer")
+    return ("SELECT * FROM (" + pareto_point_sql(base, "g", "x")
+            + ") ORDER BY g")
+
+
+QUERIES["pareto_point"] = (q_pareto_point, q_pareto_point_oracle)
