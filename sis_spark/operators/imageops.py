@@ -1331,3 +1331,59 @@ def rgb_hsv_exprs(r: str, g: str, b: str) -> dict:
         "h_num": hn,
         "h_den": C,
     }
+
+
+def wu_lines(
+    lines: "DataFrame",
+    dx: int = 64,
+    line_col: str = "line_id",
+) -> "DataFrame":
+    """Wu anti-aliased line rasterization (Wu 1991, public literature),
+    EXACT: for x-major lines whose run length is the power of two ``dx``,
+    the gradient dy/dx is an exact dyadic, so at step i the sub-pixel
+    offset is (i*dy mod dx) and the two coverage weights are
+    (dx - off, off) in 1/dx units — pure integers, no FP accumulator.
+    Emits both pixels per step: (line_id, x, y, cov).
+
+    Input: (line_id, x0, y0, dy) with |dy| <= dx (x-major contract).
+    Scale shape: one bounded explode (dx steps x 2 pixels) — the
+    vector-overlay rasterizer's line sibling (rasterize_aa covers
+    polygons)."""
+    from pyspark.sql import functions as F
+
+    D = int(dx)
+    ex = lines.select(
+        line_col, "x0", "y0", "dy",
+        F.explode(F.sequence(F.lit(0), F.lit(D - 1))).alias("i"),
+    ).select(
+        line_col,
+        (F.col("x0") + F.col("i")).alias("x"),
+        (F.col("y0") + F.expr(f"((i * dy) div {D}) "
+                              f"- (CASE WHEN i * dy < 0 AND (i * dy) % {D} != 0 "
+                              f"THEN 1 ELSE 0 END)")).alias("ybase"),
+        F.expr(f"((i * dy) % {D} + {D}) % {D}").alias("off"),
+    )
+    top = ex.select(line_col, "x", F.col("ybase").alias("y"),
+                    (F.lit(D) - F.col("off")).alias("cov"))
+    bot = ex.select(line_col, "x", (F.col("ybase") + 1).alias("y"),
+                    F.col("off").alias("cov"))
+    return top.unionByName(bot).filter(F.col("cov") > 0)
+
+
+def wu_lines_sql(base_select: str, dx: int = 64,
+                 line_col: str = "line_id") -> str:
+    """DuckDB twin of ``wu_lines`` (same floor-division identities; the
+    engine's explicit negative-floor correction matches // which already
+    floors, so the shared form uses the posmod identity both sides)."""
+    D = int(dx)
+    return f"""
+WITH ex AS (
+  SELECT {line_col}, x0 + i.i AS x,
+         y0 + ((i.i * dy) - (((i.i * dy) % {D} + {D}) % {D})) / {D} AS ybase,
+         ((i.i * dy) % {D} + {D}) % {D} AS off
+  FROM ({base_select}) l, (SELECT unnest(range({D})) AS i) i)
+SELECT {line_col}, x, CAST(ybase AS BIGINT) AS y, cov FROM (
+  SELECT {line_col}, x, ybase, {D} - off AS cov FROM ex
+  UNION ALL
+  SELECT {line_col}, x, ybase + 1, off FROM ex) u
+WHERE cov > 0"""

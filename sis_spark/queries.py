@@ -21423,3 +21423,32 @@ def q_pareto_point_oracle():
 
 
 QUERIES["pareto_point"] = (q_pareto_point, q_pareto_point_oracle)
+
+
+def q_wu_line(spark, sf_dir):
+    """Wu anti-aliased line rasterization (imageops.wu_lines, dx=64):
+    dyadic gradients make both per-step coverage weights exact 1/64
+    integers — the line sibling of `rasterize_aa`, pure explode codegen."""
+    from .operators.imageops import wu_lines
+
+    lines = _read(spark, sf_dir, "events").filter(F.col("event_id") < 2000).select(
+        F.col("event_id").alias("line_id"),
+        ((F.col("event_id") * 3) % 500).cast("long").alias("x0"),
+        ((F.col("event_id") * 7) % 300).cast("long").alias("y0"),
+        ((F.col("event_id") % 129) - 64).cast("long").alias("dy"),
+    )
+    return wu_lines(lines).orderBy("line_id", "x", "y")
+
+
+def q_wu_line_oracle():
+    from .operators.imageops import wu_lines_sql
+
+    base = """
+SELECT event_id AS line_id, (event_id * 3) % 500 AS x0,
+       (event_id * 7) % 300 AS y0, (event_id % 129) - 64 AS dy
+FROM events WHERE event_id < 2000"""
+    return ("SELECT * FROM (" + wu_lines_sql(base)
+            + ") ORDER BY line_id, x, y")
+
+
+QUERIES["wu_line"] = (q_wu_line, q_wu_line_oracle)
