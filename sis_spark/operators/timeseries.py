@@ -2508,3 +2508,119 @@ ties AS (
 SELECT s.{key_col}, ties.n, s.s,
        ties.n * (ties.n - 1) * (2 * ties.n + 5) - ties.tt AS var18
 FROM s JOIN ties ON ties.{key_col} = s.{key_col}"""
+
+
+def lindley_waits(
+    df: DataFrame,
+    key_col: str = "server",
+    order_col: str = "n",
+    service_col: str = "s",
+    inter_col: str = "a",
+) -> DataFrame:
+    """G/G/1 waiting times by the Lindley recursion
+    W_{n+1} = max(0, W_n + S_n - A_{n+1}), solved in CLOSED FORM via the
+    prefix-extremum identity (the kadane/cusum discipline): with
+    U = cumsum(S_prev - A), W_n = U_n - min(0, min prefix U) — two window
+    passes, no recurrence, exact integers.  The queueing-theory workload
+    simulator as pure codegen.
+
+    Output: (key, n, wait)."""
+    word = Window.partitionBy(key_col).orderBy(order_col)
+    wrun = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    zero = F.lit(0).cast("long")
+    d = (
+        df.select(key_col, order_col,
+                  F.col(service_col).cast("long").alias("s"),
+                  F.col(inter_col).cast("long").alias("a"))
+        .withColumn("inc", F.coalesce(F.lag("s").over(word), zero) - F.col("a"))
+        .withColumn("u", F.sum("inc").over(wrun))
+    )
+    return d.withColumn(
+        "wait",
+        F.col("u") - F.least(zero, F.min("u").over(wrun)),
+    ).select(key_col, order_col, "wait")
+
+
+def lindley_waits_sql(
+    base_select: str,
+    key_col: str = "server",
+    order_col: str = "n",
+    service_col: str = "s",
+    inter_col: str = "a",
+) -> str:
+    """DuckDB twin of ``lindley_waits`` (two window passes)."""
+    return f"""
+WITH b AS (
+  SELECT {key_col}, {order_col}, CAST({service_col} AS BIGINT) AS s,
+         CAST({inter_col} AS BIGINT) AS a
+  FROM ({base_select}) q),
+i AS (
+  SELECT {key_col}, {order_col},
+         coalesce(lag(s) OVER (PARTITION BY {key_col}
+                               ORDER BY {order_col}), 0) - a AS inc
+  FROM b),
+u AS (
+  SELECT {key_col}, {order_col},
+         sum(inc) OVER (PARTITION BY {key_col} ORDER BY {order_col}
+                        ROWS UNBOUNDED PRECEDING) AS u
+  FROM i)
+SELECT {key_col}, {order_col},
+       u - least(0, min(u) OVER (PARTITION BY {key_col} ORDER BY {order_col}
+                                 ROWS UNBOUNDED PRECEDING)) AS wait
+FROM u"""
+
+
+def hdr_histogram(
+    df: DataFrame,
+    key_col: str = "g",
+    value_col: str = "v",
+    mantissa_bits: int = 2,
+) -> DataFrame:
+    """Log-bucketed latency histogram (the HdrHistogram layout, public):
+    bucket = (bit length of v, the top ``mantissa_bits`` mantissa bits) —
+    exponentially-spaced buckets with bounded relative error, computed by
+    the exact length(bin()) integer log2 (no FP log).  Percentile reads
+    are downstream sums.  One map-side-combined aggregation.
+
+    Output: (g, exp, mant, n, v_min, v_max) per occupied bucket."""
+    mb = int(mantissa_bits)
+    e = F.expr("length(bin(v))").cast("long")
+    mant = F.expr(
+        f"CASE WHEN length(bin(v)) <= {mb} THEN 0 "
+        f"ELSE (v div (CASE length(bin(v)) "
+        + " ".join(f"WHEN {k} THEN {1 << (k - 1 - mb)}"
+                   for k in range(mb + 1, 64)) + " END)) % " + str(1 << mb)
+        + " END"
+    ).cast("long")
+    b = df.select(
+        F.col(key_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    ).filter(F.col("v") > 0)
+    return (
+        b.withColumn("exp", e).withColumn("mant", mant)
+        .groupBy("g", "exp", "mant")
+        .agg(F.count("*").alias("n"), F.min("v").alias("v_min"),
+             F.max("v").alias("v_max"))
+    )
+
+
+def hdr_histogram_sql(
+    base_select: str,
+    key_col: str = "g",
+    value_col: str = "v",
+    mantissa_bits: int = 2,
+) -> str:
+    """DuckDB twin of ``hdr_histogram``."""
+    mb = int(mantissa_bits)
+    arms = " ".join(f"WHEN {k} THEN {1 << (k - 1 - mb)}"
+                    for k in range(mb + 1, 64))
+    mant = (f"CASE WHEN length(bin(v)) <= {mb} THEN 0 "
+            f"ELSE (v // (CASE length(bin(v)) {arms} END)) % {1 << mb} END")
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS g, CAST({value_col} AS BIGINT) AS v
+  FROM ({base_select}) s WHERE {value_col} > 0)
+SELECT g, CAST(length(bin(v)) AS BIGINT) AS exp,
+       CAST({mant} AS BIGINT) AS mant,
+       count(*) AS n, min(v) AS v_min, max(v) AS v_max
+FROM b GROUP BY 1, 2, 3"""

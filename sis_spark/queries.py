@@ -21452,3 +21452,59 @@ FROM events WHERE event_id < 2000"""
 
 
 QUERIES["wu_line"] = (q_wu_line, q_wu_line_oracle)
+
+
+def q_lindley(spark, sf_dir):
+    """G/G/1 waiting times (timeseries.lindley_waits) for deterministic
+    per-server service/interarrival streams: the Lindley recurrence in
+    closed form via the prefix-extremum identity — queueing theory as
+    two window passes."""
+    from .operators.timeseries import lindley_waits
+
+    ev = _read(spark, sf_dir, "events").select(
+        (F.col("user_id") % 20).alias("server"),
+        F.col("event_id").alias("n"),
+        ((F.col("event_id") * 13) % 17 + 1).cast("long").alias("s"),
+        ((F.col("event_id") * 7) % 19 + 1).cast("long").alias("a"),
+    )
+    return lindley_waits(ev).orderBy("server", "n")
+
+
+def q_lindley_oracle():
+    from .operators.timeseries import lindley_waits_sql
+
+    base = ("SELECT user_id % 20 AS server, event_id AS n, "
+            "(event_id * 13) % 17 + 1 AS s, (event_id * 7) % 19 + 1 AS a "
+            "FROM events")
+    return ("SELECT * FROM (" + lindley_waits_sql(base)
+            + ") ORDER BY server, n")
+
+
+QUERIES["lindley"] = (q_lindley, q_lindley_oracle)
+
+
+def q_hdr_hist(spark, sf_dir):
+    """HdrHistogram-style log buckets (timeseries.hdr_histogram,
+    2 mantissa bits) of synthetic latencies per event type: exponent via
+    the exact length(bin()) log2 — bounded-relative-error latency
+    profiling with no FP."""
+    from .operators.timeseries import hdr_histogram
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        ((F.col("event_id") * F.col("event_id")) % 100000 + 1)
+        .cast("long").alias("v"),
+    )
+    return hdr_histogram(ev).orderBy("g", "exp", "mant")
+
+
+def q_hdr_hist_oracle():
+    from .operators.timeseries import hdr_histogram_sql
+
+    base = ("SELECT event_type AS g, (event_id * event_id) % 100000 + 1 AS v "
+            "FROM events")
+    return ("SELECT * FROM (" + hdr_histogram_sql(base)
+            + ") ORDER BY g, exp, mant")
+
+
+QUERIES["hdr_hist"] = (q_hdr_hist, q_hdr_hist_oracle)
