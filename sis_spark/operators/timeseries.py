@@ -2624,3 +2624,99 @@ SELECT g, CAST(length(bin(v)) AS BIGINT) AS exp,
        CAST({mant} AS BIGINT) AS mant,
        count(*) AS n, min(v) AS v_min, max(v) AS v_max
 FROM b GROUP BY 1, 2, 3"""
+
+
+def seasonal_medians(
+    df: DataFrame,
+    period: int = 7,
+    trend_window: int = 15,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "v",
+) -> DataFrame:
+    """Robust seasonal decomposition (the median-based STL-lite of
+    robust statistics): trend = centered rolling MEDIAN (exact odd-window
+    order statistic), detrended = v - trend, seasonal(phase) = exact
+    lower median of the detrended values at that phase (rank div 2 + 1
+    order stat), remainder = detrended - seasonal.  Everything an integer
+    order statistic — no FP, outlier-immune.
+
+    Output: (key, order, v, trend, phase, seasonal, remainder); edge rows
+    without a full trend window emit NULL trend/remainder (documented).
+
+    Scale shape: one sliding window (sorted small array via
+    array_sort(collect_list) over the frame), one phase aggregation, two
+    joins back — all keyed."""
+    w = int(trend_window)
+    half = w // 2
+    word = Window.partitionBy(key_col).orderBy(order_col)
+    wfr = word.rowsBetween(-half, half)
+    b = (
+        df.select(key_col, order_col, F.col(value_col).cast("long").alias("v"))
+        .withColumn("rn", F.row_number().over(word).cast("long"))
+        .withColumn("arr", F.array_sort(F.collect_list("v").over(wfr)))
+        .withColumn(
+            "trend",
+            F.when(F.size("arr") == w,
+                   F.element_at("arr", half + 1)).cast("long"),
+        )
+        .drop("arr")
+        .withColumn("phase", ((F.col("rn") - 1) % period).cast("long"))
+        .withColumn("det", F.col("v") - F.col("trend"))
+    )
+    wp = Window.partitionBy(key_col, "phase").orderBy("det", "rn")
+    wpc = Window.partitionBy(key_col, "phase")
+    seas = (
+        b.filter(F.col("det").isNotNull())
+        .withColumn("r", F.row_number().over(wp).cast("long"))
+        .withColumn("cnt", F.count(F.lit(1)).over(wpc).cast("long"))
+        .filter(F.col("r") == F.expr("cnt div 2 + 1"))
+        .select(key_col, "phase", F.col("det").alias("seasonal"))
+    )
+    return (
+        b.join(seas, [key_col, "phase"], "left")
+        .select(
+            key_col, order_col, "v", "trend", "phase", "seasonal",
+            (F.col("det") - F.col("seasonal")).alias("remainder"),
+        )
+    )
+
+
+def seasonal_medians_sql(
+    base_select: str,
+    period: int = 7,
+    trend_window: int = 15,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "v",
+) -> str:
+    """DuckDB twin of ``seasonal_medians``."""
+    w = int(trend_window)
+    half = w // 2
+    return f"""
+WITH b0 AS (
+  SELECT {key_col}, {order_col}, CAST({value_col} AS BIGINT) AS v,
+         CAST(row_number() OVER (PARTITION BY {key_col}
+              ORDER BY {order_col}) AS BIGINT) AS rn,
+         list_sort(list(CAST({value_col} AS BIGINT)) OVER (
+           PARTITION BY {key_col} ORDER BY {order_col}
+           ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)) AS arr
+  FROM ({base_select}) s),
+b AS (
+  SELECT {key_col}, {order_col}, v, rn,
+         CASE WHEN len(arr) = {w} THEN arr[{half + 1}] END AS trend,
+         (rn - 1) % {int(period)} AS phase,
+         v - CASE WHEN len(arr) = {w} THEN arr[{half + 1}] END AS det
+  FROM b0),
+seas AS (
+  SELECT {key_col}, phase, det AS seasonal FROM (
+    SELECT {key_col}, phase, det,
+           row_number() OVER (PARTITION BY {key_col}, phase
+                              ORDER BY det, rn) AS r,
+           count(*) OVER (PARTITION BY {key_col}, phase) AS cnt
+    FROM b WHERE det IS NOT NULL) q
+  WHERE r = cnt // 2 + 1)
+SELECT b.{key_col}, b.{order_col}, b.v, b.trend, b.phase, s.seasonal,
+       b.det - s.seasonal AS remainder
+FROM b LEFT JOIN seas s
+  ON s.{key_col} = b.{key_col} AND s.phase = b.phase"""

@@ -21508,3 +21508,31 @@ def q_hdr_hist_oracle():
 
 
 QUERIES["hdr_hist"] = (q_hdr_hist, q_hdr_hist_oracle)
+
+
+def q_seasonal_medians(spark, sf_dir):
+    """Robust STL-lite decomposition (timeseries.seasonal_medians,
+    period 7, trend window 15): rolling-median trend + per-phase exact
+    median seasonal + remainder, all integer order statistics — the
+    outlier-immune companion of `holt_winters`/`seasonal`."""
+    from .operators.timeseries import seasonal_medians
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        ((F.col("event_id") % 7) * 10 + (F.col("event_id") * 13) % 9
+         + (F.col("event_id") / 100).cast("long")).cast("long").alias("v"),
+    )
+    return seasonal_medians(ev).orderBy("user_id", "event_id")
+
+
+def q_seasonal_medians_oracle():
+    from .operators.timeseries import seasonal_medians_sql
+
+    base = ("SELECT user_id, event_id, "
+            "(event_id % 7) * 10 + (event_id * 13) % 9 + event_id // 100 AS v "
+            "FROM events")
+    return ("SELECT * FROM (" + seasonal_medians_sql(base)
+            + ") ORDER BY user_id, event_id")
+
+
+QUERIES["seasonal_medians"] = (q_seasonal_medians, q_seasonal_medians_oracle)
