@@ -2720,3 +2720,90 @@ SELECT b.{key_col}, b.{order_col}, b.v, b.trend, b.phase, s.seasonal,
        b.det - s.seasonal AS remainder
 FROM b LEFT JOIN seas s
   ON s.{key_col} = b.{key_col} AND s.phase = b.phase"""
+
+
+ALLEN_RELATIONS = [
+    "precedes", "meets", "overlaps", "finished_by", "contains", "starts",
+    "equals", "started_by", "during", "finishes", "overlapped_by",
+    "met_by", "preceded_by",
+]
+
+
+def allen_join(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    id_col: str = "iid",
+    t0_col: str = "t0",
+    t1_col: str = "t1",
+) -> DataFrame:
+    """Allen-relation labeling join (Allen 1983 interval algebra — the
+    engine's temporal_allen predicates turned into a classifying JOIN):
+    every ordered pair of a key's intervals (a.id < b.id) is labeled with
+    exactly one of the 13 relations by pure endpoint comparisons.
+
+    Output: (key, a_id, b_id, relation).  Scale shape: one self-equi-join
+    on the key (per-key counts bound the fan-out) + codegen CASE — the
+    exhaustive relation matrix the reference's TemporalFilter
+    (F/filter/TemporalFilter.java) evaluates one predicate at a time."""
+    b = intervals.select(
+        F.col(key_col).alias("k"), F.col(id_col).cast("long").alias("iid"),
+        F.col(t0_col).cast("long").alias("t0"),
+        F.col(t1_col).cast("long").alias("t1"),
+    )
+    a = b.select(F.col("k"), F.col("iid").alias("a_id"),
+                 F.col("t0").alias("a0"), F.col("t1").alias("a1"))
+    c = b.select(F.col("k"), F.col("iid").alias("b_id"),
+                 F.col("t0").alias("b0"), F.col("t1").alias("b1"))
+    rel = F.expr("""
+        CASE
+          WHEN a1 < b0 THEN 'precedes'
+          WHEN a1 = b0 THEN 'meets'
+          WHEN b1 < a0 THEN 'preceded_by'
+          WHEN b1 = a0 THEN 'met_by'
+          WHEN a0 = b0 AND a1 = b1 THEN 'equals'
+          WHEN a0 = b0 AND a1 < b1 THEN 'starts'
+          WHEN a0 = b0 AND a1 > b1 THEN 'started_by'
+          WHEN a1 = b1 AND a0 > b0 THEN 'finishes'
+          WHEN a1 = b1 AND a0 < b0 THEN 'finished_by'
+          WHEN a0 > b0 AND a1 < b1 THEN 'during'
+          WHEN a0 < b0 AND a1 > b1 THEN 'contains'
+          WHEN a0 < b0 AND a1 > b0 AND a1 < b1 THEN 'overlaps'
+          ELSE 'overlapped_by'
+        END""")
+    return (
+        a.join(c, "k")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("k", "a_id", "b_id", rel.alias("relation"))
+    )
+
+
+def allen_join_sql(
+    base_select: str,
+    key_col: str = "user_id",
+    id_col: str = "iid",
+    t0_col: str = "t0",
+    t1_col: str = "t1",
+) -> str:
+    """DuckDB twin of ``allen_join`` (identical CASE ladder)."""
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, CAST({id_col} AS BIGINT) AS iid,
+         CAST({t0_col} AS BIGINT) AS t0, CAST({t1_col} AS BIGINT) AS t1
+  FROM ({base_select}) s)
+SELECT a.k, a.iid AS a_id, c.iid AS b_id,
+       CASE
+         WHEN a.t1 < c.t0 THEN 'precedes'
+         WHEN a.t1 = c.t0 THEN 'meets'
+         WHEN c.t1 < a.t0 THEN 'preceded_by'
+         WHEN c.t1 = a.t0 THEN 'met_by'
+         WHEN a.t0 = c.t0 AND a.t1 = c.t1 THEN 'equals'
+         WHEN a.t0 = c.t0 AND a.t1 < c.t1 THEN 'starts'
+         WHEN a.t0 = c.t0 AND a.t1 > c.t1 THEN 'started_by'
+         WHEN a.t1 = c.t1 AND a.t0 > c.t0 THEN 'finishes'
+         WHEN a.t1 = c.t1 AND a.t0 < c.t0 THEN 'finished_by'
+         WHEN a.t0 > c.t0 AND a.t1 < c.t1 THEN 'during'
+         WHEN a.t0 < c.t0 AND a.t1 > c.t1 THEN 'contains'
+         WHEN a.t0 < c.t0 AND a.t1 > c.t0 AND a.t1 < c.t1 THEN 'overlaps'
+         ELSE 'overlapped_by'
+       END AS relation
+FROM b a JOIN b c ON c.k = a.k AND a.iid < c.iid"""

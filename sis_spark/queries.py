@@ -21536,3 +21536,122 @@ def q_seasonal_medians_oracle():
 
 
 QUERIES["seasonal_medians"] = (q_seasonal_medians, q_seasonal_medians_oracle)
+
+
+def q_allen_join(spark, sf_dir):
+    """Allen interval-algebra classifying join (timeseries.allen_join)
+    over the stab_count interval set, capped to 20 intervals per user:
+    each pair labeled with exactly one of the 13 relations by endpoint
+    comparisons — the join form of the temporal_allen predicate gate."""
+    from .operators.timeseries import allen_join
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    iv = (
+        _read(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "user_id", F.col("event_id").alias("iid"),
+            ((F.col("event_id") * 37) % 1000).cast("long").alias("t0"),
+            ((F.col("event_id") * 37) % 1000
+             + (F.col("event_id") % 7 + 1) * 3).cast("long").alias("t1"),
+        )
+    )
+    return allen_join(iv).orderBy("k", "a_id", "b_id")
+
+
+def q_allen_join_oracle():
+    from .operators.timeseries import allen_join_sql
+
+    base = """
+SELECT user_id, event_id AS iid, (event_id * 37) % 1000 AS t0,
+       (event_id * 37) % 1000 + (event_id % 7 + 1) * 3 AS t1
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY event_id) AS rn FROM events) t
+WHERE rn <= 20"""
+    return ("SELECT * FROM (" + allen_join_sql(base)
+            + ") ORDER BY k, a_id, b_id")
+
+
+QUERIES["allen_join"] = (q_allen_join, q_allen_join_oracle)
+
+
+_SOBEL_GX = ((-1, 0, 1), (-2, 0, 2), (-1, 0, 1))
+_SOBEL_GY = ((-1, -2, -1), (0, 0, 0), (1, 2, 1))
+
+
+def q_focus_measure(spark, sf_dir):
+    """Tenengrad focus/sharpness measure per tile (the Sobel-energy blur
+    detector of autofocus and training-data curation): two
+    convolve_tiles passes (Sobel gx, gy — zero padding) joined per tile,
+    energy = sum(gx^2 + gy^2) exact int64 — a blur-ranking signal next to
+    `blockiness`/`image_quality`."""
+    import numpy as _np
+    import pandas as _pd
+
+    from .raster.grid import GridGeometry
+    from .raster.terrain import convolve_tiles
+
+    W, H, TS = 500, 300, 64
+    tiles = _formula_tiles(spark, W, H, bands=1, tile_size=TS)
+    gg = GridGeometry((0, 0, W - 1, H - 1), (1.0, 0.0, 0.0, 0.0, -1.0, float(H)))
+    gx = convolve_tiles(tiles, gg, _SOBEL_GX, tile_size=TS).select(
+        "tx", "ty", F.col("data").alias("dx"))
+    gy = convolve_tiles(tiles, gg, _SOBEL_GY, tile_size=TS).select(
+        "tx", "ty", F.col("data").alias("dy"))
+    j = gx.join(gy, ["tx", "ty"])
+
+    def ten(batches):
+        for pdf in batches:
+            rows = []
+            for tx, ty, bx, by in zip(pdf["tx"], pdf["ty"], pdf["dx"], pdf["dy"]):
+                vx = _np.frombuffer(bx, _np.int64).reshape(TS, TS)
+                vy = _np.frombuffer(by, _np.int64).reshape(TS, TS)
+                px = int(tx) * TS + _np.arange(TS)[None, :]
+                py = int(ty) * TS + _np.arange(TS)[:, None]
+                live = (px < W) & (py < H)
+                g2 = (vx * vx + vy * vy) * live
+                rows.append({
+                    "tx": int(tx), "ty": int(ty),
+                    "tenengrad": int(g2.sum()),
+                    "max_g2": int(g2.max()),
+                })
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    return j.mapInPandas(
+        ten, "tx long, ty long, tenengrad long, max_g2 long"
+    ).orderBy("tx", "ty")
+
+
+def q_focus_measure_oracle():
+    W, H = 500, 300
+    v = lambda a, b: f"((({a}) * 7 + ({b}) * 13) % 256)"
+
+    def conv(kernel):
+        terms = []
+        for dy, row in zip((-1, 0, 1), kernel):
+            for dx, coef in zip((-1, 0, 1), row):
+                if not coef:
+                    continue
+                terms.append(
+                    f"(CASE WHEN x + ({dx}) BETWEEN 0 AND {W - 1} "
+                    f"AND y + ({dy}) BETWEEN 0 AND {H - 1} "
+                    f"THEN ({coef}) * {v(f'x + ({dx})', f'y + ({dy})')} ELSE 0 END)"
+                )
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+WITH px AS (
+  SELECT x.x AS x, y.y AS y
+  FROM generate_series(0, {W - 1}) x(x), generate_series(0, {H - 1}) y(y)),
+g AS (
+  SELECT x // 64 AS tx, y // 64 AS ty,
+         {conv(_SOBEL_GX)} AS gx, {conv(_SOBEL_GY)} AS gy
+  FROM px)
+SELECT tx, ty, CAST(sum(gx * gx + gy * gy) AS BIGINT) AS tenengrad,
+       CAST(max(gx * gx + gy * gy) AS BIGINT) AS max_g2
+FROM g GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+QUERIES["focus_measure"] = (q_focus_measure, q_focus_measure_oracle)
