@@ -4096,3 +4096,119 @@ SELECT g, n, tot AS total, rk AS k, cum AS cum_at_k FROM (
   SELECT *, row_number() OVER (PARTITION BY g ORDER BY rk) AS pk
   FROM d WHERE cum * {int(share_den)} >= tot * {int(share_num)}) h
 WHERE pk = 1"""
+
+
+def log_rank(
+    df: "DataFrame",
+    t_col: str = "t",
+    event_col: str = "e",
+    group_col: str = "g",
+    q: int = 1 << 20,
+) -> "DataFrame":
+    """Two-group log-rank test (Mantel 1966, public literature), exact:
+    at each event time the observed-minus-expected deaths in group 1,
+    O - E = d1 - d*n1/n, and the hypergeometric variance
+    V = d*(n-d)*n1*n0 / (n^2*(n-1)), quantize PER TIME (the variance in
+    TWO floor steps so every product stays under 2^63), and sum — order-independent int64; the z/chi2
+    statistic is derivable downstream.  Completes the survival family
+    next to kaplan_meier / nelson_aalen.
+
+    Output: one row (n_times, oe_q, var_q)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    b = df.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(event_col).cast("long").alias("e"),
+        F.col(group_col).cast("long").alias("grp"),
+    )
+    per = b.groupBy("t").agg(
+        F.count("*").alias("m"),
+        F.sum("e").alias("d"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("m1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("e")).otherwise(0)).alias("d1"),
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = (
+        per.withColumn("n", F.sum("m").over(w))
+        .withColumn("n1", F.sum("m1").over(w))
+        .filter(F.col("d") > 0)
+    )
+    oe = F.expr(f"((d1 * n - d * n1) * {int(q)}) div n")
+    # two-step floor quantization keeps every product under 2^63:
+    # a = floor(d(n-d)q / (n(n-1))), v = floor(a*n1*n0 / n^2)
+    var = F.expr(
+        f"(((d * (n - d) * {int(q)}) div (n * greatest(n - 1, 1)))"
+        f" * n1 * (n - n1)) div (n * n)"
+    )
+    return (
+        r.select(oe.alias("oeq"), var.alias("vq"))
+        .agg(F.count("*").alias("n_times"),
+             F.sum("oeq").alias("oe_q"), F.sum("vq").alias("var_q"))
+    )
+
+
+def log_rank_sql(base_select: str, t_col: str = "t", event_col: str = "e",
+                 group_col: str = "g", q: int = 1 << 20) -> str:
+    """DuckDB twin of ``log_rank``."""
+    return f"""
+WITH b AS (
+  SELECT CAST({t_col} AS BIGINT) AS t, CAST({event_col} AS BIGINT) AS e,
+         CAST({group_col} AS BIGINT) AS grp
+  FROM ({base_select}) s),
+per AS (
+  SELECT t, count(*) AS m, sum(e) AS d,
+         sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS m1,
+         sum(CASE WHEN grp = 1 THEN e ELSE 0 END) AS d1
+  FROM b GROUP BY 1),
+r AS (
+  SELECT t, d, d1,
+         sum(m) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n,
+         sum(m1) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n1
+  FROM per)
+SELECT count(*) AS n_times,
+       sum(((d1 * n - d * n1) * {int(q)}) // n) AS oe_q,
+       sum((((d * (n - d) * {int(q)}) // (n * greatest(n - 1, 1)))
+            * n1 * (n - n1)) // (n * n)) AS var_q
+FROM r WHERE d > 0"""
+
+
+def ltv_curves(
+    df: "DataFrame",
+    cohort_col: str = "cohort",
+    age_col: str = "age",
+    revenue_col: str = "rev",
+) -> "DataFrame":
+    """Cohort lifetime-value curves: per (cohort, age) revenue and the
+    running cumulative — the product-analytics layer over `retention`
+    (same cohort keying, money instead of presence).  Exact integers,
+    one aggregation + one window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    per = df.groupBy(
+        F.col(cohort_col).alias("cohort"), F.col(age_col).alias("age")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col(revenue_col).cast("long")).alias("rev"),
+    )
+    w = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.withColumn("cum_rev", F.sum("rev").over(w))
+
+
+def ltv_curves_sql(base_select: str, cohort_col: str = "cohort",
+                   age_col: str = "age", revenue_col: str = "rev") -> str:
+    """DuckDB twin of ``ltv_curves``."""
+    return f"""
+WITH per AS (
+  SELECT {cohort_col} AS cohort, {age_col} AS age, count(*) AS n_events,
+         sum(CAST({revenue_col} AS BIGINT)) AS rev
+  FROM ({base_select}) s GROUP BY 1, 2)
+SELECT cohort, age, n_events, rev,
+       sum(rev) OVER (PARTITION BY cohort ORDER BY age
+                      ROWS UNBOUNDED PRECEDING) AS cum_rev
+FROM per"""

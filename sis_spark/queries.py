@@ -21655,3 +21655,56 @@ FROM g GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 QUERIES["focus_measure"] = (q_focus_measure, q_focus_measure_oracle)
+
+
+def q_log_rank(spark, sf_dir):
+    """Two-group log-rank test (analytics.log_rank) over the
+    kaplan_meier durations split by orderkey parity: per-time quantized
+    observed-minus-expected and hypergeometric variance, order-free sums
+    — the survival-curve comparison completing km/nelson_aalen."""
+    from .operators.analytics import log_rank
+
+    o = _read(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 50).cast("long").alias("t"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("e"),
+        (F.col("o_orderkey") % 2).cast("long").alias("g"),
+    )
+    return log_rank(o)
+
+
+def q_log_rank_oracle():
+    from .operators.analytics import log_rank_sql
+
+    base = ("SELECT o_orderkey % 50 AS t, "
+            "CAST(o_orderstatus = 'F' AS BIGINT) AS e, "
+            "o_orderkey % 2 AS g FROM orders")
+    return log_rank_sql(base)
+
+
+QUERIES["log_rank"] = (q_log_rank, q_log_rank_oracle)
+
+
+def q_ltv_curves(spark, sf_dir):
+    """Cohort LTV curves (analytics.ltv_curves): user cohort = user_id
+    mod 12, age = event_id bucket, revenue quantized — cumulative
+    revenue per cohort-age, the monetary layer over `retention`."""
+    from .operators.analytics import ltv_curves
+
+    ev = _read(spark, sf_dir, "events").select(
+        (F.col("user_id") % 12).alias("cohort"),
+        (F.col("event_id") / 1000).cast("long").alias("age"),
+        F.floor(F.col("value") * 10).cast("long").alias("rev"),
+    )
+    return ltv_curves(ev).orderBy("cohort", "age")
+
+
+def q_ltv_curves_oracle():
+    from .operators.analytics import ltv_curves_sql
+
+    base = ("SELECT user_id % 12 AS cohort, event_id // 1000 AS age, "
+            "CAST(floor(value * 10) AS BIGINT) AS rev FROM events")
+    return ("SELECT * FROM (" + ltv_curves_sql(base)
+            + ") ORDER BY cohort, age")
+
+
+QUERIES["ltv_curves"] = (q_ltv_curves, q_ltv_curves_oracle)
