@@ -4212,3 +4212,90 @@ SELECT cohort, age, n_events, rev,
        sum(rev) OVER (PARTITION BY cohort ORDER BY age
                       ROWS UNBOUNDED PRECEDING) AS cum_rev
 FROM per"""
+
+
+def perceptron_epoch(
+    df: "DataFrame",
+    key_col: str = "k",
+    order_col: str = "o",
+    x1_col: str = "x1",
+    x2_col: str = "x2",
+    y_col: str = "y",
+) -> "DataFrame":
+    """One deterministic perceptron epoch per key (Rosenblatt 1958,
+    public literature), EXACT: visiting rows in ``order_col`` order, on a
+    margin violation y*(w.x + b) <= 0 update w += y*x, b += y — all
+    integers, so the trajectory is a pure function of the stream.  The
+    engine is one applyInPandas pass per key; the oracle advances a
+    (w1, w2, b) state row per rank in a lockstep recursive CTE (the
+    stay_points discipline).
+
+    Output: (k, n, n_updates, w1, w2, b)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    word = Window.partitionBy(key_col).orderBy(order_col)
+    b0 = df.select(
+        F.col(key_col).alias("k"),
+        F.col(x1_col).cast("long").alias("x1"),
+        F.col(x2_col).cast("long").alias("x2"),
+        F.col(y_col).cast("long").alias("y"),
+        F.row_number().over(word).cast("long").alias("rn"),
+    )
+
+    def fn(key, pdf):
+        pdf = pdf.sort_values("rn")
+        w1 = w2 = bb = upd = 0
+        for x1, x2, y in zip(pdf["x1"], pdf["x2"], pdf["y"]):
+            x1, x2, y = int(x1), int(x2), int(y)
+            if y * (w1 * x1 + w2 * x2 + bb) <= 0:
+                w1 += y * x1
+                w2 += y * x2
+                bb += y
+                upd += 1
+        return pd.DataFrame([{
+            "k": key[0], "n": int(len(pdf)), "n_updates": upd,
+            "w1": w1, "w2": w2, "b": bb,
+        }])
+
+    return b0.groupBy("k").applyInPandas(
+        fn, "k long, n long, n_updates long, w1 long, w2 long, b long"
+    )
+
+
+def perceptron_epoch_sql(
+    base_select: str,
+    key_col: str = "k",
+    order_col: str = "o",
+    x1_col: str = "x1",
+    x2_col: str = "x2",
+    y_col: str = "y",
+) -> str:
+    """DuckDB twin of ``perceptron_epoch`` (lockstep recursive CTE)."""
+    return f"""
+WITH RECURSIVE b AS MATERIALIZED (
+  SELECT {key_col} AS k, CAST({x1_col} AS BIGINT) AS x1,
+         CAST({x2_col} AS BIGINT) AS x2, CAST({y_col} AS BIGINT) AS y,
+         CAST(row_number() OVER (PARTITION BY {key_col}
+              ORDER BY {order_col}) AS BIGINT) AS rn
+  FROM ({base_select}) s),
+st AS (
+  SELECT k, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS w1,
+         CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS bb,
+         CAST(0 AS BIGINT) AS upd
+  FROM (SELECT DISTINCT k FROM b) u
+  UNION ALL
+  SELECT r.k, r.rn + 1,
+         r.w1 + CASE WHEN q.y * (r.w1 * q.x1 + r.w2 * q.x2 + r.bb) <= 0
+                     THEN q.y * q.x1 ELSE 0 END,
+         r.w2 + CASE WHEN q.y * (r.w1 * q.x1 + r.w2 * q.x2 + r.bb) <= 0
+                     THEN q.y * q.x2 ELSE 0 END,
+         r.bb + CASE WHEN q.y * (r.w1 * q.x1 + r.w2 * q.x2 + r.bb) <= 0
+                     THEN q.y ELSE 0 END,
+         r.upd + CASE WHEN q.y * (r.w1 * q.x1 + r.w2 * q.x2 + r.bb) <= 0
+                      THEN 1 ELSE 0 END
+  FROM st r JOIN b q ON q.k = r.k AND q.rn = r.rn + 1)
+SELECT st.k, st.rn AS n, st.upd AS n_updates, st.w1, st.w2, st.bb AS b
+FROM st JOIN (SELECT k, max(rn) AS mx FROM b GROUP BY 1) m
+  ON m.k = st.k AND m.mx = st.rn"""

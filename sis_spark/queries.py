@@ -21708,3 +21708,47 @@ def q_ltv_curves_oracle():
 
 
 QUERIES["ltv_curves"] = (q_ltv_curves, q_ltv_curves_oracle)
+
+
+def q_perceptron(spark, sf_dir):
+    """Single-epoch perceptron per user (analytics.perceptron_epoch,
+    first 60 rows): exact integer margin updates in stream order —
+    online learning as a pure function of the data, applyInPandas vs a
+    lockstep recursive-CTE state oracle."""
+    from .operators.analytics import perceptron_epoch
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ev = (
+        _read(spark, sf_dir, "events")
+        .withColumn("rn0", F.row_number().over(w))
+        .filter(F.col("rn0") <= 60)
+        .select(
+            F.col("user_id").alias("k"), F.col("event_id").alias("o"),
+            ((F.col("event_id") * 7) % 11 - 5).cast("long").alias("x1"),
+            ((F.col("event_id") * 13) % 11 - 5).cast("long").alias("x2"),
+            F.when((F.col("event_id") * 7) % 11 - 5
+                   + 2 * ((F.col("event_id") * 13) % 11 - 5) > 0, 1)
+            .otherwise(-1).cast("long").alias("y"),
+        )
+    )
+    return perceptron_epoch(ev, "k", "o", "x1", "x2", "y").orderBy("k")
+
+
+def q_perceptron_oracle():
+    from .operators.analytics import perceptron_epoch_sql
+
+    base = """
+SELECT user_id AS k, event_id AS o,
+       (event_id * 7) % 11 - 5 AS x1,
+       (event_id * 13) % 11 - 5 AS x2,
+       CASE WHEN (event_id * 7) % 11 - 5
+                 + 2 * ((event_id * 13) % 11 - 5) > 0 THEN 1 ELSE -1 END AS y
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY event_id) AS rn0 FROM events) t
+WHERE rn0 <= 60"""
+    return ("SELECT * FROM ("
+            + perceptron_epoch_sql(base, "k", "o", "x1", "x2", "y")
+            + ") ORDER BY k")
+
+
+QUERIES["perceptron"] = (q_perceptron, q_perceptron_oracle)
