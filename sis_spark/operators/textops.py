@@ -3058,3 +3058,151 @@ SELECT p.doc_id // 1048576 AS a_id, p.doc_id % 1048576 AS b_id,
        coalesce(l.lcs_len, 0) AS lcs_len
 FROM (SELECT DISTINCT doc_id FROM pid) p
 LEFT JOIN lcp l ON l.doc_id = p.doc_id"""
+
+
+def bwt_inverse(bwt: DataFrame, length: int = 33,
+                id_col: str = "doc_id", bwt_col: str = "bwt") -> DataFrame:
+    """Inverse Burrows-Wheeler transform by LF-mapping POINTER DOUBLING:
+    LF(i) = C[b_i] + rank_i (one window rank + one char-count join), the
+    jump tables LF^(2^k) by log2(n) permutation self-joins, and every
+    output position j walks its binary decomposition through those
+    tables simultaneously — O(log n) rounds total instead of an O(n)
+    sequential walk (the watershed pointer-doubling discipline applied
+    to permutations).  The walk from row 0 (the sentinel-led rotation)
+    yields the text backwards; the reconstruction is one ordered
+    string_agg + reverse.
+
+    Output: (doc_id, recon) — equal to the BWT'd string for every doc.
+
+    Scale shape: ~2*log2(n) keyed equi-joins, each row-linear; no
+    per-doc sequential state anywhere."""
+    n = int(length)
+    bits = []
+    k = 1
+    while k < n:
+        bits.append(k)
+        k *= 2
+    rows = bwt.select(
+        F.col(id_col).alias("d"), F.col(bwt_col).alias("b"),
+    ).select(
+        "d",
+        F.posexplode(F.split(F.col("b"), "(?!^)")).alias("i", "ch"),
+    ).filter(F.col("ch") != "").localCheckpoint()
+    # LF(i) = C[ch] + occ-rank of position i among same-char positions
+    wch = Window.partitionBy("d", "ch").orderBy("i")
+    cnt = rows.groupBy("d", "ch").agg(F.count(F.lit(1)).alias("nc"))
+    wc = Window.partitionBy("d").orderBy("ch").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cbase = cnt.withColumn("C", F.coalesce(F.sum("nc").over(wc), F.lit(0)))
+    lf = (
+        rows.withColumn("occ", (F.row_number().over(wch) - 1).cast("long"))
+        .join(cbase.select("d", "ch", "C"), ["d", "ch"])
+        .select("d", F.col("i").cast("long").alias("i"),
+                (F.col("C") + F.col("occ")).cast("long").alias("lf"), "ch")
+        .localCheckpoint()
+    )
+    # jump tables LF^(2^k) by self-composition
+    jumps = {1: lf.select("d", "i", F.col("lf").alias("j"))}
+    k = 1
+    while k * 2 < n:
+        prev = jumps[k]
+        comp = (
+            prev.alias("a")
+            .join(prev.alias("b"),
+                  (F.col("a.d") == F.col("b.d")) & (F.col("a.j") == F.col("b.i")))
+            .select(F.col("a.d").alias("d"), F.col("a.i").alias("i"),
+                    F.col("b.j").alias("j"))
+            .localCheckpoint()
+        )
+        jumps[k * 2] = comp
+        k *= 2
+    # every output step j walks its binary decomposition from row 0
+    docs = rows.select("d").distinct()
+    state = docs.select(
+        "d", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("step"),
+    ).withColumn("cur", F.lit(0).cast("long")).localCheckpoint()
+    for kk in reversed(bits):
+        jt = jumps.get(kk)
+        if jt is None:
+            continue
+        hit = F.expr(f"(step div {kk}) % 2 = 1")
+        state = (
+            state.join(
+                jt.select(F.col("d"), F.col("i").alias("cur"),
+                          F.col("j").alias("nxt")),
+                ["d", "cur"], "left",
+            )
+            .select(
+                "d", "step",
+                F.when(hit, F.col("nxt")).otherwise(F.col("cur")).alias("cur"),
+            )
+            .localCheckpoint()
+        )
+    chars = state.join(
+        lf.select("d", F.col("i").alias("cur"), "ch"), ["d", "cur"]
+    )
+    return (
+        chars.groupBy(F.col("d").alias(id_col))
+        .agg(
+            F.reverse(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("step", "ch"))),
+                        lambda s: s["ch"],
+                    ), "",
+                )
+            ).alias("recon")
+        )
+    )
+
+
+def bwt_inverse_sql(bwt_select: str, length: int = 33,
+                    id_col: str = "doc_id", bwt_col: str = "bwt") -> str:
+    """DuckDB twin of ``bwt_inverse`` (same jump tables as chained CTEs)."""
+    n = int(length)
+    bits = []
+    k = 1
+    while k < n:
+        bits.append(k)
+        k *= 2
+    blocks = [f"""rows0 AS MATERIALIZED (
+  SELECT {id_col} AS d, CAST(i.i - 1 AS BIGINT) AS i,
+         substr({bwt_col}, CAST(i.i AS INT), 1) AS ch
+  FROM ({bwt_select}) b, (SELECT unnest(range(1, {n} + 1)) AS i) i
+  WHERE i.i <= length({bwt_col})),
+cnt AS (
+  SELECT d, ch, count(*) AS nc FROM rows0 GROUP BY 1, 2),
+cbase AS (
+  SELECT d, ch,
+         coalesce(sum(nc) OVER (PARTITION BY d ORDER BY ch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS C
+  FROM cnt),
+lf AS MATERIALIZED (
+  SELECT r.d, r.i,
+         cb.C + row_number() OVER (PARTITION BY r.d, r.ch ORDER BY r.i) - 1 AS j,
+         r.ch
+  FROM rows0 r JOIN cbase cb ON cb.d = r.d AND cb.ch = r.ch),
+j1 AS MATERIALIZED (SELECT d, i, j FROM lf)"""]
+    k = 1
+    while k * 2 < n:
+        blocks.append(f"""j{k * 2} AS MATERIALIZED (
+  SELECT a.d, a.i, b.j FROM j{k} a JOIN j{k} b ON b.d = a.d AND b.i = a.j)""")
+        k *= 2
+    blocks.append(f"""s0 AS MATERIALIZED (
+  SELECT d.d, st.step, CAST(0 AS BIGINT) AS cur
+  FROM (SELECT DISTINCT d FROM rows0) d,
+       (SELECT unnest(range({n})) AS step) st)""")
+    idx = 0
+    for kk in reversed(bits):
+        blocks.append(f"""s{idx + 1} AS MATERIALIZED (
+  SELECT s.d, s.step,
+         CASE WHEN (s.step // {kk}) % 2 = 1 THEN jt.j ELSE s.cur END AS cur
+  FROM s{idx} s LEFT JOIN j{kk} jt ON jt.d = s.d AND jt.i = s.cur)""")
+        idx += 1
+    return ("WITH " + ",\n".join(blocks) + f"""
+SELECT s.d AS {id_col},
+       reverse(string_agg(l.ch, '' ORDER BY s.step)) AS recon
+FROM s{idx} s JOIN lf l ON l.d = s.d AND l.i = s.cur
+GROUP BY 1""")

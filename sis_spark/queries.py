@@ -21752,3 +21752,39 @@ WHERE rn0 <= 60"""
 
 
 QUERIES["perceptron"] = (q_perceptron, q_perceptron_oracle)
+
+
+def q_bwt_inverse(spark, sf_dir):
+    """Inverse BWT by pointer-doubled LF mapping (textops.bwt_inverse):
+    jump tables LF^(2^k) by permutation self-joins, every output
+    position walking its binary decomposition in O(log n) keyed rounds —
+    round-trips the `bwt` gate's transform back to prefix+'!' exactly."""
+    from .operators.textops import bwt_inverse, bwt_prefix
+
+    docs = _read(spark, sf_dir, "documents")
+    b = bwt_prefix(docs)
+    rec = bwt_inverse(b)
+    orig = docs.filter(F.length("text") >= 32).select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 32), F.lit("!")).alias("t"),
+    )
+    return (
+        rec.join(orig, "doc_id")
+        .select("doc_id", "recon", (F.col("recon") == F.col("t")).alias("ok"))
+        .orderBy("doc_id")
+    )
+
+
+def q_bwt_inverse_oracle():
+    from .operators.textops import bwt_inverse_sql, bwt_prefix_sql
+
+    inv = bwt_inverse_sql(f"({bwt_prefix_sql()})")
+    return f"""
+SELECT r.doc_id, r.recon,
+       r.recon = substr(d.text, 1, 32) || '!' AS ok
+FROM ({inv}) r
+JOIN documents d ON d.doc_id = r.doc_id AND length(d.text) >= 32
+ORDER BY r.doc_id"""
+
+
+QUERIES["bwt_inverse"] = (q_bwt_inverse, q_bwt_inverse_oracle)
