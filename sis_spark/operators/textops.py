@@ -3068,9 +3068,10 @@ def bwt_inverse(bwt: DataFrame, length: int = 33,
     output position j walks its binary decomposition through those
     tables simultaneously — O(log n) rounds total instead of an O(n)
     sequential walk (the watershed pointer-doubling discipline applied
-    to permutations).  The walk from row 0 (the sentinel-led rotation)
-    yields the text backwards; the reconstruction is one ordered
-    string_agg + reverse.
+    to permutations).  The walk from the sentinel row C['!']
+    yields the text backwards ending on the sentinel, so the reversed
+    aggregate reads sentinel-first and ONE left rotation restores the
+    original (verified by the ok flag against the source text).
 
     Output: (doc_id, recon) — equal to the BWT'd string for every doc.
 
@@ -3117,11 +3118,17 @@ def bwt_inverse(bwt: DataFrame, length: int = 33,
         )
         jumps[k * 2] = comp
         k *= 2
-    # every output step j walks its binary decomposition from row 0
-    docs = rows.select("d").distinct()
+    # every output step j walks its binary decomposition from the
+    # SENTINEL row — the rank of '!' in the first column (C['!']); row 0
+    # would be a space-led rotation (space sorts below '!')
+    start = cbase.filter(F.col("ch") == "!").select(
+        "d", F.col("C").cast("long").alias("cur0")
+    )
+    docs = rows.select("d").distinct().join(start, "d")
     state = docs.select(
-        "d", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("step"),
-    ).withColumn("cur", F.lit(0).cast("long")).localCheckpoint()
+        "d", F.col("cur0"),
+        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("step"),
+    ).withColumn("cur", F.col("cur0")).drop("cur0").localCheckpoint()
     for kk in reversed(bits):
         jt = jumps.get(kk)
         if jt is None:
@@ -3142,19 +3149,22 @@ def bwt_inverse(bwt: DataFrame, length: int = 33,
     chars = state.join(
         lf.select("d", F.col("i").alias("cur"), "ch"), ["d", "cur"]
     )
-    return (
-        chars.groupBy(F.col("d").alias(id_col))
-        .agg(
-            F.reverse(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("step", "ch"))),
-                        lambda s: s["ch"],
-                    ), "",
-                )
-            ).alias("recon")
-        )
+    agg = chars.groupBy(F.col("d").alias(id_col)).agg(
+        F.reverse(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("step", "ch"))),
+                    lambda s: s["ch"],
+                ), "",
+            )
+        ).alias("rev")
+    )
+    # the reversed walk reads sentinel-first ('!banana' for 'banana!');
+    # one left rotation restores the original string
+    return agg.select(
+        id_col,
+        F.concat(F.expr("substring(rev, 2)"),
+                 F.expr("substring(rev, 1, 1)")).alias("recon"),
     )
 
 
@@ -3191,9 +3201,9 @@ j1 AS MATERIALIZED (SELECT d, i, j FROM lf)"""]
   SELECT a.d, a.i, b.j FROM j{k} a JOIN j{k} b ON b.d = a.d AND b.i = a.j)""")
         k *= 2
     blocks.append(f"""s0 AS MATERIALIZED (
-  SELECT d.d, st.step, CAST(0 AS BIGINT) AS cur
-  FROM (SELECT DISTINCT d FROM rows0) d,
-       (SELECT unnest(range({n})) AS step) st)""")
+  SELECT cb.d, st.step, CAST(cb.C AS BIGINT) AS cur
+  FROM cbase cb, (SELECT unnest(range({n})) AS step) st
+  WHERE cb.ch = '!')""")
     idx = 0
     for kk in reversed(bits):
         blocks.append(f"""s{idx + 1} AS MATERIALIZED (
@@ -3202,7 +3212,10 @@ j1 AS MATERIALIZED (SELECT d, i, j FROM lf)"""]
   FROM s{idx} s LEFT JOIN j{kk} jt ON jt.d = s.d AND jt.i = s.cur)""")
         idx += 1
     return ("WITH " + ",\n".join(blocks) + f"""
-SELECT s.d AS {id_col},
-       reverse(string_agg(l.ch, '' ORDER BY s.step)) AS recon
-FROM s{idx} s JOIN lf l ON l.d = s.d AND l.i = s.cur
-GROUP BY 1""")
+SELECT {id_col},
+       substr(rev, 2) || substr(rev, 1, 1) AS recon
+FROM (
+  SELECT s.d AS {id_col},
+         reverse(string_agg(l.ch, '' ORDER BY s.step)) AS rev
+  FROM s{idx} s JOIN lf l ON l.d = s.d AND l.i = s.cur
+  GROUP BY 1) fin""")

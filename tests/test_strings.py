@@ -84,3 +84,19 @@ def test_lcs_substring_matches_brute(spark):
     for i in range(3):
         a, b = texts[i][:48], texts[i + 1][:48]
         assert got[(i, i + 1)] == min(brute(a, b), 32), (i, got[(i, i + 1)])
+
+
+def test_bwt_inverse_roundtrip(spark):
+    """Inverse BWT must start the LF walk at the SENTINEL'S rank in the
+    first column — texts with spaces (space < '!') caught a row-0 start
+    producing a rotated reconstruction."""
+    from sis_spark.operators.textops import bwt_inverse, bwt_prefix
+
+    texts = ["key agg row scan slow fast table extra tail",
+             "banana banana banana banana banana banana",
+             "a b a b a b a b a b a b a b a b a b a b"]
+    df = _docs(spark, list(enumerate(texts)))
+    b = bwt_prefix(df, prefix=32)
+    rec = {r["doc_id"]: r["recon"] for r in bwt_inverse(b, length=33).collect()}
+    for did, t in enumerate(texts):
+        assert rec[did] == t[:32] + "!", (did, rec[did])
