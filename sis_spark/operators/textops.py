@@ -3219,3 +3219,58 @@ FROM (
          reverse(string_agg(l.ch, '' ORDER BY s.step)) AS rev
   FROM s{idx} s JOIN lf l ON l.d = s.d AND l.i = s.cur
   GROUP BY 1) fin""")
+
+
+_MTF_ALPHABET = " !abcdefghijklmnopqrstuvwxyz"
+
+
+def mtf_encode(docs: DataFrame, cap: int = 64,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Move-to-front coding (Bentley et al. 1986 — the bzip2 stage
+    between BWT and entropy coding; with `bwt`, `rle_segments` and
+    `huffman` this completes the gated bzip2 chain): codes are positions
+    in a recency list over the fixed alphabet ' !a-z', the hit char
+    moving to front after each step.  The engine is one mapInPandas
+    parse; the oracle carries the recency list as a plain STRING in a
+    lockstep recursive CTE (newlist = ch || replace(list, ch, '')).
+
+    Output: (doc_id, i, code), i 1-based over the first ``cap`` chars."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                lst = list(_MTF_ALPHABET)
+                for i, ch in enumerate((t or "")[:cap]):
+                    code = lst.index(ch)
+                    lst.insert(0, lst.pop(code))
+                    rows.append({"doc_id": int(did), "i": i + 1,
+                                 "code": code})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, "doc_id long, i long, code long"
+    )
+
+
+def mtf_encode_sql(rel: str = "documents", cap: int = 64,
+                   text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``mtf_encode``."""
+    return f"""
+WITH RECURSIVE d AS MATERIALIZED (
+  SELECT {id_col} AS doc_id, substr({text_col}, 1, {int(cap)}) AS t,
+         least(length({text_col}), {int(cap)}) AS n
+  FROM {rel} WHERE length({text_col}) > 0),
+st AS (
+  SELECT doc_id, t, n, CAST(0 AS BIGINT) AS i,
+         '{_MTF_ALPHABET}' AS lst, CAST(NULL AS BIGINT) AS code
+  FROM d
+  UNION ALL
+  SELECT doc_id, t, n, i + 1,
+         substr(t, CAST(i + 1 AS INT), 1)
+           || replace(lst, substr(t, CAST(i + 1 AS INT), 1), ''),
+         CAST(position(substr(t, CAST(i + 1 AS INT), 1) IN lst) - 1 AS BIGINT)
+  FROM st WHERE i < n)
+SELECT doc_id, i, code FROM st WHERE i > 0"""

@@ -21788,3 +21788,23 @@ ORDER BY r.doc_id"""
 
 
 QUERIES["bwt_inverse"] = (q_bwt_inverse, q_bwt_inverse_oracle)
+
+
+def q_mtf(spark, sf_dir):
+    """Move-to-front codes of 64-char document prefixes
+    (textops.mtf_encode): the recency-list transform between `bwt` and
+    entropy coding — with `rle_segments` and `huffman` the bzip2 chain
+    is now gated end to end; string-state lockstep recursive CTE
+    oracle."""
+    from .operators.textops import mtf_encode
+
+    return mtf_encode(_read(spark, sf_dir, "documents")).orderBy("doc_id", "i")
+
+
+def q_mtf_oracle():
+    from .operators.textops import mtf_encode_sql
+
+    return "SELECT * FROM (" + mtf_encode_sql() + ") ORDER BY doc_id, i"
+
+
+QUERIES["mtf"] = (q_mtf, q_mtf_oracle)
