@@ -2389,3 +2389,126 @@ SELECT w.k,
        CAST(w.num AS BIGINT) AS w2_num, CAST(w.den AS BIGINT) AS w2_den,
        CAST(a.num AS BIGINT) AS area_num, CAST(a.den AS BIGINT) AS area_den
 FROM minw w JOIN mina a ON a.k = w.k"""
+
+
+def two_opt_step(
+    pts: DataFrame,
+    key_col: str = "k",
+    order_col: str = "o",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """One deterministic 2-opt improvement step per key (Croes 1958 — the
+    classic tour-improvement move): over the tour in ``order_col`` order
+    (closed: last connects to first), evaluate EVERY edge pair (i, j)
+    and report the best reversal gain
+    gain = d(i,i+1) + d(j,j+1) - d(i,j) - d(i+1,j+1); squared lengths
+    cannot rank 2-opt gains, so each d is ONE correctly-rounded sqrt
+    quantized at 2^10 (IEEE-identical both engines, the linear_ref
+    discipline) and the gains are exact integers of quantized lengths.
+    Ties -> smallest (i, j).
+
+    Output: (key, n, tour_q, best_gain, bi, bj) — tour_q the quantized
+    closed-tour length, positive best_gain means the swap shortens it.
+
+    Scale shape: one rank window + one bounded per-key pair join + one
+    argmax — the evaluate-everything-in-parallel formulation of local
+    search (apply/iterate is the caller's loop)."""
+    word = Window.partitionBy(key_col).orderBy(order_col)
+    b = (
+        pts.select(key_col, order_col,
+                   F.col(x_col).cast("long").alias("x"),
+                   F.col(y_col).cast("long").alias("y"))
+        .withColumn("rn", F.row_number().over(word).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy(key_col)).cast("long"))
+    )
+    # successor edges via lead() with wraparound to the first point
+    e = (
+        b.withColumn("x2", F.coalesce(F.lead("x").over(word),
+                                      F.first("x").over(
+            Window.partitionBy(key_col).orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))))
+        .withColumn("y2", F.coalesce(F.lead("y").over(word),
+                                     F.first("y").over(
+            Window.partitionBy(key_col).orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))))
+        .withColumn(
+            "dq",
+            F.floor(F.sqrt(((F.col("x") - F.col("x2")) * (F.col("x") - F.col("x2"))
+                            + (F.col("y") - F.col("y2")) * (F.col("y") - F.col("y2")))
+                           .cast("double")) * 1024).cast("long"),
+        )
+        .select(key_col, "rn", "n", "x", "y", "x2", "y2", "dq")
+    )
+    tour = e.groupBy(key_col).agg(F.sum("dq").alias("tour_q"),
+                                  F.max("n").alias("n"))
+    a = e.select(key_col, F.col("rn").alias("i"), F.col("x").alias("ax"),
+                 F.col("y").alias("ay"), F.col("x2").alias("ax2"),
+                 F.col("y2").alias("ay2"), F.col("dq").alias("da"))
+    c = e.select(key_col, F.col("rn").alias("j"), F.col("x").alias("bx"),
+                 F.col("y").alias("by"), F.col("x2").alias("bx2"),
+                 F.col("y2").alias("by2"), F.col("dq").alias("db"))
+    dnew1 = F.floor(F.sqrt(((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+                            + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+                           .cast("double")) * 1024).cast("long")
+    dnew2 = F.floor(F.sqrt(((F.col("ax2") - F.col("bx2")) * (F.col("ax2") - F.col("bx2"))
+                            + (F.col("ay2") - F.col("by2")) * (F.col("ay2") - F.col("by2")))
+                           .cast("double")) * 1024).cast("long")
+    pairs = (
+        a.join(c, key_col)
+        .filter((F.col("i") + 1 < F.col("j")))
+        .withColumn("gain", F.col("da") + F.col("db") - dnew1 - dnew2)
+    )
+    pick = Window.partitionBy(key_col).orderBy(F.col("gain").desc(), "i", "j")
+    best = (
+        pairs.withColumn("pk", F.row_number().over(pick))
+        .filter(F.col("pk") == 1)
+        .select(key_col, F.col("gain").alias("best_gain"),
+                F.col("i").alias("bi"), F.col("j").alias("bj"))
+    )
+    return tour.join(best, key_col).select(
+        key_col, "n", "tour_q", "best_gain", "bi", "bj")
+
+
+def two_opt_step_sql(
+    base_select: str,
+    key_col: str = "k",
+    order_col: str = "o",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> str:
+    """DuckDB twin of ``two_opt_step``."""
+    q = "1024"
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS k, CAST({x_col} AS BIGINT) AS x,
+         CAST({y_col} AS BIGINT) AS y,
+         CAST(row_number() OVER (PARTITION BY {key_col}
+              ORDER BY {order_col}) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY {key_col}) AS BIGINT) AS n
+  FROM ({base_select}) s),
+e AS (
+  SELECT a.k, a.rn, a.n, a.x, a.y, b2.x AS x2, b2.y AS y2,
+         CAST(floor(sqrt(CAST((a.x - b2.x) * (a.x - b2.x)
+              + (a.y - b2.y) * (a.y - b2.y) AS DOUBLE)) * {q}) AS BIGINT) AS dq
+  FROM b a JOIN b b2 ON b2.k = a.k AND b2.rn = (a.rn % a.n) + 1),
+tour AS (SELECT k, sum(dq) AS tour_q, max(n) AS n FROM e GROUP BY 1),
+pairs AS (
+  SELECT a.k, a.rn AS i, c.rn AS j,
+         a.dq + c.dq
+         - CAST(floor(sqrt(CAST((a.x - c.x) * (a.x - c.x)
+               + (a.y - c.y) * (a.y - c.y) AS DOUBLE)) * {q}) AS BIGINT)
+         - CAST(floor(sqrt(CAST((a.x2 - c.x2) * (a.x2 - c.x2)
+               + (a.y2 - c.y2) * (a.y2 - c.y2) AS DOUBLE)) * {q}) AS BIGINT)
+           AS gain
+  FROM e a JOIN e c ON c.k = a.k AND a.rn + 1 < c.rn)
+SELECT t.k, t.n, t.tour_q, p.gain AS best_gain, p.i AS bi, p.j AS bj
+FROM tour t JOIN (
+  SELECT * FROM (
+    SELECT k, i, j, gain,
+           row_number() OVER (PARTITION BY k ORDER BY gain DESC, i, j) AS pk
+    FROM pairs) r WHERE pk = 1) p
+  ON p.k = t.k"""

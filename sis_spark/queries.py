@@ -21808,3 +21808,31 @@ def q_mtf_oracle():
 
 
 QUERIES["mtf"] = (q_mtf, q_mtf_oracle)
+
+
+def q_two_opt(spark, sf_dir):
+    """Best 2-opt move per user tour (trajectory.two_opt_step) over the
+    caliper point sets in visit order: all edge pairs evaluated in
+    parallel with 2^10-quantized exact lengths, best reversal gain +
+    closed-tour length — local search as one bounded pair join."""
+    from .operators.trajectory import two_opt_step
+
+    # DISTINCT points per key -> the (x, y) visit order is tie-free and
+    # deterministic in both engines
+    pts = _caliper_pts_df(spark, sf_dir).distinct()
+    w = Window.partitionBy("k").orderBy("x", "y")
+    pts = pts.withColumn("o", F.row_number().over(w))
+    return two_opt_step(pts, "k", "o", "x", "y").orderBy("k")
+
+
+def q_two_opt_oracle():
+    from .operators.trajectory import two_opt_step_sql
+
+    base = f"""
+SELECT k, x, y, row_number() OVER (PARTITION BY k ORDER BY x, y) AS o
+FROM (SELECT DISTINCT k, x, y FROM ({_caliper_pts_sql()}) cp0) cp"""
+    return ("SELECT * FROM (" + two_opt_step_sql(base, "k", "o", "x", "y")
+            + ") ORDER BY k")
+
+
+QUERIES["two_opt"] = (q_two_opt, q_two_opt_oracle)
