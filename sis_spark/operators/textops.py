@@ -3274,3 +3274,43 @@ st AS (
          CAST(position(substr(t, CAST(i + 1 AS INT), 1) IN lst) - 1 AS BIGINT)
   FROM st WHERE i < n)
 SELECT doc_id, i, code FROM st WHERE i > 0"""
+
+
+def vocab_growth(docs: DataFrame, checkpoints: tuple = (50, 100, 200, 350, 500),
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heaps-law vocabulary growth curve: distinct token types and total
+    tokens among the first k documents (by id) for each checkpoint — the
+    V(N) curve whose log-log slope is Heaps' beta; exact integers, slope
+    left to the caller (no logs).  Pairs with `vocab_stats` (the Zipf
+    view) and `cum_distinct` (the per-key running variant).
+
+    Scale shape: one explode + one distinct-count per checkpoint over the
+    same scan (checkpoints are a handful)."""
+    toks = docs.select(
+        F.col(id_col).alias("d"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    ).filter(F.col("t") != "").localCheckpoint()
+    out = None
+    for k in checkpoints:
+        sub = toks.filter(F.col("d") < int(k))
+        row = sub.agg(
+            F.countDistinct("t").alias("vocab"),
+            F.count("*").alias("n_tokens"),
+        ).select(F.lit(int(k)).cast("long").alias("k"), "vocab", "n_tokens")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def vocab_growth_sql(rel: str = "documents",
+                     checkpoints: tuple = (50, 100, 200, 350, 500),
+                     text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``vocab_growth``."""
+    blocks = []
+    for k in checkpoints:
+        blocks.append(f"""
+SELECT {int(k)} AS k,
+       count(DISTINCT t) AS vocab, count(*) AS n_tokens
+FROM (SELECT unnest(string_split({text_col}, ' ')) AS t
+      FROM {rel} WHERE {id_col} < {int(k)}) u
+WHERE t <> ''""")
+    return " UNION ALL ".join(blocks)

@@ -21836,3 +21836,21 @@ FROM (SELECT DISTINCT k, x, y FROM ({_caliper_pts_sql()}) cp0) cp"""
 
 
 QUERIES["two_opt"] = (q_two_opt, q_two_opt_oracle)
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth (textops.vocab_growth, 5 checkpoints):
+    exact V(N) curve points — the corpus-scaling diagnostic next to
+    `vocab_stats`."""
+    from .operators.textops import vocab_growth
+
+    return vocab_growth(_read(spark, sf_dir, "documents")).orderBy("k")
+
+
+def q_vocab_growth_oracle():
+    from .operators.textops import vocab_growth_sql
+
+    return "SELECT * FROM (" + vocab_growth_sql() + ") ORDER BY k"
+
+
+QUERIES["vocab_growth"] = (q_vocab_growth, q_vocab_growth_oracle)
