@@ -4299,3 +4299,46 @@ st AS (
 SELECT st.k, st.rn AS n, st.upd AS n_updates, st.w1, st.w2, st.bb AS b
 FROM st JOIN (SELECT k, max(rn) AS mx FROM b GROUP BY 1) m
   ON m.k = st.k AND m.mx = st.rn"""
+
+
+def jdn_expr(y: str, m: str, d: str, div_op: str) -> str:
+    """Julian day number of a Gregorian date (positive-operand rewrite,
+    floor == truncate — the julian_day_exprs core, exposed for
+    composition)."""
+    o = div_op
+    a = f"((14 - ({m})){o}12)"
+    y2 = f"(({y}) + 4800 - {a})"
+    m2 = f"(({m}) + 12 * {a} - 3)"
+    return (f"(({d}) + ((153 * {m2} + 2){o}5) + 365 * {y2} + ({y2}{o}4) "
+            f"- ({y2}{o}100) + ({y2}{o}400) - 32045)")
+
+
+def jdn_inverse_exprs(jdn: str, div_op: str) -> tuple:
+    """(year, month, day) SQL texts for an arbitrary JDN expression
+    (Richards/FVF inverse, positive operands)."""
+    o = div_op
+    aa = f"(({jdn}) + 32044)"
+    b = f"((4 * {aa} + 3){o}146097)"
+    c = f"({aa} - ((146097 * {b}){o}4))"
+    dd = f"((4 * {c} + 3){o}1461)"
+    e = f"({c} - ((1461 * {dd}){o}4))"
+    mm = f"((5 * {e} + 2){o}153)"
+    rd = f"({e} - ((153 * {mm} + 2){o}5) + 1)"
+    rm = f"({mm} + 3 - 12 * ({mm}{o}10))"
+    ry = f"(100 * {b} + {dd} - 4800 + ({mm}{o}10))"
+    return ry, rm, rd
+
+
+def iso_week_exprs(jdn_col: str, div_op: str) -> dict:
+    """ISO-8601 week date from a JDN COLUMN (keep the input a named
+    column — the inverse expands the jdn text several times): iso weekday
+    1..7 (JDN mod 7 == 0 is a Monday), the week's THURSDAY anchors the
+    ISO year, and the week number counts Thursdays since that year's
+    Jan 1.  Returns {dow_iso, iso_year, week} SQL texts."""
+    o = div_op
+    dow = f"((({jdn_col}) % 7) + 1)"
+    th = f"(({jdn_col}) + 4 - {dow})"
+    iy, _, _ = jdn_inverse_exprs(th, o)
+    jan1 = jdn_expr(iy, "1", "1", o)
+    week = f"((({th} - {jan1}){o}7) + 1)"
+    return {"dow_iso": dow, "iso_year": iy, "week": week}

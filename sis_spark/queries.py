@@ -21854,3 +21854,42 @@ def q_vocab_growth_oracle():
 
 
 QUERIES["vocab_growth"] = (q_vocab_growth, q_vocab_growth_oracle)
+
+
+def q_iso_week(spark, sf_dir):
+    """ISO-8601 week dates (analytics.iso_week_exprs) for the julian_day
+    gate's dates: weekday from JDN mod 7, ISO year from the week's
+    Thursday, week number by Thursday count — all positive-operand
+    integer arithmetic; the year-boundary cases (Jan 1 landing in week
+    52/53 of the prior ISO year) come out of the same formulas."""
+    from .operators.analytics import iso_week_exprs, jdn_expr
+
+    e = iso_week_exprs("jdn", " div ")
+    base = _read(spark, sf_dir, "events").select(
+        "event_id",
+        (1900 + F.col("event_id") % 300).cast("long").alias("y"),
+        (1 + F.col("event_id") % 12).cast("long").alias("m"),
+        (1 + F.col("event_id") % 28).cast("long").alias("d"),
+    ).withColumn("jdn", F.expr(jdn_expr("y", "m", "d", " div ")).cast("long"))
+    return base.select(
+        "event_id", "y", "m", "d", "jdn",
+        *[F.expr(sql).cast("long").alias(name) for name, sql in e.items()],
+    ).orderBy("event_id")
+
+
+def q_iso_week_oracle():
+    from .operators.analytics import iso_week_exprs, jdn_expr
+
+    e = iso_week_exprs("jdn", " // ")
+    cols = ", ".join(f"{sql} AS {name}" for name, sql in e.items())
+    return f"""
+WITH b AS (
+  SELECT event_id, 1900 + event_id % 300 AS y, 1 + event_id % 12 AS m,
+         1 + event_id % 28 AS d
+  FROM events),
+j AS (SELECT *, {jdn_expr('y', 'm', 'd', ' // ')} AS jdn FROM b)
+SELECT event_id, y, m, d, jdn, {cols}
+FROM j ORDER BY event_id"""
+
+
+QUERIES["iso_week"] = (q_iso_week, q_iso_week_oracle)
