@@ -772,3 +772,13 @@ SELECT '{"+".join(combo)}' AS combo,
        (SELECT count(*) FROM (SELECT DISTINCT {cl} FROM {rel}) dq)
          = (SELECT count(*) FROM {rel}) AS is_key""")
     return " UNION ALL ".join(blocks)
+
+
+def mod97_cols(width: int = 24):
+    """ISO 7064 mod-97-10 positional weights: 10^p mod 97 literals for
+    ``width`` digits, most significant first (weights[i] applies to
+    character position i+1).  The remainder of a digit string is then
+    sum(d_i * w_i) mod 97 — a map-side explode + one aggregation instead
+    of the sequential per-char folding (the IBAN / creditor-reference
+    check with no recurrence)."""
+    return [pow(10, width - 1 - i, 97) for i in range(width)]

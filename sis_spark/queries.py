@@ -21893,3 +21893,58 @@ FROM j ORDER BY event_id"""
 
 
 QUERIES["iso_week"] = (q_iso_week, q_iso_week_oracle)
+
+
+def q_mod97(spark, sf_dir):
+    """ISO 7064 mod-97-10 validation (quality.mod97_cols) of synthetic
+    24-digit payment references: the remainder as a POSITIONAL sum
+    (digit * 10^p mod 97 literals) — no sequential folding, one explode +
+    one agg; valid iff remainder = 1 (the IBAN rule)."""
+    from .operators.quality import mod97_cols
+
+    W = 24
+    wts = mod97_cols(W)
+    arms = " ".join(f"WHEN {i + 1} THEN {w}" for i, w in enumerate(wts))
+    d = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.lpad(((F.col("event_id") * 982451653) % 1000000000000).cast("string"),
+               W, "0").alias("ref"),
+    )
+    ex = d.select(
+        "event_id", "ref",
+        F.explode(F.sequence(F.lit(1), F.lit(W))).alias("p"),
+    ).select(
+        "event_id", "ref",
+        (F.ascii(F.expr("substring(ref, p, 1)")) - 48).cast("long").alias("dg"),
+        F.expr(f"CASE p {arms} END").cast("long").alias("w"),
+    )
+    return (
+        ex.groupBy("event_id", "ref")
+        .agg((F.sum(F.col("dg") * F.col("w")) % 97).alias("rem"))
+        .withColumn("valid", F.col("rem") == 1)
+        .orderBy("event_id")
+    )
+
+
+def q_mod97_oracle():
+    from .operators.quality import mod97_cols
+
+    W = 24
+    arms = " ".join(f"WHEN {i + 1} THEN {w}"
+                    for i, w in enumerate(mod97_cols(W)))
+    return f"""
+WITH d AS (
+  SELECT event_id,
+         lpad(CAST((event_id * 982451653) % 1000000000000 AS STRING),
+              {W}, '0') AS ref
+  FROM events),
+ex AS (
+  SELECT event_id, ref,
+         ascii(substr(ref, CAST(p.p AS INT), 1)) - 48 AS dg,
+         CASE p.p {arms} END AS w
+  FROM d, (SELECT unnest(range(1, {W} + 1)) AS p) p)
+SELECT event_id, ref, sum(dg * w) % 97 AS rem, sum(dg * w) % 97 = 1 AS valid
+FROM ex GROUP BY 1, 2 ORDER BY event_id"""
+
+
+QUERIES["mod97"] = (q_mod97, q_mod97_oracle)
