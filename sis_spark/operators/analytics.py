@@ -4342,3 +4342,118 @@ def iso_week_exprs(jdn_col: str, div_op: str) -> dict:
     jan1 = jdn_expr(iy, "1", "1", o)
     week = f"((({th} - {jan1}){o}7) + 1)"
     return {"dow_iso": dow, "iso_year": iy, "week": week}
+
+
+_SHAPLEY_CHANNELS = ("click", "view", "signup", "error")
+
+
+def _shapley_psi_table(n: int = 4):
+    """psi[i][mask] = 24 * Shapley contribution of channel i for a
+    conversion whose prior-touch channel set is ``mask`` (bitmask over n
+    channels), for the coverage game v(S) = [mask intersects S]:
+    phi_i = sum over S not containing i of |S|!(n-1-|S|)!/n! *
+    (v(S+i) - v(S)) — exact integers after the n! scaling."""
+    from itertools import combinations
+    from math import factorial
+
+    fact = factorial
+    out = {}
+    chans = list(range(n))
+    for i in chans:
+        rest = [c for c in chans if c != i]
+        for mask in range(1 << n):
+            tot = 0
+            for r in range(n):
+                for S in combinations(rest, r):
+                    w = fact(r) * fact(n - 1 - r)
+                    vs = 1 if any(mask >> c & 1 for c in S) else 0
+                    vsi = 1 if (mask >> i & 1) or vs else 0
+                    tot += w * (vsi - vs)
+            out[(i, mask)] = tot
+    return out
+
+
+def shapley_attribution(events: "DataFrame") -> "DataFrame":
+    """Exact Shapley-value marketing attribution (Shapley 1953; the
+    coalition game over touch channels, public literature): for each
+    user, each conversion's credit splits across the four touch channels
+    by the exact Shapley formula of the coverage game
+    v(S) = [some prior touch is in S].  The per-conversion contribution
+    depends ONLY on the 4-bit mask of previously-seen channels, so the
+    whole computation is four prior-presence windows + one 64-entry
+    lookup + one aggregation — no subset enumeration at runtime.
+
+    Input: (user_id, event_id, event_type).  Output: (user_id, channel,
+    phi24) with phi24 = 24 * Shapley value (integer; sum over channels =
+    24 * attributed conversions).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    word = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    d = events.select("user_id", "event_id", "event_type")
+    for b, ch in enumerate(_SHAPLEY_CHANNELS):
+        d = d.withColumn(
+            f"f{b}",
+            F.coalesce(
+                F.max((F.col("event_type") == ch).cast("long")).over(word),
+                F.lit(0),
+            ),
+        )
+    mask = sum(F.col(f"f{b}") * (1 << b) for b in range(4))
+    purch = d.filter(F.col("event_type") == "purchase").withColumn(
+        "mask", mask.cast("long")
+    )
+    psi = _shapley_psi_table()
+    arms = " ".join(
+        f"WHEN {i * 16 + m} THEN {psi[(i, m)]}"
+        for i in range(4) for m in range(16)
+    )
+    ex = purch.select(
+        "user_id", "mask",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("ci"),
+    ).withColumn(
+        "psi", F.expr(f"CASE ci * 16 + mask {arms} END").cast("long")
+    )
+    chan = F.expr(
+        "CASE ci " + " ".join(
+            f"WHEN {i} THEN '{c}'" for i, c in enumerate(_SHAPLEY_CHANNELS)
+        ) + " END"
+    )
+    return (
+        ex.groupBy("user_id", chan.alias("channel"))
+        .agg(F.sum("psi").alias("phi24"))
+    )
+
+
+def shapley_attribution_sql(events_select: str) -> str:
+    """DuckDB twin of ``shapley_attribution``."""
+    psi = _shapley_psi_table()
+    arms = " ".join(
+        f"WHEN {i * 16 + m} THEN {psi[(i, m)]}"
+        for i in range(4) for m in range(16)
+    )
+    flags = ", ".join(
+        f"coalesce(max(CASE WHEN event_type = '{ch}' THEN 1 ELSE 0 END) "
+        f"OVER (PARTITION BY user_id ORDER BY event_id "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f{b}"
+        for b, ch in enumerate(_SHAPLEY_CHANNELS)
+    )
+    chan = ("CASE ci.ci " + " ".join(
+        f"WHEN {i} THEN '{c}'" for i, c in enumerate(_SHAPLEY_CHANNELS)
+    ) + " END")
+    return f"""
+WITH d AS (
+  SELECT user_id, event_id, event_type, {flags}
+  FROM ({events_select}) e),
+p AS (
+  SELECT user_id, f0 + 2 * f1 + 4 * f2 + 8 * f3 AS mask
+  FROM d WHERE event_type = 'purchase'),
+ex AS (
+  SELECT user_id, {chan} AS channel,
+         CASE ci.ci * 16 + p.mask {arms} END AS psi
+  FROM p, (SELECT unnest(range(4)) AS ci) ci)
+SELECT user_id, channel, sum(psi) AS phi24
+FROM ex GROUP BY 1, 2"""

@@ -21948,3 +21948,27 @@ FROM ex GROUP BY 1, 2 ORDER BY event_id"""
 
 
 QUERIES["mod97"] = (q_mod97, q_mod97_oracle)
+
+
+def q_shapley_attr(spark, sf_dir):
+    """Exact Shapley attribution (analytics.shapley_attribution): each
+    purchase's credit split across the four touch channels by the exact
+    coalition formula — reduced to prior-presence windows + a 64-entry
+    psi lookup (no runtime subset enumeration); phi24 sums to
+    24 x attributed conversions per user."""
+    from .operators.analytics import shapley_attribution
+
+    return shapley_attribution(
+        _read(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    ).orderBy("user_id", "channel")
+
+
+def q_shapley_attr_oracle():
+    from .operators.analytics import shapley_attribution_sql
+
+    return ("SELECT * FROM (" + shapley_attribution_sql(
+        "SELECT user_id, event_id, event_type FROM events"
+    ) + ") ORDER BY user_id, channel")
+
+
+QUERIES["shapley_attr"] = (q_shapley_attr, q_shapley_attr_oracle)
