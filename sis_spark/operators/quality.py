@@ -782,3 +782,80 @@ def mod97_cols(width: int = 24):
     of the sequential per-char folding (the IBAN / creditor-reference
     check with no recurrence)."""
     return [pow(10, width - 1 - i, 97) for i in range(width)]
+
+
+_DAMM_TABLE = [
+    [0, 3, 1, 7, 5, 9, 8, 6, 4, 2],
+    [7, 0, 9, 2, 1, 5, 4, 8, 6, 3],
+    [4, 2, 0, 6, 8, 7, 1, 3, 5, 9],
+    [1, 7, 5, 0, 9, 8, 3, 4, 2, 6],
+    [6, 1, 2, 3, 0, 4, 5, 9, 7, 8],
+    [3, 6, 7, 4, 2, 0, 9, 5, 8, 1],
+    [5, 8, 6, 9, 7, 2, 0, 1, 3, 4],
+    [8, 9, 4, 5, 3, 6, 2, 0, 1, 7],
+    [9, 4, 3, 8, 6, 1, 7, 2, 0, 5],
+    [2, 5, 8, 1, 4, 3, 6, 7, 9, 0],
+]
+
+
+def damm_case_sql() -> str:
+    """The Damm totally-antisymmetric quasigroup step as one 100-arm
+    CASE over key c*10+d (Damm 2004, public table): the next interim
+    digit.  Catches all single-digit and adjacent-transposition errors —
+    the quasigroup cousin of the `luhn` gate, necessarily SEQUENTIAL
+    (non-associative), hence the lockstep-state oracle."""
+    arms = " ".join(
+        f"WHEN {c * 10 + d} THEN {_DAMM_TABLE[c][d]}"
+        for c in range(10) for d in range(10)
+    )
+    return "CASE c * 10 + d " + arms + " END"
+
+
+def damm_checksum(df: "DataFrame", num_col: str = "num",
+                  id_col: str = "event_id", width: int = 10) -> "DataFrame":
+    """Damm interim digit of a fixed-width number, engine side: one
+    applyInPandas-free sequential fold is impossible in codegen, so the
+    engine ALSO walks the published table — per key a tiny Python fold
+    inside one mapInPandas pass (digits are bounded).  Output:
+    (id, num, check, valid) with valid iff the interim digit is 0."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i, v in zip(pdf[id_col], pdf[num_col]):
+                c = 0
+                for ch in str(int(v)).zfill(width):
+                    c = _DAMM_TABLE[c][ord(ch) - 48]
+                rows.append({"event_id": int(i), "num": int(v),
+                             "check": c, "valid": c == 0})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.select(id_col, num_col).mapInPandas(
+        gen, "event_id long, num long, check long, valid boolean"
+    )
+
+
+def damm_checksum_sql(base_select: str, num_col: str = "num",
+                      id_col: str = "event_id", width: int = 10) -> str:
+    """DuckDB twin of ``damm_checksum`` (lockstep recursive CTE over the
+    digit positions, state = interim digit)."""
+    W = int(width)
+    step = damm_case_sql().replace(
+        "c * 10 + d",
+        f"st.c * 10 + (CAST(substr(lpad(CAST(st.num AS STRING), {W}, '0'),"
+        f" CAST(st.i + 1 AS INT), 1) AS BIGINT))",
+    )
+    return f"""
+WITH RECURSIVE b AS MATERIALIZED (
+  SELECT {id_col} AS event_id, CAST({num_col} AS BIGINT) AS num
+  FROM ({base_select}) s),
+st AS (
+  SELECT event_id, num, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS c
+  FROM b
+  UNION ALL
+  SELECT st.event_id, st.num, st.i + 1, CAST({step} AS BIGINT)
+  FROM st WHERE st.i < {W})
+SELECT event_id, num, c AS check, c = 0 AS valid
+FROM st WHERE i = {W}"""

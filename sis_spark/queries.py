@@ -21972,3 +21972,29 @@ def q_shapley_attr_oracle():
 
 
 QUERIES["shapley_attr"] = (q_shapley_attr, q_shapley_attr_oracle)
+
+
+def q_damm(spark, sf_dir):
+    """Damm quasigroup checksum (quality.damm_checksum, 10-digit
+    numbers): the totally-antisymmetric table walk — catches all
+    adjacent transpositions Luhn misses; sequential by nature, so the
+    oracle is a lockstep digit-position recursive CTE."""
+    from .operators.quality import damm_checksum
+
+    d = _read(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("event_id") * 1000003) % 10000000000).cast("long").alias("num"),
+    )
+    return damm_checksum(d).orderBy("event_id")
+
+
+def q_damm_oracle():
+    from .operators.quality import damm_checksum_sql
+
+    base = ("SELECT event_id, (event_id * 1000003) % 10000000000 AS num "
+            "FROM events")
+    return ("SELECT * FROM (" + damm_checksum_sql(base)
+            + ") ORDER BY event_id")
+
+
+QUERIES["damm"] = (q_damm, q_damm_oracle)
