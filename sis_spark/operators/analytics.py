@@ -4457,3 +4457,52 @@ ex AS (
   FROM p, (SELECT unnest(range(4)) AS ci) ci)
 SELECT user_id, channel, sum(psi) AS phi24
 FROM ex GROUP BY 1, 2"""
+
+
+def prime_sieve(spark, n: int = 100000, bucket: int = 10000) -> "DataFrame":
+    """Distributed sieve of Eratosthenes as pure relational algebra:
+    composites = the distinct exploded multiples p*k (p <= sqrt(n),
+    k >= p), primes = candidates ANTI-JOINED against them; reported as
+    per-bucket counts + position-weighted checksums (number-theoretic
+    test-data generation and a classic anti-join stress).
+
+    Scale shape: the multiple explosion is sum over p of n/p ~ n ln ln n
+    rows — one distinct + one anti-join; buckets keep the output
+    metadata-sized."""
+    from pyspark.sql import functions as F
+
+    root = int(n ** 0.5) + 1
+    cands = spark.range(2, n + 1).select(F.col("id").alias("v"))
+    ps = spark.range(2, root + 1).select(F.col("id").alias("p"))
+    comps = ps.select(
+        "p",
+        F.explode(F.sequence(F.col("p"),
+                             (F.lit(int(n)) / F.col("p")).cast("long"))).alias("k"),
+    ).select((F.col("p") * F.col("k")).alias("v")).distinct()
+    primes = cands.join(comps, "v", "left_anti")
+    return (
+        primes.groupBy(F.expr(f"v div {int(bucket)}").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_primes"),
+            F.sum("v").alias("sum_primes"),
+            F.max("v").alias("max_prime"),
+        )
+    )
+
+
+def prime_sieve_sql(n: int = 100000, bucket: int = 10000) -> str:
+    """DuckDB twin of ``prime_sieve``."""
+    root = int(n ** 0.5) + 1
+    return f"""
+WITH cands AS (SELECT unnest(range(2, {int(n)} + 1)) AS v),
+ps AS (SELECT unnest(range(2, {root} + 1)) AS p),
+comps AS (
+  SELECT DISTINCT p * k AS v
+  FROM ps, LATERAL (SELECT unnest(range(p, {int(n)} // p + 1)) AS k) kk
+  WHERE k >= p),
+primes AS (
+  SELECT v FROM cands WHERE NOT EXISTS (
+    SELECT 1 FROM comps c WHERE c.v = cands.v))
+SELECT v // {int(bucket)} AS bucket, count(*) AS n_primes,
+       sum(v) AS sum_primes, max(v) AS max_prime
+FROM primes GROUP BY 1"""

@@ -21998,3 +21998,22 @@ def q_damm_oracle():
 
 
 QUERIES["damm"] = (q_damm, q_damm_oracle)
+
+
+def q_sieve(spark, sf_dir):
+    """Distributed sieve of Eratosthenes (analytics.prime_sieve,
+    n=100000): multiples exploded + one distinct + one ANTI-join —
+    per-bucket prime counts and checksums (pi(10^5) = 9592 pinned by
+    the totals)."""
+    from .operators.analytics import prime_sieve
+
+    return prime_sieve(spark).orderBy("bucket")
+
+
+def q_sieve_oracle():
+    from .operators.analytics import prime_sieve_sql
+
+    return "SELECT * FROM (" + prime_sieve_sql() + ") ORDER BY bucket"
+
+
+QUERIES["sieve"] = (q_sieve, q_sieve_oracle)
