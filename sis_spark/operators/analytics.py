@@ -4506,3 +4506,53 @@ primes AS (
 SELECT v // {int(bucket)} AS bucket, count(*) AS n_primes,
        sum(v) AS sum_primes, max(v) AS max_prime
 FROM primes GROUP BY 1"""
+
+
+def round_robin_schedule(spark, n_teams: int = 14) -> "DataFrame":
+    """Circle-method round-robin schedule (the classic single round-robin
+    construction, public combinatorics): team n-1 is the pivot; in round
+    r it meets team r, and slot k in 1..n/2-1 pairs
+    (r + k) mod (n-1) against (r - k) mod (n-1) — every pair meets
+    exactly once across n-1 rounds.  Emitted with home = the smaller id
+    (canonical).  Pure closed-form arithmetic, generated distributed from
+    one range.
+
+    Output: (round, slot, home, away)."""
+    from pyspark.sql import functions as F
+
+    n = int(n_teams)
+    assert n % 2 == 0
+    m = n - 1
+    base = spark.range(m * (n // 2)).select(
+        (F.col("id") / (n // 2)).cast("long").alias("round"),
+        (F.col("id") % (n // 2)).cast("long").alias("slot"),
+    )
+    a = F.when(F.col("slot") == 0, F.lit(m)).otherwise(
+        (F.col("round") + F.col("slot")) % m
+    )
+    b = F.when(F.col("slot") == 0, F.col("round")).otherwise(
+        ((F.col("round") - F.col("slot")) % m + m) % m
+    )
+    return base.select(
+        "round", "slot",
+        F.least(a, b).alias("home"), F.greatest(a, b).alias("away"),
+    )
+
+
+def round_robin_sql(n_teams: int = 14) -> str:
+    """DuckDB twin of ``round_robin_schedule``."""
+    n = int(n_teams)
+    m = n - 1
+    h = n // 2
+    return f"""
+WITH base AS (
+  SELECT i // {h} AS round, i % {h} AS slot
+  FROM (SELECT unnest(range({m * h})) AS i) t),
+p AS (
+  SELECT round, slot,
+         CASE WHEN slot = 0 THEN {m} ELSE (round + slot) % {m} END AS a,
+         CASE WHEN slot = 0 THEN round
+              ELSE ((round - slot) % {m} + {m}) % {m} END AS b
+  FROM base)
+SELECT round, slot, least(a, b) AS home, greatest(a, b) AS away
+FROM p"""

@@ -22017,3 +22017,21 @@ def q_sieve_oracle():
 
 
 QUERIES["sieve"] = (q_sieve, q_sieve_oracle)
+
+
+def q_round_robin(spark, sf_dir):
+    """Circle-method round-robin schedule (analytics.round_robin_schedule,
+    14 teams, 13 rounds): every pair exactly once, closed-form pairing
+    arithmetic — combinatorial design as a map-only range transform."""
+    from .operators.analytics import round_robin_schedule
+
+    return round_robin_schedule(spark).orderBy("round", "slot")
+
+
+def q_round_robin_oracle():
+    from .operators.analytics import round_robin_sql
+
+    return "SELECT * FROM (" + round_robin_sql() + ") ORDER BY round, slot"
+
+
+QUERIES["round_robin"] = (q_round_robin, q_round_robin_oracle)
