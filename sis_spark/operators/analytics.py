@@ -4556,3 +4556,144 @@ p AS (
   FROM base)
 SELECT round, slot, least(a, b) AS home, greatest(a, b) AS away
 FROM p"""
+
+
+def inventory_policy(
+    df: "DataFrame",
+    s_low: int = 20,
+    s_high: int = 60,
+    key_col: str = "item",
+    order_col: str = "t",
+    demand_col: str = "dem",
+) -> "DataFrame":
+    """(s, S) inventory-policy replay, exact: starting at S, each period
+    ships min(on_hand, demand) (lost sales, no backorders); when the
+    remaining stock drops below s, an order refills to S at the period
+    end (zero lead time — the textbook base case).  Sequential by
+    nature: the engine folds per key in one applyInPandas pass, the
+    oracle advances (on_hand, orders, lost) per period in a lockstep
+    recursive CTE.
+
+    Output: (key, n_periods, end_on_hand, n_orders, total_lost,
+    total_shipped)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    word = Window.partitionBy(key_col).orderBy(order_col)
+    b = df.select(
+        F.col(key_col).alias("k"),
+        F.col(demand_col).cast("long").alias("dem"),
+        F.row_number().over(word).cast("long").alias("rn"),
+    )
+
+    def fn(key, pdf):
+        pdf = pdf.sort_values("rn")
+        oh, orders, lost, shipped = int(s_high), 0, 0, 0
+        for dem in pdf["dem"]:
+            dem = int(dem)
+            ship = min(oh, dem)
+            shipped += ship
+            lost += dem - ship
+            oh -= ship
+            if oh < s_low:
+                orders += 1
+                oh = int(s_high)
+        return pd.DataFrame([{
+            "k": key[0], "n_periods": int(len(pdf)), "end_on_hand": oh,
+            "n_orders": orders, "total_lost": lost,
+            "total_shipped": shipped,
+        }])
+
+    return b.groupBy("k").applyInPandas(
+        fn, "k long, n_periods long, end_on_hand long, n_orders long, "
+            "total_lost long, total_shipped long"
+    )
+
+
+def inventory_policy_sql(
+    base_select: str,
+    s_low: int = 20,
+    s_high: int = 60,
+    key_col: str = "item",
+    order_col: str = "t",
+    demand_col: str = "dem",
+) -> str:
+    """DuckDB twin of ``inventory_policy`` (lockstep recursive CTE)."""
+    S, s = int(s_high), int(s_low)
+    return f"""
+WITH RECURSIVE b AS MATERIALIZED (
+  SELECT {key_col} AS k, CAST({demand_col} AS BIGINT) AS dem,
+         CAST(row_number() OVER (PARTITION BY {key_col}
+              ORDER BY {order_col}) AS BIGINT) AS rn
+  FROM ({base_select}) q),
+st AS (
+  SELECT k, CAST(0 AS BIGINT) AS rn, CAST({S} AS BIGINT) AS oh,
+         CAST(0 AS BIGINT) AS orders, CAST(0 AS BIGINT) AS lost,
+         CAST(0 AS BIGINT) AS shipped
+  FROM (SELECT DISTINCT k FROM b) u
+  UNION ALL
+  SELECT r.k, r.rn + 1,
+         CASE WHEN r.oh - least(r.oh, q.dem) < {s} THEN {S}
+              ELSE r.oh - least(r.oh, q.dem) END,
+         r.orders + CASE WHEN r.oh - least(r.oh, q.dem) < {s}
+                         THEN 1 ELSE 0 END,
+         r.lost + q.dem - least(r.oh, q.dem),
+         r.shipped + least(r.oh, q.dem)
+  FROM st r JOIN b q ON q.k = r.k AND q.rn = r.rn + 1)
+SELECT st.k, st.rn AS n_periods, st.oh AS end_on_hand,
+       st.orders AS n_orders, st.lost AS total_lost,
+       st.shipped AS total_shipped
+FROM st JOIN (SELECT k, max(rn) AS mx FROM b GROUP BY 1) m
+  ON m.k = st.k AND m.mx = st.rn"""
+
+
+def adstock(
+    df: "DataFrame",
+    window: int = 10,
+    key_col: str = "channel",
+    order_col: str = "t",
+    x_col: str = "x",
+) -> "DataFrame":
+    """Geometric adstock (the media-mix carryover transform, public
+    marketing-science literature) with half-life decay lambda = 1/2 and
+    a ``window``-period memory, EXACT: adstock_t * 2^(window-1) =
+    sum_{j=0..w-1} x_{t-j} * 2^(w-1-j) — a single window sum of
+    power-of-two-weighted lags, all integers (the dyadic decay makes the
+    transform closed-form; no recurrence).
+
+    Output: (key, order, x, adstock_q) with adstock = adstock_q /
+    2^(window-1)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = int(window)
+    word = Window.partitionBy(key_col).orderBy(order_col)
+    d = df.select(key_col, order_col, F.col(x_col).cast("long").alias("x"))
+    acc = None
+    for j in range(w):
+        term = F.coalesce(F.lag("x", j).over(word), F.lit(0)) * (1 << (w - 1 - j))
+        acc = term if acc is None else acc + term
+    return d.withColumn("adstock_q", acc.cast("long"))
+
+
+def adstock_sql(
+    base_select: str,
+    window: int = 10,
+    key_col: str = "channel",
+    order_col: str = "t",
+    x_col: str = "x",
+) -> str:
+    """DuckDB twin of ``adstock``."""
+    w = int(window)
+    terms = " + ".join(
+        f"coalesce(lag(x, {j}) OVER (PARTITION BY {key_col} "
+        f"ORDER BY {order_col}), 0) * {1 << (w - 1 - j)}"
+        for j in range(w)
+    )
+    return f"""
+WITH b AS (
+  SELECT {key_col}, {order_col}, CAST({x_col} AS BIGINT) AS x
+  FROM ({base_select}) s)
+SELECT {key_col}, {order_col}, x, {terms} AS adstock_q
+FROM b"""

@@ -22035,3 +22035,53 @@ def q_round_robin_oracle():
 
 
 QUERIES["round_robin"] = (q_round_robin, q_round_robin_oracle)
+
+
+def q_inventory(spark, sf_dir):
+    """(s,S) inventory replay (analytics.inventory_policy, s=20, S=60)
+    over deterministic per-item demand streams: lost sales, refills and
+    shipments exactly — operations analytics as a lockstep fold."""
+    from .operators.analytics import inventory_policy
+
+    ev = _read(spark, sf_dir, "events").select(
+        (F.col("user_id") % 30).alias("item"),
+        F.col("event_id").alias("t"),
+        ((F.col("event_id") * 11) % 17).cast("long").alias("dem"),
+    )
+    return inventory_policy(ev).orderBy("k")
+
+
+def q_inventory_oracle():
+    from .operators.analytics import inventory_policy_sql
+
+    base = ("SELECT user_id % 30 AS item, event_id AS t, "
+            "(event_id * 11) % 17 AS dem FROM events")
+    return ("SELECT * FROM (" + inventory_policy_sql(base) + ") ORDER BY k")
+
+
+QUERIES["inventory"] = (q_inventory, q_inventory_oracle)
+
+
+def q_adstock(spark, sf_dir):
+    """Geometric adstock (analytics.adstock, half-life decay, 10-period
+    memory): the media-mix carryover as ONE power-of-two-weighted window
+    sum — dyadic decay needs no recurrence; exact integers."""
+    from .operators.analytics import adstock
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("channel"),
+        F.col("event_id").alias("t"),
+        ((F.col("event_id") * 7) % 23).cast("long").alias("x"),
+    )
+    return adstock(ev).orderBy("channel", "t")
+
+
+def q_adstock_oracle():
+    from .operators.analytics import adstock_sql
+
+    base = ("SELECT event_type AS channel, event_id AS t, "
+            "(event_id * 7) % 23 AS x FROM events")
+    return ("SELECT * FROM (" + adstock_sql(base) + ") ORDER BY channel, t")
+
+
+QUERIES["adstock"] = (q_adstock, q_adstock_oracle)
