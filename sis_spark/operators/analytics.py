@@ -4697,3 +4697,24 @@ WITH b AS (
   FROM ({base_select}) s)
 SELECT {key_col}, {order_col}, x, {terms} AS adstock_q
 FROM b"""
+
+
+def erlang_b_steps(div_op: str, c: int, scale: int = 1 << 20) -> list:
+    """Erlang-B blocking by the standard recursion
+    B_c = a*B_{c-1} / (c + a*B_{c-1}) (Erlang 1917, public), DERANDOMIZED
+    to integers at S = 2^20: t = (aq * b) div S ; b' = (t * S) div
+    (k*S + t).  Returns [(t_k_sql, b_k_sql), ...] where each step
+    references the PREVIOUS step's NAMED column b{k-1} — textual nesting
+    (and even staged codegen columns, which Catalyst's projection
+    collapse re-inlines) doubles the expression tree per step (t appears
+    twice; the cell_compact janino lesson), so consumers must MATERIALIZE
+    each stage or fold in an Arrow batch."""
+    o = div_op
+    S = int(scale)
+    out = []
+    for k in range(1, int(c) + 1):
+        prev = str(S) if k == 1 else f"b{k - 1}"
+        t = f"((aq * {prev}){o}{S})"
+        b = f"((t{k} * {S}){o}({k} * {S} + t{k}))"
+        out.append((t, b))
+    return out

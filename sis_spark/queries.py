@@ -22085,3 +22085,57 @@ def q_adstock_oracle():
 
 
 QUERIES["adstock"] = (q_adstock, q_adstock_oracle)
+
+
+def q_erlang_b(spark, sf_dir):
+    """Erlang-B blocking (analytics.erlang_b_steps semantics, 12
+    servers) for a grid of offered loads: the teletraffic recursion with
+    every division a floor-div at scale 2^20.  LESSON: staged codegen
+    columns do NOT tame the doubling chain — Catalyst's projection
+    collapse re-inlines the aliases (t appears twice per step -> 2^c
+    tree); the engine folds the 12 steps in one Arrow batch instead, and
+    the oracle MATERIALIZES each stage (the kcore discipline)."""
+    import pandas as _pd
+
+    S = 1 << 20
+
+    def fold(batches):
+        for pdf in batches:
+            rows = []
+            for aq in pdf["aq"]:
+                aq = int(aq)
+                b = S
+                out = {}
+                for k in range(1, 13):
+                    t = (aq * b) // S
+                    b = (t * S) // (k * S + t)
+                    if k in (4, 8, 12):
+                        out[f"b{k}"] = b
+                rows.append({"aq": aq, **out})
+            if rows:
+                yield _pd.DataFrame(rows)
+
+    d = spark.range(1, 81).select(
+        (F.col("id") * 655360).cast("long").alias("aq")
+    )
+    return d.mapInPandas(
+        fold, "aq long, b4 long, b8 long, b12 long"
+    ).orderBy("aq")
+
+
+def q_erlang_b_oracle():
+    from .operators.analytics import erlang_b_steps
+
+    blocks = ["s0 AS MATERIALIZED (SELECT unnest(range(1, 81)) * 655360 AS aq)"]
+    prev = "s0"
+    for k, (t, b) in enumerate(erlang_b_steps(" // ", 12), 1):
+        blocks.append(
+            f"s{k} AS MATERIALIZED (SELECT *, {b} AS b{k} FROM "
+            f"(SELECT *, {t} AS t{k} FROM {prev}) i{k})"
+        )
+        prev = f"s{k}"
+    return ("WITH " + ",\n".join(blocks)
+            + f"\nSELECT aq, b4, b8, b12 FROM {prev} ORDER BY aq")
+
+
+QUERIES["erlang_b"] = (q_erlang_b, q_erlang_b_oracle)
