@@ -4718,3 +4718,73 @@ def erlang_b_steps(div_op: str, c: int, scale: int = 1 << 20) -> list:
         b = f"((t{k} * {S}){o}({k} * {S} + t{k}))"
         out.append((t, b))
     return out
+
+
+def abc_xyz(
+    df: "DataFrame",
+    item_col: str = "item",
+    value_col: str = "v",
+) -> "DataFrame":
+    """ABC/XYZ inventory classification, exact: ABC from the revenue
+    Pareto (an item is A while the cumulative share BEFORE it is under
+    70%, B under 90%, else C — boundary items belong to the better
+    class; cross-multiplied, no division) and XYZ from demand
+    variability (population CV^2 = (n*sumsq - sum^2)/sum^2 compared
+    against 1/16 and 1/4 by cross-multiplication).  The classic
+    operations segmentation over `pareto_point`'s machinery.
+
+    Output: (item, n, total_v, abc, xyz)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    per = df.groupBy(F.col(item_col).alias("item")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(value_col).cast("long")).alias("s"),
+        F.sum(F.col(value_col).cast("long") * F.col(value_col).cast("long"))
+        .alias("sq"),
+    )
+    w = Window.orderBy(F.col("s").desc(), "item")
+    wt = Window.partitionBy()
+    d = (
+        per.withColumn("cum", F.sum("s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", F.sum("s").over(wt))
+        .withColumn("prev", F.col("cum") - F.col("s"))
+    )
+    abc = (
+        F.when(F.col("prev") * 10 < F.col("tot") * 7, "A")
+        .when(F.col("prev") * 10 < F.col("tot") * 9, "B")
+        .otherwise("C")
+    )
+    varnum = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
+    xyz = (
+        F.when(varnum * 16 <= F.col("s") * F.col("s"), "X")
+        .when(varnum * 4 <= F.col("s") * F.col("s"), "Y")
+        .otherwise("Z")
+    )
+    return d.select("item", "n", F.col("s").alias("total_v"),
+                    abc.alias("abc"), xyz.alias("xyz"))
+
+
+def abc_xyz_sql(base_select: str, item_col: str = "item",
+                value_col: str = "v") -> str:
+    """DuckDB twin of ``abc_xyz``."""
+    return f"""
+WITH per AS (
+  SELECT {item_col} AS item, count(*) AS n,
+         sum(CAST({value_col} AS BIGINT)) AS s,
+         sum(CAST({value_col} AS BIGINT) * CAST({value_col} AS BIGINT)) AS sq
+  FROM ({base_select}) b GROUP BY 1),
+d AS (
+  SELECT item, n, s, sq,
+         sum(s) OVER (ORDER BY s DESC, item
+                      ROWS UNBOUNDED PRECEDING) - s AS prev,
+         sum(s) OVER () AS tot
+  FROM per)
+SELECT item, n, s AS total_v,
+       CASE WHEN prev * 10 < tot * 7 THEN 'A'
+            WHEN prev * 10 < tot * 9 THEN 'B' ELSE 'C' END AS abc,
+       CASE WHEN (n * sq - s * s) * 16 <= s * s THEN 'X'
+            WHEN (n * sq - s * s) * 4 <= s * s THEN 'Y'
+            ELSE 'Z' END AS xyz
+FROM d"""

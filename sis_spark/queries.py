@@ -22139,3 +22139,28 @@ def q_erlang_b_oracle():
 
 
 QUERIES["erlang_b"] = (q_erlang_b, q_erlang_b_oracle)
+
+
+def q_abc_xyz(spark, sf_dir):
+    """ABC/XYZ segmentation (analytics.abc_xyz) of order revenue by
+    customer-segment item keys: Pareto classes by cross-multiplied
+    cumulative shares, variability classes by exact CV^2 comparisons —
+    the ops-planning classifier over `pareto_point`."""
+    from .operators.analytics import abc_xyz
+
+    o = _read(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 40).alias("item"),
+        F.floor(F.col("o_totalprice") / 100).cast("long").alias("v"),
+    )
+    return abc_xyz(o).orderBy("item")
+
+
+def q_abc_xyz_oracle():
+    from .operators.analytics import abc_xyz_sql
+
+    base = ("SELECT o_custkey % 40 AS item, "
+            "CAST(floor(o_totalprice / 100) AS BIGINT) AS v FROM orders")
+    return "SELECT * FROM (" + abc_xyz_sql(base) + ") ORDER BY item"
+
+
+QUERIES["abc_xyz"] = (q_abc_xyz, q_abc_xyz_oracle)
