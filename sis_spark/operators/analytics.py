@@ -4788,3 +4788,89 @@ SELECT item, n, s AS total_v,
             WHEN (n * sq - s * s) * 4 <= s * s THEN 'Y'
             ELSE 'Z' END AS xyz
 FROM d"""
+
+
+def rmst(
+    df: "DataFrame",
+    t_col: str = "t",
+    event_col: str = "e",
+    tau: int = 40,
+    scale: int = 1 << 20,
+) -> "DataFrame":
+    """Restricted mean survival time, derandomized: the KM survival is
+    the floor-div chain S'_q = (S_q * (n - d)) div n stepped through the
+    event times (exact integers — products of rationals would overflow,
+    so each step floors at scale 2^20, a documented deterministic
+    variant), and RMST(tau) = sum of S_q * (step width truncated at tau)
+    — the area under the survival curve.  One tiny applyInPandas fold
+    over the (time, n, d) life table (<= distinct times rows); the
+    oracle replays the chain in a lockstep recursive CTE.
+
+    Output: one row (tau, n_times, rmst_q) with RMST = rmst_q / scale."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    S = int(scale)
+    b = df.select(F.col(t_col).cast("long").alias("t"),
+                  F.col(event_col).cast("long").alias("e"))
+    per = b.groupBy("t").agg(F.count("*").alias("m"), F.sum("e").alias("d"))
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    life = per.withColumn("n", F.sum("m").over(w)).select("t", "n", "d")
+
+    def fold(pdf):
+        pdf = pdf.sort_values("t")
+        sq, area, prev_t = S, 0, 0
+        for t, n, d in zip(pdf["t"], pdf["n"], pdf["d"]):
+            t, n, d = int(t), int(n), int(d)
+            if prev_t >= tau:
+                break
+            width = min(t, tau) - prev_t
+            area += sq * width
+            sq = (sq * (n - d)) // n
+            prev_t = min(t, tau)
+        if prev_t < tau:
+            area += sq * (tau - prev_t)
+        return pd.DataFrame([{
+            "tau": int(tau), "n_times": int(len(pdf)), "rmst_q": area,
+        }])
+
+    return life.repartition(1).mapInPandas(
+        lambda it: iter([fold(pd.concat(list(it)))]),
+        "tau long, n_times long, rmst_q long",
+    )
+
+
+def rmst_sql(base_select: str, t_col: str = "t", event_col: str = "e",
+             tau: int = 40, scale: int = 1 << 20) -> str:
+    """DuckDB twin of ``rmst`` (lockstep chain over time ranks)."""
+    S = int(scale)
+    T = int(tau)
+    return f"""
+WITH RECURSIVE b AS MATERIALIZED (
+  SELECT CAST({t_col} AS BIGINT) AS t, CAST({event_col} AS BIGINT) AS e
+  FROM ({base_select}) s),
+per AS (SELECT t, count(*) AS m, sum(e) AS d FROM b GROUP BY 1),
+life AS MATERIALIZED (
+  SELECT t, d,
+         sum(m) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n,
+         CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rk
+  FROM per),
+st AS (
+  SELECT CAST(0 AS BIGINT) AS rk, CAST({S} AS BIGINT) AS sq,
+         CAST(0 AS BIGINT) AS area, CAST(0 AS BIGINT) AS prev_t
+  UNION ALL
+  SELECT l.rk,
+         CASE WHEN r.prev_t >= {T} THEN r.sq
+              ELSE (r.sq * (l.n - l.d)) // l.n END,
+         CASE WHEN r.prev_t >= {T} THEN r.area
+              ELSE r.area + r.sq * (least(l.t, {T}) - r.prev_t) END,
+         CASE WHEN r.prev_t >= {T} THEN r.prev_t
+              ELSE least(l.t, {T}) END
+  FROM st r JOIN life l ON l.rk = r.rk + 1)
+SELECT {T} AS tau, (SELECT max(rk) FROM life) AS n_times,
+       area + CASE WHEN prev_t < {T} THEN sq * ({T} - prev_t) ELSE 0 END
+         AS rmst_q
+FROM st WHERE rk = (SELECT max(rk) FROM life)"""

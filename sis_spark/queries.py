@@ -22164,3 +22164,28 @@ def q_abc_xyz_oracle():
 
 
 QUERIES["abc_xyz"] = (q_abc_xyz, q_abc_xyz_oracle)
+
+
+def q_rmst(spark, sf_dir):
+    """Restricted mean survival time (analytics.rmst, tau=40) over the
+    kaplan_meier durations: the floor-div survival chain integrated to
+    tau — completes the survival quartet (km / nelson_aalen / log_rank /
+    rmst)."""
+    from .operators.analytics import rmst
+
+    o = _read(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 50).cast("long").alias("t"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("e"),
+    )
+    return rmst(o)
+
+
+def q_rmst_oracle():
+    from .operators.analytics import rmst_sql
+
+    base = ("SELECT CAST(o_orderkey % 50 AS BIGINT) AS t, "
+            "CAST(o_orderstatus = 'F' AS BIGINT) AS e FROM orders")
+    return rmst_sql(base)
+
+
+QUERIES["rmst"] = (q_rmst, q_rmst_oracle)
