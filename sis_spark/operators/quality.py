@@ -859,3 +859,78 @@ st AS (
   FROM st WHERE st.i < {W})
 SELECT event_id, num, c AS check, c = 0 AS valid
 FROM st WHERE i = {W}"""
+
+
+def encoding_stats(
+    df: "DataFrame",
+    key_col: str = "col_name",
+    order_col: str = "rn",
+    value_col: str = "v",
+) -> "DataFrame":
+    """Columnar encoding-size model per column: run count (RLE), distinct
+    count (dictionary), and the integer byte estimates
+    plain = 8n, rle = 16*runs, dict = 8*distinct + n*ceil(bitlen(distinct)/8)
+    — the writer's encoding chooser as exact arithmetic (the table
+    format's write_clustered planning primitive, reference parity with
+    parquet-style encoding selection).
+
+    Output: (col_name, n, runs, n_distinct, plain_b, rle_b, dict_b,
+    best)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    d = df.select(key_col, order_col, F.col(value_col).cast("long").alias("v"))
+    runs = (
+        d.withColumn("chg",
+                     (F.col("v") != F.coalesce(
+                         F.lag("v").over(w), F.col("v") + 1)).cast("long"))
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n"), F.sum("chg").alias("runs"),
+             F.countDistinct("v").alias("n_distinct"))
+    )
+    bits = "length(bin(greatest(n_distinct - 1, 1)))"
+    return runs.select(
+        key_col, "n", "runs", "n_distinct",
+        (F.col("n") * 8).alias("plain_b"),
+        (F.col("runs") * 16).alias("rle_b"),
+        (F.col("n_distinct") * 8
+         + F.col("n") * F.expr(f"({bits} + 7) div 8")).alias("dict_b"),
+    ).withColumn(
+        "best",
+        F.when((F.col("rle_b") <= F.col("plain_b"))
+               & (F.col("rle_b") <= F.col("dict_b")), "rle")
+        .when(F.col("dict_b") <= F.col("plain_b"), "dict")
+        .otherwise("plain"),
+    )
+
+
+def encoding_stats_sql(base_select: str, key_col: str = "col_name",
+                       order_col: str = "rn", value_col: str = "v") -> str:
+    """DuckDB twin of ``encoding_stats``."""
+    return f"""
+WITH d AS (
+  SELECT {key_col}, {order_col}, CAST({value_col} AS BIGINT) AS v
+  FROM ({base_select}) s),
+r AS (
+  SELECT {key_col},
+         CASE WHEN v <> coalesce(lag(v) OVER (PARTITION BY {key_col}
+              ORDER BY {order_col}), v + 1) THEN 1 ELSE 0 END AS chg, v
+  FROM d),
+agg AS (
+  SELECT {key_col}, count(*) AS n, sum(chg) AS runs,
+         count(DISTINCT v) AS n_distinct
+  FROM r GROUP BY 1)
+SELECT {key_col}, n, runs, n_distinct,
+       n * 8 AS plain_b, runs * 16 AS rle_b,
+       n_distinct * 8
+         + n * ((length(bin(greatest(n_distinct - 1, 1))) + 7) // 8) AS dict_b,
+       CASE WHEN runs * 16 <= n * 8
+             AND runs * 16 <= n_distinct * 8
+               + n * ((length(bin(greatest(n_distinct - 1, 1))) + 7) // 8)
+            THEN 'rle'
+            WHEN n_distinct * 8
+               + n * ((length(bin(greatest(n_distinct - 1, 1))) + 7) // 8)
+               <= n * 8 THEN 'dict'
+            ELSE 'plain' END AS best
+FROM agg"""

@@ -872,3 +872,48 @@ FROM (
   JOIN (SELECT kk, max(rn) AS mx FROM b GROUP BY 1) m
     ON m.kk = st.kk AND m.mx = st.rn) f,
   unnest(f.cs) AS u(c)"""
+
+
+def bitmap_index(
+    df: DataFrame,
+    key_col: str = "k",
+    row_col: str = "rn",
+    word_bits: int = 60,
+) -> DataFrame:
+    """Bitmap index over row-number buckets: per key and 60-bit word,
+    word = bit_or of (1 << rn mod 60) — bit 60+ would hit the int64 sign
+    (the bloom-filter contract); AND/OR/COUNT queries over keys become
+    word-aligned joins + bit_count sums (`bitmap_and_count`).  The
+    Roaring-style acceleration primitive of OLAP predicates."""
+    wb = int(word_bits)
+    return (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.expr(f"{row_col} div {wb}").alias("w"),
+            F.expr(f"{row_col} % {wb}").alias("b"),
+        )
+        .groupBy("k", "w")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)))")
+             .alias("bits"))
+    )
+
+
+def bitmap_and_count(index: DataFrame, ka, kb) -> DataFrame:
+    """Count of rows where BOTH keys are set: word-aligned equi-join of
+    the two keys' bitmaps + sum of bit_count(a & b) — no row explosion."""
+    a = index.filter(F.col("k") == ka).select("w", F.col("bits").alias("ba"))
+    b = index.filter(F.col("k") == kb).select("w", F.col("bits").alias("bb"))
+    return a.join(b, "w").agg(
+        F.sum(F.expr("bit_count(ba & bb)")).alias("n_and")
+    )
+
+
+def bitmap_index_sql(base_select: str, key_col: str = "k",
+                     row_col: str = "rn", word_bits: int = 60) -> str:
+    """DuckDB twin of ``bitmap_index``."""
+    wb = int(word_bits)
+    return f"""
+SELECT {key_col} AS k, {row_col} // {wb} AS w,
+       bit_or(CAST(1 AS BIGINT) << CAST({row_col} % {wb} AS INT)) AS bits
+FROM ({base_select}) s
+GROUP BY 1, 2"""

@@ -22189,3 +22189,86 @@ def q_rmst_oracle():
 
 
 QUERIES["rmst"] = (q_rmst, q_rmst_oracle)
+
+
+def q_bitmap_index(spark, sf_dir):
+    """Bitmap-index AND query (sketches.bitmap_index +
+    bitmap_and_count): per-event-type 60-bit-word bitmaps over row
+    buckets, conjunction answered by word-aligned & + bit_count — the
+    Roaring-style OLAP predicate accelerator; emits the index words of
+    two keys plus the AND count as one relation."""
+    from .operators.sketches import bitmap_and_count, bitmap_index
+
+    w = Window.orderBy("event_id")
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("k"),
+        "event_id",
+    ).withColumn("rn", (F.row_number().over(w) - 1).cast("long"))
+    idx = bitmap_index(ev)
+    cnt = bitmap_and_count(idx, "click", "view")
+    return (
+        idx.filter(F.col("k").isin("click", "view"))
+        .select("k", "w", "bits", F.lit(None).cast("long").alias("n_and"))
+        .unionByName(cnt.select(F.lit("AND").alias("k"),
+                                F.lit(-1).cast("long").alias("w"),
+                                F.lit(0).cast("long").alias("bits"), "n_and"))
+        .orderBy("k", "w")
+    )
+
+
+def q_bitmap_index_oracle():
+    from .operators.sketches import bitmap_index_sql
+
+    base = ("SELECT event_type AS k, "
+            "row_number() OVER (ORDER BY event_id) - 1 AS rn FROM events")
+    idx = bitmap_index_sql(base)
+    return f"""
+WITH idx AS ({idx})
+SELECT k, w, bits, CAST(NULL AS BIGINT) AS n_and
+FROM idx WHERE k IN ('click', 'view')
+UNION ALL
+SELECT 'AND', -1, 0,
+       (SELECT sum(bit_count(a.bits & b.bits))
+        FROM idx a JOIN idx b ON b.w = a.w
+        WHERE a.k = 'click' AND b.k = 'view')
+ORDER BY k, w"""
+
+
+QUERIES["bitmap_index"] = (q_bitmap_index, q_bitmap_index_oracle)
+
+
+def q_encoding_stats(spark, sf_dir):
+    """Columnar encoding chooser (quality.encoding_stats): RLE runs,
+    dictionary cardinality and the integer byte models per synthetic
+    column — the writer-side planning primitive of the table format."""
+    from .operators.quality import encoding_stats
+
+    ev = _read(spark, sf_dir, "events")
+    cols = ev.select(
+        "event_id",
+        F.explode(F.array(
+            F.struct(F.lit("low_card").alias("c"),
+                     (F.col("event_id") % 4).cast("long").alias("v")),
+            F.struct(F.lit("runs").alias("c"),
+                     (F.col("event_id") / 100).cast("long").alias("v")),
+            F.struct(F.lit("unique").alias("c"),
+                     F.col("event_id").cast("long").alias("v")),
+        )).alias("s"),
+    ).select(F.col("s.c").alias("col_name"), F.col("event_id").alias("rn"),
+             F.col("s.v").alias("v"))
+    return encoding_stats(cols).orderBy("col_name")
+
+
+def q_encoding_stats_oracle():
+    from .operators.quality import encoding_stats_sql
+
+    base = """
+SELECT c AS col_name, event_id AS rn, v FROM (
+  SELECT event_id, 'low_card' AS c, event_id % 4 AS v FROM events
+  UNION ALL SELECT event_id, 'runs', event_id // 100 FROM events
+  UNION ALL SELECT event_id, 'unique', event_id FROM events) u"""
+    return ("SELECT * FROM (" + encoding_stats_sql(base)
+            + ") ORDER BY col_name")
+
+
+QUERIES["encoding_stats"] = (q_encoding_stats, q_encoding_stats_oracle)
