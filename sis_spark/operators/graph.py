@@ -2448,3 +2448,85 @@ SELECT {int(k)} AS k,
           AND e.b IN (SELECT a FROM ({edges_select}) x GROUP BY a
                       HAVING count(*) > {int(k)})) AS e_k""")
     return " UNION ALL ".join(blocks)
+
+
+def maximal_cliques_bounded(
+    adj: DataFrame,
+    n_nodes: int = 12,
+) -> DataFrame:
+    """Maximal-clique enumeration over per-key graphs of <= ``n_nodes``
+    nodes, by PURE BITMASK ALGEBRA (no search tree): a subset mask S is a
+    clique iff every member's closed adjacency covers S
+    ((adj[i] | 1<<i) & S = S), and maximal iff no outside vertex is
+    adjacent to all of S — both conditions explode over (key, mask,
+    node) and reduce with bool_and, entirely in codegen integer bit ops
+    (2^n masks per key; the brute *verifier* form — Bron-Kerbosch is the
+    unbounded-n path, the oracle replays the identical definition).
+
+    Input: (k, node, amask) closed-neighborhood-free adjacency bitmasks.
+    Output: (k, n_cliques, max_size, best_mask) — maximal-clique count,
+    maximum clique size, and the smallest maximum-size mask."""
+    n = int(n_nodes)
+    spark = adj.sparkSession
+    masks = spark.range(1, 1 << n).select(F.col("id").alias("mask"))
+    keys = adj.select("k").distinct()
+    km = keys.join(masks)
+    ex = km.join(adj, "k")
+    member_ok = (
+        ((F.expr("shiftleft(CAST(1 AS BIGINT), CAST(node AS INT))")
+          .bitwiseOR(F.col("amask"))) .bitwiseAND(F.col("mask")) == F.col("mask"))
+        | (F.expr("(mask div shiftleft(CAST(1 AS BIGINT), CAST(node AS INT))) % 2") == 0)
+    )
+    outside_ok = (
+        (F.expr("(mask div shiftleft(CAST(1 AS BIGINT), CAST(node AS INT))) % 2") == 1)
+        | ((F.col("amask").bitwiseAND(F.col("mask"))) != F.col("mask"))
+    )
+    c = (
+        ex.groupBy("k", "mask")
+        .agg(
+            F.min(member_ok.cast("long")).alias("is_clique"),
+            F.min(outside_ok.cast("long")).alias("is_maximal"),
+        )
+        .filter((F.col("is_clique") == 1) & (F.col("is_maximal") == 1))
+        .withColumn("sz", F.expr("bit_count(mask)"))
+    )
+    pick = Window.partitionBy("k").orderBy(F.col("sz").desc(), "mask")
+    return (
+        c.withColumn("pk", F.row_number().over(pick))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_cliques"),
+            F.max("sz").alias("max_size"),
+            F.min(F.when(F.col("pk") == 1, F.col("mask"))).alias("best_mask"),
+        )
+    )
+
+
+def maximal_cliques_sql(adj_select: str, n_nodes: int = 12) -> str:
+    """DuckDB twin of ``maximal_cliques_bounded``."""
+    n = int(n_nodes)
+    return f"""
+WITH adj AS MATERIALIZED (SELECT k, node, amask FROM ({adj_select}) a),
+masks AS (SELECT unnest(range(1, {1 << n})) AS mask),
+ex AS (
+  SELECT ks.k, m.mask, a.node, a.amask
+  FROM (SELECT DISTINCT k FROM adj) ks, masks m
+  JOIN adj a ON a.k = ks.k),
+c AS (
+  SELECT k, mask,
+         min(CASE WHEN (mask // (CAST(1 AS BIGINT) << CAST(node AS INT))) % 2 = 0
+                   OR ((amask | (CAST(1 AS BIGINT) << CAST(node AS INT)))
+                       & mask) = mask
+              THEN 1 ELSE 0 END) AS is_clique,
+         min(CASE WHEN (mask // (CAST(1 AS BIGINT) << CAST(node AS INT))) % 2 = 1
+                   OR (amask & mask) <> mask
+              THEN 1 ELSE 0 END) AS is_maximal
+  FROM ex GROUP BY 1, 2),
+mc AS (
+  SELECT k, mask, bit_count(mask) AS sz,
+         row_number() OVER (PARTITION BY k
+             ORDER BY bit_count(mask) DESC, mask) AS pk
+  FROM c WHERE is_clique = 1 AND is_maximal = 1)
+SELECT k, count(*) AS n_cliques, max(sz) AS max_size,
+       min(CASE WHEN pk = 1 THEN mask END) AS best_mask
+FROM mc GROUP BY 1"""

@@ -22272,3 +22272,56 @@ SELECT c AS col_name, event_id AS rn, v FROM (
 
 
 QUERIES["encoding_stats"] = (q_encoding_stats, q_encoding_stats_oracle)
+
+
+def q_max_cliques(spark, sf_dir):
+    """Maximal cliques on 16 twelve-node graphs
+    (graph.maximal_cliques_bounded): clique- and maximality-tests as
+    pure bitmask algebra over all 4095 subsets — the bounded exact
+    verifier of the NP enumeration (Bron-Kerbosch is the unbounded
+    path); per-key counts, max size and canonical best clique."""
+    from .operators.graph import maximal_cliques_bounded
+
+    n = 12
+    base = spark.range(16 * n * n).select(
+        (F.col("id") / (n * n)).cast("long").alias("k"),
+        ((F.col("id") / n) % n).cast("long").alias("i"),
+        (F.col("id") % n).alias("j"),
+    ).filter(F.col("i") != F.col("j")).filter(
+        (F.col("i") * F.col("j") * 7 + F.col("i") + F.col("j")
+         + F.col("k") * 3) % 5 < 2
+    )
+    adj = base.groupBy("k", F.col("i").alias("node")).agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+        .alias("amask")
+    )
+    full = spark.range(16 * n).select(
+        (F.col("id") / n).cast("long").alias("k"),
+        (F.col("id") % n).alias("node"),
+    )
+    adj = full.join(adj, ["k", "node"], "left").fillna(0, ["amask"])
+    return maximal_cliques_bounded(adj).orderBy("k")
+
+
+def q_max_cliques_oracle():
+    from .operators.graph import maximal_cliques_sql
+
+    n = 12
+    adj = f"""
+SELECT f.k, f.node, coalesce(a.amask, 0) AS amask
+FROM (SELECT i // {n} AS k, i % {n} AS node
+      FROM (SELECT unnest(range({16 * n})) AS i) t) f
+LEFT JOIN (
+  SELECT k, i AS node,
+         sum(CAST(1 AS BIGINT) << CAST(j AS INT)) AS amask
+  FROM (
+    SELECT id // {n * n} AS k, (id // {n}) % {n} AS i, id % {n} AS j
+    FROM (SELECT unnest(range({16 * n * n})) AS id) u) e
+  WHERE i <> j AND (i * j * 7 + i + j + k * 3) % 5 < 2
+  GROUP BY 1, 2) a
+  ON a.k = f.k AND a.node = f.node"""
+    return ("SELECT * FROM (" + maximal_cliques_sql(adj)
+            + ") ORDER BY k")
+
+
+QUERIES["max_cliques"] = (q_max_cliques, q_max_cliques_oracle)
