@@ -2512,3 +2512,94 @@ FROM tour t JOIN (
            row_number() OVER (PARTITION BY k ORDER BY gain DESC, i, j) AS pk
     FROM pairs) r WHERE pk = 1) p
   ON p.k = t.k"""
+
+
+def tsp_exact(
+    dists: DataFrame,
+    n_nodes: int = 10,
+) -> DataFrame:
+    """Exact TSP by the Held-Karp bitmask DP (1962, public literature),
+    RELATIONAL: DP[mask, j] = shortest 0->...->j path visiting exactly
+    ``mask``; layer k (masks of popcount k) is ONE equi-join of layer
+    k-1 against the distance table + one min-aggregation — n-2 rounds
+    total, no search tree, every state an exact integer (quantized
+    distances are the caller's contract, cf. two_opt).  The optimum
+    closes back to node 0.  Bounded-n exact verifier (states
+    2^n * n per key); `two_opt` is the any-n local-search path this
+    pins from below.
+
+    Input: (k, i, j, d) full directed distance table per key.
+    Output: (k, best_cost) the optimal closed-tour cost."""
+    n = int(n_nodes)
+    e = dists.select("k", "i", "j", F.col("d").cast("long").alias("d")) \
+        .localCheckpoint()
+    layer = (
+        e.filter((F.col("i") == 0) & (F.col("j") != 0))
+        .select(
+            "k",
+            (F.lit(1) + F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+            .alias("mask"),
+            F.col("j").alias("last"), F.col("d").alias("cost"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(n - 2):
+        step = (
+            layer.join(e.withColumnRenamed("i", "last"), ["k", "last"])
+            .filter(F.col("j") != 0)
+            .filter(F.expr(
+                "(mask div shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))) % 2"
+            ) == 0)
+            .select(
+                "k",
+                (F.col("mask")
+                 + F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+                .alias("mask"),
+                F.col("j").alias("last"),
+                (F.col("cost") + F.col("d")).alias("c"),
+            )
+            .groupBy("k", "mask", "last")
+            .agg(F.min("c").alias("cost"))
+            .localCheckpoint()
+        )
+        layer = step
+    close = (
+        layer.join(
+            e.filter(F.col("j") == 0).select("k", F.col("i").alias("last"),
+                                             F.col("d").alias("dback")),
+            ["k", "last"],
+        )
+        .select("k", (F.col("cost") + F.col("dback")).alias("tour"))
+        .groupBy("k")
+        .agg(F.min("tour").alias("best_cost"))
+    )
+    return close
+
+
+def tsp_exact_sql(dists_select: str, n_nodes: int = 10) -> str:
+    """DuckDB twin of ``tsp_exact`` (chained MATERIALIZED DP layers)."""
+    n = int(n_nodes)
+    blocks = [
+        f"e AS MATERIALIZED (SELECT k, i, j, CAST(d AS BIGINT) AS d "
+        f"FROM ({dists_select}) ds)",
+        """l2 AS MATERIALIZED (
+  SELECT k, 1 + (CAST(1 AS BIGINT) << CAST(j AS INT)) AS mask,
+         j AS last, d AS cost
+  FROM e WHERE i = 0 AND j <> 0)""",
+    ]
+    prev = "l2"
+    for r in range(3, n + 1):
+        blocks.append(f"""l{r} AS MATERIALIZED (
+  SELECT k, mask, last, min(c) AS cost FROM (
+    SELECT p.k,
+           p.mask + (CAST(1 AS BIGINT) << CAST(e.j AS INT)) AS mask,
+           e.j AS last, p.cost + e.d AS c
+    FROM {prev} p JOIN e ON e.k = p.k AND e.i = p.last
+    WHERE e.j <> 0
+      AND (p.mask // (CAST(1 AS BIGINT) << CAST(e.j AS INT))) % 2 = 0) s
+  GROUP BY 1, 2, 3)""")
+        prev = f"l{r}"
+    return ("WITH " + ",\n".join(blocks) + f"""
+SELECT p.k, min(p.cost + e.d) AS best_cost
+FROM {prev} p JOIN e ON e.k = p.k AND e.i = p.last AND e.j = 0
+GROUP BY 1""")

@@ -22325,3 +22325,51 @@ LEFT JOIN (
 
 
 QUERIES["max_cliques"] = (q_max_cliques, q_max_cliques_oracle)
+
+
+def q_tsp_exact(spark, sf_dir):
+    """Exact Held-Karp TSP (trajectory.tsp_exact, 10 cities x 16 keys):
+    bitmask DP layers as chained equi-join + min-agg rounds — the
+    bounded-exact optimum that pins `two_opt` from below; distances are
+    the caliper quantization (2^10 sqrt)."""
+    from .operators.trajectory import tsp_exact
+
+    n = 10
+    pts = spark.range(16 * n).select(
+        (F.col("id") / n).cast("long").alias("k"),
+        (F.col("id") % n).alias("node"),
+        ((F.col("id") * 37) % 1000).cast("long").alias("x"),
+        ((F.col("id") * 61) % 1000).cast("long").alias("y"),
+    )
+    a = pts.select("k", F.col("node").alias("i"), F.col("x").alias("xi"),
+                   F.col("y").alias("yi"))
+    b = pts.select("k", F.col("node").alias("j"), F.col("x").alias("xj"),
+                   F.col("y").alias("yj"))
+    d = a.join(b, "k").filter(F.col("i") != F.col("j")).select(
+        "k", "i", "j",
+        F.floor(F.sqrt(((F.col("xi") - F.col("xj")) * (F.col("xi") - F.col("xj"))
+                        + (F.col("yi") - F.col("yj")) * (F.col("yi") - F.col("yj")))
+                       .cast("double")) * 1024).cast("long").alias("d"),
+    )
+    return tsp_exact(d).orderBy("k")
+
+
+def q_tsp_exact_oracle():
+    from .operators.trajectory import tsp_exact_sql
+
+    n = 10
+    dists = f"""
+SELECT a.k, a.node AS i, b.node AS j,
+       CAST(floor(sqrt(CAST((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) AS DOUBLE)) * 1024) AS BIGINT) AS d
+FROM (SELECT id // {n} AS k, id % {n} AS node, (id * 37) % 1000 AS x,
+             (id * 61) % 1000 AS y
+      FROM (SELECT unnest(range({16 * n})) AS id) t) a
+JOIN (SELECT id // {n} AS k, id % {n} AS node, (id * 37) % 1000 AS x,
+             (id * 61) % 1000 AS y
+      FROM (SELECT unnest(range({16 * n})) AS id) t) b
+  ON b.k = a.k AND a.node <> b.node"""
+    return "SELECT * FROM (" + tsp_exact_sql(dists) + ") ORDER BY k"
+
+
+QUERIES["tsp_exact"] = (q_tsp_exact, q_tsp_exact_oracle)
