@@ -2807,3 +2807,78 @@ SELECT a.k, a.iid AS a_id, c.iid AS b_id,
          ELSE 'overlapped_by'
        END AS relation
 FROM b a JOIN b c ON c.k = a.k AND a.iid < c.iid"""
+
+
+def longest_streaks(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    flag_col: str = "hit",
+) -> DataFrame:
+    """Longest and current success streak per key (the gaps-and-islands
+    trick): island id = rank - rank-among-hits, islands aggregate to
+    lengths, the max and the currently-open streak (island touching the
+    last row) read off — pure window codegen, the engagement/reliability
+    metric every product dashboard carries.
+
+    Output: (key, n, n_hits, longest, current)."""
+    word = Window.partitionBy(key_col).orderBy(order_col)
+    b = (
+        df.select(key_col, order_col, F.col(flag_col).cast("long").alias("h"))
+        .withColumn("rn", F.row_number().over(word).cast("long"))
+        .withColumn("hr", F.sum("h").over(
+            word.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    isl = (
+        b.filter(F.col("h") == 1)
+        .withColumn("island", F.col("rn") - F.row_number().over(word))
+        .groupBy(key_col, "island")
+        .agg(F.count(F.lit(1)).alias("len"), F.max("rn").alias("end_rn"))
+    )
+    tot = b.groupBy(key_col).agg(F.max("rn").alias("n"),
+                                 F.sum("h").alias("n_hits"))
+    agg = isl.groupBy(key_col).agg(F.max("len").alias("longest"))
+    cur = (
+        isl.join(tot, key_col)
+        .filter(F.col("end_rn") == F.col("n"))
+        .select(key_col, F.col("len").alias("current"))
+    )
+    return (
+        tot.join(agg, key_col, "left")
+        .join(cur, key_col, "left")
+        .select(
+            key_col, "n", "n_hits",
+            F.coalesce("longest", F.lit(0)).cast("long").alias("longest"),
+            F.coalesce("current", F.lit(0)).cast("long").alias("current"),
+        )
+    )
+
+
+def longest_streaks_sql(
+    base_select: str,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    flag_col: str = "hit",
+) -> str:
+    """DuckDB twin of ``longest_streaks``."""
+    return f"""
+WITH b AS (
+  SELECT {key_col}, CAST({flag_col} AS BIGINT) AS h,
+         CAST(row_number() OVER (PARTITION BY {key_col}
+              ORDER BY {order_col}) AS BIGINT) AS rn
+  FROM ({base_select}) s),
+isl AS (
+  SELECT {key_col},
+         rn - row_number() OVER (PARTITION BY {key_col} ORDER BY rn) AS island,
+         rn
+  FROM b WHERE h = 1),
+il AS (
+  SELECT {key_col}, island, count(*) AS len, max(rn) AS end_rn
+  FROM isl GROUP BY 1, 2),
+tot AS (
+  SELECT {key_col}, max(rn) AS n, sum(h) AS n_hits FROM b GROUP BY 1)
+SELECT t.{key_col}, t.n, t.n_hits,
+       coalesce(max(il.len), 0) AS longest,
+       coalesce(max(CASE WHEN il.end_rn = t.n THEN il.len END), 0) AS current
+FROM tot t LEFT JOIN il ON il.{key_col} = t.{key_col}
+GROUP BY 1, 2, 3"""

@@ -22373,3 +22373,28 @@ JOIN (SELECT id // {n} AS k, id % {n} AS node, (id * 37) % 1000 AS x,
 
 
 QUERIES["tsp_exact"] = (q_tsp_exact, q_tsp_exact_oracle)
+
+
+def q_streaks(spark, sf_dir):
+    """Longest / current success streaks per user
+    (timeseries.longest_streaks): the gaps-and-islands rank-difference
+    trick — the engagement metric as pure window codegen."""
+    from .operators.timeseries import longest_streaks
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        ((F.col("event_id") * 7) % 10 < 6).cast("long").alias("hit"),
+    )
+    return longest_streaks(ev).orderBy("user_id")
+
+
+def q_streaks_oracle():
+    from .operators.timeseries import longest_streaks_sql
+
+    base = ("SELECT user_id, event_id, "
+            "CAST((event_id * 7) % 10 < 6 AS BIGINT) AS hit FROM events")
+    return ("SELECT * FROM (" + longest_streaks_sql(base)
+            + ") ORDER BY user_id")
+
+
+QUERIES["streaks"] = (q_streaks, q_streaks_oracle)
