@@ -22195,15 +22195,17 @@ def q_bitmap_index(spark, sf_dir):
     """Bitmap-index AND query (sketches.bitmap_index +
     bitmap_and_count): per-event-type 60-bit-word bitmaps over row
     buckets, conjunction answered by word-aligned & + bit_count — the
-    Roaring-style OLAP predicate accelerator; emits the index words of
-    two keys plus the AND count as one relation."""
+    Roaring-style OLAP predicate accelerator.  The bit domain is USER
+    ids (event-row positions would make the conjunction structurally
+    empty — one type per row; caught by the output audit): the AND
+    counts users who did BOTH actions.  Emits the two keys' index words
+    plus the AND count as one relation."""
     from .operators.sketches import bitmap_and_count, bitmap_index
 
-    w = Window.orderBy("event_id")
     ev = _read(spark, sf_dir, "events").select(
         F.col("event_type").alias("k"),
-        "event_id",
-    ).withColumn("rn", (F.row_number().over(w) - 1).cast("long"))
+        F.col("user_id").cast("long").alias("rn"),
+    ).distinct()
     idx = bitmap_index(ev)
     cnt = bitmap_and_count(idx, "click", "view")
     return (
@@ -22219,8 +22221,7 @@ def q_bitmap_index(spark, sf_dir):
 def q_bitmap_index_oracle():
     from .operators.sketches import bitmap_index_sql
 
-    base = ("SELECT event_type AS k, "
-            "row_number() OVER (ORDER BY event_id) - 1 AS rn FROM events")
+    base = "SELECT DISTINCT event_type AS k, user_id AS rn FROM events"
     idx = bitmap_index_sql(base)
     return f"""
 WITH idx AS ({idx})
