@@ -218,9 +218,9 @@ c AS (
   SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY {id_col}) AS cum
   FROM d)
 SELECT {id_col}, shard, n_tokens,
-       (cum - n_tokens) // {capacity} AS start_bin,
-       (cum - n_tokens) % {capacity} AS start_off,
-       (cum - 1) // {capacity} AS end_bin
+       CAST((cum - n_tokens) // {capacity} AS BIGINT) AS start_bin,
+       CAST((cum - n_tokens) % {capacity} AS BIGINT) AS start_off,
+       CAST((cum - 1) // {capacity} AS BIGINT) AS end_bin
 FROM c"""
 
 

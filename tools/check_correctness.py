@@ -49,6 +49,12 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
                 # int64-vs-float64: numpy would upcast BOTH to float64 and lose
                 # the low bits of 60-bit hashes (false green on e.g. simhash).
                 # Python int==float compares exactly, so go through objects.
+                # The driver's hash DOES distinguish the dtypes, so a local
+                # green here would still be red on the board — surface it.
+                problems.append(
+                    f"DTYPE-WARN col {c}: spark {gv.dtype} vs oracle {ev.dtype} — "
+                    "driver hash will mismatch; CAST the oracle (DuckDB HUGEINT?)"
+                )
                 gv = g[c].astype(object).to_numpy()
                 ev = e[c].astype(object).to_numpy()
             eq = (gv == ev) | (pd.isna(gv) & pd.isna(ev))
