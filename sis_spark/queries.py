@@ -5153,8 +5153,8 @@ WITH s AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
 t AS (
   SELECT user_id, ts, value,
-         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
-                       ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
   FROM s)
 SELECT user_id, session_idx, count(*) AS n_events,
        min(ts) AS first_ts, max(ts) AS last_ts,

@@ -1,4 +1,4 @@
-"""Pure-numpy baseline JPEG (ITU-T T.81, baseline sequential DCT) codec.
+"""Pure-numpy JPEG (ITU-T T.81) codec: baseline sequential + progressive.
 
 No libjpeg/PIL exists in this image, so the bitstream is produced and parsed
 from scratch: 8x8 DCT via an orthonormal matrix product, IJG-style quality
@@ -11,8 +11,10 @@ chroma subsampling and restart markers.
 The decoder is general baseline: arbitrary (H,V) sampling factors, multiple
 DQT/DHT per segment, DRI/RSTn restart intervals, and "abbreviated" streams
 whose tables arrive separately (the TIFF/EP ``JPEGTables`` mechanism used by
-GeoTIFF compression 7 — see sources/geotiff.py).  Progressive (SOF2) is
-rejected explicitly.
+GeoTIFF compression 7 — see sources/geotiff.py).  Progressive (SOF2) decode
+is full Annex-G Huffman: spectral selection, successive approximation, EOB
+runs, AC correction bits; a test/tooling progressive encoder (libjpeg's
+default scan script) backs the round-trip tests.
 
 Reference parity: the reference reads JPEG-in-GeoTIFF through Java ImageIO
 (S/storage/geotiff — its inflater set delegates compression 7); this module
@@ -240,6 +242,47 @@ def _dht_segment(entries: list[tuple[int, int, list[int], list[int]]]) -> bytes:
     return _seg(0xFFC4, payload)
 
 
+def _prep_components(arr: np.ndarray, subsample: bool, ql: np.ndarray,
+                     qc: np.ndarray):
+    """Component geometry + quantized zigzag blocks, padded to exact MCU
+    coverage: (comps, qblocks, mcux, mcuy).  Shared by the baseline and
+    progressive encoders."""
+    h, w, nc = arr.shape
+    if nc == 1:
+        comps = [dict(cid=1, H=1, V=1, tq=0)]
+        planes = [arr[:, :, 0].astype(np.float64)]
+    else:
+        sub = 2 if subsample else 1
+        comps = [dict(cid=1, H=sub, V=sub, tq=0),
+                 dict(cid=2, H=1, V=1, tq=1),
+                 dict(cid=3, H=1, V=1, tq=1)]
+        ycc = _rgb_to_ycbcr(arr)
+        y = ycc[..., 0]
+        if subsample:
+            yp = _pad_to(y, 2, 2)
+            cb = _pad_to(ycc[..., 1], 2, 2)
+            cr = _pad_to(ycc[..., 2], 2, 2)
+            cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(axis=(1, 3))
+            planes = [yp, cb, cr]
+        else:
+            planes = [y, ycc[..., 1], ycc[..., 2]]
+
+    hmax = max(c["H"] for c in comps)
+    vmax = max(c["V"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    qblocks = []
+    for c, p in zip(comps, planes):
+        ch = -(-h * c["V"] // vmax)  # component resolution
+        cw = -(-w * c["H"] // hmax)
+        p = p[:ch, :cw]
+        need_h, need_w = mcuy * 8 * c["V"], mcux * 8 * c["H"]
+        p = np.pad(p, ((0, need_h - p.shape[0]), (0, need_w - p.shape[1])), mode="edge")
+        qblocks.append(_fdct_quant(p, ql if c["tq"] == 0 else qc))
+    return comps, qblocks, mcux, mcuy
+
+
 def encode(arr: np.ndarray, quality: int = 90, subsample: bool = False,
            restart_interval: int = 0, tables_only: bool = False,
            omit_tables: bool = False) -> bytes:
@@ -266,40 +309,7 @@ def encode(arr: np.ndarray, quality: int = 90, subsample: bool = False,
     if tables_only:
         return bytes(head) + b"\xff\xd9"
 
-    # component geometry
-    if nc == 1:
-        comps = [dict(cid=1, H=1, V=1, tq=0)]
-        planes = [arr[:, :, 0].astype(np.float64)]
-    else:
-        sub = 2 if subsample else 1
-        comps = [dict(cid=1, H=sub, V=sub, tq=0),
-                 dict(cid=2, H=1, V=1, tq=1),
-                 dict(cid=3, H=1, V=1, tq=1)]
-        ycc = _rgb_to_ycbcr(arr)
-        y = ycc[..., 0]
-        if subsample:
-            yp = _pad_to(y, 2, 2)
-            cb = _pad_to(ycc[..., 1], 2, 2)
-            cr = _pad_to(ycc[..., 2], 2, 2)
-            cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(axis=(1, 3))
-            cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(axis=(1, 3))
-            planes = [yp, cb, cr]
-        else:
-            planes = [y, ycc[..., 1], ycc[..., 2]]
-
-    hmax = max(c["H"] for c in comps)
-    vmax = max(c["V"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # quantized zigzag blocks per component, padded to exact MCU coverage
-    qblocks = []
-    for c, p in zip(comps, planes):
-        ch = -(-h * c["V"] // vmax)  # component resolution
-        cw = -(-w * c["H"] // hmax)
-        p = p[:ch, :cw]
-        need_h, need_w = mcuy * 8 * c["V"], mcux * 8 * c["H"]
-        p = np.pad(p, ((0, need_h - p.shape[0]), (0, need_w - p.shape[1])), mode="edge")
-        qblocks.append(_fdct_quant(p, ql if c["tq"] == 0 else qc))
+    comps, qblocks, mcux, mcuy = _prep_components(arr, subsample, ql, qc)
 
     sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([nc])
     for c in comps:
@@ -493,7 +503,7 @@ def _walk_markers(buf: bytes, state: _JpegState, stop_at_sos: bool = False):
         (ln,) = struct.unpack_from(">H", buf, pos)
         if marker in (0xDB, 0xC4, 0xDD):
             _parse_tables(buf, pos + 2, marker, state, ln)
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. sequential / progressive
             p = pos + 2
             precision = buf[p]
             assert precision == 8, "8-bit precision only"
@@ -503,18 +513,42 @@ def _walk_markers(buf: bytes, state: _JpegState, stop_at_sos: bool = False):
             for i in range(nc):
                 cid, hv, tq = buf[p + 6 + 3 * i:p + 9 + 3 * i]
                 comps.append(dict(cid=cid, H=hv >> 4, V=hv & 15, tq=tq))
-            state.frame = dict(h=h, w=w, comps=comps)
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) not supported")
+            state.frame = dict(h=h, w=w, comps=comps, progressive=marker == 0xC2)
         elif marker == 0xDA:  # SOS: (payload start, entropy-data start)
             return pos + 2, pos + ln
         pos += ln
     raise ValueError("no SOS marker found")
 
 
+def _reconstruct(state: _JpegState, coefs: list[np.ndarray]) -> np.ndarray:
+    """Zigzag coefficient arrays (by, bx, 64) per component -> (h, w, c) uint8
+    (dequantize, IDCT, upsample, color-convert)."""
+    frame = state.frame
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["H"] for c in comps)
+    vmax = max(c["V"] for c in comps)
+    planes = []
+    for c, zz in zip(comps, coefs):
+        nat = np.zeros_like(zz)
+        nat[:, :, ZIGZAG] = zz
+        q = state.qt[c["tq"]]
+        by, bx = nat.shape[:2]
+        f = (nat * q).reshape(by, bx, 8, 8).astype(np.float64)
+        x = (_D.T @ f) @ _D + 128.0  # == einsum("ji,abjk,kl->abil", D, f, D)
+        plane = x.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        # upsample by sample replication to full resolution
+        plane = np.repeat(np.repeat(plane, vmax // c["V"], axis=0), hmax // c["H"], axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(comps) == 1:
+        return np.clip(planes[0].round(), 0, 255).astype(np.uint8)[:, :, None]
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
 def decode(buf: bytes, tables: bytes | None = None) -> np.ndarray:
-    """Decode a baseline JPEG to (h, w, c) uint8.  ``tables`` optionally
-    carries a separate abbreviated tables stream (TIFF JPEGTables)."""
+    """Decode a baseline OR progressive (SOF2) JPEG to (h, w, c) uint8.
+    ``tables`` optionally carries a separate abbreviated tables stream
+    (TIFF JPEGTables)."""
     state = _JpegState()
     if tables is not None:
         _walk_markers(tables, state, stop_at_sos=True)
@@ -525,6 +559,8 @@ def decode(buf: bytes, tables: bytes | None = None) -> np.ndarray:
     frame = state.frame
     if frame is None:
         raise ValueError("no SOF frame header")
+    if frame.get("progressive"):
+        return _reconstruct(state, _decode_progressive(buf, state, p, entropy_pos))
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     nc = len(comps)
 
@@ -626,20 +662,494 @@ def decode(buf: bytes, tables: bytes | None = None) -> np.ndarray:
             flat[np.array(idx_l[ci], np.int64)] = np.array(val_l[ci], np.int32)
         coefs.append(flat.reshape(mcuy * c["V"], mcux * c["H"], 64))
 
-    # dequantize + IDCT + assemble planes
-    planes = []
-    for c, zz in zip(comps, coefs):
-        nat = np.zeros_like(zz)
-        nat[:, :, ZIGZAG] = zz
-        q = state.qt[c["tq"]]
-        by, bx = nat.shape[:2]
-        f = (nat * q).reshape(by, bx, 8, 8).astype(np.float64)
-        x = (_D.T @ f) @ _D + 128.0  # == einsum("ji,abjk,kl->abil", D, f, D)
-        plane = x.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
-        # upsample by sample replication to full resolution
-        plane = np.repeat(np.repeat(plane, vmax // c["V"], axis=0), hmax // c["H"], axis=1)
-        planes.append(plane[:h, :w])
+    return _reconstruct(state, coefs)
 
+
+# ------------------------------------------------- progressive (SOF2) decoder
+#
+# ITU-T T.81 Annex G.2 (progressive Huffman decoding): spectral selection
+# (Ss..Se bands per scan) and successive approximation (Ah/Al bit planes),
+# including EOB-run coding across blocks and the AC-refinement correction-bit
+# procedure (G.1.2.3).  Web-scraped image corpora are ~10-20% progressive, so
+# the pipeline decoder must accept them (reference reads them via ImageIO —
+# S/storage/geotiff delegates any SOF the JRE supports).
+#
+# Coefficients are held per component as (by, bx, 64) int32 in ZIGZAG order
+# (band index k == zigzag index), so scans address block[k] directly; the
+# shared _reconstruct permutes to natural order once at the end.
+
+class _BitReader:
+    """De-stuffed entropy segments with MSB-first bit addressing; segment
+    hops happen at restart boundaries (caller-driven)."""
+
+    __slots__ = ("segs", "seg_i", "data", "pos")
+
+    def __init__(self, segs: list[bytes]):
+        self.segs = segs
+        self.seg_i = 0
+        self.data = segs[0] + b"\x00\x00\x00"
+        self.pos = 0
+
+    def next_segment(self):
+        self.seg_i += 1
+        self.data = self.segs[self.seg_i] + b"\x00\x00\x00"
+        self.pos = 0
+
+    def bits(self, n: int) -> int:
+        d, pos = self.data, self.pos
+        byte = pos >> 3
+        pk = (((d[byte] << 16) | (d[byte + 1] << 8) | d[byte + 2])
+              >> (8 - (pos & 7))) & 0xFFFF
+        self.pos = pos + n
+        return pk >> (16 - n)
+
+    def huff(self, lenb: bytes, symb: bytes) -> int:
+        d, pos = self.data, self.pos
+        byte = pos >> 3
+        pk = (((d[byte] << 16) | (d[byte + 1] << 8) | d[byte + 2])
+              >> (8 - (pos & 7))) & 0xFFFF
+        L = lenb[pk]
+        if L == 0:
+            raise ValueError("invalid huffman code")
+        self.pos = pos + L
+        return symb[pk]
+
+
+def _extend(bits: int, s: int) -> int:
+    """RECEIVE/EXTEND (T.81 F.2.2.1): s magnitude bits -> signed value."""
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def _comp_block_dims(frame: dict, c: dict) -> tuple[int, int]:
+    """Non-interleaved block-grid dims (hb, wb) of one component (A.2.2)."""
+    hmax = max(x["H"] for x in frame["comps"])
+    vmax = max(x["V"] for x in frame["comps"])
+    cw = -(-frame["w"] * c["H"] // hmax)
+    ch = -(-frame["h"] * c["V"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _ac_first(br: _BitReader, lenb, symb, block, Ss, Se, Al, eobrun):
+    """One block of an initial AC scan (G.1.2.2); returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        rs = br.huff(lenb, symb)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eb = (1 << r) - 1
+                if r:
+                    eb += br.bits(r)
+                return eb
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > Se:
+                raise ValueError("AC run overflows band")
+            block[k] = _extend(br.bits(s), s) << Al
+            k += 1
+    return 0
+
+
+def _ac_refine(br: _BitReader, lenb, symb, block, Ss, Se, Al, eobrun):
+    """One block of an AC refinement scan (G.1.2.3): newly-nonzero
+    coefficients arrive as +-1<<Al; already-nonzero ones receive a
+    correction bit each time the scan passes over them."""
+    p1 = 1 << Al
+    m1 = -1 << Al
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            rs = br.huff(lenb, symb)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s:
+                val = p1 if br.bits(1) else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.bits(r)
+                break
+            # advance over r zero-HISTORY coefficients (16 for ZRL),
+            # correcting every nonzero-history coefficient passed over
+            while k <= Se:
+                c = int(block[k])
+                if c:
+                    if br.bits(1) and not (c & p1):
+                        block[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= Se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= Se:  # correction bits through the rest of the band
+            c = int(block[k])
+            if c and br.bits(1) and not (c & p1):
+                block[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(buf: bytes, state: _JpegState, coefs, sos_payload: int,
+                 entropy_pos: int) -> int:
+    """Decode one progressive scan; returns the stream position after its
+    entropy data (at the next marker's 0xFF)."""
+    frame = state.frame
+    comps = frame["comps"]
+    cid_to_ci = {c["cid"]: i for i, c in enumerate(comps)}
+    p = sos_payload
+    ns = buf[p]
+    scomps = []  # (ci, dc table id, ac table id)
+    for i in range(ns):
+        cid, tdta = buf[p + 1 + 2 * i], buf[p + 2 + 2 * i]
+        scomps.append((cid_to_ci[cid], tdta >> 4, tdta & 15))
+    q = p + 1 + 2 * ns
+    Ss, Se, ah_al = buf[q], buf[q + 1], buf[q + 2]
+    Ah, Al = ah_al >> 4, ah_al & 15
+
+    segs, endpos = _scan_segments(buf, entropy_pos)
+    br = _BitReader(segs)
+    hmax = max(c["H"] for c in comps)
+    vmax = max(c["V"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+
+    if Ss == 0:  # DC scan (interleaved when ns > 1, per A.2)
+        if Se != 0:
+            raise ValueError("DC scan must have Se == 0")
+        luts = {}
+        for ci, td, _ in scomps:
+            if Ah == 0:
+                lenb, symb = state.huff[(0, td)]
+                luts[ci] = (lenb.tobytes(), symb.tobytes())
+        preds = {ci: 0 for ci, _, _ in scomps}
+        if ns > 1:
+            units, wb = mcux * mcuy, mcux
+        else:
+            hb, wb = _comp_block_dims(frame, comps[scomps[0][0]])
+            units = hb * wb
+        ri = state.restart or units
+        for u in range(units):
+            if u and u % ri == 0 and br.seg_i + 1 < len(br.segs):
+                br.next_segment()
+                preds = {ci: 0 for ci in preds}
+            if ns > 1:
+                my, mx = divmod(u, wb)
+                for ci, td, _ in scomps:
+                    c = comps[ci]
+                    for v in range(c["V"]):
+                        for uu in range(c["H"]):
+                            block = coefs[ci][my * c["V"] + v, mx * c["H"] + uu]
+                            if Ah == 0:
+                                lenb, symb = luts[ci]
+                                s = br.huff(lenb, symb)
+                                if s:
+                                    preds[ci] += _extend(br.bits(s), s)
+                                block[0] = preds[ci] << Al
+                            elif br.bits(1):
+                                block[0] = int(block[0]) | (1 << Al)
+            else:
+                ci = scomps[0][0]
+                by, bx = divmod(u, wb)
+                block = coefs[ci][by, bx]
+                if Ah == 0:
+                    lenb, symb = luts[ci]
+                    s = br.huff(lenb, symb)
+                    if s:
+                        preds[ci] += _extend(br.bits(s), s)
+                    block[0] = preds[ci] << Al
+                elif br.bits(1):
+                    block[0] = int(block[0]) | (1 << Al)
+    else:  # AC scan: always non-interleaved single component (G.1.1.1.1)
+        if ns != 1:
+            raise ValueError("AC scans carry exactly one component")
+        ci, _, ta = scomps[0]
+        lenb, symb = state.huff[(1, ta)]
+        lenb, symb = lenb.tobytes(), symb.tobytes()
+        hb, wb = _comp_block_dims(frame, comps[ci])
+        units = hb * wb
+        ri = state.restart or units
+        eobrun = 0
+        fn = _ac_first if Ah == 0 else _ac_refine
+        for u in range(units):
+            if u and u % ri == 0 and br.seg_i + 1 < len(br.segs):
+                br.next_segment()
+                eobrun = 0
+            by, bx = divmod(u, wb)
+            eobrun = fn(br, lenb, symb, coefs[ci][by, bx], Ss, Se, Al, eobrun)
+    return endpos
+
+
+def _decode_progressive(buf: bytes, state: _JpegState, first_sos_payload: int,
+                        first_entropy: int) -> list[np.ndarray]:
+    """Scan loop: decode every SOS (tables may be redefined between scans)
+    and return the accumulated zigzag coefficient arrays per component."""
+    frame = state.frame
+    comps = frame["comps"]
+    hmax = max(c["H"] for c in comps)
+    vmax = max(c["V"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    coefs = [np.zeros((mcuy * c["V"], mcux * c["H"], 64), np.int32) for c in comps]
+
+    pos = _decode_scan(buf, state, coefs, first_sos_payload, first_entropy)
+    n = len(buf)
+    while pos < n - 1:  # walk inter-scan markers until EOI
+        if buf[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (ln,) = struct.unpack_from(">H", buf, pos)
+        if marker in (0xDB, 0xC4, 0xDD):
+            _parse_tables(buf, pos + 2, marker, state, ln)
+            pos += ln
+        elif marker == 0xDA:
+            pos = _decode_scan(buf, state, coefs, pos + 2, pos + ln)
+        else:
+            pos += ln
+    return coefs
+
+
+# ------------------------------------------------- progressive (SOF2) encoder
+#
+# Test/tooling counterpart of the progressive decoder (T.81 Annex G.1):
+# produces real SOF2 streams with libjpeg's default scan script (spectral
+# selection + successive approximation, EOB-run coding, AC correction bits)
+# so the decoder's every path is exercised by round-trip tests.  Not a hot
+# path — corpus re-encodes use the baseline encoder.
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, L: int):
+        acc = (self.acc << L) | code
+        nbits = self.nbits + L
+        out = self.out
+        while nbits >= 8:
+            b = (acc >> (nbits - 8)) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+            nbits -= 8
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.acc = self.nbits = 0
+
+
+_PROG_AC = None
+
+
+def _prog_ac_table():
+    """One generic AC table covering every progressive symbol (EOBn r 0..14,
+    ZRL, and (run, size) for size 1..10) at equal weight — valid canonical
+    codes, deliberately not tuned (test encoder)."""
+    global _PROG_AC
+    if _PROG_AC is None:
+        freqs = [((r << 4) | s, 1) for r in range(16) for s in range(11)]
+        _PROG_AC = _canonical(_huffman_lengths(freqs))
+    return _PROG_AC
+
+
+def _default_scan_script(nc: int) -> list[tuple[list[int], int, int, int, int]]:
+    """libjpeg's default progressive scan script (jcparam.c): entries are
+    (component indices, Ss, Se, Ah, Al)."""
     if nc == 1:
-        return np.clip(planes[0].round(), 0, 255).astype(np.uint8)[:, :, None]
-    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+        return [([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0)]
+    return [([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([0], 1, 63, 1, 0)]
+
+
+class _EobState:
+    """Pending EOB run + buffered correction bits (libjpeg's EOBRUN/BE)."""
+
+    __slots__ = ("run", "bits")
+
+    def __init__(self):
+        self.run = 0
+        self.bits: list[int] = []
+
+    def flush(self, bw: _BitWriter, ac_codes):
+        if self.run > 0:
+            nb = self.run.bit_length() - 1
+            code, L = ac_codes[nb << 4]
+            bw.put(code, L)
+            if nb:
+                bw.put(self.run & ((1 << nb) - 1), nb)
+            self.run = 0
+            for b in self.bits:
+                bw.put(b, 1)
+            self.bits = []
+
+
+def _encode_ac_first_block(bw, ac_codes, blk, Ss, Se, Al, eob: _EobState):
+    run = 0
+    for k in range(Ss, Se + 1):
+        t = int(blk[k])
+        m = (t if t >= 0 else -t) >> Al
+        if m == 0:
+            run += 1
+            continue
+        eob.flush(bw, ac_codes)
+        while run > 15:
+            code, L = ac_codes[0xF0]
+            bw.put(code, L)
+            run -= 16
+        s = m.bit_length()
+        code, L = ac_codes[(run << 4) | s]
+        v = m if t >= 0 else -m
+        bw.put(code, L)
+        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run > 0:
+        eob.run += 1
+        if eob.run == 0x7FFF:
+            eob.flush(bw, ac_codes)
+
+
+def _encode_ac_refine_block(bw, ac_codes, blk, Ss, Se, Al, eob: _EobState):
+    absv = [(int(blk[k]) if blk[k] >= 0 else -int(blk[k])) >> Al
+            for k in range(Ss, Se + 1)]
+    EOB = 0  # index AFTER the last newly-nonzero coefficient (relative)
+    for i, m in enumerate(absv):
+        if m == 1:
+            EOB = i + 1
+    run = 0
+    br: list[int] = []
+    for i, m in enumerate(absv):
+        if m == 0:
+            run += 1
+            continue
+        while run > 15 and i < EOB:
+            eob.flush(bw, ac_codes)
+            code, L = ac_codes[0xF0]
+            bw.put(code, L)
+            run -= 16
+            for b in br:
+                bw.put(b, 1)
+            br = []
+        if m > 1:  # nonzero history: buffer the next magnitude bit
+            br.append(m & 1)
+            continue
+        eob.flush(bw, ac_codes)
+        code, L = ac_codes[(run << 4) | 1]
+        bw.put(code, L)
+        bw.put(0 if int(blk[Ss + i]) < 0 else 1, 1)
+        run = 0
+        for b in br:
+            bw.put(b, 1)
+        br = []
+    if run > 0 or br:
+        eob.run += 1
+        eob.bits.extend(br)
+        if eob.run == 0x7FFF or len(eob.bits) > 900:
+            eob.flush(bw, ac_codes)
+
+
+def encode_progressive(arr: np.ndarray, quality: int = 90,
+                       subsample: bool = False,
+                       scans: list | None = None) -> bytes:
+    """Progressive JFIF encode; ``scans`` overrides the default scan script
+    with (comp index list, Ss, Se, Ah, Al) tuples."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc not in (1, 3):
+        raise ValueError("gray or RGB only")
+    ql, qc = quant_tables(quality)
+    comps, qblocks, mcux, mcuy = _prep_components(arr, subsample, ql, qc)
+    dc_bits, dc_syms, dc_codes = _HUFF["dc"]
+    ac_bits, ac_syms, ac_codes = _prog_ac_table()
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt_segment([ql] if nc == 1 else [ql, qc])
+    out += _dht_segment([(0, 0, dc_bits, dc_syms), (1, 0, ac_bits, ac_syms)])
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for c in comps:
+        sof += bytes([c["cid"], (c["H"] << 4) | c["V"], c["tq"]])
+    out += _seg(0xFFC2, bytes(sof))
+
+    hmax = max(c["H"] for c in comps)
+    vmax = max(c["V"] for c in comps)
+    frame = dict(h=h, w=w, comps=comps)
+
+    for cis, Ss, Se, Ah, Al in (scans or _default_scan_script(nc)):
+        sos = bytes([len(cis)])
+        for ci in cis:
+            sos += bytes([comps[ci]["cid"], 0x00])
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        out += _seg(0xFFDA, sos)
+        bw = _BitWriter()
+        if Ss == 0:  # DC scan
+            preds = {ci: 0 for ci in cis}
+            if len(cis) > 1:
+                units, wb = mcux * mcuy, mcux
+            else:
+                hb, wb = _comp_block_dims(frame, comps[cis[0]])
+                units = hb * wb
+            for u in range(units):
+                if len(cis) > 1:
+                    my, mx = divmod(u, wb)
+                    targets = [
+                        (ci, qblocks[ci][my * comps[ci]["V"] + v,
+                                         mx * comps[ci]["H"] + uu])
+                        for ci in cis
+                        for v in range(comps[ci]["V"])
+                        for uu in range(comps[ci]["H"])
+                    ]
+                else:
+                    by, bx = divmod(u, wb)
+                    targets = [(cis[0], qblocks[cis[0]][by, bx])]
+                for ci, blk in targets:
+                    dc = int(blk[0])
+                    if Ah == 0:  # arithmetic shift: refinement ORs bits back
+                        diff = (dc >> Al) - preds[ci]
+                        preds[ci] = dc >> Al
+                        s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+                        code, L = dc_codes[s]
+                        bw.put(code, L)
+                        if s:
+                            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+                    else:
+                        bw.put((dc >> Al) & 1, 1)
+        else:  # AC scan
+            ci = cis[0]
+            hb, wb = _comp_block_dims(frame, comps[ci])
+            eob = _EobState()
+            fn = _encode_ac_first_block if Ah == 0 else _encode_ac_refine_block
+            for u in range(hb * wb):
+                by, bx = divmod(u, wb)
+                fn(bw, ac_codes, qblocks[ci][by, bx], Ss, Se, Al, eob)
+            eob.flush(bw, ac_codes)
+        bw.flush()
+        out += bw.out
+    return bytes(out) + b"\xff\xd9"

@@ -75,12 +75,15 @@ def test_abbreviated_streams_tables_separate():
         jpeg.decode(scan)  # tables missing -> must fail, not misdecode
 
 
-def test_progressive_rejected():
+def test_progressive_marker_with_sequential_scan_rejected():
+    """SOF2 now decodes (test_jpeg_progressive.py), but a stream whose SOF2
+    framing carries a baseline full-band scan is malformed progressive
+    (a Ss=0 scan must have Se=0, T.81 G.1) and must error, not misdecode."""
     arr = smooth_rgb(16, 16)
     buf = bytearray(jpeg.encode(arr))
     i = buf.find(b"\xff\xc0")
     buf[i + 1] = 0xC2  # flip SOF0 -> SOF2
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="Se == 0"):
         jpeg.decode(bytes(buf))
 
 
