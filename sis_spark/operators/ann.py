@@ -272,6 +272,7 @@ def near_dup_pairs_banded(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs: banded candidates -> exact quantized-cosine verify.
 
@@ -288,6 +289,10 @@ def near_dup_pairs_banded(
     nparts = max(vectors.sparkSession.sparkContext.defaultParallelism, 8)
     q = q.repartition(nparts, "id").persist()
     bands = _band_keys_df(q, n_bands)
+    if max_bucket is not None:
+        # q is persisted, so the counting pass re-derives band keys only
+        from .buckets import cap_buckets
+        bands = cap_buckets(bands, ["band", "bkey"], max_bucket, "near_dup_pairs_banded")
     buckets = (
         bands.groupBy("band", "bkey")
         .agg(F.collect_list("id").alias("ids"))

@@ -158,7 +158,8 @@ def minhash_signatures(docs: DataFrame, n: int = 3,
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidates(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidates(sigs: DataFrame, id_col: str = "doc_id",
+                   max_bucket: int | None = None) -> DataFrame:
     """Band-bucket candidates: pairs sharing at least one band (distinct).
 
     Single-pass formulation: bands come from ONE explode over the signature
@@ -166,9 +167,13 @@ def lsh_candidates(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     signature aggregation once per band per join side, 8x here), buckets
     from one groupBy, and pairs are generated inside each bucket with array
     combinatorics (no self-join, so the signature subtree is evaluated
-    exactly once).  A degenerate bucket (e.g. every empty doc hashing
-    identically) still costs |bucket|^2 pairs — identical to the join
-    formulation; cap upstream if the corpus can contain that."""
+    exactly once).  ``max_bucket`` excludes degenerate buckets (e.g. every
+    empty doc hashing identically) before any list materializes, with
+    logged drop accounting — see operators/buckets.cap_buckets; None (the
+    default here) preserves exact oracle semantics for callers that
+    need them."""
+    from .buckets import cap_buckets
+
     n_bands = N_HASHES // BAND_SIZE
     band_arr = F.array(*[
         F.struct(
@@ -182,6 +187,9 @@ def lsh_candidates(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     bands = sigs.select(F.col(id_col), F.explode(band_arr).alias("bb")).select(
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
+    if max_bucket is not None:
+        bands = bands.persist()  # the counting pass must not re-run the sigs pipeline
+        bands = cap_buckets(bands, ["band", "bkey"], max_bucket, "lsh_candidates")
     buckets = (
         bands.groupBy("band", "bkey")
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
@@ -203,7 +211,8 @@ def lsh_candidates(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.25,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_bucket: int | None = None) -> DataFrame:
     """LSH candidates -> exact Jaccard verification >= threshold.
 
     Output (a, b, jaccard).
@@ -214,17 +223,15 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.25,
     prune BEFORE the distinct) — at scale the candidate set is a tiny
     fraction of the corpus, so the big distinct shuffle shrinks with it.
 
-    Cache lifecycle: the candidate table stays persisted for the session
-    (it is tiny by construction and the returned plan references it
-    lazily — an eager unpersist would recompute the signature pipeline
-    for every consumer).  Callers running MANY corpora in one session can
-    reclaim the blocks with ``spark.catalog.clearCache()``."""
+    Cache lifecycle: the candidate table is eagerly ``localCheckpoint``-ed —
+    it feeds three consumers (ids for the semi-prune, both sides of the
+    common-shingle join), so the signature pipeline underneath must run
+    once, and unlike a CacheManager persist (which pins blocks until an
+    explicit unpersist — the r2 leak) checkpoint blocks are reclaimed by
+    the ContextCleaner as soon as the plan is unreachable."""
     docs = _parallelize_scan(docs)
     sigs = minhash_signatures(docs, n, text_col, id_col)
-    # the candidate plan feeds three consumers (ids for the semi-prune, and
-    # both sides of the common-shingle join) — persist it so the signature
-    # pipeline underneath runs once, not three times
-    cand = lsh_candidates(sigs, id_col).persist()
+    cand = lsh_candidates(sigs, id_col, max_bucket=max_bucket).localCheckpoint()
     cand_ids = (
         cand.select(F.col("a").alias(id_col))
         .unionByName(cand.select(F.col("b").alias(id_col)))
@@ -345,12 +352,16 @@ SELECT {id_col}, CAST(sum(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 
 FROM bits GROUP BY 1"""
 
 
-def simhash_near_dups(sims: DataFrame, max_hamming: int = 8, id_col: str = "doc_id") -> DataFrame:
+def simhash_near_dups(sims: DataFrame, max_hamming: int = 8, id_col: str = "doc_id",
+                      max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs by Hamming distance: 15-bit band buckets (4 bands) then
     exact popcount filter — any pair within Hamming<=3 shares a band; larger
     radii are still caught when any band matches (standard LSH recall).
     Single-pass bucket formulation (see lsh_candidates): no self-join, the
-    signature aggregation underneath is evaluated once."""
+    signature aggregation underneath is evaluated once.  ``max_bucket``
+    drops degenerate buckets with logged accounting (buckets.cap_buckets)."""
+    from .buckets import cap_buckets
+
     bands = sims.select(
         F.col(id_col), F.col("simhash"),
         F.explode(
@@ -360,6 +371,9 @@ def simhash_near_dups(sims: DataFrame, max_hamming: int = 8, id_col: str = "doc_
             ])
         ).alias("bkey"),
     )
+    if max_bucket is not None:
+        bands = bands.persist()
+        bands = cap_buckets(bands, ["bkey"], max_bucket, "simhash_near_dups")
     buckets = (
         bands.groupBy("bkey")
         .agg(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("h"))).alias("xs"))

@@ -1123,6 +1123,220 @@ def nearest_line_join(
     return pts.mapInPandas(fn, schema=schema)
 
 
+def geometry_parts_df(gdf: DataFrame, key_col: str = "key",
+                      wkb_col: str = "wkb") -> DataFrame:
+    """(key, wkb) table of ANY WKB geometry type -> (key, wkb, envelope).
+
+    The fully-generic analog of polygon_parts_df/line_parts_df (no SPLIT or
+    member expansion — distance semantics need the whole geometry): envelope
+    from the decomposed vertex set, any of the 7 geometry types."""
+    from ..functions import geometry as geo
+    from ..functions.sqlmm import geom_decompose
+
+    def norm(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys, wkbs, x0, y0, x1, y1 = [], [], [], [], [], []
+            for k, b in zip(pdf[key_col].tolist(), pdf[wkb_col].tolist()):
+                D = geom_decompose(*geo.wkb_parse(bytes(b)))
+                ax = np.concatenate([D["px"], D["svx"], D["swx"]])
+                ay = np.concatenate([D["py"], D["svy"], D["swy"]])
+                if len(ax) == 0:
+                    continue
+                keys.append(int(k))
+                wkbs.append(bytes(b))
+                x0.append(float(ax.min()))
+                y0.append(float(ay.min()))
+                x1.append(float(ax.max()))
+                y1.append(float(ay.max()))
+            yield pd.DataFrame({
+                "key": np.array(keys, dtype=np.int64), "wkb": wkbs,
+                "xmin": x0, "ymin": y0, "xmax": x1, "ymax": y1,
+            })
+
+    return gdf.select(F.col(key_col), F.col(wkb_col)).mapInPandas(
+        norm, schema="key long, wkb binary, xmin double, ymin double, xmax double, ymax double"
+    )
+
+
+def _radius_res(parts: DataFrame, radius: float) -> int:
+    """Covering resolution for distance-bounded joins: the usual median-part
+    heuristic, capped so one cell is never (much) smaller than the radius —
+    otherwise the radius-expanded covers grow as (r/cell)^2 per feature."""
+    res = _choose_res_dist(parts)
+    if radius > 0:
+        cap = int(math.floor(math.log2(360.0 / radius)))
+        res = min(res, max(1, cap))
+    return res
+
+
+def geometry_distance_join(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    radius: float,
+    res: int | None = None,
+) -> DataFrame:
+    """Distance-bounded spatial join for ANY geometry-type pair — the
+    DistanceFilter.java:48 join shape (ST_Distance(a, b) <= d as a join
+    predicate), with BOTH sides distributed (no crossJoin, no driver-resident
+    dimension, no broadcast-nested-loop).
+
+    Plan: generic envelope parts for each side; the A covers are computed
+    over radius-EXPANDED envelopes so any pair within ``radius`` shares a
+    covering cell (two intersecting rectangles on one grid always share a
+    cell); the cell equi-join is the only shuffle; a codegen envelope prune
+    with radius slack runs before the Arrow refine evaluates the exact
+    geom_distance kernel (same FP expressions as the ST_Distance gate) on
+    candidate pairs only.
+
+    Output: (akey, bkey, qdist) with qdist = floor(1e7 * distance), for
+    pairs with qdist <= floor(1e7 * radius)."""
+    from ..functions import geometry as geo
+    from ..functions.sqlmm import geom_distance
+
+    r = float(radius)
+    # qdist <= floor(r*1e7) admits distances up to r + 1e-7; pad the
+    # geometric prunes so the quantization granularity can't drop a pair
+    rp = r + 1e-6
+    aparts = geometry_parts_df(a_df).persist()
+    bparts = geometry_parts_df(b_df).persist()
+    if res is None:
+        res = _radius_res(bparts, r)
+    aexp = aparts.select(
+        "key", "wkb",
+        (F.col("xmin") - rp).alias("xmin"), (F.col("ymin") - rp).alias("ymin"),
+        (F.col("xmax") + rp).alias("xmax"), (F.col("ymax") + rp).alias("ymax"),
+    )
+    acov = polygon_cells_df(aexp, res, classify=False).select(
+        "cell", F.col("pkey").alias("akey"))
+    bcov = polygon_cells_df(bparts, res, classify=False).select(
+        "cell", F.col("pkey").alias("bkey"))
+    pairs = acov.join(bcov, "cell").select("akey", "bkey").distinct()
+    aa = aparts.select(
+        F.col("key").alias("akey"), F.col("wkb").alias("wkb_a"),
+        F.col("xmin").alias("axmin"), F.col("ymin").alias("aymin"),
+        F.col("xmax").alias("axmax"), F.col("ymax").alias("aymax"),
+    )
+    bb = bparts.select(
+        F.col("key").alias("bkey"), F.col("wkb").alias("wkb_b"),
+        F.col("xmin").alias("bxmin"), F.col("ymin").alias("bymin"),
+        F.col("xmax").alias("bxmax"), F.col("ymax").alias("bymax"),
+    )
+    cand = (
+        pairs.join(aa, "akey").join(bb, "bkey")
+        .filter(
+            (F.col("axmin") - rp <= F.col("bxmax")) & (F.col("bxmin") <= F.col("axmax") + rp)
+            & (F.col("aymin") - rp <= F.col("bymax")) & (F.col("bymin") <= F.col("aymax") + rp)
+        )
+        .select("akey", "bkey", "wkb_a", "wkb_b")
+    )
+    cand = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
+    rq = int(np.floor(r * 1e7))
+
+    @F.pandas_udf("long")
+    def qdist(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
+        return pd.Series([
+            int(np.floor(geom_distance(
+                geo.wkb_parse(bytes(x)), geo.wkb_parse(bytes(y))) * 1e7))
+            for x, y in zip(a_s, b_s)
+        ], dtype="int64")
+
+    out = cand.withColumn(
+        "qdist", qdist.asNondeterministic()(F.col("wkb_a"), F.col("wkb_b")))
+    return out.filter(F.col("qdist") <= F.lit(rq)).select("akey", "bkey", "qdist")
+
+
+def nearest_line_join_dist(
+    points_df: DataFrame,
+    lines_df: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    radius: float,
+    id_col: str = "event_id",
+    key_col: str = "key",
+    wkb_col: str = "wkb",
+    res: int | None = None,
+) -> DataFrame:
+    """nearest_line_join with a fully-DISTRIBUTED line dimension (the
+    polygon_parts_df treatment): line envelopes expanded by ``radius`` are
+    cell-covered, points bucket to their single cell, the cell equi-join is
+    the only shuffle, and an Arrow refine computes per-candidate point-line
+    distances (one wkb parse per line per batch, vectorized over its
+    points).  Top-1 per point = min(struct(qdist, key)) — identical
+    tie-break (lowest key) and quantization to the broadcast path, so both
+    satisfy the same oracle.
+
+    Use this when the line table is continental-scale; the broadcast
+    variant stays the low-latency path for road-network-sized dims."""
+    from ..functions import geometry as geo
+
+    r = float(radius)
+    rp = r + 1e-6  # quantization-granularity pad (see geometry_distance_join)
+    lparts = line_parts_df(lines_df, key_col, wkb_col).persist()
+    if res is None:
+        res = _radius_res(lparts, r)
+    lexp = lparts.select(
+        "key", "wkb",
+        (F.col("xmin") - rp).alias("xmin"), (F.col("ymin") - rp).alias("ymin"),
+        (F.col("xmax") + rp).alias("xmax"), (F.col("ymax") + rp).alias("ymax"),
+    )
+    lcov = polygon_cells_df(lexp, res, classify=False).select(
+        "cell", F.col("pkey").alias("lkey"))
+
+    from ..functions.spark_exprs import cell_col
+
+    pts = points_df.select(
+        F.col(id_col).alias("id"), F.col(lon_col).alias("px"), F.col(lat_col).alias("py"),
+    ).withColumn("cell", cell_col(F.col("px"), F.col("py"), res))
+    cand = (
+        pts.join(lcov, "cell")
+        .join(
+            lparts.select(
+                F.col("key").alias("lkey"), F.col("wkb").alias("lwkb"),
+                "xmin", "ymin", "xmax", "ymax"),
+            "lkey",
+        )
+        .filter(
+            (F.col("px") >= F.col("xmin") - rp) & (F.col("px") <= F.col("xmax") + rp)
+            & (F.col("py") >= F.col("ymin") - rp) & (F.col("py") <= F.col("ymax") + rp)
+        )
+        .select("id", "px", "py", "lkey", "lwkb")
+    )
+    cand = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
+    rq = int(np.floor(r * 1e7))
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, keys, qds = [], [], []
+            for lkey, grp in pdf.groupby("lkey", sort=False):
+                wkb = bytes(grp["lwkb"].iloc[0])
+                _typ, (lx, ly) = geo.wkb_parse(wkb)
+                if len(lx) < 2:
+                    continue
+                d2 = geo.point_segments_dist2(
+                    grp["px"].to_numpy(), grp["py"].to_numpy(),
+                    lx[:-1], ly[:-1], lx[1:], ly[1:])
+                qd = np.floor(np.sqrt(d2.min(axis=1)) * 1e7).astype(np.int64)
+                m = qd <= rq
+                ids.append(grp["id"].to_numpy()[m])
+                keys.append(np.full(int(m.sum()), int(lkey), np.int64))
+                qds.append(qd[m])
+            if not ids:
+                continue
+            yield pd.DataFrame({
+                "id": np.concatenate(ids),
+                "key": np.concatenate(keys),
+                "qdist": np.concatenate(qds),
+            })
+
+    hits = cand.mapInPandas(fn, schema="id long, key long, qdist long")
+    best = hits.groupBy("id").agg(F.min(F.struct("qdist", "key")).alias("b"))
+    return best.select("id", F.col("b.key").alias("key"), F.col("b.qdist").alias("qdist"))
+
+
 def spacetime_join(
     a: DataFrame,
     b: DataFrame,

@@ -652,6 +652,53 @@ JOIN vagg va ON va.gid = a.gid AND va.key = a.key
 ORDER BY 1, 2"""
 
 
+GEOM_DIST_JOIN_RADIUS = 8.0
+
+
+def q_geom_distance_join(spark, sf_dir):
+    """Distance-bounded geometry join — DistanceFilter.java:48 as a JOIN
+    predicate (ST_Distance(a, b) <= d), not a crossJoin + filter: both
+    operand tables stay distributed, candidates come from radius-expanded
+    envelope cell covers, and the exact geom_distance kernel runs on
+    candidate pairs only.  Same operand sets and FP expressions as the
+    geom_distance gate, so the oracle is that gate's SQL bounded by the
+    radius.  test_plans asserts no CartesianProduct / BNLJ anywhere."""
+    from .operators.spatial_join import geometry_distance_join
+
+    lines = _gate_lines_df(spark, sf_dir).filter(F.col("key") % 3 == 0)
+    polys = _supplier_polygons_df(spark, sf_dir).filter(F.col("key") % 5 == 0)
+    out = geometry_distance_join(lines, polys, GEOM_DIST_JOIN_RADIUS)
+    return out.select(
+        F.col("akey").alias("lkey"), F.col("bkey").alias("pkey"), "qdist")
+
+
+def q_geom_distance_join_oracle():
+    rq = int(GEOM_DIST_JOIN_RADIUS * 1e7)  # 8.0 -> 80000000, exact
+    return f"""SELECT lkey, pkey, qdist FROM ({q_geom_distance_oracle()})
+WHERE qdist <= {rq} ORDER BY 1, 2"""
+
+
+def q_nearest_line_dist(spark, sf_dir):
+    """The nearest_line contract through the fully-DISTRIBUTED dimension
+    path (nearest_line_join_dist): cell-bucketed candidates with the radius
+    folded into the covering expansion, per-batch vectorized refine, top-1
+    by min(struct(qdist, key)).  Same oracle as nearest_line — both paths
+    must satisfy the identical (qdist, gid) contract."""
+    from .operators.spatial_join import nearest_line_join_dist
+
+    pts = _events_points(spark, sf_dir).filter(
+        (F.col("event_id") >= N_LINE_EVENTS)
+        & (F.col("event_id") < N_LINE_EVENTS + N_DIST_POINTS)
+    )
+    out = nearest_line_join_dist(
+        pts, _gate_lines_df(spark, sf_dir), "lon", "lat",
+        NEAREST_LINE_RADIUS, id_col="event_id",
+    )
+    return out.select(
+        F.col("id").alias("event_id"), F.col("key").alias("gid"), "qdist"
+    )
+
+
 BUF_R = 6.0
 BUF_NSEG = 48
 BUF_KEYS = (5, 13, 21, 37)
@@ -15261,7 +15308,9 @@ QUERIES = {
     "line_clip": (q_line_clip, q_line_clip_oracle),
     "point_line_distance": (q_point_line_distance, q_point_line_distance_oracle),
     "nearest_line": (q_nearest_line, q_nearest_line_oracle),
+    "nearest_line_dist": (q_nearest_line_dist, q_nearest_line_oracle),
     "geom_distance": (q_geom_distance, q_geom_distance_oracle),
+    "geom_distance_join": (q_geom_distance_join, q_geom_distance_join_oracle),
     "st_buffer": (q_st_buffer, q_st_buffer_oracle),
     "st_union": (q_st_union, q_st_union_oracle),
     "match_action": (q_match_action, q_match_action_oracle),
@@ -22399,3 +22448,81 @@ def q_streaks_oracle():
 
 
 QUERIES["streaks"] = (q_streaks, q_streaks_oracle)
+
+
+# --------------------------------------------------------------------------
+# Oracle dtype hardening: DuckDB widens BIGINT sums in WINDOW frames and
+# RECURSIVE CTEs to HUGEINT, which fetch_df renders as float64 — the
+# driver's value-hash then mismatches Spark's int64 column even when every
+# value is equal (the pack_stream/simhash/sessionize failure class).  Rather
+# than editing ~50 oracle bodies, wrap each affected oracle with a
+# `SELECT * REPLACE (CAST(c AS BIGINT) AS c, ...)` shell.  The list is
+# produced (and re-checkable) by tools/scan_dtype_splits.py; nullable
+# columns are excluded there (both engines render those float64, which
+# hashes consistently).
+
+_BIGINT_ORACLE_COLS = {
+    'abc_xyz': ['total_v'],
+    'adler32': ['a', 'bb', 'adler'],
+    'apportion': ['quota', 'rem', 'seats'],
+    'bpe_encode': ['n_tokens'],
+    'bradley_terry': ['w'],
+    'brier_decomp': ['m', 'rel_q', 'res_q', 'unc_num'],
+    'catchment_2sfca': ['access'],
+    'cdc_chunks': ['chunk_idx', 'csum'],
+    'chain_ladder': ['latest', 'ultimate'],
+    'conformal': ['covered'],
+    'cusum': ['c'],
+    'drawdown': ['max_dd'],
+    'encoding_stats': ['runs', 'rle_b'],
+    'feature_hash': ['val'],
+    'fisher_lda': ['n0', 'n1', 't11', 't12', 't22', 'd1', 'd2', 'w1', 'w2'],
+    'gorilla_size': ['total_bytes'],
+    'harmonic': ['h_q'],
+    'hhi': ['num', 'den', 'hhi_q'],
+    'kadane': ['max_sum'],
+    'kmedoids_swap': ['delta'],
+    'ks_pairs': ['d_num'],
+    'lindley': ['wait'],
+    'log_rank': ['oe_q', 'var_q'],
+    'lorenz': ['cum_x', 'tot_x'],
+    'los_pairs': ['n_blocked'],
+    'ltv_curves': ['rev', 'cum_rev'],
+    'mann_kendall': ['n', 's', 'var18'],
+    'mod97': ['rem'],
+    'nelson_aalen': ['n_risk', 'd', 'c', 'na_q'],
+    'neyman': ['quota', 'rem', 'n_alloc'],
+    'onset_flux': ['flux'],
+    'pareto_point': ['total', 'cum_at_k'],
+    'quantile_transform': ['q_sum', 'q_ws'],
+    'rand_response': ['n1', 'est2'],
+    'rbo': ['rbo_q'],
+    'readability': ['n_syll'],
+    'rect_union': ['area'],
+    'rolling_ols': ['num', 'den'],
+    'shapley_attr': ['phi24'],
+    'shot_cuts': ['shot', 'sad_sum'],
+    'sieve': ['sum_primes'],
+    'simrank': ['s'],
+    'sq_int8': ['code_sum', 'code_ws', 'err_abs'],
+    'strahler': ['cs'],
+    'streaks': ['n_hits'],
+    'tree_rollup': ['subtree_cents'],
+    'two_opt': ['tour_q'],
+    'vocab_stats': ['n_tokens', 'hapax', 'dis'],
+    'wht': ['coef'],
+    'winsorized_mean': ['wsum'],
+}
+
+
+def _bigint_oracle(fn, cols):
+    def wrapped():
+        rep = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+        return f"SELECT * REPLACE ({rep}) FROM ({fn()}) _bigint_fix"
+    return wrapped
+
+
+for _name, _cols in _BIGINT_ORACLE_COLS.items():
+    _fn, _ofn = QUERIES[_name]
+    QUERIES[_name] = (_fn, _bigint_oracle(_ofn, _cols))
+del _name, _cols, _fn, _ofn

@@ -124,3 +124,49 @@ def test_missing_tiles_emit_no_boundary_segments(spark):
     gg = GridGeometry((0, 0, 2 * ts - 1, 2 * ts - 1), (0.1, 0.0, 0.0, 0.0, -0.1, 10.0))
     segs = isolines(df, gg, levels=[50.0], tile_size=ts).collect()
     assert len(segs) == 0
+
+
+def test_interior_missing_tile_matches_dense_nan(spark):
+    """An INTERIOR missing tile in a real gradient field: the distributed
+    result must equal dense marching squares over the same field with the
+    tile's region set to NaN — genuine contours elsewhere survive, cells
+    touching the hole emit nothing (reference no-data exclusion,
+    F/image/processing/isoline/)."""
+    import numpy as np
+
+    from sis_spark.functions import transforms as tr
+
+    ts = 16
+    h = w = 3 * ts
+    arr = _field(h, w)
+    gg = GridGeometry((0, 0, w - 1, h - 1), (0.25, 0.0, -5.0, 0.0, -0.25, 40.0))
+    miss = (1, 1)  # center tile of the 3x3 grid
+    rows = []
+    for ty in range(3):
+        for tx in range(3):
+            if (tx, ty) == miss:
+                continue
+            block = arr[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+            rows.append((tx, ty, 0, bytearray(block.tobytes())))
+    df = spark.createDataFrame(rows, schema="tx int, ty int, band int, data binary")
+    levels = [120.0, 200.0]
+    got = iso.isolines(df, gg, levels, tile_size=ts).collect()
+
+    dense = arr.astype(np.float64)
+    dense[miss[1] * ts:(miss[1] + 1) * ts, miss[0] * ts:(miss[0] + 1) * ts] = np.nan
+    center = tr.grid_to_crs(gg.affine, cell_center=True)
+    want = set()
+    for lv in levels:
+        segs = iso.marching_squares(dense, lv)
+        if not len(segs):
+            continue
+        x1, y1 = tr.affine_apply(center, segs[:, 0], segs[:, 1])
+        x2, y2 = tr.affine_apply(center, segs[:, 2], segs[:, 3])
+        for a, b, c, d in zip(x1, y1, x2, y2):
+            want.add((lv, round(a, 9), round(b, 9), round(c, 9), round(d, 9)))
+    got_set = {
+        (r["level"], round(r["x1"], 9), round(r["y1"], 9), round(r["x2"], 9), round(r["y2"], 9))
+        for r in got
+    }
+    assert got_set == want
+    assert len(want) > 30  # the field genuinely has contours outside the hole

@@ -485,3 +485,25 @@ def test_sixteenth_sitting_ops_plans_join_shapes(spark):
     for p in plans:
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_geom_distance_join_plan_no_crossjoin(spark, sf_dir):
+    """The distance-BOUNDED join must not contain any all-pairs operator —
+    the cell equi-join is the candidate generator (DistanceFilter.java:48
+    as a join, not crossJoin + filter)."""
+    from sis_spark.queries import q_geom_distance_join
+
+    plan = _plan(q_geom_distance_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nearest_line_dist_plan_no_crossjoin(spark, sf_dir):
+    """Distributed-dimension nearest-line: no all-pairs operator, no
+    driver-resident dimension (the line table appears as a scan feeding the
+    cell cover, not a local relation)."""
+    from sis_spark.queries import q_nearest_line_dist
+
+    plan = _plan(q_nearest_line_dist(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

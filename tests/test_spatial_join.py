@@ -211,3 +211,75 @@ def test_nearest_line_join_empty_lines(spark):
     ldf = spark.createDataFrame([], "key long, wkb binary")
     pdf = spark.createDataFrame([(0, 1.0, 2.0)], "event_id long, lon double, lat double")
     assert nearest_line_join(pdf, ldf, "lon", "lat", 5.0).count() == 0
+
+
+def test_nearest_line_join_dist_matches_broadcast(spark):
+    """Distributed-dimension variant == broadcast variant on the same data
+    (same quantization, same (qdist, key) tie-break) — the 'continental dim'
+    path must satisfy the identical contract."""
+    import numpy as np
+
+    from sis_spark.functions import geometry as geo
+    from sis_spark.operators.spatial_join import (
+        nearest_line_join, nearest_line_join_dist,
+    )
+
+    rng = np.random.default_rng(11)
+    lines = []
+    for k in range(8):
+        xs = np.sort(rng.uniform(-15, 15, 6))
+        ys = rng.uniform(-15, 15, 6)
+        lines.append((k, bytes(geo.wkb_linestring(xs, ys))))
+    ldf = spark.createDataFrame(lines, "key long, wkb binary")
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        zip(rng.uniform(-18, 18, 300), rng.uniform(-18, 18, 300)))]
+    pdf = spark.createDataFrame(pts, "event_id long, lon double, lat double")
+
+    a = nearest_line_join(pdf, ldf, "lon", "lat", 4.0).orderBy("id").collect()
+    b = nearest_line_join_dist(pdf, ldf, "lon", "lat", 4.0).orderBy("id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) > 100
+
+
+def test_geometry_distance_join_matches_brute(spark):
+    """Distance-bounded join == brute-force all-pairs geom_distance filter
+    (line x polygon, mixed intersecting / near / far pairs)."""
+    import numpy as np
+
+    from sis_spark.functions import geometry as geo
+    from sis_spark.functions.sqlmm import geom_distance
+    from sis_spark.operators.spatial_join import geometry_distance_join
+
+    rng = np.random.default_rng(3)
+    lines = []
+    for k in range(10):
+        cx, cy = rng.uniform(-30, 30, 2)
+        xs = np.sort(rng.uniform(cx - 3, cx + 3, 5))
+        ys = rng.uniform(cy - 3, cy + 3, 5)
+        lines.append((k, bytes(geo.wkb_linestring(xs, ys))))
+    polys = []
+    for k in range(12):
+        cx, cy = rng.uniform(-30, 30, 2)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 7))
+        rr = rng.uniform(1.0, 3.0, 7)
+        vx = cx + rr * np.cos(ang)
+        vy = cy + rr * np.sin(ang)
+        polys.append((k, bytes(geo.wkb_polygon([(vx, vy)]))))
+    ldf = spark.createDataFrame(lines, "key long, wkb binary")
+    gdf = spark.createDataFrame(polys, "key long, wkb binary")
+
+    radius = 5.0
+    rq = int(np.floor(radius * 1e7))
+    got = {
+        (r["akey"], r["bkey"]): r["qdist"]
+        for r in geometry_distance_join(ldf, gdf, radius).collect()
+    }
+    expect = {}
+    for lk, lw in lines:
+        for pk, pw in polys:
+            qd = int(np.floor(geom_distance(
+                geo.wkb_parse(lw), geo.wkb_parse(pw)) * 1e7))
+            if qd <= rq:
+                expect[(lk, pk)] = qd
+    assert got == expect
+    assert any(v == 0 for v in expect.values()) or len(expect) > 0
