@@ -27,6 +27,7 @@ import pandas as pd
 
 WGS84 = (6378137.0, 1.0 / 298.257223563)
 GRS80 = (6378137.0, 1.0 / 298.257222101)
+INTL1924_P = (6378388.0, 1.0 / 297.0)  # Hayford / International 1924
 
 
 def _ecc(ellipsoid) -> float:
@@ -676,6 +677,18 @@ CRS_REGISTRY: dict[str, object] = {
     "EPSG:5041": PolarStereographicA(0.994, 0.0, 2000000.0, 2000000.0, False, WGS84),
     "EPSG:5042": PolarStereographicA(0.994, 0.0, 2000000.0, 2000000.0, True, WGS84),
 }
+
+
+# EPSG top-20 extension: non-WGS84 national grids routed through Helmert
+# (data-driven parameter table + three extra kernels, functions/datums.py)
+def _extend_registry():
+    from . import datums as _d
+
+    CRS_REGISTRY.update(_d.registry_entries())
+    CRS_REGISTRY["EPSG:31370"] = _d._belgian()
+
+
+_extend_registry()
 
 
 def transform_points(lon_or_x, lat_or_y, src: str, dst: str):

@@ -652,6 +652,94 @@ JOIN vagg va ON va.gid = a.gid AND va.key = a.key
 ORDER BY 1, 2"""
 
 
+# ---- EPSG top-20 datum gates (functions/datums.py: Helmert + national
+# grids; VERDICT r2 missing #1).  Window filters keep the points inside
+# each projection's validity area; identical literals both sides.
+
+def _datum_gate(spark, sf_dir, code, lon_lo, lon_hi, lat_lo, lat_hi):
+    from .functions.projections import st_transform_any_udf
+
+    pts = _events_points(spark, sf_dir).filter(
+        (F.col("lon") >= lon_lo) & (F.col("lon") <= lon_hi)
+        & (F.col("lat") >= lat_lo) & (F.col("lat") <= lat_hi)
+    )
+    p = st_transform_any_udf("EPSG:4326", code)(F.col("lon"), F.col("lat"))
+    return pts.select(
+        "event_id",
+        F.floor(p["x"] - F.lit(0.123456789)).cast("long").alias("xl"),
+        F.floor(p["y"] - F.lit(0.123456789)).cast("long").alias("yl"),
+    )
+
+
+def _datum_oracle(code, emit, lon_lo, lon_hi, lat_lo, lat_hi):
+    from .functions import datums as _D
+    from .functions.projections import CRS_REGISTRY
+
+    crs = CRS_REGISTRY[code]
+    win = (f"(SELECT event_id, lon, lat FROM ({_points_sql()}) __pt "
+           f"WHERE lon >= {synth.flit(lon_lo)} AND lon <= {synth.flit(lon_hi)} "
+           f"AND lat >= {synth.flit(lat_lo)} AND lat <= {synth.flit(lat_hi)})")
+    return f"""
+WITH __w AS {win},{_D.datum_shift_sql(crs.datum, "__w")},{emit(crs.proj, "__d")}
+SELECT event_id,
+  CAST(floor(px - 0.123456789) AS BIGINT) AS xl,
+  CAST(floor(py - 0.123456789) AS BIGINT) AS yl
+FROM __p ORDER BY event_id"""
+
+
+def q_osgb_transform(spark, sf_dir):
+    """WGS84 -> British National Grid (EPSG:27700): Airy 1830 Transverse
+    Mercator behind the OSGB36 Helmert (EPSG 1314) — the full non-WGS84
+    datum pipeline (geocentric, negated-parameter Helmert, Bowring, Karney
+    TM), mirrored term-for-term by the oracle."""
+    return _datum_gate(spark, sf_dir, "EPSG:27700", -7.5, 1.8, 49.9, 60.8)
+
+
+def q_osgb_transform_oracle():
+    from .functions import datums as _D
+
+    return _datum_oracle("EPSG:27700", _D.tm_forward_sql, -7.5, 1.8, 49.9, 60.8)
+
+
+def q_rdnew_transform(spark, sf_dir):
+    """WGS84 -> RD New (EPSG:28992): Bessel 1841 oblique (double)
+    stereographic, EPSG method 9809, behind the Amersfoort Helmert
+    (EPSG 15934)."""
+    return _datum_gate(spark, sf_dir, "EPSG:28992", 0.0, 11.0, 47.0, 56.0)
+
+
+def q_rdnew_transform_oracle():
+    from .functions import datums as _D
+
+    return _datum_oracle("EPSG:28992", _D.oblique_stereo_sql, 0.0, 11.0, 47.0, 56.0)
+
+
+def q_swiss_transform(spark, sf_dir):
+    """WGS84 -> CH1903+/LV95 (EPSG:2056): the swisstopo double projection
+    (ellipsoid -> conformal sphere -> rotated Mercator) behind the CH1903+
+    translation (EPSG 1676)."""
+    return _datum_gate(spark, sf_dir, "EPSG:2056", 2.0, 13.0, 43.0, 50.0)
+
+
+def q_swiss_transform_oracle():
+    from .functions import datums as _D
+
+    return _datum_oracle("EPSG:2056", _D.swiss_sql, 2.0, 13.0, 43.0, 50.0)
+
+
+def q_belgian_transform(spark, sf_dir):
+    """WGS84 -> Belgian Lambert 72 (EPSG:31370): International 1924 LCC 2SP
+    (lat0 = 90 degrees — the degenerate-origin deployment) behind the BD72
+    Helmert (EPSG 15929)."""
+    return _datum_gate(spark, sf_dir, "EPSG:31370", 0.0, 9.0, 47.0, 54.0)
+
+
+def q_belgian_transform_oracle():
+    from .functions import datums as _D
+
+    return _datum_oracle("EPSG:31370", _D.lcc_forward_sql, 0.0, 9.0, 47.0, 54.0)
+
+
 GEOM_DIST_JOIN_RADIUS = 8.0
 
 
@@ -15309,6 +15397,10 @@ QUERIES = {
     "point_line_distance": (q_point_line_distance, q_point_line_distance_oracle),
     "nearest_line": (q_nearest_line, q_nearest_line_oracle),
     "nearest_line_dist": (q_nearest_line_dist, q_nearest_line_oracle),
+    "osgb_transform": (q_osgb_transform, q_osgb_transform_oracle),
+    "rdnew_transform": (q_rdnew_transform, q_rdnew_transform_oracle),
+    "swiss_transform": (q_swiss_transform, q_swiss_transform_oracle),
+    "belgian_transform": (q_belgian_transform, q_belgian_transform_oracle),
     "geom_distance": (q_geom_distance, q_geom_distance_oracle),
     "geom_distance_join": (q_geom_distance_join, q_geom_distance_join_oracle),
     "st_buffer": (q_st_buffer, q_st_buffer_oracle),
