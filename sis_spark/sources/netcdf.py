@@ -1,4 +1,4 @@
-"""netCDF classic (CDF-1/CDF-2) store — n-D array variables as coverages.
+"""netCDF classic (CDF-1/CDF-2/CDF-5) store — n-D array variables as coverages.
 
 Re-derivation of the reference's netCDF DataStore scope
 (S.netcdf/.../NetcdfStore.java: variables -> GridCoverages; the reference
@@ -7,9 +7,15 @@ org.apache.sis.storage.netcdf/.../base/ChannelDecoder.java) against the
 PUBLIC NetCDF classic format spec (the Unidata "NetCDF Classic Format
 Specification"):
 
-    header = magic 'CDF' + version(1|2) | numrecs | dim_list | gatt_list
+    header = magic 'CDF' + version(1|2|5) | numrecs | dim_list | gatt_list
              | var_list;  each var = name | dimids | vatt_list | nc_type
              | vsize | begin(32/64-bit)
+
+CDF-5 (the pnetcdf 64-bit-data variant, version byte 5) widens every
+NON_NEG count (list lengths, name lengths, dim lengths, ndims, dimids,
+attr value counts, vsize, numrecs) to INT64 and adds the unsigned/64-bit
+external types (NC_UBYTE..NC_UINT64) — the same layout otherwise, so the
+strip reader is untouched.
 
 Data is big-endian, row-major, at fixed ``begin`` offsets — so, exactly
 like the raw-raster store, a 2-D (or sliced n-D) variable reads as a
@@ -34,15 +40,26 @@ from ..raster.tiles import TILE_SCHEMA
 
 _NC_DIMENSION, _NC_VARIABLE, _NC_ATTRIBUTE = 0x0A, 0x0B, 0x0C
 _DTYPES = {1: np.dtype(">i1"), 2: np.dtype("S1"), 3: np.dtype(">i2"),
-           4: np.dtype(">i4"), 5: np.dtype(">f4"), 6: np.dtype(">f8")}
+           4: np.dtype(">i4"), 5: np.dtype(">f4"), 6: np.dtype(">f8"),
+           # CDF-5 additions (NC_UBYTE, NC_USHORT, NC_UINT, NC_INT64, NC_UINT64)
+           7: np.dtype(">u1"), 8: np.dtype(">u2"), 9: np.dtype(">u4"),
+           10: np.dtype(">i8"), 11: np.dtype(">u8")}
 _TYPE_OF = {np.dtype("int8"): 1, np.dtype("int16"): 3, np.dtype("int32"): 4,
-            np.dtype("float32"): 5, np.dtype("float64"): 6}
+            np.dtype("float32"): 5, np.dtype("float64"): 6,
+            # CDF-5-only external types
+            np.dtype("uint8"): 7, np.dtype("uint16"): 8, np.dtype("uint32"): 9,
+            np.dtype("int64"): 10, np.dtype("uint64"): 11}
 
 
 class _Reader:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, version: int = 1):
         self.buf = buf
         self.pos = 0
+        self.version = version
+
+    def cnt(self) -> int:
+        """A NON_NEG count: INT64 in CDF-5, INT otherwise."""
+        return self.u64() if self.version == 5 else self.u32()
 
     def u32(self) -> int:
         v = struct.unpack_from(">I", self.buf, self.pos)[0]
@@ -55,14 +72,14 @@ class _Reader:
         return v
 
     def name(self) -> str:
-        n = self.u32()
+        n = self.cnt()
         s = self.buf[self.pos:self.pos + n].decode("utf-8")
         self.pos += (n + 3) & ~3
         return s
 
     def values(self):
         t = self.u32()
-        n = self.u32()
+        n = self.cnt()
         dt = _DTYPES[t]
         nbytes = dt.itemsize * n
         raw = self.buf[self.pos:self.pos + nbytes]
@@ -76,16 +93,16 @@ class _Reader:
 def parse_netcdf_header(buf: bytes) -> dict:
     """Header bytes -> {version, numrecs, dims: [(name, len)], attrs: {},
     vars: {name: {dims, shape, dtype, attrs, vsize, begin}}}."""
-    if buf[:3] != b"CDF" or buf[3] not in (1, 2):
-        raise ValueError("not a netCDF classic file")
+    if buf[:3] != b"CDF" or buf[3] not in (1, 2, 5):
+        raise ValueError("not a netCDF classic/CDF-5 file")
     version = buf[3]
-    r = _Reader(buf)
+    r = _Reader(buf, version)
     r.pos = 4
-    numrecs = r.u32()
+    numrecs = r.cnt()
 
     def tagged_list(expect):
         tag = r.u32()
-        n = r.u32()
+        n = r.cnt()
         if tag == 0 and n == 0:
             return 0
         if tag != expect:
@@ -95,7 +112,7 @@ def parse_netcdf_header(buf: bytes) -> dict:
     dims = []
     for _ in range(tagged_list(_NC_DIMENSION)):
         nm = r.name()
-        dims.append((nm, r.u32()))
+        dims.append((nm, r.cnt()))
 
     def attr_block():
         out = {}
@@ -108,12 +125,12 @@ def parse_netcdf_header(buf: bytes) -> dict:
     variables = {}
     for _ in range(tagged_list(_NC_VARIABLE)):
         nm = r.name()
-        nd = r.u32()
-        dimids = [r.u32() for _ in range(nd)]
+        nd = r.cnt()
+        dimids = [r.cnt() for _ in range(nd)]
         vattrs = attr_block()
         t = r.u32()
-        vsize = r.u32()
-        begin = r.u64() if version == 2 else r.u32()
+        vsize = r.cnt()
+        begin = r.u64() if version in (2, 5) else r.u32()
         variables[nm] = {
             "dims": [dims[i][0] for i in dimids],
             "shape": tuple(dims[i][1] for i in dimids),
@@ -226,51 +243,64 @@ def _pad4(b: bytes) -> bytes:
     return b + b"\0" * (-len(b) % 4)
 
 
-def _w_name(s: str) -> bytes:
+def _w_cnt(n: int, version: int) -> bytes:
+    return struct.pack(">Q" if version == 5 else ">I", n)
+
+
+def _w_name(s: str, version: int = 1) -> bytes:
     e = s.encode("utf-8")
-    return struct.pack(">I", len(e)) + _pad4(e)
+    return _w_cnt(len(e), version) + _pad4(e)
 
 
-def _w_attrs(attrs: dict) -> bytes:
+def _w_attrs(attrs: dict, version: int = 1) -> bytes:
     if not attrs:
-        return struct.pack(">II", 0, 0)
-    out = [struct.pack(">II", _NC_ATTRIBUTE, len(attrs))]
+        return struct.pack(">I", 0) + _w_cnt(0, version)
+    out = [struct.pack(">I", _NC_ATTRIBUTE) + _w_cnt(len(attrs), version)]
     for k, val in attrs.items():
-        out.append(_w_name(k))
+        out.append(_w_name(k, version))
         if isinstance(val, str):
             e = val.encode("utf-8")
-            out.append(struct.pack(">II", 2, len(e)) + _pad4(e))
+            out.append(struct.pack(">I", 2) + _w_cnt(len(e), version) + _pad4(e))
         else:
             arr = np.atleast_1d(np.asarray(val))
             t = _TYPE_OF[arr.dtype.newbyteorder("=")]
-            out.append(struct.pack(">II", t, arr.size)
+            out.append(struct.pack(">I", t) + _w_cnt(arr.size, version)
                        + _pad4(arr.astype(_DTYPES[t]).tobytes()))
     return b"".join(out)
 
 
 def format_netcdf(dims: list[tuple[str, int]], variables: dict,
-                  gattrs: dict | None = None) -> bytes:
-    """Write a CDF-1 file with fixed dimensions.  ``variables`` maps name
-    -> (dim_names, numpy array, attrs dict)."""
+                  gattrs: dict | None = None, version: int = 1) -> bytes:
+    """Write a CDF-1 (default) or CDF-5 (``version=5``) file with fixed
+    dimensions.  ``variables`` maps name -> (dim_names, numpy array,
+    attrs dict)."""
+    if version not in (1, 5):
+        raise ValueError("version must be 1 (classic) or 5 (CDF-5)")
+    if version == 1:
+        for name, (_d, arr, _a) in variables.items():
+            if _TYPE_OF[arr.dtype.newbyteorder("=")] >= 7:
+                raise ValueError(
+                    f"{name}: {arr.dtype} requires CDF-5 (version=5)")
     dim_index = {n: i for i, (n, _l) in enumerate(dims)}
-    head = [b"CDF\x01", struct.pack(">I", 0),
-            struct.pack(">II", _NC_DIMENSION, len(dims))]
+    head = [b"CDF" + bytes([version]), _w_cnt(0, version),
+            struct.pack(">I", _NC_DIMENSION) + _w_cnt(len(dims), version)]
     for n, l in dims:
-        head.append(_w_name(n) + struct.pack(">I", l))
-    head.append(_w_attrs(gattrs or {}))
+        head.append(_w_name(n, version) + _w_cnt(l, version))
+    head.append(_w_attrs(gattrs or {}, version))
 
     # lay out variables: header first (two passes to learn its size)
     def var_entries(offsets):
-        out = [struct.pack(">II", _NC_VARIABLE, len(variables))]
+        out = [struct.pack(">I", _NC_VARIABLE) + _w_cnt(len(variables), version)]
         for name, (dnames, arr, attrs) in variables.items():
             t = _TYPE_OF[arr.dtype.newbyteorder("=")]
             vsize = (arr.size * _DTYPES[t].itemsize + 3) & ~3
-            out.append(_w_name(name))
-            out.append(struct.pack(">I", len(dnames)))
+            out.append(_w_name(name, version))
+            out.append(_w_cnt(len(dnames), version))
             for d in dnames:
-                out.append(struct.pack(">I", dim_index[d]))
-            out.append(_w_attrs(attrs))
-            out.append(struct.pack(">III", t, vsize, offsets[name]))
+                out.append(_w_cnt(dim_index[d], version))
+            out.append(_w_attrs(attrs, version))
+            out.append(struct.pack(">I", t) + _w_cnt(vsize, version))
+            out.append(struct.pack(">Q" if version == 5 else ">I", offsets[name]))
         return b"".join(out)
 
     zero_off = {n: 0 for n in variables}

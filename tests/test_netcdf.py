@@ -62,3 +62,43 @@ def test_raw_read_no_unpack(spark, tmp_path):
     tiles, gg = netcdf_variable_tiles(spark, p, "temp", index=(0,), unpack=False)
     back = tiles_to_raster(tiles, gg, dtype=np.float64)[..., 0]
     assert (back == raw[0]).all()
+
+
+def test_cdf5_roundtrip_and_types():
+    """CDF-5: INT64 counts, 64-bit begin offsets, and the unsigned/64-bit
+    external types round-trip through the store's own writer/reader."""
+    import numpy as np
+
+    from sis_spark.sources.netcdf import _DTYPES, format_netcdf, parse_netcdf_header
+
+    arrs = {
+        "u8": np.arange(6, dtype=np.uint8).reshape(2, 3) * 40,
+        "u16": np.arange(6, dtype=np.uint16).reshape(2, 3) * 10000,
+        "i64": (np.arange(6, dtype=np.int64).reshape(2, 3) - 3) * 10**15,
+        "u64": np.arange(6, dtype=np.uint64).reshape(2, 3) * np.uint64(10**17),
+    }
+    buf = format_netcdf(
+        [("y", 2), ("x", 3)],
+        {k: (["y", "x"], v, {"n": np.int64(7)}) for k, v in arrs.items()},
+        {"title": "cdf5"},
+        version=5,
+    )
+    hdr = parse_netcdf_header(buf)
+    assert hdr["version"] == 5
+    for k, v in arrs.items():
+        var = hdr["vars"][k]
+        data = np.frombuffer(
+            buf[var["begin"]:var["begin"] + v.nbytes], dtype=var["dtype"]
+        ).reshape(2, 3)
+        assert np.array_equal(data.astype(v.dtype), v)
+        assert var["attrs"]["n"] == 7
+
+
+def test_cdf5_types_rejected_in_classic():
+    import numpy as np
+    import pytest
+
+    from sis_spark.sources.netcdf import format_netcdf
+
+    with pytest.raises(ValueError, match="CDF-5"):
+        format_netcdf([("x", 2)], {"v": (["x"], np.arange(2, dtype=np.int64), {})})
