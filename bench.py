@@ -130,8 +130,8 @@ def main():
         return scaling_main()
     if "--flagship-only" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--flagship-only") + 1])
-        mult = int(os.environ.get("SIS_BENCH_MULT", "20"))
-        input_kind = os.environ.get("SIS_BENCH_INPUT", "events")
+        mult = int(os.environ.get("SIS_BENCH_MULT", "320"))  # the r2 curated protocol scale; small mults cannot discriminate core counts
+        input_kind = os.environ.get("SIS_BENCH_INPUT", "images")  # north-rule input shape by default
         from pyspark.sql import functions as F
 
         from sis_spark.operators.spatial_join import spatial_join
@@ -290,13 +290,13 @@ spikes (all runs listed for transparency).  Input = {_scaling_input_desc()}
     print(json.dumps({
         "throughput": {str(k): results[k] for k in results},
         "efficiency": round(eff, 3),
-        "input": os.environ.get("SIS_BENCH_INPUT", "events"),
+        "input": os.environ.get("SIS_BENCH_INPUT", "images"),
     }))
 
 
 def _scaling_input_desc() -> str:
-    mult = os.environ.get("SIS_BENCH_MULT", "20")
-    if os.environ.get("SIS_BENCH_INPUT", "events") == "images":
+    mult = os.environ.get("SIS_BENCH_MULT", "320")
+    if os.environ.get("SIS_BENCH_INPUT", "images") == "images":
         return (
             f"north-rule image+caption parquet table, {int(mult) / 10:g}M rows "
             "(image_id, bytes, w, h, fmt, caption, phash, lon, lat; scan pruned "

@@ -41,6 +41,10 @@ def main(argv=None):
     ap.add_argument("--out", default="/tmp/sis_dedup_job")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--threshold", type=float, default=0.25)
+    ap.add_argument("--max-bucket", type=int, default=100_000,
+                    help="hot-bucket cap for LSH candidate generation "
+                         "(degenerate buckets dropped with logged "
+                         "accounting); 0 disables")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -63,7 +67,10 @@ def main(argv=None):
 
     def build_pairs(s, ups):
         (docs,) = ups
-        near = minhash_lsh_pairs(docs, threshold=args.threshold).select("a", "b")
+        near = minhash_lsh_pairs(
+            docs, threshold=args.threshold,
+            max_bucket=args.max_bucket or None,
+        ).select("a", "b")
         exact = (
             docs.select(F.md5(F.col("text").cast("binary")).alias("h"), "doc_id")
             .groupBy("h")

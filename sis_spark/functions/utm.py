@@ -147,7 +147,10 @@ def _band_letter(lat: float) -> str:
 def mgrs_encode(lon: float, lat: float, precision: int = 5) -> str:
     """MGRS reference at 10^(5-precision)-meter precision (AA scheme:
     odd zones rows start at A, even zones at F —
-    MilitaryGridReferenceSystem.java row offset rule)."""
+    MilitaryGridReferenceSystem.java row offset rule).  Latitudes poleward
+    of the UTM domain (>= 84 N, < -80 S) take the UPS polar branch."""
+    if lat >= 84.0 or lat < -80.0:
+        return mgrs_encode_polar(lon, lat, precision)
     zone, E, N = utm_forward(np.array([lon]), np.array([lat]))
     z, e, n_ = int(zone[0]), float(E[0]), float(N[0])
     col = int(e // 100000)
@@ -166,7 +169,10 @@ def mgrs_encode(lon: float, lat: float, precision: int = 5) -> str:
 def mgrs_decode(ref: str):
     """MGRS reference -> (lon, lat) of the CELL CENTER (the reference's
     decode position contract: envelope center,
-    MilitaryGridReferenceSystemTest 'decode' helper)."""
+    MilitaryGridReferenceSystemTest 'decode' helper).  Polar (A/B/Y/Z)
+    references route to the UPS branch."""
+    if not ref[0].isdigit():
+        return mgrs_decode_polar(ref)
     i = 0
     while ref[i].isdigit():
         i += 1
@@ -264,3 +270,96 @@ def mgrs_udf(precision: int = 5):
         ])
 
     return _f
+
+
+# ------------------------------------------------------------ polar MGRS
+# UPS grid references for lat >= 84 N / < -80 S
+# (MilitaryGridReferenceSystem.java:771 polar branch; letters per the
+# public DMA TM 8358.1 scheme).  Zone letters: A/B south of -80 (west/east
+# of Greenwich), Y/Z north of 84.  Column letters A-Z omitting
+# I,O,D,E,M,N,V,W restart at the 180-degree/0-degree columns; row letters
+# A-Z omitting I,O anchored so 'A' sits at the southernmost (north case) /
+# northernmost-mirrored (south case) 100 km row on the Greenwich meridian.
+# Golden vectors: the reference's own testEncodeUPS/testDecodeUPS fixtures
+# (Gt/MilitaryGridReferenceSystemTest.java:398,436).
+
+_POLAR_COLS = "ABCFGHJKLPQRSTUXYZ"        # 18 letters
+_POLAR_ROWS = "ABCDEFGHJKLMNPQRSTUVWXYZ"  # 24 letters (no I, O)
+_UPS_OFFSETS = None
+
+
+def _ups_offsets():
+    """(north_offset, south_offset): rows to subtract so row letter 'A'
+    anchors at the UPS boundary parallels on the Greenwich meridian —
+    derived numerically from the engine's own UPS kernels, exactly the
+    reference's polarOffset() computation."""
+    global _UPS_OFFSETS
+    if _UPS_OFFSETS is None:
+        from .projections import CRS_REGISTRY
+
+        north = CRS_REGISTRY["EPSG:5041"]
+        south = CRS_REGISTRY["EPSG:5042"]
+        n_n = float(north.forward(np.array([0.0]), np.array([84.0]))[1][0])
+        n_s = float(south.forward(np.array([0.0]), np.array([-80.0]))[1][0])
+        _UPS_OFFSETS = (int(np.floor(n_n / 1e5)),
+                        int(np.floor((4e6 - n_s) / 1e5)))
+    return _UPS_OFFSETS
+
+
+def mgrs_encode_polar_ups(e: float, n_: float, north: bool, west: bool,
+                          precision: int = 5) -> str:
+    """Polar MGRS from UPS coordinates (the reference Coder's input shape
+    for its testEncodeUPS fixtures)."""
+    col = int(e // 100000) - 20
+    if west:  # west half counts down from Z
+        col += len(_POLAR_COLS)
+    if not (0 <= col < len(_POLAR_COLS)):
+        raise ValueError("outside the UPS MGRS domain")
+    noff, soff = _ups_offsets()
+    row = int(n_ // 100000) - (noff if north else soff)
+    if not (0 <= row < len(_POLAR_ROWS)):
+        raise ValueError("outside the UPS MGRS domain")
+    zone = ("Y" if west else "Z") if north else ("A" if west else "B")
+    step = 10 ** (5 - precision)
+    de = int((e % 100000) // step)
+    dn = int((n_ % 100000) // step)
+    return (f"{zone}{_POLAR_COLS[col]}{_POLAR_ROWS[row]}"
+            f"{de:0{precision}d}{dn:0{precision}d}")
+
+
+def mgrs_encode_polar(lon: float, lat: float, precision: int = 5) -> str:
+    from .projections import CRS_REGISTRY
+
+    north = lat >= 0
+    crs = CRS_REGISTRY["EPSG:5041" if north else "EPSG:5042"]
+    x, y = crs.forward(np.array([lon]), np.array([lat]))
+    return mgrs_encode_polar_ups(
+        float(x[0]), float(y[0]), north, not (lon >= 0.0), precision)
+
+
+def mgrs_decode_polar(ref: str):
+    """Polar MGRS -> (lon, lat, (UPS easting, northing)) of the cell
+    center (the reference Decoder's position contract)."""
+    from .projections import CRS_REGISTRY
+
+    zone = ref[0].upper()
+    if zone not in "ABYZ":
+        raise ValueError(f"not a polar MGRS reference: {ref!r}")
+    north = zone in "YZ"
+    west = zone in "AY"
+    col = _POLAR_COLS.index(ref[1].upper())
+    if west:
+        col -= len(_POLAR_COLS)
+    col += 20
+    noff, soff = _ups_offsets()
+    row = _POLAR_ROWS.index(ref[2].upper()) + (noff if north else soff)
+    digits = ref[3:]
+    precision = len(digits) // 2
+    step = 10 ** (5 - precision)
+    de = int(digits[:precision]) * step if precision else 0
+    dn = int(digits[precision:]) * step if precision else 0
+    e = col * 100000.0 + de + step * 0.5
+    n_ = row * 100000.0 + dn + step * 0.5
+    crs = CRS_REGISTRY["EPSG:5041" if north else "EPSG:5042"]
+    lon, lat = crs.inverse(np.array([e]), np.array([n_]))
+    return float(lon[0]), float(lat[0]), (e, n_)

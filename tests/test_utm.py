@@ -98,3 +98,55 @@ def test_tm_forward_inverse_roundtrip_accuracy():
     lon2, lat2 = utm.tm_inverse(x, y, 9.0)
     assert np.max(np.abs(lon2 - lon)) < 1e-9
     assert np.max(np.abs(lat2 - lat)) < 1e-9
+
+
+def test_mgrs_polar_golden_vectors():
+    """The reference's own UPS fixtures
+    (Gt/MilitaryGridReferenceSystemTest.java:398 testEncodeUPS /
+    :436 testDecodeUPS), fed as UPS coordinates exactly like the
+    reference test."""
+    from sis_spark.functions.utm import (
+        mgrs_decode_polar, mgrs_encode_polar_ups,
+    )
+
+    cases = [
+        (False, 2000010, 2000010, "BAN0001000010"),
+        (False, 1999990, 1999990, "AZM9999099990"),
+        (False, 2806727, 1602814, "BLJ0672702814"),
+        (True, 2000010, 2000010, "ZAH0001000010"),
+        (True, 1999990, 1999990, "YZG9999099990"),
+        (True, 1386727, 2202814, "YRK8672702814"),
+    ]
+    for north, e, n, want in cases:
+        west = e < 2_000_000
+        assert mgrs_encode_polar_ups(e, n, north, west) == want
+        _lon, _lat, (de, dn) = mgrs_decode_polar(want)
+        assert (de, dn) == (e + 0.5, n + 0.5)
+
+
+def test_mgrs_polar_latlon_roundtrip():
+    """encode(lon, lat) -> decode -> the same cell (1 m precision)."""
+    import numpy as np
+
+    from sis_spark.functions.utm import mgrs_decode, mgrs_encode
+
+    rng = np.random.default_rng(5)
+    pts = [(float(lo), float(la)) for lo, la in zip(
+        rng.uniform(-179.9, 179.9, 40),
+        np.concatenate([rng.uniform(84.05, 89.9, 20), rng.uniform(-89.9, -80.05, 20)]),
+    )]
+    for lon, lat in pts:
+        ref = mgrs_encode(lon, lat)
+        assert ref[0] in "ABYZ"
+        lo2, la2, _ = mgrs_decode(ref)
+        ref2 = mgrs_encode(lo2, la2)
+        assert ref2 == ref  # decode lands inside the same 1 m cell
+
+
+def test_mgrs_polar_zone_letters():
+    from sis_spark.functions.utm import mgrs_encode
+
+    assert mgrs_encode(10.0, 87.0)[0] == "Z"
+    assert mgrs_encode(-10.0, 87.0)[0] == "Y"
+    assert mgrs_encode(10.0, -87.0)[0] == "B"
+    assert mgrs_encode(-10.0, -87.0)[0] == "A"
