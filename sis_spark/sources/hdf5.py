@@ -746,3 +746,68 @@ def netcdf4_variable_tiles(spark, path: str, var_name: str,
             yield pd.DataFrame(out, columns=["tx", "ty", "band", "data"])
 
     return manifest.mapInPandas(read_tiles, schema=TILE_SCHEMA), gg, (ch, cw)
+
+
+def _attr_msg_v3(name: str, val) -> bytes:
+    """Version-3 attribute message (no field padding, encoding byte) —
+    what libver-latest writers emit."""
+    if isinstance(val, str):
+        raw = val.encode("utf-8") + b"\0"
+        dt = bytes([0x13, 0, 0, 0]) + struct.pack("<I", len(raw))
+        ds = _ds_msg(())
+        data = raw
+    else:
+        arr = np.atleast_1d(np.asarray(val))
+        dt = _dt_msg(arr.dtype)
+        ds = _ds_msg(arr.shape if arr.size > 1 else ())
+        data = arr.tobytes()
+    nm = name.encode("utf-8") + b"\0"
+    return (struct.pack("<BBHHHB", 3, 0, len(nm), len(dt), len(ds), 0)
+            + nm + dt + ds + data)
+
+
+def format_hdf5_v2(datasets: dict, gattrs: dict | None = None) -> bytes:
+    """Second writer profile — the libver-latest shape: superblock v2,
+    OHDR (v2) root object header with compact LINK messages, v3
+    attributes, contiguous datasets (v1 headers).  Exists to round-trip
+    the reader's new-style paths; netCDF-4 files default to the v0
+    profile of format_hdf5."""
+    w = _W()
+    w.write(_SIG)
+    w.write(bytes([2, 8, 8, 0]))
+    sb_at = w.tell()
+    w.write(struct.pack("<QQQQI", 0, UNDEF, 0, 0, 0))  # base ext eof root cksum
+
+    hdr_addr = {}
+    for n, (arr, attrs) in datasets.items():
+        arr = np.ascontiguousarray(arr)
+        dt = arr.dtype.newbyteorder("<")
+        w.align(8)
+        daddr = w.tell()
+        w.write(arr.astype(dt).tobytes())
+        msgs = [(0x01, _ds_msg(arr.shape)), (0x03, _dt_msg(arr.dtype)),
+                (0x08, bytes([3, 1]) + struct.pack("<QQ", daddr, arr.nbytes))]
+        msgs += [(0x0C, _attr_msg_v3(k, v)) for k, v in attrs.items()]
+        w.align(8)
+        hdr_addr[n] = w.tell()
+        w.write(_v1_header(msgs))
+
+    # root OHDR with link messages
+    body = bytearray()
+    for n, addr in hdr_addr.items():
+        nm = n.encode("utf-8")
+        lk = bytes([1, 0, len(nm)]) + nm + struct.pack("<Q", addr)
+        body += bytes([0x06]) + struct.pack("<H", len(lk)) + bytes([0]) + lk
+    for k, v in (gattrs or {}).items():
+        am = _attr_msg_v3(k, v)
+        body += bytes([0x0C]) + struct.pack("<H", len(am)) + bytes([0]) + am
+    w.align(8)
+    root_at = w.tell()
+    w.write(b"OHDR" + bytes([2, 1]))  # flags=1: 2-byte size-of-chunk-0
+    w.write(struct.pack("<H", len(body)))
+    w.write(bytes(body))
+    w.write(struct.pack("<I", 0))  # checksum (not verified by this reader)
+
+    out = w.out
+    out[sb_at:sb_at + 32] = struct.pack("<QQQQ", 0, UNDEF, len(out), root_at)
+    return bytes(out)

@@ -118,3 +118,23 @@ def test_netcdf4_tiles_distributed(spark, tmp_path):
     assert np.array_equal(np.isnan(got), np.isnan(want))
     m = ~np.isnan(want)
     assert np.array_equal(got[m], want[m])
+
+
+def test_v2_superblock_ohdr_link_messages(tmp_path):
+    """libver-latest shape: superblock v2, OHDR root with compact link
+    messages, v3 attributes — the reader's new-style paths."""
+    arr = np.arange(24, dtype=np.float64).reshape(4, 6) * 1.5
+    iarr = (np.arange(10, dtype=np.int16) - 5) * 100
+    buf = h5.format_hdf5_v2(
+        {"v": (arr, {"units": "K", "n": np.int32(3)}),
+         "i": (iarr, {"fill": np.int16(-1)})},
+        {"title": "v2 profile"},
+    )
+    p = tmp_path / "v2.h5"
+    p.write_bytes(buf)
+    f = h5.H5File(str(p))
+    assert sorted(f.datasets) == ["/i", "/v"]
+    assert np.array_equal(f.datasets["/v"].read(), arr)
+    assert np.array_equal(f.datasets["/i"].read(), iarr)
+    assert f.datasets["/v"].attrs == {"units": "K", "n": 3}
+    assert f.groups["/"]["attrs"]["title"] == "v2 profile"
