@@ -4973,8 +4973,10 @@ def q_netcdf4_grid(spark, sf_dir):
     with open(p, "wb") as f:
         f.write(format_hdf5(
             {
-                "lat": (10.0 + 0.2 * _np.arange(h), {"units": "degrees_north"}),
-                "lon": (-30.0 + 0.2 * _np.arange(w), {"units": "degrees_east"}),
+                # 0.25-degree spacing: exactly representable, so the
+                # strict regular-spacing check derives the affine
+                "lat": (10.0 + 0.25 * _np.arange(h), {"units": "degrees_north"}),
+                "lon": (-30.0 + 0.25 * _np.arange(w), {"units": "degrees_east"}),
                 "temp": (raw, {"scale_factor": _np.float64(0.5),
                                "add_offset": _np.float64(250.0),
                                "_FillValue": _np.int32(-99999)}),
@@ -5013,8 +5015,8 @@ SELECT CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
        CASE WHEN (3 * gx + gy) % 89 = 11 THEN CAST('nan' AS DOUBLE)
             ELSE CAST((gx * 13 + gy * 7) % 4000 - 1500 AS DOUBLE)
                  * 5e-1 + 2.5e2 END AS val,
-       -3e1 + CAST(gx AS DOUBLE) * 2e-1 AS cx,
-       1e1 + CAST(gy AS DOUBLE) * 2e-1 AS cy
+       -3e1 + CAST(gx AS DOUBLE) * 2.5e-1 AS cx,
+       1e1 + CAST(gy AS DOUBLE) * 2.5e-1 AS cy
 FROM generate_series(0, 329) tx(gx), generate_series(0, 189) ty(gy)
 ORDER BY gy, gx"""
 

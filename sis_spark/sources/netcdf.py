@@ -271,12 +271,12 @@ def _w_attrs(attrs: dict, version: int = 1) -> bytes:
 
 def format_netcdf(dims: list[tuple[str, int]], variables: dict,
                   gattrs: dict | None = None, version: int = 1) -> bytes:
-    """Write a CDF-1 (default) or CDF-5 (``version=5``) file with fixed
-    dimensions.  ``variables`` maps name -> (dim_names, numpy array,
-    attrs dict)."""
-    if version not in (1, 5):
-        raise ValueError("version must be 1 (classic) or 5 (CDF-5)")
-    if version == 1:
+    """Write a CDF-1 (default), CDF-2 (64-bit offsets) or CDF-5
+    (``version=5``, 64-bit data) file with fixed dimensions.
+    ``variables`` maps name -> (dim_names, numpy array, attrs dict)."""
+    if version not in (1, 2, 5):
+        raise ValueError("version must be 1 (classic), 2 (64-bit offset) or 5 (CDF-5)")
+    if version in (1, 2):
         for name, (_d, arr, _a) in variables.items():
             if _TYPE_OF[arr.dtype.newbyteorder("=")] >= 7:
                 raise ValueError(
@@ -300,7 +300,7 @@ def format_netcdf(dims: list[tuple[str, int]], variables: dict,
                 out.append(_w_cnt(dim_index[d], version))
             out.append(_w_attrs(attrs, version))
             out.append(struct.pack(">I", t) + _w_cnt(vsize, version))
-            out.append(struct.pack(">Q" if version == 5 else ">I", offsets[name]))
+            out.append(struct.pack(">Q" if version in (2, 5) else ">I", offsets[name]))
         return b"".join(out)
 
     zero_off = {n: 0 for n in variables}

@@ -102,3 +102,20 @@ def test_cdf5_types_rejected_in_classic():
 
     with pytest.raises(ValueError, match="CDF-5"):
         format_netcdf([("x", 2)], {"v": (["x"], np.arange(2, dtype=np.int64), {})})
+
+
+def test_cdf2_roundtrip():
+    """CDF-2 (64-bit offset classic): version byte 2, 64-bit begin."""
+    import numpy as np
+
+    from sis_spark.sources.netcdf import format_netcdf, parse_netcdf_header
+
+    arr = (np.arange(20, dtype=np.float32) * 3.5).reshape(4, 5)
+    buf = format_netcdf([("y", 4), ("x", 5)], {"v": (["y", "x"], arr, {})},
+                        version=2)
+    hdr = parse_netcdf_header(buf)
+    assert hdr["version"] == 2
+    var = hdr["vars"]["v"]
+    data = np.frombuffer(buf[var["begin"]:var["begin"] + arr.nbytes],
+                         dtype=var["dtype"]).reshape(4, 5)
+    assert np.array_equal(data.astype(np.float32), arr)
