@@ -234,6 +234,8 @@ class ObliqueStereographic:
         a, f, e2 = _ell(ell)
         self.a, self.e2 = a, e2
         self.e = np.sqrt(e2)
+        self.lat0 = float(lat0)
+        self.ell = ell
         self.lon0, self.k0, self.fe, self.fn = float(lon0), float(k0), float(fe), float(fn)
         phi0 = np.radians(float(lat0))
         s0 = np.sin(phi0)
@@ -308,6 +310,8 @@ class SwissObliqueMercator:
         a, f, e2 = _ell(ell)
         self.e2 = e2
         self.e = np.sqrt(e2)
+        self.lat0, self.lon0 = float(lat0), float(lon0)
+        self.ell = ell
         self.fe, self.fn = float(fe), float(fn)
         phi0 = np.radians(float(lat0))
         self.lam0 = np.radians(float(lon0))

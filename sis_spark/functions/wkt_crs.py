@@ -140,16 +140,40 @@ def _params_of(node: Node) -> dict:
 
 
 def _ellipsoid_of(node: Node):
+    raw = _ellipsoid_raw_of(node)
+    if raw is None:
+        return None
+    a, invf = raw
+    return (a, 0.0 if invf == 0 else 1.0 / invf)
+
+
+def _ellipsoid_raw_of(node: Node):
+    """(a, INVERSE flattening) as written — the datums.py convention, so a
+    rebuilt Datum recomputes f = 1/invf bit-identically."""
     el = node.child("ELLIPSOID", "SPHEROID")
     if el is None:
         for c in node.args:
             if isinstance(c, Node):
-                e = _ellipsoid_of(c)
+                e = _ellipsoid_raw_of(c)
                 if e is not None:
                     return e
         return None
-    a, invf = float(el.args[1]), float(el.args[2])
-    return (a, 0.0 if invf == 0 else 1.0 / invf)
+    return float(el.args[1]), float(el.args[2])
+
+
+def _towgs84_of(node: Node):
+    """Bursa-Wolf parameters from a TOWGS84 node anywhere under ``node``
+    (3- or 7-value forms), or None."""
+    t = node.child("TOWGS84")
+    if t is None:
+        for c in node.args:
+            if isinstance(c, Node):
+                h = _towgs84_of(c)
+                if h is not None:
+                    return h
+        return None
+    v = [float(x) for x in t.args] + [0.0] * 7
+    return dict(tx=v[0], ty=v[1], tz=v[2], rx=v[3], ry=v[4], rz=v[5], ds=v[6])
 
 
 def _id_of(node: Node) -> str | None:
@@ -176,6 +200,11 @@ def crs_from_wkt(text: str, prefer_id: bool = True):
             return CRS_REGISTRY[code]
 
     if root.keyword in ("GEOGCS", "GEOGCRS", "GEOGRAPHICCRS"):
+        hel = _towgs84_of(root)
+        if hel is not None:
+            from . import datums as D
+
+            return D.GeographicOnDatum(D.Datum(_ellipsoid_raw_of(root), hel))
         return _Geographic()
     if root.keyword not in ("PROJCS", "PROJCRS", "PROJECTEDCRS"):
         raise ValueError(f"unsupported WKT root {root.keyword}")
@@ -191,9 +220,17 @@ def crs_from_wkt(text: str, prefer_id: bool = True):
     sp1, sp2 = p.get("sp1", 0.0), p.get("sp2", 0.0)
     lat0, lon0 = p.get("lat0", 0.0), p.get("lon0", 0.0)
     fe, fn = p.get("fe", 0.0), p.get("fn", 0.0)
+    hel = _towgs84_of(root)
+
+    def _wrap(kernel):
+        if hel is None:
+            return kernel
+        from . import datums as D
+
+        return D.DatumProjected(kernel, D.Datum(_ellipsoid_raw_of(root), hel))
 
     if "lambert conic conformal" in method or "lambert conformal conic" in method:
-        return LambertConformal2SP(sp1, sp2, lat0, lon0, fe, fn, ell)
+        return _wrap(LambertConformal2SP(sp1, sp2, lat0, lon0, fe, fn, ell))
     if "polar stereographic" in method and ("variant a" in method or "k0" in p):
         return PolarStereographicA(p.get("k0", 0.994), lon0, fe, fn,
                                    lat0 < 0, ell)
@@ -204,9 +241,28 @@ def crs_from_wkt(text: str, prefer_id: bool = True):
     if "lambert azimuthal equal area" in method:
         return LambertAzimuthalEqualArea(lat0, lon0, fe, fn, ell)
     if "transverse mercator" in method:
-        if abs(p.get("k0", 0.9996) - 0.9996) > 1e-12:
-            raise ValueError("transverse mercator supported at k0=0.9996 only")
-        return _TM(lon0, fe, fn)
+        ell_raw = _ellipsoid_raw_of(root)
+        k0 = p.get("k0", 0.9996)
+        if (k0 == 0.9996 and lat0 == 0.0 and hel is None
+                and (ell_raw is None or tuple(ell_raw) == (6378137.0, 298.257223563))):
+            return _TM(lon0, fe, fn)  # the WGS84/UTM fast path
+        from . import datums as D
+
+        kern = D.TransverseMercator(lat0, lon0, k0, fe, fn,
+                                    ell_raw or D.WGS84_E)
+        return _wrap(kern)
+    if "oblique stereographic" in method:
+        from . import datums as D
+
+        kern = D.ObliqueStereographic(lat0, lon0, p.get("k0", 1.0), fe, fn,
+                                      _ellipsoid_raw_of(root) or D.WGS84_E)
+        return _wrap(kern)
+    if "swiss oblique mercator" in method:
+        from . import datums as D
+
+        kern = D.SwissObliqueMercator(lat0, lon0, fe, fn,
+                                      _ellipsoid_raw_of(root) or D.WGS84_E)
+        return _wrap(kern)
     if "pseudo mercator" in method or "mercator 1sp" in method or method == "mercator":
         return _WebMercator()
     if "sinusoidal" in method:
@@ -261,34 +317,107 @@ def _ellipsoid_wkt(ell) -> str:
         name, invf_s = "GRS 1980", "298.257222101"
     elif tuple(ell) == WGS84:
         name, invf_s = "WGS 84", "298.257223563"
+    elif float(a) == 6378388.0 and float(f) == 1.0 / 297.0:
+        name, invf_s = "International 1924", "297.0"
     else:
         name, invf_s = "unnamed", _f(0.0 if f == 0 else 1.0 / f)
     return f'ELLIPSOID["{name}", {_f(a)}, {invf_s}]'
 
 
+_ELL_RAW_NAMES = {
+    (6377563.396, 299.3249646): "Airy 1830",
+    (6377397.155, 299.1528128): "Bessel 1841",
+    (6378388.0, 297.0): "International 1924",
+    (6378137.0, 298.257222101): "GRS 1980",
+    (6378137.0, 298.257223563): "WGS 84",
+}
+
+
+def _ellipsoid_wkt_raw(ell_raw) -> str:
+    """(a, inverse flattening) — the datums.py convention — serialized with
+    the RAW invf literal so parse rebuilds f = 1/invf bit-identically."""
+    a, invf = ell_raw
+    name = _ELL_RAW_NAMES.get((float(a), float(invf)), "unnamed")
+    return f'ELLIPSOID["{name}", {_f(a)}, {_f(invf)}]'
+
+
+def _towgs84_wkt(datum) -> str:
+    """WKT1-convention TOWGS84 node (tx ty tz m, rx ry rz arcsec, ds ppm)
+    inside the DATUM — the no-grid-file BursaWolf serialization."""
+    p = datum.helmert
+    if p is None:
+        return ""
+    vals = ", ".join(_f(p[k]) for k in ("tx", "ty", "tz", "rx", "ry", "rz", "ds"))
+    return f", TOWGS84[{vals}]"
+
+
 def to_wkt(code: str) -> str:
     """Registry code -> WKT 2 text (the writable side of the WKT store).
     Numbers are repr-formatted, so parse(to_wkt(code)) rebuilds the exact
-    same projection parameters."""
+    same projection parameters.  Non-WGS84 datums serialize their
+    Bursa-Wolf parameters as a TOWGS84 node inside the DATUM."""
+    from . import datums as D
+
     crs = CRS_REGISTRY.get(code.upper())
     if crs is None:
         from .projections import _crs
 
         crs = _crs(code)
-    base = ('BASEGEOGCRS["geographic", DATUM["datum", {el}]]')
+
+    tow = ""
+    ell_raw = None
+    if isinstance(crs, D.GeographicOnDatum):
+        el = _ellipsoid_wkt_raw(crs.datum.ell)
+        return (f'GEOGCRS["{code}", DATUM["datum", '
+                f'{el}{_towgs84_wkt(crs.datum)}], CS[ellipsoidal, 2], '
+                f'ID["{code.split(":")[0]}", {code.split(":")[1]}]]')
+    if isinstance(crs, D.DatumProjected):
+        tow = _towgs84_wkt(crs.datum)
+        crs = crs.proj
+    if isinstance(crs, (D.TransverseMercator, D.ObliqueStereographic,
+                        D.SwissObliqueMercator)):
+        ell_raw = crs.ell
+
+    base = ('BASEGEOGCRS["geographic", DATUM["datum", {el}' + tow + ']]')
     if isinstance(crs, _Geographic):
         return (f'GEOGCRS["{code}", DATUM["datum", '
                 f'{_ellipsoid_wkt(WGS84)}], CS[ellipsoidal, 2], '
                 f'ID["{code.split(":")[0]}", {code.split(":")[1]}]]')
 
     def proj(name, method, params, ell):
+        el = _ellipsoid_wkt_raw(ell) if ell is ell_raw and ell_raw is not None \
+            else _ellipsoid_wkt(ell)
         ps = ", ".join(f'PARAMETER["{k}", {_f(v)}]' for k, v in params)
         tail = code.split(":", 1)[1]
         tail_s = tail if tail.isdigit() else f'"{tail}"'
-        return (f'PROJCRS["{name}", {base.format(el=_ellipsoid_wkt(ell))}, '
+        return (f'PROJCRS["{name}", {base.format(el=el)}, '
                 f'CONVERSION["{name}", METHOD["{method}"], {ps}], '
                 f'CS[Cartesian, 2], '
                 f'ID["{code.split(":")[0]}", {tail_s}]]')
+
+    if isinstance(crs, D.TransverseMercator):
+        return proj(code, "Transverse Mercator", [
+            ("Latitude of natural origin", crs.lat0),
+            ("Longitude of natural origin", crs.lon0),
+            ("Scale factor at natural origin", crs.k0),
+            ("False easting", crs.fe),
+            ("False northing", crs.fn),
+        ], crs.ell)
+    if isinstance(crs, D.ObliqueStereographic):
+        return proj(code, "Oblique Stereographic", [
+            ("Latitude of natural origin", crs.lat0),
+            ("Longitude of natural origin", crs.lon0),
+            ("Scale factor at natural origin", crs.k0),
+            ("False easting", crs.fe),
+            ("False northing", crs.fn),
+        ], crs.ell)
+    if isinstance(crs, D.SwissObliqueMercator):
+        return proj(code, "Swiss Oblique Mercator", [
+            ("Latitude of natural origin", crs.lat0),
+            ("Longitude of natural origin", crs.lon0),
+            ("False easting", crs.fe),
+            ("False northing", crs.fn),
+        ], crs.ell)
 
     if isinstance(crs, LambertConformal2SP):
         return proj(code, "Lambert Conic Conformal (2SP)", [
