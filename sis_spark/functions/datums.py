@@ -478,6 +478,13 @@ def datum_shift_sql(datum: Datum, rel: str) -> str:
     """CTE chain: WGS84 (lon, lat) in ``rel`` -> (event_id, dlon, dlat) on
     the datum — geocentric, negated-parameter Helmert, Bowring.  Mirrors
     Datum.from_wgs84 term for term."""
+    if datum.helmert is None:
+        # WGS84-equivalent tier (ETRS89 &c.): mirror from_wgs84's identity
+        # branch with a pass-through CTE
+        return f"""
+__d AS (
+  SELECT event_id, lon AS dlon, lat AS dlat
+  FROM {rel})"""
     aw, _fw, e2w = _ell(WGS84_E)
     a2, f2, e22 = _ell(datum.ell)
     b2 = a2 * (1.0 - f2)

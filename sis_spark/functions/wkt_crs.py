@@ -161,6 +161,24 @@ def _ellipsoid_raw_of(node: Node):
     return float(el.args[1]), float(el.args[2])
 
 
+def _datum_ell_of(node: Node):
+    """Ellipsoid for a Datum carrying TOWGS84: raw (a, 1/f) as written,
+    falling back to WGS84 when the WKT has no ELLIPSOID node (the same
+    fallback the projected branches use), and rejecting spherical
+    1/f == 0 up front (datums._ell computes f = 1/invf)."""
+    from . import datums as D
+
+    raw = _ellipsoid_raw_of(node)
+    if raw is None:
+        return D.WGS84_E
+    a, invf = raw
+    if invf == 0:
+        raise ValueError(
+            "spherical ELLIPSOID (inverse flattening 0) cannot carry a "
+            "TOWGS84 datum shift")
+    return raw
+
+
 def _towgs84_of(node: Node):
     """Bursa-Wolf parameters from a TOWGS84 node anywhere under ``node``
     (3- or 7-value forms), or None."""
@@ -204,7 +222,7 @@ def crs_from_wkt(text: str, prefer_id: bool = True):
         if hel is not None:
             from . import datums as D
 
-            return D.GeographicOnDatum(D.Datum(_ellipsoid_raw_of(root), hel))
+            return D.GeographicOnDatum(D.Datum(_datum_ell_of(root), hel))
         return _Geographic()
     if root.keyword not in ("PROJCS", "PROJCRS", "PROJECTEDCRS"):
         raise ValueError(f"unsupported WKT root {root.keyword}")
@@ -227,7 +245,7 @@ def crs_from_wkt(text: str, prefer_id: bool = True):
             return kernel
         from . import datums as D
 
-        return D.DatumProjected(kernel, D.Datum(_ellipsoid_raw_of(root), hel))
+        return D.DatumProjected(kernel, D.Datum(_datum_ell_of(root), hel))
 
     if "lambert conic conformal" in method or "lambert conformal conic" in method:
         return _wrap(LambertConformal2SP(sp1, sp2, lat0, lon0, fe, fn, ell))

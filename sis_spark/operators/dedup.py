@@ -188,7 +188,10 @@ def lsh_candidates(sigs: DataFrame, id_col: str = "doc_id",
         F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
     if max_bucket is not None:
-        bands = bands.persist()  # the counting pass must not re-run the sigs pipeline
+        # the counting pass must not re-run the sigs pipeline; eager
+        # localCheckpoint (not persist) so the blocks are GC-reclaimed
+        # instead of pinned in the CacheManager for the session (r2 leak)
+        bands = bands.localCheckpoint()
         bands = cap_buckets(bands, ["band", "bkey"], max_bucket, "lsh_candidates")
     buckets = (
         bands.groupBy("band", "bkey")
@@ -372,7 +375,8 @@ def simhash_near_dups(sims: DataFrame, max_hamming: int = 8, id_col: str = "doc_
         ).alias("bkey"),
     )
     if max_bucket is not None:
-        bands = bands.persist()
+        # eager localCheckpoint, not persist: GC-reclaimed (see lsh_candidates)
+        bands = bands.localCheckpoint()
         bands = cap_buckets(bands, ["bkey"], max_bucket, "simhash_near_dups")
     buckets = (
         bands.groupBy("bkey")

@@ -1199,8 +1199,11 @@ def geometry_distance_join(
     # qdist <= floor(r*1e7) admits distances up to r + 1e-7; pad the
     # geometric prunes so the quantization granularity can't drop a pair
     rp = r + 1e-6
-    aparts = geometry_parts_df(a_df).persist()
-    bparts = geometry_parts_df(b_df).persist()
+    # eager localCheckpoint, not persist: each side feeds both its cover
+    # branch and the WKB re-attach join, and checkpoint blocks are
+    # GC-reclaimed instead of pinned in the CacheManager until session end
+    aparts = geometry_parts_df(a_df).localCheckpoint()
+    bparts = geometry_parts_df(b_df).localCheckpoint()
     if res is None:
         res = _radius_res(bparts, r)
     aexp = aparts.select(
@@ -1273,7 +1276,8 @@ def nearest_line_join_dist(
 
     r = float(radius)
     rp = r + 1e-6  # quantization-granularity pad (see geometry_distance_join)
-    lparts = line_parts_df(lines_df, key_col, wkb_col).persist()
+    # eager localCheckpoint, not persist (GC-reclaimed; see geometry_distance_join)
+    lparts = line_parts_df(lines_df, key_col, wkb_col).localCheckpoint()
     if res is None:
         res = _radius_res(lparts, r)
     lexp = lparts.select(

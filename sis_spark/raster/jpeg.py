@@ -494,6 +494,11 @@ def _walk_markers(buf: bytes, state: _JpegState, stop_at_sos: bool = False):
         if buf[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < n and buf[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= n:
+            break
         marker = buf[pos + 1]
         pos += 2
         if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -905,6 +910,11 @@ def _decode_progressive(buf: bytes, state: _JpegState, first_sos_payload: int,
         if buf[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: skip 0xFF fill bytes before the marker code
+        while pos + 1 < n and buf[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= n:
+            break
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:

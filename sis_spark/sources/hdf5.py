@@ -334,6 +334,7 @@ class H5File:
     def _dataset(self, name, msgs):
         dtype = shape = layout = None
         filters: list = []
+        fill_raw = None
         for t, body in msgs:
             if t == 0x01:
                 shape = self._dataspace(body)
@@ -343,10 +344,13 @@ class H5File:
                 layout = self._layout(body)
             elif t == 0x0B:
                 filters = self._filters(body)
+            elif t in (0x04, 0x05):
+                fill_raw = (t, body)
         if dtype is None or shape is None or layout is None:
             return None
         return H5Dataset(self, name, shape, dtype, layout, filters,
-                         self._attrs(msgs))
+                         self._attrs(msgs),
+                         _parse_fill(fill_raw, dtype))
 
     def _layout(self, body: bytes):
         ver = body[0]
@@ -384,8 +388,45 @@ def _defilter(raw: bytes, filters, dtype_size: int, chunk_elems: int) -> bytes:
     return raw
 
 
+def _parse_fill(fill_raw, dtype):
+    """Fill Value message (type 0x05, versions 1-3; 0x04 is the old form) ->
+    numpy scalar or None.  Chunks absent from the B-tree and UNDEF
+    contiguous data decode as this value (real netCDF-4 writers omit
+    never-written all-fill chunks, so zero-filling them is wrong whenever a
+    fill value is defined)."""
+    if fill_raw is None:
+        return None
+    t, body = fill_raw
+    try:
+        if t == 0x04:  # old fill value: size + bytes
+            size = _u(body, 0, 4)
+            val = body[4:4 + size]
+        else:
+            ver = body[0]
+            if ver in (1, 2):
+                defined = body[3]
+                if ver == 2 and not defined:
+                    return None
+                size = _u(body, 4, 4)
+                val = body[8:8 + size]
+            elif ver == 3:
+                flags = body[1]
+                if not (flags & 0x20):  # fill value defined flag
+                    return None
+                size = _u(body, 2, 4)
+                val = body[6:6 + size]
+            else:
+                return None
+        if len(val) != dtype.itemsize:
+            return None
+        return np.frombuffer(val, dtype)[0]
+    except (IndexError, struct.error):
+        return None
+
+
 class H5Dataset:
-    def __init__(self, f: H5File, name, shape, dtype, layout, filters, attrs):
+    def __init__(self, f: H5File, name, shape, dtype, layout, filters, attrs,
+                 fill=None):
         self.file = f
         self.name = name
         self.shape = shape
@@ -393,6 +434,7 @@ class H5Dataset:
         self.layout = layout
         self.filters = filters
         self.attrs = attrs
+        self.fill = fill
 
     def chunk_manifest(self) -> list[dict]:
         """Chunked datasets: [(chunk offset coords, file addr, stored
@@ -434,11 +476,14 @@ class H5Dataset:
             return np.frombuffer(lay["data"], self.dtype).reshape(self.shape)
         if lay["class"] == "contiguous":
             if lay["addr"] == UNDEF:
-                return np.zeros(self.shape, self.dtype)
+                return np.full(self.shape, self.fill, self.dtype) \
+                    if self.fill is not None else np.zeros(self.shape, self.dtype)
             raw = self.file.buf[lay["addr"]:lay["addr"] + lay["size"]]
             return np.frombuffer(raw, self.dtype).reshape(self.shape)
         chunk = lay["chunk"]
-        arr = np.zeros(self.shape, self.dtype)
+        # regions not covered by any B-tree chunk decode as the fill value
+        arr = np.full(self.shape, self.fill, self.dtype) \
+            if self.fill is not None else np.zeros(self.shape, self.dtype)
         for c in self.chunk_manifest():
             data = read_chunk(self.file.path, c["addr"], c["nbytes"],
                               self.filters, self.dtype, chunk)
@@ -544,10 +589,16 @@ def _v1_header(msgs: list[tuple[int, bytes]]) -> bytes:
 
 
 def format_hdf5(datasets: dict, gattrs: dict | None = None,
-                chunk: tuple | None = None, compress: bool = True) -> bytes:
+                chunk: tuple | None = None, compress: bool = True,
+                fill: float | None = None) -> bytes:
     """netCDF-4-shaped HDF5 file: ``datasets`` maps name -> (array, attrs).
     2-D arrays are chunked (``chunk`` or 64x64) with optional deflate;
-    1-D arrays are contiguous (the coordinate-variable shape)."""
+    1-D arrays are contiguous (the coordinate-variable shape).
+
+    ``fill``: write a version-3 Fill Value message on every 2-D dataset and
+    OMIT chunks that are entirely equal to it from the B-tree — the
+    real-writer behavior (netCDF-4 never materializes never-written
+    chunks), so readers must fill absent regions from the message."""
     w = _W()
     names = list(datasets)
     # ---- plan root group: local heap + SNOD + btree, laid out after the
@@ -617,13 +668,20 @@ def format_hdf5(datasets: dict, gattrs: dict | None = None,
                     fb += struct.pack("<HHHH", fid, len(name), 1, len(cdv))
                     fb += name + b"".join(struct.pack("<I", c) for c in cdv)
                 msgs.append((0x0B, bytes(fb)))
+            if fill is not None:
+                fv = np.asarray(fill, dt).tobytes()
+                msgs.append((0x05, bytes([3, 0x20]) +
+                             struct.pack("<I", len(fv)) + fv))
             # chunk the data, build a single-leaf chunk B-tree
             chunks = []
             for cy in range(0, arr.shape[0], ch[0]):
                 for cx in range(0, arr.shape[1], ch[1]):
-                    block = np.zeros(ch, dt)
+                    block = np.full(ch, fill, dt) if fill is not None \
+                        else np.zeros(ch, dt)
                     sub = arr[cy:cy + ch[0], cx:cx + ch[1]]
                     block[:sub.shape[0], :sub.shape[1]] = sub
+                    if fill is not None and np.all(sub == np.asarray(fill, dt)):
+                        continue  # never-written all-fill chunk: omit
                     raw = block.tobytes()
                     if compress:
                         raw = zlib.compress(raw, 6)
@@ -721,11 +779,19 @@ def netcdf4_variable_tiles(spark, path: str, var_name: str,
                 )
 
     man = d.chunk_manifest()
+    # chunk-grid positions absent from the B-tree are never-written
+    # all-fill chunks (netCDF-4 writers omit them): synthesize manifest
+    # rows with addr = -1 so the executors emit fill tiles for them
+    h5fill = d.fill if d.fill is not None else fill
+    present = {(c["coords"][0] // ch, c["coords"][1] // cw) for c in man}
+    absent = [(ty, tx)
+              for ty in range(-(-h // ch)) for tx in range(-(-w // cw))
+              if (ty, tx) not in present]
     rows = pd.DataFrame({
-        "tx": [c["coords"][1] // cw for c in man],
-        "ty": [c["coords"][0] // ch for c in man],
-        "addr": [c["addr"] for c in man],
-        "nbytes": [c["nbytes"] for c in man],
+        "tx": [c["coords"][1] // cw for c in man] + [tx for _, tx in absent],
+        "ty": [c["coords"][0] // ch for c in man] + [ty for ty, _ in absent],
+        "addr": [c["addr"] for c in man] + [-1] * len(absent),
+        "nbytes": [c["nbytes"] for c in man] + [0] * len(absent),
     })
     par = spark.sparkContext.defaultParallelism
     manifest = spark.createDataFrame(rows).repartition(
@@ -736,8 +802,14 @@ def netcdf4_variable_tiles(spark, path: str, var_name: str,
             out = []
             for tx, ty, addr, nbytes in zip(
                     b["tx"], b["ty"], b["addr"], b["nbytes"]):
-                block = read_chunk(path, int(addr), int(nbytes), filters,
-                                   dtype, (ch, cw)).astype(np.float64)
+                if int(addr) < 0:  # synthesized all-fill chunk
+                    block = np.full(
+                        (ch, cw),
+                        float(h5fill) if h5fill is not None else 0.0,
+                        np.float64)
+                else:
+                    block = read_chunk(path, int(addr), int(nbytes), filters,
+                                       dtype, (ch, cw)).astype(np.float64)
                 if fill is not None:
                     block = np.where(block == float(fill), np.nan, block)
                 if scale != 1.0 or off != 0.0:

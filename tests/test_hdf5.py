@@ -138,3 +138,41 @@ def test_v2_superblock_ohdr_link_messages(tmp_path):
     assert np.array_equal(f.datasets["/i"].read(), iarr)
     assert f.datasets["/v"].attrs == {"units": "K", "n": 3}
     assert f.groups["/"]["attrs"]["title"] == "v2 profile"
+
+
+def test_fill_value_absent_chunks(tmp_path):
+    """Chunks entirely equal to the fill value are omitted from the B-tree
+    (real netCDF-4 writer behavior); the reader must reconstruct them from
+    the version-3 Fill Value message instead of zero-filling."""
+    arr = np.full((100, 130), -999, np.int32)
+    arr[:40, :50] = (np.arange(40 * 50).reshape(40, 50) % 700).astype(np.int32)
+    buf = h5.format_hdf5(
+        {"v": (arr, {"_FillValue": np.int32(-999)})},
+        chunk=(40, 50), fill=-999,
+    )
+    p = tmp_path / "fill.h5"
+    p.write_bytes(buf)
+    f = h5.H5File(p)
+    d = f.datasets["/v"]
+    assert d.fill == -999
+    # only the one non-fill chunk is materialized
+    assert len(d.chunk_manifest()) == 1
+    assert np.array_equal(d.read(), arr)
+
+
+def test_fill_value_distributed_tiles(spark, tmp_path):
+    """netcdf4_variable_tiles synthesizes fill tiles for absent chunks and
+    maps the CF _FillValue to NaN like the materialized ones."""
+    arr = np.full((80, 80), -999.0, np.float64)
+    arr[:40, :40] = np.arange(40 * 40, dtype=np.float64).reshape(40, 40)
+    buf = h5.format_hdf5(
+        {"v": (arr, {"_FillValue": -999.0})}, chunk=(40, 40), fill=-999.0)
+    p = tmp_path / "fill_tiles.h5"
+    p.write_bytes(buf)
+    tiles, _gg, (ch, cw) = h5.netcdf4_variable_tiles(spark, str(p), "v")
+    rows = {(r["tx"], r["ty"]): np.frombuffer(r["data"], np.float64).reshape(ch, cw)
+            for r in tiles.collect()}
+    assert set(rows) == {(0, 0), (1, 0), (0, 1), (1, 1)}
+    assert np.array_equal(rows[(0, 0)], arr[:40, :40])
+    for k in [(1, 0), (0, 1), (1, 1)]:
+        assert np.isnan(rows[k]).all()
