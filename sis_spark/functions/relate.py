@@ -193,9 +193,7 @@ def st_predicate_pair_udf(name: str):
 
     @F.pandas_udf(T.BooleanType())
     def pred(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
-        return pd.Series(
-            [relate_polygons_wkb(bytes(a), bytes(b))[key] for a, b in zip(a_s, b_s)]
-        )
+        return pd.Series(relate_polygons_pred_batch(a_s, b_s)[key])
 
     return pred
 
@@ -208,9 +206,7 @@ def st_relate_pair_udf():
 
     @F.pandas_udf(T.StringType())
     def rel(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
-        return pd.Series(
-            [relate_polygons_wkb(bytes(a), bytes(b))["pattern"] for a, b in zip(a_s, b_s)]
-        )
+        return pd.Series(relate_polygons_pred_batch(a_s, b_s)["pattern"])
 
     return rel
 
@@ -700,3 +696,150 @@ def line_polygon_relate_batch(l_bufs, p_bufs):
         within[i] = f["within"]
         crosses[i] = f["crosses"]
     return intersects, within, crosses
+
+
+# ------------------------------------------- polygon-pair batch kernels (r4)
+#
+# The joins' refine stage (operators/spatial_join.polygon_pair_join &c.)
+# must not loop Python per candidate pair: this path evaluates a whole
+# Arrow batch of WKB pairs with padded (rows, Am, Bm) numpy grids — the
+# identical FP expressions as the scalar kernels above (oracle-exact; the
+# reference's own batch-array discipline, R/referencing/operation/transform/
+# AbstractMathTransform.java:436 transform(double[], ...)).  Holed operands
+# fall back to the scalar path row-wise; ring equality runs scalar only for
+# suspects (same vertex count + bit-identical envelope — both necessary
+# conditions for point-set equality).
+
+def polygon_pair_flags_batch(AVX, AVY, BVX, BVY):
+    """(rows, Am) x (rows, Bm) padded outer rings (roll-closure; padding
+    repeats the FIRST vertex so every padded edge is zero-length and every
+    padded vertex duplicates a real one) ->
+    (cross, any_ab, all_ab, any_ba, all_ba) bool arrays of shape (rows,)."""
+    AVX = np.asarray(AVX, float); AVY = np.asarray(AVY, float)
+    BVX = np.asarray(BVX, float); BVY = np.asarray(BVY, float)
+    AWX = np.roll(AVX, -1, axis=1); AWY = np.roll(AVY, -1, axis=1)
+    BWX = np.roll(BVX, -1, axis=1); BWY = np.roll(BVY, -1, axis=1)
+
+    def members(PX, PY, VX, VY, WX, WY):
+        # even-odd ray cast, the points_in_polygon FP expressions exactly
+        px = PX[:, :, None]; py = PY[:, :, None]
+        vx = VX[:, None, :]; vy = VY[:, None, :]
+        wx = WX[:, None, :]; wy = WY[:, None, :]
+        crossed = (vy > py) != (wy > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (wx - vx) * (py - vy) / (wy - vy) + vx
+        hits = crossed & (px < xint)
+        return (hits.sum(axis=2) % 2).astype(bool)   # (rows, P)
+
+    in_ab = members(AVX, AVY, BVX, BVY, BWX, BWY)
+    in_ba = members(BVX, BVY, AVX, AVY, AWX, AWY)
+
+    # proper crossing of the two closed edge sets (_cross_edge_sets exprs)
+    ax = AVX[:, :, None]; ay = AVY[:, :, None]
+    aX = AWX[:, :, None]; aY = AWY[:, :, None]
+    bx = BVX[:, None, :]; by = BVY[:, None, :]
+    bX = BWX[:, None, :]; bY = BWY[:, None, :]
+    o1 = (aX - ax) * (by - ay) - (aY - ay) * (bx - ax)
+    o2 = (aX - ax) * (bY - ay) - (aY - ay) * (bX - ax)
+    o3 = (bX - bx) * (ay - by) - (bY - by) * (ax - bx)
+    o4 = (bX - bx) * (aY - by) - (bY - by) * (aX - bx)
+    cross = ((o1 * o2 < 0.0) & (o3 * o4 < 0.0)).any(axis=(1, 2))
+    return (cross, in_ab.any(axis=1), in_ab.all(axis=1),
+            in_ba.any(axis=1), in_ba.all(axis=1))
+
+
+def relate_polygons_pred_batch(a_bufs, b_bufs):
+    """Batched polygon-vs-polygon predicates over WKB pair columns.
+
+    Returns a dict of numpy bool arrays — intersects, contains (a⊇b),
+    within (a⊆b), equals, overlaps — plus ``pattern`` (object array of
+    DE-9IM strings).  Operand parses are memoized per distinct WKB."""
+    from ..sources import polygons_from_wkb
+
+    B = len(a_bufs)
+    cache: dict[bytes, dict] = {}
+
+    def parsed(buf: bytes) -> dict:
+        p = cache.get(buf)
+        if p is None:
+            (p,) = polygons_from_wkb([(0, buf)])
+            p["_env"] = (float(np.min(p["vx"])), float(np.min(p["vy"])),
+                         float(np.max(p["vx"])), float(np.max(p["vy"])))
+            cache[buf] = p
+        return p
+
+    pa = [parsed(bytes(a)) for a in a_bufs]
+    pb = [parsed(bytes(b)) for b in b_bufs]
+
+    cross = np.zeros(B, bool)
+    any_ab = np.zeros(B, bool); all_ab = np.zeros(B, bool)
+    any_ba = np.zeros(B, bool); all_ba = np.zeros(B, bool)
+    equal = np.zeros(B, bool)
+    hole_ab = np.zeros(B, bool)  # a's hole bites b
+    hole_ba = np.zeros(B, bool)
+
+    batch_idx, scalar_idx = [], []
+    for i in range(B):
+        if pa[i].get("holes") or pb[i].get("holes"):
+            scalar_idx.append(i)
+        else:
+            batch_idx.append(i)
+            # point-set equality needs same vertex count + same envelope;
+            # only suspects pay the scalar canonical-rotation compare
+            if (len(pa[i]["vx"]) == len(pb[i]["vx"])
+                    and pa[i]["_env"] == pb[i]["_env"]):
+                equal[i] = _rings_equal(pa[i], pb[i])
+
+    if batch_idx:
+        Am = max(len(pa[i]["vx"]) for i in batch_idx)
+        Bm = max(len(pb[i]["vx"]) for i in batch_idx)
+        chunk_rows = max(1, int(4e6 // max(1, Am * Bm)))
+        for c0 in range(0, len(batch_idx), chunk_rows):
+            idx = batch_idx[c0:c0 + chunk_rows]
+            nb = len(idx)
+            AVX = np.empty((nb, Am)); AVY = np.empty((nb, Am))
+            BVX = np.empty((nb, Bm)); BVY = np.empty((nb, Bm))
+            for r, i in enumerate(idx):
+                avx = np.asarray(pa[i]["vx"], float)
+                avy = np.asarray(pa[i]["vy"], float)
+                na = len(avx)
+                AVX[r, :na] = avx; AVX[r, na:] = avx[0]
+                AVY[r, :na] = avy; AVY[r, na:] = avy[0]
+                bvx = np.asarray(pb[i]["vx"], float)
+                bvy = np.asarray(pb[i]["vy"], float)
+                nbv = len(bvx)
+                BVX[r, :nbv] = bvx; BVX[r, nbv:] = bvx[0]
+                BVY[r, :nbv] = bvy; BVY[r, nbv:] = bvy[0]
+            cr, aab, lab, aba, lba = polygon_pair_flags_batch(AVX, AVY, BVX, BVY)
+            bi = np.asarray(idx)
+            cross[bi] = cr
+            any_ab[bi] = aab; all_ab[bi] = lab
+            any_ba[bi] = aba; all_ba[bi] = lba
+
+    for i in scalar_idx:
+        f = relate_flags(pa[i], pb[i])
+        cross[i] = f["cross"]
+        any_ab[i] = f["any_ab"]; all_ab[i] = f["all_ab"]
+        any_ba[i] = f["any_ba"]; all_ba[i] = f["all_ba"]
+        equal[i] = f["equal"]
+        hole_ab[i] = f["a_hole_bites_b"]; hole_ba[i] = f["b_hole_bites_a"]
+
+    contains = equal | (~cross & all_ba & ~hole_ab)
+    within = equal | (~cross & all_ab & ~hole_ba)
+    intersects = equal | cross | any_ab | any_ba
+    pattern = np.where(
+        equal, "2FFF1FFF2",
+        np.where(cross, "212101212",
+                 np.where(contains, "212FF1FF2",
+                          np.where(within, "2FF1FF212", "FF2FF1212"))))
+    return {
+        "intersects": intersects,
+        "disjoint": ~intersects,
+        "contains": contains,
+        "within": within,
+        "equals": equal,
+        "overlaps": intersects & ~contains & ~within & cross,
+        "touches": np.zeros(B, bool),
+        "crosses": np.zeros(B, bool),
+        "pattern": pattern,
+    }

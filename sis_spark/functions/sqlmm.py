@@ -1176,14 +1176,220 @@ def geom_distance(a, b) -> float:
     return float(np.sqrt(best))
 
 
+def _flat_ring_edges(polys):
+    """All ring edges of a decomposed geometry's polygons as flat arrays,
+    with per-polygon edge offsets: (vx, vy, wx, wy, poly_offsets).  Edges
+    are the roll-closure of each ring — identical values to the per-ring
+    np.roll the scalar PIP uses."""
+    evx, evy, ewx, ewy, offs = [], [], [], [], []
+    n = 0
+    for rings in polys:
+        offs.append(n)
+        for rvx, rvy in rings:
+            rvx = np.asarray(rvx, np.float64)
+            rvy = np.asarray(rvy, np.float64)
+            evx.append(rvx); evy.append(rvy)
+            ewx.append(np.roll(rvx, -1)); ewy.append(np.roll(rvy, -1))
+            n += len(rvx)
+    cat = lambda a: (np.concatenate(a) if a else np.empty(0, np.float64))
+    return cat(evx), cat(evy), cat(ewx), cat(ewy), np.asarray(offs, np.int64)
+
+
+def _pip_parity_grid(px, py, evx, evy, ewx, ewy):
+    """Crossing counts of each point's +x ray against each edge —
+    the points_in_polygon FP expressions, returned UN-reduced as an
+    int64 (n_points, n_edges) grid so callers can reduceat per polygon
+    (parity of the segment sum == sum of per-ring parities mod 2)."""
+    px = np.asarray(px, np.float64)[:, None]
+    py = np.asarray(py, np.float64)[:, None]
+    vx = np.asarray(evx, np.float64)[None, :]
+    vy = np.asarray(evy, np.float64)[None, :]
+    wx = np.asarray(ewx, np.float64)[None, :]
+    wy = np.asarray(ewy, np.float64)[None, :]
+    crossed = (vy > py) != (wy > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (wx - vx) * (py - vy) / (wy - vy) + vx
+    return (crossed & (px < xint)).astype(np.int64)
+
+
+def _seg_cross_any_grid(A, sbx, sby, sbX, sbY):
+    """(n_a_segs, n_b_segs) proper-crossing bool grid between A's segment
+    set and flat B segments — relate._cross_edge_sets expressions."""
+    ax = A["svx"][:, None]; ay = A["svy"][:, None]
+    aX = A["swx"][:, None]; aY = A["swy"][:, None]
+    bx = sbx[None, :]; by = sby[None, :]
+    bX = sbX[None, :]; bY = sbY[None, :]
+    o1 = (aX - ax) * (by - ay) - (aY - ay) * (bx - ax)
+    o2 = (aX - ax) * (bY - ay) - (aY - ay) * (bX - ax)
+    o3 = (bX - bx) * (ay - by) - (bY - by) * (ax - bx)
+    o4 = (bX - bx) * (aY - by) - (bY - by) * (aX - bx)
+    return (o1 * o2 < 0.0) & (o3 * o4 < 0.0)
+
+
+def _reduceat_min(vals, counts):
+    """Per-group min over a flat value array segmented by ``counts``
+    (groups with count 0 -> inf; np.minimum.reduceat misreads empty
+    slices, so reduce only the non-empty groups and scatter back)."""
+    out = np.full(len(counts), np.inf)
+    nz = counts > 0
+    if not nz.any():
+        return out
+    offs = np.concatenate(([0], np.cumsum(counts)))[:-1][nz]
+    out[nz] = np.minimum.reduceat(vals, offs)
+    return out
+
+
+def _reduceat_any(flags, counts):
+    out = np.zeros(len(counts), bool)
+    nz = counts > 0
+    if not nz.any():
+        return out
+    offs = np.concatenate(([0], np.cumsum(counts)))[:-1][nz]
+    out[nz] = np.bitwise_or.reduceat(flags, offs)
+    return out
+
+
+def geom_distance_batch(a_bufs, b_bufs):
+    """Batched geom_distance over WKB pair columns -> float64 distances.
+
+    Pairs are grouped by the A-side operand (parses/decomposes memoized per
+    distinct WKB); each group evaluates against ALL its B partners at once:
+    flat concatenated B vertex/segment/ring-edge arrays, (A x flat-B) numpy
+    grids, then per-B ``minimum.reduceat`` reductions — the
+    nearest_line_join refine discipline, with the scalar kernel's exact FP
+    expressions (min/any reductions are value-exact in any order, so the
+    result is bit-identical to geom_distance pair by pair)."""
+    n = len(a_bufs)
+    out = np.empty(n, np.float64)
+    dcache = {}
+
+    def dec(buf):
+        d = dcache.get(buf)
+        if d is None:
+            d = dcache[buf] = geom_decompose(*geo.wkb_parse(buf))
+            d["_redges"] = _flat_ring_edges(d["polys"])
+        return d
+
+    abufs = [bytes(x) for x in a_bufs]
+    bbufs = [bytes(x) for x in b_bufs]
+    groups = {}
+    for i, ab in enumerate(abufs):
+        groups.setdefault(ab, []).append(i)
+
+    for abuf, idxs in groups.items():
+        A = dec(abuf)
+        ka = len(A["px"])
+        nsa = len(A["svx"])
+        if ka == 0:  # degenerate empty operand: scalar semantics
+            for i in idxs:
+                out[i] = geom_distance(geo.wkb_parse(abufs[i]),
+                                       geo.wkb_parse(bbufs[i]))
+            continue
+        Bs = [dec(bbufs[i]) for i in idxs]
+        # chunk so every grid stays ~4e6 elements
+        per_b = [max(len(b["px"]), len(b["svx"]), len(b["_redges"][0]), 1)
+                 for b in Bs]
+        wide = max(ka, nsa, 1)
+        lim = max(1, int(4e6 // wide))
+        c0 = 0
+        while c0 < len(idxs):
+            c1, acc = c0, 0
+            while c1 < len(idxs) and (c1 == c0 or acc + per_b[c1] <= lim):
+                acc += per_b[c1]
+                c1 += 1
+            sel = list(range(c0, c1))
+            _geom_distance_group(A, [Bs[j] for j in sel],
+                                 [idxs[j] for j in sel], out,
+                                 abufs, bbufs)
+            c0 = c1
+    return out
+
+
+def _geom_distance_group(A, Bs, idxs, out, abufs, bbufs):
+    ka = len(A["px"])
+    nsa = len(A["svx"])
+    m = len(Bs)
+    cat = lambda arrs: (np.concatenate(arrs) if arrs else np.empty(0, np.float64))
+
+    npb = np.asarray([len(b["px"]) for b in Bs], np.int64)
+    nsb = np.asarray([len(b["svx"]) for b in Bs], np.int64)
+    if (npb == 0).any():  # degenerate empty B operands: scalar semantics
+        keep = []
+        for j, i in enumerate(idxs):
+            if npb[j] == 0:
+                out[i] = geom_distance(geo.wkb_parse(abufs[i]),
+                                       geo.wkb_parse(bbufs[i]))
+            else:
+                keep.append(j)
+        if not keep:
+            return
+        Bs = [Bs[j] for j in keep]
+        idxs = [idxs[j] for j in keep]
+        npb = npb[keep]; nsb = nsb[keep]
+        m = len(Bs)
+
+    PBx = cat([b["px"] for b in Bs]); PBy = cat([b["py"] for b in Bs])
+    SBvx = cat([b["svx"] for b in Bs]); SBvy = cat([b["svy"] for b in Bs])
+    SBwx = cat([b["swx"] for b in Bs]); SBwy = cat([b["swy"] for b in Bs])
+
+    zero = np.zeros(m, bool)
+
+    # A vertices inside a B polygon (per-poly parity via reduceat, then
+    # any() over A's vertices, collapsed onto the owning B)
+    redge_counts = np.asarray([len(b["_redges"][0]) for b in Bs], np.int64)
+    npolys = np.asarray([len(b["polys"]) for b in Bs], np.int64)
+    if npolys.any():
+        evx = cat([b["_redges"][0] for b in Bs])
+        evy = cat([b["_redges"][1] for b in Bs])
+        ewx = cat([b["_redges"][2] for b in Bs])
+        ewy = cat([b["_redges"][3] for b in Bs])
+        # global per-poly offsets into the concatenated edge array
+        poly_offs, poly_owner, base = [], [], 0
+        for j, b in enumerate(Bs):
+            for off in b["_redges"][4]:
+                poly_offs.append(base + int(off))
+                poly_owner.append(j)
+            base += redge_counts[j]
+        if poly_offs:
+            grid = _pip_parity_grid(A["px"], A["py"], evx, evy, ewx, ewy)
+            sums = np.add.reduceat(grid, np.asarray(poly_offs, np.int64), axis=1)
+            inside_any = ((sums % 2) == 1).any(axis=0)   # (n_polys,)
+            np.logical_or.at(zero, np.asarray(poly_owner, np.int64), inside_any)
+
+    # B vertices inside an A polygon
+    if A["polys"]:
+        aevx, aevy, aewx, aewy, aoffs = A["_redges"]
+        grid = _pip_parity_grid(PBx, PBy, aevx, aevy, aewx, aewy)
+        sums = np.add.reduceat(grid, aoffs, axis=1)      # (totPB, n_a_polys)
+        inside = ((sums % 2) == 1).any(axis=1)           # per B vertex
+        zero |= _reduceat_any(inside, npb)
+
+    # proper segment crossing
+    if nsa and len(SBvx):
+        cr = _seg_cross_any_grid(A, SBvx, SBvy, SBwx, SBwy).any(axis=0)
+        zero |= _reduceat_any(cr, nsb)
+
+    best = np.full(m, np.inf)
+    if len(SBvx):
+        d = geo.point_segments_dist2(A["px"], A["py"], SBvx, SBvy, SBwx, SBwy)
+        best = np.minimum(best, _reduceat_min(d.min(axis=0), nsb))
+    if nsa:
+        d = geo.point_segments_dist2(PBx, PBy, A["svx"], A["svy"], A["swx"], A["swy"])
+        best = np.minimum(best, _reduceat_min(d.min(axis=1), npb))
+    dx = A["px"][:, None] - PBx[None, :]
+    dy = A["py"][:, None] - PBy[None, :]
+    best = np.minimum(best, _reduceat_min((dx * dx + dy * dy).min(axis=0), npb))
+
+    res = np.where(zero, 0.0, np.sqrt(best))
+    for j, i in enumerate(idxs):
+        out[i] = res[j]
+
+
 def st_distance_udf():
     """ST_Distance over two WKB columns, any geometry-type pair."""
     @F.pandas_udf(T.DoubleType())
     def _f(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series([
-            geom_distance(geo.wkb_parse(bytes(x)), geo.wkb_parse(bytes(y)))
-            for x, y in zip(a, b)
-        ])
+        return pd.Series(geom_distance_batch(a, b))
 
     return _f
 
@@ -1193,11 +1399,8 @@ def st_distance_q_udf(scale: float = 1e7):
     oracle parity (bit-exactness playbook rule 4)."""
     @F.pandas_udf(T.LongType())
     def _f(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series([
-            int(np.floor(geom_distance(
-                geo.wkb_parse(bytes(x)), geo.wkb_parse(bytes(y))) * scale))
-            for x, y in zip(a, b)
-        ], dtype="int64")
+        return pd.Series(
+            np.floor(geom_distance_batch(a, b) * scale).astype(np.int64))
 
     return _f
 

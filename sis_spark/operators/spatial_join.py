@@ -700,7 +700,7 @@ def polygon_pair_join(
     Assumes one part per key (no MultiPolygon / anti-meridian operands —
     those need union-level predicate semantics the general-position model
     does not define)."""
-    from ..functions.relate import relate_polygons_wkb
+    from ..functions.relate import relate_polygons_pred_batch
 
     parts = polygon_parts_df(polygons_df, key_col, wkb_col).persist()
     if res is None:
@@ -751,11 +751,14 @@ def polygon_pair_join(
         ])
     )
     def rel(a_s: pd.Series, b_s: pd.Series) -> pd.DataFrame:
-        rows = []
-        for a, b in zip(a_s, b_s):
-            p = relate_polygons_wkb(bytes(a), bytes(b))
-            rows.append((p["intersects"], p["contains"], p["within"]))
-        return pd.DataFrame(rows, columns=["intersects", "contains_ab", "contains_ba"])
+        # one padded-grid evaluation for the whole Arrow batch (identical
+        # FP expressions to the scalar kernel — oracle-exact)
+        p = relate_polygons_pred_batch(a_s, b_s)
+        return pd.DataFrame({
+            "intersects": p["intersects"],
+            "contains_ab": p["contains"],
+            "contains_ba": p["within"],
+        })
 
     # AQE coalesces the small (tens of MB) candidate shuffle to ~1 partition,
     # which would serialize the Python refine — its cost is per-ROW CPU, not
@@ -791,7 +794,7 @@ def polygon_pair_join_multi(
       other member, so per-part containment composes to union containment.
 
     Output (a, b, contains_ab, contains_ba) for intersecting key pairs."""
-    from ..functions.relate import relate_polygons_wkb
+    from ..functions.relate import relate_polygons_pred_batch
 
     parts = (
         polygon_parts_df(polygons_df, key_col, wkb_col)
@@ -849,11 +852,14 @@ def polygon_pair_join_multi(
         ])
     )
     def rel(a_s: pd.Series, b_s: pd.Series) -> pd.DataFrame:
-        rows = []
-        for a, b in zip(a_s, b_s):
-            p = relate_polygons_wkb(bytes(a), bytes(b))
-            rows.append((p["intersects"], p["contains"], p["within"]))
-        return pd.DataFrame(rows, columns=["intersects", "a_contains_b", "b_contains_a"])
+        # padded-grid batch evaluation (relate_polygons_pred_batch), not a
+        # per-pair Python loop
+        p = relate_polygons_pred_batch(a_s, b_s)
+        return pd.DataFrame({
+            "intersects": p["intersects"],
+            "a_contains_b": p["contains"],
+            "b_contains_a": p["within"],
+        })
 
     # canonical key orientation: a = lesser key; swap flags where ka > kb
     # (repartition first: per-row-CPU refine must not run on an AQE-coalesced
@@ -1024,24 +1030,15 @@ def line_clip_join(
     aggregation-order-independent, hence oracle-exact)."""
     from pyspark.sql import types as T
 
-    from ..functions import geometry as geo
-    from ..functions.overlay import clip_line_polygon
-    from ..sources import polygons_from_wkb
+    from ..functions.overlay import clip_qlen_batch
 
     cand = _line_poly_candidates(lines_df, polygons_df, res)
 
     @F.pandas_udf(T.LongType())
     def qclip(l_s: pd.Series, p_s: pd.Series) -> pd.Series:
-        out = []
-        for lb, pb_ in zip(l_s, p_s):
-            typ, (lvx, lvy) = geo.wkb_parse(bytes(lb))
-            if typ != "linestring":
-                raise ValueError(f"expected linestring, got {typ}")
-            (poly,) = polygons_from_wkb([(0, pb_)])
-            rings = [(poly["vx"], poly["vy"])] + list(poly.get("holes", []))
-            _, q = clip_line_polygon(lvx, lvy, rings)
-            out.append(q)
-        return pd.Series(out, dtype="int64")
+        # polygon-grouped flat-grid batch kernel (bit-identical to
+        # clip_line_polygon's qlen), not a per-pair Python loop
+        return pd.Series(clip_qlen_batch(l_s, p_s))
 
     out = cand.withColumn("qclip", qclip.asNondeterministic()(F.col("wkb_l"), F.col("wkb_p")))
     return out.filter(F.col("qclip") > 0).select("lkey", "pkey", "qclip")
@@ -1193,7 +1190,7 @@ def geometry_distance_join(
     Output: (akey, bkey, qdist) with qdist = floor(1e7 * distance), for
     pairs with qdist <= floor(1e7 * radius)."""
     from ..functions import geometry as geo
-    from ..functions.sqlmm import geom_distance
+    from ..functions.sqlmm import geom_distance_batch
 
     r = float(radius)
     # qdist <= floor(r*1e7) admits distances up to r + 1e-7; pad the
@@ -1239,11 +1236,10 @@ def geometry_distance_join(
 
     @F.pandas_udf("long")
     def qdist(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
-        return pd.Series([
-            int(np.floor(geom_distance(
-                geo.wkb_parse(bytes(x)), geo.wkb_parse(bytes(y))) * 1e7))
-            for x, y in zip(a_s, b_s)
-        ], dtype="int64")
+        # grouped-flat batch kernel, not a per-pair loop (bit-identical to
+        # the scalar geom_distance — min/any reductions are value-exact)
+        d = geom_distance_batch(a_s, b_s)
+        return pd.Series(np.floor(d * 1e7).astype(np.int64))
 
     out = cand.withColumn(
         "qdist", qdist.asNondeterministic()(F.col("wkb_a"), F.col("wkb_b")))
