@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .buckets import DEFAULT_MAX_BUCKET
+
 QUANT = 1e7
 
 
@@ -272,7 +274,7 @@ def near_dup_pairs_banded(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bands: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs: banded candidates -> exact quantized-cosine verify.
 

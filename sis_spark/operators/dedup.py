@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .buckets import DEFAULT_MAX_BUCKET
+
 
 def _parallelize_scan(docs: DataFrame) -> DataFrame:
     """Small parquet files scan as ONE split (single rowgroup), which would
@@ -159,7 +161,7 @@ def minhash_signatures(docs: DataFrame, n: int = 3,
 
 
 def lsh_candidates(sigs: DataFrame, id_col: str = "doc_id",
-                   max_bucket: int | None = None) -> DataFrame:
+                   max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Band-bucket candidates: pairs sharing at least one band (distinct).
 
     Single-pass formulation: bands come from ONE explode over the signature
@@ -169,9 +171,10 @@ def lsh_candidates(sigs: DataFrame, id_col: str = "doc_id",
     combinatorics (no self-join, so the signature subtree is evaluated
     exactly once).  ``max_bucket`` excludes degenerate buckets (e.g. every
     empty doc hashing identically) before any list materializes, with
-    logged drop accounting — see operators/buckets.cap_buckets; None (the
-    default here) preserves exact oracle semantics for callers that
-    need them."""
+    logged drop accounting — see operators/buckets.cap_buckets.  The cap is
+    ON by default (DEFAULT_MAX_BUCKET) — at corpus scale an uncapped
+    degenerate bucket is an O(b^2) task bomb; oracle gates pass None
+    explicitly to keep exact semantics (and skip the counting pass)."""
     from .buckets import cap_buckets
 
     n_bands = N_HASHES // BAND_SIZE
@@ -215,7 +218,7 @@ def lsh_candidates(sigs: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.25,
                       text_col: str = "text", id_col: str = "doc_id",
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """LSH candidates -> exact Jaccard verification >= threshold.
 
     Output (a, b, jaccard).
@@ -356,7 +359,7 @@ FROM bits GROUP BY 1"""
 
 
 def simhash_near_dups(sims: DataFrame, max_hamming: int = 8, id_col: str = "doc_id",
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Near-dup pairs by Hamming distance: 15-bit band buckets (4 bands) then
     exact popcount filter — any pair within Hamming<=3 shares a band; larger
     radii are still caught when any band matches (standard LSH recall).

