@@ -628,3 +628,134 @@ __p AS (
                {_fl(p.a)} * {_fl(p.F)} * pow({t}, {_fl(p.n)}) AS __rho,
                {_fl(p.n)} * radians({lon_col} - ({_fl(p.lon0)})) AS __th
         FROM {rel}) __q)"""
+
+
+# ------------------------------------- grid-interpolation datum shift (r4)
+#
+# The reference's high-accuracy tier interpolates per-point offsets from a
+# shift grid (R/referencing/operation/transform/DatumShiftGrid.java:
+# interpolateAt -> interpolateInCell bilinear over grid coordinates;
+# loaded from NTv2 .gsb / OSTN15 files by DatumShiftGridFile).  This class
+# is that machinery: a regular lon/lat grid of (dlon, dlat) arcsecond
+# offsets, bilinear interpolation, iterative inverse — with a
+# deterministic synthetic grid standing in for the real files (which are
+# licensed data, not shipped; plugging an NTv2 parse into ``slon/slat``
+# is sources/ntv2.py).
+
+class ShiftGrid:
+    """Regular shift grid: origin (lon0, lat0) = SW node, spacing
+    (dlon, dlat) degrees, node arrays ``slon/slat`` of shape (ny, nx) in
+    POSITIVE-EAST arcseconds.  ``to_wgs84`` adds the interpolated shift
+    (source datum -> WGS84, the NTv2 forward convention); ``from_wgs84``
+    inverts by fixed-point iteration (the DatumShiftGrid.inverse loop,
+    4 rounds — sub-mm for real-world shift magnitudes)."""
+
+    def __init__(self, lon0: float, lat0: float, dlon: float, dlat: float,
+                 slon: np.ndarray, slat: np.ndarray):
+        self.lon0, self.lat0 = float(lon0), float(lat0)
+        self.dlon, self.dlat = float(dlon), float(dlat)
+        self.slon = np.asarray(slon, np.float64)
+        self.slat = np.asarray(slat, np.float64)
+        if self.slon.shape != self.slat.shape or self.slon.ndim != 2:
+            raise ValueError("slon/slat must be equal-shape 2-D arrays")
+        self.ny, self.nx = self.slon.shape
+
+    def interpolate(self, lon, lat):
+        """Bilinear (slon, slat) arcseconds at each point; outside the grid
+        the edge cell extrapolates via clamping (DatumShiftGridFile's
+        nearest-cell fallback)."""
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        gx = (lon - self.lon0) / self.dlon
+        gy = (lat - self.lat0) / self.dlat
+        ix = np.clip(np.floor(gx), 0, self.nx - 2).astype(np.int64)
+        iy = np.clip(np.floor(gy), 0, self.ny - 2).astype(np.int64)
+        fx = gx - ix
+        fy = gy - iy
+        out = []
+        for g in (self.slon, self.slat):
+            s00 = g[iy, ix]
+            s10 = g[iy, ix + 1]
+            s01 = g[iy + 1, ix]
+            s11 = g[iy + 1, ix + 1]
+            # the exact expression order the SQL oracle replays
+            out.append((s00 * (1.0 - fx) + s10 * fx) * (1.0 - fy)
+                       + (s01 * (1.0 - fx) + s11 * fx) * fy)
+        return out[0], out[1]
+
+    def to_wgs84(self, lon, lat):
+        sx, sy = self.interpolate(lon, lat)
+        return (np.asarray(lon, np.float64) + sx / 3600.0,
+                np.asarray(lat, np.float64) + sy / 3600.0)
+
+    def from_wgs84(self, lon, lat, iterations: int = 4):
+        """Fixed-point inverse: x <- target - shift(x), seeded at the
+        target (shift fields are smooth and tiny relative to cell size, so
+        the iteration contracts; DatumShiftGrid.java's inverse loop)."""
+        tlon = np.asarray(lon, np.float64)
+        tlat = np.asarray(lat, np.float64)
+        clon, clat = tlon.copy(), tlat.copy()
+        for _ in range(iterations):
+            sx, sy = self.interpolate(clon, clat)
+            clon = tlon - sx / 3600.0
+            clat = tlat - sy / 3600.0
+        return clon, clat
+
+    # -- deterministic synthetic grid (tests + oracle) ------------------
+
+    @classmethod
+    def synthetic(cls, lon0=-8.0, lat0=48.0, dlon=0.5, dlat=0.5,
+                  nx=33, ny=25):
+        """The gate's deterministic grid: node values from an integer
+        formula with dyadic magnitudes (exact in float32 AND float64, so
+        the NTv2 round-trip and the SQL oracle are both bit-exact):
+
+            slon(ix, iy) = ((7*ix + 11*iy) % 13) * 0.25 - 1.5
+            slat(ix, iy) = ((5*ix +  3*iy) % 11) * 0.25 - 1.25
+        """
+        ix = np.arange(nx, dtype=np.int64)[None, :]
+        iy = np.arange(ny, dtype=np.int64)[:, None]
+        slon = ((7 * ix + 11 * iy) % 13) * 0.25 - 1.5
+        slat = ((5 * ix + 3 * iy) % 11) * 0.25 - 1.25
+        return cls(lon0, lat0, dlon, dlat,
+                   np.broadcast_to(slon, (ny, nx)).copy(),
+                   np.broadcast_to(slat, (ny, nx)).copy())
+
+
+def shift_grid_sql(g: ShiftGrid, rel: str) -> str:
+    """CTE: WGS-datum (event_id, lon, lat) in ``rel`` -> (event_id, dlon,
+    dlat) shifted TO WGS84 by the SYNTHETIC grid formula — replays
+    ShiftGrid.synthetic's node formula and the bilinear expression order
+    term for term (the oracle cannot read numpy arrays, so only the
+    formula-defined grid is SQL-replayable; data-backed grids gate through
+    pytest round-trips instead)."""
+    return f"""
+__gx AS (
+  SELECT event_id, lon, lat,
+         (lon - ({_fl(g.lon0)})) / {_fl(g.dlon)} AS gx,
+         (lat - ({_fl(g.lat0)})) / {_fl(g.dlat)} AS gy
+  FROM {rel}),
+__gc AS (
+  SELECT event_id, lon, lat, gx, gy,
+         CAST(least(greatest(floor(gx), 0), {g.nx - 2}) AS BIGINT) AS ix,
+         CAST(least(greatest(floor(gy), 0), {g.ny - 2}) AS BIGINT) AS iy
+  FROM __gx),
+__gf AS (
+  SELECT event_id, lon, lat, ix, iy,
+         gx - ix AS fx, gy - iy AS fy,
+         ((7 * ix + 11 * iy) % 13) * 0.25e0 - 1.5e0 AS s00x,
+         ((7 * (ix + 1) + 11 * iy) % 13) * 0.25e0 - 1.5e0 AS s10x,
+         ((7 * ix + 11 * (iy + 1)) % 13) * 0.25e0 - 1.5e0 AS s01x,
+         ((7 * (ix + 1) + 11 * (iy + 1)) % 13) * 0.25e0 - 1.5e0 AS s11x,
+         ((5 * ix + 3 * iy) % 11) * 0.25e0 - 1.25e0 AS s00y,
+         ((5 * (ix + 1) + 3 * iy) % 11) * 0.25e0 - 1.25e0 AS s10y,
+         ((5 * ix + 3 * (iy + 1)) % 11) * 0.25e0 - 1.25e0 AS s01y,
+         ((5 * (ix + 1) + 3 * (iy + 1)) % 11) * 0.25e0 - 1.25e0 AS s11y
+  FROM __gc),
+__d AS (
+  SELECT event_id,
+         lon + ((s00x * (1.0e0 - fx) + s10x * fx) * (1.0e0 - fy)
+              + (s01x * (1.0e0 - fx) + s11x * fx) * fy) / 3600.0e0 AS dlon,
+         lat + ((s00y * (1.0e0 - fx) + s10y * fx) * (1.0e0 - fy)
+              + (s01y * (1.0e0 - fx) + s11y * fx) * fy) / 3600.0e0 AS dlat
+  FROM __gf)"""

@@ -632,6 +632,14 @@ class _TM:
 def _crs(code):
     if not isinstance(code, str):
         return code  # already a projection object (e.g. parsed from WKT)
+    if "[" in code:
+        # WKT text (CRS.java:371 fromWKT): build the datum+projection
+        # pipeline from the definition itself — the no-database route for
+        # EPSG long-tail codes.  A known AUTHORITY/ID inside the text still
+        # wins (the reference's EPSG-first resolution).
+        from .wkt_crs import crs_from_wkt
+
+        return crs_from_wkt(code)
     code = code.upper()
     if code in CRS_REGISTRY:
         return CRS_REGISTRY[code]

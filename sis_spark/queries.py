@@ -740,6 +740,90 @@ def q_belgian_transform_oracle():
     return _datum_oracle("EPSG:31370", _D.lcc_forward_sql, 0.0, 9.0, 47.0, 54.0)
 
 
+def q_ntv2_shift(spark, sf_dir):
+    """Grid-interpolation datum shift — the DatumShiftGrid.java machinery
+    (R/referencing/operation/transform/DatumShiftGrid.java interpolateAt /
+    interpolateInCell): events inside the synthetic grid's interior are
+    shifted to WGS84 by bilinear interpolation of per-node arcsecond
+    offsets in one Arrow stage.  The grid ROUND-TRIPS through real NTv2
+    .gsb bytes (sources/ntv2.py) before use, so the gate drives the exact
+    slot a licensed OSTN15/NTv2 file would fill; node values are dyadic so
+    the float32 file precision is lossless."""
+    from pyspark.sql import types as T
+
+    from .functions.datums import ShiftGrid
+    from .sources.ntv2 import format_ntv2, read_ntv2
+
+    g = read_ntv2(format_ntv2(ShiftGrid.synthetic()))
+    pts = _events_points(spark, sf_dir).filter(
+        (F.col("lon") >= -7.5) & (F.col("lon") <= 7.5)
+        & (F.col("lat") >= 48.5) & (F.col("lat") <= 59.5)
+    )
+
+    schema = T.StructType([T.StructField("x", T.DoubleType()),
+                           T.StructField("y", T.DoubleType())])
+
+    @F.pandas_udf(schema)
+    def shift(lon_s: pd.Series, lat_s: pd.Series) -> pd.DataFrame:
+        ox, oy = g.to_wgs84(lon_s.to_numpy(), lat_s.to_numpy())
+        return pd.DataFrame({"x": ox, "y": oy})
+
+    p = shift(F.col("lon"), F.col("lat"))
+    return pts.select(
+        "event_id",
+        F.floor(p["x"] * F.lit(1.0e7) - F.lit(0.123456789)).cast("long").alias("qlon"),
+        F.floor(p["y"] * F.lit(1.0e7) - F.lit(0.123456789)).cast("long").alias("qlat"),
+    )
+
+
+def q_ntv2_shift_oracle():
+    from .functions import datums as _D
+
+    g = _D.ShiftGrid.synthetic()
+    win = (f"(SELECT event_id, lon, lat FROM ({_points_sql()}) __pt "
+           f"WHERE lon >= {synth.flit(-7.5)} AND lon <= {synth.flit(7.5)} "
+           f"AND lat >= {synth.flit(48.5)} AND lat <= {synth.flit(59.5)})")
+    return f"""
+WITH __w AS {win},{_D.shift_grid_sql(g, "__w")}
+SELECT event_id,
+  CAST(floor(dlon * 1.0e7 - 0.123456789) AS BIGINT) AS qlon,
+  CAST(floor(dlat * 1.0e7 - 0.123456789) AS BIGINT) AS qlat
+FROM __d ORDER BY event_id"""
+
+
+#: A registry-absent CRS defined purely in WKT — the EPSG:27700 parameter
+#: values with NO AUTHORITY node, so only the WKT route can resolve it.
+WKT_CUSTOM_OSGB = """PROJCS["Custom OSGB-like",
+  GEOGCS["Custom geographic",
+    DATUM["custom",
+      SPHEROID["Airy 1830", 6377563.396, 299.3249646],
+      TOWGS84[446.448, -125.157, 542.06, 0.1502, 0.247, 0.8421, -20.4894]],
+    PRIMEM["Greenwich", 0],
+    UNIT["degree", 0.0174532925199433]],
+  PROJECTION["Transverse_Mercator"],
+  PARAMETER["latitude_of_origin", 49],
+  PARAMETER["central_meridian", -2],
+  PARAMETER["scale_factor", 0.9996012717],
+  PARAMETER["false_easting", 400000],
+  PARAMETER["false_northing", -100000],
+  UNIT["metre", 1]]"""
+
+
+def q_wkt_custom_crs(spark, sf_dir):
+    """WKT-driven custom-CRS routing (CRS.java:371 ``fromWKT`` — the
+    no-database answer to EPSG long-tail codes): st_transform_any accepts
+    raw WKT text; this definition carries NO AUTHORITY/ID node, so it
+    cannot resolve through the registry — the datum+projection pipeline
+    (Airy TM behind the OSGB Helmert) is built purely from the WKT
+    parameters and must match the EPSG:27700 registry result bit-for-bit
+    (identical public parameter values)."""
+    return _datum_gate(spark, sf_dir, WKT_CUSTOM_OSGB, -7.5, 1.8, 49.9, 60.8)
+
+
+def q_wkt_custom_crs_oracle():
+    return q_osgb_transform_oracle()
+
+
 GEOM_DIST_JOIN_RADIUS = 8.0
 
 
@@ -15541,6 +15625,8 @@ QUERIES = {
     "rdnew_transform": (q_rdnew_transform, q_rdnew_transform_oracle),
     "swiss_transform": (q_swiss_transform, q_swiss_transform_oracle),
     "belgian_transform": (q_belgian_transform, q_belgian_transform_oracle),
+    "ntv2_shift": (q_ntv2_shift, q_ntv2_shift_oracle),
+    "wkt_custom_crs": (q_wkt_custom_crs, q_wkt_custom_crs_oracle),
     "geom_distance": (q_geom_distance, q_geom_distance_oracle),
     "geom_distance_join": (q_geom_distance_join, q_geom_distance_join_oracle),
     "st_buffer": (q_st_buffer, q_st_buffer_oracle),
