@@ -289,10 +289,13 @@ def near_dup_pairs_banded(
         .withColumn("nn", qnorm_col(F.col("qv")))
     )
     nparts = max(vectors.sparkSession.sparkContext.defaultParallelism, 8)
-    q = q.repartition(nparts, "id").persist()
+    # eager localCheckpoint, not persist: q feeds the band keys AND both
+    # verify joins, and checkpoint blocks are GC-reclaimed instead of
+    # pinned in the CacheManager for the session (the dedup r4 fix)
+    q = q.repartition(nparts, "id").localCheckpoint()
     bands = _band_keys_df(q, n_bands)
     if max_bucket is not None:
-        # q is persisted, so the counting pass re-derives band keys only
+        # q is checkpointed, so the counting pass re-derives band keys only
         from .buckets import cap_buckets
         bands = cap_buckets(bands, ["band", "bkey"], max_bucket, "near_dup_pairs_banded")
     buckets = (
