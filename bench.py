@@ -248,10 +248,24 @@ def scaling_main():
     # the box's linear region so the ratio measures the ENGINE's scaling
     # (0.920 measured); override with SIS_BENCH_LEVELS for other pairs.
     levels = [int(x) for x in os.environ.get("SIS_BENCH_LEVELS", "2,8").split(",")]
+    # r4: PIN each phase to exactly N host cores with taskset.  local[N]
+    # alone does NOT model an N-core cluster: pyspark daemon workers run
+    # OUTSIDE the N executor threads, so a local[2] phase was measured
+    # consuming ~3.1 host cores while local[8] consumed ~10.6 (stage probe,
+    # BENCH/BASELINE.md r4) — the small phase overflows and the ratio
+    # understates the engine.  A cpuset of N cores is the faithful
+    # sandbox stand-in for the north rule's "cluster at N executors":
+    # JVM threads AND Python workers must share the budget, exactly as
+    # executor cgroups confine them on a real cluster.
     results = {}
+    use_taskset = os.path.exists("/usr/bin/taskset") and \
+        os.environ.get("SIS_BENCH_PIN", "1") == "1"
     for cpus in levels:
+        argv = [sys.executable, __file__, "--flagship-only", str(cpus)]
+        if use_taskset:
+            argv = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + argv
         out = subprocess.run(
-            [sys.executable, __file__, "--flagship-only", str(cpus)],
+            argv,
             capture_output=True, text=True, check=True,
             env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
         )

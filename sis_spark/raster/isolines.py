@@ -326,7 +326,7 @@ def assemble_polylines(
         F.col("sb").alias("nsid"), (F.lit(1) - F.col("eb")).alias("ne"),
     )
     state = (
-        seg.select("sid").join(
+        seg.select("sid").crossJoin(
             spark.range(2).select(F.col("id").cast("int").alias("e")))
         .join(succ, ["sid", "e"], "left")
         .select(
