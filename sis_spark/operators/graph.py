@@ -51,13 +51,15 @@ def connected_components(
         .distinct()
         .persist()
     )
+    from .iterate import loop_truncate
+
     comp = (
         und.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint()
     )
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
         # propagate: min component label over the neighborhood
         nbr = (
             und.join(comp, und.v == comp.node)
@@ -80,8 +82,10 @@ def connected_components(
                 "node",
                 F.least(F.col("comp"), F.coalesce("ccomp", "comp")).alias("comp"),
             )
-            .localCheckpoint()
         )
+        # periodic parquet bounce: join-bearing localCheckpoint chains hit
+        # an exponential execution cliff at ~18 links (operators/iterate.py)
+        nxt = loop_truncate(nxt, _round, "cc")
         changed = (
             nxt.join(comp.withColumnRenamed("comp", "old"), "node")
             .filter(F.col("comp") != F.col("old"))

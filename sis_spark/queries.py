@@ -13,6 +13,7 @@ lat=0 -> Mercator y ~ -7e-10 vs 0.0 across libms) cannot straddle a boundary.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 

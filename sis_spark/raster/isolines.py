@@ -226,7 +226,6 @@ def stitch_polylines(segments: np.ndarray, tol: float = 1e-9) -> list[np.ndarray
 def assemble_polylines(
     segments_df: DataFrame,
     tol: float = 1e-9,
-    max_rounds: int = 40,
 ) -> DataFrame:
     """DISTRIBUTED polyline assembly over contour SEGMENT rows — the
     polyline output shape of the reference's isoline Joiner
@@ -236,13 +235,18 @@ def assemble_polylines(
     Plan: endpoints quantize to a tolerance grid (the stitch key);
     degree-2 nodes pair their two incident segment-ends into a successor
     function over DIRECTED half-segments (exit endpoint -> neighbor's far
-    endpoint); pointer DOUBLING over that function (the graph.py
-    pointer-jumping discipline) reaches every walk's terminal in
-    O(log path-length) rounds, one localCheckpoint per round and a single
-    loop-control scalar; pure cycles are first cut at a deterministic
-    edge (min-sid segment to its max-sid neighbor).  A segment's rank =
-    its doubling distance to the component's head terminal (min (sid,
-    endpoint)), and its head-facing endpoint is the exit endpoint of the
+    endpoint).  Pointer DOUBLING over that function (the graph.py
+    pointer-jumping discipline) runs ceil(log2(n))+1 rounds, carrying a
+    min-sid accumulator: after the pass every walk knows its terminal,
+    its distance, and the min sid over everything it can reach — so the
+    COMPONENT label is min(both directions) with no separate
+    connected-components pass (generic min-label CC needs far more
+    rounds on long shuffled paths than doubling does).  Pure cycles
+    (neither direction saturates) are then cut at a deterministic edge
+    (component-min segment to its max-sid neighbor) and a second
+    doubling pass computes ranks on the cut graph.  A segment's rank =
+    its distance to the component's head terminal (min (sid, endpoint)),
+    and its head-facing endpoint is the exit endpoint of the
     head-reaching direction — rank + orientation emit ordered vertices
     with no further shuffle.
 
@@ -253,7 +257,9 @@ def assemble_polylines(
 
     Output: (level, line_id, seq, x, y) — line_id = min segment id in the
     polyline, seq = 0..n vertex order."""
-    from ..operators.graph import connected_components
+    import math
+
+    from ..operators.iterate import loop_truncate
 
     spark = segments_df.sparkSession
 
@@ -264,6 +270,12 @@ def assemble_polylines(
         )
         .localCheckpoint()  # pin sids (monotonic ids are plan-dependent)
     )
+    n_seg = seg.count()
+    if n_seg == 0:
+        return spark.createDataFrame(
+            [], "level double, line_id long, seq long, x double, y double")
+    rounds = max(1, int(math.ceil(math.log2(max(2, n_seg)))) + 1)
+
     inv = 1.0 / tol
     ends = seg.select(
         "level", "sid", F.lit(0).alias("e"),
@@ -293,77 +305,88 @@ def assemble_polylines(
                     F.col("sa").alias("sb"), F.col("ea").alias("eb"))
     ).localCheckpoint()
 
-    # components over segments (self-loops keep isolated segments)
-    comp = connected_components(
-        pairs.select(F.col("sa").alias("a"), F.col("sb").alias("b"))
-        .unionByName(seg.select(F.col("sid").alias("a"),
-                                F.col("sid").alias("b"))),
-        max_rounds=max_rounds,
-    ).withColumnRenamed("node", "sid")
+    def succ_of(p):
+        # successor over directed half-segments: exiting sid via endpoint
+        # ea continues into sb, exiting via sb's OTHER endpoint
+        return p.select(
+            F.col("sa").alias("sid"), F.col("ea").alias("e"),
+            F.col("sb").alias("nsid"), (F.lit(1) - F.col("eb")).alias("ne"),
+        )
 
-    # cut pure cycles: comps with no open end lose the (min-sid ->
-    # max-neighbor) link, making that pair the path's two terminals
-    open_ends = (
-        ends.join(pairs.select(F.col("sa").alias("sid"),
-                               F.col("ea").alias("e")).distinct(),
-                  ["sid", "e"], "left_anti")
-        .join(comp, "sid").select("comp").distinct()
-    )
-    cyc = comp.join(open_ends, "comp", "left_anti")   # comps that are cycles
-    cmin = cyc.groupBy("comp").agg(F.min("sid").alias("msid"))
-    cut = (
-        pairs.join(cmin.select(F.col("msid").alias("sa")), "sa")
-        .groupBy("sa").agg(F.max("sb").alias("sb_cut"))
-    )
-    cut_both = cut.select("sa", F.col("sb_cut").alias("sb")).unionByName(
-        cut.select(F.col("sb_cut").alias("sa"), F.col("sa").alias("sb")))
-    pairs = pairs.join(cut_both, ["sa", "sb"], "left_anti")
-
-    # successor over directed half-segments: exiting sid via endpoint ea
-    # continues into sb, exiting via sb's OTHER endpoint
-    succ = pairs.select(
-        F.col("sa").alias("sid"), F.col("ea").alias("e"),
-        F.col("sb").alias("nsid"), (F.lit(1) - F.col("eb")).alias("ne"),
-    )
-    state = (
-        seg.select("sid").crossJoin(
-            spark.range(2).select(F.col("id").cast("int").alias("e")))
-        .join(succ, ["sid", "e"], "left")
-        .select(
+    def doubling(succ, tag, with_min):
+        """State per directed half-segment after full doubling:
+        (sid, e, tsid, te, dist, fin[, m]) — the reached state, distance,
+        saturation flag, and (with_min) the min sid seen on the walk."""
+        cols = [
             "sid", "e",
             F.coalesce("nsid", "sid").alias("tsid"),
             F.coalesce("ne", "e").alias("te"),
             F.when(F.col("nsid").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("dist"),
             F.col("nsid").isNull().alias("fin"),
-        )
-        .localCheckpoint()
-    )
-    for _ in range(max_rounds):
-        if state.filter(~F.col("fin")).count() == 0:  # loop-control scalar
-            break
-        t = state.select(
-            F.col("sid").alias("jsid"), F.col("e").alias("je"),
-            F.col("tsid").alias("t2sid"), F.col("te").alias("t2e"),
-            F.col("dist").alias("d2"), F.col("fin").alias("f2"),
-        )
+        ]
+        if with_min:
+            cols.append(F.least(F.col("sid"), F.coalesce("nsid", "sid")).alias("m"))
         state = (
-            state.join(t, (F.col("tsid") == F.col("jsid"))
-                       & (F.col("te") == F.col("je")), "left")
-            .select(
+            seg.select("sid").crossJoin(
+                spark.range(2).select(F.col("id").cast("int").alias("e")))
+            .join(succ, ["sid", "e"], "left")
+            .select(*cols)
+            .localCheckpoint()
+        )
+        for r in range(rounds):
+            tcols = [
+                F.col("sid").alias("jsid"), F.col("e").alias("je"),
+                F.col("tsid").alias("t2sid"), F.col("te").alias("t2e"),
+                F.col("dist").alias("d2"), F.col("fin").alias("f2"),
+            ]
+            if with_min:
+                tcols.append(F.col("m").alias("m2"))
+            t = state.select(*tcols)
+            ncols = [
                 "sid", "e",
                 F.when(F.col("fin"), F.col("tsid")).otherwise(F.col("t2sid")).alias("tsid"),
                 F.when(F.col("fin"), F.col("te")).otherwise(F.col("t2e")).alias("te"),
                 F.when(F.col("fin"), F.col("dist"))
                  .otherwise(F.col("dist") + F.col("d2")).alias("dist"),
                 (F.col("fin") | F.col("f2")).alias("fin"),
+            ]
+            if with_min:
+                # even a finished walk keeps folding m: harmless (idempotent)
+                ncols.append(F.least(F.col("m"), F.col("m2")).alias("m"))
+            state = (
+                state.join(t, (F.col("tsid") == F.col("jsid"))
+                           & (F.col("te") == F.col("je")), "left")
+                .select(*ncols)
             )
-            .localCheckpoint()
-        )
+            state = loop_truncate(state, r, tag)
+        return state
+
+    # pass A: components + cycle detection in one doubling (min-compose)
+    stA = doubling(succ_of(pairs), "isoasm_a", with_min=True)
+    comp = stA.groupBy("sid").agg(
+        F.min("m").alias("comp"), F.min(F.col("fin").cast("int")).alias("minfin"))
+    # a cycle member saturates in NEITHER direction; rounds cover
+    # 2^rounds >= n_seg steps, so non-saturation after the pass IS a cycle
+    cyc_min = (
+        comp.filter(F.col("minfin") == 0)
+        .groupBy("comp").agg(F.min("sid"))  # == comp by construction
+        .select(F.col("comp").alias("msid"))
+    )
+    cut = (
+        pairs.join(cyc_min.withColumnRenamed("msid", "sa"), "sa")
+        .groupBy("sa").agg(F.max("sb").alias("sb_cut"))
+    )
+    cut_both = cut.select("sa", F.col("sb_cut").alias("sb")).unionByName(
+        cut.select(F.col("sb_cut").alias("sa"), F.col("sa").alias("sb")))
+    pairs_cut = pairs.join(cut_both, ["sa", "sb"], "left_anti").localCheckpoint()
+
+    # pass B: ranks on the cut graph (every component is now a path)
+    stB = doubling(succ_of(pairs_cut), "isoasm_b", with_min=False)
 
     # head terminal per component = min (tsid, te); a segment's rank = the
     # distance of its head-reaching direction, its head-facing endpoint =
     # that direction's exit endpoint
-    st = state.join(comp, "sid")
+    st = stB.join(comp.select("sid", "comp"), "sid")
     heads = st.groupBy("comp").agg(
         F.min(F.struct(F.col("tsid"), F.col("te"))).alias("h"))
     ranked = (

@@ -202,8 +202,11 @@ def test_distributed_assembly_equals_driver_stitch(spark):
     arr = _field(h, w)
     gg = GridGeometry((0, 0, w - 1, h - 1), (0.5, 0.0, 3.0, 0.0, -0.5, 70.0), "EPSG:4326")
     tiles = rt.raster_to_tiles(spark, arr[:, :, None], gg, tile_size=64)
-    levels = [63.5, 200.0]
-    segs_df = iso.isolines(tiles, gg, levels, tile_size=64)
+    # levels must avoid the integer sample values: v == level puts contour
+    # vertices exactly on pixel centers shared by 4 cells (degree-4 nodes,
+    # where assembly breaks by documented contract)
+    levels = [63.5, 200.25]
+    segs_df = iso.isolines(tiles, gg, levels, tile_size=64).localCheckpoint()
 
     rows = segs_df.collect()
     want = []
