@@ -783,8 +783,11 @@ def line_line_intersection_points(avx, avy, bvx, bvy):
         t = ((b0x - a0x) * bdy - (b0y - a0y) * bdx) / denom
         u = ((b0x - a0x) * ady - (b0y - a0y) * adx) / denom
     ok = np.isfinite(t) & (t > 0.0) & (t < 1.0) & (u > 0.0) & (u < 1.0)
-    px = (a0x + adx * t)[ok]
-    py = (a0y + ady * t)[ok]
+    # mask t before the multiply: inf/nan entries would raise RuntimeWarning
+    # in the product even though ok excludes them from the result
+    tm = np.where(ok, t, 0.0)
+    px = (a0x + adx * tm)[ok]
+    py = (a0y + ady * tm)[ok]
     if len(px) == 0:
         return px, py
     uniq = np.unique(np.stack([px, py], axis=1), axis=0)

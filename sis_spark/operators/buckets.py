@@ -16,11 +16,22 @@ constant-key bucket usually means anyway).
 from __future__ import annotations
 
 import logging
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 log = logging.getLogger(__name__)
+
+#: Drop accounting for the most recent ``cap_buckets`` call per operator
+#: tag: ``{what: {"buckets": int, "members": int, "max_bucket": int}}``.
+#: Inspect after a default-capped run to see exactly what recall was given
+#: up (empty when nothing was dropped).
+LAST_DROP_STATS: dict[str, dict] = {}
+
+
+class BucketCapWarning(UserWarning):
+    """Raised (as a warning) when cap_buckets drops oversized buckets."""
 
 #: Default bucket-size cap for banded candidate generation.  At the default
 #: band widths a genuine near-dup cluster rarely exceeds a few hundred
@@ -48,13 +59,22 @@ def cap_buckets(bands: DataFrame, group_cols: list[str],
         F.sum("__n").alias("members"),
     ).first()
     if not info["buckets"]:
+        LAST_DROP_STATS.pop(what, None)
         return bands
-    log.warning(
-        "%s: dropping %d oversized bucket(s) (> %d members, %d member rows "
-        "total) from candidate generation — in-bucket pairs for these keys "
-        "are NOT emitted; route their members through an exact path instead",
-        what, info["buckets"], max_bucket, info["members"],
+    LAST_DROP_STATS[what] = {
+        "buckets": int(info["buckets"]),
+        "members": int(info["members"]),
+        "max_bucket": int(max_bucket),
+    }
+    msg = (
+        f"{what}: dropping {info['buckets']} oversized bucket(s) "
+        f"(> {max_bucket} members, {info['members']} member rows total) "
+        "from candidate generation — in-bucket pairs for these keys are "
+        "NOT emitted; route their members through an exact path instead, "
+        "or pass max_bucket=None (buckets.LAST_DROP_STATS has the counts)"
     )
+    log.warning(msg)
+    warnings.warn(msg, BucketCapWarning, stacklevel=3)
     return bands.join(
         F.broadcast(dropped.select(*group_cols)), group_cols, "left_anti"
     )

@@ -51,7 +51,7 @@ def connected_components(
         .distinct()
         .persist()
     )
-    from .iterate import loop_truncate
+    from .iterate import loop_truncate, new_loop_tag
 
     comp = (
         und.select(F.col("u").alias("node"))
@@ -59,6 +59,7 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint()
     )
+    _tag = new_loop_tag("cc")
     for _round in range(max_rounds):
         # propagate: min component label over the neighborhood
         nbr = (
@@ -85,7 +86,7 @@ def connected_components(
         )
         # periodic parquet bounce: join-bearing localCheckpoint chains hit
         # an exponential execution cliff at ~18 links (operators/iterate.py)
-        nxt = loop_truncate(nxt, _round, "cc")
+        nxt = loop_truncate(nxt, _round, _tag)
         changed = (
             nxt.join(comp.withColumnRenamed("comp", "old"), "node")
             .filter(F.col("comp") != F.col("old"))

@@ -259,7 +259,7 @@ def assemble_polylines(
     polyline, seq = 0..n vertex order."""
     import math
 
-    from ..operators.iterate import loop_truncate
+    from ..operators.iterate import loop_truncate, new_loop_tag
 
     spark = segments_df.sparkSession
 
@@ -317,6 +317,7 @@ def assemble_polylines(
         """State per directed half-segment after full doubling:
         (sid, e, tsid, te, dist, fin[, m]) — the reached state, distance,
         saturation flag, and (with_min) the min sid seen on the walk."""
+        tag = new_loop_tag(tag)
         cols = [
             "sid", "e",
             F.coalesce("nsid", "sid").alias("tsid"),
@@ -372,13 +373,25 @@ def assemble_polylines(
         .groupBy("comp").agg(F.min("sid"))  # == comp by construction
         .select(F.col("comp").alias("msid"))
     )
+    # cut exactly ONE undirected adjacency per cycle: the component-min
+    # segment's max-(sb, ea, eb) pairing.  The key includes the endpoints —
+    # a 2-segment closed loop is adjacent through BOTH endpoints, and a
+    # (sa, sb)-only key would remove both parallel adjacencies, splitting
+    # the loop into two 1-segment polylines (ADVICE r4).
     cut = (
         pairs.join(cyc_min.withColumnRenamed("msid", "sa"), "sa")
-        .groupBy("sa").agg(F.max("sb").alias("sb_cut"))
+        .groupBy("sa")
+        .agg(F.max(F.struct("sb", "ea", "eb")).alias("c"))
+        .select("sa", F.col("c.ea").alias("ea"),
+                F.col("c.sb").alias("sb"), F.col("c.eb").alias("eb"))
     )
-    cut_both = cut.select("sa", F.col("sb_cut").alias("sb")).unionByName(
-        cut.select(F.col("sb_cut").alias("sa"), F.col("sa").alias("sb")))
-    pairs_cut = pairs.join(cut_both, ["sa", "sb"], "left_anti").localCheckpoint()
+    cut_both = cut.unionByName(
+        cut.select(F.col("sb").alias("sa"), F.col("eb").alias("ea"),
+                   F.col("sa").alias("sb"), F.col("ea").alias("eb")))
+    pairs_cut = (
+        pairs.join(cut_both, ["sa", "ea", "sb", "eb"], "left_anti")
+        .localCheckpoint()
+    )
 
     # pass B: ranks on the cut graph (every component is now a path)
     stB = doubling(succ_of(pairs_cut), "isoasm_b", with_min=False)

@@ -403,9 +403,13 @@ def _parse_fill(fill_raw, dtype):
             val = body[4:4 + size]
         else:
             ver = body[0]
-            if ver in (1, 2):
-                defined = body[3]
-                if ver == 2 and not defined:
+            if ver == 1:
+                # v1 layout: version, alloc time, write time, Size(4), value —
+                # no "fill value defined" byte (that arrives in v2)
+                size = _u(body, 3, 4)
+                val = body[7:7 + size]
+            elif ver == 2:
+                if not body[3]:  # fill value defined flag
                     return None
                 size = _u(body, 4, 4)
                 val = body[8:8 + size]
