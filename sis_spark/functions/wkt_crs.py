@@ -127,6 +127,17 @@ _PARAM_SLOTS = {
     "northing at false origin": "fn",
     "scale factor": "k0",
     "scale factor at natural origin": "k0",
+    "scale factor on initial line": "k0",
+    "azimuth": "azimuth",
+    "azimuth at projection centre": "azimuth",
+    "azimuth of initial line": "azimuth",
+    "angle from rectified to skew grid": "gamma_c",
+    "rectified grid angle": "gamma_c",
+    "latitude of projection centre": "latc",
+    "longitude of projection centre": "lonc",
+    "easting at projection centre": "ec",
+    "northing at projection centre": "nc",
+    "pseudo standard parallel 1": "sp1",
 }
 
 
@@ -275,6 +286,37 @@ def crs_from_wkt(text: str, prefer_id: bool = True):
         kern = D.ObliqueStereographic(lat0, lon0, p.get("k0", 1.0), fe, fn,
                                       _ellipsoid_raw_of(root) or D.WGS84_E)
         return _wrap(kern)
+    if ("hotine oblique mercator" in method
+            or ("oblique mercator" in method and "swiss" not in method)):
+        from . import proj_tail as PT
+
+        variant_b = ("variant b" in method or "center" in method
+                     or "centre" in method or "ec" in p or "nc" in p)
+        latc = p.get("latc", lat0)
+        lonc = p.get("lonc", lon0)
+        az = p.get("azimuth", 0.0)
+        kern = PT.ObliqueMercator(
+            latc, lonc, az, p.get("gamma_c"), p.get("k0", 1.0),
+            p.get("ec", fe), p.get("nc", fn), ell, variant_b=variant_b)
+        return _wrap(kern)
+    if "equidistant cylindrical" in method or "equirectangular" in method:
+        from . import proj_tail as PT
+
+        return _wrap(PT.EquidistantCylindrical(
+            p.get("sp1", lat0), lon0, fe, fn, ell))
+    if "cylindrical equal area" in method:
+        from . import proj_tail as PT
+
+        return _wrap(PT.CylindricalEqualArea(
+            p.get("sp1", lat0), lon0, fe, fn, ell))
+    if "cassini" in method:
+        from . import proj_tail as PT
+
+        return _wrap(PT.CassiniSoldner(lat0, lon0, fe, fn, ell))
+    if "polyconic" in method:
+        from . import proj_tail as PT
+
+        return _wrap(PT.Polyconic(lat0, lon0, fe, fn, ell))
     if "swiss oblique mercator" in method:
         from . import datums as D
 
@@ -519,4 +561,51 @@ def to_wkt(code: str) -> str:
             ("False easting", 0.0),
             ("False northing", 0.0),
         ], WGS84)
+
+    from . import proj_tail as PT
+    if isinstance(crs, PT.EquidistantCylindrical):
+        return proj(code, "Equidistant Cylindrical", [
+            ("Latitude of 1st standard parallel", crs.lat1),
+            ("Longitude of natural origin", crs.lon0),
+            ("False easting", crs.fe),
+            ("False northing", crs.fn),
+        ], crs.ellipsoid)
+    if isinstance(crs, PT.CylindricalEqualArea):
+        return proj(code, "Lambert Cylindrical Equal Area", [
+            ("Latitude of 1st standard parallel", crs.lat_ts),
+            ("Longitude of natural origin", crs.lon0),
+            ("False easting", crs.fe),
+            ("False northing", crs.fn),
+        ], crs.ellipsoid)
+    if isinstance(crs, PT.CassiniSoldner):
+        return proj(code, "Cassini-Soldner", [
+            ("Latitude of natural origin", crs.lat0),
+            ("Longitude of natural origin", crs.lon0),
+            ("False easting", crs.fe),
+            ("False northing", crs.fn),
+        ], crs.ellipsoid)
+    if isinstance(crs, PT.Polyconic):
+        return proj(code, "American Polyconic", [
+            ("Latitude of natural origin", crs.lat0),
+            ("Longitude of natural origin", crs.lon0),
+            ("False easting", crs.fe),
+            ("False northing", crs.fn),
+        ], crs.ellipsoid)
+    if isinstance(crs, PT.ObliqueMercator):
+        method = ("Hotine Oblique Mercator (variant B)" if crs.variant_b
+                  else "Hotine Oblique Mercator (variant A)")
+        params = [
+            ("Latitude of projection centre", crs.latc),
+            ("Longitude of projection centre", crs.lonc),
+            ("Azimuth of initial line", crs.azimuth),
+            ("Angle from Rectified to Skew Grid", float(__import__("math").degrees(crs.gamma_c))),
+            ("Scale factor on initial line", crs.k0),
+        ]
+        if crs.variant_b:
+            params += [("Easting at projection centre", crs.fe),
+                       ("Northing at projection centre", crs.fn)]
+        else:
+            params += [("False easting", crs.fe),
+                       ("False northing", crs.fn)]
+        return proj(code, method, params, crs.ellipsoid)
     raise ValueError(f"no WKT writer for {type(crs).__name__}")

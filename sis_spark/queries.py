@@ -825,6 +825,126 @@ def q_wkt_custom_crs_oracle():
     return q_osgb_transform_oracle()
 
 
+# ---- Projection long tail (r5, functions/proj_tail.py): the five
+# families from VERDICT r4 missing #1, each gated through
+# st_transform_any against a term-exact DuckDB replay.  These CRSs are
+# datum-preserving (GRS80/WGS84-compatible or documented approximation),
+# so the oracle skips the Helmert CTE.
+
+def _proj_oracle(code, emit, lon_lo, lon_hi, lat_lo, lat_hi):
+    from .functions.projections import CRS_REGISTRY, _crs
+
+    crs = CRS_REGISTRY[code] if code in CRS_REGISTRY else _crs(code)
+    win = (f"(SELECT event_id, lon, lat FROM ({_points_sql()}) __pt "
+           f"WHERE lon >= {synth.flit(lon_lo)} AND lon <= {synth.flit(lon_hi)} "
+           f"AND lat >= {synth.flit(lat_lo)} AND lat <= {synth.flit(lat_hi)})")
+    return f"""
+WITH __w AS {win},
+__d AS (SELECT event_id, lon AS dlon, lat AS dlat FROM __w),{emit(crs, "__d")}
+SELECT event_id,
+  CAST(floor(px - 0.123456789) AS BIGINT) AS xl,
+  CAST(floor(py - 0.123456789) AS BIGINT) AS yl
+FROM __p ORDER BY event_id"""
+
+
+def q_eqc_transform(spark, sf_dir):
+    """WGS84 -> World Equidistant Cylindrical (EPSG:4087, method 1028):
+    the plate-carree family common in climate grids
+    (R/operation/projection/EquidistantCylindrical.java)."""
+    return _datum_gate(spark, sf_dir, "EPSG:4087", -179.0, 179.0, -80.0, 80.0)
+
+
+def q_eqc_transform_oracle():
+    from .functions import proj_tail as _PT
+
+    return _proj_oracle("EPSG:4087", _PT.eqc_forward_sql,
+                        -179.0, 179.0, -80.0, 80.0)
+
+
+def q_cea_transform(spark, sf_dir):
+    """WGS84 -> NSIDC EASE-Grid 2.0 Global (EPSG:6933): Lambert
+    Cylindrical Equal Area, method 9835, via the authalic latitude
+    (R/operation/projection/CylindricalEqualArea.java)."""
+    return _datum_gate(spark, sf_dir, "EPSG:6933", -179.0, 179.0, -80.0, 80.0)
+
+
+def q_cea_transform_oracle():
+    from .functions import proj_tail as _PT
+
+    return _proj_oracle("EPSG:6933", _PT.cea_forward_sql,
+                        -179.0, 179.0, -80.0, 80.0)
+
+
+def q_polyconic_transform(spark, sf_dir):
+    """WGS84 -> Brazil Polyconic (EPSG:5880, method 9818, GRS80
+    datum-preserving; R/operation/projection/Polyconic.java — forward
+    fixtures pinned to Snyder p.304 in pytest)."""
+    return _datum_gate(spark, sf_dir, "EPSG:5880", -74.0, -34.0, -34.0, 6.0)
+
+
+def q_polyconic_transform_oracle():
+    from .functions import proj_tail as _PT
+
+    return _proj_oracle("EPSG:5880", _PT.polyconic_forward_sql,
+                        -74.0, -34.0, -34.0, 6.0)
+
+
+def q_om_transform(spark, sf_dir):
+    """WGS84 -> GDM2000 Peninsular RSO (EPSG:3375): Hotine Oblique
+    Mercator variant A (method 9812), the general rotated-grid kernel
+    that subsumes the Swiss azimuth-90 special case
+    (R/operation/projection/ObliqueMercator.java)."""
+    return _datum_gate(spark, sf_dir, "EPSG:3375", 75.0, 130.0, -25.0, 30.0)
+
+
+def q_om_transform_oracle():
+    from .functions import proj_tail as _PT
+
+    return _proj_oracle("EPSG:3375", _PT.om_forward_sql,
+                        75.0, 130.0, -25.0, 30.0)
+
+
+#: Cassini-Soldner defined purely in WKT (the Trinidad 1903 parameters in
+#: Clarke's links, no AUTHORITY node): exercises both the 9806 kernel and
+#: the WKT method routing in one gate (datum-preserving, like EPSG:5070).
+WKT_CASSINI_TRINIDAD = """PROJCS["Trinidad-like Cassini",
+  GEOGCS["Custom geographic",
+    DATUM["custom", SPHEROID["Clarke 1858", 31706587.88, 294.2606764]],
+    PRIMEM["Greenwich", 0],
+    UNIT["degree", 0.0174532925199433]],
+  PROJECTION["Cassini_Soldner"],
+  PARAMETER["latitude_of_origin", 10.441666666666666],
+  PARAMETER["central_meridian", -61.33333333333334],
+  PARAMETER["false_easting", 430000],
+  PARAMETER["false_northing", 325000],
+  UNIT["link", 0.201166195164]]"""
+
+
+def q_cassini_transform(spark, sf_dir):
+    """WGS84 -> Trinidad-style Cassini-Soldner grid (EPSG method 9806,
+    R/operation/projection/CassiniSoldner.java; EPSG Guidance Note 7-2
+    §3.2.2 series, fixture pinned to the EPSG example in pytest)."""
+    return _datum_gate(spark, sf_dir, WKT_CASSINI_TRINIDAD,
+                       -91.0, -31.0, -30.0, 35.0)
+
+
+def q_cassini_transform_oracle():
+    from .functions import proj_tail as _PT
+    from .functions.wkt_crs import crs_from_wkt
+
+    crs = crs_from_wkt(WKT_CASSINI_TRINIDAD)
+    win = (f"(SELECT event_id, lon, lat FROM ({_points_sql()}) __pt "
+           f"WHERE lon >= {synth.flit(-91.0)} AND lon <= {synth.flit(-31.0)} "
+           f"AND lat >= {synth.flit(-30.0)} AND lat <= {synth.flit(35.0)})")
+    return f"""
+WITH __w AS {win},
+__d AS (SELECT event_id, lon AS dlon, lat AS dlat FROM __w),{_PT.cassini_forward_sql(crs, "__d")}
+SELECT event_id,
+  CAST(floor(px - 0.123456789) AS BIGINT) AS xl,
+  CAST(floor(py - 0.123456789) AS BIGINT) AS yl
+FROM __p ORDER BY event_id"""
+
+
 GEOM_DIST_JOIN_RADIUS = 8.0
 
 
@@ -15628,6 +15748,11 @@ QUERIES = {
     "belgian_transform": (q_belgian_transform, q_belgian_transform_oracle),
     "ntv2_shift": (q_ntv2_shift, q_ntv2_shift_oracle),
     "wkt_custom_crs": (q_wkt_custom_crs, q_wkt_custom_crs_oracle),
+    "eqc_transform": (q_eqc_transform, q_eqc_transform_oracle),
+    "cea_transform": (q_cea_transform, q_cea_transform_oracle),
+    "polyconic_transform": (q_polyconic_transform, q_polyconic_transform_oracle),
+    "om_transform": (q_om_transform, q_om_transform_oracle),
+    "cassini_transform": (q_cassini_transform, q_cassini_transform_oracle),
     "geom_distance": (q_geom_distance, q_geom_distance_oracle),
     "geom_distance_join": (q_geom_distance_join, q_geom_distance_join_oracle),
     "st_buffer": (q_st_buffer, q_st_buffer_oracle),

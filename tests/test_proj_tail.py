@@ -1,0 +1,212 @@
+"""Projection long tail (r5, functions/proj_tail.py): published-point
+fixtures in the reference's MapProjectionTestCase style
+(EquidistantCylindricalTest / CylindricalEqualAreaTest /
+CassiniSoldnerTest / PolyconicTest / ObliqueMercatorTest semantics),
+plus round-trips, registry routing, and WKT method routing."""
+
+import numpy as np
+
+from sis_spark.functions import proj_tail as PT
+from sis_spark.functions.projections import GRS80, WGS84, CRS_REGISTRY, transform_points
+
+CLARKE1866 = (6378206.4, (6378206.4 - 6356583.8) / 6378206.4)
+
+
+def test_equidistant_cylindrical_epsg_example():
+    # EPSG example (reference EquidistantCylindricalTest.java:67)
+    p = PT.EquidistantCylindrical(0.0, 0.0, 0.0, 0.0, WGS84)
+    x, y = p.forward(np.array([10.0]), np.array([55.0]))
+    assert abs(x[0] - 1113194.91) < 0.005
+    assert abs(y[0] - 6097230.31) < 0.005
+    lon, lat = p.inverse(x, y)
+    assert abs(lon[0] - 10.0) < 1e-7 and abs(lat[0] - 55.0) < 1e-7
+
+
+def test_equidistant_cylindrical_matches_karney_meridian_arc():
+    """Snyder's closed meridian-arc series vs the independent Karney
+    rectifying series (datums.TransverseMercator northing at lon0):
+    two derivations of M(phi) must agree to sub-mm."""
+    from sis_spark.functions.datums import TransverseMercator
+
+    tm = TransverseMercator(0.0, 0.0, 1.0, 0.0, 0.0, (6378137.0, 298.257223563))
+    lat = np.linspace(-85.0, 85.0, 41)
+    _, m_karney = tm.forward(np.zeros_like(lat), lat)
+    m_snyder = PT._mdist(np.radians(lat), 6378137.0,
+                         (2.0 - 1.0 / 298.257223563) / 298.257223563)
+    assert np.max(np.abs(m_karney - m_snyder)) < 1e-3
+
+
+def test_cylindrical_equal_area_proj_point():
+    # PROJ test point (reference CylindricalEqualAreaTest.java:66)
+    p = PT.CylindricalEqualArea(0.0, 0.0, 0.0, 0.0, WGS84)
+    x, y = p.forward(np.array([2.0, -2.0, 2.0, -2.0]),
+                     np.array([1.0, 1.0, -1.0, -1.0]))
+    assert np.allclose(x, [222638.98, -222638.98, 222638.98, -222638.98], atol=0.01)
+    assert np.allclose(y, [110568.81, 110568.81, -110568.81, -110568.81], atol=0.01)
+    lon, lat = p.inverse(x, y)
+    assert np.allclose(lon, [2, -2, 2, -2], atol=1e-9)
+    assert np.allclose(lat, [1, 1, -1, -1], atol=1e-9)
+
+
+def test_cylindrical_equal_area_is_equal_area():
+    """The defining property: the projected area of a lon/lat cell equals
+    its authalic-sphere area (constant cell area along a meridian strip)."""
+    p = PT.CylindricalEqualArea(30.0, 0.0, 0.0, 0.0, WGS84)
+    lats = np.linspace(-80, 80, 33)
+    # area of [lat, lat+d] x [0, 1deg] strip = dx * dy
+    d = 0.5
+    x0, y0 = p.forward(np.zeros_like(lats), lats)
+    x1, y1 = p.forward(np.full_like(lats, 1.0), lats + d)
+    cell = (x1 - x0) * (y1 - y0)
+    # exact authalic areas of the same strips
+    e, e2 = p.e, p.e2
+    q0 = PT._q_authalic(np.radians(lats), e, e2)
+    q1 = PT._q_authalic(np.radians(lats + d), e, e2)
+    a2 = p.a * p.a
+    want = a2 * (q1 - q0) / 2.0 * np.radians(1.0)
+    assert np.allclose(cell, want, rtol=1e-12)
+
+
+def test_cassini_soldner_epsg_example():
+    # EPSG Trinidad 1903 example (reference CassiniSoldnerTest.java:110)
+    a = 31706587.88
+    f = 1.0 - 20855233.0 / 20926348.0
+    p = PT.CassiniSoldner(10 + (26 + 30.0 / 60) / 60, -(61 + 20.0 / 60),
+                          430000.0, 325000.0, (a, f))
+    x, y = p.forward(np.array([-62.0]), np.array([10.0]))
+    assert abs(x[0] - 66644.94) < 0.005
+    assert abs(y[0] - 82536.22) < 0.005
+    lon, lat = p.inverse(x, y)
+    assert abs(lon[0] + 62.0) < 1e-8 and abs(lat[0] - 10.0) < 1e-8
+
+
+def test_polyconic_snyder_examples():
+    # Snyder p.304 values (reference PolyconicTest.java:103)
+    p = PT.Polyconic(30.0, -96.0, 0.0, 0.0, CLARKE1866)
+    x, y = p.forward(np.array([-75.0, -75.0]), np.array([40.0, 0.0]))
+    assert np.allclose(x, [1776774.54, 2337734.74], atol=0.01)
+    assert np.allclose(y, [1319657.78, -3319933.30], atol=0.01)
+    lon, lat = p.inverse(x, y)
+    assert np.allclose(lon, [-75.0, -75.0], atol=1e-8)
+    assert np.allclose(lat, [40.0, 0.0], atol=1e-8)
+
+
+def test_oblique_mercator_variant_b_epsg_example():
+    # EPSG Guidance Note 7-2 Timbalai 1948 / RSO Borneo example (9815)
+    a, f = 6377298.556, 1.0 / 300.8017
+    om = PT.ObliqueMercator(
+        4.0, 115.0,
+        53 + 18.0 / 60 + 56.9537 / 3600,      # azimuth of initial line
+        53 + 7.0 / 60 + 48.3685 / 3600,       # rectified-to-skew angle
+        0.99984, 590476.87, 442857.65, (a, f), variant_b=True)
+    lam = 115 + 48.0 / 60 + 19.8196 / 3600
+    phi = 5 + 23.0 / 60 + 14.1129 / 3600
+    x, y = om.forward(np.array([lam]), np.array([phi]))
+    assert abs(x[0] - 679245.73) < 0.01
+    assert abs(y[0] - 596562.78) < 0.01
+    lon, lat = om.inverse(x, y)
+    assert abs(lon[0] - lam) < 1e-9 and abs(lat[0] - phi) < 1e-9
+
+
+def test_oblique_mercator_variant_a_roundtrip_wide():
+    om = CRS_REGISTRY["EPSG:3375"]
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(75, 130, 5000)
+    lat = rng.uniform(-25, 30, 5000)
+    x, y = om.forward(lon, lat)
+    lo, la = om.inverse(x, y)
+    assert np.max(np.abs(lo - lon)) < 1e-9
+    assert np.max(np.abs(la - lat)) < 1e-7
+
+
+def test_registry_routing_all_tail_codes():
+    for code in ("EPSG:4087", "EPSG:6933", "EPSG:5880", "EPSG:3375"):
+        x, y = transform_points(
+            np.array([100.0 if code == "EPSG:3375" else -50.0]),
+            np.array([5.0 if code == "EPSG:3375" else -10.0]),
+            "EPSG:4326", code)
+        lon, lat = transform_points(x, y, code, "EPSG:4326")
+        assert abs(lon[0] - (100.0 if code == "EPSG:3375" else -50.0)) < 1e-7
+        assert abs(lat[0] - (5.0 if code == "EPSG:3375" else -10.0)) < 1e-7
+
+
+def test_wkt_routing_tail_methods():
+    from sis_spark.functions.wkt_crs import crs_from_wkt
+
+    cas = crs_from_wkt("""PROJCS["T", GEOGCS["G",
+      DATUM["d", SPHEROID["Clarke 1858", 31706587.88, 294.2606764]],
+      PRIMEM["Greenwich", 0], UNIT["degree", 0.0174532925199433]],
+      PROJECTION["Cassini_Soldner"],
+      PARAMETER["latitude_of_origin", 10.441666666666666],
+      PARAMETER["central_meridian", -61.33333333333334],
+      PARAMETER["false_easting", 430000],
+      PARAMETER["false_northing", 325000], UNIT["link", 0.201166195164]]""")
+    assert isinstance(cas, PT.CassiniSoldner)
+    x, y = cas.forward(np.array([-62.0]), np.array([10.0]))
+    assert abs(x[0] - 66644.94) < 0.01 and abs(y[0] - 82536.22) < 0.01
+
+    om = crs_from_wkt("""PROJCRS["RSO", BASEGEOGCRS["T48",
+      DATUM["Timbalai", ELLIPSOID["Everest", 6377298.556, 300.8017]]],
+      CONVERSION["c", METHOD["Hotine Oblique Mercator (variant B)"],
+      PARAMETER["Latitude of projection centre", 4],
+      PARAMETER["Longitude of projection centre", 115],
+      PARAMETER["Azimuth of initial line", 53.31582047222222],
+      PARAMETER["Angle from Rectified to Skew Grid", 53.13010236111111],
+      PARAMETER["Scale factor on initial line", 0.99984],
+      PARAMETER["Easting at projection centre", 590476.87],
+      PARAMETER["Northing at projection centre", 442857.65]]]""")
+    assert isinstance(om, PT.ObliqueMercator) and om.variant_b
+    x, y = om.forward(np.array([115.80550544444444]), np.array([5.387253583333334]))
+    assert abs(x[0] - 679245.73) < 0.01 and abs(y[0] - 596562.78) < 0.01
+
+    eqc = crs_from_wkt("""PROJCS["P", GEOGCS["W",
+      DATUM["wgs", SPHEROID["WGS 84", 6378137, 298.257223563]],
+      PRIMEM["Greenwich", 0], UNIT["degree", 0.0174532925199433]],
+      PROJECTION["Equirectangular"],
+      PARAMETER["latitude_of_origin", 0], PARAMETER["central_meridian", 0],
+      UNIT["metre", 1]]""")
+    assert isinstance(eqc, PT.EquidistantCylindrical)
+
+    cea = crs_from_wkt("""PROJCS["C", GEOGCS["W",
+      DATUM["wgs", SPHEROID["WGS 84", 6378137, 298.257223563]],
+      PRIMEM["Greenwich", 0], UNIT["degree", 0.0174532925199433]],
+      PROJECTION["Cylindrical_Equal_Area"],
+      PARAMETER["standard_parallel_1", 30], PARAMETER["central_meridian", 0],
+      UNIT["metre", 1]]""")
+    assert isinstance(cea, PT.CylindricalEqualArea)
+    assert cea.lat_ts == 30.0
+
+    pol = crs_from_wkt("""PROJCS["B", GEOGCS["W",
+      DATUM["wgs", SPHEROID["GRS 1980", 6378137, 298.257222101]],
+      PRIMEM["Greenwich", 0], UNIT["degree", 0.0174532925199433]],
+      PROJECTION["Polyconic"],
+      PARAMETER["latitude_of_origin", 0], PARAMETER["central_meridian", -54],
+      PARAMETER["false_easting", 5000000],
+      PARAMETER["false_northing", 10000000], UNIT["metre", 1]]""")
+    assert isinstance(pol, PT.Polyconic)
+
+
+def test_swiss_wkt_still_routes_to_swiss_kernel():
+    """The general Hotine route must NOT capture the Swiss method name
+    (the LV95 gates pin the swisstopo double-projection kernel)."""
+    from sis_spark.functions.datums import SwissObliqueMercator
+    from sis_spark.functions.wkt_crs import crs_from_wkt
+
+    sw = crs_from_wkt("""PROJCS["CH", GEOGCS["CH1903",
+      DATUM["ch", SPHEROID["Bessel 1841", 6377397.155, 299.1528128]],
+      PRIMEM["Greenwich", 0], UNIT["degree", 0.0174532925199433]],
+      PROJECTION["Swiss_Oblique_Mercator"],
+      PARAMETER["latitude_of_origin", 46.95240555555556],
+      PARAMETER["central_meridian", 7.439583333333333],
+      PARAMETER["false_easting", 2600000],
+      PARAMETER["false_northing", 1200000], UNIT["metre", 1]]""")
+    assert isinstance(sw, SwissObliqueMercator)
+
+
+def test_equidistant_cylindrical_spherical_degenerates():
+    """e = 0 -> method 1029: x = R lam cos(lat1), y = R phi exactly."""
+    R = 6371000.0
+    p = PT.EquidistantCylindrical(0.0, 0.0, 0.0, 0.0, (R, 0.0))
+    x, y = p.forward(np.array([90.0]), np.array([45.0]))
+    assert abs(x[0] - R * np.pi / 2.0) < 1e-6
+    assert abs(y[0] - R * np.pi / 4.0) < 1e-6
