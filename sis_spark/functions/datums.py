@@ -722,6 +722,97 @@ class ShiftGrid:
                    np.broadcast_to(slat, (ny, nx)).copy())
 
 
+class ShiftGridGroup:
+    """Parent/child NTv2 sub-grid hierarchy — the DatumShiftGridGroup
+    semantics (R/referencing/operation/transform/DatumShiftGridGroup.java:
+    interpolateInCell selects the sub-grid of smallest cell size whose
+    extent contains the point).  Selection rule here, SQL-replayable:
+
+    * candidate sub-grids are those whose [lon0, lon_max] x [lat0, lat_max]
+      extent contains the point (inclusive both edges);
+    * the DENSEST candidate (smallest dlat*dlon cell area) wins; ties
+      break on file order;
+    * a point outside every sub-grid clamps into the FIRST (base) grid —
+      the same edge-extrapolation a single grid applies.
+    """
+
+    def __init__(self, grids: list, names: list | None = None,
+                 parents: list | None = None):
+        if not grids:
+            raise ValueError("ShiftGridGroup needs at least one sub-grid")
+        self.grids = list(grids)
+        self.names = list(names) if names else [
+            f"SUB{i}" for i in range(len(grids))]
+        self.parents = list(parents) if parents else (
+            ["NONE"] + [self.names[0]] * (len(grids) - 1))
+        self._order = sorted(
+            range(len(self.grids)),
+            key=lambda i: (self.grids[i].dlat * self.grids[i].dlon, i))
+
+    def _extent(self, i: int):
+        g = self.grids[i]
+        return (g.lon0, g.lon0 + g.dlon * (g.nx - 1),
+                g.lat0, g.lat0 + g.dlat * (g.ny - 1))
+
+    def interpolate(self, lon, lat):
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        ox = np.zeros_like(lon)
+        oy = np.zeros_like(lat)
+        assigned = np.zeros(lon.shape, bool)
+        for i in self._order:
+            x0, x1, y0, y1 = self._extent(i)
+            m = (~assigned & (lon >= x0) & (lon <= x1)
+                 & (lat >= y0) & (lat <= y1))
+            if m.any():
+                sx, sy = self.grids[i].interpolate(lon[m], lat[m])
+                ox[m] = sx
+                oy[m] = sy
+                assigned |= m
+        if not assigned.all():
+            m = ~assigned
+            sx, sy = self.grids[0].interpolate(lon[m], lat[m])
+            ox[m] = sx
+            oy[m] = sy
+        return ox, oy
+
+    def to_wgs84(self, lon, lat):
+        sx, sy = self.interpolate(lon, lat)
+        return (np.asarray(lon, np.float64) + sx / 3600.0,
+                np.asarray(lat, np.float64) + sy / 3600.0)
+
+    def from_wgs84(self, lon, lat, iterations: int = 4):
+        tlon = np.asarray(lon, np.float64)
+        tlat = np.asarray(lat, np.float64)
+        clon, clat = tlon.copy(), tlat.copy()
+        for _ in range(iterations):
+            sx, sy = self.interpolate(clon, clat)
+            clon = tlon - sx / 3600.0
+            clat = tlat - sy / 3600.0
+        return clon, clat
+
+    @classmethod
+    def synthetic(cls):
+        """The multi-grid gate's deterministic hierarchy: the single-grid
+        synthetic parent plus an aligned 4x-denser child over
+        lon [-4, 2] x lat [52, 56] with its own dyadic node formula:
+
+            slon(ix, iy) = ((3*ix + 5*iy) % 9) * 0.125 - 0.5
+            slat(ix, iy) = ((2*ix + 7*iy) % 7) * 0.125 - 0.375
+        """
+        parent = ShiftGrid.synthetic()
+        nx, ny = 49, 33
+        ix = np.arange(nx, dtype=np.int64)[None, :]
+        iy = np.arange(ny, dtype=np.int64)[:, None]
+        slon = ((3 * ix + 5 * iy) % 9) * 0.125 - 0.5
+        slat = ((2 * ix + 7 * iy) % 7) * 0.125 - 0.375
+        child = ShiftGrid(-4.0, 52.0, 0.125, 0.125,
+                          np.broadcast_to(slon, (ny, nx)).copy(),
+                          np.broadcast_to(slat, (ny, nx)).copy())
+        return cls([parent, child], names=["PARENT", "CHILD"],
+                   parents=["NONE", "PARENT"])
+
+
 def shift_grid_sql(g: ShiftGrid, rel: str) -> str:
     """CTE: WGS-datum (event_id, lon, lat) in ``rel`` -> (event_id, dlon,
     dlat) shifted TO WGS84 by the SYNTHETIC grid formula — replays
@@ -758,4 +849,69 @@ __d AS (
               + (s01x * (1.0e0 - fx) + s11x * fx) * fy) / 3600.0e0 AS dlon,
          lat + ((s00y * (1.0e0 - fx) + s10y * fx) * (1.0e0 - fy)
               + (s01y * (1.0e0 - fx) + s11y * fx) * fy) / 3600.0e0 AS dlat
+  FROM __gf)"""
+
+
+def shift_grid_group_sql(grp: ShiftGridGroup, rel: str) -> str:
+    """CTE replaying ShiftGridGroup.synthetic(): per point, the child
+    formula when the point lies inside the child extent (the densest-
+    candidate rule — the child always wins where it applies), else the
+    parent formula; identical bilinear expression order as shift_grid_sql
+    in both branches."""
+    par, chi = grp.grids[0], grp.grids[1]
+    cx0, cx1, cy0, cy1 = grp._extent(1)
+    return f"""
+__gx AS (
+  SELECT event_id, lon, lat,
+         (lon >= ({_fl(cx0)}) AND lon <= ({_fl(cx1)})
+          AND lat >= ({_fl(cy0)}) AND lat <= ({_fl(cy1)})) AS in_child,
+         (lon - ({_fl(par.lon0)})) / {_fl(par.dlon)} AS pgx,
+         (lat - ({_fl(par.lat0)})) / {_fl(par.dlat)} AS pgy,
+         (lon - ({_fl(chi.lon0)})) / {_fl(chi.dlon)} AS cgx,
+         (lat - ({_fl(chi.lat0)})) / {_fl(chi.dlat)} AS cgy
+  FROM {rel}),
+__gc AS (
+  SELECT event_id, lon, lat, in_child, pgx, pgy, cgx, cgy,
+         CAST(least(greatest(floor(pgx), 0), {par.nx - 2}) AS BIGINT) AS pix,
+         CAST(least(greatest(floor(pgy), 0), {par.ny - 2}) AS BIGINT) AS piy,
+         CAST(least(greatest(floor(cgx), 0), {chi.nx - 2}) AS BIGINT) AS cix,
+         CAST(least(greatest(floor(cgy), 0), {chi.ny - 2}) AS BIGINT) AS ciy
+  FROM __gx),
+__gf AS (
+  SELECT event_id, lon, lat, in_child, pix, piy, cix, ciy,
+         pgx - pix AS pfx, pgy - piy AS pfy,
+         cgx - cix AS cfx, cgy - ciy AS cfy,
+         ((7 * pix + 11 * piy) % 13) * 0.25e0 - 1.5e0 AS p00x,
+         ((7 * (pix + 1) + 11 * piy) % 13) * 0.25e0 - 1.5e0 AS p10x,
+         ((7 * pix + 11 * (piy + 1)) % 13) * 0.25e0 - 1.5e0 AS p01x,
+         ((7 * (pix + 1) + 11 * (piy + 1)) % 13) * 0.25e0 - 1.5e0 AS p11x,
+         ((5 * pix + 3 * piy) % 11) * 0.25e0 - 1.25e0 AS p00y,
+         ((5 * (pix + 1) + 3 * piy) % 11) * 0.25e0 - 1.25e0 AS p10y,
+         ((5 * pix + 3 * (piy + 1)) % 11) * 0.25e0 - 1.25e0 AS p01y,
+         ((5 * (pix + 1) + 3 * (piy + 1)) % 11) * 0.25e0 - 1.25e0 AS p11y,
+         ((3 * cix + 5 * ciy) % 9) * 0.125e0 - 0.5e0 AS c00x,
+         ((3 * (cix + 1) + 5 * ciy) % 9) * 0.125e0 - 0.5e0 AS c10x,
+         ((3 * cix + 5 * (ciy + 1)) % 9) * 0.125e0 - 0.5e0 AS c01x,
+         ((3 * (cix + 1) + 5 * (ciy + 1)) % 9) * 0.125e0 - 0.5e0 AS c11x,
+         ((2 * cix + 7 * ciy) % 7) * 0.125e0 - 0.375e0 AS c00y,
+         ((2 * (cix + 1) + 7 * ciy) % 7) * 0.125e0 - 0.375e0 AS c10y,
+         ((2 * cix + 7 * (ciy + 1)) % 7) * 0.125e0 - 0.375e0 AS c01y,
+         ((2 * (cix + 1) + 7 * (ciy + 1)) % 7) * 0.125e0 - 0.375e0 AS c11y
+  FROM __gc),
+__d AS (
+  SELECT event_id,
+         lon + (CASE WHEN in_child THEN
+                  (c00x * (1.0e0 - cfx) + c10x * cfx) * (1.0e0 - cfy)
+                + (c01x * (1.0e0 - cfx) + c11x * cfx) * cfy
+               ELSE
+                  (p00x * (1.0e0 - pfx) + p10x * pfx) * (1.0e0 - pfy)
+                + (p01x * (1.0e0 - pfx) + p11x * pfx) * pfy
+               END) / 3600.0e0 AS dlon,
+         lat + (CASE WHEN in_child THEN
+                  (c00y * (1.0e0 - cfx) + c10y * cfx) * (1.0e0 - cfy)
+                + (c01y * (1.0e0 - cfx) + c11y * cfx) * cfy
+               ELSE
+                  (p00y * (1.0e0 - pfx) + p10y * pfx) * (1.0e0 - pfy)
+                + (p01y * (1.0e0 - pfx) + p11y * pfx) * pfy
+               END) / 3600.0e0 AS dlat
   FROM __gf)"""

@@ -777,6 +777,58 @@ def q_ntv2_shift(spark, sf_dir):
     )
 
 
+def q_ntv2_multigrid(spark, sf_dir):
+    """Multi-sub-grid NTv2 (r5): parent + aligned 4x-denser child grid,
+    per-point densest-containing-sub-grid selection — the
+    DatumShiftGridGroup.java machinery
+    (R/referencing/operation/transform/DatumShiftGridGroup.java).  The
+    window straddles the child extent (lon [-4, 2] x lat [52, 56] inside
+    the parent's [-8, 8] x [48, 60]), so rows exercise child-interior,
+    child-edge, and parent-only selection; the hierarchy ROUND-TRIPS
+    through real multi-sub-grid .gsb bytes before use and the oracle
+    replays the selection rule in SQL."""
+    from pyspark.sql import types as T
+
+    from .functions.datums import ShiftGridGroup
+    from .sources.ntv2 import format_ntv2_group, read_ntv2_group
+
+    g = read_ntv2_group(format_ntv2_group(ShiftGridGroup.synthetic()))
+    pts = _events_points(spark, sf_dir).filter(
+        (F.col("lon") >= -7.5) & (F.col("lon") <= 7.5)
+        & (F.col("lat") >= 48.5) & (F.col("lat") <= 59.5)
+    )
+
+    schema = T.StructType([T.StructField("x", T.DoubleType()),
+                           T.StructField("y", T.DoubleType())])
+
+    @F.pandas_udf(schema)
+    def shift(lon_s: pd.Series, lat_s: pd.Series) -> pd.DataFrame:
+        ox, oy = g.to_wgs84(lon_s.to_numpy(), lat_s.to_numpy())
+        return pd.DataFrame({"x": ox, "y": oy})
+
+    p = shift(F.col("lon"), F.col("lat"))
+    return pts.select(
+        "event_id",
+        F.floor(p["x"] * F.lit(1.0e7) - F.lit(0.123456789)).cast("long").alias("qlon"),
+        F.floor(p["y"] * F.lit(1.0e7) - F.lit(0.123456789)).cast("long").alias("qlat"),
+    )
+
+
+def q_ntv2_multigrid_oracle():
+    from .functions import datums as _D
+
+    g = _D.ShiftGridGroup.synthetic()
+    win = (f"(SELECT event_id, lon, lat FROM ({_points_sql()}) __pt "
+           f"WHERE lon >= {synth.flit(-7.5)} AND lon <= {synth.flit(7.5)} "
+           f"AND lat >= {synth.flit(48.5)} AND lat <= {synth.flit(59.5)})")
+    return f"""
+WITH __w AS {win},{_D.shift_grid_group_sql(g, "__w")}
+SELECT event_id,
+  CAST(floor(dlon * 1.0e7 - 0.123456789) AS BIGINT) AS qlon,
+  CAST(floor(dlat * 1.0e7 - 0.123456789) AS BIGINT) AS qlat
+FROM __d ORDER BY event_id"""
+
+
 def q_ntv2_shift_oracle():
     from .functions import datums as _D
 
@@ -15747,6 +15799,7 @@ QUERIES = {
     "swiss_transform": (q_swiss_transform, q_swiss_transform_oracle),
     "belgian_transform": (q_belgian_transform, q_belgian_transform_oracle),
     "ntv2_shift": (q_ntv2_shift, q_ntv2_shift_oracle),
+    "ntv2_multigrid": (q_ntv2_multigrid, q_ntv2_multigrid_oracle),
     "wkt_custom_crs": (q_wkt_custom_crs, q_wkt_custom_crs_oracle),
     "eqc_transform": (q_eqc_transform, q_eqc_transform_oracle),
     "cea_transform": (q_cea_transform, q_cea_transform_oracle),

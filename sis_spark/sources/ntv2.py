@@ -90,16 +90,8 @@ def format_ntv2(grid: ShiftGrid, name: str = "SYNTH", system_f: str = "LOCAL",
     return bytes(w)
 
 
-def read_ntv2(buf: bytes) -> ShiftGrid:
-    """NTv2 bytes -> ShiftGrid (first sub-grid)."""
-    hdr = {}
-    pos = 0
-    for _ in range(11):
-        k, v = _read_rec(buf, pos)
-        hdr[k] = v
-        pos += 16
-    if hdr.get("GS_TYPE", "SECONDS").upper() != "SECONDS":
-        raise ValueError(f"unsupported GS_TYPE {hdr.get('GS_TYPE')!r}")
+def _read_subgrid(buf: bytes, pos: int):
+    """One sub-grid block at ``pos`` -> (ShiftGrid, name, parent, next_pos)."""
     sub = {}
     for _ in range(11):
         k, v = _read_rec(buf, pos)
@@ -113,8 +105,74 @@ def read_ntv2(buf: bytes) -> ShiftGrid:
     if count != nx * ny:
         raise ValueError(f"GS_COUNT {count} != grid {ny}x{nx}")
     nodes = np.frombuffer(buf, "<f4", count * 4, pos).reshape(ny, nx, 4)
+    pos += count * 16
     lat0 = sub["S_LAT"] / 3600.0
     lon0 = -sub["W_LONG"] / 3600.0  # positive-west west bound -> east origin
     slat = nodes[:, ::-1, 0].astype(np.float64)
     slon = (-nodes[:, ::-1, 1]).astype(np.float64)
-    return ShiftGrid(lon0, lat0, dlon, dlat, slon, slat)
+    g = ShiftGrid(lon0, lat0, dlon, dlat, slon, slat)
+    return g, sub.get("SUB_NAME", ""), sub.get("PARENT", "NONE"), pos
+
+
+def read_ntv2(buf: bytes) -> ShiftGrid:
+    """NTv2 bytes -> ShiftGrid (first sub-grid; use read_ntv2_group for
+    parent/child hierarchies)."""
+    return read_ntv2_group(buf).grids[0]
+
+
+def read_ntv2_group(buf: bytes):
+    """NTv2 bytes -> ShiftGridGroup over ALL sub-grids (NUM_FILE blocks,
+    parent/child names preserved) — the DatumShiftGridGroup.java slot:
+    per-point sub-grid selection happens in the group, not the reader."""
+    from ..functions.datums import ShiftGridGroup
+
+    hdr = {}
+    pos = 0
+    for _ in range(11):
+        k, v = _read_rec(buf, pos)
+        hdr[k] = v
+        pos += 16
+    if hdr.get("GS_TYPE", "SECONDS").upper() != "SECONDS":
+        raise ValueError(f"unsupported GS_TYPE {hdr.get('GS_TYPE')!r}")
+    n_sub = int(hdr.get("NUM_FILE", 1))
+    grids, names, parents = [], [], []
+    for _ in range(max(1, n_sub)):
+        g, name, parent, pos = _read_subgrid(buf, pos)
+        grids.append(g)
+        names.append(name)
+        parents.append(parent)
+    return ShiftGridGroup(grids, names=names, parents=parents)
+
+
+def format_ntv2_group(grp, system_f: str = "LOCAL",
+                      system_t: str = "WGS84") -> bytes:
+    """ShiftGridGroup -> multi-sub-grid NTv2 bytes (NUM_FILE = n,
+    SUB_NAME/PARENT per block, same node conventions as format_ntv2)."""
+    w = bytearray()
+    for r in (("NUM_OREC", 11), ("NUM_SREC", 11),
+              ("NUM_FILE", len(grp.grids)),
+              ("GS_TYPE", "SECONDS"), ("VERSION", "NTV2.0"),
+              ("SYSTEM_F", system_f), ("SYSTEM_T", system_t),
+              ("MAJOR_F", 6378137.0), ("MINOR_F", 6356752.314),
+              ("MAJOR_T", 6378137.0), ("MINOR_T", 6356752.314)):
+        w += _rec(*r)
+    for grid, name, parent in zip(grp.grids, grp.names, grp.parents):
+        s_lat = grid.lat0 * 3600.0
+        n_lat = (grid.lat0 + grid.dlat * (grid.ny - 1)) * 3600.0
+        e_long = -(grid.lon0 + grid.dlon * (grid.nx - 1)) * 3600.0
+        w_long = -grid.lon0 * 3600.0
+        count = grid.nx * grid.ny
+        for r in (("SUB_NAME", name), ("PARENT", parent),
+                  ("CREATED", "01012026"), ("UPDATED", "01012026"),
+                  ("S_LAT", s_lat), ("N_LAT", n_lat),
+                  ("E_LONG", e_long), ("W_LONG", w_long),
+                  ("LAT_INC", grid.dlat * 3600.0),
+                  ("LONG_INC", grid.dlon * 3600.0),
+                  ("GS_COUNT", count)):
+            w += _rec(*r)
+        lat_shift = grid.slat[:, ::-1].astype(np.float32)
+        lon_shift = (-grid.slon[:, ::-1]).astype(np.float32)
+        acc = np.full(lat_shift.shape, -1.0, np.float32)
+        nodes = np.stack([lat_shift, lon_shift, acc, acc], axis=-1)
+        w += nodes.astype("<f4").tobytes()
+    return bytes(w)
