@@ -238,9 +238,12 @@ class AlbersEqualArea:
     def inverse(self, x, y):
         dx = np.asarray(x, np.float64) - self.fe
         dy = self.rho0 - (np.asarray(y, np.float64) - self.fn)
-        rho = np.sqrt(dx * dx + dy * dy)
+        # southern cone (n < 0): rho is negative and theta measures from
+        # the reversed axes (Snyder's sign note under eq. 14-11)
+        sgn = 1.0 if self.n >= 0.0 else -1.0
+        rho = sgn * np.sqrt(dx * dx + dy * dy)
         q = (self.C - (rho * self.n / self.a) ** 2) / self.n
-        th = np.arctan2(dx, dy)
+        th = np.arctan2(sgn * dx, sgn * dy)
         lam = th / self.n
         phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
         e, e2 = self.e, self.e2
@@ -649,7 +652,17 @@ def _crs(code):
             south = code[5:8] == "327"
             return _TM(zone * 6.0 - 183.0, 500000.0,
                        10000000.0 if south else 0.0)
-    raise ValueError(f"unsupported CRS {code!r} (registry: {sorted(CRS_REGISTRY)}, EPSG:326xx/327xx)")
+    # WKT side-registry (r5): top-100 published codes generated as WKT
+    # text and resolved through the custom-CRS route, cached on first use
+    from .epsg_wkt import WKT_SIDE_REGISTRY
+
+    if code in WKT_SIDE_REGISTRY:
+        from .wkt_crs import crs_from_wkt
+
+        crs = crs_from_wkt(WKT_SIDE_REGISTRY[code], prefer_id=False)
+        CRS_REGISTRY[code] = crs
+        return crs
+    raise ValueError(f"unsupported CRS {code!r} (registry: {sorted(CRS_REGISTRY)}, EPSG:326xx/327xx, side-registry: {len(WKT_SIDE_REGISTRY)} codes)")
 
 
 CRS_REGISTRY: dict[str, object] = {

@@ -674,9 +674,9 @@ def _datum_gate(spark, sf_dir, code, lon_lo, lon_hi, lat_lo, lat_hi):
 
 def _datum_oracle(code, emit, lon_lo, lon_hi, lat_lo, lat_hi):
     from .functions import datums as _D
-    from .functions.projections import CRS_REGISTRY
+    from .functions.projections import CRS_REGISTRY, _crs
 
-    crs = CRS_REGISTRY[code]
+    crs = CRS_REGISTRY[code] if code in CRS_REGISTRY else _crs(code)
     win = (f"(SELECT event_id, lon, lat FROM ({_points_sql()}) __pt "
            f"WHERE lon >= {synth.flit(lon_lo)} AND lon <= {synth.flit(lon_hi)} "
            f"AND lat >= {synth.flit(lat_lo)} AND lat <= {synth.flit(lat_hi)})")
@@ -842,6 +842,49 @@ SELECT event_id,
   CAST(floor(dlon * 1.0e7 - 0.123456789) AS BIGINT) AS qlon,
   CAST(floor(dlat * 1.0e7 - 0.123456789) AS BIGINT) AS qlat
 FROM __d ORDER BY event_id"""
+
+
+# ---- EPSG WKT side-registry gates (r5, functions/epsg_wkt.py): codes
+# absent from the hand registry resolve through generated WKT text and the
+# r4 custom-CRS route (EPSGDataAccess.java breadth, no-database slice).
+
+def q_epsg_side_tm(spark, sf_dir):
+    """EPSG:25832 (ETRS89 / UTM 32N) — a side-registry-only code: the
+    hand registry has no entry and the native 326xx/327xx fast path does
+    not apply (GRS80 ellipsoid), so resolution MUST flow through the
+    generated-WKT route into the Karney TM kernel."""
+    return _datum_gate(spark, sf_dir, "EPSG:25832", -6.0, 24.0, 30.0, 72.0)
+
+
+def q_epsg_side_tm_oracle():
+    from .functions import datums as _D
+    from .functions.projections import _crs
+
+    tm = _crs("EPSG:25832")
+    win = (f"(SELECT event_id, lon, lat FROM ({_points_sql()}) __pt "
+           f"WHERE lon >= {synth.flit(-6.0)} AND lon <= {synth.flit(24.0)} "
+           f"AND lat >= {synth.flit(30.0)} AND lat <= {synth.flit(72.0)})")
+    return f"""
+WITH __w AS {win},
+__d AS (SELECT event_id, lon AS dlon, lat AS dlat FROM __w),{_D.tm_forward_sql(tm, "__d")}
+SELECT event_id,
+  CAST(floor(px - 0.123456789) AS BIGINT) AS xl,
+  CAST(floor(py - 0.123456789) AS BIGINT) AS yl
+FROM __p ORDER BY event_id"""
+
+
+def q_epsg_side_ed50(spark, sf_dir):
+    """EPSG:23031 (ED50 / UTM 31N) — side-registry code carrying a
+    DATUM SHIFT: International 1924 TM behind the mean-European ED50
+    Helmert (EPSG 1133), the full generated-WKT datum pipeline."""
+    return _datum_gate(spark, sf_dir, "EPSG:23031", -1.0, 7.0, 37.0, 52.0)
+
+
+def q_epsg_side_ed50_oracle():
+    from .functions import datums as _D
+
+    return _datum_oracle("EPSG:23031", _D.tm_forward_sql,
+                         -1.0, 7.0, 37.0, 52.0)
 
 
 #: A registry-absent CRS defined purely in WKT — the EPSG:27700 parameter
@@ -15806,6 +15849,8 @@ QUERIES = {
     "polyconic_transform": (q_polyconic_transform, q_polyconic_transform_oracle),
     "om_transform": (q_om_transform, q_om_transform_oracle),
     "cassini_transform": (q_cassini_transform, q_cassini_transform_oracle),
+    "epsg_side_tm": (q_epsg_side_tm, q_epsg_side_tm_oracle),
+    "epsg_side_ed50": (q_epsg_side_ed50, q_epsg_side_ed50_oracle),
     "geom_distance": (q_geom_distance, q_geom_distance_oracle),
     "geom_distance_join": (q_geom_distance_join, q_geom_distance_join_oracle),
     "st_buffer": (q_st_buffer, q_st_buffer_oracle),

@@ -1,0 +1,100 @@
+"""EPSG WKT side-registry (r5, functions/epsg_wkt.py): every generated
+code resolves through the custom-CRS route, round-trips, and matches the
+hand-registry pipeline where parameters are shared."""
+
+import numpy as np
+import pytest
+
+from sis_spark.functions.epsg_wkt import WKT_SIDE_REGISTRY, _geog, _tm
+from sis_spark.functions.projections import CRS_REGISTRY, _crs, transform_points
+
+_PROBE = {
+    "EPSG:258": (9.0, 50.0), "EPSG:269": (-100.0, 40.0),
+    "EPSG:283": (140.0, -25.0), "EPSG:230": (5.0, 45.0),
+    "EPSG:314": (9.0, 50.0), "EPSG:39": (3.0, 46.0),
+    "EPSG:2193": (173.0, -41.0), "EPSG:3067": (26.0, 62.0),
+    "EPSG:3006": (15.0, 60.0), "EPSG:2180": (19.0, 52.0),
+    "EPSG:3301": (25.0, 58.5), "EPSG:6677": (139.9, 35.9),
+    "EPSG:3763": (-8.0, 39.5), "EPSG:3978": (-95.0, 49.0),
+    "EPSG:5072": (-95.0, 40.0), "EPSG:3112": (134.0, -25.0),
+    "EPSG:3577": (134.0, -25.0),
+}
+
+
+def _probe_point(code):
+    for pre, pt in _PROBE.items():
+        if code.startswith(pre):
+            return pt
+    return (10.0, 50.0)
+
+
+def test_side_registry_size_and_resolution():
+    assert len(WKT_SIDE_REGISTRY) >= 80
+    for code in WKT_SIDE_REGISTRY:
+        crs = _crs(code)
+        assert crs is not None
+        assert code in CRS_REGISTRY  # cached after first resolve
+
+
+@pytest.mark.parametrize("code", sorted(WKT_SIDE_REGISTRY))
+def test_side_registry_roundtrip(code):
+    lon, lat = _probe_point(code)
+    x, y = transform_points(np.array([lon]), np.array([lat]),
+                            "EPSG:4326", code)
+    lo, la = transform_points(x, y, code, "EPSG:4326")
+    assert abs(lo[0] - lon) < 1e-6 and abs(la[0] - lat) < 1e-6
+
+
+def test_side_registry_parity_with_hand_osgb():
+    """A generated-WKT pipeline with EPSG:27700's published parameters
+    must match the hand-registry entry bit-for-bit (same kernels, same
+    FP construction through the WKT route)."""
+    from sis_spark.functions.wkt_crs import crs_from_wkt
+
+    osgb_g = _geog("OSGB36", 6377563.396, 299.3249646,
+                   "446.448, -125.157, 542.06, 0.1502, 0.247, 0.8421, -20.4894")
+    wkt = _tm("OSGB-side", osgb_g, 49.0, -2.0, 0.9996012717,
+              400000.0, -100000.0)
+    side = crs_from_wkt(wkt, prefer_id=False)
+    hand = CRS_REGISTRY["EPSG:27700"]
+    lon = np.linspace(-7.0, 1.5, 200)
+    lat = np.linspace(50.0, 60.5, 200)
+    sx, sy = side.forward(lon, lat)
+    hx, hy = hand.forward(lon, lat)
+    assert np.array_equal(sx, hx) and np.array_equal(sy, hy)
+
+
+def test_side_registry_utm_matches_native_on_wgs84_params():
+    """Generated ETRS89/UTM differs from native WGS84 UTM only by the
+    GRS80-vs-WGS84 flattening (sub-mm): sanity-bounds the generated
+    parameters against the native 326xx fast path."""
+    x1, y1 = transform_points(np.array([9.0]), np.array([50.0]),
+                              "EPSG:4326", "EPSG:25832")
+    x2, y2 = transform_points(np.array([9.0]), np.array([50.0]),
+                              "EPSG:4326", "EPSG:32632")
+    assert abs(x1[0] - x2[0]) < 1e-3
+    assert abs(y1[0] - y2[0]) < 1e-3
+
+
+def test_ed50_side_code_applies_datum_shift():
+    """ED50/UTM31 vs ETRS89-equivalent UTM31: the published mean-European
+    shift moves coordinates by ~100-300 m — presence and rough magnitude
+    of the Helmert is what distinguishes the datum-carrying entries."""
+    xe, ye = transform_points(np.array([3.0]), np.array([45.0]),
+                              "EPSG:4326", "EPSG:23031")
+    xn, yn = transform_points(np.array([3.0]), np.array([45.0]),
+                              "EPSG:4326", "EPSG:32631")
+    d = float(np.hypot(xe[0] - xn[0], ye[0] - yn[0]))
+    assert 80.0 < d < 400.0
+
+
+def test_southern_albers_inverse_sign():
+    """GDA94 Australian Albers (n < 0): the southern-cone inverse must
+    mirror rho/theta (the r5 Snyder 14-11 sign fix)."""
+    rng = np.random.default_rng(2)
+    lon = rng.uniform(115, 150, 500)
+    lat = rng.uniform(-42, -10, 500)
+    x, y = transform_points(lon, lat, "EPSG:4326", "EPSG:3577")
+    lo, la = transform_points(x, y, "EPSG:3577", "EPSG:4326")
+    assert np.max(np.abs(lo - lon)) < 1e-7
+    assert np.max(np.abs(la - lat)) < 1e-7
