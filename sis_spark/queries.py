@@ -849,21 +849,21 @@ FROM __d ORDER BY event_id"""
 # r4 custom-CRS route (EPSGDataAccess.java breadth, no-database slice).
 
 def q_epsg_side_tm(spark, sf_dir):
-    """EPSG:25832 (ETRS89 / UTM 32N) — a side-registry-only code: the
-    hand registry has no entry and the native 326xx/327xx fast path does
-    not apply (GRS80 ellipsoid), so resolution MUST flow through the
-    generated-WKT route into the Karney TM kernel."""
-    return _datum_gate(spark, sf_dir, "EPSG:25832", -6.0, 24.0, 30.0, 72.0)
+    """EPSG:2180 (ETRS89 / Poland CS92) — a side-registry-ONLY code (the
+    hand registry has no entry; asserted in pytest), so resolution MUST
+    flow through the generated-WKT route into the Karney TM kernel
+    (k0 = 0.9993, FN = -5300000)."""
+    return _datum_gate(spark, sf_dir, "EPSG:2180", -2.0, 40.0, 40.0, 72.0)
 
 
 def q_epsg_side_tm_oracle():
     from .functions import datums as _D
     from .functions.projections import _crs
 
-    tm = _crs("EPSG:25832")
+    tm = _crs("EPSG:2180")
     win = (f"(SELECT event_id, lon, lat FROM ({_points_sql()}) __pt "
-           f"WHERE lon >= {synth.flit(-6.0)} AND lon <= {synth.flit(24.0)} "
-           f"AND lat >= {synth.flit(30.0)} AND lat <= {synth.flit(72.0)})")
+           f"WHERE lon >= {synth.flit(-2.0)} AND lon <= {synth.flit(40.0)} "
+           f"AND lat >= {synth.flit(40.0)} AND lat <= {synth.flit(72.0)})")
     return f"""
 WITH __w AS {win},
 __d AS (SELECT event_id, lon AS dlon, lat AS dlat FROM __w),{_D.tm_forward_sql(tm, "__d")}
@@ -874,17 +874,17 @@ FROM __p ORDER BY event_id"""
 
 
 def q_epsg_side_ed50(spark, sf_dir):
-    """EPSG:23031 (ED50 / UTM 31N) — side-registry code carrying a
+    """EPSG:23035 (ED50 / UTM 35N) — side-registry-ONLY code carrying a
     DATUM SHIFT: International 1924 TM behind the mean-European ED50
     Helmert (EPSG 1133), the full generated-WKT datum pipeline."""
-    return _datum_gate(spark, sf_dir, "EPSG:23031", -1.0, 7.0, 37.0, 52.0)
+    return _datum_gate(spark, sf_dir, "EPSG:23035", 13.0, 41.0, 30.0, 64.0)
 
 
 def q_epsg_side_ed50_oracle():
     from .functions import datums as _D
 
-    return _datum_oracle("EPSG:23031", _D.tm_forward_sql,
-                         -1.0, 7.0, 37.0, 52.0)
+    return _datum_oracle("EPSG:23035", _D.tm_forward_sql,
+                         13.0, 41.0, 30.0, 64.0)
 
 
 #: A registry-absent CRS defined purely in WKT — the EPSG:27700 parameter
@@ -3936,6 +3936,46 @@ SELECT CAST(level AS INT) AS level, CAST(band AS INT) AS band, count(*) AS n,
        CAST(sum(s) AS BIGINT) AS sum,
        CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
 FROM ch GROUP BY level, band ORDER BY level, band"""
+
+
+def q_geotiff_ccitt(spark, sf_dir):
+    """Bilevel CCITT Group 3 1-D (Modified Huffman RLE, TIFF compression
+    2) through the full distributed file path — the
+    TIF/inflater/CCITTRLE.java slot (r5): a formula-defined 0/1 raster is
+    written as a REAL tiled bilevel GeoTIFF (BitsPerSample 1,
+    WhiteIsZero), the driver parses only the IFD, executors inflate their
+    MH-coded tiles (raster/ccitt.py — codewords verified against the ITU
+    T.4 tables), reduced to band stats.  The oracle re-derives the
+    formula in SQL."""
+    import numpy as _np
+
+    from .raster.tiles import band_stats
+    from .sources.geotiff import encode_geotiff, geotiff_tiles
+
+    W, H = 320, 192
+    GX, GY = _np.meshgrid(
+        _np.arange(W, dtype=_np.int64), _np.arange(H, dtype=_np.int64)
+    )
+    arr = (((GX * 5 + GY * 3) % 7) < 2).astype(_np.uint8)
+    buf = encode_geotiff(
+        arr, affine=(1.0, 0.0, 0.0, 0.0, -1.0, float(H)),
+        tile_size=64, compression="ccittrle",
+    )
+    tiles, gg = geotiff_tiles(spark, buf)
+    return band_stats(tiles, gg).select(
+        "band", "n", "min", "max", "sum", "mean").orderBy("band")
+
+
+def q_geotiff_ccitt_oracle():
+    return """
+WITH px AS (
+  SELECT ((x * 5 + y * 3) % 7 < 2)::INT AS s
+  FROM generate_series(0, 319) gx(x), generate_series(0, 191) gy(y))
+SELECT CAST(0 AS INT) AS band, count(*) AS n,
+       CAST(min(s) AS BIGINT) AS min, CAST(max(s) AS BIGINT) AS max,
+       CAST(sum(s) AS BIGINT) AS sum,
+       CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+FROM px"""
 
 
 N_GPX_FILES = 6
@@ -15851,6 +15891,7 @@ QUERIES = {
     "cassini_transform": (q_cassini_transform, q_cassini_transform_oracle),
     "epsg_side_tm": (q_epsg_side_tm, q_epsg_side_tm_oracle),
     "epsg_side_ed50": (q_epsg_side_ed50, q_epsg_side_ed50_oracle),
+    "geotiff_ccitt": (q_geotiff_ccitt, q_geotiff_ccitt_oracle),
     "geom_distance": (q_geom_distance, q_geom_distance_oracle),
     "geom_distance_join": (q_geom_distance_join, q_geom_distance_join_oracle),
     "st_buffer": (q_st_buffer, q_st_buffer_oracle),

@@ -46,6 +46,7 @@ T_JPEG_TABLES = 347  # TIFF-EP shared JPEG tables (abbreviated streams)
 COMP_NONE, COMP_DEFLATE_ADOBE, COMP_PACKBITS, COMP_DEFLATE = 1, 8, 32773, 32946
 COMP_LZW = 5
 COMP_JPEG = 7  # new-style JPEG-in-TIFF (T.81 baseline via raster/jpeg.py)
+COMP_CCITT_RLE = 2  # CCITT Group 3 1-D Modified Huffman (raster/ccitt.py)
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 12: 8, 16: 8}
 _TYPE_FMT = {3: "H", 4: "I", 16: "Q"}
@@ -286,7 +287,10 @@ def encode_geotiff(
     comp_id = {
         "none": COMP_NONE, "deflate": COMP_DEFLATE_ADOBE,
         "packbits": COMP_PACKBITS, "lzw": COMP_LZW, "jpeg": COMP_JPEG,
+        "ccittrle": COMP_CCITT_RLE,
     }[compression]
+    if comp_id == COMP_CCITT_RLE and c != 1:
+        raise ValueError("CCITT RLE writes a single bilevel band")
 
     def compress(b: bytes) -> bytes:
         if comp_id == COMP_DEFLATE_ADOBE:
@@ -323,6 +327,9 @@ def encode_geotiff(
                 block[: sub.shape[0], : sub.shape[1]] = sub
                 if comp_id == COMP_JPEG:
                     blocks.append(jblock(block))
+                elif comp_id == COMP_CCITT_RLE:
+                    from ..raster import ccitt as _ccitt
+                    blocks.append(_ccitt.encode_mh(block[:, :, 0]))
                 else:
                     blocks.append(compress(prep(block.tobytes(), th, tw)))
     else:
@@ -331,15 +338,19 @@ def encode_geotiff(
             rows_ = arr[y0 : y0 + rps]
             if comp_id == COMP_JPEG:
                 blocks.append(jblock(rows_))
+            elif comp_id == COMP_CCITT_RLE:
+                from ..raster import ccitt as _ccitt
+                blocks.append(_ccitt.encode_mh(rows_[:, :, 0]))
             else:
                 blocks.append(compress(prep(rows_.tobytes(), rows_.shape[0], w)))
 
     entries = [
         (T_WIDTH, 4, [w]),
         (T_LENGTH, 4, [h]),
-        (T_BITS, 3, [8] * c),
+        (T_BITS, 3, [1] * c if comp_id == COMP_CCITT_RLE else [8] * c),
         (T_COMPRESSION, 3, [comp_id]),
-        (T_PHOTOMETRIC, 3, [(6 if comp_id == COMP_JPEG else 2) if c == 3 else 1]),
+        (T_PHOTOMETRIC, 3, [0 if comp_id == COMP_CCITT_RLE else
+                            (6 if comp_id == COMP_JPEG else 2) if c == 3 else 1]),
         (T_SAMPLES, 3, [c]),
         (T_PLANAR, 3, [1]),
         (T_SAMPLE_FORMAT, 3, [1] * c),
@@ -475,13 +486,17 @@ def _info_from_tags(tags: dict) -> dict:
     h = tags[T_LENGTH][0]
     c = tags.get(T_SAMPLES, [1])[0]
     bits = tags.get(T_BITS, [8])
-    if any(b != 8 for b in bits):
+    comp0 = tags.get(T_COMPRESSION, [COMP_NONE])[0]
+    if comp0 == COMP_CCITT_RLE:
+        if bits != [1] or c != 1:
+            raise ValueError("CCITT RLE requires one 1-bit sample")
+    elif any(b != 8 for b in bits):
         raise ValueError("only 8-bit samples supported")
     if tags.get(T_PLANAR, [1])[0] != 1:
         raise ValueError("only PlanarConfiguration=1 (chunky) supported")
     comp = tags.get(T_COMPRESSION, [COMP_NONE])[0]
     if comp not in (COMP_NONE, COMP_DEFLATE_ADOBE, COMP_DEFLATE, COMP_PACKBITS,
-                    COMP_LZW, COMP_JPEG):
+                    COMP_LZW, COMP_JPEG, COMP_CCITT_RLE):
         raise ValueError(f"unsupported compression {comp}")
 
     tiled = T_TILE_OFFSETS in tags
@@ -555,6 +570,9 @@ def _block_array(payload: bytes, comp: int, rows: int, width: int, c: int,
     """One compressed block -> (rows, width, c) uint8.  JPEG blocks decode
     through raster/jpeg.py (optionally seeded by the shared JPEGTables
     stream); byte-oriented compressions inflate + undo the predictor."""
+    if comp == COMP_CCITT_RLE:
+        from ..raster import ccitt as _ccitt
+        return _ccitt.decode_mh(bytes(payload), rows, width)[:, :, None]
     if comp == COMP_JPEG:
         from ..raster import jpeg as _jpeg
         arr = _jpeg.decode(bytes(payload), tables=jpeg_tables)

@@ -36,6 +36,32 @@ def test_side_registry_size_and_resolution():
         assert code in CRS_REGISTRY  # cached after first resolve
 
 
+def test_gate_codes_are_side_only():
+    """The two oracle gates must exercise codes the hand registry does
+    NOT carry — checked against the hand-entry sources directly (the live
+    CRS_REGISTRY may already hold them via side-registry caching)."""
+    from sis_spark.functions import datums as D
+
+    base_hand = set(D.registry_entries()) | {"EPSG:31370"}
+    assert "EPSG:2180" not in base_hand
+    assert "EPSG:23035" not in base_hand
+
+
+def test_overlap_codes_prefer_hand_registry_and_agree():
+    """Codes in BOTH registries: the hand entry wins, and the generated
+    WKT parses to a kernel with identical forward outputs (same published
+    parameters through the same kernels)."""
+    from sis_spark.functions.wkt_crs import crs_from_wkt
+
+    hand = CRS_REGISTRY["EPSG:25832"]
+    side = crs_from_wkt(WKT_SIDE_REGISTRY["EPSG:25832"], prefer_id=False)
+    lon = np.linspace(4.0, 20.0, 50)
+    lat = np.linspace(40.0, 70.0, 50)
+    hx, hy = hand.forward(lon, lat)
+    sx, sy = side.forward(lon, lat)
+    assert np.allclose(hx, sx, atol=1e-6) and np.allclose(hy, sy, atol=1e-6)
+
+
 @pytest.mark.parametrize("code", sorted(WKT_SIDE_REGISTRY))
 def test_side_registry_roundtrip(code):
     lon, lat = _probe_point(code)

@@ -238,3 +238,52 @@ def test_geotiff_tiles_cog_level(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="out of range"):
         gt.geotiff_tiles(spark, cog, tile_size=64, level=99)
+
+
+# ------------------------------------------- CCITT MH RLE (r5, comp 2)
+
+def test_ccitt_roundtrip_tiled_and_strips():
+    import numpy as np
+
+    from sis_spark.sources.geotiff import decode_geotiff, encode_geotiff
+
+    rng = np.random.default_rng(0)
+    g = (rng.random((130, 201)) < 0.2).astype(np.uint8)
+    buf = encode_geotiff(g, affine=(0.1, 0, 5.0, 0, -0.1, 50.0),
+                         tile_size=64, compression="ccittrle")
+    arr, aff = decode_geotiff(buf)
+    assert np.array_equal(arr[:, :, 0], g)
+    assert aff == (0.1, 0.0, 5.0, 0.0, -0.1, 50.0)
+    buf2 = encode_geotiff(g, tile_size=None, compression="ccittrle")
+    arr2, _ = decode_geotiff(buf2)
+    assert np.array_equal(arr2[:, :, 0], g)
+
+
+def test_ccitt_extremes_and_wide_runs():
+    import numpy as np
+
+    from sis_spark.raster.ccitt import decode_mh, encode_mh
+
+    for img in (np.zeros((3, 3000), np.uint8), np.ones((3, 3000), np.uint8)):
+        assert np.array_equal(decode_mh(encode_mh(img), 3, 3000), img)
+    # leading-black rows (zero-length white run), single-pixel runs
+    img = np.zeros((4, 97), np.uint8)
+    img[0, 0] = 1
+    img[1, ::2] = 1
+    img[2, :] = 1
+    img[3, 40:60] = 1
+    assert np.array_equal(decode_mh(encode_mh(img), 4, 97), img)
+
+
+def test_ccitt_codewords_are_t4():
+    """Spot-check canonical ITU T.4 codewords (TIFF 6.0 section 10)."""
+    from sis_spark.raster.ccitt import _ENC
+
+    assert _ENC[0][0] == "00110101"       # white 0
+    assert _ENC[0][63] == "00110100"      # white 63
+    assert _ENC[0][64] == "11011"         # white make-up 64
+    assert _ENC[0][1728] == "010011011"   # white make-up 1728
+    assert _ENC[1][1] == "010"            # black 1
+    assert _ENC[1][2] == "11"             # black 2
+    assert _ENC[1][64] == "0000001111"    # black make-up 64
+    assert _ENC[1][2560] == "000000011111"  # shared extended make-up
