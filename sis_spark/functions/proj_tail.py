@@ -487,3 +487,67 @@ __p AS (
       - ({_fl(p.A)} * ln((1.0 - bigu) / (1.0 + bigu)) / {_fl(2.0 * p.B)}) * {_fl(np.sin(p.gamma_c))}
       + {_fl(p.fn)} AS py
   FROM __u)"""
+
+
+class Mercator:
+    """Ellipsoidal Mercator, EPSG methods 9804 (variant A: scale k0 at the
+    equator) and 9805 (variant B: standard parallel lat_ts) — the
+    EPSG:3395 World Mercator family (R/operation/projection/Mercator.java;
+    Guidance Note 7-2 §3.1.2).  A spherical ellipsoid degenerates to the
+    classic spherical Mercator; the Web-Mercator registry entry stays the
+    separate method-1024 kernel (spherical formulas on the WGS84 datum)."""
+
+    def __init__(self, k0: float = 1.0, lat_ts: float | None = None,
+                 lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0,
+                 ellipsoid=WGS84):
+        self.a, self.e2, self.e = _af(ellipsoid)
+        if lat_ts is not None:  # variant B: k0 from the standard parallel
+            p1 = np.radians(lat_ts)
+            s1 = np.sin(p1)
+            k0 = float(np.cos(p1) / np.sqrt(1.0 - self.e2 * s1 * s1))
+        self.k0 = float(k0)
+        self.lat_ts = lat_ts
+        self.lon0, self.fe, self.fn = float(lon0), float(fe), float(fn)
+        self.ellipsoid = tuple(ellipsoid)
+
+    def forward(self, lon, lat):
+        e = self.e
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        s = np.sin(phi)
+        t = (np.tan(np.pi / 4.0 - phi / 2.0)
+             / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+        x = self.fe + self.a * self.k0 * lam
+        y = self.fn - self.a * self.k0 * np.log(t)
+        return x, y
+
+    def inverse(self, x, y):
+        e, e2 = self.e, self.e2
+        lam = (np.asarray(x, np.float64) - self.fe) / (self.a * self.k0)
+        t = np.exp(-(np.asarray(y, np.float64) - self.fn) / (self.a * self.k0))
+        chi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        e4 = e2 * e2
+        e6 = e4 * e2
+        e8 = e6 * e2
+        phi = (chi
+               + np.sin(2.0 * chi) * (e2 / 2.0 + 5.0 * e4 / 24.0
+                                      + e6 / 12.0 + 13.0 * e8 / 360.0)
+               + np.sin(4.0 * chi) * (7.0 * e4 / 48.0 + 29.0 * e6 / 240.0
+                                      + 811.0 * e8 / 11520.0)
+               + np.sin(6.0 * chi) * (7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0)
+               + np.sin(8.0 * chi) * (4279.0 * e8 / 161280.0))
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+def mercator_ell_forward_sql(p: Mercator, rel: str,
+                             lon_col: str = "dlon", lat_col: str = "dlat") -> str:
+    ak0 = f"{_fl(p.a)} * {_fl(p.k0)}"
+    t = (f"tan(pi() / 4.0 - radians({lat_col}) / 2.0)"
+         f" / pow((1.0 - {_fl(p.e)} * sin(radians({lat_col})))"
+         f" / (1.0 + {_fl(p.e)} * sin(radians({lat_col}))), {_fl(p.e / 2.0)})")
+    return f"""
+__p AS (
+  SELECT event_id,
+    {_fl(p.fe)} + {ak0} * radians({lon_col} - {_fl(p.lon0)}) AS px,
+    {_fl(p.fn)} - {ak0} * ln({t}) AS py
+  FROM {rel})"""

@@ -713,6 +713,8 @@ def _extend_tail():
         "EPSG:6933": PT.CylindricalEqualArea(30.0, 0.0, 0.0, 0.0, WGS84),
         # SIRGAS 2000 / Brazil Polyconic (GRS80, datum-preserving)
         "EPSG:5880": PT.Polyconic(0.0, -54.0, 5000000.0, 10000000.0, GRS80),
+        # WGS 84 / World Mercator (ellipsoidal Mercator variant A)
+        "EPSG:3395": PT.Mercator(1.0, None, 0.0, 0.0, 0.0, WGS84),
         # GDM2000 / Peninsular RSO (Hotine OM variant A, GRS80)
         "EPSG:3375": PT.ObliqueMercator(
             4.0, 102.25,

@@ -323,8 +323,14 @@ def crs_from_wkt(text: str, prefer_id: bool = True):
         kern = D.SwissObliqueMercator(lat0, lon0, fe, fn,
                                       _ellipsoid_raw_of(root) or D.WGS84_E)
         return _wrap(kern)
-    if "pseudo mercator" in method or "mercator 1sp" in method or method == "mercator":
+    if "pseudo mercator" in method or "popular visualisation" in method:
         return _WebMercator()
+    if "mercator" in method:  # ellipsoidal 9804/9805 (1SP / 2SP / variants)
+        from . import proj_tail as PT
+
+        if "variant b" in method or "2sp" in method or "sp1" in p:
+            return _wrap(PT.Mercator(1.0, p.get("sp1", lat0), lon0, fe, fn, ell))
+        return _wrap(PT.Mercator(p.get("k0", 1.0), None, lon0, fe, fn, ell))
     if "sinusoidal" in method:
         return Sinusoidal(lon0, ell[0])
     if "mollweide" in method:
@@ -563,6 +569,21 @@ def to_wkt(code: str) -> str:
         ], WGS84)
 
     from . import proj_tail as PT
+    if isinstance(crs, PT.Mercator):
+        if crs.lat_ts is not None:
+            return proj(code, "Mercator (variant B)", [
+                ("Latitude of 1st standard parallel", crs.lat_ts),
+                ("Longitude of natural origin", crs.lon0),
+                ("False easting", crs.fe),
+                ("False northing", crs.fn),
+            ], crs.ellipsoid)
+        return proj(code, "Mercator (variant A)", [
+            ("Latitude of natural origin", 0.0),
+            ("Longitude of natural origin", crs.lon0),
+            ("Scale factor at natural origin", crs.k0),
+            ("False easting", crs.fe),
+            ("False northing", crs.fn),
+        ], crs.ellipsoid)
     if isinstance(crs, PT.EquidistantCylindrical):
         return proj(code, "Equidistant Cylindrical", [
             ("Latitude of 1st standard parallel", crs.lat1),

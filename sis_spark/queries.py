@@ -999,6 +999,22 @@ def q_om_transform_oracle():
                         75.0, 130.0, -25.0, 30.0)
 
 
+def q_mercator_ell(spark, sf_dir):
+    """WGS84 -> World Mercator (EPSG:3395): ELLIPSOIDAL Mercator variant A
+    (method 9804, conformal-latitude formulas) — distinct from the
+    spherical Web-Mercator kernel; validated against both EPSG GN7-2
+    worked examples (Makassar 9804, Caspian 9805) in pytest
+    (R/operation/projection/Mercator.java)."""
+    return _datum_gate(spark, sf_dir, "EPSG:3395", -179.0, 179.0, -80.0, 80.0)
+
+
+def q_mercator_ell_oracle():
+    from .functions import proj_tail as _PT
+
+    return _proj_oracle("EPSG:3395", _PT.mercator_ell_forward_sql,
+                        -179.0, 179.0, -80.0, 80.0)
+
+
 #: Cassini-Soldner defined purely in WKT (the Trinidad 1903 parameters in
 #: Clarke's links, no AUTHORITY node): exercises both the 9806 kernel and
 #: the WKT method routing in one gate (datum-preserving, like EPSG:5070).
@@ -15892,6 +15908,7 @@ QUERIES = {
     "epsg_side_tm": (q_epsg_side_tm, q_epsg_side_tm_oracle),
     "epsg_side_ed50": (q_epsg_side_ed50, q_epsg_side_ed50_oracle),
     "geotiff_ccitt": (q_geotiff_ccitt, q_geotiff_ccitt_oracle),
+    "mercator_ell": (q_mercator_ell, q_mercator_ell_oracle),
     "geom_distance": (q_geom_distance, q_geom_distance_oracle),
     "geom_distance_join": (q_geom_distance_join, q_geom_distance_join_oracle),
     "st_buffer": (q_st_buffer, q_st_buffer_oracle),

@@ -210,3 +210,46 @@ def test_equidistant_cylindrical_spherical_degenerates():
     x, y = p.forward(np.array([90.0]), np.array([45.0]))
     assert abs(x[0] - R * np.pi / 2.0) < 1e-6
     assert abs(y[0] - R * np.pi / 4.0) < 1e-6
+
+
+def test_mercator_ellipsoidal_epsg_examples():
+    # variant A: Makassar / NEIEZ (EPSG GN7-2, Bessel 1841)
+    m = PT.Mercator(k0=0.997, lon0=110.0, fe=3900000.0, fn=900000.0,
+                    ellipsoid=(6377397.155, 1 / 299.1528128))
+    x, y = m.forward(np.array([120.0]), np.array([-3.0]))
+    assert abs(x[0] - 5009726.58) < 0.01
+    assert abs(y[0] - 569150.82) < 0.01
+    lon, lat = m.inverse(x, y)
+    assert abs(lon[0] - 120.0) < 1e-9 and abs(lat[0] + 3.0) < 1e-7
+    # variant B: Pulkovo 1942 / Caspian Sea Mercator (Krassowsky)
+    mb = PT.Mercator(lat_ts=42.0, lon0=51.0,
+                     ellipsoid=(6378245.0, 1 / 298.3))
+    x, y = mb.forward(np.array([53.0]), np.array([53.0]))
+    assert abs(x[0] - 165704.29) < 0.01
+    assert abs(y[0] - 5171848.07) < 0.01
+
+
+def test_mercator_wkt_routing_and_pseudo_separation():
+    """Mercator_1SP WKT routes to the ellipsoidal kernel; the pseudo /
+    popular-visualisation method stays on the spherical Web-Mercator."""
+    from sis_spark.functions.projections import _WebMercator
+    from sis_spark.functions.wkt_crs import crs_from_wkt
+
+    merc = crs_from_wkt("""PROJCS["M", GEOGCS["W",
+      DATUM["wgs", SPHEROID["WGS 84", 6378137, 298.257223563]],
+      PRIMEM["Greenwich", 0], UNIT["degree", 0.0174532925199433]],
+      PROJECTION["Mercator_1SP"],
+      PARAMETER["central_meridian", 0], PARAMETER["scale_factor", 1],
+      UNIT["metre", 1]]""")
+    assert isinstance(merc, PT.Mercator)
+    pseudo = crs_from_wkt("""PROJCS["P", GEOGCS["W",
+      DATUM["wgs", SPHEROID["WGS 84", 6378137, 298.257223563]],
+      PRIMEM["Greenwich", 0], UNIT["degree", 0.0174532925199433]],
+      PROJECTION["Popular Visualisation Pseudo Mercator"],
+      UNIT["metre", 1]]""")
+    assert isinstance(pseudo, _WebMercator)
+    # at 55N the two differ by tens of km in northing (conformal vs sphere)
+    x1, y1 = merc.forward(np.array([10.0]), np.array([55.0]))
+    x2, y2 = pseudo.forward(np.array([10.0]), np.array([55.0]))
+    assert abs(x1[0] - x2[0]) < 1e-6
+    assert 10000.0 < abs(y1[0] - y2[0]) < 60000.0
