@@ -551,3 +551,125 @@ __p AS (
     {_fl(p.fe)} + {ak0} * radians({lon_col} - {_fl(p.lon0)}) AS px,
     {_fl(p.fn)} - {ak0} * ln({t}) AS py
   FROM {rel})"""
+
+
+class ModifiedAzimuthalEquidistant:
+    """Modified Azimuthal Equidistant, EPSG method 9832 — the ellipsoidal
+    Guam/Yap-area series (Guidance Note 7-2 §3.2.8;
+    R/operation/projection/ModifiedAzimuthalEquidistant.java).  A LOCAL
+    projection: the polynomial geodesic-distance series holds near the
+    origin (island-survey deployments); the spherical AzimuthalEquidistant
+    kernel in projections.py remains the whole-hemisphere route."""
+
+    def __init__(self, lat0: float, lon0: float,
+                 fe: float = 0.0, fn: float = 0.0, ellipsoid=WGS84):
+        self.a, self.e2, self.e = _af(ellipsoid)
+        self.lat0, self.lon0 = float(lat0), float(lon0)
+        self.fe, self.fn = float(fe), float(fn)
+        p0 = np.radians(lat0)
+        self.sin0, self.cos0 = float(np.sin(p0)), float(np.cos(p0))
+        self.nu0 = self.a / float(np.sqrt(1.0 - self.e2 * self.sin0 ** 2))
+        self.G = float(self.e * self.sin0 / np.sqrt(1.0 - self.e2))
+        self.ellipsoid = tuple(ellipsoid)
+
+    def forward(self, lon, lat):
+        e2 = self.e2
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        s = np.sin(phi)
+        nu = self.a / np.sqrt(1.0 - e2 * s * s)
+        psi = np.arctan((1.0 - e2) * np.tan(phi)
+                        + e2 * self.nu0 * self.sin0 / (nu * np.cos(phi)))
+        cpsi = np.cos(psi)
+        spsi = np.sin(psi)
+        alpha = np.arctan2(np.sin(lam),
+                           self.cos0 * np.tan(psi) - self.sin0 * np.cos(lam))
+        sa = np.sin(alpha)
+        ca = np.cos(alpha)
+        H = self.e * self.cos0 * ca / np.sqrt(1.0 - e2)
+        G = self.G
+        # geodesic arc s: general case via sin(lam); meridional via psi
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s_gen = np.arcsin(np.clip(np.sin(lam) * cpsi / sa, -1.0, 1.0))
+        s_mer = np.arcsin(np.clip(
+            self.cos0 * spsi - self.sin0 * cpsi, -1.0, 1.0)) * np.where(
+                ca >= 0.0, 1.0, -1.0)
+        srad = np.where(np.abs(sa) < 1e-12, s_mer, s_gen)
+        H2 = H * H
+        s2 = srad * srad
+        c = self.nu0 * srad * (
+            1.0 - s2 * H2 * (1.0 - H2) / 6.0
+            + (s2 * srad / 8.0) * G * H * (1.0 - 2.0 * H2)
+            + (s2 * s2 / 120.0) * (H2 * (4.0 - 7.0 * H2)
+                                   - 3.0 * G * G * (1.0 - 7.0 * H2))
+            - (s2 * s2 * srad / 48.0) * G * H)
+        return self.fe + c * sa, self.fn + c * ca
+
+    def inverse(self, x, y):
+        e2 = self.e2
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = np.asarray(y, np.float64) - self.fn
+        cp = np.sqrt(dx * dx + dy * dy)
+        alpha = np.arctan2(dx, dy)
+        ca = np.cos(alpha)
+        A = -e2 * self.cos0 ** 2 * ca * ca / (1.0 - e2)
+        B = 3.0 * e2 * (1.0 - A) * self.sin0 * self.cos0 * ca / (1.0 - e2)
+        D = cp / self.nu0
+        D2 = D * D
+        J = D - A * (1.0 + A) * D2 * D / 6.0 - B * (1.0 + 3.0 * A) * D2 * D2 / 24.0
+        K = 1.0 - A * J * J / 2.0 - B * J * J * J / 6.0
+        psi = np.arcsin(np.clip(
+            self.sin0 * np.cos(J) + self.cos0 * np.sin(J) * ca, -1.0, 1.0))
+        lam = np.arcsin(np.clip(
+            np.sin(alpha) * np.sin(J) / np.cos(psi), -1.0, 1.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            phi = np.arctan(
+                (1.0 - e2 * K * self.sin0 / np.sin(psi)) * np.tan(psi)
+                / (1.0 - e2))
+        phi = np.where(np.abs(psi) < 1e-15, 0.0, phi)
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+def mae_forward_sql(p: ModifiedAzimuthalEquidistant, rel: str,
+                    lon_col: str = "dlon", lat_col: str = "dlat") -> str:
+    e2 = p.e2
+    return f"""
+__c AS (
+  SELECT event_id,
+    radians({lon_col} - {_fl(p.lon0)}) AS lam,
+    radians({lat_col}) AS phi,
+    {_fl(p.a)} / sqrt(1.0 - {_fl(e2)} * sin(radians({lat_col})) * sin(radians({lat_col}))) AS nu
+  FROM {rel}),
+__ps AS (
+  SELECT event_id, lam,
+    atan((1.0 - {_fl(e2)}) * tan(phi)
+         + {_fl(e2)} * {_fl(p.nu0)} * {_fl(p.sin0)} / (nu * cos(phi))) AS psi
+  FROM __c),
+__al AS (
+  SELECT event_id, lam, psi,
+    atan2(sin(lam), {_fl(p.cos0)} * tan(psi) - {_fl(p.sin0)} * cos(lam)) AS alpha
+  FROM __ps),
+__sr AS (
+  SELECT event_id, alpha,
+    {_fl(p.e * p.cos0)} * cos(alpha) / sqrt(1.0 - {_fl(e2)}) AS H,
+    CASE WHEN abs(sin(alpha)) < 1e-12 THEN
+      asin(least(greatest({_fl(p.cos0)} * sin(psi) - {_fl(p.sin0)} * cos(psi), -1.0), 1.0))
+        * (CASE WHEN cos(alpha) >= 0.0 THEN 1.0 ELSE -1.0 END)
+    ELSE
+      asin(least(greatest(sin(lam) * cos(psi) / sin(alpha), -1.0), 1.0))
+    END AS srad
+  FROM __al),
+__cc AS (
+  SELECT event_id, alpha,
+    {_fl(p.nu0)} * srad * (
+      1.0 - (srad * srad) * (H * H) * (1.0 - H * H) / 6.0
+      + ((srad * srad) * srad / 8.0) * {_fl(p.G)} * H * (1.0 - 2.0 * (H * H))
+      + ((srad * srad) * (srad * srad) / 120.0) * ((H * H) * (4.0 - 7.0 * (H * H))
+          - 3.0 * {_fl(p.G * p.G)} * (1.0 - 7.0 * (H * H)))
+      - ((srad * srad) * (srad * srad) * srad / 48.0) * {_fl(p.G)} * H) AS c
+  FROM __sr),
+__p AS (
+  SELECT event_id,
+    {_fl(p.fe)} + c * sin(alpha) AS px,
+    {_fl(p.fn)} + c * cos(alpha) AS py
+  FROM __cc)"""

@@ -713,6 +713,13 @@ def _extend_tail():
         "EPSG:6933": PT.CylindricalEqualArea(30.0, 0.0, 0.0, 0.0, WGS84),
         # SIRGAS 2000 / Brazil Polyconic (GRS80, datum-preserving)
         "EPSG:5880": PT.Polyconic(0.0, -54.0, 5000000.0, 10000000.0, GRS80),
+        # Guam 1963 / Yap Islands (Modified Azimuthal Equidistant,
+        # Clarke 1866, datum-preserving approximation like EPSG:5070)
+        "EPSG:3295": PT.ModifiedAzimuthalEquidistant(
+            9.0 + (32.0 + 48.15 / 60.0) / 60.0,
+            138.0 + (10.0 + 7.48 / 60.0) / 60.0,
+            40000.0, 60000.0,
+            (6378206.4, (6378206.4 - 6356583.8) / 6378206.4)),
         # WGS 84 / World Mercator (ellipsoidal Mercator variant A)
         "EPSG:3395": PT.Mercator(1.0, None, 0.0, 0.0, 0.0, WGS84),
         # GDM2000 / Peninsular RSO (Hotine OM variant A, GRS80)

@@ -341,6 +341,10 @@ def crs_from_wkt(text: str, prefer_id: bool = True):
         return Orthographic(lat0, lon0, ell[0])
     if "gnomonic" in method:
         return Gnomonic(lat0, lon0, ell[0])
+    if "modified azimuthal equidistant" in method:
+        from . import proj_tail as PT
+
+        return _wrap(PT.ModifiedAzimuthalEquidistant(lat0, lon0, fe, fn, ell))
     if "azimuthal equidistant" in method:
         return AzimuthalEquidistant(lat0, lon0, ell[0])
     raise ValueError(f"unsupported projection method {method!r}")
@@ -569,6 +573,13 @@ def to_wkt(code: str) -> str:
         ], WGS84)
 
     from . import proj_tail as PT
+    if isinstance(crs, PT.ModifiedAzimuthalEquidistant):
+        return proj(code, "Modified Azimuthal Equidistant", [
+            ("Latitude of natural origin", crs.lat0),
+            ("Longitude of natural origin", crs.lon0),
+            ("False easting", crs.fe),
+            ("False northing", crs.fn),
+        ], crs.ellipsoid)
     if isinstance(crs, PT.Mercator):
         if crs.lat_ts is not None:
             return proj(code, "Mercator (variant B)", [

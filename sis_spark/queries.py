@@ -1015,6 +1015,22 @@ def q_mercator_ell_oracle():
                         -179.0, 179.0, -80.0, 80.0)
 
 
+def q_mae_transform(spark, sf_dir):
+    """WGS84 -> Yap Islands Modified Azimuthal Equidistant (EPSG:3295,
+    method 9832): the ellipsoidal Guam-area series — a LOCAL projection,
+    so the window stays within ~20 degrees of the origin
+    (R/operation/projection/ModifiedAzimuthalEquidistant.java; pytest
+    pins the EPSG guidance-note Yap example to 5mm)."""
+    return _datum_gate(spark, sf_dir, "EPSG:3295", 118.0, 158.0, -10.0, 30.0)
+
+
+def q_mae_transform_oracle():
+    from .functions import proj_tail as _PT
+
+    return _proj_oracle("EPSG:3295", _PT.mae_forward_sql,
+                        118.0, 158.0, -10.0, 30.0)
+
+
 #: Cassini-Soldner defined purely in WKT (the Trinidad 1903 parameters in
 #: Clarke's links, no AUTHORITY node): exercises both the 9806 kernel and
 #: the WKT method routing in one gate (datum-preserving, like EPSG:5070).
@@ -15909,6 +15925,7 @@ QUERIES = {
     "epsg_side_ed50": (q_epsg_side_ed50, q_epsg_side_ed50_oracle),
     "geotiff_ccitt": (q_geotiff_ccitt, q_geotiff_ccitt_oracle),
     "mercator_ell": (q_mercator_ell, q_mercator_ell_oracle),
+    "mae_transform": (q_mae_transform, q_mae_transform_oracle),
     "geom_distance": (q_geom_distance, q_geom_distance_oracle),
     "geom_distance_join": (q_geom_distance_join, q_geom_distance_join_oracle),
     "st_buffer": (q_st_buffer, q_st_buffer_oracle),

@@ -253,3 +253,40 @@ def test_mercator_wkt_routing_and_pseudo_separation():
     x2, y2 = pseudo.forward(np.array([10.0]), np.array([55.0]))
     assert abs(x1[0] - x2[0]) < 1e-6
     assert 10000.0 < abs(y1[0] - y2[0]) < 60000.0
+
+
+def test_modified_azimuthal_equidistant_epsg_yap():
+    # EPSG GN7-2 Yap Islands example (method 9832, Clarke 1866 —
+    # reference AzimuthalEquidistantTest.testWithEPSG fixture)
+    m = PT.ModifiedAzimuthalEquidistant(
+        9 + (32 + 48.15 / 60) / 60, 138 + (10 + 7.48 / 60) / 60,
+        40000.0, 60000.0, CLARKE1866)
+    x, y = m.forward(np.array([138 + (11 + 34.908 / 60) / 60]),
+                     np.array([9 + (35 + 47.493 / 60) / 60]))
+    assert abs(x[0] - 42665.90) < 0.01
+    assert abs(y[0] - 65509.82) < 0.01
+    lon, lat = m.inverse(x, y)
+    assert abs(lon[0] - (138 + (11 + 34.908 / 60) / 60)) < 1e-8
+    assert abs(lat[0] - (9 + (35 + 47.493 / 60) / 60)) < 1e-8
+    # due-north point (meridional special case: sin(alpha) ~ 0)
+    x, y = m.forward(np.array([m.lon0]), np.array([m.lat0 + 0.5]))
+    assert abs(x[0] - 40000.0) < 1e-6
+    assert y[0] > 60000.0
+    lon, lat = m.inverse(x, y)
+    assert abs(lat[0] - (m.lat0 + 0.5)) < 1e-7
+
+
+def test_mae_wkt_routing_precedence():
+    """'Modified Azimuthal Equidistant' must not fall into the plain
+    (spherical) azimuthal-equidistant branch."""
+    from sis_spark.functions.wkt_crs import crs_from_wkt
+
+    m = crs_from_wkt("""PROJCS["Y", GEOGCS["G",
+      DATUM["g", SPHEROID["Clarke 1866", 6378206.4, 294.9786982]],
+      PRIMEM["Greenwich", 0], UNIT["degree", 0.0174532925199433]],
+      PROJECTION["Modified Azimuthal Equidistant"],
+      PARAMETER["latitude_of_origin", 9.546708333333333],
+      PARAMETER["central_meridian", 138.16874444444444],
+      PARAMETER["false_easting", 40000],
+      PARAMETER["false_northing", 60000], UNIT["metre", 1]]""")
+    assert isinstance(m, PT.ModifiedAzimuthalEquidistant)
