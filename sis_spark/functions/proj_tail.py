@@ -673,3 +673,93 @@ __p AS (
     {_fl(p.fe)} + c * sin(alpha) AS px,
     {_fl(p.fn)} + c * cos(alpha) AS py
   FROM __cc)"""
+
+
+class ZonedTransverseMercator:
+    """Transverse Mercator Zoned Grid System, EPSG method 9824 — the
+    self-zoning UTM-style transform (R/operation/projection/
+    ZonedGridSystem.java): the zone derives from longitude, the easting
+    is prefixed with the zone number (E = Z*1e6 + 500000 + tm_easting).
+    Vectorized per unique zone over the generalized Karney TM kernel."""
+
+    def __init__(self, initial_lon: float = -180.0, zone_width: float = 6.0,
+                 k0: float = 0.9996, fe: float = 500000.0, fn: float = 0.0,
+                 ellipsoid=WGS84):
+        self.initial_lon = float(initial_lon)
+        self.zone_width = float(zone_width)
+        self.k0, self.fe, self.fn = float(k0), float(fe), float(fn)
+        self.ellipsoid = tuple(ellipsoid)
+        self.n_zones = int(round(360.0 / zone_width))
+        self._tms: dict[int, object] = {}
+
+    def _tm(self, zone: int):
+        tm = self._tms.get(zone)
+        if tm is None:
+            from .datums import TransverseMercator
+
+            a, f = self.ellipsoid
+            lon0 = self.initial_lon + (zone - 0.5) * self.zone_width
+            tm = self._tms[zone] = TransverseMercator(
+                0.0, lon0, self.k0, self.fe, self.fn, (a, 1.0 / f))
+        return tm
+
+    def zone_of(self, lon):
+        z = np.floor((np.asarray(lon, np.float64) - self.initial_lon)
+                     / self.zone_width).astype(np.int64)
+        return z % self.n_zones + 1
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        zones = self.zone_of(lon)
+        x = np.empty_like(lon)
+        y = np.empty_like(lat)
+        for z in np.unique(zones):
+            m = zones == z
+            zx, zy = self._tm(int(z)).forward(lon[m], lat[m])
+            x[m] = float(z) * 1e6 + zx
+            y[m] = zy
+        return x, y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        zones = np.floor(x / 1e6).astype(np.int64)
+        lon = np.empty_like(x)
+        lat = np.empty_like(y)
+        for z in np.unique(zones):
+            m = zones == z
+            lo, la = self._tm(int(z)).inverse(x[m] - float(z) * 1e6, y[m])
+            lon[m] = lo
+            lat[m] = la
+        return lon, lat
+
+
+def zoned_tm_sql(p: ZonedTransverseMercator, rel: str, zones: list[int],
+                 lon_col: str = "dlon", lat_col: str = "dlat") -> str:
+    """CTE chain replaying forward() for a window whose points fall in
+    ``zones``: per-zone Karney chains (datums.tm_forward_sql with the
+    internal CTE names suffixed per zone) unioned with the Z*1e6 easting
+    prefix.  The zone rule is floor((lon - initial)/width) %% n + 1 —
+    identical expression both sides."""
+    from .datums import tm_forward_sql
+
+    parts = [f"""
+__zw AS (
+  SELECT event_id, {lon_col}, {lat_col},
+         CAST(floor(({lon_col} - ({_fl(p.initial_lon)})) / {_fl(p.zone_width)}) AS BIGINT)
+           % {p.n_zones} + 1 AS zone
+  FROM {rel})"""]
+    sels = []
+    for z in zones:
+        frag = tm_forward_sql(p._tm(int(z)), f"zin{z}", lon_col, lat_col)
+        frag = frag.replace("__", f"__z{z}_").lstrip("\n")
+        parts.append(f"""
+zin{z} AS (SELECT event_id, {lon_col}, {lat_col} FROM __zw WHERE zone = {z}),
+{frag}""")
+        sels.append(f"SELECT event_id, {float(z)!r}e0 * 1000000.0 + px AS px, py"
+                    f" FROM __z{z}_p")
+    union = " UNION ALL ".join(sels)
+    parts.append(f"""
+__p AS ({union})""")
+    return ",".join(parts)

@@ -720,6 +720,8 @@ def _extend_tail():
             138.0 + (10.0 + 7.48 / 60.0) / 60.0,
             40000.0, 60000.0,
             (6378206.4, (6378206.4 - 6356583.8) / 6378206.4)),
+        # WGS 84 / UTM zoned grid system, northern hemisphere (9824)
+        "EPSG:32600": PT.ZonedTransverseMercator(),
         # WGS 84 / World Mercator (ellipsoidal Mercator variant A)
         "EPSG:3395": PT.Mercator(1.0, None, 0.0, 0.0, 0.0, WGS84),
         # GDM2000 / Peninsular RSO (Hotine OM variant A, GRS80)

@@ -138,6 +138,7 @@ _PARAM_SLOTS = {
     "easting at projection centre": "ec",
     "northing at projection centre": "nc",
     "pseudo standard parallel 1": "sp1",
+    "zone width": "zone_width",
 }
 
 
@@ -269,6 +270,12 @@ def crs_from_wkt(text: str, prefer_id: bool = True):
         return AlbersEqualArea(sp1, sp2, lat0, lon0, fe, fn, ell)
     if "lambert azimuthal equal area" in method:
         return LambertAzimuthalEqualArea(lat0, lon0, fe, fn, ell)
+    if "zoned" in method and "transverse mercator" in method:
+        from . import proj_tail as PT
+
+        return _wrap(PT.ZonedTransverseMercator(
+            p.get("lon0", -180.0), p.get("zone_width", 6.0),
+            p.get("k0", 0.9996), fe if fe else 500000.0, fn, ell))
     if "transverse mercator" in method:
         ell_raw = _ellipsoid_raw_of(root)
         k0 = p.get("k0", 0.9996)
@@ -573,6 +580,14 @@ def to_wkt(code: str) -> str:
         ], WGS84)
 
     from . import proj_tail as PT
+    if isinstance(crs, PT.ZonedTransverseMercator):
+        return proj(code, "Transverse Mercator Zoned Grid System", [
+            ("Longitude of natural origin", crs.initial_lon),
+            ("Zone width", crs.zone_width),
+            ("Scale factor at natural origin", crs.k0),
+            ("False easting", crs.fe),
+            ("False northing", crs.fn),
+        ], crs.ellipsoid)
     if isinstance(crs, PT.ModifiedAzimuthalEquidistant):
         return proj(code, "Modified Azimuthal Equidistant", [
             ("Latitude of natural origin", crs.lat0),

@@ -1031,6 +1031,31 @@ def q_mae_transform_oracle():
                         118.0, 158.0, -10.0, 30.0)
 
 
+def q_zoned_tm(spark, sf_dir):
+    """WGS84 -> zoned UTM grid (EPSG:32600, method 9824): the zone
+    derives from longitude and prefixes the easting (Z*1e6 + 500000) —
+    R/operation/projection/ZonedGridSystem.java.  Window spans zones
+    31 and 32 so the per-point zone rule is exercised."""
+    return _datum_gate(spark, sf_dir, "EPSG:32600", 0.5, 11.5, 35.0, 70.0)
+
+
+def q_zoned_tm_oracle():
+    from .functions import proj_tail as _PT
+    from .functions.projections import _crs
+
+    zt = _crs("EPSG:32600")
+    win = (f"(SELECT event_id, lon, lat FROM ({_points_sql()}) __pt "
+           f"WHERE lon >= {synth.flit(0.5)} AND lon <= {synth.flit(11.5)} "
+           f"AND lat >= {synth.flit(35.0)} AND lat <= {synth.flit(70.0)})")
+    return f"""
+WITH __w AS {win},
+__d AS (SELECT event_id, lon AS dlon, lat AS dlat FROM __w),{_PT.zoned_tm_sql(zt, "__d", [31, 32])}
+SELECT event_id,
+  CAST(floor(px - 0.123456789) AS BIGINT) AS xl,
+  CAST(floor(py - 0.123456789) AS BIGINT) AS yl
+FROM __p ORDER BY event_id"""
+
+
 #: Cassini-Soldner defined purely in WKT (the Trinidad 1903 parameters in
 #: Clarke's links, no AUTHORITY node): exercises both the 9806 kernel and
 #: the WKT method routing in one gate (datum-preserving, like EPSG:5070).
@@ -15926,6 +15951,7 @@ QUERIES = {
     "geotiff_ccitt": (q_geotiff_ccitt, q_geotiff_ccitt_oracle),
     "mercator_ell": (q_mercator_ell, q_mercator_ell_oracle),
     "mae_transform": (q_mae_transform, q_mae_transform_oracle),
+    "zoned_tm": (q_zoned_tm, q_zoned_tm_oracle),
     "geom_distance": (q_geom_distance, q_geom_distance_oracle),
     "geom_distance_join": (q_geom_distance_join, q_geom_distance_join_oracle),
     "st_buffer": (q_st_buffer, q_st_buffer_oracle),

@@ -290,3 +290,38 @@ def test_mae_wkt_routing_precedence():
       PARAMETER["false_easting", 40000],
       PARAMETER["false_northing", 60000], UNIT["metre", 1]]""")
     assert isinstance(m, PT.ModifiedAzimuthalEquidistant)
+
+
+def test_zoned_tm_matches_utm_and_roundtrips():
+    from sis_spark.functions.projections import transform_points
+
+    zt = CRS_REGISTRY["EPSG:32600"]
+    rng = np.random.default_rng(12)
+    lon = rng.uniform(-179.9, 179.9, 2000)
+    lat = rng.uniform(-70, 70, 2000)
+    x, y = zt.forward(lon, lat)
+    # per-point zone prefix: easting div 1e6 == zone of lon
+    assert np.array_equal(np.floor(x / 1e6).astype(np.int64), zt.zone_of(lon))
+    lo, la = zt.inverse(x, y)
+    assert np.max(np.abs(lo - lon)) < 1e-9
+    assert np.max(np.abs(la - lat)) < 1e-9
+    # zone 31 content equals the plain EPSG:32631 kernel exactly
+    m = zt.zone_of(lon) == 31
+    if m.any():
+        ux, uy = transform_points(lon[m], lat[m], "EPSG:4326", "EPSG:32631")
+        # compose, don't subtract: (31e6 + zx) - 31e6 loses low bits
+        assert np.array_equal(x[m], 31e6 + ux)
+        assert np.array_equal(y[m], uy)
+
+
+def test_zoned_tm_wkt_roundtrip():
+    from sis_spark.functions.wkt_crs import crs_from_wkt, to_wkt
+
+    zt = CRS_REGISTRY["EPSG:32600"]
+    back = crs_from_wkt(to_wkt("EPSG:32600"), prefer_id=False)
+    assert isinstance(back, PT.ZonedTransverseMercator)
+    lon = np.linspace(-170, 170, 40)
+    lat = np.linspace(-60, 60, 40)
+    a = zt.forward(lon, lat)
+    b = back.forward(lon, lat)
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
