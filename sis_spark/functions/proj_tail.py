@@ -763,3 +763,136 @@ zin{z} AS (SELECT event_id, {lon_col}, {lat_col} FROM __zw WHERE zone = {z}),
     parts.append(f"""
 __p AS ({union})""")
     return ",".join(parts)
+
+
+class SatelliteTracking:
+    """Satellite-Tracking projections (Snyder 1987 chapter 28, spherical —
+    no EPSG code; R/operation/projection/SatelliteTracking.java carries
+    the same Landsat-era semantics).  All ground tracks of a satellite
+    with inclination ``i`` and period ratio ``p2_on_p1`` = P2/P1 plot as
+    straight lines.  ``sp2 == -sp1`` selects the CYLINDRICAL form
+    (Snyder 28-5..28-8); otherwise the CONIC form (28-9..28-18).
+
+    Latitudes beyond the tracking limit (|phi| > 180 - i for retrograde
+    orbits) have no ground track and project to NaN."""
+
+    def __init__(self, lon0: float = 0.0, lat0: float = 0.0,
+                 sp1: float = 30.0, sp2: float | None = None,
+                 inclination: float = 99.092,
+                 p2_on_p1: float = 103.267 / 1440.0,
+                 R: float = 6371007.0, fe: float = 0.0, fn: float = 0.0):
+        self.lon0, self.lat0 = float(lon0), float(lat0)
+        self.sp1 = float(sp1)
+        self.sp2 = float(-sp1 if sp2 is None else sp2)
+        self.inclination = float(inclination)
+        self.q = float(p2_on_p1)
+        self.R, self.fe, self.fn = float(R), float(fe), float(fn)
+        i = np.radians(inclination)
+        self.sin_i, self.cos_i = float(np.sin(i)), float(np.cos(i))
+        self.cos2_i = self.cos_i ** 2
+        p1 = np.radians(self.sp1)
+        c12 = float(np.cos(p1) ** 2)
+        self.cosp1 = float(np.cos(p1))
+        self.conic = abs(self.sp2 + self.sp1) > 1e-12
+        if self.conic:
+            L0 = self._L(np.sin(np.radians(lat0)))
+            L1 = self._L(np.sin(p1))
+            F1 = self._F(c12)
+            if abs(self.sp2 - self.sp1) < 1e-12:
+                s1 = float(np.sin(p1))
+                self.n = (s1 * (self.q * (2.0 * self.cos2_i - c12) - self.cos_i)
+                          / (self.q * c12 - self.cos_i))       # Snyder 28-17
+            else:
+                p2 = np.radians(self.sp2)
+                c22 = float(np.cos(p2) ** 2)
+                F2 = self._F(c22)
+                L2 = self._L(np.sin(p2))
+                self.n = float((F2 - F1) / (L2 - L1))          # Snyder 28-10
+            self.s0 = float(F1 - self.n * L1)                  # Snyder 28-11
+            self.rf = float(self.cosp1 * np.sin(F1) / self.n)  # Snyder 28-12 part
+            self.r0 = float(self.rf / np.sin(self.n * L0 + self.s0))
+            if not np.isfinite(self.rf) or self.rf == 0.0:
+                raise ValueError("invalid standard parallel for the orbit")
+        else:
+            # cot(F1), Snyder 28-9 without the arctangent
+            self.cotF1 = float(np.sqrt(c12 - self.cos2_i)
+                               / (self.q * c12 - self.cos_i))
+            if not np.isfinite(self.cotF1) or self.cotF1 == 0.0:
+                raise ValueError("invalid standard parallel for the orbit")
+
+    def _L(self, sinp):
+        lp = -np.arcsin(np.asarray(sinp, np.float64) / self.sin_i)  # 28-2a
+        return np.arctan(np.tan(lp) * self.cos_i) - self.q * lp     # 28-3a/4a
+
+    def _F(self, cos2p):
+        return float(np.arctan((self.q * cos2p - self.cos_i)
+                               / np.sqrt(cos2p - self.cos2_i)))     # 28-9
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            L = self._L(np.sin(phi))
+            if not self.conic:
+                x = self.R * self.cosp1 * lam
+                y = self.R * self.cosp1 * self.cotF1 * L    # 28-6 assembled
+                return self.fe + x, self.fn + y
+            A = self.n * L + self.s0
+            A = np.where(np.sign(A) == np.sign(self.n), A, np.nan)
+            inv_rho = np.sin(A) / self.rf                   # 1/rho, 28-12
+            th = self.n * lam
+            x = self.R * np.sin(th) / inv_rho
+            y = self.R * (self.r0 - np.cos(th) / inv_rho)
+        return self.fe + x, self.fn + y
+
+    def _phi_from_L(self, L):
+        """Newton-Raphson on Snyder 28-24/28-25, then 28-22 (seeded at the
+        equator; the L(lambda') curve is monotone within the tracking
+        limits, ~5 iterations suffice — 25 for safety margin)."""
+        lp = np.zeros_like(L)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for _ in range(25):
+                t = np.tan(lp)
+                lt = np.arctan(t * self.cos_i)
+                g = lt - self.q * lp - L
+                dg = self.cos_i * (1.0 + t * t) / (1.0 + lt * lt) - self.q
+                lp = lp - g / dg
+            phi = -np.arcsin(np.clip(np.sin(lp) * self.sin_i, -1.0, 1.0))
+        return phi
+
+    def inverse(self, x, y):
+        X = (np.asarray(x, np.float64) - self.fe) / self.R
+        Y = (np.asarray(y, np.float64) - self.fn) / self.R
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if not self.conic:
+                lam = X / self.cosp1
+                L = Y / (self.cosp1 * self.cotF1)
+            else:
+                u = X / self.rf
+                v = (self.r0 - Y) / self.rf
+                rho = np.copysign(np.hypot(u, v), self.n)
+                lam = np.arctan2(u, v) / self.n
+                L = (np.arcsin(1.0 / rho) - self.s0) / self.n  # 28-26
+            phi = self._phi_from_L(L)
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+def satellite_tracking_cyl_sql(p: SatelliteTracking, rel: str,
+                               lon_col: str = "dlon", lat_col: str = "dlat") -> str:
+    """Forward SQL replay for the CYLINDRICAL satellite-tracking form:
+    lambda' = -asin(sin(phi)/sin i); L = atan(tan(lambda') cos i) - q*lambda';
+    x = R cos(phi1) lam; y = R cos(phi1) cot(F1) L."""
+    if p.conic:
+        raise ValueError("SQL replay covers the cylindrical form")
+    return f"""
+__lp AS (
+  SELECT event_id,
+    radians({lon_col} - ({_fl(p.lon0)})) AS lam,
+    -asin(sin(radians({lat_col})) / {_fl(p.sin_i)}) AS lp
+  FROM {rel}),
+__p AS (
+  SELECT event_id,
+    {_fl(p.fe)} + {_fl(p.R)} * {_fl(p.cosp1)} * lam AS px,
+    {_fl(p.fn)} + {_fl(p.R)} * {_fl(p.cosp1)} * {_fl(p.cotF1)}
+      * (atan(tan(lp) * {_fl(p.cos_i)}) - {_fl(p.q)} * lp) AS py
+  FROM __lp)"""

@@ -720,6 +720,9 @@ def _extend_tail():
             138.0 + (10.0 + 7.48 / 60.0) / 60.0,
             40000.0, 60000.0,
             (6378206.4, (6378206.4 - 6356583.8) / 6378206.4)),
+        # Landsat-3 cylindrical satellite-tracking (Snyder 28; sphere)
+        "SIS:SATTRACK": PT.SatelliteTracking(
+            -90.0, 0.0, 30.0, -30.0, 99.092, 103.267 / 1440.0, 6371007.0),
         # WGS 84 / UTM zoned grid system, northern hemisphere (9824)
         "EPSG:32600": PT.ZonedTransverseMercator(),
         # WGS 84 / World Mercator (ellipsoidal Mercator variant A)

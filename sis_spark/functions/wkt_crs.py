@@ -139,6 +139,8 @@ _PARAM_SLOTS = {
     "northing at projection centre": "nc",
     "pseudo standard parallel 1": "sp1",
     "zone width": "zone_width",
+    "satellite orbit inclination": "inclination",
+    "satellite orbital period ratio": "p2_on_p1",
 }
 
 
@@ -348,6 +350,13 @@ def crs_from_wkt(text: str, prefer_id: bool = True):
         return Orthographic(lat0, lon0, ell[0])
     if "gnomonic" in method:
         return Gnomonic(lat0, lon0, ell[0])
+    if "satellite tracking" in method:
+        from . import proj_tail as PT
+
+        return PT.SatelliteTracking(
+            lon0, lat0, p.get("sp1", 30.0), p.get("sp2"),
+            p.get("inclination", 99.092), p.get("p2_on_p1", 103.267 / 1440.0),
+            ell[0], fe, fn)
     if "modified azimuthal equidistant" in method:
         from . import proj_tail as PT
 
@@ -580,6 +589,17 @@ def to_wkt(code: str) -> str:
         ], WGS84)
 
     from . import proj_tail as PT
+    if isinstance(crs, PT.SatelliteTracking):
+        return proj(code, "Satellite Tracking", [
+            ("Longitude of natural origin", crs.lon0),
+            ("Latitude of natural origin", crs.lat0),
+            ("Standard parallel 1", crs.sp1),
+            ("Standard parallel 2", crs.sp2),
+            ("Satellite orbit inclination", crs.inclination),
+            ("Satellite orbital period ratio", crs.q),
+            ("False easting", crs.fe),
+            ("False northing", crs.fn),
+        ], (crs.R, 0.0))
     if isinstance(crs, PT.ZonedTransverseMercator):
         return proj(code, "Transverse Mercator Zoned Grid System", [
             ("Longitude of natural origin", crs.initial_lon),

@@ -1056,6 +1056,39 @@ SELECT event_id,
 FROM __p ORDER BY event_id"""
 
 
+def q_satellite_tracking(spark, sf_dir):
+    """Cylindrical satellite-tracking projection (Snyder ch. 28, the
+    Landsat-3 parameters; R/operation/projection/SatelliteTracking.java —
+    no EPSG code, registry key SIS:SATTRACK).  Window stays inside the
+    tracking limit (|lat| <= 80.9 for i = 99.092); pytest pins both the
+    cylindrical and conic Snyder p.360 fixtures on the unit sphere."""
+    return _datum_gate(spark, sf_dir, "SIS:SATTRACK",
+                       -179.0, 179.0, -75.0, 75.0)
+
+
+def q_satellite_tracking_oracle():
+    from .functions import proj_tail as _PT
+    from .functions.projections import _crs
+
+    st = _crs("SIS:SATTRACK")
+    return _proj_oracle_with("SIS:SATTRACK",
+                             _PT.satellite_tracking_cyl_sql(st, "__d"),
+                             -179.0, 179.0, -75.0, 75.0)
+
+
+def _proj_oracle_with(code, emitted_sql, lon_lo, lon_hi, lat_lo, lat_hi):
+    win = (f"(SELECT event_id, lon, lat FROM ({_points_sql()}) __pt "
+           f"WHERE lon >= {synth.flit(lon_lo)} AND lon <= {synth.flit(lon_hi)} "
+           f"AND lat >= {synth.flit(lat_lo)} AND lat <= {synth.flit(lat_hi)})")
+    return f"""
+WITH __w AS {win},
+__d AS (SELECT event_id, lon AS dlon, lat AS dlat FROM __w),{emitted_sql}
+SELECT event_id,
+  CAST(floor(px - 0.123456789) AS BIGINT) AS xl,
+  CAST(floor(py - 0.123456789) AS BIGINT) AS yl
+FROM __p ORDER BY event_id"""
+
+
 #: Cassini-Soldner defined purely in WKT (the Trinidad 1903 parameters in
 #: Clarke's links, no AUTHORITY node): exercises both the 9806 kernel and
 #: the WKT method routing in one gate (datum-preserving, like EPSG:5070).
@@ -15952,6 +15985,7 @@ QUERIES = {
     "mercator_ell": (q_mercator_ell, q_mercator_ell_oracle),
     "mae_transform": (q_mae_transform, q_mae_transform_oracle),
     "zoned_tm": (q_zoned_tm, q_zoned_tm_oracle),
+    "satellite_tracking": (q_satellite_tracking, q_satellite_tracking_oracle),
     "geom_distance": (q_geom_distance, q_geom_distance_oracle),
     "geom_distance_join": (q_geom_distance_join, q_geom_distance_join_oracle),
     "st_buffer": (q_st_buffer, q_st_buffer_oracle),

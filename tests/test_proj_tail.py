@@ -325,3 +325,43 @@ def test_zoned_tm_wkt_roundtrip():
     a = zt.forward(lon, lat)
     b = back.forward(lon, lat)
     assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+
+def test_satellite_tracking_snyder_fixtures():
+    """Snyder p.360-363 Landsat-3 examples on the unit sphere (the
+    reference SatelliteTrackingTest fixtures): cylindrical and conic."""
+    c = PT.SatelliteTracking(-90.0, 0.0, 30.0, -30.0, 99.092,
+                             103.267 / 1440.0, R=1.0)
+    x, y = c.forward(np.array([-75.0]), np.array([40.0]))
+    assert abs(x[0] - 0.2267249) < 1e-7
+    assert abs(y[0] - 0.6459071) < 1e-7
+    lon, lat = c.inverse(x, y)
+    assert abs(lon[0] + 75.0) < 1e-9 and abs(lat[0] - 40.0) < 1e-9
+
+    k = PT.SatelliteTracking(-90.0, 30.0, 45.0, 70.0, 99.092,
+                             103.267 / 1440.0, R=1.0)
+    x, y = k.forward(np.array([-75.0]), np.array([40.0]))
+    assert abs(x[0] - 0.2001910) < 1e-7
+    assert abs(y[0] - 0.2121685) < 1e-7
+    lon, lat = k.inverse(x, y)
+    assert abs(lon[0] + 75.0) < 1e-9 and abs(lat[0] - 40.0) < 1e-9
+
+
+def test_satellite_tracking_limit_is_nan():
+    """Latitudes beyond the tracking limit (no ground track) -> NaN."""
+    c = PT.SatelliteTracking(-90.0, 0.0, 30.0, -30.0, 99.092,
+                             103.267 / 1440.0, R=1.0)
+    x, y = c.forward(np.array([0.0]), np.array([85.0]))
+    assert np.isnan(y[0])
+
+
+def test_satellite_tracking_wkt_roundtrip():
+    from sis_spark.functions.wkt_crs import crs_from_wkt, to_wkt
+
+    back = crs_from_wkt(to_wkt("SIS:SATTRACK"), prefer_id=False)
+    assert isinstance(back, PT.SatelliteTracking)
+    lon = np.linspace(-170, 170, 30)
+    lat = np.linspace(-70, 70, 30)
+    a = CRS_REGISTRY["SIS:SATTRACK"].forward(lon, lat)
+    b = back.forward(lon, lat)
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
