@@ -313,6 +313,65 @@ class ObliqueMercator:
         self.latc, self.lonc, self.azimuth = float(latc), float(lonc), float(azimuth)
         self.ellipsoid = tuple(ellipsoid)
 
+    @classmethod
+    def from_two_points(cls, latc: float, lat1: float, lon1: float,
+                        lat2: float, lon2: float, k0: float = 1.0,
+                        fe: float = 0.0, fn: float = 0.0, ellipsoid=WGS84,
+                        variant_b: bool = False):
+        """ESRI "two points" variant: the central line is defined by two
+        points instead of an azimuth (Snyder 1987 eq. 9-16..9-24; the
+        ObliqueMercatorTwoPoints provider semantics).  Derives lam0 and
+        gamma0 from the two points, alpha_c = gamma_c = asin(D sin
+        gamma0), then shares the standard Hotine kernel."""
+        a, e2, e = _af(ellipsoid)
+        pc = np.radians(latc)
+        sc, cc = np.sin(pc), np.cos(pc)
+        B = np.sqrt(1.0 + e2 * cc ** 4 / (1.0 - e2))
+        t0 = (np.tan(np.pi / 4.0 - pc / 2.0)
+              / ((1.0 - e * sc) / (1.0 + e * sc)) ** (e / 2.0))
+        D = B * np.sqrt(1.0 - e2) / (cc * np.sqrt(1.0 - e2 * sc * sc))
+        D2 = max(float(D * D), 1.0)
+        sign = 1.0 if latc >= 0.0 else -1.0
+        F = D + np.sqrt(D2 - 1.0) * sign
+        H = F * t0 ** B
+
+        def tB(lat):
+            p = np.radians(lat)
+            sp = np.sin(p)
+            t = (np.tan(np.pi / 4.0 - p / 2.0)
+                 / ((1.0 - e * sp) / (1.0 + e * sp)) ** (e / 2.0))
+            return t ** B
+
+        H1 = tB(lat1)
+        L = tB(lat2)
+        E2c = H * H
+        LH = L * H1
+        J = (E2c - LH) / (E2c + LH)
+        P = (L - H1) / (L + H1)
+        l1 = np.radians(lon1)
+        l2 = np.radians(lon2)
+        dl = l1 - l2
+        if abs(dl) > np.pi:  # Snyder's +-2pi adjustment
+            l2 += np.copysign(2.0 * np.pi, dl)
+            dl = l1 - l2
+        lam0 = (l1 + l2) / 2.0 - np.arctan(J * np.tan(B * dl / 2.0) / P) / B
+        dl = l1 - lam0
+        if abs(dl) > np.pi:
+            lam0 += np.copysign(2.0 * np.pi, dl)
+            dl = l1 - lam0
+        # Snyder: plain atan here, NOT atan2
+        gamma0 = np.arctan(2.0 * np.sin(B * dl) / (H / H1 - H1 / H))
+        alpha_c = np.arcsin(D * np.sin(gamma0))
+        self = cls(latc, float(np.degrees(lam0)), float(np.degrees(alpha_c)),
+                   float(np.degrees(alpha_c)), k0, fe, fn, ellipsoid,
+                   variant_b=variant_b)
+        # the two-point lam0/gamma0 are authoritative (the azimuth-based
+        # constructor re-derives lam0 from G tan(gamma0), which agrees
+        # only to FP noise)
+        self.lam0 = float(lam0)
+        self.gamma0 = float(gamma0)
+        return self
+
     def forward(self, lon, lat):
         e, e2 = self.e, self.e2
         phi = np.radians(np.asarray(lat, np.float64))

@@ -140,6 +140,10 @@ _PARAM_SLOTS = {
     "pseudo standard parallel 1": "sp1",
     "zone width": "zone_width",
     "satellite orbit inclination": "inclination",
+    "latitude of 1st point": "lat1p",
+    "longitude of 1st point": "lon1p",
+    "latitude of 2nd point": "lat2p",
+    "longitude of 2nd point": "lon2p",
     "satellite orbital period ratio": "p2_on_p1",
 }
 
@@ -301,6 +305,12 @@ def crs_from_wkt(text: str, prefer_id: bool = True):
 
         variant_b = ("variant b" in method or "center" in method
                      or "centre" in method or "ec" in p or "nc" in p)
+        if "two point" in method or ("lat1p" in p and "lat2p" in p):
+            return _wrap(PT.ObliqueMercator.from_two_points(
+                p.get("latc", lat0), p["lat1p"], p["lon1p"],
+                p["lat2p"], p["lon2p"], p.get("k0", 1.0),
+                p.get("ec", fe), p.get("nc", fn), ell,
+                variant_b=variant_b))
         latc = p.get("latc", lat0)
         lonc = p.get("lonc", lon0)
         az = p.get("azimuth", 0.0)

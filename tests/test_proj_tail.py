@@ -365,3 +365,50 @@ def test_satellite_tracking_wkt_roundtrip():
     a = CRS_REGISTRY["SIS:SATTRACK"].forward(lon, lat)
     b = back.forward(lon, lat)
     assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+
+def test_oblique_mercator_two_points_matches_azimuth_form():
+    """ESRI two-point variant: feeding two points that lie exactly on an
+    azimuth-defined central line reproduces that projection (<1e-6 m
+    over the full window) — the Snyder 9-16..9-24 line derivation."""
+    om = PT.ObliqueMercator(4.0, 102.25, 323.0257905, 323.0257905,
+                            0.99984, 0.0, 0.0, GRS80, variant_b=False)
+    g = om.gamma_c
+    pts = []
+    for u in (-400000.0, 500000.0):
+        lo, la = om.inverse(np.array([u * np.sin(g)]),
+                            np.array([u * np.cos(g)]))
+        pts.append((float(la[0]), float(lo[0])))
+    (la1, lo1), (la2, lo2) = pts
+    om2 = PT.ObliqueMercator.from_two_points(
+        4.0, la1, lo1, la2, lo2, 0.99984, 0.0, 0.0, GRS80)
+    rng = np.random.default_rng(1)
+    lon = rng.uniform(96, 108, 2000)
+    lat = rng.uniform(-4, 9, 2000)
+    x1, y1 = om.forward(lon, lat)
+    x2, y2 = om2.forward(lon, lat)
+    assert np.max(np.abs(x1 - x2)) < 1e-6
+    assert np.max(np.abs(y1 - y2)) < 1e-6
+    lo, la = om2.inverse(x2, y2)
+    assert np.max(np.abs(lo - lon)) < 1e-9
+
+
+def test_oblique_mercator_two_points_wkt():
+    from sis_spark.functions.wkt_crs import crs_from_wkt
+
+    om = crs_from_wkt("""PROJCS["TP", GEOGCS["G",
+      DATUM["g", SPHEROID["GRS 1980", 6378137, 298.257222101]],
+      PRIMEM["Greenwich", 0], UNIT["degree", 0.0174532925199433]],
+      PROJECTION["Hotine Oblique Mercator Two Point Natural Origin"],
+      PARAMETER["latitude_of_projection_centre", 4],
+      PARAMETER["latitude of 1st point", 2.0],
+      PARAMETER["longitude of 1st point", 100.0],
+      PARAMETER["latitude of 2nd point", 6.0],
+      PARAMETER["longitude of 2nd point", 105.0],
+      PARAMETER["scale_factor", 0.99984],
+      PARAMETER["false_easting", 0],
+      PARAMETER["false_northing", 0], UNIT["metre", 1]]""")
+    assert isinstance(om, PT.ObliqueMercator)
+    x, y = om.forward(np.array([102.0]), np.array([4.0]))
+    lo, la = om.inverse(x, y)
+    assert abs(lo[0] - 102.0) < 1e-9 and abs(la[0] - 4.0) < 1e-9
