@@ -295,9 +295,13 @@ class ObliqueMercator:
         self.H = float(F * t0 ** self.B)
         G = (F - 1.0 / F) / 2.0
         alpha = np.radians(azimuth)
-        self.gamma0 = float(np.arcsin(np.sin(alpha) / D))
+        self.gamma0 = float(np.arcsin(np.clip(np.sin(alpha) / D, -1.0, 1.0)))
+        # at azimuth 90 G*tan(gamma0) == 1 exactly in real arithmetic
+        # (G = sqrt(D^2-1), tan(gamma0) = 1/sqrt(D^2-1)) but FP rounding
+        # can land just above 1 -> clip keeps the arcsin defined
         self.lam0 = float(np.radians(lonc)
-                          - np.arcsin(G * np.tan(self.gamma0)) / self.B)
+                          - np.arcsin(np.clip(G * np.tan(self.gamma0),
+                                              -1.0, 1.0)) / self.B)
         self.gamma_c = np.radians(gamma_c if gamma_c is not None else azimuth)
         self.k0 = float(k0)
         self.fe, self.fn = float(fe), float(fn)
@@ -905,19 +909,30 @@ class SatelliteTracking:
         return self.fe + x, self.fn + y
 
     def _phi_from_L(self, L):
-        """Newton-Raphson on Snyder 28-24/28-25, then 28-22 (seeded at the
-        equator; the L(lambda') curve is monotone within the tracking
-        limits, ~5 iterations suffice — 25 for safety margin)."""
-        lp = np.zeros_like(L)
+        """Invert L(lambda') (Snyder 28-24/28-25, then 28-22).  L is
+        strictly monotone in lambda' on (-pi/2, pi/2) (its derivative
+        cos_i (1+tan^2)/(1+lambda_t^2) - q keeps one sign), so a
+        vectorized bisection always converges — a plain Newton seeded at
+        the equator can overshoot past |lambda'| = pi/2 where tan wraps
+        and land on a spurious root (caught by the property fuzz)."""
+        L = np.asarray(L, np.float64)
+        lo = np.full_like(L, -np.pi / 2.0 + 1e-12)
+        hi = np.full_like(L, np.pi / 2.0 - 1e-12)
+
+        def g(lp):
+            return np.arctan(np.tan(lp) * self.cos_i) - self.q * lp - L
+
         with np.errstate(invalid="ignore", divide="ignore"):
-            for _ in range(25):
-                t = np.tan(lp)
-                lt = np.arctan(t * self.cos_i)
-                g = lt - self.q * lp - L
-                dg = self.cos_i * (1.0 + t * t) / (1.0 + lt * lt) - self.q
-                lp = lp - g / dg
+            increasing = g(hi) > g(lo)
+            for _ in range(60):
+                mid = 0.5 * (lo + hi)
+                gm = g(mid)
+                take_lo = (gm < 0.0) == increasing
+                lo = np.where(take_lo, mid, lo)
+                hi = np.where(take_lo, hi, mid)
+            lp = 0.5 * (lo + hi)
             phi = -np.arcsin(np.clip(np.sin(lp) * self.sin_i, -1.0, 1.0))
-        return phi
+        return np.where(np.isfinite(L), phi, np.nan)
 
     def inverse(self, x, y):
         X = (np.asarray(x, np.float64) - self.fe) / self.R
