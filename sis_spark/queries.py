@@ -930,16 +930,8 @@ def _proj_oracle(code, emit, lon_lo, lon_hi, lat_lo, lat_hi):
     from .functions.projections import CRS_REGISTRY, _crs
 
     crs = CRS_REGISTRY[code] if code in CRS_REGISTRY else _crs(code)
-    win = (f"(SELECT event_id, lon, lat FROM ({_points_sql()}) __pt "
-           f"WHERE lon >= {synth.flit(lon_lo)} AND lon <= {synth.flit(lon_hi)} "
-           f"AND lat >= {synth.flit(lat_lo)} AND lat <= {synth.flit(lat_hi)})")
-    return f"""
-WITH __w AS {win},
-__d AS (SELECT event_id, lon AS dlon, lat AS dlat FROM __w),{emit(crs, "__d")}
-SELECT event_id,
-  CAST(floor(px - 0.123456789) AS BIGINT) AS xl,
-  CAST(floor(py - 0.123456789) AS BIGINT) AS yl
-FROM __p ORDER BY event_id"""
+    return _proj_oracle_with(code, emit(crs, "__d"),
+                             lon_lo, lon_hi, lat_lo, lat_hi)
 
 
 def q_eqc_transform(spark, sf_dir):
