@@ -105,12 +105,18 @@ def main(argv=None):
     splits_df = s_splits.read(spark)
     kept = {r["split"]: r["n"] for r in
             splits_df.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    from sis_spark.operators.buckets import LAST_DROP_STATS
+
     print(json.dumps({
         "documents": docs_n,
         "dup_pairs": pairs_n,
         "clusters": clusters_df.select("cluster").distinct().count(),
         "kept": sum(kept.values()),
         "splits": kept,
+        # hot-bucket drop accounting (r5): empty when no bucket exceeded
+        # the cap; otherwise the recall given up is visible in the job
+        # output, not just a log line (ADVICE r4)
+        "dropped_buckets": LAST_DROP_STATS,
     }))
 
 
